@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-provided parquet fixtures (TESTDATA.md).
+  *
+  * The reference engine's only source operator is a heap-file Tablescan
+  * (reference execution/plan.rs:30-32); here the scan is Spark's vectorized
+  * parquet reader, which gives column pruning + predicate pushdown for free
+  * (the reference only has projection pushdown at the storage layer,
+  * access/tuple.rs:43-121).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet timestamp[ns]; depending on reader config Spark may
+    * surface it as LongType (nanos). Normalize to a proper timestamp column so
+    * downstream ops are uniform. Sub-microsecond precision is dropped.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case _        => raw
+    }
+  }
+
+  /** Register every fixture table as a temp view (used by tests / REPL). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}

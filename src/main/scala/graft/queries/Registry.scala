@@ -1,0 +1,7 @@
+package graft.queries
+
+/** Union of every query module. Modules are added here as they land. */
+object Registry {
+  def all: Map[String, QueryDef] =
+    Relational.defs
+}
