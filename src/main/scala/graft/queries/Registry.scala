@@ -3,5 +3,5 @@ package graft.queries
 /** Union of every query module. Modules are added here as they land. */
 object Registry {
   def all: Map[String, QueryDef] =
-    Relational.defs
+    Relational.defs ++ Dedup.defs ++ TextOps.defs ++ Vectors.defs ++ Multimodal.defs
 }

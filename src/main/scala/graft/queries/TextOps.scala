@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Text analysis for training-data pipelines: token statistics, quality
+  * scoring, BPE-ish token counting, language-ID heuristics and document
+  * fingerprinting — all pure `org.apache.spark.sql.functions` column
+  * algebra (codegen'd, no UDFs), so the whole stage stays inside
+  * WholeStageCodegen and scales as a single narrow map over the corpus:
+  * zero shuffles except the final presentation ORDER BY.
+  */
+object TextOps {
+
+  private val stopEn = Seq("the", "and", "of", "to", "a", "in", "is")
+  private val stopDe = Seq("der", "die", "und", "das", "ist", "ein")
+  private val stopFr = Seq("le", "la", "et", "les", "des", "un")
+  private val stopEs = Seq("el", "los", "y", "de", "que", "una")
+
+  private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
+
+  /** size(filter(tokens, t -> t IN (...))) as a SQL expression string —
+    * identical text works in Spark SQL and DuckDB modulo function names.
+    */
+  private def stopCount(xs: Seq[String]): Column =
+    expr(s"size(filter(split(text, ' '), x -> x IN (${inList(xs)})))")
+
+  private def stopCountSql(xs: Seq[String]): String =
+    s"cast(len(list_filter(string_split(text, ' '), x -> x IN (${inList(xs)}))) AS int)"
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Per-document token statistics + quality flags.
+    "q_text_stats" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("n_types", size(array_distinct(split(col("text"), " "))))
+        .select(
+          col("doc_id"), col("n_chars"), col("n_tokens"), col("n_types"),
+          round(col("n_types") / col("n_tokens"), 4).as("ttr"),
+          round(stopCount(stopEn) / col("n_tokens"), 4).as("stop_ratio"),
+          when(col("n_chars") < 100, "short")
+            .when(col("n_types") / col("n_tokens") < 0.25, "repetitive")
+            .otherwise("ok").as("quality"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, n_chars,
+              |  cast(len(string_split(text, ' ')) AS int) AS n_tokens,
+              |  cast(len(list_distinct(string_split(text, ' '))) AS int) AS n_types,
+              |  round(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 4) AS ttr,
+              |  round(${stopCountSql(stopEn)} * 1.0 / len(string_split(text, ' ')), 4) AS stop_ratio,
+              |  CASE WHEN n_chars < 100 THEN 'short'
+              |       WHEN len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) < 0.25 THEN 'repetitive'
+              |       ELSE 'ok' END AS quality
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // BPE-ish tokenization via regex: words / numbers / single non-space
+    // symbols. regexp_extract_all is codegen'd in Spark; same RE2-safe
+    // pattern runs in DuckDB.
+    "q_text_tokens_bpe" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")).as("n_bpe_tokens"),
+          size(split(col("text"), " ")).as("n_ws_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS int) AS n_bpe_tokens,
+             |  cast(len(string_split(text, ' ')) AS int) AS n_ws_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Language ID: stopword-hit heuristic with a deterministic tie-break
+    // order (en > de > fr > es). The fixture text is synthetic, so this
+    // checks the deterministic scoring machinery, not linguistic accuracy.
+    "q_text_langid" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .withColumn("s_en", stopCount(stopEn))
+        .withColumn("s_de", stopCount(stopDe))
+        .withColumn("s_fr", stopCount(stopFr))
+        .withColumn("s_es", stopCount(stopEs))
+        .withColumn("pred_lang",
+          expr("""CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END"""))
+        .select("doc_id", "s_en", "s_de", "s_fr", "s_es", "pred_lang", "lang")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  ${stopCountSql(stopEn)} AS s_en, ${stopCountSql(stopDe)} AS s_de,
+              |  ${stopCountSql(stopFr)} AS s_fr, ${stopCountSql(stopEs)} AS s_es,
+              |  CASE WHEN ${stopCountSql(stopEn)} >= greatest(${stopCountSql(stopDe)}, ${stopCountSql(stopFr)}, ${stopCountSql(stopEs)}) THEN 'en'
+              |       WHEN ${stopCountSql(stopDe)} >= greatest(${stopCountSql(stopFr)}, ${stopCountSql(stopEs)}) THEN 'de'
+              |       WHEN ${stopCountSql(stopFr)} >= ${stopCountSql(stopEs)} THEN 'fr' ELSE 'es' END AS pred_lang,
+              |  lang
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprint: md5 over whitespace-normalized lowercase text —
+    // the canonical-form digest used as a cheap pre-dedup key.
+    "q_text_fingerprint" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
+          substring(md5(col("source")), 1, 8).as("source_fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+             |  substring(md5(source), 1, 8) AS source_fp
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.t
+
+/** Similarity search over the embeddings table (64-dim float vectors).
+  *
+  * - q_embed_topk / q_embed_neardup: brute-force cosine — the correctness
+  *   baseline. Dot products run as codegen'd `zip_with` + `aggregate`
+  *   column expressions (no UDF). At 100 TB brute force is O(n·q); the
+  *   scale path is the LSH variant below.
+  * - q_ann_lsh: random-hyperplane LSH. Hyperplane weights are derived
+  *   deterministically from md5(plane:dim), so signatures are reproducible
+  *   in the DuckDB oracle. Candidates only form inside a bucket — the
+  *   join is an equi-join on (bucket), never an all-pairs cross join.
+  */
+object Vectors {
+
+  /** Elementwise dot product of two array<double> columns, summed in index
+    * order (deterministic FP result on any engine that folds sequentially).
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (acc, v) => acc + v * v)))
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Brute-force cosine top-k for a small query set (vec_id < 10).
+    "q_embed_topk" -> QueryDef(
+      (s, d) => {
+        val all = withNorm(emb(s, d))
+        val q = all.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+        val pairs = broadcast(q).join(all.filter(col("vec_id") >= 0), col("vec_id") =!= col("qid"))
+          .withColumn("sim", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        pairs.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id").as("nid"), col("rk"), round(col("sim"), 6).as("sim"))
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |    list_cosine_similarity(cast(q.embedding AS double[]), cast(c.embedding AS double[])) AS sim
+             |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 10
+             |)
+             |SELECT qid, nid, rk, round(sim, 6) AS sim FROM (
+             |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+             |  FROM pairs) x
+             |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
+    // All near-duplicate pairs by cosine threshold (the embedding analogue
+    // of q_dedup_ngram). Brute force at test SF; LSH (below) at scale.
+    "q_embed_neardup" -> QueryDef(
+      (s, d) => {
+        val all = withNorm(emb(s, d))
+        val a = all.select(col("vec_id").as("a_id"), col("e").as("ae"), col("nrm").as("an"))
+        val b = all.select(col("vec_id").as("b_id"), col("e").as("be"), col("nrm").as("bn"))
+        a.join(b, col("a_id") < col("b_id"))
+          .withColumn("sim", dot(col("ae"), col("be")) / (col("an") * col("bn")))
+          .filter(col("sim") >= 0.4)
+          .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |  round(list_cosine_similarity(cast(a.embedding AS double[]), cast(b.embedding AS double[])), 6) AS sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(cast(a.embedding AS double[]), cast(b.embedding AS double[])) >= 0.4
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Random-hyperplane LSH: 8 deterministic hyperplanes → 8-bit bucket;
+    // top-k per query within its bucket. Recall < 1 by design; the bucket
+    // join replaces the cross join, which is what makes ANN feasible at
+    // billions of vectors.
+    "q_ann_lsh" -> QueryDef(
+      (s, d) => {
+        val all = withNorm(emb(s, d))
+        // (vec, plane, dim) → weight in [-0.5, 0.5] from md5(plane:dim)
+        val proj = all
+          .select(col("vec_id"), col("e"), posexplode(col("e")).as(Seq("pos", "x")))
+          .withColumn("i", col("pos") + 1)
+          .select(col("vec_id"), col("i"), col("x"),
+            explode(expr("sequence(0, 7)")).as("p"))
+          .withColumn("w", expr(
+            "(cast(conv(substring(md5(concat(cast(p AS string), ':', cast(i AS string))), 1, 15), 16, 10) AS bigint) % 1001 - 500) / 1000.0"))
+          .groupBy("vec_id", "p")
+          .agg(sum(col("x") * col("w")).as("proj"))
+        val buckets = proj
+          .withColumn("bit", expr("CASE WHEN proj >= 0 THEN cast(1 AS bigint) ELSE cast(0 AS bigint) END"))
+          .groupBy("vec_id")
+          .agg(sum(expr("shiftleft(bit, p)")).as("bucket"))
+        val vecs = all.join(buckets, Seq("vec_id"))
+        val q = vecs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"), col("bucket"))
+        val cand = broadcast(q).join(
+            vecs.select(col("vec_id"), col("e"), col("nrm"), col("bucket")), Seq("bucket"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("sim", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        cand.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id").as("nid"), col("rk"), round(col("sim"), 6).as("sim"))
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+             |planes AS (SELECT unnest(range(0, 8)) AS p),
+             |wts AS (
+             |  SELECT p, i,
+             |    (('0x' || substring(md5(cast(p AS varchar) || ':' || cast(i AS varchar)), 1, 15))::bigint % 1001 - 500) / 1000.0 AS w
+             |  FROM planes, dims
+             |), proj AS (
+             |  SELECT e.vec_id, w.p, sum(e.embedding[w.i] * w.w) AS proj
+             |  FROM embeddings e, wts w GROUP BY e.vec_id, w.p
+             |), buckets AS (
+             |  SELECT vec_id, cast(sum(CASE WHEN proj >= 0 THEN 1::bigint ELSE 0::bigint END << p) AS bigint) AS bucket
+             |  FROM proj GROUP BY vec_id
+             |), cand AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |    list_cosine_similarity(cast(qe.embedding AS double[]), cast(ce.embedding AS double[])) AS sim
+             |  FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+             |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+             |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+             |  WHERE q.vec_id < 10
+             |)
+             |SELECT qid, nid, rk, round(sim, 6) AS sim FROM (
+             |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+             |  FROM cand) x
+             |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
+  )
+}
