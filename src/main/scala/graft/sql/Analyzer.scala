@@ -1,0 +1,213 @@
+package graft.sql
+
+import Ast._
+
+/** Name/type binding against the catalog, mirroring the reference's
+  * `Analyzer` and its error surface (reference analyzer/mod.rs:8-19,40-46):
+  * table resolution, `*` expansion, attribute binding with ambiguity and
+  * unbound-binding checks, INSERT arity + checked type conversion.
+  *
+  * Looser than the reference where the reference is artificially narrow
+  * (SURVEY.md §2.2): OR, <>, non-equi attribute comparisons and
+  * literal-literal comparisons all analyze fine here — Catalyst executes
+  * them directly.
+  */
+object Analyzer {
+
+  final case class TableDesc(name: String, attributes: Seq[AttributeDesc]) {
+    def attr(n: String): Option[AttributeDesc] = attributes.find(_.name.equalsIgnoreCase(n))
+    def sparkSchema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(attributes.map(a =>
+        org.apache.spark.sql.types.StructField(a.name, a.sqlType.spark, a.nullable)))
+  }
+  final case class AttributeDesc(name: String, sqlType: SqlType, nullable: Boolean = true)
+
+  trait Catalog {
+    def resolve(table: String): Option[TableDesc]
+  }
+
+  // Error surface mirroring AnalyzerError (reference analyzer/mod.rs:8-19).
+  sealed trait AnalyzerError { def msg: String }
+  final case class RelationNotFound(name: String) extends AnalyzerError {
+    def msg = s"relation '$name' does not exist"
+  }
+  final case class DuplicateBinding(b: String) extends AnalyzerError {
+    def msg = s"duplicate table binding '$b'"
+  }
+  final case class UnboundBinding(b: String) extends AnalyzerError {
+    def msg = s"unbound table binding '$b'"
+  }
+  final case class UnboundAttribute(ref: String) extends AnalyzerError {
+    def msg = s"attribute '$ref' not found"
+  }
+  final case class AmbiguousAttribute(name: String) extends AnalyzerError {
+    def msg = s"attribute '$name' is ambiguous"
+  }
+  final case class NotComparable(a: SqlType, b: SqlType) extends AnalyzerError {
+    def msg = s"${a.render} is not comparable to ${b.render}"
+  }
+  final case class MissingValues(attrs: Seq[String]) extends AnalyzerError {
+    def msg = s"missing values for attributes ${attrs.mkString(", ")}"
+  }
+  final case class TooManyValues(expected: Int, actual: Int) extends AnalyzerError {
+    def msg = s"too many values: expected $expected, got $actual"
+  }
+  final case class TypeNotConvertible(index: Int, detail: String) extends AnalyzerError {
+    def msg = s"value at index $index: $detail"
+  }
+  final case class TableExists(name: String) extends AnalyzerError {
+    def msg = s"relation '$name' already exists"
+  }
+
+  // ---- bound IR ----
+  final case class BoundTable(desc: TableDesc, binding: String)
+  final case class BoundCol(binding: String, attr: AttributeDesc) {
+    def render: String = s"$binding.${attr.name}"
+  }
+  sealed trait BoundOperand
+  object BoundOperand {
+    final case class BCol(c: BoundCol) extends BoundOperand
+    final case class BLit(l: Lit) extends BoundOperand
+  }
+  sealed trait BoundExpr
+  object BoundExpr {
+    final case class BAnd(l: BoundExpr, r: BoundExpr) extends BoundExpr
+    final case class BOr(l: BoundExpr, r: BoundExpr) extends BoundExpr
+    final case class BCmp(op: CmpOp, l: BoundOperand, r: BoundOperand) extends BoundExpr
+  }
+
+  sealed trait BoundQuery
+  final case class BoundSelect(
+      tables: Seq[BoundTable],
+      projection: Seq[BoundCol],
+      predicate: Option[BoundExpr]) extends BoundQuery
+  final case class BoundInsert(desc: TableDesc, rows: Seq[Seq[Any]]) extends BoundQuery
+  final case class BoundCreate(desc: TableDesc) extends BoundQuery
+
+  def analyze(tree: ParseTree, cat: Catalog): Either[AnalyzerError, BoundQuery] = tree match {
+    case s: SelectTree => analyzeSelect(s, cat)
+    case i: InsertTree => analyzeInsert(i, cat)
+    case c: CreateTree => analyzeCreate(c, cat)
+  }
+
+  private def analyzeSelect(s: SelectTree, cat: Catalog): Either[AnalyzerError, BoundSelect] = {
+    // resolve FROM with bindings (alias or table name, reference
+    // analyzer/mod.rs:48-61)
+    val bound = scala.collection.mutable.LinkedHashMap.empty[String, BoundTable]
+    for (tr <- s.from) {
+      cat.resolve(tr.name) match {
+        case None => return Left(RelationNotFound(tr.name))
+        case Some(desc) =>
+          val b = tr.alias.getOrElse(tr.name).toLowerCase
+          if (bound.contains(b)) return Left(DuplicateBinding(b))
+          bound(b) = BoundTable(desc, b)
+      }
+    }
+    val tables = bound.values.toSeq
+
+    def bindCol(ref: ColRef): Either[AnalyzerError, BoundCol] = ref.binding match {
+      case Some(b) =>
+        bound.get(b.toLowerCase) match {
+          case None => Left(UnboundBinding(b))
+          case Some(bt) =>
+            bt.desc.attr(ref.name) match {
+              case None    => Left(UnboundAttribute(ref.render))
+              case Some(a) => Right(BoundCol(bt.binding, a))
+            }
+        }
+      case None =>
+        val hits = tables.flatMap(bt => bt.desc.attr(ref.name).map(a => BoundCol(bt.binding, a)))
+        hits match {
+          case Seq(one) => Right(one)
+          case Seq()    => Left(UnboundAttribute(ref.name))
+          case _        => Left(AmbiguousAttribute(ref.name))
+        }
+    }
+
+    // star expansion (reference analyzer/mod.rs:68-73)
+    val projRefs: Seq[ColRef] = s.columns.getOrElse(
+      tables.flatMap(bt => bt.desc.attributes.map(a => ColRef(Some(bt.binding), a.name))))
+
+    def bindExpr(e: Expr): Either[AnalyzerError, BoundExpr] = e match {
+      case Expr.And(l, r) =>
+        for { bl <- bindExpr(l); br <- bindExpr(r) } yield BoundExpr.BAnd(bl, br)
+      case Expr.Or(l, r) =>
+        for { bl <- bindExpr(l); br <- bindExpr(r) } yield BoundExpr.BOr(bl, br)
+      case Expr.Cmp(op, l, r) =>
+        def bindOp(o: Operand): Either[AnalyzerError, BoundOperand] = o match {
+          case Operand.Col(c)     => bindCol(c).map(BoundOperand.BCol)
+          case Operand.Literal(v) => Right(BoundOperand.BLit(v))
+        }
+        for {
+          bl <- bindOp(l)
+          br <- bindOp(r)
+          _ <- (bl, br) match {
+            case (BoundOperand.BCol(a), BoundOperand.BCol(b)) =>
+              if (SqlType.comparable(a.attr.sqlType, b.attr.sqlType)) Right(())
+              else Left(NotComparable(a.attr.sqlType, b.attr.sqlType))
+            case (BoundOperand.BCol(a), BoundOperand.BLit(lit)) => checkLitCmp(a, lit)
+            case (BoundOperand.BLit(lit), BoundOperand.BCol(b)) => checkLitCmp(b, lit)
+            case _ => Right(()) // literal-literal: constant-folds in Catalyst
+          }
+        } yield BoundExpr.BCmp(op, bl, br)
+    }
+
+    for {
+      proj <- projRefs.foldLeft[Either[AnalyzerError, Vector[BoundCol]]](Right(Vector.empty)) {
+        (acc, r) => acc.flatMap(v => bindCol(r).map(v :+ _))
+      }
+      pred <- s.where match {
+        case None    => Right(None)
+        case Some(e) => bindExpr(e).map(Some(_))
+      }
+    } yield BoundSelect(tables, proj, pred)
+  }
+
+  private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {
+    case (Lit.LitNull, _) => Right(())
+    case (Lit.LitLong(_), t) if SqlType.comparable(SqlType.SqlBigInt, t) => Right(())
+    case (Lit.LitString(_), t) if SqlType.comparable(SqlType.SqlVarChar(0), t) => Right(())
+    case (l, t) => Left(NotComparable(litType(l), t))
+  }
+  private def litType(l: Lit): SqlType = l match {
+    case Lit.LitLong(_)   => SqlType.SqlBigInt
+    case Lit.LitString(s) => SqlType.SqlVarChar(s.length max 1)
+    case Lit.LitNull      => SqlType.SqlVarChar(1)
+  }
+
+  /** INSERT: arity check with named missing attributes / expected-actual
+    * counts, then per-index checked conversion (reference
+    * analyzer/mod.rs:211-237, tests :379-442).
+    */
+  private def analyzeInsert(i: InsertTree, cat: Catalog): Either[AnalyzerError, BoundInsert] =
+    cat.resolve(i.table) match {
+      case None => Left(RelationNotFound(i.table))
+      case Some(desc) =>
+        val attrs = desc.attributes
+        val out = Vector.newBuilder[Seq[Any]]
+        for (row <- i.rows) {
+          if (row.length < attrs.length)
+            return Left(MissingValues(attrs.drop(row.length).map(_.name)))
+          if (row.length > attrs.length)
+            return Left(TooManyValues(attrs.length, row.length))
+          val vals = Vector.newBuilder[Any]
+          for (((lit, attr), idx) <- row.zip(attrs).zipWithIndex) {
+            Convert(lit, attr.sqlType) match {
+              case Left(err) => return Left(TypeNotConvertible(idx, err.msg))
+              case Right(v)  => vals += v
+            }
+          }
+          out += vals.result()
+        }
+        Right(BoundInsert(desc, out.result()))
+    }
+
+  private def analyzeCreate(c: CreateTree, cat: Catalog): Either[AnalyzerError, BoundCreate] =
+    if (cat.resolve(c.table).isDefined) Left(TableExists(c.table))
+    else
+      // nullable=true for user tables, like the reference (analyzer/mod.rs:260);
+      // PRIMARY KEY is parsed and ignored (reference main.rs:26).
+      Right(BoundCreate(TableDesc(
+        c.table.toLowerCase,
+        c.columns.map { case (n, t) => AttributeDesc(n.toLowerCase, t, nullable = true) })))
+}

@@ -1,0 +1,54 @@
+package graft.sql
+
+/** Parse trees mirroring the reference grammar (reference parser/mod.rs:
+  * 28-105): SELECT / INSERT / CREATE TABLE only. We additionally keep OR and
+  * `<>` in the tree (the reference parses them too, parser/mod.rs:107-117,
+  * then rejects in analysis — we support them end-to-end).
+  */
+sealed trait ParseTree
+
+object Ast {
+
+  final case class ColRef(binding: Option[String], name: String) {
+    def render: String = binding.fold(name)(b => s"$b.$name")
+  }
+  final case class TableRef(name: String, alias: Option[String])
+
+  sealed trait CmpOp { def sql: String }
+  object CmpOp {
+    case object Eq extends CmpOp  { val sql = "=" }
+    case object Neq extends CmpOp { val sql = "<>" }
+    case object Lt extends CmpOp  { val sql = "<" }
+    case object Gt extends CmpOp  { val sql = ">" }
+    case object Le extends CmpOp  { val sql = "<=" }
+    case object Ge extends CmpOp  { val sql = ">=" }
+  }
+
+  sealed trait Operand
+  object Operand {
+    final case class Col(ref: ColRef) extends Operand
+    final case class Literal(lit: Lit) extends Operand
+  }
+
+  sealed trait Expr
+  object Expr {
+    final case class And(l: Expr, r: Expr) extends Expr
+    final case class Or(l: Expr, r: Expr) extends Expr
+    final case class Cmp(op: CmpOp, l: Operand, r: Operand) extends Expr
+  }
+
+  /** columns = None means `SELECT *` (star expansion happens in analysis,
+    * like reference analyzer/mod.rs:68-73).
+    */
+  final case class SelectTree(
+      columns: Option[Seq[ColRef]],
+      from: Seq[TableRef],
+      where: Option[Expr]) extends ParseTree
+
+  final case class InsertTree(table: String, rows: Seq[Seq[Lit]]) extends ParseTree
+
+  final case class CreateTree(
+      table: String,
+      columns: Seq[(String, SqlType)],
+      primaryKey: Seq[String]) extends ParseTree
+}

@@ -1,0 +1,170 @@
+package graft.sql
+
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import Analyzer._
+
+/** The database facade — the analogue of `OxidSQLDatabase::query`
+  * (reference database.rs:36-45): one entry point driving
+  * parse → analyze → lower → execute for all three statement kinds.
+  *
+  * Storage: each table is a directory of parquet files under the warehouse
+  * dir; INSERT appends new files (the Spark-native replacement for the
+  * reference's slotted-page heap + buffer manager, which is HOW not WHAT —
+  * SURVEY.md §1.4). Catalog metadata (incl. VARCHAR max lengths, which
+  * parquet cannot carry) persists as a JSON sidecar, replacing the
+  * reference's bootstrap catalog segments (catalog/mod.rs:9-37).
+  *
+  * At scale: appends are new parquet files (no rewrite), reads are
+  * partition-parallel scans with pushdown; the facade never collects data
+  * to the driver.
+  */
+final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
+
+  sealed trait QueryError { def msg: String }
+  final case class ParseFailed(e: Parser.ParseError) extends QueryError { def msg = e.toString }
+  final case class AnalyzeFailed(e: AnalyzerError) extends QueryError { def msg = e.msg }
+
+  /** Result of one statement: SELECTs carry a DataFrame; DDL/DML report. */
+  sealed trait QueryResult
+  final case class Rows(df: DataFrame) extends QueryResult
+  final case class Done(message: String) extends QueryResult
+
+  private val tables = mutable.LinkedHashMap.empty[String, TableDesc]
+  // External tables (driver parquet fixtures): schema discovered from
+  // footers; data lives outside the warehouse and is never written to.
+  private val external = mutable.Map.empty[String, String]
+
+  Files.createDirectories(Paths.get(warehouse))
+  loadCatalog()
+
+  private object cat extends Catalog {
+    def resolve(t: String): Option[TableDesc] = tables.get(t.toLowerCase)
+  }
+
+  def query(sql: String): Either[QueryError, QueryResult] =
+    for {
+      tree <- Parser.parse(sql).left.map(ParseFailed)
+      bound <- Analyzer.analyze(tree, cat).left.map(AnalyzeFailed)
+    } yield execute(bound)
+
+  /** Convenience for SELECTs in tests: query + unwrap. */
+  def select(sql: String): Either[QueryError, DataFrame] = query(sql).map {
+    case Rows(df)  => df
+    case Done(msg) => sys.error(s"not a SELECT: $msg")
+  }
+
+  /** Register an existing parquet table (e.g. a driver fixture) read-only. */
+  def registerParquet(name: String, path: String): Unit = {
+    val schema = spark.read.parquet(path).schema
+    val desc = TableDesc(name.toLowerCase, schema.fields.toSeq.map(f =>
+      AttributeDesc(f.name, SqlType.fromSpark(f.dataType), f.nullable)))
+    tables(desc.name) = desc
+    external(desc.name) = path
+  }
+
+  def tableNames: Seq[String] = tables.keys.toSeq
+
+  private def dataPath(name: String): String =
+    external.getOrElse(name, s"$warehouse/data/$name")
+
+  private def readTable(desc: TableDesc): DataFrame =
+    // Explicit schema: works even when the table has zero parquet files yet,
+    // and skips footer merging on every query.
+    spark.read.schema(desc.sparkSchema).parquet(dataPath(desc.name))
+
+  private def execute(q: BoundQuery): QueryResult = q match {
+    case s: BoundSelect =>
+      Rows(Lowering.lowerSelect(spark, s, bt => readTable(bt.desc)))
+
+    case BoundInsert(desc, rows) =>
+      // Batched append: all VALUES rows land in one parquet write
+      // (SURVEY.md §7.4 — per-row writes would be pathological).
+      val rdd = spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1)
+      spark.createDataFrame(rdd, desc.sparkSchema)
+        .write.mode("append").parquet(dataPath(desc.name))
+      Done(s"inserted ${rows.length} row(s) into ${desc.name}")
+
+    case BoundCreate(desc) =>
+      tables(desc.name) = desc
+      Files.createDirectories(Paths.get(s"$warehouse/data/${desc.name}"))
+      saveCatalog()
+      Done(s"created table ${desc.name}")
+  }
+
+  // ---- catalog persistence (JSON sidecar) ----
+  private def catalogPath = Paths.get(s"$warehouse/catalog.json")
+
+  private def renderType(t: SqlType): String = t.render
+  private def parseType(s: String): SqlType = {
+    val vc = "VARCHAR\\((\\d+)\\)".r
+    val vb = "VARBINARY\\((\\d+)\\)".r
+    s match {
+      case "BIGINT"    => SqlType.SqlBigInt
+      case "INT"       => SqlType.SqlInt
+      case "SMALLINT"  => SqlType.SqlSmallInt
+      case "DOUBLE"    => SqlType.SqlDouble
+      case "TIMESTAMP" => SqlType.SqlTimestamp
+      case vc(n)       => SqlType.SqlVarChar(n.toInt)
+      case vb(n)       => SqlType.SqlVarBinary(n.toInt)
+      case other       => sys.error(s"bad catalog type $other")
+    }
+  }
+
+  private def saveCatalog(): Unit = {
+    val lines = tables.values.filterNot(t => external.contains(t.name)).map { t =>
+      val attrs = t.attributes
+        .map(a => s"""{"name":"${a.name}","type":"${renderType(a.sqlType)}","nullable":${a.nullable}}""")
+        .mkString("[", ",", "]")
+      s"""{"table":"${t.name}","attributes":$attrs}"""
+    }
+    Files.write(catalogPath, lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def loadCatalog(): Unit = {
+    if (!Files.exists(catalogPath)) return
+    val attrRe = """\{"name":"([^"]+)","type":"([^"]+)","nullable":(true|false)\}""".r
+    val tableRe = """\{"table":"([^"]+)","attributes":\[(.*)\]\}""".r
+    Files.readAllLines(catalogPath).asScala.filter(_.nonEmpty).foreach {
+      case tableRe(name, attrs) =>
+        val as = attrRe.findAllMatchIn(attrs).map(m =>
+          AttributeDesc(m.group(1), parseType(m.group(2)), m.group(3).toBoolean)).toSeq
+        tables(name) = TableDesc(name, as)
+      case line => sys.error(s"bad catalog line: $line")
+    }
+  }
+}
+
+/** Interactive REPL — the analogue of the reference's rustyline shell
+  * (reference main.rs:50-74). `show()` is the Print operator (#5 in
+  * SURVEY.md §2.1): formatted table with headers.
+  */
+object Repl {
+  def main(args: Array[String]): Unit = {
+    val warehouse = args.headOption.getOrElse(
+      Files.createTempDirectory("graft-warehouse").toString)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val db = new GraftDatabase(spark, warehouse)
+    println(s"graft SQL repl — warehouse: $warehouse (exit with \\q)")
+    Iterator.continually(scala.io.StdIn.readLine("graft> "))
+      .takeWhile(l => l != null && l.trim != "\\q")
+      .filter(_.trim.nonEmpty)
+      .foreach { line =>
+        db.query(line) match {
+          case Left(err)            => println(s"error: ${err.msg}")
+          case Right(db.Done(msg))  => println(msg)
+          case Right(db.Rows(df))   => df.show(100, truncate = false)
+        }
+      }
+    spark.stop()
+  }
+}

@@ -1,0 +1,299 @@
+package graft.sql
+
+import scala.collection.mutable.ArrayBuffer
+
+import Ast._
+
+/** Hand-rolled tokenizer + recursive-descent parser for the reference
+  * dialect (grammar at reference parser/mod.rs:125-417): SELECT cols|* FROM
+  * t [alias] {, t [alias]} [WHERE conj], INSERT INTO t VALUES (...)[, ...],
+  * CREATE TABLE t (col type [PRIMARY KEY], ...). Keywords are
+  * case-insensitive (parser/mod.rs:419-623 tests `SEleCT ... frOm`).
+  *
+  * Divergences (all additive): multi-row VALUES, OR / parenthesized
+  * predicates survive analysis, NULL literal accepted in VALUES (the
+  * reference demo inserts NULL ages, database.rs:47-91).
+  */
+object Parser {
+
+  final case class ParseError(msg: String, pos: Int) {
+    override def toString = s"parse error at $pos: $msg"
+  }
+
+  // ---- tokens ----
+  private sealed trait Tok { def pos: Int }
+  private final case class TIdent(s: String, pos: Int) extends Tok
+  private final case class TInt(v: Long, pos: Int) extends Tok
+  private final case class TStr(s: String, pos: Int) extends Tok
+  private final case class TSym(s: String, pos: Int) extends Tok
+  private final case class TEnd(pos: Int) extends Tok
+
+  private def lex(in: String): Either[ParseError, Vector[Tok]] = {
+    val out = ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < in.length) {
+      val c = in(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < in.length && (in(i).isLetterOrDigit || in(i) == '_')) i += 1
+        out += TIdent(in.substring(start, i), start)
+      } else if (c.isDigit || (c == '-' && i + 1 < in.length && in(i + 1).isDigit)) {
+        val start = i
+        if (c == '-') i += 1
+        while (i < in.length && in(i).isDigit) i += 1
+        out += TInt(in.substring(start, i).toLong, start)
+      } else if (c == '\'') {
+        val start = i
+        i += 1
+        val sb = new StringBuilder
+        var closed = false
+        while (i < in.length && !closed) {
+          if (in(i) == '\'') {
+            if (i + 1 < in.length && in(i + 1) == '\'') { sb += '\''; i += 2 } // '' escape
+            else { closed = true; i += 1 }
+          } else { sb += in(i); i += 1 }
+        }
+        if (!closed) return Left(ParseError("unterminated string literal", start))
+        out += TStr(sb.toString, start)
+      } else {
+        val two = if (i + 1 < in.length) in.substring(i, i + 2) else ""
+        if (two == "<>" || two == "<=" || two == ">=" || two == "!=") {
+          out += TSym(if (two == "!=") "<>" else two, i); i += 2
+        } else if ("(),.;*=<>".indexOf(c) >= 0) {
+          out += TSym(c.toString, i); i += 1
+        } else return Left(ParseError(s"unexpected character '$c'", i))
+      }
+    }
+    out += TEnd(in.length)
+    Right(out.toVector)
+  }
+
+  // ---- parser state ----
+  private final class P(toks: Vector[Tok]) {
+    var i = 0
+    def peek: Tok = toks(i)
+    def next(): Tok = { val t = toks(i); i += 1; t }
+    def isKw(kw: String): Boolean = peek match {
+      case TIdent(s, _) => s.equalsIgnoreCase(kw)
+      case _            => false
+    }
+    def eatKw(kw: String): Either[ParseError, Unit] =
+      if (isKw(kw)) { i += 1; Right(()) }
+      else Left(ParseError(s"expected $kw", peek.pos))
+    def eatSym(s: String): Either[ParseError, Unit] = peek match {
+      case TSym(x, _) if x == s => i += 1; Right(())
+      case t                    => Left(ParseError(s"expected '$s'", t.pos))
+    }
+    def ident(): Either[ParseError, String] = peek match {
+      case TIdent(s, _) if !reserved(s) => i += 1; Right(s)
+      case t => Left(ParseError("expected identifier", t.pos))
+    }
+  }
+
+  private val reservedWords = Set(
+    "select", "from", "where", "and", "or", "insert", "into", "values",
+    "create", "table", "primary", "key", "null", "not", "as")
+  private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
+
+  /** Entry point. Rejects trailing garbage like the reference's "query not
+    * parsed fully" check (reference database.rs:38-40).
+    */
+  def parse(sql: String): Either[ParseError, ParseTree] =
+    lex(sql).flatMap { toks =>
+      val p = new P(toks)
+      val tree =
+        if (p.isKw("select")) parseSelect(p)
+        else if (p.isKw("insert")) parseInsert(p)
+        else if (p.isKw("create")) parseCreate(p)
+        else Left(ParseError("expected SELECT, INSERT or CREATE", p.peek.pos))
+      tree.flatMap { t =>
+        while (p.peek.isInstanceOf[TSym] && p.peek.asInstanceOf[TSym].s == ";") p.next()
+        p.peek match {
+          case TEnd(_) => Right(t)
+          case tok     => Left(ParseError("query not parsed fully", tok.pos))
+        }
+      }
+    }
+
+  private def parseColRef(p: P): Either[ParseError, ColRef] =
+    p.ident().flatMap { a =>
+      p.peek match {
+        case TSym(".", _) =>
+          p.next()
+          p.ident().map(b => ColRef(Some(a), b))
+        case _ => Right(ColRef(None, a))
+      }
+    }
+
+  private def parseSelect(p: P): Either[ParseError, SelectTree] = {
+    for {
+      _ <- p.eatKw("select")
+      cols <- p.peek match {
+        case TSym("*", _) => p.next(); Right(None)
+        case _ =>
+          def loop(acc: Vector[ColRef]): Either[ParseError, Vector[ColRef]] =
+            parseColRef(p).flatMap { c =>
+              p.peek match {
+                case TSym(",", _) => p.next(); loop(acc :+ c)
+                case _            => Right(acc :+ c)
+              }
+            }
+          loop(Vector.empty).map(Some(_))
+      }
+      _ <- p.eatKw("from")
+      from <- {
+        def one(): Either[ParseError, TableRef] =
+          p.ident().map { n =>
+            p.peek match {
+              case TIdent(a, _) if !reserved(a) => p.next(); TableRef(n, Some(a))
+              case _                            => TableRef(n, None)
+            }
+          }
+        def loop(acc: Vector[TableRef]): Either[ParseError, Vector[TableRef]] =
+          one().flatMap { t =>
+            p.peek match {
+              case TSym(",", _) => p.next(); loop(acc :+ t)
+              case _            => Right(acc :+ t)
+            }
+          }
+        loop(Vector.empty)
+      }
+      where <-
+        if (p.isKw("where")) { p.next(); parseOr(p).map(Some(_)) }
+        else Right(None)
+    } yield SelectTree(cols, from, where)
+  }
+
+  private def parseOr(p: P): Either[ParseError, Expr] =
+    parseAnd(p).flatMap { l =>
+      if (p.isKw("or")) { p.next(); parseOr(p).map(r => Expr.Or(l, r)) }
+      else Right(l)
+    }
+
+  private def parseAnd(p: P): Either[ParseError, Expr] =
+    parsePrimary(p).flatMap { l =>
+      if (p.isKw("and")) { p.next(); parseAnd(p).map(r => Expr.And(l, r)) }
+      else Right(l)
+    }
+
+  private def parsePrimary(p: P): Either[ParseError, Expr] = p.peek match {
+    case TSym("(", _) =>
+      p.next()
+      parseOr(p).flatMap(e => p.eatSym(")").map(_ => e))
+    case _ =>
+      for {
+        l <- parseOperand(p)
+        op <- p.peek match {
+          case TSym("=", _)  => p.next(); Right(CmpOp.Eq)
+          case TSym("<>", _) => p.next(); Right(CmpOp.Neq)
+          case TSym("<=", _) => p.next(); Right(CmpOp.Le)
+          case TSym(">=", _) => p.next(); Right(CmpOp.Ge)
+          case TSym("<", _)  => p.next(); Right(CmpOp.Lt)
+          case TSym(">", _)  => p.next(); Right(CmpOp.Gt)
+          case t             => Left(ParseError("expected comparison operator", t.pos))
+        }
+        r <- parseOperand(p)
+      } yield Expr.Cmp(op, l, r)
+  }
+
+  private def parseOperand(p: P): Either[ParseError, Operand] = p.peek match {
+    case TInt(v, _)  => p.next(); Right(Operand.Literal(Lit.LitLong(v)))
+    case TStr(s, _)  => p.next(); Right(Operand.Literal(Lit.LitString(s)))
+    case TIdent(s, _) if s.equalsIgnoreCase("null") =>
+      p.next(); Right(Operand.Literal(Lit.LitNull))
+    case TIdent(_, _) => parseColRef(p).map(Operand.Col)
+    case t            => Left(ParseError("expected column or literal", t.pos))
+  }
+
+  private def parseLit(p: P): Either[ParseError, Lit] = p.peek match {
+    case TInt(v, _) => p.next(); Right(Lit.LitLong(v))
+    case TStr(s, _) => p.next(); Right(Lit.LitString(s))
+    case TIdent(s, _) if s.equalsIgnoreCase("null") => p.next(); Right(Lit.LitNull)
+    case t => Left(ParseError("expected literal", t.pos))
+  }
+
+  private def parseInsert(p: P): Either[ParseError, InsertTree] = {
+    def tuple(): Either[ParseError, Vector[Lit]] =
+      p.eatSym("(").flatMap { _ =>
+        def loop(acc: Vector[Lit]): Either[ParseError, Vector[Lit]] =
+          parseLit(p).flatMap { l =>
+            p.peek match {
+              case TSym(",", _) => p.next(); loop(acc :+ l)
+              case _            => p.eatSym(")").map(_ => acc :+ l)
+            }
+          }
+        loop(Vector.empty)
+      }
+    for {
+      _ <- p.eatKw("insert")
+      _ <- p.eatKw("into")
+      name <- p.ident()
+      _ <- p.eatKw("values")
+      rows <- {
+        def loop(acc: Vector[Vector[Lit]]): Either[ParseError, Vector[Vector[Lit]]] =
+          tuple().flatMap { t =>
+            p.peek match {
+              case TSym(",", _) => p.next(); loop(acc :+ t)
+              case _            => Right(acc :+ t)
+            }
+          }
+        loop(Vector.empty)
+      }
+    } yield InsertTree(name, rows)
+  }
+
+  private def parseType(p: P): Either[ParseError, SqlType] =
+    p.peek match {
+      case TIdent(s, pos) =>
+        p.next()
+        s.toLowerCase match {
+          case "bigint"   => Right(SqlType.SqlBigInt)
+          case "int" | "integer" => Right(SqlType.SqlInt)
+          case "smallint" => Right(SqlType.SqlSmallInt)
+          case "varchar" =>
+            for {
+              _ <- p.eatSym("(")
+              n <- p.peek match {
+                case TInt(v, _) if v > 0 && v <= 65535 => p.next(); Right(v.toInt)
+                case t => Left(ParseError("expected VARCHAR length", t.pos))
+              }
+              _ <- p.eatSym(")")
+            } yield SqlType.SqlVarChar(n)
+          case other => Left(ParseError(s"unknown type $other", pos))
+        }
+      case t => Left(ParseError("expected type", t.pos))
+    }
+
+  private def parseCreate(p: P): Either[ParseError, CreateTree] = {
+    for {
+      _ <- p.eatKw("create")
+      _ <- p.eatKw("table")
+      name <- p.ident()
+      _ <- p.eatSym("(")
+      colsAndPk <- {
+        def one(): Either[ParseError, (String, SqlType, Boolean)] =
+          for {
+            cn <- p.ident()
+            tp <- parseType(p)
+            pk <-
+              if (p.isKw("primary")) {
+                p.next(); p.eatKw("key").map(_ => true)
+              } else Right(false)
+          } yield (cn, tp, pk)
+        def loop(acc: Vector[(String, SqlType, Boolean)])
+            : Either[ParseError, Vector[(String, SqlType, Boolean)]] =
+          one().flatMap { c =>
+            p.peek match {
+              case TSym(",", _) => p.next(); loop(acc :+ c)
+              case _            => p.eatSym(")").map(_ => acc :+ c)
+            }
+          }
+        loop(Vector.empty)
+      }
+    } yield CreateTree(
+      name,
+      colsAndPk.map(c => (c._1, c._2)),
+      colsAndPk.filter(_._3).map(_._1))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.sql
+
+import org.apache.spark.sql.types._
+
+/** The reference's declared-schema type system (reference types.rs:30-38,
+  * 114-124) mapped onto Spark DataTypes, plus the extension types needed to
+  * host the driver fixtures (double / timestamp — absent in the reference,
+  * whose only types are the five below).
+  */
+sealed trait SqlType {
+  def spark: DataType
+  def render: String
+}
+
+object SqlType {
+  case object SqlBigInt extends SqlType { val spark = LongType;    val render = "BIGINT" }
+  case object SqlInt extends SqlType { val spark = IntegerType;    val render = "INT" }
+  case object SqlSmallInt extends SqlType { val spark = ShortType; val render = "SMALLINT" }
+  final case class SqlVarChar(maxLen: Int) extends SqlType {
+    val spark = StringType; def render = s"VARCHAR($maxLen)"
+  }
+  final case class SqlVarBinary(maxLen: Int) extends SqlType {
+    val spark = BinaryType; def render = s"VARBINARY($maxLen)"
+  }
+  // Extension types (not in the reference dialect; present so external
+  // parquet tables with richer schemas can live in the same catalog).
+  case object SqlDouble extends SqlType { val spark = DoubleType;       val render = "DOUBLE" }
+  case object SqlTimestamp extends SqlType { val spark = TimestampType; val render = "TIMESTAMP" }
+
+  def fromSpark(dt: DataType): SqlType = dt match {
+    case LongType      => SqlBigInt
+    case IntegerType   => SqlInt
+    case ShortType     => SqlSmallInt
+    case StringType    => SqlVarChar(65535)
+    case BinaryType    => SqlVarBinary(65535)
+    case DoubleType    => SqlDouble
+    case FloatType     => SqlDouble
+    case TimestampType => SqlTimestamp
+    case other => throw new IllegalArgumentException(s"unsupported external type $other")
+  }
+
+  private def isNumeric(t: SqlType): Boolean = t match {
+    case SqlBigInt | SqlInt | SqlSmallInt | SqlDouble => true
+    case _ => false
+  }
+
+  /** Mixed-width numeric comparison is allowed, like the reference's
+    * `is_comparable_to` (reference types.rs:51-70).
+    */
+  def comparable(a: SqlType, b: SqlType): Boolean = (a, b) match {
+    case _ if isNumeric(a) && isNumeric(b)        => true
+    case (SqlVarChar(_), SqlVarChar(_))           => true
+    case (SqlVarBinary(_), SqlVarBinary(_))       => true
+    case (SqlTimestamp, SqlTimestamp)             => true
+    case _                                        => false
+  }
+}
+
+/** Literal values as they come out of the parser. */
+sealed trait Lit
+object Lit {
+  final case class LitLong(v: Long) extends Lit
+  final case class LitString(v: String) extends Lit
+  case object LitNull extends Lit
+}
+
+/** Checked literal→type conversion for INSERT, mirroring the reference's
+  * `try_convert_to` (reference types.rs:162-203) minus its `checked_abs`
+  * narrowing bug (types.rs:171-178 — flagged in SURVEY.md §1.2 as
+  * do-not-replicate): narrowing fails iff the value is out of the target
+  * range; VARCHAR/VARBINARY enforce the declared max length.
+  */
+object Convert {
+  import Lit._
+  import SqlType._
+
+  sealed trait ConvError { def msg: String }
+  final case class Overflow(v: Long, t: SqlType) extends ConvError {
+    def msg = s"value $v overflows ${t.render}"
+  }
+  final case class TooLarge(len: Int, t: SqlType) extends ConvError {
+    def msg = s"value of length $len exceeds ${t.render}"
+  }
+  final case class NotConvertible(l: Lit, t: SqlType) extends ConvError {
+    def msg = s"$l is not convertible to ${t.render}"
+  }
+
+  /** Returns the JVM value Spark's Row expects for the target type. */
+  def apply(l: Lit, t: SqlType): Either[ConvError, Any] = (l, t) match {
+    case (LitNull, _)              => Right(null)
+    case (LitLong(v), SqlBigInt)   => Right(v)
+    case (LitLong(v), SqlInt) =>
+      if (v >= Int.MinValue && v <= Int.MaxValue) Right(v.toInt) else Left(Overflow(v, t))
+    case (LitLong(v), SqlSmallInt) =>
+      if (v >= Short.MinValue && v <= Short.MaxValue) Right(v.toShort) else Left(Overflow(v, t))
+    case (LitLong(v), SqlDouble)   => Right(v.toDouble)
+    case (LitString(s), SqlVarChar(max)) =>
+      if (s.length <= max) Right(s) else Left(TooLarge(s.length, t))
+    case _ => Left(NotConvertible(l, t))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** Smoke + semantics tests for the SparkEntry query surface at sf0.001.
+  * (Full value-level verification against DuckDB runs through
+  * graft.Verify + tools/check_oracle.py — see .claude/skills/verify.)
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf0001
+
+  test("every query has a well-formed name and builds a plan") {
+    for ((name, build) <- SparkEntry.queries) {
+      assert(name.matches("q_[a-z0-9_]+"), name)
+      val df = build(spark, sf)
+      assert(df.schema.fields.nonEmpty, s"$name has empty schema")
+    }
+  }
+
+  test("every oracle key references an existing query") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
+  test("entry (flagship) returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q_agg matches hand-computed group count") {
+    val rows = SparkEntry.queries("q_agg")(spark, sf).collect()
+    assert(rows.length == 6) // 3 returnflags × 2 linestatus
+    assert(rows.map(_.getAs[Long]("count_order")).sum > 0)
+  }
+
+  test("dedup finds the planted near-duplicate pairs consistently across methods") {
+    val ngram = SparkEntry.queries("q_dedup_ngram")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minhash = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ngram.nonEmpty, "fixture should contain planted near-dups")
+    // LSH candidates must cover (almost all of) the exact-Jaccard pairs;
+    // with 16 sigs / 4 bands, P(miss @ j>=0.8) is small but nonzero.
+    val recall = (ngram & minhash).size.toDouble / ngram.size
+    assert(recall >= 0.8, s"minhash recall $recall over ${ngram.size} pairs")
+  }
+
+  test("brute-force topk and LSH ANN agree inside shared buckets") {
+    val brute = SparkEntry.queries("q_embed_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val lsh = SparkEntry.queries("q_ann_lsh")(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    // every LSH neighbor's similarity ordering is consistent: rank 1 in LSH
+    // must not beat brute-force rank 1 (it searches a subset)
+    for (q <- lsh.map(_.getLong(0)).distinct) {
+      val bruteTop = brute.collectFirst { case ((`q`, n), 1) => n }
+      assert(bruteTop.isDefined)
+    }
+  }
+
+  test("multimodal feature stub emits fixed-dimension deterministic features") {
+    val rows = SparkEntry.queries("q_multimodal_features")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getSeq[Double](2).length == 4))
+    val again = SparkEntry.queries("q_multimodal_features")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("langid predictions are deterministic and cover the fixture languages") {
+    val rows = SparkEntry.queries("q_text_langid")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val preds = rows.map(_.getAs[String]("pred_lang")).toSet
+    assert(preds.subsetOf(Set("en", "de", "fr", "es")))
+  }
+}

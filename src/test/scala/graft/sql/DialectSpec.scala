@@ -1,0 +1,129 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+
+import graft.SparkTestSession
+
+/** End-to-end dialect engine tests: the reference REPL demo scenario
+  * (reference database.rs:47-91; FIXTURES.md §1) run through
+  * parse → analyze → lower → execute, plus plan-shape assertions that
+  * Catalyst turned the declarative lowering into real joins.
+  */
+class DialectSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshDb(): GraftDatabase =
+    new GraftDatabase(spark, Files.createTempDirectory("graft-wh").toString)
+
+  private def demoDb(): GraftDatabase = {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Left(e)  => fail(s"$sql -> ${e.msg}")
+      case Right(_) => ()
+    }
+    run("CREATE TABLE people (id INT PRIMARY KEY, name VARCHAR(255), age INT)")
+    run("CREATE TABLE cars (id INT PRIMARY KEY, model VARCHAR(255), owner_id INT)")
+    // note the non-ASCII name and the NULL age — they exercise string
+    // encoding and null handling (FIXTURES.md §1)
+    run("INSERT INTO people VALUES (1, 'Elon', 20), " +
+      "(2, 'Dr. Emmett L. „Doc“ Brown', 30), (3, 'Marty McFly', NULL)")
+    run("INSERT INTO cars VALUES (1, 'Tesla Model 3', 1), (2, 'DeLorean DMC-12', 2)")
+    db
+  }
+
+  test("demo: create, insert, scan") {
+    val db = demoDb()
+    val rows = db.select("SELECT id, name, age FROM people").toOption.get
+      .orderBy("id").collect()
+    assert(rows.toSeq == Seq(
+      Row(1, "Elon", 20),
+      Row(2, "Dr. Emmett L. „Doc“ Brown", 30),
+      Row(3, "Marty McFly", null)))
+  }
+
+  test("demo: join + filter + projection (the canonical smoke query)") {
+    val db = demoDb()
+    val df = db.select(
+      "SELECT name, model FROM people p, cars c WHERE p.id = c.owner_id AND age > 21").toOption.get
+    assert(df.collect().toSeq == Seq(Row("Dr. Emmett L. „Doc“ Brown", "DeLorean DMC-12")))
+  }
+
+  test("catalyst rewrites crossJoin+filter into a real join (no CartesianProduct)") {
+    val db = demoDb()
+    val df = db.select(
+      "SELECT name, model FROM people p, cars c WHERE p.id = c.owner_id").toOption.get
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical)
+    assert(physical.contains("Join") || physical.contains("BroadcastHashJoin"), physical)
+  }
+
+  test("select star and qualified star expansion") {
+    val db = demoDb()
+    val df = db.select("SELECT * FROM people").toOption.get
+    assert(df.columns.toSeq == Seq("id", "name", "age"))
+    // duplicate output names across tables get binding-qualified
+    val j = db.select("SELECT * FROM people p, cars c WHERE p.id = c.owner_id").toOption.get
+    assert(j.columns.toSeq == Seq("p_id", "name", "age", "c_id", "model", "owner_id"))
+  }
+
+  test("null semantics are SQL 3VL, not the reference's NULL=NULL quirk (SURVEY §1.4)") {
+    val db = demoDb()
+    // age NULL row never matches any comparison, even NULL = NULL
+    val eq = db.select("SELECT name FROM people WHERE age = NULL").toOption.get
+    assert(eq.count() == 0)
+    val lt = db.select("SELECT name FROM people WHERE age < 100").toOption.get
+    assert(lt.collect().map(_.getString(0)).toSet == Set("Elon", "Dr. Emmett L. „Doc“ Brown"))
+  }
+
+  test("or / neq / gt-normalization all execute (beyond reference analyzer)") {
+    val db = demoDb()
+    val df = db.select("SELECT name FROM people WHERE age > 25 OR name = 'Elon'").toOption.get
+    assert(df.collect().map(_.getString(0)).toSet ==
+      Set("Elon", "Dr. Emmett L. „Doc“ Brown"))
+    val neq = db.select("SELECT name FROM people WHERE age <> 20").toOption.get
+    assert(neq.collect().map(_.getString(0)).toSet == Set("Dr. Emmett L. „Doc“ Brown"))
+  }
+
+  test("insert type errors surface as query errors") {
+    val db = demoDb()
+    assert(db.query("INSERT INTO people VALUES (1, 'x')").isLeft)        // missing
+    assert(db.query("INSERT INTO people VALUES (1, 'x', 2, 3)").isLeft)  // too many
+    assert(db.query("INSERT INTO people VALUES (1, 2, 3)").isLeft)       // type
+    assert(db.query("INSERT INTO nosuch VALUES (1)").isLeft)             // relation
+  }
+
+  test("parse errors surface with position") {
+    val db = demoDb()
+    val e = db.query("SELFROMWHERE a TO XYZ MAKES NO SENSE!")
+    assert(e.isLeft)
+  }
+
+  test("catalog persists across database instances (reference catalog segments analogue)") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val db1 = new GraftDatabase(spark, wh)
+    assert(db1.query("CREATE TABLE t (a INT, b VARCHAR(5))").isRight)
+    assert(db1.query("INSERT INTO t VALUES (1, 'x'), (2, 'y')").isRight)
+    val db2 = new GraftDatabase(spark, wh)
+    val rows = db2.select("SELECT a, b FROM t").toOption.get.orderBy("a").collect()
+    assert(rows.toSeq == Seq(Row(1, "x"), Row(2, "y")))
+  }
+
+  test("external parquet fixtures register and join with dialect queries") {
+    val db = freshDb()
+    db.registerParquet("nation", s"${SparkTestSession.sf0001}/nation.parquet")
+    db.registerParquet("region", s"${SparkTestSession.sf0001}/region.parquet")
+    val df = db.select(
+      "SELECT n_name, r_name FROM nation n, region r WHERE n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'").toOption.get
+    assert(df.count() == 5)
+  }
+
+  test("insert appends (second insert visible, first preserved)") {
+    val db = demoDb()
+    assert(db.query("INSERT INTO people VALUES (4, 'Biff', 40)").isRight)
+    assert(db.select("SELECT id FROM people").toOption.get.count() == 4)
+  }
+}

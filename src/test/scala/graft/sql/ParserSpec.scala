@@ -1,0 +1,108 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import Ast._
+import graft.sql.{Lit => L}
+
+/** Mirrors the reference's parser test corpus (reference
+  * parser/mod.rs:419-623; FIXTURES.md §3) — each query must parse (or fail)
+  * the same way.
+  */
+class ParserSpec extends AnyFunSuite {
+
+  private def parseOk(sql: String): ParseTree =
+    Parser.parse(sql).fold(e => fail(s"$sql -> $e"), identity)
+  private def parseErr(sql: String): Unit =
+    assert(Parser.parse(sql).isLeft, s"expected parse error: $sql")
+
+  test("select columns from table") {
+    assert(parseOk("SELECT a, b FROM test") ==
+      SelectTree(Some(Seq(ColRef(None, "a"), ColRef(None, "b"))),
+        Seq(TableRef("test", None)), None))
+  }
+
+  test("select star") {
+    assert(parseOk("SELECT * FROM test") ==
+      SelectTree(None, Seq(TableRef("test", None)), None))
+  }
+
+  test("select with alias and qualified where, all comparison ops") {
+    for (op <- Seq("=" -> CmpOp.Eq, "<" -> CmpOp.Lt, ">" -> CmpOp.Gt,
+        "<=" -> CmpOp.Le, ">=" -> CmpOp.Ge, "<>" -> CmpOp.Neq)) {
+      val t = parseOk(s"SELECT a, b FROM test t where t.c ${op._1} 5")
+      assert(t == SelectTree(
+        Some(Seq(ColRef(None, "a"), ColRef(None, "b"))),
+        Seq(TableRef("test", Some("t"))),
+        Some(Expr.Cmp(op._2,
+          Operand.Col(ColRef(Some("t"), "c")),
+          Operand.Literal(L.LitLong(5))))))
+    }
+  }
+
+  test("conjunction with string literal") {
+    val t = parseOk("SELECT a, b FROM test t where t.c < 5 and t.a = 'abc'")
+    assert(t.asInstanceOf[SelectTree].where ==
+      Some(Expr.And(
+        Expr.Cmp(CmpOp.Lt, Operand.Col(ColRef(Some("t"), "c")), Operand.Literal(L.LitLong(5))),
+        Expr.Cmp(CmpOp.Eq, Operand.Col(ColRef(Some("t"), "a")), Operand.Literal(L.LitString("abc"))))))
+  }
+
+  test("keywords are case-insensitive") {
+    assert(parseOk("SEleCT a, b frOm test wheRE c = 5") ==
+      parseOk("SELECT a, b FROM test WHERE c = 5"))
+  }
+
+  test("multi-table from with aliases") {
+    val t = parseOk("SELECT name, model FROM people p, cars c WHERE p.id = c.owner_id")
+    assert(t.asInstanceOf[SelectTree].from ==
+      Seq(TableRef("people", Some("p")), TableRef("cars", Some("c"))))
+  }
+
+  test("or and parentheses") {
+    val t = parseOk("SELECT a FROM t WHERE (a = 1 OR b = 2) AND c = 3")
+    assert(t.asInstanceOf[SelectTree].where.get.isInstanceOf[Expr.And])
+  }
+
+  test("insert") {
+    assert(parseOk("INSERT INTO test VALUES (1, 2)") ==
+      InsertTree("test", Seq(Seq(L.LitLong(1), L.LitLong(2)))))
+  }
+
+  test("insert with strings, null and multiple rows") {
+    assert(parseOk("INSERT INTO p VALUES (1, 'El''on', NULL), (2, 'Doc', 30)") ==
+      InsertTree("p", Seq(
+        Seq(L.LitLong(1), L.LitString("El'on"), L.LitNull),
+        Seq(L.LitLong(2), L.LitString("Doc"), L.LitLong(30)))))
+  }
+
+  test("create table") {
+    assert(parseOk("CREATE TABLE test (a int, b varchar(255))") ==
+      CreateTree("test",
+        Seq(("a", SqlType.SqlInt), ("b", SqlType.SqlVarChar(255))), Nil))
+  }
+
+  test("create table with primary key and all types") {
+    assert(parseOk("CREATE TABLE t (a BIGINT PRIMARY KEY, b SMALLINT, c INT, d VARCHAR(10))") ==
+      CreateTree("t", Seq(
+        ("a", SqlType.SqlBigInt), ("b", SqlType.SqlSmallInt),
+        ("c", SqlType.SqlInt), ("d", SqlType.SqlVarChar(10))),
+        Seq("a")))
+  }
+
+  test("gibberish is a parse error") {
+    parseErr("SELFROMWHERE a TO XYZ MAKES NO SENSE!")
+    parseErr("SELECT")
+    parseErr("INSERT INTO t VALUES (1,")
+    parseErr("CREATE TABLE t (a unknowntype)")
+  }
+
+  test("trailing garbage rejected: query not parsed fully") {
+    val e = Parser.parse("SELECT a FROM t WHERE a = 1 garbage here")
+    assert(e.isLeft && e.left.exists(_.msg.contains("not parsed fully")))
+  }
+
+  test("trailing semicolon accepted") {
+    parseOk("SELECT a FROM t;")
+  }
+}
