@@ -1,0 +1,71 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.sql.GraftDatabase
+
+/** The reference-dialect engine (graft.sql: parse → analyze → lower) run
+  * end-to-end inside the driver's correctness gate: each query here goes
+  * through the full parser/analyzer/lowering path over the fixture tables,
+  * then gets a presentation ORDER BY (the dialect, like the reference, has
+  * no ORDER BY — reference README.md:51).
+  */
+object Dialect {
+
+  private def db(s: SparkSession, d: String, names: String*): GraftDatabase = {
+    val g = new GraftDatabase(s, Files.createTempDirectory("graft-gate-wh").toString)
+    names.foreach(n => g.registerParquet(n, s"$d/$n.parquet"))
+    g
+  }
+
+  private def run(g: GraftDatabase, sql: String): DataFrame =
+    g.select(sql).fold(e => sys.error(e.msg), identity)
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Tablescan + Selection + Projection through the dialect front-end.
+    "q_dialect_select" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice >= 450000 AND o_orderstatus <> 'P'")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |WHERE o_totalprice >= 450000 AND o_orderstatus <> 'P'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // The reference's canonical shape: comma-join + WHERE equi-predicate
+    // (lowered as crossJoin+filter, rewritten by Catalyst to a hash join).
+    "q_dialect_join" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "nation"),
+        "SELECT c_custkey, c_name, n_name FROM customer c, nation n " +
+          "WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal >= 9000 AND n.n_name = 'NATION_7'")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, n_name FROM customer c, nation n
+             |WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal >= 9000 AND n.n_name = 'NATION_7'
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Multi-way comma-join — the DPccp workload (reference
+    // optimizer/optimizer.rs); join order is Catalyst's problem here.
+    "q_dialect_multijoin" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer", "nation"),
+        "SELECT o_orderkey, c_name, n_name FROM orders o, customer c, nation n " +
+          "WHERE o.o_custkey = c.c_custkey AND c.c_nationkey = n.n_nationkey " +
+          "AND o.o_totalprice > 490000")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_name, n_name FROM orders o, customer c, nation n
+             |WHERE o.o_custkey = c.c_custkey AND c.c_nationkey = n.n_nationkey
+             |  AND o.o_totalprice > 490000
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Star expansion + OR (which the reference analyzer rejects,
+    // analyzer/mod.rs:183 — supported here).
+    "q_dialect_star_or" -> QueryDef(
+      (s, d) => run(db(s, d, "region"),
+        "SELECT * FROM region WHERE r_name = 'ASIA' OR r_regionkey < 1")
+        .orderBy("r_regionkey"),
+      Some("""SELECT * FROM region WHERE r_name = 'ASIA' OR r_regionkey < 1
+             |ORDER BY r_regionkey""".stripMargin))
+  )
+}

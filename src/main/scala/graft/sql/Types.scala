@@ -28,14 +28,15 @@ object SqlType {
   case object SqlTimestamp extends SqlType { val spark = TimestampType; val render = "TIMESTAMP" }
 
   def fromSpark(dt: DataType): SqlType = dt match {
-    case LongType      => SqlBigInt
-    case IntegerType   => SqlInt
-    case ShortType     => SqlSmallInt
-    case StringType    => SqlVarChar(65535)
-    case BinaryType    => SqlVarBinary(65535)
-    case DoubleType    => SqlDouble
-    case FloatType     => SqlDouble
-    case TimestampType => SqlTimestamp
+    case LongType         => SqlBigInt
+    case IntegerType      => SqlInt
+    case ShortType        => SqlSmallInt
+    case StringType       => SqlVarChar(65535)
+    case BinaryType       => SqlVarBinary(65535)
+    case DoubleType       => SqlDouble
+    case FloatType        => SqlDouble
+    case TimestampType    => SqlTimestamp
+    case TimestampNTZType => SqlTimestamp // parquet naive timestamps (Spark 4 default)
     case other => throw new IllegalArgumentException(s"unsupported external type $other")
   }
 
