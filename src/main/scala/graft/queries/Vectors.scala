@@ -5,32 +5,33 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables.t
+import graft.functions.VectorFunctions.{dot, l2norm}
 
 /** Similarity search over the embeddings table (64-dim float vectors).
   *
   * - q_embed_topk / q_embed_neardup: brute-force cosine — the correctness
-  *   baseline. Dot products run as codegen'd `zip_with` + `aggregate`
-  *   column expressions (no UDF). At 100 TB brute force is O(n·q); the
-  *   scale path is the LSH variant below.
-  * - q_ann_lsh: random-hyperplane LSH. Hyperplane weights are derived
-  *   deterministically from md5(plane:dim), so signatures are reproducible
-  *   in the DuckDB oracle. Candidates only form inside a bucket — the
-  *   join is an equi-join on (bucket), never an all-pairs cross join.
+  *   baseline. Dot products run through graft.functions.DotProduct, a
+  *   native codegen Expression (fused loop, no per-pair array allocation);
+  *   norms are computed once per vector, so each candidate pair costs one
+  *   fused dot product. At 100 TB brute force is O(n·q); the scale path is
+  *   the LSH variant below.
+  * - q_ann_lsh: random-hyperplane LSH. Hyperplane weights live in a tiny
+  *   (plane × dim) table derived deterministically from md5(plane:dim) —
+  *   512 rows, broadcast-joined, so signature computation is one narrow
+  *   aggregate per vector. Candidates only form inside a bucket — an
+  *   equi-join, never a cross join.
   */
 object Vectors {
 
-  /** Elementwise dot product of two array<double> columns, summed in index
-    * order (deterministic FP result on any engine that folds sequentially).
-    */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
   private def emb(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
+      // single-file fixture → single scan partition; spread rows so the
+      // O(n·m) pair evaluation below uses every core
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
 
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (acc, v) => acc + v * v)))
+    df.withColumn("nrm", l2norm(col("e")))
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -40,7 +41,7 @@ object Vectors {
         val all = withNorm(emb(s, d))
         val q = all.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
-        val pairs = broadcast(q).join(all.filter(col("vec_id") >= 0), col("vec_id") =!= col("qid"))
+        val pairs = broadcast(q).join(all, col("vec_id") =!= col("qid"))
           .withColumn("sim", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
         pairs.withColumn("rk", row_number().over(w))
@@ -85,21 +86,25 @@ object Vectors {
     "q_ann_lsh" -> QueryDef(
       (s, d) => {
         val all = withNorm(emb(s, d))
-        // (vec, plane, dim) → weight in [-0.5, 0.5] from md5(plane:dim)
-        val proj = all
-          .select(col("vec_id"), col("e"), posexplode(col("e")).as(Seq("pos", "x")))
-          .withColumn("i", col("pos") + 1)
-          .select(col("vec_id"), col("i"), col("x"),
-            explode(expr("sequence(0, 7)")).as("p"))
-          .withColumn("w", expr(
-            "(cast(conv(substring(md5(concat(cast(p AS string), ':', cast(i AS string))), 1, 15), 16, 10) AS bigint) % 1001 - 500) / 1000.0"))
-          .groupBy("vec_id", "p")
-          .agg(sum(col("x") * col("w")).as("proj"))
-        val buckets = proj
-          .withColumn("bit", expr("CASE WHEN proj >= 0 THEN cast(1 AS bigint) ELSE cast(0 AS bigint) END"))
-          .groupBy("vec_id")
-          .agg(sum(expr("shiftleft(bit, p)")).as("bucket"))
-        val vecs = all.join(buckets, Seq("vec_id"))
+        // The 8×64 hyperplane weights are tiny and deterministic
+        // (md5(plane:dim) — java MessageDigest md5 ≡ SQL md5), so they are
+        // embedded as literal arrays: each projection is one fused
+        // DotProduct per plane, zero shuffle, instead of
+        // posexplode → broadcast join → re-aggregate.
+        def weight(p: Int, i: Int): Double = {
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$p:$i".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString.take(15)
+          ((java.lang.Long.parseLong(hex, 16) % 1001L) - 500L) / 1000.0
+        }
+        val planes = (0 until 8).map(p => (1 to 64).map(i => weight(p, i)).toArray)
+        val bucketExpr = planes.zipWithIndex
+          .map { case (w, p) =>
+            val arr = array(w.map(lit): _*)
+            when(dot(col("e"), arr) >= 0, lit(1L << p)).otherwise(lit(0L))
+          }
+          .reduce(_ + _)
+        val vecs = all.withColumn("bucket", bucketExpr)
         val q = vecs.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"), col("bucket"))
         val cand = broadcast(q).join(
