@@ -39,6 +39,15 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   // footers; data lives outside the warehouse and is never written to.
   private val external = mutable.Map.empty[String, String]
 
+  /** Online statistics (HLL sketches, deterministic samples) maintained on
+    * the INSERT path, like the reference's StatisticsCollectingSPHeapStorage
+    * (access/heap.rs:245-292).
+    */
+  val statistics = new StatsManager(spark, warehouse)
+
+  /** Tables estimated below this cardinality get broadcast-hinted in joins. */
+  val BroadcastRowThreshold = 100000L
+
   Files.createDirectories(Paths.get(warehouse))
   loadCatalog()
 
@@ -79,7 +88,8 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
 
   private def execute(q: BoundQuery): QueryResult = q match {
     case s: BoundSelect =>
-      Rows(Lowering.lowerSelect(spark, s, bt => readTable(bt.desc)))
+      Rows(Lowering.lowerSelect(spark, s, bt => readTable(bt.desc),
+        chooseBroadcastSides(s)))
 
     case BoundInsert(desc, rows) =>
       // Batched append: all VALUES rows land in one parquet write
@@ -87,13 +97,43 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       val rdd = spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1)
       spark.createDataFrame(rdd, desc.sparkSchema)
         .write.mode("append").parquet(dataPath(desc.name))
+      statistics.recordInsert(desc, rows)
       Done(s"inserted ${rows.length} row(s) into ${desc.name}")
 
     case BoundCreate(desc) =>
       tables(desc.name) = desc
       Files.createDirectories(Paths.get(s"$warehouse/data/${desc.name}"))
+      statistics.initTable(desc)
       saveCatalog()
       Done(s"created table ${desc.name}")
+  }
+
+  /** Statistics-driven planning (the reference's sample-based cardinality
+    * estimation + build-side choice, planner/bottomup.rs:111-168 +
+    * optimizer/optimizer.rs:177-180): estimate each FROM table's
+    * post-selection cardinality by running its pushed-down conjuncts
+    * against the maintained sample; every table except the largest gets a
+    * broadcast hint when its estimate is below the threshold. Catalyst
+    * still owns join ORDER; the hint only picks build/broadcast sides
+    * where our estimates are confident.
+    */
+  private def chooseBroadcastSides(s: BoundSelect): Set[String] = {
+    if (s.tables.length < 2) return Set.empty
+    val perTable: Map[String, Seq[Analyzer.BoundExpr]] =
+      s.predicate.map(Lowering.conjuncts).getOrElse(Nil)
+        .flatMap(c => Lowering.singleBinding(c).map(_ -> c))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ests = s.tables.flatMap { bt =>
+      statistics.get(bt.desc.name).map { st =>
+        val pred = perTable.get(bt.binding)
+          .map(cs => cs.map(Lowering.lowerExprBare).reduce(_ && _))
+        bt.binding -> statistics.estimateCard(bt.desc, pred.map(p => p))
+      }
+    }
+    if (ests.length < 2) return Set.empty
+    val largest = ests.maxBy(_._2)._1
+    ests.filter { case (b, est) => b != largest && est <= BroadcastRowThreshold }
+      .map(_._1).toSet
   }
 
   // ---- catalog persistence (JSON sidecar) ----

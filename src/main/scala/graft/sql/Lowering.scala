@@ -27,8 +27,14 @@ object Lowering {
     * divergence documented in SURVEY.md §1.4).
     */
   def lowerSelect(spark: SparkSession, q: BoundSelect,
-      source: BoundTable => DataFrame): DataFrame = {
-    val base = q.tables.map(bt => source(bt).alias(bt.binding))
+      source: BoundTable => DataFrame,
+      broadcastBindings: Set[String] = Set.empty): DataFrame = {
+    val base = q.tables.map { bt =>
+      val df = source(bt).alias(bt.binding)
+      // stats-driven build-side choice (the reference swaps hash-join build
+      // sides from estimates the same way, optimizer/optimizer.rs:177-180)
+      if (broadcastBindings(bt.binding)) broadcast(df) else df
+    }
     val joined = base.reduceLeft(_.crossJoin(_))
     val filtered = q.predicate.fold(joined)(p => joined.filter(lowerExpr(p)))
     // Output naming: bare attribute name when unique across the projection,
@@ -64,5 +70,51 @@ object Lowering {
     case BoundOperand.BLit(Lit.LitLong(v))   => lit(v)
     case BoundOperand.BLit(Lit.LitString(s)) => lit(s)
     case BoundOperand.BLit(Lit.LitNull)      => lit(null)
+  }
+
+  // ---- predicate decomposition for statistics (reference
+  //      analyzer/mod.rs:98-186 splits WHERE into per-table selections) ----
+
+  /** Flatten the AND-tree into conjuncts (OR subtrees stay whole). */
+  def conjuncts(e: BoundExpr): Seq[BoundExpr] = e match {
+    case BoundExpr.BAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other                => Seq(other)
+  }
+
+  /** The single table binding a conjunct touches, if exactly one. */
+  def singleBinding(e: BoundExpr): Option[String] = {
+    def cols(x: BoundExpr): Seq[String] = x match {
+      case BoundExpr.BAnd(l, r) => cols(l) ++ cols(r)
+      case BoundExpr.BOr(l, r)  => cols(l) ++ cols(r)
+      case BoundExpr.BCmp(_, l, r) =>
+        Seq(l, r).collect { case BoundOperand.BCol(c) => c.binding }
+    }
+    cols(e).distinct match {
+      case Seq(one) => Some(one)
+      case _        => None
+    }
+  }
+
+  /** Lower a single-table conjunct with UNQUALIFIED column names, for
+    * evaluation against that table's sample (reference executes selections
+    * against its reservoir sample the same way, planner/bottomup.rs:111-168).
+    */
+  def lowerExprBare(e: BoundExpr): Column = e match {
+    case BoundExpr.BAnd(l, r) => lowerExprBare(l) && lowerExprBare(r)
+    case BoundExpr.BOr(l, r)  => lowerExprBare(l) || lowerExprBare(r)
+    case BoundExpr.BCmp(op, l, r) =>
+      def bare(o: BoundOperand): Column = o match {
+        case BoundOperand.BCol(c) => col(c.attr.name)
+        case other                => lowerOperand(other)
+      }
+      val (lc, rc) = (bare(l), bare(r))
+      op match {
+        case Ast.CmpOp.Eq  => lc === rc
+        case Ast.CmpOp.Neq => lc =!= rc
+        case Ast.CmpOp.Lt  => lc < rc
+        case Ast.CmpOp.Gt  => lc > rc
+        case Ast.CmpOp.Le  => lc <= rc
+        case Ast.CmpOp.Ge  => lc >= rc
+      }
   }
 }
