@@ -48,6 +48,23 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup on event_id within the watermark window — the
+    * streaming counterpart of q_dedup_exact. State holds only ids inside
+    * the watermark horizon, so memory is bounded by event rate × 2h, not
+    * by stream length.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join: the static side is a plain DataFrame
+    * (broadcast to every micro-batch); no state, no watermark needed —
+    * the shape for joining a stream against reference/dimension data.
+    */
+  def enrich(events: DataFrame, categories: DataFrame): DataFrame =
+    events.join(broadcast(categories), Seq("event_type"), "left")
+
   // ---- custom state: sessionization ----
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

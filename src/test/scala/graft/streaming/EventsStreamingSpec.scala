@@ -44,6 +44,44 @@ class EventsStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = batchEvents.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect().toSeq
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    mem.addData(rows)     // original delivery
+    mem.addData(rows.take(100)) // duplicate re-delivery
+    val deduped = dedupEvents(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == rows.length.toLong)
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment join") {
+    import spark.implicits._
+    val cats = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
+      .toDF("event_type", "category")
+    val q = enrich(readEvents(spark, streamDir), cats)
+      .groupBy("category").count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = enrich(batchEvents, cats).groupBy("category").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want && got.values.sum == batchEvents.count())
+    } finally q.stop()
+  }
+
   test("sessionization: streaming state machine matches batch window computation") {
     import spark.implicits._
     val ds = batchEvents
