@@ -14,6 +14,17 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: run every query once at the smallest fixture (if present)
+    // so JIT + whole-stage-codegen compilation happen outside the timed
+    // runs; the timed numbers then measure the operators, not the JVM.
+    val warmDir = {
+      val parent = new java.io.File(sfDir).getAbsoluteFile.getParentFile
+      val smallest = new java.io.File(parent, "sf0.001")
+      if (smallest.isDirectory) smallest.getPath else sfDir
+    }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
