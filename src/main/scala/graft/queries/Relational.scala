@@ -409,6 +409,52 @@ object Relational {
              |  cast(o_orderdate AS date) AS od
              |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // LIKE / IN / BETWEEN / NULLIF-COALESCE — the predicate vocabulary the
+    // reference's grammar lacks entirely (SURVEY.md §2.2).
+    "q_misc_predicates" -> QueryDef(
+      (s, d) => t(s, d, "part")
+        .filter(col("p_name").like("%gear%")
+          && col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+          && col("p_size").between(10, 40))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+          coalesce(nullif(col("p_type"), lit("ECONOMY")), lit("none")).as("type_or_none"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_brand, p_size,
+             |  coalesce(nullif(p_type, 'ECONOMY'), 'none') AS type_or_none
+             |FROM part
+             |WHERE p_name LIKE '%gear%'
+             |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+             |  AND p_size BETWEEN 10 AND 40
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // Pivot (long → wide): Spark's .pivot vs the portable CASE-sum form in
+    // the oracle — same contract, so results must agree cell-for-cell.
+    "q_pivot" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Unpivot (wide → long) via stack(), mirrored with UNION ALL.
+    "q_unpivot" -> QueryDef(
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"),
+          expr("stack(2, 'acctbal', c_acctbal, 'nationkey', cast(c_nationkey AS double))")
+            .as(Seq("measure", "value")))
+        .orderBy("c_custkey", "measure"),
+      Some("""SELECT c_custkey, measure, "value" FROM (
+             |  SELECT c_custkey, 'acctbal' AS measure, c_acctbal AS "value" FROM customer WHERE c_custkey <= 100
+             |  UNION ALL
+             |  SELECT c_custkey, 'nationkey', cast(c_nationkey AS double) FROM customer WHERE c_custkey <= 100) x
+             |ORDER BY c_custkey, measure""".stripMargin)),
+
     // ---- TPC-H-style analytical queries -----------------------------------
 
     "q_tpch_q3" -> QueryDef(
