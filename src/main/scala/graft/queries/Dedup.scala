@@ -26,16 +26,20 @@ import graft.Tables.t
   */
 object Dedup {
 
-  /** Distinct char-8-gram shingles per document. The repartition matters:
-    * the fixture is a single parquet file (one scan task), and without it
-    * the ~300× explode below runs on one core; spreading the narrow rows
-    * first costs a trivial shuffle and parallelizes the expansion.
+  /** Distinct char-8-gram shingles per document, represented as 60-bit
+    * md5-derived longs (`sh`): every downstream join/shuffle moves 8-byte
+    * keys instead of strings, and the md5 is computed once here. The
+    * repartition matters: the fixture is a single parquet file (one scan
+    * task), and without it the ~300× explode below runs on one core;
+    * spreading the narrow rows first costs a trivial shuffle and
+    * parallelizes the expansion.
     */
   private def shingles(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(expr("sequence(1, length(text)-7)")).as("i"), col("text"))
-      .select(col("doc_id"), expr("substring(text, i, 8)").as("sh"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS bigint)").as("sh"))
       .distinct()
 
   /** Shingles that appear in at most `cap` documents — the inverted-index
@@ -95,7 +99,8 @@ object Dedup {
         verifyJaccard(cand, sh)
       },
       Some("""WITH sh AS (
-             |  SELECT DISTINCT doc_id, substring(text, i, 8) AS sh
+             |  SELECT DISTINCT doc_id,
+             |    ('0x' || substring(md5(substring(text, i, 8)), 1, 15))::bigint AS sh
              |  FROM (SELECT doc_id, text, unnest(range(1, length(text)-6)) AS i FROM documents)
              |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
              |rare AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50)),
@@ -123,9 +128,7 @@ object Dedup {
     "q_dedup_minhash" -> QueryDef(
       (s, d) => {
         val sh = shingles(s, d).cache()
-        val hashed = sh
-          .withColumn("hnum",
-            expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) AS bigint) % 999999937"))
+        val hashed = sh.withColumn("hnum", col("sh") % 999999937)
         // 16 min-hashes as one wide aggregate over the shingle stream (no
         // 16× row explosion before the shuffle), then unpivoted to
         // (doc_id, seed, minh) — 16 rows per doc.
@@ -160,11 +163,12 @@ object Dedup {
         verifyJaccard(est, sh)
       },
       Some("""WITH sh AS (
-             |  SELECT DISTINCT doc_id, substring(text, i, 8) AS sh
+             |  SELECT DISTINCT doc_id,
+             |    ('0x' || substring(md5(substring(text, i, 8)), 1, 15))::bigint AS sh
              |  FROM (SELECT doc_id, text, unnest(range(1, length(text)-6)) AS i FROM documents)
              |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
              |sh2 AS (
-             |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::bigint % 999999937 AS hnum FROM sh
+             |  SELECT doc_id, sh % 999999937 AS hnum FROM sh
              |), sigs AS (
              |  SELECT doc_id, s.seed,
              |    min((hnum * (s.seed + 1) + s.seed * 1000003) % 999999937) AS minh

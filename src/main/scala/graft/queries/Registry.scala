@@ -4,5 +4,6 @@ package graft.queries
 object Registry {
   def all: Map[String, QueryDef] =
     Relational.defs ++ Dedup.defs ++ TextOps.defs ++ Vectors.defs ++
-      Multimodal.defs ++ Dialect.defs ++ Stats.defs ++ Corpus.defs
+      Multimodal.defs ++ Dialect.defs ++ Stats.defs ++ Corpus.defs ++
+      TimeSeries.defs
 }
