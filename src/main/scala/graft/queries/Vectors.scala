@@ -79,6 +79,74 @@ object Vectors {
              |WHERE list_cosine_similarity(cast(a.embedding AS double[]), cast(b.embedding AS double[])) >= 0.4
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // IVF-flat ANN: assign every vector to its nearest coarse centroid
+    // (inverted lists), probe the 2 lists nearest to each query, re-rank
+    // candidates by exact cosine. Centroids here are the first 8 vectors
+    // (a deterministic, training-free coarse quantizer so the DuckDB
+    // oracle can reproduce the index bit-for-bit; production IVF would
+    // k-means them — the index/probe structure is identical). The
+    // centroid set is tiny by construction, so it ships as literal arrays
+    // and assignment is 8 fused dot products per vector — a narrow map.
+    // At 100 TB: lists are the partitioning key; a query touches
+    // nprobe/k of the data instead of all of it.
+    "q_ann_ivf" -> QueryDef(
+      (s, d) => {
+        val all = withNorm(emb(s, d))
+        val cents: Array[(Int, Array[Double])] = t(s, d, "embeddings")
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+        // argmin_c |v-c|² = argmin_c (|c|² - 2·v·c); |v|² is constant per v
+        def distArr = array(cents.map { case (cid, w) =>
+          val c2 = w.map(x => x * x).sum
+          struct((lit(c2) - lit(2.0) * dot(col("e"), array(w.map(lit): _*))).as("d"),
+            lit(cid).as("cid"))
+        }: _*)
+        val assigned = all.withColumn("cid", array_min(distArr).getField("cid"))
+        val probes = assigned.filter(col("vec_id") < 10)
+          .withColumn("probe", explode(slice(sort_array(distArr), 1, 2)))
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+            col("probe.cid").as("cid"))
+        val cand = probes.join(
+            assigned.select(col("vec_id"), col("e"), col("nrm"), col("cid")), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("sim", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        cand.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id").as("nid"), col("rk"), round(col("sim"), 6).as("sim"))
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+             |dists AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_distance(cast(e.embedding AS double[]), cast(c.embedding AS double[])) AS d
+             |  FROM embeddings e, cents c
+             |), assign AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             |    FROM dists) x
+             |  WHERE rk = 1
+             |), probes AS (
+             |  SELECT vec_id AS qid, cid FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             |    FROM dists WHERE vec_id < 10) x
+             |  WHERE rk <= 2
+             |), cand AS (
+             |  SELECT p.qid, a.vec_id AS nid
+             |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+             |), scored AS (
+             |  SELECT c.qid, c.nid,
+             |    list_cosine_similarity(cast(qe.embedding AS double[]), cast(ne.embedding AS double[])) AS sim
+             |  FROM cand c JOIN embeddings qe ON qe.vec_id = c.qid
+             |              JOIN embeddings ne ON ne.vec_id = c.nid
+             |)
+             |SELECT qid, nid, rk, round(sim, 6) AS sim FROM (
+             |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+             |  FROM scored) x
+             |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
     // Random-hyperplane LSH: 8 deterministic hyperplanes → 8-bit bucket;
     // top-k per query within its bucket. Recall < 1 by design; the bucket
     // join replaces the cross join, which is what makes ANN feasible at
