@@ -83,12 +83,58 @@ object Analyzer {
       predicate: Option[BoundExpr]) extends BoundQuery
   final case class BoundInsert(desc: TableDesc, rows: Seq[Seq[Any]]) extends BoundQuery
   final case class BoundCreate(desc: TableDesc) extends BoundQuery
+  final case class BoundDelete(desc: TableDesc, predicate: Option[BoundExpr]) extends BoundQuery
+  final case class BoundUpdate(
+      desc: TableDesc,
+      sets: Seq[(AttributeDesc, Any)],
+      predicate: Option[BoundExpr]) extends BoundQuery
 
   def analyze(tree: ParseTree, cat: Catalog): Either[AnalyzerError, BoundQuery] = tree match {
     case s: SelectTree => analyzeSelect(s, cat)
     case i: InsertTree => analyzeInsert(i, cat)
     case c: CreateTree => analyzeCreate(c, cat)
+    case d: DeleteTree => analyzeDelete(d, cat)
+    case u: UpdateTree => analyzeUpdate(u, cat)
   }
+
+  /** Bind a WHERE expression against one table (DELETE/UPDATE scope). */
+  private def bindSingleTableExpr(desc: TableDesc, e: Expr): Either[AnalyzerError, BoundExpr] =
+    analyzeSelect(
+      SelectTree(Some(Seq(ColRef(None, desc.attributes.head.name))),
+        Seq(TableRef(desc.name, None)), Some(e)),
+      new Catalog { def resolve(t: String) = if (t.equalsIgnoreCase(desc.name)) Some(desc) else None }
+    ).map(_.predicate.get)
+
+  private def analyzeDelete(d: DeleteTree, cat: Catalog): Either[AnalyzerError, BoundDelete] =
+    cat.resolve(d.table) match {
+      case None => Left(RelationNotFound(d.table))
+      case Some(desc) =>
+        d.where match {
+          case None    => Right(BoundDelete(desc, None))
+          case Some(e) => bindSingleTableExpr(desc, e).map(b => BoundDelete(desc, Some(b)))
+        }
+    }
+
+  private def analyzeUpdate(u: UpdateTree, cat: Catalog): Either[AnalyzerError, BoundUpdate] =
+    cat.resolve(u.table) match {
+      case None => Left(RelationNotFound(u.table))
+      case Some(desc) =>
+        val sets = Vector.newBuilder[(AttributeDesc, Any)]
+        for (((cn, lit), idx) <- u.sets.zipWithIndex) {
+          desc.attr(cn) match {
+            case None => return Left(UnboundAttribute(cn))
+            case Some(attr) =>
+              Convert(lit, attr.sqlType) match {
+                case Left(err) => return Left(TypeNotConvertible(idx, err.msg))
+                case Right(v)  => sets += ((attr, v))
+              }
+          }
+        }
+        u.where match {
+          case None    => Right(BoundUpdate(desc, sets.result(), None))
+          case Some(e) => bindSingleTableExpr(desc, e).map(b => BoundUpdate(desc, sets.result(), Some(b)))
+        }
+    }
 
   private def analyzeSelect(s: SelectTree, cat: Catalog): Either[AnalyzerError, BoundSelect] = {
     // resolve FROM with bindings (alias or table name, reference

@@ -47,6 +47,16 @@ object Ast {
 
   final case class InsertTree(table: String, rows: Seq[Seq[Lit]]) extends ParseTree
 
+  /** DELETE / UPDATE — on the reference's TODO list (README.md:51,
+    * planner/mod.rs:92-93 has them commented out); implemented here as
+    * copy-on-write parquet rewrites.
+    */
+  final case class DeleteTree(table: String, where: Option[Expr]) extends ParseTree
+  final case class UpdateTree(
+      table: String,
+      sets: Seq[(String, Lit)],
+      where: Option[Expr]) extends ParseTree
+
   final case class CreateTree(
       table: String,
       columns: Seq[(String, SqlType)],

@@ -28,6 +28,9 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   sealed trait QueryError { def msg: String }
   final case class ParseFailed(e: Parser.ParseError) extends QueryError { def msg = e.toString }
   final case class AnalyzeFailed(e: AnalyzerError) extends QueryError { def msg = e.msg }
+  final case class ReadOnlyTable(name: String) extends QueryError {
+    def msg = s"table '$name' is registered read-only (external parquet)"
+  }
 
   /** Result of one statement: SELECTs carry a DataFrame; DDL/DML report. */
   sealed trait QueryResult
@@ -59,6 +62,12 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     for {
       tree <- Parser.parse(sql).left.map(ParseFailed)
       bound <- Analyzer.analyze(tree, cat).left.map(AnalyzeFailed)
+      _ <- bound match {
+        case BoundInsert(d, _)    if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+        case BoundDelete(d, _)    if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+        case BoundUpdate(d, _, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+        case _                                                 => Right(())
+      }
     } yield execute(bound)
 
   /** Convenience for SELECTs in tests: query + unwrap. */
@@ -106,6 +115,59 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       statistics.initTable(desc)
       saveCatalog()
       Done(s"created table ${desc.name}")
+
+    // DELETE/UPDATE (beyond the reference, which lists them as TODO —
+    // README.md:51): copy-on-write parquet rewrite. At scale this is the
+    // standard non-transactional form: rewrite only what a real table
+    // format would rewrite per-file; here the whole table is one rewrite
+    // since the warehouse has no file-level manifest.
+    case BoundDelete(desc, pred) =>
+      val df = readTable(desc)
+      val before = statistics.get(desc.name).map(_.rowCount).getOrElse(df.count())
+      val kept = pred match {
+        case None => df.limit(0)
+        // keep rows where the predicate is NOT TRUE — a NULL predicate
+        // must keep the row (SQL 3VL), so coalesce before negating
+        case Some(p) => df.filter(!org.apache.spark.sql.functions.coalesce(
+          Lowering.lowerExprBare(p), org.apache.spark.sql.functions.lit(false)))
+      }
+      val keptN = rewriteTable(desc, kept)
+      Done(s"deleted ${before - keptN} row(s) from ${desc.name}")
+
+    case BoundUpdate(desc, sets, pred) =>
+      val df = readTable(desc)
+      val cond = pred.map(Lowering.lowerExprBare).getOrElse(org.apache.spark.sql.functions.lit(true))
+      val updated = sets.foldLeft(df) { case (acc, (attr, v)) =>
+        acc.withColumn(attr.name,
+          org.apache.spark.sql.functions.when(cond,
+            org.apache.spark.sql.functions.lit(v).cast(attr.sqlType.spark))
+            .otherwise(org.apache.spark.sql.functions.col(attr.name)))
+      }
+      val matched = pred match {
+        case None    => statistics.get(desc.name).map(_.rowCount).getOrElse(df.count())
+        case Some(p) => df.filter(Lowering.lowerExprBare(p)).count()
+      }
+      rewriteTable(desc, updated)
+      Done(s"updated $matched row(s) in ${desc.name}")
+  }
+
+  /** Copy-on-write swap: write the new image to a tmp dir, then replace
+    * the table dir; statistics rebuild from the new image (distributed).
+    * Returns the new row count.
+    */
+  private def rewriteTable(desc: TableDesc, img: DataFrame): Long = {
+    val dir = dataPath(desc.name)
+    val tmp = s"$dir.tmp"
+    img.write.mode("overwrite").parquet(tmp)
+    val dirP = Paths.get(dir)
+    if (Files.exists(dirP)) {
+      Files.walk(dirP).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.move(Paths.get(tmp), dirP)
+    val fresh = readTable(desc)
+    statistics.rebuild(desc, fresh)
+    statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
   }
 
   /** Statistics-driven planning (the reference's sample-based cardinality

@@ -93,7 +93,8 @@ object Parser {
 
   private val reservedWords = Set(
     "select", "from", "where", "and", "or", "insert", "into", "values",
-    "create", "table", "primary", "key", "null", "not", "as")
+    "create", "table", "primary", "key", "null", "not", "as",
+    "delete", "update", "set")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
@@ -106,7 +107,9 @@ object Parser {
         if (p.isKw("select")) parseSelect(p)
         else if (p.isKw("insert")) parseInsert(p)
         else if (p.isKw("create")) parseCreate(p)
-        else Left(ParseError("expected SELECT, INSERT or CREATE", p.peek.pos))
+        else if (p.isKw("delete")) parseDelete(p)
+        else if (p.isKw("update")) parseUpdate(p)
+        else Left(ParseError("expected SELECT, INSERT, CREATE, DELETE or UPDATE", p.peek.pos))
       tree.flatMap { t =>
         while (p.peek.isInstanceOf[TSym] && p.peek.asInstanceOf[TSym].s == ";") p.next()
         p.peek match {
@@ -241,6 +244,43 @@ object Parser {
         loop(Vector.empty)
       }
     } yield InsertTree(name, rows)
+  }
+
+  private def parseDelete(p: P): Either[ParseError, DeleteTree] =
+    for {
+      _ <- p.eatKw("delete")
+      _ <- p.eatKw("from")
+      name <- p.ident()
+      where <-
+        if (p.isKw("where")) { p.next(); parseOr(p).map(Some(_)) }
+        else Right(None)
+    } yield DeleteTree(name, where)
+
+  private def parseUpdate(p: P): Either[ParseError, UpdateTree] = {
+    def assignment(): Either[ParseError, (String, Lit)] =
+      for {
+        c <- p.ident()
+        _ <- p.eatSym("=")
+        v <- parseLit(p)
+      } yield (c, v)
+    for {
+      _ <- p.eatKw("update")
+      name <- p.ident()
+      _ <- p.eatKw("set")
+      sets <- {
+        def loop(acc: Vector[(String, Lit)]): Either[ParseError, Vector[(String, Lit)]] =
+          assignment().flatMap { a =>
+            p.peek match {
+              case TSym(",", _) => p.next(); loop(acc :+ a)
+              case _            => Right(acc :+ a)
+            }
+          }
+        loop(Vector.empty)
+      }
+      where <-
+        if (p.isKw("where")) { p.next(); parseOr(p).map(Some(_)) }
+        else Right(None)
+    } yield UpdateTree(name, sets, where)
   }
 
   private def parseType(p: P): Either[ParseError, SqlType] =

@@ -134,6 +134,31 @@ object CountingHll {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  def sketchToBytes(s: Sketch): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(s.length * 4)
+    s.foreach(bb.putInt)
+    bb.array()
+  }
+
+  def sketchFromBytes(b: Array[Byte]): Sketch = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val arr = new Array[Int](b.length / 4)
+    arr.indices.foreach(i => arr(i) = bb.getInt())
+    arr
+  }
+
+  /** Like HllAggregator but surfaces the merged SKETCH (serialized), so a
+    * full-table rebuild can recover per-column sketches distributedly.
+    */
+  class SketchAggregator extends Aggregator[String, Sketch, Array[Byte]] {
+    def zero: Sketch = emptySketch
+    def reduce(buf: Sketch, v: String): Sketch = { add(buf, v); buf }
+    def merge(a: Sketch, b: Sketch): Sketch = CountingHll.merge(a, b)
+    def finish(buf: Sketch): Array[Byte] = sketchToBytes(buf)
+    def bufferEncoder: Encoder[Sketch] = Encoders.javaSerialization[Sketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   /** `approx_ndv(col)` — distributed NDV estimate via the counting sketch.
     * Partial aggregation (map-side sketches, reduce-side merge) comes from
     * Spark's Aggregator machinery, so at 100 TB only 15 KB sketches cross

@@ -1,0 +1,80 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+
+import graft.SparkTestSession
+
+/** DELETE / UPDATE via copy-on-write rewrite — the statements the
+  * reference lists as TODO (reference README.md:51, planner/mod.rs:92-93).
+  */
+class DmlSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def db(): GraftDatabase = {
+    val g = new GraftDatabase(spark, Files.createTempDirectory("graft-dml-wh").toString)
+    g.query("CREATE TABLE t (id INT, tag VARCHAR(10), n INT)")
+    g.query("INSERT INTO t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'a', 30), (4, NULL, 40)")
+    g
+  }
+
+  private def rows(g: GraftDatabase): Seq[Row] =
+    g.select("SELECT id, tag, n FROM t").toOption.get.orderBy("id").collect().toSeq
+
+  test("delete with predicate removes matching rows and rebuilds stats") {
+    val g = db()
+    val Right(g.Done(msg)) = g.query("DELETE FROM t WHERE tag = 'a'"): @unchecked
+    assert(msg.contains("deleted 2"))
+    assert(rows(g) == Seq(Row(2, "b", 20), Row(4, null, 40)))
+    assert(g.statistics.get("t").get.rowCount == 2)
+  }
+
+  test("delete keeps rows whose predicate is NULL (3VL)") {
+    val g = db()
+    // tag = NULL row: predicate tag <> 'a' is NULL there → row must survive
+    g.query("DELETE FROM t WHERE tag <> 'a'")
+    assert(rows(g).map(_.getInt(0)) == Seq(1, 3, 4))
+  }
+
+  test("delete without where empties the table; inserts still work after") {
+    val g = db()
+    val Right(g.Done(msg)) = g.query("DELETE FROM t"): @unchecked
+    assert(msg.contains("deleted 4"))
+    assert(rows(g).isEmpty)
+    g.query("INSERT INTO t VALUES (9, 'z', 90)")
+    assert(rows(g) == Seq(Row(9, "z", 90)))
+  }
+
+  test("update rewrites matching rows only, with checked conversion") {
+    val g = db()
+    val Right(g.Done(msg)) = g.query("UPDATE t SET n = 99, tag = 'x' WHERE id <= 2"): @unchecked
+    assert(msg.contains("updated 2"))
+    assert(rows(g) == Seq(
+      Row(1, "x", 99), Row(2, "x", 99), Row(3, "a", 30), Row(4, null, 40)))
+    // type errors surface like INSERT's
+    assert(g.query("UPDATE t SET n = 9999999999 WHERE id = 1").isLeft) // int overflow
+    assert(g.query("UPDATE t SET nosuch = 1").isLeft)
+  }
+
+  test("update persists across database reopen") {
+    val wh = Files.createTempDirectory("graft-dml-wh").toString
+    val g1 = new GraftDatabase(spark, wh)
+    g1.query("CREATE TABLE t (id INT, tag VARCHAR(10), n INT)")
+    g1.query("INSERT INTO t VALUES (1, 'a', 10)")
+    g1.query("UPDATE t SET n = 11 WHERE id = 1")
+    val g2 = new GraftDatabase(spark, wh)
+    assert(rows(g2) == Seq(Row(1, "a", 11)))
+    assert(g2.statistics.get("t").get.rowCount == 1)
+  }
+
+  test("external fixture tables are read-only") {
+    val g = db()
+    g.registerParquet("region", s"${SparkTestSession.sf0001}/region.parquet")
+    assert(g.query("DELETE FROM region").isLeft)
+    assert(g.query("UPDATE region SET r_name = 'X'").isLeft)
+    assert(g.query("INSERT INTO region VALUES (9, 'X')").isLeft)
+  }
+}
