@@ -77,12 +77,32 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   }
 
   /** Register an existing parquet table (e.g. a driver fixture) read-only. */
-  def registerParquet(name: String, path: String): Unit = {
-    val schema = spark.read.parquet(path).schema
+  def registerParquet(name: String, path: String): Unit =
+    registerExternal(name, path, "parquet")
+
+  /** Register external read-only tables in other formats. Non-columnar
+    * sources (csv/json) get no column pruning or pushdown at the file
+    * level — they exist for ingest; convert to parquet for anything hot.
+    */
+  def registerCsv(name: String, path: String): Unit =
+    registerExternal(name, path, "csv")
+  def registerJson(name: String, path: String): Unit =
+    registerExternal(name, path, "json")
+
+  private val externalFormat = mutable.Map.empty[String, String]
+
+  private def registerExternal(name: String, path: String, format: String): Unit = {
+    val reader = format match {
+      case "csv" => spark.read.option("header", "true").option("inferSchema", "true")
+      case "json" => spark.read
+      case _ => spark.read
+    }
+    val schema = reader.format(format).load(path).schema
     val desc = TableDesc(name.toLowerCase, schema.fields.toSeq.map(f =>
       AttributeDesc(f.name, SqlType.fromSpark(f.dataType), f.nullable)))
     tables(desc.name) = desc
     external(desc.name) = path
+    externalFormat(desc.name) = format
   }
 
   def tableNames: Seq[String] = tables.keys.toSeq
@@ -91,9 +111,17 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     external.getOrElse(name, s"$warehouse/data/$name")
 
   private def readTable(desc: TableDesc): DataFrame =
-    // Explicit schema: works even when the table has zero parquet files yet,
-    // and skips footer merging on every query.
-    spark.read.schema(desc.sparkSchema).parquet(dataPath(desc.name))
+    externalFormat.get(desc.name) match {
+      case Some("csv") =>
+        spark.read.option("header", "true").schema(desc.sparkSchema)
+          .csv(dataPath(desc.name))
+      case Some("json") =>
+        spark.read.schema(desc.sparkSchema).json(dataPath(desc.name))
+      case _ =>
+        // Explicit schema: works even when the table has zero parquet files
+        // yet, and skips footer merging on every query.
+        spark.read.schema(desc.sparkSchema).parquet(dataPath(desc.name))
+    }
 
   private def execute(q: BoundQuery): QueryResult = q match {
     case s: BoundSelect =>
