@@ -14,6 +14,69 @@ object TimeSeries {
 
   def defs: Map[String, QueryDef] = Map(
 
+    // Gap-based sessionization (batch form of
+    // graft.streaming.EventsStreaming.sessionize): 30-min inactivity gap,
+    // one window shuffle on user_id. Session boundaries compare in epoch
+    // micros; outputs stay integer/rounded for oracle stability.
+    "q_sessionize" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, d)
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              (expr("unix_micros(ts)") - expr("unix_micros(prev_ts)")) > 30L * 60000000L, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum("new_session").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("total_value"),
+            expr("cast((unix_micros(max(ts)) - unix_micros(min(ts))) / 1000000 AS bigint)")
+              .as("duration_sec"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""SELECT user_id, session_id, cast(count(*) AS bigint) AS n_events,
+             |  round(sum("value"), 2) AS total_value,
+             |  cast((epoch_us(cast(max(ts) AS timestamp)) - epoch_us(cast(min(ts) AS timestamp))) // 1000000 AS bigint) AS duration_sec
+             |FROM (
+             |  SELECT user_id, ts, "value", event_id,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM (
+             |    SELECT user_id, ts, "value", event_id,
+             |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |             OR epoch_us(cast(ts AS timestamp)) - epoch_us(cast(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS timestamp)) > 1800000000
+             |           THEN 1 ELSE 0 END AS new_session
+             |    FROM events) x) y
+             |GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // Exact interpolated quantiles + distribution moments per event type.
+    // percentile() in Spark and quantile_cont() in DuckDB are both exact
+    // linear interpolation (NOT the approx sketches, which would never
+    // cross-match); moments round to absorb accumulation-order noise.
+    "q_quantiles" -> QueryDef(
+      (s, d) => events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(stddev_samp(col("value")), 4).as("sd"),
+          round(var_samp(col("value")), 4).as("variance"),
+          round(min("value"), 2).as("vmin"),
+          round(max("value"), 2).as("vmax"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  round(quantile_cont("value", 0.5), 4) AS p50,
+             |  round(quantile_cont("value", 0.9), 4) AS p90,
+             |  round(stddev_samp("value"), 4) AS sd,
+             |  round(var_samp("value"), 4) AS variance,
+             |  round(min("value"), 2) AS vmin,
+             |  round(max("value"), 2) AS vmax
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Attribution: each purchase joined to the user's most recent prior
     // (or simultaneous) click.
     "q_asof_join" -> QueryDef(
