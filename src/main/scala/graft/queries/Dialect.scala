@@ -59,6 +59,15 @@ object Dialect {
              |  AND o.o_totalprice > 490000
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ORDER BY + LIMIT through the dialect (top-k plans as
+    // TakeOrderedAndProject; the sort key is not projected).
+    "q_dialect_topk" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 15"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin)),
+
     // Star expansion + OR (which the reference analyzer rejects,
     // analyzer/mod.rs:183 — supported here).
     "q_dialect_star_or" -> QueryDef(

@@ -80,7 +80,9 @@ object Analyzer {
   final case class BoundSelect(
       tables: Seq[BoundTable],
       projection: Seq[BoundCol],
-      predicate: Option[BoundExpr]) extends BoundQuery
+      predicate: Option[BoundExpr],
+      orderBy: Seq[(BoundCol, Boolean)] = Nil,
+      limit: Option[Long] = None) extends BoundQuery
   final case class BoundInsert(desc: TableDesc, rows: Seq[Seq[Any]]) extends BoundQuery
   final case class BoundCreate(desc: TableDesc) extends BoundQuery
   final case class BoundDelete(desc: TableDesc, predicate: Option[BoundExpr]) extends BoundQuery
@@ -206,7 +208,11 @@ object Analyzer {
         case None    => Right(None)
         case Some(e) => bindExpr(e).map(Some(_))
       }
-    } yield BoundSelect(tables, proj, pred)
+      order <- s.orderBy.foldLeft[Either[AnalyzerError, Vector[(BoundCol, Boolean)]]](
+        Right(Vector.empty)) { case (acc, (r, desc)) =>
+        acc.flatMap(v => bindCol(r).map(b => v :+ (b -> desc)))
+      }
+    } yield BoundSelect(tables, proj, pred, order, s.limit)
   }
 
   private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {

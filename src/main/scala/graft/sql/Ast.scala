@@ -38,12 +38,15 @@ object Ast {
   }
 
   /** columns = None means `SELECT *` (star expansion happens in analysis,
-    * like reference analyzer/mod.rs:68-73).
+    * like reference analyzer/mod.rs:68-73). ORDER BY / LIMIT are additive
+    * over the reference grammar (its README lists them as TODO).
     */
   final case class SelectTree(
       columns: Option[Seq[ColRef]],
       from: Seq[TableRef],
-      where: Option[Expr]) extends ParseTree
+      where: Option[Expr],
+      orderBy: Seq[(ColRef, Boolean /* descending */ )] = Nil,
+      limit: Option[Long] = None) extends ParseTree
 
   final case class InsertTree(table: String, rows: Seq[Seq[Lit]]) extends ParseTree
 

@@ -36,7 +36,16 @@ object Lowering {
       if (broadcastBindings(bt.binding)) broadcast(df) else df
     }
     val joined = base.reduceLeft(_.crossJoin(_))
-    val filtered = q.predicate.fold(joined)(p => joined.filter(lowerExpr(p)))
+    val filtered0 = q.predicate.fold(joined)(p => joined.filter(lowerExpr(p)))
+    // ORDER BY binds against table columns (pre-projection, so sort keys
+    // need not be projected); with LIMIT Catalyst plans TakeOrderedAndProject
+    val ordered = if (q.orderBy.isEmpty) filtered0 else filtered0.orderBy(
+      q.orderBy.map { case (bc, desc) =>
+        val c = col(s"${bc.binding}.${bc.attr.name}")
+        if (desc) c.desc else c.asc
+      }: _*)
+    val filtered = q.limit.fold(ordered)(n => ordered.limit(
+      math.min(n, Int.MaxValue.toLong).toInt))
     // Output naming: bare attribute name when unique across the projection,
     // binding_attr otherwise (the reference prints qualified headers,
     // bottomup.rs:34-44; parquet column names cannot contain '.').

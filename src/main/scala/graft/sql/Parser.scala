@@ -94,7 +94,7 @@ object Parser {
   private val reservedWords = Set(
     "select", "from", "where", "and", "or", "insert", "into", "values",
     "create", "table", "primary", "key", "null", "not", "as",
-    "delete", "update", "set")
+    "delete", "update", "set", "order", "by", "limit", "asc", "desc")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
@@ -165,7 +165,35 @@ object Parser {
       where <-
         if (p.isKw("where")) { p.next(); parseOr(p).map(Some(_)) }
         else Right(None)
-    } yield SelectTree(cols, from, where)
+      orderBy <-
+        if (p.isKw("order")) {
+          p.next()
+          p.eatKw("by").flatMap { _ =>
+            def one(): Either[ParseError, (ColRef, Boolean)] =
+              parseColRef(p).map { c =>
+                if (p.isKw("desc")) { p.next(); (c, true) }
+                else if (p.isKw("asc")) { p.next(); (c, false) }
+                else (c, false)
+              }
+            def loop(acc: Vector[(ColRef, Boolean)]): Either[ParseError, Vector[(ColRef, Boolean)]] =
+              one().flatMap { o =>
+                p.peek match {
+                  case TSym(",", _) => p.next(); loop(acc :+ o)
+                  case _            => Right(acc :+ o)
+                }
+              }
+            loop(Vector.empty)
+          }
+        } else Right(Vector.empty[(ColRef, Boolean)])
+      limit <-
+        if (p.isKw("limit")) {
+          p.next()
+          p.peek match {
+            case TInt(v, _) if v >= 0 => p.next(); Right(Some(v))
+            case t => Left(ParseError("expected LIMIT count", t.pos))
+          }
+        } else Right(None)
+    } yield SelectTree(cols, from, where, orderBy, limit)
   }
 
   private def parseOr(p: P): Either[ParseError, Expr] =

@@ -121,6 +121,16 @@ class DialectSpec extends AnyFunSuite {
     assert(df.count() == 5)
   }
 
+  test("order by / limit execute; sort keys need not be projected") {
+    val db = demoDb()
+    val df = db.select("SELECT name FROM people ORDER BY age DESC LIMIT 2").toOption.get
+    // NULL age sorts last under DESC in Spark (nulls last for desc)
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("Dr. Emmett L. „Doc“ Brown", "Elon"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("insert appends (second insert visible, first preserved)") {
     val db = demoDb()
     assert(db.query("INSERT INTO people VALUES (4, 'Biff', 40)").isRight)

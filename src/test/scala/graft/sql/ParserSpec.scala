@@ -105,4 +105,24 @@ class ParserSpec extends AnyFunSuite {
   test("trailing semicolon accepted") {
     parseOk("SELECT a FROM t;")
   }
+
+  test("order by and limit (additive over reference grammar)") {
+    assert(parseOk("SELECT a FROM t ORDER BY a DESC, b LIMIT 10") ==
+      SelectTree(Some(Seq(ColRef(None, "a"))), Seq(TableRef("t", None)), None,
+        Seq(ColRef(None, "a") -> true, ColRef(None, "b") -> false), Some(10)))
+    parseErr("SELECT a FROM t ORDER a")
+    parseErr("SELECT a FROM t LIMIT x")
+  }
+
+  test("delete and update parse") {
+    assert(parseOk("DELETE FROM t WHERE a = 1") ==
+      DeleteTree("t", Some(Expr.Cmp(CmpOp.Eq,
+        Operand.Col(ColRef(None, "a")), Operand.Literal(L.LitLong(1))))))
+    assert(parseOk("UPDATE t SET a = 2, b = 'x' WHERE c > 0") ==
+      UpdateTree("t", Seq("a" -> L.LitLong(2), "b" -> L.LitString("x")),
+        Some(Expr.Cmp(CmpOp.Gt,
+          Operand.Col(ColRef(None, "c")), Operand.Literal(L.LitLong(0))))))
+    parseErr("DELETE t")
+    parseErr("UPDATE t SET")
+  }
 }
