@@ -93,6 +93,43 @@ object TextOps {
               |  lang
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Winnowing fingerprint (the MOSS scheme): hash every char-8-gram at
+    // its position, slide a 5-wide window over the hash sequence, keep
+    // each window's minimum — the selected hash set is a positional
+    // fingerprint robust to local edits. One narrow map + one window pass
+    // per doc; the fingerprint summary (size + checksum) is compared here,
+    // the raw selected-hash sets are what a matcher would join on.
+    "q_text_winnow" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, 4)
+        graft.Tables.t(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode(expr("sequence(1, length(text)-7)")).as("i"), col("text"))
+          .select(col("doc_id"), col("i"),
+            expr("cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS bigint)").as("h"))
+          .withColumn("wmin", min("h").over(w))
+          .groupBy("doc_id")
+          .agg(
+            countDistinct("wmin").as("fp_size"),
+            expr("cast(sum(DISTINCT wmin % 1000000007) AS bigint)").as("fp_checksum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, i,
+             |    ('0x' || substring(md5(substring(text, i, 8)), 1, 15))::bigint AS h
+             |  FROM (SELECT doc_id, text, unnest(range(1, length(text)-6)) AS i FROM documents)
+             |), sel AS (
+             |  SELECT doc_id,
+             |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+             |  FROM h
+             |)
+             |SELECT doc_id, cast(count(DISTINCT wmin) AS bigint) AS fp_size,
+             |  cast(sum(DISTINCT wmin % 1000000007) AS bigint) AS fp_checksum
+             |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Document fingerprint: md5 over whitespace-normalized lowercase text —
     // the canonical-form digest used as a cheap pre-dedup key.
     "q_text_fingerprint" -> QueryDef(
