@@ -65,6 +65,27 @@ object EventsStreaming {
   def enrich(events: DataFrame, categories: DataFrame): DataFrame =
     events.join(broadcast(categories), Seq("event_type"), "left")
 
+  /** Stream-stream interval join: purchases attributed to clicks by the
+    * same user within the preceding hour. Both sides are watermarked so
+    * Spark can bound the join state; the time-range condition makes this
+    * an interval join, not a full stream cross product.
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select("p_id", "user_id", "p_ts", "c_id", "c_ts", "p_value")
+  }
+
   // ---- custom state: sessionization ----
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

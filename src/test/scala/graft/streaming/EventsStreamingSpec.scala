@@ -82,6 +82,21 @@ class EventsStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val q = attribution(readEvents(spark, streamDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .orderBy("p_id", "c_id").collect().map(_.toString).toSeq
+      val batch = attribution(batchEvents)
+        .orderBy("p_id", "c_id").collect().map(_.toString).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("sessionization: streaming state machine matches batch window computation") {
     import spark.implicits._
     val ds = batchEvents
