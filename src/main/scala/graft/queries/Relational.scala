@@ -525,6 +525,20 @@ object Relational {
              |  round(avg("value"), 4) AS avg_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Semi-structured extraction: events.props is a JSON-ish string; the
+    // value is pulled with the same regex on both engines (DuckDB's json
+    // extension may be unavailable offline — regexp is dependency-free).
+    "q_events_props" -> QueryDef(
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+        .filter(col("k") >= 90)
+        .orderBy("event_id"),
+      Some("""SELECT event_id, cast(regexp_extract(props, '"k": (\d+)', 1) AS int) AS k
+             |FROM events
+             |WHERE cast(regexp_extract(props, '"k": (\d+)', 1) AS int) >= 90
+             |ORDER BY event_id""".stripMargin)),
+
     "q_events_hourly" -> QueryDef(
       (s, d) => events(s, d)
         .select(col("event_type"),
