@@ -59,6 +59,24 @@ object Dialect {
              |  AND o.o_totalprice > 490000
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // GROUP BY + aggregates through the dialect (the reference's top TODO,
+    // README.md:51): partial-aggregate shuffle on the group key.
+    "q_dialect_groupby" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer"),
+        "SELECT c_mktsegment, count(*), sum(o_totalprice), avg(o_totalprice), max(o_orderkey) " +
+          "FROM orders o, customer c WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000 " +
+          "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+        .selectExpr("c_mktsegment", "count_star",
+          "round(sum_o_totalprice, 2) AS sum_price", "round(avg_o_totalprice, 2) AS avg_price",
+          "max_o_orderkey"),
+      Some("""SELECT c_mktsegment, cast(count(*) AS bigint) AS count_star,
+             |  round(sum(o_totalprice), 2) AS sum_price,
+             |  round(avg(o_totalprice), 2) AS avg_price,
+             |  max(o_orderkey) AS max_o_orderkey
+             |FROM orders o, customer c
+             |WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // ORDER BY + LIMIT through the dialect (top-k plans as
     // TakeOrderedAndProject; the sort key is not projected).
     "q_dialect_topk" -> QueryDef(

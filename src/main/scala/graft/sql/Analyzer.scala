@@ -58,6 +58,12 @@ object Analyzer {
   final case class TableExists(name: String) extends AnalyzerError {
     def msg = s"relation '$name' already exists"
   }
+  final case class NotInGroupBy(ref: String) extends AnalyzerError {
+    def msg = s"column '$ref' must appear in GROUP BY or inside an aggregate"
+  }
+  final case class BadAggregate(detail: String) extends AnalyzerError {
+    def msg = s"bad aggregate: $detail"
+  }
 
   // ---- bound IR ----
   final case class BoundTable(desc: TableDesc, binding: String)
@@ -76,13 +82,24 @@ object Analyzer {
     final case class BCmp(op: CmpOp, l: BoundOperand, r: BoundOperand) extends BoundExpr
   }
 
+  /** A bound SELECT-list entry: plain column or aggregate call. */
+  sealed trait BoundItem
+  object BoundItem {
+    final case class BICol(c: BoundCol) extends BoundItem
+    final case class BIAgg(func: String, arg: Option[BoundCol]) extends BoundItem
+  }
+
   sealed trait BoundQuery
   final case class BoundSelect(
       tables: Seq[BoundTable],
-      projection: Seq[BoundCol],
+      projection: Seq[BoundItem],
       predicate: Option[BoundExpr],
       orderBy: Seq[(BoundCol, Boolean)] = Nil,
-      limit: Option[Long] = None) extends BoundQuery
+      limit: Option[Long] = None,
+      groupBy: Seq[BoundCol] = Nil) extends BoundQuery {
+    def isAggregate: Boolean =
+      groupBy.nonEmpty || projection.exists(_.isInstanceOf[BoundItem.BIAgg])
+  }
   final case class BoundInsert(desc: TableDesc, rows: Seq[Seq[Any]]) extends BoundQuery
   final case class BoundCreate(desc: TableDesc) extends BoundQuery
   final case class BoundDelete(desc: TableDesc, predicate: Option[BoundExpr]) extends BoundQuery
@@ -102,7 +119,7 @@ object Analyzer {
   /** Bind a WHERE expression against one table (DELETE/UPDATE scope). */
   private def bindSingleTableExpr(desc: TableDesc, e: Expr): Either[AnalyzerError, BoundExpr] =
     analyzeSelect(
-      SelectTree(Some(Seq(ColRef(None, desc.attributes.head.name))),
+      SelectTree(Some(Seq(SelectItem.SCol(ColRef(None, desc.attributes.head.name)))),
         Seq(TableRef(desc.name, None)), Some(e)),
       new Catalog { def resolve(t: String) = if (t.equalsIgnoreCase(desc.name)) Some(desc) else None }
     ).map(_.predicate.get)
@@ -173,8 +190,9 @@ object Analyzer {
     }
 
     // star expansion (reference analyzer/mod.rs:68-73)
-    val projRefs: Seq[ColRef] = s.columns.getOrElse(
-      tables.flatMap(bt => bt.desc.attributes.map(a => ColRef(Some(bt.binding), a.name))))
+    val projItems: Seq[SelectItem] = s.columns.getOrElse(
+      tables.flatMap(bt => bt.desc.attributes.map(a =>
+        SelectItem.SCol(ColRef(Some(bt.binding), a.name)))))
 
     def bindExpr(e: Expr): Either[AnalyzerError, BoundExpr] = e match {
       case Expr.And(l, r) =>
@@ -200,19 +218,61 @@ object Analyzer {
         } yield BoundExpr.BCmp(op, bl, br)
     }
 
+    val numericTypes: SqlType => Boolean = {
+      case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt | SqlType.SqlDouble => true
+      case _ => false
+    }
+
+    def bindItem(it: SelectItem): Either[AnalyzerError, BoundItem] = it match {
+      case SelectItem.SCol(r) => bindCol(r).map(BoundItem.BICol)
+      case SelectItem.SAgg(f, None) => Right(BoundItem.BIAgg(f, None))
+      case SelectItem.SAgg(f, Some(r)) =>
+        bindCol(r).flatMap { bc =>
+          if ((f == "sum" || f == "avg") && !numericTypes(bc.attr.sqlType))
+            Left(BadAggregate(s"$f over non-numeric ${bc.render} (${bc.attr.sqlType.render})"))
+          else Right(BoundItem.BIAgg(f, Some(bc)))
+        }
+    }
+
     for {
-      proj <- projRefs.foldLeft[Either[AnalyzerError, Vector[BoundCol]]](Right(Vector.empty)) {
-        (acc, r) => acc.flatMap(v => bindCol(r).map(v :+ _))
+      proj <- projItems.foldLeft[Either[AnalyzerError, Vector[BoundItem]]](Right(Vector.empty)) {
+        (acc, r) => acc.flatMap(v => bindItem(r).map(v :+ _))
       }
       pred <- s.where match {
         case None    => Right(None)
         case Some(e) => bindExpr(e).map(Some(_))
       }
+      group <- s.groupBy.foldLeft[Either[AnalyzerError, Vector[BoundCol]]](Right(Vector.empty)) {
+        (acc, r) => acc.flatMap(v => bindCol(r).map(v :+ _))
+      }
+      // aggregate-scope validation: bare columns must be grouped
+      _ <- {
+        val isAgg = group.nonEmpty || proj.exists(_.isInstanceOf[BoundItem.BIAgg])
+        if (!isAgg) Right(())
+        else proj.collectFirst {
+          case BoundItem.BICol(c) if !group.exists(g =>
+            g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name)) => c
+        } match {
+          case Some(c) => Left(NotInGroupBy(c.render))
+          case None    => Right(())
+        }
+      }
       order <- s.orderBy.foldLeft[Either[AnalyzerError, Vector[(BoundCol, Boolean)]]](
         Right(Vector.empty)) { case (acc, (r, desc)) =>
         acc.flatMap(v => bindCol(r).map(b => v :+ (b -> desc)))
       }
-    } yield BoundSelect(tables, proj, pred, order, s.limit)
+      _ <- {
+        val isAgg = group.nonEmpty || proj.exists(_.isInstanceOf[BoundItem.BIAgg])
+        if (!isAgg) Right(())
+        else order.collectFirst {
+          case (c, _) if !group.exists(g =>
+            g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name)) => c
+        } match {
+          case Some(c) => Left(NotInGroupBy(c.render))
+          case None    => Right(())
+        }
+      }
+    } yield BoundSelect(tables, proj, pred, order, s.limit, group)
   }
 
   private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {

@@ -37,16 +37,27 @@ object Ast {
     final case class Cmp(op: CmpOp, l: Operand, r: Operand) extends Expr
   }
 
+  /** A SELECT-list entry: a plain column or an aggregate call.
+    * `SAgg(func, None)` is `count(*)`.
+    */
+  sealed trait SelectItem
+  object SelectItem {
+    final case class SCol(ref: ColRef) extends SelectItem
+    final case class SAgg(func: String, arg: Option[ColRef]) extends SelectItem
+  }
+
   /** columns = None means `SELECT *` (star expansion happens in analysis,
-    * like reference analyzer/mod.rs:68-73). ORDER BY / LIMIT are additive
-    * over the reference grammar (its README lists them as TODO).
+    * like reference analyzer/mod.rs:68-73). ORDER BY / LIMIT / GROUP BY +
+    * aggregates are additive over the reference grammar (its README lists
+    * them as TODO).
     */
   final case class SelectTree(
-      columns: Option[Seq[ColRef]],
+      columns: Option[Seq[SelectItem]],
       from: Seq[TableRef],
       where: Option[Expr],
       orderBy: Seq[(ColRef, Boolean /* descending */ )] = Nil,
-      limit: Option[Long] = None) extends ParseTree
+      limit: Option[Long] = None,
+      groupBy: Seq[ColRef] = Nil) extends ParseTree
 
   final case class InsertTree(table: String, rows: Seq[Seq[Lit]]) extends ParseTree
 

@@ -37,26 +37,81 @@ object Lowering {
     }
     val joined = base.reduceLeft(_.crossJoin(_))
     val filtered0 = q.predicate.fold(joined)(p => joined.filter(lowerExpr(p)))
-    // ORDER BY binds against table columns (pre-projection, so sort keys
-    // need not be projected); with LIMIT Catalyst plans TakeOrderedAndProject
-    val ordered = if (q.orderBy.isEmpty) filtered0 else filtered0.orderBy(
-      q.orderBy.map { case (bc, desc) =>
-        val c = col(s"${bc.binding}.${bc.attr.name}")
-        if (desc) c.desc else c.asc
-      }: _*)
-    val filtered = q.limit.fold(ordered)(n => ordered.limit(
-      math.min(n, Int.MaxValue.toLong).toInt))
+
     // Output naming: bare attribute name when unique across the projection,
     // binding_attr otherwise (the reference prints qualified headers,
     // bottomup.rs:34-44; parquet column names cannot contain '.').
-    val counts = q.projection.groupBy(_.attr.name.toLowerCase).view.mapValues(_.size)
-    val cols = q.projection.map { bc =>
-      val out =
-        if (counts(bc.attr.name.toLowerCase) > 1) s"${bc.binding}_${bc.attr.name}"
+    val colItems = q.projection.collect { case BoundItem.BICol(c) => c }
+    val counts = colItems.groupBy(_.attr.name.toLowerCase).view.mapValues(_.size)
+    def outName(bc: BoundCol): String =
+      if (counts.getOrElse(bc.attr.name.toLowerCase, 0) > 1) s"${bc.binding}_${bc.attr.name}"
+      else bc.attr.name
+    def qcol(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
+
+    if (!q.isAggregate) {
+      // ORDER BY binds against table columns (pre-projection, so sort keys
+      // need not be projected); with LIMIT Catalyst plans
+      // TakeOrderedAndProject
+      val ordered = if (q.orderBy.isEmpty) filtered0 else filtered0.orderBy(
+        q.orderBy.map { case (bc, desc) => if (desc) qcol(bc).desc else qcol(bc).asc }: _*)
+      val limited = q.limit.fold(ordered)(n => ordered.limit(
+        math.min(n, Int.MaxValue.toLong).toInt))
+      limited.select(q.projection.collect { case BoundItem.BICol(bc) =>
+        qcol(bc).as(outName(bc))
+      }: _*)
+    } else {
+      // GROUP BY + aggregates: group keys keep their (possibly qualified)
+      // output names; aggregate output names are func_col / count_star,
+      // uniquified on collision.
+      def groupOut(bc: BoundCol): String =
+        if (q.groupBy.count(_.attr.name.equalsIgnoreCase(bc.attr.name)) > 1)
+          s"${bc.binding}_${bc.attr.name}"
         else bc.attr.name
-      col(s"${bc.binding}.${bc.attr.name}").as(out)
+      val aggItems = q.projection.zipWithIndex.collect {
+        case (BoundItem.BIAgg(f, arg), i) => (f, arg, i)
+      }
+      val usedNames = scala.collection.mutable.Set.empty[String]
+      val aggName: Map[Int, String] = aggItems.map { case (f, arg, i) =>
+        val base = arg.fold("count_star")(a => s"${f}_${a.attr.name}")
+        val name = if (usedNames.add(base)) base else {
+          var k = 2
+          while (!usedNames.add(s"${base}_$k")) k += 1
+          s"${base}_$k"
+        }
+        i -> name
+      }.toMap
+      val aggExprs = aggItems.map { case (f, arg, i) =>
+        val e = (f, arg) match {
+          case ("count", None)    => count(lit(1))
+          case ("count", Some(a)) => count(qcol(a))
+          case ("sum", Some(a))   => sum(qcol(a))
+          case ("min", Some(a))   => min(qcol(a))
+          case ("max", Some(a))   => max(qcol(a))
+          case ("avg", Some(a))   => avg(qcol(a))
+          case other              => sys.error(s"unreachable aggregate $other")
+        }
+        e.as(aggName(i))
+      }
+      val grouped =
+        if (aggExprs.isEmpty)
+          filtered0.select(q.groupBy.map(bc => qcol(bc).as(groupOut(bc))): _*).distinct()
+        else filtered0
+          .groupBy(q.groupBy.map(bc => qcol(bc).as(groupOut(bc))): _*)
+          .agg(aggExprs.head, aggExprs.tail: _*)
+      // ORDER BY (validated to group cols) runs on the post-aggregation
+      // names BEFORE the final projection, so an unprojected group key can
+      // still order the result
+      val ordered = if (q.orderBy.isEmpty) grouped else grouped.orderBy(
+        q.orderBy.map { case (bc, desc) =>
+          val c = col(groupOut(bc))
+          if (desc) c.desc else c.asc
+        }: _*)
+      val projected = ordered.select(q.projection.zipWithIndex.map {
+        case (BoundItem.BICol(bc), _) => col(groupOut(bc)).as(outName(bc))
+        case (BoundItem.BIAgg(_, _), i) => col(aggName(i))
+      }: _*)
+      q.limit.fold(projected)(n => projected.limit(math.min(n, Int.MaxValue.toLong).toInt))
     }
-    filtered.select(cols: _*)
   }
 
   def lowerExpr(e: BoundExpr): Column = e match {

@@ -94,7 +94,9 @@ object Parser {
   private val reservedWords = Set(
     "select", "from", "where", "and", "or", "insert", "into", "values",
     "create", "table", "primary", "key", "null", "not", "as",
-    "delete", "update", "set", "order", "by", "limit", "asc", "desc")
+    "delete", "update", "set", "order", "by", "limit", "asc", "desc", "group")
+
+  private val aggFuncs = Set("count", "sum", "min", "max", "avg")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
@@ -135,8 +137,24 @@ object Parser {
       cols <- p.peek match {
         case TSym("*", _) => p.next(); Right(None)
         case _ =>
-          def loop(acc: Vector[ColRef]): Either[ParseError, Vector[ColRef]] =
-            parseColRef(p).flatMap { c =>
+          def item(): Either[ParseError, SelectItem] = p.peek match {
+            case TIdent(f, _) if aggFuncs(f.toLowerCase) =>
+              // aggregate call: func(col) or count(*)
+              val fn = f.toLowerCase
+              p.next()
+              for {
+                _ <- p.eatSym("(")
+                arg <- p.peek match {
+                  case TSym("*", pos) if fn == "count" => p.next(); Right(None)
+                  case TSym("*", pos) => Left(ParseError(s"$fn(*) is not valid", pos))
+                  case _ => parseColRef(p).map(Some(_))
+                }
+                _ <- p.eatSym(")")
+              } yield SelectItem.SAgg(fn, arg)
+            case _ => parseColRef(p).map(SelectItem.SCol)
+          }
+          def loop(acc: Vector[SelectItem]): Either[ParseError, Vector[SelectItem]] =
+            item().flatMap { c =>
               p.peek match {
                 case TSym(",", _) => p.next(); loop(acc :+ c)
                 case _            => Right(acc :+ c)
@@ -165,6 +183,20 @@ object Parser {
       where <-
         if (p.isKw("where")) { p.next(); parseOr(p).map(Some(_)) }
         else Right(None)
+      groupBy <-
+        if (p.isKw("group")) {
+          p.next()
+          p.eatKw("by").flatMap { _ =>
+            def loop(acc: Vector[ColRef]): Either[ParseError, Vector[ColRef]] =
+              parseColRef(p).flatMap { c =>
+                p.peek match {
+                  case TSym(",", _) => p.next(); loop(acc :+ c)
+                  case _            => Right(acc :+ c)
+                }
+              }
+            loop(Vector.empty)
+          }
+        } else Right(Vector.empty[ColRef])
       orderBy <-
         if (p.isKw("order")) {
           p.next()
@@ -193,7 +225,7 @@ object Parser {
             case t => Left(ParseError("expected LIMIT count", t.pos))
           }
         } else Right(None)
-    } yield SelectTree(cols, from, where, orderBy, limit)
+    } yield SelectTree(cols, from, where, orderBy, limit, groupBy)
   }
 
   private def parseOr(p: P): Either[ParseError, Expr] =

@@ -38,14 +38,14 @@ class AnalyzerSpec extends AnyFunSuite {
   test("select binds columns and predicate") {
     val Right(b: BoundSelect) =
       analyzeSql("SELECT name FROM people WHERE age > 21"): @unchecked
-    assert(b.projection.map(_.render) == Seq("people.name"))
+    assert(b.projection.collect { case BoundItem.BICol(c) => c.render } == Seq("people.name"))
     assert(b.predicate.isDefined)
   }
 
   test("star expands to all attributes of all tables in order") {
     val Right(b: BoundSelect) =
       analyzeSql("SELECT * FROM people p, cars c"): @unchecked
-    assert(b.projection.map(_.render) ==
+    assert(b.projection.collect { case BoundItem.BICol(c) => c.render } ==
       Seq("p.id", "p.name", "p.age", "c.id", "c.model", "c.owner_id"))
   }
 
@@ -109,6 +109,13 @@ class AnalyzerSpec extends AnyFunSuite {
   test("insert varchar max length enforced") {
     val longName = "x" * 256
     assert(err(s"INSERT INTO people VALUES (1, '$longName', 3)").isInstanceOf[TypeNotConvertible])
+  }
+
+  test("aggregate scoping: bare columns must be grouped; sum needs numerics") {
+    assert(err("SELECT name, count(*) FROM people").isInstanceOf[NotInGroupBy])
+    assert(err("SELECT sum(name) FROM people").isInstanceOf[BadAggregate])
+    assert(analyzeSql("SELECT age, count(*), avg(id) FROM people GROUP BY age").isRight)
+    assert(err("SELECT age, count(*) FROM people GROUP BY age ORDER BY id").isInstanceOf[NotInGroupBy])
   }
 
   test("create table binds lowercase, nullable attributes") {

@@ -131,6 +131,21 @@ class DialectSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("group by with aggregates executes end-to-end") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    val df = db.select(
+      "SELECT owner_id, count(*), min(model) FROM cars GROUP BY owner_id ORDER BY owner_id").toOption.get
+    assert(df.columns.toSeq == Seq("owner_id", "count_star", "min_model"))
+    assert(df.collect().toSeq == Seq(
+      Row(1, 2L, "Cybertruck"), Row(2, 1L, "DeLorean DMC-12")))
+    // join + group + aggregate
+    val j = db.select(
+      "SELECT name, count(*), avg(age) FROM people p, cars c WHERE p.id = c.owner_id GROUP BY name ORDER BY name").toOption.get
+    assert(j.collect().toSeq == Seq(
+      Row("Dr. Emmett L. „Doc“ Brown", 1L, 30.0), Row("Elon", 2L, 20.0)))
+  }
+
   test("insert appends (second insert visible, first preserved)") {
     val db = demoDb()
     assert(db.query("INSERT INTO people VALUES (4, 'Biff', 40)").isRight)

@@ -3,6 +3,7 @@ package graft.sql
 import org.scalatest.funsuite.AnyFunSuite
 
 import Ast._
+import Ast.SelectItem.{SAgg, SCol}
 import graft.sql.{Lit => L}
 
 /** Mirrors the reference's parser test corpus (reference
@@ -18,7 +19,7 @@ class ParserSpec extends AnyFunSuite {
 
   test("select columns from table") {
     assert(parseOk("SELECT a, b FROM test") ==
-      SelectTree(Some(Seq(ColRef(None, "a"), ColRef(None, "b"))),
+      SelectTree(Some(Seq(SCol(ColRef(None, "a")), SCol(ColRef(None, "b")))),
         Seq(TableRef("test", None)), None))
   }
 
@@ -32,7 +33,7 @@ class ParserSpec extends AnyFunSuite {
         "<=" -> CmpOp.Le, ">=" -> CmpOp.Ge, "<>" -> CmpOp.Neq)) {
       val t = parseOk(s"SELECT a, b FROM test t where t.c ${op._1} 5")
       assert(t == SelectTree(
-        Some(Seq(ColRef(None, "a"), ColRef(None, "b"))),
+        Some(Seq(SCol(ColRef(None, "a")), SCol(ColRef(None, "b")))),
         Seq(TableRef("test", Some("t"))),
         Some(Expr.Cmp(op._2,
           Operand.Col(ColRef(Some("t"), "c")),
@@ -108,10 +109,19 @@ class ParserSpec extends AnyFunSuite {
 
   test("order by and limit (additive over reference grammar)") {
     assert(parseOk("SELECT a FROM t ORDER BY a DESC, b LIMIT 10") ==
-      SelectTree(Some(Seq(ColRef(None, "a"))), Seq(TableRef("t", None)), None,
+      SelectTree(Some(Seq(SCol(ColRef(None, "a")))), Seq(TableRef("t", None)), None,
         Seq(ColRef(None, "a") -> true, ColRef(None, "b") -> false), Some(10)))
     parseErr("SELECT a FROM t ORDER a")
     parseErr("SELECT a FROM t LIMIT x")
+  }
+
+  test("group by and aggregates parse") {
+    assert(parseOk("SELECT a, count(*), sum(b) FROM t GROUP BY a") ==
+      SelectTree(Some(Seq(SCol(ColRef(None, "a")), SAgg("count", None),
+        SAgg("sum", Some(ColRef(None, "b"))))),
+        Seq(TableRef("t", None)), None, Nil, None, Seq(ColRef(None, "a"))))
+    parseErr("SELECT sum(*) FROM t")
+    parseErr("SELECT a FROM t GROUP a")
   }
 
   test("delete and update parse") {
