@@ -77,6 +77,20 @@ object Dialect {
              |WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // HAVING through the dialect: post-aggregation filter with aggregate
+    // operands (computed as hidden agg columns and dropped on projection).
+    "q_dialect_having" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT l_suppkey, count(*), sum(l_quantity) FROM lineitem " +
+          "GROUP BY l_suppkey HAVING count(*) > 550 AND min(l_quantity) <= 2 " +
+          "ORDER BY l_suppkey")
+        .selectExpr("l_suppkey", "count_star", "round(sum_l_quantity, 2) AS sum_qty"),
+      Some("""SELECT l_suppkey, cast(count(*) AS bigint) AS count_star,
+             |  round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY l_suppkey
+             |HAVING count(*) > 550 AND min(l_quantity) <= 2
+             |ORDER BY l_suppkey""".stripMargin)),
+
     // ORDER BY + LIMIT through the dialect (top-k plans as
     // TakeOrderedAndProject; the sort key is not projected).
     "q_dialect_topk" -> QueryDef(

@@ -74,6 +74,8 @@ object Analyzer {
   object BoundOperand {
     final case class BCol(c: BoundCol) extends BoundOperand
     final case class BLit(l: Lit) extends BoundOperand
+    /** Aggregate operand — HAVING scope only. */
+    final case class BAgg(func: String, arg: Option[BoundCol]) extends BoundOperand
   }
   sealed trait BoundExpr
   object BoundExpr {
@@ -96,7 +98,8 @@ object Analyzer {
       predicate: Option[BoundExpr],
       orderBy: Seq[(BoundCol, Boolean)] = Nil,
       limit: Option[Long] = None,
-      groupBy: Seq[BoundCol] = Nil) extends BoundQuery {
+      groupBy: Seq[BoundCol] = Nil,
+      having: Option[BoundExpr] = None) extends BoundQuery {
     def isAggregate: Boolean =
       groupBy.nonEmpty || projection.exists(_.isInstanceOf[BoundItem.BIAgg])
   }
@@ -194,15 +197,22 @@ object Analyzer {
       tables.flatMap(bt => bt.desc.attributes.map(a =>
         SelectItem.SCol(ColRef(Some(bt.binding), a.name)))))
 
-    def bindExpr(e: Expr): Either[AnalyzerError, BoundExpr] = e match {
+    def bindExpr(e: Expr, allowAgg: Boolean = false): Either[AnalyzerError, BoundExpr] = e match {
       case Expr.And(l, r) =>
-        for { bl <- bindExpr(l); br <- bindExpr(r) } yield BoundExpr.BAnd(bl, br)
+        for { bl <- bindExpr(l, allowAgg); br <- bindExpr(r, allowAgg) } yield BoundExpr.BAnd(bl, br)
       case Expr.Or(l, r) =>
-        for { bl <- bindExpr(l); br <- bindExpr(r) } yield BoundExpr.BOr(bl, br)
+        for { bl <- bindExpr(l, allowAgg); br <- bindExpr(r, allowAgg) } yield BoundExpr.BOr(bl, br)
       case Expr.Cmp(op, l, r) =>
         def bindOp(o: Operand): Either[AnalyzerError, BoundOperand] = o match {
           case Operand.Col(c)     => bindCol(c).map(BoundOperand.BCol)
           case Operand.Literal(v) => Right(BoundOperand.BLit(v))
+          case Operand.AggCall(f, arg) if allowAgg =>
+            arg match {
+              case None    => Right(BoundOperand.BAgg(f, None))
+              case Some(r) => bindCol(r).map(bc => BoundOperand.BAgg(f, Some(bc)))
+            }
+          case Operand.AggCall(f, _) =>
+            Left(BadAggregate(s"$f(...) is only valid in HAVING"))
         }
         for {
           bl <- bindOp(l)
@@ -213,7 +223,9 @@ object Analyzer {
               else Left(NotComparable(a.attr.sqlType, b.attr.sqlType))
             case (BoundOperand.BCol(a), BoundOperand.BLit(lit)) => checkLitCmp(a, lit)
             case (BoundOperand.BLit(lit), BoundOperand.BCol(b)) => checkLitCmp(b, lit)
-            case _ => Right(()) // literal-literal: constant-folds in Catalyst
+            // aggregate operands: results are numeric (or arg-typed for
+            // min/max); Catalyst casts the comparison
+            case _ => Right(())
           }
         } yield BoundExpr.BCmp(op, bl, br)
     }
@@ -272,7 +284,30 @@ object Analyzer {
           case None    => Right(())
         }
       }
-    } yield BoundSelect(tables, proj, pred, order, s.limit, group)
+      having <- s.having match {
+        case None => Right(None)
+        case Some(e) =>
+          if (group.isEmpty && !proj.exists(_.isInstanceOf[BoundItem.BIAgg]))
+            Left(BadAggregate("HAVING requires GROUP BY or aggregates"))
+          else bindExpr(e, allowAgg = true).map(Some(_))
+      }
+      // bare columns inside HAVING must be grouped
+      _ <- having match {
+        case None => Right(())
+        case Some(h) =>
+          def cols(x: BoundExpr): Seq[BoundCol] = x match {
+            case BoundExpr.BAnd(l, r) => cols(l) ++ cols(r)
+            case BoundExpr.BOr(l, r)  => cols(l) ++ cols(r)
+            case BoundExpr.BCmp(_, l, r) =>
+              Seq(l, r).collect { case BoundOperand.BCol(c) => c }
+          }
+          cols(h).find(c => !group.exists(g =>
+            g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) match {
+            case Some(c) => Left(NotInGroupBy(c.render))
+            case None    => Right(())
+          }
+      }
+    } yield BoundSelect(tables, proj, pred, order, s.limit, group, having)
   }
 
   private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {

@@ -28,6 +28,8 @@ object Ast {
   object Operand {
     final case class Col(ref: ColRef) extends Operand
     final case class Literal(lit: Lit) extends Operand
+    /** Aggregate call — valid only inside HAVING. */
+    final case class AggCall(func: String, arg: Option[ColRef]) extends Operand
   }
 
   sealed trait Expr
@@ -57,7 +59,8 @@ object Ast {
       where: Option[Expr],
       orderBy: Seq[(ColRef, Boolean /* descending */ )] = Nil,
       limit: Option[Long] = None,
-      groupBy: Seq[ColRef] = Nil) extends ParseTree
+      groupBy: Seq[ColRef] = Nil,
+      having: Option[Expr] = None) extends ParseTree
 
   final case class InsertTree(table: String, rows: Seq[Seq[Lit]]) extends ParseTree
 

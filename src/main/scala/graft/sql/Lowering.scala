@@ -80,24 +80,53 @@ object Lowering {
         }
         i -> name
       }.toMap
-      val aggExprs = aggItems.map { case (f, arg, i) =>
-        val e = (f, arg) match {
-          case ("count", None)    => count(lit(1))
-          case ("count", Some(a)) => count(qcol(a))
-          case ("sum", Some(a))   => sum(qcol(a))
-          case ("min", Some(a))   => min(qcol(a))
-          case ("max", Some(a))   => max(qcol(a))
-          case ("avg", Some(a))   => avg(qcol(a))
-          case other              => sys.error(s"unreachable aggregate $other")
-        }
-        e.as(aggName(i))
+      def aggCol(f: String, arg: Option[BoundCol]): Column = (f, arg) match {
+        case ("count", None)    => count(lit(1))
+        case ("count", Some(a)) => count(qcol(a))
+        case ("sum", Some(a))   => sum(qcol(a))
+        case ("min", Some(a))   => min(qcol(a))
+        case ("max", Some(a))   => max(qcol(a))
+        case ("avg", Some(a))   => avg(qcol(a))
+        case other              => sys.error(s"unreachable aggregate $other")
       }
-      val grouped =
-        if (aggExprs.isEmpty)
+      val aggExprs = aggItems.map { case (f, arg, i) => aggCol(f, arg).as(aggName(i)) }
+      // HAVING aggregates compute as hidden columns next to the projected
+      // ones; the final projection drops them
+      val havingAggs = scala.collection.mutable.ArrayBuffer.empty[(String, Option[BoundCol], String)]
+      def havingCol(e: BoundExpr): Column = e match {
+        case BoundExpr.BAnd(l, r) => havingCol(l) && havingCol(r)
+        case BoundExpr.BOr(l, r)  => havingCol(l) || havingCol(r)
+        case BoundExpr.BCmp(op, l, r) =>
+          def operand(o: BoundOperand): Column = o match {
+            case BoundOperand.BCol(c) => col(groupOut(c))
+            case BoundOperand.BLit(Lit.LitLong(v))   => lit(v)
+            case BoundOperand.BLit(Lit.LitString(x)) => lit(x)
+            case BoundOperand.BLit(Lit.LitNull)      => lit(null)
+            case BoundOperand.BAgg(f, arg) =>
+              val name = s"__h_${havingAggs.length}"
+              havingAggs += ((f, arg, name))
+              col(name)
+          }
+          val (lc, rc) = (operand(l), operand(r))
+          op match {
+            case Ast.CmpOp.Eq  => lc === rc
+            case Ast.CmpOp.Neq => lc =!= rc
+            case Ast.CmpOp.Lt  => lc < rc
+            case Ast.CmpOp.Gt  => lc > rc
+            case Ast.CmpOp.Le  => lc <= rc
+            case Ast.CmpOp.Ge  => lc >= rc
+          }
+      }
+      val havingCond = q.having.map(havingCol)
+      val hiddenExprs = havingAggs.map { case (f, arg, name) => aggCol(f, arg).as(name) }
+      val allAggs = aggExprs ++ hiddenExprs
+      val grouped0 =
+        if (allAggs.isEmpty)
           filtered0.select(q.groupBy.map(bc => qcol(bc).as(groupOut(bc))): _*).distinct()
         else filtered0
           .groupBy(q.groupBy.map(bc => qcol(bc).as(groupOut(bc))): _*)
-          .agg(aggExprs.head, aggExprs.tail: _*)
+          .agg(allAggs.head, allAggs.tail: _*)
+      val grouped = havingCond.fold(grouped0)(grouped0.filter)
       // ORDER BY (validated to group cols) runs on the post-aggregation
       // names BEFORE the final projection, so an unprojected group key can
       // still order the result

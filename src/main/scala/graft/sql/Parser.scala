@@ -94,7 +94,7 @@ object Parser {
   private val reservedWords = Set(
     "select", "from", "where", "and", "or", "insert", "into", "values",
     "create", "table", "primary", "key", "null", "not", "as",
-    "delete", "update", "set", "order", "by", "limit", "asc", "desc", "group")
+    "delete", "update", "set", "order", "by", "limit", "asc", "desc", "group", "having")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
@@ -197,6 +197,9 @@ object Parser {
             loop(Vector.empty)
           }
         } else Right(Vector.empty[ColRef])
+      having <-
+        if (p.isKw("having")) { p.next(); parseOr(p, allowAgg = true).map(Some(_)) }
+        else Right(None)
       orderBy <-
         if (p.isKw("order")) {
           p.next()
@@ -225,28 +228,28 @@ object Parser {
             case t => Left(ParseError("expected LIMIT count", t.pos))
           }
         } else Right(None)
-    } yield SelectTree(cols, from, where, orderBy, limit, groupBy)
+    } yield SelectTree(cols, from, where, orderBy, limit, groupBy, having)
   }
 
-  private def parseOr(p: P): Either[ParseError, Expr] =
-    parseAnd(p).flatMap { l =>
-      if (p.isKw("or")) { p.next(); parseOr(p).map(r => Expr.Or(l, r)) }
+  private def parseOr(p: P, allowAgg: Boolean = false): Either[ParseError, Expr] =
+    parseAnd(p, allowAgg).flatMap { l =>
+      if (p.isKw("or")) { p.next(); parseOr(p, allowAgg).map(r => Expr.Or(l, r)) }
       else Right(l)
     }
 
-  private def parseAnd(p: P): Either[ParseError, Expr] =
-    parsePrimary(p).flatMap { l =>
-      if (p.isKw("and")) { p.next(); parseAnd(p).map(r => Expr.And(l, r)) }
+  private def parseAnd(p: P, allowAgg: Boolean): Either[ParseError, Expr] =
+    parsePrimary(p, allowAgg).flatMap { l =>
+      if (p.isKw("and")) { p.next(); parseAnd(p, allowAgg).map(r => Expr.And(l, r)) }
       else Right(l)
     }
 
-  private def parsePrimary(p: P): Either[ParseError, Expr] = p.peek match {
+  private def parsePrimary(p: P, allowAgg: Boolean): Either[ParseError, Expr] = p.peek match {
     case TSym("(", _) =>
       p.next()
-      parseOr(p).flatMap(e => p.eatSym(")").map(_ => e))
+      parseOr(p, allowAgg).flatMap(e => p.eatSym(")").map(_ => e))
     case _ =>
       for {
-        l <- parseOperand(p)
+        l <- parseOperand(p, allowAgg)
         op <- p.peek match {
           case TSym("=", _)  => p.next(); Right(CmpOp.Eq)
           case TSym("<>", _) => p.next(); Right(CmpOp.Neq)
@@ -256,15 +259,27 @@ object Parser {
           case TSym(">", _)  => p.next(); Right(CmpOp.Gt)
           case t             => Left(ParseError("expected comparison operator", t.pos))
         }
-        r <- parseOperand(p)
+        r <- parseOperand(p, allowAgg)
       } yield Expr.Cmp(op, l, r)
   }
 
-  private def parseOperand(p: P): Either[ParseError, Operand] = p.peek match {
+  private def parseOperand(p: P, allowAgg: Boolean = false): Either[ParseError, Operand] = p.peek match {
     case TInt(v, _)  => p.next(); Right(Operand.Literal(Lit.LitLong(v)))
     case TStr(s, _)  => p.next(); Right(Operand.Literal(Lit.LitString(s)))
     case TIdent(s, _) if s.equalsIgnoreCase("null") =>
       p.next(); Right(Operand.Literal(Lit.LitNull))
+    case TIdent(f, _) if allowAgg && aggFuncs(f.toLowerCase) =>
+      val fn = f.toLowerCase
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        arg <- p.peek match {
+          case TSym("*", pos) if fn == "count" => p.next(); Right(None)
+          case TSym("*", pos) => Left(ParseError(s"$fn(*) is not valid", pos))
+          case _ => parseColRef(p).map(Some(_))
+        }
+        _ <- p.eatSym(")")
+      } yield Operand.AggCall(fn, arg)
     case TIdent(_, _) => parseColRef(p).map(Operand.Col)
     case t            => Left(ParseError("expected column or literal", t.pos))
   }

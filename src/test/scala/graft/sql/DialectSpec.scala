@@ -146,6 +146,19 @@ class DialectSpec extends AnyFunSuite {
       Row("Dr. Emmett L. „Doc“ Brown", 1L, 30.0), Row("Elon", 2L, 20.0)))
   }
 
+  test("having filters groups, including aggregates not in the projection") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    val df = db.select(
+      "SELECT owner_id, count(*) FROM cars GROUP BY owner_id HAVING count(*) >= 2 AND min(id) = 1").toOption.get
+    assert(df.collect().toSeq == Seq(Row(1, 2L)))
+    assert(!df.columns.exists(_.startsWith("__h_")), df.columns.mkString(","))
+    // HAVING without aggregates/group is rejected
+    assert(db.query("SELECT name FROM people HAVING count(*) > 1").isLeft)
+    // aggregates are invalid in WHERE
+    assert(db.query("SELECT name FROM people WHERE count(*) > 1").isLeft)
+  }
+
   test("insert appends (second insert visible, first preserved)") {
     val db = demoDb()
     assert(db.query("INSERT INTO people VALUES (4, 'Biff', 40)").isRight)
