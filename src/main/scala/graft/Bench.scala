@@ -25,15 +25,29 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    graft.queries.Dedup.releaseShingles(spark)
+    // Per-query MEDIAN over 3 timed passes, so round-over-round deltas are
+    // attributable to code, not run noise. The shared shingle cache is
+    // released between passes so every pass pays the materialization in
+    // the same place (inside the first dedup query it times).
+    val Reps = 3
+    val runs: Seq[Map[String, Double]] = (1 to Reps).map { _ =>
+      val r = SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      graft.queries.Dedup.releaseShingles(spark)
+      r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val medians: Seq[(String, Double)] = SparkEntry.queries.keys.toSeq.map { name =>
+      val ts = runs.map(_(name)).sorted
+      name -> ts(ts.length / 2)
+    }
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = medians.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"agg":"median"}""")
     spark.stop()
   }
 }

@@ -49,6 +49,27 @@ object Dedup {
         .distinct()
         .cache())
 
+  /** Explicit cache lifecycle: unpersist + drop every shingle
+    * materialization owned by session `s`, returning how many were
+    * released. The dedup family shares one cached frame per (session,
+    * fixture dir); a library must release it when the family is done or
+    * it pins executor memory for the rest of the session (Verify/Bench
+    * call this; QueriesSpec asserts the release happens and is complete).
+    */
+  def releaseShingles(s: SparkSession): Int = {
+    var released = 0
+    val it = shingleCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        e.getValue.unpersist(blocking = true)
+        it.remove()
+        released += 1
+      }
+    }
+    released
+  }
+
   /** Shingles that appear in at most `cap` documents — the inverted-index
     * entries worth joining on. Frequent shingles generate quadratic pair
     * blowup and carry no near-dup signal (boilerplate).
@@ -137,20 +158,19 @@ object Dedup {
         val sh = shingles(s, d)
         val hashed = sh.withColumn("hnum", col("sh") % 999999937)
         // 16 min-hashes as one wide aggregate over the shingle stream (no
-        // 16× row explosion before the shuffle), then unpivoted to
-        // (doc_id, seed, minh) — 16 rows per doc.
+        // 16× row explosion before the shuffle): one row per doc, m0..m15.
         val minCols = (0 until 16).map(s0 =>
           min(expr(s"(hnum * ${s0 + 1} + $s0 * 1000003) % 999999937")).as(s"m$s0"))
-        val stackExpr = (0 until 16).map(s0 => s"$s0, m$s0").mkString(", ")
-        val sigs = hashed
-          .groupBy("doc_id")
-          .agg(minCols.head, minCols.tail: _*)
-          .select(col("doc_id"),
-            expr(s"stack(16, $stackExpr)").as(Seq("seed", "minh")))
-        val bands = sigs
-          .withColumn("band", expr("cast(floor(seed / 4.0) AS int)"))
-          .groupBy("doc_id", "band")
-          .agg(sum(expr("minh * (seed % 4 + 1)")).as("bkey"))
+        val wide = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        // Band key = md5 of the band's ordered 4-minhash tuple: distinct
+        // tuples collide only as md5 collides. (A weighted sum of the four
+        // minhashes lets distinct tuples alias far more often, inflating
+        // false candidates into the estimator join.)
+        val bandExprs = (0 until 4).map(b =>
+          s"$b, md5(concat_ws(',', m${4 * b}, m${4 * b + 1}, m${4 * b + 2}, m${4 * b + 3}))")
+          .mkString(", ")
+        val bands = wide.select(col("doc_id"),
+          expr(s"stack(4, $bandExprs)").as(Seq("band", "bkey")))
         val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
           .filter(col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -159,13 +179,14 @@ object Dedup {
         // fraction of matching minhashes estimates Jaccard, so require
         // ≥ 8/16 matches (P[miss a j≥0.8 pair] ≈ 1e-3, while background
         // j≈0.2 candidates pass with P ≈ 1e-5 — kills ~all band noise).
+        // The signatures join WIDE (one row per doc), so the estimate is a
+        // fused 16-column compare, not a (doc, seed)-granularity shuffle.
+        val matchesExpr = (0 until 16)
+          .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
         val est = cand
-          .join(sigs.select(col("doc_id").as("a_id"), col("seed"), col("minh").as("mha")), Seq("a_id"))
-          .join(sigs.select(col("doc_id").as("b_id"), col("seed"), col("minh").as("mhb")),
-            Seq("b_id", "seed"))
-          .groupBy("a_id", "b_id")
-          .agg(sum(when(col("mha") === col("mhb"), 1).otherwise(0)).as("matches"))
-          .filter(col("matches") >= 8)
+          .join(wide.as("a"), col("a.doc_id") === col("a_id"))
+          .join(wide.as("b"), col("b.doc_id") === col("b_id"))
+          .filter(expr(s"($matchesExpr) >= 8"))
           .select("a_id", "b_id")
         verifyJaccard(est, sh)
       },
@@ -182,9 +203,9 @@ object Dedup {
              |  FROM sh2, (SELECT unnest(range(0, 16)) AS seed) s
              |  GROUP BY doc_id, s.seed
              |), bands AS (
-             |  SELECT doc_id, cast(floor(seed / 4.0) AS int) AS band,
-             |    cast(sum(minh * (seed % 4 + 1)) AS bigint) AS bkey
-             |  FROM sigs GROUP BY doc_id, cast(floor(seed / 4.0) AS int)
+             |  SELECT doc_id, cast(seed // 4 AS int) AS band,
+             |    md5(string_agg(cast(minh AS varchar), ',' ORDER BY seed)) AS bkey
+             |  FROM sigs GROUP BY doc_id, seed // 4
              |), cand AS (
              |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
              |  FROM bands a JOIN bands b USING (band, bkey)

@@ -1,8 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.Tables.t
 
@@ -12,10 +11,11 @@ import graft.Tables.t
   *
   * The container has no image/audio codecs, so the decode step is a
   * clearly-marked DETERMINISTIC STUB (md5-derived fake features); the
-  * Spark-side plumbing — binary columns, schema, partition-parallel
-  * mapPartitions decode, batch shape — is real and is what these queries
-  * exercise. On a real cluster the stub body is replaced by the codec
-  * call; nothing around it changes.
+  * Spark-side plumbing — binary columns, typed metadata, feature schema,
+  * partition-parallel evaluation — is real and is what these queries
+  * exercise. On a real cluster the stub becomes a codec call in a
+  * mapInPandas/mapPartitions stage over the same schema; nothing around
+  * it changes.
   */
 object Multimodal {
 
@@ -30,11 +30,6 @@ object Multimodal {
         lit("text/plain").as("mime"),
         col("source").as("origin"),
         col("n_chars").cast("long").as("orig_bytes")).as("meta"))
-
-  private val featSchema = StructType(Seq(
-    StructField("media_id", LongType),
-    StructField("n_bytes", IntegerType),
-    StructField("feature", ArrayType(DoubleType))))
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -55,30 +50,32 @@ object Multimodal {
              |  'text/plain' AS mime, source AS origin
              |FROM documents ORDER BY media_id""".stripMargin)),
 
-    // Decode + feature-extract: partition-parallel mapPartitions over the
-    // binary column, emitting fixed-dimension feature vectors. The feature
-    // math below is the STUB — deterministic bytes→floats so results are
-    // reproducible — standing in for e.g. a JPEG decode + CNN embed.
-    // No oracle (not SQL-expressible); driver records a rows-only check.
+    // Decode + feature-extract over the binary payload, emitting a
+    // fixed-dimension feature vector as scalar columns f0..f3. The feature
+    // math is the STUB — md5-derived deterministic bytes→floats standing in
+    // for e.g. a JPEG decode + CNN embed (the container has no codecs). The
+    // stub is pure column algebra (md5 → four 32-bit hex slices → unit
+    // doubles), so the whole stage stays inside whole-stage codegen AND is
+    // DuckDB-oracle-checkable; a real codec would swap in as a
+    // mapInPandas/mapPartitions stage over the same (media_id, payload)
+    // schema with this exact output shape.
     "q_multimodal_features" -> QueryDef(
       (s, d) => {
-        val m = media(s, d).select("media_id", "payload")
-        val out = m.mapPartitions { rows =>
-          rows.map { r =>
-            val id = r.getLong(0)
-            val bytes = r.getAs[Array[Byte]](1)
-            // --- STUB DECODE: replace with real codec on a real cluster ---
-            val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-            val feature = digest.grouped(4).take(4)
-              .map(g => g.foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)).toDouble / (1L << 32))
-              .toArray
-            // --------------------------------------------------------------
-            Row(id, bytes.length, feature)
-          }
-        }(org.apache.spark.sql.Encoders.row(featSchema))
-        out.orderBy("media_id")
+        def f(i: Int) =
+          (expr(s"cast(conv(substring(md5(payload), ${1 + 8 * i}, 8), 16, 10) AS double)")
+            / lit(4294967296.0)).as(s"f$i")
+        media(s, d)
+          .select(col("media_id"), octet_length(col("payload")).as("n_bytes"),
+            f(0), f(1), f(2), f(3))
+          .orderBy("media_id")
       },
-      None),
+      Some("""SELECT doc_id AS media_id,
+             |  cast(octet_length(encode(text)) AS int) AS n_bytes,
+             |  ('0x' || substring(md5(text), 1, 8))::bigint / 4294967296.0 AS f0,
+             |  ('0x' || substring(md5(text), 9, 8))::bigint / 4294967296.0 AS f1,
+             |  ('0x' || substring(md5(text), 17, 8))::bigint / 4294967296.0 AS f2,
+             |  ('0x' || substring(md5(text), 25, 8))::bigint / 4294967296.0 AS f3
+             |FROM documents ORDER BY media_id""".stripMargin)),
 
     // Frame sampling: a video payload stands in as N logical frames; keep
     // every k-th frame per media item. Pure column algebra (sequence +

@@ -516,13 +516,17 @@ object Relational {
         .agg(
           count(lit(1)).as("n"),
           countDistinct("user_id").as("n_users"),
-          round(sum("value"), 2).as("total_value"),
-          round(avg("value"), 4).as("avg_value"))
+          // decimal sums: exact and order-independent (double summation can
+          // flip round() at the boundary between runs); avg derives from the
+          // exact sum so it shares the determinism
+          round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+            .as("avg_value"))
         .orderBy("event_type"),
       Some("""SELECT event_type, cast(count(*) AS bigint) AS n,
              |  cast(count(DISTINCT user_id) AS bigint) AS n_users,
-             |  round(sum("value"), 2) AS total_value,
-             |  round(avg("value"), 4) AS avg_value
+             |  cast(round(sum(cast("value" AS DECIMAL(18,6))), 2) AS double) AS total_value,
+             |  round(cast(sum(cast("value" AS DECIMAL(18,6))) AS double) / count(*), 4) AS avg_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Semi-structured extraction: events.props is a JSON-ish string; the
@@ -546,10 +550,13 @@ object Relational {
           hour(col("ts")).as("h"),
           col("value"))
         .groupBy("event_type", "day", "h")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+        .agg(count(lit(1)).as("n"),
+          // decimal sum: order-independent, no rounding-boundary flap
+          round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("v"))
         .orderBy("event_type", "day", "h"),
       Some("""SELECT event_type, cast(ts AS date) AS day, cast(hour(ts) AS int) AS h,
-             |  cast(count(*) AS bigint) AS n, round(sum("value"), 2) AS v
+             |  cast(count(*) AS bigint) AS n,
+             |  cast(round(sum(cast("value" AS DECIMAL(18,6))), 2) AS double) AS v
              |FROM events GROUP BY event_type, cast(ts AS date), hour(ts)
              |ORDER BY event_type, day, h""".stripMargin))
   )

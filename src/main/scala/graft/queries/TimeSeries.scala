@@ -31,14 +31,17 @@ object TimeSeries {
           .withColumn("session_id", sum("new_session").over(
             w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
           .groupBy("user_id", "session_id")
+          // sum as decimal: double summation is sensitive to partition
+          // accumulation order, which can flip round() at the boundary
+          // between runs; decimal summation is exact and order-independent
           .agg(count(lit(1)).as("n_events"),
-            round(sum("value"), 2).as("total_value"),
+            round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"),
             expr("cast((unix_micros(max(ts)) - unix_micros(min(ts))) / 1000000 AS bigint)")
               .as("duration_sec"))
           .orderBy("user_id", "session_id")
       },
       Some("""SELECT user_id, session_id, cast(count(*) AS bigint) AS n_events,
-             |  round(sum("value"), 2) AS total_value,
+             |  cast(round(sum(cast("value" AS DECIMAL(18,6))), 2) AS double) AS total_value,
              |  cast((epoch_us(cast(max(ts) AS timestamp)) - epoch_us(cast(min(ts) AS timestamp))) // 1000000 AS bigint) AS duration_sec
              |FROM (
              |  SELECT user_id, ts, "value", event_id,
@@ -56,26 +59,42 @@ object TimeSeries {
     // Exact interpolated quantiles + distribution moments per event type.
     // percentile() in Spark and quantile_cont() in DuckDB are both exact
     // linear interpolation (NOT the approx sketches, which would never
-    // cross-match); moments round to absorb accumulation-order noise.
+    // cross-match). Moments are computed from EXACT decimal power sums
+    // (sum x, sum x²) rather than the engines' streaming variance
+    // aggregates: decimal sums are order-independent, so both engines
+    // derive the variance from bit-identical doubles — no accumulation-
+    // order flap at the rounding boundary.
     "q_quantiles" -> QueryDef(
       (s, d) => events(s, d)
         .groupBy("event_type")
         .agg(
           round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.9)"), 4).as("p90"),
-          round(stddev_samp(col("value")), 4).as("sd"),
-          round(var_samp(col("value")), 4).as("variance"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("s1"),
+          sum((col("value") * col("value")).cast("decimal(28,10)")).cast("double").as("s2"),
+          count(lit(1)).as("n"),
           round(min("value"), 2).as("vmin"),
           round(max("value"), 2).as("vmax"))
+        .select(col("event_type"), col("p50"), col("p90"),
+          round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4).as("sd"),
+          round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 4).as("variance"),
+          col("vmin"), col("vmax"))
         .orderBy("event_type"),
-      Some("""SELECT event_type,
-             |  round(quantile_cont("value", 0.5), 4) AS p50,
-             |  round(quantile_cont("value", 0.9), 4) AS p90,
-             |  round(stddev_samp("value"), 4) AS sd,
-             |  round(var_samp("value"), 4) AS variance,
-             |  round(min("value"), 2) AS vmin,
-             |  round(max("value"), 2) AS vmax
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+      Some("""WITH m AS (
+             |  SELECT event_type,
+             |    round(quantile_cont("value", 0.5), 4) AS p50,
+             |    round(quantile_cont("value", 0.9), 4) AS p90,
+             |    cast(sum(cast("value" AS DECIMAL(18,6))) AS double) AS s1,
+             |    cast(sum(cast("value" * "value" AS DECIMAL(28,10))) AS double) AS s2,
+             |    count(*) AS n,
+             |    round(min("value"), 2) AS vmin,
+             |    round(max("value"), 2) AS vmax
+             |  FROM events GROUP BY event_type)
+             |SELECT event_type, p50, p90,
+             |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS sd,
+             |  round((s2 - s1 * s1 / n) / (n - 1), 4) AS variance,
+             |  vmin, vmax
+             |FROM m ORDER BY event_type""".stripMargin)),
 
     // Attribution: each purchase joined to the user's most recent prior
     // (or simultaneous) click.

@@ -125,8 +125,9 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
 
   private def execute(q: BoundQuery): QueryResult = q match {
     case s: BoundSelect =>
+      val ests = estimateBindings(s)
       Rows(Lowering.lowerSelect(spark, s, bt => readTable(bt.desc),
-        chooseBroadcastSides(s)))
+        chooseBroadcastSides(ests), planJoinOrder(s, ests)))
 
     case BoundInsert(desc, rows) =>
       // Batched append: all VALUES rows land in one parquet write
@@ -163,19 +164,21 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       Done(s"deleted ${before - keptN} row(s) from ${desc.name}")
 
     case BoundUpdate(desc, sets, pred) =>
+      import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
       val df = readTable(desc)
-      val cond = pred.map(Lowering.lowerExprBare).getOrElse(org.apache.spark.sql.functions.lit(true))
-      val updated = sets.foldLeft(df) { case (acc, (attr, v)) =>
+      val cond = pred.map(Lowering.lowerExprBare).getOrElse(lit(true))
+      // matched-row count rides the rewrite pass as an observed metric —
+      // no separate count() job over the table
+      val obs = new org.apache.spark.sql.Observation()
+      val observed = df.observe(obs,
+        coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("matched"))
+      val updated = sets.foldLeft(observed) { case (acc, (attr, v)) =>
         acc.withColumn(attr.name,
-          org.apache.spark.sql.functions.when(cond,
-            org.apache.spark.sql.functions.lit(v).cast(attr.sqlType.spark))
+          when(cond, lit(v).cast(attr.sqlType.spark))
             .otherwise(org.apache.spark.sql.functions.col(attr.name)))
       }
-      val matched = pred match {
-        case None    => statistics.get(desc.name).map(_.rowCount).getOrElse(df.count())
-        case Some(p) => df.filter(Lowering.lowerExprBare(p)).count()
-      }
       rewriteTable(desc, updated)
+      val matched = obs.get("matched").asInstanceOf[Long]
       Done(s"updated $matched row(s) in ${desc.name}")
   }
 
@@ -199,31 +202,71 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   }
 
   /** Statistics-driven planning (the reference's sample-based cardinality
-    * estimation + build-side choice, planner/bottomup.rs:111-168 +
-    * optimizer/optimizer.rs:177-180): estimate each FROM table's
-    * post-selection cardinality by running its pushed-down conjuncts
-    * against the maintained sample; every table except the largest gets a
-    * broadcast hint when its estimate is below the threshold. Catalyst
-    * still owns join ORDER; the hint only picks build/broadcast sides
-    * where our estimates are confident.
+    * estimation, planner/bottomup.rs:111-168): for a multi-table SELECT,
+    * make sure every FROM table has statistics (external parquet tables
+    * get a lazy one-pass rebuild: rowcount + HLL sketches + bottom-k
+    * sample), then estimate each table's post-selection cardinality by
+    * running its pushed-down conjuncts against the maintained sample.
     */
-  private def chooseBroadcastSides(s: BoundSelect): Set[String] = {
-    if (s.tables.length < 2) return Set.empty
+  private def estimateBindings(s: BoundSelect): Seq[(String, Long)] = {
+    if (s.tables.length < 2) return Nil
+    s.tables.foreach(bt =>
+      if (statistics.get(bt.desc.name).isEmpty)
+        statistics.rebuild(bt.desc, readTable(bt.desc)))
     val perTable: Map[String, Seq[Analyzer.BoundExpr]] =
       s.predicate.map(Lowering.conjuncts).getOrElse(Nil)
         .flatMap(c => Lowering.singleBinding(c).map(_ -> c))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val ests = s.tables.flatMap { bt =>
-      statistics.get(bt.desc.name).map { st =>
-        val pred = perTable.get(bt.binding)
-          .map(cs => cs.map(Lowering.lowerExprBare).reduce(_ && _))
-        bt.binding -> statistics.estimateCard(bt.desc, pred.map(p => p))
-      }
+    s.tables.map { bt =>
+      val pred = perTable.get(bt.binding)
+        .map(cs => cs.map(Lowering.lowerExprBare).reduce(_ && _))
+      bt.binding -> statistics.estimateCard(bt.desc, pred)
     }
+  }
+
+  /** Build-side choice from the estimates (the reference picks hash-join
+    * build sides the same way, optimizer/optimizer.rs:177-180): every
+    * table except the largest gets a broadcast hint when its estimate is
+    * below the threshold.
+    */
+  private def chooseBroadcastSides(ests: Seq[(String, Long)]): Set[String] = {
     if (ests.length < 2) return Set.empty
     val largest = ests.maxBy(_._2)._1
     ests.filter { case (b, est) => b != largest && est <= BroadcastRowThreshold }
       .map(_._1).toSet
+  }
+
+  /** Join-ORDER choice — DPccp parity with the reference's optimizer
+    * (optimizer/optimizer.rs:60-104): exact DP over the join graph using
+    * the sample-based per-table estimates and HLL-sketch NDVs for
+    * equi-join selectivities (1 / max NDV). The chosen tree is emitted as
+    * an explicit join tree, which Catalyst preserves. Exposed for tests
+    * via `lastJoinOrder` (binding names in left-to-right leaf order).
+    */
+  @volatile var lastJoinOrder: Option[Seq[String]] = None
+
+  private def planJoinOrder(s: BoundSelect,
+      ests: Seq[(String, Long)]): Option[JoinOrder.Tree] = {
+    if (ests.length < 2) { lastJoinOrder = None; return None }
+    val cards = ests.map(_._2.toDouble).toArray
+    val idx = s.tables.map(_.binding).zipWithIndex.toMap
+    def ndvOf(bc: BoundCol): Long = {
+      val t = s.tables.find(_.binding == bc.binding).get
+      val st = statistics.get(t.desc.name)
+      st.flatMap(_.ndv(bc.attr.name))
+        .getOrElse(st.map(x => math.max(x.rowCount, 1L)).getOrElse(1L))
+    }
+    val edges = s.predicate.map(Lowering.conjuncts).getOrElse(Nil).flatMap {
+      case BoundExpr.BCmp(Ast.CmpOp.Eq, BoundOperand.BCol(a), BoundOperand.BCol(b))
+          if a.binding != b.binding =>
+        Some(JoinOrder.Edge(idx(a.binding), idx(b.binding),
+          1.0 / math.max(1L, math.max(ndvOf(a), ndvOf(b))).toDouble))
+      case _ => None
+    }
+    val tree = JoinOrder.plan(s.tables.length, i => cards(i), edges)
+    lastJoinOrder = tree.map(t =>
+      JoinOrder.leafOrder(t).map(i => s.tables(i).binding))
+    tree
   }
 
   // ---- catalog persistence (JSON sidecar) ----

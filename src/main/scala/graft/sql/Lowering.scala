@@ -12,13 +12,16 @@ import Analyzer._
   * pushdown, column pruning, join detection/reordering and physical
   * operator selection (SURVEY.md §4.1).
   *
-  * Join strategy: tables are combined with crossJoin and the full WHERE
-  * applied on top. Catalyst's PushPredicateThroughJoin + ReorderJoin turn
-  * Filter(CrossJoin(...)) into equi hash joins with pushed single-table
-  * selections — exactly the rewrite the reference does by hand in
-  * planner/bottomup.rs:74-99 + DPccp. The lowering stays declarative; the
-  * optimizer owns the plan shape (verified in DialectSpec by asserting no
-  * CartesianProduct survives in the physical plan).
+  * Join strategy: when GraftDatabase supplies a stats-chosen join order
+  * (JoinOrder — DPccp parity with the reference's optimizer), the tree is
+  * built explicitly with equi-join conditions attached per join, and
+  * Catalyst preserves that order while still pushing the residual
+  * selections down. Without a plan (single table / oversized FROM list),
+  * tables combine as crossJoin + full WHERE on top and Catalyst's
+  * PushPredicateThroughJoin + ReorderJoin recover the hash joins —
+  * exactly the rewrite the reference does by hand in
+  * planner/bottomup.rs:74-99 + DPccp. Either way no CartesianProduct
+  * survives in the physical plan (asserted in DialectSpec).
   */
 object Lowering {
 
@@ -28,15 +31,53 @@ object Lowering {
     */
   def lowerSelect(spark: SparkSession, q: BoundSelect,
       source: BoundTable => DataFrame,
-      broadcastBindings: Set[String] = Set.empty): DataFrame = {
+      broadcastBindings: Set[String] = Set.empty,
+      joinPlan: Option[JoinOrder.Tree] = None): DataFrame = {
     val base = q.tables.map { bt =>
       val df = source(bt).alias(bt.binding)
       // stats-driven build-side choice (the reference swaps hash-join build
       // sides from estimates the same way, optimizer/optimizer.rs:177-180)
       if (broadcastBindings(bt.binding)) broadcast(df) else df
     }
-    val joined = base.reduceLeft(_.crossJoin(_))
-    val filtered0 = q.predicate.fold(joined)(p => joined.filter(lowerExpr(p)))
+    val conj: Seq[BoundExpr] = q.predicate.map(conjuncts).getOrElse(Nil)
+    // equi-conjunct across two bindings → usable as an explicit join cond
+    def equiSides(c: BoundExpr): Option[(String, String)] = c match {
+      case BoundExpr.BCmp(Ast.CmpOp.Eq, BoundOperand.BCol(a), BoundOperand.BCol(b))
+          if a.binding != b.binding => Some((a.binding, b.binding))
+      case _ => None
+    }
+    val filtered0 = joinPlan match {
+      case Some(tree) =>
+        // stats-chosen join ORDER (GraftDatabase.planJoinOrder → DPccp
+        // parity): build the tree explicitly, attaching each equi-conjunct
+        // at the first join where both its sides are available; everything
+        // else stays a residual filter on top (Catalyst pushes it down).
+        val conjIdx = conj.zipWithIndex
+        val used = scala.collection.mutable.Set.empty[Int]
+        def build(t: JoinOrder.Tree): (DataFrame, Set[String]) = t match {
+          case JoinOrder.Leaf(i) => (base(i), Set(q.tables(i).binding))
+          case JoinOrder.Node(l, r, _) =>
+            val (ld, ls) = build(l)
+            val (rd, rs) = build(r)
+            val conds = conjIdx.filter { case (c, i) =>
+              !used(i) && equiSides(c).exists { case (x, y) =>
+                (ls(x) && rs(y)) || (ls(y) && rs(x))
+              }
+            }
+            conds.foreach { case (_, i) => used += i }
+            val df =
+              if (conds.isEmpty) ld.crossJoin(rd)
+              else ld.join(rd, conds.map(c => lowerExpr(c._1)).reduce(_ && _))
+            (df, ls ++ rs)
+        }
+        val (joined, _) = build(tree)
+        val residual = conjIdx.collect { case (c, i) if !used(i) => c }
+        if (residual.isEmpty) joined
+        else joined.filter(residual.map(lowerExpr).reduce(_ && _))
+      case None =>
+        val joined = base.reduceLeft(_.crossJoin(_))
+        q.predicate.fold(joined)(p => joined.filter(lowerExpr(p)))
+    }
 
     // Output naming: bare attribute name when unique across the projection,
     // binding_attr otherwise (the reference prints qualified headers,

@@ -162,6 +162,7 @@ object EventsStreaming {
       .groupBy("user_id", "session_id")
       .agg(min("ts").as("start"), max("ts").as("end"),
         count(lit(1)).cast("int").as("n_events"),
-        round(sum("value"), 2).as("total_value"))
+        // decimal sum: order-independent across partition accumulation
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"))
   }
 }

@@ -62,11 +62,44 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("multimodal feature stub emits fixed-dimension deterministic features") {
-    val rows = SparkEntry.queries("q_multimodal_features")(spark, sf).collect()
+    val df = SparkEntry.queries("q_multimodal_features")(spark, sf)
+    assert(df.columns.toSeq == Seq("media_id", "n_bytes", "f0", "f1", "f2", "f3"))
+    val rows = df.collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getSeq[Double](2).length == 4))
+    // md5-derived unit features: each slice lands in [0, 1)
+    for (r <- rows; i <- 2 to 5) {
+      val f = r.getDouble(i)
+      assert(f >= 0.0 && f < 1.0, s"feature out of range: $f")
+    }
     val again = SparkEntry.queries("q_multimodal_features")(spark, sf).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("neardup LSH: no cartesian in the plan; pairs verified against brute force") {
+    val lshDf = SparkEntry.queries("q_embed_neardup")(spark, sf)
+    val physical = lshDf.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical)
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+    val lsh = lshDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Vectors.bruteNeardup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+    // LSH searches a candidate subset: everything it returns must be a true
+    // pair, and it must catch nearly all of them (measured 65/66 at sf0.001)
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh -- brute}")
+    val recall = (lsh & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"LSH neardup recall $recall over ${brute.size} pairs")
+  }
+
+  test("dedup shingle cache has an explicit lifecycle (nothing stays persisted)") {
+    SparkEntry.queries("q_dedup_minhash")(spark, sf).count()
+    // the family had a live cache, and the release drops ALL of it — a
+    // second release finds nothing (other suites share this session, so
+    // the assertion is scoped to the dedup cache, not the whole context)
+    assert(Dedup.releaseShingles(spark) >= 1,
+      "dedup family should have had a cached shingle frame")
+    assert(Dedup.releaseShingles(spark) == 0,
+      "releaseShingles must drop every cached shingle frame")
   }
 
   test("langid predictions are deterministic and cover the fixture languages") {

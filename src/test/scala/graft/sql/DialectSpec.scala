@@ -112,6 +112,41 @@ class DialectSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(Row(1, "x"), Row(2, "y")))
   }
 
+  test("join ORDER follows the statistics (DPccp parity) — flipping stats flips the plan") {
+    // three-table comma-join; orders is the fact, customer/nation dims.
+    // With equal edge selectivities the DP joins the CHEAPER dimension
+    // first, so swapping the dims' injected cardinalities must flip the
+    // leaf order AND the physical plan's scan order.
+    def run(custRows: Long, natRows: Long): (Seq[String], String) = {
+      val db = freshDb()
+      db.registerParquet("orders", s"${SparkTestSession.sf0001}/orders.parquet")
+      db.registerParquet("customer", s"${SparkTestSession.sf0001}/customer.parquet")
+      db.registerParquet("nation", s"${SparkTestSession.sf0001}/nation.parquet")
+      db.statistics.injectStats("orders", 1000000L,
+        Map("o_custkey" -> 100000L))
+      db.statistics.injectStats("customer", custRows,
+        Map("c_custkey" -> custRows, "c_nationkey" -> math.min(custRows, 25L)))
+      db.statistics.injectStats("nation", natRows, Map("n_nationkey" -> natRows))
+      val df = db.select(
+        "SELECT o_orderkey, c_name, n_name FROM orders o, customer c, nation n " +
+          "WHERE o.o_custkey = c.c_custkey AND c.c_nationkey = n.n_nationkey").toOption.get
+      (db.lastJoinOrder.get, df.queryExecution.executedPlan.toString)
+    }
+    // customer tiny, nation huge → join customer before nation
+    val (orderA, planA) = run(custRows = 10L, natRows = 500000L)
+    // customer huge, nation tiny → join nation (via customer's FK chain)
+    val (orderB, planB) = run(custRows = 500000L, natRows = 10L)
+    assert(orderA != orderB, s"stats flip did not change join order: $orderA")
+    // the emitted order survives to the physical plan: scan order flips too
+    def scanOrder(plan: String): Seq[String] =
+      Seq("orders.parquet", "customer.parquet", "nation.parquet")
+        .sortBy(t => plan.indexOf(t))
+    assert(scanOrder(planA) != scanOrder(planB),
+      s"physical scan order did not flip:\n$planA\n$planB")
+    // no cartesian ever
+    assert(!planA.contains("CartesianProduct") && !planB.contains("CartesianProduct"))
+  }
+
   test("external parquet fixtures register and join with dialect queries") {
     val db = freshDb()
     db.registerParquet("nation", s"${SparkTestSession.sf0001}/nation.parquet")
