@@ -35,19 +35,58 @@ object Dedup {
     * parallelizes the expansion.
     */
   private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    // memoized + cached: q_dedup_ngram and q_dedup_minhash share one
-    // materialization of the shingle set per (session, fixture dir)
-    shingleCache.computeIfAbsent((s, d), _ =>
+  /** Memoize + cache a derived frame per (session, fixture dir, key). Each
+    * cached frame is one-row-per-doc or one-row-per-shingle — linear in the
+    * corpus, so caching stays viable at scale (MEMORY_AND_DISK spills).
+    * Without this, every DataFrame reference re-runs its aggregation over
+    * the shingle stream (Spark reuses exchanges only within one plan).
+    *
+    * NOT computeIfAbsent: memoized builders call each other (wide sigs →
+    * shingles), and a nested computeIfAbsent on one ConcurrentHashMap
+    * throws "Recursive update" whenever the keys share a bin. Build
+    * outside the map update; a rare concurrent double-build loses the
+    * race and unpersists.
+    */
+  private def memo(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame = {
+    val k = (s, d, key)
+    val existing = shingleCache.get(k)
+    if (existing != null) existing
+    else {
+      val df = build.cache()
+      val prev = shingleCache.putIfAbsent(k, df)
+      if (prev != null) { df.unpersist(blocking = false); prev } else df
+    }
+  }
+
+  /** Per-doc distinct shingle SETS + sizes — the ROOT materialization the
+    * whole dedup family shares. collect_set dedups within the aggregation,
+    * so the raw exploded stream needs no separate distinct() shuffle: one
+    * md5 pass, one set-merging shuffle, one cached row per doc. (A corpus
+    * with pathological multi-MB single documents would switch back to a
+    * row-level distinct; per-doc sets are the right shape for normal
+    * document lengths.)
+    */
+  private def docSets(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "sets") {
       t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(expr("sequence(1, length(text)-7)")).as("i"), col("text"))
         .select(col("doc_id"),
           expr("cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS bigint)").as("sh"))
-        .distinct()
-        .cache())
+        .groupBy("doc_id")
+        .agg(collect_set(col("sh")).as("set"))
+        .select(col("doc_id"), col("set"), size(col("set")).cast("long").as("sz"))
+    }
+
+  /** The distinct (doc_id, shingle) stream, derived narrowly from the
+    * cached sets — no md5 recompute, no distinct shuffle.
+    */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "shingles") {
+      docSets(s, d).select(col("doc_id"), explode(col("set")).as("sh"))
+    }
 
   /** Explicit cache lifecycle: unpersist + drop every shingle
     * materialization owned by session `s`, returning how many were
@@ -70,24 +109,31 @@ object Dedup {
     released
   }
 
-  /** Shingles that appear in at most `cap` documents — the inverted-index
-    * entries worth joining on. Frequent shingles generate quadratic pair
-    * blowup and carry no near-dup signal (boilerplate).
-    */
-  private def rareShingles(sh: DataFrame, cap: Int): DataFrame = {
-    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
-    sh.join(freq.select("sh"), Seq("sh"))
-  }
+  /** Rare-shingle inverted index for the n-gram channel (df ≤ cap). */
+  private def rareIndex(s: SparkSession, d: String, cap: Int): DataFrame =
+    memo(s, d, s"rare$cap") {
+      val sh = shingles(s, d)
+      val freq = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+      sh.join(freq.select("sh"), Seq("sh"))
+    }
 
-  /** Exact Jaccard for candidate pairs, computed against per-doc shingle
-    * SETS (collect_set + array_intersect): the pair table joins two
-    * 1-row-per-doc array columns instead of re-joining the exploded
-    * shingle stream — for k candidate pairs this is k fused intersections,
-    * not a k×|doc| row shuffle.
+  /** 16 min-hashes per doc as one wide row (m0..m15). */
+  private def minhashWide(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "minhash_wide") {
+      val hashed = shingles(s, d).withColumn("hnum", col("sh") % 999999937)
+      val minCols = (0 until 16).map(s0 =>
+        min(expr(s"(hnum * ${s0 + 1} + $s0 * 1000003) % 999999937")).as(s"m$s0"))
+      hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    }
+
+  /** Exact Jaccard for candidate pairs, computed against the cached
+    * per-doc shingle SETS (collect_set + array_intersect): the pair table
+    * joins two 1-row-per-doc array columns instead of re-joining the
+    * exploded shingle stream — for k candidate pairs this is k fused
+    * intersections, not a k×|doc| row shuffle.
     */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sets = sh.groupBy("doc_id")
-      .agg(collect_set(col("sh")).as("set"), count(lit(1)).as("sz"))
+  private def verifyJaccard(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    val sets = docSets(s, d)
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("set").as("sa"), col("sz").as("sza")), Seq("a_id"))
       .join(sets.select(col("doc_id").as("b_id"), col("set").as("sb"), col("sz").as("szb")), Seq("b_id"))
@@ -116,15 +162,14 @@ object Dedup {
     // shingles — computed only for surviving candidates.
     "q_dedup_ngram" -> QueryDef(
       (s, d) => {
-        val sh = shingles(s, d)
-        val rare = rareShingles(sh, 50)
+        val rare = rareIndex(s, d, 50)
         val cand = rare.as("a").join(rare.as("b"), Seq("sh"))
           .filter(col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .agg(count(lit(1)).as("c"))
           .filter(col("c") >= 5)
           .select("a_id", "b_id")
-        verifyJaccard(cand, sh)
+        verifyJaccard(s, d, cand)
       },
       Some("""WITH sh AS (
              |  SELECT DISTINCT doc_id,
@@ -155,13 +200,10 @@ object Dedup {
     // dup cluster outgrows any df cap — this is the 100 TB path.
     "q_dedup_minhash" -> QueryDef(
       (s, d) => {
-        val sh = shingles(s, d)
-        val hashed = sh.withColumn("hnum", col("sh") % 999999937)
         // 16 min-hashes as one wide aggregate over the shingle stream (no
-        // 16× row explosion before the shuffle): one row per doc, m0..m15.
-        val minCols = (0 until 16).map(s0 =>
-          min(expr(s"(hnum * ${s0 + 1} + $s0 * 1000003) % 999999937")).as(s"m$s0"))
-        val wide = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        // 16× row explosion before the shuffle): one row per doc, m0..m15,
+        // cached — referenced by bands AND both sides of the estimator.
+        val wide = minhashWide(s, d)
         // Band key = md5 of the band's ordered 4-minhash tuple: distinct
         // tuples collide only as md5 collides. (A weighted sum of the four
         // minhashes lets distinct tuples alias far more often, inflating
@@ -188,7 +230,7 @@ object Dedup {
           .join(wide.as("b"), col("b.doc_id") === col("b_id"))
           .filter(expr(s"($matchesExpr) >= 8"))
           .select("a_id", "b_id")
-        verifyJaccard(est, sh)
+        verifyJaccard(s, d, est)
       },
       Some("""WITH sh AS (
              |  SELECT DISTINCT doc_id,

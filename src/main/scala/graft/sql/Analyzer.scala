@@ -14,7 +14,8 @@ import Ast._
   */
 object Analyzer {
 
-  final case class TableDesc(name: String, attributes: Seq[AttributeDesc]) {
+  final case class TableDesc(name: String, attributes: Seq[AttributeDesc],
+      bucket: Option[(String, Int)] = None) {
     def attr(n: String): Option[AttributeDesc] = attributes.find(_.name.equalsIgnoreCase(n))
     def sparkSchema: org.apache.spark.sql.types.StructType =
       org.apache.spark.sql.types.StructType(attributes.map(a =>
@@ -351,10 +352,16 @@ object Analyzer {
 
   private def analyzeCreate(c: CreateTree, cat: Catalog): Either[AnalyzerError, BoundCreate] =
     if (cat.resolve(c.table).isDefined) Left(TableExists(c.table))
-    else
+    else {
       // nullable=true for user tables, like the reference (analyzer/mod.rs:260);
       // PRIMARY KEY is parsed and ignored (reference main.rs:26).
-      Right(BoundCreate(TableDesc(
-        c.table.toLowerCase,
-        c.columns.map { case (n, t) => AttributeDesc(n.toLowerCase, t, nullable = true) })))
+      val attrs = c.columns.map { case (n, t) => AttributeDesc(n.toLowerCase, t, nullable = true) }
+      c.bucket match {
+        case Some((col, _)) if !attrs.exists(_.name.equalsIgnoreCase(col)) =>
+          Left(UnboundAttribute(col))
+        case b =>
+          Right(BoundCreate(TableDesc(c.table.toLowerCase, attrs,
+            b.map { case (col, n) => (col.toLowerCase, n) })))
+      }
+    }
 }

@@ -77,5 +77,8 @@ object Ast {
   final case class CreateTree(
       table: String,
       columns: Seq[(String, SqlType)],
-      primaryKey: Seq[String]) extends ParseTree
+      primaryKey: Seq[String],
+      // CLUSTERED BY (col) INTO n BUCKETS — hash-bucketed storage so
+      // repeated joins/aggregations on the bucket column skip the shuffle
+      bucket: Option[(String, Int)] = None) extends ParseTree
 }

@@ -110,6 +110,26 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   private def dataPath(name: String): String =
     external.getOrElse(name, s"$warehouse/data/$name")
 
+  // ---- bucketed warehouse tables ----
+  // Spark's bucketed scan (outputPartitioning = HashPartitioning(col, n),
+  // so joins/aggs on the bucket column skip the Exchange) only activates
+  // through a session-catalog table, so each bucketed warehouse table gets
+  // a catalog entry pointing at its warehouse directory. The identifier is
+  // namespaced by warehouse so databases sharing a session don't collide.
+
+  private def catName(table: String): String =
+    s"graft_bkt_${math.abs(warehouse.hashCode).toHexString}_$table"
+
+  private def bucketDdl(cat: String, desc: TableDesc, location: String): String = {
+    val (col, n) = desc.bucket.get
+    s"CREATE TABLE $cat (${desc.sparkSchema.toDDL}) USING parquet " +
+      s"CLUSTERED BY ($col) SORTED BY ($col) INTO $n BUCKETS LOCATION '$location'"
+  }
+
+  private def ensureCatalogTable(desc: TableDesc): Unit =
+    if (desc.bucket.isDefined && !spark.catalog.tableExists(catName(desc.name)))
+      spark.sql(bucketDdl(catName(desc.name), desc, dataPath(desc.name)))
+
   private def readTable(desc: TableDesc): DataFrame =
     externalFormat.get(desc.name) match {
       case Some("csv") =>
@@ -117,6 +137,10 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           .csv(dataPath(desc.name))
       case Some("json") =>
         spark.read.schema(desc.sparkSchema).json(dataPath(desc.name))
+      case _ if desc.bucket.isDefined =>
+        // catalog-backed read so the scan carries the bucket spec
+        ensureCatalogTable(desc)
+        spark.table(catName(desc.name))
       case _ =>
         // Explicit schema: works even when the table has zero parquet files
         // yet, and skips footer merging on every query.
@@ -133,14 +157,22 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       // Batched append: all VALUES rows land in one parquet write
       // (SURVEY.md §7.4 — per-row writes would be pathological).
       val rdd = spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1)
-      spark.createDataFrame(rdd, desc.sparkSchema)
-        .write.mode("append").parquet(dataPath(desc.name))
+      val df = spark.createDataFrame(rdd, desc.sparkSchema)
+      desc.bucket match {
+        case Some(_) =>
+          // catalog-routed insert so the write is hash-bucketed on disk
+          ensureCatalogTable(desc)
+          df.write.mode("append").insertInto(catName(desc.name))
+        case None =>
+          df.write.mode("append").parquet(dataPath(desc.name))
+      }
       statistics.recordInsert(desc, rows)
       Done(s"inserted ${rows.length} row(s) into ${desc.name}")
 
     case BoundCreate(desc) =>
       tables(desc.name) = desc
       Files.createDirectories(Paths.get(s"$warehouse/data/${desc.name}"))
+      ensureCatalogTable(desc)
       statistics.initTable(desc)
       saveCatalog()
       Done(s"created table ${desc.name}")
@@ -189,13 +221,27 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   private def rewriteTable(desc: TableDesc, img: DataFrame): Long = {
     val dir = dataPath(desc.name)
     val tmp = s"$dir.tmp"
-    img.write.mode("overwrite").parquet(tmp)
+    desc.bucket match {
+      case Some(_) =>
+        // bucketed rewrite: route through a throwaway catalog table over
+        // the tmp dir so the new image is written hash-bucketed (a plain
+        // parquet write would silently drop the bucket layout), then drop
+        // only its metadata (LOCATION tables are external — files stay)
+        val tmpCat = s"${catName(desc.name)}_tmp"
+        spark.sql(s"DROP TABLE IF EXISTS $tmpCat")
+        spark.sql(bucketDdl(tmpCat, desc, tmp))
+        img.write.mode("append").insertInto(tmpCat)
+        spark.sql(s"DROP TABLE IF EXISTS $tmpCat")
+      case None =>
+        img.write.mode("overwrite").parquet(tmp)
+    }
     val dirP = Paths.get(dir)
     if (Files.exists(dirP)) {
       Files.walk(dirP).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
     }
     Files.move(Paths.get(tmp), dirP)
+    if (desc.bucket.isDefined) spark.sql(s"REFRESH TABLE ${catName(desc.name)}")
     val fresh = readTable(desc)
     statistics.rebuild(desc, fresh)
     statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
@@ -293,7 +339,10 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       val attrs = t.attributes
         .map(a => s"""{"name":"${a.name}","type":"${renderType(a.sqlType)}","nullable":${a.nullable}}""")
         .mkString("[", ",", "]")
-      s"""{"table":"${t.name}","attributes":$attrs}"""
+      val bucket = t.bucket
+        .map { case (c, n) => s""","bucket":{"col":"$c","n":$n}""" }
+        .getOrElse("")
+      s"""{"table":"${t.name}","attributes":$attrs$bucket}"""
     }
     Files.write(catalogPath, lines.mkString("\n").getBytes("UTF-8"))
   }
@@ -301,12 +350,18 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   private def loadCatalog(): Unit = {
     if (!Files.exists(catalogPath)) return
     val attrRe = """\{"name":"([^"]+)","type":"([^"]+)","nullable":(true|false)\}""".r
+    val tableReB =
+      """\{"table":"([^"]+)","attributes":\[(.*)\],"bucket":\{"col":"([^"]+)","n":(\d+)\}\}""".r
     val tableRe = """\{"table":"([^"]+)","attributes":\[(.*)\]\}""".r
+    def attrsOf(attrs: String): Seq[AttributeDesc] =
+      attrRe.findAllMatchIn(attrs).map(m =>
+        AttributeDesc(m.group(1), parseType(m.group(2)), m.group(3).toBoolean)).toSeq
     Files.readAllLines(catalogPath).asScala.filter(_.nonEmpty).foreach {
+      case tableReB(name, attrs, bCol, bN) =>
+        // the session-catalog entry re-registers lazily on first read
+        tables(name) = TableDesc(name, attrsOf(attrs), Some((bCol, bN.toInt)))
       case tableRe(name, attrs) =>
-        val as = attrRe.findAllMatchIn(attrs).map(m =>
-          AttributeDesc(m.group(1), parseType(m.group(2)), m.group(3).toBoolean)).toSeq
-        tables(name) = TableDesc(name, as)
+        tables(name) = TableDesc(name, attrsOf(attrs))
       case line => sys.error(s"bad catalog line: $line")
     }
   }

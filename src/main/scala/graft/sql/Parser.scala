@@ -94,7 +94,8 @@ object Parser {
   private val reservedWords = Set(
     "select", "from", "where", "and", "or", "insert", "into", "values",
     "create", "table", "primary", "key", "null", "not", "as",
-    "delete", "update", "set", "order", "by", "limit", "asc", "desc", "group", "having")
+    "delete", "update", "set", "order", "by", "limit", "asc", "desc", "group", "having",
+    "clustered", "buckets")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
@@ -406,9 +407,27 @@ object Parser {
           }
         loop(Vector.empty)
       }
+      // optional CLUSTERED BY (col) INTO n BUCKETS (Hive/Spark DDL shape)
+      bucket <-
+        if (p.isKw("clustered")) {
+          p.next()
+          for {
+            _ <- p.eatKw("by")
+            _ <- p.eatSym("(")
+            col <- p.ident()
+            _ <- p.eatSym(")")
+            _ <- p.eatKw("into")
+            n <- p.peek match {
+              case TInt(v, _) if v > 0 && v <= 100000 => p.next(); Right(v.toInt)
+              case t => Left(ParseError("expected positive bucket count", t.pos))
+            }
+            _ <- p.eatKw("buckets")
+          } yield Some((col, n))
+        } else Right(None: Option[(String, Int)])
     } yield CreateTree(
       name,
       colsAndPk.map(c => (c._1, c._2)),
-      colsAndPk.filter(_._3).map(_._1))
+      colsAndPk.filter(_._3).map(_._1),
+      bucket)
   }
 }

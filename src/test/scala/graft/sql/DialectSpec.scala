@@ -147,6 +147,57 @@ class DialectSpec extends AnyFunSuite {
     assert(!planA.contains("CartesianProduct") && !planB.contains("CartesianProduct"))
   }
 
+  test("bucketed tables: joins on the bucket key run without a shuffle exchange") {
+    // suppress Spark's own size-based broadcast (the test tables are tiny)
+    // AND our stats-driven hints (huge injected cardinalities below) so the
+    // plan shows the co-located join path a 100 TB fact-fact join would use
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val db = freshDb()
+      assert(db.query("CREATE TABLE fact (k INT, v INT) CLUSTERED BY (k) INTO 4 BUCKETS").isRight)
+      assert(db.query("CREATE TABLE dim (k INT, name VARCHAR(10)) CLUSTERED BY (k) INTO 4 BUCKETS").isRight)
+      assert(db.query("INSERT INTO fact VALUES (1, 10), (2, 20), (3, 30), (1, 11)").isRight)
+      assert(db.query("INSERT INTO dim VALUES (1, 'a'), (2, 'b'), (4, 'd')").isRight)
+      db.statistics.injectStats("fact", 10000000L, Map("k" -> 1000L))
+      db.statistics.injectStats("dim", 10000000L, Map("k" -> 1000L))
+      val df = db.select("SELECT v, name FROM fact f, dim d WHERE f.k = d.k").toOption.get
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed-key join should not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan should be bucketed:\n$plan")
+      assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+        Set((10, "a"), (11, "a"), (20, "b")))
+      // control: the same data unbucketed DOES shuffle
+      val db2 = freshDb()
+      assert(db2.query("CREATE TABLE fact (k INT, v INT)").isRight)
+      assert(db2.query("CREATE TABLE dim (k INT, name VARCHAR(10))").isRight)
+      assert(db2.query("INSERT INTO fact VALUES (1, 10), (2, 20)").isRight)
+      assert(db2.query("INSERT INTO dim VALUES (1, 'a'), (2, 'b')").isRight)
+      db2.statistics.injectStats("fact", 10000000L, Map("k" -> 1000L))
+      db2.statistics.injectStats("dim", 10000000L, Map("k" -> 1000L))
+      val plan2 = db2.select("SELECT v, name FROM fact f, dim d WHERE f.k = d.k")
+        .toOption.get.queryExecution.executedPlan.toString
+      assert(plan2.contains("Exchange hashpartitioning"),
+        s"unbucketed control should shuffle:\n$plan2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed tables survive DELETE/UPDATE rewrites and catalog reload") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val db = new GraftDatabase(spark, wh)
+    assert(db.query("CREATE TABLE b (k INT, v INT) CLUSTERED BY (k) INTO 2 BUCKETS").isRight)
+    assert(db.query("INSERT INTO b VALUES (1, 1), (2, 2), (3, 3)").isRight)
+    assert(db.query("DELETE FROM b WHERE k = 2").isRight)
+    assert(db.query("UPDATE b SET v = 9 WHERE k = 3").isRight)
+    val rows = db.select("SELECT k, v FROM b").toOption.get.orderBy("k").collect()
+    assert(rows.toSeq == Seq(Row(1, 1), Row(3, 9)))
+    // reload from the persisted catalog: bucket spec must come back
+    val db2 = new GraftDatabase(spark, wh)
+    val again = db2.select("SELECT k, v FROM b").toOption.get.orderBy("k").collect()
+    assert(again.toSeq == Seq(Row(1, 1), Row(3, 9)))
+  }
+
   test("external parquet fixtures register and join with dialect queries") {
     val db = freshDb()
     db.registerParquet("nation", s"${SparkTestSession.sf0001}/nation.parquet")
