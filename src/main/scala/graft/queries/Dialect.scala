@@ -110,6 +110,41 @@ object Dialect {
       Some("""SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin)),
 
+    // SELECT DISTINCT through the dialect: projection → distinct → sort
+    // (one partial-aggregate shuffle on the projected columns).
+    "q_dialect_distinct" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders " +
+          "ORDER BY o_orderstatus, o_orderpriority"),
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // Widened predicate surface in one shot: LIKE, BETWEEN (desugared to
+    // >=/<= in the parser), IN (desugared to an OR chain), NOT, plus an
+    // AS output alias. All predicates reach the parquet scan as pushed
+    // filters.
+    "q_dialect_predicates" -> QueryDef(
+      (s, d) => run(db(s, d, "part"),
+        "SELECT p_partkey, p_name AS part_name, p_size FROM part " +
+          "WHERE p_name LIKE '%widget%' AND p_size BETWEEN 5 AND 30 " +
+          "AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') " +
+          "AND NOT p_size = 17 ORDER BY p_partkey"),
+      Some("""SELECT p_partkey, p_name AS part_name, p_size FROM part
+             |WHERE p_name LIKE '%widget%' AND p_size BETWEEN 5 AND 30
+             |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+             |  AND NOT p_size = 17 ORDER BY p_partkey""".stripMargin)),
+
+    // Explicit JOIN … ON syntax (desugars to the comma-join conjunction,
+    // then the stats-driven DP picks the join order like any other join).
+    "q_dialect_join_on" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "nation"),
+        "SELECT c_custkey, c_name AS customer, n_name AS nation_name " +
+          "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+          "WHERE c.c_acctbal >= 9500 ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, c_name AS customer, n_name AS nation_name
+             |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |WHERE c.c_acctbal >= 9500 ORDER BY c_custkey""".stripMargin)),
+
     // Star expansion + OR (which the reference analyzer rejects,
     // analyzer/mod.rs:183 — supported here).
     "q_dialect_star_or" -> QueryDef(

@@ -62,6 +62,9 @@ object Analyzer {
   final case class NotInGroupBy(ref: String) extends AnalyzerError {
     def msg = s"column '$ref' must appear in GROUP BY or inside an aggregate"
   }
+  final case class DistinctOrderBy(ref: String) extends AnalyzerError {
+    def msg = s"ORDER BY $ref: with SELECT DISTINCT the sort key must be projected"
+  }
   final case class BadAggregate(detail: String) extends AnalyzerError {
     def msg = s"bad aggregate: $detail"
   }
@@ -83,13 +86,19 @@ object Analyzer {
     final case class BAnd(l: BoundExpr, r: BoundExpr) extends BoundExpr
     final case class BOr(l: BoundExpr, r: BoundExpr) extends BoundExpr
     final case class BCmp(op: CmpOp, l: BoundOperand, r: BoundOperand) extends BoundExpr
+    final case class BNot(e: BoundExpr) extends BoundExpr
+    final case class BIsNull(o: BoundOperand, negated: Boolean) extends BoundExpr
+    final case class BLike(o: BoundOperand, pattern: String, negated: Boolean) extends BoundExpr
   }
 
-  /** A bound SELECT-list entry: plain column or aggregate call. */
+  /** A bound SELECT-list entry: plain column or aggregate call, with the
+    * user's AS alias when given.
+    */
   sealed trait BoundItem
   object BoundItem {
-    final case class BICol(c: BoundCol) extends BoundItem
-    final case class BIAgg(func: String, arg: Option[BoundCol]) extends BoundItem
+    final case class BICol(c: BoundCol, alias: Option[String] = None) extends BoundItem
+    final case class BIAgg(func: String, arg: Option[BoundCol],
+        alias: Option[String] = None) extends BoundItem
   }
 
   sealed trait BoundQuery
@@ -100,7 +109,8 @@ object Analyzer {
       orderBy: Seq[(BoundCol, Boolean)] = Nil,
       limit: Option[Long] = None,
       groupBy: Seq[BoundCol] = Nil,
-      having: Option[BoundExpr] = None) extends BoundQuery {
+      having: Option[BoundExpr] = None,
+      distinct: Boolean = false) extends BoundQuery {
     def isAggregate: Boolean =
       groupBy.nonEmpty || projection.exists(_.isInstanceOf[BoundItem.BIAgg])
   }
@@ -198,26 +208,40 @@ object Analyzer {
       tables.flatMap(bt => bt.desc.attributes.map(a =>
         SelectItem.SCol(ColRef(Some(bt.binding), a.name)))))
 
+    def bindOp(o: Operand, allowAgg: Boolean): Either[AnalyzerError, BoundOperand] = o match {
+      case Operand.Col(c)     => bindCol(c).map(BoundOperand.BCol)
+      case Operand.Literal(v) => Right(BoundOperand.BLit(v))
+      case Operand.AggCall(f, arg) if allowAgg =>
+        arg match {
+          case None    => Right(BoundOperand.BAgg(f, None))
+          case Some(r) => bindCol(r).map(bc => BoundOperand.BAgg(f, Some(bc)))
+        }
+      case Operand.AggCall(f, _) =>
+        Left(BadAggregate(s"$f(...) is only valid in HAVING"))
+    }
+
     def bindExpr(e: Expr, allowAgg: Boolean = false): Either[AnalyzerError, BoundExpr] = e match {
       case Expr.And(l, r) =>
         for { bl <- bindExpr(l, allowAgg); br <- bindExpr(r, allowAgg) } yield BoundExpr.BAnd(bl, br)
       case Expr.Or(l, r) =>
         for { bl <- bindExpr(l, allowAgg); br <- bindExpr(r, allowAgg) } yield BoundExpr.BOr(bl, br)
-      case Expr.Cmp(op, l, r) =>
-        def bindOp(o: Operand): Either[AnalyzerError, BoundOperand] = o match {
-          case Operand.Col(c)     => bindCol(c).map(BoundOperand.BCol)
-          case Operand.Literal(v) => Right(BoundOperand.BLit(v))
-          case Operand.AggCall(f, arg) if allowAgg =>
-            arg match {
-              case None    => Right(BoundOperand.BAgg(f, None))
-              case Some(r) => bindCol(r).map(bc => BoundOperand.BAgg(f, Some(bc)))
-            }
-          case Operand.AggCall(f, _) =>
-            Left(BadAggregate(s"$f(...) is only valid in HAVING"))
+      case Expr.Not(x) =>
+        bindExpr(x, allowAgg).map(BoundExpr.BNot)
+      case Expr.IsNull(o, neg) =>
+        bindOp(o, allowAgg).map(BoundExpr.BIsNull(_, neg))
+      case Expr.Like(o, pat, neg) =>
+        bindOp(o, allowAgg).flatMap {
+          // LIKE needs a string operand; non-string columns are a type error
+          case b @ BoundOperand.BCol(c) => c.attr.sqlType match {
+            case SqlType.SqlVarChar(_) => Right(BoundExpr.BLike(b, pat, neg))
+            case t => Left(NotComparable(t, SqlType.SqlVarChar(pat.length max 1)))
+          }
+          case b => Right(BoundExpr.BLike(b, pat, neg))
         }
+      case Expr.Cmp(op, l, r) =>
         for {
-          bl <- bindOp(l)
-          br <- bindOp(r)
+          bl <- bindOp(l, allowAgg)
+          br <- bindOp(r, allowAgg)
           _ <- (bl, br) match {
             case (BoundOperand.BCol(a), BoundOperand.BCol(b)) =>
               if (SqlType.comparable(a.attr.sqlType, b.attr.sqlType)) Right(())
@@ -237,13 +261,13 @@ object Analyzer {
     }
 
     def bindItem(it: SelectItem): Either[AnalyzerError, BoundItem] = it match {
-      case SelectItem.SCol(r) => bindCol(r).map(BoundItem.BICol)
-      case SelectItem.SAgg(f, None) => Right(BoundItem.BIAgg(f, None))
-      case SelectItem.SAgg(f, Some(r)) =>
+      case SelectItem.SCol(r, a) => bindCol(r).map(BoundItem.BICol(_, a))
+      case SelectItem.SAgg(f, None, a) => Right(BoundItem.BIAgg(f, None, a))
+      case SelectItem.SAgg(f, Some(r), a) =>
         bindCol(r).flatMap { bc =>
           if ((f == "sum" || f == "avg") && !numericTypes(bc.attr.sqlType))
             Left(BadAggregate(s"$f over non-numeric ${bc.render} (${bc.attr.sqlType.render})"))
-          else Right(BoundItem.BIAgg(f, Some(bc)))
+          else Right(BoundItem.BIAgg(f, Some(bc), a))
         }
     }
 
@@ -263,7 +287,7 @@ object Analyzer {
         val isAgg = group.nonEmpty || proj.exists(_.isInstanceOf[BoundItem.BIAgg])
         if (!isAgg) Right(())
         else proj.collectFirst {
-          case BoundItem.BICol(c) if !group.exists(g =>
+          case BoundItem.BICol(c, _) if !group.exists(g =>
             g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name)) => c
         } match {
           case Some(c) => Left(NotInGroupBy(c.render))
@@ -299,6 +323,11 @@ object Analyzer {
           def cols(x: BoundExpr): Seq[BoundCol] = x match {
             case BoundExpr.BAnd(l, r) => cols(l) ++ cols(r)
             case BoundExpr.BOr(l, r)  => cols(l) ++ cols(r)
+            case BoundExpr.BNot(e)    => cols(e)
+            case BoundExpr.BIsNull(o, _) =>
+              Seq(o).collect { case BoundOperand.BCol(c) => c }
+            case BoundExpr.BLike(o, _, _) =>
+              Seq(o).collect { case BoundOperand.BCol(c) => c }
             case BoundExpr.BCmp(_, l, r) =>
               Seq(l, r).collect { case BoundOperand.BCol(c) => c }
           }
@@ -308,7 +337,21 @@ object Analyzer {
             case None    => Right(())
           }
       }
-    } yield BoundSelect(tables, proj, pred, order, s.limit, group, having)
+      // SELECT DISTINCT reorders evaluation (project → distinct → sort),
+      // so any sort key must itself be projected
+      _ <-
+        if (!s.distinct) Right(())
+        else order.collectFirst {
+          case (c, _) if !proj.exists {
+            case BoundItem.BICol(pc, _) =>
+              pc.binding == c.binding && pc.attr.name.equalsIgnoreCase(c.attr.name)
+            case _ => false
+          } => c
+        } match {
+          case Some(c) => Left(DistinctOrderBy(c.render))
+          case None    => Right(())
+        }
+    } yield BoundSelect(tables, proj, pred, order, s.limit, group, having, s.distinct)
   }
 
   private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {

@@ -37,21 +37,30 @@ object Ast {
     final case class And(l: Expr, r: Expr) extends Expr
     final case class Or(l: Expr, r: Expr) extends Expr
     final case class Cmp(op: CmpOp, l: Operand, r: Operand) extends Expr
+    /** NOT <expr> — SQL 3VL (NOT NULL → NULL). */
+    final case class Not(e: Expr) extends Expr
+    /** <operand> IS [NOT] NULL. */
+    final case class IsNull(o: Operand, negated: Boolean) extends Expr
+    /** <operand> [NOT] LIKE '<pattern>' (%/_ wildcards, standard SQL). */
+    final case class Like(o: Operand, pattern: String, negated: Boolean) extends Expr
+    // BETWEEN and IN (literal list) desugar in the parser:
+    // x BETWEEN a AND b → x >= a AND x <= b; x IN (a, b) → x = a OR x = b
   }
 
-  /** A SELECT-list entry: a plain column or an aggregate call.
-    * `SAgg(func, None)` is `count(*)`.
+  /** A SELECT-list entry: a plain column or an aggregate call, optionally
+    * `AS`-aliased. `SAgg(func, None, _)` is `count(*)`.
     */
   sealed trait SelectItem
   object SelectItem {
-    final case class SCol(ref: ColRef) extends SelectItem
-    final case class SAgg(func: String, arg: Option[ColRef]) extends SelectItem
+    final case class SCol(ref: ColRef, alias: Option[String] = None) extends SelectItem
+    final case class SAgg(func: String, arg: Option[ColRef],
+        alias: Option[String] = None) extends SelectItem
   }
 
   /** columns = None means `SELECT *` (star expansion happens in analysis,
     * like reference analyzer/mod.rs:68-73). ORDER BY / LIMIT / GROUP BY +
-    * aggregates are additive over the reference grammar (its README lists
-    * them as TODO).
+    * aggregates / DISTINCT / JOIN … ON are additive over the reference
+    * grammar (its README lists them as TODO).
     */
   final case class SelectTree(
       columns: Option[Seq[SelectItem]],
@@ -60,7 +69,8 @@ object Ast {
       orderBy: Seq[(ColRef, Boolean /* descending */ )] = Nil,
       limit: Option[Long] = None,
       groupBy: Seq[ColRef] = Nil,
-      having: Option[Expr] = None) extends ParseTree
+      having: Option[Expr] = None,
+      distinct: Boolean = false) extends ParseTree
 
   final case class InsertTree(table: String, rows: Seq[Seq[Lit]]) extends ParseTree
 

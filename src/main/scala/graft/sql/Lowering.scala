@@ -79,27 +79,46 @@ object Lowering {
         q.predicate.fold(joined)(p => joined.filter(lowerExpr(p)))
     }
 
-    // Output naming: bare attribute name when unique across the projection,
-    // binding_attr otherwise (the reference prints qualified headers,
-    // bottomup.rs:34-44; parquet column names cannot contain '.').
-    val colItems = q.projection.collect { case BoundItem.BICol(c) => c }
+    // Output naming: the user's AS alias wins; otherwise bare attribute
+    // name when unique across the projection, binding_attr when duplicated
+    // (the reference prints qualified headers, bottomup.rs:34-44; parquet
+    // column names cannot contain '.').
+    val colItems = q.projection.collect { case BoundItem.BICol(c, None) => c }
     val counts = colItems.groupBy(_.attr.name.toLowerCase).view.mapValues(_.size)
-    def outName(bc: BoundCol): String =
+    def outName(bc: BoundCol, alias: Option[String] = None): String = alias.getOrElse {
       if (counts.getOrElse(bc.attr.name.toLowerCase, 0) > 1) s"${bc.binding}_${bc.attr.name}"
       else bc.attr.name
+    }
     def qcol(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
 
     if (!q.isAggregate) {
-      // ORDER BY binds against table columns (pre-projection, so sort keys
-      // need not be projected); with LIMIT Catalyst plans
-      // TakeOrderedAndProject
-      val ordered = if (q.orderBy.isEmpty) filtered0 else filtered0.orderBy(
-        q.orderBy.map { case (bc, desc) => if (desc) qcol(bc).desc else qcol(bc).asc }: _*)
-      val limited = q.limit.fold(ordered)(n => ordered.limit(
-        math.min(n, Int.MaxValue.toLong).toInt))
-      limited.select(q.projection.collect { case BoundItem.BICol(bc) =>
-        qcol(bc).as(outName(bc))
-      }: _*)
+      val projCols = q.projection.collect { case BoundItem.BICol(bc, a) => (bc, a) }
+      if (q.distinct) {
+        // DISTINCT applies to the PROJECTED rows, so evaluation reorders:
+        // project → distinct → sort on output names (the analyzer already
+        // required sort keys to be projected) → limit
+        val projected = filtered0
+          .select(projCols.map { case (bc, a) => qcol(bc).as(outName(bc, a)) }: _*)
+          .distinct()
+        val ordered = if (q.orderBy.isEmpty) projected else projected.orderBy(
+          q.orderBy.map { case (bc, desc) =>
+            val name = projCols.collectFirst {
+              case (pc, a) if pc.binding == bc.binding &&
+                pc.attr.name.equalsIgnoreCase(bc.attr.name) => outName(pc, a)
+            }.getOrElse(outName(bc))
+            if (desc) col(name).desc else col(name).asc
+          }: _*)
+        q.limit.fold(ordered)(n => ordered.limit(math.min(n, Int.MaxValue.toLong).toInt))
+      } else {
+        // ORDER BY binds against table columns (pre-projection, so sort
+        // keys need not be projected); with LIMIT Catalyst plans
+        // TakeOrderedAndProject
+        val ordered = if (q.orderBy.isEmpty) filtered0 else filtered0.orderBy(
+          q.orderBy.map { case (bc, desc) => if (desc) qcol(bc).desc else qcol(bc).asc }: _*)
+        val limited = q.limit.fold(ordered)(n => ordered.limit(
+          math.min(n, Int.MaxValue.toLong).toInt))
+        limited.select(projCols.map { case (bc, a) => qcol(bc).as(outName(bc, a)) }: _*)
+      }
     } else {
       // GROUP BY + aggregates: group keys keep their (possibly qualified)
       // output names; aggregate output names are func_col / count_star,
@@ -109,11 +128,11 @@ object Lowering {
           s"${bc.binding}_${bc.attr.name}"
         else bc.attr.name
       val aggItems = q.projection.zipWithIndex.collect {
-        case (BoundItem.BIAgg(f, arg), i) => (f, arg, i)
+        case (BoundItem.BIAgg(f, arg, a), i) => (f, arg, a, i)
       }
       val usedNames = scala.collection.mutable.Set.empty[String]
-      val aggName: Map[Int, String] = aggItems.map { case (f, arg, i) =>
-        val base = arg.fold("count_star")(a => s"${f}_${a.attr.name}")
+      val aggName: Map[Int, String] = aggItems.map { case (f, arg, alias, i) =>
+        val base = alias.getOrElse(arg.fold("count_star")(a => s"${f}_${a.attr.name}"))
         val name = if (usedNames.add(base)) base else {
           var k = 2
           while (!usedNames.add(s"${base}_$k")) k += 1
@@ -130,25 +149,32 @@ object Lowering {
         case ("avg", Some(a))   => avg(qcol(a))
         case other              => sys.error(s"unreachable aggregate $other")
       }
-      val aggExprs = aggItems.map { case (f, arg, i) => aggCol(f, arg).as(aggName(i)) }
+      val aggExprs = aggItems.map { case (f, arg, _, i) => aggCol(f, arg).as(aggName(i)) }
       // HAVING aggregates compute as hidden columns next to the projected
       // ones; the final projection drops them
       val havingAggs = scala.collection.mutable.ArrayBuffer.empty[(String, Option[BoundCol], String)]
+      def havingOperand(o: BoundOperand): Column = o match {
+        case BoundOperand.BCol(c) => col(groupOut(c))
+        case BoundOperand.BLit(Lit.LitLong(v))   => lit(v)
+        case BoundOperand.BLit(Lit.LitString(x)) => lit(x)
+        case BoundOperand.BLit(Lit.LitNull)      => lit(null)
+        case BoundOperand.BAgg(f, arg) =>
+          val name = s"__h_${havingAggs.length}"
+          havingAggs += ((f, arg, name))
+          col(name)
+      }
       def havingCol(e: BoundExpr): Column = e match {
         case BoundExpr.BAnd(l, r) => havingCol(l) && havingCol(r)
         case BoundExpr.BOr(l, r)  => havingCol(l) || havingCol(r)
+        case BoundExpr.BNot(x)    => !havingCol(x)
+        case BoundExpr.BIsNull(o, neg) =>
+          val c = havingOperand(o)
+          if (neg) c.isNotNull else c.isNull
+        case BoundExpr.BLike(o, pat, neg) =>
+          val c = havingOperand(o).like(pat)
+          if (neg) !c else c
         case BoundExpr.BCmp(op, l, r) =>
-          def operand(o: BoundOperand): Column = o match {
-            case BoundOperand.BCol(c) => col(groupOut(c))
-            case BoundOperand.BLit(Lit.LitLong(v))   => lit(v)
-            case BoundOperand.BLit(Lit.LitString(x)) => lit(x)
-            case BoundOperand.BLit(Lit.LitNull)      => lit(null)
-            case BoundOperand.BAgg(f, arg) =>
-              val name = s"__h_${havingAggs.length}"
-              havingAggs += ((f, arg, name))
-              col(name)
-          }
-          val (lc, rc) = (operand(l), operand(r))
+          val (lc, rc) = (havingOperand(l), havingOperand(r))
           op match {
             case Ast.CmpOp.Eq  => lc === rc
             case Ast.CmpOp.Neq => lc =!= rc
@@ -177,16 +203,26 @@ object Lowering {
           if (desc) c.desc else c.asc
         }: _*)
       val projected = ordered.select(q.projection.zipWithIndex.map {
-        case (BoundItem.BICol(bc), _) => col(groupOut(bc)).as(outName(bc))
-        case (BoundItem.BIAgg(_, _), i) => col(aggName(i))
+        case (BoundItem.BICol(bc, a), _) => col(groupOut(bc)).as(outName(bc, a))
+        case (BoundItem.BIAgg(_, _, _), i) => col(aggName(i))
       }: _*)
-      q.limit.fold(projected)(n => projected.limit(math.min(n, Int.MaxValue.toLong).toInt))
+      // SELECT DISTINCT over an aggregate result: a no-op unless the
+      // projection drops group keys; apply it for correctness either way
+      val deduped = if (q.distinct) projected.distinct() else projected
+      q.limit.fold(deduped)(n => deduped.limit(math.min(n, Int.MaxValue.toLong).toInt))
     }
   }
 
   def lowerExpr(e: BoundExpr): Column = e match {
     case BoundExpr.BAnd(l, r) => lowerExpr(l) && lowerExpr(r)
     case BoundExpr.BOr(l, r)  => lowerExpr(l) || lowerExpr(r)
+    case BoundExpr.BNot(x)    => !lowerExpr(x) // SQL 3VL: NOT NULL → NULL
+    case BoundExpr.BIsNull(o, neg) =>
+      val c = lowerOperand(o)
+      if (neg) c.isNotNull else c.isNull
+    case BoundExpr.BLike(o, pat, neg) =>
+      val c = lowerOperand(o).like(pat)
+      if (neg) !c else c
     case BoundExpr.BCmp(op, l, r) =>
       val (lc, rc) = (lowerOperand(l), lowerOperand(r))
       op match {
@@ -204,6 +240,8 @@ object Lowering {
     case BoundOperand.BLit(Lit.LitLong(v))   => lit(v)
     case BoundOperand.BLit(Lit.LitString(s)) => lit(s)
     case BoundOperand.BLit(Lit.LitNull)      => lit(null)
+    case BoundOperand.BAgg(f, a) =>
+      sys.error(s"aggregate $f(${a.fold("*")(_.render)}) outside HAVING")
   }
 
   // ---- predicate decomposition for statistics (reference
@@ -220,6 +258,11 @@ object Lowering {
     def cols(x: BoundExpr): Seq[String] = x match {
       case BoundExpr.BAnd(l, r) => cols(l) ++ cols(r)
       case BoundExpr.BOr(l, r)  => cols(l) ++ cols(r)
+      case BoundExpr.BNot(y)    => cols(y)
+      case BoundExpr.BIsNull(o, _) =>
+        Seq(o).collect { case BoundOperand.BCol(c) => c.binding }
+      case BoundExpr.BLike(o, _, _) =>
+        Seq(o).collect { case BoundOperand.BCol(c) => c.binding }
       case BoundExpr.BCmp(_, l, r) =>
         Seq(l, r).collect { case BoundOperand.BCol(c) => c.binding }
     }
@@ -233,22 +276,31 @@ object Lowering {
     * evaluation against that table's sample (reference executes selections
     * against its reservoir sample the same way, planner/bottomup.rs:111-168).
     */
-  def lowerExprBare(e: BoundExpr): Column = e match {
-    case BoundExpr.BAnd(l, r) => lowerExprBare(l) && lowerExprBare(r)
-    case BoundExpr.BOr(l, r)  => lowerExprBare(l) || lowerExprBare(r)
-    case BoundExpr.BCmp(op, l, r) =>
-      def bare(o: BoundOperand): Column = o match {
-        case BoundOperand.BCol(c) => col(c.attr.name)
-        case other                => lowerOperand(other)
-      }
-      val (lc, rc) = (bare(l), bare(r))
-      op match {
-        case Ast.CmpOp.Eq  => lc === rc
-        case Ast.CmpOp.Neq => lc =!= rc
-        case Ast.CmpOp.Lt  => lc < rc
-        case Ast.CmpOp.Gt  => lc > rc
-        case Ast.CmpOp.Le  => lc <= rc
-        case Ast.CmpOp.Ge  => lc >= rc
-      }
+  def lowerExprBare(e: BoundExpr): Column = {
+    def bare(o: BoundOperand): Column = o match {
+      case BoundOperand.BCol(c) => col(c.attr.name)
+      case other                => lowerOperand(other)
+    }
+    e match {
+      case BoundExpr.BAnd(l, r) => lowerExprBare(l) && lowerExprBare(r)
+      case BoundExpr.BOr(l, r)  => lowerExprBare(l) || lowerExprBare(r)
+      case BoundExpr.BNot(x)    => !lowerExprBare(x)
+      case BoundExpr.BIsNull(o, neg) =>
+        val c = bare(o)
+        if (neg) c.isNotNull else c.isNull
+      case BoundExpr.BLike(o, pat, neg) =>
+        val c = bare(o).like(pat)
+        if (neg) !c else c
+      case BoundExpr.BCmp(op, l, r) =>
+        val (lc, rc) = (bare(l), bare(r))
+        op match {
+          case Ast.CmpOp.Eq  => lc === rc
+          case Ast.CmpOp.Neq => lc =!= rc
+          case Ast.CmpOp.Lt  => lc < rc
+          case Ast.CmpOp.Gt  => lc > rc
+          case Ast.CmpOp.Le  => lc <= rc
+          case Ast.CmpOp.Ge  => lc >= rc
+        }
+    }
   }
 }

@@ -95,7 +95,8 @@ object Parser {
     "select", "from", "where", "and", "or", "insert", "into", "values",
     "create", "table", "primary", "key", "null", "not", "as",
     "delete", "update", "set", "order", "by", "limit", "asc", "desc", "group", "having",
-    "clustered", "buckets")
+    "clustered", "buckets",
+    "distinct", "join", "inner", "on", "between", "in", "like", "is")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
@@ -135,9 +136,13 @@ object Parser {
   private def parseSelect(p: P): Either[ParseError, SelectTree] = {
     for {
       _ <- p.eatKw("select")
+      distinct <- Right { if (p.isKw("distinct")) { p.next(); true } else false }
       cols <- p.peek match {
         case TSym("*", _) => p.next(); Right(None)
         case _ =>
+          def alias(): Either[ParseError, Option[String]] =
+            if (p.isKw("as")) { p.next(); p.ident().map(Some(_)) }
+            else Right(None)
           def item(): Either[ParseError, SelectItem] = p.peek match {
             case TIdent(f, _) if aggFuncs(f.toLowerCase) =>
               // aggregate call: func(col) or count(*)
@@ -151,8 +156,10 @@ object Parser {
                   case _ => parseColRef(p).map(Some(_))
                 }
                 _ <- p.eatSym(")")
-              } yield SelectItem.SAgg(fn, arg)
-            case _ => parseColRef(p).map(SelectItem.SCol)
+                a <- alias()
+              } yield SelectItem.SAgg(fn, arg, a)
+            case _ =>
+              for { c <- parseColRef(p); a <- alias() } yield SelectItem.SCol(c, a)
           }
           def loop(acc: Vector[SelectItem]): Either[ParseError, Vector[SelectItem]] =
             item().flatMap { c =>
@@ -164,7 +171,11 @@ object Parser {
           loop(Vector.empty).map(Some(_))
       }
       _ <- p.eatKw("from")
-      from <- {
+      // FROM list: comma-separated tables and/or [INNER] JOIN … ON <cond>.
+      // ON conditions desugar into the WHERE conjunction — an inner join's
+      // ON is semantically a filter, and the stats-driven join-order DP
+      // rebuilds the tree from the conjuncts either way.
+      fromAndOn <- {
         def one(): Either[ParseError, TableRef] =
           p.ident().map { n =>
             p.peek match {
@@ -172,18 +183,34 @@ object Parser {
               case _                            => TableRef(n, None)
             }
           }
-        def loop(acc: Vector[TableRef]): Either[ParseError, Vector[TableRef]] =
-          one().flatMap { t =>
-            p.peek match {
-              case TSym(",", _) => p.next(); loop(acc :+ t)
-              case _            => Right(acc :+ t)
-            }
+        def loop(tabs: Vector[TableRef], ons: Vector[Expr])
+            : Either[ParseError, (Vector[TableRef], Vector[Expr])] =
+          p.peek match {
+            case TSym(",", _) =>
+              p.next(); one().flatMap(t => loop(tabs :+ t, ons))
+            case TIdent(k, _) if k.equalsIgnoreCase("join") ||
+                (k.equalsIgnoreCase("inner") && { val save = p.i; p.next()
+                  val isJ = p.isKw("join"); p.i = save; isJ }) =>
+              if (p.isKw("inner")) p.next()
+              p.next() // JOIN
+              for {
+                t <- one()
+                _ <- p.eatKw("on")
+                cond <- parseOr(p)
+                r <- loop(tabs :+ t, ons :+ cond)
+              } yield r
+            case _ => Right((tabs, ons))
           }
-        loop(Vector.empty)
+        one().flatMap(t => loop(Vector(t), Vector.empty))
       }
-      where <-
-        if (p.isKw("where")) { p.next(); parseOr(p).map(Some(_)) }
-        else Right(None)
+      where <- {
+        val explicit: Either[ParseError, Option[Expr]] =
+          if (p.isKw("where")) { p.next(); parseOr(p).map(Some(_)) }
+          else Right(None)
+        explicit.map { w =>
+          (fromAndOn._2 ++ w.toSeq).reduceOption(Expr.And(_, _))
+        }
+      }
       groupBy <-
         if (p.isKw("group")) {
           p.next()
@@ -229,7 +256,7 @@ object Parser {
             case t => Left(ParseError("expected LIMIT count", t.pos))
           }
         } else Right(None)
-    } yield SelectTree(cols, from, where, orderBy, limit, groupBy, having)
+    } yield SelectTree(cols, fromAndOn._1, where, orderBy, limit, groupBy, having, distinct)
   }
 
   private def parseOr(p: P, allowAgg: Boolean = false): Either[ParseError, Expr] =
@@ -248,20 +275,80 @@ object Parser {
     case TSym("(", _) =>
       p.next()
       parseOr(p, allowAgg).flatMap(e => p.eatSym(")").map(_ => e))
+    case TIdent(k, _) if k.equalsIgnoreCase("not") =>
+      p.next()
+      parsePrimary(p, allowAgg).map(Expr.Not)
     case _ =>
-      for {
-        l <- parseOperand(p, allowAgg)
-        op <- p.peek match {
-          case TSym("=", _)  => p.next(); Right(CmpOp.Eq)
-          case TSym("<>", _) => p.next(); Right(CmpOp.Neq)
-          case TSym("<=", _) => p.next(); Right(CmpOp.Le)
-          case TSym(">=", _) => p.next(); Right(CmpOp.Ge)
-          case TSym("<", _)  => p.next(); Right(CmpOp.Lt)
-          case TSym(">", _)  => p.next(); Right(CmpOp.Gt)
-          case t             => Left(ParseError("expected comparison operator", t.pos))
+      parseOperand(p, allowAgg).flatMap(l => parsePredicateTail(p, l, allowAgg))
+  }
+
+  /** The predicate forms that can follow a left operand: a comparison,
+    * IS [NOT] NULL, [NOT] BETWEEN a AND b, [NOT] IN (literals),
+    * [NOT] LIKE 'pattern'. BETWEEN and IN desugar to comparison trees here
+    * so analysis/lowering/statistics see plain conjunctions.
+    */
+  private def parsePredicateTail(p: P, l: Operand, allowAgg: Boolean): Either[ParseError, Expr] = {
+    def litList(): Either[ParseError, Vector[Lit]] =
+      p.eatSym("(").flatMap { _ =>
+        def loop(acc: Vector[Lit]): Either[ParseError, Vector[Lit]] =
+          parseLit(p).flatMap { v =>
+            p.peek match {
+              case TSym(",", _) => p.next(); loop(acc :+ v)
+              case _            => p.eatSym(")").map(_ => acc :+ v)
+            }
+          }
+        loop(Vector.empty)
+      }
+    p.peek match {
+      case TIdent(k, _) if k.equalsIgnoreCase("is") =>
+        p.next()
+        val neg = if (p.isKw("not")) { p.next(); true } else false
+        p.peek match {
+          case TIdent(n, _) if n.equalsIgnoreCase("null") =>
+            p.next(); Right(Expr.IsNull(l, neg))
+          case t => Left(ParseError("expected NULL after IS [NOT]", t.pos))
         }
-        r <- parseOperand(p, allowAgg)
-      } yield Expr.Cmp(op, l, r)
+      case TIdent(k, pos) if k.equalsIgnoreCase("not") || k.equalsIgnoreCase("between") ||
+          k.equalsIgnoreCase("in") || k.equalsIgnoreCase("like") =>
+        val neg = if (p.isKw("not")) { p.next(); true } else false
+        if (p.isKw("between")) {
+          p.next()
+          for {
+            lo <- parseOperand(p, allowAgg)
+            _ <- p.eatKw("and")
+            hi <- parseOperand(p, allowAgg)
+          } yield {
+            val in = Expr.And(Expr.Cmp(CmpOp.Ge, l, lo), Expr.Cmp(CmpOp.Le, l, hi))
+            if (neg) Expr.Not(in) else in
+          }
+        } else if (p.isKw("in")) {
+          p.next()
+          litList().map { vs =>
+            val eqs = vs.map(v => Expr.Cmp(CmpOp.Eq, l, Operand.Literal(v)): Expr)
+            val any = eqs.reduce(Expr.Or(_, _))
+            if (neg) Expr.Not(any) else any
+          }
+        } else if (p.isKw("like")) {
+          p.next()
+          p.peek match {
+            case TStr(s, _) => p.next(); Right(Expr.Like(l, s, neg))
+            case t          => Left(ParseError("expected pattern string after LIKE", t.pos))
+          }
+        } else Left(ParseError("expected BETWEEN, IN or LIKE after NOT", pos))
+      case _ =>
+        for {
+          op <- p.peek match {
+            case TSym("=", _)  => p.next(); Right(CmpOp.Eq)
+            case TSym("<>", _) => p.next(); Right(CmpOp.Neq)
+            case TSym("<=", _) => p.next(); Right(CmpOp.Le)
+            case TSym(">=", _) => p.next(); Right(CmpOp.Ge)
+            case TSym("<", _)  => p.next(); Right(CmpOp.Lt)
+            case TSym(">", _)  => p.next(); Right(CmpOp.Gt)
+            case t             => Left(ParseError("expected comparison operator", t.pos))
+          }
+          r <- parseOperand(p, allowAgg)
+        } yield Expr.Cmp(op, l, r)
+    }
   }
 
   private def parseOperand(p: P, allowAgg: Boolean = false): Either[ParseError, Operand] = p.peek match {

@@ -38,14 +38,14 @@ class AnalyzerSpec extends AnyFunSuite {
   test("select binds columns and predicate") {
     val Right(b: BoundSelect) =
       analyzeSql("SELECT name FROM people WHERE age > 21"): @unchecked
-    assert(b.projection.collect { case BoundItem.BICol(c) => c.render } == Seq("people.name"))
+    assert(b.projection.collect { case BoundItem.BICol(c, _) => c.render } == Seq("people.name"))
     assert(b.predicate.isDefined)
   }
 
   test("star expands to all attributes of all tables in order") {
     val Right(b: BoundSelect) =
       analyzeSql("SELECT * FROM people p, cars c"): @unchecked
-    assert(b.projection.collect { case BoundItem.BICol(c) => c.render } ==
+    assert(b.projection.collect { case BoundItem.BICol(c, _) => c.render } ==
       Seq("p.id", "p.name", "p.age", "c.id", "c.model", "c.owner_id"))
   }
 

@@ -112,6 +112,41 @@ class DialectSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(Row(1, "x"), Row(2, "y")))
   }
 
+  test("widened dialect: DISTINCT, AS aliases, JOIN ON, IS NULL, BETWEEN, IN, LIKE, NOT") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    // DISTINCT: projection → distinct → sort on output names
+    val d = db.select("SELECT DISTINCT owner_id FROM cars ORDER BY owner_id").toOption.get
+    assert(d.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // JOIN … ON desugars into the WHERE conjunction; AS renames output
+    val j = db.select("SELECT name AS owner, model FROM people p JOIN cars c ON p.id = c.owner_id " +
+      "WHERE age IS NOT NULL ORDER BY model").toOption.get
+    assert(j.columns.toSeq == Seq("owner", "model"))
+    assert(j.collect().map(_.getString(1)).toSeq ==
+      Seq("Cybertruck", "DeLorean DMC-12", "Tesla Model 3"))
+    // IS NULL (3VL: the NULL-age row is reachable ONLY via IS NULL)
+    val n = db.select("SELECT name FROM people WHERE age IS NULL").toOption.get
+    assert(n.collect().map(_.getString(0)).toSeq == Seq("Marty McFly"))
+    // BETWEEN desugars to >= AND <=
+    val b = db.select("SELECT name FROM people WHERE age BETWEEN 25 AND 35").toOption.get
+    assert(b.collect().map(_.getString(0)).toSeq == Seq("Dr. Emmett L. „Doc“ Brown"))
+    // IN desugars to an OR chain
+    val i = db.select("SELECT name FROM people WHERE id IN (1, 3) ORDER BY id").toOption.get
+    assert(i.collect().map(_.getString(0)).toSeq == Seq("Elon", "Marty McFly"))
+    // LIKE with % wildcard
+    val l = db.select("SELECT name FROM people WHERE name LIKE 'M%'").toOption.get
+    assert(l.collect().map(_.getString(0)).toSeq == Seq("Marty McFly"))
+    // NOT is 3VL: NOT (age = 20) excludes the NULL-age row too
+    val nt = db.select("SELECT name FROM people WHERE NOT age = 20").toOption.get
+    assert(nt.collect().map(_.getString(0)).toSeq == Seq("Dr. Emmett L. „Doc“ Brown"))
+    // NOT IN / NOT BETWEEN / NOT LIKE parse and execute
+    val ni = db.select("SELECT name FROM people WHERE id NOT IN (2, 3)").toOption.get
+    assert(ni.collect().map(_.getString(0)).toSeq == Seq("Elon"))
+    // errors: LIKE on a non-string column; DISTINCT sorting an unprojected col
+    assert(db.query("SELECT name FROM people WHERE age LIKE 'x%'").isLeft)
+    assert(db.query("SELECT DISTINCT name FROM people ORDER BY age").isLeft)
+  }
+
   test("join ORDER follows the statistics (DPccp parity) — flipping stats flips the plan") {
     // three-table comma-join; orders is the fact, customer/nation dims.
     // With equal edge selectivities the DP joins the CHEAPER dimension
