@@ -145,6 +145,26 @@ object Dialect {
              |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
              |WHERE c.c_acctbal >= 9500 ORDER BY c_custkey""".stripMargin)),
 
+    // Bucketed warehouse path end-to-end under the driver's oracle: the
+    // fixture is bulk-imported into CLUSTERED BY tables (a distributed
+    // bucketed write), then joined on the bucket key — a co-located join
+    // whose results the oracle checks against the plain fixture join.
+    "q_dialect_bucketed" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d)
+        if (!g.tableNames.contains("customer_b")) {
+          g.importParquet("customer_b", s"$d/customer.parquet", Some(("c_nationkey", 8)))
+          g.importParquet("nation_b", s"$d/nation.parquet", Some(("n_nationkey", 8)))
+        }
+        run(g, "SELECT c_custkey, c_name, n_name FROM customer_b c " +
+          "JOIN nation_b n ON c.c_nationkey = n.n_nationkey " +
+          "WHERE c.c_acctbal >= 9500")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, n_name FROM customer c
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |WHERE c.c_acctbal >= 9500 ORDER BY c_custkey""".stripMargin)),
+
     // Star expansion + OR (which the reference analyzer rejects,
     // analyzer/mod.rs:183 — supported here).
     "q_dialect_star_or" -> QueryDef(

@@ -357,11 +357,13 @@ object Analyzer {
   private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {
     case (Lit.LitNull, _) => Right(())
     case (Lit.LitLong(_), t) if SqlType.comparable(SqlType.SqlBigInt, t) => Right(())
+    case (Lit.LitDouble(_), t) if SqlType.comparable(SqlType.SqlDouble, t) => Right(())
     case (Lit.LitString(_), t) if SqlType.comparable(SqlType.SqlVarChar(0), t) => Right(())
     case (l, t) => Left(NotComparable(litType(l), t))
   }
   private def litType(l: Lit): SqlType = l match {
     case Lit.LitLong(_)   => SqlType.SqlBigInt
+    case Lit.LitDouble(_) => SqlType.SqlDouble
     case Lit.LitString(s) => SqlType.SqlVarChar(s.length max 1)
     case Lit.LitNull      => SqlType.SqlVarChar(1)
   }

@@ -80,6 +80,37 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   def registerParquet(name: String, path: String): Unit =
     registerExternal(name, path, "parquet")
 
+  /** Bulk-import an external parquet file into a warehouse table,
+    * optionally hash-bucketed — the distributed ingest path (INSERT …
+    * VALUES is for REPL-scale rows; an import is a partition-parallel
+    * write). Creates the table from the file's schema if absent, appends
+    * otherwise, and rebuilds statistics. Returns the table's row count.
+    */
+  def importParquet(name: String, path: String,
+      bucket: Option[(String, Int)] = None): Long = {
+    val df = spark.read.parquet(path)
+    val desc = tables.getOrElse(name.toLowerCase, {
+      val d = TableDesc(name.toLowerCase,
+        df.schema.fields.toSeq.map(f =>
+          AttributeDesc(f.name, SqlType.fromSpark(f.dataType), f.nullable)),
+        bucket.map { case (c, n) => (c.toLowerCase, n) })
+      tables(d.name) = d
+      Files.createDirectories(Paths.get(s"$warehouse/data/${d.name}"))
+      statistics.initTable(d)
+      saveCatalog()
+      d
+    })
+    desc.bucket match {
+      case Some(_) =>
+        ensureCatalogTable(desc)
+        df.write.mode("append").insertInto(catName(desc.name))
+      case None =>
+        df.write.mode("append").parquet(dataPath(desc.name))
+    }
+    statistics.rebuild(desc, readTable(desc))
+    statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
+  }
+
   /** Register external read-only tables in other formats. Non-columnar
     * sources (csv/json) get no column pruning or pushdown at the file
     * level — they exist for ingest; convert to parquet for anything hot.

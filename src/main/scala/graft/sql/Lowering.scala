@@ -156,6 +156,7 @@ object Lowering {
       def havingOperand(o: BoundOperand): Column = o match {
         case BoundOperand.BCol(c) => col(groupOut(c))
         case BoundOperand.BLit(Lit.LitLong(v))   => lit(v)
+        case BoundOperand.BLit(Lit.LitDouble(v)) => lit(v)
         case BoundOperand.BLit(Lit.LitString(x)) => lit(x)
         case BoundOperand.BLit(Lit.LitNull)      => lit(null)
         case BoundOperand.BAgg(f, arg) =>
@@ -238,6 +239,7 @@ object Lowering {
   private def lowerOperand(o: BoundOperand): Column = o match {
     case BoundOperand.BCol(c) => col(s"${c.binding}.${c.attr.name}")
     case BoundOperand.BLit(Lit.LitLong(v))   => lit(v)
+    case BoundOperand.BLit(Lit.LitDouble(v)) => lit(v)
     case BoundOperand.BLit(Lit.LitString(s)) => lit(s)
     case BoundOperand.BLit(Lit.LitNull)      => lit(null)
     case BoundOperand.BAgg(f, a) =>

@@ -24,6 +24,7 @@ object Parser {
   private sealed trait Tok { def pos: Int }
   private final case class TIdent(s: String, pos: Int) extends Tok
   private final case class TInt(v: Long, pos: Int) extends Tok
+  private final case class TFloat(v: Double, pos: Int) extends Tok
   private final case class TStr(s: String, pos: Int) extends Tok
   private final case class TSym(s: String, pos: Int) extends Tok
   private final case class TEnd(pos: Int) extends Tok
@@ -42,7 +43,12 @@ object Parser {
         val start = i
         if (c == '-') i += 1
         while (i < in.length && in(i).isDigit) i += 1
-        out += TInt(in.substring(start, i).toLong, start)
+        // decimal point followed by a digit → double literal
+        if (i + 1 < in.length && in(i) == '.' && in(i + 1).isDigit) {
+          i += 1
+          while (i < in.length && in(i).isDigit) i += 1
+          out += TFloat(in.substring(start, i).toDouble, start)
+        } else out += TInt(in.substring(start, i).toLong, start)
       } else if (c == '\'') {
         val start = i
         i += 1
@@ -352,8 +358,9 @@ object Parser {
   }
 
   private def parseOperand(p: P, allowAgg: Boolean = false): Either[ParseError, Operand] = p.peek match {
-    case TInt(v, _)  => p.next(); Right(Operand.Literal(Lit.LitLong(v)))
-    case TStr(s, _)  => p.next(); Right(Operand.Literal(Lit.LitString(s)))
+    case TInt(v, _)   => p.next(); Right(Operand.Literal(Lit.LitLong(v)))
+    case TFloat(v, _) => p.next(); Right(Operand.Literal(Lit.LitDouble(v)))
+    case TStr(s, _)   => p.next(); Right(Operand.Literal(Lit.LitString(s)))
     case TIdent(s, _) if s.equalsIgnoreCase("null") =>
       p.next(); Right(Operand.Literal(Lit.LitNull))
     case TIdent(f, _) if allowAgg && aggFuncs(f.toLowerCase) =>
@@ -373,8 +380,9 @@ object Parser {
   }
 
   private def parseLit(p: P): Either[ParseError, Lit] = p.peek match {
-    case TInt(v, _) => p.next(); Right(Lit.LitLong(v))
-    case TStr(s, _) => p.next(); Right(Lit.LitString(s))
+    case TInt(v, _)   => p.next(); Right(Lit.LitLong(v))
+    case TFloat(v, _) => p.next(); Right(Lit.LitDouble(v))
+    case TStr(s, _)   => p.next(); Right(Lit.LitString(s))
     case TIdent(s, _) if s.equalsIgnoreCase("null") => p.next(); Right(Lit.LitNull)
     case t => Left(ParseError("expected literal", t.pos))
   }
@@ -454,6 +462,7 @@ object Parser {
           case "bigint"   => Right(SqlType.SqlBigInt)
           case "int" | "integer" => Right(SqlType.SqlInt)
           case "smallint" => Right(SqlType.SqlSmallInt)
+          case "double"   => Right(SqlType.SqlDouble)
           case "varchar" =>
             for {
               _ <- p.eatSym("(")

@@ -61,6 +61,7 @@ object SqlType {
 sealed trait Lit
 object Lit {
   final case class LitLong(v: Long) extends Lit
+  final case class LitDouble(v: Double) extends Lit
   final case class LitString(v: String) extends Lit
   case object LitNull extends Lit
 }
@@ -95,6 +96,7 @@ object Convert {
     case (LitLong(v), SqlSmallInt) =>
       if (v >= Short.MinValue && v <= Short.MaxValue) Right(v.toShort) else Left(Overflow(v, t))
     case (LitLong(v), SqlDouble)   => Right(v.toDouble)
+    case (LitDouble(v), SqlDouble) => Right(v)
     case (LitString(s), SqlVarChar(max)) =>
       if (s.length <= max) Right(s) else Left(TooLarge(s.length, t))
     case _ => Left(NotConvertible(l, t))

@@ -147,6 +147,22 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT DISTINCT name FROM people ORDER BY age").isLeft)
   }
 
+  test("double literals flow through INSERT, WHERE, SET and comparisons") {
+    val db = freshDb()
+    assert(db.query("CREATE TABLE m (id INT, price DOUBLE)").isRight)
+    assert(db.query("INSERT INTO m VALUES (1, 1.5), (2, 2.25), (3, -0.75), (4, 10)").isRight)
+    val over = db.select("SELECT id FROM m WHERE price > 1.6 ORDER BY id").toOption.get
+    assert(over.collect().map(_.getInt(0)).toSeq == Seq(2, 4))
+    assert(db.query("UPDATE m SET price = 99.5 WHERE id = 3").isRight)
+    val upd = db.select("SELECT price FROM m WHERE id = 3").toOption.get
+    assert(upd.collect().map(_.getDouble(0)).toSeq == Seq(99.5))
+    // BETWEEN with double bounds
+    val mid = db.select("SELECT id FROM m WHERE price BETWEEN 1.0 AND 3.0 ORDER BY id").toOption.get
+    assert(mid.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // a double literal does not convert into an INT column
+    assert(db.query("INSERT INTO m VALUES (5.5, 1.0)").isLeft)
+  }
+
   test("join ORDER follows the statistics (DPccp parity) — flipping stats flips the plan") {
     // three-table comma-join; orders is the fact, customer/nation dims.
     // With equal edge selectivities the DP joins the CHEAPER dimension
