@@ -80,6 +80,7 @@ object Analyzer {
     final case class BLit(l: Lit) extends BoundOperand
     /** Aggregate operand — HAVING scope only. */
     final case class BAgg(func: String, arg: Option[BoundCol]) extends BoundOperand
+    final case class BArith(op: Char, l: BoundOperand, r: BoundOperand) extends BoundOperand
   }
   sealed trait BoundExpr
   object BoundExpr {
@@ -208,6 +209,11 @@ object Analyzer {
       tables.flatMap(bt => bt.desc.attributes.map(a =>
         SelectItem.SCol(ColRef(Some(bt.binding), a.name)))))
 
+    val numericTypes: SqlType => Boolean = {
+      case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt | SqlType.SqlDouble => true
+      case _ => false
+    }
+
     def bindOp(o: Operand, allowAgg: Boolean): Either[AnalyzerError, BoundOperand] = o match {
       case Operand.Col(c)     => bindCol(c).map(BoundOperand.BCol)
       case Operand.Literal(v) => Right(BoundOperand.BLit(v))
@@ -218,6 +224,20 @@ object Analyzer {
         }
       case Operand.AggCall(f, _) =>
         Left(BadAggregate(s"$f(...) is only valid in HAVING"))
+      case Operand.Arith(ch, l, r) =>
+        // arithmetic legs must be numeric where typed (columns); literals
+        // and nested arithmetic check recursively
+        def numOk(b: BoundOperand): Either[AnalyzerError, Unit] = b match {
+          case BoundOperand.BCol(c) if !numericTypes(c.attr.sqlType) =>
+            Left(NotComparable(c.attr.sqlType, SqlType.SqlDouble))
+          case _ => Right(())
+        }
+        for {
+          bl <- bindOp(l, allowAgg)
+          br <- bindOp(r, allowAgg)
+          _ <- numOk(bl)
+          _ <- numOk(br)
+        } yield BoundOperand.BArith(ch, bl, br)
     }
 
     def bindExpr(e: Expr, allowAgg: Boolean = false): Either[AnalyzerError, BoundExpr] = e match {
@@ -253,11 +273,6 @@ object Analyzer {
             case _ => Right(())
           }
         } yield BoundExpr.BCmp(op, bl, br)
-    }
-
-    val numericTypes: SqlType => Boolean = {
-      case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt | SqlType.SqlDouble => true
-      case _ => false
     }
 
     def bindItem(it: SelectItem): Either[AnalyzerError, BoundItem] = it match {
@@ -320,16 +335,18 @@ object Analyzer {
       _ <- having match {
         case None => Right(())
         case Some(h) =>
+          def opCols(o: BoundOperand): Seq[BoundCol] = o match {
+            case BoundOperand.BCol(c)         => Seq(c)
+            case BoundOperand.BArith(_, l, r) => opCols(l) ++ opCols(r)
+            case _                            => Nil
+          }
           def cols(x: BoundExpr): Seq[BoundCol] = x match {
             case BoundExpr.BAnd(l, r) => cols(l) ++ cols(r)
             case BoundExpr.BOr(l, r)  => cols(l) ++ cols(r)
             case BoundExpr.BNot(e)    => cols(e)
-            case BoundExpr.BIsNull(o, _) =>
-              Seq(o).collect { case BoundOperand.BCol(c) => c }
-            case BoundExpr.BLike(o, _, _) =>
-              Seq(o).collect { case BoundOperand.BCol(c) => c }
-            case BoundExpr.BCmp(_, l, r) =>
-              Seq(l, r).collect { case BoundOperand.BCol(c) => c }
+            case BoundExpr.BIsNull(o, _)  => opCols(o)
+            case BoundExpr.BLike(o, _, _) => opCols(o)
+            case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
           }
           cols(h).find(c => !group.exists(g =>
             g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) match {

@@ -30,6 +30,8 @@ object Ast {
     final case class Literal(lit: Lit) extends Operand
     /** Aggregate call — valid only inside HAVING. */
     final case class AggCall(func: String, arg: Option[ColRef]) extends Operand
+    /** Binary arithmetic (+ - * / %) over operands, usual precedence. */
+    final case class Arith(op: Char, l: Operand, r: Operand) extends Operand
   }
 
   sealed trait Expr

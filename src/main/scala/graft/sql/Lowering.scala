@@ -159,6 +159,7 @@ object Lowering {
         case BoundOperand.BLit(Lit.LitDouble(v)) => lit(v)
         case BoundOperand.BLit(Lit.LitString(x)) => lit(x)
         case BoundOperand.BLit(Lit.LitNull)      => lit(null)
+        case BoundOperand.BArith(op, l, r) => arith(op, havingOperand(l), havingOperand(r))
         case BoundOperand.BAgg(f, arg) =>
           val name = s"__h_${havingAggs.length}"
           havingAggs += ((f, arg, name))
@@ -236,12 +237,22 @@ object Lowering {
       }
   }
 
+  private[sql] def arith(op: Char, lc: Column, rc: Column): Column = op match {
+    case '+' => lc + rc
+    case '-' => lc - rc
+    case '*' => lc * rc
+    case '/' => lc / rc // Spark, like DuckDB's '/', divides integers as double
+    case '%' => lc % rc
+    case o   => sys.error(s"unreachable arithmetic op $o")
+  }
+
   private def lowerOperand(o: BoundOperand): Column = o match {
     case BoundOperand.BCol(c) => col(s"${c.binding}.${c.attr.name}")
     case BoundOperand.BLit(Lit.LitLong(v))   => lit(v)
     case BoundOperand.BLit(Lit.LitDouble(v)) => lit(v)
     case BoundOperand.BLit(Lit.LitString(s)) => lit(s)
     case BoundOperand.BLit(Lit.LitNull)      => lit(null)
+    case BoundOperand.BArith(op, l, r) => arith(op, lowerOperand(l), lowerOperand(r))
     case BoundOperand.BAgg(f, a) =>
       sys.error(s"aggregate $f(${a.fold("*")(_.render)}) outside HAVING")
   }
@@ -257,16 +268,18 @@ object Lowering {
 
   /** The single table binding a conjunct touches, if exactly one. */
   def singleBinding(e: BoundExpr): Option[String] = {
+    def opCols(o: BoundOperand): Seq[String] = o match {
+      case BoundOperand.BCol(c)         => Seq(c.binding)
+      case BoundOperand.BArith(_, l, r) => opCols(l) ++ opCols(r)
+      case _                            => Nil
+    }
     def cols(x: BoundExpr): Seq[String] = x match {
       case BoundExpr.BAnd(l, r) => cols(l) ++ cols(r)
       case BoundExpr.BOr(l, r)  => cols(l) ++ cols(r)
       case BoundExpr.BNot(y)    => cols(y)
-      case BoundExpr.BIsNull(o, _) =>
-        Seq(o).collect { case BoundOperand.BCol(c) => c.binding }
-      case BoundExpr.BLike(o, _, _) =>
-        Seq(o).collect { case BoundOperand.BCol(c) => c.binding }
-      case BoundExpr.BCmp(_, l, r) =>
-        Seq(l, r).collect { case BoundOperand.BCol(c) => c.binding }
+      case BoundExpr.BIsNull(o, _)  => opCols(o)
+      case BoundExpr.BLike(o, _, _) => opCols(o)
+      case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
     }
     cols(e).distinct match {
       case Seq(one) => Some(one)
@@ -281,6 +294,7 @@ object Lowering {
   def lowerExprBare(e: BoundExpr): Column = {
     def bare(o: BoundOperand): Column = o match {
       case BoundOperand.BCol(c) => col(c.attr.name)
+      case BoundOperand.BArith(op, l, r) => arith(op, bare(l), bare(r))
       case other                => lowerOperand(other)
     }
     e match {

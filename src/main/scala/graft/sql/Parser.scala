@@ -39,9 +39,10 @@ object Parser {
         val start = i
         while (i < in.length && (in(i).isLetterOrDigit || in(i) == '_')) i += 1
         out += TIdent(in.substring(start, i), start)
-      } else if (c.isDigit || (c == '-' && i + 1 < in.length && in(i + 1).isDigit)) {
+      } else if (c.isDigit) {
+        // '-' is always a symbol; unary minus is handled in the parser so
+        // binary subtraction (a - 1) and negative literals both work
         val start = i
-        if (c == '-') i += 1
         while (i < in.length && in(i).isDigit) i += 1
         // decimal point followed by a digit → double literal
         if (i + 1 < in.length && in(i) == '.' && in(i + 1).isDigit) {
@@ -66,7 +67,7 @@ object Parser {
         val two = if (i + 1 < in.length) in.substring(i, i + 2) else ""
         if (two == "<>" || two == "<=" || two == ">=" || two == "!=") {
           out += TSym(if (two == "!=") "<>" else two, i); i += 2
-        } else if ("(),.;*=<>".indexOf(c) >= 0) {
+        } else if ("(),.;*=<>+-/%".indexOf(c) >= 0) {
           out += TSym(c.toString, i); i += 1
         } else return Left(ParseError(s"unexpected character '$c'", i))
       }
@@ -279,8 +280,20 @@ object Parser {
 
   private def parsePrimary(p: P, allowAgg: Boolean): Either[ParseError, Expr] = p.peek match {
     case TSym("(", _) =>
-      p.next()
-      parseOr(p, allowAgg).flatMap(e => p.eatSym(")").map(_ => e))
+      // '(' is ambiguous: parenthesized PREDICATE — (a = 1 OR b = 2) —
+      // or parenthesized arithmetic OPERAND — (a + 1) > 2. Try the
+      // predicate first; on failure rewind and parse as an operand.
+      val save = p.i
+      val asPredicate = {
+        p.next()
+        parseOr(p, allowAgg).flatMap(e => p.eatSym(")").map(_ => e))
+      }
+      asPredicate match {
+        case r @ Right(_) => r
+        case Left(_) =>
+          p.i = save
+          parseOperand(p, allowAgg).flatMap(l => parsePredicateTail(p, l, allowAgg))
+      }
     case TIdent(k, _) if k.equalsIgnoreCase("not") =>
       p.next()
       parsePrimary(p, allowAgg).map(Expr.Not)
@@ -357,7 +370,43 @@ object Parser {
     }
   }
 
-  private def parseOperand(p: P, allowAgg: Boolean = false): Either[ParseError, Operand] = p.peek match {
+  /** Operands are full arithmetic expressions with the usual precedence:
+    * factor (unary minus, parens, column, literal, HAVING aggregate) →
+    * term (* / %) → sum (+ -).
+    */
+  private def parseOperand(p: P, allowAgg: Boolean = false): Either[ParseError, Operand] =
+    parseTerm(p, allowAgg).flatMap { first =>
+      def loop(acc: Operand): Either[ParseError, Operand] = p.peek match {
+        case TSym(s @ ("+" | "-"), _) =>
+          p.next()
+          parseTerm(p, allowAgg).flatMap(r => loop(Operand.Arith(s.head, acc, r)))
+        case _ => Right(acc)
+      }
+      loop(first)
+    }
+
+  private def parseTerm(p: P, allowAgg: Boolean): Either[ParseError, Operand] =
+    parseFactor(p, allowAgg).flatMap { first =>
+      def loop(acc: Operand): Either[ParseError, Operand] = p.peek match {
+        case TSym(s @ ("*" | "/" | "%"), _) =>
+          p.next()
+          parseFactor(p, allowAgg).flatMap(r => loop(Operand.Arith(s.head, acc, r)))
+        case _ => Right(acc)
+      }
+      loop(first)
+    }
+
+  private def parseFactor(p: P, allowAgg: Boolean): Either[ParseError, Operand] = p.peek match {
+    case TSym("(", _) =>
+      p.next()
+      parseOperand(p, allowAgg).flatMap(e => p.eatSym(")").map(_ => e))
+    case TSym("-", _) =>
+      p.next()
+      parseFactor(p, allowAgg).map {
+        case Operand.Literal(Lit.LitLong(v))   => Operand.Literal(Lit.LitLong(-v))
+        case Operand.Literal(Lit.LitDouble(v)) => Operand.Literal(Lit.LitDouble(-v))
+        case o => Operand.Arith('-', Operand.Literal(Lit.LitLong(0L)), o)
+      }
     case TInt(v, _)   => p.next(); Right(Operand.Literal(Lit.LitLong(v)))
     case TFloat(v, _) => p.next(); Right(Operand.Literal(Lit.LitDouble(v)))
     case TStr(s, _)   => p.next(); Right(Operand.Literal(Lit.LitString(s)))
@@ -380,6 +429,13 @@ object Parser {
   }
 
   private def parseLit(p: P): Either[ParseError, Lit] = p.peek match {
+    case TSym("-", _) =>
+      p.next()
+      p.peek match {
+        case TInt(v, _)   => p.next(); Right(Lit.LitLong(-v))
+        case TFloat(v, _) => p.next(); Right(Lit.LitDouble(-v))
+        case t => Left(ParseError("expected number after '-'", t.pos))
+      }
     case TInt(v, _)   => p.next(); Right(Lit.LitLong(v))
     case TFloat(v, _) => p.next(); Right(Lit.LitDouble(v))
     case TStr(s, _)   => p.next(); Right(Lit.LitString(s))

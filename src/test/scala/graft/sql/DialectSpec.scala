@@ -147,6 +147,30 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT DISTINCT name FROM people ORDER BY age").isLeft)
   }
 
+  test("arithmetic expressions in WHERE and HAVING") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    def names(sql: String): Seq[String] =
+      db.select(sql).toOption.get.collect().map(_.getString(0)).toSeq.sorted
+    assert(names("SELECT name FROM people WHERE age * 2 > 50") ==
+      Seq("Dr. Emmett L. „Doc“ Brown"))
+    assert(names("SELECT name FROM people WHERE (age + 10) / 2 >= 15") ==
+      Seq("Dr. Emmett L. „Doc“ Brown", "Elon").sorted)
+    assert(names("SELECT name FROM people WHERE age - 25 < 0") == Seq("Elon"))
+    assert(names("SELECT name FROM people WHERE -age < -25") ==
+      Seq("Dr. Emmett L. „Doc“ Brown"))
+    assert(names("SELECT name FROM people WHERE age % 3 = 0") ==
+      Seq("Dr. Emmett L. „Doc“ Brown"))
+    // precedence: * binds tighter than +
+    assert(names("SELECT name FROM people WHERE age + 5 * 2 = 30") == Seq("Elon"))
+    // arithmetic over aggregates in HAVING
+    val h = db.select("SELECT owner_id, count(*) FROM cars GROUP BY owner_id " +
+      "HAVING count(*) * 2 >= 4 ORDER BY owner_id").toOption.get
+    assert(h.collect().map(_.getInt(0)).toSeq == Seq(1))
+    // arithmetic on a non-numeric column is a type error
+    assert(db.query("SELECT name FROM people WHERE name + 1 > 2").isLeft)
+  }
+
   test("double literals flow through INSERT, WHERE, SET and comparisons") {
     val db = freshDb()
     assert(db.query("CREATE TABLE m (id INT, price DOUBLE)").isRight)
