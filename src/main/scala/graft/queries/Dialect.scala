@@ -165,15 +165,17 @@ object Dialect {
              |JOIN nation n ON c.c_nationkey = n.n_nationkey
              |WHERE c.c_acctbal >= 9500 ORDER BY c_custkey""".stripMargin)),
 
-    // Arithmetic predicate surface: expressions with the usual precedence
-    // and parentheses reach Catalyst as plain column algebra (and the
-    // TPC-H net-price shape l_extendedprice * (1 - l_discount) works).
+    // Arithmetic surface: expressions with the usual precedence and
+    // parentheses in BOTH the projection (computed column, mandatory AS)
+    // and the WHERE — the TPC-H net-price shape end-to-end.
     "q_dialect_arith" -> QueryDef(
       (s, d) => run(db(s, d, "lineitem"),
-        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net " +
+          "FROM lineitem " +
           "WHERE l_extendedprice * (1 - l_discount) > 90000 AND l_quantity - 5 >= 40 " +
           "ORDER BY l_orderkey, l_linenumber"),
-      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net
+             |FROM lineitem
              |WHERE l_extendedprice * (1 - l_discount) > 90000 AND l_quantity - 5 >= 40
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 

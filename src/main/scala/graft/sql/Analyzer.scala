@@ -100,6 +100,15 @@ object Analyzer {
     final case class BICol(c: BoundCol, alias: Option[String] = None) extends BoundItem
     final case class BIAgg(func: String, arg: Option[BoundCol],
         alias: Option[String] = None) extends BoundItem
+    /** Computed projection (arithmetic), named by its mandatory alias. */
+    final case class BIExpr(op: BoundOperand, alias: String) extends BoundItem
+  }
+
+  /** All columns referenced by an operand tree. */
+  def operandCols(o: BoundOperand): Seq[BoundCol] = o match {
+    case BoundOperand.BCol(c)         => Seq(c)
+    case BoundOperand.BArith(_, l, r) => operandCols(l) ++ operandCols(r)
+    case _                            => Nil
   }
 
   sealed trait BoundQuery
@@ -284,6 +293,8 @@ object Analyzer {
             Left(BadAggregate(s"$f over non-numeric ${bc.render} (${bc.attr.sqlType.render})"))
           else Right(BoundItem.BIAgg(f, Some(bc), a))
         }
+      case SelectItem.SExpr(op, a) =>
+        bindOp(op, allowAgg = false).map(BoundItem.BIExpr(_, a))
     }
 
     for {
@@ -301,12 +312,17 @@ object Analyzer {
       _ <- {
         val isAgg = group.nonEmpty || proj.exists(_.isInstanceOf[BoundItem.BIAgg])
         if (!isAgg) Right(())
-        else proj.collectFirst {
-          case BoundItem.BICol(c, _) if !group.exists(g =>
-            g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name)) => c
-        } match {
-          case Some(c) => Left(NotInGroupBy(c.render))
-          case None    => Right(())
+        else {
+          def grouped(c: BoundCol) = group.exists(g =>
+            g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))
+          proj.flatMap {
+            case BoundItem.BICol(c, _)   => Seq(c)
+            case BoundItem.BIExpr(op, _) => operandCols(op)
+            case _                       => Nil
+          }.find(!grouped(_)) match {
+            case Some(c) => Left(NotInGroupBy(c.render))
+            case None    => Right(())
+          }
         }
       }
       order <- s.orderBy.foldLeft[Either[AnalyzerError, Vector[(BoundCol, Boolean)]]](

@@ -57,6 +57,10 @@ object Ast {
     final case class SCol(ref: ColRef, alias: Option[String] = None) extends SelectItem
     final case class SAgg(func: String, arg: Option[ColRef],
         alias: Option[String] = None) extends SelectItem
+    /** A computed projection (arithmetic over columns/literals); the AS
+      * alias is mandatory — a computed column needs a name.
+      */
+    final case class SExpr(op: Operand, alias: String) extends SelectItem
   }
 
   /** columns = None means `SELECT *` (star expansion happens in analysis,

@@ -92,17 +92,19 @@ object Lowering {
     def qcol(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
 
     if (!q.isAggregate) {
-      val projCols = q.projection.collect { case BoundItem.BICol(bc, a) => (bc, a) }
+      val namedCols = q.projection.collect { case BoundItem.BICol(bc, a) => (bc, a) }
+      def outputCols: Seq[Column] = q.projection.collect {
+        case BoundItem.BICol(bc, a)  => qcol(bc).as(outName(bc, a))
+        case BoundItem.BIExpr(op, a) => lowerOperandWith(op, qcol).as(a)
+      }
       if (q.distinct) {
         // DISTINCT applies to the PROJECTED rows, so evaluation reorders:
         // project → distinct → sort on output names (the analyzer already
         // required sort keys to be projected) → limit
-        val projected = filtered0
-          .select(projCols.map { case (bc, a) => qcol(bc).as(outName(bc, a)) }: _*)
-          .distinct()
+        val projected = filtered0.select(outputCols: _*).distinct()
         val ordered = if (q.orderBy.isEmpty) projected else projected.orderBy(
           q.orderBy.map { case (bc, desc) =>
-            val name = projCols.collectFirst {
+            val name = namedCols.collectFirst {
               case (pc, a) if pc.binding == bc.binding &&
                 pc.attr.name.equalsIgnoreCase(bc.attr.name) => outName(pc, a)
             }.getOrElse(outName(bc))
@@ -117,7 +119,7 @@ object Lowering {
           q.orderBy.map { case (bc, desc) => if (desc) qcol(bc).desc else qcol(bc).asc }: _*)
         val limited = q.limit.fold(ordered)(n => ordered.limit(
           math.min(n, Int.MaxValue.toLong).toInt))
-        limited.select(projCols.map { case (bc, a) => qcol(bc).as(outName(bc, a)) }: _*)
+        limited.select(outputCols: _*)
       }
     } else {
       // GROUP BY + aggregates: group keys keep their (possibly qualified)
@@ -206,6 +208,9 @@ object Lowering {
         }: _*)
       val projected = ordered.select(q.projection.zipWithIndex.map {
         case (BoundItem.BICol(bc, a), _) => col(groupOut(bc)).as(outName(bc, a))
+        case (BoundItem.BIExpr(op, a), _) =>
+          // computed over group keys (validated): resolve via grouped names
+          lowerOperandWith(op, c => col(groupOut(c))).as(a)
         case (BoundItem.BIAgg(_, _, _), i) => col(aggName(i))
       }: _*)
       // SELECT DISTINCT over an aggregate result: a no-op unless the
@@ -245,6 +250,18 @@ object Lowering {
     case '%' => lc % rc
     case o   => sys.error(s"unreachable arithmetic op $o")
   }
+
+  /** Lower an operand with a caller-chosen column resolution (qualified
+    * for scans/joins, grouped-output names post-aggregation, bare for
+    * single-table DML).
+    */
+  private[sql] def lowerOperandWith(o: BoundOperand, colOf: BoundCol => Column): Column =
+    o match {
+      case BoundOperand.BCol(c) => colOf(c)
+      case BoundOperand.BArith(op, l, r) =>
+        arith(op, lowerOperandWith(l, colOf), lowerOperandWith(r, colOf))
+      case other => lowerOperand(other)
+    }
 
   private def lowerOperand(o: BoundOperand): Column = o match {
     case BoundOperand.BCol(c) => col(s"${c.binding}.${c.attr.name}")

@@ -166,7 +166,18 @@ object Parser {
                 a <- alias()
               } yield SelectItem.SAgg(fn, arg, a)
             case _ =>
-              for { c <- parseColRef(p); a <- alias() } yield SelectItem.SCol(c, a)
+              // an operand that stays a bare column is a plain projection;
+              // anything computed requires AS (a computed column needs a name)
+              val start = p.peek.pos
+              parseOperand(p).flatMap {
+                case Operand.Col(c) => alias().map(a => SelectItem.SCol(c, a))
+                case computed => p.peek match {
+                  case TIdent(s, _) if s.equalsIgnoreCase("as") =>
+                    p.next(); p.ident().map(a => SelectItem.SExpr(computed, a))
+                  case _ => Left(ParseError(
+                    "computed select item requires AS <name>", start))
+                }
+              }
           }
           def loop(acc: Vector[SelectItem]): Either[ParseError, Vector[SelectItem]] =
             item().flatMap { c =>

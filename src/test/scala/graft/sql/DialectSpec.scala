@@ -171,6 +171,25 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT name FROM people WHERE name + 1 > 2").isLeft)
   }
 
+  test("computed projections require AS and work in scan and aggregate contexts") {
+    val db = demoDb()
+    val df = db.select("SELECT name, age * 2 AS dbl, (age + 1) % 7 AS m FROM people " +
+      "WHERE age IS NOT NULL ORDER BY name").toOption.get
+    assert(df.columns.toSeq == Seq("name", "dbl", "m"))
+    // int column × long literal widens to long (Spark numeric promotion)
+    assert(df.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((60L, 3L), (40L, 0L)))
+    // over group keys after aggregation
+    val g = db.select("SELECT owner_id, owner_id * 10 AS tens, count(*) FROM cars " +
+      "GROUP BY owner_id ORDER BY owner_id").toOption.get
+    assert(g.columns.toSeq == Seq("owner_id", "tens", "count_star"))
+    assert(g.collect().map(_.getLong(1)).toSeq == Seq(10L, 20L))
+    // computed column without AS is an error
+    assert(db.query("SELECT age * 2 FROM people").isLeft)
+    // computed over an ungrouped column in an aggregate context is an error
+    assert(db.query("SELECT age * 2 AS x, count(*) FROM people GROUP BY name").isLeft)
+  }
+
   test("double literals flow through INSERT, WHERE, SET and comparisons") {
     val db = freshDb()
     assert(db.query("CREATE TABLE m (id INT, price DOUBLE)").isRight)
