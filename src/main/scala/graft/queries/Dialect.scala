@@ -179,6 +179,20 @@ object Dialect {
              |WHERE l_extendedprice * (1 - l_discount) > 90000 AND l_quantity - 5 >= 40
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // Aggregates over expressions + expressions over aggregates — the
+    // full TPC-H Q1 revenue shape through the dialect front-end. Float
+    // sums round on both sides (oracle-parity rule).
+    "q_dialect_agg_expr" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT l_returnflag, sum(l_extendedprice * (1 - l_discount)) AS revenue, " +
+          "count(*) * 2 AS n2 " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+        .selectExpr("l_returnflag", "round(revenue, 2) AS revenue", "n2"),
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  cast(count(*) * 2 AS bigint) AS n2
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Star expansion + OR (which the reference analyzer rejects,
     // analyzer/mod.rs:183 — supported here).
     "q_dialect_star_or" -> QueryDef(

@@ -79,8 +79,15 @@ object Analyzer {
     final case class BCol(c: BoundCol) extends BoundOperand
     final case class BLit(l: Lit) extends BoundOperand
     /** Aggregate operand — HAVING scope only. */
-    final case class BAgg(func: String, arg: Option[BoundCol]) extends BoundOperand
+    final case class BAgg(func: String, arg: Option[BoundOperand]) extends BoundOperand
     final case class BArith(op: Char, l: BoundOperand, r: BoundOperand) extends BoundOperand
+
+    /** Does the operand tree contain an aggregate call? */
+    def containsAgg(o: BoundOperand): Boolean = o match {
+      case _: BAgg          => true
+      case BArith(_, l, r)  => containsAgg(l) || containsAgg(r)
+      case _                => false
+    }
   }
   sealed trait BoundExpr
   object BoundExpr {
@@ -98,7 +105,7 @@ object Analyzer {
   sealed trait BoundItem
   object BoundItem {
     final case class BICol(c: BoundCol, alias: Option[String] = None) extends BoundItem
-    final case class BIAgg(func: String, arg: Option[BoundCol],
+    final case class BIAgg(func: String, arg: Option[BoundOperand],
         alias: Option[String] = None) extends BoundItem
     /** Computed projection (arithmetic), named by its mandatory alias. */
     final case class BIExpr(op: BoundOperand, alias: String) extends BoundItem
@@ -121,8 +128,11 @@ object Analyzer {
       groupBy: Seq[BoundCol] = Nil,
       having: Option[BoundExpr] = None,
       distinct: Boolean = false) extends BoundQuery {
-    def isAggregate: Boolean =
-      groupBy.nonEmpty || projection.exists(_.isInstanceOf[BoundItem.BIAgg])
+    def isAggregate: Boolean = groupBy.nonEmpty || projection.exists {
+      case _: BoundItem.BIAgg           => true
+      case BoundItem.BIExpr(op, _)      => BoundOperand.containsAgg(op)
+      case _                            => false
+    }
   }
   final case class BoundInsert(desc: TableDesc, rows: Seq[Seq[Any]]) extends BoundQuery
   final case class BoundCreate(desc: TableDesc) extends BoundQuery
@@ -229,10 +239,10 @@ object Analyzer {
       case Operand.AggCall(f, arg) if allowAgg =>
         arg match {
           case None    => Right(BoundOperand.BAgg(f, None))
-          case Some(r) => bindCol(r).map(bc => BoundOperand.BAgg(f, Some(bc)))
+          case Some(r) => bindOp(r, allowAgg = false).map(b => BoundOperand.BAgg(f, Some(b)))
         }
       case Operand.AggCall(f, _) =>
-        Left(BadAggregate(s"$f(...) is only valid in HAVING"))
+        Left(BadAggregate(s"$f(...) is not valid in this context"))
       case Operand.Arith(ch, l, r) =>
         // arithmetic legs must be numeric where typed (columns); literals
         // and nested arithmetic check recursively
@@ -288,13 +298,22 @@ object Analyzer {
       case SelectItem.SCol(r, a) => bindCol(r).map(BoundItem.BICol(_, a))
       case SelectItem.SAgg(f, None, a) => Right(BoundItem.BIAgg(f, None, a))
       case SelectItem.SAgg(f, Some(r), a) =>
-        bindCol(r).flatMap { bc =>
-          if ((f == "sum" || f == "avg") && !numericTypes(bc.attr.sqlType))
-            Left(BadAggregate(s"$f over non-numeric ${bc.render} (${bc.attr.sqlType.render})"))
-          else Right(BoundItem.BIAgg(f, Some(bc), a))
+        bindOp(r, allowAgg = false).flatMap { b =>
+          val badCol = b match {
+            case BoundOperand.BCol(c) if (f == "sum" || f == "avg") &&
+              !numericTypes(c.attr.sqlType) => Some(c)
+            case _ => None
+          }
+          badCol match {
+            case Some(c) => Left(BadAggregate(
+              s"$f over non-numeric ${c.render} (${c.attr.sqlType.render})"))
+            case None => Right(BoundItem.BIAgg(f, Some(b), a))
+          }
         }
       case SelectItem.SExpr(op, a) =>
-        bindOp(op, allowAgg = false).map(BoundItem.BIExpr(_, a))
+        // aggregates ARE allowed inside computed projections — the item
+        // then makes the query aggregate-scoped (count(*) * 2 AS n2)
+        bindOp(op, allowAgg = true).map(BoundItem.BIExpr(_, a))
     }
 
     for {
@@ -310,7 +329,11 @@ object Analyzer {
       }
       // aggregate-scope validation: bare columns must be grouped
       _ <- {
-        val isAgg = group.nonEmpty || proj.exists(_.isInstanceOf[BoundItem.BIAgg])
+        val isAgg = group.nonEmpty || proj.exists {
+          case _: BoundItem.BIAgg      => true
+          case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
+          case _                       => false
+        }
         if (!isAgg) Right(())
         else {
           def grouped(c: BoundCol) = group.exists(g =>
@@ -330,7 +353,11 @@ object Analyzer {
         acc.flatMap(v => bindCol(r).map(b => v :+ (b -> desc)))
       }
       _ <- {
-        val isAgg = group.nonEmpty || proj.exists(_.isInstanceOf[BoundItem.BIAgg])
+        val isAgg = group.nonEmpty || proj.exists {
+          case _: BoundItem.BIAgg      => true
+          case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
+          case _                       => false
+        }
         if (!isAgg) Right(())
         else order.collectFirst {
           case (c, _) if !group.exists(g =>
@@ -343,7 +370,11 @@ object Analyzer {
       having <- s.having match {
         case None => Right(None)
         case Some(e) =>
-          if (group.isEmpty && !proj.exists(_.isInstanceOf[BoundItem.BIAgg]))
+          if (group.isEmpty && !proj.exists {
+            case _: BoundItem.BIAgg      => true
+            case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
+            case _                       => false
+          })
             Left(BadAggregate("HAVING requires GROUP BY or aggregates"))
           else bindExpr(e, allowAgg = true).map(Some(_))
       }

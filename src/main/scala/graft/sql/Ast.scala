@@ -28,8 +28,10 @@ object Ast {
   object Operand {
     final case class Col(ref: ColRef) extends Operand
     final case class Literal(lit: Lit) extends Operand
-    /** Aggregate call — valid only inside HAVING. */
-    final case class AggCall(func: String, arg: Option[ColRef]) extends Operand
+    /** Aggregate call over an optional expression argument (None =
+      * count(*)) — valid in the SELECT list and in HAVING.
+      */
+    final case class AggCall(func: String, arg: Option[Operand]) extends Operand
     /** Binary arithmetic (+ - * / %) over operands, usual precedence. */
     final case class Arith(op: Char, l: Operand, r: Operand) extends Operand
   }
@@ -55,10 +57,11 @@ object Ast {
   sealed trait SelectItem
   object SelectItem {
     final case class SCol(ref: ColRef, alias: Option[String] = None) extends SelectItem
-    final case class SAgg(func: String, arg: Option[ColRef],
+    final case class SAgg(func: String, arg: Option[Operand],
         alias: Option[String] = None) extends SelectItem
-    /** A computed projection (arithmetic over columns/literals); the AS
-      * alias is mandatory — a computed column needs a name.
+    /** A computed projection (arithmetic over columns/literals, possibly
+      * containing aggregate calls); the AS alias is mandatory — a
+      * computed column needs a name.
       */
     final case class SExpr(op: Operand, alias: String) extends SelectItem
   }

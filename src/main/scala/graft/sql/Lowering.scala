@@ -134,7 +134,11 @@ object Lowering {
       }
       val usedNames = scala.collection.mutable.Set.empty[String]
       val aggName: Map[Int, String] = aggItems.map { case (f, arg, alias, i) =>
-        val base = alias.getOrElse(arg.fold("count_star")(a => s"${f}_${a.attr.name}"))
+        val base = alias.getOrElse(arg match {
+          case None                         => "count_star"
+          case Some(BoundOperand.BCol(c))   => s"${f}_${c.attr.name}"
+          case Some(_)                      => s"${f}_expr"
+        })
         val name = if (usedNames.add(base)) base else {
           var k = 2
           while (!usedNames.add(s"${base}_$k")) k += 1
@@ -142,19 +146,21 @@ object Lowering {
         }
         i -> name
       }.toMap
-      def aggCol(f: String, arg: Option[BoundCol]): Column = (f, arg) match {
+      // aggregate over a full expression: sum(a * (1 - b)) lowers the
+      // argument with qualified (pre-aggregation) column resolution
+      def aggCol(f: String, arg: Option[BoundOperand]): Column = (f, arg) match {
         case ("count", None)    => count(lit(1))
-        case ("count", Some(a)) => count(qcol(a))
-        case ("sum", Some(a))   => sum(qcol(a))
-        case ("min", Some(a))   => min(qcol(a))
-        case ("max", Some(a))   => max(qcol(a))
-        case ("avg", Some(a))   => avg(qcol(a))
+        case ("count", Some(a)) => count(lowerOperandWith(a, qcol))
+        case ("sum", Some(a))   => sum(lowerOperandWith(a, qcol))
+        case ("min", Some(a))   => min(lowerOperandWith(a, qcol))
+        case ("max", Some(a))   => max(lowerOperandWith(a, qcol))
+        case ("avg", Some(a))   => avg(lowerOperandWith(a, qcol))
         case other              => sys.error(s"unreachable aggregate $other")
       }
       val aggExprs = aggItems.map { case (f, arg, _, i) => aggCol(f, arg).as(aggName(i)) }
       // HAVING aggregates compute as hidden columns next to the projected
       // ones; the final projection drops them
-      val havingAggs = scala.collection.mutable.ArrayBuffer.empty[(String, Option[BoundCol], String)]
+      val havingAggs = scala.collection.mutable.ArrayBuffer.empty[(String, Option[BoundOperand], String)]
       def havingOperand(o: BoundOperand): Column = o match {
         case BoundOperand.BCol(c) => col(groupOut(c))
         case BoundOperand.BLit(Lit.LitLong(v))   => lit(v)
@@ -189,6 +195,13 @@ object Lowering {
           }
       }
       val havingCond = q.having.map(havingCol)
+      // computed projections in aggregate scope (count(*) * 2 AS n2):
+      // their aggregate calls become hidden agg columns — registered into
+      // the same buffer BEFORE the agg() is assembled — and the expression
+      // evaluates over them (and grouped names) at the final projection
+      val exprCols: Map[Int, Column] = q.projection.zipWithIndex.collect {
+        case (BoundItem.BIExpr(op, a), i) => i -> havingOperand(op).as(a)
+      }.toMap
       val hiddenExprs = havingAggs.map { case (f, arg, name) => aggCol(f, arg).as(name) }
       val allAggs = aggExprs ++ hiddenExprs
       val grouped0 =
@@ -208,9 +221,7 @@ object Lowering {
         }: _*)
       val projected = ordered.select(q.projection.zipWithIndex.map {
         case (BoundItem.BICol(bc, a), _) => col(groupOut(bc)).as(outName(bc, a))
-        case (BoundItem.BIExpr(op, a), _) =>
-          // computed over group keys (validated): resolve via grouped names
-          lowerOperandWith(op, c => col(groupOut(c))).as(a)
+        case (_: BoundItem.BIExpr, i)    => exprCols(i)
         case (BoundItem.BIAgg(_, _, _), i) => col(aggName(i))
       }: _*)
       // SELECT DISTINCT over an aggregate result: a no-op unless the
@@ -270,8 +281,8 @@ object Lowering {
     case BoundOperand.BLit(Lit.LitString(s)) => lit(s)
     case BoundOperand.BLit(Lit.LitNull)      => lit(null)
     case BoundOperand.BArith(op, l, r) => arith(op, lowerOperand(l), lowerOperand(r))
-    case BoundOperand.BAgg(f, a) =>
-      sys.error(s"aggregate $f(${a.fold("*")(_.render)}) outside HAVING")
+    case BoundOperand.BAgg(f, _) =>
+      sys.error(s"aggregate $f(...) outside aggregate scope")
   }
 
   // ---- predicate decomposition for statistics (reference

@@ -147,30 +147,18 @@ object Parser {
       cols <- p.peek match {
         case TSym("*", _) => p.next(); Right(None)
         case _ =>
-          def alias(): Either[ParseError, Option[String]] =
-            if (p.isKw("as")) { p.next(); p.ident().map(Some(_)) }
-            else Right(None)
-          def item(): Either[ParseError, SelectItem] = p.peek match {
-            case TIdent(f, _) if aggFuncs(f.toLowerCase) =>
-              // aggregate call: func(col) or count(*)
-              val fn = f.toLowerCase
-              p.next()
-              for {
-                _ <- p.eatSym("(")
-                arg <- p.peek match {
-                  case TSym("*", pos) if fn == "count" => p.next(); Right(None)
-                  case TSym("*", pos) => Left(ParseError(s"$fn(*) is not valid", pos))
-                  case _ => parseColRef(p).map(Some(_))
-                }
-                _ <- p.eatSym(")")
-                a <- alias()
-              } yield SelectItem.SAgg(fn, arg, a)
-            case _ =>
-              // an operand that stays a bare column is a plain projection;
-              // anything computed requires AS (a computed column needs a name)
-              val start = p.peek.pos
-              parseOperand(p).flatMap {
+          def item(): Either[ParseError, SelectItem] = {
+            // projection items are full operands with aggregates allowed:
+            // a bare column is a plain projection, a bare aggregate call
+            // keeps its derived name, anything computed requires AS
+            val start = p.peek.pos
+            parseOperand(p, allowAgg = true).flatMap { op =>
+              def alias(): Either[ParseError, Option[String]] =
+                if (p.isKw("as")) { p.next(); p.ident().map(Some(_)) }
+                else Right(None)
+              op match {
                 case Operand.Col(c) => alias().map(a => SelectItem.SCol(c, a))
+                case Operand.AggCall(f, arg) => alias().map(a => SelectItem.SAgg(f, arg, a))
                 case computed => p.peek match {
                   case TIdent(s, _) if s.equalsIgnoreCase("as") =>
                     p.next(); p.ident().map(a => SelectItem.SExpr(computed, a))
@@ -178,6 +166,7 @@ object Parser {
                     "computed select item requires AS <name>", start))
                 }
               }
+            }
           }
           def loop(acc: Vector[SelectItem]): Either[ParseError, Vector[SelectItem]] =
             item().flatMap { c =>
@@ -424,6 +413,7 @@ object Parser {
     case TIdent(s, _) if s.equalsIgnoreCase("null") =>
       p.next(); Right(Operand.Literal(Lit.LitNull))
     case TIdent(f, _) if allowAgg && aggFuncs(f.toLowerCase) =>
+      // aggregate over a full (non-aggregate) expression: sum(a * b)
       val fn = f.toLowerCase
       p.next()
       for {
@@ -431,7 +421,7 @@ object Parser {
         arg <- p.peek match {
           case TSym("*", pos) if fn == "count" => p.next(); Right(None)
           case TSym("*", pos) => Left(ParseError(s"$fn(*) is not valid", pos))
-          case _ => parseColRef(p).map(Some(_))
+          case _ => parseOperand(p, allowAgg = false).map(Some(_))
         }
         _ <- p.eatSym(")")
       } yield Operand.AggCall(fn, arg)

@@ -190,6 +190,26 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT age * 2 AS x, count(*) FROM people GROUP BY name").isLeft)
   }
 
+  test("aggregates over expressions and expressions over aggregates") {
+    val db = demoDb()
+    // sum over a computed argument
+    val r = db.select("SELECT owner_id, sum(id * 10) AS s, count(*) * 2 AS n2 " +
+      "FROM cars GROUP BY owner_id ORDER BY owner_id").toOption.get
+    assert(r.columns.toSeq == Seq("owner_id", "s", "n2"))
+    assert(r.collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1, 10L, 2L), (2, 20L, 2L)))
+    // HAVING over an expression aggregate
+    val h = db.select("SELECT owner_id FROM cars GROUP BY owner_id " +
+      "HAVING sum(id * 10) >= 20 ORDER BY owner_id").toOption.get
+    assert(h.collect().map(_.getInt(0)).toSeq == Seq(2))
+    // an aggregate-bearing computed item makes the whole query aggregate-
+    // scoped even with no GROUP BY
+    val t = db.select("SELECT count(*) * 3 AS triple FROM people").toOption.get
+    assert(t.collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // nested aggregates do not parse
+    assert(db.query("SELECT sum(count(*)) AS x FROM cars GROUP BY owner_id").isLeft)
+  }
+
   test("double literals flow through INSERT, WHERE, SET and comparisons") {
     val db = freshDb()
     assert(db.query("CREATE TABLE m (id INT, price DOUBLE)").isRight)

@@ -118,7 +118,7 @@ class ParserSpec extends AnyFunSuite {
   test("group by and aggregates parse") {
     assert(parseOk("SELECT a, count(*), sum(b) FROM t GROUP BY a") ==
       SelectTree(Some(Seq(SCol(ColRef(None, "a")), SAgg("count", None),
-        SAgg("sum", Some(ColRef(None, "b"))))),
+        SAgg("sum", Some(Operand.Col(ColRef(None, "b")))))),
         Seq(TableRef("t", None)), None, Nil, None, Seq(ColRef(None, "a"))))
     parseErr("SELECT sum(*) FROM t")
     parseErr("SELECT a FROM t GROUP a")
