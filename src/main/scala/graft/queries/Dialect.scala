@@ -193,6 +193,17 @@ object Dialect {
              |  cast(count(*) * 2 AS bigint) AS n2
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Uncorrelated IN (SELECT …) membership — lowered as a left-semi join
+    // (hash join at execution; no row multiplication).
+    "q_dialect_in_subquery" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN " +
+          "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000) " +
+          "ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE c_custkey IN
+             |(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Star expansion + OR (which the reference analyzer rejects,
     // analyzer/mod.rs:183 — supported here).
     "q_dialect_star_or" -> QueryDef(

@@ -68,6 +68,9 @@ object Analyzer {
   final case class BadAggregate(detail: String) extends AnalyzerError {
     def msg = s"bad aggregate: $detail"
   }
+  final case class BadSubquery(detail: String) extends AnalyzerError {
+    def msg = s"bad subquery: $detail"
+  }
 
   // ---- bound IR ----
   final case class BoundTable(desc: TableDesc, binding: String)
@@ -97,6 +100,20 @@ object Analyzer {
     final case class BNot(e: BoundExpr) extends BoundExpr
     final case class BIsNull(o: BoundOperand, negated: Boolean) extends BoundExpr
     final case class BLike(o: BoundOperand, pattern: String, negated: Boolean) extends BoundExpr
+    /** Uncorrelated [NOT] IN (SELECT …): lowers to left-semi/anti join.
+      * Note: NOT IN lowers as left-anti, which diverges from SQL's
+      * NULL-poisoned NOT IN when the subquery returns NULLs.
+      */
+    final case class BInSub(o: BoundOperand, sub: BoundSelect, negated: Boolean) extends BoundExpr
+
+    /** Does the bound expression contain a subquery? */
+    def containsSub(e: BoundExpr): Boolean = e match {
+      case BAnd(l, r)   => containsSub(l) || containsSub(r)
+      case BOr(l, r)    => containsSub(l) || containsSub(r)
+      case BNot(x)      => containsSub(x)
+      case _: BInSub    => true
+      case _            => false
+    }
   }
 
   /** A bound SELECT-list entry: plain column or aggregate call, with the
@@ -156,7 +173,11 @@ object Analyzer {
       SelectTree(Some(Seq(SelectItem.SCol(ColRef(None, desc.attributes.head.name)))),
         Seq(TableRef(desc.name, None)), Some(e)),
       new Catalog { def resolve(t: String) = if (t.equalsIgnoreCase(desc.name)) Some(desc) else None }
-    ).map(_.predicate.get)
+    ).map(_.predicate.get).flatMap { b =>
+      if (BoundExpr.containsSub(b))
+        Left(BadSubquery("subqueries are not supported in DELETE/UPDATE predicates"))
+      else Right(b)
+    }
 
   private def analyzeDelete(d: DeleteTree, cat: Catalog): Either[AnalyzerError, BoundDelete] =
     cat.resolve(d.table) match {
@@ -259,13 +280,34 @@ object Analyzer {
         } yield BoundOperand.BArith(ch, bl, br)
     }
 
-    def bindExpr(e: Expr, allowAgg: Boolean = false): Either[AnalyzerError, BoundExpr] = e match {
+    def bindExpr(e: Expr, allowAgg: Boolean = false,
+        topLevel: Boolean = true): Either[AnalyzerError, BoundExpr] = e match {
       case Expr.And(l, r) =>
-        for { bl <- bindExpr(l, allowAgg); br <- bindExpr(r, allowAgg) } yield BoundExpr.BAnd(bl, br)
+        for {
+          bl <- bindExpr(l, allowAgg, topLevel)
+          br <- bindExpr(r, allowAgg, topLevel)
+        } yield BoundExpr.BAnd(bl, br)
       case Expr.Or(l, r) =>
-        for { bl <- bindExpr(l, allowAgg); br <- bindExpr(r, allowAgg) } yield BoundExpr.BOr(bl, br)
+        for {
+          bl <- bindExpr(l, allowAgg, topLevel = false)
+          br <- bindExpr(r, allowAgg, topLevel = false)
+        } yield BoundExpr.BOr(bl, br)
       case Expr.Not(x) =>
-        bindExpr(x, allowAgg).map(BoundExpr.BNot)
+        bindExpr(x, allowAgg, topLevel = false).map(BoundExpr.BNot)
+      case Expr.InSubquery(o, sub, neg) =>
+        if (allowAgg)
+          Left(BadSubquery("subqueries are not supported in HAVING"))
+        else if (!topLevel)
+          Left(BadSubquery("IN (SELECT …) must be a top-level AND conjunct"))
+        else
+          for {
+            bo <- bindOp(o, allowAgg = false)
+            bsub <- analyzeSelect(sub, cat)
+            _ <-
+              if (bsub.projection.length == 1) Right(())
+              else Left(BadSubquery(
+                s"subquery must project exactly one column, got ${bsub.projection.length}"))
+          } yield BoundExpr.BInSub(bo, bsub, neg)
       case Expr.IsNull(o, neg) =>
         bindOp(o, allowAgg).map(BoundExpr.BIsNull(_, neg))
       case Expr.Like(o, pat, neg) =>
@@ -394,6 +436,7 @@ object Analyzer {
             case BoundExpr.BIsNull(o, _)  => opCols(o)
             case BoundExpr.BLike(o, _, _) => opCols(o)
             case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
+            case BoundExpr.BInSub(o, _, _) => opCols(o) // unreachable: no subqueries in HAVING
           }
           cols(h).find(c => !group.exists(g =>
             g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) match {

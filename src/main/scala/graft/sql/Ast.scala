@@ -47,6 +47,10 @@ object Ast {
     final case class IsNull(o: Operand, negated: Boolean) extends Expr
     /** <operand> [NOT] LIKE '<pattern>' (%/_ wildcards, standard SQL). */
     final case class Like(o: Operand, pattern: String, negated: Boolean) extends Expr
+    /** <operand> [NOT] IN (SELECT …) — uncorrelated subquery membership,
+      * lowered as a left-semi/left-anti join.
+      */
+    final case class InSubquery(o: Operand, sub: SelectTree, negated: Boolean) extends Expr
     // BETWEEN and IN (literal list) desugar in the parser:
     // x BETWEEN a AND b → x >= a AND x <= b; x IN (a, b) → x = a OR x = b
   }

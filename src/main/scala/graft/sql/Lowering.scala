@@ -39,14 +39,17 @@ object Lowering {
       // sides from estimates the same way, optimizer/optimizer.rs:177-180)
       if (broadcastBindings(bt.binding)) broadcast(df) else df
     }
-    val conj: Seq[BoundExpr] = q.predicate.map(conjuncts).getOrElse(Nil)
+    val allConj: Seq[BoundExpr] = q.predicate.map(conjuncts).getOrElse(Nil)
+    // IN (SELECT …) conjuncts lower as semi/anti joins AFTER the plain
+    // filter/join phase (the analyzer restricts them to top-level ANDs)
+    val (subConjs, conj) = allConj.partition(_.isInstanceOf[BoundExpr.BInSub])
     // equi-conjunct across two bindings → usable as an explicit join cond
     def equiSides(c: BoundExpr): Option[(String, String)] = c match {
       case BoundExpr.BCmp(Ast.CmpOp.Eq, BoundOperand.BCol(a), BoundOperand.BCol(b))
           if a.binding != b.binding => Some((a.binding, b.binding))
       case _ => None
     }
-    val filtered0 = joinPlan match {
+    val plainFiltered = joinPlan match {
       case Some(tree) =>
         // stats-chosen join ORDER (GraftDatabase.planJoinOrder → DPccp
         // parity): build the tree explicitly, attaching each equi-conjunct
@@ -76,7 +79,17 @@ object Lowering {
         else joined.filter(residual.map(lowerExpr).reduce(_ && _))
       case None =>
         val joined = base.reduceLeft(_.crossJoin(_))
-        q.predicate.fold(joined)(p => joined.filter(lowerExpr(p)))
+        if (conj.isEmpty) joined
+        else joined.filter(conj.map(lowerExpr).reduce(_ && _))
+    }
+    // membership subqueries: each lowers independently (its own scope) and
+    // joins left-semi (IN) / left-anti (NOT IN) on the single output column
+    val filtered0 = subConjs.foldLeft(plainFiltered) {
+      case (df, BoundExpr.BInSub(o, sub, neg)) =>
+        val subDf = lowerSelect(spark, sub, source)
+        val joinType = if (neg) "left_anti" else "left_semi"
+        df.join(subDf, lowerOperand(o) === subDf(subDf.columns.head), joinType)
+      case (df, _) => df
     }
 
     // Output naming: the user's AS alias wins; otherwise bare attribute
@@ -183,6 +196,8 @@ object Lowering {
         case BoundExpr.BLike(o, pat, neg) =>
           val c = havingOperand(o).like(pat)
           if (neg) !c else c
+        case BoundExpr.BInSub(_, _, _) =>
+          sys.error("unreachable: analyzer rejects subqueries in HAVING")
         case BoundExpr.BCmp(op, l, r) =>
           val (lc, rc) = (havingOperand(l), havingOperand(r))
           op match {
@@ -241,6 +256,8 @@ object Lowering {
     case BoundExpr.BLike(o, pat, neg) =>
       val c = lowerOperand(o).like(pat)
       if (neg) !c else c
+    case BoundExpr.BInSub(_, _, _) =>
+      sys.error("subquery conjuncts lower as semi/anti joins, not Column expressions")
     case BoundExpr.BCmp(op, l, r) =>
       val (lc, rc) = (lowerOperand(l), lowerOperand(r))
       op match {
@@ -294,8 +311,12 @@ object Lowering {
     case other                => Seq(other)
   }
 
-  /** The single table binding a conjunct touches, if exactly one. */
+  /** The single table binding a conjunct touches, if exactly one. A
+    * subquery conjunct is never single-table (it cannot run against a
+    * sample, so the estimator must skip it).
+    */
   def singleBinding(e: BoundExpr): Option[String] = {
+    var hasSub = false
     def opCols(o: BoundOperand): Seq[String] = o match {
       case BoundOperand.BCol(c)         => Seq(c.binding)
       case BoundOperand.BArith(_, l, r) => opCols(l) ++ opCols(r)
@@ -308,8 +329,11 @@ object Lowering {
       case BoundExpr.BIsNull(o, _)  => opCols(o)
       case BoundExpr.BLike(o, _, _) => opCols(o)
       case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
+      case BoundExpr.BInSub(_, _, _) => hasSub = true; Nil
     }
-    cols(e).distinct match {
+    val found = cols(e).distinct
+    if (hasSub) None
+    else found match {
       case Seq(one) => Some(one)
       case _        => None
     }
@@ -335,6 +359,8 @@ object Lowering {
       case BoundExpr.BLike(o, pat, neg) =>
         val c = bare(o).like(pat)
         if (neg) !c else c
+      case BoundExpr.BInSub(_, _, _) =>
+        sys.error("unreachable: analyzer rejects subqueries in DML predicates")
       case BoundExpr.BCmp(op, l, r) =>
         val (lc, rc) = (bare(l), bare(r))
         op match {

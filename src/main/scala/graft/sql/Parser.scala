@@ -342,7 +342,21 @@ object Parser {
           }
         } else if (p.isKw("in")) {
           p.next()
-          litList().map { vs =>
+          // IN (SELECT …) is a subquery membership; IN (literal, …)
+          // desugars to an OR chain
+          val isSubquery = {
+            val save = p.i
+            val r = p.eatSym("(").isRight && p.isKw("select")
+            p.i = save
+            r
+          }
+          if (isSubquery)
+            for {
+              _ <- p.eatSym("(")
+              sub <- parseSelect(p)
+              _ <- p.eatSym(")")
+            } yield Expr.InSubquery(l, sub, neg)
+          else litList().map { vs =>
             val eqs = vs.map(v => Expr.Cmp(CmpOp.Eq, l, Operand.Literal(v)): Expr)
             val any = eqs.reduce(Expr.Or(_, _))
             if (neg) Expr.Not(any) else any

@@ -210,6 +210,27 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT sum(count(*)) AS x FROM cars GROUP BY owner_id").isLeft)
   }
 
+  test("IN (SELECT …) subqueries lower as semi/anti joins") {
+    val db = demoDb()
+    val s = db.select("SELECT name FROM people WHERE id IN (SELECT owner_id FROM cars) " +
+      "ORDER BY id").toOption.get
+    assert(s.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
+    assert(s.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      s.queryExecution.executedPlan.toString)
+    val a = db.select("SELECT name FROM people WHERE id NOT IN (SELECT owner_id FROM cars) " +
+      "ORDER BY id").toOption.get
+    assert(a.collect().map(_.getString(0)).toSeq == Seq("Marty McFly"))
+    // subquery with its own predicate
+    val f = db.select("SELECT name FROM people WHERE id IN " +
+      "(SELECT owner_id FROM cars WHERE model LIKE 'T%')").toOption.get
+    assert(f.collect().map(_.getString(0)).toSeq == Seq("Elon"))
+    // shape/placement errors
+    assert(db.query("SELECT name FROM people WHERE id IN (SELECT id, owner_id FROM cars)").isLeft)
+    assert(db.query("SELECT name FROM people WHERE id IN (SELECT owner_id FROM cars) OR age = 20").isLeft)
+    assert(db.query("DELETE FROM people WHERE id IN (SELECT owner_id FROM cars)").isLeft)
+  }
+
   test("double literals flow through INSERT, WHERE, SET and comparisons") {
     val db = freshDb()
     assert(db.query("CREATE TABLE m (id INT, price DOUBLE)").isRight)
