@@ -204,6 +204,18 @@ object Dialect {
              |(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Scalar comparison subquery (group-less aggregate = one row by
+    // construction): broadcast join of the 1-row frame + filter. max() is
+    // exact, so the threshold is bit-identical across engines.
+    "q_dialect_scalar_sub" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+          "WHERE o_totalprice >= (SELECT max(o_totalprice) FROM orders) " +
+          "ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice >= (SELECT max(o_totalprice) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Star expansion + OR (which the reference analyzer rejects,
     // analyzer/mod.rs:183 — supported here).
     "q_dialect_star_or" -> QueryDef(

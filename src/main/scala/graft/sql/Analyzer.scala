@@ -105,6 +105,10 @@ object Analyzer {
       * NULL-poisoned NOT IN when the subquery returns NULLs.
       */
     final case class BInSub(o: BoundOperand, sub: BoundSelect, negated: Boolean) extends BoundExpr
+    /** Scalar comparison subquery: the sub is a group-less aggregate, so
+      * exactly one row — lowered as a broadcast cross join + filter.
+      */
+    final case class BCmpSub(op: CmpOp, o: BoundOperand, sub: BoundSelect) extends BoundExpr
 
     /** Does the bound expression contain a subquery? */
     def containsSub(e: BoundExpr): Boolean = e match {
@@ -112,6 +116,7 @@ object Analyzer {
       case BOr(l, r)    => containsSub(l) || containsSub(r)
       case BNot(x)      => containsSub(x)
       case _: BInSub    => true
+      case _: BCmpSub   => true
       case _            => false
     }
   }
@@ -308,6 +313,24 @@ object Analyzer {
               else Left(BadSubquery(
                 s"subquery must project exactly one column, got ${bsub.projection.length}"))
           } yield BoundExpr.BInSub(bo, bsub, neg)
+      case Expr.CmpSubquery(op, o, sub) =>
+        if (allowAgg)
+          Left(BadSubquery("subqueries are not supported in HAVING"))
+        else if (!topLevel)
+          Left(BadSubquery("a scalar subquery must be a top-level AND conjunct"))
+        else
+          for {
+            bo <- bindOp(o, allowAgg = false)
+            bsub <- analyzeSelect(sub, cat)
+            _ <-
+              if (bsub.projection.length != 1)
+                Left(BadSubquery(
+                  s"scalar subquery must project exactly one column, got ${bsub.projection.length}"))
+              else if (!bsub.isAggregate || bsub.groupBy.nonEmpty)
+                Left(BadSubquery(
+                  "scalar subquery must be a group-less aggregate (one row by construction)"))
+              else Right(())
+          } yield BoundExpr.BCmpSub(op, bo, bsub)
       case Expr.IsNull(o, neg) =>
         bindOp(o, allowAgg).map(BoundExpr.BIsNull(_, neg))
       case Expr.Like(o, pat, neg) =>
@@ -436,7 +459,8 @@ object Analyzer {
             case BoundExpr.BIsNull(o, _)  => opCols(o)
             case BoundExpr.BLike(o, _, _) => opCols(o)
             case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
-            case BoundExpr.BInSub(o, _, _) => opCols(o) // unreachable: no subqueries in HAVING
+            case BoundExpr.BInSub(o, _, _)  => opCols(o) // unreachable: no subqueries in HAVING
+            case BoundExpr.BCmpSub(_, o, _) => opCols(o) // unreachable: no subqueries in HAVING
           }
           cols(h).find(c => !group.exists(g =>
             g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) match {

@@ -51,6 +51,10 @@ object Ast {
       * lowered as a left-semi/left-anti join.
       */
     final case class InSubquery(o: Operand, sub: SelectTree, negated: Boolean) extends Expr
+    /** <operand> <cmp> (SELECT agg(…) …) — scalar comparison subquery;
+      * restricted to group-less aggregates so one row is static fact.
+      */
+    final case class CmpSubquery(op: CmpOp, l: Operand, sub: SelectTree) extends Expr
     // BETWEEN and IN (literal list) desugar in the parser:
     // x BETWEEN a AND b → x >= a AND x <= b; x IN (a, b) → x = a OR x = b
   }

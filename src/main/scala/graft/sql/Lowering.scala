@@ -40,9 +40,13 @@ object Lowering {
       if (broadcastBindings(bt.binding)) broadcast(df) else df
     }
     val allConj: Seq[BoundExpr] = q.predicate.map(conjuncts).getOrElse(Nil)
-    // IN (SELECT …) conjuncts lower as semi/anti joins AFTER the plain
-    // filter/join phase (the analyzer restricts them to top-level ANDs)
-    val (subConjs, conj) = allConj.partition(_.isInstanceOf[BoundExpr.BInSub])
+    // subquery conjuncts — IN (SELECT …) and scalar comparisons — lower
+    // as joins AFTER the plain filter/join phase (the analyzer restricts
+    // them to top-level ANDs)
+    val (subConjs, conj) = allConj.partition {
+      case _: BoundExpr.BInSub | _: BoundExpr.BCmpSub => true
+      case _ => false
+    }
     // equi-conjunct across two bindings → usable as an explicit join cond
     def equiSides(c: BoundExpr): Option[(String, String)] = c match {
       case BoundExpr.BCmp(Ast.CmpOp.Eq, BoundOperand.BCol(a), BoundOperand.BCol(b))
@@ -82,13 +86,28 @@ object Lowering {
         if (conj.isEmpty) joined
         else joined.filter(conj.map(lowerExpr).reduce(_ && _))
     }
-    // membership subqueries: each lowers independently (its own scope) and
-    // joins left-semi (IN) / left-anti (NOT IN) on the single output column
-    val filtered0 = subConjs.foldLeft(plainFiltered) {
-      case (df, BoundExpr.BInSub(o, sub, neg)) =>
+    // each subquery lowers independently (its own scope); membership joins
+    // left-semi/left-anti on the single output column, a scalar comparison
+    // broadcast-joins the statically-one-row frame and filters
+    val filtered0 = subConjs.zipWithIndex.foldLeft(plainFiltered) {
+      case (df, (BoundExpr.BInSub(o, sub, neg), _)) =>
         val subDf = lowerSelect(spark, sub, source)
         val joinType = if (neg) "left_anti" else "left_semi"
         df.join(subDf, lowerOperand(o) === subDf(subDf.columns.head), joinType)
+      case (df, (BoundExpr.BCmpSub(op, o, sub), i)) =>
+        val scalarName = s"__scalar_$i"
+        val subDf = lowerSelect(spark, sub, source).toDF(scalarName)
+        val lc = lowerOperand(o)
+        val sc = col(scalarName)
+        val cond = op match {
+          case Ast.CmpOp.Eq  => lc === sc
+          case Ast.CmpOp.Neq => lc =!= sc
+          case Ast.CmpOp.Lt  => lc < sc
+          case Ast.CmpOp.Gt  => lc > sc
+          case Ast.CmpOp.Le  => lc <= sc
+          case Ast.CmpOp.Ge  => lc >= sc
+        }
+        df.join(broadcast(subDf), cond, "inner").drop(scalarName)
       case (df, _) => df
     }
 
@@ -196,7 +215,7 @@ object Lowering {
         case BoundExpr.BLike(o, pat, neg) =>
           val c = havingOperand(o).like(pat)
           if (neg) !c else c
-        case BoundExpr.BInSub(_, _, _) =>
+        case BoundExpr.BInSub(_, _, _) | BoundExpr.BCmpSub(_, _, _) =>
           sys.error("unreachable: analyzer rejects subqueries in HAVING")
         case BoundExpr.BCmp(op, l, r) =>
           val (lc, rc) = (havingOperand(l), havingOperand(r))
@@ -256,8 +275,8 @@ object Lowering {
     case BoundExpr.BLike(o, pat, neg) =>
       val c = lowerOperand(o).like(pat)
       if (neg) !c else c
-    case BoundExpr.BInSub(_, _, _) =>
-      sys.error("subquery conjuncts lower as semi/anti joins, not Column expressions")
+    case BoundExpr.BInSub(_, _, _) | BoundExpr.BCmpSub(_, _, _) =>
+      sys.error("subquery conjuncts lower as joins, not Column expressions")
     case BoundExpr.BCmp(op, l, r) =>
       val (lc, rc) = (lowerOperand(l), lowerOperand(r))
       op match {
@@ -329,7 +348,8 @@ object Lowering {
       case BoundExpr.BIsNull(o, _)  => opCols(o)
       case BoundExpr.BLike(o, _, _) => opCols(o)
       case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
-      case BoundExpr.BInSub(_, _, _) => hasSub = true; Nil
+      case BoundExpr.BInSub(_, _, _)  => hasSub = true; Nil
+      case BoundExpr.BCmpSub(_, _, _) => hasSub = true; Nil
     }
     val found = cols(e).distinct
     if (hasSub) None
@@ -359,7 +379,7 @@ object Lowering {
       case BoundExpr.BLike(o, pat, neg) =>
         val c = bare(o).like(pat)
         if (neg) !c else c
-      case BoundExpr.BInSub(_, _, _) =>
+      case BoundExpr.BInSub(_, _, _) | BoundExpr.BCmpSub(_, _, _) =>
         sys.error("unreachable: analyzer rejects subqueries in DML predicates")
       case BoundExpr.BCmp(op, l, r) =>
         val (lc, rc) = (bare(l), bare(r))

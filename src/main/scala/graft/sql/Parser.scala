@@ -379,8 +379,22 @@ object Parser {
             case TSym(">", _)  => p.next(); Right(CmpOp.Gt)
             case t             => Left(ParseError("expected comparison operator", t.pos))
           }
-          r <- parseOperand(p, allowAgg)
-        } yield Expr.Cmp(op, l, r)
+          // right side: a scalar subquery — (SELECT …) — or a plain operand
+          isSub = {
+            val save = p.i
+            val r = p.eatSym("(").isRight && p.isKw("select")
+            p.i = save
+            r
+          }
+          e <-
+            if (isSub)
+              for {
+                _ <- p.eatSym("(")
+                sub <- parseSelect(p)
+                _ <- p.eatSym(")")
+              } yield Expr.CmpSubquery(op, l, sub): Expr
+            else parseOperand(p, allowAgg).map(r => Expr.Cmp(op, l, r): Expr)
+        } yield e
     }
   }
 

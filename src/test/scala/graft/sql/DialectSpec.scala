@@ -231,6 +231,24 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("DELETE FROM people WHERE id IN (SELECT owner_id FROM cars)").isLeft)
   }
 
+  test("scalar comparison subqueries (group-less aggregates) lower as broadcast joins") {
+    val db = demoDb()
+    // max(age) = 30 → only Doc matches >=
+    val m = db.select("SELECT name FROM people WHERE age >= (SELECT max(age) FROM people)")
+      .toOption.get
+    assert(m.collect().map(_.getString(0)).toSeq == Seq("Dr. Emmett L. „Doc“ Brown"))
+    // count over another table as the scalar
+    val c = db.select("SELECT name FROM people WHERE id <= (SELECT count(*) FROM cars) " +
+      "ORDER BY id").toOption.get
+    assert(c.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
+    // a non-aggregate subquery is rejected (row count not statically one)
+    assert(db.query("SELECT name FROM people WHERE age > (SELECT age FROM people)").isLeft)
+    // grouped aggregate rejected for the same reason
+    assert(db.query(
+      "SELECT name FROM people WHERE age > (SELECT max(age) FROM people GROUP BY name)").isLeft)
+  }
+
   test("double literals flow through INSERT, WHERE, SET and comparisons") {
     val db = freshDb()
     assert(db.query("CREATE TABLE m (id INT, price DOUBLE)").isRight)
