@@ -27,7 +27,10 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // `div` is exact integral division; `/` on a long is DOUBLE division in
+      // Spark, and ns-scale epochs (~1.7e18) exceed a double's 53-bit mantissa,
+      // so the truncated micros could be off by ±1 µs vs exact floor division.
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => raw
     }
   }

@@ -16,43 +16,54 @@ object TimeSeries {
 
     // Gap-based sessionization (batch form of
     // graft.streaming.EventsStreaming.sessionize): 30-min inactivity gap,
-    // one window shuffle on user_id. Session boundaries compare in epoch
-    // micros; outputs stay integer/rounded for oracle stability.
+    // one window shuffle on user_id. Session boundaries compare at
+    // MILLISECOND resolution on both engines (floor(epoch_us/1000)): the
+    // source column is parquet timestamp[ns], and the two engines may
+    // truncate vs round the ns→µs cast differently, so any µs-resolution
+    // comparison is one representation quirk away from flipping a boundary.
+    // At ms resolution no sub-ms representation difference can flip it.
+    // All outputs are integers (value sum as exact decimal cents) so the
+    // cross-engine hash has no float channel at all.
     "q_sessionize" -> QueryDef(
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy("ts", "event_id")
+          .partitionBy("user_id").orderBy("ts_ms", "event_id")
         events(s, d)
-          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+          .withColumn("prev_ms", lag("ts_ms", 1).over(w))
           .withColumn("new_session",
-            when(col("prev_ts").isNull ||
-              (expr("unix_micros(ts)") - expr("unix_micros(prev_ts)")) > 30L * 60000000L, 1)
+            when(col("prev_ms").isNull ||
+              (col("ts_ms") - col("prev_ms")) > 30L * 60000L, 1)
               .otherwise(0))
           .withColumn("session_id", sum("new_session").over(
             w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
           .groupBy("user_id", "session_id")
           // sum as decimal: double summation is sensitive to partition
           // accumulation order, which can flip round() at the boundary
-          // between runs; decimal summation is exact and order-independent
+          // between runs; decimal summation is exact and order-independent.
+          // Emitted as integer cents — no double anywhere in the output.
           .agg(count(lit(1)).as("n_events"),
-            round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"),
-            expr("cast((unix_micros(max(ts)) - unix_micros(min(ts))) / 1000000 AS bigint)")
-              .as("duration_sec"))
+            (round(sum(col("value").cast("decimal(18,6)")), 2) * 100)
+              .cast("long").as("total_cents"),
+            ((max("ts_ms") - min("ts_ms")).cast("long").divide(lit(1000L)))
+              .cast("long").as("duration_sec"))
           .orderBy("user_id", "session_id")
       },
       Some("""SELECT user_id, session_id, cast(count(*) AS bigint) AS n_events,
-             |  cast(round(sum(cast("value" AS DECIMAL(18,6))), 2) AS double) AS total_value,
-             |  cast((epoch_us(cast(max(ts) AS timestamp)) - epoch_us(cast(min(ts) AS timestamp))) // 1000000 AS bigint) AS duration_sec
+             |  cast(round(sum(cast("value" AS DECIMAL(18,6))), 2) * 100 AS bigint) AS total_cents,
+             |  cast((max(ts_ms) - min(ts_ms)) // 1000 AS bigint) AS duration_sec
              |FROM (
-             |  SELECT user_id, ts, "value", event_id,
-             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |  SELECT user_id, ts_ms, "value", event_id,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
              |  FROM (
-             |    SELECT user_id, ts, "value", event_id,
-             |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-             |             OR epoch_us(cast(ts AS timestamp)) - epoch_us(cast(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS timestamp)) > 1800000000
+             |    SELECT user_id, ts_ms, "value", event_id,
+             |      CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+             |             OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
              |           THEN 1 ELSE 0 END AS new_session
-             |    FROM events) x) y
+             |    FROM (SELECT user_id, "value", event_id,
+             |            epoch_us(cast(ts AS timestamp)) // 1000 AS ts_ms
+             |          FROM events) e) x) y
              |GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
