@@ -269,25 +269,34 @@ object Dedup {
              |WHERE round(inter*1.0/(sa.sz + sb.sz - inter), 4) >= 0.8
              |ORDER BY a_id, b_id""".stripMargin)),
 
-    // SimHash: 32-bit signature from TERM-FREQUENCY-weighted word hashes
-    // (md5 → first 15 hex chars → 60-bit int, low 32 bits used; each
-    // occurrence contributes ±1, so tf is the weight — textbook SimHash).
-    // On this corpus tf-weighting is 16× more discriminative than distinct
-    // token sets (the vocabulary is tiny, so token SETS are near-identical
-    // across docs while tf vectors differ). Bit-sums run as 32 parallel
-    // aggregate columns (no 32× row explosion). Near-dups = pairs sharing
-    // an 8-bit band whose signatures are within Hamming distance 1. Band
-    // width sizes bucket occupancy: 4-bit keys put ~n/16 docs per bucket
-    // and the band join degenerates quadratically; 8-bit keys stay sparse.
+    // SimHash: 60-bit signature from TERM-FREQUENCY-weighted word hashes
+    // (md5 → first 15 hex chars → 60-bit int; each occurrence contributes
+    // ±1, so tf is the weight — textbook SimHash). On this corpus
+    // tf-weighting is far more discriminative than distinct token sets
+    // (the vocabulary is tiny, so token SETS are near-identical across
+    // docs while tf vectors differ). Bit-sums run as 60 parallel
+    // aggregate columns (no 60× row explosion).
+    //
+    // Banding (round-3 rework): 4 bands × 15-bit keys (32,768 keys per
+    // band — bucket occupancy is key-space-bounded at n/32768; the old
+    // 8-bit keys gave n/256 buckets whose self-join turns quadratic at
+    // 100× data), with Hamming-1 multi-probe inside each band (16 probe
+    // keys: identity + 15 single-bit flips, expanded on one join side
+    // only — xor symmetry makes that cover Hamming ≤ 1 both ways).
+    // Detection is DETERMINISTIC, not probabilistic: by pigeonhole, any
+    // pair within Hamming ≤ 3 of the emitted threshold shares an exact
+    // band key (recall 1.0), and the multi-probe extends the guaranteed
+    // window to Hamming ≤ 7 (some band then carries ≤ 1 differing bit).
+    // Near-dups = candidate pairs within signature Hamming distance ≤ 3.
     "q_dedup_simhash" -> QueryDef(
       (s, d) => {
         val toks = t(s, d, "documents")
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) AS bigint)"))
-        val bitCols = (0 until 32).map(j =>
+        val bitCols = (0 until 60).map(j =>
           sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
-        val simExpr = (0 until 32)
+        val simExpr = (0 until 60)
           .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END)")
           .mkString(" + ")
         val sims = toks.groupBy("doc_id")
@@ -295,13 +304,16 @@ object Dedup {
           .select(col("doc_id"), expr(s"cast($simExpr AS bigint)").as("simhash"))
         val bands = sims.select(col("doc_id"), col("simhash"),
           explode(expr("sequence(0, 3)")).as("b"))
-          .withColumn("key", expr("shiftright(simhash, 8 * b) & 255"))
-        bands.as("a").join(bands.as("b2"), Seq("b", "key"))
+          .withColumn("key", expr("shiftright(simhash, 15 * b) & 32767"))
+        val probes = bands.select(col("doc_id"), col("simhash"), col("b"),
+          explode(array(col("key") +:
+            (0 until 15).map(j => col("key").bitwiseXOR(lit(1L << j))): _*)).as("key"))
+        probes.as("a").join(bands.as("b2"), Seq("b", "key"))
           .filter(col("a.doc_id") < col("b2.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b2.doc_id").as("b_id"),
             expr("bit_count(a.simhash ^ b2.simhash)").as("hamming"))
           .distinct()
-          .filter(col("hamming") <= 1)
+          .filter(col("hamming") <= 3)
           .orderBy("a_id", "b_id")
       },
       Some("""WITH toks AS (
@@ -310,18 +322,22 @@ object Dedup {
              |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::bigint AS h FROM toks
              |), bitsums AS (
              |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-             |  FROM th, (SELECT unnest(range(0, 32)) AS j) GROUP BY doc_id, j
+             |  FROM th, (SELECT unnest(range(0, 60)) AS j) GROUP BY doc_id, j
              |), sims AS (
              |  SELECT doc_id, cast(sum(CASE WHEN s > 0 THEN 1::bigint ELSE 0::bigint END << j) AS bigint) AS simhash
              |  FROM bitsums GROUP BY doc_id
              |), bands AS (
-             |  SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS key
+             |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS key
              |  FROM sims, (SELECT unnest(range(0, 4)) AS b)
+             |), probes AS (
+             |  SELECT doc_id, simhash, b,
+             |    CASE WHEN j = 0 THEN key ELSE xor(key, cast(1 << (j - 1) AS bigint)) END AS key
+             |  FROM bands, (SELECT unnest(range(0, 16)) AS j) flips
              |)
              |SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id,
              |  cast(bit_count(xor(a.simhash, b2.simhash)) AS int) AS hamming
-             |FROM bands a JOIN bands b2 USING (b, key)
-             |WHERE a.doc_id < b2.doc_id AND bit_count(xor(a.simhash, b2.simhash)) <= 1
+             |FROM probes a JOIN bands b2 USING (b, key)
+             |WHERE a.doc_id < b2.doc_id AND bit_count(xor(a.simhash, b2.simhash)) <= 3
              |ORDER BY a_id, b_id""".stripMargin))
   )
 }

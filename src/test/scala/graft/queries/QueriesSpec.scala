@@ -85,7 +85,8 @@ class QueriesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.nonEmpty, "fixture should contain near-dup pairs")
     // LSH searches a candidate subset: everything it returns must be a true
-    // pair, and it must catch nearly all of them (measured 65/66 at sf0.001)
+    // pair, and it must catch nearly all of them (measured 61/66 at sf0.001
+    // with the 16×8-bit + Hamming-1 multi-probe geometry)
     assert(lsh.subsetOf(brute), s"false positives: ${lsh -- brute}")
     val recall = (lsh & brute).size.toDouble / brute.size
     assert(recall >= 0.9, s"LSH neardup recall $recall over ${brute.size} pairs")
