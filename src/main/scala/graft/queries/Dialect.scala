@@ -223,6 +223,80 @@ object Dialect {
         "SELECT * FROM region WHERE r_name = 'ASIA' OR r_regionkey < 1")
         .orderBy("r_regionkey"),
       Some("""SELECT * FROM region WHERE r_name = 'ASIA' OR r_regionkey < 1
-             |ORDER BY r_regionkey""".stripMargin))
+             |ORDER BY r_regionkey""".stripMargin)),
+
+    // Correlated EXISTS: the equality conjunct decorrelates into a
+    // left-semi join condition; the price filter stays inside the
+    // subquery. One hash semi-join — no per-outer-row re-execution.
+    "q_dialect_exists" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS " +
+          "(SELECT o.o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey " +
+          "AND o.o_totalprice > 400000) ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c WHERE EXISTS
+             |(SELECT o.o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey
+             | AND o.o_totalprice > 400000) ORDER BY c_custkey""".stripMargin)),
+
+    // Correlated NOT EXISTS → left-anti join (customers with no
+    // high-value order).
+    "q_dialect_not_exists" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
+          "(SELECT o.o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey " +
+          "AND o.o_totalprice > 300000) ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS
+             |(SELECT o.o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey
+             | AND o.o_totalprice > 300000) ORDER BY c_custkey""".stripMargin)),
+
+    // General scalar subquery: ORDER BY + LIMIT 1 is statically one row
+    // (no aggregate needed) — the sort+limit sub broadcast-joins.
+    "q_dialect_scalar_limit" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+          "WHERE o_totalprice >= (SELECT o_totalprice FROM orders " +
+          "ORDER BY o_totalprice DESC LIMIT 1) ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice >= (SELECT o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC LIMIT 1) ORDER BY o_orderkey""".stripMargin)),
+
+    // LEFT OUTER JOIN through the dialect front-end, with a compound ON
+    // (the acctbal conjunct nulls out non-matches instead of filtering).
+    "q_dialect_left_join" -> QueryDef(
+      (s, d) => run(db(s, d, "nation", "customer"),
+        "SELECT n_nationkey, n_name, c_custkey, c_name " +
+          "FROM nation n LEFT JOIN customer c " +
+          "ON n.n_nationkey = c.c_nationkey AND c.c_acctbal >= 9900 " +
+          "ORDER BY n_nationkey, c_custkey"),
+      Some("""SELECT n_nationkey, n_name, c_custkey, c_name
+             |FROM nation n LEFT JOIN customer c
+             |ON n.n_nationkey = c.c_nationkey AND c.c_acctbal >= 9900
+             |ORDER BY n_nationkey, c_custkey""".stripMargin)),
+
+    // FULL OUTER JOIN: the restrictive ON leaves dangling rows on both
+    // sides (nations ≥ 10 lose their region, regions keep nations < 10).
+    "q_dialect_full_join" -> QueryDef(
+      (s, d) => run(db(s, d, "region", "nation"),
+        "SELECT r_regionkey, r_name, n_nationkey, n_name " +
+          "FROM region r FULL OUTER JOIN nation n " +
+          "ON r.r_regionkey = n.n_regionkey AND n.n_nationkey < 10 " +
+          "ORDER BY r_regionkey, n_nationkey"),
+      Some("""SELECT r_regionkey, r_name, n_nationkey, n_name
+             |FROM region r FULL OUTER JOIN nation n
+             |ON r.r_regionkey = n.n_regionkey AND n.n_nationkey < 10
+             |ORDER BY r_regionkey, n_nationkey""".stripMargin)),
+
+    // UNION chain, left-associative with per-connector dedup: the first
+    // two branches append (UNION ALL), the final UNION dedups the rows
+    // the third branch re-selects.
+    "q_dialect_union" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "supplier"),
+        "SELECT c_name AS name, c_acctbal AS bal FROM customer WHERE c_acctbal >= 9950 " +
+          "UNION ALL SELECT s_name AS name, s_acctbal AS bal FROM supplier WHERE s_acctbal >= 9950 " +
+          "UNION SELECT c_name AS name, c_acctbal AS bal FROM customer WHERE c_acctbal >= 9990 " +
+          "ORDER BY name"),
+      Some("""SELECT c_name AS name, c_acctbal AS bal FROM customer WHERE c_acctbal >= 9950
+             |UNION ALL SELECT s_name AS name, s_acctbal AS bal FROM supplier WHERE s_acctbal >= 9950
+             |UNION SELECT c_name AS name, c_acctbal AS bal FROM customer WHERE c_acctbal >= 9990
+             |ORDER BY name""".stripMargin))
   )
 }

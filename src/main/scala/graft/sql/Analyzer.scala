@@ -100,15 +100,28 @@ object Analyzer {
     final case class BNot(e: BoundExpr) extends BoundExpr
     final case class BIsNull(o: BoundOperand, negated: Boolean) extends BoundExpr
     final case class BLike(o: BoundOperand, pattern: String, negated: Boolean) extends BoundExpr
-    /** Uncorrelated [NOT] IN (SELECT …): lowers to left-semi/anti join.
+    /** [NOT] IN (SELECT …): lowers to left-semi/anti join. `pairs` are the
+      * decorrelated equality conjuncts (outer col, inner col) pulled out of
+      * the subquery's WHERE into the join condition; empty = uncorrelated.
       * Note: NOT IN lowers as left-anti, which diverges from SQL's
       * NULL-poisoned NOT IN when the subquery returns NULLs.
       */
-    final case class BInSub(o: BoundOperand, sub: BoundSelect, negated: Boolean) extends BoundExpr
-    /** Scalar comparison subquery: the sub is a group-less aggregate, so
-      * exactly one row — lowered as a broadcast cross join + filter.
+    final case class BInSub(o: BoundOperand, sub: BoundSelect,
+        pairs: Seq[(BoundCol, BoundCol)], negated: Boolean) extends BoundExpr
+    /** [NOT] EXISTS (SELECT …): left-semi/anti join on the decorrelated
+      * equality pairs (uncorrelated = constant-condition semi join against
+      * a one-row frame).
       */
-    final case class BCmpSub(op: CmpOp, o: BoundOperand, sub: BoundSelect) extends BoundExpr
+    final case class BExists(sub: BoundSelect,
+        pairs: Seq[(BoundCol, BoundCol)], negated: Boolean) extends BoundExpr
+    /** Scalar comparison subquery — broadcast join of the one-row frame +
+      * filter. `guard = false` when one row is a static fact (group-less
+      * aggregate, or LIMIT ≤ 1); otherwise the lowering enforces the
+      * one-row contract at runtime and fails like the reference's error
+      * surface (database.rs:38-45 style).
+      */
+    final case class BCmpSub(op: CmpOp, o: BoundOperand, sub: BoundSelect,
+        guard: Boolean) extends BoundExpr
 
     /** Does the bound expression contain a subquery? */
     def containsSub(e: BoundExpr): Boolean = e match {
@@ -116,6 +129,7 @@ object Analyzer {
       case BOr(l, r)    => containsSub(l) || containsSub(r)
       case BNot(x)      => containsSub(x)
       case _: BInSub    => true
+      case _: BExists   => true
       case _: BCmpSub   => true
       case _            => false
     }
@@ -133,12 +147,101 @@ object Analyzer {
     final case class BIExpr(op: BoundOperand, alias: String) extends BoundItem
   }
 
-  /** All columns referenced by an operand tree. */
+  /** All columns referenced by an operand tree (aggregate arguments are
+    * NOT traversed — they are exempt from group-scope checks).
+    */
   def operandCols(o: BoundOperand): Seq[BoundCol] = o match {
     case BoundOperand.BCol(c)         => Seq(c)
     case BoundOperand.BArith(_, l, r) => operandCols(l) ++ operandCols(r)
     case _                            => Nil
   }
+
+  /** Like operandCols but traverses into aggregate arguments too (scope
+    * leak detection in decorrelation).
+    */
+  private def operandColsDeep(o: BoundOperand): Seq[BoundCol] = o match {
+    case BoundOperand.BCol(c)         => Seq(c)
+    case BoundOperand.BArith(_, l, r) => operandColsDeep(l) ++ operandColsDeep(r)
+    case BoundOperand.BAgg(_, arg)    => arg.toSeq.flatMap(operandColsDeep)
+    case _                            => Nil
+  }
+
+  /** All columns referenced directly by an expression tree (subquery
+    * bodies are NOT traversed — only their outer-facing operands/pairs).
+    */
+  def exprCols(e: BoundExpr): Seq[BoundCol] = e match {
+    case BoundExpr.BAnd(l, r)       => exprCols(l) ++ exprCols(r)
+    case BoundExpr.BOr(l, r)        => exprCols(l) ++ exprCols(r)
+    case BoundExpr.BNot(x)          => exprCols(x)
+    case BoundExpr.BIsNull(o, _)    => operandCols(o)
+    case BoundExpr.BLike(o, _, _)   => operandCols(o)
+    case BoundExpr.BCmp(_, l, r)    => operandCols(l) ++ operandCols(r)
+    case BoundExpr.BInSub(o, _, ps, _) => operandCols(o) ++ ps.map(_._1)
+    case BoundExpr.BExists(_, ps, _)   => ps.map(_._1)
+    case BoundExpr.BCmpSub(_, o, _, _) => operandCols(o)
+  }
+
+  /** Split a correlated subquery into an uncorrelated core + the
+    * equality join pairs (outer col, inner col) pulled from its WHERE —
+    * the standard decorrelation for the semi/anti-join lowering. Only
+    * top-level equality conjuncts may cross scopes; any other outer
+    * reference (projection, grouping, ordering, non-equality predicate,
+    * OR branch) is rejected. A correlated subquery must not aggregate or
+    * LIMIT: both change meaning under global (per-join, not per-outer-row)
+    * evaluation.
+    */
+  private def decorrelate(sub: BoundSelect)
+      : Either[AnalyzerError, (BoundSelect, Seq[(BoundCol, BoundCol)])] = {
+    val inner = (sub.tables.map(_.binding) ++ sub.outerJoins.map(_.table.binding)).toSet
+    def isOuter(c: BoundCol) = !inner(c.binding)
+    def conj(e: BoundExpr): Seq[BoundExpr] = e match {
+      case BoundExpr.BAnd(l, r) => conj(l) ++ conj(r)
+      case other                => Seq(other)
+    }
+    val nonPredCols: Seq[BoundCol] =
+      sub.projection.flatMap {
+        case BoundItem.BICol(c, _)      => Seq(c)
+        case BoundItem.BIExpr(op, _)    => operandColsDeep(op)
+        case BoundItem.BIAgg(_, arg, _) => arg.toSeq.flatMap(operandColsDeep)
+      } ++ sub.groupBy ++ sub.orderBy.map(_._1) ++
+        sub.having.toSeq.flatMap(exprCols) ++
+        sub.outerJoins.flatMap(oj => exprCols(oj.on))
+    nonPredCols.find(isOuter) match {
+      case Some(c) => Left(BadSubquery(
+        s"correlated reference ${c.render} is only supported as an equality in the subquery's WHERE"))
+      case None =>
+        val conjs = sub.predicate.map(conj).getOrElse(Nil)
+        val pairs = Vector.newBuilder[(BoundCol, BoundCol)]
+        val kept = Vector.newBuilder[BoundExpr]
+        for (c <- conjs) {
+          c match {
+            case BoundExpr.BCmp(CmpOp.Eq, BoundOperand.BCol(a), BoundOperand.BCol(b))
+                if isOuter(a) != isOuter(b) =>
+              if (isOuter(a)) pairs += ((a, b)) else pairs += ((b, a))
+            case other =>
+              exprCols(other).find(isOuter) match {
+                case Some(cc) => return Left(BadSubquery(
+                  s"correlated reference ${cc.render} is only supported as a " +
+                    "top-level equality conjunct (col = outer_col)"))
+                case None => kept += other
+              }
+          }
+        }
+        val ps = pairs.result()
+        if (ps.isEmpty) Right((sub, Nil))
+        else if (sub.isAggregate)
+          Left(BadSubquery("a correlated subquery must not aggregate"))
+        else if (sub.limit.isDefined)
+          Left(BadSubquery("a correlated subquery must not use LIMIT"))
+        else
+          Right((sub.copy(predicate = kept.result().reduceOption(BoundExpr.BAnd(_, _))), ps))
+    }
+  }
+
+  /** An outer-join step: applied in order after the inner-join group,
+    * with its ON condition attached (never WHERE-desugared).
+    */
+  final case class BoundOuterJoin(joinType: String, table: BoundTable, on: BoundExpr)
 
   sealed trait BoundQuery
   final case class BoundSelect(
@@ -149,13 +252,23 @@ object Analyzer {
       limit: Option[Long] = None,
       groupBy: Seq[BoundCol] = Nil,
       having: Option[BoundExpr] = None,
-      distinct: Boolean = false) extends BoundQuery {
+      distinct: Boolean = false,
+      outerJoins: Seq[BoundOuterJoin] = Nil) extends BoundQuery {
     def isAggregate: Boolean = groupBy.nonEmpty || projection.exists {
       case _: BoundItem.BIAgg           => true
       case BoundItem.BIExpr(op, _)      => BoundOperand.containsAgg(op)
       case _                            => false
     }
   }
+  /** UNION chain, left-associative; each connector's dedup applies at its
+    * step. ORDER BY keys are output names of the first branch.
+    */
+  final case class BoundUnion(
+      first: BoundSelect,
+      rest: Seq[(Boolean /* all */, BoundSelect)],
+      orderBy: Seq[(String, Boolean)],
+      limit: Option[Long]) extends BoundQuery
+
   final case class BoundInsert(desc: TableDesc, rows: Seq[Seq[Any]]) extends BoundQuery
   final case class BoundCreate(desc: TableDesc) extends BoundQuery
   final case class BoundDelete(desc: TableDesc, predicate: Option[BoundExpr]) extends BoundQuery
@@ -166,11 +279,32 @@ object Analyzer {
 
   def analyze(tree: ParseTree, cat: Catalog): Either[AnalyzerError, BoundQuery] = tree match {
     case s: SelectTree => analyzeSelect(s, cat)
+    case u: UnionTree  => analyzeUnion(u, cat)
     case i: InsertTree => analyzeInsert(i, cat)
     case c: CreateTree => analyzeCreate(c, cat)
     case d: DeleteTree => analyzeDelete(d, cat)
     case u: UpdateTree => analyzeUpdate(u, cat)
   }
+
+  /** UNION [ALL] chain: every branch analyzes independently; arity must
+    * match across branches (column NAMES come from the first branch, SQL
+    * convention). ORDER BY keys resolve against the first branch's output
+    * names at lowering time.
+    */
+  private def analyzeUnion(u: UnionTree, cat: Catalog): Either[AnalyzerError, BoundUnion] =
+    for {
+      first <- analyzeSelect(u.first, cat)
+      rest <- u.rest.foldLeft[Either[AnalyzerError, Vector[(Boolean, BoundSelect)]]](
+        Right(Vector.empty)) { case (acc, (all, s)) =>
+        acc.flatMap(v => analyzeSelect(s, cat).flatMap { b =>
+          if (b.projection.length == first.projection.length) Right(v :+ (all -> b))
+          else Left(BadSubquery(
+            s"UNION branches must project the same number of columns " +
+              s"(${first.projection.length} vs ${b.projection.length})"))
+        })
+      }
+    } yield BoundUnion(first, rest,
+      u.orderBy.map { case (c, desc) => (c.name, desc) }, u.limit)
 
   /** Bind a WHERE expression against one table (DELETE/UPDATE scope). */
   private def bindSingleTableExpr(desc: TableDesc, e: Expr): Either[AnalyzerError, BoundExpr] =
@@ -215,11 +349,15 @@ object Analyzer {
         }
     }
 
-  private def analyzeSelect(s: SelectTree, cat: Catalog): Either[AnalyzerError, BoundSelect] = {
+  /** `outerScope`: the enclosing query's tables, visible to correlated
+    * subqueries (one level — inner bindings shadow outer ones).
+    */
+  private def analyzeSelect(s: SelectTree, cat: Catalog,
+      outerScope: Seq[BoundTable] = Nil): Either[AnalyzerError, BoundSelect] = {
     // resolve FROM with bindings (alias or table name, reference
-    // analyzer/mod.rs:48-61)
+    // analyzer/mod.rs:48-61); outer-join step tables enter the same scope
     val bound = scala.collection.mutable.LinkedHashMap.empty[String, BoundTable]
-    for (tr <- s.from) {
+    for (tr <- s.from ++ s.outerJoins.map(_.table)) {
       cat.resolve(tr.name) match {
         case None => return Left(RelationNotFound(tr.name))
         case Some(desc) =>
@@ -228,11 +366,17 @@ object Analyzer {
           bound(b) = BoundTable(desc, b)
       }
     }
+    // scope = inner FROM group + outer-join step tables, in declaration
+    // order (LinkedHashMap); BoundSelect.tables carries only the inner
+    // group (the join-order DP must not reorder across an outer join)
     val tables = bound.values.toSeq
+    val innerTables = tables.take(s.from.length)
+    val stepTables = tables.drop(s.from.length)
 
     def bindCol(ref: ColRef): Either[AnalyzerError, BoundCol] = ref.binding match {
       case Some(b) =>
-        bound.get(b.toLowerCase) match {
+        bound.get(b.toLowerCase)
+          .orElse(outerScope.find(_.binding == b.toLowerCase)) match {
           case None => Left(UnboundBinding(b))
           case Some(bt) =>
             bt.desc.attr(ref.name) match {
@@ -244,7 +388,15 @@ object Analyzer {
         val hits = tables.flatMap(bt => bt.desc.attr(ref.name).map(a => BoundCol(bt.binding, a)))
         hits match {
           case Seq(one) => Right(one)
-          case Seq()    => Left(UnboundAttribute(ref.name))
+          case Seq() =>
+            // fall back to the enclosing scope (correlated reference)
+            val outerHits = outerScope.flatMap(bt =>
+              bt.desc.attr(ref.name).map(a => BoundCol(bt.binding, a)))
+            outerHits match {
+              case Seq(one) => Right(one)
+              case Seq()    => Left(UnboundAttribute(ref.name))
+              case _        => Left(AmbiguousAttribute(ref.name))
+            }
           case _        => Left(AmbiguousAttribute(ref.name))
         }
     }
@@ -307,12 +459,23 @@ object Analyzer {
         else
           for {
             bo <- bindOp(o, allowAgg = false)
-            bsub <- analyzeSelect(sub, cat)
+            bsub0 <- analyzeSelect(sub, cat, outerScope = tables)
             _ <-
-              if (bsub.projection.length == 1) Right(())
+              if (bsub0.projection.length == 1) Right(())
               else Left(BadSubquery(
-                s"subquery must project exactly one column, got ${bsub.projection.length}"))
-          } yield BoundExpr.BInSub(bo, bsub, neg)
+                s"subquery must project exactly one column, got ${bsub0.projection.length}"))
+            dp <- decorrelate(bsub0)
+          } yield BoundExpr.BInSub(bo, dp._1, dp._2, neg)
+      case Expr.Exists(sub, neg) =>
+        if (allowAgg)
+          Left(BadSubquery("subqueries are not supported in HAVING"))
+        else if (!topLevel)
+          Left(BadSubquery("EXISTS (SELECT …) must be a top-level AND conjunct"))
+        else
+          for {
+            bsub0 <- analyzeSelect(sub, cat, outerScope = tables)
+            dp <- decorrelate(bsub0)
+          } yield BoundExpr.BExists(dp._1, dp._2, neg)
       case Expr.CmpSubquery(op, o, sub) =>
         if (allowAgg)
           Left(BadSubquery("subqueries are not supported in HAVING"))
@@ -321,16 +484,17 @@ object Analyzer {
         else
           for {
             bo <- bindOp(o, allowAgg = false)
-            bsub <- analyzeSelect(sub, cat)
+            bsub <- analyzeSelect(sub, cat) // scalar subqueries stay uncorrelated
             _ <-
               if (bsub.projection.length != 1)
                 Left(BadSubquery(
                   s"scalar subquery must project exactly one column, got ${bsub.projection.length}"))
-              else if (!bsub.isAggregate || bsub.groupBy.nonEmpty)
-                Left(BadSubquery(
-                  "scalar subquery must be a group-less aggregate (one row by construction)"))
               else Right(())
-          } yield BoundExpr.BCmpSub(op, bo, bsub)
+            // one row is a STATIC fact for a group-less aggregate or a
+            // LIMIT ≤ 1 subquery; anything else carries a runtime guard
+            staticOne =
+              (bsub.isAggregate && bsub.groupBy.isEmpty) || bsub.limit.exists(_ <= 1L)
+          } yield BoundExpr.BCmpSub(op, bo, bsub, guard = !staticOne)
       case Expr.IsNull(o, neg) =>
         bindOp(o, allowAgg).map(BoundExpr.BIsNull(_, neg))
       case Expr.Like(o, pat, neg) =>
@@ -389,6 +553,21 @@ object Analyzer {
         case None    => Right(None)
         case Some(e) => bindExpr(e).map(Some(_))
       }
+      // outer-join ON conditions: bound in the full scope, then checked
+      // against the tables visible at that step (inner group + earlier
+      // steps + the step's own table); no subqueries, no aggregates
+      outerJs <- s.outerJoins.zip(stepTables).zipWithIndex
+        .foldLeft[Either[AnalyzerError, Vector[BoundOuterJoin]]](Right(Vector.empty)) {
+          case (acc, ((oj, bt), k)) => acc.flatMap { v =>
+            bindExpr(oj.on, allowAgg = false, topLevel = false).flatMap { be =>
+              val visible = (innerTables ++ stepTables.take(k + 1)).map(_.binding).toSet
+              exprCols(be).find(c => !visible(c.binding)) match {
+                case Some(c) => Left(UnboundBinding(c.binding))
+                case None    => Right(v :+ BoundOuterJoin(oj.joinType, bt, be))
+              }
+            }
+          }
+        }
       group <- s.groupBy.foldLeft[Either[AnalyzerError, Vector[BoundCol]]](Right(Vector.empty)) {
         (acc, r) => acc.flatMap(v => bindCol(r).map(v :+ _))
       }
@@ -443,7 +622,8 @@ object Analyzer {
             Left(BadAggregate("HAVING requires GROUP BY or aggregates"))
           else bindExpr(e, allowAgg = true).map(Some(_))
       }
-      // bare columns inside HAVING must be grouped
+      // bare columns inside HAVING must be grouped (aggregate arguments
+      // are exempt — they aggregate over the group)
       _ <- having match {
         case None => Right(())
         case Some(h) =>
@@ -459,8 +639,9 @@ object Analyzer {
             case BoundExpr.BIsNull(o, _)  => opCols(o)
             case BoundExpr.BLike(o, _, _) => opCols(o)
             case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
-            case BoundExpr.BInSub(o, _, _)  => opCols(o) // unreachable: no subqueries in HAVING
-            case BoundExpr.BCmpSub(_, o, _) => opCols(o) // unreachable: no subqueries in HAVING
+            case BoundExpr.BInSub(o, _, _, _)  => opCols(o) // unreachable: no subqueries in HAVING
+            case BoundExpr.BExists(_, _, _)    => Nil       // unreachable: no subqueries in HAVING
+            case BoundExpr.BCmpSub(_, o, _, _) => opCols(o) // unreachable: no subqueries in HAVING
           }
           cols(h).find(c => !group.exists(g =>
             g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) match {
@@ -482,7 +663,8 @@ object Analyzer {
           case Some(c) => Left(DistinctOrderBy(c.render))
           case None    => Right(())
         }
-    } yield BoundSelect(tables, proj, pred, order, s.limit, group, having, s.distinct)
+    } yield BoundSelect(innerTables, proj, pred, order, s.limit, group, having,
+      s.distinct, outerJs)
   }
 
   private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {

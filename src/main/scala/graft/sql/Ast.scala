@@ -47,12 +47,18 @@ object Ast {
     final case class IsNull(o: Operand, negated: Boolean) extends Expr
     /** <operand> [NOT] LIKE '<pattern>' (%/_ wildcards, standard SQL). */
     final case class Like(o: Operand, pattern: String, negated: Boolean) extends Expr
-    /** <operand> [NOT] IN (SELECT …) — uncorrelated subquery membership,
-      * lowered as a left-semi/left-anti join.
+    /** <operand> [NOT] IN (SELECT …) — subquery membership, lowered as a
+      * left-semi/left-anti join; equality-correlated inner predicates pull
+      * into the join condition (decorrelation).
       */
     final case class InSubquery(o: Operand, sub: SelectTree, negated: Boolean) extends Expr
-    /** <operand> <cmp> (SELECT agg(…) …) — scalar comparison subquery;
-      * restricted to group-less aggregates so one row is static fact.
+    /** [NOT] EXISTS (SELECT …) — lowered as a left-semi/left-anti join;
+      * equality-correlated inner predicates become the join condition.
+      */
+    final case class Exists(sub: SelectTree, negated: Boolean) extends Expr
+    /** <operand> <cmp> (SELECT …) — scalar comparison subquery: a
+      * group-less aggregate or LIMIT ≤ 1 subquery is one row statically;
+      * anything else gets a runtime one-row guard.
       */
     final case class CmpSubquery(op: CmpOp, l: Operand, sub: SelectTree) extends Expr
     // BETWEEN and IN (literal list) desugar in the parser:
@@ -74,10 +80,17 @@ object Ast {
     final case class SExpr(op: Operand, alias: String) extends SelectItem
   }
 
+  /** LEFT/RIGHT/FULL [OUTER] JOIN step applied (in order) after the
+    * inner-join FROM group; its ON condition must stay attached to the
+    * join (outer-join ONs are not WHERE-desugarable).
+    */
+  final case class OuterJoin(joinType: String /* left|right|full */,
+      table: TableRef, on: Expr)
+
   /** columns = None means `SELECT *` (star expansion happens in analysis,
     * like reference analyzer/mod.rs:68-73). ORDER BY / LIMIT / GROUP BY +
-    * aggregates / DISTINCT / JOIN … ON are additive over the reference
-    * grammar (its README lists them as TODO).
+    * aggregates / DISTINCT / JOIN … ON / outer joins are additive over the
+    * reference grammar (its README lists them as TODO).
     */
   final case class SelectTree(
       columns: Option[Seq[SelectItem]],
@@ -87,7 +100,18 @@ object Ast {
       limit: Option[Long] = None,
       groupBy: Seq[ColRef] = Nil,
       having: Option[Expr] = None,
-      distinct: Boolean = false) extends ParseTree
+      distinct: Boolean = false,
+      outerJoins: Seq[OuterJoin] = Nil) extends ParseTree
+
+  /** SELECT … UNION [ALL] SELECT … [UNION [ALL] …] [ORDER BY …] [LIMIT n],
+    * left-associative (each connector's dedup applies at its own step).
+    * The trailing ORDER BY binds against the FIRST branch's output names.
+    */
+  final case class UnionTree(
+      first: SelectTree,
+      rest: Seq[(Boolean /* all */, SelectTree)],
+      orderBy: Seq[(ColRef, Boolean)] = Nil,
+      limit: Option[Long] = None) extends ParseTree
 
   final case class InsertTree(table: String, rows: Seq[Seq[Lit]]) extends ParseTree
 

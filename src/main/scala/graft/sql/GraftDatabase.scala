@@ -178,11 +178,22 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         spark.read.schema(desc.sparkSchema).parquet(dataPath(desc.name))
     }
 
+  private def lowerOneSelect(s: BoundSelect): DataFrame = {
+    val ests = estimateBindings(s)
+    Lowering.lowerSelect(spark, s, bt => readTable(bt.desc),
+      chooseBroadcastSides(ests), planJoinOrder(s, ests))
+  }
+
   private def execute(q: BoundQuery): QueryResult = q match {
     case s: BoundSelect =>
-      val ests = estimateBindings(s)
-      Rows(Lowering.lowerSelect(spark, s, bt => readTable(bt.desc),
-        chooseBroadcastSides(ests), planJoinOrder(s, ests)))
+      Rows(lowerOneSelect(s))
+
+    case u: BoundUnion =>
+      // every branch gets its own stats-driven plan; the chain itself is
+      // per-connector union/distinct (one shuffle per dedup step)
+      Rows(Lowering.lowerUnion(lowerOneSelect(u.first),
+        u.rest.map { case (all, b) => (all, lowerOneSelect(b)) },
+        u.orderBy, u.limit))
 
     case BoundInsert(desc, rows) =>
       // Batched append: all VALUES rows land in one parquet write
@@ -334,10 +345,18 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         .getOrElse(st.map(x => math.max(x.rowCount, 1L)).getOrElse(1L))
     }
     val edges = s.predicate.map(Lowering.conjuncts).getOrElse(Nil).flatMap {
+      // only edges inside the inner-join group: a conjunct touching an
+      // outer-joined (or correlated) binding is not DP-reorderable
       case BoundExpr.BCmp(Ast.CmpOp.Eq, BoundOperand.BCol(a), BoundOperand.BCol(b))
-          if a.binding != b.binding =>
-        Some(JoinOrder.Edge(idx(a.binding), idx(b.binding),
-          1.0 / math.max(1L, math.max(ndvOf(a), ndvOf(b))).toDouble))
+          if a.binding != b.binding && idx.contains(a.binding) && idx.contains(b.binding) =>
+        // selectivity from joining the two bottom-k samples (sees real key
+        // overlap/skew); 1/max(NDV) only when a sample is missing (e.g.
+        // injected test stats)
+        val da = s.tables.find(_.binding == a.binding).get.desc
+        val dbb = s.tables.find(_.binding == b.binding).get.desc
+        val sel = statistics.estimateJoinSel(da, a.attr.name, dbb, b.attr.name)
+          .getOrElse(1.0 / math.max(1L, math.max(ndvOf(a), ndvOf(b))).toDouble)
+        Some(JoinOrder.Edge(idx(a.binding), idx(b.binding), sel))
       case _ => None
     }
     val tree = JoinOrder.plan(s.tables.length, i => cards(i), edges)

@@ -33,83 +33,7 @@ object Lowering {
       source: BoundTable => DataFrame,
       broadcastBindings: Set[String] = Set.empty,
       joinPlan: Option[JoinOrder.Tree] = None): DataFrame = {
-    val base = q.tables.map { bt =>
-      val df = source(bt).alias(bt.binding)
-      // stats-driven build-side choice (the reference swaps hash-join build
-      // sides from estimates the same way, optimizer/optimizer.rs:177-180)
-      if (broadcastBindings(bt.binding)) broadcast(df) else df
-    }
-    val allConj: Seq[BoundExpr] = q.predicate.map(conjuncts).getOrElse(Nil)
-    // subquery conjuncts — IN (SELECT …) and scalar comparisons — lower
-    // as joins AFTER the plain filter/join phase (the analyzer restricts
-    // them to top-level ANDs)
-    val (subConjs, conj) = allConj.partition {
-      case _: BoundExpr.BInSub | _: BoundExpr.BCmpSub => true
-      case _ => false
-    }
-    // equi-conjunct across two bindings → usable as an explicit join cond
-    def equiSides(c: BoundExpr): Option[(String, String)] = c match {
-      case BoundExpr.BCmp(Ast.CmpOp.Eq, BoundOperand.BCol(a), BoundOperand.BCol(b))
-          if a.binding != b.binding => Some((a.binding, b.binding))
-      case _ => None
-    }
-    val plainFiltered = joinPlan match {
-      case Some(tree) =>
-        // stats-chosen join ORDER (GraftDatabase.planJoinOrder → DPccp
-        // parity): build the tree explicitly, attaching each equi-conjunct
-        // at the first join where both its sides are available; everything
-        // else stays a residual filter on top (Catalyst pushes it down).
-        val conjIdx = conj.zipWithIndex
-        val used = scala.collection.mutable.Set.empty[Int]
-        def build(t: JoinOrder.Tree): (DataFrame, Set[String]) = t match {
-          case JoinOrder.Leaf(i) => (base(i), Set(q.tables(i).binding))
-          case JoinOrder.Node(l, r, _) =>
-            val (ld, ls) = build(l)
-            val (rd, rs) = build(r)
-            val conds = conjIdx.filter { case (c, i) =>
-              !used(i) && equiSides(c).exists { case (x, y) =>
-                (ls(x) && rs(y)) || (ls(y) && rs(x))
-              }
-            }
-            conds.foreach { case (_, i) => used += i }
-            val df =
-              if (conds.isEmpty) ld.crossJoin(rd)
-              else ld.join(rd, conds.map(c => lowerExpr(c._1)).reduce(_ && _))
-            (df, ls ++ rs)
-        }
-        val (joined, _) = build(tree)
-        val residual = conjIdx.collect { case (c, i) if !used(i) => c }
-        if (residual.isEmpty) joined
-        else joined.filter(residual.map(lowerExpr).reduce(_ && _))
-      case None =>
-        val joined = base.reduceLeft(_.crossJoin(_))
-        if (conj.isEmpty) joined
-        else joined.filter(conj.map(lowerExpr).reduce(_ && _))
-    }
-    // each subquery lowers independently (its own scope); membership joins
-    // left-semi/left-anti on the single output column, a scalar comparison
-    // broadcast-joins the statically-one-row frame and filters
-    val filtered0 = subConjs.zipWithIndex.foldLeft(plainFiltered) {
-      case (df, (BoundExpr.BInSub(o, sub, neg), _)) =>
-        val subDf = lowerSelect(spark, sub, source)
-        val joinType = if (neg) "left_anti" else "left_semi"
-        df.join(subDf, lowerOperand(o) === subDf(subDf.columns.head), joinType)
-      case (df, (BoundExpr.BCmpSub(op, o, sub), i)) =>
-        val scalarName = s"__scalar_$i"
-        val subDf = lowerSelect(spark, sub, source).toDF(scalarName)
-        val lc = lowerOperand(o)
-        val sc = col(scalarName)
-        val cond = op match {
-          case Ast.CmpOp.Eq  => lc === sc
-          case Ast.CmpOp.Neq => lc =!= sc
-          case Ast.CmpOp.Lt  => lc < sc
-          case Ast.CmpOp.Gt  => lc > sc
-          case Ast.CmpOp.Le  => lc <= sc
-          case Ast.CmpOp.Ge  => lc >= sc
-        }
-        df.join(broadcast(subDf), cond, "inner").drop(scalarName)
-      case (df, _) => df
-    }
+    val filtered0 = combine(spark, q, source, broadcastBindings, joinPlan)
 
     // Output naming: the user's AS alias wins; otherwise bare attribute
     // name when unique across the projection, binding_attr when duplicated
@@ -215,7 +139,8 @@ object Lowering {
         case BoundExpr.BLike(o, pat, neg) =>
           val c = havingOperand(o).like(pat)
           if (neg) !c else c
-        case BoundExpr.BInSub(_, _, _) | BoundExpr.BCmpSub(_, _, _) =>
+        case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) |
+            BoundExpr.BCmpSub(_, _, _, _) =>
           sys.error("unreachable: analyzer rejects subqueries in HAVING")
         case BoundExpr.BCmp(op, l, r) =>
           val (lc, rc) = (havingOperand(l), havingOperand(r))
@@ -265,6 +190,182 @@ object Lowering {
     }
   }
 
+  /** The relational core of a SELECT: inner-join group (stats-ordered when
+    * a plan is given), WHERE conjuncts, outer-join steps, then subquery
+    * conjuncts as semi/anti/broadcast joins. Everything before
+    * projection/aggregation/ordering — reused directly as the candidate
+    * frame of a correlated subquery (whose projection semantics the
+    * enclosing join supplies).
+    */
+  private def combine(spark: SparkSession, q: BoundSelect,
+      source: BoundTable => DataFrame,
+      broadcastBindings: Set[String],
+      joinPlan: Option[JoinOrder.Tree]): DataFrame = {
+    val base = q.tables.map { bt =>
+      val df = source(bt).alias(bt.binding)
+      // stats-driven build-side choice (the reference swaps hash-join build
+      // sides from estimates the same way, optimizer/optimizer.rs:177-180)
+      if (broadcastBindings(bt.binding)) broadcast(df) else df
+    }
+    val allConj: Seq[BoundExpr] = q.predicate.map(conjuncts).getOrElse(Nil)
+    // subquery conjuncts — IN/EXISTS/scalar comparisons — lower as joins
+    // AFTER the plain filter/join phase (the analyzer restricts them to
+    // top-level ANDs)
+    val (subConjs, conj0) = allConj.partition {
+      case _: BoundExpr.BInSub | _: BoundExpr.BExists | _: BoundExpr.BCmpSub => true
+      case _ => false
+    }
+    // a conjunct that references an outer-joined table must evaluate AFTER
+    // that join (it would be unresolvable — and wrong — before it)
+    val innerB = q.tables.map(_.binding).toSet
+    val (conj, postOuterConj) = conj0.partition(c =>
+      Analyzer.exprCols(c).map(_.binding).toSet.subsetOf(innerB))
+    // equi-conjunct across two bindings → usable as an explicit join cond
+    def equiSides(c: BoundExpr): Option[(String, String)] = c match {
+      case BoundExpr.BCmp(Ast.CmpOp.Eq, BoundOperand.BCol(a), BoundOperand.BCol(b))
+          if a.binding != b.binding => Some((a.binding, b.binding))
+      case _ => None
+    }
+    val plainFiltered = joinPlan match {
+      case Some(tree) =>
+        // stats-chosen join ORDER (GraftDatabase.planJoinOrder → DPccp
+        // parity): build the tree explicitly, attaching each equi-conjunct
+        // at the first join where both its sides are available; everything
+        // else stays a residual filter on top (Catalyst pushes it down).
+        val conjIdx = conj.zipWithIndex
+        val used = scala.collection.mutable.Set.empty[Int]
+        def build(t: JoinOrder.Tree): (DataFrame, Set[String]) = t match {
+          case JoinOrder.Leaf(i) => (base(i), Set(q.tables(i).binding))
+          case JoinOrder.Node(l, r, _) =>
+            val (ld, ls) = build(l)
+            val (rd, rs) = build(r)
+            val conds = conjIdx.filter { case (c, i) =>
+              !used(i) && equiSides(c).exists { case (x, y) =>
+                (ls(x) && rs(y)) || (ls(y) && rs(x))
+              }
+            }
+            conds.foreach { case (_, i) => used += i }
+            val df =
+              if (conds.isEmpty) ld.crossJoin(rd)
+              else ld.join(rd, conds.map(c => lowerExpr(c._1)).reduce(_ && _))
+            (df, ls ++ rs)
+        }
+        val (joined, _) = build(tree)
+        val residual = conjIdx.collect { case (c, i) if !used(i) => c }
+        if (residual.isEmpty) joined
+        else joined.filter(residual.map(lowerExpr).reduce(_ && _))
+      case None =>
+        val joined = base.reduceLeft(_.crossJoin(_))
+        if (conj.isEmpty) joined
+        else joined.filter(conj.map(lowerExpr).reduce(_ && _))
+    }
+    // outer-join steps fold in declaration order with their ON attached;
+    // WHERE conjuncts touching these tables filter afterwards (SQL order)
+    val withOuter = q.outerJoins.foldLeft(plainFiltered) { (df, oj) =>
+      val right = source(oj.table).alias(oj.table.binding)
+      val sparkType = oj.joinType match {
+        case "left"  => "left_outer"
+        case "right" => "right_outer"
+        case _       => "full_outer"
+      }
+      df.join(right, lowerExpr(oj.on), sparkType)
+    }
+    val postFiltered =
+      if (postOuterConj.isEmpty) withOuter
+      else withOuter.filter(postOuterConj.map(lowerExpr).reduce(_ && _))
+    // each subquery lowers independently (its own scope); membership joins
+    // left-semi/left-anti on the single output column (plus decorrelated
+    // equality pairs), EXISTS the same without a value column, and a
+    // scalar comparison broadcast-joins the one-row frame and filters
+    def qcolOf(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
+    subConjs.zipWithIndex.foldLeft(postFiltered) {
+      case (df, (BoundExpr.BInSub(o, sub, pairs, neg), _)) =>
+        val joinType = if (neg) "left_anti" else "left_semi"
+        if (pairs.isEmpty) {
+          val subDf = lowerSelect(spark, sub, source)
+          df.join(subDf, lowerOperand(o) === subDf(subDf.columns.head), joinType)
+        } else {
+          // correlated: the subquery's core + its IN value + the inner
+          // side of each decorrelated pair, joined semi/anti on all of them
+          val core = combine(spark, sub, source, Set.empty, None)
+          val inVal = sub.projection.head match {
+            case BoundItem.BICol(c, _)    => qcolOf(c)
+            case BoundItem.BIExpr(op2, _) => lowerOperandWith(op2, qcolOf)
+            case _: BoundItem.BIAgg =>
+              sys.error("unreachable: a correlated subquery must not aggregate")
+          }
+          val subDf = core.select(inVal.as("__in_v") +:
+            pairs.zipWithIndex.map { case ((_, ic), k) => qcolOf(ic).as(s"__c$k") }: _*)
+          val cond = (lowerOperand(o) === subDf("__in_v")) +:
+            pairs.zipWithIndex.map { case ((oc, _), k) => qcolOf(oc) === subDf(s"__c$k") }
+          df.join(subDf, cond.reduce(_ && _), joinType)
+        }
+      case (df, (BoundExpr.BExists(sub, pairs, neg), _)) =>
+        val joinType = if (neg) "left_anti" else "left_semi"
+        if (pairs.isEmpty) {
+          // uncorrelated EXISTS: emptiness of the whole subquery decides
+          // for every outer row — a one-row broadcast semi join
+          val subDf = lowerSelect(spark, sub, source).limit(1)
+          df.join(broadcast(subDf), lit(true), joinType)
+        } else {
+          val core = combine(spark, sub, source, Set.empty, None)
+          val subDf = core.select(
+            pairs.zipWithIndex.map { case ((_, ic), k) => qcolOf(ic).as(s"__c$k") }: _*)
+          val cond = pairs.zipWithIndex
+            .map { case ((oc, _), k) => qcolOf(oc) === subDf(s"__c$k") }
+            .reduce(_ && _)
+          df.join(subDf, cond, joinType)
+        }
+      case (df, (BoundExpr.BCmpSub(op, o, sub, guard), i)) =>
+        val scalarName = s"__scalar_$i"
+        val subDf0 = lowerSelect(spark, sub, source)
+        if (guard) {
+          // runtime one-row contract, failing like the reference's error
+          // surface (database.rs:38-45 style) — a 2-row probe, not a full
+          // materialization
+          val n = subDf0.limit(2).count()
+          if (n > 1) throw new IllegalStateException(
+            "scalar subquery returned more than one row")
+        }
+        val subDf = subDf0.toDF(scalarName)
+        val lc = lowerOperand(o)
+        val sc = col(scalarName)
+        val cond = op match {
+          case Ast.CmpOp.Eq  => lc === sc
+          case Ast.CmpOp.Neq => lc =!= sc
+          case Ast.CmpOp.Lt  => lc < sc
+          case Ast.CmpOp.Gt  => lc > sc
+          case Ast.CmpOp.Le  => lc <= sc
+          case Ast.CmpOp.Ge  => lc >= sc
+        }
+        df.join(broadcast(subDf), cond, "inner").drop(scalarName)
+      case (df, _) => df
+    }
+  }
+
+  /** UNION [ALL] chain assembly: branches are pre-lowered DataFrames;
+    * by-position union keeps the first branch's column names; each
+    * connector's dedup applies at its own (left-associative) step. The
+    * trailing ORDER BY binds against the first branch's output names.
+    */
+  def lowerUnion(first: DataFrame, rest: Seq[(Boolean, DataFrame)],
+      orderBy: Seq[(String, Boolean)], limit: Option[Long]): DataFrame = {
+    val unioned = rest.foldLeft(first) { case (acc, (all, df)) =>
+      val step = acc.union(df)
+      if (all) step else step.distinct()
+    }
+    val ordered =
+      if (orderBy.isEmpty) unioned
+      else {
+        orderBy.find { case (n, _) => !unioned.columns.exists(_.equalsIgnoreCase(n)) }
+          .foreach { case (n, _) => sys.error(
+            s"UNION ORDER BY key '$n' is not an output column of the first branch") }
+        unioned.orderBy(orderBy.map { case (n, desc) =>
+          if (desc) col(n).desc else col(n).asc }: _*)
+      }
+    limit.fold(ordered)(n => ordered.limit(math.min(n, Int.MaxValue.toLong).toInt))
+  }
+
   def lowerExpr(e: BoundExpr): Column = e match {
     case BoundExpr.BAnd(l, r) => lowerExpr(l) && lowerExpr(r)
     case BoundExpr.BOr(l, r)  => lowerExpr(l) || lowerExpr(r)
@@ -275,7 +376,8 @@ object Lowering {
     case BoundExpr.BLike(o, pat, neg) =>
       val c = lowerOperand(o).like(pat)
       if (neg) !c else c
-    case BoundExpr.BInSub(_, _, _) | BoundExpr.BCmpSub(_, _, _) =>
+    case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) |
+        BoundExpr.BCmpSub(_, _, _, _) =>
       sys.error("subquery conjuncts lower as joins, not Column expressions")
     case BoundExpr.BCmp(op, l, r) =>
       val (lc, rc) = (lowerOperand(l), lowerOperand(r))
@@ -348,8 +450,9 @@ object Lowering {
       case BoundExpr.BIsNull(o, _)  => opCols(o)
       case BoundExpr.BLike(o, _, _) => opCols(o)
       case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
-      case BoundExpr.BInSub(_, _, _)  => hasSub = true; Nil
-      case BoundExpr.BCmpSub(_, _, _) => hasSub = true; Nil
+      case BoundExpr.BInSub(_, _, _, _)  => hasSub = true; Nil
+      case BoundExpr.BExists(_, _, _)    => hasSub = true; Nil
+      case BoundExpr.BCmpSub(_, _, _, _) => hasSub = true; Nil
     }
     val found = cols(e).distinct
     if (hasSub) None
@@ -379,7 +482,8 @@ object Lowering {
       case BoundExpr.BLike(o, pat, neg) =>
         val c = bare(o).like(pat)
         if (neg) !c else c
-      case BoundExpr.BInSub(_, _, _) | BoundExpr.BCmpSub(_, _, _) =>
+      case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) |
+          BoundExpr.BCmpSub(_, _, _, _) =>
         sys.error("unreachable: analyzer rejects subqueries in DML predicates")
       case BoundExpr.BCmp(op, l, r) =>
         val (lc, rc) = (bare(l), bare(r))

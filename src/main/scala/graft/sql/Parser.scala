@@ -103,7 +103,8 @@ object Parser {
     "create", "table", "primary", "key", "null", "not", "as",
     "delete", "update", "set", "order", "by", "limit", "asc", "desc", "group", "having",
     "clustered", "buckets",
-    "distinct", "join", "inner", "on", "between", "in", "like", "is")
+    "distinct", "join", "inner", "on", "between", "in", "like", "is",
+    "exists", "left", "right", "full", "outer", "union", "all")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
@@ -115,7 +116,7 @@ object Parser {
     lex(sql).flatMap { toks =>
       val p = new P(toks)
       val tree =
-        if (p.isKw("select")) parseSelect(p)
+        if (p.isKw("select")) parseSelectOrUnion(p)
         else if (p.isKw("insert")) parseInsert(p)
         else if (p.isKw("create")) parseCreate(p)
         else if (p.isKw("delete")) parseDelete(p)
@@ -126,6 +127,41 @@ object Parser {
         p.peek match {
           case TEnd(_) => Right(t)
           case tok     => Left(ParseError("query not parsed fully", tok.pos))
+        }
+      }
+    }
+
+  /** SELECT, optionally followed by UNION [ALL] chains. The trailing
+    * ORDER BY / LIMIT (consumed by the LAST branch's parseSelect) is
+    * hoisted to the union level — SQL permits them only after the last
+    * branch — and must use unqualified output names; the non-last
+    * branches must not carry their own.
+    */
+  private def parseSelectOrUnion(p: P): Either[ParseError, ParseTree] =
+    parseSelect(p).flatMap { first =>
+      if (!p.isKw("union")) Right(first)
+      else {
+        def loop(branches: Vector[(Boolean, SelectTree)])
+            : Either[ParseError, Vector[(Boolean, SelectTree)]] =
+          if (!p.isKw("union")) Right(branches)
+          else {
+            p.next()
+            val all = if (p.isKw("all")) { p.next(); true } else false
+            parseSelect(p).flatMap(s => loop(branches :+ (all -> s)))
+          }
+        loop(Vector.empty).flatMap { rest =>
+          val pos = p.peek.pos
+          val nonLast = first +: rest.dropRight(1).map(_._2)
+          if (nonLast.exists(s => s.orderBy.nonEmpty || s.limit.isDefined))
+            Left(ParseError("ORDER BY / LIMIT must follow the last UNION branch", pos))
+          else {
+            val (lastAll, last) = rest.last
+            val stripped = rest.dropRight(1) :+ (lastAll -> last.copy(orderBy = Nil, limit = None))
+            if (last.orderBy.exists(_._1.binding.isDefined))
+              Left(ParseError("UNION ORDER BY must use unqualified output names", pos))
+            else
+              Right(UnionTree(first, stripped, last.orderBy, last.limit))
+          }
         }
       }
     }
@@ -178,10 +214,15 @@ object Parser {
           loop(Vector.empty).map(Some(_))
       }
       _ <- p.eatKw("from")
-      // FROM list: comma-separated tables and/or [INNER] JOIN … ON <cond>.
-      // ON conditions desugar into the WHERE conjunction — an inner join's
-      // ON is semantically a filter, and the stats-driven join-order DP
-      // rebuilds the tree from the conjuncts either way.
+      // FROM list: comma-separated tables and/or [INNER] JOIN … ON <cond>,
+      // then optionally LEFT/RIGHT/FULL [OUTER] JOIN … ON steps. Inner ON
+      // conditions desugar into the WHERE conjunction — an inner join's ON
+      // is semantically a filter even when outer joins follow (the inner
+      // tables' columns pass through an outer join unchanged), and the
+      // stats-driven join-order DP rebuilds the tree from the conjuncts.
+      // Outer-join ONs stay attached to their join. An inner join AFTER an
+      // outer join would not commute with the steps model, so it is
+      // rejected — reorder the FROM list instead.
       fromAndOn <- {
         def one(): Either[ParseError, TableRef] =
           p.ident().map { n =>
@@ -190,25 +231,47 @@ object Parser {
               case _                            => TableRef(n, None)
             }
           }
-        def loop(tabs: Vector[TableRef], ons: Vector[Expr])
-            : Either[ParseError, (Vector[TableRef], Vector[Expr])] =
+        def outerKind(): Option[String] = p.peek match {
+          case TIdent(k, _) if k.equalsIgnoreCase("left") || k.equalsIgnoreCase("right") ||
+              k.equalsIgnoreCase("full") => Some(k.toLowerCase)
+          case _ => None
+        }
+        def loop(tabs: Vector[TableRef], ons: Vector[Expr], outers: Vector[OuterJoin])
+            : Either[ParseError, (Vector[TableRef], Vector[Expr], Vector[OuterJoin])] =
           p.peek match {
-            case TSym(",", _) =>
-              p.next(); one().flatMap(t => loop(tabs :+ t, ons))
-            case TIdent(k, _) if k.equalsIgnoreCase("join") ||
+            case TSym(",", pos) =>
+              if (outers.nonEmpty)
+                Left(ParseError("comma-join after an outer join is not supported; reorder the FROM list", pos))
+              else { p.next(); one().flatMap(t => loop(tabs :+ t, ons, outers)) }
+            case TIdent(k, pos) if k.equalsIgnoreCase("join") ||
                 (k.equalsIgnoreCase("inner") && { val save = p.i; p.next()
                   val isJ = p.isKw("join"); p.i = save; isJ }) =>
-              if (p.isKw("inner")) p.next()
-              p.next() // JOIN
+              if (outers.nonEmpty)
+                Left(ParseError("inner join after an outer join is not supported; reorder the FROM list", pos))
+              else {
+                if (p.isKw("inner")) p.next()
+                p.next() // JOIN
+                for {
+                  t <- one()
+                  _ <- p.eatKw("on")
+                  cond <- parseOr(p)
+                  r <- loop(tabs :+ t, ons :+ cond, outers)
+                } yield r
+              }
+            case TIdent(_, _) if outerKind().isDefined =>
+              val kind = outerKind().get
+              p.next()
+              if (p.isKw("outer")) p.next()
               for {
+                _ <- p.eatKw("join")
                 t <- one()
                 _ <- p.eatKw("on")
                 cond <- parseOr(p)
-                r <- loop(tabs :+ t, ons :+ cond)
+                r <- loop(tabs, ons, outers :+ OuterJoin(kind, t, cond))
               } yield r
-            case _ => Right((tabs, ons))
+            case _ => Right((tabs, ons, outers))
           }
-        one().flatMap(t => loop(Vector(t), Vector.empty))
+        one().flatMap(t => loop(Vector(t), Vector.empty, Vector.empty))
       }
       where <- {
         val explicit: Either[ParseError, Option[Expr]] =
@@ -263,7 +326,8 @@ object Parser {
             case t => Left(ParseError("expected LIMIT count", t.pos))
           }
         } else Right(None)
-    } yield SelectTree(cols, fromAndOn._1, where, orderBy, limit, groupBy, having, distinct)
+    } yield SelectTree(cols, fromAndOn._1, where, orderBy, limit, groupBy, having,
+      distinct, fromAndOn._3)
   }
 
   private def parseOr(p: P, allowAgg: Boolean = false): Either[ParseError, Expr] =
@@ -296,10 +360,23 @@ object Parser {
       }
     case TIdent(k, _) if k.equalsIgnoreCase("not") =>
       p.next()
-      parsePrimary(p, allowAgg).map(Expr.Not)
+      // NOT EXISTS keeps its negation on the Exists node (the lowering is
+      // a left-anti join, not a 3VL NOT over a column)
+      if (p.isKw("exists")) { p.next(); parseExistsBody(p, negated = true) }
+      else parsePrimary(p, allowAgg).map(Expr.Not)
+    case TIdent(k, _) if k.equalsIgnoreCase("exists") =>
+      p.next()
+      parseExistsBody(p, negated = false)
     case _ =>
       parseOperand(p, allowAgg).flatMap(l => parsePredicateTail(p, l, allowAgg))
   }
+
+  private def parseExistsBody(p: P, negated: Boolean): Either[ParseError, Expr] =
+    for {
+      _ <- p.eatSym("(")
+      sub <- parseSelect(p)
+      _ <- p.eatSym(")")
+    } yield Expr.Exists(sub, negated)
 
   /** The predicate forms that can follow a left operand: a comparison,
     * IS [NOT] NULL, [NOT] BETWEEN a AND b, [NOT] IN (literals),

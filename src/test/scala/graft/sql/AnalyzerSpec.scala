@@ -130,4 +130,44 @@ class AnalyzerSpec extends AnyFunSuite {
   test("create existing table fails") {
     assert(err("CREATE TABLE people (a INT)").isInstanceOf[TableExists])
   }
+
+  test("decorrelation pulls equality pairs and keeps residual conjuncts") {
+    val Right(b: BoundSelect) = analyzeSql(
+      "SELECT name FROM people p WHERE EXISTS " +
+        "(SELECT c.id FROM cars c WHERE c.owner_id = p.id AND c.model LIKE 'T%')"): @unchecked
+    val Some(BoundExpr.BExists(sub, pairs, negated)) = b.predicate: @unchecked
+    assert(!negated)
+    assert(pairs.map { case (o, i) => (o.render, i.render) } ==
+      Seq(("p.id", "c.owner_id")))
+    // the LIKE conjunct stays inside the subquery's predicate
+    assert(sub.predicate.exists {
+      case BoundExpr.BLike(_, pat, _) => pat == "T%"
+      case _ => false
+    })
+    // non-equality correlation is rejected with the subquery error surface
+    assert(err("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id > p.id)").isInstanceOf[BadSubquery])
+  }
+
+  test("outer joins bind step tables into scope; inner group stays separate") {
+    val Right(b: BoundSelect) = analyzeSql(
+      "SELECT name, model FROM people p LEFT JOIN cars c ON p.id = c.owner_id"): @unchecked
+    assert(b.tables.map(_.binding) == Seq("p"))
+    assert(b.outerJoins.map(oj => (oj.joinType, oj.table.binding)) == Seq(("left", "c")))
+    // star expansion covers the outer-joined table too
+    val Right(star: BoundSelect) = analyzeSql(
+      "SELECT * FROM people p LEFT JOIN cars c ON p.id = c.owner_id"): @unchecked
+    assert(star.projection.length == 6)
+  }
+
+  test("scalar subquery guard flag: static one-row forms skip the guard") {
+    def guardOf(sql: String): Boolean = {
+      val Right(b: BoundSelect) = analyzeSql(sql): @unchecked
+      val Some(BoundExpr.BCmpSub(_, _, _, g)) = b.predicate: @unchecked
+      g
+    }
+    assert(!guardOf("SELECT name FROM people WHERE age > (SELECT max(age) FROM people)"))
+    assert(!guardOf("SELECT name FROM people WHERE age > (SELECT age FROM people LIMIT 1)"))
+    assert(guardOf("SELECT name FROM people WHERE age > (SELECT age FROM people WHERE id = 1)"))
+  }
 }

@@ -242,11 +242,160 @@ class DialectSpec extends AnyFunSuite {
       "ORDER BY id").toOption.get
     assert(c.collect().map(_.getString(0)).toSeq ==
       Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
-    // a non-aggregate subquery is rejected (row count not statically one)
-    assert(db.query("SELECT name FROM people WHERE age > (SELECT age FROM people)").isLeft)
-    // grouped aggregate rejected for the same reason
-    assert(db.query(
-      "SELECT name FROM people WHERE age > (SELECT max(age) FROM people GROUP BY name)").isLeft)
+    // a multi-row subquery passes analysis but trips the runtime one-row
+    // guard (the reference's error-surface style, database.rs:38-45)
+    intercept[IllegalStateException] {
+      db.query("SELECT name FROM people WHERE age > (SELECT age FROM people)")
+    }
+    intercept[IllegalStateException] {
+      db.query(
+        "SELECT name FROM people WHERE age > (SELECT max(age) FROM people GROUP BY name)")
+    }
+  }
+
+  test("scalar subqueries widen to LIMIT 1 and runtime-guarded one-row forms") {
+    val db = demoDb()
+    // LIMIT 1 makes one row a static fact — no guard, sort+limit sub
+    val m = db.select("SELECT name FROM people WHERE age >= " +
+      "(SELECT age FROM people ORDER BY age DESC LIMIT 1)").toOption.get
+    assert(m.collect().map(_.getString(0)).toSeq == Seq("Dr. Emmett L. „Doc“ Brown"))
+    // a filtered single-row subquery passes its runtime guard
+    val g = db.select("SELECT name FROM people WHERE age > " +
+      "(SELECT age FROM people WHERE id = 1)").toOption.get
+    assert(g.collect().map(_.getString(0)).toSeq == Seq("Dr. Emmett L. „Doc“ Brown"))
+    // empty scalar → NULL comparison → no rows (not an error)
+    val e = db.select("SELECT name FROM people WHERE age > " +
+      "(SELECT age FROM people WHERE id = 99)").toOption.get
+    assert(e.count() == 0)
+  }
+
+  test("correlated EXISTS / NOT EXISTS decorrelate into semi/anti joins") {
+    val db = demoDb()
+    val s = db.select("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id) ORDER BY id").toOption.get
+    assert(s.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
+    assert(s.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      s.queryExecution.executedPlan.toString)
+    val a = db.select("SELECT name FROM people p WHERE NOT EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id)").toOption.get
+    assert(a.collect().map(_.getString(0)).toSeq == Seq("Marty McFly"))
+    assert(a.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      a.queryExecution.executedPlan.toString)
+    // correlated + residual inner predicate (stays inside the subquery)
+    val f = db.select("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id AND c.model LIKE 'T%')").toOption.get
+    assert(f.collect().map(_.getString(0)).toSeq == Seq("Elon"))
+    // unqualified correlated reference resolves through the outer scope
+    val u = db.select("SELECT model FROM cars c WHERE EXISTS " +
+      "(SELECT p.id FROM people p WHERE id = owner_id AND age IS NOT NULL) ORDER BY model").toOption.get
+    assert(u.collect().map(_.getString(0)).toSeq ==
+      Seq("DeLorean DMC-12", "Tesla Model 3"))
+  }
+
+  test("uncorrelated EXISTS keeps or drops all rows by subquery emptiness") {
+    val db = demoDb()
+    val all = db.select("SELECT name FROM people WHERE EXISTS " +
+      "(SELECT id FROM cars WHERE model LIKE 'T%')").toOption.get
+    assert(all.count() == 3)
+    val none = db.select("SELECT name FROM people WHERE EXISTS " +
+      "(SELECT id FROM cars WHERE model LIKE 'Z%')").toOption.get
+    assert(none.count() == 0)
+  }
+
+  test("correlated IN pulls the equality into the semi join") {
+    val db = demoDb()
+    val s = db.select("SELECT name FROM people p WHERE id IN " +
+      "(SELECT owner_id FROM cars c WHERE c.id = p.id) ORDER BY id").toOption.get
+    assert(s.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
+  }
+
+  test("correlation is restricted to top-level WHERE equalities") {
+    val db = demoDb()
+    // non-equality correlation
+    assert(db.query("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id > p.id)").isLeft)
+    // correlated reference inside an OR
+    assert(db.query("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id OR c.id = 1)").isLeft)
+    // correlated reference in the projection
+    assert(db.query("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT p.id FROM cars c WHERE c.owner_id = p.id)").isLeft)
+    // correlated subquery must not aggregate or LIMIT
+    assert(db.query("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT count(*) FROM cars c WHERE c.owner_id = p.id)").isLeft)
+    assert(db.query("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id LIMIT 1)").isLeft)
+    // EXISTS must be a top-level conjunct
+    assert(db.query("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id) OR age = 20").isLeft)
+  }
+
+  test("outer joins: LEFT/RIGHT/FULL with ON attached, WHERE after the join") {
+    val db = demoDb()
+    val l = db.select("SELECT name, model FROM people p LEFT JOIN cars c " +
+      "ON p.id = c.owner_id ORDER BY p.id").toOption.get
+    assert(l.collect().toSeq == Seq(
+      Row("Elon", "Tesla Model 3"),
+      Row("Dr. Emmett L. „Doc“ Brown", "DeLorean DMC-12"),
+      Row("Marty McFly", null)))
+    // compound ON condition: non-matching rows null out, not filter out
+    val lc = db.select("SELECT name, model FROM people p LEFT JOIN cars c " +
+      "ON p.id = c.owner_id AND c.model LIKE 'T%' ORDER BY p.id").toOption.get
+    assert(lc.collect().toSeq == Seq(
+      Row("Elon", "Tesla Model 3"),
+      Row("Dr. Emmett L. „Doc“ Brown", null),
+      Row("Marty McFly", null)))
+    // WHERE on the outer-joined table evaluates AFTER the join (IS NULL
+    // probes the unmatched rows)
+    val wn = db.select("SELECT name FROM people p LEFT JOIN cars c " +
+      "ON p.id = c.owner_id WHERE model IS NULL").toOption.get
+    assert(wn.collect().map(_.getString(0)).toSeq == Seq("Marty McFly"))
+    // RIGHT JOIN: unowned car survives with null owner name
+    db.query("INSERT INTO cars VALUES (9, 'KITT', 7)")
+    val r = db.select("SELECT name, model FROM people p RIGHT JOIN cars c " +
+      "ON p.id = c.owner_id ORDER BY model").toOption.get
+    assert(r.collect().toSeq == Seq(
+      Row("Dr. Emmett L. „Doc“ Brown", "DeLorean DMC-12"),
+      Row(null, "KITT"),
+      Row("Elon", "Tesla Model 3")))
+    // FULL OUTER: both dangling sides survive
+    val fo = db.select("SELECT name, model FROM people p FULL OUTER JOIN cars c " +
+      "ON p.id = c.owner_id ORDER BY model").toOption.get
+    assert(fo.count() == 4)
+    assert(fo.collect().exists(x => x.isNullAt(0) && x.getString(1) == "KITT"))
+    assert(fo.collect().exists(x => x.getString(0) == "Marty McFly" && x.isNullAt(1)))
+    // an inner join AFTER an outer join is rejected (reorder the FROM list)
+    assert(db.query("SELECT name FROM people p LEFT JOIN cars c ON p.id = c.owner_id " +
+      "JOIN cars c2 ON c2.id = c.id").isLeft)
+    // ON may not reference a LATER step's table
+    assert(db.query("SELECT name FROM people p LEFT JOIN cars c ON p.id = c2.owner_id " +
+      "LEFT JOIN cars c2 ON c2.id = p.id").isLeft)
+  }
+
+  test("UNION / UNION ALL chains with trailing ORDER BY and LIMIT") {
+    val db = demoDb()
+    val u = db.select("SELECT name FROM people WHERE id = 1 " +
+      "UNION SELECT name FROM people WHERE id = 1").toOption.get
+    assert(u.count() == 1)
+    val ua = db.select("SELECT name FROM people WHERE id = 1 " +
+      "UNION ALL SELECT name FROM people WHERE id = 1").toOption.get
+    assert(ua.count() == 2)
+    // left-assoc mixed chain: (a UNION ALL a) UNION b dedups at the end
+    val mix = db.select("SELECT name FROM people WHERE id = 1 " +
+      "UNION ALL SELECT name FROM people WHERE id = 1 " +
+      "UNION SELECT name FROM people WHERE id = 2 ORDER BY name LIMIT 5").toOption.get
+    assert(mix.collect().map(_.getString(0)).toSeq ==
+      Seq("Dr. Emmett L. „Doc“ Brown", "Elon"))
+    // column names come from the first branch
+    val named = db.select("SELECT name AS who FROM people WHERE id = 1 " +
+      "UNION SELECT model FROM cars WHERE id = 1").toOption.get
+    assert(named.columns.toSeq == Seq("who"))
+    // arity mismatch is an analyze error
+    assert(db.query("SELECT name FROM people UNION SELECT id, model FROM cars").isLeft)
+    // ORDER BY before the last branch is a parse error
+    assert(db.query("SELECT name FROM people ORDER BY name UNION SELECT model FROM cars").isLeft)
   }
 
   test("double literals flow through INSERT, WHERE, SET and comparisons") {
@@ -298,6 +447,40 @@ class DialectSpec extends AnyFunSuite {
       s"physical scan order did not flip:\n$planA\n$planB")
     // no cartesian ever
     assert(!planA.contains("CartesianProduct") && !planB.contains("CartesianProduct"))
+  }
+
+  test("join selectivity from joined samples beats NDV on disjoint-domain keys") {
+    val db = freshDb()
+    // fact joins dima on k1 (overlapping domains) and dimb on k2 (DISJOINT
+    // domains — the fact⋈dimb result is empty). The 1/max(NDV) formula
+    // sees sel(k1) = sel(k2) = 1/20 and would join the SMALLER dima first
+    // (card 60·10·0.05 = 30 < 60·20·0.05 = 60); the sample⋈sample
+    // estimate sees the empty overlap and joins dimb first.
+    assert(db.query("CREATE TABLE fact (k1 INT, k2 INT)").isRight)
+    assert(db.query("CREATE TABLE dima (k1 INT, aname VARCHAR(10))").isRight)
+    assert(db.query("CREATE TABLE dimb (k2 INT, bname VARCHAR(10))").isRight)
+    val factRows = (0 until 60).map(i => s"(${i % 20}, ${1000 + i % 20})").mkString(", ")
+    assert(db.query(s"INSERT INTO fact VALUES $factRows").isRight)
+    assert(db.query("INSERT INTO dima VALUES " +
+      (0 until 10).map(i => s"($i, 'a$i')").mkString(", ")).isRight)
+    assert(db.query("INSERT INTO dimb VALUES " +
+      (0 until 20).map(i => s"($i, 'b$i')").mkString(", ")).isRight)
+    // estimator view: overlap ≈ 0.05, disjoint floors at half a sample hit
+    def desc(n: String, cols: String*): Analyzer.TableDesc =
+      Analyzer.TableDesc(n, cols.map(c => Analyzer.AttributeDesc(c, SqlType.SqlInt)))
+    val selOverlap = db.statistics.estimateJoinSel(
+      desc("fact", "k1", "k2"), "k1", desc("dima", "k1"), "k1").get
+    val selDisjoint = db.statistics.estimateJoinSel(
+      desc("fact", "k1", "k2"), "k2", desc("dimb", "k2"), "k2").get
+    assert(selOverlap > 0.04, s"overlap sel $selOverlap")
+    assert(selDisjoint < selOverlap / 10, s"disjoint sel $selDisjoint vs $selOverlap")
+    // end-to-end: the DP joins fact with dimb FIRST (adjacent leaves)
+    val df = db.select("SELECT f.k1 FROM fact f, dima a, dimb b " +
+      "WHERE f.k1 = a.k1 AND f.k2 = b.k2").toOption.get
+    assert(df.count() == 0)
+    val order = db.lastJoinOrder.get
+    assert(math.abs(order.indexOf("f") - order.indexOf("b")) == 1,
+      s"expected f⋈b joined first, got $order")
   }
 
   test("bucketed tables: joins on the bucket key run without a shuffle exchange") {
