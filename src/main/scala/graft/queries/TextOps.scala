@@ -96,26 +96,33 @@ object TextOps {
     // Winnowing fingerprint (the MOSS scheme): hash every char-8-gram at
     // its position, slide a 5-wide window over the hash sequence, keep
     // each window's minimum — the selected hash set is a positional
-    // fingerprint robust to local edits. One narrow map + one window pass
-    // per doc; the fingerprint summary (size + checksum) is compared here,
-    // the raw selected-hash sets are what a matcher would join on.
+    // fingerprint robust to local edits. Computed ENTIRELY in-row
+    // (round 3): the hash sequence, the per-window minima and the
+    // distinct-set reduction are array `transform`s inside one projection,
+    // so a document never explodes into per-position rows and the plan
+    // carries no shuffle at all (the round-2 window form shuffled one row
+    // per character position). The DuckDB oracle keeps the window form —
+    // two independent formulations that must agree. The fingerprint
+    // summary (size + checksum) is compared here; the raw selected-hash
+    // sets are what a matcher would join on.
     "q_text_winnow" -> QueryDef(
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("i")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, 4)
-        graft.Tables.t(s, d, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), explode(expr("sequence(1, length(text)-7)")).as("i"), col("text"))
-          .select(col("doc_id"), col("i"),
-            expr("cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS bigint)").as("h"))
-          .withColumn("wmin", min("h").over(w))
-          .groupBy("doc_id")
-          .agg(
-            countDistinct("wmin").as("fp_size"),
-            expr("cast(sum(DISTINCT wmin % 1000000007) AS bigint)").as("fp_checksum"))
-          .orderBy("doc_id")
-      },
+      (s, d) => graft.Tables.t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          expr("transform(sequence(1, length(text)-7), " +
+            "i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS bigint))")
+            .as("hs"))
+        // slice() truncates at the array end, so tail windows narrow to
+        // the remaining positions — same semantics as ROWS BETWEEN
+        // CURRENT ROW AND 4 FOLLOWING
+        .select(col("doc_id"),
+          expr("array_distinct(transform(sequence(1, size(hs)), " +
+            "i -> array_min(slice(hs, i, 5))))").as("sel"))
+        .select(col("doc_id"),
+          expr("cast(size(sel) AS bigint)").as("fp_size"),
+          expr("cast(aggregate(sel, 0L, (acc, x) -> acc + x % 1000000007) AS bigint)")
+            .as("fp_checksum"))
+        .orderBy("doc_id"),
       Some("""WITH h AS (
              |  SELECT doc_id, i,
              |    ('0x' || substring(md5(substring(text, i, 8)), 1, 15))::bigint AS h
