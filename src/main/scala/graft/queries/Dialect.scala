@@ -285,6 +285,33 @@ object Dialect {
              |ON r.r_regionkey = n.n_regionkey AND n.n_nationkey < 10
              |ORDER BY r_regionkey, n_nationkey""".stripMargin)),
 
+    // Correlated scalar subquery: per-customer min aggregated once
+    // (GROUP BY the decorrelated key) and joined — orders strictly above
+    // their own customer's cheapest order. min() is exact, so the filter
+    // threshold is bit-identical across engines; DuckDB decorrelates
+    // natively, making this an independent-implementation check.
+    "q_dialect_corr_scalar" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_totalprice FROM orders o " +
+          "WHERE o_totalprice > (SELECT min(o2.o_totalprice) FROM orders o2 " +
+          "WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders o
+             |WHERE o_totalprice > (SELECT min(o2.o_totalprice) FROM orders o2
+             |WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey""".stripMargin)),
+
+    // The COUNT decorrelation trap under the oracle: a correlated
+    // count(*) over an empty set is 0, not NULL, so customers with no
+    // orders still evaluate the comparison — only a left join + coalesce
+    // reproduces DuckDB's native correlated semantics.
+    "q_dialect_corr_count" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT c_custkey, c_name FROM customer c " +
+          "WHERE 5 <= (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) " +
+          "ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE 5 <= (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // UNION chain, left-associative with per-connector dedup: the first
     // two branches append (UNION ALL), the final UNION dedups the rows
     // the third branch re-selects.

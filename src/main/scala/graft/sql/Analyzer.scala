@@ -118,10 +118,13 @@ object Analyzer {
       * filter. `guard = false` when one row is a static fact (group-less
       * aggregate, or LIMIT ≤ 1); otherwise the lowering enforces the
       * one-row contract at runtime and fails like the reference's error
-      * surface (database.rs:38-45 style).
+      * surface (database.rs:38-45 style). Non-empty `pairs` = correlated
+      * aggregate: the decorrelated equalities become GROUP BY keys of the
+      * aggregate frame and the comparison joins per key (one row per key
+      * by construction, so no guard).
       */
     final case class BCmpSub(op: CmpOp, o: BoundOperand, sub: BoundSelect,
-        guard: Boolean) extends BoundExpr
+        guard: Boolean, pairs: Seq[(BoundCol, BoundCol)] = Nil) extends BoundExpr
 
     /** Does the bound expression contain a subquery? */
     def containsSub(e: BoundExpr): Boolean = e match {
@@ -178,7 +181,7 @@ object Analyzer {
     case BoundExpr.BCmp(_, l, r)    => operandCols(l) ++ operandCols(r)
     case BoundExpr.BInSub(o, _, ps, _) => operandCols(o) ++ ps.map(_._1)
     case BoundExpr.BExists(_, ps, _)   => ps.map(_._1)
-    case BoundExpr.BCmpSub(_, o, _, _) => operandCols(o)
+    case BoundExpr.BCmpSub(_, o, _, _, ps) => operandCols(o) ++ ps.map(_._1)
   }
 
   /** Split a correlated subquery into an uncorrelated core + the
@@ -190,7 +193,7 @@ object Analyzer {
     * LIMIT: both change meaning under global (per-join, not per-outer-row)
     * evaluation.
     */
-  private def decorrelate(sub: BoundSelect)
+  private def decorrelate(sub: BoundSelect, allowAggregate: Boolean = false)
       : Either[AnalyzerError, (BoundSelect, Seq[(BoundCol, BoundCol)])] = {
     val inner = (sub.tables.map(_.binding) ++ sub.outerJoins.map(_.table.binding)).toSet
     def isOuter(c: BoundCol) = !inner(c.binding)
@@ -229,7 +232,7 @@ object Analyzer {
         }
         val ps = pairs.result()
         if (ps.isEmpty) Right((sub, Nil))
-        else if (sub.isAggregate)
+        else if (sub.isAggregate && !allowAggregate)
           Left(BadSubquery("a correlated subquery must not aggregate"))
         else if (sub.limit.isDefined)
           Left(BadSubquery("a correlated subquery must not use LIMIT"))
@@ -484,17 +487,31 @@ object Analyzer {
         else
           for {
             bo <- bindOp(o, allowAgg = false)
-            bsub <- analyzeSelect(sub, cat) // scalar subqueries stay uncorrelated
+            bsub0 <- analyzeSelect(sub, cat, outerScope = tables)
             _ <-
-              if (bsub.projection.length != 1)
+              if (bsub0.projection.length != 1)
                 Left(BadSubquery(
-                  s"scalar subquery must project exactly one column, got ${bsub.projection.length}"))
+                  s"scalar subquery must project exactly one column, got ${bsub0.projection.length}"))
               else Right(())
+            dp <- decorrelate(bsub0, allowAggregate = true)
+            (bsub, pairs) = dp
+            _ <-
+              if (pairs.isEmpty) Right(())
+              // correlated scalar: must be a group-less aggregate (one row
+              // per correlated key by construction) over a plain agg call
+              else if (!bsub.isAggregate || bsub.groupBy.nonEmpty)
+                Left(BadSubquery(
+                  "a correlated scalar subquery must be a group-less aggregate"))
+              else bsub.projection.head match {
+                case _: BoundItem.BIAgg => Right(())
+                case _ => Left(BadSubquery(
+                  "a correlated scalar subquery must project a single aggregate call"))
+              }
             // one row is a STATIC fact for a group-less aggregate or a
             // LIMIT ≤ 1 subquery; anything else carries a runtime guard
-            staticOne =
+            staticOne = pairs.nonEmpty ||
               (bsub.isAggregate && bsub.groupBy.isEmpty) || bsub.limit.exists(_ <= 1L)
-          } yield BoundExpr.BCmpSub(op, bo, bsub, guard = !staticOne)
+          } yield BoundExpr.BCmpSub(op, bo, bsub, guard = !staticOne, pairs)
       case Expr.IsNull(o, neg) =>
         bindOp(o, allowAgg).map(BoundExpr.BIsNull(_, neg))
       case Expr.Like(o, pat, neg) =>
@@ -641,7 +658,7 @@ object Analyzer {
             case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
             case BoundExpr.BInSub(o, _, _, _)  => opCols(o) // unreachable: no subqueries in HAVING
             case BoundExpr.BExists(_, _, _)    => Nil       // unreachable: no subqueries in HAVING
-            case BoundExpr.BCmpSub(_, o, _, _) => opCols(o) // unreachable: no subqueries in HAVING
+            case BoundExpr.BCmpSub(_, o, _, _, _) => opCols(o) // unreachable: no subqueries in HAVING
           }
           cols(h).find(c => !group.exists(g =>
             g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) match {

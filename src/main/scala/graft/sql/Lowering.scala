@@ -140,7 +140,7 @@ object Lowering {
           val c = havingOperand(o).like(pat)
           if (neg) !c else c
         case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) |
-            BoundExpr.BCmpSub(_, _, _, _) =>
+            BoundExpr.BCmpSub(_, _, _, _, _) =>
           sys.error("unreachable: analyzer rejects subqueries in HAVING")
         case BoundExpr.BCmp(op, l, r) =>
           val (lc, rc) = (havingOperand(l), havingOperand(r))
@@ -316,21 +316,9 @@ object Lowering {
             .reduce(_ && _)
           df.join(subDf, cond, joinType)
         }
-      case (df, (BoundExpr.BCmpSub(op, o, sub, guard), i)) =>
+      case (df, (BoundExpr.BCmpSub(op, o, sub, guard, pairs), i)) =>
         val scalarName = s"__scalar_$i"
-        val subDf0 = lowerSelect(spark, sub, source)
-        if (guard) {
-          // runtime one-row contract, failing like the reference's error
-          // surface (database.rs:38-45 style) — a 2-row probe, not a full
-          // materialization
-          val n = subDf0.limit(2).count()
-          if (n > 1) throw new IllegalStateException(
-            "scalar subquery returned more than one row")
-        }
-        val subDf = subDf0.toDF(scalarName)
-        val lc = lowerOperand(o)
-        val sc = col(scalarName)
-        val cond = op match {
+        def cmpCond(lc: Column, sc: Column): Column = op match {
           case Ast.CmpOp.Eq  => lc === sc
           case Ast.CmpOp.Neq => lc =!= sc
           case Ast.CmpOp.Lt  => lc < sc
@@ -338,7 +326,51 @@ object Lowering {
           case Ast.CmpOp.Le  => lc <= sc
           case Ast.CmpOp.Ge  => lc >= sc
         }
-        df.join(broadcast(subDf), cond, "inner").drop(scalarName)
+        if (pairs.isEmpty) {
+          val subDf0 = lowerSelect(spark, sub, source)
+          if (guard) {
+            // runtime one-row contract, failing like the reference's error
+            // surface (database.rs:38-45 style) — a 2-row probe, not a
+            // full materialization
+            val n = subDf0.limit(2).count()
+            if (n > 1) throw new IllegalStateException(
+              "scalar subquery returned more than one row")
+          }
+          val subDf = subDf0.toDF(scalarName)
+          df.join(broadcast(subDf), cmpCond(lowerOperand(o), col(scalarName)), "inner")
+            .drop(scalarName)
+        } else {
+          // correlated aggregate: GROUP BY the decorrelated keys — one row
+          // per key by construction. LEFT join + post-filter, not inner:
+          // for an outer row with no matching key the scalar is SQL-NULL
+          // (comparison drops the row) — EXCEPT count(), whose value over
+          // an empty correlated set is 0, which only an outer join with a
+          // coalesce can reproduce (the classic COUNT decorrelation trap).
+          val core = combine(spark, sub, source, Set.empty, None)
+          val (aggC, isCount) = sub.projection.head match {
+            case BoundItem.BIAgg(f, arg, _) => ((f, arg) match {
+              case ("count", None)    => count(lit(1))
+              case ("count", Some(a)) => count(lowerOperandWith(a, qcolOf))
+              case ("sum", Some(a))   => sum(lowerOperandWith(a, qcolOf))
+              case ("min", Some(a))   => min(lowerOperandWith(a, qcolOf))
+              case ("max", Some(a))   => max(lowerOperandWith(a, qcolOf))
+              case ("avg", Some(a))   => avg(lowerOperandWith(a, qcolOf))
+              case other              => sys.error(s"unreachable aggregate $other")
+            }, f == "count")
+            case _ => sys.error("unreachable: analyzer requires a single aggregate call")
+          }
+          val keyCols = pairs.zipWithIndex.map { case ((_, ic), k) =>
+            qcolOf(ic).as(s"__c$k") }
+          val subAgg = core.groupBy(keyCols: _*).agg(aggC.as(scalarName))
+          val keyCond = pairs.zipWithIndex
+            .map { case ((oc, _), k) => qcolOf(oc) === subAgg(s"__c$k") }
+            .reduce(_ && _)
+          val scalar =
+            if (isCount) coalesce(subAgg(scalarName), lit(0L)) else subAgg(scalarName)
+          df.join(subAgg, keyCond, "left_outer")
+            .filter(cmpCond(lowerOperand(o), scalar))
+            .drop(scalarName +: pairs.indices.map(k => s"__c$k"): _*)
+        }
       case (df, _) => df
     }
   }
@@ -377,7 +409,7 @@ object Lowering {
       val c = lowerOperand(o).like(pat)
       if (neg) !c else c
     case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) |
-        BoundExpr.BCmpSub(_, _, _, _) =>
+        BoundExpr.BCmpSub(_, _, _, _, _) =>
       sys.error("subquery conjuncts lower as joins, not Column expressions")
     case BoundExpr.BCmp(op, l, r) =>
       val (lc, rc) = (lowerOperand(l), lowerOperand(r))
@@ -452,7 +484,7 @@ object Lowering {
       case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
       case BoundExpr.BInSub(_, _, _, _)  => hasSub = true; Nil
       case BoundExpr.BExists(_, _, _)    => hasSub = true; Nil
-      case BoundExpr.BCmpSub(_, _, _, _) => hasSub = true; Nil
+      case BoundExpr.BCmpSub(_, _, _, _, _) => hasSub = true; Nil
     }
     val found = cols(e).distinct
     if (hasSub) None
@@ -483,7 +515,7 @@ object Lowering {
         val c = bare(o).like(pat)
         if (neg) !c else c
       case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) |
-          BoundExpr.BCmpSub(_, _, _, _) =>
+          BoundExpr.BCmpSub(_, _, _, _, _) =>
         sys.error("unreachable: analyzer rejects subqueries in DML predicates")
       case BoundExpr.BCmp(op, l, r) =>
         val (lc, rc) = (bare(l), bare(r))

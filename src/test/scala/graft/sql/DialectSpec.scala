@@ -269,6 +269,33 @@ class DialectSpec extends AnyFunSuite {
     assert(e.count() == 0)
   }
 
+  test("correlated scalar subqueries aggregate per decorrelated key") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    // each person's age vs the count of their cars: Elon 20 > 2, Doc 30 > 1,
+    // Marty has a NULL age (NULL > 0 -> dropped) and Biff has NO cars —
+    // correlated count() over an empty set is 0, not NULL (the COUNT
+    // decorrelation trap: only a left join + coalesce reproduces it)
+    db.query("INSERT INTO people VALUES (4, 'Biff', 40)")
+    val c = db.select("SELECT name FROM people p WHERE age > " +
+      "(SELECT count(*) FROM cars c WHERE c.owner_id = p.id) ORDER BY id").toOption.get
+    assert(c.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown", "Biff"))
+    // min() over an empty set IS NULL -> comparison drops Biff
+    val mn = db.select("SELECT name FROM people p WHERE age > " +
+      "(SELECT min(c.id) FROM cars c WHERE c.owner_id = p.id) ORDER BY id").toOption.get
+    assert(mn.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
+    // min() per key: people whose id is above their smallest car id
+    val m = db.select("SELECT name FROM people p WHERE id >= " +
+      "(SELECT min(c.id) FROM cars c WHERE c.owner_id = p.id) ORDER BY id").toOption.get
+    assert(m.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
+    // a correlated scalar with GROUP BY or a non-aggregate projection is rejected
+    assert(db.query("SELECT name FROM people p WHERE age > " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id)").isLeft)
+  }
+
   test("correlated EXISTS / NOT EXISTS decorrelate into semi/anti joins") {
     val db = demoDb()
     val s = db.select("SELECT name FROM people p WHERE EXISTS " +
