@@ -312,6 +312,30 @@ object Dialect {
              |WHERE 5 <= (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // INTERSECT binding tighter than UNION (standard precedence): the
+    // nation keys shared by customers AND suppliers, unioned with the
+    // low-key nations — a ∪ (b ∩ c), not (a ∪ b) ∩ c.
+    "q_dialect_intersect" -> QueryDef(
+      (s, d) => run(db(s, d, "nation", "customer", "supplier"),
+        "SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 3 " +
+          "UNION SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000 " +
+          "INTERSECT SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000 " +
+          "ORDER BY k"),
+      Some("""SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 3
+             |UNION SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+             |INTERSECT SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000
+             |ORDER BY k""".stripMargin)),
+
+    // EXCEPT: nation keys with customers but no high-balance supplier.
+    "q_dialect_except" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "supplier"),
+        "SELECT c_nationkey AS k FROM customer " +
+          "EXCEPT SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9500 " +
+          "ORDER BY k"),
+      Some("""SELECT c_nationkey AS k FROM customer
+             |EXCEPT SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9500
+             |ORDER BY k""".stripMargin)),
+
     // UNION chain, left-associative with per-connector dedup: the first
     // two branches append (UNION ALL), the final UNION dedups the rows
     // the third branch re-selects.

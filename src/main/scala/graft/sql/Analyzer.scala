@@ -263,12 +263,13 @@ object Analyzer {
       case _                            => false
     }
   }
-  /** UNION chain, left-associative; each connector's dedup applies at its
-    * step. ORDER BY keys are output names of the first branch.
+  /** Set-op chain (union/union_all/intersect/except per step; INTERSECT
+    * binds tighter, UNION/EXCEPT associate left). ORDER BY keys are
+    * output names of the first branch.
     */
   final case class BoundUnion(
       first: BoundSelect,
-      rest: Seq[(Boolean /* all */, BoundSelect)],
+      rest: Seq[(String /* connector */, BoundSelect)],
       orderBy: Seq[(String, Boolean)],
       limit: Option[Long]) extends BoundQuery
 
@@ -297,12 +298,12 @@ object Analyzer {
   private def analyzeUnion(u: UnionTree, cat: Catalog): Either[AnalyzerError, BoundUnion] =
     for {
       first <- analyzeSelect(u.first, cat)
-      rest <- u.rest.foldLeft[Either[AnalyzerError, Vector[(Boolean, BoundSelect)]]](
-        Right(Vector.empty)) { case (acc, (all, s)) =>
+      rest <- u.rest.foldLeft[Either[AnalyzerError, Vector[(String, BoundSelect)]]](
+        Right(Vector.empty)) { case (acc, (conn, s)) =>
         acc.flatMap(v => analyzeSelect(s, cat).flatMap { b =>
-          if (b.projection.length == first.projection.length) Right(v :+ (all -> b))
+          if (b.projection.length == first.projection.length) Right(v :+ (conn -> b))
           else Left(BadSubquery(
-            s"UNION branches must project the same number of columns " +
+            s"set-operation branches must project the same number of columns " +
               s"(${first.projection.length} vs ${b.projection.length})"))
         })
       }

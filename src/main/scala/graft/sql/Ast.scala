@@ -103,13 +103,17 @@ object Ast {
       distinct: Boolean = false,
       outerJoins: Seq[OuterJoin] = Nil) extends ParseTree
 
-  /** SELECT … UNION [ALL] SELECT … [UNION [ALL] …] [ORDER BY …] [LIMIT n],
-    * left-associative (each connector's dedup applies at its own step).
-    * The trailing ORDER BY binds against the FIRST branch's output names.
+  /** SELECT … {UNION [ALL] | INTERSECT | EXCEPT} SELECT … chains with a
+    * trailing [ORDER BY …] [LIMIT n]. Connectors are encoded per step
+    * ("union" | "union_all" | "intersect" | "except"); INTERSECT binds
+    * tighter than UNION/EXCEPT (standard SQL precedence — applied at
+    * lowering over the flat chain, since INTERSECT groups are contiguous),
+    * UNION/EXCEPT associate left. The trailing ORDER BY binds against the
+    * FIRST branch's output names.
     */
   final case class UnionTree(
       first: SelectTree,
-      rest: Seq[(Boolean /* all */, SelectTree)],
+      rest: Seq[(String /* connector */, SelectTree)],
       orderBy: Seq[(ColRef, Boolean)] = Nil,
       limit: Option[Long] = None) extends ParseTree
 

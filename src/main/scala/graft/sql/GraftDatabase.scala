@@ -190,9 +190,9 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
 
     case u: BoundUnion =>
       // every branch gets its own stats-driven plan; the chain itself is
-      // per-connector union/distinct (one shuffle per dedup step)
+      // per-connector union/intersect/except (one shuffle per dedup step)
       Rows(Lowering.lowerUnion(lowerOneSelect(u.first),
-        u.rest.map { case (all, b) => (all, lowerOneSelect(b)) },
+        u.rest.map { case (conn, b) => (conn, lowerOneSelect(b)) },
         u.orderBy, u.limit))
 
     case BoundInsert(desc, rows) =>

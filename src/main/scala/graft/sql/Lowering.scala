@@ -375,16 +375,29 @@ object Lowering {
     }
   }
 
-  /** UNION [ALL] chain assembly: branches are pre-lowered DataFrames;
-    * by-position union keeps the first branch's column names; each
-    * connector's dedup applies at its own (left-associative) step. The
-    * trailing ORDER BY binds against the first branch's output names.
+  /** Set-op chain assembly: branches are pre-lowered DataFrames;
+    * by-position combination keeps the first branch's column names.
+    * INTERSECT binds tighter than UNION/EXCEPT (its groups are contiguous
+    * in the flat chain, so they fold first); UNION/EXCEPT then associate
+    * left, each UNION step deduping at its own position. The trailing
+    * ORDER BY binds against the first branch's output names.
     */
-  def lowerUnion(first: DataFrame, rest: Seq[(Boolean, DataFrame)],
+  def lowerUnion(first: DataFrame, rest: Seq[(String, DataFrame)],
       orderBy: Seq[(String, Boolean)], limit: Option[Long]): DataFrame = {
-    val unioned = rest.foldLeft(first) { case (acc, (all, df)) =>
-      val step = acc.union(df)
-      if (all) step else step.distinct()
+    // fold contiguous INTERSECT runs into single group frames
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+    var cur = first
+    var curConn = "" // connector joining `cur` to the PREVIOUS group
+    for ((conn, df) <- rest) {
+      if (conn == "intersect") cur = cur.intersect(df)
+      else { groups += ((curConn, cur)); cur = df; curConn = conn }
+    }
+    groups += ((curConn, cur))
+    val unioned = groups.drop(1).foldLeft(groups.head._2) {
+      case (acc, ("union", g))     => acc.union(g).distinct()
+      case (acc, ("union_all", g)) => acc.union(g)
+      case (acc, ("except", g))    => acc.except(g)
+      case (_, (c, _))             => sys.error(s"unreachable set-op connector '$c'")
     }
     val ordered =
       if (orderBy.isEmpty) unioned

@@ -104,7 +104,8 @@ object Parser {
     "delete", "update", "set", "order", "by", "limit", "asc", "desc", "group", "having",
     "clustered", "buckets",
     "distinct", "join", "inner", "on", "between", "in", "like", "is",
-    "exists", "left", "right", "full", "outer", "union", "all")
+    "exists", "left", "right", "full", "outer", "union", "all",
+    "intersect", "except")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
@@ -131,23 +132,28 @@ object Parser {
       }
     }
 
-  /** SELECT, optionally followed by UNION [ALL] chains. The trailing
-    * ORDER BY / LIMIT (consumed by the LAST branch's parseSelect) is
-    * hoisted to the union level — SQL permits them only after the last
-    * branch — and must use unqualified output names; the non-last
-    * branches must not carry their own.
+  /** SELECT, optionally followed by UNION [ALL] / INTERSECT / EXCEPT
+    * chains. The trailing ORDER BY / LIMIT (consumed by the LAST branch's
+    * parseSelect) is hoisted to the set-op level — SQL permits them only
+    * after the last branch — and must use unqualified output names; the
+    * non-last branches must not carry their own.
     */
   private def parseSelectOrUnion(p: P): Either[ParseError, ParseTree] =
     parseSelect(p).flatMap { first =>
-      if (!p.isKw("union")) Right(first)
+      def isConn = p.isKw("union") || p.isKw("intersect") || p.isKw("except")
+      if (!isConn) Right(first)
       else {
-        def loop(branches: Vector[(Boolean, SelectTree)])
-            : Either[ParseError, Vector[(Boolean, SelectTree)]] =
-          if (!p.isKw("union")) Right(branches)
+        def loop(branches: Vector[(String, SelectTree)])
+            : Either[ParseError, Vector[(String, SelectTree)]] =
+          if (!isConn) Right(branches)
           else {
-            p.next()
-            val all = if (p.isKw("all")) { p.next(); true } else false
-            parseSelect(p).flatMap(s => loop(branches :+ (all -> s)))
+            val kw = p.next().asInstanceOf[TIdent].s.toLowerCase
+            val conn =
+              if (kw == "union" && p.isKw("all")) { p.next(); "union_all" }
+              else kw
+            if (conn != "union" && conn != "union_all" && p.isKw("all"))
+              Left(ParseError(s"${kw.toUpperCase} ALL is not supported", p.peek.pos))
+            else parseSelect(p).flatMap(s => loop(branches :+ (conn -> s)))
           }
         loop(Vector.empty).flatMap { rest =>
           val pos = p.peek.pos

@@ -425,6 +425,25 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT name FROM people ORDER BY name UNION SELECT model FROM cars").isLeft)
   }
 
+  test("INTERSECT and EXCEPT with standard precedence") {
+    val db = demoDb()
+    // owners 1,2 intersect people ids 1,2,3 -> 1,2
+    val i = db.select("SELECT id FROM people INTERSECT SELECT owner_id FROM cars " +
+      "ORDER BY id").toOption.get
+    assert(i.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // people ids minus owners -> 3
+    val e = db.select("SELECT id FROM people EXCEPT SELECT owner_id FROM cars").toOption.get
+    assert(e.collect().map(_.getInt(0)).toSeq == Seq(3))
+    // precedence: a UNION b INTERSECT c = a UNION (b ∩ c); left-assoc
+    // would instead give (a ∪ b) ∩ c = {1}
+    val p = db.select("SELECT id FROM people WHERE id = 3 " +
+      "UNION SELECT id FROM people INTERSECT SELECT owner_id FROM cars " +
+      "ORDER BY id").toOption.get
+    assert(p.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // INTERSECT ALL is rejected
+    assert(db.query("SELECT id FROM people INTERSECT ALL SELECT owner_id FROM cars").isLeft)
+  }
+
   test("double literals flow through INSERT, WHERE, SET and comparisons") {
     val db = freshDb()
     assert(db.query("CREATE TABLE m (id INT, price DOUBLE)").isRight)
