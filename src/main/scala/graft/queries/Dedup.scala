@@ -144,6 +144,66 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected components over an undirected pair list (a_id, b_id) by
+    * iterative min-label propagation: every node repeatedly adopts the
+    * smallest label among itself and its neighbors until fixpoint. Each
+    * iteration is one equi-join + one aggregate (two shuffles), and the
+    * iteration count is the cluster DIAMETER — near-dup clusters are
+    * near-cliques, so 2-3 rounds close them; the driver loop only ever
+    * moves a single `count` per round. Returns (id, cluster) where
+    * cluster = min doc id of the component. Singleton documents (no
+    * pairs) are not emitted — a dup-cluster report covers dup members.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min("lbl").as("nlbl"))
+      val next = labels.withColumnRenamed("lbl", "old")
+        .join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"))
+        .cache()
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next.select("id", "lbl")
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** The verified MinHash near-dup pair list (the q_dedup_minhash result),
+    * memoized so the cluster query shares it within a session.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "minhash_pairs") {
+      val wide = minhashWide(s, d)
+      val bandExprs = (0 until 4).map(b =>
+        s"$b, md5(concat_ws(',', m${4 * b}, m${4 * b + 1}, m${4 * b + 2}, m${4 * b + 3}))")
+        .mkString(", ")
+      val bands = wide.select(col("doc_id"),
+        expr(s"stack(4, $bandExprs)").as(Seq("band", "bkey")))
+      val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val matchesExpr = (0 until 16)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      val est = cand
+        .join(wide.as("a"), col("a.doc_id") === col("a_id"))
+        .join(wide.as("b"), col("b.doc_id") === col("b_id"))
+        .filter(expr(s"($matchesExpr) >= 8"))
+        .select("a_id", "b_id")
+      verifyJaccard(s, d, est)
+    }
+
   def defs: Map[String, QueryDef] = Map(
 
     // Exact dedup: hash-groupBy on content digest. One shuffle on md5(text);
@@ -198,40 +258,12 @@ object Dedup {
     // Unlike the inverted-index channel (q_dedup_ngram), signatures are
     // per-doc and frequency-independent, so recall does not degrade when a
     // dup cluster outgrows any df cap — this is the 100 TB path.
+    // (Pipeline notes live on minhashPairs: 16 min-hashes as one wide
+    // aggregate, md5 band keys — distinct tuples collide only as md5
+    // collides — and a ≥ 8/16 sketch prefilter whose wide-signature join
+    // is a fused 16-column compare before the exact verification.)
     "q_dedup_minhash" -> QueryDef(
-      (s, d) => {
-        // 16 min-hashes as one wide aggregate over the shingle stream (no
-        // 16× row explosion before the shuffle): one row per doc, m0..m15,
-        // cached — referenced by bands AND both sides of the estimator.
-        val wide = minhashWide(s, d)
-        // Band key = md5 of the band's ordered 4-minhash tuple: distinct
-        // tuples collide only as md5 collides. (A weighted sum of the four
-        // minhashes lets distinct tuples alias far more often, inflating
-        // false candidates into the estimator join.)
-        val bandExprs = (0 until 4).map(b =>
-          s"$b, md5(concat_ws(',', m${4 * b}, m${4 * b + 1}, m${4 * b + 2}, m${4 * b + 3}))")
-          .mkString(", ")
-        val bands = wide.select(col("doc_id"),
-          expr(s"stack(4, $bandExprs)").as(Seq("band", "bkey")))
-        val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
-          .filter(col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .distinct()
-        // Cheap sketch-level prefilter before the exact verification: the
-        // fraction of matching minhashes estimates Jaccard, so require
-        // ≥ 8/16 matches (P[miss a j≥0.8 pair] ≈ 1e-3, while background
-        // j≈0.2 candidates pass with P ≈ 1e-5 — kills ~all band noise).
-        // The signatures join WIDE (one row per doc), so the estimate is a
-        // fused 16-column compare, not a (doc, seed)-granularity shuffle.
-        val matchesExpr = (0 until 16)
-          .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
-        val est = cand
-          .join(wide.as("a"), col("a.doc_id") === col("a_id"))
-          .join(wide.as("b"), col("b.doc_id") === col("b_id"))
-          .filter(expr(s"($matchesExpr) >= 8"))
-          .select("a_id", "b_id")
-        verifyJaccard(s, d, est)
-      },
+      (s, d) => minhashPairs(s, d),
       Some("""WITH sh AS (
              |  SELECT DISTINCT doc_id,
              |    ('0x' || substring(md5(substring(text, i, 8)), 1, 15))::bigint AS sh
@@ -268,6 +300,64 @@ object Dedup {
              |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
              |WHERE round(inter*1.0/(sa.sz + sb.sz - inter), 4) >= 0.8
              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Dup CLUSTERS from the verified MinHash pairs: connected components
+    // by iterative min-label propagation (diameter-bounded rounds, two
+    // shuffles each — the standard distributed CC; dup clusters are
+    // near-cliques, so it closes in 2-3 rounds). cluster = min doc_id of
+    // the component — the canonical "keep one representative" key a
+    // pipeline dedups on. Oracle: the same pair list closed with a
+    // DuckDB recursive CTE — a completely different transitive-closure
+    // formulation that must land on identical clusters.
+    "q_dedup_cluster" -> QueryDef(
+      (s, d) => connectedComponents(minhashPairs(s, d).select("a_id", "b_id"))
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    ('0x' || substring(md5(substring(text, i, 8)), 1, 15))::bigint AS sh
+             |  FROM (SELECT doc_id, text, unnest(range(1, length(text)-6)) AS i FROM documents)
+             |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             |sh2 AS (
+             |  SELECT doc_id, sh % 999999937 AS hnum FROM sh
+             |), sigs AS (
+             |  SELECT doc_id, s.seed,
+             |    min((hnum * (s.seed + 1) + s.seed * 1000003) % 999999937) AS minh
+             |  FROM sh2, (SELECT unnest(range(0, 16)) AS seed) s
+             |  GROUP BY doc_id, s.seed
+             |), bands AS (
+             |  SELECT doc_id, cast(seed // 4 AS int) AS band,
+             |    md5(string_agg(cast(minh AS varchar), ',' ORDER BY seed)) AS bkey
+             |  FROM sigs GROUP BY doc_id, seed // 4
+             |), cand AS (
+             |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM bands a JOIN bands b USING (band, bkey)
+             |  WHERE a.doc_id < b.doc_id
+             |), est AS (
+             |  SELECT c.a_id, c.b_id
+             |  FROM cand c JOIN sigs sa ON sa.doc_id = c.a_id
+             |              JOIN sigs sb ON sb.doc_id = c.b_id AND sb.seed = sa.seed
+             |  GROUP BY 1, 2
+             |  HAVING sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) >= 8
+             |), inter AS (
+             |  SELECT s1.doc_id AS a_id, s2.doc_id AS b_id, count(*) AS inter
+             |  FROM est c JOIN sh s1 ON s1.doc_id = c.a_id
+             |             JOIN sh s2 ON s2.doc_id = c.b_id AND s2.sh = s1.sh
+             |  GROUP BY 1, 2
+             |), pairs AS (
+             |  SELECT a_id, b_id FROM inter
+             |  JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+             |  WHERE round(inter*1.0/(sa.sz + sb.sz - inter), 4) >= 0.8
+             |), sym AS (
+             |  SELECT a_id AS u, b_id AS v FROM pairs
+             |  UNION ALL SELECT b_id, a_id FROM pairs
+             |), reach AS (
+             |  SELECT u AS id, v AS r FROM sym
+             |  UNION
+             |  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.id
+             |)
+             |SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
     // SimHash: 60-bit signature from TERM-FREQUENCY-weighted word hashes
     // (md5 → first 15 hex chars → 60-bit int; each occurrence contributes

@@ -92,6 +92,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH neardup recall $recall over ${brute.size} pairs")
   }
 
+  test("connected components: transitive chains close, separate components stay apart") {
+    import spark.implicits._
+    // chain 1-2-3 (transitive through 2), pair 10-11, triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // gate query shape: clusters over the fixture's minhash pairs agree
+    // with the pair relation (both endpoints of every pair share a cluster)
+    val pairRows = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = SparkEntry.queries("q_dedup_cluster")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairRows.nonEmpty)
+    pairRows.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // every cluster id is the min member id
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid min is ${members.keys.min}")
+    }
+  }
+
   test("dedup shingle cache has an explicit lifecycle (nothing stays persisted)") {
     SparkEntry.queries("q_dedup_minhash")(spark, sf).count()
     // the family had a live cache, and the release drops ALL of it — a
