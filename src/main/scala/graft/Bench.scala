@@ -26,6 +26,7 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     graft.queries.Dedup.releaseShingles(spark)
+    graft.queries.Vectors.releaseCaches(spark)
     // Per-query MEDIAN over 3 timed passes, so round-over-round deltas are
     // attributable to code, not run noise. The shared shingle cache is
     // released between passes so every pass pays the materialization in
@@ -38,6 +39,7 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
       graft.queries.Dedup.releaseShingles(spark)
+    graft.queries.Vectors.releaseCaches(spark)
       r
     }
     val medians: Seq[(String, Double)] = SparkEntry.queries.keys.toSeq.map { name =>

@@ -32,6 +32,7 @@ object Verify {
     // cache lifecycle: the dedup family shares a cached shingle frame;
     // release it once the family is done
     graft.queries.Dedup.releaseShingles(spark)
+    graft.queries.Vectors.releaseCaches(spark)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -145,37 +145,62 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list (a_id, b_id) by
-    * iterative min-label propagation: every node repeatedly adopts the
-    * smallest label among itself and its neighbors until fixpoint. Each
-    * iteration is one equi-join + one aggregate (two shuffles), and the
-    * iteration count is the cluster DIAMETER — near-dup clusters are
-    * near-cliques, so 2-3 rounds close them; the driver loop only ever
-    * moves a single `count` per round. Returns (id, cluster) where
-    * cluster = min doc id of the component. Singleton documents (no
-    * pairs) are not emitted — a dup-cluster report covers dup members.
+    * min-label propagation WITH pointer jumping: each round every node
+    * adopts the smallest label among itself and its neighbors, then
+    * compresses one level through the label graph (lbl ← lbl[lbl]) —
+    * path halving, so convergence takes O(log diameter) rounds instead
+    * of diameter rounds (a transitive near-dup chain of length d would
+    * otherwise cost d shuffle rounds). Each round is two equi-joins +
+    * one aggregate; the driver only ever moves a single convergence
+    * `count` per round. Returns (id, cluster) where cluster = min doc id
+    * of the component. Singleton documents (no pairs) are not emitted —
+    * a dup-cluster report covers dup members.
     */
+  /** Rounds the last connectedComponents call took (observability/specs). */
+  @volatile var lastCcRounds: Int = 0
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    // localCheckpoint (NOT cache) on every iteration product: the jump
+    // self-join references the previous round's frame twice, so with lazy
+    // lineage the LOGICAL plan doubles per round and Catalyst
+    // re-optimization time explodes exponentially even though execution
+    // would hit the caches — the classic iterative-algorithm trap.
+    // Checkpointing truncates the plan to the materialized partitions, so
+    // every round optimizes a constant-size plan. (localCheckpoint trades
+    // executor-loss recovery for speed; a long-lived production job would
+    // use a reliable checkpoint dir — same API, same plan shape.)
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("lbl", col("id")).cache()
+      .withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      val t0 = System.nanoTime()
       val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .groupBy(col("u").as("id")).agg(min("lbl").as("nlbl"))
-      val next = labels.withColumnRenamed("lbl", "old")
+      val stepped = labels.withColumnRenamed("lbl", "old")
         .join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"), col("old"),
           least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"))
-        .cache()
+        .localCheckpoint() // referenced twice by the jump self-join below
+      // pointer jumping: follow the label one hop (labels are node ids,
+      // and label values only ever decrease, so lbl[lbl[x]] ≤ lbl[x])
+      val next = stepped.as("x")
+        .join(stepped.select(col("id").as("pid"), col("lbl").as("plbl")),
+          col("x.lbl") === col("pid"), "left_outer")
+        .select(col("x.id").as("id"), col("x.old").as("old"),
+          least(col("x.lbl"), coalesce(col("plbl"), col("x.lbl"))).as("lbl"))
+        .localCheckpoint()
       changed = next.filter(col("lbl") =!= col("old")).count()
-      labels.unpersist(blocking = false)
+      if (debug) System.err.println(
+        f"[cc] round $iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
       labels = next.select("id", "lbl")
       iter += 1
     }
-    edges.unpersist(blocking = false)
+    lastCcRounds = iter
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 

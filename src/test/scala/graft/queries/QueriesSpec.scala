@@ -126,6 +126,12 @@ class QueriesSpec extends AnyFunSuite {
       "dedup family should have had a cached shingle frame")
     assert(Dedup.releaseShingles(spark) == 0,
       "releaseShingles must drop every cached shingle frame")
+    // the vector family has the same discipline
+    SparkEntry.queries("q_embed_neardup")(spark, sf).count()
+    assert(Vectors.releaseCaches(spark) >= 1,
+      "vector family should have had a cached pair frame")
+    assert(Vectors.releaseCaches(spark) == 0,
+      "releaseCaches must drop every cached vector frame")
   }
 
   test("langid predictions are deterministic and cover the fixture languages") {
