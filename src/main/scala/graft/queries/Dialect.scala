@@ -336,6 +336,18 @@ object Dialect {
              |EXCEPT SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9500
              |ORDER BY k""".stripMargin)),
 
+    // EXCEPT ALL: bag difference — each supplier occurrence cancels ONE
+    // customer occurrence of the same nation key (multiset semantics the
+    // distinct-set EXCEPT cannot express).
+    "q_dialect_except_all" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "supplier"),
+        "SELECT c_nationkey AS k FROM customer " +
+          "EXCEPT ALL SELECT s_nationkey AS k FROM supplier " +
+          "ORDER BY k"),
+      Some("""SELECT c_nationkey AS k FROM customer
+             |EXCEPT ALL SELECT s_nationkey AS k FROM supplier
+             |ORDER BY k""".stripMargin)),
+
     // UNION chain, left-associative with per-connector dedup: the first
     // two branches append (UNION ALL), the final UNION dedups the rows
     // the third branch re-selects.

@@ -384,20 +384,22 @@ object Lowering {
     */
   def lowerUnion(first: DataFrame, rest: Seq[(String, DataFrame)],
       orderBy: Seq[(String, Boolean)], limit: Option[Long]): DataFrame = {
-    // fold contiguous INTERSECT runs into single group frames
+    // fold contiguous INTERSECT [ALL] runs into single group frames
     val groups = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
     var cur = first
     var curConn = "" // connector joining `cur` to the PREVIOUS group
     for ((conn, df) <- rest) {
       if (conn == "intersect") cur = cur.intersect(df)
+      else if (conn == "intersect_all") cur = cur.intersectAll(df)
       else { groups += ((curConn, cur)); cur = df; curConn = conn }
     }
     groups += ((curConn, cur))
     val unioned = groups.drop(1).foldLeft(groups.head._2) {
-      case (acc, ("union", g))     => acc.union(g).distinct()
-      case (acc, ("union_all", g)) => acc.union(g)
-      case (acc, ("except", g))    => acc.except(g)
-      case (_, (c, _))             => sys.error(s"unreachable set-op connector '$c'")
+      case (acc, ("union", g))      => acc.union(g).distinct()
+      case (acc, ("union_all", g))  => acc.union(g)
+      case (acc, ("except", g))     => acc.except(g)
+      case (acc, ("except_all", g)) => acc.exceptAll(g)
+      case (_, (c, _))              => sys.error(s"unreachable set-op connector '$c'")
     }
     val ordered =
       if (orderBy.isEmpty) unioned

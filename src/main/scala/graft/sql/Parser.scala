@@ -149,11 +149,9 @@ object Parser {
           else {
             val kw = p.next().asInstanceOf[TIdent].s.toLowerCase
             val conn =
-              if (kw == "union" && p.isKw("all")) { p.next(); "union_all" }
+              if (p.isKw("all")) { p.next(); s"${kw}_all" }
               else kw
-            if (conn != "union" && conn != "union_all" && p.isKw("all"))
-              Left(ParseError(s"${kw.toUpperCase} ALL is not supported", p.peek.pos))
-            else parseSelect(p).flatMap(s => loop(branches :+ (conn -> s)))
+            parseSelect(p).flatMap(s => loop(branches :+ (conn -> s)))
           }
         loop(Vector.empty).flatMap { rest =>
           val pos = p.peek.pos

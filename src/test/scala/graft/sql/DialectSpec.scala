@@ -440,8 +440,16 @@ class DialectSpec extends AnyFunSuite {
       "UNION SELECT id FROM people INTERSECT SELECT owner_id FROM cars " +
       "ORDER BY id").toOption.get
     assert(p.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
-    // INTERSECT ALL is rejected
-    assert(db.query("SELECT id FROM people INTERSECT ALL SELECT owner_id FROM cars").isLeft)
+    // bag semantics: ALL variants keep/remove per-occurrence
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    // owner bag {1,1,2} INTERSECT ALL people ids {1,2,3} -> {1,2}
+    val ia = db.select("SELECT owner_id FROM cars INTERSECT ALL SELECT id FROM people " +
+      "ORDER BY owner_id").toOption.get
+    assert(ia.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // owner bag {1,1,2} EXCEPT ALL {1} -> {1,2} (removes ONE occurrence)
+    val ea = db.select("SELECT owner_id FROM cars EXCEPT ALL SELECT id FROM people WHERE id = 1 " +
+      "ORDER BY owner_id").toOption.get
+    assert(ea.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
   }
 
   test("double literals flow through INSERT, WHERE, SET and comparisons") {
