@@ -338,6 +338,15 @@ class DialectSpec extends AnyFunSuite {
       Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
   }
 
+  test("subqueries nest: correlated EXISTS containing an uncorrelated IN") {
+    val db = demoDb()
+    // people with a car whose model is among the 'T%' models
+    val n = db.select("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id AND c.id IN " +
+      "(SELECT id FROM cars WHERE model LIKE 'T%'))").toOption.get
+    assert(n.collect().map(_.getString(0)).toSeq == Seq("Elon"))
+  }
+
   test("correlation is restricted to top-level WHERE equalities") {
     val db = demoDb()
     // non-equality correlation
