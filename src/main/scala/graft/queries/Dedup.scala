@@ -384,6 +384,56 @@ object Dedup {
              |SELECT id AS doc_id, least(id, min(r)) AS cluster_id
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // Benchmark DECONTAMINATION: flag corpus documents whose shingle
+    // CONTAINMENT in some "benchmark" document is ≥ 0.5 — i.e. half the
+    // doc's distinct char-8-grams appear verbatim in one benchmark doc
+    // (the stand-in benchmark set is doc_id < 20; in production it is
+    // the held-out eval suite). Containment — |doc ∩ bench| / |doc| —
+    // is the right measure here, NOT a raw shared count: on any corpus
+    // common shingles make small absolute overlaps ubiquitous (measured
+    // at sf0.01: background 25-100 shared of ~271 per doc, the planted
+    // contamination 200+). Scale shape: the benchmark side is tiny by
+    // nature, so its shingle set BROADCASTS and the corpus side streams
+    // map-side through the join — the only shuffle is the per-(doc,
+    // bench) count; the corpus is never re-partitioned by shingle.
+    "q_text_contamination" -> QueryDef(
+      (s, d) => {
+        val sets = docSets(s, d)
+        val sh = shingles(s, d)
+        val bench = sh.filter(col("doc_id") < 20)
+          .select(col("sh"), col("doc_id").as("bench_id"))
+        val hits = sh.filter(col("doc_id") >= 20)
+          .join(broadcast(bench), Seq("sh"))
+          .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+          .join(sets.select(col("doc_id"), col("sz")), Seq("doc_id"))
+          .withColumn("containment", round(col("shared") / col("sz"), 4))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("containment").desc, col("bench_id"))
+        hits.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1 && col("containment") >= 0.5)
+          .select(col("doc_id"), col("bench_id"), col("containment"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    ('0x' || substring(md5(substring(text, i, 8)), 1, 15))::bigint AS sh
+             |  FROM (SELECT doc_id, text, unnest(range(1, length(text)-6)) AS i FROM documents)
+             |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             |bench AS (SELECT sh, doc_id AS bench_id FROM sh WHERE doc_id < 20),
+             |hits AS (
+             |  SELECT c.doc_id, b.bench_id,
+             |    round(count(*) * 1.0 / any_value(z.sz), 4) AS containment
+             |  FROM sh c JOIN bench b USING (sh) JOIN sizes z ON z.doc_id = c.doc_id
+             |  WHERE c.doc_id >= 20
+             |  GROUP BY 1, 2
+             |)
+             |SELECT doc_id, bench_id, containment FROM (
+             |  SELECT doc_id, bench_id, containment,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY containment DESC, bench_id) AS rk
+             |  FROM hits) x
+             |WHERE rk = 1 AND containment >= 0.5
+             |ORDER BY doc_id""".stripMargin)),
+
     // SimHash: 60-bit signature from TERM-FREQUENCY-weighted word hashes
     // (md5 → first 15 hex chars → 60-bit int; each occurrence contributes
     // ±1, so tf is the weight — textbook SimHash). On this corpus
