@@ -49,7 +49,16 @@ object Bench {
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"agg":"median"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"agg":"median"}"""
+    // The driver keeps only the tail of stdout, which can truncate the head
+    // of this (long) line once the query count is large. Persist the full
+    // JSON to a file in the repo so every round's per-query timings are
+    // attributable even when the stdout tail is cut.
+    try {
+      val p = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
+      java.nio.file.Files.write(p, line.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

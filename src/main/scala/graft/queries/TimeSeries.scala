@@ -14,14 +14,34 @@ object TimeSeries {
 
   def defs: Map[String, QueryDef] = Map(
 
+    // One-row probe over the sessionize timestamp channel: global
+    // count/min/max/sum of ts_ms, all integers. If ANY event's ms
+    // derivation disagrees between the engines, the sum cell flips and
+    // this query pins the diverging engine+column in a single driver run.
+    "q_ts_probe" -> QueryDef(
+      (s, d) => events(s, d)
+        .select(expr("unix_micros(ts) div 1000").as("ts_ms"))
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_ms").cast("long").as("ts_ms_min"),
+          max("ts_ms").cast("long").as("ts_ms_max"),
+          sum("ts_ms").cast("long").as("ts_ms_sum")),
+      Some("""SELECT cast(count(*) AS bigint) AS n_events,
+             |  cast(min(ts_ms) AS bigint) AS ts_ms_min,
+             |  cast(max(ts_ms) AS bigint) AS ts_ms_max,
+             |  cast(sum(ts_ms) AS bigint) AS ts_ms_sum
+             |FROM (SELECT epoch_ns(ts) // 1000000 AS ts_ms FROM events) e""".stripMargin)),
+
     // Gap-based sessionization (batch form of
     // graft.streaming.EventsStreaming.sessionize): 30-min inactivity gap,
     // one window shuffle on user_id. Session boundaries compare at
-    // MILLISECOND resolution on both engines (floor(epoch_us/1000)): the
-    // source column is parquet timestamp[ns], and the two engines may
-    // truncate vs round the ns→µs cast differently, so any µs-resolution
-    // comparison is one representation quirk away from flipping a boundary.
-    // At ms resolution no sub-ms representation difference can flip it.
+    // MILLISECOND resolution on both engines: the source column is parquet
+    // timestamp[ns], and the two engines may truncate vs round a ns→µs
+    // cast differently, so any µs-resolution comparison is one
+    // representation quirk away from flipping a boundary. Both sides now
+    // derive ts_ms by PURE FLOOR from the source integers — Spark:
+    // ns `div` 1000 at load (Tables.events) then unix_micros div 1000;
+    // oracle: epoch_ns(ts) // 1000000, never casting timestamp_ns down —
+    // so no engine-dependent rounding channel remains anywhere.
     // All outputs are integers (value sum as exact decimal cents) so the
     // cross-engine hash has no float channel at all.
     "q_sessionize" -> QueryDef(
@@ -45,8 +65,8 @@ object TimeSeries {
           .agg(count(lit(1)).as("n_events"),
             (round(sum(col("value").cast("decimal(18,6)")), 2) * 100)
               .cast("long").as("total_cents"),
-            ((max("ts_ms") - min("ts_ms")).cast("long").divide(lit(1000L)))
-              .cast("long").as("duration_sec"))
+            expr("(max(ts_ms) - min(ts_ms)) div 1000").cast("long")
+              .as("duration_sec"))
           .orderBy("user_id", "session_id")
       },
       Some("""SELECT user_id, session_id, cast(count(*) AS bigint) AS n_events,
@@ -62,7 +82,7 @@ object TimeSeries {
              |             OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
              |           THEN 1 ELSE 0 END AS new_session
              |    FROM (SELECT user_id, "value", event_id,
-             |            epoch_us(cast(ts AS timestamp)) // 1000 AS ts_ms
+             |            epoch_ns(ts) // 1000000 AS ts_ms
              |          FROM events) e) x) y
              |GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
