@@ -285,6 +285,24 @@ object Dialect {
              |ON r.r_regionkey = n.n_regionkey AND n.n_nationkey < 10
              |ORDER BY r_regionkey, n_nationkey""".stripMargin)),
 
+    // INNER JOIN after a LEFT JOIN in the FROM list (the join-tree shape
+    // the round-3 steps model rejected): the region inner step applies to
+    // the left join's RESULT, so nations whose customer side null-extended
+    // still join their region and survive — hoisting the region ON ahead
+    // of the outer step could not express this ordering.
+    "q_dialect_mixed_join" -> QueryDef(
+      (s, d) => run(db(s, d, "nation", "customer", "region"),
+        "SELECT n_nationkey, n_name, c_custkey, r_name " +
+          "FROM nation n LEFT JOIN customer c " +
+          "ON n.n_nationkey = c.c_nationkey AND c.c_acctbal >= 9900 " +
+          "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+          "ORDER BY n_nationkey, c_custkey"),
+      Some("""SELECT n_nationkey, n_name, c_custkey, r_name
+             |FROM nation n LEFT JOIN customer c
+             |ON n.n_nationkey = c.c_nationkey AND c.c_acctbal >= 9900
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |ORDER BY n_nationkey, c_custkey""".stripMargin)),
+
     // Correlated scalar subquery: per-customer min aggregated once
     // (GROUP BY the decorrelated key) and joined — orders strictly above
     // their own customer's cheapest order. min() is exact, so the filter
@@ -311,6 +329,68 @@ object Dialect {
       Some("""SELECT c_custkey, c_name FROM customer c
              |WHERE 5 <= (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
+
+    // Null-aware NOT IN end-to-end: the first branch's subquery contains
+    // a NULL, so SQL 3VL makes NOT IN non-TRUE for every probe (zero
+    // rows); the second branch is the plain anti-join path. Both engines
+    // see identical data — the dialect warehouse table is mirrored into
+    // the oracle as an inline VALUES list.
+    "q_dialect_not_in_null" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "customer")
+        if (!g.tableNames.contains("nin_null")) {
+          g.query("CREATE TABLE nin_null (k BIGINT)")
+          g.query("INSERT INTO nin_null VALUES (1), (2), (NULL)")
+          g.query("CREATE TABLE nin_vals (k BIGINT)")
+          g.query("INSERT INTO nin_vals VALUES " +
+            (1 to 20).map(i => s"($i)").mkString(", "))
+        }
+        val a = run(g, "SELECT 'with_null' AS tag, c_custkey FROM customer " +
+          "WHERE c_custkey NOT IN (SELECT k FROM nin_null)")
+        val b = run(g, "SELECT 'no_null' AS tag, c_custkey FROM customer " +
+          "WHERE c_custkey NOT IN (SELECT k FROM nin_vals)")
+        a.union(b).orderBy("tag", "c_custkey")
+      },
+      Some("""SELECT 'with_null' AS tag, c_custkey FROM customer
+             |WHERE c_custkey NOT IN (SELECT k FROM (VALUES (1), (2), (NULL)) t(k))
+             |UNION ALL
+             |SELECT 'no_null' AS tag, c_custkey FROM customer
+             |WHERE c_custkey NOT IN (SELECT k FROM (VALUES (1), (2), (3), (4), (5),
+             |  (6), (7), (8), (9), (10), (11), (12), (13), (14), (15), (16), (17),
+             |  (18), (19), (20)) t(k))
+             |ORDER BY tag, c_custkey""".stripMargin)),
+
+    // Correlation depth 2: the innermost subquery's l_suppkey equality
+    // reaches past the orders scope to the OUTERMOST customer binding.
+    // Lowered by existential flattening (orders ⋈ lineitem inside one
+    // semi join); DuckDB unnests natively — two independent strategies
+    // that must agree. Only customers whose custkey doubles as a supplier
+    // key on their own orders' lineitems qualify.
+    "q_dialect_nested_corr" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders", "lineitem"),
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS " +
+          "(SELECT o.o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey " +
+          "AND EXISTS (SELECT l.l_orderkey FROM lineitem l " +
+          "WHERE l.l_orderkey = o.o_orderkey AND l.l_suppkey = c.c_custkey)) " +
+          "ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c WHERE EXISTS
+             |(SELECT o.o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey
+             | AND EXISTS (SELECT l.l_orderkey FROM lineitem l
+             | WHERE l.l_orderkey = o.o_orderkey AND l.l_suppkey = c.c_custkey))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Uncorrelated scalar subquery in HAVING: the threshold (mean lines
+    // per supplier) computes once and broadcast-joins the aggregated
+    // frame — integer count vs exact double division on both engines.
+    "q_dialect_having_sub" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey " +
+          "HAVING count(*) > (SELECT count(*) / 100 AS thr FROM lineitem) " +
+          "ORDER BY l_suppkey"),
+      Some("""SELECT l_suppkey, cast(count(*) AS bigint) AS n
+             |FROM lineitem GROUP BY l_suppkey
+             |HAVING count(*) > (SELECT count(*) / 100 FROM lineitem)
+             |ORDER BY l_suppkey""".stripMargin)),
 
     // INTERSECT binding tighter than UNION (standard precedence): the
     // nation keys shared by customers AND suppliers, unioned with the

@@ -103,8 +103,8 @@ object Analyzer {
     /** [NOT] IN (SELECT …): lowers to left-semi/anti join. `pairs` are the
       * decorrelated equality conjuncts (outer col, inner col) pulled out of
       * the subquery's WHERE into the join condition; empty = uncorrelated.
-      * Note: NOT IN lowers as left-anti, which diverges from SQL's
-      * NULL-poisoned NOT IN when the subquery returns NULLs.
+      * NOT IN is null-aware (SQL 3VL): a NULL in the subquery result, or a
+      * NULL probe against a non-empty set, makes the predicate non-TRUE.
       */
     final case class BInSub(o: BoundOperand, sub: BoundSelect,
         pairs: Seq[(BoundCol, BoundCol)], negated: Boolean) extends BoundExpr
@@ -192,10 +192,24 @@ object Analyzer {
     * OR branch) is rejected. A correlated subquery must not aggregate or
     * LIMIT: both change meaning under global (per-join, not per-outer-row)
     * evaluation.
+    *
+    * Correlation depth > 1 — a NESTED positive EXISTS / IN whose pairs
+    * reach past this subquery into an enclosing scope — is handled by
+    * existential flattening: ∃o.(P(o) ∧ ∃l.Q(o, l)) ≡ ∃(o, l).(P ∧ Q)
+    * (the step toward full unnesting the reference's plan.rs:44-46 cites
+    * the Neumann unnesting paper for). The nested subquery's tables merge
+    * into this one, its local pairs become plain equality conjuncts, and
+    * its deep pairs hoist to this subquery's pair list — level by level,
+    * so any depth flattens. Flattening preserves per-outer-row emptiness
+    * (the only thing a semi/anti join consumes) but not multiplicity, so
+    * it is rejected under an aggregating subquery, and a NEGATED nested
+    * subquery never flattens (∃o.(P ∧ ¬∃l.Q) has no join-only form).
     */
   private def decorrelate(sub: BoundSelect, allowAggregate: Boolean = false)
       : Either[AnalyzerError, (BoundSelect, Seq[(BoundCol, BoundCol)])] = {
-    val inner = (sub.tables.map(_.binding) ++ sub.outerJoins.map(_.table.binding)).toSet
+    val inner = scala.collection.mutable.Set.empty[String]
+    inner ++= sub.tables.map(_.binding)
+    inner ++= sub.joinSteps.map(_.table.binding)
     def isOuter(c: BoundCol) = !inner(c.binding)
     def conj(e: BoundExpr): Seq[BoundExpr] = e match {
       case BoundExpr.BAnd(l, r) => conj(l) ++ conj(r)
@@ -208,19 +222,65 @@ object Analyzer {
         case BoundItem.BIAgg(_, arg, _) => arg.toSeq.flatMap(operandColsDeep)
       } ++ sub.groupBy ++ sub.orderBy.map(_._1) ++
         sub.having.toSeq.flatMap(exprCols) ++
-        sub.outerJoins.flatMap(oj => exprCols(oj.on))
+        sub.joinSteps.flatMap(js => exprCols(js.on))
     nonPredCols.find(isOuter) match {
       case Some(c) => Left(BadSubquery(
         s"correlated reference ${c.render} is only supported as an equality in the subquery's WHERE"))
       case None =>
-        val conjs = sub.predicate.map(conj).getOrElse(Nil)
         val pairs = Vector.newBuilder[(BoundCol, BoundCol)]
         val kept = Vector.newBuilder[BoundExpr]
-        for (c <- conjs) {
-          c match {
+        val extraTables = Vector.newBuilder[BoundTable]
+        val extraSteps = Vector.newBuilder[BoundJoinStep]
+        val queue = scala.collection.mutable.Queue.empty[BoundExpr]
+        queue ++= sub.predicate.map(conj).getOrElse(Nil)
+        // merge a nested subquery's body into this one (existential
+        // flattening); its conjuncts re-enter the queue so deeper nesting
+        // flattens level by level
+        def flatten(isub: BoundSelect, ipairs: Seq[(BoundCol, BoundCol)],
+            inEq: Option[BoundExpr]): Option[AnalyzerError] = {
+          if (sub.isAggregate)
+            return Some(BadSubquery(
+              "correlation into a deeper scope is not supported under an aggregating subquery"))
+          if (isub.isAggregate || isub.limit.isDefined || isub.distinct ||
+              isub.orderBy.nonEmpty)
+            return Some(BadSubquery(
+              "a nested subquery correlated to a deeper scope must be a plain SELECT"))
+          val newBindings = (isub.tables ++ isub.joinSteps.map(_.table)).map(_.binding)
+          newBindings.find(inner) match {
+            case Some(b) => return Some(DuplicateBinding(b))
+            case None    => inner ++= newBindings
+          }
+          extraTables ++= isub.tables
+          extraSteps ++= isub.joinSteps
+          queue ++= isub.predicate.map(conj).getOrElse(Nil)
+          inEq.foreach(kept += _)
+          for ((oc, ic) <- ipairs) {
+            if (isOuter(oc)) pairs += ((oc, ic))
+            else kept += BoundExpr.BCmp(CmpOp.Eq, BoundOperand.BCol(oc), BoundOperand.BCol(ic))
+          }
+          None
+        }
+        while (queue.nonEmpty) {
+          queue.dequeue() match {
             case BoundExpr.BCmp(CmpOp.Eq, BoundOperand.BCol(a), BoundOperand.BCol(b))
                 if isOuter(a) != isOuter(b) =>
               if (isOuter(a)) pairs += ((a, b)) else pairs += ((b, a))
+            case BoundExpr.BExists(isub, ipairs, false)
+                if ipairs.exists(p => isOuter(p._1)) =>
+              flatten(isub, ipairs, None).foreach(e => return Left(e))
+            case BoundExpr.BInSub(o, isub, ipairs, false)
+                if ipairs.exists(p => isOuter(p._1)) &&
+                  operandCols(o).forall(c => !isOuter(c)) =>
+              // x IN (SELECT v …) under existence ≡ ∃ row with x = v
+              val inVal = isub.projection.head match {
+                case BoundItem.BICol(ic, _)   => BoundOperand.BCol(ic)
+                case BoundItem.BIExpr(op2, _) => op2
+                case _: BoundItem.BIAgg =>
+                  return Left(BadSubquery(
+                    "a nested IN subquery correlated to a deeper scope must not aggregate"))
+              }
+              flatten(isub, ipairs,
+                Some(BoundExpr.BCmp(CmpOp.Eq, o, inVal))).foreach(e => return Left(e))
             case other =>
               exprCols(other).find(isOuter) match {
                 case Some(cc) => return Left(BadSubquery(
@@ -231,20 +291,25 @@ object Analyzer {
           }
         }
         val ps = pairs.result()
+        val flattened = sub.copy(
+          tables = sub.tables ++ extraTables.result(),
+          joinSteps = sub.joinSteps ++ extraSteps.result(),
+          predicate = kept.result().reduceOption(BoundExpr.BAnd(_, _)))
         if (ps.isEmpty) Right((sub, Nil))
         else if (sub.isAggregate && !allowAggregate)
           Left(BadSubquery("a correlated subquery must not aggregate"))
         else if (sub.limit.isDefined)
           Left(BadSubquery("a correlated subquery must not use LIMIT"))
         else
-          Right((sub.copy(predicate = kept.result().reduceOption(BoundExpr.BAnd(_, _))), ps))
+          Right((flattened, ps))
     }
   }
 
-  /** An outer-join step: applied in order after the inner-join group,
-    * with its ON condition attached (never WHERE-desugared).
+  /** A join step (left/right/full outer, or inner-after-outer): applied
+    * in declaration order after the inner-join group, with its ON
+    * condition attached (never WHERE-desugared).
     */
-  final case class BoundOuterJoin(joinType: String, table: BoundTable, on: BoundExpr)
+  final case class BoundJoinStep(kind: String, table: BoundTable, on: BoundExpr)
 
   sealed trait BoundQuery
   final case class BoundSelect(
@@ -256,7 +321,7 @@ object Analyzer {
       groupBy: Seq[BoundCol] = Nil,
       having: Option[BoundExpr] = None,
       distinct: Boolean = false,
-      outerJoins: Seq[BoundOuterJoin] = Nil) extends BoundQuery {
+      joinSteps: Seq[BoundJoinStep] = Nil) extends BoundQuery {
     def isAggregate: Boolean = groupBy.nonEmpty || projection.exists {
       case _: BoundItem.BIAgg           => true
       case BoundItem.BIExpr(op, _)      => BoundOperand.containsAgg(op)
@@ -361,7 +426,7 @@ object Analyzer {
     // resolve FROM with bindings (alias or table name, reference
     // analyzer/mod.rs:48-61); outer-join step tables enter the same scope
     val bound = scala.collection.mutable.LinkedHashMap.empty[String, BoundTable]
-    for (tr <- s.from ++ s.outerJoins.map(_.table)) {
+    for (tr <- s.from ++ s.joinSteps.map(_.table)) {
       cat.resolve(tr.name) match {
         case None => return Left(RelationNotFound(tr.name))
         case Some(desc) =>
@@ -463,7 +528,7 @@ object Analyzer {
         else
           for {
             bo <- bindOp(o, allowAgg = false)
-            bsub0 <- analyzeSelect(sub, cat, outerScope = tables)
+            bsub0 <- analyzeSelect(sub, cat, outerScope = tables ++ outerScope)
             _ <-
               if (bsub0.projection.length == 1) Right(())
               else Left(BadSubquery(
@@ -477,18 +542,16 @@ object Analyzer {
           Left(BadSubquery("EXISTS (SELECT …) must be a top-level AND conjunct"))
         else
           for {
-            bsub0 <- analyzeSelect(sub, cat, outerScope = tables)
+            bsub0 <- analyzeSelect(sub, cat, outerScope = tables ++ outerScope)
             dp <- decorrelate(bsub0)
           } yield BoundExpr.BExists(dp._1, dp._2, neg)
       case Expr.CmpSubquery(op, o, sub) =>
-        if (allowAgg)
-          Left(BadSubquery("subqueries are not supported in HAVING"))
-        else if (!topLevel)
+        if (!topLevel)
           Left(BadSubquery("a scalar subquery must be a top-level AND conjunct"))
         else
           for {
-            bo <- bindOp(o, allowAgg = false)
-            bsub0 <- analyzeSelect(sub, cat, outerScope = tables)
+            bo <- bindOp(o, allowAgg)
+            bsub0 <- analyzeSelect(sub, cat, outerScope = tables ++ outerScope)
             _ <-
               if (bsub0.projection.length != 1)
                 Left(BadSubquery(
@@ -498,6 +561,10 @@ object Analyzer {
             (bsub, pairs) = dp
             _ <-
               if (pairs.isEmpty) Right(())
+              // HAVING scope: only uncorrelated scalar subqueries (the
+              // correlated decorrelation keys would have to be group keys)
+              else if (allowAgg)
+                Left(BadSubquery("a HAVING subquery must not be correlated"))
               // correlated scalar: must be a group-less aggregate (one row
               // per correlated key by construction) over a plain agg call
               else if (!bsub.isAggregate || bsub.groupBy.nonEmpty)
@@ -571,17 +638,17 @@ object Analyzer {
         case None    => Right(None)
         case Some(e) => bindExpr(e).map(Some(_))
       }
-      // outer-join ON conditions: bound in the full scope, then checked
+      // join-step ON conditions: bound in the full scope, then checked
       // against the tables visible at that step (inner group + earlier
       // steps + the step's own table); no subqueries, no aggregates
-      outerJs <- s.outerJoins.zip(stepTables).zipWithIndex
-        .foldLeft[Either[AnalyzerError, Vector[BoundOuterJoin]]](Right(Vector.empty)) {
-          case (acc, ((oj, bt), k)) => acc.flatMap { v =>
-            bindExpr(oj.on, allowAgg = false, topLevel = false).flatMap { be =>
+      steps <- s.joinSteps.zip(stepTables).zipWithIndex
+        .foldLeft[Either[AnalyzerError, Vector[BoundJoinStep]]](Right(Vector.empty)) {
+          case (acc, ((js, bt), k)) => acc.flatMap { v =>
+            bindExpr(js.on, allowAgg = false, topLevel = false).flatMap { be =>
               val visible = (innerTables ++ stepTables.take(k + 1)).map(_.binding).toSet
               exprCols(be).find(c => !visible(c.binding)) match {
                 case Some(c) => Left(UnboundBinding(c.binding))
-                case None    => Right(v :+ BoundOuterJoin(oj.joinType, bt, be))
+                case None    => Right(v :+ BoundJoinStep(js.kind, bt, be))
               }
             }
           }
@@ -682,7 +749,7 @@ object Analyzer {
           case None    => Right(())
         }
     } yield BoundSelect(innerTables, proj, pred, order, s.limit, group, having,
-      s.distinct, outerJs)
+      s.distinct, steps)
   }
 
   private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {

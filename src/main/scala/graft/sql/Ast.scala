@@ -80,11 +80,16 @@ object Ast {
     final case class SExpr(op: Operand, alias: String) extends SelectItem
   }
 
-  /** LEFT/RIGHT/FULL [OUTER] JOIN step applied (in order) after the
-    * inner-join FROM group; its ON condition must stay attached to the
-    * join (outer-join ONs are not WHERE-desugarable).
+  /** A join step applied (in declaration order) after the leading
+    * inner-join FROM group: LEFT/RIGHT/FULL [OUTER] JOIN, or an INNER
+    * JOIN appearing after an outer join. Step ON conditions stay
+    * attached to their join: an outer-join ON is never
+    * WHERE-desugarable, and an inner step's ON must evaluate against
+    * the PRECEDING steps' result (SQL evaluates the FROM list left to
+    * right), so hoisting it ahead of an outer join would change which
+    * rows that join null-extends.
     */
-  final case class OuterJoin(joinType: String /* left|right|full */,
+  final case class JoinStep(kind: String /* left|right|full|inner */,
       table: TableRef, on: Expr)
 
   /** columns = None means `SELECT *` (star expansion happens in analysis,
@@ -101,7 +106,7 @@ object Ast {
       groupBy: Seq[ColRef] = Nil,
       having: Option[Expr] = None,
       distinct: Boolean = false,
-      outerJoins: Seq[OuterJoin] = Nil) extends ParseTree
+      joinSteps: Seq[JoinStep] = Nil) extends ParseTree
 
   /** SELECT … {UNION [ALL] | INTERSECT | EXCEPT} SELECT … chains with a
     * trailing [ORDER BY …] [LIMIT n]. Connectors are encoded per step

@@ -139,21 +139,27 @@ object Lowering {
         case BoundExpr.BLike(o, pat, neg) =>
           val c = havingOperand(o).like(pat)
           if (neg) !c else c
-        case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) |
-            BoundExpr.BCmpSub(_, _, _, _, _) =>
-          sys.error("unreachable: analyzer rejects subqueries in HAVING")
+        case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) =>
+          sys.error("unreachable: analyzer rejects IN/EXISTS in HAVING")
+        case BoundExpr.BCmpSub(_, _, _, _, _) =>
+          sys.error("unreachable: subquery HAVING conjuncts lower as joins")
         case BoundExpr.BCmp(op, l, r) =>
-          val (lc, rc) = (havingOperand(l), havingOperand(r))
-          op match {
-            case Ast.CmpOp.Eq  => lc === rc
-            case Ast.CmpOp.Neq => lc =!= rc
-            case Ast.CmpOp.Lt  => lc < rc
-            case Ast.CmpOp.Gt  => lc > rc
-            case Ast.CmpOp.Le  => lc <= rc
-            case Ast.CmpOp.Ge  => lc >= rc
-          }
+          cmpCols(op, havingOperand(l), havingOperand(r))
       }
-      val havingCond = q.having.map(havingCol)
+      // HAVING splits into plain conjuncts (a post-aggregation filter) and
+      // scalar-subquery conjuncts (each a broadcast join of its 1-row
+      // frame after aggregation). The subquery operands register their
+      // hidden aggregate columns NOW — before agg() assembles.
+      val havingConjs = q.having.map(conjuncts).getOrElse(Nil)
+      val (havingSubConjs, havingPlainConjs) =
+        havingConjs.partition(BoundExpr.containsSub)
+      val havingCond = havingPlainConjs.map(havingCol).reduceOption(_ && _)
+      val havingSubParts = havingSubConjs.map {
+        case BoundExpr.BCmpSub(op, o, ssub, guard, Seq()) =>
+          (op, havingOperand(o), ssub, guard)
+        case _ => sys.error(
+          "unreachable: analyzer allows only uncorrelated scalar subqueries in HAVING")
+      }
       // computed projections in aggregate scope (count(*) * 2 AS n2):
       // their aggregate calls become hidden agg columns — registered into
       // the same buffer BEFORE the agg() is assembled — and the expression
@@ -169,7 +175,19 @@ object Lowering {
         else filtered0
           .groupBy(q.groupBy.map(bc => qcol(bc).as(groupOut(bc))): _*)
           .agg(allAggs.head, allAggs.tail: _*)
-      val grouped = havingCond.fold(grouped0)(grouped0.filter)
+      val grouped1 = havingCond.fold(grouped0)(grouped0.filter)
+      val grouped = havingSubParts.zipWithIndex.foldLeft(grouped1) {
+        case (acc, ((op, lc, ssub, guard), i)) =>
+          val subDf0 = lowerSelect(spark, ssub, source)
+          if (guard) {
+            val n = subDf0.limit(2).count()
+            if (n > 1) throw new IllegalStateException(
+              "scalar subquery returned more than one row")
+          }
+          val name = s"__hs_$i"
+          val subDf = subDf0.toDF(name)
+          acc.join(broadcast(subDf), cmpCols(op, lc, col(name)), "inner").drop(name)
+      }
       // ORDER BY (validated to group cols) runs on the post-aggregation
       // names BEFORE the final projection, so an unprojected group key can
       // still order the result
@@ -259,16 +277,18 @@ object Lowering {
         if (conj.isEmpty) joined
         else joined.filter(conj.map(lowerExpr).reduce(_ && _))
     }
-    // outer-join steps fold in declaration order with their ON attached;
-    // WHERE conjuncts touching these tables filter afterwards (SQL order)
-    val withOuter = q.outerJoins.foldLeft(plainFiltered) { (df, oj) =>
-      val right = source(oj.table).alias(oj.table.binding)
-      val sparkType = oj.joinType match {
+    // join steps (outer, or inner-after-outer) fold in declaration order
+    // with their ON attached; WHERE conjuncts touching these tables
+    // filter afterwards (SQL order)
+    val withOuter = q.joinSteps.foldLeft(plainFiltered) { (df, js) =>
+      val right = source(js.table).alias(js.table.binding)
+      val sparkType = js.kind match {
         case "left"  => "left_outer"
         case "right" => "right_outer"
-        case _       => "full_outer"
+        case "full"  => "full_outer"
+        case _       => "inner"
       }
-      df.join(right, lowerExpr(oj.on), sparkType)
+      df.join(right, lowerExpr(js.on), sparkType)
     }
     val postFiltered =
       if (postOuterConj.isEmpty) withOuter
@@ -283,7 +303,23 @@ object Lowering {
         val joinType = if (neg) "left_anti" else "left_semi"
         if (pairs.isEmpty) {
           val subDf = lowerSelect(spark, sub, source)
-          df.join(subDf, lowerOperand(o) === subDf(subDf.columns.head), joinType)
+          if (neg) {
+            // Null-aware NOT IN (SQL 3VL): the whole predicate is TRUE only
+            // when the subquery is empty, or the probe is non-NULL, the
+            // subquery has no NULLs, and no value matches. The NULL/empty
+            // facts are one broadcast 1-row aggregate (count vs non-null
+            // count); the no-match part stays a plain hash anti join — no
+            // nested-loop NAAJ plan at any scale.
+            val vcol = subDf.columns.head
+            val facts = subDf.agg(count(lit(1)).as("__nin_n"),
+              count(col(vcol)).as("__nin_nonnull"))
+            df.join(broadcast(facts), lit(true), "inner")
+              .filter(col("__nin_n") === 0 ||
+                (lowerOperand(o).isNotNull && col("__nin_n") === col("__nin_nonnull")))
+              .drop("__nin_n", "__nin_nonnull")
+              .join(subDf, lowerOperand(o) === subDf(vcol), "left_anti")
+          } else
+            df.join(subDf, lowerOperand(o) === subDf(subDf.columns.head), joinType)
         } else {
           // correlated: the subquery's core + its IN value + the inner
           // side of each decorrelated pair, joined semi/anti on all of them
@@ -296,9 +332,18 @@ object Lowering {
           }
           val subDf = core.select(inVal.as("__in_v") +:
             pairs.zipWithIndex.map { case ((_, ic), k) => qcolOf(ic).as(s"__c$k") }: _*)
-          val cond = (lowerOperand(o) === subDf("__in_v")) +:
+          val pairConds =
             pairs.zipWithIndex.map { case ((oc, _), k) => qcolOf(oc) === subDf(s"__c$k") }
-          df.join(subDf, cond.reduce(_ && _), joinType)
+          // null-aware for NOT IN: a per-key set member that is NULL (or a
+          // NULL probe against a non-empty key set) poisons the predicate
+          // to non-TRUE, so the anti join must also match on those. The
+          // pair equalities stay equi keys — Spark hash-partitions on them
+          // and evaluates the disjunction as the join's extra condition.
+          val valCond =
+            if (neg) lowerOperand(o) === subDf("__in_v") ||
+              lowerOperand(o).isNull || subDf("__in_v").isNull
+            else lowerOperand(o) === subDf("__in_v")
+          df.join(subDf, (valCond +: pairConds).reduce(_ && _), joinType)
         }
       case (df, (BoundExpr.BExists(sub, pairs, neg), _)) =>
         val joinType = if (neg) "left_anti" else "left_semi"
@@ -318,14 +363,7 @@ object Lowering {
         }
       case (df, (BoundExpr.BCmpSub(op, o, sub, guard, pairs), i)) =>
         val scalarName = s"__scalar_$i"
-        def cmpCond(lc: Column, sc: Column): Column = op match {
-          case Ast.CmpOp.Eq  => lc === sc
-          case Ast.CmpOp.Neq => lc =!= sc
-          case Ast.CmpOp.Lt  => lc < sc
-          case Ast.CmpOp.Gt  => lc > sc
-          case Ast.CmpOp.Le  => lc <= sc
-          case Ast.CmpOp.Ge  => lc >= sc
-        }
+        def cmpCond(lc: Column, sc: Column): Column = cmpCols(op, lc, sc)
         if (pairs.isEmpty) {
           val subDf0 = lowerSelect(spark, sub, source)
           if (guard) {
@@ -427,15 +465,16 @@ object Lowering {
         BoundExpr.BCmpSub(_, _, _, _, _) =>
       sys.error("subquery conjuncts lower as joins, not Column expressions")
     case BoundExpr.BCmp(op, l, r) =>
-      val (lc, rc) = (lowerOperand(l), lowerOperand(r))
-      op match {
-        case Ast.CmpOp.Eq  => lc === rc
-        case Ast.CmpOp.Neq => lc =!= rc
-        case Ast.CmpOp.Lt  => lc < rc
-        case Ast.CmpOp.Gt  => lc > rc
-        case Ast.CmpOp.Le  => lc <= rc
-        case Ast.CmpOp.Ge  => lc >= rc
-      }
+      cmpCols(op, lowerOperand(l), lowerOperand(r))
+  }
+
+  private[sql] def cmpCols(op: Ast.CmpOp, lc: Column, rc: Column): Column = op match {
+    case Ast.CmpOp.Eq  => lc === rc
+    case Ast.CmpOp.Neq => lc =!= rc
+    case Ast.CmpOp.Lt  => lc < rc
+    case Ast.CmpOp.Gt  => lc > rc
+    case Ast.CmpOp.Le  => lc <= rc
+    case Ast.CmpOp.Ge  => lc >= rc
   }
 
   private[sql] def arith(op: Char, lc: Column, rc: Column): Column = op match {

@@ -219,14 +219,15 @@ object Parser {
       }
       _ <- p.eatKw("from")
       // FROM list: comma-separated tables and/or [INNER] JOIN … ON <cond>,
-      // then optionally LEFT/RIGHT/FULL [OUTER] JOIN … ON steps. Inner ON
-      // conditions desugar into the WHERE conjunction — an inner join's ON
-      // is semantically a filter even when outer joins follow (the inner
-      // tables' columns pass through an outer join unchanged), and the
-      // stats-driven join-order DP rebuilds the tree from the conjuncts.
-      // Outer-join ONs stay attached to their join. An inner join AFTER an
-      // outer join would not commute with the steps model, so it is
-      // rejected — reorder the FROM list instead.
+      // then optionally LEFT/RIGHT/FULL [OUTER] / INNER JOIN … ON steps in
+      // any order. Inner ONs in the LEADING group (before any outer join)
+      // desugar into the WHERE conjunction — an inner join's ON there is
+      // semantically a filter, and the stats-driven join-order DP rebuilds
+      // the tree from the conjuncts. Once an outer join has appeared, every
+      // later step (outer or inner) keeps its ON attached and applies in
+      // declaration order: SQL evaluates the FROM list left to right, so an
+      // inner step's ON ranges over the preceding outer join's
+      // null-extended result and must not be hoisted ahead of it.
       fromAndOn <- {
         def one(): Either[ParseError, TableRef] =
           p.ident().map { n =>
@@ -240,28 +241,26 @@ object Parser {
               k.equalsIgnoreCase("full") => Some(k.toLowerCase)
           case _ => None
         }
-        def loop(tabs: Vector[TableRef], ons: Vector[Expr], outers: Vector[OuterJoin])
-            : Either[ParseError, (Vector[TableRef], Vector[Expr], Vector[OuterJoin])] =
+        def loop(tabs: Vector[TableRef], ons: Vector[Expr], steps: Vector[JoinStep])
+            : Either[ParseError, (Vector[TableRef], Vector[Expr], Vector[JoinStep])] =
           p.peek match {
             case TSym(",", pos) =>
-              if (outers.nonEmpty)
+              if (steps.nonEmpty)
                 Left(ParseError("comma-join after an outer join is not supported; reorder the FROM list", pos))
-              else { p.next(); one().flatMap(t => loop(tabs :+ t, ons, outers)) }
-            case TIdent(k, pos) if k.equalsIgnoreCase("join") ||
+              else { p.next(); one().flatMap(t => loop(tabs :+ t, ons, steps)) }
+            case TIdent(k, _) if k.equalsIgnoreCase("join") ||
                 (k.equalsIgnoreCase("inner") && { val save = p.i; p.next()
                   val isJ = p.isKw("join"); p.i = save; isJ }) =>
-              if (outers.nonEmpty)
-                Left(ParseError("inner join after an outer join is not supported; reorder the FROM list", pos))
-              else {
-                if (p.isKw("inner")) p.next()
-                p.next() // JOIN
-                for {
-                  t <- one()
-                  _ <- p.eatKw("on")
-                  cond <- parseOr(p)
-                  r <- loop(tabs :+ t, ons :+ cond, outers)
-                } yield r
-              }
+              if (p.isKw("inner")) p.next()
+              p.next() // JOIN
+              for {
+                t <- one()
+                _ <- p.eatKw("on")
+                cond <- parseOr(p)
+                r <-
+                  if (steps.isEmpty) loop(tabs :+ t, ons :+ cond, steps)
+                  else loop(tabs, ons, steps :+ JoinStep("inner", t, cond))
+              } yield r
             case TIdent(_, _) if outerKind().isDefined =>
               val kind = outerKind().get
               p.next()
@@ -271,9 +270,9 @@ object Parser {
                 t <- one()
                 _ <- p.eatKw("on")
                 cond <- parseOr(p)
-                r <- loop(tabs, ons, outers :+ OuterJoin(kind, t, cond))
+                r <- loop(tabs, ons, steps :+ JoinStep(kind, t, cond))
               } yield r
-            case _ => Right((tabs, ons, outers))
+            case _ => Right((tabs, ons, steps))
           }
         one().flatMap(t => loop(Vector(t), Vector.empty, Vector.empty))
       }

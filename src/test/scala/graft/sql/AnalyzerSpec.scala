@@ -153,7 +153,7 @@ class AnalyzerSpec extends AnyFunSuite {
     val Right(b: BoundSelect) = analyzeSql(
       "SELECT name, model FROM people p LEFT JOIN cars c ON p.id = c.owner_id"): @unchecked
     assert(b.tables.map(_.binding) == Seq("p"))
-    assert(b.outerJoins.map(oj => (oj.joinType, oj.table.binding)) == Seq(("left", "c")))
+    assert(b.joinSteps.map(js => (js.kind, js.table.binding)) == Seq(("left", "c")))
     // star expansion covers the outer-joined table too
     val Right(star: BoundSelect) = analyzeSql(
       "SELECT * FROM people p LEFT JOIN cars c ON p.id = c.owner_id"): @unchecked

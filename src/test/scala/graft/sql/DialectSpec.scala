@@ -347,6 +347,81 @@ class DialectSpec extends AnyFunSuite {
     assert(n.collect().map(_.getString(0)).toSeq == Seq("Elon"))
   }
 
+  test("NOT IN is null-aware (SQL 3VL)") {
+    val db = demoDb()
+    // ages are {20, 30, NULL}: the NULL poisons NOT IN to non-TRUE for
+    // every probe — zero rows, where a bare anti join would return all
+    val poisoned = db.select(
+      "SELECT name FROM people WHERE id NOT IN (SELECT age FROM people)").toOption.get
+    assert(poisoned.count() == 0)
+    // NULL probe (Marty's age) against a non-empty NULL-free set → dropped
+    val probe = db.select(
+      "SELECT name FROM people WHERE age NOT IN (SELECT id FROM cars)").toOption.get
+    assert(probe.collect().map(_.getString(0)).toSet ==
+      Set("Elon", "Dr. Emmett L. „Doc“ Brown"))
+    // empty subquery → NOT IN is TRUE for every probe, even the NULL one
+    val empty = db.select("SELECT name FROM people WHERE age NOT IN " +
+      "(SELECT id FROM cars WHERE id > 99)").toOption.get
+    assert(empty.count() == 3)
+  }
+
+  test("correlated NOT IN is null-aware per key") {
+    val db = demoDb()
+    db.query("CREATE TABLE nums (k INT, v INT)")
+    db.query("INSERT INTO nums VALUES (1, 10), (1, NULL), (2, 20)")
+    // p1: set {10, NULL} has a NULL → dropped; p2: 30 ∉ {20} → kept;
+    // p3: NULL probe but EMPTY per-key set → kept
+    val r = db.select("SELECT name FROM people p WHERE age NOT IN " +
+      "(SELECT v FROM nums n WHERE n.k = p.id)").toOption.get
+    assert(r.collect().map(_.getString(0)).toSet ==
+      Set("Dr. Emmett L. „Doc“ Brown", "Marty McFly"))
+  }
+
+  test("correlation depth 2: nested EXISTS referencing the outermost scope") {
+    val db = demoDb()
+    db.query("CREATE TABLE nums (k INT, v INT)")
+    db.query("INSERT INTO nums VALUES (1, 1), (2, 99)")
+    // Elon: car 1 → nums(k=1, v=1) matches v = p.id → kept.
+    // Doc: car 2 → nums(k=2, v=99) fails v = p.id → dropped — the row
+    // that distinguishes honoring the DEEP pair from ignoring it.
+    val r = db.select("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id AND EXISTS " +
+      "(SELECT n.k FROM nums n WHERE n.k = c.id AND n.v = p.id))").toOption.get
+    assert(r.collect().map(_.getString(0)).toSeq == Seq("Elon"))
+    // deep correlation under a NEGATED nested subquery has no join-only
+    // form → rejected
+    assert(db.query("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id AND NOT EXISTS " +
+      "(SELECT n.k FROM nums n WHERE n.k = c.id AND n.v = p.id))").isLeft)
+    // …and is rejected under an aggregating subquery (flattening would
+    // change the count)
+    assert(db.query("SELECT name FROM people p WHERE id > " +
+      "(SELECT count(*) FROM cars c WHERE EXISTS " +
+      "(SELECT n.k FROM nums n WHERE n.k = c.id AND n.v = p.id))").isLeft)
+  }
+
+  test("uncorrelated scalar subqueries in HAVING") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    // owner 1 has 2 cars, owner 2 has 1; people with age >= 20 → 2
+    val h = db.select("SELECT owner_id, count(*) FROM cars GROUP BY owner_id " +
+      "HAVING count(*) >= (SELECT count(*) FROM people WHERE age >= 20)").toOption.get
+    assert(h.collect().toSeq == Seq(Row(1, 2L)))
+    // mixed plain + subquery HAVING conjuncts
+    val mix = db.select("SELECT owner_id, count(*) FROM cars GROUP BY owner_id " +
+      "HAVING count(*) >= (SELECT count(*) FROM people WHERE age >= 20) " +
+      "AND count(*) < 99").toOption.get
+    assert(mix.collect().toSeq == Seq(Row(1, 2L)))
+    // the runtime one-row guard applies in HAVING too
+    intercept[IllegalStateException] {
+      db.select("SELECT owner_id, count(*) FROM cars GROUP BY owner_id " +
+        "HAVING count(*) > (SELECT id FROM people)")
+    }
+    // correlated HAVING subqueries are rejected
+    assert(db.query("SELECT owner_id, count(*) FROM cars c GROUP BY owner_id " +
+      "HAVING count(*) > (SELECT count(*) FROM people p WHERE p.id = c.owner_id)").isLeft)
+  }
+
   test("correlation is restricted to top-level WHERE equalities") {
     val db = demoDb()
     // non-equality correlation
@@ -402,9 +477,19 @@ class DialectSpec extends AnyFunSuite {
     assert(fo.count() == 4)
     assert(fo.collect().exists(x => x.isNullAt(0) && x.getString(1) == "KITT"))
     assert(fo.collect().exists(x => x.getString(0) == "Marty McFly" && x.isNullAt(1)))
-    // an inner join AFTER an outer join is rejected (reorder the FROM list)
-    assert(db.query("SELECT name FROM people p LEFT JOIN cars c ON p.id = c.owner_id " +
-      "JOIN cars c2 ON c2.id = c.id").isLeft)
+    // an inner join AFTER an outer join applies to the outer join's
+    // RESULT: an ON over the null-extended side drops unmatched rows
+    // (Marty's c.id is NULL, so the c2 inner step eliminates him) …
+    val mixed = db.select("SELECT name, c.model FROM people p LEFT JOIN cars c " +
+      "ON p.id = c.owner_id JOIN cars c2 ON c2.id = c.id ORDER BY name").toOption.get
+    assert(mixed.collect().toSeq == Seq(
+      Row("Dr. Emmett L. „Doc“ Brown", "DeLorean DMC-12"),
+      Row("Elon", "Tesla Model 3")))
+    // … while an ON over the preserved side keeps the null-extended rows
+    val keep = db.select("SELECT p.name, model FROM people p LEFT JOIN cars c " +
+      "ON p.id = c.owner_id JOIN people p2 ON p2.id = p.id ORDER BY p.id").toOption.get
+    assert(keep.count() == 3)
+    assert(keep.collect().exists(x => x.getString(0) == "Marty McFly" && x.isNullAt(1)))
     // ON may not reference a LATER step's table
     assert(db.query("SELECT name FROM people p LEFT JOIN cars c ON p.id = c2.owner_id " +
       "LEFT JOIN cars c2 ON c2.id = p.id").isLeft)

@@ -124,6 +124,22 @@ class ParserSpec extends AnyFunSuite {
     parseErr("SELECT a FROM t GROUP a")
   }
 
+  test("join steps: inner joins before AND after an outer join") {
+    // leading inner JOIN ON desugars into the FROM group; the post-outer
+    // inner join becomes an ordered step with its ON attached
+    val t = parseOk("SELECT a FROM t1 JOIN t2 ON t1.x = t2.x " +
+      "LEFT JOIN t3 ON t2.y = t3.y JOIN t4 ON t3.z = t4.z")
+      .asInstanceOf[SelectTree]
+    assert(t.from == Seq(TableRef("t1", None), TableRef("t2", None)))
+    assert(t.joinSteps.map(js => (js.kind, js.table.name)) ==
+      Seq(("left", "t3"), ("inner", "t4")))
+    // the leading inner ON landed in WHERE
+    assert(t.where.contains(Expr.Cmp(CmpOp.Eq,
+      Operand.Col(ColRef(Some("t1"), "x")), Operand.Col(ColRef(Some("t2"), "x")))))
+    // comma-join after an outer join stays rejected
+    parseErr("SELECT a FROM t1 LEFT JOIN t2 ON t1.x = t2.x, t3")
+  }
+
   test("delete and update parse") {
     assert(parseOk("DELETE FROM t WHERE a = 1") ==
       DeleteTree("t", Some(Expr.Cmp(CmpOp.Eq,
