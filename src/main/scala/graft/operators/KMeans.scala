@@ -48,8 +48,14 @@ object KMeans {
   /** @param df    input with an id column and an array<double> vector column
     * @param k     number of centroids
     * @param iters Lloyd iterations (each = one pass over the data)
+    * @param roundTo round every centroid mean to this many decimals
+    *   (HALF_UP, matching SQL round): collapses the ~1e-15 accumulation-
+    *   order noise of the distributed mean so an independent engine
+    *   re-running the trainer (e.g. the DuckDB oracle) derives
+    *   bit-identical centroids
     */
-  def train(df: DataFrame, idCol: String, eCol: String, k: Int, iters: Int): Model = {
+  def train(df: DataFrame, idCol: String, eCol: String, k: Int, iters: Int,
+      roundTo: Option[Int] = None): Model = {
     val dim = df.select(size(col(eCol))).head.getInt(0)
     // deterministic seeding: smallest md5(id)
     val seeds = df
@@ -72,7 +78,11 @@ object KMeans {
           case None => (cid, old) // empty cluster keeps its centroid
           case Some(rows) =>
             val c = new Array[Double](dim)
-            rows.foreach(r => c(r.getInt(1)) = r.getAs[Double](2) / r.getLong(3))
+            rows.foreach { r =>
+              val m = r.getAs[Double](2) / r.getLong(3)
+              c(r.getInt(1)) = roundTo.fold(m)(s =>
+                BigDecimal(m).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
             (cid, c)
         }
       }

@@ -159,41 +159,50 @@ object Dedup {
   /** Rounds the last connectedComponents call took (observability/specs). */
   @volatile var lastCcRounds: Int = 0
 
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** @param reliable checkpoint to the session's checkpoint dir
+    *   (`sparkContext.setCheckpointDir`) instead of localCheckpoint —
+    *   survives executor loss, so it is the knob for long production
+    *   jobs; requires the caller to have set a checkpoint dir.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      reliable: Boolean = false): DataFrame = {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
-    // localCheckpoint (NOT cache) on every iteration product: the jump
+    if (reliable)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable connectedComponents needs sparkContext.setCheckpointDir")
+    // Checkpoint (NOT cache) on every iteration product: the jump
     // self-join references the previous round's frame twice, so with lazy
     // lineage the LOGICAL plan doubles per round and Catalyst
     // re-optimization time explodes exponentially even though execution
     // would hit the caches — the classic iterative-algorithm trap.
     // Checkpointing truncates the plan to the materialized partitions, so
-    // every round optimizes a constant-size plan. (localCheckpoint trades
-    // executor-loss recovery for speed; a long-lived production job would
-    // use a reliable checkpoint dir — same API, same plan shape.)
-    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    // every round optimizes a constant-size plan. localCheckpoint trades
+    // executor-loss recovery for speed (the gate/bench default); reliable
+    // jobs checkpoint to the fault-tolerant dir — same plan shape.
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val edges = ckpt(pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v"))))
+    var labels = ckpt(edges.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val t0 = System.nanoTime()
       val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .groupBy(col("u").as("id")).agg(min("lbl").as("nlbl"))
-      val stepped = labels.withColumnRenamed("lbl", "old")
+      val stepped = ckpt(labels.withColumnRenamed("lbl", "old")
         .join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"), col("old"),
           least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"))
-        .localCheckpoint() // referenced twice by the jump self-join below
+      ) // checkpointed: referenced twice by the jump self-join below
       // pointer jumping: follow the label one hop (labels are node ids,
       // and label values only ever decrease, so lbl[lbl[x]] ≤ lbl[x])
-      val next = stepped.as("x")
+      val next = ckpt(stepped.as("x")
         .join(stepped.select(col("id").as("pid"), col("lbl").as("plbl")),
           col("x.lbl") === col("pid"), "left_outer")
         .select(col("x.id").as("id"), col("x.old").as("old"),
-          least(col("x.lbl"), coalesce(col("plbl"), col("x.lbl"))).as("lbl"))
-        .localCheckpoint()
+          least(col("x.lbl"), coalesce(col("plbl"), col("x.lbl"))).as("lbl")))
       changed = next.filter(col("lbl") =!= col("old")).count()
       if (debug) System.err.println(
         f"[cc] round $iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")

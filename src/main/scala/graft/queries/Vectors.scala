@@ -320,6 +320,103 @@ object Vectors {
              |  FROM scored) x
              |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
 
+    // IVF with a LEARNED coarse quantizer: the deterministic Lloyd
+    // trainer (operators/KMeans) replaces q_ann_ivf's first-8-vectors
+    // quantizer — the production path. Determinism end-to-end: md5-seeded,
+    // reduced-distance argmin with centroid-id tie-break, centroid means
+    // rounded to 6 decimals (absorbing distributed-sum accumulation
+    // noise), so the DuckDB oracle RE-RUNS the whole trainer in SQL and
+    // must derive the same model, index, and top-k — two independent
+    // implementations of Lloyd's algorithm that have to agree exactly.
+    // At 100 TB: each training pass shuffles only (cid, dim) partial sums,
+    // assignment is k fused dot products per vector, and a query probes
+    // nprobe/k of the data.
+    "q_ann_ivf_kmeans" -> QueryDef(
+      (s, d) => {
+        val all = withNorm(emb(s, d))
+        val model = graft.operators.KMeans.train(
+          emb(s, d), "vec_id", "e", k = 8, iters = 2, roundTo = Some(6))
+        def distArr = array(model.centroids.map { case (cid, w) =>
+          val c2 = w.map(x => x * x).sum
+          struct((lit(c2) - lit(2.0) * dot(col("e"), array(w.map(lit): _*))).as("d"),
+            lit(cid).as("cid"))
+        }: _*)
+        val assigned = all.withColumn("cid", array_min(distArr).getField("cid"))
+        val probes = assigned.filter(col("vec_id") < 10)
+          .withColumn("probe", explode(slice(sort_array(distArr), 1, 2)))
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+            col("probe.cid").as("cid"))
+        val cand = probes.join(
+            assigned.select(col("vec_id"), col("e"), col("nrm"), col("cid")), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("sim", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        cand.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id").as("nid"), col("rk"), round(col("sim"), 6).as("sim"))
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH seeds AS (
+             |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS varchar)), vec_id) - 1 AS cid,
+             |         cast(embedding AS double[]) AS c
+             |  FROM (SELECT vec_id, embedding FROM embeddings
+             |        ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 8)
+             |), d0 AS (
+             |  SELECT e.vec_id, s.cid,
+             |    list_inner_product(s.c, s.c) - 2 * list_inner_product(cast(e.embedding AS double[]), s.c) AS d
+             |  FROM embeddings e, seeds s
+             |), a0 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             |    FROM d0) x WHERE rk = 1
+             |), m1 AS (
+             |  SELECT a.cid, r.i, round(avg(e.embedding[r.i]), 6) AS x
+             |  FROM a0 a JOIN embeddings e USING (vec_id) CROSS JOIN range(1, 65) r(i)
+             |  GROUP BY a.cid, r.i
+             |), c1 AS (
+             |  SELECT s.cid, coalesce(m.c, s.c) AS c
+             |  FROM seeds s LEFT JOIN (SELECT cid, list(x ORDER BY i) AS c FROM m1 GROUP BY cid) m USING (cid)
+             |), d1 AS (
+             |  SELECT e.vec_id, s.cid,
+             |    list_inner_product(s.c, s.c) - 2 * list_inner_product(cast(e.embedding AS double[]), s.c) AS d
+             |  FROM embeddings e, c1 s
+             |), a1 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             |    FROM d1) x WHERE rk = 1
+             |), m2 AS (
+             |  SELECT a.cid, r.i, round(avg(e.embedding[r.i]), 6) AS x
+             |  FROM a1 a JOIN embeddings e USING (vec_id) CROSS JOIN range(1, 65) r(i)
+             |  GROUP BY a.cid, r.i
+             |), c2 AS (
+             |  SELECT s.cid, coalesce(m.c, s.c) AS c
+             |  FROM c1 s LEFT JOIN (SELECT cid, list(x ORDER BY i) AS c FROM m2 GROUP BY cid) m USING (cid)
+             |), d2 AS (
+             |  SELECT e.vec_id, s.cid,
+             |    list_inner_product(s.c, s.c) - 2 * list_inner_product(cast(e.embedding AS double[]), s.c) AS d
+             |  FROM embeddings e, c2 s
+             |), assign AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             |    FROM d2) x WHERE rk = 1
+             |), probes AS (
+             |  SELECT vec_id AS qid, cid FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             |    FROM d2 WHERE vec_id < 10) x WHERE rk <= 2
+             |), cand AS (
+             |  SELECT p.qid, a.vec_id AS nid
+             |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+             |), scored AS (
+             |  SELECT c.qid, c.nid,
+             |    list_cosine_similarity(cast(qe.embedding AS double[]), cast(ne.embedding AS double[])) AS sim
+             |  FROM cand c JOIN embeddings qe ON qe.vec_id = c.qid
+             |              JOIN embeddings ne ON ne.vec_id = c.nid
+             |)
+             |SELECT qid, nid, rk, round(sim, 6) AS sim FROM (
+             |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+             |  FROM scored) x
+             |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
     // Random-hyperplane LSH: 8 deterministic hyperplanes → 8-bit bucket;
     // top-k per query within its bucket. Recall < 1 by design; the bucket
     // join replaces the cross join, which is what makes ANN feasible at

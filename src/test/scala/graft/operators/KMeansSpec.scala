@@ -37,4 +37,36 @@ class KMeansSpec extends AnyFunSuite {
     val used = assigned.select("cid").distinct().count()
     assert(used >= 4, s"only $used of 8 clusters used")
   }
+
+  test("centroid rounding: roundTo collapses means to the decimal grid") {
+    val m = KMeans.train(emb, "vec_id", "e", k = 4, iters = 1, roundTo = Some(6))
+    m.centroids.foreach { case (_, w) =>
+      w.foreach { x =>
+        val r = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r == x, s"centroid value $x not on the 1e-6 grid")
+      }
+    }
+  }
+
+  test("IVF with learned centroids: top-k recall vs brute force") {
+    import graft.functions.VectorFunctions.{dot, l2norm}
+    val sf = SparkTestSession.sf0001
+    val ivf = graft.SparkEntry.queries("q_ann_ivf_kmeans")(spark, sf)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allv = emb.withColumn("nrm", l2norm(col("e")))
+    val q = allv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val sim = q.join(allv, col("vec_id") =!= col("qid"))
+      .withColumn("sim", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    val brute = sim.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    // 2-probe over 8 coarse lists on near-uniform vectors: partial recall
+    // by design; the probe structure must still find a solid fraction
+    assert(recall >= 0.4, s"recall $recall (${ivf.size} ivf vs ${brute.size} brute)")
+  }
 }

@@ -117,6 +117,24 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: reliable-checkpoint variant yields identical clusters") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("a_id", "b_id")
+    // without a checkpoint dir the reliable variant refuses up front
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(pairs, reliable = true)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val reliable = Dedup.connectedComponents(pairs, reliable = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+  }
+
   test("dedup shingle cache has an explicit lifecycle (nothing stays persisted)") {
     SparkEntry.queries("q_dedup_minhash")(spark, sf).count()
     // the family had a live cache, and the release drops ALL of it — a
