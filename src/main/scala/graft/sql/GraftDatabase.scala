@@ -306,9 +306,27 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         .flatMap(c => Lowering.singleBinding(c).map(_ -> c))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     s.tables.map { bt =>
-      val pred = perTable.get(bt.binding)
-        .map(cs => cs.map(Lowering.lowerExprBare).reduce(_ && _))
-      bt.binding -> statistics.estimateCard(bt.desc, pred)
+      val conjs = perTable.getOrElse(bt.binding, Nil)
+      val pred =
+        if (conjs.isEmpty) None
+        else Some(conjs.map(Lowering.lowerExprBare).reduce(_ && _))
+      val sampleEst = statistics.estimateCard(bt.desc, pred)
+      // bucketed table + point equality on the bucket column: refine with
+      // the bucket-local estimate rows(bucket)/ndv(bucket) — the bucket
+      // the scan prunes to — which sees local skew the 1024-row global
+      // sample cannot (its zero-hit floor is rows/2048)
+      val bucketEst = bt.desc.bucket.flatMap { case (bcol, _) =>
+        conjs.collectFirst {
+          case BoundExpr.BCmp(Ast.CmpOp.Eq, BoundOperand.BCol(c), BoundOperand.BLit(l))
+              if c.attr.name.equalsIgnoreCase(bcol) && l != Lit.LitNull => l
+          case BoundExpr.BCmp(Ast.CmpOp.Eq, BoundOperand.BLit(l), BoundOperand.BCol(c))
+              if c.attr.name.equalsIgnoreCase(bcol) && l != Lit.LitNull => l
+        }.flatMap { l =>
+          Convert(l, bt.desc.attr(bcol).get.sqlType).toOption
+            .flatMap(v => statistics.estimateBucketPoint(bt.desc, v))
+        }
+      }
+      bt.binding -> bucketEst.fold(sampleEst)(b => math.min(sampleEst, b))
     }
   }
 

@@ -60,6 +60,57 @@ class StatsManagerSpec extends AnyFunSuite {
     assert(s1.toSeq == s2.toSeq)
   }
 
+  test("bucket-local statistics: per-bucket rowcounts + NDV sharpen point estimates") {
+    val wh = Files.createTempDirectory("graft-stats-wh").toString
+    val db = new GraftDatabase(spark, wh)
+    db.query("CREATE TABLE bt (k BIGINT, v BIGINT) CLUSTERED BY (k) INTO 4 BUCKETS")
+    // key 7 is hot: 300 copies; keys 1..60 appear once each
+    db.query("INSERT INTO bt VALUES " +
+      ((1 to 300).map(_ => "(7, 0)") ++ (1 to 60).map(i => s"($i, $i)")).mkString(", "))
+    val desc = db.statistics // bucket stats maintained on the insert path
+    val bs = desc.bucketStats("bt").get
+    assert(bs.rows.values.sum == 360, s"bucket rows ${bs.rows}")
+    assert(bs.rows.keys.forall(b => b >= 0 && b < 4))
+    val btDesc = Analyzer.TableDesc("bt",
+      Seq(Analyzer.AttributeDesc("k", SqlType.SqlBigInt),
+        Analyzer.AttributeDesc("v", SqlType.SqlBigInt)),
+      bucket = Some(("k", 4)))
+    // the hot key's bucket holds ~300 + a few singletons with a tiny NDV,
+    // so rows/ndv lands near the true 300 — the global sample's zero-hit
+    // floor could never see this
+    val hot = desc.estimateBucketPoint(btDesc, 7L).get
+    assert(hot >= 15 && hot <= 330, s"hot estimate $hot")
+    val cold = desc.estimateBucketPoint(btDesc, 42L).get
+    assert(cold <= 30, s"cold estimate $cold")
+    assert(hot > cold, s"hot=$hot cold=$cold")
+    // bucket stats survive a warehouse reopen
+    val db2 = new GraftDatabase(spark, wh)
+    assert(db2.statistics.bucketStats("bt").get.rows == bs.rows)
+    // …and a copy-on-write rewrite rebuilds them distributedly
+    // (k=7 also occurs once in the 1..60 range: 301 rows go)
+    db.query("DELETE FROM bt WHERE k = 7")
+    val after = db.statistics.bucketStats("bt").get
+    assert(after.rows.values.sum == 59, s"after delete ${after.rows}")
+  }
+
+  test("bucket pruning: equality on the bucket column scans one bucket") {
+    val db = freshDb()
+    db.query("CREATE TABLE bp (k BIGINT, v BIGINT) CLUSTERED BY (k) INTO 8 BUCKETS")
+    db.query("INSERT INTO bp VALUES " + (1 to 64).map(i => s"($i, ${i * 10})").mkString(", "))
+    // Spark's autoBucketedScan heuristic falls back to a plain parallel
+    // scan when nothing downstream needs the bucket distribution; disable
+    // it to pin the pruning capability itself (1 of 8 bucket files read)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val df = db.select("SELECT v FROM bp WHERE k = 7").toOption.get
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(70L))
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("estimates drive broadcast-side choice in joins (build-side parity)") {
     val db = freshDb()
     db.query("CREATE TABLE dim (id INT, name VARCHAR(20))")
