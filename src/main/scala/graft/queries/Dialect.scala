@@ -330,6 +330,31 @@ object Dialect {
              |WHERE 5 <= (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ORDER BY an aggregate with LIMIT — the canonical top-k-groups
+    // reporting shape (sorts by a hidden aggregate column before the
+    // final projection; Catalyst plans TakeOrderedAndProject).
+    "q_dialect_orderby_agg" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS tp FROM orders " +
+          "GROUP BY o_custkey ORDER BY count(*) DESC, o_custkey LIMIT 25")
+        .selectExpr("o_custkey", "n", "round(tp, 2) AS tp"),
+      Some("""SELECT o_custkey, cast(count(*) AS bigint) AS n,
+             |  round(sum(o_totalprice), 2) AS tp
+             |FROM orders GROUP BY o_custkey
+             |ORDER BY count(*) DESC, o_custkey LIMIT 25""".stripMargin)),
+
+    // COUNT/SUM(DISTINCT …) through the dialect — two-phase distinct
+    // aggregation (expand + partial) on the engine side.
+    "q_dialect_count_distinct" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderstatus, count(DISTINCT o_custkey) AS nc, " +
+          "sum(DISTINCT o_custkey) AS sc, count(*) AS n FROM orders " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      Some("""SELECT o_orderstatus, cast(count(DISTINCT o_custkey) AS bigint) AS nc,
+             |  cast(sum(DISTINCT o_custkey) AS bigint) AS sc,
+             |  cast(count(*) AS bigint) AS n
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Null-aware NOT IN end-to-end: the first branch's subquery contains
     // a NULL, so SQL 3VL makes NOT IN non-TRUE for every probe (zero
     // rows); the second branch is the plain anti-join path. Both engines

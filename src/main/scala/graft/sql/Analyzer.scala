@@ -81,8 +81,11 @@ object Analyzer {
   object BoundOperand {
     final case class BCol(c: BoundCol) extends BoundOperand
     final case class BLit(l: Lit) extends BoundOperand
-    /** Aggregate operand — HAVING scope only. */
-    final case class BAgg(func: String, arg: Option[BoundOperand]) extends BoundOperand
+    /** Aggregate operand — HAVING / ORDER BY / computed-projection scope.
+      * `distinct` = COUNT/SUM(DISTINCT …).
+      */
+    final case class BAgg(func: String, arg: Option[BoundOperand],
+        distinct: Boolean = false) extends BoundOperand
     final case class BArith(op: Char, l: BoundOperand, r: BoundOperand) extends BoundOperand
 
     /** Does the operand tree contain an aggregate call? */
@@ -145,7 +148,7 @@ object Analyzer {
   object BoundItem {
     final case class BICol(c: BoundCol, alias: Option[String] = None) extends BoundItem
     final case class BIAgg(func: String, arg: Option[BoundOperand],
-        alias: Option[String] = None) extends BoundItem
+        alias: Option[String] = None, distinct: Boolean = false) extends BoundItem
     /** Computed projection (arithmetic), named by its mandatory alias. */
     final case class BIExpr(op: BoundOperand, alias: String) extends BoundItem
   }
@@ -165,7 +168,7 @@ object Analyzer {
   private def operandColsDeep(o: BoundOperand): Seq[BoundCol] = o match {
     case BoundOperand.BCol(c)         => Seq(c)
     case BoundOperand.BArith(_, l, r) => operandColsDeep(l) ++ operandColsDeep(r)
-    case BoundOperand.BAgg(_, arg)    => arg.toSeq.flatMap(operandColsDeep)
+    case BoundOperand.BAgg(_, arg, _) => arg.toSeq.flatMap(operandColsDeep)
     case _                            => Nil
   }
 
@@ -219,9 +222,11 @@ object Analyzer {
       sub.projection.flatMap {
         case BoundItem.BICol(c, _)      => Seq(c)
         case BoundItem.BIExpr(op, _)    => operandColsDeep(op)
-        case BoundItem.BIAgg(_, arg, _) => arg.toSeq.flatMap(operandColsDeep)
-      } ++ sub.groupBy ++ sub.orderBy.map(_._1) ++
-        sub.having.toSeq.flatMap(exprCols) ++
+        case BoundItem.BIAgg(_, arg, _, _) => arg.toSeq.flatMap(operandColsDeep)
+      } ++ sub.groupBy ++ sub.orderBy.flatMap {
+        case (BoundOrderKey.OKOperand(op), _) => operandColsDeep(op)
+        case (BoundOrderKey.OKOutput(_), _)   => Nil
+      } ++ sub.having.toSeq.flatMap(exprCols) ++
         sub.joinSteps.flatMap(js => exprCols(js.on))
     nonPredCols.find(isOuter) match {
       case Some(c) => Left(BadSubquery(
@@ -311,12 +316,22 @@ object Analyzer {
     */
   final case class BoundJoinStep(kind: String, table: BoundTable, on: BoundExpr)
 
+  /** A bound ORDER BY key: a full operand (column / aggregate call /
+    * arithmetic), or a reference to a projection output alias (SQL
+    * resolves unqualified ORDER BY names against output aliases first).
+    */
+  sealed trait BoundOrderKey
+  object BoundOrderKey {
+    final case class OKOperand(op: BoundOperand) extends BoundOrderKey
+    final case class OKOutput(name: String) extends BoundOrderKey
+  }
+
   sealed trait BoundQuery
   final case class BoundSelect(
       tables: Seq[BoundTable],
       projection: Seq[BoundItem],
       predicate: Option[BoundExpr],
-      orderBy: Seq[(BoundCol, Boolean)] = Nil,
+      orderBy: Seq[(BoundOrderKey, Boolean)] = Nil,
       limit: Option[Long] = None,
       groupBy: Seq[BoundCol] = Nil,
       having: Option[BoundExpr] = None,
@@ -483,12 +498,14 @@ object Analyzer {
     def bindOp(o: Operand, allowAgg: Boolean): Either[AnalyzerError, BoundOperand] = o match {
       case Operand.Col(c)     => bindCol(c).map(BoundOperand.BCol)
       case Operand.Literal(v) => Right(BoundOperand.BLit(v))
-      case Operand.AggCall(f, arg) if allowAgg =>
-        arg match {
-          case None    => Right(BoundOperand.BAgg(f, None))
-          case Some(r) => bindOp(r, allowAgg = false).map(b => BoundOperand.BAgg(f, Some(b)))
+      case Operand.AggCall(f, arg, dist) if allowAgg =>
+        if (dist && f == "avg")
+          Left(BadAggregate("avg(DISTINCT ...) is not supported"))
+        else arg match {
+          case None    => Right(BoundOperand.BAgg(f, None, dist))
+          case Some(r) => bindOp(r, allowAgg = false).map(b => BoundOperand.BAgg(f, Some(b), dist))
         }
-      case Operand.AggCall(f, _) =>
+      case Operand.AggCall(f, _, _) =>
         Left(BadAggregate(s"$f(...) is not valid in this context"))
       case Operand.Arith(ch, l, r) =>
         // arithmetic legs must be numeric where typed (columns); literals
@@ -610,9 +627,11 @@ object Analyzer {
 
     def bindItem(it: SelectItem): Either[AnalyzerError, BoundItem] = it match {
       case SelectItem.SCol(r, a) => bindCol(r).map(BoundItem.BICol(_, a))
-      case SelectItem.SAgg(f, None, a) => Right(BoundItem.BIAgg(f, None, a))
-      case SelectItem.SAgg(f, Some(r), a) =>
-        bindOp(r, allowAgg = false).flatMap { b =>
+      case SelectItem.SAgg(f, None, a, dist) => Right(BoundItem.BIAgg(f, None, a, dist))
+      case SelectItem.SAgg(f, Some(r), a, dist) =>
+        if (dist && f == "avg")
+          Left(BadAggregate("avg(DISTINCT ...) is not supported"))
+        else bindOp(r, allowAgg = false).flatMap { b =>
           val badCol = b match {
             case BoundOperand.BCol(c) if (f == "sum" || f == "avg") &&
               !numericTypes(c.attr.sqlType) => Some(c)
@@ -621,7 +640,7 @@ object Analyzer {
           badCol match {
             case Some(c) => Left(BadAggregate(
               s"$f over non-numeric ${c.render} (${c.attr.sqlType.render})"))
-            case None => Right(BoundItem.BIAgg(f, Some(b), a))
+            case None => Right(BoundItem.BIAgg(f, Some(b), a, dist))
           }
         }
       case SelectItem.SExpr(op, a) =>
@@ -677,9 +696,28 @@ object Analyzer {
           }
         }
       }
-      order <- s.orderBy.foldLeft[Either[AnalyzerError, Vector[(BoundCol, Boolean)]]](
-        Right(Vector.empty)) { case (acc, (r, desc)) =>
-        acc.flatMap(v => bindCol(r).map(b => v :+ (b -> desc)))
+      // ORDER BY keys: unqualified names matching a projection alias
+      // resolve to the OUTPUT column (SQL resolution order); everything
+      // else binds as a full operand, aggregates allowed
+      order <- {
+        val aliases: Seq[String] = projItems.collect {
+          case SelectItem.SCol(_, Some(a))    => a
+          case SelectItem.SAgg(_, _, Some(a), _) => a
+          case SelectItem.SExpr(_, a)         => a
+        }
+        s.orderBy.foldLeft[Either[AnalyzerError, Vector[(BoundOrderKey, Boolean)]]](
+          Right(Vector.empty)) { case (acc, (opnd, desc)) =>
+          acc.flatMap { v =>
+            val key: Either[AnalyzerError, BoundOrderKey] = opnd match {
+              case Operand.Col(ColRef(None, name))
+                  if aliases.exists(_.equalsIgnoreCase(name)) =>
+                Right(BoundOrderKey.OKOutput(name))
+              case other =>
+                bindOp(other, allowAgg = true).map(BoundOrderKey.OKOperand)
+            }
+            key.map(k => v :+ (k -> desc))
+          }
+        }
       }
       _ <- {
         val isAgg = group.nonEmpty || proj.exists {
@@ -687,10 +725,21 @@ object Analyzer {
           case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
           case _                       => false
         }
-        if (!isAgg) Right(())
+        if (!isAgg)
+          // a non-aggregate query cannot sort by an aggregate call
+          order.collectFirst {
+            case (BoundOrderKey.OKOperand(op), _) if BoundOperand.containsAgg(op) => op
+          } match {
+            case Some(_) => Left(BadAggregate(
+              "ORDER BY aggregate requires GROUP BY or an aggregate projection"))
+            case None => Right(())
+          }
         else order.collectFirst {
-          case (c, _) if !group.exists(g =>
-            g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name)) => c
+          case (BoundOrderKey.OKOperand(op), _)
+              if operandCols(op).exists(c => !group.exists(g =>
+                g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) =>
+            operandCols(op).find(c => !group.exists(g =>
+              g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))).get
         } match {
           case Some(c) => Left(NotInGroupBy(c.render))
           case None    => Right(())
@@ -735,17 +784,20 @@ object Analyzer {
           }
       }
       // SELECT DISTINCT reorders evaluation (project → distinct → sort),
-      // so any sort key must itself be projected
+      // so any sort key must itself be projected (an output alias is, by
+      // definition; a computed operand is not)
       _ <-
         if (!s.distinct) Right(())
         else order.collectFirst {
-          case (c, _) if !proj.exists {
+          case (BoundOrderKey.OKOperand(BoundOperand.BCol(c)), _) if !proj.exists {
             case BoundItem.BICol(pc, _) =>
               pc.binding == c.binding && pc.attr.name.equalsIgnoreCase(c.attr.name)
             case _ => false
-          } => c
+          } => c.render
+          case (BoundOrderKey.OKOperand(op), _)
+              if !op.isInstanceOf[BoundOperand.BCol] => "<computed expression>"
         } match {
-          case Some(c) => Left(DistinctOrderBy(c.render))
+          case Some(r) => Left(DistinctOrderBy(r))
           case None    => Right(())
         }
     } yield BoundSelect(innerTables, proj, pred, order, s.limit, group, having,

@@ -29,9 +29,11 @@ object Ast {
     final case class Col(ref: ColRef) extends Operand
     final case class Literal(lit: Lit) extends Operand
     /** Aggregate call over an optional expression argument (None =
-      * count(*)) — valid in the SELECT list and in HAVING.
+      * count(*)) — valid in the SELECT list, HAVING and ORDER BY.
+      * `distinct` = COUNT/SUM(DISTINCT …).
       */
-    final case class AggCall(func: String, arg: Option[Operand]) extends Operand
+    final case class AggCall(func: String, arg: Option[Operand],
+        distinct: Boolean = false) extends Operand
     /** Binary arithmetic (+ - * / %) over operands, usual precedence. */
     final case class Arith(op: Char, l: Operand, r: Operand) extends Operand
   }
@@ -72,7 +74,7 @@ object Ast {
   object SelectItem {
     final case class SCol(ref: ColRef, alias: Option[String] = None) extends SelectItem
     final case class SAgg(func: String, arg: Option[Operand],
-        alias: Option[String] = None) extends SelectItem
+        alias: Option[String] = None, distinct: Boolean = false) extends SelectItem
     /** A computed projection (arithmetic over columns/literals, possibly
       * containing aggregate calls); the AS alias is mandatory — a
       * computed column needs a name.
@@ -95,13 +97,14 @@ object Ast {
   /** columns = None means `SELECT *` (star expansion happens in analysis,
     * like reference analyzer/mod.rs:68-73). ORDER BY / LIMIT / GROUP BY +
     * aggregates / DISTINCT / JOIN … ON / outer joins are additive over the
-    * reference grammar (its README lists them as TODO).
+    * reference grammar (its README lists them as TODO). ORDER BY keys are
+    * full operands (columns, output aliases, aggregate calls, arithmetic).
     */
   final case class SelectTree(
       columns: Option[Seq[SelectItem]],
       from: Seq[TableRef],
       where: Option[Expr],
-      orderBy: Seq[(ColRef, Boolean /* descending */ )] = Nil,
+      orderBy: Seq[(Operand, Boolean /* descending */ )] = Nil,
       limit: Option[Long] = None,
       groupBy: Seq[ColRef] = Nil,
       having: Option[Expr] = None,

@@ -56,26 +56,48 @@ object Lowering {
       if (q.distinct) {
         // DISTINCT applies to the PROJECTED rows, so evaluation reorders:
         // project → distinct → sort on output names (the analyzer already
-        // required sort keys to be projected) → limit
+        // required sort keys to be projected or output aliases) → limit
         val projected = filtered0.select(outputCols: _*).distinct()
         val ordered = if (q.orderBy.isEmpty) projected else projected.orderBy(
-          q.orderBy.map { case (bc, desc) =>
-            val name = namedCols.collectFirst {
-              case (pc, a) if pc.binding == bc.binding &&
-                pc.attr.name.equalsIgnoreCase(bc.attr.name) => outName(pc, a)
-            }.getOrElse(outName(bc))
-            if (desc) col(name).desc else col(name).asc
+          q.orderBy.map {
+            case (BoundOrderKey.OKOutput(n), desc) =>
+              if (desc) col(n).desc else col(n).asc
+            case (BoundOrderKey.OKOperand(BoundOperand.BCol(bc)), desc) =>
+              val name = namedCols.collectFirst {
+                case (pc, a) if pc.binding == bc.binding &&
+                  pc.attr.name.equalsIgnoreCase(bc.attr.name) => outName(pc, a)
+              }.getOrElse(outName(bc))
+              if (desc) col(name).desc else col(name).asc
+            case (k, _) => sys.error(s"unreachable DISTINCT sort key $k")
           }: _*)
         q.limit.fold(ordered)(n => ordered.limit(math.min(n, Int.MaxValue.toLong).toInt))
-      } else {
-        // ORDER BY binds against table columns (pre-projection, so sort
-        // keys need not be projected); with LIMIT Catalyst plans
-        // TakeOrderedAndProject
-        val ordered = if (q.orderBy.isEmpty) filtered0 else filtered0.orderBy(
-          q.orderBy.map { case (bc, desc) => if (desc) qcol(bc).desc else qcol(bc).asc }: _*)
-        val limited = q.limit.fold(ordered)(n => ordered.limit(
+      } else if (q.orderBy.isEmpty) {
+        val limited = q.limit.fold(filtered0)(n => filtered0.limit(
           math.min(n, Int.MaxValue.toLong).toInt))
         limited.select(outputCols: _*)
+      } else {
+        // project output + hidden sort columns, sort, limit, drop hidden:
+        // output-alias keys sort the projected column; operand keys may
+        // reference unprojected table columns, so they ride as hidden
+        // columns through the sort (with LIMIT Catalyst still plans
+        // TakeOrderedAndProject over the projection)
+        val hidden = q.orderBy.zipWithIndex.collect {
+          case ((BoundOrderKey.OKOperand(op), _), i) =>
+            s"__sort_$i" -> lowerOperandWith(op, qcol)
+        }
+        val projected = filtered0.select(
+          outputCols ++ hidden.map { case (n, c) => c.as(n) }: _*)
+        val sortCols = q.orderBy.zipWithIndex.map { case ((k, desc), i) =>
+          val c = k match {
+            case BoundOrderKey.OKOutput(n)  => col(n)
+            case BoundOrderKey.OKOperand(_) => col(s"__sort_$i")
+          }
+          if (desc) c.desc else c.asc
+        }
+        val ordered = projected.orderBy(sortCols: _*)
+        val limited = q.limit.fold(ordered)(n => ordered.limit(
+          math.min(n, Int.MaxValue.toLong).toInt))
+        limited.drop(hidden.map(_._1): _*)
       }
     } else {
       // GROUP BY + aggregates: group keys keep their (possibly qualified)
@@ -86,10 +108,10 @@ object Lowering {
           s"${bc.binding}_${bc.attr.name}"
         else bc.attr.name
       val aggItems = q.projection.zipWithIndex.collect {
-        case (BoundItem.BIAgg(f, arg, a), i) => (f, arg, a, i)
+        case (BoundItem.BIAgg(f, arg, a, dist), i) => (f, arg, dist, a, i)
       }
       val usedNames = scala.collection.mutable.Set.empty[String]
-      val aggName: Map[Int, String] = aggItems.map { case (f, arg, alias, i) =>
+      val aggName: Map[Int, String] = aggItems.map { case (f, arg, _, alias, i) =>
         val base = alias.getOrElse(arg match {
           case None                         => "count_star"
           case Some(BoundOperand.BCol(c))   => s"${f}_${c.attr.name}"
@@ -103,20 +125,28 @@ object Lowering {
         i -> name
       }.toMap
       // aggregate over a full expression: sum(a * (1 - b)) lowers the
-      // argument with qualified (pre-aggregation) column resolution
-      def aggCol(f: String, arg: Option[BoundOperand]): Column = (f, arg) match {
-        case ("count", None)    => count(lit(1))
-        case ("count", Some(a)) => count(lowerOperandWith(a, qcol))
-        case ("sum", Some(a))   => sum(lowerOperandWith(a, qcol))
-        case ("min", Some(a))   => min(lowerOperandWith(a, qcol))
-        case ("max", Some(a))   => max(lowerOperandWith(a, qcol))
-        case ("avg", Some(a))   => avg(lowerOperandWith(a, qcol))
-        case other              => sys.error(s"unreachable aggregate $other")
-      }
-      val aggExprs = aggItems.map { case (f, arg, _, i) => aggCol(f, arg).as(aggName(i)) }
-      // HAVING aggregates compute as hidden columns next to the projected
-      // ones; the final projection drops them
-      val havingAggs = scala.collection.mutable.ArrayBuffer.empty[(String, Option[BoundOperand], String)]
+      // argument with qualified (pre-aggregation) column resolution;
+      // DISTINCT forms map to the engine's distinct aggregates (min/max
+      // over a distinct set are the plain min/max)
+      def aggCol(f: String, arg: Option[BoundOperand], dist: Boolean): Column =
+        (f, arg) match {
+          case ("count", None)            => count(lit(1))
+          case ("count", Some(a)) if dist => count_distinct(lowerOperandWith(a, qcol))
+          case ("count", Some(a))         => count(lowerOperandWith(a, qcol))
+          case ("sum", Some(a)) if dist   => sum_distinct(lowerOperandWith(a, qcol))
+          case ("sum", Some(a))           => sum(lowerOperandWith(a, qcol))
+          case ("min", Some(a))           => min(lowerOperandWith(a, qcol))
+          case ("max", Some(a))           => max(lowerOperandWith(a, qcol))
+          case ("avg", Some(a))           => avg(lowerOperandWith(a, qcol))
+          case other                      => sys.error(s"unreachable aggregate $other")
+        }
+      val aggExprs = aggItems.map { case (f, arg, dist, _, i) =>
+        aggCol(f, arg, dist).as(aggName(i)) }
+      // HAVING / ORDER BY / computed-projection aggregates compute as
+      // hidden columns next to the projected ones; the final projection
+      // drops them
+      val havingAggs =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Option[BoundOperand], Boolean, String)]
       def havingOperand(o: BoundOperand): Column = o match {
         case BoundOperand.BCol(c) => col(groupOut(c))
         case BoundOperand.BLit(Lit.LitLong(v))   => lit(v)
@@ -124,9 +154,9 @@ object Lowering {
         case BoundOperand.BLit(Lit.LitString(x)) => lit(x)
         case BoundOperand.BLit(Lit.LitNull)      => lit(null)
         case BoundOperand.BArith(op, l, r) => arith(op, havingOperand(l), havingOperand(r))
-        case BoundOperand.BAgg(f, arg) =>
+        case BoundOperand.BAgg(f, arg, dist) =>
           val name = s"__h_${havingAggs.length}"
-          havingAggs += ((f, arg, name))
+          havingAggs += ((f, arg, dist, name))
           col(name)
       }
       def havingCol(e: BoundExpr): Column = e match {
@@ -167,7 +197,28 @@ object Lowering {
       val exprCols: Map[Int, Column] = q.projection.zipWithIndex.collect {
         case (BoundItem.BIExpr(op, a), i) => i -> havingOperand(op).as(a)
       }.toMap
-      val hiddenExprs = havingAggs.map { case (f, arg, name) => aggCol(f, arg).as(name) }
+      // ORDER BY keys in aggregate scope lower NOW so their aggregate
+      // calls register hidden columns before the agg() assembles: output
+      // aliases resolve to post-aggregation column names, operands go
+      // through havingOperand (group keys by grouped name, aggregates as
+      // hidden agg columns)
+      val orderCols: Seq[(Column, Boolean)] = q.orderBy.map { case (k, desc) =>
+        val c = k match {
+          case BoundOrderKey.OKOutput(n) =>
+            q.projection.zipWithIndex.collectFirst {
+              case (BoundItem.BIAgg(_, _, Some(a), _), i) if a.equalsIgnoreCase(n) =>
+                col(aggName(i))
+              case (BoundItem.BIExpr(op, a), _) if a.equalsIgnoreCase(n) =>
+                havingOperand(op)
+              case (BoundItem.BICol(bc, Some(a)), _) if a.equalsIgnoreCase(n) =>
+                col(groupOut(bc))
+            }.getOrElse(sys.error(s"unreachable: unresolved output alias $n"))
+          case BoundOrderKey.OKOperand(op) => havingOperand(op)
+        }
+        (c, desc)
+      }
+      val hiddenExprs = havingAggs.map { case (f, arg, dist, name) =>
+        aggCol(f, arg, dist).as(name) }
       val allAggs = aggExprs ++ hiddenExprs
       val grouped0 =
         if (allAggs.isEmpty)
@@ -188,18 +239,15 @@ object Lowering {
           val subDf = subDf0.toDF(name)
           acc.join(broadcast(subDf), cmpCols(op, lc, col(name)), "inner").drop(name)
       }
-      // ORDER BY (validated to group cols) runs on the post-aggregation
-      // names BEFORE the final projection, so an unprojected group key can
-      // still order the result
-      val ordered = if (q.orderBy.isEmpty) grouped else grouped.orderBy(
-        q.orderBy.map { case (bc, desc) =>
-          val c = col(groupOut(bc))
-          if (desc) c.desc else c.asc
-        }: _*)
+      // ORDER BY runs on the post-aggregation names BEFORE the final
+      // projection, so an unprojected group key or aggregate can still
+      // order the result
+      val ordered = if (orderCols.isEmpty) grouped else grouped.orderBy(
+        orderCols.map { case (c, desc) => if (desc) c.desc else c.asc }: _*)
       val projected = ordered.select(q.projection.zipWithIndex.map {
         case (BoundItem.BICol(bc, a), _) => col(groupOut(bc)).as(outName(bc, a))
         case (_: BoundItem.BIExpr, i)    => exprCols(i)
-        case (BoundItem.BIAgg(_, _, _), i) => col(aggName(i))
+        case (BoundItem.BIAgg(_, _, _, _), i) => col(aggName(i))
       }: _*)
       // SELECT DISTINCT over an aggregate result: a no-op unless the
       // projection drops group keys; apply it for correctness either way
@@ -386,14 +434,16 @@ object Lowering {
           // coalesce can reproduce (the classic COUNT decorrelation trap).
           val core = combine(spark, sub, source, Set.empty, None)
           val (aggC, isCount) = sub.projection.head match {
-            case BoundItem.BIAgg(f, arg, _) => ((f, arg) match {
-              case ("count", None)    => count(lit(1))
-              case ("count", Some(a)) => count(lowerOperandWith(a, qcolOf))
-              case ("sum", Some(a))   => sum(lowerOperandWith(a, qcolOf))
-              case ("min", Some(a))   => min(lowerOperandWith(a, qcolOf))
-              case ("max", Some(a))   => max(lowerOperandWith(a, qcolOf))
-              case ("avg", Some(a))   => avg(lowerOperandWith(a, qcolOf))
-              case other              => sys.error(s"unreachable aggregate $other")
+            case BoundItem.BIAgg(f, arg, _, dist) => ((f, arg) match {
+              case ("count", None)            => count(lit(1))
+              case ("count", Some(a)) if dist => count_distinct(lowerOperandWith(a, qcolOf))
+              case ("count", Some(a))         => count(lowerOperandWith(a, qcolOf))
+              case ("sum", Some(a)) if dist   => sum_distinct(lowerOperandWith(a, qcolOf))
+              case ("sum", Some(a))           => sum(lowerOperandWith(a, qcolOf))
+              case ("min", Some(a))           => min(lowerOperandWith(a, qcolOf))
+              case ("max", Some(a))           => max(lowerOperandWith(a, qcolOf))
+              case ("avg", Some(a))           => avg(lowerOperandWith(a, qcolOf))
+              case other                      => sys.error(s"unreachable aggregate $other")
             }, f == "count")
             case _ => sys.error("unreachable: analyzer requires a single aggregate call")
           }
@@ -505,7 +555,7 @@ object Lowering {
     case BoundOperand.BLit(Lit.LitString(s)) => lit(s)
     case BoundOperand.BLit(Lit.LitNull)      => lit(null)
     case BoundOperand.BArith(op, l, r) => arith(op, lowerOperand(l), lowerOperand(r))
-    case BoundOperand.BAgg(f, _) =>
+    case BoundOperand.BAgg(f, _, _) =>
       sys.error(s"aggregate $f(...) outside aggregate scope")
   }
 

@@ -161,10 +161,15 @@ object Parser {
           else {
             val (lastAll, last) = rest.last
             val stripped = rest.dropRight(1) :+ (lastAll -> last.copy(orderBy = Nil, limit = None))
-            if (last.orderBy.exists(_._1.binding.isDefined))
-              Left(ParseError("UNION ORDER BY must use unqualified output names", pos))
-            else
-              Right(UnionTree(first, stripped, last.orderBy, last.limit))
+            val keys: Either[ParseError, Vector[(ColRef, Boolean)]] =
+              last.orderBy.foldLeft[Either[ParseError, Vector[(ColRef, Boolean)]]](
+                Right(Vector.empty)) {
+                case (acc, (Operand.Col(c), desc)) if c.binding.isEmpty =>
+                  acc.map(_ :+ (c -> desc))
+                case _ => Left(ParseError(
+                  "UNION ORDER BY must use unqualified output names", pos))
+              }
+            keys.map(ks => UnionTree(first, stripped, ks, last.limit))
           }
         }
       }
@@ -198,7 +203,8 @@ object Parser {
                 else Right(None)
               op match {
                 case Operand.Col(c) => alias().map(a => SelectItem.SCol(c, a))
-                case Operand.AggCall(f, arg) => alias().map(a => SelectItem.SAgg(f, arg, a))
+                case Operand.AggCall(f, arg, dist) =>
+                  alias().map(a => SelectItem.SAgg(f, arg, a, dist))
                 case computed => p.peek match {
                   case TIdent(s, _) if s.equalsIgnoreCase("as") =>
                     p.next(); p.ident().map(a => SelectItem.SExpr(computed, a))
@@ -305,13 +311,15 @@ object Parser {
         if (p.isKw("order")) {
           p.next()
           p.eatKw("by").flatMap { _ =>
-            def one(): Either[ParseError, (ColRef, Boolean)] =
-              parseColRef(p).map { c =>
+            // full operands: a column, an output alias, an aggregate call
+            // (ORDER BY count(*) DESC — the top-k-groups shape), arithmetic
+            def one(): Either[ParseError, (Operand, Boolean)] =
+              parseOperand(p, allowAgg = true).map { c =>
                 if (p.isKw("desc")) { p.next(); (c, true) }
                 else if (p.isKw("asc")) { p.next(); (c, false) }
                 else (c, false)
               }
-            def loop(acc: Vector[(ColRef, Boolean)]): Either[ParseError, Vector[(ColRef, Boolean)]] =
+            def loop(acc: Vector[(Operand, Boolean)]): Either[ParseError, Vector[(Operand, Boolean)]] =
               one().flatMap { o =>
                 p.peek match {
                   case TSym(",", _) => p.next(); loop(acc :+ o)
@@ -320,7 +328,7 @@ object Parser {
               }
             loop(Vector.empty)
           }
-        } else Right(Vector.empty[(ColRef, Boolean)])
+        } else Right(Vector.empty[(Operand, Boolean)])
       limit <-
         if (p.isKw("limit")) {
           p.next()
@@ -521,18 +529,20 @@ object Parser {
     case TIdent(s, _) if s.equalsIgnoreCase("null") =>
       p.next(); Right(Operand.Literal(Lit.LitNull))
     case TIdent(f, _) if allowAgg && aggFuncs(f.toLowerCase) =>
-      // aggregate over a full (non-aggregate) expression: sum(a * b)
+      // aggregate over a full (non-aggregate) expression: sum(a * b),
+      // optionally DISTINCT: count(DISTINCT x), sum(DISTINCT x)
       val fn = f.toLowerCase
       p.next()
       for {
         _ <- p.eatSym("(")
+        distinct <- Right { if (p.isKw("distinct")) { p.next(); true } else false }
         arg <- p.peek match {
-          case TSym("*", pos) if fn == "count" => p.next(); Right(None)
+          case TSym("*", pos) if fn == "count" && !distinct => p.next(); Right(None)
           case TSym("*", pos) => Left(ParseError(s"$fn(*) is not valid", pos))
           case _ => parseOperand(p, allowAgg = false).map(Some(_))
         }
         _ <- p.eatSym(")")
-      } yield Operand.AggCall(fn, arg)
+      } yield Operand.AggCall(fn, arg, distinct)
     case TIdent(_, _) => parseColRef(p).map(Operand.Col)
     case t            => Left(ParseError("expected column or literal", t.pos))
   }

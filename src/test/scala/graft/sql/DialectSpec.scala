@@ -347,6 +347,44 @@ class DialectSpec extends AnyFunSuite {
     assert(n.collect().map(_.getString(0)).toSeq == Seq("Elon"))
   }
 
+  test("ORDER BY aggregates, output aliases and expressions") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    // top-k groups by count — the canonical reporting shape
+    val top = db.select("SELECT owner_id, count(*) AS n FROM cars GROUP BY owner_id " +
+      "ORDER BY count(*) DESC, owner_id LIMIT 1").toOption.get
+    assert(top.collect().toSeq == Seq(Row(1, 2L)))
+    // the output alias resolves as a sort key
+    val byAlias = db.select("SELECT owner_id, count(*) AS n FROM cars GROUP BY owner_id " +
+      "ORDER BY n DESC, owner_id LIMIT 1").toOption.get
+    assert(byAlias.collect().toSeq == Seq(Row(1, 2L)))
+    // an unprojected arithmetic sort key in a plain select
+    val arith = db.select("SELECT name FROM people ORDER BY 0 - id").toOption.get
+    assert(arith.collect().map(_.getString(0)).toSeq ==
+      Seq("Marty McFly", "Dr. Emmett L. „Doc“ Brown", "Elon"))
+    assert(arith.columns.toSeq == Seq("name")) // hidden sort column dropped
+    // alias as sort key in a plain select
+    val alias2 = db.select("SELECT id AS k, name FROM people ORDER BY k DESC").toOption.get
+    assert(alias2.collect().map(_.getInt(0)).toSeq == Seq(3, 2, 1))
+    // a non-aggregate query cannot sort by an aggregate
+    assert(db.query("SELECT name FROM people ORDER BY count(*)").isLeft)
+    // an ungrouped column is still rejected as an aggregate sort key
+    assert(db.query("SELECT owner_id, count(*) FROM cars GROUP BY owner_id " +
+      "ORDER BY model").isLeft)
+  }
+
+  test("count/sum DISTINCT execute") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    val d = db.select(
+      "SELECT count(DISTINCT owner_id) AS owners, count(*) AS n FROM cars").toOption.get
+    assert(d.collect().toSeq == Seq(Row(2L, 3L)))
+    val g = db.select("SELECT owner_id, count(DISTINCT model) AS m FROM cars " +
+      "GROUP BY owner_id ORDER BY owner_id").toOption.get
+    assert(g.collect().toSeq == Seq(Row(1, 2L), Row(2, 1L)))
+    assert(db.query("SELECT avg(DISTINCT owner_id) FROM cars").isLeft)
+  }
+
   test("NOT IN is null-aware (SQL 3VL)") {
     val db = demoDb()
     // ages are {20, 30, NULL}: the NULL poisons NOT IN to non-TRUE for

@@ -110,9 +110,23 @@ class ParserSpec extends AnyFunSuite {
   test("order by and limit (additive over reference grammar)") {
     assert(parseOk("SELECT a FROM t ORDER BY a DESC, b LIMIT 10") ==
       SelectTree(Some(Seq(SCol(ColRef(None, "a")))), Seq(TableRef("t", None)), None,
-        Seq(ColRef(None, "a") -> true, ColRef(None, "b") -> false), Some(10)))
+        Seq((Operand.Col(ColRef(None, "a")): Operand) -> true,
+          (Operand.Col(ColRef(None, "b")): Operand) -> false), Some(10)))
+    // full operands: aggregates and arithmetic sort keys parse
+    val agg = parseOk("SELECT a, count(*) FROM t GROUP BY a ORDER BY count(*) DESC, a")
+      .asInstanceOf[SelectTree]
+    assert(agg.orderBy.head == (Operand.AggCall("count", None), true))
     parseErr("SELECT a FROM t ORDER a")
     parseErr("SELECT a FROM t LIMIT x")
+  }
+
+  test("count/sum DISTINCT parse") {
+    val t = parseOk("SELECT count(DISTINCT a), sum(DISTINCT b) FROM t")
+      .asInstanceOf[SelectTree]
+    assert(t.columns.get == Seq(
+      SAgg("count", Some(Operand.Col(ColRef(None, "a"))), None, distinct = true),
+      SAgg("sum", Some(Operand.Col(ColRef(None, "b"))), None, distinct = true)))
+    parseErr("SELECT count(DISTINCT *) FROM t")
   }
 
   test("group by and aggregates parse") {
