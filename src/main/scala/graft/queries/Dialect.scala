@@ -330,6 +330,22 @@ object Dialect {
              |WHERE 5 <= (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Scalar function surface through the dialect: string functions,
+    // abs/round over arithmetic, concat — in both projection and WHERE
+    // (all codegen'd Catalyst expressions; the WHERE functions stay
+    // data filters over the scan).
+    "q_dialect_funcs" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT c_custkey, upper(substr(c_name, 1, 10)) AS pfx, " +
+          "length(c_mktsegment) AS clen, round(abs(c_acctbal) / 100, 1) AS hb, " +
+          "concat(c_mktsegment, '_', c_custkey) AS seg FROM customer " +
+          "WHERE length(c_name) > 12 AND c_acctbal > 9000 ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, upper(substr(c_name, 1, 10)) AS pfx,
+             |  length(c_mktsegment) AS clen, round(abs(c_acctbal) / 100, 1) AS hb,
+             |  concat(c_mktsegment, '_', c_custkey) AS seg FROM customer
+             |WHERE length(c_name) > 12 AND c_acctbal > 9000
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ORDER BY an aggregate with LIMIT — the canonical top-k-groups
     // reporting shape (sorts by a hidden aggregate column before the
     // final projection; Catalyst plans TakeOrderedAndProject).

@@ -71,6 +71,9 @@ object Analyzer {
   final case class BadSubquery(detail: String) extends AnalyzerError {
     def msg = s"bad subquery: $detail"
   }
+  final case class BadFunction(detail: String) extends AnalyzerError {
+    def msg = s"bad function call: $detail"
+  }
 
   // ---- bound IR ----
   final case class BoundTable(desc: TableDesc, binding: String)
@@ -87,11 +90,14 @@ object Analyzer {
     final case class BAgg(func: String, arg: Option[BoundOperand],
         distinct: Boolean = false) extends BoundOperand
     final case class BArith(op: Char, l: BoundOperand, r: BoundOperand) extends BoundOperand
+    /** Scalar function call over bound arguments (arity pre-checked). */
+    final case class BFunc(name: String, args: Seq[BoundOperand]) extends BoundOperand
 
     /** Does the operand tree contain an aggregate call? */
     def containsAgg(o: BoundOperand): Boolean = o match {
       case _: BAgg          => true
       case BArith(_, l, r)  => containsAgg(l) || containsAgg(r)
+      case BFunc(_, args)   => args.exists(containsAgg)
       case _                => false
     }
   }
@@ -159,6 +165,7 @@ object Analyzer {
   def operandCols(o: BoundOperand): Seq[BoundCol] = o match {
     case BoundOperand.BCol(c)         => Seq(c)
     case BoundOperand.BArith(_, l, r) => operandCols(l) ++ operandCols(r)
+    case BoundOperand.BFunc(_, args)  => args.flatMap(operandCols)
     case _                            => Nil
   }
 
@@ -169,6 +176,7 @@ object Analyzer {
     case BoundOperand.BCol(c)         => Seq(c)
     case BoundOperand.BArith(_, l, r) => operandColsDeep(l) ++ operandColsDeep(r)
     case BoundOperand.BAgg(_, arg, _) => arg.toSeq.flatMap(operandColsDeep)
+    case BoundOperand.BFunc(_, args)  => args.flatMap(operandColsDeep)
     case _                            => Nil
   }
 
@@ -507,6 +515,27 @@ object Analyzer {
         }
       case Operand.AggCall(f, _, _) =>
         Left(BadAggregate(s"$f(...) is not valid in this context"))
+      case Operand.FuncCall(f, args) =>
+        val arityOk = f match {
+          case "upper" | "lower" | "trim" | "length" | "abs" => args.length == 1
+          case "round"               => args.length == 1 || args.length == 2
+          case "substr"              => args.length == 2 || args.length == 3
+          case "coalesce" | "concat" => args.nonEmpty
+          case _                     => false
+        }
+        if (!arityOk)
+          Left(BadFunction(s"$f takes a different number of arguments (got ${args.length})"))
+        // round's scale must be an integer literal (the engine compiles it
+        // into the rounding expression)
+        else if (f == "round" && args.length == 2 && !(args(1) match {
+          case Operand.Literal(Lit.LitLong(_)) => true
+          case _ => false
+        }))
+          Left(BadFunction("round scale must be an integer literal"))
+        else
+          args.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](Right(Vector.empty)) {
+            (acc, a) => acc.flatMap(v => bindOp(a, allowAgg).map(v :+ _))
+          }.map(BoundOperand.BFunc(f, _))
       case Operand.Arith(ch, l, r) =>
         // arithmetic legs must be numeric where typed (columns); literals
         // and nested arithmetic check recursively

@@ -36,6 +36,10 @@ object Ast {
         distinct: Boolean = false) extends Operand
     /** Binary arithmetic (+ - * / %) over operands, usual precedence. */
     final case class Arith(op: Char, l: Operand, r: Operand) extends Operand
+    /** Scalar function call: upper/lower/trim/length/abs/round/substr/
+      * coalesce/concat over operand arguments (arity checked in analysis).
+      */
+    final case class FuncCall(name: String, args: Seq[Operand]) extends Operand
   }
 
   sealed trait Expr

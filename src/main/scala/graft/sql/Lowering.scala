@@ -154,6 +154,7 @@ object Lowering {
         case BoundOperand.BLit(Lit.LitString(x)) => lit(x)
         case BoundOperand.BLit(Lit.LitNull)      => lit(null)
         case BoundOperand.BArith(op, l, r) => arith(op, havingOperand(l), havingOperand(r))
+        case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, havingOperand)
         case BoundOperand.BAgg(f, arg, dist) =>
           val name = s"__h_${havingAggs.length}"
           havingAggs += ((f, arg, dist, name))
@@ -527,6 +528,31 @@ object Lowering {
     case Ast.CmpOp.Ge  => lc >= rc
   }
 
+  /** Scalar function lowering (arity pre-checked by the analyzer). The
+    * recursion callback keeps the caller's column resolution (qualified /
+    * grouped / bare). concat lowers as concat_ws("") — NULL arguments act
+    * as empty strings, matching SQL/DuckDB concat, where Spark's concat
+    * would NULL the whole result.
+    */
+  private def lowerFunc(name: String, args: Seq[BoundOperand],
+      rec: BoundOperand => Column): Column = (name, args) match {
+    case ("upper", Seq(a))  => upper(rec(a))
+    case ("lower", Seq(a))  => lower(rec(a))
+    case ("trim", Seq(a))   => trim(rec(a))
+    case ("length", Seq(a)) => length(rec(a))
+    case ("abs", Seq(a))    => abs(rec(a))
+    case ("round", Seq(a))  => round(rec(a), 0)
+    case ("round", Seq(a, BoundOperand.BLit(Lit.LitLong(n)))) => round(rec(a), n.toInt)
+    case ("substr", Seq(a, p)) =>
+      // to-end form: the remaining length is bounded by the full length
+      val c = rec(a)
+      c.substr(rec(p), length(c))
+    case ("substr", Seq(a, p, l)) => rec(a).substr(rec(p), rec(l))
+    case ("coalesce", as) => coalesce(as.map(rec): _*)
+    case ("concat", as)   => concat_ws("", as.map(rec): _*)
+    case other => sys.error(s"unreachable function ${other._1}/${other._2.length}")
+  }
+
   private[sql] def arith(op: Char, lc: Column, rc: Column): Column = op match {
     case '+' => lc + rc
     case '-' => lc - rc
@@ -545,6 +571,8 @@ object Lowering {
       case BoundOperand.BCol(c) => colOf(c)
       case BoundOperand.BArith(op, l, r) =>
         arith(op, lowerOperandWith(l, colOf), lowerOperandWith(r, colOf))
+      case BoundOperand.BFunc(f, args) =>
+        lowerFunc(f, args, lowerOperandWith(_, colOf))
       case other => lowerOperand(other)
     }
 
@@ -555,6 +583,7 @@ object Lowering {
     case BoundOperand.BLit(Lit.LitString(s)) => lit(s)
     case BoundOperand.BLit(Lit.LitNull)      => lit(null)
     case BoundOperand.BArith(op, l, r) => arith(op, lowerOperand(l), lowerOperand(r))
+    case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, lowerOperand)
     case BoundOperand.BAgg(f, _, _) =>
       sys.error(s"aggregate $f(...) outside aggregate scope")
   }
@@ -577,6 +606,7 @@ object Lowering {
     def opCols(o: BoundOperand): Seq[String] = o match {
       case BoundOperand.BCol(c)         => Seq(c.binding)
       case BoundOperand.BArith(_, l, r) => opCols(l) ++ opCols(r)
+      case BoundOperand.BFunc(_, args)  => args.flatMap(opCols)
       case _                            => Nil
     }
     def cols(x: BoundExpr): Seq[String] = x match {
@@ -606,6 +636,7 @@ object Lowering {
     def bare(o: BoundOperand): Column = o match {
       case BoundOperand.BCol(c) => col(c.attr.name)
       case BoundOperand.BArith(op, l, r) => arith(op, bare(l), bare(r))
+      case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, bare)
       case other                => lowerOperand(other)
     }
     e match {

@@ -108,6 +108,8 @@ object Parser {
     "intersect", "except")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg")
+  private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",
+    "round", "substr", "substring", "coalesce", "concat")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
@@ -543,6 +545,29 @@ object Parser {
         }
         _ <- p.eatSym(")")
       } yield Operand.AggCall(fn, arg, distinct)
+    case TIdent(f, _) if scalarFuncs(f.toLowerCase) && {
+        // function only when '(' follows — otherwise a column named e.g.
+        // `length` still resolves
+        val save = p.i; p.next()
+        val isCall = p.peek match { case TSym("(", _) => true; case _ => false }
+        p.i = save; isCall
+      } =>
+      val fn = if (f.equalsIgnoreCase("substring")) "substr" else f.toLowerCase
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        args <- {
+          def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+            parseOperand(p, allowAgg).flatMap { a =>
+              p.peek match {
+                case TSym(",", _) => p.next(); loop(acc :+ a)
+                case _            => Right(acc :+ a)
+              }
+            }
+          loop(Vector.empty)
+        }
+        _ <- p.eatSym(")")
+      } yield Operand.FuncCall(fn, args)
     case TIdent(_, _) => parseColRef(p).map(Operand.Col)
     case t            => Left(ParseError("expected column or literal", t.pos))
   }

@@ -373,6 +373,33 @@ class DialectSpec extends AnyFunSuite {
       "ORDER BY model").isLeft)
   }
 
+  test("scalar functions: upper/lower/trim/length/abs/round/substr/coalesce/concat") {
+    val db = demoDb()
+    val f = db.select("SELECT upper(name) AS u, length(name) AS l, " +
+      "substr(name, 1, 4) AS p FROM people WHERE id = 1").toOption.get
+    assert(f.collect().toSeq == Seq(Row("ELON", 4, "Elon")))
+    // functions in WHERE predicates
+    val w = db.select(
+      "SELECT name FROM people WHERE length(name) > 10 ORDER BY id").toOption.get
+    assert(w.count() == 2)
+    // coalesce over the NULL age; round/abs over arithmetic
+    val c = db.select("SELECT name, coalesce(age, -1) AS a FROM people ORDER BY id").toOption.get
+    assert(c.collect().map(_.getLong(1)).toSeq == Seq(20L, 30L, -1L))
+    val r = db.select("SELECT round(abs(0 - age) / 7, 1) AS r FROM people WHERE id = 1").toOption.get
+    assert(r.collect().head.getDouble(0) == 2.9)
+    // concat acts NULL-as-empty (SQL/DuckDB concat semantics)
+    val cc = db.select("SELECT concat(name, '_', age) AS nid FROM people ORDER BY id").toOption.get
+    assert(cc.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon_20", "Dr. Emmett L. „Doc“ Brown_30", "Marty McFly_"))
+    // a column NAMED like a function still resolves when not called
+    db.query("CREATE TABLE fn (length INT)")
+    db.query("INSERT INTO fn VALUES (5)")
+    assert(db.select("SELECT length FROM fn").toOption.get.collect().head.getInt(0) == 5)
+    // arity / argument errors
+    assert(db.query("SELECT upper(name, name) AS x FROM people").isLeft)
+    assert(db.query("SELECT round(age, age) AS x FROM people").isLeft)
+  }
+
   test("count/sum DISTINCT execute") {
     val db = demoDb()
     db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
