@@ -346,6 +346,61 @@ object Dialect {
              |WHERE length(c_name) > 12 AND c_acctbal > 9000
              |ORDER BY c_custkey""".stripMargin)),
 
+    // The distributed write paths end-to-end: CREATE TABLE AS SELECT
+    // materializes one band of orders, INSERT INTO … SELECT appends a
+    // second, and the oracle reproduces the union from the raw fixture —
+    // so the round-trip through the warehouse write path must be exact.
+    "q_dialect_ctas" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders")
+        if (!g.tableNames.contains("band_orders")) {
+          g.query("CREATE TABLE band_orders AS SELECT o_orderkey, o_custkey, " +
+            "o_totalprice FROM orders WHERE o_totalprice > 400000")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("INSERT INTO band_orders SELECT o_orderkey, o_custkey, " +
+            "o_totalprice FROM orders WHERE o_totalprice <= 100000")
+            .fold(e => sys.error(e.msg), identity)
+        }
+        run(g, "SELECT o_custkey, count(*) AS n FROM band_orders " +
+          "GROUP BY o_custkey ORDER BY o_custkey")
+      },
+      Some("""SELECT o_custkey, cast(count(*) AS bigint) AS n FROM orders
+             |WHERE o_totalprice > 400000 OR o_totalprice <= 100000
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // LIMIT OFFSET pagination over a total order (Spark Dataset.offset +
+    // limit — the global-sort prefix survives both).
+    "q_dialect_offset" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20""".stripMargin)),
+
+    // CASE WHEN: searched banding + the simple (subject) form, both
+    // pure codegen'd conditionals in the projection.
+    "q_dialect_case" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, CASE WHEN o_totalprice > 400000 THEN 'high' " +
+          "WHEN o_totalprice > 200000 THEN 'mid' ELSE 'low' END AS band, " +
+          "CASE o_orderstatus WHEN 'F' THEN 1 ELSE 0 END AS isf " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, CASE WHEN o_totalprice > 400000 THEN 'high'
+             |  WHEN o_totalprice > 200000 THEN 'mid' ELSE 'low' END AS band,
+             |  CASE o_orderstatus WHEN 'F' THEN 1 ELSE 0 END AS isf
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // Conditional aggregation — sum(CASE WHEN …) — the pivot-by-hand
+    // shape every reporting query uses.
+    "q_dialect_case_agg" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderstatus, sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS nhigh, " +
+          "count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  cast(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS bigint) AS nhigh,
+             |  cast(count(*) AS bigint) AS n
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // ORDER BY an aggregate with LIMIT — the canonical top-k-groups
     // reporting shape (sorts by a hidden aggregate column before the
     // final projection; Catalyst plans TakeOrderedAndProject).

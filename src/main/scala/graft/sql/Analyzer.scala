@@ -92,13 +92,32 @@ object Analyzer {
     final case class BArith(op: Char, l: BoundOperand, r: BoundOperand) extends BoundOperand
     /** Scalar function call over bound arguments (arity pre-checked). */
     final case class BFunc(name: String, args: Seq[BoundOperand]) extends BoundOperand
+    /** Searched CASE over bound branches. */
+    final case class BCase(branches: Seq[(BoundExpr, BoundOperand)],
+        elseOp: Option[BoundOperand]) extends BoundOperand
 
     /** Does the operand tree contain an aggregate call? */
     def containsAgg(o: BoundOperand): Boolean = o match {
       case _: BAgg          => true
       case BArith(_, l, r)  => containsAgg(l) || containsAgg(r)
       case BFunc(_, args)   => args.exists(containsAgg)
+      case BCase(bs, els) =>
+        bs.exists { case (c, v) => exprOperands(c).exists(containsAgg) || containsAgg(v) } ||
+          els.exists(containsAgg)
       case _                => false
+    }
+
+    /** Direct operands of an expression tree (subquery bodies excluded). */
+    def exprOperands(e: BoundExpr): Seq[BoundOperand] = e match {
+      case BoundExpr.BAnd(l, r)     => exprOperands(l) ++ exprOperands(r)
+      case BoundExpr.BOr(l, r)      => exprOperands(l) ++ exprOperands(r)
+      case BoundExpr.BNot(x)        => exprOperands(x)
+      case BoundExpr.BIsNull(o, _)  => Seq(o)
+      case BoundExpr.BLike(o, _, _) => Seq(o)
+      case BoundExpr.BCmp(_, l, r)  => Seq(l, r)
+      case BoundExpr.BInSub(o, _, _, _)     => Seq(o)
+      case BoundExpr.BExists(_, _, _)       => Nil
+      case BoundExpr.BCmpSub(_, o, _, _, _) => Seq(o)
     }
   }
   sealed trait BoundExpr
@@ -166,6 +185,9 @@ object Analyzer {
     case BoundOperand.BCol(c)         => Seq(c)
     case BoundOperand.BArith(_, l, r) => operandCols(l) ++ operandCols(r)
     case BoundOperand.BFunc(_, args)  => args.flatMap(operandCols)
+    case BoundOperand.BCase(bs, els) =>
+      bs.flatMap { case (c, v) => exprCols(c) ++ operandCols(v) } ++
+        els.toSeq.flatMap(operandCols)
     case _                            => Nil
   }
 
@@ -177,6 +199,10 @@ object Analyzer {
     case BoundOperand.BArith(_, l, r) => operandColsDeep(l) ++ operandColsDeep(r)
     case BoundOperand.BAgg(_, arg, _) => arg.toSeq.flatMap(operandColsDeep)
     case BoundOperand.BFunc(_, args)  => args.flatMap(operandColsDeep)
+    case BoundOperand.BCase(bs, els) =>
+      bs.flatMap { case (c, v) =>
+        BoundOperand.exprOperands(c).flatMap(operandColsDeep) ++ operandColsDeep(v)
+      } ++ els.toSeq.flatMap(operandColsDeep)
     case _                            => Nil
   }
 
@@ -254,8 +280,8 @@ object Analyzer {
           if (sub.isAggregate)
             return Some(BadSubquery(
               "correlation into a deeper scope is not supported under an aggregating subquery"))
-          if (isub.isAggregate || isub.limit.isDefined || isub.distinct ||
-              isub.orderBy.nonEmpty)
+          if (isub.isAggregate || isub.limit.isDefined || isub.offset.isDefined ||
+              isub.distinct || isub.orderBy.nonEmpty)
             return Some(BadSubquery(
               "a nested subquery correlated to a deeper scope must be a plain SELECT"))
           val newBindings = (isub.tables ++ isub.joinSteps.map(_.table)).map(_.binding)
@@ -311,8 +337,8 @@ object Analyzer {
         if (ps.isEmpty) Right((sub, Nil))
         else if (sub.isAggregate && !allowAggregate)
           Left(BadSubquery("a correlated subquery must not aggregate"))
-        else if (sub.limit.isDefined)
-          Left(BadSubquery("a correlated subquery must not use LIMIT"))
+        else if (sub.limit.isDefined || sub.offset.isDefined)
+          Left(BadSubquery("a correlated subquery must not use LIMIT/OFFSET"))
         else
           Right((flattened, ps))
     }
@@ -341,6 +367,7 @@ object Analyzer {
       predicate: Option[BoundExpr],
       orderBy: Seq[(BoundOrderKey, Boolean)] = Nil,
       limit: Option[Long] = None,
+      offset: Option[Long] = None,
       groupBy: Seq[BoundCol] = Nil,
       having: Option[BoundExpr] = None,
       distinct: Boolean = false,
@@ -359,10 +386,53 @@ object Analyzer {
       first: BoundSelect,
       rest: Seq[(String /* connector */, BoundSelect)],
       orderBy: Seq[(String, Boolean)],
-      limit: Option[Long]) extends BoundQuery
+      limit: Option[Long],
+      offset: Option[Long]) extends BoundQuery
 
   final case class BoundInsert(desc: TableDesc, rows: Seq[Seq[Any]]) extends BoundQuery
+  /** INSERT INTO t SELECT …: columns align by position, cast to the
+    * target schema at execution.
+    */
+  final case class BoundInsertSelect(desc: TableDesc, query: BoundQuery) extends BoundQuery
   final case class BoundCreate(desc: TableDesc) extends BoundQuery
+  /** CREATE TABLE t [CLUSTERED BY …] AS SELECT …: the table's schema is
+    * the query's output schema (derived at execution, where the lowered
+    * frame is known).
+    */
+  final case class BoundCreateAs(table: String, query: BoundQuery,
+      bucket: Option[(String, Int)]) extends BoundQuery
+
+  /** Every table name a bound query reads (FROM groups, join steps,
+    * subqueries, union branches) — the self-reference check for
+    * INSERT INTO t SELECT … FROM t.
+    */
+  def referencedTables(q: BoundQuery): Set[String] = q match {
+    case s: BoundSelect =>
+      val subs = s.predicate.toSeq.flatMap { e =>
+        def walk(x: BoundExpr): Seq[BoundSelect] = x match {
+          case BoundExpr.BAnd(l, r) => walk(l) ++ walk(r)
+          case BoundExpr.BOr(l, r)  => walk(l) ++ walk(r)
+          case BoundExpr.BNot(y)    => walk(y)
+          case BoundExpr.BInSub(_, sub, _, _)     => Seq(sub)
+          case BoundExpr.BExists(sub, _, _)       => Seq(sub)
+          case BoundExpr.BCmpSub(_, _, sub, _, _) => Seq(sub)
+          case _ => Nil
+        }
+        walk(e)
+      } ++ s.having.toSeq.flatMap { e =>
+        def walk(x: BoundExpr): Seq[BoundSelect] = x match {
+          case BoundExpr.BAnd(l, r) => walk(l) ++ walk(r)
+          case BoundExpr.BCmpSub(_, _, sub, _, _) => Seq(sub)
+          case _ => Nil
+        }
+        walk(e)
+      }
+      (s.tables ++ s.joinSteps.map(_.table)).map(_.desc.name).toSet ++
+        subs.flatMap(referencedTables)
+    case u: BoundUnion =>
+      referencedTables(u.first) ++ u.rest.flatMap(r => referencedTables(r._2))
+    case _ => Set.empty
+  }
   final case class BoundDelete(desc: TableDesc, predicate: Option[BoundExpr]) extends BoundQuery
   final case class BoundUpdate(
       desc: TableDesc,
@@ -373,7 +443,29 @@ object Analyzer {
     case s: SelectTree => analyzeSelect(s, cat)
     case u: UnionTree  => analyzeUnion(u, cat)
     case i: InsertTree => analyzeInsert(i, cat)
+    case i: InsertSelectTree =>
+      cat.resolve(i.table) match {
+        case None => Left(RelationNotFound(i.table))
+        case Some(desc) =>
+          analyze(i.select, cat).flatMap { b =>
+            val arity = b match {
+              case s: BoundSelect => s.projection.length
+              case u: BoundUnion  => u.first.projection.length
+              case _              => -1
+            }
+            if (arity < desc.attributes.length)
+              Left(MissingValues(desc.attributes.drop(math.max(arity, 0)).map(_.name)))
+            else if (arity > desc.attributes.length)
+              Left(TooManyValues(desc.attributes.length, arity))
+            else Right(BoundInsertSelect(desc, b))
+          }
+      }
     case c: CreateTree => analyzeCreate(c, cat)
+    case c: CreateAsTree =>
+      if (cat.resolve(c.table).isDefined) Left(TableExists(c.table))
+      else analyze(c.select, cat).map(b =>
+        BoundCreateAs(c.table.toLowerCase, b,
+          c.bucket.map { case (col, n) => (col.toLowerCase, n) }))
     case d: DeleteTree => analyzeDelete(d, cat)
     case u: UpdateTree => analyzeUpdate(u, cat)
   }
@@ -396,7 +488,7 @@ object Analyzer {
         })
       }
     } yield BoundUnion(first, rest,
-      u.orderBy.map { case (c, desc) => (c.name, desc) }, u.limit)
+      u.orderBy.map { case (c, desc) => (c.name, desc) }, u.limit, u.offset)
 
   /** Bind a WHERE expression against one table (DELETE/UPDATE scope). */
   private def bindSingleTableExpr(desc: TableDesc, e: Expr): Either[AnalyzerError, BoundExpr] =
@@ -536,6 +628,23 @@ object Analyzer {
           args.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](Right(Vector.empty)) {
             (acc, a) => acc.flatMap(v => bindOp(a, allowAgg).map(v :+ _))
           }.map(BoundOperand.BFunc(f, _))
+      case Operand.CaseWhen(branches, els) =>
+        for {
+          bs <- branches.foldLeft[Either[AnalyzerError, Vector[(BoundExpr, BoundOperand)]]](
+            Right(Vector.empty)) { case (acc, (c, v)) =>
+            acc.flatMap { vs =>
+              for {
+                // topLevel = false: no subqueries inside CASE conditions
+                bc <- bindExpr(c, allowAgg, topLevel = false)
+                bv <- bindOp(v, allowAgg)
+              } yield vs :+ (bc -> bv)
+            }
+          }
+          be <- els match {
+            case None    => Right(None)
+            case Some(e) => bindOp(e, allowAgg).map(Some(_))
+          }
+        } yield BoundOperand.BCase(bs, be)
       case Operand.Arith(ch, l, r) =>
         // arithmetic legs must be numeric where typed (columns); literals
         // and nested arithmetic check recursively
@@ -829,8 +938,8 @@ object Analyzer {
           case Some(r) => Left(DistinctOrderBy(r))
           case None    => Right(())
         }
-    } yield BoundSelect(innerTables, proj, pred, order, s.limit, group, having,
-      s.distinct, steps)
+    } yield BoundSelect(innerTables, proj, pred, order, s.limit, s.offset, group,
+      having, s.distinct, steps)
   }
 
   private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {

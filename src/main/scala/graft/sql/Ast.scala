@@ -40,6 +40,12 @@ object Ast {
       * coalesce/concat over operand arguments (arity checked in analysis).
       */
     final case class FuncCall(name: String, args: Seq[Operand]) extends Operand
+    /** Searched CASE: WHEN <pred> THEN <operand> … [ELSE <operand>] END.
+      * The simple form (CASE <subject> WHEN <value> …) desugars in the
+      * parser to subject = value predicates.
+      */
+    final case class CaseWhen(branches: Seq[(Expr, Operand)],
+        elseOp: Option[Operand]) extends Operand
   }
 
   sealed trait Expr
@@ -110,6 +116,7 @@ object Ast {
       where: Option[Expr],
       orderBy: Seq[(Operand, Boolean /* descending */ )] = Nil,
       limit: Option[Long] = None,
+      offset: Option[Long] = None,
       groupBy: Seq[ColRef] = Nil,
       having: Option[Expr] = None,
       distinct: Boolean = false,
@@ -127,9 +134,22 @@ object Ast {
       first: SelectTree,
       rest: Seq[(String /* connector */, SelectTree)],
       orderBy: Seq[(ColRef, Boolean)] = Nil,
-      limit: Option[Long] = None) extends ParseTree
+      limit: Option[Long] = None,
+      offset: Option[Long] = None) extends ParseTree
 
   final case class InsertTree(table: String, rows: Seq[Seq[Lit]]) extends ParseTree
+
+  /** INSERT INTO t SELECT … — the distributed write path (VALUES is for
+    * REPL-scale rows); columns align by position with checked casts.
+    */
+  final case class InsertSelectTree(table: String,
+      select: ParseTree /* SelectTree | UnionTree */) extends ParseTree
+
+  /** CREATE TABLE t [CLUSTERED BY (col) INTO n BUCKETS] AS SELECT … —
+    * schema derived from the query's output.
+    */
+  final case class CreateAsTree(table: String, select: ParseTree,
+      bucket: Option[(String, Int)] = None) extends ParseTree
 
   /** DELETE / UPDATE — on the reference's TODO list (README.md:51,
     * planner/mod.rs:92-93 has them commented out); implemented here as

@@ -63,10 +63,11 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       tree <- Parser.parse(sql).left.map(ParseFailed)
       bound <- Analyzer.analyze(tree, cat).left.map(AnalyzeFailed)
       _ <- bound match {
-        case BoundInsert(d, _)    if external.contains(d.name) => Left(ReadOnlyTable(d.name))
-        case BoundDelete(d, _)    if external.contains(d.name) => Left(ReadOnlyTable(d.name))
-        case BoundUpdate(d, _, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
-        case _                                                 => Right(())
+        case BoundInsert(d, _)       if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+        case BoundInsertSelect(d, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+        case BoundDelete(d, _)       if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+        case BoundUpdate(d, _, _)    if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+        case _                                                    => Right(())
       }
     } yield execute(bound)
 
@@ -184,16 +185,71 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       chooseBroadcastSides(ests), planJoinOrder(s, ests))
   }
 
-  private def execute(q: BoundQuery): QueryResult = q match {
-    case s: BoundSelect =>
-      Rows(lowerOneSelect(s))
-
+  /** Lower any readable query form (SELECT or set-op chain) to a frame —
+    * shared by the Rows path and the INSERT…SELECT / CTAS write paths.
+    * Every branch gets its own stats-driven plan; a chain is
+    * per-connector union/intersect/except (one shuffle per dedup step).
+    */
+  private def lowerQuery(q: BoundQuery): DataFrame = q match {
+    case s: BoundSelect => lowerOneSelect(s)
     case u: BoundUnion =>
-      // every branch gets its own stats-driven plan; the chain itself is
-      // per-connector union/intersect/except (one shuffle per dedup step)
-      Rows(Lowering.lowerUnion(lowerOneSelect(u.first),
+      Lowering.lowerUnion(lowerOneSelect(u.first),
         u.rest.map { case (conn, b) => (conn, lowerOneSelect(b)) },
-        u.orderBy, u.limit))
+        u.orderBy, u.limit, u.offset)
+    case other => sys.error(s"not a readable query: $other")
+  }
+
+  private def execute(q: BoundQuery): QueryResult = q match {
+    case s: BoundSelect => Rows(lowerQuery(s))
+    case u: BoundUnion  => Rows(lowerQuery(u))
+
+    case BoundInsertSelect(desc, sel) =>
+      val raw = lowerQuery(sel)
+      // positional alignment with checked casts to the target schema
+      val aligned = raw.toDF(desc.attributes.map(_.name): _*)
+        .select(desc.attributes.map(a =>
+          org.apache.spark.sql.functions.col(a.name).cast(a.sqlType.spark)): _*)
+      // a self-referencing insert (INSERT INTO t SELECT … FROM t) must
+      // materialize before the append starts rewriting the very files the
+      // scan reads; localCheckpoint pins the input partitions first
+      val src =
+        if (Analyzer.referencedTables(sel).contains(desc.name)) aligned.localCheckpoint()
+        else aligned
+      val before = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
+      desc.bucket match {
+        case Some(_) =>
+          ensureCatalogTable(desc)
+          src.write.mode("append").insertInto(catName(desc.name))
+        case None =>
+          src.write.mode("append").parquet(dataPath(desc.name))
+      }
+      statistics.rebuild(desc, readTable(desc))
+      val after = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
+      Done(s"inserted ${after - before} row(s) into ${desc.name}")
+
+    case BoundCreateAs(name, sel, bucket) =>
+      val df = lowerQuery(sel)
+      val attrs = df.schema.fields.toSeq.map(f =>
+        AttributeDesc(f.name.toLowerCase, SqlType.fromSpark(f.dataType), f.nullable))
+      bucket.foreach { case (col, _) =>
+        if (!attrs.exists(_.name.equalsIgnoreCase(col)))
+          throw new IllegalArgumentException(
+            s"CLUSTERED BY column '$col' is not in the query's output")
+      }
+      val desc = TableDesc(name, attrs, bucket)
+      tables(desc.name) = desc
+      Files.createDirectories(Paths.get(s"$warehouse/data/${desc.name}"))
+      ensureCatalogTable(desc)
+      statistics.initTable(desc)
+      saveCatalog()
+      val named = df.toDF(attrs.map(_.name): _*)
+      desc.bucket match {
+        case Some(_) => named.write.mode("append").insertInto(catName(desc.name))
+        case None    => named.write.mode("append").parquet(dataPath(desc.name))
+      }
+      statistics.rebuild(desc, readTable(desc))
+      val n = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
+      Done(s"created table ${desc.name} with $n row(s)")
 
     case BoundInsert(desc, rows) =>
       // Batched append: all VALUES rows land in one parquet write

@@ -70,11 +70,9 @@ object Lowering {
               if (desc) col(name).desc else col(name).asc
             case (k, _) => sys.error(s"unreachable DISTINCT sort key $k")
           }: _*)
-        q.limit.fold(ordered)(n => ordered.limit(math.min(n, Int.MaxValue.toLong).toInt))
+        applyOffsetLimit(ordered, q.offset, q.limit)
       } else if (q.orderBy.isEmpty) {
-        val limited = q.limit.fold(filtered0)(n => filtered0.limit(
-          math.min(n, Int.MaxValue.toLong).toInt))
-        limited.select(outputCols: _*)
+        applyOffsetLimit(filtered0, q.offset, q.limit).select(outputCols: _*)
       } else {
         // project output + hidden sort columns, sort, limit, drop hidden:
         // output-alias keys sort the projected column; operand keys may
@@ -95,9 +93,7 @@ object Lowering {
           if (desc) c.desc else c.asc
         }
         val ordered = projected.orderBy(sortCols: _*)
-        val limited = q.limit.fold(ordered)(n => ordered.limit(
-          math.min(n, Int.MaxValue.toLong).toInt))
-        limited.drop(hidden.map(_._1): _*)
+        applyOffsetLimit(ordered, q.offset, q.limit).drop(hidden.map(_._1): _*)
       }
     } else {
       // GROUP BY + aggregates: group keys keep their (possibly qualified)
@@ -155,6 +151,7 @@ object Lowering {
         case BoundOperand.BLit(Lit.LitNull)      => lit(null)
         case BoundOperand.BArith(op, l, r) => arith(op, havingOperand(l), havingOperand(r))
         case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, havingOperand)
+        case BoundOperand.BCase(bs, els)   => caseCol(bs, els, havingOperand)
         case BoundOperand.BAgg(f, arg, dist) =>
           val name = s"__h_${havingAggs.length}"
           havingAggs += ((f, arg, dist, name))
@@ -253,7 +250,7 @@ object Lowering {
       // SELECT DISTINCT over an aggregate result: a no-op unless the
       // projection drops group keys; apply it for correctness either way
       val deduped = if (q.distinct) projected.distinct() else projected
-      q.limit.fold(deduped)(n => deduped.limit(math.min(n, Int.MaxValue.toLong).toInt))
+      applyOffsetLimit(deduped, q.offset, q.limit)
     }
   }
 
@@ -472,7 +469,8 @@ object Lowering {
     * ORDER BY binds against the first branch's output names.
     */
   def lowerUnion(first: DataFrame, rest: Seq[(String, DataFrame)],
-      orderBy: Seq[(String, Boolean)], limit: Option[Long]): DataFrame = {
+      orderBy: Seq[(String, Boolean)], limit: Option[Long],
+      offset: Option[Long] = None): DataFrame = {
     // fold contiguous INTERSECT [ALL] runs into single group frames
     val groups = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
     var cur = first
@@ -499,24 +497,50 @@ object Lowering {
         unioned.orderBy(orderBy.map { case (n, desc) =>
           if (desc) col(n).desc else col(n).asc }: _*)
       }
-    limit.fold(ordered)(n => ordered.limit(math.min(n, Int.MaxValue.toLong).toInt))
+    applyOffsetLimit(ordered, offset, limit)
   }
 
-  def lowerExpr(e: BoundExpr): Column = e match {
-    case BoundExpr.BAnd(l, r) => lowerExpr(l) && lowerExpr(r)
-    case BoundExpr.BOr(l, r)  => lowerExpr(l) || lowerExpr(r)
-    case BoundExpr.BNot(x)    => !lowerExpr(x) // SQL 3VL: NOT NULL → NULL
+  /** OFFSET skips rows of the (ordered) result before LIMIT takes its
+    * prefix — SQL's LIMIT n OFFSET m.
+    */
+  private def applyOffsetLimit(df: DataFrame, offset: Option[Long],
+      limit: Option[Long]): DataFrame = {
+    val off = offset.fold(df)(m => df.offset(math.min(m, Int.MaxValue.toLong).toInt))
+    limit.fold(off)(n => off.limit(math.min(n, Int.MaxValue.toLong).toInt))
+  }
+
+  def lowerExpr(e: BoundExpr): Column = lowerExprWith(e, lowerOperand)
+
+  /** Expression lowering parameterized by the operand lowerer, so the
+    * same predicate tree evaluates under qualified (scan/join), grouped
+    * (HAVING/ORDER BY) or bare (DML/sample) column resolution — CASE
+    * conditions inherit whichever scope their operand sits in.
+    */
+  def lowerExprWith(e: BoundExpr, opLower: BoundOperand => Column): Column = e match {
+    case BoundExpr.BAnd(l, r) => lowerExprWith(l, opLower) && lowerExprWith(r, opLower)
+    case BoundExpr.BOr(l, r)  => lowerExprWith(l, opLower) || lowerExprWith(r, opLower)
+    case BoundExpr.BNot(x)    => !lowerExprWith(x, opLower) // SQL 3VL: NOT NULL → NULL
     case BoundExpr.BIsNull(o, neg) =>
-      val c = lowerOperand(o)
+      val c = opLower(o)
       if (neg) c.isNotNull else c.isNull
     case BoundExpr.BLike(o, pat, neg) =>
-      val c = lowerOperand(o).like(pat)
+      val c = opLower(o).like(pat)
       if (neg) !c else c
     case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) |
         BoundExpr.BCmpSub(_, _, _, _, _) =>
       sys.error("subquery conjuncts lower as joins, not Column expressions")
     case BoundExpr.BCmp(op, l, r) =>
-      cmpCols(op, lowerOperand(l), lowerOperand(r))
+      cmpCols(op, opLower(l), opLower(r))
+  }
+
+  /** CASE chain: when/when/…/otherwise under the caller's resolution. */
+  private def caseCol(bs: Seq[(BoundExpr, BoundOperand)], els: Option[BoundOperand],
+      rec: BoundOperand => Column): Column = {
+    val first = when(lowerExprWith(bs.head._1, rec), rec(bs.head._2))
+    val chained = bs.tail.foldLeft(first) { case (acc, (c, v)) =>
+      acc.when(lowerExprWith(c, rec), rec(v))
+    }
+    els.fold(chained)(e => chained.otherwise(rec(e)))
   }
 
   private[sql] def cmpCols(op: Ast.CmpOp, lc: Column, rc: Column): Column = op match {
@@ -573,6 +597,8 @@ object Lowering {
         arith(op, lowerOperandWith(l, colOf), lowerOperandWith(r, colOf))
       case BoundOperand.BFunc(f, args) =>
         lowerFunc(f, args, lowerOperandWith(_, colOf))
+      case BoundOperand.BCase(bs, els) =>
+        caseCol(bs, els, lowerOperandWith(_, colOf))
       case other => lowerOperand(other)
     }
 
@@ -584,6 +610,7 @@ object Lowering {
     case BoundOperand.BLit(Lit.LitNull)      => lit(null)
     case BoundOperand.BArith(op, l, r) => arith(op, lowerOperand(l), lowerOperand(r))
     case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, lowerOperand)
+    case BoundOperand.BCase(bs, els)   => caseCol(bs, els, lowerOperand)
     case BoundOperand.BAgg(f, _, _) =>
       sys.error(s"aggregate $f(...) outside aggregate scope")
   }
@@ -607,6 +634,8 @@ object Lowering {
       case BoundOperand.BCol(c)         => Seq(c.binding)
       case BoundOperand.BArith(_, l, r) => opCols(l) ++ opCols(r)
       case BoundOperand.BFunc(_, args)  => args.flatMap(opCols)
+      case BoundOperand.BCase(bs, els) =>
+        bs.flatMap { case (c, v) => cols(c) ++ opCols(v) } ++ els.toSeq.flatMap(opCols)
       case _                            => Nil
     }
     def cols(x: BoundExpr): Seq[String] = x match {
@@ -629,39 +658,17 @@ object Lowering {
   }
 
   /** Lower a single-table conjunct with UNQUALIFIED column names, for
-    * evaluation against that table's sample (reference executes selections
-    * against its reservoir sample the same way, planner/bottomup.rs:111-168).
+    * evaluation against that table's sample or a DML image (reference
+    * executes selections against its reservoir sample the same way,
+    * planner/bottomup.rs:111-168).
     */
-  def lowerExprBare(e: BoundExpr): Column = {
-    def bare(o: BoundOperand): Column = o match {
-      case BoundOperand.BCol(c) => col(c.attr.name)
-      case BoundOperand.BArith(op, l, r) => arith(op, bare(l), bare(r))
-      case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, bare)
-      case other                => lowerOperand(other)
-    }
-    e match {
-      case BoundExpr.BAnd(l, r) => lowerExprBare(l) && lowerExprBare(r)
-      case BoundExpr.BOr(l, r)  => lowerExprBare(l) || lowerExprBare(r)
-      case BoundExpr.BNot(x)    => !lowerExprBare(x)
-      case BoundExpr.BIsNull(o, neg) =>
-        val c = bare(o)
-        if (neg) c.isNotNull else c.isNull
-      case BoundExpr.BLike(o, pat, neg) =>
-        val c = bare(o).like(pat)
-        if (neg) !c else c
-      case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) |
-          BoundExpr.BCmpSub(_, _, _, _, _) =>
-        sys.error("unreachable: analyzer rejects subqueries in DML predicates")
-      case BoundExpr.BCmp(op, l, r) =>
-        val (lc, rc) = (bare(l), bare(r))
-        op match {
-          case Ast.CmpOp.Eq  => lc === rc
-          case Ast.CmpOp.Neq => lc =!= rc
-          case Ast.CmpOp.Lt  => lc < rc
-          case Ast.CmpOp.Gt  => lc > rc
-          case Ast.CmpOp.Le  => lc <= rc
-          case Ast.CmpOp.Ge  => lc >= rc
-        }
-    }
+  def lowerExprBare(e: BoundExpr): Column = lowerExprWith(e, bareOperand)
+
+  private def bareOperand(o: BoundOperand): Column = o match {
+    case BoundOperand.BCol(c)          => col(c.attr.name)
+    case BoundOperand.BArith(op, l, r) => arith(op, bareOperand(l), bareOperand(r))
+    case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, bareOperand)
+    case BoundOperand.BCase(bs, els)   => caseCol(bs, els, bareOperand)
+    case other                         => lowerOperand(other)
   }
 }

@@ -105,7 +105,7 @@ object Parser {
     "clustered", "buckets",
     "distinct", "join", "inner", "on", "between", "in", "like", "is",
     "exists", "left", "right", "full", "outer", "union", "all",
-    "intersect", "except")
+    "intersect", "except", "case", "when", "then", "else", "end")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg")
   private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",
@@ -158,11 +158,12 @@ object Parser {
         loop(Vector.empty).flatMap { rest =>
           val pos = p.peek.pos
           val nonLast = first +: rest.dropRight(1).map(_._2)
-          if (nonLast.exists(s => s.orderBy.nonEmpty || s.limit.isDefined))
+          if (nonLast.exists(s => s.orderBy.nonEmpty || s.limit.isDefined || s.offset.isDefined))
             Left(ParseError("ORDER BY / LIMIT must follow the last UNION branch", pos))
           else {
             val (lastAll, last) = rest.last
-            val stripped = rest.dropRight(1) :+ (lastAll -> last.copy(orderBy = Nil, limit = None))
+            val stripped = rest.dropRight(1) :+
+              (lastAll -> last.copy(orderBy = Nil, limit = None, offset = None))
             val keys: Either[ParseError, Vector[(ColRef, Boolean)]] =
               last.orderBy.foldLeft[Either[ParseError, Vector[(ColRef, Boolean)]]](
                 Right(Vector.empty)) {
@@ -171,7 +172,7 @@ object Parser {
                 case _ => Left(ParseError(
                   "UNION ORDER BY must use unqualified output names", pos))
               }
-            keys.map(ks => UnionTree(first, stripped, ks, last.limit))
+            keys.map(ks => UnionTree(first, stripped, ks, last.limit, last.offset))
           }
         }
       }
@@ -339,8 +340,16 @@ object Parser {
             case t => Left(ParseError("expected LIMIT count", t.pos))
           }
         } else Right(None)
-    } yield SelectTree(cols, fromAndOn._1, where, orderBy, limit, groupBy, having,
-      distinct, fromAndOn._3)
+      offset <-
+        if (p.isKw("offset")) {
+          p.next()
+          p.peek match {
+            case TInt(v, _) if v >= 0 => p.next(); Right(Some(v))
+            case t => Left(ParseError("expected OFFSET count", t.pos))
+          }
+        } else Right(None)
+    } yield SelectTree(cols, fromAndOn._1, where, orderBy, limit, offset, groupBy,
+      having, distinct, fromAndOn._3)
   }
 
   private def parseOr(p: P, allowAgg: Boolean = false): Either[ParseError, Expr] =
@@ -545,6 +554,35 @@ object Parser {
         }
         _ <- p.eatSym(")")
       } yield Operand.AggCall(fn, arg, distinct)
+    case TIdent(k, _) if k.equalsIgnoreCase("case") =>
+      p.next()
+      for {
+        // simple form carries a subject; its WHEN values desugar to
+        // subject = value predicates
+        subject <-
+          if (p.isKw("when")) Right(None)
+          else parseOperand(p, allowAgg).map(Some(_))
+        branches <- {
+          def one(): Either[ParseError, (Expr, Operand)] =
+            for {
+              _ <- p.eatKw("when")
+              cond <- subject match {
+                case None      => parseOr(p, allowAgg)
+                case Some(subj) => parseOperand(p, allowAgg)
+                  .map(v => Expr.Cmp(CmpOp.Eq, subj, v): Expr)
+              }
+              _ <- p.eatKw("then")
+              res <- parseOperand(p, allowAgg)
+            } yield (cond, res)
+          def loop(acc: Vector[(Expr, Operand)]): Either[ParseError, Vector[(Expr, Operand)]] =
+            one().flatMap(b => if (p.isKw("when")) loop(acc :+ b) else Right(acc :+ b))
+          loop(Vector.empty)
+        }
+        els <-
+          if (p.isKw("else")) { p.next(); parseOperand(p, allowAgg).map(Some(_)) }
+          else Right(None)
+        _ <- p.eatKw("end")
+      } yield Operand.CaseWhen(branches, els)
     case TIdent(f, _) if scalarFuncs(f.toLowerCase) && {
         // function only when '(' follows — otherwise a column named e.g.
         // `length` still resolves
@@ -587,7 +625,7 @@ object Parser {
     case t => Left(ParseError("expected literal", t.pos))
   }
 
-  private def parseInsert(p: P): Either[ParseError, InsertTree] = {
+  private def parseInsert(p: P): Either[ParseError, ParseTree] = {
     def tuple(): Either[ParseError, Vector[Lit]] =
       p.eatSym("(").flatMap { _ =>
         def loop(acc: Vector[Lit]): Either[ParseError, Vector[Lit]] =
@@ -603,18 +641,25 @@ object Parser {
       _ <- p.eatKw("insert")
       _ <- p.eatKw("into")
       name <- p.ident()
-      _ <- p.eatKw("values")
-      rows <- {
-        def loop(acc: Vector[Vector[Lit]]): Either[ParseError, Vector[Vector[Lit]]] =
-          tuple().flatMap { t =>
-            p.peek match {
-              case TSym(",", _) => p.next(); loop(acc :+ t)
-              case _            => Right(acc :+ t)
+      tree <-
+        // INSERT INTO t SELECT … — the distributed write path
+        if (p.isKw("select"))
+          parseSelectOrUnion(p).map(sel => InsertSelectTree(name, sel): ParseTree)
+        else
+          for {
+            _ <- p.eatKw("values")
+            rows <- {
+              def loop(acc: Vector[Vector[Lit]]): Either[ParseError, Vector[Vector[Lit]]] =
+                tuple().flatMap { t =>
+                  p.peek match {
+                    case TSym(",", _) => p.next(); loop(acc :+ t)
+                    case _            => Right(acc :+ t)
+                  }
+                }
+              loop(Vector.empty)
             }
-          }
-        loop(Vector.empty)
-      }
-    } yield InsertTree(name, rows)
+          } yield InsertTree(name, rows): ParseTree
+    } yield tree
   }
 
   private def parseDelete(p: P): Either[ParseError, DeleteTree] =
@@ -677,11 +722,44 @@ object Parser {
       case t => Left(ParseError("expected type", t.pos))
     }
 
-  private def parseCreate(p: P): Either[ParseError, CreateTree] = {
+  /** CLUSTERED BY (col) INTO n BUCKETS — shared by CREATE TABLE and CTAS. */
+  private def parseBucketClause(p: P): Either[ParseError, Option[(String, Int)]] =
+    if (p.isKw("clustered")) {
+      p.next()
+      for {
+        _ <- p.eatKw("by")
+        _ <- p.eatSym("(")
+        col <- p.ident()
+        _ <- p.eatSym(")")
+        _ <- p.eatKw("into")
+        n <- p.peek match {
+          case TInt(v, _) if v > 0 && v <= 100000 => p.next(); Right(v.toInt)
+          case t => Left(ParseError("expected positive bucket count", t.pos))
+        }
+        _ <- p.eatKw("buckets")
+      } yield Some((col, n))
+    } else Right(None: Option[(String, Int)])
+
+  private def parseCreate(p: P): Either[ParseError, ParseTree] = {
     for {
       _ <- p.eatKw("create")
       _ <- p.eatKw("table")
       name <- p.ident()
+      t <- p.peek match {
+        case TSym("(", _) => parseCreateColumns(p, name)
+        case _ =>
+          // CREATE TABLE t [CLUSTERED BY …] AS SELECT …
+          for {
+            bucket <- parseBucketClause(p)
+            _ <- p.eatKw("as")
+            sel <- parseSelectOrUnion(p)
+          } yield CreateAsTree(name, sel, bucket): ParseTree
+      }
+    } yield t
+  }
+
+  private def parseCreateColumns(p: P, name: String): Either[ParseError, ParseTree] = {
+    for {
       _ <- p.eatSym("(")
       colsAndPk <- {
         def one(): Either[ParseError, (String, SqlType, Boolean)] =
@@ -704,26 +782,11 @@ object Parser {
         loop(Vector.empty)
       }
       // optional CLUSTERED BY (col) INTO n BUCKETS (Hive/Spark DDL shape)
-      bucket <-
-        if (p.isKw("clustered")) {
-          p.next()
-          for {
-            _ <- p.eatKw("by")
-            _ <- p.eatSym("(")
-            col <- p.ident()
-            _ <- p.eatSym(")")
-            _ <- p.eatKw("into")
-            n <- p.peek match {
-              case TInt(v, _) if v > 0 && v <= 100000 => p.next(); Right(v.toInt)
-              case t => Left(ParseError("expected positive bucket count", t.pos))
-            }
-            _ <- p.eatKw("buckets")
-          } yield Some((col, n))
-        } else Right(None: Option[(String, Int)])
+      bucket <- parseBucketClause(p)
     } yield CreateTree(
       name,
       colsAndPk.map(c => (c._1, c._2)),
       colsAndPk.filter(_._3).map(_._1),
-      bucket)
+      bucket): ParseTree
   }
 }

@@ -400,6 +400,74 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT round(age, age) AS x FROM people").isLeft)
   }
 
+  test("INSERT INTO … SELECT and CREATE TABLE AS SELECT") {
+    val db = demoDb()
+    // CTAS from a query, including a computed column
+    db.query("CREATE TABLE adults AS SELECT id, name, age * 2 AS a2 " +
+      "FROM people WHERE age >= 20").fold(e => fail(e.msg), identity)
+    val t = db.select("SELECT id, name, a2 FROM adults ORDER BY id").toOption.get
+    assert(t.collect().toSeq == Seq(
+      Row(1, "Elon", 40), Row(2, "Dr. Emmett L. „Doc“ Brown", 60)))
+    // INSERT … SELECT appends with positional cast alignment
+    db.query("INSERT INTO adults SELECT id + 10 AS nid, name, age FROM people " +
+      "WHERE age IS NULL").fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT count(*) FROM adults").toOption.get
+      .collect().head.getLong(0) == 3)
+    // self-referencing insert materializes first, then doubles the table
+    db.query("INSERT INTO adults SELECT id, name, a2 FROM adults")
+      .fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT count(*) FROM adults").toOption.get
+      .collect().head.getLong(0) == 6)
+    // statistics ride the write path
+    assert(db.statistics.get("adults").get.rowCount == 6)
+    // arity mismatch and duplicate-name CTAS are analyzer errors
+    assert(db.query("INSERT INTO adults SELECT id, name FROM people").isLeft)
+    assert(db.query("CREATE TABLE adults AS SELECT id FROM people").isLeft)
+    // bucketed CTAS lays the new table out hash-bucketed
+    db.query("CREATE TABLE people_b CLUSTERED BY (id) INTO 4 BUCKETS AS " +
+      "SELECT id, name FROM people").fold(e => fail(e.msg), identity)
+    val j = db.select("SELECT p1.name FROM people_b p1 " +
+      "JOIN people_b p2 ON p1.id = p2.id").toOption.get
+    assert(j.count() == 3)
+  }
+
+  test("LIMIT OFFSET paginates the ordered result") {
+    val db = demoDb()
+    val p = db.select("SELECT name FROM people ORDER BY id LIMIT 1 OFFSET 1").toOption.get
+    assert(p.collect().map(_.getString(0)).toSeq == Seq("Dr. Emmett L. „Doc“ Brown"))
+    // OFFSET without LIMIT skips and keeps the rest
+    val o = db.select("SELECT name FROM people ORDER BY id OFFSET 2").toOption.get
+    assert(o.collect().map(_.getString(0)).toSeq == Seq("Marty McFly"))
+    // aggregate scope too
+    val a = db.select("SELECT owner_id, count(*) AS n FROM cars GROUP BY owner_id " +
+      "ORDER BY owner_id LIMIT 5 OFFSET 1").toOption.get
+    assert(a.collect().toSeq == Seq(Row(2, 1L)))
+  }
+
+  test("CASE WHEN: searched + simple forms in projection, WHERE and aggregate scope") {
+    val db = demoDb()
+    val c = db.select("SELECT name, CASE WHEN age IS NULL THEN 'unknown' " +
+      "WHEN age >= 30 THEN 'old' ELSE 'young' END AS band " +
+      "FROM people ORDER BY id").toOption.get
+    assert(c.collect().map(_.getString(1)).toSeq == Seq("young", "old", "unknown"))
+    // simple form desugars to subject = value; no ELSE → NULL
+    val s2 = db.select("SELECT name, CASE id WHEN 1 THEN 'one' WHEN 2 THEN 'two' " +
+      "END AS t FROM people ORDER BY id").toOption.get
+    assert(s2.collect().map(_.getString(1)).toSeq == Seq("one", "two", null))
+    // CASE inside a WHERE predicate
+    val w = db.select("SELECT name FROM people " +
+      "WHERE CASE WHEN age IS NULL THEN 0 ELSE age END < 25").toOption.get
+    assert(w.collect().map(_.getString(0)).toSet == Set("Elon", "Marty McFly"))
+    // CASE over an aggregate (computed projection in aggregate scope) and
+    // conditional aggregation (CASE inside the aggregate argument)
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    val a = db.select("SELECT owner_id, " +
+      "CASE WHEN count(*) > 1 THEN 'multi' ELSE 'single' END AS k, " +
+      "sum(CASE WHEN model LIKE 'T%' THEN 1 ELSE 0 END) AS t " +
+      "FROM cars GROUP BY owner_id ORDER BY owner_id").toOption.get
+    assert(a.collect().toSeq == Seq(Row(1, "multi", 1L), Row(2, "single", 0L)))
+  }
+
   test("count/sum DISTINCT execute") {
     val db = demoDb()
     db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")

@@ -133,7 +133,7 @@ class ParserSpec extends AnyFunSuite {
     assert(parseOk("SELECT a, count(*), sum(b) FROM t GROUP BY a") ==
       SelectTree(Some(Seq(SCol(ColRef(None, "a")), SAgg("count", None),
         SAgg("sum", Some(Operand.Col(ColRef(None, "b")))))),
-        Seq(TableRef("t", None)), None, Nil, None, Seq(ColRef(None, "a"))))
+        Seq(TableRef("t", None)), None, Nil, None, None, Seq(ColRef(None, "a"))))
     parseErr("SELECT sum(*) FROM t")
     parseErr("SELECT a FROM t GROUP a")
   }
