@@ -346,6 +346,31 @@ object Dialect {
              |WHERE length(c_name) > 12 AND c_acctbal > 9000
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Window functions through the dialect: per-customer ranking (one
+    // shuffle on the partition key, no self-join).
+    "q_dialect_window" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_custkey, row_number() OVER " +
+          "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk " +
+          "FROM orders WHERE o_totalprice > 450000 ORDER BY o_custkey, rk"),
+      Some("""SELECT o_orderkey, o_custkey, row_number() OVER
+             |  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |FROM orders WHERE o_totalprice > 450000 ORDER BY o_custkey, rk""".stripMargin)),
+
+    // Windowed running aggregate (SQL's default RANGE UNBOUNDED PRECEDING
+    // frame on both engines); the sum rounds on both sides since the
+    // in-frame accumulation order is engine-internal.
+    "q_dialect_window_agg" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_custkey, sum(o_totalprice) OVER " +
+          "(PARTITION BY o_custkey ORDER BY o_orderkey) AS running " +
+          "FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey")
+        .selectExpr("o_orderkey", "o_custkey", "round(running, 2) AS running"),
+      Some("""SELECT o_orderkey, o_custkey,
+             |  round(sum(o_totalprice) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS running
+             |FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // The distributed write paths end-to-end: CREATE TABLE AS SELECT
     // materializes one band of orders, INSERT INTO … SELECT appends a
     // second, and the oracle reproduces the union from the raw fixture —

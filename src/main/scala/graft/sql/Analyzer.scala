@@ -176,6 +176,13 @@ object Analyzer {
         alias: Option[String] = None, distinct: Boolean = false) extends BoundItem
     /** Computed projection (arithmetic), named by its mandatory alias. */
     final case class BIExpr(op: BoundOperand, alias: String) extends BoundItem
+    /** Window item: ranking function or windowed aggregate over a
+      * partition/order spec, named by its mandatory alias. Row-level —
+      * does NOT make the query aggregate-scoped.
+      */
+    final case class BIWin(func: String, arg: Option[BoundOperand],
+        partitionBy: Seq[BoundCol], orderBy: Seq[(BoundOperand, Boolean)],
+        alias: String) extends BoundItem
   }
 
   /** All columns referenced by an operand tree (aggregate arguments are
@@ -257,6 +264,9 @@ object Analyzer {
         case BoundItem.BICol(c, _)      => Seq(c)
         case BoundItem.BIExpr(op, _)    => operandColsDeep(op)
         case BoundItem.BIAgg(_, arg, _, _) => arg.toSeq.flatMap(operandColsDeep)
+        case BoundItem.BIWin(_, arg, parts, ord, _) =>
+          arg.toSeq.flatMap(operandColsDeep) ++ parts ++
+            ord.flatMap(o => operandColsDeep(o._1))
       } ++ sub.groupBy ++ sub.orderBy.flatMap {
         case (BoundOrderKey.OKOperand(op), _) => operandColsDeep(op)
         case (BoundOrderKey.OKOutput(_), _)   => Nil
@@ -314,9 +324,9 @@ object Analyzer {
               val inVal = isub.projection.head match {
                 case BoundItem.BICol(ic, _)   => BoundOperand.BCol(ic)
                 case BoundItem.BIExpr(op2, _) => op2
-                case _: BoundItem.BIAgg =>
+                case _: BoundItem.BIAgg | _: BoundItem.BIWin =>
                   return Left(BadSubquery(
-                    "a nested IN subquery correlated to a deeper scope must not aggregate"))
+                    "a nested IN subquery correlated to a deeper scope must not aggregate or window"))
               }
               flatten(isub, ipairs,
                 Some(BoundExpr.BCmp(CmpOp.Eq, o, inVal))).foreach(e => return Left(e))
@@ -785,6 +795,26 @@ object Analyzer {
         // aggregates ARE allowed inside computed projections — the item
         // then makes the query aggregate-scoped (count(*) * 2 AS n2)
         bindOp(op, allowAgg = true).map(BoundItem.BIExpr(_, a))
+      case SelectItem.SWin(f, arg, parts, ord, a) =>
+        for {
+          _ <-
+            if (Set("row_number", "rank", "dense_rank")(f) && ord.isEmpty)
+              Left(BadFunction(s"$f() requires ORDER BY in its OVER clause"))
+            else if (!Set("row_number", "rank", "dense_rank")(f) &&
+              arg.isEmpty && f != "count")
+              Left(BadFunction(s"windowed $f requires an argument"))
+            else Right(())
+          barg <- arg match {
+            case None    => Right(None)
+            case Some(x) => bindOp(x, allowAgg = false).map(Some(_))
+          }
+          bparts <- parts.foldLeft[Either[AnalyzerError, Vector[BoundCol]]](
+            Right(Vector.empty)) { (acc, r) => acc.flatMap(v => bindCol(r).map(v :+ _)) }
+          bord <- ord.foldLeft[Either[AnalyzerError, Vector[(BoundOperand, Boolean)]]](
+            Right(Vector.empty)) { case (acc, (o, desc)) =>
+            acc.flatMap(v => bindOp(o, allowAgg = false).map(b => v :+ (b -> desc)))
+          }
+        } yield BoundItem.BIWin(f, barg, bparts, bord, a)
     }
 
     for {
@@ -821,6 +851,9 @@ object Analyzer {
           case _                       => false
         }
         if (!isAgg) Right(())
+        else if (proj.exists(_.isInstanceOf[BoundItem.BIWin]))
+          Left(BadAggregate(
+            "window functions over an aggregated query are not supported"))
         else {
           def grouped(c: BoundCol) = group.exists(g =>
             g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))
@@ -842,6 +875,7 @@ object Analyzer {
           case SelectItem.SCol(_, Some(a))    => a
           case SelectItem.SAgg(_, _, Some(a), _) => a
           case SelectItem.SExpr(_, a)         => a
+          case SelectItem.SWin(_, _, _, _, a) => a
         }
         s.orderBy.foldLeft[Either[AnalyzerError, Vector[(BoundOrderKey, Boolean)]]](
           Right(Vector.empty)) { case (acc, (opnd, desc)) =>

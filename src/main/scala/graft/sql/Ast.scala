@@ -90,6 +90,12 @@ object Ast {
       * computed column needs a name.
       */
     final case class SExpr(op: Operand, alias: String) extends SelectItem
+    /** Window item: row_number/rank/dense_rank or a windowed aggregate —
+      * `<fn>(arg?) OVER (PARTITION BY … ORDER BY …) AS alias`.
+      */
+    final case class SWin(func: String, arg: Option[Operand],
+        partitionBy: Seq[ColRef], orderBy: Seq[(Operand, Boolean)],
+        alias: String) extends SelectItem
   }
 
   /** A join step applied (in declaration order) after the leading

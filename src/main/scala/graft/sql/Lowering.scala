@@ -52,6 +52,31 @@ object Lowering {
       def outputCols: Seq[Column] = q.projection.collect {
         case BoundItem.BICol(bc, a)  => qcol(bc).as(outName(bc, a))
         case BoundItem.BIExpr(op, a) => lowerOperandWith(op, qcol).as(a)
+        case BoundItem.BIWin(f, arg, parts, ord, a) =>
+          // one shuffle on the partition keys; ordered windows keep
+          // Spark's default running frame (SQL's RANGE UNBOUNDED
+          // PRECEDING), unordered ones span the whole partition
+          val w0 = org.apache.spark.sql.expressions.Window
+            .partitionBy(parts.map(qcol): _*)
+          val w =
+            if (ord.isEmpty) w0
+            else w0.orderBy(ord.map { case (op, desc) =>
+              val c = lowerOperandWith(op, qcol)
+              if (desc) c.desc else c.asc
+            }: _*)
+          val fn = (f, arg) match {
+            case ("row_number", _)    => row_number()
+            case ("rank", _)          => rank()
+            case ("dense_rank", _)    => dense_rank()
+            case ("count", None)      => count(lit(1))
+            case ("count", Some(x))   => count(lowerOperandWith(x, qcol))
+            case ("sum", Some(x))     => sum(lowerOperandWith(x, qcol))
+            case ("min", Some(x))     => min(lowerOperandWith(x, qcol))
+            case ("max", Some(x))     => max(lowerOperandWith(x, qcol))
+            case ("avg", Some(x))     => avg(lowerOperandWith(x, qcol))
+            case other                => sys.error(s"unreachable window function $other")
+          }
+          fn.over(w).as(a)
       }
       if (q.distinct) {
         // DISTINCT applies to the PROJECTED rows, so evaluation reorders:
@@ -246,6 +271,8 @@ object Lowering {
         case (BoundItem.BICol(bc, a), _) => col(groupOut(bc)).as(outName(bc, a))
         case (_: BoundItem.BIExpr, i)    => exprCols(i)
         case (BoundItem.BIAgg(_, _, _, _), i) => col(aggName(i))
+        case (_: BoundItem.BIWin, _) =>
+          sys.error("unreachable: analyzer rejects windows over aggregates")
       }: _*)
       // SELECT DISTINCT over an aggregate result: a no-op unless the
       // projection drops group keys; apply it for correctness either way
@@ -373,8 +400,8 @@ object Lowering {
           val inVal = sub.projection.head match {
             case BoundItem.BICol(c, _)    => qcolOf(c)
             case BoundItem.BIExpr(op2, _) => lowerOperandWith(op2, qcolOf)
-            case _: BoundItem.BIAgg =>
-              sys.error("unreachable: a correlated subquery must not aggregate")
+            case _: BoundItem.BIAgg | _: BoundItem.BIWin =>
+              sys.error("unreachable: a correlated subquery must not aggregate or window")
           }
           val subDf = core.select(inVal.as("__in_v") +:
             pairs.zipWithIndex.map { case ((_, ic), k) => qcolOf(ic).as(s"__c$k") }: _*)

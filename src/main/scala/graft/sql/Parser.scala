@@ -108,6 +108,7 @@ object Parser {
     "intersect", "except", "case", "when", "then", "else", "end")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg")
+  private val winFuncs = Set("row_number", "rank", "dense_rank")
   private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",
     "round", "substr", "substring", "coalesce", "concat")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
@@ -195,26 +196,91 @@ object Parser {
       cols <- p.peek match {
         case TSym("*", _) => p.next(); Right(None)
         case _ =>
+          // OVER (PARTITION BY cols ORDER BY operands) — the window spec
+          def overSpec(): Either[ParseError, (Vector[ColRef], Vector[(Operand, Boolean)])] =
+            for {
+              _ <- p.eatSym("(")
+              parts <-
+                if (p.isKw("partition")) {
+                  p.next()
+                  p.eatKw("by").flatMap { _ =>
+                    def loop(acc: Vector[ColRef]): Either[ParseError, Vector[ColRef]] =
+                      parseColRef(p).flatMap { c =>
+                        p.peek match {
+                          case TSym(",", _) => p.next(); loop(acc :+ c)
+                          case _            => Right(acc :+ c)
+                        }
+                      }
+                    loop(Vector.empty)
+                  }
+                } else Right(Vector.empty[ColRef])
+              ord <-
+                if (p.isKw("order")) {
+                  p.next()
+                  p.eatKw("by").flatMap { _ =>
+                    def one(): Either[ParseError, (Operand, Boolean)] =
+                      parseOperand(p).map { c =>
+                        if (p.isKw("desc")) { p.next(); (c, true) }
+                        else if (p.isKw("asc")) { p.next(); (c, false) }
+                        else (c, false)
+                      }
+                    def loop(acc: Vector[(Operand, Boolean)]): Either[ParseError, Vector[(Operand, Boolean)]] =
+                      one().flatMap { o =>
+                        p.peek match {
+                          case TSym(",", _) => p.next(); loop(acc :+ o)
+                          case _            => Right(acc :+ o)
+                        }
+                      }
+                    loop(Vector.empty)
+                  }
+                } else Right(Vector.empty[(Operand, Boolean)])
+              _ <- p.eatSym(")")
+            } yield (parts, ord)
+          def winItem(fn: String, arg: Option[Operand],
+              start: Int): Either[ParseError, SelectItem] =
+            for {
+              _ <- p.eatKw("over")
+              spec <- overSpec()
+              _ <-
+                if (p.isKw("as")) { p.next(); Right(()) }
+                else Left(ParseError("a window item requires AS <name>", start))
+              a <- p.ident()
+            } yield SelectItem.SWin(fn, arg, spec._1, spec._2, a)
           def item(): Either[ParseError, SelectItem] = {
             // projection items are full operands with aggregates allowed:
             // a bare column is a plain projection, a bare aggregate call
-            // keeps its derived name, anything computed requires AS
+            // keeps its derived name, anything computed requires AS; a
+            // ranking function or aggregate followed by OVER is a window
             val start = p.peek.pos
-            parseOperand(p, allowAgg = true).flatMap { op =>
-              def alias(): Either[ParseError, Option[String]] =
-                if (p.isKw("as")) { p.next(); p.ident().map(Some(_)) }
-                else Right(None)
-              op match {
-                case Operand.Col(c) => alias().map(a => SelectItem.SCol(c, a))
-                case Operand.AggCall(f, arg, dist) =>
-                  alias().map(a => SelectItem.SAgg(f, arg, a, dist))
-                case computed => p.peek match {
-                  case TIdent(s, _) if s.equalsIgnoreCase("as") =>
-                    p.next(); p.ident().map(a => SelectItem.SExpr(computed, a))
-                  case _ => Left(ParseError(
-                    "computed select item requires AS <name>", start))
+            p.peek match {
+              case TIdent(f, _) if winFuncs(f.toLowerCase) =>
+                p.next()
+                for {
+                  _ <- p.eatSym("(")
+                  _ <- p.eatSym(")")
+                  it <- winItem(f.toLowerCase, None, start)
+                } yield it
+              case _ =>
+                parseOperand(p, allowAgg = true).flatMap { op =>
+                  def alias(): Either[ParseError, Option[String]] =
+                    if (p.isKw("as")) { p.next(); p.ident().map(Some(_)) }
+                    else Right(None)
+                  op match {
+                    case Operand.AggCall(f, arg, false) if p.isKw("over") =>
+                      winItem(f, arg, start)
+                    case Operand.AggCall(_, _, true) if p.isKw("over") =>
+                      Left(ParseError("DISTINCT window aggregates are not supported", start))
+                    case Operand.Col(c) => alias().map(a => SelectItem.SCol(c, a))
+                    case Operand.AggCall(f, arg, dist) =>
+                      alias().map(a => SelectItem.SAgg(f, arg, a, dist))
+                    case computed => p.peek match {
+                      case TIdent(s, _) if s.equalsIgnoreCase("as") =>
+                        p.next(); p.ident().map(a => SelectItem.SExpr(computed, a))
+                      case _ => Left(ParseError(
+                        "computed select item requires AS <name>", start))
+                    }
+                  }
                 }
-              }
             }
           }
           def loop(acc: Vector[SelectItem]): Either[ParseError, Vector[SelectItem]] =

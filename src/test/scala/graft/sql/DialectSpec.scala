@@ -400,6 +400,34 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT round(age, age) AS x FROM people").isLeft)
   }
 
+  test("window functions: ranking and windowed aggregates") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    val r = db.select("SELECT model, row_number() OVER " +
+      "(PARTITION BY owner_id ORDER BY id) AS rk FROM cars " +
+      "ORDER BY owner_id, rk").toOption.get
+    assert(r.collect().map(x => (x.getString(0), x.getInt(1))).toSeq ==
+      Seq(("Tesla Model 3", 1), ("Cybertruck", 2), ("DeLorean DMC-12", 1)))
+    // windowed aggregate: per-partition count without collapsing rows
+    val c = db.select("SELECT model, count(*) OVER (PARTITION BY owner_id) AS n " +
+      "FROM cars ORDER BY id").toOption.get
+    assert(c.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("Tesla Model 3", 2L), ("DeLorean DMC-12", 1L), ("Cybertruck", 2L)))
+    // running sum (ordered window keeps the SQL default running frame)
+    val s = db.select("SELECT id, sum(id) OVER (ORDER BY id) AS running " +
+      "FROM people ORDER BY id").toOption.get
+    assert(s.collect().map(_.getLong(1)).toSeq == Seq(1L, 3L, 6L))
+    // the window alias is usable as an ORDER BY output key
+    val byAlias = db.select("SELECT model, row_number() OVER (ORDER BY id) AS rk " +
+      "FROM cars ORDER BY rk DESC LIMIT 1").toOption.get
+    assert(byAlias.collect().head.getString(0) == "Cybertruck")
+    // ranking without ORDER BY, and windows over aggregates, are rejected
+    assert(db.query("SELECT row_number() OVER (PARTITION BY owner_id) AS rk " +
+      "FROM cars").isLeft)
+    assert(db.query("SELECT owner_id, count(*), row_number() OVER (ORDER BY owner_id) " +
+      "AS rk FROM cars GROUP BY owner_id").isLeft)
+  }
+
   test("INSERT INTO … SELECT and CREATE TABLE AS SELECT") {
     val db = demoDb()
     // CTAS from a query, including a computed column
