@@ -346,6 +346,22 @@ object Dialect {
              |WHERE length(c_name) > 12 AND c_acctbal > 9000
              |ORDER BY c_custkey""".stripMargin)),
 
+    // GROUP BY a computed expression via its output alias — the
+    // year/month reporting rollup every warehouse query starts from.
+    // The grouped expression computes once, pre-shuffle, and the key
+    // column keeps the alias.
+    "q_dialect_group_expr" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, " +
+          "count(*) AS n, sum(o_totalprice) AS tp FROM orders " +
+          "GROUP BY yr, mo ORDER BY yr, mo")
+        .selectExpr("yr", "mo", "n", "round(tp, 2) AS tp"),
+      Some("""SELECT cast(year(o_orderdate) AS int) AS yr,
+             |  cast(month(o_orderdate) AS int) AS mo,
+             |  cast(count(*) AS bigint) AS n,
+             |  round(sum(o_totalprice), 2) AS tp
+             |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin)),
+
     // Window functions through the dialect: per-customer ranking (one
     // shuffle on the partition key, no self-join).
     "q_dialect_window" -> QueryDef(

@@ -267,7 +267,10 @@ object Analyzer {
         case BoundItem.BIWin(_, arg, parts, ord, _) =>
           arg.toSeq.flatMap(operandColsDeep) ++ parts ++
             ord.flatMap(o => operandColsDeep(o._1))
-      } ++ sub.groupBy ++ sub.orderBy.flatMap {
+      } ++ sub.groupBy.flatMap {
+        case BoundGroupKey.GKCol(c)      => Seq(c)
+        case BoundGroupKey.GKExpr(op, _) => operandColsDeep(op)
+      } ++ sub.orderBy.flatMap {
         case (BoundOrderKey.OKOperand(op), _) => operandColsDeep(op)
         case (BoundOrderKey.OKOutput(_), _)   => Nil
       } ++ sub.having.toSeq.flatMap(exprCols) ++
@@ -360,6 +363,16 @@ object Analyzer {
     */
   final case class BoundJoinStep(kind: String, table: BoundTable, on: BoundExpr)
 
+  /** A bound GROUP BY key: a plain column, or a computed projection's
+    * output alias (SELECT substr(c, 1, 2) AS p … GROUP BY p) carrying
+    * the aliased expression.
+    */
+  sealed trait BoundGroupKey
+  object BoundGroupKey {
+    final case class GKCol(c: BoundCol) extends BoundGroupKey
+    final case class GKExpr(op: BoundOperand, alias: String) extends BoundGroupKey
+  }
+
   /** A bound ORDER BY key: a full operand (column / aggregate call /
     * arithmetic), or a reference to a projection output alias (SQL
     * resolves unqualified ORDER BY names against output aliases first).
@@ -378,7 +391,7 @@ object Analyzer {
       orderBy: Seq[(BoundOrderKey, Boolean)] = Nil,
       limit: Option[Long] = None,
       offset: Option[Long] = None,
-      groupBy: Seq[BoundCol] = Nil,
+      groupBy: Seq[BoundGroupKey] = Nil,
       having: Option[BoundExpr] = None,
       distinct: Boolean = false,
       joinSteps: Seq[BoundJoinStep] = Nil) extends BoundQuery {
@@ -619,7 +632,8 @@ object Analyzer {
         Left(BadAggregate(s"$f(...) is not valid in this context"))
       case Operand.FuncCall(f, args) =>
         val arityOk = f match {
-          case "upper" | "lower" | "trim" | "length" | "abs" => args.length == 1
+          case "upper" | "lower" | "trim" | "length" | "abs" |
+               "year" | "month" | "day" => args.length == 1
           case "round"               => args.length == 1 || args.length == 2
           case "substr"              => args.length == 2 || args.length == 3
           case "coalesce" | "concat" => args.nonEmpty
@@ -840,10 +854,33 @@ object Analyzer {
             }
           }
         }
-      group <- s.groupBy.foldLeft[Either[AnalyzerError, Vector[BoundCol]]](Right(Vector.empty)) {
-        (acc, r) => acc.flatMap(v => bindCol(r).map(v :+ _))
+      // GROUP BY keys: a plain column, or an unqualified name matching a
+      // computed projection alias (GROUP BY substr(c,1,2)'s AS name) —
+      // the key then IS that expression
+      group <- s.groupBy.foldLeft[Either[AnalyzerError, Vector[BoundGroupKey]]](
+        Right(Vector.empty)) { (acc, r) =>
+        acc.flatMap { v =>
+          val aliased: Option[Either[AnalyzerError, BoundGroupKey]] =
+            if (r.binding.isDefined) None
+            else projItems.collectFirst {
+              case SelectItem.SExpr(op, a) if a.equalsIgnoreCase(r.name) =>
+                bindOp(op, allowAgg = false).map(BoundGroupKey.GKExpr(_, a))
+              case SelectItem.SCol(ref, Some(a)) if a.equalsIgnoreCase(r.name) =>
+                bindCol(ref).map(c => BoundGroupKey.GKCol(c))
+              case SelectItem.SAgg(_, _, Some(a), _) if a.equalsIgnoreCase(r.name) =>
+                Left(BadAggregate(s"cannot GROUP BY the aggregate alias '$a'"))
+              case SelectItem.SWin(_, _, _, _, a) if a.equalsIgnoreCase(r.name) =>
+                Left(BadAggregate(s"cannot GROUP BY the window alias '$a'"))
+            }
+          aliased.getOrElse(bindCol(r).map(c => BoundGroupKey.GKCol(c): BoundGroupKey))
+            .map(v :+ _)
+        }
       }
-      // aggregate-scope validation: bare columns must be grouped
+      groupCols = group.collect { case BoundGroupKey.GKCol(c) => c }
+      groupAliases = group.collect { case BoundGroupKey.GKExpr(_, a) => a.toLowerCase }.toSet
+      // aggregate-scope validation: bare columns must be grouped; a
+      // computed item whose alias IS a group key needs no column check
+      // (it is the key)
       _ <- {
         val isAgg = group.nonEmpty || proj.exists {
           case _: BoundItem.BIAgg      => true
@@ -855,11 +892,12 @@ object Analyzer {
           Left(BadAggregate(
             "window functions over an aggregated query are not supported"))
         else {
-          def grouped(c: BoundCol) = group.exists(g =>
+          def grouped(c: BoundCol) = groupCols.exists(g =>
             g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))
           proj.flatMap {
             case BoundItem.BICol(c, _)   => Seq(c)
-            case BoundItem.BIExpr(op, _) => operandCols(op)
+            case BoundItem.BIExpr(op, a) if !groupAliases(a.toLowerCase) =>
+              operandCols(op)
             case _                       => Nil
           }.find(!grouped(_)) match {
             case Some(c) => Left(NotInGroupBy(c.render))
@@ -908,9 +946,9 @@ object Analyzer {
           }
         else order.collectFirst {
           case (BoundOrderKey.OKOperand(op), _)
-              if operandCols(op).exists(c => !group.exists(g =>
+              if operandCols(op).exists(c => !groupCols.exists(g =>
                 g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) =>
-            operandCols(op).find(c => !group.exists(g =>
+            operandCols(op).find(c => !groupCols.exists(g =>
               g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))).get
         } match {
           case Some(c) => Left(NotInGroupBy(c.render))
@@ -949,7 +987,7 @@ object Analyzer {
             case BoundExpr.BExists(_, _, _)    => Nil       // unreachable: no subqueries in HAVING
             case BoundExpr.BCmpSub(_, o, _, _, _) => opCols(o) // unreachable: no subqueries in HAVING
           }
-          cols(h).find(c => !group.exists(g =>
+          cols(h).find(c => !groupCols.exists(g =>
             g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) match {
             case Some(c) => Left(NotInGroupBy(c.render))
             case None    => Right(())

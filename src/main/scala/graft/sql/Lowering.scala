@@ -122,10 +122,13 @@ object Lowering {
       }
     } else {
       // GROUP BY + aggregates: group keys keep their (possibly qualified)
-      // output names; aggregate output names are func_col / count_star,
-      // uniquified on collision.
+      // output names — an alias key keeps its alias; aggregate output
+      // names are func_col / count_star, uniquified on collision.
+      val groupColKeys = q.groupBy.collect { case BoundGroupKey.GKCol(c) => c }
+      val groupExprAliases =
+        q.groupBy.collect { case BoundGroupKey.GKExpr(_, a) => a.toLowerCase }.toSet
       def groupOut(bc: BoundCol): String =
-        if (q.groupBy.count(_.attr.name.equalsIgnoreCase(bc.attr.name)) > 1)
+        if (groupColKeys.count(_.attr.name.equalsIgnoreCase(bc.attr.name)) > 1)
           s"${bc.binding}_${bc.attr.name}"
         else bc.attr.name
       val aggItems = q.projection.zipWithIndex.collect {
@@ -217,8 +220,12 @@ object Lowering {
       // their aggregate calls become hidden agg columns — registered into
       // the same buffer BEFORE the agg() is assembled — and the expression
       // evaluates over them (and grouped names) at the final projection
+      // a computed item whose alias IS a group key projects the grouped
+      // column (recomputing would reference pre-aggregation inputs)
       val exprCols: Map[Int, Column] = q.projection.zipWithIndex.collect {
-        case (BoundItem.BIExpr(op, a), i) => i -> havingOperand(op).as(a)
+        case (BoundItem.BIExpr(op, a), i) =>
+          i -> (if (groupExprAliases(a.toLowerCase)) col(a).as(a)
+                else havingOperand(op).as(a))
       }.toMap
       // ORDER BY keys in aggregate scope lower NOW so their aggregate
       // calls register hidden columns before the agg() assembles: output
@@ -232,7 +239,7 @@ object Lowering {
               case (BoundItem.BIAgg(_, _, Some(a), _), i) if a.equalsIgnoreCase(n) =>
                 col(aggName(i))
               case (BoundItem.BIExpr(op, a), _) if a.equalsIgnoreCase(n) =>
-                havingOperand(op)
+                if (groupExprAliases(a.toLowerCase)) col(a) else havingOperand(op)
               case (BoundItem.BICol(bc, Some(a)), _) if a.equalsIgnoreCase(n) =>
                 col(groupOut(bc))
             }.getOrElse(sys.error(s"unreachable: unresolved output alias $n"))
@@ -243,12 +250,13 @@ object Lowering {
       val hiddenExprs = havingAggs.map { case (f, arg, dist, name) =>
         aggCol(f, arg, dist).as(name) }
       val allAggs = aggExprs ++ hiddenExprs
+      val keyCols = q.groupBy.map {
+        case BoundGroupKey.GKCol(bc)     => qcol(bc).as(groupOut(bc))
+        case BoundGroupKey.GKExpr(op, a) => lowerOperandWith(op, qcol).as(a)
+      }
       val grouped0 =
-        if (allAggs.isEmpty)
-          filtered0.select(q.groupBy.map(bc => qcol(bc).as(groupOut(bc))): _*).distinct()
-        else filtered0
-          .groupBy(q.groupBy.map(bc => qcol(bc).as(groupOut(bc))): _*)
-          .agg(allAggs.head, allAggs.tail: _*)
+        if (allAggs.isEmpty) filtered0.select(keyCols: _*).distinct()
+        else filtered0.groupBy(keyCols: _*).agg(allAggs.head, allAggs.tail: _*)
       val grouped1 = havingCond.fold(grouped0)(grouped0.filter)
       val grouped = havingSubParts.zipWithIndex.foldLeft(grouped1) {
         case (acc, ((op, lc, ssub, guard), i)) =>
@@ -592,6 +600,9 @@ object Lowering {
     case ("trim", Seq(a))   => trim(rec(a))
     case ("length", Seq(a)) => length(rec(a))
     case ("abs", Seq(a))    => abs(rec(a))
+    case ("year", Seq(a))   => year(rec(a))
+    case ("month", Seq(a))  => month(rec(a))
+    case ("day", Seq(a))    => dayofmonth(rec(a))
     case ("round", Seq(a))  => round(rec(a), 0)
     case ("round", Seq(a, BoundOperand.BLit(Lit.LitLong(n)))) => round(rec(a), n.toInt)
     case ("substr", Seq(a, p)) =>

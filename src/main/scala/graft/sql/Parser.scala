@@ -110,7 +110,8 @@ object Parser {
   private val aggFuncs = Set("count", "sum", "min", "max", "avg")
   private val winFuncs = Set("row_number", "rank", "dense_rank")
   private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",
-    "round", "substr", "substring", "coalesce", "concat")
+    "round", "substr", "substring", "coalesce", "concat",
+    "year", "month", "day")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not

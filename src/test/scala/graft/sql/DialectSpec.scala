@@ -400,6 +400,42 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT round(age, age) AS x FROM people").isLeft)
   }
 
+  test("GROUP BY a computed projection's alias") {
+    val db = demoDb()
+    // group key = substr expression, referenced by its output alias
+    val g = db.select("SELECT substr(name, 1, 1) AS initial, count(*) AS n " +
+      "FROM people GROUP BY initial ORDER BY initial").toOption.get
+    assert(g.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("D", 1L), ("E", 1L), ("M", 1L)))
+    // a plain-column alias as group key, and ORDER BY the expression alias
+    val g2 = db.select("SELECT age AS a, count(*) AS n FROM people " +
+      "WHERE age IS NOT NULL GROUP BY a ORDER BY a").toOption.get
+    assert(g2.collect().map(_.getInt(0)).toSeq == Seq(20, 30))
+    // HAVING still filters over the grouped expression result
+    val h = db.select("SELECT substr(name, 1, 1) AS initial, count(*) AS n " +
+      "FROM people GROUP BY initial HAVING count(*) >= 1 ORDER BY initial").toOption.get
+    assert(h.count() == 3)
+    // grouping by an aggregate alias is rejected
+    assert(db.query("SELECT count(*) AS n FROM people GROUP BY n").isLeft)
+    // a bare column that is not the group key is still rejected
+    assert(db.query("SELECT substr(name, 1, 1) AS i, age FROM people GROUP BY i").isLeft)
+  }
+
+  test("date functions: year/month/day execute and group") {
+    val db = freshDb()
+    db.registerParquet("orders", s"${graft.SparkTestSession.sf0001}/orders.parquet")
+    val y = db.select("SELECT year(o_orderdate) AS yr, count(*) AS n FROM orders " +
+      "GROUP BY yr ORDER BY yr").toOption.get
+    val rows = y.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum > 0)
+    assert(rows.forall(r => r.getInt(0) >= 1990 && r.getInt(0) <= 2030))
+    val d = db.select("SELECT o_orderkey FROM orders " +
+      "WHERE month(o_orderdate) = 1 AND day(o_orderdate) <= 7 " +
+      "ORDER BY o_orderkey LIMIT 5").toOption.get
+    assert(d.count() <= 5)
+  }
+
   test("window functions: ranking and windowed aggregates") {
     val db = demoDb()
     db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
