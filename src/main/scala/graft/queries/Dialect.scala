@@ -373,6 +373,19 @@ object Dialect {
              |  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
              |FROM orders WHERE o_totalprice > 450000 ORDER BY o_custkey, rk""".stripMargin)),
 
+    // lag/lead through the dialect: previous order value per customer —
+    // raw column values shift untouched, so the hash needs no rounding.
+    "q_dialect_lag" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_custkey, o_totalprice, " +
+          "lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev, " +
+          "lead(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt2 " +
+          "FROM orders WHERE o_custkey < 30 ORDER BY o_custkey, o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |  lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev,
+             |  lead(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt2
+             |FROM orders WHERE o_custkey < 30 ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // Windowed running aggregate (SQL's default RANGE UNBOUNDED PRECEDING
     // frame on both engines); the sum rounds on both sides since the
     // in-frame accumulation order is engine-internal.

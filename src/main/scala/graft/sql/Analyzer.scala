@@ -176,11 +176,11 @@ object Analyzer {
         alias: Option[String] = None, distinct: Boolean = false) extends BoundItem
     /** Computed projection (arithmetic), named by its mandatory alias. */
     final case class BIExpr(op: BoundOperand, alias: String) extends BoundItem
-    /** Window item: ranking function or windowed aggregate over a
-      * partition/order spec, named by its mandatory alias. Row-level —
-      * does NOT make the query aggregate-scoped.
+    /** Window item: ranking function, lag/lead, or windowed aggregate
+      * over a partition/order spec, named by its mandatory alias.
+      * Row-level — does NOT make the query aggregate-scoped.
       */
-    final case class BIWin(func: String, arg: Option[BoundOperand],
+    final case class BIWin(func: String, args: Seq[BoundOperand],
         partitionBy: Seq[BoundCol], orderBy: Seq[(BoundOperand, Boolean)],
         alias: String) extends BoundItem
   }
@@ -264,8 +264,8 @@ object Analyzer {
         case BoundItem.BICol(c, _)      => Seq(c)
         case BoundItem.BIExpr(op, _)    => operandColsDeep(op)
         case BoundItem.BIAgg(_, arg, _, _) => arg.toSeq.flatMap(operandColsDeep)
-        case BoundItem.BIWin(_, arg, parts, ord, _) =>
-          arg.toSeq.flatMap(operandColsDeep) ++ parts ++
+        case BoundItem.BIWin(_, args, parts, ord, _) =>
+          args.flatMap(operandColsDeep) ++ parts ++
             ord.flatMap(o => operandColsDeep(o._1))
       } ++ sub.groupBy.flatMap {
         case BoundGroupKey.GKCol(c)      => Seq(c)
@@ -809,18 +809,30 @@ object Analyzer {
         // aggregates ARE allowed inside computed projections — the item
         // then makes the query aggregate-scoped (count(*) * 2 AS n2)
         bindOp(op, allowAgg = true).map(BoundItem.BIExpr(_, a))
-      case SelectItem.SWin(f, arg, parts, ord, a) =>
+      case SelectItem.SWin(f, args, parts, ord, a) =>
+        val ranking = Set("row_number", "rank", "dense_rank")(f)
+        val shifting = f == "lag" || f == "lead"
         for {
           _ <-
-            if (Set("row_number", "rank", "dense_rank")(f) && ord.isEmpty)
-              Left(BadFunction(s"$f() requires ORDER BY in its OVER clause"))
-            else if (!Set("row_number", "rank", "dense_rank")(f) &&
-              arg.isEmpty && f != "count")
+            if ((ranking || shifting) && ord.isEmpty)
+              Left(BadFunction(s"$f requires ORDER BY in its OVER clause"))
+            else if (ranking && args.nonEmpty)
+              Left(BadFunction(s"$f() takes no arguments"))
+            else if (shifting && (args.isEmpty || args.length > 2))
+              Left(BadFunction(s"$f takes a value and an optional offset"))
+            else if (shifting && args.length == 2 && !(args(1) match {
+              case Operand.Literal(Lit.LitLong(_)) => true
+              case _ => false
+            }))
+              Left(BadFunction(s"$f offset must be an integer literal"))
+            else if (!ranking && !shifting && args.isEmpty && f != "count")
               Left(BadFunction(s"windowed $f requires an argument"))
+            else if (!ranking && !shifting && args.length > 1)
+              Left(BadFunction(s"windowed $f takes one argument"))
             else Right(())
-          barg <- arg match {
-            case None    => Right(None)
-            case Some(x) => bindOp(x, allowAgg = false).map(Some(_))
+          bargs <- args.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](
+            Right(Vector.empty)) { (acc, x) =>
+            acc.flatMap(v => bindOp(x, allowAgg = false).map(v :+ _))
           }
           bparts <- parts.foldLeft[Either[AnalyzerError, Vector[BoundCol]]](
             Right(Vector.empty)) { (acc, r) => acc.flatMap(v => bindCol(r).map(v :+ _)) }
@@ -828,7 +840,7 @@ object Analyzer {
             Right(Vector.empty)) { case (acc, (o, desc)) =>
             acc.flatMap(v => bindOp(o, allowAgg = false).map(b => v :+ (b -> desc)))
           }
-        } yield BoundItem.BIWin(f, barg, bparts, bord, a)
+        } yield BoundItem.BIWin(f, bargs, bparts, bord, a)
     }
 
     for {

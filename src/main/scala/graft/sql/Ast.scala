@@ -90,10 +90,10 @@ object Ast {
       * computed column needs a name.
       */
     final case class SExpr(op: Operand, alias: String) extends SelectItem
-    /** Window item: row_number/rank/dense_rank or a windowed aggregate —
-      * `<fn>(arg?) OVER (PARTITION BY … ORDER BY …) AS alias`.
+    /** Window item: row_number/rank/dense_rank, lag/lead, or a windowed
+      * aggregate — `<fn>(args…) OVER (PARTITION BY … ORDER BY …) AS a`.
       */
-    final case class SWin(func: String, arg: Option[Operand],
+    final case class SWin(func: String, args: Seq[Operand],
         partitionBy: Seq[ColRef], orderBy: Seq[(Operand, Boolean)],
         alias: String) extends SelectItem
   }

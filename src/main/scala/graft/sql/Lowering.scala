@@ -52,7 +52,7 @@ object Lowering {
       def outputCols: Seq[Column] = q.projection.collect {
         case BoundItem.BICol(bc, a)  => qcol(bc).as(outName(bc, a))
         case BoundItem.BIExpr(op, a) => lowerOperandWith(op, qcol).as(a)
-        case BoundItem.BIWin(f, arg, parts, ord, a) =>
+        case BoundItem.BIWin(f, args, parts, ord, a) =>
           // one shuffle on the partition keys; ordered windows keep
           // Spark's default running frame (SQL's RANGE UNBOUNDED
           // PRECEDING), unordered ones span the whole partition
@@ -64,17 +64,23 @@ object Lowering {
               val c = lowerOperandWith(op, qcol)
               if (desc) c.desc else c.asc
             }: _*)
-          val fn = (f, arg) match {
-            case ("row_number", _)    => row_number()
-            case ("rank", _)          => rank()
-            case ("dense_rank", _)    => dense_rank()
-            case ("count", None)      => count(lit(1))
-            case ("count", Some(x))   => count(lowerOperandWith(x, qcol))
-            case ("sum", Some(x))     => sum(lowerOperandWith(x, qcol))
-            case ("min", Some(x))     => min(lowerOperandWith(x, qcol))
-            case ("max", Some(x))     => max(lowerOperandWith(x, qcol))
-            case ("avg", Some(x))     => avg(lowerOperandWith(x, qcol))
-            case other                => sys.error(s"unreachable window function $other")
+          def shiftN: Int = args.lift(1) match {
+            case Some(BoundOperand.BLit(Lit.LitLong(n))) => n.toInt
+            case _                                       => 1
+          }
+          val fn = (f, args) match {
+            case ("row_number", _)     => row_number()
+            case ("rank", _)           => rank()
+            case ("dense_rank", _)     => dense_rank()
+            case ("lag", x +: _)       => lag(lowerOperandWith(x, qcol), shiftN)
+            case ("lead", x +: _)      => lead(lowerOperandWith(x, qcol), shiftN)
+            case ("count", Seq())      => count(lit(1))
+            case ("count", Seq(x))     => count(lowerOperandWith(x, qcol))
+            case ("sum", Seq(x))       => sum(lowerOperandWith(x, qcol))
+            case ("min", Seq(x))       => min(lowerOperandWith(x, qcol))
+            case ("max", Seq(x))       => max(lowerOperandWith(x, qcol))
+            case ("avg", Seq(x))       => avg(lowerOperandWith(x, qcol))
+            case other                 => sys.error(s"unreachable window function $other")
           }
           fn.over(w).as(a)
       }

@@ -108,7 +108,7 @@ object Parser {
     "intersect", "except", "case", "when", "then", "else", "end")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg")
-  private val winFuncs = Set("row_number", "rank", "dense_rank")
+  private val winFuncs = Set("row_number", "rank", "dense_rank", "lag", "lead")
   private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",
     "round", "substr", "substring", "coalesce", "concat",
     "year", "month", "day")
@@ -237,7 +237,7 @@ object Parser {
                 } else Right(Vector.empty[(Operand, Boolean)])
               _ <- p.eatSym(")")
             } yield (parts, ord)
-          def winItem(fn: String, arg: Option[Operand],
+          def winItem(fn: String, args: Seq[Operand],
               start: Int): Either[ParseError, SelectItem] =
             for {
               _ <- p.eatKw("over")
@@ -246,7 +246,7 @@ object Parser {
                 if (p.isKw("as")) { p.next(); Right(()) }
                 else Left(ParseError("a window item requires AS <name>", start))
               a <- p.ident()
-            } yield SelectItem.SWin(fn, arg, spec._1, spec._2, a)
+            } yield SelectItem.SWin(fn, args, spec._1, spec._2, a)
           def item(): Either[ParseError, SelectItem] = {
             // projection items are full operands with aggregates allowed:
             // a bare column is a plain projection, a bare aggregate call
@@ -258,8 +258,21 @@ object Parser {
                 p.next()
                 for {
                   _ <- p.eatSym("(")
+                  args <- p.peek match {
+                    case TSym(")", _) => Right(Vector.empty[Operand])
+                    case _ =>
+                      // lag/lead: value operand + optional literal offset
+                      def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+                        parseOperand(p).flatMap { a =>
+                          p.peek match {
+                            case TSym(",", _) => p.next(); loop(acc :+ a)
+                            case _            => Right(acc :+ a)
+                          }
+                        }
+                      loop(Vector.empty)
+                  }
                   _ <- p.eatSym(")")
-                  it <- winItem(f.toLowerCase, None, start)
+                  it <- winItem(f.toLowerCase, args, start)
                 } yield it
               case _ =>
                 parseOperand(p, allowAgg = true).flatMap { op =>
@@ -268,7 +281,7 @@ object Parser {
                     else Right(None)
                   op match {
                     case Operand.AggCall(f, arg, false) if p.isKw("over") =>
-                      winItem(f, arg, start)
+                      winItem(f, arg.toSeq, start)
                     case Operand.AggCall(_, _, true) if p.isKw("over") =>
                       Left(ParseError("DISTINCT window aggregates are not supported", start))
                     case Operand.Col(c) => alias().map(a => SelectItem.SCol(c, a))

@@ -457,11 +457,18 @@ class DialectSpec extends AnyFunSuite {
     val byAlias = db.select("SELECT model, row_number() OVER (ORDER BY id) AS rk " +
       "FROM cars ORDER BY rk DESC LIMIT 1").toOption.get
     assert(byAlias.collect().head.getString(0) == "Cybertruck")
+    // lag/lead shift within the partition order
+    val lg = db.select("SELECT id, lag(id) OVER (ORDER BY id) AS prev, " +
+      "lead(id, 2) OVER (ORDER BY id) AS nxt2 FROM people ORDER BY id").toOption.get
+    assert(lg.collect().map(x => (x.get(1), x.get(2))).toSeq ==
+      Seq((null, 3), (1, null), (2, null)))
     // ranking without ORDER BY, and windows over aggregates, are rejected
     assert(db.query("SELECT row_number() OVER (PARTITION BY owner_id) AS rk " +
       "FROM cars").isLeft)
     assert(db.query("SELECT owner_id, count(*), row_number() OVER (ORDER BY owner_id) " +
       "AS rk FROM cars GROUP BY owner_id").isLeft)
+    assert(db.query("SELECT lag(id) OVER (PARTITION BY owner_id) AS p FROM cars").isLeft)
+    assert(db.query("SELECT lag(id, id) OVER (ORDER BY id) AS p FROM cars").isLeft)
   }
 
   test("INSERT INTO … SELECT and CREATE TABLE AS SELECT") {
