@@ -346,6 +346,23 @@ object Dialect {
              |WHERE length(c_name) > 12 AND c_acctbal > 9000
              |ORDER BY c_custkey""".stripMargin)),
 
+    // A derived table in the FROM list: per-customer aggregates computed
+    // in a subquery, joined back to the dimension — the
+    // aggregate-then-join shape that avoids re-aggregating after the
+    // join. The derived frame lowers in place of a scan.
+    "q_dialect_from_sub" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT c.c_name, t.n, t.tp FROM customer c JOIN " +
+          "(SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS tp " +
+          "FROM orders GROUP BY o_custkey) t ON c.c_custkey = t.o_custkey " +
+          "WHERE t.n > 12 ORDER BY c.c_custkey")
+        .selectExpr("c_name", "n", "round(tp, 2) AS tp"),
+      Some("""SELECT c.c_name, cast(t.n AS bigint) AS n, round(t.tp, 2) AS tp
+             |FROM customer c JOIN
+             |  (SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS tp
+             |   FROM orders GROUP BY o_custkey) t ON c.c_custkey = t.o_custkey
+             |WHERE t.n > 12 ORDER BY c.c_custkey""".stripMargin)),
+
     // GROUP BY a computed expression via its output alias — the
     // year/month reporting rollup every warehouse query starts from.
     // The grouped expression computes once, pre-shuffle, and the key
@@ -354,7 +371,9 @@ object Dialect {
       (s, d) => run(db(s, d, "orders"),
         "SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, " +
           "count(*) AS n, sum(o_totalprice) AS tp FROM orders " +
-          "GROUP BY yr, mo ORDER BY yr, mo")
+          // inline expression keys — structurally matched to the
+          // projection items, which adopt them as yr/mo
+          "GROUP BY year(o_orderdate), month(o_orderdate) ORDER BY yr, mo")
         .selectExpr("yr", "mo", "n", "round(tp, 2) AS tp"),
       Some("""SELECT cast(year(o_orderdate) AS int) AS yr,
              |  cast(month(o_orderdate) AS int) AS mo,

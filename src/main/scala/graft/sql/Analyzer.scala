@@ -283,6 +283,7 @@ object Analyzer {
         val kept = Vector.newBuilder[BoundExpr]
         val extraTables = Vector.newBuilder[BoundTable]
         val extraSteps = Vector.newBuilder[BoundJoinStep]
+        val extraDerived = Map.newBuilder[String, BoundSelect]
         val queue = scala.collection.mutable.Queue.empty[BoundExpr]
         queue ++= sub.predicate.map(conj).getOrElse(Nil)
         // merge a nested subquery's body into this one (existential
@@ -304,6 +305,7 @@ object Analyzer {
           }
           extraTables ++= isub.tables
           extraSteps ++= isub.joinSteps
+          extraDerived ++= isub.derived
           queue ++= isub.predicate.map(conj).getOrElse(Nil)
           inEq.foreach(kept += _)
           for ((oc, ic) <- ipairs) {
@@ -346,7 +348,8 @@ object Analyzer {
         val flattened = sub.copy(
           tables = sub.tables ++ extraTables.result(),
           joinSteps = sub.joinSteps ++ extraSteps.result(),
-          predicate = kept.result().reduceOption(BoundExpr.BAnd(_, _)))
+          predicate = kept.result().reduceOption(BoundExpr.BAnd(_, _)),
+          derived = sub.derived ++ extraDerived.result())
         if (ps.isEmpty) Right((sub, Nil))
         else if (sub.isAggregate && !allowAggregate)
           Left(BadSubquery("a correlated subquery must not aggregate"))
@@ -394,7 +397,11 @@ object Analyzer {
       groupBy: Seq[BoundGroupKey] = Nil,
       having: Option[BoundExpr] = None,
       distinct: Boolean = false,
-      joinSteps: Seq[BoundJoinStep] = Nil) extends BoundQuery {
+      joinSteps: Seq[BoundJoinStep] = Nil,
+      /** Derived tables by binding: the FROM-list subqueries backing the
+        * synthetic TableDescs in `tables` — lowered in place of a scan.
+        */
+      derived: Map[String, BoundSelect] = Map.empty) extends BoundQuery {
     def isAggregate: Boolean = groupBy.nonEmpty || projection.exists {
       case _: BoundItem.BIAgg           => true
       case BoundItem.BIExpr(op, _)      => BoundOperand.containsAgg(op)
@@ -424,6 +431,79 @@ object Analyzer {
     */
   final case class BoundCreateAs(table: String, query: BoundQuery,
       bucket: Option[(String, Int)]) extends BoundQuery
+
+  /** Approximate output type of a bound operand / projection item — used
+    * to derive a TableDesc for FROM-list subqueries. The runtime schema
+    * always comes from the actually-lowered frame; these types only feed
+    * the analyzer's comparability checks, which are permissive across
+    * numerics, so int/bigint approximation is harmless.
+    */
+  private def operandType(o: BoundOperand): SqlType = o match {
+    case BoundOperand.BCol(c) => c.attr.sqlType
+    case BoundOperand.BLit(Lit.LitLong(_))   => SqlType.SqlBigInt
+    case BoundOperand.BLit(Lit.LitDouble(_)) => SqlType.SqlDouble
+    case BoundOperand.BLit(Lit.LitString(_)) => SqlType.SqlVarChar(65535)
+    case BoundOperand.BLit(Lit.LitNull)      => SqlType.SqlVarChar(1)
+    case BoundOperand.BArith(op, l, r) =>
+      if (op == '/') SqlType.SqlDouble
+      else (operandType(l), operandType(r)) match {
+        case (SqlType.SqlDouble, _) | (_, SqlType.SqlDouble) => SqlType.SqlDouble
+        case _ => SqlType.SqlBigInt
+      }
+    case BoundOperand.BFunc(f, args) => f match {
+      case "upper" | "lower" | "trim" | "substr" | "concat" => SqlType.SqlVarChar(65535)
+      case "length" | "year" | "month" | "day" => SqlType.SqlInt
+      case "abs"      => operandType(args.head)
+      case "round"    => SqlType.SqlDouble
+      case "coalesce" => operandType(args.head)
+      case _          => SqlType.SqlDouble
+    }
+    case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
+    case BoundOperand.BAgg(f, arg, _) => aggType(f, arg)
+  }
+
+  private def aggType(f: String, arg: Option[BoundOperand]): SqlType = f match {
+    case "count" => SqlType.SqlBigInt
+    case "avg"   => SqlType.SqlDouble
+    case "sum" => arg.map(operandType) match {
+      case Some(SqlType.SqlDouble) => SqlType.SqlDouble
+      case _                       => SqlType.SqlBigInt
+    }
+    case _ => arg.map(operandType).getOrElse(SqlType.SqlBigInt) // min/max
+  }
+
+  /** The output attributes of a bound subquery used as a derived table.
+    * Names must be explicit and unique: a plain column keeps its name,
+    * everything else needs its AS alias — the same names the lowering
+    * emits, so the synthetic TableDesc matches the lowered frame.
+    */
+  private def derivedAttributes(b: BoundSelect): Either[AnalyzerError, Seq[AttributeDesc]] = {
+    val attrs = Vector.newBuilder[AttributeDesc]
+    val seen = scala.collection.mutable.Set.empty[String]
+    for (it <- b.projection) {
+      val named: Either[AnalyzerError, (String, SqlType)] = it match {
+        case BoundItem.BICol(c, a)    => Right((a.getOrElse(c.attr.name), c.attr.sqlType))
+        case BoundItem.BIExpr(op, a)  => Right((a, operandType(op)))
+        case BoundItem.BIAgg(f, arg, Some(a), _) => Right((a, aggType(f, arg)))
+        case BoundItem.BIAgg(f, _, None, _) =>
+          Left(BadSubquery(s"derived-table column $f(…) needs an AS name"))
+        case BoundItem.BIWin(f, args, _, _, a) =>
+          Right((a, f match {
+            case "row_number" | "rank" | "dense_rank" => SqlType.SqlInt
+            case "lag" | "lead" => operandType(args.head)
+            case other          => aggType(other, args.headOption)
+          }))
+      }
+      named match {
+        case Left(e) => return Left(e)
+        case Right((n, t)) =>
+          if (!seen.add(n.toLowerCase))
+            return Left(BadSubquery(s"duplicate derived-table column name '$n'"))
+          attrs += AttributeDesc(n, t)
+      }
+    }
+    Right(attrs.result())
+  }
 
   /** Every table name a bound query reads (FROM groups, join steps,
     * subqueries, union branches) — the self-reference check for
@@ -517,7 +597,7 @@ object Analyzer {
   private def bindSingleTableExpr(desc: TableDesc, e: Expr): Either[AnalyzerError, BoundExpr] =
     analyzeSelect(
       SelectTree(Some(Seq(SelectItem.SCol(ColRef(None, desc.attributes.head.name)))),
-        Seq(TableRef(desc.name, None)), Some(e)),
+        Seq(FTable(TableRef(desc.name, None))), Some(e)),
       new Catalog { def resolve(t: String) = if (t.equalsIgnoreCase(desc.name)) Some(desc) else None }
     ).map(_.predicate.get).flatMap { b =>
       if (BoundExpr.containsSub(b))
@@ -562,17 +642,38 @@ object Analyzer {
   private def analyzeSelect(s: SelectTree, cat: Catalog,
       outerScope: Seq[BoundTable] = Nil): Either[AnalyzerError, BoundSelect] = {
     // resolve FROM with bindings (alias or table name, reference
-    // analyzer/mod.rs:48-61); outer-join step tables enter the same scope
+    // analyzer/mod.rs:48-61); outer-join step tables enter the same
+    // scope. A derived table analyzes its subquery first (against the
+    // global catalog only — no lateral references) and binds a synthetic
+    // TableDesc over the subquery's output.
     val bound = scala.collection.mutable.LinkedHashMap.empty[String, BoundTable]
-    for (tr <- s.from ++ s.joinSteps.map(_.table)) {
+    val derivedSubs = scala.collection.mutable.Map.empty[String, BoundSelect]
+    def addTable(tr: TableRef): Option[AnalyzerError] =
       cat.resolve(tr.name) match {
-        case None => return Left(RelationNotFound(tr.name))
+        case None => Some(RelationNotFound(tr.name))
         case Some(desc) =>
           val b = tr.alias.getOrElse(tr.name).toLowerCase
-          if (bound.contains(b)) return Left(DuplicateBinding(b))
-          bound(b) = BoundTable(desc, b)
+          if (bound.contains(b)) Some(DuplicateBinding(b))
+          else { bound(b) = BoundTable(desc, b); None }
       }
+    for (fi <- s.from) fi match {
+      case FTable(tr) => addTable(tr).foreach(e => return Left(e))
+      case FDerived(sel, alias) =>
+        analyzeSelect(sel, cat) match {
+          case Left(e) => return Left(e)
+          case Right(bsub) =>
+            derivedAttributes(bsub) match {
+              case Left(e) => return Left(e)
+              case Right(attrs) =>
+                val b = alias.toLowerCase
+                if (bound.contains(b)) return Left(DuplicateBinding(b))
+                bound(b) = BoundTable(TableDesc(b, attrs), b)
+                derivedSubs(b) = bsub
+            }
+        }
     }
+    for (tr <- s.joinSteps.map(_.table))
+      addTable(tr).foreach(e => return Left(e))
     // scope = inner FROM group + outer-join step tables, in declaration
     // order (LinkedHashMap); BoundSelect.tables carries only the inner
     // group (the join-order DP must not reorder across an outer join)
@@ -866,26 +967,43 @@ object Analyzer {
             }
           }
         }
-      // GROUP BY keys: a plain column, or an unqualified name matching a
-      // computed projection alias (GROUP BY substr(c,1,2)'s AS name) —
-      // the key then IS that expression
-      group <- s.groupBy.foldLeft[Either[AnalyzerError, Vector[BoundGroupKey]]](
-        Right(Vector.empty)) { (acc, r) =>
+      // GROUP BY keys: a plain column; an unqualified name matching a
+      // computed projection alias (GROUP BY substr(c,1,2)'s AS name); or
+      // an inline expression — which adopts the alias of a structurally
+      // equal projection item when one exists, else a hidden __gk name
+      group <- s.groupBy.zipWithIndex
+        .foldLeft[Either[AnalyzerError, Vector[BoundGroupKey]]](
+          Right(Vector.empty)) { case (acc, (g, gi)) =>
         acc.flatMap { v =>
-          val aliased: Option[Either[AnalyzerError, BoundGroupKey]] =
-            if (r.binding.isDefined) None
-            else projItems.collectFirst {
-              case SelectItem.SExpr(op, a) if a.equalsIgnoreCase(r.name) =>
-                bindOp(op, allowAgg = false).map(BoundGroupKey.GKExpr(_, a))
-              case SelectItem.SCol(ref, Some(a)) if a.equalsIgnoreCase(r.name) =>
-                bindCol(ref).map(c => BoundGroupKey.GKCol(c))
-              case SelectItem.SAgg(_, _, Some(a), _) if a.equalsIgnoreCase(r.name) =>
-                Left(BadAggregate(s"cannot GROUP BY the aggregate alias '$a'"))
-              case SelectItem.SWin(_, _, _, _, a) if a.equalsIgnoreCase(r.name) =>
-                Left(BadAggregate(s"cannot GROUP BY the window alias '$a'"))
-            }
-          aliased.getOrElse(bindCol(r).map(c => BoundGroupKey.GKCol(c): BoundGroupKey))
-            .map(v :+ _)
+          val key: Either[AnalyzerError, BoundGroupKey] = g match {
+            case Operand.Col(r) =>
+              val aliased: Option[Either[AnalyzerError, BoundGroupKey]] =
+                if (r.binding.isDefined) None
+                else projItems.collectFirst {
+                  case SelectItem.SExpr(op, a) if a.equalsIgnoreCase(r.name) =>
+                    bindOp(op, allowAgg = false).map(BoundGroupKey.GKExpr(_, a))
+                  case SelectItem.SCol(ref, Some(a)) if a.equalsIgnoreCase(r.name) =>
+                    bindCol(ref).map(c => BoundGroupKey.GKCol(c))
+                  case SelectItem.SAgg(_, _, Some(a), _) if a.equalsIgnoreCase(r.name) =>
+                    Left(BadAggregate(s"cannot GROUP BY the aggregate alias '$a'"))
+                  case SelectItem.SWin(_, _, _, _, a) if a.equalsIgnoreCase(r.name) =>
+                    Left(BadAggregate(s"cannot GROUP BY the window alias '$a'"))
+                }
+              aliased.getOrElse(bindCol(r).map(c => BoundGroupKey.GKCol(c)))
+            case expr =>
+              bindOp(expr, allowAgg = false).flatMap { bop =>
+                if (BoundOperand.containsAgg(bop))
+                  Left(BadAggregate("cannot GROUP BY an aggregate"))
+                else {
+                  // adopt the alias of a structurally equal projection item
+                  val alias = proj.collectFirst {
+                    case BoundItem.BIExpr(op, a) if op == bop => a
+                  }
+                  Right(BoundGroupKey.GKExpr(bop, alias.getOrElse(s"__gk_$gi")))
+                }
+              }
+          }
+          key.map(v :+ _)
         }
       }
       groupCols = group.collect { case BoundGroupKey.GKCol(c) => c }
@@ -956,15 +1074,22 @@ object Analyzer {
               "ORDER BY aggregate requires GROUP BY or an aggregate projection"))
             case None => Right(())
           }
-        else order.collectFirst {
-          case (BoundOrderKey.OKOperand(op), _)
-              if operandCols(op).exists(c => !groupCols.exists(g =>
-                g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) =>
-            operandCols(op).find(c => !groupCols.exists(g =>
-              g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))).get
-        } match {
-          case Some(c) => Left(NotInGroupBy(c.render))
-          case None    => Right(())
+        else {
+          // a sort operand that IS a group expression (structurally) sorts
+          // by the grouped key column; only other operands must be grouped
+          val groupExprOps =
+            group.collect { case BoundGroupKey.GKExpr(op, _) => op }.toSet
+          order.collectFirst {
+            case (BoundOrderKey.OKOperand(op), _)
+                if !groupExprOps.contains(op) &&
+                  operandCols(op).exists(c => !groupCols.exists(g =>
+                    g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) =>
+              operandCols(op).find(c => !groupCols.exists(g =>
+                g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))).get
+          } match {
+            case Some(c) => Left(NotInGroupBy(c.render))
+            case None    => Right(())
+          }
         }
       }
       having <- s.having match {
@@ -1023,7 +1148,7 @@ object Analyzer {
           case None    => Right(())
         }
     } yield BoundSelect(innerTables, proj, pred, order, s.limit, s.offset, group,
-      having, s.distinct, steps)
+      having, s.distinct, steps, derivedSubs.toMap)
   }
 
   private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {

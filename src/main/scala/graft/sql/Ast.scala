@@ -14,6 +14,13 @@ object Ast {
   }
   final case class TableRef(name: String, alias: Option[String])
 
+  /** A FROM-list entry: a named table, or a derived table —
+    * `(SELECT …) alias` — whose schema is the subquery's output.
+    */
+  sealed trait FromItem
+  final case class FTable(ref: TableRef) extends FromItem
+  final case class FDerived(select: SelectTree, alias: String) extends FromItem
+
   sealed trait CmpOp { def sql: String }
   object CmpOp {
     case object Eq extends CmpOp  { val sql = "=" }
@@ -118,12 +125,12 @@ object Ast {
     */
   final case class SelectTree(
       columns: Option[Seq[SelectItem]],
-      from: Seq[TableRef],
+      from: Seq[FromItem],
       where: Option[Expr],
       orderBy: Seq[(Operand, Boolean /* descending */ )] = Nil,
       limit: Option[Long] = None,
       offset: Option[Long] = None,
-      groupBy: Seq[ColRef] = Nil,
+      groupBy: Seq[Operand] = Nil,
       having: Option[Expr] = None,
       distinct: Boolean = false,
       joinSteps: Seq[JoinStep] = Nil) extends ParseTree

@@ -353,7 +353,10 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     * running its pushed-down conjuncts against the maintained sample.
     */
   private def estimateBindings(s: BoundSelect): Seq[(String, Long)] = {
-    if (s.tables.length < 2) return Nil
+    // derived tables have no maintained statistics (their cardinality is
+    // the subquery's, unknown without running it) — leave join order and
+    // build sides to Catalyst/AQE for those queries
+    if (s.tables.length < 2 || s.derived.nonEmpty) return Nil
     s.tables.foreach(bt =>
       if (statistics.get(bt.desc.name).isEmpty)
         statistics.rebuild(bt.desc, readTable(bt.desc)))

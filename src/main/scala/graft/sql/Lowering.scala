@@ -249,7 +249,12 @@ object Lowering {
               case (BoundItem.BICol(bc, Some(a)), _) if a.equalsIgnoreCase(n) =>
                 col(groupOut(bc))
             }.getOrElse(sys.error(s"unreachable: unresolved output alias $n"))
-          case BoundOrderKey.OKOperand(op) => havingOperand(op)
+          case BoundOrderKey.OKOperand(op) =>
+            // a sort operand that IS a group expression sorts the grouped
+            // key column (recomputing would reference pre-agg inputs)
+            q.groupBy.collectFirst {
+              case BoundGroupKey.GKExpr(gop, a) if gop == op => col(a)
+            }.getOrElse(havingOperand(op))
         }
         (c, desc)
       }
@@ -307,7 +312,12 @@ object Lowering {
       broadcastBindings: Set[String],
       joinPlan: Option[JoinOrder.Tree]): DataFrame = {
     val base = q.tables.map { bt =>
-      val df = source(bt).alias(bt.binding)
+      // a derived table lowers its subquery in place of a scan
+      val df0 = q.derived.get(bt.binding) match {
+        case Some(sub) => lowerSelect(spark, sub, source)
+        case None      => source(bt)
+      }
+      val df = df0.alias(bt.binding)
       // stats-driven build-side choice (the reference swaps hash-join build
       // sides from estimates the same way, optimizer/optimizer.rs:177-180)
       if (broadcastBindings(bt.binding)) broadcast(df) else df

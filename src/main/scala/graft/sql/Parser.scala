@@ -318,20 +318,34 @@ object Parser {
       // inner step's ON ranges over the preceding outer join's
       // null-extended result and must not be hoisted ahead of it.
       fromAndOn <- {
-        def one(): Either[ParseError, TableRef] =
+        def tableOnly(): Either[ParseError, TableRef] =
           p.ident().map { n =>
             p.peek match {
               case TIdent(a, _) if !reserved(a) => p.next(); TableRef(n, Some(a))
               case _                            => TableRef(n, None)
             }
           }
+        // a FROM-group entry: a named table, or `(SELECT …) alias`
+        def one(): Either[ParseError, FromItem] = p.peek match {
+          case TSym("(", _) =>
+            p.next()
+            for {
+              sel <- parseSelect(p)
+              _ <- p.eatSym(")")
+              alias <- p.peek match {
+                case TIdent(a, _) if !reserved(a) => p.next(); Right(a)
+                case t => Left(ParseError("a derived table requires an alias", t.pos))
+              }
+            } yield FDerived(sel, alias)
+          case _ => tableOnly().map(FTable)
+        }
         def outerKind(): Option[String] = p.peek match {
           case TIdent(k, _) if k.equalsIgnoreCase("left") || k.equalsIgnoreCase("right") ||
               k.equalsIgnoreCase("full") => Some(k.toLowerCase)
           case _ => None
         }
-        def loop(tabs: Vector[TableRef], ons: Vector[Expr], steps: Vector[JoinStep])
-            : Either[ParseError, (Vector[TableRef], Vector[Expr], Vector[JoinStep])] =
+        def loop(tabs: Vector[FromItem], ons: Vector[Expr], steps: Vector[JoinStep])
+            : Either[ParseError, (Vector[FromItem], Vector[Expr], Vector[JoinStep])] =
           p.peek match {
             case TSym(",", pos) =>
               if (steps.nonEmpty)
@@ -342,21 +356,27 @@ object Parser {
                   val isJ = p.isKw("join"); p.i = save; isJ }) =>
               if (p.isKw("inner")) p.next()
               p.next() // JOIN
-              for {
-                t <- one()
-                _ <- p.eatKw("on")
-                cond <- parseOr(p)
-                r <-
-                  if (steps.isEmpty) loop(tabs :+ t, ons :+ cond, steps)
-                  else loop(tabs, ons, steps :+ JoinStep("inner", t, cond))
-              } yield r
+              if (steps.isEmpty)
+                for {
+                  t <- one()
+                  _ <- p.eatKw("on")
+                  cond <- parseOr(p)
+                  r <- loop(tabs :+ t, ons :+ cond, steps)
+                } yield r
+              else
+                for {
+                  t <- tableOnly()
+                  _ <- p.eatKw("on")
+                  cond <- parseOr(p)
+                  r <- loop(tabs, ons, steps :+ JoinStep("inner", t, cond))
+                } yield r
             case TIdent(_, _) if outerKind().isDefined =>
               val kind = outerKind().get
               p.next()
               if (p.isKw("outer")) p.next()
               for {
                 _ <- p.eatKw("join")
-                t <- one()
+                t <- tableOnly()
                 _ <- p.eatKw("on")
                 cond <- parseOr(p)
                 r <- loop(tabs, ons, steps :+ JoinStep(kind, t, cond))
@@ -377,8 +397,10 @@ object Parser {
         if (p.isKw("group")) {
           p.next()
           p.eatKw("by").flatMap { _ =>
-            def loop(acc: Vector[ColRef]): Either[ParseError, Vector[ColRef]] =
-              parseColRef(p).flatMap { c =>
+            // full operands: plain columns, output aliases, or inline
+            // expressions (GROUP BY substr(name, 1, 2))
+            def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+              parseOperand(p).flatMap { c =>
                 p.peek match {
                   case TSym(",", _) => p.next(); loop(acc :+ c)
                   case _            => Right(acc :+ c)
@@ -386,7 +408,7 @@ object Parser {
               }
             loop(Vector.empty)
           }
-        } else Right(Vector.empty[ColRef])
+        } else Right(Vector.empty[Operand])
       having <-
         if (p.isKw("having")) { p.next(); parseOr(p, allowAgg = true).map(Some(_)) }
         else Right(None)

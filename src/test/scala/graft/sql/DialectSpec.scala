@@ -419,6 +419,20 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT count(*) AS n FROM people GROUP BY n").isLeft)
     // a bare column that is not the group key is still rejected
     assert(db.query("SELECT substr(name, 1, 1) AS i, age FROM people GROUP BY i").isLeft)
+    // inline expression key: the projection item matches structurally and
+    // adopts the key; sorting by the same expression sorts the key column
+    val inline = db.select("SELECT substr(name, 1, 1) AS i, count(*) AS n " +
+      "FROM people GROUP BY substr(name, 1, 1) " +
+      "ORDER BY substr(name, 1, 1)").toOption.get
+    assert(inline.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("D", 1L), ("E", 1L), ("M", 1L)))
+    // hidden inline key: grouped by an expression that is not projected
+    val hidden = db.select("SELECT count(*) AS n FROM people " +
+      "GROUP BY substr(name, 1, 1) ORDER BY n DESC").toOption.get
+    assert(hidden.collect().map(_.getLong(0)).toSeq == Seq(1L, 1L, 1L))
+    assert(hidden.columns.toSeq == Seq("n"))
+    // GROUP BY an inline aggregate is rejected
+    assert(db.query("SELECT count(*) AS n FROM people GROUP BY count(*)").isLeft)
   }
 
   test("date functions: year/month/day execute and group") {
@@ -434,6 +448,29 @@ class DialectSpec extends AnyFunSuite {
       "WHERE month(o_orderdate) = 1 AND day(o_orderdate) <= 7 " +
       "ORDER BY o_orderkey LIMIT 5").toOption.get
     assert(d.count() <= 5)
+  }
+
+  test("derived tables: subqueries in the FROM list") {
+    val db = demoDb()
+    // aggregate-in-FROM, filtered and ordered outside
+    val t = db.select("SELECT t.owner_id, t.n FROM " +
+      "(SELECT owner_id, count(*) AS n FROM cars GROUP BY owner_id) t " +
+      "WHERE t.n >= 1 ORDER BY t.owner_id").toOption.get
+    assert(t.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 1L), (2, 1L)))
+    // joined with a base table (stats-free plan — Catalyst orders it)
+    val j = db.select("SELECT p.name, t.n FROM people p JOIN " +
+      "(SELECT owner_id, count(*) AS n FROM cars GROUP BY owner_id) t " +
+      "ON p.id = t.owner_id ORDER BY p.id").toOption.get
+    assert(j.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("Elon", 1L), ("Dr. Emmett L. „Doc“ Brown", 1L)))
+    // derived columns resolve unqualified too
+    val u = db.select("SELECT n FROM (SELECT count(*) AS n FROM cars) t").toOption.get
+    assert(u.collect().head.getLong(0) == 2L)
+    // computed derived columns need AS names
+    assert(db.query("SELECT t.n FROM (SELECT count(*) FROM cars) t").isLeft)
+    // duplicate derived column names are rejected
+    assert(db.query("SELECT id FROM (SELECT id, id FROM people) t").isLeft)
   }
 
   test("window functions: ranking and windowed aggregates") {

@@ -20,12 +20,12 @@ class ParserSpec extends AnyFunSuite {
   test("select columns from table") {
     assert(parseOk("SELECT a, b FROM test") ==
       SelectTree(Some(Seq(SCol(ColRef(None, "a")), SCol(ColRef(None, "b")))),
-        Seq(TableRef("test", None)), None))
+        Seq(FTable(TableRef("test", None))), None))
   }
 
   test("select star") {
     assert(parseOk("SELECT * FROM test") ==
-      SelectTree(None, Seq(TableRef("test", None)), None))
+      SelectTree(None, Seq(FTable(TableRef("test", None))), None))
   }
 
   test("select with alias and qualified where, all comparison ops") {
@@ -34,7 +34,7 @@ class ParserSpec extends AnyFunSuite {
       val t = parseOk(s"SELECT a, b FROM test t where t.c ${op._1} 5")
       assert(t == SelectTree(
         Some(Seq(SCol(ColRef(None, "a")), SCol(ColRef(None, "b")))),
-        Seq(TableRef("test", Some("t"))),
+        Seq(FTable(TableRef("test", Some("t")))),
         Some(Expr.Cmp(op._2,
           Operand.Col(ColRef(Some("t"), "c")),
           Operand.Literal(L.LitLong(5))))))
@@ -57,7 +57,7 @@ class ParserSpec extends AnyFunSuite {
   test("multi-table from with aliases") {
     val t = parseOk("SELECT name, model FROM people p, cars c WHERE p.id = c.owner_id")
     assert(t.asInstanceOf[SelectTree].from ==
-      Seq(TableRef("people", Some("p")), TableRef("cars", Some("c"))))
+      Seq(FTable(TableRef("people", Some("p"))), FTable(TableRef("cars", Some("c")))))
   }
 
   test("or and parentheses") {
@@ -109,7 +109,7 @@ class ParserSpec extends AnyFunSuite {
 
   test("order by and limit (additive over reference grammar)") {
     assert(parseOk("SELECT a FROM t ORDER BY a DESC, b LIMIT 10") ==
-      SelectTree(Some(Seq(SCol(ColRef(None, "a")))), Seq(TableRef("t", None)), None,
+      SelectTree(Some(Seq(SCol(ColRef(None, "a")))), Seq(FTable(TableRef("t", None))), None,
         Seq((Operand.Col(ColRef(None, "a")): Operand) -> true,
           (Operand.Col(ColRef(None, "b")): Operand) -> false), Some(10)))
     // full operands: aggregates and arithmetic sort keys parse
@@ -133,7 +133,8 @@ class ParserSpec extends AnyFunSuite {
     assert(parseOk("SELECT a, count(*), sum(b) FROM t GROUP BY a") ==
       SelectTree(Some(Seq(SCol(ColRef(None, "a")), SAgg("count", None),
         SAgg("sum", Some(Operand.Col(ColRef(None, "b")))))),
-        Seq(TableRef("t", None)), None, Nil, None, None, Seq(ColRef(None, "a"))))
+        Seq(FTable(TableRef("t", None))), None, Nil, None, None,
+        Seq(Operand.Col(ColRef(None, "a")))))
     parseErr("SELECT sum(*) FROM t")
     parseErr("SELECT a FROM t GROUP a")
   }
@@ -144,7 +145,7 @@ class ParserSpec extends AnyFunSuite {
     val t = parseOk("SELECT a FROM t1 JOIN t2 ON t1.x = t2.x " +
       "LEFT JOIN t3 ON t2.y = t3.y JOIN t4 ON t3.z = t4.z")
       .asInstanceOf[SelectTree]
-    assert(t.from == Seq(TableRef("t1", None), TableRef("t2", None)))
+    assert(t.from == Seq(FTable(TableRef("t1", None)), FTable(TableRef("t2", None))))
     assert(t.joinSteps.map(js => (js.kind, js.table.name)) ==
       Seq(("left", "t3"), ("inner", "t4")))
     // the leading inner ON landed in WHERE
@@ -152,6 +153,15 @@ class ParserSpec extends AnyFunSuite {
       Operand.Col(ColRef(Some("t1"), "x")), Operand.Col(ColRef(Some("t2"), "x")))))
     // comma-join after an outer join stays rejected
     parseErr("SELECT a FROM t1 LEFT JOIN t2 ON t1.x = t2.x, t3")
+  }
+
+  test("derived tables in FROM parse") {
+    val t = parseOk("SELECT t.a FROM (SELECT a FROM x) t").asInstanceOf[SelectTree]
+    assert(t.from == Seq(FDerived(
+      SelectTree(Some(Seq(SCol(ColRef(None, "a")))),
+        Seq(FTable(TableRef("x", None))), None), "t")))
+    // the alias is mandatory
+    parseErr("SELECT a FROM (SELECT a FROM x)")
   }
 
   test("delete and update parse") {
