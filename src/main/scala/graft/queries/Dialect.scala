@@ -398,11 +398,13 @@ object Dialect {
       (s, d) => run(db(s, d, "orders"),
         "SELECT o_orderkey, o_custkey, o_totalprice, " +
           "lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev, " +
-          "lead(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt2 " +
+          "lead(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt2, " +
+          "first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS fk " +
           "FROM orders WHERE o_custkey < 30 ORDER BY o_custkey, o_orderkey"),
       Some("""SELECT o_orderkey, o_custkey, o_totalprice,
              |  lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev,
-             |  lead(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt2
+             |  lead(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt2,
+             |  first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS fk
              |FROM orders WHERE o_custkey < 30 ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // Windowed running aggregate (SQL's default RANGE UNBOUNDED PRECEDING

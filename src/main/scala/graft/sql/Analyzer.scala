@@ -490,7 +490,7 @@ object Analyzer {
         case BoundItem.BIWin(f, args, _, _, a) =>
           Right((a, f match {
             case "row_number" | "rank" | "dense_rank" => SqlType.SqlInt
-            case "lag" | "lead" => operandType(args.head)
+            case "lag" | "lead" | "first_value" | "last_value" => operandType(args.head)
             case other          => aggType(other, args.headOption)
           }))
       }
@@ -913,6 +913,7 @@ object Analyzer {
       case SelectItem.SWin(f, args, parts, ord, a) =>
         val ranking = Set("row_number", "rank", "dense_rank")(f)
         val shifting = f == "lag" || f == "lead"
+        val positional = f == "first_value" || f == "last_value"
         for {
           _ <-
             if ((ranking || shifting) && ord.isEmpty)
@@ -926,9 +927,11 @@ object Analyzer {
               case _ => false
             }))
               Left(BadFunction(s"$f offset must be an integer literal"))
-            else if (!ranking && !shifting && args.isEmpty && f != "count")
+            else if (positional && args.length != 1)
+              Left(BadFunction(s"$f takes exactly one argument"))
+            else if (!ranking && !shifting && !positional && args.isEmpty && f != "count")
               Left(BadFunction(s"windowed $f requires an argument"))
-            else if (!ranking && !shifting && args.length > 1)
+            else if (!ranking && !shifting && !positional && args.length > 1)
               Left(BadFunction(s"windowed $f takes one argument"))
             else Right(())
           bargs <- args.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](

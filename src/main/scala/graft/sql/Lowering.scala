@@ -74,6 +74,8 @@ object Lowering {
             case ("dense_rank", _)     => dense_rank()
             case ("lag", x +: _)       => lag(lowerOperandWith(x, qcol), shiftN)
             case ("lead", x +: _)      => lead(lowerOperandWith(x, qcol), shiftN)
+            case ("first_value", Seq(x)) => first(lowerOperandWith(x, qcol))
+            case ("last_value", Seq(x))  => last(lowerOperandWith(x, qcol))
             case ("count", Seq())      => count(lit(1))
             case ("count", Seq(x))     => count(lowerOperandWith(x, qcol))
             case ("sum", Seq(x))       => sum(lowerOperandWith(x, qcol))

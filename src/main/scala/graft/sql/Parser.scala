@@ -108,7 +108,8 @@ object Parser {
     "intersect", "except", "case", "when", "then", "else", "end")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg")
-  private val winFuncs = Set("row_number", "rank", "dense_rank", "lag", "lead")
+  private val winFuncs = Set("row_number", "rank", "dense_rank", "lag", "lead",
+    "first_value", "last_value")
   private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",
     "round", "substr", "substring", "coalesce", "concat",
     "year", "month", "day")

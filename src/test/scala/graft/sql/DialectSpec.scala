@@ -499,6 +499,11 @@ class DialectSpec extends AnyFunSuite {
       "lead(id, 2) OVER (ORDER BY id) AS nxt2 FROM people ORDER BY id").toOption.get
     assert(lg.collect().map(x => (x.get(1), x.get(2))).toSeq ==
       Seq((null, 3), (1, null), (2, null)))
+    // first_value anchors each partition's leading value
+    val fv = db.select("SELECT model, first_value(model) OVER " +
+      "(PARTITION BY owner_id ORDER BY id) AS fm FROM cars ORDER BY id").toOption.get
+    assert(fv.collect().map(_.getString(1)).toSeq ==
+      Seq("Tesla Model 3", "DeLorean DMC-12", "Tesla Model 3"))
     // ranking without ORDER BY, and windows over aggregates, are rejected
     assert(db.query("SELECT row_number() OVER (PARTITION BY owner_id) AS rk " +
       "FROM cars").isLeft)
