@@ -346,6 +346,24 @@ object Dialect {
              |WHERE length(c_name) > 12 AND c_acctbal > 9000
              |ORDER BY c_custkey""".stripMargin)),
 
+    // An explicit ROWS frame: the 3-row moving SUM — the windowed
+    // smoothing shape. A moving sum of 2-decimal prices is an exact
+    // 2-decimal value, so round(…, 2) sits a half-cent away from any
+    // boundary and absorbs the engines' in-frame accumulation noise
+    // (a moving AVERAGE would land exactly ON half-cent boundaries
+    // whenever the frame sum divides evenly — unroundable).
+    "q_dialect_window_frame" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_custkey, sum(o_totalprice) OVER " +
+          "(PARTITION BY o_custkey ORDER BY o_orderkey " +
+          "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms3 " +
+          "FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey")
+        .selectExpr("o_orderkey", "o_custkey", "round(ms3, 2) AS ms3"),
+      Some("""SELECT o_orderkey, o_custkey,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ms3
+             |FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // A derived table in the FROM list: per-customer aggregates computed
     // in a subquery, joined back to the dimension — the
     // aggregate-then-join shape that avoids re-aggregating after the

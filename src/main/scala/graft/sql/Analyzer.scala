@@ -182,7 +182,7 @@ object Analyzer {
       */
     final case class BIWin(func: String, args: Seq[BoundOperand],
         partitionBy: Seq[BoundCol], orderBy: Seq[(BoundOperand, Boolean)],
-        alias: String) extends BoundItem
+        alias: String, frame: Option[(Long, Long)] = None) extends BoundItem
   }
 
   /** All columns referenced by an operand tree (aggregate arguments are
@@ -264,7 +264,7 @@ object Analyzer {
         case BoundItem.BICol(c, _)      => Seq(c)
         case BoundItem.BIExpr(op, _)    => operandColsDeep(op)
         case BoundItem.BIAgg(_, arg, _, _) => arg.toSeq.flatMap(operandColsDeep)
-        case BoundItem.BIWin(_, args, parts, ord, _) =>
+        case BoundItem.BIWin(_, args, parts, ord, _, _) =>
           args.flatMap(operandColsDeep) ++ parts ++
             ord.flatMap(o => operandColsDeep(o._1))
       } ++ sub.groupBy.flatMap {
@@ -487,7 +487,7 @@ object Analyzer {
         case BoundItem.BIAgg(f, arg, Some(a), _) => Right((a, aggType(f, arg)))
         case BoundItem.BIAgg(f, _, None, _) =>
           Left(BadSubquery(s"derived-table column $f(…) needs an AS name"))
-        case BoundItem.BIWin(f, args, _, _, a) =>
+        case BoundItem.BIWin(f, args, _, _, a, _) =>
           Right((a, f match {
             case "row_number" | "rank" | "dense_rank" => SqlType.SqlInt
             case "lag" | "lead" | "first_value" | "last_value" => operandType(args.head)
@@ -910,7 +910,7 @@ object Analyzer {
         // aggregates ARE allowed inside computed projections — the item
         // then makes the query aggregate-scoped (count(*) * 2 AS n2)
         bindOp(op, allowAgg = true).map(BoundItem.BIExpr(_, a))
-      case SelectItem.SWin(f, args, parts, ord, a) =>
+      case SelectItem.SWin(f, args, parts, ord, a, frame) =>
         val ranking = Set("row_number", "rank", "dense_rank")(f)
         val shifting = f == "lag" || f == "lead"
         val positional = f == "first_value" || f == "last_value"
@@ -933,6 +933,15 @@ object Analyzer {
               Left(BadFunction(s"windowed $f requires an argument"))
             else if (!ranking && !shifting && !positional && args.length > 1)
               Left(BadFunction(s"windowed $f takes one argument"))
+            // an explicit ROWS frame needs an order, and only makes sense
+            // for aggregates and first/last_value (SQL ignores it for
+            // ranking and shift functions — reject rather than ignore)
+            else if (frame.isDefined && (ranking || shifting))
+              Left(BadFunction(s"$f does not take a ROWS frame"))
+            else if (frame.isDefined && ord.isEmpty)
+              Left(BadFunction("a ROWS frame requires ORDER BY in the OVER clause"))
+            else if (frame.exists { case (lo, hi) => lo > hi })
+              Left(BadFunction("ROWS frame lower bound exceeds upper bound"))
             else Right(())
           bargs <- args.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](
             Right(Vector.empty)) { (acc, x) =>
@@ -944,7 +953,7 @@ object Analyzer {
             Right(Vector.empty)) { case (acc, (o, desc)) =>
             acc.flatMap(v => bindOp(o, allowAgg = false).map(b => v :+ (b -> desc)))
           }
-        } yield BoundItem.BIWin(f, bargs, bparts, bord, a)
+        } yield BoundItem.BIWin(f, bargs, bparts, bord, a, frame)
     }
 
     for {
@@ -989,7 +998,7 @@ object Analyzer {
                     bindCol(ref).map(c => BoundGroupKey.GKCol(c))
                   case SelectItem.SAgg(_, _, Some(a), _) if a.equalsIgnoreCase(r.name) =>
                     Left(BadAggregate(s"cannot GROUP BY the aggregate alias '$a'"))
-                  case SelectItem.SWin(_, _, _, _, a) if a.equalsIgnoreCase(r.name) =>
+                  case SelectItem.SWin(_, _, _, _, a, _) if a.equalsIgnoreCase(r.name) =>
                     Left(BadAggregate(s"cannot GROUP BY the window alias '$a'"))
                 }
               aliased.getOrElse(bindCol(r).map(c => BoundGroupKey.GKCol(c)))
@@ -1046,7 +1055,7 @@ object Analyzer {
           case SelectItem.SCol(_, Some(a))    => a
           case SelectItem.SAgg(_, _, Some(a), _) => a
           case SelectItem.SExpr(_, a)         => a
-          case SelectItem.SWin(_, _, _, _, a) => a
+          case SelectItem.SWin(_, _, _, _, a, _) => a
         }
         s.orderBy.foldLeft[Either[AnalyzerError, Vector[(BoundOrderKey, Boolean)]]](
           Right(Vector.empty)) { case (acc, (opnd, desc)) =>

@@ -97,12 +97,15 @@ object Ast {
       * computed column needs a name.
       */
     final case class SExpr(op: Operand, alias: String) extends SelectItem
-    /** Window item: row_number/rank/dense_rank, lag/lead, or a windowed
-      * aggregate — `<fn>(args…) OVER (PARTITION BY … ORDER BY …) AS a`.
+    /** Window item: row_number/rank/dense_rank, lag/lead, first/last
+      * value, or a windowed aggregate — `<fn>(args…) OVER (PARTITION BY …
+      * ORDER BY … [ROWS BETWEEN … AND …]) AS a`. The frame bounds use
+      * Spark's row-offset encoding (Long.MinValue = UNBOUNDED PRECEDING,
+      * 0 = CURRENT ROW, Long.MaxValue = UNBOUNDED FOLLOWING).
       */
     final case class SWin(func: String, args: Seq[Operand],
         partitionBy: Seq[ColRef], orderBy: Seq[(Operand, Boolean)],
-        alias: String) extends SelectItem
+        alias: String, frame: Option[(Long, Long)] = None) extends SelectItem
   }
 
   /** A join step applied (in declaration order) after the leading

@@ -52,18 +52,21 @@ object Lowering {
       def outputCols: Seq[Column] = q.projection.collect {
         case BoundItem.BICol(bc, a)  => qcol(bc).as(outName(bc, a))
         case BoundItem.BIExpr(op, a) => lowerOperandWith(op, qcol).as(a)
-        case BoundItem.BIWin(f, args, parts, ord, a) =>
+        case BoundItem.BIWin(f, args, parts, ord, a, frame) =>
           // one shuffle on the partition keys; ordered windows keep
           // Spark's default running frame (SQL's RANGE UNBOUNDED
           // PRECEDING), unordered ones span the whole partition
           val w0 = org.apache.spark.sql.expressions.Window
             .partitionBy(parts.map(qcol): _*)
-          val w =
+          val w1 =
             if (ord.isEmpty) w0
             else w0.orderBy(ord.map { case (op, desc) =>
               val c = lowerOperandWith(op, qcol)
               if (desc) c.desc else c.asc
             }: _*)
+          // explicit ROWS frame (moving windows); otherwise the SQL
+          // default frame applies
+          val w = frame.fold(w1) { case (lo, hi) => w1.rowsBetween(lo, hi) }
           def shiftN: Int = args.lift(1) match {
             case Some(BoundOperand.BLit(Lit.LitLong(n))) => n.toInt
             case _                                       => 1

@@ -198,8 +198,25 @@ object Parser {
       cols <- p.peek match {
         case TSym("*", _) => p.next(); Right(None)
         case _ =>
-          // OVER (PARTITION BY cols ORDER BY operands) — the window spec
-          def overSpec(): Either[ParseError, (Vector[ColRef], Vector[(Operand, Boolean)])] =
+          // ROWS BETWEEN frame bound, in Spark's row-offset encoding
+          def frameBound(): Either[ParseError, Long] = p.peek match {
+            case TIdent(k, _) if k.equalsIgnoreCase("unbounded") =>
+              p.next()
+              if (p.isKw("preceding")) { p.next(); Right(Long.MinValue) }
+              else if (p.isKw("following")) { p.next(); Right(Long.MaxValue) }
+              else Left(ParseError("expected PRECEDING or FOLLOWING", p.peek.pos))
+            case TIdent(k, _) if k.equalsIgnoreCase("current") =>
+              p.next(); p.eatKw("row").map(_ => 0L)
+            case TInt(v, _) =>
+              p.next()
+              if (p.isKw("preceding")) { p.next(); Right(-v) }
+              else if (p.isKw("following")) { p.next(); Right(v) }
+              else Left(ParseError("expected PRECEDING or FOLLOWING", p.peek.pos))
+            case t => Left(ParseError("expected a frame bound", t.pos))
+          }
+          // OVER (PARTITION BY cols ORDER BY operands [ROWS BETWEEN …])
+          def overSpec(): Either[ParseError,
+              (Vector[ColRef], Vector[(Operand, Boolean)], Option[(Long, Long)])] =
             for {
               _ <- p.eatSym("(")
               parts <-
@@ -236,8 +253,18 @@ object Parser {
                     loop(Vector.empty)
                   }
                 } else Right(Vector.empty[(Operand, Boolean)])
+              frame <-
+                if (p.isKw("rows")) {
+                  p.next()
+                  for {
+                    _ <- p.eatKw("between")
+                    lo <- frameBound()
+                    _ <- p.eatKw("and")
+                    hi <- frameBound()
+                  } yield Some((lo, hi))
+                } else Right(None: Option[(Long, Long)])
               _ <- p.eatSym(")")
-            } yield (parts, ord)
+            } yield (parts, ord, frame)
           def winItem(fn: String, args: Seq[Operand],
               start: Int): Either[ParseError, SelectItem] =
             for {
@@ -247,7 +274,7 @@ object Parser {
                 if (p.isKw("as")) { p.next(); Right(()) }
                 else Left(ParseError("a window item requires AS <name>", start))
               a <- p.ident()
-            } yield SelectItem.SWin(fn, args, spec._1, spec._2, a)
+            } yield SelectItem.SWin(fn, args, spec._1, spec._2, a, spec._3)
           def item(): Either[ParseError, SelectItem] = {
             // projection items are full operands with aggregates allowed:
             // a bare column is a plain projection, a bare aggregate call

@@ -499,6 +499,14 @@ class DialectSpec extends AnyFunSuite {
       "lead(id, 2) OVER (ORDER BY id) AS nxt2 FROM people ORDER BY id").toOption.get
     assert(lg.collect().map(x => (x.get(1), x.get(2))).toSeq ==
       Seq((null, 3), (1, null), (2, null)))
+    // an explicit ROWS frame: 2-row moving sum
+    val mv = db.select("SELECT id, sum(id) OVER (ORDER BY id " +
+      "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s2 " +
+      "FROM people ORDER BY id").toOption.get
+    assert(mv.collect().map(_.getLong(1)).toSeq == Seq(1L, 3L, 5L))
+    // frames are rejected for ranking/shift functions
+    assert(db.query("SELECT row_number() OVER (ORDER BY id " +
+      "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS r FROM people").isLeft)
     // first_value anchors each partition's leading value
     val fv = db.select("SELECT model, first_value(model) OVER " +
       "(PARTITION BY owner_id ORDER BY id) AS fm FROM cars ORDER BY id").toOption.get
