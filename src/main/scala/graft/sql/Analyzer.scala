@@ -920,13 +920,15 @@ object Analyzer {
               Left(BadFunction(s"$f requires ORDER BY in its OVER clause"))
             else if (ranking && args.nonEmpty)
               Left(BadFunction(s"$f() takes no arguments"))
-            else if (shifting && (args.isEmpty || args.length > 2))
-              Left(BadFunction(s"$f takes a value and an optional offset"))
-            else if (shifting && args.length == 2 && !(args(1) match {
+            else if (shifting && (args.isEmpty || args.length > 3))
+              Left(BadFunction(s"$f takes a value, an optional offset and an optional default"))
+            else if (shifting && args.length >= 2 && !(args(1) match {
               case Operand.Literal(Lit.LitLong(_)) => true
               case _ => false
             }))
               Left(BadFunction(s"$f offset must be an integer literal"))
+            else if (shifting && args.length == 3 && !args(2).isInstanceOf[Operand.Literal])
+              Left(BadFunction(s"$f default must be a literal"))
             else if (positional && args.length != 1)
               Left(BadFunction(s"$f takes exactly one argument"))
             else if (!ranking && !shifting && !positional && args.isEmpty && f != "count")
@@ -1106,14 +1108,46 @@ object Analyzer {
       }
       having <- s.having match {
         case None => Right(None)
-        case Some(e) =>
+        case Some(e0) =>
           if (group.isEmpty && !proj.exists {
             case _: BoundItem.BIAgg      => true
             case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
             case _                       => false
           })
             Left(BadAggregate("HAVING requires GROUP BY or aggregates"))
-          else bindExpr(e, allowAgg = true).map(Some(_))
+          else {
+            // unqualified HAVING names that are no table column but match
+            // a projection alias resolve to the aliased item's expression
+            // (HAVING n > 5 for count(*) AS n — the DuckDB extension);
+            // real columns win, and aggregate arguments are not rewritten
+            def isColumn(n: String) = tables.exists(_.desc.attr(n).isDefined)
+            def substOp(o: Operand): Operand = o match {
+              case Operand.Col(ColRef(None, n)) if !isColumn(n) =>
+                projItems.collectFirst {
+                  case SelectItem.SAgg(f, arg, Some(a), d) if a.equalsIgnoreCase(n) =>
+                    Operand.AggCall(f, arg, d)
+                  case SelectItem.SExpr(op, a) if a.equalsIgnoreCase(n) => op
+                  case SelectItem.SCol(ref, Some(a)) if a.equalsIgnoreCase(n) =>
+                    Operand.Col(ref)
+                }.getOrElse(o)
+              case Operand.Arith(c, l, r) => Operand.Arith(c, substOp(l), substOp(r))
+              case Operand.FuncCall(f, as) => Operand.FuncCall(f, as.map(substOp))
+              case Operand.CaseWhen(bs, els) => Operand.CaseWhen(
+                bs.map { case (c, v) => (substE(c), substOp(v)) }, els.map(substOp))
+              case other => other
+            }
+            def substE(e: Expr): Expr = e match {
+              case Expr.And(l, r) => Expr.And(substE(l), substE(r))
+              case Expr.Or(l, r)  => Expr.Or(substE(l), substE(r))
+              case Expr.Not(x)    => Expr.Not(substE(x))
+              case Expr.Cmp(op, l, r)  => Expr.Cmp(op, substOp(l), substOp(r))
+              case Expr.IsNull(o, neg) => Expr.IsNull(substOp(o), neg)
+              case Expr.Like(o, p, n)  => Expr.Like(substOp(o), p, n)
+              case Expr.CmpSubquery(op, l, sub) => Expr.CmpSubquery(op, substOp(l), sub)
+              case other => other
+            }
+            bindExpr(substE(e0), allowAgg = true).map(Some(_))
+          }
       }
       // bare columns inside HAVING must be grouped (aggregate arguments
       // are exempt — they aggregate over the group)

@@ -71,12 +71,18 @@ object Lowering {
             case Some(BoundOperand.BLit(Lit.LitLong(n))) => n.toInt
             case _                                       => 1
           }
+          def shiftDefault: Any = args.lift(2) match {
+            case Some(BoundOperand.BLit(Lit.LitLong(v)))   => v
+            case Some(BoundOperand.BLit(Lit.LitDouble(v))) => v
+            case Some(BoundOperand.BLit(Lit.LitString(v))) => v
+            case _                                         => null
+          }
           val fn = (f, args) match {
             case ("row_number", _)     => row_number()
             case ("rank", _)           => rank()
             case ("dense_rank", _)     => dense_rank()
-            case ("lag", x +: _)       => lag(lowerOperandWith(x, qcol), shiftN)
-            case ("lead", x +: _)      => lead(lowerOperandWith(x, qcol), shiftN)
+            case ("lag", x +: _)       => lag(lowerOperandWith(x, qcol), shiftN, shiftDefault)
+            case ("lead", x +: _)      => lead(lowerOperandWith(x, qcol), shiftN, shiftDefault)
             case ("first_value", Seq(x)) => first(lowerOperandWith(x, qcol))
             case ("last_value", Seq(x))  => last(lowerOperandWith(x, qcol))
             case ("count", Seq())      => count(lit(1))

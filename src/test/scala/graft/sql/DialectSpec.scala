@@ -666,6 +666,14 @@ class DialectSpec extends AnyFunSuite {
       "HAVING count(*) >= (SELECT count(*) FROM people WHERE age >= 20) " +
       "AND count(*) < 99").toOption.get
     assert(mix.collect().toSeq == Seq(Row(1, 2L)))
+    // output aliases resolve in HAVING (DuckDB extension): n is count(*)
+    val byAlias2 = db.select("SELECT owner_id, count(*) AS n FROM cars " +
+      "GROUP BY owner_id HAVING n >= 2 ORDER BY owner_id").toOption.get
+    assert(byAlias2.collect().toSeq == Seq(Row(1, 2L)))
+    // lag with an explicit default replaces the leading NULL
+    val lagDef = db.select("SELECT owner_id, lag(owner_id, 1, -1) OVER " +
+      "(ORDER BY id) AS prev FROM cars ORDER BY id").toOption.get
+    assert(lagDef.collect().map(_.getInt(1)).toSeq == Seq(-1, 1, 2))
     // the runtime one-row guard applies in HAVING too
     intercept[IllegalStateException] {
       db.select("SELECT owner_id, count(*) FROM cars GROUP BY owner_id " +
