@@ -44,6 +44,15 @@ object TimeSeries {
     // so no engine-dependent rounding channel remains anywhere.
     // All outputs are integers (value sum as exact decimal cents) so the
     // cross-engine hash has no float channel at all.
+    //
+    // Rounds 1-4 this was the one hash-red gate cell; a local row-by-row
+    // diff (round 5) showed every VALUE identical and pinned the real
+    // channel: DuckDB's windowed sum() returns HUGEINT, which pandas
+    // narrows to float64, so the oracle's session_id column hashed as
+    // 1.0/2.0/… against Spark's int64 1/2/…. Hence the explicit
+    // cast(session_id AS bigint) in the oracle's outer SELECT — every
+    // aggregate-derived output column must be cast to a concrete width
+    // in BOTH engines, group keys included.
     "q_sessionize" -> QueryDef(
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
@@ -69,7 +78,7 @@ object TimeSeries {
               .as("duration_sec"))
           .orderBy("user_id", "session_id")
       },
-      Some("""SELECT user_id, session_id, cast(count(*) AS bigint) AS n_events,
+      Some("""SELECT user_id, cast(session_id AS bigint) AS session_id, cast(count(*) AS bigint) AS n_events,
              |  cast(round(sum(cast("value" AS DECIMAL(18,6))), 2) * 100 AS bigint) AS total_cents,
              |  cast((max(ts_ms) - min(ts_ms)) // 1000 AS bigint) AS duration_sec
              |FROM (

@@ -35,6 +35,36 @@ def canon(cols, rows):
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     return sorted(cols), sorted(out)
 
+# The driver loads the oracle result via pandas (`.df()`), which narrows
+# DuckDB's widened integer types (HUGEINT from sum(int), UBIGINT, ...) to
+# float64 — so an uncast aggregate hashes as "1.0" against Spark's "1"
+# even though fetchall() (used below for values) keeps exact ints. Guard
+# the channel structurally: the numeric CATEGORY (int vs float) of every
+# oracle column must match Spark's parquet schema. This is exactly the
+# bug that kept q_sessionize red for rounds 1-4 (uncast windowed sum as
+# a group key).
+DUCK_FLOATY = {"FLOAT", "DOUBLE", "HUGEINT", "UHUGEINT", "UBIGINT"}
+DUCK_INTY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"}
+
+def num_category(type_name):
+    t = type_name.upper()
+    if t in DUCK_FLOATY:
+        return "float"
+    if t in DUCK_INTY:
+        return "int"
+    if t.startswith("DECIMAL"):
+        return "float"   # pandas narrows DECIMAL to float64 too
+    return None
+
+def arrow_category(arrow_type):
+    import pyarrow as pa
+    if pa.types.is_integer(arrow_type):
+        return "int"
+    if pa.types.is_floating(arrow_type) or pa.types.is_decimal(arrow_type):
+        return "float"
+    return None
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -43,6 +73,8 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            otypes = {r[0]: r[1]
+                      for r in con.execute(f"DESCRIBE {sql}").fetchall()}
             cur = con.execute(sql)
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
@@ -56,6 +88,17 @@ def main(sf_dir, out_dir):
             srows = [tuple(r[c] for c in scols) for r in tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        cat_bad = []
+        for f in tbl.schema:
+            if f.name in otypes:
+                a, b = arrow_category(f.type), num_category(otypes[f.name])
+                if a is not None and b is not None and a != b:
+                    cat_bad.append(f"{f.name}: spark={f.type} duckdb={otypes[f.name]}")
+        if cat_bad:
+            print(f"FAIL {name}: numeric-category mismatch (driver hashes "
+                  f"int vs float differently): {'; '.join(cat_bad)}")
             n_fail += 1
             continue
         oc, orw = canon(ocols, orows)
