@@ -530,8 +530,15 @@ object Analyzer {
         }
         walk(e)
       }
-      (s.tables ++ s.joinSteps.map(_.table)).map(_.desc.name).toSet ++
-        subs.flatMap(referencedTables)
+      // derived tables (FROM-list subqueries) contribute the tables THEY
+      // read, not their synthetic alias TableDesc — otherwise
+      // INSERT INTO t SELECT * FROM (SELECT * FROM t) d misses the
+      // self-reference and skips the pre-append materialization
+      val derivedNames = s.derived.keysIterator.map(_.toLowerCase).toSet
+      (s.tables ++ s.joinSteps.map(_.table)).map(_.desc.name)
+        .filterNot(n => derivedNames.contains(n.toLowerCase)).toSet ++
+        subs.flatMap(referencedTables) ++
+        s.derived.values.flatMap(referencedTables)
     case u: BoundUnion =>
       referencedTables(u.first) ++ u.rest.flatMap(r => referencedTables(r._2))
     case _ => Set.empty
@@ -991,19 +998,28 @@ object Analyzer {
         acc.flatMap { v =>
           val key: Either[AnalyzerError, BoundGroupKey] = g match {
             case Operand.Col(r) =>
-              val aliased: Option[Either[AnalyzerError, BoundGroupKey]] =
-                if (r.binding.isDefined) None
-                else projItems.collectFirst {
-                  case SelectItem.SExpr(op, a) if a.equalsIgnoreCase(r.name) =>
-                    bindOp(op, allowAgg = false).map(BoundGroupKey.GKExpr(_, a))
-                  case SelectItem.SCol(ref, Some(a)) if a.equalsIgnoreCase(r.name) =>
-                    bindCol(ref).map(c => BoundGroupKey.GKCol(c))
-                  case SelectItem.SAgg(_, _, Some(a), _) if a.equalsIgnoreCase(r.name) =>
-                    Left(BadAggregate(s"cannot GROUP BY the aggregate alias '$a'"))
-                  case SelectItem.SWin(_, _, _, _, a, _) if a.equalsIgnoreCase(r.name) =>
-                    Left(BadAggregate(s"cannot GROUP BY the window alias '$a'"))
-                }
-              aliased.getOrElse(bindCol(r).map(c => BoundGroupKey.GKCol(c)))
+              // SQL/Postgres/Spark precedence: an unqualified GROUP BY
+              // name resolves to an INPUT column first; projection
+              // aliases only catch names that are not table columns
+              // (SELECT substr(c_name,1,2) AS c_name … GROUP BY c_name
+              // groups by the column, not the expression)
+              bindCol(r) match {
+                case Right(c) => Right(BoundGroupKey.GKCol(c))
+                case Left(directErr) =>
+                  val aliased: Option[Either[AnalyzerError, BoundGroupKey]] =
+                    if (r.binding.isDefined) None
+                    else projItems.collectFirst {
+                      case SelectItem.SExpr(op, a) if a.equalsIgnoreCase(r.name) =>
+                        bindOp(op, allowAgg = false).map(BoundGroupKey.GKExpr(_, a))
+                      case SelectItem.SCol(ref, Some(a)) if a.equalsIgnoreCase(r.name) =>
+                        bindCol(ref).map(c => BoundGroupKey.GKCol(c))
+                      case SelectItem.SAgg(_, _, Some(a), _) if a.equalsIgnoreCase(r.name) =>
+                        Left(BadAggregate(s"cannot GROUP BY the aggregate alias '$a'"))
+                      case SelectItem.SWin(_, _, _, _, a, _) if a.equalsIgnoreCase(r.name) =>
+                        Left(BadAggregate(s"cannot GROUP BY the window alias '$a'"))
+                    }
+                  aliased.getOrElse(Left(directErr))
+              }
             case expr =>
               bindOp(expr, allowAgg = false).flatMap { bop =>
                 if (BoundOperand.containsAgg(bop))

@@ -114,7 +114,14 @@ object Lowering {
           }: _*)
         applyOffsetLimit(ordered, q.offset, q.limit)
       } else if (q.orderBy.isEmpty) {
-        applyOffsetLimit(filtered0, q.offset, q.limit).select(outputCols: _*)
+        // window items must evaluate over the FULL row set, so the
+        // projection computes before LIMIT/OFFSET cut it; plain
+        // projections keep limit-first (Catalyst's CollectLimit stops
+        // the scan early, and the select commutes with it)
+        if (q.projection.exists(_.isInstanceOf[BoundItem.BIWin]))
+          applyOffsetLimit(filtered0.select(outputCols: _*), q.offset, q.limit)
+        else
+          applyOffsetLimit(filtered0, q.offset, q.limit).select(outputCols: _*)
       } else {
         // project output + hidden sort columns, sort, limit, drop hidden:
         // output-alias keys sort the projected column; operand keys may

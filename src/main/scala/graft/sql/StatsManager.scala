@@ -199,8 +199,8 @@ final class StatsManager(spark: SparkSession, warehouse: String) {
         spark.read.schema(desc.sparkSchema).parquet(dir)
       else newDf.limit(0)
     val keyed = existing.unionAll(newDf)
-      .withColumn("__k", md5(concat_ws("",
-        desc.attributes.map(a => coalesce(col(a.name).cast("string"), lit(" "))): _*)))
+      .withColumn("__k", md5(concat_ws("\u0001",
+        desc.attributes.map(a => coalesce(col(a.name).cast("string"), lit("\u0000"))): _*)))
       .orderBy("__k")
       .limit(SampleSize)
       .drop("__k")

@@ -552,6 +552,36 @@ class DialectSpec extends AnyFunSuite {
     assert(j.count() == 3)
   }
 
+  test("windows under LIMIT, derived self-reference, GROUP BY column precedence") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    // a window function evaluates over the FULL row set even when the
+    // query carries LIMIT and no ORDER BY (LIMIT must not cut the input
+    // of the window, only the output)
+    val n = db.select("SELECT model, count(*) OVER (PARTITION BY owner_id) AS n " +
+      "FROM cars WHERE owner_id = 1 LIMIT 1").toOption.get
+    assert(n.collect().head.getLong(1) == 2L)
+    // INSERT INTO t … FROM (SELECT … FROM t) d is self-referencing through
+    // the derived table and must materialize before the append
+    db.query("CREATE TABLE names AS SELECT name FROM people")
+      .fold(e => fail(e.msg), identity)
+    db.query("INSERT INTO names SELECT name FROM (SELECT name FROM names) d")
+      .fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT count(*) FROM names").toOption.get
+      .collect().head.getLong(0) == 6)
+    // an unqualified GROUP BY name resolves to the input column, not a
+    // projection alias of the same name (SQL/Postgres/Spark precedence):
+    // 4 distinct names, 3 distinct first letters — the column wins
+    db.query("INSERT INTO people VALUES (4, 'Eve', 44)")
+    val g = db.select("SELECT substr(name, 1, 1) AS name, count(*) AS n " +
+      "FROM people GROUP BY name").toOption.get
+    assert(g.count() == 4)
+    // a non-column name still resolves through the projection alias
+    val a = db.select("SELECT substr(name, 1, 1) AS initial, count(*) AS n " +
+      "FROM people GROUP BY initial ORDER BY initial").toOption.get
+    assert(a.collect().map(_.getString(0)).toSeq == Seq("D", "E", "M"))
+  }
+
   test("LIMIT OFFSET paginates the ordered result") {
     val db = demoDb()
     val p = db.select("SELECT name FROM people ORDER BY id LIMIT 1 OFFSET 1").toOption.get
