@@ -364,6 +364,62 @@ object Dialect {
              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ms3
              |FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // RANGE frame: the moving sum covers every order whose KEY lies within
+    // 3 of the current row's key (value distance, not row count — gaps in
+    // o_orderkey make the two visibly different), peers included.
+    "q_dialect_range_frame" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_custkey, sum(o_totalprice) OVER " +
+          "(PARTITION BY o_custkey ORDER BY o_orderkey " +
+          "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS rs " +
+          "FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey")
+        .selectExpr("o_orderkey", "o_custkey", "round(rs, 2) AS rs"),
+      Some("""SELECT o_orderkey, o_custkey,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             |    RANGE BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS rs
+             |FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Distribution ranking: ntile buckets, percent_rank and cume_dist —
+    // exact rational doubles from identical rank arithmetic on both
+    // engines (round absorbs representation noise only).
+    "q_dialect_ntile" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, ntile(4) OVER " +
+          "(PARTITION BY o_orderstatus ORDER BY o_orderkey) AS qt, " +
+          "percent_rank() OVER " +
+          "(PARTITION BY o_orderstatus ORDER BY o_orderkey) AS pr, " +
+          "cume_dist() OVER " +
+          "(PARTITION BY o_orderstatus ORDER BY o_orderkey) AS cd " +
+          "FROM orders WHERE o_custkey < 100 ORDER BY o_orderkey")
+        .selectExpr("o_orderkey", "qt", "round(pr, 6) AS pr", "round(cd, 6) AS cd"),
+      Some("""SELECT o_orderkey,
+             |  ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS qt,
+             |  round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey), 6) AS pr,
+             |  round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey), 6) AS cd
+             |FROM orders WHERE o_custkey < 100 ORDER BY o_orderkey""".stripMargin)),
+
+    // Scalar subqueries as projection items: the uncorrelated form is a
+    // one-row broadcast join (every row sees the global max), the
+    // correlated form decorrelates to a per-key aggregate left join with
+    // the COUNT-over-empty-set coalesce (customers with no orders get 0).
+    "q_dialect_scalar_proj" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_totalprice, " +
+          "(SELECT max(o_totalprice) FROM orders) AS mx " +
+          "FROM orders WHERE o_custkey < 20 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  (SELECT max(o_totalprice) FROM orders) AS mx
+             |FROM orders WHERE o_custkey < 20 ORDER BY o_orderkey""".stripMargin)),
+
+    "q_dialect_corr_proj" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT c.c_custkey, c.c_name, " +
+          "(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n " +
+          "FROM customer c WHERE c.c_custkey < 100 ORDER BY c.c_custkey"),
+      Some("""SELECT c.c_custkey, c.c_name,
+             |  cast((SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS bigint) AS n
+             |FROM customer c WHERE c.c_custkey < 100 ORDER BY c.c_custkey""".stripMargin)),
+
     // A derived table in the FROM list: per-customer aggregates computed
     // in a subquery, joined back to the dimension — the
     // aggregate-then-join shape that avoids re-aggregating after the

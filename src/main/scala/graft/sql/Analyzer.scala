@@ -176,13 +176,19 @@ object Analyzer {
         alias: Option[String] = None, distinct: Boolean = false) extends BoundItem
     /** Computed projection (arithmetic), named by its mandatory alias. */
     final case class BIExpr(op: BoundOperand, alias: String) extends BoundItem
+    /** Scalar subquery projection item. `pairs` = decorrelated equality
+      * keys (outer col, inner col) — empty for the uncorrelated form;
+      * `guard` = the one-row contract needs a runtime probe.
+      */
+    final case class BISub(sub: BoundSelect, alias: String,
+        guard: Boolean, pairs: Seq[(BoundCol, BoundCol)]) extends BoundItem
     /** Window item: ranking function, lag/lead, or windowed aggregate
       * over a partition/order spec, named by its mandatory alias.
       * Row-level — does NOT make the query aggregate-scoped.
       */
     final case class BIWin(func: String, args: Seq[BoundOperand],
         partitionBy: Seq[BoundCol], orderBy: Seq[(BoundOperand, Boolean)],
-        alias: String, frame: Option[(Long, Long)] = None) extends BoundItem
+        alias: String, frame: Option[WinFrame] = None) extends BoundItem
   }
 
   /** All columns referenced by an operand tree (aggregate arguments are
@@ -267,6 +273,10 @@ object Analyzer {
         case BoundItem.BIWin(_, args, parts, ord, _, _) =>
           args.flatMap(operandColsDeep) ++ parts ++
             ord.flatMap(o => operandColsDeep(o._1))
+        // a scalar item's own correlation keys: if any points past THIS
+        // subquery's scope, the outer-col check below rejects (depth-2
+        // correlation through a projection item is not decorrelated)
+        case BoundItem.BISub(_, _, _, ipairs) => ipairs.map(_._1)
       } ++ sub.groupBy.flatMap {
         case BoundGroupKey.GKCol(c)      => Seq(c)
         case BoundGroupKey.GKExpr(op, _) => operandColsDeep(op)
@@ -329,7 +339,7 @@ object Analyzer {
               val inVal = isub.projection.head match {
                 case BoundItem.BICol(ic, _)   => BoundOperand.BCol(ic)
                 case BoundItem.BIExpr(op2, _) => op2
-                case _: BoundItem.BIAgg | _: BoundItem.BIWin =>
+                case _: BoundItem.BIAgg | _: BoundItem.BIWin | _: BoundItem.BISub =>
                   return Left(BadSubquery(
                     "a nested IN subquery correlated to a deeper scope must not aggregate or window"))
               }
@@ -489,10 +499,12 @@ object Analyzer {
           Left(BadSubquery(s"derived-table column $f(…) needs an AS name"))
         case BoundItem.BIWin(f, args, _, _, a, _) =>
           Right((a, f match {
-            case "row_number" | "rank" | "dense_rank" => SqlType.SqlInt
+            case "row_number" | "rank" | "dense_rank" | "ntile" => SqlType.SqlInt
+            case "percent_rank" | "cume_dist" => SqlType.SqlDouble
             case "lag" | "lead" | "first_value" | "last_value" => operandType(args.head)
             case other          => aggType(other, args.headOption)
           }))
+        case BoundItem.BISub(sub, a, _, _) => Right((a, scalarOutputType(sub)))
       }
       named match {
         case Left(e) => return Left(e)
@@ -503,6 +515,22 @@ object Analyzer {
       }
     }
     Right(attrs.result())
+  }
+
+  /** The type of a one-column subquery's output (scalar subquery items
+    * and derived typing).
+    */
+  private def scalarOutputType(sub: BoundSelect): SqlType = sub.projection.head match {
+    case BoundItem.BICol(c, _)         => c.attr.sqlType
+    case BoundItem.BIExpr(op, _)       => operandType(op)
+    case BoundItem.BIAgg(f, arg, _, _) => aggType(f, arg)
+    case BoundItem.BIWin(f, args, _, _, _, _) => f match {
+      case "row_number" | "rank" | "dense_rank" | "ntile" => SqlType.SqlInt
+      case "percent_rank" | "cume_dist" => SqlType.SqlDouble
+      case "lag" | "lead" | "first_value" | "last_value" => operandType(args.head)
+      case other => aggType(other, args.headOption)
+    }
+    case BoundItem.BISub(inner, _, _, _) => scalarOutputType(inner)
   }
 
   /** Every table name a bound query reads (FROM groups, join steps,
@@ -534,10 +562,12 @@ object Analyzer {
       // read, not their synthetic alias TableDesc — otherwise
       // INSERT INTO t SELECT * FROM (SELECT * FROM t) d misses the
       // self-reference and skips the pre-append materialization
+      val projSubs = s.projection.collect {
+        case BoundItem.BISub(sub, _, _, _) => sub }
       val derivedNames = s.derived.keysIterator.map(_.toLowerCase).toSet
       (s.tables ++ s.joinSteps.map(_.table)).map(_.desc.name)
         .filterNot(n => derivedNames.contains(n.toLowerCase)).toSet ++
-        subs.flatMap(referencedTables) ++
+        (subs ++ projSubs).flatMap(referencedTables) ++
         s.derived.values.flatMap(referencedTables)
     case u: BoundUnion =>
       referencedTables(u.first) ++ u.rest.flatMap(r => referencedTables(r._2))
@@ -918,14 +948,20 @@ object Analyzer {
         // then makes the query aggregate-scoped (count(*) * 2 AS n2)
         bindOp(op, allowAgg = true).map(BoundItem.BIExpr(_, a))
       case SelectItem.SWin(f, args, parts, ord, a, frame) =>
-        val ranking = Set("row_number", "rank", "dense_rank")(f)
+        val ranking = Set("row_number", "rank", "dense_rank",
+          "ntile", "percent_rank", "cume_dist")(f)
         val shifting = f == "lag" || f == "lead"
         val positional = f == "first_value" || f == "last_value"
         for {
           _ <-
             if ((ranking || shifting) && ord.isEmpty)
               Left(BadFunction(s"$f requires ORDER BY in its OVER clause"))
-            else if (ranking && args.nonEmpty)
+            else if (f == "ntile" && !(args.length == 1 && (args.head match {
+              case Operand.Literal(Lit.LitLong(n)) => n > 0
+              case _ => false
+            })))
+              Left(BadFunction("ntile takes one positive integer literal"))
+            else if (ranking && f != "ntile" && args.nonEmpty)
               Left(BadFunction(s"$f() takes no arguments"))
             else if (shifting && (args.isEmpty || args.length > 3))
               Left(BadFunction(s"$f takes a value, an optional offset and an optional default"))
@@ -942,15 +978,19 @@ object Analyzer {
               Left(BadFunction(s"windowed $f requires an argument"))
             else if (!ranking && !shifting && !positional && args.length > 1)
               Left(BadFunction(s"windowed $f takes one argument"))
-            // an explicit ROWS frame needs an order, and only makes sense
+            // an explicit frame needs an order, and only makes sense
             // for aggregates and first/last_value (SQL ignores it for
             // ranking and shift functions — reject rather than ignore)
             else if (frame.isDefined && (ranking || shifting))
-              Left(BadFunction(s"$f does not take a ROWS frame"))
+              Left(BadFunction(s"$f does not take a window frame"))
             else if (frame.isDefined && ord.isEmpty)
-              Left(BadFunction("a ROWS frame requires ORDER BY in the OVER clause"))
-            else if (frame.exists { case (lo, hi) => lo > hi })
-              Left(BadFunction("ROWS frame lower bound exceeds upper bound"))
+              Left(BadFunction("a window frame requires ORDER BY in the OVER clause"))
+            else if (frame.exists(fr => fr.lo > fr.hi))
+              Left(BadFunction("window frame lower bound exceeds upper bound"))
+            // a RANGE frame measures VALUE distance along the sort key, so
+            // exactly one key (Spark's rangeBetween has the same rule)
+            else if (frame.exists(_.range) && ord.length != 1)
+              Left(BadFunction("a RANGE frame requires exactly one ORDER BY key"))
             else Right(())
           bargs <- args.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](
             Right(Vector.empty)) { (acc, x) =>
@@ -963,6 +1003,32 @@ object Analyzer {
             acc.flatMap(v => bindOp(o, allowAgg = false).map(b => v :+ (b -> desc)))
           }
         } yield BoundItem.BIWin(f, bargs, bparts, bord, a, frame)
+      case SelectItem.SSub(subTree, a) =>
+        // same contract as a WHERE-scope scalar subquery: one column; a
+        // correlated form must be a group-less aggregate (one row per key
+        // by construction); otherwise the one-row contract is static for
+        // LIMIT ≤ 1 / group-less aggregates and runtime-guarded elsewhere
+        for {
+          bsub0 <- analyzeSelect(subTree, cat, outerScope = tables ++ outerScope)
+          _ <-
+            if (bsub0.projection.length == 1) Right(())
+            else Left(BadSubquery(
+              s"scalar subquery must project exactly one column, got ${bsub0.projection.length}"))
+          dp <- decorrelate(bsub0, allowAggregate = true)
+          (bsub, pairs) = dp
+          _ <-
+            if (pairs.isEmpty) Right(())
+            else if (!bsub.isAggregate || bsub.groupBy.nonEmpty)
+              Left(BadSubquery(
+                "a correlated scalar subquery must be a group-less aggregate"))
+            else bsub.projection.head match {
+              case _: BoundItem.BIAgg => Right(())
+              case _ => Left(BadSubquery(
+                "a correlated scalar subquery must project a single aggregate call"))
+            }
+          staticOne = pairs.nonEmpty ||
+            (bsub.isAggregate && bsub.groupBy.isEmpty) || bsub.limit.exists(_ <= 1L)
+        } yield BoundItem.BISub(bsub, a, guard = !staticOne, pairs)
     }
 
     for {
@@ -1051,6 +1117,9 @@ object Analyzer {
         else if (proj.exists(_.isInstanceOf[BoundItem.BIWin]))
           Left(BadAggregate(
             "window functions over an aggregated query are not supported"))
+        else if (proj.exists(_.isInstanceOf[BoundItem.BISub]))
+          Left(BadSubquery(
+            "scalar subquery items over an aggregated query are not supported"))
         else {
           def grouped(c: BoundCol) = groupCols.exists(g =>
             g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))
@@ -1074,6 +1143,7 @@ object Analyzer {
           case SelectItem.SAgg(_, _, Some(a), _) => a
           case SelectItem.SExpr(_, a)         => a
           case SelectItem.SWin(_, _, _, _, a, _) => a
+          case SelectItem.SSub(_, a)          => a
         }
         s.orderBy.foldLeft[Either[AnalyzerError, Vector[(BoundOrderKey, Boolean)]]](
           Right(Vector.empty)) { case (acc, (opnd, desc)) =>

@@ -97,16 +97,28 @@ object Ast {
       * computed column needs a name.
       */
     final case class SExpr(op: Operand, alias: String) extends SelectItem
-    /** Window item: row_number/rank/dense_rank, lag/lead, first/last
-      * value, or a windowed aggregate — `<fn>(args…) OVER (PARTITION BY …
-      * ORDER BY … [ROWS BETWEEN … AND …]) AS a`. The frame bounds use
-      * Spark's row-offset encoding (Long.MinValue = UNBOUNDED PRECEDING,
-      * 0 = CURRENT ROW, Long.MaxValue = UNBOUNDED FOLLOWING).
+    /** A scalar subquery as a projection item — `(SELECT …) AS a`. One
+      * column, at most one row (enforced statically for group-less
+      * aggregates / LIMIT 1, by a runtime guard otherwise); correlated
+      * aggregate forms decorrelate like WHERE-scope scalar subqueries.
+      */
+    final case class SSub(sub: SelectTree, alias: String) extends SelectItem
+    /** Window item: row_number/rank/dense_rank, ntile/percent_rank/
+      * cume_dist, lag/lead, first/last value, or a windowed aggregate —
+      * `<fn>(args…) OVER (PARTITION BY … ORDER BY …
+      * [ROWS|RANGE BETWEEN … AND …]) AS a`.
       */
     final case class SWin(func: String, args: Seq[Operand],
         partitionBy: Seq[ColRef], orderBy: Seq[(Operand, Boolean)],
-        alias: String, frame: Option[(Long, Long)] = None) extends SelectItem
+        alias: String, frame: Option[WinFrame] = None) extends SelectItem
   }
+
+  /** Window frame bounds in Spark's offset encoding (Long.MinValue =
+    * UNBOUNDED PRECEDING, 0 = CURRENT ROW, Long.MaxValue = UNBOUNDED
+    * FOLLOWING). `range = true` is a RANGE frame: offsets are VALUE
+    * distances along the (single) ORDER BY key instead of row counts.
+    */
+  final case class WinFrame(range: Boolean, lo: Long, hi: Long)
 
   /** A join step applied (in declaration order) after the leading
     * inner-join FROM group: LEFT/RIGHT/FULL [OUTER] JOIN, or an INNER

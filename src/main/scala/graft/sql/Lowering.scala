@@ -49,10 +49,39 @@ object Lowering {
 
     if (!q.isAggregate) {
       val namedCols = q.projection.collect { case BoundItem.BICol(bc, a) => (bc, a) }
-      def outputCols: Seq[Column] = q.projection.collect {
-        case BoundItem.BICol(bc, a)  => qcol(bc).as(outName(bc, a))
-        case BoundItem.BIExpr(op, a) => lowerOperandWith(op, qcol).as(a)
-        case BoundItem.BIWin(f, args, parts, ord, a, frame) =>
+      // scalar subquery items attach their value to the relational core
+      // BEFORE projection: uncorrelated = one-row broadcast left join on
+      // TRUE (an empty subquery yields SQL NULL, never zero rows);
+      // correlated = the decorrelated per-key aggregate left-joined on
+      // its keys, with the COUNT-over-empty-set coalesce
+      val subScalars: Map[Int, Column] = Map.empty
+      val (base, scalarCol) = q.projection.zipWithIndex.foldLeft(
+          (filtered0, subScalars)) {
+        case ((df, m), (BoundItem.BISub(sub, _, guard, pairs), i)) =>
+          val name = s"__ps_$i"
+          if (pairs.isEmpty) {
+            val subDf0 = lowerSelect(spark, sub, source)
+            if (guard) {
+              val n = subDf0.limit(2).count()
+              if (n > 1) throw new IllegalStateException(
+                "scalar subquery returned more than one row")
+            }
+            (df.join(broadcast(subDf0.toDF(name)), lit(true), "left_outer"),
+              m + (i -> col(name)))
+          } else {
+            val (subAgg, keyCond, scalar) =
+              correlatedScalarAgg(spark, sub, pairs, source, name, s"__ps${i}_c")
+            (df.join(subAgg, keyCond(qcol), "left_outer"), m + (i -> scalar))
+          }
+        case ((df, m), _) => (df, m)
+      }
+      def outputCols: Seq[Column] = q.projection.zipWithIndex.map {
+        case (BoundItem.BISub(_, a, _, _), i) => scalarCol(i).as(a)
+        case (BoundItem.BICol(bc, a), _)  => qcol(bc).as(outName(bc, a))
+        case (BoundItem.BIExpr(op, a), _) => lowerOperandWith(op, qcol).as(a)
+        case (_: BoundItem.BIAgg, _) =>
+          sys.error("unreachable: aggregate items take the aggregate branch")
+        case (BoundItem.BIWin(f, args, parts, ord, a, frame), _) =>
           // one shuffle on the partition keys; ordered windows keep
           // Spark's default running frame (SQL's RANGE UNBOUNDED
           // PRECEDING), unordered ones span the whole partition
@@ -64,9 +93,12 @@ object Lowering {
               val c = lowerOperandWith(op, qcol)
               if (desc) c.desc else c.asc
             }: _*)
-          // explicit ROWS frame (moving windows); otherwise the SQL
+          // explicit ROWS/RANGE frame (moving windows); otherwise the SQL
           // default frame applies
-          val w = frame.fold(w1) { case (lo, hi) => w1.rowsBetween(lo, hi) }
+          val w = frame.fold(w1) { fr =>
+            if (fr.range) w1.rangeBetween(fr.lo, fr.hi)
+            else w1.rowsBetween(fr.lo, fr.hi)
+          }
           def shiftN: Int = args.lift(1) match {
             case Some(BoundOperand.BLit(Lit.LitLong(n))) => n.toInt
             case _                                       => 1
@@ -81,6 +113,9 @@ object Lowering {
             case ("row_number", _)     => row_number()
             case ("rank", _)           => rank()
             case ("dense_rank", _)     => dense_rank()
+            case ("percent_rank", _)   => percent_rank()
+            case ("cume_dist", _)      => cume_dist()
+            case ("ntile", Seq(BoundOperand.BLit(Lit.LitLong(n)))) => ntile(n.toInt)
             case ("lag", x +: _)       => lag(lowerOperandWith(x, qcol), shiftN, shiftDefault)
             case ("lead", x +: _)      => lead(lowerOperandWith(x, qcol), shiftN, shiftDefault)
             case ("first_value", Seq(x)) => first(lowerOperandWith(x, qcol))
@@ -99,7 +134,7 @@ object Lowering {
         // DISTINCT applies to the PROJECTED rows, so evaluation reorders:
         // project → distinct → sort on output names (the analyzer already
         // required sort keys to be projected or output aliases) → limit
-        val projected = filtered0.select(outputCols: _*).distinct()
+        val projected = base.select(outputCols: _*).distinct()
         val ordered = if (q.orderBy.isEmpty) projected else projected.orderBy(
           q.orderBy.map {
             case (BoundOrderKey.OKOutput(n), desc) =>
@@ -119,9 +154,9 @@ object Lowering {
         // projections keep limit-first (Catalyst's CollectLimit stops
         // the scan early, and the select commutes with it)
         if (q.projection.exists(_.isInstanceOf[BoundItem.BIWin]))
-          applyOffsetLimit(filtered0.select(outputCols: _*), q.offset, q.limit)
+          applyOffsetLimit(base.select(outputCols: _*), q.offset, q.limit)
         else
-          applyOffsetLimit(filtered0, q.offset, q.limit).select(outputCols: _*)
+          applyOffsetLimit(base, q.offset, q.limit).select(outputCols: _*)
       } else {
         // project output + hidden sort columns, sort, limit, drop hidden:
         // output-alias keys sort the projected column; operand keys may
@@ -132,7 +167,7 @@ object Lowering {
           case ((BoundOrderKey.OKOperand(op), _), i) =>
             s"__sort_$i" -> lowerOperandWith(op, qcol)
         }
-        val projected = filtered0.select(
+        val projected = base.select(
           outputCols ++ hidden.map { case (n, c) => c.as(n) }: _*)
         val sortCols = q.orderBy.zipWithIndex.map { case ((k, desc), i) =>
           val c = k match {
@@ -318,6 +353,45 @@ object Lowering {
     }
   }
 
+  /** Correlated scalar aggregate: GROUP BY the decorrelated keys — one row
+    * per key by construction. Callers LEFT-join the frame, not inner:
+    * for an outer row with no matching key the scalar is SQL-NULL —
+    * EXCEPT count(), whose value over an empty correlated set is 0, which
+    * only an outer join with a coalesce can reproduce (the classic COUNT
+    * decorrelation trap). Returns (per-key frame, join condition builder
+    * over the caller's outer-column resolver, the scalar value column).
+    */
+  private def correlatedScalarAgg(spark: SparkSession, sub: BoundSelect,
+      pairs: Seq[(BoundCol, BoundCol)], source: BoundTable => DataFrame,
+      scalarName: String, keyPrefix: String)
+      : (DataFrame, (BoundCol => Column) => Column, Column) = {
+    def qcolOf(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
+    val core = combine(spark, sub, source, Set.empty, None)
+    val (aggC, isCount) = sub.projection.head match {
+      case BoundItem.BIAgg(f, arg, _, dist) => ((f, arg) match {
+        case ("count", None)            => count(lit(1))
+        case ("count", Some(a)) if dist => count_distinct(lowerOperandWith(a, qcolOf))
+        case ("count", Some(a))         => count(lowerOperandWith(a, qcolOf))
+        case ("sum", Some(a)) if dist   => sum_distinct(lowerOperandWith(a, qcolOf))
+        case ("sum", Some(a))           => sum(lowerOperandWith(a, qcolOf))
+        case ("min", Some(a))           => min(lowerOperandWith(a, qcolOf))
+        case ("max", Some(a))           => max(lowerOperandWith(a, qcolOf))
+        case ("avg", Some(a))           => avg(lowerOperandWith(a, qcolOf))
+        case other                      => sys.error(s"unreachable aggregate $other")
+      }, f == "count")
+      case _ => sys.error("unreachable: analyzer requires a single aggregate call")
+    }
+    val keyCols = pairs.zipWithIndex.map { case ((_, ic), k) =>
+      qcolOf(ic).as(s"$keyPrefix$k") }
+    val subAgg = core.groupBy(keyCols: _*).agg(aggC.as(scalarName))
+    val keyCond = (outer: BoundCol => Column) => pairs.zipWithIndex
+      .map { case ((oc, _), k) => outer(oc) === subAgg(s"$keyPrefix$k") }
+      .reduce(_ && _)
+    val scalar =
+      if (isCount) coalesce(subAgg(scalarName), lit(0L)) else subAgg(scalarName)
+    (subAgg, keyCond, scalar)
+  }
+
   /** The relational core of a SELECT: inner-join group (stats-ordered when
     * a plan is given), WHERE conjuncts, outer-join steps, then subquery
     * conjuncts as semi/anti/broadcast joins. Everything before
@@ -493,36 +567,9 @@ object Lowering {
           df.join(broadcast(subDf), cmpCond(lowerOperand(o), col(scalarName)), "inner")
             .drop(scalarName)
         } else {
-          // correlated aggregate: GROUP BY the decorrelated keys — one row
-          // per key by construction. LEFT join + post-filter, not inner:
-          // for an outer row with no matching key the scalar is SQL-NULL
-          // (comparison drops the row) — EXCEPT count(), whose value over
-          // an empty correlated set is 0, which only an outer join with a
-          // coalesce can reproduce (the classic COUNT decorrelation trap).
-          val core = combine(spark, sub, source, Set.empty, None)
-          val (aggC, isCount) = sub.projection.head match {
-            case BoundItem.BIAgg(f, arg, _, dist) => ((f, arg) match {
-              case ("count", None)            => count(lit(1))
-              case ("count", Some(a)) if dist => count_distinct(lowerOperandWith(a, qcolOf))
-              case ("count", Some(a))         => count(lowerOperandWith(a, qcolOf))
-              case ("sum", Some(a)) if dist   => sum_distinct(lowerOperandWith(a, qcolOf))
-              case ("sum", Some(a))           => sum(lowerOperandWith(a, qcolOf))
-              case ("min", Some(a))           => min(lowerOperandWith(a, qcolOf))
-              case ("max", Some(a))           => max(lowerOperandWith(a, qcolOf))
-              case ("avg", Some(a))           => avg(lowerOperandWith(a, qcolOf))
-              case other                      => sys.error(s"unreachable aggregate $other")
-            }, f == "count")
-            case _ => sys.error("unreachable: analyzer requires a single aggregate call")
-          }
-          val keyCols = pairs.zipWithIndex.map { case ((_, ic), k) =>
-            qcolOf(ic).as(s"__c$k") }
-          val subAgg = core.groupBy(keyCols: _*).agg(aggC.as(scalarName))
-          val keyCond = pairs.zipWithIndex
-            .map { case ((oc, _), k) => qcolOf(oc) === subAgg(s"__c$k") }
-            .reduce(_ && _)
-          val scalar =
-            if (isCount) coalesce(subAgg(scalarName), lit(0L)) else subAgg(scalarName)
-          df.join(subAgg, keyCond, "left_outer")
+          val (subAgg, keyCond, scalar) =
+            correlatedScalarAgg(spark, sub, pairs, source, scalarName, "__c")
+          df.join(subAgg, keyCond(qcolOf), "left_outer")
             .filter(cmpCond(lowerOperand(o), scalar))
             .drop(scalarName +: pairs.indices.map(k => s"__c$k"): _*)
         }

@@ -109,7 +109,7 @@ object Parser {
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg")
   private val winFuncs = Set("row_number", "rank", "dense_rank", "lag", "lead",
-    "first_value", "last_value")
+    "first_value", "last_value", "ntile", "percent_rank", "cume_dist")
   private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",
     "round", "substr", "substring", "coalesce", "concat",
     "year", "month", "day")
@@ -216,7 +216,7 @@ object Parser {
           }
           // OVER (PARTITION BY cols ORDER BY operands [ROWS BETWEEN …])
           def overSpec(): Either[ParseError,
-              (Vector[ColRef], Vector[(Operand, Boolean)], Option[(Long, Long)])] =
+              (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame])] =
             for {
               _ <- p.eatSym("(")
               parts <-
@@ -254,15 +254,16 @@ object Parser {
                   }
                 } else Right(Vector.empty[(Operand, Boolean)])
               frame <-
-                if (p.isKw("rows")) {
+                if (p.isKw("rows") || p.isKw("range")) {
+                  val isRange = p.isKw("range")
                   p.next()
                   for {
                     _ <- p.eatKw("between")
                     lo <- frameBound()
                     _ <- p.eatKw("and")
                     hi <- frameBound()
-                  } yield Some((lo, hi))
-                } else Right(None: Option[(Long, Long)])
+                  } yield Some(WinFrame(isRange, lo, hi))
+                } else Right(None: Option[WinFrame])
               _ <- p.eatSym(")")
             } yield (parts, ord, frame)
           def winItem(fn: String, args: Seq[Operand],
@@ -282,6 +283,20 @@ object Parser {
             // ranking function or aggregate followed by OVER is a window
             val start = p.peek.pos
             p.peek match {
+              // `(SELECT …) AS a` — a scalar subquery item; a bare `(`
+              // not followed by SELECT stays a parenthesized operand
+              case TSym("(", _) if {
+                val save = p.i; p.next(); val r = p.isKw("select"); p.i = save; r
+              } =>
+                for {
+                  _ <- p.eatSym("(")
+                  sub <- parseSelect(p)
+                  _ <- p.eatSym(")")
+                  _ <-
+                    if (p.isKw("as")) { p.next(); Right(()) }
+                    else Left(ParseError("a scalar subquery item requires AS <name>", start))
+                  a <- p.ident()
+                } yield SelectItem.SSub(sub, a)
               case TIdent(f, _) if winFuncs(f.toLowerCase) =>
                 p.next()
                 for {

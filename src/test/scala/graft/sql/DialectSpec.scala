@@ -552,6 +552,72 @@ class DialectSpec extends AnyFunSuite {
     assert(j.count() == 3)
   }
 
+  test("scalar subqueries as projection items") {
+    val db = demoDb()
+    // uncorrelated: every row sees the one global value
+    val u = db.select("SELECT name, (SELECT max(age) FROM people) AS mx " +
+      "FROM people ORDER BY id").toOption.get
+    assert(u.collect().map(_.getInt(1)).toSeq == Seq(30, 30, 30))
+    // correlated count: people with no cars get 0, not NULL
+    val c = db.select("SELECT p.name, (SELECT count(*) FROM cars c " +
+      "WHERE c.owner_id = p.id) AS n FROM people p ORDER BY p.id").toOption.get
+    assert(c.collect().map(_.getLong(1)).toSeq == Seq(1L, 1L, 0L))
+    // correlated min over an empty set is SQL NULL
+    val m = db.select("SELECT p.name, (SELECT min(c.id) FROM cars c " +
+      "WHERE c.owner_id = p.id) AS mid FROM people p ORDER BY p.id").toOption.get
+    assert(m.collect().map(r => if (r.isNullAt(1)) -1 else r.getInt(1)).toSeq ==
+      Seq(1, 2, -1))
+    // an empty uncorrelated subquery yields NULL, never zero rows
+    val e = db.select("SELECT name, (SELECT age FROM people WHERE id = 99 " +
+      "LIMIT 1) AS ghost FROM people ORDER BY id").toOption.get
+    assert(e.count() == 3 && e.collect().forall(_.isNullAt(1)))
+    // the alias sorts as an output key
+    val srt = db.select("SELECT p.name, (SELECT count(*) FROM cars c " +
+      "WHERE c.owner_id = p.id) AS n FROM people p ORDER BY n DESC, p.id LIMIT 1")
+      .toOption.get
+    assert(srt.collect().head.getString(0) == "Elon")
+    // a multi-row scalar subquery without LIMIT fails the runtime guard
+    // (probed at lowering, like the WHERE-scope scalar guard)
+    assert(try {
+      db.select("SELECT name, (SELECT age FROM people) AS a FROM people")
+      false
+    } catch { case _: IllegalStateException => true })
+    // rejected: scalar items over an aggregated query; two columns
+    assert(db.query("SELECT count(*), (SELECT max(age) FROM people) AS m " +
+      "FROM people").isLeft)
+    assert(db.query("SELECT (SELECT id, age FROM people LIMIT 1) AS x " +
+      "FROM people").isLeft)
+  }
+
+  test("RANGE frames and distribution ranking (ntile / percent_rank / cume_dist)") {
+    val db = demoDb()
+    // people ids 1,2,3: RANGE 1 PRECEDING sums value-adjacent ids —
+    // distinct from ROWS when keys have gaps
+    db.query("INSERT INTO people VALUES (7, 'Einstein', 70)")
+    val r = db.select("SELECT id, sum(id) OVER (ORDER BY id " +
+      "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s " +
+      "FROM people ORDER BY id").toOption.get
+    // id 7 is value-isolated: its RANGE frame holds only itself (a ROWS
+    // frame would have summed 3+7)
+    assert(r.collect().map(_.getLong(1)).toSeq == Seq(1L, 3L, 5L, 7L))
+    val nt = db.select("SELECT id, ntile(2) OVER (ORDER BY id) AS b, " +
+      "percent_rank() OVER (ORDER BY id) AS pr, " +
+      "cume_dist() OVER (ORDER BY id) AS cd FROM people ORDER BY id").toOption.get
+    val rows = nt.collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(1, 1, 2, 2))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(0.0, 1.0 / 3, 2.0 / 3, 1.0))
+    assert(rows.map(_.getDouble(3)).toSeq == Seq(0.25, 0.5, 0.75, 1.0))
+    // RANGE frames need exactly one ORDER BY key; ntile needs a positive
+    // integer literal; ranking functions reject frames
+    assert(db.query("SELECT sum(id) OVER (ORDER BY id, age " +
+      "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM people").isLeft)
+    assert(db.query("SELECT ntile(0) OVER (ORDER BY id) AS b FROM people").isLeft)
+    assert(db.query("SELECT ntile(id) OVER (ORDER BY id) AS b FROM people").isLeft)
+    assert(db.query("SELECT percent_rank() OVER (PARTITION BY age) AS p FROM people").isLeft)
+    assert(db.query("SELECT rank() OVER (ORDER BY id " +
+      "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS r FROM people").isLeft)
+  }
+
   test("windows under LIMIT, derived self-reference, GROUP BY column precedence") {
     val db = demoDb()
     db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
