@@ -437,6 +437,42 @@ object Dialect {
              |   FROM orders GROUP BY o_custkey) t ON c.c_custkey = t.o_custkey
              |WHERE t.n > 12 ORDER BY c.c_custkey""".stripMargin)),
 
+    // A derived table on the RIGHT side of an outer-join step: the
+    // per-nation aggregate computes in the subquery, then LEFT-joins the
+    // dimension so nations with no qualifying customers null-extend —
+    // aggregate-before-outer-join, which no WHERE-desugar can express.
+    "q_dialect_derived_step" -> QueryDef(
+      (s, d) => run(db(s, d, "nation", "customer"),
+        "SELECT n_nationkey, n_name, t.n FROM nation n LEFT JOIN " +
+          "(SELECT c_nationkey, count(*) AS n FROM customer WHERE c_acctbal > 9000 " +
+          "GROUP BY c_nationkey) t ON n.n_nationkey = t.c_nationkey " +
+          "ORDER BY n_nationkey"),
+      Some("""SELECT n_nationkey, n_name, cast(t.n AS bigint) AS n
+             |FROM nation n LEFT JOIN
+             |  (SELECT c_nationkey, count(*) AS n FROM customer WHERE c_acctbal > 9000
+             |   GROUP BY c_nationkey) t ON n.n_nationkey = t.c_nationkey
+             |ORDER BY n_nationkey""".stripMargin)),
+
+    // Common table expressions: the second CTE references the first, the
+    // main query joins a CTE against a base table — desugared at parse
+    // time onto derived tables, so the per-customer aggregate still
+    // computes once, pre-join, and Catalyst sees one plan.
+    "q_dialect_cte" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer"),
+        "WITH big AS (SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS tp " +
+          "FROM orders GROUP BY o_custkey), " +
+          "hi AS (SELECT o_custkey, n FROM big WHERE n > 12) " +
+          "SELECT c.c_mktsegment, count(*) AS nc, sum(h.n) AS total_orders " +
+          "FROM hi h JOIN customer c ON h.o_custkey = c.c_custkey " +
+          "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"),
+      Some("""WITH big AS (SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS tp
+             |  FROM orders GROUP BY o_custkey),
+             |hi AS (SELECT o_custkey, n FROM big WHERE n > 12)
+             |SELECT c.c_mktsegment, cast(count(*) AS bigint) AS nc,
+             |  cast(sum(h.n) AS bigint) AS total_orders
+             |FROM hi h JOIN customer c ON h.o_custkey = c.c_custkey
+             |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)),
+
     // GROUP BY a computed expression via its output alias — the
     // year/month reporting rollup every warehouse query starts from.
     // The grouped expression computes once, pre-shuffle, and the key

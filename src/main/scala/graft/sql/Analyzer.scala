@@ -693,24 +693,28 @@ object Analyzer {
           if (bound.contains(b)) Some(DuplicateBinding(b))
           else { bound(b) = BoundTable(desc, b); None }
       }
-    for (fi <- s.from) fi match {
-      case FTable(tr) => addTable(tr).foreach(e => return Left(e))
+    def addFrom(fi: FromItem): Option[AnalyzerError] = fi match {
+      case FTable(tr) => addTable(tr)
       case FDerived(sel, alias) =>
         analyzeSelect(sel, cat) match {
-          case Left(e) => return Left(e)
+          case Left(e) => Some(e)
           case Right(bsub) =>
             derivedAttributes(bsub) match {
-              case Left(e) => return Left(e)
+              case Left(e) => Some(e)
               case Right(attrs) =>
                 val b = alias.toLowerCase
-                if (bound.contains(b)) return Left(DuplicateBinding(b))
-                bound(b) = BoundTable(TableDesc(b, attrs), b)
-                derivedSubs(b) = bsub
+                if (bound.contains(b)) Some(DuplicateBinding(b))
+                else {
+                  bound(b) = BoundTable(TableDesc(b, attrs), b)
+                  derivedSubs(b) = bsub
+                  None
+                }
             }
         }
     }
-    for (tr <- s.joinSteps.map(_.table))
-      addTable(tr).foreach(e => return Left(e))
+    for (fi <- s.from) addFrom(fi).foreach(e => return Left(e))
+    for (fi <- s.joinSteps.map(_.item))
+      addFrom(fi).foreach(e => return Left(e))
     // scope = inner FROM group + outer-join step tables, in declaration
     // order (LinkedHashMap); BoundSelect.tables carries only the inner
     // group (the join-order DP must not reorder across an outer join)

@@ -122,15 +122,16 @@ object Ast {
 
   /** A join step applied (in declaration order) after the leading
     * inner-join FROM group: LEFT/RIGHT/FULL [OUTER] JOIN, or an INNER
-    * JOIN appearing after an outer join. Step ON conditions stay
-    * attached to their join: an outer-join ON is never
-    * WHERE-desugarable, and an inner step's ON must evaluate against
-    * the PRECEDING steps' result (SQL evaluates the FROM list left to
-    * right), so hoisting it ahead of an outer join would change which
-    * rows that join null-extends.
+    * JOIN appearing after an outer join. The joined side is any FROM
+    * item — a named table or a derived table `(SELECT …) alias`. Step
+    * ON conditions stay attached to their join: an outer-join ON is
+    * never WHERE-desugarable, and an inner step's ON must evaluate
+    * against the PRECEDING steps' result (SQL evaluates the FROM list
+    * left to right), so hoisting it ahead of an outer join would
+    * change which rows that join null-extends.
     */
   final case class JoinStep(kind: String /* left|right|full|inner */,
-      table: TableRef, on: Expr)
+      item: FromItem, on: Expr)
 
   /** columns = None means `SELECT *` (star expansion happens in analysis,
     * like reference analyzer/mod.rs:68-73). ORDER BY / LIMIT / GROUP BY +

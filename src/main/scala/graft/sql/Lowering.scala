@@ -470,7 +470,12 @@ object Lowering {
     // with their ON attached; WHERE conjuncts touching these tables
     // filter afterwards (SQL order)
     val withOuter = q.joinSteps.foldLeft(plainFiltered) { (df, js) =>
-      val right = source(js.table).alias(js.table.binding)
+      // a derived step side lowers its subquery in place of a scan
+      val right0 = q.derived.get(js.table.binding) match {
+        case Some(sub) => lowerSelect(spark, sub, source)
+        case None      => source(js.table)
+      }
+      val right = right0.alias(js.table.binding)
       val sparkType = js.kind match {
         case "left"  => "left_outer"
         case "right" => "right_outer"

@@ -102,7 +102,7 @@ object Parser {
     "select", "from", "where", "and", "or", "insert", "into", "values",
     "create", "table", "primary", "key", "null", "not", "as",
     "delete", "update", "set", "order", "by", "limit", "asc", "desc", "group", "having",
-    "clustered", "buckets",
+    "clustered", "buckets", "with",
     "distinct", "join", "inner", "on", "between", "in", "like", "is",
     "exists", "left", "right", "full", "outer", "union", "all",
     "intersect", "except", "case", "when", "then", "else", "end")
@@ -122,7 +122,8 @@ object Parser {
     lex(sql).flatMap { toks =>
       val p = new P(toks)
       val tree =
-        if (p.isKw("select")) parseSelectOrUnion(p)
+        if (p.isKw("with")) parseWith(p)
+        else if (p.isKw("select")) parseSelectOrUnion(p)
         else if (p.isKw("insert")) parseInsert(p)
         else if (p.isKw("create")) parseCreate(p)
         else if (p.isKw("delete")) parseDelete(p)
@@ -136,6 +137,88 @@ object Parser {
         }
       }
     }
+
+  /** WITH name AS (SELECT …) [, name AS (SELECT …)]* SELECT … — common
+    * table expressions, desugared at parse time: every reference to a CTE
+    * name (in FROM lists, join steps and subqueries, at any depth) is
+    * replaced by a derived table carrying the CTE's SELECT body, so the
+    * analyzer and lowering see the query they already understand. A CTE
+    * may reference any EARLIER CTE (substituted into its body at
+    * definition time — standard non-recursive WITH scoping); a CTE name
+    * shadows a catalog table of the same name, like SQL.
+    */
+  private def parseWith(p: P): Either[ParseError, ParseTree] = {
+    def one(ctes: Map[String, SelectTree])
+        : Either[ParseError, (String, SelectTree)] =
+      for {
+        namePos <- Right(p.peek.pos)
+        name <- p.ident()
+        _ <-
+          if (ctes.contains(name.toLowerCase))
+            Left(ParseError(s"duplicate CTE name '$name'", namePos))
+          else Right(())
+        _ <- p.eatKw("as")
+        _ <- p.eatSym("(")
+        sel <- parseSelect(p)
+        _ <-
+          if (p.isKw("union") || p.isKw("intersect") || p.isKw("except"))
+            Left(ParseError("a CTE body must be a plain SELECT (no set operations)", p.peek.pos))
+          else Right(())
+        _ <- p.eatSym(")")
+      } yield (name.toLowerCase, substCte(sel, ctes))
+    def loop(ctes: Vector[(String, SelectTree)])
+        : Either[ParseError, Vector[(String, SelectTree)]] =
+      one(ctes.toMap).flatMap { c =>
+        p.peek match {
+          case TSym(",", _) => p.next(); loop(ctes :+ c)
+          case _            => Right(ctes :+ c)
+        }
+      }
+    for {
+      _ <- p.eatKw("with")
+      ctes <- loop(Vector.empty)
+      main <- parseSelectOrUnion(p)
+    } yield main match {
+      case s: SelectTree => substCte(s, ctes.toMap)
+      case u: UnionTree => u.copy(
+        first = substCte(u.first, ctes.toMap),
+        rest = u.rest.map { case (c, s) => (c, substCte(s, ctes.toMap)) })
+      case other => other
+    }
+  }
+
+  /** Replace CTE-name table references with derived tables, recursing into
+    * every nested SELECT (derived tables, join steps, WHERE/HAVING
+    * subqueries, scalar projection items). Operands cannot contain
+    * subqueries (no parse path), so only Expr positions recurse.
+    */
+  private def substCte(t: SelectTree, ctes: Map[String, SelectTree]): SelectTree = {
+    if (ctes.isEmpty) return t
+    def fromItem(fi: FromItem): FromItem = fi match {
+      case FTable(TableRef(n, a)) if ctes.contains(n.toLowerCase) =>
+        FDerived(ctes(n.toLowerCase), a.getOrElse(n))
+      case ft: FTable        => ft
+      case FDerived(sel, al) => FDerived(substCte(sel, ctes), al)
+    }
+    def expr(e: Expr): Expr = e match {
+      case Expr.And(l, r)         => Expr.And(expr(l), expr(r))
+      case Expr.Or(l, r)          => Expr.Or(expr(l), expr(r))
+      case Expr.Not(x)            => Expr.Not(expr(x))
+      case Expr.InSubquery(o, sub, n)   => Expr.InSubquery(o, substCte(sub, ctes), n)
+      case Expr.Exists(sub, n)          => Expr.Exists(substCte(sub, ctes), n)
+      case Expr.CmpSubquery(op, l, sub) => Expr.CmpSubquery(op, l, substCte(sub, ctes))
+      case other                  => other
+    }
+    t.copy(
+      columns = t.columns.map(_.map {
+        case SelectItem.SSub(sub, a) => SelectItem.SSub(substCte(sub, ctes), a)
+        case other                   => other
+      }),
+      from = t.from.map(fromItem),
+      joinSteps = t.joinSteps.map(js => js.copy(item = fromItem(js.item))),
+      where = t.where.map(expr),
+      having = t.having.map(expr))
+  }
 
   /** SELECT, optionally followed by UNION [ALL] / INTERSECT / EXCEPT
     * chains. The trailing ORDER BY / LIMIT (consumed by the LAST branch's
@@ -408,7 +491,7 @@ object Parser {
                 } yield r
               else
                 for {
-                  t <- tableOnly()
+                  t <- one()
                   _ <- p.eatKw("on")
                   cond <- parseOr(p)
                   r <- loop(tabs, ons, steps :+ JoinStep("inner", t, cond))
@@ -419,7 +502,7 @@ object Parser {
               if (p.isKw("outer")) p.next()
               for {
                 _ <- p.eatKw("join")
-                t <- tableOnly()
+                t <- one()
                 _ <- p.eatKw("on")
                 cond <- parseOr(p)
                 r <- loop(tabs, ons, steps :+ JoinStep(kind, t, cond))

@@ -853,6 +853,68 @@ class DialectSpec extends AnyFunSuite {
       "LEFT JOIN cars c2 ON c2.id = p.id").isLeft)
   }
 
+  test("derived tables in outer-join steps") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    // aggregate-then-outer-join: people with no cars null-extend the count
+    val l = db.select("SELECT name, t.n FROM people p LEFT JOIN " +
+      "(SELECT owner_id, count(*) AS n FROM cars GROUP BY owner_id) t " +
+      "ON p.id = t.owner_id ORDER BY p.id").toOption.get
+    assert(l.collect().toSeq == Seq(
+      Row("Elon", 2L),
+      Row("Dr. Emmett L. „Doc“ Brown", 1L),
+      Row("Marty McFly", null)))
+    // a derived table in an INNER step after an outer join: evaluates
+    // against the outer join's result, dropping the null-extended row
+    val mixed = db.select("SELECT name, model, t.n FROM people p LEFT JOIN cars c " +
+      "ON p.id = c.owner_id JOIN " +
+      "(SELECT owner_id, count(*) AS n FROM cars GROUP BY owner_id) t " +
+      "ON t.owner_id = c.owner_id ORDER BY p.id, model").toOption.get
+    assert(mixed.collect().toSeq == Seq(
+      Row("Elon", "Cybertruck", 2L),
+      Row("Elon", "Tesla Model 3", 2L),
+      Row("Dr. Emmett L. „Doc“ Brown", "DeLorean DMC-12", 1L)))
+    // a derived step side still requires an alias
+    assert(db.query("SELECT name FROM people p LEFT JOIN " +
+      "(SELECT owner_id FROM cars) ON p.id = owner_id").isLeft)
+  }
+
+  test("WITH: CTEs desugar to derived tables at any reference depth") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    // basic CTE + alias, and the CTE name used bare
+    val basic = db.select("WITH owners AS (SELECT owner_id, count(*) AS n " +
+      "FROM cars GROUP BY owner_id) " +
+      "SELECT name, o.n FROM people p JOIN owners o ON p.id = o.owner_id " +
+      "ORDER BY p.id").toOption.get
+    assert(basic.collect().toSeq == Seq(
+      Row("Elon", 2L), Row("Dr. Emmett L. „Doc“ Brown", 1L)))
+    // a CTE referencing an earlier CTE, joined in an outer step
+    val chained = db.select("WITH owners AS (SELECT owner_id, count(*) AS n " +
+      "FROM cars GROUP BY owner_id), " +
+      "multi AS (SELECT owner_id, n FROM owners WHERE n >= 2) " +
+      "SELECT name, m.n FROM people p LEFT JOIN multi m ON p.id = m.owner_id " +
+      "ORDER BY p.id").toOption.get
+    assert(chained.collect().toSeq == Seq(
+      Row("Elon", 2L),
+      Row("Dr. Emmett L. „Doc“ Brown", null),
+      Row("Marty McFly", null)))
+    // CTE visible inside a WHERE subquery
+    val inSub = db.select("WITH rich AS (SELECT id FROM people WHERE age >= 30) " +
+      "SELECT model FROM cars WHERE owner_id IN (SELECT id FROM rich) " +
+      "ORDER BY model").toOption.get
+    assert(inSub.collect().map(_.getString(0)).toSeq == Seq("DeLorean DMC-12"))
+    // CTE under a set operation in the main query
+    val unioned = db.select("WITH a AS (SELECT name FROM people WHERE age = 20) " +
+      "SELECT name FROM a UNION ALL SELECT name FROM a ORDER BY name").toOption.get
+    assert(unioned.count() == 2)
+    // duplicate CTE names and set-op CTE bodies are parse errors
+    assert(db.query("WITH a AS (SELECT id FROM people), a AS (SELECT id FROM people) " +
+      "SELECT id FROM a").isLeft)
+    assert(db.query("WITH a AS (SELECT id FROM people UNION SELECT id FROM people) " +
+      "SELECT id FROM a").isLeft)
+  }
+
   test("UNION / UNION ALL chains with trailing ORDER BY and LIMIT") {
     val db = demoDb()
     val u = db.select("SELECT name FROM people WHERE id = 1 " +

@@ -146,7 +146,8 @@ class ParserSpec extends AnyFunSuite {
       "LEFT JOIN t3 ON t2.y = t3.y JOIN t4 ON t3.z = t4.z")
       .asInstanceOf[SelectTree]
     assert(t.from == Seq(FTable(TableRef("t1", None)), FTable(TableRef("t2", None))))
-    assert(t.joinSteps.map(js => (js.kind, js.table.name)) ==
+    assert(t.joinSteps.map(js =>
+      (js.kind, js.item.asInstanceOf[FTable].ref.name)) ==
       Seq(("left", "t3"), ("inner", "t4")))
     // the leading inner ON landed in WHERE
     assert(t.where.contains(Expr.Cmp(CmpOp.Eq,
