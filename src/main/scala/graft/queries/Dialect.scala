@@ -673,6 +673,23 @@ object Dialect {
              |HAVING count(*) > (SELECT count(*) / 100 FROM lineitem)
              |ORDER BY l_suppkey""".stripMargin)),
 
+    // Correlated scalar subquery in HAVING: the per-nation supplier count
+    // aggregates once (GROUP BY the decorrelated key) and left-joins the
+    // aggregated frame on the GROUP BY key's output column; nations with
+    // no qualifying supplier hit the COUNT-over-empty-set coalesce (0),
+    // so count(*)/20 < 0 correctly drops them.
+    "q_dialect_having_corr" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "supplier"),
+        "SELECT c_nationkey, count(*) AS nc FROM customer c GROUP BY c_nationkey " +
+          "HAVING count(*) / 20 < (SELECT count(*) FROM supplier s " +
+          "WHERE s.s_nationkey = c.c_nationkey AND s.s_acctbal > 5000) " +
+          "ORDER BY c_nationkey"),
+      Some("""SELECT c_nationkey, cast(count(*) AS bigint) AS nc
+             |FROM customer c GROUP BY c_nationkey
+             |HAVING count(*) / 20 < (SELECT count(*) FROM supplier s
+             |  WHERE s.s_nationkey = c.c_nationkey AND s.s_acctbal > 5000)
+             |ORDER BY c_nationkey""".stripMargin)),
+
     // INTERSECT binding tighter than UNION (standard precedence): the
     // nation keys shared by customers AND suppliers, unioned with the
     // low-key nations — a ∪ (b ∩ c), not (a ∪ b) ∩ c.

@@ -882,12 +882,11 @@ object Analyzer {
             (bsub, pairs) = dp
             _ <-
               if (pairs.isEmpty) Right(())
-              // HAVING scope: only uncorrelated scalar subqueries (the
-              // correlated decorrelation keys would have to be group keys)
-              else if (allowAgg)
-                Left(BadSubquery("a HAVING subquery must not be correlated"))
               // correlated scalar: must be a group-less aggregate (one row
-              // per correlated key by construction) over a plain agg call
+              // per correlated key by construction) over a plain agg call.
+              // In HAVING scope the decorrelation keys must additionally be
+              // GROUP BY keys of the enclosing query — validated after the
+              // group keys are known (post-binding check in analyzeSelect).
               else if (!bsub.isAggregate || bsub.groupBy.nonEmpty)
                 Left(BadSubquery(
                   "a correlated scalar subquery must be a group-less aggregate"))
@@ -1256,14 +1255,32 @@ object Analyzer {
             case BoundExpr.BIsNull(o, _)  => opCols(o)
             case BoundExpr.BLike(o, _, _) => opCols(o)
             case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
-            case BoundExpr.BInSub(o, _, _, _)  => opCols(o) // unreachable: no subqueries in HAVING
-            case BoundExpr.BExists(_, _, _)    => Nil       // unreachable: no subqueries in HAVING
-            case BoundExpr.BCmpSub(_, o, _, _, _) => opCols(o) // unreachable: no subqueries in HAVING
+            case BoundExpr.BInSub(o, _, _, _)  => opCols(o) // unreachable: no IN in HAVING
+            case BoundExpr.BExists(_, _, _)    => Nil       // unreachable: no EXISTS in HAVING
+            case BoundExpr.BCmpSub(_, o, _, _, _) => opCols(o)
           }
           cols(h).find(c => !groupCols.exists(g =>
             g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) match {
             case Some(c) => Left(NotInGroupBy(c.render))
             case None    => Right(())
+          }
+      }
+      // a correlated HAVING subquery joins its per-key aggregate AFTER
+      // aggregation, so every decorrelation key must be a GROUP BY key
+      // (its post-aggregation column is the only thing left to join on)
+      _ <- having match {
+        case None => Right(())
+        case Some(h) =>
+          def walk(x: BoundExpr): Seq[BoundCol] = x match {
+            case BoundExpr.BAnd(l, r) => walk(l) ++ walk(r)
+            case BoundExpr.BCmpSub(_, _, _, _, ps) => ps.map(_._1)
+            case _ => Nil
+          }
+          walk(h).find(c => !groupCols.exists(g =>
+            g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) match {
+            case Some(c) => Left(BadSubquery(
+              s"a correlated HAVING subquery may only reference GROUP BY keys (got ${c.render})"))
+            case None => Right(())
           }
       }
       // SELECT DISTINCT reorders evaluation (project → distinct → sort),

@@ -270,10 +270,10 @@ object Lowering {
         havingConjs.partition(BoundExpr.containsSub)
       val havingCond = havingPlainConjs.map(havingCol).reduceOption(_ && _)
       val havingSubParts = havingSubConjs.map {
-        case BoundExpr.BCmpSub(op, o, ssub, guard, Seq()) =>
-          (op, havingOperand(o), ssub, guard)
+        case BoundExpr.BCmpSub(op, o, ssub, guard, pairs) =>
+          (op, havingOperand(o), ssub, guard, pairs)
         case _ => sys.error(
-          "unreachable: analyzer allows only uncorrelated scalar subqueries in HAVING")
+          "unreachable: analyzer allows only scalar subqueries in HAVING")
       }
       // computed projections in aggregate scope (count(*) * 2 AS n2):
       // their aggregate calls become hidden agg columns — registered into
@@ -323,7 +323,7 @@ object Lowering {
         else filtered0.groupBy(keyCols: _*).agg(allAggs.head, allAggs.tail: _*)
       val grouped1 = havingCond.fold(grouped0)(grouped0.filter)
       val grouped = havingSubParts.zipWithIndex.foldLeft(grouped1) {
-        case (acc, ((op, lc, ssub, guard), i)) =>
+        case (acc, ((op, lc, ssub, guard, Seq()), i)) =>
           val subDf0 = lowerSelect(spark, ssub, source)
           if (guard) {
             val n = subDf0.limit(2).count()
@@ -333,6 +333,17 @@ object Lowering {
           val name = s"__hs_$i"
           val subDf = subDf0.toDF(name)
           acc.join(broadcast(subDf), cmpCols(op, lc, col(name)), "inner").drop(name)
+        case (acc, ((op, lc, ssub, _, pairs), i)) =>
+          // correlated: the per-key aggregate left-joins on the GROUP BY
+          // keys' post-aggregation columns (analyzer guarantees every
+          // decorrelation key is a group key); left join + the count
+          // coalesce preserve groups whose correlated set is empty
+          val name = s"__hs_$i"
+          val (subAgg, keyCond, scalar) =
+            correlatedScalarAgg(spark, ssub, pairs, source, name, s"__hs${i}_c")
+          acc.join(subAgg, keyCond(bc => col(groupOut(bc))), "left_outer")
+            .filter(cmpCols(op, lc, scalar))
+            .drop(name +: pairs.indices.map(k => s"__hs${i}_c$k"): _*)
       }
       // ORDER BY runs on the post-aggregation names BEFORE the final
       // projection, so an unprojected group key or aggregate can still

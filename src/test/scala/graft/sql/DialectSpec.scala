@@ -780,6 +780,28 @@ class DialectSpec extends AnyFunSuite {
       "HAVING count(*) > (SELECT count(*) FROM people p WHERE p.id = c.owner_id)").isLeft)
   }
 
+  test("correlated HAVING subqueries join per-key aggregates on group keys") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    // owners with more cars than people records of that id (Elon: 2 > 1)
+    val df = db.select("SELECT owner_id, count(*) AS n FROM cars " +
+      "GROUP BY owner_id HAVING count(*) > " +
+      "(SELECT count(*) FROM people p WHERE p.id = owner_id) " +
+      "ORDER BY owner_id").toOption.get
+    assert(df.collect().toSeq == Seq(Row(1, 2L)))
+    // empty correlated set → count coalesces to 0, group survives the >
+    db.query("INSERT INTO cars VALUES (4, 'Batmobile', 99)")
+    val empty = db.select("SELECT owner_id, count(*) AS n FROM cars " +
+      "GROUP BY owner_id HAVING count(*) > " +
+      "(SELECT count(*) FROM people p WHERE p.id = owner_id) " +
+      "ORDER BY owner_id").toOption.get
+    assert(empty.collect().toSeq == Seq(Row(1, 2L), Row(99, 1L)))
+    // a correlation key that is not a GROUP BY key is rejected
+    assert(db.select("SELECT owner_id, count(*) AS n FROM cars " +
+      "GROUP BY owner_id HAVING count(*) > " +
+      "(SELECT count(*) FROM people p WHERE p.name = model)").isLeft)
+  }
+
   test("correlation is restricted to top-level WHERE equalities") {
     val db = demoDb()
     // non-equality correlation
