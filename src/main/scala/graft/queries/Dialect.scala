@@ -673,6 +673,51 @@ object Dialect {
              |HAVING count(*) > (SELECT count(*) / 100 FROM lineitem)
              |ORDER BY l_suppkey""".stripMargin)),
 
+    // ROLLUP through the dialect: one Expand pass emits the (rf, ls),
+    // (rf), () levels; subtotal NULLs coalesce to 'ALL' so the total
+    // ORDER BY is engine-independent.
+    "q_dialect_rollup" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT coalesce(l_returnflag, 'ALL') AS rf, " +
+          "coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt, " +
+          "round(sum(l_quantity), 2) AS qty FROM lineitem " +
+          "GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |  coalesce(l_linestatus, 'ALL') AS ls,
+             |  cast(count(*) AS bigint) AS cnt,
+             |  round(sum(l_quantity), 2) AS qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // CUBE: the full power set of the two keys (4 grouping levels).
+    "q_dialect_cube" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT coalesce(o_orderstatus, 'ALL') AS st, " +
+          "coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS cnt " +
+          "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+          "ORDER BY st, prio"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+             |  coalesce(o_orderpriority, 'ALL') AS prio,
+             |  cast(count(*) AS bigint) AS cnt
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY st, prio""".stripMargin)),
+
+    // Explicit GROUPING SETS — detail, one-key subtotal, grand total —
+    // the exact level list no ROLLUP/CUBE shorthand generates.
+    "q_dialect_grouping_sets" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT coalesce(o_orderstatus, 'ALL') AS st, " +
+          "coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS cnt " +
+          "FROM orders GROUP BY GROUPING SETS " +
+          "((o_orderstatus, o_orderpriority), (o_orderpriority), ()) " +
+          "ORDER BY st, prio"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+             |  coalesce(o_orderpriority, 'ALL') AS prio,
+             |  cast(count(*) AS bigint) AS cnt
+             |FROM orders GROUP BY GROUPING SETS
+             |  ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+             |ORDER BY st, prio""".stripMargin)),
+
     // Correlated scalar subquery in HAVING: the per-nation supplier count
     // aggregates once (GROUP BY the decorrelated key) and left-joins the
     // aggregated frame on the GROUP BY key's output column; nations with

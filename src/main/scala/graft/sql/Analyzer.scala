@@ -411,7 +411,11 @@ object Analyzer {
       /** Derived tables by binding: the FROM-list subqueries backing the
         * synthetic TableDescs in `tables` — lowered in place of a scan.
         */
-      derived: Map[String, BoundSelect] = Map.empty) extends BoundQuery {
+      derived: Map[String, BoundSelect] = Map.empty,
+      /** ROLLUP / CUBE / GROUPING SETS over the groupBy key list (sets
+        * reference keys by index).
+        */
+      groupSpec: Option[GroupingSpec] = None) extends BoundQuery {
     def isAggregate: Boolean = groupBy.nonEmpty || projection.exists {
       case _: BoundItem.BIAgg           => true
       case BoundItem.BIExpr(op, _)      => BoundOperand.containsAgg(op)
@@ -1300,8 +1304,20 @@ object Analyzer {
           case Some(r) => Left(DistinctOrderBy(r))
           case None    => Right(())
         }
+      // ROLLUP/CUBE/GROUPING SETS only make sense with something to
+      // aggregate (the no-aggregate lowering is a plain DISTINCT, which
+      // cannot express subtotal rows)
+      _ <-
+        if (s.groupSpec.isEmpty) Right(())
+        else if (!proj.exists {
+          case _: BoundItem.BIAgg      => true
+          case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
+          case _                       => false
+        }) Left(BadAggregate(
+          "ROLLUP/CUBE/GROUPING SETS requires an aggregate in the projection"))
+        else Right(())
     } yield BoundSelect(innerTables, proj, pred, order, s.limit, s.offset, group,
-      having, s.distinct, steps, derivedSubs.toMap)
+      having, s.distinct, steps, derivedSubs.toMap, s.groupSpec)
   }
 
   private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {

@@ -113,6 +113,19 @@ object Ast {
         alias: String, frame: Option[WinFrame] = None) extends SelectItem
   }
 
+  /** Multi-dimensional grouping over the GROUP BY key list: ROLLUP /
+    * CUBE generate the standard prefix / power sets; GROUPING SETS
+    * carries explicit sets as INDICES into the groupBy key list (the
+    * parser collects the distinct keys in first-appearance order — an
+    * empty set is the grand total).
+    */
+  sealed trait GroupingSpec
+  object GroupingSpec {
+    case object Rollup extends GroupingSpec
+    case object Cube extends GroupingSpec
+    final case class Sets(sets: Seq[Seq[Int]]) extends GroupingSpec
+  }
+
   /** Window frame bounds in Spark's offset encoding (Long.MinValue =
     * UNBOUNDED PRECEDING, 0 = CURRENT ROW, Long.MaxValue = UNBOUNDED
     * FOLLOWING). `range = true` is a RANGE frame: offsets are VALUE
@@ -149,7 +162,8 @@ object Ast {
       groupBy: Seq[Operand] = Nil,
       having: Option[Expr] = None,
       distinct: Boolean = false,
-      joinSteps: Seq[JoinStep] = Nil) extends ParseTree
+      joinSteps: Seq[JoinStep] = Nil,
+      groupSpec: Option[GroupingSpec] = None) extends ParseTree
 
   /** SELECT … {UNION [ALL] | INTERSECT | EXCEPT} SELECT … chains with a
     * trailing [ORDER BY …] [LIMIT n]. Connectors are encoded per step

@@ -318,9 +318,35 @@ object Lowering {
         case BoundGroupKey.GKCol(bc)     => qcol(bc).as(groupOut(bc))
         case BoundGroupKey.GKExpr(op, a) => lowerOperandWith(op, qcol).as(a)
       }
-      val grouped0 =
-        if (allAggs.isEmpty) filtered0.select(keyCols: _*).distinct()
-        else filtered0.groupBy(keyCols: _*).agg(allAggs.head, allAggs.tail: _*)
+      val grouped0 = q.groupSpec match {
+        case None =>
+          if (allAggs.isEmpty) filtered0.select(keyCols: _*).distinct()
+          else filtered0.groupBy(keyCols: _*).agg(allAggs.head, allAggs.tail: _*)
+        // multi-dimensional grouping: one pass with Expand — subtotal rows
+        // null their non-member keys, exactly SQL's semantics (the
+        // analyzer guarantees at least one aggregate exists). The keys
+        // group UNALIASED (an Alias inside Expand's projections breaks
+        // the grouping-column match and nulls every key) and the output
+        // renames positionally: agg output order is keys then aggregates.
+        case Some(spec) =>
+          val rawKeys = q.groupBy.map {
+            case BoundGroupKey.GKCol(bc)     => qcol(bc)
+            case BoundGroupKey.GKExpr(op, _) => lowerOperandWith(op, qcol)
+          }
+          val keyNames = q.groupBy.map {
+            case BoundGroupKey.GKCol(bc)     => groupOut(bc)
+            case BoundGroupKey.GKExpr(_, a)  => a
+          }
+          val aggNames = aggItems.map { case (_, _, _, _, i) => aggName(i) } ++
+            havingAggs.map(_._4)
+          val g = spec match {
+            case Ast.GroupingSpec.Rollup => filtered0.rollup(rawKeys: _*)
+            case Ast.GroupingSpec.Cube   => filtered0.cube(rawKeys: _*)
+            case Ast.GroupingSpec.Sets(sets) =>
+              filtered0.groupingSets(sets.map(_.map(rawKeys)), rawKeys: _*)
+          }
+          g.agg(allAggs.head, allAggs.tail: _*).toDF(keyNames ++ aggNames: _*)
+      }
       val grouped1 = havingCond.fold(grouped0)(grouped0.filter)
       val grouped = havingSubParts.zipWithIndex.foldLeft(grouped1) {
         case (acc, ((op, lc, ssub, guard, Seq()), i)) =>

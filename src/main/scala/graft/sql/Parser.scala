@@ -519,22 +519,87 @@ object Parser {
           (fromAndOn._2 ++ w.toSeq).reduceOption(Expr.And(_, _))
         }
       }
-      groupBy <-
+      groupRes <-
         if (p.isKw("group")) {
           p.next()
           p.eatKw("by").flatMap { _ =>
             // full operands: plain columns, output aliases, or inline
             // expressions (GROUP BY substr(name, 1, 2))
-            def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
-              parseOperand(p).flatMap { c =>
-                p.peek match {
-                  case TSym(",", _) => p.next(); loop(acc :+ c)
-                  case _            => Right(acc :+ c)
+            def operandList(): Either[ParseError, Vector[Operand]] = {
+              def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+                parseOperand(p).flatMap { c =>
+                  p.peek match {
+                    case TSym(",", _) => p.next(); loop(acc :+ c)
+                    case _            => Right(acc :+ c)
+                  }
                 }
+              loop(Vector.empty)
+            }
+            // ROLLUP( / CUBE( / GROUPING SETS( — contextual keywords: only
+            // a call shape triggers them, so columns named rollup etc.
+            // still group plainly
+            def callAhead(kw: String): Boolean = p.isKw(kw) && {
+              val save = p.i; p.next()
+              val r = p.peek match { case TSym("(", _) => true; case _ => false }
+              p.i = save; r
+            }
+            if (callAhead("rollup") || callAhead("cube")) {
+              val isCube = p.isKw("cube")
+              p.next()
+              for {
+                _ <- p.eatSym("(")
+                keys <- operandList()
+                _ <- p.eatSym(")")
+              } yield (keys,
+                Some(if (isCube) GroupingSpec.Cube else GroupingSpec.Rollup)
+                  : Option[GroupingSpec])
+            } else if (p.isKw("grouping") && {
+              val save = p.i; p.next(); val r = p.isKw("sets"); p.i = save; r
+            }) {
+              p.next(); p.next() // GROUPING SETS
+              // explicit sets: (a, b), (a), b, () — keys collect in
+              // first-appearance order, sets reference them by index
+              val keys = scala.collection.mutable.ArrayBuffer.empty[Operand]
+              def keyIdx(o: Operand): Int = {
+                val i = keys.indexOf(o)
+                if (i >= 0) i else { keys += o; keys.length - 1 }
               }
-            loop(Vector.empty)
+              def oneSet(): Either[ParseError, Vector[Int]] = p.peek match {
+                case TSym("(", _) =>
+                  p.next()
+                  p.peek match {
+                    case TSym(")", _) => p.next(); Right(Vector.empty) // () = grand total
+                    case _ =>
+                      def loop(acc: Vector[Int]): Either[ParseError, Vector[Int]] =
+                        parseOperand(p).flatMap { o =>
+                          p.peek match {
+                            case TSym(",", _) => p.next(); loop(acc :+ keyIdx(o))
+                            case _ => p.eatSym(")").map(_ => acc :+ keyIdx(o))
+                          }
+                        }
+                      loop(Vector.empty)
+                  }
+                case _ => parseOperand(p).map(o => Vector(keyIdx(o)))
+              }
+              def setsLoop(acc: Vector[Vector[Int]])
+                  : Either[ParseError, Vector[Vector[Int]]] =
+                oneSet().flatMap { s =>
+                  p.peek match {
+                    case TSym(",", _) => p.next(); setsLoop(acc :+ s)
+                    case _            => Right(acc :+ s)
+                  }
+                }
+              for {
+                _ <- p.eatSym("(")
+                sets <- setsLoop(Vector.empty)
+                _ <- p.eatSym(")")
+              } yield (keys.toVector,
+                Some(GroupingSpec.Sets(sets)): Option[GroupingSpec])
+            } else operandList().map(ks => (ks, None: Option[GroupingSpec]))
           }
-        } else Right(Vector.empty[Operand])
+        } else Right((Vector.empty[Operand], None: Option[GroupingSpec]))
+      groupBy = groupRes._1
+      groupSpec = groupRes._2
       having <-
         if (p.isKw("having")) { p.next(); parseOr(p, allowAgg = true).map(Some(_)) }
         else Right(None)
@@ -577,7 +642,7 @@ object Parser {
           }
         } else Right(None)
     } yield SelectTree(cols, fromAndOn._1, where, orderBy, limit, offset, groupBy,
-      having, distinct, fromAndOn._3)
+      having, distinct, fromAndOn._3, groupSpec)
   }
 
   private def parseOr(p: P, allowAgg: Boolean = false): Either[ParseError, Expr] =

@@ -775,9 +775,36 @@ class DialectSpec extends AnyFunSuite {
       db.select("SELECT owner_id, count(*) FROM cars GROUP BY owner_id " +
         "HAVING count(*) > (SELECT id FROM people)")
     }
-    // correlated HAVING subqueries are rejected
+    // correlated HAVING subqueries are supported (dedicated test below)
     assert(db.query("SELECT owner_id, count(*) FROM cars c GROUP BY owner_id " +
-      "HAVING count(*) > (SELECT count(*) FROM people p WHERE p.id = c.owner_id)").isLeft)
+      "HAVING count(*) > (SELECT count(*) FROM people p WHERE p.id = c.owner_id)").isRight)
+  }
+
+  test("GROUP BY ROLLUP / CUBE / GROUPING SETS") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    // ROLLUP(owner_id): detail rows + grand total (owner_id NULL)
+    val ru = db.select("SELECT owner_id, count(*) AS n FROM cars " +
+      "GROUP BY ROLLUP(owner_id) ORDER BY n, owner_id").toOption.get
+    assert(ru.collect().toSeq == Seq(
+      Row(2, 1L), Row(1, 2L), Row(null, 3L)))
+    // CUBE over two keys: 2^2 levels; the grand total counts all people
+    val cu = db.select("SELECT age, count(*) AS n FROM people " +
+      "GROUP BY CUBE(age, name) HAVING count(*) > 2").toOption.get
+    assert(cu.collect().toSeq == Seq(Row(null, 3L)))
+    // explicit GROUPING SETS with a grand-total () set
+    val gs = db.select("SELECT owner_id, count(*) AS n FROM cars " +
+      "GROUP BY GROUPING SETS ((owner_id), ()) ORDER BY n, owner_id").toOption.get
+    assert(gs.collect().toSeq == Seq(
+      Row(2, 1L), Row(1, 2L), Row(null, 3L)))
+    // a column named rollup still groups plainly (contextual keyword)
+    db.query("CREATE TABLE rt (rollup INT, v INT)")
+    db.query("INSERT INTO rt VALUES (1, 10), (1, 20), (2, 30)")
+    val plain = db.select("SELECT rollup, count(*) AS n FROM rt " +
+      "GROUP BY rollup ORDER BY rollup").toOption.get
+    assert(plain.collect().toSeq == Seq(Row(1, 2L), Row(2, 1L)))
+    // no aggregate in the projection → rejected
+    assert(db.select("SELECT owner_id FROM cars GROUP BY ROLLUP(owner_id)").isLeft)
   }
 
   test("correlated HAVING subqueries join per-key aggregates on group keys") {
