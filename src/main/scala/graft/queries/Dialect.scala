@@ -673,6 +673,45 @@ object Dialect {
              |HAVING count(*) > (SELECT count(*) / 100 FROM lineitem)
              |ORDER BY l_suppkey""".stripMargin)),
 
+    // CAST + the round-5 scalar functions (floor/ceil/sqrt/power/mod/
+    // instr/replace) in projection and WHERE. Spark floor/ceil return
+    // BIGINT where DuckDB keeps DOUBLE, and instr's width differs — the
+    // oracle casts to the engine's types; sqrt/power round on both sides.
+    "q_dialect_funcs2" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT c_custkey, cast(c_custkey AS double) AS ckd, " +
+          "floor(c_acctbal) AS fb, ceil(c_acctbal) AS cb, " +
+          "round(sqrt(c_custkey), 4) AS sq, round(power(c_custkey, 2), 1) AS p2, " +
+          "mod(c_custkey, 7) AS m7, instr(c_name, '#') AS pos, " +
+          "replace(c_mktsegment, 'A', 'x') AS seg " +
+          "FROM customer WHERE mod(c_custkey, 3) = 1 AND c_custkey < 600 " +
+          "ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, cast(c_custkey AS double) AS ckd,
+             |  cast(floor(c_acctbal) AS bigint) AS fb,
+             |  cast(ceil(c_acctbal) AS bigint) AS cb,
+             |  round(sqrt(c_custkey), 4) AS sq, round(power(c_custkey, 2), 1) AS p2,
+             |  mod(c_custkey, 7) AS m7, cast(instr(c_name, '#') AS int) AS pos,
+             |  replace(c_mktsegment, 'A', 'x') AS seg
+             |FROM customer WHERE mod(c_custkey, 3) = 1 AND c_custkey < 600
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Explicit NULLS FIRST under DESC: the null-extended outer-join rows
+    // sort ahead of every real count on BOTH engines only because the
+    // query says so (Spark's DESC default is NULLS LAST, DuckDB's differs).
+    "q_dialect_nulls_order" -> QueryDef(
+      (s, d) => run(db(s, d, "nation", "customer"),
+        "SELECT n_nationkey, t.n FROM nation n LEFT JOIN " +
+          "(SELECT c_nationkey, count(*) AS n FROM customer " +
+          "WHERE c_acctbal > 9700 GROUP BY c_nationkey) t " +
+          "ON n.n_nationkey = t.c_nationkey " +
+          "ORDER BY t.n DESC NULLS FIRST, n_nationkey"),
+      Some("""SELECT n_nationkey, cast(t.n AS bigint) AS n
+             |FROM nation n LEFT JOIN
+             |  (SELECT c_nationkey, count(*) AS n FROM customer
+             |   WHERE c_acctbal > 9700 GROUP BY c_nationkey) t
+             |ON n.n_nationkey = t.c_nationkey
+             |ORDER BY n DESC NULLS FIRST, n_nationkey""".stripMargin)),
+
     // ROLLUP through the dialect: one Expand pass emits the (rf, ls),
     // (rf), () levels; subtotal NULLs coalesce to 'ALL' so the total
     // ORDER BY is engine-independent.

@@ -95,12 +95,15 @@ object Analyzer {
     /** Searched CASE over bound branches. */
     final case class BCase(branches: Seq[(BoundExpr, BoundOperand)],
         elseOp: Option[BoundOperand]) extends BoundOperand
+    /** CAST(operand AS type) — lowers to Spark's cast. */
+    final case class BCast(op: BoundOperand, tpe: SqlType) extends BoundOperand
 
     /** Does the operand tree contain an aggregate call? */
     def containsAgg(o: BoundOperand): Boolean = o match {
       case _: BAgg          => true
       case BArith(_, l, r)  => containsAgg(l) || containsAgg(r)
       case BFunc(_, args)   => args.exists(containsAgg)
+      case BCast(x, _)      => containsAgg(x)
       case BCase(bs, els) =>
         bs.exists { case (c, v) => exprOperands(c).exists(containsAgg) || containsAgg(v) } ||
           els.exists(containsAgg)
@@ -198,6 +201,7 @@ object Analyzer {
     case BoundOperand.BCol(c)         => Seq(c)
     case BoundOperand.BArith(_, l, r) => operandCols(l) ++ operandCols(r)
     case BoundOperand.BFunc(_, args)  => args.flatMap(operandCols)
+    case BoundOperand.BCast(x, _)     => operandCols(x)
     case BoundOperand.BCase(bs, els) =>
       bs.flatMap { case (c, v) => exprCols(c) ++ operandCols(v) } ++
         els.toSeq.flatMap(operandCols)
@@ -212,6 +216,7 @@ object Analyzer {
     case BoundOperand.BArith(_, l, r) => operandColsDeep(l) ++ operandColsDeep(r)
     case BoundOperand.BAgg(_, arg, _) => arg.toSeq.flatMap(operandColsDeep)
     case BoundOperand.BFunc(_, args)  => args.flatMap(operandColsDeep)
+    case BoundOperand.BCast(x, _)     => operandColsDeep(x)
     case BoundOperand.BCase(bs, els) =>
       bs.flatMap { case (c, v) =>
         BoundOperand.exprOperands(c).flatMap(operandColsDeep) ++ operandColsDeep(v)
@@ -401,7 +406,7 @@ object Analyzer {
       tables: Seq[BoundTable],
       projection: Seq[BoundItem],
       predicate: Option[BoundExpr],
-      orderBy: Seq[(BoundOrderKey, Boolean)] = Nil,
+      orderBy: Seq[(BoundOrderKey, SortDir)] = Nil,
       limit: Option[Long] = None,
       offset: Option[Long] = None,
       groupBy: Seq[BoundGroupKey] = Nil,
@@ -429,9 +434,12 @@ object Analyzer {
   final case class BoundUnion(
       first: BoundSelect,
       rest: Seq[(String /* connector */, BoundSelect)],
-      orderBy: Seq[(String, Boolean)],
+      orderBy: Seq[(String, SortDir)],
       limit: Option[Long],
       offset: Option[Long]) extends BoundQuery
+
+  /** EXPLAIN: the bound readable query whose plan to print. */
+  final case class BoundExplain(query: BoundQuery) extends BoundQuery
 
   final case class BoundInsert(desc: TableDesc, rows: Seq[Seq[Any]]) extends BoundQuery
   /** INSERT INTO t SELECT …: columns align by position, cast to the
@@ -465,15 +473,19 @@ object Analyzer {
         case _ => SqlType.SqlBigInt
       }
     case BoundOperand.BFunc(f, args) => f match {
-      case "upper" | "lower" | "trim" | "substr" | "concat" => SqlType.SqlVarChar(65535)
-      case "length" | "year" | "month" | "day" => SqlType.SqlInt
+      case "upper" | "lower" | "trim" | "substr" | "concat" | "replace" =>
+        SqlType.SqlVarChar(65535)
+      case "length" | "year" | "month" | "day" | "instr" => SqlType.SqlInt
       case "abs"      => operandType(args.head)
       case "round"    => SqlType.SqlDouble
       case "coalesce" => operandType(args.head)
-      case _          => SqlType.SqlDouble
+      case "floor" | "ceil" => SqlType.SqlBigInt
+      case "mod"      => operandType(args.head)
+      case _          => SqlType.SqlDouble // sqrt / power
     }
     case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
     case BoundOperand.BAgg(f, arg, _) => aggType(f, arg)
+    case BoundOperand.BCast(_, t) => t
   }
 
   private def aggType(f: String, arg: Option[BoundOperand]): SqlType = f match {
@@ -586,6 +598,7 @@ object Analyzer {
   def analyze(tree: ParseTree, cat: Catalog): Either[AnalyzerError, BoundQuery] = tree match {
     case s: SelectTree => analyzeSelect(s, cat)
     case u: UnionTree  => analyzeUnion(u, cat)
+    case e: ExplainTree => analyze(e.select, cat).map(BoundExplain)
     case i: InsertTree => analyzeInsert(i, cat)
     case i: InsertSelectTree =>
       cat.resolve(i.table) match {
@@ -776,13 +789,18 @@ object Analyzer {
         }
       case Operand.AggCall(f, _, _) =>
         Left(BadAggregate(s"$f(...) is not valid in this context"))
+      case Operand.Cast(o, t) =>
+        bindOp(o, allowAgg).map(BoundOperand.BCast(_, t))
       case Operand.FuncCall(f, args) =>
         val arityOk = f match {
           case "upper" | "lower" | "trim" | "length" | "abs" |
-               "year" | "month" | "day" => args.length == 1
+               "year" | "month" | "day" |
+               "floor" | "ceil" | "sqrt"  => args.length == 1
           case "round"               => args.length == 1 || args.length == 2
           case "substr"              => args.length == 2 || args.length == 3
           case "coalesce" | "concat" => args.nonEmpty
+          case "power" | "instr" | "mod" => args.length == 2
+          case "replace"             => args.length == 3
           case _                     => false
         }
         if (!arityOk)
@@ -1152,7 +1170,7 @@ object Analyzer {
           case SelectItem.SWin(_, _, _, _, a, _) => a
           case SelectItem.SSub(_, a)          => a
         }
-        s.orderBy.foldLeft[Either[AnalyzerError, Vector[(BoundOrderKey, Boolean)]]](
+        s.orderBy.foldLeft[Either[AnalyzerError, Vector[(BoundOrderKey, SortDir)]]](
           Right(Vector.empty)) { case (acc, (opnd, desc)) =>
           acc.flatMap { v =>
             val key: Either[AnalyzerError, BoundOrderKey] = opnd match {
@@ -1250,6 +1268,8 @@ object Analyzer {
           def opCols(o: BoundOperand): Seq[BoundCol] = o match {
             case BoundOperand.BCol(c)         => Seq(c)
             case BoundOperand.BArith(_, l, r) => opCols(l) ++ opCols(r)
+            case BoundOperand.BFunc(_, as)    => as.flatMap(opCols)
+            case BoundOperand.BCast(x, _)     => opCols(x)
             case _                            => Nil
           }
           def cols(x: BoundExpr): Seq[BoundCol] = x match {

@@ -53,6 +53,11 @@ object Ast {
       */
     final case class CaseWhen(branches: Seq[(Expr, Operand)],
         elseOp: Option[Operand]) extends Operand
+    /** CAST(<operand> AS <type>) — SQL's checked conversion (Spark cast
+      * semantics: out-of-range numerics overflow ANSI-style, bad string
+      * parses are NULL like DuckDB's TRY_CAST-adjacent behavior).
+      */
+    final case class Cast(op: Operand, tpe: SqlType) extends Operand
   }
 
   sealed trait Expr
@@ -113,6 +118,12 @@ object Ast {
         alias: String, frame: Option[WinFrame] = None) extends SelectItem
   }
 
+  /** ORDER BY key direction: ASC/DESC plus an optional explicit NULLS
+    * FIRST/LAST (None = the engine default — Spark's NULLS FIRST for ASC,
+    * NULLS LAST for DESC).
+    */
+  final case class SortDir(desc: Boolean, nullsFirst: Option[Boolean] = None)
+
   /** Multi-dimensional grouping over the GROUP BY key list: ROLLUP /
     * CUBE generate the standard prefix / power sets; GROUPING SETS
     * carries explicit sets as INDICES into the groupBy key list (the
@@ -156,7 +167,7 @@ object Ast {
       columns: Option[Seq[SelectItem]],
       from: Seq[FromItem],
       where: Option[Expr],
-      orderBy: Seq[(Operand, Boolean /* descending */ )] = Nil,
+      orderBy: Seq[(Operand, SortDir)] = Nil,
       limit: Option[Long] = None,
       offset: Option[Long] = None,
       groupBy: Seq[Operand] = Nil,
@@ -176,9 +187,14 @@ object Ast {
   final case class UnionTree(
       first: SelectTree,
       rest: Seq[(String /* connector */, SelectTree)],
-      orderBy: Seq[(ColRef, Boolean)] = Nil,
+      orderBy: Seq[(ColRef, SortDir)] = Nil,
       limit: Option[Long] = None,
       offset: Option[Long] = None) extends ParseTree
+
+  /** EXPLAIN <select> — surfaces the engine's physical plan (the
+    * analogue of the reference's plan printer) as a one-column result.
+    */
+  final case class ExplainTree(select: ParseTree) extends ParseTree
 
   final case class InsertTree(table: String, rows: Seq[Seq[Lit]]) extends ParseTree
 

@@ -203,6 +203,14 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     case s: BoundSelect => Rows(lowerQuery(s))
     case u: BoundUnion  => Rows(lowerQuery(u))
 
+    case BoundExplain(inner) =>
+      // the reference's plan printer analogue: Catalyst's formatted
+      // physical plan, one line per row (REPL show() renders it readably)
+      val text = lowerQuery(inner).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      import spark.implicits._
+      Rows(text.split("\n").toSeq.toDF("plan"))
+
     case BoundInsertSelect(desc, sel) =>
       val raw = lowerQuery(sel)
       // positional alignment with checked casts to the target schema

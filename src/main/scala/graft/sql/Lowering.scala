@@ -137,14 +137,13 @@ object Lowering {
         val projected = base.select(outputCols: _*).distinct()
         val ordered = if (q.orderBy.isEmpty) projected else projected.orderBy(
           q.orderBy.map {
-            case (BoundOrderKey.OKOutput(n), desc) =>
-              if (desc) col(n).desc else col(n).asc
-            case (BoundOrderKey.OKOperand(BoundOperand.BCol(bc)), desc) =>
+            case (BoundOrderKey.OKOutput(n), dir) => sortCol(col(n), dir)
+            case (BoundOrderKey.OKOperand(BoundOperand.BCol(bc)), dir) =>
               val name = namedCols.collectFirst {
                 case (pc, a) if pc.binding == bc.binding &&
                   pc.attr.name.equalsIgnoreCase(bc.attr.name) => outName(pc, a)
               }.getOrElse(outName(bc))
-              if (desc) col(name).desc else col(name).asc
+              sortCol(col(name), dir)
             case (k, _) => sys.error(s"unreachable DISTINCT sort key $k")
           }: _*)
         applyOffsetLimit(ordered, q.offset, q.limit)
@@ -169,12 +168,12 @@ object Lowering {
         }
         val projected = base.select(
           outputCols ++ hidden.map { case (n, c) => c.as(n) }: _*)
-        val sortCols = q.orderBy.zipWithIndex.map { case ((k, desc), i) =>
+        val sortCols = q.orderBy.zipWithIndex.map { case ((k, dir), i) =>
           val c = k match {
             case BoundOrderKey.OKOutput(n)  => col(n)
             case BoundOrderKey.OKOperand(_) => col(s"__sort_$i")
           }
-          if (desc) c.desc else c.asc
+          sortCol(c, dir)
         }
         val ordered = projected.orderBy(sortCols: _*)
         applyOffsetLimit(ordered, q.offset, q.limit).drop(hidden.map(_._1): _*)
@@ -239,6 +238,7 @@ object Lowering {
         case BoundOperand.BArith(op, l, r) => arith(op, havingOperand(l), havingOperand(r))
         case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, havingOperand)
         case BoundOperand.BCase(bs, els)   => caseCol(bs, els, havingOperand)
+        case BoundOperand.BCast(x, t)      => havingOperand(x).cast(t.spark)
         case BoundOperand.BAgg(f, arg, dist) =>
           val name = s"__h_${havingAggs.length}"
           havingAggs += ((f, arg, dist, name))
@@ -291,7 +291,7 @@ object Lowering {
       // aliases resolve to post-aggregation column names, operands go
       // through havingOperand (group keys by grouped name, aggregates as
       // hidden agg columns)
-      val orderCols: Seq[(Column, Boolean)] = q.orderBy.map { case (k, desc) =>
+      val orderCols: Seq[(Column, Ast.SortDir)] = q.orderBy.map { case (k, desc) =>
         val c = k match {
           case BoundOrderKey.OKOutput(n) =>
             q.projection.zipWithIndex.collectFirst {
@@ -375,7 +375,7 @@ object Lowering {
       // projection, so an unprojected group key or aggregate can still
       // order the result
       val ordered = if (orderCols.isEmpty) grouped else grouped.orderBy(
-        orderCols.map { case (c, desc) => if (desc) c.desc else c.asc }: _*)
+        orderCols.map { case (c, dir) => sortCol(c, dir) }: _*)
       val projected = ordered.select(q.projection.zipWithIndex.map {
         case (BoundItem.BICol(bc, a), _) => col(groupOut(bc)).as(outName(bc, a))
         case (_: BoundItem.BIExpr, i)    => exprCols(i)
@@ -627,7 +627,7 @@ object Lowering {
     * ORDER BY binds against the first branch's output names.
     */
   def lowerUnion(first: DataFrame, rest: Seq[(String, DataFrame)],
-      orderBy: Seq[(String, Boolean)], limit: Option[Long],
+      orderBy: Seq[(String, Ast.SortDir)], limit: Option[Long],
       offset: Option[Long] = None): DataFrame = {
     // fold contiguous INTERSECT [ALL] runs into single group frames
     val groups = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
@@ -652,8 +652,7 @@ object Lowering {
         orderBy.find { case (n, _) => !unioned.columns.exists(_.equalsIgnoreCase(n)) }
           .foreach { case (n, _) => sys.error(
             s"UNION ORDER BY key '$n' is not an output column of the first branch") }
-        unioned.orderBy(orderBy.map { case (n, desc) =>
-          if (desc) col(n).desc else col(n).asc }: _*)
+        unioned.orderBy(orderBy.map { case (n, dir) => sortCol(col(n), dir) }: _*)
       }
     applyOffsetLimit(ordered, offset, limit)
   }
@@ -701,6 +700,20 @@ object Lowering {
     els.fold(chained)(e => chained.otherwise(rec(e)))
   }
 
+  /** Apply an ORDER BY direction — ASC/DESC with optional explicit NULLS
+    * FIRST/LAST (None keeps Spark's default: NULLS FIRST for ASC, LAST
+    * for DESC).
+    */
+  private[sql] def sortCol(c: Column, s: Ast.SortDir): Column =
+    (s.desc, s.nullsFirst) match {
+      case (false, None)        => c.asc
+      case (true, None)         => c.desc
+      case (false, Some(true))  => c.asc_nulls_first
+      case (false, Some(false)) => c.asc_nulls_last
+      case (true, Some(true))   => c.desc_nulls_first
+      case (true, Some(false))  => c.desc_nulls_last
+    }
+
   private[sql] def cmpCols(op: Ast.CmpOp, lc: Column, rc: Column): Column = op match {
     case Ast.CmpOp.Eq  => lc === rc
     case Ast.CmpOp.Neq => lc =!= rc
@@ -735,6 +748,13 @@ object Lowering {
     case ("substr", Seq(a, p, l)) => rec(a).substr(rec(p), rec(l))
     case ("coalesce", as) => coalesce(as.map(rec): _*)
     case ("concat", as)   => concat_ws("", as.map(rec): _*)
+    case ("replace", Seq(a, b, c)) => replace(rec(a), rec(b), rec(c))
+    case ("floor", Seq(a))    => floor(rec(a))
+    case ("ceil", Seq(a))     => ceil(rec(a))
+    case ("sqrt", Seq(a))     => sqrt(rec(a))
+    case ("power", Seq(a, b)) => pow(rec(a), rec(b))
+    case ("instr", Seq(a, b)) => instr(rec(a), rec(b))
+    case ("mod", Seq(a, b))   => rec(a) % rec(b)
     case other => sys.error(s"unreachable function ${other._1}/${other._2.length}")
   }
 
@@ -760,6 +780,7 @@ object Lowering {
         lowerFunc(f, args, lowerOperandWith(_, colOf))
       case BoundOperand.BCase(bs, els) =>
         caseCol(bs, els, lowerOperandWith(_, colOf))
+      case BoundOperand.BCast(x, t) => lowerOperandWith(x, colOf).cast(t.spark)
       case other => lowerOperand(other)
     }
 
@@ -772,6 +793,7 @@ object Lowering {
     case BoundOperand.BArith(op, l, r) => arith(op, lowerOperand(l), lowerOperand(r))
     case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, lowerOperand)
     case BoundOperand.BCase(bs, els)   => caseCol(bs, els, lowerOperand)
+    case BoundOperand.BCast(x, t)      => lowerOperand(x).cast(t.spark)
     case BoundOperand.BAgg(f, _, _) =>
       sys.error(s"aggregate $f(...) outside aggregate scope")
   }
@@ -795,6 +817,7 @@ object Lowering {
       case BoundOperand.BCol(c)         => Seq(c.binding)
       case BoundOperand.BArith(_, l, r) => opCols(l) ++ opCols(r)
       case BoundOperand.BFunc(_, args)  => args.flatMap(opCols)
+      case BoundOperand.BCast(x, _)     => opCols(x)
       case BoundOperand.BCase(bs, els) =>
         bs.flatMap { case (c, v) => cols(c) ++ opCols(v) } ++ els.toSeq.flatMap(opCols)
       case _                            => Nil
@@ -830,6 +853,7 @@ object Lowering {
     case BoundOperand.BArith(op, l, r) => arith(op, bareOperand(l), bareOperand(r))
     case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, bareOperand)
     case BoundOperand.BCase(bs, els)   => caseCol(bs, els, bareOperand)
+    case BoundOperand.BCast(x, t)      => bareOperand(x).cast(t.spark)
     case other                         => lowerOperand(other)
   }
 }

@@ -112,7 +112,9 @@ object Parser {
     "first_value", "last_value", "ntile", "percent_rank", "cume_dist")
   private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",
     "round", "substr", "substring", "coalesce", "concat",
-    "year", "month", "day")
+    "year", "month", "day",
+    "replace", "floor", "ceil", "ceiling", "sqrt", "power", "pow",
+    "instr", "mod")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
@@ -122,7 +124,12 @@ object Parser {
     lex(sql).flatMap { toks =>
       val p = new P(toks)
       val tree =
-        if (p.isKw("with")) parseWith(p)
+        if (p.isKw("explain")) {
+          p.next()
+          (if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p))
+            .map(ExplainTree)
+        }
+        else if (p.isKw("with")) parseWith(p)
         else if (p.isKw("select")) parseSelectOrUnion(p)
         else if (p.isKw("insert")) parseInsert(p)
         else if (p.isKw("create")) parseCreate(p)
@@ -250,8 +257,8 @@ object Parser {
             val (lastAll, last) = rest.last
             val stripped = rest.dropRight(1) :+
               (lastAll -> last.copy(orderBy = Nil, limit = None, offset = None))
-            val keys: Either[ParseError, Vector[(ColRef, Boolean)]] =
-              last.orderBy.foldLeft[Either[ParseError, Vector[(ColRef, Boolean)]]](
+            val keys: Either[ParseError, Vector[(ColRef, SortDir)]] =
+              last.orderBy.foldLeft[Either[ParseError, Vector[(ColRef, SortDir)]]](
                 Right(Vector.empty)) {
                 case (acc, (Operand.Col(c), desc)) if c.binding.isEmpty =>
                   acc.map(_ :+ (c -> desc))
@@ -608,14 +615,22 @@ object Parser {
           p.next()
           p.eatKw("by").flatMap { _ =>
             // full operands: a column, an output alias, an aggregate call
-            // (ORDER BY count(*) DESC — the top-k-groups shape), arithmetic
-            def one(): Either[ParseError, (Operand, Boolean)] =
-              parseOperand(p, allowAgg = true).map { c =>
-                if (p.isKw("desc")) { p.next(); (c, true) }
-                else if (p.isKw("asc")) { p.next(); (c, false) }
-                else (c, false)
+            // (ORDER BY count(*) DESC — the top-k-groups shape), arithmetic;
+            // each key takes [ASC|DESC] [NULLS FIRST|LAST]
+            def one(): Either[ParseError, (Operand, SortDir)] =
+              parseOperand(p, allowAgg = true).flatMap { c =>
+                val desc =
+                  if (p.isKw("desc")) { p.next(); true }
+                  else if (p.isKw("asc")) { p.next(); false }
+                  else false
+                if (p.isKw("nulls")) {
+                  p.next()
+                  if (p.isKw("first")) { p.next(); Right((c, SortDir(desc, Some(true)))) }
+                  else if (p.isKw("last")) { p.next(); Right((c, SortDir(desc, Some(false)))) }
+                  else Left(ParseError("expected FIRST or LAST after NULLS", p.peek.pos))
+                } else Right((c, SortDir(desc)))
               }
-            def loop(acc: Vector[(Operand, Boolean)]): Either[ParseError, Vector[(Operand, Boolean)]] =
+            def loop(acc: Vector[(Operand, SortDir)]): Either[ParseError, Vector[(Operand, SortDir)]] =
               one().flatMap { o =>
                 p.peek match {
                   case TSym(",", _) => p.next(); loop(acc :+ o)
@@ -624,7 +639,7 @@ object Parser {
               }
             loop(Vector.empty)
           }
-        } else Right(Vector.empty[(Operand, Boolean)])
+        } else Right(Vector.empty[(Operand, SortDir)])
       limit <-
         if (p.isKw("limit")) {
           p.next()
@@ -876,6 +891,27 @@ object Parser {
           else Right(None)
         _ <- p.eatKw("end")
       } yield Operand.CaseWhen(branches, els)
+    case TIdent(f, _) if f.equalsIgnoreCase("cast") && {
+        val save = p.i; p.next()
+        val isCall = p.peek match { case TSym("(", _) => true; case _ => false }
+        p.i = save; isCall
+      } =>
+      // CAST(operand AS type); bare VARCHAR (no length) allowed here
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        o <- parseOperand(p, allowAgg)
+        _ <- p.eatKw("as")
+        t <- p.peek match {
+          case TIdent(s, _) if s.equalsIgnoreCase("varchar") && {
+            val save = p.i; p.next()
+            val hasLen = p.peek match { case TSym("(", _) => true; case _ => false }
+            p.i = save; !hasLen
+          } => p.next(); Right(SqlType.SqlVarChar(65535))
+          case _ => parseType(p)
+        }
+        _ <- p.eatSym(")")
+      } yield Operand.Cast(o, t)
     case TIdent(f, _) if scalarFuncs(f.toLowerCase) && {
         // function only when '(' follows — otherwise a column named e.g.
         // `length` still resolves
@@ -883,7 +919,13 @@ object Parser {
         val isCall = p.peek match { case TSym("(", _) => true; case _ => false }
         p.i = save; isCall
       } =>
-      val fn = if (f.equalsIgnoreCase("substring")) "substr" else f.toLowerCase
+      val fn0 = f.toLowerCase
+      val fn = fn0 match {
+        case "substring" => "substr"
+        case "ceiling"   => "ceil"
+        case "pow"       => "power"
+        case other       => other
+      }
       p.next()
       for {
         _ <- p.eatSym("(")

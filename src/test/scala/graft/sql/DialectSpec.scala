@@ -780,6 +780,38 @@ class DialectSpec extends AnyFunSuite {
       "HAVING count(*) > (SELECT count(*) FROM people p WHERE p.id = c.owner_id)").isRight)
   }
 
+  test("CAST, round-5 scalar functions, NULLS FIRST/LAST, EXPLAIN") {
+    val db = demoDb()
+    val c = db.select("SELECT id, cast(id AS double) AS d, cast(id AS varchar) AS s, " +
+      "mod(id, 2) AS m, power(id, 2) AS p, floor(id + 0.5) AS fl " +
+      "FROM people ORDER BY id").toOption.get
+    assert(c.collect().toSeq == Seq(
+      Row(1, 1.0, "1", 1, 1.0, 1L),
+      Row(2, 2.0, "2", 0, 4.0, 2L),
+      Row(3, 3.0, "3", 1, 9.0, 3L)))
+    // replace/instr in projection and WHERE
+    val r = db.select("SELECT replace(name, 'Elon', 'E.') AS nm FROM people " +
+      "WHERE instr(name, 'Elon') > 0").toOption.get
+    assert(r.collect().map(_.getString(0)).toSeq == Seq("E."))
+    // CAST in a predicate
+    val cw = db.select("SELECT name FROM people WHERE cast(age AS double) > 21.5").toOption.get
+    assert(cw.collect().map(_.getString(0)).toSeq == Seq("Dr. Emmett L. „Doc“ Brown"))
+    // NULLS LAST pushes the NULL-age row to the end (Spark's ASC default
+    // is NULLS FIRST — the explicit spec must override it)
+    val nl = db.select("SELECT name FROM people ORDER BY age NULLS LAST").toOption.get
+    assert(nl.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown", "Marty McFly"))
+    val nf = db.select("SELECT name FROM people ORDER BY age DESC NULLS FIRST").toOption.get
+    assert(nf.collect().map(_.getString(0)).toSeq ==
+      Seq("Marty McFly", "Dr. Emmett L. „Doc“ Brown", "Elon"))
+    // EXPLAIN surfaces the formatted physical plan
+    val ex = db.select("EXPLAIN SELECT name, model FROM people p, cars c " +
+      "WHERE p.id = c.owner_id").toOption.get
+    val txt = ex.collect().map(_.getString(0)).mkString("\n")
+    assert(txt.contains("Physical Plan"))
+    assert(txt.contains("Join"), txt)
+  }
+
   test("GROUP BY ROLLUP / CUBE / GROUPING SETS") {
     val db = demoDb()
     db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")

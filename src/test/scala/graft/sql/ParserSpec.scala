@@ -110,12 +110,16 @@ class ParserSpec extends AnyFunSuite {
   test("order by and limit (additive over reference grammar)") {
     assert(parseOk("SELECT a FROM t ORDER BY a DESC, b LIMIT 10") ==
       SelectTree(Some(Seq(SCol(ColRef(None, "a")))), Seq(FTable(TableRef("t", None))), None,
-        Seq((Operand.Col(ColRef(None, "a")): Operand) -> true,
-          (Operand.Col(ColRef(None, "b")): Operand) -> false), Some(10)))
+        Seq((Operand.Col(ColRef(None, "a")): Operand) -> SortDir(true),
+          (Operand.Col(ColRef(None, "b")): Operand) -> SortDir(false)), Some(10)))
     // full operands: aggregates and arithmetic sort keys parse
     val agg = parseOk("SELECT a, count(*) FROM t GROUP BY a ORDER BY count(*) DESC, a")
       .asInstanceOf[SelectTree]
-    assert(agg.orderBy.head == (Operand.AggCall("count", None), true))
+    assert(agg.orderBy.head == (Operand.AggCall("count", None), SortDir(true)))
+    // explicit NULLS FIRST/LAST rides on the direction
+    val nf = parseOk("SELECT a FROM t ORDER BY a DESC NULLS LAST, b NULLS FIRST")
+      .asInstanceOf[SelectTree]
+    assert(nf.orderBy.map(_._2) == Seq(SortDir(true, Some(false)), SortDir(false, Some(true))))
     parseErr("SELECT a FROM t ORDER a")
     parseErr("SELECT a FROM t LIMIT x")
   }
