@@ -712,6 +712,30 @@ object Dialect {
              |ON n.n_nationkey = t.c_nationkey
              |ORDER BY n DESC NULLS FIRST, n_nationkey""".stripMargin)),
 
+    // The TPC-H Q3 shape end-to-end THROUGH THE DIALECT: DATE literals in
+    // the predicates, expression aggregate, CAST in the projection,
+    // ORDER BY the aggregate alias with LIMIT. The join order is the
+    // stats-driven DP's; both date filters reach the parquet scans.
+    "q_dialect_tpch_q3" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders", "lineitem"),
+        "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+          "cast(o_orderdate AS date) AS odate " +
+          "FROM customer c, orders o, lineitem l " +
+          "WHERE c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey " +
+          "AND l.l_orderkey = o.o_orderkey " +
+          "AND o_orderdate < DATE '1997-06-30' AND l_shipdate > DATE '1997-06-30' " +
+          "GROUP BY l_orderkey, o_orderdate " +
+          "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+      Some("""SELECT l_orderkey,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  cast(o_orderdate AS date) AS odate
+             |FROM customer c, orders o, lineitem l
+             |WHERE c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey
+             |  AND l.l_orderkey = o.o_orderkey
+             |  AND o_orderdate < DATE '1997-06-30' AND l_shipdate > DATE '1997-06-30'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
     // ROLLUP through the dialect: one Expand pass emits the (rf, ls),
     // (rf), () levels; subtotal NULLs coalesce to 'ALL' so the total
     // ORDER BY is engine-independent.

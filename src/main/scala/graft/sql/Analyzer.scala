@@ -465,6 +465,8 @@ object Analyzer {
     case BoundOperand.BLit(Lit.LitLong(_))   => SqlType.SqlBigInt
     case BoundOperand.BLit(Lit.LitDouble(_)) => SqlType.SqlDouble
     case BoundOperand.BLit(Lit.LitString(_)) => SqlType.SqlVarChar(65535)
+    case BoundOperand.BLit(Lit.LitDate(_))      => SqlType.SqlDate
+    case BoundOperand.BLit(Lit.LitTimestamp(_)) => SqlType.SqlTimestamp
     case BoundOperand.BLit(Lit.LitNull)      => SqlType.SqlVarChar(1)
     case BoundOperand.BArith(op, l, r) =>
       if (op == '/') SqlType.SqlDouble
@@ -1345,13 +1347,17 @@ object Analyzer {
     case (Lit.LitLong(_), t) if SqlType.comparable(SqlType.SqlBigInt, t) => Right(())
     case (Lit.LitDouble(_), t) if SqlType.comparable(SqlType.SqlDouble, t) => Right(())
     case (Lit.LitString(_), t) if SqlType.comparable(SqlType.SqlVarChar(0), t) => Right(())
+    case (Lit.LitDate(_), t) if SqlType.comparable(SqlType.SqlDate, t) => Right(())
+    case (Lit.LitTimestamp(_), t) if SqlType.comparable(SqlType.SqlTimestamp, t) => Right(())
     case (l, t) => Left(NotComparable(litType(l), t))
   }
   private def litType(l: Lit): SqlType = l match {
-    case Lit.LitLong(_)   => SqlType.SqlBigInt
-    case Lit.LitDouble(_) => SqlType.SqlDouble
-    case Lit.LitString(s) => SqlType.SqlVarChar(s.length max 1)
-    case Lit.LitNull      => SqlType.SqlVarChar(1)
+    case Lit.LitLong(_)      => SqlType.SqlBigInt
+    case Lit.LitDouble(_)    => SqlType.SqlDouble
+    case Lit.LitString(s)    => SqlType.SqlVarChar(s.length max 1)
+    case Lit.LitDate(_)      => SqlType.SqlDate
+    case Lit.LitTimestamp(_) => SqlType.SqlTimestamp
+    case Lit.LitNull         => SqlType.SqlVarChar(1)
   }
 
   /** INSERT: arity check with named missing attributes / expected-actual

@@ -231,10 +231,7 @@ object Lowering {
         scala.collection.mutable.ArrayBuffer.empty[(String, Option[BoundOperand], Boolean, String)]
       def havingOperand(o: BoundOperand): Column = o match {
         case BoundOperand.BCol(c) => col(groupOut(c))
-        case BoundOperand.BLit(Lit.LitLong(v))   => lit(v)
-        case BoundOperand.BLit(Lit.LitDouble(v)) => lit(v)
-        case BoundOperand.BLit(Lit.LitString(x)) => lit(x)
-        case BoundOperand.BLit(Lit.LitNull)      => lit(null)
+        case BoundOperand.BLit(l) => lowerLit(l)
         case BoundOperand.BArith(op, l, r) => arith(op, havingOperand(l), havingOperand(r))
         case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, havingOperand)
         case BoundOperand.BCase(bs, els)   => caseCol(bs, els, havingOperand)
@@ -784,12 +781,18 @@ object Lowering {
       case other => lowerOperand(other)
     }
 
+  private[sql] def lowerLit(l: Lit): Column = l match {
+    case Lit.LitLong(v)      => lit(v)
+    case Lit.LitDouble(v)    => lit(v)
+    case Lit.LitString(s)    => lit(s)
+    case Lit.LitDate(s)      => lit(java.sql.Date.valueOf(s))
+    case Lit.LitTimestamp(s) => lit(java.sql.Timestamp.valueOf(s))
+    case Lit.LitNull         => lit(null)
+  }
+
   private def lowerOperand(o: BoundOperand): Column = o match {
     case BoundOperand.BCol(c) => col(s"${c.binding}.${c.attr.name}")
-    case BoundOperand.BLit(Lit.LitLong(v))   => lit(v)
-    case BoundOperand.BLit(Lit.LitDouble(v)) => lit(v)
-    case BoundOperand.BLit(Lit.LitString(s)) => lit(s)
-    case BoundOperand.BLit(Lit.LitNull)      => lit(null)
+    case BoundOperand.BLit(l) => lowerLit(l)
     case BoundOperand.BArith(op, l, r) => arith(op, lowerOperand(l), lowerOperand(r))
     case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, lowerOperand)
     case BoundOperand.BCase(bs, els)   => caseCol(bs, els, lowerOperand)

@@ -847,6 +847,12 @@ object Parser {
     case TStr(s, _)   => p.next(); Right(Operand.Literal(Lit.LitString(s)))
     case TIdent(s, _) if s.equalsIgnoreCase("null") =>
       p.next(); Right(Operand.Literal(Lit.LitNull))
+    case TIdent(k, _) if (k.equalsIgnoreCase("date") || k.equalsIgnoreCase("timestamp")) && {
+        val save = p.i; p.next()
+        val isStr = p.peek.isInstanceOf[TStr]; p.i = save; isStr
+      } =>
+      p.next()
+      parseDateTimeLit(p, k.equalsIgnoreCase("date")).map(Operand.Literal)
     case TIdent(f, _) if allowAgg && aggFuncs(f.toLowerCase) =>
       // aggregate over a full (non-aggregate) expression: sum(a * b),
       // optionally DISTINCT: count(DISTINCT x), sum(DISTINCT x)
@@ -945,6 +951,22 @@ object Parser {
     case t            => Left(ParseError("expected column or literal", t.pos))
   }
 
+  /** DATE 'yyyy-mm-dd' / TIMESTAMP 'yyyy-mm-dd hh:mm:ss[.f]' tail —
+    * called with the keyword consumed and a string literal next;
+    * validates the ISO form at parse time so a typo fails here, not at
+    * execution.
+    */
+  private def parseDateTimeLit(p: P, isDate: Boolean): Either[ParseError, Lit] = {
+    val TStr(s, pos) = p.next(): @unchecked
+    try {
+      if (isDate) { java.sql.Date.valueOf(s); Right(Lit.LitDate(s)) }
+      else { java.sql.Timestamp.valueOf(s); Right(Lit.LitTimestamp(s)) }
+    } catch {
+      case _: IllegalArgumentException => Left(ParseError(
+        s"invalid ${if (isDate) "DATE" else "TIMESTAMP"} literal '$s'", pos))
+    }
+  }
+
   private def parseLit(p: P): Either[ParseError, Lit] = p.peek match {
     case TSym("-", _) =>
       p.next()
@@ -957,6 +979,12 @@ object Parser {
     case TFloat(v, _) => p.next(); Right(Lit.LitDouble(v))
     case TStr(s, _)   => p.next(); Right(Lit.LitString(s))
     case TIdent(s, _) if s.equalsIgnoreCase("null") => p.next(); Right(Lit.LitNull)
+    case TIdent(k, _) if (k.equalsIgnoreCase("date") || k.equalsIgnoreCase("timestamp")) && {
+        val save = p.i; p.next()
+        val isStr = p.peek.isInstanceOf[TStr]; p.i = save; isStr
+      } =>
+      p.next()
+      parseDateTimeLit(p, k.equalsIgnoreCase("date"))
     case t => Left(ParseError("expected literal", t.pos))
   }
 
@@ -1043,6 +1071,8 @@ object Parser {
           case "int" | "integer" => Right(SqlType.SqlInt)
           case "smallint" => Right(SqlType.SqlSmallInt)
           case "double"   => Right(SqlType.SqlDouble)
+          case "date"     => Right(SqlType.SqlDate)
+          case "timestamp" => Right(SqlType.SqlTimestamp)
           case "varchar" =>
             for {
               _ <- p.eatSym("(")

@@ -26,6 +26,7 @@ object SqlType {
   // parquet tables with richer schemas can live in the same catalog).
   case object SqlDouble extends SqlType { val spark = DoubleType;       val render = "DOUBLE" }
   case object SqlTimestamp extends SqlType { val spark = TimestampType; val render = "TIMESTAMP" }
+  case object SqlDate extends SqlType { val spark = DateType;           val render = "DATE" }
 
   def fromSpark(dt: DataType): SqlType = dt match {
     case LongType         => SqlBigInt
@@ -37,6 +38,7 @@ object SqlType {
     case FloatType        => SqlDouble
     case TimestampType    => SqlTimestamp
     case TimestampNTZType => SqlTimestamp // parquet naive timestamps (Spark 4 default)
+    case DateType         => SqlDate
     case other => throw new IllegalArgumentException(s"unsupported external type $other")
   }
 
@@ -52,7 +54,8 @@ object SqlType {
     case _ if isNumeric(a) && isNumeric(b)        => true
     case (SqlVarChar(_), SqlVarChar(_))           => true
     case (SqlVarBinary(_), SqlVarBinary(_))       => true
-    case (SqlTimestamp, SqlTimestamp)             => true
+    // date and timestamp cross-compare (Spark widens date to timestamp)
+    case (SqlTimestamp | SqlDate, SqlTimestamp | SqlDate) => true
     case _                                        => false
   }
 }
@@ -63,6 +66,10 @@ object Lit {
   final case class LitLong(v: Long) extends Lit
   final case class LitDouble(v: Double) extends Lit
   final case class LitString(v: String) extends Lit
+  /** DATE 'yyyy-mm-dd' — ISO form validated at parse time. */
+  final case class LitDate(iso: String) extends Lit
+  /** TIMESTAMP 'yyyy-mm-dd hh:mm:ss[.f]' — validated at parse time. */
+  final case class LitTimestamp(iso: String) extends Lit
   case object LitNull extends Lit
 }
 
@@ -99,6 +106,16 @@ object Convert {
     case (LitDouble(v), SqlDouble) => Right(v)
     case (LitString(s), SqlVarChar(max)) =>
       if (s.length <= max) Right(s) else Left(TooLarge(s.length, t))
+    case (LitDate(s), SqlDate) => Right(java.sql.Date.valueOf(s))
+    case (LitDate(s), SqlTimestamp) =>
+      Right(java.sql.Timestamp.valueOf(s + " 00:00:00"))
+    case (LitTimestamp(s), SqlTimestamp) => Right(java.sql.Timestamp.valueOf(s))
+    case (LitString(s), SqlTimestamp) =>
+      try Right(java.sql.Timestamp.valueOf(s))
+      catch { case _: IllegalArgumentException => Left(NotConvertible(l, t)) }
+    case (LitString(s), SqlDate) =>
+      try Right(java.sql.Date.valueOf(s))
+      catch { case _: IllegalArgumentException => Left(NotConvertible(l, t)) }
     case _ => Left(NotConvertible(l, t))
   }
 }

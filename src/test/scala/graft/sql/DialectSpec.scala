@@ -812,6 +812,26 @@ class DialectSpec extends AnyFunSuite {
     assert(txt.contains("Join"), txt)
   }
 
+  test("DATE / TIMESTAMP literals, columns and casts") {
+    val db = freshDb()
+    db.query("CREATE TABLE ev (id INT, d DATE, ts TIMESTAMP)")
+    assert(db.query("INSERT INTO ev VALUES " +
+      "(1, DATE '2024-01-15', TIMESTAMP '2024-01-15 10:30:00'), " +
+      "(2, DATE '2024-06-01', TIMESTAMP '2024-06-01 00:00:00'), " +
+      "(3, '2024-12-31', '2024-12-31 23:59:59')").isRight) // bare ISO strings convert too
+    val f = db.select("SELECT id FROM ev WHERE d < DATE '2024-06-01' " +
+      "AND ts < TIMESTAMP '2024-06-02 00:00:00'").toOption.get
+    assert(f.collect().map(_.getInt(0)).toSeq == Seq(1))
+    // year/month/day over date columns; CAST timestamp→date
+    val y = db.select("SELECT id, year(d) AS y, month(ts) AS m, " +
+      "cast(ts AS date) AS td FROM ev ORDER BY id").toOption.get
+    assert(y.collect().map(r => (r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((2024, 1), (2024, 6), (2024, 12)))
+    assert(y.collect().head.getDate(3).toString == "2024-01-15")
+    // a malformed literal is a parse error, not a runtime failure
+    assert(db.query("SELECT id FROM ev WHERE d = DATE 'not-a-date'").isLeft)
+  }
+
   test("GROUP BY ROLLUP / CUBE / GROUPING SETS") {
     val db = demoDb()
     db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
