@@ -736,6 +736,21 @@ object Dialect {
              |GROUP BY l_orderkey, o_orderdate
              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
 
+    // Window functions OVER an aggregated query — rank groups by their
+    // count, and a grand-total windowed sum of the per-group counts; the
+    // window computes post-aggregation over hidden aggregate columns,
+    // before the final ORDER BY so its exchange cannot disturb the sort.
+    "q_dialect_window_over_agg" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT c_nationkey, count(*) AS n, " +
+          "rank() OVER (ORDER BY count(*) DESC, c_nationkey) AS rk, " +
+          "sum(count(*)) OVER () AS total " +
+          "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"),
+      Some("""SELECT c_nationkey, cast(count(*) AS bigint) AS n,
+             |  rank() OVER (ORDER BY count(*) DESC, c_nationkey) AS rk,
+             |  cast(sum(count(*)) OVER () AS bigint) AS total
+             |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     // ROLLUP through the dialect: one Expand pass emits the (rf, ls),
     // (rf), () levels; subtotal NULLs coalesce to 'ALL' so the total
     // ORDER BY is engine-independent.

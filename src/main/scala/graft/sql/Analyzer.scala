@@ -1019,15 +1019,19 @@ object Analyzer {
             else if (frame.exists(_.range) && ord.length != 1)
               Left(BadFunction("a RANGE frame requires exactly one ORDER BY key"))
             else Right(())
+          // aggregate calls ARE allowed in window args/ordering — over an
+          // aggregated query the window evaluates post-aggregation
+          // (rank() OVER (ORDER BY count(*) DESC)); a non-aggregate query
+          // rejects them in the post-binding scope check
           bargs <- args.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](
             Right(Vector.empty)) { (acc, x) =>
-            acc.flatMap(v => bindOp(x, allowAgg = false).map(v :+ _))
+            acc.flatMap(v => bindOp(x, allowAgg = true).map(v :+ _))
           }
           bparts <- parts.foldLeft[Either[AnalyzerError, Vector[BoundCol]]](
             Right(Vector.empty)) { (acc, r) => acc.flatMap(v => bindCol(r).map(v :+ _)) }
           bord <- ord.foldLeft[Either[AnalyzerError, Vector[(BoundOperand, Boolean)]]](
             Right(Vector.empty)) { case (acc, (o, desc)) =>
-            acc.flatMap(v => bindOp(o, allowAgg = false).map(b => v :+ (b -> desc)))
+            acc.flatMap(v => bindOp(o, allowAgg = true).map(b => v :+ (b -> desc)))
           }
         } yield BoundItem.BIWin(f, bargs, bparts, bord, a, frame)
       case SelectItem.SSub(subTree, a) =>
@@ -1140,20 +1144,36 @@ object Analyzer {
           case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
           case _                       => false
         }
-        if (!isAgg) Right(())
-        else if (proj.exists(_.isInstanceOf[BoundItem.BIWin]))
-          Left(BadAggregate(
-            "window functions over an aggregated query are not supported"))
+        if (!isAgg) {
+          // outside aggregate scope a window operand must not aggregate
+          proj.collectFirst {
+            case BoundItem.BIWin(f, args, _, ord, _, _)
+                if (args ++ ord.map(_._1)).exists(BoundOperand.containsAgg) => f
+          } match {
+            case Some(f) => Left(BadAggregate(
+              s"window $f over an aggregate requires GROUP BY"))
+            case None => Right(())
+          }
+        }
         else if (proj.exists(_.isInstanceOf[BoundItem.BISub]))
           Left(BadSubquery(
             "scalar subquery items over an aggregated query are not supported"))
         else {
           def grouped(c: BoundCol) = groupCols.exists(g =>
             g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))
+          val groupExprOps =
+            group.collect { case BoundGroupKey.GKExpr(op, _) => op }.toSet
+          // a window operand that IS a group expression resolves to the
+          // grouped key; otherwise its bare columns must be grouped
+          // (aggregate arguments are exempt — operandCols skips them)
+          def winOpCols(op: BoundOperand): Seq[BoundCol] =
+            if (groupExprOps.contains(op)) Nil else operandCols(op)
           proj.flatMap {
             case BoundItem.BICol(c, _)   => Seq(c)
             case BoundItem.BIExpr(op, a) if !groupAliases(a.toLowerCase) =>
               operandCols(op)
+            case BoundItem.BIWin(_, args, parts, ord, _, _) =>
+              parts ++ (args ++ ord.map(_._1)).flatMap(winOpCols)
             case _                       => Nil
           }.find(!grouped(_)) match {
             case Some(c) => Left(NotInGroupBy(c.render))

@@ -82,53 +82,8 @@ object Lowering {
         case (_: BoundItem.BIAgg, _) =>
           sys.error("unreachable: aggregate items take the aggregate branch")
         case (BoundItem.BIWin(f, args, parts, ord, a, frame), _) =>
-          // one shuffle on the partition keys; ordered windows keep
-          // Spark's default running frame (SQL's RANGE UNBOUNDED
-          // PRECEDING), unordered ones span the whole partition
-          val w0 = org.apache.spark.sql.expressions.Window
-            .partitionBy(parts.map(qcol): _*)
-          val w1 =
-            if (ord.isEmpty) w0
-            else w0.orderBy(ord.map { case (op, desc) =>
-              val c = lowerOperandWith(op, qcol)
-              if (desc) c.desc else c.asc
-            }: _*)
-          // explicit ROWS/RANGE frame (moving windows); otherwise the SQL
-          // default frame applies
-          val w = frame.fold(w1) { fr =>
-            if (fr.range) w1.rangeBetween(fr.lo, fr.hi)
-            else w1.rowsBetween(fr.lo, fr.hi)
-          }
-          def shiftN: Int = args.lift(1) match {
-            case Some(BoundOperand.BLit(Lit.LitLong(n))) => n.toInt
-            case _                                       => 1
-          }
-          def shiftDefault: Any = args.lift(2) match {
-            case Some(BoundOperand.BLit(Lit.LitLong(v)))   => v
-            case Some(BoundOperand.BLit(Lit.LitDouble(v))) => v
-            case Some(BoundOperand.BLit(Lit.LitString(v))) => v
-            case _                                         => null
-          }
-          val fn = (f, args) match {
-            case ("row_number", _)     => row_number()
-            case ("rank", _)           => rank()
-            case ("dense_rank", _)     => dense_rank()
-            case ("percent_rank", _)   => percent_rank()
-            case ("cume_dist", _)      => cume_dist()
-            case ("ntile", Seq(BoundOperand.BLit(Lit.LitLong(n)))) => ntile(n.toInt)
-            case ("lag", x +: _)       => lag(lowerOperandWith(x, qcol), shiftN, shiftDefault)
-            case ("lead", x +: _)      => lead(lowerOperandWith(x, qcol), shiftN, shiftDefault)
-            case ("first_value", Seq(x)) => first(lowerOperandWith(x, qcol))
-            case ("last_value", Seq(x))  => last(lowerOperandWith(x, qcol))
-            case ("count", Seq())      => count(lit(1))
-            case ("count", Seq(x))     => count(lowerOperandWith(x, qcol))
-            case ("sum", Seq(x))       => sum(lowerOperandWith(x, qcol))
-            case ("min", Seq(x))       => min(lowerOperandWith(x, qcol))
-            case ("max", Seq(x))       => max(lowerOperandWith(x, qcol))
-            case ("avg", Seq(x))       => avg(lowerOperandWith(x, qcol))
-            case other                 => sys.error(s"unreachable window function $other")
-          }
-          fn.over(w).as(a)
+          windowColumn(f, args, parts, ord, frame,
+            lowerOperandWith(_, qcol), qcol).as(a)
       }
       if (q.distinct) {
         // DISTINCT applies to the PROJECTED rows, so evaluation reorders:
@@ -288,6 +243,13 @@ object Lowering {
       // aliases resolve to post-aggregation column names, operands go
       // through havingOperand (group keys by grouped name, aggregates as
       // hidden agg columns)
+      // an operand that IS a group expression resolves to the grouped key
+      // column (recomputing would reference pre-agg inputs); everything
+      // else goes through havingOperand
+      def aggScopeOperand(op: BoundOperand): Column =
+        q.groupBy.collectFirst {
+          case BoundGroupKey.GKExpr(gop, a) if gop == op => col(a)
+        }.getOrElse(havingOperand(op))
       val orderCols: Seq[(Column, Ast.SortDir)] = q.orderBy.map { case (k, desc) =>
         val c = k match {
           case BoundOrderKey.OKOutput(n) =>
@@ -298,15 +260,22 @@ object Lowering {
                 if (groupExprAliases(a.toLowerCase)) col(a) else havingOperand(op)
               case (BoundItem.BICol(bc, Some(a)), _) if a.equalsIgnoreCase(n) =>
                 col(groupOut(bc))
+              case (BoundItem.BIWin(_, _, _, _, a, _), i) if a.equalsIgnoreCase(n) =>
+                col(s"__w_$i")
             }.getOrElse(sys.error(s"unreachable: unresolved output alias $n"))
-          case BoundOrderKey.OKOperand(op) =>
-            // a sort operand that IS a group expression sorts the grouped
-            // key column (recomputing would reference pre-agg inputs)
-            q.groupBy.collectFirst {
-              case BoundGroupKey.GKExpr(gop, a) if gop == op => col(a)
-            }.getOrElse(havingOperand(op))
+          case BoundOrderKey.OKOperand(op) => aggScopeOperand(op)
         }
         (c, desc)
+      }
+      // window items over the AGGREGATED frame (rank() OVER (ORDER BY
+      // count(*) DESC) after GROUP BY): operands resolve post-aggregation
+      // — group keys by grouped name, aggregate calls as hidden agg
+      // columns (registered NOW, before the agg assembles); the columns
+      // compute in a select between aggregation and the final ORDER BY
+      val winItems: Seq[(Int, Column)] = q.projection.zipWithIndex.collect {
+        case (BoundItem.BIWin(f, args, parts, ord, _, frame), i) =>
+          i -> windowColumn(f, args, parts, ord, frame, aggScopeOperand,
+            bc => col(groupOut(bc)))
       }
       val hiddenExprs = havingAggs.map { case (f, arg, dist, name) =>
         aggCol(f, arg, dist).as(name) }
@@ -368,23 +337,85 @@ object Lowering {
             .filter(cmpCols(op, lc, scalar))
             .drop(name +: pairs.indices.map(k => s"__hs${i}_c$k"): _*)
       }
+      // window columns compute over the aggregated (and HAVING-filtered)
+      // frame, BEFORE the final ORDER BY — the window's own exchange
+      // must not disturb the result ordering
+      val withWins =
+        if (winItems.isEmpty) grouped
+        else grouped.select(col("*") +: winItems.map { case (i, c) =>
+          c.as(s"__w_$i") }: _*)
       // ORDER BY runs on the post-aggregation names BEFORE the final
       // projection, so an unprojected group key or aggregate can still
       // order the result
-      val ordered = if (orderCols.isEmpty) grouped else grouped.orderBy(
+      val ordered = if (orderCols.isEmpty) withWins else withWins.orderBy(
         orderCols.map { case (c, dir) => sortCol(c, dir) }: _*)
       val projected = ordered.select(q.projection.zipWithIndex.map {
         case (BoundItem.BICol(bc, a), _) => col(groupOut(bc)).as(outName(bc, a))
         case (_: BoundItem.BIExpr, i)    => exprCols(i)
         case (BoundItem.BIAgg(_, _, _, _), i) => col(aggName(i))
-        case (_: BoundItem.BIWin, _) =>
-          sys.error("unreachable: analyzer rejects windows over aggregates")
+        case (BoundItem.BIWin(_, _, _, _, a, _), i) => col(s"__w_$i").as(a)
       }: _*)
       // SELECT DISTINCT over an aggregate result: a no-op unless the
       // projection drops group keys; apply it for correctness either way
       val deduped = if (q.distinct) projected.distinct() else projected
       applyOffsetLimit(deduped, q.offset, q.limit)
     }
+  }
+
+  /** One window item as a Column, under the caller's operand/column
+    * resolution (qualified pre-aggregation names in the row-level branch,
+    * grouped output names + hidden aggregate columns post-aggregation).
+    * One shuffle on the partition keys; ordered windows keep Spark's
+    * default running frame (SQL's RANGE UNBOUNDED PRECEDING), unordered
+    * ones span the whole partition; an explicit ROWS/RANGE frame
+    * overrides.
+    */
+  private def windowColumn(f: String, args: Seq[BoundOperand],
+      parts: Seq[BoundCol], ord: Seq[(BoundOperand, Boolean)],
+      frame: Option[Ast.WinFrame],
+      opLower: BoundOperand => Column, colOf: BoundCol => Column): Column = {
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(parts.map(colOf): _*)
+    val w1 =
+      if (ord.isEmpty) w0
+      else w0.orderBy(ord.map { case (op, desc) =>
+        val c = opLower(op)
+        if (desc) c.desc else c.asc
+      }: _*)
+    val w = frame.fold(w1) { fr =>
+      if (fr.range) w1.rangeBetween(fr.lo, fr.hi)
+      else w1.rowsBetween(fr.lo, fr.hi)
+    }
+    def shiftN: Int = args.lift(1) match {
+      case Some(BoundOperand.BLit(Lit.LitLong(n))) => n.toInt
+      case _                                       => 1
+    }
+    def shiftDefault: Any = args.lift(2) match {
+      case Some(BoundOperand.BLit(Lit.LitLong(v)))   => v
+      case Some(BoundOperand.BLit(Lit.LitDouble(v))) => v
+      case Some(BoundOperand.BLit(Lit.LitString(v))) => v
+      case _                                         => null
+    }
+    val fn = (f, args) match {
+      case ("row_number", _)     => row_number()
+      case ("rank", _)           => rank()
+      case ("dense_rank", _)     => dense_rank()
+      case ("percent_rank", _)   => percent_rank()
+      case ("cume_dist", _)      => cume_dist()
+      case ("ntile", Seq(BoundOperand.BLit(Lit.LitLong(n)))) => ntile(n.toInt)
+      case ("lag", x +: _)       => lag(opLower(x), shiftN, shiftDefault)
+      case ("lead", x +: _)      => lead(opLower(x), shiftN, shiftDefault)
+      case ("first_value", Seq(x)) => first(opLower(x))
+      case ("last_value", Seq(x))  => last(opLower(x))
+      case ("count", Seq())      => count(lit(1))
+      case ("count", Seq(x))     => count(opLower(x))
+      case ("sum", Seq(x))       => sum(opLower(x))
+      case ("min", Seq(x))       => min(opLower(x))
+      case ("max", Seq(x))       => max(opLower(x))
+      case ("avg", Seq(x))       => avg(opLower(x))
+      case other                 => sys.error(s"unreachable window function $other")
+    }
+    fn.over(w)
   }
 
   /** Correlated scalar aggregate: GROUP BY the decorrelated keys — one row

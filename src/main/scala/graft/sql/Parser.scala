@@ -327,8 +327,10 @@ object Parser {
                 if (p.isKw("order")) {
                   p.next()
                   p.eatKw("by").flatMap { _ =>
+                    // aggregates allowed: over an aggregated query the
+                    // window orders post-aggregation (ORDER BY count(*))
                     def one(): Either[ParseError, (Operand, Boolean)] =
-                      parseOperand(p).map { c =>
+                      parseOperand(p, allowAgg = true).map { c =>
                         if (p.isKw("desc")) { p.next(); (c, true) }
                         else if (p.isKw("asc")) { p.next(); (c, false) }
                         else (c, false)
@@ -394,9 +396,10 @@ object Parser {
                   args <- p.peek match {
                     case TSym(")", _) => Right(Vector.empty[Operand])
                     case _ =>
-                      // lag/lead: value operand + optional literal offset
+                      // lag/lead: value operand + optional literal offset;
+                      // aggregates allowed (post-aggregation windows)
                       def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
-                        parseOperand(p).flatMap { a =>
+                        parseOperand(p, allowAgg = true).flatMap { a =>
                           p.peek match {
                             case TSym(",", _) => p.next(); loop(acc :+ a)
                             case _            => Right(acc :+ a)
@@ -864,7 +867,10 @@ object Parser {
         arg <- p.peek match {
           case TSym("*", pos) if fn == "count" && !distinct => p.next(); Right(None)
           case TSym("*", pos) => Left(ParseError(s"$fn(*) is not valid", pos))
-          case _ => parseOperand(p, allowAgg = false).map(Some(_))
+          // grammar-permissive: sum(count(*)) parses so WINDOWED
+          // aggregates of aggregates work (sum(count(*)) OVER ());
+          // the analyzer rejects nested aggregation everywhere else
+          case _ => parseOperand(p, allowAgg).map(Some(_))
         }
         _ <- p.eatSym(")")
       } yield Operand.AggCall(fn, arg, distinct)

@@ -512,11 +512,12 @@ class DialectSpec extends AnyFunSuite {
       "(PARTITION BY owner_id ORDER BY id) AS fm FROM cars ORDER BY id").toOption.get
     assert(fv.collect().map(_.getString(1)).toSeq ==
       Seq("Tesla Model 3", "DeLorean DMC-12", "Tesla Model 3"))
-    // ranking without ORDER BY, and windows over aggregates, are rejected
+    // ranking without ORDER BY is rejected; windows over aggregates are
+    // supported (dedicated test below)
     assert(db.query("SELECT row_number() OVER (PARTITION BY owner_id) AS rk " +
       "FROM cars").isLeft)
     assert(db.query("SELECT owner_id, count(*), row_number() OVER (ORDER BY owner_id) " +
-      "AS rk FROM cars GROUP BY owner_id").isLeft)
+      "AS rk FROM cars GROUP BY owner_id").isRight)
     assert(db.query("SELECT lag(id) OVER (PARTITION BY owner_id) AS p FROM cars").isLeft)
     assert(db.query("SELECT lag(id, id) OVER (ORDER BY id) AS p FROM cars").isLeft)
   }
@@ -830,6 +831,35 @@ class DialectSpec extends AnyFunSuite {
     assert(y.collect().head.getDate(3).toString == "2024-01-15")
     // a malformed literal is a parse error, not a runtime failure
     assert(db.query("SELECT id FROM ev WHERE d = DATE 'not-a-date'").isLeft)
+  }
+
+  test("window functions over aggregated queries") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    // rank owners by car count; windowed sum of the per-group counts
+    val df = db.select("SELECT owner_id, count(*) AS n, " +
+      "rank() OVER (ORDER BY count(*) DESC, owner_id) AS rk, " +
+      "sum(count(*)) OVER () AS total " +
+      "FROM cars GROUP BY owner_id ORDER BY owner_id").toOption.get
+    assert(df.collect().toSeq == Seq(
+      Row(1, 2L, 1, 3L), Row(2, 1L, 2, 3L)))
+    // window partitioned by a group key, ordered by an aggregate
+    val part = db.select("SELECT owner_id, model, count(*) AS n, " +
+      "row_number() OVER (PARTITION BY owner_id ORDER BY count(*) DESC, model) AS rn " +
+      "FROM cars GROUP BY owner_id, model ORDER BY owner_id, rn").toOption.get
+    assert(part.collect().map(r => (r.getInt(0), r.getInt(3))).toSeq ==
+      Seq((1, 1), (1, 2), (2, 1)))
+    // HAVING filters before the window sees the groups
+    val hv = db.select("SELECT owner_id, count(*) AS n, " +
+      "sum(count(*)) OVER () AS total FROM cars GROUP BY owner_id " +
+      "HAVING count(*) >= 2 ORDER BY owner_id").toOption.get
+    assert(hv.collect().toSeq == Seq(Row(1, 2L, 2L)))
+    // an ungrouped column in the window spec is rejected
+    assert(db.select("SELECT owner_id, count(*) AS n, " +
+      "row_number() OVER (PARTITION BY model ORDER BY owner_id) AS rn " +
+      "FROM cars GROUP BY owner_id").isLeft)
+    // a window aggregate without GROUP BY is rejected
+    assert(db.select("SELECT rank() OVER (ORDER BY count(*)) AS rk FROM cars").isLeft)
   }
 
   test("GROUP BY ROLLUP / CUBE / GROUPING SETS") {
