@@ -751,6 +751,20 @@ object Dialect {
              |  cast(sum(count(*)) OVER () AS bigint) AS total
              |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // A set-operation CTE body: the union-all of two dimension scans
+    // aggregated in the main query — the derived chain lowers each branch
+    // independently and combines by position with the first branch's
+    // names.
+    "q_dialect_union_cte" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "supplier"),
+        "WITH parties AS (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000 " +
+          "UNION ALL SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000) " +
+          "SELECT k, count(*) AS n FROM parties GROUP BY k ORDER BY k"),
+      Some("""WITH parties AS (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+             |  UNION ALL SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000)
+             |SELECT k, cast(count(*) AS bigint) AS n FROM parties
+             |GROUP BY k ORDER BY k""".stripMargin)),
+
     // ROLLUP through the dialect: one Expand pass emits the (rf, ls),
     // (rf), () levels; subtotal NULLs coalesce to 'ALL' so the total
     // ORDER BY is engine-independent.

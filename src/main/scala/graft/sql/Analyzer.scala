@@ -298,7 +298,7 @@ object Analyzer {
         val kept = Vector.newBuilder[BoundExpr]
         val extraTables = Vector.newBuilder[BoundTable]
         val extraSteps = Vector.newBuilder[BoundJoinStep]
-        val extraDerived = Map.newBuilder[String, BoundSelect]
+        val extraDerived = Map.newBuilder[String, BoundQuery]
         val queue = scala.collection.mutable.Queue.empty[BoundExpr]
         queue ++= sub.predicate.map(conj).getOrElse(Nil)
         // merge a nested subquery's body into this one (existential
@@ -415,8 +415,9 @@ object Analyzer {
       joinSteps: Seq[BoundJoinStep] = Nil,
       /** Derived tables by binding: the FROM-list subqueries backing the
         * synthetic TableDescs in `tables` — lowered in place of a scan.
+        * A value is a BoundSelect or a BoundUnion (set-op derived table).
         */
-      derived: Map[String, BoundSelect] = Map.empty,
+      derived: Map[String, BoundQuery] = Map.empty,
       /** ROLLUP / CUBE / GROUPING SETS over the groupBy key list (sets
         * reference keys by index).
         */
@@ -703,7 +704,7 @@ object Analyzer {
     // global catalog only — no lateral references) and binds a synthetic
     // TableDesc over the subquery's output.
     val bound = scala.collection.mutable.LinkedHashMap.empty[String, BoundTable]
-    val derivedSubs = scala.collection.mutable.Map.empty[String, BoundSelect]
+    val derivedSubs = scala.collection.mutable.Map.empty[String, BoundQuery]
     def addTable(tr: TableRef): Option[AnalyzerError] =
       cat.resolve(tr.name) match {
         case None => Some(RelationNotFound(tr.name))
@@ -715,17 +716,25 @@ object Analyzer {
     def addFrom(fi: FromItem): Option[AnalyzerError] = fi match {
       case FTable(tr) => addTable(tr)
       case FDerived(sel, alias) =>
-        analyzeSelect(sel, cat) match {
+        analyze(sel, cat) match {
           case Left(e) => Some(e)
-          case Right(bsub) =>
-            derivedAttributes(bsub) match {
+          case Right(bq) =>
+            // a set-op derived table's schema is its FIRST branch's (the
+            // lowering keeps the first branch's column names, SQL rule)
+            val attrsE = bq match {
+              case bsub: BoundSelect => derivedAttributes(bsub)
+              case u: BoundUnion     => derivedAttributes(u.first)
+              case _ => Left(BadSubquery(
+                "a derived table must be a SELECT or a set-operation chain"))
+            }
+            attrsE match {
               case Left(e) => Some(e)
               case Right(attrs) =>
                 val b = alias.toLowerCase
                 if (bound.contains(b)) Some(DuplicateBinding(b))
                 else {
                   bound(b) = BoundTable(TableDesc(b, attrs), b)
-                  derivedSubs(b) = bsub
+                  derivedSubs(b) = bq
                   None
                 }
             }

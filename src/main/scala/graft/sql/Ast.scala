@@ -15,11 +15,13 @@ object Ast {
   final case class TableRef(name: String, alias: Option[String])
 
   /** A FROM-list entry: a named table, or a derived table —
-    * `(SELECT …) alias` — whose schema is the subquery's output.
+    * `(SELECT …) alias` / `(SELECT … UNION SELECT …) alias` — whose
+    * schema is the subquery's output. `select` is a SelectTree or a
+    * UnionTree (the only readable forms).
     */
   sealed trait FromItem
   final case class FTable(ref: TableRef) extends FromItem
-  final case class FDerived(select: SelectTree, alias: String) extends FromItem
+  final case class FDerived(select: ParseTree, alias: String) extends FromItem
 
   sealed trait CmpOp { def sql: String }
   object CmpOp {

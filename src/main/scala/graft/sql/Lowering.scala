@@ -471,7 +471,7 @@ object Lowering {
     val base = q.tables.map { bt =>
       // a derived table lowers its subquery in place of a scan
       val df0 = q.derived.get(bt.binding) match {
-        case Some(sub) => lowerSelect(spark, sub, source)
+        case Some(sub) => lowerDerived(spark, sub, source)
         case None      => source(bt)
       }
       val df = df0.alias(bt.binding)
@@ -537,7 +537,7 @@ object Lowering {
     val withOuter = q.joinSteps.foldLeft(plainFiltered) { (df, js) =>
       // a derived step side lowers its subquery in place of a scan
       val right0 = q.derived.get(js.table.binding) match {
-        case Some(sub) => lowerSelect(spark, sub, source)
+        case Some(sub) => lowerDerived(spark, sub, source)
         case None      => source(js.table)
       }
       val right = right0.alias(js.table.binding)
@@ -645,6 +645,19 @@ object Lowering {
         }
       case (df, _) => df
     }
+  }
+
+  /** A derived table's body: a plain SELECT, or a set-op chain (each
+    * branch lowered independently, combined by lowerUnion).
+    */
+  private def lowerDerived(spark: SparkSession, q: Analyzer.BoundQuery,
+      source: BoundTable => DataFrame): DataFrame = q match {
+    case s: BoundSelect => lowerSelect(spark, s, source)
+    case u: Analyzer.BoundUnion =>
+      lowerUnion(lowerSelect(spark, u.first, source),
+        u.rest.map { case (conn, b) => (conn, lowerSelect(spark, b, source)) },
+        u.orderBy, u.limit, u.offset)
+    case other => sys.error(s"not a derivable query: $other")
   }
 
   /** Set-op chain assembly: branches are pre-lowered DataFrames;

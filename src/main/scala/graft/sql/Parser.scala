@@ -155,8 +155,8 @@ object Parser {
     * shadows a catalog table of the same name, like SQL.
     */
   private def parseWith(p: P): Either[ParseError, ParseTree] = {
-    def one(ctes: Map[String, SelectTree])
-        : Either[ParseError, (String, SelectTree)] =
+    def one(ctes: Map[String, ParseTree])
+        : Either[ParseError, (String, ParseTree)] =
       for {
         namePos <- Right(p.peek.pos)
         name <- p.ident()
@@ -166,15 +166,11 @@ object Parser {
           else Right(())
         _ <- p.eatKw("as")
         _ <- p.eatSym("(")
-        sel <- parseSelect(p)
-        _ <-
-          if (p.isKw("union") || p.isKw("intersect") || p.isKw("except"))
-            Left(ParseError("a CTE body must be a plain SELECT (no set operations)", p.peek.pos))
-          else Right(())
+        sel <- parseSelectOrUnion(p)
         _ <- p.eatSym(")")
-      } yield (name.toLowerCase, substCte(sel, ctes))
-    def loop(ctes: Vector[(String, SelectTree)])
-        : Either[ParseError, Vector[(String, SelectTree)]] =
+      } yield (name.toLowerCase, substCteTree(sel, ctes))
+    def loop(ctes: Vector[(String, ParseTree)])
+        : Either[ParseError, Vector[(String, ParseTree)]] =
       one(ctes.toMap).flatMap { c =>
         p.peek match {
           case TSym(",", _) => p.next(); loop(ctes :+ c)
@@ -185,27 +181,31 @@ object Parser {
       _ <- p.eatKw("with")
       ctes <- loop(Vector.empty)
       main <- parseSelectOrUnion(p)
-    } yield main match {
-      case s: SelectTree => substCte(s, ctes.toMap)
+    } yield substCteTree(main, ctes.toMap)
+  }
+
+  /** substCte over either readable tree form. */
+  private def substCteTree(t: ParseTree, ctes: Map[String, ParseTree]): ParseTree =
+    t match {
+      case s: SelectTree => substCte(s, ctes)
       case u: UnionTree => u.copy(
-        first = substCte(u.first, ctes.toMap),
-        rest = u.rest.map { case (c, s) => (c, substCte(s, ctes.toMap)) })
+        first = substCte(u.first, ctes),
+        rest = u.rest.map { case (c, s) => (c, substCte(s, ctes)) })
       case other => other
     }
-  }
 
   /** Replace CTE-name table references with derived tables, recursing into
     * every nested SELECT (derived tables, join steps, WHERE/HAVING
     * subqueries, scalar projection items). Operands cannot contain
     * subqueries (no parse path), so only Expr positions recurse.
     */
-  private def substCte(t: SelectTree, ctes: Map[String, SelectTree]): SelectTree = {
+  private def substCte(t: SelectTree, ctes: Map[String, ParseTree]): SelectTree = {
     if (ctes.isEmpty) return t
     def fromItem(fi: FromItem): FromItem = fi match {
       case FTable(TableRef(n, a)) if ctes.contains(n.toLowerCase) =>
         FDerived(ctes(n.toLowerCase), a.getOrElse(n))
       case ft: FTable        => ft
-      case FDerived(sel, al) => FDerived(substCte(sel, ctes), al)
+      case FDerived(sel, al) => FDerived(substCteTree(sel, ctes), al)
     }
     def expr(e: Expr): Expr = e match {
       case Expr.And(l, r)         => Expr.And(expr(l), expr(r))
@@ -461,12 +461,13 @@ object Parser {
               case _                            => TableRef(n, None)
             }
           }
-        // a FROM-group entry: a named table, or `(SELECT …) alias`
+        // a FROM-group entry: a named table, or `(SELECT …) alias` —
+        // including set-op chains: `(SELECT … UNION SELECT …) alias`
         def one(): Either[ParseError, FromItem] = p.peek match {
           case TSym("(", _) =>
             p.next()
             for {
-              sel <- parseSelect(p)
+              sel <- parseSelectOrUnion(p)
               _ <- p.eatSym(")")
               alias <- p.peek match {
                 case TIdent(a, _) if !reserved(a) => p.next(); Right(a)

@@ -1039,11 +1039,19 @@ class DialectSpec extends AnyFunSuite {
     val unioned = db.select("WITH a AS (SELECT name FROM people WHERE age = 20) " +
       "SELECT name FROM a UNION ALL SELECT name FROM a ORDER BY name").toOption.get
     assert(unioned.count() == 2)
-    // duplicate CTE names and set-op CTE bodies are parse errors
+    // duplicate CTE names are parse errors
     assert(db.query("WITH a AS (SELECT id FROM people), a AS (SELECT id FROM people) " +
       "SELECT id FROM a").isLeft)
-    assert(db.query("WITH a AS (SELECT id FROM people UNION SELECT id FROM people) " +
-      "SELECT id FROM a").isLeft)
+    // a set-op CTE body: union-all inside the CTE, aggregated outside
+    val setCte = db.select("WITH ids AS (SELECT id AS k FROM people " +
+      "UNION ALL SELECT owner_id AS k FROM cars) " +
+      "SELECT k, count(*) AS n FROM ids GROUP BY k ORDER BY k").toOption.get
+    assert(setCte.collect().toSeq == Seq(Row(1, 3L), Row(2, 2L), Row(3, 1L)))
+    // a set-op derived table inline in FROM
+    val setDer = db.select("SELECT t.k, count(*) AS n FROM " +
+      "(SELECT id AS k FROM people UNION ALL SELECT owner_id AS k FROM cars) t " +
+      "GROUP BY t.k ORDER BY t.k").toOption.get
+    assert(setDer.collect().toSeq == Seq(Row(1, 3L), Row(2, 2L), Row(3, 1L)))
   }
 
   test("UNION / UNION ALL chains with trailing ORDER BY and LIMIT") {
