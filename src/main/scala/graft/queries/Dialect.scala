@@ -781,6 +781,37 @@ object Dialect {
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
 
+    // grouping() distinguishes a real NULL key from a subtotal row —
+    // the only reliable marker once ROLLUP mixes both into one column.
+    "q_dialect_rollup_grouping" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT coalesce(l_returnflag, 'ALL') AS rf, grouping(l_returnflag) AS grf, " +
+          "coalesce(l_linestatus, 'ALL') AS ls, grouping(l_linestatus) AS gls, " +
+          "count(*) AS cnt FROM lineitem " +
+          "GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |  cast(grouping(l_returnflag) AS int) AS grf,
+             |  coalesce(l_linestatus, 'ALL') AS ls,
+             |  cast(grouping(l_linestatus) AS int) AS gls,
+             |  cast(count(*) AS bigint) AS cnt
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // Statistical aggregates: sample stddev/variance (Welford vs two-pass
+    // accumulation noise absorbed by rounding at margins far above the
+    // doubles' ulp level) and exact interpolated median.
+    "q_dialect_stats_agg" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderstatus, round(stddev(o_totalprice), 4) AS sd, " +
+          "round(variance(o_totalprice), -1) AS vr, " +
+          "round(median(o_totalprice), 4) AS md, count(*) AS n " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      Some("""SELECT o_orderstatus, round(stddev(o_totalprice), 4) AS sd,
+             |  round(variance(o_totalprice), -1) AS vr,
+             |  round(median(o_totalprice), 4) AS md,
+             |  cast(count(*) AS bigint) AS n
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // CUBE: the full power set of the two keys (4 grouping levels).
     "q_dialect_cube" -> QueryDef(
       (s, d) => run(db(s, d, "orders"),

@@ -492,8 +492,9 @@ object Analyzer {
   }
 
   private def aggType(f: String, arg: Option[BoundOperand]): SqlType = f match {
-    case "count" => SqlType.SqlBigInt
-    case "avg"   => SqlType.SqlDouble
+    case "count"    => SqlType.SqlBigInt
+    case "grouping" => SqlType.SqlInt
+    case "avg" | "stddev" | "variance" | "median" => SqlType.SqlDouble
     case "sum" => arg.map(operandType) match {
       case Some(SqlType.SqlDouble) => SqlType.SqlDouble
       case _                       => SqlType.SqlBigInt
@@ -792,8 +793,8 @@ object Analyzer {
       case Operand.Col(c)     => bindCol(c).map(BoundOperand.BCol)
       case Operand.Literal(v) => Right(BoundOperand.BLit(v))
       case Operand.AggCall(f, arg, dist) if allowAgg =>
-        if (dist && f == "avg")
-          Left(BadAggregate("avg(DISTINCT ...) is not supported"))
+        if (dist && f != "count" && f != "sum")
+          Left(BadAggregate(s"$f(DISTINCT ...) is not supported"))
         else arg match {
           case None    => Right(BoundOperand.BAgg(f, None, dist))
           case Some(r) => bindOp(r, allowAgg = false).map(b => BoundOperand.BAgg(f, Some(b), dist))
@@ -965,11 +966,13 @@ object Analyzer {
       case SelectItem.SCol(r, a) => bindCol(r).map(BoundItem.BICol(_, a))
       case SelectItem.SAgg(f, None, a, dist) => Right(BoundItem.BIAgg(f, None, a, dist))
       case SelectItem.SAgg(f, Some(r), a, dist) =>
-        if (dist && f == "avg")
-          Left(BadAggregate("avg(DISTINCT ...) is not supported"))
+        if (dist && f != "count" && f != "sum")
+          Left(BadAggregate(s"$f(DISTINCT ...) is not supported"))
         else bindOp(r, allowAgg = false).flatMap { b =>
+          val numericAgg =
+            Set("sum", "avg", "stddev", "variance", "median")(f)
           val badCol = b match {
-            case BoundOperand.BCol(c) if (f == "sum" || f == "avg") &&
+            case BoundOperand.BCol(c) if numericAgg &&
               !numericTypes(c.attr.sqlType) => Some(c)
             case _ => None
           }
@@ -990,7 +993,9 @@ object Analyzer {
         val positional = f == "first_value" || f == "last_value"
         for {
           _ <-
-            if ((ranking || shifting) && ord.isEmpty)
+            if (f == "grouping")
+              Left(BadFunction("grouping() is not a window function"))
+            else if ((ranking || shifting) && ord.isEmpty)
               Left(BadFunction(s"$f requires ORDER BY in its OVER clause"))
             else if (f == "ntile" && !(args.length == 1 && (args.head match {
               case Operand.Literal(Lit.LitLong(n)) => n > 0
@@ -1367,6 +1372,47 @@ object Analyzer {
         }) Left(BadAggregate(
           "ROLLUP/CUBE/GROUPING SETS requires an aggregate in the projection"))
         else Right(())
+      // grouping(col) marks subtotal rows — only meaningful under
+      // ROLLUP/CUBE/GROUPING SETS, and only over a grouping key
+      _ <- {
+        def aggsIn(o: BoundOperand): Seq[BoundOperand.BAgg] = o match {
+          case a: BoundOperand.BAgg => a +: a.arg.toSeq.flatMap(aggsIn)
+          case BoundOperand.BArith(_, l, r) => aggsIn(l) ++ aggsIn(r)
+          case BoundOperand.BFunc(_, as)    => as.flatMap(aggsIn)
+          case BoundOperand.BCast(x, _)     => aggsIn(x)
+          case BoundOperand.BCase(bs, els) =>
+            bs.flatMap { case (c, v) =>
+              BoundOperand.exprOperands(c).flatMap(aggsIn) ++ aggsIn(v)
+            } ++ els.toSeq.flatMap(aggsIn)
+          case _ => Nil
+        }
+        val all = proj.flatMap {
+          case BoundItem.BIAgg(f, arg, _, d) =>
+            Seq(BoundOperand.BAgg(f, arg, d))
+          case BoundItem.BIExpr(op, _) => aggsIn(op)
+          case BoundItem.BIWin(_, args, _, ord, _, _) =>
+            (args ++ ord.map(_._1)).flatMap(aggsIn)
+          case _ => Nil
+        } ++ having.toSeq.flatMap(h =>
+          BoundOperand.exprOperands(h).flatMap(aggsIn)) ++
+          order.flatMap {
+            case (BoundOrderKey.OKOperand(op), _) => aggsIn(op)
+            case _ => Nil
+          }
+        val groupingArgs =
+          all.collect { case BoundOperand.BAgg("grouping", arg, _) => arg }
+        if (groupingArgs.isEmpty) Right(())
+        else if (s.groupSpec.isEmpty) Left(BadAggregate(
+          "grouping() requires GROUP BY ROLLUP/CUBE/GROUPING SETS"))
+        else if (groupingArgs.forall {
+          case Some(BoundOperand.BCol(c)) =>
+            groupCols.exists(g => g.binding == c.binding &&
+              g.attr.name.equalsIgnoreCase(c.attr.name))
+          case _ => false
+        }) Right(())
+        else Left(BadAggregate(
+          "grouping() takes a single GROUP BY key column"))
+      }
     } yield BoundSelect(innerTables, proj, pred, order, s.limit, s.offset, group,
       having, s.distinct, steps, derivedSubs.toMap, s.groupSpec)
   }

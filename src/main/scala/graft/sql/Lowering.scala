@@ -175,6 +175,11 @@ object Lowering {
           case ("min", Some(a))           => min(lowerOperandWith(a, qcol))
           case ("max", Some(a))           => max(lowerOperandWith(a, qcol))
           case ("avg", Some(a))           => avg(lowerOperandWith(a, qcol))
+          case ("stddev", Some(a))        => stddev(lowerOperandWith(a, qcol))
+          case ("variance", Some(a))      => variance(lowerOperandWith(a, qcol))
+          case ("median", Some(a))        => median(lowerOperandWith(a, qcol))
+          // int on both engines (Spark's native grouping() is a tinyint)
+          case ("grouping", Some(a))      => grouping(lowerOperandWith(a, qcol)).cast("int")
           case other                      => sys.error(s"unreachable aggregate $other")
         }
       val aggExprs = aggItems.map { case (f, arg, dist, _, i) =>
@@ -413,6 +418,9 @@ object Lowering {
       case ("min", Seq(x))       => min(opLower(x))
       case ("max", Seq(x))       => max(opLower(x))
       case ("avg", Seq(x))       => avg(opLower(x))
+      case ("stddev", Seq(x))    => stddev(opLower(x))
+      case ("variance", Seq(x))  => variance(opLower(x))
+      case ("median", Seq(x))    => median(opLower(x))
       case other                 => sys.error(s"unreachable window function $other")
     }
     fn.over(w)
@@ -442,6 +450,9 @@ object Lowering {
         case ("min", Some(a))           => min(lowerOperandWith(a, qcolOf))
         case ("max", Some(a))           => max(lowerOperandWith(a, qcolOf))
         case ("avg", Some(a))           => avg(lowerOperandWith(a, qcolOf))
+        case ("stddev", Some(a))        => stddev(lowerOperandWith(a, qcolOf))
+        case ("variance", Some(a))      => variance(lowerOperandWith(a, qcolOf))
+        case ("median", Some(a))        => median(lowerOperandWith(a, qcolOf))
         case other                      => sys.error(s"unreachable aggregate $other")
       }, f == "count")
       case _ => sys.error("unreachable: analyzer requires a single aggregate call")

@@ -107,7 +107,8 @@ object Parser {
     "exists", "left", "right", "full", "outer", "union", "all",
     "intersect", "except", "case", "when", "then", "else", "end")
 
-  private val aggFuncs = Set("count", "sum", "min", "max", "avg")
+  private val aggFuncs = Set("count", "sum", "min", "max", "avg",
+    "stddev", "variance", "median", "grouping")
   private val winFuncs = Set("row_number", "rank", "dense_rank", "lag", "lead",
     "first_value", "last_value", "ntile", "percent_rank", "cume_dist")
   private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",

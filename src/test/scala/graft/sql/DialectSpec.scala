@@ -887,6 +887,21 @@ class DialectSpec extends AnyFunSuite {
     assert(plain.collect().toSeq == Seq(Row(1, 2L), Row(2, 1L)))
     // no aggregate in the projection → rejected
     assert(db.select("SELECT owner_id FROM cars GROUP BY ROLLUP(owner_id)").isLeft)
+    // grouping() marks the subtotal row
+    val gm = db.select("SELECT owner_id, grouping(owner_id) AS g, count(*) AS n " +
+      "FROM cars GROUP BY ROLLUP(owner_id) ORDER BY g, owner_id").toOption.get
+    assert(gm.collect().toSeq ==
+      Seq(Row(1, 0, 2L), Row(2, 0, 1L), Row(null, 1, 3L)))
+    // grouping() without a grouping spec, or over a non-key, is rejected
+    assert(db.select("SELECT owner_id, grouping(owner_id) AS g FROM cars " +
+      "GROUP BY owner_id").isLeft)
+    assert(db.select("SELECT owner_id, grouping(id) AS g, count(*) AS n FROM cars " +
+      "GROUP BY ROLLUP(owner_id)").isLeft)
+    // statistical aggregates execute
+    val st = db.select("SELECT owner_id, round(stddev(id), 4) AS sd, " +
+      "round(median(id), 1) AS md FROM cars GROUP BY owner_id " +
+      "ORDER BY owner_id").toOption.get
+    assert(st.collect().length == 2)
   }
 
   test("correlated HAVING subqueries join per-key aggregates on group keys") {
