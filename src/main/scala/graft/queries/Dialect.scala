@@ -553,6 +553,30 @@ object Dialect {
              |WHERE o_totalprice > 400000 OR o_totalprice <= 100000
              |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
+    // Expression UPDATE through the copy-on-write path: the doubled-price
+    // rewrite applies to even customers only, and the oracle reproduces
+    // the final image from the raw fixture with a CASE — so the
+    // distributed rewrite (and its pre-update-row semantics) must be
+    // value-exact.
+    "q_dialect_update_expr" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders")
+        if (!g.tableNames.contains("upd_orders")) {
+          g.query("CREATE TABLE upd_orders AS SELECT o_orderkey, o_custkey, " +
+            "o_totalprice FROM orders WHERE o_orderkey < 3000")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("UPDATE upd_orders SET o_totalprice = o_totalprice * 2 + o_custkey " +
+            "WHERE o_custkey % 2 = 0")
+            .fold(e => sys.error(e.msg), identity)
+        }
+        run(g, "SELECT o_orderkey, round(o_totalprice, 2) AS tp FROM upd_orders " +
+          "ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  round(CASE WHEN o_custkey % 2 = 0
+             |    THEN o_totalprice * 2 + o_custkey ELSE o_totalprice END, 2) AS tp
+             |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin)),
+
     // LIMIT OFFSET pagination over a total order (Spark Dataset.offset +
     // limit — the global-sort prefix survives both).
     "q_dialect_offset" -> QueryDef(

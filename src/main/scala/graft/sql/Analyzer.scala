@@ -594,9 +594,12 @@ object Analyzer {
     case _ => Set.empty
   }
   final case class BoundDelete(desc: TableDesc, predicate: Option[BoundExpr]) extends BoundQuery
+  /** UPDATE: each SET value is a bound row-level operand over the
+    * table's own columns, cast to the target attribute at execution.
+    */
   final case class BoundUpdate(
       desc: TableDesc,
-      sets: Seq[(AttributeDesc, Any)],
+      sets: Seq[(AttributeDesc, BoundOperand)],
       predicate: Option[BoundExpr]) extends BoundQuery
 
   def analyze(tree: ParseTree, cat: Catalog): Either[AnalyzerError, BoundQuery] = tree match {
@@ -673,18 +676,45 @@ object Analyzer {
         }
     }
 
+  /** Bind one operand against a single table with bare columns (UPDATE
+    * SET value scope) — via the same machinery as the WHERE binder.
+    */
+  private def bindSingleTableOperand(desc: TableDesc,
+      o: Operand): Either[AnalyzerError, BoundOperand] =
+    analyzeSelect(
+      SelectTree(Some(Seq(SelectItem.SExpr(o, "v"))),
+        Seq(FTable(TableRef(desc.name, None))), None),
+      new Catalog { def resolve(t: String) =
+        if (t.equalsIgnoreCase(desc.name)) Some(desc) else None }
+    ).flatMap(_.projection.head match {
+      case BoundItem.BIExpr(b, _) if BoundOperand.containsAgg(b) =>
+        Left(BadAggregate("aggregates are not valid in UPDATE SET"))
+      case BoundItem.BIExpr(b, _) => Right(b)
+      case other => Left(BadFunction(s"unexpected SET value $other"))
+    })
+
   private def analyzeUpdate(u: UpdateTree, cat: Catalog): Either[AnalyzerError, BoundUpdate] =
     cat.resolve(u.table) match {
       case None => Left(RelationNotFound(u.table))
       case Some(desc) =>
-        val sets = Vector.newBuilder[(AttributeDesc, Any)]
-        for (((cn, lit), idx) <- u.sets.zipWithIndex) {
+        val sets = Vector.newBuilder[(AttributeDesc, BoundOperand)]
+        for (((cn, op), idx) <- u.sets.zipWithIndex) {
           desc.attr(cn) match {
             case None => return Left(UnboundAttribute(cn))
             case Some(attr) =>
-              Convert(lit, attr.sqlType) match {
-                case Left(err) => return Left(TypeNotConvertible(idx, err.msg))
-                case Right(v)  => sets += ((attr, v))
+              op match {
+                // pure literals keep the INSERT-grade checked conversion
+                // (overflow/type errors surface at analysis, not runtime)
+                case Operand.Literal(l) =>
+                  Convert(l, attr.sqlType) match {
+                    case Left(err) => return Left(TypeNotConvertible(idx, err.msg))
+                    case Right(_)  => sets += ((attr, BoundOperand.BLit(l)))
+                  }
+                case expr =>
+                  bindSingleTableOperand(desc, expr) match {
+                    case Left(e)  => return Left(e)
+                    case Right(b) => sets += ((attr, b))
+                  }
               }
           }
         }

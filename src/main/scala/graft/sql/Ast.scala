@@ -217,9 +217,12 @@ object Ast {
     * copy-on-write parquet rewrites.
     */
   final case class DeleteTree(table: String, where: Option[Expr]) extends ParseTree
+  /** UPDATE t SET col = <operand> [, …] [WHERE …] — the value is a full
+    * row-level expression over the table's own columns (SET x = x + 1).
+    */
   final case class UpdateTree(
       table: String,
-      sets: Seq[(String, Lit)],
+      sets: Seq[(String, Operand)],
       where: Option[Expr]) extends ParseTree
 
   final case class CreateTree(

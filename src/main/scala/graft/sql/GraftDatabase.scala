@@ -310,11 +310,13 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       val obs = new org.apache.spark.sql.Observation()
       val observed = df.observe(obs,
         coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("matched"))
-      val updated = sets.foldLeft(observed) { case (acc, (attr, v)) =>
-        acc.withColumn(attr.name,
-          when(cond, lit(v).cast(attr.sqlType.spark))
-            .otherwise(org.apache.spark.sql.functions.col(attr.name)))
-      }
+      // all SET values evaluate against the PRE-update row (SQL rule:
+      // SET a = b, b = a swaps), so every when() reads the original
+      // columns of `observed`, and the withColumns apply in one batch
+      val updated = observed.withColumns(sets.map { case (attr, v) =>
+        attr.name -> when(cond, Lowering.lowerOperandBare(v).cast(attr.sqlType.spark))
+          .otherwise(org.apache.spark.sql.functions.col(attr.name))
+      }.toMap)
       rewriteTable(desc, updated)
       val matched = obs.get("matched").asInstanceOf[Long]
       Done(s"updated $matched row(s) in ${desc.name}")

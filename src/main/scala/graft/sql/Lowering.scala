@@ -906,6 +906,9 @@ object Lowering {
     */
   def lowerExprBare(e: BoundExpr): Column = lowerExprWith(e, bareOperand)
 
+  /** A single operand with unqualified columns (UPDATE SET values). */
+  def lowerOperandBare(o: BoundOperand): Column = bareOperand(o)
+
   private def bareOperand(o: BoundOperand): Column = o match {
     case BoundOperand.BCol(c)          => col(c.attr.name)
     case BoundOperand.BArith(op, l, r) => arith(op, bareOperand(l), bareOperand(r))

@@ -1044,18 +1044,18 @@ object Parser {
     } yield DeleteTree(name, where)
 
   private def parseUpdate(p: P): Either[ParseError, UpdateTree] = {
-    def assignment(): Either[ParseError, (String, Lit)] =
+    def assignment(): Either[ParseError, (String, Operand)] =
       for {
         c <- p.ident()
         _ <- p.eatSym("=")
-        v <- parseLit(p)
+        v <- parseOperand(p)
       } yield (c, v)
     for {
       _ <- p.eatKw("update")
       name <- p.ident()
       _ <- p.eatKw("set")
       sets <- {
-        def loop(acc: Vector[(String, Lit)]): Either[ParseError, Vector[(String, Lit)]] =
+        def loop(acc: Vector[(String, Operand)]): Either[ParseError, Vector[(String, Operand)]] =
           assignment().flatMap { a =>
             p.peek match {
               case TSym(",", _) => p.next(); loop(acc :+ a)

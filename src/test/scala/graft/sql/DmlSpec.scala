@@ -59,6 +59,26 @@ class DmlSpec extends AnyFunSuite {
     assert(g.query("UPDATE t SET nosuch = 1").isLeft)
   }
 
+  test("update with row-level expressions; all SET values read the pre-update row") {
+    val g = db()
+    val Right(g.Done(msg)) =
+      g.query("UPDATE t SET n = n * 2 + id WHERE tag = 'a'"): @unchecked
+    assert(msg.contains("updated 2"))
+    assert(rows(g) == Seq(
+      Row(1, "a", 21), Row(2, "b", 20), Row(3, "a", 63), Row(4, null, 40)))
+    // swap semantics: both SET values evaluate against the ORIGINAL row
+    g.query("CREATE TABLE sw (a INT, b INT)")
+    g.query("INSERT INTO sw VALUES (1, 2)")
+    assert(g.query("UPDATE sw SET a = b, b = a").isRight)
+    assert(g.select("SELECT a, b FROM sw").toOption.get.collect().toSeq ==
+      Seq(Row(2, 1)))
+    // expressions can use functions and CASE
+    assert(g.query("UPDATE t SET tag = upper(coalesce(tag, 'z'))").isRight)
+    assert(rows(g).map(_.getString(1)) == Seq("A", "B", "A", "Z"))
+    // aggregates in SET are rejected
+    assert(g.query("UPDATE t SET n = count(*)").isLeft)
+  }
+
   test("update persists across database reopen") {
     val wh = Files.createTempDirectory("graft-dml-wh").toString
     val g1 = new GraftDatabase(spark, wh)

@@ -174,9 +174,15 @@ class ParserSpec extends AnyFunSuite {
       DeleteTree("t", Some(Expr.Cmp(CmpOp.Eq,
         Operand.Col(ColRef(None, "a")), Operand.Literal(L.LitLong(1))))))
     assert(parseOk("UPDATE t SET a = 2, b = 'x' WHERE c > 0") ==
-      UpdateTree("t", Seq("a" -> L.LitLong(2), "b" -> L.LitString("x")),
+      UpdateTree("t", Seq(
+        "a" -> Operand.Literal(L.LitLong(2)),
+        "b" -> Operand.Literal(L.LitString("x"))),
         Some(Expr.Cmp(CmpOp.Gt,
           Operand.Col(ColRef(None, "c")), Operand.Literal(L.LitLong(0))))))
+    // SET values are full row-level expressions
+    assert(parseOk("UPDATE t SET a = a + 1") ==
+      UpdateTree("t", Seq("a" -> Operand.Arith('+',
+        Operand.Col(ColRef(None, "a")), Operand.Literal(L.LitLong(1)))), None))
     parseErr("DELETE t")
     parseErr("UPDATE t SET")
   }
