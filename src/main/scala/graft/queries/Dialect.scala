@@ -882,6 +882,22 @@ object Dialect {
              |  WHERE s.s_nationkey = c.c_nationkey AND s.s_acctbal > 5000)
              |ORDER BY c_nationkey""".stripMargin)),
 
+    // Correlated EXISTS in HAVING: groups keep or drop on a semi join of
+    // the subquery's decorrelated keys against the grouped output — the
+    // last subquery position (WHERE/projection/FROM/HAVING now all take
+    // scalar AND existential forms).
+    "q_dialect_having_exists" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "supplier"),
+        "SELECT c_nationkey, count(*) AS nc FROM customer c GROUP BY c_nationkey " +
+          "HAVING EXISTS (SELECT s.s_suppkey FROM supplier s " +
+          "WHERE s.s_nationkey = c.c_nationkey AND s.s_acctbal > 9000) " +
+          "ORDER BY c_nationkey"),
+      Some("""SELECT c_nationkey, cast(count(*) AS bigint) AS nc
+             |FROM customer c GROUP BY c_nationkey
+             |HAVING EXISTS (SELECT s.s_suppkey FROM supplier s
+             |  WHERE s.s_nationkey = c.c_nationkey AND s.s_acctbal > 9000)
+             |ORDER BY c_nationkey""".stripMargin)),
+
     // INTERSECT binding tighter than UNION (standard precedence): the
     // nation keys shared by customers AND suppliers, unioned with the
     // low-key nations — a ∪ (b ∩ c), not (a ∪ b) ∩ c.

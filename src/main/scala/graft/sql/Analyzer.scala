@@ -906,13 +906,12 @@ object Analyzer {
       case Expr.Not(x) =>
         bindExpr(x, allowAgg, topLevel = false).map(BoundExpr.BNot)
       case Expr.InSubquery(o, sub, neg) =>
-        if (allowAgg)
-          Left(BadSubquery("subqueries are not supported in HAVING"))
-        else if (!topLevel)
+        if (!topLevel)
           Left(BadSubquery("IN (SELECT …) must be a top-level AND conjunct"))
         else
           for {
-            bo <- bindOp(o, allowAgg = false)
+            // in HAVING scope the probe may be an aggregate (count(*) IN …)
+            bo <- bindOp(o, allowAgg)
             bsub0 <- analyzeSelect(sub, cat, outerScope = tables ++ outerScope)
             _ <-
               if (bsub0.projection.length == 1) Right(())
@@ -921,9 +920,7 @@ object Analyzer {
             dp <- decorrelate(bsub0)
           } yield BoundExpr.BInSub(bo, dp._1, dp._2, neg)
       case Expr.Exists(sub, neg) =>
-        if (allowAgg)
-          Left(BadSubquery("subqueries are not supported in HAVING"))
-        else if (!topLevel)
+        if (!topLevel)
           Left(BadSubquery("EXISTS (SELECT …) must be a top-level AND conjunct"))
         else
           for {
@@ -1355,15 +1352,18 @@ object Analyzer {
             case None    => Right(())
           }
       }
-      // a correlated HAVING subquery joins its per-key aggregate AFTER
-      // aggregation, so every decorrelation key must be a GROUP BY key
-      // (its post-aggregation column is the only thing left to join on)
+      // a correlated HAVING subquery (scalar, EXISTS or IN) joins its
+      // frame AFTER aggregation, so every decorrelation key must be a
+      // GROUP BY key (its post-aggregation column is the only thing left
+      // to join on)
       _ <- having match {
         case None => Right(())
         case Some(h) =>
           def walk(x: BoundExpr): Seq[BoundCol] = x match {
             case BoundExpr.BAnd(l, r) => walk(l) ++ walk(r)
             case BoundExpr.BCmpSub(_, _, _, _, ps) => ps.map(_._1)
+            case BoundExpr.BInSub(_, _, ps, _)     => ps.map(_._1)
+            case BoundExpr.BExists(_, ps, _)       => ps.map(_._1)
             case _ => Nil
           }
           walk(h).find(c => !groupCols.exists(g =>

@@ -226,11 +226,25 @@ object Lowering {
       val (havingSubConjs, havingPlainConjs) =
         havingConjs.partition(BoundExpr.containsSub)
       val havingCond = havingPlainConjs.map(havingCol).reduceOption(_ && _)
-      val havingSubParts = havingSubConjs.map {
+      // probe operands lower NOW (registering hidden aggregate columns
+      // before the agg assembles); the joins themselves fold in after
+      // aggregation + plain-HAVING filtering
+      sealed trait HSub
+      case class HCmp(op: Ast.CmpOp, lc: Column, sub: BoundSelect,
+        guard: Boolean, pairs: Seq[(BoundCol, BoundCol)]) extends HSub
+      case class HIn(lc: Column, sub: BoundSelect,
+        pairs: Seq[(BoundCol, BoundCol)], negated: Boolean) extends HSub
+      case class HExists(sub: BoundSelect,
+        pairs: Seq[(BoundCol, BoundCol)], negated: Boolean) extends HSub
+      val havingSubParts: Seq[HSub] = havingSubConjs.map {
         case BoundExpr.BCmpSub(op, o, ssub, guard, pairs) =>
-          (op, havingOperand(o), ssub, guard, pairs)
+          HCmp(op, havingOperand(o), ssub, guard, pairs)
+        case BoundExpr.BInSub(o, ssub, pairs, neg) =>
+          HIn(havingOperand(o), ssub, pairs, neg)
+        case BoundExpr.BExists(ssub, pairs, neg) =>
+          HExists(ssub, pairs, neg)
         case _ => sys.error(
-          "unreachable: analyzer allows only scalar subqueries in HAVING")
+          "unreachable: analyzer allows only subquery conjuncts here")
       }
       // computed projections in aggregate scope (count(*) * 2 AS n2):
       // their aggregate calls become hidden agg columns — registered into
@@ -319,8 +333,9 @@ object Lowering {
           g.agg(allAggs.head, allAggs.tail: _*).toDF(keyNames ++ aggNames: _*)
       }
       val grouped1 = havingCond.fold(grouped0)(grouped0.filter)
+      def qcolSub(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
       val grouped = havingSubParts.zipWithIndex.foldLeft(grouped1) {
-        case (acc, ((op, lc, ssub, guard, Seq()), i)) =>
+        case (acc, (HCmp(op, lc, ssub, guard, Seq()), i)) =>
           val subDf0 = lowerSelect(spark, ssub, source)
           if (guard) {
             val n = subDf0.limit(2).count()
@@ -330,7 +345,7 @@ object Lowering {
           val name = s"__hs_$i"
           val subDf = subDf0.toDF(name)
           acc.join(broadcast(subDf), cmpCols(op, lc, col(name)), "inner").drop(name)
-        case (acc, ((op, lc, ssub, _, pairs), i)) =>
+        case (acc, (HCmp(op, lc, ssub, _, pairs), i)) =>
           // correlated: the per-key aggregate left-joins on the GROUP BY
           // keys' post-aggregation columns (analyzer guarantees every
           // decorrelation key is a group key); left join + the count
@@ -341,6 +356,57 @@ object Lowering {
           acc.join(subAgg, keyCond(bc => col(groupOut(bc))), "left_outer")
             .filter(cmpCols(op, lc, scalar))
             .drop(name +: pairs.indices.map(k => s"__hs${i}_c$k"): _*)
+        case (acc, (HExists(ssub, pairs, neg), i)) =>
+          val joinType = if (neg) "left_anti" else "left_semi"
+          if (pairs.isEmpty) {
+            // emptiness of the whole subquery decides for every group
+            val subDf = lowerSelect(spark, ssub, source).limit(1)
+            acc.join(broadcast(subDf), lit(true), joinType)
+          } else {
+            // correlated on group keys: semi/anti join the subquery's
+            // key columns against the grouped output columns
+            val core = combine(spark, ssub, source, Set.empty, None)
+            val subDf = core.select(pairs.zipWithIndex.map {
+              case ((_, ic), k) => qcolSub(ic).as(s"__he${i}_$k") }: _*)
+            val cond = pairs.zipWithIndex.map { case ((oc, _), k) =>
+              col(groupOut(oc)) === subDf(s"__he${i}_$k") }.reduce(_ && _)
+            acc.join(subDf, cond, joinType)
+          }
+        case (acc, (HIn(lc, ssub, pairs, neg), i)) =>
+          val joinType = if (neg) "left_anti" else "left_semi"
+          if (pairs.isEmpty) {
+            val subDf = lowerSelect(spark, ssub, source)
+            val vcol = subDf.columns.head
+            if (neg) {
+              // null-aware NOT IN after aggregation — same 1-row facts +
+              // hash anti join as the WHERE-scope lowering
+              val facts = subDf.agg(count(lit(1)).as("__hnin_n"),
+                count(col(vcol)).as("__hnin_nonnull"))
+              acc.join(broadcast(facts), lit(true), "inner")
+                .filter(col("__hnin_n") === 0 ||
+                  (lc.isNotNull && col("__hnin_n") === col("__hnin_nonnull")))
+                .drop("__hnin_n", "__hnin_nonnull")
+                .join(subDf, lc === subDf(vcol), "left_anti")
+            } else acc.join(subDf, lc === subDf(vcol), joinType)
+          } else {
+            val core = combine(spark, ssub, source, Set.empty, None)
+            val inVal = ssub.projection.head match {
+              case BoundItem.BICol(c, _)    => qcolSub(c)
+              case BoundItem.BIExpr(op2, _) => lowerOperandWith(op2, qcolSub)
+              case _ => sys.error(
+                "unreachable: a correlated subquery must not aggregate or window")
+            }
+            val subDf = core.select(inVal.as(s"__hin${i}_v") +:
+              pairs.zipWithIndex.map { case ((_, ic), k) =>
+                qcolSub(ic).as(s"__hin${i}_$k") }: _*)
+            val pairConds = pairs.zipWithIndex.map { case ((oc, _), k) =>
+              col(groupOut(oc)) === subDf(s"__hin${i}_$k") }
+            val valCond =
+              if (neg) lc === subDf(s"__hin${i}_v") ||
+                lc.isNull || subDf(s"__hin${i}_v").isNull
+              else lc === subDf(s"__hin${i}_v")
+            acc.join(subDf, (valCond +: pairConds).reduce(_ && _), joinType)
+          }
       }
       // window columns compute over the aggregated (and HAVING-filtered)
       // frame, BEFORE the final ORDER BY — the window's own exchange

@@ -926,6 +926,37 @@ class DialectSpec extends AnyFunSuite {
       "(SELECT count(*) FROM people p WHERE p.name = model)").isLeft)
   }
 
+  test("EXISTS / IN subqueries in HAVING") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1), (4, 'Batmobile', 99)")
+    // correlated EXISTS: only owner groups with a people record survive
+    val ex = db.select("SELECT owner_id, count(*) AS n FROM cars " +
+      "GROUP BY owner_id HAVING EXISTS " +
+      "(SELECT p.id FROM people p WHERE p.id = owner_id) " +
+      "ORDER BY owner_id").toOption.get
+    assert(ex.collect().toSeq == Seq(Row(1, 2L), Row(2, 1L)))
+    // correlated NOT EXISTS: the ownerless group
+    val nex = db.select("SELECT owner_id, count(*) AS n FROM cars " +
+      "GROUP BY owner_id HAVING NOT EXISTS " +
+      "(SELECT p.id FROM people p WHERE p.id = owner_id) " +
+      "ORDER BY owner_id").toOption.get
+    assert(nex.collect().toSeq == Seq(Row(99, 1L)))
+    // an aggregate probe: groups whose count appears in a subquery
+    val in = db.select("SELECT owner_id, count(*) AS n FROM cars " +
+      "GROUP BY owner_id HAVING count(*) IN (SELECT id FROM people WHERE id >= 2) " +
+      "ORDER BY owner_id").toOption.get
+    assert(in.collect().toSeq == Seq(Row(1, 2L)))
+    // null-aware NOT IN in HAVING: a NULL in the subquery empties the result
+    db.query("CREATE TABLE hn (k INT)")
+    db.query("INSERT INTO hn VALUES (1), (NULL)")
+    val nin = db.select("SELECT owner_id, count(*) AS n FROM cars " +
+      "GROUP BY owner_id HAVING count(*) NOT IN (SELECT k FROM hn)").toOption.get
+    assert(nin.count() == 0)
+    // correlation on a non-group-key is rejected
+    assert(db.select("SELECT owner_id, count(*) AS n FROM cars GROUP BY owner_id " +
+      "HAVING EXISTS (SELECT p.id FROM people p WHERE p.name = model)").isLeft)
+  }
+
   test("correlation is restricted to top-level WHERE equalities") {
     val db = demoDb()
     // non-equality correlation
