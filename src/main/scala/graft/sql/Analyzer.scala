@@ -442,6 +442,9 @@ object Analyzer {
   /** EXPLAIN: the bound readable query whose plan to print. */
   final case class BoundExplain(query: BoundQuery) extends BoundQuery
 
+  /** DROP TABLE: desc = None when IF EXISTS matched nothing (a no-op). */
+  final case class BoundDrop(table: String, desc: Option[TableDesc]) extends BoundQuery
+
   final case class BoundInsert(desc: TableDesc, rows: Seq[Seq[Any]]) extends BoundQuery
   /** INSERT INTO t SELECT …: columns align by position, cast to the
     * target schema at execution.
@@ -606,6 +609,12 @@ object Analyzer {
     case s: SelectTree => analyzeSelect(s, cat)
     case u: UnionTree  => analyzeUnion(u, cat)
     case e: ExplainTree => analyze(e.select, cat).map(BoundExplain)
+    case d: DropTree =>
+      cat.resolve(d.table) match {
+        case Some(desc)           => Right(BoundDrop(desc.name, Some(desc)))
+        case None if d.ifExists   => Right(BoundDrop(d.table.toLowerCase, None))
+        case None                 => Left(RelationNotFound(d.table))
+      }
     case i: InsertTree => analyzeInsert(i, cat)
     case i: InsertSelectTree =>
       cat.resolve(i.table) match {

@@ -198,6 +198,11 @@ object Ast {
     */
   final case class ExplainTree(select: ParseTree) extends ParseTree
 
+  /** DROP TABLE [IF EXISTS] t — removes the table, its data files and
+    * its statistics from the warehouse.
+    */
+  final case class DropTree(table: String, ifExists: Boolean) extends ParseTree
+
   final case class InsertTree(table: String, rows: Seq[Seq[Lit]]) extends ParseTree
 
   /** INSERT INTO t SELECT … — the distributed write path (VALUES is for

@@ -67,6 +67,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         case BoundInsertSelect(d, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
         case BoundDelete(d, _)       if external.contains(d.name) => Left(ReadOnlyTable(d.name))
         case BoundUpdate(d, _, _)    if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+        case BoundDrop(n, _)         if external.contains(n)      => Left(ReadOnlyTable(n))
         case _                                                    => Right(())
       }
     } yield execute(bound)
@@ -300,6 +301,23 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       }
       val keptN = rewriteTable(desc, kept)
       Done(s"deleted ${before - keptN} row(s) from ${desc.name}")
+
+    case BoundDrop(name, None) =>
+      Done(s"table '$name' does not exist, skipped")
+
+    case BoundDrop(name, Some(desc)) =>
+      // metadata first (session-catalog entry for bucketed tables), then
+      // catalog + statistics, then the data files
+      if (desc.bucket.isDefined)
+        spark.sql(s"DROP TABLE IF EXISTS ${catName(name)}")
+      tables.remove(name)
+      statistics.dropTable(name)
+      val dirP = Paths.get(dataPath(name))
+      if (Files.exists(dirP))
+        Files.walk(dirP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      saveCatalog()
+      Done(s"dropped table '$name'")
 
     case BoundUpdate(desc, sets, pred) =>
       import org.apache.spark.sql.functions.{coalesce, lit, sum, when}

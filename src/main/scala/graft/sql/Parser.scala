@@ -136,7 +136,9 @@ object Parser {
         else if (p.isKw("create")) parseCreate(p)
         else if (p.isKw("delete")) parseDelete(p)
         else if (p.isKw("update")) parseUpdate(p)
-        else Left(ParseError("expected SELECT, INSERT, CREATE, DELETE or UPDATE", p.peek.pos))
+        else if (p.isKw("drop")) parseDrop(p)
+        else Left(ParseError(
+          "expected SELECT, INSERT, CREATE, DROP, DELETE or UPDATE", p.peek.pos))
       tree.flatMap { t =>
         while (p.peek.isInstanceOf[TSym] && p.peek.asInstanceOf[TSym].s == ";") p.next()
         p.peek match {
@@ -1032,6 +1034,19 @@ object Parser {
           } yield InsertTree(name, rows): ParseTree
     } yield tree
   }
+
+  private def parseDrop(p: P): Either[ParseError, DropTree] =
+    for {
+      _ <- p.eatKw("drop")
+      _ <- p.eatKw("table")
+      ifExists <- Right {
+        if (p.isKw("if")) {
+          val save = p.i; p.next()
+          if (p.isKw("exists")) { p.next(); true } else { p.i = save; false }
+        } else false
+      }
+      name <- p.ident()
+    } yield DropTree(name, ifExists)
 
   private def parseDelete(p: P): Either[ParseError, DeleteTree] =
     for {

@@ -73,6 +73,13 @@ final class StatsManager(spark: SparkSession, warehouse: String) {
     save()
   }
 
+  /** DROP TABLE: forget the table's statistics (persisted). */
+  def dropTable(name: String): Unit = {
+    stats.remove(name.toLowerCase)
+    bstats.remove(name.toLowerCase)
+    save()
+  }
+
   /** Fold an inserted batch into rowcount + sketches + sample. Batch sizes
     * are REPL-scale here; the per-value add loop is the same cost the
     * reference pays on its write path.

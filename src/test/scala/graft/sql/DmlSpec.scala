@@ -90,6 +90,30 @@ class DmlSpec extends AnyFunSuite {
     assert(g2.statistics.get("t").get.rowCount == 1)
   }
 
+  test("DROP TABLE removes data, statistics and catalog entry") {
+    val wh = Files.createTempDirectory("graft-drop-wh").toString
+    val g = new GraftDatabase(spark, wh)
+    g.query("CREATE TABLE d1 (a INT)")
+    g.query("INSERT INTO d1 VALUES (1), (2)")
+    val Right(g.Done(msg)) = g.query("DROP TABLE d1"): @unchecked
+    assert(msg.contains("dropped"))
+    assert(g.query("SELECT a FROM d1").isLeft)          // gone
+    assert(g.statistics.get("d1").isEmpty)              // stats gone
+    assert(g.query("CREATE TABLE d1 (b VARCHAR(5))").isRight) // name reusable
+    // persists across reopen
+    val g2 = new GraftDatabase(spark, wh)
+    assert(g2.query("DROP TABLE d1").isRight)
+    assert(g2.query("SELECT b FROM d1").isLeft)
+    // IF EXISTS is a no-op on a missing table; bare DROP errors
+    assert(g2.query("DROP TABLE IF EXISTS nosuch").isRight)
+    assert(g2.query("DROP TABLE nosuch").isLeft)
+    // bucketed tables drop their session-catalog entry too
+    g2.query("CREATE TABLE db (k BIGINT) CLUSTERED BY (k) INTO 4 BUCKETS")
+    g2.query("INSERT INTO db VALUES (1), (2), (3)")
+    assert(g2.query("DROP TABLE db").isRight)
+    assert(g2.query("SELECT k FROM db").isLeft)
+  }
+
   test("external fixture tables are read-only") {
     val g = db()
     g.registerParquet("region", s"${SparkTestSession.sf0001}/region.parquet")
