@@ -819,6 +819,8 @@ object Analyzer {
     }
 
     // star expansion (reference analyzer/mod.rs:68-73)
+    if (s.from.isEmpty && s.columns.isEmpty)
+      return Left(BadFunction("SELECT * requires a FROM clause"))
     val projItems: Seq[SelectItem] = s.columns.getOrElse(
       tables.flatMap(bt => bt.desc.attributes.map(a =>
         SelectItem.SCol(ColRef(Some(bt.binding), a.name)))))

@@ -545,7 +545,7 @@ object Lowering {
       source: BoundTable => DataFrame,
       broadcastBindings: Set[String],
       joinPlan: Option[JoinOrder.Tree]): DataFrame = {
-    val base = q.tables.map { bt =>
+    val base0 = q.tables.map { bt =>
       // a derived table lowers its subquery in place of a scan
       val df0 = q.derived.get(bt.binding) match {
         case Some(sub) => lowerDerived(spark, sub, source)
@@ -556,6 +556,9 @@ object Lowering {
       // sides from estimates the same way, optimizer/optimizer.rs:177-180)
       if (broadcastBindings(bt.binding)) broadcast(df) else df
     }
+    // SELECT without FROM evaluates over one synthetic row
+    val base =
+      if (base0.nonEmpty) base0 else Seq(spark.range(1).toDF().drop("id"))
     val allConj: Seq[BoundExpr] = q.predicate.map(conjuncts).getOrElse(Nil)
     // subquery conjuncts — IN/EXISTS/scalar comparisons — lower as joins
     // AFTER the plain filter/join phase (the analyzer restricts them to

@@ -445,7 +445,9 @@ object Parser {
             }
           loop(Vector.empty).map(Some(_))
       }
-      _ <- p.eatKw("from")
+      // FROM is optional: `SELECT 1+1 AS x` evaluates over one
+      // synthetic row (the DuckDB/Postgres convenience form)
+      hasFrom <- Right { if (p.isKw("from")) { p.next(); true } else false }
       // FROM list: comma-separated tables and/or [INNER] JOIN … ON <cond>,
       // then optionally LEFT/RIGHT/FULL [OUTER] / INNER JOIN … ON steps in
       // any order. Inner ONs in the LEADING group (before any outer join)
@@ -523,7 +525,8 @@ object Parser {
               } yield r
             case _ => Right((tabs, ons, steps))
           }
-        one().flatMap(t => loop(Vector(t), Vector.empty, Vector.empty))
+        if (hasFrom) one().flatMap(t => loop(Vector(t), Vector.empty, Vector.empty))
+        else Right((Vector.empty[FromItem], Vector.empty[Expr], Vector.empty[JoinStep]))
       }
       where <- {
         val explicit: Either[ParseError, Option[Expr]] =

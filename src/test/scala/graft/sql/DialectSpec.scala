@@ -813,6 +813,15 @@ class DialectSpec extends AnyFunSuite {
     assert(txt.contains("Join"), txt)
   }
 
+  test("SELECT without FROM evaluates over one synthetic row") {
+    val db = freshDb()
+    val one = db.select("SELECT 1 + 1 AS x, upper('ab') AS s, " +
+      "cast(3.5 AS bigint) AS c").toOption.get
+    assert(one.collect().toSeq == Seq(Row(2L, "AB", 3L)))
+    // star without FROM is rejected with a clear error
+    assert(db.select("SELECT *").isLeft)
+  }
+
   test("DATE / TIMESTAMP literals, columns and casts") {
     val db = freshDb()
     db.query("CREATE TABLE ev (id INT, d DATE, ts TIMESTAMP)")
