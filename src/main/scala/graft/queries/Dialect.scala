@@ -789,6 +789,24 @@ object Dialect {
              |SELECT k, cast(count(*) AS bigint) AS n FROM parties
              |GROUP BY k ORDER BY k""".stripMargin)),
 
+    // The TPC-H Q1 pricing-summary shape with its INTERVAL predicate —
+    // DATE '…' - INTERVAL '90' DAY constant-folds and reaches the scan
+    // as a pushed filter on both engines.
+    "q_dialect_tpch_q1" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+          "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+          "round(avg(l_quantity), 4) AS avg_qty, count(*) AS n " +
+          "FROM lineitem WHERE l_shipdate <= DATE '2000-12-01' - INTERVAL '90' DAY " +
+          "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  cast(count(*) AS bigint) AS n
+             |FROM lineitem WHERE l_shipdate <= DATE '2000-12-01' - INTERVAL '90' DAY
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
     // ROLLUP through the dialect: one Expand pass emits the (rf, ls),
     // (rf), () levels; subtotal NULLs coalesce to 'ALL' so the total
     // ORDER BY is engine-independent.

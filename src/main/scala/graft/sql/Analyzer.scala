@@ -97,6 +97,10 @@ object Analyzer {
         elseOp: Option[BoundOperand]) extends BoundOperand
     /** CAST(operand AS type) — lowers to Spark's cast. */
     final case class BCast(op: BoundOperand, tpe: SqlType) extends BoundOperand
+    /** Calendar interval literal (valid only beside + / - against a
+      * date/timestamp operand — enforced at binding).
+      */
+    final case class BInterval(n: Long, unit: String) extends BoundOperand
 
     /** Does the operand tree contain an aggregate call? */
     def containsAgg(o: BoundOperand): Boolean = o match {
@@ -472,6 +476,9 @@ object Analyzer {
     case BoundOperand.BLit(Lit.LitDate(_))      => SqlType.SqlDate
     case BoundOperand.BLit(Lit.LitTimestamp(_)) => SqlType.SqlTimestamp
     case BoundOperand.BLit(Lit.LitNull)      => SqlType.SqlVarChar(1)
+    case BoundOperand.BArith(_, l, BoundOperand.BInterval(_, _)) =>
+      operandType(l) // temporal ± INTERVAL keeps the temporal type
+    case BoundOperand.BInterval(_, _) => SqlType.SqlTimestamp // placeholder
     case BoundOperand.BArith(op, l, r) =>
       if (op == '/') SqlType.SqlDouble
       else (operandType(l), operandType(r)) match {
@@ -886,20 +893,37 @@ object Analyzer {
             case Some(e) => bindOp(e, allowAgg).map(Some(_))
           }
         } yield BoundOperand.BCase(bs, be)
+      case Operand.Interval(n, u) => Right(BoundOperand.BInterval(n, u))
       case Operand.Arith(ch, l, r) =>
         // arithmetic legs must be numeric where typed (columns); literals
-        // and nested arithmetic check recursively
+        // and nested arithmetic check recursively. The exception is
+        // temporal arithmetic: <date/timestamp> ± INTERVAL.
         def numOk(b: BoundOperand): Either[AnalyzerError, Unit] = b match {
           case BoundOperand.BCol(c) if !numericTypes(c.attr.sqlType) =>
             Left(NotComparable(c.attr.sqlType, SqlType.SqlDouble))
           case _ => Right(())
         }
+        def temporal(b: BoundOperand): Boolean = operandType(b) match {
+          case SqlType.SqlDate | SqlType.SqlTimestamp => true
+          case _ => false
+        }
         for {
           bl <- bindOp(l, allowAgg)
           br <- bindOp(r, allowAgg)
-          _ <- numOk(bl)
-          _ <- numOk(br)
-        } yield BoundOperand.BArith(ch, bl, br)
+          res <- (bl, br) match {
+            case (_, BoundOperand.BInterval(_, _)) =>
+              if ((ch == '+' || ch == '-') && temporal(bl))
+                Right(BoundOperand.BArith(ch, bl, br))
+              else Left(BadFunction(
+                "INTERVAL is only valid as <date/timestamp> + or - INTERVAL"))
+            case (BoundOperand.BInterval(_, _), _) =>
+              Left(BadFunction(
+                "INTERVAL must be the RIGHT operand of + or - (date + INTERVAL)"))
+            case _ =>
+              for { _ <- numOk(bl); _ <- numOk(br) }
+                yield BoundOperand.BArith(ch, bl, br)
+          }
+        } yield res
     }
 
     def bindExpr(e: Expr, allowAgg: Boolean = false,

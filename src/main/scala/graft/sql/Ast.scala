@@ -60,6 +60,11 @@ object Ast {
       * parses are NULL like DuckDB's TRY_CAST-adjacent behavior).
       */
     final case class Cast(op: Operand, tpe: SqlType) extends Operand
+    /** INTERVAL '<n>' <unit> — a calendar interval (unit normalized to
+      * singular: year/month/week/day/hour/minute/second), valid only as
+      * the right operand of + / - against a date/timestamp.
+      */
+    final case class Interval(n: Long, unit: String) extends Operand
   }
 
   sealed trait Expr

@@ -192,6 +192,7 @@ object Lowering {
       def havingOperand(o: BoundOperand): Column = o match {
         case BoundOperand.BCol(c) => col(groupOut(c))
         case BoundOperand.BLit(l) => lowerLit(l)
+        case BoundOperand.BInterval(n, u) => intervalCol(n, u)
         case BoundOperand.BArith(op, l, r) => arith(op, havingOperand(l), havingOperand(r))
         case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, havingOperand)
         case BoundOperand.BCase(bs, els)   => caseCol(bs, els, havingOperand)
@@ -914,8 +915,27 @@ object Lowering {
     case Lit.LitNull         => lit(null)
   }
 
+  /** A calendar-interval Column (unit-positional make_interval args:
+    * years, months, weeks, days, hours, mins, secs). Column arithmetic
+    * then adds/subtracts it from a date/timestamp directly.
+    */
+  private def intervalCol(n: Long, unit: String): Column = {
+    val z = lit(0)
+    unit match {
+      case "year"   => make_interval(lit(n))
+      case "month"  => make_interval(z, lit(n))
+      case "week"   => make_interval(z, z, lit(n))
+      case "day"    => make_interval(z, z, z, lit(n))
+      case "hour"   => make_interval(z, z, z, z, lit(n))
+      case "minute" => make_interval(z, z, z, z, z, lit(n))
+      case "second" => make_interval(z, z, z, z, z, z, lit(n.toDouble))
+      case other    => sys.error(s"unreachable interval unit $other")
+    }
+  }
+
   private def lowerOperand(o: BoundOperand): Column = o match {
     case BoundOperand.BCol(c) => col(s"${c.binding}.${c.attr.name}")
+    case BoundOperand.BInterval(n, u) => intervalCol(n, u)
     case BoundOperand.BLit(l) => lowerLit(l)
     case BoundOperand.BArith(op, l, r) => arith(op, lowerOperand(l), lowerOperand(r))
     case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, lowerOperand)

@@ -863,6 +863,35 @@ object Parser {
       } =>
       p.next()
       parseDateTimeLit(p, k.equalsIgnoreCase("date")).map(Operand.Literal)
+    case TIdent(k, _) if k.equalsIgnoreCase("interval") && {
+        val save = p.i; p.next()
+        val isVal = p.peek match {
+          case _: TStr | _: TInt => true
+          case _                 => false
+        }
+        p.i = save; isVal
+      } =>
+      // INTERVAL '90' DAY / INTERVAL 3 MONTHS — unit normalized singular
+      p.next()
+      val n: Either[ParseError, Long] = p.next() match {
+        case TInt(v, _) => Right(v)
+        case TStr(s, pos) =>
+          try Right(s.trim.toLong)
+          catch { case _: NumberFormatException =>
+            Left(ParseError(s"invalid INTERVAL count '$s'", pos)) }
+        case t => Left(ParseError("expected INTERVAL count", t.pos))
+      }
+      n.flatMap { v =>
+        p.peek match {
+          case TIdent(u, pos) =>
+            val unit = u.toLowerCase.stripSuffix("s")
+            if (Set("year", "month", "week", "day",
+                "hour", "minute", "second")(unit)) {
+              p.next(); Right(Operand.Interval(v, unit))
+            } else Left(ParseError(s"unknown INTERVAL unit '$u'", pos))
+          case t => Left(ParseError("expected INTERVAL unit", t.pos))
+        }
+      }
     case TIdent(f, _) if allowAgg && aggFuncs(f.toLowerCase) =>
       // aggregate over a full (non-aggregate) expression: sum(a * b),
       // optionally DISTINCT: count(DISTINCT x), sum(DISTINCT x)

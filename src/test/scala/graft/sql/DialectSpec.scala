@@ -840,6 +840,19 @@ class DialectSpec extends AnyFunSuite {
     assert(y.collect().head.getDate(3).toString == "2024-01-15")
     // a malformed literal is a parse error, not a runtime failure
     assert(db.query("SELECT id FROM ev WHERE d = DATE 'not-a-date'").isLeft)
+    // INTERVAL arithmetic: date/timestamp ± INTERVAL, month rollover
+    val iv = db.select("SELECT id, d + INTERVAL '1' MONTH AS m, " +
+      "ts - INTERVAL 30 MINUTES AS t FROM ev WHERE id = 1").toOption.get
+    val r0 = iv.collect().head
+    assert(r0.getDate(1).toString == "2024-02-15")
+    assert(r0.getTimestamp(2).toString == "2024-01-15 10:00:00.0")
+    val ivw = db.select("SELECT id FROM ev " +
+      "WHERE d < DATE '2024-07-01' - INTERVAL '2' MONTH ORDER BY id").toOption.get
+    assert(ivw.collect().map(_.getInt(0)).toSeq == Seq(1))
+    // INTERVAL misuse is rejected
+    assert(db.select("SELECT id + INTERVAL '1' DAY AS x FROM ev").isLeft)
+    assert(db.select("SELECT INTERVAL '1' DAY + d AS x FROM ev").isLeft)
+    assert(db.query("SELECT id FROM ev WHERE d > INTERVAL '1' FORTNIGHT").isLeft)
   }
 
   test("window functions over aggregated queries") {
