@@ -285,6 +285,19 @@ object Dialect {
              |ON r.r_regionkey = n.n_regionkey AND n.n_nationkey < 10
              |ORDER BY r_regionkey, n_nationkey""".stripMargin)),
 
+    // WHERE on the null-extended (left) side of a RIGHT JOIN: must
+    // evaluate AFTER the join — pushing it below would let nations whose
+    // only high-balance customers were filtered out reappear
+    // null-extended. The oracle pins the SQL evaluation order.
+    "q_dialect_right_join_where" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "nation"),
+        "SELECT c_custkey, c_name, n_name FROM customer c " +
+          "RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+          "WHERE c.c_acctbal > 9900 ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, c_name, n_name FROM customer c
+             |RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |WHERE c.c_acctbal > 9900 ORDER BY c_custkey""".stripMargin)),
+
     // INNER JOIN after a LEFT JOIN in the FROM list (the join-tree shape
     // the round-3 steps model rejected): the region inner step applies to
     // the left join's RESULT, so nations whose customer side null-extended

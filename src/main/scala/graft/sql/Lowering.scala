@@ -569,10 +569,19 @@ object Lowering {
       case _ => false
     }
     // a conjunct that references an outer-joined table must evaluate AFTER
-    // that join (it would be unresolvable — and wrong — before it)
+    // that join (it would be unresolvable — and wrong — before it). And
+    // once any RIGHT/FULL step can null-extend the INNER group's side,
+    // even inner-group-only conjuncts must wait: filtering before the
+    // join changes which step rows null-extend (a row eliminated early
+    // would, in SQL, still join and then be dropped by WHERE — its step
+    // matches must NOT null-extend in its place)
     val innerB = q.tables.map(_.binding).toSet
-    val (conj, postOuterConj) = conj0.partition(c =>
-      Analyzer.exprCols(c).map(_.binding).toSet.subsetOf(innerB))
+    val leftNullExtending =
+      q.joinSteps.exists(js => js.kind == "right" || js.kind == "full")
+    val (conj, postOuterConj) =
+      if (leftNullExtending) (Nil, conj0)
+      else conj0.partition(c =>
+        Analyzer.exprCols(c).map(_.binding).toSet.subsetOf(innerB))
     // equi-conjunct across two bindings → usable as an explicit join cond
     def equiSides(c: BoundExpr): Option[(String, String)] = c match {
       case BoundExpr.BCmp(Ast.CmpOp.Eq, BoundOperand.BCol(a), BoundOperand.BCol(b))

@@ -1050,6 +1050,13 @@ class DialectSpec extends AnyFunSuite {
     // ON may not reference a LATER step's table
     assert(db.query("SELECT name FROM people p LEFT JOIN cars c ON p.id = c2.owner_id " +
       "LEFT JOIN cars c2 ON c2.id = p.id").isLeft)
+    // a WHERE on the LEFT side of a RIGHT JOIN evaluates AFTER the join
+    // (pushing it below would change which right rows null-extend):
+    // Elon (20) fails age > 21 post-join, so Tesla must NOT reappear
+    // null-extended, and KITT's null age fails too
+    val rw = db.select("SELECT name, model FROM people p RIGHT JOIN cars c " +
+      "ON p.id = c.owner_id WHERE p.age > 21 ORDER BY model").toOption.get
+    assert(rw.collect().toSeq == Seq(Row("Dr. Emmett L. „Doc“ Brown", "DeLorean DMC-12")))
   }
 
   test("derived tables in outer-join steps") {
