@@ -678,6 +678,24 @@ object Dialect {
              |  (18), (19), (20)) t(k))
              |ORDER BY tag, c_custkey""".stripMargin)),
 
+    // Subqueries under OR: each disjunct joins a boolean-marker frame
+    // (distinct keys + TRUE, left outer) and the disjunction filters in
+    // one pass — no per-row re-execution, no semi-join restriction.
+    "q_dialect_or_subquery" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders", "supplier"),
+        "SELECT c_custkey, c_name FROM customer c " +
+          "WHERE c.c_acctbal > 9900 OR " +
+          "EXISTS (SELECT o.o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey " +
+          "AND o.o_totalprice > 450000) OR " +
+          "c_custkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9500) " +
+          "ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE c.c_acctbal > 9900 OR
+             |  EXISTS (SELECT o.o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey
+             |          AND o.o_totalprice > 450000) OR
+             |  c_custkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9500)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Correlation depth 2: the innermost subquery's l_suppkey equality
     // reaches past the orders scope to the OUTERMOST customer binding.
     // Lowered by existential flattening (orders ⋈ lineitem inside one

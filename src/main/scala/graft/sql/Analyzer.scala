@@ -934,15 +934,19 @@ object Analyzer {
           br <- bindExpr(r, allowAgg, topLevel)
         } yield BoundExpr.BAnd(bl, br)
       case Expr.Or(l, r) =>
+        // WHERE scope keeps subqueries usable under OR (they lower as
+        // boolean-marker left joins); HAVING keeps the top-level-AND
+        // restriction, and NOT/CASE contexts always forbid them
+        val orLevel = topLevel && !allowAgg
         for {
-          bl <- bindExpr(l, allowAgg, topLevel = false)
-          br <- bindExpr(r, allowAgg, topLevel = false)
+          bl <- bindExpr(l, allowAgg, topLevel = orLevel)
+          br <- bindExpr(r, allowAgg, topLevel = orLevel)
         } yield BoundExpr.BOr(bl, br)
       case Expr.Not(x) =>
         bindExpr(x, allowAgg, topLevel = false).map(BoundExpr.BNot)
       case Expr.InSubquery(o, sub, neg) =>
         if (!topLevel)
-          Left(BadSubquery("IN (SELECT …) must be a top-level AND conjunct"))
+          Left(BadSubquery("IN (SELECT …) may not appear under NOT or inside CASE"))
         else
           for {
             // in HAVING scope the probe may be an aggregate (count(*) IN …)
@@ -956,7 +960,7 @@ object Analyzer {
           } yield BoundExpr.BInSub(bo, dp._1, dp._2, neg)
       case Expr.Exists(sub, neg) =>
         if (!topLevel)
-          Left(BadSubquery("EXISTS (SELECT …) must be a top-level AND conjunct"))
+          Left(BadSubquery("EXISTS (SELECT …) may not appear under NOT or inside CASE"))
         else
           for {
             bsub0 <- analyzeSelect(sub, cat, outerScope = tables ++ outerScope)
@@ -964,7 +968,7 @@ object Analyzer {
           } yield BoundExpr.BExists(dp._1, dp._2, neg)
       case Expr.CmpSubquery(op, o, sub) =>
         if (!topLevel)
-          Left(BadSubquery("a scalar subquery must be a top-level AND conjunct"))
+          Left(BadSubquery("a scalar subquery may not appear under NOT or inside CASE"))
         else
           for {
             bo <- bindOp(o, allowAgg)

@@ -562,12 +562,15 @@ object Lowering {
       if (base0.nonEmpty) base0 else Seq(spark.range(1).toDF().drop("id"))
     val allConj: Seq[BoundExpr] = q.predicate.map(conjuncts).getOrElse(Nil)
     // subquery conjuncts — IN/EXISTS/scalar comparisons — lower as joins
-    // AFTER the plain filter/join phase (the analyzer restricts them to
-    // top-level ANDs)
-    val (subConjs, conj0) = allConj.partition {
+    // AFTER the plain filter/join phase. A PURE top-level subquery
+    // conjunct takes the efficient semi/anti-join path; a MIXED conjunct
+    // (subqueries under OR) lowers each subquery to a boolean-marker
+    // left join and filters the disjunction afterwards.
+    val (subConjs, restConj) = allConj.partition {
       case _: BoundExpr.BInSub | _: BoundExpr.BExists | _: BoundExpr.BCmpSub => true
       case _ => false
     }
+    val (mixedSubConjs, conj0) = restConj.partition(BoundExpr.containsSub)
     // a conjunct that references an outer-joined table must evaluate AFTER
     // that join (it would be unresolvable — and wrong — before it). And
     // once any RIGHT/FULL step can null-extend the INNER group's side,
@@ -647,7 +650,7 @@ object Lowering {
     // equality pairs), EXISTS the same without a value column, and a
     // scalar comparison broadcast-joins the one-row frame and filters
     def qcolOf(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
-    subConjs.zipWithIndex.foldLeft(postFiltered) {
+    val afterSubs = subConjs.zipWithIndex.foldLeft(postFiltered) {
       case (df, (BoundExpr.BInSub(o, sub, pairs, neg), _)) =>
         val joinType = if (neg) "left_anti" else "left_semi"
         if (pairs.isEmpty) {
@@ -735,6 +738,107 @@ object Lowering {
         }
       case (df, _) => df
     }
+    mixedSubConjs.zipWithIndex.foldLeft(afterSubs) { case (df, (c, t)) =>
+      applyMixedSubConjunct(spark, df, c, source, t)
+    }
+  }
+
+  /** A WHERE conjunct with subqueries under OR: each subquery joins a
+    * boolean MARKER frame (distinct keys/values + a TRUE column, left
+    * outer, so unmatched rows read FALSE), then the whole disjunction
+    * filters in one pass. TRUE/non-TRUE is all a WHERE consumes, so the
+    * marker form is exact — including NOT IN, whose NULL outcome is
+    * non-TRUE like FALSE (the analyzer forbids enclosing NOTs that
+    * could tell them apart).
+    */
+  private def applyMixedSubConjunct(spark: SparkSession, df0: DataFrame,
+      cond: BoundExpr, source: BoundTable => DataFrame, tag: Int): DataFrame = {
+    def qcolOf(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
+    val predOf = new java.util.IdentityHashMap[BoundExpr, Column]()
+    val dropCols = scala.collection.mutable.ArrayBuffer.empty[String]
+    var df = df0
+    var k = 0
+    def visit(e: BoundExpr): Unit = e match {
+      case BoundExpr.BAnd(l, r) => visit(l); visit(r)
+      case BoundExpr.BOr(l, r)  => visit(l); visit(r)
+      case BoundExpr.BNot(x)    => visit(x) // no subqueries under NOT (analyzer)
+      case s @ BoundExpr.BExists(sub, pairs, neg) =>
+        val m = s"__mx${tag}_$k"; k += 1
+        if (pairs.isEmpty) {
+          val probe = lowerSelect(spark, sub, source).limit(1)
+            .select(lit(true).as(m))
+          df = df.join(broadcast(probe), lit(true), "left_outer")
+        } else {
+          val core = combine(spark, sub, source, Set.empty, None)
+          val keyed = core.select(pairs.zipWithIndex.map { case ((_, ic), i) =>
+            qcolOf(ic).as(s"${m}_$i") }: _*).distinct().withColumn(m, lit(true))
+          val on = pairs.zipWithIndex.map { case ((oc, _), i) =>
+            qcolOf(oc) === keyed(s"${m}_$i") }.reduce(_ && _)
+          df = df.join(keyed, on, "left_outer")
+          dropCols ++= pairs.indices.map(i => s"${m}_$i")
+        }
+        dropCols += m
+        val p = coalesce(col(m), lit(false))
+        predOf.put(s, if (neg) !p else p)
+      case s @ BoundExpr.BInSub(o, sub, pairs, neg) =>
+        val m = s"__mx${tag}_$k"; k += 1
+        val (markerDf, on) =
+          if (pairs.isEmpty) {
+            val subDf = lowerSelect(spark, sub, source)
+            val keyed = subDf.toDF(s"${m}_v").distinct().withColumn(m, lit(true))
+            (keyed, lowerOperand(o) === keyed(s"${m}_v"))
+          } else {
+            val core = combine(spark, sub, source, Set.empty, None)
+            val inVal = sub.projection.head match {
+              case BoundItem.BICol(c, _)    => qcolOf(c)
+              case BoundItem.BIExpr(op2, _) => lowerOperandWith(op2, qcolOf)
+              case _ => sys.error(
+                "unreachable: a correlated subquery must not aggregate or window")
+            }
+            val keyed = core.select(inVal.as(s"${m}_v") +:
+              pairs.zipWithIndex.map { case ((_, ic), i) =>
+                qcolOf(ic).as(s"${m}_$i") }: _*).distinct().withColumn(m, lit(true))
+            dropCols ++= pairs.indices.map(i => s"${m}_$i")
+            (keyed, ((lowerOperand(o) === keyed(s"${m}_v")) +:
+              pairs.zipWithIndex.map { case ((oc, _), i) =>
+                qcolOf(oc) === keyed(s"${m}_$i") }).reduce(_ && _))
+          }
+        df = df.join(markerDf, on, "left_outer")
+        dropCols += m
+        dropCols += s"${m}_v"
+        val p = coalesce(col(m), lit(false))
+        predOf.put(s, if (neg) !p else p)
+      case s @ BoundExpr.BCmpSub(op, o, sub, guard, pairs) =>
+        val m = s"__mx${tag}_$k"; k += 1
+        if (pairs.isEmpty) {
+          val subDf0 = lowerSelect(spark, sub, source)
+          if (guard) {
+            val n = subDf0.limit(2).count()
+            if (n > 1) throw new IllegalStateException(
+              "scalar subquery returned more than one row")
+          }
+          df = df.join(broadcast(subDf0.toDF(m)), lit(true), "left_outer")
+          predOf.put(s, cmpCols(op, lowerOperand(o), col(m)))
+          dropCols += m
+        } else {
+          val (subAgg, keyCond, scalar) =
+            correlatedScalarAgg(spark, sub, pairs, source, m, s"${m}_c")
+          df = df.join(subAgg, keyCond(qcolOf), "left_outer")
+          predOf.put(s, cmpCols(op, lowerOperand(o), scalar))
+          dropCols += m
+          dropCols ++= pairs.indices.map(i => s"${m}_c$i")
+        }
+      case _ => ()
+    }
+    visit(cond)
+    def lower(e: BoundExpr): Column =
+      Option(predOf.get(e)).getOrElse(e match {
+        case BoundExpr.BAnd(l, r) => lower(l) && lower(r)
+        case BoundExpr.BOr(l, r)  => lower(l) || lower(r)
+        case BoundExpr.BNot(x)    => !lower(x)
+        case other                => lowerExpr(other)
+      })
+    df.filter(lower(cond)).drop(dropCols.toSeq: _*)
   }
 
   /** A derived table's body: a plain SELECT, or a set-op chain (each

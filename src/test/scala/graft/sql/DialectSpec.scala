@@ -225,9 +225,10 @@ class DialectSpec extends AnyFunSuite {
     val f = db.select("SELECT name FROM people WHERE id IN " +
       "(SELECT owner_id FROM cars WHERE model LIKE 'T%')").toOption.get
     assert(f.collect().map(_.getString(0)).toSeq == Seq("Elon"))
-    // shape/placement errors
+    // shape/placement errors (OR disjuncts are now supported — see the
+    // boolean-marker test)
     assert(db.query("SELECT name FROM people WHERE id IN (SELECT id, owner_id FROM cars)").isLeft)
-    assert(db.query("SELECT name FROM people WHERE id IN (SELECT owner_id FROM cars) OR age = 20").isLeft)
+    assert(db.query("SELECT name FROM people WHERE id IN (SELECT owner_id FROM cars) OR age = 20").isRight)
     assert(db.query("DELETE FROM people WHERE id IN (SELECT owner_id FROM cars)").isLeft)
   }
 
@@ -995,9 +996,40 @@ class DialectSpec extends AnyFunSuite {
       "(SELECT count(*) FROM cars c WHERE c.owner_id = p.id)").isLeft)
     assert(db.query("SELECT name FROM people p WHERE EXISTS " +
       "(SELECT c.id FROM cars c WHERE c.owner_id = p.id LIMIT 1)").isLeft)
-    // EXISTS must be a top-level conjunct
-    assert(db.query("SELECT name FROM people p WHERE EXISTS " +
-      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id) OR age = 20").isLeft)
+    // subqueries under NOT stay rejected (a disjunctive marker cannot
+    // distinguish NULL from FALSE once an enclosing NOT can flip them)
+    assert(db.query("SELECT name FROM people p WHERE NOT (EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id) OR age = 20)").isLeft)
+  }
+
+  test("subqueries under OR lower as boolean-marker joins") {
+    val db = demoDb()
+    // EXISTS disjunct: car owners, plus Elon by the age test
+    val orEx = db.select("SELECT name FROM people p WHERE age = 20 OR EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id) ORDER BY p.id").toOption.get
+    assert(orEx.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
+    // IN disjunct + NOT EXISTS disjunct mixed with a plain predicate
+    val orIn = db.select("SELECT name FROM people p WHERE " +
+      "p.id IN (SELECT owner_id FROM cars WHERE model LIKE 'D%') OR age < 25 " +
+      "ORDER BY p.id").toOption.get
+    assert(orIn.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
+    // carless people OR under-21s: NOT EXISTS as a disjunct
+    val orNex = db.select("SELECT name FROM people p WHERE age = 20 OR NOT EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id) ORDER BY p.id").toOption.get
+    assert(orNex.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Marty McFly"))
+    // a correlated scalar disjunct
+    val orSc = db.select("SELECT name FROM people p WHERE age = 30 OR 2 <= " +
+      "(SELECT count(*) FROM cars c WHERE c.owner_id = p.id) ORDER BY p.id").toOption.get
+    assert(orSc.collect().map(_.getString(0)).toSeq ==
+      Seq("Dr. Emmett L. „Doc“ Brown"))
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    val orSc2 = db.select("SELECT name FROM people p WHERE age = 30 OR 2 <= " +
+      "(SELECT count(*) FROM cars c WHERE c.owner_id = p.id) ORDER BY p.id").toOption.get
+    assert(orSc2.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
   }
 
   test("outer joins: LEFT/RIGHT/FULL with ON attached, WHERE after the join") {
