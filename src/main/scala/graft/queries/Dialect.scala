@@ -838,6 +838,20 @@ object Dialect {
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // WITH RECURSIVE: semi-naive fixpoint — each round joins only the
+    // FRONTIER against the nation table, UNION keeps never-seen keys, and
+    // localCheckpoint truncates the growing lineage (the connected-
+    // components pattern, surfaced as SQL). DuckDB's native recursive CTE
+    // is the independent oracle.
+    "q_dialect_recursive" -> QueryDef(
+      (s, d) => run(db(s, d, "nation"),
+        "WITH RECURSIVE r AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 2 " +
+          "UNION SELECT n.n_nationkey AS k FROM r JOIN nation n ON n.n_nationkey = r.k + 3) " +
+          "SELECT k FROM r ORDER BY k"),
+      Some("""WITH RECURSIVE r AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 2
+             |  UNION SELECT n.n_nationkey AS k FROM r JOIN nation n ON n.n_nationkey = r.k + 3)
+             |SELECT k FROM r ORDER BY k""".stripMargin)),
+
     // ROLLUP through the dialect: one Expand pass emits the (rf, ls),
     // (rf), () levels; subtotal NULLs coalesce to 'ALL' so the total
     // ORDER BY is engine-independent.

@@ -449,6 +449,13 @@ object Analyzer {
   /** DROP TABLE: desc = None when IF EXISTS matched nothing (a no-op). */
   final case class BoundDrop(table: String, desc: Option[TableDesc]) extends BoundQuery
 
+  /** WITH RECURSIVE body: base UNION [ALL] step, where the step reads
+    * `desc.name` as the previous iteration's frontier. The schema is the
+    * base branch's (names and all); lowered as a fixpoint loop.
+    */
+  final case class BoundRecursive(desc: TableDesc, base: BoundSelect,
+      step: BoundSelect, unionAll: Boolean) extends BoundQuery
+
   final case class BoundInsert(desc: TableDesc, rows: Seq[Seq[Any]]) extends BoundQuery
   /** INSERT INTO t SELECT …: columns align by position, cast to the
     * target schema at execution.
@@ -601,6 +608,9 @@ object Analyzer {
         s.derived.values.flatMap(referencedTables)
     case u: BoundUnion =>
       referencedTables(u.first) ++ u.rest.flatMap(r => referencedTables(r._2))
+    case r: BoundRecursive =>
+      referencedTables(r.base) ++
+        (referencedTables(r.step) - r.desc.name)
     case _ => Set.empty
   }
   final case class BoundDelete(desc: TableDesc, predicate: Option[BoundExpr]) extends BoundQuery
@@ -616,6 +626,23 @@ object Analyzer {
     case s: SelectTree => analyzeSelect(s, cat)
     case u: UnionTree  => analyzeUnion(u, cat)
     case e: ExplainTree => analyze(e.select, cat).map(BoundExplain)
+    case r: RecursiveTree =>
+      for {
+        base <- analyzeSelect(r.base, cat)
+        attrs <- derivedAttributes(base)
+        desc = TableDesc(r.name, attrs)
+        // the step sees the CTE's own name as a table of the base schema
+        cat2 = new Catalog {
+          def resolve(t: String): Option[TableDesc] =
+            if (t.equalsIgnoreCase(r.name)) Some(desc) else cat.resolve(t)
+        }
+        step <- analyzeSelect(r.step, cat2)
+        _ <-
+          if (step.projection.length == attrs.length) Right(())
+          else Left(BadSubquery(
+            s"recursive CTE '${r.name}': step projects ${step.projection.length} " +
+              s"columns, base has ${attrs.length}"))
+      } yield BoundRecursive(desc, base, step, r.unionAll)
     case d: DropTree =>
       cat.resolve(d.table) match {
         case Some(desc)           => Right(BoundDrop(desc.name, Some(desc)))
@@ -771,6 +798,7 @@ object Analyzer {
             val attrsE = bq match {
               case bsub: BoundSelect => derivedAttributes(bsub)
               case u: BoundUnion     => derivedAttributes(u.first)
+              case r: BoundRecursive => Right(r.desc.attributes)
               case _ => Left(BadSubquery(
                 "a derived table must be a SELECT or a set-operation chain"))
             }

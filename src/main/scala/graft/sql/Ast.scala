@@ -208,6 +208,14 @@ object Ast {
     */
   final case class DropTree(table: String, ifExists: Boolean) extends ParseTree
 
+  /** WITH RECURSIVE name AS (base UNION [ALL] step) — the step references
+    * `name` (the previous iteration's frontier); lowered as an
+    * iterate-to-fixpoint loop. Appears only inside FDerived (the
+    * substituted reference site).
+    */
+  final case class RecursiveTree(name: String, base: SelectTree,
+      step: SelectTree, unionAll: Boolean) extends ParseTree
+
   final case class InsertTree(table: String, rows: Seq[Seq[Lit]]) extends ParseTree
 
   /** INSERT INTO t SELECT … — the distributed write path (VALUES is for

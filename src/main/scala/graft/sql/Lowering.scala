@@ -851,7 +851,48 @@ object Lowering {
       lowerUnion(lowerSelect(spark, u.first, source),
         u.rest.map { case (conn, b) => (conn, lowerSelect(spark, b, source)) },
         u.orderBy, u.limit, u.offset)
+    case r: Analyzer.BoundRecursive => lowerRecursive(spark, r, source)
     case other => sys.error(s"not a derivable query: $other")
+  }
+
+  /** WITH RECURSIVE fixpoint: materialize the base, then repeatedly run
+    * the step with the CTE name bound to the previous iteration's
+    * FRONTIER (semi-naive evaluation); UNION keeps only never-seen rows
+    * per round — guaranteeing termination on cyclic data — while
+    * UNION ALL appends whatever the step yields until it is empty.
+    * localCheckpoint truncates the growing lineage each round (the same
+    * pattern as the connected-components operator — without it Catalyst
+    * re-optimizes an exponentially deepening plan), and the only
+    * driver-side traffic is one emptiness probe per round.
+    */
+  private def lowerRecursive(spark: SparkSession, r: Analyzer.BoundRecursive,
+      source: BoundTable => DataFrame): DataFrame = {
+    val names = r.desc.attributes.map(_.name)
+    val maxIter = 1000
+    var acc = {
+      val b = lowerSelect(spark, r.base, source).toDF(names: _*)
+      (if (r.unionAll) b else b.distinct()).localCheckpoint()
+    }
+    var frontier = acc
+    var it = 0
+    var done = frontier.isEmpty
+    while (!done) {
+      it += 1
+      if (it > maxIter) throw new IllegalStateException(
+        s"recursive CTE '${r.desc.name}' exceeded $maxIter iterations")
+      val stepSource: BoundTable => DataFrame = bt =>
+        if (bt.desc.name.equalsIgnoreCase(r.desc.name)) frontier
+        else source(bt)
+      var next = lowerSelect(spark, r.step, stepSource).toDF(names: _*)
+      if (!r.unionAll) next = next.distinct().except(acc)
+      next = next.localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        acc = acc.union(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    acc
   }
 
   /** Set-op chain assembly: branches are pre-lowered DataFrames;

@@ -158,7 +158,36 @@ object Parser {
     * shadows a catalog table of the same name, like SQL.
     */
   private def parseWith(p: P): Either[ParseError, ParseTree] = {
-    def one(ctes: Map[String, ParseTree])
+    // does a SELECT read the given table name anywhere (FROM, steps,
+    // derived bodies, subqueries)? — the self-reference test for RECURSIVE
+    def readsTable(t: SelectTree, name: String): Boolean = {
+      def inTree(pt: ParseTree): Boolean = pt match {
+        case s: SelectTree => readsTable(s, name)
+        case u: UnionTree =>
+          readsTable(u.first, name) || u.rest.exists(r => readsTable(r._2, name))
+        case _ => false
+      }
+      def inFrom(fi: FromItem): Boolean = fi match {
+        case FTable(TableRef(n, _)) => n.equalsIgnoreCase(name)
+        case FDerived(sel, _)       => inTree(sel)
+      }
+      def inExpr(e: Expr): Boolean = e match {
+        case Expr.And(l, r)               => inExpr(l) || inExpr(r)
+        case Expr.Or(l, r)                => inExpr(l) || inExpr(r)
+        case Expr.Not(x)                  => inExpr(x)
+        case Expr.InSubquery(_, sub, _)   => readsTable(sub, name)
+        case Expr.Exists(sub, _)          => readsTable(sub, name)
+        case Expr.CmpSubquery(_, _, sub)  => readsTable(sub, name)
+        case _                            => false
+      }
+      t.from.exists(inFrom) || t.joinSteps.exists(js => inFrom(js.item)) ||
+        t.where.exists(inExpr) || t.having.exists(inExpr) ||
+        t.columns.exists(_.exists {
+          case SelectItem.SSub(sub, _) => readsTable(sub, name)
+          case _                       => false
+        })
+    }
+    def one(recursive: Boolean, ctes: Map[String, ParseTree])
         : Either[ParseError, (String, ParseTree)] =
       for {
         namePos <- Right(p.peek.pos)
@@ -171,18 +200,49 @@ object Parser {
         _ <- p.eatSym("(")
         sel <- parseSelectOrUnion(p)
         _ <- p.eatSym(")")
-      } yield (name.toLowerCase, substCteTree(sel, ctes))
-    def loop(ctes: Vector[(String, ParseTree)])
+        body <- substCteTree(sel, ctes) match {
+          // RECURSIVE + a 2-branch union whose STEP reads the CTE's own
+          // name = base UNION [ALL] step fixpoint; anything else stays a
+          // plain CTE (RECURSIVE is permission, not obligation — SQL rule)
+          case u: UnionTree if recursive && u.rest.length == 1 &&
+              readsTable(u.rest.head._2, name) =>
+            if (readsTable(u.first, name))
+              Left(ParseError(
+                s"recursive CTE '$name': the base branch must not reference it", namePos))
+            else if (u.orderBy.nonEmpty || u.limit.isDefined || u.offset.isDefined)
+              Left(ParseError(
+                s"recursive CTE '$name' does not take ORDER BY/LIMIT", namePos))
+            else u.rest.head._1 match {
+              case "union"     => Right(RecursiveTree(name.toLowerCase, u.first,
+                u.rest.head._2, unionAll = false))
+              case "union_all" => Right(RecursiveTree(name.toLowerCase, u.first,
+                u.rest.head._2, unionAll = true))
+              case other => Left(ParseError(
+                s"recursive CTE '$name' must combine with UNION [ALL], not $other", namePos))
+            }
+          case u: UnionTree if !recursive &&
+              (readsTable(u.first, name) ||
+                u.rest.exists(r => readsTable(r._2, name))) =>
+            Left(ParseError(
+              s"CTE '$name' references itself — use WITH RECURSIVE", namePos))
+          case s: SelectTree if !recursive && readsTable(s, name) =>
+            Left(ParseError(
+              s"CTE '$name' references itself — use WITH RECURSIVE", namePos))
+          case other => Right(other)
+        }
+      } yield (name.toLowerCase, body)
+    def loop(recursive: Boolean, ctes: Vector[(String, ParseTree)])
         : Either[ParseError, Vector[(String, ParseTree)]] =
-      one(ctes.toMap).flatMap { c =>
+      one(recursive, ctes.toMap).flatMap { c =>
         p.peek match {
-          case TSym(",", _) => p.next(); loop(ctes :+ c)
+          case TSym(",", _) => p.next(); loop(recursive, ctes :+ c)
           case _            => Right(ctes :+ c)
         }
       }
     for {
       _ <- p.eatKw("with")
-      ctes <- loop(Vector.empty)
+      recursive <- Right { if (p.isKw("recursive")) { p.next(); true } else false }
+      ctes <- loop(recursive, Vector.empty)
       main <- parseSelectOrUnion(p)
     } yield substCteTree(main, ctes.toMap)
   }

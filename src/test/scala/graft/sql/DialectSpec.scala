@@ -1161,6 +1161,36 @@ class DialectSpec extends AnyFunSuite {
     assert(setDer.collect().toSeq == Seq(Row(1, 3L), Row(2, 2L), Row(3, 1L)))
   }
 
+  test("WITH RECURSIVE: fixpoint over the derived-table machinery") {
+    val db = demoDb()
+    // integer series — the base is a FROM-less SELECT
+    val series = db.select("WITH RECURSIVE t AS (SELECT 1 AS n " +
+      "UNION ALL SELECT n + 1 AS n FROM t WHERE n < 5) " +
+      "SELECT n FROM t ORDER BY n").toOption.get
+    assert(series.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // graph closure with UNION semantics: the 1→2→3→1 cycle terminates
+    // because only never-seen nodes re-enter the frontier
+    db.query("CREATE TABLE edges (src INT, dst INT)")
+    db.query("INSERT INTO edges VALUES (1, 2), (2, 3), (3, 1), (3, 4), (9, 10)")
+    val reach = db.select("WITH RECURSIVE r AS (SELECT 1 AS node " +
+      "UNION SELECT e.dst AS node FROM r JOIN edges e ON e.src = r.node) " +
+      "SELECT node FROM r ORDER BY node").toOption.get
+    assert(reach.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // a recursive CTE feeding a later CTE and an aggregate
+    val agg = db.select("WITH RECURSIVE t AS (SELECT 1 AS n " +
+      "UNION ALL SELECT n + 1 AS n FROM t WHERE n < 10), " +
+      "ev AS (SELECT n FROM t WHERE n % 2 = 0) " +
+      "SELECT count(*) AS c, sum(n) AS s FROM ev").toOption.get
+    assert(agg.collect().toSeq == Seq(Row(5L, 30L)))
+    // self-reference without RECURSIVE is an error; so is a recursive
+    // base referencing the CTE, or a non-UNION combiner
+    assert(db.query("WITH t AS (SELECT n + 1 AS n FROM t) SELECT n FROM t").isLeft)
+    assert(db.query("WITH RECURSIVE t AS (SELECT n AS n FROM t " +
+      "UNION ALL SELECT 1 AS n) SELECT n FROM t").isLeft)
+    assert(db.query("WITH RECURSIVE t AS (SELECT 1 AS n " +
+      "INTERSECT SELECT n FROM t) SELECT n FROM t").isLeft)
+  }
+
   test("UNION / UNION ALL chains with trailing ORDER BY and LIMIT") {
     val db = demoDb()
     val u = db.select("SELECT name FROM people WHERE id = 1 " +
