@@ -820,6 +820,22 @@ object Dialect {
              |SELECT k, cast(count(*) AS bigint) AS n FROM parties
              |GROUP BY k ORDER BY k""".stripMargin)),
 
+    // date_trunc as a GROUP BY key (the month-bucket reporting shape —
+    // the key computes once, pre-shuffle) and datediff inside an
+    // aggregate argument.
+    "q_dialect_temporal" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT date_trunc('month', o_orderdate) AS mo, count(*) AS n, " +
+          "min(datediff(o_orderdate, DATE '1995-01-01')) AS mindd " +
+          "FROM orders GROUP BY date_trunc('month', o_orderdate) ORDER BY mo"),
+      // DuckDB's date_trunc('month', ts) narrows to DATE where Spark
+      // keeps TIMESTAMP — the oracle casts back up for value parity
+      Some("""SELECT cast(date_trunc('month', o_orderdate) AS timestamp) AS mo,
+             |  cast(count(*) AS bigint) AS n,
+             |  cast(min(date_diff('day', DATE '1995-01-01', o_orderdate)) AS int) AS mindd
+             |FROM orders GROUP BY date_trunc('month', o_orderdate)
+             |ORDER BY mo""".stripMargin)),
+
     // The TPC-H Q1 pricing-summary shape with its INTERVAL predicate —
     // DATE '…' - INTERVAL '90' DAY constant-folds and reaches the scan
     // as a pushed filter on both engines.

@@ -495,12 +495,14 @@ object Analyzer {
     case BoundOperand.BFunc(f, args) => f match {
       case "upper" | "lower" | "trim" | "substr" | "concat" | "replace" =>
         SqlType.SqlVarChar(65535)
-      case "length" | "year" | "month" | "day" | "instr" => SqlType.SqlInt
+      case "length" | "year" | "month" | "day" | "instr" | "datediff" =>
+        SqlType.SqlInt
       case "abs"      => operandType(args.head)
       case "round"    => SqlType.SqlDouble
       case "coalesce" => operandType(args.head)
       case "floor" | "ceil" => SqlType.SqlBigInt
       case "mod"      => operandType(args.head)
+      case "date_trunc" => SqlType.SqlTimestamp
       case _          => SqlType.SqlDouble // sqrt / power
     }
     case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
@@ -625,7 +627,12 @@ object Analyzer {
   def analyze(tree: ParseTree, cat: Catalog): Either[AnalyzerError, BoundQuery] = tree match {
     case s: SelectTree => analyzeSelect(s, cat)
     case u: UnionTree  => analyzeUnion(u, cat)
-    case e: ExplainTree => analyze(e.select, cat).map(BoundExplain)
+    case e: ExplainTree => analyze(e.select, cat).flatMap {
+      case q @ (_: BoundSelect | _: BoundUnion |
+                _: BoundInsertSelect | _: BoundCreateAs) => Right(BoundExplain(q))
+      case _ => Left(BadFunction(
+        "EXPLAIN supports SELECT, INSERT … SELECT and CREATE TABLE AS SELECT"))
+    }
     case r: RecursiveTree =>
       for {
         base <- analyzeSelect(r.base, cat)
@@ -887,7 +894,8 @@ object Analyzer {
           case "round"               => args.length == 1 || args.length == 2
           case "substr"              => args.length == 2 || args.length == 3
           case "coalesce" | "concat" => args.nonEmpty
-          case "power" | "instr" | "mod" => args.length == 2
+          case "power" | "instr" | "mod" | "datediff" => args.length == 2
+          case "date_trunc"          => args.length == 2
           case "replace"             => args.length == 3
           case _                     => false
         }
@@ -900,6 +908,13 @@ object Analyzer {
           case _ => false
         }))
           Left(BadFunction("round scale must be an integer literal"))
+        else if (f == "date_trunc" && !(args.head match {
+          case Operand.Literal(Lit.LitString(u)) => Set("year", "quarter",
+            "month", "week", "day", "hour", "minute", "second")(u.toLowerCase)
+          case _ => false
+        }))
+          Left(BadFunction(
+            "date_trunc unit must be a string literal (year/quarter/month/week/day/hour/minute/second)"))
         else
           args.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](Right(Vector.empty)) {
             (acc, a) => acc.flatMap(v => bindOp(a, allowAgg).map(v :+ _))

@@ -206,8 +206,17 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
 
     case BoundExplain(inner) =>
       // the reference's plan printer analogue: Catalyst's formatted
-      // physical plan, one line per row (REPL show() renders it readably)
-      val text = lowerQuery(inner).queryExecution.explainString(
+      // physical plan, one line per row (REPL show() renders it readably).
+      // For the write statements the plan shown is their SELECT source —
+      // the distributed part worth explaining.
+      val frame = inner match {
+        case s: BoundSelect               => lowerQuery(s)
+        case u: BoundUnion                => lowerQuery(u)
+        case BoundInsertSelect(_, sel)    => lowerQuery(sel)
+        case BoundCreateAs(_, sel, _)     => lowerQuery(sel)
+        case other => sys.error(s"unreachable EXPLAIN target $other")
+      }
+      val text = frame.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       import spark.implicits._
       Rows(text.split("\n").toSeq.toDF("plan"))

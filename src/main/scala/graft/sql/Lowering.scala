@@ -1031,6 +1031,10 @@ object Lowering {
     case ("power", Seq(a, b)) => pow(rec(a), rec(b))
     case ("instr", Seq(a, b)) => instr(rec(a), rec(b))
     case ("mod", Seq(a, b))   => rec(a) % rec(b)
+    // days from b to a (Spark argument order: end, start)
+    case ("datediff", Seq(a, b)) => datediff(rec(a), rec(b))
+    case ("date_trunc", Seq(BoundOperand.BLit(Lit.LitString(u)), b)) =>
+      date_trunc(u.toLowerCase, rec(b))
     case other => sys.error(s"unreachable function ${other._1}/${other._2.length}")
   }
 

@@ -115,7 +115,7 @@ object Parser {
     "round", "substr", "substring", "coalesce", "concat",
     "year", "month", "day",
     "replace", "floor", "ceil", "ceiling", "sqrt", "power", "pow",
-    "instr", "mod")
+    "instr", "mod", "datediff", "date_trunc")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
@@ -127,7 +127,13 @@ object Parser {
       val tree =
         if (p.isKw("explain")) {
           p.next()
-          (if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p))
+          (if (p.isKw("with")) parseWith(p)
+           else if (p.isKw("select")) parseSelectOrUnion(p)
+           else if (p.isKw("insert")) parseInsert(p)
+           else if (p.isKw("create")) parseCreate(p)
+           else Left(ParseError(
+             "EXPLAIN takes SELECT, INSERT … SELECT or CREATE TABLE AS SELECT",
+             p.peek.pos)))
             .map(ExplainTree)
         }
         else if (p.isKw("with")) parseWith(p)

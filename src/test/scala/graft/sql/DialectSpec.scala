@@ -854,6 +854,17 @@ class DialectSpec extends AnyFunSuite {
     assert(db.select("SELECT id + INTERVAL '1' DAY AS x FROM ev").isLeft)
     assert(db.select("SELECT INTERVAL '1' DAY + d AS x FROM ev").isLeft)
     assert(db.query("SELECT id FROM ev WHERE d > INTERVAL '1' FORTNIGHT").isLeft)
+    // datediff (end, start) and date_trunc
+    val dd = db.select("SELECT id, datediff(d, DATE '2024-01-01') AS dd, " +
+      "date_trunc('month', ts) AS mt FROM ev WHERE id = 1").toOption.get
+    val rdd = dd.collect().head
+    assert(rdd.getInt(1) == 14)
+    assert(rdd.getTimestamp(2).toString == "2024-01-01 00:00:00.0")
+    assert(db.select("SELECT date_trunc('fortnight', ts) AS x FROM ev").isLeft)
+    // EXPLAIN covers the write statements' SELECT source
+    val exi = db.select("EXPLAIN INSERT INTO ev SELECT id, d, ts FROM ev").toOption.get
+    assert(exi.collect().map(_.getString(0)).mkString("\n").contains("Physical Plan"))
+    assert(db.query("EXPLAIN DELETE FROM ev").isLeft)
   }
 
   test("window functions over aggregated queries") {
