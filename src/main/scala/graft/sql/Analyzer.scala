@@ -977,13 +977,12 @@ object Analyzer {
           br <- bindExpr(r, allowAgg, topLevel)
         } yield BoundExpr.BAnd(bl, br)
       case Expr.Or(l, r) =>
-        // WHERE scope keeps subqueries usable under OR (they lower as
-        // boolean-marker left joins); HAVING keeps the top-level-AND
-        // restriction, and NOT/CASE contexts always forbid them
-        val orLevel = topLevel && !allowAgg
+        // WHERE and HAVING keep subqueries usable under OR (they lower
+        // as boolean-marker left joins); NOT/CASE contexts forbid them
+        // (there NULL vs FALSE becomes observable)
         for {
-          bl <- bindExpr(l, allowAgg, topLevel = orLevel)
-          br <- bindExpr(r, allowAgg, topLevel = orLevel)
+          bl <- bindExpr(l, allowAgg, topLevel)
+          br <- bindExpr(r, allowAgg, topLevel)
         } yield BoundExpr.BOr(bl, br)
       case Expr.Not(x) =>
         bindExpr(x, allowAgg, topLevel = false).map(BoundExpr.BNot)
@@ -1443,6 +1442,8 @@ object Analyzer {
         case Some(h) =>
           def walk(x: BoundExpr): Seq[BoundCol] = x match {
             case BoundExpr.BAnd(l, r) => walk(l) ++ walk(r)
+            case BoundExpr.BOr(l, r)  => walk(l) ++ walk(r)
+            case BoundExpr.BNot(y)    => walk(y)
             case BoundExpr.BCmpSub(_, _, _, _, ps) => ps.map(_._1)
             case BoundExpr.BInSub(_, _, ps, _)     => ps.map(_._1)
             case BoundExpr.BExists(_, ps, _)       => ps.map(_._1)

@@ -224,8 +224,14 @@ object Lowering {
       // frame after aggregation). The subquery operands register their
       // hidden aggregate columns NOW — before agg() assembles.
       val havingConjs = q.having.map(conjuncts).getOrElse(Nil)
-      val (havingSubConjs, havingPlainConjs) =
+      val (havingWithSub, havingPlainConjs) =
         havingConjs.partition(BoundExpr.containsSub)
+      // pure top-level subquery conjuncts take the semi/anti path; mixed
+      // ones (subqueries under OR) get boolean-marker joins
+      val (havingSubConjs, havingMixedConjs) = havingWithSub.partition {
+        case _: BoundExpr.BInSub | _: BoundExpr.BExists | _: BoundExpr.BCmpSub => true
+        case _ => false
+      }
       val havingCond = havingPlainConjs.map(havingCol).reduceOption(_ && _)
       // probe operands lower NOW (registering hidden aggregate columns
       // before the agg assembles); the joins themselves fold in after
@@ -246,6 +252,89 @@ object Lowering {
           HExists(ssub, pairs, neg)
         case _ => sys.error(
           "unreachable: analyzer allows only subquery conjuncts here")
+      }
+      def qcolSub(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
+      // mixed HAVING conjuncts (subqueries under OR): probes and plain
+      // parts lower NOW — their hidden aggregate columns must register
+      // before the agg assembles — while each subquery's marker frame +
+      // join condition (on the GROUP BY keys' output columns) is captured
+      // for application after aggregation
+      val havingMixedPlans = havingMixedConjs.zipWithIndex.map { case (c0, t) =>
+        val joins = scala.collection.mutable.ArrayBuffer.empty[(DataFrame, Column)]
+        val drops = scala.collection.mutable.ArrayBuffer.empty[String]
+        var k = 0
+        def walk(e: BoundExpr): Column = e match {
+          case BoundExpr.BAnd(l, r) => walk(l) && walk(r)
+          case BoundExpr.BOr(l, r)  => walk(l) || walk(r)
+          case BoundExpr.BNot(x)    => !walk(x)
+          case BoundExpr.BExists(sub, pairs, neg) =>
+            val m = s"__mh${t}_$k"; k += 1
+            val (frame, on) =
+              if (pairs.isEmpty)
+                (broadcast(lowerSelect(spark, sub, source).limit(1)
+                  .select(lit(true).as(m))), lit(true))
+              else {
+                val core = combine(spark, sub, source, Set.empty, None)
+                val keyed = core.select(pairs.zipWithIndex.map { case ((_, ic), i) =>
+                  qcolSub(ic).as(s"${m}_$i") }: _*).distinct().withColumn(m, lit(true))
+                drops ++= pairs.indices.map(i => s"${m}_$i")
+                (keyed, pairs.zipWithIndex.map { case ((oc, _), i) =>
+                  col(groupOut(oc)) === keyed(s"${m}_$i") }.reduce(_ && _))
+              }
+            joins += ((frame, on)); drops += m
+            val p = coalesce(col(m), lit(false))
+            if (neg) !p else p
+          case BoundExpr.BInSub(o, sub, pairs, neg) =>
+            val m = s"__mh${t}_$k"; k += 1
+            val lc = havingOperand(o)
+            val (frame, on) =
+              if (pairs.isEmpty) {
+                val keyed = lowerSelect(spark, sub, source).toDF(s"${m}_v")
+                  .distinct().withColumn(m, lit(true))
+                (keyed, lc === keyed(s"${m}_v"))
+              } else {
+                val core = combine(spark, sub, source, Set.empty, None)
+                val inVal = sub.projection.head match {
+                  case BoundItem.BICol(c2, _)   => qcolSub(c2)
+                  case BoundItem.BIExpr(op2, _) => lowerOperandWith(op2, qcolSub)
+                  case _ => sys.error(
+                    "unreachable: a correlated subquery must not aggregate or window")
+                }
+                val keyed = core.select(inVal.as(s"${m}_v") +:
+                  pairs.zipWithIndex.map { case ((_, ic), i) =>
+                    qcolSub(ic).as(s"${m}_$i") }: _*).distinct().withColumn(m, lit(true))
+                drops ++= pairs.indices.map(i => s"${m}_$i")
+                (keyed, ((lc === keyed(s"${m}_v")) +:
+                  pairs.zipWithIndex.map { case ((oc, _), i) =>
+                    col(groupOut(oc)) === keyed(s"${m}_$i") }).reduce(_ && _))
+              }
+            joins += ((frame, on)); drops += m; drops += s"${m}_v"
+            val p = coalesce(col(m), lit(false))
+            if (neg) !p else p
+          case BoundExpr.BCmpSub(op, o, sub, guard, pairs) =>
+            val m = s"__mh${t}_$k"; k += 1
+            val lc = havingOperand(o)
+            if (pairs.isEmpty) {
+              val subDf0 = lowerSelect(spark, sub, source)
+              if (guard) {
+                val n = subDf0.limit(2).count()
+                if (n > 1) throw new IllegalStateException(
+                  "scalar subquery returned more than one row")
+              }
+              joins += ((broadcast(subDf0.toDF(m)), lit(true))); drops += m
+              cmpCols(op, lc, col(m))
+            } else {
+              val (subAgg, keyCond, scalar) =
+                correlatedScalarAgg(spark, sub, pairs, source, m, s"${m}_c")
+              joins += ((subAgg, keyCond(bc => col(groupOut(bc)))))
+              drops += m
+              drops ++= pairs.indices.map(i => s"${m}_c$i")
+              cmpCols(op, lc, scalar)
+            }
+          case other => havingCol(other)
+        }
+        val pred = walk(c0)
+        (joins.toSeq, pred, drops.toSeq)
       }
       // computed projections in aggregate scope (count(*) * 2 AS n2):
       // their aggregate calls become hidden agg columns — registered into
@@ -334,8 +423,7 @@ object Lowering {
           g.agg(allAggs.head, allAggs.tail: _*).toDF(keyNames ++ aggNames: _*)
       }
       val grouped1 = havingCond.fold(grouped0)(grouped0.filter)
-      def qcolSub(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
-      val grouped = havingSubParts.zipWithIndex.foldLeft(grouped1) {
+      val grouped2 = havingSubParts.zipWithIndex.foldLeft(grouped1) {
         case (acc, (HCmp(op, lc, ssub, guard, Seq()), i)) =>
           val subDf0 = lowerSelect(spark, ssub, source)
           if (guard) {
@@ -408,6 +496,13 @@ object Lowering {
               else lc === subDf(s"__hin${i}_v")
             acc.join(subDf, (valCond +: pairConds).reduce(_ && _), joinType)
           }
+      }
+      // mixed HAVING conjuncts apply after the pure subquery joins: each
+      // marker frame left-joins, the disjunction filters, markers drop
+      val grouped = havingMixedPlans.foldLeft(grouped2) {
+        case (acc, (joins, pred, drops)) =>
+          joins.foldLeft(acc) { case (df, (f, on)) => df.join(f, on, "left_outer") }
+            .filter(pred).drop(drops: _*)
       }
       // window columns compute over the aggregated (and HAVING-filtered)
       // frame, BEFORE the final ORDER BY — the window's own exchange

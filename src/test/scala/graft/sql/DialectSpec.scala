@@ -989,6 +989,18 @@ class DialectSpec extends AnyFunSuite {
     // correlation on a non-group-key is rejected
     assert(db.select("SELECT owner_id, count(*) AS n FROM cars GROUP BY owner_id " +
       "HAVING EXISTS (SELECT p.id FROM people p WHERE p.name = model)").isLeft)
+    // subqueries under OR in HAVING (boolean-marker joins post-agg):
+    // big groups, plus any group whose owner has a people record
+    val orH = db.select("SELECT owner_id, count(*) AS n FROM cars " +
+      "GROUP BY owner_id HAVING count(*) >= 2 OR EXISTS " +
+      "(SELECT p.id FROM people p WHERE p.id = owner_id) " +
+      "ORDER BY owner_id").toOption.get
+    assert(orH.collect().toSeq == Seq(Row(1, 2L), Row(2, 1L)))
+    // an aggregate probe IN a subquery as one disjunct
+    val orH2 = db.select("SELECT owner_id, count(*) AS n FROM cars " +
+      "GROUP BY owner_id HAVING owner_id = 99 OR count(*) IN " +
+      "(SELECT id FROM people WHERE id >= 2) ORDER BY owner_id").toOption.get
+    assert(orH2.collect().toSeq == Seq(Row(1, 2L), Row(99, 1L)))
   }
 
   test("correlation is restricted to top-level WHERE equalities") {
