@@ -860,12 +860,24 @@ object Analyzer {
         }
     }
 
-    // star expansion (reference analyzer/mod.rs:68-73)
-    if (s.from.isEmpty && s.columns.isEmpty)
+    // star expansion (reference analyzer/mod.rs:68-73): whole-row `*`,
+    // plus `*` / `t.*` items inside longer SELECT lists
+    if (s.from.isEmpty && (s.columns.isEmpty ||
+        s.columns.exists(_.exists(_.isInstanceOf[SelectItem.SStar]))))
       return Left(BadFunction("SELECT * requires a FROM clause"))
-    val projItems: Seq[SelectItem] = s.columns.getOrElse(
+    def expandAll: Seq[SelectItem] =
       tables.flatMap(bt => bt.desc.attributes.map(a =>
-        SelectItem.SCol(ColRef(Some(bt.binding), a.name)))))
+        SelectItem.SCol(ColRef(Some(bt.binding), a.name))))
+    val projItems: Seq[SelectItem] = s.columns.getOrElse(expandAll).flatMap {
+      case SelectItem.SStar(None) => expandAll
+      case SelectItem.SStar(Some(b)) =>
+        bound.get(b.toLowerCase) match {
+          case Some(bt) => bt.desc.attributes.map(a =>
+            SelectItem.SCol(ColRef(Some(bt.binding), a.name)))
+          case None => return Left(UnboundBinding(b))
+        }
+      case other => Seq(other)
+    }
 
     val numericTypes: SqlType => Boolean = {
       case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt | SqlType.SqlDouble => true
@@ -1071,6 +1083,8 @@ object Analyzer {
     }
 
     def bindItem(it: SelectItem): Either[AnalyzerError, BoundItem] = it match {
+      case _: SelectItem.SStar =>
+        sys.error("unreachable: star items expand before binding")
       case SelectItem.SCol(r, a) => bindCol(r).map(BoundItem.BICol(_, a))
       case SelectItem.SAgg(f, None, a, dist) => Right(BoundItem.BIAgg(f, None, a, dist))
       case SelectItem.SAgg(f, Some(r), a, dist) =>
@@ -1557,22 +1571,43 @@ object Analyzer {
       case None => Left(RelationNotFound(i.table))
       case Some(desc) =>
         val attrs = desc.attributes
-        val out = Vector.newBuilder[Seq[Any]]
-        for (row <- i.rows) {
-          if (row.length < attrs.length)
-            return Left(MissingValues(attrs.drop(row.length).map(_.name)))
-          if (row.length > attrs.length)
-            return Left(TooManyValues(attrs.length, row.length))
-          val vals = Vector.newBuilder[Any]
-          for (((lit, attr), idx) <- row.zip(attrs).zipWithIndex) {
-            Convert(lit, attr.sqlType) match {
-              case Left(err) => return Left(TypeNotConvertible(idx, err.msg))
-              case Right(v)  => vals += v
+        // an explicit column list permutes the tuple into table order;
+        // unlisted columns take NULL
+        val slotOf: Either[AnalyzerError, Seq[Option[Int]]] = i.columns match {
+          case None => Right(attrs.indices.map(Some(_)))
+          case Some(cols) =>
+            val idx = scala.collection.mutable.Map.empty[String, Int]
+            for ((c, j) <- cols.zipWithIndex) {
+              if (!attrs.exists(_.name.equalsIgnoreCase(c)))
+                return Left(UnboundAttribute(c))
+              if (idx.put(c.toLowerCase, j).isDefined)
+                return Left(DuplicateBinding(c))
             }
-          }
-          out += vals.result()
+            Right(attrs.map(a => idx.get(a.name.toLowerCase)))
         }
-        Right(BoundInsert(desc, out.result()))
+        val rowLen = i.columns.map(_.length).getOrElse(attrs.length)
+        slotOf.flatMap { slots =>
+          val out = Vector.newBuilder[Seq[Any]]
+          for (row <- i.rows) {
+            if (row.length < rowLen)
+              return Left(MissingValues(
+                i.columns.map(_.drop(row.length))
+                  .getOrElse(attrs.drop(row.length).map(_.name))))
+            if (row.length > rowLen)
+              return Left(TooManyValues(rowLen, row.length))
+            val vals = Vector.newBuilder[Any]
+            for ((attr, slot) <- attrs.zip(slots)) {
+              val lit = slot.fold(Lit.LitNull: Lit)(row(_))
+              Convert(lit, attr.sqlType) match {
+                case Left(err) =>
+                  return Left(TypeNotConvertible(slot.getOrElse(0), err.msg))
+                case Right(v)  => vals += v
+              }
+            }
+            out += vals.result()
+          }
+          Right(BoundInsert(desc, out.result()))
+        }
     }
 
   private def analyzeCreate(c: CreateTree, cat: Catalog): Either[AnalyzerError, BoundCreate] =

@@ -101,6 +101,10 @@ object Ast {
     */
   sealed trait SelectItem
   object SelectItem {
+    /** `*` or `t.*` as one item of a longer SELECT list — expanded to
+      * the (binding's) columns during analysis.
+      */
+    final case class SStar(binding: Option[String]) extends SelectItem
     final case class SCol(ref: ColRef, alias: Option[String] = None) extends SelectItem
     final case class SAgg(func: String, arg: Option[Operand],
         alias: Option[String] = None, distinct: Boolean = false) extends SelectItem
@@ -216,7 +220,11 @@ object Ast {
   final case class RecursiveTree(name: String, base: SelectTree,
       step: SelectTree, unionAll: Boolean) extends ParseTree
 
-  final case class InsertTree(table: String, rows: Seq[Seq[Lit]]) extends ParseTree
+  /** INSERT INTO t [(col, …)] VALUES (…), … — an explicit column list
+    * reorders the tuples; unlisted columns insert NULL.
+    */
+  final case class InsertTree(table: String, rows: Seq[Seq[Lit]],
+      columns: Option[Seq[String]] = None) extends ParseTree
 
   /** INSERT INTO t SELECT … — the distributed write path (VALUES is for
     * REPL-scale rows); columns align by position with checked casts.

@@ -355,7 +355,13 @@ object Parser {
       _ <- p.eatKw("select")
       distinct <- Right { if (p.isKw("distinct")) { p.next(); true } else false }
       cols <- p.peek match {
-        case TSym("*", _) => p.next(); Right(None)
+        case TSym("*", _) if {
+          // solo `SELECT *` keeps the legacy whole-row form; `*` followed
+          // by ',' is one item of a longer list
+          val save = p.i; p.next()
+          val solo = p.peek match { case TSym(",", _) => false; case _ => true }
+          p.i = save; solo
+        } => p.next(); Right(None)
         case _ =>
           // ROWS BETWEEN frame bound, in Spark's row-offset encoding
           def frameBound(): Either[ParseError, Long] = p.peek match {
@@ -444,6 +450,19 @@ object Parser {
             // ranking function or aggregate followed by OVER is a window
             val start = p.peek.pos
             p.peek match {
+              // `*` / `t.*` as one item of a longer list
+              case TSym("*", _) => p.next(); Right(SelectItem.SStar(None))
+              case TIdent(b, _) if {
+                val save = p.i; p.next()
+                val dotStar = (p.peek match {
+                  case TSym(".", _) => p.next()
+                    p.peek match { case TSym("*", _) => true; case _ => false }
+                  case _ => false
+                })
+                p.i = save; dotStar
+              } =>
+                p.next(); p.next(); p.next() // ident . *
+                Right(SelectItem.SStar(Some(b)))
               // `(SELECT …) AS a` — a scalar subquery item; a bare `(`
               // not followed by SELECT stays a parenthesized operand
               case TSym("(", _) if {
@@ -1112,10 +1131,28 @@ object Parser {
       _ <- p.eatKw("insert")
       _ <- p.eatKw("into")
       name <- p.ident()
+      // optional explicit column list: INSERT INTO t (a, b) …
+      cols <- p.peek match {
+        case TSym("(", _) =>
+          p.next()
+          def loop(acc: Vector[String]): Either[ParseError, Vector[String]] =
+            p.ident().flatMap { c =>
+              p.peek match {
+                case TSym(",", _) => p.next(); loop(acc :+ c)
+                case _            => p.eatSym(")").map(_ => acc :+ c)
+              }
+            }
+          loop(Vector.empty).map(Some(_))
+        case _ => Right(None: Option[Vector[String]])
+      }
       tree <-
-        // INSERT INTO t SELECT … — the distributed write path
-        if (p.isKw("select"))
-          parseSelectOrUnion(p).map(sel => InsertSelectTree(name, sel): ParseTree)
+        // INSERT INTO t SELECT … — the distributed write path (the
+        // column list applies to VALUES only; SELECT aligns by position)
+        if (p.isKw("select")) {
+          if (cols.isDefined)
+            Left(ParseError("INSERT … SELECT aligns by position (no column list)", p.peek.pos))
+          else parseSelectOrUnion(p).map(sel => InsertSelectTree(name, sel): ParseTree)
+        }
         else
           for {
             _ <- p.eatKw("values")
@@ -1129,7 +1166,7 @@ object Parser {
                 }
               loop(Vector.empty)
             }
-          } yield InsertTree(name, rows): ParseTree
+          } yield InsertTree(name, rows, cols): ParseTree
     } yield tree
   }
 

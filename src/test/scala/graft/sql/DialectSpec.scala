@@ -68,6 +68,18 @@ class DialectSpec extends AnyFunSuite {
     // duplicate output names across tables get binding-qualified
     val j = db.select("SELECT * FROM people p, cars c WHERE p.id = c.owner_id").toOption.get
     assert(j.columns.toSeq == Seq("p_id", "name", "age", "c_id", "model", "owner_id"))
+    // t.* as one item of a longer list
+    val q = db.select("SELECT c.*, p.name FROM people p, cars c " +
+      "WHERE p.id = c.owner_id ORDER BY c.id").toOption.get
+    assert(q.columns.toSeq == Seq("id", "model", "owner_id", "name"))
+    assert(q.collect().map(_.getString(3)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
+    // bare * combined with an expression
+    val s = db.select("SELECT *, length(name) AS ln FROM people ORDER BY id").toOption.get
+    assert(s.columns.toSeq == Seq("id", "name", "age", "ln"))
+    // unknown binding errors; star without FROM errors
+    assert(db.select("SELECT z.* FROM people p").isLeft)
+    assert(db.select("SELECT p.*").isLeft)
   }
 
   test("null semantics are SQL 3VL, not the reference's NULL=NULL quirk (SURVEY §1.4)") {
@@ -1446,6 +1458,21 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT name FROM people HAVING count(*) > 1").isLeft)
     // aggregates are invalid in WHERE
     assert(db.query("SELECT name FROM people WHERE count(*) > 1").isLeft)
+  }
+
+  test("INSERT with an explicit column list") {
+    val db = demoDb()
+    // reordered columns; unlisted age inserts NULL
+    assert(db.query("INSERT INTO people (name, id) VALUES ('Biff', 4)").isRight)
+    val r = db.select("SELECT id, name, age FROM people WHERE id = 4").toOption.get
+    assert(r.collect().toSeq == Seq(Row(4, "Biff", null)))
+    // arity mismatches and unknown/duplicate columns error
+    assert(db.query("INSERT INTO people (name, id) VALUES ('x')").isLeft)
+    assert(db.query("INSERT INTO people (name, id) VALUES ('x', 5, 6)").isLeft)
+    assert(db.query("INSERT INTO people (nosuch) VALUES (1)").isLeft)
+    assert(db.query("INSERT INTO people (id, id) VALUES (1, 2)").isLeft)
+    // column lists do not apply to INSERT ... SELECT
+    assert(db.query("INSERT INTO people (id, name) SELECT id, name FROM people").isLeft)
   }
 
   test("insert appends (second insert visible, first preserved)") {
