@@ -623,6 +623,21 @@ object Dialect {
              |  cast(count(*) AS bigint) AS n
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Aggregate FILTER clauses (desugared onto NULL-skipping aggregates)
+    // + a case-insensitive ILIKE scan filter.
+    "q_dialect_filter_ilike" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderstatus, count(*) FILTER (WHERE o_totalprice > 300000) AS nhigh, " +
+          "round(sum(o_totalprice) FILTER (WHERE o_totalprice > 300000), 2) AS shigh, " +
+          "count(*) AS n FROM orders WHERE o_orderpriority ILIKE '%urgent%' " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  cast(count(*) FILTER (WHERE o_totalprice > 300000) AS bigint) AS nhigh,
+             |  round(sum(o_totalprice) FILTER (WHERE o_totalprice > 300000), 2) AS shigh,
+             |  cast(count(*) AS bigint) AS n
+             |FROM orders WHERE o_orderpriority ILIKE '%urgent%'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // ORDER BY an aggregate with LIMIT — the canonical top-k-groups
     // reporting shape (sorts by a hidden aggregate column before the
     // final projection; Catalyst plans TakeOrderedAndProject).

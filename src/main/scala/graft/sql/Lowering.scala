@@ -209,8 +209,8 @@ object Lowering {
         case BoundExpr.BIsNull(o, neg) =>
           val c = havingOperand(o)
           if (neg) c.isNotNull else c.isNull
-        case BoundExpr.BLike(o, pat, neg) =>
-          val c = havingOperand(o).like(pat)
+        case BoundExpr.BLike(o, pat, neg, ci) =>
+          val c = if (ci) havingOperand(o).ilike(pat) else havingOperand(o).like(pat)
           if (neg) !c else c
         case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) =>
           sys.error("unreachable: analyzer rejects IN/EXISTS in HAVING")
@@ -1051,8 +1051,8 @@ object Lowering {
     case BoundExpr.BIsNull(o, neg) =>
       val c = opLower(o)
       if (neg) c.isNotNull else c.isNull
-    case BoundExpr.BLike(o, pat, neg) =>
-      val c = opLower(o).like(pat)
+    case BoundExpr.BLike(o, pat, neg, ci) =>
+      val c = if (ci) opLower(o).ilike(pat) else opLower(o).like(pat)
       if (neg) !c else c
     case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) |
         BoundExpr.BCmpSub(_, _, _, _, _) =>
@@ -1227,7 +1227,7 @@ object Lowering {
       case BoundExpr.BOr(l, r)  => cols(l) ++ cols(r)
       case BoundExpr.BNot(y)    => cols(y)
       case BoundExpr.BIsNull(o, _)  => opCols(o)
-      case BoundExpr.BLike(o, _, _) => opCols(o)
+      case BoundExpr.BLike(o, _, _, _) => opCols(o)
       case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
       case BoundExpr.BInSub(_, _, _, _)  => hasSub = true; Nil
       case BoundExpr.BExists(_, _, _)    => hasSub = true; Nil

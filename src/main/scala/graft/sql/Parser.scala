@@ -830,7 +830,8 @@ object Parser {
           case t => Left(ParseError("expected NULL after IS [NOT]", t.pos))
         }
       case TIdent(k, pos) if k.equalsIgnoreCase("not") || k.equalsIgnoreCase("between") ||
-          k.equalsIgnoreCase("in") || k.equalsIgnoreCase("like") =>
+          k.equalsIgnoreCase("in") || k.equalsIgnoreCase("like") ||
+          k.equalsIgnoreCase("ilike") =>
         val neg = if (p.isKw("not")) { p.next(); true } else false
         if (p.isKw("between")) {
           p.next()
@@ -863,10 +864,11 @@ object Parser {
             val any = eqs.reduce(Expr.Or(_, _))
             if (neg) Expr.Not(any) else any
           }
-        } else if (p.isKw("like")) {
+        } else if (p.isKw("like") || p.isKw("ilike")) {
+          val ci = p.isKw("ilike")
           p.next()
           p.peek match {
-            case TStr(s, _) => p.next(); Right(Expr.Like(l, s, neg))
+            case TStr(s, _) => p.next(); Right(Expr.Like(l, s, neg, ci))
             case t          => Left(ParseError("expected pattern string after LIKE", t.pos))
           }
         } else Left(ParseError("expected BETWEEN, IN or LIKE after NOT", pos))
@@ -994,7 +996,33 @@ object Parser {
           case _ => parseOperand(p, allowAgg).map(Some(_))
         }
         _ <- p.eatSym(")")
-      } yield Operand.AggCall(fn, arg, distinct)
+        // FILTER (WHERE pred) — desugars onto the aggregate's NULL
+        // skipping: count(*) → count(CASE WHEN p THEN 1 END), agg(x) →
+        // agg(CASE WHEN p THEN x END); identical to SQL FILTER for every
+        // NULL-ignoring aggregate (count/sum/min/max/avg/stddev/…)
+        filtered <-
+          if (p.isKw("filter") && {
+            val save = p.i; p.next()
+            val isP = p.peek match { case TSym("(", _) => true; case _ => false }
+            p.i = save; isP
+          }) {
+            if (fn == "grouping")
+              Left(ParseError("grouping() does not take FILTER", p.peek.pos))
+            else {
+              p.next()
+              for {
+                _ <- p.eatSym("(")
+                _ <- p.eatKw("where")
+                pred <- parseOr(p)
+                _ <- p.eatSym(")")
+              } yield {
+                val inner = arg.getOrElse(Operand.Literal(Lit.LitLong(1L)))
+                Operand.AggCall(fn,
+                  Some(Operand.CaseWhen(Seq((pred, inner)), None)), distinct)
+              }
+            }
+          } else Right(Operand.AggCall(fn, arg, distinct))
+      } yield filtered
     case TIdent(k, _) if k.equalsIgnoreCase("case") =>
       p.next()
       for {

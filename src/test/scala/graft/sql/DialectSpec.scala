@@ -1475,6 +1475,29 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("INSERT INTO people (id, name) SELECT id, name FROM people").isLeft)
   }
 
+  test("aggregate FILTER clause and ILIKE") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    // FILTER desugars onto NULL-skipping aggregates
+    val f = db.select("SELECT owner_id, count(*) FILTER (WHERE model LIKE 'T%') AS nt, " +
+      "count(*) AS n FROM cars GROUP BY owner_id ORDER BY owner_id").toOption.get
+    assert(f.collect().toSeq == Seq(Row(1, 1L, 2L), Row(2, 0L, 1L)))
+    // FILTER over sum and avg (avg's denominator only counts kept rows)
+    val fa = db.select("SELECT sum(id) FILTER (WHERE owner_id = 1) AS s1, " +
+      "avg(id) FILTER (WHERE owner_id = 1) AS a1 FROM cars").toOption.get
+    assert(fa.collect().toSeq == Seq(Row(4L, 2.0)))
+    // ILIKE is case-insensitive; NOT ILIKE negates it
+    val il = db.select("SELECT model FROM cars WHERE model ILIKE 'tesla%'").toOption.get
+    assert(il.collect().map(_.getString(0)).toSeq == Seq("Tesla Model 3"))
+    val nil = db.select("SELECT name FROM people WHERE name NOT ILIKE '%MC%' " +
+      "ORDER BY id").toOption.get
+    assert(nil.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
+    // grouping() does not take FILTER
+    assert(db.query("SELECT owner_id, grouping(owner_id) FILTER (WHERE 1 = 1) AS g " +
+      "FROM cars GROUP BY ROLLUP(owner_id)").isLeft)
+  }
+
   test("insert appends (second insert visible, first preserved)") {
     val db = demoDb()
     assert(db.query("INSERT INTO people VALUES (4, 'Biff', 40)").isRight)
