@@ -120,7 +120,7 @@ object Analyzer {
       case BoundExpr.BOr(l, r)      => exprOperands(l) ++ exprOperands(r)
       case BoundExpr.BNot(x)        => exprOperands(x)
       case BoundExpr.BIsNull(o, _)  => Seq(o)
-      case BoundExpr.BLike(o, _, _, _) => Seq(o)
+      case BoundExpr.BLike(o, _, _, _, _) => Seq(o)
       case BoundExpr.BCmp(_, l, r)  => Seq(l, r)
       case BoundExpr.BInSub(o, _, _, _)     => Seq(o)
       case BoundExpr.BExists(_, _, _)       => Nil
@@ -135,7 +135,7 @@ object Analyzer {
     final case class BNot(e: BoundExpr) extends BoundExpr
     final case class BIsNull(o: BoundOperand, negated: Boolean) extends BoundExpr
     final case class BLike(o: BoundOperand, pattern: String, negated: Boolean,
-        ci: Boolean = false) extends BoundExpr
+        ci: Boolean = false, escape: Option[Char] = None) extends BoundExpr
     /** [NOT] IN (SELECT …): lowers to left-semi/anti join. `pairs` are the
       * decorrelated equality conjuncts (outer col, inner col) pulled out of
       * the subquery's WHERE into the join condition; empty = uncorrelated.
@@ -237,7 +237,7 @@ object Analyzer {
     case BoundExpr.BOr(l, r)        => exprCols(l) ++ exprCols(r)
     case BoundExpr.BNot(x)          => exprCols(x)
     case BoundExpr.BIsNull(o, _)    => operandCols(o)
-    case BoundExpr.BLike(o, _, _, _) => operandCols(o)
+    case BoundExpr.BLike(o, _, _, _, _) => operandCols(o)
     case BoundExpr.BCmp(_, l, r)    => operandCols(l) ++ operandCols(r)
     case BoundExpr.BInSub(o, _, ps, _) => operandCols(o) ++ ps.map(_._1)
     case BoundExpr.BExists(_, ps, _)   => ps.map(_._1)
@@ -1057,14 +1057,14 @@ object Analyzer {
           } yield BoundExpr.BCmpSub(op, bo, bsub, guard = !staticOne, pairs)
       case Expr.IsNull(o, neg) =>
         bindOp(o, allowAgg).map(BoundExpr.BIsNull(_, neg))
-      case Expr.Like(o, pat, neg, ci) =>
+      case Expr.Like(o, pat, neg, ci, esc) =>
         bindOp(o, allowAgg).flatMap {
           // LIKE needs a string operand; non-string columns are a type error
           case b @ BoundOperand.BCol(c) => c.attr.sqlType match {
-            case SqlType.SqlVarChar(_) => Right(BoundExpr.BLike(b, pat, neg, ci))
+            case SqlType.SqlVarChar(_) => Right(BoundExpr.BLike(b, pat, neg, ci, esc))
             case t => Left(NotComparable(t, SqlType.SqlVarChar(pat.length max 1)))
           }
-          case b => Right(BoundExpr.BLike(b, pat, neg, ci))
+          case b => Right(BoundExpr.BLike(b, pat, neg, ci, esc))
         }
       case Expr.Cmp(op, l, r) =>
         for {
@@ -1412,7 +1412,7 @@ object Analyzer {
               case Expr.Not(x)    => Expr.Not(substE(x))
               case Expr.Cmp(op, l, r)  => Expr.Cmp(op, substOp(l), substOp(r))
               case Expr.IsNull(o, neg) => Expr.IsNull(substOp(o), neg)
-              case Expr.Like(o, p, n, ci) => Expr.Like(substOp(o), p, n, ci)
+              case Expr.Like(o, p, n, ci, esc) => Expr.Like(substOp(o), p, n, ci, esc)
               case Expr.CmpSubquery(op, l, sub) => Expr.CmpSubquery(op, substOp(l), sub)
               case other => other
             }
@@ -1436,7 +1436,7 @@ object Analyzer {
             case BoundExpr.BOr(l, r)  => cols(l) ++ cols(r)
             case BoundExpr.BNot(e)    => cols(e)
             case BoundExpr.BIsNull(o, _)  => opCols(o)
-            case BoundExpr.BLike(o, _, _, _) => opCols(o)
+            case BoundExpr.BLike(o, _, _, _, _) => opCols(o)
             case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
             case BoundExpr.BInSub(o, _, _, _)  => opCols(o) // unreachable: no IN in HAVING
             case BoundExpr.BExists(_, _, _)    => Nil       // unreachable: no EXISTS in HAVING

@@ -76,10 +76,10 @@ object Ast {
     final case class Not(e: Expr) extends Expr
     /** <operand> IS [NOT] NULL. */
     final case class IsNull(o: Operand, negated: Boolean) extends Expr
-    /** <operand> [NOT] LIKE/ILIKE '<pattern>' (%/_ wildcards, standard
-      * SQL; `ci` = ILIKE, case-insensitive). */
+    /** <operand> [NOT] LIKE/ILIKE '<pattern>' [ESCAPE '<c>'] (%/_
+      * wildcards, standard SQL; `ci` = ILIKE, case-insensitive). */
     final case class Like(o: Operand, pattern: String, negated: Boolean,
-        ci: Boolean = false) extends Expr
+        ci: Boolean = false, escape: Option[Char] = None) extends Expr
     /** <operand> [NOT] IN (SELECT …) — subquery membership, lowered as a
       * left-semi/left-anti join; equality-correlated inner predicates pull
       * into the join condition (decorrelation).

@@ -209,8 +209,8 @@ object Lowering {
         case BoundExpr.BIsNull(o, neg) =>
           val c = havingOperand(o)
           if (neg) c.isNotNull else c.isNull
-        case BoundExpr.BLike(o, pat, neg, ci) =>
-          val c = if (ci) havingOperand(o).ilike(pat) else havingOperand(o).like(pat)
+        case BoundExpr.BLike(o, pat, neg, ci, esc) =>
+          val c = likeCol(havingOperand(o), pat, ci, esc)
           if (neg) !c else c
         case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) =>
           sys.error("unreachable: analyzer rejects IN/EXISTS in HAVING")
@@ -1051,8 +1051,8 @@ object Lowering {
     case BoundExpr.BIsNull(o, neg) =>
       val c = opLower(o)
       if (neg) c.isNotNull else c.isNull
-    case BoundExpr.BLike(o, pat, neg, ci) =>
-      val c = if (ci) opLower(o).ilike(pat) else opLower(o).like(pat)
+    case BoundExpr.BLike(o, pat, neg, ci, esc) =>
+      val c = likeCol(opLower(o), pat, ci, esc)
       if (neg) !c else c
     case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) |
         BoundExpr.BCmpSub(_, _, _, _, _) =>
@@ -1084,6 +1084,15 @@ object Lowering {
       case (true, Some(true))   => c.desc_nulls_first
       case (true, Some(false))  => c.desc_nulls_last
     }
+
+  /** [I]LIKE with an optional ESCAPE character. */
+  private def likeCol(c: Column, pat: String, ci: Boolean,
+      esc: Option[Char]): Column = (ci, esc) match {
+    case (false, None)    => c.like(pat)
+    case (true, None)     => c.ilike(pat)
+    case (false, Some(e)) => like(c, lit(pat), lit(e.toString))
+    case (true, Some(e))  => ilike(c, lit(pat), lit(e.toString))
+  }
 
   private[sql] def cmpCols(op: Ast.CmpOp, lc: Column, rc: Column): Column = op match {
     case Ast.CmpOp.Eq  => lc === rc
@@ -1227,7 +1236,7 @@ object Lowering {
       case BoundExpr.BOr(l, r)  => cols(l) ++ cols(r)
       case BoundExpr.BNot(y)    => cols(y)
       case BoundExpr.BIsNull(o, _)  => opCols(o)
-      case BoundExpr.BLike(o, _, _, _) => opCols(o)
+      case BoundExpr.BLike(o, _, _, _, _) => opCols(o)
       case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
       case BoundExpr.BInSub(_, _, _, _)  => hasSub = true; Nil
       case BoundExpr.BExists(_, _, _)    => hasSub = true; Nil

@@ -868,7 +868,18 @@ object Parser {
           val ci = p.isKw("ilike")
           p.next()
           p.peek match {
-            case TStr(s, _) => p.next(); Right(Expr.Like(l, s, neg, ci))
+            case TStr(s, _) =>
+              p.next()
+              // optional ESCAPE '<one char>'
+              if (p.isKw("escape")) {
+                p.next()
+                p.peek match {
+                  case TStr(e, epos) if e.length == 1 =>
+                    p.next(); Right(Expr.Like(l, s, neg, ci, Some(e.head)))
+                  case t => Left(ParseError(
+                    "ESCAPE takes a single-character string", t.pos))
+                }
+              } else Right(Expr.Like(l, s, neg, ci))
             case t          => Left(ParseError("expected pattern string after LIKE", t.pos))
           }
         } else Left(ParseError("expected BETWEEN, IN or LIKE after NOT", pos))

@@ -141,7 +141,7 @@ class AnalyzerSpec extends AnyFunSuite {
       Seq(("p.id", "c.owner_id")))
     // the LIKE conjunct stays inside the subquery's predicate
     assert(sub.predicate.exists {
-      case BoundExpr.BLike(_, pat, _, _) => pat == "T%"
+      case BoundExpr.BLike(_, pat, _, _, _) => pat == "T%"
       case _ => false
     })
     // non-equality correlation is rejected with the subquery error surface

@@ -1496,6 +1496,15 @@ class DialectSpec extends AnyFunSuite {
     // grouping() does not take FILTER
     assert(db.query("SELECT owner_id, grouping(owner_id) FILTER (WHERE 1 = 1) AS g " +
       "FROM cars GROUP BY ROLLUP(owner_id)").isLeft)
+    // LIKE ESCAPE: a literal underscore matches only via the escape
+    db.query("CREATE TABLE pats (s VARCHAR(20))")
+    db.query("INSERT INTO pats VALUES ('a_b'), ('axb')")
+    val esc = db.select("SELECT s FROM pats WHERE s LIKE 'a!_b' ESCAPE '!' " +
+      "ORDER BY s").toOption.get
+    assert(esc.collect().map(_.getString(0)).toSeq == Seq("a_b"))
+    val noEsc = db.select("SELECT s FROM pats WHERE s LIKE 'a_b' ORDER BY s").toOption.get
+    assert(noEsc.collect().map(_.getString(0)).toSeq == Seq("a_b", "axb"))
+    assert(db.query("SELECT s FROM pats WHERE s LIKE 'a_b' ESCAPE '!!'").isLeft)
   }
 
   test("insert appends (second insert visible, first preserved)") {
