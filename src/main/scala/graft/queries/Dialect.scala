@@ -466,6 +466,29 @@ object Dialect {
              |   GROUP BY c_nationkey) t ON n.n_nationkey = t.c_nationkey
              |ORDER BY n_nationkey""".stripMargin)),
 
+    // Stored views: a view over a view, queried joined with a base
+    // table — the registry substitutes both at query time (self-contained
+    // bodies, validated at CREATE). The oracle inlines the equivalent SQL.
+    "q_dialect_view" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders", "customer")
+        if (g.query("SELECT n FROM cust_orders LIMIT 1").isLeft) {
+          g.query("CREATE VIEW cust_orders AS SELECT o_custkey, count(*) AS n, " +
+            "sum(o_totalprice) AS tp FROM orders GROUP BY o_custkey")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("CREATE VIEW big_cust AS SELECT o_custkey, n FROM cust_orders " +
+            "WHERE n > 15").fold(e => sys.error(e.msg), identity)
+        }
+        run(g, "SELECT c.c_name, b.n FROM big_cust b " +
+          "JOIN customer c ON c.c_custkey = b.o_custkey ORDER BY c.c_custkey")
+      },
+      Some("""WITH cust_orders AS (SELECT o_custkey, count(*) AS n,
+             |    sum(o_totalprice) AS tp FROM orders GROUP BY o_custkey),
+             |big_cust AS (SELECT o_custkey, n FROM cust_orders WHERE n > 15)
+             |SELECT c.c_name, cast(b.n AS bigint) AS n FROM big_cust b
+             |JOIN customer c ON c.c_custkey = b.o_custkey
+             |ORDER BY c.c_custkey""".stripMargin)),
+
     // Common table expressions: the second CTE references the first, the
     // main query joins a CTE against a base table — desugared at parse
     // time onto derived tables, so the per-customer aggregate still

@@ -214,6 +214,14 @@ object Ast {
     */
   final case class DropTree(table: String, ifExists: Boolean) extends ParseTree
 
+  /** CREATE VIEW name AS <select> — a named stored query; references
+    * substitute like CTEs at query time (GraftDatabase keeps the
+    * registry and persists the statement text).
+    */
+  final case class CreateViewTree(name: String, body: ParseTree) extends ParseTree
+  /** DROP VIEW [IF EXISTS] name. */
+  final case class DropViewTree(name: String, ifExists: Boolean) extends ParseTree
+
   /** WITH RECURSIVE name AS (base UNION [ALL] step) — the step references
     * `name` (the previous iteration's frontier); lowered as an
     * iterate-to-fixpoint loop. Appears only inside FDerived (the

@@ -28,6 +28,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   sealed trait QueryError { def msg: String }
   final case class ParseFailed(e: Parser.ParseError) extends QueryError { def msg = e.toString }
   final case class AnalyzeFailed(e: AnalyzerError) extends QueryError { def msg = e.msg }
+  final case class ViewError(msg: String) extends QueryError
   final case class ReadOnlyTable(name: String) extends QueryError {
     def msg = s"table '$name' is registered read-only (external parquet)"
   }
@@ -51,26 +52,105 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   /** Tables estimated below this cardinality get broadcast-hinted in joins. */
   val BroadcastRowThreshold = 100000L
 
+  // stored-view registry (declared before the constructor-side load —
+  // class body statements run in order)
+  private val views = mutable.LinkedHashMap.empty[String, ParseTree]
+  private val viewSql = mutable.LinkedHashMap.empty[String, String]
+
   Files.createDirectories(Paths.get(warehouse))
   loadCatalog()
+  loadViews()
 
   private object cat extends Catalog {
     def resolve(t: String): Option[TableDesc] = tables.get(t.toLowerCase)
   }
 
   def query(sql: String): Either[QueryError, QueryResult] =
-    for {
-      tree <- Parser.parse(sql).left.map(ParseFailed)
-      bound <- Analyzer.analyze(tree, cat).left.map(AnalyzeFailed)
-      _ <- bound match {
-        case BoundInsert(d, _)       if external.contains(d.name) => Left(ReadOnlyTable(d.name))
-        case BoundInsertSelect(d, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
-        case BoundDelete(d, _)       if external.contains(d.name) => Left(ReadOnlyTable(d.name))
-        case BoundUpdate(d, _, _)    if external.contains(d.name) => Left(ReadOnlyTable(d.name))
-        case BoundDrop(n, _)         if external.contains(n)      => Left(ReadOnlyTable(n))
-        case _                                                    => Right(())
+    Parser.parse(sql).left.map(ParseFailed).flatMap {
+      case Ast.CreateViewTree(name, body) => createView(name, body, sql)
+      case Ast.DropViewTree(name, ifExists) => dropView(name, ifExists)
+      case t @ Ast.CreateTree(n, _, _, _) if views.contains(n.toLowerCase) =>
+        Left(ViewError(s"relation '$n' already exists as a view"))
+      case t @ Ast.CreateAsTree(n, _, _) if views.contains(n.toLowerCase) =>
+        Left(ViewError(s"relation '$n' already exists as a view"))
+      case tree0 =>
+        // stored views substitute like CTEs before analysis
+        val tree = Parser.substituteViews(tree0, views.toMap)
+        for {
+          bound <- Analyzer.analyze(tree, cat).left.map(AnalyzeFailed)
+          _ <- bound match {
+            case BoundInsert(d, _)       if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+            case BoundInsertSelect(d, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+            case BoundDelete(d, _)       if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+            case BoundUpdate(d, _, _)    if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+            case BoundDrop(n, _)         if external.contains(n)      => Left(ReadOnlyTable(n))
+            case BoundDrop(n, _)         if views.contains(n)         =>
+              Left(ViewError(s"'$n' is a view — use DROP VIEW"))
+            case _                                                    => Right(())
+          }
+        } yield execute(bound)
+    }
+
+  // ---- stored views: named queries substituted like CTEs ----
+
+  private def viewsPath = Paths.get(s"$warehouse/views.json")
+
+  private def createView(name: String, body: ParseTree,
+      stmt: String): Either[QueryError, QueryResult] = {
+    if (tables.contains(name))
+      Left(ViewError(s"relation '$name' already exists as a table"))
+    else if (views.contains(name))
+      Left(ViewError(s"view '$name' already exists"))
+    else {
+      // substitute existing views (so the stored body is self-contained,
+      // like CTE bodies), then validate it analyzes TODAY — a view over a
+      // missing column fails at CREATE, not first use
+      val substituted = Parser.substituteViews(body, views.toMap)
+      Analyzer.analyze(substituted, cat) match {
+        case Left(e) => Left(AnalyzeFailed(e))
+        case Right(_) =>
+          views(name) = substituted
+          viewSql(name) = stmt
+          saveViews()
+          Right(Done(s"created view $name"))
       }
-    } yield execute(bound)
+    }
+  }
+
+  private def dropView(name: String, ifExists: Boolean): Either[QueryError, QueryResult] =
+    if (views.remove(name).isDefined) {
+      viewSql.remove(name)
+      saveViews()
+      Right(Done(s"dropped view '$name'"))
+    } else if (ifExists) Right(Done(s"view '$name' does not exist, skipped"))
+    else if (tables.contains(name))
+      Left(ViewError(s"'$name' is a table — use DROP TABLE"))
+    else Left(ViewError(s"view '$name' does not exist"))
+
+  /** Persist the original CREATE VIEW statements (base64, one per line —
+    * statement text may contain anything) and replay them on load.
+    */
+  private def saveViews(): Unit = {
+    val enc = java.util.Base64.getEncoder
+    val lines = viewSql.values.map(s =>
+      enc.encodeToString(s.getBytes("UTF-8")))
+    Files.write(viewsPath, lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def loadViews(): Unit = {
+    if (!Files.exists(viewsPath)) return
+    val dec = java.util.Base64.getDecoder
+    Files.readAllLines(viewsPath).asScala.filter(_.nonEmpty).foreach { l =>
+      val stmt = new String(dec.decode(l), "UTF-8")
+      Parser.parse(stmt) match {
+        case Right(Ast.CreateViewTree(name, body)) =>
+          // replay in creation order; earlier views substitute into later
+          views(name) = Parser.substituteViews(body, views.toMap)
+          viewSql(name) = stmt
+        case _ => () // corrupted line: skip rather than brick the catalog
+      }
+    }
+  }
 
   /** Convenience for SELECTs in tests: query + unwrap. */
   def select(sql: String): Either[QueryError, DataFrame] = query(sql).map {

@@ -1209,10 +1209,12 @@ object Parser {
     } yield tree
   }
 
-  private def parseDrop(p: P): Either[ParseError, DropTree] =
+  private def parseDrop(p: P): Either[ParseError, ParseTree] =
     for {
       _ <- p.eatKw("drop")
-      _ <- p.eatKw("table")
+      isView <-
+        if (p.isKw("view")) { p.next(); Right(true) }
+        else p.eatKw("table").map(_ => false)
       ifExists <- Right {
         if (p.isKw("if")) {
           val save = p.i; p.next()
@@ -1220,7 +1222,26 @@ object Parser {
         } else false
       }
       name <- p.ident()
-    } yield DropTree(name, ifExists)
+    } yield
+      if (isView) DropViewTree(name.toLowerCase, ifExists)
+      else DropTree(name, ifExists)
+
+  /** Substitute stored-view references into any statement's SELECT parts
+    * (the registry values are already fully substituted at CREATE VIEW
+    * time, like CTE bodies).
+    */
+  def substituteViews(t: ParseTree, views: Map[String, ParseTree]): ParseTree =
+    if (views.isEmpty) t
+    else t match {
+      case s: SelectTree => substCte(s, views)
+      case u: UnionTree  => substCteTree(u, views)
+      case ExplainTree(inner) => ExplainTree(substituteViews(inner, views))
+      case InsertSelectTree(tb, sel) =>
+        InsertSelectTree(tb, substituteViews(sel, views))
+      case CreateAsTree(n, sel, b) =>
+        CreateAsTree(n, substituteViews(sel, views), b)
+      case other => other
+    }
 
   private def parseDelete(p: P): Either[ParseError, DeleteTree] =
     for {
@@ -1303,6 +1324,14 @@ object Parser {
     } else Right(None: Option[(String, Int)])
 
   private def parseCreate(p: P): Either[ParseError, ParseTree] = {
+    if ({ val save = p.i; p.next(); val v = p.isKw("view"); p.i = save; v })
+      return for {
+        _ <- p.eatKw("create")
+        _ <- p.eatKw("view")
+        name <- p.ident()
+        _ <- p.eatKw("as")
+        body <- if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p)
+      } yield CreateViewTree(name.toLowerCase, body)
     for {
       _ <- p.eatKw("create")
       _ <- p.eatKw("table")

@@ -1152,6 +1152,37 @@ class DialectSpec extends AnyFunSuite {
       "(SELECT owner_id FROM cars) ON p.id = owner_id").isLeft)
   }
 
+  test("CREATE VIEW / DROP VIEW: stored queries substitute like CTEs") {
+    val wh = Files.createTempDirectory("graft-view-wh").toString
+    val db = new GraftDatabase(spark, wh)
+    db.query("CREATE TABLE cars (id INT, model VARCHAR(50), owner_id INT)")
+    db.query("INSERT INTO cars VALUES (1, 'Tesla', 1), (2, 'DeLorean', 2), (3, 'Cyber', 1)")
+    assert(db.query("CREATE VIEW owner_counts AS SELECT owner_id, count(*) AS n " +
+      "FROM cars GROUP BY owner_id").isRight)
+    // views read like tables (including with aliases and further clauses)
+    val v = db.select("SELECT o.owner_id, o.n FROM owner_counts o " +
+      "WHERE o.n >= 2 ORDER BY o.owner_id").toOption.get
+    assert(v.collect().toSeq == Seq(Row(1, 2L)))
+    // a view over a view; CREATE validates the body eagerly
+    assert(db.query("CREATE VIEW big_owners AS SELECT owner_id FROM owner_counts " +
+      "WHERE n >= 2").isRight)
+    assert(db.select("SELECT owner_id FROM big_owners").toOption.get.count() == 1)
+    assert(db.query("CREATE VIEW bad AS SELECT nosuch FROM cars").isLeft)
+    // name collisions in both directions
+    assert(db.query("CREATE VIEW cars AS SELECT id FROM cars").isLeft)
+    assert(db.query("CREATE TABLE owner_counts (x INT)").isLeft)
+    assert(db.query("DROP TABLE owner_counts").isLeft) // it's a view
+    // views persist across reopen (replayed in creation order)
+    val db2 = new GraftDatabase(spark, wh)
+    assert(db2.select("SELECT owner_id FROM big_owners").toOption.get.count() == 1)
+    // drop; dependents were substituted at CREATE so they keep working
+    assert(db2.query("DROP VIEW owner_counts").isRight)
+    assert(db2.select("SELECT owner_id FROM owner_counts").isLeft)
+    assert(db2.select("SELECT owner_id FROM big_owners").toOption.get.count() == 1)
+    assert(db2.query("DROP VIEW IF EXISTS nosuch").isRight)
+    assert(db2.query("DROP VIEW nosuch").isLeft)
+  }
+
   test("WITH: CTEs desugar to derived tables at any reference depth") {
     val db = demoDb()
     db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
