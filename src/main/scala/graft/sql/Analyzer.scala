@@ -444,8 +444,11 @@ object Analyzer {
       limit: Option[Long],
       offset: Option[Long]) extends BoundQuery
 
-  /** EXPLAIN: the bound readable query whose plan to print. */
-  final case class BoundExplain(query: BoundQuery) extends BoundQuery
+  /** EXPLAIN [ANALYZE]: the bound readable query whose plan to print;
+    * `analyze` executes it first (AQE final plan).
+    */
+  final case class BoundExplain(query: BoundQuery,
+      analyze: Boolean = false) extends BoundQuery
 
   /** DROP TABLE: desc = None when IF EXISTS matched nothing (a no-op). */
   final case class BoundDrop(table: String, desc: Option[TableDesc]) extends BoundQuery
@@ -630,7 +633,8 @@ object Analyzer {
     case u: UnionTree  => analyzeUnion(u, cat)
     case e: ExplainTree => analyze(e.select, cat).flatMap {
       case q @ (_: BoundSelect | _: BoundUnion |
-                _: BoundInsertSelect | _: BoundCreateAs) => Right(BoundExplain(q))
+                _: BoundInsertSelect | _: BoundCreateAs) =>
+        Right(BoundExplain(q, e.analyze))
       case _ => Left(BadFunction(
         "EXPLAIN supports SELECT, INSERT … SELECT and CREATE TABLE AS SELECT"))
     }

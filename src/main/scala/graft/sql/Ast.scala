@@ -204,10 +204,13 @@ object Ast {
       limit: Option[Long] = None,
       offset: Option[Long] = None) extends ParseTree
 
-  /** EXPLAIN <select> — surfaces the engine's physical plan (the
-    * analogue of the reference's plan printer) as a one-column result.
+  /** EXPLAIN [ANALYZE] <select> — surfaces the engine's physical plan
+    * (the analogue of the reference's plan printer) as a one-column
+    * result; ANALYZE executes the query first, so the printed plan is
+    * AQE's FINAL plan with runtime row counts.
     */
-  final case class ExplainTree(select: ParseTree) extends ParseTree
+  final case class ExplainTree(select: ParseTree,
+      analyze: Boolean = false) extends ParseTree
 
   /** DROP TABLE [IF EXISTS] t — removes the table, its data files and
     * its statistics from the warehouse.

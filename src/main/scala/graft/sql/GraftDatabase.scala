@@ -284,11 +284,13 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     case s: BoundSelect => Rows(lowerQuery(s))
     case u: BoundUnion  => Rows(lowerQuery(u))
 
-    case BoundExplain(inner) =>
+    case BoundExplain(inner, doRun) =>
       // the reference's plan printer analogue: Catalyst's formatted
       // physical plan, one line per row (REPL show() renders it readably).
       // For the write statements the plan shown is their SELECT source —
-      // the distributed part worth explaining.
+      // the distributed part worth explaining. ANALYZE executes first,
+      // so AQE's FINAL plan (isFinalPlan=true, runtime re-plans applied)
+      // is what prints.
       val frame = inner match {
         case s: BoundSelect               => lowerQuery(s)
         case u: BoundUnion                => lowerQuery(u)
@@ -296,10 +298,17 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         case BoundCreateAs(_, sel, _)     => lowerQuery(sel)
         case other => sys.error(s"unreachable EXPLAIN target $other")
       }
+      val header =
+        if (doRun) {
+          val t0 = System.nanoTime()
+          val n = frame.count()
+          val ms = (System.nanoTime() - t0) / 1000000
+          Seq(s"== Analyzed: $n row(s) in $ms ms ==")
+        } else Nil
       val text = frame.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       import spark.implicits._
-      Rows(text.split("\n").toSeq.toDF("plan"))
+      Rows((header ++ text.split("\n").toSeq).toDF("plan"))
 
     case BoundInsertSelect(desc, sel) =>
       val raw = lowerQuery(sel)

@@ -127,6 +127,7 @@ object Parser {
       val tree =
         if (p.isKw("explain")) {
           p.next()
+          val analyze = if (p.isKw("analyze")) { p.next(); true } else false
           (if (p.isKw("with")) parseWith(p)
            else if (p.isKw("select")) parseSelectOrUnion(p)
            else if (p.isKw("insert")) parseInsert(p)
@@ -134,7 +135,7 @@ object Parser {
            else Left(ParseError(
              "EXPLAIN takes SELECT, INSERT … SELECT or CREATE TABLE AS SELECT",
              p.peek.pos)))
-            .map(ExplainTree)
+            .map(ExplainTree(_, analyze))
         }
         else if (p.isKw("with")) parseWith(p)
         else if (p.isKw("select")) parseSelectOrUnion(p)
@@ -1235,7 +1236,7 @@ object Parser {
     else t match {
       case s: SelectTree => substCte(s, views)
       case u: UnionTree  => substCteTree(u, views)
-      case ExplainTree(inner) => ExplainTree(substituteViews(inner, views))
+      case ExplainTree(inner, a) => ExplainTree(substituteViews(inner, views), a)
       case InsertSelectTree(tb, sel) =>
         InsertSelectTree(tb, substituteViews(sel, views))
       case CreateAsTree(n, sel, b) =>

@@ -877,6 +877,11 @@ class DialectSpec extends AnyFunSuite {
     val exi = db.select("EXPLAIN INSERT INTO ev SELECT id, d, ts FROM ev").toOption.get
     assert(exi.collect().map(_.getString(0)).mkString("\n").contains("Physical Plan"))
     assert(db.query("EXPLAIN DELETE FROM ev").isLeft)
+    // EXPLAIN ANALYZE runs the query and reports the final plan
+    val exa = db.select("EXPLAIN ANALYZE SELECT id FROM ev WHERE id > 1").toOption.get
+    val lines = exa.collect().map(_.getString(0))
+    assert(lines.head.contains("Analyzed: 2 row(s)"))
+    assert(lines.mkString("\n").contains("Physical Plan"))
   }
 
   test("window functions over aggregated queries") {
