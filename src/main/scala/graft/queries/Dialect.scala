@@ -466,6 +466,26 @@ object Dialect {
              |   GROUP BY c_nationkey) t ON n.n_nationkey = t.c_nationkey
              |ORDER BY n_nationkey""".stripMargin)),
 
+    // LATERAL top-N per key: each customer's two biggest orders via a
+    // per-key row_number window inside the lateral frame — one shuffle on
+    // the key, no per-row re-execution; customers with no orders drop
+    // (CROSS JOIN LATERAL semantics). DuckDB's native LATERAL is the
+    // independent oracle.
+    "q_dialect_lateral" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice FROM customer c, " +
+          "LATERAL (SELECT o.o_orderkey, o.o_totalprice FROM orders o " +
+          "WHERE o.o_custkey = c.c_custkey " +
+          "ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t " +
+          "WHERE c.c_custkey < 200 " +
+          "ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"),
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice FROM customer c,
+             |LATERAL (SELECT o.o_orderkey, o.o_totalprice FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+             |WHERE c.c_custkey < 200
+             |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)),
+
     // Stored views: a view over a view, queried joined with a base
     // table — the registry substitutes both at query time (self-contained
     // bodies, validated at CREATE). The oracle inlines the equivalent SQL.

@@ -453,6 +453,88 @@ object Analyzer {
   /** DROP TABLE: desc = None when IF EXISTS matched nothing (a no-op). */
   final case class BoundDrop(table: String, desc: Option[TableDesc]) extends BoundQuery
 
+  /** A correlated LATERAL subquery in the FROM list: `sub` is the body
+    * with its correlation conjuncts stripped (they re-enter the enclosing
+    * WHERE as equalities on the synthetic `hiddenKeys` columns), and
+    * ORDER BY + LIMIT mean top-N PER KEY. Non-aggregate only — inner-join
+    * semantics then match SQL's CROSS JOIN LATERAL exactly (an outer row
+    * whose lateral set is empty drops).
+    */
+  final case class BoundLateral(sub: BoundSelect,
+      pairs: Seq[(BoundCol, BoundCol)], hiddenKeys: Seq[String]) extends BoundQuery
+
+  /** Decorrelation for LATERAL bodies: like `decorrelate`, but ORDER BY +
+    * LIMIT are allowed (per-key top-N) while aggregates/DISTINCT/OFFSET/
+    * windows/scalar items are rejected in the correlated form.
+    */
+  private def decorrelateLateral(sub: BoundSelect)
+      : Either[AnalyzerError, (BoundSelect, Seq[(BoundCol, BoundCol)])] = {
+    val inner = scala.collection.mutable.Set.empty[String]
+    inner ++= sub.tables.map(_.binding)
+    inner ++= sub.joinSteps.map(_.table.binding)
+    def isOuter(c: BoundCol) = !inner(c.binding)
+    def conj(e: BoundExpr): Seq[BoundExpr] = e match {
+      case BoundExpr.BAnd(l, r) => conj(l) ++ conj(r)
+      case other                => Seq(other)
+    }
+    val nonPredCols: Seq[BoundCol] =
+      sub.projection.flatMap {
+        case BoundItem.BICol(c, _)         => Seq(c)
+        case BoundItem.BIExpr(op, _)       => operandColsDeep(op)
+        case BoundItem.BIAgg(_, arg, _, _) => arg.toSeq.flatMap(operandColsDeep)
+        case BoundItem.BIWin(_, args, parts, ord, _, _) =>
+          args.flatMap(operandColsDeep) ++ parts ++
+            ord.flatMap(o => operandColsDeep(o._1))
+        case BoundItem.BISub(_, _, _, ipairs) => ipairs.map(_._1)
+      } ++ sub.groupBy.flatMap {
+        case BoundGroupKey.GKCol(c)      => Seq(c)
+        case BoundGroupKey.GKExpr(op, _) => operandColsDeep(op)
+      } ++ sub.orderBy.flatMap {
+        case (BoundOrderKey.OKOperand(op), _) => operandColsDeep(op)
+        case (BoundOrderKey.OKOutput(_), _)   => Nil
+      } ++ sub.having.toSeq.flatMap(exprCols) ++
+        sub.joinSteps.flatMap(js => exprCols(js.on))
+    nonPredCols.find(isOuter) match {
+      case Some(c) => Left(BadSubquery(
+        s"a LATERAL reference (${c.render}) is only supported as an equality in the body's WHERE"))
+      case None =>
+        val pairs = Vector.newBuilder[(BoundCol, BoundCol)]
+        val kept = Vector.newBuilder[BoundExpr]
+        for (c <- sub.predicate.map(conj).getOrElse(Nil)) c match {
+          case BoundExpr.BCmp(CmpOp.Eq, BoundOperand.BCol(a), BoundOperand.BCol(b))
+              if isOuter(a) != isOuter(b) =>
+            if (isOuter(a)) pairs += ((a, b)) else pairs += ((b, a))
+          case other =>
+            exprCols(other).find(isOuter) match {
+              case Some(cc) => return Left(BadSubquery(
+                s"a LATERAL reference (${cc.render}) is only supported as a " +
+                  "top-level equality conjunct"))
+              case None => kept += other
+            }
+        }
+        val ps = pairs.result()
+        if (ps.isEmpty) Right((sub, Nil))
+        else if (sub.isAggregate)
+          Left(BadSubquery(
+            "a correlated LATERAL must not aggregate (use a correlated scalar " +
+              "subquery — it handles the empty-group case)"))
+        else if (sub.distinct || sub.offset.isDefined)
+          Left(BadSubquery("a correlated LATERAL must not use DISTINCT or OFFSET"))
+        else if (sub.limit.isDefined && sub.orderBy.isEmpty)
+          Left(BadSubquery("a correlated LATERAL with LIMIT requires ORDER BY (top-N per key)"))
+        else if (sub.orderBy.exists(!_._1.isInstanceOf[BoundOrderKey.OKOperand]))
+          Left(BadSubquery("a correlated LATERAL's ORDER BY must use plain operands"))
+        else if (sub.projection.exists {
+          case _: BoundItem.BICol | _: BoundItem.BIExpr => false
+          case _ => true
+        })
+          Left(BadSubquery(
+            "a correlated LATERAL projects plain columns and expressions only"))
+        else
+          Right((sub.copy(predicate = kept.result().reduceOption(BoundExpr.BAnd(_, _))), ps))
+    }
+  }
+
   /** WITH RECURSIVE body: base UNION [ALL] step, where the step reads
     * `desc.name` as the previous iteration's frontier. The schema is the
     * base branch's (names and all); lowered as a fixpoint loop.
@@ -617,6 +699,7 @@ object Analyzer {
     case r: BoundRecursive =>
       referencedTables(r.base) ++
         (referencedTables(r.step) - r.desc.name)
+    case l: BoundLateral => referencedTables(l.sub)
     case _ => Set.empty
   }
   final case class BoundDelete(desc: TableDesc, predicate: Option[BoundExpr]) extends BoundQuery
@@ -799,8 +882,40 @@ object Analyzer {
           if (bound.contains(b)) Some(DuplicateBinding(b))
           else { bound(b) = BoundTable(desc, b); None }
       }
+    // LATERAL join conjuncts: equality of the outer column against the
+    // lateral frame's synthetic hidden-key column, folded into WHERE
+    val lateralConjs = scala.collection.mutable.ArrayBuffer.empty[BoundExpr]
     def addFrom(fi: FromItem): Option[AnalyzerError] = fi match {
       case FTable(tr) => addTable(tr)
+      case FLateral(sel, alias) =>
+        // the body sees the PRECEDING FROM entries (bound so far)
+        analyzeSelect(sel, cat, outerScope = bound.values.toSeq) match {
+          case Left(e) => Some(e)
+          case Right(bsub0) =>
+            decorrelateLateral(bsub0) match {
+              case Left(e) => Some(e)
+              case Right((core, Seq())) =>
+                // uncorrelated LATERAL = an ordinary derived table
+                addFrom(FDerived(sel, alias))
+              case Right((core, ps)) =>
+                derivedAttributes(core) match {
+                  case Left(e) => Some(e)
+                  case Right(visAttrs) =>
+                    val b = alias.toLowerCase
+                    if (bound.contains(b)) Some(DuplicateBinding(b))
+                    else {
+                      val hidden = ps.zipWithIndex.map { case ((_, ic), i) =>
+                        AttributeDesc(s"__lk$i", ic.attr.sqlType) }
+                      bound(b) = BoundTable(TableDesc(b, visAttrs ++ hidden), b)
+                      derivedSubs(b) = BoundLateral(core, ps, hidden.map(_.name))
+                      lateralConjs ++= ps.zipWithIndex.map { case ((oc, _), i) =>
+                        BoundExpr.BCmp(CmpOp.Eq, BoundOperand.BCol(oc),
+                          BoundOperand.BCol(BoundCol(b, hidden(i)))) }
+                      None
+                    }
+                }
+            }
+        }
       case FDerived(sel, alias) =>
         analyze(sel, cat) match {
           case Left(e) => Some(e)
@@ -828,8 +943,11 @@ object Analyzer {
         }
     }
     for (fi <- s.from) addFrom(fi).foreach(e => return Left(e))
-    for (fi <- s.joinSteps.map(_.item))
-      addFrom(fi).foreach(e => return Left(e))
+    for (fi <- s.joinSteps.map(_.item)) fi match {
+      case _: FLateral => return Left(BadSubquery(
+        "LATERAL is supported in the comma FROM list only, not in join steps"))
+      case other => addFrom(other).foreach(e => return Left(e))
+    }
     // scope = inner FROM group + outer-join step tables, in declaration
     // order (LinkedHashMap); BoundSelect.tables carries only the inner
     // group (the join-order DP must not reorder across an outer join)
@@ -870,14 +988,17 @@ object Analyzer {
     if (s.from.isEmpty && (s.columns.isEmpty ||
         s.columns.exists(_.exists(_.isInstanceOf[SelectItem.SStar]))))
       return Left(BadFunction("SELECT * requires a FROM clause"))
+    // LATERAL hidden-key columns never surface through star expansion
+    def visibleAttrs(bt: BoundTable): Seq[AttributeDesc] =
+      bt.desc.attributes.filterNot(_.name.startsWith("__lk"))
     def expandAll: Seq[SelectItem] =
-      tables.flatMap(bt => bt.desc.attributes.map(a =>
+      tables.flatMap(bt => visibleAttrs(bt).map(a =>
         SelectItem.SCol(ColRef(Some(bt.binding), a.name))))
     val projItems: Seq[SelectItem] = s.columns.getOrElse(expandAll).flatMap {
       case SelectItem.SStar(None) => expandAll
       case SelectItem.SStar(Some(b)) =>
         bound.get(b.toLowerCase) match {
-          case Some(bt) => bt.desc.attributes.map(a =>
+          case Some(bt) => visibleAttrs(bt).map(a =>
             SelectItem.SCol(ColRef(Some(bt.binding), a.name)))
           case None => return Left(UnboundBinding(b))
         }
@@ -1207,10 +1328,13 @@ object Analyzer {
       proj <- projItems.foldLeft[Either[AnalyzerError, Vector[BoundItem]]](Right(Vector.empty)) {
         (acc, r) => acc.flatMap(v => bindItem(r).map(v :+ _))
       }
-      pred <- s.where match {
+      pred0 <- s.where match {
         case None    => Right(None)
         case Some(e) => bindExpr(e).map(Some(_))
       }
+      // LATERAL key equalities join the lateral frames to their outers
+      pred = (pred0.toSeq ++ lateralConjs)
+        .reduceOption(BoundExpr.BAnd(_, _))
       // join-step ON conditions: bound in the full scope, then checked
       // against the tables visible at that step (inner group + earlier
       // steps + the step's own table); no subqueries, no aggregates

@@ -22,6 +22,11 @@ object Ast {
   sealed trait FromItem
   final case class FTable(ref: TableRef) extends FromItem
   final case class FDerived(select: ParseTree, alias: String) extends FromItem
+  /** `, LATERAL (SELECT …) alias` — the body may reference PRECEDING
+    * FROM tables via equality WHERE conjuncts; group-less aggregates
+    * compute per key, and ORDER BY + LIMIT mean top-N PER KEY.
+    */
+  final case class FLateral(select: SelectTree, alias: String) extends FromItem
 
   sealed trait CmpOp { def sql: String }
   object CmpOp {

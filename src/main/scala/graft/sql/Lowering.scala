@@ -947,7 +947,43 @@ object Lowering {
         u.rest.map { case (conn, b) => (conn, lowerSelect(spark, b, source)) },
         u.orderBy, u.limit, u.offset)
     case r: Analyzer.BoundRecursive => lowerRecursive(spark, r, source)
+    case l: Analyzer.BoundLateral   => lowerLateral(spark, l, source)
     case other => sys.error(s"not a derivable query: $other")
+  }
+
+  /** A correlated LATERAL frame: the body's core plus the synthetic
+    * hidden-key columns the enclosing WHERE joins on; ORDER BY + LIMIT
+    * become a per-key row_number window (top-N per key), never a global
+    * cut. Inner-join semantics downstream match SQL's CROSS JOIN LATERAL
+    * (an outer row with an empty lateral set drops).
+    */
+  private def lowerLateral(spark: SparkSession, l: Analyzer.BoundLateral,
+      source: BoundTable => DataFrame): DataFrame = {
+    def qc(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
+    val core = combine(spark, l.sub, source, Set.empty, None)
+    val topped = l.sub.limit match {
+      case Some(n) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(l.pairs.map { case (_, ic) => qc(ic) }: _*)
+          .orderBy(l.sub.orderBy.map {
+            case (Analyzer.BoundOrderKey.OKOperand(op), dir) =>
+              sortCol(lowerOperandWith(op, qc), dir)
+            case (k, _) => sys.error(s"unreachable LATERAL sort key $k")
+          }: _*)
+        core.withColumn("__lrn", row_number().over(w))
+          .filter(col("__lrn") <= n).drop("__lrn")
+      case None => core
+    }
+    // visible projection (plain columns/expressions, analyzer-enforced)
+    // in derived-attribute order, then the hidden key columns
+    val visible = l.sub.projection.map {
+      case BoundItem.BICol(bc, a)  => qc(bc).as(a.getOrElse(bc.attr.name))
+      case BoundItem.BIExpr(op, a) => lowerOperandWith(op, qc).as(a)
+      case other => sys.error(s"unreachable LATERAL projection item $other")
+    }
+    val keys = l.pairs.zipWithIndex.map { case ((_, ic), i) =>
+      qc(ic).as(l.hiddenKeys(i)) }
+    topped.select(visible ++ keys: _*)
   }
 
   /** WITH RECURSIVE fixpoint: materialize the base, then repeatedly run

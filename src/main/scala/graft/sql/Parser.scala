@@ -177,6 +177,7 @@ object Parser {
       def inFrom(fi: FromItem): Boolean = fi match {
         case FTable(TableRef(n, _)) => n.equalsIgnoreCase(name)
         case FDerived(sel, _)       => inTree(sel)
+        case FLateral(sel, _)       => readsTable(sel, name)
       }
       def inExpr(e: Expr): Boolean = e match {
         case Expr.And(l, r)               => inExpr(l) || inExpr(r)
@@ -276,6 +277,7 @@ object Parser {
         FDerived(ctes(n.toLowerCase), a.getOrElse(n))
       case ft: FTable        => ft
       case FDerived(sel, al) => FDerived(substCteTree(sel, ctes), al)
+      case FLateral(sel, al) => FLateral(substCte(sel, ctes), al)
     }
     def expr(e: Expr): Expr = e match {
       case Expr.And(l, r)         => Expr.And(expr(l), expr(r))
@@ -553,8 +555,24 @@ object Parser {
             }
           }
         // a FROM-group entry: a named table, or `(SELECT …) alias` —
-        // including set-op chains: `(SELECT … UNION SELECT …) alias`
+        // including set-op chains: `(SELECT … UNION SELECT …) alias` —
+        // or `LATERAL (SELECT …) alias`
         def one(): Either[ParseError, FromItem] = p.peek match {
+          case TIdent(k, _) if k.equalsIgnoreCase("lateral") && {
+            val save = p.i; p.next()
+            val isP = p.peek match { case TSym("(", _) => true; case _ => false }
+            p.i = save; isP
+          } =>
+            p.next()
+            for {
+              _ <- p.eatSym("(")
+              sel <- parseSelect(p)
+              _ <- p.eatSym(")")
+              alias <- p.peek match {
+                case TIdent(a, _) if !reserved(a) => p.next(); Right(a)
+                case t => Left(ParseError("a LATERAL subquery requires an alias", t.pos))
+              }
+            } yield FLateral(sel, alias)
           case TSym("(", _) =>
             p.next()
             for {

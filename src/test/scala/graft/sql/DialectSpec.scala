@@ -1042,6 +1042,38 @@ class DialectSpec extends AnyFunSuite {
       "(SELECT c.id FROM cars c WHERE c.owner_id = p.id) OR age = 20)").isLeft)
   }
 
+  test("LATERAL: correlated derived tables with per-key top-N") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    // top-1 car by id per person; carless people drop (CROSS JOIN LATERAL)
+    val top1 = db.select("SELECT p.name, t.model FROM people p, " +
+      "LATERAL (SELECT c.model FROM cars c WHERE c.owner_id = p.id " +
+      "ORDER BY c.id DESC LIMIT 1) t ORDER BY p.id").toOption.get
+    assert(top1.collect().toSeq == Seq(
+      Row("Elon", "Cybertruck"),
+      Row("Dr. Emmett L. „Doc“ Brown", "DeLorean DMC-12")))
+    // without LIMIT: every matching row, with a computed item
+    val all = db.select("SELECT p.name, t.m FROM people p, " +
+      "LATERAL (SELECT upper(c.model) AS m FROM cars c WHERE c.owner_id = p.id) t " +
+      "ORDER BY p.id, t.m").toOption.get
+    assert(all.collect().map(_.getString(1)).toSeq ==
+      Seq("CYBERTRUCK", "TESLA MODEL 3", "DELOREAN DMC-12"))
+    // hidden key columns never leak through stars
+    val star = db.select("SELECT t.* FROM people p, " +
+      "LATERAL (SELECT c.model FROM cars c WHERE c.owner_id = p.id) t").toOption.get
+    assert(star.columns.toSeq == Seq("model"))
+    // correlated LIMIT without ORDER BY is rejected (top-N needs an order)
+    assert(db.select("SELECT p.name FROM people p, " +
+      "LATERAL (SELECT c.model FROM cars c WHERE c.owner_id = p.id LIMIT 1) t").isLeft)
+    // aggregate bodies point at correlated scalar subqueries instead
+    assert(db.select("SELECT p.name, t.n FROM people p, " +
+      "LATERAL (SELECT count(*) AS n FROM cars c WHERE c.owner_id = p.id) t").isLeft)
+    // LATERAL in a join step is rejected
+    assert(db.select("SELECT p.name FROM people p LEFT JOIN " +
+      "LATERAL (SELECT c.model FROM cars c WHERE c.owner_id = p.id) t " +
+      "ON 1 = 1").isLeft)
+  }
+
   test("subqueries under OR lower as boolean-marker joins") {
     val db = demoDb()
     // EXISTS disjunct: car owners, plus Elon by the age test
