@@ -298,17 +298,39 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         case BoundCreateAs(_, sel, _)     => lowerQuery(sel)
         case other => sys.error(s"unreachable EXPLAIN target $other")
       }
-      val header =
+      val (header, metricTail) =
         if (doRun) {
+          // materialize THIS queryExecution's plan (a count() would build
+          // a separate execution whose metrics we could not read)
+          val exec0 = frame.queryExecution.executedPlan
           val t0 = System.nanoTime()
-          val n = frame.count()
+          val n = exec0.execute().count()
           val ms = (System.nanoTime() - t0) / 1000000
-          Seq(s"== Analyzed: $n row(s) in $ms ms ==")
-        } else Nil
+          // per-operator runtime metrics from the EXECUTED (AQE-final)
+          // plan tree — output rows, spill and shuffle sizes per node
+          val exec = exec0 match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }
+          def walk(p: org.apache.spark.sql.execution.SparkPlan,
+              depth: Int): Seq[String] = {
+            val shown = p.metrics.toSeq
+              .filter { case (k, m) => m.value > 0 && (k == "numOutputRows" ||
+                k.contains("spill") || k.contains("shuffle") || k.contains("Bytes")) }
+              .sortBy(_._1)
+              .map { case (k, m) => s"$k=${m.value}" }
+            val line = ("  " * depth) + p.nodeName +
+              (if (shown.nonEmpty) shown.mkString("  [", ", ", "]") else "")
+            line +: p.children.flatMap(c => walk(c, depth + 1))
+          }
+          (Seq(s"== Analyzed: $n row(s) in $ms ms =="),
+            "== Runtime metrics ==" +: walk(exec, 0))
+        } else (Nil, Nil)
       val text = frame.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       import spark.implicits._
-      Rows((header ++ text.split("\n").toSeq).toDF("plan"))
+      Rows((header ++ text.split("\n").toSeq ++ metricTail).toDF("plan"))
 
     case BoundInsertSelect(desc, sel) =>
       val raw = lowerQuery(sel)

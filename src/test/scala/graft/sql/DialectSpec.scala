@@ -877,11 +877,14 @@ class DialectSpec extends AnyFunSuite {
     val exi = db.select("EXPLAIN INSERT INTO ev SELECT id, d, ts FROM ev").toOption.get
     assert(exi.collect().map(_.getString(0)).mkString("\n").contains("Physical Plan"))
     assert(db.query("EXPLAIN DELETE FROM ev").isLeft)
-    // EXPLAIN ANALYZE runs the query and reports the final plan
+    // EXPLAIN ANALYZE runs the query and reports the final plan with
+    // per-operator runtime metrics
     val exa = db.select("EXPLAIN ANALYZE SELECT id FROM ev WHERE id > 1").toOption.get
     val lines = exa.collect().map(_.getString(0))
     assert(lines.head.contains("Analyzed: 2 row(s)"))
     assert(lines.mkString("\n").contains("Physical Plan"))
+    assert(lines.mkString("\n").contains("Runtime metrics"))
+    assert(lines.exists(_.contains("numOutputRows=2")))
   }
 
   test("window functions over aggregated queries") {
