@@ -486,6 +486,22 @@ object Dialect {
              |WHERE c.c_custkey < 200
              |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)),
 
+    // LEFT JOIN LATERAL: the latest order per customer, PRESERVING
+    // customers with no orders (the key equalities ride the step's ON,
+    // so empty lateral sets null-extend instead of dropping).
+    "q_dialect_lateral_left" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice FROM customer c " +
+          "LEFT JOIN LATERAL (SELECT o.o_orderkey, o.o_totalprice FROM orders o " +
+          "WHERE o.o_custkey = c.c_custkey " +
+          "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) t ON 1 = 1 " +
+          "WHERE c.c_custkey < 300 ORDER BY c.c_custkey"),
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice FROM customer c
+             |LEFT JOIN LATERAL (SELECT o.o_orderkey, o.o_totalprice FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) t ON 1 = 1
+             |WHERE c.c_custkey < 300 ORDER BY c.c_custkey""".stripMargin)),
+
     // Stored views: a view over a view, queried joined with a base
     // table — the registry substitutes both at query time (self-contained
     // bodies, validated at CREATE). The oracle inlines the equivalent SQL.

@@ -943,9 +943,19 @@ object Analyzer {
         }
     }
     for (fi <- s.from) addFrom(fi).foreach(e => return Left(e))
-    for (fi <- s.joinSteps.map(_.item)) fi match {
-      case _: FLateral => return Left(BadSubquery(
-        "LATERAL is supported in the comma FROM list only, not in join steps"))
+    // a LATERAL in a join step keeps its key equalities in the step's ON
+    // (not WHERE): LEFT JOIN LATERAL … ON 1 = 1 null-extends outer rows
+    // whose lateral set is empty
+    val stepLateralConjs = scala.collection.mutable.Map.empty[Int, Seq[BoundExpr]]
+    for ((js, k) <- s.joinSteps.zipWithIndex) js.item match {
+      case _: FLateral if js.kind != "left" && js.kind != "inner" =>
+        return Left(BadSubquery(
+          "LATERAL join steps support LEFT and INNER JOIN only"))
+      case fl: FLateral =>
+        val before = lateralConjs.length
+        addFrom(fl).foreach(e => return Left(e))
+        stepLateralConjs(k) = lateralConjs.drop(before).toSeq
+        lateralConjs.remove(before, lateralConjs.length - before)
       case other => addFrom(other).foreach(e => return Left(e))
     }
     // scope = inner FROM group + outer-join step tables, in declaration
@@ -1345,7 +1355,11 @@ object Analyzer {
               val visible = (innerTables ++ stepTables.take(k + 1)).map(_.binding).toSet
               exprCols(be).find(c => !visible(c.binding)) match {
                 case Some(c) => Left(UnboundBinding(c.binding))
-                case None    => Right(v :+ BoundJoinStep(js.kind, bt, be))
+                case None =>
+                  // a step-lateral's key equalities join here, in the ON
+                  val on = (be +: stepLateralConjs.getOrElse(k, Nil))
+                    .reduce(BoundExpr.BAnd(_, _))
+                  Right(v :+ BoundJoinStep(js.kind, bt, on))
               }
             }
           }

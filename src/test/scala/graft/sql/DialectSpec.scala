@@ -1071,8 +1071,16 @@ class DialectSpec extends AnyFunSuite {
     // aggregate bodies point at correlated scalar subqueries instead
     assert(db.select("SELECT p.name, t.n FROM people p, " +
       "LATERAL (SELECT count(*) AS n FROM cars c WHERE c.owner_id = p.id) t").isLeft)
-    // LATERAL in a join step is rejected
-    assert(db.select("SELECT p.name FROM people p LEFT JOIN " +
+    // LEFT JOIN LATERAL preserves outer rows with empty lateral sets
+    val lj = db.select("SELECT p.name, t.model FROM people p LEFT JOIN " +
+      "LATERAL (SELECT c.model FROM cars c WHERE c.owner_id = p.id " +
+      "ORDER BY c.id DESC LIMIT 1) t ON 1 = 1 ORDER BY p.id").toOption.get
+    assert(lj.collect().toSeq == Seq(
+      Row("Elon", "Cybertruck"),
+      Row("Dr. Emmett L. „Doc“ Brown", "DeLorean DMC-12"),
+      Row("Marty McFly", null)))
+    // RIGHT/FULL lateral steps are rejected
+    assert(db.select("SELECT p.name FROM people p RIGHT JOIN " +
       "LATERAL (SELECT c.model FROM cars c WHERE c.owner_id = p.id) t " +
       "ON 1 = 1").isLeft)
   }
