@@ -770,6 +770,84 @@ object Dialect {
              |  c_custkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9500)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Subqueries under NOT — the three-valued marker path. Branch 1:
+    // NOT over (IN-subquery OR plain predicate) — De Morgan territory
+    // where FALSE and NULL must stay distinct under the negation.
+    // Branch 2: null-bearing NOT IN under OR (the round-5 advice case):
+    // the subquery contains a NULL, so NOT IN is never TRUE and only the
+    // plain disjunct may keep a row. Branch 3: (NOT EXISTS(..)) OR plain,
+    // with the NOT as an enclosing operator rather than NOT EXISTS syntax.
+    "q_dialect_not_or_subquery" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "customer", "supplier", "orders")
+        if (!g.tableNames.contains("nor_null")) {
+          g.query("CREATE TABLE nor_null (k BIGINT)")
+          g.query("INSERT INTO nor_null VALUES (1), (2), (NULL)")
+        }
+        val a = run(g, "SELECT 'not_or' AS tag, c_custkey FROM customer c " +
+          "WHERE NOT (c_custkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9500) " +
+          "OR c.c_acctbal > 9900)")
+        val b = run(g, "SELECT 'notin_or' AS tag, c_custkey FROM customer " +
+          "WHERE c_custkey NOT IN (SELECT k FROM nor_null) OR c_acctbal > 9900")
+        val c = run(g, "SELECT 'not_exists_or' AS tag, c_custkey FROM customer c " +
+          "WHERE NOT (EXISTS (SELECT o_orderkey FROM orders o " +
+          "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)) " +
+          "OR c.c_acctbal > 9900")
+        a.union(b).union(c).orderBy("tag", "c_custkey")
+      },
+      Some("""SELECT 'not_or' AS tag, c_custkey FROM customer c
+             |WHERE NOT (c_custkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9500)
+             |  OR c.c_acctbal > 9900)
+             |UNION ALL
+             |SELECT 'notin_or' AS tag, c_custkey FROM customer
+             |WHERE c_custkey NOT IN (SELECT k FROM (VALUES (1), (2), (NULL)) t(k))
+             |  OR c_acctbal > 9900
+             |UNION ALL
+             |SELECT 'not_exists_or' AS tag, c_custkey FROM customer c
+             |WHERE NOT (EXISTS (SELECT o_orderkey FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000))
+             |  OR c.c_acctbal > 9900
+             |ORDER BY tag, c_custkey""".stripMargin)),
+
+    // Subqueries inside CASE: a correlated EXISTS deciding a projection
+    // label, and a null-bearing NOT IN whose UNKNOWN outcome must take
+    // the ELSE branch (never TRUE) — markers join the core before the
+    // projection, CASE evaluates columnar over them.
+    "q_dialect_case_exists" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "customer", "orders")
+        if (!g.tableNames.contains("case_null")) {
+          g.query("CREATE TABLE case_null (k BIGINT)")
+          g.query("INSERT INTO case_null VALUES (1), (2), (NULL)")
+        }
+        run(g, "SELECT c_custkey, " +
+          "CASE WHEN EXISTS (SELECT o_orderkey FROM orders o " +
+          "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) THEN 'big' " +
+          "WHEN c.c_acctbal < 0 THEN 'neg' ELSE 'none' END AS cls, " +
+          "CASE WHEN c_custkey NOT IN (SELECT k FROM case_null) THEN 1 ELSE 0 END AS nin " +
+          "FROM customer c ORDER BY c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN EXISTS (SELECT o_orderkey FROM orders o
+             |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) THEN 'big'
+             |  WHEN c.c_acctbal < 0 THEN 'neg' ELSE 'none' END AS cls,
+             |  CASE WHEN c_custkey NOT IN (SELECT k FROM (VALUES (1), (2), (NULL)) t(k))
+             |    THEN 1 ELSE 0 END AS nin
+             |FROM customer c ORDER BY c_custkey""".stripMargin)),
+
+    // A CASE carrying an IN-subquery used inside a WHERE comparison —
+    // the marker registers from an operand position of the conjunct.
+    "q_dialect_case_in_where" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "supplier"),
+        "SELECT c_custkey, c_name FROM customer c " +
+          "WHERE CASE WHEN c_custkey IN (SELECT s_suppkey FROM supplier " +
+          "WHERE s_acctbal > 9000) THEN 1 ELSE 0 END = 1 AND c.c_acctbal >= 0 " +
+          "ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE CASE WHEN c_custkey IN (SELECT s_suppkey FROM supplier
+             |  WHERE s_acctbal > 9000) THEN 1 ELSE 0 END = 1 AND c.c_acctbal >= 0
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Correlation depth 2: the innermost subquery's l_suppkey equality
     // reaches past the orders scope to the OUTERMOST customer binding.
     // Lowered by existential flattening (orders ⋈ lineitem inside one

@@ -114,6 +114,21 @@ object Analyzer {
       case _                => false
     }
 
+    /** Does the operand tree contain a subquery (CASE conditions
+      * included)?
+      */
+    def operandHasSub(o: BoundOperand): Boolean = o match {
+      case BCase(bs, els) =>
+        bs.exists { case (c, v) =>
+          BoundExpr.containsSub(c) || operandHasSub(v) } ||
+          els.exists(operandHasSub)
+      case BArith(_, l, r) => operandHasSub(l) || operandHasSub(r)
+      case BFunc(_, args)  => args.exists(operandHasSub)
+      case BCast(x, _)     => operandHasSub(x)
+      case BAgg(_, arg, _) => arg.exists(operandHasSub)
+      case _               => false
+    }
+
     /** Direct operands of an expression tree (subquery bodies excluded). */
     def exprOperands(e: BoundExpr): Seq[BoundOperand] = e match {
       case BoundExpr.BAnd(l, r)     => exprOperands(l) ++ exprOperands(r)
@@ -162,7 +177,9 @@ object Analyzer {
     final case class BCmpSub(op: CmpOp, o: BoundOperand, sub: BoundSelect,
         guard: Boolean, pairs: Seq[(BoundCol, BoundCol)] = Nil) extends BoundExpr
 
-    /** Does the bound expression contain a subquery? */
+    /** Does the bound expression contain a subquery? Operand positions
+      * (CASE conditions) are traversed too.
+      */
     def containsSub(e: BoundExpr): Boolean = e match {
       case BAnd(l, r)   => containsSub(l) || containsSub(r)
       case BOr(l, r)    => containsSub(l) || containsSub(r)
@@ -170,7 +187,10 @@ object Analyzer {
       case _: BInSub    => true
       case _: BExists   => true
       case _: BCmpSub   => true
-      case _            => false
+      case BCmp(_, l, r) =>
+        BoundOperand.operandHasSub(l) || BoundOperand.operandHasSub(r)
+      case BIsNull(o, _)        => BoundOperand.operandHasSub(o)
+      case BLike(o, _, _, _, _) => BoundOperand.operandHasSub(o)
     }
   }
 
@@ -426,7 +446,13 @@ object Analyzer {
       /** ROLLUP / CUBE / GROUPING SETS over the groupBy key list (sets
         * reference keys by index).
         */
-      groupSpec: Option[GroupingSpec] = None) extends BoundQuery {
+      groupSpec: Option[GroupingSpec] = None,
+      /** Synthetic FROM-list LATERAL key equalities (outer col = hidden
+        * key). JOIN conditions of the leading FROM group — carried apart
+        * from the user's WHERE so a RIGHT/FULL step cannot demote them
+        * into post-join filters (which would drop null-extended rows).
+        */
+      lateralConjs: Seq[BoundExpr] = Nil) extends BoundQuery {
     def isAggregate: Boolean = groupBy.nonEmpty || projection.exists {
       case _: BoundItem.BIAgg           => true
       case BoundItem.BIExpr(op, _)      => BoundOperand.containsAgg(op)
@@ -658,37 +684,92 @@ object Analyzer {
     case BoundItem.BISub(inner, _, _, _) => scalarOutputType(inner)
   }
 
+  /** Every subquery in an operand tree, CASE conditions included — a
+    * miss here would skip the pre-append materialization for a
+    * self-referencing INSERT or under-count recursive self-references.
+    */
+  private def opSubsOf(o: BoundOperand): Seq[BoundSelect] = o match {
+    case BoundOperand.BCase(bs, els) =>
+      bs.flatMap { case (c, v) => exprSubsOf(c) ++ opSubsOf(v) } ++
+        els.toSeq.flatMap(opSubsOf)
+    case BoundOperand.BArith(_, l, r) => opSubsOf(l) ++ opSubsOf(r)
+    case BoundOperand.BFunc(_, as)    => as.flatMap(opSubsOf)
+    case BoundOperand.BCast(x, _)     => opSubsOf(x)
+    case BoundOperand.BAgg(_, arg, _) => arg.toSeq.flatMap(opSubsOf)
+    case _                            => Nil
+  }
+
+  /** Every subquery in an expression tree (operand positions included). */
+  private def exprSubsOf(x: BoundExpr): Seq[BoundSelect] = x match {
+    case BoundExpr.BAnd(l, r) => exprSubsOf(l) ++ exprSubsOf(r)
+    case BoundExpr.BOr(l, r)  => exprSubsOf(l) ++ exprSubsOf(r)
+    case BoundExpr.BNot(y)    => exprSubsOf(y)
+    case BoundExpr.BInSub(o, sub, _, _)     => opSubsOf(o) :+ sub
+    case BoundExpr.BExists(sub, _, _)       => Seq(sub)
+    case BoundExpr.BCmpSub(_, o, sub, _, _) => opSubsOf(o) :+ sub
+    case BoundExpr.BCmp(_, l, r)  => opSubsOf(l) ++ opSubsOf(r)
+    case BoundExpr.BIsNull(o, _)  => opSubsOf(o)
+    case BoundExpr.BLike(o, _, _, _, _) => opSubsOf(o)
+  }
+
+  /** Every expression-position subquery of a SELECT (WHERE, HAVING and
+    * projection items).
+    */
+  private def exprSubqueriesOf(s: BoundSelect): Seq[BoundSelect] =
+    (s.predicate.toSeq ++ s.having.toSeq).flatMap(exprSubsOf) ++
+      s.projection.flatMap {
+        case BoundItem.BISub(sub, _, _, _) => Seq(sub)
+        case BoundItem.BIExpr(op, _)       => opSubsOf(op)
+        case _                             => Nil
+      }
+
+  /** Self-references of a recursive CTE inside its step: (references in
+    * FROM position, references at any depth inside expression-position
+    * subqueries). Semi-naive evaluation binds EVERY reference to the
+    * previous round's delta frontier, which is only correct for exactly
+    * one FROM-position reference and none under subquery expressions
+    * (two references lose acc×delta combinations; a reference under
+    * NOT EXISTS / NOT IN is non-monotone) — Postgres rejects both forms
+    * the same way.
+    */
+  private def selfRefs(q: BoundQuery, name: String): (Int, Int) = q match {
+    case s: BoundSelect =>
+      val direct = (s.tables ++ s.joinSteps.map(_.table)).count(bt =>
+        bt.desc.name.equalsIgnoreCase(name) && !s.derived.contains(bt.binding))
+      val derived = s.derived.values.map(selfRefs(_, name)).toSeq
+      val inSubs = exprSubqueriesOf(s).map(selfRefs(_, name))
+      (direct + derived.map(_._1).sum,
+        derived.map(_._2).sum + inSubs.map(t => t._1 + t._2).sum)
+    case u: BoundUnion =>
+      val all = (u.first +: u.rest.map(_._2)).map(selfRefs(_, name))
+      (all.map(_._1).sum, all.map(_._2).sum)
+    case r: BoundRecursive =>
+      if (r.desc.name.equalsIgnoreCase(name)) (0, 0) // shadowed by the inner CTE
+      else {
+        val (bf, be) = selfRefs(r.base, name)
+        val (sf, se) = selfRefs(r.step, name)
+        (bf + sf, be + se)
+      }
+    case l: BoundLateral => selfRefs(l.sub, name)
+    case _ => (0, 0)
+  }
+
   /** Every table name a bound query reads (FROM groups, join steps,
     * subqueries, union branches) — the self-reference check for
     * INSERT INTO t SELECT … FROM t.
     */
   def referencedTables(q: BoundQuery): Set[String] = q match {
     case s: BoundSelect =>
-      val subs = s.predicate.toSeq.flatMap { e =>
-        def walk(x: BoundExpr): Seq[BoundSelect] = x match {
-          case BoundExpr.BAnd(l, r) => walk(l) ++ walk(r)
-          case BoundExpr.BOr(l, r)  => walk(l) ++ walk(r)
-          case BoundExpr.BNot(y)    => walk(y)
-          case BoundExpr.BInSub(_, sub, _, _)     => Seq(sub)
-          case BoundExpr.BExists(sub, _, _)       => Seq(sub)
-          case BoundExpr.BCmpSub(_, _, sub, _, _) => Seq(sub)
-          case _ => Nil
-        }
-        walk(e)
-      } ++ s.having.toSeq.flatMap { e =>
-        def walk(x: BoundExpr): Seq[BoundSelect] = x match {
-          case BoundExpr.BAnd(l, r) => walk(l) ++ walk(r)
-          case BoundExpr.BCmpSub(_, _, sub, _, _) => Seq(sub)
-          case _ => Nil
-        }
-        walk(e)
-      }
+      val subs = (s.predicate.toSeq ++ s.having.toSeq).flatMap(exprSubsOf)
       // derived tables (FROM-list subqueries) contribute the tables THEY
       // read, not their synthetic alias TableDesc — otherwise
       // INSERT INTO t SELECT * FROM (SELECT * FROM t) d misses the
       // self-reference and skips the pre-append materialization
-      val projSubs = s.projection.collect {
-        case BoundItem.BISub(sub, _, _, _) => sub }
+      val projSubs = s.projection.flatMap {
+        case BoundItem.BISub(sub, _, _, _) => Seq(sub)
+        case BoundItem.BIExpr(op, _)       => opSubsOf(op)
+        case _                             => Nil
+      }
       val derivedNames = s.derived.keysIterator.map(_.toLowerCase).toSet
       (s.tables ++ s.joinSteps.map(_.table)).map(_.desc.name)
         .filterNot(n => derivedNames.contains(n.toLowerCase)).toSet ++
@@ -737,6 +818,15 @@ object Analyzer {
           else Left(BadSubquery(
             s"recursive CTE '${r.name}': step projects ${step.projection.length} " +
               s"columns, base has ${attrs.length}"))
+        // semi-naive frontier binding is only sound for exactly one
+        // FROM-position self-reference, outside subquery expressions
+        refs = selfRefs(step, r.name)
+        _ <-
+          if (refs._2 > 0) Left(BadSubquery(
+            s"recursive CTE '${r.name}' must not reference itself inside a subquery"))
+          else if (refs._1 > 1) Left(BadSubquery(
+            s"recursive CTE '${r.name}' must not reference itself more than once"))
+          else Right(())
       } yield BoundRecursive(desc, base, step, r.unionAll)
     case d: DropTree =>
       cat.resolve(d.table) match {
@@ -835,6 +925,14 @@ object Analyzer {
     cat.resolve(u.table) match {
       case None => Left(RelationNotFound(u.table))
       case Some(desc) =>
+        // SQL rejects multiple assignments to the same column (SET a=1,
+        // a=2) — mirror the INSERT column-list DuplicateBinding check
+        u.sets.map(_._1.toLowerCase).groupBy(identity).collectFirst {
+          case (n, occ) if occ.length > 1 => n
+        } match {
+          case Some(n) => return Left(DuplicateBinding(n))
+          case None    => ()
+        }
         val sets = Vector.newBuilder[(AttributeDesc, BoundOperand)]
         for (((cn, op), idx) <- u.sets.zipWithIndex) {
           desc.attr(cn) match {
@@ -1020,7 +1118,8 @@ object Analyzer {
       case _ => false
     }
 
-    def bindOp(o: Operand, allowAgg: Boolean): Either[AnalyzerError, BoundOperand] = o match {
+    def bindOp(o: Operand, allowAgg: Boolean,
+        allowSub: Boolean = false): Either[AnalyzerError, BoundOperand] = o match {
       case Operand.Col(c)     => bindCol(c).map(BoundOperand.BCol)
       case Operand.Literal(v) => Right(BoundOperand.BLit(v))
       case Operand.AggCall(f, arg, dist) if allowAgg =>
@@ -1033,7 +1132,7 @@ object Analyzer {
       case Operand.AggCall(f, _, _) =>
         Left(BadAggregate(s"$f(...) is not valid in this context"))
       case Operand.Cast(o, t) =>
-        bindOp(o, allowAgg).map(BoundOperand.BCast(_, t))
+        bindOp(o, allowAgg, allowSub).map(BoundOperand.BCast(_, t))
       case Operand.FuncCall(f, args) =>
         val arityOk = f match {
           case "upper" | "lower" | "trim" | "length" | "abs" |
@@ -1065,7 +1164,7 @@ object Analyzer {
             "date_trunc unit must be a string literal (year/quarter/month/week/day/hour/minute/second)"))
         else
           args.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](Right(Vector.empty)) {
-            (acc, a) => acc.flatMap(v => bindOp(a, allowAgg).map(v :+ _))
+            (acc, a) => acc.flatMap(v => bindOp(a, allowAgg, allowSub).map(v :+ _))
           }.map(BoundOperand.BFunc(f, _))
       case Operand.CaseWhen(branches, els) =>
         for {
@@ -1073,15 +1172,17 @@ object Analyzer {
             Right(Vector.empty)) { case (acc, (c, v)) =>
             acc.flatMap { vs =>
               for {
-                // topLevel = false: no subqueries inside CASE conditions
-                bc <- bindExpr(c, allowAgg, topLevel = false)
-                bv <- bindOp(v, allowAgg)
+                // subqueries in CASE conditions are allowed exactly where
+                // the lowering has a marker path (WHERE conjuncts and
+                // non-aggregate projections) — allowSub carries the context
+                bc <- bindExpr(c, allowAgg, topLevel = allowSub)
+                bv <- bindOp(v, allowAgg, allowSub)
               } yield vs :+ (bc -> bv)
             }
           }
           be <- els match {
             case None    => Right(None)
-            case Some(e) => bindOp(e, allowAgg).map(Some(_))
+            case Some(e) => bindOp(e, allowAgg, allowSub).map(Some(_))
           }
         } yield BoundOperand.BCase(bs, be)
       case Operand.Interval(n, u) => Right(BoundOperand.BInterval(n, u))
@@ -1099,8 +1200,8 @@ object Analyzer {
           case _ => false
         }
         for {
-          bl <- bindOp(l, allowAgg)
-          br <- bindOp(r, allowAgg)
+          bl <- bindOp(l, allowAgg, allowSub)
+          br <- bindOp(r, allowAgg, allowSub)
           res <- (bl, br) match {
             case (_, BoundOperand.BInterval(_, _)) =>
               if ((ch == '+' || ch == '-') && temporal(bl))
@@ -1133,7 +1234,9 @@ object Analyzer {
           br <- bindExpr(r, allowAgg, topLevel)
         } yield BoundExpr.BOr(bl, br)
       case Expr.Not(x) =>
-        bindExpr(x, allowAgg, topLevel = false).map(BoundExpr.BNot)
+        // subqueries stay legal under NOT: the marker lowering is
+        // three-valued there (NULL-vs-FALSE observable)
+        bindExpr(x, allowAgg, topLevel).map(BoundExpr.BNot)
       case Expr.InSubquery(o, sub, neg) =>
         if (!topLevel)
           Left(BadSubquery("IN (SELECT …) may not appear under NOT or inside CASE"))
@@ -1191,9 +1294,10 @@ object Analyzer {
               (bsub.isAggregate && bsub.groupBy.isEmpty) || bsub.limit.exists(_ <= 1L)
           } yield BoundExpr.BCmpSub(op, bo, bsub, guard = !staticOne, pairs)
       case Expr.IsNull(o, neg) =>
-        bindOp(o, allowAgg).map(BoundExpr.BIsNull(_, neg))
+        bindOp(o, allowAgg, allowSub = topLevel && !allowAgg)
+          .map(BoundExpr.BIsNull(_, neg))
       case Expr.Like(o, pat, neg, ci, esc) =>
-        bindOp(o, allowAgg).flatMap {
+        bindOp(o, allowAgg, allowSub = topLevel && !allowAgg).flatMap {
           // LIKE needs a string operand; non-string columns are a type error
           case b @ BoundOperand.BCol(c) => c.attr.sqlType match {
             case SqlType.SqlVarChar(_) => Right(BoundExpr.BLike(b, pat, neg, ci, esc))
@@ -1203,8 +1307,8 @@ object Analyzer {
         }
       case Expr.Cmp(op, l, r) =>
         for {
-          bl <- bindOp(l, allowAgg)
-          br <- bindOp(r, allowAgg)
+          bl <- bindOp(l, allowAgg, allowSub = topLevel && !allowAgg)
+          br <- bindOp(r, allowAgg, allowSub = topLevel && !allowAgg)
           _ <- (bl, br) match {
             case (BoundOperand.BCol(a), BoundOperand.BCol(b)) =>
               if (SqlType.comparable(a.attr.sqlType, b.attr.sqlType)) Right(())
@@ -1242,8 +1346,10 @@ object Analyzer {
         }
       case SelectItem.SExpr(op, a) =>
         // aggregates ARE allowed inside computed projections — the item
-        // then makes the query aggregate-scoped (count(*) * 2 AS n2)
-        bindOp(op, allowAgg = true).map(BoundItem.BIExpr(_, a))
+        // then makes the query aggregate-scoped (count(*) * 2 AS n2);
+        // CASE-condition subqueries are allowed here and re-checked
+        // post-binding (rejected in aggregate scope)
+        bindOp(op, allowAgg = true, allowSub = true).map(BoundItem.BIExpr(_, a))
       case SelectItem.SWin(f, args, parts, ord, a, frame) =>
         val ranking = Set("row_number", "rank", "dense_rank",
           "ntile", "percent_rank", "cume_dist")(f)
@@ -1342,9 +1448,9 @@ object Analyzer {
         case None    => Right(None)
         case Some(e) => bindExpr(e).map(Some(_))
       }
-      // LATERAL key equalities join the lateral frames to their outers
-      pred = (pred0.toSeq ++ lateralConjs)
-        .reduceOption(BoundExpr.BAnd(_, _))
+      // LATERAL key equalities travel on their own field (join conditions
+      // of the leading FROM group, not WHERE conjuncts)
+      pred = pred0
       // join-step ON conditions: bound in the full scope, then checked
       // against the tables visible at that step (inner group + earlier
       // steps + the step's own table); no subqueries, no aggregates
@@ -1437,6 +1543,12 @@ object Analyzer {
         else if (proj.exists(_.isInstanceOf[BoundItem.BISub]))
           Left(BadSubquery(
             "scalar subquery items over an aggregated query are not supported"))
+        else if (proj.exists {
+          case BoundItem.BIExpr(op, _) => BoundOperand.operandHasSub(op)
+          case _                       => false
+        })
+          Left(BadSubquery(
+            "subqueries inside CASE are not supported in aggregate scope"))
         else {
           def grouped(c: BoundCol) = groupCols.exists(g =>
             g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))
@@ -1684,7 +1796,8 @@ object Analyzer {
           "grouping() takes a single GROUP BY key column"))
       }
     } yield BoundSelect(innerTables, proj, pred, order, s.limit, s.offset, group,
-      having, s.distinct, steps, derivedSubs.toMap, s.groupSpec)
+      having, s.distinct, steps, derivedSubs.toMap, s.groupSpec,
+      lateralConjs.toSeq)
   }
 
   private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {

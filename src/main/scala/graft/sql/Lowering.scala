@@ -55,19 +55,19 @@ object Lowering {
       // correlated = the decorrelated per-key aggregate left-joined on
       // its keys, with the COUNT-over-empty-set coalesce
       val subScalars: Map[Int, Column] = Map.empty
-      val (base, scalarCol) = q.projection.zipWithIndex.foldLeft(
+      val (base0m, scalarCol) = q.projection.zipWithIndex.foldLeft(
           (filtered0, subScalars)) {
         case ((df, m), (BoundItem.BISub(sub, _, guard, pairs), i)) =>
           val name = s"__ps_$i"
           if (pairs.isEmpty) {
             val subDf0 = lowerSelect(spark, sub, source)
-            if (guard) {
-              val n = subDf0.limit(2).count()
-              if (n > 1) throw new IllegalStateException(
-                "scalar subquery returned more than one row")
-            }
-            (df.join(broadcast(subDf0.toDF(name)), lit(true), "left_outer"),
-              m + (i -> col(name)))
+            if (guard)
+              // one-row contract checked AND value captured in one bounded
+              // job — no join, no re-execution in the main plan
+              (df, m + (i -> guardedScalarLit(subDf0)))
+            else
+              (df.join(broadcast(subDf0.toDF(name)), lit(true), "left_outer"),
+                m + (i -> col(name)))
           } else {
             val (subAgg, keyCond, scalar) =
               correlatedScalarAgg(spark, sub, pairs, source, name, s"__ps${i}_c")
@@ -75,10 +75,30 @@ object Lowering {
           }
         case ((df, m), _) => (df, m)
       }
+      // CASE conditions inside computed projections may carry subqueries
+      // (EXISTS / IN / scalar comparisons): their marker frames join the
+      // core BEFORE projection and the final select projects them away
+      val projMs: Option[MarkerScope] =
+        if (!q.projection.exists {
+          case BoundItem.BIExpr(op, _) => BoundOperand.operandHasSub(op)
+          case _ => false
+        }) None
+        else {
+          val ms = new MarkerScope(spark, source, "p", qcol, lowerOperandWith(_, qcol))
+          q.projection.foreach {
+            case BoundItem.BIExpr(op, _) => ms.registerOp(op)
+            case _ => ()
+          }
+          Some(ms)
+        }
+      val base = projMs.fold(base0m)(_.joins.foldLeft(base0m) {
+        case (d, (f, on)) => d.join(f, on, "left_outer") })
+      def projOperand(op: BoundOperand): Column =
+        projMs.fold(lowerOperandWith(op, qcol))(_.operand(op))
       def outputCols: Seq[Column] = q.projection.zipWithIndex.map {
         case (BoundItem.BISub(_, a, _, _), i) => scalarCol(i).as(a)
         case (BoundItem.BICol(bc, a), _)  => qcol(bc).as(outName(bc, a))
-        case (BoundItem.BIExpr(op, a), _) => lowerOperandWith(op, qcol).as(a)
+        case (BoundItem.BIExpr(op, a), _) => projOperand(op).as(a)
         case (_: BoundItem.BIAgg, _) =>
           sys.error("unreachable: aggregate items take the aggregate branch")
         case (BoundItem.BIWin(f, args, parts, ord, a, frame), _) =>
@@ -254,87 +274,16 @@ object Lowering {
           "unreachable: analyzer allows only subquery conjuncts here")
       }
       def qcolSub(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
-      // mixed HAVING conjuncts (subqueries under OR): probes and plain
-      // parts lower NOW — their hidden aggregate columns must register
-      // before the agg assembles — while each subquery's marker frame +
-      // join condition (on the GROUP BY keys' output columns) is captured
-      // for application after aggregation
+      // mixed HAVING conjuncts (subqueries under OR or NOT): probes and
+      // plain parts lower NOW — their hidden aggregate columns must
+      // register before the agg assembles — while each subquery's marker
+      // frames + join conditions (on the GROUP BY keys' output columns)
+      // are captured for application after aggregation
       val havingMixedPlans = havingMixedConjs.zipWithIndex.map { case (c0, t) =>
-        val joins = scala.collection.mutable.ArrayBuffer.empty[(DataFrame, Column)]
-        val drops = scala.collection.mutable.ArrayBuffer.empty[String]
-        var k = 0
-        def walk(e: BoundExpr): Column = e match {
-          case BoundExpr.BAnd(l, r) => walk(l) && walk(r)
-          case BoundExpr.BOr(l, r)  => walk(l) || walk(r)
-          case BoundExpr.BNot(x)    => !walk(x)
-          case BoundExpr.BExists(sub, pairs, neg) =>
-            val m = s"__mh${t}_$k"; k += 1
-            val (frame, on) =
-              if (pairs.isEmpty)
-                (broadcast(lowerSelect(spark, sub, source).limit(1)
-                  .select(lit(true).as(m))), lit(true))
-              else {
-                val core = combine(spark, sub, source, Set.empty, None)
-                val keyed = core.select(pairs.zipWithIndex.map { case ((_, ic), i) =>
-                  qcolSub(ic).as(s"${m}_$i") }: _*).distinct().withColumn(m, lit(true))
-                drops ++= pairs.indices.map(i => s"${m}_$i")
-                (keyed, pairs.zipWithIndex.map { case ((oc, _), i) =>
-                  col(groupOut(oc)) === keyed(s"${m}_$i") }.reduce(_ && _))
-              }
-            joins += ((frame, on)); drops += m
-            val p = coalesce(col(m), lit(false))
-            if (neg) !p else p
-          case BoundExpr.BInSub(o, sub, pairs, neg) =>
-            val m = s"__mh${t}_$k"; k += 1
-            val lc = havingOperand(o)
-            val (frame, on) =
-              if (pairs.isEmpty) {
-                val keyed = lowerSelect(spark, sub, source).toDF(s"${m}_v")
-                  .distinct().withColumn(m, lit(true))
-                (keyed, lc === keyed(s"${m}_v"))
-              } else {
-                val core = combine(spark, sub, source, Set.empty, None)
-                val inVal = sub.projection.head match {
-                  case BoundItem.BICol(c2, _)   => qcolSub(c2)
-                  case BoundItem.BIExpr(op2, _) => lowerOperandWith(op2, qcolSub)
-                  case _ => sys.error(
-                    "unreachable: a correlated subquery must not aggregate or window")
-                }
-                val keyed = core.select(inVal.as(s"${m}_v") +:
-                  pairs.zipWithIndex.map { case ((_, ic), i) =>
-                    qcolSub(ic).as(s"${m}_$i") }: _*).distinct().withColumn(m, lit(true))
-                drops ++= pairs.indices.map(i => s"${m}_$i")
-                (keyed, ((lc === keyed(s"${m}_v")) +:
-                  pairs.zipWithIndex.map { case ((oc, _), i) =>
-                    col(groupOut(oc)) === keyed(s"${m}_$i") }).reduce(_ && _))
-              }
-            joins += ((frame, on)); drops += m; drops += s"${m}_v"
-            val p = coalesce(col(m), lit(false))
-            if (neg) !p else p
-          case BoundExpr.BCmpSub(op, o, sub, guard, pairs) =>
-            val m = s"__mh${t}_$k"; k += 1
-            val lc = havingOperand(o)
-            if (pairs.isEmpty) {
-              val subDf0 = lowerSelect(spark, sub, source)
-              if (guard) {
-                val n = subDf0.limit(2).count()
-                if (n > 1) throw new IllegalStateException(
-                  "scalar subquery returned more than one row")
-              }
-              joins += ((broadcast(subDf0.toDF(m)), lit(true))); drops += m
-              cmpCols(op, lc, col(m))
-            } else {
-              val (subAgg, keyCond, scalar) =
-                correlatedScalarAgg(spark, sub, pairs, source, m, s"${m}_c")
-              joins += ((subAgg, keyCond(bc => col(groupOut(bc)))))
-              drops += m
-              drops ++= pairs.indices.map(i => s"${m}_c$i")
-              cmpCols(op, lc, scalar)
-            }
-          case other => havingCol(other)
-        }
-        val pred = walk(c0)
-        (joins.toSeq, pred, drops.toSeq)
+        val ms = new MarkerScope(spark, source, s"h$t",
+          bc => col(groupOut(bc)), havingOperand)
+        ms.register(c0)
+        (ms.joins.toSeq, ms.pred(c0), ms.drops.toSeq)
       }
       // computed projections in aggregate scope (count(*) * 2 AS n2):
       // their aggregate calls become hidden agg columns — registered into
@@ -426,14 +375,12 @@ object Lowering {
       val grouped2 = havingSubParts.zipWithIndex.foldLeft(grouped1) {
         case (acc, (HCmp(op, lc, ssub, guard, Seq()), i)) =>
           val subDf0 = lowerSelect(spark, ssub, source)
-          if (guard) {
-            val n = subDf0.limit(2).count()
-            if (n > 1) throw new IllegalStateException(
-              "scalar subquery returned more than one row")
+          if (guard) acc.filter(cmpCols(op, lc, guardedScalarLit(subDf0)))
+          else {
+            val name = s"__hs_$i"
+            val subDf = subDf0.toDF(name)
+            acc.join(broadcast(subDf), cmpCols(op, lc, col(name)), "inner").drop(name)
           }
-          val name = s"__hs_$i"
-          val subDf = subDf0.toDF(name)
-          acc.join(broadcast(subDf), cmpCols(op, lc, col(name)), "inner").drop(name)
         case (acc, (HCmp(op, lc, ssub, _, pairs), i)) =>
           // correlated: the per-key aggregate left-joins on the GROUP BY
           // keys' post-aggregation columns (analyzer guarantees every
@@ -676,10 +623,14 @@ object Lowering {
     val innerB = q.tables.map(_.binding).toSet
     val leftNullExtending =
       q.joinSteps.exists(js => js.kind == "right" || js.kind == "full")
-    val (conj, postOuterConj) =
+    val (conj1, postOuterConj) =
       if (leftNullExtending) (Nil, conj0)
       else conj0.partition(c =>
         Analyzer.exprCols(c).map(_.binding).toSet.subsetOf(innerB))
+    // LATERAL key equalities are JOIN conditions of the leading FROM
+    // group: they always apply here — deferring them past a RIGHT/FULL
+    // step would filter that step's null-extended rows away
+    val conj = conj1 ++ q.lateralConjs
     // equi-conjunct across two bindings → usable as an explicit join cond
     def equiSides(c: BoundExpr): Option[(String, String)] = c match {
       case BoundExpr.BCmp(Ast.CmpOp.Eq, BoundOperand.BCol(a), BoundOperand.BCol(b))
@@ -813,17 +764,16 @@ object Lowering {
         def cmpCond(lc: Column, sc: Column): Column = cmpCols(op, lc, sc)
         if (pairs.isEmpty) {
           val subDf0 = lowerSelect(spark, sub, source)
-          if (guard) {
+          if (guard)
             // runtime one-row contract, failing like the reference's error
-            // surface (database.rs:38-45 style) — a 2-row probe, not a
-            // full materialization
-            val n = subDf0.limit(2).count()
-            if (n > 1) throw new IllegalStateException(
-              "scalar subquery returned more than one row")
+            // surface (database.rs:38-45 style) — one bounded LIMIT-2 job
+            // that also captures the value, so the subquery runs ONCE
+            df.filter(cmpCond(lowerOperand(o), guardedScalarLit(subDf0)))
+          else {
+            val subDf = subDf0.toDF(scalarName)
+            df.join(broadcast(subDf), cmpCond(lowerOperand(o), col(scalarName)), "inner")
+              .drop(scalarName)
           }
-          val subDf = subDf0.toDF(scalarName)
-          df.join(broadcast(subDf), cmpCond(lowerOperand(o), col(scalarName)), "inner")
-            .drop(scalarName)
         } else {
           val (subAgg, keyCond, scalar) =
             correlatedScalarAgg(spark, sub, pairs, source, scalarName, "__c")
@@ -838,102 +788,219 @@ object Lowering {
     }
   }
 
-  /** A WHERE conjunct with subqueries under OR: each subquery joins a
-    * boolean MARKER frame (distinct keys/values + a TRUE column, left
-    * outer, so unmatched rows read FALSE), then the whole disjunction
-    * filters in one pass. TRUE/non-TRUE is all a WHERE consumes, so the
-    * marker form is exact — including NOT IN, whose NULL outcome is
-    * non-TRUE like FALSE (the analyzer forbids enclosing NOTs that
-    * could tell them apart).
+  /** Execute an uncorrelated guarded scalar subquery ONCE: enforce the
+    * one-row contract and return its value as a typed literal Column
+    * (empty result → SQL NULL). One bounded job (LIMIT 2, one column)
+    * replaces the former probe-then-rejoin shape that executed the
+    * subquery twice; the subquery itself still computes distributed.
+    */
+  private def guardedScalarLit(subDf: DataFrame): Column = {
+    val rows = subDf.limit(2).collect()
+    if (rows.length > 1) throw new IllegalStateException(
+      "scalar subquery returned more than one row")
+    val dt = subDf.schema.fields.head.dataType
+    rows.headOption.map(_.get(0)) match {
+      case Some(v) if v != null => lit(v).cast(dt)
+      case _                    => lit(null).cast(dt)
+    }
+  }
+
+  /** Marker-join scope: subqueries appearing inside a general boolean /
+    * operand expression (under OR, under NOT, or in CASE conditions) each
+    * LEFT-join a marker frame onto the enclosing relational frame, and
+    * the expression then evaluates columnar over the markers — never a
+    * per-outer-row re-execution (the reference's own stated long-term
+    * unnesting goal, execution/plan.rs:41-46).
+    *
+    * IN markers are THREE-VALUED exactly where SQL's NULL and FALSE are
+    * distinguishable (a negated IN, or any IN under an enclosing NOT):
+    * alongside the distinct-value match frame, a per-key facts frame
+    * (row count + non-null count — one bounded aggregate, broadcast when
+    * uncorrelated) joins too, and the predicate reads TRUE on match,
+    * FALSE on an empty set, NULL on a NULL probe or a NULL-bearing set,
+    * FALSE otherwise. Positive IN in a plain disjunction skips the facts
+    * join (TRUE vs non-TRUE is all a filter consumes). EXISTS is
+    * two-valued by definition; scalar-comparison markers are exact via
+    * Spark's NULL-propagating comparisons over the left-joined scalar.
+    *
+    * Registration is eager (HAVING probes must register their hidden
+    * aggregate columns before the agg assembles); the caller applies
+    * `joins` (left_outer each) whenever its frame is ready and then
+    * filters/projects with `pred`/`operand`.
+    */
+  private final class MarkerScope(spark: SparkSession,
+      source: BoundTable => DataFrame, tag: String,
+      outerKey: BoundCol => Column, opResolve: BoundOperand => Column) {
+    val joins = scala.collection.mutable.ArrayBuffer.empty[(DataFrame, Column)]
+    val drops = scala.collection.mutable.ArrayBuffer.empty[String]
+    private val predOf = new java.util.IdentityHashMap[BoundExpr, Column]()
+    private var k = 0
+    private def fresh(): String = { val m = s"__mx${tag}_$k"; k += 1; m }
+    private def qcolSub(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
+
+    /** TRUE on match / FALSE on empty set / NULL on NULL probe or
+      * NULL-bearing set / FALSE otherwise — `x IN (set)` under full 3VL.
+      */
+    private def threeValuedIn(m: String, probe: Column): Column =
+      when(coalesce(col(m), lit(false)), lit(true))
+        .when(coalesce(col(s"${m}_n"), lit(0L)) === lit(0L), lit(false))
+        .when(probe.isNull || col(s"${m}_nn") < col(s"${m}_n"),
+          lit(null).cast("boolean"))
+        .otherwise(lit(false))
+
+    /** Register every subquery under `e` as marker joins. `obs` = an
+      * enclosing NOT makes NULL-vs-FALSE observable, forcing 3VL markers.
+      */
+    def register(e: BoundExpr, obs: Boolean = false): Unit = e match {
+      case BoundExpr.BAnd(l, r) => register(l, obs); register(r, obs)
+      case BoundExpr.BOr(l, r)  => register(l, obs); register(r, obs)
+      case BoundExpr.BNot(x)    => register(x, obs = true)
+      case BoundExpr.BIsNull(o, _)        => registerOp(o)
+      case BoundExpr.BLike(o, _, _, _, _) => registerOp(o)
+      case BoundExpr.BCmp(_, l, r)        => registerOp(l); registerOp(r)
+      case s @ BoundExpr.BExists(sub, pairs, neg) =>
+        val m = fresh()
+        if (pairs.isEmpty)
+          joins += ((broadcast(lowerSelect(spark, sub, source).limit(1)
+            .select(lit(true).as(m))), lit(true)))
+        else {
+          val core = combine(spark, sub, source, Set.empty, None)
+          val keyed = core.select(pairs.zipWithIndex.map { case ((_, ic), i) =>
+            qcolSub(ic).as(s"${m}_$i") }: _*).distinct().withColumn(m, lit(true))
+          joins += ((keyed, pairs.zipWithIndex.map { case ((oc, _), i) =>
+            outerKey(oc) === keyed(s"${m}_$i") }.reduce(_ && _)))
+          drops ++= pairs.indices.map(i => s"${m}_$i")
+        }
+        drops += m
+        val p = coalesce(col(m), lit(false))
+        predOf.put(s, if (neg) !p else p)
+      case s @ BoundExpr.BInSub(o, sub, pairs, neg) =>
+        val m = fresh()
+        registerOp(o)
+        val probe = operand(o)
+        // NULL-vs-FALSE is observable for NOT IN (the negation flips
+        // FALSE to TRUE but keeps NULL) and under any enclosing NOT
+        val three = neg || obs
+        if (pairs.isEmpty) {
+          val subDf = lowerSelect(spark, sub, source)
+          val vcol = subDf.columns.head
+          val keyed = subDf.toDF(s"${m}_v").distinct().withColumn(m, lit(true))
+          joins += ((keyed, probe === keyed(s"${m}_v")))
+          drops ++= Seq(m, s"${m}_v")
+          val p =
+            if (!three) coalesce(col(m), lit(false))
+            else {
+              val facts = broadcast(subDf.agg(count(lit(1)).as(s"${m}_n"),
+                count(col(vcol)).as(s"${m}_nn")))
+              joins += ((facts, lit(true)))
+              drops ++= Seq(s"${m}_n", s"${m}_nn")
+              threeValuedIn(m, probe)
+            }
+          predOf.put(s, if (neg) !p else p)
+        } else {
+          val core = combine(spark, sub, source, Set.empty, None)
+          val inVal = sub.projection.head match {
+            case BoundItem.BICol(c, _)    => qcolSub(c)
+            case BoundItem.BIExpr(op2, _) => lowerOperandWith(op2, qcolSub)
+            case _ => sys.error(
+              "unreachable: a correlated subquery must not aggregate or window")
+          }
+          val keyed = core.select(inVal.as(s"${m}_v") +:
+            pairs.zipWithIndex.map { case ((_, ic), i) =>
+              qcolSub(ic).as(s"${m}_$i") }: _*).distinct().withColumn(m, lit(true))
+          joins += ((keyed, ((probe === keyed(s"${m}_v")) +:
+            pairs.zipWithIndex.map { case ((oc, _), i) =>
+              outerKey(oc) === keyed(s"${m}_$i") }).reduce(_ && _)))
+          drops ++= Seq(m, s"${m}_v") ++ pairs.indices.map(i => s"${m}_$i")
+          val p =
+            if (!three) coalesce(col(m), lit(false))
+            else {
+              // per-correlation-key facts: one hash aggregate on the same
+              // equi keys the marker joins on — shuffle-bounded at scale
+              val facts = core.select(inVal.as(s"${m}_fv") +:
+                pairs.zipWithIndex.map { case ((_, ic), i) =>
+                  qcolSub(ic).as(s"${m}_f$i") }: _*)
+                .groupBy(pairs.indices.map(i => col(s"${m}_f$i")): _*)
+                .agg(count(lit(1)).as(s"${m}_n"), count(col(s"${m}_fv")).as(s"${m}_nn"))
+              joins += ((facts, pairs.zipWithIndex.map { case ((oc, _), i) =>
+                outerKey(oc) === facts(s"${m}_f$i") }.reduce(_ && _)))
+              drops ++= Seq(s"${m}_n", s"${m}_nn") ++ pairs.indices.map(i => s"${m}_f$i")
+              threeValuedIn(m, probe)
+            }
+          predOf.put(s, if (neg) !p else p)
+        }
+      case s @ BoundExpr.BCmpSub(op, o, sub, guard, pairs) =>
+        registerOp(o)
+        val probe = operand(o)
+        if (pairs.isEmpty) {
+          val subDf0 = lowerSelect(spark, sub, source)
+          if (guard) predOf.put(s, cmpCols(op, probe, guardedScalarLit(subDf0)))
+          else {
+            val m = fresh()
+            joins += ((broadcast(subDf0.toDF(m)), lit(true)))
+            drops += m
+            predOf.put(s, cmpCols(op, probe, col(m)))
+          }
+        } else {
+          val m = fresh()
+          val (subAgg, keyCond, scalar) =
+            correlatedScalarAgg(spark, sub, pairs, source, m, s"${m}_c")
+          joins += ((subAgg, keyCond(outerKey)))
+          drops += m
+          drops ++= pairs.indices.map(i => s"${m}_c$i")
+          predOf.put(s, cmpCols(op, probe, scalar))
+        }
+    }
+
+    /** Register subqueries inside an operand tree (CASE conditions). A
+      * WHEN condition consumes TRUE-vs-non-TRUE like a filter, so `obs`
+      * resets — a nested NOT inside the condition sets it again.
+      */
+    def registerOp(o: BoundOperand): Unit = o match {
+      case BoundOperand.BCase(bs, els) =>
+        bs.foreach { case (c, v) => register(c); registerOp(v) }
+        els.foreach(registerOp)
+      case BoundOperand.BArith(_, l, r) => registerOp(l); registerOp(r)
+      case BoundOperand.BFunc(_, args)  => args.foreach(registerOp)
+      case BoundOperand.BCast(x, _)     => registerOp(x)
+      case _ => ()
+    }
+
+    /** Lower a predicate with the registered markers substituted. */
+    def pred(e: BoundExpr): Column =
+      Option(predOf.get(e)).getOrElse(e match {
+        case BoundExpr.BAnd(l, r) => pred(l) && pred(r)
+        case BoundExpr.BOr(l, r)  => pred(l) || pred(r)
+        case BoundExpr.BNot(x)    => !pred(x)
+        case other                => lowerExprWith(other, operand)
+      })
+
+    /** Lower an operand with marker-aware CASE conditions. */
+    def operand(o: BoundOperand): Column = o match {
+      case BoundOperand.BCase(bs, els) =>
+        val first = when(pred(bs.head._1), operand(bs.head._2))
+        val chained = bs.tail.foldLeft(first) { case (acc, (c, v)) =>
+          acc.when(pred(c), operand(v))
+        }
+        els.fold(chained)(x => chained.otherwise(operand(x)))
+      case BoundOperand.BArith(ch, l, r) => arith(ch, operand(l), operand(r))
+      case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, operand)
+      case BoundOperand.BCast(x, t)      => operand(x).cast(t.spark)
+      case other                         => opResolve(other)
+    }
+  }
+
+  /** A WHERE conjunct with subqueries in general position (under OR,
+    * NOT, or CASE conditions): marker joins + one columnar filter.
     */
   private def applyMixedSubConjunct(spark: SparkSession, df0: DataFrame,
       cond: BoundExpr, source: BoundTable => DataFrame, tag: Int): DataFrame = {
     def qcolOf(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
-    val predOf = new java.util.IdentityHashMap[BoundExpr, Column]()
-    val dropCols = scala.collection.mutable.ArrayBuffer.empty[String]
-    var df = df0
-    var k = 0
-    def visit(e: BoundExpr): Unit = e match {
-      case BoundExpr.BAnd(l, r) => visit(l); visit(r)
-      case BoundExpr.BOr(l, r)  => visit(l); visit(r)
-      case BoundExpr.BNot(x)    => visit(x) // no subqueries under NOT (analyzer)
-      case s @ BoundExpr.BExists(sub, pairs, neg) =>
-        val m = s"__mx${tag}_$k"; k += 1
-        if (pairs.isEmpty) {
-          val probe = lowerSelect(spark, sub, source).limit(1)
-            .select(lit(true).as(m))
-          df = df.join(broadcast(probe), lit(true), "left_outer")
-        } else {
-          val core = combine(spark, sub, source, Set.empty, None)
-          val keyed = core.select(pairs.zipWithIndex.map { case ((_, ic), i) =>
-            qcolOf(ic).as(s"${m}_$i") }: _*).distinct().withColumn(m, lit(true))
-          val on = pairs.zipWithIndex.map { case ((oc, _), i) =>
-            qcolOf(oc) === keyed(s"${m}_$i") }.reduce(_ && _)
-          df = df.join(keyed, on, "left_outer")
-          dropCols ++= pairs.indices.map(i => s"${m}_$i")
-        }
-        dropCols += m
-        val p = coalesce(col(m), lit(false))
-        predOf.put(s, if (neg) !p else p)
-      case s @ BoundExpr.BInSub(o, sub, pairs, neg) =>
-        val m = s"__mx${tag}_$k"; k += 1
-        val (markerDf, on) =
-          if (pairs.isEmpty) {
-            val subDf = lowerSelect(spark, sub, source)
-            val keyed = subDf.toDF(s"${m}_v").distinct().withColumn(m, lit(true))
-            (keyed, lowerOperand(o) === keyed(s"${m}_v"))
-          } else {
-            val core = combine(spark, sub, source, Set.empty, None)
-            val inVal = sub.projection.head match {
-              case BoundItem.BICol(c, _)    => qcolOf(c)
-              case BoundItem.BIExpr(op2, _) => lowerOperandWith(op2, qcolOf)
-              case _ => sys.error(
-                "unreachable: a correlated subquery must not aggregate or window")
-            }
-            val keyed = core.select(inVal.as(s"${m}_v") +:
-              pairs.zipWithIndex.map { case ((_, ic), i) =>
-                qcolOf(ic).as(s"${m}_$i") }: _*).distinct().withColumn(m, lit(true))
-            dropCols ++= pairs.indices.map(i => s"${m}_$i")
-            (keyed, ((lowerOperand(o) === keyed(s"${m}_v")) +:
-              pairs.zipWithIndex.map { case ((oc, _), i) =>
-                qcolOf(oc) === keyed(s"${m}_$i") }).reduce(_ && _))
-          }
-        df = df.join(markerDf, on, "left_outer")
-        dropCols += m
-        dropCols += s"${m}_v"
-        val p = coalesce(col(m), lit(false))
-        predOf.put(s, if (neg) !p else p)
-      case s @ BoundExpr.BCmpSub(op, o, sub, guard, pairs) =>
-        val m = s"__mx${tag}_$k"; k += 1
-        if (pairs.isEmpty) {
-          val subDf0 = lowerSelect(spark, sub, source)
-          if (guard) {
-            val n = subDf0.limit(2).count()
-            if (n > 1) throw new IllegalStateException(
-              "scalar subquery returned more than one row")
-          }
-          df = df.join(broadcast(subDf0.toDF(m)), lit(true), "left_outer")
-          predOf.put(s, cmpCols(op, lowerOperand(o), col(m)))
-          dropCols += m
-        } else {
-          val (subAgg, keyCond, scalar) =
-            correlatedScalarAgg(spark, sub, pairs, source, m, s"${m}_c")
-          df = df.join(subAgg, keyCond(qcolOf), "left_outer")
-          predOf.put(s, cmpCols(op, lowerOperand(o), scalar))
-          dropCols += m
-          dropCols ++= pairs.indices.map(i => s"${m}_c$i")
-        }
-      case _ => ()
-    }
-    visit(cond)
-    def lower(e: BoundExpr): Column =
-      Option(predOf.get(e)).getOrElse(e match {
-        case BoundExpr.BAnd(l, r) => lower(l) && lower(r)
-        case BoundExpr.BOr(l, r)  => lower(l) || lower(r)
-        case BoundExpr.BNot(x)    => !lower(x)
-        case other                => lowerExpr(other)
-      })
-    df.filter(lower(cond)).drop(dropCols.toSeq: _*)
+    val ms = new MarkerScope(spark, source, tag.toString, qcolOf, lowerOperand)
+    ms.register(cond)
+    val joined = ms.joins.foldLeft(df0) { case (d, (f, on)) =>
+      d.join(f, on, "left_outer") }
+    joined.filter(ms.pred(cond)).drop(ms.drops.toSeq: _*)
   }
 
   /** A derived table's body: a plain SELECT, or a set-op chain (each

@@ -262,6 +262,12 @@ object Parser {
       case u: UnionTree => u.copy(
         first = substCte(u.first, ctes),
         rest = u.rest.map { case (c, s) => (c, substCte(s, ctes)) })
+      // a recursive CTE body referenced through a view/CTE map: substitute
+      // into base and step, with the CTE's own name shadowing any view of
+      // the same name
+      case r: RecursiveTree => r.copy(
+        base = substCte(r.base, ctes - r.name),
+        step = substCte(r.step, ctes - r.name))
       case other => other
     }
 

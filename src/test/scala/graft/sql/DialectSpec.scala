@@ -1039,10 +1039,102 @@ class DialectSpec extends AnyFunSuite {
       "(SELECT count(*) FROM cars c WHERE c.owner_id = p.id)").isLeft)
     assert(db.query("SELECT name FROM people p WHERE EXISTS " +
       "(SELECT c.id FROM cars c WHERE c.owner_id = p.id LIMIT 1)").isLeft)
-    // subqueries under NOT stay rejected (a disjunctive marker cannot
-    // distinguish NULL from FALSE once an enclosing NOT can flip them)
-    assert(db.query("SELECT name FROM people p WHERE NOT (EXISTS " +
-      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id) OR age = 20)").isLeft)
+  }
+
+  test("FROM-list LATERAL key equalities survive RIGHT/FULL join steps") {
+    val db = demoDb()
+    // a car owned by nobody: the RIGHT join must null-extend its row,
+    // which a lateral key equality demoted to a post-join WHERE would
+    // wrongly filter away (NULL = NULL is not TRUE)
+    db.query("INSERT INTO cars VALUES (3, 'Ghost', 99)")
+    val r = db.select("SELECT p.name, t.model, x.id FROM people p, " +
+      "LATERAL (SELECT c.model FROM cars c WHERE c.owner_id = p.id) t " +
+      "RIGHT JOIN cars x ON x.owner_id = p.id ORDER BY x.id").toOption.get
+    assert(r.collect().toSeq == Seq(
+      Row("Elon", "Tesla Model 3", 1),
+      Row("Dr. Emmett L. „Doc“ Brown", "DeLorean DMC-12", 2),
+      Row(null, null, 3)))
+  }
+
+  test("subqueries under NOT: three-valued markers keep NULL and FALSE apart") {
+    val db = demoDb()
+    // a NULL owner_id poisons every no-match IN to UNKNOWN
+    db.query("INSERT INTO cars VALUES (3, 'Batmobile', NULL)")
+    // NOT over (IN OR plain): every person drops — Elon via the TRUE
+    // disjunct, Doc and Marty via UNKNOWN (a 2-valued marker would
+    // wrongly keep Doc as NOT(FALSE OR FALSE))
+    val notOr = db.select("SELECT name FROM people p WHERE NOT " +
+      "(age IN (SELECT owner_id FROM cars) OR id = 1)").toOption.get
+    assert(notOr.collect().isEmpty)
+    // null-aware NOT IN under OR (the mixed-marker path): NOT IN is never
+    // TRUE against a NULL-bearing set, so only id = 1 keeps a row
+    val ninOr = db.select("SELECT name FROM people WHERE " +
+      "age NOT IN (SELECT owner_id FROM cars) OR id = 1").toOption.get
+    assert(ninOr.collect().map(_.getString(0)).toSeq == Seq("Elon"))
+    // NOT (EXISTS ... OR plain) — EXISTS is two-valued, NULL age drops
+    val notEx = db.select("SELECT name FROM people p WHERE NOT (EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id) OR age = 20)")
+      .toOption.get
+    assert(notEx.collect().isEmpty)
+  }
+
+  test("subqueries inside CASE conditions (non-aggregate projections and WHERE)") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Batmobile', NULL)")
+    val cls = db.select("SELECT name, CASE WHEN EXISTS (SELECT c.id FROM cars c " +
+      "WHERE c.owner_id = p.id) THEN 'has' ELSE 'none' END AS car " +
+      "FROM people p ORDER BY id").toOption.get
+    assert(cls.collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("Elon", "has"), ("Dr. Emmett L. „Doc“ Brown", "has"), ("Marty McFly", "none")))
+    // UNKNOWN from a null-bearing NOT IN takes the ELSE branch, never THEN
+    val nin = db.select("SELECT id, CASE WHEN age NOT IN (SELECT owner_id FROM cars) " +
+      "THEN 1 ELSE 0 END AS f FROM people ORDER BY id").toOption.get
+    assert(nin.collect().map(_.getLong(1)).toSeq == Seq(0L, 0L, 0L))
+    // a CASE carrying a subquery inside a WHERE comparison
+    val w = db.select("SELECT name FROM people p WHERE CASE WHEN id IN " +
+      "(SELECT owner_id FROM cars) THEN 1 ELSE 0 END = 1 ORDER BY id").toOption.get
+    assert(w.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
+    // aggregate scope still rejects CASE-condition subqueries (projection
+    // and aggregate-argument positions)
+    assert(db.select("SELECT age, CASE WHEN EXISTS (SELECT c.id FROM cars c " +
+      "WHERE c.owner_id = p.id) THEN 1 ELSE 0 END AS f FROM people p " +
+      "GROUP BY age").isLeft)
+    assert(db.select("SELECT max(CASE WHEN id IN (SELECT owner_id FROM cars) " +
+      "THEN 1 ELSE 0 END) AS m FROM people").isLeft)
+  }
+
+  test("recursive CTEs reject multiple or subquery-nested self-references") {
+    val db = demoDb()
+    // two FROM-position self-references: semi-naive frontier binding
+    // would lose acc×delta combinations
+    assert(db.select("WITH RECURSIVE r AS (SELECT 1 AS n UNION " +
+      "SELECT a.n + b.n AS n FROM r a, r b WHERE a.n < 4) " +
+      "SELECT n FROM r").isLeft)
+    // self-reference inside a subquery expression: non-monotone
+    assert(db.select("WITH RECURSIVE r AS (SELECT id AS n FROM people WHERE id = 1 " +
+      "UNION SELECT p.id AS n FROM people p WHERE p.id NOT IN (SELECT n FROM r)) " +
+      "SELECT n FROM r").isLeft)
+    // exactly one self-reference still works
+    val ok = db.select("WITH RECURSIVE r AS (SELECT 1 AS n UNION " +
+      "SELECT n + 1 AS n FROM r WHERE n < 3) SELECT n FROM r ORDER BY n")
+      .toOption.get
+    assert(ok.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("views substitute inside WITH RECURSIVE bodies") {
+    val db = demoDb()
+    db.query("CREATE VIEW pv AS SELECT id FROM people")
+    val r = db.select("WITH RECURSIVE r AS (SELECT id AS n FROM pv WHERE id = 1 " +
+      "UNION SELECT n + 1 AS n FROM r WHERE n < 3) SELECT n FROM r ORDER BY n")
+      .toOption.get
+    assert(r.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("UPDATE rejects duplicate SET targets") {
+    val db = demoDb()
+    assert(db.query("UPDATE people SET age = 1, age = 2").isLeft)
+    assert(db.query("UPDATE people SET age = 1, AGE = 2 WHERE id = 1").isLeft)
   }
 
   test("LATERAL: correlated derived tables with per-key top-N") {
