@@ -50,15 +50,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"agg":"median"}"""
-    // The driver keeps only the tail of stdout, which can truncate the head
-    // of this (long) line once the query count is large. Persist the full
-    // JSON to a file in the repo so every round's per-query timings are
-    // attributable even when the stdout tail is cut.
+    // The driver's capture truncates long output, which has cut this
+    // (multi-KB) line in past rounds. Defend from every side: persist the
+    // full JSON to a repo file, print it as the FIRST stdout line (before
+    // shutdown logging), flush, then print a SHORT self-contained summary
+    // line that parses even if the long line is cut from either end.
     try {
       val p = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
       java.nio.file.Files.write(p, line.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(line)
+    Console.out.flush()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$Reps,"agg":"median","queries_file":"BENCH_FULL.json"}""")
+    Console.out.flush()
     spark.stop()
   }
 }

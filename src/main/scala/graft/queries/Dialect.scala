@@ -835,6 +835,108 @@ object Dialect {
              |    THEN 1 ELSE 0 END AS nin
              |FROM customer c ORDER BY c_custkey""".stripMargin)),
 
+    // CREATE MATERIALIZED VIEW: CTAS + stored definition; the gate reads
+    // the materialized image, which must equal DuckDB recomputing the
+    // defining aggregate directly.
+    "q_dialect_matview" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders")
+        if (!g.tableNames.contains("mv_status"))
+          g.query("CREATE MATERIALIZED VIEW mv_status AS " +
+            "SELECT o_orderstatus AS st, count(*) AS n, " +
+            "sum(o_totalprice) AS tot FROM orders GROUP BY o_orderstatus")
+            .left.foreach(e => sys.error(e.msg))
+        run(g, "SELECT st, n, round(tot / 1000, 2) AS tot_k FROM mv_status " +
+          "ORDER BY st")
+      },
+      Some("""SELECT o_orderstatus AS st, cast(count(*) AS bigint) AS n,
+             |  round(sum(o_totalprice) / 1000, 2) AS tot_k
+             |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin)),
+
+    // A set-operation body inside LATERAL: without correlation LATERAL
+    // is an ordinary derived table — the chain lowers once and
+    // cross-joins (broadcast; both branches are tiny dimension scans).
+    "q_dialect_lateral_setop" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "nation", "region"),
+        "SELECT c.c_custkey, t.k FROM customer c, " +
+          "LATERAL (SELECT n_name AS k FROM nation WHERE n_nationkey < 2 " +
+          "UNION SELECT r_name AS k FROM region WHERE r_regionkey < 1) t " +
+          "WHERE c.c_custkey < 20 ORDER BY c_custkey, k"),
+      Some("""SELECT c.c_custkey, t.k FROM customer c,
+             |LATERAL (SELECT n_name AS k FROM nation WHERE n_nationkey < 2
+             |  UNION SELECT r_name AS k FROM region WHERE r_regionkey < 1) t
+             |WHERE c.c_custkey < 20 ORDER BY c_custkey, k""".stripMargin)),
+
+    // A WITH body inside LATERAL, correlated: the CTE desugars into the
+    // body, whose top-level WHERE correlation decorrelates as usual —
+    // per-customer top-2 order prices via a window, one key-bounded join.
+    "q_dialect_lateral_with" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT c.c_custkey, t.tot FROM customer c, " +
+          "LATERAL (WITH co AS (SELECT o_custkey, o_totalprice FROM orders) " +
+          "SELECT o_totalprice AS tot FROM co WHERE co.o_custkey = c.c_custkey " +
+          "ORDER BY o_totalprice DESC LIMIT 2) t " +
+          "ORDER BY c_custkey, tot"),
+      Some("""SELECT c.c_custkey, t.tot FROM customer c,
+             |LATERAL (WITH co AS (SELECT o_custkey, o_totalprice FROM orders)
+             |  SELECT o_totalprice AS tot FROM co WHERE co.o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC LIMIT 2) t
+             |ORDER BY c_custkey, tot""".stripMargin)),
+
+    // GROUP BY an EXPRESSION used as the correlation key of a HAVING
+    // subquery: the inner column equi-joins the grouped expression's
+    // post-aggregation alias column (per-key aggregate, count-coalesce).
+    "q_dialect_having_gkexpr" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "supplier", "nation"),
+        "SELECT concat('NATION_', c_nationkey) AS nname, count(*) AS n " +
+          "FROM customer GROUP BY concat('NATION_', c_nationkey) " +
+          "HAVING count(*) / 15 < (SELECT count(*) FROM supplier s, nation nt " +
+          "WHERE nt.n_nationkey = s.s_nationkey " +
+          "AND nt.n_name = concat('NATION_', c_nationkey)) " +
+          "ORDER BY nname"),
+      // DuckDB's binder will not match a grouped expression through the
+      // subquery boundary, so the oracle states the same query as an
+      // aggregate CTE + correlated WHERE (identical semantics)
+      Some("""WITH g AS (SELECT concat('NATION_', c_nationkey) AS nname,
+             |  cast(count(*) AS bigint) AS n FROM customer
+             |  GROUP BY concat('NATION_', c_nationkey))
+             |SELECT nname, n FROM g
+             |WHERE n / 15 < (SELECT count(*) FROM supplier s, nation nt
+             |  WHERE nt.n_nationkey = s.s_nationkey AND nt.n_name = g.nname)
+             |ORDER BY nname""".stripMargin)),
+
+    // A recursive CTE referenced twice: the fixpoint memoizes per query
+    // scope (one execution, localCheckpoint shared by both references) —
+    // asserted by RecursiveReuseSpec; here the VALUES must agree with
+    // DuckDB's native recursive CTE self-join.
+    "q_dialect_recursive_twice" -> QueryDef(
+      (s, d) => run(db(s, d, "nation"),
+        "WITH RECURSIVE seq AS (SELECT 1 AS n UNION ALL " +
+          "SELECT n + 1 AS n FROM seq WHERE n < 40) " +
+          "SELECT a.n AS an, b.n AS bn FROM seq a, seq b " +
+          "WHERE b.n = a.n + 1 ORDER BY an"),
+      Some("""WITH RECURSIVE seq AS (SELECT 1 AS n UNION ALL
+             |  SELECT n + 1 AS n FROM seq WHERE n < 40)
+             |SELECT cast(a.n AS bigint) AS an, cast(b.n AS bigint) AS bn
+             |FROM seq a, seq b WHERE b.n = a.n + 1 ORDER BY an""".stripMargin)),
+
+    // Correlated aggregate LATERAL: per-customer order stats, empty
+    // groups included (count 0 / NULL aggregates) — fused as per-key
+    // aggregate + outer-key completion, never per-row re-execution.
+    "q_dialect_lateral_agg" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT c.c_custkey, t.n, round(t.total / 1000, 2) AS tot_k, t.mx " +
+          "FROM customer c, LATERAL (SELECT count(*) AS n, " +
+          "sum(o_totalprice) AS total, max(o_totalprice) AS mx " +
+          "FROM orders o WHERE o.o_custkey = c.c_custkey) t " +
+          "ORDER BY c.c_custkey"),
+      Some("""SELECT c.c_custkey, cast(t.n AS bigint) AS n,
+             |  round(t.total / 1000, 2) AS tot_k, t.mx
+             |FROM customer c, LATERAL (SELECT count(*) AS n,
+             |  sum(o_totalprice) AS total, max(o_totalprice) AS mx
+             |  FROM orders o WHERE o.o_custkey = c.c_custkey) t
+             |ORDER BY c.c_custkey""".stripMargin)),
+
     // A CASE carrying an IN-subquery used inside a WHERE comparison —
     // the marker registers from an operand position of the conjunct.
     "q_dialect_case_in_where" -> QueryDef(

@@ -285,7 +285,8 @@ object Analyzer {
     * it is rejected under an aggregating subquery, and a NEGATED nested
     * subquery never flattens (∃o.(P ∧ ¬∃l.Q) has no join-only form).
     */
-  private def decorrelate(sub: BoundSelect, allowAggregate: Boolean = false)
+  private def decorrelate(sub: BoundSelect, allowAggregate: Boolean = false,
+      exprKeys: Map[BoundOperand, BoundCol] = Map.empty)
       : Either[AnalyzerError, (BoundSelect, Seq[(BoundCol, BoundCol)])] = {
     val inner = scala.collection.mutable.Set.empty[String]
     inner ++= sub.tables.map(_.binding)
@@ -359,6 +360,17 @@ object Analyzer {
             case BoundExpr.BCmp(CmpOp.Eq, BoundOperand.BCol(a), BoundOperand.BCol(b))
                 if isOuter(a) != isOuter(b) =>
               if (isOuter(a)) pairs += ((a, b)) else pairs += ((b, a))
+            // inner col = <enclosing GROUP BY expression> (HAVING scope):
+            // the pair's outer side is the synthetic post-aggregation
+            // column the grouped key lowers to
+            case BoundExpr.BCmp(CmpOp.Eq, BoundOperand.BCol(ic), op)
+                if !isOuter(ic) && exprKeys.contains(op) &&
+                  operandCols(op).forall(isOuter) =>
+              pairs += ((exprKeys(op), ic))
+            case BoundExpr.BCmp(CmpOp.Eq, op, BoundOperand.BCol(ic))
+                if !isOuter(ic) && exprKeys.contains(op) &&
+                  operandCols(op).forall(isOuter) =>
+              pairs += ((exprKeys(op), ic))
             case BoundExpr.BExists(isub, ipairs, false)
                 if ipairs.exists(p => isOuter(p._1)) =>
               flatten(isub, ipairs, None).foreach(e => return Left(e))
@@ -487,14 +499,19 @@ object Analyzer {
     * whose lateral set is empty drops).
     */
   final case class BoundLateral(sub: BoundSelect,
-      pairs: Seq[(BoundCol, BoundCol)], hiddenKeys: Seq[String]) extends BoundQuery
+      pairs: Seq[(BoundCol, BoundCol)], hiddenKeys: Seq[String],
+      /** Group-less aggregate body: one row PER KEY including empty
+        * groups (count = 0, others NULL) — lowered fused into the
+        * enclosing join group, not as a standalone frame.
+        */
+      agg: Boolean = false) extends BoundQuery
 
   /** Decorrelation for LATERAL bodies: like `decorrelate`, but ORDER BY +
     * LIMIT are allowed (per-key top-N) while aggregates/DISTINCT/OFFSET/
     * windows/scalar items are rejected in the correlated form.
     */
   private def decorrelateLateral(sub: BoundSelect)
-      : Either[AnalyzerError, (BoundSelect, Seq[(BoundCol, BoundCol)])] = {
+      : Either[AnalyzerError, (BoundSelect, Seq[(BoundCol, BoundCol)], Boolean)] = {
     val inner = scala.collection.mutable.Set.empty[String]
     inner ++= sub.tables.map(_.binding)
     inner ++= sub.joinSteps.map(_.table.binding)
@@ -539,11 +556,29 @@ object Analyzer {
             }
         }
         val ps = pairs.result()
-        if (ps.isEmpty) Right((sub, Nil))
-        else if (sub.isAggregate)
-          Left(BadSubquery(
-            "a correlated LATERAL must not aggregate (use a correlated scalar " +
-              "subquery — it handles the empty-group case)"))
+        if (ps.isEmpty) Right((sub, Nil, false))
+        else if (sub.isAggregate) {
+          // correlated aggregate LATERAL: a group-less aggregate evaluated
+          // per correlation key — one output row per outer row, INCLUDING
+          // empty groups (SQL: count 0, other aggregates NULL)
+          if (sub.groupBy.nonEmpty || sub.groupSpec.isDefined)
+            Left(BadSubquery(
+              "a correlated LATERAL aggregate must be group-less " +
+                "(its grouping IS the correlation key)"))
+          else if (sub.having.isDefined || sub.distinct || sub.offset.isDefined ||
+              sub.limit.isDefined || sub.orderBy.nonEmpty)
+            Left(BadSubquery(
+              "a correlated LATERAL aggregate takes no HAVING/DISTINCT/ORDER BY/LIMIT/OFFSET"))
+          else if (!sub.projection.forall {
+            case BoundItem.BIAgg(f, _, Some(_), _) => f != "grouping"
+            case _ => false
+          })
+            Left(BadSubquery(
+              "a correlated LATERAL aggregate projects aliased aggregate calls only"))
+          else
+            Right((sub.copy(predicate = kept.result().reduceOption(BoundExpr.BAnd(_, _))),
+              ps, true))
+        }
         else if (sub.distinct || sub.offset.isDefined)
           Left(BadSubquery("a correlated LATERAL must not use DISTINCT or OFFSET"))
         else if (sub.limit.isDefined && sub.orderBy.isEmpty)
@@ -557,7 +592,8 @@ object Analyzer {
           Left(BadSubquery(
             "a correlated LATERAL projects plain columns and expressions only"))
         else
-          Right((sub.copy(predicate = kept.result().reduceOption(BoundExpr.BAnd(_, _))), ps))
+          Right((sub.copy(predicate = kept.result().reduceOption(BoundExpr.BAnd(_, _))),
+            ps, false))
     }
   }
 
@@ -715,7 +751,7 @@ object Analyzer {
   /** Every expression-position subquery of a SELECT (WHERE, HAVING and
     * projection items).
     */
-  private def exprSubqueriesOf(s: BoundSelect): Seq[BoundSelect] =
+  private[sql] def exprSubqueriesOf(s: BoundSelect): Seq[BoundSelect] =
     (s.predicate.toSeq ++ s.having.toSeq).flatMap(exprSubsOf) ++
       s.projection.flatMap {
         case BoundItem.BISub(sub, _, _, _) => Seq(sub)
@@ -983,6 +1019,9 @@ object Analyzer {
     // LATERAL join conjuncts: equality of the outer column against the
     // lateral frame's synthetic hidden-key column, folded into WHERE
     val lateralConjs = scala.collection.mutable.ArrayBuffer.empty[BoundExpr]
+    // aggregate-lateral bindings join fused in the lowering; other frames
+    // may not correlate against their columns (evaluation-order cycle)
+    val aggLateralNames = scala.collection.mutable.Set.empty[String]
     def addFrom(fi: FromItem): Option[AnalyzerError] = fi match {
       case FTable(tr) => addTable(tr)
       case FLateral(sel, alias) =>
@@ -992,24 +1031,32 @@ object Analyzer {
           case Right(bsub0) =>
             decorrelateLateral(bsub0) match {
               case Left(e) => Some(e)
-              case Right((core, Seq())) =>
+              case Right((core, Seq(), _)) =>
                 // uncorrelated LATERAL = an ordinary derived table
                 addFrom(FDerived(sel, alias))
-              case Right((core, ps)) =>
+              case Right((core, ps, agg)) =>
                 derivedAttributes(core) match {
                   case Left(e) => Some(e)
                   case Right(visAttrs) =>
                     val b = alias.toLowerCase
                     if (bound.contains(b)) Some(DuplicateBinding(b))
-                    else {
-                      val hidden = ps.zipWithIndex.map { case ((_, ic), i) =>
-                        AttributeDesc(s"__lk$i", ic.attr.sqlType) }
-                      bound(b) = BoundTable(TableDesc(b, visAttrs ++ hidden), b)
-                      derivedSubs(b) = BoundLateral(core, ps, hidden.map(_.name))
-                      lateralConjs ++= ps.zipWithIndex.map { case ((oc, _), i) =>
-                        BoundExpr.BCmp(CmpOp.Eq, BoundOperand.BCol(oc),
-                          BoundOperand.BCol(BoundCol(b, hidden(i)))) }
-                      None
+                    else ps.collectFirst {
+                      case (oc, _) if aggLateralNames(oc.binding) => oc
+                    } match {
+                      case Some(oc) => Some(BadSubquery(
+                        s"a LATERAL may not correlate against an aggregate " +
+                          s"LATERAL's columns (${oc.render})"))
+                      case None =>
+                        val hidden = ps.zipWithIndex.map { case ((_, ic), i) =>
+                          AttributeDesc(s"__lk$i", ic.attr.sqlType) }
+                        bound(b) = BoundTable(TableDesc(b, visAttrs ++ hidden), b)
+                        derivedSubs(b) = BoundLateral(core, ps, hidden.map(_.name), agg)
+                        if (agg) aggLateralNames += b
+                        else
+                          lateralConjs ++= ps.zipWithIndex.map { case ((oc, _), i) =>
+                            BoundExpr.BCmp(CmpOp.Eq, BoundOperand.BCol(oc),
+                              BoundOperand.BCol(BoundCol(b, hidden(i)))) }
+                        None
                     }
                 }
             }
@@ -1052,6 +1099,9 @@ object Analyzer {
       case fl: FLateral =>
         val before = lateralConjs.length
         addFrom(fl).foreach(e => return Left(e))
+        if (aggLateralNames(fl.alias.toLowerCase))
+          return Left(BadSubquery(
+            "an aggregate LATERAL is only supported in the FROM list"))
         stepLateralConjs(k) = lateralConjs.drop(before).toSeq
         lateralConjs.remove(before, lateralConjs.length - before)
       case other => addFrom(other).foreach(e => return Left(e))
@@ -1117,6 +1167,11 @@ object Analyzer {
       case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt | SqlType.SqlDouble => true
       case _ => false
     }
+
+    // set just before HAVING binds (groups are bound by then): the
+    // enclosing GROUP BY expressions, usable as correlation keys of
+    // HAVING subqueries via their post-aggregation alias column
+    var havingGkExprKeys: Map[BoundOperand, BoundCol] = Map.empty
 
     def bindOp(o: Operand, allowAgg: Boolean,
         allowSub: Boolean = false): Either[AnalyzerError, BoundOperand] = o match {
@@ -1249,7 +1304,7 @@ object Analyzer {
               if (bsub0.projection.length == 1) Right(())
               else Left(BadSubquery(
                 s"subquery must project exactly one column, got ${bsub0.projection.length}"))
-            dp <- decorrelate(bsub0)
+            dp <- decorrelate(bsub0, exprKeys = havingGkExprKeys)
           } yield BoundExpr.BInSub(bo, dp._1, dp._2, neg)
       case Expr.Exists(sub, neg) =>
         if (!topLevel)
@@ -1257,7 +1312,7 @@ object Analyzer {
         else
           for {
             bsub0 <- analyzeSelect(sub, cat, outerScope = tables ++ outerScope)
-            dp <- decorrelate(bsub0)
+            dp <- decorrelate(bsub0, exprKeys = havingGkExprKeys)
           } yield BoundExpr.BExists(dp._1, dp._2, neg)
       case Expr.CmpSubquery(op, o, sub) =>
         if (!topLevel)
@@ -1271,7 +1326,8 @@ object Analyzer {
                 Left(BadSubquery(
                   s"scalar subquery must project exactly one column, got ${bsub0.projection.length}"))
               else Right(())
-            dp <- decorrelate(bsub0, allowAggregate = true)
+            dp <- decorrelate(bsub0, allowAggregate = true,
+              exprKeys = havingGkExprKeys)
             (bsub, pairs) = dp
             _ <-
               if (pairs.isEmpty) Right(())
@@ -1670,6 +1726,10 @@ object Analyzer {
               case Expr.CmpSubquery(op, l, sub) => Expr.CmpSubquery(op, substOp(l), sub)
               case other => other
             }
+            havingGkExprKeys = group.collect {
+              case BoundGroupKey.GKExpr(op, a) =>
+                op -> BoundCol("", AttributeDesc(a, operandType(op)))
+            }.toMap
             bindExpr(substE(e0), allowAgg = true).map(Some(_))
           }
       }
@@ -1718,8 +1778,11 @@ object Analyzer {
             case BoundExpr.BExists(_, ps, _)       => ps.map(_._1)
             case _ => Nil
           }
-          walk(h).find(c => !groupCols.exists(g =>
-            g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) match {
+          walk(h).find(c => !(
+            (c.binding.isEmpty && groupAliases(c.attr.name.toLowerCase)) ||
+              groupCols.exists(g =>
+                g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))
+          )) match {
             case Some(c) => Left(BadSubquery(
               s"a correlated HAVING subquery may only reference GROUP BY keys (got ${c.render})"))
             case None => Right(())

@@ -227,6 +227,16 @@ object Ast {
     * registry and persists the statement text).
     */
   final case class CreateViewTree(name: String, body: ParseTree) extends ParseTree
+  /** CREATE MATERIALIZED VIEW name [CLUSTERED BY (c) INTO n BUCKETS]
+    * AS select — CTAS + a refreshable definition in the catalog.
+    */
+  final case class CreateMatViewTree(name: String, body: ParseTree,
+      bucket: Option[(String, Int)]) extends ParseTree
+  /** REFRESH MATERIALIZED VIEW name — re-run the stored definition and
+    * replace the table image (bucket layout preserved).
+    */
+  final case class RefreshMatViewTree(name: String) extends ParseTree
+  final case class DropMatViewTree(name: String, ifExists: Boolean) extends ParseTree
   /** DROP VIEW [IF EXISTS] name. */
   final case class DropViewTree(name: String, ifExists: Boolean) extends ParseTree
 

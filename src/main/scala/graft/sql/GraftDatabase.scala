@@ -56,10 +56,14 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   // class body statements run in order)
   private val views = mutable.LinkedHashMap.empty[String, ParseTree]
   private val viewSql = mutable.LinkedHashMap.empty[String, String]
+  // materialized views: a real catalog table + its refreshable definition
+  private val matviews = mutable.LinkedHashMap.empty[String, ParseTree]
+  private val matviewSql = mutable.LinkedHashMap.empty[String, String]
 
   Files.createDirectories(Paths.get(warehouse))
   loadCatalog()
   loadViews()
+  loadMatViews()
 
   private object cat extends Catalog {
     def resolve(t: String): Option[TableDesc] = tables.get(t.toLowerCase)
@@ -69,6 +73,10 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     Parser.parse(sql).left.map(ParseFailed).flatMap {
       case Ast.CreateViewTree(name, body) => createView(name, body, sql)
       case Ast.DropViewTree(name, ifExists) => dropView(name, ifExists)
+      case Ast.CreateMatViewTree(name, body, bucket) =>
+        createMatView(name, body, bucket, sql)
+      case Ast.RefreshMatViewTree(name) => refreshMatView(name)
+      case Ast.DropMatViewTree(name, ifExists) => dropMatView(name, ifExists)
       case t @ Ast.CreateTree(n, _, _, _) if views.contains(n.toLowerCase) =>
         Left(ViewError(s"relation '$n' already exists as a view"))
       case t @ Ast.CreateAsTree(n, _, _) if views.contains(n.toLowerCase) =>
@@ -86,6 +94,17 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
             case BoundDrop(n, _)         if external.contains(n)      => Left(ReadOnlyTable(n))
             case BoundDrop(n, _)         if views.contains(n)         =>
               Left(ViewError(s"'$n' is a view — use DROP VIEW"))
+            // a materialized view's table only changes through REFRESH
+            case BoundInsert(d, _)       if matviews.contains(d.name) =>
+              Left(ViewError(s"'${d.name}' is a materialized view — use REFRESH MATERIALIZED VIEW"))
+            case BoundInsertSelect(d, _) if matviews.contains(d.name) =>
+              Left(ViewError(s"'${d.name}' is a materialized view — use REFRESH MATERIALIZED VIEW"))
+            case BoundDelete(d, _)       if matviews.contains(d.name) =>
+              Left(ViewError(s"'${d.name}' is a materialized view — use REFRESH MATERIALIZED VIEW"))
+            case BoundUpdate(d, _, _)    if matviews.contains(d.name) =>
+              Left(ViewError(s"'${d.name}' is a materialized view — use REFRESH MATERIALIZED VIEW"))
+            case BoundDrop(n, _)         if matviews.contains(n)      =>
+              Left(ViewError(s"'$n' is a materialized view — use DROP MATERIALIZED VIEW"))
             case _                                                    => Right(())
           }
         } yield execute(bound)
@@ -113,6 +132,88 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           viewSql(name) = stmt
           saveViews()
           Right(Done(s"created view $name"))
+      }
+    }
+  }
+
+  // ---- materialized views: CTAS + a refreshable stored definition ----
+
+  private def matviewsPath = Paths.get(s"$warehouse/matviews.json")
+
+  private def createMatView(name: String, body: ParseTree,
+      bucket: Option[(String, Int)], stmt: String): Either[QueryError, QueryResult] = {
+    if (tables.contains(name))
+      Left(ViewError(s"relation '$name' already exists as a table"))
+    else if (views.contains(name))
+      Left(ViewError(s"relation '$name' already exists as a view"))
+    else {
+      // self-contained definition (stored views substituted), validated
+      // and MATERIALIZED now via the ordinary CTAS path
+      val substituted = Parser.substituteViews(body, views.toMap)
+      Analyzer.analyze(Ast.CreateAsTree(name, substituted, bucket), cat) match {
+        case Left(e) => Left(AnalyzeFailed(e))
+        case Right(boundCtas) =>
+          val r = execute(boundCtas)
+          matviews(name.toLowerCase) = substituted
+          matviewSql(name.toLowerCase) = stmt
+          saveMatViews()
+          r match {
+            case Done(msg) => Right(Done(msg.replace("created table",
+              "created materialized view")))
+            case other => Right(other)
+          }
+      }
+    }
+  }
+
+  /** Re-run the stored definition against the CURRENT source data and
+    * replace the table image atomically-enough (tmp dir + move), keeping
+    * the bucket layout (rewriteTable routes bucketed images through a
+    * bucketed writer).
+    */
+  private def refreshMatView(name: String): Either[QueryError, QueryResult] =
+    matviews.get(name) match {
+      case None => Left(ViewError(s"materialized view '$name' does not exist"))
+      case Some(tree) =>
+        Analyzer.analyze(tree, cat) match {
+          case Left(e) => Left(AnalyzeFailed(e))
+          case Right(bound) =>
+            val desc = tables(name)
+            val df = lowerQuery(bound)
+            val named = df.toDF(desc.attributes.map(_.name): _*)
+            val n = rewriteTable(desc, named)
+            Right(Done(s"refreshed materialized view '$name' ($n row(s))"))
+        }
+    }
+
+  private def dropMatView(name: String, ifExists: Boolean): Either[QueryError, QueryResult] =
+    if (matviews.remove(name).isDefined) {
+      matviewSql.remove(name)
+      saveMatViews()
+      // drop the backing table through the ordinary DROP path
+      Right(execute(BoundDrop(name, tables.get(name))))
+    } else if (ifExists) Right(Done(s"materialized view '$name' does not exist, skipped"))
+    else Left(ViewError(s"materialized view '$name' does not exist"))
+
+  private def saveMatViews(): Unit = {
+    val enc = java.util.Base64.getEncoder
+    val lines = matviewSql.values.map(s => enc.encodeToString(s.getBytes("UTF-8")))
+    Files.write(matviewsPath, lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Reload definitions only — the DATA is already on disk under the
+    * catalog entry the original CTAS wrote.
+    */
+  private def loadMatViews(): Unit = {
+    if (!Files.exists(matviewsPath)) return
+    val dec = java.util.Base64.getDecoder
+    Files.readAllLines(matviewsPath).asScala.filter(_.nonEmpty).foreach { l =>
+      val stmt = new String(dec.decode(l), "UTF-8")
+      Parser.parse(stmt) match {
+        case Right(Ast.CreateMatViewTree(name, body, _)) =>
+          matviews(name) = Parser.substituteViews(body, views.toMap)
+          matviewSql(name) = stmt
+        case _ => () // corrupted line: skip rather than brick the catalog
       }
     }
   }
@@ -260,9 +361,14 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         spark.read.schema(desc.sparkSchema).parquet(dataPath(desc.name))
     }
 
-  private def lowerOneSelect(s: BoundSelect): DataFrame = {
+  /** The one table-source lambda per top-level query — the lowering's
+    * CTE-reuse memo recognizes it as the root scope (fixpoint steps
+    * rebind sources per round and bypass the memo).
+    */
+  private def lowerOneSelect(s: BoundSelect,
+      source: Analyzer.BoundTable => DataFrame): DataFrame = {
     val ests = estimateBindings(s)
-    Lowering.lowerSelect(spark, s, bt => readTable(bt.desc),
+    Lowering.lowerSelect(spark, s, source,
       chooseBroadcastSides(ests), planJoinOrder(s, ests))
   }
 
@@ -270,14 +376,21 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     * shared by the Rows path and the INSERT…SELECT / CTAS write paths.
     * Every branch gets its own stats-driven plan; a chain is
     * per-connector union/intersect/except (one shuffle per dedup step).
+    * The whole lowering runs in one query scope, so a CTE (recursive or
+    * plain) referenced twice materializes once.
     */
-  private def lowerQuery(q: BoundQuery): DataFrame = q match {
-    case s: BoundSelect => lowerOneSelect(s)
-    case u: BoundUnion =>
-      Lowering.lowerUnion(lowerOneSelect(u.first),
-        u.rest.map { case (conn, b) => (conn, lowerOneSelect(b)) },
-        u.orderBy, u.limit, u.offset)
-    case other => sys.error(s"not a readable query: $other")
+  private def lowerQuery(q: BoundQuery): DataFrame = {
+    val source: Analyzer.BoundTable => DataFrame = bt => readTable(bt.desc)
+    Lowering.withQueryScope(q, source) {
+      q match {
+        case s: BoundSelect => lowerOneSelect(s, source)
+        case u: BoundUnion =>
+          Lowering.lowerUnion(lowerOneSelect(u.first, source),
+            u.rest.map { case (conn, b) => (conn, lowerOneSelect(b, source)) },
+            u.orderBy, u.limit, u.offset)
+        case other => sys.error(s"not a readable query: $other")
+      }
+    }
   }
 
   private def execute(q: BoundQuery): QueryResult = q match {

@@ -535,6 +535,64 @@ object Lowering {
     fn.over(w)
   }
 
+  /** One aggregate call as a Column under the caller's operand
+    * resolution (shared by aggregate LATERAL frames; the grouped SELECT
+    * lowering additionally handles grouping()).
+    */
+  private def aggCallCol(f: String, arg: Option[BoundOperand], dist: Boolean,
+      opLower: BoundOperand => Column): Column = (f, arg) match {
+    case ("count", None)            => count(lit(1))
+    case ("count", Some(a)) if dist => count_distinct(opLower(a))
+    case ("count", Some(a))         => count(opLower(a))
+    case ("sum", Some(a)) if dist   => sum_distinct(opLower(a))
+    case ("sum", Some(a))           => sum(opLower(a))
+    case ("min", Some(a))           => min(opLower(a))
+    case ("max", Some(a))           => max(opLower(a))
+    case ("avg", Some(a))           => avg(opLower(a))
+    case ("stddev", Some(a))        => stddev(opLower(a))
+    case ("variance", Some(a))      => variance(opLower(a))
+    case ("median", Some(a))        => median(opLower(a))
+    case other                      => sys.error(s"unreachable aggregate $other")
+  }
+
+  /** Fuse a correlated aggregate LATERAL into the enclosing join group:
+    * per-key aggregate over the body's core, COMPLETED over the distinct
+    * outer keys observed in the enclosing frame (left join + the
+    * count-over-empty-group coalesce), then equi-joined back null-safely
+    * so NULL outer keys keep their empty-group row too. Three key-bounded
+    * shuffles (outer-key distinct, per-key aggregate, final join) — never
+    * a per-outer-row re-execution of the body.
+    */
+  private def joinAggLateral(spark: SparkSession, df: DataFrame,
+      bt: BoundTable, l: Analyzer.BoundLateral,
+      source: BoundTable => DataFrame): DataFrame = {
+    def qcolOf(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
+    val core = combine(spark, l.sub, source, Set.empty, None)
+    val aggExprs = l.sub.projection.zipWithIndex.map {
+      case (BoundItem.BIAgg(f, arg, _, dist), i) =>
+        aggCallCol(f, arg, dist, lowerOperandWith(_, qcolOf)).as(s"__pa$i")
+      case other => sys.error(s"unreachable aggregate LATERAL item $other")
+    }
+    val keyCols = l.pairs.zipWithIndex.map { case ((_, ic), i) =>
+      qcolOf(ic).as(s"__pk$i") }
+    val perKey = core.groupBy(keyCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
+    val outKeys = df.select(l.pairs.zipWithIndex.map { case ((oc, _), i) =>
+      qcolOf(oc).as(s"__ok$i") }: _*).distinct()
+    val completed = outKeys.join(perKey,
+      l.pairs.indices.map(i => col(s"__ok$i") <=> perKey(s"__pk$i")).reduce(_ && _),
+      "left_outer")
+    val outCols = l.sub.projection.zipWithIndex.map {
+      case (BoundItem.BIAgg(f, _, Some(a), _), i) =>
+        val c = perKey(s"__pa$i")
+        (if (f == "count") coalesce(c, lit(0L)) else c).as(a)
+      case other => sys.error(s"unreachable aggregate LATERAL item $other")
+    } ++ l.hiddenKeys.zipWithIndex.map { case (hk, i) => col(s"__ok$i").as(hk) }
+    val frame = completed.select(outCols: _*).alias(bt.binding)
+    val on = l.pairs.zipWithIndex.map { case ((oc, _), i) =>
+      qcolOf(oc) <=> col(s"${bt.binding}.${l.hiddenKeys(i)}") }.reduce(_ && _)
+    df.join(frame, on)
+  }
+
   /** Correlated scalar aggregate: GROUP BY the decorrelated keys — one row
     * per key by construction. Callers LEFT-join the frame, not inner:
     * for an outer row with no matching key the scalar is SQL-NULL —
@@ -588,7 +646,16 @@ object Lowering {
       source: BoundTable => DataFrame,
       broadcastBindings: Set[String],
       joinPlan: Option[JoinOrder.Tree]): DataFrame = {
-    val base0 = q.tables.map { bt =>
+    // aggregate LATERAL frames need the enclosing frame first (their
+    // completion keys come from it) — they join after the plain phase
+    val aggLats: Seq[(BoundTable, Analyzer.BoundLateral)] = q.tables.flatMap(bt =>
+      q.derived.get(bt.binding) match {
+        case Some(l: Analyzer.BoundLateral) if l.agg => Some((bt, l))
+        case _ => None
+      })
+    val aggLatB = aggLats.map(_._1.binding).toSet
+    val plainTables = q.tables.filterNot(bt => aggLatB(bt.binding))
+    val base0 = plainTables.map { bt =>
       // a derived table lowers its subquery in place of a scan
       val df0 = q.derived.get(bt.binding) match {
         case Some(sub) => lowerDerived(spark, sub, source)
@@ -630,7 +697,10 @@ object Lowering {
     // LATERAL key equalities are JOIN conditions of the leading FROM
     // group: they always apply here — deferring them past a RIGHT/FULL
     // step would filter that step's null-extended rows away
-    val conj = conj1 ++ q.lateralConjs
+    val conj2 = conj1 ++ q.lateralConjs
+    // conjuncts reading an aggregate-lateral column wait for its join
+    val (aggLatConj, conj) = conj2.partition(c =>
+      Analyzer.exprCols(c).exists(x => aggLatB(x.binding)))
     // equi-conjunct across two bindings → usable as an explicit join cond
     def equiSides(c: BoundExpr): Option[(String, String)] = c match {
       case BoundExpr.BCmp(Ast.CmpOp.Eq, BoundOperand.BCol(a), BoundOperand.BCol(b))
@@ -646,7 +716,7 @@ object Lowering {
         val conjIdx = conj.zipWithIndex
         val used = scala.collection.mutable.Set.empty[Int]
         def build(t: JoinOrder.Tree): (DataFrame, Set[String]) = t match {
-          case JoinOrder.Leaf(i) => (base(i), Set(q.tables(i).binding))
+          case JoinOrder.Leaf(i) => (base(i), Set(plainTables(i).binding))
           case JoinOrder.Node(l, r, _) =>
             val (ld, ls) = build(l)
             val (rd, rs) = build(r)
@@ -670,10 +740,17 @@ object Lowering {
         if (conj.isEmpty) joined
         else joined.filter(conj.map(lowerExpr).reduce(_ && _))
     }
+    // aggregate LATERAL frames fuse in (their completion keys read the
+    // frame built so far), then conjuncts over their columns filter
+    val withAggLats = aggLats.foldLeft(plainFiltered) { case (df, (bt, l)) =>
+      joinAggLateral(spark, df, bt, l, source) }
+    val aggLatFiltered =
+      if (aggLatConj.isEmpty) withAggLats
+      else withAggLats.filter(aggLatConj.map(lowerExpr).reduce(_ && _))
     // join steps (outer, or inner-after-outer) fold in declaration order
     // with their ON attached; WHERE conjuncts touching these tables
     // filter afterwards (SQL order)
-    val withOuter = q.joinSteps.foldLeft(plainFiltered) { (df, js) =>
+    val withOuter = q.joinSteps.foldLeft(aggLatFiltered) { (df, js) =>
       // a derived step side lowers its subquery in place of a scan
       val right0 = q.derived.get(js.table.binding) match {
         case Some(sub) => lowerDerived(spark, sub, source)
@@ -1003,10 +1080,69 @@ object Lowering {
     joined.filter(ms.pred(cond)).drop(ms.drops.toSeq: _*)
   }
 
-  /** A derived table's body: a plain SELECT, or a set-op chain (each
-    * branch lowered independently, combined by lowerUnion).
+  /** Per-top-level-query lowering scope: reference counts of
+    * structurally-equal derived-table bodies (CTE reuse) plus the
+    * memoized frames. A body referenced twice lowers ONCE — multiply
+    * referenced plain bodies additionally localCheckpoint so the two
+    * consumers share one materialization instead of relying on Catalyst
+    * subplan reuse, and a recursive CTE referenced twice runs its
+    * fixpoint once. Bypassed inside a fixpoint's per-round step lowering
+    * (the frontier source rebinds every round, so the value-keyed memo
+    * would freeze round one).
+    */
+  private final class QueryScope(val rootSource: BoundTable => DataFrame) {
+    val refCount = scala.collection.mutable.Map.empty[Analyzer.BoundQuery, Int]
+    val memo = scala.collection.mutable.Map.empty[Analyzer.BoundQuery, DataFrame]
+  }
+  private val scopeTL = new ThreadLocal[QueryScope]()
+
+  /** Recursive-CTE fixpoint executions (observable for tests). */
+  @volatile var fixpointRuns: Long = 0L
+
+  def withQueryScope[T](q: Analyzer.BoundQuery,
+      source: BoundTable => DataFrame)(f: => T): T = {
+    val sc = new QueryScope(source)
+    countDerivedRefs(q, sc.refCount)
+    val prev = scopeTL.get()
+    scopeTL.set(sc)
+    try f finally scopeTL.set(prev)
+  }
+
+  private def countDerivedRefs(q: Analyzer.BoundQuery,
+      acc: scala.collection.mutable.Map[Analyzer.BoundQuery, Int]): Unit = q match {
+    case s: BoundSelect =>
+      s.derived.values.foreach { d =>
+        acc(d) = acc.getOrElse(d, 0) + 1
+        countDerivedRefs(d, acc)
+      }
+      Analyzer.exprSubqueriesOf(s).foreach(countDerivedRefs(_, acc))
+    case u: Analyzer.BoundUnion =>
+      (u.first +: u.rest.map(_._2)).foreach(countDerivedRefs(_, acc))
+    case r: Analyzer.BoundRecursive =>
+      countDerivedRefs(r.base, acc); countDerivedRefs(r.step, acc)
+    case l: Analyzer.BoundLateral => countDerivedRefs(l.sub, acc)
+    case _ => ()
+  }
+
+  /** A derived table's body: memoized per structurally-equal body within
+    * the enclosing top-level query (see QueryScope).
     */
   private def lowerDerived(spark: SparkSession, q: Analyzer.BoundQuery,
+      source: BoundTable => DataFrame): DataFrame = {
+    val sc = scopeTL.get()
+    if (sc == null || (sc.rootSource ne source))
+      lowerDerivedRaw(spark, q, source)
+    else sc.memo.getOrElseUpdate(q, {
+      val df = lowerDerivedRaw(spark, q, source)
+      q match {
+        case _: Analyzer.BoundRecursive => df // fixpoint acc is checkpointed
+        case _ if sc.refCount.getOrElse(q, 1) >= 2 => df.localCheckpoint()
+        case _ => df
+      }
+    })
+  }
+
+  private def lowerDerivedRaw(spark: SparkSession, q: Analyzer.BoundQuery,
       source: BoundTable => DataFrame): DataFrame = q match {
     case s: BoundSelect => lowerSelect(spark, s, source)
     case u: Analyzer.BoundUnion =>
@@ -1014,7 +1150,9 @@ object Lowering {
         u.rest.map { case (conn, b) => (conn, lowerSelect(spark, b, source)) },
         u.orderBy, u.limit, u.offset)
     case r: Analyzer.BoundRecursive => lowerRecursive(spark, r, source)
-    case l: Analyzer.BoundLateral   => lowerLateral(spark, l, source)
+    case l: Analyzer.BoundLateral   =>
+      if (l.agg) sys.error("unreachable: aggregate laterals join fused in combine")
+      lowerLateral(spark, l, source)
     case other => sys.error(s"not a derivable query: $other")
   }
 
@@ -1065,6 +1203,7 @@ object Lowering {
     */
   private def lowerRecursive(spark: SparkSession, r: Analyzer.BoundRecursive,
       source: BoundTable => DataFrame): DataFrame = {
+    fixpointRuns += 1
     val names = r.desc.attributes.map(_.name)
     val maxIter = 1000
     var acc = {

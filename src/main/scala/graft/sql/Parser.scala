@@ -144,8 +144,15 @@ object Parser {
         else if (p.isKw("delete")) parseDelete(p)
         else if (p.isKw("update")) parseUpdate(p)
         else if (p.isKw("drop")) parseDrop(p)
+        else if (p.isKw("refresh"))
+          for {
+            _ <- p.eatKw("refresh")
+            _ <- p.eatKw("materialized")
+            _ <- p.eatKw("view")
+            name <- p.ident()
+          } yield RefreshMatViewTree(name.toLowerCase)
         else Left(ParseError(
-          "expected SELECT, INSERT, CREATE, DROP, DELETE or UPDATE", p.peek.pos))
+          "expected SELECT, INSERT, CREATE, DROP, DELETE, UPDATE or REFRESH", p.peek.pos))
       tree.flatMap { t =>
         while (p.peek.isInstanceOf[TSym] && p.peek.asInstanceOf[TSym].s == ";") p.next()
         p.peek match {
@@ -572,13 +579,22 @@ object Parser {
             p.next()
             for {
               _ <- p.eatSym("(")
-              sel <- parseSelect(p)
+              sel <-
+                if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p)
               _ <- p.eatSym(")")
               alias <- p.peek match {
                 case TIdent(a, _) if !reserved(a) => p.next(); Right(a)
                 case t => Left(ParseError("a LATERAL subquery requires an alias", t.pos))
               }
-            } yield FLateral(sel, alias)
+            } yield sel match {
+              // a plain SELECT (incl. a WITH that desugared to one) takes
+              // the correlated-LATERAL path; set-op chains and recursive
+              // bodies behave as ordinary derived tables (LATERAL without
+              // correlation is just a derived table — correlated
+              // references inside them fail loudly at binding)
+              case s: SelectTree => FLateral(s, alias)
+              case other         => FDerived(other, alias)
+            }
           case TSym("(", _) =>
             p.next()
             for {
@@ -1234,12 +1250,16 @@ object Parser {
     } yield tree
   }
 
-  private def parseDrop(p: P): Either[ParseError, ParseTree] =
+  private def parseDrop(p: P): Either[ParseError, ParseTree] = {
+    // kind: 0 = table, 1 = view, 2 = materialized view
     for {
       _ <- p.eatKw("drop")
-      isView <-
-        if (p.isKw("view")) { p.next(); Right(true) }
-        else p.eatKw("table").map(_ => false)
+      kind <-
+        if (p.isKw("materialized")) {
+          p.next(); p.eatKw("view").map(_ => 2)
+        }
+        else if (p.isKw("view")) { p.next(); Right(1) }
+        else p.eatKw("table").map(_ => 0)
       ifExists <- Right {
         if (p.isKw("if")) {
           val save = p.i; p.next()
@@ -1247,9 +1267,12 @@ object Parser {
         } else false
       }
       name <- p.ident()
-    } yield
-      if (isView) DropViewTree(name.toLowerCase, ifExists)
-      else DropTree(name, ifExists)
+    } yield kind match {
+      case 2 => DropMatViewTree(name.toLowerCase, ifExists)
+      case 1 => DropViewTree(name.toLowerCase, ifExists)
+      case _ => DropTree(name, ifExists)
+    }
+  }
 
   /** Substitute stored-view references into any statement's SELECT parts
     * (the registry values are already fully substituted at CREATE VIEW
@@ -1349,6 +1372,16 @@ object Parser {
     } else Right(None: Option[(String, Int)])
 
   private def parseCreate(p: P): Either[ParseError, ParseTree] = {
+    if ({ val save = p.i; p.next(); val v = p.isKw("materialized"); p.i = save; v })
+      return for {
+        _ <- p.eatKw("create")
+        _ <- p.eatKw("materialized")
+        _ <- p.eatKw("view")
+        name <- p.ident()
+        bucket <- parseBucketClause(p)
+        _ <- p.eatKw("as")
+        body <- if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p)
+      } yield CreateMatViewTree(name.toLowerCase, body, bucket)
     if ({ val save = p.i; p.next(); val v = p.isKw("view"); p.i = save; v })
       return for {
         _ <- p.eatKw("create")

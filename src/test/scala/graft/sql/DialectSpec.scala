@@ -1041,6 +1041,28 @@ class DialectSpec extends AnyFunSuite {
       "(SELECT c.id FROM cars c WHERE c.owner_id = p.id LIMIT 1)").isLeft)
   }
 
+  test("correlated aggregate LATERAL: per-key stats including empty groups") {
+    val db = demoDb()
+    val r = db.select("SELECT p.name, t.n, t.mx FROM people p, " +
+      "LATERAL (SELECT count(*) AS n, max(c.id) AS mx FROM cars c " +
+      "WHERE c.owner_id = p.id) t ORDER BY p.id").toOption.get
+    // Marty owns no cars: the empty group still yields a row with
+    // count = 0 and a NULL max (SQL LATERAL-aggregate semantics)
+    assert(r.collect().toSeq == Seq(
+      Row("Elon", 1L, 1),
+      Row("Dr. Emmett L. „Doc“ Brown", 1L, 2),
+      Row("Marty McFly", 0L, null)))
+    // WHERE over the lateral's aggregate filters after the fused join
+    val f = db.select("SELECT p.name FROM people p, " +
+      "LATERAL (SELECT count(*) AS n FROM cars c WHERE c.owner_id = p.id) t " +
+      "WHERE t.n = 0").toOption.get
+    assert(f.collect().map(_.getString(0)).toSeq == Seq("Marty McFly"))
+    // aggregate laterals are FROM-list only
+    assert(db.select("SELECT p.name, t.n FROM people p LEFT JOIN " +
+      "LATERAL (SELECT count(*) AS n FROM cars c WHERE c.owner_id = p.id) t " +
+      "ON 1 = 1").isLeft)
+  }
+
   test("FROM-list LATERAL key equalities survive RIGHT/FULL join steps") {
     val db = demoDb()
     // a car owned by nobody: the RIGHT join must null-extend its row,
@@ -1122,6 +1144,109 @@ class DialectSpec extends AnyFunSuite {
     assert(ok.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("materialized views: CTAS + stale reads + REFRESH + persistence") {
+    val wh = Files.createTempDirectory("graft-mv-wh").toString
+    val db = new GraftDatabase(spark, wh)
+    db.query("CREATE TABLE src (k INT, v INT)")
+    db.query("INSERT INTO src VALUES (1, 10), (1, 20), (2, 30)")
+    val c = db.query("CREATE MATERIALIZED VIEW mv AS " +
+      "SELECT k, sum(v) AS s FROM src GROUP BY k")
+    assert(c.isRight, c)
+    def readMv(g: GraftDatabase): Seq[(Int, Long)] =
+      g.select("SELECT k, s FROM mv ORDER BY k").toOption.get
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(readMv(db) == Seq((1, 30L), (2, 30L)))
+    // stale until refreshed
+    db.query("INSERT INTO src VALUES (2, 5)")
+    assert(readMv(db) == Seq((1, 30L), (2, 30L)))
+    assert(db.query("REFRESH MATERIALIZED VIEW mv").isRight)
+    assert(readMv(db) == Seq((1, 30L), (2, 35L)))
+    // writes are rejected; DROP TABLE points at DROP MATERIALIZED VIEW
+    assert(db.query("INSERT INTO mv VALUES (9, 9)").isLeft)
+    assert(db.query("DELETE FROM mv").isLeft)
+    assert(db.query("DROP TABLE mv").isLeft)
+    // definition + data survive a catalog reload
+    val db2 = new GraftDatabase(spark, wh)
+    assert(readMv(db2) == Seq((1, 30L), (2, 35L)))
+    db2.query("INSERT INTO src VALUES (3, 7)")
+    assert(db2.query("REFRESH MATERIALIZED VIEW mv").isRight)
+    assert(readMv(db2) == Seq((1, 30L), (2, 35L), (3, 7L)))
+    // drop removes table + definition
+    assert(db2.query("DROP MATERIALIZED VIEW mv").isRight)
+    assert(db2.select("SELECT k FROM mv").isLeft)
+    assert(db2.query("REFRESH MATERIALIZED VIEW mv").isLeft)
+  }
+
+  test("materialized views keep their bucket layout across REFRESH") {
+    val db = demoDb()
+    db.query("CREATE MATERIALIZED VIEW mvb CLUSTERED BY (owner_id) INTO 4 BUCKETS " +
+      "AS SELECT owner_id, count(*) AS n FROM cars GROUP BY owner_id")
+    db.query("INSERT INTO cars VALUES (3, 'Batmobile', 1)")
+    assert(db.query("REFRESH MATERIALIZED VIEW mvb").isRight)
+    val r = db.select("SELECT owner_id, n FROM mvb ORDER BY owner_id").toOption.get
+    assert(r.collect().map(x => (x.getInt(0), x.getLong(1))).toSeq ==
+      Seq((1, 2L), (2, 1L)))
+    // the bucketed join over the refreshed image still avoids a shuffle
+    // of the bucketed side (bucket spec survived the rewrite)
+    val j = db.select("SELECT p.name, m.n FROM people p, mvb m " +
+      "WHERE m.owner_id = p.id ORDER BY p.id").toOption.get
+    assert(j.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("Elon", 2L), ("Dr. Emmett L. „Doc“ Brown", 1L)))
+  }
+
+  test("set-op and WITH bodies inside LATERAL") {
+    val db = demoDb()
+    // uncorrelated set-op body: plain derived-table semantics
+    val u = db.select("SELECT p.id, t.m FROM people p, " +
+      "LATERAL (SELECT model AS m FROM cars WHERE id = 1 " +
+      "UNION SELECT name AS m FROM people WHERE id = 3) t " +
+      "WHERE p.id = 1 ORDER BY t.m").toOption.get
+    assert(u.collect().map(_.getString(1)).toSeq == Seq("Marty McFly", "Tesla Model 3"))
+    // correlated WITH body: the CTE desugars into the lateral SELECT
+    val w = db.select("SELECT p.name, t.m FROM people p, " +
+      "LATERAL (WITH pc AS (SELECT model, owner_id FROM cars) " +
+      "SELECT model AS m FROM pc WHERE pc.owner_id = p.id) t " +
+      "ORDER BY p.id").toOption.get
+    assert(w.collect().map(_.getString(1)).toSeq ==
+      Seq("Tesla Model 3", "DeLorean DMC-12"))
+    // a CORRELATED set-op body fails loudly (unbound outer reference)
+    assert(db.select("SELECT p.id, t.m FROM people p, " +
+      "LATERAL (SELECT model AS m FROM cars c WHERE c.owner_id = p.id " +
+      "UNION SELECT name AS m FROM people WHERE id = 3) t").isLeft)
+  }
+
+  test("expression GROUP BY keys as HAVING correlation keys") {
+    val db = demoDb()
+    // group by mod(id, 2); the HAVING EXISTS correlates an inner column
+    // against the grouped EXPRESSION (joined on its post-agg alias)
+    val r = db.select("SELECT mod(p.id, 2) AS par, count(*) AS n FROM people p " +
+      "GROUP BY mod(p.id, 2) HAVING EXISTS (SELECT c.id FROM cars c " +
+      "WHERE c.owner_id = mod(p.id, 2)) ORDER BY par").toOption.get
+    assert(r.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 2L)))
+    // correlated scalar form over the same expression key
+    val sc = db.select("SELECT mod(p.id, 2) AS par, count(*) AS n FROM people p " +
+      "GROUP BY mod(p.id, 2) HAVING count(*) > (SELECT count(*) FROM cars c " +
+      "WHERE c.owner_id = mod(p.id, 2)) ORDER BY par").toOption.get
+    assert(sc.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((0L, 1L), (1L, 2L)))
+    // a correlation against a NON-grouped expression still rejects
+    assert(db.select("SELECT mod(p.id, 2) AS par, count(*) AS n FROM people p " +
+      "GROUP BY mod(p.id, 2) HAVING EXISTS (SELECT c.id FROM cars c " +
+      "WHERE c.owner_id = mod(p.id, 3))").isLeft)
+  }
+
+  test("a recursive CTE referenced twice runs its fixpoint once") {
+    val db = demoDb()
+    val before = Lowering.fixpointRuns
+    val r = db.select("WITH RECURSIVE r AS (SELECT 1 AS n UNION " +
+      "SELECT n + 1 AS n FROM r WHERE n < 4) " +
+      "SELECT a.n AS an, b.n AS bn FROM r a, r b WHERE a.n = b.n ORDER BY an")
+      .toOption.get
+    assert(r.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      (1L to 4L).map(i => (i, i)))
+    assert(Lowering.fixpointRuns - before == 1L)
+  }
+
   test("views substitute inside WITH RECURSIVE bodies") {
     val db = demoDb()
     db.query("CREATE VIEW pv AS SELECT id FROM people")
@@ -1160,9 +1285,10 @@ class DialectSpec extends AnyFunSuite {
     // correlated LIMIT without ORDER BY is rejected (top-N needs an order)
     assert(db.select("SELECT p.name FROM people p, " +
       "LATERAL (SELECT c.model FROM cars c WHERE c.owner_id = p.id LIMIT 1) t").isLeft)
-    // aggregate bodies point at correlated scalar subqueries instead
+    // grouped aggregate bodies stay rejected (group-less only)
     assert(db.select("SELECT p.name, t.n FROM people p, " +
-      "LATERAL (SELECT count(*) AS n FROM cars c WHERE c.owner_id = p.id) t").isLeft)
+      "LATERAL (SELECT model, count(*) AS n FROM cars c WHERE c.owner_id = p.id " +
+      "GROUP BY model) t").isLeft)
     // LEFT JOIN LATERAL preserves outer rows with empty lateral sets
     val lj = db.select("SELECT p.name, t.model FROM people p LEFT JOIN " +
       "LATERAL (SELECT c.model FROM cars c WHERE c.owner_id = p.id " +
