@@ -907,7 +907,7 @@ object Dialect {
 
     // A recursive CTE referenced twice: the fixpoint memoizes per query
     // scope (one execution, localCheckpoint shared by both references) —
-    // asserted by RecursiveReuseSpec; here the VALUES must agree with
+    // asserted by DialectSpec; here the VALUES must agree with
     // DuckDB's native recursive CTE self-join.
     "q_dialect_recursive_twice" -> QueryDef(
       (s, d) => run(db(s, d, "nation"),
