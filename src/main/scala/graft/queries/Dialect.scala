@@ -1279,6 +1279,35 @@ object Dialect {
       Some("""SELECT c_name AS name, c_acctbal AS bal FROM customer WHERE c_acctbal >= 9950
              |UNION ALL SELECT s_name AS name, s_acctbal AS bal FROM supplier WHERE s_acctbal >= 9950
              |UNION SELECT c_name AS name, c_acctbal AS bal FROM customer WHERE c_acctbal >= 9990
-             |ORDER BY name""".stripMargin))
+             |ORDER BY name""".stripMargin)),
+
+    // QUALIFY over a window alias (the DuckDB/Snowflake top-N-per-group
+    // clause): windows compute post-WHERE, the filter applies before
+    // ORDER BY. One window shuffle on the partition key — no self-join.
+    "q_dialect_qualify" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+          "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+          "FROM orders WHERE o_custkey <= 300 QUALIFY rn <= 2 ORDER BY o_custkey, rn"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |FROM orders WHERE o_custkey <= 300
+             |QUALIFY rn <= 2 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // QUALIFY with inline OVER calls (desugared to hidden window items
+    // and dropped from the output): a windowed aggregate conjoined with
+    // a ranking filter — both windows share one partition shuffle.
+    "q_dialect_qualify_inline" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+          "WHERE l_orderkey <= 1000 " +
+          "QUALIFY sum(l_quantity) OVER (PARTITION BY l_orderkey) > 100 " +
+          "AND row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) = 1 " +
+          "ORDER BY l_orderkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_orderkey <= 1000
+             |QUALIFY sum(l_quantity) OVER (PARTITION BY l_orderkey) > 100
+             |  AND row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) = 1
+             |ORDER BY l_orderkey""".stripMargin))
   )
 }

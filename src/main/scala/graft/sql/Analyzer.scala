@@ -101,6 +101,11 @@ object Analyzer {
       * date/timestamp operand — enforced at binding).
       */
     final case class BInterval(n: Long, unit: String) extends BoundOperand
+    /** A reference to a computed OUTPUT column by its projected name —
+      * QUALIFY scope only (window aliases resolve to the precomputed
+      * window column, which the lowering attaches before the filter).
+      */
+    final case class BOut(name: String, tpe: SqlType) extends BoundOperand
 
     /** Does the operand tree contain an aggregate call? */
     def containsAgg(o: BoundOperand): Boolean = o match {
@@ -464,7 +469,14 @@ object Analyzer {
         * from the user's WHERE so a RIGHT/FULL step cannot demote them
         * into post-join filters (which would drop null-extended rows).
         */
-      lateralConjs: Seq[BoundExpr] = Nil) extends BoundQuery {
+      lateralConjs: Seq[BoundExpr] = Nil,
+      /** QUALIFY predicate over window results (BOut references resolve
+        * to precomputed window columns; evaluated after windows, before
+        * DISTINCT/ORDER BY/LIMIT), plus the hidden window items desugared
+        * from inline OVER calls in the predicate.
+        */
+      qualify: Option[BoundExpr] = None,
+      qualifyWins: Seq[BoundItem] = Nil) extends BoundQuery {
     def isAggregate: Boolean = groupBy.nonEmpty || projection.exists {
       case _: BoundItem.BIAgg           => true
       case BoundItem.BIExpr(op, _)      => BoundOperand.containsAgg(op)
@@ -656,6 +668,17 @@ object Analyzer {
     case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
     case BoundOperand.BAgg(f, arg, _) => aggType(f, arg)
     case BoundOperand.BCast(_, t) => t
+    case BoundOperand.BOut(_, t)  => t
+  }
+
+  /** The output type of a window item (shared by derived-table schema
+    * derivation and QUALIFY alias resolution).
+    */
+  private def winItemType(f: String, args: Seq[BoundOperand]): SqlType = f match {
+    case "row_number" | "rank" | "dense_rank" | "ntile" => SqlType.SqlInt
+    case "percent_rank" | "cume_dist" => SqlType.SqlDouble
+    case "lag" | "lead" | "first_value" | "last_value" => operandType(args.head)
+    case other => aggType(other, args.headOption)
   }
 
   private def aggType(f: String, arg: Option[BoundOperand]): SqlType = f match {
@@ -685,12 +708,7 @@ object Analyzer {
         case BoundItem.BIAgg(f, _, None, _) =>
           Left(BadSubquery(s"derived-table column $f(…) needs an AS name"))
         case BoundItem.BIWin(f, args, _, _, a, _) =>
-          Right((a, f match {
-            case "row_number" | "rank" | "dense_rank" | "ntile" => SqlType.SqlInt
-            case "percent_rank" | "cume_dist" => SqlType.SqlDouble
-            case "lag" | "lead" | "first_value" | "last_value" => operandType(args.head)
-            case other          => aggType(other, args.headOption)
-          }))
+          Right((a, winItemType(f, args)))
         case BoundItem.BISub(sub, a, _, _) => Right((a, scalarOutputType(sub)))
       }
       named match {
@@ -1858,9 +1876,70 @@ object Analyzer {
         else Left(BadAggregate(
           "grouping() takes a single GROUP BY key column"))
       }
+      // QUALIFY: hidden inline-OVER window items bind like SELECT-list
+      // window items; the predicate then binds with window aliases
+      // resolving to BOut output references (everything else binds
+      // normally against the input tables)
+      qwins <- s.qualifyWins.foldLeft[Either[AnalyzerError, Vector[BoundItem]]](
+        Right(Vector.empty)) { (acc, w) => acc.flatMap(v => bindItem(w).map(v :+ _)) }
+      qualifyPred <- s.qualify match {
+        case None => Right(None: Option[BoundExpr])
+        case Some(e0) =>
+          val isAgg = group.nonEmpty || proj.exists {
+            case _: BoundItem.BIAgg      => true
+            case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
+            case _                       => false
+          }
+          val winTypes: Map[String, SqlType] = (proj ++ qwins).collect {
+            case BoundItem.BIWin(f, wargs, _, _, a, _) =>
+              a.toLowerCase -> winItemType(f, wargs)
+          }.toMap
+          if (isAgg)
+            Left(BadAggregate("QUALIFY over an aggregated query is not supported"))
+          else if (winTypes.isEmpty)
+            Left(BadFunction(
+              "QUALIFY requires a window function (an inline OVER call or a window alias)"))
+          else winTypes.keys.find(a => tables.exists(_.desc.attr(a).isDefined)) match {
+            // the lowering attaches window columns at their alias before
+            // the filter, so an alias shadowing an input column collides
+            case Some(a) => Left(BadFunction(
+              s"QUALIFY window alias '$a' shadows an input column"))
+            case None =>
+              def qOp(o: Operand): Either[AnalyzerError, BoundOperand] = o match {
+                case Operand.Col(ColRef(None, n)) if winTypes.contains(n.toLowerCase) =>
+                  Right(BoundOperand.BOut(n.toLowerCase, winTypes(n.toLowerCase)))
+                case Operand.Arith(c2, l, r) =>
+                  for { bl <- qOp(l); br <- qOp(r) }
+                    yield BoundOperand.BArith(c2, bl, br)
+                case Operand.Cast(x, t) => qOp(x).map(BoundOperand.BCast(_, t))
+                case other => bindOp(other, allowAgg = false)
+              }
+              def qE(x: Expr): Either[AnalyzerError, BoundExpr] = x match {
+                case Expr.And(l, r) =>
+                  for { a <- qE(l); b <- qE(r) } yield BoundExpr.BAnd(a, b)
+                case Expr.Or(l, r) =>
+                  for { a <- qE(l); b <- qE(r) } yield BoundExpr.BOr(a, b)
+                case Expr.Not(y)         => qE(y).map(BoundExpr.BNot.apply)
+                case Expr.IsNull(o, neg) => qOp(o).map(BoundExpr.BIsNull(_, neg))
+                case Expr.Like(o, pat, neg, ci, esc) =>
+                  qOp(o).map(BoundExpr.BLike(_, pat, neg, ci, esc))
+                case Expr.Cmp(op2, l, r) =>
+                  for {
+                    bl <- qOp(l)
+                    br <- qOp(r)
+                    _ <-
+                      if (SqlType.comparable(operandType(bl), operandType(br)))
+                        Right(())
+                      else Left(NotComparable(operandType(bl), operandType(br)))
+                  } yield BoundExpr.BCmp(op2, bl, br)
+                case _ => Left(BadSubquery("subqueries are not supported in QUALIFY"))
+              }
+              qE(e0).map(Some(_))
+          }
+      }
     } yield BoundSelect(innerTables, proj, pred, order, s.limit, s.offset, group,
       having, s.distinct, steps, derivedSubs.toMap, s.groupSpec,
-      lateralConjs.toSeq)
+      lateralConjs.toSeq, qualifyPred, qwins)
   }
 
   private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {

@@ -192,7 +192,16 @@ object Ast {
       having: Option[Expr] = None,
       distinct: Boolean = false,
       joinSteps: Seq[JoinStep] = Nil,
-      groupSpec: Option[GroupingSpec] = None) extends ParseTree
+      groupSpec: Option[GroupingSpec] = None,
+      /** QUALIFY <pred> — a filter over window-function results,
+        * evaluated after windows compute and before DISTINCT/ORDER BY
+        * (the DuckDB/Snowflake clause). The predicate references window
+        * items by their SELECT-list alias; inline `fn(...) OVER (...)`
+        * calls desugar at parse time into hidden window items
+        * (`qualifyWins`) referenced by a generated alias.
+        */
+      qualify: Option[Expr] = None,
+      qualifyWins: Seq[SelectItem.SWin] = Nil) extends ParseTree
 
   /** SELECT … {UNION [ALL] | INTERSECT | EXCEPT} SELECT … chains with a
     * trailing [ORDER BY …] [LIMIT n]. Connectors are encoded per step

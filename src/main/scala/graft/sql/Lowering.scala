@@ -91,8 +91,26 @@ object Lowering {
           }
           Some(ms)
         }
-      val base = projMs.fold(base0m)(_.joins.foldLeft(base0m) {
+      val base1 = projMs.fold(base0m)(_.joins.foldLeft(base0m) {
         case (d, (f, on)) => d.join(f, on, "left_outer") })
+      // QUALIFY: attach every window column (SELECT-list items AND the
+      // hidden inline-OVER items) at its alias, filter, and let the final
+      // projection read the precomputed columns (and drop hidden ones).
+      // Windows evaluate over the post-WHERE row set — SQL clause order.
+      val winsPre = q.qualify.isDefined
+      val base = q.qualify match {
+        case None => base1
+        case Some(qe) =>
+          val winItems = (q.projection ++ q.qualifyWins).collect {
+            case w: BoundItem.BIWin => w
+          }
+          val withWins = winItems.foldLeft(base1) {
+            case (d, BoundItem.BIWin(f, args, parts, ord, a, frame)) =>
+              d.withColumn(a, windowColumn(f, args, parts, ord, frame,
+                lowerOperandWith(_, qcol), qcol))
+          }
+          withWins.filter(lowerExprWith(qe, lowerOperandWith(_, qcol)))
+      }
       def projOperand(op: BoundOperand): Column =
         projMs.fold(lowerOperandWith(op, qcol))(_.operand(op))
       def outputCols: Seq[Column] = q.projection.zipWithIndex.map {
@@ -102,7 +120,8 @@ object Lowering {
         case (_: BoundItem.BIAgg, _) =>
           sys.error("unreachable: aggregate items take the aggregate branch")
         case (BoundItem.BIWin(f, args, parts, ord, a, frame), _) =>
-          windowColumn(f, args, parts, ord, frame,
+          if (winsPre) col(a).as(a)
+          else windowColumn(f, args, parts, ord, frame,
             lowerOperandWith(_, qcol), qcol).as(a)
       }
       if (q.distinct) {
@@ -221,6 +240,8 @@ object Lowering {
           val name = s"__h_${havingAggs.length}"
           havingAggs += ((f, arg, dist, name))
           col(name)
+        case BoundOperand.BOut(n, _) =>
+          sys.error(s"unreachable: QUALIFY output reference '$n' in aggregate scope")
       }
       def havingCol(e: BoundExpr): Column = e match {
         case BoundExpr.BAnd(l, r) => havingCol(l) && havingCol(r)
@@ -1407,6 +1428,9 @@ object Lowering {
       case BoundOperand.BCase(bs, els) =>
         caseCol(bs, els, lowerOperandWith(_, colOf))
       case BoundOperand.BCast(x, t) => lowerOperandWith(x, colOf).cast(t.spark)
+      // an output-column reference (QUALIFY): the window column is
+      // already attached at this name, bare resolution
+      case BoundOperand.BOut(n, _) => col(n)
       case other => lowerOperand(other)
     }
 
@@ -1445,6 +1469,7 @@ object Lowering {
     case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, lowerOperand)
     case BoundOperand.BCase(bs, els)   => caseCol(bs, els, lowerOperand)
     case BoundOperand.BCast(x, t)      => lowerOperand(x).cast(t.spark)
+    case BoundOperand.BOut(n, _)       => col(n)
     case BoundOperand.BAgg(f, _, _) =>
       sys.error(s"aggregate $f(...) outside aggregate scope")
   }

@@ -96,13 +96,37 @@ object Parser {
       case TIdent(s, _) if !reserved(s) => i += 1; Right(s)
       case t => Left(ParseError("expected identifier", t.pos))
     }
+    /** QUALIFY scope: when non-null, `fn(args) OVER (spec)` calls inside
+      * operand expressions desugar into hidden window items appended
+      * here, replaced by a generated-alias column reference.
+      */
+    var winSink: scala.collection.mutable.ArrayBuffer[SelectItem.SWin] = null
+    /** Is the cursor at `name ( … ) OVER`? (balanced-paren lookahead) */
+    def aheadOverCall: Boolean = toks.lift(i + 1) match {
+      case Some(TSym("(", _)) =>
+        var j = i + 2
+        var depth = 1
+        while (depth > 0 && j < toks.length) {
+          toks(j) match {
+            case TSym("(", _) => depth += 1
+            case TSym(")", _) => depth -= 1
+            case _            => ()
+          }
+          j += 1
+        }
+        depth == 0 && (toks.lift(j) match {
+          case Some(TIdent(s, _)) => s.equalsIgnoreCase("over")
+          case _                  => false
+        })
+      case _ => false
+    }
   }
 
   private val reservedWords = Set(
     "select", "from", "where", "and", "or", "insert", "into", "values",
     "create", "table", "primary", "key", "null", "not", "as",
     "delete", "update", "set", "order", "by", "limit", "asc", "desc", "group", "having",
-    "clustered", "buckets", "with",
+    "clustered", "buckets", "with", "qualify",
     "distinct", "join", "inner", "on", "between", "in", "like", "is",
     "exists", "left", "right", "full", "outer", "union", "all",
     "intersect", "except", "case", "when", "then", "else", "end")
@@ -366,6 +390,78 @@ object Parser {
       }
     }
 
+  /** ROWS/RANGE BETWEEN frame bound, in Spark's row-offset encoding. */
+  private def parseFrameBound(p: P): Either[ParseError, Long] = p.peek match {
+    case TIdent(k, _) if k.equalsIgnoreCase("unbounded") =>
+      p.next()
+      if (p.isKw("preceding")) { p.next(); Right(Long.MinValue) }
+      else if (p.isKw("following")) { p.next(); Right(Long.MaxValue) }
+      else Left(ParseError("expected PRECEDING or FOLLOWING", p.peek.pos))
+    case TIdent(k, _) if k.equalsIgnoreCase("current") =>
+      p.next(); p.eatKw("row").map(_ => 0L)
+    case TInt(v, _) =>
+      p.next()
+      if (p.isKw("preceding")) { p.next(); Right(-v) }
+      else if (p.isKw("following")) { p.next(); Right(v) }
+      else Left(ParseError("expected PRECEDING or FOLLOWING", p.peek.pos))
+    case t => Left(ParseError("expected a frame bound", t.pos))
+  }
+
+  /** OVER (PARTITION BY cols ORDER BY operands [ROWS|RANGE BETWEEN …]) */
+  private def parseOverSpec(p: P): Either[ParseError,
+      (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame])] =
+    for {
+      _ <- p.eatSym("(")
+      parts <-
+        if (p.isKw("partition")) {
+          p.next()
+          p.eatKw("by").flatMap { _ =>
+            def loop(acc: Vector[ColRef]): Either[ParseError, Vector[ColRef]] =
+              parseColRef(p).flatMap { c =>
+                p.peek match {
+                  case TSym(",", _) => p.next(); loop(acc :+ c)
+                  case _            => Right(acc :+ c)
+                }
+              }
+            loop(Vector.empty)
+          }
+        } else Right(Vector.empty[ColRef])
+      ord <-
+        if (p.isKw("order")) {
+          p.next()
+          p.eatKw("by").flatMap { _ =>
+            // aggregates allowed: over an aggregated query the
+            // window orders post-aggregation (ORDER BY count(*))
+            def one(): Either[ParseError, (Operand, Boolean)] =
+              parseOperand(p, allowAgg = true).map { c =>
+                if (p.isKw("desc")) { p.next(); (c, true) }
+                else if (p.isKw("asc")) { p.next(); (c, false) }
+                else (c, false)
+              }
+            def loop(acc: Vector[(Operand, Boolean)]): Either[ParseError, Vector[(Operand, Boolean)]] =
+              one().flatMap { o =>
+                p.peek match {
+                  case TSym(",", _) => p.next(); loop(acc :+ o)
+                  case _            => Right(acc :+ o)
+                }
+              }
+            loop(Vector.empty)
+          }
+        } else Right(Vector.empty[(Operand, Boolean)])
+      frame <-
+        if (p.isKw("rows") || p.isKw("range")) {
+          val isRange = p.isKw("range")
+          p.next()
+          for {
+            _ <- p.eatKw("between")
+            lo <- parseFrameBound(p)
+            _ <- p.eatKw("and")
+            hi <- parseFrameBound(p)
+          } yield Some(WinFrame(isRange, lo, hi))
+        } else Right(None: Option[WinFrame])
+      _ <- p.eatSym(")")
+    } yield (parts, ord, frame)
+
   private def parseSelect(p: P): Either[ParseError, SelectTree] = {
     for {
       _ <- p.eatKw("select")
@@ -379,81 +475,11 @@ object Parser {
           p.i = save; solo
         } => p.next(); Right(None)
         case _ =>
-          // ROWS BETWEEN frame bound, in Spark's row-offset encoding
-          def frameBound(): Either[ParseError, Long] = p.peek match {
-            case TIdent(k, _) if k.equalsIgnoreCase("unbounded") =>
-              p.next()
-              if (p.isKw("preceding")) { p.next(); Right(Long.MinValue) }
-              else if (p.isKw("following")) { p.next(); Right(Long.MaxValue) }
-              else Left(ParseError("expected PRECEDING or FOLLOWING", p.peek.pos))
-            case TIdent(k, _) if k.equalsIgnoreCase("current") =>
-              p.next(); p.eatKw("row").map(_ => 0L)
-            case TInt(v, _) =>
-              p.next()
-              if (p.isKw("preceding")) { p.next(); Right(-v) }
-              else if (p.isKw("following")) { p.next(); Right(v) }
-              else Left(ParseError("expected PRECEDING or FOLLOWING", p.peek.pos))
-            case t => Left(ParseError("expected a frame bound", t.pos))
-          }
-          // OVER (PARTITION BY cols ORDER BY operands [ROWS BETWEEN …])
-          def overSpec(): Either[ParseError,
-              (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame])] =
-            for {
-              _ <- p.eatSym("(")
-              parts <-
-                if (p.isKw("partition")) {
-                  p.next()
-                  p.eatKw("by").flatMap { _ =>
-                    def loop(acc: Vector[ColRef]): Either[ParseError, Vector[ColRef]] =
-                      parseColRef(p).flatMap { c =>
-                        p.peek match {
-                          case TSym(",", _) => p.next(); loop(acc :+ c)
-                          case _            => Right(acc :+ c)
-                        }
-                      }
-                    loop(Vector.empty)
-                  }
-                } else Right(Vector.empty[ColRef])
-              ord <-
-                if (p.isKw("order")) {
-                  p.next()
-                  p.eatKw("by").flatMap { _ =>
-                    // aggregates allowed: over an aggregated query the
-                    // window orders post-aggregation (ORDER BY count(*))
-                    def one(): Either[ParseError, (Operand, Boolean)] =
-                      parseOperand(p, allowAgg = true).map { c =>
-                        if (p.isKw("desc")) { p.next(); (c, true) }
-                        else if (p.isKw("asc")) { p.next(); (c, false) }
-                        else (c, false)
-                      }
-                    def loop(acc: Vector[(Operand, Boolean)]): Either[ParseError, Vector[(Operand, Boolean)]] =
-                      one().flatMap { o =>
-                        p.peek match {
-                          case TSym(",", _) => p.next(); loop(acc :+ o)
-                          case _            => Right(acc :+ o)
-                        }
-                      }
-                    loop(Vector.empty)
-                  }
-                } else Right(Vector.empty[(Operand, Boolean)])
-              frame <-
-                if (p.isKw("rows") || p.isKw("range")) {
-                  val isRange = p.isKw("range")
-                  p.next()
-                  for {
-                    _ <- p.eatKw("between")
-                    lo <- frameBound()
-                    _ <- p.eatKw("and")
-                    hi <- frameBound()
-                  } yield Some(WinFrame(isRange, lo, hi))
-                } else Right(None: Option[WinFrame])
-              _ <- p.eatSym(")")
-            } yield (parts, ord, frame)
           def winItem(fn: String, args: Seq[Operand],
               start: Int): Either[ParseError, SelectItem] =
             for {
               _ <- p.eatKw("over")
-              spec <- overSpec()
+              spec <- parseOverSpec(p)
               _ <-
                 if (p.isKw("as")) { p.next(); Right(()) }
                 else Left(ParseError("a window item requires AS <name>", start))
@@ -746,6 +772,18 @@ object Parser {
       having <-
         if (p.isKw("having")) { p.next(); parseOr(p, allowAgg = true).map(Some(_)) }
         else Right(None)
+      // QUALIFY <pred> (after HAVING, before ORDER BY — the DuckDB clause
+      // order): inline `fn(...) OVER (...)` calls in the predicate
+      // desugar into hidden window items via the parser's winSink
+      qualifyRes <-
+        if (p.isKw("qualify")) {
+          p.next()
+          val sink = scala.collection.mutable.ArrayBuffer.empty[SelectItem.SWin]
+          p.winSink = sink
+          val r = parseOr(p)
+          p.winSink = null
+          r.map(e => (Some(e): Option[Expr], sink.toVector))
+        } else Right((None: Option[Expr], Vector.empty[SelectItem.SWin]))
       orderBy <-
         if (p.isKw("order")) {
           p.next()
@@ -793,7 +831,8 @@ object Parser {
           }
         } else Right(None)
     } yield SelectTree(cols, fromAndOn._1, where, orderBy, limit, offset, groupBy,
-      having, distinct, fromAndOn._3, groupSpec)
+      having, distinct, fromAndOn._3, groupSpec,
+      qualify = qualifyRes._1, qualifyWins = qualifyRes._2)
   }
 
   private def parseOr(p: P, allowAgg: Boolean = false): Either[ParseError, Expr] =
@@ -1030,6 +1069,37 @@ object Parser {
             } else Left(ParseError(s"unknown INTERVAL unit '$u'", pos))
           case t => Left(ParseError("expected INTERVAL unit", t.pos))
         }
+      }
+    // QUALIFY scope: an inline `fn(args) OVER (spec)` call desugars into
+    // a hidden window item, replaced by its generated-alias reference
+    case TIdent(f, _) if p.winSink != null &&
+        (winFuncs(f.toLowerCase) || aggFuncs(f.toLowerCase)) && p.aheadOverCall =>
+      val fn = f.toLowerCase
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        args <- p.peek match {
+          case TSym(")", _) => Right(Vector.empty[Operand])
+          case TSym("*", pos) =>
+            if (fn == "count") { p.next(); Right(Vector.empty[Operand]) }
+            else Left(ParseError(s"$fn(*) is not valid", pos))
+          case _ =>
+            def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+              parseOperand(p, allowAgg = false).flatMap { a =>
+                p.peek match {
+                  case TSym(",", _) => p.next(); loop(acc :+ a)
+                  case _            => Right(acc :+ a)
+                }
+              }
+            loop(Vector.empty)
+        }
+        _ <- p.eatSym(")")
+        _ <- p.eatKw("over")
+        spec <- parseOverSpec(p)
+      } yield {
+        val alias = s"__qw${p.winSink.length}"
+        p.winSink += SelectItem.SWin(fn, args, spec._1, spec._2, alias, spec._3)
+        Operand.Col(ColRef(None, alias))
       }
     case TIdent(f, _) if allowAgg && aggFuncs(f.toLowerCase) =>
       // aggregate over a full (non-aggregate) expression: sum(a * b),

@@ -1809,4 +1809,63 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("INSERT INTO people VALUES (4, 'Biff', 40)").isRight)
     assert(db.select("SELECT id FROM people").toOption.get.count() == 4)
   }
+
+  private def qualifyDb(): GraftDatabase = {
+    val db = freshDb()
+    db.query("CREATE TABLE sales (grp INT, item VARCHAR(10), v INT)")
+    db.query("INSERT INTO sales VALUES (1, 'a', 10), (1, 'b', 30), (1, 'c', 20), " +
+      "(2, 'd', 5), (2, 'e', 50), (3, 'f', 7)")
+    db
+  }
+
+  test("QUALIFY over a window alias keeps top-N per group") {
+    val db = qualifyDb()
+    val df = db.select("SELECT grp, item, v, " +
+      "row_number() OVER (PARTITION BY grp ORDER BY v DESC) AS rn " +
+      "FROM sales QUALIFY rn <= 2 ORDER BY grp, rn").toOption.get
+    assert(df.columns.toSeq == Seq("grp", "item", "v", "rn"))
+    assert(df.collect().toSeq == Seq(
+      Row(1, "b", 30, 1), Row(1, "c", 20, 2),
+      Row(2, "e", 50, 1), Row(2, "d", 5, 2),
+      Row(3, "f", 7, 1)))
+  }
+
+  test("QUALIFY with inline OVER calls: hidden windows never reach the output") {
+    val db = qualifyDb()
+    val df = db.select("SELECT grp, item FROM sales " +
+      "QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC) = 1 " +
+      "ORDER BY grp").toOption.get
+    assert(df.columns.toSeq == Seq("grp", "item"))
+    assert(df.collect().toSeq == Seq(Row(1, "b"), Row(2, "e"), Row(3, "f")))
+    // a windowed aggregate conjunct, mixed with a plain column predicate
+    val mixed = db.select("SELECT grp, item, v FROM sales " +
+      "QUALIFY sum(v) OVER (PARTITION BY grp) > 50 AND v >= 20 " +
+      "ORDER BY grp, item").toOption.get
+    assert(mixed.collect().toSeq == Seq(
+      Row(1, "b", 30), Row(1, "c", 20), Row(2, "e", 50)))
+  }
+
+  test("QUALIFY windows evaluate post-WHERE (SQL clause order)") {
+    val db = qualifyDb()
+    // WHERE removes the group-1 maximum first, so rn=1 is the runner-up
+    val df = db.select("SELECT grp, item FROM sales WHERE v < 30 " +
+      "QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC) = 1 " +
+      "ORDER BY grp").toOption.get
+    assert(df.collect().toSeq == Seq(Row(1, "c"), Row(2, "d"), Row(3, "f")))
+  }
+
+  test("QUALIFY rejections: no window, aggregate scope, alias shadowing, subqueries") {
+    val db = qualifyDb()
+    // no window function anywhere in the predicate
+    assert(db.select("SELECT grp, v FROM sales QUALIFY v > 10").isLeft)
+    // aggregate scope is not supported
+    assert(db.select("SELECT grp, count(*) FROM sales GROUP BY grp " +
+      "QUALIFY row_number() OVER (ORDER BY grp) = 1").isLeft)
+    // a window alias shadowing an input column would collide at attach
+    assert(db.select("SELECT grp, row_number() OVER (PARTITION BY grp ORDER BY grp) AS v " +
+      "FROM sales QUALIFY v = 1").isLeft)
+    // subqueries inside QUALIFY are rejected loudly
+    assert(db.select("SELECT grp, row_number() OVER (ORDER BY grp) AS rn FROM sales " +
+      "QUALIFY rn = 1 AND EXISTS (SELECT grp FROM sales)").isLeft)
+  }
 }
