@@ -1308,6 +1308,30 @@ object Dialect {
              |WHERE l_orderkey <= 1000
              |QUALIFY sum(l_quantity) OVER (PARTITION BY l_orderkey) > 100
              |  AND row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) = 1
-             |ORDER BY l_orderkey""".stripMargin))
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    // DISTINCT ON (Postgres/DuckDB): first row per key under the ORDER
+    // BY, lowered as a row_number window + rn=1 filter that Catalyst
+    // plans as WindowGroupLimit (per-key state = one row).
+    "q_dialect_distinct_on" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice " +
+          "FROM orders WHERE o_custkey <= 300 " +
+          "ORDER BY o_custkey, o_totalprice DESC, o_orderkey"),
+      Some("""SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+             |FROM orders WHERE o_custkey <= 300
+             |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // GROUP BY ALL + ORDER BY ALL (DuckDB sugar): both desugar at parse
+    // time — the analyzer and lowering see an ordinary key list, so the
+    // plan is the same partial-aggregate shuffle as explicit keys.
+    "q_dialect_group_by_all" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+          "round(sum(o_totalprice), 2) AS total " +
+          "FROM orders GROUP BY ALL ORDER BY ALL"),
+      Some("""SELECT o_orderstatus, o_orderpriority, cast(count(*) AS bigint) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin))
   )
 }

@@ -476,7 +476,11 @@ object Analyzer {
         * from inline OVER calls in the predicate.
         */
       qualify: Option[BoundExpr] = None,
-      qualifyWins: Seq[BoundItem] = Nil) extends BoundQuery {
+      qualifyWins: Seq[BoundItem] = Nil,
+      /** DISTINCT ON keys (first row per key tuple under the ORDER BY,
+        * whose leading keys the analyzer verified match these).
+        */
+      distinctOn: Seq[BoundOperand] = Nil) extends BoundQuery {
     def isAggregate: Boolean = groupBy.nonEmpty || projection.exists {
       case _: BoundItem.BIAgg           => true
       case BoundItem.BIExpr(op, _)      => BoundOperand.containsAgg(op)
@@ -1808,9 +1812,11 @@ object Analyzer {
       }
       // SELECT DISTINCT reorders evaluation (project → distinct → sort),
       // so any sort key must itself be projected (an output alias is, by
-      // definition; a computed operand is not)
+      // definition; a computed operand is not). DISTINCT ON is exempt:
+      // its selection happens pre-projection (windowed first-row filter),
+      // so sort keys ride as hidden columns like the plain path.
       _ <-
-        if (!s.distinct) Right(())
+        if (!s.distinct || s.distinctOn.nonEmpty) Right(())
         else order.collectFirst {
           case (BoundOrderKey.OKOperand(BoundOperand.BCol(c)), _) if !proj.exists {
             case BoundItem.BICol(pc, _) =>
@@ -1937,9 +1943,52 @@ object Analyzer {
               qE(e0).map(Some(_))
           }
       }
+      // DISTINCT ON: bind the keys, then require the ORDER BY to lead
+      // with them (Postgres rule — the only thing that makes "first row
+      // per key" deterministic). Output aliases in the leading ORDER BY
+      // positions resolve to their projected expression for the match.
+      don <- {
+        val isAgg = group.nonEmpty || proj.exists {
+          case _: BoundItem.BIAgg      => true
+          case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
+          case _                       => false
+        }
+        if (s.distinctOn.isEmpty) Right(Vector.empty[BoundOperand])
+        else if (isAgg)
+          Left(BadAggregate("DISTINCT ON over an aggregated query is not supported"))
+        else s.distinctOn.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](
+          Right(Vector.empty)) { (acc, o) =>
+          acc.flatMap(v => bindOp(o, allowAgg = false).map(v :+ _))
+        }.flatMap { keys =>
+          def orderKeyOperand(k: BoundOrderKey): Option[BoundOperand] = k match {
+            case BoundOrderKey.OKOperand(op) => Some(op)
+            case BoundOrderKey.OKOutput(n) => proj.collectFirst {
+              case BoundItem.BICol(bc, Some(a)) if a.equalsIgnoreCase(n) =>
+                BoundOperand.BCol(bc)
+              case BoundItem.BIExpr(op, a) if a.equalsIgnoreCase(n) => op
+            }
+          }
+          if (order.length < keys.length ||
+              keys.zip(order).exists { case (k, (ok, _)) =>
+                !orderKeyOperand(ok).contains(k) })
+            Left(BadFunction(
+              "DISTINCT ON requires ORDER BY to lead with the ON expressions"))
+          else if (order.exists { case (k, _) => k match {
+            case BoundOrderKey.OKOutput(n) => proj.exists {
+              case BoundItem.BIWin(_, _, _, _, a, _) => a.equalsIgnoreCase(n)
+              case BoundItem.BISub(_, a, _, _)       => a.equalsIgnoreCase(n)
+              case _                                 => false
+            }
+            case _ => false
+          } })
+            Left(BadFunction(
+              "DISTINCT ON cannot ORDER BY a window or scalar-subquery alias"))
+          else Right(keys)
+        }
+      }
     } yield BoundSelect(innerTables, proj, pred, order, s.limit, s.offset, group,
       having, s.distinct, steps, derivedSubs.toMap, s.groupSpec,
-      lateralConjs.toSeq, qualifyPred, qwins)
+      lateralConjs.toSeq, qualifyPred, qwins, don)
   }
 
   private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {

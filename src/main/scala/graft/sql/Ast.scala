@@ -201,7 +201,13 @@ object Ast {
         * (`qualifyWins`) referenced by a generated alias.
         */
       qualify: Option[Expr] = None,
-      qualifyWins: Seq[SelectItem.SWin] = Nil) extends ParseTree
+      qualifyWins: Seq[SelectItem.SWin] = Nil,
+      /** SELECT DISTINCT ON (keys): keep the FIRST row per distinct key
+        * tuple under the query's ORDER BY (Postgres/DuckDB semantics —
+        * the ORDER BY must lead with the ON expressions, which makes the
+        * selection deterministic). `distinct` is also set.
+        */
+      distinctOn: Seq[Operand] = Nil) extends ParseTree
 
   /** SELECT … {UNION [ALL] | INTERSECT | EXCEPT} SELECT … chains with a
     * trailing [ORDER BY …] [LIMIT n]. Connectors are encoded per step

@@ -98,7 +98,7 @@ object Lowering {
       // projection read the precomputed columns (and drop hidden ones).
       // Windows evaluate over the post-WHERE row set — SQL clause order.
       val winsPre = q.qualify.isDefined
-      val base = q.qualify match {
+      val baseQ = q.qualify match {
         case None => base1
         case Some(qe) =>
           val winItems = (q.projection ++ q.qualifyWins).collect {
@@ -110,6 +110,25 @@ object Lowering {
                 lowerOperandWith(_, qcol), qcol))
           }
           withWins.filter(lowerExprWith(qe, lowerOperandWith(_, qcol)))
+      }
+      // DISTINCT ON: first row per key tuple under the query ORDER BY —
+      // a row_number window partitioned on the ON keys (one shuffle;
+      // Catalyst plans the rn=1 filter as WindowGroupLimit, so per-key
+      // state is one row, never a per-key sort buffer)
+      val base = if (q.distinctOn.isEmpty) baseQ else {
+        def okCol(k: BoundOrderKey): Column = k match {
+          case BoundOrderKey.OKOperand(op) => lowerOperandWith(op, qcol)
+          case BoundOrderKey.OKOutput(n) => q.projection.collectFirst {
+            case BoundItem.BICol(bc, Some(a)) if a.equalsIgnoreCase(n) => qcol(bc)
+            case BoundItem.BIExpr(op, a) if a.equalsIgnoreCase(n) =>
+              lowerOperandWith(op, qcol)
+          }.getOrElse(sys.error(s"unreachable DISTINCT ON order alias $n"))
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(q.distinctOn.map(lowerOperandWith(_, qcol)): _*)
+          .orderBy(q.orderBy.map { case (k, dir) => sortCol(okCol(k), dir) }: _*)
+        baseQ.withColumn("__don", row_number().over(w))
+          .filter(col("__don") === 1).drop("__don")
       }
       def projOperand(op: BoundOperand): Column =
         projMs.fold(lowerOperandWith(op, qcol))(_.operand(op))
@@ -124,10 +143,12 @@ object Lowering {
           else windowColumn(f, args, parts, ord, frame,
             lowerOperandWith(_, qcol), qcol).as(a)
       }
-      if (q.distinct) {
+      if (q.distinct && q.distinctOn.isEmpty) {
         // DISTINCT applies to the PROJECTED rows, so evaluation reorders:
         // project → distinct → sort on output names (the analyzer already
         // required sort keys to be projected or output aliases) → limit
+        // (DISTINCT ON took the pre-projection first-row filter instead
+        // and falls through to the plain ordered path)
         val projected = base.select(outputCols: _*).distinct()
         val ordered = if (q.orderBy.isEmpty) projected else projected.orderBy(
           q.orderBy.map {

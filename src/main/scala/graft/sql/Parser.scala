@@ -390,6 +390,29 @@ object Parser {
       }
     }
 
+  /** Parse-level aggregate detection (GROUP BY ALL desugars to the
+    * non-aggregate SELECT items at parse time).
+    */
+  private def operandHasAgg(o: Operand): Boolean = o match {
+    case Operand.AggCall(_, _, _) => true
+    case Operand.Arith(_, l, r)   => operandHasAgg(l) || operandHasAgg(r)
+    case Operand.FuncCall(_, as)  => as.exists(operandHasAgg)
+    case Operand.Cast(x, _)       => operandHasAgg(x)
+    case Operand.CaseWhen(bs, els) =>
+      bs.exists { case (c, v) => exprHasAgg(c) || operandHasAgg(v) } ||
+        els.exists(operandHasAgg)
+    case _ => false
+  }
+  private def exprHasAgg(e: Expr): Boolean = e match {
+    case Expr.And(l, r)       => exprHasAgg(l) || exprHasAgg(r)
+    case Expr.Or(l, r)        => exprHasAgg(l) || exprHasAgg(r)
+    case Expr.Not(x)          => exprHasAgg(x)
+    case Expr.Cmp(_, l, r)    => operandHasAgg(l) || operandHasAgg(r)
+    case Expr.IsNull(o, _)    => operandHasAgg(o)
+    case Expr.Like(o, _, _, _, _) => operandHasAgg(o)
+    case _ => false
+  }
+
   /** ROWS/RANGE BETWEEN frame bound, in Spark's row-offset encoding. */
   private def parseFrameBound(p: P): Either[ParseError, Long] = p.peek match {
     case TIdent(k, _) if k.equalsIgnoreCase("unbounded") =>
@@ -466,6 +489,29 @@ object Parser {
     for {
       _ <- p.eatKw("select")
       distinct <- Right { if (p.isKw("distinct")) { p.next(); true } else false }
+      // DISTINCT ON (expr, …): first-row-per-key selection
+      distinctOn <-
+        if (distinct && p.isKw("on") && {
+          val save = p.i; p.next()
+          val isP = p.peek match { case TSym("(", _) => true; case _ => false }
+          p.i = save; isP
+        }) {
+          p.next()
+          for {
+            _ <- p.eatSym("(")
+            keys <- {
+              def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+                parseOperand(p).flatMap { o =>
+                  p.peek match {
+                    case TSym(",", _) => p.next(); loop(acc :+ o)
+                    case _            => Right(acc :+ o)
+                  }
+                }
+              loop(Vector.empty)
+            }
+            _ <- p.eatSym(")")
+          } yield keys
+        } else Right(Vector.empty[Operand])
       cols <- p.peek match {
         case TSym("*", _) if {
           // solo `SELECT *` keeps the legacy whole-row form; `*` followed
@@ -692,6 +738,33 @@ object Parser {
         if (p.isKw("group")) {
           p.next()
           p.eatKw("by").flatMap { _ =>
+            // GROUP BY ALL (DuckDB): group by every SELECT item that
+            // contains no aggregate — desugared here, so the analyzer
+            // sees an ordinary key list. Aggregate-only SELECT lists
+            // desugar to the empty key list = global aggregation.
+            if (p.isKw("all")) {
+              val pos = p.peek.pos
+              p.next()
+              cols match {
+                case None => Left(ParseError(
+                  "GROUP BY ALL requires an explicit SELECT list", pos))
+                case Some(items) =>
+                  items.foldLeft[Either[ParseError, Vector[Operand]]](
+                    Right(Vector.empty)) { (acc, it) =>
+                    acc.flatMap { v =>
+                      it match {
+                        case SelectItem.SCol(ref, _) => Right(v :+ Operand.Col(ref))
+                        case SelectItem.SExpr(op, _) =>
+                          if (operandHasAgg(op)) Right(v) else Right(v :+ op)
+                        case SelectItem.SAgg(_, _, _, _) => Right(v)
+                        case _ => Left(ParseError(
+                          "GROUP BY ALL supports plain column, expression and aggregate items",
+                          pos))
+                      }
+                    }
+                  }.map(ks => (ks, None: Option[GroupingSpec]))
+              }
+            } else {
             // full operands: plain columns, output aliases, or inline
             // expressions (GROUP BY substr(name, 1, 2))
             def operandList(): Either[ParseError, Vector[Operand]] = {
@@ -765,6 +838,7 @@ object Parser {
               } yield (keys.toVector,
                 Some(GroupingSpec.Sets(sets)): Option[GroupingSpec])
             } else operandList().map(ks => (ks, None: Option[GroupingSpec]))
+            }
           }
         } else Right((Vector.empty[Operand], None: Option[GroupingSpec]))
       groupBy = groupRes._1
@@ -788,6 +862,43 @@ object Parser {
         if (p.isKw("order")) {
           p.next()
           p.eatKw("by").flatMap { _ =>
+            // ORDER BY ALL [ASC|DESC] (DuckDB): sort by every SELECT item
+            // left-to-right — plain columns by reference, everything else
+            // by its output alias (unaliased computed items are rejected;
+            // unaliased aggregates sort by the aggregate call itself)
+            if (p.isKw("all")) {
+              val pos = p.peek.pos
+              p.next()
+              val desc =
+                if (p.isKw("desc")) { p.next(); true }
+                else if (p.isKw("asc")) { p.next(); false }
+                else false
+              cols match {
+                case None => Left(ParseError(
+                  "ORDER BY ALL requires an explicit SELECT list", pos))
+                case Some(items) =>
+                  items.foldLeft[Either[ParseError, Vector[(Operand, SortDir)]]](
+                    Right(Vector.empty)) { (acc, it) =>
+                    acc.flatMap { v =>
+                      val key: Either[ParseError, Operand] = it match {
+                        case SelectItem.SCol(ref, None)    => Right(Operand.Col(ref))
+                        case SelectItem.SCol(_, Some(a))   => Right(Operand.Col(ColRef(None, a)))
+                        case SelectItem.SExpr(_, a)        => Right(Operand.Col(ColRef(None, a)))
+                        case SelectItem.SAgg(_, _, Some(a), _) =>
+                          Right(Operand.Col(ColRef(None, a)))
+                        case SelectItem.SAgg(f, arg, None, d) =>
+                          Right(Operand.AggCall(f, arg, d))
+                        case SelectItem.SWin(_, _, _, _, a, _) =>
+                          Right(Operand.Col(ColRef(None, a)))
+                        case SelectItem.SSub(_, a) => Right(Operand.Col(ColRef(None, a)))
+                        case _: SelectItem.SStar => Left(ParseError(
+                          "ORDER BY ALL does not support * items", pos))
+                      }
+                      key.map(k => v :+ (k -> SortDir(desc)))
+                    }
+                  }
+              }
+            } else {
             // full operands: a column, an output alias, an aggregate call
             // (ORDER BY count(*) DESC — the top-k-groups shape), arithmetic;
             // each key takes [ASC|DESC] [NULLS FIRST|LAST]
@@ -812,6 +923,7 @@ object Parser {
                 }
               }
             loop(Vector.empty)
+            }
           }
         } else Right(Vector.empty[(Operand, SortDir)])
       limit <-
@@ -832,7 +944,8 @@ object Parser {
         } else Right(None)
     } yield SelectTree(cols, fromAndOn._1, where, orderBy, limit, offset, groupBy,
       having, distinct, fromAndOn._3, groupSpec,
-      qualify = qualifyRes._1, qualifyWins = qualifyRes._2)
+      qualify = qualifyRes._1, qualifyWins = qualifyRes._2,
+      distinctOn = distinctOn)
   }
 
   private def parseOr(p: P, allowAgg: Boolean = false): Either[ParseError, Expr] =

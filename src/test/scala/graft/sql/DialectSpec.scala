@@ -1854,6 +1854,50 @@ class DialectSpec extends AnyFunSuite {
     assert(df.collect().toSeq == Seq(Row(1, "c"), Row(2, "d"), Row(3, "f")))
   }
 
+  test("DISTINCT ON keeps the first row per key under the ORDER BY") {
+    val db = qualifyDb()
+    val df = db.select("SELECT DISTINCT ON (grp) grp, item, v FROM sales " +
+      "ORDER BY grp, v DESC").toOption.get
+    assert(df.columns.toSeq == Seq("grp", "item", "v"))
+    assert(df.collect().toSeq == Seq(
+      Row(1, "b", 30), Row(2, "e", 50), Row(3, "f", 7)))
+    // trailing sort keys beyond the ON prefix act as the tiebreak
+    val asc = db.select("SELECT DISTINCT ON (grp) grp, item FROM sales " +
+      "ORDER BY grp, v, item").toOption.get
+    assert(asc.collect().toSeq == Seq(Row(1, "a"), Row(2, "d"), Row(3, "f")))
+  }
+
+  test("DISTINCT ON rejections: missing/mismatched ORDER BY prefix, aggregate scope") {
+    val db = qualifyDb()
+    // no ORDER BY at all → nondeterministic, rejected
+    assert(db.select("SELECT DISTINCT ON (grp) grp, v FROM sales").isLeft)
+    // ORDER BY does not lead with the ON expression
+    assert(db.select("SELECT DISTINCT ON (grp) grp, v FROM sales ORDER BY v").isLeft)
+    // aggregate scope
+    assert(db.select("SELECT DISTINCT ON (grp) grp, count(*) FROM sales " +
+      "GROUP BY grp ORDER BY grp").isLeft)
+  }
+
+  test("GROUP BY ALL groups by the non-aggregate items; ORDER BY ALL sorts by all items") {
+    val db = qualifyDb()
+    val df = db.select("SELECT grp, count(*) AS n, sum(v) AS total FROM sales " +
+      "GROUP BY ALL ORDER BY ALL").toOption.get
+    assert(df.columns.toSeq == Seq("grp", "n", "total"))
+    assert(df.collect().toSeq == Seq(
+      Row(1, 3L, 60L), Row(2, 2L, 55L), Row(3, 1L, 7L)))
+    // aggregate-only SELECT list = global aggregation (empty key list)
+    val global = db.select("SELECT count(*) AS n FROM sales GROUP BY ALL").toOption.get
+    assert(global.collect().toSeq == Seq(Row(6L)))
+    // ORDER BY ALL DESC applies to every key, non-aggregate query
+    val desc = db.select("SELECT grp, item FROM sales WHERE v >= 20 " +
+      "ORDER BY ALL DESC").toOption.get
+    assert(desc.collect().toSeq == Seq(Row(2, "e"), Row(1, "c"), Row(1, "b")))
+    // an expression item groups by the expression
+    val expr = db.select("SELECT v % 2 AS parity, count(*) AS n FROM sales " +
+      "GROUP BY ALL ORDER BY parity").toOption.get
+    assert(expr.collect().toSeq == Seq(Row(0L, 4L), Row(1L, 2L)))
+  }
+
   test("QUALIFY rejections: no window, aggregate scope, alias shadowing, subqueries") {
     val db = qualifyDb()
     // no window function anywhere in the predicate
