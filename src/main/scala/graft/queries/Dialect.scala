@@ -1332,6 +1332,48 @@ object Dialect {
           "FROM orders GROUP BY ALL ORDER BY ALL"),
       Some("""SELECT o_orderstatus, o_orderpriority, cast(count(*) AS bigint) AS n,
              |  round(sum(o_totalprice), 2) AS total
-             |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin))
+             |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin)),
+
+    // Ordered string aggregation: the group collects once, sorts its own
+    // array by the ORDER BY key, and joins — per-group cost identical to
+    // any engine's ordered string_agg (the group must buffer either way).
+    "q_dialect_string_agg" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "nation"),
+        "SELECT n_name, count(*) AS n, string_agg(c_name, ',' ORDER BY c_name) AS names " +
+          "FROM customer c, nation n " +
+          "WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal >= 9900 " +
+          "GROUP BY n_name ORDER BY n_name"),
+      Some("""SELECT n_name, cast(count(*) AS bigint) AS n,
+             |  string_agg(c_name, ',' ORDER BY c_name) AS names
+             |FROM customer c, nation n
+             |WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal >= 9900
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // count_if sugar (desugars to count(CASE WHEN p THEN 1 END), so the
+    // plan is the same partial-count aggregate as FILTER).
+    "q_dialect_count_if" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderstatus, count(*) AS n, " +
+          "count_if(o_totalprice > 200000) AS big " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      Some("""SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+             |  cast(count_if(o_totalprice > 200000) AS bigint) AS big
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // nth_value over a full frame (deterministic: total ORDER BY inside
+    // the partition, UNBOUNDED..UNBOUNDED frame).
+    "q_dialect_nth_value" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+          "nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey " +
+          "ORDER BY o_totalprice DESC, o_orderkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_best " +
+          "FROM orders WHERE o_custkey <= 100 ORDER BY o_custkey, o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_best
+             |FROM orders WHERE o_custkey <= 100
+             |ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 }

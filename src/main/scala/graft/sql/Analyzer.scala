@@ -106,10 +106,16 @@ object Analyzer {
       * window column, which the lowering attaches before the filter).
       */
     final case class BOut(name: String, tpe: SqlType) extends BoundOperand
+    /** Ordered aggregate: string_agg(v, sep ORDER BY keys) — the keys'
+      * shared direction rides on each pair (analyzer enforces equality).
+      */
+    final case class BOrderedAgg(func: String, arg: BoundOperand, sep: String,
+        order: Seq[(BoundOperand, Boolean)]) extends BoundOperand
 
     /** Does the operand tree contain an aggregate call? */
     def containsAgg(o: BoundOperand): Boolean = o match {
       case _: BAgg          => true
+      case _: BOrderedAgg   => true
       case BArith(_, l, r)  => containsAgg(l) || containsAgg(r)
       case BFunc(_, args)   => args.exists(containsAgg)
       case BCast(x, _)      => containsAgg(x)
@@ -245,6 +251,8 @@ object Analyzer {
     case BoundOperand.BCol(c)         => Seq(c)
     case BoundOperand.BArith(_, l, r) => operandColsDeep(l) ++ operandColsDeep(r)
     case BoundOperand.BAgg(_, arg, _) => arg.toSeq.flatMap(operandColsDeep)
+    case BoundOperand.BOrderedAgg(_, arg, _, ord) =>
+      operandColsDeep(arg) ++ ord.flatMap(k => operandColsDeep(k._1))
     case BoundOperand.BFunc(_, args)  => args.flatMap(operandColsDeep)
     case BoundOperand.BCast(x, _)     => operandColsDeep(x)
     case BoundOperand.BCase(bs, els) =>
@@ -673,6 +681,7 @@ object Analyzer {
     case BoundOperand.BAgg(f, arg, _) => aggType(f, arg)
     case BoundOperand.BCast(_, t) => t
     case BoundOperand.BOut(_, t)  => t
+    case BoundOperand.BOrderedAgg(_, _, _, _) => SqlType.SqlVarChar(65535)
   }
 
   /** The output type of a window item (shared by derived-table schema
@@ -681,7 +690,7 @@ object Analyzer {
   private def winItemType(f: String, args: Seq[BoundOperand]): SqlType = f match {
     case "row_number" | "rank" | "dense_rank" | "ntile" => SqlType.SqlInt
     case "percent_rank" | "cume_dist" => SqlType.SqlDouble
-    case "lag" | "lead" | "first_value" | "last_value" => operandType(args.head)
+    case "lag" | "lead" | "first_value" | "last_value" | "nth_value" => operandType(args.head)
     case other => aggType(other, args.headOption)
   }
 
@@ -736,7 +745,7 @@ object Analyzer {
     case BoundItem.BIWin(f, args, _, _, _, _) => f match {
       case "row_number" | "rank" | "dense_rank" | "ntile" => SqlType.SqlInt
       case "percent_rank" | "cume_dist" => SqlType.SqlDouble
-      case "lag" | "lead" | "first_value" | "last_value" => operandType(args.head)
+      case "lag" | "lead" | "first_value" | "last_value" | "nth_value" => operandType(args.head)
       case other => aggType(other, args.headOption)
     }
     case BoundItem.BISub(inner, _, _, _) => scalarOutputType(inner)
@@ -1208,6 +1217,20 @@ object Analyzer {
         }
       case Operand.AggCall(f, _, _) =>
         Left(BadAggregate(s"$f(...) is not valid in this context"))
+      case Operand.OrderedAgg(f, arg, sep, ord, _) if allowAgg =>
+        for {
+          barg <- bindOp(arg, allowAgg = false)
+          _ <-
+            if (operandType(barg).isInstanceOf[SqlType.SqlVarChar]) Right(())
+            else Left(BadAggregate(
+              s"$f aggregates strings — CAST the argument (got ${operandType(barg).render})"))
+          bord <- ord.foldLeft[Either[AnalyzerError, Vector[(BoundOperand, Boolean)]]](
+            Right(Vector.empty)) { case (acc, (k, d)) =>
+            acc.flatMap(v => bindOp(k, allowAgg = false).map(b => v :+ (b -> d)))
+          }
+        } yield BoundOperand.BOrderedAgg(f, barg, sep, bord)
+      case Operand.OrderedAgg(f, _, _, _, _) =>
+        Left(BadAggregate(s"$f(...) is not valid in this context"))
       case Operand.Cast(o, t) =>
         bindOp(o, allowAgg, allowSub).map(BoundOperand.BCast(_, t))
       case Operand.FuncCall(f, args) =>
@@ -1432,7 +1455,7 @@ object Analyzer {
         val ranking = Set("row_number", "rank", "dense_rank",
           "ntile", "percent_rank", "cume_dist")(f)
         val shifting = f == "lag" || f == "lead"
-        val positional = f == "first_value" || f == "last_value"
+        val positional = f == "first_value" || f == "last_value" || f == "nth_value"
         for {
           _ <-
             if (f == "grouping")
@@ -1455,7 +1478,13 @@ object Analyzer {
               Left(BadFunction(s"$f offset must be an integer literal"))
             else if (shifting && args.length == 3 && !args(2).isInstanceOf[Operand.Literal])
               Left(BadFunction(s"$f default must be a literal"))
-            else if (positional && args.length != 1)
+            else if (f == "nth_value" && !(args.length == 2 && (args(1) match {
+              case Operand.Literal(Lit.LitLong(n)) => n > 0
+              case _ => false
+            })))
+              Left(BadFunction(
+                "nth_value takes a value and a positive integer literal"))
+            else if (positional && f != "nth_value" && args.length != 1)
               Left(BadFunction(s"$f takes exactly one argument"))
             else if (!ranking && !shifting && !positional && args.isEmpty && f != "count")
               Left(BadFunction(s"windowed $f requires an argument"))

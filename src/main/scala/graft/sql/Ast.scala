@@ -70,6 +70,12 @@ object Ast {
       * the right operand of + / - against a date/timestamp.
       */
     final case class Interval(n: Long, unit: String) extends Operand
+    /** An ordered aggregate: string_agg(v, 'sep' [ORDER BY k [DESC], …]).
+      * Carries its own intra-group ordering — the lowering sorts the
+      * collected group by the keys before joining.
+      */
+    final case class OrderedAgg(func: String, arg: Operand, sep: String,
+        order: Seq[(Operand, Boolean)], distinct: Boolean) extends Operand
   }
 
   sealed trait Expr

@@ -248,7 +248,7 @@ object Lowering {
       // hidden columns next to the projected ones; the final projection
       // drops them
       val havingAggs =
-        scala.collection.mutable.ArrayBuffer.empty[(String, Option[BoundOperand], Boolean, String)]
+        scala.collection.mutable.ArrayBuffer.empty[(BoundOperand, String)]
       def havingOperand(o: BoundOperand): Column = o match {
         case BoundOperand.BCol(c) => col(groupOut(c))
         case BoundOperand.BLit(l) => lowerLit(l)
@@ -257,9 +257,13 @@ object Lowering {
         case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, havingOperand)
         case BoundOperand.BCase(bs, els)   => caseCol(bs, els, havingOperand)
         case BoundOperand.BCast(x, t)      => havingOperand(x).cast(t.spark)
-        case BoundOperand.BAgg(f, arg, dist) =>
+        case a @ BoundOperand.BAgg(_, _, _) =>
           val name = s"__h_${havingAggs.length}"
-          havingAggs += ((f, arg, dist, name))
+          havingAggs += ((a, name))
+          col(name)
+        case a @ BoundOperand.BOrderedAgg(_, _, _, _) =>
+          val name = s"__h_${havingAggs.length}"
+          havingAggs += ((a, name))
           col(name)
         case BoundOperand.BOut(n, _) =>
           sys.error(s"unreachable: QUALIFY output reference '$n' in aggregate scope")
@@ -377,8 +381,31 @@ object Lowering {
           i -> windowColumn(f, args, parts, ord, frame, aggScopeOperand,
             bc => col(groupOut(bc)))
       }
-      val hiddenExprs = havingAggs.map { case (f, arg, dist, name) =>
-        aggCol(f, arg, dist).as(name) }
+      // ordered aggregate (string_agg ORDER BY): collect (keys, value)
+      // pairs — NULL values skipped like SQL — sort the group's array
+      // once (struct comparison = lexicographic by key position), then
+      // join. The group buffers exactly once, the same cost any engine
+      // pays for an ordered string aggregate.
+      def orderedAggCol(arg: BoundOperand, sep: String,
+          ord: Seq[(BoundOperand, Boolean)]): Column = {
+        val v = lowerOperandWith(arg, qcol)
+        if (ord.isEmpty) string_agg(v, lit(sep))
+        else {
+          val pair = struct(ord.zipWithIndex.map { case ((k, _), i) =>
+            lowerOperandWith(k, qcol).as(s"k$i") } :+ v.as("v"): _*)
+          val sorted = array_sort(collect_list(when(v.isNotNull, pair)))
+          val dir = if (ord.head._2) reverse(sorted) else sorted
+          array_join(transform(dir, x => x.getField("v")), sep)
+        }
+      }
+      def aggNodeCol(node: BoundOperand): Column = node match {
+        case BoundOperand.BAgg(f, arg, dist) => aggCol(f, arg, dist)
+        case BoundOperand.BOrderedAgg(_, arg, sep, ord) =>
+          orderedAggCol(arg, sep, ord)
+        case other => sys.error(s"unreachable hidden aggregate $other")
+      }
+      val hiddenExprs = havingAggs.map { case (node, name) =>
+        aggNodeCol(node).as(name) }
       val allAggs = aggExprs ++ hiddenExprs
       val keyCols = q.groupBy.map {
         case BoundGroupKey.GKCol(bc)     => qcol(bc).as(groupOut(bc))
@@ -404,7 +431,7 @@ object Lowering {
             case BoundGroupKey.GKExpr(_, a)  => a
           }
           val aggNames = aggItems.map { case (_, _, _, _, i) => aggName(i) } ++
-            havingAggs.map(_._4)
+            havingAggs.map(_._2)
           val g = spec match {
             case Ast.GroupingSpec.Rollup => filtered0.rollup(rawKeys: _*)
             case Ast.GroupingSpec.Cube   => filtered0.cube(rawKeys: _*)
@@ -563,6 +590,8 @@ object Lowering {
       case ("lead", x +: _)      => lead(opLower(x), shiftN, shiftDefault)
       case ("first_value", Seq(x)) => first(opLower(x))
       case ("last_value", Seq(x))  => last(opLower(x))
+      case ("nth_value", Seq(x, BoundOperand.BLit(Lit.LitLong(n)))) =>
+        nth_value(opLower(x), n.toInt)
       case ("count", Seq())      => count(lit(1))
       case ("count", Seq(x))     => count(opLower(x))
       case ("sum", Seq(x))       => sum(opLower(x))
@@ -1493,6 +1522,9 @@ object Lowering {
     case BoundOperand.BOut(n, _)       => col(n)
     case BoundOperand.BAgg(f, _, _) =>
       sys.error(s"aggregate $f(...) outside aggregate scope")
+    case BoundOperand.BOrderedAgg(f, _, _, _) =>
+      sys.error(s"$f(...) is only supported in the SELECT list / HAVING " +
+        "of an aggregated query")
   }
 
   // ---- predicate decomposition for statistics (reference

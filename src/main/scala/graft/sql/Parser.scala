@@ -134,7 +134,7 @@ object Parser {
   private val aggFuncs = Set("count", "sum", "min", "max", "avg",
     "stddev", "variance", "median", "grouping")
   private val winFuncs = Set("row_number", "rank", "dense_rank", "lag", "lead",
-    "first_value", "last_value", "ntile", "percent_rank", "cume_dist")
+    "first_value", "last_value", "nth_value", "ntile", "percent_rank", "cume_dist")
   private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",
     "round", "substr", "substring", "coalesce", "concat",
     "year", "month", "day",
@@ -394,7 +394,8 @@ object Parser {
     * non-aggregate SELECT items at parse time).
     */
   private def operandHasAgg(o: Operand): Boolean = o match {
-    case Operand.AggCall(_, _, _) => true
+    case Operand.AggCall(_, _, _)         => true
+    case Operand.OrderedAgg(_, _, _, _, _) => true
     case Operand.Arith(_, l, r)   => operandHasAgg(l) || operandHasAgg(r)
     case Operand.FuncCall(_, as)  => as.exists(operandHasAgg)
     case Operand.Cast(x, _)       => operandHasAgg(x)
@@ -1214,6 +1215,65 @@ object Parser {
         p.winSink += SelectItem.SWin(fn, args, spec._1, spec._2, alias, spec._3)
         Operand.Col(ColRef(None, alias))
       }
+    // count_if(pred) — sugar for count(CASE WHEN pred THEN 1 END), the
+    // same desugar as aggregate FILTER
+    case TIdent(f, _) if allowAgg && f.equalsIgnoreCase("count_if") =>
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        pred <- parseOr(p)
+        _ <- p.eatSym(")")
+      } yield Operand.AggCall("count",
+        Some(Operand.CaseWhen(Seq((pred, Operand.Literal(Lit.LitLong(1L)))), None)),
+        distinct = false)
+    // string_agg / listagg: value, string-literal separator, optional
+    // intra-group ORDER BY (all keys must share one direction — the
+    // lowering sorts the collected group once)
+    case TIdent(f, _) if allowAgg &&
+        (f.equalsIgnoreCase("string_agg") || f.equalsIgnoreCase("listagg")) =>
+      val start = p.peek.pos
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        _ <-
+          if (p.isKw("distinct"))
+            Left(ParseError("string_agg(DISTINCT …) is not supported", start))
+          else Right(())
+        arg <- parseOperand(p)
+        _ <- p.eatSym(",")
+        sep <- p.peek match {
+          case TStr(s, _) => p.next(); Right(s)
+          case t => Left(ParseError(
+            "string_agg separator must be a string literal", t.pos))
+        }
+        order <-
+          if (p.isKw("order")) {
+            p.next()
+            p.eatKw("by").flatMap { _ =>
+              def one(): Either[ParseError, (Operand, Boolean)] =
+                parseOperand(p).map { c =>
+                  if (p.isKw("desc")) { p.next(); (c, true) }
+                  else if (p.isKw("asc")) { p.next(); (c, false) }
+                  else (c, false)
+                }
+              def loop(acc: Vector[(Operand, Boolean)])
+                  : Either[ParseError, Vector[(Operand, Boolean)]] =
+                one().flatMap { o =>
+                  p.peek match {
+                    case TSym(",", _) => p.next(); loop(acc :+ o)
+                    case _            => Right(acc :+ o)
+                  }
+                }
+              loop(Vector.empty).flatMap { ks =>
+                if (ks.map(_._2).distinct.length > 1)
+                  Left(ParseError(
+                    "string_agg ORDER BY keys must share one direction", start))
+                else Right(ks)
+              }
+            }
+          } else Right(Vector.empty[(Operand, Boolean)])
+        _ <- p.eatSym(")")
+      } yield Operand.OrderedAgg("string_agg", arg, sep, order, distinct = false)
     case TIdent(f, _) if allowAgg && aggFuncs(f.toLowerCase) =>
       // aggregate over a full (non-aggregate) expression: sum(a * b),
       // optionally DISTINCT: count(DISTINCT x), sum(DISTINCT x)

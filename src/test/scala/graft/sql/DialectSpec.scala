@@ -1898,6 +1898,45 @@ class DialectSpec extends AnyFunSuite {
     assert(expr.collect().toSeq == Seq(Row(0L, 4L), Row(1L, 2L)))
   }
 
+  test("string_agg: intra-group ORDER BY, DESC, NULL skipping, HAVING position") {
+    val db = freshDb()
+    db.query("CREATE TABLE tags (grp INT, t VARCHAR(10))")
+    db.query("INSERT INTO tags VALUES (1, 'b'), (1, 'a'), (1, NULL), (1, 'c'), " +
+      "(2, 'z'), (2, 'y')")
+    val asc = db.select("SELECT grp, string_agg(t, ',' ORDER BY t) AS ts FROM tags " +
+      "GROUP BY grp ORDER BY grp").toOption.get
+    assert(asc.collect().toSeq == Seq(Row(1, "a,b,c"), Row(2, "y,z")))
+    val desc = db.select("SELECT grp, string_agg(t, '|' ORDER BY t DESC) AS ts FROM tags " +
+      "GROUP BY grp ORDER BY grp").toOption.get
+    assert(desc.collect().toSeq == Seq(Row(1, "c|b|a"), Row(2, "z|y")))
+    // listagg is an accepted alias; HAVING may reference an ordered agg
+    val hav = db.select("SELECT grp, listagg(t, '-' ORDER BY t) AS ts FROM tags " +
+      "GROUP BY grp HAVING string_agg(t, ',' ORDER BY t) LIKE 'a%' " +
+      "ORDER BY grp").toOption.get
+    assert(hav.collect().toSeq == Seq(Row(1, "a-b-c")))
+    // non-string argument and non-aggregate scope are rejected
+    assert(db.select("SELECT grp, string_agg(grp, ',') AS ts FROM tags GROUP BY grp").isLeft)
+    assert(db.select("SELECT string_agg(t, ',') AS ts FROM tags WHERE t = 'a' " +
+      "ORDER BY ts LIMIT 1").isRight) // global aggregate is fine
+    assert(db.select("SELECT t FROM tags WHERE string_agg(t, ',') = 'a'").isLeft)
+  }
+
+  test("count_if and nth_value") {
+    val db = qualifyDb()
+    val cif = db.select("SELECT grp, count_if(v >= 20) AS big FROM sales " +
+      "GROUP BY grp ORDER BY grp").toOption.get
+    assert(cif.collect().toSeq == Seq(Row(1, 2L), Row(2, 1L), Row(3, 0L)))
+    val nth = db.select("SELECT grp, item, nth_value(item, 2) OVER (PARTITION BY grp " +
+      "ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS snd " +
+      "FROM sales ORDER BY grp, item").toOption.get
+    assert(nth.collect().toSeq == Seq(
+      Row(1, "a", "c"), Row(1, "b", "c"), Row(1, "c", "c"),
+      Row(2, "d", "d"), Row(2, "e", "d"), Row(3, "f", null)))
+    // nth_value position must be a positive integer literal
+    assert(db.select("SELECT nth_value(item, 0) OVER (ORDER BY v) AS x FROM sales").isLeft)
+    assert(db.select("SELECT nth_value(item, v) OVER (ORDER BY v) AS x FROM sales").isLeft)
+  }
+
   test("QUALIFY rejections: no window, aggregate scope, alias shadowing, subqueries") {
     val db = qualifyDb()
     // no window function anywhere in the predicate
