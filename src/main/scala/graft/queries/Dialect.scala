@@ -1374,6 +1374,16 @@ object Dialect {
              |    ORDER BY o_totalprice DESC, o_orderkey
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_best
              |FROM orders WHERE o_custkey <= 100
-             |ORDER BY o_custkey, o_orderkey""".stripMargin))
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Star modifiers (DuckDB): EXCLUDE prunes the expansion — and the
+    // pruning reaches the parquet scan's ReadSchema, it is not a
+    // post-projection — REPLACE substitutes in place keeping the name.
+    "q_dialect_star_exclude" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT * EXCLUDE (c_name, c_acctbal) REPLACE (lower(c_mktsegment) AS c_mktsegment) " +
+          "FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey"),
+      Some("""SELECT * EXCLUDE (c_name, c_acctbal) REPLACE (lower(c_mktsegment) AS c_mktsegment)
+             |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin))
   )
 }

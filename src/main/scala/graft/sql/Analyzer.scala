@@ -850,14 +850,23 @@ object Analyzer {
     case l: BoundLateral => referencedTables(l.sub)
     case _ => Set.empty
   }
-  final case class BoundDelete(desc: TableDesc, predicate: Option[BoundExpr]) extends BoundQuery
+  /** DELETE: a plain row-level predicate lowers as a filter; a predicate
+    * carrying subqueries instead ships as `matched` — a SELECT of the
+    * hidden __lkrid row-id over the target table with the full WHERE,
+    * executed through the complete subquery machinery (semi/anti joins,
+    * decorrelation, markers) and anti-joined back on the row-id.
+    */
+  final case class BoundDelete(desc: TableDesc, predicate: Option[BoundExpr],
+      matched: Option[BoundSelect] = None) extends BoundQuery
   /** UPDATE: each SET value is a bound row-level operand over the
     * table's own columns, cast to the target attribute at execution.
+    * `matched` works like BoundDelete's (subquery WHERE → row-id set).
     */
   final case class BoundUpdate(
       desc: TableDesc,
       sets: Seq[(AttributeDesc, BoundOperand)],
-      predicate: Option[BoundExpr]) extends BoundQuery
+      predicate: Option[BoundExpr],
+      matched: Option[BoundSelect] = None) extends BoundQuery
 
   def analyze(tree: ParseTree, cat: Catalog): Either[AnalyzerError, BoundQuery] = tree match {
     case s: SelectTree => analyzeSelect(s, cat)
@@ -961,12 +970,58 @@ object Analyzer {
       else Right(b)
     }
 
+  /** Parse-level subquery detection on a DML WHERE — decides whether the
+    * predicate can lower as a plain filter or needs the row-id rewrite.
+    */
+  private def parseExprHasSub(e: Expr): Boolean = e match {
+    case Expr.And(l, r) => parseExprHasSub(l) || parseExprHasSub(r)
+    case Expr.Or(l, r)  => parseExprHasSub(l) || parseExprHasSub(r)
+    case Expr.Not(x)    => parseExprHasSub(x)
+    case Expr.InSubquery(_, _, _) | Expr.Exists(_, _) |
+         Expr.CmpSubquery(_, _, _) => true
+    case Expr.Cmp(_, l, r)   => parseOpHasSub(l) || parseOpHasSub(r)
+    case Expr.IsNull(o, _)   => parseOpHasSub(o)
+    case Expr.Like(o, _, _, _, _) => parseOpHasSub(o)
+  }
+  private def parseOpHasSub(o: Operand): Boolean = o match {
+    case Operand.Arith(_, l, r)  => parseOpHasSub(l) || parseOpHasSub(r)
+    case Operand.FuncCall(_, as) => as.exists(parseOpHasSub)
+    case Operand.Cast(x, _)      => parseOpHasSub(x)
+    case Operand.CaseWhen(bs, els) =>
+      bs.exists { case (c, v) => parseExprHasSub(c) || parseOpHasSub(v) } ||
+        els.exists(parseOpHasSub)
+    case _ => false
+  }
+
+  /** The row-id match select for a subquery-bearing DML WHERE: the target
+    * table grows a hidden __lkrid BIGINT attribute (the "__lk" prefix
+    * keeps it out of star expansion, like LATERAL's hidden keys), the
+    * full WHERE binds through the normal SELECT machinery — subqueries
+    * resolve other tables via the real catalog — and the projection is
+    * the row-id alone.
+    */
+  private def matchedSelect(desc: TableDesc, e: Expr,
+      cat: Catalog): Either[AnalyzerError, BoundSelect] = {
+    val desc2 = desc.copy(attributes =
+      desc.attributes :+ AttributeDesc("__lkrid", SqlType.SqlBigInt))
+    val chained = new Catalog {
+      def resolve(t: String) =
+        if (t.equalsIgnoreCase(desc.name)) Some(desc2) else cat.resolve(t)
+    }
+    analyzeSelect(
+      SelectTree(Some(Seq(SelectItem.SCol(ColRef(None, "__lkrid")))),
+        Seq(FTable(TableRef(desc.name, None))), Some(e)),
+      chained)
+  }
+
   private def analyzeDelete(d: DeleteTree, cat: Catalog): Either[AnalyzerError, BoundDelete] =
     cat.resolve(d.table) match {
       case None => Left(RelationNotFound(d.table))
       case Some(desc) =>
         d.where match {
           case None    => Right(BoundDelete(desc, None))
+          case Some(e) if parseExprHasSub(e) =>
+            matchedSelect(desc, e, cat).map(ms => BoundDelete(desc, None, Some(ms)))
           case Some(e) => bindSingleTableExpr(desc, e).map(b => BoundDelete(desc, Some(b)))
         }
     }
@@ -1023,6 +1078,9 @@ object Analyzer {
         }
         u.where match {
           case None    => Right(BoundUpdate(desc, sets.result(), None))
+          case Some(e) if parseExprHasSub(e) =>
+            matchedSelect(desc, e, cat).map(ms =>
+              BoundUpdate(desc, sets.result(), None, Some(ms)))
           case Some(e) => bindSingleTableExpr(desc, e).map(b => BoundUpdate(desc, sets.result(), Some(b)))
         }
     }
@@ -1183,12 +1241,48 @@ object Analyzer {
     def expandAll: Seq[SelectItem] =
       tables.flatMap(bt => visibleAttrs(bt).map(a =>
         SelectItem.SCol(ColRef(Some(bt.binding), a.name))))
+    // EXCLUDE drops named columns from the expansion; REPLACE substitutes
+    // an expression at the column's position, keeping its name as the
+    // alias. Unknown names (and REPLACE of an EXCLUDEd name) fail loudly.
+    def applyStarMods(cols: Seq[SelectItem], excl: Seq[String],
+        repl: Seq[(Operand, String)]): Either[AnalyzerError, Seq[SelectItem]] = {
+      def nameOf(it: SelectItem): String = it match {
+        case SelectItem.SCol(r, _) => r.name
+        case _                     => ""
+      }
+      excl.find(e => !cols.exists(c => nameOf(c).equalsIgnoreCase(e))) match {
+        case Some(e) => Left(UnboundAttribute(e))
+        case None =>
+          val kept = cols.filterNot(c =>
+            excl.exists(_.equalsIgnoreCase(nameOf(c))))
+          repl.find { case (_, n) =>
+            !kept.exists(c => nameOf(c).equalsIgnoreCase(n)) } match {
+            case Some((_, n)) => Left(UnboundAttribute(n))
+            case None => Right(kept.map { c =>
+              repl.collectFirst {
+                case (e, n) if nameOf(c).equalsIgnoreCase(n) =>
+                  SelectItem.SExpr(e, n)
+              }.getOrElse(c)
+            })
+          }
+      }
+    }
     val projItems: Seq[SelectItem] = s.columns.getOrElse(expandAll).flatMap {
-      case SelectItem.SStar(None) => expandAll
-      case SelectItem.SStar(Some(b)) =>
+      case SelectItem.SStar(None, Nil, Nil) => expandAll
+      case SelectItem.SStar(None, excl, repl) =>
+        applyStarMods(expandAll, excl, repl) match {
+          case Right(items) => items
+          case Left(e)      => return Left(e)
+        }
+      case SelectItem.SStar(Some(b), excl, repl) =>
         bound.get(b.toLowerCase) match {
-          case Some(bt) => visibleAttrs(bt).map(a =>
-            SelectItem.SCol(ColRef(Some(bt.binding), a.name)))
+          case Some(bt) =>
+            val cols = visibleAttrs(bt).map(a =>
+              SelectItem.SCol(ColRef(Some(bt.binding), a.name)))
+            applyStarMods(cols, excl, repl) match {
+              case Right(items) => items
+              case Left(e)      => return Left(e)
+            }
           case None => return Left(UnboundBinding(b))
         }
       case other => Seq(other)

@@ -115,9 +115,14 @@ object Ast {
   sealed trait SelectItem
   object SelectItem {
     /** `*` or `t.*` as one item of a longer SELECT list — expanded to
-      * the (binding's) columns during analysis.
+      * the (binding's) columns during analysis. DuckDB star modifiers:
+      * EXCLUDE (cols) drops columns from the expansion, REPLACE
+      * (expr AS col) substitutes an expression at the column's position
+      * keeping its name.
       */
-    final case class SStar(binding: Option[String]) extends SelectItem
+    final case class SStar(binding: Option[String],
+        exclude: Seq[String] = Nil,
+        replace: Seq[(Operand, String)] = Nil) extends SelectItem
     final case class SCol(ref: ColRef, alias: Option[String] = None) extends SelectItem
     final case class SAgg(func: String, arg: Option[Operand],
         alias: Option[String] = None, distinct: Boolean = false) extends SelectItem

@@ -89,8 +89,8 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           _ <- bound match {
             case BoundInsert(d, _)       if external.contains(d.name) => Left(ReadOnlyTable(d.name))
             case BoundInsertSelect(d, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
-            case BoundDelete(d, _)       if external.contains(d.name) => Left(ReadOnlyTable(d.name))
-            case BoundUpdate(d, _, _)    if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+            case BoundDelete(d, _, _)    if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+            case BoundUpdate(d, _, _, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
             case BoundDrop(n, _)         if external.contains(n)      => Left(ReadOnlyTable(n))
             case BoundDrop(n, _)         if views.contains(n)         =>
               Left(ViewError(s"'$n' is a view — use DROP VIEW"))
@@ -99,9 +99,9 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
               Left(ViewError(s"'${d.name}' is a materialized view — use REFRESH MATERIALIZED VIEW"))
             case BoundInsertSelect(d, _) if matviews.contains(d.name) =>
               Left(ViewError(s"'${d.name}' is a materialized view — use REFRESH MATERIALIZED VIEW"))
-            case BoundDelete(d, _)       if matviews.contains(d.name) =>
+            case BoundDelete(d, _, _)    if matviews.contains(d.name) =>
               Left(ViewError(s"'${d.name}' is a materialized view — use REFRESH MATERIALIZED VIEW"))
-            case BoundUpdate(d, _, _)    if matviews.contains(d.name) =>
+            case BoundUpdate(d, _, _, _) if matviews.contains(d.name) =>
               Left(ViewError(s"'${d.name}' is a materialized view — use REFRESH MATERIALIZED VIEW"))
             case BoundDrop(n, _)         if matviews.contains(n)      =>
               Left(ViewError(s"'$n' is a materialized view — use DROP MATERIALIZED VIEW"))
@@ -522,15 +522,32 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     // standard non-transactional form: rewrite only what a real table
     // format would rewrite per-file; here the whole table is one rewrite
     // since the warehouse has no file-level manifest.
-    case BoundDelete(desc, pred) =>
+    case BoundDelete(desc, pred, matched) =>
+      import org.apache.spark.sql.functions.{coalesce, col, lit,
+        monotonically_increasing_id}
       val df = readTable(desc)
       val before = statistics.get(desc.name).map(_.rowCount).getOrElse(df.count())
-      val kept = pred match {
-        case None => df.limit(0)
+      val kept = (pred, matched) match {
+        case (None, None) => df.limit(0)
         // keep rows where the predicate is NOT TRUE — a NULL predicate
         // must keep the row (SQL 3VL), so coalesce before negating
-        case Some(p) => df.filter(!org.apache.spark.sql.functions.coalesce(
-          Lowering.lowerExprBare(p), org.apache.spark.sql.functions.lit(false)))
+        case (Some(p), _) => df.filter(!coalesce(
+          Lowering.lowerExprBare(p), lit(false)))
+        // subquery WHERE: materialize the table once with a row-id (the
+        // checkpoint pins the nondeterministic id assignment), run the
+        // full WHERE through the SELECT machinery to a matched-row-id
+        // set — subqueries see the PRE-delete image, SQL semantics —
+        // and anti-join back. Row multiplicity is exact (ids are unique)
+        // and the anti join is a distributed hash join on a long key.
+        case (None, Some(ms)) =>
+          val withId = df.withColumn("__lkrid", monotonically_increasing_id())
+            .localCheckpoint()
+          val src: Analyzer.BoundTable => DataFrame = bt =>
+            if (bt.desc.attr("__lkrid").isDefined) withId else readTable(bt.desc)
+          val rids = Lowering.withQueryScope(ms, src) { lowerOneSelect(ms, src) }
+            .withColumnRenamed("__lkrid", "__delrid")
+          withId.join(rids, col("__lkrid") === col("__delrid"), "left_anti")
+            .drop("__lkrid")
       }
       val keptN = rewriteTable(desc, kept)
       Done(s"deleted ${before - keptN} row(s) from ${desc.name}")
@@ -552,10 +569,29 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       saveCatalog()
       Done(s"dropped table '$name'")
 
-    case BoundUpdate(desc, sets, pred) =>
-      import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
-      val df = readTable(desc)
-      val cond = pred.map(Lowering.lowerExprBare).getOrElse(lit(true))
+    case BoundUpdate(desc, sets, pred, matchedSel) =>
+      import org.apache.spark.sql.functions.{coalesce, col, lit,
+        monotonically_increasing_id, sum, when}
+      // subquery WHERE: the same row-id rewrite as DELETE — the matched
+      // id set left-joins back as a boolean condition column
+      val (df, cond, helperCols) = matchedSel match {
+        case None =>
+          val d = readTable(desc)
+          (d, pred.map(Lowering.lowerExprBare).getOrElse(lit(true)),
+            Seq.empty[String])
+        case Some(ms) =>
+          val withId = readTable(desc)
+            .withColumn("__lkrid", monotonically_increasing_id())
+            .localCheckpoint()
+          val src: Analyzer.BoundTable => DataFrame = bt =>
+            if (bt.desc.attr("__lkrid").isDefined) withId else readTable(bt.desc)
+          val rids = Lowering.withQueryScope(ms, src) { lowerOneSelect(ms, src) }
+            .withColumnRenamed("__lkrid", "__updrid").withColumn("__upd", lit(true))
+          val joined = withId.join(rids,
+            col("__lkrid") === col("__updrid"), "left_outer")
+          (joined, coalesce(col("__upd"), lit(false)),
+            Seq("__lkrid", "__updrid", "__upd"))
+      }
       // matched-row count rides the rewrite pass as an observed metric —
       // no separate count() job over the table
       val obs = new org.apache.spark.sql.Observation()
@@ -567,7 +603,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       val updated = observed.withColumns(sets.map { case (attr, v) =>
         attr.name -> when(cond, Lowering.lowerOperandBare(v).cast(attr.sqlType.spark))
           .otherwise(org.apache.spark.sql.functions.col(attr.name))
-      }.toMap)
+      }.toMap).drop(helperCols: _*)
       rewriteTable(desc, updated)
       val matched = obs.get("matched").asInstanceOf[Long]
       Done(s"updated $matched row(s) in ${desc.name}")

@@ -414,6 +414,64 @@ object Parser {
     case _ => false
   }
 
+  /** DuckDB star modifiers: `* EXCLUDE (col, …)` / `* REPLACE (expr AS
+    * col, …)`, in either order (contextual keywords — only the call
+    * shape triggers them).
+    */
+  private def parseStarMods(p: P)
+      : Either[ParseError, (Vector[String], Vector[(Operand, String)])] = {
+    def callAhead(kw: String): Boolean = p.isKw(kw) && {
+      val save = p.i; p.next()
+      val r = p.peek match { case TSym("(", _) => true; case _ => false }
+      p.i = save; r
+    }
+    def loop(excl: Vector[String], repl: Vector[(Operand, String)])
+        : Either[ParseError, (Vector[String], Vector[(Operand, String)])] =
+      if (callAhead("exclude")) {
+        p.next()
+        for {
+          _ <- p.eatSym("(")
+          names <- {
+            def go(acc: Vector[String]): Either[ParseError, Vector[String]] =
+              p.ident().flatMap { n =>
+                p.peek match {
+                  case TSym(",", _) => p.next(); go(acc :+ n)
+                  case _            => Right(acc :+ n)
+                }
+              }
+            go(Vector.empty)
+          }
+          _ <- p.eatSym(")")
+          r <- loop(excl ++ names, repl)
+        } yield r
+      } else if (callAhead("replace")) {
+        p.next()
+        for {
+          _ <- p.eatSym("(")
+          pairs <- {
+            def one(): Either[ParseError, (Operand, String)] =
+              for {
+                e <- parseOperand(p)
+                _ <- p.eatKw("as")
+                n <- p.ident()
+              } yield (e, n)
+            def go(acc: Vector[(Operand, String)])
+                : Either[ParseError, Vector[(Operand, String)]] =
+              one().flatMap { pr =>
+                p.peek match {
+                  case TSym(",", _) => p.next(); go(acc :+ pr)
+                  case _            => Right(acc :+ pr)
+                }
+              }
+            go(Vector.empty)
+          }
+          _ <- p.eatSym(")")
+          r <- loop(excl, repl ++ pairs)
+        } yield r
+      } else Right((excl, repl))
+    loop(Vector.empty, Vector.empty)
+  }
+
   /** ROWS/RANGE BETWEEN frame bound, in Spark's row-offset encoding. */
   private def parseFrameBound(p: P): Either[ParseError, Long] = p.peek match {
     case TIdent(k, _) if k.equalsIgnoreCase("unbounded") =>
@@ -520,7 +578,13 @@ object Parser {
           val save = p.i; p.next()
           val solo = p.peek match { case TSym(",", _) => false; case _ => true }
           p.i = save; solo
-        } => p.next(); Right(None)
+        } =>
+          p.next()
+          // solo star may still carry EXCLUDE/REPLACE modifiers
+          parseStarMods(p).map {
+            case (e, r) if e.isEmpty && r.isEmpty => None
+            case (e, r) => Some(Seq(SelectItem.SStar(None, e, r)))
+          }
         case _ =>
           def winItem(fn: String, args: Seq[Operand],
               start: Int): Either[ParseError, SelectItem] =
@@ -540,7 +604,9 @@ object Parser {
             val start = p.peek.pos
             p.peek match {
               // `*` / `t.*` as one item of a longer list
-              case TSym("*", _) => p.next(); Right(SelectItem.SStar(None))
+              case TSym("*", _) =>
+                p.next()
+                parseStarMods(p).map { case (e, r) => SelectItem.SStar(None, e, r) }
               case TIdent(b, _) if {
                 val save = p.i; p.next()
                 val dotStar = (p.peek match {
@@ -551,7 +617,7 @@ object Parser {
                 p.i = save; dotStar
               } =>
                 p.next(); p.next(); p.next() // ident . *
-                Right(SelectItem.SStar(Some(b)))
+                parseStarMods(p).map { case (e, r) => SelectItem.SStar(Some(b), e, r) }
               // `(SELECT …) AS a` — a scalar subquery item; a bare `(`
               // not followed by SELECT stays a parenthesized operand
               case TSym("(", _) if {

@@ -241,7 +241,9 @@ class DialectSpec extends AnyFunSuite {
     // boolean-marker test)
     assert(db.query("SELECT name FROM people WHERE id IN (SELECT id, owner_id FROM cars)").isLeft)
     assert(db.query("SELECT name FROM people WHERE id IN (SELECT owner_id FROM cars) OR age = 20").isRight)
-    assert(db.query("DELETE FROM people WHERE id IN (SELECT owner_id FROM cars)").isLeft)
+    // DML subquery predicates are supported (row-id rewrite — see the
+    // DELETE-with-subquery test); a shape error inside still rejects
+    assert(db.query("DELETE FROM people WHERE id IN (SELECT id, owner_id FROM cars)").isLeft)
   }
 
   test("scalar comparison subqueries (group-less aggregates) lower as broadcast joins") {
@@ -1935,6 +1937,65 @@ class DialectSpec extends AnyFunSuite {
     // nth_value position must be a positive integer literal
     assert(db.select("SELECT nth_value(item, 0) OVER (ORDER BY v) AS x FROM sales").isLeft)
     assert(db.select("SELECT nth_value(item, v) OVER (ORDER BY v) AS x FROM sales").isLeft)
+  }
+
+  test("star modifiers: EXCLUDE, REPLACE, qualified t.*, unknown names rejected") {
+    val db = demoDb()
+    val ex = db.select("SELECT * EXCLUDE (name) FROM people ORDER BY id").toOption.get
+    assert(ex.columns.toSeq == Seq("id", "age"))
+    val rp = db.select("SELECT * REPLACE (upper(name) AS name) FROM people " +
+      "ORDER BY id").toOption.get
+    assert(rp.columns.toSeq == Seq("id", "name", "age"))
+    assert(rp.collect().head.getString(1) == "ELON")
+    // both modifiers, on a qualified star inside a longer list
+    val both = db.select("SELECT p.* EXCLUDE (age) REPLACE (lower(name) AS name), model " +
+      "FROM people p, cars c WHERE p.id = c.owner_id ORDER BY p.id").toOption.get
+    assert(both.columns.toSeq == Seq("id", "name", "model"))
+    assert(both.collect().head.getString(1) == "elon")
+    // unknown names fail loudly; REPLACE of an EXCLUDEd column too
+    assert(db.select("SELECT * EXCLUDE (nope) FROM people").isLeft)
+    assert(db.select("SELECT * REPLACE (1 AS nope) FROM people").isLeft)
+    assert(db.select("SELECT * EXCLUDE (age) REPLACE (age + 1 AS age) FROM people").isLeft)
+  }
+
+  test("DELETE with subquery predicates: EXISTS, IN, NOT IN, self-reference, duplicates") {
+    def freshSales(): GraftDatabase = {
+      val db = freshDb()
+      db.query("CREATE TABLE s (grp INT, v INT)")
+      db.query("CREATE TABLE keep (k INT)")
+      db.query("INSERT INTO s VALUES (1, 10), (1, 10), (2, 20), (3, 30), (NULL, 40)")
+      db.query("INSERT INTO keep VALUES (1), (3)")
+      db
+    }
+    // correlated EXISTS: delete rows whose grp appears in keep —
+    // duplicate (1,10) rows both go; the NULL-grp row stays
+    val db1 = freshSales()
+    assert(db1.query("DELETE FROM s WHERE EXISTS (SELECT k FROM keep WHERE k = s.grp)")
+      .toOption.get.asInstanceOf[db1.Done].message.startsWith("deleted 3"))
+    assert(db1.select("SELECT v FROM s ORDER BY v").toOption.get
+      .collect().map(_.getInt(0)).toSeq == Seq(20, 40))
+    // NOT IN over a NULL-free subquery; NULL probe drops (3VL: UNKNOWN)
+    val db2 = freshSales()
+    db2.query("DELETE FROM s WHERE grp NOT IN (SELECT k FROM keep)")
+    assert(db2.select("SELECT v FROM s ORDER BY v").toOption.get
+      .collect().map(_.getInt(0)).toSeq == Seq(10, 10, 30, 40))
+    // self-referencing subquery sees the PRE-delete image
+    val db3 = freshSales()
+    db3.query("DELETE FROM s WHERE v < (SELECT max(v) FROM s)")
+    assert(db3.select("SELECT v FROM s").toOption.get
+      .collect().map(_.getInt(0)).toSeq == Seq(40))
+  }
+
+  test("UPDATE with a subquery WHERE updates exactly the matched rows") {
+    val db = freshDb()
+    db.query("CREATE TABLE s (grp INT, v INT)")
+    db.query("CREATE TABLE keep (k INT)")
+    db.query("INSERT INTO s VALUES (1, 10), (2, 20), (3, 30)")
+    db.query("INSERT INTO keep VALUES (1), (3)")
+    val r = db.query("UPDATE s SET v = v + 100 WHERE grp IN (SELECT k FROM keep)")
+    assert(r.toOption.get.asInstanceOf[db.Done].message.startsWith("updated 2"))
+    assert(db.select("SELECT grp, v FROM s ORDER BY grp").toOption.get
+      .collect().toSeq == Seq(Row(1, 110), Row(2, 20), Row(3, 130)))
   }
 
   test("QUALIFY rejections: no window, aggregate scope, alias shadowing, subqueries") {
