@@ -1384,6 +1384,22 @@ object Dialect {
         "SELECT * EXCLUDE (c_name, c_acctbal) REPLACE (lower(c_mktsegment) AS c_mktsegment) " +
           "FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey"),
       Some("""SELECT * EXCLUDE (c_name, c_acctbal) REPLACE (lower(c_mktsegment) AS c_mktsegment)
-             |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin))
+             |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin)),
+
+    // arg_max (max_by): the value at the key's extremum — one (value,
+    // key) pair of aggregate state per group, map-side combinable.
+    // Deterministic on this fixture (no per-nation acctbal ties).
+    "q_dialect_arg_max" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "nation"),
+        "SELECT n_name, arg_max(c_name, c_acctbal) AS top_customer, " +
+          "arg_min(c_name, c_acctbal) AS low_customer, " +
+          "round(max(c_acctbal), 2) AS top_bal " +
+          "FROM customer c, nation n WHERE c.c_nationkey = n.n_nationkey " +
+          "GROUP BY n_name ORDER BY n_name"),
+      Some("""SELECT n_name, arg_max(c_name, c_acctbal) AS top_customer,
+             |  arg_min(c_name, c_acctbal) AS low_customer,
+             |  round(max(c_acctbal), 2) AS top_bal
+             |FROM customer c, nation n WHERE c.c_nationkey = n.n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin))
   )
 }

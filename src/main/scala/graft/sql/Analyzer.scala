@@ -681,7 +681,8 @@ object Analyzer {
     case BoundOperand.BAgg(f, arg, _) => aggType(f, arg)
     case BoundOperand.BCast(_, t) => t
     case BoundOperand.BOut(_, t)  => t
-    case BoundOperand.BOrderedAgg(_, _, _, _) => SqlType.SqlVarChar(65535)
+    case BoundOperand.BOrderedAgg("string_agg", _, _, _) => SqlType.SqlVarChar(65535)
+    case BoundOperand.BOrderedAgg(_, arg, _, _) => operandType(arg) // arg_min/max
   }
 
   /** The output type of a window item (shared by derived-table schema
@@ -1315,7 +1316,8 @@ object Analyzer {
         for {
           barg <- bindOp(arg, allowAgg = false)
           _ <-
-            if (operandType(barg).isInstanceOf[SqlType.SqlVarChar]) Right(())
+            if (f != "string_agg" ||
+                operandType(barg).isInstanceOf[SqlType.SqlVarChar]) Right(())
             else Left(BadAggregate(
               s"$f aggregates strings — CAST the argument (got ${operandType(barg).render})"))
           bord <- ord.foldLeft[Either[AnalyzerError, Vector[(BoundOperand, Boolean)]]](

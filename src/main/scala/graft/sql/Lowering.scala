@@ -400,6 +400,12 @@ object Lowering {
       }
       def aggNodeCol(node: BoundOperand): Column = node match {
         case BoundOperand.BAgg(f, arg, dist) => aggCol(f, arg, dist)
+        // the value at the key's extremum: Spark's min_by/max_by — one
+        // (value, key) pair of aggregate state per group
+        case BoundOperand.BOrderedAgg("arg_min", arg, _, Seq((k, _))) =>
+          min_by(lowerOperandWith(arg, qcol), lowerOperandWith(k, qcol))
+        case BoundOperand.BOrderedAgg("arg_max", arg, _, Seq((k, _))) =>
+          max_by(lowerOperandWith(arg, qcol), lowerOperandWith(k, qcol))
         case BoundOperand.BOrderedAgg(_, arg, sep, ord) =>
           orderedAggCol(arg, sep, ord)
         case other => sys.error(s"unreachable hidden aggregate $other")
@@ -1277,12 +1283,20 @@ object Lowering {
     fixpointRuns += 1
     val names = r.desc.attributes.map(_.name)
     val maxIter = 1000
+    // One Spark job per round: the LAZY localCheckpoint materializes
+    // inside the same count() that serves as the emptiness probe. The
+    // accumulator is a union view over the checkpointed deltas — cheap
+    // to extend — re-checkpointed only every `CkptEvery` rounds to keep
+    // the per-round except-join (UNION dedup) plan bounded; the old
+    // every-round acc materialization cost O(rounds × acc) total.
+    val CkptEvery = 8
     var acc = {
       val b = lowerSelect(spark, r.base, source).toDF(names: _*)
       (if (r.unionAll) b else b.distinct()).localCheckpoint()
     }
     var frontier = acc
     var it = 0
+    var sinceCkpt = 0
     var done = frontier.isEmpty
     while (!done) {
       it += 1
@@ -1293,10 +1307,17 @@ object Lowering {
         else source(bt)
       var next = lowerSelect(spark, r.step, stepSource).toDF(names: _*)
       if (!r.unionAll) next = next.distinct().except(acc)
-      next = next.localCheckpoint()
-      if (next.isEmpty) done = true
+      next = next.localCheckpoint(eager = false)
+      if (next.count() == 0L) done = true
       else {
-        acc = acc.union(next).localCheckpoint()
+        acc = acc.union(next)
+        sinceCkpt += 1
+        if (sinceCkpt >= CkptEvery) {
+          // eager here is fine: the children are already checkpointed,
+          // so this collapses a ≤CkptEvery-way union, nothing deeper
+          acc = acc.localCheckpoint()
+          sinceCkpt = 0
+        }
         frontier = next
       }
     }

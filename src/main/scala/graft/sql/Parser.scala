@@ -1292,6 +1292,20 @@ object Parser {
       } yield Operand.AggCall("count",
         Some(Operand.CaseWhen(Seq((pred, Operand.Literal(Lit.LitLong(1L)))), None)),
         distinct = false)
+    // arg_min/arg_max (min_by/max_by): the value at the key's extremum —
+    // rides the OrderedAgg node (value + one ordering key, no separator)
+    case TIdent(f, _) if allowAgg && Set("arg_min", "arg_max", "min_by",
+        "max_by")(f.toLowerCase) =>
+      val fn = if (f.toLowerCase.startsWith("arg_min") || f.toLowerCase == "min_by")
+        "arg_min" else "arg_max"
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        v <- parseOperand(p)
+        _ <- p.eatSym(",")
+        k <- parseOperand(p)
+        _ <- p.eatSym(")")
+      } yield Operand.OrderedAgg(fn, v, "", Seq((k, false)), distinct = false)
     // string_agg / listagg: value, string-literal separator, optional
     // intra-group ORDER BY (all keys must share one direction — the
     // lowering sorts the collected group once)

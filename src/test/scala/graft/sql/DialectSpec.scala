@@ -1923,6 +1923,18 @@ class DialectSpec extends AnyFunSuite {
     assert(db.select("SELECT t FROM tags WHERE string_agg(t, ',') = 'a'").isLeft)
   }
 
+  test("arg_min / arg_max (min_by / max_by aliases)") {
+    val db = qualifyDb()
+    val df = db.select("SELECT grp, arg_max(item, v) AS best, arg_min(item, v) AS worst " +
+      "FROM sales GROUP BY grp ORDER BY grp").toOption.get
+    assert(df.collect().toSeq == Seq(
+      Row(1, "b", "a"), Row(2, "e", "d"), Row(3, "f", "f")))
+    val alias = db.select("SELECT max_by(item, v) AS best FROM sales").toOption.get
+    assert(alias.collect().toSeq == Seq(Row("e")))
+    // outside aggregate scope → rejected
+    assert(db.select("SELECT item FROM sales WHERE arg_max(item, v) = 'e'").isLeft)
+  }
+
   test("count_if and nth_value") {
     val db = qualifyDb()
     val cif = db.select("SELECT grp, count_if(v >= 20) AS big FROM sales " +
@@ -1996,6 +2008,18 @@ class DialectSpec extends AnyFunSuite {
     assert(r.toOption.get.asInstanceOf[db.Done].message.startsWith("updated 2"))
     assert(db.select("SELECT grp, v FROM s ORDER BY grp").toOption.get
       .collect().toSeq == Seq(Row(1, 110), Row(2, 20), Row(3, 130)))
+  }
+
+  test("plan shape: QUALIFY rn<=k and DISTINCT ON plan as WindowGroupLimit") {
+    val db = qualifyDb()
+    val q = db.select("SELECT grp, item, row_number() OVER (PARTITION BY grp " +
+      "ORDER BY v DESC) AS rn FROM sales QUALIFY rn <= 2").toOption.get
+    val qPlan = q.queryExecution.executedPlan.toString
+    assert(qPlan.contains("WindowGroupLimit"), qPlan)
+    val d = db.select("SELECT DISTINCT ON (grp) grp, item FROM sales " +
+      "ORDER BY grp, v DESC").toOption.get
+    val dPlan = d.queryExecution.executedPlan.toString
+    assert(dPlan.contains("WindowGroupLimit"), dPlan)
   }
 
   test("QUALIFY rejections: no window, aggregate scope, alias shadowing, subqueries") {
