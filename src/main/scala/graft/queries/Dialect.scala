@@ -1400,6 +1400,79 @@ object Dialect {
              |  arg_min(c_name, c_acctbal) AS low_customer,
              |  round(max(c_acctbal), 2) AS top_bal
              |FROM customer c, nation n WHERE c.c_nationkey = n.n_nationkey
-             |GROUP BY n_name ORDER BY n_name""".stripMargin))
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // count(DISTINCT a, b): multi-column distinct count — ONE
+    // distinct-aggregate over the tuple (one shuffle on (group, a, b)
+    // then a partial count), not a distinct subquery materialization.
+    // The oracle reproduces SQL's all-components-non-null tuple
+    // semantics with an explicit DISTINCT subquery.
+    "q_dialect_count_distinct_multi" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderstatus, count(DISTINCT o_custkey, o_orderpriority) AS n, " +
+          "count(*) AS total FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      Some("""SELECT t.o_orderstatus, d.n, t.total FROM
+             |  (SELECT o_orderstatus, cast(count(*) AS bigint) AS total
+             |   FROM orders GROUP BY o_orderstatus) t
+             |  JOIN
+             |  (SELECT o_orderstatus, cast(count(*) AS bigint) AS n FROM
+             |    (SELECT DISTINCT o_orderstatus, o_custkey, o_orderpriority
+             |     FROM orders
+             |     WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL) u
+             |   GROUP BY o_orderstatus) d
+             |  ON t.o_orderstatus = d.o_orderstatus
+             |ORDER BY t.o_orderstatus""".stripMargin)),
+
+    // Quantified comparisons: > ALL and <= ANY against uncorrelated
+    // subqueries, under an OR — each subquery collapses to ONE bounded
+    // facts aggregate (count / non-null count / min / max) broadcast to
+    // every row; no per-row re-execution, no join explosion.
+    "q_dialect_quant_any" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer"),
+        "SELECT o_orderkey, round(o_totalprice, 2) AS tp FROM orders " +
+          "WHERE o_totalprice > ALL (SELECT c_acctbal FROM customer) " +
+          "OR (o_orderkey < 50 AND o_totalprice <= ANY " +
+          "(SELECT c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING')) " +
+          "ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS tp FROM orders
+             |WHERE o_totalprice > ALL (SELECT c_acctbal FROM customer)
+             |OR (o_orderkey < 50 AND o_totalprice <= ANY
+             |  (SELECT c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Correlated ALL: per-customer facts (count/min/max of their order
+    // prices) computed as ONE hash aggregate on the correlation key and
+    // left-joined — customers with no orders read the empty-set TRUE.
+    "q_dialect_quant_corr" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer"),
+        "SELECT c.c_custkey FROM customer c " +
+          "WHERE c.c_acctbal >= ALL (SELECT o.o_totalprice / 40 AS v FROM orders o " +
+          "WHERE o.o_custkey = c.c_custkey) AND c.c_custkey < 500 " +
+          "ORDER BY c_custkey"),
+      Some("""SELECT c.c_custkey FROM customer c
+             |WHERE c.c_acctbal >= ALL (SELECT o.o_totalprice / 40 AS v FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey) AND c.c_custkey < 500
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Quantified comparison under NOT plus = ALL / <> ANY forms — the
+    // three-valued facts predicate is exact under negation (NOT of the
+    // marker, never a rewritten join), and the Eq/Neq quantifiers read
+    // off min = max = probe.
+    "q_dialect_quant_not" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer", "nation"),
+        "SELECT c_custkey FROM customer " +
+          "WHERE NOT (c_acctbal < ANY (SELECT o_totalprice / 100 AS v FROM orders " +
+          "WHERE o_orderkey < 1000)) " +
+          "AND c_nationkey = ALL (SELECT min(n_nationkey) + 3 AS v FROM nation) " +
+          "OR c_custkey <= 20 AND c_mktsegment <> ANY " +
+          "(SELECT DISTINCT c2.c_mktsegment FROM customer c2) " +
+          "ORDER BY c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE NOT (c_acctbal < ANY (SELECT o_totalprice / 100 AS v FROM orders
+             |  WHERE o_orderkey < 1000))
+             |AND c_nationkey = ALL (SELECT min(n_nationkey) + 3 AS v FROM nation)
+             |OR c_custkey <= 20 AND c_mktsegment <> ANY
+             |  (SELECT DISTINCT c2.c_mktsegment FROM customer c2)
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -151,6 +151,7 @@ object Analyzer {
       case BoundExpr.BInSub(o, _, _, _)     => Seq(o)
       case BoundExpr.BExists(_, _, _)       => Nil
       case BoundExpr.BCmpSub(_, o, _, _, _) => Seq(o)
+      case BoundExpr.BQuantSub(_, o, _, _, _) => Seq(o)
     }
   }
   sealed trait BoundExpr
@@ -187,6 +188,17 @@ object Analyzer {
       */
     final case class BCmpSub(op: CmpOp, o: BoundOperand, sub: BoundSelect,
         guard: Boolean, pairs: Seq[(BoundCol, BoundCol)] = Nil) extends BoundExpr
+    /** Quantified comparison — <probe> <cmp> ANY/ALL (SELECT …) for the
+      * combinations that don't desugar to [NOT] IN. Lowers as a facts
+      * frame (count, non-null count, min, max — grouped by the
+      * decorrelated pair keys when correlated) left-joined to the outer
+      * frame, with a three-valued predicate over the facts: the
+      * comparison against the relevant extremum decides TRUE/FALSE, a
+      * NULL probe or NULL-bearing set degrades the undecided cases to
+      * NULL, and the empty set reads FALSE for ANY / TRUE for ALL.
+      */
+    final case class BQuantSub(op: CmpOp, o: BoundOperand, sub: BoundSelect,
+        all: Boolean, pairs: Seq[(BoundCol, BoundCol)] = Nil) extends BoundExpr
 
     /** Does the bound expression contain a subquery? Operand positions
       * (CASE conditions) are traversed too.
@@ -198,6 +210,7 @@ object Analyzer {
       case _: BInSub    => true
       case _: BExists   => true
       case _: BCmpSub   => true
+      case _: BQuantSub => true
       case BCmp(_, l, r) =>
         BoundOperand.operandHasSub(l) || BoundOperand.operandHasSub(r)
       case BIsNull(o, _)        => BoundOperand.operandHasSub(o)
@@ -275,6 +288,7 @@ object Analyzer {
     case BoundExpr.BInSub(o, _, ps, _) => operandCols(o) ++ ps.map(_._1)
     case BoundExpr.BExists(_, ps, _)   => ps.map(_._1)
     case BoundExpr.BCmpSub(_, o, _, _, ps) => operandCols(o) ++ ps.map(_._1)
+    case BoundExpr.BQuantSub(_, o, _, _, ps) => operandCols(o) ++ ps.map(_._1)
   }
 
   /** Split a correlated subquery into an uncorrelated core + the
@@ -682,6 +696,7 @@ object Analyzer {
     case BoundOperand.BCast(_, t) => t
     case BoundOperand.BOut(_, t)  => t
     case BoundOperand.BOrderedAgg("string_agg", _, _, _) => SqlType.SqlVarChar(65535)
+    case BoundOperand.BOrderedAgg("count_distinct", _, _, _) => SqlType.SqlBigInt
     case BoundOperand.BOrderedAgg(_, arg, _, _) => operandType(arg) // arg_min/max
   }
 
@@ -775,6 +790,7 @@ object Analyzer {
     case BoundExpr.BInSub(o, sub, _, _)     => opSubsOf(o) :+ sub
     case BoundExpr.BExists(sub, _, _)       => Seq(sub)
     case BoundExpr.BCmpSub(_, o, sub, _, _) => opSubsOf(o) :+ sub
+    case BoundExpr.BQuantSub(_, o, sub, _, _) => opSubsOf(o) :+ sub
     case BoundExpr.BCmp(_, l, r)  => opSubsOf(l) ++ opSubsOf(r)
     case BoundExpr.BIsNull(o, _)  => opSubsOf(o)
     case BoundExpr.BLike(o, _, _, _, _) => opSubsOf(o)
@@ -979,7 +995,7 @@ object Analyzer {
     case Expr.Or(l, r)  => parseExprHasSub(l) || parseExprHasSub(r)
     case Expr.Not(x)    => parseExprHasSub(x)
     case Expr.InSubquery(_, _, _) | Expr.Exists(_, _) |
-         Expr.CmpSubquery(_, _, _) => true
+         Expr.CmpSubquery(_, _, _) | Expr.QuantSubquery(_, _, _, _) => true
     case Expr.Cmp(_, l, r)   => parseOpHasSub(l) || parseOpHasSub(r)
     case Expr.IsNull(o, _)   => parseOpHasSub(o)
     case Expr.Like(o, _, _, _, _) => parseOpHasSub(o)
@@ -1490,6 +1506,16 @@ object Analyzer {
             staticOne = pairs.nonEmpty ||
               (bsub.isAggregate && bsub.groupBy.isEmpty) || bsub.limit.exists(_ <= 1L)
           } yield BoundExpr.BCmpSub(op, bo, bsub, guard = !staticOne, pairs)
+      case Expr.QuantSubquery(op, o, sub, all) =>
+        for {
+          bo <- bindOp(o, allowAgg)
+          bsub0 <- analyzeSelect(sub, cat, outerScope = tables ++ outerScope)
+          _ <-
+            if (bsub0.projection.length == 1) Right(())
+            else Left(BadSubquery(
+              s"subquery must project exactly one column, got ${bsub0.projection.length}"))
+          dp <- decorrelate(bsub0, exprKeys = havingGkExprKeys)
+        } yield BoundExpr.BQuantSub(op, bo, dp._1, all, dp._2)
       case Expr.IsNull(o, neg) =>
         bindOp(o, allowAgg, allowSub = topLevel && !allowAgg)
           .map(BoundExpr.BIsNull(_, neg))
@@ -1871,6 +1897,8 @@ object Analyzer {
               case Expr.IsNull(o, neg) => Expr.IsNull(substOp(o), neg)
               case Expr.Like(o, p, n, ci, esc) => Expr.Like(substOp(o), p, n, ci, esc)
               case Expr.CmpSubquery(op, l, sub) => Expr.CmpSubquery(op, substOp(l), sub)
+              case Expr.QuantSubquery(op, l, sub, all) =>
+                Expr.QuantSubquery(op, substOp(l), sub, all)
               case other => other
             }
             havingGkExprKeys = group.collect {
@@ -1902,6 +1930,7 @@ object Analyzer {
             case BoundExpr.BInSub(o, _, _, _)  => opCols(o) // unreachable: no IN in HAVING
             case BoundExpr.BExists(_, _, _)    => Nil       // unreachable: no EXISTS in HAVING
             case BoundExpr.BCmpSub(_, o, _, _, _) => opCols(o)
+            case BoundExpr.BQuantSub(_, o, _, _, _) => opCols(o)
           }
           cols(h).find(c => !groupCols.exists(g =>
             g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) match {
@@ -1923,6 +1952,7 @@ object Analyzer {
             case BoundExpr.BCmpSub(_, _, _, _, ps) => ps.map(_._1)
             case BoundExpr.BInSub(_, _, ps, _)     => ps.map(_._1)
             case BoundExpr.BExists(_, ps, _)       => ps.map(_._1)
+            case BoundExpr.BQuantSub(_, _, _, _, ps) => ps.map(_._1)
             case _ => Nil
           }
           walk(h).find(c => !(

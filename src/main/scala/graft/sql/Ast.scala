@@ -105,6 +105,15 @@ object Ast {
       * anything else gets a runtime one-row guard.
       */
     final case class CmpSubquery(op: CmpOp, l: Operand, sub: SelectTree) extends Expr
+    /** <operand> <cmp> ANY/SOME/ALL (SELECT …) — quantified comparison.
+      * `= ANY` / `<> ALL` desugar in the parser to [NOT] IN; the rest
+      * lower as a min/max/count facts frame + a three-valued predicate
+      * (TRUE if the quantifier is satisfied, FALSE if refuted with no
+      * NULLs involved, NULL otherwise; empty set → FALSE for ANY, TRUE
+      * for ALL).
+      */
+    final case class QuantSubquery(op: CmpOp, l: Operand, sub: SelectTree,
+        all: Boolean) extends Expr
     // BETWEEN and IN (literal list) desugar in the parser:
     // x BETWEEN a AND b → x >= a AND x <= b; x IN (a, b) → x = a OR x = b
   }

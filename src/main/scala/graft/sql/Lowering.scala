@@ -280,7 +280,8 @@ object Lowering {
           if (neg) !c else c
         case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) =>
           sys.error("unreachable: analyzer rejects IN/EXISTS in HAVING")
-        case BoundExpr.BCmpSub(_, _, _, _, _) =>
+        case BoundExpr.BCmpSub(_, _, _, _, _) |
+             BoundExpr.BQuantSub(_, _, _, _, _) =>
           sys.error("unreachable: subquery HAVING conjuncts lower as joins")
         case BoundExpr.BCmp(op, l, r) =>
           cmpCols(op, havingOperand(l), havingOperand(r))
@@ -406,6 +407,12 @@ object Lowering {
           min_by(lowerOperandWith(arg, qcol), lowerOperandWith(k, qcol))
         case BoundOperand.BOrderedAgg("arg_max", arg, _, Seq((k, _))) =>
           max_by(lowerOperandWith(arg, qcol), lowerOperandWith(k, qcol))
+        // count(DISTINCT a, b, …): Spark's native multi-column distinct
+        // count — one distinct-aggregate over the tuple, rows with ANY
+        // null component skipped (SQL semantics on both engines)
+        case BoundOperand.BOrderedAgg("count_distinct", arg, _, ord) =>
+          count_distinct(lowerOperandWith(arg, qcol),
+            ord.map { case (k, _) => lowerOperandWith(k, qcol) }: _*)
         case BoundOperand.BOrderedAgg(_, arg, sep, ord) =>
           orderedAggCol(arg, sep, ord)
         case other => sys.error(s"unreachable hidden aggregate $other")
@@ -1104,6 +1111,42 @@ object Lowering {
           drops ++= pairs.indices.map(i => s"${m}_c$i")
           predOf.put(s, cmpCols(op, probe, scalar))
         }
+      case s @ BoundExpr.BQuantSub(op, o, sub, all, pairs) =>
+        registerOp(o)
+        val probe = operand(o)
+        val m = fresh()
+        val factsCols = Seq(s"${m}_n", s"${m}_nn", s"${m}_mn", s"${m}_mx")
+        if (pairs.isEmpty) {
+          // uncorrelated: ONE bounded aggregate over the subquery —
+          // count / non-null count / min / max — broadcast to every row
+          val subDf = lowerSelect(spark, sub, source)
+          val v = col(subDf.columns.head)
+          val facts = broadcast(subDf.agg(count(lit(1)).as(s"${m}_n"),
+            count(v).as(s"${m}_nn"), min(v).as(s"${m}_mn"),
+            max(v).as(s"${m}_mx")))
+          joins += ((facts, lit(true)))
+        } else {
+          // correlated: per-key facts — one hash aggregate on the same
+          // equi keys the predicate joins on, shuffle-bounded at scale
+          val core = combine(spark, sub, source, Set.empty, None)
+          val inVal = sub.projection.head match {
+            case BoundItem.BICol(c, _)    => qcolSub(c)
+            case BoundItem.BIExpr(op2, _) => lowerOperandWith(op2, qcolSub)
+            case _ => sys.error(
+              "unreachable: a correlated subquery must not aggregate or window")
+          }
+          val facts = core.select(inVal.as(s"${m}_fv") +:
+            pairs.zipWithIndex.map { case ((_, ic), i) =>
+              qcolSub(ic).as(s"${m}_f$i") }: _*)
+            .groupBy(pairs.indices.map(i => col(s"${m}_f$i")): _*)
+            .agg(count(lit(1)).as(s"${m}_n"), count(col(s"${m}_fv")).as(s"${m}_nn"),
+              min(col(s"${m}_fv")).as(s"${m}_mn"), max(col(s"${m}_fv")).as(s"${m}_mx"))
+          joins += ((facts, pairs.zipWithIndex.map { case ((oc, _), i) =>
+            outerKey(oc) === facts(s"${m}_f$i") }.reduce(_ && _)))
+          drops ++= pairs.indices.map(i => s"${m}_f$i")
+        }
+        drops ++= factsCols
+        predOf.put(s, quantPred(op, all, probe, m))
     }
 
     /** Register subqueries inside an operand tree (CASE conditions). A
@@ -1389,7 +1432,7 @@ object Lowering {
       val c = likeCol(opLower(o), pat, ci, esc)
       if (neg) !c else c
     case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) |
-        BoundExpr.BCmpSub(_, _, _, _, _) =>
+        BoundExpr.BCmpSub(_, _, _, _, _) | BoundExpr.BQuantSub(_, _, _, _, _) =>
       sys.error("subquery conjuncts lower as joins, not Column expressions")
     case BoundExpr.BCmp(op, l, r) =>
       cmpCols(op, opLower(l), opLower(r))
@@ -1435,6 +1478,54 @@ object Lowering {
     case Ast.CmpOp.Gt  => lc > rc
     case Ast.CmpOp.Le  => lc <= rc
     case Ast.CmpOp.Ge  => lc >= rc
+  }
+
+  /** The decisive comparison of a quantified predicate against the
+    * subquery's non-null extrema: `x < ANY(s)` ⟺ `x < max(s)`,
+    * `x < ALL(s)` ⟺ `x < min(s)` (and symmetrically for >, <=, >=);
+    * `x <> ANY` and `x = ALL` read off min = max = x. NULL when the
+    * non-null set is empty (min/max are NULL) — the caller's CASE
+    * degrades that to the three-valued answer.
+    */
+  private def quantCmp(op: Ast.CmpOp, all: Boolean, probe: Column,
+      mn: Column, mx: Column): Column = (op, all) match {
+    case (Ast.CmpOp.Lt, false)  => probe < mx
+    case (Ast.CmpOp.Le, false)  => probe <= mx
+    case (Ast.CmpOp.Gt, false)  => probe > mn
+    case (Ast.CmpOp.Ge, false)  => probe >= mn
+    case (Ast.CmpOp.Neq, false) => (mn =!= probe) || (mx =!= probe)
+    case (Ast.CmpOp.Lt, true)   => probe < mn
+    case (Ast.CmpOp.Le, true)   => probe <= mn
+    case (Ast.CmpOp.Gt, true)   => probe > mx
+    case (Ast.CmpOp.Ge, true)   => probe >= mx
+    case (Ast.CmpOp.Eq, true)   => (mn === probe) && (mx === probe)
+    case (Ast.CmpOp.Eq, false) | (Ast.CmpOp.Neq, true) =>
+      sys.error("unreachable: = ANY / <> ALL desugar to IN / NOT IN")
+  }
+
+  /** Full 3VL for `probe <op> ANY/ALL (sub)` over the joined facts
+    * columns `<m>_n` (row count), `<m>_nn` (non-null count), `<m>_mn` /
+    * `<m>_mx` (non-null extrema): empty set → FALSE for ANY / TRUE for
+    * ALL; NULL probe → NULL; then the extremum comparison decides, with
+    * the undecided cases degrading to NULL when the set bears NULLs.
+    */
+  private def quantPred(op: Ast.CmpOp, all: Boolean, probe: Column,
+      m: String): Column = {
+    val n   = coalesce(col(s"${m}_n"), lit(0L))
+    val cmp = quantCmp(op, all, probe, col(s"${m}_mn"), col(s"${m}_mx"))
+    val unk = lit(null).cast("boolean")
+    if (!all)
+      when(n === 0L, lit(false))
+        .when(probe.isNull, unk)
+        .when(cmp, lit(true))
+        .when(col(s"${m}_nn") < col(s"${m}_n"), unk)
+        .otherwise(lit(false))
+    else
+      when(n === 0L, lit(true))
+        .when(probe.isNull, unk)
+        .when(cmp <=> lit(false), lit(false))
+        .when(col(s"${m}_nn") < col(s"${m}_n"), unk)
+        .otherwise(lit(true))
   }
 
   /** Scalar function lowering (arity pre-checked by the analyzer). The
@@ -1582,6 +1673,7 @@ object Lowering {
       case BoundExpr.BInSub(_, _, _, _)  => hasSub = true; Nil
       case BoundExpr.BExists(_, _, _)    => hasSub = true; Nil
       case BoundExpr.BCmpSub(_, _, _, _, _) => hasSub = true; Nil
+      case BoundExpr.BQuantSub(_, _, _, _, _) => hasSub = true; Nil
     }
     val found = cols(e).distinct
     if (hasSub) None

@@ -217,6 +217,7 @@ object Parser {
         case Expr.InSubquery(_, sub, _)   => readsTable(sub, name)
         case Expr.Exists(sub, _)          => readsTable(sub, name)
         case Expr.CmpSubquery(_, _, sub)  => readsTable(sub, name)
+        case Expr.QuantSubquery(_, _, sub, _) => readsTable(sub, name)
         case _                            => false
       }
       t.from.exists(inFrom) || t.joinSteps.exists(js => inFrom(js.item)) ||
@@ -323,6 +324,8 @@ object Parser {
       case Expr.InSubquery(o, sub, n)   => Expr.InSubquery(o, substCte(sub, ctes), n)
       case Expr.Exists(sub, n)          => Expr.Exists(substCte(sub, ctes), n)
       case Expr.CmpSubquery(op, l, sub) => Expr.CmpSubquery(op, l, substCte(sub, ctes))
+      case Expr.QuantSubquery(op, l, sub, all) =>
+        Expr.QuantSubquery(op, l, substCte(sub, ctes), all)
       case other                  => other
     }
     t.copy(
@@ -1154,8 +1157,23 @@ object Parser {
             case TSym(">", _)  => p.next(); Right(CmpOp.Gt)
             case t             => Left(ParseError("expected comparison operator", t.pos))
           }
+          // quantifier: <cmp> ANY/SOME/ALL (SELECT …) — `= ANY` is IN,
+          // `<> ALL` is NOT IN (exact SQL equivalences, including NULL
+          // semantics); the other combinations carry the quantifier
+          quant <- p.peek match {
+            case TIdent(k, pos) if k.equalsIgnoreCase("any") ||
+                k.equalsIgnoreCase("some") || k.equalsIgnoreCase("all") =>
+              val isAll = k.equalsIgnoreCase("all")
+              p.next()
+              p.peek match {
+                case TSym("(", _) => Right(Some(isAll))
+                case t => Left(ParseError(
+                  s"expected (SELECT …) after ${k.toUpperCase}", t.pos))
+              }
+            case _ => Right(None)
+          }
           // right side: a scalar subquery — (SELECT …) — or a plain operand
-          isSub = {
+          isSub = quant.isDefined || {
             val save = p.i
             val r = p.eatSym("(").isRight && p.isKw("select")
             p.i = save
@@ -1167,7 +1185,16 @@ object Parser {
                 _ <- p.eatSym("(")
                 sub <- parseSelect(p)
                 _ <- p.eatSym(")")
-              } yield Expr.CmpSubquery(op, l, sub): Expr
+                q <- quant match {
+                  case None => Right(Expr.CmpSubquery(op, l, sub): Expr)
+                  case Some(isAll) => (op, isAll) match {
+                    case (CmpOp.Eq, false)  => Right(Expr.InSubquery(l, sub, negated = false): Expr)
+                    case (CmpOp.Neq, true)  => Right(Expr.InSubquery(l, sub, negated = true): Expr)
+                    case (CmpOp.Eq, true) | (CmpOp.Neq, false) | _ =>
+                      Right(Expr.QuantSubquery(op, l, sub, isAll): Expr)
+                  }
+                }
+              } yield q
             else parseOperand(p, allowAgg).map(r => Expr.Cmp(op, l, r): Expr)
         } yield e
     }
@@ -1370,6 +1397,20 @@ object Parser {
           // the analyzer rejects nested aggregation everywhere else
           case _ => parseOperand(p, allowAgg).map(Some(_))
         }
+        // count(DISTINCT a, b, …) — multi-column distinct: counts the
+        // distinct tuples whose components are ALL non-null (SQL
+        // semantics); rides the OrderedAgg node (first arg + the rest as
+        // "ordering" operands, no separator)
+        more <-
+          if (fn == "count" && distinct) {
+            def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+              p.peek match {
+                case TSym(",", _) =>
+                  p.next(); parseOperand(p).flatMap(o => loop(acc :+ o))
+                case _ => Right(acc)
+              }
+            loop(Vector.empty)
+          } else Right(Vector.empty[Operand])
         _ <- p.eatSym(")")
         // FILTER (WHERE pred) — desugars onto the aggregate's NULL
         // skipping: count(*) → count(CASE WHEN p THEN 1 END), agg(x) →
@@ -1383,6 +1424,9 @@ object Parser {
           }) {
             if (fn == "grouping")
               Left(ParseError("grouping() does not take FILTER", p.peek.pos))
+            else if (more.nonEmpty)
+              Left(ParseError(
+                "count(DISTINCT a, b, …) does not take FILTER", p.peek.pos))
             else {
               p.next()
               for {
@@ -1396,7 +1440,10 @@ object Parser {
                   Some(Operand.CaseWhen(Seq((pred, inner)), None)), distinct)
               }
             }
-          } else Right(Operand.AggCall(fn, arg, distinct))
+          } else if (more.nonEmpty)
+            Right(Operand.OrderedAgg("count_distinct", arg.get, "",
+              more.map(_ -> false), distinct = true))
+          else Right(Operand.AggCall(fn, arg, distinct))
       } yield filtered
     case TIdent(k, _) if k.equalsIgnoreCase("case") =>
       p.next()

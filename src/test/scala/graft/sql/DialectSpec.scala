@@ -2036,4 +2036,49 @@ class DialectSpec extends AnyFunSuite {
     assert(db.select("SELECT grp, row_number() OVER (ORDER BY grp) AS rn FROM sales " +
       "QUALIFY rn = 1 AND EXISTS (SELECT grp FROM sales)").isLeft)
   }
+
+  private def quantDb(): GraftDatabase = {
+    val db = freshDb()
+    db.query("CREATE TABLE probe (id INT PRIMARY KEY, x INT)").toOption.get
+    db.query("INSERT INTO probe VALUES (1, 5), (2, 50), (3, NULL)").toOption.get
+    db.query("CREATE TABLE s (v INT)").toOption.get
+    db.query("INSERT INTO s VALUES (10), (20), (NULL)").toOption.get
+    db.query("CREATE TABLE empty_s (v INT)").toOption.get
+    db
+  }
+
+  test("quantified ANY/ALL: extremum semantics and = ANY / <> ALL desugar") {
+    val db = quantDb()
+    def ids(sql: String): Seq[Int] =
+      db.select(sql).fold(e => fail(e.msg), identity)
+        .orderBy("id").collect().toSeq.map(_.getInt(0))
+    // x < ANY {10,20,NULL}: 5 < 20 TRUE; 50 UNKNOWN (set has NULL); NULL probe UNKNOWN
+    assert(ids("SELECT id FROM probe WHERE x < ANY (SELECT v FROM s)") == Seq(1))
+    // x > ALL: 50 > 20 but the NULL in s degrades to UNKNOWN — no rows
+    assert(ids("SELECT id FROM probe WHERE x > ALL (SELECT v FROM s)") == Seq())
+    // without the NULL row, > ALL decides: 50 > 20 TRUE
+    assert(ids("SELECT id FROM probe WHERE x > ALL (SELECT v FROM s WHERE v IS NOT NULL)") == Seq(2))
+    // = ANY is IN; <> ALL is null-aware NOT IN (NULL in s → no rows)
+    assert(ids("SELECT id FROM probe WHERE x = ANY (SELECT v + 40 AS w FROM s WHERE v = 10)") == Seq(2))
+    assert(ids("SELECT id FROM probe WHERE x <> ALL (SELECT v FROM s)") == Seq())
+    assert(ids("SELECT id FROM probe WHERE x <> ALL (SELECT v FROM s WHERE v IS NOT NULL)") == Seq(1, 2))
+  }
+
+  test("quantified ANY/ALL: empty set, NOT position, SOME synonym") {
+    val db = quantDb()
+    def ids(sql: String): Seq[Int] =
+      db.select(sql).fold(e => fail(e.msg), identity)
+        .orderBy("id").collect().toSeq.map(_.getInt(0))
+    // empty set: ANY → FALSE for every probe, ALL → TRUE for every probe
+    // (including the NULL probe — SQL's vacuous truth)
+    assert(ids("SELECT id FROM probe WHERE x < ANY (SELECT v FROM empty_s)") == Seq())
+    assert(ids("SELECT id FROM probe WHERE x < ALL (SELECT v FROM empty_s)") == Seq(1, 2, 3))
+    // NOT(x < ANY s): TRUE only where the inner is definitely FALSE —
+    // 50 < ANY {10,20,NULL} is UNKNOWN (not FALSE), so NOT keeps nothing
+    assert(ids("SELECT id FROM probe WHERE NOT (x < ANY (SELECT v FROM s))") == Seq())
+    // definite FALSE flips: NOT (x < ANY {10,20}) keeps x=50
+    assert(ids("SELECT id FROM probe WHERE NOT (x < ANY (SELECT v FROM s WHERE v IS NOT NULL))") == Seq(2))
+    // SOME is a synonym for ANY
+    assert(ids("SELECT id FROM probe WHERE x <= SOME (SELECT v FROM s)") == Seq(1))
+  }
 }
