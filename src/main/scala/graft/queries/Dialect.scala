@@ -1473,6 +1473,62 @@ object Dialect {
              |AND c_nationkey = ALL (SELECT min(n_nationkey) + 3 AS v FROM nation)
              |OR c_custkey <= 20 AND c_mktsegment <> ANY
              |  (SELECT DISTINCT c2.c_mktsegment FROM customer c2)
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // UPDATE SET col = (SELECT …): a correlated scalar-aggregate value —
+    // ONE per-key aggregate over the source joined back on the row id of
+    // the pre-update image (no per-row re-execution); customers with no
+    // orders read the aggregate's NULL. The oracle reproduces the final
+    // image from the raw fixture with the same correlated subquery.
+    "q_dialect_update_scalar_sub" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders", "customer")
+        if (!g.tableNames.contains("updsub_cust")) {
+          g.query("CREATE TABLE updsub_cust AS SELECT c_custkey, c_acctbal " +
+            "FROM customer WHERE c_custkey < 300")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("UPDATE updsub_cust SET c_acctbal = " +
+            "(SELECT avg(o.o_totalprice) AS v FROM orders o " +
+            "WHERE o.o_custkey = updsub_cust.c_custkey) WHERE c_custkey % 3 = 0")
+            .fold(e => sys.error(e.msg), identity)
+        }
+        run(g, "SELECT c_custkey, round(c_acctbal, 2) AS bal FROM updsub_cust " +
+          "ORDER BY c_custkey")
+      },
+      Some("""SELECT c_custkey, round(CASE WHEN c_custkey % 3 = 0
+             |  THEN (SELECT avg(o.o_totalprice) FROM orders o
+             |        WHERE o.o_custkey = c.c_custkey)
+             |  ELSE c_acctbal END, 2) AS bal
+             |FROM customer c WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin)),
+
+    // QUALIFY over an aggregated query: the window computes over the
+    // AGGREGATED frame (rank by sum), mixed with a plain aggregate
+    // predicate — one aggregation pass, one window shuffle, then the
+    // filter; no re-aggregation.
+    "q_dialect_qualify_agg" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+          "FROM orders GROUP BY o_custkey " +
+          "QUALIFY rank() OVER (ORDER BY sum(o_totalprice) DESC) <= 10 AND count(*) > 1 " +
+          "ORDER BY total DESC, o_custkey"),
+      Some("""SELECT o_custkey, cast(count(*) AS bigint) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY o_custkey
+             |QUALIFY rank() OVER (ORDER BY sum(o_totalprice) DESC) <= 10 AND count(*) > 1
+             |ORDER BY total DESC, o_custkey""".stripMargin)),
+
+    // DISTINCT ON ordered by a window alias: the window column
+    // pre-attaches (like QUALIFY) so the first-row-per-key filter can
+    // sort on it; the inner window's tiebreak keeps it deterministic.
+    "q_dialect_distinct_on_win" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, " +
+          "row_number() OVER (PARTITION BY o_custkey " +
+          "ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+          "FROM orders WHERE o_custkey < 200 ORDER BY o_custkey, rn"),
+      Some("""SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+             |  cast(row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS int) AS rn
+             |FROM orders WHERE o_custkey < 200 ORDER BY o_custkey, rn""".stripMargin))
   )
 }

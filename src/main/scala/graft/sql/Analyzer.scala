@@ -883,7 +883,14 @@ object Analyzer {
       desc: TableDesc,
       sets: Seq[(AttributeDesc, BoundOperand)],
       predicate: Option[BoundExpr],
-      matched: Option[BoundSelect] = None) extends BoundQuery
+      matched: Option[BoundSelect] = None,
+      /** SET col = (SELECT …) values: each is a bound one-item select —
+        * `SELECT __lkrid, (sub) AS __sv FROM target` — lowered over the
+        * row-id'd pre-update image and joined back per row (correlated
+        * aggregate forms decorrelate exactly like projection-scope
+        * scalar subqueries).
+        */
+      subSets: Seq[(AttributeDesc, BoundSelect)] = Nil) extends BoundQuery
 
   def analyze(tree: ParseTree, cat: Catalog): Either[AnalyzerError, BoundQuery] = tree match {
     case s: SelectTree => analyzeSelect(s, cat)
@@ -1073,6 +1080,7 @@ object Analyzer {
           case None    => ()
         }
         val sets = Vector.newBuilder[(AttributeDesc, BoundOperand)]
+        val subSets = Vector.newBuilder[(AttributeDesc, BoundSelect)]
         for (((cn, op), idx) <- u.sets.zipWithIndex) {
           desc.attr(cn) match {
             case None => return Left(UnboundAttribute(cn))
@@ -1085,6 +1093,26 @@ object Analyzer {
                     case Left(err) => return Left(TypeNotConvertible(idx, err.msg))
                     case Right(_)  => sets += ((attr, BoundOperand.BLit(l)))
                   }
+                // SET x = (SELECT …): bind as a one-item select over the
+                // row-id'd target — `SELECT __lkrid, (sub) AS __sv` — so
+                // the projection-scope scalar-subquery machinery (guards,
+                // correlated-aggregate decorrelation) applies unchanged
+                case Operand.ScalarSub(subT) =>
+                  val desc2 = desc.copy(attributes =
+                    desc.attributes :+ AttributeDesc("__lkrid", SqlType.SqlBigInt))
+                  val chained = new Catalog {
+                    def resolve(t: String) =
+                      if (t.equalsIgnoreCase(desc.name)) Some(desc2) else cat.resolve(t)
+                  }
+                  analyzeSelect(
+                    SelectTree(Some(Seq(
+                      SelectItem.SCol(ColRef(None, "__lkrid")),
+                      SelectItem.SSub(subT, "__sv"))),
+                      Seq(FTable(TableRef(desc.name, None))), None),
+                    chained) match {
+                    case Left(e)   => return Left(e)
+                    case Right(vs) => subSets += ((attr, vs))
+                  }
                 case expr =>
                   bindSingleTableOperand(desc, expr) match {
                     case Left(e)  => return Left(e)
@@ -1094,11 +1122,13 @@ object Analyzer {
           }
         }
         u.where match {
-          case None    => Right(BoundUpdate(desc, sets.result(), None))
+          case None    => Right(BoundUpdate(desc, sets.result(), None,
+            subSets = subSets.result()))
           case Some(e) if parseExprHasSub(e) =>
             matchedSelect(desc, e, cat).map(ms =>
-              BoundUpdate(desc, sets.result(), None, Some(ms)))
-          case Some(e) => bindSingleTableExpr(desc, e).map(b => BoundUpdate(desc, sets.result(), Some(b)))
+              BoundUpdate(desc, sets.result(), None, Some(ms), subSets.result()))
+          case Some(e) => bindSingleTableExpr(desc, e).map(b =>
+            BoundUpdate(desc, sets.result(), Some(b), subSets = subSets.result()))
         }
     }
 
@@ -2055,17 +2085,23 @@ object Analyzer {
             case BoundItem.BIWin(f, wargs, _, _, a, _) =>
               a.toLowerCase -> winItemType(f, wargs)
           }.toMap
-          if (isAgg)
-            Left(BadAggregate("QUALIFY over an aggregated query is not supported"))
-          else if (winTypes.isEmpty)
+          if (winTypes.isEmpty)
             Left(BadFunction(
               "QUALIFY requires a window function (an inline OVER call or a window alias)"))
-          else winTypes.keys.find(a => tables.exists(_.desc.attr(a).isDefined)) match {
-            // the lowering attaches window columns at their alias before
-            // the filter, so an alias shadowing an input column collides
-            case Some(a) => Left(BadFunction(
-              s"QUALIFY window alias '$a' shadows an input column"))
-            case None =>
+          else if (!isAgg && winTypes.keys.exists(a =>
+              tables.exists(_.desc.attr(a).isDefined)))
+            // the non-aggregate lowering attaches window columns at their
+            // alias before the filter, so an alias shadowing an input
+            // column collides (aggregate scope attaches under generated
+            // names — no collision possible)
+            Left(BadFunction(
+              s"QUALIFY window alias '${winTypes.keys.find(a =>
+                tables.exists(_.desc.attr(a).isDefined)).get}' shadows an input column"))
+          else {
+              // in aggregate scope the predicate's non-window operands
+              // resolve post-aggregation: aggregate calls become hidden
+              // agg columns, bare columns must be GROUP BY keys
+              // (validated below, like HAVING)
               def qOp(o: Operand): Either[AnalyzerError, BoundOperand] = o match {
                 case Operand.Col(ColRef(None, n)) if winTypes.contains(n.toLowerCase) =>
                   Right(BoundOperand.BOut(n.toLowerCase, winTypes(n.toLowerCase)))
@@ -2073,7 +2109,7 @@ object Analyzer {
                   for { bl <- qOp(l); br <- qOp(r) }
                     yield BoundOperand.BArith(c2, bl, br)
                 case Operand.Cast(x, t) => qOp(x).map(BoundOperand.BCast(_, t))
-                case other => bindOp(other, allowAgg = false)
+                case other => bindOp(other, allowAgg = isAgg)
               }
               def qE(x: Expr): Either[AnalyzerError, BoundExpr] = x match {
                 case Expr.And(l, r) =>
@@ -2097,6 +2133,38 @@ object Analyzer {
               }
               qE(e0).map(Some(_))
           }
+      }
+      // QUALIFY bare columns in aggregate scope must be GROUP BY keys
+      // (window-alias references read attached columns and are exempt;
+      // aggregate calls aggregate over the group like HAVING's)
+      _ <- qualifyPred match {
+        case Some(qp) if group.nonEmpty || proj.exists {
+              case _: BoundItem.BIAgg      => true
+              case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
+              case _                       => false
+            } =>
+          def opCols(o: BoundOperand): Seq[BoundCol] = o match {
+            case BoundOperand.BCol(c)         => Seq(c)
+            case BoundOperand.BArith(_, l, r) => opCols(l) ++ opCols(r)
+            case BoundOperand.BFunc(_, as)    => as.flatMap(opCols)
+            case BoundOperand.BCast(x, _)     => opCols(x)
+            case _                            => Nil
+          }
+          def cols(x: BoundExpr): Seq[BoundCol] = x match {
+            case BoundExpr.BAnd(l, r)     => cols(l) ++ cols(r)
+            case BoundExpr.BOr(l, r)      => cols(l) ++ cols(r)
+            case BoundExpr.BNot(y)        => cols(y)
+            case BoundExpr.BIsNull(o, _)  => opCols(o)
+            case BoundExpr.BLike(o, _, _, _, _) => opCols(o)
+            case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
+            case _                        => Nil
+          }
+          cols(qp).find(c => !groupCols.exists(g =>
+            g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) match {
+            case Some(c) => Left(NotInGroupBy(c.render))
+            case None    => Right(())
+          }
+        case _ => Right(())
       }
       // DISTINCT ON: bind the keys, then require the ORDER BY to lead
       // with them (Postgres rule — the only thing that makes "first row
@@ -2130,14 +2198,26 @@ object Analyzer {
               "DISTINCT ON requires ORDER BY to lead with the ON expressions"))
           else if (order.exists { case (k, _) => k match {
             case BoundOrderKey.OKOutput(n) => proj.exists {
-              case BoundItem.BIWin(_, _, _, _, a, _) => a.equalsIgnoreCase(n)
-              case BoundItem.BISub(_, a, _, _)       => a.equalsIgnoreCase(n)
-              case _                                 => false
+              case BoundItem.BISub(_, a, _, _) => a.equalsIgnoreCase(n)
+              case _                           => false
             }
             case _ => false
           } })
             Left(BadFunction(
-              "DISTINCT ON cannot ORDER BY a window or scalar-subquery alias"))
+              "DISTINCT ON cannot ORDER BY a scalar-subquery alias"))
+          else if (order.exists { case (k, _) => k match {
+            // a window alias sort key pre-attaches the window column at
+            // its alias (like QUALIFY), so shadowing an input column
+            // would collide
+            case BoundOrderKey.OKOutput(n) => proj.exists {
+              case BoundItem.BIWin(_, _, _, _, a, _) => a.equalsIgnoreCase(n) &&
+                tables.exists(_.desc.attr(a).isDefined)
+              case _ => false
+            }
+            case _ => false
+          } })
+            Left(BadFunction(
+              "DISTINCT ON window-alias sort key shadows an input column"))
           else Right(keys)
         }
       }

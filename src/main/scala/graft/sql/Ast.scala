@@ -70,6 +70,11 @@ object Ast {
       * the right operand of + / - against a date/timestamp.
       */
     final case class Interval(n: Long, unit: String) extends Operand
+    /** `(SELECT …)` as an operand — today only in UPDATE SET value
+      * position (`SET x = (SELECT …)`); the analyzer rejects it
+      * elsewhere. One column; at most one row per (correlation) key.
+      */
+    final case class ScalarSub(sub: SelectTree) extends Operand
     /** An ordered aggregate: string_agg(v, 'sep' [ORDER BY k [DESC], …]).
       * Carries its own intra-group ordering — the lowering sorts the
       * collected group by the keys before joining.

@@ -90,7 +90,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
             case BoundInsert(d, _)       if external.contains(d.name) => Left(ReadOnlyTable(d.name))
             case BoundInsertSelect(d, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
             case BoundDelete(d, _, _)    if external.contains(d.name) => Left(ReadOnlyTable(d.name))
-            case BoundUpdate(d, _, _, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+            case BoundUpdate(d, _, _, _, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
             case BoundDrop(n, _)         if external.contains(n)      => Left(ReadOnlyTable(n))
             case BoundDrop(n, _)         if views.contains(n)         =>
               Left(ViewError(s"'$n' is a view — use DROP VIEW"))
@@ -101,7 +101,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
               Left(ViewError(s"'${d.name}' is a materialized view — use REFRESH MATERIALIZED VIEW"))
             case BoundDelete(d, _, _)    if matviews.contains(d.name) =>
               Left(ViewError(s"'${d.name}' is a materialized view — use REFRESH MATERIALIZED VIEW"))
-            case BoundUpdate(d, _, _, _) if matviews.contains(d.name) =>
+            case BoundUpdate(d, _, _, _, _) if matviews.contains(d.name) =>
               Left(ViewError(s"'${d.name}' is a materialized view — use REFRESH MATERIALIZED VIEW"))
             case BoundDrop(n, _)         if matviews.contains(n)      =>
               Left(ViewError(s"'$n' is a materialized view — use DROP MATERIALIZED VIEW"))
@@ -569,22 +569,26 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       saveCatalog()
       Done(s"dropped table '$name'")
 
-    case BoundUpdate(desc, sets, pred, matchedSel) =>
+    case BoundUpdate(desc, sets, pred, matchedSel, subSets) =>
       import org.apache.spark.sql.functions.{coalesce, col, lit,
         monotonically_increasing_id, sum, when}
+      // a subquery anywhere (WHERE or a SET value) needs the row-id'd
+      // pre-update image; both consumers share ONE checkpointed frame
+      val needRid = matchedSel.isDefined || subSets.nonEmpty
+      val base = readTable(desc)
+      val withId =
+        if (!needRid) base
+        else base.withColumn("__lkrid", monotonically_increasing_id())
+          .localCheckpoint()
+      val src: Analyzer.BoundTable => DataFrame = bt =>
+        if (bt.desc.attr("__lkrid").isDefined) withId else readTable(bt.desc)
       // subquery WHERE: the same row-id rewrite as DELETE — the matched
       // id set left-joins back as a boolean condition column
-      val (df, cond, helperCols) = matchedSel match {
+      val (df0, cond, helperCols0) = matchedSel match {
         case None =>
-          val d = readTable(desc)
-          (d, pred.map(Lowering.lowerExprBare).getOrElse(lit(true)),
-            Seq.empty[String])
+          (withId, pred.map(Lowering.lowerExprBare).getOrElse(lit(true)),
+            if (needRid) Seq("__lkrid") else Seq.empty[String])
         case Some(ms) =>
-          val withId = readTable(desc)
-            .withColumn("__lkrid", monotonically_increasing_id())
-            .localCheckpoint()
-          val src: Analyzer.BoundTable => DataFrame = bt =>
-            if (bt.desc.attr("__lkrid").isDefined) withId else readTable(bt.desc)
           val rids = Lowering.withQueryScope(ms, src) { lowerOneSelect(ms, src) }
             .withColumnRenamed("__lkrid", "__updrid").withColumn("__upd", lit(true))
           val joined = withId.join(rids,
@@ -592,6 +596,22 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           (joined, coalesce(col("__upd"), lit(false)),
             Seq("__lkrid", "__updrid", "__upd"))
       }
+      // SET x = (SELECT …): each value select computes (__lkrid, __sv)
+      // over the pre-update image — uncorrelated forms broadcast one
+      // guarded row, correlated aggregates join per key — and the value
+      // joins back on the row id
+      var df = df0
+      val helperCols = Seq.newBuilder[String]
+      helperCols ++= helperCols0
+      val subVals: Seq[(AttributeDesc, org.apache.spark.sql.Column)] =
+        subSets.zipWithIndex.map { case ((attr, vs), i) =>
+          val vdf = Lowering.withQueryScope(vs, src) { lowerOneSelect(vs, src) }
+            .withColumnRenamed("__lkrid", s"__svrid_$i")
+            .withColumnRenamed("__sv", s"__sv_$i")
+          df = df.join(vdf, col("__lkrid") === col(s"__svrid_$i"), "left_outer")
+          helperCols ++= Seq(s"__svrid_$i", s"__sv_$i")
+          (attr, col(s"__sv_$i"))
+        }
       // matched-row count rides the rewrite pass as an observed metric —
       // no separate count() job over the table
       val obs = new org.apache.spark.sql.Observation()
@@ -600,10 +620,13 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       // all SET values evaluate against the PRE-update row (SQL rule:
       // SET a = b, b = a swaps), so every when() reads the original
       // columns of `observed`, and the withColumns apply in one batch
-      val updated = observed.withColumns(sets.map { case (attr, v) =>
+      val updated = observed.withColumns((sets.map { case (attr, v) =>
         attr.name -> when(cond, Lowering.lowerOperandBare(v).cast(attr.sqlType.spark))
           .otherwise(org.apache.spark.sql.functions.col(attr.name))
-      }.toMap).drop(helperCols: _*)
+      } ++ subVals.map { case (attr, vcol) =>
+        attr.name -> when(cond, vcol.cast(attr.sqlType.spark))
+          .otherwise(org.apache.spark.sql.functions.col(attr.name))
+      }).toMap).drop(helperCols.result(): _*)
       rewriteTable(desc, updated)
       val matched = obs.get("matched").asInstanceOf[Long]
       Done(s"updated $matched row(s) in ${desc.name}")

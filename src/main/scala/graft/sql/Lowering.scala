@@ -97,10 +97,20 @@ object Lowering {
       // hidden inline-OVER items) at its alias, filter, and let the final
       // projection read the precomputed columns (and drop hidden ones).
       // Windows evaluate over the post-WHERE row set — SQL clause order.
-      val winsPre = q.qualify.isDefined
-      val baseQ = q.qualify match {
-        case None => base1
-        case Some(qe) =>
+      // DISTINCT ON ordered by a window alias (DISTINCT ON (k) … ORDER BY
+      // k, rn): the window must compute BEFORE the first-row filter, so
+      // it rides the same pre-attach as QUALIFY
+      val donNeedsWins = q.distinctOn.nonEmpty && q.orderBy.exists {
+        case (BoundOrderKey.OKOutput(n), _) => q.projection.exists {
+          case BoundItem.BIWin(_, _, _, _, a, _) => a.equalsIgnoreCase(n)
+          case _                                 => false
+        }
+        case _ => false
+      }
+      val winsPre = q.qualify.isDefined || donNeedsWins
+      val baseQ =
+        if (!winsPre) base1
+        else {
           val winItems = (q.projection ++ q.qualifyWins).collect {
             case w: BoundItem.BIWin => w
           }
@@ -109,8 +119,9 @@ object Lowering {
               d.withColumn(a, windowColumn(f, args, parts, ord, frame,
                 lowerOperandWith(_, qcol), qcol))
           }
-          withWins.filter(lowerExprWith(qe, lowerOperandWith(_, qcol)))
-      }
+          q.qualify.fold(withWins)(qe =>
+            withWins.filter(lowerExprWith(qe, lowerOperandWith(_, qcol))))
+        }
       // DISTINCT ON: first row per key tuple under the query ORDER BY —
       // a row_number window partitioned on the ON keys (one shuffle;
       // Catalyst plans the rn=1 filter as WindowGroupLimit, so per-key
@@ -122,6 +133,9 @@ object Lowering {
             case BoundItem.BICol(bc, Some(a)) if a.equalsIgnoreCase(n) => qcol(bc)
             case BoundItem.BIExpr(op, a) if a.equalsIgnoreCase(n) =>
               lowerOperandWith(op, qcol)
+            // window alias: the column is pre-attached (donNeedsWins)
+            case BoundItem.BIWin(_, _, _, _, a, _) if a.equalsIgnoreCase(n) =>
+              col(a)
           }.getOrElse(sys.error(s"unreachable DISTINCT ON order alias $n"))
         }
         val w = org.apache.spark.sql.expressions.Window
@@ -382,6 +396,30 @@ object Lowering {
           i -> windowColumn(f, args, parts, ord, frame, aggScopeOperand,
             bc => col(groupOut(bc)))
       }
+      // QUALIFY in aggregate scope: hidden inline-OVER window items
+      // compute like projection windows (args register hidden aggregates
+      // NOW) and attach under their generated aliases; the predicate
+      // lowers NOW too — window aliases read the attached columns,
+      // everything else resolves post-aggregation
+      val qwinItems: Seq[(String, Column)] = q.qualifyWins.collect {
+        case BoundItem.BIWin(f, args, parts, ord, a, frame) =>
+          a.toLowerCase -> windowColumn(f, args, parts, ord, frame,
+            aggScopeOperand, bc => col(groupOut(bc)))
+      }
+      val qualifyFilter: Option[Column] = q.qualify.map { qe =>
+        val winAliasCol: Map[String, String] =
+          q.projection.zipWithIndex.collect {
+            case (BoundItem.BIWin(_, _, _, _, a, _), i) =>
+              a.toLowerCase -> s"__w_$i"
+          }.toMap ++ qwinItems.map { case (a, _) => a -> a }
+        def qop(o: BoundOperand): Column = o match {
+          case BoundOperand.BOut(n, _)       => col(winAliasCol(n.toLowerCase))
+          case BoundOperand.BArith(ch, l, r) => arith(ch, qop(l), qop(r))
+          case BoundOperand.BCast(x, t)      => qop(x).cast(t.spark)
+          case other                         => aggScopeOperand(other)
+        }
+        lowerExprWith(qe, qop)
+      }
       // ordered aggregate (string_agg ORDER BY): collect (keys, value)
       // pairs — NULL values skipped like SQL — sort the group's array
       // once (struct comparison = lexicographic by key position), then
@@ -537,13 +575,17 @@ object Lowering {
       // frame, BEFORE the final ORDER BY — the window's own exchange
       // must not disturb the result ordering
       val withWins =
-        if (winItems.isEmpty) grouped
-        else grouped.select(col("*") +: winItems.map { case (i, c) =>
-          c.as(s"__w_$i") }: _*)
+        if (winItems.isEmpty && qwinItems.isEmpty) grouped
+        else grouped.select(col("*") +: (winItems.map { case (i, c) =>
+          c.as(s"__w_$i") } ++ qwinItems.map { case (a, c) => c.as(a) }): _*)
+      // QUALIFY filters the windowed aggregate result before
+      // DISTINCT/ORDER BY (clause order); hidden window columns die at
+      // the final projection
+      val qualified = qualifyFilter.fold(withWins)(withWins.filter)
       // ORDER BY runs on the post-aggregation names BEFORE the final
       // projection, so an unprojected group key or aggregate can still
       // order the result
-      val ordered = if (orderCols.isEmpty) withWins else withWins.orderBy(
+      val ordered = if (orderCols.isEmpty) qualified else qualified.orderBy(
         orderCols.map { case (c, dir) => sortCol(c, dir) }: _*)
       val projected = ordered.select(q.projection.zipWithIndex.map {
         case (BoundItem.BICol(bc, a), _) => col(groupOut(bc)).as(outName(bc, a))

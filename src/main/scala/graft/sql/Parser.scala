@@ -924,7 +924,10 @@ object Parser {
           p.next()
           val sink = scala.collection.mutable.ArrayBuffer.empty[SelectItem.SWin]
           p.winSink = sink
-          val r = parseOr(p)
+          // allowAgg: over an aggregated query the predicate may mix
+          // window results with plain aggregates (QUALIFY rn = 1 AND
+          // sum(v) > 10); the analyzer rejects aggregates elsewhere
+          val r = parseOr(p, allowAgg = true)
           p.winSink = null
           r.map(e => (Some(e): Option[Expr], sink.toVector))
         } else Right((None: Option[Expr], Vector.empty[SelectItem.SWin]))
@@ -1676,7 +1679,21 @@ object Parser {
       for {
         c <- p.ident()
         _ <- p.eatSym("=")
-        v <- parseOperand(p)
+        // SET x = (SELECT …) — a scalar subquery as the value
+        isSub = {
+          val save = p.i
+          val r = p.eatSym("(").isRight && p.isKw("select")
+          p.i = save
+          r
+        }
+        v <-
+          if (isSub)
+            for {
+              _ <- p.eatSym("(")
+              sub <- parseSelect(p)
+              _ <- p.eatSym(")")
+            } yield Operand.ScalarSub(sub): Operand
+          else parseOperand(p)
       } yield (c, v)
     for {
       _ <- p.eatKw("update")

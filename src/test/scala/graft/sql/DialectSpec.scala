@@ -2022,19 +2022,43 @@ class DialectSpec extends AnyFunSuite {
     assert(dPlan.contains("WindowGroupLimit"), dPlan)
   }
 
-  test("QUALIFY rejections: no window, aggregate scope, alias shadowing, subqueries") {
+  test("QUALIFY rejections: no window, alias shadowing, subqueries, ungrouped column") {
     val db = qualifyDb()
     // no window function anywhere in the predicate
     assert(db.select("SELECT grp, v FROM sales QUALIFY v > 10").isLeft)
-    // aggregate scope is not supported
-    assert(db.select("SELECT grp, count(*) FROM sales GROUP BY grp " +
-      "QUALIFY row_number() OVER (ORDER BY grp) = 1").isLeft)
     // a window alias shadowing an input column would collide at attach
     assert(db.select("SELECT grp, row_number() OVER (PARTITION BY grp ORDER BY grp) AS v " +
       "FROM sales QUALIFY v = 1").isLeft)
     // subqueries inside QUALIFY are rejected loudly
     assert(db.select("SELECT grp, row_number() OVER (ORDER BY grp) AS rn FROM sales " +
       "QUALIFY rn = 1 AND EXISTS (SELECT grp FROM sales)").isLeft)
+    // aggregate scope: a bare non-grouped column in the predicate is
+    // rejected like HAVING would
+    assert(db.select("SELECT grp, count(*) FROM sales GROUP BY grp " +
+      "QUALIFY row_number() OVER (ORDER BY grp) = 1 AND v > 0").isLeft)
+  }
+
+  test("QUALIFY over an aggregated query: windows and aggregates mix") {
+    val db = qualifyDb()
+    // rank over the aggregated frame; group sums: 1→60, 2→55, 3→7
+    val top = db.select("SELECT grp, sum(v) AS total FROM sales GROUP BY grp " +
+      "QUALIFY rank() OVER (ORDER BY sum(v) DESC) <= 2").toOption.get
+      .orderBy("grp").collect().toSeq
+    assert(top == Seq(Row(1, 60L), Row(2, 55L)))
+    // window alias + a plain aggregate conjunct in the predicate
+    val mixed = db.select("SELECT grp, count(*) AS n, " +
+      "rank() OVER (ORDER BY sum(v) DESC) AS r FROM sales GROUP BY grp " +
+      "QUALIFY r = 1 AND count(*) >= 2").toOption.get.collect().toSeq
+    assert(mixed == Seq(Row(1, 3L, 1)))
+  }
+
+  test("DISTINCT ON ordered by a window alias") {
+    val db = qualifyDb()
+    // first row per grp under rn: rn=1 is the max-v item of each group
+    val rows = db.select("SELECT DISTINCT ON (grp) grp, item, " +
+      "row_number() OVER (PARTITION BY grp ORDER BY v DESC) AS rn " +
+      "FROM sales ORDER BY grp, rn").toOption.get.collect().toSeq
+    assert(rows == Seq(Row(1, "b", 1), Row(2, "e", 1), Row(3, "f", 1)))
   }
 
   private def quantDb(): GraftDatabase = {

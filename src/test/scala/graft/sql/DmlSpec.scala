@@ -121,4 +121,31 @@ class DmlSpec extends AnyFunSuite {
     assert(g.query("UPDATE region SET r_name = 'X'").isLeft)
     assert(g.query("INSERT INTO region VALUES (9, 'X')").isLeft)
   }
+
+  test("UPDATE SET col = (SELECT …): uncorrelated, correlated, pre-update row") {
+    val g = new GraftDatabase(spark,
+      Files.createTempDirectory("graft-updsub-wh").toString)
+    g.query("CREATE TABLE t (id INT PRIMARY KEY, x INT, y INT)").toOption.get
+    g.query("INSERT INTO t VALUES (1, 10, 0), (2, 20, 0), (3, 30, 0)").toOption.get
+    g.query("CREATE TABLE o (k INT, amt INT)").toOption.get
+    g.query("INSERT INTO o VALUES (1, 5), (1, 7), (2, 100), (4, 9)").toOption.get
+    def snap(): Seq[Row] = g.select("SELECT id, x, y FROM t").toOption.get
+      .orderBy("id").collect().toSeq
+    // uncorrelated: every row reads the one guarded aggregate value
+    assert(g.query("UPDATE t SET y = (SELECT max(amt) AS v FROM o)").isRight)
+    assert(snap() == Seq(Row(1, 10, 100), Row(2, 20, 100), Row(3, 30, 100)))
+    // correlated per-key aggregate, gated by WHERE; unmatched rows keep y
+    assert(g.query("UPDATE t SET y = (SELECT sum(amt) AS v FROM o " +
+      "WHERE o.k = t.id) WHERE x < 25").isRight)
+    assert(snap() == Seq(Row(1, 10, 12), Row(2, 20, 100), Row(3, 30, 100)))
+    // SET a = (sub), b = a reads the PRE-update a (SQL swap rule);
+    // count over an empty correlated group is 0, not NULL
+    assert(g.query("UPDATE t SET x = (SELECT count(amt) AS v FROM o " +
+      "WHERE o.k = t.id), y = x").isRight)
+    assert(snap() == Seq(Row(1, 2, 10), Row(2, 1, 20), Row(3, 0, 30)))
+    // a multi-row uncorrelated subquery fails the one-row guard loudly
+    val multi = scala.util.Try(g.query("UPDATE t SET y = (SELECT amt FROM o)"))
+    assert(multi.isFailure || multi.get.isLeft)
+    assert(snap() == Seq(Row(1, 2, 10), Row(2, 1, 20), Row(3, 0, 30)))
+  }
 }
