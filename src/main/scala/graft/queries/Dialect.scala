@@ -1529,6 +1529,102 @@ object Dialect {
       Some("""SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
              |  cast(row_number() OVER (PARTITION BY o_custkey
              |    ORDER BY o_totalprice DESC, o_orderkey) AS int) AS rn
-             |FROM orders WHERE o_custkey < 200 ORDER BY o_custkey, rn""".stripMargin))
+             |FROM orders WHERE o_custkey < 200 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Scalar-function batch: string (pad/trim/reverse/repeat/split_part/
+    // md5), conditional (nullif/greatest/least), math (sign/exp/ln/log)
+    // and temporal (quarter/last_day) — all codegen'd column expressions,
+    // zero UDFs.
+    "q_dialect_functions" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT c_custkey, " +
+          "lpad(c_mktsegment, 12, '.') AS seg_l, rpad(c_mktsegment, 12, '.') AS seg_r, " +
+          "ltrim(rtrim(concat('  ', c_mktsegment, '  '))) AS seg_t, " +
+          "reverse(c_mktsegment) AS seg_rev, repeat(substr(c_mktsegment, 1, 2), 3) AS seg_rep, " +
+          "split_part(c_name, '#', 2) AS name_id, md5(c_mktsegment) AS seg_md5, " +
+          "nullif(c_nationkey, 3) AS nk_nn, greatest(c_acctbal, 0.0) AS bal_pos, " +
+          "least(c_nationkey, 10) AS nk_cap, sign(c_acctbal) AS bal_sign, " +
+          "round(exp(c_nationkey / 10), 6) AS e10, round(ln(c_custkey), 6) AS lnck, " +
+          "round(log10(c_custkey), 6) AS lgck, round(log2(c_custkey), 6) AS lg2ck " +
+          "FROM customer WHERE c_custkey BETWEEN 1 AND 100 ORDER BY c_custkey"),
+      Some("""SELECT c_custkey,
+             |  lpad(c_mktsegment, 12, '.') AS seg_l, rpad(c_mktsegment, 12, '.') AS seg_r,
+             |  ltrim(rtrim(concat('  ', c_mktsegment, '  '))) AS seg_t,
+             |  reverse(c_mktsegment) AS seg_rev, repeat(substr(c_mktsegment, 1, 2), 3) AS seg_rep,
+             |  split_part(c_name, '#', 2) AS name_id, md5(c_mktsegment) AS seg_md5,
+             |  nullif(c_nationkey, 3) AS nk_nn, greatest(c_acctbal, 0.0) AS bal_pos,
+             |  least(c_nationkey, 10) AS nk_cap, cast(sign(c_acctbal) AS int) AS bal_sign,
+             |  round(exp(c_nationkey / 10), 6) AS e10, round(ln(c_custkey), 6) AS lnck,
+             |  round(log10(c_custkey), 6) AS lgck, round(log2(c_custkey), 6) AS lg2ck
+             |FROM customer WHERE c_custkey BETWEEN 1 AND 100 ORDER BY c_custkey""".stripMargin)),
+
+    // Temporal extraction batch over real timestamps: quarter/hour/
+    // minute/second plus last_day — pushdown-friendly month bucketing.
+    "q_dialect_time_parts" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, quarter(o_orderdate) AS q, last_day(o_orderdate) AS eom " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, cast(quarter(o_orderdate) AS int) AS q,
+             |  last_day(o_orderdate) AS eom
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // MERGE INTO: conditional DELETE + UPDATE + INSERT in one statement,
+    // first-match-wins — ONE left join computes every matched clause,
+    // one anti-join-shaped left join computes the inserts; the standard's
+    // multi-match error is a bounded key-count probe. The oracle
+    // reconstructs the merged image from the raw fixtures.
+    "q_dialect_merge" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders", "customer")
+        if (!g.tableNames.contains("merge_cust")) {
+          g.query("CREATE TABLE merge_cust AS SELECT c_custkey, c_acctbal, " +
+            "c_mktsegment FROM customer WHERE c_custkey < 400")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("CREATE TABLE merge_src AS SELECT o_custkey AS k, " +
+            "round(sum(o_totalprice), 2) AS spend, count(*) AS n " +
+            "FROM orders WHERE o_custkey < 600 GROUP BY o_custkey")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("MERGE INTO merge_cust c USING merge_src s ON c.c_custkey = s.k " +
+            "WHEN MATCHED AND s.n > 20 THEN DELETE " +
+            "WHEN MATCHED THEN UPDATE SET c_acctbal = c.c_acctbal + s.spend / 1000 " +
+            "WHEN NOT MATCHED AND s.k < 500 THEN INSERT (c_custkey, c_acctbal) " +
+            "VALUES (s.k, s.spend / 100)")
+            .fold(e => sys.error(e.msg), identity)
+        }
+        run(g, "SELECT c_custkey, round(c_acctbal, 2) AS bal, c_mktsegment " +
+          "FROM merge_cust ORDER BY c_custkey")
+      },
+      Some("""WITH src AS (SELECT o_custkey AS k, round(sum(o_totalprice), 2) AS spend,
+             |              count(*) AS n
+             |            FROM orders WHERE o_custkey < 600 GROUP BY o_custkey),
+             |     tgt AS (SELECT c_custkey, c_acctbal, c_mktsegment
+             |            FROM customer WHERE c_custkey < 400)
+             |SELECT c_custkey, round(bal, 2) AS bal, c_mktsegment FROM (
+             |  SELECT t.c_custkey,
+             |    CASE WHEN s.k IS NOT NULL THEN t.c_acctbal + s.spend / 1000
+             |         ELSE t.c_acctbal END AS bal,
+             |    t.c_mktsegment
+             |  FROM tgt t LEFT JOIN src s ON t.c_custkey = s.k
+             |  WHERE s.k IS NULL OR s.n <= 20
+             |  UNION ALL
+             |  SELECT s.k AS c_custkey, s.spend / 100 AS bal,
+             |    cast(NULL AS varchar) AS c_mktsegment
+             |  FROM src s LEFT JOIN tgt t ON t.c_custkey = s.k
+             |  WHERE t.c_custkey IS NULL AND s.k < 500
+             |) ORDER BY c_custkey""".stripMargin)),
+
+    // IS [NOT] DISTINCT FROM — null-safe comparison (two-valued even
+    // over NULLs, exact under NOT); nullif manufactures the NULLs the
+    // fixture lacks.
+    "q_dialect_is_distinct" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_orderstatus FROM orders " +
+          "WHERE nullif(o_orderstatus, 'O') IS DISTINCT FROM 'F' " +
+          "AND NOT (nullif(o_orderstatus, 'P') IS DISTINCT FROM o_orderstatus) " +
+          "AND o_orderkey < 3000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE nullif(o_orderstatus, 'O') IS DISTINCT FROM 'F'
+             |AND NOT (nullif(o_orderstatus, 'P') IS DISTINCT FROM o_orderstatus)
+             |AND o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin))
   )
 }

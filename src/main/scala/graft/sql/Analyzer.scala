@@ -679,17 +679,22 @@ object Analyzer {
         case _ => SqlType.SqlBigInt
       }
     case BoundOperand.BFunc(f, args) => f match {
-      case "upper" | "lower" | "trim" | "substr" | "concat" | "replace" =>
+      case "upper" | "lower" | "trim" | "substr" | "concat" | "replace" |
+           "ltrim" | "rtrim" | "reverse" | "md5" | "repeat" |
+           "lpad" | "rpad" | "split_part" =>
         SqlType.SqlVarChar(65535)
-      case "length" | "year" | "month" | "day" | "instr" | "datediff" =>
+      case "length" | "year" | "month" | "day" | "instr" | "datediff" |
+           "sign" | "quarter" | "hour" | "minute" | "second" =>
         SqlType.SqlInt
       case "abs"      => operandType(args.head)
       case "round"    => SqlType.SqlDouble
       case "coalesce" => operandType(args.head)
+      case "nullif" | "greatest" | "least" => operandType(args.head)
       case "floor" | "ceil" => SqlType.SqlBigInt
       case "mod"      => operandType(args.head)
       case "date_trunc" => SqlType.SqlTimestamp
-      case _          => SqlType.SqlDouble // sqrt / power
+      case "last_day"   => SqlType.SqlDate
+      case _          => SqlType.SqlDouble // sqrt / power / exp / ln / log10 / log2
     }
     case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
     case BoundOperand.BAgg(f, arg, _) => aggType(f, arg)
@@ -892,9 +897,31 @@ object Analyzer {
         */
       subSets: Seq[(AttributeDesc, BoundSelect)] = Nil) extends BoundQuery
 
+  /** MERGE: both sides of the statement pre-bound as synthetic selects —
+    * `matchedSel` left-joins the source onto the row-id'd target and
+    * computes every clause condition (`__mcnd_i`) and SET value
+    * (`__mval_i_j`) next to the target's own columns; `insertSel`
+    * left-joins the target onto the source (anti-join semantics via the
+    * `__mtgt` presence marker) and computes insert conditions
+    * (`__icnd_i`) and values (`__ival_i_k`). `plans` maps the helper
+    * columns back to clauses; first matching clause wins per row.
+    */
+  sealed trait MergePlan { def idx: Int }
+  object MergePlan {
+    final case class MPUpdate(idx: Int, sets: Seq[AttributeDesc]) extends MergePlan
+    final case class MPDelete(idx: Int) extends MergePlan
+    final case class MPInsert(idx: Int, cols: Seq[AttributeDesc]) extends MergePlan
+  }
+  final case class BoundMerge(
+      desc: TableDesc,
+      matchedSel: BoundSelect,
+      insertSel: Option[BoundSelect],
+      plans: Seq[MergePlan]) extends BoundQuery
+
   def analyze(tree: ParseTree, cat: Catalog): Either[AnalyzerError, BoundQuery] = tree match {
     case s: SelectTree => analyzeSelect(s, cat)
     case u: UnionTree  => analyzeUnion(u, cat)
+    case mt: MergeTree => analyzeMerge(mt, cat)
     case e: ExplainTree => analyze(e.select, cat).flatMap {
       case q @ (_: BoundSelect | _: BoundUnion |
                 _: BoundInsertSelect | _: BoundCreateAs) =>
@@ -1066,6 +1093,141 @@ object Analyzer {
       case BoundItem.BIExpr(b, _) => Right(b)
       case other => Left(BadFunction(s"unexpected SET value $other"))
     })
+
+  private def analyzeMerge(m: MergeTree, cat: Catalog): Either[AnalyzerError, BoundMerge] =
+    cat.resolve(m.target.name) match {
+      case None => Left(RelationNotFound(m.target.name))
+      case Some(desc) =>
+        val tname = m.target.name
+        val talias = m.target.alias.getOrElse(tname)
+        val salias = m.source match {
+          case FTable(TableRef(n, a)) => a.getOrElse(n)
+          case FDerived(_, a)         => a
+          case FLateral(_, a)         => a // unreachable: parser never builds
+        }
+        if (talias.equalsIgnoreCase(salias))
+          return Left(DuplicateBinding(salias))
+        // subqueries have no marker path inside MERGE expressions
+        val allConds = m.on +: m.whens.flatMap(_.cond.toSeq)
+        val allOps = m.whens.flatMap {
+          case MergeWhen.MUpdate(_, sets)  => sets.map(_._2)
+          case MergeWhen.MInsert(_, _, vs) => vs
+          case _: MergeWhen.MDelete        => Nil
+        }
+        if (allConds.exists(parseExprHasSub) || allOps.exists(parseOpHasSub))
+          return Left(BadSubquery("subqueries are not supported in MERGE expressions"))
+        // resolve each clause against the target schema
+        val plansE: Either[AnalyzerError, Vector[MergePlan]] =
+          m.whens.zipWithIndex.foldLeft[Either[AnalyzerError, Vector[MergePlan]]](
+            Right(Vector.empty)) { case (acc, (w, i)) =>
+            acc.flatMap { v =>
+              w match {
+                case MergeWhen.MUpdate(_, sets) =>
+                  sets.map(_._1.toLowerCase).groupBy(identity).collectFirst {
+                    case (n, occ) if occ.length > 1 => n
+                  } match {
+                    case Some(n) => Left(DuplicateBinding(n))
+                    case None =>
+                      sets.foldLeft[Either[AnalyzerError, Vector[AttributeDesc]]](
+                        Right(Vector.empty)) { case (sacc, (cn, _)) =>
+                        sacc.flatMap(sv => desc.attr(cn)
+                          .toRight(UnboundAttribute(cn)).map(sv :+ _))
+                      }.map(attrs => v :+ MergePlan.MPUpdate(i, attrs))
+                  }
+                case _: MergeWhen.MDelete =>
+                  Right(v :+ MergePlan.MPDelete(i))
+                case MergeWhen.MInsert(_, cols, vals) =>
+                  val colsE: Either[AnalyzerError, Seq[AttributeDesc]] = cols match {
+                    case None =>
+                      if (vals.length == desc.attributes.length) Right(desc.attributes)
+                      else Left(BadFunction(
+                        s"MERGE INSERT needs ${desc.attributes.length} values, got ${vals.length}"))
+                    case Some(cs) =>
+                      cs.map(_.toLowerCase).groupBy(identity).collectFirst {
+                        case (n, occ) if occ.length > 1 => n
+                      } match {
+                        case Some(n) => Left(DuplicateBinding(n))
+                        case None if cs.length != vals.length =>
+                          Left(BadFunction(
+                            s"MERGE INSERT column list has ${cs.length} names but ${vals.length} values"))
+                        case None =>
+                          cs.foldLeft[Either[AnalyzerError, Vector[AttributeDesc]]](
+                            Right(Vector.empty)) { (cacc, cn) =>
+                            cacc.flatMap(cv => desc.attr(cn)
+                              .toRight(UnboundAttribute(cn)).map(cv :+ _))
+                          }
+                      }
+                  }
+                  colsE.map(attrs => v :+ MergePlan.MPInsert(i, attrs))
+              }
+            }
+          }
+        plansE.flatMap { plans =>
+          def condItem(i: Int, cond: Option[Expr], alias: String): SelectItem =
+            SelectItem.SExpr(cond match {
+              case Some(c) => Operand.CaseWhen(
+                Seq((c, Operand.Literal(Lit.LitLong(1L)))),
+                Some(Operand.Literal(Lit.LitLong(0L))))
+              case None => Operand.Literal(Lit.LitLong(1L))
+            }, alias)
+          // synthetic 1: target (row-id'd) LEFT JOIN source — target
+          // columns + source-presence marker + matched-clause helpers
+          val srcBody = SelectTree(
+            Some(Seq(SelectItem.SStar(None),
+              SelectItem.SExpr(Operand.Literal(Lit.LitLong(1L)), "__msrc"))),
+            Seq(m.source), None)
+          val matchedItems: Seq[SelectItem] =
+            (SelectItem.SCol(ColRef(Some(talias), "__lkrid")) +:
+              desc.attributes.map(a =>
+                SelectItem.SCol(ColRef(Some(talias), a.name)): SelectItem)) ++
+            Seq(SelectItem.SCol(ColRef(Some(salias), "__msrc"))) ++
+            m.whens.zipWithIndex.flatMap {
+              case (MergeWhen.MUpdate(cond, sets), i) =>
+                condItem(i, cond, s"__mcnd_$i") +: sets.zipWithIndex.map {
+                  case ((_, vOp), j) => SelectItem.SExpr(vOp, s"__mval_${i}_$j")
+                }
+              case (MergeWhen.MDelete(cond), i) =>
+                Seq(condItem(i, cond, s"__mcnd_$i"))
+              case (_: MergeWhen.MInsert, _) => Nil
+            }
+          val desc2 = desc.copy(attributes =
+            desc.attributes :+ AttributeDesc("__lkrid", SqlType.SqlBigInt))
+          val chained = new Catalog {
+            def resolve(t: String) =
+              if (t.equalsIgnoreCase(tname)) Some(desc2) else cat.resolve(t)
+          }
+          val sel1 = SelectTree(Some(matchedItems),
+            Seq(FTable(TableRef(tname, Some(talias)))), None,
+            joinSteps = Seq(JoinStep("left", FDerived(srcBody, salias), m.on)))
+          // synthetic 2: source LEFT JOIN target (presence marker) —
+          // insert-clause helpers; rows with a NULL marker are unmatched
+          val insertWhens = m.whens.zipWithIndex.collect {
+            case (w: MergeWhen.MInsert, i) => (w, i)
+          }
+          val sel2E: Either[AnalyzerError, Option[BoundSelect]] =
+            if (insertWhens.isEmpty) Right(None)
+            else {
+              val tgtBody = SelectTree(
+                Some(Seq(SelectItem.SStar(None),
+                  SelectItem.SExpr(Operand.Literal(Lit.LitLong(1L)), "__mtgt"))),
+                Seq(FTable(TableRef(tname, None))), None)
+              val items: Seq[SelectItem] =
+                SelectItem.SCol(ColRef(Some(talias), "__mtgt")) +:
+                insertWhens.flatMap { case (MergeWhen.MInsert(cond, _, vals), i) =>
+                  condItem(i, cond, s"__icnd_$i") +: vals.zipWithIndex.map {
+                    case (vOp, k) => SelectItem.SExpr(vOp, s"__ival_${i}_$k")
+                  }
+                }
+              analyzeSelect(SelectTree(Some(items), Seq(m.source), None,
+                joinSteps = Seq(JoinStep("left", FDerived(tgtBody, talias), m.on))),
+                cat).map(Some(_))
+            }
+          for {
+            sel1b <- analyzeSelect(sel1, chained)
+            sel2b <- sel2E
+          } yield BoundMerge(desc, sel1b, sel2b, plans)
+        }
+    }
 
   private def analyzeUpdate(u: UpdateTree, cat: Catalog): Either[AnalyzerError, BoundUpdate] =
     cat.resolve(u.table) match {
@@ -1358,6 +1520,9 @@ object Analyzer {
         }
       case Operand.AggCall(f, _, _) =>
         Left(BadAggregate(s"$f(...) is not valid in this context"))
+      case Operand.ScalarSub(_) =>
+        Left(BadSubquery(
+          "a scalar subquery operand is only supported as an UPDATE SET value"))
       case Operand.OrderedAgg(f, arg, sep, ord, _) if allowAgg =>
         for {
           barg <- bindOp(arg, allowAgg = false)
@@ -1379,13 +1544,19 @@ object Analyzer {
         val arityOk = f match {
           case "upper" | "lower" | "trim" | "length" | "abs" |
                "year" | "month" | "day" |
-               "floor" | "ceil" | "sqrt"  => args.length == 1
+               "floor" | "ceil" | "sqrt" |
+               "ltrim" | "rtrim" | "reverse" | "md5" | "sign" |
+               "exp" | "ln" | "log10" | "log2" |
+               "last_day" | "quarter" | "hour" | "minute" | "second"
+                                     => args.length == 1
           case "round"               => args.length == 1 || args.length == 2
           case "substr"              => args.length == 2 || args.length == 3
           case "coalesce" | "concat" => args.nonEmpty
-          case "power" | "instr" | "mod" | "datediff" => args.length == 2
+          case "power" | "instr" | "mod" | "datediff" |
+               "nullif" | "repeat"   => args.length == 2
           case "date_trunc"          => args.length == 2
-          case "replace"             => args.length == 3
+          case "replace" | "lpad" | "rpad" | "split_part" => args.length == 3
+          case "greatest" | "least"  => args.length >= 2
           case _                     => false
         }
         if (!arityOk)
@@ -1404,6 +1575,24 @@ object Analyzer {
         }))
           Left(BadFunction(
             "date_trunc unit must be a string literal (year/quarter/month/week/day/hour/minute/second)"))
+        // pad/repeat/split lengths compile into the expression — they
+        // must be literals (like round's scale)
+        else if ((f == "repeat" && !(args(1) match {
+          case Operand.Literal(Lit.LitLong(n)) => n >= 0
+          case _ => false
+        })) || ((f == "lpad" || f == "rpad") && !((args(1), args(2)) match {
+          case (Operand.Literal(Lit.LitLong(n)),
+                Operand.Literal(Lit.LitString(p))) => n >= 0 && p.nonEmpty
+          case _ => false
+        })))
+          Left(BadFunction(s"$f length/pad arguments must be literals"))
+        else if (f == "split_part" && !((args(1), args(2)) match {
+          case (Operand.Literal(Lit.LitString(sep)),
+                Operand.Literal(Lit.LitLong(n))) => sep.nonEmpty && n >= 1
+          case _ => false
+        }))
+          Left(BadFunction(
+            "split_part takes a non-empty separator string literal and a positive index literal"))
         else
           args.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](Right(Vector.empty)) {
             (acc, a) => acc.flatMap(v => bindOp(a, allowAgg, allowSub).map(v :+ _))

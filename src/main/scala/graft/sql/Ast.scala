@@ -36,6 +36,11 @@ object Ast {
     case object Gt extends CmpOp  { val sql = ">" }
     case object Le extends CmpOp  { val sql = "<=" }
     case object Ge extends CmpOp  { val sql = ">=" }
+    /** IS DISTINCT FROM — null-safe inequality: two-valued (NULLs
+      * compare equal to each other, distinct from every value). */
+    case object IsDist extends CmpOp  { val sql = "IS DISTINCT FROM" }
+    /** IS NOT DISTINCT FROM — null-safe equality (Spark's `<=>`). */
+    case object NotDist extends CmpOp { val sql = "IS NOT DISTINCT FROM" }
   }
 
   sealed trait Operand
@@ -318,6 +323,27 @@ object Ast {
       table: String,
       sets: Seq[(String, Operand)],
       where: Option[Expr]) extends ParseTree
+
+  /** MERGE INTO t [alias] USING (s | (SELECT …)) [alias] ON <expr>
+    * WHEN [NOT] MATCHED [AND <expr>] THEN UPDATE SET … | DELETE |
+    * INSERT [(cols)] VALUES (…). Clauses apply first-match-wins per
+    * row; more than one source match per target row is an error (SQL
+    * standard). Expressions may reference both sides by alias;
+    * subqueries are rejected.
+    */
+  final case class MergeTree(
+      target: TableRef,
+      source: FromItem,
+      on: Expr,
+      whens: Seq[MergeWhen]) extends ParseTree
+  sealed trait MergeWhen { def cond: Option[Expr] }
+  object MergeWhen {
+    final case class MUpdate(cond: Option[Expr],
+        sets: Seq[(String, Operand)]) extends MergeWhen
+    final case class MDelete(cond: Option[Expr]) extends MergeWhen
+    final case class MInsert(cond: Option[Expr],
+        columns: Option[Seq[String]], values: Seq[Operand]) extends MergeWhen
+  }
 
   final case class CreateTree(
       table: String,

@@ -91,6 +91,9 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
             case BoundInsertSelect(d, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
             case BoundDelete(d, _, _)    if external.contains(d.name) => Left(ReadOnlyTable(d.name))
             case BoundUpdate(d, _, _, _, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+            case BoundMerge(d, _, _, _)  if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+            case BoundMerge(d, _, _, _)  if matviews.contains(d.name) =>
+              Left(ViewError(s"'${d.name}' is a materialized view — use REFRESH MATERIALIZED VIEW"))
             case BoundDrop(n, _)         if external.contains(n)      => Left(ReadOnlyTable(n))
             case BoundDrop(n, _)         if views.contains(n)         =>
               Left(ViewError(s"'$n' is a view — use DROP VIEW"))
@@ -630,6 +633,97 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       rewriteTable(desc, updated)
       val matched = obs.get("matched").asInstanceOf[Long]
       Done(s"updated $matched row(s) in ${desc.name}")
+
+    case BoundMerge(desc, matchedSel, insertSel, plans) =>
+      import org.apache.spark.sql.functions.{coalesce, col, lit,
+        monotonically_increasing_id, sum, when}
+      import Analyzer.MergePlan._
+      val withId = readTable(desc)
+        .withColumn("__lkrid", monotonically_increasing_id())
+        .localCheckpoint()
+      val src: Analyzer.BoundTable => DataFrame = bt =>
+        if (bt.desc.attr("__lkrid").isDefined) withId else readTable(bt.desc)
+      val m = Lowering.withQueryScope(matchedSel, src) {
+        lowerOneSelect(matchedSel, src) }
+      // SQL standard: more than one source row matching one target row
+      // is an error — one bounded probe over the join's key multiset
+      val dup = m.filter(col("__msrc").isNotNull)
+        .groupBy(col("__lkrid")).agg(sum(lit(1L)).as("__n"))
+        .filter(col("__n") > 1L).limit(1).count()
+      if (dup > 0) throw new IllegalStateException(
+        "MERGE: a target row matched more than one source row")
+      val matched = col("__msrc").isNotNull
+      val mPlans = plans.filter(!_.isInstanceOf[MPInsert])
+      // first-match-wins: the clause index is the first WHEN whose
+      // condition holds on a matched row, -1 otherwise
+      val clauseIdx: org.apache.spark.sql.Column =
+        mPlans.foldLeft(Option.empty[org.apache.spark.sql.Column]) { (acc, p) =>
+          val active = matched && col(s"__mcnd_${p.idx}") === 1L
+          Some(acc.fold(when(active, lit(p.idx)))(_.when(active, lit(p.idx))))
+        }.map(_.otherwise(lit(-1))).getOrElse(lit(-1))
+      val obs = new org.apache.spark.sql.Observation()
+      val m2 = m.withColumn("__mclause", clauseIdx).observe(obs,
+        coalesce(sum(when(col("__mclause") >= 0, 1L).otherwise(0L)), lit(0L))
+          .as("changed"))
+      // SET values evaluate against the PRE-merge row (they were
+      // computed as helper columns next to the original ones)
+      val colUpdates: Map[String, org.apache.spark.sql.Column] =
+        desc.attributes.flatMap { attr =>
+          val hits = mPlans.collect {
+            case MPUpdate(i, sets) if sets.exists(_.name.equalsIgnoreCase(attr.name)) =>
+              (i, sets.indexWhere(_.name.equalsIgnoreCase(attr.name)))
+          }
+          if (hits.isEmpty) None
+          else Some(attr.name -> hits.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+            case (acc, (i, j)) =>
+              val c = when(col("__mclause") === i,
+                col(s"__mval_${i}_$j").cast(attr.sqlType.spark))
+              Some(acc.fold(c)(_.when(col("__mclause") === i,
+                col(s"__mval_${i}_$j").cast(attr.sqlType.spark))))
+          }.get.otherwise(col(attr.name)))
+        }.toMap
+      val deleteFlag = mPlans.collect { case MPDelete(i) =>
+        col("__mclause") === i }.reduceOption(_ || _).getOrElse(lit(false))
+      val survivors = (if (colUpdates.isEmpty) m2 else m2.withColumns(colUpdates))
+        .filter(!deleteFlag)
+        .select(desc.attributes.map(a => col(a.name)): _*)
+      // NOT MATCHED inserts: unmatched source rows take their first
+      // holding insert clause; values cast to the target schema,
+      // unlisted columns insert NULL
+      val iPlans = plans.collect { case p: MPInsert => p }
+      val obs2 = new org.apache.spark.sql.Observation()
+      val image =
+        if (iPlans.isEmpty || insertSel.isEmpty) survivors
+        else {
+          val ins0 = Lowering.withQueryScope(insertSel.get, src) {
+            lowerOneSelect(insertSel.get, src) }
+          val notMatched = col("__mtgt").isNull
+          val iIdx = iPlans.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+            (acc, p) =>
+              val active = notMatched && col(s"__icnd_${p.idx}") === 1L
+              Some(acc.fold(when(active, lit(p.idx)))(_.when(active, lit(p.idx))))
+          }.map(_.otherwise(lit(-1))).getOrElse(lit(-1))
+          val rows = ins0.withColumn("__iclause", iIdx)
+            .filter(col("__iclause") >= 0)
+            .observe(obs2, coalesce(sum(lit(1L)), lit(0L)).as("inserted"))
+          val insImage = rows.select(desc.attributes.map { attr =>
+            iPlans.foldLeft(Option.empty[org.apache.spark.sql.Column]) { (acc, p) =>
+              val k = p.cols.indexWhere(_.name.equalsIgnoreCase(attr.name))
+              val v = if (k >= 0) col(s"__ival_${p.idx}_$k").cast(attr.sqlType.spark)
+                      else lit(null).cast(attr.sqlType.spark)
+              Some(acc.fold(when(col("__iclause") === p.idx, v))(
+                _.when(col("__iclause") === p.idx, v)))
+            }.get.as(attr.name)
+          }: _*)
+          survivors.unionByName(insImage)
+        }
+      rewriteTable(desc, image)
+      val changed = obs.get("changed").asInstanceOf[Long]
+      val inserted =
+        if (iPlans.isEmpty || insertSel.isEmpty) 0L
+        else obs2.get("inserted").asInstanceOf[Long]
+      Done(s"merged ${desc.name}: $changed matched row(s) changed, " +
+        s"$inserted row(s) inserted")
   }
 
   /** Copy-on-write swap: write the new image to a tmp dir, then replace

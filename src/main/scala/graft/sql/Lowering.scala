@@ -1520,6 +1520,9 @@ object Lowering {
     case Ast.CmpOp.Gt  => lc > rc
     case Ast.CmpOp.Le  => lc <= rc
     case Ast.CmpOp.Ge  => lc >= rc
+    // null-safe: <=> never yields NULL, and its negation stays two-valued
+    case Ast.CmpOp.IsDist  => !(lc <=> rc)
+    case Ast.CmpOp.NotDist => lc <=> rc
   }
 
   /** The decisive comparison of a quantified predicate against the
@@ -1543,6 +1546,8 @@ object Lowering {
     case (Ast.CmpOp.Eq, true)   => (mn === probe) && (mx === probe)
     case (Ast.CmpOp.Eq, false) | (Ast.CmpOp.Neq, true) =>
       sys.error("unreachable: = ANY / <> ALL desugar to IN / NOT IN")
+    case (Ast.CmpOp.IsDist, _) | (Ast.CmpOp.NotDist, _) =>
+      sys.error("unreachable: IS [NOT] DISTINCT FROM has no quantified form")
   }
 
   /** Full 3VL for `probe <op> ANY/ALL (sub)` over the joined facts
@@ -1606,6 +1611,41 @@ object Lowering {
     case ("datediff", Seq(a, b)) => datediff(rec(a), rec(b))
     case ("date_trunc", Seq(BoundOperand.BLit(Lit.LitString(u)), b)) =>
       date_trunc(u.toLowerCase, rec(b))
+    case ("ltrim", Seq(a))   => ltrim(rec(a))
+    case ("rtrim", Seq(a))   => rtrim(rec(a))
+    case ("reverse", Seq(a)) => reverse(rec(a))
+    case ("md5", Seq(a))     => md5(rec(a).cast("binary"))
+    // DuckDB's sign returns an integer -1/0/1; Spark's signum a double
+    case ("sign", Seq(a))    => signum(rec(a)).cast("int")
+    case ("exp", Seq(a))     => exp(rec(a))
+    case ("ln", Seq(a))      => log(rec(a))
+    case ("log10", Seq(a))   => log10(rec(a))
+    case ("log2", Seq(a))    => log2(rec(a))
+    case ("last_day", Seq(a)) => last_day(rec(a))
+    case ("quarter", Seq(a)) => quarter(rec(a))
+    case ("hour", Seq(a))    => hour(rec(a))
+    case ("minute", Seq(a))  => minute(rec(a))
+    case ("second", Seq(a))  => second(rec(a))
+    case ("nullif", Seq(a, b)) =>
+      val c = rec(a)
+      when(c === rec(b), lit(null)).otherwise(c)
+    case ("repeat", Seq(a, BoundOperand.BLit(Lit.LitLong(n)))) =>
+      repeat(rec(a), n.toInt)
+    case ("lpad", Seq(a, BoundOperand.BLit(Lit.LitLong(n)),
+        BoundOperand.BLit(Lit.LitString(p)))) => lpad(rec(a), n.toInt, p)
+    case ("rpad", Seq(a, BoundOperand.BLit(Lit.LitLong(n)),
+        BoundOperand.BLit(Lit.LitString(p)))) => rpad(rec(a), n.toInt, p)
+    // Spark's split takes a REGEX: quote the literal separator; an
+    // out-of-range index — and even a NULL input — reads '' (DuckDB
+    // split_part semantics, which never returns NULL)
+    case ("split_part", Seq(a, BoundOperand.BLit(Lit.LitString(sep)),
+        BoundOperand.BLit(Lit.LitLong(n)))) =>
+      coalesce(
+        org.apache.spark.sql.functions.get(
+          split(rec(a), java.util.regex.Pattern.quote(sep)), lit(n.toInt - 1)),
+        lit(""))
+    case ("greatest", as) => greatest(as.map(rec): _*)
+    case ("least", as)    => least(as.map(rec): _*)
     case other => sys.error(s"unreachable function ${other._1}/${other._2.length}")
   }
 

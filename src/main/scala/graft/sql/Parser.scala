@@ -129,7 +129,8 @@ object Parser {
     "clustered", "buckets", "with", "qualify",
     "distinct", "join", "inner", "on", "between", "in", "like", "is",
     "exists", "left", "right", "full", "outer", "union", "all",
-    "intersect", "except", "case", "when", "then", "else", "end")
+    "intersect", "except", "case", "when", "then", "else", "end",
+    "merge", "using", "matched")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg",
     "stddev", "variance", "median", "grouping")
@@ -139,7 +140,12 @@ object Parser {
     "round", "substr", "substring", "coalesce", "concat",
     "year", "month", "day",
     "replace", "floor", "ceil", "ceiling", "sqrt", "power", "pow",
-    "instr", "mod", "datediff", "date_trunc")
+    "instr", "mod", "datediff", "date_trunc",
+    "ltrim", "rtrim", "reverse", "md5", "sign",
+    "exp", "ln", "log10", "log2",
+    "last_day", "quarter", "hour", "minute", "second",
+    "nullif", "repeat", "lpad", "rpad", "split_part",
+    "greatest", "least")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
@@ -167,6 +173,7 @@ object Parser {
         else if (p.isKw("create")) parseCreate(p)
         else if (p.isKw("delete")) parseDelete(p)
         else if (p.isKw("update")) parseUpdate(p)
+        else if (p.isKw("merge")) parseMerge(p)
         else if (p.isKw("drop")) parseDrop(p)
         else if (p.isKw("refresh"))
           for {
@@ -1093,7 +1100,15 @@ object Parser {
         p.peek match {
           case TIdent(n, _) if n.equalsIgnoreCase("null") =>
             p.next(); Right(Expr.IsNull(l, neg))
-          case t => Left(ParseError("expected NULL after IS [NOT]", t.pos))
+          // IS [NOT] DISTINCT FROM — null-safe comparison (never UNKNOWN)
+          case TIdent(n, _) if n.equalsIgnoreCase("distinct") =>
+            p.next()
+            for {
+              _ <- p.eatKw("from")
+              r <- parseOperand(p, allowAgg)
+            } yield Expr.Cmp(if (neg) CmpOp.NotDist else CmpOp.IsDist, l, r)
+          case t => Left(ParseError(
+            "expected NULL or DISTINCT FROM after IS [NOT]", t.pos))
         }
       case TIdent(k, pos) if k.equalsIgnoreCase("not") || k.equalsIgnoreCase("between") ||
           k.equalsIgnoreCase("in") || k.equalsIgnoreCase("like") ||
@@ -1713,6 +1728,122 @@ object Parser {
         if (p.isKw("where")) { p.next(); parseOr(p).map(Some(_)) }
         else Right(None)
     } yield UpdateTree(name, sets, where)
+  }
+
+  /** MERGE INTO t [alias] USING (name | (SELECT …)) [alias] ON <pred>
+    * { WHEN MATCHED [AND <pred>] THEN (UPDATE SET c = v, … | DELETE)
+    * | WHEN NOT MATCHED [AND <pred>] THEN INSERT [(cols)] VALUES (…) }+
+    */
+  private def parseMerge(p: P): Either[ParseError, MergeTree] = {
+    def alias(): Option[String] = p.peek match {
+      case TIdent(a, _) if !reserved(a) => p.next(); Some(a)
+      case TIdent(a, _) if a.equalsIgnoreCase("as") =>
+        p.next()
+        p.peek match {
+          case TIdent(b, _) if !reserved(b) => p.next(); Some(b)
+          case _ => None
+        }
+      case _ => None
+    }
+    def when(): Either[ParseError, MergeWhen] =
+      for {
+        _ <- p.eatKw("when")
+        not <- Right { if (p.isKw("not")) { p.next(); true } else false }
+        _ <- p.eatKw("matched")
+        cond <-
+          if (p.isKw("and")) { p.next(); parseOr(p).map(Some(_)) }
+          else Right(None: Option[Expr])
+        _ <- p.eatKw("then")
+        w <-
+          if (not)
+            for {
+              _ <- p.eatKw("insert")
+              cols <- p.peek match {
+                case TSym("(", _) =>
+                  p.next()
+                  def loop(acc: Vector[String]): Either[ParseError, Vector[String]] =
+                    p.ident().flatMap { c =>
+                      p.peek match {
+                        case TSym(",", _) => p.next(); loop(acc :+ c)
+                        case _            => p.eatSym(")").map(_ => acc :+ c)
+                      }
+                    }
+                  loop(Vector.empty).map(Some(_))
+                case _ => Right(None: Option[Vector[String]])
+              }
+              _ <- p.eatKw("values")
+              _ <- p.eatSym("(")
+              vals <- {
+                def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+                  parseOperand(p).flatMap { v =>
+                    p.peek match {
+                      case TSym(",", _) => p.next(); loop(acc :+ v)
+                      case _            => Right(acc :+ v)
+                    }
+                  }
+                loop(Vector.empty)
+              }
+              _ <- p.eatSym(")")
+            } yield MergeWhen.MInsert(cond, cols, vals): MergeWhen
+          else if (p.isKw("delete")) {
+            p.next(); Right(MergeWhen.MDelete(cond): MergeWhen)
+          } else
+            for {
+              _ <- p.eatKw("update")
+              _ <- p.eatKw("set")
+              sets <- {
+                def one(): Either[ParseError, (String, Operand)] =
+                  for {
+                    c <- p.ident()
+                    _ <- p.eatSym("=")
+                    v <- parseOperand(p)
+                  } yield (c, v)
+                def loop(acc: Vector[(String, Operand)])
+                    : Either[ParseError, Vector[(String, Operand)]] =
+                  one().flatMap { a =>
+                    p.peek match {
+                      case TSym(",", _) => p.next(); loop(acc :+ a)
+                      case _            => Right(acc :+ a)
+                    }
+                  }
+                loop(Vector.empty)
+              }
+            } yield MergeWhen.MUpdate(cond, sets): MergeWhen
+      } yield w
+    for {
+      _ <- p.eatKw("merge")
+      _ <- p.eatKw("into")
+      tname <- p.ident()
+      talias <- Right(alias())
+      _ <- p.eatKw("using")
+      source <- p.peek match {
+        case TSym("(", _) =>
+          for {
+            _ <- p.eatSym("(")
+            sel <- parseSelect(p)
+            _ <- p.eatSym(")")
+            a <- alias() match {
+              case Some(a) => Right(a)
+              case None => Left(ParseError(
+                "a derived MERGE source needs an alias", p.peek.pos))
+            }
+          } yield FDerived(sel, a): FromItem
+        case _ =>
+          p.ident().map(n => FTable(TableRef(n, alias())): FromItem)
+      }
+      _ <- p.eatKw("on")
+      on <- parseOr(p)
+      whens <- {
+        def loop(acc: Vector[MergeWhen]): Either[ParseError, Vector[MergeWhen]] =
+          if (p.isKw("when")) when().flatMap(w => loop(acc :+ w))
+          else Right(acc)
+        loop(Vector.empty)
+      }
+      _ <-
+        if (whens.isEmpty)
+          Left(ParseError("MERGE needs at least one WHEN clause", p.peek.pos))
+        else Right(())
+    } yield MergeTree(TableRef(tname, talias), source, on, whens)
   }
 
   private def parseType(p: P): Either[ParseError, SqlType] =

@@ -148,4 +148,38 @@ class DmlSpec extends AnyFunSuite {
     assert(multi.isFailure || multi.get.isLeft)
     assert(snap() == Seq(Row(1, 2, 10), Row(2, 1, 20), Row(3, 0, 30)))
   }
+
+  test("MERGE INTO: conditional delete/update/insert, first-match-wins") {
+    val g = new GraftDatabase(spark,
+      Files.createTempDirectory("graft-merge-wh").toString)
+    g.query("CREATE TABLE tgt (id INT PRIMARY KEY, v INT, tag VARCHAR(8))").toOption.get
+    g.query("INSERT INTO tgt VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'c')").toOption.get
+    g.query("CREATE TABLE srcx (id INT, dv INT)").toOption.get
+    g.query("INSERT INTO srcx VALUES (1, 5), (3, 100), (4, 7), (5, 1)").toOption.get
+    val r = g.query("MERGE INTO tgt t USING srcx s ON t.id = s.id " +
+      "WHEN MATCHED AND s.dv > 50 THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET v = t.v + s.dv " +
+      "WHEN NOT MATCHED AND s.dv > 2 THEN INSERT (id, v) VALUES (s.id, s.dv)")
+    assert(r.isRight, r)
+    val rows = g.select("SELECT id, v, tag FROM tgt").toOption.get
+      .orderBy("id").collect().toSeq
+    // 1: updated (second clause); 2: untouched; 3: deleted (first clause
+    // wins over update); 4: inserted with NULL tag; 5: dv=1 fails the
+    // insert condition
+    assert(rows == Seq(Row(1, 15, "a"), Row(2, 20, "b"), Row(4, 7, null)))
+    // derived source + multi-column SET
+    assert(g.query("MERGE INTO tgt t USING (SELECT 2 AS k, 99 AS nv) u " +
+      "ON t.id = u.k WHEN MATCHED THEN UPDATE SET v = u.nv, tag = 'upd'").isRight)
+    val rows2 = g.select("SELECT id, v, tag FROM tgt").toOption.get
+      .orderBy("id").collect().toSeq
+    assert(rows2 == Seq(Row(1, 15, "a"), Row(2, 99, "upd"), Row(4, 7, null)))
+    // the SQL standard's multi-match error: two source rows hit one target
+    g.query("INSERT INTO srcx VALUES (1, 6)").toOption.get
+    val dup = scala.util.Try(g.query("MERGE INTO tgt t USING srcx s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.dv"))
+    assert(dup.isFailure)
+    // subqueries in merge expressions are rejected at analysis
+    assert(g.query("MERGE INTO tgt t USING srcx s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = (SELECT max(dv) AS m FROM srcx)").isLeft)
+  }
 }
