@@ -1625,6 +1625,36 @@ object Dialect {
       Some("""SELECT o_orderkey, o_orderstatus FROM orders
              |WHERE nullif(o_orderstatus, 'O') IS DISTINCT FROM 'F'
              |AND NOT (nullif(o_orderstatus, 'P') IS DISTINCT FROM o_orderstatus)
-             |AND o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin))
+             |AND o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin)),
+
+    // ALTER TABLE end-to-end: ADD COLUMN (catalog-only — old files read
+    // NULL through the explicit schema), UPDATE into it, DROP COLUMN
+    // (schema pruning), RENAME COLUMN (copy-on-write rewrite — parquet
+    // binds by name), RENAME TO. The oracle rebuilds the final image
+    // from the raw fixture.
+    "q_dialect_alter" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "nation")
+        if (!g.tableNames.contains("alt_nation2")) {
+          g.query("CREATE TABLE alt_nation AS SELECT n_nationkey, n_name, " +
+            "n_regionkey FROM nation").fold(e => sys.error(e.msg), identity)
+          g.query("ALTER TABLE alt_nation ADD COLUMN pop BIGINT")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("UPDATE alt_nation SET pop = n_nationkey * 1000 " +
+            "WHERE n_regionkey < 3").fold(e => sys.error(e.msg), identity)
+          g.query("ALTER TABLE alt_nation DROP COLUMN n_regionkey")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("ALTER TABLE alt_nation RENAME COLUMN n_name TO nation_name")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("ALTER TABLE alt_nation RENAME TO alt_nation2")
+            .fold(e => sys.error(e.msg), identity)
+        }
+        run(g, "SELECT n_nationkey, nation_name, pop FROM alt_nation2 " +
+          "ORDER BY n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name AS nation_name,
+             |  CASE WHEN n_regionkey < 3 THEN cast(n_nationkey * 1000 AS bigint)
+             |       ELSE NULL END AS pop
+             |FROM nation ORDER BY n_nationkey""".stripMargin))
   )
 }

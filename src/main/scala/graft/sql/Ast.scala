@@ -331,6 +331,23 @@ object Ast {
     * standard). Expressions may reference both sides by alias;
     * subqueries are rejected.
     */
+  /** ALTER TABLE — copy-on-write schema evolution. ADD COLUMN is a
+    * catalog-only change (parquet reads with an explicit schema yield
+    * NULL for columns absent from old files); DROP COLUMN prunes via the
+    * explicit read schema; RENAME COLUMN rewrites the data (parquet
+    * binds columns by name); RENAME TO moves the table directory.
+    */
+  final case class AlterAddColTree(table: String, col: String,
+      tpe: SqlType) extends ParseTree
+  final case class AlterDropColTree(table: String, col: String) extends ParseTree
+  final case class AlterRenameColTree(table: String, from: String,
+      to: String) extends ParseTree
+  final case class AlterRenameTree(table: String, to: String) extends ParseTree
+  /** TRUNCATE TABLE t — delete every row, keep the schema (statistics
+    * reset with the empty image).
+    */
+  final case class TruncateTree(table: String) extends ParseTree
+
   final case class MergeTree(
       target: TableRef,
       source: FromItem,

@@ -77,6 +77,11 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         createMatView(name, body, bucket, sql)
       case Ast.RefreshMatViewTree(name) => refreshMatView(name)
       case Ast.DropMatViewTree(name, ifExists) => dropMatView(name, ifExists)
+      case t: Ast.AlterAddColTree    => alterAddCol(t)
+      case t: Ast.AlterDropColTree   => alterDropCol(t)
+      case t: Ast.AlterRenameColTree => alterRenameCol(t)
+      case t: Ast.AlterRenameTree    => alterRenameTable(t)
+      case Ast.TruncateTree(name)    => truncate(name)
       case t @ Ast.CreateTree(n, _, _, _) if views.contains(n.toLowerCase) =>
         Left(ViewError(s"relation '$n' already exists as a view"))
       case t @ Ast.CreateAsTree(n, _, _) if views.contains(n.toLowerCase) =>
@@ -111,6 +116,119 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
             case _                                                    => Right(())
           }
         } yield execute(bound)
+    }
+
+  // ---- ALTER TABLE / TRUNCATE: copy-on-write schema evolution ----
+
+  /** A writable warehouse table — ALTER/TRUNCATE reject views,
+    * materialized views and external fixtures.
+    */
+  private def alterable(name0: String): Either[QueryError, TableDesc] = {
+    val name = name0.toLowerCase
+    if (views.contains(name)) Left(ViewError(s"'$name' is a view"))
+    else if (matviews.contains(name))
+      Left(ViewError(s"'$name' is a materialized view"))
+    else if (external.contains(name)) Left(ReadOnlyTable(name))
+    else tables.get(name).toRight(AnalyzeFailed(RelationNotFound(name)))
+  }
+
+  /** The bucketed session-catalog entry carries the OLD schema — drop it
+    * so the next read lazily recreates it against the new desc.
+    */
+  private def refreshBucketEntry(desc: TableDesc): Unit =
+    if (desc.bucket.isDefined)
+      spark.sql(s"DROP TABLE IF EXISTS ${catName(desc.name)}")
+
+  /** ADD COLUMN is catalog-only: the explicit read schema makes parquet
+    * yield NULL for the column in pre-ALTER files; new INSERTs write it.
+    */
+  private def alterAddCol(t: Ast.AlterAddColTree): Either[QueryError, QueryResult] =
+    alterable(t.table).flatMap { desc =>
+      if (desc.attr(t.col).isDefined)
+        Left(AnalyzeFailed(DuplicateBinding(t.col)))
+      else {
+        val nd = desc.copy(attributes = desc.attributes :+ AttributeDesc(t.col, t.tpe))
+        tables(nd.name) = nd
+        refreshBucketEntry(nd)
+        saveCatalog()
+        statistics.rebuild(nd, readTable(nd))
+        Right(Done(s"added column '${t.col}' to ${nd.name}"))
+      }
+    }
+
+  /** DROP COLUMN is catalog-only too — the pruned read schema hides the
+    * column; the stale bytes die at the table's next rewrite.
+    */
+  private def alterDropCol(t: Ast.AlterDropColTree): Either[QueryError, QueryResult] =
+    alterable(t.table).flatMap { desc =>
+      if (desc.attr(t.col).isEmpty)
+        Left(AnalyzeFailed(UnboundAttribute(t.col)))
+      else if (desc.bucket.exists(_._1.equalsIgnoreCase(t.col)))
+        Left(AnalyzeFailed(BadFunction(
+          s"cannot drop bucket column '${t.col}'")))
+      else if (desc.attributes.length == 1)
+        Left(AnalyzeFailed(BadFunction("cannot drop the last column")))
+      else {
+        val nd = desc.copy(attributes =
+          desc.attributes.filterNot(_.name.equalsIgnoreCase(t.col)))
+        tables(nd.name) = nd
+        refreshBucketEntry(nd)
+        saveCatalog()
+        statistics.rebuild(nd, readTable(nd))
+        Right(Done(s"dropped column '${t.col}' from ${nd.name}"))
+      }
+    }
+
+  /** RENAME COLUMN rewrites the data — parquet binds columns by NAME, so
+    * a catalog-only rename would read NULLs from old files.
+    */
+  private def alterRenameCol(t: Ast.AlterRenameColTree): Either[QueryError, QueryResult] =
+    alterable(t.table).flatMap { desc =>
+      desc.attr(t.from) match {
+        case None => Left(AnalyzeFailed(UnboundAttribute(t.from)))
+        case Some(_) if desc.attr(t.to).isDefined =>
+          Left(AnalyzeFailed(DuplicateBinding(t.to)))
+        case Some(_) if desc.bucket.exists(_._1.equalsIgnoreCase(t.from)) =>
+          Left(AnalyzeFailed(BadFunction(
+            s"cannot rename bucket column '${t.from}'")))
+        case Some(attr) =>
+          val img = readTable(desc).withColumnRenamed(attr.name, t.to)
+          val nd = desc.copy(attributes = desc.attributes.map(a =>
+            if (a.name.equalsIgnoreCase(t.from)) a.copy(name = t.to) else a))
+          tables(nd.name) = nd
+          refreshBucketEntry(nd)
+          rewriteTable(nd, img)
+          saveCatalog()
+          Right(Done(s"renamed column '${t.from}' to '${t.to}' in ${nd.name}"))
+      }
+    }
+
+  /** RENAME TO moves the table directory and re-keys catalog + stats. */
+  private def alterRenameTable(t: Ast.AlterRenameTree): Either[QueryError, QueryResult] =
+    alterable(t.table).flatMap { desc =>
+      val to = t.to.toLowerCase
+      if (tables.contains(to) || views.contains(to) || matviews.contains(to))
+        Left(ViewError(s"relation '$to' already exists"))
+      else {
+        refreshBucketEntry(desc)
+        statistics.dropTable(desc.name)
+        tables.remove(desc.name)
+        val from = Paths.get(dataPath(desc.name))
+        val dest = Paths.get(s"$warehouse/data/$to")
+        if (Files.exists(from)) Files.move(from, dest)
+        val nd = desc.copy(name = to)
+        tables(to) = nd
+        saveCatalog()
+        statistics.rebuild(nd, readTable(nd))
+        Right(Done(s"renamed table '${desc.name}' to '$to'"))
+      }
+    }
+
+  /** TRUNCATE: replace the image with its empty projection. */
+  private def truncate(name: String): Either[QueryError, QueryResult] =
+    alterable(name).map { desc =>
+      rewriteTable(desc, readTable(desc).limit(0))
+      Done(s"truncated ${desc.name}")
     }
 
   // ---- stored views: named queries substituted like CTEs ----

@@ -174,6 +174,13 @@ object Parser {
         else if (p.isKw("delete")) parseDelete(p)
         else if (p.isKw("update")) parseUpdate(p)
         else if (p.isKw("merge")) parseMerge(p)
+        else if (p.isKw("alter")) parseAlter(p)
+        else if (p.isKw("truncate"))
+          for {
+            _ <- p.eatKw("truncate")
+            _ <- p.eatKw("table")
+            name <- p.ident()
+          } yield TruncateTree(name)
         else if (p.isKw("drop")) parseDrop(p)
         else if (p.isKw("refresh"))
           for {
@@ -1729,6 +1736,41 @@ object Parser {
         else Right(None)
     } yield UpdateTree(name, sets, where)
   }
+
+  /** ALTER TABLE t (ADD [COLUMN] c type | DROP [COLUMN] c |
+    * RENAME COLUMN a TO b | RENAME TO t2)
+    */
+  private def parseAlter(p: P): Either[ParseError, ParseTree] =
+    for {
+      _ <- p.eatKw("alter")
+      _ <- p.eatKw("table")
+      name <- p.ident()
+      t <-
+        if (p.isKw("add")) {
+          p.next()
+          if (p.isKw("column")) p.next()
+          for {
+            c <- p.ident()
+            tpe <- parseType(p)
+          } yield AlterAddColTree(name, c, tpe): ParseTree
+        } else if (p.isKw("drop")) {
+          p.next()
+          if (p.isKw("column")) p.next()
+          p.ident().map(AlterDropColTree(name, _): ParseTree)
+        } else if (p.isKw("rename")) {
+          p.next()
+          if (p.isKw("to")) {
+            p.next(); p.ident().map(AlterRenameTree(name, _): ParseTree)
+          } else
+            for {
+              _ <- p.eatKw("column")
+              from <- p.ident()
+              _ <- p.eatKw("to")
+              to <- p.ident()
+            } yield AlterRenameColTree(name, from, to): ParseTree
+        } else Left(ParseError(
+          "expected ADD, DROP or RENAME after ALTER TABLE <name>", p.peek.pos))
+    } yield t
 
   /** MERGE INTO t [alias] USING (name | (SELECT …)) [alias] ON <pred>
     * { WHEN MATCHED [AND <pred>] THEN (UPDATE SET c = v, … | DELETE)

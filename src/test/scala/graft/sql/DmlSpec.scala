@@ -182,4 +182,44 @@ class DmlSpec extends AnyFunSuite {
     assert(g.query("MERGE INTO tgt t USING srcx s ON t.id = s.id " +
       "WHEN MATCHED THEN UPDATE SET v = (SELECT max(dv) AS m FROM srcx)").isLeft)
   }
+
+  test("ALTER TABLE: add/drop/rename column, rename table, truncate; persistence") {
+    val wh = Files.createTempDirectory("graft-alter-wh").toString
+    val g = new GraftDatabase(spark, wh)
+    g.query("CREATE TABLE a1 (id INT PRIMARY KEY, x INT, name VARCHAR(20))").toOption.get
+    g.query("INSERT INTO a1 VALUES (1, 10, 'one'), (2, 20, 'two')").toOption.get
+    // ADD COLUMN: old rows read NULL, new inserts carry the value
+    assert(g.query("ALTER TABLE a1 ADD COLUMN score DOUBLE").isRight)
+    g.query("INSERT INTO a1 VALUES (3, 30, 'three', 9.5)").toOption.get
+    assert(g.select("SELECT id, score FROM a1").toOption.get
+      .orderBy("id").collect().toSeq ==
+      Seq(Row(1, null), Row(2, null), Row(3, 9.5)))
+    // RENAME COLUMN rewrites (parquet binds by name) — values survive
+    assert(g.query("ALTER TABLE a1 RENAME COLUMN x TO qty").isRight)
+    // DROP COLUMN prunes
+    assert(g.query("ALTER TABLE a1 DROP COLUMN name").isRight)
+    assert(g.select("SELECT * FROM a1").toOption.get.columns.toSeq ==
+      Seq("id", "qty", "score"))
+    // RENAME TO re-keys catalog, data dir and statistics
+    assert(g.query("ALTER TABLE a1 RENAME TO a2").isRight)
+    assert(g.select("SELECT id, qty FROM a2").toOption.get
+      .orderBy("id").collect().toSeq == Seq(Row(1, 10), Row(2, 20), Row(3, 30)))
+    assert(g.select("SELECT id FROM a1").isLeft)
+    // the altered schema persists across reopen
+    val g2 = new GraftDatabase(spark, wh)
+    assert(g2.select("SELECT id, qty, score FROM a2").toOption.get
+      .orderBy("id").collect().toSeq ==
+      Seq(Row(1, 10, null), Row(2, 20, null), Row(3, 30, 9.5)))
+    assert(g2.statistics.get("a2").get.rowCount == 3)
+    // rejections: duplicate/unknown columns, last column, rename clash
+    assert(g2.query("ALTER TABLE a2 ADD COLUMN qty INT").isLeft)
+    assert(g2.query("ALTER TABLE a2 DROP COLUMN nope").isLeft)
+    assert(g2.query("ALTER TABLE a2 RENAME COLUMN id TO qty").isLeft)
+    assert(g2.query("ALTER TABLE nosuch ADD COLUMN c INT").isLeft)
+    // TRUNCATE empties but keeps the schema
+    assert(g2.query("TRUNCATE TABLE a2").isRight)
+    assert(g2.select("SELECT count(*) AS n FROM a2").toOption.get
+      .collect().head.getLong(0) == 0L)
+    assert(g2.query("INSERT INTO a2 VALUES (9, 1, 0.5)").isRight)
+  }
 }
