@@ -1655,6 +1655,38 @@ object Dialect {
       Some("""SELECT n_nationkey, n_name AS nation_name,
              |  CASE WHEN n_regionkey < 3 THEN cast(n_nationkey * 1000 AS bigint)
              |       ELSE NULL END AS pop
-             |FROM nation ORDER BY n_nationkey""".stripMargin))
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // MERGE WHEN NOT MATCHED BY SOURCE: clauses over TARGET rows with no
+    // source match — same single left-join pass, complement-gated; the
+    // oracle reconstructs with IN/NOT IN over the source key set.
+    "q_dialect_merge_by_source" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders", "customer")
+        if (!g.tableNames.contains("mbs_cust")) {
+          g.query("CREATE TABLE mbs_cust AS SELECT c_custkey, c_acctbal " +
+            "FROM customer WHERE c_custkey < 300")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("CREATE TABLE mbs_src AS SELECT DISTINCT o_custkey AS k " +
+            "FROM orders WHERE o_custkey < 200")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("MERGE INTO mbs_cust c USING mbs_src s ON c.c_custkey = s.k " +
+            "WHEN MATCHED THEN UPDATE SET c_acctbal = c.c_acctbal + 1000 " +
+            "WHEN NOT MATCHED BY SOURCE AND c.c_acctbal < 0 THEN DELETE " +
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_acctbal = 0")
+            .fold(e => sys.error(e.msg), identity)
+        }
+        run(g, "SELECT c_custkey, round(c_acctbal, 2) AS bal FROM mbs_cust " +
+          "ORDER BY c_custkey")
+      },
+      Some("""WITH src AS (SELECT DISTINCT o_custkey AS k FROM orders
+             |             WHERE o_custkey < 200)
+             |SELECT c_custkey,
+             |  round(CASE WHEN c_custkey IN (SELECT k FROM src)
+             |        THEN c_acctbal + 1000 ELSE 0 END, 2) AS bal
+             |FROM customer
+             |WHERE c_custkey < 300
+             |  AND NOT (c_custkey NOT IN (SELECT k FROM src) AND c_acctbal < 0)
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -908,8 +908,10 @@ object Analyzer {
     */
   sealed trait MergePlan { def idx: Int }
   object MergePlan {
-    final case class MPUpdate(idx: Int, sets: Seq[AttributeDesc]) extends MergePlan
-    final case class MPDelete(idx: Int) extends MergePlan
+    final case class MPUpdate(idx: Int, sets: Seq[AttributeDesc],
+        bySource: Boolean = false) extends MergePlan
+    final case class MPDelete(idx: Int,
+        bySource: Boolean = false) extends MergePlan
     final case class MPInsert(idx: Int, cols: Seq[AttributeDesc]) extends MergePlan
   }
   final case class BoundMerge(
@@ -1110,9 +1112,9 @@ object Analyzer {
         // subqueries have no marker path inside MERGE expressions
         val allConds = m.on +: m.whens.flatMap(_.cond.toSeq)
         val allOps = m.whens.flatMap {
-          case MergeWhen.MUpdate(_, sets)  => sets.map(_._2)
-          case MergeWhen.MInsert(_, _, vs) => vs
-          case _: MergeWhen.MDelete        => Nil
+          case MergeWhen.MUpdate(_, sets, _) => sets.map(_._2)
+          case MergeWhen.MInsert(_, _, vs)   => vs
+          case _: MergeWhen.MDelete          => Nil
         }
         if (allConds.exists(parseExprHasSub) || allOps.exists(parseOpHasSub))
           return Left(BadSubquery("subqueries are not supported in MERGE expressions"))
@@ -1122,7 +1124,7 @@ object Analyzer {
             Right(Vector.empty)) { case (acc, (w, i)) =>
             acc.flatMap { v =>
               w match {
-                case MergeWhen.MUpdate(_, sets) =>
+                case MergeWhen.MUpdate(_, sets, bySrc) =>
                   sets.map(_._1.toLowerCase).groupBy(identity).collectFirst {
                     case (n, occ) if occ.length > 1 => n
                   } match {
@@ -1132,10 +1134,10 @@ object Analyzer {
                         Right(Vector.empty)) { case (sacc, (cn, _)) =>
                         sacc.flatMap(sv => desc.attr(cn)
                           .toRight(UnboundAttribute(cn)).map(sv :+ _))
-                      }.map(attrs => v :+ MergePlan.MPUpdate(i, attrs))
+                      }.map(attrs => v :+ MergePlan.MPUpdate(i, attrs, bySrc))
                   }
-                case _: MergeWhen.MDelete =>
-                  Right(v :+ MergePlan.MPDelete(i))
+                case MergeWhen.MDelete(_, bySrc) =>
+                  Right(v :+ MergePlan.MPDelete(i, bySrc))
                 case MergeWhen.MInsert(_, cols, vals) =>
                   val colsE: Either[AnalyzerError, Seq[AttributeDesc]] = cols match {
                     case None =>
@@ -1182,11 +1184,11 @@ object Analyzer {
                 SelectItem.SCol(ColRef(Some(talias), a.name)): SelectItem)) ++
             Seq(SelectItem.SCol(ColRef(Some(salias), "__msrc"))) ++
             m.whens.zipWithIndex.flatMap {
-              case (MergeWhen.MUpdate(cond, sets), i) =>
+              case (MergeWhen.MUpdate(cond, sets, _), i) =>
                 condItem(i, cond, s"__mcnd_$i") +: sets.zipWithIndex.map {
                   case ((_, vOp), j) => SelectItem.SExpr(vOp, s"__mval_${i}_$j")
                 }
-              case (MergeWhen.MDelete(cond), i) =>
+              case (MergeWhen.MDelete(cond, _), i) =>
                 Seq(condItem(i, cond, s"__mcnd_$i"))
               case (_: MergeWhen.MInsert, _) => Nil
             }

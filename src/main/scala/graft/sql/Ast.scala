@@ -343,6 +343,12 @@ object Ast {
   final case class AlterRenameColTree(table: String, from: String,
       to: String) extends ParseTree
   final case class AlterRenameTree(table: String, to: String) extends ParseTree
+  /** ALTER TABLE t ALTER [COLUMN] c TYPE <type> — copy-on-write cast
+    * rewrite (Spark cast semantics: unparseable strings go NULL,
+    * numeric overflow wraps ANSI-style).
+    */
+  final case class AlterColTypeTree(table: String, col: String,
+      tpe: SqlType) extends ParseTree
   /** TRUNCATE TABLE t — delete every row, keep the schema (statistics
     * reset with the empty image).
     */
@@ -355,9 +361,14 @@ object Ast {
       whens: Seq[MergeWhen]) extends ParseTree
   sealed trait MergeWhen { def cond: Option[Expr] }
   object MergeWhen {
+    /** `bySource = true` is WHEN NOT MATCHED BY SOURCE — the clause
+      * applies to TARGET rows without a source match (source-side
+      * references read NULL there).
+      */
     final case class MUpdate(cond: Option[Expr],
-        sets: Seq[(String, Operand)]) extends MergeWhen
-    final case class MDelete(cond: Option[Expr]) extends MergeWhen
+        sets: Seq[(String, Operand)], bySource: Boolean = false) extends MergeWhen
+    final case class MDelete(cond: Option[Expr],
+        bySource: Boolean = false) extends MergeWhen
     final case class MInsert(cond: Option[Expr],
         columns: Option[Seq[String]], values: Seq[Operand]) extends MergeWhen
   }

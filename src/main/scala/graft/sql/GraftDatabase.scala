@@ -81,6 +81,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case t: Ast.AlterDropColTree   => alterDropCol(t)
       case t: Ast.AlterRenameColTree => alterRenameCol(t)
       case t: Ast.AlterRenameTree    => alterRenameTable(t)
+      case t: Ast.AlterColTypeTree   => alterColType(t)
       case Ast.TruncateTree(name)    => truncate(name)
       case t @ Ast.CreateTree(n, _, _, _) if views.contains(n.toLowerCase) =>
         Left(ViewError(s"relation '$n' already exists as a view"))
@@ -221,6 +222,28 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         saveCatalog()
         statistics.rebuild(nd, readTable(nd))
         Right(Done(s"renamed table '${desc.name}' to '$to'"))
+      }
+    }
+
+  /** ALTER COLUMN TYPE: copy-on-write cast rewrite of the one column. */
+  private def alterColType(t: Ast.AlterColTypeTree): Either[QueryError, QueryResult] =
+    alterable(t.table).flatMap { desc =>
+      desc.attr(t.col) match {
+        case None => Left(AnalyzeFailed(UnboundAttribute(t.col)))
+        case Some(_) if desc.bucket.exists(_._1.equalsIgnoreCase(t.col)) =>
+          Left(AnalyzeFailed(BadFunction(
+            s"cannot change the type of bucket column '${t.col}'")))
+        case Some(attr) =>
+          val img = readTable(desc).withColumn(attr.name,
+            org.apache.spark.sql.functions.col(attr.name).cast(t.tpe.spark))
+          val nd = desc.copy(attributes = desc.attributes.map(a =>
+            if (a.name.equalsIgnoreCase(t.col)) a.copy(sqlType = t.tpe) else a))
+          tables(nd.name) = nd
+          refreshBucketEntry(nd)
+          rewriteTable(nd, img)
+          saveCatalog()
+          Right(Done(
+            s"changed column '${attr.name}' to ${t.tpe.render} in ${nd.name}"))
       }
     }
 
@@ -776,7 +799,12 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       // condition holds on a matched row, -1 otherwise
       val clauseIdx: org.apache.spark.sql.Column =
         mPlans.foldLeft(Option.empty[org.apache.spark.sql.Column]) { (acc, p) =>
-          val active = matched && col(s"__mcnd_${p.idx}") === 1L
+          // NOT MATCHED BY SOURCE clauses fire on the complement rows
+          val gate = p match {
+            case MPUpdate(_, _, true) | MPDelete(_, true) => !matched
+            case _                                        => matched
+          }
+          val active = gate && col(s"__mcnd_${p.idx}") === 1L
           Some(acc.fold(when(active, lit(p.idx)))(_.when(active, lit(p.idx))))
         }.map(_.otherwise(lit(-1))).getOrElse(lit(-1))
       val obs = new org.apache.spark.sql.Observation()
@@ -788,7 +816,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       val colUpdates: Map[String, org.apache.spark.sql.Column] =
         desc.attributes.flatMap { attr =>
           val hits = mPlans.collect {
-            case MPUpdate(i, sets) if sets.exists(_.name.equalsIgnoreCase(attr.name)) =>
+            case MPUpdate(i, sets, _) if sets.exists(_.name.equalsIgnoreCase(attr.name)) =>
               (i, sets.indexWhere(_.name.equalsIgnoreCase(attr.name)))
           }
           if (hits.isEmpty) None
@@ -800,7 +828,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
                 col(s"__mval_${i}_$j").cast(attr.sqlType.spark))))
           }.get.otherwise(col(attr.name)))
         }.toMap
-      val deleteFlag = mPlans.collect { case MPDelete(i) =>
+      val deleteFlag = mPlans.collect { case MPDelete(i, _) =>
         col("__mclause") === i }.reduceOption(_ || _).getOrElse(lit(false))
       val survivors = (if (colUpdates.isEmpty) m2 else m2.withColumns(colUpdates))
         .filter(!deleteFlag)

@@ -1683,6 +1683,19 @@ object Parser {
         InsertSelectTree(tb, substituteViews(sel, views))
       case CreateAsTree(n, sel, b) =>
         CreateAsTree(n, substituteViews(sel, views), b)
+      // a view can be the MERGE source: substitute a named source into a
+      // derived table, and substitute inside derived sources
+      case m: MergeTree => m.source match {
+        case FTable(TableRef(n, a)) if views.contains(n.toLowerCase) =>
+          views(n.toLowerCase) match {
+            case body: SelectTree =>
+              m.copy(source = FDerived(substCte(body, views), a.getOrElse(n)))
+            case _ => m
+          }
+        case FDerived(sel: SelectTree, a) =>
+          m.copy(source = FDerived(substCte(sel, views), a))
+        case _ => m
+      }
       case other => other
     }
 
@@ -1768,8 +1781,24 @@ object Parser {
               _ <- p.eatKw("to")
               to <- p.ident()
             } yield AlterRenameColTree(name, from, to): ParseTree
+        } else if (p.isKw("alter")) {
+          // ALTER [COLUMN] c (TYPE | SET DATA TYPE) <type>
+          p.next()
+          if (p.isKw("column")) p.next()
+          for {
+            c <- p.ident()
+            _ <-
+              if (p.isKw("type")) { p.next(); Right(()) }
+              else
+                for {
+                  _ <- p.eatKw("set")
+                  _ <- p.eatKw("data")
+                  _ <- p.eatKw("type")
+                } yield ()
+            tpe <- parseType(p)
+          } yield AlterColTypeTree(name, c, tpe): ParseTree
         } else Left(ParseError(
-          "expected ADD, DROP or RENAME after ALTER TABLE <name>", p.peek.pos))
+          "expected ADD, DROP, RENAME or ALTER after ALTER TABLE <name>", p.peek.pos))
     } yield t
 
   /** MERGE INTO t [alias] USING (name | (SELECT …)) [alias] ON <pred>
@@ -1792,12 +1821,48 @@ object Parser {
         _ <- p.eatKw("when")
         not <- Right { if (p.isKw("not")) { p.next(); true } else false }
         _ <- p.eatKw("matched")
+        // WHEN NOT MATCHED BY SOURCE — target rows without a source
+        // match; BY TARGET is the explicit spelling of the insert form
+        bySource <- Right {
+          if (not && p.isKw("by")) {
+            val save = p.i
+            p.next()
+            if (p.isKw("source")) { p.next(); true }
+            else if (p.isKw("target")) { p.next(); false }
+            else { p.i = save; false }
+          } else false
+        }
         cond <-
           if (p.isKw("and")) { p.next(); parseOr(p).map(Some(_)) }
           else Right(None: Option[Expr])
         _ <- p.eatKw("then")
         w <-
-          if (not)
+          if (bySource) {
+            if (p.isKw("delete")) {
+              p.next(); Right(MergeWhen.MDelete(cond, bySource = true): MergeWhen)
+            } else
+              for {
+                _ <- p.eatKw("update")
+                _ <- p.eatKw("set")
+                sets <- {
+                  def one(): Either[ParseError, (String, Operand)] =
+                    for {
+                      c <- p.ident()
+                      _ <- p.eatSym("=")
+                      v <- parseOperand(p)
+                    } yield (c, v)
+                  def loop(acc: Vector[(String, Operand)])
+                      : Either[ParseError, Vector[(String, Operand)]] =
+                    one().flatMap { a =>
+                      p.peek match {
+                        case TSym(",", _) => p.next(); loop(acc :+ a)
+                        case _            => Right(acc :+ a)
+                      }
+                    }
+                  loop(Vector.empty)
+                }
+              } yield MergeWhen.MUpdate(cond, sets, bySource = true): MergeWhen
+          } else if (not)
             for {
               _ <- p.eatKw("insert")
               cols <- p.peek match {

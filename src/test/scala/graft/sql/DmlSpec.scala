@@ -183,6 +183,25 @@ class DmlSpec extends AnyFunSuite {
       "WHEN MATCHED THEN UPDATE SET v = (SELECT max(dv) AS m FROM srcx)").isLeft)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: complement-row update/delete") {
+    val g = new GraftDatabase(spark,
+      Files.createTempDirectory("graft-mbs-wh").toString)
+    g.query("CREATE TABLE t (id INT PRIMARY KEY, v INT)").toOption.get
+    g.query("INSERT INTO t VALUES (1, 10), (2, 20), (3, -5), (4, 40)").toOption.get
+    g.query("CREATE TABLE s (id INT)").toOption.get
+    g.query("INSERT INTO s VALUES (1), (2)").toOption.get
+    // matched rows bump; unmatched negatives delete; other unmatched zero
+    assert(g.query("MERGE INTO t USING s ON t.id = s.id " +
+      "WHEN MATCHED AND t.v > 15 THEN UPDATE SET v = t.v + 100 " +
+      "WHEN NOT MATCHED BY SOURCE AND t.v < 0 THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0").isRight)
+    val rows = g.select("SELECT id, v FROM t").toOption.get
+      .orderBy("id").collect().toSeq
+    // 1: matched but v=10 ≤ 15 → untouched; 2: matched v=20 → 120;
+    // 3: unmatched v<0 → deleted; 4: unmatched → 0
+    assert(rows == Seq(Row(1, 10), Row(2, 120), Row(4, 0)))
+  }
+
   test("ALTER TABLE: add/drop/rename column, rename table, truncate; persistence") {
     val wh = Files.createTempDirectory("graft-alter-wh").toString
     val g = new GraftDatabase(spark, wh)
@@ -216,10 +235,15 @@ class DmlSpec extends AnyFunSuite {
     assert(g2.query("ALTER TABLE a2 DROP COLUMN nope").isLeft)
     assert(g2.query("ALTER TABLE a2 RENAME COLUMN id TO qty").isLeft)
     assert(g2.query("ALTER TABLE nosuch ADD COLUMN c INT").isLeft)
+    // ALTER COLUMN TYPE rewrites with a cast
+    assert(g2.query("ALTER TABLE a2 ALTER COLUMN qty TYPE DOUBLE").isRight)
+    assert(g2.select("SELECT id, qty FROM a2").toOption.get
+      .orderBy("id").collect().toSeq ==
+      Seq(Row(1, 10.0), Row(2, 20.0), Row(3, 30.0)))
     // TRUNCATE empties but keeps the schema
     assert(g2.query("TRUNCATE TABLE a2").isRight)
     assert(g2.select("SELECT count(*) AS n FROM a2").toOption.get
       .collect().head.getLong(0) == 0L)
-    assert(g2.query("INSERT INTO a2 VALUES (9, 1, 0.5)").isRight)
+    assert(g2.query("INSERT INTO a2 VALUES (9, 1.5, 0.5)").isRight)
   }
 }
