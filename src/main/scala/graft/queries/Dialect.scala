@@ -1687,6 +1687,125 @@ object Dialect {
              |FROM customer
              |WHERE c_custkey < 300
              |  AND NOT (c_custkey NOT IN (SELECT k FROM src) AND c_acctbal < 0)
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // TPC-H Q4 shape: date-windowed orders with a correlated EXISTS over
+    // lineitem — decorrelates to one semi join on l_orderkey; date
+    // predicate pushes to the orders scan.
+    "q_dialect_tpch_q4" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "lineitem"),
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders o " +
+          "WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01' " +
+          "AND EXISTS (SELECT l.l_orderkey FROM lineitem l " +
+          "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      Some("""SELECT o_orderpriority, cast(count(*) AS bigint) AS order_count
+             |FROM orders o
+             |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+             |AND EXISTS (SELECT l.l_orderkey FROM lineitem l
+             |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q6 shape: the forecast-revenue scan-aggregate — every
+    // predicate in PushedFilters, one partial-aggregate, one row out.
+    "q_dialect_tpch_q6" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue " +
+          "FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' " +
+          "AND l_shipdate < DATE '1997-01-01' " +
+          "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+             |FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+             |AND l_shipdate < DATE '1997-01-01'
+             |AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q10 shape: returned-item revenue per customer — a 4-table
+    // join (DPccp-ordered), date window, group on customer attrs, top-20
+    // by revenue → TakeOrderedAndProject.
+    "q_dialect_tpch_q10" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders", "lineitem", "nation"),
+        "SELECT c.c_custkey, c.c_name, " +
+          "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, " +
+          "round(c.c_acctbal, 2) AS acctbal, n.n_name " +
+          "FROM customer c, orders o, lineitem l, nation n " +
+          "WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey " +
+          "AND o.o_orderdate >= DATE '1996-10-01' AND o.o_orderdate < DATE '1997-01-01' " +
+          "AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey " +
+          "GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name " +
+          "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+      Some("""SELECT c.c_custkey, c.c_name,
+             |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             |  round(c.c_acctbal, 2) AS acctbal, n.n_name
+             |FROM customer c, orders o, lineitem l, nation n
+             |WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+             |AND o.o_orderdate >= DATE '1996-10-01' AND o.o_orderdate < DATE '1997-01-01'
+             |AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+             |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q13 shape: customer order-count distribution — LEFT JOIN so
+    // order-less customers count as 0, aggregate of an aggregate through
+    // a derived table.
+    "q_dialect_tpch_q13" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT c_count, count(*) AS custdist FROM " +
+          "(SELECT c.c_custkey, count(o.o_orderkey) AS c_count " +
+          "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey " +
+          "GROUP BY c.c_custkey) t " +
+          "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+      Some("""SELECT c_count, cast(count(*) AS bigint) AS custdist FROM
+             |  (SELECT c.c_custkey, cast(count(o.o_orderkey) AS bigint) AS c_count
+             |   FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             |   GROUP BY c.c_custkey) t
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q14 shape: promo-revenue share — conditional aggregation
+    // over a lineitem×part join inside one date window.
+    "q_dialect_tpch_q14" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem", "part"),
+        "SELECT round(100 * sum(CASE WHEN p_type = 'ECONOMY' " +
+          "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / " +
+          "sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share " +
+          "FROM lineitem l, part p WHERE l.l_partkey = p.p_partkey " +
+          "AND l.l_shipdate >= DATE '1996-03-01' AND l.l_shipdate < DATE '1996-04-01'"),
+      Some("""SELECT round(100 * sum(CASE WHEN p_type = 'ECONOMY'
+             |  THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+             |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+             |FROM lineitem l, part p WHERE l.l_partkey = p.p_partkey
+             |AND l.l_shipdate >= DATE '1996-03-01' AND l.l_shipdate < DATE '1996-04-01'""".stripMargin)),
+
+    // Named WINDOW clause: one spec shared by two window items — Spark
+    // merges same-spec windows into ONE Window operator (one shuffle).
+    "q_dialect_window_clause" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_custkey, o_orderkey, row_number() OVER w AS rn, " +
+          "sum(o_orderkey) OVER w AS run_key " +
+          "FROM orders WHERE o_custkey < 100 " +
+          "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) " +
+          "ORDER BY o_custkey, rn"),
+      Some("""SELECT o_custkey, o_orderkey, cast(row_number() OVER w AS int) AS rn,
+             |  cast(sum(o_orderkey) OVER w AS bigint) AS run_key
+             |FROM orders WHERE o_custkey < 100
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // PIVOT statement (DuckDB form): the ON column's distinct values
+    // become aggregate columns — two-phase (bounded distinct-value
+    // collect, then ONE groupBy.pivot aggregation pass).
+    "q_dialect_pivot_stmt" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "PIVOT orders ON o_orderpriority USING count(*) GROUP BY o_orderstatus " +
+          "ORDER BY o_orderstatus"),
+      Some("""PIVOT orders ON o_orderpriority USING count(*) GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // UNPIVOT statement: columns to (name, value) rows, NULL values
+    // excluded — a narrow map over the scan, no shuffle.
+    "q_dialect_unpivot_stmt" -> QueryDef(
+      (s, d) => run(db(s, d, "supplier"),
+        "UNPIVOT supplier ON s_suppkey, s_nationkey INTO NAME metric VALUE val " +
+          "ORDER BY s_name, metric"),
+      Some("""UNPIVOT supplier ON s_suppkey, s_nationkey INTO NAME metric VALUE val
+             |ORDER BY s_name, metric""".stripMargin))
   )
 }

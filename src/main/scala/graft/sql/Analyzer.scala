@@ -1794,7 +1794,7 @@ object Analyzer {
         // CASE-condition subqueries are allowed here and re-checked
         // post-binding (rejected in aggregate scope)
         bindOp(op, allowAgg = true, allowSub = true).map(BoundItem.BIExpr(_, a))
-      case SelectItem.SWin(f, args, parts, ord, a, frame) =>
+      case SelectItem.SWin(f, args, parts, ord, a, frame, _) =>
         val ranking = Set("row_number", "rank", "dense_rank",
           "ntile", "percent_rank", "cume_dist")(f)
         val shifting = f == "lag" || f == "lead"
@@ -1947,7 +1947,7 @@ object Analyzer {
                         bindCol(ref).map(c => BoundGroupKey.GKCol(c))
                       case SelectItem.SAgg(_, _, Some(a), _) if a.equalsIgnoreCase(r.name) =>
                         Left(BadAggregate(s"cannot GROUP BY the aggregate alias '$a'"))
-                      case SelectItem.SWin(_, _, _, _, a, _) if a.equalsIgnoreCase(r.name) =>
+                      case SelectItem.SWin(_, _, _, _, a, _, _) if a.equalsIgnoreCase(r.name) =>
                         Left(BadAggregate(s"cannot GROUP BY the window alias '$a'"))
                     }
                   aliased.getOrElse(Left(directErr))
@@ -2030,7 +2030,7 @@ object Analyzer {
           case SelectItem.SCol(_, Some(a))    => a
           case SelectItem.SAgg(_, _, Some(a), _) => a
           case SelectItem.SExpr(_, a)         => a
-          case SelectItem.SWin(_, _, _, _, a, _) => a
+          case SelectItem.SWin(_, _, _, _, a, _, _) => a
           case SelectItem.SSub(_, a)          => a
         }
         s.orderBy.foldLeft[Either[AnalyzerError, Vector[(BoundOrderKey, SortDir)]]](

@@ -161,9 +161,14 @@ object Ast {
       * `<fn>(args…) OVER (PARTITION BY … ORDER BY …
       * [ROWS|RANGE BETWEEN … AND …]) AS a`.
       */
+    /** `ref` carries an unresolved `OVER <name>` reference to a named
+      * WINDOW-clause spec; parseSelect substitutes the spec in before
+      * the tree leaves the parser (analysis never sees a ref).
+      */
     final case class SWin(func: String, args: Seq[Operand],
         partitionBy: Seq[ColRef], orderBy: Seq[(Operand, Boolean)],
-        alias: String, frame: Option[WinFrame] = None) extends SelectItem
+        alias: String, frame: Option[WinFrame] = None,
+        ref: Option[String] = None) extends SelectItem
   }
 
   /** ORDER BY key direction: ASC/DESC plus an optional explicit NULLS
@@ -353,6 +358,21 @@ object Ast {
     * reset with the empty image).
     */
   final case class TruncateTree(table: String) extends ParseTree
+
+  /** PIVOT t ON col USING agg(valcol) GROUP BY g… [ORDER BY g…] — the
+    * DuckDB pivot statement: the ON column's distinct non-NULL values
+    * (ascending) become output columns of the aggregate.
+    */
+  final case class PivotTree(table: String, on: String, aggFunc: String,
+      aggCol: Option[String], groupBy: Seq[String],
+      orderBy: Seq[(String, Boolean)]) extends ParseTree
+  /** UNPIVOT t ON c… [INTO NAME n VALUE v] [ORDER BY …] — columns to
+    * rows; rows whose unpivoted value is NULL are excluded (DuckDB
+    * semantics).
+    */
+  final case class UnpivotTree(table: String, on: Seq[String],
+      nameCol: String, valueCol: String,
+      orderBy: Seq[(String, Boolean)]) extends ParseTree
 
   final case class MergeTree(
       target: TableRef,

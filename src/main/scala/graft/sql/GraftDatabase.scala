@@ -77,6 +77,8 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         createMatView(name, body, bucket, sql)
       case Ast.RefreshMatViewTree(name) => refreshMatView(name)
       case Ast.DropMatViewTree(name, ifExists) => dropMatView(name, ifExists)
+      case t: Ast.PivotTree          => pivotStmt(t)
+      case t: Ast.UnpivotTree        => unpivotStmt(t)
       case t: Ast.AlterAddColTree    => alterAddCol(t)
       case t: Ast.AlterDropColTree   => alterDropCol(t)
       case t: Ast.AlterRenameColTree => alterRenameCol(t)
@@ -118,6 +120,77 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           }
         } yield execute(bound)
     }
+
+  // ---- PIVOT / UNPIVOT statements (DuckDB's statement forms) ----
+
+  private def readableDesc(name0: String): Either[QueryError, TableDesc] =
+    tables.get(name0.toLowerCase)
+      .toRight(AnalyzeFailed(RelationNotFound(name0)))
+
+  /** PIVOT: the ON column's distinct non-NULL values (ascending) become
+    * aggregate columns. The distinct-value collect is the standard
+    * two-phase pivot (Spark does the same internally when values are
+    * omitted) — bounded, because a pivot's OUTPUT SCHEMA must be small
+    * by construction; >10k distinct values is an error, not a plan.
+    */
+  private def pivotStmt(t: Ast.PivotTree): Either[QueryError, QueryResult] = {
+    import org.apache.spark.sql.functions.{avg, col, count, lit, max, min, sum}
+    readableDesc(t.table).flatMap { desc =>
+      def need(c: String): Either[QueryError, String] =
+        desc.attr(c).map(_.name).toRight(AnalyzeFailed(UnboundAttribute(c)))
+      for {
+        onC <- need(t.on)
+        gbC <- t.groupBy.foldLeft[Either[QueryError, Vector[String]]](
+          Right(Vector.empty)) { (acc, c) => acc.flatMap(v => need(c).map(v :+ _)) }
+        aggc <- (t.aggFunc, t.aggCol) match {
+          case ("count", None)    => Right(count(lit(1)))
+          case ("count", Some(c)) => need(c).map(n => count(col(n)))
+          case ("sum", Some(c))   => need(c).map(n => sum(col(n)))
+          case ("min", Some(c))   => need(c).map(n => min(col(n)))
+          case ("max", Some(c))   => need(c).map(n => max(col(n)))
+          case ("avg", Some(c))   => need(c).map(n => avg(col(n)))
+          case (f, _) => Left(AnalyzeFailed(BadFunction(
+            s"PIVOT USING takes sum/count/min/max/avg, got $f")))
+        }
+      } yield {
+        val df = readTable(desc)
+        val vals = df.select(col(onC)).na.drop().distinct().orderBy(col(onC))
+          .limit(10001).collect().map(_.get(0)).toSeq
+        if (vals.length > 10000) throw new IllegalStateException(
+          s"PIVOT: more than 10000 distinct values in ${t.on}")
+        val res = df.groupBy(gbC.map(col): _*).pivot(onC, vals).agg(aggc)
+        val ordered =
+          if (t.orderBy.isEmpty) res
+          else res.orderBy(t.orderBy.map { case (c, desc0) =>
+            if (desc0) col(c).desc else col(c).asc }: _*)
+        Rows(ordered)
+      }
+    }
+  }
+
+  /** UNPIVOT: columns to (name, value) rows; NULL values are excluded
+    * (DuckDB semantics). A narrow map over the scan — no shuffle.
+    */
+  private def unpivotStmt(t: Ast.UnpivotTree): Either[QueryError, QueryResult] = {
+    import org.apache.spark.sql.functions.col
+    readableDesc(t.table).flatMap { desc =>
+      t.on.foldLeft[Either[QueryError, Vector[String]]](Right(Vector.empty)) {
+        (acc, c) => acc.flatMap(v => desc.attr(c).map(_.name)
+          .toRight(AnalyzeFailed(UnboundAttribute(c))).map(v :+ _))
+      }.map { onCols =>
+        val ids = desc.attributes.map(_.name)
+          .filterNot(n => onCols.exists(_.equalsIgnoreCase(n)))
+        val df = readTable(desc)
+        val res = df.unpivot(ids.map(col).toArray, onCols.map(col).toArray,
+          t.nameCol, t.valueCol).filter(col(t.valueCol).isNotNull)
+        val ordered =
+          if (t.orderBy.isEmpty) res
+          else res.orderBy(t.orderBy.map { case (c, desc0) =>
+            if (desc0) col(c).desc else col(c).asc }: _*)
+        Rows(ordered)
+      }
+    }
+  }
 
   // ---- ALTER TABLE / TRUNCATE: copy-on-write schema evolution ----
 

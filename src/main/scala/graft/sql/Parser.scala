@@ -130,7 +130,7 @@ object Parser {
     "distinct", "join", "inner", "on", "between", "in", "like", "is",
     "exists", "left", "right", "full", "outer", "union", "all",
     "intersect", "except", "case", "when", "then", "else", "end",
-    "merge", "using", "matched")
+    "merge", "using", "matched", "window")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg",
     "stddev", "variance", "median", "grouping")
@@ -174,6 +174,8 @@ object Parser {
         else if (p.isKw("delete")) parseDelete(p)
         else if (p.isKw("update")) parseUpdate(p)
         else if (p.isKw("merge")) parseMerge(p)
+        else if (p.isKw("pivot")) parsePivot(p)
+        else if (p.isKw("unpivot")) parseUnpivot(p)
         else if (p.isKw("alter")) parseAlter(p)
         else if (p.isKw("truncate"))
           for {
@@ -607,12 +609,27 @@ object Parser {
               start: Int): Either[ParseError, SelectItem] =
             for {
               _ <- p.eatKw("over")
-              spec <- parseOverSpec(p)
+              // OVER (spec) or OVER <name> (a WINDOW-clause reference,
+              // resolved after the WINDOW clause parses)
+              specOrRef <- p.peek match {
+                case TIdent(n, _) if !reserved(n) =>
+                  p.next()
+                  Right(Left(n): Either[String,
+                    (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame])])
+                case _ => parseOverSpec(p).map(Right(_): Either[String,
+                  (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame])])
+              }
               _ <-
                 if (p.isKw("as")) { p.next(); Right(()) }
                 else Left(ParseError("a window item requires AS <name>", start))
               a <- p.ident()
-            } yield SelectItem.SWin(fn, args, spec._1, spec._2, a, spec._3)
+            } yield specOrRef match {
+              case Right(spec) =>
+                SelectItem.SWin(fn, args, spec._1, spec._2, a, spec._3)
+              case Left(rn) =>
+                SelectItem.SWin(fn, args, Vector.empty, Vector.empty, a,
+                  None, ref = Some(rn))
+            }
           def item(): Either[ParseError, SelectItem] = {
             // projection items are full operands with aggregates allowed:
             // a bare column is a plain projection, a bare aggregate call
@@ -930,6 +947,40 @@ object Parser {
       having <-
         if (p.isKw("having")) { p.next(); parseOr(p, allowAgg = true).map(Some(_)) }
         else Right(None)
+      // WINDOW w AS (spec) [, w2 AS (spec)] — named window specs (SQL
+      // standard position: after HAVING); OVER <name> references
+      // substitute below, before the tree leaves the parser
+      winDefs <-
+        if (p.isKw("window")) {
+          p.next()
+          def one(): Either[ParseError, (String,
+              (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame]))] =
+            for {
+              n <- p.ident()
+              _ <- p.eatKw("as")
+              spec <- parseOverSpec(p)
+            } yield n.toLowerCase -> spec
+          def loop(acc: Vector[(String,
+              (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame]))])
+              : Either[ParseError, Vector[(String,
+                (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame]))]] =
+            one().flatMap { d =>
+              p.peek match {
+                case TSym(",", _) => p.next(); loop(acc :+ d)
+                case _            => Right(acc :+ d)
+              }
+            }
+          loop(Vector.empty).flatMap { ds =>
+            ds.map(_._1).groupBy(identity).collectFirst {
+              case (n, occ) if occ.length > 1 => n
+            } match {
+              case Some(n) =>
+                Left(ParseError(s"duplicate window name '$n'", p.peek.pos))
+              case None => Right(ds)
+            }
+          }
+        } else Right(Vector.empty[(String,
+          (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame]))])
       // QUALIFY <pred> (after HAVING, before ORDER BY — the DuckDB clause
       // order): inline `fn(...) OVER (...)` calls in the predicate
       // desugar into hidden window items via the parser's winSink
@@ -975,7 +1026,7 @@ object Parser {
                           Right(Operand.Col(ColRef(None, a)))
                         case SelectItem.SAgg(f, arg, None, d) =>
                           Right(Operand.AggCall(f, arg, d))
-                        case SelectItem.SWin(_, _, _, _, a, _) =>
+                        case SelectItem.SWin(_, _, _, _, a, _, _) =>
                           Right(Operand.Col(ColRef(None, a)))
                         case SelectItem.SSub(_, a) => Right(Operand.Col(ColRef(None, a)))
                         case _: SelectItem.SStar => Left(ParseError(
@@ -1029,7 +1080,27 @@ object Parser {
             case t => Left(ParseError("expected OFFSET count", t.pos))
           }
         } else Right(None)
-    } yield SelectTree(cols, fromAndOn._1, where, orderBy, limit, offset, groupBy,
+      // resolve OVER <name> references against the WINDOW clause
+      fixedCols <- {
+        val defs = winDefs.toMap
+        def fix(it: SelectItem): Either[ParseError, SelectItem] = it match {
+          case SelectItem.SWin(f, args, _, _, a, _, Some(rn)) =>
+            defs.get(rn.toLowerCase)
+              .toRight(ParseError(s"unknown window name '$rn'", 0))
+              .map { case (parts, ord, frame) =>
+                SelectItem.SWin(f, args, parts, ord, a, frame) }
+          case other => Right(other)
+        }
+        cols match {
+          case None => Right(None: Option[Seq[SelectItem]])
+          case Some(items) =>
+            items.foldLeft[Either[ParseError, Vector[SelectItem]]](
+              Right(Vector.empty)) { (acc, it) =>
+              acc.flatMap(v => fix(it).map(v :+ _))
+            }.map(v => Some(v): Option[Seq[SelectItem]])
+        }
+      }
+    } yield SelectTree(fixedCols, fromAndOn._1, where, orderBy, limit, offset, groupBy,
       having, distinct, fromAndOn._3, groupSpec,
       qualify = qualifyRes._1, qualifyWins = qualifyRes._2,
       distinctOn = distinctOn)
@@ -1749,6 +1820,80 @@ object Parser {
         else Right(None)
     } yield UpdateTree(name, sets, where)
   }
+
+  private def identList(p: P): Either[ParseError, Vector[String]] = {
+    def loop(acc: Vector[String]): Either[ParseError, Vector[String]] =
+      p.ident().flatMap { c =>
+        p.peek match {
+          case TSym(",", _) => p.next(); loop(acc :+ c)
+          case _            => Right(acc :+ c)
+        }
+      }
+    loop(Vector.empty)
+  }
+
+  private def parseStmtOrder(p: P): Either[ParseError, Vector[(String, Boolean)]] =
+    if (p.isKw("order")) {
+      p.next()
+      p.eatKw("by").flatMap { _ =>
+        def one(): Either[ParseError, (String, Boolean)] =
+          p.ident().map { c =>
+            if (p.isKw("desc")) { p.next(); (c, true) }
+            else if (p.isKw("asc")) { p.next(); (c, false) }
+            else (c, false)
+          }
+        def loop(acc: Vector[(String, Boolean)])
+            : Either[ParseError, Vector[(String, Boolean)]] =
+          one().flatMap { o =>
+            p.peek match {
+              case TSym(",", _) => p.next(); loop(acc :+ o)
+              case _            => Right(acc :+ o)
+            }
+          }
+        loop(Vector.empty)
+      }
+    } else Right(Vector.empty)
+
+  /** PIVOT t ON col USING aggfn(col | *) GROUP BY g… [ORDER BY …] */
+  private def parsePivot(p: P): Either[ParseError, PivotTree] =
+    for {
+      _ <- p.eatKw("pivot")
+      t <- p.ident()
+      _ <- p.eatKw("on")
+      on <- p.ident()
+      _ <- p.eatKw("using")
+      fn <- p.ident()
+      _ <- p.eatSym("(")
+      vcol <- p.peek match {
+        case TSym("*", _) => p.next(); Right(None: Option[String])
+        case _            => p.ident().map(Some(_): Option[String])
+      }
+      _ <- p.eatSym(")")
+      _ <- p.eatKw("group")
+      _ <- p.eatKw("by")
+      gb <- identList(p)
+      ord <- parseStmtOrder(p)
+    } yield PivotTree(t, on, fn.toLowerCase, vcol, gb, ord)
+
+  /** UNPIVOT t ON c… [INTO NAME n VALUE v] [ORDER BY …] */
+  private def parseUnpivot(p: P): Either[ParseError, UnpivotTree] =
+    for {
+      _ <- p.eatKw("unpivot")
+      t <- p.ident()
+      _ <- p.eatKw("on")
+      cols <- identList(p)
+      nv <-
+        if (p.isKw("into")) {
+          p.next()
+          for {
+            _ <- p.eatKw("name")
+            n <- p.ident()
+            _ <- p.eatKw("value")
+            v <- p.ident()
+          } yield (n, v)
+        } else Right(("name", "value"))
+      ord <- parseStmtOrder(p)
+    } yield UnpivotTree(t, cols, nv._1, nv._2, ord)
 
   /** ALTER TABLE t (ADD [COLUMN] c type | DROP [COLUMN] c |
     * RENAME COLUMN a TO b | RENAME TO t2)

@@ -2052,6 +2052,24 @@ class DialectSpec extends AnyFunSuite {
     assert(mixed == Seq(Row(1, 3L, 1)))
   }
 
+  test("WINDOW clause: named specs shared across items; unknown name rejected") {
+    val db = qualifyDb()
+    val rows = db.select("SELECT grp, item, row_number() OVER w AS rn, " +
+      "sum(v) OVER w AS rt FROM sales " +
+      "WINDOW w AS (PARTITION BY grp ORDER BY v DESC) ORDER BY grp, rn")
+      .fold(e => fail(e.msg), identity).collect().toSeq
+    assert(rows.take(3) == Seq(Row(1, "b", 1, 30L), Row(1, "c", 2, 50L),
+      Row(1, "a", 3, 60L)))
+    // two named specs in one clause
+    assert(db.select("SELECT grp, rank() OVER w1 AS r, sum(v) OVER w2 AS t " +
+      "FROM sales WINDOW w1 AS (PARTITION BY grp ORDER BY v), " +
+      "w2 AS (PARTITION BY grp) ORDER BY grp, r").isRight)
+    // unknown and duplicate names are parse errors
+    assert(db.select("SELECT grp, row_number() OVER nope AS rn FROM sales").isLeft)
+    assert(db.select("SELECT grp, row_number() OVER w AS rn FROM sales " +
+      "WINDOW w AS (ORDER BY v), w AS (ORDER BY grp)").isLeft)
+  }
+
   test("DISTINCT ON ordered by a window alias") {
     val db = qualifyDb()
     // first row per grp under rn: rn=1 is the max-v item of each group
