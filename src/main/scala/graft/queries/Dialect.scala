@@ -1806,6 +1806,22 @@ object Dialect {
         "UNPIVOT supplier ON s_suppkey, s_nationkey INTO NAME metric VALUE val " +
           "ORDER BY s_name, metric"),
       Some("""UNPIVOT supplier ON s_suppkey, s_nationkey INTO NAME metric VALUE val
-             |ORDER BY s_name, metric""".stripMargin))
+             |ORDER BY s_name, metric""".stripMargin)),
+
+    // Regex functions + boolean string predicates: regexp_replace is
+    // GLOBAL (the oracle passes DuckDB's 'g' flag); contains/starts_with/
+    // ends_with desugar at parse onto instr comparisons — all codegen'd.
+    "q_dialect_regex" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT c_custkey, regexp_replace(c_name, '[0-9]+', '#') AS masked, " +
+          "regexp_extract(c_name, '([0-9]+)', 1) AS digits " +
+          "FROM customer WHERE c_custkey <= 50 " +
+          "AND contains(c_name, '0') AND starts_with(c_name, 'Customer') " +
+          "AND NOT ends_with(c_name, 'X') ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+             |  regexp_extract(c_name, '([0-9]+)', 1) AS digits
+             |FROM customer WHERE c_custkey <= 50
+             |AND contains(c_name, '0') AND starts_with(c_name, 'Customer')
+             |AND NOT ends_with(c_name, 'X') ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -681,7 +681,8 @@ object Analyzer {
     case BoundOperand.BFunc(f, args) => f match {
       case "upper" | "lower" | "trim" | "substr" | "concat" | "replace" |
            "ltrim" | "rtrim" | "reverse" | "md5" | "repeat" |
-           "lpad" | "rpad" | "split_part" =>
+           "lpad" | "rpad" | "split_part" |
+           "regexp_replace" | "regexp_extract" =>
         SqlType.SqlVarChar(65535)
       case "length" | "year" | "month" | "day" | "instr" | "datediff" |
            "sign" | "quarter" | "hour" | "minute" | "second" =>
@@ -1557,7 +1558,9 @@ object Analyzer {
           case "power" | "instr" | "mod" | "datediff" |
                "nullif" | "repeat"   => args.length == 2
           case "date_trunc"          => args.length == 2
-          case "replace" | "lpad" | "rpad" | "split_part" => args.length == 3
+          case "replace" | "lpad" | "rpad" | "split_part" |
+               "regexp_replace"      => args.length == 3
+          case "regexp_extract"      => args.length == 2 || args.length == 3
           case "greatest" | "least"  => args.length >= 2
           case _                     => false
         }
@@ -1588,6 +1591,15 @@ object Analyzer {
           case _ => false
         })))
           Left(BadFunction(s"$f length/pad arguments must be literals"))
+        // Spark's regexp_extract compiles the pattern and group index
+        // into the expression — they must be literals
+        else if (f == "regexp_extract" && !((args(1), args.lift(2)) match {
+          case (Operand.Literal(Lit.LitString(_)),
+                None | Some(Operand.Literal(Lit.LitLong(_)))) => true
+          case _ => false
+        }))
+          Left(BadFunction(
+            "regexp_extract takes a string-literal pattern and an integer-literal group"))
         else if (f == "split_part" && !((args(1), args(2)) match {
           case (Operand.Literal(Lit.LitString(sep)),
                 Operand.Literal(Lit.LitLong(n))) => sep.nonEmpty && n >= 1

@@ -1644,6 +1644,15 @@ object Lowering {
         org.apache.spark.sql.functions.get(
           split(rec(a), java.util.regex.Pattern.quote(sep)), lit(n.toInt - 1)),
         lit(""))
+    // GLOBAL replace (Spark semantics — DuckDB's 'g' flag is implicit);
+    // both engines run Java-compatible regex syntax for common patterns
+    case ("regexp_replace", Seq(a, b, c)) =>
+      regexp_replace(rec(a), rec(b), rec(c))
+    case ("regexp_extract", Seq(a, BoundOperand.BLit(Lit.LitString(pat)))) =>
+      regexp_extract(rec(a), pat, 0)
+    case ("regexp_extract", Seq(a, BoundOperand.BLit(Lit.LitString(pat)),
+        BoundOperand.BLit(Lit.LitLong(g)))) =>
+      regexp_extract(rec(a), pat, g.toInt)
     case ("greatest", as) => greatest(as.map(rec): _*)
     case ("least", as)    => least(as.map(rec): _*)
     case other => sys.error(s"unreachable function ${other._1}/${other._2.length}")

@@ -145,7 +145,7 @@ object Parser {
     "exp", "ln", "log10", "log2",
     "last_day", "quarter", "hour", "minute", "second",
     "nullif", "repeat", "lpad", "rpad", "split_part",
-    "greatest", "least")
+    "greatest", "least", "regexp_replace", "regexp_extract")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
@@ -1143,6 +1143,39 @@ object Parser {
     case TIdent(k, _) if k.equalsIgnoreCase("exists") =>
       p.next()
       parseExistsBody(p, negated = false)
+    // boolean string predicates — parse-time desugars onto instr, so the
+    // whole predicate stays a codegen'd comparison:
+    //   contains(a, b)    → instr(a, b) > 0
+    //   starts_with(a, b) → instr(a, b) = 1
+    //   ends_with(a, b)   → instr(reverse(a), reverse(b)) = 1
+    // NULL operands propagate to UNKNOWN exactly like the originals.
+    case TIdent(k, _) if Set("contains", "starts_with", "ends_with")(
+        k.toLowerCase) && {
+          val save = p.i; p.next()
+          val isP = p.peek match { case TSym("(", _) => true; case _ => false }
+          p.i = save; isP
+        } =>
+      val fn = k.toLowerCase
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        a <- parseOperand(p, allowAgg)
+        _ <- p.eatSym(",")
+        b <- parseOperand(p, allowAgg)
+        _ <- p.eatSym(")")
+      } yield fn match {
+        case "contains" => Expr.Cmp(CmpOp.Gt,
+          Operand.FuncCall("instr", Seq(a, b)),
+          Operand.Literal(Lit.LitLong(0L))): Expr
+        case "starts_with" => Expr.Cmp(CmpOp.Eq,
+          Operand.FuncCall("instr", Seq(a, b)),
+          Operand.Literal(Lit.LitLong(1L))): Expr
+        case _ => Expr.Cmp(CmpOp.Eq,
+          Operand.FuncCall("instr", Seq(
+            Operand.FuncCall("reverse", Seq(a)),
+            Operand.FuncCall("reverse", Seq(b)))),
+          Operand.Literal(Lit.LitLong(1L))): Expr
+      }
     case _ =>
       parseOperand(p, allowAgg).flatMap(l => parsePredicateTail(p, l, allowAgg))
   }
