@@ -374,6 +374,18 @@ object Ast {
       nameCol: String, valueCol: String,
       orderBy: Seq[(String, Boolean)]) extends ParseTree
 
+  /** SHOW TABLES — one row per relation (tables, views, materialized
+    * views) with its kind. */
+  case object ShowTablesTree extends ParseTree
+  /** DESCRIBE t — one row per column: name, type, nullable. */
+  final case class DescribeTree(table: String) extends ParseTree
+  /** COPY (t | (SELECT …)) TO 'path' [(FORMAT parquet|csv|json)] — the
+    * distributed export path (partition-parallel write; csv/json write
+    * with a header where the format has one).
+    */
+  final case class CopyToTree(source: Either[String, ParseTree],
+      path: String, format: String) extends ParseTree
+
   final case class MergeTree(
       target: TableRef,
       source: FromItem,

@@ -79,6 +79,9 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case Ast.DropMatViewTree(name, ifExists) => dropMatView(name, ifExists)
       case t: Ast.PivotTree          => pivotStmt(t)
       case t: Ast.UnpivotTree        => unpivotStmt(t)
+      case Ast.ShowTablesTree        => showTables()
+      case t: Ast.DescribeTree       => describe(t.table)
+      case t: Ast.CopyToTree         => copyTo(t)
       case t: Ast.AlterAddColTree    => alterAddCol(t)
       case t: Ast.AlterDropColTree   => alterDropCol(t)
       case t: Ast.AlterRenameColTree => alterRenameCol(t)
@@ -189,6 +192,76 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
             if (desc0) col(c).desc else col(c).asc }: _*)
         Rows(ordered)
       }
+    }
+  }
+
+  // ---- catalog introspection + export ----
+
+  private def localRows(schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+  /** SHOW TABLES: every relation with its kind, sorted by name. */
+  private def showTables(): Either[QueryError, QueryResult] = {
+    import org.apache.spark.sql.types._
+    val rows =
+      (tables.keys.map { n =>
+        val kind =
+          if (matviews.contains(n)) "materialized view"
+          else if (external.contains(n)) "external table"
+          else "table"
+        (n, kind)
+      } ++ views.keys.map(n => (n, "view"))).toSeq.sortBy(_._1)
+    Right(Rows(localRows(
+      StructType(Seq(StructField("name", StringType, nullable = false),
+        StructField("kind", StringType, nullable = false))),
+      rows.map { case (n, k) => Row(n, k) })))
+  }
+
+  /** DESCRIBE t: one row per column — name, declared type, nullability.
+    * Views describe their analyzed output schema.
+    */
+  private def describe(name0: String): Either[QueryError, QueryResult] = {
+    import org.apache.spark.sql.types._
+    val name = name0.toLowerCase
+    val schema = StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("column_type", StringType, nullable = false),
+      StructField("nullable", BooleanType, nullable = false)))
+    tables.get(name) match {
+      case Some(desc) => Right(Rows(localRows(schema,
+        desc.attributes.map(a => Row(a.name, a.sqlType.render, a.nullable)))))
+      case None if views.contains(name) =>
+        select(s"SELECT * FROM $name LIMIT 0").map(df => Rows(localRows(schema,
+          df.schema.fields.toSeq.map(f =>
+            Row(f.name, f.dataType.simpleString, f.nullable)))))
+      case None => Left(AnalyzeFailed(RelationNotFound(name0)))
+    }
+  }
+
+  /** COPY … TO: the distributed export — a partition-parallel write of
+    * the table or query result (never a driver-side collect).
+    */
+  private def copyTo(t: Ast.CopyToTree): Either[QueryError, QueryResult] = {
+    val dfE: Either[QueryError, DataFrame] = t.source match {
+      case Left(name) => readableDesc(name).map(readTable)
+      case Right(sel) =>
+        val sub = Parser.substituteViews(sel, views.toMap)
+        Analyzer.analyze(sub, cat).left.map(AnalyzeFailed).flatMap { b =>
+          execute(b) match {
+            case Rows(df) => Right(df)
+            case Done(m)  => Left(ViewError(s"COPY source is not a query: $m"))
+          }
+        }
+    }
+    dfE.map { df =>
+      val w = df.write.mode("overwrite")
+      t.format match {
+        case "csv"  => w.option("header", "true").csv(t.path)
+        case "json" => w.json(t.path)
+        case _      => w.parquet(t.path)
+      }
+      Done(s"copied to ${t.path} (${t.format})")
     }
   }
 

@@ -176,6 +176,17 @@ object Parser {
         else if (p.isKw("merge")) parseMerge(p)
         else if (p.isKw("pivot")) parsePivot(p)
         else if (p.isKw("unpivot")) parseUnpivot(p)
+        else if (p.isKw("show"))
+          for {
+            _ <- p.eatKw("show")
+            _ <- p.eatKw("tables")
+          } yield ShowTablesTree
+        else if (p.isKw("describe") || p.isKw("desc"))
+          for {
+            _ <- Right(p.next())
+            name <- p.ident()
+          } yield DescribeTree(name)
+        else if (p.isKw("copy")) parseCopy(p)
         else if (p.isKw("alter")) parseAlter(p)
         else if (p.isKw("truncate"))
           for {
@@ -1886,6 +1897,39 @@ object Parser {
         loop(Vector.empty)
       }
     } else Right(Vector.empty)
+
+  /** COPY (t | (SELECT …)) TO 'path' [(FORMAT parquet|csv|json)] */
+  private def parseCopy(p: P): Either[ParseError, CopyToTree] =
+    for {
+      _ <- p.eatKw("copy")
+      src <- p.peek match {
+        case TSym("(", _) =>
+          for {
+            _ <- p.eatSym("(")
+            sel <- parseSelectOrUnion(p)
+            _ <- p.eatSym(")")
+          } yield Right(sel): Either[String, ParseTree]
+        case _ => p.ident().map(Left(_): Either[String, ParseTree])
+      }
+      _ <- p.eatKw("to")
+      path <- p.peek match {
+        case TStr(s, _) => p.next(); Right(s)
+        case t => Left(ParseError("COPY TO takes a string-literal path", t.pos))
+      }
+      fmt <- p.peek match {
+        case TSym("(", _) =>
+          for {
+            _ <- p.eatSym("(")
+            _ <- p.eatKw("format")
+            f <- p.ident()
+            _ <- p.eatSym(")")
+            ok <-
+              if (Set("parquet", "csv", "json")(f.toLowerCase)) Right(f.toLowerCase)
+              else Left(ParseError(s"unsupported COPY format '$f'", p.peek.pos))
+          } yield ok
+        case _ => Right("parquet")
+      }
+    } yield CopyToTree(src, path, fmt)
 
   /** PIVOT t ON col USING aggfn(col | *) GROUP BY g… [ORDER BY …] */
   private def parsePivot(p: P): Either[ParseError, PivotTree] =

@@ -2052,6 +2052,30 @@ class DialectSpec extends AnyFunSuite {
     assert(mixed == Seq(Row(1, 3L, 1)))
   }
 
+  test("SHOW TABLES / DESCRIBE / COPY TO: introspection and export") {
+    val db = freshDb()
+    db.query("CREATE TABLE t1 (id INT PRIMARY KEY, name VARCHAR(10))").toOption.get
+    db.query("INSERT INTO t1 VALUES (1, 'a'), (2, 'b')").toOption.get
+    db.query("CREATE VIEW v1 AS SELECT id FROM t1 WHERE id > 1").toOption.get
+    val shown = db.select("SHOW TABLES").toOption.get.collect().toSeq
+    assert(shown == Seq(Row("t1", "table"), Row("v1", "view")))
+    val desc = db.select("DESCRIBE t1").toOption.get.collect().toSeq
+    assert(desc == Seq(Row("id", "INT", true), Row("name", "VARCHAR(10)", true)))
+    // views describe their analyzed output schema
+    assert(db.select("DESCRIBE v1").toOption.get.collect().toSeq ==
+      Seq(Row("id", "int", true)))
+    assert(db.query("DESCRIBE nosuch").isLeft)
+    // COPY: table → csv, query → parquet; both partition-parallel writes
+    val out = Files.createTempDirectory("graft-copy").toString
+    assert(db.query(s"COPY t1 TO '$out/t1_csv' (FORMAT csv)").isRight)
+    assert(db.query(s"COPY (SELECT id, upper(name) AS uname FROM t1 WHERE id > 1) " +
+      s"TO '$out/q'").isRight)
+    val back = spark.read.parquet(s"$out/q").collect().toSeq
+    assert(back == Seq(Row(2, "B")))
+    val csv = spark.read.option("header", "true").csv(s"$out/t1_csv")
+    assert(csv.count() == 2 && csv.columns.toSeq == Seq("id", "name"))
+  }
+
   test("WINDOW clause: named specs shared across items; unknown name rejected") {
     val db = qualifyDb()
     val rows = db.select("SELECT grp, item, row_number() OVER w AS rn, " +
