@@ -1822,6 +1822,261 @@ object Dialect {
              |  regexp_extract(c_name, '([0-9]+)', 1) AS digits
              |FROM customer WHERE c_custkey <= 50
              |AND contains(c_name, '0') AND starts_with(c_name, 'Customer')
-             |AND NOT ends_with(c_name, 'X') ORDER BY c_custkey""".stripMargin))
+             |AND NOT ends_with(c_name, 'X') ORDER BY c_custkey""".stripMargin)),
+
+    // TPC-H Q5 shape: local-supplier volume — a 6-way comma join
+    // (DPccp-ordered; region/nation broadcast), c↔s nation colocation
+    // predicate, date window pushed to the orders scan.
+    "q_dialect_tpch_q5" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders", "lineitem", "supplier",
+        "nation", "region"),
+        "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+          "FROM customer c, orders o, lineitem l, supplier s, nation n, region r " +
+          "WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey " +
+          "AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey " +
+          "AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey " +
+          "AND r.r_name = 'ASIA' AND o.o_orderdate >= DATE '1996-01-01' " +
+          "AND o.o_orderdate < DATE '1997-01-01' " +
+          "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+             |WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+             |AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+             |AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+             |AND r.r_name = 'ASIA' AND o.o_orderdate >= DATE '1996-01-01'
+             |AND o.o_orderdate < DATE '1997-01-01'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // TPC-H Q7 shape: volume shipping between two nations — the same
+    // table under two aliases (nation n1/n2), an OR of alias-pair
+    // conjunctions, and an expression group key (year of shipdate).
+    "q_dialect_tpch_q7" -> QueryDef(
+      (s, d) => run(db(s, d, "supplier", "lineitem", "orders", "customer",
+        "nation"),
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+          "year(l.l_shipdate) AS l_year, " +
+          "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue " +
+          "FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2 " +
+          "WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey " +
+          "AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey " +
+          "AND c.c_nationkey = n2.n_nationkey " +
+          "AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8') " +
+          "OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')) " +
+          "AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate <= DATE '1997-12-31' " +
+          "GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate) " +
+          "ORDER BY supp_nation, cust_nation, l_year"),
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  cast(year(l.l_shipdate) AS int) AS l_year,
+             |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+             |FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+             |WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+             |AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+             |AND c.c_nationkey = n2.n_nationkey
+             |AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+             |  OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+             |AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate <= DATE '1997-12-31'
+             |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // TPC-H Q8 shape: national market share — an 8-way join inside a
+    // derived table (the largest DPccp instance in the gate), then a
+    // conditional-aggregate ratio per order year.
+    "q_dialect_tpch_q8" -> QueryDef(
+      (s, d) => run(db(s, d, "part", "supplier", "lineitem", "orders",
+        "customer", "nation", "region"),
+        "SELECT o_year, round(sum(CASE WHEN nation = 'NATION_5' THEN volume " +
+          "ELSE 0.0 END) / sum(volume), 4) AS mkt_share FROM " +
+          "(SELECT year(o.o_orderdate) AS o_year, " +
+          "l.l_extendedprice * (1 - l.l_discount) AS volume, n2.n_name AS nation " +
+          "FROM part p, supplier s, lineitem l, orders o, customer c, " +
+          "nation n1, nation n2, region r " +
+          "WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey " +
+          "AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey " +
+          "AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r.r_regionkey " +
+          "AND r.r_name = 'EUROPE' AND s.s_nationkey = n2.n_nationkey " +
+          "AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate <= DATE '1997-12-31' " +
+          "AND p.p_type = 'ECONOMY') t " +
+          "GROUP BY o_year ORDER BY o_year"),
+      Some("""SELECT o_year, round(sum(CASE WHEN nation = 'NATION_5' THEN volume
+             |  ELSE 0.0 END) / sum(volume), 4) AS mkt_share FROM
+             |  (SELECT cast(year(o.o_orderdate) AS int) AS o_year,
+             |   l.l_extendedprice * (1 - l.l_discount) AS volume, n2.n_name AS nation
+             |   FROM part p, supplier s, lineitem l, orders o, customer c,
+             |     nation n1, nation n2, region r
+             |   WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+             |   AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+             |   AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r.r_regionkey
+             |   AND r.r_name = 'EUROPE' AND s.s_nationkey = n2.n_nationkey
+             |   AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate <= DATE '1997-12-31'
+             |   AND p.p_type = 'ECONOMY') t
+             |GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
+    // TPC-H Q12 shape (adapted: the fixture has no l_shipmode/commitdate/
+    // receiptdate, so "late" = shipped >60 days after order): priority
+    // split via conditional aggregation, interval arithmetic on a column.
+    "q_dialect_tpch_q12" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "lineitem"),
+        "SELECT l.l_linestatus, " +
+          "sum(CASE WHEN o.o_orderpriority = '1-URGENT' OR o.o_orderpriority = '2-HIGH' " +
+          "THEN 1 ELSE 0 END) AS high_line_count, " +
+          "sum(CASE WHEN o.o_orderpriority <> '1-URGENT' AND o.o_orderpriority <> '2-HIGH' " +
+          "THEN 1 ELSE 0 END) AS low_line_count " +
+          "FROM orders o, lineitem l WHERE o.o_orderkey = l.l_orderkey " +
+          "AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY " +
+          "AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01' " +
+          "GROUP BY l.l_linestatus ORDER BY l.l_linestatus"),
+      Some("""SELECT l.l_linestatus,
+             |  cast(sum(CASE WHEN o.o_orderpriority = '1-URGENT' OR o.o_orderpriority = '2-HIGH'
+             |    THEN 1 ELSE 0 END) AS bigint) AS high_line_count,
+             |  cast(sum(CASE WHEN o.o_orderpriority <> '1-URGENT' AND o.o_orderpriority <> '2-HIGH'
+             |    THEN 1 ELSE 0 END) AS bigint) AS low_line_count
+             |FROM orders o, lineitem l WHERE o.o_orderkey = l.l_orderkey
+             |AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+             |AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+             |GROUP BY l.l_linestatus ORDER BY l.l_linestatus""".stripMargin)),
+
+    // TPC-H Q15 shape: top supplier — a stored view used twice (joined
+    // and max-aggregated under a scalar subquery); the view body (one
+    // grouped aggregate) lowers once per reference.
+    "q_dialect_tpch_q15" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "lineitem", "supplier")
+        if (g.query("SELECT total_revenue FROM revenue_v LIMIT 1").isLeft)
+          g.query("CREATE VIEW revenue_v AS SELECT l_suppkey AS supplier_no, " +
+            "sum(l_extendedprice * (1 - l_discount)) AS total_revenue " +
+            "FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' " +
+            "AND l_shipdate < DATE '1996-04-01' GROUP BY l_suppkey")
+            .left.foreach(e => sys.error(e.msg))
+        run(g, "SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue " +
+          "FROM supplier s, revenue_v r WHERE s.s_suppkey = r.supplier_no " +
+          "AND r.total_revenue = (SELECT max(total_revenue) FROM revenue_v) " +
+          "ORDER BY s.s_suppkey")
+      },
+      Some("""WITH revenue_v AS (SELECT l_suppkey AS supplier_no,
+             |    sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             |  FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+             |  AND l_shipdate < DATE '1996-04-01' GROUP BY l_suppkey)
+             |SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+             |FROM supplier s, revenue_v r WHERE s.s_suppkey = r.supplier_no
+             |AND r.total_revenue = (SELECT max(total_revenue) FROM revenue_v)
+             |ORDER BY s.s_suppkey""".stripMargin)),
+
+    // TPC-H Q17 shape: small-quantity-order revenue — a correlated scalar
+    // AVG with an expression around the aggregate, correlated on the
+    // PART side of the join; decorrelates to one per-partkey aggregate.
+    "q_dialect_tpch_q17" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem", "part"),
+        "SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly " +
+          "FROM lineitem l, part p WHERE p.p_partkey = l.l_partkey " +
+          "AND p.p_brand = 'Brand#23' AND p.p_size < 15 " +
+          "AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) AS threshold " +
+          "FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)"),
+      Some("""SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+             |FROM lineitem l, part p WHERE p.p_partkey = l.l_partkey
+             |AND p.p_brand = 'Brand#23' AND p.p_size < 15
+             |AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+             |  FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin)),
+
+    // TPC-H Q18 shape: large-volume customers — IN over an aggregated
+    // HAVING subquery (semi join on l_orderkey), then a 3-way join
+    // re-aggregated per order, top-100.
+    "q_dialect_tpch_q18" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders", "lineitem"),
+        "SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, " +
+          "round(o.o_totalprice, 2) AS o_totalprice, sum(l.l_quantity) AS total_qty " +
+          "FROM customer c, orders o, lineitem l " +
+          "WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+          "GROUP BY l_orderkey HAVING sum(l_quantity) > 250) " +
+          "AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey " +
+          "GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice " +
+          "ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100"),
+      Some("""SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             |  round(o.o_totalprice, 2) AS o_totalprice, sum(l.l_quantity) AS total_qty
+             |FROM customer c, orders o, lineitem l
+             |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+             |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+             |AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+             |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+             |ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin)),
+
+    // TPC-H Q19 shape (adapted to the fixture's columns): the join
+    // predicate lives INSIDE an OR of conjunct groups — Catalyst's
+    // common-factor extraction must recover p_partkey = l_partkey so the
+    // plan is a hash join, not a cartesian filter.
+    "q_dialect_tpch_q19" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem", "part"),
+        "SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue " +
+          "FROM lineitem l, part p WHERE " +
+          "(p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12' " +
+          "AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5) " +
+          "OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23' " +
+          "AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10) " +
+          "OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#34' " +
+          "AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)"),
+      Some("""SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+             |FROM lineitem l, part p WHERE
+             |(p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12'
+             |  AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+             |OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+             |  AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+             |OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#34'
+             |  AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)""".stripMargin)),
+
+    // TPC-H Q21 shape (adapted: "late" = returnflag R): suppliers alone
+    // at fault on a multi-supplier order — EXISTS and NOT EXISTS over the
+    // same lineitem with an ANTI-equi correlated conjunct
+    // (l2.l_suppkey <> l1.l_suppkey) riding the l_orderkey equi key.
+    "q_dialect_tpch_q21" -> QueryDef(
+      (s, d) => run(db(s, d, "supplier", "lineitem", "orders", "nation"),
+        "SELECT s.s_name, count(*) AS numwait " +
+          "FROM supplier s, lineitem l1, orders o, nation n " +
+          "WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey " +
+          "AND o.o_orderstatus = 'F' AND l1.l_returnflag = 'R' " +
+          "AND EXISTS (SELECT l2.l_orderkey FROM lineitem l2 " +
+          "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+          "AND NOT EXISTS (SELECT l3.l_orderkey FROM lineitem l3 " +
+          "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
+          "AND l3.l_returnflag = 'R') " +
+          "AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_4' " +
+          "GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 100"),
+      Some("""SELECT s.s_name, cast(count(*) AS bigint) AS numwait
+             |FROM supplier s, lineitem l1, orders o, nation n
+             |WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+             |AND o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+             |AND EXISTS (SELECT l2.l_orderkey FROM lineitem l2
+             |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |AND NOT EXISTS (SELECT l3.l_orderkey FROM lineitem l3
+             |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+             |  AND l3.l_returnflag = 'R')
+             |AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_4'
+             |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin)),
+
+    // TPC-H Q22 shape (adapted: country code = last-2 name digits, the
+    // fixture has no c_phone): an IN-list over a computed substring, an
+    // uncorrelated scalar AVG with its own filter, and NOT EXISTS —
+    // all inside a derived table, re-aggregated per code.
+    "q_dialect_tpch_q22" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal " +
+          "FROM (SELECT substr(c.c_name, 17, 2) AS cntrycode, c.c_acctbal " +
+          "FROM customer c WHERE substr(c.c_name, 17, 2) IN ('13', '31', '23', '29', '30', '18', '17') " +
+          "AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2 " +
+          "WHERE c2.c_acctbal > 0.0 " +
+          "AND substr(c2.c_name, 17, 2) IN ('13', '31', '23', '29', '30', '18', '17')) " +
+          "AND NOT EXISTS (SELECT o.o_orderkey FROM orders o " +
+          "WHERE o.o_custkey = c.c_custkey " +
+          "AND o.o_orderdate >= DATE '2000-01-01')) t " +
+          "GROUP BY cntrycode ORDER BY cntrycode"),
+      Some("""SELECT cntrycode, cast(count(*) AS bigint) AS numcust,
+             |  round(sum(c_acctbal), 2) AS totacctbal
+             |FROM (SELECT substr(c.c_name, 17, 2) AS cntrycode, c.c_acctbal
+             |  FROM customer c WHERE substr(c.c_name, 17, 2) IN ('13', '31', '23', '29', '30', '18', '17')
+             |  AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+             |    WHERE c2.c_acctbal > 0.0
+             |    AND substr(c2.c_name, 17, 2) IN ('13', '31', '23', '29', '30', '18', '17'))
+             |  AND NOT EXISTS (SELECT o.o_orderkey FROM orders o
+             |    WHERE o.o_custkey = c.c_custkey
+             |    AND o.o_orderdate >= DATE '2000-01-01')) t
+             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin))
   )
 }

@@ -125,6 +125,23 @@ object Analyzer {
       case _                => false
     }
 
+    /** Aggregate call nodes of an operand tree (CASE conditions
+      * included) — the hidden-column units of an expression-over-
+      * aggregates projection.
+      */
+    def aggNodes(o: BoundOperand): Seq[BoundOperand] = o match {
+      case a: BAgg          => Seq(a)
+      case a: BOrderedAgg   => Seq(a)
+      case BArith(_, l, r)  => aggNodes(l) ++ aggNodes(r)
+      case BFunc(_, args)   => args.flatMap(aggNodes)
+      case BCast(x, _)      => aggNodes(x)
+      case BCase(bs, els) =>
+        bs.flatMap { case (c, v) =>
+          exprOperands(c).flatMap(aggNodes) ++ aggNodes(v) } ++
+          els.toSeq.flatMap(aggNodes)
+      case _                => Nil
+    }
+
     /** Does the operand tree contain a subquery (CASE conditions
       * included)?
       */
@@ -149,7 +166,7 @@ object Analyzer {
       case BoundExpr.BLike(o, _, _, _, _) => Seq(o)
       case BoundExpr.BCmp(_, l, r)  => Seq(l, r)
       case BoundExpr.BInSub(o, _, _, _)     => Seq(o)
-      case BoundExpr.BExists(_, _, _)       => Nil
+      case BoundExpr.BExists(_, _, _, _)    => Nil
       case BoundExpr.BCmpSub(_, o, _, _, _) => Seq(o)
       case BoundExpr.BQuantSub(_, o, _, _, _) => Seq(o)
     }
@@ -173,10 +190,16 @@ object Analyzer {
         pairs: Seq[(BoundCol, BoundCol)], negated: Boolean) extends BoundExpr
     /** [NOT] EXISTS (SELECT …): left-semi/anti join on the decorrelated
       * equality pairs (uncorrelated = constant-condition semi join against
-      * a one-row frame).
+      * a one-row frame). `residual` = correlated NON-equality conjuncts
+      * (l2.k <> l1.k, inner > outer + 5, …) that ride the semi/anti
+      * join's condition alongside the pair equalities — the TPC-H Q21
+      * shape. Only accepted where that join exists: as a top-level WHERE
+      * conjunct (under OR/NOT/CASE the marker left-join's one-match-per-
+      * outer-row invariant breaks under a non-equi condition).
       */
     final case class BExists(sub: BoundSelect,
-        pairs: Seq[(BoundCol, BoundCol)], negated: Boolean) extends BoundExpr
+        pairs: Seq[(BoundCol, BoundCol)], negated: Boolean,
+        residual: Seq[BoundExpr] = Nil) extends BoundExpr
     /** Scalar comparison subquery — broadcast join of the one-row frame +
       * filter. `guard = false` when one row is a static fact (group-less
       * aggregate, or LIMIT ≤ 1); otherwise the lowering enforces the
@@ -286,9 +309,73 @@ object Analyzer {
     case BoundExpr.BLike(o, _, _, _, _) => operandCols(o)
     case BoundExpr.BCmp(_, l, r)    => operandCols(l) ++ operandCols(r)
     case BoundExpr.BInSub(o, _, ps, _) => operandCols(o) ++ ps.map(_._1)
-    case BoundExpr.BExists(_, ps, _)   => ps.map(_._1)
+    case BoundExpr.BExists(s, ps, _, res) =>
+      ps.map(_._1) ++ residualOuterCols(s, res)
     case BoundExpr.BCmpSub(_, o, _, _, ps) => operandCols(o) ++ ps.map(_._1)
     case BoundExpr.BQuantSub(_, o, _, _, ps) => operandCols(o) ++ ps.map(_._1)
+  }
+
+  /** The outer-scope columns of an EXISTS's residual conjuncts: every
+    * column not bound by the subquery's own FROM (incl. join steps).
+    */
+  def residualOuterCols(sub: BoundSelect, res: Seq[BoundExpr]): Seq[BoundCol] = {
+    if (res.isEmpty) Nil
+    else {
+      val inner = (sub.tables ++ sub.joinSteps.map(_.table)).map(_.binding).toSet
+      res.flatMap(exprCols).filterNot(c => inner(c.binding))
+    }
+  }
+
+  /** Any residual-carrying EXISTS in the tree (operand CASE conditions
+    * included; subquery BODIES excluded — they validate themselves).
+    * Residual correlation is only lowerable as a semi/anti-join
+    * condition, i.e. for a top-level WHERE conjunct; these walkers let
+    * the analyzer reject it everywhere else (under OR/NOT, in CASE, in
+    * projection/QUALIFY scope) instead of risking marker-join row
+    * duplication.
+    */
+  private def hasResidualExists(x: BoundExpr): Boolean = x match {
+    case BoundExpr.BAnd(l, r) => hasResidualExists(l) || hasResidualExists(r)
+    case BoundExpr.BOr(l, r)  => hasResidualExists(l) || hasResidualExists(r)
+    case BoundExpr.BNot(y)    => hasResidualExists(y)
+    case BoundExpr.BExists(_, _, _, res) => res.nonEmpty
+    case BoundExpr.BCmp(_, l, r) =>
+      opHasResidualExists(l) || opHasResidualExists(r)
+    case BoundExpr.BIsNull(o, _)        => opHasResidualExists(o)
+    case BoundExpr.BLike(o, _, _, _, _) => opHasResidualExists(o)
+    case BoundExpr.BInSub(o, _, _, _)   => opHasResidualExists(o)
+    case BoundExpr.BCmpSub(_, o, _, _, _)   => opHasResidualExists(o)
+    case BoundExpr.BQuantSub(_, o, _, _, _) => opHasResidualExists(o)
+  }
+  private def opHasResidualExists(o: BoundOperand): Boolean = o match {
+    case BoundOperand.BCase(bs, els) =>
+      bs.exists { case (c, v) => hasResidualExists(c) || opHasResidualExists(v) } ||
+        els.exists(opHasResidualExists)
+    case BoundOperand.BArith(_, l, r) =>
+      opHasResidualExists(l) || opHasResidualExists(r)
+    case BoundOperand.BFunc(_, args)  => args.exists(opHasResidualExists)
+    case BoundOperand.BCast(x, _)     => opHasResidualExists(x)
+    case BoundOperand.BAgg(_, arg, _) => arg.exists(opHasResidualExists)
+    case _ => false
+  }
+
+  private val residualPositionError = BadSubquery(
+    "EXISTS with a correlated non-equality conjunct is only supported " +
+      "as a top-level WHERE conjunct")
+
+  /** WHERE form: direct [NOT] EXISTS conjuncts may carry residual;
+    * anything nested deeper may not.
+    */
+  private def validateResidualWhere(e: BoundExpr)
+      : Either[AnalyzerError, Unit] = {
+    def conj(x: BoundExpr): Seq[BoundExpr] = x match {
+      case BoundExpr.BAnd(l, r) => conj(l) ++ conj(r)
+      case o                    => Seq(o)
+    }
+    if (conj(e).exists(c =>
+        !c.isInstanceOf[BoundExpr.BExists] && hasResidualExists(c)))
+      Left(residualPositionError)
+    else Right(())
   }
 
   /** Split a correlated subquery into an uncorrelated core + the
@@ -313,8 +400,10 @@ object Analyzer {
     * subquery never flattens (∃o.(P ∧ ¬∃l.Q) has no join-only form).
     */
   private def decorrelate(sub: BoundSelect, allowAggregate: Boolean = false,
-      exprKeys: Map[BoundOperand, BoundCol] = Map.empty)
-      : Either[AnalyzerError, (BoundSelect, Seq[(BoundCol, BoundCol)])] = {
+      exprKeys: Map[BoundOperand, BoundCol] = Map.empty,
+      allowResidual: Boolean = false)
+      : Either[AnalyzerError,
+        (BoundSelect, Seq[(BoundCol, BoundCol)], Seq[BoundExpr])] = {
     val inner = scala.collection.mutable.Set.empty[String]
     inner ++= sub.tables.map(_.binding)
     inner ++= sub.joinSteps.map(_.table.binding)
@@ -348,6 +437,7 @@ object Analyzer {
         s"correlated reference ${c.render} is only supported as an equality in the subquery's WHERE"))
       case None =>
         val pairs = Vector.newBuilder[(BoundCol, BoundCol)]
+        val residual = Vector.newBuilder[BoundExpr]
         val kept = Vector.newBuilder[BoundExpr]
         val extraTables = Vector.newBuilder[BoundTable]
         val extraSteps = Vector.newBuilder[BoundJoinStep]
@@ -398,9 +488,14 @@ object Analyzer {
                 if !isOuter(ic) && exprKeys.contains(op) &&
                   operandCols(op).forall(isOuter) =>
               pairs += ((exprKeys(op), ic))
-            case BoundExpr.BExists(isub, ipairs, false)
+            case BoundExpr.BExists(isub, ipairs, false, ires)
                 if ipairs.exists(p => isOuter(p._1)) =>
               flatten(isub, ipairs, None).foreach(e => return Left(e))
+              // the nested sub's residual conjuncts re-classify in the
+              // merged scope (its bindings are inner now): refs local to
+              // the flattened body become plain predicates, deeper refs
+              // become this sub's pairs/residual
+              queue ++= ires
             case BoundExpr.BInSub(o, isub, ipairs, false)
                 if ipairs.exists(p => isOuter(p._1)) &&
                   operandCols(o).forall(c => !isOuter(c)) =>
@@ -416,26 +511,33 @@ object Analyzer {
                 Some(BoundExpr.BCmp(CmpOp.Eq, o, inVal))).foreach(e => return Left(e))
             case other =>
               exprCols(other).find(isOuter) match {
-                case Some(cc) => return Left(BadSubquery(
-                  s"correlated reference ${cc.render} is only supported as a " +
-                    "top-level equality conjunct (col = outer_col)"))
+                case Some(cc) =>
+                  // a correlated NON-equality conjunct (l2.k <> l1.k,
+                  // inner > outer, …): where the consumer is a semi/anti
+                  // join it simply rides the join condition as a residual
+                  if (allowResidual && !BoundExpr.containsSub(other))
+                    residual += other
+                  else return Left(BadSubquery(
+                    s"correlated reference ${cc.render} is only supported as a " +
+                      "top-level equality conjunct (col = outer_col)"))
                 case None => kept += other
               }
           }
         }
         val ps = pairs.result()
+        val res = residual.result()
         val flattened = sub.copy(
           tables = sub.tables ++ extraTables.result(),
           joinSteps = sub.joinSteps ++ extraSteps.result(),
           predicate = kept.result().reduceOption(BoundExpr.BAnd(_, _)),
           derived = sub.derived ++ extraDerived.result())
-        if (ps.isEmpty) Right((sub, Nil))
+        if (ps.isEmpty && res.isEmpty) Right((sub, Nil, Nil))
         else if (sub.isAggregate && !allowAggregate)
           Left(BadSubquery("a correlated subquery must not aggregate"))
         else if (sub.limit.isDefined || sub.offset.isDefined)
           Left(BadSubquery("a correlated subquery must not use LIMIT/OFFSET"))
         else
-          Right((flattened, ps))
+          Right((flattened, ps, res))
     }
   }
 
@@ -794,7 +896,7 @@ object Analyzer {
     case BoundExpr.BOr(l, r)  => exprSubsOf(l) ++ exprSubsOf(r)
     case BoundExpr.BNot(y)    => exprSubsOf(y)
     case BoundExpr.BInSub(o, sub, _, _)     => opSubsOf(o) :+ sub
-    case BoundExpr.BExists(sub, _, _)       => Seq(sub)
+    case BoundExpr.BExists(sub, _, _, _)    => Seq(sub)
     case BoundExpr.BCmpSub(_, o, sub, _, _) => opSubsOf(o) :+ sub
     case BoundExpr.BQuantSub(_, o, sub, _, _) => opSubsOf(o) :+ sub
     case BoundExpr.BCmp(_, l, r)  => opSubsOf(l) ++ opSubsOf(r)
@@ -1702,8 +1804,12 @@ object Analyzer {
         else
           for {
             bsub0 <- analyzeSelect(sub, cat, outerScope = tables ++ outerScope)
-            dp <- decorrelate(bsub0, exprKeys = havingGkExprKeys)
-          } yield BoundExpr.BExists(dp._1, dp._2, neg)
+            // residual (non-equality) correlation only where the EXISTS
+            // lowers as a semi/anti join — never in HAVING scope, where
+            // decorrelation keys must be post-aggregation group keys
+            dp <- decorrelate(bsub0, exprKeys = havingGkExprKeys,
+              allowResidual = !allowAgg)
+          } yield BoundExpr.BExists(dp._1, dp._2, neg, dp._3)
       case Expr.CmpSubquery(op, o, sub) =>
         if (!topLevel)
           Left(BadSubquery("a scalar subquery may not appear under NOT or inside CASE"))
@@ -1718,7 +1824,7 @@ object Analyzer {
               else Right(())
             dp <- decorrelate(bsub0, allowAggregate = true,
               exprKeys = havingGkExprKeys)
-            (bsub, pairs) = dp
+            (bsub, pairs, _) = dp
             _ <-
               if (pairs.isEmpty) Right(())
               // correlated scalar: must be a group-less aggregate (one row
@@ -1731,6 +1837,16 @@ object Analyzer {
                   "a correlated scalar subquery must be a group-less aggregate"))
               else bsub.projection.head match {
                 case _: BoundItem.BIAgg => Right(())
+                // an expression OVER aggregate calls (0.2 * avg(x), the
+                // TPC-H Q17 shape): every column ref sits inside an
+                // aggregate argument, every aggregate is a plain call
+                case BoundItem.BIExpr(op, _)
+                    if BoundOperand.containsAgg(op) &&
+                      operandCols(op).isEmpty &&
+                      !BoundOperand.operandHasSub(op) &&
+                      BoundOperand.aggNodes(op)
+                        .forall(_.isInstanceOf[BoundOperand.BAgg]) =>
+                  Right(())
                 case _ => Left(BadSubquery(
                   "a correlated scalar subquery must project a single aggregate call"))
               }
@@ -1886,7 +2002,7 @@ object Analyzer {
             else Left(BadSubquery(
               s"scalar subquery must project exactly one column, got ${bsub0.projection.length}"))
           dp <- decorrelate(bsub0, allowAggregate = true)
-          (bsub, pairs) = dp
+          (bsub, pairs, _) = dp
           _ <-
             if (pairs.isEmpty) Right(())
             else if (!bsub.isAggregate || bsub.groupBy.nonEmpty)
@@ -1894,6 +2010,16 @@ object Analyzer {
                 "a correlated scalar subquery must be a group-less aggregate"))
             else bsub.projection.head match {
               case _: BoundItem.BIAgg => Right(())
+              // an expression OVER aggregate calls (0.2 * avg(x), the
+              // TPC-H Q17 shape): every column ref sits inside an
+              // aggregate argument, every aggregate is a plain call
+              case BoundItem.BIExpr(op, _)
+                  if BoundOperand.containsAgg(op) &&
+                    operandCols(op).isEmpty &&
+                    !BoundOperand.operandHasSub(op) &&
+                    BoundOperand.aggNodes(op)
+                      .forall(_.isInstanceOf[BoundOperand.BAgg]) =>
+                Right(())
               case _ => Left(BadSubquery(
                 "a correlated scalar subquery must project a single aggregate call"))
             }
@@ -1908,7 +2034,19 @@ object Analyzer {
       }
       pred0 <- s.where match {
         case None    => Right(None)
-        case Some(e) => bindExpr(e).map(Some(_))
+        case Some(e) => bindExpr(e).flatMap(be =>
+          validateResidualWhere(be).map(_ => Some(be)))
+      }
+      // projection-scope subqueries (CASE conditions etc.) never take
+      // residual correlation — no semi/anti join exists there
+      _ <- proj.collectFirst {
+        case BoundItem.BIExpr(op, _) if opHasResidualExists(op) => ()
+        case BoundItem.BIAgg(_, Some(a), _, _) if opHasResidualExists(a) => ()
+        case BoundItem.BIWin(_, args, _, _, _, _)
+            if args.exists(opHasResidualExists) => ()
+      } match {
+        case Some(_) => Left(residualPositionError)
+        case None    => Right(())
       }
       // LATERAL key equalities travel on their own field (join conditions
       // of the leading FROM group, not WHERE conjuncts)
@@ -2161,7 +2299,7 @@ object Analyzer {
             case BoundExpr.BLike(o, _, _, _, _) => opCols(o)
             case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
             case BoundExpr.BInSub(o, _, _, _)  => opCols(o) // unreachable: no IN in HAVING
-            case BoundExpr.BExists(_, _, _)    => Nil       // unreachable: no EXISTS in HAVING
+            case BoundExpr.BExists(_, _, _, _) => Nil       // unreachable: no EXISTS in HAVING
             case BoundExpr.BCmpSub(_, o, _, _, _) => opCols(o)
             case BoundExpr.BQuantSub(_, o, _, _, _) => opCols(o)
           }
@@ -2184,7 +2322,7 @@ object Analyzer {
             case BoundExpr.BNot(y)    => walk(y)
             case BoundExpr.BCmpSub(_, _, _, _, ps) => ps.map(_._1)
             case BoundExpr.BInSub(_, _, ps, _)     => ps.map(_._1)
-            case BoundExpr.BExists(_, ps, _)       => ps.map(_._1)
+            case BoundExpr.BExists(_, ps, _, _)    => ps.map(_._1)
             case BoundExpr.BQuantSub(_, _, _, _, ps) => ps.map(_._1)
             case _ => Nil
           }

@@ -292,7 +292,7 @@ object Lowering {
         case BoundExpr.BLike(o, pat, neg, ci, esc) =>
           val c = likeCol(havingOperand(o), pat, ci, esc)
           if (neg) !c else c
-        case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) =>
+        case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _, _) =>
           sys.error("unreachable: analyzer rejects IN/EXISTS in HAVING")
         case BoundExpr.BCmpSub(_, _, _, _, _) |
              BoundExpr.BQuantSub(_, _, _, _, _) =>
@@ -329,7 +329,8 @@ object Lowering {
           HCmp(op, havingOperand(o), ssub, guard, pairs)
         case BoundExpr.BInSub(o, ssub, pairs, neg) =>
           HIn(havingOperand(o), ssub, pairs, neg)
-        case BoundExpr.BExists(ssub, pairs, neg) =>
+        // residual is analyzer-rejected in HAVING scope (Seq() pin)
+        case BoundExpr.BExists(ssub, pairs, neg, Seq()) =>
           HExists(ssub, pairs, neg)
         case _ => sys.error(
           "unreachable: analyzer allows only subquery conjuncts here")
@@ -733,31 +734,52 @@ object Lowering {
       : (DataFrame, (BoundCol => Column) => Column, Column) = {
     def qcolOf(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
     val core = combine(spark, sub, source, Set.empty, None)
-    val (aggC, isCount) = sub.projection.head match {
-      case BoundItem.BIAgg(f, arg, _, dist) => ((f, arg) match {
-        case ("count", None)            => count(lit(1))
-        case ("count", Some(a)) if dist => count_distinct(lowerOperandWith(a, qcolOf))
-        case ("count", Some(a))         => count(lowerOperandWith(a, qcolOf))
-        case ("sum", Some(a)) if dist   => sum_distinct(lowerOperandWith(a, qcolOf))
-        case ("sum", Some(a))           => sum(lowerOperandWith(a, qcolOf))
-        case ("min", Some(a))           => min(lowerOperandWith(a, qcolOf))
-        case ("max", Some(a))           => max(lowerOperandWith(a, qcolOf))
-        case ("avg", Some(a))           => avg(lowerOperandWith(a, qcolOf))
-        case ("stddev", Some(a))        => stddev(lowerOperandWith(a, qcolOf))
-        case ("variance", Some(a))      => variance(lowerOperandWith(a, qcolOf))
-        case ("median", Some(a))        => median(lowerOperandWith(a, qcolOf))
-        case other                      => sys.error(s"unreachable aggregate $other")
-      }, f == "count")
-      case _ => sys.error("unreachable: analyzer requires a single aggregate call")
-    }
     val keyCols = pairs.zipWithIndex.map { case ((_, ic), k) =>
       qcolOf(ic).as(s"$keyPrefix$k") }
-    val subAgg = core.groupBy(keyCols: _*).agg(aggC.as(scalarName))
+    // count() over an empty correlated set is 0, not NULL — the classic
+    // COUNT decorrelation trap. The coalesce wraps the POST-left-join
+    // column reference, so unmatched outer keys read 0 too.
+    val (subAgg, scalar) = sub.projection.head match {
+      case BoundItem.BIAgg(f, arg, _, dist) =>
+        val g = core.groupBy(keyCols: _*).agg(
+          aggCallCol(f, arg, dist, lowerOperandWith(_, qcolOf)).as(scalarName))
+        (g, if (f == "count") coalesce(g(scalarName), lit(0L)) else g(scalarName))
+      case BoundItem.BIExpr(op, _) =>
+        // an expression OVER aggregate calls (0.2 * avg(x), the TPC-H
+        // Q17 shape): each distinct aggregate node computes as a hidden
+        // per-key column, the expression projects over them post-join
+        val nodes = Analyzer.BoundOperand.aggNodes(op).distinct
+        val hidden = nodes.zipWithIndex.map {
+          case (BoundOperand.BAgg(f, arg, dist), i) =>
+            aggCallCol(f, arg, dist, lowerOperandWith(_, qcolOf))
+              .as(s"${scalarName}_a$i")
+          case other => sys.error(s"unreachable aggregate node $other")
+        }
+        val g = core.groupBy(keyCols: _*).agg(hidden.head, hidden.tail: _*)
+        val nodeCol: Map[BoundOperand, Column] = nodes.zipWithIndex.map {
+          case (n, i) =>
+            val c = g(s"${scalarName}_a$i")
+            n -> (n match {
+              case BoundOperand.BAgg("count", _, _) => coalesce(c, lit(0L))
+              case _                                => c
+            })
+        }.toMap
+        def low(o: BoundOperand): Column = nodeCol.getOrElse(o, o match {
+          case BoundOperand.BArith(ch, l, r) => arith(ch, low(l), low(r))
+          case BoundOperand.BFunc(f2, args)  => lowerFunc(f2, args, low)
+          case BoundOperand.BCase(bs, els)   => caseCol(bs, els, low)
+          case BoundOperand.BCast(x, t)      => low(x).cast(t.spark)
+          case BoundOperand.BLit(l2)         => lowerLit(l2)
+          case BoundOperand.BInterval(n2, u) => intervalCol(n2, u)
+          case other => sys.error(
+            s"unreachable operand in correlated scalar expression: $other")
+        })
+        (g, low(op))
+      case _ => sys.error("unreachable: analyzer requires a single aggregate call")
+    }
     val keyCond = (outer: BoundCol => Column) => pairs.zipWithIndex
       .map { case ((oc, _), k) => outer(oc) === subAgg(s"$keyPrefix$k") }
       .reduce(_ && _)
-    val scalar =
-      if (isCount) coalesce(subAgg(scalarName), lit(0L)) else subAgg(scalarName)
     (subAgg, keyCond, scalar)
   }
 
@@ -946,19 +968,39 @@ object Lowering {
             else lowerOperand(o) === subDf("__in_v")
           df.join(subDf, (valCond +: pairConds).reduce(_ && _), joinType)
         }
-      case (df, (BoundExpr.BExists(sub, pairs, neg), _)) =>
+      case (df, (BoundExpr.BExists(sub, pairs, neg, residual), _)) =>
         val joinType = if (neg) "left_anti" else "left_semi"
-        if (pairs.isEmpty) {
+        if (pairs.isEmpty && residual.isEmpty) {
           // uncorrelated EXISTS: emptiness of the whole subquery decides
           // for every outer row — a one-row broadcast semi join
           val subDf = lowerSelect(spark, sub, source).limit(1)
           df.join(broadcast(subDf), lit(true), joinType)
         } else {
           val core = combine(spark, sub, source, Set.empty, None)
+          // residual (non-equality) correlated conjuncts ride the join
+          // condition: their inner columns project into the build side,
+          // their outer columns resolve against the probe side. The pair
+          // equalities stay the equi keys — Spark hash-partitions on
+          // them and evaluates the residual as the join's extra
+          // condition (the TPC-H Q21 shape).
+          val innerB = (sub.tables ++ sub.joinSteps.map(_.table))
+            .map(_.binding).toSet
+          val rcols = residual.flatMap(Analyzer.exprCols)
+            .filter(c => innerB(c.binding)).distinct
           val subDf = core.select(
-            pairs.zipWithIndex.map { case ((_, ic), k) => qcolOf(ic).as(s"__c$k") }: _*)
-          val cond = pairs.zipWithIndex
-            .map { case ((oc, _), k) => qcolOf(oc) === subDf(s"__c$k") }
+            pairs.zipWithIndex.map { case ((_, ic), k) =>
+              qcolOf(ic).as(s"__c$k") } ++
+            rcols.zipWithIndex.map { case (c, k) =>
+              qcolOf(c).as(s"__r$k") }: _*)
+          val rres: BoundCol => Column = {
+            val m = rcols.zipWithIndex
+              .map { case (c, k) => c -> subDf(s"__r$k") }.toMap
+            bc => m.getOrElse(bc, qcolOf(bc))
+          }
+          val cond = (pairs.zipWithIndex
+            .map { case ((oc, _), k) => qcolOf(oc) === subDf(s"__c$k") } ++
+            residual.map(e =>
+              lowerExprWith(e, op => lowerOperandWith(op, rres))))
             .reduce(_ && _)
           df.join(subDf, cond, joinType)
         }
@@ -1061,7 +1103,9 @@ object Lowering {
       case BoundExpr.BIsNull(o, _)        => registerOp(o)
       case BoundExpr.BLike(o, _, _, _, _) => registerOp(o)
       case BoundExpr.BCmp(_, l, r)        => registerOp(l); registerOp(r)
-      case s @ BoundExpr.BExists(sub, pairs, neg) =>
+      case s @ BoundExpr.BExists(sub, pairs, neg, residual) =>
+        require(residual.isEmpty, "unreachable: analyzer restricts " +
+          "residual EXISTS to top-level WHERE conjuncts")
         val m = fresh()
         if (pairs.isEmpty)
           joins += ((broadcast(lowerSelect(spark, sub, source).limit(1)
@@ -1473,7 +1517,7 @@ object Lowering {
     case BoundExpr.BLike(o, pat, neg, ci, esc) =>
       val c = likeCol(opLower(o), pat, ci, esc)
       if (neg) !c else c
-    case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _) |
+    case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _, _) |
         BoundExpr.BCmpSub(_, _, _, _, _) | BoundExpr.BQuantSub(_, _, _, _, _) =>
       sys.error("subquery conjuncts lower as joins, not Column expressions")
     case BoundExpr.BCmp(op, l, r) =>
@@ -1762,7 +1806,7 @@ object Lowering {
       case BoundExpr.BLike(o, _, _, _, _) => opCols(o)
       case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
       case BoundExpr.BInSub(_, _, _, _)  => hasSub = true; Nil
-      case BoundExpr.BExists(_, _, _)    => hasSub = true; Nil
+      case BoundExpr.BExists(_, _, _, _) => hasSub = true; Nil
       case BoundExpr.BCmpSub(_, _, _, _, _) => hasSub = true; Nil
       case BoundExpr.BQuantSub(_, _, _, _, _) => hasSub = true; Nil
     }

@@ -135,7 +135,7 @@ class AnalyzerSpec extends AnyFunSuite {
     val Right(b: BoundSelect) = analyzeSql(
       "SELECT name FROM people p WHERE EXISTS " +
         "(SELECT c.id FROM cars c WHERE c.owner_id = p.id AND c.model LIKE 'T%')"): @unchecked
-    val Some(BoundExpr.BExists(sub, pairs, negated)) = b.predicate: @unchecked
+    val Some(BoundExpr.BExists(sub, pairs, negated, _)) = b.predicate: @unchecked
     assert(!negated)
     assert(pairs.map { case (o, i) => (o.render, i.render) } ==
       Seq(("p.id", "c.owner_id")))
@@ -144,8 +144,15 @@ class AnalyzerSpec extends AnyFunSuite {
       case BoundExpr.BLike(_, pat, _, _, _) => pat == "T%"
       case _ => false
     })
-    // non-equality correlation is rejected with the subquery error surface
-    assert(err("SELECT name FROM people p WHERE EXISTS " +
+    // non-equality correlation becomes a RESIDUAL conjunct of the
+    // semi/anti join (only as a top-level WHERE conjunct)
+    val Right(br: BoundSelect) = analyzeSql(
+      "SELECT name FROM people p WHERE EXISTS " +
+        "(SELECT c.id FROM cars c WHERE c.owner_id > p.id)"): @unchecked
+    val Some(BoundExpr.BExists(_, rpairs, _, res)) = br.predicate: @unchecked
+    assert(rpairs.isEmpty && res.length == 1)
+    // …anywhere else it is rejected with the subquery error surface
+    assert(err("SELECT name FROM people p WHERE age > 0 OR EXISTS " +
       "(SELECT c.id FROM cars c WHERE c.owner_id > p.id)").isInstanceOf[BadSubquery])
   }
 

@@ -335,6 +335,74 @@ class DialectSpec extends AnyFunSuite {
       Seq("DeLorean DMC-12", "Tesla Model 3"))
   }
 
+  test("residual non-equality correlation rides the EXISTS join condition") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    // cars: (1, owner 1), (2, owner 2), (3, owner 1) — the Q21 shape:
+    // an equi key (owner_id = p.id) plus a non-equality residual
+    // (c.id <> p.id) in one EXISTS
+    val s = db.select("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id AND c.id <> p.id)").toOption.get
+    assert(s.collect().map(_.getString(0)).toSeq == Seq("Elon"))
+    assert(s.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      s.queryExecution.executedPlan.toString)
+    // NOT EXISTS: same condition, anti join
+    val a = db.select("SELECT name FROM people p WHERE NOT EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id AND c.id <> p.id) " +
+      "ORDER BY id").toOption.get
+    assert(a.collect().map(_.getString(0)).toSeq ==
+      Seq("Dr. Emmett L. „Doc“ Brown", "Marty McFly"))
+    // inequality residual
+    val g = db.select("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id AND c.id > p.id)").toOption.get
+    assert(g.collect().map(_.getString(0)).toSeq == Seq("Elon"))
+    // residual-only correlation (no equi pair at all)
+    val r = db.select("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.id > p.id) ORDER BY id").toOption.get
+    assert(r.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
+    // only lowerable as a semi/anti join — rejected under OR, in CASE,
+    // and in HAVING (the marker join would duplicate outer rows)
+    assert(db.query("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id AND c.id <> p.id) " +
+      "OR age > 25").isLeft)
+    assert(db.query("SELECT name, CASE WHEN EXISTS (SELECT c.id FROM cars c " +
+      "WHERE c.owner_id = p.id AND c.id <> p.id) THEN 1 ELSE 0 END AS f " +
+      "FROM people p").isLeft)
+    assert(db.query("SELECT owner_id, count(*) AS n FROM cars c GROUP BY owner_id " +
+      "HAVING EXISTS (SELECT p.id FROM people p WHERE p.id = c.owner_id " +
+      "AND p.age <> c.owner_id)").isLeft)
+  }
+
+  test("correlated scalar subqueries take expressions over aggregates") {
+    val db = demoDb()
+    db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
+    db.query("INSERT INTO people VALUES (4, 'Biff', 40)")
+    // count inside an expression: the 0-for-empty-set coalesce must
+    // apply BEFORE the arithmetic (Biff has no cars: 40 > 10*0)
+    val c = db.select("SELECT name FROM people p WHERE age > " +
+      "(SELECT 10 * count(*) AS t FROM cars c WHERE c.owner_id = p.id) " +
+      "ORDER BY id").toOption.get
+    assert(c.collect().map(_.getString(0)).toSeq ==
+      Seq("Dr. Emmett L. „Doc“ Brown", "Biff"))
+    // avg inside an expression (the TPC-H Q17 shape); empty set stays
+    // NULL through the arithmetic, dropping Biff
+    val v = db.select("SELECT name FROM people p WHERE age > " +
+      "(SELECT 2 * avg(c.id) AS t FROM cars c WHERE c.owner_id = p.id) " +
+      "ORDER BY id").toOption.get
+    assert(v.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon", "Dr. Emmett L. „Doc“ Brown"))
+    // the same shape as a projection item
+    val pr = db.select("SELECT name, (SELECT 10 * count(*) AS t FROM cars c " +
+      "WHERE c.owner_id = p.id) AS tens FROM people p ORDER BY id").toOption.get
+    assert(pr.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("Elon", 20L), ("Dr. Emmett L. „Doc“ Brown", 10L),
+        ("Marty McFly", 0L), ("Biff", 0L)))
+    // bare columns outside the aggregate stay rejected
+    assert(db.query("SELECT name FROM people p WHERE age > " +
+      "(SELECT c.id * count(*) AS t FROM cars c WHERE c.owner_id = p.id)").isLeft)
+  }
+
   test("uncorrelated EXISTS keeps or drops all rows by subquery emptiness") {
     val db = demoDb()
     val all = db.select("SELECT name FROM people WHERE EXISTS " +
@@ -1027,12 +1095,19 @@ class DialectSpec extends AnyFunSuite {
 
   test("correlation is restricted to top-level WHERE equalities") {
     val db = demoDb()
-    // non-equality correlation
-    assert(db.query("SELECT name FROM people p WHERE EXISTS " +
-      "(SELECT c.id FROM cars c WHERE c.owner_id > p.id)").isLeft)
-    // correlated reference inside an OR
-    assert(db.query("SELECT name FROM people p WHERE EXISTS " +
-      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id OR c.id = 1)").isLeft)
+    // non-equality correlation and correlated OR branches are legal in
+    // EXISTS (they ride the semi join condition as residual conjuncts) …
+    val gt = db.select("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id > p.id)").toOption.get
+    assert(gt.collect().map(_.getString(0)).toSeq == Seq("Elon"))
+    val or = db.select("SELECT name FROM people p WHERE EXISTS " +
+      "(SELECT c.id FROM cars c WHERE c.owner_id = p.id OR c.id = 1) " +
+      "ORDER BY id").toOption.get
+    assert(or.collect().length == 3)
+    // … but scalar subqueries still require equality correlation (their
+    // decorrelation keys become GROUP BY keys)
+    assert(db.query("SELECT name FROM people p WHERE age > " +
+      "(SELECT min(c.id) FROM cars c WHERE c.owner_id > p.id)").isLeft)
     // correlated reference in the projection
     assert(db.query("SELECT name FROM people p WHERE EXISTS " +
       "(SELECT p.id FROM cars c WHERE c.owner_id = p.id)").isLeft)
