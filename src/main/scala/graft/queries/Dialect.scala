@@ -1824,6 +1824,29 @@ object Dialect {
              |AND contains(c_name, '0') AND starts_with(c_name, 'Customer')
              |AND NOT ends_with(c_name, 'X') ORDER BY c_custkey""".stripMargin)),
 
+    // GROUP BY / ORDER BY ordinals: bare integer keys resolve to
+    // SELECT-list positions (incl. an aggregate item in ORDER BY 3).
+    "q_dialect_ordinals" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+          "round(sum(o_totalprice), 2) AS tot FROM orders " +
+          "GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2"),
+      Some("""SELECT o_orderstatus, o_orderpriority, cast(count(*) AS bigint) AS n,
+             |  round(sum(o_totalprice), 2) AS tot FROM orders
+             |GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2""".stripMargin)),
+
+    // '||' string concatenation: desugars at parse onto concat()
+    // (NULL-propagating on both engines, unlike DuckDB's concat()
+    // function which skips NULLs); numeric operands cast implicitly.
+    "q_dialect_concat" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT c_custkey, c_name || '/' || c_mktsegment AS tag, " +
+          "'c' || c_custkey AS ck FROM customer " +
+          "WHERE c_custkey < 50 ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, c_name || '/' || c_mktsegment AS tag,
+             |  'c' || c_custkey AS ck FROM customer
+             |WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin)),
+
     // TPC-H Q5 shape: local-supplier volume — a 6-way comma join
     // (DPccp-ordered; region/nation broadcast), c↔s nation colocation
     // predicate, date window pushed to the orders scan.

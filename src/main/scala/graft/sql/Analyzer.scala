@@ -781,7 +781,7 @@ object Analyzer {
         case _ => SqlType.SqlBigInt
       }
     case BoundOperand.BFunc(f, args) => f match {
-      case "upper" | "lower" | "trim" | "substr" | "concat" | "replace" |
+      case "upper" | "lower" | "trim" | "substr" | "concat" | "||" | "replace" |
            "ltrim" | "rtrim" | "reverse" | "md5" | "repeat" |
            "lpad" | "rpad" | "split_part" |
            "regexp_replace" | "regexp_extract" =>
@@ -1602,6 +1602,51 @@ object Analyzer {
       case other => Seq(other)
     }
 
+    // GROUP BY / ORDER BY ordinals (GROUP BY 1, ORDER BY 2 DESC — the
+    // standard positional shorthand): a BARE integer literal key
+    // resolves to the n-th SELECT item (stars already expanded above).
+    // Aliased items substitute their output name (the output-alias
+    // machinery then covers every item kind); unaliased columns
+    // substitute their reference, unaliased aggregates the equivalent
+    // call operand.
+    def ordinalOperand(n: Long, forGroup: Boolean)
+        : Either[AnalyzerError, Operand] =
+      if (n < 1 || n > projItems.length)
+        Left(BadFunction(s"ordinal $n is out of range for a " +
+          s"${projItems.length}-item SELECT list"))
+      else projItems((n - 1).toInt) match {
+        case SelectItem.SCol(ref, _) => Right(Operand.Col(ref))
+        case SelectItem.SExpr(op, _) => Right(op)
+        case SelectItem.SAgg(f, arg, alias, d) =>
+          if (forGroup) Left(BadAggregate(
+            s"GROUP BY ordinal $n references an aggregate"))
+          else Right(alias.map(a => Operand.Col(ColRef(None, a)): Operand)
+            .getOrElse(Operand.AggCall(f, arg, d)))
+        case SelectItem.SWin(_, _, _, _, a, _, _) =>
+          if (forGroup) Left(BadAggregate(
+            s"GROUP BY ordinal $n references a window item"))
+          else Right(Operand.Col(ColRef(None, a)))
+        case SelectItem.SSub(_, a) =>
+          if (forGroup) Left(BadSubquery(
+            s"GROUP BY ordinal $n references a subquery item"))
+          else Right(Operand.Col(ColRef(None, a)))
+        case _: SelectItem.SStar => sys.error("unreachable: stars expanded")
+      }
+    def deOrdinal(ops: Seq[Operand], forGroup: Boolean)
+        : Either[AnalyzerError, Seq[Operand]] =
+      ops.foldLeft[Either[AnalyzerError, Vector[Operand]]](Right(Vector.empty)) {
+        case (acc, Operand.Literal(Lit.LitLong(n))) =>
+          acc.flatMap(v => ordinalOperand(n, forGroup).map(v :+ _))
+        case (acc, o) => acc.map(_ :+ o)
+      }
+    val (groupByKeys, orderByKeys) = (for {
+      g <- deOrdinal(s.groupBy, forGroup = true)
+      o <- deOrdinal(s.orderBy.map(_._1), forGroup = false)
+    } yield (g, o.zip(s.orderBy.map(_._2)))) match {
+      case Right(rw) => rw
+      case Left(e)   => return Left(e)
+    }
+
     val numericTypes: SqlType => Boolean = {
       case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt | SqlType.SqlDouble => true
       case _ => false
@@ -1657,6 +1702,7 @@ object Analyzer {
           case "round"               => args.length == 1 || args.length == 2
           case "substr"              => args.length == 2 || args.length == 3
           case "coalesce" | "concat" => args.nonEmpty
+          case "||"                  => args.length == 2
           case "power" | "instr" | "mod" | "datediff" |
                "nullif" | "repeat"   => args.length == 2
           case "date_trunc"          => args.length == 2
@@ -2074,7 +2120,7 @@ object Analyzer {
       // computed projection alias (GROUP BY substr(c,1,2)'s AS name); or
       // an inline expression — which adopts the alias of a structurally
       // equal projection item when one exists, else a hidden __gk name
-      group <- s.groupBy.zipWithIndex
+      group <- groupByKeys.zipWithIndex
         .foldLeft[Either[AnalyzerError, Vector[BoundGroupKey]]](
           Right(Vector.empty)) { case (acc, (g, gi)) =>
         acc.flatMap { v =>
@@ -2183,7 +2229,7 @@ object Analyzer {
           case SelectItem.SWin(_, _, _, _, a, _, _) => a
           case SelectItem.SSub(_, a)          => a
         }
-        s.orderBy.foldLeft[Either[AnalyzerError, Vector[(BoundOrderKey, SortDir)]]](
+        orderByKeys.foldLeft[Either[AnalyzerError, Vector[(BoundOrderKey, SortDir)]]](
           Right(Vector.empty)) { case (acc, (opnd, desc)) =>
           acc.flatMap { v =>
             val key: Either[AnalyzerError, BoundOrderKey] = opnd match {

@@ -1644,6 +1644,8 @@ object Lowering {
     case ("substr", Seq(a, p, l)) => rec(a).substr(rec(p), rec(l))
     case ("coalesce", as) => coalesce(as.map(rec): _*)
     case ("concat", as)   => concat_ws("", as.map(rec): _*)
+    // the || operator: NULL-propagating, unlike the concat() function
+    case ("||", as)       => concat(as.map(rec): _*)
     case ("replace", Seq(a, b, c)) => replace(rec(a), rec(b), rec(c))
     case ("floor", Seq(a))    => floor(rec(a))
     case ("ceil", Seq(a))     => ceil(rec(a))

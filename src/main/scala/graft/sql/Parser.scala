@@ -65,7 +65,8 @@ object Parser {
         out += TStr(sb.toString, start)
       } else {
         val two = if (i + 1 < in.length) in.substring(i, i + 2) else ""
-        if (two == "<>" || two == "<=" || two == ">=" || two == "!=") {
+        if (two == "<>" || two == "<=" || two == ">=" || two == "!=" ||
+            two == "||") {
           out += TSym(if (two == "!=") "<>" else two, i); i += 2
         } else if ("(),.;*=<>+-/%".indexOf(c) >= 0) {
           out += TSym(c.toString, i); i += 1
@@ -1345,6 +1346,22 @@ object Parser {
     * term (* / %) → sum (+ -).
     */
   private def parseOperand(p: P, allowAgg: Boolean = false): Either[ParseError, Operand] =
+    // '||' binds loosest (a || b + c concatenates the sum); it is its
+    // own function in the algebra because SQL's operator is
+    // NULL-propagating while the concat() FUNCTION skips NULLs on both
+    // engines — the two must lower differently
+    parseAdditive(p, allowAgg).flatMap { first =>
+      def loop(acc: Operand): Either[ParseError, Operand] = p.peek match {
+        case TSym("||", _) =>
+          p.next()
+          parseAdditive(p, allowAgg)
+            .flatMap(r => loop(Operand.FuncCall("||", Seq(acc, r))))
+        case _ => Right(acc)
+      }
+      loop(first)
+    }
+
+  private def parseAdditive(p: P, allowAgg: Boolean): Either[ParseError, Operand] =
     parseTerm(p, allowAgg).flatMap { first =>
       def loop(acc: Operand): Either[ParseError, Operand] = p.peek match {
         case TSym(s @ ("+" | "-"), _) =>

@@ -2,21 +2,26 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev utility: print the formatted physical plan of SparkEntry queries.
-  * Usage: ExplainQ <comma-separated-query-names> <sfDir>
+/** Dev utility: print the physical plan of SparkEntry queries — the
+  * per-operator audit loop (broadcast vs shuffle joins, PushedFilters,
+  * ReadSchema pruning, WholeStageCodegen spans).
+  * Usage: ExplainQ <query-name>... [sfDir defaults to sf0.01]
   */
 object ExplainQ {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val (names, dirs) = args.partition(a => !a.startsWith("/"))
+    val sfDir = dirs.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]").config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- args(0).split(",")) {
-      println(s"\n===== $q =====")
-      graft.SparkEntry.queries(q)(spark, args(1)).explain("formatted")
+    for (q <- names) {
+      println(s"===== $q =====")
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      println(df.queryExecution.executedPlan.toString.take(8000))
     }
-    spark.stop()
   }
 }

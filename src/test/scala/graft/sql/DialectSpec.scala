@@ -335,6 +335,36 @@ class DialectSpec extends AnyFunSuite {
       Seq("DeLorean DMC-12", "Tesla Model 3"))
   }
 
+  test("GROUP BY / ORDER BY ordinals resolve to SELECT-list positions") {
+    val db = demoDb()
+    // expression item via ordinal; ORDER BY an unaliased aggregate
+    val g = db.select("SELECT substr(name, 1, 1) AS ini, count(*) " +
+      "FROM people GROUP BY 1 ORDER BY 2 DESC, 1").toOption.get
+    assert(g.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("D", 1L), ("E", 1L), ("M", 1L)))
+    // plain column ordinal in ORDER BY
+    val o = db.select("SELECT name, age FROM people ORDER BY 2 DESC NULLS LAST")
+      .toOption.get
+    assert(o.collect().map(_.getString(0)).toSeq ==
+      Seq("Dr. Emmett L. „Doc“ Brown", "Elon", "Marty McFly"))
+    // out-of-range and aggregate group keys are rejected
+    assert(db.query("SELECT name FROM people ORDER BY 4").isLeft)
+    assert(db.query("SELECT name, count(*) FROM people GROUP BY 2").isLeft)
+  }
+
+  test("|| concatenation: NULL-propagating, loosest precedence") {
+    val db = demoDb()
+    // Marty's NULL age poisons the whole concatenation (SQL || semantics,
+    // NOT concat()-function NULL-skipping)
+    val r = db.select("SELECT name || '#' || age AS t FROM people ORDER BY id")
+      .toOption.get
+    assert(r.collect().map(_.getString(0)).toSeq ==
+      Seq("Elon#20", "Dr. Emmett L. „Doc“ Brown#30", null))
+    // arithmetic binds tighter: 'v' || 1 + 2 is 'v' || 3
+    val p = db.select("SELECT 'v' || 1 + 2 AS t").toOption.get
+    assert(p.collect().map(_.getString(0)).toSeq == Seq("v3"))
+  }
+
   test("residual non-equality correlation rides the EXISTS join condition") {
     val db = demoDb()
     db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
