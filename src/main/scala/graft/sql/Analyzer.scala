@@ -748,7 +748,11 @@ object Analyzer {
   /** INSERT INTO t SELECT …: columns align by position, cast to the
     * target schema at execution.
     */
-  final case class BoundInsertSelect(desc: TableDesc, query: BoundQuery) extends BoundQuery
+  final case class BoundInsertSelect(desc: TableDesc, query: BoundQuery,
+      /** lower-cased explicit column list (None = positional over the
+        * full schema); unlisted columns NULL-fill at write
+        */
+      columns: Option[Seq[String]] = None) extends BoundQuery
   final case class BoundCreate(desc: TableDesc) extends BoundQuery
   /** CREATE TABLE t [CLUSTERED BY …] AS SELECT …: the table's schema is
     * the query's output schema (derived at execution, where the lowered
@@ -1077,11 +1081,32 @@ object Analyzer {
               case u: BoundUnion  => u.first.projection.length
               case _              => -1
             }
-            if (arity < desc.attributes.length)
-              Left(MissingValues(desc.attributes.drop(math.max(arity, 0)).map(_.name)))
-            else if (arity > desc.attributes.length)
-              Left(TooManyValues(desc.attributes.length, arity))
-            else Right(BoundInsertSelect(desc, b))
+            i.columns match {
+              case None =>
+                if (arity < desc.attributes.length)
+                  Left(MissingValues(desc.attributes.drop(math.max(arity, 0)).map(_.name)))
+                else if (arity > desc.attributes.length)
+                  Left(TooManyValues(desc.attributes.length, arity))
+                else Right(BoundInsertSelect(desc, b))
+              case Some(cols) =>
+                // like the VALUES column list: every name must exist in
+                // the target, no duplicates, arity matches the list
+                val seen = scala.collection.mutable.Set.empty[String]
+                cols.collectFirst {
+                  case c if !desc.attributes.exists(_.name.equalsIgnoreCase(c)) =>
+                    UnboundAttribute(c)
+                  case c if !seen.add(c.toLowerCase) => DuplicateBinding(c)
+                } match {
+                  case Some(e) => Left(e)
+                  case None =>
+                    if (arity < cols.length)
+                      Left(MissingValues(cols.drop(math.max(arity, 0))))
+                    else if (arity > cols.length)
+                      Left(TooManyValues(cols.length, arity))
+                    else Right(BoundInsertSelect(desc, b,
+                      Some(cols.map(_.toLowerCase))))
+                }
+            }
           }
       }
     case c: CreateTree => analyzeCreate(c, cat)

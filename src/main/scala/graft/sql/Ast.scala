@@ -308,7 +308,12 @@ object Ast {
     * REPL-scale rows); columns align by position with checked casts.
     */
   final case class InsertSelectTree(table: String,
-      select: ParseTree /* SelectTree | UnionTree */) extends ParseTree
+      select: ParseTree /* SelectTree | UnionTree */,
+      /** Explicit column list: the SELECT's output aligns positionally
+        * onto these names, unlisted table columns NULL-fill. Also the
+        * lowered form of expression VALUES rows.
+        */
+      columns: Option[Seq[String]] = None) extends ParseTree
 
   /** CREATE TABLE t [CLUSTERED BY (col) INTO n BUCKETS] AS SELECT … —
     * schema derived from the query's output.

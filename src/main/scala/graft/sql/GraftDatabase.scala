@@ -99,7 +99,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           bound <- Analyzer.analyze(tree, cat).left.map(AnalyzeFailed)
           _ <- bound match {
             case BoundInsert(d, _)       if external.contains(d.name) => Left(ReadOnlyTable(d.name))
-            case BoundInsertSelect(d, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
+            case BoundInsertSelect(d, _, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
             case BoundDelete(d, _, _)    if external.contains(d.name) => Left(ReadOnlyTable(d.name))
             case BoundUpdate(d, _, _, _, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
             case BoundMerge(d, _, _, _)  if external.contains(d.name) => Left(ReadOnlyTable(d.name))
@@ -111,7 +111,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
             // a materialized view's table only changes through REFRESH
             case BoundInsert(d, _)       if matviews.contains(d.name) =>
               Left(ViewError(s"'${d.name}' is a materialized view — use REFRESH MATERIALIZED VIEW"))
-            case BoundInsertSelect(d, _) if matviews.contains(d.name) =>
+            case BoundInsertSelect(d, _, _) if matviews.contains(d.name) =>
               Left(ViewError(s"'${d.name}' is a materialized view — use REFRESH MATERIALIZED VIEW"))
             case BoundDelete(d, _, _)    if matviews.contains(d.name) =>
               Left(ViewError(s"'${d.name}' is a materialized view — use REFRESH MATERIALIZED VIEW"))
@@ -697,7 +697,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       val frame = inner match {
         case s: BoundSelect               => lowerQuery(s)
         case u: BoundUnion                => lowerQuery(u)
-        case BoundInsertSelect(_, sel)    => lowerQuery(sel)
+        case BoundInsertSelect(_, sel, _) => lowerQuery(sel)
         case BoundCreateAs(_, sel, _)     => lowerQuery(sel)
         case other => sys.error(s"unreachable EXPLAIN target $other")
       }
@@ -735,12 +735,25 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       import spark.implicits._
       Rows((header ++ text.split("\n").toSeq ++ metricTail).toDF("plan"))
 
-    case BoundInsertSelect(desc, sel) =>
+    case BoundInsertSelect(desc, sel, colsOpt) =>
       val raw = lowerQuery(sel)
-      // positional alignment with checked casts to the target schema
-      val aligned = raw.toDF(desc.attributes.map(_.name): _*)
-        .select(desc.attributes.map(a =>
-          org.apache.spark.sql.functions.col(a.name).cast(a.sqlType.spark)): _*)
+      // positional alignment with checked casts to the target schema;
+      // an explicit column list permutes into table order, unlisted
+      // columns NULL-fill (the VALUES column-list semantics)
+      val aligned = colsOpt match {
+        case None =>
+          raw.toDF(desc.attributes.map(_.name): _*)
+            .select(desc.attributes.map(a =>
+              org.apache.spark.sql.functions.col(a.name).cast(a.sqlType.spark)): _*)
+        case Some(cols) =>
+          val named = raw.toDF(cols: _*)
+          named.select(desc.attributes.map { a =>
+            (if (cols.contains(a.name))
+              org.apache.spark.sql.functions.col(a.name)
+            else org.apache.spark.sql.functions.lit(null))
+              .cast(a.sqlType.spark).as(a.name)
+          }: _*)
+      }
       // a self-referencing insert (INSERT INTO t SELECT … FROM t) must
       // materialize before the append starts rewriting the very files the
       // scan reads; localCheckpoint pins the input partitions first

@@ -1723,13 +1723,16 @@ object Parser {
   }
 
   private def parseInsert(p: P): Either[ParseError, ParseTree] = {
-    def tuple(): Either[ParseError, Vector[Lit]] =
+    // VALUES elements are full scalar expressions; the all-literal case
+    // keeps the direct InsertTree path (driver-side row construction),
+    // expression rows desugar below onto INSERT … SELECT
+    def tuple(): Either[ParseError, Vector[Operand]] =
       p.eatSym("(").flatMap { _ =>
-        def loop(acc: Vector[Lit]): Either[ParseError, Vector[Lit]] =
-          parseLit(p).flatMap { l =>
+        def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+          parseOperand(p).flatMap { o =>
             p.peek match {
-              case TSym(",", _) => p.next(); loop(acc :+ l)
-              case _            => p.eatSym(")").map(_ => acc :+ l)
+              case TSym(",", _) => p.next(); loop(acc :+ o)
+              case _            => p.eatSym(")").map(_ => acc :+ o)
             }
           }
         loop(Vector.empty)
@@ -1753,18 +1756,18 @@ object Parser {
         case _ => Right(None: Option[Vector[String]])
       }
       tree <-
-        // INSERT INTO t SELECT … — the distributed write path (the
-        // column list applies to VALUES only; SELECT aligns by position)
-        if (p.isKw("select")) {
-          if (cols.isDefined)
-            Left(ParseError("INSERT … SELECT aligns by position (no column list)", p.peek.pos))
-          else parseSelectOrUnion(p).map(sel => InsertSelectTree(name, sel): ParseTree)
-        }
+        // INSERT INTO t [(cols)] SELECT … — the distributed write path;
+        // a column list permutes the SELECT's output into table order
+        // (unlisted columns NULL-fill, checked in analysis)
+        if (p.isKw("select"))
+          parseSelectOrUnion(p).map(sel =>
+            InsertSelectTree(name, sel, cols): ParseTree)
         else
           for {
             _ <- p.eatKw("values")
             rows <- {
-              def loop(acc: Vector[Vector[Lit]]): Either[ParseError, Vector[Vector[Lit]]] =
+              def loop(acc: Vector[Vector[Operand]])
+                  : Either[ParseError, Vector[Vector[Operand]]] =
                 tuple().flatMap { t =>
                   p.peek match {
                     case TSym(",", _) => p.next(); loop(acc :+ t)
@@ -1773,7 +1776,27 @@ object Parser {
                 }
               loop(Vector.empty)
             }
-          } yield InsertTree(name, rows, cols): ParseTree
+          } yield {
+            val allLits = rows.forall(_.forall(_.isInstanceOf[Operand.Literal]))
+            if (allLits)
+              InsertTree(name,
+                rows.map(_.map(_.asInstanceOf[Operand.Literal].lit)), cols): ParseTree
+            else {
+              // expression rows desugar to INSERT … SELECT over one
+              // synthetic row per tuple (UNION ALL chain keeps
+              // duplicates), evaluated by the engine like any SELECT
+              def rowSelect(r: Vector[Operand]): SelectTree =
+                SelectTree(
+                  Some(r.zipWithIndex.map { case (o, i) =>
+                    SelectItem.SExpr(o, s"__v$i"): SelectItem }),
+                  from = Nil, where = None)
+              val sel: ParseTree =
+                if (rows.length == 1) rowSelect(rows.head)
+                else UnionTree(rowSelect(rows.head),
+                  rows.tail.map(r => ("union_all", rowSelect(r))))
+              InsertSelectTree(name, sel, cols): ParseTree
+            }
+          }
     } yield tree
   }
 
@@ -1811,8 +1834,8 @@ object Parser {
       case s: SelectTree => substCte(s, views)
       case u: UnionTree  => substCteTree(u, views)
       case ExplainTree(inner, a) => ExplainTree(substituteViews(inner, views), a)
-      case InsertSelectTree(tb, sel) =>
-        InsertSelectTree(tb, substituteViews(sel, views))
+      case InsertSelectTree(tb, sel, cs) =>
+        InsertSelectTree(tb, substituteViews(sel, views), cs)
       case CreateAsTree(n, sel, b) =>
         CreateAsTree(n, substituteViews(sel, views), b)
       // a view can be the MERGE source: substitute a named source into a

@@ -246,4 +246,33 @@ class DmlSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 0L)
     assert(g2.query("INSERT INTO a2 VALUES (9, 1.5, 0.5)").isRight)
   }
+
+  test("INSERT VALUES accepts scalar expressions, not just literals") {
+    val g = db()
+    // arithmetic, CASE and function calls in a VALUES row desugar to
+    // INSERT … SELECT and evaluate like any projection
+    assert(g.query(
+      "INSERT INTO t VALUES (2 + 3, upper('ab'), CASE WHEN 1 < 2 THEN 50 ELSE 0 END)").isRight)
+    assert(rows(g).last == Row(5, "AB", 50))
+    // multiple expression rows keep per-row evaluation (UNION ALL chain)
+    assert(g.query("INSERT INTO t VALUES (10, 'x', 1*100), (11, lower('Y'), 110)").isRight)
+    assert(rows(g).takeRight(2) == Seq(Row(10, "x", 100), Row(11, "y", 110)))
+  }
+
+  test("INSERT … SELECT with a column list permutes and NULL-fills") {
+    val g = db()
+    g.query("CREATE TABLE t2 (id INT, tag VARCHAR(10), n INT)")
+    // listed columns out of table order; unlisted column n NULL-fills
+    assert(g.query("INSERT INTO t2 (tag, id) SELECT tag, id FROM t WHERE id <= 2").isRight)
+    assert(g.select("SELECT id, tag, n FROM t2").toOption.get
+      .orderBy("id").collect().toSeq == Seq(Row(1, "a", null), Row(2, "b", null)))
+    // rejections: unknown column, duplicate, arity mismatch vs the list
+    assert(g.query("INSERT INTO t2 (nope) SELECT id FROM t").isLeft)
+    assert(g.query("INSERT INTO t2 (id, id) SELECT id, id FROM t").isLeft)
+    assert(g.query("INSERT INTO t2 (id, tag) SELECT id FROM t").isLeft)
+    // expression VALUES with a column list goes through the same path
+    assert(g.query("INSERT INTO t2 (n, id) VALUES (7 * 3, 99)").isRight)
+    assert(g.select("SELECT id, tag, n FROM t2 WHERE id = 99").toOption.get
+      .collect().toSeq == Seq(Row(99, null, 21)))
+  }
 }
