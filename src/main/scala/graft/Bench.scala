@@ -61,7 +61,16 @@ object Bench {
     } catch { case _: Throwable => () }
     println(line)
     Console.out.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$Reps,"agg":"median","queries_file":"BENCH_FULL.json"}""")
+    // The driver keeps only the LAST ~2000 chars of stdout and its parser
+    // requires a complete JSON line with a "queries" key — the full line
+    // above is multi-KB so its head gets cut out of that window. The
+    // LAST line printed is therefore a bounded one: the top-25 queries by
+    // median (3-decimal values), always < 1.5 KB, so it survives the tail
+    // window intact even with sbt's trailing "[success]" line after it.
+    val top = medians.sortBy(-_._2).take(25)
+      .map { case (k, v) => f"""\"$k\":${math.rint(v * 1000) / 1000}%s""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir","reps":$Reps,"agg":"median","queries_shown":"top25_by_median","queries_total":${medians.length},"queries_file":"BENCH_FULL.json"}""")
     Console.out.flush()
     spark.stop()
   }

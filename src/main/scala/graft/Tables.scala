@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet fixtures (TESTDATA.md).
   *
@@ -20,9 +20,12 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet timestamp[ns]; depending on reader config Spark may
-    * surface it as LongType (nanos). Normalize to a proper timestamp column so
-    * downstream ops are uniform. Sub-microsecond precision is dropped.
+  /** events.ts arrives in whatever precision/annotation the fixture was
+    * generated with: timestamp[ns] surfaces as LongType (nanos) under
+    * `spark.sql.legacy.parquet.nanosAsLong`, and timestamp[us] without
+    * isAdjustedToUTC surfaces as TIMESTAMP_NTZ. Normalize every variant to a
+    * proper TIMESTAMP column so downstream ops are uniform. The session
+    * timezone is pinned to UTC, so the NTZ→LTZ cast is value-preserving.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
@@ -31,7 +34,9 @@ object Tables {
       // Spark, and ns-scale epochs (~1.7e18) exceed a double's 53-bit mantissa,
       // so the truncated micros could be off by ±1 µs vs exact floor division.
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
     }
   }
 

@@ -2100,6 +2100,142 @@ object Dialect {
              |  AND NOT EXISTS (SELECT o.o_orderkey FROM orders o
              |    WHERE o.o_custkey = c.c_custkey
              |    AND o.o_orderdate >= DATE '2000-01-01')) t
-             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin))
+             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)),
+
+    // TPC-H Q2 shape (the fixture has no partsupp, so the part-supplier
+    // bridge is distilled FROM lineitem as a CTE: min extendedprice per
+    // (partkey, suppkey) stands in for ps_supplycost). The CTE is
+    // referenced TWICE — once in the outer 5-way join and once inside the
+    // correlated min-cost scalar subquery — so CTE memoization pays; the
+    // subquery decorrelates to one per-partkey min aggregate.
+    "q_dialect_tpch_q2" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem", "part", "supplier", "nation", "region"),
+        "WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, " +
+          "min(l_extendedprice) AS ps_supplycost FROM lineitem GROUP BY l_partkey, l_suppkey) " +
+          "SELECT round(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type " +
+          "FROM part p, ps, supplier s, nation n, region r " +
+          "WHERE p.p_partkey = ps.ps_partkey AND s.s_suppkey = ps.ps_suppkey " +
+          "AND p.p_size < 10 AND p.p_type = 'LARGE' " +
+          "AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE' " +
+          "AND ps.ps_supplycost = (SELECT min(ps2.ps_supplycost) " +
+          "FROM ps ps2, supplier s2, nation n2, region r2 " +
+          "WHERE p.p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey " +
+          "AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey " +
+          "AND r2.r_name = 'EUROPE') " +
+          "ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey LIMIT 100"),
+      Some("""WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             |  min(l_extendedprice) AS ps_supplycost FROM lineitem GROUP BY l_partkey, l_suppkey)
+             |SELECT round(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type
+             |FROM part p, ps, supplier s, nation n, region r
+             |WHERE p.p_partkey = ps.ps_partkey AND s.s_suppkey = ps.ps_suppkey
+             |AND p.p_size < 10 AND p.p_type = 'LARGE'
+             |AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+             |AND ps.ps_supplycost = (SELECT min(ps2.ps_supplycost)
+             |  FROM ps ps2, supplier s2, nation n2, region r2
+             |  WHERE p.p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+             |  AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+             |  AND r2.r_name = 'EUROPE')
+             |ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey LIMIT 100""".stripMargin)),
+
+    // TPC-H Q9 shape (product-type profit; 0.4*l_quantity stands in for
+    // the missing ps_supplycost term): a 5-way join filtered by a
+    // substring LIKE on part names, re-aggregated per (nation, year) from
+    // a derived table — year() as a derived-table projection column.
+    "q_dialect_tpch_q9" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem", "part", "supplier", "nation", "orders"),
+        "SELECT nation, o_year, round(sum(amount), 2) AS sum_profit FROM (" +
+          "SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year, " +
+          "l.l_extendedprice * (1 - l.l_discount) - 0.4 * l.l_quantity AS amount " +
+          "FROM part p, supplier s, lineitem l, orders o, nation n " +
+          "WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey " +
+          "AND o.o_orderkey = l.l_orderkey AND s.s_nationkey = n.n_nationkey " +
+          "AND p.p_name LIKE '%gear%') profit " +
+          "GROUP BY nation, o_year ORDER BY nation, o_year DESC"),
+      Some("""SELECT nation, cast(o_year AS int) AS o_year, round(sum(amount), 2) AS sum_profit FROM (
+             |  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             |  l.l_extendedprice * (1 - l.l_discount) - 0.4 * l.l_quantity AS amount
+             |  FROM part p, supplier s, lineitem l, orders o, nation n
+             |  WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+             |  AND o.o_orderkey = l.l_orderkey AND s.s_nationkey = n.n_nationkey
+             |  AND p.p_name LIKE '%gear%') profit
+             |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // TPC-H Q11 shape (important-stock identification; lineitem value per
+    // part stands in for partsupp value): an uncorrelated scalar subquery
+    // in HAVING whose body repeats the outer 3-way join — the grand-total
+    // threshold computes once and broadcasts against the grouped output.
+    "q_dialect_tpch_q11" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem", "supplier", "nation"),
+        "SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS val " +
+          "FROM lineitem, supplier, nation " +
+          "WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3' " +
+          "GROUP BY l_partkey " +
+          "HAVING sum(l_extendedprice * l_quantity) > (" +
+          "SELECT sum(l_extendedprice * l_quantity) * 0.001 AS threshold " +
+          "FROM lineitem, supplier, nation " +
+          "WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3') " +
+          "ORDER BY val DESC, l_partkey"),
+      Some("""SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS val
+             |FROM lineitem, supplier, nation
+             |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+             |GROUP BY l_partkey
+             |HAVING sum(l_extendedprice * l_quantity) > (
+             |  SELECT sum(l_extendedprice * l_quantity) * 0.001
+             |  FROM lineitem, supplier, nation
+             |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3')
+             |ORDER BY val DESC, l_partkey""".stripMargin)),
+
+    // TPC-H Q16 shape (parts/supplier relationship via lineitem): NOT IN
+    // over an uncorrelated subquery (null-aware anti join), NOT LIKE, an
+    // IN value list, and count(DISTINCT) re-aggregated per part attribute
+    // triple.
+    "q_dialect_tpch_q16" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem", "part", "supplier"),
+        "SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
+          "FROM lineitem, part " +
+          "WHERE p_partkey = l_partkey AND p_brand <> 'Brand#45' " +
+          "AND p_type NOT LIKE 'MEDIUM%' AND p_size IN (1, 4, 7, 9, 14, 19, 23, 36) " +
+          "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+          "GROUP BY p_brand, p_type, p_size " +
+          "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+      Some("""SELECT p_brand, p_type, p_size, cast(count(DISTINCT l_suppkey) AS bigint) AS supplier_cnt
+             |FROM lineitem, part
+             |WHERE p_partkey = l_partkey AND p_brand <> 'Brand#45'
+             |AND p_type NOT LIKE 'MEDIUM%' AND p_size IN (1, 4, 7, 9, 14, 19, 23, 36)
+             |AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // TPC-H Q20 shape (potential part promotion): an IN subquery over a
+    // CTE whose body nests BOTH another IN subquery and a correlated
+    // scalar aggregate keyed on the CTE's own columns — the half-shipped
+    // threshold decorrelates to a per-(partkey, suppkey) aggregate joined
+    // back inside the semi-join branch.
+    "q_dialect_tpch_q20" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem", "part", "supplier", "nation"),
+        "WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, " +
+          "sum(l_quantity) AS ps_availqty FROM lineitem GROUP BY l_partkey, l_suppkey) " +
+          "SELECT s_name, round(s_acctbal, 2) AS s_acctbal " +
+          "FROM supplier, nation " +
+          "WHERE s_suppkey IN (" +
+          "SELECT ps_suppkey FROM ps " +
+          "WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') " +
+          "AND ps_availqty > (SELECT 0.5 * sum(l_quantity) AS half_shipped FROM lineitem " +
+          "WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey " +
+          "AND l_shipdate >= DATE '1997-01-01')) " +
+          "AND s_nationkey = n_nationkey AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3') " +
+          "ORDER BY s_name"),
+      Some("""WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             |  sum(l_quantity) AS ps_availqty FROM lineitem GROUP BY l_partkey, l_suppkey)
+             |SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+             |FROM supplier, nation
+             |WHERE s_suppkey IN (
+             |  SELECT ps_suppkey FROM ps
+             |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+             |  AND ps_availqty > (SELECT 0.5 * sum(l_quantity) FROM lineitem
+             |    WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+             |    AND l_shipdate >= DATE '1997-01-01'))
+             |AND s_nationkey = n_nationkey AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+             |ORDER BY s_name""".stripMargin))
   )
 }

@@ -17,12 +17,12 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** Schema of the events fixture when parquet nanos are read as long
-    * (spark.sql.legacy.parquet.nanosAsLong=true).
+  /** Schema of the events fixture: parquet timestamp[us] without
+    * isAdjustedToUTC surfaces as TIMESTAMP_NTZ in Spark 4.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos since epoch
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -32,9 +32,11 @@ object EventsStreaming {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     normalize(spark.readStream.schema(rawSchema).parquet(dir))
 
-  /** nanos → timestamp, shared by stream and batch paths. */
+  /** NTZ → session-timezone timestamp (the session is pinned to UTC, so
+    * the cast is value-preserving), shared by stream and batch paths.
+    */
   def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    df.withColumn("ts", col("ts").cast(TimestampType))
 
   /** Tumbling-window counts per event type with a 2-hour watermark —
     * the canonical windowed streaming aggregate. Works identically on a

@@ -1875,8 +1875,11 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("INSERT INTO people (name, id) VALUES ('x', 5, 6)").isLeft)
     assert(db.query("INSERT INTO people (nosuch) VALUES (1)").isLeft)
     assert(db.query("INSERT INTO people (id, id) VALUES (1, 2)").isLeft)
-    // column lists do not apply to INSERT ... SELECT
-    assert(db.query("INSERT INTO people (id, name) SELECT id, name FROM people").isLeft)
+    // column lists apply to INSERT ... SELECT too: reorder + NULL fill
+    assert(db.query("INSERT INTO people (name, id) " +
+      "SELECT name, id + 100 AS nid FROM people WHERE id = 4").isRight)
+    val r2 = db.select("SELECT id, name, age FROM people WHERE id = 104").toOption.get
+    assert(r2.collect().toSeq == Seq(Row(104, "Biff", null)))
   }
 
   test("aggregate FILTER clause and ILIKE") {
