@@ -69,6 +69,76 @@ object Corpus {
              |  SELECT source, doc_id,
              |    row_number() OVER (PARTITION BY source ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rk
              |  FROM documents) x
-             |WHERE rk <= 3 ORDER BY source, rk""".stripMargin))
+             |WHERE rk <= 3 ORDER BY source, rk""".stripMargin)),
+
+    // Deterministic train/val/test split: per-split doc counts + char
+    // mass. The gate compares the aggregate image; training jobs filter
+    // on the split column directly.
+    "q_corpus_split" -> QueryDef(
+      (s, d) => hashSplit(t(s, d, "documents"), "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("split"),
+      Some("""SELECT split, cast(count(*) AS bigint) AS n_docs,
+             |  cast(sum(n_chars) AS bigint) AS total_chars
+             |FROM (SELECT CASE WHEN md5(cast(doc_id AS varchar)) < 'd' THEN 'train'
+             |             WHEN md5(cast(doc_id AS varchar)) < 'f' THEN 'val'
+             |             ELSE 'test' END AS split, n_chars FROM documents) s
+             |GROUP BY split ORDER BY split""".stripMargin)),
+
+    // Sequence packing (concat-and-chunk): every document's span in the
+    // packed token stream of its language shard.
+    "q_pack_sequences" -> QueryDef(
+      (s, d) => packSequences(t(s, d, "documents"), 256, "lang")
+        .select("doc_id", "lang", "tok_len", "cum_before", "chunk_start", "chunk_end")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, tok_len, cum_before,
+             |  cast(floor(cum_before / 256.0) AS bigint) AS chunk_start,
+             |  cast(floor((cum_before + tok_len - 1) / 256.0) AS bigint) AS chunk_end
+             |FROM (
+             |  SELECT doc_id, lang, cast(len(string_split(text, ' ')) AS int) AS tok_len,
+             |    cast(coalesce(sum(len(string_split(text, ' '))) OVER (
+             |      PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS cum_before
+             |  FROM documents) x ORDER BY doc_id""".stripMargin))
   )
+
+  /** Deterministic train/val/test split on a stable content-free key:
+    * md5(id) is uniform in hex space, so lexicographic thresholds give
+    * fixed fractions (first char 0–c → 13/16 ≈ 81% train, d–e → 2/16 ≈
+    * 12.5% val, f → 1/16 ≈ 6.25% test). Any engine — and any future run
+    * over a grown corpus — assigns the same document to the same split,
+    * which is what keeps eval sets stable across pipeline reruns. A
+    * narrow map: no shuffle, no state, scales linearly at 100 TB.
+    */
+  def hashSplit(docs: DataFrame, idCol: String): DataFrame =
+    docs
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("split",
+        when(col("__h") < "d", "train")
+          .when(col("__h") < "f", "val")
+          .otherwise("test"))
+      .drop("__h")
+
+  /** Sequence packing, concat-and-chunk style: documents concatenate in
+    * doc_id order within a shard and the token stream chunks into fixed
+    * `window`-token contexts; each document reports the chunk span it
+    * lands in (chunk_start..chunk_end). One running-sum window per shard
+    * — state is a single long per partition, and shards (language here;
+    * a hash bucket in production) bound the window's sort so no global
+    * order is ever materialized. The greedy no-split variant (a document
+    * never crosses a chunk) is this plus a per-chunk re-bucket of the
+    * few boundary documents; the span layout computed here is the input
+    * either way.
+    */
+  def packSequences(docs: DataFrame, window: Int, shardCol: String): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("tok_len", size(split(col("text"), " ")))
+      .withColumn("cum_before", coalesce(sum("tok_len").over(w), lit(0L)))
+      .withColumn("chunk_start", floor(col("cum_before") / window.toDouble))
+      .withColumn("chunk_end",
+        floor((col("cum_before") + col("tok_len") - 1) / window.toDouble))
+  }
 }

@@ -2236,6 +2236,58 @@ object Dialect {
              |    WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
              |    AND l_shipdate >= DATE '1997-01-01'))
              |AND s_nationkey = n_nationkey AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
-             |ORDER BY s_name""".stripMargin))
+             |ORDER BY s_name""".stripMargin)),
+
+    // Standard-SQL syntax sugar in one shape: postfix :: casts (chained),
+    // EXTRACT(unit FROM ts), SUBSTRING(x FROM i [FOR n]),
+    // TRIM(chars FROM x) / TRIM(LEADING|TRAILING ...), POSITION(a IN b).
+    // All desugar at parse time onto the existing function algebra, so
+    // they cost nothing at plan level.
+    "q_dialect_std_syntax" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT c_custkey, o_orderkey, " +
+          "substring(c_name FROM 10 FOR 6) AS sub6, " +
+          "substring(c_name FROM 12) AS tail7, " +
+          "position('#' IN c_name) AS hashpos, " +
+          "trim('Cu' FROM substring(c_name FROM 1 FOR 8)) AS ctrim, " +
+          "trim(TRAILING '0123456789' FROM c_name) AS notail, " +
+          "c_custkey::varchar AS keystr, " +
+          "(c_custkey + 1)::bigint::double AS keydd, " +
+          "extract(year FROM o_orderdate) AS oy, " +
+          "extract(month FROM o_orderdate) AS om " +
+          "FROM customer c, orders o " +
+          "WHERE c.c_custkey = o.o_custkey AND c_custkey < 150 " +
+          "ORDER BY c_custkey, o_orderkey"),
+      Some("""SELECT c_custkey, o_orderkey,
+             |  substring(c_name FROM 10 FOR 6) AS sub6,
+             |  substring(c_name FROM 12) AS tail7,
+             |  cast(position('#' IN c_name) AS int) AS hashpos,
+             |  trim('Cu' FROM substring(c_name FROM 1 FOR 8)) AS ctrim,
+             |  trim(TRAILING '0123456789' FROM c_name) AS notail,
+             |  c_custkey::varchar AS keystr,
+             |  (c_custkey + 1)::bigint::double AS keydd,
+             |  cast(extract(year FROM o_orderdate) AS int) AS oy,
+             |  cast(extract(month FROM o_orderdate) AS int) AS om
+             |FROM customer c, orders o
+             |WHERE c.c_custkey = o.o_custkey AND c_custkey < 150
+             |ORDER BY c_custkey, o_orderkey""".stripMargin)),
+
+    // Row-value membership — the group-wise-max shape: each customer's
+    // most expensive order via (key, val) IN (SELECT key, max(val) …).
+    // Lowers to ONE left-semi join on both component equalities. DuckDB
+    // 1.0's binder rejects row-value IN, so the oracle states the
+    // equivalent join against the grouped frame — two formulations that
+    // must agree.
+    "q_dialect_row_in" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price " +
+          "FROM orders WHERE (o_custkey, o_totalprice) IN " +
+          "(SELECT o_custkey, max(o_totalprice) AS mt FROM orders GROUP BY o_custkey) " +
+          "ORDER BY o_custkey, o_orderkey"),
+      Some("""SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price
+             |FROM orders o JOIN (SELECT o_custkey, max(o_totalprice) AS mt
+             |  FROM orders GROUP BY o_custkey) m
+             |ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.mt
+             |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin))
   )
 }

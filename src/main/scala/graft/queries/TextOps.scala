@@ -55,6 +55,37 @@ object TextOps {
               |       ELSE 'ok' END AS quality
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-style quality filter: length, chars-per-word and digit-ratio
+    // rules composed into a keep flag + first-failing-rule reason. Narrow
+    // row-local column algebra (one regexp + arithmetic per document) —
+    // the 100 TB shape is a map-only scan that writes the kept partition.
+    "q_text_quality" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .withColumn("cpw", round(col("n_chars") / col("n_words"), 4))
+        .withColumn("digit_ratio", round(
+          length(regexp_replace(col("text"), "[^0-9]", "")) / col("n_chars"), 4))
+        .withColumn("keep",
+          col("n_words") >= 20 && col("cpw").between(3, 12) && col("digit_ratio") < 0.1)
+        .withColumn("reason",
+          when(col("n_words") < 20, "too_short")
+            .when(!col("cpw").between(3, 12), "word_shape")
+            .when(col("digit_ratio") >= 0.1, "too_numeric")
+            .otherwise("kept"))
+        .select("doc_id", "n_words", "cpw", "digit_ratio", "keep", "reason")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_words, cpw, digit_ratio,
+             |  (n_words >= 20 AND cpw BETWEEN 3 AND 12 AND digit_ratio < 0.1) AS keep,
+             |  CASE WHEN n_words < 20 THEN 'too_short'
+             |       WHEN cpw NOT BETWEEN 3 AND 12 THEN 'word_shape'
+             |       WHEN digit_ratio >= 0.1 THEN 'too_numeric'
+             |       ELSE 'kept' END AS reason
+             |FROM (SELECT doc_id,
+             |    cast(len(string_split(text, ' ')) AS int) AS n_words,
+             |    round(n_chars * 1.0 / len(string_split(text, ' ')), 4) AS cpw,
+             |    round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / n_chars, 4) AS digit_ratio
+             |  FROM documents) x ORDER BY doc_id""".stripMargin)),
+
     // BPE-ish tokenization via regex: words / numbers / single non-space
     // symbols. regexp_extract_all is codegen'd in Spark; same RE2-safe
     // pattern runs in DuckDB.

@@ -166,6 +166,7 @@ object Analyzer {
       case BoundExpr.BLike(o, _, _, _, _) => Seq(o)
       case BoundExpr.BCmp(_, l, r)  => Seq(l, r)
       case BoundExpr.BInSub(o, _, _, _)     => Seq(o)
+      case BoundExpr.BRowInSub(os, _, _)    => os
       case BoundExpr.BExists(_, _, _, _)    => Nil
       case BoundExpr.BCmpSub(_, o, _, _, _) => Seq(o)
       case BoundExpr.BQuantSub(_, o, _, _, _) => Seq(o)
@@ -222,6 +223,14 @@ object Analyzer {
       */
     final case class BQuantSub(op: CmpOp, o: BoundOperand, sub: BoundSelect,
         all: Boolean, pairs: Seq[(BoundCol, BoundCol)] = Nil) extends BoundExpr
+    /** (a, b, …) IN (SELECT …) — row-value membership: ONE left-semi
+      * join on every component equality plus the decorrelated pairs.
+      * Positive top-level WHERE conjuncts only (analyzer-enforced), so
+      * component NULLs simply fail to match — exactly SQL's UNKNOWN
+      * filtering false.
+      */
+    final case class BRowInSub(os: Seq[BoundOperand], sub: BoundSelect,
+        pairs: Seq[(BoundCol, BoundCol)]) extends BoundExpr
 
     /** Does the bound expression contain a subquery? Operand positions
       * (CASE conditions) are traversed too.
@@ -231,6 +240,7 @@ object Analyzer {
       case BOr(l, r)    => containsSub(l) || containsSub(r)
       case BNot(x)      => containsSub(x)
       case _: BInSub    => true
+      case _: BRowInSub => true
       case _: BExists   => true
       case _: BCmpSub   => true
       case _: BQuantSub => true
@@ -309,6 +319,7 @@ object Analyzer {
     case BoundExpr.BLike(o, _, _, _, _) => operandCols(o)
     case BoundExpr.BCmp(_, l, r)    => operandCols(l) ++ operandCols(r)
     case BoundExpr.BInSub(o, _, ps, _) => operandCols(o) ++ ps.map(_._1)
+    case BoundExpr.BRowInSub(os, _, ps) => os.flatMap(operandCols) ++ ps.map(_._1)
     case BoundExpr.BExists(s, ps, _, res) =>
       ps.map(_._1) ++ residualOuterCols(s, res)
     case BoundExpr.BCmpSub(_, o, _, _, ps) => operandCols(o) ++ ps.map(_._1)
@@ -344,6 +355,7 @@ object Analyzer {
     case BoundExpr.BIsNull(o, _)        => opHasResidualExists(o)
     case BoundExpr.BLike(o, _, _, _, _) => opHasResidualExists(o)
     case BoundExpr.BInSub(o, _, _, _)   => opHasResidualExists(o)
+    case BoundExpr.BRowInSub(os, _, _)  => os.exists(opHasResidualExists)
     case BoundExpr.BCmpSub(_, o, _, _, _)   => opHasResidualExists(o)
     case BoundExpr.BQuantSub(_, o, _, _, _) => opHasResidualExists(o)
   }
@@ -900,6 +912,7 @@ object Analyzer {
     case BoundExpr.BOr(l, r)  => exprSubsOf(l) ++ exprSubsOf(r)
     case BoundExpr.BNot(y)    => exprSubsOf(y)
     case BoundExpr.BInSub(o, sub, _, _)     => opSubsOf(o) :+ sub
+    case BoundExpr.BRowInSub(os, sub, _)    => os.flatMap(opSubsOf) :+ sub
     case BoundExpr.BExists(sub, _, _, _)    => Seq(sub)
     case BoundExpr.BCmpSub(_, o, sub, _, _) => opSubsOf(o) :+ sub
     case BoundExpr.BQuantSub(_, o, sub, _, _) => opSubsOf(o) :+ sub
@@ -1154,11 +1167,20 @@ object Analyzer {
   /** Parse-level subquery detection on a DML WHERE — decides whether the
     * predicate can lower as a plain filter or needs the row-id rewrite.
     */
+  private def parseHasRowIn(e: Expr): Boolean = e match {
+    case Expr.And(l, r) => parseHasRowIn(l) || parseHasRowIn(r)
+    case Expr.Or(l, r)  => parseHasRowIn(l) || parseHasRowIn(r)
+    case Expr.Not(x)    => parseHasRowIn(x)
+    case _: Expr.RowInSubquery => true
+    case _ => false
+  }
+
   private def parseExprHasSub(e: Expr): Boolean = e match {
     case Expr.And(l, r) => parseExprHasSub(l) || parseExprHasSub(r)
     case Expr.Or(l, r)  => parseExprHasSub(l) || parseExprHasSub(r)
     case Expr.Not(x)    => parseExprHasSub(x)
-    case Expr.InSubquery(_, _, _) | Expr.Exists(_, _) |
+    case Expr.InSubquery(_, _, _) | Expr.RowInSubquery(_, _, _) |
+         Expr.Exists(_, _) |
          Expr.CmpSubquery(_, _, _) | Expr.QuantSubquery(_, _, _, _) => true
     case Expr.Cmp(_, l, r)   => parseOpHasSub(l) || parseOpHasSub(r)
     case Expr.IsNull(o, _)   => parseOpHasSub(o)
@@ -1717,13 +1739,16 @@ object Analyzer {
         bindOp(o, allowAgg, allowSub).map(BoundOperand.BCast(_, t))
       case Operand.FuncCall(f, args) =>
         val arityOk = f match {
-          case "upper" | "lower" | "trim" | "length" | "abs" |
+          case "upper" | "lower" | "length" | "abs" |
                "year" | "month" | "day" |
                "floor" | "ceil" | "sqrt" |
-               "ltrim" | "rtrim" | "reverse" | "md5" | "sign" |
+               "reverse" | "md5" | "sign" |
                "exp" | "ln" | "log10" | "log2" |
                "last_day" | "quarter" | "hour" | "minute" | "second"
                                      => args.length == 1
+          // optional trim-characters second argument (standard
+          // TRIM(chars FROM x) or the two-arg call form)
+          case "trim" | "ltrim" | "rtrim" => args.length == 1 || args.length == 2
           case "round"               => args.length == 1 || args.length == 2
           case "substr"              => args.length == 2 || args.length == 3
           case "coalesce" | "concat" => args.nonEmpty
@@ -1739,6 +1764,14 @@ object Analyzer {
         }
         if (!arityOk)
           Left(BadFunction(s"$f takes a different number of arguments (got ${args.length})"))
+        // Spark's trim-characters argument compiles into the expression —
+        // it must be a string literal
+        else if (Set("trim", "ltrim", "rtrim")(f) && args.length == 2 &&
+          !(args(1) match {
+            case Operand.Literal(Lit.LitString(_)) => true
+            case _ => false
+          }))
+          Left(BadFunction(s"$f trim-characters argument must be a string literal"))
         // round's scale must be an integer literal (the engine compiles it
         // into the rounding expression)
         else if (f == "round" && args.length == 2 && !(args(1) match {
@@ -1846,15 +1879,46 @@ object Analyzer {
       case Expr.Or(l, r) =>
         // WHERE and HAVING keep subqueries usable under OR (they lower
         // as boolean-marker left joins); NOT/CASE contexts forbid them
-        // (there NULL vs FALSE becomes observable)
-        for {
+        // (there NULL vs FALSE becomes observable). Row-value IN has no
+        // marker lowering — top-level conjuncts only.
+        if (parseHasRowIn(l) || parseHasRowIn(r))
+          Left(BadSubquery(
+            "row-value IN (SELECT …) is only supported as a top-level WHERE conjunct"))
+        else for {
           bl <- bindExpr(l, allowAgg, topLevel)
           br <- bindExpr(r, allowAgg, topLevel)
         } yield BoundExpr.BOr(bl, br)
       case Expr.Not(x) =>
         // subqueries stay legal under NOT: the marker lowering is
-        // three-valued there (NULL-vs-FALSE observable)
-        bindExpr(x, allowAgg, topLevel).map(BoundExpr.BNot)
+        // three-valued there (NULL-vs-FALSE observable). Row-value IN is
+        // two-valued by construction — reject where that shows.
+        if (parseHasRowIn(x))
+          Left(BadSubquery(
+            "row-value IN (SELECT …) is only supported as a top-level WHERE conjunct"))
+        else bindExpr(x, allowAgg, topLevel).map(BoundExpr.BNot)
+      case Expr.RowInSubquery(os, sub, neg) =>
+        if (!topLevel)
+          Left(BadSubquery(
+            "row-value IN (SELECT …) may not appear under NOT or inside CASE"))
+        else if (neg)
+          Left(BadSubquery(
+            "row-value NOT IN is not supported — use NOT EXISTS with per-component predicates"))
+        else if (allowAgg)
+          Left(BadSubquery("row-value IN is not supported in HAVING"))
+        else
+          for {
+            bos <- os.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](
+              Right(Vector.empty)) { (acc, o) =>
+              acc.flatMap(v => bindOp(o, allowAgg = false).map(v :+ _))
+            }
+            bsub0 <- analyzeSelect(sub, cat, outerScope = tables ++ outerScope)
+            _ <-
+              if (bsub0.projection.length == os.length) Right(())
+              else Left(BadSubquery(
+                s"row-value IN subquery must project ${os.length} columns, " +
+                  s"got ${bsub0.projection.length}"))
+            dp <- decorrelate(bsub0, exprKeys = havingGkExprKeys)
+          } yield BoundExpr.BRowInSub(bos, dp._1, dp._2)
       case Expr.InSubquery(o, sub, neg) =>
         if (!topLevel)
           Left(BadSubquery("IN (SELECT …) may not appear under NOT or inside CASE"))

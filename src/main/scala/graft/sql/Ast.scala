@@ -106,6 +106,14 @@ object Ast {
       * into the join condition (decorrelation).
       */
     final case class InSubquery(o: Operand, sub: SelectTree, negated: Boolean) extends Expr
+    /** (a, b, …) IN (SELECT …) — row-value membership, lowered as one
+      * left-semi join on every component equality. Positive, top-level
+      * WHERE conjuncts only: under NOT (or negated) the per-component
+      * NULL semantics make UNKNOWN observable, and the engine rejects
+      * rather than risk a wrong answer.
+      */
+    final case class RowInSubquery(os: Seq[Operand], sub: SelectTree,
+        negated: Boolean) extends Expr
     /** [NOT] EXISTS (SELECT …) — lowered as a left-semi/left-anti join;
       * equality-correlated inner predicates become the join condition.
       */

@@ -824,7 +824,8 @@ object Lowering {
     // (subqueries under OR) lowers each subquery to a boolean-marker
     // left join and filters the disjunction afterwards.
     val (subConjs, restConj) = allConj.partition {
-      case _: BoundExpr.BInSub | _: BoundExpr.BExists | _: BoundExpr.BCmpSub => true
+      case _: BoundExpr.BInSub | _: BoundExpr.BExists | _: BoundExpr.BCmpSub |
+           _: BoundExpr.BRowInSub => true
       case _ => false
     }
     val (mixedSubConjs, conj0) = restConj.partition(BoundExpr.containsSub)
@@ -967,6 +968,34 @@ object Lowering {
               lowerOperand(o).isNull || subDf("__in_v").isNull
             else lowerOperand(o) === subDf("__in_v")
           df.join(subDf, (valCond +: pairConds).reduce(_ && _), joinType)
+        }
+      case (df, (BoundExpr.BRowInSub(os, sub, pairs), _)) =>
+        // row-value membership: ONE left-semi join on every component
+        // equality (+ the decorrelated pairs). NULL components never
+        // match — SQL's UNKNOWN filtering false in a positive conjunct.
+        // One shuffle keyed on the full component tuple; broadcast when
+        // the subquery side is small (stats-driven like every join here).
+        if (pairs.isEmpty) {
+          val subDf0 = lowerSelect(spark, sub, source)
+          val subDf = subDf0.toDF(subDf0.columns.indices.map(k => s"__rv$k"): _*)
+          val conds = os.zipWithIndex.map { case (o, k) =>
+            lowerOperand(o) === subDf(s"__rv$k") }
+          df.join(subDf, conds.reduce(_ && _), "left_semi")
+        } else {
+          val core = combine(spark, sub, source, Set.empty, None)
+          val vals = sub.projection.map {
+            case BoundItem.BICol(c, _)    => qcolOf(c)
+            case BoundItem.BIExpr(op2, _) => lowerOperandWith(op2, qcolOf)
+            case _: BoundItem.BIAgg | _: BoundItem.BIWin | _: BoundItem.BISub =>
+              sys.error("unreachable: a correlated subquery must not aggregate or window")
+          }
+          val subDf = core.select(
+            vals.zipWithIndex.map { case (v, k) => v.as(s"__rv$k") } ++
+            pairs.zipWithIndex.map { case ((_, ic), k) => qcolOf(ic).as(s"__c$k") }: _*)
+          val conds = os.zipWithIndex.map { case (o, k) =>
+            lowerOperand(o) === subDf(s"__rv$k") } ++
+            pairs.zipWithIndex.map { case ((oc, _), k) => qcolOf(oc) === subDf(s"__c$k") }
+          df.join(subDf, conds.reduce(_ && _), "left_semi")
         }
       case (df, (BoundExpr.BExists(sub, pairs, neg, residual), _)) =>
         val joinType = if (neg) "left_anti" else "left_semi"
@@ -1518,7 +1547,8 @@ object Lowering {
       val c = likeCol(opLower(o), pat, ci, esc)
       if (neg) !c else c
     case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _, _) |
-        BoundExpr.BCmpSub(_, _, _, _, _) | BoundExpr.BQuantSub(_, _, _, _, _) =>
+        BoundExpr.BCmpSub(_, _, _, _, _) | BoundExpr.BQuantSub(_, _, _, _, _) |
+        BoundExpr.BRowInSub(_, _, _) =>
       sys.error("subquery conjuncts lower as joins, not Column expressions")
     case BoundExpr.BCmp(op, l, r) =>
       cmpCols(op, opLower(l), opLower(r))
@@ -1659,6 +1689,11 @@ object Lowering {
       date_trunc(u.toLowerCase, rec(b))
     case ("ltrim", Seq(a))   => ltrim(rec(a))
     case ("rtrim", Seq(a))   => rtrim(rec(a))
+    // trim-characters forms (the analyzer pins the chars to a string
+    // literal — Spark compiles it into the expression)
+    case ("trim", Seq(a, BoundOperand.BLit(Lit.LitString(ch))))  => trim(rec(a), ch)
+    case ("ltrim", Seq(a, BoundOperand.BLit(Lit.LitString(ch)))) => ltrim(rec(a), ch)
+    case ("rtrim", Seq(a, BoundOperand.BLit(Lit.LitString(ch)))) => rtrim(rec(a), ch)
     case ("reverse", Seq(a)) => reverse(rec(a))
     case ("md5", Seq(a))     => md5(rec(a).cast("binary"))
     // DuckDB's sign returns an integer -1/0/1; Spark's signum a double
@@ -1808,6 +1843,7 @@ object Lowering {
       case BoundExpr.BLike(o, _, _, _, _) => opCols(o)
       case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
       case BoundExpr.BInSub(_, _, _, _)  => hasSub = true; Nil
+      case BoundExpr.BRowInSub(_, _, _)  => hasSub = true; Nil
       case BoundExpr.BExists(_, _, _, _) => hasSub = true; Nil
       case BoundExpr.BCmpSub(_, _, _, _, _) => hasSub = true; Nil
       case BoundExpr.BQuantSub(_, _, _, _, _) => hasSub = true; Nil

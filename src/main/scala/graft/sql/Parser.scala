@@ -66,7 +66,7 @@ object Parser {
       } else {
         val two = if (i + 1 < in.length) in.substring(i, i + 2) else ""
         if (two == "<>" || two == "<=" || two == ">=" || two == "!=" ||
-            two == "||") {
+            two == "||" || two == "::") {
           out += TSym(if (two == "!=") "<>" else two, i); i += 2
         } else if ("(),.;*=<>+-/%".indexOf(c) >= 0) {
           out += TSym(c.toString, i); i += 1
@@ -243,6 +243,7 @@ object Parser {
         case Expr.Or(l, r)                => inExpr(l) || inExpr(r)
         case Expr.Not(x)                  => inExpr(x)
         case Expr.InSubquery(_, sub, _)   => readsTable(sub, name)
+        case Expr.RowInSubquery(_, sub, _) => readsTable(sub, name)
         case Expr.Exists(sub, _)          => readsTable(sub, name)
         case Expr.CmpSubquery(_, _, sub)  => readsTable(sub, name)
         case Expr.QuantSubquery(_, _, sub, _) => readsTable(sub, name)
@@ -350,6 +351,8 @@ object Parser {
       case Expr.Or(l, r)          => Expr.Or(expr(l), expr(r))
       case Expr.Not(x)            => Expr.Not(expr(x))
       case Expr.InSubquery(o, sub, n)   => Expr.InSubquery(o, substCte(sub, ctes), n)
+      case Expr.RowInSubquery(os, sub, n) =>
+        Expr.RowInSubquery(os, substCte(sub, ctes), n)
       case Expr.Exists(sub, n)          => Expr.Exists(substCte(sub, ctes), n)
       case Expr.CmpSubquery(op, l, sub) => Expr.CmpSubquery(op, l, substCte(sub, ctes))
       case Expr.QuantSubquery(op, l, sub, all) =>
@@ -1143,8 +1146,38 @@ object Parser {
       asPredicate match {
         case r @ Right(_) => r
         case Left(_) =>
+          // row-value membership: ( op , op … ) [NOT] IN (SELECT …)
           p.i = save
-          parseOperand(p, allowAgg).flatMap(l => parsePredicateTail(p, l, allowAgg))
+          val asRowIn = {
+            p.next()
+            def elems(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+              parseOperand(p, allowAgg).flatMap { o =>
+                p.peek match {
+                  case TSym(",", _) => p.next(); elems(acc :+ o)
+                  case TSym(")", _) => p.next(); Right(acc :+ o)
+                  case t => Left(ParseError("expected ',' or ')'", t.pos))
+                }
+              }
+            elems(Vector.empty).flatMap { os =>
+              if (os.length < 2)
+                Left(ParseError("not a row value", p.peek.pos))
+              else {
+                val neg = if (p.isKw("not")) { p.next(); true } else false
+                for {
+                  _ <- p.eatKw("in")
+                  _ <- p.eatSym("(")
+                  sub <- parseSelect(p)
+                  _ <- p.eatSym(")")
+                } yield Expr.RowInSubquery(os, sub, neg): Expr
+              }
+            }
+          }
+          asRowIn match {
+            case r @ Right(_) => r
+            case Left(_) =>
+              p.i = save
+              parseOperand(p, allowAgg).flatMap(l => parsePredicateTail(p, l, allowAgg))
+          }
       }
     case TIdent(k, _) if k.equalsIgnoreCase("not") =>
       p.next()
@@ -1383,7 +1416,29 @@ object Parser {
       loop(first)
     }
 
-  private def parseFactor(p: P, allowAgg: Boolean): Either[ParseError, Operand] = p.peek match {
+  /** Postfix `expr::type` cast sugar (binds tighter than any arithmetic;
+    * chains left-to-right, so x::varchar::int parses as
+    * CAST(CAST(x AS VARCHAR) AS INT)).
+    */
+  private def parseFactor(p: P, allowAgg: Boolean): Either[ParseError, Operand] =
+    parseAtom(p, allowAgg).flatMap { first =>
+      def loop(acc: Operand): Either[ParseError, Operand] = p.peek match {
+        case TSym("::", _) =>
+          p.next()
+          (p.peek match {
+            case TIdent(s, _) if s.equalsIgnoreCase("varchar") && {
+                val save = p.i; p.next()
+                val hasLen = p.peek match { case TSym("(", _) => true; case _ => false }
+                p.i = save; !hasLen
+              } => p.next(); Right(SqlType.SqlVarChar(65535))
+            case _ => parseType(p)
+          }).flatMap(t => loop(Operand.Cast(acc, t)))
+        case _ => Right(acc)
+      }
+      loop(first)
+    }
+
+  private def parseAtom(p: P, allowAgg: Boolean): Either[ParseError, Operand] = p.peek match {
     case TSym("(", _) =>
       p.next()
       parseOperand(p, allowAgg).flatMap(e => p.eatSym(")").map(_ => e))
@@ -1652,6 +1707,115 @@ object Parser {
         }
         _ <- p.eatSym(")")
       } yield Operand.Cast(o, t)
+    // EXTRACT(unit FROM x) — standard sugar for the unit functions
+    case TIdent(f, _) if f.equalsIgnoreCase("extract") && {
+        val save = p.i; p.next()
+        val isCall = p.peek match { case TSym("(", _) => true; case _ => false }
+        p.i = save; isCall
+      } =>
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        unit <- p.peek match {
+          case TIdent(u, pos) =>
+            val un = u.toLowerCase
+            if (Set("year", "quarter", "month", "day",
+                "hour", "minute", "second")(un)) { p.next(); Right(un) }
+            else Left(ParseError(s"unknown EXTRACT unit '$u'", pos))
+          case t => Left(ParseError("expected EXTRACT unit", t.pos))
+        }
+        _ <- p.eatKw("from")
+        x <- parseOperand(p, allowAgg)
+        _ <- p.eatSym(")")
+      } yield Operand.FuncCall(unit, Seq(x))
+    // POSITION(needle IN hay) — standard sugar for instr(hay, needle)
+    case TIdent(f, _) if f.equalsIgnoreCase("position") && {
+        val save = p.i; p.next()
+        val isCall = p.peek match { case TSym("(", _) => true; case _ => false }
+        p.i = save; isCall
+      } =>
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        needle <- parseOperand(p, allowAgg)
+        _ <- p.eatKw("in")
+        hay <- parseOperand(p, allowAgg)
+        _ <- p.eatSym(")")
+      } yield Operand.FuncCall("instr", Seq(hay, needle))
+    // TRIM: both the standard form
+    // TRIM([BOTH|LEADING|TRAILING] [chars] FROM x) and the plain calls
+    // trim(x) / trim(x, chars); LEADING→ltrim, TRAILING→rtrim
+    case TIdent(f, _) if f.equalsIgnoreCase("trim") && {
+        val save = p.i; p.next()
+        val isCall = p.peek match { case TSym("(", _) => true; case _ => false }
+        p.i = save; isCall
+      } =>
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        mode <- p.peek match {
+          case TIdent(m, _) if Set("both", "leading", "trailing")(m.toLowerCase) =>
+            p.next(); Right(m.toLowerCase)
+          case _ => Right("both")
+        }
+        first <- p.peek match {
+          case TIdent(k, _) if k.equalsIgnoreCase("from") => Right(None)
+          case _ => parseOperand(p, allowAgg).map(Some(_))
+        }
+        fn = mode match {
+          case "leading" => "ltrim"; case "trailing" => "rtrim"; case _ => "trim"
+        }
+        res <-
+          if (p.isKw("from")) {
+            p.next()
+            parseOperand(p, allowAgg)
+              .map(src => Operand.FuncCall(fn, Seq(src) ++ first.toSeq))
+          } else first match {
+            case Some(src) if mode == "both" =>
+              p.peek match {
+                case TSym(",", _) =>
+                  p.next()
+                  parseOperand(p, allowAgg)
+                    .map(ch => Operand.FuncCall("trim", Seq(src, ch)))
+                case _ => Right(Operand.FuncCall("trim", Seq(src)))
+              }
+            case _ =>
+              Left(ParseError("expected FROM in TRIM(... FROM x)", p.peek.pos))
+          }
+        _ <- p.eatSym(")")
+      } yield res
+    // SUBSTRING/SUBSTR: the standard form SUBSTRING(x FROM i [FOR n])
+    // next to the plain substr(x, i[, n]) call
+    case TIdent(f, _) if (f.equalsIgnoreCase("substring") ||
+        f.equalsIgnoreCase("substr")) && {
+        val save = p.i; p.next()
+        val isCall = p.peek match { case TSym("(", _) => true; case _ => false }
+        p.i = save; isCall
+      } =>
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        x <- parseOperand(p, allowAgg)
+        args <-
+          if (p.isKw("from")) {
+            p.next()
+            parseOperand(p, allowAgg).flatMap { start =>
+              if (p.isKw("for")) {
+                p.next()
+                parseOperand(p, allowAgg).map(len => Seq(x, start, len))
+              } else Right(Seq(x, start))
+            }
+          } else {
+            def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+              p.peek match {
+                case TSym(",", _) =>
+                  p.next(); parseOperand(p, allowAgg).flatMap(a => loop(acc :+ a))
+                case _ => Right(acc)
+              }
+            loop(Vector(x)).map(_.toSeq)
+          }
+        _ <- p.eatSym(")")
+      } yield Operand.FuncCall("substr", args)
     case TIdent(f, _) if scalarFuncs(f.toLowerCase) && {
         // function only when '(' follows — otherwise a column named e.g.
         // `length` still resolves

@@ -1882,6 +1882,54 @@ class DialectSpec extends AnyFunSuite {
     assert(r2.collect().toSeq == Seq(Row(104, "Biff", null)))
   }
 
+  test("row-value IN (SELECT ...): semi join on all components; strict rejections") {
+    val db = demoDb()
+    // group-wise max: the owner with each car count... use (owner_id, id)
+    val r = db.select("SELECT id, model FROM cars WHERE (owner_id, id) IN " +
+      "(SELECT owner_id, max(id) AS mi FROM cars GROUP BY owner_id) ORDER BY id").toOption.get
+    assert(r.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // correlated components work through decorrelation
+    val c = db.select("SELECT name FROM people p WHERE (p.id, p.id) IN " +
+      "(SELECT c.owner_id, c.owner_id FROM cars c WHERE c.owner_id = p.id) " +
+      "ORDER BY name").toOption.get
+    assert(c.collect().map(_.getString(0)).toSeq.sorted ==
+      Seq("Dr. Emmett L. „Doc“ Brown", "Elon"))
+    // arity mismatch, NOT IN, under NOT/OR, in HAVING: all rejected
+    assert(db.query("SELECT id FROM cars WHERE (owner_id, id) IN " +
+      "(SELECT owner_id FROM cars)").isLeft)
+    assert(db.query("SELECT id FROM cars WHERE (owner_id, id) NOT IN " +
+      "(SELECT owner_id, id FROM cars)").isLeft)
+    assert(db.query("SELECT id FROM cars WHERE NOT ((owner_id, id) IN " +
+      "(SELECT owner_id, id FROM cars))").isLeft)
+    assert(db.query("SELECT id FROM cars WHERE (owner_id, id) IN " +
+      "(SELECT owner_id, id FROM cars) OR id = 1").isLeft)
+    assert(db.query("SELECT owner_id FROM cars GROUP BY owner_id " +
+      "HAVING (owner_id, count(*)) IN (SELECT owner_id, id FROM cars)").isLeft)
+  }
+
+  test("standard syntax sugar: :: casts, EXTRACT, SUBSTRING FROM, TRIM, POSITION") {
+    val db = demoDb()
+    // postfix :: binds tighter than arithmetic and chains
+    val c = db.select("SELECT '5'::int + 1 AS six, 7::bigint::double AS d, " +
+      "id::varchar AS s FROM people WHERE id = 1").toOption.get
+    assert(c.collect().toSeq == Seq(Row(6L, 7.0, "1")))
+    // TRIM variants: plain, chars, LEADING/TRAILING, two-arg call form
+    val t = db.select("SELECT trim('  x  ') AS a, trim(LEADING 'M' FROM name) AS b, " +
+      "trim(TRAILING 'y' FROM name) AS c2, trim(name, 'My') AS d2 " +
+      "FROM people WHERE id = 3").toOption.get
+    assert(t.collect().toSeq == Seq(Row("x", "arty McFly", "Marty McFl", "arty McFl")))
+    // SUBSTRING standard + POSITION
+    val s = db.select("SELECT substring(name FROM 7 FOR 2) AS m, " +
+      "position('Fly' IN name) AS p FROM people WHERE id = 3").toOption.get
+    assert(s.collect().toSeq == Seq(Row("Mc", 9)))
+    // rejections: unknown EXTRACT unit; TRIM mode without FROM;
+    // non-literal trim chars; '::' needs a valid type
+    assert(db.query("SELECT extract(epoch FROM age) AS e FROM people").isLeft)
+    assert(db.query("SELECT trim(LEADING name) AS x FROM people").isLeft)
+    assert(db.query("SELECT trim(name, name) AS x FROM people").isLeft)
+    assert(db.query("SELECT id::nosuchtype AS x FROM people").isLeft)
+  }
+
   test("aggregate FILTER clause and ILIKE") {
     val db = demoDb()
     db.query("INSERT INTO cars VALUES (3, 'Cybertruck', 1)")
