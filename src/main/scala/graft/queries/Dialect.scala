@@ -2288,6 +2288,64 @@ object Dialect {
              |FROM orders o JOIN (SELECT o_custkey, max(o_totalprice) AS mt
              |  FROM orders GROUP BY o_custkey) m
              |ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.mt
-             |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin))
+             |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin)),
+
+    // An inline VALUES derived table as a join-side lookup (the
+    // enum-decode shape). Desugars to FROM-less SELECTs UNION ALL'd;
+    // Catalyst folds it to a LocalRelation and broadcasts the join.
+    "q_dialect_values_table" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT c_custkey, c_mktsegment, m.pri " +
+          "FROM customer c, (VALUES ('BUILDING', 1), ('AUTOMOBILE', 2), " +
+          "('MACHINERY', 3), ('HOUSEHOLD', 4), ('FURNITURE', 5)) m(seg, pri) " +
+          "WHERE c.c_mktsegment = m.seg AND c_custkey <= 100 " +
+          "ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment, cast(m.pri AS bigint) AS pri
+             |FROM customer c, (VALUES ('BUILDING', 1), ('AUTOMOBILE', 2),
+             |  ('MACHINERY', 3), ('HOUSEHOLD', 4), ('FURNITURE', 5)) m(seg, pri)
+             |WHERE c.c_mktsegment = m.seg AND c_custkey <= 100
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // UNION BY NAME: branches align on column NAMES (any order), the
+    // DuckDB extension. The aggregate branches keep their own projection
+    // order; the combine is name-keyed, then deduped like plain UNION.
+    "q_dialect_union_byname" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "supplier"),
+        "SELECT c_nationkey AS k, count(*) AS n FROM customer GROUP BY c_nationkey " +
+          "UNION BY NAME " +
+          "SELECT count(*) AS n, s_nationkey AS k FROM supplier GROUP BY s_nationkey " +
+          "ORDER BY k, n"),
+      Some("""SELECT cast(k AS bigint) AS k, cast(n AS bigint) AS n FROM (
+             |SELECT c_nationkey AS k, count(*) AS n FROM customer GROUP BY c_nationkey
+             |UNION BY NAME
+             |SELECT count(*) AS n, s_nationkey AS k FROM supplier GROUP BY s_nationkey) u
+             |ORDER BY k, n""".stripMargin)),
+
+    // Scalar-function batch 3: left/right (incl. DuckDB's negative-length
+    // drop-from-the-other-end, which Spark's own left/right lack — these
+    // lower as substr algebra), translate, strpos, ifnull, date_part,
+    // make_date.
+    "q_dialect_funcs3" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "left(o_orderpriority, 4) AS l4, left(o_orderpriority, -3) AS lm3, " +
+          "right(o_orderpriority, 4) AS r4, right(o_orderpriority, -3) AS rm3, " +
+          "translate(o_orderstatus, 'FOP', 'fop') AS st, " +
+          "strpos(o_orderpriority, '-') AS dash, " +
+          "ifnull(NULL, o_orderkey) AS ifn, " +
+          "date_part('year', o_orderdate) AS oy, " +
+          "date_part('month', o_orderdate) AS om, " +
+          "make_date(2024, 2, 29) AS md " +
+          "FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  left(o_orderpriority, 4) AS l4, left(o_orderpriority, -3) AS lm3,
+             |  right(o_orderpriority, 4) AS r4, right(o_orderpriority, -3) AS rm3,
+             |  translate(o_orderstatus, 'FOP', 'fop') AS st,
+             |  cast(strpos(o_orderpriority, '-') AS int) AS dash,
+             |  ifnull(NULL, o_orderkey) AS ifn,
+             |  cast(date_part('year', o_orderdate) AS int) AS oy,
+             |  cast(date_part('month', o_orderdate) AS int) AS om,
+             |  make_date(2024, 2, 29) AS md
+             |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -800,10 +800,12 @@ object Analyzer {
       case "upper" | "lower" | "trim" | "substr" | "concat" | "||" | "replace" |
            "ltrim" | "rtrim" | "reverse" | "md5" | "repeat" |
            "lpad" | "rpad" | "split_part" |
-           "regexp_replace" | "regexp_extract" =>
+           "regexp_replace" | "regexp_extract" |
+           "left" | "right" | "translate" =>
         SqlType.SqlVarChar(65535)
       case "length" | "year" | "month" | "day" | "instr" | "datediff" |
-           "sign" | "quarter" | "hour" | "minute" | "second" =>
+           "sign" | "quarter" | "hour" | "minute" | "second" |
+           "date_part" =>
         SqlType.SqlInt
       case "abs"      => operandType(args.head)
       case "round"    => SqlType.SqlDouble
@@ -812,7 +814,7 @@ object Analyzer {
       case "floor" | "ceil" => SqlType.SqlBigInt
       case "mod"      => operandType(args.head)
       case "date_trunc" => SqlType.SqlTimestamp
-      case "last_day"   => SqlType.SqlDate
+      case "last_day" | "make_date" => SqlType.SqlDate
       case _          => SqlType.SqlDouble // sqrt / power / exp / ln / log10 / log2
     }
     case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
@@ -1143,7 +1145,23 @@ object Analyzer {
       rest <- u.rest.foldLeft[Either[AnalyzerError, Vector[(String, BoundSelect)]]](
         Right(Vector.empty)) { case (acc, (conn, s)) =>
         acc.flatMap(v => analyzeSelect(s, cat).flatMap { b =>
-          if (b.projection.length == first.projection.length) Right(v :+ (conn -> b))
+          if (conn.endsWith("_byname")) {
+            // BY NAME: branches must expose the same column-name SET
+            // (order-free); every item therefore needs a derivable name
+            for {
+              fa <- derivedAttributes(first)
+              ba <- derivedAttributes(b)
+              r <- {
+                val fs = fa.map(_.name.toLowerCase).toSet
+                val bs = ba.map(_.name.toLowerCase).toSet
+                if (fs == bs) Right(v :+ (conn -> b))
+                else Left(BadSubquery(
+                  s"UNION BY NAME branches must project the same column names " +
+                    s"(${fa.map(_.name).mkString(", ")} vs ${ba.map(_.name).mkString(", ")})"))
+              }
+            } yield r
+          }
+          else if (b.projection.length == first.projection.length) Right(v :+ (conn -> b))
           else Left(BadSubquery(
             s"set-operation branches must project the same number of columns " +
               s"(${first.projection.length} vs ${b.projection.length})"))
@@ -1754,7 +1772,10 @@ object Analyzer {
           case "coalesce" | "concat" => args.nonEmpty
           case "||"                  => args.length == 2
           case "power" | "instr" | "mod" | "datediff" |
-               "nullif" | "repeat"   => args.length == 2
+               "nullif" | "repeat" |
+               "left" | "right"      => args.length == 2
+          case "date_part"           => args.length == 2
+          case "translate" | "make_date" => args.length == 3
           case "date_trunc"          => args.length == 2
           case "replace" | "lpad" | "rpad" | "split_part" |
                "regexp_replace"      => args.length == 3
@@ -1779,6 +1800,19 @@ object Analyzer {
           case _ => false
         }))
           Left(BadFunction("round scale must be an integer literal"))
+        else if (f == "date_part" && !(args.head match {
+          case Operand.Literal(Lit.LitString(u)) => Set("year", "quarter",
+            "month", "day", "hour", "minute", "second")(u.toLowerCase)
+          case _ => false
+        }))
+          Left(BadFunction(
+            "date_part unit must be a string literal (year/quarter/month/day/hour/minute/second)"))
+        else if (f == "translate" && !((args(1), args(2)) match {
+          case (Operand.Literal(Lit.LitString(_)),
+                Operand.Literal(Lit.LitString(_))) => true
+          case _ => false
+        }))
+          Left(BadFunction("translate from/to arguments must be string literals"))
         else if (f == "date_trunc" && !(args.head match {
           case Operand.Literal(Lit.LitString(u)) => Set("year", "quarter",
             "month", "week", "day", "hour", "minute", "second")(u.toLowerCase)

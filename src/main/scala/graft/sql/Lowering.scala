@@ -1505,6 +1505,8 @@ object Lowering {
     val unioned = groups.drop(1).foldLeft(groups.head._2) {
       case (acc, ("union", g))      => acc.union(g).distinct()
       case (acc, ("union_all", g))  => acc.union(g)
+      case (acc, ("union_byname", g))     => acc.unionByName(g).distinct()
+      case (acc, ("union_all_byname", g)) => acc.unionByName(g)
       case (acc, ("except", g))     => acc.except(g)
       case (acc, ("except_all", g)) => acc.exceptAll(g)
       case (_, (c, _))              => sys.error(s"unreachable set-op connector '$c'")
@@ -1689,6 +1691,26 @@ object Lowering {
       date_trunc(u.toLowerCase, rec(b))
     case ("ltrim", Seq(a))   => ltrim(rec(a))
     case ("rtrim", Seq(a))   => rtrim(rec(a))
+    // DuckDB/Postgres-parity prefix/suffix take: a NEGATIVE n drops |n|
+    // characters from the opposite end (Spark's own left/right return ''
+    // there, so these lower as substr algebra instead)
+    case ("left", Seq(a, n0)) =>
+      val c = rec(a); val n = rec(n0).cast("int")
+      c.substr(lit(1), when(n >= 0, n).otherwise(greatest(length(c) + n, lit(0))))
+    case ("right", Seq(a, n0)) =>
+      val c = rec(a); val n = rec(n0).cast("int")
+      val start = when(n >= 0, greatest(length(c) - n + 1, lit(1))).otherwise(-n + 1)
+      c.substr(start, length(c))
+    case ("translate", Seq(a, BoundOperand.BLit(Lit.LitString(from)),
+        BoundOperand.BLit(Lit.LitString(to)))) => translate(rec(a), from, to)
+    case ("date_part", Seq(BoundOperand.BLit(Lit.LitString(u)), b)) =>
+      (u.toLowerCase match {
+        case "year" => year(rec(b));   case "quarter" => quarter(rec(b))
+        case "month" => month(rec(b)); case "day" => dayofmonth(rec(b))
+        case "hour" => hour(rec(b));   case "minute" => minute(rec(b))
+        case _ => second(rec(b))
+      }).cast("int")
+    case ("make_date", Seq(y, m, d)) => make_date(rec(y), rec(m), rec(d))
     // trim-characters forms (the analyzer pins the chars to a string
     // literal — Spark compiles it into the expression)
     case ("trim", Seq(a, BoundOperand.BLit(Lit.LitString(ch))))  => trim(rec(a), ch)

@@ -146,7 +146,9 @@ object Parser {
     "exp", "ln", "log10", "log2",
     "last_day", "quarter", "hour", "minute", "second",
     "nullif", "repeat", "lpad", "rpad", "split_part",
-    "greatest", "least", "regexp_replace", "regexp_extract")
+    "greatest", "least", "regexp_replace", "regexp_extract",
+    "left", "right", "translate", "strpos", "ifnull",
+    "date_part", "make_date")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
@@ -386,10 +388,22 @@ object Parser {
           if (!isConn) Right(branches)
           else {
             val kw = p.next().asInstanceOf[TIdent].s.toLowerCase
-            val conn =
+            val conn0 =
               if (p.isKw("all")) { p.next(); s"${kw}_all" }
               else kw
-            parseSelect(p).flatMap(s => loop(branches :+ (conn -> s)))
+            // UNION [ALL] BY NAME — branches combine by column NAME
+            // (any order) instead of position
+            val connE: Either[ParseError, String] =
+              if (p.isKw("by")) {
+                val pos = p.peek.pos
+                p.next()
+                p.eatKw("name").flatMap { _ =>
+                  if (kw == "union") Right(s"${conn0}_byname")
+                  else Left(ParseError("BY NAME applies to UNION only", pos))
+                }
+              } else Right(conn0)
+            connE.flatMap(conn =>
+              parseSelect(p).flatMap(s => loop(branches :+ (conn -> s))))
           }
         loop(Vector.empty).flatMap { rest =>
           val pos = p.peek.pos
@@ -785,14 +799,74 @@ object Parser {
             }
           case TSym("(", _) =>
             p.next()
-            for {
-              sel <- parseSelectOrUnion(p)
-              _ <- p.eatSym(")")
-              alias <- p.peek match {
-                case TIdent(a, _) if !reserved(a) => p.next(); Right(a)
-                case t => Left(ParseError("a derived table requires an alias", t.pos))
+            // (VALUES (…), (…)) alias(c1, c2) — an inline derived table;
+            // desugars to FROM-less SELECTs UNION ALL'd, so expression
+            // rows, typing and naming all ride the existing machinery
+            if (p.isKw("values")) {
+              p.next()
+              def row(): Either[ParseError, Vector[Operand]] =
+                p.eatSym("(").flatMap { _ =>
+                  def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+                    parseOperand(p).flatMap { o =>
+                      p.peek match {
+                        case TSym(",", _) => p.next(); loop(acc :+ o)
+                        case _            => p.eatSym(")").map(_ => acc :+ o)
+                      }
+                    }
+                  loop(Vector.empty)
+                }
+              def rows(acc: Vector[Vector[Operand]])
+                  : Either[ParseError, Vector[Vector[Operand]]] =
+                row().flatMap { r =>
+                  p.peek match {
+                    case TSym(",", _) => p.next(); rows(acc :+ r)
+                    case _            => Right(acc :+ r)
+                  }
+                }
+              for {
+                rs <- rows(Vector.empty)
+                _ <- p.eatSym(")")
+                alias <- p.peek match {
+                  case TIdent(a, _) if !reserved(a) => p.next(); Right(a)
+                  case t => Left(ParseError(
+                    "a VALUES derived table requires an alias with a column list: (VALUES …) t(c1, c2)", t.pos))
+                }
+                names <- p.eatSym("(").flatMap { _ =>
+                  def loop(acc: Vector[String]): Either[ParseError, Vector[String]] =
+                    p.ident().flatMap { n =>
+                      p.peek match {
+                        case TSym(",", _) => p.next(); loop(acc :+ n)
+                        case _            => p.eatSym(")").map(_ => acc :+ n)
+                      }
+                    }
+                  loop(Vector.empty)
+                }
+                _ <-
+                  if (rs.forall(_.length == names.length)) Right(())
+                  else Left(ParseError(
+                    s"VALUES rows must all have ${names.length} values (the column list's arity)",
+                    p.peek.pos))
+              } yield {
+                def rowTree(r: Vector[Operand]): SelectTree =
+                  SelectTree(
+                    columns = Some(names.zip(r).map { case (n, o) =>
+                      SelectItem.SExpr(o, n): SelectItem }),
+                    from = Nil, where = None)
+                val tree: ParseTree =
+                  if (rs.length == 1) rowTree(rs.head)
+                  else UnionTree(rowTree(rs.head),
+                    rs.tail.map(r => ("union_all", rowTree(r))))
+                FDerived(tree, alias): FromItem
               }
-            } yield FDerived(sel, alias)
+            } else
+              for {
+                sel <- parseSelectOrUnion(p)
+                _ <- p.eatSym(")")
+                alias <- p.peek match {
+                  case TIdent(a, _) if !reserved(a) => p.next(); Right(a)
+                  case t => Left(ParseError("a derived table requires an alias", t.pos))
+                }
+              } yield FDerived(sel, alias)
           case _ => tableOnly().map(FTable)
         }
         def outerKind(): Option[String] = p.peek match {
@@ -1828,6 +1902,8 @@ object Parser {
         case "substring" => "substr"
         case "ceiling"   => "ceil"
         case "pow"       => "power"
+        case "strpos"    => "instr"   // position-of-substring synonyms
+        case "ifnull"    => "coalesce" // two-arg coalesce synonym
         case other       => other
       }
       p.next()

@@ -1882,6 +1882,32 @@ class DialectSpec extends AnyFunSuite {
     assert(r2.collect().toSeq == Seq(Row(104, "Biff", null)))
   }
 
+  test("VALUES derived tables and UNION BY NAME") {
+    val db = demoDb()
+    // expression rows; the alias column list names the outputs
+    val v = db.select("SELECT a + b AS s, tag FROM " +
+      "(VALUES (1, 2, 'x'), (10, 20, 'y')) t(a, b, tag) ORDER BY s").toOption.get
+    assert(v.collect().toSeq == Seq(Row(3L, "x"), Row(30L, "y")))
+    // joinable like any derived table
+    val j = db.select("SELECT p.name, f.flag FROM people p, " +
+      "(VALUES (1, 'yes'), (3, 'no')) f(pid, flag) WHERE p.id = f.pid " +
+      "ORDER BY p.id").toOption.get
+    assert(j.collect().toSeq == Seq(Row("Elon", "yes"), Row("Marty McFly", "no")))
+    // ragged rows and a missing column list reject
+    assert(db.query("SELECT * FROM (VALUES (1, 2), (3)) t(a, b)").isLeft)
+    assert(db.query("SELECT * FROM (VALUES (1, 2)) t").isLeft)
+    // UNION BY NAME aligns columns by name, any order; dedup like UNION
+    val u = db.select("SELECT id, name FROM people WHERE id = 1 " +
+      "UNION BY NAME SELECT name, id FROM people WHERE id <= 2 " +
+      "ORDER BY id").toOption.get
+    assert(u.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // name mismatch and non-UNION BY NAME reject
+    assert(db.query("SELECT id, name FROM people UNION BY NAME " +
+      "SELECT name FROM people").isLeft)
+    assert(db.query("SELECT id FROM people EXCEPT BY NAME " +
+      "SELECT id FROM people").isLeft)
+  }
+
   test("row-value IN (SELECT ...): semi join on all components; strict rejections") {
     val db = demoDb()
     // group-wise max: the owner with each car count... use (owner_id, id)
