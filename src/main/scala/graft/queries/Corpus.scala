@@ -100,7 +100,30 @@ object Corpus {
              |    cast(coalesce(sum(len(string_split(text, ' '))) OVER (
              |      PARTITION BY lang ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS cum_before
-             |  FROM documents) x ORDER BY doc_id""".stripMargin))
+             |  FROM documents) x ORDER BY doc_id""".stripMargin)),
+
+    // Greedy no-split packing: per-shard sequential bin fill, streamed
+    // as a per-partition fold. The oracle replays the identical fold as
+    // a per-shard recursive CTE.
+    "q_pack_greedy" -> QueryDef(
+      (s, d) => packGreedy(t(s, d, "documents"), 256, "lang")
+        .withColumnRenamed("shard", "lang")
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT lang, doc_id, cast(len(string_split(text, ' ')) AS int) AS tok_len,
+             |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |pack AS (
+             |  SELECT lang, doc_id, tok_len, rn,
+             |    cast(0 AS bigint) AS bin, cast(tok_len AS bigint) AS fill
+             |  FROM base WHERE rn = 1
+             |  UNION ALL
+             |  SELECT b.lang, b.doc_id, b.tok_len, b.rn,
+             |    CASE WHEN p.fill + b.tok_len <= 256 THEN p.bin ELSE p.bin + 1 END,
+             |    CASE WHEN p.fill + b.tok_len <= 256 THEN p.fill + b.tok_len
+             |         ELSE cast(b.tok_len AS bigint) END
+             |  FROM pack p JOIN base b ON b.lang = p.lang AND b.rn = p.rn + 1)
+             |SELECT doc_id, lang, tok_len, bin FROM pack ORDER BY doc_id""".stripMargin))
   )
 
   /** Deterministic train/val/test split on a stable content-free key:
@@ -119,6 +142,44 @@ object Corpus {
           .when(col("__h") < "f", "val")
           .otherwise("test"))
       .drop("__h")
+
+  /** Greedy no-split sequence packing: documents fill a `window`-token
+    * context in doc_id order within a shard; a document that would
+    * overflow the current context starts the next one (an over-long
+    * document gets a context alone). This is the fold every packing
+    * pipeline runs before writing training shards; it is inherently
+    * sequential PER SHARD (each bin depends on every predecessor), so
+    * the scale shape is: repartition by shard (each shard lands whole
+    * in one partition), sort within partitions, and STREAM the fold
+    * with mapPartitions — state is two longs per in-flight shard, rows
+    * never collect. Shards (language here, bounded hash buckets in
+    * production) cap the sequential chain; across shards everything
+    * is parallel. The DuckDB oracle re-derives the same fold as a
+    * per-shard recursive CTE — two independent formulations that must
+    * agree row-for-row.
+    */
+  def packGreedy(docs: DataFrame, window: Int, shardCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prepared = docs
+      .withColumn("tok_len", size(split(col("text"), " ")))
+      .select(col(shardCol).cast("string").as("shard"),
+        col("doc_id").cast("long"), col("tok_len").cast("int"))
+      .as[(String, Long, Int)]
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+    prepared.mapPartitions { it =>
+      var shard: String = null
+      var fill = 0L
+      var bin = 0L
+      it.map { case (s, id, len) =>
+        if (s != shard) { shard = s; bin = 0L; fill = len.toLong }
+        else if (fill + len <= window) fill += len
+        else { bin += 1L; fill = len.toLong }
+        (id, s, len, bin)
+      }
+    }.toDF("doc_id", "shard", "tok_len", "bin")
+  }
 
   /** Sequence packing, concat-and-chunk style: documents concatenate in
     * doc_id order within a shard and the token stream chunks into fixed

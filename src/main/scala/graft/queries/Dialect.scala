@@ -2290,6 +2290,25 @@ object Dialect {
              |ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.mt
              |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin)),
 
+    // Row-value NOT IN — the complement of q_dialect_row_in (orders NOT
+    // at their customer's maximum price), exercising the null-aware
+    // masked-anti-join decomposition (here with non-null components, so
+    // the exact-match anti join carries all the work; the NULL paths are
+    // spec-pinned in DialectSpec). DuckDB oracles via NOT EXISTS.
+    "q_dialect_row_not_in" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price " +
+          "FROM orders WHERE (o_custkey, o_totalprice) NOT IN " +
+          "(SELECT o_custkey, max(o_totalprice) AS mt FROM orders GROUP BY o_custkey) " +
+          "AND o_orderkey <= 2000 ORDER BY o_custkey, o_orderkey"),
+      Some("""SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price
+             |FROM orders o WHERE NOT EXISTS (
+             |  SELECT 1 FROM (SELECT o_custkey, max(o_totalprice) AS mt
+             |    FROM orders GROUP BY o_custkey) m
+             |  WHERE m.o_custkey = o.o_custkey AND m.mt = o.o_totalprice)
+             |AND o.o_orderkey <= 2000
+             |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin)),
+
     // An inline VALUES derived table as a join-side lookup (the
     // enum-decode shape). Desugars to FROM-less SELECTs UNION ALL'd;
     // Catalyst folds it to a LocalRelation and broadcasts the join.
@@ -2335,6 +2354,10 @@ object Dialect {
           "ifnull(NULL, o_orderkey) AS ifn, " +
           "date_part('year', o_orderdate) AS oy, " +
           "date_part('month', o_orderdate) AS om, " +
+          "extract(week FROM o_orderdate) AS ow, " +
+          "extract(dow FROM o_orderdate) AS odw, " +
+          "extract(doy FROM o_orderdate) AS ody, " +
+          "date_part('epoch', o_orderdate) AS oep, " +
           "make_date(2024, 2, 29) AS md " +
           "FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey"),
       Some("""SELECT o_orderkey,
@@ -2345,6 +2368,10 @@ object Dialect {
              |  ifnull(NULL, o_orderkey) AS ifn,
              |  cast(date_part('year', o_orderdate) AS int) AS oy,
              |  cast(date_part('month', o_orderdate) AS int) AS om,
+             |  cast(extract(week FROM o_orderdate) AS int) AS ow,
+             |  cast(extract(dow FROM o_orderdate) AS int) AS odw,
+             |  cast(extract(doy FROM o_orderdate) AS int) AS ody,
+             |  date_part('epoch', o_orderdate) AS oep,
              |  make_date(2024, 2, 29) AS md
              |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin))
   )

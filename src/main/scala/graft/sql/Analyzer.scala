@@ -166,7 +166,7 @@ object Analyzer {
       case BoundExpr.BLike(o, _, _, _, _) => Seq(o)
       case BoundExpr.BCmp(_, l, r)  => Seq(l, r)
       case BoundExpr.BInSub(o, _, _, _)     => Seq(o)
-      case BoundExpr.BRowInSub(os, _, _)    => os
+      case BoundExpr.BRowInSub(os, _, _, _)    => os
       case BoundExpr.BExists(_, _, _, _)    => Nil
       case BoundExpr.BCmpSub(_, o, _, _, _) => Seq(o)
       case BoundExpr.BQuantSub(_, o, _, _, _) => Seq(o)
@@ -230,7 +230,7 @@ object Analyzer {
       * filtering false.
       */
     final case class BRowInSub(os: Seq[BoundOperand], sub: BoundSelect,
-        pairs: Seq[(BoundCol, BoundCol)]) extends BoundExpr
+        pairs: Seq[(BoundCol, BoundCol)], negated: Boolean) extends BoundExpr
 
     /** Does the bound expression contain a subquery? Operand positions
       * (CASE conditions) are traversed too.
@@ -319,7 +319,7 @@ object Analyzer {
     case BoundExpr.BLike(o, _, _, _, _) => operandCols(o)
     case BoundExpr.BCmp(_, l, r)    => operandCols(l) ++ operandCols(r)
     case BoundExpr.BInSub(o, _, ps, _) => operandCols(o) ++ ps.map(_._1)
-    case BoundExpr.BRowInSub(os, _, ps) => os.flatMap(operandCols) ++ ps.map(_._1)
+    case BoundExpr.BRowInSub(os, _, ps, _) => os.flatMap(operandCols) ++ ps.map(_._1)
     case BoundExpr.BExists(s, ps, _, res) =>
       ps.map(_._1) ++ residualOuterCols(s, res)
     case BoundExpr.BCmpSub(_, o, _, _, ps) => operandCols(o) ++ ps.map(_._1)
@@ -355,7 +355,7 @@ object Analyzer {
     case BoundExpr.BIsNull(o, _)        => opHasResidualExists(o)
     case BoundExpr.BLike(o, _, _, _, _) => opHasResidualExists(o)
     case BoundExpr.BInSub(o, _, _, _)   => opHasResidualExists(o)
-    case BoundExpr.BRowInSub(os, _, _)  => os.exists(opHasResidualExists)
+    case BoundExpr.BRowInSub(os, _, _, _)  => os.exists(opHasResidualExists)
     case BoundExpr.BCmpSub(_, o, _, _, _)   => opHasResidualExists(o)
     case BoundExpr.BQuantSub(_, o, _, _, _) => opHasResidualExists(o)
   }
@@ -804,9 +804,13 @@ object Analyzer {
            "left" | "right" | "translate" =>
         SqlType.SqlVarChar(65535)
       case "length" | "year" | "month" | "day" | "instr" | "datediff" |
-           "sign" | "quarter" | "hour" | "minute" | "second" |
-           "date_part" =>
+           "sign" | "quarter" | "hour" | "minute" | "second" =>
         SqlType.SqlInt
+      case "date_part" => args.head match {
+        case BoundOperand.BLit(Lit.LitString(u))
+            if u.equalsIgnoreCase("epoch") => SqlType.SqlDouble
+        case _ => SqlType.SqlInt
+      }
       case "abs"      => operandType(args.head)
       case "round"    => SqlType.SqlDouble
       case "coalesce" => operandType(args.head)
@@ -914,7 +918,7 @@ object Analyzer {
     case BoundExpr.BOr(l, r)  => exprSubsOf(l) ++ exprSubsOf(r)
     case BoundExpr.BNot(y)    => exprSubsOf(y)
     case BoundExpr.BInSub(o, sub, _, _)     => opSubsOf(o) :+ sub
-    case BoundExpr.BRowInSub(os, sub, _)    => os.flatMap(opSubsOf) :+ sub
+    case BoundExpr.BRowInSub(os, sub, _, _)    => os.flatMap(opSubsOf) :+ sub
     case BoundExpr.BExists(sub, _, _, _)    => Seq(sub)
     case BoundExpr.BCmpSub(_, o, sub, _, _) => opSubsOf(o) :+ sub
     case BoundExpr.BQuantSub(_, o, sub, _, _) => opSubsOf(o) :+ sub
@@ -1802,11 +1806,12 @@ object Analyzer {
           Left(BadFunction("round scale must be an integer literal"))
         else if (f == "date_part" && !(args.head match {
           case Operand.Literal(Lit.LitString(u)) => Set("year", "quarter",
-            "month", "day", "hour", "minute", "second")(u.toLowerCase)
+            "month", "day", "hour", "minute", "second", "week", "dow",
+            "doy", "dayofweek", "dayofyear", "epoch")(u.toLowerCase)
           case _ => false
         }))
           Left(BadFunction(
-            "date_part unit must be a string literal (year/quarter/month/day/hour/minute/second)"))
+            "date_part unit must be a string literal (year/quarter/month/week/day/dow/doy/hour/minute/second/epoch)"))
         else if (f == "translate" && !((args(1), args(2)) match {
           case (Operand.Literal(Lit.LitString(_)),
                 Operand.Literal(Lit.LitString(_))) => true
@@ -1934,9 +1939,6 @@ object Analyzer {
         if (!topLevel)
           Left(BadSubquery(
             "row-value IN (SELECT …) may not appear under NOT or inside CASE"))
-        else if (neg)
-          Left(BadSubquery(
-            "row-value NOT IN is not supported — use NOT EXISTS with per-component predicates"))
         else if (allowAgg)
           Left(BadSubquery("row-value IN is not supported in HAVING"))
         else
@@ -1952,7 +1954,14 @@ object Analyzer {
                 s"row-value IN subquery must project ${os.length} columns, " +
                   s"got ${bsub0.projection.length}"))
             dp <- decorrelate(bsub0, exprKeys = havingGkExprKeys)
-          } yield BoundExpr.BRowInSub(bos, dp._1, dp._2)
+            _ <-
+              if (!neg) Right(())
+              else if (dp._2.nonEmpty) Left(BadSubquery(
+                "correlated row-value NOT IN is not supported — use NOT EXISTS with per-component predicates"))
+              else if (os.length > 3) Left(BadSubquery(
+                "row-value NOT IN supports at most 3 components (the null-aware decomposition grows 2^k)"))
+              else Right(())
+          } yield BoundExpr.BRowInSub(bos, dp._1, dp._2, neg)
       case Expr.InSubquery(o, sub, neg) =>
         if (!topLevel)
           Left(BadSubquery("IN (SELECT …) may not appear under NOT or inside CASE"))

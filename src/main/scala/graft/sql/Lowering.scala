@@ -969,7 +969,54 @@ object Lowering {
             else lowerOperand(o) === subDf("__in_v")
           df.join(subDf, (valCond +: pairConds).reduce(_ && _), joinType)
         }
-      case (df, (BoundExpr.BRowInSub(os, sub, pairs), _)) =>
+      case (df, (BoundExpr.BRowInSub(os, sub, pairs, true), _)) =>
+        // Null-aware row-value NOT IN, exact SQL 3VL: a row is KEPT iff
+        // NO subquery row is "compatible" with the probe (compatible =
+        // every component equal or null on either side — the rows whose
+        // comparison is TRUE or UNKNOWN). Decomposition that never needs
+        // a nested-loop join: for every PROPER subset U of components,
+        // one HASH anti join keyed on the components outside U, with the
+        // U components' either-side-null test riding as the join's
+        // residual condition; the U = all-components case has no equi
+        // key left and reduces to per-null-mask emptiness FACTS — one
+        // bounded broadcast aggregate. 2^k - 1 key-bounded anti joins +
+        // one facts row; the analyzer caps k at 3 (and correlation is
+        // rejected), so the fan-out is at most 7 joins.
+        {
+          val k = os.length
+          val subDf0 = lowerSelect(spark, sub, source)
+          val subDf = subDf0.toDF(subDf0.columns.indices.map(i => s"__rv$i"): _*)
+          val probes = os.map(lowerOperand)
+          val all = (1 << k) - 1
+          // facts: for mask m, does S contain a row NULL on every
+          // component in m? (m = 0 reads "is S non-empty")
+          val factsAggs = (0 to all).map { m =>
+            val cond = (0 until k).filter(i => (m & (1 << i)) != 0)
+              .map(i => col(s"__rv$i").isNull)
+              .foldLeft(lit(true))(_ && _)
+            coalesce(max(when(cond, 1).otherwise(0)), lit(0)).as(s"__nf$m")
+          }
+          val facts = subDf.agg(factsAggs.head, factsAggs.tail: _*)
+          var cur = df.join(broadcast(facts), lit(true), "inner")
+          for (u <- 0 until all) {
+            val conds = (0 until k).map { i =>
+              if ((u & (1 << i)) != 0)
+                probes(i).isNull || subDf(s"__rv$i").isNull
+              else probes(i) === subDf(s"__rv$i")
+            }
+            cur = cur.join(subDf, conds.reduce(_ && _), "left_anti")
+          }
+          // U = all components: a probe with null-mask m is killed iff S
+          // has a row null on every component the probe has NON-null
+          val fullKill = (0 to all).map { m =>
+            val probeMask = (0 until k).map { i =>
+              if ((m & (1 << i)) != 0) probes(i).isNull else probes(i).isNotNull
+            }.reduce(_ && _)
+            probeMask && col(s"__nf${all & ~m}") === 1
+          }.reduce(_ || _)
+          cur.filter(!fullKill).drop((0 to all).map(m => s"__nf$m"): _*)
+        }
+      case (df, (BoundExpr.BRowInSub(os, sub, pairs, false), _)) =>
         // row-value membership: ONE left-semi join on every component
         // equality (+ the decorrelated pairs). NULL components never
         // match — SQL's UNKNOWN filtering false in a positive conjunct.
@@ -1550,7 +1597,7 @@ object Lowering {
       if (neg) !c else c
     case BoundExpr.BInSub(_, _, _, _) | BoundExpr.BExists(_, _, _, _) |
         BoundExpr.BCmpSub(_, _, _, _, _) | BoundExpr.BQuantSub(_, _, _, _, _) |
-        BoundExpr.BRowInSub(_, _, _) =>
+        BoundExpr.BRowInSub(_, _, _, _) =>
       sys.error("subquery conjuncts lower as joins, not Column expressions")
     case BoundExpr.BCmp(op, l, r) =>
       cmpCols(op, opLower(l), opLower(r))
@@ -1704,12 +1751,22 @@ object Lowering {
     case ("translate", Seq(a, BoundOperand.BLit(Lit.LitString(from)),
         BoundOperand.BLit(Lit.LitString(to)))) => translate(rec(a), from, to)
     case ("date_part", Seq(BoundOperand.BLit(Lit.LitString(u)), b)) =>
-      (u.toLowerCase match {
-        case "year" => year(rec(b));   case "quarter" => quarter(rec(b))
-        case "month" => month(rec(b)); case "day" => dayofmonth(rec(b))
-        case "hour" => hour(rec(b));   case "minute" => minute(rec(b))
-        case _ => second(rec(b))
-      }).cast("int")
+      u.toLowerCase match {
+        case "year" => year(rec(b)).cast("int")
+        case "quarter" => quarter(rec(b)).cast("int")
+        case "month" => month(rec(b)).cast("int")
+        case "day" => dayofmonth(rec(b)).cast("int")
+        case "hour" => hour(rec(b)).cast("int")
+        case "minute" => minute(rec(b)).cast("int")
+        case "week" => weekofyear(rec(b)).cast("int") // ISO week, both engines
+        // DuckDB dow: Sunday=0; Spark dayofweek: Sunday=1
+        case "dow" | "dayofweek" => (dayofweek(rec(b)) - 1).cast("int")
+        case "doy" | "dayofyear" => dayofyear(rec(b)).cast("int")
+        // seconds since epoch with fraction (DuckDB epoch is DOUBLE);
+        // cast(timestamp as double) IS fractional epoch seconds in Spark
+        case "epoch" => rec(b).cast("timestamp").cast("double")
+        case _ => second(rec(b)).cast("int")
+      }
     case ("make_date", Seq(y, m, d)) => make_date(rec(y), rec(m), rec(d))
     // trim-characters forms (the analyzer pins the chars to a string
     // literal — Spark compiles it into the expression)
@@ -1865,7 +1922,7 @@ object Lowering {
       case BoundExpr.BLike(o, _, _, _, _) => opCols(o)
       case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
       case BoundExpr.BInSub(_, _, _, _)  => hasSub = true; Nil
-      case BoundExpr.BRowInSub(_, _, _)  => hasSub = true; Nil
+      case BoundExpr.BRowInSub(_, _, _, _)  => hasSub = true; Nil
       case BoundExpr.BExists(_, _, _, _) => hasSub = true; Nil
       case BoundExpr.BCmpSub(_, _, _, _, _) => hasSub = true; Nil
       case BoundExpr.BQuantSub(_, _, _, _, _) => hasSub = true; Nil

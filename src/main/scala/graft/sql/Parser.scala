@@ -829,17 +829,22 @@ object Parser {
                 alias <- p.peek match {
                   case TIdent(a, _) if !reserved(a) => p.next(); Right(a)
                   case t => Left(ParseError(
-                    "a VALUES derived table requires an alias with a column list: (VALUES …) t(c1, c2)", t.pos))
+                    "a VALUES derived table requires an alias: (VALUES …) t[(c1, c2)]", t.pos))
                 }
-                names <- p.eatSym("(").flatMap { _ =>
-                  def loop(acc: Vector[String]): Either[ParseError, Vector[String]] =
-                    p.ident().flatMap { n =>
-                      p.peek match {
-                        case TSym(",", _) => p.next(); loop(acc :+ n)
-                        case _            => p.eatSym(")").map(_ => acc :+ n)
+                // optional column list; absent → DuckDB's col0, col1, …
+                names <- p.peek match {
+                  case TSym("(", _) =>
+                    p.next()
+                    def loop(acc: Vector[String]): Either[ParseError, Vector[String]] =
+                      p.ident().flatMap { n =>
+                        p.peek match {
+                          case TSym(",", _) => p.next(); loop(acc :+ n)
+                          case _            => p.eatSym(")").map(_ => acc :+ n)
+                        }
                       }
-                    }
-                  loop(Vector.empty)
+                    loop(Vector.empty)
+                  case _ =>
+                    Right(rs.head.indices.map(i => s"col$i").toVector)
                 }
                 _ <-
                   if (rs.forall(_.length == names.length)) Right(())
@@ -1794,14 +1799,16 @@ object Parser {
           case TIdent(u, pos) =>
             val un = u.toLowerCase
             if (Set("year", "quarter", "month", "day",
-                "hour", "minute", "second")(un)) { p.next(); Right(un) }
+                "hour", "minute", "second", "week", "dow", "doy",
+                "dayofweek", "dayofyear", "epoch")(un)) { p.next(); Right(un) }
             else Left(ParseError(s"unknown EXTRACT unit '$u'", pos))
           case t => Left(ParseError("expected EXTRACT unit", t.pos))
         }
         _ <- p.eatKw("from")
         x <- parseOperand(p, allowAgg)
         _ <- p.eatSym(")")
-      } yield Operand.FuncCall(unit, Seq(x))
+      } yield Operand.FuncCall("date_part",
+        Seq(Operand.Literal(Lit.LitString(unit)), x))
     // POSITION(needle IN hay) — standard sugar for instr(hay, needle)
     case TIdent(f, _) if f.equalsIgnoreCase("position") && {
         val save = p.i; p.next()

@@ -1893,9 +1893,11 @@ class DialectSpec extends AnyFunSuite {
       "(VALUES (1, 'yes'), (3, 'no')) f(pid, flag) WHERE p.id = f.pid " +
       "ORDER BY p.id").toOption.get
     assert(j.collect().toSeq == Seq(Row("Elon", "yes"), Row("Marty McFly", "no")))
-    // ragged rows and a missing column list reject
+    // ragged rows reject; a missing column list defaults to DuckDB's
+    // col0, col1, … names
     assert(db.query("SELECT * FROM (VALUES (1, 2), (3)) t(a, b)").isLeft)
-    assert(db.query("SELECT * FROM (VALUES (1, 2)) t").isLeft)
+    val dn = db.select("SELECT col0, col1 FROM (VALUES (7, 'z')) t").toOption.get
+    assert(dn.collect().toSeq == Seq(Row(7L, "z")))
     // UNION BY NAME aligns columns by name, any order; dedup like UNION
     val u = db.select("SELECT id, name FROM people WHERE id = 1 " +
       "UNION BY NAME SELECT name, id FROM people WHERE id <= 2 " +
@@ -1920,17 +1922,49 @@ class DialectSpec extends AnyFunSuite {
       "ORDER BY name").toOption.get
     assert(c.collect().map(_.getString(0)).toSeq.sorted ==
       Seq("Dr. Emmett L. „Doc“ Brown", "Elon"))
-    // arity mismatch, NOT IN, under NOT/OR, in HAVING: all rejected
+    // arity mismatch, under NOT/OR, in HAVING: all rejected
     assert(db.query("SELECT id FROM cars WHERE (owner_id, id) IN " +
       "(SELECT owner_id FROM cars)").isLeft)
-    assert(db.query("SELECT id FROM cars WHERE (owner_id, id) NOT IN " +
-      "(SELECT owner_id, id FROM cars)").isLeft)
     assert(db.query("SELECT id FROM cars WHERE NOT ((owner_id, id) IN " +
       "(SELECT owner_id, id FROM cars))").isLeft)
     assert(db.query("SELECT id FROM cars WHERE (owner_id, id) IN " +
       "(SELECT owner_id, id FROM cars) OR id = 1").isLeft)
     assert(db.query("SELECT owner_id FROM cars GROUP BY owner_id " +
       "HAVING (owner_id, count(*)) IN (SELECT owner_id, id FROM cars)").isLeft)
+  }
+
+  test("row-value NOT IN: exact SQL 3VL over NULL components") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Left(e) => fail(s"$sql -> ${e.msg}")
+      case Right(_) => ()
+    }
+    run("CREATE TABLE t (k INT, v INT)")
+    run("INSERT INTO t VALUES (1, 10), (2, 20), (3, 30), (NULL, 10), (5, NULL), (NULL, NULL)")
+    run("CREATE TABLE s (a INT, b INT)")
+    run("INSERT INTO s VALUES (1, 10), (2, 99)")
+    run("CREATE TABLE sn (a INT, b INT)")
+    run("INSERT INTO sn VALUES (1, 10), (2, NULL)")
+    run("CREATE TABLE se (a INT, b INT)")
+    def q(sub: String): Set[(Option[Int], Option[Int])] =
+      db.select(s"SELECT k, v FROM t WHERE (k, v) NOT IN (SELECT a, b FROM $sub)")
+        .toOption.get.collect().map(r =>
+          (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+           if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSet
+    // no NULLs in the set: exact anti join; NULL probes are UNKNOWN
+    assert(q("s") == Set((Some(2), Some(20)), (Some(3), Some(30)), (Some(5), None)))
+    // a NULL in one set component poisons probes matching the other
+    // component: (2,20) vs (2,NULL) is UNKNOWN -> filtered
+    assert(q("sn") == Set((Some(3), Some(30)), (Some(5), None)))
+    // empty set: NOT IN is TRUE for every probe, NULLs included
+    assert(q("se") == Set((Some(1), Some(10)), (Some(2), Some(20)),
+      (Some(3), Some(30)), (None, Some(10)), (Some(5), None), (None, None)))
+    // correlated NOT IN and arity > 3 reject toward NOT EXISTS
+    assert(db.query("SELECT k FROM t t1 WHERE (k, v) NOT IN " +
+      "(SELECT a, b FROM s WHERE s.a = t1.k)").isLeft)
+    run("CREATE TABLE w4 (a INT, b INT, c INT, d INT)")
+    assert(db.query("SELECT a FROM w4 WHERE (a, b, c, d) NOT IN " +
+      "(SELECT a, b, c, d FROM w4)").isLeft)
   }
 
   test("standard syntax sugar: :: casts, EXTRACT, SUBSTRING FROM, TRIM, POSITION") {
@@ -1948,9 +1982,13 @@ class DialectSpec extends AnyFunSuite {
     val s = db.select("SELECT substring(name FROM 7 FOR 2) AS m, " +
       "position('Fly' IN name) AS p FROM people WHERE id = 3").toOption.get
     assert(s.collect().toSeq == Seq(Row("Mc", 9)))
+    // epoch extracts as fractional seconds (DOUBLE)
+    val ep = db.select("SELECT extract(epoch FROM TIMESTAMP '1970-01-02 00:00:00') AS e " +
+      "FROM people WHERE id = 1").toOption.get
+    assert(ep.collect().toSeq == Seq(Row(86400.0)))
     // rejections: unknown EXTRACT unit; TRIM mode without FROM;
     // non-literal trim chars; '::' needs a valid type
-    assert(db.query("SELECT extract(epoch FROM age) AS e FROM people").isLeft)
+    assert(db.query("SELECT extract(century FROM age) AS e FROM people").isLeft)
     assert(db.query("SELECT trim(LEADING name) AS x FROM people").isLeft)
     assert(db.query("SELECT trim(name, name) AS x FROM people").isLeft)
     assert(db.query("SELECT id::nosuchtype AS x FROM people").isLeft)
