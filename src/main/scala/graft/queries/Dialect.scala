@@ -2290,6 +2290,27 @@ object Dialect {
              |ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.mt
              |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin)),
 
+    // Two-argument statistical aggregates + the standard ordered-set
+    // percentile_cont WITHIN GROUP (DESC folds to 1-p at parse). Both
+    // engines run one-pass covariance updates, so the oracle rounds
+    // above ulp accumulation noise.
+    "q_dialect_stats_agg2" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT l_returnflag, " +
+          "round(corr(l_extendedprice, l_quantity), 5) AS c, " +
+          "round(covar_pop(l_extendedprice, l_quantity), 2) AS cp, " +
+          "round(covar_samp(l_extendedprice, l_quantity), 2) AS cs, " +
+          "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50, " +
+          "round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity DESC), 4) AS p25d " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(corr(l_extendedprice, l_quantity), 5) AS c,
+             |  round(covar_pop(l_extendedprice, l_quantity), 2) AS cp,
+             |  round(covar_samp(l_extendedprice, l_quantity), 2) AS cs,
+             |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50,
+             |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity DESC), 4) AS p25d
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Row-value NOT IN — the complement of q_dialect_row_in (orders NOT
     // at their customer's maximum price), exercising the null-aware
     // masked-anti-join decomposition (here with non-null components, so

@@ -827,6 +827,8 @@ object Analyzer {
     case BoundOperand.BOut(_, t)  => t
     case BoundOperand.BOrderedAgg("string_agg", _, _, _) => SqlType.SqlVarChar(65535)
     case BoundOperand.BOrderedAgg("count_distinct", _, _, _) => SqlType.SqlBigInt
+    case BoundOperand.BOrderedAgg("corr" | "covar_pop" | "covar_samp" |
+        "percentile_cont", _, _, _) => SqlType.SqlDouble
     case BoundOperand.BOrderedAgg(_, arg, _, _) => operandType(arg) // arg_min/max
   }
 
@@ -1956,8 +1958,6 @@ object Analyzer {
             dp <- decorrelate(bsub0, exprKeys = havingGkExprKeys)
             _ <-
               if (!neg) Right(())
-              else if (dp._2.nonEmpty) Left(BadSubquery(
-                "correlated row-value NOT IN is not supported — use NOT EXISTS with per-component predicates"))
               else if (os.length > 3) Left(BadSubquery(
                 "row-value NOT IN supports at most 3 components (the null-aware decomposition grows 2^k)"))
               else Right(())

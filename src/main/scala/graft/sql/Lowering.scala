@@ -452,6 +452,19 @@ object Lowering {
         case BoundOperand.BOrderedAgg("count_distinct", arg, _, ord) =>
           count_distinct(lowerOperandWith(arg, qcol),
             ord.map { case (k, _) => lowerOperandWith(k, qcol) }: _*)
+        // two-argument statistical aggregates (value + key on the
+        // OrderedAgg carrier); one pass of Spark's native agg state
+        case BoundOperand.BOrderedAgg("corr", arg, _, Seq((k, _))) =>
+          corr(lowerOperandWith(arg, qcol), lowerOperandWith(k, qcol))
+        case BoundOperand.BOrderedAgg("covar_pop", arg, _, Seq((k, _))) =>
+          covar_pop(lowerOperandWith(arg, qcol), lowerOperandWith(k, qcol))
+        case BoundOperand.BOrderedAgg("covar_samp", arg, _, Seq((k, _))) =>
+          covar_samp(lowerOperandWith(arg, qcol), lowerOperandWith(k, qcol))
+        // exact interpolated percentile (Spark's percentile == the
+        // standard's percentile_cont; DESC was folded to 1-p at parse)
+        case BoundOperand.BOrderedAgg("percentile_cont", arg, pstr, Seq()) =>
+          call_function("percentile",
+            lowerOperandWith(arg, qcol), lit(pstr.toDouble))
         case BoundOperand.BOrderedAgg(_, arg, sep, ord) =>
           orderedAggCol(arg, sep, ord)
         case other => sys.error(s"unreachable hidden aggregate $other")
@@ -975,44 +988,75 @@ object Lowering {
         // every component equal or null on either side — the rows whose
         // comparison is TRUE or UNKNOWN). Decomposition that never needs
         // a nested-loop join: for every PROPER subset U of components,
-        // one HASH anti join keyed on the components outside U, with the
-        // U components' either-side-null test riding as the join's
-        // residual condition; the U = all-components case has no equi
-        // key left and reduces to per-null-mask emptiness FACTS — one
-        // bounded broadcast aggregate. 2^k - 1 key-bounded anti joins +
-        // one facts row; the analyzer caps k at 3 (and correlation is
-        // rejected), so the fan-out is at most 7 joins.
+        // one HASH anti join keyed on the components outside U (plus the
+        // decorrelated pair equalities), with the U components'
+        // either-side-null test riding as the join's residual condition;
+        // the U = all-components case has no component key left and
+        // reduces to per-null-mask emptiness FACTS — one bounded
+        // aggregate, broadcast when uncorrelated, left-joined per pair
+        // key when correlated (an absent key = empty per-key set = kept).
+        // 2^k - 1 key-bounded anti joins + one facts frame; the analyzer
+        // caps k at 3, so the fan-out is at most 7 joins.
         {
           val k = os.length
-          val subDf0 = lowerSelect(spark, sub, source)
-          val subDf = subDf0.toDF(subDf0.columns.indices.map(i => s"__rv$i"): _*)
+          val subDf =
+            if (pairs.isEmpty) {
+              val subDf0 = lowerSelect(spark, sub, source)
+              subDf0.toDF(subDf0.columns.indices.map(i => s"__rv$i"): _*)
+            } else {
+              val core = combine(spark, sub, source, Set.empty, None)
+              val vals = sub.projection.map {
+                case BoundItem.BICol(c, _)    => qcolOf(c)
+                case BoundItem.BIExpr(op2, _) => lowerOperandWith(op2, qcolOf)
+                case _: BoundItem.BIAgg | _: BoundItem.BIWin | _: BoundItem.BISub =>
+                  sys.error("unreachable: a correlated subquery must not aggregate or window")
+              }
+              core.select(
+                vals.zipWithIndex.map { case (v, i) => v.as(s"__rv$i") } ++
+                pairs.zipWithIndex.map { case ((_, ic), j) => qcolOf(ic).as(s"__c$j") }: _*)
+            }
           val probes = os.map(lowerOperand)
           val all = (1 << k) - 1
           // facts: for mask m, does S contain a row NULL on every
-          // component in m? (m = 0 reads "is S non-empty")
+          // component in m? (m = 0 reads "is the [per-key] set non-empty")
           val factsAggs = (0 to all).map { m =>
             val cond = (0 until k).filter(i => (m & (1 << i)) != 0)
               .map(i => col(s"__rv$i").isNull)
               .foldLeft(lit(true))(_ && _)
             coalesce(max(when(cond, 1).otherwise(0)), lit(0)).as(s"__nf$m")
           }
-          val facts = subDf.agg(factsAggs.head, factsAggs.tail: _*)
-          var cur = df.join(broadcast(facts), lit(true), "inner")
+          var cur =
+            if (pairs.isEmpty)
+              df.join(broadcast(subDf.agg(factsAggs.head, factsAggs.tail: _*)),
+                lit(true), "inner")
+            else {
+              val facts = subDf
+                .groupBy(pairs.indices.map(j => col(s"__c$j").as(s"__nfk$j")): _*)
+                .agg(factsAggs.head, factsAggs.tail: _*)
+              df.join(facts,
+                pairs.zipWithIndex.map { case ((oc, _), j) =>
+                  qcolOf(oc) === facts(s"__nfk$j") }.reduce(_ && _),
+                "left_outer")
+                .drop(pairs.indices.map(j => s"__nfk$j"): _*)
+            }
           for (u <- 0 until all) {
             val conds = (0 until k).map { i =>
               if ((u & (1 << i)) != 0)
                 probes(i).isNull || subDf(s"__rv$i").isNull
               else probes(i) === subDf(s"__rv$i")
-            }
+            } ++ pairs.zipWithIndex.map { case ((oc, _), j) =>
+              qcolOf(oc) === subDf(s"__c$j") }
             cur = cur.join(subDf, conds.reduce(_ && _), "left_anti")
           }
-          // U = all components: a probe with null-mask m is killed iff S
-          // has a row null on every component the probe has NON-null
+          // U = all components: a probe with null-mask m is killed iff
+          // its [per-key] set has a row null on every component the
+          // probe has NON-null (flags coalesce to 0 where the left join
+          // found no key — an empty set keeps the row)
           val fullKill = (0 to all).map { m =>
             val probeMask = (0 until k).map { i =>
               if ((m & (1 << i)) != 0) probes(i).isNull else probes(i).isNotNull
             }.reduce(_ && _)
-            probeMask && col(s"__nf${all & ~m}") === 1
+            probeMask && coalesce(col(s"__nf${all & ~m}"), lit(0)) === 1
           }.reduce(_ || _)
           cur.filter(!fullKill).drop((0 to all).map(m => s"__nf$m"): _*)
         }

@@ -1624,6 +1624,49 @@ object Parser {
         k <- parseOperand(p)
         _ <- p.eatSym(")")
       } yield Operand.OrderedAgg(fn, v, "", Seq((k, false)), distinct = false)
+    // two-argument statistical aggregates: corr(y, x), covar_pop(y, x),
+    // covar_samp(y, x) — ride the OrderedAgg carrier (value + one key)
+    case TIdent(f, _) if allowAgg &&
+        Set("corr", "covar_pop", "covar_samp")(f.toLowerCase) =>
+      val fn = f.toLowerCase
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        y <- parseOperand(p)
+        _ <- p.eatSym(",")
+        x <- parseOperand(p)
+        _ <- p.eatSym(")")
+      } yield Operand.OrderedAgg(fn, y, "", Seq((x, false)), distinct = false)
+    // percentile_cont(p) WITHIN GROUP (ORDER BY x [ASC|DESC]) — the
+    // standard ordered-set aggregate; DESC flips p to 1-p
+    case TIdent(f, _) if allowAgg && f.equalsIgnoreCase("percentile_cont") =>
+      val start = p.peek.pos
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        p0 <- p.peek match {
+          case TFloat(v, _) => p.next(); Right(v)
+          case TInt(v, _)   => p.next(); Right(v.toDouble)
+          case t => Left(ParseError(
+            "percentile_cont takes a numeric literal fraction", t.pos))
+        }
+        _ <-
+          if (p0 >= 0.0 && p0 <= 1.0) Right(())
+          else Left(ParseError("percentile_cont fraction must be in [0, 1]", start))
+        _ <- p.eatSym(")")
+        _ <- p.eatKw("within")
+        _ <- p.eatKw("group")
+        _ <- p.eatSym("(")
+        _ <- p.eatKw("order")
+        _ <- p.eatKw("by")
+        x <- parseOperand(p)
+        desc <- Right {
+          if (p.isKw("desc")) { p.next(); true }
+          else { if (p.isKw("asc")) p.next(); false }
+        }
+        _ <- p.eatSym(")")
+      } yield Operand.OrderedAgg("percentile_cont", x,
+        (if (desc) 1.0 - p0 else p0).toString, Nil, distinct = false)
     // string_agg / listagg: value, string-literal separator, optional
     // intra-group ORDER BY (all keys must share one direction — the
     // lowering sorts the collected group once)

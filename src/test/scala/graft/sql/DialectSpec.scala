@@ -1959,9 +1959,18 @@ class DialectSpec extends AnyFunSuite {
     // empty set: NOT IN is TRUE for every probe, NULLs included
     assert(q("se") == Set((Some(1), Some(10)), (Some(2), Some(20)),
       (Some(3), Some(30)), (None, Some(10)), (Some(5), None), (None, None)))
-    // correlated NOT IN and arity > 3 reject toward NOT EXISTS
-    assert(db.query("SELECT k FROM t t1 WHERE (k, v) NOT IN " +
-      "(SELECT a, b FROM s WHERE s.a = t1.k)").isLeft)
+    // correlated row-value NOT IN: the masked joins gain the pair keys
+    // and the facts frame groups per key (absent key = empty set = kept)
+    run("CREATE TABLE tc (grp INT, k INT, v INT)")
+    run("INSERT INTO tc VALUES (1, 1, 10), (1, 2, 20), (2, 1, 10), " +
+      "(2, 3, 30), (1, NULL, 10), (3, 7, 70)")
+    run("CREATE TABLE sc (grp INT, a INT, b INT)")
+    run("INSERT INTO sc VALUES (1, 1, 10), (2, 3, 30), (2, 1, NULL)")
+    val corr = db.select("SELECT grp, k FROM tc WHERE (k, v) NOT IN " +
+      "(SELECT a, b FROM sc WHERE sc.grp = tc.grp) ORDER BY grp").toOption.get
+    assert(corr.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 2), (3, 7)))
+    // arity > 3 rejects toward NOT EXISTS
     run("CREATE TABLE w4 (a INT, b INT, c INT, d INT)")
     assert(db.query("SELECT a FROM w4 WHERE (a, b, c, d) NOT IN " +
       "(SELECT a, b, c, d FROM w4)").isLeft)
