@@ -102,6 +102,36 @@ object Corpus {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS cum_before
              |  FROM documents) x ORDER BY doc_id""".stripMargin)),
 
+    // The packed-bin manifest a shard writer consumes: per (shard, bin)
+    // document count, token fill, and residual slack against the
+    // window. One aggregate over the packing layout; bins whose single
+    // document overflows the window report negative slack (kept visible
+    // — that's the writer's truncate-or-reject signal).
+    "q_pack_manifest" -> QueryDef(
+      (s, d) => packGreedy(t(s, d, "documents"), 256, "lang")
+        .groupBy(col("shard").as("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum("tok_len").as("fill"),
+          (lit(256) - sum("tok_len")).as("slack"))
+        .orderBy("lang", "bin"),
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT lang, doc_id, cast(len(string_split(text, ' ')) AS int) AS tok_len,
+             |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |pack AS (
+             |  SELECT lang, doc_id, tok_len, rn,
+             |    cast(0 AS bigint) AS bin, cast(tok_len AS bigint) AS fill
+             |  FROM base WHERE rn = 1
+             |  UNION ALL
+             |  SELECT b.lang, b.doc_id, b.tok_len, b.rn,
+             |    CASE WHEN p.fill + b.tok_len <= 256 THEN p.bin ELSE p.bin + 1 END,
+             |    CASE WHEN p.fill + b.tok_len <= 256 THEN p.fill + b.tok_len
+             |         ELSE cast(b.tok_len AS bigint) END
+             |  FROM pack p JOIN base b ON b.lang = p.lang AND b.rn = p.rn + 1)
+             |SELECT lang, bin, cast(count(*) AS bigint) AS n_docs,
+             |  cast(sum(tok_len) AS bigint) AS fill,
+             |  cast(256 - sum(tok_len) AS bigint) AS slack
+             |FROM pack GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)),
+
     // Greedy no-split packing: per-shard sequential bin fill, streamed
     // as a per-partition fold. The oracle replays the identical fold as
     // a per-shard recursive CTE.

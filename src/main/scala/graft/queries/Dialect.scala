@@ -2290,6 +2290,31 @@ object Dialect {
              |ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.mt
              |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin)),
 
+    // IGNORE NULLS window variants (the DuckDB in-paren placement):
+    // last-observation-carried-forward via lag/first_value over a
+    // NULL-bearing measure — Spark's native ignoreNulls flags, one
+    // window shuffle.
+    "q_dialect_ignore_nulls" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, px, " +
+          "lag(px IGNORE NULLS) OVER (ORDER BY o_orderkey) AS prev_px, " +
+          "lead(px IGNORE NULLS) OVER (ORDER BY o_orderkey) AS next_px, " +
+          "first_value(px IGNORE NULLS) OVER (PARTITION BY seg ORDER BY o_orderkey) AS seg_first, " +
+          "last_value(px IGNORE NULLS) OVER (PARTITION BY seg ORDER BY o_orderkey) AS seg_locf " +
+          "FROM (SELECT o_orderkey, o_orderpriority AS seg, " +
+          "CASE WHEN o_orderstatus = 'O' THEN round(o_totalprice, 2) END AS px " +
+          "FROM orders WHERE o_orderkey <= 3000) t " +
+          "ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, px,
+             |  lag(px IGNORE NULLS) OVER (ORDER BY o_orderkey) AS prev_px,
+             |  lead(px IGNORE NULLS) OVER (ORDER BY o_orderkey) AS next_px,
+             |  first_value(px IGNORE NULLS) OVER (PARTITION BY seg ORDER BY o_orderkey) AS seg_first,
+             |  last_value(px IGNORE NULLS) OVER (PARTITION BY seg ORDER BY o_orderkey) AS seg_locf
+             |FROM (SELECT o_orderkey, o_orderpriority AS seg,
+             |  CASE WHEN o_orderstatus = 'O' THEN round(o_totalprice, 2) END AS px
+             |  FROM orders WHERE o_orderkey <= 3000) t
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Two-argument statistical aggregates + the standard ordered-set
     // percentile_cont WITHIN GROUP (DESC folds to 1-p at parse). Both
     // engines run one-pass covariance updates, so the oracle rounds

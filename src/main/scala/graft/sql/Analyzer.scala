@@ -2100,14 +2100,21 @@ object Analyzer {
         // CASE-condition subqueries are allowed here and re-checked
         // post-binding (rejected in aggregate scope)
         bindOp(op, allowAgg = true, allowSub = true).map(BoundItem.BIExpr(_, a))
-      case SelectItem.SWin(f, args, parts, ord, a, frame, _) =>
+      case SelectItem.SWin(f, args0, parts, ord, a, frame, _) =>
         val ranking = Set("row_number", "rank", "dense_rank",
           "ntile", "percent_rank", "cume_dist")(f)
         val shifting = f == "lag" || f == "lead"
         val positional = f == "first_value" || f == "last_value" || f == "nth_value"
+        // IGNORE NULLS rides as a sentinel trailing argument; strip it
+        // before arity checks and re-append after binding
+        val ignoreNulls = args0.lastOption.contains(
+          Operand.Literal(Lit.LitString(IgnoreNullsSentinel)))
+        val args = if (ignoreNulls) args0.dropRight(1) else args0
         for {
           _ <-
-            if (f == "grouping")
+            if (ignoreNulls && !shifting && !positional)
+              Left(BadFunction(s"$f does not take IGNORE NULLS"))
+            else if (f == "grouping")
               Left(BadFunction("grouping() is not a window function"))
             else if ((ranking || shifting) && ord.isEmpty)
               Left(BadFunction(s"$f requires ORDER BY in its OVER clause"))
@@ -2167,7 +2174,11 @@ object Analyzer {
             Right(Vector.empty)) { case (acc, (o, desc)) =>
             acc.flatMap(v => bindOp(o, allowAgg = true).map(b => v :+ (b -> desc)))
           }
-        } yield BoundItem.BIWin(f, bargs, bparts, bord, a, frame)
+        } yield BoundItem.BIWin(f,
+          if (ignoreNulls)
+            bargs :+ (BoundOperand.BLit(Lit.LitString(IgnoreNullsSentinel)): BoundOperand)
+          else bargs,
+          bparts, bord, a, frame)
       case SelectItem.SSub(subTree, a) =>
         // same contract as a WHERE-scope scalar subquery: one column; a
         // correlated form must be a group-less aggregate (one row per key

@@ -14,6 +14,12 @@ object Ast {
   }
   final case class TableRef(name: String, alias: Option[String])
 
+  /** Sentinel trailing window-call argument carrying IGNORE NULLS (the
+    * DuckDB-style `fn(args IGNORE NULLS)` form) through the unchanged
+    * SWin/BIWin arg vectors; stripped before validation and lowering.
+    */
+  val IgnoreNullsSentinel = "__ignore_nulls__"
+
   /** A FROM-list entry: a named table, or a derived table —
     * `(SELECT …) alias` / `(SELECT … UNION SELECT …) alias` — whose
     * schema is the subquery's output. `select` is a SelectTree or a

@@ -638,29 +638,35 @@ object Lowering {
       if (fr.range) w1.rangeBetween(fr.lo, fr.hi)
       else w1.rowsBetween(fr.lo, fr.hi)
     }
-    def shiftN: Int = args.lift(1) match {
+    // IGNORE NULLS arrives as a sentinel trailing argument (DuckDB's
+    // fn(args IGNORE NULLS) form) — strip it and thread the flag into
+    // Spark's native ignoreNulls variants
+    val ignoreNulls = args.lastOption.contains(
+      BoundOperand.BLit(Lit.LitString(Ast.IgnoreNullsSentinel)))
+    val argsR = if (ignoreNulls) args.dropRight(1) else args
+    def shiftN: Int = argsR.lift(1) match {
       case Some(BoundOperand.BLit(Lit.LitLong(n))) => n.toInt
       case _                                       => 1
     }
-    def shiftDefault: Any = args.lift(2) match {
+    def shiftDefault: Any = argsR.lift(2) match {
       case Some(BoundOperand.BLit(Lit.LitLong(v)))   => v
       case Some(BoundOperand.BLit(Lit.LitDouble(v))) => v
       case Some(BoundOperand.BLit(Lit.LitString(v))) => v
       case _                                         => null
     }
-    val fn = (f, args) match {
+    val fn = (f, argsR) match {
       case ("row_number", _)     => row_number()
       case ("rank", _)           => rank()
       case ("dense_rank", _)     => dense_rank()
       case ("percent_rank", _)   => percent_rank()
       case ("cume_dist", _)      => cume_dist()
       case ("ntile", Seq(BoundOperand.BLit(Lit.LitLong(n)))) => ntile(n.toInt)
-      case ("lag", x +: _)       => lag(opLower(x), shiftN, shiftDefault)
-      case ("lead", x +: _)      => lead(opLower(x), shiftN, shiftDefault)
-      case ("first_value", Seq(x)) => first(opLower(x))
-      case ("last_value", Seq(x))  => last(opLower(x))
+      case ("lag", x +: _)       => lag(opLower(x), shiftN, shiftDefault, ignoreNulls)
+      case ("lead", x +: _)      => lead(opLower(x), shiftN, shiftDefault, ignoreNulls)
+      case ("first_value", Seq(x)) => first(opLower(x), ignoreNulls)
+      case ("last_value", Seq(x))  => last(opLower(x), ignoreNulls)
       case ("nth_value", Seq(x, BoundOperand.BLit(Lit.LitLong(n)))) =>
-        nth_value(opLower(x), n.toInt)
+        nth_value(opLower(x), n.toInt, ignoreNulls)
       case ("count", Seq())      => count(lit(1))
       case ("count", Seq(x))     => count(opLower(x))
       case ("sum", Seq(x))       => sum(opLower(x))

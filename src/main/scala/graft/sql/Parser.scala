@@ -428,6 +428,20 @@ object Parser {
       }
     }
 
+  /** Optional IGNORE|RESPECT NULLS inside a window call's parens (the
+    * DuckDB placement). IGNORE appends the sentinel trailing argument;
+    * RESPECT is the default and parses as a no-op.
+    */
+  private def winNullsOpt(p: P, args: Vector[Operand])
+      : Either[ParseError, Vector[Operand]] =
+    if (p.isKw("ignore")) {
+      p.next()
+      p.eatKw("nulls").map(_ =>
+        args :+ (Operand.Literal(Lit.LitString(IgnoreNullsSentinel)): Operand))
+    } else if (p.isKw("respect")) {
+      p.next(); p.eatKw("nulls").map(_ => args)
+    } else Right(args)
+
   private def parseColRef(p: P): Either[ParseError, ColRef] =
     p.ident().flatMap { a =>
       p.peek match {
@@ -713,6 +727,7 @@ object Parser {
                         }
                       loop(Vector.empty)
                   }
+                  args <- winNullsOpt(p, args)
                   _ <- p.eatSym(")")
                   it <- winItem(f.toLowerCase, args, start)
                 } yield it
@@ -1591,6 +1606,7 @@ object Parser {
               }
             loop(Vector.empty)
         }
+        args <- winNullsOpt(p, args)
         _ <- p.eatSym(")")
         _ <- p.eatKw("over")
         spec <- parseOverSpec(p)

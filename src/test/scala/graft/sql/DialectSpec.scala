@@ -1882,6 +1882,26 @@ class DialectSpec extends AnyFunSuite {
     assert(r2.collect().toSeq == Seq(Row(104, "Biff", null)))
   }
 
+  test("window IGNORE NULLS variants") {
+    val db = demoDb()
+    db.query("CREATE TABLE m (k INT, x INT)")
+    db.query("INSERT INTO m VALUES (1, 10), (2, NULL), (3, 30), (4, NULL), (5, 50)")
+    val r = db.select("SELECT k, lag(x IGNORE NULLS) OVER (ORDER BY k) AS p, " +
+      "last_value(x IGNORE NULLS) OVER (ORDER BY k) AS locf " +
+      "FROM m ORDER BY k").toOption.get
+    assert(r.collect().map(row => (row.getInt(0),
+      if (row.isNullAt(1)) null else row.getInt(1),
+      if (row.isNullAt(2)) null else row.getInt(2))).toSeq ==
+      Seq((1, null, 10), (2, 10, 10), (3, 10, 30), (4, 30, 30), (5, 30, 50)))
+    // RESPECT NULLS is the default and parses as a no-op
+    val rn = db.select("SELECT k, lag(x RESPECT NULLS) OVER (ORDER BY k) AS p " +
+      "FROM m WHERE k <= 2 ORDER BY k").toOption.get
+    assert(rn.collect().map(row =>
+      if (row.isNullAt(1)) null else row.getInt(1)).toSeq == Seq(null, 10))
+    // ranking functions take neither form
+    assert(db.query("SELECT rank(x IGNORE NULLS) OVER (ORDER BY k) AS r FROM m").isLeft)
+  }
+
   test("VALUES derived tables and UNION BY NAME") {
     val db = demoDb()
     // expression rows; the alias column list names the outputs
