@@ -2290,6 +2290,41 @@ object Dialect {
              |ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.mt
              |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin)),
 
+    // JOIN ... USING: merged join columns appear ONCE under *, the bare
+    // name resolves to the left survivor, and chained USING on the same
+    // name stays unambiguous. LEFT JOIN USING null-extends the right
+    // side. (Fixture columns are prefix-named, so the USING surface
+    // shows up over renamed derived tables — exactly how users hit it.)
+    "q_dialect_join_using" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "nation", "orders"),
+        "SELECT * FROM " +
+          "(SELECT c_custkey AS custkey, c_nationkey AS nationkey, c_acctbal FROM customer) c " +
+          "JOIN (SELECT n_nationkey AS nationkey, n_name FROM nation) n USING (nationkey) " +
+          "LEFT JOIN (SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS total " +
+          "FROM orders GROUP BY o_custkey) o USING (custkey) " +
+          "WHERE c_acctbal > 9500 AND nationkey >= 0 " +
+          "ORDER BY custkey"),
+      Some("""SELECT * FROM
+             |  (SELECT c_custkey AS custkey, c_nationkey AS nationkey, c_acctbal FROM customer) c
+             |  JOIN (SELECT n_nationkey AS nationkey, n_name FROM nation) n USING (nationkey)
+             |  LEFT JOIN (SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS total
+             |    FROM orders GROUP BY o_custkey) o USING (custkey)
+             |WHERE c_acctbal > 9500 AND nationkey >= 0
+             |ORDER BY custkey""".stripMargin)),
+
+    // NATURAL JOIN — USING over every common column, derived from the
+    // schemas.
+    "q_dialect_natural_join" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT custkey, count(*) AS n FROM " +
+          "(SELECT c_custkey AS custkey, c_mktsegment AS seg FROM customer) c " +
+          "NATURAL JOIN (SELECT o_custkey AS custkey, o_orderstatus FROM orders) o " +
+          "WHERE seg = 'BUILDING' GROUP BY custkey ORDER BY custkey"),
+      Some("""SELECT custkey, cast(count(*) AS bigint) AS n FROM
+             |  (SELECT c_custkey AS custkey, c_mktsegment AS seg FROM customer) c
+             |  NATURAL JOIN (SELECT o_custkey AS custkey, o_orderstatus FROM orders) o
+             |WHERE seg = 'BUILDING' GROUP BY custkey ORDER BY custkey""".stripMargin)),
+
     // IGNORE NULLS window variants (the DuckDB in-paren placement):
     // last-observation-carried-forward via lag/first_value over a
     // NULL-bearing measure — Spark's native ignoreNulls flags, one

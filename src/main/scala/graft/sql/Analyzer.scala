@@ -1587,6 +1587,49 @@ object Analyzer {
     val innerTables = tables.take(s.from.length)
     val stepTables = tables.drop(s.from.length)
 
+    // USING / NATURAL join resolution (schemas only, so it happens before
+    // projection binding): per step, the (left, right) column pairs whose
+    // equality becomes the ON, whose right side merges away under star
+    // expansion, and whose bare name prefers the left side.
+    val usingResolvedE: Either[AnalyzerError, Map[Int, Vector[(BoundCol, BoundCol)]]] = {
+      val out = Map.newBuilder[Int, Vector[(BoundCol, BoundCol)]]
+      // columns already merged away by EARLIER using joins don't count
+      // as ambiguity for later ones (chained USING on the same name)
+      val mergedSoFar = scala.collection.mutable.Set.empty[(String, String)]
+      for (((js, rt), k) <- s.joinSteps.zip(stepTables).zipWithIndex
+           if js.using.nonEmpty || js.natural) {
+        val leftTabs = innerTables ++ stepTables.take(k)
+        val names =
+          if (!js.natural) js.using
+          else rt.desc.attributes.map(_.name)
+            .filter(n => leftTabs.exists(_.desc.attr(n).isDefined))
+            .filterNot(_.startsWith("__lk"))
+        if (js.natural && names.isEmpty)
+          return Left(BadFunction("NATURAL JOIN found no common columns"))
+        val pairs = Vector.newBuilder[(BoundCol, BoundCol)]
+        for (n <- names) {
+          val leftHits = leftTabs.flatMap(bt =>
+            bt.desc.attr(n).map(a => BoundCol(bt.binding, a)))
+            .filterNot(c => mergedSoFar((c.binding, n.toLowerCase)))
+          leftHits match {
+            case Seq(one) => rt.desc.attr(n) match {
+              case Some(ra) => pairs += ((one, BoundCol(rt.binding, ra)))
+              case None     => return Left(UnboundAttribute(n))
+            }
+            case Seq() => return Left(UnboundAttribute(n))
+            case _     => return Left(AmbiguousAttribute(n))
+          }
+        }
+        names.foreach(n => mergedSoFar += ((rt.binding, n.toLowerCase)))
+        out += (k -> pairs.result())
+      }
+      Right(out.result())
+    }
+    val usingResolved = usingResolvedE.getOrElse(Map.empty)
+    // (right binding, lower name) pairs merged away by some USING join
+    val usingMergedRight: Set[(String, String)] = usingResolved.values.flatten
+      .map { case (_, r) => (r.binding, r.attr.name.toLowerCase) }.toSet
+
     def bindCol(ref: ColRef): Either[AnalyzerError, BoundCol] = ref.binding match {
       case Some(b) =>
         bound.get(b.toLowerCase)
@@ -1599,7 +1642,15 @@ object Analyzer {
             }
         }
       case None =>
-        val hits = tables.flatMap(bt => bt.desc.attr(ref.name).map(a => BoundCol(bt.binding, a)))
+        val hits0 = tables.flatMap(bt => bt.desc.attr(ref.name).map(a => BoundCol(bt.binding, a)))
+        // a USING-merged column is not ambiguous: the bare name reads
+        // the LEFT side (the merged survivor)
+        val hits =
+          if (hits0.length > 1) {
+            val f = hits0.filterNot(c =>
+              usingMergedRight((c.binding, c.attr.name.toLowerCase)))
+            if (f.length == 1) f else hits0
+          } else hits0
         hits match {
           case Seq(one) => Right(one)
           case Seq() =>
@@ -1624,8 +1675,9 @@ object Analyzer {
     def visibleAttrs(bt: BoundTable): Seq[AttributeDesc] =
       bt.desc.attributes.filterNot(_.name.startsWith("__lk"))
     def expandAll: Seq[SelectItem] =
-      tables.flatMap(bt => visibleAttrs(bt).map(a =>
-        SelectItem.SCol(ColRef(Some(bt.binding), a.name))))
+      tables.flatMap(bt => visibleAttrs(bt)
+        .filterNot(a => usingMergedRight((bt.binding, a.name.toLowerCase)))
+        .map(a => SelectItem.SCol(ColRef(Some(bt.binding), a.name))))
     // EXCLUDE drops named columns from the expansion; REPLACE substitutes
     // an expression at the column's position, keeping its name as the
     // alias. Unknown names (and REPLACE of an EXCLUDEd name) fail loudly.
@@ -2218,6 +2270,7 @@ object Analyzer {
     }
 
     for {
+      _ <- usingResolvedE
       proj <- projItems.foldLeft[Either[AnalyzerError, Vector[BoundItem]]](Right(Vector.empty)) {
         (acc, r) => acc.flatMap(v => bindItem(r).map(v :+ _))
       }
@@ -2246,7 +2299,15 @@ object Analyzer {
       steps <- s.joinSteps.zip(stepTables).zipWithIndex
         .foldLeft[Either[AnalyzerError, Vector[BoundJoinStep]]](Right(Vector.empty)) {
           case (acc, ((js, bt), k)) => acc.flatMap { v =>
-            bindExpr(js.on, allowAgg = false, topLevel = false).flatMap { be =>
+            // USING/NATURAL steps carry a parse placeholder — the real
+            // condition is the resolved left=right equality conjunction
+            val beE = usingResolved.get(k) match {
+              case Some(pairs) => Right(pairs.map { case (l, r) =>
+                BoundExpr.BCmp(CmpOp.Eq, BoundOperand.BCol(l),
+                  BoundOperand.BCol(r)): BoundExpr }.reduce(BoundExpr.BAnd(_, _)))
+              case None => bindExpr(js.on, allowAgg = false, topLevel = false)
+            }
+            beE.flatMap { be =>
               val visible = (innerTables ++ stepTables.take(k + 1)).map(_.binding).toSet
               exprCols(be).find(c => !visible(c.binding)) match {
                 case Some(c) => Left(UnboundBinding(c.binding))

@@ -221,8 +221,15 @@ object Ast {
     * left to right), so hoisting it ahead of an outer join would
     * change which rows that join null-extends.
     */
+  /** `using` = JOIN ... USING (cols): the ON is a parse placeholder and
+    * the analyzer builds the left=right equalities, marks the right
+    * side's columns merged-away for star expansion, and prefers the left
+    * side when the bare name resolves. `natural` = NATURAL JOIN (USING
+    * over every common column, computed from the schemas).
+    */
   final case class JoinStep(kind: String /* left|right|full|inner */,
-      item: FromItem, on: Expr)
+      item: FromItem, on: Expr,
+      using: Seq[String] = Nil, natural: Boolean = false)
 
   /** columns = None means `SELECT *` (star expansion happens in analysis,
     * like reference analyzer/mod.rs:68-73). ORDER BY / LIMIT / GROUP BY +

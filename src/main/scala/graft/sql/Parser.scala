@@ -131,7 +131,7 @@ object Parser {
     "distinct", "join", "inner", "on", "between", "in", "like", "is",
     "exists", "left", "right", "full", "outer", "union", "all",
     "intersect", "except", "case", "when", "then", "else", "end",
-    "merge", "using", "matched", "window")
+    "merge", "using", "matched", "window", "natural")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg",
     "stddev", "variance", "median", "grouping")
@@ -427,6 +427,35 @@ object Parser {
         }
       }
     }
+
+  /** A join step's condition: `ON <pred>`, or `USING (col, …)` — the
+    * latter returns a placeholder TRUE condition plus the column names
+    * (the analyzer builds the equalities from the schemas; duplicate
+    * names reject here).
+    */
+  private def onOrUsing(p: P): Either[ParseError, (Expr, Seq[String])] =
+    if (p.isKw("using")) {
+      val pos = p.peek.pos
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        names <- {
+          def loop(acc: Vector[String]): Either[ParseError, Vector[String]] =
+            p.ident().flatMap { n =>
+              p.peek match {
+                case TSym(",", _) => p.next(); loop(acc :+ n)
+                case _            => p.eatSym(")").map(_ => acc :+ n)
+              }
+            }
+          loop(Vector.empty)
+        }
+        _ <-
+          if (names.map(_.toLowerCase).distinct.length == names.length) Right(())
+          else Left(ParseError("duplicate column in USING", pos))
+      } yield (Expr.Cmp(CmpOp.Eq, Operand.Literal(Lit.LitLong(1L)),
+        Operand.Literal(Lit.LitLong(1L))): Expr, names: Seq[String])
+    } else
+      p.eatKw("on").flatMap(_ => parseOr(p).map(c => (c, Nil: Seq[String])))
 
   /** Optional IGNORE|RESPECT NULLS inside a window call's parens (the
     * DuckDB placement). IGNORE appends the sentinel trailing argument;
@@ -906,20 +935,42 @@ object Parser {
                   val isJ = p.isKw("join"); p.i = save; isJ }) =>
               if (p.isKw("inner")) p.next()
               p.next() // JOIN
-              if (steps.isEmpty)
-                for {
-                  t <- one()
-                  _ <- p.eatKw("on")
-                  cond <- parseOr(p)
-                  r <- loop(tabs :+ t, ons :+ cond, steps)
-                } yield r
-              else
-                for {
-                  t <- one()
-                  _ <- p.eatKw("on")
-                  cond <- parseOr(p)
-                  r <- loop(tabs, ons, steps :+ JoinStep("inner", t, cond))
-                } yield r
+              for {
+                t <- one()
+                cu <- onOrUsing(p)
+                r <- cu match {
+                  case (cond, Nil) if steps.isEmpty =>
+                    loop(tabs :+ t, ons :+ cond, steps)
+                  case (cond, using) =>
+                    loop(tabs, ons, steps :+ JoinStep("inner", t, cond, using))
+                }
+              } yield r
+            // NATURAL [INNER|LEFT [OUTER]] JOIN — USING over every common
+            // column; the column set resolves against the schemas in
+            // analysis. RIGHT/FULL variants are rejected (the merged
+            // column would need COALESCE of both sides).
+            case TIdent(k, pos) if k.equalsIgnoreCase("natural") =>
+              p.next()
+              val kind: Either[ParseError, String] = p.peek match {
+                case TIdent(kk, _) if kk.equalsIgnoreCase("inner") =>
+                  p.next(); Right("inner")
+                case TIdent(kk, _) if kk.equalsIgnoreCase("left") =>
+                  p.next(); if (p.isKw("outer")) p.next(); Right("left")
+                case TIdent(kk, kpos) if kk.equalsIgnoreCase("right") ||
+                    kk.equalsIgnoreCase("full") =>
+                  Left(ParseError(
+                    s"NATURAL ${kk.toUpperCase} JOIN is not supported — " +
+                      "use an explicit ON with COALESCE of the join columns", kpos))
+                case _ => Right("inner")
+              }
+              for {
+                kd <- kind
+                _ <- p.eatKw("join")
+                t <- one()
+                r <- loop(tabs, ons, steps :+ JoinStep(kd, t,
+                  Expr.Cmp(CmpOp.Eq, Operand.Literal(Lit.LitLong(1L)),
+                    Operand.Literal(Lit.LitLong(1L))), Nil, natural = true))
+              } yield r
             case TIdent(_, _) if outerKind().isDefined =>
               val kind = outerKind().get
               p.next()
@@ -927,9 +978,14 @@ object Parser {
               for {
                 _ <- p.eatKw("join")
                 t <- one()
-                _ <- p.eatKw("on")
-                cond <- parseOr(p)
-                r <- loop(tabs, ons, steps :+ JoinStep(kind, t, cond))
+                cu <- onOrUsing(p)
+                _ <-
+                  if (cu._2.nonEmpty && (kind == "right" || kind == "full"))
+                    Left(ParseError(
+                      s"${kind.toUpperCase} JOIN ... USING is not supported — " +
+                        "use an explicit ON with COALESCE of the join columns", p.peek.pos))
+                  else Right(())
+                r <- loop(tabs, ons, steps :+ JoinStep(kind, t, cu._1, cu._2))
               } yield r
             case _ => Right((tabs, ons, steps))
           }

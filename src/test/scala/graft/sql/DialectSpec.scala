@@ -1882,6 +1882,40 @@ class DialectSpec extends AnyFunSuite {
     assert(r2.collect().toSeq == Seq(Row(104, "Biff", null)))
   }
 
+  test("JOIN USING and NATURAL JOIN semantics") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Left(e) => fail(s"$sql -> ${e.msg}")
+      case Right(_) => ()
+    }
+    run("CREATE TABLE a (k INT, x INT)")
+    run("CREATE TABLE b (k INT, y INT)")
+    run("CREATE TABLE c (k INT, y INT, z INT)")
+    run("INSERT INTO a VALUES (1, 10), (2, 20)")
+    run("INSERT INTO b VALUES (1, 100), (3, 300)")
+    run("INSERT INTO c VALUES (1, 100, 7), (2, 999, 8)")
+    // * shows the merged column once; bare k resolves to the left side
+    val u = db.select("SELECT * FROM a JOIN b USING (k)").toOption.get
+    assert(u.columns.toSeq == Seq("k", "x", "y"))
+    assert(u.collect().toSeq == Seq(Row(1, 10, 100)))
+    // LEFT JOIN USING null-extends the right side, left k survives
+    val l = db.select("SELECT k, y FROM a LEFT JOIN b USING (k) ORDER BY k").toOption.get
+    assert(l.collect().toSeq == Seq(Row(1, 100), Row(2, null)))
+    // NATURAL JOIN = USING over all common columns (here k AND y)
+    val n = db.select("SELECT * FROM b NATURAL JOIN c").toOption.get
+    assert(n.columns.toSeq == Seq("k", "y", "z"))
+    assert(n.collect().toSeq == Seq(Row(1, 100, 7)))
+    // chained USING over the same name stays unambiguous
+    val ch = db.select("SELECT * FROM a JOIN b USING (k) JOIN c USING (k, y)").toOption.get
+    assert(ch.columns.toSeq == Seq("k", "x", "y", "z"))
+    assert(ch.collect().toSeq == Seq(Row(1, 10, 100, 7)))
+    // RIGHT/FULL USING, NATURAL RIGHT and unknown columns reject
+    assert(db.query("SELECT * FROM a RIGHT JOIN b USING (k)").isLeft)
+    assert(db.query("SELECT * FROM a NATURAL RIGHT JOIN b").isLeft)
+    assert(db.query("SELECT * FROM a JOIN b USING (nosuch)").isLeft)
+    assert(db.query("SELECT * FROM a JOIN b USING (k, k)").isLeft)
+  }
+
   test("window IGNORE NULLS variants") {
     val db = demoDb()
     db.query("CREATE TABLE m (k INT, x INT)")
