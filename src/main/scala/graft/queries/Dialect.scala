@@ -2325,6 +2325,165 @@ object Dialect {
              |  NATURAL JOIN (SELECT o_custkey AS custkey, o_orderstatus FROM orders) o
              |WHERE seg = 'BUILDING' GROUP BY custkey ORDER BY custkey""".stripMargin)),
 
+    // SEMI JOIN (DuckDB's binary form): keep customers with at least one
+    // qualifying order; the right side's columns exist only in the ON —
+    // lowered as one left-semi hash join (no row duplication, no
+    // projection of the probe side, shuffle on the key only).
+    "q_dialect_semi_join" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT c_custkey, c_name FROM customer c " +
+          "SEMI JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000 " +
+          "ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |SEMI JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ANTI JOIN: nations with no near-max-balance customer — one
+    // left-anti hash join.
+    "q_dialect_anti_join" -> QueryDef(
+      (s, d) => run(db(s, d, "nation", "customer"),
+        "SELECT n_nationkey, n_name FROM nation n " +
+          "ANTI JOIN customer c ON n.n_nationkey = c.c_nationkey AND c.c_acctbal > 9900 " +
+          "ORDER BY n_nationkey"),
+      Some("""SELECT n_nationkey, n_name FROM nation n
+             |ANTI JOIN customer c ON n.n_nationkey = c.c_nationkey AND c.c_acctbal > 9900
+             |ORDER BY n_nationkey""".stripMargin)),
+
+    // ASOF JOIN (DuckDB's nearest-match join): each purchase pairs with
+    // the same user's most recent earlier click. Equality keys hash-
+    // partition the join; the per-left-row nearest pick is one
+    // row_number window. Oracled against DuckDB's native ASOF JOIN
+    // (deterministic: the fixture has no duplicate (user_id, ts) click).
+    "q_dialect_asof_join" -> QueryDef(
+      (s, d) => run(db(s, d, "events"),
+        "SELECT a.event_id, b.ts AS prev_click_ts " +
+          "FROM (SELECT * FROM events WHERE event_type = 'purchase') a " +
+          "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b " +
+          "ON a.user_id = b.user_id AND a.ts >= b.ts " +
+          "ORDER BY a.event_id"),
+      Some("""SELECT a.event_id, b.ts AS prev_click_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+             |  ON a.user_id = b.user_id AND a.ts >= b.ts
+             |ORDER BY a.event_id""".stripMargin)),
+
+    // ASOF LEFT JOIN: purchases with no earlier click survive
+    // null-extended; the inequality may also face the other way
+    // (earliest LATER error event per purchase).
+    "q_dialect_asof_left" -> QueryDef(
+      (s, d) => run(db(s, d, "events"),
+        "SELECT a.event_id, b.ts AS next_error_ts " +
+          "FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id <= 200) a " +
+          "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b " +
+          "ON a.user_id = b.user_id AND a.ts < b.ts " +
+          "ORDER BY a.event_id"),
+      Some("""SELECT a.event_id, b.ts AS next_error_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id <= 200) a
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+             |  ON a.user_id = b.user_id AND a.ts < b.ts
+             |ORDER BY a.event_id""".stripMargin)),
+
+    // RIGHT/FULL JOIN USING: the merged column is COALESCE(left, right)
+    // — either side can null-extend — surfacing once under *, readable
+    // by its bare name in WHERE/GROUP BY, while qualified refs still
+    // address each side.
+    "q_dialect_full_using" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer"),
+        "SELECT * FROM " +
+          "(SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS total " +
+          "FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 1400000) o " +
+          "FULL JOIN (SELECT c_custkey AS custkey, c_acctbal FROM customer " +
+          "WHERE c_acctbal > 9980) c USING (custkey) " +
+          "ORDER BY custkey"),
+      Some("""SELECT * FROM
+             |  (SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS total
+             |     FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 1400000) o
+             |  FULL JOIN (SELECT c_custkey AS custkey, c_acctbal FROM customer
+             |     WHERE c_acctbal > 9980) c USING (custkey)
+             |ORDER BY custkey""".stripMargin)),
+
+    "q_dialect_right_using" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer"),
+        "SELECT custkey, count(*) AS n FROM " +
+          "(SELECT o_custkey AS custkey FROM orders) o " +
+          "RIGHT JOIN (SELECT c_custkey AS custkey FROM customer WHERE c_custkey < 300) c " +
+          "USING (custkey) GROUP BY custkey ORDER BY custkey"),
+      Some("""SELECT custkey, cast(count(*) AS bigint) AS n FROM
+             |  (SELECT o_custkey AS custkey FROM orders) o
+             |  RIGHT JOIN (SELECT c_custkey AS custkey FROM customer WHERE c_custkey < 300) c
+             |  USING (custkey) GROUP BY custkey ORDER BY custkey""".stripMargin)),
+
+    // TRIM with a NON-literal trim-set (an expression / column): the
+    // functions API only takes literal trim sets, so these build the
+    // Catalyst StringTrim* nodes directly (graft.functions.TrimExprs).
+    "q_dialect_trim_expr" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT c_custkey, trim(c_name, substr(c_name, 1, 1)) AS t1, " +
+          "ltrim(c_name, 'Cust' || 'omer#0') AS t2, " +
+          "rtrim(c_name, substr(c_name, length(c_name), 1)) AS t3, " +
+          "trim(BOTH substr(c_name, 1, 1) FROM c_name) AS t4 " +
+          "FROM customer WHERE c_custkey < 500 ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, trim(c_name, substr(c_name, 1, 1)) AS t1,
+             |  ltrim(c_name, 'Cust' || 'omer#0') AS t2,
+             |  rtrim(c_name, substr(c_name, length(c_name), 1)) AS t3,
+             |  trim(BOTH substr(c_name, 1, 1) FROM c_name) AS t4
+             |FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin)),
+
+    // unnest + string_split: word frequency as pure dialect SQL — the
+    // explode is Spark's Generate (codegen'd), the count one hash
+    // aggregate; at 100 TB this is the canonical token-count shape
+    // (narrow generate → partial agg → one shuffle on the word).
+    "q_dialect_words" -> QueryDef(
+      (s, d) => run(db(s, d, "documents"),
+        "SELECT w, count(*) AS n FROM " +
+          "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) t " +
+          "GROUP BY w HAVING count(*) >= 500 ORDER BY n DESC, w LIMIT 100"),
+      Some("""SELECT w, cast(count(*) AS bigint) AS n FROM
+             |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+             |GROUP BY w HAVING count(*) >= 500 ORDER BY n DESC, w LIMIT 100""".stripMargin)),
+
+    // list literals, subscripts (1-based / negative-from-end), len,
+    // list_contains over a split column
+    "q_dialect_list_funcs" -> QueryDef(
+      (s, d) => run(db(s, d, "documents"),
+        "SELECT doc_id, len(string_split(text, ' ')) AS nw, " +
+          "string_split(text, ' ')[1] AS first_w, " +
+          "string_split(text, ' ')[-1] AS last_w, " +
+          "list_contains(['en', 'de'], lang) AS western, " +
+          "list_sort([n_chars % 7, n_chars % 3, 5])[1] AS mn " +
+          "FROM documents WHERE doc_id < 500 ORDER BY doc_id"),
+      Some("""SELECT doc_id, cast(len(string_split(text, ' ')) AS int) AS nw,
+             |  string_split(text, ' ')[1] AS first_w,
+             |  string_split(text, ' ')[-1] AS last_w,
+             |  list_contains(['en', 'de'], lang) AS western,
+             |  list_sort([n_chars % 7, n_chars % 3, 5])[1] AS mn
+             |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin)),
+
+    // the embeddings fixture (list<float>) through the dialect: external
+    // registration keeps REAL[] exact, subscript + cast widen per IEEE
+    "q_dialect_embedding" -> QueryDef(
+      (s, d) => run(db(s, d, "embeddings"),
+        "SELECT vec_id, round(embedding[1]::double, 5) AS e1, " +
+          "len(embedding) AS d, label " +
+          "FROM embeddings WHERE vec_id < 300 ORDER BY vec_id"),
+      Some("""SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 5) AS e1,
+             |  cast(len(embedding) AS int) AS d, label
+             |FROM embeddings WHERE vec_id < 300 ORDER BY vec_id""".stripMargin)),
+
+    // array_agg with intra-group ORDER BY (required by the engine — an
+    // unordered distributed collect is nondeterministic): one collect +
+    // one sort per group
+    "q_dialect_array_agg" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT c_nationkey, " +
+          "array_agg(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC) AS top " +
+          "FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey " +
+          "ORDER BY c_nationkey"),
+      Some("""SELECT c_nationkey,
+             |  array_agg(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC) AS top
+             |FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)),
+
     // IGNORE NULLS window variants (the DuckDB in-paren placement):
     // last-observation-carried-forward via lag/first_value over a
     // NULL-bearing measure — Spark's native ignoreNulls flags, one

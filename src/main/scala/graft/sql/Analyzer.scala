@@ -326,6 +326,50 @@ object Analyzer {
     case BoundExpr.BQuantSub(_, o, _, _, ps) => operandCols(o) ++ ps.map(_._1)
   }
 
+  /** ASOF JOIN ON decomposition. The ON must contain exactly one
+    * inequality conjunct whose sides split cleanly into a step-side
+    * operand (columns of the joined table only) and an outer-side operand
+    * (no step columns); remaining conjuncts join as-is (DuckDB requires
+    * them to be equalities — we accept any step-local predicate, a
+    * superset). Returns (step-side inequality operand, pickLargest):
+    * pickLargest = the match is the greatest step-side value meeting the
+    * bound (`outer >= step` / `outer > step`), else the smallest.
+    */
+  def asofParts(on: BoundExpr, stepB: String)
+      : Either[String, (BoundOperand, Boolean)] = {
+    def conjuncts(e: BoundExpr): Seq[BoundExpr] = e match {
+      case BoundExpr.BAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other                => Seq(other)
+    }
+    // Some(true) = operand reads the step table only; Some(false) = the
+    // outer side only; None = mixed or constant (unusable as a side)
+    def side(o: BoundOperand): Option[Boolean] = {
+      val bs = operandCols(o).map(_.binding).toSet
+      if (bs.isEmpty) None
+      else if (bs == Set(stepB)) Some(true)
+      else if (!bs(stepB)) Some(false)
+      else None
+    }
+    val ineqs = conjuncts(on).flatMap {
+      case BoundExpr.BCmp(op, l, r) if op == CmpOp.Ge || op == CmpOp.Gt ||
+          op == CmpOp.Le || op == CmpOp.Lt =>
+        (side(l), side(r)) match {
+          case (Some(false), Some(true)) => // outer <op> step
+            Seq((r, op == CmpOp.Ge || op == CmpOp.Gt))
+          case (Some(true), Some(false)) => // step <op> outer
+            Seq((l, op == CmpOp.Le || op == CmpOp.Lt))
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+    ineqs match {
+      case Seq(one) => Right(one)
+      case Seq() => Left("ASOF JOIN requires one inequality (<, <=, >, >=) " +
+        "between an outer operand and a joined-table operand in its ON")
+      case _ => Left("ASOF JOIN takes exactly one inequality in its ON")
+    }
+  }
+
   /** The outer-scope columns of an EXISTS's residual conjuncts: every
     * column not bound by the subquery's own FROM (incl. join steps).
     */
@@ -786,6 +830,7 @@ object Analyzer {
     case BoundOperand.BLit(Lit.LitString(_)) => SqlType.SqlVarChar(65535)
     case BoundOperand.BLit(Lit.LitDate(_))      => SqlType.SqlDate
     case BoundOperand.BLit(Lit.LitTimestamp(_)) => SqlType.SqlTimestamp
+    case BoundOperand.BLit(Lit.LitBool(_))   => SqlType.SqlBool
     case BoundOperand.BLit(Lit.LitNull)      => SqlType.SqlVarChar(1)
     case BoundOperand.BArith(_, l, BoundOperand.BInterval(_, _)) =>
       operandType(l) // temporal ± INTERVAL keeps the temporal type
@@ -819,6 +864,24 @@ object Analyzer {
       case "mod"      => operandType(args.head)
       case "date_trunc" => SqlType.SqlTimestamp
       case "last_day" | "make_date" => SqlType.SqlDate
+      // list/array functions
+      case "len" | "array_length" | "list_position" | "array_position" =>
+        SqlType.SqlBigInt
+      case "list_contains" | "array_contains" => SqlType.SqlBool
+      case "list_extract" | "list_element" | "unnest" =>
+        operandType(args.head) match {
+          case SqlType.SqlArray(e) => e
+          case other               => other
+        }
+      case "list_distinct" | "array_distinct" | "list_sort" | "array_sort" |
+           "list_concat" | "array_concat" | "list_slice" =>
+        operandType(args.head)
+      case "string_split" | "string_to_array" | "split" =>
+        SqlType.SqlArray(SqlType.SqlVarChar(65535))
+      case "list_value" =>
+        SqlType.SqlArray(args.headOption.map(operandType)
+          .getOrElse(SqlType.SqlVarChar(65535)))
+      case "array_to_string" => SqlType.SqlVarChar(65535)
       case _          => SqlType.SqlDouble // sqrt / power / exp / ln / log10 / log2
     }
     case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
@@ -829,6 +892,8 @@ object Analyzer {
     case BoundOperand.BOrderedAgg("count_distinct", _, _, _) => SqlType.SqlBigInt
     case BoundOperand.BOrderedAgg("corr" | "covar_pop" | "covar_samp" |
         "percentile_cont", _, _, _) => SqlType.SqlDouble
+    case BoundOperand.BOrderedAgg("array_agg", arg, _, _) =>
+      SqlType.SqlArray(operandType(arg))
     case BoundOperand.BOrderedAgg(_, arg, _, _) => operandType(arg) // arg_min/max
   }
 
@@ -1630,11 +1695,48 @@ object Analyzer {
     val usingMergedRight: Set[(String, String)] = usingResolved.values.flatten
       .map { case (_, r) => (r.binding, r.attr.name.toLowerCase) }.toSet
 
+    // RIGHT/FULL JOIN USING (and NATURAL RIGHT/FULL) merge each column
+    // pair as COALESCE(left, right): the bare name and `*` read the
+    // coalesced value (either side may be null-extended), while
+    // qualified refs still address the individual sides.
+    val coalMerged: Map[String, (BoundCol, BoundCol)] =
+      s.joinSteps.zipWithIndex.flatMap { case (js, k) =>
+        if ((js.kind == "right" || js.kind == "full") && usingResolved.contains(k))
+          usingResolved(k).map(p => p._1.attr.name.toLowerCase -> p)
+        else Nil
+      }.toMap
+    val coalLeft: Set[(String, String)] =
+      coalMerged.values.map { case (l, _) => (l.binding, l.attr.name.toLowerCase) }.toSet
+    def coalOperand(n: String): BoundOperand = {
+      val (l, r) = coalMerged(n.toLowerCase)
+      BoundOperand.BFunc("coalesce",
+        Seq(BoundOperand.BCol(l), BoundOperand.BCol(r)))
+    }
+    // the bare name reads the coalesce ONLY when exactly the merged pair
+    // binds it — a third table with the same name falls through (loud
+    // ambiguity, never a silent pick)
+    def coalApplies(ref: ColRef): Boolean =
+      ref.binding.isEmpty && coalMerged.contains(ref.name.toLowerCase) &&
+        tables.count(bt => bt.desc.attr(ref.name).isDefined) == 2
+
+    // SEMI/ANTI JOIN steps consume their right side: its columns exist
+    // only inside that step's own ON (DuckDB's binary SEMI/ANTI scope) —
+    // never in the SELECT list, WHERE, later steps' ONs, or `*`.
+    val semiAntiB: Set[String] = s.joinSteps.zip(stepTables)
+      .collect { case (js, bt) if js.kind == "semi" || js.kind == "anti" =>
+        bt.binding }.toSet
+    // relaxed to the step's own binding while its ON binds
+    var semiVisible: Set[String] = Set.empty
+    def semiHidden(b: String): Boolean = semiAntiB(b) && !semiVisible(b)
+
     def bindCol(ref: ColRef): Either[AnalyzerError, BoundCol] = ref.binding match {
       case Some(b) =>
         bound.get(b.toLowerCase)
           .orElse(outerScope.find(_.binding == b.toLowerCase)) match {
           case None => Left(UnboundBinding(b))
+          case Some(bt) if semiHidden(bt.binding) =>
+            Left(BadFunction(s"'${bt.binding}' is a SEMI/ANTI JOIN side — " +
+              "its columns are only visible in that join's ON"))
           case Some(bt) =>
             bt.desc.attr(ref.name) match {
               case None    => Left(UnboundAttribute(ref.render))
@@ -1642,7 +1744,15 @@ object Analyzer {
             }
         }
       case None =>
-        val hits0 = tables.flatMap(bt => bt.desc.attr(ref.name).map(a => BoundCol(bt.binding, a)))
+        // a RIGHT/FULL-USING-merged bare name is COALESCE(l, r) — not a
+        // single column. Callers that can host an expression intercept
+        // before calling bindCol; positions that require a plain column
+        // (window PARTITION BY, …) fail loudly here.
+        if (coalMerged.contains(ref.name.toLowerCase))
+          return Left(BadFunction(s"'${ref.name}' is merged by a RIGHT/FULL " +
+            "JOIN USING — qualify one side or alias the value in the SELECT list"))
+        val hits0 = tables.filterNot(bt => semiHidden(bt.binding))
+          .flatMap(bt => bt.desc.attr(ref.name).map(a => BoundCol(bt.binding, a)))
         // a USING-merged column is not ambiguous: the bare name reads
         // the LEFT side (the merged survivor)
         val hits =
@@ -1675,9 +1785,17 @@ object Analyzer {
     def visibleAttrs(bt: BoundTable): Seq[AttributeDesc] =
       bt.desc.attributes.filterNot(_.name.startsWith("__lk"))
     def expandAll: Seq[SelectItem] =
-      tables.flatMap(bt => visibleAttrs(bt)
+      tables.filterNot(bt => semiAntiB(bt.binding))
+        .flatMap(bt => visibleAttrs(bt)
         .filterNot(a => usingMergedRight((bt.binding, a.name.toLowerCase)))
-        .map(a => SelectItem.SCol(ColRef(Some(bt.binding), a.name))))
+        .map { a =>
+          // a RIGHT/FULL-USING-merged column surfaces ONCE, at the left
+          // side's position, as a BARE ref — the projection binder turns
+          // it into COALESCE(l, r) AS name
+          if (coalLeft((bt.binding, a.name.toLowerCase)))
+            SelectItem.SCol(ColRef(None, a.name))
+          else SelectItem.SCol(ColRef(Some(bt.binding), a.name))
+        })
     // EXCLUDE drops named columns from the expansion; REPLACE substitutes
     // an expression at the column's position, keeping its name as the
     // alias. Unknown names (and REPLACE of an EXCLUDEd name) fail loudly.
@@ -1771,7 +1889,8 @@ object Analyzer {
     }
 
     val numericTypes: SqlType => Boolean = {
-      case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt | SqlType.SqlDouble => true
+      case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt |
+           SqlType.SqlDouble | SqlType.SqlReal => true
       case _ => false
     }
 
@@ -1782,7 +1901,9 @@ object Analyzer {
 
     def bindOp(o: Operand, allowAgg: Boolean,
         allowSub: Boolean = false): Either[AnalyzerError, BoundOperand] = o match {
-      case Operand.Col(c)     => bindCol(c).map(BoundOperand.BCol)
+      case Operand.Col(c) =>
+        if (coalApplies(c)) Right(coalOperand(c.name))
+        else bindCol(c).map(BoundOperand.BCol)
       case Operand.Literal(v) => Right(BoundOperand.BLit(v))
       case Operand.AggCall(f, arg, dist) if allowAgg =>
         if (dist && f != "count" && f != "sum")
@@ -1839,18 +1960,27 @@ object Analyzer {
                "regexp_replace"      => args.length == 3
           case "regexp_extract"      => args.length == 2 || args.length == 3
           case "greatest" | "least"  => args.length >= 2
+          // list/array functions (DuckDB surface onto Spark natives)
+          case "len" | "array_length" | "list_distinct" | "array_distinct" |
+               "list_sort" | "array_sort" | "unnest" => args.length == 1
+          case "list_contains" | "array_contains" | "list_extract" |
+               "list_element" | "list_position" | "array_position" |
+               "list_concat" | "array_concat" | "string_split" |
+               "string_to_array" | "split" | "array_to_string" => args.length == 2
+          case "list_slice"          => args.length == 3
+          case "list_value"          => true
           case _                     => false
         }
         if (!arityOk)
           Left(BadFunction(s"$f takes a different number of arguments (got ${args.length})"))
-        // Spark's trim-characters argument compiles into the expression —
-        // it must be a string literal
-        else if (Set("trim", "ltrim", "rtrim")(f) && args.length == 2 &&
-          !(args(1) match {
-            case Operand.Literal(Lit.LitString(_)) => true
-            case _ => false
-          }))
-          Left(BadFunction(s"$f trim-characters argument must be a string literal"))
+        // Spark's split pattern / array_join delimiter compile into the
+        // expression — they must be string literals
+        else if (Set("string_split", "string_to_array", "split",
+            "array_to_string")(f) && !(args(1) match {
+          case Operand.Literal(Lit.LitString(_)) => true
+          case _ => false
+        }))
+          Left(BadFunction(s"$f separator must be a string literal"))
         // round's scale must be an integer literal (the engine compiles it
         // into the rounding expression)
         else if (f == "round" && args.length == 2 && !(args(1) match {
@@ -2127,7 +2257,10 @@ object Analyzer {
     def bindItem(it: SelectItem): Either[AnalyzerError, BoundItem] = it match {
       case _: SelectItem.SStar =>
         sys.error("unreachable: star items expand before binding")
-      case SelectItem.SCol(r, a) => bindCol(r).map(BoundItem.BICol(_, a))
+      case SelectItem.SCol(r, a) =>
+        if (coalApplies(r))
+          Right(BoundItem.BIExpr(coalOperand(r.name), a.getOrElse(r.name)))
+        else bindCol(r).map(BoundItem.BICol(_, a))
       case SelectItem.SAgg(f, None, a, dist) => Right(BoundItem.BIAgg(f, None, a, dist))
       case SelectItem.SAgg(f, Some(r), a, dist) =>
         if (dist && f != "count" && f != "sum")
@@ -2305,17 +2438,31 @@ object Analyzer {
               case Some(pairs) => Right(pairs.map { case (l, r) =>
                 BoundExpr.BCmp(CmpOp.Eq, BoundOperand.BCol(l),
                   BoundOperand.BCol(r)): BoundExpr }.reduce(BoundExpr.BAnd(_, _)))
-              case None => bindExpr(js.on, allowAgg = false, topLevel = false)
+              case None =>
+                // a SEMI/ANTI step's own table is visible inside its ON
+                semiVisible = Set(bt.binding)
+                try bindExpr(js.on, allowAgg = false, topLevel = false)
+                finally semiVisible = Set.empty
             }
             beE.flatMap { be =>
-              val visible = (innerTables ++ stepTables.take(k + 1)).map(_.binding).toSet
+              val visible = (innerTables ++ stepTables.take(k + 1))
+                .map(_.binding).toSet -- (semiAntiB - bt.binding)
               exprCols(be).find(c => !visible(c.binding)) match {
                 case Some(c) => Left(UnboundBinding(c.binding))
                 case None =>
-                  // a step-lateral's key equalities join here, in the ON
-                  val on = (be +: stepLateralConjs.getOrElse(k, Nil))
-                    .reduce(BoundExpr.BAnd(_, _))
-                  Right(v :+ BoundJoinStep(js.kind, bt, on))
+                  val asofOk: Either[AnalyzerError, Unit] =
+                    if (js.kind.startsWith("asof"))
+                      asofParts(be, bt.binding) match {
+                        case Left(m)  => Left(BadFunction(m))
+                        case Right(_) => Right(())
+                      }
+                    else Right(())
+                  asofOk.flatMap { _ =>
+                    // a step-lateral's key equalities join here, in the ON
+                    val on = (be +: stepLateralConjs.getOrElse(k, Nil))
+                      .reduce(BoundExpr.BAnd(_, _))
+                    Right(v :+ BoundJoinStep(js.kind, bt, on))
+                  }
               }
             }
           }
@@ -2329,6 +2476,8 @@ object Analyzer {
           Right(Vector.empty)) { case (acc, (g, gi)) =>
         acc.flatMap { v =>
           val key: Either[AnalyzerError, BoundGroupKey] = g match {
+            case Operand.Col(r) if coalApplies(r) =>
+              Right(BoundGroupKey.GKExpr(coalOperand(r.name), r.name))
             case Operand.Col(r) =>
               // SQL/Postgres/Spark precedence: an unqualified GROUP BY
               // name resolves to an INPUT column first; projection
@@ -2812,6 +2961,56 @@ object Analyzer {
           else Right(keys)
         }
       }
+      // unnest placement: a TOP-LEVEL SELECT item only (and at most one —
+      // Spark allows one generator per projection; DuckDB zips several,
+      // a semantic we don't replicate). Anywhere else rejects loudly.
+      _ <- {
+        def inOp(o: BoundOperand): Boolean = o match {
+          case BoundOperand.BFunc("unnest", _) => true
+          case BoundOperand.BFunc(_, as)       => as.exists(inOp)
+          case BoundOperand.BArith(_, l, r)    => inOp(l) || inOp(r)
+          case BoundOperand.BCast(x, _)        => inOp(x)
+          case BoundOperand.BCase(bs, els) =>
+            bs.exists { case (c, v) =>
+              BoundOperand.exprOperands(c).exists(inOp) || inOp(v) } ||
+              els.exists(inOp)
+          case BoundOperand.BAgg(_, a, _)      => a.exists(inOp)
+          case BoundOperand.BOrderedAgg(_, a, _, ks) =>
+            inOp(a) || ks.exists(k => inOp(k._1))
+          case _ => false
+        }
+        def inExpr(e: BoundExpr): Boolean =
+          BoundOperand.exprOperands(e).exists(inOp)
+        var roots = 0
+        var nested = false
+        proj.foreach {
+          case BoundItem.BIExpr(BoundOperand.BFunc("unnest", as), _) =>
+            roots += 1; if (as.exists(inOp)) nested = true
+          case BoundItem.BIExpr(op, _)     => if (inOp(op)) nested = true
+          case BoundItem.BIAgg(_, a, _, _) => if (a.exists(inOp)) nested = true
+          case BoundItem.BIWin(_, as, _, ord, _, _) =>
+            if (as.exists(inOp) || ord.exists(k => inOp(k._1))) nested = true
+          case _ => ()
+        }
+        val elsewhere =
+          pred.exists(inExpr) || having.exists(inExpr) ||
+            qualifyPred.exists(inExpr) ||
+            group.exists {
+              case BoundGroupKey.GKExpr(op, _) => inOp(op)
+              case _ => false
+            } ||
+            order.exists {
+              case (BoundOrderKey.OKOperand(op), _) => inOp(op)
+              case _ => false
+            }
+        if (nested || elsewhere)
+          Left(BadFunction(
+            "unnest(...) is only valid as a top-level SELECT item"))
+        else if (roots > 1)
+          Left(BadFunction(
+            "one unnest(...) per SELECT list (one generator per projection)"))
+        else Right(())
+      }
     } yield BoundSelect(innerTables, proj, pred, order, s.limit, s.offset, group,
       having, s.distinct, steps, derivedSubs.toMap, s.groupSpec,
       lateralConjs.toSeq, qualifyPred, qwins, don)
@@ -2824,6 +3023,7 @@ object Analyzer {
     case (Lit.LitString(_), t) if SqlType.comparable(SqlType.SqlVarChar(0), t) => Right(())
     case (Lit.LitDate(_), t) if SqlType.comparable(SqlType.SqlDate, t) => Right(())
     case (Lit.LitTimestamp(_), t) if SqlType.comparable(SqlType.SqlTimestamp, t) => Right(())
+    case (Lit.LitBool(_), t) if SqlType.comparable(SqlType.SqlBool, t) => Right(())
     case (l, t) => Left(NotComparable(litType(l), t))
   }
   private def litType(l: Lit): SqlType = l match {
@@ -2832,6 +3032,7 @@ object Analyzer {
     case Lit.LitString(s)    => SqlType.SqlVarChar(s.length max 1)
     case Lit.LitDate(_)      => SqlType.SqlDate
     case Lit.LitTimestamp(_) => SqlType.SqlTimestamp
+    case Lit.LitBool(_)      => SqlType.SqlBool
     case Lit.LitNull         => SqlType.SqlVarChar(1)
   }
 

@@ -465,6 +465,18 @@ object Lowering {
         case BoundOperand.BOrderedAgg("percentile_cont", arg, pstr, Seq()) =>
           call_function("percentile",
             lowerOperandWith(arg, qcol), lit(pstr.toDouble))
+        // array_agg(v ORDER BY k…): the string_agg collect-sort shape
+        // minus the join — NULL values KEPT (DuckDB keeps them; only
+        // string_agg skips), one group buffer, sorted once. NULL *keys*
+        // sort first ascending (Spark struct ordering) — DuckDB puts
+        // them last; avoid null ordering keys where parity matters.
+        case BoundOperand.BOrderedAgg("array_agg", arg, _, ord) =>
+          val v = lowerOperandWith(arg, qcol)
+          val pair = struct(ord.zipWithIndex.map { case ((k, _), i) =>
+            lowerOperandWith(k, qcol).as(s"k$i") } :+ v.as("v"): _*)
+          val sorted = array_sort(collect_list(pair))
+          val dir = if (ord.head._2) reverse(sorted) else sorted
+          transform(dir, x => x.getField("v"))
         case BoundOperand.BOrderedAgg(_, arg, sep, ord) =>
           orderedAggCol(arg, sep, ord)
         case other => sys.error(s"unreachable hidden aggregate $other")
@@ -925,13 +937,43 @@ object Lowering {
         case None      => source(js.table)
       }
       val right = right0.alias(js.table.binding)
-      val sparkType = js.kind match {
-        case "left"  => "left_outer"
-        case "right" => "right_outer"
-        case "full"  => "full_outer"
-        case _       => "inner"
+      js.kind match {
+        case "asof" | "asof_left" =>
+          // ASOF [LEFT] JOIN: join on the full ON (equality keys hash-
+          // partition; the inequality rides as the join's residual
+          // condition), then keep per left row only the nearest match —
+          // a row_number window over a synthetic left-row id ordered by
+          // the step-side inequality operand. Fan-out before the prune is
+          // bounded by rows meeting the inequality inside one key group;
+          // the single-shuffle union-merge variant for dense key groups
+          // lives at the API level (operators/AsOf.scala).
+          val (tsOp, pickLargest) = Analyzer.asofParts(js.on, js.table.binding)
+            .fold(m => sys.error(s"unreachable: analyzer passed a bad ASOF ON: $m"),
+              identity)
+          val lid = "__asof_lid"; val mk = "__asof_m"; val rn = "__asof_rn"
+          val l1 = df.withColumn(lid, monotonically_increasing_id())
+          val r1 = right.withColumn(mk, lit(1))
+          val joined = l1.join(r1, lowerExpr(js.on), "left_outer")
+          val ord = if (pickLargest) lowerOperand(tsOp).desc_nulls_last
+                    else lowerOperand(tsOp).asc_nulls_last
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(lid)).orderBy(ord)
+          val picked = joined.withColumn(rn, row_number().over(w))
+            .filter(col(rn) === 1)
+          val res = if (js.kind == "asof") picked.filter(col(mk).isNotNull)
+                    else picked
+          res.drop(lid).drop(rn).drop(mk)
+        case _ =>
+          val sparkType = js.kind match {
+            case "left"  => "left_outer"
+            case "right" => "right_outer"
+            case "full"  => "full_outer"
+            case "semi"  => "left_semi"
+            case "anti"  => "left_anti"
+            case _       => "inner"
+          }
+          df.join(right, lowerExpr(js.on), sparkType)
       }
-      df.join(right, lowerExpr(js.on), sparkType)
     }
     val postFiltered =
       if (postOuterConj.isEmpty) withOuter
@@ -1818,11 +1860,53 @@ object Lowering {
         case _ => second(rec(b)).cast("int")
       }
     case ("make_date", Seq(y, m, d)) => make_date(rec(y), rec(m), rec(d))
-    // trim-characters forms (the analyzer pins the chars to a string
-    // literal — Spark compiles it into the expression)
+    // trim-characters forms. A literal chars argument uses the functions
+    // API; a non-literal one (a column / expression) builds the same
+    // Catalyst StringTrim* node through the bridge — both codegen'd.
     case ("trim", Seq(a, BoundOperand.BLit(Lit.LitString(ch))))  => trim(rec(a), ch)
     case ("ltrim", Seq(a, BoundOperand.BLit(Lit.LitString(ch)))) => ltrim(rec(a), ch)
     case ("rtrim", Seq(a, BoundOperand.BLit(Lit.LitString(ch)))) => rtrim(rec(a), ch)
+    // ---- list/array functions (DuckDB surface onto Spark natives) ----
+    case ("list_value", as) => array(as.map(rec): _*)
+    case ("len" | "array_length", Seq(a)) => size(rec(a))
+    // 1-based; 0 → NULL, negative indexes from the end, OOB → NULL
+    // (DuckDB list_extract semantics; try_element_at gives the OOB NULL,
+    // the CASE guards index 0 — evaluated lazily, so 0 never reaches it)
+    case ("list_extract" | "list_element", Seq(a, i)) =>
+      when(rec(i) === 0, lit(null))
+        .otherwise(try_element_at(rec(a), rec(i).cast("int")))
+    case ("list_contains" | "array_contains", Seq(a, e)) =>
+      array_contains(rec(a), rec(e))
+    // DuckDB's list_distinct drops NULLs and has no order guarantee;
+    // compact-then-distinct preserves first occurrence (sort explicitly
+    // when order matters)
+    case ("list_distinct" | "array_distinct", Seq(a)) =>
+      array_distinct(array_compact(rec(a)))
+    // ascending, NULLs LAST (DuckDB's default == Spark array_sort's)
+    case ("list_sort" | "array_sort", Seq(a)) => array_sort(rec(a))
+    case ("array_to_string", Seq(a, BoundOperand.BLit(Lit.LitString(sep)))) =>
+      array_join(rec(a), sep)
+    // literal separator, split LITERALLY (DuckDB string_split is not a
+    // regex) — quote it against Spark's regex split
+    case ("string_split" | "string_to_array" | "split",
+        Seq(a, BoundOperand.BLit(Lit.LitString(sep)))) =>
+      split(rec(a), java.util.regex.Pattern.quote(sep))
+    // 1-based position, 0 when absent (both engines)
+    case ("list_position" | "array_position", Seq(a, e)) =>
+      array_position(rec(a), rec(e))
+    case ("list_concat" | "array_concat", Seq(a, b)) => concat(rec(a), rec(b))
+    // l[a:b] — 1-based, both ends inclusive (DuckDB bracket slice)
+    case ("list_slice", Seq(a, i, j)) =>
+      slice(rec(a), rec(i), rec(j) - rec(i) + lit(1))
+    // explode: Spark's Generate — valid only as a top-level projection
+    // item (analyzer-enforced); drops empty/NULL rows like DuckDB
+    case ("unnest", Seq(a)) => explode(rec(a))
+    case ("trim", Seq(a, ch)) =>
+      graft.functions.TrimExprs.trimCol(rec(a), rec(ch), "both")
+    case ("ltrim", Seq(a, ch)) =>
+      graft.functions.TrimExprs.trimCol(rec(a), rec(ch), "leading")
+    case ("rtrim", Seq(a, ch)) =>
+      graft.functions.TrimExprs.trimCol(rec(a), rec(ch), "trailing")
     case ("reverse", Seq(a)) => reverse(rec(a))
     case ("md5", Seq(a))     => md5(rec(a).cast("binary"))
     // DuckDB's sign returns an integer -1/0/1; Spark's signum a double
@@ -1903,6 +1987,7 @@ object Lowering {
     case Lit.LitString(s)    => lit(s)
     case Lit.LitDate(s)      => lit(java.sql.Date.valueOf(s))
     case Lit.LitTimestamp(s) => lit(java.sql.Timestamp.valueOf(s))
+    case Lit.LitBool(v)      => lit(v)
     case Lit.LitNull         => lit(null)
   }
 

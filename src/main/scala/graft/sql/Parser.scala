@@ -68,7 +68,7 @@ object Parser {
         if (two == "<>" || two == "<=" || two == ">=" || two == "!=" ||
             two == "||" || two == "::") {
           out += TSym(if (two == "!=") "<>" else two, i); i += 2
-        } else if ("(),.;*=<>+-/%".indexOf(c) >= 0) {
+        } else if ("(),.;*=<>+-/%[]:".indexOf(c) >= 0) {
           out += TSym(c.toString, i); i += 1
         } else return Left(ParseError(s"unexpected character '$c'", i))
       }
@@ -131,7 +131,8 @@ object Parser {
     "distinct", "join", "inner", "on", "between", "in", "like", "is",
     "exists", "left", "right", "full", "outer", "union", "all",
     "intersect", "except", "case", "when", "then", "else", "end",
-    "merge", "using", "matched", "window", "natural")
+    "merge", "using", "matched", "window", "natural", "semi", "anti",
+    "asof")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg",
     "stddev", "variance", "median", "grouping")
@@ -148,7 +149,12 @@ object Parser {
     "nullif", "repeat", "lpad", "rpad", "split_part",
     "greatest", "least", "regexp_replace", "regexp_extract",
     "left", "right", "translate", "strpos", "ifnull",
-    "date_part", "make_date")
+    "date_part", "make_date",
+    "len", "array_length", "list_contains", "array_contains",
+    "list_extract", "list_element", "list_distinct", "array_distinct",
+    "list_sort", "array_sort", "array_to_string", "string_split",
+    "string_to_array", "split", "list_position", "array_position",
+    "list_concat", "array_concat", "list_value", "list_slice", "unnest")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
@@ -954,13 +960,9 @@ object Parser {
               val kind: Either[ParseError, String] = p.peek match {
                 case TIdent(kk, _) if kk.equalsIgnoreCase("inner") =>
                   p.next(); Right("inner")
-                case TIdent(kk, _) if kk.equalsIgnoreCase("left") =>
-                  p.next(); if (p.isKw("outer")) p.next(); Right("left")
-                case TIdent(kk, kpos) if kk.equalsIgnoreCase("right") ||
-                    kk.equalsIgnoreCase("full") =>
-                  Left(ParseError(
-                    s"NATURAL ${kk.toUpperCase} JOIN is not supported — " +
-                      "use an explicit ON with COALESCE of the join columns", kpos))
+                case TIdent(kk, _) if kk.equalsIgnoreCase("left") ||
+                    kk.equalsIgnoreCase("right") || kk.equalsIgnoreCase("full") =>
+                  p.next(); if (p.isKw("outer")) p.next(); Right(kk.toLowerCase)
                 case _ => Right("inner")
               }
               for {
@@ -971,6 +973,35 @@ object Parser {
                   Expr.Cmp(CmpOp.Eq, Operand.Literal(Lit.LitLong(1L)),
                     Operand.Literal(Lit.LitLong(1L))), Nil, natural = true))
               } yield r
+            // SEMI JOIN / ANTI JOIN (the DuckDB binary forms): keep rows
+            // of everything joined SO FAR that have (semi) / lack (anti)
+            // a match in the right side; the right side's columns are
+            // visible only inside this step's own ON and never reach the
+            // SELECT scope (the analyzer enforces this).
+            case TIdent(k, _) if k.equalsIgnoreCase("semi") || k.equalsIgnoreCase("anti") =>
+              val kind = k.toLowerCase
+              p.next()
+              for {
+                _ <- p.eatKw("join")
+                t <- one()
+                cu <- onOrUsing(p)
+                r <- loop(tabs, ons, steps :+ JoinStep(kind, t, cu._1, cu._2))
+              } yield r
+            // ASOF [LEFT] JOIN (DuckDB): for each left row, join the
+            // single right row within each equality group that is nearest
+            // in the ON's one inequality. Lowered as a union-merge
+            // last-value window, never a join explosion.
+            case TIdent(k, _) if k.equalsIgnoreCase("asof") =>
+              p.next()
+              val kind = if (p.isKw("left")) { p.next();
+                if (p.isKw("outer")) p.next(); "asof_left" } else "asof"
+              for {
+                _ <- p.eatKw("join")
+                t <- one()
+                _ <- p.eatKw("on")
+                cond <- parseOr(p)
+                r <- loop(tabs, ons, steps :+ JoinStep(kind, t, cond, Nil))
+              } yield r
             case TIdent(_, _) if outerKind().isDefined =>
               val kind = outerKind().get
               p.next()
@@ -979,12 +1010,6 @@ object Parser {
                 _ <- p.eatKw("join")
                 t <- one()
                 cu <- onOrUsing(p)
-                _ <-
-                  if (cu._2.nonEmpty && (kind == "right" || kind == "full"))
-                    Left(ParseError(
-                      s"${kind.toUpperCase} JOIN ... USING is not supported — " +
-                        "use an explicit ON with COALESCE of the join columns", p.peek.pos))
-                  else Right(())
                 r <- loop(tabs, ons, steps :+ JoinStep(kind, t, cu._1, cu._2))
               } yield r
             case _ => Right((tabs, ons, steps))
@@ -1293,9 +1318,21 @@ object Parser {
         p.next()
         parseOr(p, allowAgg).flatMap(e => p.eatSym(")").map(_ => e))
       }
+      // a successful predicate parse can be a FALSE POSITIVE since a bare
+      // operand is now a valid predicate (`x` ⇒ `x = TRUE`): if the next
+      // token continues an OPERAND — arithmetic, concat, cast, subscript,
+      // comparison, IS/IN/LIKE/BETWEEN/NOT — the parens were grouping an
+      // operand, not a predicate; rewind and take the operand path.
+      val operandContinues = asPredicate.isRight && (p.peek match {
+        case TSym("+" | "-" | "*" | "/" | "%" | "||" | "::" | "[" |
+            "=" | "<>" | "<" | ">" | "<=" | ">=", _) => true
+        case TIdent(k, _) => Set("is", "in", "like", "ilike", "between",
+          "not")(k.toLowerCase)
+        case _ => false
+      })
       asPredicate match {
-        case r @ Right(_) => r
-        case Left(_) =>
+        case r @ Right(_) if !operandContinues => r
+        case _ =>
           // row-value membership: ( op , op … ) [NOT] IN (SELECT …)
           p.i = save
           val asRowIn = {
@@ -1471,16 +1508,24 @@ object Parser {
           }
         } else Left(ParseError("expected BETWEEN, IN or LIKE after NOT", pos))
       case _ =>
+        // a BOOLEAN-typed operand can stand alone as a predicate
+        // (list_contains(l, x), a bool column): `x` ⇒ `x = TRUE`, so
+        // SQL 3VL holds (NULL stays UNKNOWN). The analyzer's
+        // comparability check rejects non-boolean bare operands.
+        val opOpt = p.peek match {
+          case TSym("=", _)  => Some(CmpOp.Eq)
+          case TSym("<>", _) => Some(CmpOp.Neq)
+          case TSym("<=", _) => Some(CmpOp.Le)
+          case TSym(">=", _) => Some(CmpOp.Ge)
+          case TSym("<", _)  => Some(CmpOp.Lt)
+          case TSym(">", _)  => Some(CmpOp.Gt)
+          case _             => None
+        }
+        if (opOpt.isEmpty)
+          return Right(Expr.Cmp(CmpOp.Eq, l,
+            Operand.Literal(Lit.LitBool(true))))
         for {
-          op <- p.peek match {
-            case TSym("=", _)  => p.next(); Right(CmpOp.Eq)
-            case TSym("<>", _) => p.next(); Right(CmpOp.Neq)
-            case TSym("<=", _) => p.next(); Right(CmpOp.Le)
-            case TSym(">=", _) => p.next(); Right(CmpOp.Ge)
-            case TSym("<", _)  => p.next(); Right(CmpOp.Lt)
-            case TSym(">", _)  => p.next(); Right(CmpOp.Gt)
-            case t             => Left(ParseError("expected comparison operator", t.pos))
-          }
+          op <- { p.next(); Right(opOpt.get) }
           // quantifier: <cmp> ANY/SOME/ALL (SELECT …) — `= ANY` is IN,
           // `<> ALL` is NOT IN (exact SQL equivalences, including NULL
           // semantics); the other combinations carry the quantifier
@@ -1583,6 +1628,21 @@ object Parser {
               } => p.next(); Right(SqlType.SqlVarChar(65535))
             case _ => parseType(p)
           }).flatMap(t => loop(Operand.Cast(acc, t)))
+        // postfix subscript x[i] (1-based, DuckDB) and slice x[a:b]
+        // (1-based, both ends inclusive)
+        case TSym("[", _) =>
+          p.next()
+          parseOperand(p, allowAgg).flatMap { idx =>
+            p.peek match {
+              case TSym(":", _) =>
+                p.next()
+                parseOperand(p, allowAgg).flatMap(hi =>
+                  p.eatSym("]").flatMap(_ =>
+                    loop(Operand.FuncCall("list_slice", Seq(acc, idx, hi)))))
+              case _ => p.eatSym("]").flatMap(_ =>
+                loop(Operand.FuncCall("list_extract", Seq(acc, idx))))
+            }
+          }
         case _ => Right(acc)
       }
       loop(first)
@@ -1599,11 +1659,30 @@ object Parser {
         case Operand.Literal(Lit.LitDouble(v)) => Operand.Literal(Lit.LitDouble(-v))
         case o => Operand.Arith('-', Operand.Literal(Lit.LitLong(0L)), o)
       }
+    // [a, b, …] list literal (DuckDB bracket syntax) → list_value(...)
+    case TSym("[", _) =>
+      p.next()
+      p.peek match {
+        case TSym("]", _) =>
+          p.next(); Right(Operand.FuncCall("list_value", Nil))
+        case _ =>
+          def loop(acc: Vector[Operand]): Either[ParseError, Operand] =
+            parseOperand(p, allowAgg).flatMap { o =>
+              p.peek match {
+                case TSym(",", _) => p.next(); loop(acc :+ o)
+                case _ => p.eatSym("]").map(_ =>
+                  Operand.FuncCall("list_value", acc :+ o))
+              }
+            }
+          loop(Vector.empty)
+      }
     case TInt(v, _)   => p.next(); Right(Operand.Literal(Lit.LitLong(v)))
     case TFloat(v, _) => p.next(); Right(Operand.Literal(Lit.LitDouble(v)))
     case TStr(s, _)   => p.next(); Right(Operand.Literal(Lit.LitString(s)))
     case TIdent(s, _) if s.equalsIgnoreCase("null") =>
       p.next(); Right(Operand.Literal(Lit.LitNull))
+    case TIdent(s, _) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") =>
+      p.next(); Right(Operand.Literal(Lit.LitBool(s.equalsIgnoreCase("true"))))
     case TIdent(k, _) if (k.equalsIgnoreCase("date") || k.equalsIgnoreCase("timestamp")) && {
         val save = p.i; p.next()
         val isStr = p.peek.isInstanceOf[TStr]; p.i = save; isStr
@@ -1743,22 +1822,31 @@ object Parser {
     // intra-group ORDER BY (all keys must share one direction — the
     // lowering sorts the collected group once)
     case TIdent(f, _) if allowAgg &&
-        (f.equalsIgnoreCase("string_agg") || f.equalsIgnoreCase("listagg")) =>
+        (f.equalsIgnoreCase("string_agg") || f.equalsIgnoreCase("listagg") ||
+         f.equalsIgnoreCase("array_agg") || f.equalsIgnoreCase("list")) =>
+      // array_agg/list: same ordered-aggregate carrier, no separator; the
+      // intra-group ORDER BY is REQUIRED (an unordered distributed
+      // collect would be nondeterministic — DuckDB preserves input order,
+      // which a shuffled engine cannot)
+      val isArray = f.equalsIgnoreCase("array_agg") || f.equalsIgnoreCase("list")
       val start = p.peek.pos
       p.next()
       for {
         _ <- p.eatSym("(")
         _ <-
           if (p.isKw("distinct"))
-            Left(ParseError("string_agg(DISTINCT …) is not supported", start))
+            Left(ParseError(s"${f.toLowerCase}(DISTINCT …) is not supported", start))
           else Right(())
         arg <- parseOperand(p)
-        _ <- p.eatSym(",")
-        sep <- p.peek match {
-          case TStr(s, _) => p.next(); Right(s)
-          case t => Left(ParseError(
-            "string_agg separator must be a string literal", t.pos))
-        }
+        sep <-
+          if (isArray) Right("")
+          else p.eatSym(",").flatMap { _ =>
+            p.peek match {
+              case TStr(s, _) => p.next(); Right(s)
+              case t => Left(ParseError(
+                "string_agg separator must be a string literal", t.pos))
+            }
+          }
         order <-
           if (p.isKw("order")) {
             p.next()
@@ -1785,8 +1873,14 @@ object Parser {
               }
             }
           } else Right(Vector.empty[(Operand, Boolean)])
+        _ <-
+          if (isArray && order.isEmpty)
+            Left(ParseError(s"${f.toLowerCase} requires ORDER BY inside the " +
+              "call (a distributed collect has no input order)", start))
+          else Right(())
         _ <- p.eatSym(")")
-      } yield Operand.OrderedAgg("string_agg", arg, sep, order, distinct = false)
+      } yield Operand.OrderedAgg(if (isArray) "array_agg" else "string_agg",
+        arg, sep, order, distinct = false)
     case TIdent(f, _) if allowAgg && aggFuncs(f.toLowerCase) =>
       // aggregate over a full (non-aggregate) expression: sum(a * b),
       // optionally DISTINCT: count(DISTINCT x), sum(DISTINCT x)
@@ -2075,6 +2169,8 @@ object Parser {
     case TFloat(v, _) => p.next(); Right(Lit.LitDouble(v))
     case TStr(s, _)   => p.next(); Right(Lit.LitString(s))
     case TIdent(s, _) if s.equalsIgnoreCase("null") => p.next(); Right(Lit.LitNull)
+    case TIdent(s, _) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") =>
+      p.next(); Right(Lit.LitBool(s.equalsIgnoreCase("true")))
     case TIdent(k, _) if (k.equalsIgnoreCase("date") || k.equalsIgnoreCase("timestamp")) && {
         val save = p.i; p.next()
         val isStr = p.peek.isInstanceOf[TStr]; p.i = save; isStr

@@ -27,6 +27,17 @@ object SqlType {
   case object SqlDouble extends SqlType { val spark = DoubleType;       val render = "DOUBLE" }
   case object SqlTimestamp extends SqlType { val spark = TimestampType; val render = "TIMESTAMP" }
   case object SqlDate extends SqlType { val spark = DateType;           val render = "DATE" }
+  case object SqlBool extends SqlType { val spark = BooleanType;        val render = "BOOLEAN" }
+  /** Single-precision float — kept exact (not widened to DOUBLE) so an
+    * external parquet schema round-trips: the embeddings fixture is
+    * list<float>, and reading it with a widened schema would fail the
+    * parquet column converter.
+    */
+  case object SqlReal extends SqlType { val spark = FloatType;          val render = "REAL" }
+  final case class SqlArray(elem: SqlType) extends SqlType {
+    def spark: DataType = ArrayType(elem.spark)
+    def render = s"${elem.render}[]"
+  }
 
   def fromSpark(dt: DataType): SqlType = dt match {
     case LongType         => SqlBigInt
@@ -35,15 +46,17 @@ object SqlType {
     case StringType       => SqlVarChar(65535)
     case BinaryType       => SqlVarBinary(65535)
     case DoubleType       => SqlDouble
-    case FloatType        => SqlDouble
+    case FloatType        => SqlReal
     case TimestampType    => SqlTimestamp
     case TimestampNTZType => SqlTimestamp // parquet naive timestamps (Spark 4 default)
     case DateType         => SqlDate
+    case BooleanType      => SqlBool
+    case ArrayType(et, _) => SqlArray(fromSpark(et))
     case other => throw new IllegalArgumentException(s"unsupported external type $other")
   }
 
   private def isNumeric(t: SqlType): Boolean = t match {
-    case SqlBigInt | SqlInt | SqlSmallInt | SqlDouble => true
+    case SqlBigInt | SqlInt | SqlSmallInt | SqlDouble | SqlReal => true
     case _ => false
   }
 
@@ -56,6 +69,8 @@ object SqlType {
     case (SqlVarBinary(_), SqlVarBinary(_))       => true
     // date and timestamp cross-compare (Spark widens date to timestamp)
     case (SqlTimestamp | SqlDate, SqlTimestamp | SqlDate) => true
+    case (SqlBool, SqlBool)                       => true
+    case (SqlArray(x), SqlArray(y))               => comparable(x, y)
     case _                                        => false
   }
 }
@@ -70,6 +85,8 @@ object Lit {
   final case class LitDate(iso: String) extends Lit
   /** TIMESTAMP 'yyyy-mm-dd hh:mm:ss[.f]' — validated at parse time. */
   final case class LitTimestamp(iso: String) extends Lit
+  /** TRUE / FALSE keywords. */
+  final case class LitBool(v: Boolean) extends Lit
   case object LitNull extends Lit
 }
 
@@ -104,6 +121,9 @@ object Convert {
       if (v >= Short.MinValue && v <= Short.MaxValue) Right(v.toShort) else Left(Overflow(v, t))
     case (LitLong(v), SqlDouble)   => Right(v.toDouble)
     case (LitDouble(v), SqlDouble) => Right(v)
+    case (LitLong(v), SqlReal)     => Right(v.toFloat)
+    case (LitDouble(v), SqlReal)   => Right(v.toFloat)
+    case (LitBool(v), SqlBool)     => Right(v)
     case (LitString(s), SqlVarChar(max)) =>
       if (s.length <= max) Right(s) else Left(TooLarge(s.length, t))
     case (LitDate(s), SqlDate) => Right(java.sql.Date.valueOf(s))

@@ -1909,11 +1909,121 @@ class DialectSpec extends AnyFunSuite {
     val ch = db.select("SELECT * FROM a JOIN b USING (k) JOIN c USING (k, y)").toOption.get
     assert(ch.columns.toSeq == Seq("k", "x", "y", "z"))
     assert(ch.collect().toSeq == Seq(Row(1, 10, 100, 7)))
-    // RIGHT/FULL USING, NATURAL RIGHT and unknown columns reject
-    assert(db.query("SELECT * FROM a RIGHT JOIN b USING (k)").isLeft)
-    assert(db.query("SELECT * FROM a NATURAL RIGHT JOIN b").isLeft)
+    // RIGHT/FULL USING: the merged column is COALESCE(left, right) —
+    // bare name and * read it; qualified refs still see each side
+    val fr = db.select(
+      "SELECT * FROM a FULL JOIN b USING (k) ORDER BY k").toOption.get
+    assert(fr.columns.toSeq == Seq("k", "x", "y"))
+    assert(fr.collect().toSeq == Seq(
+      Row(1, 10, 100), Row(2, 20, null), Row(3, null, 300)))
+    val rr = db.select(
+      "SELECT k, a.k AS ak, y FROM a RIGHT JOIN b USING (k) ORDER BY k").toOption.get
+    assert(rr.collect().toSeq == Seq(Row(1, 1, 100), Row(3, null, 300)))
+    // merged bare name works in WHERE and GROUP BY
+    val fw = db.select(
+      "SELECT k FROM a FULL JOIN b USING (k) WHERE k > 1 ORDER BY k").toOption.get
+    assert(fw.collect().toSeq == Seq(Row(2), Row(3)))
+    val fg = db.select(
+      "SELECT k, count(*) AS n FROM a FULL JOIN b USING (k) GROUP BY k ORDER BY k").toOption.get
+    assert(fg.collect().toSeq == Seq(Row(1, 1L), Row(2, 1L), Row(3, 1L)))
+    // NATURAL FULL JOIN rides the same machinery
+    val nf = db.select("SELECT * FROM a NATURAL FULL JOIN b ORDER BY k").toOption.get
+    assert(nf.columns.toSeq == Seq("k", "x", "y"))
+    assert(nf.collect().toSeq == Seq(
+      Row(1, 10, 100), Row(2, 20, null), Row(3, null, 300)))
+    // unknown / duplicate USING columns reject
     assert(db.query("SELECT * FROM a JOIN b USING (nosuch)").isLeft)
     assert(db.query("SELECT * FROM a JOIN b USING (k, k)").isLeft)
+  }
+
+  test("SEMI/ANTI JOIN scope and ASOF JOIN semantics") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Left(e) => fail(s"$sql -> ${e.msg}")
+      case Right(_) => ()
+    }
+    run("CREATE TABLE l (k INT, v INT)")
+    run("CREATE TABLE r (k INT, w INT)")
+    run("INSERT INTO l VALUES (1, 10), (2, 20), (3, 30)")
+    run("INSERT INTO r VALUES (1, 5), (1, 7), (3, 100)")
+    // SEMI keeps matching left rows once (no duplication by two matches)
+    val s = db.select("SELECT k, v FROM l SEMI JOIN r ON l.k = r.k ORDER BY k").toOption.get
+    assert(s.collect().toSeq == Seq(Row(1, 10), Row(3, 30)))
+    // ANTI keeps the complement; ON can filter the right side
+    val a = db.select("SELECT k FROM l ANTI JOIN r ON l.k = r.k AND r.w < 50 ORDER BY k").toOption.get
+    assert(a.collect().toSeq == Seq(Row(2), Row(3)))
+    // the right side's columns are invisible outside the ON: SELECT,
+    // WHERE, star expansion, and later steps all reject/skip them
+    assert(db.query("SELECT r.w FROM l SEMI JOIN r ON l.k = r.k").isLeft)
+    assert(db.query("SELECT w FROM l SEMI JOIN r ON l.k = r.k").isLeft)
+    assert(db.query("SELECT k FROM l SEMI JOIN r ON l.k = r.k WHERE r.w > 0").isLeft)
+    val st = db.select("SELECT * FROM l SEMI JOIN r ON l.k = r.k").toOption.get
+    assert(st.columns.toSeq == Seq("k", "v"))
+    // ASOF JOIN: nearest r.w <= l.v per key... here: largest w <= v
+    run("CREATE TABLE q (k INT, t INT, x INT)")
+    run("INSERT INTO q VALUES (1, 4, 100), (1, 9, 200), (2, 50, 300)")
+    // for each l row: the q row with the same k and largest t <= v
+    val asof = db.select(
+      "SELECT l.k, l.v, q.x FROM l ASOF JOIN q ON l.k = q.k AND l.v >= q.t ORDER BY l.k").toOption.get
+    assert(asof.collect().toSeq == Seq(Row(1, 10, 200)))
+    // ASOF LEFT keeps unmatched left rows null-extended
+    val asofL = db.select(
+      "SELECT l.k, q.x FROM l ASOF LEFT JOIN q ON l.k = q.k AND l.v >= q.t ORDER BY l.k").toOption.get
+    assert(asofL.collect().toSeq == Seq(Row(1, 200), Row(2, null), Row(3, null)))
+    // reversed direction: smallest t STRICTLY greater than v
+    run("INSERT INTO q VALUES (1, 40, 900)")
+    val fwd = db.select(
+      "SELECT l.k, q.t FROM l ASOF JOIN q ON l.k = q.k AND q.t > l.v ORDER BY l.k").toOption.get
+    assert(fwd.collect().toSeq == Seq(Row(1, 40), Row(2, 50)))
+    // ASOF requires exactly one usable inequality in the ON
+    assert(db.query("SELECT l.k FROM l ASOF JOIN q ON l.k = q.k").isLeft)
+    assert(db.query(
+      "SELECT l.k FROM l ASOF JOIN q ON l.v >= q.t AND l.v <= q.x").isLeft)
+  }
+
+  test("list/array surface: literals, subscript, functions, unnest, array_agg") {
+    val db = demoDb()
+    def one(sql: String): Row = db.select(sql) match {
+      case Right(df) => df.collect().head
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    // literals, subscript (1-based; 0 → NULL; negative from the end; OOB
+    // → NULL), slice (inclusive both ends)
+    val r = one("SELECT [10, 20, 30][2] AS a, [10][0] AS b, [10, 20][-1] AS c, " +
+      "[10][5] AS d, [1, 2, 3, 4][2:3] AS e FROM people WHERE id = 1")
+    assert(r.getLong(0) == 20L && r.isNullAt(1) && r.getLong(2) == 20L && r.isNullAt(3))
+    assert(r.getSeq[Long](4) == Seq(2L, 3L))
+    // list functions
+    val f = one("SELECT len([1, 2, 3]) AS l, list_contains([1, 2], 2) AS c, " +
+      "list_position([5, 6], 9) AS p, array_to_string([1, 2], '-') AS s, " +
+      "list_sort([3, 1, 2])[1] AS mn, list_concat([1], [2])[2] AS cc, " +
+      "len(string_split('a b c', ' ')) AS ns FROM people WHERE id = 1")
+    assert(f.getInt(0) == 3 && f.getBoolean(1) && f.getLong(2) == 0L &&
+      f.getString(3) == "1-2" && f.getLong(4) == 1L && f.getLong(5) == 2L &&
+      f.getInt(6) == 3)
+    // boolean operands: bare predicate use (3VL) and TRUE/FALSE literals
+    val b = db.select("SELECT id FROM people WHERE list_contains([1, 3], id) " +
+      "ORDER BY id").toOption.get
+    assert(b.collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    val nb = db.select("SELECT id FROM people WHERE NOT list_contains([1], id) " +
+      "ORDER BY id").toOption.get
+    assert(nb.collect().map(_.getInt(0)).toSeq == Seq(2, 3))
+    assert(one("SELECT true AS t, false AS f FROM people WHERE id = 1")
+      == Row(true, false))
+    // unnest: one generator, other columns repeat, empty lists drop rows
+    val u = db.select("SELECT id, unnest(string_split(name, ' ')) AS w " +
+      "FROM people WHERE id = 3 ORDER BY w").toOption.get
+    assert(u.collect().map(r0 => (r0.getInt(0), r0.getString(1))).toSeq ==
+      Seq((3, "Marty"), (3, "McFly")))
+    // array_agg requires ORDER BY; collects in key order keeping values
+    val ag = one("SELECT array_agg(id ORDER BY id DESC) AS ids FROM people")
+    assert(ag.getSeq[Int](0) == Seq(3, 2, 1))
+    // rejections: nested unnest, unnest outside the SELECT list, two
+    // unnests, unordered array_agg
+    assert(db.query("SELECT len(unnest([[1]])) AS x FROM people").isLeft)
+    assert(db.query("SELECT id FROM people WHERE unnest([1]) = 1").isLeft)
+    assert(db.query("SELECT unnest([1]) AS a, unnest([2]) AS b FROM people").isLeft)
+    assert(db.query("SELECT array_agg(id) AS x FROM people").isLeft)
   }
 
   test("window IGNORE NULLS variants") {
@@ -2049,11 +2159,15 @@ class DialectSpec extends AnyFunSuite {
     val ep = db.select("SELECT extract(epoch FROM TIMESTAMP '1970-01-02 00:00:00') AS e " +
       "FROM people WHERE id = 1").toOption.get
     assert(ep.collect().toSeq == Seq(Row(86400.0)))
+    // non-literal trim chars: expression-valued trim sets evaluate
+    // per row (Catalyst StringTrim via the bridge)
+    val nt = db.select("SELECT trim(name, name) AS a, " +
+      "ltrim(name, substr(name, 1, 1)) AS b FROM people WHERE id = 3").toOption.get
+    assert(nt.collect().toSeq == Seq(Row("", "arty McFly")))
     // rejections: unknown EXTRACT unit; TRIM mode without FROM;
-    // non-literal trim chars; '::' needs a valid type
+    // '::' needs a valid type
     assert(db.query("SELECT extract(century FROM age) AS e FROM people").isLeft)
     assert(db.query("SELECT trim(LEADING name) AS x FROM people").isLeft)
-    assert(db.query("SELECT trim(name, name) AS x FROM people").isLeft)
     assert(db.query("SELECT id::nosuchtype AS x FROM people").isLeft)
   }
 
