@@ -153,8 +153,85 @@ object Corpus {
              |    CASE WHEN p.fill + b.tok_len <= 256 THEN p.fill + b.tok_len
              |         ELSE cast(b.tok_len AS bigint) END
              |  FROM pack p JOIN base b ON b.lang = p.lang AND b.rn = p.rn + 1)
+             |SELECT doc_id, lang, tok_len, bin FROM pack ORDER BY doc_id""".stripMargin)),
+
+    // Best-fit-decreasing packing: the bounded-waste layout (≤ 11/9·OPT
+    // + 1 bins). The oracle replays the identical decreasing-order
+    // best-fit fold list-functionally in a recursive CTE — the same
+    // lowest-id tie rule via list_position's first match.
+    "q_pack_bfd" -> QueryDef(
+      (s, d) => packBestFit(t(s, d, "documents"), 256, "lang")
+        .withColumnRenamed("shard", "lang")
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT lang, doc_id, cast(len(string_split(text, ' ')) AS int) AS tok_len,
+             |    row_number() OVER (PARTITION BY lang ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rn
+             |  FROM documents),
+             |pack AS (
+             |  SELECT lang, doc_id, tok_len, rn, cast(1 AS bigint) AS bin,
+             |    [cast(tok_len AS bigint)] AS fills
+             |  FROM base WHERE rn = 1
+             |  UNION ALL
+             |  SELECT b.lang, b.doc_id, b.tok_len, b.rn,
+             |    CASE WHEN list_aggregate(list_filter(p.fills, f -> f + b.tok_len <= 256), 'max') IS NULL
+             |         THEN len(p.fills) + 1
+             |         ELSE cast(list_position(p.fills, list_aggregate(list_filter(p.fills, f -> f + b.tok_len <= 256), 'max')) AS bigint) END AS bin,
+             |    CASE WHEN list_aggregate(list_filter(p.fills, f -> f + b.tok_len <= 256), 'max') IS NULL
+             |         THEN list_append(p.fills, cast(b.tok_len AS bigint))
+             |         ELSE list_concat(list_concat(
+             |                p.fills[1:list_position(p.fills, list_aggregate(list_filter(p.fills, f -> f + b.tok_len <= 256), 'max')) - 1],
+             |                [list_aggregate(list_filter(p.fills, f -> f + b.tok_len <= 256), 'max') + b.tok_len]),
+             |                p.fills[list_position(p.fills, list_aggregate(list_filter(p.fills, f -> f + b.tok_len <= 256), 'max')) + 1:len(p.fills)]) END
+             |  FROM pack p JOIN base b ON b.lang = p.lang AND b.rn = p.rn + 1)
              |SELECT doc_id, lang, tok_len, bin FROM pack ORDER BY doc_id""".stripMargin))
   )
+
+  /** Best-fit-decreasing packing: per shard, documents are taken in
+    * DECREASING token order (doc_id tiebreak) and each goes to the open
+    * bin with the most fill that still fits — ties pick the LOWEST bin
+    * id; no fit opens a new bin. Classic BFD waste is ≤ 11/9·OPT + 1
+    * bins vs the greedy fold's unbounded adversarial waste, at the cost
+    * of per-shard state = one long per OPEN BIN (the greedy fold's two
+    * longs). Shards bound that state: a shard holds shard-tokens/window
+    * bins, so production shards (bounded hash buckets) keep it small;
+    * the fold still STREAMS — rows map one-in-one-out, nothing
+    * collects. Determinism is the explicit tie rule, which the DuckDB
+    * oracle replays list-functionally in a recursive CTE (list_position
+    * finds the FIRST best fill = the same lowest-id rule).
+    */
+  def packBestFit(docs: DataFrame, window: Int, shardCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prepared = docs
+      .withColumn("tok_len", size(split(col("text"), " ")))
+      .select(col(shardCol).cast("string").as("shard"),
+        col("doc_id").cast("long"), col("tok_len").cast("int"))
+      .as[(String, Long, Int)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("tok_len").desc, col("doc_id"))
+    prepared.mapPartitions { it =>
+      var shard: String = null
+      var fills: scala.collection.mutable.ArrayBuffer[Long] = null
+      it.map { case (s, id, len) =>
+        if (s != shard) {
+          shard = s
+          fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        }
+        var best = -1
+        var bestFill = -1L
+        var i = 0
+        while (i < fills.length) {
+          val f = fills(i)
+          if (f + len <= window && f > bestFill) { bestFill = f; best = i }
+          i += 1
+        }
+        val bin =
+          if (best >= 0) { fills(best) += len; best + 1 }
+          else { fills += len.toLong; fills.length }
+        (id, s, len, bin.toLong)
+      }
+    }.toDF("doc_id", "shard", "tok_len", "bin")
+  }
 
   /** Deterministic train/val/test split on a stable content-free key:
     * md5(id) is uniform in hex space, so lexicographic thresholds give

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables.t
 
@@ -31,6 +32,42 @@ object TextOps {
     s"cast(len(list_filter(string_split(text, ' '), x -> x IN (${inList(xs)}))) AS int)"
 
   def defs: Map[String, QueryDef] = Map(
+
+    // TF-IDF: tf per (doc, term) and df per term are each ONE hash
+    // aggregate (the tf frame, already distinct on (doc, term), feeds
+    // df); the corpus size joins as a broadcast 1-row frame; scoring is
+    // a shuffle join on the term. Top-3 terms per document via a
+    // row_number window that plans as WindowGroupLimit. At 100 TB: two
+    // aggregate shuffles + one join shuffle on the term — no step holds
+    // a vocabulary or corpus in one place.
+    "q_text_tfidf" -> QueryDef(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val n = t(s, d, "documents").agg(count(lit(1)).as("n"))
+        val scored = tf.join(dfreq, "w").crossJoin(broadcast(n))
+          .withColumn("score", col("tf") * log(col("n") / col("df")))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+        scored.filter(col("doc_id") < 200)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("w").as("term"),
+            round(col("score"), 5).as("score"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+             |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+             |n AS (SELECT count(*) AS n FROM documents)
+             |SELECT doc_id, rk, term, score FROM (
+             |  SELECT tf.doc_id, tf.w AS term,
+             |    row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY tf.tf * ln(n.n / dfq.df) DESC, tf.w) AS rk,
+             |    round(tf.tf * ln(n.n / dfq.df), 5) AS score
+             |  FROM tf JOIN dfq ON tf.w = dfq.w CROSS JOIN n
+             |  WHERE tf.doc_id < 200) x
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
 
     // Per-document token statistics + quality flags.
     "q_text_stats" -> QueryDef(

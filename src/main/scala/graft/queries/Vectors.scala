@@ -132,6 +132,78 @@ object Vectors {
   def defs: Map[String, QueryDef] = Map(
 
     // Brute-force cosine top-k for a small query set (vec_id < 10).
+    // Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    // q_i = round(x_i / scale). Output the scale and the RMS
+    // reconstruction error per vector — the calibration artifact a
+    // quantized-index build ships. Pure column algebra (two higher-order
+    // folds per row), map-only at any corpus size; arithmetic is
+    // IEEE-identical on both engines so the rounded values hash-match.
+    "q_embed_quantize" -> QueryDef(
+      (s, d) => {
+        val e = emb(s, d).filter(col("vec_id") < 300)
+        // NB: the raw scale column must NOT share a name with the rounded
+        // output alias — a same-select sibling alias would capture the
+        // lambda's column reference
+        val sc = e.withColumn("__scale",
+          aggregate(transform(col("e"), x => abs(x)), lit(0d),
+            (a, x) => greatest(a, x)) / 127)
+        val err2 = aggregate(
+          transform(col("e"), x =>
+            pow(x - round(x / col("__scale")) * col("__scale"), lit(2))),
+          lit(0d), (a, x) => a + x)
+        sc.select(col("vec_id"), round(col("__scale"), 6).as("scale"),
+          when(col("__scale") === 0, lit(0d))
+            .otherwise(round(sqrt(err2 / size(col("e"))), 6)).as("rms"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT vec_id,
+             |    list_aggregate(list_transform(cast(embedding AS double[]), y -> abs(y)), 'max') / 127 AS scale,
+             |    cast(embedding AS double[]) AS e
+             |  FROM embeddings WHERE vec_id < 300)
+             |SELECT vec_id, round(scale, 6) AS scale,
+             |  CASE WHEN scale = 0 THEN 0
+             |       ELSE round(sqrt(list_aggregate(list_transform(e,
+             |              x -> pow(x - round(x / scale) * scale, 2)), 'sum') / len(e)), 6)
+             |  END AS rms
+             |FROM s ORDER BY vec_id""".stripMargin)),
+
+    // Brute-force top-k over the QUANTIZED vectors (the int8 ANN path):
+    // scales cancel in cosine, so the quantized similarity is the cosine
+    // of the rounded integer vectors — sums of small-int products, exact
+    // in double, which makes cross-engine ranking deterministic. Same
+    // broadcast-queries shape as q_embed_topk.
+    "q_ann_int8" -> QueryDef(
+      (s, d) => {
+        val q8 = emb(s, d).withColumn("scale",
+            aggregate(transform(col("e"), x => abs(x)), lit(0d),
+              (a, x) => greatest(a, x)) / 127)
+          .select(col("vec_id"),
+            transform(col("e"), x => round(x / col("scale"))).as("q"))
+        val base = q8.withColumn("nrm", sqrt(dot(col("q"), col("q"))))
+        val qs = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+        val pairs = broadcast(qs).join(base, col("vec_id") =!= col("qid"))
+          .withColumn("sim", dot(col("qq"), col("q")) / (col("qn") * col("nrm")))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id").as("nid"), col("rk"),
+            round(col("sim"), 4).as("sim"))
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH s AS (
+             |  SELECT vec_id, list_transform(cast(embedding AS double[]),
+             |    x -> round(x / (list_aggregate(list_transform(cast(embedding AS double[]), y -> abs(y)), 'max') / 127))) AS q
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+             |    list_cosine_similarity(a.q, b.q) AS sim
+             |  FROM s a JOIN s b ON b.vec_id <> a.vec_id WHERE a.vec_id < 10)
+             |SELECT qid, nid, rk, round(sim, 4) AS sim FROM (
+             |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+             |  FROM pairs) x
+             |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
     "q_embed_topk" -> QueryDef(
       (s, d) => {
         val all = withNorm(emb(s, d))

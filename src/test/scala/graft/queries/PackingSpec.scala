@@ -34,6 +34,43 @@ class PackingSpec extends AnyFunSuite {
     assert(r == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
   }
 
+  private def packBfd(rows: Seq[(Long, String, String)], window: Int) =
+    Corpus.packBestFit(
+      rows.toDF("doc_id", "lang", "text"), window, "lang")
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+
+  test("best-fit-decreasing: largest first, best fill wins, lowest-id ties") {
+    // lengths: 5, 4, 3, 2, 2 with window 6 — decreasing order: d5, d4,
+    // d3, d2a, d2b → d5 bin1; d4 bin2 (5+4>6); d3 bin3; first 2 best-fits
+    // bin2 (fill 4 > 3 > ... wait 5+2>6, 4+2=6 fits, 3+2=5 fits; best
+    // fill is 4 → bin2); second 2 fits only bin3 (3+2=5)
+    val r = packBfd(Seq(
+      (1L, "en", "a a a a a"), (2L, "en", "b b b b"),
+      (3L, "en", "c c c"), (4L, "en", "d d"), (5L, "en", "e e")), 6)
+    assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 3L))
+  }
+
+  test("best-fit-decreasing never exceeds the window and beats greedy waste") {
+    // adversarial-for-greedy mix: greedy (doc_id order) interleaves
+    // large/small; BFD packs ≤ greedy's bin count and no bin overfills
+    val rows = (1L to 20L).map(i =>
+      (i, "en", Seq.fill(if (i % 2 == 0) 5 else 2)("t").mkString(" ")))
+    val window = 7
+    val bfd = Corpus.packBestFit(rows.toDF("doc_id", "lang", "text"), window, "lang")
+    val greedy = Corpus.packGreedy(rows.toDF("doc_id", "lang", "text"), window, "lang")
+    val fills = bfd.groupBy("bin").agg(org.apache.spark.sql.functions.sum("tok_len").as("f"))
+      .select("f").as[Long].collect()
+    assert(fills.forall(_ <= window))
+    val nBfd = bfd.select("bin").distinct().count()
+    val nGreedy = greedy.select("bin").distinct().count()
+    assert(nBfd <= nGreedy)
+    // deterministic rerun
+    val again = Corpus.packBestFit(rows.toDF("doc_id", "lang", "text"), window, "lang")
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    val first = bfd.select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(again == first)
+  }
+
   test("bins restart per shard and shards pack independently") {
     val df = Corpus.packGreedy(Seq(
       (1L, "en", "a b c"), (2L, "de", "x y z"),
