@@ -2484,6 +2484,50 @@ object Dialect {
              |FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey
              |ORDER BY c_nationkey""".stripMargin)),
 
+    // Row-value IN under OR — the three-valued multi-column marker
+    // lowering (exact-match join + per-null-mask compatibility frames),
+    // never a nested loop. Oracled via DuckDB's EXISTS reformulation
+    // (its 1.0 binder rejects row-IN).
+    "q_dialect_row_in_or" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer"),
+        "SELECT o_orderkey, o_custkey FROM orders " +
+          "WHERE (o_custkey, o_orderstatus) IN " +
+          "(SELECT c_custkey, 'O' AS st FROM customer WHERE c_acctbal > 9000) " +
+          "OR o_totalprice > 500000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+             |WHERE EXISTS (SELECT 1 FROM customer c
+             |  WHERE c.c_custkey = o_custkey AND 'O' = o_orderstatus AND c.c_acctbal > 9000)
+             |   OR o_totalprice > 500000
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Row-value NOT IN inside CASE — UNKNOWN takes the ELSE branch.
+    "q_dialect_row_in_case" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer"),
+        "SELECT o_orderkey, CASE WHEN (o_custkey, o_orderstatus) NOT IN " +
+          "(SELECT c_custkey, 'F' AS st FROM customer WHERE c_acctbal < -900) " +
+          "THEN 'clean' ELSE 'flagged' END AS tag " +
+          "FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+             |  WHERE c.c_custkey = o_custkey AND 'F' = o_orderstatus AND c.c_acctbal < -900)
+             |  THEN 'clean' ELSE 'flagged' END AS tag
+             |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin)),
+
+    // range / generate_series table functions in FROM: lazily
+    // parallelized spark.range (never materialized rows), here driving
+    // a histogram via a non-equi LEFT JOIN so empty buckets survive.
+    "q_dialect_range" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT bucket, count(o_orderkey) AS n " +
+          "FROM generate_series(0, 6) g(bucket) " +
+          "LEFT JOIN orders ON o_totalprice >= bucket * 100000 " +
+          "AND o_totalprice < (bucket + 1) * 100000 " +
+          "GROUP BY bucket ORDER BY bucket"),
+      Some("""SELECT bucket, cast(count(o_orderkey) AS bigint) AS n
+             |FROM generate_series(0, 6) g(bucket)
+             |LEFT JOIN orders ON o_totalprice >= bucket * 100000
+             |  AND o_totalprice < (bucket + 1) * 100000
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // IGNORE NULLS window variants (the DuckDB in-paren placement):
     // last-observation-carried-forward via lag/first_value over a
     // NULL-bearing measure — Spark's native ignoreNulls flags, one

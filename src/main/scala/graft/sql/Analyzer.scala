@@ -694,6 +694,13 @@ object Analyzer {
     * semantics then match SQL's CROSS JOIN LATERAL exactly (an outer row
     * whose lateral set is empty drops).
     */
+  /** A range/generate_series table function (half-open, literal
+    * bounds): lowers to spark.range — a parallelized lazy range, never
+    * materialized rows.
+    */
+  final case class BoundRange(start: Long, stopExcl: Long, step: Long,
+      colName: String) extends BoundQuery
+
   final case class BoundLateral(sub: BoundSelect,
       pairs: Seq[(BoundCol, BoundCol)], hiddenKeys: Seq[String],
       /** Group-less aggregate body: one row PER KEY including empty
@@ -1256,12 +1263,23 @@ object Analyzer {
   /** Parse-level subquery detection on a DML WHERE — decides whether the
     * predicate can lower as a plain filter or needs the row-id rewrite.
     */
-  private def parseHasRowIn(e: Expr): Boolean = e match {
-    case Expr.And(l, r) => parseHasRowIn(l) || parseHasRowIn(r)
-    case Expr.Or(l, r)  => parseHasRowIn(l) || parseHasRowIn(r)
-    case Expr.Not(x)    => parseHasRowIn(x)
-    case _: Expr.RowInSubquery => true
-    case _ => false
+  /** A row-value IN reachable through a marker position (under OR/NOT):
+    * correlated probes have no per-key marker frames, and the per-mask
+    * compatibility joins grow 2^k — both reject.
+    */
+  private def rowInMarkerIssue(e: BoundExpr): Option[String] = e match {
+    case BoundExpr.BAnd(l, r) => rowInMarkerIssue(l).orElse(rowInMarkerIssue(r))
+    case BoundExpr.BOr(l, r)  => rowInMarkerIssue(l).orElse(rowInMarkerIssue(r))
+    case BoundExpr.BNot(x)    => rowInMarkerIssue(x)
+    case BoundExpr.BRowInSub(os, _, pairs, _) =>
+      if (pairs.nonEmpty)
+        Some("a CORRELATED row-value IN (SELECT …) is only supported " +
+          "as a top-level WHERE conjunct")
+      else if (os.length > 3)
+        Some("row-value IN here supports at most 3 components " +
+          "(the null-aware decomposition grows 2^k)")
+      else None
+    case _ => None
   }
 
   private def parseExprHasSub(e: Expr): Boolean = e match {
@@ -1563,6 +1581,15 @@ object Analyzer {
     val aggLateralNames = scala.collection.mutable.Set.empty[String]
     def addFrom(fi: FromItem): Option[AnalyzerError] = fi match {
       case FTable(tr) => addTable(tr)
+      case FTableFunc(_, start, stopExcl, step, alias, colName) =>
+        val b = alias.toLowerCase
+        if (bound.contains(b)) Some(DuplicateBinding(b))
+        else {
+          bound(b) = BoundTable(TableDesc(b,
+            Seq(AttributeDesc(colName, SqlType.SqlBigInt, nullable = false))), b)
+          derivedSubs(b) = BoundRange(start, stopExcl, step, colName)
+          None
+        }
       case FLateral(sel, alias) =>
         // the body sees the PRECEDING FROM entries (bound so far)
         analyzeSelect(sel, cat, outerScope = bound.values.toSeq) match {
@@ -2101,35 +2128,31 @@ object Analyzer {
         } yield BoundExpr.BAnd(bl, br)
       case Expr.Or(l, r) =>
         // WHERE and HAVING keep subqueries usable under OR (they lower
-        // as boolean-marker left joins); NOT/CASE contexts forbid them
-        // (there NULL vs FALSE becomes observable). Row-value IN has no
-        // marker lowering — top-level conjuncts only.
-        if (parseHasRowIn(l) || parseHasRowIn(r))
-          Left(BadSubquery(
-            "row-value IN (SELECT …) is only supported as a top-level WHERE conjunct"))
-        else for {
+        // as boolean-marker left joins); row-value IN rides the same
+        // machinery UNCORRELATED (the per-mask marker frames have no
+        // per-key variant) — a correlated row-IN under OR rejects after
+        // binding, when correlation is known.
+        for {
           bl <- bindExpr(l, allowAgg, topLevel)
           br <- bindExpr(r, allowAgg, topLevel)
+          _ <- rowInMarkerIssue(BoundExpr.BOr(bl, br))
+            .fold[Either[AnalyzerError, Unit]](Right(()))(m => Left(BadSubquery(m)))
         } yield BoundExpr.BOr(bl, br)
       case Expr.Not(x) =>
         // subqueries stay legal under NOT: the marker lowering is
-        // three-valued there (NULL-vs-FALSE observable). Row-value IN is
-        // two-valued by construction — reject where that shows.
-        if (parseHasRowIn(x))
-          Left(BadSubquery(
-            "row-value IN (SELECT …) is only supported as a top-level WHERE conjunct"))
-        else bindExpr(x, allowAgg, topLevel).map(BoundExpr.BNot)
+        // three-valued there (NULL-vs-FALSE observable); row-value IN's
+        // markers are three-valued by construction (per-null-mask
+        // compatibility joins), correlated probes excepted.
+        for {
+          bx <- bindExpr(x, allowAgg, topLevel)
+          _ <- rowInMarkerIssue(bx)
+            .fold[Either[AnalyzerError, Unit]](Right(()))(m => Left(BadSubquery(m)))
+        } yield BoundExpr.BNot(bx)
       case Expr.RowInSubquery(os, sub, neg) =>
-        if (!topLevel)
-          Left(BadSubquery(
-            "row-value IN (SELECT …) may not appear under NOT or inside CASE"))
-        else if (allowAgg)
-          Left(BadSubquery("row-value IN is not supported in HAVING"))
-        else
           for {
             bos <- os.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](
               Right(Vector.empty)) { (acc, o) =>
-              acc.flatMap(v => bindOp(o, allowAgg = false).map(v :+ _))
+              acc.flatMap(v => bindOp(o, allowAgg).map(v :+ _))
             }
             bsub0 <- analyzeSelect(sub, cat, outerScope = tables ++ outerScope)
             _ <-
@@ -2138,10 +2161,18 @@ object Analyzer {
                 s"row-value IN subquery must project ${os.length} columns, " +
                   s"got ${bsub0.projection.length}"))
             dp <- decorrelate(bsub0, exprKeys = havingGkExprKeys)
+            // CASE conditions (topLevel=false) and HAVING/projection
+            // scopes (allowAgg) take the marker lowering: uncorrelated
+            // only, and the per-null-mask frames grow 2^k
             _ <-
-              if (!neg) Right(())
+              if ((!topLevel || allowAgg) && dp._2.nonEmpty) Left(BadSubquery(
+                "a CORRELATED row-value IN (SELECT …) is only supported " +
+                  "as a top-level WHERE conjunct"))
+              else Right(())
+            _ <-
+              if (!neg && topLevel && !allowAgg) Right(())
               else if (os.length > 3) Left(BadSubquery(
-                "row-value NOT IN supports at most 3 components (the null-aware decomposition grows 2^k)"))
+                "row-value IN here supports at most 3 components (the null-aware decomposition grows 2^k)"))
               else Right(())
           } yield BoundExpr.BRowInSub(bos, dp._1, dp._2, neg)
       case Expr.InSubquery(o, sub, neg) =>
@@ -2697,8 +2728,9 @@ object Analyzer {
             case BoundExpr.BIsNull(o, _)  => opCols(o)
             case BoundExpr.BLike(o, _, _, _, _) => opCols(o)
             case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
-            case BoundExpr.BInSub(o, _, _, _)  => opCols(o) // unreachable: no IN in HAVING
-            case BoundExpr.BExists(_, _, _, _) => Nil       // unreachable: no EXISTS in HAVING
+            case BoundExpr.BInSub(o, _, _, _)  => opCols(o)
+            case BoundExpr.BRowInSub(os, _, _, _) => os.flatMap(opCols)
+            case BoundExpr.BExists(_, _, _, _) => Nil
             case BoundExpr.BCmpSub(_, o, _, _, _) => opCols(o)
             case BoundExpr.BQuantSub(_, o, _, _, _) => opCols(o)
           }

@@ -33,6 +33,13 @@ object Ast {
     * compute per key, and ORDER BY + LIMIT mean top-N PER KEY.
     */
   final case class FLateral(select: SelectTree, alias: String) extends FromItem
+  /** A FROM-position table function: range / generate_series with
+    * LITERAL bounds, normalized at parse to half-open spark.range
+    * semantics (start inclusive, stop exclusive, step ≠ 0). One BIGINT
+    * column named `colName` (defaults to the function name, DuckDB).
+    */
+  final case class FTableFunc(func: String, start: Long, stopExcl: Long,
+      step: Long, alias: String, colName: String) extends FromItem
 
   sealed trait CmpOp { def sql: String }
   object CmpOp {

@@ -1344,6 +1344,86 @@ object Lowering {
             }
           predOf.put(s, if (neg) !p else p)
         }
+      case s @ BoundExpr.BRowInSub(os, sub, pairs, neg) =>
+        // (a, b, …) IN (SELECT …) as a marker — exact SQL 3VL with NO
+        // nested-loop join. TRUE = an exact-match marker (one equi join
+        // on all components of the DISTINCT set). FALSE vs NULL =
+        // per-null-mask compatibility markers: for every nonempty mask U
+        // of components, one frame GROUPED BY the outside-U components
+        // (equi keys) carrying ∃-flags per null-pattern subset of U —
+        // grouping (not distinct rows) keeps the left join 1:1, so
+        // markers never duplicate outer rows. The probe's own null
+        // pattern selects the flag columnar-ly. k ≤ 3 and uncorrelated
+        // (analyzer-enforced), so ≤ 7 keyed joins + 1 broadcast facts.
+        require(pairs.isEmpty, "unreachable: analyzer restricts correlated " +
+          "row-value IN to top-level WHERE conjuncts")
+        os.foreach(registerOp)
+        val probes = os.map(operand)
+        val k = os.length
+        val m = fresh()
+        val core = lowerSelect(spark, sub, source)
+        val cns = core.columns.toSeq
+        // exact-match marker: distinct set rows, all-components equi join
+        val exact = core.toDF(cns.indices.map(i => s"${m}_e$i"): _*)
+          .distinct().withColumn(m, lit(true))
+        joins += ((exact,
+          cns.indices.map(i => probes(i) === exact(s"${m}_e$i")).reduce(_ && _)))
+        drops ++= cns.indices.map(i => s"${m}_e$i") :+ m
+        // set-emptiness facts (one broadcast row)
+        val facts = broadcast(core.agg(count(lit(1)).as(s"${m}_n")))
+        joins += ((facts, lit(true)))
+        drops += s"${m}_n"
+        // compatibility markers: mask U = the components where equality
+        // holds via a NULL on either side; outside U compares strictly
+        val maskCols = for (mask <- 1 until (1 << k)) yield {
+          val mm = s"${m}_u$mask"
+          val inU  = (0 until k).filter(i => (mask & (1 << i)) != 0)
+          val outU = (0 until k).filterNot(i => (mask & (1 << i)) != 0)
+          // ∃-flags per subset S of U: a set row in this key group that
+          // is NULL on every component of S
+          val subsets = (0 until (1 << inU.length)).map(b =>
+            inU.zipWithIndex.collect { case (c, j) if (b & (1 << j)) != 0 => c })
+          val flags = subsets.map { s2 =>
+            val zAll =
+              if (s2.isEmpty) lit(true)
+              else s2.map(i => col(cns(i)).isNull).reduce(_ && _)
+            max(when(zAll, lit(true)).otherwise(lit(false)))
+              .as(s"${mm}_s${s2.map(i => 1 << i).sum}")
+          }
+          val grouped =
+            if (outU.isEmpty) core.agg(flags.head, flags.tail: _*)
+            else core.groupBy(outU.map(i => col(cns(i))): _*)
+              .agg(flags.head, flags.tail: _*)
+              .toDF(outU.map(i => s"${mm}_k$i") ++
+                subsets.map(s2 => s"${mm}_s${s2.map(i => 1 << i).sum}"): _*)
+          val keyed =
+            if (outU.isEmpty) broadcast(grouped)
+            else grouped
+          val cond =
+            if (outU.isEmpty) lit(true)
+            else outU.map(i => probes(i) === keyed(s"${mm}_k$i")).reduce(_ && _)
+          joins += ((keyed, cond))
+          drops ++= outU.map(i => s"${mm}_k$i") ++
+            subsets.map(s2 => s"${mm}_s${s2.map(i => 1 << i).sum}")
+          // the probe's null pattern picks which ∃-flag applies: S = the
+          // U-components where the probe is NON-null (those need the set
+          // row's NULL to be compatible)
+          val pick = subsets.foldLeft(lit(false)) { (acc, s2) =>
+            val sBits = s2.map(i => 1 << i).sum
+            val patternMatches = inU.map(i =>
+              if (s2.contains(i)) probes(i).isNotNull else probes(i).isNull)
+              .reduce(_ && _)
+            when(patternMatches,
+              coalesce(col(s"${mm}_s$sBits"), lit(false))).otherwise(acc)
+          }
+          pick
+        }
+        val compat = maskCols.reduce(_ || _)
+        val p = when(coalesce(col(m), lit(false)), lit(true))
+          .when(coalesce(col(s"${m}_n"), lit(0L)) === lit(0L), lit(false))
+          .when(compat, lit(null).cast("boolean"))
+          .otherwise(lit(false))
+        predOf.put(s, if (neg) !p else p)
       case s @ BoundExpr.BCmpSub(op, o, sub, guard, pairs) =>
         registerOp(o)
         val probe = operand(o)
@@ -1524,6 +1604,8 @@ object Lowering {
         u.rest.map { case (conn, b) => (conn, lowerSelect(spark, b, source)) },
         u.orderBy, u.limit, u.offset)
     case r: Analyzer.BoundRecursive => lowerRecursive(spark, r, source)
+    case rg: Analyzer.BoundRange =>
+      spark.range(rg.start, rg.stopExcl, rg.step).toDF(rg.colName)
     case l: Analyzer.BoundLateral   =>
       if (l.agg) sys.error("unreachable: aggregate laterals join fused in combine")
       lowerLateral(spark, l, source)

@@ -353,6 +353,7 @@ object Parser {
       case ft: FTable        => ft
       case FDerived(sel, al) => FDerived(substCteTree(sel, ctes), al)
       case FLateral(sel, al) => FLateral(substCte(sel, ctes), al)
+      case tf: FTableFunc    => tf
     }
     def expr(e: Expr): Expr = e match {
       case Expr.And(l, r)         => Expr.And(expr(l), expr(r))
@@ -823,6 +824,66 @@ object Parser {
         // including set-op chains: `(SELECT … UNION SELECT …) alias` —
         // or `LATERAL (SELECT …) alias`
         def one(): Either[ParseError, FromItem] = p.peek match {
+          // range(…) / generate_series(…) table functions with literal
+          // integer bounds; generate_series is end-INCLUSIVE (DuckDB),
+          // normalized here to half-open
+          case TIdent(fn, _) if (fn.equalsIgnoreCase("range") ||
+              fn.equalsIgnoreCase("generate_series")) && {
+                val save = p.i; p.next()
+                val isP = p.peek match { case TSym("(", _) => true; case _ => false }
+                p.i = save; isP
+              } =>
+            val fname = fn.toLowerCase
+            val start0 = p.peek.pos
+            p.next()
+            def intLit(): Either[ParseError, Long] = p.peek match {
+              case TSym("-", _) => p.next(); p.peek match {
+                case TInt(v, _) => p.next(); Right(-v)
+                case t => Left(ParseError("expected integer", t.pos))
+              }
+              case TInt(v, _) => p.next(); Right(v)
+              case t => Left(ParseError(
+                s"$fname takes literal integer bounds", t.pos))
+            }
+            for {
+              _ <- p.eatSym("(")
+              a1 <- intLit()
+              rest <- {
+                def loop(acc: Vector[Long]): Either[ParseError, Vector[Long]] =
+                  p.peek match {
+                    case TSym(",", _) => p.next(); intLit().flatMap(v => loop(acc :+ v))
+                    case _ => p.eatSym(")").map(_ => acc)
+                  }
+                loop(Vector.empty)
+              }
+              triple <- (a1 +: rest) match {
+                case Seq(b)       => Right((0L, b, 1L))
+                case Seq(a, b)    => Right((a, b, 1L))
+                case Seq(a, b, c) => Right((a, b, c))
+                case _ => Left(ParseError(s"$fname takes 1-3 arguments", start0))
+              }
+              _ <-
+                if (triple._3 == 0L)
+                  Left(ParseError(s"$fname step must not be 0", start0))
+                else Right(())
+              alias <- p.peek match {
+                case TIdent(a, _) if !reserved(a) => p.next(); Right(a)
+                case _                            => Right(fname)
+              }
+              colName <- p.peek match {
+                case TSym("(", _) =>
+                  p.next()
+                  p.ident().flatMap(n => p.eatSym(")").map(_ => n))
+                case _ => Right(fname)
+              }
+            } yield {
+              val stopExcl =
+                if (fname == "generate_series")
+                  triple._2 + (if (triple._3 > 0) 1L else -1L)
+                else triple._2
+              FTableFunc(fname, triple._1, stopExcl, triple._3,
+                alias, colName): FromItem
+            }
           case TIdent(k, _) if k.equalsIgnoreCase("lateral") && {
             val save = p.i; p.next()
             val isP = p.peek match { case TSym("(", _) => true; case _ => false }

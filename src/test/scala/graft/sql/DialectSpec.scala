@@ -2026,6 +2026,46 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT array_agg(id) AS x FROM people").isLeft)
   }
 
+  test("row-value IN under OR, NOT and CASE — exact 3VL markers") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Left(e) => fail(s"$sql -> ${e.msg}")
+      case Right(_) => ()
+    }
+    run("CREATE TABLE l (a INT, b INT)")
+    run("CREATE TABLE s (x INT, y INT)")
+    run("INSERT INTO l VALUES (1, 1), (1, 2), (2, 5), (NULL, 1), (NULL, 3), (9, 9)")
+    run("INSERT INTO s VALUES (1, 1), (2, NULL)")
+    def rows(sql: String): Seq[(Option[Int], Option[Int])] =
+      db.select(sql).toOption.getOrElse(fail(s"rejected: $sql"))
+        .collect().map(r => (
+          if (r.isNullAt(0)) None else Some(r.getInt(0)),
+          if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSeq
+    // positive IN under OR: TRUE rows + the other disjunct
+    assert(rows("SELECT a, b FROM l WHERE (a, b) IN (SELECT x, y FROM s) OR a = 9 " +
+      "ORDER BY a, b") == Seq((Some(1), Some(1)), (Some(9), Some(9))))
+    // NOT IN under OR: (1,2) is definitely-absent (TRUE); (2,5) and the
+    // NULL probes are UNKNOWN (a compatible row exists) and drop
+    assert(rows("SELECT a, b FROM l WHERE (a, b) NOT IN (SELECT x, y FROM s) OR b = 7 " +
+      "ORDER BY a, b") == Seq((Some(1), Some(2)), (Some(9), Some(9))))
+    // NOT over a disjunction containing row-IN: UNKNOWN stays UNKNOWN
+    assert(rows("SELECT a, b FROM l WHERE NOT ((a, b) IN (SELECT x, y FROM s) OR b = 9) " +
+      "ORDER BY a, b") == Seq((Some(1), Some(2))))
+    // CASE consumes TRUE-vs-rest: UNKNOWN takes the ELSE branch
+    val cs = db.select("SELECT a, b, CASE WHEN (a, b) IN (SELECT x, y FROM s) " +
+      "THEN 'in' ELSE 'out' END AS c FROM l ORDER BY a, b").toOption.get
+    // NULL probes sort first (Spark ASC default): both are 'out'
+    assert(cs.collect().map(_.getString(2)).toSeq ==
+      Seq("out", "out", "in", "out", "out", "out"))
+    // empty set: NOT IN is TRUE for every probe (NULLs included)
+    run("CREATE TABLE empty2 (x INT, y INT)")
+    assert(rows("SELECT a, b FROM l WHERE (a, b) NOT IN (SELECT x, y FROM empty2) OR a = 0 " +
+      "ORDER BY a, b").length == 6)
+    // correlated row-IN stays a top-level-conjunct-only feature
+    assert(db.query("SELECT a FROM l WHERE (a, b) IN " +
+      "(SELECT x, y FROM s WHERE s.x = l.a) OR a = 9").isLeft)
+  }
+
   test("window IGNORE NULLS variants") {
     val db = demoDb()
     db.query("CREATE TABLE m (k INT, x INT)")
@@ -2086,15 +2126,22 @@ class DialectSpec extends AnyFunSuite {
       "ORDER BY name").toOption.get
     assert(c.collect().map(_.getString(0)).toSeq.sorted ==
       Seq("Dr. Emmett L. „Doc“ Brown", "Elon"))
-    // arity mismatch, under NOT/OR, in HAVING: all rejected
+    // arity mismatch rejects; NOT / OR / HAVING positions now lower via
+    // the three-valued marker machinery (uncorrelated probes)
     assert(db.query("SELECT id FROM cars WHERE (owner_id, id) IN " +
       "(SELECT owner_id FROM cars)").isLeft)
-    assert(db.query("SELECT id FROM cars WHERE NOT ((owner_id, id) IN " +
-      "(SELECT owner_id, id FROM cars))").isLeft)
-    assert(db.query("SELECT id FROM cars WHERE (owner_id, id) IN " +
-      "(SELECT owner_id, id FROM cars) OR id = 1").isLeft)
-    assert(db.query("SELECT owner_id FROM cars GROUP BY owner_id " +
-      "HAVING (owner_id, count(*)) IN (SELECT owner_id, id FROM cars)").isLeft)
+    val nr = db.select("SELECT id FROM cars WHERE NOT ((owner_id, id) IN " +
+      "(SELECT owner_id, id FROM cars))").toOption.get
+    assert(nr.count() == 0)
+    val orr = db.select("SELECT id FROM cars WHERE (owner_id, id) IN " +
+      "(SELECT owner_id, id FROM cars) OR id = 1 ORDER BY id").toOption.get
+    assert(orr.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    val hv = db.select("SELECT owner_id FROM cars GROUP BY owner_id " +
+      "HAVING (owner_id, count(*)) IN (SELECT owner_id, id FROM cars) " +
+      "ORDER BY owner_id").toOption.get
+    // cars = (1,·,1), (2,·,2): owner 1's probe (1, count=1) matches the
+    // set pair (owner_id=1, id=1); owner 2's (2, 1) matches nothing
+    assert(hv.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
   test("row-value NOT IN: exact SQL 3VL over NULL components") {
