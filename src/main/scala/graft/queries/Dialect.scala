@@ -2528,6 +2528,36 @@ object Dialect {
              |  AND o_totalprice < (bucket + 1) * 100000
              |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // Scalar subqueries as general OPERANDS — inside arithmetic, on
+    // either side of predicates, in WHERE: each an uncorrelated
+    // broadcast 1-row frame (or one bounded guarded job), never a
+    // per-row re-execution.
+    "q_dialect_scalar_operand" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "round(o_totalprice / (SELECT max(o_totalprice) FROM orders), 6) AS frac, " +
+          "round((SELECT avg(o_totalprice) FROM orders) - o_totalprice, 2) AS below_avg " +
+          "FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8 " +
+          "ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  round(o_totalprice / (SELECT max(o_totalprice) FROM orders), 6) AS frac,
+             |  round((SELECT avg(o_totalprice) FROM orders) - o_totalprice, 2) AS below_avg
+             |FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ... and in AGGREGATE scope (share-of-total): the subquery frame
+    // broadcast-joins the aggregated result.
+    "q_dialect_scalar_share" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer"),
+        "SELECT c_mktsegment, " +
+          "round(sum(o_totalprice) / (SELECT sum(o_totalprice) FROM orders), 6) AS share " +
+          "FROM orders o, customer c WHERE o.o_custkey = c.c_custkey " +
+          "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+             |  round(sum(o_totalprice) / (SELECT sum(o_totalprice) FROM orders), 6) AS share
+             |FROM orders o, customer c WHERE o.o_custkey = c.c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // IGNORE NULLS window variants (the DuckDB in-paren placement):
     // last-observation-carried-forward via lag/first_value over a
     // NULL-bearing measure — Spark's native ignoreNulls flags, one

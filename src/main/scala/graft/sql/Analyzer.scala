@@ -112,6 +112,15 @@ object Analyzer {
     final case class BOrderedAgg(func: String, arg: BoundOperand, sep: String,
         order: Seq[(BoundOperand, Boolean)]) extends BoundOperand
 
+    /** An UNCORRELATED scalar subquery as a general operand (inside
+      * arithmetic / functions / CASE values): one broadcast 1-row frame
+      * — or a bounded guarded-literal job when the one-row contract
+      * needs checking — joined wherever the enclosing expression
+      * lowers. Valid in SELECT-item expressions, WHERE and HAVING;
+      * rejected inside aggregate arguments and in GROUP/ORDER BY.
+      */
+    final case class BSubVal(sub: BoundSelect, guard: Boolean) extends BoundOperand
+
     /** Does the operand tree contain an aggregate call? */
     def containsAgg(o: BoundOperand): Boolean = o match {
       case _: BAgg          => true
@@ -154,6 +163,7 @@ object Analyzer {
       case BFunc(_, args)  => args.exists(operandHasSub)
       case BCast(x, _)     => operandHasSub(x)
       case BAgg(_, arg, _) => arg.exists(operandHasSub)
+      case _: BSubVal      => true
       case _               => false
     }
 
@@ -892,6 +902,7 @@ object Analyzer {
       case _          => SqlType.SqlDouble // sqrt / power / exp / ln / log10 / log2
     }
     case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
+    case BoundOperand.BSubVal(sub, _) => scalarOutputType(sub)
     case BoundOperand.BAgg(f, arg, _) => aggType(f, arg)
     case BoundOperand.BCast(_, t) => t
     case BoundOperand.BOut(_, t)  => t
@@ -983,6 +994,7 @@ object Analyzer {
     case BoundOperand.BFunc(_, as)    => as.flatMap(opSubsOf)
     case BoundOperand.BCast(x, _)     => opSubsOf(x)
     case BoundOperand.BAgg(_, arg, _) => arg.toSeq.flatMap(opSubsOf)
+    case BoundOperand.BSubVal(sub, _) => Seq(sub)
     case _                            => Nil
   }
 
@@ -1941,9 +1953,21 @@ object Analyzer {
         }
       case Operand.AggCall(f, _, _) =>
         Left(BadAggregate(s"$f(...) is not valid in this context"))
-      case Operand.ScalarSub(_) =>
-        Left(BadSubquery(
-          "a scalar subquery operand is only supported as an UPDATE SET value"))
+      case Operand.ScalarSub(sel) =>
+        for {
+          bsub <- analyzeSelect(sel, cat, outerScope = tables ++ outerScope)
+          _ <-
+            if (bsub.projection.length == 1) Right(())
+            else Left(BadSubquery(
+              s"a scalar subquery must project exactly one column, got ${bsub.projection.length}"))
+          dp <- decorrelate(bsub, exprKeys = havingGkExprKeys)
+          _ <-
+            if (dp._2.isEmpty) Right(())
+            else Left(BadSubquery("a CORRELATED scalar subquery is only " +
+              "supported as a SELECT item or one side of a comparison"))
+          staticOne = (bsub.isAggregate && bsub.groupBy.isEmpty) ||
+            bsub.limit.exists(_ <= 1L)
+        } yield BoundOperand.BSubVal(dp._1, guard = !staticOne)
       case Operand.OrderedAgg(f, arg, sep, ord, _) if allowAgg =>
         for {
           barg <- bindOp(arg, allowAgg = false)
@@ -2573,9 +2597,37 @@ object Analyzer {
         else if (proj.exists(_.isInstanceOf[BoundItem.BISub]))
           Left(BadSubquery(
             "scalar subquery items over an aggregated query are not supported"))
-        else if (proj.exists {
-          case BoundItem.BIExpr(op, _) => BoundOperand.operandHasSub(op)
-          case _                       => false
+        else if ({
+          // scalar-subquery VALUE operands are fine in aggregate scope
+          // (they broadcast-join the aggregated frame); predicate-form
+          // subqueries inside CASE conditions are not (no marker frames
+          // join aggregate-scope projections)
+          def exprNonVal(e: BoundExpr): Boolean = e match {
+            case BoundExpr.BAnd(l, r) => exprNonVal(l) || exprNonVal(r)
+            case BoundExpr.BOr(l, r)  => exprNonVal(l) || exprNonVal(r)
+            case BoundExpr.BNot(x)    => exprNonVal(x)
+            case _: BoundExpr.BInSub | _: BoundExpr.BExists |
+                 _: BoundExpr.BCmpSub | _: BoundExpr.BQuantSub |
+                 _: BoundExpr.BRowInSub => true
+            case other => BoundOperand.exprOperands(other).exists(nonValSub)
+          }
+          def nonValSub(op: BoundOperand): Boolean = op match {
+            case _: BoundOperand.BSubVal => false
+            case BoundOperand.BCase(bs, els) =>
+              bs.exists { case (c, v) => exprNonVal(c) || nonValSub(v) } ||
+                els.exists(nonValSub)
+            case BoundOperand.BArith(_, l, r) => nonValSub(l) || nonValSub(r)
+            case BoundOperand.BFunc(_, as)    => as.exists(nonValSub)
+            case BoundOperand.BCast(x, _)     => nonValSub(x)
+            case BoundOperand.BAgg(_, a, _)   => a.exists(nonValSub)
+            case BoundOperand.BOrderedAgg(_, a, _, ks) =>
+              nonValSub(a) || ks.exists(k => nonValSub(k._1))
+            case _ => false
+          }
+          proj.exists {
+            case BoundItem.BIExpr(op, _) => nonValSub(op)
+            case _                       => false
+          }
         })
           Left(BadSubquery(
             "subqueries inside CASE are not supported in aggregate scope"))
@@ -3041,6 +3093,71 @@ object Analyzer {
         else if (roots > 1)
           Left(BadFunction(
             "one unnest(...) per SELECT list (one generator per projection)"))
+        else Right(())
+      }
+      // scalar-subquery OPERAND placement: valid inside SELECT-item
+      // expressions, WHERE and HAVING — but never inside an aggregate
+      // argument (the agg computes per input row, pre-join) and never in
+      // GROUP BY / ORDER BY / QUALIFY / window positions (no marker
+      // frame joins there)
+      _ <- {
+        def contains(o: BoundOperand): Boolean =
+          BoundOperand.operandHasSub(o) && {
+            def c(x: BoundOperand): Boolean = x match {
+              case _: BoundOperand.BSubVal      => true
+              case BoundOperand.BArith(_, l, r) => c(l) || c(r)
+              case BoundOperand.BFunc(_, as)    => as.exists(c)
+              case BoundOperand.BCast(y, _)     => c(y)
+              case BoundOperand.BCase(bs, els) =>
+                bs.exists { case (cc, v) =>
+                  BoundOperand.exprOperands(cc).exists(c) || c(v) } ||
+                  els.exists(c)
+              case BoundOperand.BAgg(_, a, _)   => a.exists(c)
+              case BoundOperand.BOrderedAgg(_, a, _, ks) =>
+                c(a) || ks.exists(k => c(k._1))
+              case _ => false
+            }
+            c(o)
+          }
+        // inside an aggregate's ARGUMENT (any nesting) = bad
+        def inAggArg(o: BoundOperand): Boolean = o match {
+          case BoundOperand.BAgg(_, a, _) => a.exists(contains)
+          case BoundOperand.BOrderedAgg(_, a, _, ks) =>
+            contains(a) || ks.exists(k => contains(k._1))
+          case BoundOperand.BArith(_, l, r) => inAggArg(l) || inAggArg(r)
+          case BoundOperand.BFunc(_, as)    => as.exists(inAggArg)
+          case BoundOperand.BCast(y, _)     => inAggArg(y)
+          case BoundOperand.BCase(bs, els) =>
+            bs.exists { case (cc, v) =>
+              BoundOperand.exprOperands(cc).exists(inAggArg) || inAggArg(v) } ||
+              els.exists(inAggArg)
+          case _ => false
+        }
+        def exprBad(e: BoundExpr): Boolean =
+          BoundOperand.exprOperands(e).exists(inAggArg)
+        val badProj = proj.exists {
+          case BoundItem.BIExpr(op, _)     => inAggArg(op)
+          case BoundItem.BIAgg(_, a, _, _) => a.exists(contains)
+          case BoundItem.BIWin(_, as, _, ord, _, _) =>
+            as.exists(contains) || ord.exists(k => contains(k._1))
+          case _ => false
+        }
+        val badOther =
+          pred.exists(exprBad) || having.exists(exprBad) ||
+            qualifyPred.exists(e => exprBad(e) ||
+              BoundOperand.exprOperands(e).exists(contains)) ||
+            group.exists {
+              case BoundGroupKey.GKExpr(op, _) => contains(op)
+              case _ => false
+            } ||
+            order.exists {
+              case (BoundOrderKey.OKOperand(op), _) => contains(op)
+              case _ => false
+            }
+        if (badProj || badOther)
+          Left(BadSubquery("a scalar-subquery operand is not supported " +
+            "in this position (aggregate arguments, GROUP/ORDER BY, " +
+            "QUALIFY, window arguments)"))
         else Right(())
       }
     } yield BoundSelect(innerTables, proj, pred, order, s.limit, s.offset, group,

@@ -263,7 +263,26 @@ object Lowering {
       // drops them
       val havingAggs =
         scala.collection.mutable.ArrayBuffer.empty[(BoundOperand, String)]
+      // uncorrelated scalar-subquery operands in aggregate scope
+      // (sum(x) / (SELECT sum(x) FROM t)): each a broadcast 1-row frame
+      // joined AFTER aggregation (the expression evaluates over the
+      // grouped frame), or a guarded-literal bounded job
+      val subValJoins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val subValCols = new java.util.IdentityHashMap[BoundOperand, Column]()
       def havingOperand(o: BoundOperand): Column = o match {
+        case v @ BoundOperand.BSubVal(sub, guard) =>
+          Option(subValCols.get(v)).getOrElse {
+            val c =
+              if (guard) guardedScalarLit(lowerSelect(spark, sub, source))
+              else {
+                val name = s"__es_${subValJoins.length}"
+                subValJoins += broadcast(
+                  lowerSelect(spark, sub, source).toDF(name))
+                col(name)
+              }
+            subValCols.put(v, c)
+            c
+          }
         case BoundOperand.BCol(c) => col(groupOut(c))
         case BoundOperand.BLit(l) => lowerLit(l)
         case BoundOperand.BInterval(n, u) => intervalCol(n, u)
@@ -592,11 +611,15 @@ object Lowering {
       }
       // mixed HAVING conjuncts apply after the pure subquery joins: each
       // marker frame left-joins, the disjunction filters, markers drop
-      val grouped = havingMixedPlans.foldLeft(grouped2) {
+      val groupedM = havingMixedPlans.foldLeft(grouped2) {
         case (acc, (joins, pred, drops)) =>
           joins.foldLeft(acc) { case (df, (f, on)) => df.join(f, on, "left_outer") }
             .filter(pred).drop(drops: _*)
       }
+      // scalar-subquery operand frames join the aggregated result (their
+      // columns die at the final explicit projection)
+      val grouped = subValJoins.foldLeft(groupedM)(
+        (df, f) => df.join(f, lit(true), "left_outer"))
       // window columns compute over the aggregated (and HAVING-filtered)
       // frame, BEFORE the final ORDER BY — the window's own exchange
       // must not disturb the result ordering
@@ -1247,6 +1270,7 @@ object Lowering {
     val joins = scala.collection.mutable.ArrayBuffer.empty[(DataFrame, Column)]
     val drops = scala.collection.mutable.ArrayBuffer.empty[String]
     private val predOf = new java.util.IdentityHashMap[BoundExpr, Column]()
+    private val opValOf = new java.util.IdentityHashMap[BoundOperand, Column]()
     private var k = 0
     private def fresh(): String = { val m = s"__mx${tag}_$k"; k += 1; m }
     private def qcolSub(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
@@ -1494,6 +1518,20 @@ object Lowering {
       case BoundOperand.BArith(_, l, r) => registerOp(l); registerOp(r)
       case BoundOperand.BFunc(_, args)  => args.foreach(registerOp)
       case BoundOperand.BCast(x, _)     => registerOp(x)
+      // an uncorrelated scalar subquery as a VALUE: a guarded literal
+      // (one bounded job, no join) or one broadcast 1-row left join
+      case v @ BoundOperand.BSubVal(sub, guard) =>
+        if (!opValOf.containsKey(v)) {
+          if (guard)
+            opValOf.put(v, guardedScalarLit(lowerSelect(spark, sub, source)))
+          else {
+            val m = fresh()
+            joins += ((broadcast(lowerSelect(spark, sub, source).toDF(m)),
+              lit(true)))
+            drops += m
+            opValOf.put(v, col(m))
+          }
+        }
       case _ => ()
     }
 
@@ -1517,6 +1555,9 @@ object Lowering {
       case BoundOperand.BArith(ch, l, r) => arith(ch, operand(l), operand(r))
       case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, operand)
       case BoundOperand.BCast(x, t)      => operand(x).cast(t.spark)
+      case v: BoundOperand.BSubVal =>
+        Option(opValOf.get(v)).getOrElse(
+          sys.error("unreachable: scalar-subquery operand was not registered"))
       case other                         => opResolve(other)
     }
   }

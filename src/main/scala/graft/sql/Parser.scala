@@ -736,15 +736,32 @@ object Parser {
               case TSym("(", _) if {
                 val save = p.i; p.next(); val r = p.isKw("select"); p.i = save; r
               } =>
+                val save = p.i
                 for {
                   _ <- p.eatSym("(")
                   sub <- parseSelect(p)
                   _ <- p.eatSym(")")
-                  _ <-
-                    if (p.isKw("as")) { p.next(); Right(()) }
-                    else Left(ParseError("a scalar subquery item requires AS <name>", start))
-                  a <- p.ident()
-                } yield SelectItem.SSub(sub, a)
+                  it <- p.peek match {
+                    case TIdent(k, _) if k.equalsIgnoreCase("as") =>
+                      p.next(); p.ident().map(a => SelectItem.SSub(sub, a): SelectItem)
+                    // `(SELECT …) - x AS gap`: the subquery is part of a
+                    // larger expression — reparse through the operand
+                    // grammar (its atom layer yields a ScalarSub)
+                    case TSym("+" | "-" | "*" | "/" | "%" | "||" | "::" | "[", _) =>
+                      p.i = save
+                      parseOperand(p, allowAgg = true).flatMap { computed =>
+                        p.peek match {
+                          case TIdent(s2, _) if s2.equalsIgnoreCase("as") =>
+                            p.next(); p.ident().map(a =>
+                              SelectItem.SExpr(computed, a): SelectItem)
+                          case _ => Left(ParseError(
+                            "computed select item requires AS <name>", start))
+                        }
+                      }
+                    case _ => Left(ParseError(
+                      "a scalar subquery item requires AS <name>", start))
+                  }
+                } yield it
               case TIdent(f, _) if winFuncs(f.toLowerCase) =>
                 p.next()
                 for {
@@ -1609,6 +1626,7 @@ object Parser {
             p.i = save
             r
           }
+          rhsStart = p.i
           e <-
             if (isSub)
               for {
@@ -1616,7 +1634,19 @@ object Parser {
                 sub <- parseSelect(p)
                 _ <- p.eatSym(")")
                 q <- quant match {
-                  case None => Right(Expr.CmpSubquery(op, l, sub): Expr)
+                  case None =>
+                    // `x = (SELECT …) - 2`: the subquery is part of a
+                    // LARGER operand — rewind and reparse the right side
+                    // through the operand grammar (whose atom layer
+                    // yields a ScalarSub)
+                    p.peek match {
+                      case TSym("+" | "-" | "*" | "/" | "%" | "||" |
+                          "::" | "[", _) =>
+                        p.i = rhsStart
+                        parseOperand(p, allowAgg)
+                          .map(r => Expr.Cmp(op, l, r): Expr)
+                      case _ => Right(Expr.CmpSubquery(op, l, sub): Expr)
+                    }
                   case Some(isAll) => (op, isAll) match {
                     case (CmpOp.Eq, false)  => Right(Expr.InSubquery(l, sub, negated = false): Expr)
                     case (CmpOp.Neq, true)  => Right(Expr.InSubquery(l, sub, negated = true): Expr)
@@ -1712,7 +1742,12 @@ object Parser {
   private def parseAtom(p: P, allowAgg: Boolean): Either[ParseError, Operand] = p.peek match {
     case TSym("(", _) =>
       p.next()
-      parseOperand(p, allowAgg).flatMap(e => p.eatSym(")").map(_ => e))
+      // (SELECT …) as an operand atom: an uncorrelated scalar subquery
+      // usable inside arithmetic / functions / CASE values
+      if (p.isKw("select"))
+        parseSelect(p).flatMap(sub =>
+          p.eatSym(")").map(_ => Operand.ScalarSub(sub): Operand))
+      else parseOperand(p, allowAgg).flatMap(e => p.eatSym(")").map(_ => e))
     case TSym("-", _) =>
       p.next()
       parseFactor(p, allowAgg).map {

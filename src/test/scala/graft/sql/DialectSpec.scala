@@ -2066,6 +2066,48 @@ class DialectSpec extends AnyFunSuite {
       "(SELECT x, y FROM s WHERE s.x = l.a) OR a = 9").isLeft)
   }
 
+  test("scalar subqueries as operands: arithmetic, WHERE, aggregate scope") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Left(e) => fail(s"$sql -> ${e.msg}")
+      case Right(_) => ()
+    }
+    run("CREATE TABLE t (x INT, g VARCHAR(10))")
+    run("INSERT INTO t VALUES (1, 'a'), (2, 'a'), (4, 'b')")
+    // inside a projection expression
+    val fr = db.select("SELECT x, x * 1.0 / (SELECT max(x) FROM t) AS frac " +
+      "FROM t ORDER BY x").toOption.get
+    assert(fr.collect().map(_.getDouble(1)).toSeq == Seq(0.25, 0.5, 1.0))
+    // subquery-leading expression item; comparison rhs continues as operand
+    val gap = db.select("SELECT (SELECT max(x) FROM t) - x AS gap FROM t " +
+      "WHERE x = (SELECT max(x) FROM t) - 2").toOption.get
+    assert(gap.collect().map(_.getInt(0)).toSeq == Seq(2))
+    // aggregate scope: share-of-total
+    val sh = db.select("SELECT g, sum(x) * 1.0 / (SELECT sum(x) FROM t) AS s " +
+      "FROM t GROUP BY g ORDER BY g").toOption.get
+    assert(sh.collect().map(r => (r.getString(0),
+      math.rint(r.getDouble(1) * 7).toInt)).toSeq == Seq(("a", 3), ("b", 4)))
+    // empty subquery = SQL NULL value
+    val nv = db.select("SELECT x + (SELECT max(x) FROM t WHERE x > 99) AS n " +
+      "FROM t WHERE x = 1").toOption.get
+    assert(nv.collect().head.isNullAt(0))
+    // a NON-aggregate multi-row subquery fails the one-row guard
+    run("INSERT INTO t VALUES (8, 'c')")
+    val guardRaised =
+      try {
+        db.select("SELECT x + (SELECT x FROM t) AS n FROM t")
+          .toOption.foreach(_.collect())
+        false
+      } catch { case _: IllegalStateException => true }
+    assert(guardRaised)
+    // rejected positions: aggregate argument, GROUP BY, ORDER BY
+    assert(db.query("SELECT sum(x + (SELECT max(x) FROM t)) AS s FROM t").isLeft)
+    assert(db.query("SELECT count(*) AS n FROM t GROUP BY x + (SELECT max(x) FROM t)").isLeft)
+    assert(db.query("SELECT x FROM t ORDER BY x + (SELECT max(x) FROM t)").isLeft)
+    // correlated operand subqueries stay rejected toward SELECT items
+    assert(db.query("SELECT x + (SELECT max(x) FROM t t2 WHERE t2.g = t.g) AS n FROM t").isLeft)
+  }
+
   test("window IGNORE NULLS variants") {
     val db = demoDb()
     db.query("CREATE TABLE m (k INT, x INT)")
