@@ -2558,6 +2558,38 @@ object Dialect {
              |FROM orders o, customer c WHERE o.o_custkey = c.c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // Aggregate batch 4: mode / bool_and / bool_or / bit_and / bit_or /
+    // bit_xor / avg(DISTINCT) — all native single-state Spark aggregates
+    // (avg DISTINCT composes sum_distinct/count_distinct).
+    "q_dialect_agg4" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT mode(l_returnflag) AS flag_mode, " +
+          "bool_and(CASE WHEN l_quantity > 0 THEN true ELSE false END) AS all_pos, " +
+          "bool_or(CASE WHEN l_discount > 0.09 THEN true ELSE false END) AS any_disc, " +
+          "bit_and(l_orderkey) AS band, bit_or(l_linenumber) AS bor, " +
+          "bit_xor(l_orderkey) AS bxor, " +
+          "round(avg(DISTINCT l_linenumber), 4) AS ad FROM lineitem"),
+      Some("""SELECT mode(l_returnflag) AS flag_mode,
+             |  bool_and(CASE WHEN l_quantity > 0 THEN true ELSE false END) AS all_pos,
+             |  bool_or(CASE WHEN l_discount > 0.09 THEN true ELSE false END) AS any_disc,
+             |  bit_and(l_orderkey) AS band, cast(bit_or(l_linenumber) AS int) AS bor,
+             |  bit_xor(l_orderkey) AS bxor,
+             |  round(avg(DISTINCT l_linenumber), 4) AS ad FROM lineitem""".stripMargin)),
+
+    // Scalar batch 4: levenshtein / chr / ascii / to_hex / epoch_ms.
+    "q_dialect_funcs4" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT c_custkey, levenshtein(c_name, 'Customer#000000000') AS lev, " +
+          "chr(65 + c_nationkey % 26) AS ch, ascii(c_mktsegment) AS a, " +
+          "to_hex(c_custkey) AS h, " +
+          "epoch_ms(TIMESTAMP '2024-01-01 00:00:01') + c_custkey AS e " +
+          "FROM customer WHERE c_custkey < 400 ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, levenshtein(c_name, 'Customer#000000000') AS lev,
+             |  chr(65 + c_nationkey % 26) AS ch, ascii(c_mktsegment) AS a,
+             |  to_hex(c_custkey) AS h,
+             |  epoch_ms(TIMESTAMP '2024-01-01 00:00:01') + c_custkey AS e
+             |FROM customer WHERE c_custkey < 400 ORDER BY c_custkey""".stripMargin)),
+
     // IGNORE NULLS window variants (the DuckDB in-paren placement):
     // last-observation-carried-forward via lag/first_value over a
     // NULL-bearing measure — Spark's native ignoreNulls flags, one

@@ -866,8 +866,11 @@ object Analyzer {
            "left" | "right" | "translate" =>
         SqlType.SqlVarChar(65535)
       case "length" | "year" | "month" | "day" | "instr" | "datediff" |
-           "sign" | "quarter" | "hour" | "minute" | "second" =>
+           "sign" | "quarter" | "hour" | "minute" | "second" |
+           "levenshtein" | "ascii" =>
         SqlType.SqlInt
+      case "chr" | "to_hex" => SqlType.SqlVarChar(65535)
+      case "epoch_ms"       => SqlType.SqlBigInt
       case "date_part" => args.head match {
         case BoundOperand.BLit(Lit.LitString(u))
             if u.equalsIgnoreCase("epoch") => SqlType.SqlDouble
@@ -1945,7 +1948,7 @@ object Analyzer {
         else bindCol(c).map(BoundOperand.BCol)
       case Operand.Literal(v) => Right(BoundOperand.BLit(v))
       case Operand.AggCall(f, arg, dist) if allowAgg =>
-        if (dist && f != "count" && f != "sum")
+        if (dist && f != "count" && f != "sum" && f != "avg")
           Left(BadAggregate(s"$f(DISTINCT ...) is not supported"))
         else arg match {
           case None    => Right(BoundOperand.BAgg(f, None, dist))
@@ -2020,6 +2023,8 @@ object Analyzer {
                "string_to_array" | "split" | "array_to_string" => args.length == 2
           case "list_slice"          => args.length == 3
           case "list_value"          => true
+          case "levenshtein"         => args.length == 2
+          case "chr" | "ascii" | "to_hex" | "epoch_ms" => args.length == 1
           case _                     => false
         }
         if (!arityOk)
@@ -2318,7 +2323,7 @@ object Analyzer {
         else bindCol(r).map(BoundItem.BICol(_, a))
       case SelectItem.SAgg(f, None, a, dist) => Right(BoundItem.BIAgg(f, None, a, dist))
       case SelectItem.SAgg(f, Some(r), a, dist) =>
-        if (dist && f != "count" && f != "sum")
+        if (dist && f != "count" && f != "sum" && f != "avg")
           Left(BadAggregate(s"$f(DISTINCT ...) is not supported"))
         else bindOp(r, allowAgg = false).flatMap { b =>
           val numericAgg =

@@ -248,10 +248,21 @@ object Lowering {
           case ("sum", Some(a))           => sum(lowerOperandWith(a, qcol))
           case ("min", Some(a))           => min(lowerOperandWith(a, qcol))
           case ("max", Some(a))           => max(lowerOperandWith(a, qcol))
+          // avg(DISTINCT) composed from the native distinct aggregates
+          // (one distinct-aggregate state, exactly SQL semantics)
+          case ("avg", Some(a)) if dist =>
+            sum_distinct(lowerOperandWith(a, qcol)) /
+              count_distinct(lowerOperandWith(a, qcol))
           case ("avg", Some(a))           => avg(lowerOperandWith(a, qcol))
           case ("stddev", Some(a))        => stddev(lowerOperandWith(a, qcol))
           case ("variance", Some(a))      => variance(lowerOperandWith(a, qcol))
           case ("median", Some(a))        => median(lowerOperandWith(a, qcol))
+          case ("mode", Some(a))          => mode(lowerOperandWith(a, qcol))
+          case ("bool_and", Some(a))      => bool_and(lowerOperandWith(a, qcol))
+          case ("bool_or", Some(a))       => bool_or(lowerOperandWith(a, qcol))
+          case ("bit_and", Some(a))       => bit_and(lowerOperandWith(a, qcol))
+          case ("bit_or", Some(a))        => bit_or(lowerOperandWith(a, qcol))
+          case ("bit_xor", Some(a))       => bit_xor(lowerOperandWith(a, qcol))
           // int on both engines (Spark's native grouping() is a tinyint)
           case ("grouping", Some(a))      => grouping(lowerOperandWith(a, qcol)).cast("int")
           case other                      => sys.error(s"unreachable aggregate $other")
@@ -2032,6 +2043,11 @@ object Lowering {
       graft.functions.TrimExprs.trimCol(rec(a), rec(ch), "trailing")
     case ("reverse", Seq(a)) => reverse(rec(a))
     case ("md5", Seq(a))     => md5(rec(a).cast("binary"))
+    case ("levenshtein", Seq(a, b)) => levenshtein(rec(a), rec(b))
+    case ("chr", Seq(a))      => call_function("char", rec(a))
+    case ("ascii", Seq(a))    => ascii(rec(a))
+    case ("to_hex", Seq(a))   => hex(rec(a))
+    case ("epoch_ms", Seq(a)) => unix_millis(rec(a).cast("timestamp"))
     // DuckDB's sign returns an integer -1/0/1; Spark's signum a double
     case ("sign", Seq(a))    => signum(rec(a)).cast("int")
     case ("exp", Seq(a))     => exp(rec(a))

@@ -135,7 +135,8 @@ object Parser {
     "asof")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg",
-    "stddev", "variance", "median", "grouping")
+    "stddev", "variance", "median", "grouping",
+    "mode", "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor")
   private val winFuncs = Set("row_number", "rank", "dense_rank", "lag", "lead",
     "first_value", "last_value", "nth_value", "ntile", "percent_rank", "cume_dist")
   private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",
@@ -154,7 +155,8 @@ object Parser {
     "list_extract", "list_element", "list_distinct", "array_distinct",
     "list_sort", "array_sort", "array_to_string", "string_split",
     "string_to_array", "split", "list_position", "array_position",
-    "list_concat", "array_concat", "list_value", "list_slice", "unnest")
+    "list_concat", "array_concat", "list_value", "list_slice", "unnest",
+    "levenshtein", "chr", "ascii", "to_hex", "epoch_ms")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
@@ -2769,8 +2771,8 @@ object Parser {
     } yield MergeTree(TableRef(tname, talias), source, on, whens)
   }
 
-  private def parseType(p: P): Either[ParseError, SqlType] =
-    p.peek match {
+  private def parseType(p: P): Either[ParseError, SqlType] = {
+    val baseE: Either[ParseError, SqlType] = p.peek match {
       case TIdent(s, pos) =>
         p.next()
         s.toLowerCase match {
@@ -2778,6 +2780,8 @@ object Parser {
           case "int" | "integer" => Right(SqlType.SqlInt)
           case "smallint" => Right(SqlType.SqlSmallInt)
           case "double"   => Right(SqlType.SqlDouble)
+          case "real" | "float" => Right(SqlType.SqlReal)
+          case "boolean" | "bool" => Right(SqlType.SqlBool)
           case "date"     => Right(SqlType.SqlDate)
           case "timestamp" => Right(SqlType.SqlTimestamp)
           case "varchar" =>
@@ -2793,6 +2797,24 @@ object Parser {
         }
       case t => Left(ParseError("expected type", t.pos))
     }
+    // postfix [] builds array types: DOUBLE[], VARCHAR(10)[], INT[][].
+    // `[` followed by anything else stays for the SUBSCRIPT postfix
+    // (x::int[2] subscripts the cast).
+    baseE.map { base =>
+      var t = base
+      def emptyBrackets: Boolean = {
+        val save = p.i
+        val ok = (p.peek match { case TSym("[", _) => true; case _ => false }) && {
+          p.next()
+          p.peek match { case TSym("]", _) => true; case _ => false }
+        }
+        p.i = save
+        ok
+      }
+      while (emptyBrackets) { p.next(); p.next(); t = SqlType.SqlArray(t) }
+      t
+    }
+  }
 
   /** CLUSTERED BY (col) INTO n BUCKETS — shared by CREATE TABLE and CTAS. */
   private def parseBucketClause(p: P): Either[ParseError, Option[(String, Int)]] =
