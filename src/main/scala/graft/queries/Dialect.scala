@@ -2590,6 +2590,32 @@ object Dialect {
              |  epoch_ms(TIMESTAMP '2024-01-01 00:00:01') + c_custkey AS e
              |FROM customer WHERE c_custkey < 400 ORDER BY c_custkey""".stripMargin)),
 
+    // Window frame EXCLUDE CURRENT ROW: the current row's contribution
+    // subtracts columnar from the frame aggregate (one window pass) —
+    // the leave-one-out shape (peer average without self).
+    "q_dialect_win_exclude" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, round(pa) / 100 AS peer_avg, n_peers, " +
+          "ns AS nbr_sum FROM (" +
+          "SELECT o_orderkey, " +
+          "avg(round(o_totalprice * 100)) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS pa, " +
+          "count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS n_peers, " +
+          "sum(o_custkey) OVER (ORDER BY o_orderkey " +
+          "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS ns " +
+          "FROM orders WHERE o_orderkey < 5000) t ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, round(pa) / 100 AS peer_avg, n_peers,
+             |  cast(ns AS bigint) AS nbr_sum FROM (
+             |  SELECT o_orderkey,
+             |    avg(round(o_totalprice * 100)) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS pa,
+             |    count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS n_peers,
+             |    sum(o_custkey) OVER (ORDER BY o_orderkey
+             |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS ns
+             |  FROM orders WHERE o_orderkey < 5000) t ORDER BY o_orderkey""".stripMargin)),
+
     // IGNORE NULLS window variants (the DuckDB in-paren placement):
     // last-observation-carried-forward via lag/first_value over a
     // NULL-bearing measure — Spark's native ignoreNulls flags, one

@@ -2419,6 +2419,14 @@ object Analyzer {
             Right(Vector.empty)) { case (acc, (o, desc)) =>
             acc.flatMap(v => bindOp(o, allowAgg = true).map(b => v :+ (b -> desc)))
           }
+          // EXCLUDE CURRENT ROW subtracts the current row's contribution
+          // columnar — only decomposable aggregates qualify
+          _ <-
+            if (frame.exists(_.excludeCurrent) &&
+                !Set("sum", "count", "avg")(f))
+              Left(BadFunction(
+                s"EXCLUDE CURRENT ROW supports sum/count/avg (got $f)"))
+            else Right(())
         } yield BoundItem.BIWin(f,
           if (ignoreNulls)
             bargs :+ (BoundOperand.BLit(Lit.LitString(IgnoreNullsSentinel)): BoundOperand)

@@ -216,7 +216,13 @@ object Ast {
     * FOLLOWING). `range = true` is a RANGE frame: offsets are VALUE
     * distances along the (single) ORDER BY key instead of row counts.
     */
-  final case class WinFrame(range: Boolean, lo: Long, hi: Long)
+  /** `excludeCurrent` = EXCLUDE CURRENT ROW: the current row's own
+    * contribution leaves the frame aggregate (supported for
+    * sum/count/avg, where it subtracts columnar — min/max are not
+    * decomposable and reject at analysis).
+    */
+  final case class WinFrame(range: Boolean, lo: Long, hi: Long,
+      excludeCurrent: Boolean = false)
 
   /** A join step applied (in declaration order) after the leading
     * inner-join FROM group: LEFT/RIGHT/FULL [OUTER] JOIN, or an INNER

@@ -724,7 +724,29 @@ object Lowering {
       case ("median", Seq(x))    => median(opLower(x))
       case other                 => sys.error(s"unreachable window function $other")
     }
-    fn.over(w)
+    // EXCLUDE CURRENT ROW: when the frame statically contains the
+    // current row, its contribution subtracts columnar (sum/count/avg —
+    // analyzer-enforced); an all-excluded frame yields SQL NULL. One
+    // window pass either way — never a second frame scan.
+    val excl = frame.exists(fr =>
+      fr.excludeCurrent && fr.lo <= 0L && fr.hi >= 0L)
+    if (!excl) fn.over(w)
+    else (f, argsR) match {
+      case ("count", Seq()) => count(lit(1)).over(w) - lit(1L)
+      case ("count", Seq(x)) =>
+        val c = opLower(x)
+        count(c).over(w) - c.isNotNull.cast("long")
+      case ("sum", Seq(x)) =>
+        val c = opLower(x)
+        val cnt = count(c).over(w) - c.isNotNull.cast("long")
+        when(cnt === 0, lit(null)).otherwise(sum(c).over(w) - coalesce(c, lit(0)))
+      case ("avg", Seq(x)) =>
+        val c = opLower(x)
+        val cnt = count(c).over(w) - c.isNotNull.cast("long")
+        when(cnt === 0, lit(null))
+          .otherwise((sum(c).over(w) - coalesce(c, lit(0))) / cnt)
+      case other => sys.error(s"unreachable EXCLUDE CURRENT ROW over $other")
+    }
   }
 
   /** One aggregate call as a Column under the caller's operand

@@ -639,7 +639,23 @@ object Parser {
             lo <- parseFrameBound(p)
             _ <- p.eatKw("and")
             hi <- parseFrameBound(p)
-          } yield Some(WinFrame(isRange, lo, hi))
+            // EXCLUDE CURRENT ROW (the standard's frame-exclusion
+            // clause; EXCLUDE NO OTHERS = the default); GROUP/TIES
+            // variants reject toward explicit formulations
+            excl <-
+              if (p.isKw("exclude")) {
+                val pos = p.peek.pos
+                p.next()
+                p.peek match {
+                  case TIdent(k, _) if k.equalsIgnoreCase("current") =>
+                    p.next(); p.eatKw("row").map(_ => true)
+                  case TIdent(k, _) if k.equalsIgnoreCase("no") =>
+                    p.next(); p.eatKw("others").map(_ => false)
+                  case _ => Left(ParseError(
+                    "EXCLUDE supports CURRENT ROW and NO OTHERS", pos))
+                }
+              } else Right(false)
+          } yield Some(WinFrame(isRange, lo, hi, excl))
         } else Right(None: Option[WinFrame])
       _ <- p.eatSym(")")
     } yield (parts, ord, frame)
