@@ -155,6 +155,25 @@ object Corpus {
              |  FROM pack p JOIN base b ON b.lang = p.lang AND b.rn = p.rn + 1)
              |SELECT doc_id, lang, tok_len, bin FROM pack ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic source-weighted mixing: compose an epoch as
+    // {en: 50%, de: 100%, es: 25%, fr/zh: 10%} — md5-threshold keeps,
+    // rerun-stable and per-source independent. Map-only at any scale.
+    "q_corpus_mix" -> QueryDef(
+      (s, d) => weightedSample(t(s, d, "documents"),
+          Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25,
+            "fr" -> 0.1, "zh" -> 0.1),
+          "lang", "doc_id")
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE CASE lang
+             |  WHEN 'en' THEN substr(md5(cast(doc_id AS varchar)), 1, 8) < '80000000'
+             |  WHEN 'de' THEN true
+             |  WHEN 'es' THEN substr(md5(cast(doc_id AS varchar)), 1, 8) < '40000000'
+             |  WHEN 'fr' THEN substr(md5(cast(doc_id AS varchar)), 1, 8) < '19999999'
+             |  WHEN 'zh' THEN substr(md5(cast(doc_id AS varchar)), 1, 8) < '19999999'
+             |  ELSE false END
+             |ORDER BY doc_id""".stripMargin)),
+
     // Best-fit-decreasing packing: the bounded-waste layout (≤ 11/9·OPT
     // + 1 bins). The oracle replays the identical decreasing-order
     // best-fit fold list-functionally in a recursive CTE — the same
@@ -231,6 +250,30 @@ object Corpus {
         (id, s, len, bin.toLong)
       }
     }.toDF("doc_id", "shard", "tok_len", "bin")
+  }
+
+  /** Deterministic source-weighted subsampling — the data-MIXING
+    * primitive (compose a training epoch as {en: 50%, de: 100%, …}).
+    * Keep a document iff the first 8 hex chars of md5(id) fall below
+    * the source's threshold (rate × 16^8 as zero-padded hex, compared
+    * lexicographically — uniform in hex space, identical in any
+    * engine). Content-free and rerun-stable like [[hashSplit]]:
+    * changing one source's rate never reshuffles another source's kept
+    * set, and raising a rate strictly GROWS the kept set (threshold
+    * monotonicity) — the property that makes mixture ablations
+    * comparable. A narrow map: no shuffle, no state, linear at 100 TB.
+    */
+  def weightedSample(docs: DataFrame, rates: Map[String, Double],
+      srcCol: String, idCol: String): DataFrame = {
+    def thr(r: Double): String =
+      f"${(math.min(math.max(r, 0.0), 1.0) * 4294967296.0).toLong.min(0xffffffffL)}%08x"
+    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    val keep = rates.foldLeft(when(lit(false), lit(true))) {
+      case (acc, (s, r)) =>
+        if (r >= 1.0) acc.when(col(srcCol) === s, lit(true))
+        else acc.when(col(srcCol) === s, h < lit(thr(r)))
+    }.otherwise(lit(false))
+    docs.filter(keep)
   }
 
   /** Deterministic train/val/test split on a stable content-free key:

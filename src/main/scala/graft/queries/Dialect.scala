@@ -2582,12 +2582,14 @@ object Dialect {
         "SELECT c_custkey, levenshtein(c_name, 'Customer#000000000') AS lev, " +
           "chr(65 + c_nationkey % 26) AS ch, ascii(c_mktsegment) AS a, " +
           "to_hex(c_custkey) AS h, " +
-          "epoch_ms(TIMESTAMP '2024-01-01 00:00:01') + c_custkey AS e " +
+          "epoch_ms(TIMESTAMP '2024-01-01 00:00:01') + c_custkey AS e, " +
+          "len(regexp_split_to_array(c_name, '[#0]+')) AS seg " +
           "FROM customer WHERE c_custkey < 400 ORDER BY c_custkey"),
       Some("""SELECT c_custkey, levenshtein(c_name, 'Customer#000000000') AS lev,
              |  chr(65 + c_nationkey % 26) AS ch, ascii(c_mktsegment) AS a,
              |  to_hex(c_custkey) AS h,
-             |  epoch_ms(TIMESTAMP '2024-01-01 00:00:01') + c_custkey AS e
+             |  epoch_ms(TIMESTAMP '2024-01-01 00:00:01') + c_custkey AS e,
+             |  cast(len(regexp_split_to_array(c_name, '[#0]+')) AS int) AS seg
              |FROM customer WHERE c_custkey < 400 ORDER BY c_custkey""".stripMargin)),
 
     // Window frame EXCLUDE CURRENT ROW: the current row's contribution

@@ -896,7 +896,8 @@ object Analyzer {
       case "list_distinct" | "array_distinct" | "list_sort" | "array_sort" |
            "list_concat" | "array_concat" | "list_slice" =>
         operandType(args.head)
-      case "string_split" | "string_to_array" | "split" =>
+      case "string_split" | "string_to_array" | "split" |
+           "regexp_split_to_array" =>
         SqlType.SqlArray(SqlType.SqlVarChar(65535))
       case "list_value" =>
         SqlType.SqlArray(args.headOption.map(operandType)
@@ -2020,7 +2021,8 @@ object Analyzer {
           case "list_contains" | "array_contains" | "list_extract" |
                "list_element" | "list_position" | "array_position" |
                "list_concat" | "array_concat" | "string_split" |
-               "string_to_array" | "split" | "array_to_string" => args.length == 2
+               "string_to_array" | "split" | "array_to_string" |
+               "regexp_split_to_array" => args.length == 2
           case "list_slice"          => args.length == 3
           case "list_value"          => true
           case "levenshtein"         => args.length == 2
@@ -2032,7 +2034,7 @@ object Analyzer {
         // Spark's split pattern / array_join delimiter compile into the
         // expression — they must be string literals
         else if (Set("string_split", "string_to_array", "split",
-            "array_to_string")(f) && !(args(1) match {
+            "array_to_string", "regexp_split_to_array")(f) && !(args(1) match {
           case Operand.Literal(Lit.LitString(_)) => true
           case _ => false
         }))

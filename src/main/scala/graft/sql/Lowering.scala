@@ -2047,6 +2047,10 @@ object Lowering {
     case ("string_split" | "string_to_array" | "split",
         Seq(a, BoundOperand.BLit(Lit.LitString(sep)))) =>
       split(rec(a), java.util.regex.Pattern.quote(sep))
+    // the REGEX split (literal pattern, passed through un-quoted)
+    case ("regexp_split_to_array",
+        Seq(a, BoundOperand.BLit(Lit.LitString(pat)))) =>
+      split(rec(a), pat)
     // 1-based position, 0 when absent (both engines)
     case ("list_position" | "array_position", Seq(a, e)) =>
       array_position(rec(a), rec(e))

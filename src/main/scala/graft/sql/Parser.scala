@@ -156,7 +156,8 @@ object Parser {
     "list_sort", "array_sort", "array_to_string", "string_split",
     "string_to_array", "split", "list_position", "array_position",
     "list_concat", "array_concat", "list_value", "list_slice", "unnest",
-    "levenshtein", "chr", "ascii", "to_hex", "epoch_ms")
+    "levenshtein", "chr", "ascii", "to_hex", "epoch_ms",
+    "regexp_split_to_array")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
