@@ -1316,6 +1316,7 @@ object Analyzer {
     case Operand.CaseWhen(bs, els) =>
       bs.exists { case (c, v) => parseExprHasSub(c) || parseOpHasSub(v) } ||
         els.exists(parseOpHasSub)
+    case _: Operand.ScalarSub    => true
     case _ => false
   }
 

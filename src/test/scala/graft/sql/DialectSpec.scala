@@ -808,7 +808,10 @@ class DialectSpec extends AnyFunSuite {
     val g = db.select("SELECT owner_id, count(DISTINCT model) AS m FROM cars " +
       "GROUP BY owner_id ORDER BY owner_id").toOption.get
     assert(g.collect().toSeq == Seq(Row(1, 2L), Row(2, 1L)))
-    assert(db.query("SELECT avg(DISTINCT owner_id) FROM cars").isLeft)
+    // avg(DISTINCT) composes sum_distinct/count_distinct: owners {1, 2}
+    val ad = db.select("SELECT avg(DISTINCT owner_id) AS a FROM cars").toOption.get
+    assert(ad.collect().head.getDouble(0) == 1.5)
+    assert(db.query("SELECT stddev(DISTINCT owner_id) FROM cars").isLeft)
   }
 
   test("NOT IN is null-aware (SQL 3VL)") {
