@@ -2545,6 +2545,25 @@ object Dialect {
              |FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // CORRELATED scalar-subquery operands: the per-customer deviation
+    // and best-order flag — each subquery is ONE per-key aggregate
+    // frame left-joined on the decorrelated equality, shared across the
+    // expression; never per-row re-execution.
+    "q_dialect_corr_operand" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "round(o_totalprice * 100 - (SELECT avg(round(o2.o_totalprice * 100)) FROM orders o2 " +
+          "WHERE o2.o_custkey = o.o_custkey)) / 100 AS dev, " +
+          "CASE WHEN o_totalprice >= (SELECT max(o2.o_totalprice) FROM orders o2 " +
+          "WHERE o2.o_custkey = o.o_custkey) THEN 'top' ELSE 'rest' END AS tag " +
+          "FROM orders o WHERE o_orderkey < 3000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  round(o_totalprice * 100 - (SELECT avg(round(o2.o_totalprice * 100)) FROM orders o2
+             |    WHERE o2.o_custkey = o.o_custkey)) / 100 AS dev,
+             |  CASE WHEN o_totalprice >= (SELECT max(o2.o_totalprice) FROM orders o2
+             |    WHERE o2.o_custkey = o.o_custkey) THEN 'top' ELSE 'rest' END AS tag
+             |FROM orders o WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin)),
+
     // ... and in AGGREGATE scope (share-of-total): the subquery frame
     // broadcast-joins the aggregated result.
     "q_dialect_scalar_share" -> QueryDef(

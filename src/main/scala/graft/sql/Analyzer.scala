@@ -112,14 +112,18 @@ object Analyzer {
     final case class BOrderedAgg(func: String, arg: BoundOperand, sep: String,
         order: Seq[(BoundOperand, Boolean)]) extends BoundOperand
 
-    /** An UNCORRELATED scalar subquery as a general operand (inside
-      * arithmetic / functions / CASE values): one broadcast 1-row frame
-      * — or a bounded guarded-literal job when the one-row contract
-      * needs checking — joined wherever the enclosing expression
-      * lowers. Valid in SELECT-item expressions, WHERE and HAVING;
-      * rejected inside aggregate arguments and in GROUP/ORDER BY.
+    /** A scalar subquery as a general operand (inside arithmetic /
+      * functions / CASE values). Uncorrelated: one broadcast 1-row
+      * frame — or a bounded guarded-literal job when the one-row
+      * contract needs checking. Correlated (`pairs` nonempty): a
+      * group-less aggregate per key, lowered as ONE per-key aggregate
+      * frame left-joined on the decorrelated equalities — never
+      * per-row re-execution. Valid in SELECT-item expressions, WHERE
+      * and (uncorrelated) HAVING; rejected inside aggregate arguments
+      * and in GROUP/ORDER BY.
       */
-    final case class BSubVal(sub: BoundSelect, guard: Boolean) extends BoundOperand
+    final case class BSubVal(sub: BoundSelect, guard: Boolean,
+        pairs: Seq[(BoundCol, BoundCol)] = Nil) extends BoundOperand
 
     /** Does the operand tree contain an aggregate call? */
     def containsAgg(o: BoundOperand): Boolean = o match {
@@ -297,6 +301,7 @@ object Analyzer {
     case BoundOperand.BCase(bs, els) =>
       bs.flatMap { case (c, v) => exprCols(c) ++ operandCols(v) } ++
         els.toSeq.flatMap(operandCols)
+    case BoundOperand.BSubVal(_, _, pairs) => pairs.map(_._1)
     case _                            => Nil
   }
 
@@ -906,7 +911,7 @@ object Analyzer {
       case _          => SqlType.SqlDouble // sqrt / power / exp / ln / log10 / log2
     }
     case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
-    case BoundOperand.BSubVal(sub, _) => scalarOutputType(sub)
+    case BoundOperand.BSubVal(sub, _, _) => scalarOutputType(sub)
     case BoundOperand.BAgg(f, arg, _) => aggType(f, arg)
     case BoundOperand.BCast(_, t) => t
     case BoundOperand.BOut(_, t)  => t
@@ -998,7 +1003,7 @@ object Analyzer {
     case BoundOperand.BFunc(_, as)    => as.flatMap(opSubsOf)
     case BoundOperand.BCast(x, _)     => opSubsOf(x)
     case BoundOperand.BAgg(_, arg, _) => arg.toSeq.flatMap(opSubsOf)
-    case BoundOperand.BSubVal(sub, _) => Seq(sub)
+    case BoundOperand.BSubVal(sub, _, _) => Seq(sub)
     case _                            => Nil
   }
 
@@ -1960,19 +1965,38 @@ object Analyzer {
         Left(BadAggregate(s"$f(...) is not valid in this context"))
       case Operand.ScalarSub(sel) =>
         for {
-          bsub <- analyzeSelect(sel, cat, outerScope = tables ++ outerScope)
+          bsub0 <- analyzeSelect(sel, cat, outerScope = tables ++ outerScope)
           _ <-
-            if (bsub.projection.length == 1) Right(())
+            if (bsub0.projection.length == 1) Right(())
             else Left(BadSubquery(
-              s"a scalar subquery must project exactly one column, got ${bsub.projection.length}"))
-          dp <- decorrelate(bsub, exprKeys = havingGkExprKeys)
+              s"a scalar subquery must project exactly one column, got ${bsub0.projection.length}"))
+          dp <- decorrelate(bsub0, allowAggregate = true,
+            exprKeys = havingGkExprKeys)
+          (bsub, pairs, _) = dp
+          // a correlated operand takes the SELECT-item scalar contract:
+          // a group-less aggregate (one row per key by construction),
+          // lowered as ONE per-key aggregate left-joined on its keys
           _ <-
-            if (dp._2.isEmpty) Right(())
-            else Left(BadSubquery("a CORRELATED scalar subquery is only " +
-              "supported as a SELECT item or one side of a comparison"))
-          staticOne = (bsub.isAggregate && bsub.groupBy.isEmpty) ||
+            if (pairs.isEmpty) Right(())
+            else if (!bsub.isAggregate || bsub.groupBy.nonEmpty)
+              Left(BadSubquery(
+                "a correlated scalar subquery must be a group-less aggregate"))
+            else bsub.projection.head match {
+              case _: BoundItem.BIAgg => Right(())
+              case BoundItem.BIExpr(op, _)
+                  if BoundOperand.containsAgg(op) &&
+                    operandCols(op).isEmpty &&
+                    !BoundOperand.operandHasSub(op) &&
+                    BoundOperand.aggNodes(op)
+                      .forall(_.isInstanceOf[BoundOperand.BAgg]) =>
+                Right(())
+              case _ => Left(BadSubquery(
+                "a correlated scalar subquery must project a single aggregate call"))
+            }
+          staticOne = pairs.nonEmpty ||
+            (bsub.isAggregate && bsub.groupBy.isEmpty) ||
             bsub.limit.exists(_ <= 1L)
-        } yield BoundOperand.BSubVal(dp._1, guard = !staticOne)
+        } yield BoundOperand.BSubVal(bsub, guard = !staticOne, pairs)
       case Operand.OrderedAgg(f, arg, sep, ord, _) if allowAgg =>
         for {
           barg <- bindOp(arg, allowAgg = false)
@@ -3170,10 +3194,41 @@ object Analyzer {
               case (BoundOrderKey.OKOperand(op), _) => contains(op)
               case _ => false
             }
+        // correlated operand subqueries join their key equalities against
+        // the PRE-aggregation frame — fine in WHERE, but projection /
+        // HAVING / QUALIFY of an aggregate query evaluate POST-agg where
+        // the keys' input columns are gone
+        def corrIn(o: BoundOperand): Boolean = o match {
+          case BoundOperand.BSubVal(_, _, ps)  => ps.nonEmpty
+          case BoundOperand.BArith(_, l, r)    => corrIn(l) || corrIn(r)
+          case BoundOperand.BFunc(_, as)       => as.exists(corrIn)
+          case BoundOperand.BCast(y, _)        => corrIn(y)
+          case BoundOperand.BCase(bs, els) =>
+            bs.exists { case (cc, v) =>
+              BoundOperand.exprOperands(cc).exists(corrIn) || corrIn(v) } ||
+              els.exists(corrIn)
+          case _ => false
+        }
+        val aggScoped = group.nonEmpty || proj.exists {
+          case _: BoundItem.BIAgg      => true
+          case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
+          case _                       => false
+        }
+        val corrPostAgg = aggScoped && (
+          proj.exists {
+            case BoundItem.BIExpr(op, _) => corrIn(op)
+            case _ => false
+          } ||
+            having.exists(e => BoundOperand.exprOperands(e).exists(corrIn)) ||
+            qualifyPred.exists(e => BoundOperand.exprOperands(e).exists(corrIn)))
         if (badProj || badOther)
           Left(BadSubquery("a scalar-subquery operand is not supported " +
             "in this position (aggregate arguments, GROUP/ORDER BY, " +
             "QUALIFY, window arguments)"))
+        else if (corrPostAgg)
+          Left(BadSubquery("a CORRELATED scalar-subquery operand is not " +
+            "supported in aggregate-scope projections/HAVING — use an " +
+            "uncorrelated form or a derived table"))
         else Right(())
       }
     } yield BoundSelect(innerTables, proj, pred, order, s.limit, s.offset, group,

@@ -281,7 +281,8 @@ object Lowering {
       val subValJoins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       val subValCols = new java.util.IdentityHashMap[BoundOperand, Column]()
       def havingOperand(o: BoundOperand): Column = o match {
-        case v @ BoundOperand.BSubVal(sub, guard) =>
+        case v @ BoundOperand.BSubVal(sub, guard, _) =>
+          // correlated forms are analyzer-rejected in aggregate scope
           Option(subValCols.get(v)).getOrElse {
             val c =
               if (guard) guardedScalarLit(lowerSelect(spark, sub, source))
@@ -1551,11 +1552,21 @@ object Lowering {
       case BoundOperand.BArith(_, l, r) => registerOp(l); registerOp(r)
       case BoundOperand.BFunc(_, args)  => args.foreach(registerOp)
       case BoundOperand.BCast(x, _)     => registerOp(x)
-      // an uncorrelated scalar subquery as a VALUE: a guarded literal
-      // (one bounded job, no join) or one broadcast 1-row left join
-      case v @ BoundOperand.BSubVal(sub, guard) =>
+      // a scalar subquery as a VALUE: correlated = one per-key aggregate
+      // frame left-joined on the decorrelated equalities; uncorrelated =
+      // a guarded literal (one bounded job, no join) or one broadcast
+      // 1-row left join
+      case v @ BoundOperand.BSubVal(sub, guard, pairs) =>
         if (!opValOf.containsKey(v)) {
-          if (guard)
+          if (pairs.nonEmpty) {
+            val m = fresh()
+            val (subAgg, keyCond, scalar) =
+              correlatedScalarAgg(spark, sub, pairs, source, m, s"${m}_c")
+            joins += ((subAgg, keyCond(outerKey)))
+            drops += m
+            drops ++= pairs.indices.map(i => s"${m}_c$i")
+            opValOf.put(v, scalar)
+          } else if (guard)
             opValOf.put(v, guardedScalarLit(lowerSelect(spark, sub, source)))
           else {
             val m = fresh()

@@ -2107,8 +2107,19 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT sum(x + (SELECT max(x) FROM t)) AS s FROM t").isLeft)
     assert(db.query("SELECT count(*) AS n FROM t GROUP BY x + (SELECT max(x) FROM t)").isLeft)
     assert(db.query("SELECT x FROM t ORDER BY x + (SELECT max(x) FROM t)").isLeft)
-    // correlated operand subqueries stay rejected toward SELECT items
-    assert(db.query("SELECT x + (SELECT max(x) FROM t t2 WHERE t2.g = t.g) AS n FROM t").isLeft)
+    // CORRELATED operands: per-key group-less aggregates, one frame
+    // left-joined per subquery (t now holds a:{1,2}, b:{4}, c:{8})
+    val co = db.select("SELECT x, x - (SELECT max(t2.x) FROM t t2 " +
+      "WHERE t2.g = t.g) AS gap FROM t ORDER BY x").toOption.get
+    assert(co.collect().map(_.getInt(1)).toSeq == Seq(-1, 0, 0, 0))
+    val cw = db.select("SELECT x FROM t WHERE x < (SELECT max(t2.x) FROM t t2 " +
+      "WHERE t2.g = t.g) ORDER BY x").toOption.get
+    assert(cw.collect().map(_.getInt(0)).toSeq == Seq(1))
+    // a correlated NON-aggregate operand still rejects
+    assert(db.query("SELECT x + (SELECT t2.x FROM t t2 WHERE t2.g = t.g) AS n FROM t").isLeft)
+    // ... as does a correlated operand in aggregate-scope projections
+    assert(db.query("SELECT g, sum(x) - (SELECT max(t2.x) FROM t t2 " +
+      "WHERE t2.g = t.g) AS n FROM t GROUP BY g").isLeft)
   }
 
   test("window IGNORE NULLS variants") {
