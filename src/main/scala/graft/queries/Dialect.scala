@@ -867,6 +867,44 @@ object Dialect {
              |  UNION SELECT r_name AS k FROM region WHERE r_regionkey < 1) t
              |WHERE c.c_custkey < 20 ORDER BY c_custkey, k""".stripMargin)),
 
+    // CORRELATED set-operation LATERAL: branch-wise decorrelation — each
+    // branch's frame carries the correlation key as a hidden column, so
+    // the set ops fold over (row, key) tuples (per-key set semantics);
+    // the uncorrelated default branch completes over the distinct outer
+    // keys. One key-bounded join, never per-outer-row re-execution.
+    "q_dialect_lateral_set_corr" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT c.c_custkey, t.val FROM customer c, " +
+          "LATERAL (SELECT o.o_totalprice AS val FROM orders o " +
+          "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000 " +
+          "UNION ALL SELECT c2.c_acctbal AS val FROM customer c2 " +
+          "WHERE c2.c_custkey = c.c_custkey) t " +
+          "WHERE c.c_custkey < 300 ORDER BY c_custkey, val"),
+      Some("""SELECT c.c_custkey, t.val FROM customer c,
+             |LATERAL (SELECT o.o_totalprice AS val FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+             |  UNION ALL SELECT c2.c_acctbal AS val FROM customer c2
+             |  WHERE c2.c_custkey = c.c_custkey) t
+             |WHERE c.c_custkey < 300 ORDER BY c_custkey, val""".stripMargin)),
+
+    // Set-op LATERAL with an EXCEPT over a correlated and an uncorrelated
+    // branch: per-key difference; outer rows whose lateral set is empty
+    // drop (CROSS JOIN LATERAL semantics).
+    "q_dialect_lateral_set_except" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "nation"),
+        "SELECT n.n_nationkey, t.k FROM nation n, " +
+          "LATERAL (SELECT mod(c.c_custkey, 10) AS k FROM customer c " +
+          "WHERE c.c_nationkey = n.n_nationkey " +
+          "EXCEPT SELECT cast(n2.n_nationkey AS BIGINT) AS k FROM nation n2 " +
+          "WHERE n2.n_nationkey < 5) t " +
+          "ORDER BY n_nationkey, k"),
+      Some("""SELECT n.n_nationkey, t.k FROM nation n,
+             |LATERAL (SELECT mod(c.c_custkey, 10) AS k FROM customer c
+             |  WHERE c.c_nationkey = n.n_nationkey
+             |  EXCEPT SELECT cast(n2.n_nationkey AS BIGINT) AS k FROM nation n2
+             |  WHERE n2.n_nationkey < 5) t
+             |ORDER BY n_nationkey, k""".stripMargin)),
+
     // A WITH body inside LATERAL, correlated: the CTE desugars into the
     // body, whose top-level WHERE correlation decorrelates as usual —
     // per-customer top-2 order prices via a window, one key-bounded join.
@@ -1687,6 +1725,44 @@ object Dialect {
              |FROM customer
              |WHERE c_custkey < 300
              |  AND NOT (c_custkey NOT IN (SELECT k FROM src) AND c_acctbal < 0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // MERGE with scalar-subquery SET values: a correlated form (per-key
+    // aggregate frame left-joined on the decorrelated equality — never
+    // per-row re-execution) and an uncorrelated form (one broadcast
+    // 1-row frame), both evaluated over the pre-merge snapshot like
+    // every MERGE value. Conditions still reject subqueries (no marker
+    // path through the synthetic CASE helpers). The oracle reconstructs
+    // the merged image with the same subqueries inlined.
+    "q_dialect_merge_scalar_set" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders", "customer")
+        if (!g.tableNames.contains("msv_cust")) {
+          g.query("CREATE TABLE msv_cust AS SELECT c_custkey, c_acctbal " +
+            "FROM customer WHERE c_custkey < 300")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("CREATE TABLE msv_src AS SELECT DISTINCT o_custkey AS k " +
+            "FROM orders WHERE o_custkey < 250")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("MERGE INTO msv_cust c USING msv_src s ON c.c_custkey = s.k " +
+            "WHEN MATCHED THEN UPDATE SET c_acctbal = " +
+            "(SELECT round(sum(o.o_totalprice), 2) AS v FROM orders o " +
+            "WHERE o.o_custkey = c.c_custkey) " +
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_acctbal = " +
+            "(SELECT round(min(c2.c_acctbal), 2) AS v FROM customer c2)")
+            .fold(e => sys.error(e.msg), identity)
+        }
+        run(g, "SELECT c_custkey, round(c_acctbal, 2) AS bal FROM msv_cust " +
+          "ORDER BY c_custkey")
+      },
+      Some("""WITH src AS (SELECT DISTINCT o_custkey AS k FROM orders
+             |             WHERE o_custkey < 250)
+             |SELECT c_custkey,
+             |  round(CASE WHEN c_custkey IN (SELECT k FROM src)
+             |    THEN (SELECT round(sum(o.o_totalprice), 2) FROM orders o
+             |          WHERE o.o_custkey = c_custkey)
+             |    ELSE (SELECT round(min(c_acctbal), 2) FROM customer) END, 2) AS bal
+             |FROM customer WHERE c_custkey < 300
              |ORDER BY c_custkey""".stripMargin)),
 
     // TPC-H Q4 shape: date-windowed orders with a correlated EXISTS over

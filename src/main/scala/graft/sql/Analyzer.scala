@@ -370,19 +370,84 @@ object Analyzer {
           op == CmpOp.Le || op == CmpOp.Lt =>
         (side(l), side(r)) match {
           case (Some(false), Some(true)) => // outer <op> step
-            Seq((r, op == CmpOp.Ge || op == CmpOp.Gt))
+            Seq(AsofIneq(l, r, pickLargest = op == CmpOp.Ge || op == CmpOp.Gt,
+              strict = op == CmpOp.Gt || op == CmpOp.Lt))
           case (Some(true), Some(false)) => // step <op> outer
-            Seq((l, op == CmpOp.Le || op == CmpOp.Lt))
+            Seq(AsofIneq(r, l, pickLargest = op == CmpOp.Le || op == CmpOp.Lt,
+              strict = op == CmpOp.Gt || op == CmpOp.Lt))
           case _ => Seq.empty
         }
       case _ => Seq.empty
     }
     ineqs match {
-      case Seq(one) => Right(one)
+      case Seq(one) => Right((one.stepOp, one.pickLargest))
       case Seq() => Left("ASOF JOIN requires one inequality (<, <=, >, >=) " +
         "between an outer operand and a joined-table operand in its ON")
       case _ => Left("ASOF JOIN takes exactly one inequality in its ON")
     }
+  }
+
+  /** The ASOF inequality, fully decomposed: outer-side operand,
+    * step-side operand, match direction (largest step value meeting the
+    * bound vs smallest) and strictness (whether equal values match).
+    */
+  final case class AsofIneq(outerOp: BoundOperand, stepOp: BoundOperand,
+      pickLargest: Boolean, strict: Boolean)
+
+  /** Decompose an ASOF ON for the union-merge lowering: equality pairs
+    * (outer operand, step operand), the single inequality, step-only
+    * residual conjuncts (prefilter the step side), and whether any
+    * conjunct reads the outer side outside an equality/the inequality
+    * (those need the candidate-join fallback).
+    */
+  final case class AsofParts(eqPairs: Seq[(BoundOperand, BoundOperand)],
+      ineq: AsofIneq, stepOnly: Seq[BoundExpr], fallback: Boolean)
+
+  def asofDecompose(on: BoundExpr, stepB: String): Option[AsofParts] = {
+    def conjuncts(e: BoundExpr): Seq[BoundExpr] = e match {
+      case BoundExpr.BAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other                => Seq(other)
+    }
+    def side(o: BoundOperand): Option[Boolean] = {
+      val bs = operandCols(o).map(_.binding).toSet
+      if (bs.isEmpty) None
+      else if (bs == Set(stepB)) Some(true)
+      else if (!bs(stepB)) Some(false)
+      else None
+    }
+    val eqs = Vector.newBuilder[(BoundOperand, BoundOperand)]
+    val ineqs = Vector.newBuilder[AsofIneq]
+    val stepOnly = Vector.newBuilder[BoundExpr]
+    var fallback = false
+    def residual(c: BoundExpr): Unit = {
+      // step-only (or constant) conjuncts prefilter the step side;
+      // anything reading the outer side needs the candidate-join fallback
+      val bs = exprCols(c).map(_.binding).toSet
+      if (bs.subsetOf(Set(stepB))) stepOnly += c else fallback = true
+    }
+    for (c <- conjuncts(on)) c match {
+      case BoundExpr.BCmp(CmpOp.Eq, l, r) =>
+        (side(l), side(r)) match {
+          case (Some(false), Some(true)) => eqs += ((l, r))
+          case (Some(true), Some(false)) => eqs += ((r, l))
+          case _                         => residual(c)
+        }
+      case BoundExpr.BCmp(op, l, r) if op == CmpOp.Ge || op == CmpOp.Gt ||
+          op == CmpOp.Le || op == CmpOp.Lt =>
+        (side(l), side(r)) match {
+          case (Some(false), Some(true)) =>
+            ineqs += AsofIneq(l, r, pickLargest = op == CmpOp.Ge || op == CmpOp.Gt,
+              strict = op == CmpOp.Gt || op == CmpOp.Lt)
+          case (Some(true), Some(false)) =>
+            ineqs += AsofIneq(r, l, pickLargest = op == CmpOp.Le || op == CmpOp.Lt,
+              strict = op == CmpOp.Gt || op == CmpOp.Lt)
+          case _ => residual(c)
+        }
+      case other => residual(other)
+    }
+    val ins = ineqs.result()
+    if (ins.length != 1) None
+    else Some(AsofParts(eqs.result(), ins.head, stepOnly.result(), fallback))
   }
 
   /** The outer-scope columns of an EXISTS's residual conjuncts: every
@@ -724,6 +789,21 @@ object Analyzer {
         */
       agg: Boolean = false) extends BoundQuery
 
+  /** A correlated set-operation LATERAL: each branch is its decorrelated
+    * core plus its inner key columns aligned to `keyOuter`'s order
+    * (empty = uncorrelated branch, completed over the distinct outer
+    * keys at lowering). Branch frames carry the keys as hidden columns,
+    * so the set operations fold over (row, key) tuples — exactly
+    * per-key set semantics. Joined fused into the enclosing group like
+    * aggregate laterals (the completion keys come from the enclosing
+    * frame).
+    */
+  final case class BoundLateralSet(
+      branches: Seq[(String /* connector, "" for the first */, BoundSelect,
+        Seq[BoundCol] /* inner keys, keyOuter order; empty = uncorrelated */)],
+      keyOuter: Seq[BoundCol],
+      hiddenKeys: Seq[String]) extends BoundQuery
+
   /** Decorrelation for LATERAL bodies: like `decorrelate`, but ORDER BY +
     * LIMIT are allowed (per-key top-N) while aggregates/DISTINCT/OFFSET/
     * windows/scalar items are rejected in the correlated form.
@@ -1061,6 +1141,9 @@ object Analyzer {
         (bf + sf, be + se)
       }
     case l: BoundLateral => selfRefs(l.sub, name)
+    case ls: BoundLateralSet =>
+      val all = ls.branches.map(b => selfRefs(b._2, name))
+      (all.map(_._1).sum, all.map(_._2).sum)
     case _ => (0, 0)
   }
 
@@ -1091,6 +1174,7 @@ object Analyzer {
       referencedTables(r.base) ++
         (referencedTables(r.step) - r.desc.name)
     case l: BoundLateral => referencedTables(l.sub)
+    case ls: BoundLateralSet => ls.branches.flatMap(b => referencedTables(b._2)).toSet
     case _ => Set.empty
   }
   /** DELETE: a plain row-level predicate lowers as a filter; a predicate
@@ -1385,18 +1469,20 @@ object Analyzer {
           case FTable(TableRef(n, a)) => a.getOrElse(n)
           case FDerived(_, a)         => a
           case FLateral(_, a)         => a // unreachable: parser never builds
+          case FLateralSet(_, a)      => a // unreachable: parser never builds
         }
         if (talias.equalsIgnoreCase(salias))
           return Left(DuplicateBinding(salias))
-        // subqueries have no marker path inside MERGE expressions
+        // ON / WHEN conditions gate which clause fires — a predicate
+        // subquery there would need the marker machinery threaded through
+        // the synthetic CASE helpers; rejected. SET / INSERT values are
+        // plain operand positions in the pre-bound selects, so scalar
+        // subqueries ride the BSubVal machinery (uncorrelated = one
+        // broadcast 1-row frame; correlated = per-key aggregate frame),
+        // evaluated over the pre-merge snapshot like every MERGE value.
         val allConds = m.on +: m.whens.flatMap(_.cond.toSeq)
-        val allOps = m.whens.flatMap {
-          case MergeWhen.MUpdate(_, sets, _) => sets.map(_._2)
-          case MergeWhen.MInsert(_, _, vs)   => vs
-          case _: MergeWhen.MDelete          => Nil
-        }
-        if (allConds.exists(parseExprHasSub) || allOps.exists(parseOpHasSub))
-          return Left(BadSubquery("subqueries are not supported in MERGE expressions"))
+        if (allConds.exists(parseExprHasSub))
+          return Left(BadSubquery("subqueries are not supported in MERGE conditions"))
         // resolve each clause against the target schema
         val plansE: Either[AnalyzerError, Vector[MergePlan]] =
           m.whens.zipWithIndex.foldLeft[Either[AnalyzerError, Vector[MergePlan]]](
@@ -1649,6 +1735,104 @@ object Analyzer {
                 }
             }
         }
+      case FLateralSet(u, alias) =>
+        // branch-wise: analyze each branch against the PRECEDING FROM
+        // entries, then decorrelate branch-wise. If no branch correlates
+        // this is an ordinary set-operation derived table.
+        val branchTrees: Seq[(String, SelectTree)] = ("" -> u.first) +: u.rest
+        val analyzedE = branchTrees.foldLeft[Either[AnalyzerError,
+            Vector[(String, (BoundSelect, Seq[(BoundCol, BoundCol)], Boolean))]]](
+          Right(Vector.empty)) { case (acc, (conn, t)) =>
+          acc.flatMap(v => analyzeSelect(t, cat, outerScope = bound.values.toSeq)
+            .flatMap(decorrelateLateral)
+            .map(r => v :+ (conn -> r)))
+        }
+        analyzedE match {
+          case Left(e) => Some(e)
+          case Right(brs) if brs.forall(_._2._2.isEmpty) =>
+            addFrom(FDerived(u, alias))
+          case Right(brs) =>
+            if (u.orderBy.nonEmpty || u.limit.isDefined || u.offset.isDefined)
+              Some(BadSubquery(
+                "a correlated set-operation LATERAL does not take ORDER BY/LIMIT/OFFSET"))
+            else if (brs.exists(_._1.endsWith("_byname")))
+              Some(BadSubquery(
+                "BY NAME set operations are not supported in a correlated LATERAL"))
+            else if (brs.exists(_._2._3))
+              Some(BadSubquery(
+                "aggregate branches are not supported in a correlated " +
+                  "set-operation LATERAL (use a single-branch LATERAL)"))
+            else if (brs.exists(_._2._1.projection.length !=
+                brs.head._2._1.projection.length))
+              Some(BadSubquery(
+                "set-operation branches must project the same number of columns"))
+            else {
+              // canonical key order = the first correlated branch's outer
+              // columns (duplicates collapse to one hidden key; surplus
+              // equalities re-enter the branch core as inner-inner
+              // conjuncts); every correlated branch must use the same SET
+              def okey(c: BoundCol) = (c.binding, c.attr.name)
+              val keyOuter0 = brs.collectFirst {
+                case (_, (_, ps, _)) if ps.nonEmpty => ps
+              }.get
+              val keyOuter = keyOuter0.map(_._1)
+                .foldLeft(Vector.empty[BoundCol])((v, c) =>
+                  if (v.exists(x => okey(x) == okey(c))) v else v :+ c)
+              val keySet = keyOuter.map(okey).toSet
+              if (keyOuter.exists(oc => aggLateralNames(oc.binding)))
+                Some(BadSubquery(
+                  "a LATERAL may not correlate against an aggregate or " +
+                    "set-operation LATERAL's columns"))
+              else {
+                val alignedE = brs.foldLeft[Either[AnalyzerError,
+                    Vector[(String, BoundSelect, Seq[BoundCol])]]](
+                  Right(Vector.empty)) {
+                  case (acc, (conn, (core, ps, _))) => acc.flatMap { v =>
+                    if (ps.isEmpty) Right(v :+ ((conn, core, Nil)))
+                    else if (ps.map(p => okey(p._1)).toSet != keySet)
+                      Left(BadSubquery(
+                        "every correlated branch of a set-operation LATERAL " +
+                          "must correlate on the same outer columns"))
+                    else {
+                      val byKey = ps.groupBy(p => okey(p._1))
+                      val inner = keyOuter.map(ko => byKey(okey(ko)).head._2)
+                      val extra = byKey.values.flatMap(g =>
+                        g.tail.map(p => BoundExpr.BCmp(CmpOp.Eq,
+                          BoundOperand.BCol(g.head._2),
+                          BoundOperand.BCol(p._2)))).toSeq
+                      val core2 =
+                        if (extra.isEmpty) core
+                        else core.copy(predicate = (core.predicate.toSeq ++ extra)
+                          .reduceOption(BoundExpr.BAnd(_, _)))
+                      Right(v :+ ((conn, core2, inner)))
+                    }
+                  }
+                }
+                alignedE match {
+                  case Left(e) => Some(e)
+                  case Right(branches) =>
+                    derivedAttributes(branches.head._2) match {
+                      case Left(e) => Some(e)
+                      case Right(visAttrs) =>
+                        val b = alias.toLowerCase
+                        if (bound.contains(b)) Some(DuplicateBinding(b))
+                        else {
+                          val hidden = keyOuter.zipWithIndex.map { case (oc, i) =>
+                            AttributeDesc(s"__lk$i", oc.attr.sqlType) }
+                          bound(b) = BoundTable(TableDesc(b, visAttrs ++ hidden), b)
+                          derivedSubs(b) = BoundLateralSet(branches, keyOuter,
+                            hidden.map(_.name))
+                          // joins fused after the plain phase, like
+                          // aggregate laterals — later frames may not
+                          // correlate against its columns
+                          aggLateralNames += b
+                          None
+                        }
+                    }
+                }
+              }
+            }
+        }
       case FDerived(sel, alias) =>
         analyze(sel, cat) match {
           case Left(e) => Some(e)
@@ -1692,6 +1876,13 @@ object Analyzer {
             "an aggregate LATERAL is only supported in the FROM list"))
         stepLateralConjs(k) = lateralConjs.drop(before).toSeq
         lateralConjs.remove(before, lateralConjs.length - before)
+      case fls: FLateralSet =>
+        // only the uncorrelated form (an ordinary derived table) can ride
+        // a join step — a correlated one needs the fused FROM-list join
+        addFrom(fls).foreach(e => return Left(e))
+        if (aggLateralNames(fls.alias.toLowerCase))
+          return Left(BadSubquery(
+            "a correlated set-operation LATERAL is only supported in the FROM list"))
       case other => addFrom(other).foreach(e => return Left(e))
     }
     // scope = inner FROM group + outer-join step tables, in declaration

@@ -33,6 +33,13 @@ object Ast {
     * compute per key, and ORDER BY + LIMIT mean top-N PER KEY.
     */
   final case class FLateral(select: SelectTree, alias: String) extends FromItem
+  /** `, LATERAL (SELECT … UNION SELECT …) alias` — a set-operation body
+    * whose branches may each correlate against PRECEDING FROM tables via
+    * equality WHERE conjuncts. Set operations fold over (row, key)
+    * tuples, which IS per-key set semantics; uncorrelated branches
+    * complete over the distinct outer keys.
+    */
+  final case class FLateralSet(union: UnionTree, alias: String) extends FromItem
   /** A FROM-position table function: range / generate_series with
     * LITERAL bounds, normalized at parse to half-open spark.range
     * semantics (start inclusive, stop exclusive, step ≠ 0). One BIGINT

@@ -808,6 +808,124 @@ object Lowering {
     df.join(frame, on)
   }
 
+  /** Union-merge ASOF lowering — the 100 TB path (the same shape as the
+    * API-level operators/AsOf.asofJoin): instead of materializing every
+    * inequality-satisfying candidate and pruning with a per-left-row
+    * window (O(matches) fan-out inside dense key groups), tag the
+    * DISTINCT outer (key, time) combinations and the step rows, union
+    * them, and take one per-key running `last(payload ignoring nulls)`
+    * over (time, side) order — ONE sort shuffle over |distinct outer
+    * key+times| + |step| rows. The matched frame (one row per distinct
+    * outer key+time) hash-joins back 1:1. A strict bound orders the
+    * outer tag BEFORE equal-time step rows so equal values don't match;
+    * an inclusive bound after. Step rows with a NULL key or NULL time
+    * can never equi-match and are filtered; outer rows with a NULL time
+    * mask to no-match (their tag can sort after step rows under the
+    * reversed direction).
+    */
+  private def asofUnionMerge(df: DataFrame, right: DataFrame,
+      js: Analyzer.BoundJoinStep, p: Analyzer.AsofParts): DataFrame = {
+    val b = js.table.binding
+    val n = p.eqPairs.length
+    val kL = (0 until n).map(i => s"__asof_lk$i")
+    val rk = (0 until n).map(i => s"__asof_rk$i")
+    val tL = "__asof_lt"
+    val dfK = p.eqPairs.zipWithIndex.foldLeft(df) { case (d, ((lo, _), i)) =>
+      d.withColumn(kL(i), lowerOperand(lo)) }
+      .withColumn(tL, lowerOperand(p.ineq.outerOp))
+    val leftKeys = dfK.select((kL :+ tL).map(col): _*).distinct()
+    val right1 = p.stepOnly.foldLeft(right)((d, c) => d.filter(lowerExpr(c)))
+      .filter((p.eqPairs.map(pr => lowerOperand(pr._2).isNotNull) :+
+        lowerOperand(p.ineq.stepOp).isNotNull).reduce(_ && _))
+    val rightCols = right.columns.toSeq
+    val payload = struct(lit(1).as("__asof_pres") +: rightCols.map(right(_)): _*)
+    // outer tag 0 sorts before equal-time step rows (tag 1) under a
+    // strict bound, tag 2 after under an inclusive one — in BOTH scan
+    // directions the running last then sees exactly the step rows the
+    // bound admits
+    val leftTag = if (p.ineq.strict) 0 else 2
+    val taggedL = leftKeys.withColumn("__asof_side", lit(leftTag))
+    val taggedR = right1.select(
+      p.eqPairs.zipWithIndex.map { case ((_, ro), i) =>
+        lowerOperand(ro).as(kL(i)) } ++
+      Seq(lowerOperand(p.ineq.stepOp).as(tL), lit(1).as("__asof_side"),
+        payload.as("__asof_p")): _*)
+    val unioned = taggedL.unionByName(taggedR, allowMissingColumns = true)
+    val ord =
+      if (p.ineq.pickLargest) Seq(col(tL).asc, col("__asof_side").asc)
+      else Seq(col(tL).desc, col("__asof_side").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(kL.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val matchedRows = unioned
+      .withColumn("__asof_m", last(col("__asof_p"), ignoreNulls = true).over(w))
+      .filter(col("__asof_side") === leftTag)
+    val stepFrame = matchedRows.select(
+      kL.zipWithIndex.map { case (kn, i) => col(kn).as(rk(i)) } ++
+      Seq(col(tL).as("__asof_rt"),
+        when(col(tL).isNotNull, col("__asof_m")).as("__asof_m")): _*)
+    val unpacked = stepFrame.select(
+      rk.map(col) ++ Seq(col("__asof_rt"),
+        col("__asof_m.__asof_pres").as("__asof_pres")) ++
+      rightCols.map(c => col(s"__asof_m.$c").as(c)): _*)
+    val stepAliased = unpacked.alias(b)
+    val cond = ((0 until n).map(i => col(kL(i)) <=> col(s"$b.${rk(i)}")) :+
+      (col(tL) <=> col(s"$b.__asof_rt"))).reduce(_ && _)
+    val joined = dfK.join(stepAliased, cond, "inner")
+    val res = if (js.kind == "asof")
+      joined.filter(col(s"$b.__asof_pres").isNotNull)
+    else joined
+    res.drop((kL ++ Seq(tL) ++ rk ++ Seq("__asof_rt", "__asof_pres")): _*)
+  }
+
+  /** Fuse a correlated set-operation LATERAL into the enclosing join
+    * group: each branch becomes a frame of (first-branch visible columns
+    * + the hidden correlation keys). A correlated branch carries its own
+    * inner key values (rows with a NULL key component can never equi-
+    * match an outer key, so they are filtered); an uncorrelated branch
+    * is COMPLETED over the distinct outer keys observed in the enclosing
+    * frame — its rows appear for every key, including the NULL key
+    * group. The set operations then fold over the (row, key) tuples,
+    * which IS per-key set semantics (set ops compare NULLs equal, so the
+    * NULL key group behaves like any other key), and one null-safe equi
+    * join attaches the result. Key-bounded shuffles only — never a
+    * per-outer-row re-execution of any branch.
+    */
+  private def joinSetLateral(spark: SparkSession, df: DataFrame,
+      bt: BoundTable, ls: Analyzer.BoundLateralSet,
+      source: BoundTable => DataFrame): DataFrame = {
+    def qcolOf(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
+    val visNames = bt.desc.attributes.map(_.name)
+      .dropRight(ls.hiddenKeys.length)
+    val allNames = visNames ++ ls.hiddenKeys
+    lazy val outKeys = df.select(ls.keyOuter.zipWithIndex.map { case (oc, i) =>
+      qcolOf(oc).as(ls.hiddenKeys(i)) }: _*).distinct()
+    def frame(core: BoundSelect, innerKeys: Seq[BoundCol]): DataFrame =
+      if (innerKeys.isEmpty)
+        lowerSelect(spark, core, source).crossJoin(outKeys).toDF(allNames: _*)
+      else {
+        val c = combine(spark, core, source, Set.empty, None)
+        val visible = core.projection.map {
+          case BoundItem.BICol(bc, a)  => qcolOf(bc).as(a.getOrElse(bc.attr.name))
+          case BoundItem.BIExpr(op, a) => lowerOperandWith(op, qcolOf).as(a)
+          case other => sys.error(s"unreachable set-LATERAL projection item $other")
+        }
+        val keys = innerKeys.zipWithIndex.map { case (ic, i) =>
+          qcolOf(ic).as(ls.hiddenKeys(i)) }
+        c.filter(innerKeys.map(ic => qcolOf(ic).isNotNull).reduce(_ && _))
+          .select(visible ++ keys: _*).toDF(allNames: _*)
+      }
+    val folded = lowerUnion(
+      frame(ls.branches.head._2, ls.branches.head._3),
+      ls.branches.tail.map { case (conn, core, ks) => (conn, frame(core, ks)) },
+      Nil, None, None)
+    val frame2 = folded.alias(bt.binding)
+    val on = ls.keyOuter.zipWithIndex.map { case (oc, i) =>
+      qcolOf(oc) <=> col(s"${bt.binding}.${ls.hiddenKeys(i)}") }.reduce(_ && _)
+    df.join(frame2, on)
+  }
+
   /** Correlated scalar aggregate: GROUP BY the decorrelated keys — one row
     * per key by construction. Callers LEFT-join the frame, not inner:
     * for an outer row with no matching key the scalar is SQL-NULL —
@@ -884,9 +1002,10 @@ object Lowering {
       joinPlan: Option[JoinOrder.Tree]): DataFrame = {
     // aggregate LATERAL frames need the enclosing frame first (their
     // completion keys come from it) — they join after the plain phase
-    val aggLats: Seq[(BoundTable, Analyzer.BoundLateral)] = q.tables.flatMap(bt =>
+    val aggLats: Seq[(BoundTable, Analyzer.BoundQuery)] = q.tables.flatMap(bt =>
       q.derived.get(bt.binding) match {
-        case Some(l: Analyzer.BoundLateral) if l.agg => Some((bt, l))
+        case Some(l: Analyzer.BoundLateral) if l.agg      => Some((bt, l))
+        case Some(ls: Analyzer.BoundLateralSet)           => Some((bt, ls))
         case _ => None
       })
     val aggLatB = aggLats.map(_._1.binding).toSet
@@ -979,8 +1098,13 @@ object Lowering {
     }
     // aggregate LATERAL frames fuse in (their completion keys read the
     // frame built so far), then conjuncts over their columns filter
-    val withAggLats = aggLats.foldLeft(plainFiltered) { case (df, (bt, l)) =>
-      joinAggLateral(spark, df, bt, l, source) }
+    val withAggLats = aggLats.foldLeft(plainFiltered) {
+      case (df, (bt, l: Analyzer.BoundLateral)) =>
+        joinAggLateral(spark, df, bt, l, source)
+      case (df, (bt, ls: Analyzer.BoundLateralSet)) =>
+        joinSetLateral(spark, df, bt, ls, source)
+      case (_, (_, other)) => sys.error(s"unreachable fused lateral $other")
+    }
     val aggLatFiltered =
       if (aggLatConj.isEmpty) withAggLats
       else withAggLats.filter(aggLatConj.map(lowerExpr).reduce(_ && _))
@@ -996,30 +1120,32 @@ object Lowering {
       val right = right0.alias(js.table.binding)
       js.kind match {
         case "asof" | "asof_left" =>
-          // ASOF [LEFT] JOIN: join on the full ON (equality keys hash-
-          // partition; the inequality rides as the join's residual
-          // condition), then keep per left row only the nearest match —
-          // a row_number window over a synthetic left-row id ordered by
-          // the step-side inequality operand. Fan-out before the prune is
-          // bounded by rows meeting the inequality inside one key group;
-          // the single-shuffle union-merge variant for dense key groups
-          // lives at the API level (operators/AsOf.scala).
-          val (tsOp, pickLargest) = Analyzer.asofParts(js.on, js.table.binding)
-            .fold(m => sys.error(s"unreachable: analyzer passed a bad ASOF ON: $m"),
-              identity)
-          val lid = "__asof_lid"; val mk = "__asof_m"; val rn = "__asof_rn"
-          val l1 = df.withColumn(lid, monotonically_increasing_id())
-          val r1 = right.withColumn(mk, lit(1))
-          val joined = l1.join(r1, lowerExpr(js.on), "left_outer")
-          val ord = if (pickLargest) lowerOperand(tsOp).desc_nulls_last
-                    else lowerOperand(tsOp).asc_nulls_last
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col(lid)).orderBy(ord)
-          val picked = joined.withColumn(rn, row_number().over(w))
-            .filter(col(rn) === 1)
-          val res = if (js.kind == "asof") picked.filter(col(mk).isNotNull)
-                    else picked
-          res.drop(lid).drop(rn).drop(mk)
+          Analyzer.asofDecompose(js.on, js.table.binding) match {
+            case Some(p) if p.eqPairs.nonEmpty && !p.fallback =>
+              asofUnionMerge(df, right, js, p)
+            case _ =>
+              // Candidate-join fallback (no equality keys, or residual
+              // conjuncts reading the outer side): join on the full ON,
+              // then keep per left row only the nearest match via a
+              // row_number window over a synthetic left-row id. Fan-out
+              // before the prune is O(matches) inside a key group.
+              val (tsOp, pickLargest) = Analyzer.asofParts(js.on, js.table.binding)
+                .fold(m => sys.error(s"unreachable: analyzer passed a bad ASOF ON: $m"),
+                  identity)
+              val lid = "__asof_lid"; val mk = "__asof_m"; val rn = "__asof_rn"
+              val l1 = df.withColumn(lid, monotonically_increasing_id())
+              val r1 = right.withColumn(mk, lit(1))
+              val joined = l1.join(r1, lowerExpr(js.on), "left_outer")
+              val ord = if (pickLargest) lowerOperand(tsOp).desc_nulls_last
+                        else lowerOperand(tsOp).asc_nulls_last
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(lid)).orderBy(ord)
+              val picked = joined.withColumn(rn, row_number().over(w))
+                .filter(col(rn) === 1)
+              val res = if (js.kind == "asof") picked.filter(col(mk).isNotNull)
+                        else picked
+              res.drop(lid).drop(rn).drop(mk)
+          }
         case _ =>
           val sparkType = js.kind match {
             case "left"  => "left_outer"
@@ -1660,6 +1786,8 @@ object Lowering {
     case r: Analyzer.BoundRecursive =>
       countDerivedRefs(r.base, acc); countDerivedRefs(r.step, acc)
     case l: Analyzer.BoundLateral => countDerivedRefs(l.sub, acc)
+    case ls: Analyzer.BoundLateralSet =>
+      ls.branches.foreach(b => countDerivedRefs(b._2, acc))
     case _ => ()
   }
 
@@ -1694,6 +1822,8 @@ object Lowering {
     case l: Analyzer.BoundLateral   =>
       if (l.agg) sys.error("unreachable: aggregate laterals join fused in combine")
       lowerLateral(spark, l, source)
+    case _: Analyzer.BoundLateralSet =>
+      sys.error("unreachable: set-operation laterals join fused in combine")
     case other => sys.error(s"not a derivable query: $other")
   }
 

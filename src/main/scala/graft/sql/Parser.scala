@@ -248,6 +248,7 @@ object Parser {
         case FTable(TableRef(n, _)) => n.equalsIgnoreCase(name)
         case FDerived(sel, _)       => inTree(sel)
         case FLateral(sel, _)       => readsTable(sel, name)
+        case FLateralSet(u, _)      => inTree(u)
       }
       def inExpr(e: Expr): Boolean = e match {
         case Expr.And(l, r)               => inExpr(l) || inExpr(r)
@@ -356,6 +357,10 @@ object Parser {
       case ft: FTable        => ft
       case FDerived(sel, al) => FDerived(substCteTree(sel, ctes), al)
       case FLateral(sel, al) => FLateral(substCte(sel, ctes), al)
+      case FLateralSet(u, al) => substCteTree(u, ctes) match {
+        case u2: UnionTree => FLateralSet(u2, al)
+        case other         => FDerived(other, al)
+      }
       case tf: FTableFunc    => tf
     }
     def expr(e: Expr): Expr = e match {
@@ -942,6 +947,7 @@ object Parser {
               // correlation is just a derived table — correlated
               // references inside them fail loudly at binding)
               case s: SelectTree => FLateral(s, alias)
+              case u: UnionTree  => FLateralSet(u, alias)
               case other         => FDerived(other, alias)
             }
           case TSym("(", _) =>

@@ -1319,10 +1319,37 @@ class DialectSpec extends AnyFunSuite {
       "ORDER BY p.id").toOption.get
     assert(w.collect().map(_.getString(1)).toSeq ==
       Seq("Tesla Model 3", "DeLorean DMC-12"))
-    // a CORRELATED set-op body fails loudly (unbound outer reference)
+    // CORRELATED set-op body: per-key UNION — the correlated branch's
+    // rows for the key, plus the uncorrelated branch completed over
+    // every outer key (including keys with no cars)
+    val cu = db.select("SELECT p.id, t.m FROM people p, " +
+      "LATERAL (SELECT model AS m FROM cars c WHERE c.owner_id = p.id " +
+      "UNION SELECT name AS m FROM people WHERE id = 3) t " +
+      "ORDER BY p.id, t.m").toOption.get
+    assert(cu.collect().map(x => (x.getInt(0), x.getString(1))).toSeq == Seq(
+      (1, "Marty McFly"), (1, "Tesla Model 3"),
+      (2, "DeLorean DMC-12"), (2, "Marty McFly"),
+      (3, "Marty McFly")))
+    // per-key EXCEPT: a key whose correlated set minus the uncorrelated
+    // set is empty DROPS (CROSS JOIN LATERAL semantics)
+    val ce = db.select("SELECT p.id, t.m FROM people p, " +
+      "LATERAL (SELECT model AS m FROM cars c WHERE c.owner_id = p.id " +
+      "EXCEPT SELECT model AS m FROM cars WHERE id = 1) t " +
+      "ORDER BY p.id").toOption.get
+    assert(ce.collect().map(x => (x.getInt(0), x.getString(1))).toSeq ==
+      Seq((2, "DeLorean DMC-12")))
+    // rejection surface: chain-level LIMIT, aggregate branches, and
+    // branches correlating on DIFFERENT outer columns all error loudly
     assert(db.select("SELECT p.id, t.m FROM people p, " +
       "LATERAL (SELECT model AS m FROM cars c WHERE c.owner_id = p.id " +
-      "UNION SELECT name AS m FROM people WHERE id = 3) t").isLeft)
+      "UNION SELECT name AS m FROM people LIMIT 1) t").isLeft)
+    assert(db.select("SELECT p.id, t.m FROM people p, " +
+      "LATERAL (SELECT count(*) AS m FROM cars c WHERE c.owner_id = p.id " +
+      "UNION ALL SELECT 0 AS m) t").isLeft)
+    assert(db.select("SELECT p.id, t.m FROM people p, " +
+      "LATERAL (SELECT model AS m FROM cars c WHERE c.owner_id = p.id " +
+      "UNION ALL SELECT model AS m FROM cars c2 WHERE c2.owner_id = p.age) t")
+      .isLeft)
   }
 
   test("expression GROUP BY keys as HAVING correlation keys") {
@@ -1982,6 +2009,15 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT l.k FROM l ASOF JOIN q ON l.k = q.k").isLeft)
     assert(db.query(
       "SELECT l.k FROM l ASOF JOIN q ON l.v >= q.t AND l.v <= q.x").isLeft)
+    // a step-only residual conjunct prefilters inside the union-merge
+    // path; a left-local one takes the candidate-join fallback — same
+    // semantics either way
+    val pre = db.select("SELECT l.k, q.x FROM l ASOF LEFT JOIN q " +
+      "ON l.k = q.k AND l.v >= q.t AND q.x < 150 ORDER BY l.k").toOption.get
+    assert(pre.collect().toSeq == Seq(Row(1, 100), Row(2, null), Row(3, null)))
+    val fb = db.select("SELECT l.k, q.x FROM l ASOF LEFT JOIN q " +
+      "ON l.k = q.k AND l.v >= q.t AND l.v < 15 ORDER BY l.k").toOption.get
+    assert(fb.collect().toSeq == Seq(Row(1, 200), Row(2, null), Row(3, null)))
   }
 
   test("list/array surface: literals, subscript, functions, unnest, array_agg") {

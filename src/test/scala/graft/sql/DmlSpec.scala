@@ -178,9 +178,26 @@ class DmlSpec extends AnyFunSuite {
     val dup = scala.util.Try(g.query("MERGE INTO tgt t USING srcx s " +
       "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.dv"))
     assert(dup.isFailure)
-    // subqueries in merge expressions are rejected at analysis
+    // scalar-subquery SET values ride the operand machinery, evaluated
+    // over the pre-merge snapshot: uncorrelated = one broadcast 1-row
+    // frame, correlated = per-key aggregate frame
+    g.query("DELETE FROM srcx WHERE id = 1 AND dv = 6").toOption.get
     assert(g.query("MERGE INTO tgt t USING srcx s ON t.id = s.id " +
-      "WHEN MATCHED THEN UPDATE SET v = (SELECT max(dv) AS m FROM srcx)").isLeft)
+      "WHEN MATCHED THEN UPDATE SET v = (SELECT max(x.dv) AS m FROM srcx x)").isRight)
+    val rows3 = g.select("SELECT id, v FROM tgt").toOption.get
+      .orderBy("id").collect().toSeq
+    assert(rows3 == Seq(Row(1, 100), Row(2, 99), Row(4, 100)))
+    assert(g.query("MERGE INTO tgt t USING srcx s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = " +
+      "(SELECT sum(x.dv) AS m FROM srcx x WHERE x.id = t.id)").isRight)
+    val rows4 = g.select("SELECT id, v FROM tgt").toOption.get
+      .orderBy("id").collect().toSeq
+    assert(rows4 == Seq(Row(1, 5), Row(2, 99), Row(4, 7)))
+    // subqueries in ON / WHEN conditions still reject (no marker path
+    // through the synthetic CASE helpers)
+    assert(g.query("MERGE INTO tgt t USING srcx s ON t.id = s.id " +
+      "WHEN MATCHED AND t.v > (SELECT avg(x.dv) AS m FROM srcx x) " +
+      "THEN DELETE").isLeft)
   }
 
   test("MERGE WHEN NOT MATCHED BY SOURCE: complement-row update/delete") {
