@@ -1332,6 +1332,27 @@ object Dialect {
              |FROM orders WHERE o_custkey <= 300
              |QUALIFY rn <= 2 ORDER BY o_custkey, rn""".stripMargin)),
 
+    // Subqueries in QUALIFY: the WHERE marker machinery applied to the
+    // windowed frame — a membership semi-filter and a NOT-wrapped scalar
+    // comparison (3VL) conjoin with the ranking predicate; marker frames
+    // left-join once, never per-row re-execution.
+    "q_dialect_qualify_sub" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer"),
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+          "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+          "FROM orders WHERE o_custkey <= 500 " +
+          "QUALIFY rn <= 2 AND o_custkey IN " +
+          "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000) " +
+          "AND NOT (o_totalprice < (SELECT avg(o2.o_totalprice) AS a FROM orders o2)) " +
+          "ORDER BY o_custkey, rn"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |FROM orders WHERE o_custkey <= 500
+             |QUALIFY rn <= 2 AND o_custkey IN
+             |  (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+             |AND NOT (o_totalprice < (SELECT avg(o2.o_totalprice) FROM orders o2))
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
     // QUALIFY with inline OVER calls (desugared to hidden window items
     // and dropped from the output): a windowed aggregate conjoined with
     // a ranking filter — both windows share one partition shuffle.
@@ -2534,6 +2555,41 @@ object Dialect {
              |  list_contains(['en', 'de'], lang) AS western,
              |  list_sort([n_chars % 7, n_chars % 3, 5])[1] AS mn
              |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin)),
+
+    // Lambda list functions: list_transform / list_filter / list_reduce
+    // with `x -> expr` bodies — Spark's codegen'd higher-order functions
+    // (transform/filter/aggregate), never a UDF. The reduce folds
+    // left-to-right on both engines with the cast-to-double inside the
+    // transform, so the accumulation is IEEE-identical; the lambda
+    // captures the enclosing row's n_chars (a correlated lambda body).
+    "q_dialect_lambda" -> QueryDef(
+      (s, d) => run(db(s, d, "documents"),
+        "SELECT doc_id, " +
+          "len(list_filter(string_split(text, ' '), w -> length(w) > 6)) AS long_words, " +
+          "list_transform(list_sort([n_chars % 7, n_chars % 5, n_chars % 3]), " +
+          "m -> m * 10 + n_chars % 2) AS mods " +
+          "FROM documents WHERE doc_id < 400 ORDER BY doc_id"),
+      Some("""SELECT doc_id,
+             |  cast(len(list_filter(string_split(text, ' '), w -> length(w) > 6)) AS int) AS long_words,
+             |  list_transform(list_sort([n_chars % 7, n_chars % 5, n_chars % 3]),
+             |    m -> m * 10 + n_chars % 2) AS mods
+             |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)),
+
+    // list_reduce over the embedding vectors: sum of cubes via a
+    // transform (cast to double INSIDE the lambda, so both engines fold
+    // doubles in the same left-to-right order — bit-identical).
+    "q_dialect_lambda_reduce" -> QueryDef(
+      (s, d) => run(db(s, d, "embeddings"),
+        "SELECT vec_id, " +
+          "round(list_reduce(list_transform(embedding, x -> x::DOUBLE * x * x), " +
+          "(a, b) -> a + b), 6) AS cube_sum, " +
+          "len(list_filter(embedding, x -> x > 0)) AS n_pos " +
+          "FROM embeddings WHERE vec_id < 300 ORDER BY vec_id"),
+      Some("""SELECT vec_id,
+             |  round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x * x),
+             |    (a, b) -> a + b), 6) AS cube_sum,
+             |  cast(len(list_filter(embedding, x -> x > 0)) AS int) AS n_pos
+             |FROM embeddings WHERE vec_id < 300 ORDER BY vec_id""".stripMargin)),
 
     // the embeddings fixture (list<float>) through the dialect: external
     // registration keeps REAL[] exact, subscript + cast widen per IEEE

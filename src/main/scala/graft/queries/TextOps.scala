@@ -216,6 +216,52 @@ object TextOps {
       Some("""SELECT doc_id,
              |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
              |  substring(md5(source), 1, 8) AS source_fp
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction — the scrubbing stage of a training-data pipeline:
+    // conservative regexes for emails, +CC-NNN-NNNN phone numbers and
+    // IPv4 addresses, each replaced by a typed placeholder in one
+    // chained regexp_replace pass plus per-kind match counts — all
+    // codegen'd column algebra, ZERO shuffles (a narrow map over the
+    // corpus at any scale). The fixture text is synthetic word soup, so
+    // the query PLANTS deterministic PII per document first; the
+    // planted→redacted round trip proves patterns and counts. Patterns
+    // stay inside the RE2 ∩ java.util.regex common subset so Spark and
+    // the DuckDB oracle agree byte-for-byte.
+    "q_text_redact" -> QueryDef(
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+        val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        val planted = t(s, d, "documents").filter(col("doc_id") < 300)
+          .withColumn("pii_text", concat(col("text"),
+            lit(" contact user"), col("doc_id"),
+            lit("@ex"), pmod(col("doc_id"), lit(7)), lit(".org or +1-555-"),
+            format_string("%04d", pmod(col("doc_id"), lit(10000))),
+            lit(" ip 10.0."), pmod(col("doc_id"), lit(256)), lit(".25")))
+        planted.select(col("doc_id"),
+          size(regexp_extract_all(col("pii_text"), lit(email), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("pii_text"), lit(phone), lit(0))).as("n_phone"),
+          size(regexp_extract_all(col("pii_text"), lit(ip), lit(0))).as("n_ip"),
+          regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+            email, "[EMAIL]"), phone, "[PHONE]"), ip, "[IP]").as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, concat(text, ' contact user', doc_id,
+             |    '@ex', doc_id % 7, '.org or +1-555-', printf('%04d', doc_id % 10000),
+             |    ' ip 10.0.', doc_id % 256, '.25') AS pii_text
+             |  FROM documents WHERE doc_id < 300)
+             |SELECT doc_id,
+             |  cast(len(regexp_extract_all(pii_text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS int) AS n_email,
+             |  cast(len(regexp_extract_all(pii_text,
+             |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS int) AS n_phone,
+             |  cast(len(regexp_extract_all(pii_text,
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS int) AS n_ip,
+             |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted
+             |FROM p ORDER BY doc_id""".stripMargin))
   )
 }

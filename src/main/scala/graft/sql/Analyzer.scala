@@ -125,6 +125,16 @@ object Analyzer {
     final case class BSubVal(sub: BoundSelect, guard: Boolean,
         pairs: Seq[(BoundCol, BoundCol)] = Nil) extends BoundOperand
 
+    /** A bound lambda (list higher-order function argument): params
+      * resolve to BLambdaVar references in the body; everything else in
+      * the body binds against the enclosing scope (captured columns
+      * lower as ordinary references inside Spark's lambda).
+      */
+    final case class BLambda(params: Seq[String],
+        body: BoundOperand) extends BoundOperand
+    /** A lambda parameter reference, typed as the list's element type. */
+    final case class BLambdaVar(name: String, tpe: SqlType) extends BoundOperand
+
     /** Does the operand tree contain an aggregate call? */
     def containsAgg(o: BoundOperand): Boolean = o match {
       case _: BAgg          => true
@@ -132,6 +142,7 @@ object Analyzer {
       case BArith(_, l, r)  => containsAgg(l) || containsAgg(r)
       case BFunc(_, args)   => args.exists(containsAgg)
       case BCast(x, _)      => containsAgg(x)
+      case BLambda(_, b)    => containsAgg(b)
       case BCase(bs, els) =>
         bs.exists { case (c, v) => exprOperands(c).exists(containsAgg) || containsAgg(v) } ||
           els.exists(containsAgg)
@@ -148,6 +159,7 @@ object Analyzer {
       case BArith(_, l, r)  => aggNodes(l) ++ aggNodes(r)
       case BFunc(_, args)   => args.flatMap(aggNodes)
       case BCast(x, _)      => aggNodes(x)
+      case BLambda(_, b)    => aggNodes(b)
       case BCase(bs, els) =>
         bs.flatMap { case (c, v) =>
           exprOperands(c).flatMap(aggNodes) ++ aggNodes(v) } ++
@@ -167,6 +179,7 @@ object Analyzer {
       case BFunc(_, args)  => args.exists(operandHasSub)
       case BCast(x, _)     => operandHasSub(x)
       case BAgg(_, arg, _) => arg.exists(operandHasSub)
+      case BLambda(_, b)   => operandHasSub(b)
       case _: BSubVal      => true
       case _               => false
     }
@@ -302,6 +315,7 @@ object Analyzer {
       bs.flatMap { case (c, v) => exprCols(c) ++ operandCols(v) } ++
         els.toSeq.flatMap(operandCols)
     case BoundOperand.BSubVal(_, _, pairs) => pairs.map(_._1)
+    case BoundOperand.BLambda(_, b)   => operandCols(b)
     case _                            => Nil
   }
 
@@ -320,6 +334,7 @@ object Analyzer {
       bs.flatMap { case (c, v) =>
         BoundOperand.exprOperands(c).flatMap(operandColsDeep) ++ operandColsDeep(v)
       } ++ els.toSeq.flatMap(operandColsDeep)
+    case BoundOperand.BLambda(_, b)   => operandColsDeep(b)
     case _                            => Nil
   }
 
@@ -979,8 +994,10 @@ object Analyzer {
           case other               => other
         }
       case "list_distinct" | "array_distinct" | "list_sort" | "array_sort" |
-           "list_concat" | "array_concat" | "list_slice" =>
+           "list_concat" | "array_concat" | "list_slice" | "list_filter" =>
         operandType(args.head)
+      case "list_transform" => SqlType.SqlArray(operandType(args(1)))
+      case "list_reduce"    => operandType(args(1))
       case "string_split" | "string_to_array" | "split" |
            "regexp_split_to_array" =>
         SqlType.SqlArray(SqlType.SqlVarChar(65535))
@@ -992,6 +1009,8 @@ object Analyzer {
     }
     case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
     case BoundOperand.BSubVal(sub, _, _) => scalarOutputType(sub)
+    case BoundOperand.BLambda(_, b)    => operandType(b)
+    case BoundOperand.BLambdaVar(_, t) => t
     case BoundOperand.BAgg(f, arg, _) => aggType(f, arg)
     case BoundOperand.BCast(_, t) => t
     case BoundOperand.BOut(_, t)  => t
@@ -2139,8 +2158,14 @@ object Analyzer {
     // HAVING subqueries via their post-aggregation alias column
     var havingGkExprKeys: Map[BoundOperand, BoundCol] = Map.empty
 
+    // lambda parameters in scope while a lambda body binds (list
+    // higher-order functions); a parameter shadows same-named columns
+    var lambdaScope: Map[String, SqlType] = Map.empty
+
     def bindOp(o: Operand, allowAgg: Boolean,
         allowSub: Boolean = false): Either[AnalyzerError, BoundOperand] = o match {
+      case Operand.Col(ColRef(None, n)) if lambdaScope.contains(n.toLowerCase) =>
+        Right(BoundOperand.BLambdaVar(n.toLowerCase, lambdaScope(n.toLowerCase)))
       case Operand.Col(c) =>
         if (coalApplies(c)) Right(coalOperand(c.name))
         else bindCol(c).map(BoundOperand.BCol)
@@ -2205,6 +2230,55 @@ object Analyzer {
         Left(BadAggregate(s"$f(...) is not valid in this context"))
       case Operand.Cast(o, t) =>
         bindOp(o, allowAgg, allowSub).map(BoundOperand.BCast(_, t))
+      // list higher-order functions: the second argument is a lambda
+      // whose parameters bind to the list's ELEMENT type; the body may
+      // capture enclosing columns (they lower as ordinary references
+      // inside Spark's lambda) but not aggregates or subqueries
+      case Operand.FuncCall(f0, args) if Set("list_transform",
+          "array_transform", "list_filter", "array_filter",
+          "list_reduce")(f0) =>
+        val f = if (f0.startsWith("array_")) "list_" + f0.stripPrefix("array_")
+                else f0
+        val nParams = if (f == "list_reduce") 2 else 1
+        args match {
+          case Seq(listArg, Operand.Lambda(ps, body)) =>
+            for {
+              bl <- bindOp(listArg, allowAgg, allowSub)
+              elemT <- operandType(bl) match {
+                case SqlType.SqlArray(e) => Right(e)
+                case other => Left(BadFunction(
+                  s"$f0 takes a list first argument (got ${other.render})"))
+              }
+              _ <-
+                if (ps.length == nParams) Right(())
+                else Left(BadFunction(
+                  s"$f0 takes a $nParams-parameter lambda"))
+              _ <-
+                if (ps.map(_.toLowerCase).distinct.length == ps.length) Right(())
+                else Left(DuplicateBinding(ps.head))
+              bbody <- {
+                val saved = lambdaScope
+                lambdaScope = lambdaScope ++ ps.map(_.toLowerCase -> elemT)
+                val r = bindOp(body, allowAgg = false)
+                lambdaScope = saved
+                r
+              }
+              _ <-
+                if (!BoundOperand.operandHasSub(bbody)) Right(())
+                else Left(BadSubquery(
+                  "subqueries are not supported inside a lambda body"))
+              _ <-
+                if (!BoundOperand.containsAgg(bbody)) Right(())
+                else Left(BadAggregate(
+                  "aggregates are not valid inside a lambda body"))
+            } yield BoundOperand.BFunc(f,
+              Seq(bl, BoundOperand.BLambda(ps.map(_.toLowerCase), bbody)))
+          case _ => Left(BadFunction(
+            s"$f0 takes (list, lambda) — e.g. $f0(l, x -> x + 1)"))
+        }
+      case Operand.Lambda(_, _) =>
+        Left(BadFunction(
+          "a lambda (x -> …) is only valid as a list-function argument"))
       case Operand.FuncCall(f, args) =>
         val arityOk = f match {
           case "upper" | "lower" | "length" | "abs" |
@@ -3184,9 +3258,20 @@ object Analyzer {
                         Right(())
                       else Left(NotComparable(operandType(bl), operandType(br)))
                   } yield BoundExpr.BCmp(op2, bl, br)
-                case _ => Left(BadSubquery("subqueries are not supported in QUALIFY"))
+                // subqueries over non-aggregated queries ride the same
+                // marker machinery as WHERE conjuncts (3VL under NOT/OR),
+                // joined onto the WINDOWED frame at lowering; probes bind
+                // against the input tables (not window aliases)
+                case sq @ (_: Expr.InSubquery | _: Expr.Exists |
+                    _: Expr.CmpSubquery | _: Expr.QuantSubquery |
+                    _: Expr.RowInSubquery) =>
+                  if (isAgg) Left(BadSubquery(
+                    "subqueries in QUALIFY are supported over non-aggregated queries only"))
+                  else bindExpr(sq, allowAgg = false, topLevel = true)
               }
-              qE(e0).map(Some(_))
+              qE(e0).flatMap(bp => rowInMarkerIssue(bp)
+                .fold[Either[AnalyzerError, BoundExpr]](Right(bp))(m =>
+                  Left(BadSubquery(m)))).map(Some(_))
           }
       }
       // QUALIFY bare columns in aggregate scope must be GROUP BY keys

@@ -100,6 +100,11 @@ object Ast {
       * elsewhere. One column; at most one row per (correlation) key.
       */
     final case class ScalarSub(sub: SelectTree) extends Operand
+    /** A lambda argument of a list higher-order function:
+      * `x -> expr` / `(acc, x) -> expr`. Valid only as an argument of
+      * list_transform / list_filter / list_reduce (analyzer-enforced).
+      */
+    final case class Lambda(params: Seq[String], body: Operand) extends Operand
     /** An ordered aggregate: string_agg(v, 'sep' [ORDER BY k [DESC], …]).
       * Carries its own intra-group ordering — the lowering sorts the
       * collected group by the keys before joining.

@@ -119,8 +119,21 @@ object Lowering {
               d.withColumn(a, windowColumn(f, args, parts, ord, frame,
                 lowerOperandWith(_, qcol), qcol))
           }
-          q.qualify.fold(withWins)(qe =>
-            withWins.filter(lowerExprWith(qe, lowerOperandWith(_, qcol))))
+          q.qualify.fold(withWins) { qe =>
+            if (!BoundExpr.containsSub(qe))
+              withWins.filter(lowerExprWith(qe, lowerOperandWith(_, qcol)))
+            else {
+              // subqueries in QUALIFY: the WHERE mixed-conjunct marker
+              // machinery applied to the WINDOWED frame — marker frames
+              // left-join in, the predicate filters once, markers drop
+              val ms = new MarkerScope(spark, source, "ql", qcol,
+                lowerOperandWith(_, qcol))
+              ms.register(qe)
+              val joined = ms.joins.foldLeft(withWins) { case (d, (f, on)) =>
+                d.join(f, on, "left_outer") }
+              joined.filter(ms.pred(qe)).drop(ms.drops.toSeq: _*)
+            }
+          }
         }
       // DISTINCT ON: first row per key tuple under the query ORDER BY —
       // a row_number window partitioned on the ON keys (one shuffle;
@@ -2093,6 +2106,28 @@ object Lowering {
     * as empty strings, matching SQL/DuckDB concat, where Spark's concat
     * would NULL the whole result.
     */
+  /** Lower a lambda body: parameters resolve through `env`, everything
+    * else recurses with the env threaded (so nested higher-order calls
+    * extend it) and bottoms out in the caller's operand lowerer.
+    */
+  private def lowerLambdaBody(o: BoundOperand, env: Map[String, Column],
+      outer: BoundOperand => Column): Column = {
+    def low(x: BoundOperand): Column = x match {
+      case BoundOperand.BLambdaVar(n, _) => env.getOrElse(n,
+        sys.error(s"unreachable: unbound lambda parameter $n"))
+      case BoundOperand.BArith(ch, l, r) => arith(ch, low(l), low(r))
+      case BoundOperand.BFunc(f, as)     => lowerFunc(f, as, low)
+      case BoundOperand.BCast(y, t)      => low(y).cast(t.spark)
+      case BoundOperand.BCase(bs, els) =>
+        val first = when(lowerExprWith(bs.head._1, low), low(bs.head._2))
+        val chained = bs.tail.foldLeft(first) { case (acc, (c, v)) =>
+          acc.when(lowerExprWith(c, low), low(v)) }
+        els.fold(chained)(e => chained.otherwise(low(e)))
+      case other => outer(other)
+    }
+    low(o)
+  }
+
   private def lowerFunc(name: String, args: Seq[BoundOperand],
       rec: BoundOperand => Column): Column = (name, args) match {
     case ("upper", Seq(a))  => upper(rec(a))
@@ -2181,6 +2216,24 @@ object Lowering {
       array_distinct(array_compact(rec(a)))
     // ascending, NULLs LAST (DuckDB's default == Spark array_sort's)
     case ("list_sort" | "array_sort", Seq(a)) => array_sort(rec(a))
+    // list higher-order functions: Spark's codegen'd transform/filter/
+    // aggregate with the lambda body lowered under a parameter
+    // environment (captured columns resolve through `rec`, so the
+    // lambda works in scan, join and post-aggregation scopes alike)
+    case ("list_transform", Seq(a, BoundOperand.BLambda(ps, body))) =>
+      transform(rec(a), x => lowerLambdaBody(body, Map(ps.head -> x), rec))
+    case ("list_filter", Seq(a, BoundOperand.BLambda(ps, body))) =>
+      filter(rec(a), x => lowerLambdaBody(body, Map(ps.head -> x), rec)
+        .cast("boolean"))
+    case ("list_reduce", Seq(a, BoundOperand.BLambda(ps, body))) =>
+      // DuckDB folds the list with its FIRST element as the seed (an
+      // empty list errors there; here it reads NULL — documented)
+      val c = rec(a)
+      aggregate(
+        slice(c, lit(2), greatest(size(c) - 1, lit(0))),
+        try_element_at(c, lit(1)),
+        (acc, x) => lowerLambdaBody(body,
+          Map(ps.head -> acc, ps(1) -> x), rec))
     case ("array_to_string", Seq(a, BoundOperand.BLit(Lit.LitString(sep)))) =>
       array_join(rec(a), sep)
     // literal separator, split LITERALLY (DuckDB string_split is not a

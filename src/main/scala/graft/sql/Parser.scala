@@ -66,7 +66,7 @@ object Parser {
       } else {
         val two = if (i + 1 < in.length) in.substring(i, i + 2) else ""
         if (two == "<>" || two == "<=" || two == ">=" || two == "!=" ||
-            two == "||" || two == "::") {
+            two == "||" || two == "::" || two == "->") {
           out += TSym(if (two == "!=") "<>" else two, i); i += 2
         } else if ("(),.;*=<>+-/%[]:".indexOf(c) >= 0) {
           out += TSym(c.toString, i); i += 1
@@ -157,7 +157,9 @@ object Parser {
     "string_to_array", "split", "list_position", "array_position",
     "list_concat", "array_concat", "list_value", "list_slice", "unnest",
     "levenshtein", "chr", "ascii", "to_hex", "epoch_ms",
-    "regexp_split_to_array")
+    "regexp_split_to_array",
+    "list_transform", "array_transform", "list_filter", "array_filter",
+    "list_reduce")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
@@ -2247,8 +2249,63 @@ object Parser {
       for {
         _ <- p.eatSym("(")
         args <- {
+          // a lambda argument: `x -> expr` or `(a, b) -> expr` (the list
+          // higher-order functions); backtracks when no `->` follows
+          def lambdaParams(): Option[Vector[String]] = {
+            val save = p.i
+            val r = p.peek match {
+              case TIdent(n, _) if !reserved(n) =>
+                p.next()
+                p.peek match {
+                  case TSym("->", _) => p.next(); Some(Vector(n))
+                  case _             => None
+                }
+              case TSym("(", _) =>
+                p.next()
+                def ps(acc: Vector[String]): Option[Vector[String]] = p.peek match {
+                  case TIdent(n, _) if !reserved(n) =>
+                    p.next()
+                    p.peek match {
+                      case TSym(",", _) => p.next(); ps(acc :+ n)
+                      case TSym(")", _) => p.next(); Some(acc :+ n)
+                      case _            => None
+                    }
+                  case _ => None
+                }
+                ps(Vector.empty).flatMap(names => p.peek match {
+                  case TSym("->", _) => p.next(); Some(names)
+                  case _             => None
+                })
+              case _ => None
+            }
+            if (r.isEmpty) p.i = save
+            r
+          }
+          def one(): Either[ParseError, Operand] = lambdaParams() match {
+            case Some(ns) =>
+              // a lambda body is an operand OR a boolean predicate
+              // (x -> x % 2 = 1): try the operand first; if a predicate
+              // continues past it (or the operand fails), reparse as a
+              // full expression and wrap as CASE WHEN e THEN TRUE ELSE
+              // FALSE — matching filter's NULL-excludes semantics
+              val save = p.i
+              val asOp = parseOperand(p, allowAgg = false)
+              val predicateFollows = asOp.isRight && (p.peek match {
+                case TSym("=" | "<>" | "<" | ">" | "<=" | ">=", _) => true
+                case TIdent(k, _) => Seq("and", "or", "is", "in", "like",
+                  "ilike", "between", "not").exists(k.equalsIgnoreCase)
+                case _ => false
+              })
+              (if (asOp.isLeft || predicateFollows) {
+                p.i = save
+                parseOr(p).map(e => Operand.CaseWhen(
+                  Seq((e, Operand.Literal(Lit.LitBool(true)))),
+                  Some(Operand.Literal(Lit.LitBool(false)))))
+              } else asOp).map(Operand.Lambda(ns, _))
+            case None => parseOperand(p, allowAgg)
+          }
           def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
-            parseOperand(p, allowAgg).flatMap { a =>
+            one().flatMap { a =>
               p.peek match {
                 case TSym(",", _) => p.next(); loop(acc :+ a)
                 case _            => Right(acc :+ a)

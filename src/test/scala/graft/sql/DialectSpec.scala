@@ -2065,6 +2065,42 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT array_agg(id) AS x FROM people").isLeft)
   }
 
+  test("lambda list functions: transform, filter, reduce, capture, nesting") {
+    val db = demoDb()
+    def one(sql: String): Row = db.select(sql) match {
+      case Right(df) => df.collect().head
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    // transform with a captured enclosing column (id)
+    val t = one("SELECT list_transform([1, 2, 3], x -> x * 10 + id) AS l " +
+      "FROM people WHERE id = 2")
+    assert(t.getSeq[Int](0) == Seq(12, 22, 32))
+    // filter with a predicate body; nested higher-order calls
+    val f = one("SELECT list_filter([1, 2, 3, 4], x -> x % 2 = 0) AS l " +
+      "FROM people WHERE id = 1")
+    assert(f.getSeq[Int](0) == Seq(2, 4))
+    val n = one("SELECT list_transform(list_filter([1, 2, 3], x -> x > 1), " +
+      "y -> y * y) AS l FROM people WHERE id = 1")
+    assert(n.getSeq[Int](0) == Seq(4, 9))
+    // reduce folds left-to-right with the head as seed; empty reads NULL
+    val r = one("SELECT list_reduce([5, 3, 2], (a, b) -> a * 10 + b) AS v " +
+      "FROM people WHERE id = 1")
+    assert(r.getLong(0) == 532L)
+    assert(one("SELECT list_reduce(list_filter([1], x -> x > 9), " +
+      "(a, b) -> a + b) AS v FROM people WHERE id = 1").isNullAt(0))
+    // lambda parameters shadow same-named columns
+    val sh = one("SELECT list_transform([7], id -> id + 1) AS l " +
+      "FROM people WHERE id = 3")
+    assert(sh.getSeq[Int](0) == Seq(8))
+    // rejections: lambda outside a list function, aggregate bodies,
+    // wrong parameter count, non-list first argument
+    assert(db.query("SELECT (x -> x) AS f FROM people").isLeft)
+    assert(db.query("SELECT list_transform([1], x -> count(*)) AS l " +
+      "FROM people").isLeft)
+    assert(db.query("SELECT list_reduce([1], x -> x + 1) AS l FROM people").isLeft)
+    assert(db.query("SELECT list_transform(id, x -> x) AS l FROM people").isLeft)
+  }
+
   test("row-value IN under OR, NOT and CASE — exact 3VL markers") {
     val db = freshDb()
     def run(sql: String): Unit = db.query(sql) match {
@@ -2565,13 +2601,30 @@ class DialectSpec extends AnyFunSuite {
     // a window alias shadowing an input column would collide at attach
     assert(db.select("SELECT grp, row_number() OVER (PARTITION BY grp ORDER BY grp) AS v " +
       "FROM sales QUALIFY v = 1").isLeft)
-    // subqueries inside QUALIFY are rejected loudly
-    assert(db.select("SELECT grp, row_number() OVER (ORDER BY grp) AS rn FROM sales " +
-      "QUALIFY rn = 1 AND EXISTS (SELECT grp FROM sales)").isLeft)
+    // subqueries in AGGREGATE-scope QUALIFY are rejected loudly
+    assert(db.select("SELECT grp, count(*) AS n FROM sales GROUP BY grp " +
+      "QUALIFY row_number() OVER (ORDER BY grp) = 1 " +
+      "AND grp IN (SELECT grp FROM sales)").isLeft)
     // aggregate scope: a bare non-grouped column in the predicate is
     // rejected like HAVING would
     assert(db.select("SELECT grp, count(*) FROM sales GROUP BY grp " +
       "QUALIFY row_number() OVER (ORDER BY grp) = 1 AND v > 0").isLeft)
+  }
+
+  test("QUALIFY subqueries over non-aggregated queries: markers on the windowed frame") {
+    val db = qualifyDb()
+    // top-1 per group, kept only for groups with some v > 25
+    val r = db.select("SELECT grp, v, row_number() OVER (PARTITION BY grp " +
+      "ORDER BY v DESC) AS rn FROM sales QUALIFY rn = 1 AND " +
+      "EXISTS (SELECT 1 AS x FROM sales s2 WHERE s2.grp = sales.grp AND s2.v > 25) " +
+      "ORDER BY grp").toOption.get
+    assert(r.collect().map(x => (x.getInt(0), x.getInt(1))).toSeq ==
+      Seq((1, 30), (2, 50)))
+    // NOT over a scalar comparison stays three-valued
+    val n = db.select("SELECT grp, v, rank() OVER (ORDER BY v) AS r FROM sales " +
+      "QUALIFY r <= 3 AND NOT (v > (SELECT avg(v) AS a FROM sales)) " +
+      "ORDER BY v").toOption.get
+    assert(n.collect().map(_.getInt(1)).toSeq == Seq(5, 7, 10))
   }
 
   test("QUALIFY over an aggregated query: windows and aggregates mix") {
