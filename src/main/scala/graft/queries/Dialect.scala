@@ -2556,6 +2556,58 @@ object Dialect {
              |  list_sort([n_chars % 7, n_chars % 3, 5])[1] AS mn
              |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin)),
 
+    // Math batch 5: trig/atan2/degrees/cbrt/log-base/bit_count — libm
+    // last-ulp differences between the engines are absorbed by the
+    // query-side round() contract (FIXTURES.md).
+    "q_dialect_math5" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "round(sin(o_totalprice / 100000), 8) AS sn, " +
+          "round(cos(o_totalprice / 100000), 8) AS cs, " +
+          "round(atan2(o_totalprice, 100000.0), 8) AS at, " +
+          "round(degrees(o_totalprice / 100000), 4) AS dg, " +
+          "round(radians(o_totalprice / 10000), 6) AS rd, " +
+          "round(cbrt(o_totalprice), 6) AS cb, " +
+          "round(log(2.0, o_totalprice), 6) AS lg, " +
+          "bit_count(o_orderkey) AS bc, " +
+          "isfinite(o_totalprice) AS fin " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  round(sin(o_totalprice / 100000), 8) AS sn,
+             |  round(cos(o_totalprice / 100000), 8) AS cs,
+             |  round(atan2(o_totalprice, 100000.0), 8) AS at,
+             |  round(degrees(o_totalprice / 100000), 4) AS dg,
+             |  round(radians(o_totalprice / 10000), 6) AS rd,
+             |  round(cbrt(o_totalprice), 6) AS cb,
+             |  round(log(2.0, o_totalprice), 6) AS lg,
+             |  cast(bit_count(o_orderkey) AS int) AS bc,
+             |  isfinite(o_totalprice) AS fin
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // String/format batch 5: starts_with/ends_with/contains, C-style
+    // printf, strftime (literal C format mapped token-by-token onto the
+    // Java pattern) and TRY_CAST (NULL on failed conversion).
+    "q_dialect_funcs5" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "starts_with(o_orderstatus, 'O') AS so, " +
+          "ends_with(o_orderpriority, 'URGENT') AS eu, " +
+          "contains(o_orderpriority, '-') AS cd, " +
+          "printf('%s|%05d', o_orderstatus, o_orderkey % 10000) AS tag, " +
+          "strftime(o_orderdate, '%Y/%m/%d') AS od, " +
+          "try_cast(substr(o_orderpriority, 1, 1) AS INT) AS pri, " +
+          "try_cast(o_orderstatus AS INT) AS bad " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  starts_with(o_orderstatus, 'O') AS so,
+             |  ends_with(o_orderpriority, 'URGENT') AS eu,
+             |  contains(o_orderpriority, '-') AS cd,
+             |  printf('%s|%05d', o_orderstatus, o_orderkey % 10000) AS tag,
+             |  strftime(o_orderdate, '%Y/%m/%d') AS od,
+             |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri,
+             |  TRY_CAST(o_orderstatus AS INT) AS bad
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // Lambda list functions: list_transform / list_filter / list_reduce
     // with `x -> expr` bodies — Spark's codegen'd higher-order functions
     // (transform/filter/aggregate), never a UDF. The reduce folds

@@ -97,6 +97,8 @@ object Analyzer {
         elseOp: Option[BoundOperand]) extends BoundOperand
     /** CAST(operand AS type) — lowers to Spark's cast. */
     final case class BCast(op: BoundOperand, tpe: SqlType) extends BoundOperand
+    /** TRY_CAST — NULL on conversion failure (Spark's try_cast). */
+    final case class BTryCast(op: BoundOperand, tpe: SqlType) extends BoundOperand
     /** Calendar interval literal (valid only beside + / - against a
       * date/timestamp operand — enforced at binding).
       */
@@ -142,6 +144,7 @@ object Analyzer {
       case BArith(_, l, r)  => containsAgg(l) || containsAgg(r)
       case BFunc(_, args)   => args.exists(containsAgg)
       case BCast(x, _)      => containsAgg(x)
+      case BTryCast(x, _)   => containsAgg(x)
       case BLambda(_, b)    => containsAgg(b)
       case BCase(bs, els) =>
         bs.exists { case (c, v) => exprOperands(c).exists(containsAgg) || containsAgg(v) } ||
@@ -159,6 +162,7 @@ object Analyzer {
       case BArith(_, l, r)  => aggNodes(l) ++ aggNodes(r)
       case BFunc(_, args)   => args.flatMap(aggNodes)
       case BCast(x, _)      => aggNodes(x)
+      case BTryCast(x, _)   => aggNodes(x)
       case BLambda(_, b)    => aggNodes(b)
       case BCase(bs, els) =>
         bs.flatMap { case (c, v) =>
@@ -178,6 +182,7 @@ object Analyzer {
       case BArith(_, l, r) => operandHasSub(l) || operandHasSub(r)
       case BFunc(_, args)  => args.exists(operandHasSub)
       case BCast(x, _)     => operandHasSub(x)
+      case BTryCast(x, _)  => operandHasSub(x)
       case BAgg(_, arg, _) => arg.exists(operandHasSub)
       case BLambda(_, b)   => operandHasSub(b)
       case _: BSubVal      => true
@@ -311,6 +316,7 @@ object Analyzer {
     case BoundOperand.BArith(_, l, r) => operandCols(l) ++ operandCols(r)
     case BoundOperand.BFunc(_, args)  => args.flatMap(operandCols)
     case BoundOperand.BCast(x, _)     => operandCols(x)
+    case BoundOperand.BTryCast(x, _)  => operandCols(x)
     case BoundOperand.BCase(bs, els) =>
       bs.flatMap { case (c, v) => exprCols(c) ++ operandCols(v) } ++
         els.toSeq.flatMap(operandCols)
@@ -330,6 +336,7 @@ object Analyzer {
       operandColsDeep(arg) ++ ord.flatMap(k => operandColsDeep(k._1))
     case BoundOperand.BFunc(_, args)  => args.flatMap(operandColsDeep)
     case BoundOperand.BCast(x, _)     => operandColsDeep(x)
+    case BoundOperand.BTryCast(x, _)  => operandColsDeep(x)
     case BoundOperand.BCase(bs, els) =>
       bs.flatMap { case (c, v) =>
         BoundOperand.exprOperands(c).flatMap(operandColsDeep) ++ operandColsDeep(v)
@@ -401,6 +408,15 @@ object Analyzer {
       case _ => Left("ASOF JOIN takes exactly one inequality in its ON")
     }
   }
+
+  /** strftime C tokens → Java datetime patterns (shared with the
+    * lowering); any other % token — or a bare letter, which Java would
+    * read as a pattern letter — rejects at analysis.
+    */
+  val StrftimeMap: Map[String, String] = Map(
+    "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
+    "%H" -> "HH", "%M" -> "mm", "%S" -> "ss", "%j" -> "DDD")
+  val StrftimeTokens = "%.".r
 
   /** The ASOF inequality, fully decomposed: outer-side operand,
     * step-side operand, match direction (largest step value meeting the
@@ -996,6 +1012,11 @@ object Analyzer {
       case "list_distinct" | "array_distinct" | "list_sort" | "array_sort" |
            "list_concat" | "array_concat" | "list_slice" | "list_filter" =>
         operandType(args.head)
+      case "isnan" | "isfinite" | "isinf" |
+           "starts_with" | "ends_with" | "contains" => SqlType.SqlBool
+      case "printf" | "strftime" => SqlType.SqlVarChar(65535)
+      case "factorial"           => SqlType.SqlBigInt
+      case "bit_count"           => SqlType.SqlInt
       case "list_transform" => SqlType.SqlArray(operandType(args(1)))
       case "list_reduce"    => operandType(args(1))
       case "string_split" | "string_to_array" | "split" |
@@ -1011,6 +1032,7 @@ object Analyzer {
     case BoundOperand.BSubVal(sub, _, _) => scalarOutputType(sub)
     case BoundOperand.BLambda(_, b)    => operandType(b)
     case BoundOperand.BLambdaVar(_, t) => t
+    case BoundOperand.BTryCast(_, t)   => t
     case BoundOperand.BAgg(f, arg, _) => aggType(f, arg)
     case BoundOperand.BCast(_, t) => t
     case BoundOperand.BOut(_, t)  => t
@@ -1421,6 +1443,8 @@ object Analyzer {
     case Operand.Arith(_, l, r)  => parseOpHasSub(l) || parseOpHasSub(r)
     case Operand.FuncCall(_, as) => as.exists(parseOpHasSub)
     case Operand.Cast(x, _)      => parseOpHasSub(x)
+    case Operand.TryCast(x, _)   => parseOpHasSub(x)
+    case Operand.Lambda(_, b)    => parseOpHasSub(b)
     case Operand.CaseWhen(bs, els) =>
       bs.exists { case (c, v) => parseExprHasSub(c) || parseOpHasSub(v) } ||
         els.exists(parseOpHasSub)
@@ -2230,6 +2254,8 @@ object Analyzer {
         Left(BadAggregate(s"$f(...) is not valid in this context"))
       case Operand.Cast(o, t) =>
         bindOp(o, allowAgg, allowSub).map(BoundOperand.BCast(_, t))
+      case Operand.TryCast(o, t) =>
+        bindOp(o, allowAgg, allowSub).map(BoundOperand.BTryCast(_, t))
       // list higher-order functions: the second argument is a lambda
       // whose parameters bind to the list's ELEMENT type; the body may
       // capture enclosing columns (they lower as ordinary references
@@ -2286,8 +2312,18 @@ object Analyzer {
                "floor" | "ceil" | "sqrt" |
                "reverse" | "md5" | "sign" |
                "exp" | "ln" | "log10" | "log2" |
-               "last_day" | "quarter" | "hour" | "minute" | "second"
+               "last_day" | "quarter" | "hour" | "minute" | "second" |
+               "sin" | "cos" | "tan" | "asin" | "acos" | "atan" | "cot" |
+               "degrees" | "radians" | "cbrt" | "factorial" |
+               "isnan" | "isfinite" | "isinf" | "bit_count"
                                      => args.length == 1
+          case "pi"                  => args.isEmpty
+          case "log"                 => args.length == 1 || args.length == 2
+          case "atan2" | "starts_with" | "ends_with" | "contains"
+                                     => args.length == 2
+          case "printf"              => args.nonEmpty &&
+            args.head.isInstanceOf[Operand.Literal]
+          case "strftime"            => args.length == 2
           // optional trim-characters second argument (standard
           // TRIM(chars FROM x) or the two-arg call form)
           case "trim" | "ltrim" | "rtrim" => args.length == 1 || args.length == 2
@@ -2384,6 +2420,24 @@ object Analyzer {
         }))
           Left(BadFunction(
             "split_part takes a non-empty separator string literal and a positive index literal"))
+        // strftime: the C-style format is a literal, translated token-
+        // by-token onto Spark's Java pattern at lowering — unknown %
+        // tokens reject here rather than silently diverging
+        else if (f == "strftime" && !(args(1) match {
+          case Operand.Literal(Lit.LitString(fmt)) =>
+            StrftimeTokens.findAllMatchIn(fmt).forall(m =>
+              StrftimeMap.contains(m.matched)) && !fmt.contains("'") &&
+              !StrftimeTokens.replaceAllIn(fmt, "").exists(_.isLetter)
+          case _ => false
+        }))
+          Left(BadFunction(
+            "strftime takes a literal format using %Y %y %m %d %H %M %S %j (no quotes)"))
+        // log base must be a literal (Spark compiles it into the plan)
+        else if (f == "log" && args.length == 2 && !(args.head match {
+          case Operand.Literal(Lit.LitLong(_) | Lit.LitDouble(_)) => true
+          case _ => false
+        }))
+          Left(BadFunction("log(base, x) takes a numeric-literal base"))
         else
           args.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](Right(Vector.empty)) {
             (acc, a) => acc.flatMap(v => bindOp(a, allowAgg, allowSub).map(v :+ _))

@@ -90,6 +90,10 @@ object Ast {
       * parses are NULL like DuckDB's TRY_CAST-adjacent behavior).
       */
     final case class Cast(op: Operand, tpe: SqlType) extends Operand
+    /** TRY_CAST(x AS type) — NULL instead of an error on a failed
+      * conversion (Spark's try_cast, DuckDB's TRY_CAST).
+      */
+    final case class TryCast(op: Operand, tpe: SqlType) extends Operand
     /** INTERVAL '<n>' <unit> — a calendar interval (unit normalized to
       * singular: year/month/week/day/hour/minute/second), valid only as
       * the right operand of + / - against a date/timestamp.

@@ -315,6 +315,7 @@ object Lowering {
         case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, havingOperand)
         case BoundOperand.BCase(bs, els)   => caseCol(bs, els, havingOperand)
         case BoundOperand.BCast(x, t)      => havingOperand(x).cast(t.spark)
+        case BoundOperand.BTryCast(x, t)   => havingOperand(x).try_cast(t.spark)
         case a @ BoundOperand.BAgg(_, _, _) =>
           val name = s"__h_${havingAggs.length}"
           havingAggs += ((a, name))
@@ -461,6 +462,7 @@ object Lowering {
           case BoundOperand.BOut(n, _)       => col(winAliasCol(n.toLowerCase))
           case BoundOperand.BArith(ch, l, r) => arith(ch, qop(l), qop(r))
           case BoundOperand.BCast(x, t)      => qop(x).cast(t.spark)
+          case BoundOperand.BTryCast(x, t)   => qop(x).try_cast(t.spark)
           case other                         => aggScopeOperand(other)
         }
         lowerExprWith(qe, qop)
@@ -988,6 +990,7 @@ object Lowering {
           case BoundOperand.BFunc(f2, args)  => lowerFunc(f2, args, low)
           case BoundOperand.BCase(bs, els)   => caseCol(bs, els, low)
           case BoundOperand.BCast(x, t)      => low(x).cast(t.spark)
+          case BoundOperand.BTryCast(x, t)   => low(x).try_cast(t.spark)
           case BoundOperand.BLit(l2)         => lowerLit(l2)
           case BoundOperand.BInterval(n2, u) => intervalCol(n2, u)
           case other => sys.error(
@@ -1691,6 +1694,7 @@ object Lowering {
       case BoundOperand.BArith(_, l, r) => registerOp(l); registerOp(r)
       case BoundOperand.BFunc(_, args)  => args.foreach(registerOp)
       case BoundOperand.BCast(x, _)     => registerOp(x)
+      case BoundOperand.BTryCast(x, _)  => registerOp(x)
       // a scalar subquery as a VALUE: correlated = one per-key aggregate
       // frame left-joined on the decorrelated equalities; uncorrelated =
       // a guarded literal (one bounded job, no join) or one broadcast
@@ -1738,6 +1742,7 @@ object Lowering {
       case BoundOperand.BArith(ch, l, r) => arith(ch, operand(l), operand(r))
       case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, operand)
       case BoundOperand.BCast(x, t)      => operand(x).cast(t.spark)
+      case BoundOperand.BTryCast(x, t)   => operand(x).try_cast(t.spark)
       case v: BoundOperand.BSubVal =>
         Option(opValOf.get(v)).getOrElse(
           sys.error("unreachable: scalar-subquery operand was not registered"))
@@ -2118,6 +2123,7 @@ object Lowering {
       case BoundOperand.BArith(ch, l, r) => arith(ch, low(l), low(r))
       case BoundOperand.BFunc(f, as)     => lowerFunc(f, as, low)
       case BoundOperand.BCast(y, t)      => low(y).cast(t.spark)
+      case BoundOperand.BTryCast(y, t)   => low(y).try_cast(t.spark)
       case BoundOperand.BCase(bs, els) =>
         val first = when(lowerExprWith(bs.head._1, low), low(bs.head._2))
         val chained = bs.tail.foldLeft(first) { case (acc, (c, v)) =>
@@ -2150,6 +2156,51 @@ object Lowering {
     // the || operator: NULL-propagating, unlike the concat() function
     case ("||", as)       => concat(as.map(rec): _*)
     case ("replace", Seq(a, b, c)) => replace(rec(a), rec(b), rec(c))
+    // math batch 5: trig/rounding parity with the reference dialect —
+    // libm last-ulp differences across engines are absorbed by the
+    // query-side round() contract (FIXTURES.md)
+    case ("sin", Seq(a))     => sin(rec(a))
+    case ("cos", Seq(a))     => cos(rec(a))
+    case ("tan", Seq(a))     => tan(rec(a))
+    case ("asin", Seq(a))    => asin(rec(a))
+    case ("acos", Seq(a))    => acos(rec(a))
+    case ("atan", Seq(a))    => atan(rec(a))
+    case ("atan2", Seq(a, b)) => atan2(rec(a), rec(b))
+    case ("cot", Seq(a))     => lit(1.0) / tan(rec(a))
+    case ("degrees", Seq(a)) => degrees(rec(a))
+    case ("radians", Seq(a)) => radians(rec(a))
+    case ("pi", Seq())       => lit(math.Pi)
+    case ("cbrt", Seq(a))    => cbrt(rec(a))
+    case ("factorial", Seq(a)) => factorial(rec(a).cast("int"))
+    case ("isnan", Seq(a))   =>
+      // NULL-propagating like DuckDB's (Spark's isnan reads NULL→false)
+      val c = rec(a); when(c.isNull, lit(null).cast("boolean")).otherwise(isnan(c))
+    case ("isinf", Seq(a))   =>
+      val c = rec(a)
+      c === lit(Double.PositiveInfinity) || c === lit(Double.NegativeInfinity)
+    case ("isfinite", Seq(a)) =>
+      val c = rec(a)
+      when(c.isNull, lit(null).cast("boolean")).otherwise(
+        !isnan(c) && c =!= lit(Double.PositiveInfinity) &&
+          c =!= lit(Double.NegativeInfinity))
+    case ("log", Seq(a))     => log10(rec(a)) // DuckDB: log(x) is log10
+    case ("log", Seq(BoundOperand.BLit(b), x)) =>
+      val base = b match {
+        case Lit.LitLong(n)   => n.toDouble
+        case Lit.LitDouble(v) => v
+        case other => sys.error(s"unreachable log base $other")
+      }
+      log(base, rec(x))
+    case ("starts_with", Seq(a, b)) => rec(a).startsWith(rec(b))
+    case ("ends_with", Seq(a, b))   => rec(a).endsWith(rec(b))
+    case ("contains", Seq(a, b))    => rec(a).contains(rec(b))
+    case ("printf", BoundOperand.BLit(Lit.LitString(fmt)) +: rest) =>
+      format_string(fmt, rest.map(rec): _*)
+    case ("strftime", Seq(a, BoundOperand.BLit(Lit.LitString(fmt)))) =>
+      val javaFmt = Analyzer.StrftimeTokens.replaceAllIn(fmt,
+        m => Analyzer.StrftimeMap(m.matched))
+      date_format(rec(a), javaFmt)
+    case ("bit_count", Seq(a)) => bit_count(rec(a))
     case ("floor", Seq(a))    => floor(rec(a))
     case ("ceil", Seq(a))     => ceil(rec(a))
     case ("sqrt", Seq(a))     => sqrt(rec(a))
@@ -2334,6 +2385,7 @@ object Lowering {
       case BoundOperand.BCase(bs, els) =>
         caseCol(bs, els, lowerOperandWith(_, colOf))
       case BoundOperand.BCast(x, t) => lowerOperandWith(x, colOf).cast(t.spark)
+      case BoundOperand.BTryCast(x, t) => lowerOperandWith(x, colOf).try_cast(t.spark)
       // an output-column reference (QUALIFY): the window column is
       // already attached at this name, bare resolution
       case BoundOperand.BOut(n, _) => col(n)
@@ -2376,6 +2428,7 @@ object Lowering {
     case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, lowerOperand)
     case BoundOperand.BCase(bs, els)   => caseCol(bs, els, lowerOperand)
     case BoundOperand.BCast(x, t)      => lowerOperand(x).cast(t.spark)
+    case BoundOperand.BTryCast(x, t)   => lowerOperand(x).try_cast(t.spark)
     case BoundOperand.BOut(n, _)       => col(n)
     case BoundOperand.BAgg(f, _, _) =>
       sys.error(s"aggregate $f(...) outside aggregate scope")
@@ -2404,6 +2457,7 @@ object Lowering {
       case BoundOperand.BArith(_, l, r) => opCols(l) ++ opCols(r)
       case BoundOperand.BFunc(_, args)  => args.flatMap(opCols)
       case BoundOperand.BCast(x, _)     => opCols(x)
+      case BoundOperand.BTryCast(x, _)  => opCols(x)
       case BoundOperand.BCase(bs, els) =>
         bs.flatMap { case (c, v) => cols(c) ++ opCols(v) } ++ els.toSeq.flatMap(opCols)
       case _                            => Nil
@@ -2445,6 +2499,7 @@ object Lowering {
     case BoundOperand.BFunc(f, args)   => lowerFunc(f, args, bareOperand)
     case BoundOperand.BCase(bs, els)   => caseCol(bs, els, bareOperand)
     case BoundOperand.BCast(x, t)      => bareOperand(x).cast(t.spark)
+    case BoundOperand.BTryCast(x, t)   => bareOperand(x).try_cast(t.spark)
     case other                         => lowerOperand(other)
   }
 }

@@ -159,7 +159,11 @@ object Parser {
     "levenshtein", "chr", "ascii", "to_hex", "epoch_ms",
     "regexp_split_to_array",
     "list_transform", "array_transform", "list_filter", "array_filter",
-    "list_reduce")
+    "list_reduce",
+    "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "cot",
+    "degrees", "radians", "pi", "cbrt", "factorial", "log",
+    "isnan", "isfinite", "isinf", "bit_count",
+    "starts_with", "ends_with", "contains", "printf", "strftime")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
@@ -507,6 +511,8 @@ object Parser {
     case Operand.Arith(_, l, r)   => operandHasAgg(l) || operandHasAgg(r)
     case Operand.FuncCall(_, as)  => as.exists(operandHasAgg)
     case Operand.Cast(x, _)       => operandHasAgg(x)
+    case Operand.TryCast(x, _)    => operandHasAgg(x)
+    case Operand.Lambda(_, b)     => operandHasAgg(b)
     case Operand.CaseWhen(bs, els) =>
       bs.exists { case (c, v) => exprHasAgg(c) || operandHasAgg(v) } ||
         els.exists(operandHasAgg)
@@ -2097,12 +2103,13 @@ object Parser {
           else Right(None)
         _ <- p.eatKw("end")
       } yield Operand.CaseWhen(branches, els)
-    case TIdent(f, _) if f.equalsIgnoreCase("cast") && {
+    case TIdent(f, _) if (f.equalsIgnoreCase("cast") ||
+        f.equalsIgnoreCase("try_cast")) && {
         val save = p.i; p.next()
         val isCall = p.peek match { case TSym("(", _) => true; case _ => false }
         p.i = save; isCall
       } =>
-      // CAST(operand AS type); bare VARCHAR (no length) allowed here
+      // [TRY_]CAST(operand AS type); bare VARCHAR (no length) allowed
       p.next()
       for {
         _ <- p.eatSym("(")
@@ -2117,7 +2124,9 @@ object Parser {
           case _ => parseType(p)
         }
         _ <- p.eatSym(")")
-      } yield Operand.Cast(o, t)
+      } yield
+        if (f.equalsIgnoreCase("cast")) Operand.Cast(o, t)
+        else Operand.TryCast(o, t)
     // EXTRACT(unit FROM x) — standard sugar for the unit functions
     case TIdent(f, _) if f.equalsIgnoreCase("extract") && {
         val save = p.i; p.next()
@@ -2311,7 +2320,10 @@ object Parser {
                 case _            => Right(acc :+ a)
               }
             }
-          loop(Vector.empty)
+          p.peek match {
+            case TSym(")", _) => Right(Vector.empty) // zero-arg call (pi())
+            case _            => loop(Vector.empty)
+          }
         }
         _ <- p.eatSym(")")
       } yield Operand.FuncCall(fn, args)

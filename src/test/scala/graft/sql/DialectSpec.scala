@@ -2065,6 +2065,40 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT array_agg(id) AS x FROM people").isLeft)
   }
 
+  test("scalar batch 5: trig, try_cast, strftime, printf, string predicates") {
+    val db = demoDb()
+    def one(sql: String): Row = db.select(sql) match {
+      case Right(df) => df.collect().head
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    val m = one("SELECT round(sin(1.0), 8) AS s, round(pi(), 6) AS p, " +
+      "round(log(2.0, 8.0), 6) AS lg, round(cot(1.0), 8) AS ct, " +
+      "factorial(5) AS f, bit_count(12) AS bc FROM people WHERE id = 1")
+    assert(m.getDouble(0) == 0.84147098 && m.getDouble(1) == 3.141593 &&
+      m.getDouble(2) == 3.0 && m.getDouble(3) == 0.64209262 &&
+      m.getLong(4) == 120L && m.getInt(5) == 2)
+    // try_cast: NULL on failure, value on success; NULL propagates
+    val tc = one("SELECT try_cast(name AS INT) AS a, " +
+      "try_cast(cast(id AS VARCHAR) AS INT) AS b FROM people WHERE id = 2")
+    assert(tc.isNullAt(0) && tc.getInt(1) == 2)
+    // strftime on a literal format; unknown tokens and stray letters
+    // reject at analysis
+    assert(one("SELECT strftime(DATE '1992-03-02', '%Y/%m/%d') AS f " +
+      "FROM people WHERE id = 1").getString(0) == "1992/03/02")
+    assert(db.select(
+      "SELECT strftime(DATE '1992-03-02', '%Q') AS f FROM people").isLeft)
+    assert(db.select(
+      "SELECT strftime(DATE '1992-03-02', '%Y T') AS f FROM people").isLeft)
+    // printf requires a literal format; log base must be a literal
+    assert(db.select("SELECT printf(name, id) AS f FROM people").isLeft)
+    assert(db.select("SELECT log(id, 8.0) AS f FROM people").isLeft)
+    // string predicates are 3VL over NULLs
+    val sp = one("SELECT starts_with(name, 'El') AS sw, " +
+      "ends_with(name, 'on') AS ew, contains(name, 'xy') AS ct " +
+      "FROM people WHERE id = 1")
+    assert(sp.getBoolean(0) && sp.getBoolean(1) && !sp.getBoolean(2))
+  }
+
   test("lambda list functions: transform, filter, reduce, capture, nesting") {
     val db = demoDb()
     def one(sql: String): Row = db.select(sql) match {
