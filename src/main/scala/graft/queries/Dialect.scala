@@ -2886,6 +2886,25 @@ object Dialect {
              |AND o.o_orderkey <= 2000
              |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin)),
 
+    // CORRELATED row-value IN under NOT: the marker frames gain the
+    // decorrelated key as an extra grouping/join column — per-outer-key
+    // set semantics from 1:1 grouped left joins, never a nested loop.
+    // Orders whose (status, 'N') pair never shows up among their own
+    // lineitems' (linestatus, returnflag) pairs; DuckDB oracles via
+    // NOT EXISTS (its binder rejects row-IN subqueries).
+    "q_dialect_row_in_corr" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "lineitem"),
+        "SELECT o.o_orderkey, o.o_orderstatus FROM orders o " +
+          "WHERE NOT ((o.o_orderstatus, 'N') IN " +
+          "(SELECT l.l_linestatus, l.l_returnflag FROM lineitem l " +
+          "WHERE l.l_orderkey = o.o_orderkey)) " +
+          "AND o.o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o.o_orderkey, o.o_orderstatus FROM orders o
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+             |  WHERE l.l_orderkey = o.o_orderkey
+             |  AND l.l_linestatus = o.o_orderstatus AND l.l_returnflag = 'N')
+             |AND o.o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // An inline VALUES derived table as a join-side lookup (the
     // enum-decode shape). Desugars to FROM-less SELECTs UNION ALL'd;
     // Catalyst folds it to a LocalRelation and broadcasts the join.

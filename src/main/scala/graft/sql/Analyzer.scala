@@ -1410,18 +1410,16 @@ object Analyzer {
     * predicate can lower as a plain filter or needs the row-id rewrite.
     */
   /** A row-value IN reachable through a marker position (under OR/NOT):
-    * correlated probes have no per-key marker frames, and the per-mask
-    * compatibility joins grow 2^k — both reject.
+    * the per-mask compatibility joins grow 2^k, so the component count
+    * is capped. Correlated probes ride the same frames with the
+    * decorrelated keys as extra grouping columns.
     */
   private def rowInMarkerIssue(e: BoundExpr): Option[String] = e match {
     case BoundExpr.BAnd(l, r) => rowInMarkerIssue(l).orElse(rowInMarkerIssue(r))
     case BoundExpr.BOr(l, r)  => rowInMarkerIssue(l).orElse(rowInMarkerIssue(r))
     case BoundExpr.BNot(x)    => rowInMarkerIssue(x)
-    case BoundExpr.BRowInSub(os, _, pairs, _) =>
-      if (pairs.nonEmpty)
-        Some("a CORRELATED row-value IN (SELECT …) is only supported " +
-          "as a top-level WHERE conjunct")
-      else if (os.length > 3)
+    case BoundExpr.BRowInSub(os, _, _, _) =>
+      if (os.length > 3)
         Some("row-value IN here supports at most 3 components " +
           "(the null-aware decomposition grows 2^k)")
       else None
@@ -2536,13 +2534,13 @@ object Analyzer {
                 s"row-value IN subquery must project ${os.length} columns, " +
                   s"got ${bsub0.projection.length}"))
             dp <- decorrelate(bsub0, exprKeys = havingGkExprKeys)
-            // CASE conditions (topLevel=false) and HAVING/projection
-            // scopes (allowAgg) take the marker lowering: uncorrelated
-            // only, and the per-null-mask frames grow 2^k
+            // aggregate-scope positions (HAVING, projection items) bind
+            // with allowAgg and resolve post-aggregation — correlated
+            // keys would need to be GROUP BY keys; not wired for row-IN
             _ <-
-              if ((!topLevel || allowAgg) && dp._2.nonEmpty) Left(BadSubquery(
-                "a CORRELATED row-value IN (SELECT …) is only supported " +
-                  "as a top-level WHERE conjunct"))
+              if (allowAgg && dp._2.nonEmpty) Left(BadSubquery(
+                "a CORRELATED row-value IN (SELECT …) is supported in " +
+                  "WHERE and QUALIFY positions only"))
               else Right(())
             _ <-
               if (!neg && topLevel && !allowAgg) Right(())

@@ -1553,26 +1553,57 @@ object Lowering {
         // (equi keys) carrying ∃-flags per null-pattern subset of U —
         // grouping (not distinct rows) keeps the left join 1:1, so
         // markers never duplicate outer rows. The probe's own null
-        // pattern selects the flag columnar-ly. k ≤ 3 and uncorrelated
-        // (analyzer-enforced), so ≤ 7 keyed joins + 1 broadcast facts.
-        require(pairs.isEmpty, "unreachable: analyzer restricts correlated " +
-          "row-value IN to top-level WHERE conjuncts")
+        // pattern selects the flag columnar-ly. k ≤ 3
+        // (analyzer-enforced), so ≤ 7 keyed joins + 1 facts frame.
+        // CORRELATED probes ride the same frames with the decorrelated
+        // inner keys as EXTRA grouping/join columns — the per-outer-key
+        // set semantics fall out of the grouping, still 1:1 left joins.
         os.foreach(registerOp)
         val probes = os.map(operand)
         val k = os.length
+        val kp = pairs.length
         val m = fresh()
-        val core = lowerSelect(spark, sub, source)
-        val cns = core.columns.toSeq
-        // exact-match marker: distinct set rows, all-components equi join
-        val exact = core.toDF(cns.indices.map(i => s"${m}_e$i"): _*)
-          .distinct().withColumn(m, lit(true))
+        // core columns normalized: components ${m}_v*, then the
+        // correlation keys ${m}_p* (a correlated body lowers its
+        // decorrelated core with the inner keys alongside)
+        val vns = (0 until k).map(i => s"${m}_v$i")
+        val pns = (0 until kp).map(j => s"${m}_p$j")
+        val core =
+          if (pairs.isEmpty) lowerSelect(spark, sub, source).toDF(vns: _*)
+          else {
+            val c = combine(spark, sub, source, Set.empty, None)
+            val items = sub.projection.map {
+              case BoundItem.BICol(cc, _)   => qcolSub(cc)
+              case BoundItem.BIExpr(op2, _) => lowerOperandWith(op2, qcolSub)
+              case other => sys.error(s"unreachable correlated row-IN item $other")
+            }
+            c.select(items.zipWithIndex.map { case (cc, i) => cc.as(vns(i)) } ++
+              pairs.zipWithIndex.map { case ((_, ic), j) =>
+                qcolSub(ic).as(pns(j)) }: _*)
+          }
+        def keyConds(f: DataFrame, names: Int => String): Seq[Column] =
+          pairs.zipWithIndex.map { case ((oc, _), j) =>
+            outerKey(oc) === f(names(j)) }
+        // exact-match marker: distinct set rows, all-components (+ keys)
+        // equi join
+        val exact = core.distinct()
+          .toDF((0 until k).map(i => s"${m}_e$i") ++
+            (0 until kp).map(j => s"${m}_ep$j"): _*)
+          .withColumn(m, lit(true))
         joins += ((exact,
-          cns.indices.map(i => probes(i) === exact(s"${m}_e$i")).reduce(_ && _)))
-        drops ++= cns.indices.map(i => s"${m}_e$i") :+ m
-        // set-emptiness facts (one broadcast row)
-        val facts = broadcast(core.agg(count(lit(1)).as(s"${m}_n")))
-        joins += ((facts, lit(true)))
-        drops += s"${m}_n"
+          ((0 until k).map(i => probes(i) === exact(s"${m}_e$i")) ++
+            keyConds(exact, j => s"${m}_ep$j")).reduce(_ && _)))
+        drops ++= (0 until k).map(i => s"${m}_e$i") ++
+          (0 until kp).map(j => s"${m}_ep$j") :+ m
+        // set-emptiness facts: one broadcast row, or per-key counts (an
+        // absent key reads count 0 through the left join + coalesce)
+        val facts =
+          if (pairs.isEmpty) broadcast(core.agg(count(lit(1)).as(s"${m}_n")))
+          else core.groupBy(pns.map(col): _*).agg(count(lit(1)).as(s"${m}_n"))
+            .toDF((0 until kp).map(j => s"${m}_fp$j") :+ s"${m}_n": _*)
+        joins += ((facts,
+          (lit(true) +: keyConds(facts, j => s"${m}_fp$j")).reduce(_ && _)))
+        drops ++= (0 until kp).map(j => s"${m}_fp$j") :+ s"${m}_n"
         // compatibility markers: mask U = the components where equality
         // holds via a NULL on either side; outside U compares strictly
         val maskCols = for (mask <- 1 until (1 << k)) yield {
@@ -1586,24 +1617,28 @@ object Lowering {
           val flags = subsets.map { s2 =>
             val zAll =
               if (s2.isEmpty) lit(true)
-              else s2.map(i => col(cns(i)).isNull).reduce(_ && _)
+              else s2.map(i => col(vns(i)).isNull).reduce(_ && _)
             max(when(zAll, lit(true)).otherwise(lit(false)))
               .as(s"${mm}_s${s2.map(i => 1 << i).sum}")
           }
+          val gcols = outU.map(i => col(vns(i))) ++ pns.map(col)
           val grouped =
-            if (outU.isEmpty) core.agg(flags.head, flags.tail: _*)
-            else core.groupBy(outU.map(i => col(cns(i))): _*)
+            if (gcols.isEmpty) core.agg(flags.head, flags.tail: _*)
+            else core.groupBy(gcols: _*)
               .agg(flags.head, flags.tail: _*)
               .toDF(outU.map(i => s"${mm}_k$i") ++
+                (0 until kp).map(j => s"${mm}_p$j") ++
                 subsets.map(s2 => s"${mm}_s${s2.map(i => 1 << i).sum}"): _*)
           val keyed =
-            if (outU.isEmpty) broadcast(grouped)
+            if (gcols.isEmpty) broadcast(grouped)
             else grouped
           val cond =
-            if (outU.isEmpty) lit(true)
-            else outU.map(i => probes(i) === keyed(s"${mm}_k$i")).reduce(_ && _)
+            if (gcols.isEmpty) lit(true)
+            else (outU.map(i => probes(i) === keyed(s"${mm}_k$i")) ++
+              keyConds(keyed, j => s"${mm}_p$j")).reduce(_ && _)
           joins += ((keyed, cond))
           drops ++= outU.map(i => s"${mm}_k$i") ++
+            (0 until kp).map(j => s"${mm}_p$j") ++
             subsets.map(s2 => s"${mm}_s${s2.map(i => 1 << i).sum}")
           // the probe's null pattern picks which ∃-flag applies: S = the
           // U-components where the probe is NON-null (those need the set

@@ -2170,9 +2170,29 @@ class DialectSpec extends AnyFunSuite {
     run("CREATE TABLE empty2 (x INT, y INT)")
     assert(rows("SELECT a, b FROM l WHERE (a, b) NOT IN (SELECT x, y FROM empty2) OR a = 0 " +
       "ORDER BY a, b").length == 6)
-    // correlated row-IN stays a top-level-conjunct-only feature
-    assert(db.query("SELECT a FROM l WHERE (a, b) IN " +
-      "(SELECT x, y FROM s WHERE s.x = l.a) OR a = 9").isLeft)
+    // CORRELATED row-IN in marker positions: the frames group on the
+    // decorrelated key too — per-outer-key sets, exact 3VL
+    run("CREATE TABLE cl (id INT, a INT, b INT, k INT)")
+    run("INSERT INTO cl VALUES (1, 1, 1, 10), (2, 1, NULL, 10), " +
+      "(3, 5, 5, 10), (4, 1, 1, 20), (5, 9, 9, 30), (6, NULL, 2, 10)")
+    run("CREATE TABLE cs (x INT, y INT, g INT)")
+    run("INSERT INTO cs VALUES (1, 1, 10), (2, 2, 10), (NULL, 2, 10), (1, 1, 99)")
+    def ids(sql: String): Seq[Int] =
+      db.select(sql).toOption.getOrElse(fail(s"rejected: $sql"))
+        .collect().map(_.getInt(0)).toSeq
+    // NOT: TRUE only where no per-key row matches and none is
+    // NULL-compatible; empty key groups (k=20, k=30) keep their rows
+    assert(ids("SELECT id FROM cl WHERE NOT ((a, b) IN " +
+      "(SELECT x, y FROM cs WHERE cs.g = cl.k)) ORDER BY id") == Seq(3, 4, 5))
+    // OR: the marker disjunction composes with plain predicates
+    assert(ids("SELECT id FROM cl WHERE (a, b) IN " +
+      "(SELECT x, y FROM cs WHERE cs.g = cl.k) OR k = 30 ORDER BY id") ==
+      Seq(1, 5))
+    // aggregate-scope positions (projection CASE binds with allowAgg)
+    // still reject the correlated form
+    assert(db.query("SELECT id, CASE WHEN (a, b) IN " +
+      "(SELECT x, y FROM cs WHERE cs.g = cl.k) THEN 1 ELSE 0 END AS c " +
+      "FROM cl").isLeft)
   }
 
   test("scalar subqueries as operands: arithmetic, WHERE, aggregate scope") {
