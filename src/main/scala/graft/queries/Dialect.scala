@@ -1786,6 +1786,33 @@ object Dialect {
              |FROM customer WHERE c_custkey < 300
              |ORDER BY c_custkey""".stripMargin)),
 
+    // INSERT … ON CONFLICT (upsert): desugars onto the MERGE machinery —
+    // VALUES rows become the `excluded` source, conflict columns the ON
+    // equalities, DO UPDATE the WHEN MATCHED clause; one left-join pass,
+    // first-match-wins and the multi-match error inherited. The oracle
+    // reconstructs the upserted image from the raw fixture.
+    "q_dialect_upsert" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "customer")
+        if (!g.tableNames.contains("ups_cust")) {
+          g.query("CREATE TABLE ups_cust AS SELECT c_custkey, c_acctbal " +
+            "FROM customer WHERE c_custkey < 200")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("INSERT INTO ups_cust VALUES (1, 1000.5), (100000, 42.25), " +
+            "(150, 7.75) ON CONFLICT (c_custkey) DO UPDATE SET " +
+            "c_acctbal = ups_cust.c_acctbal + excluded.c_acctbal")
+            .fold(e => sys.error(e.msg), identity)
+        }
+        run(g, "SELECT c_custkey, round(c_acctbal, 2) AS bal FROM ups_cust " +
+          "ORDER BY c_custkey")
+      },
+      Some("""SELECT c_custkey, round(CASE WHEN c_custkey = 1 THEN c_acctbal + 1000.5
+             |  WHEN c_custkey = 150 THEN c_acctbal + 7.75
+             |  ELSE c_acctbal END, 2) AS bal
+             |FROM customer WHERE c_custkey < 200
+             |UNION ALL SELECT 100000 AS c_custkey, 42.25 AS bal
+             |ORDER BY c_custkey""".stripMargin)),
+
     // TPC-H Q4 shape: date-windowed orders with a correlated EXISTS over
     // lineitem — decorrelates to one semi join on l_orderkey; date
     // predicate pushes to the orders scan.
@@ -2608,6 +2635,29 @@ object Dialect {
              |  TRY_CAST(o_orderstatus AS INT) AS bad
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // Batch 6: strptime/strftime round trip (epoch_ms pins the parsed
+    // instant engine-independently), regexp_matches, to_timestamp
+    // (epoch seconds), and list_min/list_max/list_sum (NULL-skipping,
+    // empty reads NULL).
+    "q_dialect_funcs6" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "epoch_ms(strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d')) AS rt, " +
+          "regexp_matches(o_orderpriority, '^[12]-') AS hot, " +
+          "list_min([o_orderkey % 7, o_orderkey % 5, 3]) AS mn, " +
+          "list_max([o_orderkey % 7, o_orderkey % 5, 3]) AS mx, " +
+          "list_sum([o_orderkey % 7, o_orderkey % 5, 3]) AS sm, " +
+          "epoch_ms(to_timestamp(o_orderkey)) AS tt " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  epoch_ms(strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d')) AS rt,
+             |  regexp_matches(o_orderpriority, '^[12]-') AS hot,
+             |  list_min([o_orderkey % 7, o_orderkey % 5, 3]) AS mn,
+             |  list_max([o_orderkey % 7, o_orderkey % 5, 3]) AS mx,
+             |  cast(list_sum([o_orderkey % 7, o_orderkey % 5, 3]) AS bigint) AS sm,
+             |  epoch_ms(to_timestamp(o_orderkey)) AS tt
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // Lambda list functions: list_transform / list_filter / list_reduce
     // with `x -> expr` bodies — Spark's codegen'd higher-order functions
     // (transform/filter/aggregate), never a UDF. The reduce folds
@@ -2798,6 +2848,37 @@ object Dialect {
     // Window frame EXCLUDE CURRENT ROW: the current row's contribution
     // subtracts columnar from the frame aggregate (one window pass) —
     // the leave-one-out shape (peer average without self).
+    // EXCLUDE GROUP / TIES over RANGE frames: the peer-group aggregate
+    // subtracts columnar via ONE extra window over (partition + order
+    // key) — peers are sort-adjacent, so both windows share one
+    // shuffle. Integer-cent sums keep the subtraction exact.
+    "q_dialect_win_exclude_group" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, cast(sg AS BIGINT) AS sg, cast(st AS BIGINT) AS st, " +
+          "cast(cg AS BIGINT) AS cg FROM (" +
+          "SELECT o_orderkey, " +
+          "sum(round(o_totalprice * 100)) OVER (PARTITION BY o_custkey " +
+          "ORDER BY year(o_orderdate) RANGE BETWEEN UNBOUNDED PRECEDING " +
+          "AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS sg, " +
+          "sum(round(o_totalprice * 100)) OVER (PARTITION BY o_custkey " +
+          "ORDER BY year(o_orderdate) RANGE BETWEEN UNBOUNDED PRECEDING " +
+          "AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS st, " +
+          "count(*) OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate) " +
+          "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS cg " +
+          "FROM orders WHERE o_orderkey < 5000) t ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, cast(sg AS bigint) AS sg, cast(st AS bigint) AS st,
+             |  cast(cg AS bigint) AS cg FROM (
+             |  SELECT o_orderkey,
+             |    sum(round(o_totalprice * 100)) OVER (PARTITION BY o_custkey
+             |      ORDER BY year(o_orderdate) RANGE BETWEEN UNBOUNDED PRECEDING
+             |      AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS sg,
+             |    sum(round(o_totalprice * 100)) OVER (PARTITION BY o_custkey
+             |      ORDER BY year(o_orderdate) RANGE BETWEEN UNBOUNDED PRECEDING
+             |      AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS st,
+             |    count(*) OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate)
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS cg
+             |  FROM orders WHERE o_orderkey < 5000) t ORDER BY o_orderkey""".stripMargin)),
+
     "q_dialect_win_exclude" -> QueryDef(
       (s, d) => run(db(s, d, "orders"),
         "SELECT o_orderkey, round(pa) / 100 AS peer_avg, n_peers, " +

@@ -1013,10 +1013,18 @@ object Analyzer {
            "list_concat" | "array_concat" | "list_slice" | "list_filter" =>
         operandType(args.head)
       case "isnan" | "isfinite" | "isinf" |
-           "starts_with" | "ends_with" | "contains" => SqlType.SqlBool
+           "starts_with" | "ends_with" | "contains" |
+           "regexp_matches"      => SqlType.SqlBool
       case "printf" | "strftime" => SqlType.SqlVarChar(65535)
       case "factorial"           => SqlType.SqlBigInt
       case "bit_count"           => SqlType.SqlInt
+      case "strptime" | "to_timestamp" => SqlType.SqlTimestamp
+      case "list_min" | "list_max" | "list_sum" |
+           "array_min" | "array_max" =>
+        operandType(args.head) match {
+          case SqlType.SqlArray(e) => e
+          case other               => other
+        }
       case "list_transform" => SqlType.SqlArray(operandType(args(1)))
       case "list_reduce"    => operandType(args(1))
       case "string_split" | "string_to_array" | "split" |
@@ -1310,6 +1318,7 @@ object Analyzer {
         case None                 => Left(RelationNotFound(d.table))
       }
     case i: InsertTree => analyzeInsert(i, cat)
+    case u: UpsertTree => analyzeUpsert(u, cat)
     case i: InsertSelectTree =>
       cat.resolve(i.table) match {
         case None => Left(RelationNotFound(i.table))
@@ -1499,6 +1508,50 @@ object Analyzer {
       case BoundItem.BIExpr(b, _) => Right(b)
       case other => Left(BadFunction(s"unexpected SET value $other"))
     })
+
+  /** INSERT … ON CONFLICT: desugars onto the MERGE machinery — the
+    * VALUES rows union into a FROM-less source aliased `excluded`, the
+    * conflict columns become the ON equalities, DO UPDATE becomes WHEN
+    * MATCHED UPDATE (values may reference excluded.c and qualified
+    * target columns), and the insert itself becomes WHEN NOT MATCHED
+    * INSERT. MERGE's first-match-wins, pre-statement snapshot and
+    * multi-match error all apply unchanged.
+    */
+  private def analyzeUpsert(u: UpsertTree, cat: Catalog): Either[AnalyzerError, BoundMerge] =
+    cat.resolve(u.table) match {
+      case None => Left(RelationNotFound(u.table))
+      case Some(desc) =>
+        val colNames: Seq[String] = u.columns.getOrElse(desc.attributes.map(_.name))
+        if (u.rows.exists(_.length != colNames.length))
+          return Left(BadFunction(
+            s"INSERT row arity ${u.rows.map(_.length).distinct.mkString("/")} " +
+              s"does not match the ${colNames.length}-column list"))
+        u.conflictCols.find(cc => !colNames.exists(_.equalsIgnoreCase(cc))) match {
+          case Some(cc) => Left(BadFunction(
+            s"conflict column '$cc' is not among the inserted columns"))
+          case None =>
+            def rowSelect(r: Seq[Operand]): SelectTree =
+              SelectTree(
+                Some(r.zip(colNames).map { case (o, n) =>
+                  SelectItem.SExpr(o, n): SelectItem }),
+                from = Nil, where = None)
+            val src: ParseTree =
+              if (u.rows.length == 1) rowSelect(u.rows.head)
+              else UnionTree(rowSelect(u.rows.head),
+                u.rows.tail.map(r => ("union_all", rowSelect(r))))
+            val on = u.conflictCols.map(c => Expr.Cmp(CmpOp.Eq,
+              Operand.Col(ColRef(Some(u.table), c)),
+              Operand.Col(ColRef(Some("excluded"), c))): Expr)
+              .reduce(Expr.And(_, _))
+            val whens: Seq[MergeWhen] =
+              u.sets.map(ss => MergeWhen.MUpdate(None, ss, bySource = false))
+                .toSeq ++
+              Seq(MergeWhen.MInsert(None, Some(colNames),
+                colNames.map(c => Operand.Col(ColRef(Some("excluded"), c)))))
+            analyzeMerge(MergeTree(TableRef(u.table, None),
+              FDerived(src, "excluded"), on, whens), cat)
+        }
+    }
 
   private def analyzeMerge(m: MergeTree, cat: Catalog): Either[AnalyzerError, BoundMerge] =
     cat.resolve(m.target.name) match {
@@ -2313,15 +2366,17 @@ object Analyzer {
                "last_day" | "quarter" | "hour" | "minute" | "second" |
                "sin" | "cos" | "tan" | "asin" | "acos" | "atan" | "cot" |
                "degrees" | "radians" | "cbrt" | "factorial" |
-               "isnan" | "isfinite" | "isinf" | "bit_count"
+               "isnan" | "isfinite" | "isinf" | "bit_count" |
+               "to_timestamp" | "list_min" | "list_max" | "list_sum" |
+               "array_min" | "array_max"
                                      => args.length == 1
           case "pi"                  => args.isEmpty
           case "log"                 => args.length == 1 || args.length == 2
-          case "atan2" | "starts_with" | "ends_with" | "contains"
-                                     => args.length == 2
+          case "atan2" | "starts_with" | "ends_with" | "contains" |
+               "regexp_matches"      => args.length == 2
           case "printf"              => args.nonEmpty &&
             args.head.isInstanceOf[Operand.Literal]
-          case "strftime"            => args.length == 2
+          case "strftime" | "strptime" => args.length == 2
           // optional trim-characters second argument (standard
           // TRIM(chars FROM x) or the two-arg call form)
           case "trim" | "ltrim" | "rtrim" => args.length == 1 || args.length == 2
@@ -2421,7 +2476,7 @@ object Analyzer {
         // strftime: the C-style format is a literal, translated token-
         // by-token onto Spark's Java pattern at lowering — unknown %
         // tokens reject here rather than silently diverging
-        else if (f == "strftime" && !(args(1) match {
+        else if ((f == "strftime" || f == "strptime") && !(args(1) match {
           case Operand.Literal(Lit.LitString(fmt)) =>
             StrftimeTokens.findAllMatchIn(fmt).forall(m =>
               StrftimeMap.contains(m.matched)) && !fmt.contains("'") &&
@@ -2429,7 +2484,7 @@ object Analyzer {
           case _ => false
         }))
           Left(BadFunction(
-            "strftime takes a literal format using %Y %y %m %d %H %M %S %j (no quotes)"))
+            s"$f takes a literal format using %Y %y %m %d %H %M %S %j (no quotes)"))
         // log base must be a literal (Spark compiles it into the plan)
         else if (f == "log" && args.length == 2 && !(args.head match {
           case Operand.Literal(Lit.LitLong(_) | Lit.LitDouble(_)) => true
@@ -2763,13 +2818,21 @@ object Analyzer {
             Right(Vector.empty)) { case (acc, (o, desc)) =>
             acc.flatMap(v => bindOp(o, allowAgg = true).map(b => v :+ (b -> desc)))
           }
-          // EXCLUDE CURRENT ROW subtracts the current row's contribution
-          // columnar — only decomposable aggregates qualify
+          // frame exclusion subtracts the excluded contribution columnar
+          // — only decomposable aggregates qualify; GROUP/TIES need a
+          // RANGE frame (under ROWS a peer group can straddle the frame
+          // boundary) and an ORDER BY (peers are order-key equals)
           _ <-
-            if (frame.exists(_.excludeCurrent) &&
+            if (frame.exists(_.exclude != "none") &&
                 !Set("sum", "count", "avg")(f))
               Left(BadFunction(
-                s"EXCLUDE CURRENT ROW supports sum/count/avg (got $f)"))
+                s"EXCLUDE supports sum/count/avg (got $f)"))
+            else if (frame.exists(fr =>
+                (fr.exclude == "group" || fr.exclude == "ties") &&
+                  (!fr.range || ord.isEmpty)))
+              Left(BadFunction(
+                "EXCLUDE GROUP/TIES requires a RANGE frame with ORDER BY " +
+                  "(peers can straddle a ROWS boundary)"))
             else Right(())
         } yield BoundItem.BIWin(f,
           if (ignoreNulls)

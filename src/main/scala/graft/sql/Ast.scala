@@ -232,13 +232,19 @@ object Ast {
     * FOLLOWING). `range = true` is a RANGE frame: offsets are VALUE
     * distances along the (single) ORDER BY key instead of row counts.
     */
-  /** `excludeCurrent` = EXCLUDE CURRENT ROW: the current row's own
-    * contribution leaves the frame aggregate (supported for
-    * sum/count/avg, where it subtracts columnar — min/max are not
-    * decomposable and reject at analysis).
+  /** `exclude` = the standard's frame-exclusion clause: "none"
+    * (EXCLUDE NO OTHERS, the default), "current" (EXCLUDE CURRENT ROW),
+    * "group" (the whole peer group leaves), "ties" (peers leave, the
+    * current row stays). Supported for sum/count/avg, where the
+    * excluded contribution subtracts columnar (min/max are not
+    * decomposable and reject at analysis); GROUP/TIES additionally
+    * require a RANGE frame — under ROWS a peer group can straddle the
+    * frame boundary, which no subtraction can express.
     */
   final case class WinFrame(range: Boolean, lo: Long, hi: Long,
-      excludeCurrent: Boolean = false)
+      exclude: String = "none") {
+    def excludeCurrent: Boolean = exclude != "none"
+  }
 
   /** A join step applied (in declaration order) after the leading
     * inner-join FROM group: LEFT/RIGHT/FULL [OUTER] JOIN, or an INNER
@@ -353,6 +359,18 @@ object Ast {
     */
   final case class InsertTree(table: String, rows: Seq[Seq[Lit]],
       columns: Option[Seq[String]] = None) extends ParseTree
+
+  /** INSERT … VALUES … ON CONFLICT (cols) DO NOTHING | DO UPDATE SET …
+    * — desugared in the analyzer onto the MERGE machinery (the VALUES
+    * rows become the source, aliased `excluded` so DO UPDATE values can
+    * reference the incoming row the standard way). `sets` None = DO
+    * NOTHING. The conflict column list is required: the engine keeps no
+    * unique-constraint metadata (PRIMARY KEY is parsed and ignored,
+    * reference parity).
+    */
+  final case class UpsertTree(table: String, columns: Option[Seq[String]],
+      rows: Seq[Seq[Operand]], conflictCols: Seq[String],
+      sets: Option[Seq[(String, Operand)]]) extends ParseTree
 
   /** INSERT INTO t SELECT … — the distributed write path (VALUES is for
     * REPL-scale rows); columns align by position with checked casts.

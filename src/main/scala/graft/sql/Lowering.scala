@@ -740,28 +740,54 @@ object Lowering {
       case ("median", Seq(x))    => median(opLower(x))
       case other                 => sys.error(s"unreachable window function $other")
     }
-    // EXCLUDE CURRENT ROW: when the frame statically contains the
-    // current row, its contribution subtracts columnar (sum/count/avg —
-    // analyzer-enforced); an all-excluded frame yields SQL NULL. One
-    // window pass either way — never a second frame scan.
-    val excl = frame.exists(fr =>
-      fr.excludeCurrent && fr.lo <= 0L && fr.hi >= 0L)
-    if (!excl) fn.over(w)
-    else (f, argsR) match {
-      case ("count", Seq()) => count(lit(1)).over(w) - lit(1L)
-      case ("count", Seq(x)) =>
-        val c = opLower(x)
-        count(c).over(w) - c.isNotNull.cast("long")
-      case ("sum", Seq(x)) =>
-        val c = opLower(x)
-        val cnt = count(c).over(w) - c.isNotNull.cast("long")
-        when(cnt === 0, lit(null)).otherwise(sum(c).over(w) - coalesce(c, lit(0)))
-      case ("avg", Seq(x)) =>
-        val c = opLower(x)
-        val cnt = count(c).over(w) - c.isNotNull.cast("long")
-        when(cnt === 0, lit(null))
-          .otherwise((sum(c).over(w) - coalesce(c, lit(0))) / cnt)
-      case other => sys.error(s"unreachable EXCLUDE CURRENT ROW over $other")
+    // Frame exclusion: when the frame statically contains the current
+    // row (lo ≤ 0 ≤ hi — for RANGE that also means it contains the
+    // whole peer group), the excluded contribution subtracts columnar
+    // (sum/count/avg — analyzer-enforced); an all-excluded frame yields
+    // SQL NULL. CURRENT ROW subtracts the row itself; GROUP subtracts
+    // the peer-group aggregate (one extra window over partition + order
+    // keys — same shuffle, peers are sort-adjacent); TIES subtracts the
+    // peers but adds the current row back.
+    val exclMode = frame.filter(fr => fr.lo <= 0L && fr.hi >= 0L)
+      .map(_.exclude).getOrElse("none")
+    if (exclMode == "none") fn.over(w)
+    else {
+      lazy val pw = org.apache.spark.sql.expressions.Window.partitionBy(
+        parts.map(colOf) ++ ord.map(o => opLower(o._1)): _*)
+      def cntSub(c: Option[Column]): Column = {
+        val self = c.fold(lit(1L))(_.isNotNull.cast("long"))
+        val grp = c.fold(count(lit(1)))(count(_)).over(pw)
+        exclMode match {
+          case "current" => self
+          case "group"   => grp
+          case _         => grp - self // ties
+        }
+      }
+      def sumSub(c: Column): Column = {
+        val self = coalesce(c, lit(0))
+        val grp = coalesce(sum(c).over(pw), lit(0))
+        exclMode match {
+          case "current" => self
+          case "group"   => grp
+          case _         => grp - self // ties
+        }
+      }
+      (f, argsR) match {
+        case ("count", Seq())  => count(lit(1)).over(w) - cntSub(None)
+        case ("count", Seq(x)) =>
+          val c = opLower(x)
+          count(c).over(w) - cntSub(Some(c))
+        case ("sum", Seq(x)) =>
+          val c = opLower(x)
+          val cnt = count(c).over(w) - cntSub(Some(c))
+          when(cnt === 0, lit(null)).otherwise(sum(c).over(w) - sumSub(c))
+        case ("avg", Seq(x)) =>
+          val c = opLower(x)
+          val cnt = count(c).over(w) - cntSub(Some(c))
+          when(cnt === 0, lit(null))
+            .otherwise((sum(c).over(w) - sumSub(c)) / cnt)
+        case other => sys.error(s"unreachable frame exclusion over $other")
+      }
     }
   }
 
@@ -2235,6 +2261,20 @@ object Lowering {
       val javaFmt = Analyzer.StrftimeTokens.replaceAllIn(fmt,
         m => Analyzer.StrftimeMap(m.matched))
       date_format(rec(a), javaFmt)
+    case ("strptime", Seq(a, BoundOperand.BLit(Lit.LitString(fmt)))) =>
+      val javaFmt = Analyzer.StrftimeTokens.replaceAllIn(fmt,
+        m => Analyzer.StrftimeMap(m.matched))
+      to_timestamp(rec(a), javaFmt)
+    case ("to_timestamp", Seq(a))     => timestamp_seconds(rec(a))
+    case ("regexp_matches", Seq(a, b)) => regexp_like(rec(a), rec(b))
+    case ("list_min" | "array_min", Seq(a)) => array_min(rec(a))
+    case ("list_max" | "array_max", Seq(a)) => array_max(rec(a))
+    case ("list_sum", Seq(a)) =>
+      // NULL elements skip; an empty (or all-NULL) list reads NULL —
+      // the head-seeded fold makes both fall out (null seed over [])
+      val c = filter(rec(a), x => x.isNotNull)
+      aggregate(slice(c, lit(2), greatest(size(c) - 1, lit(0))),
+        try_element_at(c, lit(1)), (acc, x) => acc + x)
     case ("bit_count", Seq(a)) => bit_count(rec(a))
     case ("floor", Seq(a))    => floor(rec(a))
     case ("ceil", Seq(a))     => ceil(rec(a))

@@ -163,7 +163,9 @@ object Parser {
     "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "cot",
     "degrees", "radians", "pi", "cbrt", "factorial", "log",
     "isnan", "isfinite", "isinf", "bit_count",
-    "starts_with", "ends_with", "contains", "printf", "strftime")
+    "starts_with", "ends_with", "contains", "printf", "strftime",
+    "strptime", "regexp_matches", "to_timestamp",
+    "list_min", "list_max", "list_sum", "array_min", "array_max")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
@@ -653,22 +655,26 @@ object Parser {
             lo <- parseFrameBound(p)
             _ <- p.eatKw("and")
             hi <- parseFrameBound(p)
-            // EXCLUDE CURRENT ROW (the standard's frame-exclusion
-            // clause; EXCLUDE NO OTHERS = the default); GROUP/TIES
-            // variants reject toward explicit formulations
+            // the standard's frame-exclusion clause (EXCLUDE NO OTHERS
+            // = the default); GROUP/TIES validity (RANGE frames,
+            // decomposable aggregates) checks at analysis
             excl <-
               if (p.isKw("exclude")) {
                 val pos = p.peek.pos
                 p.next()
                 p.peek match {
                   case TIdent(k, _) if k.equalsIgnoreCase("current") =>
-                    p.next(); p.eatKw("row").map(_ => true)
+                    p.next(); p.eatKw("row").map(_ => "current")
                   case TIdent(k, _) if k.equalsIgnoreCase("no") =>
-                    p.next(); p.eatKw("others").map(_ => false)
+                    p.next(); p.eatKw("others").map(_ => "none")
+                  case TIdent(k, _) if k.equalsIgnoreCase("group") =>
+                    p.next(); Right("group")
+                  case TIdent(k, _) if k.equalsIgnoreCase("ties") =>
+                    p.next(); Right("ties")
                   case _ => Left(ParseError(
-                    "EXCLUDE supports CURRENT ROW and NO OTHERS", pos))
+                    "EXCLUDE supports CURRENT ROW, GROUP, TIES and NO OTHERS", pos))
                 }
-              } else Right(false)
+              } else Right("none")
           } yield Some(WinFrame(isRange, lo, hi, excl))
         } else Right(None: Option[WinFrame])
       _ <- p.eatSym(")")
@@ -2408,8 +2414,12 @@ object Parser {
         // a column list permutes the SELECT's output into table order
         // (unlisted columns NULL-fill, checked in analysis)
         if (p.isKw("select"))
-          parseSelectOrUnion(p).map(sel =>
-            InsertSelectTree(name, sel, cols): ParseTree)
+          parseSelectOrUnion(p).flatMap { sel =>
+            if (p.isKw("on")) Left(ParseError(
+              "ON CONFLICT is supported for INSERT … VALUES (use MERGE " +
+                "for query-sourced upserts)", p.peek.pos))
+            else Right(InsertSelectTree(name, sel, cols): ParseTree)
+          }
         else
           for {
             _ <- p.eatKw("values")
@@ -2424,26 +2434,70 @@ object Parser {
                 }
               loop(Vector.empty)
             }
-          } yield {
-            val allLits = rows.forall(_.forall(_.isInstanceOf[Operand.Literal]))
-            if (allLits)
-              InsertTree(name,
-                rows.map(_.map(_.asInstanceOf[Operand.Literal].lit)), cols): ParseTree
-            else {
-              // expression rows desugar to INSERT … SELECT over one
-              // synthetic row per tuple (UNION ALL chain keeps
-              // duplicates), evaluated by the engine like any SELECT
-              def rowSelect(r: Vector[Operand]): SelectTree =
-                SelectTree(
-                  Some(r.zipWithIndex.map { case (o, i) =>
-                    SelectItem.SExpr(o, s"__v$i"): SelectItem }),
-                  from = Nil, where = None)
-              val sel: ParseTree =
-                if (rows.length == 1) rowSelect(rows.head)
-                else UnionTree(rowSelect(rows.head),
-                  rows.tail.map(r => ("union_all", rowSelect(r))))
-              InsertSelectTree(name, sel, cols): ParseTree
-            }
+            conflict <-
+              if (!p.isKw("on")) Right(None: Option[(Vector[String],
+                Option[Vector[(String, Operand)]])])
+              else for {
+                _ <- p.eatKw("on"); _ <- p.eatKw("conflict")
+                ccols <- p.peek match {
+                  case TSym("(", _) =>
+                    p.next()
+                    def cl(acc: Vector[String]): Either[ParseError, Vector[String]] =
+                      p.ident().flatMap { c =>
+                        p.peek match {
+                          case TSym(",", _) => p.next(); cl(acc :+ c)
+                          case _            => p.eatSym(")").map(_ => acc :+ c)
+                        }
+                      }
+                    cl(Vector.empty)
+                  case t => Left(ParseError(
+                    "ON CONFLICT requires an explicit conflict column list " +
+                      "(the engine keeps no unique-constraint metadata)", t.pos))
+                }
+                _ <- p.eatKw("do")
+                sets <-
+                  if (p.isKw("nothing")) { p.next(); Right(None: Option[Vector[(String, Operand)]]) }
+                  else for {
+                    _ <- p.eatKw("update"); _ <- p.eatKw("set")
+                    ss <- {
+                      def sl(acc: Vector[(String, Operand)])
+                          : Either[ParseError, Vector[(String, Operand)]] =
+                        for {
+                          c <- p.ident()
+                          _ <- p.eatSym("=")
+                          o <- parseOperand(p)
+                          r <- p.peek match {
+                            case TSym(",", _) => p.next(); sl(acc :+ (c -> o))
+                            case _            => Right(acc :+ (c -> o))
+                          }
+                        } yield r
+                      sl(Vector.empty)
+                    }
+                  } yield Some(ss)
+              } yield Some((ccols, sets))
+          } yield conflict match {
+            case Some((ccols, sets)) =>
+              UpsertTree(name, cols, rows, ccols, sets): ParseTree
+            case None =>
+              val allLits = rows.forall(_.forall(_.isInstanceOf[Operand.Literal]))
+              if (allLits)
+                InsertTree(name,
+                  rows.map(_.map(_.asInstanceOf[Operand.Literal].lit)), cols): ParseTree
+              else {
+                // expression rows desugar to INSERT … SELECT over one
+                // synthetic row per tuple (UNION ALL chain keeps
+                // duplicates), evaluated by the engine like any SELECT
+                def rowSelect(r: Vector[Operand]): SelectTree =
+                  SelectTree(
+                    Some(r.zipWithIndex.map { case (o, i) =>
+                      SelectItem.SExpr(o, s"__v$i"): SelectItem }),
+                    from = Nil, where = None)
+                val sel: ParseTree =
+                  if (rows.length == 1) rowSelect(rows.head)
+                  else UnionTree(rowSelect(rows.head),
+                    rows.tail.map(r => ("union_all", rowSelect(r))))
+                InsertSelectTree(name, sel, cols): ParseTree
+              }
           }
     } yield tree
   }

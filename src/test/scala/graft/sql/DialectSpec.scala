@@ -2065,6 +2065,41 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT array_agg(id) AS x FROM people").isLeft)
   }
 
+  test("window frame EXCLUDE GROUP / TIES over RANGE frames") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Left(e) => fail(s"$sql -> ${e.msg}")
+      case Right(_) => ()
+    }
+    run("CREATE TABLE w (g INT, k INT, v INT)")
+    run("INSERT INTO w VALUES (1, 1, 10), (1, 1, 20), (1, 2, 30), " +
+      "(1, 3, 40), (2, 5, 50)")
+    def vals(sql: String): Seq[Option[Long]] =
+      db.select(sql).toOption.getOrElse(fail(s"rejected: $sql"))
+        .collect().map(r => if (r.isNullAt(3)) None else Some(r.getLong(3))).toSeq
+    // GROUP: the whole peer group leaves (single-row partition → NULL)
+    assert(vals("SELECT g, k, v, sum(v) OVER (PARTITION BY g ORDER BY k " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING " +
+      "EXCLUDE GROUP) AS s FROM w ORDER BY g, k, v") ==
+      Seq(Some(70L), Some(70L), Some(70L), Some(60L), None))
+    // TIES: peers leave, the current row stays
+    assert(vals("SELECT g, k, v, sum(v) OVER (PARTITION BY g ORDER BY k " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING " +
+      "EXCLUDE TIES) AS s FROM w ORDER BY g, k, v") ==
+      Seq(Some(80L), Some(90L), Some(100L), Some(100L), Some(50L)))
+    // a running RANGE frame includes the full peer group at the edge
+    assert(vals("SELECT g, k, v, count(*) OVER (PARTITION BY g ORDER BY k " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW " +
+      "EXCLUDE GROUP) AS c FROM w ORDER BY g, k, v") ==
+      Seq(Some(0L), Some(0L), Some(2L), Some(3L), Some(0L)))
+    // rejections: ROWS frames (peers can straddle the boundary), min/max
+    assert(db.select("SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN " +
+      "1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS s FROM w").isLeft)
+    assert(db.select("SELECT max(v) OVER (ORDER BY k RANGE BETWEEN " +
+      "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS s " +
+      "FROM w").isLeft)
+  }
+
   test("scalar batch 5: trig, try_cast, strftime, printf, string predicates") {
     val db = demoDb()
     def one(sql: String): Row = db.select(sql) match {
@@ -2097,6 +2132,16 @@ class DialectSpec extends AnyFunSuite {
       "ends_with(name, 'on') AS ew, contains(name, 'xy') AS ct " +
       "FROM people WHERE id = 1")
     assert(sp.getBoolean(0) && sp.getBoolean(1) && !sp.getBoolean(2))
+    // batch 6: strptime round trip, regexp_matches, list aggregates
+    val b6 = one("SELECT epoch_ms(strptime('1992/03/02', '%Y/%m/%d')) AS e, " +
+      "regexp_matches(name, '^E.*n$') AS rm, " +
+      "list_min([3, 1, 2]) AS mn, list_max([3, 1, 2]) AS mx, " +
+      "list_sum([1, NULL, 2]) AS sm FROM people WHERE id = 1")
+    assert(b6.getLong(0) == 699494400000L && b6.getBoolean(1) &&
+      b6.getLong(2) == 1L && b6.getLong(3) == 3L && b6.getLong(4) == 3L)
+    // list_sum over an empty / all-NULL list reads NULL
+    assert(one("SELECT list_sum(list_filter([1], x -> x > 9)) AS s " +
+      "FROM people WHERE id = 1").isNullAt(0))
   }
 
   test("lambda list functions: transform, filter, reduce, capture, nesting") {

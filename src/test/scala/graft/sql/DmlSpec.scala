@@ -200,6 +200,39 @@ class DmlSpec extends AnyFunSuite {
       "THEN DELETE").isLeft)
   }
 
+  test("INSERT ON CONFLICT: upsert via the MERGE machinery") {
+    val g = new GraftDatabase(spark,
+      Files.createTempDirectory("graft-ups-wh").toString)
+    g.query("CREATE TABLE t (id INT PRIMARY KEY, v INT, tag VARCHAR(8))").toOption.get
+    g.query("INSERT INTO t VALUES (1, 10, 'a'), (2, 20, 'b')").toOption.get
+    // DO UPDATE: conflicting row updates (excluded.* = incoming values),
+    // new row inserts
+    assert(g.query("INSERT INTO t VALUES (1, 99, 'x'), (3, 30, 'c') " +
+      "ON CONFLICT (id) DO UPDATE SET v = excluded.v, tag = 'upd'").isRight)
+    def snap() = g.select("SELECT id, v, tag FROM t").toOption.get
+      .orderBy("id").collect().toSeq
+    assert(snap() == Seq(Row(1, 99, "upd"), Row(2, 20, "b"), Row(3, 30, "c")))
+    // DO NOTHING: conflicting row unchanged, new row inserts
+    assert(g.query("INSERT INTO t VALUES (2, 77, 'y'), (4, 40, 'd') " +
+      "ON CONFLICT (id) DO NOTHING").isRight)
+    assert(snap() == Seq(Row(1, 99, "upd"), Row(2, 20, "b"),
+      Row(3, 30, "c"), Row(4, 40, "d")))
+    // partial column list: unlisted columns NULL-fill on insert, stay
+    // put on update; qualified target + excluded references mix
+    assert(g.query("INSERT INTO t (id, v) VALUES (3, 1), (5, 50) " +
+      "ON CONFLICT (id) DO UPDATE SET v = t.v + excluded.v").isRight)
+    assert(snap() == Seq(Row(1, 99, "upd"), Row(2, 20, "b"),
+      Row(3, 31, "c"), Row(4, 40, "d"), Row(5, 50, null)))
+    // rejections: no conflict column list; conflict column not inserted;
+    // ON CONFLICT on the SELECT form
+    assert(g.query("INSERT INTO t VALUES (1, 1, 'z') " +
+      "ON CONFLICT DO NOTHING").isLeft)
+    assert(g.query("INSERT INTO t (v, tag) VALUES (1, 'z') " +
+      "ON CONFLICT (id) DO NOTHING").isLeft)
+    assert(g.query("INSERT INTO t SELECT id, v, tag FROM t " +
+      "ON CONFLICT (id) DO NOTHING").isLeft)
+  }
+
   test("MERGE WHEN NOT MATCHED BY SOURCE: complement-row update/delete") {
     val g = new GraftDatabase(spark,
       Files.createTempDirectory("graft-mbs-wh").toString)
