@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -392,6 +393,75 @@ object Dedup {
              |)
              |SELECT id AS doc_id, least(id, min(r)) AS cluster_id
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // CANONICAL SELECTION: the pipeline step after clustering — per dup
+    // cluster keep ONE representative (longest text, ties to the lowest
+    // doc_id) and mark the rest as drops. One row_number window over the
+    // cluster key on top of the CC output; the documents join is
+    // key-bounded. The oracle replays the full minhash->LSH->verify->CC
+    // pipeline in DuckDB and applies the same window.
+    "q_dedup_canonical" -> QueryDef(
+      (s, d) => {
+        val cl = connectedComponents(minhashPairs(s, d).select("a_id", "b_id"))
+          .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        cl.join(docs, "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .select(col("doc_id"), col("cluster_id"), (col("rk") === 1).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    ('0x' || substring(md5(substring(text, i, 8)), 1, 15))::bigint AS sh
+             |  FROM (SELECT doc_id, text, unnest(range(1, length(text)-6)) AS i FROM documents)
+             |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             |sh2 AS (
+             |  SELECT doc_id, sh % 999999937 AS hnum FROM sh
+             |), sigs AS (
+             |  SELECT doc_id, s.seed,
+             |    min((hnum * (s.seed + 1) + s.seed * 1000003) % 999999937) AS minh
+             |  FROM sh2, (SELECT unnest(range(0, 16)) AS seed) s
+             |  GROUP BY doc_id, s.seed
+             |), bands AS (
+             |  SELECT doc_id, cast(seed // 4 AS int) AS band,
+             |    md5(string_agg(cast(minh AS varchar), ',' ORDER BY seed)) AS bkey
+             |  FROM sigs GROUP BY doc_id, seed // 4
+             |), cand AS (
+             |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM bands a JOIN bands b USING (band, bkey)
+             |  WHERE a.doc_id < b.doc_id
+             |), est AS (
+             |  SELECT c.a_id, c.b_id
+             |  FROM cand c JOIN sigs sa ON sa.doc_id = c.a_id
+             |              JOIN sigs sb ON sb.doc_id = c.b_id AND sb.seed = sa.seed
+             |  GROUP BY 1, 2
+             |  HAVING sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) >= 8
+             |), inter AS (
+             |  SELECT s1.doc_id AS a_id, s2.doc_id AS b_id, count(*) AS inter
+             |  FROM est c JOIN sh s1 ON s1.doc_id = c.a_id
+             |             JOIN sh s2 ON s2.doc_id = c.b_id AND s2.sh = s1.sh
+             |  GROUP BY 1, 2
+             |), pairs AS (
+             |  SELECT a_id, b_id FROM inter
+             |  JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+             |  WHERE round(inter*1.0/(sa.sz + sb.sz - inter), 4) >= 0.8
+             |), sym AS (
+             |  SELECT a_id AS u, b_id AS v FROM pairs
+             |  UNION ALL SELECT b_id, a_id FROM pairs
+             |), reach AS (
+             |  SELECT u AS id, v AS r FROM sym
+             |  UNION
+             |  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.id
+             |)
+             |, cl AS (SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+             |  FROM reach GROUP BY id)
+             |SELECT cl.doc_id, cl.cluster_id,
+             |  (row_number() OVER (PARTITION BY cl.cluster_id
+             |    ORDER BY d.n_chars DESC, cl.doc_id) = 1) AS keep
+             |FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+             |ORDER BY cl.doc_id""".stripMargin)),
 
     // Benchmark DECONTAMINATION: flag corpus documents whose shingle
     // CONTAINMENT in some "benchmark" document is ≥ 0.5 — i.e. half the

@@ -1813,6 +1813,26 @@ object Dialect {
              |UNION ALL SELECT 100000 AS c_custkey, 42.25 AS bal
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Subqueries inside HAVING CASE conditions: the post-aggregation
+    // marker machinery (frames joined on group-output columns) now
+    // reaches CASE-nested positions — a correlated EXISTS keyed on the
+    // GROUP BY column and an uncorrelated scalar threshold in the ELSE.
+    "q_dialect_having_case" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_custkey, count(*) AS n FROM orders o GROUP BY o_custkey " +
+          "HAVING CASE WHEN EXISTS (SELECT 1 AS x FROM orders o2 " +
+          "WHERE o2.o_custkey = o.o_custkey AND o2.o_totalprice > 550000) " +
+          "THEN TRUE ELSE CASE WHEN count(*) > " +
+          "(SELECT count(*) AS c FROM orders) / 1000 THEN TRUE ELSE FALSE END END " +
+          "ORDER BY o_custkey"),
+      Some("""SELECT o_custkey, cast(count(*) AS bigint) AS n
+             |FROM orders o GROUP BY o_custkey
+             |HAVING CASE WHEN EXISTS (SELECT 1 FROM orders o2
+             |  WHERE o2.o_custkey = o.o_custkey AND o2.o_totalprice > 550000)
+             |  THEN TRUE ELSE CASE WHEN count(*) >
+             |  (SELECT count(*) FROM orders) / 1000 THEN TRUE ELSE FALSE END END
+             |ORDER BY o_custkey""".stripMargin)),
+
     // TPC-H Q4 shape: date-windowed orders with a correlated EXISTS over
     // lineitem — decorrelates to one semi join on l_orderkey; date
     // predicate pushes to the orders scan.

@@ -2237,6 +2237,13 @@ object Analyzer {
     // higher-order functions); a parameter shadows same-named columns
     var lambdaScope: Map[String, SqlType] = Map.empty
 
+    // true while the HAVING predicate binds: its marker lowering (the
+    // post-aggregation MarkerScope over group-output columns) handles
+    // subqueries inside CASE conditions too, so allowSub stays on there
+    // even though the scope is aggregate (projection items of aggregated
+    // queries have no such path and keep rejecting)
+    var havingMarkerOk = false
+
     def bindOp(o: Operand, allowAgg: Boolean,
         allowSub: Boolean = false): Either[AnalyzerError, BoundOperand] = o match {
       case Operand.Col(ColRef(None, n)) if lambdaScope.contains(n.toLowerCase) =>
@@ -2589,13 +2596,14 @@ object Analyzer {
                 s"row-value IN subquery must project ${os.length} columns, " +
                   s"got ${bsub0.projection.length}"))
             dp <- decorrelate(bsub0, exprKeys = havingGkExprKeys)
-            // aggregate-scope positions (HAVING, projection items) bind
-            // with allowAgg and resolve post-aggregation — correlated
-            // keys would need to be GROUP BY keys; not wired for row-IN
+            // HAVING resolves post-aggregation — row-IN correlation keys
+            // would need to be GROUP BY keys, which the key validation
+            // does not cover for row-IN; aggregated projections are
+            // caught by the aggregate-scope projection guard
             _ <-
-              if (allowAgg && dp._2.nonEmpty) Left(BadSubquery(
-                "a CORRELATED row-value IN (SELECT …) is supported in " +
-                  "WHERE and QUALIFY positions only"))
+              if (havingMarkerOk && dp._2.nonEmpty) Left(BadSubquery(
+                "a CORRELATED row-value IN (SELECT …) is not supported " +
+                  "in HAVING"))
               else Right(())
             _ <-
               if (!neg && topLevel && !allowAgg) Right(())
@@ -2685,10 +2693,10 @@ object Analyzer {
           dp <- decorrelate(bsub0, exprKeys = havingGkExprKeys)
         } yield BoundExpr.BQuantSub(op, bo, dp._1, all, dp._2)
       case Expr.IsNull(o, neg) =>
-        bindOp(o, allowAgg, allowSub = topLevel && !allowAgg)
+        bindOp(o, allowAgg, allowSub = topLevel && (!allowAgg || havingMarkerOk))
           .map(BoundExpr.BIsNull(_, neg))
       case Expr.Like(o, pat, neg, ci, esc) =>
-        bindOp(o, allowAgg, allowSub = topLevel && !allowAgg).flatMap {
+        bindOp(o, allowAgg, allowSub = topLevel && (!allowAgg || havingMarkerOk)).flatMap {
           // LIKE needs a string operand; non-string columns are a type error
           case b @ BoundOperand.BCol(c) => c.attr.sqlType match {
             case SqlType.SqlVarChar(_) => Right(BoundExpr.BLike(b, pat, neg, ci, esc))
@@ -2698,8 +2706,8 @@ object Analyzer {
         }
       case Expr.Cmp(op, l, r) =>
         for {
-          bl <- bindOp(l, allowAgg, allowSub = topLevel && !allowAgg)
-          br <- bindOp(r, allowAgg, allowSub = topLevel && !allowAgg)
+          bl <- bindOp(l, allowAgg, allowSub = topLevel && (!allowAgg || havingMarkerOk))
+          br <- bindOp(r, allowAgg, allowSub = topLevel && (!allowAgg || havingMarkerOk))
           _ <- (bl, br) match {
             case (BoundOperand.BCol(a), BoundOperand.BCol(b)) =>
               if (SqlType.comparable(a.attr.sqlType, b.attr.sqlType)) Right(())
@@ -3178,7 +3186,10 @@ object Analyzer {
               case BoundGroupKey.GKExpr(op, a) =>
                 op -> BoundCol("", AttributeDesc(a, operandType(op)))
             }.toMap
-            bindExpr(substE(e0), allowAgg = true).map(Some(_))
+            havingMarkerOk = true
+            val r = bindExpr(substE(e0), allowAgg = true).map(Some(_))
+            havingMarkerOk = false
+            r
           }
       }
       // bare columns inside HAVING must be grouped (aggregate arguments
@@ -3219,14 +3230,31 @@ object Analyzer {
       _ <- having match {
         case None => Right(())
         case Some(h) =>
+          def walkOp(o: BoundOperand): Seq[BoundCol] = o match {
+            case BoundOperand.BCase(bs, els) =>
+              bs.flatMap { case (c, v) => walk(c) ++ walkOp(v) } ++
+                els.toSeq.flatMap(walkOp)
+            case BoundOperand.BArith(_, l, r) => walkOp(l) ++ walkOp(r)
+            case BoundOperand.BFunc(_, as)    => as.flatMap(walkOp)
+            case BoundOperand.BCast(x, _)     => walkOp(x)
+            case BoundOperand.BTryCast(x, _)  => walkOp(x)
+            case BoundOperand.BSubVal(_, _, ps) => ps.map(_._1)
+            case _ => Nil
+          }
           def walk(x: BoundExpr): Seq[BoundCol] = x match {
             case BoundExpr.BAnd(l, r) => walk(l) ++ walk(r)
             case BoundExpr.BOr(l, r)  => walk(l) ++ walk(r)
             case BoundExpr.BNot(y)    => walk(y)
-            case BoundExpr.BCmpSub(_, _, _, _, ps) => ps.map(_._1)
-            case BoundExpr.BInSub(_, _, ps, _)     => ps.map(_._1)
+            case BoundExpr.BCmpSub(_, o, _, _, ps) => walkOp(o) ++ ps.map(_._1)
+            case BoundExpr.BInSub(o, _, ps, _)     => walkOp(o) ++ ps.map(_._1)
             case BoundExpr.BExists(_, ps, _, _)    => ps.map(_._1)
-            case BoundExpr.BQuantSub(_, _, _, _, ps) => ps.map(_._1)
+            case BoundExpr.BQuantSub(_, o, _, _, ps) => walkOp(o) ++ ps.map(_._1)
+            // subqueries nested in CASE conditions/values (the HAVING
+            // marker path) carry their decorrelation keys through the
+            // operand tree
+            case BoundExpr.BCmp(_, l, r) => walkOp(l) ++ walkOp(r)
+            case BoundExpr.BIsNull(o, _) => walkOp(o)
+            case BoundExpr.BLike(o, _, _, _, _) => walkOp(o)
             case _ => Nil
           }
           walk(h).find(c => !(

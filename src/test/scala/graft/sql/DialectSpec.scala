@@ -2065,6 +2065,39 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT array_agg(id) AS x FROM people").isLeft)
   }
 
+  test("subqueries inside HAVING CASE conditions via the marker machinery") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Left(e) => fail(s"$sql -> ${e.msg}")
+      case Right(_) => ()
+    }
+    run("CREATE TABLE h (g INT, v INT)")
+    run("INSERT INTO h VALUES (1, 10), (1, 20), (2, 5), (2, 6), (3, 100)")
+    // uncorrelated scalar comparison inside the condition
+    val sc = db.select("SELECT g, count(*) AS n FROM h GROUP BY g " +
+      "HAVING CASE WHEN count(*) > (SELECT avg(v) AS a FROM h) / 20 " +
+      "THEN TRUE ELSE FALSE END ORDER BY g").toOption.get
+    assert(sc.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // correlated EXISTS keyed on the GROUP BY column; IN + aggregate
+    // branches in a nested CASE
+    val ex = db.select("SELECT g, sum(v) AS s FROM h GROUP BY g " +
+      "HAVING CASE WHEN EXISTS (SELECT 1 AS x FROM h h2 " +
+      "WHERE h2.g = h.g AND h2.v < 8) THEN TRUE ELSE FALSE END").toOption.get
+    assert(ex.collect().map(_.getInt(0)).toSeq == Seq(2))
+    val nested = db.select("SELECT g, sum(v) AS s FROM h GROUP BY g " +
+      "HAVING CASE WHEN g IN (SELECT g FROM h WHERE v > 50) THEN TRUE " +
+      "ELSE CASE WHEN sum(v) > 25 THEN TRUE ELSE FALSE END END " +
+      "ORDER BY g").toOption.get
+    assert(nested.collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    // a CASE-nested correlation on a NON-group-key still rejects
+    assert(db.select("SELECT g, sum(v) AS s FROM h GROUP BY g " +
+      "HAVING CASE WHEN EXISTS (SELECT 1 AS x FROM h h2 " +
+      "WHERE h2.v = h.v) THEN TRUE ELSE FALSE END").isLeft)
+    // projection CASE of an aggregated query has no marker path
+    assert(db.select("SELECT g, CASE WHEN g IN (SELECT g FROM h WHERE v > 50) " +
+      "THEN count(*) ELSE 0 END AS c FROM h GROUP BY g").isLeft)
+  }
+
   test("window frame EXCLUDE GROUP / TIES over RANGE frames") {
     val db = freshDb()
     def run(sql: String): Unit = db.query(sql) match {
@@ -2233,11 +2266,20 @@ class DialectSpec extends AnyFunSuite {
     assert(ids("SELECT id FROM cl WHERE (a, b) IN " +
       "(SELECT x, y FROM cs WHERE cs.g = cl.k) OR k = 30 ORDER BY id") ==
       Seq(1, 5))
-    // aggregate-scope positions (projection CASE binds with allowAgg)
-    // still reject the correlated form
-    assert(db.query("SELECT id, CASE WHEN (a, b) IN " +
+    // projection CASE of a NON-aggregate query: markers apply (UNKNOWN
+    // conditions fall to ELSE)
+    val pc = db.select("SELECT id, CASE WHEN (a, b) IN " +
       "(SELECT x, y FROM cs WHERE cs.g = cl.k) THEN 1 ELSE 0 END AS c " +
-      "FROM cl").isLeft)
+      "FROM cl ORDER BY id").toOption.get
+    assert(pc.collect().map(x => (x.getInt(0), x.getLong(1))).toSeq ==
+      Seq((1, 1L), (2, 0L), (3, 0L), (4, 0L), (5, 0L), (6, 0L)))
+    // aggregated projections and HAVING still reject the correlated form
+    assert(db.query("SELECT k, CASE WHEN (min(a), min(b)) IN " +
+      "(SELECT x, y FROM cs WHERE cs.g = cl.k) THEN 1 ELSE 0 END AS c " +
+      "FROM cl GROUP BY k").isLeft)
+    assert(db.query("SELECT k, count(*) AS n FROM cl GROUP BY k " +
+      "HAVING CASE WHEN (k, k) IN (SELECT g, g FROM cs WHERE cs.g = cl.k) " +
+      "THEN TRUE ELSE FALSE END").isLeft)
   }
 
   test("scalar subqueries as operands: arithmetic, WHERE, aggregate scope") {
