@@ -459,6 +459,14 @@ object Ast {
   final case class CopyToTree(source: Either[String, ParseTree],
       path: String, format: String) extends ParseTree
 
+  /** CREATE OR REPLACE … / CREATE … IF NOT EXISTS: mode wrapper around
+    * the plain create statements — OR REPLACE drops an existing
+    * same-named relation first, IF NOT EXISTS turns the create into a
+    * no-op when it exists (mutually exclusive, parse-enforced).
+    */
+  final case class CreateModeTree(inner: ParseTree, orReplace: Boolean,
+      ifNotExists: Boolean) extends ParseTree
+
   final case class MergeTree(
       target: TableRef,
       source: FromItem,

@@ -70,7 +70,39 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   }
 
   def query(sql: String): Either[QueryError, QueryResult] =
-    Parser.parse(sql).left.map(ParseFailed).flatMap {
+    Parser.parse(sql).left.map(ParseFailed).flatMap(t => dispatch(t, sql))
+
+  private def dispatch(tree0: ParseTree,
+      sql: String): Either[QueryError, QueryResult] =
+    (tree0: ParseTree) match {
+      // OR REPLACE drops an existing same-named relation (whatever its
+      // kind) before the plain create; IF NOT EXISTS no-ops when one
+      // exists. The stored view/matview SQL keeps the full statement —
+      // loadViews/loadMatViews unwrap the mode on replay.
+      case Ast.CreateModeTree(inner, orReplace, ifNotExists) =>
+        val name = (inner match {
+          case Ast.CreateViewTree(n, _)       => n
+          case Ast.CreateMatViewTree(n, _, _) => n
+          case Ast.CreateTree(n, _, _, _)     => n
+          case Ast.CreateAsTree(n, _, _)      => n
+          case _ => return Left(ViewError("unsupported CREATE mode form"))
+        }).toLowerCase
+        val asTable = tables.keys.find(_.equalsIgnoreCase(name))
+        val exists = asTable.isDefined || views.contains(name) ||
+          matviews.contains(name)
+        if (exists && ifNotExists)
+          Right(Done(s"relation '$name' already exists, skipped"))
+        else {
+          val dropped: Either[QueryError, Unit] =
+            if (!exists || !orReplace) Right(())
+            else if (views.contains(name))
+              dropView(name, ifExists = true).map(_ => ())
+            else if (matviews.contains(name))
+              dropMatView(name, ifExists = true).map(_ => ())
+            else dispatch(Ast.DropTree(asTable.get, ifExists = true), sql)
+              .map(_ => ())
+          dropped.flatMap(_ => dispatch(inner, sql))
+        }
       case Ast.CreateViewTree(name, body) => createView(name, body, sql)
       case Ast.DropViewTree(name, ifExists) => dropView(name, ifExists)
       case Ast.CreateMatViewTree(name, body, bucket) =>
@@ -499,7 +531,11 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     val dec = java.util.Base64.getDecoder
     Files.readAllLines(matviewsPath).asScala.filter(_.nonEmpty).foreach { l =>
       val stmt = new String(dec.decode(l), "UTF-8")
-      Parser.parse(stmt) match {
+      val parsed = Parser.parse(stmt).map {
+        case Ast.CreateModeTree(inner, _, _) => inner // replay the plain create
+        case other                           => other
+      }
+      parsed match {
         case Right(Ast.CreateMatViewTree(name, body, _)) =>
           matviews(name) = Parser.substituteViews(body, views.toMap)
           matviewSql(name) = stmt
@@ -533,7 +569,11 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     val dec = java.util.Base64.getDecoder
     Files.readAllLines(viewsPath).asScala.filter(_.nonEmpty).foreach { l =>
       val stmt = new String(dec.decode(l), "UTF-8")
-      Parser.parse(stmt) match {
+      val parsed = Parser.parse(stmt).map {
+        case Ast.CreateModeTree(inner, _, _) => inner // replay the plain create
+        case other                           => other
+      }
+      parsed match {
         case Right(Ast.CreateViewTree(name, body)) =>
           // replay in creation order; earlier views substitute into later
           views(name) = Parser.substituteViews(body, views.toMap)

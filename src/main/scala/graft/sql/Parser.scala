@@ -2981,39 +2981,58 @@ object Parser {
     } else Right(None: Option[(String, Int)])
 
   private def parseCreate(p: P): Either[ParseError, ParseTree] = {
-    if ({ val save = p.i; p.next(); val v = p.isKw("materialized"); p.i = save; v })
-      return for {
-        _ <- p.eatKw("create")
-        _ <- p.eatKw("materialized")
-        _ <- p.eatKw("view")
-        name <- p.ident()
-        bucket <- parseBucketClause(p)
-        _ <- p.eatKw("as")
-        body <- if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p)
-      } yield CreateMatViewTree(name.toLowerCase, body, bucket)
-    if ({ val save = p.i; p.next(); val v = p.isKw("view"); p.i = save; v })
-      return for {
-        _ <- p.eatKw("create")
-        _ <- p.eatKw("view")
-        name <- p.ident()
-        _ <- p.eatKw("as")
-        body <- if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p)
-      } yield CreateViewTree(name.toLowerCase, body)
+    def ifNotExists(): Either[ParseError, Boolean] =
+      if (p.isKw("if")) {
+        p.next()
+        for { _ <- p.eatKw("not"); _ <- p.eatKw("exists") } yield true
+      } else Right(false)
     for {
       _ <- p.eatKw("create")
-      _ <- p.eatKw("table")
-      name <- p.ident()
-      t <- p.peek match {
-        case TSym("(", _) => parseCreateColumns(p, name)
-        case _ =>
-          // CREATE TABLE t [CLUSTERED BY …] AS SELECT …
+      orReplace <-
+        if (p.isKw("or")) { p.next(); p.eatKw("replace").map(_ => true) }
+        else Right(false)
+      inner <-
+        if (p.isKw("materialized"))
           for {
+            _ <- p.eatKw("materialized")
+            _ <- p.eatKw("view")
+            ine <- ifNotExists()
+            name <- p.ident()
             bucket <- parseBucketClause(p)
             _ <- p.eatKw("as")
-            sel <- parseSelectOrUnion(p)
-          } yield CreateAsTree(name, sel, bucket): ParseTree
-      }
-    } yield t
+            body <- if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p)
+          } yield (CreateMatViewTree(name.toLowerCase, body, bucket): ParseTree, ine)
+        else if (p.isKw("view"))
+          for {
+            _ <- p.eatKw("view")
+            ine <- ifNotExists()
+            name <- p.ident()
+            _ <- p.eatKw("as")
+            body <- if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p)
+          } yield (CreateViewTree(name.toLowerCase, body): ParseTree, ine)
+        else
+          for {
+            _ <- p.eatKw("table")
+            ine <- ifNotExists()
+            name <- p.ident()
+            t <- p.peek match {
+              case TSym("(", _) => parseCreateColumns(p, name)
+              case _ =>
+                // CREATE TABLE t [CLUSTERED BY …] AS SELECT …
+                for {
+                  bucket <- parseBucketClause(p)
+                  _ <- p.eatKw("as")
+                  sel <- parseSelectOrUnion(p)
+                } yield CreateAsTree(name, sel, bucket): ParseTree
+            }
+          } yield (t, ine)
+      _ <-
+        if (orReplace && inner._2) Left(ParseError(
+          "OR REPLACE and IF NOT EXISTS are mutually exclusive", p.peek.pos))
+        else Right(())
+    } yield
+      if (orReplace || inner._2) CreateModeTree(inner._1, orReplace, inner._2)
+      else inner._1
   }
 
   private def parseCreateColumns(p: P, name: String): Either[ParseError, ParseTree] = {

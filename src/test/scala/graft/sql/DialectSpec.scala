@@ -2065,6 +2065,34 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT array_agg(id) AS x FROM people").isLeft)
   }
 
+  test("CREATE OR REPLACE and IF NOT EXISTS modes") {
+    val wh = Files.createTempDirectory("graft-corm-wh").toString
+    val db = new GraftDatabase(spark, wh)
+    db.query("CREATE TABLE t (id INT, v INT)").toOption.get
+    db.query("INSERT INTO t VALUES (1, 10)").toOption.get
+    // IF NOT EXISTS: no-op on an existing relation, data untouched
+    assert(db.query("CREATE TABLE IF NOT EXISTS t (id INT, v INT)")
+      .toOption.get.toString.contains("skipped"))
+    assert(db.select("SELECT count(*) AS n FROM t").toOption.get
+      .collect().head.getLong(0) == 1L)
+    // OR REPLACE: drops the old relation first (kind may change)
+    db.query("CREATE OR REPLACE TABLE t AS SELECT 2 AS id, 20 AS v").toOption.get
+    assert(db.select("SELECT id FROM t").toOption.get.collect().head.getLong(0) == 2L)
+    db.query("CREATE VIEW v1 AS SELECT id FROM t").toOption.get
+    db.query("CREATE OR REPLACE VIEW v1 AS SELECT v FROM t").toOption.get
+    assert(db.select("SELECT * FROM v1").toOption.get.columns.toSeq == Seq("v"))
+    db.query("CREATE OR REPLACE TABLE v1 AS SELECT 9 AS x").toOption.get
+    assert(db.select("SELECT x FROM v1").toOption.get
+      .collect().head.getLong(0) == 9L)
+    // both modes together reject at parse
+    assert(db.query(
+      "CREATE OR REPLACE TABLE IF NOT EXISTS z (a INT)").isLeft)
+    // a replaced view's stored statement replays across reopen
+    db.query("CREATE OR REPLACE VIEW v2 AS SELECT id FROM t").toOption.get
+    val db2 = new GraftDatabase(spark, wh)
+    assert(db2.select("SELECT * FROM v2").toOption.get.columns.toSeq == Seq("id"))
+  }
+
   test("subqueries inside HAVING CASE conditions via the marker machinery") {
     val db = freshDb()
     def run(sql: String): Unit = db.query(sql) match {
