@@ -1833,6 +1833,22 @@ object Dialect {
              |  (SELECT count(*) FROM orders) / 1000 THEN TRUE ELSE FALSE END END
              |ORDER BY o_custkey""".stripMargin)),
 
+    // DELETE … RETURNING *: the removed rows' pre-image comes back as
+    // the statement's result, materialized BEFORE the rewrite. CREATE
+    // OR REPLACE keeps the gate idempotent across bench repetitions.
+    "q_dialect_returning" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "customer")
+        g.query("CREATE OR REPLACE TABLE ret_cust AS SELECT c_custkey, " +
+          "c_acctbal FROM customer WHERE c_custkey < 250")
+          .fold(e => sys.error(e.msg), identity)
+        run(g, "DELETE FROM ret_cust WHERE c_acctbal < 0 RETURNING *")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |WHERE c_custkey < 250 AND c_acctbal < 0
+             |ORDER BY c_custkey""".stripMargin)),
+
     // TPC-H Q4 shape: date-windowed orders with a correlated EXISTS over
     // lineitem — decorrelates to one semi join on l_orderkey; date
     // predicate pushes to the orders scan.

@@ -1274,6 +1274,12 @@ object Analyzer {
       insertSel: Option[BoundSelect],
       plans: Seq[MergePlan]) extends BoundQuery
 
+  /** DELETE/UPDATE … RETURNING *: the inner statement executes normally
+    * but the affected rows (materialized BEFORE the rewrite) come back
+    * as the result frame.
+    */
+  final case class BoundReturning(inner: BoundQuery) extends BoundQuery
+
   def analyze(tree: ParseTree, cat: Catalog): Either[AnalyzerError, BoundQuery] = tree match {
     case s: SelectTree => analyzeSelect(s, cat)
     case u: UnionTree  => analyzeUnion(u, cat)
@@ -1319,6 +1325,10 @@ object Analyzer {
       }
     case i: InsertTree => analyzeInsert(i, cat)
     case u: UpsertTree => analyzeUpsert(u, cat)
+    case r: ReturningTree => analyze(r.inner, cat).flatMap {
+      case q @ (_: BoundDelete | _: BoundUpdate) => Right(BoundReturning(q))
+      case _ => Left(BadFunction("RETURNING supports DELETE and UPDATE"))
+    }
     case i: InsertSelectTree =>
       cat.resolve(i.table) match {
         case None => Left(RelationNotFound(i.table))

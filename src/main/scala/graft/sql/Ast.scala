@@ -459,6 +459,12 @@ object Ast {
   final case class CopyToTree(source: Either[String, ParseTree],
       path: String, format: String) extends ParseTree
 
+  /** DELETE/UPDATE … RETURNING *: the affected rows come back as the
+    * statement's result (DELETE: removed rows' pre-image; UPDATE:
+    * updated rows' post-image), materialized BEFORE the table rewrite.
+    */
+  final case class ReturningTree(inner: ParseTree) extends ParseTree
+
   /** CREATE OR REPLACE … / CREATE … IF NOT EXISTS: mode wrapper around
     * the plain create statements — OR REPLACE drops an existing
     * same-named relation first, IF NOT EXISTS turns the create into a

@@ -129,7 +129,12 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         val tree = Parser.substituteViews(tree0, views.toMap)
         for {
           bound <- Analyzer.analyze(tree, cat).left.map(AnalyzeFailed)
-          _ <- bound match {
+          // RETURNING wraps DELETE/UPDATE — the guards below apply to
+          // the inner statement
+          _ <- (bound match {
+            case Analyzer.BoundReturning(inner) => inner
+            case b                              => b
+          }) match {
             case BoundInsert(d, _)       if external.contains(d.name) => Left(ReadOnlyTable(d.name))
             case BoundInsertSelect(d, _, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
             case BoundDelete(d, _, _)    if external.contains(d.name) => Left(ReadOnlyTable(d.name))
@@ -866,34 +871,13 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     // format would rewrite per-file; here the whole table is one rewrite
     // since the warehouse has no file-level manifest.
     case BoundDelete(desc, pred, matched) =>
-      import org.apache.spark.sql.functions.{coalesce, col, lit,
-        monotonically_increasing_id}
-      val df = readTable(desc)
-      val before = statistics.get(desc.name).map(_.rowCount).getOrElse(df.count())
-      val kept = (pred, matched) match {
-        case (None, None) => df.limit(0)
-        // keep rows where the predicate is NOT TRUE — a NULL predicate
-        // must keep the row (SQL 3VL), so coalesce before negating
-        case (Some(p), _) => df.filter(!coalesce(
-          Lowering.lowerExprBare(p), lit(false)))
-        // subquery WHERE: materialize the table once with a row-id (the
-        // checkpoint pins the nondeterministic id assignment), run the
-        // full WHERE through the SELECT machinery to a matched-row-id
-        // set — subqueries see the PRE-delete image, SQL semantics —
-        // and anti-join back. Row multiplicity is exact (ids are unique)
-        // and the anti join is a distributed hash join on a long key.
-        case (None, Some(ms)) =>
-          val withId = df.withColumn("__lkrid", monotonically_increasing_id())
-            .localCheckpoint()
-          val src: Analyzer.BoundTable => DataFrame = bt =>
-            if (bt.desc.attr("__lkrid").isDefined) withId else readTable(bt.desc)
-          val rids = Lowering.withQueryScope(ms, src) { lowerOneSelect(ms, src) }
-            .withColumnRenamed("__lkrid", "__delrid")
-          withId.join(rids, col("__lkrid") === col("__delrid"), "left_anti")
-            .drop("__lkrid")
-      }
-      val keptN = rewriteTable(desc, kept)
-      Done(s"deleted ${before - keptN} row(s) from ${desc.name}")
+      runDelete(desc, pred, matched, returning = false)
+
+    case Analyzer.BoundReturning(BoundDelete(desc, pred, matched)) =>
+      runDelete(desc, pred, matched, returning = true)
+
+    case Analyzer.BoundReturning(u: BoundUpdate) =>
+      runUpdate(u, returning = true)
 
     case BoundDrop(name, None) =>
       Done(s"table '$name' does not exist, skipped")
@@ -912,7 +896,59 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       saveCatalog()
       Done(s"dropped table '$name'")
 
-    case BoundUpdate(desc, sets, pred, matchedSel, subSets) =>
+    case u: BoundUpdate => runUpdate(u, returning = false)
+
+    case other0 => executeTail(other0)
+  }
+
+  /** DELETE, optionally RETURNING the removed rows' pre-image
+    * (materialized via localCheckpoint BEFORE the rewrite overwrites
+    * the files).
+    */
+  private def runDelete(desc: TableDesc, pred: Option[Analyzer.BoundExpr],
+      matched: Option[Analyzer.BoundSelect],
+      returning: Boolean): QueryResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit,
+      monotonically_increasing_id}
+    val df = readTable(desc)
+    val before = statistics.get(desc.name).map(_.rowCount).getOrElse(df.count())
+    // kept = the complement of the delete set; for RETURNING the delete
+    // set itself also materializes (pre-rewrite image)
+    val (kept, deleted) = (pred, matched) match {
+      case (None, None) => (df.limit(0), df)
+      // keep rows where the predicate is NOT TRUE — a NULL predicate
+      // must keep the row (SQL 3VL), so coalesce before negating
+      case (Some(p), _) =>
+        val c = Lowering.lowerExprBare(p)
+        (df.filter(!coalesce(c, lit(false))), df.filter(coalesce(c, lit(false))))
+      // subquery WHERE: materialize the table once with a row-id (the
+      // checkpoint pins the nondeterministic id assignment), run the
+      // full WHERE through the SELECT machinery to a matched-row-id
+      // set — subqueries see the PRE-delete image, SQL semantics —
+      // and anti-join back. Row multiplicity is exact (ids are unique)
+      // and the anti join is a distributed hash join on a long key.
+      case (None, Some(ms)) =>
+        val withId = df.withColumn("__lkrid", monotonically_increasing_id())
+          .localCheckpoint()
+        val src: Analyzer.BoundTable => DataFrame = bt =>
+          if (bt.desc.attr("__lkrid").isDefined) withId else readTable(bt.desc)
+        val rids = Lowering.withQueryScope(ms, src) { lowerOneSelect(ms, src) }
+          .withColumnRenamed("__lkrid", "__delrid")
+        (withId.join(rids, col("__lkrid") === col("__delrid"), "left_anti")
+          .drop("__lkrid"),
+         withId.join(rids, col("__lkrid") === col("__delrid"), "left_semi")
+          .drop("__lkrid"))
+    }
+    val returned = if (returning) Some(deleted.localCheckpoint()) else None
+    val keptN = rewriteTable(desc, kept)
+    returned match {
+      case Some(r) => Rows(r)
+      case None    => Done(s"deleted ${before - keptN} row(s) from ${desc.name}")
+    }
+  }
+
+  private def runUpdate(bu: BoundUpdate, returning: Boolean): QueryResult = {
+      val BoundUpdate(desc, sets, pred, matchedSel, subSets) = bu
       import org.apache.spark.sql.functions.{coalesce, col, lit,
         monotonically_increasing_id, sum, when}
       // a subquery anywhere (WHERE or a SET value) needs the row-id'd
@@ -955,25 +991,37 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           helperCols ++= Seq(s"__svrid_$i", s"__sv_$i")
           (attr, col(s"__sv_$i"))
         }
+      // all SET values evaluate against the PRE-update row (SQL rule:
+      // SET a = b, b = a swaps), so every when() reads the original
+      // columns, and the withColumns apply in one batch
+      def applySets(frame: DataFrame): DataFrame =
+        frame.withColumns((sets.map { case (attr, v) =>
+          attr.name -> when(cond, Lowering.lowerOperandBare(v).cast(attr.sqlType.spark))
+            .otherwise(org.apache.spark.sql.functions.col(attr.name))
+        } ++ subVals.map { case (attr, vcol) =>
+          attr.name -> when(cond, vcol.cast(attr.sqlType.spark))
+            .otherwise(org.apache.spark.sql.functions.col(attr.name))
+        }).toMap).drop(helperCols.result(): _*)
+      // RETURNING: the updated rows' post-image, materialized from the
+      // PRE-rewrite files (localCheckpoint) before the rewrite runs —
+      // computed off the un-observed frame so the metric stays exact
+      val returned =
+        if (returning) Some(applySets(df.filter(cond)).localCheckpoint())
+        else None
       // matched-row count rides the rewrite pass as an observed metric —
       // no separate count() job over the table
       val obs = new org.apache.spark.sql.Observation()
       val observed = df.observe(obs,
         coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("matched"))
-      // all SET values evaluate against the PRE-update row (SQL rule:
-      // SET a = b, b = a swaps), so every when() reads the original
-      // columns of `observed`, and the withColumns apply in one batch
-      val updated = observed.withColumns((sets.map { case (attr, v) =>
-        attr.name -> when(cond, Lowering.lowerOperandBare(v).cast(attr.sqlType.spark))
-          .otherwise(org.apache.spark.sql.functions.col(attr.name))
-      } ++ subVals.map { case (attr, vcol) =>
-        attr.name -> when(cond, vcol.cast(attr.sqlType.spark))
-          .otherwise(org.apache.spark.sql.functions.col(attr.name))
-      }).toMap).drop(helperCols.result(): _*)
-      rewriteTable(desc, updated)
+      rewriteTable(desc, applySets(observed))
       val matched = obs.get("matched").asInstanceOf[Long]
-      Done(s"updated $matched row(s) in ${desc.name}")
+      returned match {
+        case Some(r) => Rows(r)
+        case None    => Done(s"updated $matched row(s) in ${desc.name}")
+      }
+  }
 
+  private def executeTail(q: Analyzer.BoundQuery): QueryResult = q match {
     case BoundMerge(desc, matchedSel, insertSel, plans) =>
       import org.apache.spark.sql.functions.{coalesce, col, lit,
         monotonically_increasing_id, sum, when}

@@ -191,8 +191,8 @@ object Parser {
         else if (p.isKw("select")) parseSelectOrUnion(p)
         else if (p.isKw("insert")) parseInsert(p)
         else if (p.isKw("create")) parseCreate(p)
-        else if (p.isKw("delete")) parseDelete(p)
-        else if (p.isKw("update")) parseUpdate(p)
+        else if (p.isKw("delete")) parseDelete(p).flatMap(withReturning(p, _))
+        else if (p.isKw("update")) parseUpdate(p).flatMap(withReturning(p, _))
         else if (p.isKw("merge")) parseMerge(p)
         else if (p.isKw("pivot")) parsePivot(p)
         else if (p.isKw("unpivot")) parseUnpivot(p)
@@ -2565,6 +2565,22 @@ object Parser {
         if (p.isKw("where")) { p.next(); parseOr(p).map(Some(_)) }
         else Right(None)
     } yield DeleteTree(name, where)
+
+  /** DELETE/UPDATE … RETURNING * — the affected rows come back as the
+    * statement's result (DELETE: the removed rows' pre-image; UPDATE:
+    * the updated rows' post-image). Column lists reject toward `*`.
+    */
+  private def withReturning(p: P,
+      t: ParseTree): Either[ParseError, ParseTree] =
+    if (!p.isKw("returning")) Right(t)
+    else {
+      p.next()
+      p.peek match {
+        case TSym("*", _) => p.next(); Right(ReturningTree(t))
+        case tk => Left(ParseError(
+          "RETURNING supports * (the full affected rows)", tk.pos))
+      }
+    }
 
   private def parseUpdate(p: P): Either[ParseError, UpdateTree] = {
     def assignment(): Either[ParseError, (String, Operand)] =

@@ -200,6 +200,26 @@ class DmlSpec extends AnyFunSuite {
       "THEN DELETE").isLeft)
   }
 
+  test("DELETE / UPDATE RETURNING *: affected rows come back pre-rewrite") {
+    val g = db()
+    // DELETE: the removed rows' PRE-image
+    val del = g.select("DELETE FROM t WHERE tag = 'a' RETURNING *")
+      .toOption.get.orderBy("id").collect().toSeq
+    assert(del == Seq(Row(1, "a", 10), Row(3, "a", 30)))
+    assert(rows(g).map(_.getInt(0)) == Seq(2, 4))
+    // UPDATE: the updated rows' POST-image
+    val upd = g.select("UPDATE t SET n = n + 1 WHERE id = 2 RETURNING *")
+      .toOption.get.collect().toSeq
+    assert(upd == Seq(Row(2, "b", 21)))
+    assert(rows(g) == Seq(Row(2, "b", 21), Row(4, null, 40)))
+    // subquery WHERE composes; empty match returns an empty frame
+    val none = g.select("UPDATE t SET n = 0 WHERE id IN " +
+      "(SELECT id FROM t WHERE n > 99) RETURNING *").toOption.get
+    assert(none.collect().isEmpty)
+    // RETURNING a column list rejects toward *; SELECT has no RETURNING
+    assert(g.query("DELETE FROM t WHERE id = 2 RETURNING id").isLeft)
+  }
+
   test("INSERT ON CONFLICT: upsert via the MERGE machinery") {
     val g = new GraftDatabase(spark,
       Files.createTempDirectory("graft-ups-wh").toString)
