@@ -214,6 +214,16 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
+  /** The minhash dup-cluster assignment (connected components over the
+    * verified pair list), memoized so the cluster and canonical-selection
+    * queries run the fixpoint ONCE per session — the pipeline shape
+    * (clusters materialize once, many consumers read them).
+    */
+  private def minhashClusters(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "minhash_clusters") {
+      connectedComponents(minhashPairs(s, d).select("a_id", "b_id"))
+    }
+
   /** The verified MinHash near-dup pair list (the q_dedup_minhash result),
     * memoized so the cluster query shares it within a session.
     */
@@ -345,7 +355,7 @@ object Dedup {
     // DuckDB recursive CTE — a completely different transitive-closure
     // formulation that must land on identical clusters.
     "q_dedup_cluster" -> QueryDef(
-      (s, d) => connectedComponents(minhashPairs(s, d).select("a_id", "b_id"))
+      (s, d) => minhashClusters(s, d)
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
         .orderBy("doc_id"),
       Some("""WITH RECURSIVE sh AS (
@@ -402,7 +412,7 @@ object Dedup {
     // pipeline in DuckDB and applies the same window.
     "q_dedup_canonical" -> QueryDef(
       (s, d) => {
-        val cl = connectedComponents(minhashPairs(s, d).select("a_id", "b_id"))
+        val cl = minhashClusters(s, d)
           .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
         val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
         val w = Window.partitionBy("cluster_id")
