@@ -1326,8 +1326,11 @@ object Analyzer {
     case i: InsertTree => analyzeInsert(i, cat)
     case u: UpsertTree => analyzeUpsert(u, cat)
     case r: ReturningTree => analyze(r.inner, cat).flatMap {
-      case q @ (_: BoundDelete | _: BoundUpdate) => Right(BoundReturning(q))
-      case _ => Left(BadFunction("RETURNING supports DELETE and UPDATE"))
+      case q @ (_: BoundDelete | _: BoundUpdate |
+                _: BoundInsert | _: BoundInsertSelect) =>
+        Right(BoundReturning(q))
+      case _ => Left(BadFunction(
+        "RETURNING supports INSERT, DELETE and UPDATE (not ON CONFLICT)"))
     }
     case i: InsertSelectTree =>
       cat.resolve(i.table) match {

@@ -780,7 +780,19 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       import spark.implicits._
       Rows((header ++ text.split("\n").toSeq ++ metricTail).toDF("plan"))
 
-    case BoundInsertSelect(desc, sel, colsOpt) =>
+    case bis: BoundInsertSelect => runInsertSelect(bis, returning = false)
+
+    case other1 => executeTail2(other1)
+  }
+
+  /** INSERT … SELECT append, optionally RETURNING the inserted rows
+    * (materialized via localCheckpoint before the append so a
+    * self-referencing insert and the returned frame both read the
+    * PRE-append files).
+    */
+  private def runInsertSelect(bis: BoundInsertSelect,
+      returning: Boolean): QueryResult = {
+      val BoundInsertSelect(desc, sel, colsOpt) = bis
       val raw = lowerQuery(sel)
       // positional alignment with checked casts to the target schema;
       // an explicit column list permutes into table order, unlisted
@@ -803,7 +815,9 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       // materialize before the append starts rewriting the very files the
       // scan reads; localCheckpoint pins the input partitions first
       val src =
-        if (Analyzer.referencedTables(sel).contains(desc.name)) aligned.localCheckpoint()
+        if (returning ||
+            Analyzer.referencedTables(sel).contains(desc.name))
+          aligned.localCheckpoint()
         else aligned
       val before = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
       desc.bucket match {
@@ -815,8 +829,11 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       }
       statistics.rebuild(desc, readTable(desc))
       val after = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
-      Done(s"inserted ${after - before} row(s) into ${desc.name}")
+      if (returning) Rows(src)
+      else Done(s"inserted ${after - before} row(s) into ${desc.name}")
+  }
 
+  private def executeTail2(q: Analyzer.BoundQuery): QueryResult = q match {
     case BoundCreateAs(name, sel, bucket) =>
       val df = lowerQuery(sel)
       val attrs = df.schema.fields.toSeq.map(f =>
@@ -878,6 +895,18 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
 
     case Analyzer.BoundReturning(u: BoundUpdate) =>
       runUpdate(u, returning = true)
+
+    // INSERT … RETURNING *: the inserted rows (post-cast) as the result
+    case Analyzer.BoundReturning(bi @ BoundInsert(desc, rows)) =>
+      execute(bi) match {
+        case Done(_) =>
+          val rdd = spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1)
+          Rows(spark.createDataFrame(rdd, desc.sparkSchema))
+        case other => other
+      }
+
+    case Analyzer.BoundReturning(bis: BoundInsertSelect) =>
+      runInsertSelect(bis, returning = true)
 
     case BoundDrop(name, None) =>
       Done(s"table '$name' does not exist, skipped")

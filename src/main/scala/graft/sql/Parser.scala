@@ -132,7 +132,7 @@ object Parser {
     "exists", "left", "right", "full", "outer", "union", "all",
     "intersect", "except", "case", "when", "then", "else", "end",
     "merge", "using", "matched", "window", "natural", "semi", "anti",
-    "asof")
+    "asof", "returning")
 
   private val aggFuncs = Set("count", "sum", "min", "max", "avg",
     "stddev", "variance", "median", "grouping",
@@ -180,7 +180,7 @@ object Parser {
           val analyze = if (p.isKw("analyze")) { p.next(); true } else false
           (if (p.isKw("with")) parseWith(p)
            else if (p.isKw("select")) parseSelectOrUnion(p)
-           else if (p.isKw("insert")) parseInsert(p)
+           else if (p.isKw("insert")) parseInsert(p).flatMap(withReturning(p, _))
            else if (p.isKw("create")) parseCreate(p)
            else Left(ParseError(
              "EXPLAIN takes SELECT, INSERT … SELECT or CREATE TABLE AS SELECT",
@@ -189,7 +189,7 @@ object Parser {
         }
         else if (p.isKw("with")) parseWith(p)
         else if (p.isKw("select")) parseSelectOrUnion(p)
-        else if (p.isKw("insert")) parseInsert(p)
+        else if (p.isKw("insert")) parseInsert(p).flatMap(withReturning(p, _))
         else if (p.isKw("create")) parseCreate(p)
         else if (p.isKw("delete")) parseDelete(p).flatMap(withReturning(p, _))
         else if (p.isKw("update")) parseUpdate(p).flatMap(withReturning(p, _))

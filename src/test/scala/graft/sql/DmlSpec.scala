@@ -218,6 +218,16 @@ class DmlSpec extends AnyFunSuite {
     assert(none.collect().isEmpty)
     // RETURNING a column list rejects toward *; SELECT has no RETURNING
     assert(g.query("DELETE FROM t WHERE id = 2 RETURNING id").isLeft)
+    // INSERT … RETURNING: the inserted rows (VALUES and SELECT forms)
+    val ins = g.select("INSERT INTO t VALUES (9, 'z', 90) RETURNING *")
+      .toOption.get.collect().toSeq
+    assert(ins == Seq(Row(9, "z", 90)))
+    val insSel = g.select("INSERT INTO t SELECT id + 100 AS a, tag AS b, " +
+      "n AS c FROM t WHERE id = 9 RETURNING *").toOption.get.collect().toSeq
+    assert(insSel == Seq(Row(109, "z", 90)))
+    // ON CONFLICT + RETURNING rejects (ambiguous affected set)
+    assert(g.query("INSERT INTO t VALUES (9, 'q', 1) " +
+      "ON CONFLICT (id) DO NOTHING RETURNING *").isLeft)
   }
 
   test("INSERT ON CONFLICT: upsert via the MERGE machinery") {
