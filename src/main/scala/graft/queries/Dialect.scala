@@ -1849,6 +1849,36 @@ object Dialect {
              |WHERE c_custkey < 250 AND c_acctbal < 0
              |ORDER BY c_custkey""".stripMargin)),
 
+    // SUMMARIZE (DuckDB's profiling statement): per-column count/nulls/
+    // exact ndv/min/max/avg/std in ONE aggregate pass + one bounded
+    // driver row. The oracle hand-computes the same profile per column.
+    "q_dialect_summarize" -> QueryDef(
+      (s, d) => run(db(s, d, "nation"), "SUMMARIZE nation")
+        .orderBy("column_name"),
+      Some("""SELECT 'n_nationkey' AS column_name, 'INT' AS column_type,
+             |  cast(count(*) AS bigint) AS count,
+             |  cast(count(*) - count(n_nationkey) AS bigint) AS nulls,
+             |  cast(count(DISTINCT n_nationkey) AS bigint) AS ndv,
+             |  cast(min(n_nationkey) AS varchar) AS min,
+             |  cast(max(n_nationkey) AS varchar) AS max,
+             |  round(avg(n_nationkey), 4) AS avg,
+             |  round(stddev_samp(n_nationkey), 4) AS std
+             |FROM nation
+             |UNION ALL
+             |SELECT 'n_name', 'VARCHAR(65535)', cast(count(*) AS bigint),
+             |  cast(count(*) - count(n_name) AS bigint),
+             |  cast(count(DISTINCT n_name) AS bigint), min(n_name), max(n_name),
+             |  cast(NULL AS double), cast(NULL AS double)
+             |FROM nation
+             |UNION ALL
+             |SELECT 'n_regionkey', 'INT', cast(count(*) AS bigint),
+             |  cast(count(*) - count(n_regionkey) AS bigint),
+             |  cast(count(DISTINCT n_regionkey) AS bigint),
+             |  cast(min(n_regionkey) AS varchar), cast(max(n_regionkey) AS varchar),
+             |  round(avg(n_regionkey), 4), round(stddev_samp(n_regionkey), 4)
+             |FROM nation
+             |ORDER BY column_name""".stripMargin)),
+
     // TPC-H Q4 shape: date-windowed orders with a correlated EXISTS over
     // lineitem — decorrelates to one semi join on l_orderkey; date
     // predicate pushes to the orders scan.

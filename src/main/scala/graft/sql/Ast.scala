@@ -452,6 +452,10 @@ object Ast {
   case object ShowTablesTree extends ParseTree
   /** DESCRIBE t — one row per column: name, type, nullable. */
   final case class DescribeTree(table: String) extends ParseTree
+  /** SUMMARIZE t — per-column profile: count / nulls / exact ndv /
+    * min / max (as strings) / avg / std (numerics, rounded to 4).
+    */
+  final case class SummarizeTree(table: String) extends ParseTree
   /** COPY (t | (SELECT …)) TO 'path' [(FORMAT parquet|csv|json)] — the
     * distributed export path (partition-parallel write; csv/json write
     * with a header where the format has one).

@@ -113,6 +113,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case t: Ast.UnpivotTree        => unpivotStmt(t)
       case Ast.ShowTablesTree        => showTables()
       case t: Ast.DescribeTree       => describe(t.table)
+      case t: Ast.SummarizeTree      => summarize(t.table)
       case t: Ast.CopyToTree         => copyTo(t)
       case t: Ast.AlterAddColTree    => alterAddCol(t)
       case t: Ast.AlterDropColTree   => alterDropCol(t)
@@ -273,6 +274,64 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           df.schema.fields.toSeq.map(f =>
             Row(f.name, f.dataType.simpleString, f.nullable)))))
       case None => Left(AnalyzeFailed(RelationNotFound(name0)))
+    }
+  }
+
+  /** SUMMARIZE t (DuckDB's profiling statement): per-column count /
+    * nulls / ndv / min / max (rendered as strings) / avg / std
+    * (numerics, rounded to 4) — ONE aggregate pass over the table, one
+    * bounded driver row (9 values per column). ndv is EXACT here so the
+    * DuckDB oracle matches bit-for-bit; a 100 TB profile would swap in
+    * approx_count_distinct (the StatsManager HLLs already maintain the
+    * approximate answer online).
+    */
+  private def summarize(name0: String): Either[QueryError, QueryResult] = {
+    import org.apache.spark.sql.functions.{avg => favg, col,
+      count => fcount, count_distinct, lit, max => fmax, min => fmin,
+      stddev_samp}
+    import org.apache.spark.sql.types._
+    readableDesc(name0).map { desc =>
+      val df = readTable(desc)
+      val numeric: SqlType => Boolean = {
+        case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt |
+             SqlType.SqlDouble | SqlType.SqlReal => true
+        case _ => false
+      }
+      val aggs = desc.attributes.zipWithIndex.flatMap { case (a, i) =>
+        Seq(fcount(col(a.name)).as(s"c$i"),
+          count_distinct(col(a.name)).as(s"d$i"),
+          fmin(col(a.name)).cast("string").as(s"mn$i"),
+          fmax(col(a.name)).cast("string").as(s"mx$i")) ++
+        (if (numeric(a.sqlType))
+          Seq(favg(col(a.name)).as(s"av$i"), stddev_samp(col(a.name)).as(s"sd$i"))
+         else Nil)
+      }
+      val row = df.agg(fcount(lit(1)).as("n"), aggs: _*).collect().head
+      val n = row.getAs[Long]("n")
+      def r4(v: Any): Any = v match {
+        case null      => null
+        case d: Double =>
+          BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        case other => other
+      }
+      val out = desc.attributes.zipWithIndex.map { case (a, i) =>
+        Row(a.name, a.sqlType.render, n, n - row.getAs[Long](s"c$i"),
+          row.getAs[Long](s"d$i"),
+          row.getAs[String](s"mn$i"), row.getAs[String](s"mx$i"),
+          if (numeric(a.sqlType)) r4(row.getAs[Any](s"av$i")) else null,
+          if (numeric(a.sqlType)) r4(row.getAs[Any](s"sd$i")) else null)
+      }
+      val schema = StructType(Seq(
+        StructField("column_name", StringType, nullable = false),
+        StructField("column_type", StringType, nullable = false),
+        StructField("count", LongType, nullable = false),
+        StructField("nulls", LongType, nullable = false),
+        StructField("ndv", LongType, nullable = false),
+        StructField("min", StringType, nullable = true),
+        StructField("max", StringType, nullable = true),
+        StructField("avg", DoubleType, nullable = true),
+        StructField("std", DoubleType, nullable = true)))
+      Rows(localRows(schema, out))
     }
   }
 

@@ -206,6 +206,11 @@ object Parser {
             _ <- Right(p.next())
             name <- p.ident()
           } yield DescribeTree(name)
+        else if (p.isKw("summarize"))
+          for {
+            _ <- Right(p.next())
+            name <- p.ident()
+          } yield SummarizeTree(name)
         else if (p.isKw("copy")) parseCopy(p)
         else if (p.isKw("alter")) parseAlter(p)
         else if (p.isKw("truncate"))

@@ -2065,6 +2065,25 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT array_agg(id) AS x FROM people").isLeft)
   }
 
+  test("SUMMARIZE: per-column profile in one aggregate pass") {
+    val db = freshDb()
+    db.query("CREATE TABLE s (id INT, name VARCHAR(10), x DOUBLE)").toOption.get
+    db.query("INSERT INTO s VALUES (1, 'a', 1.5), (2, 'b', 2.5), " +
+      "(3, NULL, NULL), (4, 'a', 4.0)").toOption.get
+    val r = db.select("SUMMARIZE s").toOption.get.collect()
+      .map(x => (x.getString(0), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getString(5), x.getString(6))).toSeq
+    assert(r == Seq(
+      ("id", 4L, 0L, 4L, "1", "4"),
+      ("name", 4L, 1L, 2L, "a", "b"),
+      ("x", 4L, 1L, 3L, "1.5", "4.0")))
+    // numerics carry rounded avg/std; strings read NULL there
+    val row0 = db.select("SUMMARIZE s").toOption.get.collect()(0)
+    assert(row0.getDouble(7) == 2.5 && row0.getDouble(8) == 1.291)
+    assert(db.select("SUMMARIZE s").toOption.get.collect()(1).isNullAt(7))
+    assert(db.query("SUMMARIZE nosuch").isLeft)
+  }
+
   test("CREATE OR REPLACE and IF NOT EXISTS modes") {
     val wh = Files.createTempDirectory("graft-corm-wh").toString
     val db = new GraftDatabase(spark, wh)
