@@ -12,6 +12,12 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true  // REPL (graft.sql.Repl) reads stdin
+// The driver scrapes `sbt runMain graft.Bench` stdout and json-parses the
+// tail lines. sbt's default LoggedOutput prefixes every forked-process
+// line with "[info] ", which breaks that parse (BENCH_r05-r07 were all
+// "parsed": null with the JSON visibly intact behind the prefix). Route
+// the forked child's stdout straight through, unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native Catalyst expressions for gcd/lcm (DuckDB surface; Spark has no
+  * builtin). Both stay inside whole-stage codegen: a binary Euclid loop
+  * over two longs, no allocation, NULL-propagating via nullSafeCodeGen —
+  * custom-Expression preference order (b) from the builder prompt, same
+  * shape as [[DotProduct]].
+  *
+  * DuckDB semantics matched: results are non-negative (gcd(-4, 6) = 2,
+  * lcm(-4, 6) = 12), gcd(0, 0) = 0, lcm(x, 0) = 0.
+  */
+trait EuclidExpression extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two bigint arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  override def dataType: DataType = LongType
+
+  protected final def euclid(a: Long, b: Long): Long = {
+    var x = math.abs(a); var y = math.abs(b)
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  }
+  /** Codegen fragment computing euclid(|a|,|b|) into fresh var `g`. */
+  protected final def genEuclid(ctx: CodegenContext, a: String, b: String,
+      g: String): String = {
+    val y = ctx.freshName("y")
+    val t = ctx.freshName("t")
+    s"""
+       |long $g = java.lang.Math.abs($a);
+       |long $y = java.lang.Math.abs($b);
+       |while ($y != 0L) { long $t = $g % $y; $g = $y; $y = $t; }
+     """.stripMargin
+  }
+}
+
+case class Gcd(left: Expression, right: Expression) extends EuclidExpression {
+  override def prettyName: String = "graft_gcd"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    euclid(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val g = ctx.freshName("g")
+      s"""
+         |${genEuclid(ctx, a, b, g)}
+         |${ev.value} = $g;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Gcd =
+    copy(left = newLeft, right = newRight)
+}
+
+case class Lcm(left: Expression, right: Expression) extends EuclidExpression {
+  override def prettyName: String = "graft_lcm"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Long]; val y = b.asInstanceOf[Long]
+    val g = euclid(x, y)
+    if (g == 0L) 0L else math.abs(x / g * y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val g = ctx.freshName("g")
+      s"""
+         |${genEuclid(ctx, a, b, g)}
+         |${ev.value} = ($g == 0L) ? 0L : java.lang.Math.abs($a / $g * $b);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Lcm =
+    copy(left = newLeft, right = newRight)
+}
+
+object NumericFunctions {
+  def gcd(a: Column, b: Column): Column =
+    Bridge.column(Gcd(Bridge.expression(a), Bridge.expression(b)))
+  def lcm(a: Column, b: Column): Column =
+    Bridge.column(Lcm(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -2724,23 +2724,48 @@ object Dialect {
              |  epoch_ms(to_timestamp(o_orderkey)) AS tt
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // Batch 7: gcd/lcm — Spark has no builtin, so these are the codegen'd
+    // Catalyst Euclid expressions (functions/NumericExpressions.scala).
+    // Pins sign handling (non-negative results for negative inputs) and
+    // the zero identities gcd(x,0)=|x|, lcm(x,0)=0.
+    "q_dialect_funcs7" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "gcd(o_orderkey, o_custkey) AS g, " +
+          "lcm(o_orderkey % 12, 18) AS l, " +
+          "gcd(0 - (o_orderkey % 30), 24) AS gn, " +
+          "gcd(o_orderkey, 0) AS gz, " +
+          "lcm(o_orderkey % 7, 0) AS lz " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  gcd(o_orderkey, o_custkey) AS g,
+             |  lcm(o_orderkey % 12, 18) AS l,
+             |  gcd(0 - (o_orderkey % 30), 24) AS gn,
+             |  gcd(o_orderkey, 0) AS gz,
+             |  lcm(o_orderkey % 7, 0) AS lz
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // Lambda list functions: list_transform / list_filter / list_reduce
     // with `x -> expr` bodies — Spark's codegen'd higher-order functions
     // (transform/filter/aggregate), never a UDF. The reduce folds
     // left-to-right on both engines with the cast-to-double inside the
     // transform, so the accumulation is IEEE-identical; the lambda
     // captures the enclosing row's n_chars (a correlated lambda body).
+    // (array output serialized with array_to_string for the same
+    // pandas-harness reason as q_dialect_array_agg above; the lambda
+    // machinery itself still produces the array, the serialization is a
+    // final scalar step on both engines.)
     "q_dialect_lambda" -> QueryDef(
       (s, d) => run(db(s, d, "documents"),
         "SELECT doc_id, " +
           "len(list_filter(string_split(text, ' '), w -> length(w) > 6)) AS long_words, " +
-          "list_transform(list_sort([n_chars % 7, n_chars % 5, n_chars % 3]), " +
-          "m -> m * 10 + n_chars % 2) AS mods " +
+          "array_to_string(list_transform(list_sort([n_chars % 7, n_chars % 5, n_chars % 3]), " +
+          "m -> m * 10 + n_chars % 2), ',') AS mods " +
           "FROM documents WHERE doc_id < 400 ORDER BY doc_id"),
       Some("""SELECT doc_id,
              |  cast(len(list_filter(string_split(text, ' '), w -> length(w) > 6)) AS int) AS long_words,
-             |  list_transform(list_sort([n_chars % 7, n_chars % 5, n_chars % 3]),
-             |    m -> m * 10 + n_chars % 2) AS mods
+             |  array_to_string(list_transform(list_sort([n_chars % 7, n_chars % 5, n_chars % 3]),
+             |    m -> m * 10 + n_chars % 2), ',') AS mods
              |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)),
 
     // list_reduce over the embedding vectors: sum of cubes via a
@@ -2772,15 +2797,21 @@ object Dialect {
 
     // array_agg with intra-group ORDER BY (required by the engine — an
     // unordered distributed collect is nondeterministic): one collect +
-    // one sort per group
+    // one sort per group. The gate projection serializes the array with
+    // array_to_string because the driver's pandas-based oracle harness
+    // cannot sort/hash array-typed result cells (CORRECTNESS_r07: both
+    // array-output queries crashed its sort_values with "unhashable
+    // type: numpy.ndarray"); the serialization is applied identically on
+    // both engines so the comparison stays exact, and DialectSpec pins
+    // the raw array-typed output separately.
     "q_dialect_array_agg" -> QueryDef(
       (s, d) => run(db(s, d, "customer"),
         "SELECT c_nationkey, " +
-          "array_agg(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC) AS top " +
+          "array_to_string(array_agg(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC), ',') AS top " +
           "FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey " +
           "ORDER BY c_nationkey"),
       Some("""SELECT c_nationkey,
-             |  array_agg(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC) AS top
+             |  array_to_string(array_agg(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC), ',') AS top
              |FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey
              |ORDER BY c_nationkey""".stripMargin)),
 

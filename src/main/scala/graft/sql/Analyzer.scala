@@ -1016,7 +1016,7 @@ object Analyzer {
            "starts_with" | "ends_with" | "contains" |
            "regexp_matches"      => SqlType.SqlBool
       case "printf" | "strftime" => SqlType.SqlVarChar(65535)
-      case "factorial"           => SqlType.SqlBigInt
+      case "factorial" | "gcd" | "lcm" => SqlType.SqlBigInt
       case "bit_count"           => SqlType.SqlInt
       case "strptime" | "to_timestamp" => SqlType.SqlTimestamp
       case "list_min" | "list_max" | "list_sum" |
@@ -2393,7 +2393,7 @@ object Analyzer {
           case "pi"                  => args.isEmpty
           case "log"                 => args.length == 1 || args.length == 2
           case "atan2" | "starts_with" | "ends_with" | "contains" |
-               "regexp_matches"      => args.length == 2
+               "regexp_matches" | "gcd" | "lcm" => args.length == 2
           case "printf"              => args.nonEmpty &&
             args.head.isInstanceOf[Operand.Literal]
           case "strftime" | "strptime" => args.length == 2

@@ -2276,6 +2276,10 @@ object Lowering {
       aggregate(slice(c, lit(2), greatest(size(c) - 1, lit(0))),
         try_element_at(c, lit(1)), (acc, x) => acc + x)
     case ("bit_count", Seq(a)) => bit_count(rec(a))
+    case ("gcd", Seq(a, b)) =>
+      graft.functions.NumericFunctions.gcd(rec(a).cast("long"), rec(b).cast("long"))
+    case ("lcm", Seq(a, b)) =>
+      graft.functions.NumericFunctions.lcm(rec(a).cast("long"), rec(b).cast("long"))
     case ("floor", Seq(a))    => floor(rec(a))
     case ("ceil", Seq(a))     => ceil(rec(a))
     case ("sqrt", Seq(a))     => sqrt(rec(a))

@@ -165,7 +165,8 @@ object Parser {
     "isnan", "isfinite", "isinf", "bit_count",
     "starts_with", "ends_with", "contains", "printf", "strftime",
     "strptime", "regexp_matches", "to_timestamp",
-    "list_min", "list_max", "list_sum", "array_min", "array_max")
+    "list_min", "list_max", "list_sum", "array_min", "array_max",
+    "gcd", "lcm")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
