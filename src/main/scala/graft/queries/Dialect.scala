@@ -2976,6 +2976,48 @@ object Dialect {
              |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS cg
              |  FROM orders WHERE o_orderkey < 5000) t ORDER BY o_orderkey""".stripMargin)),
 
+    // min/max frame exclusion — not subtractable like sum/count/avg, so
+    // the lowering decomposes into prefix [lo,-1] / suffix [1,hi]
+    // sub-frame aggregates combined with least/greatest (RANGE frames
+    // analyzer-restricted to an integral order key so the ±1 boundary is
+    // exact); EXCLUDE CURRENT ROW additionally takes the peer group minus
+    // self via the same row-position split within the peer window. All
+    // five columns ride the one partition-key shuffle.
+    "q_dialect_win_exclude_minmax" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "min(o_orderkey) OVER (PARTITION BY o_custkey " +
+          "ORDER BY year(o_orderdate) RANGE BETWEEN UNBOUNDED PRECEDING " +
+          "AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS mn_c, " +
+          "min(o_orderkey) OVER (PARTITION BY o_custkey " +
+          "ORDER BY year(o_orderdate) RANGE BETWEEN UNBOUNDED PRECEDING " +
+          "AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS mn_g, " +
+          "max(o_orderkey) OVER (PARTITION BY o_custkey " +
+          "ORDER BY year(o_orderdate) RANGE BETWEEN UNBOUNDED PRECEDING " +
+          "AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS mx_t, " +
+          "min(o_orderkey) OVER (PARTITION BY o_custkey " +
+          "ORDER BY year(o_orderdate) RANGE BETWEEN 1 PRECEDING " +
+          "AND 1 FOLLOWING EXCLUDE GROUP) AS mn_b, " +
+          "max(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+          "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS mx_r " +
+          "FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  min(o_orderkey) OVER (PARTITION BY o_custkey
+             |    ORDER BY year(o_orderdate) RANGE BETWEEN UNBOUNDED PRECEDING
+             |    AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS mn_c,
+             |  min(o_orderkey) OVER (PARTITION BY o_custkey
+             |    ORDER BY year(o_orderdate) RANGE BETWEEN UNBOUNDED PRECEDING
+             |    AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS mn_g,
+             |  max(o_orderkey) OVER (PARTITION BY o_custkey
+             |    ORDER BY year(o_orderdate) RANGE BETWEEN UNBOUNDED PRECEDING
+             |    AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS mx_t,
+             |  min(o_orderkey) OVER (PARTITION BY o_custkey
+             |    ORDER BY year(o_orderdate) RANGE BETWEEN 1 PRECEDING
+             |    AND 1 FOLLOWING EXCLUDE GROUP) AS mn_b,
+             |  max(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS mx_r
+             |FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin)),
+
     "q_dialect_win_exclude" -> QueryDef(
       (s, d) => run(db(s, d, "orders"),
         "SELECT o_orderkey, round(pa) / 100 AS peer_avg, n_peers, " +

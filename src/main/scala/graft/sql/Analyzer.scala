@@ -2845,15 +2845,32 @@ object Analyzer {
           // boundary) and an ORDER BY (peers are order-key equals)
           _ <-
             if (frame.exists(_.exclude != "none") &&
-                !Set("sum", "count", "avg")(f))
+                !Set("sum", "count", "avg", "min", "max")(f))
               Left(BadFunction(
-                s"EXCLUDE supports sum/count/avg (got $f)"))
+                s"EXCLUDE supports sum/count/avg/min/max (got $f)"))
             else if (frame.exists(fr =>
                 (fr.exclude == "group" || fr.exclude == "ties") &&
                   (!fr.range || ord.isEmpty)))
               Left(BadFunction(
                 "EXCLUDE GROUP/TIES requires a RANGE frame with ORDER BY " +
                   "(peers can straddle a ROWS boundary)"))
+            // min/max don't subtract — they decompose into prefix/suffix
+            // sub-frames (least/greatest of min over [lo,-1] and [1,hi]).
+            // On a RANGE frame that ±1 boundary split is exact only when
+            // the order key is integral (a DOUBLE key would silently
+            // drop values in (v-1, v)), so non-integer keys reject loudly.
+            else if (Set("min", "max")(f) &&
+                frame.exists(fr => fr.exclude != "none" && fr.range) &&
+                !(ord.length == 1 && (bord.headOption.map(b =>
+                  operandType(b._1)) match {
+                  case Some(SqlType.SqlInt | SqlType.SqlBigInt |
+                            SqlType.SqlSmallInt) => true
+                  case _ => false
+                })))
+              Left(BadFunction(
+                s"$f EXCLUDE over a RANGE frame requires a single " +
+                  "integer-typed ORDER BY key (the prefix/suffix frame " +
+                  "split is exact only on integral values)"))
             else Right(())
         } yield BoundItem.BIWin(f,
           if (ignoreNulls)

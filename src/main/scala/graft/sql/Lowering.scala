@@ -786,6 +786,47 @@ object Lowering {
           val cnt = count(c).over(w) - cntSub(Some(c))
           when(cnt === 0, lit(null))
             .otherwise((sum(c).over(w) - sumSub(c)) / cnt)
+        // min/max are not subtractable — decompose the frame into the
+        // prefix sub-frame [lo, -1] and suffix sub-frame [1, hi] (exact
+        // for ROWS frames by row position; for RANGE frames the analyzer
+        // restricts to an integral order key so the ±1 value boundary is
+        // exact). EXCLUDE GROUP = least/greatest of the two; TIES adds
+        // the current row's value back; CURRENT ROW additionally needs
+        // the peer group minus the row itself, which is the same
+        // row-position split applied WITHIN the peer group (ordered by
+        // the value — any total order covers all-but-self). All windows
+        // share the partition-key shuffle.
+        case ("min" | "max", Seq(x)) =>
+          val c = opLower(x)
+          val isMin = f == "min"
+          def agg(cc: Column): Column = if (isMin) min(cc) else max(cc)
+          def comb(cs: Seq[Column]): Column = cs match {
+            case Seq()  => when(c.isNull && c.isNotNull, c) // typed NULL
+            case Seq(a) => a
+            case many   => if (isMin) least(many: _*) else greatest(many: _*)
+          }
+          val fr = frame.get
+          def subFrame(loB: Long, hiB: Long): Option[Column] =
+            if (loB > hiB) None
+            else Some(agg(c).over(
+              if (fr.range) w1.rangeBetween(loB, hiB)
+              else w1.rowsBetween(loB, hiB)))
+          val prefix = subFrame(fr.lo, -1L)
+          val suffix = subFrame(1L, fr.hi)
+          lazy val pw2 = org.apache.spark.sql.expressions.Window
+            .partitionBy(parts.map(colOf) ++ ord.map(o => opLower(o._1)): _*)
+            .orderBy(c)
+          lazy val peersExclSelf = comb(Seq(
+            agg(c).over(pw2.rowsBetween(Long.MinValue, -1L)),
+            agg(c).over(pw2.rowsBetween(1L, Long.MaxValue))))
+          exclMode match {
+            case "current" if fr.range =>
+              comb(prefix.toSeq ++ suffix.toSeq :+ peersExclSelf)
+            case "current" => comb(prefix.toSeq ++ suffix.toSeq)
+            case "group"   => comb(prefix.toSeq ++ suffix.toSeq)
+            case _ /* ties */ =>
+              comb(prefix.toSeq ++ suffix.toSeq :+ c)
+          }
         case other => sys.error(s"unreachable frame exclusion over $other")
       }
     }

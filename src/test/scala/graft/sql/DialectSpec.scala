@@ -2172,11 +2172,38 @@ class DialectSpec extends AnyFunSuite {
       "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW " +
       "EXCLUDE GROUP) AS c FROM w ORDER BY g, k, v") ==
       Seq(Some(0L), Some(0L), Some(2L), Some(3L), Some(0L)))
-    // rejections: ROWS frames (peers can straddle the boundary), min/max
+    // rejection: ROWS + GROUP (peers can straddle the boundary)
     assert(db.select("SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN " +
       "1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS s FROM w").isLeft)
-    assert(db.select("SELECT max(v) OVER (ORDER BY k RANGE BETWEEN " +
-      "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS s " +
+    // min/max exclusion — prefix/suffix sub-frame decomposition
+    def valsN(sql: String): Seq[Option[Long]] =
+      db.select(sql).toOption.getOrElse(fail(s"rejected: $sql"))
+        .collect().map(r => Option(r.get(3))
+          .map(_.asInstanceOf[Number].longValue)).toSeq
+    assert(valsN("SELECT g, k, v, min(v) OVER (PARTITION BY g ORDER BY k " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING " +
+      "EXCLUDE CURRENT ROW) AS m FROM w ORDER BY g, k, v") ==
+      Seq(Some(20L), Some(10L), Some(10L), Some(10L), None))
+    assert(valsN("SELECT g, k, v, max(v) OVER (PARTITION BY g ORDER BY k " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING " +
+      "EXCLUDE GROUP) AS m FROM w ORDER BY g, k, v") ==
+      Seq(Some(40L), Some(40L), Some(40L), Some(30L), None))
+    assert(valsN("SELECT g, k, v, min(v) OVER (PARTITION BY g ORDER BY k " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING " +
+      "EXCLUDE TIES) AS m FROM w ORDER BY g, k, v") ==
+      Seq(Some(10L), Some(20L), Some(10L), Some(10L), Some(50L)))
+    assert(valsN("SELECT g, k, v, min(v) OVER (PARTITION BY g ORDER BY k " +
+      "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+      "EXCLUDE GROUP) AS m FROM w ORDER BY g, k, v") ==
+      Seq(Some(30L), Some(30L), Some(10L), Some(30L), None))
+    assert(valsN("SELECT g, k, v, min(v) OVER (PARTITION BY g ORDER BY k, v " +
+      "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+      "EXCLUDE CURRENT ROW) AS m FROM w ORDER BY g, k, v") ==
+      Seq(Some(20L), Some(10L), Some(20L), Some(30L), None))
+    // RANGE min/max exclusion needs an integral order key — the ±1
+    // prefix/suffix boundary would silently drop (v-1, v) on a DOUBLE
+    assert(db.select("SELECT min(v) OVER (ORDER BY v * 1.5 RANGE BETWEEN " +
+      "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS m " +
       "FROM w").isLeft)
   }
 
