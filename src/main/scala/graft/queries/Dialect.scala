@@ -1833,6 +1833,48 @@ object Dialect {
              |  (SELECT count(*) FROM orders) / 1000 THEN TRUE ELSE FALSE END END
              |ORDER BY o_custkey""".stripMargin)),
 
+    // Row-value IN in HAVING: the post-aggregation marker machinery over
+    // (group key, aggregate) probes — correlated body keyed on the GROUP
+    // BY column, per-key frames grouped on the decorrelated keys, 1:1
+    // left joins. Oracled via a derived-table EXISTS reformulation
+    // (DuckDB's binder rejects row-IN).
+    "q_dialect_row_in_having" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer"),
+        "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey " +
+          "HAVING (o_custkey, count(*) % 5) IN " +
+          "(SELECT c_custkey, 2 AS b FROM customer " +
+          "WHERE c_custkey = o_custkey AND c_acctbal > 0) " +
+          "ORDER BY o_custkey"),
+      Some("""SELECT o_custkey, n FROM (
+             |  SELECT o_custkey, cast(count(*) AS bigint) AS n
+             |  FROM orders GROUP BY o_custkey) t
+             |WHERE EXISTS (SELECT 1 FROM customer
+             |  WHERE c_custkey = t.o_custkey AND c_acctbal > 0
+             |    AND t.n % 5 = 2)
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // Subqueries in the projection CASE of an AGGREGATED query: the
+    // post-aggregation MarkerScope keyed on GROUP BY output columns —
+    // an uncorrelated IN marker and a correlated (on the group key)
+    // EXISTS marker, with aggregate probes in the branches.
+    "q_dialect_agg_case_sub" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer"),
+        "SELECT o_custkey, " +
+          "CASE WHEN o_custkey IN (SELECT c_custkey FROM customer " +
+          "WHERE c_acctbal > 9000) THEN count(*) ELSE 0 - count(*) END AS n, " +
+          "CASE WHEN EXISTS (SELECT 1 AS x FROM customer " +
+          "WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING') " +
+          "THEN max(o_totalprice) ELSE 0 END AS mx " +
+          "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+      Some("""SELECT o_custkey,
+             |  CASE WHEN o_custkey IN (SELECT c_custkey FROM customer
+             |    WHERE c_acctbal > 9000) THEN cast(count(*) AS bigint)
+             |    ELSE cast(0 - count(*) AS bigint) END AS n,
+             |  CASE WHEN EXISTS (SELECT 1 FROM customer
+             |    WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+             |    THEN max(o_totalprice) ELSE 0 END AS mx
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     // DELETE … RETURNING *: the removed rows' pre-image comes back as
     // the statement's result, materialized BEFORE the rewrite. CREATE
     // OR REPLACE keeps the gate idempotent across bench repetitions.

@@ -2609,15 +2609,10 @@ object Analyzer {
                 s"row-value IN subquery must project ${os.length} columns, " +
                   s"got ${bsub0.projection.length}"))
             dp <- decorrelate(bsub0, exprKeys = havingGkExprKeys)
-            // HAVING resolves post-aggregation — row-IN correlation keys
-            // would need to be GROUP BY keys, which the key validation
-            // does not cover for row-IN; aggregated projections are
-            // caught by the aggregate-scope projection guard
-            _ <-
-              if (havingMarkerOk && dp._2.nonEmpty) Left(BadSubquery(
-                "a CORRELATED row-value IN (SELECT …) is not supported " +
-                  "in HAVING"))
-              else Right(())
+            // HAVING resolves post-aggregation: row-IN correlation keys
+            // must be GROUP BY keys — validated with the other HAVING
+            // subquery kinds by the decorrelation-key walk (BRowInSub
+            // case); the markers then join on the grouped output columns
             _ <-
               if (!neg && topLevel && !allowAgg) Right(())
               else if (os.length > 3) Left(BadSubquery(
@@ -3055,40 +3050,12 @@ object Analyzer {
         else if (proj.exists(_.isInstanceOf[BoundItem.BISub]))
           Left(BadSubquery(
             "scalar subquery items over an aggregated query are not supported"))
-        else if ({
-          // scalar-subquery VALUE operands are fine in aggregate scope
-          // (they broadcast-join the aggregated frame); predicate-form
-          // subqueries inside CASE conditions are not (no marker frames
-          // join aggregate-scope projections)
-          def exprNonVal(e: BoundExpr): Boolean = e match {
-            case BoundExpr.BAnd(l, r) => exprNonVal(l) || exprNonVal(r)
-            case BoundExpr.BOr(l, r)  => exprNonVal(l) || exprNonVal(r)
-            case BoundExpr.BNot(x)    => exprNonVal(x)
-            case _: BoundExpr.BInSub | _: BoundExpr.BExists |
-                 _: BoundExpr.BCmpSub | _: BoundExpr.BQuantSub |
-                 _: BoundExpr.BRowInSub => true
-            case other => BoundOperand.exprOperands(other).exists(nonValSub)
-          }
-          def nonValSub(op: BoundOperand): Boolean = op match {
-            case _: BoundOperand.BSubVal => false
-            case BoundOperand.BCase(bs, els) =>
-              bs.exists { case (c, v) => exprNonVal(c) || nonValSub(v) } ||
-                els.exists(nonValSub)
-            case BoundOperand.BArith(_, l, r) => nonValSub(l) || nonValSub(r)
-            case BoundOperand.BFunc(_, as)    => as.exists(nonValSub)
-            case BoundOperand.BCast(x, _)     => nonValSub(x)
-            case BoundOperand.BAgg(_, a, _)   => a.exists(nonValSub)
-            case BoundOperand.BOrderedAgg(_, a, _, ks) =>
-              nonValSub(a) || ks.exists(k => nonValSub(k._1))
-            case _ => false
-          }
-          proj.exists {
-            case BoundItem.BIExpr(op, _) => nonValSub(op)
-            case _                       => false
-          }
-        })
-          Left(BadSubquery(
-            "subqueries inside CASE are not supported in aggregate scope"))
+        // predicate-form subqueries inside computed projections (CASE
+        // conditions) of an aggregated query lower through the
+        // post-aggregation MarkerScope keyed on GROUP BY output columns;
+        // their probe columns and decorrelation keys flow through
+        // operandCols/exprCols below, so the grouped-columns check
+        // enforces that every outer reference is a GROUP BY key
         else {
           def grouped(c: BoundCol) = groupCols.exists(g =>
             g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))
@@ -3277,6 +3244,7 @@ object Analyzer {
             case BoundExpr.BNot(y)    => walk(y)
             case BoundExpr.BCmpSub(_, o, _, _, ps) => walkOp(o) ++ ps.map(_._1)
             case BoundExpr.BInSub(o, _, ps, _)     => walkOp(o) ++ ps.map(_._1)
+            case BoundExpr.BRowInSub(os, _, ps, _) => os.flatMap(walkOp) ++ ps.map(_._1)
             case BoundExpr.BExists(_, ps, _, _)    => ps.map(_._1)
             case BoundExpr.BQuantSub(_, o, _, _, ps) => walkOp(o) ++ ps.map(_._1)
             // subqueries nested in CASE conditions/values (the HAVING

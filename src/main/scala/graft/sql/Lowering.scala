@@ -398,10 +398,29 @@ object Lowering {
       // evaluates over them (and grouped names) at the final projection
       // a computed item whose alias IS a group key projects the grouped
       // column (recomputing would reference pre-aggregation inputs)
+      //
+      // predicate-form subqueries inside the expression (CASE WHEN k IN
+      // (SELECT …) THEN count(*) …) get their own post-aggregation
+      // MarkerScope keyed on the GROUP BY output columns — registered
+      // NOW so probe aggregates become hidden agg columns, frames
+      // left-joined after the HAVING machinery, markers dying at the
+      // final explicit projection (analyzer guarantees every outer
+      // reference is a GROUP BY key)
+      val projMarkers: Map[Int, MarkerScope] =
+        q.projection.zipWithIndex.collect {
+          case (BoundItem.BIExpr(op, a), i)
+              if !groupExprAliases(a.toLowerCase) &&
+                BoundOperand.operandHasSub(op) =>
+            val ms = new MarkerScope(spark, source, s"px$i",
+              bc => col(groupOut(bc)), havingOperand)
+            ms.registerOp(op)
+            i -> ms
+        }.toMap
       val exprCols: Map[Int, Column] = q.projection.zipWithIndex.collect {
         case (BoundItem.BIExpr(op, a), i) =>
           i -> (if (groupExprAliases(a.toLowerCase)) col(a).as(a)
-                else havingOperand(op).as(a))
+                else projMarkers.get(i).map(_.operand(op).as(a))
+                  .getOrElse(havingOperand(op).as(a)))
       }.toMap
       // ORDER BY keys in aggregate scope lower NOW so their aggregate
       // calls register hidden columns before the agg() assembles: output
@@ -643,9 +662,16 @@ object Lowering {
           joins.foldLeft(acc) { case (df, (f, on)) => df.join(f, on, "left_outer") }
             .filter(pred).drop(drops: _*)
       }
+      // projection marker frames left-join the aggregated (and HAVING-
+      // filtered) frame — 1:1 by construction, marker columns die at the
+      // final explicit projection
+      val groupedPm = projMarkers.values.foldLeft(groupedM) { (acc, ms) =>
+        ms.joins.foldLeft(acc) { case (df, (f, on)) =>
+          df.join(f, on, "left_outer") }
+      }
       // scalar-subquery operand frames join the aggregated result (their
       // columns die at the final explicit projection)
-      val grouped = subValJoins.foldLeft(groupedM)(
+      val grouped = subValJoins.foldLeft(groupedPm)(
         (df, f) => df.join(f, lit(true), "left_outer"))
       // window columns compute over the aggregated (and HAVING-filtered)
       // frame, BEFORE the final ORDER BY — the window's own exchange

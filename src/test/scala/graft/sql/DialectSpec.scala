@@ -2140,9 +2140,55 @@ class DialectSpec extends AnyFunSuite {
     assert(db.select("SELECT g, sum(v) AS s FROM h GROUP BY g " +
       "HAVING CASE WHEN EXISTS (SELECT 1 AS x FROM h h2 " +
       "WHERE h2.v = h.v) THEN TRUE ELSE FALSE END").isLeft)
-    // projection CASE of an aggregated query has no marker path
-    assert(db.select("SELECT g, CASE WHEN g IN (SELECT g FROM h WHERE v > 50) " +
-      "THEN count(*) ELSE 0 END AS c FROM h GROUP BY g").isLeft)
+    // projection CASE of an aggregated query: post-aggregation marker
+    // frames keyed on the GROUP BY output columns
+    val pc = db.select("SELECT g, CASE WHEN g IN (SELECT g FROM h WHERE v > 50) " +
+      "THEN count(*) ELSE 0 END AS c FROM h GROUP BY g ORDER BY g").toOption.get
+    assert(pc.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 0L), (2, 0L), (3, 1L)))
+    // correlated (on the group key) EXISTS in a projection CASE, with an
+    // aggregate probe in the sibling branch
+    val pe = db.select("SELECT g, CASE WHEN EXISTS (SELECT 1 AS x FROM h h2 " +
+      "WHERE h2.g = h.g AND h2.v < 8) THEN sum(v) ELSE 0 - sum(v) END AS s " +
+      "FROM h GROUP BY g ORDER BY g").toOption.get
+    assert(pe.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, -30L), (2, 11L), (3, -100L)))
+    // projection CASE correlation on a NON-group-key rejects
+    assert(db.select("SELECT g, CASE WHEN EXISTS (SELECT 1 AS x FROM h h2 " +
+      "WHERE h2.v = h.v) THEN count(*) ELSE 0 END AS c " +
+      "FROM h GROUP BY g").isLeft)
+  }
+
+  test("row-value IN inside HAVING via the post-aggregation markers") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Left(e) => fail(s"$sql -> ${e.msg}")
+      case Right(_) => ()
+    }
+    run("CREATE TABLE hr (g INT, v INT)")
+    run("INSERT INTO hr VALUES (1, 10), (1, 20), (2, 5), (2, 6), (3, 100)")
+    // uncorrelated: probe pairs a group key with an aggregate
+    val un = db.select("SELECT g, count(*) AS n FROM hr GROUP BY g " +
+      "HAVING (g, count(*)) IN (SELECT 1 AS a, 2 AS b) ORDER BY g")
+      .toOption.get
+    assert(un.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 2L)))
+    // correlated on the group key: per-key set = {(g, 2)}
+    val co = db.select("SELECT g, count(*) AS n FROM hr GROUP BY g " +
+      "HAVING (g, count(*)) IN (SELECT h2.g, 2 AS b FROM hr h2 " +
+      "WHERE h2.g = hr.g) ORDER BY g").toOption.get
+    assert(co.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 2L), (2, 2L)))
+    // NOT-form stays three-valued post-aggregation
+    val ni = db.select("SELECT g, count(*) AS n FROM hr GROUP BY g " +
+      "HAVING (g, count(*)) NOT IN (SELECT 1 AS a, 2 AS b) ORDER BY g")
+      .toOption.get
+    assert(ni.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((2, 2L), (3, 1L)))
+    // correlation on a non-group-key rejects
+    assert(db.select("SELECT g, count(*) AS n FROM hr GROUP BY g " +
+      "HAVING (g, count(*)) IN (SELECT h2.g, 2 AS b FROM hr h2 " +
+      "WHERE h2.v = hr.v)").isLeft)
   }
 
   test("window frame EXCLUDE GROUP / TIES over RANGE frames") {
