@@ -1833,6 +1833,30 @@ object Dialect {
              |  (SELECT count(*) FROM orders) / 1000 THEN TRUE ELSE FALSE END END
              |ORDER BY o_custkey""".stripMargin)),
 
+    // Inequality-correlated scalar subqueries (running-total bodies):
+    // lowered as a union-merge running window aggregate — one sort
+    // shuffle over distinct outer tuples + inner rows, no per-outer-row
+    // re-execution and no candidate fan-out. Oracled against DuckDB's
+    // native unnesting of the same correlated subqueries.
+    "q_dialect_corr_ineq" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "(SELECT count(*) AS c FROM orders o2 " +
+          "WHERE o2.o_custkey = o.o_custkey " +
+          "AND o2.o_orderkey < o.o_orderkey) AS prior_n, " +
+          "(SELECT CAST(sum(round(o2.o_totalprice * 100)) AS BIGINT) AS s " +
+          "FROM orders o2 WHERE o2.o_custkey = o.o_custkey " +
+          "AND o2.o_orderkey <= o.o_orderkey) AS run_cents " +
+          "FROM orders o WHERE o_orderkey < 5000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  (SELECT cast(count(*) AS bigint) FROM orders o2
+             |    WHERE o2.o_custkey = o.o_custkey
+             |      AND o2.o_orderkey < o.o_orderkey) AS prior_n,
+             |  (SELECT CAST(sum(round(o2.o_totalprice * 100)) AS BIGINT)
+             |    FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+             |      AND o2.o_orderkey <= o.o_orderkey) AS run_cents
+             |FROM orders o WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin)),
+
     // Row-value IN in HAVING: the post-aggregation marker machinery over
     // (group key, aggregate) probes — correlated body keyed on the GROUP
     // BY column, per-key frames grouped on the decorrelated keys, 1:1

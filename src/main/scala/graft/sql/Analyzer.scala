@@ -204,6 +204,16 @@ object Analyzer {
       case BoundExpr.BQuantSub(_, o, _, _, _) => Seq(o)
     }
   }
+  /** One correlated NON-equality conjunct of a scalar-aggregate subquery
+    * (running-total bodies: … WHERE o2.k = o.k AND o2.t <= o.t),
+    * normalized so the comparison reads `innerOp op outerOp`. Lowered as
+    * a union-merge running window aggregate — never a per-outer-row
+    * re-execution (the reference's own unnesting ambition,
+    * execution/plan.rs:41-46).
+    */
+  final case class CorrIneq(op: CmpOp, outerOp: BoundOperand,
+      innerOp: BoundOperand)
+
   sealed trait BoundExpr
   object BoundExpr {
     final case class BAnd(l: BoundExpr, r: BoundExpr) extends BoundExpr
@@ -298,7 +308,8 @@ object Analyzer {
       * `guard` = the one-row contract needs a runtime probe.
       */
     final case class BISub(sub: BoundSelect, alias: String,
-        guard: Boolean, pairs: Seq[(BoundCol, BoundCol)]) extends BoundItem
+        guard: Boolean, pairs: Seq[(BoundCol, BoundCol)],
+        ineq: Option[CorrIneq] = None) extends BoundItem
     /** Window item: ranking function, lag/lead, or windowed aggregate
       * over a partition/order spec, named by its mandatory alias.
       * Row-level — does NOT make the query aggregate-scoped.
@@ -590,7 +601,8 @@ object Analyzer {
         // a scalar item's own correlation keys: if any points past THIS
         // subquery's scope, the outer-col check below rejects (depth-2
         // correlation through a projection item is not decorrelated)
-        case BoundItem.BISub(_, _, _, ipairs) => ipairs.map(_._1)
+        case BoundItem.BISub(_, _, _, ipairs, iqo) => ipairs.map(_._1) ++
+          iqo.toSeq.flatMap(x => operandColsDeep(x.outerOp))
       } ++ sub.groupBy.flatMap {
         case BoundGroupKey.GKCol(c)      => Seq(c)
         case BoundGroupKey.GKExpr(op, _) => operandColsDeep(op)
@@ -857,7 +869,8 @@ object Analyzer {
         case BoundItem.BIWin(_, args, parts, ord, _, _) =>
           args.flatMap(operandColsDeep) ++ parts ++
             ord.flatMap(o => operandColsDeep(o._1))
-        case BoundItem.BISub(_, _, _, ipairs) => ipairs.map(_._1)
+        case BoundItem.BISub(_, _, _, ipairs, iqo) => ipairs.map(_._1) ++
+          iqo.toSeq.flatMap(x => operandColsDeep(x.outerOp))
       } ++ sub.groupBy.flatMap {
         case BoundGroupKey.GKCol(c)      => Seq(c)
         case BoundGroupKey.GKExpr(op, _) => operandColsDeep(op)
@@ -1091,7 +1104,7 @@ object Analyzer {
           Left(BadSubquery(s"derived-table column $f(…) needs an AS name"))
         case BoundItem.BIWin(f, args, _, _, a, _) =>
           Right((a, winItemType(f, args)))
-        case BoundItem.BISub(sub, a, _, _) => Right((a, scalarOutputType(sub)))
+        case BoundItem.BISub(sub, a, _, _, _) => Right((a, scalarOutputType(sub)))
       }
       named match {
         case Left(e) => return Left(e)
@@ -1117,7 +1130,7 @@ object Analyzer {
       case "lag" | "lead" | "first_value" | "last_value" | "nth_value" => operandType(args.head)
       case other => aggType(other, args.headOption)
     }
-    case BoundItem.BISub(inner, _, _, _) => scalarOutputType(inner)
+    case BoundItem.BISub(inner, _, _, _, _) => scalarOutputType(inner)
   }
 
   /** Every subquery in an operand tree, CASE conditions included — a
@@ -1157,7 +1170,7 @@ object Analyzer {
   private[sql] def exprSubqueriesOf(s: BoundSelect): Seq[BoundSelect] =
     (s.predicate.toSeq ++ s.having.toSeq).flatMap(exprSubsOf) ++
       s.projection.flatMap {
-        case BoundItem.BISub(sub, _, _, _) => Seq(sub)
+        case BoundItem.BISub(sub, _, _, _, _) => Seq(sub)
         case BoundItem.BIExpr(op, _)       => opSubsOf(op)
         case _                             => Nil
       }
@@ -1208,7 +1221,7 @@ object Analyzer {
       // INSERT INTO t SELECT * FROM (SELECT * FROM t) d misses the
       // self-reference and skips the pre-append materialization
       val projSubs = s.projection.flatMap {
-        case BoundItem.BISub(sub, _, _, _) => Seq(sub)
+        case BoundItem.BISub(sub, _, _, _, _) => Seq(sub)
         case BoundItem.BIExpr(op, _)       => opSubsOf(op)
         case _                             => Nil
       }
@@ -2883,10 +2896,52 @@ object Analyzer {
             if (bsub0.projection.length == 1) Right(())
             else Left(BadSubquery(
               s"scalar subquery must project exactly one column, got ${bsub0.projection.length}"))
-          dp <- decorrelate(bsub0, allowAggregate = true)
-          (bsub, pairs, _) = dp
+          dp <- decorrelate(bsub0, allowAggregate = true, allowResidual = true)
+          (bsub, pairs, residual) = dp
+          // one correlated NON-equality conjunct (inner_expr REL
+          // outer_expr) normalizes into the running-aggregate lowering;
+          // anything beyond that rejects loudly
+          ineqOpt <- residual match {
+            case Seq() => Right(None)
+            case Seq(BoundExpr.BCmp(op, l, r)) =>
+              val innerB = (bsub.tables ++ bsub.joinSteps.map(_.table))
+                .map(_.binding).toSet
+              // Some(true) = all column refs inner; Some(false) = all outer
+              def sideOf(o: BoundOperand): Option[Boolean] = {
+                val cs = operandColsDeep(o)
+                if (cs.isEmpty) None
+                else if (cs.forall(c => innerB(c.binding))) Some(true)
+                else if (cs.forall(c => !innerB(c.binding))) Some(false)
+                else None
+              }
+              def flip(o: CmpOp): CmpOp = o match {
+                case CmpOp.Lt => CmpOp.Gt
+                case CmpOp.Gt => CmpOp.Lt
+                case CmpOp.Le => CmpOp.Ge
+                case CmpOp.Ge => CmpOp.Le
+                case other    => other
+              }
+              val ineqOps: Set[CmpOp] =
+                Set(CmpOp.Lt, CmpOp.Le, CmpOp.Gt, CmpOp.Ge)
+              if (!ineqOps(op)) Left(BadSubquery(
+                "a correlated scalar subquery supports one non-equality " +
+                  "correlation conjunct only as <, <=, > or >="))
+              else (sideOf(l), sideOf(r)) match {
+                case (Some(true), Some(false)) =>
+                  Right(Some(CorrIneq(op, r, l)))
+                case (Some(false), Some(true)) =>
+                  Right(Some(CorrIneq(flip(op), l, r)))
+                case _ => Left(BadSubquery(
+                  "the non-equality correlation of a scalar subquery must " +
+                    "compare an inner-only expression with an outer-only " +
+                    "expression"))
+              }
+            case _ => Left(BadSubquery(
+              "a correlated scalar subquery supports at most ONE " +
+                "non-equality correlation conjunct"))
+          }
           _ <-
-            if (pairs.isEmpty) Right(())
+            if (pairs.isEmpty && ineqOpt.isEmpty) Right(())
             else if (!bsub.isAggregate || bsub.groupBy.nonEmpty)
               Left(BadSubquery(
                 "a correlated scalar subquery must be a group-less aggregate"))
@@ -2905,9 +2960,32 @@ object Analyzer {
               case _ => Left(BadSubquery(
                 "a correlated scalar subquery must project a single aggregate call"))
             }
-          staticOne = pairs.nonEmpty ||
+          // the running-window lowering decomposes the aggregate over a
+          // prefix frame — only the natively windowable, non-distinct
+          // aggregates qualify
+          _ <- ineqOpt match {
+            case None => Right(())
+            case Some(_) =>
+              val nodes: Seq[(String, Boolean)] = bsub.projection.head match {
+                case BoundItem.BIAgg(f, _, _, dist) => Seq((f, dist))
+                case BoundItem.BIExpr(op, _) =>
+                  BoundOperand.aggNodes(op).collect {
+                    case BoundOperand.BAgg(f, _, dist) => (f, dist)
+                  }
+                case _ => Nil
+              }
+              nodes.find { case (f, dist) =>
+                dist || !Set("sum", "count", "avg", "min", "max")(f)
+              } match {
+                case Some((f, _)) => Left(BadSubquery(
+                  "an inequality-correlated scalar subquery supports " +
+                    s"running sum/count/avg/min/max (got $f)"))
+                case None => Right(())
+              }
+          }
+          staticOne = pairs.nonEmpty || ineqOpt.isDefined ||
             (bsub.isAggregate && bsub.groupBy.isEmpty) || bsub.limit.exists(_ <= 1L)
-        } yield BoundItem.BISub(bsub, a, guard = !staticOne, pairs)
+        } yield BoundItem.BISub(bsub, a, guard = !staticOne, pairs, ineqOpt)
     }
 
     for {
@@ -3479,7 +3557,7 @@ object Analyzer {
               "DISTINCT ON requires ORDER BY to lead with the ON expressions"))
           else if (order.exists { case (k, _) => k match {
             case BoundOrderKey.OKOutput(n) => proj.exists {
-              case BoundItem.BISub(_, a, _, _) => a.equalsIgnoreCase(n)
+              case BoundItem.BISub(_, a, _, _, _) => a.equalsIgnoreCase(n)
               case _                           => false
             }
             case _ => false

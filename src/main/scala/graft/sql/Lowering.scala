@@ -57,7 +57,13 @@ object Lowering {
       val subScalars: Map[Int, Column] = Map.empty
       val (base0m, scalarCol) = q.projection.zipWithIndex.foldLeft(
           (filtered0, subScalars)) {
-        case ((df, m), (BoundItem.BISub(sub, _, guard, pairs), i)) =>
+        case ((df, m), (BoundItem.BISub(sub, _, _, pairs, Some(iq)), i)) =>
+          // inequality-correlated scalar aggregate → union-merge running
+          // window (one sort shuffle, no candidate fan-out)
+          val (joined, c) = correlatedRunningAgg(spark, df, sub, pairs, iq,
+            source, s"__ps_$i", qcol)
+          (joined, m + (i -> c))
+        case ((df, m), (BoundItem.BISub(sub, _, guard, pairs, None), i)) =>
           val name = s"__ps_$i"
           if (pairs.isEmpty) {
             val subDf0 = lowerSelect(spark, sub, source)
@@ -160,7 +166,7 @@ object Lowering {
       def projOperand(op: BoundOperand): Column =
         projMs.fold(lowerOperandWith(op, qcol))(_.operand(op))
       def outputCols: Seq[Column] = q.projection.zipWithIndex.map {
-        case (BoundItem.BISub(_, a, _, _), i) => scalarCol(i).as(a)
+        case (BoundItem.BISub(_, a, _, _, _), i) => scalarCol(i).as(a)
         case (BoundItem.BICol(bc, a), _)  => qcol(bc).as(outName(bc, a))
         case (BoundItem.BIExpr(op, a), _) => projOperand(op).as(a)
         case (_: BoundItem.BIAgg, _) =>
@@ -1096,6 +1102,115 @@ object Lowering {
       .map { case ((oc, _), k) => outer(oc) === subAgg(s"$keyPrefix$k") }
       .reduce(_ && _)
     (subAgg, keyCond, scalar)
+  }
+
+  /** Inequality-correlated scalar aggregate (running-total bodies:
+    * `(SELECT sum(x) FROM t2 WHERE t2.k = t.k AND t2.ts <= t.ts)`) —
+    * the union-merge lowering, same single-sort shape as the ASOF path.
+    * The DISTINCT outer (keys, bound) tuples and the inner rows union;
+    * ONE running window aggregate per agg node over (key partition,
+    * bound order, tag tiebreak) computes every per-tuple prefix (or
+    * suffix, for >/>=) aggregate at the tag rows; the one-row-per-tuple
+    * tag frame then left-joins back 1:1 null-safely. No O(matches)
+    * candidate fan-out: wall-clock is one sort shuffle over |distinct
+    * outer tuples| + |inner rows| (the Neumann-style unnesting the
+    * reference cites as its long-term goal, execution/plan.rs:41-46).
+    *
+    * Inclusive bounds (<=, >=) sort equal-valued inner rows BEFORE the
+    * tag; strict bounds after. Inner rows with a NULL key or NULL bound
+    * can never satisfy the correlation and are filtered; outer tuples
+    * with a NULL bound sort first (nulls_first both directions), so
+    * their prefix is empty — sum/avg/min/max read NULL, count reads 0,
+    * exactly the SQL aggregate-over-empty-set semantics.
+    */
+  private def correlatedRunningAgg(spark: SparkSession, df: DataFrame,
+      sub: BoundSelect, pairs: Seq[(BoundCol, BoundCol)],
+      iq: Analyzer.CorrIneq, source: BoundTable => DataFrame,
+      name: String, qcolOuter: BoundCol => Column): (DataFrame, Column) = {
+    def qcolSub(bc: BoundCol): Column = col(s"${bc.binding}.${bc.attr.name}")
+    val core = combine(spark, sub, source, Set.empty, None)
+    val kN = pairs.indices.map(j => s"${name}_k$j")
+    val tN = s"${name}_t"
+    val tagN = s"${name}_tag"
+    val nodes: Seq[(String, Option[BoundOperand])] = sub.projection.head match {
+      case BoundItem.BIAgg(f, arg, _, _) => Seq((f, arg))
+      case BoundItem.BIExpr(op, _) =>
+        Analyzer.BoundOperand.aggNodes(op).distinct.map {
+          case BoundOperand.BAgg(f, arg, _) => (f, arg)
+          case other => sys.error(s"unreachable aggregate node $other")
+        }
+      case _ => sys.error("unreachable: analyzer requires a single aggregate call")
+    }
+    val inner0 = core.select(
+      pairs.zipWithIndex.map { case ((_, ic), j) => qcolSub(ic).as(kN(j)) } ++
+        Seq(lowerOperandWith(iq.innerOp, qcolSub).as(tN)) ++
+        nodes.zipWithIndex.map { case ((_, arg), j) =>
+          // count(*) rides an indicator column (counts rows, not values)
+          arg.map(lowerOperandWith(_, qcolSub)).getOrElse(lit(1L))
+            .as(s"${name}_a$j") }: _*)
+      .filter((kN.map(col) :+ col(tN)).map(_.isNotNull).reduce(_ && _))
+      .withColumn(tagN, lit(false))
+    val tags = df.select(
+      pairs.zipWithIndex.map { case ((oc, _), j) =>
+        qcolOuter(oc).as(kN(j)) } :+
+        lowerOperandWith(iq.outerOp, qcolOuter).as(tN): _*)
+      .distinct()
+      .withColumn(tagN, lit(true))
+    // the tag side has no aggregate-arg columns — unionByName fills them
+    // with typed NULLs, which every running aggregate skips
+    val unioned = inner0.unionByName(tags, allowMissingColumns = true)
+    val asc = iq.op == Ast.CmpOp.Lt || iq.op == Ast.CmpOp.Le
+    val inclusive = iq.op == Ast.CmpOp.Le || iq.op == Ast.CmpOp.Ge
+    val tie = when(col(tagN), lit(if (inclusive) 1 else 0))
+      .otherwise(lit(if (inclusive) 0 else 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(kN.map(col): _*)
+      .orderBy(
+        (if (asc) col(tN).asc_nulls_first else col(tN).desc_nulls_first),
+        tie.asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0L)
+    val resCols = nodes.zipWithIndex.map { case ((f, _), j) =>
+      val a = col(s"${name}_a$j")
+      (f match {
+        case "count" => count(a)
+        case "sum"   => sum(a)
+        case "avg"   => avg(a)
+        case "min"   => min(a)
+        case "max"   => max(a)
+        case other   => sys.error(s"unreachable running aggregate $other")
+      }).over(w).as(s"${name}_r$j")
+    }
+    val ran = unioned.select(col("*") +: resCols: _*)
+      .filter(col(tagN))
+      .select(kN.map(col) ++ Seq(col(tN)) ++
+        nodes.indices.map(j => col(s"${name}_r$j")): _*)
+    val cond = (pairs.zipWithIndex.map { case ((oc, _), j) =>
+      qcolOuter(oc) <=> ran(kN(j)) } :+
+      (lowerOperandWith(iq.outerOp, qcolOuter) <=> ran(tN))).reduce(_ && _)
+    val joined = df.join(ran, cond, "left_outer")
+    val scalar = sub.projection.head match {
+      case BoundItem.BIAgg(_, _, _, _) => ran(s"${name}_r0")
+      case BoundItem.BIExpr(op, _) =>
+        val nodeCol: Map[BoundOperand, Column] =
+          Analyzer.BoundOperand.aggNodes(op).distinct.zipWithIndex.map {
+            case (n2, j) => (n2: BoundOperand) -> ran(s"${name}_r$j")
+          }.toMap
+        def low(o: BoundOperand): Column = nodeCol.getOrElse(o, o match {
+          case BoundOperand.BArith(ch, l, r) => arith(ch, low(l), low(r))
+          case BoundOperand.BFunc(f2, args)  => lowerFunc(f2, args, low)
+          case BoundOperand.BCase(bs, els)   => caseCol(bs, els, low)
+          case BoundOperand.BCast(x, t)      => low(x).cast(t.spark)
+          case BoundOperand.BTryCast(x, t)   => low(x).try_cast(t.spark)
+          case BoundOperand.BLit(l2)         => lowerLit(l2)
+          case BoundOperand.BInterval(n2, u) => intervalCol(n2, u)
+          case other => sys.error(
+            s"unreachable operand in running scalar expression: $other")
+        })
+        low(op)
+      case _ => sys.error("unreachable: analyzer requires a single aggregate call")
+    }
+    (joined, scalar)
   }
 
   /** The relational core of a SELECT: inner-join group (stats-ordered when

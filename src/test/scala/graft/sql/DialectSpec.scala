@@ -2159,6 +2159,42 @@ class DialectSpec extends AnyFunSuite {
       "FROM h GROUP BY g").isLeft)
   }
 
+  test("inequality-correlated scalar subqueries: running-aggregate lowering") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Left(e) => fail(s"$sql -> ${e.msg}")
+      case Right(_) => ()
+    }
+    run("CREATE TABLE rr (k INT, t INT, v INT)")
+    run("INSERT INTO rr VALUES (1, 1, 10), (1, 2, 20), (1, 3, 30), " +
+      "(2, 1, 5), (2, 2, 7)")
+    def rows(sql: String): Seq[Seq[Any]] =
+      db.select(sql).toOption.getOrElse(fail(s"rejected: $sql"))
+        .collect().map(_.toSeq.toSeq).toSeq
+    // inclusive running sum per key
+    assert(rows("SELECT k, t, (SELECT sum(v) AS s FROM rr r2 " +
+      "WHERE r2.k = rr.k AND r2.t <= rr.t) AS run FROM rr ORDER BY k, t") ==
+      Seq(Seq(1, 1, 10L), Seq(1, 2, 30L), Seq(1, 3, 60L),
+        Seq(2, 1, 5L), Seq(2, 2, 12L)))
+    // strict suffix count (reads 0 over the empty set, not NULL)
+    assert(rows("SELECT k, t, (SELECT count(*) AS c FROM rr r2 " +
+      "WHERE r2.k = rr.k AND r2.t > rr.t) AS later FROM rr ORDER BY k, t") ==
+      Seq(Seq(1, 1, 2L), Seq(1, 2, 1L), Seq(1, 3, 0L),
+        Seq(2, 1, 1L), Seq(2, 2, 0L)))
+    // no equality keys: global strict prefix min (empty set reads NULL)
+    assert(rows("SELECT k, t, (SELECT min(v) AS m FROM rr r2 " +
+      "WHERE r2.t < rr.t) AS mn FROM rr ORDER BY k, t") ==
+      Seq(Seq(1, 1, null), Seq(1, 2, 5), Seq(1, 3, 5),
+        Seq(2, 1, null), Seq(2, 2, 5)))
+    // rejections: two inequalities, non-windowable aggregate, DISTINCT
+    assert(db.select("SELECT k, (SELECT sum(v) AS s FROM rr r2 " +
+      "WHERE r2.t <= rr.t AND r2.v < rr.v) AS x FROM rr").isLeft)
+    assert(db.select("SELECT k, (SELECT median(v) AS s FROM rr r2 " +
+      "WHERE r2.t <= rr.t) AS x FROM rr").isLeft)
+    assert(db.select("SELECT k, (SELECT sum(DISTINCT v) AS s FROM rr r2 " +
+      "WHERE r2.t <= rr.t) AS x FROM rr").isLeft)
+  }
+
   test("row-value IN inside HAVING via the post-aggregation markers") {
     val db = freshDb()
     def run(sql: String): Unit = db.query(sql) match {
