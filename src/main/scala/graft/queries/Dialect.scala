@@ -1786,6 +1786,55 @@ object Dialect {
              |FROM customer WHERE c_custkey < 300
              |ORDER BY c_custkey""".stripMargin)),
 
+    // MERGE WHEN conditions carrying subqueries (uncorrelated scalar,
+    // correlated EXISTS, scalar-in-arithmetic): the marker machinery in
+    // the pre-bound selects' CASE helpers, evaluated over the pre-merge
+    // snapshot; first-match-wins across the three clauses. The ON
+    // condition still rejects subqueries (matched-vs-unmatched is the
+    // join itself). Oracle reconstructs the final image from the raw
+    // fixture.
+    "q_dialect_merge_sub_cond" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders", "customer", "region")
+        if (!g.tableNames.contains("msc_cust")) {
+          g.query("CREATE TABLE msc_cust AS SELECT c_custkey, c_acctbal " +
+            "FROM customer WHERE c_custkey < 300")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("MERGE INTO msc_cust c USING " +
+            "(SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey < 400) s " +
+            "ON c.c_custkey = s.k " +
+            "WHEN MATCHED AND c.c_acctbal < " +
+            "(SELECT avg(c2.c_acctbal) AS m FROM customer c2) THEN DELETE " +
+            "WHEN MATCHED AND EXISTS (SELECT 1 AS x FROM orders o " +
+            "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000) " +
+            "THEN UPDATE SET c_acctbal = 0 - c.c_acctbal " +
+            "WHEN NOT MATCHED AND s.k < 350 AND s.k % 2 = " +
+            "(SELECT count(*) AS c FROM region) % 2 " +
+            "THEN INSERT VALUES (s.k, 0)")
+            .fold(e => sys.error(e.msg), identity)
+        }
+        run(g, "SELECT c_custkey, round(c_acctbal, 2) AS bal FROM msc_cust " +
+          "ORDER BY c_custkey")
+      },
+      Some("""WITH src AS (SELECT DISTINCT o_custkey AS k FROM orders
+             |             WHERE o_custkey < 400)
+             |SELECT c_custkey, round(bal, 2) AS bal FROM (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey IN (SELECT k FROM src)
+             |           AND EXISTS (SELECT 1 FROM orders o
+             |             WHERE o.o_custkey = c_custkey
+             |               AND o.o_totalprice > 300000)
+             |         THEN 0 - c_acctbal ELSE c_acctbal END AS bal
+             |  FROM customer
+             |  WHERE c_custkey < 300
+             |    AND NOT (c_custkey IN (SELECT k FROM src)
+             |             AND c_acctbal < (SELECT avg(c_acctbal) FROM customer))
+             |  UNION ALL
+             |  SELECT k AS c_custkey, 0 AS bal FROM src
+             |  WHERE k >= 300 AND k < 350
+             |    AND k % 2 = (SELECT count(*) FROM region) % 2
+             |) t ORDER BY c_custkey""".stripMargin)),
+
     // INSERT … ON CONFLICT (upsert): desugars onto the MERGE machinery —
     // VALUES rows become the `excluded` source, conflict columns the ON
     // equalities, DO UPDATE the WHEN MATCHED clause; one left-join pass,

@@ -1593,16 +1593,19 @@ object Analyzer {
         }
         if (talias.equalsIgnoreCase(salias))
           return Left(DuplicateBinding(salias))
-        // ON / WHEN conditions gate which clause fires — a predicate
-        // subquery there would need the marker machinery threaded through
-        // the synthetic CASE helpers; rejected. SET / INSERT values are
-        // plain operand positions in the pre-bound selects, so scalar
-        // subqueries ride the BSubVal machinery (uncorrelated = one
-        // broadcast 1-row frame; correlated = per-key aggregate frame),
-        // evaluated over the pre-merge snapshot like every MERGE value.
-        val allConds = m.on +: m.whens.flatMap(_.cond.toSeq)
-        if (allConds.exists(parseExprHasSub))
-          return Left(BadSubquery("subqueries are not supported in MERGE conditions"))
+        // WHEN conditions lower as CASE helpers in the pre-bound
+        // selects' projections, where the marker machinery handles
+        // predicate subqueries (uncorrelated and correlated-on-visible-
+        // columns alike), evaluated over the pre-merge snapshot like
+        // every MERGE value — so they may carry subqueries. The ON
+        // condition is a JOIN ON (matched-vs-unmatched is decided by the
+        // join itself); a subquery there has no marker path and rejects.
+        // SET / INSERT values ride the BSubVal machinery (uncorrelated =
+        // one broadcast 1-row frame; correlated = per-key aggregate).
+        if (parseExprHasSub(m.on))
+          return Left(BadSubquery(
+            "subqueries are not supported in the MERGE ON condition " +
+              "(move the predicate into a WHEN ... AND <cond> clause)"))
         // resolve each clause against the target schema
         val plansE: Either[AnalyzerError, Vector[MergePlan]] =
           m.whens.zipWithIndex.foldLeft[Either[AnalyzerError, Vector[MergePlan]]](

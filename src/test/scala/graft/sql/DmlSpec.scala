@@ -193,11 +193,26 @@ class DmlSpec extends AnyFunSuite {
     val rows4 = g.select("SELECT id, v FROM tgt").toOption.get
       .orderBy("id").collect().toSeq
     assert(rows4 == Seq(Row(1, 5), Row(2, 99), Row(4, 7)))
-    // subqueries in ON / WHEN conditions still reject (no marker path
-    // through the synthetic CASE helpers)
+    // WHEN conditions may carry subqueries (the marker machinery in the
+    // pre-bound selects' CASE helpers): avg(dv) = 28.25, so the matched
+    // targets (1: v=5, 4: v=7) both delete
     assert(g.query("MERGE INTO tgt t USING srcx s ON t.id = s.id " +
-      "WHEN MATCHED AND t.v > (SELECT avg(x.dv) AS m FROM srcx x) " +
-      "THEN DELETE").isLeft)
+      "WHEN MATCHED AND t.v < (SELECT avg(x.dv) AS m FROM srcx x) " +
+      "THEN DELETE").isRight)
+    assert(g.select("SELECT id FROM tgt").toOption.get
+      .collect().map(_.getInt(0)).toSeq.sorted == Seq(2))
+    // correlated WHEN condition on the insert side (sel2 scope)
+    assert(g.query("MERGE INTO tgt t USING srcx s ON t.id = s.id " +
+      "WHEN NOT MATCHED AND s.dv = (SELECT max(x.dv) AS m FROM srcx x " +
+      "WHERE x.id = s.id) AND s.dv > 2 " +
+      "THEN INSERT (id, v) VALUES (s.id, s.dv)").isRight)
+    assert(g.select("SELECT id FROM tgt").toOption.get
+      .collect().map(_.getInt(0)).toSeq.sorted == Seq(1, 2, 3, 4))
+    // the ON condition still rejects subqueries (matched-vs-unmatched is
+    // the join itself — no marker path)
+    assert(g.query("MERGE INTO tgt t USING srcx s ON t.id = s.id AND " +
+      "s.dv > (SELECT avg(x.dv) AS m FROM srcx x) " +
+      "WHEN MATCHED THEN DELETE").isLeft)
   }
 
   test("DELETE / UPDATE RETURNING *: affected rows come back pre-rewrite") {
