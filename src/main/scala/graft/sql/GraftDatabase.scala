@@ -775,6 +775,22 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     */
   private def lowerQuery(q: BoundQuery): DataFrame = {
     val source: Analyzer.BoundTable => DataFrame = bt => readTable(bt.desc)
+    // stats feed the ASOF lowering choice the same way they feed
+    // broadcast/build sides — avg step rows per key group decides
+    // union-merge vs candidate join. External tables rebuild lazily on
+    // first need, exactly like estimateBindings; the filtered row
+    // estimate rides the same bottom-k sample as every cardinality.
+    Lowering.asofStatsHook = (t, c, pred) => tables.get(t.toLowerCase).map {
+      desc =>
+        if (statistics.get(desc.name).isEmpty)
+          statistics.rebuild(desc, readTable(desc))
+        val st = statistics.get(desc.name).get
+        val rows = pred match {
+          case None    => st.rowCount
+          case Some(p) => statistics.estimateCard(desc, Some(p))
+        }
+        (math.max(rows, 1L), st.ndv(c).getOrElse(math.max(st.rowCount, 1L)))
+    }
     Lowering.withQueryScope(q, source) {
       q match {
         case s: BoundSelect => lowerOneSelect(s, source)

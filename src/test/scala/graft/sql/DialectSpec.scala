@@ -2020,6 +2020,46 @@ class DialectSpec extends AnyFunSuite {
     assert(fb.collect().toSeq == Seq(Row(1, 200), Row(2, null), Row(3, null)))
   }
 
+  test("stats-driven ASOF lowering: dense keys union-merge, sparse candidate") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Left(e) => fail(s"$sql -> ${e.msg}")
+      case Right(_) => ()
+    }
+    run("CREATE TABLE evq (uid INT, ts INT)")
+    run("INSERT INTO evq VALUES (1, 5), (1, 9), (2, 4)")
+    run("CREATE TABLE stp (uid INT, ts INT, p INT)")
+    run("INSERT INTO stp VALUES (1, 1, 100), (1, 6, 200), (2, 10, 300)")
+    def asof(): Seq[Row] = db.select("SELECT a.uid, a.ts, b.p FROM evq a " +
+      "ASOF JOIN stp b ON a.uid = b.uid AND a.ts >= b.ts " +
+      "ORDER BY a.uid, a.ts").toOption.get.collect().toSeq
+    // dense step groups (avg rows/key = 10k) → union-merge
+    db.statistics.injectStats("stp", 100000L, Map("uid" -> 10L))
+    val dense = asof()
+    assert(Lowering.lastAsofChoice.contains("union_merge"))
+    // sparse step groups (avg rows/key = 2) → candidate join
+    db.statistics.injectStats("stp", 1000L, Map("uid" -> 500L))
+    val sparse = asof()
+    assert(Lowering.lastAsofChoice.contains("candidate"))
+    // same rows either way
+    assert(dense == sparse && dense == Seq(Row(1, 5, 100), Row(1, 9, 200)))
+    // the derived filtered-scan shape feeds the filter into the estimate
+    // and still flips on the base table's stats
+    val dv = db.select("SELECT a.uid, b.p FROM evq a ASOF JOIN " +
+      "(SELECT * FROM stp WHERE p < 250) b " +
+      "ON a.uid = b.uid AND a.ts >= b.ts ORDER BY a.uid, a.ts")
+      .toOption.get.collect().toSeq
+    assert(Lowering.lastAsofChoice.contains("candidate"))
+    assert(dv == Seq(Row(1, 100), Row(1, 200)))
+    db.statistics.injectStats("stp", 100000L, Map("uid" -> 10L))
+    val dv2 = db.select("SELECT a.uid, b.p FROM evq a ASOF JOIN " +
+      "(SELECT * FROM stp WHERE p < 250) b " +
+      "ON a.uid = b.uid AND a.ts >= b.ts ORDER BY a.uid, a.ts")
+      .toOption.get.collect().toSeq
+    assert(Lowering.lastAsofChoice.contains("union_merge"))
+    assert(dv2 == dv)
+  }
+
   test("list/array surface: literals, subscript, functions, unnest, array_agg") {
     val db = demoDb()
     def one(sql: String): Row = db.select(sql) match {
