@@ -2469,13 +2469,23 @@ class DialectSpec extends AnyFunSuite {
       "FROM cl ORDER BY id").toOption.get
     assert(pc.collect().map(x => (x.getInt(0), x.getLong(1))).toSeq ==
       Seq((1, 1L), (2, 0L), (3, 0L), (4, 0L), (5, 0L), (6, 0L)))
-    // aggregated projections and HAVING still reject the correlated form
-    assert(db.query("SELECT k, CASE WHEN (min(a), min(b)) IN " +
+    // aggregated projections and HAVING CASE: the post-aggregation
+    // marker frames handle the correlated form too (keys are GROUP BY
+    // columns; aggregate probes become hidden agg columns)
+    val apc = db.select("SELECT k, CASE WHEN (min(a), min(b)) IN " +
       "(SELECT x, y FROM cs WHERE cs.g = cl.k) THEN 1 ELSE 0 END AS c " +
-      "FROM cl GROUP BY k").isLeft)
-    assert(db.query("SELECT k, count(*) AS n FROM cl GROUP BY k " +
+      "FROM cl GROUP BY k ORDER BY k").toOption.get
+    assert(apc.collect().map(x => (x.getInt(0), x.getLong(1))).toSeq ==
+      Seq((10, 1L), (20, 0L), (30, 0L)))
+    val ahc = db.select("SELECT k, count(*) AS n FROM cl GROUP BY k " +
       "HAVING CASE WHEN (k, k) IN (SELECT g, g FROM cs WHERE cs.g = cl.k) " +
-      "THEN TRUE ELSE FALSE END").isLeft)
+      "THEN TRUE ELSE FALSE END").toOption.get
+    assert(ahc.collect().map(x => (x.getInt(0), x.getLong(1))).toSeq ==
+      Seq((10, 4L)))
+    // correlation on a NON-group-key still rejects
+    assert(db.query("SELECT k, CASE WHEN (min(a), min(b)) IN " +
+      "(SELECT x, y FROM cs WHERE cs.g = cl.id) THEN 1 ELSE 0 END AS c " +
+      "FROM cl GROUP BY k").isLeft)
   }
 
   test("scalar subqueries as operands: arithmetic, WHERE, aggregate scope") {
