@@ -1835,6 +1835,45 @@ object Dialect {
              |    AND k % 2 = (SELECT count(*) FROM region) % 2
              |) t ORDER BY c_custkey""".stripMargin)),
 
+    // RETURNING column lists: the affected frame projects through a
+    // row-level synthetic select (computed items need AS; aggregates/
+    // windows/subqueries reject). UPDATE post-image shown here.
+    "q_dialect_returning_list" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "customer")
+        g.query("CREATE OR REPLACE TABLE rlc AS SELECT c_custkey, " +
+          "c_acctbal FROM customer WHERE c_custkey < 200")
+          .fold(e => sys.error(e.msg), identity)
+        run(g, "UPDATE rlc SET c_acctbal = c_acctbal + 100 " +
+          "WHERE c_custkey % 7 = 0 " +
+          "RETURNING c_custkey, round(c_acctbal, 2) AS bal")
+      },
+      Some("""SELECT c_custkey, round(c_acctbal + 100, 2) AS bal
+             |FROM customer WHERE c_custkey < 200 AND c_custkey % 7 = 0""".stripMargin)),
+
+    // INSERT … ON CONFLICT … RETURNING: inserted + updated rows
+    // (post-image) for DO UPDATE — the affected set is the post-merge
+    // rows whose conflict keys appear in the VALUES source.
+    "q_dialect_upsert_returning" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "customer")
+        g.query("CREATE OR REPLACE TABLE urc AS SELECT c_custkey AS k, " +
+          "c_acctbal AS v FROM customer WHERE c_custkey < 100")
+          .fold(e => sys.error(e.msg), identity)
+        run(g, "INSERT INTO urc VALUES (50, 10.5), (1000, 20.25), (60, 1.0) " +
+          "ON CONFLICT (k) DO UPDATE SET v = urc.v + excluded.v " +
+          "RETURNING k, round(v, 2) AS v2")
+      },
+      Some("""SELECT k, round(v, 2) AS v2 FROM (
+             |  SELECT c_custkey AS k, c_acctbal + 10.5 AS v FROM customer
+             |  WHERE c_custkey = 50
+             |  UNION ALL
+             |  SELECT c_custkey, c_acctbal + 1.0 FROM customer
+             |  WHERE c_custkey = 60
+             |  UNION ALL
+             |  SELECT CAST(1000 AS BIGINT), 20.25
+             |) t""".stripMargin)),
+
     // INSERT … ON CONFLICT (upsert): desugars onto the MERGE machinery —
     // VALUES rows become the `excluded` source, conflict columns the ON
     // equalities, DO UPDATE the WHEN MATCHED clause; one left-join pass,

@@ -1287,11 +1287,26 @@ object Analyzer {
       insertSel: Option[BoundSelect],
       plans: Seq[MergePlan]) extends BoundQuery
 
-  /** DELETE/UPDATE … RETURNING *: the inner statement executes normally
-    * but the affected rows (materialized BEFORE the rewrite) come back
-    * as the result frame.
+  /** DELETE/UPDATE/INSERT … RETURNING: the inner statement executes
+    * normally but the affected rows (materialized BEFORE the rewrite)
+    * come back as the result frame. `proj` None = `*`; Some = a fully
+    * analyzed projection over the target schema (a synthetic SELECT
+    * items FROM target, validated row-level: no aggregates, windows or
+    * subqueries), lowered over the affected frame.
     */
-  final case class BoundReturning(inner: BoundQuery) extends BoundQuery
+  final case class BoundReturning(inner: BoundQuery,
+      proj: Option[BoundSelect] = None) extends BoundQuery
+
+  /** INSERT … ON CONFLICT … RETURNING: the merge executes, then the
+    * affected set = post-merge rows whose conflict-key tuple appears in
+    * the VALUES source (`src`, the FROM-less excluded select) — for
+    * DO UPDATE that is exactly the inserted+updated rows; for DO
+    * NOTHING (`doNothing`) the pre-existing untouched conflicts are
+    * anti-joined away, leaving the inserted rows only.
+    */
+  final case class BoundUpsertReturning(merge: BoundMerge, desc: TableDesc,
+      conflictCols: Seq[String], src: BoundQuery, doNothing: Boolean,
+      proj: Option[BoundSelect]) extends BoundQuery
 
   def analyze(tree: ParseTree, cat: Catalog): Either[AnalyzerError, BoundQuery] = tree match {
     case s: SelectTree => analyzeSelect(s, cat)
@@ -1338,13 +1353,62 @@ object Analyzer {
       }
     case i: InsertTree => analyzeInsert(i, cat)
     case u: UpsertTree => analyzeUpsert(u, cat)
-    case r: ReturningTree => analyze(r.inner, cat).flatMap {
-      case q @ (_: BoundDelete | _: BoundUpdate |
-                _: BoundInsert | _: BoundInsertSelect) =>
-        Right(BoundReturning(q))
-      case _ => Left(BadFunction(
-        "RETURNING supports INSERT, DELETE and UPDATE (not ON CONFLICT)"))
-    }
+    case r: ReturningTree =>
+      // a column list validates as a synthetic `SELECT items FROM target`
+      // (row-level only) and lowers over the affected frame at execution
+      def bindProj(tname: String): Either[AnalyzerError, Option[BoundSelect]] =
+        r.items match {
+          case None => Right(None)
+          case Some(items) =>
+            items.foldLeft[Either[AnalyzerError, Vector[SelectItem]]](
+              Right(Vector.empty)) { (acc, it) => acc.flatMap { v => it match {
+                case (Operand.Col(cr), a) => Right(v :+ SelectItem.SCol(cr, a))
+                case (o, Some(a))         => Right(v :+ (SelectItem.SExpr(o, a): SelectItem))
+                case (_, None)            => Left(BadFunction(
+                  "a computed RETURNING item needs an AS name"))
+              } } }
+              .flatMap { sitems =>
+                analyzeSelect(SelectTree(Some(sitems),
+                  Seq(FTable(TableRef(tname, None))), None), cat).flatMap { bs =>
+                  val bad = bs.isAggregate || bs.projection.exists {
+                    case _: BoundItem.BIWin | _: BoundItem.BISub => true
+                    case BoundItem.BIExpr(op, _) => BoundOperand.operandHasSub(op)
+                    case _ => false
+                  }
+                  if (bad) Left(BadFunction(
+                    "RETURNING items are row-level: no aggregates, " +
+                      "windows or subqueries"))
+                  else Right(Some(bs))
+                }
+              }
+        }
+      r.inner match {
+        case u: UpsertTree =>
+          for {
+            merge <- analyzeUpsert(u, cat)
+            desc  <- cat.resolve(u.table)
+              .toRight(RelationNotFound(u.table): AnalyzerError)
+            src   <- analyze(upsertSourceTree(u, desc), cat)
+            proj  <- bindProj(u.table)
+          } yield BoundUpsertReturning(merge, desc,
+            u.conflictCols.map(c => desc.attr(c).map(_.name).getOrElse(c)),
+            src, doNothing = u.sets.isEmpty, proj)
+        case _ =>
+          analyze(r.inner, cat).flatMap {
+            case q @ (_: BoundDelete | _: BoundUpdate |
+                      _: BoundInsert | _: BoundInsertSelect) =>
+              val tname = q match {
+                case BoundDelete(d, _, _)   => d.name
+                case uq: BoundUpdate        => uq.desc.name
+                case BoundInsert(d, _)      => d.name
+                case bis: BoundInsertSelect => bis.desc.name
+                case _ => sys.error("unreachable RETURNING inner")
+              }
+              bindProj(tname).map(p => BoundReturning(q, p))
+            case _ => Left(BadFunction(
+              "RETURNING supports INSERT (incl. ON CONFLICT), DELETE and UPDATE"))
+          }
+      }
     case i: InsertSelectTree =>
       cat.resolve(i.table) match {
         case None => Left(RelationNotFound(i.table))
@@ -1543,6 +1607,22 @@ object Analyzer {
     * INSERT. MERGE's first-match-wins, pre-statement snapshot and
     * multi-match error all apply unchanged.
     */
+  /** The upsert's VALUES rows as the FROM-less `excluded` source select
+    * (one SELECT per row, union-all'd) — shared by the MERGE desugar and
+    * the ON CONFLICT RETURNING affected-set computation.
+    */
+  private def upsertSourceTree(u: UpsertTree, desc: TableDesc): ParseTree = {
+    val colNames: Seq[String] = u.columns.getOrElse(desc.attributes.map(_.name))
+    def rowSelect(r: Seq[Operand]): SelectTree =
+      SelectTree(
+        Some(r.zip(colNames).map { case (o, n) =>
+          SelectItem.SExpr(o, n): SelectItem }),
+        from = Nil, where = None)
+    if (u.rows.length == 1) rowSelect(u.rows.head)
+    else UnionTree(rowSelect(u.rows.head),
+      u.rows.tail.map(r => ("union_all", rowSelect(r))))
+  }
+
   private def analyzeUpsert(u: UpsertTree, cat: Catalog): Either[AnalyzerError, BoundMerge] =
     cat.resolve(u.table) match {
       case None => Left(RelationNotFound(u.table))
@@ -1556,15 +1636,7 @@ object Analyzer {
           case Some(cc) => Left(BadFunction(
             s"conflict column '$cc' is not among the inserted columns"))
           case None =>
-            def rowSelect(r: Seq[Operand]): SelectTree =
-              SelectTree(
-                Some(r.zip(colNames).map { case (o, n) =>
-                  SelectItem.SExpr(o, n): SelectItem }),
-                from = Nil, where = None)
-            val src: ParseTree =
-              if (u.rows.length == 1) rowSelect(u.rows.head)
-              else UnionTree(rowSelect(u.rows.head),
-                u.rows.tail.map(r => ("union_all", rowSelect(r))))
+            val src: ParseTree = upsertSourceTree(u, desc)
             val on = u.conflictCols.map(c => Expr.Cmp(CmpOp.Eq,
               Operand.Col(ColRef(Some(u.table), c)),
               Operand.Col(ColRef(Some("excluded"), c))): Expr)

@@ -463,11 +463,16 @@ object Ast {
   final case class CopyToTree(source: Either[String, ParseTree],
       path: String, format: String) extends ParseTree
 
-  /** DELETE/UPDATE … RETURNING *: the affected rows come back as the
-    * statement's result (DELETE: removed rows' pre-image; UPDATE:
-    * updated rows' post-image), materialized BEFORE the table rewrite.
+  /** DELETE/UPDATE/INSERT … RETURNING: the affected rows come back as
+    * the statement's result (DELETE: removed rows' pre-image; UPDATE:
+    * updated rows' post-image; INSERT/upsert: the inserted/updated
+    * rows), materialized BEFORE the table rewrite. `items` None = `*`
+    * (the full affected rows); Some = a projection over them — each
+    * item an operand with an optional AS name (computed items require
+    * one).
     */
-  final case class ReturningTree(inner: ParseTree) extends ParseTree
+  final case class ReturningTree(inner: ParseTree,
+      items: Option[Seq[(Operand, Option[String])]] = None) extends ParseTree
 
   /** CREATE OR REPLACE … / CREATE … IF NOT EXISTS: mode wrapper around
     * the plain create statements — OR REPLACE drops an existing

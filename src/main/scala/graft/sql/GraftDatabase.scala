@@ -133,8 +133,9 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           // RETURNING wraps DELETE/UPDATE — the guards below apply to
           // the inner statement
           _ <- (bound match {
-            case Analyzer.BoundReturning(inner) => inner
-            case b                              => b
+            case Analyzer.BoundReturning(inner, _) => inner
+            case ur: Analyzer.BoundUpsertReturning => ur.merge
+            case b                                 => b
           }) match {
             case BoundInsert(d, _)       if external.contains(d.name) => Left(ReadOnlyTable(d.name))
             case BoundInsertSelect(d, _, _) if external.contains(d.name) => Left(ReadOnlyTable(d.name))
@@ -965,23 +966,65 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     case BoundDelete(desc, pred, matched) =>
       runDelete(desc, pred, matched, returning = false)
 
-    case Analyzer.BoundReturning(BoundDelete(desc, pred, matched)) =>
-      runDelete(desc, pred, matched, returning = true)
+    case Analyzer.BoundReturning(BoundDelete(desc, pred, matched), proj) =>
+      applyReturning(runDelete(desc, pred, matched, returning = true), proj)
 
-    case Analyzer.BoundReturning(u: BoundUpdate) =>
-      runUpdate(u, returning = true)
+    case Analyzer.BoundReturning(u: BoundUpdate, proj) =>
+      applyReturning(runUpdate(u, returning = true), proj)
 
-    // INSERT … RETURNING *: the inserted rows (post-cast) as the result
-    case Analyzer.BoundReturning(bi @ BoundInsert(desc, rows)) =>
+    // INSERT … RETURNING: the inserted rows (post-cast) as the result
+    case Analyzer.BoundReturning(bi @ BoundInsert(desc, rows), proj) =>
       execute(bi) match {
         case Done(_) =>
           val rdd = spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1)
-          Rows(spark.createDataFrame(rdd, desc.sparkSchema))
+          applyReturning(Rows(spark.createDataFrame(rdd, desc.sparkSchema)), proj)
         case other => other
       }
 
-    case Analyzer.BoundReturning(bis: BoundInsertSelect) =>
-      runInsertSelect(bis, returning = true)
+    case Analyzer.BoundReturning(bis: BoundInsertSelect, proj) =>
+      applyReturning(runInsertSelect(bis, returning = true), proj)
+
+    // INSERT … ON CONFLICT … RETURNING: snapshot the pre-existing
+    // conflict keys, run the merge, then read the affected set back as
+    // post-merge rows whose conflict-key tuple appears in the VALUES
+    // source — inserted + updated for DO UPDATE; DO NOTHING anti-joins
+    // the untouched pre-existing conflicts away, leaving the inserted
+    // rows only. Null-safe key equality throughout (a NULL conflict key
+    // never matches, so its row always inserts — and is returned).
+    case ur: Analyzer.BoundUpsertReturning =>
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val kN = ur.conflictCols.indices.map(i => s"__urk$i")
+      val keysDf = lowerQuery(ur.src)
+        .select(ur.conflictCols.zipWithIndex.map { case (c, i) =>
+          col(c).as(kN(i)) }: _*)
+        .distinct().localCheckpoint()
+      def keyCond(df: DataFrame, keys: DataFrame,
+          names: Seq[String]): org.apache.spark.sql.Column =
+        ur.conflictCols.zipWithIndex.map { case (c, i) =>
+          df(c) <=> keys(names(i)) }.reduce(_ && _)
+      val preKeys =
+        if (!ur.doNothing) None
+        else {
+          val pre = readTable(ur.desc)
+          Some(pre.join(broadcast(keysDf), keyCond(pre, keysDf, kN), "left_semi")
+            .select(ur.conflictCols.zipWithIndex.map { case (c, i) =>
+              col(c).as(s"__prk$i") }: _*)
+            .distinct().localCheckpoint())
+        }
+      execute(ur.merge) match {
+        case Done(_) =>
+          val post = readTable(ur.desc)
+          val aff0 = post.join(broadcast(keysDf),
+            keyCond(post, keysDf, kN), "left_semi")
+          val aff = preKeys match {
+            case None => aff0
+            case Some(pk) => aff0.join(broadcast(pk),
+              ur.conflictCols.zipWithIndex.map { case (c, i) =>
+                aff0(c) <=> pk(s"__prk$i") }.reduce(_ && _), "left_anti")
+          }
+          applyReturning(Rows(aff.localCheckpoint()), ur.proj)
+        case other => other
+      }
 
     case BoundDrop(name, None) =>
       Done(s"table '$name' does not exist, skipped")
@@ -1003,6 +1046,18 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     case u: BoundUpdate => runUpdate(u, returning = false)
 
     case other0 => executeTail(other0)
+  }
+
+  /** A RETURNING column list projects the affected frame through the
+    * pre-analyzed synthetic select (row-level, so the lowering is one
+    * narrow projection over the already-materialized rows).
+    */
+  private def applyReturning(r: QueryResult,
+      proj: Option[Analyzer.BoundSelect]): QueryResult = (r, proj) match {
+    case (Rows(df), Some(bs)) =>
+      val src: Analyzer.BoundTable => DataFrame = _ => df
+      Rows(Lowering.withQueryScope(bs, src) { lowerOneSelect(bs, src) })
+    case _ => r
   }
 
   /** DELETE, optionally RETURNING the removed rows' pre-image

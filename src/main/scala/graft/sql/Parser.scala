@@ -2572,9 +2572,11 @@ object Parser {
         else Right(None)
     } yield DeleteTree(name, where)
 
-  /** DELETE/UPDATE … RETURNING * — the affected rows come back as the
-    * statement's result (DELETE: the removed rows' pre-image; UPDATE:
-    * the updated rows' post-image). Column lists reject toward `*`.
+  /** DELETE/UPDATE/INSERT … RETURNING — the affected rows come back as
+    * the statement's result (DELETE: the removed rows' pre-image;
+    * UPDATE: the updated rows' post-image). `*` returns them whole; a
+    * column list projects them (computed items need AS, enforced at
+    * analysis).
     */
   private def withReturning(p: P,
       t: ParseTree): Either[ParseError, ParseTree] =
@@ -2583,8 +2585,21 @@ object Parser {
       p.next()
       p.peek match {
         case TSym("*", _) => p.next(); Right(ReturningTree(t))
-        case tk => Left(ParseError(
-          "RETURNING supports * (the full affected rows)", tk.pos))
+        case _ =>
+          def one(): Either[ParseError, (Operand, Option[String])] =
+            parseOperand(p).flatMap { o =>
+              if (p.isKw("as")) { p.next(); p.ident().map(n => (o, Some(n))) }
+              else Right((o, None))
+            }
+          def loop(acc: Vector[(Operand, Option[String])])
+              : Either[ParseError, Vector[(Operand, Option[String])]] =
+            one().flatMap { it =>
+              p.peek match {
+                case TSym(",", _) => p.next(); loop(acc :+ it)
+                case _            => Right(acc :+ it)
+              }
+            }
+          loop(Vector.empty).map(items => ReturningTree(t, Some(items)))
       }
     }
 

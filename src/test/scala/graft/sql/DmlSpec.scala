@@ -231,8 +231,15 @@ class DmlSpec extends AnyFunSuite {
     val none = g.select("UPDATE t SET n = 0 WHERE id IN " +
       "(SELECT id FROM t WHERE n > 99) RETURNING *").toOption.get
     assert(none.collect().isEmpty)
-    // RETURNING a column list rejects toward *; SELECT has no RETURNING
-    assert(g.query("DELETE FROM t WHERE id = 2 RETURNING id").isLeft)
+    // RETURNING a column list: projects the affected frame (computed
+    // items need AS; aggregates reject)
+    val delL = g.select("DELETE FROM t WHERE id = 2 RETURNING id, n * 2 AS n2")
+      .toOption.get.collect().toSeq
+    assert(delL == Seq(Row(2, 42)))
+    assert(rows(g).map(_.getInt(0)) == Seq(4))
+    g.query("INSERT INTO t VALUES (2, 'b', 21)").toOption.get
+    assert(g.query("DELETE FROM t WHERE id = 0 RETURNING n + 1").isLeft)
+    assert(g.query("DELETE FROM t WHERE id = 0 RETURNING max(n) AS m").isLeft)
     // INSERT … RETURNING: the inserted rows (VALUES and SELECT forms)
     val ins = g.select("INSERT INTO t VALUES (9, 'z', 90) RETURNING *")
       .toOption.get.collect().toSeq
@@ -240,9 +247,18 @@ class DmlSpec extends AnyFunSuite {
     val insSel = g.select("INSERT INTO t SELECT id + 100 AS a, tag AS b, " +
       "n AS c FROM t WHERE id = 9 RETURNING *").toOption.get.collect().toSeq
     assert(insSel == Seq(Row(109, "z", 90)))
-    // ON CONFLICT + RETURNING rejects (ambiguous affected set)
-    assert(g.query("INSERT INTO t VALUES (9, 'q', 1) " +
-      "ON CONFLICT (id) DO NOTHING RETURNING *").isLeft)
+    // ON CONFLICT + RETURNING: DO NOTHING returns the INSERTED rows
+    // only (the untouched pre-existing conflict is not affected)
+    val dn = g.select("INSERT INTO t VALUES (9, 'q', 1), (11, 'w', 2) " +
+      "ON CONFLICT (id) DO NOTHING RETURNING *").toOption.get
+    assert(dn.collect().toSeq == Seq(Row(11, "w", 2)))
+    assert(rows(g).exists(r => r.getInt(0) == 9 && r.getString(1) == "z"))
+    // DO UPDATE returns inserted + updated rows (post-image), and the
+    // column list projects them
+    val du = g.select("INSERT INTO t VALUES (9, 'u', 5), (12, 'x', 3) " +
+      "ON CONFLICT (id) DO UPDATE SET n = t.n + excluded.n " +
+      "RETURNING id, n").toOption.get.collect().toSeq.sortBy(_.getInt(0))
+    assert(du == Seq(Row(9, 95), Row(12, 3)))
   }
 
   test("INSERT ON CONFLICT: upsert via the MERGE machinery") {
