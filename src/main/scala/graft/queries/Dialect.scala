@@ -1945,6 +1945,23 @@ object Dialect {
              |      AND o2.o_orderkey <= o.o_orderkey) AS run_cents
              |FROM orders o WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin)),
 
+    // QUALIFY subqueries over an AGGREGATED query: post-aggregation
+    // markers on the windowed aggregated frame — correlated EXISTS
+    // keyed on the GROUP BY column next to a ranking window.
+    "q_dialect_qualify_agg_sub" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer"),
+        "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey " +
+          "QUALIFY rank() OVER (ORDER BY count(*) DESC, o_custkey) <= 50 " +
+          "AND EXISTS (SELECT 1 AS x FROM customer " +
+          "WHERE c_custkey = o_custkey AND c_acctbal > 0) " +
+          "ORDER BY o_custkey"),
+      Some("""SELECT o_custkey, cast(count(*) AS bigint) AS n
+             |FROM orders GROUP BY o_custkey
+             |QUALIFY rank() OVER (ORDER BY count(*) DESC, o_custkey) <= 50
+             |  AND EXISTS (SELECT 1 FROM customer
+             |    WHERE c_custkey = o_custkey AND c_acctbal > 0)
+             |ORDER BY o_custkey""".stripMargin)),
+
     // Row-value IN in HAVING: the post-aggregation marker machinery over
     // (group key, aggregate) probes — correlated body keyed on the GROUP
     // BY column, per-key frames grouped on the decorrelated keys, 1:1

@@ -3559,8 +3559,20 @@ object Analyzer {
                 case sq @ (_: Expr.InSubquery | _: Expr.Exists |
                     _: Expr.CmpSubquery | _: Expr.QuantSubquery |
                     _: Expr.RowInSubquery) =>
-                  if (isAgg) Left(BadSubquery(
-                    "subqueries in QUALIFY are supported over non-aggregated queries only"))
+                  if (isAgg) {
+                    // aggregate scope: the same post-aggregation marker
+                    // machinery as HAVING — correlation keys must be
+                    // GROUP BY keys (validated below), probes may
+                    // aggregate; markers join the WINDOWED frame
+                    havingGkExprKeys = group.collect {
+                      case BoundGroupKey.GKExpr(op, a2) =>
+                        op -> BoundCol("", AttributeDesc(a2, operandType(op)))
+                    }.toMap
+                    havingMarkerOk = true
+                    val r = bindExpr(sq, allowAgg = true, topLevel = true)
+                    havingMarkerOk = false
+                    r
+                  }
                   else bindExpr(sq, allowAgg = false, topLevel = true)
               }
               qE(e0).flatMap(bp => rowInMarkerIssue(bp)
@@ -3591,10 +3603,20 @@ object Analyzer {
             case BoundExpr.BIsNull(o, _)  => opCols(o)
             case BoundExpr.BLike(o, _, _, _, _) => opCols(o)
             case BoundExpr.BCmp(_, l, r)  => opCols(l) ++ opCols(r)
-            case _                        => Nil
+            // subquery probes and decorrelation keys join post-
+            // aggregation — must be GROUP BY keys like HAVING's
+            case BoundExpr.BInSub(o, _, ps, _) => opCols(o) ++ ps.map(_._1)
+            case BoundExpr.BRowInSub(os, _, ps, _) =>
+              os.flatMap(opCols) ++ ps.map(_._1)
+            case BoundExpr.BExists(_, ps, _, _) => ps.map(_._1)
+            case BoundExpr.BCmpSub(_, o, _, _, ps) => opCols(o) ++ ps.map(_._1)
+            case BoundExpr.BQuantSub(_, o, _, _, ps) => opCols(o) ++ ps.map(_._1)
           }
-          cols(qp).find(c => !groupCols.exists(g =>
-            g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name))) match {
+          cols(qp).find(c => !(
+            (c.binding.isEmpty && groupAliases(c.attr.name.toLowerCase)) ||
+              groupCols.exists(g =>
+                g.binding == c.binding &&
+                  g.attr.name.equalsIgnoreCase(c.attr.name)))) match {
             case Some(c) => Left(NotInGroupBy(c.render))
             case None    => Right(())
           }

@@ -477,20 +477,32 @@ object Lowering {
           a.toLowerCase -> windowColumn(f, args, parts, ord, frame,
             aggScopeOperand, bc => col(groupOut(bc)))
       }
-      val qualifyFilter: Option[Column] = q.qualify.map { qe =>
-        val winAliasCol: Map[String, String] =
-          q.projection.zipWithIndex.collect {
-            case (BoundItem.BIWin(_, _, _, _, a, _), i) =>
-              a.toLowerCase -> s"__w_$i"
-          }.toMap ++ qwinItems.map { case (a, _) => a -> a }
-        def qop(o: BoundOperand): Column = o match {
-          case BoundOperand.BOut(n, _)       => col(winAliasCol(n.toLowerCase))
-          case BoundOperand.BArith(ch, l, r) => arith(ch, qop(l), qop(r))
-          case BoundOperand.BCast(x, t)      => qop(x).cast(t.spark)
-          case BoundOperand.BTryCast(x, t)   => qop(x).try_cast(t.spark)
-          case other                         => aggScopeOperand(other)
-        }
-        lowerExprWith(qe, qop)
+      val qualifyWinAliasCol: Map[String, String] =
+        q.projection.zipWithIndex.collect {
+          case (BoundItem.BIWin(_, _, _, _, a, _), i) =>
+            a.toLowerCase -> s"__w_$i"
+        }.toMap ++ qwinItems.map { case (a, _) => a -> a }
+      def qualifyOp(o: BoundOperand): Column = o match {
+        case BoundOperand.BOut(n, _) => col(qualifyWinAliasCol(n.toLowerCase))
+        case BoundOperand.BArith(ch, l, r) =>
+          arith(ch, qualifyOp(l), qualifyOp(r))
+        case BoundOperand.BCast(x, t)    => qualifyOp(x).cast(t.spark)
+        case BoundOperand.BTryCast(x, t) => qualifyOp(x).try_cast(t.spark)
+        case other                       => aggScopeOperand(other)
+      }
+      // subquery-bearing QUALIFY over an aggregated query: the
+      // post-aggregation marker machinery, registered NOW (probe
+      // aggregates become hidden agg columns before the agg assembles),
+      // frames joined onto the WINDOWED frame below
+      val qualifyMarkers: Option[MarkerScope] = q.qualify.collect {
+        case qe if BoundExpr.containsSub(qe) =>
+          val ms = new MarkerScope(spark, source, "qla",
+            bc => col(groupOut(bc)), qualifyOp)
+          ms.register(qe)
+          ms
+      }
+      val qualifyFilter: Option[Column] = q.qualify.collect {
+        case qe if !BoundExpr.containsSub(qe) => lowerExprWith(qe, qualifyOp)
       }
       // ordered aggregate (string_agg ORDER BY): collect (keys, value)
       // pairs — NULL values skipped like SQL — sort the group's array
@@ -688,8 +700,15 @@ object Lowering {
           c.as(s"__w_$i") } ++ qwinItems.map { case (a, c) => c.as(a) }): _*)
       // QUALIFY filters the windowed aggregate result before
       // DISTINCT/ORDER BY (clause order); hidden window columns die at
-      // the final projection
-      val qualified = qualifyFilter.fold(withWins)(withWins.filter)
+      // the final projection. Subquery predicates left-join their marker
+      // frames onto the windowed frame first (1:1), filter, then drop.
+      val qualified = (q.qualify, qualifyMarkers) match {
+        case (Some(qe), Some(ms)) =>
+          val joined = ms.joins.foldLeft(withWins) { case (d, (f, on)) =>
+            d.join(f, on, "left_outer") }
+          joined.filter(ms.pred(qe)).drop(ms.drops.toSeq: _*)
+        case _ => qualifyFilter.fold(withWins)(withWins.filter)
+      }
       // ORDER BY runs on the post-aggregation names BEFORE the final
       // projection, so an unprojected group key or aggregate can still
       // order the result

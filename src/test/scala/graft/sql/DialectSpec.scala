@@ -2948,10 +2948,10 @@ class DialectSpec extends AnyFunSuite {
     // a window alias shadowing an input column would collide at attach
     assert(db.select("SELECT grp, row_number() OVER (PARTITION BY grp ORDER BY grp) AS v " +
       "FROM sales QUALIFY v = 1").isLeft)
-    // subqueries in AGGREGATE-scope QUALIFY are rejected loudly
+    // aggregate-scope QUALIFY correlation on a NON-group-key rejects
     assert(db.select("SELECT grp, count(*) AS n FROM sales GROUP BY grp " +
       "QUALIFY row_number() OVER (ORDER BY grp) = 1 " +
-      "AND grp IN (SELECT grp FROM sales)").isLeft)
+      "AND EXISTS (SELECT 1 AS x FROM sales s2 WHERE s2.v = sales.v)").isLeft)
     // aggregate scope: a bare non-grouped column in the predicate is
     // rejected like HAVING would
     assert(db.select("SELECT grp, count(*) FROM sales GROUP BY grp " +
@@ -2972,6 +2972,27 @@ class DialectSpec extends AnyFunSuite {
       "QUALIFY r <= 3 AND NOT (v > (SELECT avg(v) AS a FROM sales)) " +
       "ORDER BY v").toOption.get
     assert(n.collect().map(_.getInt(1)).toSeq == Seq(5, 7, 10))
+  }
+
+  test("QUALIFY subqueries over AGGREGATED queries: post-agg markers") {
+    val db = qualifyDb()
+    // uncorrelated IN on the group key, windowed aggregated frame
+    val un = db.select("SELECT grp, count(*) AS n FROM sales GROUP BY grp " +
+      "QUALIFY row_number() OVER (ORDER BY grp) = 1 " +
+      "AND grp IN (SELECT grp FROM sales)").toOption.get.collect().toSeq
+    assert(un == Seq(Row(1, 3L)))
+    // correlated EXISTS keyed on the GROUP BY column
+    val ex = db.select("SELECT grp, sum(v) AS total FROM sales GROUP BY grp " +
+      "QUALIFY rank() OVER (ORDER BY sum(v) DESC) <= 2 " +
+      "AND EXISTS (SELECT 1 AS x FROM sales s2 WHERE s2.grp = sales.grp " +
+      "AND s2.v > 25) ORDER BY grp").toOption.get.collect().toSeq
+    assert(ex == Seq(Row(1, 60L), Row(2, 55L)))
+    // scalar-subquery comparison with an aggregate probe
+    val sc = db.select("SELECT grp, sum(v) AS total FROM sales GROUP BY grp " +
+      "QUALIFY rank() OVER (ORDER BY sum(v) DESC) <= 3 " +
+      "AND sum(v) > (SELECT avg(v) AS a FROM sales) ORDER BY grp")
+      .toOption.get.collect().toSeq
+    assert(sc == Seq(Row(1, 60L), Row(2, 55L)))
   }
 
   test("QUALIFY over an aggregated query: windows and aggregates mix") {
