@@ -1945,6 +1945,26 @@ object Dialect {
              |      AND o2.o_orderkey <= o.o_orderkey) AS run_cents
              |FROM orders o WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin)),
 
+    // Correlated scalar-subquery OPERANDS in aggregate-scope
+    // projections: the per-key aggregate frame joins the GROUPED result
+    // on the GROUP BY key (one bounded left join, never a per-group
+    // re-execution) — non-'F' cents per customer as group total minus
+    // the correlated 'F' total.
+    "q_dialect_corr_scalar_agg" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_custkey, " +
+          "CAST(sum(round(o_totalprice * 100)) AS BIGINT) - " +
+          "coalesce((SELECT CAST(sum(round(o2.o_totalprice * 100)) AS BIGINT) AS s " +
+          "FROM orders o2 WHERE o2.o_custkey = o.o_custkey " +
+          "AND o2.o_orderstatus = 'F'), 0) AS nf_cents " +
+          "FROM orders o GROUP BY o_custkey ORDER BY o_custkey"),
+      Some("""SELECT o_custkey,
+             |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) -
+             |  coalesce((SELECT CAST(sum(round(o2.o_totalprice * 100)) AS BIGINT)
+             |    FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+             |    AND o2.o_orderstatus = 'F'), 0) AS nf_cents
+             |FROM orders o GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     // QUALIFY subqueries over an AGGREGATED query: post-aggregation
     // markers on the windowed aggregated frame — correlated EXISTS
     // keyed on the GROUP BY column next to a ranking window.

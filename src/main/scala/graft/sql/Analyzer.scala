@@ -3786,42 +3786,47 @@ object Analyzer {
               case (BoundOrderKey.OKOperand(op), _) => contains(op)
               case _ => false
             }
-        // correlated operand subqueries join their key equalities against
-        // the PRE-aggregation frame — fine in WHERE, but projection /
-        // HAVING / QUALIFY of an aggregate query evaluate POST-agg where
-        // the keys' input columns are gone
-        def corrIn(o: BoundOperand): Boolean = o match {
-          case BoundOperand.BSubVal(_, _, ps)  => ps.nonEmpty
-          case BoundOperand.BArith(_, l, r)    => corrIn(l) || corrIn(r)
-          case BoundOperand.BFunc(_, as)       => as.exists(corrIn)
-          case BoundOperand.BCast(y, _)        => corrIn(y)
+        // correlated operand subqueries in aggregate-scope projections /
+        // HAVING / QUALIFY evaluate POST-aggregation: their key
+        // equalities join the grouped frame via the marker scopes, so
+        // every decorrelation key must be a GROUP BY key (HAVING and
+        // QUALIFY keys are validated with the other subquery kinds by
+        // their own walks; projections are validated here — the bare-
+        // column check exempts subquery machinery, so pairs get an
+        // explicit pass)
+        def corrKeys(o: BoundOperand): Seq[BoundCol] = o match {
+          case BoundOperand.BSubVal(_, _, ps)  => ps.map(_._1)
+          case BoundOperand.BArith(_, l, r)    => corrKeys(l) ++ corrKeys(r)
+          case BoundOperand.BFunc(_, as)       => as.flatMap(corrKeys)
+          case BoundOperand.BCast(y, _)        => corrKeys(y)
           case BoundOperand.BCase(bs, els) =>
-            bs.exists { case (cc, v) =>
-              BoundOperand.exprOperands(cc).exists(corrIn) || corrIn(v) } ||
-              els.exists(corrIn)
-          case _ => false
+            bs.flatMap { case (cc, v) =>
+              BoundOperand.exprOperands(cc).flatMap(corrKeys) ++ corrKeys(v) } ++
+              els.toSeq.flatMap(corrKeys)
+          case _ => Nil
         }
         val aggScoped = group.nonEmpty || proj.exists {
           case _: BoundItem.BIAgg      => true
           case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
           case _                       => false
         }
-        val corrPostAgg = aggScoped && (
-          proj.exists {
-            case BoundItem.BIExpr(op, _) => corrIn(op)
-            case _ => false
-          } ||
-            having.exists(e => BoundOperand.exprOperands(e).exists(corrIn)) ||
-            qualifyPred.exists(e => BoundOperand.exprOperands(e).exists(corrIn)))
+        val badCorrKey =
+          if (!aggScoped) None
+          else proj.flatMap {
+            case BoundItem.BIExpr(op, _) => corrKeys(op)
+            case _ => Nil
+          }.find(c => !groupCols.exists(g =>
+            g.binding == c.binding && g.attr.name.equalsIgnoreCase(c.attr.name)))
         if (badProj || badOther)
           Left(BadSubquery("a scalar-subquery operand is not supported " +
             "in this position (aggregate arguments, GROUP/ORDER BY, " +
-            "QUALIFY, window arguments)"))
-        else if (corrPostAgg)
-          Left(BadSubquery("a CORRELATED scalar-subquery operand is not " +
-            "supported in aggregate-scope projections/HAVING — use an " +
-            "uncorrelated form or a derived table"))
-        else Right(())
+            "window arguments)"))
+        else badCorrKey match {
+          case Some(c) => Left(BadSubquery(
+            "a correlated scalar-subquery operand in an aggregate-scope " +
+              s"projection may only correlate on GROUP BY keys (got ${c.render})"))
+          case None => Right(())
+        }
       }
     } yield BoundSelect(innerTables, proj, pred, order, s.limit, s.offset, group,
       having, s.distinct, steps, derivedSubs.toMap, s.groupSpec,

@@ -2536,9 +2536,15 @@ class DialectSpec extends AnyFunSuite {
     assert(cw.collect().map(_.getInt(0)).toSeq == Seq(1))
     // a correlated NON-aggregate operand still rejects
     assert(db.query("SELECT x + (SELECT t2.x FROM t t2 WHERE t2.g = t.g) AS n FROM t").isLeft)
-    // ... as does a correlated operand in aggregate-scope projections
-    assert(db.query("SELECT g, sum(x) - (SELECT max(t2.x) FROM t t2 " +
-      "WHERE t2.g = t.g) AS n FROM t GROUP BY g").isLeft)
+    // correlated operands in aggregate-scope projections: the per-key
+    // frame joins the GROUPED result on the GROUP BY key
+    val ca = db.select("SELECT g, sum(x) - (SELECT max(t2.x) FROM t t2 " +
+      "WHERE t2.g = t.g) AS n FROM t GROUP BY g ORDER BY g").toOption.get
+    assert(ca.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 0L), ("c", 0L)))
+    // correlation on a NON-group-key still rejects
+    assert(db.query("SELECT g, sum(x) - (SELECT max(t2.g) FROM t t2 " +
+      "WHERE t2.x = t.x) AS n FROM t GROUP BY g").isLeft)
   }
 
   test("window IGNORE NULLS variants") {
