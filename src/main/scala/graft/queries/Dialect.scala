@@ -1945,6 +1945,21 @@ object Dialect {
              |      AND o2.o_orderkey <= o.o_orderkey) AS run_cents
              |FROM orders o WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin)),
 
+    // USING SAMPLE: deterministic md5-threshold sampling (the
+    // Corpus.split machinery surfaced in the dialect) — rerun-stable,
+    // content-keyed, engine-reproducible; at 100 TB this is a map-only
+    // filter that pushes to the scan, with no RNG state to coordinate
+    // across executors. The oracle replicates the identical md5 prefix
+    // comparison.
+    "q_dialect_sample" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_custkey FROM orders " +
+          "USING SAMPLE 25 PERCENT (KEY o_orderkey) ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+             |WHERE substr(md5(coalesce(cast(o_orderkey AS varchar), '')), 1, 8)
+             |  < '40000000'
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Correlated scalar-subquery OPERANDS in aggregate-scope
     // projections: the per-key aggregate frame joins the GROUPED result
     // on the GROUP BY key (one bounded left join, never a per-group

@@ -881,10 +881,14 @@ object Parser {
               case _                            => TableRef(n, None)
             }
           }
+        // <item> USING SAMPLE <n> PERCENT (KEY col [, col…]) — sample
+        // predicates desugared into WHERE conjuncts at parse, collected
+        // here (see the `one` wrapper below)
+        val samplePreds = Vector.newBuilder[Expr]
         // a FROM-group entry: a named table, or `(SELECT …) alias` —
         // including set-op chains: `(SELECT … UNION SELECT …) alias` —
         // or `LATERAL (SELECT …) alias`
-        def one(): Either[ParseError, FromItem] = p.peek match {
+        def one0(): Either[ParseError, FromItem] = p.peek match {
           // range(…) / generate_series(…) table functions with literal
           // integer bounds; generate_series is end-INCLUSIVE (DuckDB),
           // normalized here to half-open
@@ -1047,6 +1051,89 @@ object Parser {
               } yield FDerived(sel, alias)
           case _ => tableOnly().map(FTable)
         }
+        // USING SAMPLE <n> PERCENT (KEY col [, col…]): the deterministic
+        // md5-threshold sample — the Corpus.split machinery surfaced in
+        // the dialect. Rerun-stable, content-keyed on the named columns,
+        // engine-reproducible (the oracle replicates the identical md5
+        // prefix comparison; an RNG-seeded bernoulli sample could not be
+        // verified cross-engine, which is why the KEY list is required).
+        // Desugars to a WHERE conjunct:
+        //   substr(md5(coalesce(cast(k1 AS VARCHAR),'') || '|' || …), 1, 8)
+        //     < '<8-hex of pct/100 · 2^32>'
+        def one(allowSample: Boolean = false): Either[ParseError, FromItem] =
+          one0().flatMap { fi =>
+          val isSample = p.peek match {
+            case TIdent(k, _) if k.equalsIgnoreCase("using") =>
+              val save = p.i; p.next()
+              val s = p.isKw("sample"); p.i = save; s
+            case _ => false
+          }
+          if (!isSample) Right(fi)
+          else if (!allowSample)
+            Left(ParseError(
+              "USING SAMPLE is supported on FROM-group tables only " +
+                "(a sample on a join step's table would filter the " +
+                "null-extended result, not the table)", p.peek.pos))
+          else {
+            val pos0 = p.peek.pos
+            p.next(); p.next()
+            for {
+              pct <- p.peek match {
+                case TInt(v, _)   => p.next(); Right(v.toDouble)
+                case TFloat(v, _) => p.next(); Right(v)
+                case t => Left(ParseError(
+                  "USING SAMPLE takes a numeric percentage", t.pos))
+              }
+              _ <- p.peek match {
+                case TSym("%", _) => p.next(); Right(())
+                case TIdent(k, _) if k.equalsIgnoreCase("percent") =>
+                  p.next(); Right(())
+                case t => Left(ParseError("expected PERCENT (or %)", t.pos))
+              }
+              _ <- p.eatSym("(")
+              _ <- if (p.isKw("key")) { p.next(); Right(()) }
+                   else Left(ParseError(
+                     "USING SAMPLE requires (KEY col [, col…]) — the " +
+                       "deterministic hash key (RNG sampling is not " +
+                       "reproducible)", p.peek.pos))
+              keys <- {
+                def kl(acc: Vector[String]): Either[ParseError, Vector[String]] =
+                  p.ident().flatMap { n =>
+                    p.peek match {
+                      case TSym(",", _) => p.next(); kl(acc :+ n)
+                      case _            => p.eatSym(")").map(_ => acc :+ n)
+                    }
+                  }
+                kl(Vector.empty)
+              }
+              alias <- fi match {
+                case FTable(TableRef(n, a)) => Right(a.getOrElse(n))
+                case FDerived(_, a)         => Right(a)
+                case _ => Left(ParseError(
+                  "USING SAMPLE applies to tables and derived tables", pos0))
+              }
+            } yield {
+              if (pct < 100.0) {
+                val frac = math.max(pct, 0.0) / 100.0
+                val hex = f"${math.floor(frac * 4294967296.0).toLong}%08x"
+                val keyStr: Operand = keys.map(k =>
+                  Operand.FuncCall("coalesce", Seq(
+                    Operand.Cast(Operand.Col(ColRef(Some(alias), k)),
+                      SqlType.SqlVarChar(65535)),
+                    Operand.Literal(Lit.LitString("")))): Operand)
+                  .reduceLeft((a, b) => Operand.FuncCall("concat",
+                    Seq(a, Operand.Literal(Lit.LitString("|")), b)))
+                samplePreds += Expr.Cmp(CmpOp.Lt,
+                  Operand.FuncCall("substr", Seq(
+                    Operand.FuncCall("md5", Seq(keyStr)),
+                    Operand.Literal(Lit.LitLong(1L)),
+                    Operand.Literal(Lit.LitLong(8L)))),
+                  Operand.Literal(Lit.LitString(hex)))
+              }
+              fi
+            }
+          }
+        }
         def outerKind(): Option[String] = p.peek match {
           case TIdent(k, _) if k.equalsIgnoreCase("left") || k.equalsIgnoreCase("right") ||
               k.equalsIgnoreCase("full") => Some(k.toLowerCase)
@@ -1058,7 +1145,7 @@ object Parser {
             case TSym(",", pos) =>
               if (steps.nonEmpty)
                 Left(ParseError("comma-join after an outer join is not supported; reorder the FROM list", pos))
-              else { p.next(); one().flatMap(t => loop(tabs :+ t, ons, steps)) }
+              else { p.next(); one(allowSample = true).flatMap(t => loop(tabs :+ t, ons, steps)) }
             case TIdent(k, _) if k.equalsIgnoreCase("join") ||
                 (k.equalsIgnoreCase("inner") && { val save = p.i; p.next()
                   val isJ = p.isKw("join"); p.i = save; isJ }) =>
@@ -1137,7 +1224,12 @@ object Parser {
               } yield r
             case _ => Right((tabs, ons, steps))
           }
-        if (hasFrom) one().flatMap(t => loop(Vector(t), Vector.empty, Vector.empty))
+        // sample predicates merge into the hoisted-ON conjuncts (they
+        // reach the WHERE conjunction the same way)
+        if (hasFrom) one(allowSample = true).flatMap(t =>
+          loop(Vector(t), Vector.empty, Vector.empty).map {
+            case (tabs, ons, steps) => (tabs, ons ++ samplePreds.result(), steps)
+          })
         else Right((Vector.empty[FromItem], Vector.empty[Expr], Vector.empty[JoinStep]))
       }
       where <- {

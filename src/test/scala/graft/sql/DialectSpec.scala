@@ -2020,6 +2020,36 @@ class DialectSpec extends AnyFunSuite {
     assert(fb.collect().toSeq == Seq(Row(1, 200), Row(2, null), Row(3, null)))
   }
 
+  test("USING SAMPLE: deterministic md5-threshold sampling") {
+    val db = freshDb()
+    db.query("CREATE TABLE st (id INT, v INT)").toOption.get
+    db.query("INSERT INTO st VALUES " +
+      (1 to 40).map(i => s"($i, ${i * 10})").mkString(", ")).toOption.get
+    def ids(sql: String): Seq[Int] =
+      db.select(sql).toOption.getOrElse(fail(s"rejected: $sql"))
+        .collect().map(_.getInt(0)).toSeq
+    val s50a = ids("SELECT id FROM st USING SAMPLE 50 PERCENT (KEY id) ORDER BY id")
+    val s50b = ids("SELECT id FROM st USING SAMPLE 50 PERCENT (KEY id) ORDER BY id")
+    // rerun-stable, a real subset, roughly half
+    assert(s50a == s50b && s50a.nonEmpty && s50a.length < 40)
+    // monotone in the rate: the 25% sample is a subset of the 50% one
+    val s25 = ids("SELECT id FROM st USING SAMPLE 25 % (KEY id) ORDER BY id")
+    assert(s25.forall(s50a.contains))
+    // boundary rates
+    assert(ids("SELECT id FROM st USING SAMPLE 100 PERCENT (KEY id) " +
+      "ORDER BY id").length == 40)
+    assert(ids("SELECT id FROM st USING SAMPLE 0 PERCENT (KEY id) " +
+      "ORDER BY id").isEmpty)
+    // multi-column keys compose; WHERE conjuncts AND with the sample
+    assert(ids("SELECT id FROM st USING SAMPLE 50 PERCENT (KEY id, v) " +
+      "WHERE id <= 20 ORDER BY id").forall(_ <= 20))
+    // a join step's table may not carry a sample (it would filter the
+    // null-extended result); the KEY list is required
+    assert(db.query("SELECT a.id FROM st a LEFT JOIN st b " +
+      "USING SAMPLE 50 PERCENT (KEY id) ON a.id = b.id").isLeft)
+    assert(db.query("SELECT id FROM st USING SAMPLE 50 PERCENT").isLeft)
+  }
+
   test("stats-driven ASOF lowering: dense keys union-merge, sparse candidate") {
     val db = freshDb()
     def run(sql: String): Unit = db.query(sql) match {
