@@ -2951,6 +2951,38 @@ object Dialect {
              |  lcm(o_orderkey % 7, 0) AS lz
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // Batch 8: byte/bit lengths, sha256, unicode, ifnull, the
+    // string-similarity Catalyst expressions (hamming/jaccard —
+    // functions/StringExpressions.scala), and date_diff boundary
+    // crossings (day/month/year via calendar components — exact integer
+    // arithmetic on both engines).
+    "q_dialect_funcs8" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "octet_length(o_orderpriority) AS ol, " +
+          "bit_length(o_orderstatus) AS bl, " +
+          "sha256(o_orderpriority) AS h, " +
+          "unicode(o_orderstatus) AS u, " +
+          "ifnull(nullif(o_orderstatus, 'O'), 'X') AS if2, " +
+          "hamming(o_orderstatus, 'O') AS hm, " +
+          "round(jaccard(o_orderpriority, '1-URGENT'), 6) AS jc, " +
+          "date_diff('day', DATE '1995-01-01', o_orderdate) AS dd, " +
+          "date_diff('month', DATE '1995-01-01', o_orderdate) AS dm, " +
+          "date_diff('year', DATE '1995-01-01', o_orderdate) AS dy " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  cast(strlen(o_orderpriority) AS int) AS ol,
+             |  cast(strlen(o_orderstatus) * 8 AS int) AS bl,
+             |  sha256(o_orderpriority) AS h,
+             |  unicode(o_orderstatus) AS u,
+             |  ifnull(nullif(o_orderstatus, 'O'), 'X') AS if2,
+             |  hamming(o_orderstatus, 'O') AS hm,
+             |  round(jaccard(o_orderpriority, '1-URGENT'), 6) AS jc,
+             |  date_diff('day', DATE '1995-01-01', o_orderdate) AS dd,
+             |  date_diff('month', DATE '1995-01-01', o_orderdate) AS dm,
+             |  date_diff('year', DATE '1995-01-01', o_orderdate) AS dy
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // Lambda list functions: list_transform / list_filter / list_reduce
     // with `x -> expr` bodies — Spark's codegen'd higher-order functions
     // (transform/filter/aggregate), never a UDF. The reduce folds

@@ -1029,7 +1029,12 @@ object Analyzer {
            "starts_with" | "ends_with" | "contains" |
            "regexp_matches"      => SqlType.SqlBool
       case "printf" | "strftime" => SqlType.SqlVarChar(65535)
-      case "factorial" | "gcd" | "lcm" => SqlType.SqlBigInt
+      case "factorial" | "gcd" | "lcm" | "hamming" | "date_diff" =>
+        SqlType.SqlBigInt
+      case "octet_length" | "bit_length" | "unicode" => SqlType.SqlInt
+      case "jaccard"             => SqlType.SqlDouble
+      case "sha256"              => SqlType.SqlVarChar(65535)
+      case "ifnull"              => operandType(args.head)
       case "bit_count"           => SqlType.SqlInt
       case "strptime" | "to_timestamp" => SqlType.SqlTimestamp
       case "list_min" | "list_max" | "list_sum" |
@@ -2481,7 +2486,11 @@ object Analyzer {
           case "pi"                  => args.isEmpty
           case "log"                 => args.length == 1 || args.length == 2
           case "atan2" | "starts_with" | "ends_with" | "contains" |
-               "regexp_matches" | "gcd" | "lcm" => args.length == 2
+               "regexp_matches" | "gcd" | "lcm" |
+               "ifnull" | "hamming" | "jaccard" => args.length == 2
+          case "octet_length" | "bit_length" | "sha256" | "unicode" =>
+            args.length == 1
+          case "date_diff"           => args.length == 3
           case "printf"              => args.nonEmpty &&
             args.head.isInstanceOf[Operand.Literal]
           case "strftime" | "strptime" => args.length == 2
@@ -2541,6 +2550,13 @@ object Analyzer {
         }))
           Left(BadFunction(
             "date_part unit must be a string literal (year/quarter/month/week/day/dow/doy/hour/minute/second/epoch)"))
+        else if (f == "date_diff" && !(args.head match {
+          case Operand.Literal(Lit.LitString(u)) => Set("day", "month",
+            "year", "hour", "minute", "second")(u.toLowerCase)
+          case _ => false
+        }))
+          Left(BadFunction(
+            "date_diff part must be a string literal (day/month/year/hour/minute/second)"))
         else if (f == "translate" && !((args(1), args(2)) match {
           case (Operand.Literal(Lit.LitString(_)),
                 Operand.Literal(Lit.LitString(_))) => true

@@ -2553,6 +2553,35 @@ object Lowering {
       graft.functions.NumericFunctions.gcd(rec(a).cast("long"), rec(b).cast("long"))
     case ("lcm", Seq(a, b)) =>
       graft.functions.NumericFunctions.lcm(rec(a).cast("long"), rec(b).cast("long"))
+    case ("octet_length", Seq(a)) => octet_length(rec(a))
+    case ("bit_length", Seq(a))   => bit_length(rec(a))
+    case ("sha256", Seq(a))       => sha2(rec(a), 256)
+    case ("unicode", Seq(a)) =>
+      // DuckDB: codepoint of the first character, -1 for the empty string
+      val c = rec(a)
+      when(length(c) === 0, lit(-1)).otherwise(ascii(c))
+    case ("ifnull", Seq(a, b)) => coalesce(rec(a), rec(b))
+    case ("hamming", Seq(a, b)) =>
+      graft.functions.StringFunctions.hamming(rec(a), rec(b))
+    case ("jaccard", Seq(a, b)) =>
+      graft.functions.StringFunctions.jaccard(rec(a), rec(b))
+    // date_diff('part', a, b): DuckDB counts PART-boundary crossings —
+    // exact integer arithmetic on both engines (day: date difference;
+    // month/year: calendar component differences; hour/minute/second:
+    // epoch-quotient differences, positive-epoch contract)
+    case ("date_diff", Seq(BoundOperand.BLit(Lit.LitString(u)), a, b)) =>
+      val (s0, e0) = (rec(a), rec(b))
+      (u.toLowerCase match {
+        case "day"   => datediff(e0, s0)
+        case "month" =>
+          (year(e0) * 12 + month(e0)) - (year(s0) * 12 + month(s0))
+        case "year"  => year(e0) - year(s0)
+        case "hour"   => (e0.cast("long") / 3600).cast("long") -
+          (s0.cast("long") / 3600).cast("long")
+        case "minute" => (e0.cast("long") / 60).cast("long") -
+          (s0.cast("long") / 60).cast("long")
+        case _ /* second */ => e0.cast("long") - s0.cast("long")
+      }).cast("long")
     case ("floor", Seq(a))    => floor(rec(a))
     case ("ceil", Seq(a))     => ceil(rec(a))
     case ("sqrt", Seq(a))     => sqrt(rec(a))

@@ -166,7 +166,8 @@ object Parser {
     "starts_with", "ends_with", "contains", "printf", "strftime",
     "strptime", "regexp_matches", "to_timestamp",
     "list_min", "list_max", "list_sum", "array_min", "array_max",
-    "gcd", "lcm")
+    "gcd", "lcm", "octet_length", "bit_length", "sha256", "unicode",
+    "ifnull", "hamming", "jaccard", "date_diff")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not

@@ -2020,6 +2020,35 @@ class DialectSpec extends AnyFunSuite {
     assert(fb.collect().toSeq == Seq(Row(1, 200), Row(2, null), Row(3, null)))
   }
 
+  test("scalar batch 8: lengths, sha256, unicode, similarity, date_diff") {
+    val db = freshDb()
+    def one(sql: String): Row = db.select(sql) match {
+      case Right(df) => df.collect().head
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    val r = one("SELECT octet_length('abc') AS ol, bit_length('ab') AS bl, " +
+      "unicode('A') AS u, unicode('') AS ue, ifnull(NULL, 7) AS if1, " +
+      "hamming('karolin', 'kathrin') AS hm, " +
+      "round(jaccard('abc', 'bcd'), 6) AS jc, " +
+      "date_diff('day', DATE '1995-01-01', DATE '1995-03-01') AS dd, " +
+      "date_diff('month', DATE '1995-01-31', DATE '1995-02-01') AS dm, " +
+      "date_diff('year', DATE '1994-12-31', DATE '1995-01-01') AS dy")
+    assert(r.getInt(0) == 3 && r.getInt(1) == 16)
+    assert(r.getInt(2) == 65 && r.getInt(3) == -1)
+    assert(r.getLong(4) == 7L)
+    assert(r.getLong(5) == 3L)                      // kar/kat + o/h + l/i
+    assert(math.abs(r.getDouble(6) - 0.5) < 1e-9)   // {b,c} / {a,b,c,d}
+    assert(r.getLong(7) == 59L && r.getLong(8) == 1L && r.getLong(9) == 1L)
+    // hamming on unequal lengths errors like DuckDB
+    val boom =
+      try { db.select("SELECT hamming('ab', 'abc') AS x").toOption
+        .foreach(_.collect()); false }
+      catch { case _: Throwable => true }
+    assert(boom)
+    // sha256 round-trips through the hex form
+    assert(one("SELECT length(sha256('x')) AS n").getInt(0) == 64)
+  }
+
   test("USING SAMPLE: deterministic md5-threshold sampling") {
     val db = freshDb()
     db.query("CREATE TABLE st (id INT, v INT)").toOption.get
