@@ -2951,6 +2951,33 @@ object Dialect {
              |  lcm(o_orderkey % 7, 0) AS lz
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // List batch 2: reverse/flatten/unique/append/prepend/intersect/
+    // has_any/has_all onto Spark's codegen'd array natives (top-level
+    // array outputs serialized for the pandas gate harness; DuckDB's
+    // unspecified list_intersect order pinned by sorting on BOTH sides).
+    "q_dialect_list_funcs2" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "array_to_string(list_reverse([o_orderkey % 5, 2, o_orderkey % 3]), ',') AS lr, " +
+          "array_to_string(flatten([[o_orderkey % 5], [7, o_orderkey % 2]]), ',') AS fl, " +
+          "list_unique([o_orderkey % 4, o_orderkey % 2, 2]) AS lu, " +
+          "array_to_string(list_append([1, o_orderkey % 3], 9), ',') AS la, " +
+          "array_to_string(list_prepend(0, [o_orderkey % 3, 5]), ',') AS lp, " +
+          "array_to_string(list_intersect([o_orderkey % 7, 2, 4], [2, 4, 6]), ',') AS li, " +
+          "list_has_any([o_orderkey % 5], [0, 1]) AS ha, " +
+          "list_has_all([1, 2, 3, o_orderkey % 4], [2, o_orderkey % 4]) AS hl " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  array_to_string(list_reverse([o_orderkey % 5, 2, o_orderkey % 3]), ',') AS lr,
+             |  array_to_string(flatten([[o_orderkey % 5], [7, o_orderkey % 2]]), ',') AS fl,
+             |  cast(list_unique([o_orderkey % 4, o_orderkey % 2, 2]) AS bigint) AS lu,
+             |  array_to_string(list_append([1, o_orderkey % 3], 9), ',') AS la,
+             |  array_to_string(list_prepend(0, [o_orderkey % 3, 5]), ',') AS lp,
+             |  array_to_string(list_sort(list_intersect([o_orderkey % 7, 2, 4], [2, 4, 6])), ',') AS li,
+             |  list_has_any([o_orderkey % 5], [0, 1]) AS ha,
+             |  list_has_all([1, 2, 3, o_orderkey % 4], [2, o_orderkey % 4]) AS hl
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // Batch 8: byte/bit lengths, sha256, unicode, ifnull, the
     // string-similarity Catalyst expressions (hamming/jaccard —
     // functions/StringExpressions.scala), and date_diff boundary

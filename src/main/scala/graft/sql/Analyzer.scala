@@ -1043,6 +1043,15 @@ object Analyzer {
           case SqlType.SqlArray(e) => e
           case other               => other
         }
+      case "list_reverse" => operandType(args.head)
+      case "flatten" => operandType(args.head) match {
+        case SqlType.SqlArray(e) => e
+        case other               => other
+      }
+      case "list_unique" => SqlType.SqlBigInt
+      case "list_append" | "list_intersect" => operandType(args.head)
+      case "list_prepend" => operandType(args(1))
+      case "list_has_any" | "list_has_all" => SqlType.SqlBool
       case "list_transform" => SqlType.SqlArray(operandType(args(1)))
       case "list_reduce"    => operandType(args(1))
       case "string_split" | "string_to_array" | "split" |
@@ -2520,6 +2529,9 @@ object Analyzer {
                "string_to_array" | "split" | "array_to_string" |
                "regexp_split_to_array" => args.length == 2
           case "list_slice"          => args.length == 3
+          case "list_reverse" | "flatten" | "list_unique" => args.length == 1
+          case "list_append" | "list_prepend" | "list_intersect" |
+               "list_has_any" | "list_has_all" => args.length == 2
           case "list_value"          => true
           case "levenshtein"         => args.length == 2
           case "chr" | "ascii" | "to_hex" | "epoch_ms" => args.length == 1

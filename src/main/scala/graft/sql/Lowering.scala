@@ -2553,6 +2553,23 @@ object Lowering {
       graft.functions.NumericFunctions.gcd(rec(a).cast("long"), rec(b).cast("long"))
     case ("lcm", Seq(a, b)) =>
       graft.functions.NumericFunctions.lcm(rec(a).cast("long"), rec(b).cast("long"))
+    // list batch: DuckDB surface onto Spark's codegen'd array natives.
+    // list_unique counts DISTINCT NON-NULL elements (DuckDB semantics);
+    // list_prepend takes (elem, list) — note the DuckDB argument order.
+    case ("list_reverse", Seq(a)) => reverse(rec(a))
+    case ("flatten", Seq(a))      => flatten(rec(a))
+    case ("list_unique", Seq(a)) =>
+      size(array_distinct(filter(rec(a), x => x.isNotNull))).cast("long")
+    case ("list_append", Seq(a, b))  => array_append(rec(a), rec(b))
+    case ("list_prepend", Seq(a, b)) => array_prepend(rec(b), rec(a))
+    case ("list_intersect", Seq(a, b)) =>
+      // DuckDB's output order is unspecified — sort for determinism
+      array_sort(array_intersect(rec(a), rec(b)))
+    case ("list_has_any", Seq(a, b)) => arrays_overlap(rec(a), rec(b))
+    case ("list_has_all", Seq(a, b)) =>
+      // every NON-NULL element of b appears in a (DuckDB skips NULLs)
+      forall(filter(rec(b), x => x.isNotNull),
+        x => array_contains(rec(a), x))
     case ("octet_length", Seq(a)) => octet_length(rec(a))
     case ("bit_length", Seq(a))   => bit_length(rec(a))
     case ("sha256", Seq(a))       => sha2(rec(a), 256)

@@ -167,7 +167,9 @@ object Parser {
     "strptime", "regexp_matches", "to_timestamp",
     "list_min", "list_max", "list_sum", "array_min", "array_max",
     "gcd", "lcm", "octet_length", "bit_length", "sha256", "unicode",
-    "ifnull", "hamming", "jaccard", "date_diff")
+    "ifnull", "hamming", "jaccard", "date_diff",
+    "list_reverse", "flatten", "list_append", "list_prepend",
+    "list_unique", "list_intersect", "list_has_any", "list_has_all")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
