@@ -1835,6 +1835,22 @@ object Dialect {
              |    AND k % 2 = (SELECT count(*) FROM region) % 2
              |) t ORDER BY c_custkey""".stripMargin)),
 
+    // INSERT INTO … BY NAME: the select's OUTPUT NAMES map onto target
+    // columns (order-free; unlisted columns NULL-fill) — DuckDB's
+    // name-wise insert.
+    "q_dialect_insert_by_name" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "nation")
+        g.query("CREATE OR REPLACE TABLE ibn " +
+          "(n_nationkey BIGINT, n_name VARCHAR(32), extra INT)")
+          .fold(e => sys.error(e.msg), identity)
+        g.query("INSERT INTO ibn BY NAME SELECT n_name, n_nationkey FROM nation")
+          .fold(e => sys.error(e.msg), identity)
+        run(g, "SELECT n_nationkey, n_name, extra FROM ibn ORDER BY n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, CAST(NULL AS INT) AS extra
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // RETURNING column lists: the affected frame projects through a
     // row-level synthetic select (computed items need AS; aggregates/
     // windows/subqueries reject). UPDATE post-image shown here.

@@ -1433,7 +1433,17 @@ object Analyzer {
               case u: BoundUnion  => u.first.projection.length
               case _              => -1
             }
-            i.columns match {
+            // BY NAME: the select's OUTPUT NAMES are the column list
+            // (dup names / missing AS already reject in derivedAttributes)
+            val colsE: Either[AnalyzerError, Option[Seq[String]]] =
+              if (!i.byName) Right(i.columns)
+              else (b match {
+                case s: BoundSelect => derivedAttributes(s)
+                case u: BoundUnion  => derivedAttributes(u.first)
+                case _ => Left(BadFunction(
+                  "INSERT … BY NAME takes a SELECT source"))
+              }).map(as => Some(as.map(_.name)))
+            colsE.flatMap {
               case None =>
                 if (arity < desc.attributes.length)
                   Left(MissingValues(desc.attributes.drop(math.max(arity, 0)).map(_.name)))

@@ -381,7 +381,12 @@ object Ast {
         * onto these names, unlisted table columns NULL-fill. Also the
         * lowered form of expression VALUES rows.
         */
-      columns: Option[Seq[String]] = None) extends ParseTree
+      columns: Option[Seq[String]] = None,
+      /** INSERT INTO t BY NAME SELECT …: the SELECT's OUTPUT NAMES are
+        * the column list (resolved at analysis once the select binds);
+        * unlisted table columns NULL-fill, unknown names reject.
+        */
+      byName: Boolean = false) extends ParseTree
 
   /** CREATE TABLE t [CLUSTERED BY (col) INTO n BUCKETS] AS SELECT … —
     * schema derived from the query's output.

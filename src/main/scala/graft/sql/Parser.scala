@@ -2496,6 +2496,13 @@ object Parser {
       _ <- p.eatKw("insert")
       _ <- p.eatKw("into")
       name <- p.ident()
+      // INSERT INTO t BY NAME SELECT … — the select's output names ARE
+      // the column list (resolved at analysis)
+      byName <- p.peek match {
+        case TIdent(k, _) if k.equalsIgnoreCase("by") =>
+          p.next(); p.eatKw("name").map(_ => true)
+        case _ => Right(false)
+      }
       // optional explicit column list: INSERT INTO t (a, b) …
       cols <- p.peek match {
         case TSym("(", _) =>
@@ -2519,8 +2526,15 @@ object Parser {
             if (p.isKw("on")) Left(ParseError(
               "ON CONFLICT is supported for INSERT … VALUES (use MERGE " +
                 "for query-sourced upserts)", p.peek.pos))
-            else Right(InsertSelectTree(name, sel, cols): ParseTree)
+            else if (byName && cols.isDefined) Left(ParseError(
+              "BY NAME and an explicit column list are mutually exclusive",
+              p.peek.pos))
+            else Right(InsertSelectTree(name, sel, cols,
+              byName = byName): ParseTree)
           }
+        else if (byName)
+          Left(ParseError("INSERT … BY NAME takes a SELECT source",
+            p.peek.pos))
         else
           for {
             _ <- p.eatKw("values")
@@ -2637,8 +2651,8 @@ object Parser {
       case s: SelectTree => substCte(s, views)
       case u: UnionTree  => substCteTree(u, views)
       case ExplainTree(inner, a) => ExplainTree(substituteViews(inner, views), a)
-      case InsertSelectTree(tb, sel, cs) =>
-        InsertSelectTree(tb, substituteViews(sel, views), cs)
+      case InsertSelectTree(tb, sel, cs, bn) =>
+        InsertSelectTree(tb, substituteViews(sel, views), cs, bn)
       case CreateAsTree(n, sel, b) =>
         CreateAsTree(n, substituteViews(sel, views), b)
       // a view can be the MERGE source: substitute a named source into a

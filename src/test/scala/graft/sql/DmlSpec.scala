@@ -149,6 +149,22 @@ class DmlSpec extends AnyFunSuite {
     assert(snap() == Seq(Row(1, 2, 10), Row(2, 1, 20), Row(3, 0, 30)))
   }
 
+  test("INSERT INTO ... BY NAME maps the select's output names") {
+    val g = new GraftDatabase(spark,
+      Files.createTempDirectory("graft-byname-wh").toString)
+    g.query("CREATE TABLE bn (a INT, b VARCHAR(8), c INT)").toOption.get
+    // permuted + partial: unlisted columns NULL-fill
+    assert(g.query("INSERT INTO bn BY NAME SELECT 7 AS c, 'x' AS b").isRight)
+    assert(g.query("INSERT INTO bn BY NAME SELECT 1 AS a, 2 AS c, 'y' AS b").isRight)
+    val rows = g.select("SELECT a, b, c FROM bn").toOption.get
+      .orderBy("c").collect().toSeq
+    assert(rows == Seq(Row(1, "y", 2), Row(null, "x", 7)))
+    // unknown output name; BY NAME + explicit list; VALUES source
+    assert(g.query("INSERT INTO bn BY NAME SELECT 1 AS zz").isLeft)
+    assert(g.query("INSERT INTO bn BY NAME (a) SELECT 1 AS a").isLeft)
+    assert(g.query("INSERT INTO bn BY NAME VALUES (1, 'a', 2)").isLeft)
+  }
+
   test("MERGE INTO: conditional delete/update/insert, first-match-wins") {
     val g = new GraftDatabase(spark,
       Files.createTempDirectory("graft-merge-wh").toString)
