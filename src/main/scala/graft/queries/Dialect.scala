@@ -2994,6 +2994,20 @@ object Dialect {
              |  list_has_all([1, 2, 3, o_orderkey % 4], [2, o_orderkey % 4]) AS hl
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // regexp_extract_all — group 0 (whole match) default like DuckDB
+    // (Spark's own default is 1, so the index always passes explicitly);
+    // array outputs serialized for the pandas gate harness.
+    "q_dialect_regexp_extract_all" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "array_to_string(regexp_extract_all(o_orderpriority || '-' || cast(o_orderkey AS VARCHAR), '[0-9]+'), ',') AS nums, " +
+          "array_to_string(regexp_extract_all(o_orderpriority, '([A-Z]+)', 1), ',') AS words " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  array_to_string(regexp_extract_all(o_orderpriority || '-' || cast(o_orderkey AS VARCHAR), '[0-9]+'), ',') AS nums,
+             |  array_to_string(regexp_extract_all(o_orderpriority, '([A-Z]+)', 1), ',') AS words
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // Batch 8: byte/bit lengths, sha256, unicode, ifnull, the
     // string-similarity Catalyst expressions (hamming/jaccard —
     // functions/StringExpressions.scala), and date_diff boundary

@@ -1055,7 +1055,7 @@ object Analyzer {
       case "list_transform" => SqlType.SqlArray(operandType(args(1)))
       case "list_reduce"    => operandType(args(1))
       case "string_split" | "string_to_array" | "split" |
-           "regexp_split_to_array" =>
+           "regexp_split_to_array" | "regexp_extract_all" =>
         SqlType.SqlArray(SqlType.SqlVarChar(65535))
       case "list_value" =>
         SqlType.SqlArray(args.headOption.map(operandType)
@@ -2529,6 +2529,7 @@ object Analyzer {
           case "replace" | "lpad" | "rpad" | "split_part" |
                "regexp_replace"      => args.length == 3
           case "regexp_extract"      => args.length == 2 || args.length == 3
+          case "regexp_extract_all"  => args.length == 2 || args.length == 3
           case "greatest" | "least"  => args.length >= 2
           // list/array functions (DuckDB surface onto Spark natives)
           case "len" | "array_length" | "list_distinct" | "array_distinct" |
@@ -2605,7 +2606,8 @@ object Analyzer {
           Left(BadFunction(s"$f length/pad arguments must be literals"))
         // Spark's regexp_extract compiles the pattern and group index
         // into the expression — they must be literals
-        else if (f == "regexp_extract" && !((args(1), args.lift(2)) match {
+        else if ((f == "regexp_extract" || f == "regexp_extract_all") &&
+          !((args(1), args.lift(2)) match {
           case (Operand.Literal(Lit.LitString(_)),
                 None | Some(Operand.Literal(Lit.LitLong(_)))) => true
           case _ => false
@@ -3632,6 +3634,13 @@ object Analyzer {
             case BoundOperand.BArith(_, l, r) => opCols(l) ++ opCols(r)
             case BoundOperand.BFunc(_, as)    => as.flatMap(opCols)
             case BoundOperand.BCast(x, _)     => opCols(x)
+            case BoundOperand.BTryCast(x, _)  => opCols(x)
+            // a scalar-subquery operand's decorrelation keys join
+            // post-aggregation too
+            case BoundOperand.BSubVal(_, _, ps) => ps.map(_._1)
+            case BoundOperand.BCase(bs, els) =>
+              bs.flatMap { case (c2, v) => cols(c2) ++ opCols(v) } ++
+                els.toSeq.flatMap(opCols)
             case _                            => Nil
           }
           def cols(x: BoundExpr): Seq[BoundCol] = x match {
@@ -3814,8 +3823,7 @@ object Analyzer {
         }
         val badOther =
           pred.exists(exprBad) || having.exists(exprBad) ||
-            qualifyPred.exists(e => exprBad(e) ||
-              BoundOperand.exprOperands(e).exists(contains)) ||
+            qualifyPred.exists(exprBad) ||
             group.exists {
               case BoundGroupKey.GKExpr(op, _) => contains(op)
               case _ => false

@@ -454,6 +454,15 @@ object Ast {
 
   /** SHOW TABLES — one row per relation (tables, views, materialized
     * views) with its kind. */
+  /** CREATE [UNIQUE] INDEX — parsed for compatibility and NO-OP'd with
+    * a notice, the reference's own posture (its btree index is a stub,
+    * reference btree.rs); the engine's real index stand-in is bucketing
+    * (CLUSTERED BY), which gives shuffle-free joins/aggs on the bucket
+    * column.
+    */
+  final case class CreateIndexTree(name: String, table: String,
+      cols: Seq[String], unique: Boolean) extends ParseTree
+
   case object ShowTablesTree extends ParseTree
   /** DESCRIBE t — one row per column: name, type, nullable. */
   final case class DescribeTree(table: String) extends ParseTree

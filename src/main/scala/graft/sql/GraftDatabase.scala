@@ -111,6 +111,24 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case Ast.DropMatViewTree(name, ifExists) => dropMatView(name, ifExists)
       case t: Ast.PivotTree          => pivotStmt(t)
       case t: Ast.UnpivotTree        => unpivotStmt(t)
+      // CREATE INDEX: validated, then NO-OP'd with a notice — the
+      // reference's btree index is a stub (btree.rs) and this engine's
+      // index stand-in is bucketing (CLUSTERED BY), so the statement is
+      // accepted for compatibility without building anything
+      case t: Ast.CreateIndexTree =>
+        tables.get(t.table.toLowerCase) match {
+          case None => Left(ViewError(s"table '${t.table}' does not exist"))
+          case Some(desc) =>
+            t.cols.find(c => desc.attr(c).isEmpty) match {
+              case Some(c) => Left(ViewError(
+                s"unknown column '" + c + "' in CREATE INDEX"))
+              case None => Right(Done(
+                s"index '" + t.name + "' on " + t.table + "(" +
+                  t.cols.mkString(", ") + ") noted as a no-op: the " +
+                  "engine's index stand-in is bucketing (CREATE TABLE " +
+                  "… CLUSTERED BY)"))
+            }
+        }
       case Ast.ShowTablesTree        => showTables()
       case t: Ast.DescribeTree       => describe(t.table)
       case t: Ast.SummarizeTree      => summarize(t.table)

@@ -494,12 +494,16 @@ object Lowering {
       // post-aggregation marker machinery, registered NOW (probe
       // aggregates become hidden agg columns before the agg assembles),
       // frames joined onto the WINDOWED frame below
-      val qualifyMarkers: Option[MarkerScope] = q.qualify.collect {
+      // the predicate lowers EAGERLY too — probe aggregates reached only
+      // through plain conjuncts (sum(v) * 2 > (SELECT …)) must register
+      // their hidden agg columns before the agg assembles, exactly like
+      // the HAVING mixed-conjunct plans
+      val qualifyMarkers: Option[(MarkerScope, Column)] = q.qualify.collect {
         case qe if BoundExpr.containsSub(qe) =>
           val ms = new MarkerScope(spark, source, "qla",
             bc => col(groupOut(bc)), qualifyOp)
           ms.register(qe)
-          ms
+          (ms, ms.pred(qe))
       }
       val qualifyFilter: Option[Column] = q.qualify.collect {
         case qe if !BoundExpr.containsSub(qe) => lowerExprWith(qe, qualifyOp)
@@ -702,11 +706,11 @@ object Lowering {
       // DISTINCT/ORDER BY (clause order); hidden window columns die at
       // the final projection. Subquery predicates left-join their marker
       // frames onto the windowed frame first (1:1), filter, then drop.
-      val qualified = (q.qualify, qualifyMarkers) match {
-        case (Some(qe), Some(ms)) =>
+      val qualified = qualifyMarkers match {
+        case Some((ms, predCol)) =>
           val joined = ms.joins.foldLeft(withWins) { case (d, (f, on)) =>
             d.join(f, on, "left_outer") }
-          joined.filter(ms.pred(qe)).drop(ms.drops.toSeq: _*)
+          joined.filter(predCol).drop(ms.drops.toSeq: _*)
         case _ => qualifyFilter.fold(withWins)(withWins.filter)
       }
       // ORDER BY runs on the post-aggregation names BEFORE the final
@@ -2570,6 +2574,14 @@ object Lowering {
       // every NON-NULL element of b appears in a (DuckDB skips NULLs)
       forall(filter(rec(b), x => x.isNotNull),
         x => array_contains(rec(a), x))
+    case ("regexp_extract_all", a +: BoundOperand.BLit(Lit.LitString(pat)) +: rest) =>
+      // DuckDB defaults to group 0 (the whole match) — Spark's own
+      // default is 1, so the index is always passed explicitly
+      val grp = rest match {
+        case Seq(BoundOperand.BLit(Lit.LitLong(g))) => g.toInt
+        case _                                      => 0
+      }
+      regexp_extract_all(rec(a), lit(pat), lit(grp))
     case ("octet_length", Seq(a)) => octet_length(rec(a))
     case ("bit_length", Seq(a))   => bit_length(rec(a))
     case ("sha256", Seq(a))       => sha2(rec(a), 256)

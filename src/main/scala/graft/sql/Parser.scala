@@ -168,6 +168,7 @@ object Parser {
     "list_min", "list_max", "list_sum", "array_min", "array_max",
     "gcd", "lcm", "octet_length", "bit_length", "sha256", "unicode",
     "ifnull", "hamming", "jaccard", "date_diff",
+    "regexp_extract_all",
     "list_reverse", "flatten", "list_append", "list_prepend",
     "list_unique", "list_intersect", "list_has_any", "list_has_all")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
@@ -3156,6 +3157,26 @@ object Parser {
             _ <- p.eatKw("as")
             body <- if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p)
           } yield (CreateViewTree(name.toLowerCase, body): ParseTree, ine)
+        else if (p.isKw("unique") || p.isKw("index"))
+          for {
+            unique <- Right { if (p.isKw("unique")) { p.next(); true } else false }
+            _ <- p.eatKw("index")
+            ine <- ifNotExists()
+            iname <- p.ident()
+            _ <- p.eatKw("on")
+            tname <- p.ident()
+            _ <- p.eatSym("(")
+            cols <- {
+              def cl(acc: Vector[String]): Either[ParseError, Vector[String]] =
+                p.ident().flatMap { c =>
+                  p.peek match {
+                    case TSym(",", _) => p.next(); cl(acc :+ c)
+                    case _            => p.eatSym(")").map(_ => acc :+ c)
+                  }
+                }
+              cl(Vector.empty)
+            }
+          } yield (CreateIndexTree(iname, tname, cols, unique): ParseTree, ine)
         else
           for {
             _ <- p.eatKw("table")
@@ -3177,7 +3198,10 @@ object Parser {
           "OR REPLACE and IF NOT EXISTS are mutually exclusive", p.peek.pos))
         else Right(())
     } yield
-      if (orReplace || inner._2) CreateModeTree(inner._1, orReplace, inner._2)
+      // an index create is a no-op either way — mode wrappers drop
+      if ((orReplace || inner._2) &&
+          !inner._1.isInstanceOf[CreateIndexTree])
+        CreateModeTree(inner._1, orReplace, inner._2)
       else inner._1
   }
 

@@ -2049,6 +2049,34 @@ class DialectSpec extends AnyFunSuite {
     assert(one("SELECT length(sha256('x')) AS n").getInt(0) == 64)
   }
 
+  test("regexp_extract_all and CREATE INDEX no-op parity") {
+    val db = freshDb()
+    def one(sql: String): Row = db.select(sql) match {
+      case Right(df) => df.collect().head
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    // DuckDB default group 0 = whole matches; explicit group 1
+    val r = one("SELECT array_to_string(regexp_extract_all('a1b22c333', " +
+      "'[0-9]+'), ',') AS m, " +
+      "array_to_string(regexp_extract_all('x=1;y=22', '([a-z])=([0-9]+)', 1), ',') AS g1, " +
+      "array_to_string(regexp_extract_all('x=1;y=22', '([a-z])=([0-9]+)', 2), ',') AS g2")
+    assert(r.getString(0) == "1,22,333")
+    assert(r.getString(1) == "x,y" && r.getString(2) == "1,22")
+    // the pattern must be a literal (compiled into the plan)
+    assert(db.query("SELECT regexp_extract_all('a', name) AS m FROM people")
+      .isLeft)
+    // CREATE INDEX parses, validates, and no-ops with a notice
+    db.query("CREATE TABLE it (id INT, v INT)").toOption.get
+    val note = db.query("CREATE INDEX idx_v ON it (v, id)")
+    assert(note.exists {
+      case db.Done(m) => m.contains("no-op")
+      case _          => false
+    })
+    assert(db.query("CREATE UNIQUE INDEX u_ix ON it (id)").isRight)
+    assert(db.query("CREATE INDEX bad ON nosuch (v)").isLeft)
+    assert(db.query("CREATE INDEX bad2 ON it (nocol)").isLeft)
+  }
+
   test("USING SAMPLE: deterministic md5-threshold sampling") {
     val db = freshDb()
     db.query("CREATE TABLE st (id INT, v INT)").toOption.get
@@ -3058,6 +3086,12 @@ class DialectSpec extends AnyFunSuite {
       "AND sum(v) > (SELECT avg(v) AS a FROM sales) ORDER BY grp")
       .toOption.get.collect().toSeq
     assert(sc == Seq(Row(1, 60L), Row(2, 55L)))
+    // scalar subquery NESTED in arithmetic (a BSubVal operand)
+    val nv = db.select("SELECT grp, sum(v) AS total FROM sales GROUP BY grp " +
+      "QUALIFY rank() OVER (ORDER BY sum(v) DESC) <= 3 " +
+      "AND sum(v) * 2 > (SELECT sum(v) AS s FROM sales) - 62 ORDER BY grp")
+      .toOption.get.collect().toSeq
+    assert(nv == Seq(Row(1, 60L), Row(2, 55L)))
   }
 
   test("QUALIFY over an aggregated query: windows and aggregates mix") {
