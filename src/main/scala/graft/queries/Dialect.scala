@@ -1835,6 +1835,22 @@ object Dialect {
              |    AND k % 2 = (SELECT count(*) FROM region) % 2
              |) t ORDER BY c_custkey""".stripMargin)),
 
+    // COPY t FROM '<path>': the loading path — parquet binds target
+    // columns BY NAME (missing NULL-fill), appended with checked casts;
+    // a partition-parallel read + append, no driver-side rows.
+    "q_dialect_copy_from" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "nation")
+        g.query("CREATE OR REPLACE TABLE cfn " +
+          "(n_nationkey BIGINT, n_name VARCHAR(32), extra INT)")
+          .fold(e => sys.error(e.msg), identity)
+        g.query(s"COPY cfn FROM '$d/nation.parquet'")
+          .fold(e => sys.error(e.msg), identity)
+        run(g, "SELECT n_nationkey, n_name, extra FROM cfn ORDER BY n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, CAST(NULL AS INT) AS extra
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // INSERT INTO … BY NAME: the select's OUTPUT NAMES map onto target
     // columns (order-free; unlisted columns NULL-fill) — DuckDB's
     // name-wise insert.

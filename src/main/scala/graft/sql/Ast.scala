@@ -474,6 +474,14 @@ object Ast {
     * distributed export path (partition-parallel write; csv/json write
     * with a header where the format has one).
     */
+  /** COPY t FROM '<path>' (FORMAT csv|json|parquet [, HEADER true]):
+    * the loading path — parquet binds target columns BY NAME (missing
+    * NULL-fill, extras ignored), csv/json apply the table schema
+    * positionally; appended with checked casts like INSERT … SELECT.
+    */
+  final case class CopyFromTree(table: String, path: String,
+      format: String, header: Boolean) extends ParseTree
+
   final case class CopyToTree(source: Either[String, ParseTree],
       path: String, format: String) extends ParseTree
 

@@ -133,6 +133,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case t: Ast.DescribeTree       => describe(t.table)
       case t: Ast.SummarizeTree      => summarize(t.table)
       case t: Ast.CopyToTree         => copyTo(t)
+      case t: Ast.CopyFromTree       => copyFrom(t)
       case t: Ast.AlterAddColTree    => alterAddCol(t)
       case t: Ast.AlterDropColTree   => alterDropCol(t)
       case t: Ast.AlterRenameColTree => alterRenameCol(t)
@@ -379,6 +380,45 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       Done(s"copied to ${t.path} (${t.format})")
     }
   }
+
+  /** COPY t FROM '<path>': the loading path — parquet binds target
+    * columns BY NAME (missing NULL-fill, extras ignored; the files carry
+    * their own schema), csv/json read under the table's schema
+    * positionally; everything appends with checked casts exactly like
+    * INSERT … SELECT. At scale this is a partition-parallel read +
+    * append — no driver-side rows.
+    */
+  private def copyFrom(t: Ast.CopyFromTree): Either[QueryError, QueryResult] =
+    alterable(t.table).flatMap { desc =>
+      try {
+        import org.apache.spark.sql.functions.{col, lit}
+        val raw = t.format match {
+          case "csv"  => spark.read.option("header", t.header.toString)
+            .schema(desc.sparkSchema).csv(t.path)
+          case "json" => spark.read.schema(desc.sparkSchema).json(t.path)
+          case _      => spark.read.parquet(t.path)
+        }
+        val names = raw.columns.map(_.toLowerCase).toSet
+        val aligned = raw.select(desc.attributes.map { a =>
+          (if (names(a.name.toLowerCase)) col(a.name) else lit(null))
+            .cast(a.sqlType.spark).as(a.name)
+        }: _*)
+        val before = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
+        desc.bucket match {
+          case Some(_) =>
+            ensureCatalogTable(desc)
+            aligned.write.mode("append").insertInto(catName(desc.name))
+          case None =>
+            aligned.write.mode("append").parquet(dataPath(desc.name))
+        }
+        statistics.rebuild(desc, readTable(desc))
+        val after = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
+        Right(Done(
+          s"copied ${after - before} row(s) into ${desc.name} from ${t.path}"))
+      } catch {
+        case e: Exception => Left(ViewError(s"COPY FROM failed: ${e.getMessage}"))
+      }
+    }
 
   // ---- ALTER TABLE / TRUNCATE: copy-on-write schema evolution ----
 

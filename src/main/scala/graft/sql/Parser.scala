@@ -2788,7 +2788,7 @@ object Parser {
     } else Right(Vector.empty)
 
   /** COPY (t | (SELECT …)) TO 'path' [(FORMAT parquet|csv|json)] */
-  private def parseCopy(p: P): Either[ParseError, CopyToTree] =
+  private def parseCopy(p: P): Either[ParseError, ParseTree] =
     for {
       _ <- p.eatKw("copy")
       src <- p.peek match {
@@ -2800,25 +2800,62 @@ object Parser {
           } yield Right(sel): Either[String, ParseTree]
         case _ => p.ident().map(Left(_): Either[String, ParseTree])
       }
-      _ <- p.eatKw("to")
+      toDir <-
+        if (p.isKw("to")) { p.next(); Right(true) }
+        else if (p.isKw("from")) { p.next(); Right(false) }
+        else Left(ParseError("expected TO or FROM after the COPY source",
+          p.peek.pos))
       path <- p.peek match {
         case TStr(s, _) => p.next(); Right(s)
-        case t => Left(ParseError("COPY TO takes a string-literal path", t.pos))
+        case t => Left(ParseError("COPY takes a string-literal path", t.pos))
       }
-      fmt <- p.peek match {
+      opts <- p.peek match {
         case TSym("(", _) =>
-          for {
-            _ <- p.eatSym("(")
-            _ <- p.eatKw("format")
-            f <- p.ident()
-            _ <- p.eatSym(")")
-            ok <-
-              if (Set("parquet", "csv", "json")(f.toLowerCase)) Right(f.toLowerCase)
-              else Left(ParseError(s"unsupported COPY format '$f'", p.peek.pos))
-          } yield ok
-        case _ => Right("parquet")
+          p.next()
+          def loop(fmt: String, hdr: Boolean)
+              : Either[ParseError, (String, Boolean)] = {
+            val stepE: Either[ParseError, (String, Boolean)] =
+              if (p.isKw("format")) {
+                p.next()
+                p.ident().flatMap { f =>
+                  if (Set("parquet", "csv", "json")(f.toLowerCase))
+                    Right((f.toLowerCase, hdr))
+                  else Left(ParseError(
+                    s"unsupported COPY format '$f'", p.peek.pos))
+                }
+              } else if (p.isKw("header")) {
+                p.next()
+                val v = p.peek match {
+                  case TIdent(k, _) if k.equalsIgnoreCase("true") =>
+                    p.next(); true
+                  case TIdent(k, _) if k.equalsIgnoreCase("false") =>
+                    p.next(); false
+                  case _ => true
+                }
+                Right((fmt, v))
+              } else Left(ParseError(
+                "COPY options: FORMAT <parquet|csv|json>, HEADER [true|false]",
+                p.peek.pos))
+            stepE.flatMap { case (f2, h2) =>
+              p.peek match {
+                case TSym(",", _) => p.next(); loop(f2, h2)
+                case _            => p.eatSym(")").map(_ => (f2, h2))
+              }
+            }
+          }
+          loop("parquet", true)
+        case _ => Right(("parquet", true))
       }
-    } yield CopyToTree(src, path, fmt)
+      tree <-
+        if (toDir) Right(CopyToTree(src, path, opts._1): ParseTree)
+        else src match {
+          case Left(name) =>
+            Right(CopyFromTree(name, path, opts._1, opts._2): ParseTree)
+          case Right(_) => Left(ParseError(
+            "COPY … FROM loads INTO a table (the source must be a table name)",
+            p.peek.pos))
+        }
+    } yield tree
 
   /** PIVOT t ON col USING aggfn(col | *) GROUP BY g… [ORDER BY …] */
   private def parsePivot(p: P): Either[ParseError, PivotTree] =

@@ -37,6 +37,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(result("nation_json") == pq)
   }
 
+  test("COPY FROM loads parquet by name and csv under the table schema") {
+    val tmp = Files.createTempDirectory("graft-copyfrom").toString
+    val db = new GraftDatabase(spark,
+      Files.createTempDirectory("graft-copyfrom-wh").toString)
+    db.query("CREATE TABLE ct (id INT, name VARCHAR(10), v DOUBLE)").toOption.get
+    db.query("INSERT INTO ct VALUES (1, 'a', 1.5), (2, 'b', 2.5)").toOption.get
+    // parquet round trip, name-wise (write has the same names)
+    db.query(s"COPY ct TO '$tmp/pq' (FORMAT parquet)").toOption.get
+    db.query("CREATE TABLE ct2 (id INT, name VARCHAR(10), v DOUBLE)").toOption.get
+    val r1 = db.query(s"COPY ct2 FROM '$tmp/pq'").toOption.get
+    assert(r1 match { case db.Done(m) => m.contains("2 row(s)"); case _ => false })
+    // appending again doubles; loaded rows answer queries
+    db.query(s"COPY ct2 FROM '$tmp/pq' (FORMAT parquet)").toOption.get
+    assert(db.select("SELECT count(*) AS n FROM ct2").toOption.get
+      .collect().head.getLong(0) == 4L)
+    // parquet with a column subset NULL-fills the missing target column
+    db.query(s"COPY (SELECT id, name FROM ct) TO '$tmp/pq2' (FORMAT parquet)")
+      .toOption.get
+    db.query("CREATE TABLE ct4 (id INT, name VARCHAR(10), v DOUBLE)").toOption.get
+    db.query(s"COPY ct4 FROM '$tmp/pq2'").toOption.get
+    assert(db.select("SELECT count(*) AS n FROM ct4 WHERE v IS NULL")
+      .toOption.get.collect().head.getLong(0) == 2L)
+    // csv round trip under the table schema (positional, header skipped)
+    db.query(s"COPY ct TO '$tmp/csv' (FORMAT csv)").toOption.get
+    db.query("CREATE TABLE ct3 (id INT, name VARCHAR(10), v DOUBLE)").toOption.get
+    db.query(s"COPY ct3 FROM '$tmp/csv' (FORMAT csv, HEADER true)").toOption.get
+    assert(db.select("SELECT id, name, v FROM ct3 ORDER BY id").toOption.get
+      .collect().map(_.toSeq.toSeq).toSeq ==
+      Seq(Seq(1, "a", 1.5), Seq(2, "b", 2.5)))
+    // rejections: unknown table; query source for FROM
+    assert(db.query(s"COPY nosuch FROM '$tmp/pq'").isLeft)
+    assert(db.query(s"COPY (SELECT 1 AS x) FROM '$tmp/pq'").isLeft)
+  }
+
   test("csv external table joins against warehouse tables") {
     val tmp = Files.createTempDirectory("graft-src").toString
     spark.read.parquet(s"${SparkTestSession.sf0001}/region.parquet")
