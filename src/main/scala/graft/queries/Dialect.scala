@@ -3010,6 +3010,24 @@ object Dialect {
              |  list_has_all([1, 2, 3, o_orderkey % 4], [2, o_orderkey % 4]) AS hl
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // DECIMAL(p,s): exact fixed-point aggregation — the sum computes in
+    // decimal on BOTH engines (no accumulation-order drift by
+    // construction) and casts to DOUBLE only at the final projection
+    // (the result schema stays pandas-harness-friendly; Python Decimal
+    // cells would hash differently from DuckDB's float64 narrowing).
+    "q_dialect_decimal" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT l_returnflag, " +
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(14, 2))) AS DOUBLE) AS rev, " +
+          "CAST(min(CAST(l_extendedprice AS DECIMAL(14, 2))) AS DOUBLE) AS mn, " +
+          "CAST(max(CAST(l_discount AS DECIMAL(5, 2))) AS DOUBLE) AS mxd " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14, 2))) AS DOUBLE) AS rev,
+             |  CAST(min(CAST(l_extendedprice AS DECIMAL(14, 2))) AS DOUBLE) AS mn,
+             |  CAST(max(CAST(l_discount AS DECIMAL(5, 2))) AS DOUBLE) AS mxd
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // regexp_extract_all — group 0 (whole match) default like DuckDB
     // (Spark's own default is 1, so the index always passes explicitly);
     // array outputs serialized for the pandas gate harness.

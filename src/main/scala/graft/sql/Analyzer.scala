@@ -982,8 +982,36 @@ object Analyzer {
       operandType(l) // temporal ± INTERVAL keeps the temporal type
     case BoundOperand.BInterval(_, _) => SqlType.SqlTimestamp // placeholder
     case BoundOperand.BArith(op, l, r) =>
-      if (op == '/') SqlType.SqlDouble
-      else (operandType(l), operandType(r)) match {
+      // decimal arithmetic keeps Spark's DecimalPrecision result shapes
+      // (approximated, capped at 38 — internal typing only; the lowering
+      // is Spark-native either way); a double side always wins
+      def decOf(t: SqlType): Option[(Int, Int)] = t match {
+        case SqlType.SqlDecimal(p2, s2) => Some((p2, s2))
+        case SqlType.SqlBigInt          => Some((20, 0))
+        case SqlType.SqlInt             => Some((10, 0))
+        case SqlType.SqlSmallInt        => Some((5, 0))
+        case _                          => None
+      }
+      (operandType(l), operandType(r)) match {
+        case (a, b) if (a.isInstanceOf[SqlType.SqlDecimal] ||
+            b.isInstanceOf[SqlType.SqlDecimal]) &&
+            decOf(a).isDefined && decOf(b).isDefined =>
+          val (p1, s1) = decOf(a).get
+          val (p2, s2) = decOf(b).get
+          val (pr, sr) = op match {
+            case '+' | '-' =>
+              val sc = math.max(s1, s2)
+              (math.max(p1 - s1, p2 - s2) + sc + 1, sc)
+            case '*' => (p1 + p2 + 1, s1 + s2)
+            case '/' =>
+              val sc = math.max(6, s1 + p2 + 1)
+              (p1 - s1 + s2 + sc, sc)
+            case _ /* % */ =>
+              val sc = math.max(s1, s2)
+              (math.min(p1 - s1, p2 - s2) + sc, sc)
+          }
+          SqlType.SqlDecimal(math.min(pr, 38), math.min(sr, 38))
+        case _ if op == '/' => SqlType.SqlDouble
         case (SqlType.SqlDouble, _) | (_, SqlType.SqlDouble) => SqlType.SqlDouble
         case _ => SqlType.SqlBigInt
       }
@@ -1096,6 +1124,7 @@ object Analyzer {
     case "avg" | "stddev" | "variance" | "median" => SqlType.SqlDouble
     case "sum" => arg.map(operandType) match {
       case Some(SqlType.SqlDouble) => SqlType.SqlDouble
+      case Some(SqlType.SqlDecimal(_, sc)) => SqlType.SqlDecimal(38, sc)
       case _                       => SqlType.SqlBigInt
     }
     case _ => arg.map(operandType).getOrElse(SqlType.SqlBigInt) // min/max
@@ -2350,6 +2379,7 @@ object Analyzer {
     val numericTypes: SqlType => Boolean = {
       case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt |
            SqlType.SqlDouble | SqlType.SqlReal => true
+      case SqlType.SqlDecimal(_, _) => true
       case _ => false
     }
 

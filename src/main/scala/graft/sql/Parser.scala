@@ -3114,6 +3114,29 @@ object Parser {
           case "boolean" | "bool" => Right(SqlType.SqlBool)
           case "date"     => Right(SqlType.SqlDate)
           case "timestamp" => Right(SqlType.SqlTimestamp)
+          case "decimal" | "numeric" =>
+            // optional (p[, s]); DuckDB's default is DECIMAL(18, 3)
+            p.peek match {
+              case TSym("(", _) =>
+                for {
+                  _ <- p.eatSym("(")
+                  prec <- p.peek match {
+                    case TInt(v, _) if v >= 1 && v <= 38 => p.next(); Right(v.toInt)
+                    case t => Left(ParseError("expected DECIMAL precision (1-38)", t.pos))
+                  }
+                  scale <- p.peek match {
+                    case TSym(",", _) =>
+                      p.next()
+                      p.peek match {
+                        case TInt(v, _) if v >= 0 && v <= prec => p.next(); Right(v.toInt)
+                        case t => Left(ParseError("expected DECIMAL scale", t.pos))
+                      }
+                    case _ => Right(3)
+                  }
+                  _ <- p.eatSym(")")
+                } yield SqlType.SqlDecimal(prec, scale)
+              case _ => Right(SqlType.SqlDecimal(18, 3))
+            }
           case "varchar" =>
             for {
               _ <- p.eatSym("(")

@@ -38,6 +38,15 @@ object SqlType {
     def spark: DataType = ArrayType(elem.spark)
     def render = s"${elem.render}[]"
   }
+  /** Fixed-point DECIMAL(p, s) onto Spark's DecimalType — exact cents
+    * arithmetic without the round(x*100) workaround; sums are exact on
+    * both engines (DuckDB widens precision, Spark caps at 38 — same
+    * values at any realistic magnitude).
+    */
+  final case class SqlDecimal(p: Int, s: Int) extends SqlType {
+    def spark: DataType = DecimalType(p, s)
+    def render = s"DECIMAL($p,$s)"
+  }
 
   def fromSpark(dt: DataType): SqlType = dt match {
     case LongType         => SqlBigInt
@@ -52,11 +61,13 @@ object SqlType {
     case DateType         => SqlDate
     case BooleanType      => SqlBool
     case ArrayType(et, _) => SqlArray(fromSpark(et))
+    case dt: DecimalType  => SqlDecimal(dt.precision, dt.scale)
     case other => throw new IllegalArgumentException(s"unsupported external type $other")
   }
 
   private def isNumeric(t: SqlType): Boolean = t match {
     case SqlBigInt | SqlInt | SqlSmallInt | SqlDouble | SqlReal => true
+    case SqlDecimal(_, _) => true
     case _ => false
   }
 
@@ -124,6 +135,22 @@ object Convert {
     case (LitLong(v), SqlReal)     => Right(v.toFloat)
     case (LitDouble(v), SqlReal)   => Right(v.toFloat)
     case (LitBool(v), SqlBool)     => Right(v)
+    case (LitLong(v), SqlDecimal(p, sc)) =>
+      val bd = java.math.BigDecimal.valueOf(v).setScale(sc)
+      if (bd.precision - bd.scale <= p - sc) Right(bd) else Left(Overflow(v, t))
+    case (LitDouble(v), SqlDecimal(p, sc)) =>
+      val bd = java.math.BigDecimal.valueOf(v)
+        .setScale(sc, java.math.RoundingMode.HALF_UP)
+      if (bd.precision - bd.scale <= p - sc) Right(bd)
+      else Left(NotConvertible(l, t))
+    case (LitString(str), SqlDecimal(p, sc)) =>
+      try {
+        val bd = new java.math.BigDecimal(str)
+          .setScale(sc, java.math.RoundingMode.HALF_UP)
+        if (bd.precision - bd.scale <= p - sc) Right(bd)
+        else Left(NotConvertible(l, t))
+      }
+      catch { case _: NumberFormatException => Left(NotConvertible(l, t)) }
     case (LitString(s), SqlVarChar(max)) =>
       if (s.length <= max) Right(s) else Left(TooLarge(s.length, t))
     case (LitDate(s), SqlDate) => Right(java.sql.Date.valueOf(s))

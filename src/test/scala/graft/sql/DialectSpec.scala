@@ -2049,6 +2049,34 @@ class DialectSpec extends AnyFunSuite {
     assert(one("SELECT length(sha256('x')) AS n").getInt(0) == 64)
   }
 
+  test("DECIMAL(p,s): exact cents without the round(x*100) workaround") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Left(e) => fail(s"$sql -> ${e.msg}")
+      case Right(_) => ()
+    }
+    run("CREATE TABLE dc (id INT, amt DECIMAL(12, 2))")
+    run("INSERT INTO dc VALUES (1, 10.05), (2, 0.10), (3, '3.333')")
+    def bd(sql: String): String =
+      db.select(sql).toOption.getOrElse(fail(s"rejected: $sql"))
+        .collect().head.get(0).toString
+    // string literal rounds to scale at insert; sum is EXACT
+    assert(bd("SELECT sum(amt) AS s FROM dc") == "13.48")
+    // 0.1 + 0.2-style float traps don't exist in decimal arithmetic
+    run("INSERT INTO dc VALUES (4, 0.1), (5, 0.2)")
+    assert(bd("SELECT sum(amt) AS s FROM dc WHERE id >= 4") == "0.30")
+    // arithmetic keeps decimal typing; casts round-trip
+    assert(bd("SELECT amt * 2 AS d FROM dc WHERE id = 1") == "20.10")
+    assert(bd("SELECT CAST(amt AS DOUBLE) AS d FROM dc WHERE id = 1") == "10.05")
+    assert(bd("SELECT CAST('7.125' AS DECIMAL(6, 2)) AS d") == "7.13")
+    // precision overflow rejects at insert
+    assert(db.query("INSERT INTO dc VALUES (9, 123456789012.34)").isLeft)
+    // DECIMAL defaults to (18, 3); comparisons cross numeric widths
+    assert(bd("SELECT CAST(1 AS DECIMAL) AS d") == "1.000")
+    assert(db.select("SELECT id FROM dc WHERE amt > 10 ORDER BY id")
+      .toOption.get.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("regexp_extract_all and CREATE INDEX no-op parity") {
     val db = freshDb()
     def one(sql: String): Row = db.select(sql) match {
