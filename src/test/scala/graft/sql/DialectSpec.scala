@@ -3062,6 +3062,26 @@ class DialectSpec extends AnyFunSuite {
     assert(dPlan.contains("WindowGroupLimit"), dPlan)
   }
 
+  test("plan shape: running-aggregate decorrelation has no nested loop") {
+    val db = freshDb()
+    db.query("CREATE TABLE rp (k INT, t INT, v INT)").toOption.get
+    db.query("INSERT INTO rp VALUES (1, 1, 10), (1, 2, 20), (2, 1, 5)").toOption.get
+    val q = db.select("SELECT k, t, (SELECT sum(v) AS s FROM rp r2 " +
+      "WHERE r2.k = rp.k AND r2.t <= rp.t) AS run FROM rp").toOption.get
+    val plan = q.queryExecution.executedPlan.toString
+    // ONE running window computes every per-tuple prefix sum; the tag
+    // frame hash-joins back — never a cartesian/nested-loop of outer
+    // rows against candidates
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the deterministic sample is a map-only filter — no added exchange
+    val sp = db.select("SELECT k FROM rp USING SAMPLE 50 PERCENT (KEY k)")
+      .toOption.get
+    val spPlan = sp.queryExecution.executedPlan.toString
+    assert(!spPlan.contains("Exchange"), spPlan)
+  }
+
   test("QUALIFY rejections: no window, alias shadowing, subqueries, ungrouped column") {
     val db = qualifyDb()
     // no window function anywhere in the predicate
