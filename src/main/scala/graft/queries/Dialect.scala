@@ -3010,6 +3010,18 @@ object Dialect {
              |  list_has_all([1, 2, 3, o_orderkey % 4], [2, o_orderkey % 4]) AS hl
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // String subscript/slice via the bracket postfix (1-based inclusive,
+    // negatives from the end) — the VARCHAR rebind of list_extract/
+    // list_slice onto substr.
+    "q_dialect_str_subscript" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_orderpriority[1] AS p1, " +
+          "o_orderpriority[3:8] AS mid, o_orderstatus[-1] AS st " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderpriority[1] AS p1,
+             |  o_orderpriority[3:8] AS mid, o_orderstatus[-1] AS st
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // DECIMAL(p,s): exact fixed-point aggregation — the sum computes in
     // decimal on BOTH engines (no accumulation-order drift by
     // construction) and casts to DOUBLE only at the final projection

@@ -1071,6 +1071,7 @@ object Analyzer {
           case SqlType.SqlArray(e) => e
           case other               => other
         }
+      case "str_extract" | "str_slice" => SqlType.SqlVarChar(65535)
       case "list_reverse" => operandType(args.head)
       case "flatten" => operandType(args.head) match {
         case SqlType.SqlArray(e) => e
@@ -2672,7 +2673,20 @@ object Analyzer {
         else
           args.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](Right(Vector.empty)) {
             (acc, a) => acc.flatMap(v => bindOp(a, allowAgg, allowSub).map(v :+ _))
-          }.map(BoundOperand.BFunc(f, _))
+          }.map { bargs =>
+            // the bracket postfix parses as list_extract/list_slice; on a
+            // VARCHAR base it is DuckDB's STRING subscript/slice —
+            // rebound here onto the substr lowering (1-based, inclusive)
+            def strBase = operandType(bargs.head) match {
+              case SqlType.SqlVarChar(_) => true
+              case _                     => false
+            }
+            if (f == "list_extract" && bargs.length == 2 && strBase)
+              BoundOperand.BFunc("str_extract", bargs)
+            else if (f == "list_slice" && bargs.length == 3 && strBase)
+              BoundOperand.BFunc("str_slice", bargs)
+            else BoundOperand.BFunc(f, bargs)
+          }
       case Operand.CaseWhen(branches, els) =>
         for {
           bs <- branches.foldLeft[Either[AnalyzerError, Vector[(BoundExpr, BoundOperand)]]](

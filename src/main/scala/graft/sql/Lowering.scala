@@ -2713,6 +2713,15 @@ object Lowering {
     // l[a:b] — 1-based, both ends inclusive (DuckDB bracket slice)
     case ("list_slice", Seq(a, i, j)) =>
       slice(rec(a), rec(i), rec(j) - rec(i) + lit(1))
+    // s[i] / s[a:b] — DuckDB's STRING subscript/slice (1-based,
+    // inclusive; index 0 reads the empty string, negatives count from
+    // the end via substr's own semantics)
+    case ("str_extract", Seq(a, i)) =>
+      val ic = rec(i).cast("int")
+      when(ic === 0, lit("")).otherwise(rec(a).substr(ic, lit(1)))
+    case ("str_slice", Seq(a, i, j)) =>
+      val lo = greatest(rec(i).cast("int"), lit(1))
+      rec(a).substr(lo, rec(j).cast("int") - lo + lit(1))
     // explode: Spark's Generate — valid only as a top-level projection
     // item (analyzer-enforced); drops empty/NULL rows like DuckDB
     case ("unnest", Seq(a)) => explode(rec(a))

@@ -2049,6 +2049,23 @@ class DialectSpec extends AnyFunSuite {
     assert(one("SELECT length(sha256('x')) AS n").getInt(0) == 64)
   }
 
+  test("string subscript and slice via the bracket postfix") {
+    val db = freshDb()
+    def one(sql: String): Row = db.select(sql) match {
+      case Right(df) => df.collect().head
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    val r = one("SELECT 'abcdef'[2] AS c, 'abcdef'[2:4] AS s, " +
+      "'abcdef'[-1] AS last, 'abcdef'[0] AS zero, 'abcdef'[9] AS oob")
+    assert(r.getString(0) == "b" && r.getString(1) == "bcd")
+    assert(r.getString(2) == "f" && r.getString(3) == "" && r.getString(4) == "")
+    // column base + computed bounds
+    db.query("CREATE TABLE ss (t VARCHAR(12), i INT)").toOption.get
+    db.query("INSERT INTO ss VALUES ('hello', 2)").toOption.get
+    val c = one("SELECT t[i] AS a, t[i:i+2] AS b FROM ss")
+    assert(c.getString(0) == "e" && c.getString(1) == "ell")
+  }
+
   test("DECIMAL(p,s): exact cents without the round(x*100) workaround") {
     val db = freshDb()
     def run(sql: String): Unit = db.query(sql) match {
