@@ -3086,6 +3086,18 @@ object Dialect {
              |  date_diff('year', DATE '1995-01-01', o_orderdate) AS dy
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // Batch 9: 12-hour strftime tokens (%I %p) over the events
+    // timestamps and to_base radix conversion (Spark's conv — uppercase
+    // digits on both engines).
+    "q_dialect_funcs9" -> QueryDef(
+      (s, d) => run(db(s, d, "events"),
+        "SELECT event_id, strftime(ts, '%Y-%m-%d %I:%M %p') AS twelve, " +
+          "to_base(event_id, 16) AS hex16, to_base(event_id % 64, 2) AS bin2 " +
+          "FROM events WHERE event_id < 3000 ORDER BY event_id"),
+      Some("""SELECT event_id, strftime(ts, '%Y-%m-%d %I:%M %p') AS twelve,
+             |  to_base(event_id, 16) AS hex16, to_base(event_id % 64, 2) AS bin2
+             |FROM events WHERE event_id < 3000 ORDER BY event_id""".stripMargin)),
+
     // Lambda list functions: list_transform / list_filter / list_reduce
     // with `x -> expr` bodies — Spark's codegen'd higher-order functions
     // (transform/filter/aggregate), never a UDF. The reduce folds

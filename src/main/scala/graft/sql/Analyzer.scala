@@ -426,7 +426,9 @@ object Analyzer {
     */
   val StrftimeMap: Map[String, String] = Map(
     "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
-    "%H" -> "HH", "%M" -> "mm", "%S" -> "ss", "%j" -> "DDD")
+    "%H" -> "HH", "%M" -> "mm", "%S" -> "ss", "%j" -> "DDD",
+    // 12-hour clock + meridiem (Java's `a` prints AM/PM like %p)
+    "%I" -> "hh", "%p" -> "a")
   val StrftimeTokens = "%.".r
 
   /** The ASOF inequality, fully decomposed: outer-side operand,
@@ -1061,7 +1063,7 @@ object Analyzer {
         SqlType.SqlBigInt
       case "octet_length" | "bit_length" | "unicode" => SqlType.SqlInt
       case "jaccard"             => SqlType.SqlDouble
-      case "sha256"              => SqlType.SqlVarChar(65535)
+      case "sha256" | "to_base"  => SqlType.SqlVarChar(65535)
       case "ifnull"              => operandType(args.head)
       case "bit_count"           => SqlType.SqlInt
       case "strptime" | "to_timestamp" => SqlType.SqlTimestamp
@@ -2540,6 +2542,7 @@ object Analyzer {
                "ifnull" | "hamming" | "jaccard" => args.length == 2
           case "octet_length" | "bit_length" | "sha256" | "unicode" =>
             args.length == 1
+          case "to_base"             => args.length == 2
           case "date_diff"           => args.length == 3
           case "printf"              => args.nonEmpty &&
             args.head.isInstanceOf[Operand.Literal]
@@ -2665,6 +2668,11 @@ object Analyzer {
           Left(BadFunction(
             s"$f takes a literal format using %Y %y %m %d %H %M %S %j (no quotes)"))
         // log base must be a literal (Spark compiles it into the plan)
+        else if (f == "to_base" && !(args(1) match {
+          case Operand.Literal(Lit.LitLong(b)) => b >= 2 && b <= 36
+          case _ => false
+        }))
+          Left(BadFunction("to_base takes an integer-literal radix (2-36)"))
         else if (f == "log" && args.length == 2 && !(args.head match {
           case Operand.Literal(Lit.LitLong(_) | Lit.LitDouble(_)) => true
           case _ => false

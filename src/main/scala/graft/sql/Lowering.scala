@@ -2585,6 +2585,8 @@ object Lowering {
     case ("octet_length", Seq(a)) => octet_length(rec(a))
     case ("bit_length", Seq(a))   => bit_length(rec(a))
     case ("sha256", Seq(a))       => sha2(rec(a), 256)
+    case ("to_base", Seq(a, BoundOperand.BLit(Lit.LitLong(b)))) =>
+      conv(rec(a).cast("long"), 10, b.toInt)
     case ("unicode", Seq(a)) =>
       // DuckDB: codepoint of the first character, -1 for the empty string
       val c = rec(a)
