@@ -3086,6 +3086,26 @@ object Dialect {
              |  date_diff('year', DATE '1995-01-01', o_orderdate) AS dy
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // json_extract_string over JSON built from row values — DuckDB's
+    // extractor onto Spark's get_json_object (same $.path subset, NULL
+    // on a miss on both engines).
+    "q_dialect_json" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "json_extract_string('{\"id\": ' || CAST(o_orderkey AS VARCHAR) || " +
+          "', \"s\": {\"p\": \"' || o_orderpriority || '\"}}', '$.s.p') AS pri, " +
+          "json_extract_string('{\"id\": ' || CAST(o_orderkey AS VARCHAR) || '}', " +
+          "'$.id') AS idtxt, " +
+          "json_extract_string('{\"id\": 1}', '$.missing') AS miss " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  json_extract_string('{"id": ' || CAST(o_orderkey AS VARCHAR) ||
+             |    ', "s": {"p": "' || o_orderpriority || '"}}', '$.s.p') AS pri,
+             |  json_extract_string('{"id": ' || CAST(o_orderkey AS VARCHAR) || '}',
+             |    '$.id') AS idtxt,
+             |  json_extract_string('{"id": 1}', '$.missing') AS miss
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // Batch 9: 12-hour strftime tokens (%I %p) over the events
     // timestamps and to_base radix conversion (Spark's conv — uppercase
     // digits on both engines).

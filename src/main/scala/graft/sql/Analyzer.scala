@@ -1063,7 +1063,8 @@ object Analyzer {
         SqlType.SqlBigInt
       case "octet_length" | "bit_length" | "unicode" => SqlType.SqlInt
       case "jaccard"             => SqlType.SqlDouble
-      case "sha256" | "to_base"  => SqlType.SqlVarChar(65535)
+      case "sha256" | "to_base" | "json_extract_string" =>
+        SqlType.SqlVarChar(65535)
       case "ifnull"              => operandType(args.head)
       case "bit_count"           => SqlType.SqlInt
       case "strptime" | "to_timestamp" => SqlType.SqlTimestamp
@@ -2543,6 +2544,7 @@ object Analyzer {
           case "octet_length" | "bit_length" | "sha256" | "unicode" =>
             args.length == 1
           case "to_base"             => args.length == 2
+          case "json_extract_string" => args.length == 2
           case "date_diff"           => args.length == 3
           case "printf"              => args.nonEmpty &&
             args.head.isInstanceOf[Operand.Literal]
@@ -2668,6 +2670,12 @@ object Analyzer {
           Left(BadFunction(
             s"$f takes a literal format using %Y %y %m %d %H %M %S %j (no quotes)"))
         // log base must be a literal (Spark compiles it into the plan)
+        else if (f == "json_extract_string" && !(args(1) match {
+          case Operand.Literal(Lit.LitString(pth)) => pth.startsWith("$")
+          case _ => false
+        }))
+          Left(BadFunction(
+            "json_extract_string takes a '$.path' string literal"))
         else if (f == "to_base" && !(args(1) match {
           case Operand.Literal(Lit.LitLong(b)) => b >= 2 && b <= 36
           case _ => false

@@ -2587,6 +2587,10 @@ object Lowering {
     case ("sha256", Seq(a))       => sha2(rec(a), 256)
     case ("to_base", Seq(a, BoundOperand.BLit(Lit.LitLong(b)))) =>
       conv(rec(a).cast("long"), 10, b.toInt)
+    // DuckDB's json_extract_string onto Spark's get_json_object — the
+    // same $.path subset, string result, NULL on a miss on both engines
+    case ("json_extract_string", Seq(a, BoundOperand.BLit(Lit.LitString(pth)))) =>
+      get_json_object(rec(a), pth)
     case ("unicode", Seq(a)) =>
       // DuckDB: codepoint of the first character, -1 for the empty string
       val c = rec(a)
