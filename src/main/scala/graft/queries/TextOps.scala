@@ -92,6 +92,59 @@ object TextOps {
               |       ELSE 'ok' END AS quality
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Gopher/MassiveText REPETITION signals: top-word fraction (most
+    // frequent token / total tokens) and duplicate-2-gram fraction —
+    // the rules that catch boilerplate and template spam. Shapes: the
+    // top-word stats are two hash aggregates keyed on doc_id (key-
+    // bounded shuffles), the bigram stats are PURE list algebra (one
+    // narrow map, zero shuffles) — at 100 TB the expensive half of the
+    // signal costs nothing but the scan.
+    "q_text_repetition" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val words = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val top = tf.groupBy("doc_id").agg(max("c").as("top_cnt"),
+          sum("c").as("n_words"))
+        val bi = docs.select(col("doc_id"),
+          expr("transform(sequence(1, size(split(text, ' ')) - 1), " +
+            "i -> concat(element_at(split(text, ' '), i), ' ', " +
+            "element_at(split(text, ' '), i + 1)))").as("bg"))
+          .select(col("doc_id"), size(col("bg")).as("n_bi"),
+            size(array_distinct(col("bg"))).as("nd_bi"))
+        top.join(bi, "doc_id")
+          .select(col("doc_id"),
+            round(col("top_cnt") * 1.0 / col("n_words"), 4).as("top_word_frac"),
+            round((col("n_bi") - col("nd_bi")) * 1.0 / col("n_bi"), 4)
+              .as("dup_bigram_frac"),
+            (col("top_cnt") * 1.0 / col("n_words") > 0.2 ||
+              (col("n_bi") - col("nd_bi")) * 1.0 / col("n_bi") > 0.5)
+              .as("flag_repetitive"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, w, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |        FROM documents) tk
+             |  GROUP BY doc_id, w),
+             |top AS (SELECT doc_id, max(c) AS top_cnt,
+             |          cast(sum(c) AS bigint) AS n_words FROM tf GROUP BY doc_id),
+             |bi AS (SELECT doc_id, len(bg) AS n_bi,
+             |         len(list_distinct(bg)) AS nd_bi
+             |  FROM (SELECT doc_id,
+             |    list_transform(range(1, len(string_split(text, ' '))),
+             |      i -> string_split(text, ' ')[i] || ' ' ||
+             |           string_split(text, ' ')[i + 1]) AS bg
+             |    FROM documents) b0)
+             |SELECT top.doc_id,
+             |  round(top_cnt * 1.0 / n_words, 4) AS top_word_frac,
+             |  round((n_bi - nd_bi) * 1.0 / n_bi, 4) AS dup_bigram_frac,
+             |  (top_cnt * 1.0 / n_words > 0.2
+             |    OR (n_bi - nd_bi) * 1.0 / n_bi > 0.5) AS flag_repetitive
+             |FROM top JOIN bi ON top.doc_id = bi.doc_id
+""".stripMargin)),
+
     // Gopher-style quality filter: length, chars-per-word and digit-ratio
     // rules composed into a keep flag + first-failing-rule reason. Narrow
     // row-local column algebra (one regexp + arithmetic per document) —
