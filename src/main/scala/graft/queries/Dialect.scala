@@ -3086,6 +3086,20 @@ object Dialect {
              |  date_diff('year', DATE '1995-01-01', o_orderdate) AS dy
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // Interpolated quantiles: DuckDB's quantile_cont(x, q) call form and
+    // the standard percentile_cont(q) WITHIN GROUP — both onto Spark's
+    // exact interpolated percentile (linear on both engines).
+    "q_dialect_quantile" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderstatus, " +
+          "round(quantile_cont(o_totalprice, 0.5), 4) AS med, " +
+          "round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90 " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  round(quantile_cont(o_totalprice, 0.5), 4) AS med,
+             |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // json_extract_string over JSON built from row values — DuckDB's
     // extractor onto Spark's get_json_object (same $.path subset, NULL
     // on a miss on both engines).

@@ -2055,6 +2055,27 @@ object Parser {
         _ <- p.eatSym(")")
       } yield Operand.OrderedAgg("percentile_cont", x,
         (if (desc) 1.0 - p0 else p0).toString, Nil, distinct = false)
+    // quantile_cont(x, q) — DuckDB's call form of the same interpolated
+    // quantile (argument order flipped vs the standard syntax above)
+    case TIdent(f, _) if allowAgg && f.equalsIgnoreCase("quantile_cont") =>
+      val start = p.peek.pos
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        x <- parseOperand(p)
+        _ <- p.eatSym(",")
+        q0 <- p.peek match {
+          case TFloat(v, _) => p.next(); Right(v)
+          case TInt(v, _)   => p.next(); Right(v.toDouble)
+          case t => Left(ParseError(
+            "quantile_cont takes a numeric literal fraction", t.pos))
+        }
+        _ <-
+          if (q0 >= 0.0 && q0 <= 1.0) Right(())
+          else Left(ParseError("quantile_cont fraction must be in [0, 1]", start))
+        _ <- p.eatSym(")")
+      } yield Operand.OrderedAgg("percentile_cont", x, q0.toString, Nil,
+        distinct = false)
     // string_agg / listagg: value, string-literal separator, optional
     // intra-group ORDER BY (all keys must share one direction — the
     // lowering sorts the collected group once)
