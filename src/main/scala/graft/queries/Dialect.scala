@@ -3120,6 +3120,27 @@ object Dialect {
              |  json_extract_string('{"id": 1}', '$.missing') AS miss
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // Time-windowed RANGE frames: INTERVAL bounds (normalized to epoch
+    // MICROS, so sub-second timestamps stay exact) — trailing-hour and
+    // centered 30-minute event counts per user in one window shuffle.
+    "q_dialect_win_interval" -> QueryDef(
+      (s, d) => run(db(s, d, "events"),
+        "SELECT event_id, " +
+          "count(*) OVER (PARTITION BY user_id ORDER BY ts " +
+          "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h, " +
+          "count(*) OVER (PARTITION BY user_id ORDER BY ts " +
+          "RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING " +
+          "AND INTERVAL 30 MINUTE FOLLOWING) AS n_win " +
+          "FROM events WHERE user_id <= 100 ORDER BY event_id"),
+      Some("""SELECT event_id,
+             |  cast(count(*) OVER (PARTITION BY user_id ORDER BY ts
+             |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+             |    AND CURRENT ROW) AS bigint) AS n_1h,
+             |  cast(count(*) OVER (PARTITION BY user_id ORDER BY ts
+             |    RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+             |    AND INTERVAL 30 MINUTE FOLLOWING) AS bigint) AS n_win
+             |FROM events WHERE user_id <= 100 ORDER BY event_id""".stripMargin)),
+
     // Batch 9: 12-hour strftime tokens (%I %p) over the events
     // timestamps and to_base radix conversion (Spark's conv — uppercase
     // digits on both engines).

@@ -3042,6 +3042,14 @@ object Analyzer {
             // On a RANGE frame that ±1 boundary split is exact only when
             // the order key is integral (a DOUBLE key would silently
             // drop values in (v-1, v)), so non-integer keys reject loudly.
+            else if (frame.exists(fr => fr.range && fr.temporal) &&
+                !(bord.length == 1 && (operandType(bord.head._1) match {
+                  case SqlType.SqlTimestamp | SqlType.SqlDate => true
+                  case _ => false
+                })))
+              Left(BadFunction(
+                "INTERVAL RANGE bounds require a single date/timestamp " +
+                  "ORDER BY key"))
             else if (Set("min", "max")(f) &&
                 frame.exists(fr => fr.exclude != "none" && fr.range) &&
                 !(ord.length == 1 && (bord.headOption.map(b =>

@@ -241,8 +241,13 @@ object Ast {
     * require a RANGE frame — under ROWS a peer group can straddle the
     * frame boundary, which no subtraction can express.
     */
+  /** `temporal` = the RANGE bounds came from INTERVAL literals
+    * (normalized to SECONDS at parse): the lowering orders by the
+    * temporal key's epoch seconds so the value-distance frame is
+    * time-windowed.
+    */
   final case class WinFrame(range: Boolean, lo: Long, hi: Long,
-      exclude: String = "none") {
+      exclude: String = "none", temporal: Boolean = false) {
     def excludeCurrent: Boolean = exclude != "none"
   }
 

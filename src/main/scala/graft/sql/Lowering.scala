@@ -745,14 +745,30 @@ object Lowering {
       opLower: BoundOperand => Column, colOf: BoundCol => Column): Column = {
     val w0 = org.apache.spark.sql.expressions.Window
       .partitionBy(parts.map(colOf): _*)
+    // INTERVAL RANGE bounds: order by the temporal key's epoch seconds
+    // so the value-distance frame is time-windowed (bounds were
+    // normalized to seconds at parse; session timezone is UTC)
+    val temporalRange = frame.exists(fr => fr.range && fr.temporal)
     val w1 =
       if (ord.isEmpty) w0
+      else if (temporalRange) {
+        // epoch MICROS, not seconds — the fixtures carry microsecond
+        // timestamps and a truncated ordering key would diverge from
+        // the oracle's exact interval comparison at sub-second edges
+        val c = unix_micros(opLower(ord.head._1).cast("timestamp"))
+        w0.orderBy(if (ord.head._2) c.desc else c.asc)
+      }
       else w0.orderBy(ord.map { case (op, desc) =>
         val c = opLower(op)
         if (desc) c.desc else c.asc
       }: _*)
     val w = frame.fold(w1) { fr =>
-      if (fr.range) w1.rangeBetween(fr.lo, fr.hi)
+      // temporal bounds parsed as seconds scale to the micros ordering
+      // (unbounded sentinels pass through)
+      def tb(b: Long): Long =
+        if (!fr.temporal || b == Long.MinValue || b == Long.MaxValue) b
+        else b * 1000000L
+      if (fr.range) w1.rangeBetween(tb(fr.lo), tb(fr.hi))
       else w1.rowsBetween(fr.lo, fr.hi)
     }
     // IGNORE NULLS arrives as a sentinel trailing argument (DuckDB's

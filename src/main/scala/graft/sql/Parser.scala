@@ -599,18 +599,53 @@ object Parser {
   }
 
   /** ROWS/RANGE BETWEEN frame bound, in Spark's row-offset encoding. */
-  private def parseFrameBound(p: P): Either[ParseError, Long] = p.peek match {
+  /** A frame bound: offset + whether it was an INTERVAL literal
+    * (normalized to seconds; fixed-length units only — month/year vary).
+    */
+  private def parseFrameBound(p: P): Either[ParseError, (Long, Boolean)] =
+    p.peek match {
     case TIdent(k, _) if k.equalsIgnoreCase("unbounded") =>
       p.next()
-      if (p.isKw("preceding")) { p.next(); Right(Long.MinValue) }
-      else if (p.isKw("following")) { p.next(); Right(Long.MaxValue) }
+      if (p.isKw("preceding")) { p.next(); Right((Long.MinValue, false)) }
+      else if (p.isKw("following")) { p.next(); Right((Long.MaxValue, false)) }
       else Left(ParseError("expected PRECEDING or FOLLOWING", p.peek.pos))
     case TIdent(k, _) if k.equalsIgnoreCase("current") =>
-      p.next(); p.eatKw("row").map(_ => 0L)
+      p.next(); p.eatKw("row").map(_ => (0L, false))
+    case TIdent(k, _) if k.equalsIgnoreCase("interval") =>
+      val start = p.peek.pos
+      p.next()
+      for {
+        n <- p.peek match {
+          case TStr(v, _) => p.next()
+            v.trim.toLongOption.toRight(
+              ParseError("INTERVAL takes an integer count", start))
+          case TInt(v, _) => p.next(); Right(v)
+          case t => Left(ParseError("INTERVAL takes an integer count", t.pos))
+        }
+        secs <- p.peek match {
+          case TIdent(u, _) =>
+            p.next()
+            u.toLowerCase.stripSuffix("s") match {
+              case "second" => Right(1L)
+              case "minute" => Right(60L)
+              case "hour"   => Right(3600L)
+              case "day"    => Right(86400L)
+              case "week"   => Right(604800L)
+              case other => Left(ParseError(
+                s"INTERVAL frame bounds take fixed-length units " +
+                  s"(second/minute/hour/day/week, got $other)", start))
+            }
+          case t => Left(ParseError("expected an INTERVAL unit", t.pos))
+        }
+        off <-
+          if (p.isKw("preceding")) { p.next(); Right(-n * secs) }
+          else if (p.isKw("following")) { p.next(); Right(n * secs) }
+          else Left(ParseError("expected PRECEDING or FOLLOWING", p.peek.pos))
+      } yield (off, true)
     case TInt(v, _) =>
       p.next()
-      if (p.isKw("preceding")) { p.next(); Right(-v) }
-      else if (p.isKw("following")) { p.next(); Right(v) }
+      if (p.isKw("preceding")) { p.next(); Right((-v, false)) }
+      else if (p.isKw("following")) { p.next(); Right((v, false)) }
       else Left(ParseError("expected PRECEDING or FOLLOWING", p.peek.pos))
     case t => Left(ParseError("expected a frame bound", t.pos))
   }
@@ -662,9 +697,23 @@ object Parser {
           p.next()
           for {
             _ <- p.eatKw("between")
-            lo <- parseFrameBound(p)
+            lo0 <- parseFrameBound(p)
             _ <- p.eatKw("and")
-            hi <- parseFrameBound(p)
+            hi0 <- parseFrameBound(p)
+            (lo, loIv) = lo0
+            (hi, hiIv) = hi0
+            _ <-
+              if ((loIv || hiIv) && !isRange) Left(ParseError(
+                "INTERVAL frame bounds require a RANGE frame", p.peek.pos))
+              // a finite plain-integer bound mixed with an interval one
+              // would silently mean "seconds" — require both symbolic
+              else if (loIv != hiIv &&
+                  (if (loIv) hi != 0L && hi != Long.MaxValue
+                   else lo != 0L && lo != Long.MinValue))
+                Left(ParseError(
+                  "mixed INTERVAL and plain RANGE bounds are not supported",
+                  p.peek.pos))
+              else Right(())
             // the standard's frame-exclusion clause (EXCLUDE NO OTHERS
             // = the default); GROUP/TIES validity (RANGE frames,
             // decomposable aggregates) checks at analysis
@@ -685,7 +734,8 @@ object Parser {
                     "EXCLUDE supports CURRENT ROW, GROUP, TIES and NO OTHERS", pos))
                 }
               } else Right("none")
-          } yield Some(WinFrame(isRange, lo, hi, excl))
+          } yield Some(WinFrame(isRange, lo, hi, excl,
+            temporal = loIv || hiIv))
         } else Right(None: Option[WinFrame])
       _ <- p.eatSym(")")
     } yield (parts, ord, frame)

@@ -2049,6 +2049,28 @@ class DialectSpec extends AnyFunSuite {
     assert(one("SELECT length(sha256('x')) AS n").getInt(0) == 64)
   }
 
+  test("INTERVAL RANGE frames: time-windowed running aggregates") {
+    val db = freshDb()
+    db.query("CREATE TABLE ev (u INT, ts TIMESTAMP, v INT)").toOption.get
+    db.query("INSERT INTO ev VALUES " +
+      "(1, TIMESTAMP '2024-01-01 10:00:00', 1), " +
+      "(1, TIMESTAMP '2024-01-01 10:30:00', 2), " +
+      "(1, TIMESTAMP '2024-01-01 11:15:00', 4), " +
+      "(2, TIMESTAMP '2024-01-01 09:00:00', 8)").toOption.get
+    val r = db.select("SELECT u, v, sum(v) OVER (PARTITION BY u ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS s " +
+      "FROM ev ORDER BY u, ts").toOption.get
+    // 10:00→1; 10:30→1+2; 11:15→2+4 (10:00 is 75 min back, outside)
+    assert(r.collect().map(_.getLong(2)).toSeq == Seq(1L, 3L, 6L, 8L))
+    // rejections: ROWS + INTERVAL, non-temporal key, mixed bounds
+    assert(db.query("SELECT sum(v) OVER (ORDER BY ts ROWS BETWEEN " +
+      "INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS s FROM ev").isLeft)
+    assert(db.query("SELECT sum(v) OVER (ORDER BY v RANGE BETWEEN " +
+      "INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS s FROM ev").isLeft)
+    assert(db.query("SELECT sum(v) OVER (ORDER BY ts RANGE BETWEEN " +
+      "INTERVAL 1 HOUR PRECEDING AND 3 FOLLOWING) AS s FROM ev").isLeft)
+  }
+
   test("string subscript and slice via the bracket postfix") {
     val db = freshDb()
     def one(sql: String): Row = db.select(sql) match {
