@@ -3141,6 +3141,23 @@ object Dialect {
              |    AND INTERVAL 30 MINUTE FOLLOWING) AS bigint) AS n_win
              |FROM events WHERE user_id <= 100 ORDER BY event_id""".stripMargin)),
 
+    // time_bucket: epoch-aligned fixed-width buckets (2000-01-01 origin;
+    // weeks from Monday 2000-01-03, DuckDB parity) — the classic
+    // downsampling aggregate, one hash-aggregate shuffle on the bucket.
+    "q_dialect_time_bucket" -> QueryDef(
+      (s, d) => run(db(s, d, "events"),
+        "SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket, " +
+          "count(*) AS n, count(DISTINCT user_id) AS users " +
+          "FROM events WHERE event_type = 'click' " +
+          "GROUP BY time_bucket(INTERVAL 15 MINUTE, ts) " +
+          "ORDER BY bucket LIMIT 500"),
+      Some("""SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket,
+             |  cast(count(*) AS bigint) AS n,
+             |  cast(count(DISTINCT user_id) AS bigint) AS users
+             |FROM events WHERE event_type = 'click'
+             |GROUP BY time_bucket(INTERVAL 15 MINUTE, ts)
+             |ORDER BY bucket LIMIT 500""".stripMargin)),
+
     // Batch 9: 12-hour strftime tokens (%I %p) over the events
     // timestamps and to_base radix conversion (Spark's conv — uppercase
     // digits on both engines).

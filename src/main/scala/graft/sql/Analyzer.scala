@@ -1067,7 +1067,7 @@ object Analyzer {
         SqlType.SqlVarChar(65535)
       case "ifnull"              => operandType(args.head)
       case "bit_count"           => SqlType.SqlInt
-      case "strptime" | "to_timestamp" => SqlType.SqlTimestamp
+      case "strptime" | "to_timestamp" | "time_bucket" => SqlType.SqlTimestamp
       case "list_min" | "list_max" | "list_sum" |
            "array_min" | "array_max" =>
         operandType(args.head) match {
@@ -2545,6 +2545,7 @@ object Analyzer {
             args.length == 1
           case "to_base"             => args.length == 2
           case "json_extract_string" => args.length == 2
+          case "time_bucket"         => args.length == 2
           case "date_diff"           => args.length == 3
           case "printf"              => args.nonEmpty &&
             args.head.isInstanceOf[Operand.Literal]
@@ -2676,6 +2677,14 @@ object Analyzer {
         }))
           Left(BadFunction(
             "json_extract_string takes a '$.path' string literal"))
+        else if (f == "time_bucket" && !(args.head match {
+          case Operand.Interval(_, u) => Set("second", "minute", "hour",
+            "day", "week")(u.toLowerCase)
+          case _ => false
+        }))
+          Left(BadFunction(
+            "time_bucket takes a fixed-length INTERVAL literal width " +
+              "(second/minute/hour/day/week) and a timestamp"))
         else if (f == "to_base" && !(args(1) match {
           case Operand.Literal(Lit.LitLong(b)) => b >= 2 && b <= 36
           case _ => false

@@ -2607,6 +2607,25 @@ object Lowering {
     // same $.path subset, string result, NULL on a miss on both engines
     case ("json_extract_string", Seq(a, BoundOperand.BLit(Lit.LitString(pth)))) =>
       get_json_object(rec(a), pth)
+    // DuckDB's time_bucket: epoch-aligned fixed-width buckets with the
+    // 2000-01-01 origin — exact micros arithmetic (floor-aligned for
+    // pre-origin instants too)
+    case ("time_bucket", Seq(BoundOperand.BInterval(n, u), a)) =>
+      val widthMicros = n * (u.toLowerCase match {
+        case "second" => 1L
+        case "minute" => 60L
+        case "hour"   => 3600L
+        case "day"    => 86400L
+        case _ /* week */ => 604800L
+      }) * 1000000L
+      // weeks bucket from Monday 2000-01-03 (DuckDB); everything else
+      // from 2000-01-01
+      val origin =
+        if (u.equalsIgnoreCase("week")) 946857600000000L
+        else 946684800000000L
+      val um = unix_micros(rec(a).cast("timestamp"))
+      val off = ((um - origin) % widthMicros + widthMicros) % widthMicros
+      timestamp_micros(um - off)
     case ("unicode", Seq(a)) =>
       // DuckDB: codepoint of the first character, -1 for the empty string
       val c = rec(a)

@@ -168,7 +168,7 @@ object Parser {
     "list_min", "list_max", "list_sum", "array_min", "array_max",
     "gcd", "lcm", "octet_length", "bit_length", "sha256", "unicode",
     "ifnull", "hamming", "jaccard", "date_diff",
-    "regexp_extract_all", "to_base", "json_extract_string",
+    "regexp_extract_all", "to_base", "json_extract_string", "time_bucket",
     "list_reverse", "flatten", "list_append", "list_prepend",
     "list_unique", "list_intersect", "list_has_any", "list_has_all")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
