@@ -33,6 +33,36 @@ object Multimodal {
 
   def defs: Map[String, QueryDef] = Map(
 
+    // Fixed-size byte-range chunking of the binary payload — the
+    // sharding step before a codec/embedding stage (LLM pipelines feed
+    // media in bounded segments). Pure list algebra (sequence +
+    // substring over BINARY inside one transform) then a generate:
+    // map-only until the final presentation sort, so a 100 TB corpus
+    // chunks at scan speed. Chunk identity is (media_id, chunk_idx) +
+    // an md5 prefix — the idempotency key a resumable pipeline needs.
+    "q_multimodal_chunks" -> QueryDef(
+      (s, d) => media(s, d)
+        .select(col("media_id"),
+          posexplode(expr("transform(sequence(0, " +
+            "cast(ceil(octet_length(payload) / 64.0) AS int) - 1), " +
+            "i -> substring(payload, i * 64 + 1, 64))"))
+            .as(Seq("pos", "chunk")))
+        .select(col("media_id"),
+          col("pos").cast("long").as("chunk_idx"),
+          octet_length(col("chunk")).as("chunk_bytes"),
+          substring(md5(col("chunk")), 1, 8).as("checksum"))
+        .orderBy("media_id", "chunk_idx"),
+      Some("""WITH idx AS (
+             |  SELECT doc_id AS media_id, text,
+             |    unnest(range(0, cast(ceil(strlen(text) / 64.0) AS int))) AS i
+             |  FROM documents)
+             |SELECT media_id, i AS chunk_idx,
+             |  cast(strlen(substr(text, cast(i * 64 + 1 AS int), 64)) AS int)
+             |    AS chunk_bytes,
+             |  substr(md5(substr(text, cast(i * 64 + 1 AS int), 64)), 1, 8)
+             |    AS checksum
+             |FROM idx ORDER BY media_id, chunk_idx""".stripMargin)),
+
     // Metadata path: pure column algebra over the binary payload — size,
     // checksum, metadata projection. Fully oracle-checkable.
     "q_multimodal_meta" -> QueryDef(
