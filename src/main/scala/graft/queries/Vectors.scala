@@ -228,6 +228,49 @@ object Vectors {
              |  FROM pairs) x
              |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
 
+    // Two-stage prefix re-rank ANN (the Matryoshka-style trick): rank
+    // candidates by the FIRST-8-DIMENSION inner product (an 8× cheaper
+    // fused loop), keep top-50, then re-rank those exactly by full
+    // cosine. At 100 TB the coarse pass touches 1/8th of the bytes —
+    // with prefix-ordered (MRL) embeddings the recall loss is tiny, and
+    // the exact second stage restores the final ordering. Both stages
+    // are WindowGroupLimit top-k per query, never a global sort.
+    "q_ann_prefix_rerank" -> QueryDef(
+      (s, d) => {
+        val all = withNorm(emb(s, d))
+        val q = all.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+        val pref = broadcast(q).join(all, col("vec_id") =!= col("qid"))
+          .withColumn("psim", dot(expr("slice(qe, 1, 8)"), expr("slice(e, 1, 8)")))
+        val wC = Window.partitionBy("qid").orderBy(col("psim").desc, col("vec_id"))
+        val cand = pref.withColumn("crk", row_number().over(wC))
+          .filter(col("crk") <= 50)
+        val scored = cand.withColumn("sim",
+          dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        val wF = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        scored.withColumn("rk", row_number().over(wF)).filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id").as("nid"), col("rk"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+             |cand AS (
+             |  SELECT qid, nid, e, qe FROM (
+             |    SELECT q.vec_id AS qid, c.vec_id AS nid, c.e AS e, q.e AS qe,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY list_inner_product(q.e[1:8], c.e[1:8]) DESC,
+             |          c.vec_id) AS crk
+             |    FROM base q JOIN base c ON c.vec_id <> q.vec_id
+             |    WHERE q.vec_id < 10) x
+             |  WHERE crk <= 50)
+             |SELECT qid, nid, rk, round(sim, 6) AS sim FROM (
+             |  SELECT qid, nid, list_cosine_similarity(qe, e) AS sim,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY list_cosine_similarity(qe, e) DESC, nid) AS rk
+             |  FROM cand) y
+             |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
     // All near-duplicate pairs by cosine threshold (the embedding analogue
     // of q_dedup_ngram), via banded random-hyperplane LSH + exact-cosine
     // verification — never a cartesian product: candidates only form
