@@ -1139,6 +1139,18 @@ object Analyzer {
     * everything else needs its AS alias — the same names the lowering
     * emits, so the synthetic TableDesc matches the lowered frame.
     */
+  /** The output attributes of any readable bound query (DESCRIBE
+    * <query>): a select's derived attributes, a set-op chain's first
+    * branch, a recursive CTE's base schema.
+    */
+  def outputAttributes(q: BoundQuery): Either[AnalyzerError, Seq[AttributeDesc]] =
+    q match {
+      case s: BoundSelect    => derivedAttributes(s)
+      case u: BoundUnion     => derivedAttributes(u.first)
+      case r: BoundRecursive => Right(r.desc.attributes)
+      case _ => Left(BadFunction("DESCRIBE takes a readable query"))
+    }
+
   private def derivedAttributes(b: BoundSelect): Either[AnalyzerError, Seq[AttributeDesc]] = {
     val attrs = Vector.newBuilder[AttributeDesc]
     val seen = scala.collection.mutable.Set.empty[String]

@@ -471,6 +471,10 @@ object Ast {
   case object ShowTablesTree extends ParseTree
   /** DESCRIBE t — one row per column: name, type, nullable. */
   final case class DescribeTree(table: String) extends ParseTree
+  /** DESCRIBE <query>: the analyzed output schema of any readable query
+    * (name, rendered type, nullability) without running it.
+    */
+  final case class DescribeQueryTree(query: ParseTree) extends ParseTree
   /** SUMMARIZE t — per-column profile: count / nulls / exact ndv /
     * min / max (as strings) / avg / std (numerics, rounded to 4).
     */

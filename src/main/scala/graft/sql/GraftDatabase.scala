@@ -131,6 +131,24 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         }
       case Ast.ShowTablesTree        => showTables()
       case t: Ast.DescribeTree       => describe(t.table)
+      // DESCRIBE <query>: analyze only — the schema comes from the bound
+      // tree (derivedAttributes' names + rendered types), nothing runs
+      case t: Ast.DescribeQueryTree =>
+        import org.apache.spark.sql.types.{BooleanType, StringType,
+          StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("column_name", StringType, nullable = false),
+          StructField("column_type", StringType, nullable = false),
+          StructField("nullable", BooleanType, nullable = false)))
+        val sub = Parser.substituteViews(t.query, views.toMap)
+        Analyzer.analyze(sub, cat).left.map(AnalyzeFailed).flatMap {
+          case q @ (_: Analyzer.BoundSelect | _: Analyzer.BoundUnion |
+                    _: Analyzer.BoundRecursive) =>
+            Analyzer.outputAttributes(q).left.map(AnalyzeFailed).map(attrs =>
+              Rows(localRows(schema, attrs.map(a =>
+                Row(a.name, a.sqlType.render, a.nullable)))))
+          case _ => Left(ViewError("DESCRIBE takes a table or a SELECT"))
+        }
       case t: Ast.SummarizeTree      => summarize(t.table)
       case t: Ast.CopyToTree         => copyTo(t)
       case t: Ast.CopyFromTree       => copyFrom(t)

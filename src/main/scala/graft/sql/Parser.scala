@@ -209,8 +209,12 @@ object Parser {
         else if (p.isKw("describe") || p.isKw("desc"))
           for {
             _ <- Right(p.next())
-            name <- p.ident()
-          } yield DescribeTree(name)
+            t <-
+              if (p.isKw("select") || p.isKw("with"))
+                (if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p))
+                  .map(DescribeQueryTree(_): ParseTree)
+              else p.ident().map(DescribeTree(_): ParseTree)
+          } yield t
         else if (p.isKw("summarize"))
           for {
             _ <- Right(p.next())

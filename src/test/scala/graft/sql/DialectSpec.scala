@@ -3195,6 +3195,20 @@ class DialectSpec extends AnyFunSuite {
     assert(mixed == Seq(Row(1, 3L, 1)))
   }
 
+  test("DESCRIBE <query>: analyzed output schema without execution") {
+    val db = freshDb()
+    db.query("CREATE TABLE dq (id INT, name VARCHAR(10), v DOUBLE)").toOption.get
+    val r = db.select("DESCRIBE SELECT id, upper(name) AS u, sum(v) AS s " +
+      "FROM dq GROUP BY id, upper(name)").toOption.get.collect().toSeq
+    assert(r.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("id", "INT"), ("u", "VARCHAR(65535)"), ("s", "DOUBLE")))
+    // set-op chains describe the first branch; bad queries fail loudly
+    val u = db.select("DESCRIBE SELECT id FROM dq UNION SELECT id + 1 AS id FROM dq")
+      .toOption.get.collect().toSeq
+    assert(u.map(_.getString(0)) == Seq("id"))
+    assert(db.query("DESCRIBE SELECT nocol FROM dq").isLeft)
+  }
+
   test("SHOW TABLES / DESCRIBE / COPY TO: introspection and export") {
     val db = freshDb()
     db.query("CREATE TABLE t1 (id INT PRIMARY KEY, name VARCHAR(10))").toOption.get
