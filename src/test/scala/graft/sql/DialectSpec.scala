@@ -2167,6 +2167,15 @@ class DialectSpec extends AnyFunSuite {
     // multi-column keys compose; WHERE conjuncts AND with the sample
     assert(ids("SELECT id FROM st USING SAMPLE 50 PERCENT (KEY id, v) " +
       "WHERE id <= 20 ORDER BY id").forall(_ <= 20))
+    // a sampled table composes with a comma join (the predicate stays
+    // scoped to the sampled side via its alias)
+    val cj = ids("SELECT a.id FROM st a USING SAMPLE 50 PERCENT (KEY id), " +
+      "st b WHERE a.id = b.id ORDER BY a.id")
+    assert(cj == s50a)
+    // derived tables sample too
+    val dv = ids("SELECT id FROM (SELECT id FROM st WHERE id <= 20) d " +
+      "USING SAMPLE 50 PERCENT (KEY id) ORDER BY id")
+    assert(dv == s50a.filter(_ <= 20))
     // a join step's table may not carry a sample (it would filter the
     // null-extended result); the KEY list is required
     assert(db.query("SELECT a.id FROM st a LEFT JOIN st b " +
