@@ -194,6 +194,44 @@ object Parser {
         }
         else if (p.isKw("with")) parseWith(p)
         else if (p.isKw("select")) parseSelectOrUnion(p)
+        // top-level VALUES (…), (…): DuckDB's col0/col1/… column names —
+        // desugars to FROM-less SELECTs union-all'd, like derived VALUES
+        else if (p.isKw("values")) {
+          p.next()
+          def row(): Either[ParseError, Vector[Operand]] =
+            p.eatSym("(").flatMap { _ =>
+              def lp(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+                parseOperand(p).flatMap { o =>
+                  p.peek match {
+                    case TSym(",", _) => p.next(); lp(acc :+ o)
+                    case _            => p.eatSym(")").map(_ => acc :+ o)
+                  }
+                }
+              lp(Vector.empty)
+            }
+          def rows(acc: Vector[Vector[Operand]])
+              : Either[ParseError, Vector[Vector[Operand]]] =
+            row().flatMap { r =>
+              p.peek match {
+                case TSym(",", _) => p.next(); rows(acc :+ r)
+                case _            => Right(acc :+ r)
+              }
+            }
+          rows(Vector.empty).flatMap { rs =>
+            if (rs.exists(_.length != rs.head.length))
+              Left(ParseError("VALUES rows must share one arity", p.peek.pos))
+            else {
+              def rowTree(r: Vector[Operand]): SelectTree =
+                SelectTree(Some(r.zipWithIndex.map { case (o, i) =>
+                  SelectItem.SExpr(o, s"col$i"): SelectItem }),
+                  from = Nil, where = None)
+              Right(
+                if (rs.length == 1) rowTree(rs.head): ParseTree
+                else UnionTree(rowTree(rs.head),
+                  rs.tail.map(r => ("union_all", rowTree(r)))): ParseTree)
+            }
+          }
+        }
         else if (p.isKw("insert")) parseInsert(p).flatMap(withReturning(p, _))
         else if (p.isKw("create")) parseCreate(p)
         else if (p.isKw("delete")) parseDelete(p).flatMap(withReturning(p, _))

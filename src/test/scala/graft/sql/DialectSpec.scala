@@ -3204,6 +3204,17 @@ class DialectSpec extends AnyFunSuite {
     assert(mixed == Seq(Row(1, 3L, 1)))
   }
 
+  test("top-level VALUES statement") {
+    val db = freshDb()
+    val r = db.select("VALUES (1, 'a'), (2, 'b')").toOption.get
+    assert(r.columns.toSeq == Seq("col0", "col1"))
+    assert(r.orderBy("col0").collect().toSeq == Seq(Row(1L, "a"), Row(2L, "b")))
+    // expressions evaluate; arity mismatch rejects
+    assert(db.select("VALUES (1 + 1, upper('x'))").toOption.get
+      .collect().head == Row(2L, "X"))
+    assert(db.query("VALUES (1), (2, 3)").isLeft)
+  }
+
   test("DESCRIBE <query>: analyzed output schema without execution") {
     val db = freshDb()
     db.query("CREATE TABLE dq (id INT, name VARCHAR(10), v DOUBLE)").toOption.get
