@@ -3204,6 +3204,17 @@ class DialectSpec extends AnyFunSuite {
     assert(mixed == Seq(Row(1, 3L, 1)))
   }
 
+  test("FILTER clause composes with OVER (windowed filtered aggregates)") {
+    val db = freshDb()
+    db.query("CREATE TABLE fw (g INT, v INT)").toOption.get
+    db.query("INSERT INTO fw VALUES (1, 1), (1, 5), (2, 3)").toOption.get
+    val r = db.select("SELECT g, v, sum(v) FILTER (WHERE v > 1) " +
+      "OVER (PARTITION BY g) AS s, count(*) FILTER (WHERE v > 1) " +
+      "OVER (PARTITION BY g) AS n FROM fw ORDER BY g, v").toOption.get
+    assert(r.collect().map(x => (x.getLong(2), x.getLong(3))).toSeq ==
+      Seq((5L, 1L), (5L, 1L), (3L, 1L)))
+  }
+
   test("top-level VALUES statement") {
     val db = freshDb()
     val r = db.select("VALUES (1, 'a'), (2, 'b')").toOption.get
