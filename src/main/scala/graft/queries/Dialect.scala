@@ -3141,6 +3141,16 @@ object Dialect {
              |    AND INTERVAL 30 MINUTE FOLLOWING) AS bigint) AS n_win
              |FROM events WHERE user_id <= 100 ORDER BY event_id""".stripMargin)),
 
+    // COLUMNS('regex'): regex-filtered star expansion (DuckDB's partial
+    // match over column names) — pure analysis, the plan reads only the
+    // matched columns.
+    "q_dialect_columns" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT COLUMNS('order') FROM orders WHERE o_orderkey < 2000 " +
+          "ORDER BY o_orderkey"),
+      Some("""SELECT COLUMNS('order') FROM orders WHERE o_orderkey < 2000
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // time_bucket: epoch-aligned fixed-width buckets (2000-01-01 origin;
     // weeks from Monday 2000-01-03, DuckDB parity) — the classic
     // downsampling aggregate, one hash-aggregate shuffle on the bucket.

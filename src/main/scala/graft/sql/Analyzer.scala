@@ -2327,6 +2327,20 @@ object Analyzer {
       }
     }
     val projItems: Seq[SelectItem] = s.columns.getOrElse(expandAll).flatMap {
+      // COLUMNS('re'): the star expansion filtered by a regex over the
+      // column NAME (partial match, DuckDB); no match fails loudly
+      case SelectItem.SColumns(pat) =>
+        val re = try pat.r catch {
+          case _: Exception =>
+            return Left(BadFunction(s"COLUMNS pattern '$pat' is not a valid regex"))
+        }
+        val kept = expandAll.filter {
+          case SelectItem.SCol(r, _) => re.findFirstIn(r.name).isDefined
+          case _                     => false
+        }
+        if (kept.isEmpty)
+          return Left(BadFunction(s"COLUMNS('$pat') matched no columns"))
+        kept
       case SelectItem.SStar(None, Nil, Nil) => expandAll
       case SelectItem.SStar(None, excl, repl) =>
         applyStarMods(expandAll, excl, repl) match {

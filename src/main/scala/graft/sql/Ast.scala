@@ -179,6 +179,11 @@ object Ast {
     final case class SStar(binding: Option[String],
         exclude: Seq[String] = Nil,
         replace: Seq[(Operand, String)] = Nil) extends SelectItem
+    /** COLUMNS('regex'): star expansion restricted to column names the
+      * regex matches (DuckDB; partial match, case-sensitive). Errors
+      * when nothing matches.
+      */
+    final case class SColumns(pattern: String) extends SelectItem
     final case class SCol(ref: ColRef, alias: Option[String] = None) extends SelectItem
     final case class SAgg(func: String, arg: Option[Operand],
         alias: Option[String] = None, distinct: Boolean = false) extends SelectItem

@@ -860,6 +860,25 @@ object Parser {
               case TSym("*", _) =>
                 p.next()
                 parseStarMods(p).map { case (e, r) => SelectItem.SStar(None, e, r) }
+              // COLUMNS('regex') — regex-filtered star expansion
+              case TIdent(k, _) if k.equalsIgnoreCase("columns") && {
+                val save = p.i; p.next()
+                val isP = (p.peek match {
+                  case TSym("(", _) => p.next()
+                    p.peek match { case TStr(_, _) => true; case _ => false }
+                  case _ => false
+                })
+                p.i = save; isP
+              } =>
+                p.next()
+                for {
+                  _ <- p.eatSym("(")
+                  pat <- p.peek match {
+                    case TStr(v, _) => p.next(); Right(v)
+                    case t => Left(ParseError("COLUMNS takes a string-literal regex", t.pos))
+                  }
+                  _ <- p.eatSym(")")
+                } yield SelectItem.SColumns(pat): SelectItem
               case TIdent(b, _) if {
                 val save = p.i; p.next()
                 val dotStar = (p.peek match {

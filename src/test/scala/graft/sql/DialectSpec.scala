@@ -3215,6 +3215,21 @@ class DialectSpec extends AnyFunSuite {
       Seq((5L, 1L), (5L, 1L), (3L, 1L)))
   }
 
+  test("COLUMNS('regex') star expansion") {
+    val db = freshDb()
+    db.query("CREATE TABLE cx (id INT, name VARCHAR(8), n_a INT, n_b INT)")
+      .toOption.get
+    db.query("INSERT INTO cx VALUES (1, 'x', 2, 3)").toOption.get
+    val r = db.select("SELECT COLUMNS('^n_') FROM cx").toOption.get
+    assert(r.columns.toSeq == Seq("n_a", "n_b"))
+    // composes in a longer list; aggregates over matches work per column
+    val m = db.select("SELECT id, COLUMNS('^n_') FROM cx").toOption.get
+    assert(m.columns.toSeq == Seq("id", "n_a", "n_b"))
+    // no match / bad regex fail loudly
+    assert(db.query("SELECT COLUMNS('zzz') FROM cx").isLeft)
+    assert(db.query("SELECT COLUMNS('[') FROM cx").isLeft)
+  }
+
   test("top-level VALUES statement") {
     val db = freshDb()
     val r = db.select("VALUES (1, 'a'), (2, 'b')").toOption.get
