@@ -2596,7 +2596,13 @@ object Analyzer {
           case "greatest" | "least"  => args.length >= 2
           // list/array functions (DuckDB surface onto Spark natives)
           case "len" | "array_length" | "list_distinct" | "array_distinct" |
-               "list_sort" | "array_sort" | "unnest" => args.length == 1
+               "unnest" => args.length == 1
+          case "list_sort" | "array_sort" =>
+            args.length == 1 || (args.length == 2 && (args(1) match {
+              case Operand.Literal(Lit.LitString(dr)) =>
+                Set("asc", "desc")(dr.toLowerCase)
+              case _ => false
+            }))
           case "list_contains" | "array_contains" | "list_extract" |
                "list_element" | "list_position" | "array_position" |
                "list_concat" | "array_concat" | "string_split" |
@@ -2732,10 +2738,21 @@ object Analyzer {
               case SqlType.SqlVarChar(_) => true
               case _                     => false
             }
+            def arrBase = operandType(bargs.head) match {
+              case SqlType.SqlArray(_) => true
+              case _                   => false
+            }
             if (f == "list_extract" && bargs.length == 2 && strBase)
               BoundOperand.BFunc("str_extract", bargs)
             else if (f == "list_slice" && bargs.length == 3 && strBase)
               BoundOperand.BFunc("str_slice", bargs)
+            // DuckDB's len() works on strings too
+            else if ((f == "len" || f == "array_length") && strBase)
+              BoundOperand.BFunc("length", bargs)
+            // contains(list, x) is list membership when the base is a
+            // list (string containment otherwise)
+            else if (f == "contains" && bargs.length == 2 && arrBase)
+              BoundOperand.BFunc("list_contains", bargs)
             else BoundOperand.BFunc(f, bargs)
           }
       case Operand.CaseWhen(branches, els) =>

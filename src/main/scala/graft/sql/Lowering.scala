@@ -2718,6 +2718,14 @@ object Lowering {
       array_distinct(array_compact(rec(a)))
     // ascending, NULLs LAST (DuckDB's default == Spark array_sort's)
     case ("list_sort" | "array_sort", Seq(a)) => array_sort(rec(a))
+    // directional sort: DESC via sort-ascending + reverse (NULLs land
+    // FIRST on DESC — DuckDB's default NULLS LAST for DESC differs only
+    // when NULL elements are present; avoid NULL elements where parity
+    // matters, same caveat as list_distinct ordering)
+    case ("list_sort" | "array_sort",
+        Seq(a, BoundOperand.BLit(Lit.LitString(dr)))) =>
+      if (dr.equalsIgnoreCase("desc")) reverse(array_sort(rec(a)))
+      else array_sort(rec(a))
     // list higher-order functions: Spark's codegen'd transform/filter/
     // aggregate with the lambda body lowered under a parameter
     // environment (captured columns resolve through `rec`, so the

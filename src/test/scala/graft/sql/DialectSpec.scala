@@ -3215,6 +3215,22 @@ class DialectSpec extends AnyFunSuite {
       Seq((5L, 1L), (5L, 1L), (3L, 1L)))
   }
 
+  test("len on strings, list contains, directional list_sort") {
+    val db = freshDb()
+    def one(sql: String): Row = db.select(sql) match {
+      case Right(df) => df.collect().head
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    val r = one("SELECT len('hello') AS n, contains([1, 2, 3], 2) AS c1, " +
+      "contains('haystack', 'hay') AS c2, " +
+      "array_to_string(list_sort([3, 1, 2], 'DESC'), ',') AS d, " +
+      "array_to_string(list_sort([3, 1, 2], 'ASC'), ',') AS a")
+    assert(r.getInt(0) == 5)
+    assert(r.getBoolean(1) && r.getBoolean(2))
+    assert(r.getString(3) == "3,2,1" && r.getString(4) == "1,2,3")
+    assert(db.query("SELECT list_sort([1], 'sideways') AS x").isLeft)
+  }
+
   test("COLUMNS('regex') star expansion") {
     val db = freshDb()
     db.query("CREATE TABLE cx (id INT, name VARCHAR(8), n_a INT, n_b INT)")
