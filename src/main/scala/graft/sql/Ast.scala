@@ -484,6 +484,10 @@ object Ast {
     * min / max (as strings) / avg / std (numerics, rounded to 4).
     */
   final case class SummarizeTree(table: String) extends ParseTree
+  /** SUMMARIZE <query>: the same per-column profile over a query's
+    * result (one aggregate pass over the lowered frame).
+    */
+  final case class SummarizeQueryTree(query: ParseTree) extends ParseTree
   /** COPY (t | (SELECT …)) TO 'path' [(FORMAT parquet|csv|json)] — the
     * distributed export path (partition-parallel write; csv/json write
     * with a header where the format has one).

@@ -150,6 +150,14 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           case _ => Left(ViewError("DESCRIBE takes a table or a SELECT"))
         }
       case t: Ast.SummarizeTree      => summarize(t.table)
+      case t: Ast.SummarizeQueryTree =>
+        val sub = Parser.substituteViews(t.query, views.toMap)
+        Analyzer.analyze(sub, cat).left.map(AnalyzeFailed).flatMap {
+          case q @ (_: Analyzer.BoundSelect | _: Analyzer.BoundUnion) =>
+            Analyzer.outputAttributes(q).left.map(AnalyzeFailed)
+              .map(attrs => summarizeDf(attrs, lowerQuery(q)))
+          case _ => Left(ViewError("SUMMARIZE takes a table or a SELECT"))
+        }
       case t: Ast.CopyToTree         => copyTo(t)
       case t: Ast.CopyFromTree       => copyFrom(t)
       case t: Ast.AlterAddColTree    => alterAddCol(t)
@@ -323,19 +331,26 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     * approx_count_distinct (the StatsManager HLLs already maintain the
     * approximate answer online).
     */
-  private def summarize(name0: String): Either[QueryError, QueryResult] = {
+  private def summarize(name0: String): Either[QueryError, QueryResult] =
+    readableDesc(name0).map(desc =>
+      summarizeDf(desc.attributes, readTable(desc)))
+
+  /** The per-column profile pass shared by SUMMARIZE t and
+    * SUMMARIZE <query> — ONE aggregate job over the frame.
+    */
+  private def summarizeDf(attributes: Seq[AttributeDesc],
+      df: DataFrame): QueryResult = {
     import org.apache.spark.sql.functions.{avg => favg, col,
       count => fcount, count_distinct, lit, max => fmax, min => fmin,
       stddev_samp}
     import org.apache.spark.sql.types._
-    readableDesc(name0).map { desc =>
-      val df = readTable(desc)
+    locally {
       val numeric: SqlType => Boolean = {
         case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt |
              SqlType.SqlDouble | SqlType.SqlReal => true
         case _ => false
       }
-      val aggs = desc.attributes.zipWithIndex.flatMap { case (a, i) =>
+      val aggs = attributes.zipWithIndex.flatMap { case (a, i) =>
         Seq(fcount(col(a.name)).as(s"c$i"),
           count_distinct(col(a.name)).as(s"d$i"),
           fmin(col(a.name)).cast("string").as(s"mn$i"),
@@ -352,7 +367,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
         case other => other
       }
-      val out = desc.attributes.zipWithIndex.map { case (a, i) =>
+      val out = attributes.zipWithIndex.map { case (a, i) =>
         Row(a.name, a.sqlType.render, n, n - row.getAs[Long](s"c$i"),
           row.getAs[Long](s"d$i"),
           row.getAs[String](s"mn$i"), row.getAs[String](s"mx$i"),

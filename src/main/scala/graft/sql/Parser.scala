@@ -256,8 +256,12 @@ object Parser {
         else if (p.isKw("summarize"))
           for {
             _ <- Right(p.next())
-            name <- p.ident()
-          } yield SummarizeTree(name)
+            t <-
+              if (p.isKw("select") || p.isKw("with"))
+                (if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p))
+                  .map(SummarizeQueryTree(_): ParseTree)
+              else p.ident().map(SummarizeTree(_): ParseTree)
+          } yield t
         else if (p.isKw("copy")) parseCopy(p)
         else if (p.isKw("alter")) parseAlter(p)
         else if (p.isKw("truncate"))

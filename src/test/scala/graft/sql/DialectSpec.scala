@@ -3257,6 +3257,18 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("VALUES (1), (2, 3)").isLeft)
   }
 
+  test("SUMMARIZE <query>: per-column profile of a query result") {
+    val db = freshDb()
+    db.query("CREATE TABLE sq (g INT, v INT)").toOption.get
+    db.query("INSERT INTO sq VALUES (1, 10), (1, 20), (2, NULL)").toOption.get
+    val r = db.select("SUMMARIZE SELECT g, v * 2 AS v2 FROM sq WHERE g = 1")
+      .toOption.get.collect().toSeq
+    assert(r.map(_.getString(0)) == Seq("g", "v2"))
+    val v2 = r(1)
+    assert(v2.getLong(2) == 2L && v2.getLong(3) == 0L && v2.getLong(4) == 2L)
+    assert(v2.getString(5) == "20" && v2.getString(6) == "40")
+  }
+
   test("DESCRIBE <query>: analyzed output schema without execution") {
     val db = freshDb()
     db.query("CREATE TABLE dq (id INT, name VARCHAR(10), v DOUBLE)").toOption.get
