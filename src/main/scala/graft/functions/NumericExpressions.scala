@@ -62,17 +62,33 @@ case class Gcd(left: Expression, right: Expression) extends EuclidExpression {
 
 case class Lcm(left: Expression, right: Expression) extends EuclidExpression {
   override def prettyName: String = "graft_lcm"
+  // DuckDB raises on overflow rather than wrapping: the product runs
+  // through Math.multiplyExact (interpreted AND codegen), and the one
+  // exact-arithmetic value abs() can't represent (Long.MinValue) errors
+  // too. ArithmeticException surfaces as the query's error.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Long]; val y = b.asInstanceOf[Long]
     val g = euclid(x, y)
-    if (g == 0L) 0L else math.abs(x / g * y)
+    if (g == 0L) 0L
+    else {
+      val p = Math.multiplyExact(x / g, y)
+      if (p == Long.MinValue)
+        throw new ArithmeticException("lcm overflows BIGINT")
+      math.abs(p)
+    }
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val g = ctx.freshName("g")
+      val p = ctx.freshName("p")
       s"""
          |${genEuclid(ctx, a, b, g)}
-         |${ev.value} = ($g == 0L) ? 0L : java.lang.Math.abs($a / $g * $b);
+         |if ($g == 0L) { ${ev.value} = 0L; } else {
+         |  long $p = java.lang.Math.multiplyExact($a / $g, $b);
+         |  if ($p == Long.MIN_VALUE)
+         |    throw new ArithmeticException("lcm overflows BIGINT");
+         |  ${ev.value} = java.lang.Math.abs($p);
+         |}
        """.stripMargin
     })
   override protected def withNewChildrenInternal(

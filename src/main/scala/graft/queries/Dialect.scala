@@ -3151,21 +3151,27 @@ object Dialect {
       Some("""SELECT COLUMNS('order') FROM orders WHERE o_orderkey < 2000
              |ORDER BY o_orderkey""".stripMargin)),
 
-    // time_bucket: epoch-aligned fixed-width buckets (2000-01-01 origin;
-    // weeks from Monday 2000-01-03, DuckDB parity) — the classic
-    // downsampling aggregate, one hash-aggregate shuffle on the bucket.
+    // time_bucket: epoch-aligned fixed-width buckets (every non-month
+    // width aligns to TimescaleDB's Monday 2000-01-03 origin, DuckDB
+    // parity) — the classic downsampling aggregate, one hash-aggregate
+    // shuffle on the bucket. The odd widths (3 DAY, 7 HOUR) do NOT
+    // divide the 2000-01-01→-03 offset, so they pin the origin choice.
     "q_dialect_time_bucket" -> QueryDef(
       (s, d) => run(db(s, d, "events"),
         "SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket, " +
+          "time_bucket(INTERVAL 3 DAY, ts) AS b3d, " +
+          "time_bucket(INTERVAL 7 HOUR, ts) AS b7h, " +
           "count(*) AS n, count(DISTINCT user_id) AS users " +
           "FROM events WHERE event_type = 'click' " +
-          "GROUP BY time_bucket(INTERVAL 15 MINUTE, ts) " +
+          "GROUP BY 1, 2, 3 " +
           "ORDER BY bucket LIMIT 500"),
       Some("""SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket,
+             |  time_bucket(INTERVAL 3 DAY, ts) AS b3d,
+             |  time_bucket(INTERVAL 7 HOUR, ts) AS b7h,
              |  cast(count(*) AS bigint) AS n,
              |  cast(count(DISTINCT user_id) AS bigint) AS users
              |FROM events WHERE event_type = 'click'
-             |GROUP BY time_bucket(INTERVAL 15 MINUTE, ts)
+             |GROUP BY 1, 2, 3
              |ORDER BY bucket LIMIT 500""".stripMargin)),
 
     // Batch 9: 12-hour strftime tokens (%I %p) over the events

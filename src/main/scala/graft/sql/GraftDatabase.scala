@@ -865,25 +865,28 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     * The whole lowering runs in one query scope, so a CTE (recursive or
     * plain) referenced twice materializes once.
     */
+  /** Stats feed the ASOF lowering choice the same way they feed
+    * broadcast/build sides — avg step rows per key group decides
+    * union-merge vs candidate join. External tables rebuild lazily on
+    * first need, exactly like estimateBindings; the filtered row
+    * estimate rides the same bottom-k sample as every cardinality.
+    * Scope-carried through withQueryScope (per-database, not a global).
+    */
+  private val asofHook: Lowering.AsofStatsHook =
+    (t, c, pred) => tables.get(t.toLowerCase).map { desc =>
+      if (statistics.get(desc.name).isEmpty)
+        statistics.rebuild(desc, readTable(desc))
+      val st = statistics.get(desc.name).get
+      val rows = pred match {
+        case None    => st.rowCount
+        case Some(p) => statistics.estimateCard(desc, Some(p))
+      }
+      (math.max(rows, 1L), st.ndv(c).getOrElse(math.max(st.rowCount, 1L)))
+    }
+
   private def lowerQuery(q: BoundQuery): DataFrame = {
     val source: Analyzer.BoundTable => DataFrame = bt => readTable(bt.desc)
-    // stats feed the ASOF lowering choice the same way they feed
-    // broadcast/build sides — avg step rows per key group decides
-    // union-merge vs candidate join. External tables rebuild lazily on
-    // first need, exactly like estimateBindings; the filtered row
-    // estimate rides the same bottom-k sample as every cardinality.
-    Lowering.asofStatsHook = (t, c, pred) => tables.get(t.toLowerCase).map {
-      desc =>
-        if (statistics.get(desc.name).isEmpty)
-          statistics.rebuild(desc, readTable(desc))
-        val st = statistics.get(desc.name).get
-        val rows = pred match {
-          case None    => st.rowCount
-          case Some(p) => statistics.estimateCard(desc, Some(p))
-        }
-        (math.max(rows, 1L), st.ndv(c).getOrElse(math.max(st.rowCount, 1L)))
-    }
-    Lowering.withQueryScope(q, source) {
+    Lowering.withQueryScope(q, source, asofHook) {
       q match {
         case s: BoundSelect => lowerOneSelect(s, source)
         case u: BoundUnion =>
@@ -1147,7 +1150,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       proj: Option[Analyzer.BoundSelect]): QueryResult = (r, proj) match {
     case (Rows(df), Some(bs)) =>
       val src: Analyzer.BoundTable => DataFrame = _ => df
-      Rows(Lowering.withQueryScope(bs, src) { lowerOneSelect(bs, src) })
+      Rows(Lowering.withQueryScope(bs, src, asofHook) { lowerOneSelect(bs, src) })
     case _ => r
   }
 
@@ -1182,7 +1185,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           .localCheckpoint()
         val src: Analyzer.BoundTable => DataFrame = bt =>
           if (bt.desc.attr("__lkrid").isDefined) withId else readTable(bt.desc)
-        val rids = Lowering.withQueryScope(ms, src) { lowerOneSelect(ms, src) }
+        val rids = Lowering.withQueryScope(ms, src, asofHook) { lowerOneSelect(ms, src) }
           .withColumnRenamed("__lkrid", "__delrid")
         (withId.join(rids, col("__lkrid") === col("__delrid"), "left_anti")
           .drop("__lkrid"),
@@ -1218,7 +1221,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           (withId, pred.map(Lowering.lowerExprBare).getOrElse(lit(true)),
             if (needRid) Seq("__lkrid") else Seq.empty[String])
         case Some(ms) =>
-          val rids = Lowering.withQueryScope(ms, src) { lowerOneSelect(ms, src) }
+          val rids = Lowering.withQueryScope(ms, src, asofHook) { lowerOneSelect(ms, src) }
             .withColumnRenamed("__lkrid", "__updrid").withColumn("__upd", lit(true))
           val joined = withId.join(rids,
             col("__lkrid") === col("__updrid"), "left_outer")
@@ -1234,7 +1237,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       helperCols ++= helperCols0
       val subVals: Seq[(AttributeDesc, org.apache.spark.sql.Column)] =
         subSets.zipWithIndex.map { case ((attr, vs), i) =>
-          val vdf = Lowering.withQueryScope(vs, src) { lowerOneSelect(vs, src) }
+          val vdf = Lowering.withQueryScope(vs, src, asofHook) { lowerOneSelect(vs, src) }
             .withColumnRenamed("__lkrid", s"__svrid_$i")
             .withColumnRenamed("__sv", s"__sv_$i")
           df = df.join(vdf, col("__lkrid") === col(s"__svrid_$i"), "left_outer")
@@ -1281,7 +1284,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         .localCheckpoint()
       val src: Analyzer.BoundTable => DataFrame = bt =>
         if (bt.desc.attr("__lkrid").isDefined) withId else readTable(bt.desc)
-      val m = Lowering.withQueryScope(matchedSel, src) {
+      val m = Lowering.withQueryScope(matchedSel, src, asofHook) {
         lowerOneSelect(matchedSel, src) }
       // SQL standard: more than one source row matching one target row
       // is an error — one bounded probe over the join's key multiset
@@ -1338,7 +1341,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       val image =
         if (iPlans.isEmpty || insertSel.isEmpty) survivors
         else {
-          val ins0 = Lowering.withQueryScope(insertSel.get, src) {
+          val ins0 = Lowering.withQueryScope(insertSel.get, src, asofHook) {
             lowerOneSelect(insertSel.get, src) }
           val notMatched = col("__mtgt").isNull
           val iIdx = iPlans.foldLeft(Option.empty[org.apache.spark.sql.Column]) {

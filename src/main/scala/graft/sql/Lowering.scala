@@ -978,14 +978,16 @@ object Lowering {
     */
   /** Stats hook for the ASOF lowering choice: (step base-table name, key
     * column, optional bare filter predicate) → (filtered row estimate,
-    * key ndv). Installed per-query by GraftDatabase from its
-    * StatsManager — the same stats that drive broadcast/build-side
-    * choice, lazily rebuilt for external tables the way
-    * estimateBindings already does. None (the default) = no stats,
-    * which keeps the union-merge (the safe-at-scale choice).
+    * key ndv). Passed per-query by GraftDatabase through
+    * [[withQueryScope]] from its StatsManager — the same stats that
+    * drive broadcast/build-side choice, lazily rebuilt for external
+    * tables the way estimateBindings already does. Scope-carried (not a
+    * global) so two databases lowering concurrently can't read each
+    * other's stats. None (the default) = no stats, which keeps the
+    * union-merge (the safe-at-scale choice).
     */
-  @volatile var asofStatsHook: (String, String, Option[Column]) => Option[(Long, Long)] =
-    (_, _, _) => None
+  type AsofStatsHook = (String, String, Option[Column]) => Option[(Long, Long)]
+  val noAsofStats: AsofStatsHook = (_, _, _) => None
   /** Last ASOF lowering chosen ("union_merge" | "candidate") — tests. */
   @volatile var lastAsofChoice: Option[String] = None
   /** Avg step rows per key group at or below which the candidate join
@@ -1032,7 +1034,9 @@ object Lowering {
         case BoundOperand.BCol(c) => c.attr.name
       }
       keyCols.length == p.eqPairs.length && {
-        val stats = keyCols.flatMap(asofStatsHook(tname, _, pred))
+        val hook =
+          Option(scopeTL.get()).map(_.statsHook).getOrElse(noAsofStats)
+        val stats = keyCols.flatMap(hook(tname, _, pred))
         stats.length == keyCols.length && {
           val rows = stats.head._1.toDouble
           // multi-key groups: ndvs multiply (capped by the row count)
@@ -2127,7 +2131,8 @@ object Lowering {
     * (the frontier source rebinds every round, so the value-keyed memo
     * would freeze round one).
     */
-  private final class QueryScope(val rootSource: BoundTable => DataFrame) {
+  private final class QueryScope(val rootSource: BoundTable => DataFrame,
+      val statsHook: AsofStatsHook) {
     val refCount = scala.collection.mutable.Map.empty[Analyzer.BoundQuery, Int]
     val memo = scala.collection.mutable.Map.empty[Analyzer.BoundQuery, DataFrame]
   }
@@ -2137,8 +2142,9 @@ object Lowering {
   @volatile var fixpointRuns: Long = 0L
 
   def withQueryScope[T](q: Analyzer.BoundQuery,
-      source: BoundTable => DataFrame)(f: => T): T = {
-    val sc = new QueryScope(source)
+      source: BoundTable => DataFrame,
+      statsHook: AsofStatsHook = noAsofStats)(f: => T): T = {
+    val sc = new QueryScope(source, statsHook)
     countDerivedRefs(q, sc.refCount)
     val prev = scopeTL.get()
     scopeTL.set(sc)
@@ -2607,9 +2613,12 @@ object Lowering {
     // same $.path subset, string result, NULL on a miss on both engines
     case ("json_extract_string", Seq(a, BoundOperand.BLit(Lit.LitString(pth)))) =>
       get_json_object(rec(a), pth)
-    // DuckDB's time_bucket: epoch-aligned fixed-width buckets with the
-    // 2000-01-01 origin — exact micros arithmetic (floor-aligned for
-    // pre-origin instants too)
+    // DuckDB's time_bucket: epoch-aligned fixed-width buckets — exact
+    // micros arithmetic (floor-aligned for pre-origin instants too).
+    // EVERY non-month width aligns to the TimescaleDB origin Monday
+    // 2000-01-03 (empirically probed: 7-hour buckets at
+    // 2000-01-01 10:00 → 06:00, which only the -03 origin produces;
+    // widths dividing 48 h can't tell the origins apart)
     case ("time_bucket", Seq(BoundOperand.BInterval(n, u), a)) =>
       val widthMicros = n * (u.toLowerCase match {
         case "second" => 1L
@@ -2618,11 +2627,7 @@ object Lowering {
         case "day"    => 86400L
         case _ /* week */ => 604800L
       }) * 1000000L
-      // weeks bucket from Monday 2000-01-03 (DuckDB); everything else
-      // from 2000-01-01
-      val origin =
-        if (u.equalsIgnoreCase("week")) 946857600000000L
-        else 946684800000000L
+      val origin = 946857600000000L
       val um = unix_micros(rec(a).cast("timestamp"))
       val off = ((um - origin) % widthMicros + widthMicros) % widthMicros
       timestamp_micros(um - off)
@@ -2768,9 +2773,17 @@ object Lowering {
     case ("str_extract", Seq(a, i)) =>
       val ic = rec(i).cast("int")
       when(ic === 0, lit("")).otherwise(rec(a).substr(ic, lit(1)))
+    // s[a:b]: DuckDB normalizes a NEGATIVE bound n to len + n + 1
+    // (so -1 is the last char, inclusive), then clamps lo to 1 and hi
+    // to len; hi < lo reads '' (probed: 'hello'[2:-1]='ello',
+    // [-3:-1]='llo', [-100:2]='he', [2:0]='')
     case ("str_slice", Seq(a, i, j)) =>
-      val lo = greatest(rec(i).cast("int"), lit(1))
-      rec(a).substr(lo, rec(j).cast("int") - lo + lit(1))
+      val s = rec(a)
+      val len = length(s)
+      val i0 = rec(i).cast("int"); val j0 = rec(j).cast("int")
+      val lo = greatest(when(i0 < 0, len + i0 + 1).otherwise(i0), lit(1))
+      val hi = least(when(j0 < 0, len + j0 + 1).otherwise(j0), len)
+      when(hi < lo, lit("")).otherwise(s.substr(lo, hi - lo + lit(1)))
     // explode: Spark's Generate — valid only as a top-level projection
     // item (analyzer-enforced); drops empty/NULL rows like DuckDB
     case ("unnest", Seq(a)) => explode(rec(a))

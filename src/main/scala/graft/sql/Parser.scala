@@ -1197,12 +1197,19 @@ object Parser {
             val pos0 = p.peek.pos
             p.next(); p.next()
             for {
-              pct <- p.peek match {
+              pct <- (p.peek match {
                 case TInt(v, _)   => p.next(); Right(v.toDouble)
                 case TFloat(v, _) => p.next(); Right(v)
                 case t => Left(ParseError(
                   "USING SAMPLE takes a numeric percentage", t.pos))
-              }
+              }).flatMap(v =>
+                // a rate above 100 is a typo, not a no-op — reject
+                // loudly instead of silently returning the full table
+                // (0 PERCENT is a legitimate empty sample)
+                if (v >= 0.0 && v <= 100.0) Right(v)
+                else Left(ParseError(
+                  s"USING SAMPLE percentage must be in [0, 100], got $v",
+                  pos0)))
               _ <- p.peek match {
                 case TSym("%", _) => p.next(); Right(())
                 case TIdent(k, _) if k.equalsIgnoreCase("percent") =>

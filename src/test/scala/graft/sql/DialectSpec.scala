@@ -2081,6 +2081,14 @@ class DialectSpec extends AnyFunSuite {
       "'abcdef'[-1] AS last, 'abcdef'[0] AS zero, 'abcdef'[9] AS oob")
     assert(r.getString(0) == "b" && r.getString(1) == "bcd")
     assert(r.getString(2) == "f" && r.getString(3) == "" && r.getString(4) == "")
+    // negative bounds count from the end: n → len + n + 1, clamped,
+    // hi < lo reads '' (DuckDB-probed values)
+    val n = one("SELECT 'hello'[2:-1] AS a, 'hello'[-3:-1] AS b, " +
+      "'hello'[-100:2] AS c, 'hello'[2:0] AS d, 'hello'[4:2] AS e, " +
+      "'hello'[-3:5] AS f, 'hello'[2:100] AS g")
+    assert(n.getString(0) == "ello" && n.getString(1) == "llo")
+    assert(n.getString(2) == "he" && n.getString(3) == "" && n.getString(4) == "")
+    assert(n.getString(5) == "llo" && n.getString(6) == "ello")
     // column base + computed bounds
     db.query("CREATE TABLE ss (t VARCHAR(12), i INT)").toOption.get
     db.query("INSERT INTO ss VALUES ('hello', 2)").toOption.get
@@ -2181,6 +2189,9 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT a.id FROM st a LEFT JOIN st b " +
       "USING SAMPLE 50 PERCENT (KEY id) ON a.id = b.id").isLeft)
     assert(db.query("SELECT id FROM st USING SAMPLE 50 PERCENT").isLeft)
+    // a rate above 100 is a typo — loud reject, not a silent full table
+    assert(db.query("SELECT id FROM st USING SAMPLE 250 PERCENT (KEY id)").isLeft)
+    assert(db.query("SELECT id FROM st USING SAMPLE -5 PERCENT (KEY id)").isLeft)
   }
 
   test("stats-driven ASOF lowering: dense keys union-merge, sparse candidate") {
@@ -3377,5 +3388,42 @@ class DialectSpec extends AnyFunSuite {
     assert(ids("SELECT id FROM probe WHERE NOT (x < ANY (SELECT v FROM s WHERE v IS NOT NULL))") == Seq(2))
     // SOME is a synonym for ANY
     assert(ids("SELECT id FROM probe WHERE x <= SOME (SELECT v FROM s)") == Seq(1))
+  }
+
+  test("lcm overflow raises (DuckDB parity), in-range values exact") {
+    val db = freshDb()
+    def one(sql: String): Row = db.select(sql) match {
+      case Right(df) => df.collect().head
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    val r = one("SELECT lcm(4, 6) AS a, lcm(-4, 6) AS b, lcm(7, 0) AS c, " +
+      "gcd(0, 0) AS d, lcm(1000000007, 998244353) AS e")
+    assert(r.getLong(0) == 12L && r.getLong(1) == 12L && r.getLong(2) == 0L)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 1000000007L * 998244353L)
+    // two large coprimes whose product exceeds BIGINT: error, not a wrap
+    intercept[Exception] {
+      db.select("SELECT lcm(3037000507, 3037000493) AS x")
+        .toOption.get.collect()
+    }
+  }
+
+  test("time_bucket: every width aligns to the 2000-01-03 origin") {
+    val db = freshDb()
+    def s(sql: String): String =
+      db.select(sql).fold(e => fail(e.msg), identity)
+        .collect().head.get(0).toString
+    // DuckDB-probed pins: widths that do NOT divide the
+    // 2000-01-01→2000-01-03 offset expose the origin choice
+    assert(s("SELECT time_bucket(INTERVAL 3 DAY, TIMESTAMP '2000-01-01 00:00:00') AS b")
+      .startsWith("1999-12-31 00:00"))
+    assert(s("SELECT time_bucket(INTERVAL 7 HOUR, TIMESTAMP '2000-01-01 10:00:00') AS b")
+      .startsWith("2000-01-01 06:00"))
+    assert(s("SELECT time_bucket(INTERVAL 7 HOUR, TIMESTAMP '2026-03-05 11:22:33') AS b")
+      .startsWith("2026-03-05 05:00"))
+    // widths dividing 48 h are origin-insensitive and stay put
+    assert(s("SELECT time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2026-03-05 11:22:33') AS b")
+      .startsWith("2026-03-05 11:15"))
+    assert(s("SELECT time_bucket(INTERVAL 1 WEEK, TIMESTAMP '2026-03-05 11:22:33') AS b")
+      .startsWith("2026-03-02 00:00"))
   }
 }
