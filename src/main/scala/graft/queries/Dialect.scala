@@ -3100,6 +3100,27 @@ object Dialect {
              |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // quantile_disc / percentile_disc WITHIN GROUP: the DISCRETE
+    // percentile — smallest input value whose cume_dist ≥ p — onto
+    // Catalyst's native PercentileDisc (result cast back to the input
+    // type, DuckDB parity; exact, since the result IS an input value —
+    // no float-accumulation concerns, unlike the interpolated family).
+    // The DESC form pins the reverse flag (not expressible as 1-p).
+    "q_dialect_quantile_disc" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderstatus, " +
+          "quantile_disc(o_totalprice, 0.5) AS med, " +
+          "quantile_disc(o_custkey, 0.9) AS k90, " +
+          "percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25, " +
+          "percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice DESC) AS p25d " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  quantile_disc(o_totalprice, 0.5) AS med,
+             |  quantile_disc(o_custkey, 0.9) AS k90,
+             |  percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+             |  percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice DESC) AS p25d
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // json_extract_string over JSON built from row values — DuckDB's
     // extractor onto Spark's get_json_object (same $.path subset, NULL
     // on a miss on both engines).

@@ -2492,7 +2492,25 @@ object Analyzer {
             Right(Vector.empty)) { case (acc, (k, d)) =>
             acc.flatMap(v => bindOp(k, allowAgg = false).map(b => v :+ (b -> d)))
           }
-        } yield BoundOperand.BOrderedAgg(f, barg, sep, bord)
+          _ <-
+            if (f != "percentile_disc") Right(())
+            else operandType(barg) match {
+              case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt |
+                   SqlType.SqlDouble | SqlType.SqlReal |
+                   SqlType.SqlDecimal(_, _) => Right(())
+              case t => Left(BadAggregate(
+                s"percentile_disc takes a numeric argument (got ${t.render})"))
+            }
+        } yield {
+          val node = BoundOperand.BOrderedAgg(f, barg, sep, bord)
+          // discrete percentile returns one of the ARGUMENT's values;
+          // Spark's PercentileDisc computes in double, so cast back to
+          // the argument type (DuckDB returns the input type) — exact,
+          // since the selected value IS an input value
+          if (f == "percentile_disc")
+            BoundOperand.BCast(node, operandType(barg))
+          else node
+        }
       case Operand.OrderedAgg(f, _, _, _, _) =>
         Left(BadAggregate(s"$f(...) is not valid in this context"))
       case Operand.Cast(o, t) =>

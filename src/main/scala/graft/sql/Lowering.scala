@@ -552,6 +552,24 @@ object Lowering {
         case BoundOperand.BOrderedAgg("percentile_cont", arg, pstr, Seq()) =>
           call_function("percentile",
             lowerOperandWith(arg, qcol), lit(pstr.toDouble))
+        // exact DISCRETE percentile — the smallest input value whose
+        // cume_dist ≥ p (DuckDB's quantile_disc) — Catalyst's native
+        // PercentileDisc aggregate through the bridge (Spark exposes it
+        // as parser-only WITHIN GROUP syntax, no function wrapper); the
+        // analyzer casts the double result back to the argument's type
+        case BoundOperand.BOrderedAgg("percentile_disc", arg, pstr, Seq()) =>
+          val (p, rev) = pstr.split('|') match {
+            case Array(v, _) => (v.toDouble, true)
+            case Array(v)    => (v.toDouble, false)
+          }
+          import org.apache.spark.sql.graftbridge.Bridge
+          Bridge.column(
+            org.apache.spark.sql.catalyst.expressions.aggregate
+              .PercentileDisc(
+                Bridge.expression(lowerOperandWith(arg, qcol)),
+                org.apache.spark.sql.catalyst.expressions.Literal(p),
+                reverse = rev)
+              .toAggregateExpression())
         // array_agg(v ORDER BY k…): the string_agg collect-sort shape
         // minus the join — NULL values KEPT (DuckDB keeps them; only
         // string_agg skips), one group buffer, sorted once. NULL *keys*

@@ -2147,9 +2147,13 @@ object Parser {
         x <- parseOperand(p)
         _ <- p.eatSym(")")
       } yield Operand.OrderedAgg(fn, y, "", Seq((x, false)), distinct = false)
-    // percentile_cont(p) WITHIN GROUP (ORDER BY x [ASC|DESC]) — the
-    // standard ordered-set aggregate; DESC flips p to 1-p
-    case TIdent(f, _) if allowAgg && f.equalsIgnoreCase("percentile_cont") =>
+    // percentile_cont/disc(p) WITHIN GROUP (ORDER BY x [ASC|DESC]) — the
+    // standard ordered-set aggregates; cont DESC folds to 1-p (exact for
+    // the interpolated form), disc DESC carries a reverse flag in the
+    // carrier's sep field (discrete selection is not symmetric in p)
+    case TIdent(f, _) if allowAgg && (f.equalsIgnoreCase("percentile_cont") ||
+        f.equalsIgnoreCase("percentile_disc")) =>
+      val fn = f.toLowerCase
       val start = p.peek.pos
       p.next()
       for {
@@ -2158,11 +2162,11 @@ object Parser {
           case TFloat(v, _) => p.next(); Right(v)
           case TInt(v, _)   => p.next(); Right(v.toDouble)
           case t => Left(ParseError(
-            "percentile_cont takes a numeric literal fraction", t.pos))
+            s"$fn takes a numeric literal fraction", t.pos))
         }
         _ <-
           if (p0 >= 0.0 && p0 <= 1.0) Right(())
-          else Left(ParseError("percentile_cont fraction must be in [0, 1]", start))
+          else Left(ParseError(s"$fn fraction must be in [0, 1]", start))
         _ <- p.eatSym(")")
         _ <- p.eatKw("within")
         _ <- p.eatKw("group")
@@ -2175,11 +2179,20 @@ object Parser {
           else { if (p.isKw("asc")) p.next(); false }
         }
         _ <- p.eatSym(")")
-      } yield Operand.OrderedAgg("percentile_cont", x,
-        (if (desc) 1.0 - p0 else p0).toString, Nil, distinct = false)
-    // quantile_cont(x, q) — DuckDB's call form of the same interpolated
-    // quantile (argument order flipped vs the standard syntax above)
-    case TIdent(f, _) if allowAgg && f.equalsIgnoreCase("quantile_cont") =>
+      } yield
+        if (fn == "percentile_cont")
+          Operand.OrderedAgg(fn, x,
+            (if (desc) 1.0 - p0 else p0).toString, Nil, distinct = false)
+        else
+          Operand.OrderedAgg(fn, x,
+            p0.toString + (if (desc) "|desc" else ""), Nil, distinct = false)
+    // quantile_cont/quantile_disc(x, q) — DuckDB's call forms (argument
+    // order flipped vs the standard syntax above)
+    case TIdent(f, _) if allowAgg && (f.equalsIgnoreCase("quantile_cont") ||
+        f.equalsIgnoreCase("quantile_disc") || f.equalsIgnoreCase("quantile")) =>
+      // bare quantile IS quantile_disc in DuckDB
+      val fn = if (f.equalsIgnoreCase("quantile_cont")) "percentile_cont"
+               else "percentile_disc"
       val start = p.peek.pos
       p.next()
       for {
@@ -2190,13 +2203,13 @@ object Parser {
           case TFloat(v, _) => p.next(); Right(v)
           case TInt(v, _)   => p.next(); Right(v.toDouble)
           case t => Left(ParseError(
-            "quantile_cont takes a numeric literal fraction", t.pos))
+            s"${f.toLowerCase} takes a numeric literal fraction", t.pos))
         }
         _ <-
           if (q0 >= 0.0 && q0 <= 1.0) Right(())
-          else Left(ParseError("quantile_cont fraction must be in [0, 1]", start))
+          else Left(ParseError(s"${f.toLowerCase} fraction must be in [0, 1]", start))
         _ <- p.eatSym(")")
-      } yield Operand.OrderedAgg("percentile_cont", x, q0.toString, Nil,
+      } yield Operand.OrderedAgg(fn, x, q0.toString, Nil,
         distinct = false)
     // string_agg / listagg: value, string-literal separator, optional
     // intra-group ORDER BY (all keys must share one direction — the

@@ -3390,6 +3390,32 @@ class DialectSpec extends AnyFunSuite {
     assert(ids("SELECT id FROM probe WHERE x <= SOME (SELECT v FROM s)") == Seq(1))
   }
 
+  test("quantile_disc: discrete percentile picks input values (DuckDB pins)") {
+    val db = freshDb()
+    db.query("CREATE TABLE qd (g INT, x INT)").toOption.get
+    db.query("INSERT INTO qd VALUES (1,1),(1,2),(1,3),(1,4),(1,NULL)").toOption.get
+    def row(sql: String): Row =
+      db.select(sql).fold(e => fail(s"$sql -> ${e.msg}"), identity).collect().head
+    // DuckDB-probed pins over {1,2,3,4} (NULL skipped): 0.5→2, 0.25→1,
+    // 0.75→3, 0→1, 1→4; DESC 0.5→3 (reverse flag, not 1-p)
+    val r = row("SELECT quantile_disc(x, 0.5) AS a, quantile_disc(x, 0.25) AS b, " +
+      "quantile_disc(x, 0.75) AS c, quantile_disc(x, 0.0) AS d, " +
+      "quantile_disc(x, 1.0) AS e, " +
+      "percentile_disc(0.5) WITHIN GROUP (ORDER BY x DESC) AS f, " +
+      "quantile(x, 0.5) AS g FROM qd")
+    assert(Seq(0, 1, 2, 3, 4, 5, 6).map(r.getInt) == Seq(2, 1, 3, 1, 4, 3, 2))
+    // result type is the INPUT type (int stays int — no double widening)
+    assert(r.schema("a").dataType.typeName == "integer")
+    // empty group reads NULL
+    val e = row("SELECT quantile_disc(x, 0.5) AS a FROM qd WHERE g = 99")
+    assert(e.isNullAt(0))
+    // non-numeric argument rejects loudly
+    db.query("CREATE TABLE qs (s VARCHAR(5))").toOption.get
+    assert(db.query("SELECT quantile_disc(s, 0.5) AS a FROM qs").isLeft)
+    // fraction outside [0,1] rejects at parse
+    assert(db.query("SELECT quantile_disc(x, 1.5) AS a FROM qd").isLeft)
+  }
+
   test("lcm overflow raises (DuckDB parity), in-range values exact") {
     val db = freshDb()
     def one(sql: String): Row = db.select(sql) match {
