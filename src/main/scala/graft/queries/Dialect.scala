@@ -3195,15 +3195,21 @@ object Dialect {
              |GROUP BY 1, 2, 3
              |ORDER BY bucket LIMIT 500""".stripMargin)),
 
-    // Batch 9: 12-hour strftime tokens (%I %p) over the events
-    // timestamps and to_base radix conversion (Spark's conv — uppercase
-    // digits on both engines).
+    // Batch 9: 12-hour strftime tokens (%I %p), %f microseconds
+    // (6-digit zero-padded fraction on both engines), printf hex/octal
+    // (%x %X %o + width flags — Java's format == C's for the integer
+    // conversions), and to_base radix conversion (Spark's conv —
+    // uppercase digits on both engines).
     "q_dialect_funcs9" -> QueryDef(
       (s, d) => run(db(s, d, "events"),
         "SELECT event_id, strftime(ts, '%Y-%m-%d %I:%M %p') AS twelve, " +
+          "strftime(ts, '%H:%M:%S.%f') AS micros, " +
+          "printf('%x|%X|%o|%05x', event_id, event_id, event_id, event_id) AS hexes, " +
           "to_base(event_id, 16) AS hex16, to_base(event_id % 64, 2) AS bin2 " +
           "FROM events WHERE event_id < 3000 ORDER BY event_id"),
       Some("""SELECT event_id, strftime(ts, '%Y-%m-%d %I:%M %p') AS twelve,
+             |  strftime(ts, '%H:%M:%S.%f') AS micros,
+             |  printf('%x|%X|%o|%05x', event_id, event_id, event_id, event_id) AS hexes,
              |  to_base(event_id, 16) AS hex16, to_base(event_id % 64, 2) AS bin2
              |FROM events WHERE event_id < 3000 ORDER BY event_id""".stripMargin)),
 

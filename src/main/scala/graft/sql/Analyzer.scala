@@ -428,7 +428,10 @@ object Analyzer {
     "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
     "%H" -> "HH", "%M" -> "mm", "%S" -> "ss", "%j" -> "DDD",
     // 12-hour clock + meridiem (Java's `a` prints AM/PM like %p)
-    "%I" -> "hh", "%p" -> "a")
+    "%I" -> "hh", "%p" -> "a",
+    // microseconds, 6 digits zero-padded on both engines (DuckDB %f ==
+    // Spark's SSSSSS fraction — probed identical incl. .000000)
+    "%f" -> "SSSSSS")
   val StrftimeTokens = "%.".r
 
   /** The ASOF inequality, fully decomposed: outer-side operand,

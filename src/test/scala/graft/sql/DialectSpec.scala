@@ -2530,6 +2530,15 @@ class DialectSpec extends AnyFunSuite {
     // printf requires a literal format; log base must be a literal
     assert(db.select("SELECT printf(name, id) AS f FROM people").isLeft)
     assert(db.select("SELECT log(id, 8.0) AS f FROM people").isLeft)
+    // %f prints 6-digit zero-padded microseconds (DuckDB parity);
+    // strptime parses it back; printf integer conversions match C
+    assert(one("SELECT strftime(TIMESTAMP '2026-03-05 11:22:33.123456', " +
+      "'%H:%M:%S.%f') AS f FROM people WHERE id = 1")
+      .getString(0) == "11:22:33.123456")
+    assert(one("SELECT strftime(TIMESTAMP '2026-03-05 11:22:33', " +
+      "'%S.%f') AS f FROM people WHERE id = 1").getString(0) == "33.000000")
+    assert(one("SELECT printf('%x|%X|%o|%05x', 255, 255, 8, 255) AS f " +
+      "FROM people WHERE id = 1").getString(0) == "ff|FF|10|000ff")
     // string predicates are 3VL over NULLs
     val sp = one("SELECT starts_with(name, 'El') AS sw, " +
       "ends_with(name, 'on') AS ew, contains(name, 'xy') AS ct " +
