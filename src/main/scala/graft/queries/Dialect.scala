@@ -3040,6 +3040,25 @@ object Dialect {
              |  CAST(max(CAST(l_discount AS DECIMAL(5, 2))) AS DOUBLE) AS mxd
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // DECIMAL division parity: DuckDB's `/` on decimal operands returns
+    // DOUBLE (probed: typeof(dec/dec) == typeof(dec/int) == DOUBLE), so
+    // the analyzer casts decimal legs to double before dividing — the
+    // two engines then run the SAME IEEE division on the SAME
+    // decimal→double values (deterministic, no rounding needed); +,-,*
+    // stay exact decimal arithmetic.
+    "q_dialect_decimal_div" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT l_orderkey, l_linenumber, " +
+          "CAST(l_extendedprice AS DECIMAL(14, 2)) / CAST(l_quantity AS DECIMAL(9, 2)) AS unit_price, " +
+          "CAST(l_extendedprice AS DECIMAL(14, 2)) / 7 AS sevenths, " +
+          "CAST(l_extendedprice AS DECIMAL(14, 2)) / CAST(0 AS DECIMAL(5, 2)) AS div0 " +
+          "FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(l_extendedprice AS DECIMAL(14, 2)) / CAST(l_quantity AS DECIMAL(9, 2)) AS unit_price,
+             |  CAST(l_extendedprice AS DECIMAL(14, 2)) / 7 AS sevenths,
+             |  CAST(l_extendedprice AS DECIMAL(14, 2)) / CAST(0 AS DECIMAL(5, 2)) AS div0
+             |FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // regexp_extract_all — group 0 (whole match) default like DuckDB
     // (Spark's own default is 1, so the index always passes explicitly);
     // array outputs serialized for the pandas gate harness.

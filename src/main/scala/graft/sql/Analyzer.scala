@@ -2822,8 +2822,20 @@ object Analyzer {
               Left(BadFunction(
                 "INTERVAL must be the RIGHT operand of + or - (date + INTERVAL)"))
             case _ =>
-              for { _ <- numOk(bl); _ <- numOk(br) }
-                yield BoundOperand.BArith(ch, bl, br)
+              for { _ <- numOk(bl); _ <- numOk(br) } yield {
+                // DuckDB parity: decimal DIVISION returns DOUBLE (probed:
+                // typeof(dec/dec) == typeof(dec/int) == DOUBLE), so cast
+                // decimal legs to double here — Spark's own decimal
+                // division precision rules never engage. +,-,*,% stay
+                // exact decimal arithmetic.
+                def dbl(b: BoundOperand): BoundOperand = operandType(b) match {
+                  case SqlType.SqlDecimal(_, _) =>
+                    BoundOperand.BCast(b, SqlType.SqlDouble)
+                  case _ => b
+                }
+                if (ch == '/') BoundOperand.BArith(ch, dbl(bl), dbl(br))
+                else BoundOperand.BArith(ch, bl, br)
+              }
           }
         } yield res
     }

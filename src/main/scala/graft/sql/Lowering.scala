@@ -2680,7 +2680,7 @@ object Lowering {
     case ("sqrt", Seq(a))     => sqrt(rec(a))
     case ("power", Seq(a, b)) => pow(rec(a), rec(b))
     case ("instr", Seq(a, b)) => instr(rec(a), rec(b))
-    case ("mod", Seq(a, b))   => rec(a) % rec(b)
+    case ("mod", Seq(a, b))   => try_mod(rec(a), rec(b)) // mod(x,0) NULL
     // days from b to a (Spark argument order: end, start)
     case ("datediff", Seq(a, b)) => datediff(rec(a), rec(b))
     case ("date_trunc", Seq(BoundOperand.BLit(Lit.LitString(u)), b)) =>
@@ -2865,8 +2865,12 @@ object Lowering {
     case '+' => lc + rc
     case '-' => lc - rc
     case '*' => lc * rc
-    case '/' => lc / rc // Spark, like DuckDB's '/', divides integers as double
-    case '%' => lc % rc
+    // DuckDB: x/0 and x%0 read NULL (probed across int/decimal/double);
+    // Spark 4's ANSI default would raise — try_divide/try_mod give the
+    // NULL semantics while keeping the same codegen'd double division
+    // ('/' on integers divides as double on both engines)
+    case '/' => try_divide(lc, rc)
+    case '%' => try_mod(lc, rc)
     case o   => sys.error(s"unreachable arithmetic op $o")
   }
 

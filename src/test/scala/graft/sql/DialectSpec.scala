@@ -2118,6 +2118,18 @@ class DialectSpec extends AnyFunSuite {
     assert(bd("SELECT CAST('7.125' AS DECIMAL(6, 2)) AS d") == "7.13")
     // precision overflow rejects at insert
     assert(db.query("INSERT INTO dc VALUES (9, 123456789012.34)").isLeft)
+    // DIVISION on decimals returns DOUBLE (DuckDB parity — Spark's own
+    // decimal division precision rules never engage): 10.05/2 = 5.025,
+    // three decimals, impossible under Spark's dec(12,2)-preserving read
+    val dv = db.select("SELECT amt / 2 AS h, amt / amt AS one FROM dc WHERE id = 1")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(dv.getDouble(0) == 5.025 && dv.getDouble(1) == 1.0)
+    // division and modulo by ZERO read NULL on both engines (DuckDB
+    // returns NULL; Spark 4's ANSI default would raise — try_divide)
+    val dz = db.select("SELECT amt / 0 AS a, id % 0 AS b, mod(id, 0) AS c, " +
+      "10 / 0 AS d FROM dc WHERE id = 1").fold(e => fail(e.msg), identity)
+      .collect().head
+    assert((0 to 3).forall(dz.isNullAt))
     // DECIMAL defaults to (18, 3); comparisons cross numeric widths
     assert(bd("SELECT CAST(1 AS DECIMAL) AS d") == "1.000")
     assert(db.select("SELECT id FROM dc WHERE amt > 10 ORDER BY id")
