@@ -3040,6 +3040,26 @@ object Dialect {
              |  CAST(max(CAST(l_discount AS DECIMAL(5, 2))) AS DOUBLE) AS mxd
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // list_zip: zip-to-longest with NULL padding (Spark's arrays_zip has
+    // identical pad semantics); elements are DuckDB-1.0 UNNAMED tuple
+    // structs addressed by 1-based NUMERIC struct_extract (its binder
+    // rejects string keys on zip structs), lowered as ordinal
+    // GetStructField. Serialized per-field for the gate (Spark's to_json
+    // omits null struct fields where DuckDB keeps them — raw struct
+    // outputs are spec-pinned instead, DialectSpec "list_zip").
+    "q_dialect_list_zip" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "array_to_string(list_transform(" +
+          "list_zip(string_split(o_orderpriority, '-'), [o_orderstatus], string_split(o_orderpriority, 'E')), " +
+          "p -> coalesce(struct_extract(p, 1), '~') || '=' || coalesce(struct_extract(p, 2), '~') || '=' || coalesce(struct_extract(p, 3), '~')), ',') AS z " +
+          "FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  array_to_string(list_transform(
+             |    list_zip(string_split(o_orderpriority, '-'), [o_orderstatus], string_split(o_orderpriority, 'E')),
+             |    p -> coalesce(struct_extract(p, 1), '~') || '=' || coalesce(struct_extract(p, 2), '~') || '=' || coalesce(struct_extract(p, 3), '~')), ',') AS z
+             |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
+
     // DECIMAL division parity: DuckDB's `/` on decimal operands returns
     // DOUBLE (probed: typeof(dec/dec) == typeof(dec/int) == DOUBLE), so
     // the analyzer casts decimal legs to double before dividing — the

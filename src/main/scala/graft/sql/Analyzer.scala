@@ -1096,6 +1096,21 @@ object Analyzer {
         SqlType.SqlArray(args.headOption.map(operandType)
           .getOrElse(SqlType.SqlVarChar(65535)))
       case "array_to_string" => SqlType.SqlVarChar(65535)
+      // list_zip: DuckDB 1.0 unnamed tuple structs — fields carried as
+      // f1..fn internally, addressed via 1-based NUMERIC struct_extract
+      case "list_zip" =>
+        SqlType.SqlStruct(args.zipWithIndex.map { case (a, i) =>
+          s"f${i + 1}" -> (operandType(a) match {
+            case SqlType.SqlArray(e) => e
+            case other               => other
+          })
+        }.toVector) match { case st => SqlType.SqlArray(st) }
+      case "struct_extract" =>
+        (operandType(args.head), args(1)) match {
+          case (SqlType.SqlStruct(fs), BoundOperand.BLit(Lit.LitLong(i)))
+              if i >= 1 && i <= fs.length => fs(i.toInt - 1)._2
+          case _ => SqlType.SqlVarChar(65535) // unreachable past validation
+        }
       case _          => SqlType.SqlDouble // sqrt / power / exp / ln / log10 / log2
     }
     case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
@@ -2634,6 +2649,8 @@ object Analyzer {
           case "list_append" | "list_prepend" | "list_intersect" |
                "list_has_any" | "list_has_all" => args.length == 2
           case "list_value"          => true
+          case "list_zip"            => args.length >= 2 && args.length <= 8
+          case "struct_extract"      => args.length == 2
           case "levenshtein"         => args.length == 2
           case "chr" | "ascii" | "to_hex" | "epoch_ms" => args.length == 1
           case _                     => false
@@ -2670,6 +2687,16 @@ object Analyzer {
         }))
           Left(BadFunction(
             "date_diff part must be a string literal (day/month/year/hour/minute/second)"))
+        else if (f == "struct_extract" && !(args(1) match {
+          case Operand.Literal(Lit.LitLong(i)) => i >= 1
+          // DuckDB 1.0's list_zip structs are UNNAMED — string keys fail
+          // its binder too; reject toward the numeric form
+          case _ => false
+        }))
+          Left(BadFunction(
+            "struct_extract takes a 1-based integer-literal index " +
+              "(list_zip structs are unnamed tuples — string keys " +
+              "address named structs, which this engine does not surface)"))
         else if (f == "translate" && !((args(1), args(2)) match {
           case (Operand.Literal(Lit.LitString(_)),
                 Operand.Literal(Lit.LitString(_))) => true
@@ -2751,6 +2778,18 @@ object Analyzer {
         else
           args.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](Right(Vector.empty)) {
             (acc, a) => acc.flatMap(v => bindOp(a, allowAgg, allowSub).map(v :+ _))
+          }.flatMap { bargs =>
+            if (f == "list_zip" &&
+                !bargs.forall(b => operandType(b).isInstanceOf[SqlType.SqlArray]))
+              Left(BadFunction("list_zip arguments must all be lists"))
+            else if (f == "struct_extract" && !((operandType(bargs.head), bargs(1)) match {
+              case (SqlType.SqlStruct(fs), BoundOperand.BLit(Lit.LitLong(i))) =>
+                i >= 1 && i <= fs.length
+              case _ => false
+            }))
+              Left(BadFunction(
+                "struct_extract index out of range (or the base is not a struct)"))
+            else Right(bargs)
           }.map { bargs =>
             // the bracket postfix parses as list_extract/list_slice; on a
             // VARCHAR base it is DuckDB's STRING subscript/slice —

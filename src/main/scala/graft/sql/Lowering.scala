@@ -2600,6 +2600,18 @@ object Lowering {
     // list batch: DuckDB surface onto Spark's codegen'd array natives.
     // list_unique counts DISTINCT NON-NULL elements (DuckDB semantics);
     // list_prepend takes (elem, list) — note the DuckDB argument order.
+    // DuckDB 1.0's list_zip: zip to the LONGEST list, short lists pad
+    // NULL — Spark's arrays_zip has identical pad semantics. Elements
+    // are DuckDB-unnamed tuples addressed POSITIONALLY via 1-based
+    // struct_extract, so Spark's internal field naming is irrelevant
+    // (GetStructField below is ordinal-based).
+    case ("list_zip", as) if as.length >= 2 =>
+      arrays_zip(as.map(rec): _*)
+    case ("struct_extract", Seq(a, BoundOperand.BLit(Lit.LitLong(i)))) =>
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.GetStructField(
+          org.apache.spark.sql.graftbridge.Bridge.expression(rec(a)),
+          i.toInt - 1))
     case ("list_reverse", Seq(a)) => reverse(rec(a))
     case ("flatten", Seq(a))      => flatten(rec(a))
     case ("list_unique", Seq(a)) =>

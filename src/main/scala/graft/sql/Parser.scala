@@ -170,7 +170,8 @@ object Parser {
     "ifnull", "hamming", "jaccard", "date_diff",
     "regexp_extract_all", "to_base", "json_extract_string", "time_bucket",
     "list_reverse", "flatten", "list_append", "list_prepend",
-    "list_unique", "list_intersect", "list_has_any", "list_has_all")
+    "list_unique", "list_intersect", "list_has_any", "list_has_all",
+    "list_zip", "struct_extract")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not

@@ -47,6 +47,16 @@ object SqlType {
     def spark: DataType = DecimalType(p, s)
     def render = s"DECIMAL($p,$s)"
   }
+  /** Struct/row type (DuckDB STRUCT). list_zip produces DuckDB 1.0's
+    * UNNAMED tuple structs (fields address by 1-based numeric
+    * struct_extract only), so names here are internal carriers; named
+    * field access is deliberately not surfaced.
+    */
+  final case class SqlStruct(fields: Vector[(String, SqlType)]) extends SqlType {
+    def spark: DataType =
+      StructType(fields.map { case (n, t) => StructField(n, t.spark) })
+    def render = s"STRUCT(${fields.map { case (n, t) => s"$n ${t.render}" }.mkString(", ")})"
+  }
 
   def fromSpark(dt: DataType): SqlType = dt match {
     case LongType         => SqlBigInt
@@ -61,6 +71,8 @@ object SqlType {
     case DateType         => SqlDate
     case BooleanType      => SqlBool
     case ArrayType(et, _) => SqlArray(fromSpark(et))
+    case StructType(fs) =>
+      SqlStruct(fs.map(f => f.name -> fromSpark(f.dataType)).toVector)
     case dt: DecimalType  => SqlDecimal(dt.precision, dt.scale)
     case other => throw new IllegalArgumentException(s"unsupported external type $other")
   }

@@ -3437,6 +3437,37 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT quantile_disc(x, 1.5) AS a FROM qd").isLeft)
   }
 
+  test("list_zip: raw struct outputs, NULL padding, positional extract") {
+    val db = freshDb()
+    def one(sql: String): Row = db.select(sql) match {
+      case Right(df) => df.collect().head
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    // raw zip output: array<struct>, padded to the LONGEST list with
+    // NULLs (DuckDB list_zip([1,2,3],['a','b']) = [(1,a),(2,b),(3,NULL)])
+    val r = one("SELECT list_zip([1,2,3], ['a','b']) AS z")
+    val elems = r.getSeq[Row](0)
+    assert(elems.length == 3)
+    assert(elems(0).getLong(0) == 1L && elems(0).getString(1) == "a")
+    assert(elems(2).getLong(0) == 3L && elems(2).isNullAt(1))
+    // positional extract (1-based, DuckDB numeric struct_extract) inside
+    // and outside lambdas; three-list zip
+    val s = one("SELECT array_to_string(list_transform(" +
+      "list_zip([10,20], ['x','y'], [1.5,2.5]), " +
+      "p -> CAST(struct_extract(p, 1) AS VARCHAR) || ':' || " +
+      "struct_extract(p, 2) || ':' || CAST(struct_extract(p, 3) AS VARCHAR)" +
+      "), ',') AS s")
+    assert(s.getString(0) == "10:x:1.5,20:y:2.5")
+    // rejections: non-list zip arg, out-of-range index, string key,
+    // non-struct base
+    assert(db.query("SELECT list_zip([1], 'x') AS a").isLeft)
+    assert(db.query("SELECT list_transform(list_zip([1],[2]), " +
+      "p -> struct_extract(p, 3)) AS a").isLeft)
+    assert(db.query("SELECT list_transform(list_zip([1],[2]), " +
+      "p -> struct_extract(p, 'list_1')) AS a").isLeft)
+    assert(db.query("SELECT struct_extract([1,2], 1) AS a").isLeft)
+  }
+
   test("lcm overflow raises (DuckDB parity), in-range values exact") {
     val db = freshDb()
     def one(sql: String): Row = db.select(sql) match {
