@@ -1789,10 +1789,53 @@ object Dialect {
     // MERGE WHEN conditions carrying subqueries (uncorrelated scalar,
     // correlated EXISTS, scalar-in-arithmetic): the marker machinery in
     // the pre-bound selects' CASE helpers, evaluated over the pre-merge
-    // snapshot; first-match-wins across the three clauses. The ON
-    // condition still rejects subqueries (matched-vs-unmatched is the
-    // join itself). Oracle reconstructs the final image from the raw
-    // fixture.
+    // snapshot; first-match-wins across the three clauses. (ON-side
+    // subqueries: source-column conjuncts pre-evaluate in the source
+    // body — q_dialect_merge_on_sub; target-side ones still reject.)
+    // Oracle reconstructs the final image from the raw fixture.
+    // MERGE ON subqueries (r8 VERDICT item 3): subquery conjuncts that
+    // reference only SOURCE columns pre-evaluate as boolean helpers
+    // inside the source body (the SELECT subquery machinery over the
+    // pre-merge snapshot); the join sees __moncnd_i = 1. A failed
+    // conjunct makes the pair UNMATCHED on both sides — matched rows
+    // here flip sign, unmatched source rows insert. Exact-integer
+    // comparisons keep the qual set engine-independent. Oracle
+    // reconstructs the merged image (DuckDB 1.0 has no MERGE).
+    "q_dialect_merge_on_sub" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders", "customer")
+        if (!g.tableNames.contains("mos_cust")) {
+          g.query("CREATE TABLE mos_cust AS SELECT c_custkey, c_acctbal " +
+            "FROM customer WHERE c_custkey < 300")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("MERGE INTO mos_cust c USING " +
+            "(SELECT o_custkey AS k, count(*) AS n FROM orders " +
+            "WHERE o_custkey < 400 GROUP BY o_custkey) s " +
+            "ON c.c_custkey = s.k " +
+            "AND s.n * 30 > (SELECT count(*) AS c FROM orders WHERE o_custkey < 400) " +
+            "AND s.k IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000) " +
+            "WHEN MATCHED THEN UPDATE SET c_acctbal = 0 - c.c_acctbal " +
+            "WHEN NOT MATCHED THEN INSERT VALUES (s.k, 0 - 1)")
+            .fold(e => sys.error(e.msg), identity)
+        }
+        run(g, "SELECT c_custkey, round(c_acctbal, 2) AS bal FROM mos_cust " +
+          "ORDER BY c_custkey, bal")
+      },
+      Some("""WITH src AS (SELECT o_custkey AS k, count(*) AS n FROM orders
+             |             WHERE o_custkey < 400 GROUP BY o_custkey),
+             |qual AS (SELECT k FROM src
+             |         WHERE n * 30 > (SELECT count(*) FROM orders WHERE o_custkey < 400)
+             |           AND k IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000))
+             |SELECT c_custkey, round(bal, 2) AS bal FROM (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey IN (SELECT k FROM qual)
+             |         THEN 0 - c_acctbal ELSE c_acctbal END AS bal
+             |  FROM customer WHERE c_custkey < 300
+             |  UNION ALL
+             |  SELECT k AS c_custkey, -1 AS bal FROM src
+             |  WHERE k >= 300 OR k NOT IN (SELECT k FROM qual)
+             |) t ORDER BY c_custkey, bal""".stripMargin)),
+
     "q_dialect_merge_sub_cond" -> QueryDef(
       (s, d) => {
         val g = db(s, d, "orders", "customer", "region")

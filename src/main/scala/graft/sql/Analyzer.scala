@@ -1758,13 +1758,75 @@ object Analyzer {
         // columns alike), evaluated over the pre-merge snapshot like
         // every MERGE value — so they may carry subqueries. The ON
         // condition is a JOIN ON (matched-vs-unmatched is decided by the
-        // join itself); a subquery there has no marker path and rejects.
+        // join itself); subquery CONJUNCTS that reference only SOURCE
+        // columns pre-evaluate as boolean helper columns INSIDE the
+        // source body (the regular SELECT subquery machinery — markers,
+        // correlation, one-row guards — runs there over the pre-merge
+        // snapshot), and the join sees a plain __moncnd_i = 1 equality;
+        // UNKNOWN reads 0, exactly join-ON semantics. Conjuncts whose
+        // top level touches the TARGET under a subquery have no host
+        // frame on either join side and still reject toward WHEN … AND.
         // SET / INSERT values ride the BSubVal machinery (uncorrelated =
         // one broadcast 1-row frame; correlated = per-key aggregate).
-        if (parseExprHasSub(m.on))
-          return Left(BadSubquery(
-            "subqueries are not supported in the MERGE ON condition " +
-              "(move the predicate into a WHEN ... AND <cond> clause)"))
+        def onConj(e: Expr): Seq[Expr] = e match {
+          case Expr.And(l, r) => onConj(l) ++ onConj(r)
+          case other          => Seq(other)
+        }
+        def opRefs(o: Operand): Seq[ColRef] = o match {
+          case Operand.Col(r)          => Seq(r)
+          case Operand.Arith(_, l, r)  => opRefs(l) ++ opRefs(r)
+          case Operand.FuncCall(_, as) => as.flatMap(opRefs)
+          case Operand.Cast(x, _)      => opRefs(x)
+          case Operand.TryCast(x, _)   => opRefs(x)
+          case Operand.Lambda(_, b)    => opRefs(b)
+          case Operand.CaseWhen(bs, els) =>
+            bs.flatMap { case (c, v) => exprRefs(c) ++ opRefs(v) } ++
+              els.toSeq.flatMap(opRefs)
+          case _ => Nil // literals / intervals / subquery internals
+        }
+        def exprRefs(e: Expr): Seq[ColRef] = e match {
+          case Expr.And(l, r)           => exprRefs(l) ++ exprRefs(r)
+          case Expr.Or(l, r)            => exprRefs(l) ++ exprRefs(r)
+          case Expr.Not(x)              => exprRefs(x)
+          case Expr.Cmp(_, l, r)        => opRefs(l) ++ opRefs(r)
+          case Expr.IsNull(o, _)        => opRefs(o)
+          case Expr.Like(o, _, _, _, _) => opRefs(o)
+          case Expr.InSubquery(o, _, _) => opRefs(o)
+          case Expr.RowInSubquery(os, _, _)   => os.flatMap(opRefs)
+          case Expr.Exists(_, _)              => Nil
+          case Expr.CmpSubquery(_, l, _)      => opRefs(l)
+          case Expr.QuantSubquery(_, l, _, _) => opRefs(l)
+        }
+        val onConjs = onConj(m.on)
+        val onSubConjs = onConjs.zipWithIndex.filter(c => parseExprHasSub(c._1))
+        for ((c, _) <- onSubConjs) {
+          val rs = exprRefs(c)
+          if (rs.exists(_.binding.exists(_.equalsIgnoreCase(talias))))
+            return Left(BadSubquery(
+              "a MERGE ON subquery conjunct may reference only SOURCE " +
+                "columns (target-side predicates have no pre-join frame " +
+                "to evaluate in — move them into a WHEN ... AND <cond>)"))
+          if (rs.exists(_.binding.isEmpty))
+            return Left(BadSubquery(
+              "column references in a MERGE ON subquery conjunct must be " +
+                s"qualified with the source alias '$salias'"))
+        }
+        val onRewritten: Expr =
+          if (onSubConjs.isEmpty) m.on
+          else {
+            val plain = onConjs.filterNot(parseExprHasSub)
+            val helperEqs = onSubConjs.map { case (_, i) =>
+              Expr.Cmp(CmpOp.Eq,
+                Operand.Col(ColRef(Some(salias), s"__moncnd_$i")),
+                Operand.Literal(Lit.LitLong(1L))): Expr
+            }
+            (plain ++ helperEqs).reduce(Expr.And(_, _))
+          }
+        val onHelperItems: Seq[SelectItem] = onSubConjs.map { case (c, i) =>
+          SelectItem.SExpr(Operand.CaseWhen(
+            Seq((c, Operand.Literal(Lit.LitLong(1L)))),
+            Some(Operand.Literal(Lit.LitLong(0L)))), s"__moncnd_$i")
+        }
         // resolve each clause against the target schema
         val plansE: Either[AnalyzerError, Vector[MergePlan]] =
           m.whens.zipWithIndex.foldLeft[Either[AnalyzerError, Vector[MergePlan]]](
@@ -1821,9 +1883,11 @@ object Analyzer {
             }, alias)
           // synthetic 1: target (row-id'd) LEFT JOIN source — target
           // columns + source-presence marker + matched-clause helpers
+          // (+ pre-evaluated ON-subquery helper columns, if any)
           val srcBody = SelectTree(
             Some(Seq(SelectItem.SStar(None),
-              SelectItem.SExpr(Operand.Literal(Lit.LitLong(1L)), "__msrc"))),
+              SelectItem.SExpr(Operand.Literal(Lit.LitLong(1L)), "__msrc")) ++
+              onHelperItems),
             Seq(m.source), None)
           val matchedItems: Seq[SelectItem] =
             (SelectItem.SCol(ColRef(Some(talias), "__lkrid")) +:
@@ -1847,7 +1911,8 @@ object Analyzer {
           }
           val sel1 = SelectTree(Some(matchedItems),
             Seq(FTable(TableRef(tname, Some(talias)))), None,
-            joinSteps = Seq(JoinStep("left", FDerived(srcBody, salias), m.on)))
+            joinSteps = Seq(JoinStep("left", FDerived(srcBody, salias),
+              onRewritten)))
           // synthetic 2: source LEFT JOIN target (presence marker) —
           // insert-clause helpers; rows with a NULL marker are unmatched
           val insertWhens = m.whens.zipWithIndex.collect {
@@ -1867,8 +1932,15 @@ object Analyzer {
                     case (vOp, k) => SelectItem.SExpr(vOp, s"__ival_${i}_$k")
                   }
                 }
-              analyzeSelect(SelectTree(Some(items), Seq(m.source), None,
-                joinSteps = Seq(JoinStep("left", FDerived(tgtBody, talias), m.on))),
+              // the insert-side join needs the same pre-evaluated ON
+              // helpers — wrap the source in the helper body (same
+              // binding name, so insert values resolve unchanged)
+              val srcItem: FromItem =
+                if (onSubConjs.isEmpty) m.source
+                else FDerived(srcBody, salias)
+              analyzeSelect(SelectTree(Some(items), Seq(srcItem), None,
+                joinSteps = Seq(JoinStep("left", FDerived(tgtBody, talias),
+                  onRewritten))),
                 cat).map(Some(_))
             }
           for {

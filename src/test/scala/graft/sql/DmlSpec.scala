@@ -224,10 +224,10 @@ class DmlSpec extends AnyFunSuite {
       "THEN INSERT (id, v) VALUES (s.id, s.dv)").isRight)
     assert(g.select("SELECT id FROM tgt").toOption.get
       .collect().map(_.getInt(0)).toSeq.sorted == Seq(1, 2, 3, 4))
-    // the ON condition still rejects subqueries (matched-vs-unmatched is
-    // the join itself — no marker path)
+    // source-side ON subquery conjuncts now pre-evaluate in the source
+    // body (dedicated test below); TARGET-side ones still reject
     assert(g.query("MERGE INTO tgt t USING srcx s ON t.id = s.id AND " +
-      "s.dv > (SELECT avg(x.dv) AS m FROM srcx x) " +
+      "t.v > (SELECT avg(x.dv) AS m FROM srcx x) " +
       "WHEN MATCHED THEN DELETE").isLeft)
   }
 
@@ -308,6 +308,42 @@ class DmlSpec extends AnyFunSuite {
       "ON CONFLICT (id) DO NOTHING").isLeft)
     assert(g.query("INSERT INTO t SELECT id, v, tag FROM t " +
       "ON CONFLICT (id) DO NOTHING").isLeft)
+  }
+
+  test("MERGE ON subqueries: source-side conjuncts pre-evaluate, target-side reject") {
+    val g = new GraftDatabase(spark,
+      Files.createTempDirectory("graft-merge-onsub-wh").toString)
+    g.query("CREATE TABLE mt (k INT, v INT)").toOption.get
+    g.query("INSERT INTO mt VALUES (1, 10), (2, 20), (3, 30)").toOption.get
+    g.query("CREATE TABLE ms (k INT, v INT)").toOption.get
+    g.query("INSERT INTO ms VALUES (1, 100), (2, 5), (4, 400)").toOption.get
+    // avg(ms.v) = 168.33: only (4,400) passes the scalar conjunct, so
+    // (1,100) and (2,5) are UNMATCHED (insert), (4,400) inserts too
+    // (no k=4 target); no target row is matched
+    val r = g.query("MERGE INTO mt t USING ms s " +
+      "ON t.k = s.k AND s.v > (SELECT avg(v) AS m FROM ms) " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v)")
+    assert(r.isRight, r)
+    val rows = g.select("SELECT k, v FROM mt").toOption.get
+      .orderBy("k", "v").collect().toSeq
+    assert(rows == Seq(Row(1, 10), Row(1, 100), Row(2, 5), Row(2, 20),
+      Row(3, 30), Row(4, 400)))
+    // IN-subquery conjunct: k in {1,4} (v >= 100 rows of ms) — the two
+    // k=1 rows and the k=4 row flip to 0; ON correlation to the
+    // source's own columns inside the subquery composes
+    assert(g.query("MERGE INTO mt t USING ms s ON t.k = s.k AND " +
+      "s.k IN (SELECT k FROM ms m2 WHERE m2.v >= 100) " +
+      "WHEN MATCHED THEN UPDATE SET v = 0").isRight)
+    val rows2 = g.select("SELECT k, v FROM mt").toOption.get
+      .orderBy("k", "v").collect().toSeq
+    assert(rows2 == Seq(Row(1, 0), Row(1, 0), Row(2, 5), Row(2, 20),
+      Row(3, 30), Row(4, 0)))
+    // target-side subquery conjuncts and unqualified references reject
+    assert(g.query("MERGE INTO mt t USING ms s ON t.k = s.k AND " +
+      "t.v > (SELECT avg(v) AS m FROM ms) WHEN MATCHED THEN DELETE").isLeft)
+    assert(g.query("MERGE INTO mt t USING ms s ON t.k = s.k AND " +
+      "v > (SELECT avg(v) AS m FROM ms) WHEN MATCHED THEN DELETE").isLeft)
   }
 
   test("MERGE WHEN NOT MATCHED BY SOURCE: complement-row update/delete") {
