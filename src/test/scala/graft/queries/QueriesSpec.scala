@@ -92,6 +92,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH neardup recall $recall over ${brute.size} pairs")
   }
 
+  test("prefix-rerank ANN: top-5 recall vs exact brute-force top-5") {
+    // q_embed_topk IS the exact brute-force cosine top-5 per query;
+    // the two-stage 8-dim coarse pass + exact re-rank must recover
+    // nearly all of it (the r8 VERDICT gap: the gate's oracle replays
+    // the same algorithm, so recall was asserted nowhere)
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact  = pairs("q_embed_topk")
+    val staged = pairs("q_ann_prefix_rerank")
+    assert(exact.nonEmpty)
+    val recall = (staged & exact).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"prefix-rerank recall $recall over ${exact.size} exact top-k pairs")
+  }
+
   test("connected components: transitive chains close, separate components stay apart") {
     import spark.implicits._
     // chain 1-2-3 (transitive through 2), pair 10-11, triangle 20-21-22
