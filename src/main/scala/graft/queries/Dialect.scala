@@ -3103,6 +3103,29 @@ object Dialect {
              |    p -> coalesce(struct_extract(p, 1), '~') || '=' || coalesce(struct_extract(p, 2), '~') || '=' || coalesce(struct_extract(p, 3), '~')), ',') AS z
              |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // Named structs: {'k': v} literals / struct_pack(k := v), dot
+    // access on struct-typed columns (s.field resolves via the
+    // binding-fallback walk) and case-insensitive string-key
+    // struct_extract — all DuckDB-probed semantics. (DuckDB splits
+    // numeric keys = unnamed tuples / string keys = named structs; this
+    // engine accepts either form on any struct — gates stay inside the
+    // DuckDB-legal subset.) Struct columns serialize per-field for the
+    // gate; raw struct outputs are spec-pinned.
+    "q_dialect_struct" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, s.stat AS st, struct_extract(s, 'TOT') AS tt, " +
+          "s.pri AS pr " +
+          "FROM (SELECT o_orderkey, {'stat': o_orderstatus, " +
+          "'tot': o_totalprice, 'pri': o_orderpriority} AS s " +
+          "FROM orders WHERE o_orderkey < 2000) t " +
+          "ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, s.stat AS st, struct_extract(s, 'TOT') AS tt,
+             |  s.pri AS pr
+             |FROM (SELECT o_orderkey, {'stat': o_orderstatus,
+             |  'tot': o_totalprice, 'pri': o_orderpriority} AS s
+             |  FROM orders WHERE o_orderkey < 2000) t
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // DECIMAL division parity: DuckDB's `/` on decimal operands returns
     // DOUBLE (probed: typeof(dec/dec) == typeof(dec/int) == DOUBLE), so
     // the analyzer casts decimal legs to double before dividing — the

@@ -1109,8 +1109,18 @@ object Analyzer {
         (operandType(args.head), args(1)) match {
           case (SqlType.SqlStruct(fs), BoundOperand.BLit(Lit.LitLong(i)))
               if i >= 1 && i <= fs.length => fs(i.toInt - 1)._2
+          case (SqlType.SqlStruct(fs), BoundOperand.BLit(Lit.LitString(k)))
+              if fs.exists(_._1.equalsIgnoreCase(k)) =>
+            fs.find(_._1.equalsIgnoreCase(k)).get._2
           case _ => SqlType.SqlVarChar(65535) // unreachable past validation
         }
+      // named struct literal / struct_pack: keys interleave as string
+      // literals at odd positions
+      case "struct_pack" =>
+        SqlType.SqlStruct(args.grouped(2).collect {
+          case Seq(BoundOperand.BLit(Lit.LitString(k)), v) =>
+            k -> operandType(v)
+        }.toVector)
       case _          => SqlType.SqlDouble // sqrt / power / exp / ln / log10 / log2
     }
     case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
@@ -2523,9 +2533,42 @@ object Analyzer {
         allowSub: Boolean = false): Either[AnalyzerError, BoundOperand] = o match {
       case Operand.Col(ColRef(None, n)) if lambdaScope.contains(n.toLowerCase) =>
         Right(BoundOperand.BLambdaVar(n.toLowerCase, lambdaScope(n.toLowerCase)))
+      // x.field where x is a struct-typed lambda parameter — DuckDB's
+      // dot access, rebound onto by-name struct_extract
+      case Operand.Col(ColRef(Some(q), n)) if lambdaScope.contains(q.toLowerCase) =>
+        lambdaScope(q.toLowerCase) match {
+          case t @ SqlType.SqlStruct(fs) if fs.exists(_._1.equalsIgnoreCase(n)) =>
+            Right(BoundOperand.BFunc("struct_extract", Seq(
+              BoundOperand.BLambdaVar(q.toLowerCase, t),
+              BoundOperand.BLit(Lit.LitString(
+                fs.find(_._1.equalsIgnoreCase(n)).get._1)))))
+          case t => Left(BadFunction(
+            s"'$q.$n': $q is a lambda parameter of type ${t.render}, " +
+              "which has no such field"))
+        }
       case Operand.Col(c) =>
         if (coalApplies(c)) Right(coalOperand(c.name))
-        else bindCol(c).map(BoundOperand.BCol)
+        else bindCol(c) match {
+          case Right(bc) => Right(BoundOperand.BCol(bc))
+          // s.field where s is not a table binding but IS a
+          // struct-typed column — DuckDB's dot access on columns
+          case Left(err) => c match {
+            case ColRef(Some(q), n) =>
+              bindCol(ColRef(None, q)) match {
+                case Right(bc) => bc.attr.sqlType match {
+                  case SqlType.SqlStruct(fs)
+                      if fs.exists(_._1.equalsIgnoreCase(n)) =>
+                    Right(BoundOperand.BFunc("struct_extract", Seq(
+                      BoundOperand.BCol(bc),
+                      BoundOperand.BLit(Lit.LitString(
+                        fs.find(_._1.equalsIgnoreCase(n)).get._1)))))
+                  case _ => Left(err)
+                }
+                case _ => Left(err)
+              }
+            case _ => Left(err)
+          }
+        }
       case Operand.Literal(v) => Right(BoundOperand.BLit(v))
       case Operand.AggCall(f, arg, dist) if allowAgg =>
         if (dist && f != "count" && f != "sum" && f != "avg")
@@ -2723,6 +2766,7 @@ object Analyzer {
           case "list_value"          => true
           case "list_zip"            => args.length >= 2 && args.length <= 8
           case "struct_extract"      => args.length == 2
+          case "struct_pack"         => args.length >= 2 && args.length % 2 == 0
           case "levenshtein"         => args.length == 2
           case "chr" | "ascii" | "to_hex" | "epoch_ms" => args.length == 1
           case _                     => false
@@ -2760,15 +2804,20 @@ object Analyzer {
           Left(BadFunction(
             "date_diff part must be a string literal (day/month/year/hour/minute/second)"))
         else if (f == "struct_extract" && !(args(1) match {
-          case Operand.Literal(Lit.LitLong(i)) => i >= 1
-          // DuckDB 1.0's list_zip structs are UNNAMED — string keys fail
-          // its binder too; reject toward the numeric form
+          case Operand.Literal(Lit.LitLong(i))   => i >= 1
+          case Operand.Literal(Lit.LitString(_)) => true // named structs
           case _ => false
         }))
           Left(BadFunction(
             "struct_extract takes a 1-based integer-literal index " +
-              "(list_zip structs are unnamed tuples — string keys " +
-              "address named structs, which this engine does not surface)"))
+              "(unnamed list_zip tuples) or a field-name string literal " +
+              "(named structs)"))
+        else if (f == "struct_pack" && {
+          val keys = args.grouped(2).map(_.head).toSeq
+          keys.collect { case Operand.Literal(Lit.LitString(k)) => k.toLowerCase }
+            .distinct.length != keys.length
+        })
+          Left(BadFunction("struct_pack keys must be distinct names"))
         else if (f == "translate" && !((args(1), args(2)) match {
           case (Operand.Literal(Lit.LitString(_)),
                 Operand.Literal(Lit.LitString(_))) => true
@@ -2854,13 +2903,18 @@ object Analyzer {
             if (f == "list_zip" &&
                 !bargs.forall(b => operandType(b).isInstanceOf[SqlType.SqlArray]))
               Left(BadFunction("list_zip arguments must all be lists"))
-            else if (f == "struct_extract" && !((operandType(bargs.head), bargs(1)) match {
-              case (SqlType.SqlStruct(fs), BoundOperand.BLit(Lit.LitLong(i))) =>
-                i >= 1 && i <= fs.length
-              case _ => false
-            }))
-              Left(BadFunction(
-                "struct_extract index out of range (or the base is not a struct)"))
+            else if (f == "struct_extract") (operandType(bargs.head), bargs(1)) match {
+              case (SqlType.SqlStruct(fs), BoundOperand.BLit(Lit.LitLong(i)))
+                  if i >= 1 && i <= fs.length => Right(bargs)
+              // string key → the canonical field name (case-insensitive),
+              // carried on the internal by-name node
+              case (SqlType.SqlStruct(fs), BoundOperand.BLit(Lit.LitString(k)))
+                  if fs.exists(_._1.equalsIgnoreCase(k)) =>
+                Right(Vector(bargs.head, BoundOperand.BLit(
+                  Lit.LitString(fs.find(_._1.equalsIgnoreCase(k)).get._1))))
+              case _ => Left(BadFunction(
+                "struct_extract index/field not found (or the base is not a struct)"))
+            }
             else Right(bargs)
           }.map { bargs =>
             // the bracket postfix parses as list_extract/list_slice; on a
@@ -3119,7 +3173,19 @@ object Analyzer {
       case SelectItem.SCol(r, a) =>
         if (coalApplies(r))
           Right(BoundItem.BIExpr(coalOperand(r.name), a.getOrElse(r.name)))
-        else bindCol(r).map(BoundItem.BICol(_, a))
+        else bindCol(r) match {
+          case Right(bc) => Right(BoundItem.BICol(bc, a))
+          // s.field projection where s is a struct-typed COLUMN, not a
+          // binding — route through bindOp's dot-access fallback
+          case Left(err) => r match {
+            case ColRef(Some(_), n) =>
+              bindOp(Operand.Col(r), allowAgg = false) match {
+                case Right(b) => Right(BoundItem.BIExpr(b, a.getOrElse(n)))
+                case Left(_)  => Left(err)
+              }
+            case _ => Left(err)
+          }
+        }
       case SelectItem.SAgg(f, None, a, dist) => Right(BoundItem.BIAgg(f, None, a, dist))
       case SelectItem.SAgg(f, Some(r), a, dist) =>
         if (dist && f != "count" && f != "sum" && f != "avg")

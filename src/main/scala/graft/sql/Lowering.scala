@@ -2612,6 +2612,17 @@ object Lowering {
         org.apache.spark.sql.catalyst.expressions.GetStructField(
           org.apache.spark.sql.graftbridge.Bridge.expression(rec(a)),
           i.toInt - 1))
+    // by-name field access (named structs; the analyzer canonicalized
+    // the key against the struct's field list)
+    case ("struct_extract", Seq(a, BoundOperand.BLit(Lit.LitString(k)))) =>
+      rec(a).getField(k)
+    // named struct literal: keys interleave as string literals —
+    // Spark's named struct columns carry the field names exactly
+    case ("struct_pack", as) if as.length % 2 == 0 =>
+      struct(as.grouped(2).map {
+        case Seq(BoundOperand.BLit(Lit.LitString(k)), v) => rec(v).as(k)
+        case other => sys.error(s"unreachable struct_pack shape $other")
+      }.toSeq: _*)
     case ("list_reverse", Seq(a)) => reverse(rec(a))
     case ("flatten", Seq(a))      => flatten(rec(a))
     case ("list_unique", Seq(a)) =>

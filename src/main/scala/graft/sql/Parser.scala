@@ -66,9 +66,9 @@ object Parser {
       } else {
         val two = if (i + 1 < in.length) in.substring(i, i + 2) else ""
         if (two == "<>" || two == "<=" || two == ">=" || two == "!=" ||
-            two == "||" || two == "::" || two == "->") {
+            two == "||" || two == "::" || two == "->" || two == ":=") {
           out += TSym(if (two == "!=") "<>" else two, i); i += 2
-        } else if ("(),.;*=<>+-/%[]:".indexOf(c) >= 0) {
+        } else if ("(),.;*=<>+-/%[]:{}".indexOf(c) >= 0) {
           out += TSym(c.toString, i); i += 1
         } else return Left(ParseError(s"unexpected character '$c'", i))
       }
@@ -2019,6 +2019,51 @@ object Parser {
         case Operand.Literal(Lit.LitDouble(v)) => Operand.Literal(Lit.LitDouble(-v))
         case o => Operand.Arith('-', Operand.Literal(Lit.LitLong(0L)), o)
       }
+    // {'k': v, …} NAMED struct literal (DuckDB brace syntax) →
+    // struct_pack with keys interleaved as string literals (so every
+    // operand walker sees a plain FuncCall)
+    case TSym("{", _) =>
+      p.next()
+      def fields(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+        p.peek match {
+          case TStr(k, _) =>
+            p.next()
+            for {
+              _ <- p.eatSym(":")
+              v <- parseOperand(p, allowAgg)
+              r <- p.peek match {
+                case TSym(",", _) =>
+                  p.next()
+                  fields(acc ++ Seq(Operand.Literal(Lit.LitString(k)), v))
+                case _ => p.eatSym("}").map(_ =>
+                  acc ++ Seq(Operand.Literal(Lit.LitString(k)), v))
+              }
+            } yield r
+          case t => Left(ParseError(
+            "struct literal: expected 'key': value", t.pos))
+        }
+      fields(Vector.empty).map(fs => Operand.FuncCall("struct_pack", fs): Operand)
+    // struct_pack(k := v, …) — the call form of the same literal
+    case TIdent(f, _) if f.equalsIgnoreCase("struct_pack") && {
+        val save = p.i; p.next()
+        val par = p.peek match { case TSym("(", _) => true; case _ => false }
+        p.i = save; par
+      } =>
+      p.next(); p.next() // struct_pack (
+      def packs(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+        p.ident().flatMap { k =>
+          for {
+            _ <- p.eatSym(":=")
+            v <- parseOperand(p, allowAgg)
+            r <- p.peek match {
+              case TSym(",", _) =>
+                p.next(); packs(acc ++ Seq(Operand.Literal(Lit.LitString(k)), v))
+              case _ => p.eatSym(")").map(_ =>
+                acc ++ Seq(Operand.Literal(Lit.LitString(k)), v))
+            }
+          } yield r
+        }
+      packs(Vector.empty).map(fs => Operand.FuncCall("struct_pack", fs): Operand)
     // [a, b, …] list literal (DuckDB bracket syntax) → list_value(...)
     case TSym("[", _) =>
       p.next()

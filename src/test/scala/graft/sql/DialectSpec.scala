@@ -3468,6 +3468,39 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT struct_extract([1,2], 1) AS a").isLeft)
   }
 
+  test("named structs: literals, struct_pack, dot access, string-key extract") {
+    val db = freshDb()
+    def one(sql: String): Row = db.select(sql) match {
+      case Right(df) => df.collect().head
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    // raw struct output: named fields, NULL values kept
+    val r = one("SELECT {'a': 1 + 2, 'b': 'x', 'c': NULL} AS s")
+    val st = r.getStruct(0)
+    assert(st.schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(st.getLong(0) == 3L && st.getString(1) == "x" && st.isNullAt(2))
+    // struct_pack call form; string-key extract is case-insensitive
+    val p = one("SELECT struct_extract(struct_pack(a := 7, b := 'y'), 'A') AS v")
+    assert(p.getLong(0) == 7L)
+    // dot access on a struct-typed column through a derived table;
+    // lambda-parameter dot access
+    db.query("CREATE TABLE so (k INT, st VARCHAR(4), tot DOUBLE)").toOption.get
+    db.query("INSERT INTO so VALUES (1, 'O', 10.5)").toOption.get
+    val d = one("SELECT k, s.stat AS a, struct_extract(s, 'tot') AS b " +
+      "FROM (SELECT k, {'stat': st, 'tot': tot} AS s FROM so) t")
+    assert(d.getInt(0) == 1 && d.getString(1) == "O" && d.getDouble(2) == 10.5)
+    val l = one("SELECT array_to_string(list_transform(" +
+      "[{'a': 1}, {'a': 2}], s -> CAST(s.a AS VARCHAR)), ',') AS z")
+    assert(l.getString(0) == "1,2")
+    // struct equality is element-wise (Spark native)
+    val eq = one("SELECT CASE WHEN {'a': 1} = {'a': 1} THEN 1 ELSE 0 END AS e")
+    assert(eq.getLong(0) == 1L)
+    // rejections: duplicate keys, unknown field, dot on a non-struct
+    assert(db.query("SELECT {'a': 1, 'A': 2} AS s").isLeft)
+    assert(db.query("SELECT struct_extract({'a': 1}, 'zz') AS s").isLeft)
+    assert(db.query("SELECT k.nope AS s FROM so").isLeft)
+  }
+
   test("lcm overflow raises (DuckDB parity), in-range values exact") {
     val db = freshDb()
     def one(sql: String): Row = db.select(sql) match {
