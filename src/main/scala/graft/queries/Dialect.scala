@@ -3114,13 +3114,15 @@ object Dialect {
     "q_dialect_struct" -> QueryDef(
       (s, d) => run(db(s, d, "orders"),
         "SELECT o_orderkey, s.stat AS st, struct_extract(s, 'TOT') AS tt, " +
-          "s.pri AS pr " +
+          "s.pri AS pr, to_json(s) AS js, " +
+          "to_json({'k': [o_orderkey, o_orderkey + 1], 'n': {'c': o_orderkey}}) AS jn " +
           "FROM (SELECT o_orderkey, {'stat': o_orderstatus, " +
           "'tot': o_totalprice, 'pri': o_orderpriority} AS s " +
           "FROM orders WHERE o_orderkey < 2000) t " +
           "ORDER BY o_orderkey"),
       Some("""SELECT o_orderkey, s.stat AS st, struct_extract(s, 'TOT') AS tt,
-             |  s.pri AS pr
+             |  s.pri AS pr, to_json(s) AS js,
+             |  to_json({'k': [o_orderkey, o_orderkey + 1], 'n': {'c': o_orderkey}}) AS jn
              |FROM (SELECT o_orderkey, {'stat': o_orderstatus,
              |  'tot': o_totalprice, 'pri': o_orderpriority} AS s
              |  FROM orders WHERE o_orderkey < 2000) t

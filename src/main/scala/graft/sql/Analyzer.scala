@@ -1121,6 +1121,7 @@ object Analyzer {
           case Seq(BoundOperand.BLit(Lit.LitString(k)), v) =>
             k -> operandType(v)
         }.toVector)
+      case "to_json" => SqlType.SqlVarChar(65535)
       case _          => SqlType.SqlDouble // sqrt / power / exp / ln / log10 / log2
     }
     case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
@@ -2767,6 +2768,7 @@ object Analyzer {
           case "list_zip"            => args.length >= 2 && args.length <= 8
           case "struct_extract"      => args.length == 2
           case "struct_pack"         => args.length >= 2 && args.length % 2 == 0
+          case "to_json"             => args.length == 1
           case "levenshtein"         => args.length == 2
           case "chr" | "ascii" | "to_hex" | "epoch_ms" => args.length == 1
           case _                     => false
@@ -2903,6 +2905,16 @@ object Analyzer {
             if (f == "list_zip" &&
                 !bargs.forall(b => operandType(b).isInstanceOf[SqlType.SqlArray]))
               Left(BadFunction("list_zip arguments must all be lists"))
+            else if (f == "to_json" && !(operandType(bargs.head) match {
+              case SqlType.SqlStruct(_) | SqlType.SqlArray(_) => true
+              case _ => false
+            }))
+              // Spark's to_json serializes container types only; scalars
+              // reject toward wrapping ({'v': x} / [x]). NOTE: NULL
+              // struct FIELDS serialize differently (Spark omits the
+              // key, DuckDB keeps "k":null) — spec-pinned posture.
+              Left(BadFunction(
+                "to_json takes a struct or list (wrap scalars: {'v': x})"))
             else if (f == "struct_extract") (operandType(bargs.head), bargs(1)) match {
               case (SqlType.SqlStruct(fs), BoundOperand.BLit(Lit.LitLong(i)))
                   if i >= 1 && i <= fs.length => Right(bargs)

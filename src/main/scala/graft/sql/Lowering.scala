@@ -2616,6 +2616,10 @@ object Lowering {
     // the key against the struct's field list)
     case ("struct_extract", Seq(a, BoundOperand.BLit(Lit.LitString(k)))) =>
       rec(a).getField(k)
+    // container JSON serialization (struct/list — probed byte-identical
+    // with DuckDB for null-free nested containers; null struct fields
+    // diverge and are analyzer-documented)
+    case ("to_json", Seq(a)) => to_json(rec(a))
     // named struct literal: keys interleave as string literals —
     // Spark's named struct columns carry the field names exactly
     case ("struct_pack", as) if as.length % 2 == 0 =>

@@ -171,7 +171,7 @@ object Parser {
     "regexp_extract_all", "to_base", "json_extract_string", "time_bucket",
     "list_reverse", "flatten", "list_append", "list_prepend",
     "list_unique", "list_intersect", "list_has_any", "list_has_all",
-    "list_zip", "struct_extract")
+    "list_zip", "struct_extract", "to_json")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not

@@ -3495,10 +3495,19 @@ class DialectSpec extends AnyFunSuite {
     // struct equality is element-wise (Spark native)
     val eq = one("SELECT CASE WHEN {'a': 1} = {'a': 1} THEN 1 ELSE 0 END AS e")
     assert(eq.getLong(0) == 1L)
-    // rejections: duplicate keys, unknown field, dot on a non-struct
+    // to_json on containers (identical bytes with DuckDB when no field
+    // is NULL); Spark OMITS null struct fields — posture pinned here
+    val j = one("SELECT to_json({'a': 1, 'b': [1, 2]}) AS a, " +
+      "to_json([{'x': 1}, {'x': 2}]) AS b, to_json({'a': 1, 'n': NULL}) AS c")
+    assert(j.getString(0) == """{"a":1,"b":[1,2]}""")
+    assert(j.getString(1) == """[{"x":1},{"x":2}]""")
+    assert(j.getString(2) == """{"a":1}""") // DuckDB keeps "n":null — documented
+    // rejections: duplicate keys, unknown field, dot on a non-struct,
+    // scalar to_json
     assert(db.query("SELECT {'a': 1, 'A': 2} AS s").isLeft)
     assert(db.query("SELECT struct_extract({'a': 1}, 'zz') AS s").isLeft)
     assert(db.query("SELECT k.nope AS s FROM so").isLeft)
+    assert(db.query("SELECT to_json('hi') AS s").isLeft)
   }
 
   test("lcm overflow raises (DuckDB parity), in-range values exact") {
