@@ -3103,6 +3103,22 @@ object Dialect {
              |    p -> coalesce(struct_extract(p, 1), '~') || '=' || coalesce(struct_extract(p, 2), '~') || '=' || coalesce(struct_extract(p, 3), '~')), ',') AS z
              |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // SIMILAR TO: DuckDB's full-string regex match (no LIKE-wildcard
+    // translation), desugared at parse onto anchored regexp_matches —
+    // 3VL preserved under NOT.
+    "q_dialect_similar" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_orderpriority, " +
+          "CASE WHEN o_orderpriority NOT SIMILAR TO '[0-9]-(L.*|M.*)' " +
+          "THEN 1 ELSE 0 END AS hot " +
+          "FROM orders WHERE o_orderpriority SIMILAR TO '[0-9]-[A-Z ]+' " +
+          "AND o_orderkey < 3000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  CASE WHEN o_orderpriority NOT SIMILAR TO '[0-9]-(L.*|M.*)'
+             |       THEN 1 ELSE 0 END AS hot
+             |FROM orders WHERE o_orderpriority SIMILAR TO '[0-9]-[A-Z ]+'
+             |AND o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin)),
+
     // Named structs: {'k': v} literals / struct_pack(k := v), dot
     // access on struct-typed columns (s.field resolves via the
     // binding-fallback walk) and case-insensitive string-key

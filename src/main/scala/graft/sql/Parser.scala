@@ -1797,7 +1797,7 @@ object Parser {
         }
       case TIdent(k, pos) if k.equalsIgnoreCase("not") || k.equalsIgnoreCase("between") ||
           k.equalsIgnoreCase("in") || k.equalsIgnoreCase("like") ||
-          k.equalsIgnoreCase("ilike") =>
+          k.equalsIgnoreCase("ilike") || k.equalsIgnoreCase("similar") =>
         val neg = if (p.isKw("not")) { p.next(); true } else false
         if (p.isKw("between")) {
           p.next()
@@ -1848,7 +1848,28 @@ object Parser {
               } else Right(Expr.Like(l, s, neg, ci))
             case t          => Left(ParseError("expected pattern string after LIKE", t.pos))
           }
-        } else Left(ParseError("expected BETWEEN, IN or LIKE after NOT", pos))
+        } else if (p.isKw("similar")) {
+          // SIMILAR TO 'regex': DuckDB semantics — a FULL-STRING regex
+          // match (no %/_ wildcard translation; 'a%c' only matches the
+          // literal percent). Desugars onto regexp_matches with an
+          // anchored non-capturing wrap; NOT keeps 3VL (NULL → NULL).
+          p.next()
+          for {
+            _ <- p.eatKw("to")
+            pat <- p.peek match {
+              case TStr(s, _) => p.next(); Right(s)
+              case t => Left(ParseError(
+                "expected pattern string after SIMILAR TO", t.pos))
+            }
+          } yield {
+            val m: Expr = Expr.Cmp(CmpOp.Eq,
+              Operand.FuncCall("regexp_matches",
+                Seq(l, Operand.Literal(Lit.LitString(s"^(?:$pat)$$")))),
+              Operand.Literal(Lit.LitBool(true)))
+            if (neg) Expr.Not(m) else m
+          }
+        } else Left(ParseError(
+          "expected BETWEEN, IN, LIKE or SIMILAR TO after NOT", pos))
       case _ =>
         // a BOOLEAN-typed operand can stand alone as a predicate
         // (list_contains(l, x), a bool column): `x` ⇒ `x = TRUE`, so

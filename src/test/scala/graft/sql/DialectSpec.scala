@@ -2551,6 +2551,13 @@ class DialectSpec extends AnyFunSuite {
       "'%S.%f') AS f FROM people WHERE id = 1").getString(0) == "33.000000")
     assert(one("SELECT printf('%x|%X|%o|%05x', 255, 255, 8, 255) AS f " +
       "FROM people WHERE id = 1").getString(0) == "ff|FF|10|000ff")
+    // SIMILAR TO: full-string regex (DuckDB), 3VL over NULLs
+    val si = one("SELECT CASE WHEN 'abc' SIMILAR TO 'a.*' THEN 1 ELSE 0 END AS a, " +
+      "CASE WHEN 'abc' SIMILAR TO 'a' THEN 1 ELSE 0 END AS b, " +
+      "CASE WHEN 'a%c' SIMILAR TO 'a%c' THEN 1 ELSE 0 END AS c, " +
+      "CASE WHEN CAST(NULL AS VARCHAR) NOT SIMILAR TO 'x' THEN 1 ELSE 0 END AS d " +
+      "FROM people WHERE id = 1")
+    assert((0 to 3).map(si.getLong) == Seq(1L, 0L, 1L, 0L))
     // string predicates are 3VL over NULLs
     val sp = one("SELECT starts_with(name, 'El') AS sw, " +
       "ends_with(name, 'on') AS ew, contains(name, 'xy') AS ct " +
