@@ -65,7 +65,22 @@ object Parser {
         out += TStr(sb.toString, start)
       } else {
         val two = if (i + 1 < in.length) in.substring(i, i + 2) else ""
-        if (two == "<>" || two == "<=" || two == ">=" || two == "!=" ||
+        if (two == "--") {
+          // line comment: skip to end of line
+          while (i < in.length && in(i) != '\n') i += 1
+        } else if (two == "/*") {
+          // block comment, NESTED like DuckDB/Postgres
+          var depth = 1; i += 2
+          while (i < in.length && depth > 0) {
+            if (i + 1 < in.length && in(i) == '/' && in(i + 1) == '*') {
+              depth += 1; i += 2
+            } else if (i + 1 < in.length && in(i) == '*' && in(i + 1) == '/') {
+              depth -= 1; i += 2
+            } else i += 1
+          }
+          if (depth > 0)
+            return Left(ParseError("unterminated block comment", i))
+        } else if (two == "<>" || two == "<=" || two == ">=" || two == "!=" ||
             two == "||" || two == "::" || two == "->" || two == ":=") {
           out += TSym(if (two == "!=") "<>" else two, i); i += 2
         } else if ("(),.;*=<>+-/%[]:{}".indexOf(c) >= 0) {

@@ -17,6 +17,15 @@ class ParserSpec extends AnyFunSuite {
   private def parseErr(sql: String): Unit =
     assert(Parser.parse(sql).isLeft, s"expected parse error: $sql")
 
+  test("comments: -- line, /* block */, nested blocks, strings untouched") {
+    val ref = parseOk("SELECT a, b FROM test")
+    assert(parseOk("SELECT a, -- first\n b FROM test -- tail") == ref)
+    assert(parseOk("SELECT /* x */ a, /* y /* nested */ z */ b FROM test") == ref)
+    // a '--' inside a string literal is content, not a comment
+    assert(parseOk("SELECT '--' AS a FROM test") !=  null)
+    parseErr("SELECT a FROM test /* open")
+  }
+
   test("select columns from table") {
     assert(parseOk("SELECT a, b FROM test") ==
       SelectTree(Some(Seq(SCol(ColRef(None, "a")), SCol(ColRef(None, "b")))),
