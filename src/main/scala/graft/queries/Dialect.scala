@@ -3103,6 +3103,30 @@ object Dialect {
              |    p -> coalesce(struct_extract(p, 1), '~') || '=' || coalesce(struct_extract(p, 2), '~') || '=' || coalesce(struct_extract(p, 3), '~')), ',') AS z
              |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // Batch 10: concat_ws (NULL-skipping, both engines), list_aggregate
+    // sugar (sum/min/max/avg/count over existing list folds), GLOB
+    // (glob→anchored-regex at parse), strlen/lcase/ucase aliases.
+    "q_dialect_funcs10" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "concat_ws('|', o_orderstatus, o_orderpriority, CAST(o_orderkey AS VARCHAR)) AS cw, " +
+          "list_aggregate([o_orderkey, o_orderkey + 2, NULL], 'sum') AS ls, " +
+          "list_aggregate([o_totalprice, 0 - o_totalprice], 'avg') AS la, " +
+          "list_aggregate([o_orderkey, NULL], 'count') AS lc, " +
+          "strlen(o_orderpriority) AS sl, lcase(o_orderstatus) AS lo, " +
+          "ucase(o_orderpriority) AS up, " +
+          "CASE WHEN o_orderpriority GLOB '[0-9]-*' THEN 1 ELSE 0 END AS g " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  concat_ws('|', o_orderstatus, o_orderpriority, CAST(o_orderkey AS VARCHAR)) AS cw,
+             |  cast(list_aggregate([o_orderkey, o_orderkey + 2, NULL], 'sum') AS bigint) AS ls,
+             |  list_aggregate([o_totalprice, 0 - o_totalprice], 'avg') AS la,
+             |  cast(list_aggregate([o_orderkey, NULL], 'count') AS bigint) AS lc,
+             |  cast(strlen(o_orderpriority) AS int) AS sl, lcase(o_orderstatus) AS lo,
+             |  ucase(o_orderpriority) AS up,
+             |  CASE WHEN o_orderpriority GLOB '[0-9]-*' THEN 1 ELSE 0 END AS g
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // SIMILAR TO: DuckDB's full-string regex match (no LIKE-wildcard
     // translation), desugared at parse onto anchored regexp_matches —
     // 3VL preserved under NOT.

@@ -1122,6 +1122,9 @@ object Analyzer {
             k -> operandType(v)
         }.toVector)
       case "to_json" => SqlType.SqlVarChar(65535)
+      case "concat_ws" => SqlType.SqlVarChar(65535)
+      case "list_avg" => SqlType.SqlDouble
+      case "list_count" => SqlType.SqlBigInt
       case _          => SqlType.SqlDouble // sqrt / power / exp / ln / log10 / log2
     }
     case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
@@ -2700,7 +2703,14 @@ object Analyzer {
       case Operand.Lambda(_, _) =>
         Left(BadFunction(
           "a lambda (x -> …) is only valid as a list-function argument"))
-      case Operand.FuncCall(f, args) =>
+      case Operand.FuncCall(f0name, args) =>
+        // pure-alias rebinds (DuckDB synonyms onto canonical names)
+        val f = f0name.toLowerCase match {
+          case "strlen" => "length"
+          case "lcase"  => "lower"
+          case "ucase"  => "upper"
+          case x        => x
+        }
         val arityOk = f match {
           case "upper" | "lower" | "length" | "abs" |
                "year" | "month" | "day" |
@@ -2769,6 +2779,8 @@ object Analyzer {
           case "struct_extract"      => args.length == 2
           case "struct_pack"         => args.length >= 2 && args.length % 2 == 0
           case "to_json"             => args.length == 1
+          case "concat_ws"           => args.length >= 2
+          case "list_aggregate" | "list_aggr" => args.length == 2
           case "levenshtein"         => args.length == 2
           case "chr" | "ascii" | "to_hex" | "epoch_ms" => args.length == 1
           case _                     => false
@@ -2814,6 +2826,20 @@ object Analyzer {
             "struct_extract takes a 1-based integer-literal index " +
               "(unnamed list_zip tuples) or a field-name string literal " +
               "(named structs)"))
+        else if (f == "concat_ws" && !(args.head match {
+          case Operand.Literal(Lit.LitString(_)) => true
+          case _ => false
+        }))
+          // Spark's concat_ws separator compiles into the expression
+          Left(BadFunction("concat_ws separator must be a string literal"))
+        else if ((f == "list_aggregate" || f == "list_aggr") && !(args(1) match {
+          case Operand.Literal(Lit.LitString(n)) =>
+            Set("sum", "min", "max", "avg", "count")(n.toLowerCase)
+          case _ => false
+        }))
+          Left(BadFunction(
+            "list_aggregate takes a function-name string literal " +
+              "(sum/min/max/avg/count)"))
         else if (f == "struct_pack" && {
           val keys = args.grouped(2).map(_.head).toSeq
           keys.collect { case Operand.Literal(Lit.LitString(k)) => k.toLowerCase }
@@ -2951,6 +2977,14 @@ object Analyzer {
             // list (string containment otherwise)
             else if (f == "contains" && bargs.length == 2 && arrBase)
               BoundOperand.BFunc("list_contains", bargs)
+            // list_aggregate(l, 'name') → the dedicated list_<name> node
+            else if ((f == "list_aggregate" || f == "list_aggr") && (bargs(1) match {
+              case BoundOperand.BLit(Lit.LitString(_)) => true
+              case _ => false
+            })) {
+              val BoundOperand.BLit(Lit.LitString(n)) = bargs(1): @unchecked
+              BoundOperand.BFunc(s"list_${n.toLowerCase}", Seq(bargs.head))
+            }
             else BoundOperand.BFunc(f, bargs)
           }
       case Operand.CaseWhen(branches, els) =>

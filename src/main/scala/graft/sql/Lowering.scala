@@ -2593,6 +2593,20 @@ object Lowering {
       aggregate(slice(c, lit(2), greatest(size(c) - 1, lit(0))),
         try_element_at(c, lit(1)), (acc, x) => acc + x)
     case ("bit_count", Seq(a)) => bit_count(rec(a))
+    // list_aggregate sugar targets (sum/min/max route to the dedicated
+    // cases above; these two are rebind-only forms)
+    case ("list_avg", Seq(a)) =>
+      // NULL elements skip; empty / all-NULL reads NULL (0/0 → NULL
+      // via try_divide — DuckDB parity)
+      val nn = filter(rec(a), x => x.isNotNull)
+      try_divide(
+        aggregate(slice(nn, lit(2), greatest(size(nn) - 1, lit(0))),
+          try_element_at(nn, lit(1)).cast("double"), (acc, x) => acc + x),
+        size(nn))
+    case ("list_count", Seq(a)) =>
+      size(filter(rec(a), x => x.isNotNull)).cast("long")
+    case ("concat_ws", BoundOperand.BLit(Lit.LitString(sep)) +: rest) =>
+      concat_ws(sep, rest.map(rec): _*)
     case ("gcd", Seq(a, b)) =>
       graft.functions.NumericFunctions.gcd(rec(a).cast("long"), rec(b).cast("long"))
     case ("lcm", Seq(a, b)) =>

@@ -186,7 +186,8 @@ object Parser {
     "regexp_extract_all", "to_base", "json_extract_string", "time_bucket",
     "list_reverse", "flatten", "list_append", "list_prepend",
     "list_unique", "list_intersect", "list_has_any", "list_has_all",
-    "list_zip", "struct_extract", "to_json")
+    "list_zip", "struct_extract", "to_json",
+    "concat_ws", "list_aggregate", "strlen", "lcase", "ucase")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** Entry point. Rejects trailing garbage like the reference's "query not
@@ -1812,7 +1813,8 @@ object Parser {
         }
       case TIdent(k, pos) if k.equalsIgnoreCase("not") || k.equalsIgnoreCase("between") ||
           k.equalsIgnoreCase("in") || k.equalsIgnoreCase("like") ||
-          k.equalsIgnoreCase("ilike") || k.equalsIgnoreCase("similar") =>
+          k.equalsIgnoreCase("ilike") || k.equalsIgnoreCase("similar") ||
+          k.equalsIgnoreCase("glob") =>
         val neg = if (p.isKw("not")) { p.next(); true } else false
         if (p.isKw("between")) {
           p.next()
@@ -1883,8 +1885,41 @@ object Parser {
               Operand.Literal(Lit.LitBool(true)))
             if (neg) Expr.Not(m) else m
           }
+        } else if (p.isKw("glob")) {
+          // x GLOB 'pat': DuckDB's case-sensitive full-string glob
+          // (* ? [set] [!set]) — translated to an anchored regex and
+          // desugared like SIMILAR TO
+          p.next()
+          p.peek match {
+            case TStr(g, _) =>
+              p.next()
+              val sb = new StringBuilder
+              var gi = 0
+              while (gi < g.length) {
+                g(gi) match {
+                  case '*' => sb ++= ".*"
+                  case '?' => sb += '.'
+                  case '[' =>
+                    sb += '['
+                    gi += 1
+                    if (gi < g.length && g(gi) == '!') { sb += '^'; gi += 1 }
+                    while (gi < g.length && g(gi) != ']') { sb += g(gi); gi += 1 }
+                    sb += ']'
+                  case c if "\\.{}()<>*+-=!?^$|".indexOf(c) >= 0 =>
+                    sb += '\\'; sb += c
+                  case c => sb += c
+                }
+                gi += 1
+              }
+              val m: Expr = Expr.Cmp(CmpOp.Eq,
+                Operand.FuncCall("regexp_matches",
+                  Seq(l, Operand.Literal(Lit.LitString(s"^(?:${sb.toString})$$")))),
+                Operand.Literal(Lit.LitBool(true)))
+              Right(if (neg) Expr.Not(m) else m)
+            case t => Left(ParseError("expected pattern string after GLOB", t.pos))
+          }
         } else Left(ParseError(
-          "expected BETWEEN, IN, LIKE or SIMILAR TO after NOT", pos))
+          "expected BETWEEN, IN, LIKE, SIMILAR TO or GLOB after NOT", pos))
       case _ =>
         // a BOOLEAN-typed operand can stand alone as a predicate
         // (list_contains(l, x), a bool column): `x` ⇒ `x = TRUE`, so
