@@ -3103,6 +3103,20 @@ object Dialect {
              |    p -> coalesce(struct_extract(p, 1), '~') || '=' || coalesce(struct_extract(p, 2), '~') || '=' || coalesce(struct_extract(p, 3), '~')), ',') AS z
              |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // DATE arithmetic: date ± integer = day offsets, date - date = day
+    // count (DuckDB-probed types; timestamps reject like its binder) —
+    // analyzer rebinds onto date_add/date_sub/datediff.
+    "q_dialect_date_arith" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE) + 30 AS plus30, " +
+          "CAST(o_orderdate AS DATE) - 7 AS minus7, " +
+          "CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS since " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) + 30 AS plus30,
+             |  CAST(o_orderdate AS DATE) - 7 AS minus7,
+             |  cast(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS int) AS since
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // Batch 10: concat_ws (NULL-skipping, both engines), list_aggregate
     // sugar (sum/min/max/avg/count over existing list folds), GLOB
     // (glob→anchored-regex at parse), strlen/lcase/ucase aliases.

@@ -1123,6 +1123,7 @@ object Analyzer {
         }.toVector)
       case "to_json" => SqlType.SqlVarChar(65535)
       case "concat_ws" => SqlType.SqlVarChar(65535)
+      case "date_add_days" | "date_sub_days" => SqlType.SqlDate
       case "list_avg" => SqlType.SqlDouble
       case "list_count" => SqlType.SqlBigInt
       case _          => SqlType.SqlDouble // sqrt / power / exp / ln / log10 / log2
@@ -3032,6 +3033,43 @@ object Analyzer {
             case (BoundOperand.BInterval(_, _), _) =>
               Left(BadFunction(
                 "INTERVAL must be the RIGHT operand of + or - (date + INTERVAL)"))
+            // date ± integer = days; date - date = day count (DuckDB
+            // probed: DATE+5 → DATE, DATE-DATE → INT; timestamps
+            // reject like DuckDB's binder)
+            case _ if {
+              def isInt(t: SqlType) = t match {
+                case SqlType.SqlBigInt | SqlType.SqlInt |
+                     SqlType.SqlSmallInt => true
+                case _ => false
+              }
+              (operandType(bl), operandType(br)) match {
+                case (SqlType.SqlDate, t) if isInt(t) &&
+                  (ch == '+' || ch == '-') => true
+                case (t, SqlType.SqlDate) if isInt(t) && ch == '+' => true
+                case (SqlType.SqlDate, SqlType.SqlDate) if ch == '-' => true
+                case _ => false
+              }
+            } =>
+              Right((ch, operandType(bl), operandType(br)) match {
+                case ('-', SqlType.SqlDate, SqlType.SqlDate) =>
+                  BoundOperand.BFunc("datediff", Seq(bl, br))
+                case ('+', SqlType.SqlDate, _) =>
+                  BoundOperand.BFunc("date_add_days", Seq(bl, br))
+                case ('+', _, SqlType.SqlDate) =>
+                  BoundOperand.BFunc("date_add_days", Seq(br, bl))
+                case _ =>
+                  BoundOperand.BFunc("date_sub_days", Seq(bl, br))
+              })
+            // any remaining temporal leg has no arithmetic form left —
+            // reject at analysis (DuckDB's binder does too) instead of
+            // letting Spark throw at plan build
+            case _ if Seq(operandType(bl), operandType(br)).exists {
+              case SqlType.SqlDate | SqlType.SqlTimestamp => true
+              case _ => false
+            } =>
+              Left(BadFunction(
+                "temporal arithmetic takes <date/timestamp> ± INTERVAL, " +
+                  "date ± integer days, or date - date"))
             case _ =>
               for { _ <- numOk(bl); _ <- numOk(br) } yield {
                 // DuckDB parity: decimal DIVISION returns DOUBLE (probed:

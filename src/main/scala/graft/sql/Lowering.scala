@@ -2724,6 +2724,9 @@ object Lowering {
     case ("mod", Seq(a, b))   => try_mod(rec(a), rec(b)) // mod(x,0) NULL
     // days from b to a (Spark argument order: end, start)
     case ("datediff", Seq(a, b)) => datediff(rec(a), rec(b))
+    // date ± integer days (analyzer rebinds of DATE arithmetic)
+    case ("date_add_days", Seq(a, b)) => date_add(rec(a), rec(b).cast("int"))
+    case ("date_sub_days", Seq(a, b)) => date_sub(rec(a), rec(b).cast("int"))
     case ("date_trunc", Seq(BoundOperand.BLit(Lit.LitString(u)), b)) =>
       date_trunc(u.toLowerCase, rec(b))
     case ("ltrim", Seq(a))   => ltrim(rec(a))

@@ -3475,6 +3475,22 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT struct_extract([1,2], 1) AS a").isLeft)
   }
 
+  test("date arithmetic: date +/- integer days, date - date") {
+    val db = freshDb()
+    def one(sql: String): Row = db.select(sql) match {
+      case Right(df) => df.collect().head
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    val r = one("SELECT DATE '2020-01-01' + 5 AS a, DATE '2020-01-10' - 3 AS b, " +
+      "DATE '2020-01-10' - DATE '2020-01-01' AS c, 2 + DATE '2020-01-01' AS d")
+    assert(r.getDate(0).toString == "2020-01-06")
+    assert(r.getDate(1).toString == "2020-01-07")
+    assert(r.getInt(2) == 9)
+    assert(r.getDate(3).toString == "2020-01-03")
+    // timestamps reject plain-integer arithmetic like DuckDB's binder
+    assert(db.query("SELECT TIMESTAMP '2020-01-01 10:00:00' + 1 AS a").isLeft)
+  }
+
   test("named structs: literals, struct_pack, dot access, string-key extract") {
     val db = freshDb()
     def one(sql: String): Row = db.select(sql) match {
