@@ -3103,6 +3103,37 @@ object Dialect {
              |    p -> coalesce(struct_extract(p, 1), '~') || '=' || coalesce(struct_extract(p, 2), '~') || '=' || coalesce(struct_extract(p, 3), '~')), ',') AS z
              |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // DEFAULT column values: declared per-column literals fill omitted
+    // columns and the bare DEFAULT keyword in VALUES rows (INSERT …
+    // VALUES and INSERT … SELECT column lists alike); defaults persist
+    // in the catalog. Oracle reconstructs the final image from the
+    // replayed inserts.
+    "q_dialect_default" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders")
+        if (!g.tableNames.contains("dflt_t")) {
+          g.query("CREATE TABLE dflt_t (id INT, v INT DEFAULT 7, " +
+            "tag VARCHAR(8) DEFAULT 'none', w DOUBLE)")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("INSERT INTO dflt_t (id) VALUES (1)")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("INSERT INTO dflt_t VALUES (2, DEFAULT, 'x', 1.5), " +
+            "(3, 30, DEFAULT, DEFAULT)")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("INSERT INTO dflt_t (id, w) SELECT o_orderkey AS id, " +
+            "o_totalprice AS w FROM orders WHERE o_orderkey > 3 AND o_orderkey < 500")
+            .fold(e => sys.error(e.msg), identity)
+        }
+        run(g, "SELECT id, v, tag, round(w, 4) AS w FROM dflt_t ORDER BY id")
+      },
+      Some("""SELECT id, v, tag, round(w, 4) AS w FROM (
+             |  SELECT * FROM (VALUES (1, 7, 'none', CAST(NULL AS DOUBLE)),
+             |    (2, 7, 'x', 1.5), (3, 30, 'none', CAST(NULL AS DOUBLE))) t0(id, v, tag, w)
+             |  UNION ALL
+             |  SELECT o_orderkey, 7, 'none', o_totalprice FROM orders
+             |  WHERE o_orderkey > 3 AND o_orderkey < 500
+             |) t ORDER BY id""".stripMargin)),
+
     // DATE arithmetic: date ± integer = day offsets, date - date = day
     // count (DuckDB-probed types; timestamps reject like its binder) —
     // analyzer rebinds onto date_add/date_sub/datediff.

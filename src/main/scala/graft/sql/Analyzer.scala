@@ -21,7 +21,8 @@ object Analyzer {
       org.apache.spark.sql.types.StructType(attributes.map(a =>
         org.apache.spark.sql.types.StructField(a.name, a.sqlType.spark, a.nullable)))
   }
-  final case class AttributeDesc(name: String, sqlType: SqlType, nullable: Boolean = true)
+  final case class AttributeDesc(name: String, sqlType: SqlType,
+      nullable: Boolean = true, default: Option[Lit] = None)
 
   trait Catalog {
     def resolve(table: String): Option[TableDesc]
@@ -1505,7 +1506,31 @@ object Analyzer {
       cat.resolve(i.table) match {
         case None => Left(RelationNotFound(i.table))
         case Some(desc) =>
-          analyze(i.select, cat).flatMap { b =>
+          // the DEFAULT keyword in (desugared) VALUES rows: positional
+          // items of FROM-less selects substitute the target column's
+          // default literal (NULL when none) — by position against the
+          // explicit column list or the table order. Any DEFAULT that
+          // survives to binding rejects there.
+          def subD(s: SelectTree): SelectTree =
+            if (s.from.nonEmpty || i.byName) s
+            else s.copy(columns = s.columns.map(_.zipWithIndex.map {
+              case (SelectItem.SExpr(Operand.DefaultVal, a), j) =>
+                val colName = i.columns.flatMap(_.lift(j))
+                  .orElse(desc.attributes.lift(j).map(_.name))
+                val l = colName.flatMap(desc.attr(_)).flatMap(_.default)
+                  .getOrElse(Lit.LitNull)
+                SelectItem.SExpr(Operand.Literal(l), a): SelectItem
+              case (it, _) => it
+            }))
+          val selSub: ParseTree = i.select match {
+            case s: SelectTree => subD(s)
+            case u: UnionTree =>
+              u.copy(first = subD(u.first), rest = u.rest.map {
+                case (conn, s) => (conn, subD(s))
+              })
+            case other => other
+          }
+          analyze(selSub, cat).flatMap { b =>
             val arity = b match {
               case s: BoundSelect => s.projection.length
               case u: BoundUnion  => u.first.projection.length
@@ -2575,6 +2600,8 @@ object Analyzer {
           }
         }
       case Operand.Literal(v) => Right(BoundOperand.BLit(v))
+      case Operand.DefaultVal => Left(BadFunction(
+        "DEFAULT is only valid as a plain item of INSERT … VALUES"))
       case Operand.AggCall(f, arg, dist) if allowAgg =>
         if (dist && f != "count" && f != "sum" && f != "avg")
           Left(BadAggregate(s"$f(DISTINCT ...) is not supported"))
@@ -4348,7 +4375,8 @@ object Analyzer {
               return Left(TooManyValues(rowLen, row.length))
             val vals = Vector.newBuilder[Any]
             for ((attr, slot) <- attrs.zip(slots)) {
-              val lit = slot.fold(Lit.LitNull: Lit)(row(_))
+              // unlisted columns fill their DEFAULT (NULL when none)
+              val lit = slot.fold(attr.default.getOrElse(Lit.LitNull: Lit))(row(_))
               Convert(lit, attr.sqlType) match {
                 case Left(err) =>
                   return Left(TypeNotConvertible(slot.getOrElse(0), err.msg))
@@ -4366,7 +4394,19 @@ object Analyzer {
     else {
       // nullable=true for user tables, like the reference (analyzer/mod.rs:260);
       // PRIMARY KEY is parsed and ignored (reference main.rs:26).
-      val attrs = c.columns.map { case (n, t) => AttributeDesc(n.toLowerCase, t, nullable = true) }
+      // DEFAULT literals run the INSERT-grade checked conversion now, so
+      // an unconvertible default fails at CREATE rather than first use.
+      for ((cn, lit) <- c.defaults) {
+        val t = c.columns.find(_._1.equalsIgnoreCase(cn)).map(_._2)
+          .getOrElse(return Left(UnboundAttribute(cn)))
+        Convert(lit, t) match {
+          case Left(err) => return Left(TypeNotConvertible(0, err.msg))
+          case Right(_)  => ()
+        }
+      }
+      val attrs = c.columns.map { case (n, t) =>
+        AttributeDesc(n.toLowerCase, t, nullable = true,
+          default = c.defaults.get(n.toLowerCase)) }
       c.bucket match {
         case Some((col, _)) if !attrs.exists(_.name.equalsIgnoreCase(col)) =>
           Left(UnboundAttribute(col))

@@ -67,6 +67,11 @@ object Ast {
   object Operand {
     final case class Col(ref: ColRef) extends Operand
     final case class Literal(lit: Lit) extends Operand
+    /** The DEFAULT keyword as an INSERT VALUES item — substituted with
+      * the target column's default literal (or NULL) at analysis; any
+      * other position rejects loudly.
+      */
+    case object DefaultVal extends Operand
     /** Aggregate call over an optional expression argument (None =
       * count(*)) — valid in the SELECT list, HAVING and ORDER BY.
       * `distinct` = COUNT/SUM(DISTINCT …).
@@ -547,5 +552,10 @@ object Ast {
       primaryKey: Seq[String],
       // CLUSTERED BY (col) INTO n BUCKETS — hash-bucketed storage so
       // repeated joins/aggregations on the bucket column skip the shuffle
-      bucket: Option[(String, Int)] = None) extends ParseTree
+      bucket: Option[(String, Int)] = None,
+      /** DEFAULT literals by column name (checked against the column
+        * type at analysis; filled for omitted / DEFAULT-keyword values
+        * on INSERT).
+        */
+      defaults: Map[String, Lit] = Map.empty) extends ParseTree
 }

@@ -83,7 +83,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         val name = (inner match {
           case Ast.CreateViewTree(n, _)       => n
           case Ast.CreateMatViewTree(n, _, _) => n
-          case Ast.CreateTree(n, _, _, _)     => n
+          case Ast.CreateTree(n, _, _, _, _)  => n
           case Ast.CreateAsTree(n, _, _)      => n
           case _ => return Left(ViewError("unsupported CREATE mode form"))
         }).toLowerCase
@@ -166,7 +166,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case t: Ast.AlterRenameTree    => alterRenameTable(t)
       case t: Ast.AlterColTypeTree   => alterColType(t)
       case Ast.TruncateTree(name)    => truncate(name)
-      case t @ Ast.CreateTree(n, _, _, _) if views.contains(n.toLowerCase) =>
+      case t @ Ast.CreateTree(n, _, _, _, _) if views.contains(n.toLowerCase) =>
         Left(ViewError(s"relation '$n' already exists as a view"))
       case t @ Ast.CreateAsTree(n, _, _) if views.contains(n.toLowerCase) =>
         Left(ViewError(s"relation '$n' already exists as a view"))
@@ -977,7 +977,10 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           named.select(desc.attributes.map { a =>
             (if (cols.contains(a.name))
               org.apache.spark.sql.functions.col(a.name)
-            else org.apache.spark.sql.functions.lit(null))
+            // unlisted columns fill their DEFAULT (NULL when none)
+            else a.default.fold(
+              org.apache.spark.sql.functions.lit(null): org.apache.spark.sql.Column)(
+              Lowering.lowerLit))
               .cast(a.sqlType.spark).as(a.name)
           }: _*)
       }
@@ -1521,10 +1524,37 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** DEFAULT literals round-trip as (kind, escaped value) pairs. */
+  private def litKV(l: Lit): (String, String) = l match {
+    case Lit.LitLong(v)      => ("long", v.toString)
+    case Lit.LitDouble(v)    => ("double", v.toString)
+    case Lit.LitString(s)    => ("string", s)
+    case Lit.LitDate(s)      => ("date", s)
+    case Lit.LitTimestamp(s) => ("timestamp", s)
+    case Lit.LitBool(v)      => ("bool", v.toString)
+    case Lit.LitNull         => ("null", "")
+  }
+  private def litOfKV(k: String, v: String): Lit = k match {
+    case "long"      => Lit.LitLong(v.toLong)
+    case "double"    => Lit.LitDouble(v.toDouble)
+    case "string"    => Lit.LitString(v)
+    case "date"      => Lit.LitDate(v)
+    case "timestamp" => Lit.LitTimestamp(v)
+    case "bool"      => Lit.LitBool(v.toBoolean)
+    case _           => Lit.LitNull
+  }
+
   private def saveCatalog(): Unit = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    }
     val lines = tables.values.filterNot(t => external.contains(t.name)).map { t =>
       val attrs = t.attributes
-        .map(a => s"""{"name":"${a.name}","type":"${renderType(a.sqlType)}","nullable":${a.nullable}}""")
+        .map { a =>
+          val d = a.default.map(litKV).map { case (k, v) =>
+            s""","default":{"k":"$k","v":"${esc(v)}"}""" }.getOrElse("")
+          s"""{"name":"${a.name}","type":"${renderType(a.sqlType)}","nullable":${a.nullable}$d}"""
+        }
         .mkString("[", ",", "]")
       val bucket = t.bucket
         .map { case (c, n) => s""","bucket":{"col":"$c","n":$n}""" }
@@ -1536,13 +1566,26 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
 
   private def loadCatalog(): Unit = {
     if (!Files.exists(catalogPath)) return
-    val attrRe = """\{"name":"([^"]+)","type":"([^"]+)","nullable":(true|false)\}""".r
+    val attrRe = ("""\{"name":"([^"]+)","type":"([^"]+)","nullable":(true|false)""" +
+      """(?:,"default":\{"k":"([a-z]+)","v":"((?:[^"\\]|\\.)*)"\})?\}""").r
     val tableReB =
       """\{"table":"([^"]+)","attributes":\[(.*)\],"bucket":\{"col":"([^"]+)","n":(\d+)\}\}""".r
     val tableRe = """\{"table":"([^"]+)","attributes":\[(.*)\]\}""".r
+    def unesc(s: String) = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) { sb += s(i + 1); i += 2 }
+        else { sb += s(i); i += 1 }
+      }
+      sb.toString
+    }
     def attrsOf(attrs: String): Seq[AttributeDesc] =
-      attrRe.findAllMatchIn(attrs).map(m =>
-        AttributeDesc(m.group(1), parseType(m.group(2)), m.group(3).toBoolean)).toSeq
+      attrRe.findAllMatchIn(attrs).map { m =>
+        val dflt = Option(m.group(4)).map(k => litOfKV(k, unesc(m.group(5))))
+        AttributeDesc(m.group(1), parseType(m.group(2)), m.group(3).toBoolean,
+          default = dflt)
+      }.toSeq
     Files.readAllLines(catalogPath).asScala.filter(_.nonEmpty).foreach {
       case tableReB(name, attrs, bCol, bN) =>
         // the session-catalog entry re-registers lazily on first read

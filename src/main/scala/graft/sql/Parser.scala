@@ -2757,8 +2757,23 @@ object Parser {
     // expression rows desugar below onto INSERT … SELECT
     def tuple(): Either[ParseError, Vector[Operand]] =
       p.eatSym("(").flatMap { _ =>
+        def item(): Either[ParseError, Operand] = p.peek match {
+          // the bare DEFAULT keyword as a VALUES item (substituted with
+          // the column's default at analysis); only when it stands
+          // alone — `default` remains usable as an identifier elsewhere
+          case TIdent(k, _) if k.equalsIgnoreCase("default") && {
+              val save = p.i; p.next()
+              val alone = p.peek match {
+                case TSym(",", _) | TSym(")", _) => true
+                case _ => false
+              }
+              p.i = save; alone
+            } =>
+            p.next(); Right(Operand.DefaultVal)
+          case _ => parseOperand(p)
+        }
         def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
-          parseOperand(p).flatMap { o =>
+          item().flatMap { o =>
             p.peek match {
               case TSym(",", _) => p.next(); loop(acc :+ o)
               case _            => p.eatSym(")").map(_ => acc :+ o)
@@ -3542,17 +3557,31 @@ object Parser {
     for {
       _ <- p.eatSym("(")
       colsAndPk <- {
-        def one(): Either[ParseError, (String, SqlType, Boolean)] =
+        def one(): Either[ParseError, (String, SqlType, Boolean, Option[Lit])] =
           for {
             cn <- p.ident()
             tp <- parseType(p)
-            pk <-
-              if (p.isKw("primary")) {
-                p.next(); p.eatKw("key").map(_ => true)
-              } else Right(false)
-          } yield (cn, tp, pk)
-        def loop(acc: Vector[(String, SqlType, Boolean)])
-            : Either[ParseError, Vector[(String, SqlType, Boolean)]] =
+            // column constraints in any order: PRIMARY KEY (parsed and
+            // ignored, reference parity) and DEFAULT <literal>
+            pkDef <- {
+              def cons(pk: Boolean, dflt: Option[Lit])
+                  : Either[ParseError, (Boolean, Option[Lit])] =
+                if (p.isKw("primary")) {
+                  p.next(); p.eatKw("key").flatMap(_ => cons(true, dflt))
+                } else if (p.isKw("default")) {
+                  val pos = p.peek.pos
+                  p.next()
+                  parseFactor(p, allowAgg = false).flatMap {
+                    case Operand.Literal(l) => cons(pk, Some(l))
+                    case _ => Left(ParseError(
+                      "DEFAULT takes a literal value", pos))
+                  }
+                } else Right((pk, dflt))
+              cons(false, None)
+            }
+          } yield (cn, tp, pkDef._1, pkDef._2)
+        def loop(acc: Vector[(String, SqlType, Boolean, Option[Lit])])
+            : Either[ParseError, Vector[(String, SqlType, Boolean, Option[Lit])]] =
           one().flatMap { c =>
             p.peek match {
               case TSym(",", _) => p.next(); loop(acc :+ c)
@@ -3567,6 +3596,8 @@ object Parser {
       name,
       colsAndPk.map(c => (c._1, c._2)),
       colsAndPk.filter(_._3).map(_._1),
-      bucket): ParseTree
+      bucket,
+      colsAndPk.collect { case (n, _, _, Some(l)) => n.toLowerCase -> l }
+        .toMap): ParseTree
   }
 }

@@ -310,6 +310,35 @@ class DmlSpec extends AnyFunSuite {
       "ON CONFLICT (id) DO NOTHING").isLeft)
   }
 
+  test("DEFAULT column values: fill on omission, DEFAULT keyword, persistence") {
+    val wh = Files.createTempDirectory("graft-default-wh").toString
+    val g = new GraftDatabase(spark, wh)
+    g.query("CREATE TABLE dt (id INT, v INT DEFAULT 7, " +
+      "tag VARCHAR(8) DEFAULT 'none', w DOUBLE)").toOption.get
+    // unlisted columns fill their default (w has none → NULL)
+    g.query("INSERT INTO dt (id) VALUES (1)").toOption.get
+    // the DEFAULT keyword as a VALUES item; expressions alongside
+    g.query("INSERT INTO dt VALUES (2, DEFAULT, 'x', 1.5), " +
+      "(3, 30, DEFAULT, DEFAULT)").toOption.get
+    // INSERT ... SELECT with a column list fills defaults too
+    g.query("INSERT INTO dt (id, w) SELECT 4 AS a, 2.5 AS b").toOption.get
+    val rows = g.select("SELECT id, v, tag, w FROM dt").toOption.get
+      .orderBy("id").collect().toSeq
+    assert(rows == Seq(
+      Row(1, 7, "none", null), Row(2, 7, "x", 1.5),
+      Row(3, 30, "none", null), Row(4, 7, "none", 2.5)))
+    // defaults survive a database reopen (catalog round-trip)
+    val g2 = new GraftDatabase(spark, wh)
+    g2.query("INSERT INTO dt (id) VALUES (9)").toOption.get
+    val r9 = g2.select("SELECT v, tag FROM dt WHERE id = 9").toOption.get
+      .collect().head
+    assert(r9.getInt(0) == 7 && r9.getString(1) == "none")
+    // unconvertible default fails at CREATE; DEFAULT outside VALUES
+    // rejects loudly
+    assert(g.query("CREATE TABLE bad (x INT DEFAULT 'zz')").isLeft)
+    assert(g.query("SELECT DEFAULT AS d FROM dt").isLeft)
+  }
+
   test("MERGE ON subqueries: source-side conjuncts pre-evaluate, target-side reject") {
     val g = new GraftDatabase(spark,
       Files.createTempDirectory("graft-merge-onsub-wh").toString)
