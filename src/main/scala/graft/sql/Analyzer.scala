@@ -2016,6 +2016,11 @@ object Analyzer {
                     case Left(err) => return Left(TypeNotConvertible(idx, err.msg))
                     case Right(_)  => sets += ((attr, BoundOperand.BLit(l)))
                   }
+                // SET x = DEFAULT: the declared default (NULL when none);
+                // already conversion-checked at CREATE
+                case Operand.DefaultVal =>
+                  sets += ((attr,
+                    BoundOperand.BLit(attr.default.getOrElse(Lit.LitNull))))
                 // SET x = (SELECT …): bind as a one-item select over the
                 // row-id'd target — `SELECT __lkrid, (sub) AS __sv` — so
                 // the projection-scope scalar-subquery machinery (guards,

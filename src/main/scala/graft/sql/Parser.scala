@@ -3020,7 +3020,22 @@ object Parser {
               sub <- parseSelect(p)
               _ <- p.eatSym(")")
             } yield Operand.ScalarSub(sub): Operand
-          else parseOperand(p)
+          // SET x = DEFAULT — the column's declared default (when the
+          // keyword stands alone; `default` stays usable as a column)
+          else p.peek match {
+            case TIdent(k, _) if k.equalsIgnoreCase("default") && {
+                val save = p.i; p.next()
+                val alone = p.peek match {
+                  case TSym(",", _) | TEnd(_) => true
+                  case TIdent(w, _) => w.equalsIgnoreCase("where")
+                  case TSym(";", _) => true
+                  case _ => false
+                }
+                p.i = save; alone
+              } =>
+              p.next(); Right(Operand.DefaultVal: Operand)
+            case _ => parseOperand(p)
+          }
       } yield (c, v)
     for {
       _ <- p.eatKw("update")

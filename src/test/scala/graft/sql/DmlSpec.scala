@@ -333,7 +333,12 @@ class DmlSpec extends AnyFunSuite {
     val r9 = g2.select("SELECT v, tag FROM dt WHERE id = 9").toOption.get
       .collect().head
     assert(r9.getInt(0) == 7 && r9.getString(1) == "none")
-    // unconvertible default fails at CREATE; DEFAULT outside VALUES
+    // UPDATE SET x = DEFAULT restores the declared default
+    g.query("UPDATE dt SET v = DEFAULT, tag = 'u' WHERE id = 3").toOption.get
+    val r3 = g.select("SELECT v, tag FROM dt WHERE id = 3").toOption.get
+      .collect().head
+    assert(r3.getInt(0) == 7 && r3.getString(1) == "u")
+    // unconvertible default fails at CREATE; DEFAULT outside VALUES/SET
     // rejects loudly
     assert(g.query("CREATE TABLE bad (x INT DEFAULT 'zz')").isLeft)
     assert(g.query("SELECT DEFAULT AS d FROM dt").isLeft)
