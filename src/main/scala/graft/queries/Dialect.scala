@@ -3103,6 +3103,21 @@ object Dialect {
              |    p -> coalesce(struct_extract(p, 1), '~') || '=' || coalesce(struct_extract(p, 2), '~') || '=' || coalesce(struct_extract(p, 3), '~')), ',') AS z
              |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // skewness/kurtosis: DuckDB's SAMPLE-corrected G1/G2 composed from
+    // Spark's population g1/g2 + count (probed correction factors);
+    // degenerate groups (n below the cutoff, constant input) read NULL
+    // on both engines (spec-pinned).
+    "q_dialect_stats_agg3" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT l_returnflag, round(skewness(l_extendedprice), 4) AS sk, " +
+          "round(kurtosis(l_extendedprice), 4) AS ku, " +
+          "round(skewness(l_quantity), 4) AS skq " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      Some("""SELECT l_returnflag, round(skewness(l_extendedprice), 4) AS sk,
+             |  round(kurtosis(l_extendedprice), 4) AS ku,
+             |  round(skewness(l_quantity), 4) AS skq
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // DEFAULT column values: declared per-column literals fill omitted
     // columns and the bare DEFAULT keyword in VALUES rows (INSERT …
     // VALUES and INSERT … SELECT column lists alike); defaults persist

@@ -1159,7 +1159,8 @@ object Analyzer {
   private def aggType(f: String, arg: Option[BoundOperand]): SqlType = f match {
     case "count"    => SqlType.SqlBigInt
     case "grouping" => SqlType.SqlInt
-    case "avg" | "stddev" | "variance" | "median" => SqlType.SqlDouble
+    case "avg" | "stddev" | "variance" | "median" |
+         "skewness" | "kurtosis" => SqlType.SqlDouble
     case "sum" => arg.map(operandType) match {
       case Some(SqlType.SqlDouble) => SqlType.SqlDouble
       case Some(SqlType.SqlDecimal(_, sc)) => SqlType.SqlDecimal(38, sc)
@@ -3308,7 +3309,8 @@ object Analyzer {
           Left(BadAggregate(s"$f(DISTINCT ...) is not supported"))
         else bindOp(r, allowAgg = false).flatMap { b =>
           val numericAgg =
-            Set("sum", "avg", "stddev", "variance", "median")(f)
+            Set("sum", "avg", "stddev", "variance", "median",
+              "skewness", "kurtosis")(f)
           val badCol = b match {
             case BoundOperand.BCol(c) if numericAgg &&
               !numericTypes(c.attr.sqlType) => Some(c)
@@ -3342,6 +3344,9 @@ object Analyzer {
               Left(BadFunction(s"$f does not take IGNORE NULLS"))
             else if (f == "grouping")
               Left(BadFunction("grouping() is not a window function"))
+            else if (f == "skewness" || f == "kurtosis")
+              Left(BadFunction(
+                s"$f is not supported in window position (group scope only)"))
             else if ((ranking || shifting) && ord.isEmpty)
               Left(BadFunction(s"$f requires ORDER BY in its OVER clause"))
             else if (f == "ntile" && !(args.length == 1 && (args.head match {

@@ -284,6 +284,23 @@ object Lowering {
           case ("bit_xor", Some(a))       => bit_xor(lowerOperandWith(a, qcol))
           // int on both engines (Spark's native grouping() is a tinyint)
           case ("grouping", Some(a))      => grouping(lowerOperandWith(a, qcol)).cast("int")
+          // DuckDB's skewness/kurtosis are the SAMPLE-corrected G1/G2
+          // where Spark's natives are population g1/g2 — compose the
+          // correction from count(x) (probed: G1 = g1·√(n(n-1))/(n-2),
+          // G2 = ((n+1)·g2+6)(n-1)/((n-2)(n-3)); n too small or a
+          // constant input reads NULL on both engines — try_divide for
+          // the n cutoffs, isnan→NULL for zero variance)
+          case ("skewness", Some(a)) =>
+            val c = lowerOperandWith(a, qcol)
+            val n = count(c).cast("double")
+            val g = skewness(c) * try_divide(sqrt(n * (n - 1)), n - 2)
+            when(isnan(g), lit(null)).otherwise(g)
+          case ("kurtosis", Some(a)) =>
+            val c = lowerOperandWith(a, qcol)
+            val n = count(c).cast("double")
+            val g = try_divide(((n + 1) * kurtosis(c) + 6) * (n - 1),
+              (n - 2) * (n - 3))
+            when(isnan(g), lit(null)).otherwise(g)
           case other                      => sys.error(s"unreachable aggregate $other")
         }
       val aggExprs = aggItems.map { case (f, arg, dist, _, i) =>

@@ -3475,6 +3475,24 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SELECT struct_extract([1,2], 1) AS a").isLeft)
   }
 
+  test("skewness/kurtosis: sample-corrected G1/G2, degenerate groups NULL") {
+    val db = freshDb()
+    db.query("CREATE TABLE sk (g INT, x DOUBLE)").toOption.get
+    db.query("INSERT INTO sk VALUES (1,1),(1,2),(1,3),(1,4),(1,10), " +
+      "(2,1),(2,2), (3,1),(3,2),(3,3), (4,5),(4,5),(4,5),(4,5)").toOption.get
+    val rows = db.select("SELECT g, round(skewness(x), 6) AS s, " +
+      "round(kurtosis(x), 6) AS k FROM sk GROUP BY g ORDER BY g")
+      .fold(e => fail(e.msg), identity).collect()
+    // DuckDB-probed pins: G1/G2 of {1,2,3,4,10} = 1.697056/3.152;
+    // n=2 → NULL/NULL; n=3 → 0.0/NULL; constant → NULL/NULL
+    assert(rows(0).getDouble(1) == 1.697056 && rows(0).getDouble(2) == 3.152)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(2).getDouble(1) == 0.0 && rows(2).isNullAt(2))
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
+    // not available in window position (composition needs group scope)
+    assert(db.query("SELECT skewness(x) OVER () AS s FROM sk").isLeft)
+  }
+
   test("date arithmetic: date +/- integer days, date - date") {
     val db = freshDb()
     def one(sql: String): Row = db.select(sql) match {
