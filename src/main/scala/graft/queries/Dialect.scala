@@ -3103,6 +3103,28 @@ object Dialect {
              |    p -> coalesce(struct_extract(p, 1), '~') || '=' || coalesce(struct_extract(p, 2), '~') || '=' || coalesce(struct_extract(p, 3), '~')), ',') AS z
              |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // Linear-regression aggregate family: Spark's natives match
+    // DuckDB's standard definitions exactly (probed); slope/intercept/
+    // r2 + the moment components in one grouped pass.
+    "q_dialect_regr" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT l_returnflag, " +
+          "round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, " +
+          "round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept, " +
+          "round(regr_r2(l_extendedprice, l_quantity), 6) AS r2, " +
+          "regr_count(l_extendedprice, l_quantity) AS n, " +
+          "round(regr_avgx(l_extendedprice, l_quantity), 4) AS ax, " +
+          "round(regr_avgy(l_extendedprice, l_quantity), 4) AS ay " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+             |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             |  cast(regr_count(l_extendedprice, l_quantity) AS bigint) AS n,
+             |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS ax,
+             |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS ay
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // skewness/kurtosis: DuckDB's SAMPLE-corrected G1/G2 composed from
     // Spark's population g1/g2 + count (probed correction factors);
     // degenerate groups (n below the cutoff, constant input) read NULL

@@ -1139,6 +1139,10 @@ object Analyzer {
     case BoundOperand.BOut(_, t)  => t
     case BoundOperand.BOrderedAgg("string_agg", _, _, _) => SqlType.SqlVarChar(65535)
     case BoundOperand.BOrderedAgg("count_distinct", _, _, _) => SqlType.SqlBigInt
+    case BoundOperand.BOrderedAgg("regr_count", _, _, _) => SqlType.SqlBigInt
+    case BoundOperand.BOrderedAgg("regr_slope" | "regr_intercept" |
+        "regr_r2" | "regr_avgx" | "regr_avgy" | "regr_sxx" | "regr_sxy" |
+        "regr_syy", _, _, _) => SqlType.SqlDouble
     case BoundOperand.BOrderedAgg("corr" | "covar_pop" | "covar_samp" |
         "percentile_cont", _, _, _) => SqlType.SqlDouble
     case BoundOperand.BOrderedAgg("array_agg", arg, _, _) =>

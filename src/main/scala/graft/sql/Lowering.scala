@@ -564,6 +564,22 @@ object Lowering {
           covar_pop(lowerOperandWith(arg, qcol), lowerOperandWith(k, qcol))
         case BoundOperand.BOrderedAgg("covar_samp", arg, _, Seq((k, _))) =>
           covar_samp(lowerOperandWith(arg, qcol), lowerOperandWith(k, qcol))
+        // linear-regression family: Spark's natives match DuckDB's
+        // standard definitions exactly (probed all nine on shared data)
+        case BoundOperand.BOrderedAgg(rf, arg, _, Seq((k, _)))
+            if rf.startsWith("regr_") =>
+          val (y, x) = (lowerOperandWith(arg, qcol), lowerOperandWith(k, qcol))
+          rf match {
+            case "regr_slope"     => regr_slope(y, x)
+            case "regr_intercept" => regr_intercept(y, x)
+            case "regr_r2"        => regr_r2(y, x)
+            case "regr_count"     => regr_count(y, x)
+            case "regr_avgx"      => regr_avgx(y, x)
+            case "regr_avgy"      => regr_avgy(y, x)
+            case "regr_sxx"       => regr_sxx(y, x)
+            case "regr_sxy"       => regr_sxy(y, x)
+            case _                => regr_syy(y, x)
+          }
         // exact interpolated percentile (Spark's percentile == the
         // standard's percentile_cont; DESC was folded to 1-p at parse)
         case BoundOperand.BOrderedAgg("percentile_cont", arg, pstr, Seq()) =>

@@ -2255,7 +2255,10 @@ object Parser {
     // two-argument statistical aggregates: corr(y, x), covar_pop(y, x),
     // covar_samp(y, x) — ride the OrderedAgg carrier (value + one key)
     case TIdent(f, _) if allowAgg &&
-        Set("corr", "covar_pop", "covar_samp")(f.toLowerCase) =>
+        Set("corr", "covar_pop", "covar_samp",
+          "regr_slope", "regr_intercept", "regr_r2", "regr_count",
+          "regr_avgx", "regr_avgy", "regr_sxx", "regr_sxy",
+          "regr_syy")(f.toLowerCase) =>
       val fn = f.toLowerCase
       p.next()
       for {
