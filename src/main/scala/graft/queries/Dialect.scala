@@ -2279,17 +2279,28 @@ object Dialect {
       Some("""UNPIVOT supplier ON s_suppkey, s_nationkey INTO NAME metric VALUE val
              |ORDER BY s_name, metric""".stripMargin)),
 
-    // Regex functions + boolean string predicates: regexp_replace is
-    // GLOBAL (the oracle passes DuckDB's 'g' flag); contains/starts_with/
-    // ends_with desugar at parse onto instr comparisons — all codegen'd.
+    // Regex functions + boolean string predicates: regexp_replace runs
+    // DuckDB semantics — FIRST match only by default ('g' makes it
+    // global, 'i' case-insensitive; RegexpReplaceDuck with \1-style
+    // backrefs); contains/starts_with/ends_with desugar at parse onto
+    // instr comparisons — all codegen'd. The IDENTICAL SQL runs on both
+    // engines, with first-only exercised on multi-match digit strings.
     "q_dialect_regex" -> QueryDef(
       (s, d) => run(db(s, d, "customer"),
         "SELECT c_custkey, regexp_replace(c_name, '[0-9]+', '#') AS masked, " +
+          "regexp_replace(c_name, '0', '*') AS first_zero, " +
+          "regexp_replace(c_name, '0', '*', 'g') AS all_zeros, " +
+          "regexp_replace(c_name, 'CUSTOMER#', '', 'i') AS bare_id, " +
+          "regexp_replace(c_name, '([0-9])([0-9])$', '\\2\\1', 'g') AS swapped, " +
           "regexp_extract(c_name, '([0-9]+)', 1) AS digits " +
           "FROM customer WHERE c_custkey <= 50 " +
           "AND contains(c_name, '0') AND starts_with(c_name, 'Customer') " +
           "AND NOT ends_with(c_name, 'X') ORDER BY c_custkey"),
-      Some("""SELECT c_custkey, regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+      Some("""SELECT c_custkey, regexp_replace(c_name, '[0-9]+', '#') AS masked,
+             |  regexp_replace(c_name, '0', '*') AS first_zero,
+             |  regexp_replace(c_name, '0', '*', 'g') AS all_zeros,
+             |  regexp_replace(c_name, 'CUSTOMER#', '', 'i') AS bare_id,
+             |  regexp_replace(c_name, '([0-9])([0-9])$', '\2\1', 'g') AS swapped,
              |  regexp_extract(c_name, '([0-9]+)', 1) AS digits
              |FROM customer WHERE c_custkey <= 50
              |AND contains(c_name, '0') AND starts_with(c_name, 'Customer')

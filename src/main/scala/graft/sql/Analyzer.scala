@@ -2789,8 +2789,9 @@ object Analyzer {
           case "date_part"           => args.length == 2
           case "translate" | "make_date" => args.length == 3
           case "date_trunc"          => args.length == 2
-          case "replace" | "lpad" | "rpad" | "split_part" |
-               "regexp_replace"      => args.length == 3
+          case "replace" | "lpad" | "rpad" | "split_part" => args.length == 3
+          // DuckDB regexp_replace: first-match-only unless flag 'g'
+          case "regexp_replace"      => args.length == 3 || args.length == 4
           case "regexp_extract"      => args.length == 2 || args.length == 3
           case "regexp_extract_all"  => args.length == 2 || args.length == 3
           case "greatest" | "least"  => args.length >= 2
@@ -2918,6 +2919,18 @@ object Analyzer {
         }))
           Left(BadFunction(
             "regexp_extract takes a string-literal pattern and an integer-literal group"))
+        // regexp_replace flags: a literal over {g,i,c} — 'g' global,
+        // 'i' case-insensitive, 'c' case-sensitive (DuckDB's default,
+        // a no-op here); RE2 newline options (m/n/p/s/l) reject loudly
+        // rather than silently running with Java's different defaults
+        else if (f == "regexp_replace" && args.length == 4 && !(args(3) match {
+          case Operand.Literal(Lit.LitString(fl)) =>
+            fl.forall(c => c == 'g' || c == 'i' || c == 'c')
+          case _ => false
+        }))
+          Left(BadFunction(
+            "regexp_replace options must be a string literal over 'g' " +
+              "(global), 'i' (case-insensitive), 'c' (case-sensitive)"))
         else if (f == "split_part" && !((args(1), args(2)) match {
           case (Operand.Literal(Lit.LitString(sep)),
                 Operand.Literal(Lit.LitLong(n))) => sep.nonEmpty && n >= 1

@@ -2924,10 +2924,18 @@ object Lowering {
         org.apache.spark.sql.functions.get(
           split(rec(a), java.util.regex.Pattern.quote(sep)), lit(n.toInt - 1)),
         lit(""))
-    // GLOBAL replace (Spark semantics — DuckDB's 'g' flag is implicit);
-    // both engines run Java-compatible regex syntax for common patterns
+    // DuckDB semantics: FIRST match only unless the 'g' flag; 'i'
+    // prepends (?i) to the pattern (works for dynamic patterns via
+    // concat); replacement backrefs are \1-style, translated in the
+    // codegen'd RegexpReplaceDuck expression
     case ("regexp_replace", Seq(a, b, c)) =>
-      regexp_replace(rec(a), rec(b), rec(c))
+      graft.functions.StringFunctions.regexpReplaceDuck(
+        rec(a), rec(b), rec(c), global = false)
+    case ("regexp_replace", Seq(a, b, c,
+        BoundOperand.BLit(Lit.LitString(flags)))) =>
+      val pat = if (flags.contains('i')) concat(lit("(?i)"), rec(b)) else rec(b)
+      graft.functions.StringFunctions.regexpReplaceDuck(
+        rec(a), pat, rec(c), global = flags.contains('g'))
     case ("regexp_extract", Seq(a, BoundOperand.BLit(Lit.LitString(pat)))) =>
       regexp_extract(rec(a), pat, 0)
     case ("regexp_extract", Seq(a, BoundOperand.BLit(Lit.LitString(pat)),

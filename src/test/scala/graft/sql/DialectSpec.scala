@@ -2136,6 +2136,32 @@ class DialectSpec extends AnyFunSuite {
       .toOption.get.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("regexp_replace: DuckDB first-match default, g/i flags, \\1 backrefs") {
+    val db = freshDb()
+    def one(sql: String): Row = db.select(sql) match {
+      case Right(df) => df.collect().head
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    val r = one("SELECT regexp_replace('aXbXc', 'X', '-') AS first_only, " +
+      "regexp_replace('aXbXc', 'X', '-', 'g') AS all_m, " +
+      "regexp_replace('aXbXc', 'x', '-', 'i') AS ci_first, " +
+      "regexp_replace('aXbXc', 'x', '-', 'gi') AS ci_all, " +
+      "regexp_replace('ab', '(a)(b)', '\\2\\1') AS backref, " +
+      "regexp_replace('cost: 5', '([0-9])', '$\\1', 'g') AS dollar")
+    assert(r.getString(0) == "a-bXc")
+    assert(r.getString(1) == "a-b-c")
+    assert(r.getString(2) == "a-bXc")
+    assert(r.getString(3) == "a-b-c")
+    assert(r.getString(4) == "ba")     // \1-style group refs (RE2/DuckDB)
+    assert(r.getString(5) == "cost: $5") // bare $ is LITERAL (not Java group)
+    // unknown option letters reject loudly (Java's newline defaults
+    // differ from RE2's — running them silently would diverge)
+    assert(db.query("SELECT regexp_replace('a', 'a', 'b', 's') AS x").isLeft)
+    // the options argument must be a literal
+    assert(db.query(
+      "SELECT regexp_replace(name, 'a', 'b', name) AS x FROM people").isLeft)
+  }
+
   test("regexp_extract_all and CREATE INDEX no-op parity") {
     val db = freshDb()
     def one(sql: String): Row = db.select(sql) match {
