@@ -2306,6 +2306,28 @@ object Dialect {
              |AND contains(c_name, '0') AND starts_with(c_name, 'Customer')
              |AND NOT ends_with(c_name, 'X') ORDER BY c_custkey""".stripMargin)),
 
+    // FROM-position file scans: `FROM '<path>.parquet'` and
+    // read_parquet('<path>') — no prior registration; the schema comes
+    // from the parquet footer at analysis, the scan is a native
+    // datasource scan (pushdown + pruning), and file scans compose with
+    // catalog machinery (joins, aggregates). The oracle reads the SAME
+    // files through the registered views — identical rows either way.
+    "q_dialect_read_files" -> QueryDef(
+      (s, d) => run(db(s, d),
+        s"SELECT c_mktsegment, count(*) AS n, " +
+          "count(DISTINCT o.o_custkey) AS nc, " +
+          "max(o.o_totalprice) AS top_price " +
+          s"FROM '$d/orders.parquet' o " +
+          s"JOIN read_parquet('$d/customer.parquet') c " +
+          "ON o.o_custkey = c.c_custkey WHERE o.o_totalprice > 100000 " +
+          "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*)::BIGINT AS n,
+             |  count(DISTINCT o.o_custkey)::BIGINT AS nc,
+             |  max(o.o_totalprice) AS top_price
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |WHERE o.o_totalprice > 100000
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // GROUP BY / ORDER BY ordinals: bare integer keys resolve to
     // SELECT-list positions (incl. an aggregate item in ORDER BY 3).
     "q_dialect_ordinals" -> QueryDef(

@@ -26,6 +26,13 @@ object Analyzer {
 
   trait Catalog {
     def resolve(table: String): Option[TableDesc]
+    /** Schema of a FROM-position file scan (`FROM 'x.parquet'`,
+      * read_parquet/read_csv/read_json). The default rejects — only
+      * catalogs backed by a live session (GraftDatabase) can read file
+      * schemas; internal synthetic catalogs never see file scans.
+      */
+    def resolveFile(format: String, path: String): Either[String, TableDesc] =
+      Left("file scans are not available in this context")
   }
 
   // Error surface mirroring AnalyzerError (reference analyzer/mod.rs:8-19).
@@ -830,6 +837,14 @@ object Analyzer {
   final case class BoundRange(start: Long, stopExcl: Long, step: Long,
       colName: String) extends BoundQuery
 
+  /** A FROM-position file scan, schema pinned at analysis. Lowers to a
+    * real datasource scan (partition-parallel; parquet keeps native
+    * footer types + pushdown, csv/json re-read UNDER the pinned schema
+    * so inference runs once per query).
+    */
+  final case class BoundFileScan(format: String, path: String,
+      desc: TableDesc) extends BoundQuery
+
   final case class BoundLateral(sub: BoundSelect,
       pairs: Seq[(BoundCol, BoundCol)], hiddenKeys: Seq[String],
       /** Group-less aggregate body: one row PER KEY including empty
@@ -1426,6 +1441,8 @@ object Analyzer {
         cat2 = new Catalog {
           def resolve(t: String): Option[TableDesc] =
             if (t.equalsIgnoreCase(r.name)) Some(desc) else cat.resolve(t)
+          override def resolveFile(f: String, pth: String) =
+            cat.resolveFile(f, pth)
         }
         step <- analyzeSelect(r.step, cat2)
         _ <-
@@ -1695,6 +1712,8 @@ object Analyzer {
     val chained = new Catalog {
       def resolve(t: String) =
         if (t.equalsIgnoreCase(desc.name)) Some(desc2) else cat.resolve(t)
+      override def resolveFile(f: String, pth: String) =
+        cat.resolveFile(f, pth)
     }
     analyzeSelect(
       SelectTree(Some(Seq(SelectItem.SCol(ColRef(None, "__lkrid")))),
@@ -1953,6 +1972,8 @@ object Analyzer {
           val chained = new Catalog {
             def resolve(t: String) =
               if (t.equalsIgnoreCase(tname)) Some(desc2) else cat.resolve(t)
+            override def resolveFile(f: String, pth: String) =
+              cat.resolveFile(f, pth)
           }
           val sel1 = SelectTree(Some(matchedItems),
             Seq(FTable(TableRef(tname, Some(talias)))), None,
@@ -2036,6 +2057,8 @@ object Analyzer {
                   val chained = new Catalog {
                     def resolve(t: String) =
                       if (t.equalsIgnoreCase(desc.name)) Some(desc2) else cat.resolve(t)
+                    override def resolveFile(f: String, pth: String) =
+                      cat.resolveFile(f, pth)
                   }
                   analyzeSelect(
                     SelectTree(Some(Seq(
@@ -2093,6 +2116,19 @@ object Analyzer {
     val aggLateralNames = scala.collection.mutable.Set.empty[String]
     def addFrom(fi: FromItem): Option[AnalyzerError] = fi match {
       case FTable(tr) => addTable(tr)
+      case FFileScan(format, path, alias) =>
+        cat.resolveFile(format, path) match {
+          case Left(m) => Some(BadSubquery(
+            s"cannot read $format file '$path': $m"))
+          case Right(desc) =>
+            val b = alias.toLowerCase
+            if (bound.contains(b)) Some(DuplicateBinding(b))
+            else {
+              bound(b) = BoundTable(desc.copy(name = b), b)
+              derivedSubs(b) = BoundFileScan(format, path, desc)
+              None
+            }
+        }
       case FTableFunc(_, start, stopExcl, step, alias, colName) =>
         val b = alias.toLowerCase
         if (bound.contains(b)) Some(DuplicateBinding(b))

@@ -47,6 +47,16 @@ object Ast {
     */
   final case class FTableFunc(func: String, start: Long, stopExcl: Long,
       step: Long, alias: String, colName: String) extends FromItem
+  /** A FROM-position file scan: `FROM 'x.parquet'` (format from the
+    * extension) or `read_parquet('…')` / `read_csv('…')` /
+    * `read_json('…')`. The schema comes from the file at analysis
+    * (parquet footer; csv/json one inference pass, pinned for the
+    * query); the scan itself is a real datasource scan — partition-
+    * parallel with pushdown/pruning. Default alias: file basename
+    * without the extension.
+    */
+  final case class FFileScan(format: String, path: String,
+      alias: String) extends FromItem
 
   sealed trait CmpOp { def sql: String }
   object CmpOp {

@@ -67,7 +67,50 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
 
   private object cat extends Catalog {
     def resolve(t: String): Option[TableDesc] = tables.get(t.toLowerCase)
+    /** FROM-position file scans: the schema comes from the file itself —
+      * parquet reads just the footer; csv/json pay one inference pass,
+      * cached per (path, mtime, size) so repeated queries analyze from
+      * the cache and re-infer only when the file changes.
+      */
+    override def resolveFile(format: String,
+        path: String): Either[String, TableDesc] = {
+      val f = new java.io.File(path)
+      if (!f.exists()) return Left("no such file or directory")
+      val key = (format, path, f.lastModified(), f.length())
+      fileSchemas.get(key) match {
+        case Some(d) => Right(d)
+        case None =>
+          try {
+            val df = format match {
+              case "parquet" => spark.read.parquet(path)
+              case "csv" => spark.read.option("header", "true")
+                .option("inferSchema", "true").csv(path)
+              case "json" => spark.read.json(path)
+              case other => return Left(s"unsupported format $other")
+            }
+            val attrs = df.schema.fields.toSeq.map(fl =>
+              AttributeDesc(fl.name.toLowerCase,
+                SqlType.fromSpark(fl.dataType), fl.nullable))
+            val dup = attrs.groupBy(_.name).collectFirst {
+              case (n, as) if as.length > 1 => n }
+            dup match {
+              case Some(n) => Left(s"duplicate column name '$n' in file")
+              case None =>
+                val desc = TableDesc(path, attrs)
+                if (fileSchemas.size > 256) fileSchemas.clear()
+                fileSchemas(key) = desc
+                Right(desc)
+            }
+          } catch {
+            case e: Exception =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+                .linesIterator.take(1).mkString)
+          }
+      }
+    }
   }
+  private val fileSchemas =
+    mutable.Map.empty[(String, String, Long, Long), TableDesc]
 
   def query(sql: String): Either[QueryError, QueryResult] =
     Parser.parse(sql).left.map(ParseFailed).flatMap(t => dispatch(t, sql))

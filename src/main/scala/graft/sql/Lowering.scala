@@ -2248,6 +2248,17 @@ object Lowering {
     case r: Analyzer.BoundRecursive => lowerRecursive(spark, r, source)
     case rg: Analyzer.BoundRange =>
       spark.range(rg.start, rg.stopExcl, rg.step).toDF(rg.colName)
+    case fs: Analyzer.BoundFileScan =>
+      // parquet scans natively (footer schema, pushdown, pruning);
+      // csv/json read UNDER the analysis-pinned schema — inference ran
+      // once at analysis, so plan schema and data schema always agree
+      fs.format match {
+        case "parquet" => spark.read.parquet(fs.path)
+        case "csv" => spark.read.schema(fs.desc.sparkSchema)
+          .option("header", "true").csv(fs.path)
+        case "json" => spark.read.schema(fs.desc.sparkSchema).json(fs.path)
+        case other => sys.error(s"unreachable file format $other")
+      }
     case l: Analyzer.BoundLateral   =>
       if (l.agg) sys.error("unreachable: aggregate laterals join fused in combine")
       lowerLateral(spark, l, source)

@@ -191,6 +191,33 @@ object Parser {
     "concat_ws", "list_aggregate", "strlen", "lcase", "ucase")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
+  /** FROM-position file readers → formats (DuckDB's read_* family;
+    * the *_auto forms are aliases — schema inference is the only mode).
+    */
+  private val FileReadFuncs: Map[String, String] = Map(
+    "read_parquet" -> "parquet", "parquet_scan" -> "parquet",
+    "read_csv" -> "csv", "read_csv_auto" -> "csv",
+    "read_json" -> "json", "read_json_auto" -> "json")
+
+  private def fileFormatOf(path: String): Option[String] = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".parquet")) Some("parquet")
+    else if (lower.endsWith(".csv")) Some("csv")
+    else if (lower.endsWith(".json") || lower.endsWith(".jsonl") ||
+      lower.endsWith(".ndjson")) Some("json")
+    else None
+  }
+
+  /** Default binding name for a file scan: basename without the
+    * extension (`'…/part.parquet'` binds as `part`).
+    */
+  private def fileBasename(path: String): String = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    val name = if (dot > 0) base.substring(0, dot) else base
+    if (name.isEmpty) "file" else name
+  }
+
   /** Entry point. Rejects trailing garbage like the reference's "query not
     * parsed fully" check (reference database.rs:38-40).
     */
@@ -444,6 +471,7 @@ object Parser {
         case other         => FDerived(other, al)
       }
       case tf: FTableFunc    => tf
+      case fs: FFileScan     => fs
     }
     def expr(e: Expr): Expr = e match {
       case Expr.And(l, r)         => Expr.And(expr(l), expr(r))
@@ -1026,6 +1054,44 @@ object Parser {
         // including set-op chains: `(SELECT … UNION SELECT …) alias` —
         // or `LATERAL (SELECT …) alias`
         def one0(): Either[ParseError, FromItem] = p.peek match {
+          // FROM 'path.parquet' — a file scan; format from the extension
+          case TStr(path, pos) =>
+            p.next()
+            fileFormatOf(path) match {
+              case None => Left(ParseError(
+                s"cannot infer file format from '$path' — use " +
+                  "read_parquet/read_csv/read_json or a .parquet/.csv/" +
+                  ".json extension", pos))
+              case Some(fmt) =>
+                val alias = p.peek match {
+                  case TIdent(a, _) if !reserved(a) => p.next(); a
+                  case _ => fileBasename(path)
+                }
+                Right(FFileScan(fmt, path, alias))
+            }
+          // read_parquet('path') / read_csv('path') / read_json('path')
+          case TIdent(fn, _) if FileReadFuncs.contains(fn.toLowerCase) && {
+                val save = p.i; p.next()
+                val isP = p.peek match { case TSym("(", _) => true; case _ => false }
+                p.i = save; isP
+              } =>
+            val fmt = FileReadFuncs(fn.toLowerCase)
+            p.next()
+            for {
+              _ <- p.eatSym("(")
+              path <- p.peek match {
+                case TStr(s, _) => p.next(); Right(s)
+                case t => Left(ParseError(
+                  s"$fn takes a single string-literal path", t.pos))
+              }
+              _ <- p.eatSym(")")
+            } yield {
+              val alias = p.peek match {
+                case TIdent(a, _) if !reserved(a) => p.next(); a
+                case _ => fileBasename(path)
+              }
+              FFileScan(fmt, path, alias): FromItem
+            }
           // range(…) / generate_series(…) table functions with literal
           // integer bounds; generate_series is end-INCLUSIVE (DuckDB),
           // normalized here to half-open

@@ -2136,6 +2136,46 @@ class DialectSpec extends AnyFunSuite {
       .toOption.get.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("FROM-position file scans: 'path', read_parquet/read_csv/read_json") {
+    val db = demoDb()
+    val dir = java.nio.file.Files.createTempDirectory("graft-files").toString
+    db.spark.sql("SELECT 1 AS id, 'a' AS tag UNION ALL SELECT 2, 'b'")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/t.csv"), "id,tag\n1,a\n2,b\n3,c\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/t.json"),
+      "{\"id\": 4, \"tag\": \"d\"}\n{\"id\": 5, \"tag\": \"e\"}\n")
+    def rows(sql: String): Seq[(Long, String)] = db.select(sql) match {
+      case Right(df) => df.collect().toSeq.map(r =>
+        (r.getAs[Any]("id").toString.toLong, r.getAs[String]("tag")))
+      case Left(e) => fail(s"$sql -> ${e.msg}")
+    }
+    // bare-path form; default alias = basename sans extension
+    assert(rows(s"SELECT pq.id, tag FROM '$dir/pq.parquet' ORDER BY id") ==
+      Seq((1L, "a"), (2L, "b")))
+    // read_* forms with explicit aliases
+    assert(rows(s"SELECT t.id, t.tag FROM read_csv('$dir/t.csv') t " +
+      "WHERE id >= 2 ORDER BY id") == Seq((2L, "b"), (3L, "c")))
+    assert(rows(s"SELECT j.id, j.tag FROM read_json('$dir/t.json') j " +
+      "ORDER BY id") == Seq((4L, "d"), (5L, "e")))
+    // file scans join catalog tables and each other
+    val joined = db.select(
+      s"SELECT p.id, c.tag FROM read_parquet('$dir/pq.parquet') p " +
+        s"JOIN '$dir/t.csv' c ON p.id = c.id ORDER BY p.id")
+      .fold(e => fail(e.msg), _.collect().toSeq)
+    assert(joined.map(_.get(1).toString) == Seq("a", "b"))
+    // missing file and unknown extension reject loudly
+    assert(db.query(s"SELECT * FROM '$dir/nope.parquet'").isLeft)
+    assert(db.query(s"SELECT * FROM '$dir/pq.xlsx'").isLeft)
+    // filters REACH the parquet scan (pushdown survives the dialect)
+    val plan = db.select(
+      s"SELECT id FROM '$dir/pq.parquet' WHERE id = 2")
+      .toOption.get.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"),
+      plan)
+  }
+
   test("regexp_replace: DuckDB first-match default, g/i flags, \\1 backrefs") {
     val db = freshDb()
     def one(sql: String): Row = db.select(sql) match {
