@@ -3136,6 +3136,29 @@ object Dialect {
              |    p -> coalesce(struct_extract(p, 1), '~') || '=' || coalesce(struct_extract(p, 2), '~') || '=' || coalesce(struct_extract(p, 3), '~')), ',') AS z
              |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // Distribution aggregates with no Spark native — typed Aggregator
+    // udafs (still partial-aggregate + one shuffle): entropy (Shannon
+    // base 2 over value counts; works on ANY type) and mad (median
+    // absolute deviation, both medians interpolated). mad needs no
+    // rounding — medians are selections, not sums, so both engines pick
+    // IEEE-identical values; entropy rounds away summation-order ulps.
+    "q_dialect_entropy_mad" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT l_returnflag, " +
+          "round(entropy(l_linestatus), 4) AS ent_status, " +
+          "round(entropy(l_quantity), 4) AS ent_qty, " +
+          "mad(l_quantity) AS mad_qty, " +
+          "mad(l_extendedprice) AS mad_price, " +
+          "count(*) AS n " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(entropy(l_linestatus), 4) AS ent_status,
+             |  round(entropy(l_quantity), 4) AS ent_qty,
+             |  mad(l_quantity) AS mad_qty,
+             |  mad(l_extendedprice) AS mad_price,
+             |  count(*)::BIGINT AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Linear-regression aggregate family: Spark's natives match
     // DuckDB's standard definitions exactly (probed); slope/intercept/
     // r2 + the moment components in one grouped pass.
@@ -3423,6 +3446,37 @@ object Dialect {
              |    RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
              |    AND INTERVAL 30 MINUTE FOLLOWING) AS bigint) AS n_win
              |FROM events WHERE user_id <= 100 ORDER BY event_id""".stripMargin)),
+
+    // GROUPS window frames: offsets count peer GROUPS (distinct order-
+    // key values). Spark has no GROUPS mode; the lowering pre-attaches
+    // dense_rank of the order keys and ranges over it (rank distance IS
+    // group distance — exact, incl. CURRENT ROW = whole peer group).
+    // DuckDB 1.0 has no GROUPS mode either, so the oracle applies the
+    // standard's definition through the same identity with ITS OWN
+    // dense_rank/RANGE machinery. l_quantity has heavy ties per flag —
+    // the frames genuinely span multi-row peer groups.
+    "q_dialect_win_groups" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT l_orderkey, l_linenumber, " +
+          "sum(l_quantity) OVER (PARTITION BY l_returnflag " +
+          "ORDER BY l_quantity " +
+          "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS gsum, " +
+          "count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity " +
+          "GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcnt " +
+          "FROM lineitem WHERE l_orderkey <= 400 " +
+          "ORDER BY l_orderkey, l_linenumber"),
+      Some("""WITH r AS (
+             |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+             |    dense_rank() OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_quantity) AS dr
+             |  FROM lineitem WHERE l_orderkey <= 400)
+             |SELECT l_orderkey, l_linenumber,
+             |  sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY dr
+             |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS gsum,
+             |  cast(count(*) OVER (PARTITION BY l_returnflag ORDER BY dr
+             |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS bigint) AS gcnt
+             |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // COLUMNS('regex'): regex-filtered star expansion (DuckDB's partial
     // match over column names) — pure analysis, the plan reads only the

@@ -1179,7 +1179,7 @@ object Analyzer {
     case "count"    => SqlType.SqlBigInt
     case "grouping" => SqlType.SqlInt
     case "avg" | "stddev" | "variance" | "median" |
-         "skewness" | "kurtosis" => SqlType.SqlDouble
+         "skewness" | "kurtosis" | "entropy" | "mad" => SqlType.SqlDouble
     case "sum" => arg.map(operandType) match {
       case Some(SqlType.SqlDouble) => SqlType.SqlDouble
       case Some(SqlType.SqlDecimal(_, sc)) => SqlType.SqlDecimal(38, sc)
@@ -3363,7 +3363,7 @@ object Analyzer {
         else bindOp(r, allowAgg = false).flatMap { b =>
           val numericAgg =
             Set("sum", "avg", "stddev", "variance", "median",
-              "skewness", "kurtosis")(f)
+              "skewness", "kurtosis", "mad")(f)
           val badCol = b match {
             case BoundOperand.BCol(c) if numericAgg &&
               !numericTypes(c.attr.sqlType) => Some(c)
@@ -3397,7 +3397,8 @@ object Analyzer {
               Left(BadFunction(s"$f does not take IGNORE NULLS"))
             else if (f == "grouping")
               Left(BadFunction("grouping() is not a window function"))
-            else if (f == "skewness" || f == "kurtosis")
+            else if (f == "skewness" || f == "kurtosis" ||
+                f == "entropy" || f == "mad")
               Left(BadFunction(
                 s"$f is not supported in window position (group scope only)"))
             else if ((ranking || shifting) && ord.isEmpty)

@@ -266,8 +266,15 @@ object Ast {
     * temporal key's epoch seconds so the value-distance frame is
     * time-windowed.
     */
+  /** `groups = true` is a GROUPS frame: offsets count peer GROUPS
+    * (distinct order-key tuples) instead of rows or value distance.
+    * Lowered exactly as a RANGE frame over a synthetic dense_rank of
+    * the order keys — rank distance IS group distance, and CURRENT ROW
+    * covers the whole peer group on both encodings.
+    */
   final case class WinFrame(range: Boolean, lo: Long, hi: Long,
-      exclude: String = "none", temporal: Boolean = false) {
+      exclude: String = "none", temporal: Boolean = false,
+      groups: Boolean = false) {
     def excludeCurrent: Boolean = exclude != "none"
   }
 

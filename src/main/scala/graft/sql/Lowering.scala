@@ -113,7 +113,13 @@ object Lowering {
         }
         case _ => false
       }
-      val winsPre = q.qualify.isDefined || donNeedsWins
+      // GROUPS frames need their dense_rank pre-attached — force the
+      // pre-attach path (projection-time Columns can't reference it)
+      val hasGroupsFrames = q.projection.exists {
+        case BoundItem.BIWin(_, _, _, _, _, fr) => fr.exists(_.groups)
+        case _                                  => false
+      }
+      val winsPre = q.qualify.isDefined || donNeedsWins || hasGroupsFrames
       val baseQ =
         if (!winsPre) base1
         else {
@@ -121,6 +127,14 @@ object Lowering {
             case w: BoundItem.BIWin => w
           }
           val withWins = winItems.foldLeft(base1) {
+            case (d, BoundItem.BIWin(f, args, parts, ord, a, frame))
+                if frame.exists(_.groups) =>
+              val rk = s"__grk_$a"
+              d.withColumn(rk, groupsRankColumn(parts, ord,
+                  lowerOperandWith(_, qcol), qcol))
+                .withColumn(a, windowColumn(f, args, parts, ord, frame,
+                  lowerOperandWith(_, qcol), qcol, Some(col(rk))))
+                .drop(rk)
             case (d, BoundItem.BIWin(f, args, parts, ord, a, frame)) =>
               d.withColumn(a, windowColumn(f, args, parts, ord, frame,
                 lowerOperandWith(_, qcol), qcol))
@@ -290,6 +304,15 @@ object Lowering {
           // G2 = ((n+1)·g2+6)(n-1)/((n-2)(n-3)); n too small or a
           // constant input reads NULL on both engines — try_divide for
           // the n cutoffs, isnan→NULL for zero variance)
+          // entropy counts equality classes — the string cast is
+          // equality-preserving within a column's type; mad runs over
+          // doubles (DuckDB's integer mad is DOUBLE too)
+          case ("entropy", Some(a)) =>
+            graft.functions.StatAggregates.entropy(
+              lowerOperandWith(a, qcol).cast("string"))
+          case ("mad", Some(a)) =>
+            graft.functions.StatAggregates.mad(
+              lowerOperandWith(a, qcol).cast("double"))
           case ("skewness", Some(a)) =>
             val c = lowerOperandWith(a, qcol)
             val n = count(c).cast("double")
@@ -479,10 +502,22 @@ object Lowering {
       // — group keys by grouped name, aggregate calls as hidden agg
       // columns (registered NOW, before the agg assembles); the columns
       // compute in a select between aggregation and the final ORDER BY
+      // GROUPS frames over the aggregated frame: the dense_rank columns
+      // pre-attach in a select ahead of the window select, then drop
+      val winRanks = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+      def withRank(frame: Option[Ast.WinFrame], parts: Seq[BoundCol],
+          ord: Seq[(BoundOperand, Boolean)], tag: String): Option[Column] =
+        if (!frame.exists(_.groups)) None
+        else {
+          val n = s"__grk_$tag"
+          winRanks += n -> groupsRankColumn(parts, ord, aggScopeOperand,
+            bc => col(groupOut(bc)))
+          Some(col(n))
+        }
       val winItems: Seq[(Int, Column)] = q.projection.zipWithIndex.collect {
         case (BoundItem.BIWin(f, args, parts, ord, _, frame), i) =>
           i -> windowColumn(f, args, parts, ord, frame, aggScopeOperand,
-            bc => col(groupOut(bc)))
+            bc => col(groupOut(bc)), withRank(frame, parts, ord, i.toString))
       }
       // QUALIFY in aggregate scope: hidden inline-OVER window items
       // compute like projection windows (args register hidden aggregates
@@ -492,7 +527,8 @@ object Lowering {
       val qwinItems: Seq[(String, Column)] = q.qualifyWins.collect {
         case BoundItem.BIWin(f, args, parts, ord, a, frame) =>
           a.toLowerCase -> windowColumn(f, args, parts, ord, frame,
-            aggScopeOperand, bc => col(groupOut(bc)))
+            aggScopeOperand, bc => col(groupOut(bc)),
+            withRank(frame, parts, ord, s"q_$a"))
       }
       val qualifyWinAliasCol: Map[String, String] =
         q.projection.zipWithIndex.collect {
@@ -751,8 +787,15 @@ object Lowering {
       // must not disturb the result ordering
       val withWins =
         if (winItems.isEmpty && qwinItems.isEmpty) grouped
-        else grouped.select(col("*") +: (winItems.map { case (i, c) =>
-          c.as(s"__w_$i") } ++ qwinItems.map { case (a, c) => c.as(a) }): _*)
+        else {
+          val preRanked =
+            if (winRanks.isEmpty) grouped
+            else grouped.select(col("*") +: winRanks.toSeq.map {
+              case (n, c) => c.as(n) }: _*)
+          preRanked.select(col("*") +: (winItems.map { case (i, c) =>
+            c.as(s"__w_$i") } ++ qwinItems.map { case (a, c) => c.as(a) }): _*)
+            .drop(winRanks.toSeq.map(_._1): _*)
+        }
       // QUALIFY filters the windowed aggregate result before
       // DISTINCT/ORDER BY (clause order); hidden window columns die at
       // the final projection. Subquery predicates left-join their marker
@@ -790,10 +833,30 @@ object Lowering {
     * ones span the whole partition; an explicit ROWS/RANGE frame
     * overrides.
     */
+  /** The synthetic order key a GROUPS frame ranges over: dense_rank of
+    * the window's own order keys. Attached as a column BEFORE the
+    * framed aggregate (a window spec cannot nest a window expression),
+    * dropped right after; same partition keys → no extra exchange.
+    */
+  private def groupsRankColumn(parts: Seq[BoundCol],
+      ord: Seq[(BoundOperand, Boolean)],
+      opLower: BoundOperand => Column, colOf: BoundCol => Column): Column =
+    dense_rank().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(parts.map(colOf): _*)
+      .orderBy(ord.map { case (op, desc) =>
+        val c = opLower(op)
+        if (desc) c.desc else c.asc
+      }: _*))
+
   private def windowColumn(f: String, args: Seq[BoundOperand],
       parts: Seq[BoundCol], ord: Seq[(BoundOperand, Boolean)],
       frame: Option[Ast.WinFrame],
-      opLower: BoundOperand => Column, colOf: BoundCol => Column): Column = {
+      opLower: BoundOperand => Column, colOf: BoundCol => Column,
+      /** GROUPS frames: the pre-attached dense_rank of the order keys
+        * (see groupsRankColumn) — the frame becomes a RANGE frame over
+        * it, which is exact: rank distance IS peer-group distance.
+        */
+      groupsRank: Option[Column] = None): Column = {
     val w0 = org.apache.spark.sql.expressions.Window
       .partitionBy(parts.map(colOf): _*)
     // INTERVAL RANGE bounds: order by the temporal key's epoch seconds
@@ -801,7 +864,10 @@ object Lowering {
     // normalized to seconds at parse; session timezone is UTC)
     val temporalRange = frame.exists(fr => fr.range && fr.temporal)
     val w1 =
-      if (ord.isEmpty) w0
+      if (frame.exists(_.groups))
+        w0.orderBy(groupsRank.getOrElse(
+          sys.error("unreachable: GROUPS frame without a rank column")).asc)
+      else if (ord.isEmpty) w0
       else if (temporalRange) {
         // epoch MICROS, not seconds — the fixtures carry microsecond
         // timestamps and a truncated ordering key would diverge from
@@ -819,7 +885,7 @@ object Lowering {
       def tb(b: Long): Long =
         if (!fr.temporal || b == Long.MinValue || b == Long.MaxValue) b
         else b * 1000000L
-      if (fr.range) w1.rangeBetween(tb(fr.lo), tb(fr.hi))
+      if (fr.groups || fr.range) w1.rangeBetween(tb(fr.lo), tb(fr.hi))
       else w1.rowsBetween(fr.lo, fr.hi)
     }
     // IGNORE NULLS arrives as a sentinel trailing argument (DuckDB's

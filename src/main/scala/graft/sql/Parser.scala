@@ -152,7 +152,7 @@ object Parser {
   private val aggFuncs = Set("count", "sum", "min", "max", "avg",
     "stddev", "variance", "median", "grouping",
     "mode", "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor",
-    "skewness", "kurtosis")
+    "skewness", "kurtosis", "entropy", "mad")
   private val winFuncs = Set("row_number", "rank", "dense_rank", "lag", "lead",
     "first_value", "last_value", "nth_value", "ntile", "percent_rank", "cume_dist")
   private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",
@@ -784,8 +784,9 @@ object Parser {
           }
         } else Right(Vector.empty[(Operand, Boolean)])
       frame <-
-        if (p.isKw("rows") || p.isKw("range")) {
+        if (p.isKw("rows") || p.isKw("range") || p.isKw("groups")) {
           val isRange = p.isKw("range")
+          val isGroups = p.isKw("groups")
           p.next()
           for {
             _ <- p.eatKw("between")
@@ -826,8 +827,15 @@ object Parser {
                     "EXCLUDE supports CURRENT ROW, GROUP, TIES and NO OTHERS", pos))
                 }
               } else Right("none")
+            // GROUPS + EXCLUDE: the exclusion machinery's peer-group
+            // subtraction presumes the range/row encodings — reject
+            // pointedly rather than silently diverging
+            _ <-
+              if (isGroups && excl != "none") Left(ParseError(
+                "EXCLUDE is not supported with GROUPS frames", p.peek.pos))
+              else Right(())
           } yield Some(WinFrame(isRange, lo, hi, excl,
-            temporal = loIv || hiIv))
+            temporal = loIv || hiIv, groups = isGroups))
         } else Right(None: Option[WinFrame])
       _ <- p.eatSym(")")
     } yield (parts, ord, frame)

@@ -2136,6 +2136,81 @@ class DialectSpec extends AnyFunSuite {
       .toOption.get.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("entropy and mad aggregates: DuckDB distribution semantics") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Right(_) => ()
+      case Left(e)  => fail(s"$sql -> ${e.msg}")
+    }
+    run("CREATE TABLE em (g INT, v DOUBLE, s VARCHAR(10))")
+    run("INSERT INTO em VALUES (1, 1.0, 'a'), (1, 2.0, 'a'), " +
+      "(1, 4.0, 'b'), (1, 9.0, 'c'), (2, 5.0, NULL), (2, NULL, 'x')")
+    val r = db.select(
+      "SELECT g, entropy(s) AS ent, mad(v) AS m FROM em " +
+        "GROUP BY g ORDER BY g").fold(e => fail(e.msg), _.collect().toSeq)
+    // g=1: s counts {a:2,b:1,c:1} → 1.5 bits; v {1,2,4,9}: med 3,
+    // devs {2,1,1,6} → mad 1.5. g=2: one non-null s → 0 bits; one v → 0
+    assert(r.map(_.getInt(0)) == Seq(1, 2))
+    assert(math.abs(r(0).getDouble(1) - 1.5) < 1e-12)
+    assert(r(0).getDouble(2) == 1.5)
+    assert(r(1).getDouble(1) == 0.0)
+    assert(r(1).getDouble(2) == 0.0)
+    // all-NULL: entropy 0.0, mad NULL (DuckDB probed)
+    run("CREATE TABLE em2 (v DOUBLE)")
+    run("INSERT INTO em2 VALUES (NULL)")
+    val r2 = db.select("SELECT entropy(v) AS e, mad(v) AS m FROM em2")
+      .fold(e => fail(e.msg), _.collect().head)
+    assert(r2.getDouble(0) == 0.0 && r2.isNullAt(1))
+    // HAVING position rides the hidden-aggregate machinery
+    val r3 = db.select("SELECT g FROM em GROUP BY g " +
+      "HAVING mad(v) > 1.0 ORDER BY g").fold(e => fail(e.msg), _.collect())
+    assert(r3.map(_.getInt(0)).toSeq == Seq(1))
+    // mad over strings and window position reject
+    assert(db.query("SELECT mad(s) AS x FROM em").isLeft)
+    assert(db.query(
+      "SELECT entropy(s) OVER (PARTITION BY g) AS x FROM em").isLeft)
+  }
+
+  test("GROUPS window frames: peer-group distance, ties span whole groups") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Right(_) => ()
+      case Left(e)  => fail(s"$sql -> ${e.msg}")
+    }
+    run("CREATE TABLE gw (g INT, v INT)")
+    run("INSERT INTO gw VALUES (1, 10), (1, 20), (2, 5), (3, 7), (3, 3)")
+    val r = db.select(
+      "SELECT g, v, sum(v) OVER (ORDER BY g " +
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s, " +
+        "count(*) OVER (ORDER BY g " +
+        "GROUPS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS c " +
+        "FROM gw ORDER BY g, v")
+      .fold(e => fail(e.msg), _.collect().toSeq)
+      .map(x => (x.getInt(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+    // peer groups: g=1 {10,20}, g=2 {5}, g=3 {7,3}
+    // 1-PRECEDING..CURRENT sums: g=1→30, g=2→35, g=3→15
+    // CURRENT..1-FOLLOWING counts: g=1→3, g=2→3, g=3→2
+    assert(r == Seq((1, 10, 30L, 3L), (1, 20, 30L, 3L), (2, 5, 35L, 3L),
+      (3, 3, 15L, 2L), (3, 7, 15L, 2L)))
+    // aggregated scope: GROUPS frame over the grouped output
+    val ra = db.select(
+      "SELECT g, sum(sum(v)) OVER (ORDER BY count(*) " +
+        "GROUPS BETWEEN CURRENT ROW AND CURRENT ROW) AS peers " +
+        "FROM gw GROUP BY g ORDER BY g")
+      .fold(e => fail(e.msg), _.collect().toSeq)
+      .map(x => (x.getInt(0), x.getLong(1)))
+    // count(*) per g: {1:2, 2:1, 3:2}; CURRENT ROW spans the whole peer
+    // group of the count — g=1 and g=3 (both count 2) sum 30+10=40
+    assert(ra == Seq((1, 40L), (2, 5L), (3, 40L)))
+    // rejections: EXCLUDE, missing ORDER BY, INTERVAL bounds
+    assert(db.query("SELECT sum(v) OVER (ORDER BY g GROUPS BETWEEN 1 " +
+      "PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS x FROM gw").isLeft)
+    assert(db.query("SELECT sum(v) OVER (GROUPS BETWEEN 1 PRECEDING AND " +
+      "CURRENT ROW) AS x FROM gw").isLeft)
+    assert(db.query("SELECT sum(v) OVER (ORDER BY g GROUPS BETWEEN " +
+      "INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS x FROM gw").isLeft)
+  }
+
   test("FROM-position file scans: 'path', read_parquet/read_csv/read_json") {
     val db = demoDb()
     val dir = java.nio.file.Files.createTempDirectory("graft-files").toString
