@@ -3136,6 +3136,33 @@ object Dialect {
              |    p -> coalesce(struct_extract(p, 1), '~') || '=' || coalesce(struct_extract(p, 2), '~') || '=' || coalesce(struct_extract(p, 3), '~')), ',') AS z
              |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // `* RENAME (old AS new)`: star expansion with renamed outputs —
+    // position and value keep, the name changes; composes with EXCLUDE/
+    // REPLACE. The DuckDB 1.0 oracle has no RENAME (added later), so it
+    // writes the expansion with explicit aliases — same result set.
+    "q_dialect_star_rename" -> QueryDef(
+      (s, d) => run(db(s, d, "nation"),
+        "SELECT * RENAME (n_name AS nation, n_regionkey AS region) " +
+          "FROM nation ORDER BY n_nationkey"),
+      Some("""SELECT n_nationkey, n_name AS nation, n_regionkey AS region
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // Lateral column aliases: SELECT items reference earlier items'
+    // aliases (`count(*) AS n, n*10 AS n10`), incl. HAVING over the
+    // alias — bound by substituting the alias's expression at the
+    // reference AFTER normal resolution fails, so real columns shadow
+    // aliases (DuckDB's precedence, probed). Identical SQL both engines.
+    "q_dialect_lateral_alias" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_custkey, count(*) AS n, n * 10 AS n10, " +
+          "max(o_totalprice) AS top, top / 2 AS half_top " +
+          "FROM orders GROUP BY o_custkey HAVING n >= 3 " +
+          "ORDER BY o_custkey"),
+      Some("""SELECT o_custkey, count(*)::BIGINT AS n, n * 10 AS n10,
+             |  max(o_totalprice) AS top, top / 2 AS half_top
+             |FROM orders GROUP BY o_custkey HAVING n >= 3
+             |ORDER BY o_custkey""".stripMargin)),
+
     // Distribution aggregates with no Spark native — typed Aggregator
     // udafs (still partial-aggregate + one shuffle): entropy (Shannon
     // base 2 over value counts; works on ANY type) and mad (median

@@ -2480,7 +2480,8 @@ object Analyzer {
     // an expression at the column's position, keeping its name as the
     // alias. Unknown names (and REPLACE of an EXCLUDEd name) fail loudly.
     def applyStarMods(cols: Seq[SelectItem], excl: Seq[String],
-        repl: Seq[(Operand, String)]): Either[AnalyzerError, Seq[SelectItem]] = {
+        repl: Seq[(Operand, String)],
+        ren: Seq[(String, String)]): Either[AnalyzerError, Seq[SelectItem]] = {
       def nameOf(it: SelectItem): String = it match {
         case SelectItem.SCol(r, _) => r.name
         case _                     => ""
@@ -2493,12 +2494,34 @@ object Analyzer {
           repl.find { case (_, n) =>
             !kept.exists(c => nameOf(c).equalsIgnoreCase(n)) } match {
             case Some((_, n)) => Left(UnboundAttribute(n))
-            case None => Right(kept.map { c =>
-              repl.collectFirst {
-                case (e, n) if nameOf(c).equalsIgnoreCase(n) =>
-                  SelectItem.SExpr(e, n)
-              }.getOrElse(c)
-            })
+            case None =>
+              val replaced = kept.map { c =>
+                repl.collectFirst {
+                  case (e, n) if nameOf(c).equalsIgnoreCase(n) =>
+                    SelectItem.SExpr(e, n): SelectItem
+                }.getOrElse(c)
+              }
+              // RENAME keeps position and value, changes the output
+              // name; applies AFTER replace (renames the final item)
+              def outNameOf(it: SelectItem): String = it match {
+                case SelectItem.SCol(r, a) => a.getOrElse(r.name)
+                case SelectItem.SExpr(_, a) => a
+                case _                      => ""
+              }
+              ren.find { case (o, _) =>
+                !replaced.exists(c => outNameOf(c).equalsIgnoreCase(o)) } match {
+                case Some((o, _)) => Left(UnboundAttribute(o))
+                case None => Right(replaced.map { c =>
+                  ren.collectFirst {
+                    case (o, n) if outNameOf(c).equalsIgnoreCase(o) =>
+                      c match {
+                        case SelectItem.SCol(r, _)  => SelectItem.SCol(r, Some(n)): SelectItem
+                        case SelectItem.SExpr(e, _) => SelectItem.SExpr(e, n): SelectItem
+                        case other                  => other
+                      }
+                  }.getOrElse(c)
+                })
+              }
           }
       }
     }
@@ -2517,18 +2540,18 @@ object Analyzer {
         if (kept.isEmpty)
           return Left(BadFunction(s"COLUMNS('$pat') matched no columns"))
         kept
-      case SelectItem.SStar(None, Nil, Nil) => expandAll
-      case SelectItem.SStar(None, excl, repl) =>
-        applyStarMods(expandAll, excl, repl) match {
+      case SelectItem.SStar(None, Nil, Nil, Nil) => expandAll
+      case SelectItem.SStar(None, excl, repl, ren) =>
+        applyStarMods(expandAll, excl, repl, ren) match {
           case Right(items) => items
           case Left(e)      => return Left(e)
         }
-      case SelectItem.SStar(Some(b), excl, repl) =>
+      case SelectItem.SStar(Some(b), excl, repl, ren) =>
         bound.get(b.toLowerCase) match {
           case Some(bt) =>
             val cols = visibleAttrs(bt).map(a =>
               SelectItem.SCol(ColRef(Some(bt.binding), a.name)))
-            applyStarMods(cols, excl, repl) match {
+            applyStarMods(cols, excl, repl, ren) match {
               case Right(items) => items
               case Left(e)      => return Left(e)
             }
@@ -2605,8 +2628,39 @@ object Analyzer {
     // queries have no such path and keep rejecting)
     var havingMarkerOk = false
 
+    // Lateral column aliases (DuckDB): a SELECT item may reference an
+    // earlier (or any acyclic) item's alias — `a+1 AS b, b*2 AS c`.
+    // Bound by SUBSTITUTING the alias's expression at the reference, and
+    // only as a FALLBACK after normal resolution fails: a real column of
+    // the same name wins (DuckDB's precedence). Window/subquery items
+    // are not substitutable (no operand form) and keep erroring.
+    val lateralAliasOps: Map[String, Operand] =
+      s.columns.getOrElse(Nil).collect {
+        case SelectItem.SExpr(op, a) => a.toLowerCase -> op
+        case SelectItem.SCol(r, Some(a)) =>
+          a.toLowerCase -> (Operand.Col(r): Operand)
+        case SelectItem.SAgg(f, arg, Some(a), dist) =>
+          a.toLowerCase -> (Operand.AggCall(f, arg, dist): Operand)
+      }.toMap
+    val aliasInProgress = scala.collection.mutable.Set.empty[String]
+
     def bindOp(o: Operand, allowAgg: Boolean,
-        allowSub: Boolean = false): Either[AnalyzerError, BoundOperand] = o match {
+        allowSub: Boolean = false): Either[AnalyzerError, BoundOperand] = {
+    // the lateral-alias fallback inherits THIS reference's scope flags:
+    // an aggregate-valued alias referenced from WHERE still rejects
+    def lateralAliasFallback(c: ColRef,
+        err: AnalyzerError): Either[AnalyzerError, BoundOperand] =
+      if (c.binding.nonEmpty || !err.isInstanceOf[UnboundAttribute] ||
+          !lateralAliasOps.contains(c.name.toLowerCase)) Left(err)
+      else {
+        val key = c.name.toLowerCase
+        if (!aliasInProgress.add(key))
+          Left(BadFunction(s"circular lateral column alias '$key'"))
+        else
+          try bindOp(lateralAliasOps(key), allowAgg, allowSub)
+          finally aliasInProgress -= key
+      }
+    o match {
       case Operand.Col(ColRef(None, n)) if lambdaScope.contains(n.toLowerCase) =>
         Right(BoundOperand.BLambdaVar(n.toLowerCase, lambdaScope(n.toLowerCase)))
       // x.field where x is a struct-typed lambda parameter — DuckDB's
@@ -2638,11 +2692,11 @@ object Analyzer {
                       BoundOperand.BCol(bc),
                       BoundOperand.BLit(Lit.LitString(
                         fs.find(_._1.equalsIgnoreCase(n)).get._1)))))
-                  case _ => Left(err)
+                  case _ => lateralAliasFallback(c, err)
                 }
-                case _ => Left(err)
+                case _ => lateralAliasFallback(c, err)
               }
-            case _ => Left(err)
+            case _ => lateralAliasFallback(c, err)
           }
         }
       case Operand.Literal(v) => Right(BoundOperand.BLit(v))
@@ -3173,6 +3227,7 @@ object Analyzer {
               }
           }
         } yield res
+    }
     }
 
     def bindExpr(e: Expr, allowAgg: Boolean = false,

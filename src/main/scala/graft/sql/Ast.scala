@@ -193,7 +193,11 @@ object Ast {
       */
     final case class SStar(binding: Option[String],
         exclude: Seq[String] = Nil,
-        replace: Seq[(Operand, String)] = Nil) extends SelectItem
+        replace: Seq[(Operand, String)] = Nil,
+        /** `* RENAME (old AS new, …)` — keeps position and value,
+          * changes the output name (applied after EXCLUDE/REPLACE).
+          */
+        rename: Seq[(String, String)] = Nil) extends SelectItem
     /** COLUMNS('regex'): star expansion restricted to column names the
       * regex matches (DuckDB; partial match, case-sensitive). Errors
       * when nothing matches.

@@ -633,18 +633,21 @@ object Parser {
   }
 
   /** DuckDB star modifiers: `* EXCLUDE (col, …)` / `* REPLACE (expr AS
-    * col, …)`, in either order (contextual keywords — only the call
-    * shape triggers them).
+    * col, …)` / `* RENAME (old AS new, …)`, in any order (contextual
+    * keywords — only the call shape triggers them).
     */
   private def parseStarMods(p: P)
-      : Either[ParseError, (Vector[String], Vector[(Operand, String)])] = {
+      : Either[ParseError, (Vector[String], Vector[(Operand, String)],
+        Vector[(String, String)])] = {
     def callAhead(kw: String): Boolean = p.isKw(kw) && {
       val save = p.i; p.next()
       val r = p.peek match { case TSym("(", _) => true; case _ => false }
       p.i = save; r
     }
-    def loop(excl: Vector[String], repl: Vector[(Operand, String)])
-        : Either[ParseError, (Vector[String], Vector[(Operand, String)])] =
+    def loop(excl: Vector[String], repl: Vector[(Operand, String)],
+        ren: Vector[(String, String)])
+        : Either[ParseError, (Vector[String], Vector[(Operand, String)],
+          Vector[(String, String)])] =
       if (callAhead("exclude")) {
         p.next()
         for {
@@ -660,7 +663,7 @@ object Parser {
             go(Vector.empty)
           }
           _ <- p.eatSym(")")
-          r <- loop(excl ++ names, repl)
+          r <- loop(excl ++ names, repl, ren)
         } yield r
       } else if (callAhead("replace")) {
         p.next()
@@ -684,10 +687,34 @@ object Parser {
             go(Vector.empty)
           }
           _ <- p.eatSym(")")
-          r <- loop(excl, repl ++ pairs)
+          r <- loop(excl, repl ++ pairs, ren)
         } yield r
-      } else Right((excl, repl))
-    loop(Vector.empty, Vector.empty)
+      } else if (callAhead("rename")) {
+        p.next()
+        for {
+          _ <- p.eatSym("(")
+          pairs <- {
+            def one(): Either[ParseError, (String, String)] =
+              for {
+                o <- p.ident()
+                _ <- p.eatKw("as")
+                n <- p.ident()
+              } yield (o, n)
+            def go(acc: Vector[(String, String)])
+                : Either[ParseError, Vector[(String, String)]] =
+              one().flatMap { pr =>
+                p.peek match {
+                  case TSym(",", _) => p.next(); go(acc :+ pr)
+                  case _            => Right(acc :+ pr)
+                }
+              }
+            go(Vector.empty)
+          }
+          _ <- p.eatSym(")")
+          r <- loop(excl, repl, ren ++ pairs)
+        } yield r
+      } else Right((excl, repl, ren))
+    loop(Vector.empty, Vector.empty, Vector.empty)
   }
 
   /** ROWS/RANGE BETWEEN frame bound, in Spark's row-offset encoding. */
@@ -878,8 +905,8 @@ object Parser {
           p.next()
           // solo star may still carry EXCLUDE/REPLACE modifiers
           parseStarMods(p).map {
-            case (e, r) if e.isEmpty && r.isEmpty => None
-            case (e, r) => Some(Seq(SelectItem.SStar(None, e, r)))
+            case (e, r, rn) if e.isEmpty && r.isEmpty && rn.isEmpty => None
+            case (e, r, rn) => Some(Seq(SelectItem.SStar(None, e, r, rn)))
           }
         case _ =>
           def winItem(fn: String, args: Seq[Operand],
@@ -917,7 +944,7 @@ object Parser {
               // `*` / `t.*` as one item of a longer list
               case TSym("*", _) =>
                 p.next()
-                parseStarMods(p).map { case (e, r) => SelectItem.SStar(None, e, r) }
+                parseStarMods(p).map { case (e, r, rn) => SelectItem.SStar(None, e, r, rn) }
               // COLUMNS('regex') — regex-filtered star expansion
               case TIdent(k, _) if k.equalsIgnoreCase("columns") && {
                 val save = p.i; p.next()
@@ -947,7 +974,7 @@ object Parser {
                 p.i = save; dotStar
               } =>
                 p.next(); p.next(); p.next() // ident . *
-                parseStarMods(p).map { case (e, r) => SelectItem.SStar(Some(b), e, r) }
+                parseStarMods(p).map { case (e, r, rn) => SelectItem.SStar(Some(b), e, r, rn) }
               // `(SELECT …) AS a` — a scalar subquery item; a bare `(`
               // not followed by SELECT stays a parenthesized operand
               case TSym("(", _) if {

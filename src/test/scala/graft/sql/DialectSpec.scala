@@ -2136,6 +2136,59 @@ class DialectSpec extends AnyFunSuite {
       .toOption.get.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("star RENAME: renamed expansion, composes with EXCLUDE/REPLACE") {
+    val db = demoDb()
+    def cols(sql: String): Seq[String] = db.select(sql) match {
+      case Right(df) => df.columns.toSeq
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    assert(cols("SELECT * RENAME (name AS who) FROM people") ==
+      Seq("id", "who", "age"))
+    assert(cols("SELECT * EXCLUDE (id) RENAME (age AS years) FROM people") ==
+      Seq("name", "years"))
+    // RENAME applies AFTER REPLACE (renames the replaced item)
+    val r = db.select("SELECT * REPLACE (age * 2 AS age) " +
+      "RENAME (age AS dbl) FROM people WHERE id = 1")
+      .fold(e => fail(e.msg), _.collect().head)
+    assert(r.schema.fieldNames.toSeq == Seq("id", "name", "dbl"))
+    // qualified star takes the same modifiers
+    assert(cols("SELECT p.* RENAME (name AS who) FROM people p") ==
+      Seq("id", "who", "age"))
+    // unknown names reject
+    assert(db.query("SELECT * RENAME (nope AS x) FROM people").isLeft)
+  }
+
+  test("lateral column aliases: substitution, precedence, cycles") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Right(_) => ()
+      case Left(e)  => fail(s"$sql -> ${e.msg}")
+    }
+    run("CREATE TABLE la (a INT, g INT)")
+    run("INSERT INTO la VALUES (1, 1), (2, 1), (3, 2)")
+    // chained aliases + WHERE over an alias
+    val r = db.select("SELECT a + 1 AS b, b * 2 AS c FROM la " +
+      "WHERE b >= 3 ORDER BY b").fold(e => fail(e.msg), _.collect().toSeq)
+    assert(r.map(x => (x.getLong(0), x.getLong(1))) == Seq((3L, 6L), (4L, 8L)))
+    // a REAL column shadows the alias (DuckDB precedence probed:
+    // `a+10 AS a, a+1 AS c` reads the ORIGINAL a in c)
+    val p = db.select("SELECT a + 10 AS a, a + 1 AS c FROM la " +
+      "WHERE g = 2").fold(e => fail(e.msg), _.collect().head)
+    assert((p.getLong(0), p.getLong(1)) == (13L, 4L))
+    // aggregate-valued aliases: projection and HAVING
+    val ra = db.select("SELECT g, count(*) AS n, n * 10 AS n10 FROM la " +
+      "GROUP BY g HAVING n >= 2 ORDER BY g")
+      .fold(e => fail(e.msg), _.collect().toSeq)
+    assert(ra.map(x => (x.getInt(0), x.getLong(1), x.getLong(2))) ==
+      Seq((1, 2L, 20L)))
+    // self-reference and mutual cycles reject; unknown names still error
+    assert(db.query("SELECT b + 1 AS b FROM la").isLeft)
+    assert(db.query("SELECT c + 1 AS b, b + 1 AS c FROM la").isLeft)
+    assert(db.query("SELECT nope + 1 AS b FROM la").isLeft)
+    // an aggregate alias referenced from WHERE still rejects (scope)
+    assert(db.query("SELECT count(*) AS n FROM la WHERE n > 1").isLeft)
+  }
+
   test("entropy and mad aggregates: DuckDB distribution semantics") {
     val db = freshDb()
     def run(sql: String): Unit = db.query(sql) match {
