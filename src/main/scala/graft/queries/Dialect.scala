@@ -3136,6 +3136,41 @@ object Dialect {
              |    p -> coalesce(struct_extract(p, 1), '~') || '=' || coalesce(struct_extract(p, 2), '~') || '=' || coalesce(struct_extract(p, 3), '~')), ',') AS z
              |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // MAP type surface: MAP {k: v} literals, the list-returning
+    // subscript ([] when absent — DuckDB), map()/map_keys/map_values/
+    // cardinality, to_json. IDENTICAL SQL on both engines; arrays
+    // serialize via array_to_string (driver-harness ndarray rule).
+    "q_dialect_map" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "array_to_string(MAP {'s': o_orderstatus, 'p': o_orderpriority}['p'], ',') AS p_val, " +
+          "coalesce(array_to_string(MAP {'s': o_orderstatus}['z'], ','), '') AS missing, " +
+          "cast(cardinality(MAP {'s': o_orderstatus, 'p': o_orderpriority}) AS BIGINT) AS n, " +
+          "array_to_string(map_keys(MAP {'s': o_orderstatus, 'p': o_orderpriority}), ',') AS ks, " +
+          "to_json(map(['k1', 'k2'], [o_orderkey, o_orderkey + 1])) AS mj " +
+          "FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  array_to_string(MAP {'s': o_orderstatus, 'p': o_orderpriority}['p'], ',') AS p_val,
+             |  coalesce(array_to_string(MAP {'s': o_orderstatus}['z'], ','), '') AS missing,
+             |  cast(cardinality(MAP {'s': o_orderstatus, 'p': o_orderpriority}) AS BIGINT) AS n,
+             |  array_to_string(map_keys(MAP {'s': o_orderstatus, 'p': o_orderpriority}), ',') AS ks,
+             |  to_json(map(['k1', 'k2'], [o_orderkey, o_orderkey + 1])) AS mj
+             |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin)),
+
+    // histogram(): per-group value→count MAP with keys sorted ascending
+    // (DuckDB probed) — one collect_list aggregate state + a codegen'd
+    // count-per-distinct fold; to_json on both engines for the compare.
+    "q_dialect_histogram" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderpriority AS pri, " +
+          "to_json(histogram(o_orderstatus)) AS hs, " +
+          "to_json(histogram(o_custkey % 7)) AS hp " +
+          "FROM orders GROUP BY o_orderpriority ORDER BY pri"),
+      Some("""SELECT o_orderpriority AS pri,
+             |  to_json(histogram(o_orderstatus)) AS hs,
+             |  to_json(histogram(o_custkey % 7)) AS hp
+             |FROM orders GROUP BY o_orderpriority ORDER BY pri""".stripMargin)),
+
     // `* RENAME (old AS new)`: star expansion with renamed outputs —
     // position and value keep, the name changes; composes with EXCLUDE/
     // REPLACE. The DuckDB 1.0 oracle has no RENAME (added later), so it

@@ -1071,6 +1071,28 @@ object Analyzer {
           case SqlType.SqlArray(e) => e
           case other               => other
         }
+      // map surface (DuckDB): subscript/map_extract read a LIST of the
+      // value ([] when absent)
+      case "__map_lit" =>
+        if (args.isEmpty) SqlType.SqlMap(SqlType.SqlInt, SqlType.SqlInt)
+        else SqlType.SqlMap(operandType(args(0)), operandType(args(1)))
+      case "map" => (operandType(args(0)), operandType(args(1))) match {
+        case (SqlType.SqlArray(k), SqlType.SqlArray(v)) => SqlType.SqlMap(k, v)
+        case _ => SqlType.SqlMap(SqlType.SqlInt, SqlType.SqlInt) // rejected later
+      }
+      case "map_extract" => operandType(args.head) match {
+        case SqlType.SqlMap(_, v) => SqlType.SqlArray(v)
+        case other                => other
+      }
+      case "map_keys" => operandType(args.head) match {
+        case SqlType.SqlMap(k, _) => SqlType.SqlArray(k)
+        case other                => other
+      }
+      case "map_values" => operandType(args.head) match {
+        case SqlType.SqlMap(_, v) => SqlType.SqlArray(v)
+        case other                => other
+      }
+      case "cardinality" => SqlType.SqlBigInt
       case "list_distinct" | "array_distinct" | "list_sort" | "array_sort" |
            "list_concat" | "array_concat" | "list_slice" | "list_filter" =>
         operandType(args.head)
@@ -1180,6 +1202,9 @@ object Analyzer {
     case "grouping" => SqlType.SqlInt
     case "avg" | "stddev" | "variance" | "median" |
          "skewness" | "kurtosis" | "entropy" | "mad" => SqlType.SqlDouble
+    case "histogram" =>
+      SqlType.SqlMap(arg.map(operandType).getOrElse(SqlType.SqlInt),
+        SqlType.SqlBigInt)
     case "sum" => arg.map(operandType) match {
       case Some(SqlType.SqlDouble) => SqlType.SqlDouble
       case Some(SqlType.SqlDecimal(_, sc)) => SqlType.SqlDecimal(38, sc)
@@ -2900,6 +2925,9 @@ object Analyzer {
                "string_to_array" | "split" | "array_to_string" |
                "regexp_split_to_array" => args.length == 2
           case "list_slice"          => args.length == 3
+          case "__map_lit"           => args.length % 2 == 0
+          case "map" | "map_extract" => args.length == 2
+          case "map_keys" | "map_values" | "cardinality" => args.length == 1
           case "list_reverse" | "flatten" | "list_unique" => args.length == 1
           case "list_append" | "list_prepend" | "list_intersect" |
                "list_has_any" | "list_has_all" => args.length == 2
@@ -3072,8 +3100,48 @@ object Analyzer {
             if (f == "list_zip" &&
                 !bargs.forall(b => operandType(b).isInstanceOf[SqlType.SqlArray]))
               Left(BadFunction("list_zip arguments must all be lists"))
+            else if (f == "__map_lit" && bargs.nonEmpty && {
+              val ks = bargs.indices.collect { case i if i % 2 == 0 => bargs(i) }
+              val vs = bargs.indices.collect { case i if i % 2 == 1 => bargs(i) }
+              !ks.forall(k => SqlType.comparable(operandType(k),
+                operandType(ks.head))) ||
+                !vs.forall(v => SqlType.comparable(operandType(v),
+                  operandType(vs.head)))
+            })
+              Left(BadFunction(
+                "MAP literal: keys (and values) must share one type"))
+            else if (f == "map" && !((operandType(bargs(0)),
+                operandType(bargs(1))) match {
+              case (SqlType.SqlArray(_), SqlType.SqlArray(_)) => true
+              case _ => false
+            }))
+              Left(BadFunction("map takes two lists (keys, values)"))
+            else if (f == "map_extract" && !((operandType(bargs.head),
+                bargs(1)) match {
+              case (SqlType.SqlMap(k, _), b) =>
+                SqlType.comparable(k, operandType(b))
+              case _ => false
+            }))
+              Left(BadFunction(
+                "map_extract takes a map and a key of the map's key type"))
+            else if ((f == "map_keys" || f == "map_values" ||
+                f == "cardinality") &&
+                !operandType(bargs.head).isInstanceOf[SqlType.SqlMap])
+              Left(BadFunction(s"$f takes a map"))
+            // the bracket postfix on a MAP base rebinds to map_extract
+            // below — validate the key type here, while the name is
+            // still list_extract
+            else if (f == "list_extract" && bargs.length == 2 &&
+                (operandType(bargs.head) match {
+                  case SqlType.SqlMap(k, _) =>
+                    !SqlType.comparable(k, operandType(bargs(1)))
+                  case _ => false
+                }))
+              Left(BadFunction(
+                "map subscript key must match the map's key type"))
             else if (f == "to_json" && !(operandType(bargs.head) match {
-              case SqlType.SqlStruct(_) | SqlType.SqlArray(_) => true
+              case SqlType.SqlStruct(_) | SqlType.SqlArray(_) |
+                   SqlType.SqlMap(_, _) => true
               case _ => false
             }))
               // Spark's to_json serializes container types only; scalars
@@ -3107,7 +3175,13 @@ object Analyzer {
               case SqlType.SqlArray(_) => true
               case _                   => false
             }
-            if (f == "list_extract" && bargs.length == 2 && strBase)
+            def mapBase = bargs.nonEmpty &&
+              operandType(bargs.head).isInstanceOf[SqlType.SqlMap]
+            // m['k'] parses as list_extract; on a MAP base it is
+            // DuckDB's map subscript → a LIST of the value
+            if (f == "list_extract" && bargs.length == 2 && mapBase)
+              BoundOperand.BFunc("map_extract", bargs)
+            else if (f == "list_extract" && bargs.length == 2 && strBase)
               BoundOperand.BFunc("str_extract", bargs)
             else if (f == "list_slice" && bargs.length == 3 && strBase)
               BoundOperand.BFunc("str_slice", bargs)
@@ -3453,7 +3527,7 @@ object Analyzer {
             else if (f == "grouping")
               Left(BadFunction("grouping() is not a window function"))
             else if (f == "skewness" || f == "kurtosis" ||
-                f == "entropy" || f == "mad")
+                f == "entropy" || f == "mad" || f == "histogram")
               Left(BadFunction(
                 s"$f is not supported in window position (group scope only)"))
             else if ((ranking || shifting) && ord.isEmpty)

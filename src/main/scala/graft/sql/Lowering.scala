@@ -313,6 +313,17 @@ object Lowering {
           case ("mad", Some(a)) =>
             graft.functions.StatAggregates.mad(
               lowerOperandWith(a, qcol).cast("double"))
+          // histogram: value→count map with keys sorted ascending
+          // (DuckDB probed; NULLs skipped, all-NULL group reads NULL).
+          // One collect_list of aggregate state; the count-per-distinct
+          // fold is a codegen'd expression over it — same O(group)
+          // memory DuckDB's hash-based histogram pays.
+          case ("histogram", Some(a)) =>
+            val lst = collect_list(lowerOperandWith(a, qcol))
+            when(size(lst) === 0, lit(null)).otherwise(
+              map_from_entries(transform(array_sort(array_distinct(lst)),
+                k => struct(k.as("key"),
+                  size(filter(lst, v => v === k)).cast("long").as("value")))))
           case ("skewness", Some(a)) =>
             val c = lowerOperandWith(a, qcol)
             val n = count(c).cast("double")
@@ -2744,6 +2755,21 @@ object Lowering {
     // with DuckDB for null-free nested containers; null struct fields
     // diverge and are analyzer-documented)
     case ("to_json", Seq(a)) => to_json(rec(a))
+    // map surface: literal, constructor, and DuckDB's list-returning
+    // subscript ([] when the key is absent — a NULL value still reads
+    // [null], which is why element_at alone wouldn't do)
+    case ("__map_lit", as) =>
+      if (as.isEmpty) map_from_arrays(array(), array())
+      else org.apache.spark.sql.functions.map(as.map(rec): _*)
+    case ("map", Seq(k, v)) => map_from_arrays(rec(k), rec(v))
+    case ("map_extract", Seq(m, k)) =>
+      val mc = rec(m)
+      val kc = rec(k)
+      when(map_contains_key(mc, kc), array(element_at(mc, kc)))
+        .otherwise(slice(array(element_at(mc, kc)), 1, 0))
+    case ("map_keys", Seq(m))   => map_keys(rec(m))
+    case ("map_values", Seq(m)) => map_values(rec(m))
+    case ("cardinality", Seq(m)) => size(rec(m)).cast("long")
     // named struct literal: keys interleave as string literals —
     // Spark's named struct columns carry the field names exactly
     case ("struct_pack", as) if as.length % 2 == 0 =>

@@ -152,7 +152,7 @@ object Parser {
   private val aggFuncs = Set("count", "sum", "min", "max", "avg",
     "stddev", "variance", "median", "grouping",
     "mode", "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor",
-    "skewness", "kurtosis", "entropy", "mad")
+    "skewness", "kurtosis", "entropy", "mad", "histogram")
   private val winFuncs = Set("row_number", "rank", "dense_rank", "lag", "lead",
     "first_value", "last_value", "nth_value", "ntile", "percent_rank", "cume_dist")
   private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",
@@ -188,7 +188,8 @@ object Parser {
     "list_reverse", "flatten", "list_append", "list_prepend",
     "list_unique", "list_intersect", "list_has_any", "list_has_all",
     "list_zip", "struct_extract", "to_json",
-    "concat_ws", "list_aggregate", "strlen", "lcase", "ucase")
+    "concat_ws", "list_aggregate", "strlen", "lcase", "ucase",
+    "map", "map_extract", "map_keys", "map_values", "cardinality")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** FROM-position file readers → formats (DuckDB's read_* family;
@@ -2216,6 +2217,32 @@ object Parser {
             "struct literal: expected 'key': value", t.pos))
         }
       fields(Vector.empty).map(fs => Operand.FuncCall("struct_pack", fs): Operand)
+    // MAP {k: v, …} literal (DuckDB) — keys are arbitrary expressions;
+    // desugars to __map_lit with keys/values interleaved (plain
+    // FuncCall, every operand walker free). MAP {} is the empty map.
+    case TIdent(m, _) if m.equalsIgnoreCase("map") && {
+        val save = p.i; p.next()
+        val br = p.peek match { case TSym("{", _) => true; case _ => false }
+        p.i = save; br
+      } =>
+      p.next(); p.next() // MAP {
+      p.peek match {
+        case TSym("}", _) =>
+          p.next(); Right(Operand.FuncCall("__map_lit", Nil): Operand)
+        case _ =>
+          def pairs(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+            for {
+              k <- parseOperand(p, allowAgg)
+              _ <- p.eatSym(":")
+              v <- parseOperand(p, allowAgg)
+              r <- p.peek match {
+                case TSym(",", _) => p.next(); pairs(acc ++ Seq(k, v))
+                case _ => p.eatSym("}").map(_ => acc ++ Seq(k, v))
+              }
+            } yield r
+          pairs(Vector.empty).map(fs =>
+            Operand.FuncCall("__map_lit", fs): Operand)
+      }
     // struct_pack(k := v, …) — the call form of the same literal
     case TIdent(f, _) if f.equalsIgnoreCase("struct_pack") && {
         val save = p.i; p.next()

@@ -52,6 +52,15 @@ object SqlType {
     * struct_extract only), so names here are internal carriers; named
     * field access is deliberately not surfaced.
     */
+  /** MAP(K, V) (DuckDB MAP): key→value with DuckDB's access surface —
+    * subscript/map_extract return a LIST of the value ([] when the key
+    * is absent), map_keys/map_values/cardinality, histogram() builds
+    * one per group.
+    */
+  final case class SqlMap(key: SqlType, value: SqlType) extends SqlType {
+    def spark: DataType = MapType(key.spark, value.spark)
+    def render = s"MAP(${key.render}, ${value.render})"
+  }
   final case class SqlStruct(fields: Vector[(String, SqlType)]) extends SqlType {
     def spark: DataType =
       StructType(fields.map { case (n, t) => StructField(n, t.spark) })
@@ -71,6 +80,7 @@ object SqlType {
     case DateType         => SqlDate
     case BooleanType      => SqlBool
     case ArrayType(et, _) => SqlArray(fromSpark(et))
+    case MapType(kt, vt, _) => SqlMap(fromSpark(kt), fromSpark(vt))
     case StructType(fs) =>
       SqlStruct(fs.map(f => f.name -> fromSpark(f.dataType)).toVector)
     case dt: DecimalType  => SqlDecimal(dt.precision, dt.scale)

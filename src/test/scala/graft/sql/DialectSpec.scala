@@ -2136,6 +2136,45 @@ class DialectSpec extends AnyFunSuite {
       .toOption.get.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("MAP type: literal, subscript, keys/values, histogram aggregate") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Right(_) => ()
+      case Left(e)  => fail(s"$sql -> ${e.msg}")
+    }
+    def one(sql: String): Row = db.select(sql) match {
+      case Right(df) => df.collect().head
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    // literal + subscript (returns a LIST; [] when absent), keys/values
+    val r = one("SELECT MAP {'a': 1, 'b': 2}['a'] AS hit, " +
+      "MAP {'a': 1}['z'] AS miss, " +
+      "cardinality(MAP {'a': 1, 'b': 2}) AS n, " +
+      "array_to_string(map_keys(MAP {'b': 1, 'a': 2}), ',') AS ks, " +
+      "array_to_string(map_values(MAP {'b': 1, 'a': 2}), ',') AS vs, " +
+      "to_json(MAP {'b': 1, 'a': 2}) AS j, " +
+      "map(['x','y'], [10, 20])['y'] AS fn")
+    assert(r.getSeq[Long](0) == Seq(1L))
+    assert(r.getSeq[Long](1) == Seq())
+    assert(r.getLong(2) == 2L)
+    assert(r.getString(3) == "b,a" && r.getString(4) == "1,2")
+    assert(r.getString(5) == "{\"b\":1,\"a\":2}")
+    assert(r.getSeq[Long](6) == Seq(20L))
+    // histogram: sorted keys, NULLs skipped, all-NULL group reads NULL
+    run("CREATE TABLE hg (g INT, v VARCHAR(5))")
+    run("INSERT INTO hg VALUES (1, 'b'), (1, 'a'), (1, 'a'), (2, NULL)")
+    val h = db.select("SELECT g, to_json(histogram(v)) AS h FROM hg " +
+      "GROUP BY g ORDER BY g").fold(e => fail(e.msg), _.collect().toSeq)
+    assert(h(0).getString(1) == "{\"a\":2,\"b\":1}")
+    assert(h(1).isNullAt(1))
+    // rejections: mixed key types, subscript key type, non-map bases
+    assert(db.query("SELECT MAP {'a': 1, 2: 3} AS m").isLeft)
+    assert(db.query("SELECT MAP {'a': 1}[2] AS m").isLeft)
+    assert(db.query("SELECT map_keys(1) AS m").isLeft)
+    assert(db.query(
+      "SELECT histogram(v) OVER (PARTITION BY g) AS m FROM hg").isLeft)
+  }
+
   test("star RENAME: renamed expansion, composes with EXCLUDE/REPLACE") {
     val db = demoDb()
     def cols(sql: String): Seq[String] = db.select(sql) match {
