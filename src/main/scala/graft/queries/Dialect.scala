@@ -3136,6 +3136,47 @@ object Dialect {
              |    p -> coalesce(struct_extract(p, 1), '~') || '=' || coalesce(struct_extract(p, 2), '~') || '=' || coalesce(struct_extract(p, 3), '~')), ',') AS z
              |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // Temporal series: generate_series/range over TIMESTAMP/DATE bounds
+    // with a fixed-length INTERVAL step — epoch-micros spark.range under
+    // a timestamp column (lazy, parallelized; never materialized rows).
+    // generate_series is end-INCLUSIVE like the integer form.
+    "q_dialect_series_ts" -> QueryDef(
+      (s, d) => run(db(s, d),
+        "SELECT g AS ts, year(g) AS y, hour(g) AS h " +
+          "FROM generate_series(TIMESTAMP '2024-03-01 00:00:00', " +
+          "TIMESTAMP '2024-03-03 00:00:00', INTERVAL 7 HOUR) s(g) " +
+          "ORDER BY ts"),
+      Some("""SELECT g AS ts, cast(year(g) AS int) AS y,
+             |  cast(hour(g) AS int) AS h
+             |FROM generate_series(TIMESTAMP '2024-03-01 00:00:00',
+             |  TIMESTAMP '2024-03-03 00:00:00', INTERVAL 7 HOUR) s(g)
+             |ORDER BY ts""".stripMargin)),
+
+    // LIST-of-fractions percentiles (quantile_cont/disc(x, [q…]) — one
+    // sort state, a list result) and DISTINCT ordered aggregates
+    // (string_agg/array_agg DISTINCT — dedup before the one sort; the
+    // analyzer pins ORDER BY to the value so dedup-then-sort is
+    // well-defined). IDENTICAL SQL on both engines; interpolated values
+    // round away the engines' different interpolation formulas.
+    "q_dialect_quantile_list" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT l_returnflag, " +
+          "array_to_string(list_transform(quantile_cont(l_quantity, " +
+          "[0.25, 0.5, 0.75]), q -> round(q, 4)), ',') AS qc, " +
+          "array_to_string(quantile_disc(l_quantity, [0.1, 0.9]), ',') AS qd, " +
+          "string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) AS st, " +
+          "array_to_string(array_agg(DISTINCT l_linenumber " +
+          "ORDER BY l_linenumber), ',') AS lines " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  array_to_string(list_transform(quantile_cont(l_quantity,
+             |    [0.25, 0.5, 0.75]), q -> round(q, 4)), ',') AS qc,
+             |  array_to_string(quantile_disc(l_quantity, [0.1, 0.9]), ',') AS qd,
+             |  string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) AS st,
+             |  array_to_string(array_agg(DISTINCT l_linenumber
+             |    ORDER BY l_linenumber), ',') AS lines
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // MAP type surface: MAP {k: v} literals, the list-returning
     // subscript ([] when absent — DuckDB), map()/map_keys/map_values/
     // cardinality, to_json. IDENTICAL SQL on both engines; arrays

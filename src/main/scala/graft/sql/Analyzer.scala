@@ -835,7 +835,11 @@ object Analyzer {
     * materialized rows.
     */
   final case class BoundRange(start: Long, stopExcl: Long, step: Long,
-      colName: String) extends BoundQuery
+      colName: String,
+      /** Bounds/step in epoch MICROS; the range lowers to a timestamp
+        * column (still a lazy parallelized spark.range underneath).
+        */
+      temporal: Boolean = false) extends BoundQuery
 
   /** A FROM-position file scan, schema pinned at analysis. Lowers to a
     * real datasource scan (partition-parallel; parquet keeps native
@@ -1174,7 +1178,12 @@ object Analyzer {
     case BoundOperand.BAgg(f, arg, _) => aggType(f, arg)
     case BoundOperand.BCast(_, t) => t
     case BoundOperand.BOut(_, t)  => t
-    case BoundOperand.BOrderedAgg("string_agg", _, _, _) => SqlType.SqlVarChar(65535)
+    case BoundOperand.BOrderedAgg("string_agg" | "string_agg_distinct",
+      _, _, _) => SqlType.SqlVarChar(65535)
+    case BoundOperand.BOrderedAgg("percentile_cont_list", _, _, _) =>
+      SqlType.SqlArray(SqlType.SqlDouble)
+    case BoundOperand.BOrderedAgg("percentile_disc_list", _, _, _) =>
+      SqlType.SqlArray(SqlType.SqlDouble) // BCast re-types to the arg type
     case BoundOperand.BOrderedAgg("count_distinct", _, _, _) => SqlType.SqlBigInt
     case BoundOperand.BOrderedAgg("regr_count", _, _, _) => SqlType.SqlBigInt
     case BoundOperand.BOrderedAgg("regr_slope" | "regr_intercept" |
@@ -1182,7 +1191,8 @@ object Analyzer {
         "regr_syy", _, _, _) => SqlType.SqlDouble
     case BoundOperand.BOrderedAgg("corr" | "covar_pop" | "covar_samp" |
         "percentile_cont", _, _, _) => SqlType.SqlDouble
-    case BoundOperand.BOrderedAgg("array_agg", arg, _, _) =>
+    case BoundOperand.BOrderedAgg("array_agg" | "array_agg_distinct",
+        arg, _, _) =>
       SqlType.SqlArray(operandType(arg))
     case BoundOperand.BOrderedAgg(_, arg, _, _) => operandType(arg) // arg_min/max
   }
@@ -2154,13 +2164,14 @@ object Analyzer {
               None
             }
         }
-      case FTableFunc(_, start, stopExcl, step, alias, colName) =>
+      case FTableFunc(_, start, stopExcl, step, alias, colName, temporal) =>
         val b = alias.toLowerCase
         if (bound.contains(b)) Some(DuplicateBinding(b))
         else {
+          val t = if (temporal) SqlType.SqlTimestamp else SqlType.SqlBigInt
           bound(b) = BoundTable(TableDesc(b,
-            Seq(AttributeDesc(colName, SqlType.SqlBigInt, nullable = false))), b)
-          derivedSubs(b) = BoundRange(start, stopExcl, step, colName)
+            Seq(AttributeDesc(colName, t, nullable = false))), b)
+          derivedSubs(b) = BoundRange(start, stopExcl, step, colName, temporal)
           None
         }
       case FLateral(sel, alias) =>
@@ -2770,7 +2781,7 @@ object Analyzer {
             (bsub.isAggregate && bsub.groupBy.isEmpty) ||
             bsub.limit.exists(_ <= 1L)
         } yield BoundOperand.BSubVal(bsub, guard = !staticOne, pairs)
-      case Operand.OrderedAgg(f, arg, sep, ord, _) if allowAgg =>
+      case Operand.OrderedAgg(f, arg, sep, ord, dist) if allowAgg =>
         for {
           barg <- bindOp(arg, allowAgg = false)
           _ <-
@@ -2778,27 +2789,42 @@ object Analyzer {
                 operandType(barg).isInstanceOf[SqlType.SqlVarChar]) Right(())
             else Left(BadAggregate(
               s"$f aggregates strings — CAST the argument (got ${operandType(barg).render})"))
+          // DISTINCT dedups VALUES, so the sort key must BE the value —
+          // any other key is ambiguous (which key survives per value?)
+          _ <-
+            if (!dist || f == "count_distinct") Right(()) // inherent
+            else if (f != "string_agg" && f != "array_agg")
+              Left(BadAggregate(s"$f(DISTINCT …) is not supported"))
+            else if (ord.length == 1 && ord.head._1 == arg) Right(())
+            else Left(BadAggregate(
+              s"$f(DISTINCT x …) requires ORDER BY x (the value itself)"))
           bord <- ord.foldLeft[Either[AnalyzerError, Vector[(BoundOperand, Boolean)]]](
             Right(Vector.empty)) { case (acc, (k, d)) =>
             acc.flatMap(v => bindOp(k, allowAgg = false).map(b => v :+ (b -> d)))
           }
           _ <-
-            if (f != "percentile_disc") Right(())
+            if (f != "percentile_disc" && f != "percentile_disc_list" &&
+                f != "percentile_cont_list") Right(())
             else operandType(barg) match {
               case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt |
                    SqlType.SqlDouble | SqlType.SqlReal |
                    SqlType.SqlDecimal(_, _) => Right(())
               case t => Left(BadAggregate(
-                s"percentile_disc takes a numeric argument (got ${t.render})"))
+                s"$f takes a numeric argument (got ${t.render})"))
             }
         } yield {
-          val node = BoundOperand.BOrderedAgg(f, barg, sep, bord)
+          val node = BoundOperand.BOrderedAgg(
+            if (dist && (f == "string_agg" || f == "array_agg"))
+              s"${f}_distinct"
+            else f, barg, sep, bord)
           // discrete percentile returns one of the ARGUMENT's values;
           // Spark's PercentileDisc computes in double, so cast back to
           // the argument type (DuckDB returns the input type) — exact,
           // since the selected value IS an input value
           if (f == "percentile_disc")
             BoundOperand.BCast(node, operandType(barg))
+          else if (f == "percentile_disc_list")
+            BoundOperand.BCast(node, SqlType.SqlArray(operandType(barg)))
           else node
         }
       case Operand.OrderedAgg(f, _, _, _, _) =>

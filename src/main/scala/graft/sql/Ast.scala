@@ -45,8 +45,14 @@ object Ast {
     * semantics (start inclusive, stop exclusive, step ≠ 0). One BIGINT
     * column named `colName` (defaults to the function name, DuckDB).
     */
+  /** `temporal = true`: bounds came from TIMESTAMP/DATE literals and
+    * the step from a fixed-length INTERVAL — all normalized to epoch
+    * MICROS at parse; the lowering converts the range back to a
+    * timestamp column.
+    */
   final case class FTableFunc(func: String, start: Long, stopExcl: Long,
-      step: Long, alias: String, colName: String) extends FromItem
+      step: Long, alias: String, colName: String,
+      temporal: Boolean = false) extends FromItem
   /** A FROM-position file scan: `FROM 'x.parquet'` (format from the
     * extension) or `read_parquet('…')` / `read_csv('…')` /
     * `read_json('…')`. The schema comes from the file at analysis

@@ -662,6 +662,40 @@ object Lowering {
           val sorted = array_sort(collect_list(pair))
           val dir = if (ord.head._2) reverse(sorted) else sorted
           transform(dir, x => x.getField("v"))
+        // DISTINCT forms: dedup the collected group before the one sort
+        // (the analyzer pinned ORDER BY to the value, so dedup-then-sort
+        // is well-defined); struct wrapper keeps NULL values collectable
+        case BoundOperand.BOrderedAgg("array_agg_distinct", arg, _, ord) =>
+          val v = lowerOperandWith(arg, qcol)
+          val sorted = array_sort(array_distinct(
+            collect_list(struct(v.as("v")))))
+          val dir = if (ord.head._2) reverse(sorted) else sorted
+          transform(dir, x => x.getField("v"))
+        case BoundOperand.BOrderedAgg("string_agg_distinct", arg, sep, ord) =>
+          val v = lowerOperandWith(arg, qcol)
+          val sorted = array_sort(array_distinct(
+            collect_list(when(v.isNotNull, struct(v.as("v"))))))
+          val dir = if (ord.head._2) reverse(sorted) else sorted
+          array_join(transform(dir, x => x.getField("v")), sep)
+        // LIST-of-fractions percentiles: one sort state, a list result.
+        // cont: Spark's exact percentile takes an array of percentages
+        // natively; disc: one native PercentileDisc per fraction over
+        // the same column, assembled with array() — Spark fuses the
+        // aggregate states into one pass
+        case BoundOperand.BOrderedAgg("percentile_cont_list", arg, ps, Seq()) =>
+          call_function("percentile", lowerOperandWith(arg, qcol),
+            array(ps.split(',').toSeq.map(s => lit(s.toDouble)): _*))
+        case BoundOperand.BOrderedAgg("percentile_disc_list", arg, ps, Seq()) =>
+          import org.apache.spark.sql.graftbridge.Bridge
+          val c = lowerOperandWith(arg, qcol)
+          array(ps.split(',').toSeq.map { s =>
+            Bridge.column(
+              org.apache.spark.sql.catalyst.expressions.aggregate
+                .PercentileDisc(Bridge.expression(c),
+                  org.apache.spark.sql.catalyst.expressions.Literal(s.toDouble),
+                  reverse = false)
+                .toAggregateExpression())
+          }: _*)
         case BoundOperand.BOrderedAgg(_, arg, sep, ord) =>
           orderedAggCol(arg, sep, ord)
         case other => sys.error(s"unreachable hidden aggregate $other")
@@ -2324,7 +2358,10 @@ object Lowering {
         u.orderBy, u.limit, u.offset)
     case r: Analyzer.BoundRecursive => lowerRecursive(spark, r, source)
     case rg: Analyzer.BoundRange =>
-      spark.range(rg.start, rg.stopExcl, rg.step).toDF(rg.colName)
+      if (rg.temporal)
+        spark.range(rg.start, rg.stopExcl, rg.step)
+          .select(timestamp_micros(col("id")).as(rg.colName))
+      else spark.range(rg.start, rg.stopExcl, rg.step).toDF(rg.colName)
     case fs: Analyzer.BoundFileScan =>
       // parquet scans natively (footer schema, pushdown, pruning);
       // csv/json read UNDER the analysis-pinned schema — inference ran

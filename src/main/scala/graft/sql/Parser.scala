@@ -1140,6 +1140,75 @@ object Parser {
             val fname = fn.toLowerCase
             val start0 = p.peek.pos
             p.next()
+            // TIMESTAMP/DATE bounds + INTERVAL step → a temporal series
+            // in epoch MICROS (UTC — deterministic across JVM zones)
+            def tsMicros(): Either[ParseError, Long] = p.peek match {
+              case TIdent(k, _) if k.equalsIgnoreCase("timestamp") ||
+                  k.equalsIgnoreCase("date") =>
+                val isDate = k.equalsIgnoreCase("date")
+                p.next()
+                p.peek match {
+                  case TStr(sv, pos) =>
+                    p.next()
+                    try {
+                      val ldt =
+                        if (isDate) java.time.LocalDate.parse(sv).atStartOfDay()
+                        else java.time.LocalDateTime.parse(
+                          sv.replace(' ', 'T'))
+                      Right(ldt.toEpochSecond(java.time.ZoneOffset.UTC) *
+                        1000000L + ldt.getNano / 1000L)
+                    } catch {
+                      case _: java.time.format.DateTimeParseException =>
+                        Left(ParseError(
+                          s"invalid ${k.toUpperCase} literal '$sv'", pos))
+                    }
+                  case t => Left(ParseError(
+                    s"$fname: expected a ${k.toUpperCase} string literal", t.pos))
+                }
+              case t => Left(ParseError(
+                s"$fname temporal bounds must be TIMESTAMP/DATE literals", t.pos))
+            }
+            def intervalMicros(): Either[ParseError, Long] = p.peek match {
+              case TIdent(k, _) if k.equalsIgnoreCase("interval") =>
+                p.next()
+                val nE: Either[ParseError, Long] = p.next() match {
+                  case TInt(v, _) => Right(v)
+                  case TStr(sv, pos) =>
+                    try Right(sv.trim.toLong)
+                    catch { case _: NumberFormatException =>
+                      Left(ParseError(s"invalid INTERVAL count '$sv'", pos)) }
+                  case t => Left(ParseError("expected INTERVAL count", t.pos))
+                }
+                nE.flatMap { v =>
+                  p.peek match {
+                    case TIdent(u, pos) =>
+                      val micros = u.toLowerCase.stripSuffix("s") match {
+                        case "week"   => Some(7L * 86400000000L)
+                        case "day"    => Some(86400000000L)
+                        case "hour"   => Some(3600000000L)
+                        case "minute" => Some(60000000L)
+                        case "second" => Some(1000000L)
+                        case _        => None
+                      }
+                      micros match {
+                        case Some(m) => p.next(); Right(v * m)
+                        case None => Left(ParseError(
+                          s"$fname steps take fixed-length INTERVAL units " +
+                            "(week/day/hour/minute/second — months vary)", pos))
+                      }
+                    case t => Left(ParseError("expected an INTERVAL unit", t.pos))
+                  }
+                }
+              case t => Left(ParseError(
+                s"$fname with temporal bounds takes an INTERVAL step", t.pos))
+            }
+            def temporalAhead: Boolean = p.peek match {
+              case TIdent(k, _) if k.equalsIgnoreCase("timestamp") ||
+                  k.equalsIgnoreCase("date") =>
+                val save = p.i; p.next()
+                val isStr = p.peek.isInstanceOf[TStr]; p.i = save; isStr
+              case _ => false
+            }
             def intLit(): Either[ParseError, Long] = p.peek match {
               case TSym("-", _) => p.next(); p.peek match {
                 case TInt(v, _) => p.next(); Right(-v)
@@ -1151,25 +1220,41 @@ object Parser {
             }
             for {
               _ <- p.eatSym("(")
-              a1 <- intLit()
-              rest <- {
-                def loop(acc: Vector[Long]): Either[ParseError, Vector[Long]] =
-                  p.peek match {
-                    case TSym(",", _) => p.next(); intLit().flatMap(v => loop(acc :+ v))
-                    case _ => p.eatSym(")").map(_ => acc)
+              quad <-
+                if (temporalAhead)
+                  for {
+                    s0 <- tsMicros()
+                    _ <- p.eatSym(",")
+                    e0 <- tsMicros()
+                    _ <- p.eatSym(",")
+                    st <- intervalMicros()
+                    _ <- p.eatSym(")")
+                    _ <-
+                      if (st == 0L) Left(ParseError(
+                        s"$fname step must not be 0", start0))
+                      else Right(())
+                  } yield (s0, e0, st, true)
+                else for {
+                  a1 <- intLit()
+                  rest <- {
+                    def loop(acc: Vector[Long]): Either[ParseError, Vector[Long]] =
+                      p.peek match {
+                        case TSym(",", _) => p.next(); intLit().flatMap(v => loop(acc :+ v))
+                        case _ => p.eatSym(")").map(_ => acc)
+                      }
+                    loop(Vector.empty)
                   }
-                loop(Vector.empty)
-              }
-              triple <- (a1 +: rest) match {
-                case Seq(b)       => Right((0L, b, 1L))
-                case Seq(a, b)    => Right((a, b, 1L))
-                case Seq(a, b, c) => Right((a, b, c))
-                case _ => Left(ParseError(s"$fname takes 1-3 arguments", start0))
-              }
-              _ <-
-                if (triple._3 == 0L)
-                  Left(ParseError(s"$fname step must not be 0", start0))
-                else Right(())
+                  triple <- (a1 +: rest) match {
+                    case Seq(b)       => Right((0L, b, 1L))
+                    case Seq(a, b)    => Right((a, b, 1L))
+                    case Seq(a, b, c) => Right((a, b, c))
+                    case _ => Left(ParseError(s"$fname takes 1-3 arguments", start0))
+                  }
+                  _ <-
+                    if (triple._3 == 0L)
+                      Left(ParseError(s"$fname step must not be 0", start0))
+                    else Right(())
+                } yield (triple._1, triple._2, triple._3, false)
               alias <- p.peek match {
                 case TIdent(a, _) if !reserved(a) => p.next(); Right(a)
                 case _                            => Right(fname)
@@ -1181,12 +1266,13 @@ object Parser {
                 case _ => Right(fname)
               }
             } yield {
+              val (b0, b1, st, temporal) = quad
               val stopExcl =
                 if (fname == "generate_series")
-                  triple._2 + (if (triple._3 > 0) 1L else -1L)
-                else triple._2
-              FTableFunc(fname, triple._1, stopExcl, triple._3,
-                alias, colName): FromItem
+                  b1 + (if (st > 0) 1L else -1L)
+                else b1
+              FTableFunc(fname, b0, stopExcl, st,
+                alias, colName, temporal): FromItem
             }
           case TIdent(k, _) if k.equalsIgnoreCase("lateral") && {
             val save = p.i; p.next()
@@ -2444,22 +2530,39 @@ object Parser {
                else "percentile_disc"
       val start = p.peek.pos
       p.next()
+      def fraction(): Either[ParseError, Double] = (p.peek match {
+        case TFloat(v, _) => p.next(); Right(v)
+        case TInt(v, _)   => p.next(); Right(v.toDouble)
+        case t => Left(ParseError(
+          s"${f.toLowerCase} takes numeric literal fractions", t.pos))
+      }).flatMap(v =>
+        if (v >= 0.0 && v <= 1.0) Right(v)
+        else Left(ParseError(
+          s"${f.toLowerCase} fraction must be in [0, 1]", start)))
       for {
         _ <- p.eatSym("(")
         x <- parseOperand(p)
         _ <- p.eatSym(",")
-        q0 <- p.peek match {
-          case TFloat(v, _) => p.next(); Right(v)
-          case TInt(v, _)   => p.next(); Right(v.toDouble)
-          case t => Left(ParseError(
-            s"${f.toLowerCase} takes a numeric literal fraction", t.pos))
+        // [q1, q2, …] literal → the LIST form (one sort, a list result)
+        agg <- p.peek match {
+          case TSym("[", _) =>
+            p.next()
+            def loop(acc: Vector[Double]): Either[ParseError, Vector[Double]] =
+              fraction().flatMap { v =>
+                p.peek match {
+                  case TSym(",", _) => p.next(); loop(acc :+ v)
+                  case _ => p.eatSym("]").map(_ => acc :+ v)
+                }
+              }
+            loop(Vector.empty).map(qs =>
+              Operand.OrderedAgg(s"${fn}_list", x, qs.mkString(","), Nil,
+                distinct = false): Operand)
+          case _ => fraction().map(q0 =>
+            Operand.OrderedAgg(fn, x, q0.toString, Nil,
+              distinct = false): Operand)
         }
-        _ <-
-          if (q0 >= 0.0 && q0 <= 1.0) Right(())
-          else Left(ParseError(s"${f.toLowerCase} fraction must be in [0, 1]", start))
         _ <- p.eatSym(")")
-      } yield Operand.OrderedAgg(fn, x, q0.toString, Nil,
-        distinct = false)
+      } yield agg
     // string_agg / listagg: value, string-literal separator, optional
     // intra-group ORDER BY (all keys must share one direction — the
     // lowering sorts the collected group once)
@@ -2475,10 +2578,11 @@ object Parser {
       p.next()
       for {
         _ <- p.eatSym("(")
-        _ <-
-          if (p.isKw("distinct"))
-            Left(ParseError(s"${f.toLowerCase}(DISTINCT …) is not supported", start))
-          else Right(())
+        // DISTINCT dedups values; the analyzer requires ORDER BY to be
+        // the value itself (any other key is ambiguous after dedup)
+        distinct <- Right {
+          if (p.isKw("distinct")) { p.next(); true } else false
+        }
         arg <- parseOperand(p)
         sep <-
           if (isArray) Right("")
@@ -2522,7 +2626,7 @@ object Parser {
           else Right(())
         _ <- p.eatSym(")")
       } yield Operand.OrderedAgg(if (isArray) "array_agg" else "string_agg",
-        arg, sep, order, distinct = false)
+        arg, sep, order, distinct = distinct)
     case TIdent(f, _) if allowAgg && aggFuncs(f.toLowerCase) =>
       // aggregate over a full (non-aggregate) expression: sum(a * b),
       // optionally DISTINCT: count(DISTINCT x), sum(DISTINCT x)

@@ -2136,6 +2136,64 @@ class DialectSpec extends AnyFunSuite {
       .toOption.get.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("temporal generate_series/range: inclusive ends, DATE bounds") {
+    val db = freshDb()
+    def ts(sql: String): Seq[String] = db.select(sql) match {
+      case Right(df) => df.collect().toSeq.map(_.get(0).toString)
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    // generate_series is end-inclusive; range excludes the stop
+    assert(ts("SELECT g FROM generate_series(TIMESTAMP '2024-01-01 00:00:00', " +
+      "TIMESTAMP '2024-01-01 12:00:00', INTERVAL 6 HOUR) s(g) ORDER BY g") ==
+      Seq("2024-01-01 00:00:00.0", "2024-01-01 06:00:00.0",
+        "2024-01-01 12:00:00.0"))
+    assert(ts("SELECT g FROM range(TIMESTAMP '2024-01-01 00:00:00', " +
+      "TIMESTAMP '2024-01-01 12:00:00', INTERVAL 6 HOUR) s(g) ORDER BY g") ==
+      Seq("2024-01-01 00:00:00.0", "2024-01-01 06:00:00.0"))
+    // DATE bounds work; default column name is the function name
+    assert(db.select("SELECT generate_series FROM generate_series(" +
+      "DATE '2024-01-01', DATE '2024-01-03', INTERVAL 1 DAY)")
+      .fold(e => fail(e.msg), _.count()) == 3L)
+    // variable-length month steps and zero steps reject
+    assert(db.query("SELECT g FROM generate_series(DATE '2024-01-01', " +
+      "DATE '2024-06-01', INTERVAL 1 MONTH) s(g)").isLeft)
+    assert(db.query("SELECT g FROM generate_series(DATE '2024-01-01', " +
+      "DATE '2024-01-02', INTERVAL 0 DAY) s(g)").isLeft)
+  }
+
+  test("quantile lists and DISTINCT ordered aggregates") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Right(_) => ()
+      case Left(e)  => fail(s"$sql -> ${e.msg}")
+    }
+    run("CREATE TABLE ql (v DOUBLE, s VARCHAR(5))")
+    run("INSERT INTO ql VALUES (1.0, 'b'), (2.0, 'a'), (3.0, 'b'), (4.0, 'a')")
+    val r = db.select(
+      "SELECT array_to_string(quantile_cont(v, [0.25, 0.5, 0.75]), ',') AS qc, " +
+        "array_to_string(quantile_disc(v, [0.0, 1.0]), ',') AS qd, " +
+        "string_agg(DISTINCT s, ',' ORDER BY s) AS sa, " +
+        "string_agg(DISTINCT s, ',' ORDER BY s DESC) AS sd, " +
+        "array_to_string(array_agg(DISTINCT s ORDER BY s), ',') AS aa " +
+        "FROM ql").fold(e => fail(e.msg), _.collect().head)
+    assert(r.getString(0) == "1.75,2.5,3.25")
+    assert(r.getString(1) == "1.0,4.0")
+    assert(r.getString(2) == "a,b" && r.getString(3) == "b,a")
+    assert(r.getString(4) == "a,b")
+    // disc list result keeps the ARGUMENT type (int column → int list)
+    run("CREATE TABLE qi (v INT)")
+    run("INSERT INTO qi VALUES (1), (2), (3), (4)")
+    val ri = db.select(
+      "SELECT quantile_disc(v, [0.25, 0.75]) AS q FROM qi")
+      .fold(e => fail(e.msg), _.collect().head)
+    assert(ri.getSeq[Int](0) == Seq(1, 3))
+    // DISTINCT with a non-value sort key rejects (ambiguous after dedup)
+    assert(db.query(
+      "SELECT string_agg(DISTINCT s, ',' ORDER BY v) AS x FROM ql").isLeft)
+    // fractions outside [0,1] reject at parse
+    assert(db.query("SELECT quantile_cont(v, [1.5]) AS x FROM ql").isLeft)
+  }
+
   test("MAP type: literal, subscript, keys/values, histogram aggregate") {
     val db = freshDb()
     def run(sql: String): Unit = db.query(sql) match {
