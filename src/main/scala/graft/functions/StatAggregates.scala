@@ -88,9 +88,31 @@ object StatAggregates {
       Encoders.DOUBLE
   }
 
+  /** product(x): DOUBLE multiply, NULLs skipped, all-NULL reads NULL
+    * (DuckDB probed). Partial products multiply across partitions —
+    * exact for integer-valued inputs inside double range (FP multiply
+    * of exact integers is exact in any order); for general doubles the
+    * merge order can differ from a sequential engine in the last ulps.
+    */
+  class ProductAggregator
+      extends Aggregator[java.lang.Double, (Double, Long), java.lang.Double] {
+    def zero: (Double, Long) = (1.0, 0L)
+    def reduce(b: (Double, Long), a: java.lang.Double): (Double, Long) =
+      if (a == null) b else (b._1 * a.doubleValue(), b._2 + 1L)
+    def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+      (x._1 * y._1, x._2 + y._2)
+    def finish(b: (Double, Long)): java.lang.Double =
+      if (b._2 == 0L) null else b._1
+    def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+
   private lazy val entropyUdaf = udaf(new EntropyAggregator)
   private lazy val madUdaf = udaf(new MadAggregator)
+  private lazy val productUdaf = udaf(new ProductAggregator)
 
   def entropy(c: Column): Column = entropyUdaf(c)
   def mad(c: Column): Column = madUdaf(c)
+  def product(c: Column): Column = productUdaf(c)
 }

@@ -3262,6 +3262,19 @@ object Dialect {
              |  count(*)::BIGINT AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // product(): DOUBLE multiply, NULLs skipped (typed Aggregator —
+    // partial products merge across partitions; exact here because
+    // integer-valued doubles multiply exactly in any order).
+    "q_dialect_product" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT l_orderkey, product(l_linenumber) AS p, count(*) AS n " +
+          "FROM lineitem WHERE l_orderkey <= 1000 " +
+          "GROUP BY l_orderkey ORDER BY l_orderkey"),
+      Some("""SELECT l_orderkey, product(l_linenumber) AS p,
+             |  count(*)::BIGINT AS n
+             |FROM lineitem WHERE l_orderkey <= 1000
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
     // Linear-regression aggregate family: Spark's natives match
     // DuckDB's standard definitions exactly (probed); slope/intercept/
     // r2 + the moment components in one grouped pass.

@@ -33,6 +33,47 @@ object TextOps {
 
   def defs: Map[String, QueryDef] = Map(
 
+    // RAG-style sliding-window chunking: fixed W-token windows with
+    // stride S (overlap W−S) per document — the standard retrieval/
+    // context-packing prep. Pure list algebra (split once, slice per
+    // window) + one generator: map-only, zero shuffles, so at 100 TB it
+    // scales as a narrow pass regardless of document count; chunk ids
+    // are (doc_id, chunk_idx) — deterministic and idempotent.
+    "q_chunk_overlap" -> QueryDef(
+      (s, d) => {
+        val W = 32; val S = 24
+        t(s, d, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("nchunks", greatest(lit(1),
+            ceil((size(col("toks")) - W) / lit(S.toDouble)).cast("int") + 1))
+          .select(col("doc_id"), posexplode(
+            transform(sequence(lit(0), col("nchunks") - 1),
+              i => array_join(slice(col("toks"), i * S + 1, lit(W)), " "))))
+          .withColumnRenamed("pos", "chunk_idx")
+          .withColumnRenamed("col", "chunk")
+          .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+            col("chunk"),
+            size(split(col("chunk"), " ")).as("n_tokens"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents WHERE doc_id < 200),
+             |n AS (
+             |  SELECT doc_id, toks,
+             |    greatest(1, CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1) AS nc
+             |  FROM t),
+             |g AS (
+             |  SELECT doc_id, toks, CAST(unnest(range(nc)) AS INT) AS chunk_idx
+             |  FROM n),
+             |c AS (
+             |  SELECT doc_id, chunk_idx,
+             |    array_to_string(toks[(chunk_idx*24+1):(chunk_idx*24+32)], ' ') AS chunk
+             |  FROM g)
+             |SELECT doc_id, chunk_idx, chunk,
+             |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_tokens
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // TF-IDF: tf per (doc, term) and df per term are each ONE hash
     // aggregate (the tf frame, already distinct on (doc, term), feeds
     // df); the corpus size joins as a broadcast 1-row frame; scoring is

@@ -1211,7 +1211,8 @@ object Analyzer {
     case "count"    => SqlType.SqlBigInt
     case "grouping" => SqlType.SqlInt
     case "avg" | "stddev" | "variance" | "median" |
-         "skewness" | "kurtosis" | "entropy" | "mad" => SqlType.SqlDouble
+         "skewness" | "kurtosis" | "entropy" | "mad" |
+         "product" => SqlType.SqlDouble
     case "histogram" =>
       SqlType.SqlMap(arg.map(operandType).getOrElse(SqlType.SqlInt),
         SqlType.SqlBigInt)
@@ -3518,7 +3519,7 @@ object Analyzer {
         else bindOp(r, allowAgg = false).flatMap { b =>
           val numericAgg =
             Set("sum", "avg", "stddev", "variance", "median",
-              "skewness", "kurtosis", "mad")(f)
+              "skewness", "kurtosis", "mad", "product")(f)
           val badCol = b match {
             case BoundOperand.BCol(c) if numericAgg &&
               !numericTypes(c.attr.sqlType) => Some(c)
@@ -3553,7 +3554,8 @@ object Analyzer {
             else if (f == "grouping")
               Left(BadFunction("grouping() is not a window function"))
             else if (f == "skewness" || f == "kurtosis" ||
-                f == "entropy" || f == "mad" || f == "histogram")
+                f == "entropy" || f == "mad" || f == "histogram" ||
+                f == "product")
               Left(BadFunction(
                 s"$f is not supported in window position (group scope only)"))
             else if ((ranking || shifting) && ord.isEmpty)

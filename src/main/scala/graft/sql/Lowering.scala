@@ -313,6 +313,9 @@ object Lowering {
           case ("mad", Some(a)) =>
             graft.functions.StatAggregates.mad(
               lowerOperandWith(a, qcol).cast("double"))
+          case ("product", Some(a)) =>
+            graft.functions.StatAggregates.product(
+              lowerOperandWith(a, qcol).cast("double"))
           // histogram: value→count map with keys sorted ascending
           // (DuckDB probed; NULLs skipped, all-NULL group reads NULL).
           // One collect_list of aggregate state; the count-per-distinct

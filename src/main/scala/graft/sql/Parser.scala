@@ -152,7 +152,7 @@ object Parser {
   private val aggFuncs = Set("count", "sum", "min", "max", "avg",
     "stddev", "variance", "median", "grouping",
     "mode", "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor",
-    "skewness", "kurtosis", "entropy", "mad", "histogram")
+    "skewness", "kurtosis", "entropy", "mad", "histogram", "product")
   private val winFuncs = Set("row_number", "rank", "dense_rank", "lag", "lead",
     "first_value", "last_value", "nth_value", "ntile", "percent_rank", "cume_dist")
   private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",

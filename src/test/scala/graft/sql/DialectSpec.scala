@@ -2315,6 +2315,13 @@ class DialectSpec extends AnyFunSuite {
     val r3 = db.select("SELECT g FROM em GROUP BY g " +
       "HAVING mad(v) > 1.0 ORDER BY g").fold(e => fail(e.msg), _.collect())
     assert(r3.map(_.getInt(0)).toSeq == Seq(1))
+    // product: multiply, NULLs skipped, all-NULL NULL, negatives keep sign
+    val rp = db.select("SELECT product(v) AS p FROM em WHERE g = 1")
+      .fold(e => fail(e.msg), _.collect().head)
+    assert(rp.getDouble(0) == 72.0) // 1*2*4*9
+    val rp2 = db.select("SELECT product(v) AS p FROM em2")
+      .fold(e => fail(e.msg), _.collect().head)
+    assert(rp2.isNullAt(0))
     // mad over strings and window position reject
     assert(db.query("SELECT mad(s) AS x FROM em").isLeft)
     assert(db.query(
