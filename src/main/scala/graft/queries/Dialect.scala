@@ -3136,6 +3136,38 @@ object Dialect {
              |    p -> coalesce(struct_extract(p, 1), '~') || '=' || coalesce(struct_extract(p, 2), '~') || '=' || coalesce(struct_extract(p, 3), '~')), ',') AS z
              |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // FROM-position unnest: `FROM unnest([…]) t(x)` desugars to a
+    // derived table over the projection generator — composes with
+    // comma-joins (the classic enumerate-and-cross shape).
+    "q_dialect_from_unnest" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, t.x, o_orderkey * t.x AS scaled " +
+          "FROM orders, unnest([1, 2, 3]) t(x) " +
+          "WHERE o_orderkey < 50 ORDER BY o_orderkey, x"),
+      Some("""SELECT o_orderkey, t.x, o_orderkey * t.x AS scaled
+             |FROM orders, unnest([1, 2, 3]) t(x)
+             |WHERE o_orderkey < 50 ORDER BY o_orderkey, x""".stripMargin)),
+
+    // Scalar batch 11: weekday/month strftime names (%a %A %b %B + %%
+    // literal — English at both engines' default locale), the epoch
+    // family (epoch = fractional-seconds DOUBLE, epoch_us exact micros),
+    // make_timestamp (fractional seconds), date_add (sugar for
+    // + INTERVAL). IDENTICAL SQL on both engines.
+    "q_dialect_funcs11" -> QueryDef(
+      (s, d) => run(db(s, d, "events"),
+        "SELECT event_id, strftime(ts, '%a %A %b %B') AS names, " +
+          "strftime(ts, '100%%') AS pct, " +
+          "epoch(ts) AS ep, epoch_us(ts) AS epus, " +
+          "make_timestamp(2024, 3, 5, 14, 30, 1.25) AS mts, " +
+          "date_add(ts, INTERVAL 3 DAY) AS plus3 " +
+          "FROM events WHERE event_id < 500 ORDER BY event_id"),
+      Some("""SELECT event_id, strftime(ts, '%a %A %b %B') AS names,
+             |  strftime(ts, '100%%') AS pct,
+             |  epoch(ts) AS ep, epoch_us(ts) AS epus,
+             |  make_timestamp(2024, 3, 5, 14, 30, 1.25) AS mts,
+             |  date_add(ts, INTERVAL 3 DAY) AS plus3
+             |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin)),
+
     // Temporal series: generate_series/range over TIMESTAMP/DATE bounds
     // with a fixed-length INTERVAL step — epoch-micros spark.range under
     // a timestamp column (lazy, parallelized; never materialized rows).

@@ -439,7 +439,12 @@ object Analyzer {
     "%I" -> "hh", "%p" -> "a",
     // microseconds, 6 digits zero-padded on both engines (DuckDB %f ==
     // Spark's SSSSSS fraction — probed identical incl. .000000)
-    "%f" -> "SSSSSS")
+    "%f" -> "SSSSSS",
+    // weekday/month names (both engines emit English at the default
+    // locale — probed: Tue/Tuesday/Mar/March)
+    "%a" -> "EEE", "%A" -> "EEEE", "%b" -> "MMM", "%B" -> "MMMM",
+    // literal percent
+    "%%" -> "'%'")
   val StrftimeTokens = "%.".r
 
   /** The ASOF inequality, fully decomposed: outer-side operand,
@@ -1052,7 +1057,9 @@ object Analyzer {
            "levenshtein" | "ascii" =>
         SqlType.SqlInt
       case "chr" | "to_hex" => SqlType.SqlVarChar(65535)
-      case "epoch_ms"       => SqlType.SqlBigInt
+      case "epoch_ms" | "epoch_us" => SqlType.SqlBigInt
+      case "epoch"          => SqlType.SqlDouble
+      case "make_timestamp" => SqlType.SqlTimestamp
       case "date_part" => args.head match {
         case BoundOperand.BLit(Lit.LitString(u))
             if u.equalsIgnoreCase("epoch") => SqlType.SqlDouble
@@ -2838,6 +2845,11 @@ object Analyzer {
       // whose parameters bind to the list's ELEMENT type; the body may
       // capture enclosing columns (they lower as ordinary references
       // inside Spark's lambda) but not aggregates or subqueries
+      // date_add(x, INTERVAL …) is sugar for x + INTERVAL — rebind onto
+      // the arithmetic path (typing/validation identical to `+`)
+      case Operand.FuncCall(f0, Seq(a, b))
+          if f0.equalsIgnoreCase("date_add") =>
+        bindOp(Operand.Arith('+', a, b), allowAgg, allowSub)
       case Operand.FuncCall(f0, args) if Set("list_transform",
           "array_transform", "list_filter", "array_filter",
           "list_reduce")(f0) =>
@@ -2966,7 +2978,9 @@ object Analyzer {
           case "concat_ws"           => args.length >= 2
           case "list_aggregate" | "list_aggr" => args.length == 2
           case "levenshtein"         => args.length == 2
-          case "chr" | "ascii" | "to_hex" | "epoch_ms" => args.length == 1
+          case "chr" | "ascii" | "to_hex" | "epoch_ms" |
+               "epoch" | "epoch_us" => args.length == 1
+          case "make_timestamp"      => args.length == 6
           case _                     => false
         }
         if (!arityOk)
@@ -4601,7 +4615,11 @@ object Analyzer {
               Convert(lit, attr.sqlType) match {
                 case Left(err) =>
                   return Left(TypeNotConvertible(slot.getOrElse(0), err.msg))
-                case Right(v)  => vals += v
+                case Right(v) =>
+                  if (v == null && !attr.nullable)
+                    return Left(TypeNotConvertible(slot.getOrElse(0),
+                      s"NOT NULL constraint failed: ${desc.name}.${attr.name}"))
+                  vals += v
               }
             }
             out += vals.result()
@@ -4625,8 +4643,17 @@ object Analyzer {
           case Right(_)  => ()
         }
       }
+      // NOT NULL columns must exist and can't default to NULL
+      for (nn <- c.notNull) {
+        if (!c.columns.exists(_._1.equalsIgnoreCase(nn)))
+          return Left(UnboundAttribute(nn))
+        if (c.defaults.get(nn.toLowerCase).contains(Lit.LitNull))
+          return Left(TypeNotConvertible(0,
+            s"column '$nn' is NOT NULL but defaults to NULL"))
+      }
       val attrs = c.columns.map { case (n, t) =>
-        AttributeDesc(n.toLowerCase, t, nullable = true,
+        AttributeDesc(n.toLowerCase, t,
+          nullable = !c.notNull.exists(_.equalsIgnoreCase(n)),
           default = c.defaults.get(n.toLowerCase)) }
       c.bucket match {
         case Some((col, _)) if !attrs.exists(_.name.equalsIgnoreCase(col)) =>

@@ -584,5 +584,10 @@ object Ast {
         * type at analysis; filled for omitted / DEFAULT-keyword values
         * on INSERT).
         */
-      defaults: Map[String, Lit] = Map.empty) extends ParseTree
+      defaults: Map[String, Lit] = Map.empty,
+      /** NOT NULL columns — enforced at INSERT (analysis for literal
+        * rows, a codegen'd raise-on-null wrap for frame writes) and on
+        * every UPDATE/MERGE rewrite.
+        */
+      notNull: Seq[String] = Nil) extends ParseTree
 }

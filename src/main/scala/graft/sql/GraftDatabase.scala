@@ -126,7 +126,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         val name = (inner match {
           case Ast.CreateViewTree(n, _)       => n
           case Ast.CreateMatViewTree(n, _, _) => n
-          case Ast.CreateTree(n, _, _, _, _)  => n
+          case Ast.CreateTree(n, _, _, _, _, _)  => n
           case Ast.CreateAsTree(n, _, _)      => n
           case _ => return Left(ViewError("unsupported CREATE mode form"))
         }).toLowerCase
@@ -209,7 +209,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case t: Ast.AlterRenameTree    => alterRenameTable(t)
       case t: Ast.AlterColTypeTree   => alterColType(t)
       case Ast.TruncateTree(name)    => truncate(name)
-      case t @ Ast.CreateTree(n, _, _, _, _) if views.contains(n.toLowerCase) =>
+      case t @ Ast.CreateTree(n, _, _, _, _, _) if views.contains(n.toLowerCase) =>
         Left(ViewError(s"relation '$n' already exists as a view"))
       case t @ Ast.CreateAsTree(n, _, _) if views.contains(n.toLowerCase) =>
         Left(ViewError(s"relation '$n' already exists as a view"))
@@ -475,10 +475,10 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           case _      => spark.read.parquet(t.path)
         }
         val names = raw.columns.map(_.toLowerCase).toSet
-        val aligned = raw.select(desc.attributes.map { a =>
+        val aligned = enforceNotNull(raw.select(desc.attributes.map { a =>
           (if (names(a.name.toLowerCase)) col(a.name) else lit(null))
             .cast(a.sqlType.spark).as(a.name)
-        }: _*)
+        }: _*), desc)
         val before = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
         desc.bucket match {
           case Some(_) =>
@@ -1036,12 +1036,13 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           aligned.localCheckpoint()
         else aligned
       val before = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
+      val srcW = enforceNotNull(src, desc)
       desc.bucket match {
         case Some(_) =>
           ensureCatalogTable(desc)
-          src.write.mode("append").insertInto(catName(desc.name))
+          srcW.write.mode("append").insertInto(catName(desc.name))
         case None =>
-          src.write.mode("append").parquet(dataPath(desc.name))
+          srcW.write.mode("append").parquet(dataPath(desc.name))
       }
       statistics.rebuild(desc, readTable(desc))
       val after = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
@@ -1422,7 +1423,25 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     * the table dir; statistics rebuild from the new image (distributed).
     * Returns the new row count.
     */
-  private def rewriteTable(desc: TableDesc, img: DataFrame): Long = {
+  /** Runtime NOT NULL enforcement for frame writes (INSERT … SELECT,
+    * COPY FROM, UPDATE/MERGE rewrites): each non-nullable column wraps
+    * in a raise-on-NULL — codegen'd inside the write's own pass, zero
+    * extra jobs. Literal INSERT rows are checked at analysis instead.
+    */
+  private def enforceNotNull(df: DataFrame, desc: TableDesc): DataFrame =
+    if (desc.attributes.forall(_.nullable)) df
+    else {
+      import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+      df.select(desc.attributes.map { a =>
+        if (a.nullable) col(a.name)
+        else when(col(a.name).isNull, raise_error(lit(
+          s"NOT NULL constraint failed: ${desc.name}.${a.name}")))
+          .otherwise(col(a.name)).as(a.name)
+      }: _*)
+    }
+
+  private def rewriteTable(desc: TableDesc, img0: DataFrame): Long = {
+    val img = enforceNotNull(img0, desc)
     val dir = dataPath(desc.name)
     val tmp = s"$dir.tmp"
     desc.bucket match {

@@ -3038,6 +3038,14 @@ object Lowering {
     case ("ascii", Seq(a))    => ascii(rec(a))
     case ("to_hex", Seq(a))   => hex(rec(a))
     case ("epoch_ms", Seq(a)) => unix_millis(rec(a).cast("timestamp"))
+    // epoch family: DuckDB's epoch() is fractional SECONDS as DOUBLE
+    // (a timestamp→double cast in Spark is exactly that); epoch_us is
+    // exact integer micros
+    case ("epoch", Seq(a))    => rec(a).cast("timestamp").cast("double")
+    case ("epoch_us", Seq(a)) => unix_micros(rec(a).cast("timestamp"))
+    case ("make_timestamp", as) if as.length == 6 =>
+      make_timestamp(rec(as(0)), rec(as(1)), rec(as(2)), rec(as(3)),
+        rec(as(4)), rec(as(5)).cast("decimal(16,6)"))
     // DuckDB's sign returns an integer -1/0/1; Spark's signum a double
     case ("sign", Seq(a))    => signum(rec(a)).cast("int")
     case ("exp", Seq(a))     => exp(rec(a))

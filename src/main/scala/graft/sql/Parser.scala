@@ -189,7 +189,8 @@ object Parser {
     "list_unique", "list_intersect", "list_has_any", "list_has_all",
     "list_zip", "struct_extract", "to_json",
     "concat_ws", "list_aggregate", "strlen", "lcase", "ucase",
-    "map", "map_extract", "map_keys", "map_values", "cardinality")
+    "map", "map_extract", "map_keys", "map_values", "cardinality",
+    "epoch", "epoch_us", "make_timestamp", "date_add")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** FROM-position file readers → formats (DuckDB's read_* family;
@@ -1274,6 +1275,34 @@ object Parser {
               FTableFunc(fname, b0, stopExcl, st,
                 alias, colName, temporal): FromItem
             }
+          // FROM unnest(<list expr>) [t[(x)]] — desugars to a derived
+          // table SELECTing the existing unnest projection generator;
+          // default binding/column name is `unnest` (DuckDB). The
+          // operand must be self-contained (a correlated column fails
+          // loudly at binding, like any uncorrelated derived table).
+          case TIdent(fn, _) if fn.equalsIgnoreCase("unnest") && {
+                val save = p.i; p.next()
+                val isP = p.peek match { case TSym("(", _) => true; case _ => false }
+                p.i = save; isP
+              } =>
+            p.next(); p.next() // unnest (
+            for {
+              op <- parseOperand(p)
+              _ <- p.eatSym(")")
+              alias <- p.peek match {
+                case TIdent(a, _) if !reserved(a) => p.next(); Right(a)
+                case _                            => Right("unnest")
+              }
+              colName <- p.peek match {
+                case TSym("(", _) =>
+                  p.next()
+                  p.ident().flatMap(n => p.eatSym(")").map(_ => n))
+                case _ => Right("unnest")
+              }
+            } yield FDerived(SelectTree(
+              columns = Some(Seq(SelectItem.SExpr(
+                Operand.FuncCall("unnest", Seq(op)), colName))),
+              from = Nil, where = None), alias): FromItem
           case TIdent(k, _) if k.equalsIgnoreCase("lateral") && {
             val save = p.i; p.next()
             val isP = p.peek match { case TSym("(", _) => true; case _ => false }
@@ -3808,31 +3837,36 @@ object Parser {
     for {
       _ <- p.eatSym("(")
       colsAndPk <- {
-        def one(): Either[ParseError, (String, SqlType, Boolean, Option[Lit])] =
+        def one(): Either[ParseError, (String, SqlType, Boolean, Option[Lit], Boolean)] =
           for {
             cn <- p.ident()
             tp <- parseType(p)
             // column constraints in any order: PRIMARY KEY (parsed and
-            // ignored, reference parity) and DEFAULT <literal>
+            // ignored, reference parity), DEFAULT <literal>, NOT NULL
+            // (enforced at every write) and bare NULL (explicit default)
             pkDef <- {
-              def cons(pk: Boolean, dflt: Option[Lit])
-                  : Either[ParseError, (Boolean, Option[Lit])] =
+              def cons(pk: Boolean, dflt: Option[Lit], nn: Boolean)
+                  : Either[ParseError, (Boolean, Option[Lit], Boolean)] =
                 if (p.isKw("primary")) {
-                  p.next(); p.eatKw("key").flatMap(_ => cons(true, dflt))
+                  p.next(); p.eatKw("key").flatMap(_ => cons(true, dflt, nn))
+                } else if (p.isKw("not")) {
+                  p.next(); p.eatKw("null").flatMap(_ => cons(pk, dflt, true))
+                } else if (p.isKw("null")) {
+                  p.next(); cons(pk, dflt, nn)
                 } else if (p.isKw("default")) {
                   val pos = p.peek.pos
                   p.next()
                   parseFactor(p, allowAgg = false).flatMap {
-                    case Operand.Literal(l) => cons(pk, Some(l))
+                    case Operand.Literal(l) => cons(pk, Some(l), nn)
                     case _ => Left(ParseError(
                       "DEFAULT takes a literal value", pos))
                   }
-                } else Right((pk, dflt))
-              cons(false, None)
+                } else Right((pk, dflt, nn))
+              cons(false, None, false)
             }
-          } yield (cn, tp, pkDef._1, pkDef._2)
-        def loop(acc: Vector[(String, SqlType, Boolean, Option[Lit])])
-            : Either[ParseError, Vector[(String, SqlType, Boolean, Option[Lit])]] =
+          } yield (cn, tp, pkDef._1, pkDef._2, pkDef._3)
+        def loop(acc: Vector[(String, SqlType, Boolean, Option[Lit], Boolean)])
+            : Either[ParseError, Vector[(String, SqlType, Boolean, Option[Lit], Boolean)]] =
           one().flatMap { c =>
             p.peek match {
               case TSym(",", _) => p.next(); loop(acc :+ c)
@@ -3848,7 +3882,8 @@ object Parser {
       colsAndPk.map(c => (c._1, c._2)),
       colsAndPk.filter(_._3).map(_._1),
       bucket,
-      colsAndPk.collect { case (n, _, _, Some(l)) => n.toLowerCase -> l }
-        .toMap): ParseTree
+      colsAndPk.collect { case (n, _, _, Some(l), _) => n.toLowerCase -> l }
+        .toMap,
+      colsAndPk.filter(_._5).map(_._1)): ParseTree
   }
 }

@@ -2136,6 +2136,59 @@ class DialectSpec extends AnyFunSuite {
       .toOption.get.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("NOT NULL constraints: DDL, insert checks, write enforcement") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Right(_) => ()
+      case Left(e)  => fail(s"$sql -> ${e.msg}")
+    }
+    run("CREATE TABLE nn (id INT NOT NULL, v VARCHAR(10), " +
+      "w INT NOT NULL DEFAULT 5)")
+    run("INSERT INTO nn VALUES (1, 'a', 2), (2, NULL, 3)")
+    // literal NULL into a NOT NULL column rejects at analysis
+    assert(db.query("INSERT INTO nn VALUES (NULL, 'b', 1)").isLeft)
+    // omitted NOT NULL column with a DEFAULT fills it; without one fails
+    run("INSERT INTO nn (id, v) VALUES (3, 'c')")
+    assert(db.query("INSERT INTO nn (v, w) VALUES ('d', 1)").isLeft)
+    val r = db.select("SELECT id, w FROM nn ORDER BY id")
+      .fold(e => fail(e.msg), _.collect().toSeq.map(x => (x.getInt(0), x.getInt(1))))
+    assert(r == Seq((1, 2), (2, 3), (3, 5)))
+    // frame writes enforce at runtime: UPDATE to NULL raises mid-write
+    val thrown = intercept[Exception] {
+      db.query("UPDATE nn SET id = NULL WHERE id = 1")
+    }
+    assert(thrown.getMessage.contains("NOT NULL constraint failed") ||
+      Option(thrown.getCause).exists(
+        _.getMessage.contains("NOT NULL constraint failed")))
+    // table unchanged after the failed rewrite? re-read still has 3 rows
+    assert(db.select("SELECT count(*) AS n FROM nn")
+      .fold(e => fail(e.msg), _.collect().head.getLong(0)) == 3L)
+    // NOT NULL + DEFAULT NULL rejects at CREATE; unknown column too
+    assert(db.query(
+      "CREATE TABLE bad1 (x INT NOT NULL DEFAULT NULL)").isLeft)
+  }
+
+  test("FROM unnest(list): derived-table desugar, aliases, joins") {
+    val db = freshDb()
+    def vals(sql: String): Seq[Long] = db.select(sql) match {
+      case Right(df) => df.collect().toSeq.map(_.getLong(0))
+      case Left(e)   => fail(s"$sql -> ${e.msg}")
+    }
+    assert(vals("SELECT x FROM unnest([3, 1, 2]) t(x) ORDER BY x") ==
+      Seq(1L, 2L, 3L))
+    // default binding and column name are `unnest`
+    assert(vals("SELECT unnest FROM unnest([5, 4]) ORDER BY unnest") ==
+      Seq(4L, 5L))
+    // composes with joins and aggregation
+    val r = db.select("SELECT sum(a.x * b.y) AS s " +
+      "FROM unnest([1, 2]) a(x), unnest([10, 20]) b(y)")
+      .fold(e => fail(e.msg), _.collect().head)
+    assert(r.getLong(0) == 90L) // (1+2)*(10+20)
+    // a correlated operand fails loudly (uncorrelated derived table)
+    db.query("CREATE TABLE un (l INT)").toOption.get
+    assert(db.query("SELECT x FROM un, unnest([l]) t(x)").isLeft)
+  }
+
   test("temporal generate_series/range: inclusive ends, DATE bounds") {
     val db = freshDb()
     def ts(sql: String): Seq[String] = db.select(sql) match {
