@@ -15,7 +15,11 @@ import Ast._
 object Analyzer {
 
   final case class TableDesc(name: String, attributes: Seq[AttributeDesc],
-      bucket: Option[(String, Int)] = None) {
+      bucket: Option[(String, Int)] = None,
+      /** CHECK constraints (source text) — bound and enforced on every
+        * write (NULL check results PASS, SQL standard).
+        */
+      checks: Seq[String] = Nil) {
     def attr(n: String): Option[AttributeDesc] = attributes.find(_.name.equalsIgnoreCase(n))
     def sparkSchema: org.apache.spark.sql.types.StructType =
       org.apache.spark.sql.types.StructType(attributes.map(a =>
@@ -1686,6 +1690,15 @@ object Analyzer {
       u.orderBy.map { case (c, desc) => (c.name, desc) }, u.limit, u.offset)
 
   /** Bind a WHERE expression against one table (DELETE/UPDATE scope). */
+  /** Bind a stored CHECK constraint (catalog source text) against its
+    * table's schema — the write-time enforcement entry.
+    */
+  def bindCheck(desc: TableDesc, text: String): Either[AnalyzerError, BoundExpr] =
+    Parser.parseCheck(text) match {
+      case Left(pe) => Left(BadFunction(s"CHECK ($text): ${pe.msg}"))
+      case Right(e) => bindSingleTableExpr(desc, e)
+    }
+
   private def bindSingleTableExpr(desc: TableDesc, e: Expr): Either[AnalyzerError, BoundExpr] =
     analyzeSelect(
       SelectTree(Some(Seq(SelectItem.SCol(ColRef(None, desc.attributes.head.name)))),
@@ -4655,12 +4668,26 @@ object Analyzer {
         AttributeDesc(n.toLowerCase, t,
           nullable = !c.notNull.exists(_.equalsIgnoreCase(n)),
           default = c.defaults.get(n.toLowerCase)) }
+      // CHECK constraints bind NOW against the new schema — an unknown
+      // column, subquery or aggregate fails at CREATE, not first write
+      val desc0 = TableDesc(c.table.toLowerCase, attrs)
+      for (chk <- c.checks) {
+        Parser.parseCheck(chk) match {
+          case Left(pe) => return Left(BadFunction(
+            s"CHECK ($chk): ${pe.msg}"))
+          case Right(e) => bindSingleTableExpr(desc0, e) match {
+            case Left(err) => return Left(BadFunction(
+              s"CHECK ($chk): ${err.msg}"))
+            case Right(_)  => ()
+          }
+        }
+      }
       c.bucket match {
         case Some((col, _)) if !attrs.exists(_.name.equalsIgnoreCase(col)) =>
           Left(UnboundAttribute(col))
         case b =>
           Right(BoundCreate(TableDesc(c.table.toLowerCase, attrs,
-            b.map { case (col, n) => (col.toLowerCase, n) })))
+            b.map { case (col, n) => (col.toLowerCase, n) }, c.checks)))
       }
     }
 }

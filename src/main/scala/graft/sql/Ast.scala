@@ -589,5 +589,10 @@ object Ast {
         * rows, a codegen'd raise-on-null wrap for frame writes) and on
         * every UPDATE/MERGE rewrite.
         */
-      notNull: Seq[String] = Nil) extends ParseTree
+      notNull: Seq[String] = Nil,
+      /** CHECK constraint expressions as SOURCE TEXT (column- and
+        * table-level both) — validated at CREATE, stored in the
+        * catalog, re-bound and enforced at every write.
+        */
+      checks: Seq[String] = Nil) extends ParseTree
 }

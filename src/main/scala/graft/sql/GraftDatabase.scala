@@ -126,7 +126,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         val name = (inner match {
           case Ast.CreateViewTree(n, _)       => n
           case Ast.CreateMatViewTree(n, _, _) => n
-          case Ast.CreateTree(n, _, _, _, _, _)  => n
+          case Ast.CreateTree(n, _, _, _, _, _, _)  => n
           case Ast.CreateAsTree(n, _, _)      => n
           case _ => return Left(ViewError("unsupported CREATE mode form"))
         }).toLowerCase
@@ -209,7 +209,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case t: Ast.AlterRenameTree    => alterRenameTable(t)
       case t: Ast.AlterColTypeTree   => alterColType(t)
       case Ast.TruncateTree(name)    => truncate(name)
-      case t @ Ast.CreateTree(n, _, _, _, _, _) if views.contains(n.toLowerCase) =>
+      case t @ Ast.CreateTree(n, _, _, _, _, _, _) if views.contains(n.toLowerCase) =>
         Left(ViewError(s"relation '$n' already exists as a view"))
       case t @ Ast.CreateAsTree(n, _, _) if views.contains(n.toLowerCase) =>
         Left(ViewError(s"relation '$n' already exists as a view"))
@@ -1079,7 +1079,10 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       // Batched append: all VALUES rows land in one parquet write
       // (SURVEY.md §7.4 — per-row writes would be pathological).
       val rdd = spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1)
-      val df = spark.createDataFrame(rdd, desc.sparkSchema)
+      // NULLs were analysis-checked on the literal rows; CHECK
+      // constraints still need the frame-pass evaluation
+      val df = enforceChecks(
+        spark.createDataFrame(rdd, desc.sparkSchema), desc)
       desc.bucket match {
         case Some(_) =>
           // catalog-routed insert so the write is hash-bucketed on disk
@@ -1428,16 +1431,48 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     * in a raise-on-NULL — codegen'd inside the write's own pass, zero
     * extra jobs. Literal INSERT rows are checked at analysis instead.
     */
-  private def enforceNotNull(df: DataFrame, desc: TableDesc): DataFrame =
-    if (desc.attributes.forall(_.nullable)) df
+  private def enforceNotNull(df: DataFrame, desc: TableDesc): DataFrame = {
+    val base =
+      if (desc.attributes.forall(_.nullable)) df
+      else {
+        import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+        df.select(desc.attributes.map { a =>
+          if (a.nullable) col(a.name)
+          else when(col(a.name).isNull, raise_error(lit(
+            s"NOT NULL constraint failed: ${desc.name}.${a.name}")))
+            .otherwise(col(a.name)).as(a.name)
+        }: _*)
+      }
+    enforceChecks(base, desc)
+  }
+
+  /** CHECK enforcement: each stored constraint re-binds against the
+    * schema and wraps the FIRST written column in a raise-on-violation
+    * (a NULL check result PASSES — SQL standard; the wrap rides a
+    * column that is definitely written, so Catalyst cannot prune the
+    * evaluation away). Codegen'd inside the write's own pass.
+    */
+  private def enforceChecks(df: DataFrame, desc: TableDesc): DataFrame =
+    if (desc.checks.isEmpty) df
     else {
-      import org.apache.spark.sql.functions.{col, lit, raise_error, when}
-      df.select(desc.attributes.map { a =>
-        if (a.nullable) col(a.name)
-        else when(col(a.name).isNull, raise_error(lit(
-          s"NOT NULL constraint failed: ${desc.name}.${a.name}")))
-          .otherwise(col(a.name)).as(a.name)
-      }: _*)
+      import org.apache.spark.sql.functions.{coalesce, col, lit, not,
+        raise_error, when}
+      val guards = desc.checks.map { chk =>
+        val bound = Analyzer.bindCheck(desc, chk).fold(
+          e => throw new IllegalStateException(
+            s"stored CHECK no longer binds (${e.msg}) — " +
+              "an ALTER may have invalidated it"),
+          identity)
+        (chk, Lowering.lowerExprBare(bound))
+      }
+      val first = desc.attributes.head
+      val wrapped = guards.foldLeft(col(first.name)) { case (c, (chk, g)) =>
+        when(not(coalesce(g, lit(true))), raise_error(lit(
+          s"CHECK constraint failed: ${desc.name} CHECK ($chk)")))
+          .otherwise(c)
+      }
+      df.select((wrapped.as(first.name)) +:
+        desc.attributes.tail.map(a => col(a.name)): _*)
     }
 
   private def rewriteTable(desc: TableDesc, img0: DataFrame): Long = {
@@ -1621,7 +1656,10 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       val bucket = t.bucket
         .map { case (c, n) => s""","bucket":{"col":"$c","n":$n}""" }
         .getOrElse("")
-      s"""{"table":"${t.name}","attributes":$attrs$bucket}"""
+      val checks =
+        if (t.checks.isEmpty) ""
+        else t.checks.map(c => s""""${esc(c)}"""").mkString(""","checks":[""", ",", "]")
+      s"""{"table":"${t.name}","attributes":$attrs$bucket$checks}"""
     }
     Files.write(catalogPath, lines.mkString("\n").getBytes("UTF-8"))
   }
@@ -1631,8 +1669,9 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     val attrRe = ("""\{"name":"([^"]+)","type":"([^"]+)","nullable":(true|false)""" +
       """(?:,"default":\{"k":"([a-z]+)","v":"((?:[^"\\]|\\.)*)"\})?\}""").r
     val tableReB =
-      """\{"table":"([^"]+)","attributes":\[(.*)\],"bucket":\{"col":"([^"]+)","n":(\d+)\}\}""".r
-    val tableRe = """\{"table":"([^"]+)","attributes":\[(.*)\]\}""".r
+      """\{"table":"([^"]+)","attributes":\[(.*?)\],"bucket":\{"col":"([^"]+)","n":(\d+)\}(?:,"checks":\[(.*)\])?\}""".r
+    val tableRe = """\{"table":"([^"]+)","attributes":\[(.*?)\](?:,"checks":\[(.*)\])?\}""".r
+    val checkStrRe = """"((?:[^"\\]|\\.)*)"""".r
     def unesc(s: String) = {
       val sb = new StringBuilder
       var i = 0
@@ -1648,12 +1687,16 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         AttributeDesc(m.group(1), parseType(m.group(2)), m.group(3).toBoolean,
           default = dflt)
       }.toSeq
+    def checksOf(g: String): Seq[String] =
+      Option(g).toSeq.flatMap(cs =>
+        checkStrRe.findAllMatchIn(cs).map(m => unesc(m.group(1))).toSeq)
     Files.readAllLines(catalogPath).asScala.filter(_.nonEmpty).foreach {
-      case tableReB(name, attrs, bCol, bN) =>
+      case tableReB(name, attrs, bCol, bN, chks) =>
         // the session-catalog entry re-registers lazily on first read
-        tables(name) = TableDesc(name, attrsOf(attrs), Some((bCol, bN.toInt)))
-      case tableRe(name, attrs) =>
-        tables(name) = TableDesc(name, attrsOf(attrs))
+        tables(name) = TableDesc(name, attrsOf(attrs), Some((bCol, bN.toInt)),
+          checksOf(chks))
+      case tableRe(name, attrs, chks) =>
+        tables(name) = TableDesc(name, attrsOf(attrs), None, checksOf(chks))
       case line => sys.error(s"bad catalog line: $line")
     }
   }

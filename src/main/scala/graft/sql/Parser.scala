@@ -93,7 +93,7 @@ object Parser {
   }
 
   // ---- parser state ----
-  private final class P(toks: Vector[Tok]) {
+  private final class P(toks: Vector[Tok], val src: String = "") {
     var i = 0
     def peek: Tok = toks(i)
     def next(): Tok = { val t = toks(i); i += 1; t }
@@ -220,12 +220,25 @@ object Parser {
     if (name.isEmpty) "file" else name
   }
 
+  /** A stored CHECK constraint's expression (source text from the
+    * catalog) as a predicate tree — the binding/lowering entry for
+    * write-time enforcement.
+    */
+  def parseCheck(s: String): Either[ParseError, Expr] =
+    lex(s).flatMap { toks =>
+      val p = new P(toks, s)
+      parseOr(p).flatMap(e => p.peek match {
+        case TEnd(_) => Right(e)
+        case t => Left(ParseError("CHECK expression not parsed fully", t.pos))
+      })
+    }
+
   /** Entry point. Rejects trailing garbage like the reference's "query not
     * parsed fully" check (reference database.rs:38-40).
     */
   def parse(sql: String): Either[ParseError, ParseTree] =
     lex(sql).flatMap { toks =>
-      val p = new P(toks)
+      val p = new P(toks, sql)
       val tree =
         if (p.isKw("explain")) {
           p.next()
@@ -3834,6 +3847,27 @@ object Parser {
   }
 
   private def parseCreateColumns(p: P, name: String): Either[ParseError, ParseTree] = {
+    // CHECK (expr): parse (validates it), but carry the SOURCE TEXT —
+    // the catalog stores it and write-time enforcement re-binds it
+    val checks = Vector.newBuilder[String]
+    def parseCheckCons(): Either[ParseError, Unit] = {
+      p.next() // CHECK
+      for {
+        _ <- p.eatSym("(")
+        startPos = p.peek.pos
+        _ <- parseOr(p)
+        endPos = p.peek.pos
+        _ <- p.eatSym(")")
+      } yield {
+        checks += p.src.substring(startPos, endPos).trim
+        ()
+      }
+    }
+    def checkAhead: Boolean = p.isKw("check") && {
+      val save = p.i; p.next()
+      val isP = p.peek match { case TSym("(", _) => true; case _ => false }
+      p.i = save; isP
+    }
     for {
       _ <- p.eatSym("(")
       colsAndPk <- {
@@ -3842,8 +3876,8 @@ object Parser {
             cn <- p.ident()
             tp <- parseType(p)
             // column constraints in any order: PRIMARY KEY (parsed and
-            // ignored, reference parity), DEFAULT <literal>, NOT NULL
-            // (enforced at every write) and bare NULL (explicit default)
+            // ignored, reference parity), DEFAULT <literal>, NOT NULL /
+            // bare NULL, and CHECK (expr) — enforced at every write
             pkDef <- {
               def cons(pk: Boolean, dflt: Option[Lit], nn: Boolean)
                   : Either[ParseError, (Boolean, Option[Lit], Boolean)] =
@@ -3853,6 +3887,8 @@ object Parser {
                   p.next(); p.eatKw("null").flatMap(_ => cons(pk, dflt, true))
                 } else if (p.isKw("null")) {
                   p.next(); cons(pk, dflt, nn)
+                } else if (checkAhead) {
+                  parseCheckCons().flatMap(_ => cons(pk, dflt, nn))
                 } else if (p.isKw("default")) {
                   val pos = p.peek.pos
                   p.next()
@@ -3866,13 +3902,19 @@ object Parser {
             }
           } yield (cn, tp, pkDef._1, pkDef._2, pkDef._3)
         def loop(acc: Vector[(String, SqlType, Boolean, Option[Lit], Boolean)])
-            : Either[ParseError, Vector[(String, SqlType, Boolean, Option[Lit], Boolean)]] =
-          one().flatMap { c =>
+            : Either[ParseError, Vector[(String, SqlType, Boolean, Option[Lit], Boolean)]] = {
+          // table-level CHECK (expr) entries mix into the column list
+          val itemE: Either[ParseError, Option[(String, SqlType, Boolean, Option[Lit], Boolean)]] =
+            if (checkAhead) parseCheckCons().map(_ => None)
+            else one().map(Some(_))
+          itemE.flatMap { c =>
+            val acc2 = acc ++ c.toSeq
             p.peek match {
-              case TSym(",", _) => p.next(); loop(acc :+ c)
-              case _            => p.eatSym(")").map(_ => acc :+ c)
+              case TSym(",", _) => p.next(); loop(acc2)
+              case _            => p.eatSym(")").map(_ => acc2)
             }
           }
+        }
         loop(Vector.empty)
       }
       // optional CLUSTERED BY (col) INTO n BUCKETS (Hive/Spark DDL shape)
@@ -3884,6 +3926,7 @@ object Parser {
       bucket,
       colsAndPk.collect { case (n, _, _, Some(l), _) => n.toLowerCase -> l }
         .toMap,
-      colsAndPk.filter(_._5).map(_._1)): ParseTree
+      colsAndPk.filter(_._5).map(_._1),
+      checks.result()): ParseTree
   }
 }

@@ -2136,6 +2136,39 @@ class DialectSpec extends AnyFunSuite {
       .toOption.get.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("CHECK constraints: create-time binding, write enforcement, persistence") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-chk").toString
+    val db = new GraftDatabase(spark, wh)
+    def run(sql: String): Unit = db.query(sql) match {
+      case Right(_) => ()
+      case Left(e)  => fail(s"$sql -> ${e.msg}")
+    }
+    run("CREATE TABLE ck (a INT CHECK (a > 0), b INT, " +
+      "CHECK (b IS NULL OR b >= a))")
+    run("INSERT INTO ck VALUES (1, 2), (3, NULL)") // NULL check passes
+    // violations raise mid-write: column-level and table-level
+    val e1 = intercept[Exception] { db.query("INSERT INTO ck VALUES (0, 5)") }
+    assert(e1.getMessage.contains("CHECK constraint failed"))
+    val e2 = intercept[Exception] { db.query("INSERT INTO ck VALUES (5, 1)") }
+    assert(e2.getMessage.contains("b >= a"))
+    // UPDATE rewrites enforce too; the failed write leaves data intact
+    val e3 = intercept[Exception] { db.query("UPDATE ck SET a = -1 WHERE a = 1") }
+    assert(e3.getMessage.contains("CHECK constraint failed"))
+    assert(db.select("SELECT count(*) AS n FROM ck")
+      .fold(e => fail(e.msg), _.collect().head.getLong(0)) == 2L)
+    // create-time validation: unknown columns and subqueries reject
+    assert(db.query("CREATE TABLE ck2 (x INT CHECK (nope > 0))").isLeft)
+    assert(db.query(
+      "CREATE TABLE ck3 (x INT CHECK (x > (SELECT 1)))").isLeft)
+    // constraints persist: a fresh database over the same warehouse
+    // still enforces
+    val db2 = new GraftDatabase(spark, wh)
+    val e4 = intercept[Exception] { db2.query("INSERT INTO ck VALUES (0, 1)") }
+    assert(e4.getMessage.contains("CHECK constraint failed"))
+    assert(db2.select("SELECT sum(a) AS s FROM ck")
+      .fold(e => fail(e.msg), _.collect().head.getLong(0)) == 4L)
+  }
+
   test("NOT NULL constraints: DDL, insert checks, write enforcement") {
     val db = freshDb()
     def run(sql: String): Unit = db.query(sql) match {
