@@ -26,7 +26,11 @@ object Analyzer {
         org.apache.spark.sql.types.StructField(a.name, a.sqlType.spark, a.nullable)))
   }
   final case class AttributeDesc(name: String, sqlType: SqlType,
-      nullable: Boolean = true, default: Option[Lit] = None)
+      nullable: Boolean = true, default: Option[Lit] = None,
+      /** Generated column: the generator's source text — values
+        * materialize at write from the row's non-generated columns.
+        */
+      generated: Option[String] = None)
 
   trait Catalog {
     def resolve(table: String): Option[TableDesc]
@@ -1617,18 +1621,25 @@ object Analyzer {
               }).map(as => Some(as.map(_.name)))
             colsE.flatMap {
               case None =>
-                if (arity < desc.attributes.length)
-                  Left(MissingValues(desc.attributes.drop(math.max(arity, 0)).map(_.name)))
-                else if (arity > desc.attributes.length)
-                  Left(TooManyValues(desc.attributes.length, arity))
+                // generated columns take no position (materialized at
+                // the write) — the implicit arity excludes them
+                val plain = desc.attributes.filter(_.generated.isEmpty)
+                if (arity < plain.length)
+                  Left(MissingValues(plain.drop(math.max(arity, 0)).map(_.name)))
+                else if (arity > plain.length)
+                  Left(TooManyValues(plain.length, arity))
                 else Right(BoundInsertSelect(desc, b))
               case Some(cols) =>
                 // like the VALUES column list: every name must exist in
-                // the target, no duplicates, arity matches the list
+                // the target (and not be GENERATED), no duplicates,
+                // arity matches the list
                 val seen = scala.collection.mutable.Set.empty[String]
                 cols.collectFirst {
                   case c if !desc.attributes.exists(_.name.equalsIgnoreCase(c)) =>
                     UnboundAttribute(c)
+                  case c if desc.attr(c).exists(_.generated.isDefined) =>
+                    BadFunction(
+                      s"column '$c' is GENERATED — its value cannot be inserted")
                   case c if !seen.add(c.toLowerCase) => DuplicateBinding(c)
                 } match {
                   case Some(e) => Left(e)
@@ -1697,6 +1708,18 @@ object Analyzer {
     Parser.parseCheck(text) match {
       case Left(pe) => Left(BadFunction(s"CHECK ($text): ${pe.msg}"))
       case Right(e) => bindSingleTableExpr(desc, e)
+    }
+
+  /** Bind a stored generated-column expression (catalog source text)
+    * against the table's NON-generated columns — the write-time
+    * materialization entry.
+    */
+  def bindGenerator(desc: TableDesc, text: String): Either[AnalyzerError, BoundOperand] =
+    Parser.parseGenerator(text) match {
+      case Left(pe) => Left(BadFunction(s"GENERATED AS ($text): ${pe.msg}"))
+      case Right(o) =>
+        bindSingleTableOperand(desc.copy(attributes =
+          desc.attributes.filter(_.generated.isEmpty)), o)
     }
 
   private def bindSingleTableExpr(desc: TableDesc, e: Expr): Either[AnalyzerError, BoundExpr] =
@@ -2089,6 +2112,10 @@ object Analyzer {
         for (((cn, op), idx) <- u.sets.zipWithIndex) {
           desc.attr(cn) match {
             case None => return Left(UnboundAttribute(cn))
+            case Some(attr) if attr.generated.isDefined =>
+              return Left(BadFunction(
+                s"column '${attr.name}' is GENERATED — it recomputes " +
+                  "automatically; update its source columns instead"))
             case Some(attr) =>
               op match {
                 // pure literals keep the INSERT-grade checked conversion
@@ -4599,19 +4626,30 @@ object Analyzer {
         val attrs = desc.attributes
         // an explicit column list permutes the tuple into table order;
         // unlisted columns take NULL
+        // generated columns take no slot: full-row VALUES arity excludes
+        // them (DuckDB), and naming one in an explicit list rejects
         val slotOf: Either[AnalyzerError, Seq[Option[Int]]] = i.columns match {
-          case None => Right(attrs.indices.map(Some(_)))
+          case None =>
+            var j = -1
+            Right(attrs.map(a =>
+              if (a.generated.isDefined) None else { j += 1; Some(j) }))
           case Some(cols) =>
             val idx = scala.collection.mutable.Map.empty[String, Int]
             for ((c, j) <- cols.zipWithIndex) {
-              if (!attrs.exists(_.name.equalsIgnoreCase(c)))
-                return Left(UnboundAttribute(c))
+              attrs.find(_.name.equalsIgnoreCase(c)) match {
+                case None => return Left(UnboundAttribute(c))
+                case Some(a) if a.generated.isDefined =>
+                  return Left(BadFunction(
+                    s"column '${a.name}' is GENERATED — its value cannot be inserted"))
+                case _ => ()
+              }
               if (idx.put(c.toLowerCase, j).isDefined)
                 return Left(DuplicateBinding(c))
             }
             Right(attrs.map(a => idx.get(a.name.toLowerCase)))
         }
-        val rowLen = i.columns.map(_.length).getOrElse(attrs.length)
+        val rowLen = i.columns.map(_.length)
+          .getOrElse(attrs.count(_.generated.isEmpty))
         slotOf.flatMap { slots =>
           val out = Vector.newBuilder[Seq[Any]]
           for (row <- i.rows) {
@@ -4629,7 +4667,9 @@ object Analyzer {
                 case Left(err) =>
                   return Left(TypeNotConvertible(slot.getOrElse(0), err.msg))
                 case Right(v) =>
-                  if (v == null && !attr.nullable)
+                  // generated columns hold a placeholder here — the
+                  // write pass materializes them (and re-checks NULLs)
+                  if (v == null && !attr.nullable && attr.generated.isEmpty)
                     return Left(TypeNotConvertible(slot.getOrElse(0),
                       s"NOT NULL constraint failed: ${desc.name}.${attr.name}"))
                   vals += v
@@ -4667,7 +4707,34 @@ object Analyzer {
       val attrs = c.columns.map { case (n, t) =>
         AttributeDesc(n.toLowerCase, t,
           nullable = !c.notNull.exists(_.equalsIgnoreCase(n)),
-          default = c.defaults.get(n.toLowerCase)) }
+          default = c.defaults.get(n.toLowerCase),
+          generated = c.generated.get(n.toLowerCase)) }
+      // generated columns: the generator binds against the
+      // NON-generated columns only (no generator chains), its type must
+      // be comparable with the declared one, and DEFAULT is meaningless
+      val plainDesc = TableDesc(c.table.toLowerCase,
+        attrs.filter(_.generated.isEmpty))
+      for (a <- attrs; gen <- a.generated) {
+        if (a.default.isDefined)
+          return Left(BadFunction(
+            s"column '${a.name}' cannot be both GENERATED and DEFAULTed"))
+        Parser.parseGenerator(gen) match {
+          case Left(pe) => return Left(BadFunction(
+            s"GENERATED AS ($gen): ${pe.msg}"))
+          case Right(op) => bindSingleTableOperand(plainDesc, op) match {
+            case Left(err) => return Left(BadFunction(
+              s"GENERATED AS ($gen): ${err.msg} " +
+                "(generators may reference non-generated columns only)"))
+            case Right(b) =>
+              if (!SqlType.comparable(operandType(b), a.sqlType) &&
+                  operandType(b) != a.sqlType)
+                return Left(BadFunction(
+                  s"GENERATED AS ($gen): generator type " +
+                    s"${operandType(b).render} does not match " +
+                    s"${a.sqlType.render}"))
+          }
+        }
+      }
       // CHECK constraints bind NOW against the new schema — an unknown
       // column, subquery or aggregate fails at CREATE, not first write
       val desc0 = TableDesc(c.table.toLowerCase, attrs)

@@ -594,5 +594,11 @@ object Ast {
         * table-level both) — validated at CREATE, stored in the
         * catalog, re-bound and enforced at every write.
         */
-      checks: Seq[String] = Nil) extends ParseTree
+      checks: Seq[String] = Nil,
+      /** Generated columns: name → generator SOURCE TEXT. Values
+        * materialize at every write from the row's non-generated
+        * columns (read-equivalent to VIRTUAL); explicit inserts into a
+        * generated column reject.
+        */
+      generated: Map[String, String] = Map.empty) extends ParseTree
 }

@@ -126,7 +126,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         val name = (inner match {
           case Ast.CreateViewTree(n, _)       => n
           case Ast.CreateMatViewTree(n, _, _) => n
-          case Ast.CreateTree(n, _, _, _, _, _, _)  => n
+          case Ast.CreateTree(n, _, _, _, _, _, _, _)  => n
           case Ast.CreateAsTree(n, _, _)      => n
           case _ => return Left(ViewError("unsupported CREATE mode form"))
         }).toLowerCase
@@ -209,7 +209,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case t: Ast.AlterRenameTree    => alterRenameTable(t)
       case t: Ast.AlterColTypeTree   => alterColType(t)
       case Ast.TruncateTree(name)    => truncate(name)
-      case t @ Ast.CreateTree(n, _, _, _, _, _, _) if views.contains(n.toLowerCase) =>
+      case t @ Ast.CreateTree(n, _, _, _, _, _, _, _) if views.contains(n.toLowerCase) =>
         Left(ViewError(s"relation '$n' already exists as a view"))
       case t @ Ast.CreateAsTree(n, _, _) if views.contains(n.toLowerCase) =>
         Left(ViewError(s"relation '$n' already exists as a view"))
@@ -1012,9 +1012,16 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       // columns NULL-fill (the VALUES column-list semantics)
       val aligned = colsOpt match {
         case None =>
-          raw.toDF(desc.attributes.map(_.name): _*)
-            .select(desc.attributes.map(a =>
-              org.apache.spark.sql.functions.col(a.name).cast(a.sqlType.spark)): _*)
+          // positional over the NON-generated columns (generated ones
+          // take no position; the write pass materializes them)
+          val plain = desc.attributes.filter(_.generated.isEmpty)
+          val named = raw.toDF(plain.map(_.name): _*)
+          named.select(desc.attributes.map { a =>
+            (if (a.generated.isDefined)
+              org.apache.spark.sql.functions.lit(null)
+            else org.apache.spark.sql.functions.col(a.name))
+              .cast(a.sqlType.spark).as(a.name)
+          }: _*)
         case Some(cols) =>
           val named = raw.toDF(cols: _*)
           named.select(desc.attributes.map { a =>
@@ -1046,7 +1053,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       }
       statistics.rebuild(desc, readTable(desc))
       val after = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
-      if (returning) Rows(src)
+      if (returning) Rows(srcW) // post-materialization image
       else Done(s"inserted ${after - before} row(s) into ${desc.name}")
   }
 
@@ -1079,9 +1086,10 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       // Batched append: all VALUES rows land in one parquet write
       // (SURVEY.md §7.4 — per-row writes would be pathological).
       val rdd = spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1)
-      // NULLs were analysis-checked on the literal rows; CHECK
-      // constraints still need the frame-pass evaluation
-      val df = enforceChecks(
+      // literal NULLs were analysis-checked, but generated columns
+      // materialize (and NOT NULL over them re-checks) and CHECK
+      // constraints evaluate in the frame pass
+      val df = enforceNotNull(
         spark.createDataFrame(rdd, desc.sparkSchema), desc)
       desc.bucket match {
         case Some(_) =>
@@ -1431,12 +1439,36 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     * in a raise-on-NULL — codegen'd inside the write's own pass, zero
     * extra jobs. Literal INSERT rows are checked at analysis instead.
     */
+  /** Generated-column materialization: every write recomputes each
+    * generated column from the row's non-generated columns (read-
+    * equivalent to VIRTUAL; UPDATE/MERGE rewrites pick up dependent
+    * changes automatically). Codegen'd in the write's own pass.
+    */
+  private def materializeGenerated(df: DataFrame, desc: TableDesc): DataFrame =
+    if (desc.attributes.forall(_.generated.isEmpty)) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(desc.attributes.map { a =>
+        a.generated match {
+          case None => col(a.name)
+          case Some(gen) =>
+            val bound = Analyzer.bindGenerator(desc, gen).fold(
+              e => throw new IllegalStateException(
+                s"stored generator no longer binds (${e.msg}) — " +
+                  "an ALTER may have invalidated it"),
+              identity)
+            Lowering.lowerOperandBare(bound).cast(a.sqlType.spark).as(a.name)
+        }
+      }: _*)
+    }
+
   private def enforceNotNull(df: DataFrame, desc: TableDesc): DataFrame = {
+    val df0 = materializeGenerated(df, desc)
     val base =
-      if (desc.attributes.forall(_.nullable)) df
+      if (desc.attributes.forall(_.nullable)) df0
       else {
         import org.apache.spark.sql.functions.{col, lit, raise_error, when}
-        df.select(desc.attributes.map { a =>
+        df0.select(desc.attributes.map { a =>
           if (a.nullable) col(a.name)
           else when(col(a.name).isNull, raise_error(lit(
             s"NOT NULL constraint failed: ${desc.name}.${a.name}")))
@@ -1650,7 +1682,8 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         .map { a =>
           val d = a.default.map(litKV).map { case (k, v) =>
             s""","default":{"k":"$k","v":"${esc(v)}"}""" }.getOrElse("")
-          s"""{"name":"${a.name}","type":"${renderType(a.sqlType)}","nullable":${a.nullable}$d}"""
+          val g = a.generated.map(x => s""","gen":"${esc(x)}"""").getOrElse("")
+          s"""{"name":"${a.name}","type":"${renderType(a.sqlType)}","nullable":${a.nullable}$d$g}"""
         }
         .mkString("[", ",", "]")
       val bucket = t.bucket
@@ -1667,7 +1700,8 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   private def loadCatalog(): Unit = {
     if (!Files.exists(catalogPath)) return
     val attrRe = ("""\{"name":"([^"]+)","type":"([^"]+)","nullable":(true|false)""" +
-      """(?:,"default":\{"k":"([a-z]+)","v":"((?:[^"\\]|\\.)*)"\})?\}""").r
+      """(?:,"default":\{"k":"([a-z]+)","v":"((?:[^"\\]|\\.)*)"\})?""" +
+      """(?:,"gen":"((?:[^"\\]|\\.)*)")?\}""").r
     val tableReB =
       """\{"table":"([^"]+)","attributes":\[(.*?)\],"bucket":\{"col":"([^"]+)","n":(\d+)\}(?:,"checks":\[(.*)\])?\}""".r
     val tableRe = """\{"table":"([^"]+)","attributes":\[(.*?)\](?:,"checks":\[(.*)\])?\}""".r
@@ -1685,7 +1719,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       attrRe.findAllMatchIn(attrs).map { m =>
         val dflt = Option(m.group(4)).map(k => litOfKV(k, unesc(m.group(5))))
         AttributeDesc(m.group(1), parseType(m.group(2)), m.group(3).toBoolean,
-          default = dflt)
+          default = dflt, generated = Option(m.group(6)).map(unesc))
       }.toSeq
     def checksOf(g: String): Seq[String] =
       Option(g).toSeq.flatMap(cs =>

@@ -233,6 +233,19 @@ object Parser {
       })
     }
 
+  /** A stored generated-column expression (catalog source text) as an
+    * operand tree — the binding/lowering entry for write-time
+    * materialization.
+    */
+  def parseGenerator(s: String): Either[ParseError, Operand] =
+    lex(s).flatMap { toks =>
+      val p = new P(toks, s)
+      parseOperand(p).flatMap(o => p.peek match {
+        case TEnd(_) => Right(o)
+        case t => Left(ParseError("generator expression not parsed fully", t.pos))
+      })
+    }
+
   /** Entry point. Rejects trailing garbage like the reference's "query not
     * parsed fully" check (reference database.rs:38-40).
     */
@@ -3871,40 +3884,58 @@ object Parser {
     for {
       _ <- p.eatSym("(")
       colsAndPk <- {
-        def one(): Either[ParseError, (String, SqlType, Boolean, Option[Lit], Boolean)] =
+        def one(): Either[ParseError, (String, SqlType, Boolean, Option[Lit], Boolean, Option[String])] =
           for {
             cn <- p.ident()
             tp <- parseType(p)
             // column constraints in any order: PRIMARY KEY (parsed and
             // ignored, reference parity), DEFAULT <literal>, NOT NULL /
-            // bare NULL, and CHECK (expr) — enforced at every write
+            // bare NULL, CHECK (expr), and GENERATED ALWAYS AS (expr)
+            // [VIRTUAL|STORED] — generated values materialize at write
             pkDef <- {
-              def cons(pk: Boolean, dflt: Option[Lit], nn: Boolean)
-                  : Either[ParseError, (Boolean, Option[Lit], Boolean)] =
+              def cons(pk: Boolean, dflt: Option[Lit], nn: Boolean,
+                  gen: Option[String])
+                  : Either[ParseError, (Boolean, Option[Lit], Boolean, Option[String])] =
                 if (p.isKw("primary")) {
-                  p.next(); p.eatKw("key").flatMap(_ => cons(true, dflt, nn))
+                  p.next(); p.eatKw("key").flatMap(_ => cons(true, dflt, nn, gen))
                 } else if (p.isKw("not")) {
-                  p.next(); p.eatKw("null").flatMap(_ => cons(pk, dflt, true))
+                  p.next(); p.eatKw("null").flatMap(_ => cons(pk, dflt, true, gen))
                 } else if (p.isKw("null")) {
-                  p.next(); cons(pk, dflt, nn)
+                  p.next(); cons(pk, dflt, nn, gen)
                 } else if (checkAhead) {
-                  parseCheckCons().flatMap(_ => cons(pk, dflt, nn))
+                  parseCheckCons().flatMap(_ => cons(pk, dflt, nn, gen))
+                } else if (p.isKw("generated")) {
+                  p.next()
+                  for {
+                    _ <- p.eatKw("always")
+                    _ <- p.eatKw("as")
+                    _ <- p.eatSym("(")
+                    startPos = p.peek.pos
+                    _ <- parseOperand(p, allowAgg = false)
+                    endPos = p.peek.pos
+                    _ <- p.eatSym(")")
+                    text = p.src.substring(startPos, endPos).trim
+                    // storage keyword accepted; values materialize on
+                    // write either way (read-equivalent to VIRTUAL)
+                    _ = if (p.isKw("virtual") || p.isKw("stored")) p.next()
+                    r <- cons(pk, dflt, nn, Some(text))
+                  } yield r
                 } else if (p.isKw("default")) {
                   val pos = p.peek.pos
                   p.next()
                   parseFactor(p, allowAgg = false).flatMap {
-                    case Operand.Literal(l) => cons(pk, Some(l), nn)
+                    case Operand.Literal(l) => cons(pk, Some(l), nn, gen)
                     case _ => Left(ParseError(
                       "DEFAULT takes a literal value", pos))
                   }
-                } else Right((pk, dflt, nn))
-              cons(false, None, false)
+                } else Right((pk, dflt, nn, gen))
+              cons(false, None, false, None)
             }
-          } yield (cn, tp, pkDef._1, pkDef._2, pkDef._3)
-        def loop(acc: Vector[(String, SqlType, Boolean, Option[Lit], Boolean)])
-            : Either[ParseError, Vector[(String, SqlType, Boolean, Option[Lit], Boolean)]] = {
+          } yield (cn, tp, pkDef._1, pkDef._2, pkDef._3, pkDef._4)
+        def loop(acc: Vector[(String, SqlType, Boolean, Option[Lit], Boolean, Option[String])])
+            : Either[ParseError, Vector[(String, SqlType, Boolean, Option[Lit], Boolean, Option[String])]] = {
           // table-level CHECK (expr) entries mix into the column list
-          val itemE: Either[ParseError, Option[(String, SqlType, Boolean, Option[Lit], Boolean)]] =
+          val itemE: Either[ParseError, Option[(String, SqlType, Boolean, Option[Lit], Boolean, Option[String])]] =
             if (checkAhead) parseCheckCons().map(_ => None)
             else one().map(Some(_))
           itemE.flatMap { c =>
@@ -3924,9 +3955,11 @@ object Parser {
       colsAndPk.map(c => (c._1, c._2)),
       colsAndPk.filter(_._3).map(_._1),
       bucket,
-      colsAndPk.collect { case (n, _, _, Some(l), _) => n.toLowerCase -> l }
+      colsAndPk.collect { case (n, _, _, Some(l), _, _) => n.toLowerCase -> l }
         .toMap,
       colsAndPk.filter(_._5).map(_._1),
-      checks.result()): ParseTree
+      checks.result(),
+      colsAndPk.collect { case (n, _, _, _, _, Some(g)) => n.toLowerCase -> g }
+        .toMap): ParseTree
   }
 }

@@ -2136,6 +2136,49 @@ class DialectSpec extends AnyFunSuite {
       .toOption.get.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("generated columns: materialize on write, recompute on update") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-gen").toString
+    val db = new GraftDatabase(spark, wh)
+    def run(sql: String): Unit = db.query(sql) match {
+      case Right(_) => ()
+      case Left(e)  => fail(s"$sql -> ${e.msg}")
+    }
+    run("CREATE TABLE g (a INT, b INT GENERATED ALWAYS AS (a * 2), " +
+      "c VARCHAR(20) GENERATED ALWAYS AS (upper(tag)) VIRTUAL, " +
+      "tag VARCHAR(10))")
+    // full-row VALUES arity excludes generated columns (DuckDB)
+    run("INSERT INTO g VALUES (3, 'x'), (4, 'y')")
+    def img(): Seq[(Int, Int, String, String)] =
+      db.select("SELECT a, b, c, tag FROM g ORDER BY a")
+        .fold(e => fail(e.msg), _.collect().toSeq
+          .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3))))
+    assert(img() == Seq((3, 6, "X", "x"), (4, 8, "Y", "y")))
+    // column lists skip generated too; explicit mention rejects
+    run("INSERT INTO g (a) VALUES (5)")
+    assert(db.query("INSERT INTO g (a, b) VALUES (6, 0)").isLeft)
+    assert(db.query("INSERT INTO g SELECT 7, 0, 'x', 'z'").isLeft)
+    // UPDATE of a source column RECOMPUTES dependents; direct SET rejects
+    run("UPDATE g SET a = 10 WHERE a = 3")
+    assert(img().take(1) == Seq((4, 8, "Y", "y")))
+    assert(img().last == (10, 20, "X", "x"))
+    assert(db.query("UPDATE g SET b = 1 WHERE a = 4").isLeft)
+    // generators persist: a fresh database still materializes
+    val db2 = new GraftDatabase(spark, wh)
+    db2.query("INSERT INTO g VALUES (6, 'q')").fold(e => fail(e.msg), identity)
+    assert(db2.select("SELECT b, c FROM g WHERE a = 6")
+      .fold(e => fail(e.msg), _.collect().head) match {
+        case r => r.getInt(0) == 12 && r.getString(1) == "Q"
+      })
+    // create-time validation: unknown source columns, generator chains,
+    // DEFAULT+GENERATED combos all reject
+    assert(db.query(
+      "CREATE TABLE bad (x INT GENERATED ALWAYS AS (nope + 1))").isLeft)
+    assert(db.query("CREATE TABLE bad2 (x INT GENERATED ALWAYS AS (y), " +
+      "y INT GENERATED ALWAYS AS (1))").isLeft)
+    assert(db.query(
+      "CREATE TABLE bad3 (x INT GENERATED ALWAYS AS (1) DEFAULT 2)").isLeft)
+  }
+
   test("CHECK constraints: create-time binding, write enforcement, persistence") {
     val wh = java.nio.file.Files.createTempDirectory("graft-chk").toString
     val db = new GraftDatabase(spark, wh)
