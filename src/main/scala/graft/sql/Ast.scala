@@ -384,6 +384,14 @@ object Ast {
     * replace the table image (bucket layout preserved).
     */
   final case class RefreshMatViewTree(name: String) extends ParseTree
+  /** ANALYZE [table]: rebuild the maintained statistics (sample + HLL
+    * sketches) — None = every catalog table.
+    */
+  final case class AnalyzeTree(table: Option[String]) extends ParseTree
+  /** SET <option> = <lit> / RESET <option> (value None): session-option
+    * compatibility no-op — acknowledged with a notice.
+    */
+  final case class SetOptionTree(name: String, value: Option[Lit]) extends ParseTree
   final case class DropMatViewTree(name: String, ifExists: Boolean) extends ParseTree
   /** DROP VIEW [IF EXISTS] name. */
   final case class DropViewTree(name: String, ifExists: Boolean) extends ParseTree

@@ -172,6 +172,27 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
                   "… CLUSTERED BY)"))
             }
         }
+      // ANALYZE: force-rebuild the planner statistics (rowcount + HLL
+      // NDV sketches + bottom-k sample) — one pass per table
+      case Ast.AnalyzeTree(tbl) =>
+        val targets = tbl match {
+          case Some(n) => tables.get(n.toLowerCase) match {
+            case Some(d) => Seq(d)
+            case None => return Left(ViewError(s"table '$n' does not exist"))
+          }
+          case None => tables.values.toSeq
+        }
+        targets.foreach(d => statistics.rebuild(d, readTable(d)))
+        Right(Done(s"analyzed ${targets.length} table(s): statistics " +
+          "(rowcount, ndv sketches, sample) rebuilt"))
+      // SET/RESET: acknowledged no-ops — execution tuning lives in the
+      // SparkSession; the notice keeps scripts portable
+      case Ast.SetOptionTree(name, v) =>
+        Right(Done(v match {
+          case Some(l) => s"SET $name noted as a no-op (execution " +
+            "options live in the Spark session)"
+          case None => s"RESET $name noted as a no-op"
+        }))
       case Ast.ShowTablesTree        => showTables()
       case t: Ast.DescribeTree       => describe(t.table)
       // DESCRIBE <query>: analyze only — the schema comes from the bound

@@ -351,6 +351,36 @@ object Parser {
             _ <- p.eatKw("view")
             name <- p.ident()
           } yield RefreshMatViewTree(name.toLowerCase)
+        // ANALYZE [table]: recompute the maintained statistics (the
+        // sample + HLL sketches the planner costs from) — bare form
+        // rebuilds every table
+        else if (p.isKw("analyze")) {
+          p.next()
+          (p.peek match {
+            case TIdent(n, _) if !reserved(n) => p.next(); Right(Some(n))
+            case _                            => Right(None)
+          }).map(AnalyzeTree(_): ParseTree)
+        }
+        // SET <option> = <literal> / RESET <option>: session-option
+        // compatibility surface — parsed, validated to a literal, and
+        // no-op'd with a notice (execution tuning lives in the Spark
+        // session, not per-statement state)
+        else if (p.isKw("set")) {
+          p.next()
+          for {
+            name <- p.ident()
+            _ <- if (p.peek match {
+                case TSym("=", _) => p.next(); true
+                case TIdent(k, _) if k.equalsIgnoreCase("to") => p.next(); true
+                case _ => false
+              }) Right(()) else Left(ParseError("expected = or TO", p.peek.pos))
+            v <- parseLit(p)
+          } yield SetOptionTree(name.toLowerCase, Some(v)): ParseTree
+        }
+        else if (p.isKw("reset")) {
+          p.next()
+          p.ident().map(n => SetOptionTree(n.toLowerCase, None): ParseTree)
+        }
         else Left(ParseError(
           "expected SELECT, INSERT, CREATE, DROP, DELETE, UPDATE or REFRESH", p.peek.pos))
       tree.flatMap { t =>

@@ -2136,6 +2136,24 @@ class DialectSpec extends AnyFunSuite {
       .toOption.get.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("ANALYZE rebuilds statistics; SET/RESET acknowledge as no-ops") {
+    val db = demoDb()
+    def done(sql: String): String = db.query(sql) match {
+      case Right(db.Done(m)) => m
+      case other             => fail(s"$sql -> $other")
+    }
+    assert(done("ANALYZE people").contains("analyzed 1 table(s)"))
+    assert(done("ANALYZE").contains("table(s)"))
+    assert(db.query("ANALYZE nope").isLeft)
+    assert(done("SET threads = 4").contains("no-op"))
+    assert(done("SET memory_limit TO '4GB'").contains("no-op"))
+    assert(done("RESET threads").contains("no-op"))
+    // stats actually refresh: insert bypassing... (normal inserts keep
+    // stats online; ANALYZE must agree with the live rowcount)
+    db.query("INSERT INTO people VALUES (99, 'Zed', 33)").toOption.get
+    assert(done("ANALYZE people").contains("analyzed 1"))
+  }
+
   test("generated columns: materialize on write, recompute on update") {
     val wh = java.nio.file.Files.createTempDirectory("graft-gen").toString
     val db = new GraftDatabase(spark, wh)
