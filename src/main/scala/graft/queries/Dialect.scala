@@ -2117,6 +2117,30 @@ object Dialect {
     // DELETE … RETURNING *: the removed rows' pre-image comes back as
     // the statement's result, materialized BEFORE the rewrite. CREATE
     // OR REPLACE keeps the gate idempotent across bench repetitions.
+    // Constraint machinery end-to-end: NOT NULL + CHECK + GENERATED +
+    // DEFAULT through CREATE, VALUES-arity-excluding-generated inserts,
+    // column-list inserts, and an UPDATE that must RECOMPUTE the
+    // generated column. The oracle reconstructs the final image
+    // arithmetically from the inserted literals — a materialization or
+    // recompute bug hash-mismatches. Idempotent via CREATE OR REPLACE.
+    "q_dialect_constraints" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d)
+        def exec(sql: String): Unit =
+          g.query(sql).fold(e => sys.error(e.msg), _ => ())
+        exec("CREATE OR REPLACE TABLE conq (" +
+          "a INT NOT NULL CHECK (a > 0), " +
+          "b INT GENERATED ALWAYS AS (a * 10), " +
+          "t VARCHAR(10) DEFAULT 'x')")
+        exec("INSERT INTO conq (a) VALUES (1), (2)")
+        exec("INSERT INTO conq VALUES (5, 'y')")
+        exec("UPDATE conq SET a = a + 1 WHERE a = 2")
+        run(g, "SELECT a, b, t FROM conq ORDER BY a")
+      },
+      Some("""SELECT a, a * 10 AS b, t
+             |FROM (VALUES (1, 'x'), (3, 'x'), (5, 'y')) v(a, t)
+             |ORDER BY a""".stripMargin)),
+
     "q_dialect_returning" -> QueryDef(
       (s, d) => {
         val g = db(s, d, "customer")
