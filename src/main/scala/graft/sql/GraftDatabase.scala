@@ -1659,15 +1659,56 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   private def catalogPath = Paths.get(s"$warehouse/catalog.json")
 
   private def renderType(t: SqlType): String = t.render
-  private def parseType(s: String): SqlType = {
+  /** Inverse of SqlType.render for catalog round-trips — must cover
+    * EVERY renderable type (arrays/structs/maps recursively): a table
+    * whose type can't parse back would brick the whole warehouse at
+    * the next open.
+    */
+  private def parseType(s0: String): SqlType = {
+    val s = s0.trim
+    // split a parenthesized list on TOP-LEVEL commas only
+    def splitTop(inner: String): Seq[String] = {
+      val out = Vector.newBuilder[String]
+      val sb = new StringBuilder
+      var depth = 0
+      inner.foreach {
+        case ',' if depth == 0 => out += sb.toString; sb.clear()
+        case c =>
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          sb += c
+      }
+      out += sb.toString
+      out.result()
+    }
     val vc = "VARCHAR\\((\\d+)\\)".r
     val vb = "VARBINARY\\((\\d+)\\)".r
-    s match {
+    val dec = "DECIMAL\\((\\d+),(\\d+)\\)".r
+    if (s.endsWith("[]")) SqlType.SqlArray(parseType(s.dropRight(2)))
+    else if (s.startsWith("MAP(") && s.endsWith(")")) {
+      val kv = splitTop(s.stripPrefix("MAP(").stripSuffix(")"))
+      require(kv.length == 2, s"bad catalog MAP type $s")
+      SqlType.SqlMap(parseType(kv(0)), parseType(kv(1)))
+    }
+    else if (s.startsWith("STRUCT(") && s.endsWith(")")) {
+      val fields = splitTop(s.stripPrefix("STRUCT(").stripSuffix(")"))
+        .map { f0 =>
+          val f = f0.trim
+          val sp = f.indexOf(' ')
+          require(sp > 0, s"bad catalog STRUCT field '$f'")
+          f.substring(0, sp) -> parseType(f.substring(sp + 1))
+        }
+      SqlType.SqlStruct(fields.toVector)
+    }
+    else s match {
       case "BIGINT"    => SqlType.SqlBigInt
       case "INT"       => SqlType.SqlInt
       case "SMALLINT"  => SqlType.SqlSmallInt
       case "DOUBLE"    => SqlType.SqlDouble
+      case "REAL"      => SqlType.SqlReal
       case "TIMESTAMP" => SqlType.SqlTimestamp
+      case "DATE"      => SqlType.SqlDate
+      case "BOOLEAN"   => SqlType.SqlBool
+      case dec(p, sc)  => SqlType.SqlDecimal(p.toInt, sc.toInt)
       case vc(n)       => SqlType.SqlVarChar(n.toInt)
       case vb(n)       => SqlType.SqlVarBinary(n.toInt)
       case other       => sys.error(s"bad catalog type $other")

@@ -2136,6 +2136,31 @@ class DialectSpec extends AnyFunSuite {
       .toOption.get.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("catalog type round-trip: every renderable type reopens") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-types").toString
+    val db = new GraftDatabase(spark, wh)
+    def run(sql: String): Unit = db.query(sql) match {
+      case Right(_) => ()
+      case Left(e)  => fail(s"$sql -> ${e.msg}")
+    }
+    run("CREATE TABLE alltypes (b BIGINT, i INT, s SMALLINT, d DOUBLE, " +
+      "r REAL, t TIMESTAMP, dt DATE, bo BOOLEAN, de DECIMAL(10,2), " +
+      "v VARCHAR(20), li INT[], ls VARCHAR(5)[])")
+    run("INSERT INTO alltypes VALUES (1, 2, 3, 4.5, 5.5, " +
+      "TIMESTAMP '2024-01-01 00:00:00', DATE '2024-01-02', TRUE, " +
+      "12.34, 'x', [1, 2], ['a'])")
+    // CTAS carrying struct/map columns persists those types too
+    run("CREATE TABLE nested AS SELECT MAP {'k': 1} AS m, " +
+      "{'a': 1, 'b': 'x'} AS st, [[1, 2], [3]] AS ll")
+    // a FRESH database over the same warehouse must load every type
+    // (a miss here bricks the whole warehouse at open)
+    val db2 = new GraftDatabase(spark, wh)
+    assert(db2.select("SELECT i, de, li FROM alltypes")
+      .fold(e => fail(e.msg), _.count()) == 1L)
+    assert(db2.select("SELECT m['k'] AS v, struct_extract(st, 'a') AS a " +
+      "FROM nested").fold(e => fail(e.msg), _.count()) == 1L)
+  }
+
   test("ANALYZE rebuilds statistics; SET/RESET acknowledge as no-ops") {
     val db = demoDb()
     def done(sql: String): String = db.query(sql) match {
