@@ -3619,6 +3619,30 @@ object Dialect {
              |    AND INTERVAL 30 MINUTE FOLLOWING) AS bigint) AS n_win
              |FROM events WHERE user_id <= 100 ORDER BY event_id""".stripMargin)),
 
+    // Windowed ordered aggregates: string_agg/array_agg OVER — a
+    // running collect over the frame, within-frame order = the OVER
+    // clause's sort order (required; an unordered distributed collect
+    // would be nondeterministic). IDENTICAL SQL both engines.
+    "q_dialect_win_agg" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, run_status, " +
+          "array_to_string(run_keys, ',') AS run_keys FROM (" +
+          "SELECT o_orderkey, " +
+          "string_agg(o_orderstatus, '|') OVER (PARTITION BY o_custkey " +
+          "ORDER BY o_orderkey) AS run_status, " +
+          "array_agg(o_orderkey) OVER (PARTITION BY o_custkey " +
+          "ORDER BY o_orderkey) AS run_keys " +
+          "FROM orders WHERE o_orderkey < 2000) t ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, run_status,
+             |  array_to_string(run_keys, ',') AS run_keys FROM (
+             |  SELECT o_orderkey,
+             |    string_agg(o_orderstatus, '|') OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderkey) AS run_status,
+             |    array_agg(o_orderkey) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderkey) AS run_keys
+             |  FROM orders WHERE o_orderkey < 2000) t
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // GROUPS window frames: offsets count peer GROUPS (distinct order-
     // key values). Spark has no GROUPS mode; the lowering pre-attaches
     // dense_rank of the order keys and ranges over it (rank distance IS

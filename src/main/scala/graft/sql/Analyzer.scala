@@ -1217,6 +1217,8 @@ object Analyzer {
     */
   private def winItemType(f: String, args: Seq[BoundOperand]): SqlType = f match {
     case "row_number" | "rank" | "dense_rank" | "ntile" => SqlType.SqlInt
+    case "string_agg" => SqlType.SqlVarChar(65535)
+    case "array_agg"  => SqlType.SqlArray(operandType(args.head))
     case "percent_rank" | "cume_dist" => SqlType.SqlDouble
     case "lag" | "lead" | "first_value" | "last_value" | "nth_value" => operandType(args.head)
     case other => aggType(other, args.headOption)
@@ -3638,9 +3640,25 @@ object Analyzer {
                 "nth_value takes a value and a positive integer literal"))
             else if (positional && f != "nth_value" && args.length != 1)
               Left(BadFunction(s"$f takes exactly one argument"))
+            // windowed ordered aggregates: value (+ separator literal
+            // for string_agg, carried as a trailing argument); the OVER
+            // clause MUST order — an unordered distributed collect
+            // would be nondeterministic
+            else if ((f == "string_agg" || f == "array_agg") && ord.isEmpty)
+              Left(BadFunction(
+                s"windowed $f requires ORDER BY in its OVER clause"))
+            else if (f == "string_agg" && !(args.length == 2 && (args(1) match {
+              case Operand.Literal(Lit.LitString(_)) => true
+              case _ => false
+            })))
+              Left(BadFunction(
+                "string_agg takes a value and a literal separator"))
+            else if (f == "array_agg" && args.length != 2) // value + '' sep
+              Left(BadFunction("array_agg takes one argument"))
             else if (!ranking && !shifting && !positional && args.isEmpty && f != "count")
               Left(BadFunction(s"windowed $f requires an argument"))
-            else if (!ranking && !shifting && !positional && args.length > 1)
+            else if (!ranking && !shifting && !positional &&
+                f != "string_agg" && f != "array_agg" && args.length > 1)
               Left(BadFunction(s"windowed $f takes one argument"))
             // an explicit frame needs an order, and only makes sense
             // for aggregates and first/last_value (SQL ignores it for

@@ -952,6 +952,23 @@ object Lowering {
       case Some(BoundOperand.BLit(Lit.LitString(v))) => v
       case _                                         => null
     }
+    // windowed ordered aggregates: a running collect over the frame —
+    // within-frame order IS the window's sort order (Spark evaluates
+    // ordered-window rows in sort sequence). The struct wrap keeps NULL
+    // values collectable for array_agg (DuckDB keeps them; string_agg
+    // skips, so its wrap filters first).
+    if (f == "string_agg" || f == "array_agg") {
+      val v = opLower(argsR.head)
+      val sep = argsR.lift(1) match {
+        case Some(BoundOperand.BLit(Lit.LitString(x))) => x
+        case _                                         => ""
+      }
+      val wrapped =
+        if (f == "string_agg") collect_list(when(v.isNotNull, struct(v.as("v"))))
+        else collect_list(struct(v.as("v")))
+      val vals = transform(wrapped.over(w), x => x.getField("v"))
+      return if (f == "string_agg") array_join(vals, sep) else vals
+    }
     val fn = (f, argsR) match {
       case ("row_number", _)     => row_number()
       case ("rank", _)           => rank()

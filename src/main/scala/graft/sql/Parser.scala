@@ -1094,6 +1094,18 @@ object Parser {
                   op match {
                     case Operand.AggCall(f, arg, false) if p.isKw("over") =>
                       winItem(f, arg.toSeq, start)
+                    // windowed ordered aggregates: string_agg/array_agg
+                    // OVER — order comes from the OVER clause (an
+                    // in-call ORDER BY would be ambiguous); the
+                    // separator rides as a literal trailing argument
+                    case Operand.OrderedAgg(f, arg, sep, ord, false)
+                        if p.isKw("over") &&
+                          (f == "string_agg" || f == "array_agg") =>
+                      if (ord.nonEmpty) Left(ParseError(
+                        s"windowed $f takes its order from the OVER clause",
+                        start))
+                      else winItem(f,
+                        Seq(arg, Operand.Literal(Lit.LitString(sep))), start)
                     case Operand.AggCall(_, _, true) if p.isKw("over") =>
                       Left(ParseError("DISTINCT window aggregates are not supported", start))
                     case Operand.Col(c) => alias().map(a => SelectItem.SCol(c, a))
@@ -2704,12 +2716,13 @@ object Parser {
               }
             }
           } else Right(Vector.empty[(Operand, Boolean)])
+        _ <- p.eatSym(")")
         _ <-
-          if (isArray && order.isEmpty)
+          // the window form takes its order from the OVER clause
+          if (isArray && order.isEmpty && !p.isKw("over"))
             Left(ParseError(s"${f.toLowerCase} requires ORDER BY inside the " +
               "call (a distributed collect has no input order)", start))
           else Right(())
-        _ <- p.eatSym(")")
       } yield Operand.OrderedAgg(if (isArray) "array_agg" else "string_agg",
         arg, sep, order, distinct = distinct)
     case TIdent(f, _) if allowAgg && aggFuncs(f.toLowerCase) =>

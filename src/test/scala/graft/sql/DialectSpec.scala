@@ -2136,6 +2136,36 @@ class DialectSpec extends AnyFunSuite {
       .toOption.get.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("windowed string_agg/array_agg: running collects, NULL rules") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Right(_) => ()
+      case Left(e)  => fail(s"$sql -> ${e.msg}")
+    }
+    run("CREATE TABLE wa (g INT, k INT, v VARCHAR(5))")
+    run("INSERT INTO wa VALUES (1, 1, 'a'), (1, 2, NULL), (1, 3, 'c'), " +
+      "(2, 1, 'z')")
+    val r = db.select(
+      "SELECT g, k, string_agg(v, '|') OVER (PARTITION BY g ORDER BY k) " +
+        "AS s FROM wa ORDER BY g, k")
+      .fold(e => fail(e.msg), _.collect().toSeq.map(_.getString(2)))
+    // string_agg SKIPS NULLs: running collects a, a, a|c then z
+    assert(r == Seq("a", "a", "a|c", "z"))
+    // array_agg KEEPS NULLs (count them via the inner frame)
+    val ra = db.select(
+      "SELECT g, k, len(aa) AS n FROM (SELECT g, k, " +
+        "array_agg(v) OVER (PARTITION BY g ORDER BY k) AS aa FROM wa) t " +
+        "ORDER BY g, k")
+      .fold(e => fail(e.msg), _.collect().toSeq.map(_.get(2).toString.toLong))
+    assert(ra == Seq(1L, 2L, 3L, 1L))
+    // OVER without ORDER BY rejects (nondeterministic collect)
+    assert(db.query("SELECT string_agg(v, ',') OVER (PARTITION BY g) " +
+      "AS s FROM wa").isLeft)
+    // in-call ORDER BY + OVER rejects (ambiguous orders)
+    assert(db.query("SELECT string_agg(v, ',' ORDER BY k) OVER " +
+      "(PARTITION BY g ORDER BY k) AS s FROM wa").isLeft)
+  }
+
   test("catalog type round-trip: every renderable type reopens") {
     val wh = java.nio.file.Files.createTempDirectory("graft-types").toString
     val db = new GraftDatabase(spark, wh)
