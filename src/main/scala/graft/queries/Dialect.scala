@@ -3622,26 +3622,23 @@ object Dialect {
     // Windowed ordered aggregates: string_agg/array_agg OVER — a
     // running collect over the frame, within-frame order = the OVER
     // clause's sort order (required; an unordered distributed collect
-    // would be nondeterministic). IDENTICAL SQL both engines.
+    // would be nondeterministic). The array_agg rides NESTED inside
+    // array_to_string — inline-OVER calls in projection expressions
+    // desugar to hidden window items. IDENTICAL SQL both engines.
     "q_dialect_win_agg" -> QueryDef(
       (s, d) => run(db(s, d, "orders"),
-        "SELECT o_orderkey, run_status, " +
-          "array_to_string(run_keys, ',') AS run_keys FROM (" +
-          "SELECT o_orderkey, " +
+        "SELECT o_orderkey, " +
           "string_agg(o_orderstatus, '|') OVER (PARTITION BY o_custkey " +
           "ORDER BY o_orderkey) AS run_status, " +
-          "array_agg(o_orderkey) OVER (PARTITION BY o_custkey " +
-          "ORDER BY o_orderkey) AS run_keys " +
-          "FROM orders WHERE o_orderkey < 2000) t ORDER BY o_orderkey"),
-      Some("""SELECT o_orderkey, run_status,
-             |  array_to_string(run_keys, ',') AS run_keys FROM (
-             |  SELECT o_orderkey,
-             |    string_agg(o_orderstatus, '|') OVER (PARTITION BY o_custkey
-             |      ORDER BY o_orderkey) AS run_status,
-             |    array_agg(o_orderkey) OVER (PARTITION BY o_custkey
-             |      ORDER BY o_orderkey) AS run_keys
-             |  FROM orders WHERE o_orderkey < 2000) t
-             |ORDER BY o_orderkey""".stripMargin)),
+          "array_to_string(array_agg(o_orderkey) OVER (PARTITION BY " +
+          "o_custkey ORDER BY o_orderkey), ',') AS run_keys " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  string_agg(o_orderstatus, '|') OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderkey) AS run_status,
+             |  array_to_string(array_agg(o_orderkey) OVER (PARTITION BY
+             |    o_custkey ORDER BY o_orderkey), ',') AS run_keys
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
     // GROUPS window frames: offsets count peer GROUPS (distinct order-
     // key values). Spark has no GROUPS mode; the lowering pre-attaches

@@ -2707,6 +2707,10 @@ object Analyzer {
     // higher-order functions); a parameter shadows same-named columns
     var lambdaScope: Map[String, SqlType] = Map.empty
 
+    // hidden window items' aliases (inline OVER calls desugared in
+    // projection operands) — resolve as output references once bound
+    var hiddenWinScope: Map[String, SqlType] = Map.empty
+
     // true while the HAVING predicate binds: its marker lowering (the
     // post-aggregation MarkerScope over group-output columns) handles
     // subqueries inside CASE conditions too, so allowSub stays on there
@@ -2749,6 +2753,9 @@ object Analyzer {
     o match {
       case Operand.Col(ColRef(None, n)) if lambdaScope.contains(n.toLowerCase) =>
         Right(BoundOperand.BLambdaVar(n.toLowerCase, lambdaScope(n.toLowerCase)))
+      case Operand.Col(ColRef(None, n))
+          if hiddenWinScope.contains(n.toLowerCase) =>
+        Right(BoundOperand.BOut(n.toLowerCase, hiddenWinScope(n.toLowerCase)))
       // x.field where x is a struct-typed lambda parameter — DuckDB's
       // dot access, rebound onto by-name struct_extract
       case Operand.Col(ColRef(Some(q), n)) if lambdaScope.contains(q.toLowerCase) =>
@@ -3839,8 +3846,49 @@ object Analyzer {
 
     for {
       _ <- usingResolvedE
+      // hidden inline-OVER window items (projection operands + QUALIFY)
+      // bind FIRST so their aliases resolve as output references while
+      // the projection binds
+      qwins <- s.qualifyWins.foldLeft[Either[AnalyzerError, Vector[BoundItem]]](
+        Right(Vector.empty)) { (acc, w) => acc.flatMap(v => bindItem(w).map(v :+ _)) }
+      _ <- Right {
+        hiddenWinScope = qwins.collect {
+          case BoundItem.BIWin(f, wargs, _, _, a, _) =>
+            a.toLowerCase -> winItemType(f, wargs)
+        }.toMap
+      }
       proj <- projItems.foldLeft[Either[AnalyzerError, Vector[BoundItem]]](Right(Vector.empty)) {
         (acc, r) => acc.flatMap(v => bindItem(r).map(v :+ _))
+      }
+      // window calls nested in projection EXPRESSIONS are supported in
+      // row scope only (the hidden columns attach pre-projection); the
+      // aggregate lowering has no such attachment point — reject toward
+      // a derived table
+      _ <- {
+        def hasOut(o: BoundOperand): Boolean = o match {
+          case BoundOperand.BOut(n, _) => hiddenWinScope.contains(n)
+          case BoundOperand.BArith(_, l, r) => hasOut(l) || hasOut(r)
+          case BoundOperand.BFunc(_, as)    => as.exists(hasOut)
+          case BoundOperand.BCase(bs, e) =>
+            bs.exists { case (_, o) => hasOut(o) } || e.exists(hasOut)
+          case BoundOperand.BCast(x, _)    => hasOut(x)
+          case BoundOperand.BTryCast(x, _) => hasOut(x)
+          case _ => false
+        }
+        val aggScope = s.groupBy.nonEmpty || proj.exists {
+          case _: BoundItem.BIAgg      => true
+          case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
+          case _                       => false
+        }
+        if (aggScope && hiddenWinScope.nonEmpty && proj.exists {
+          case BoundItem.BIExpr(op, _) => hasOut(op)
+          case _                       => false
+        })
+          Left(BadFunction(
+            "a window call nested in an expression is not supported " +
+              "over an aggregated query — compute the window in a " +
+              "derived table first"))
+        else Right(())
       }
       pred0 <- s.where match {
         case None    => Right(None)
@@ -4268,8 +4316,6 @@ object Analyzer {
       // window items; the predicate then binds with window aliases
       // resolving to BOut output references (everything else binds
       // normally against the input tables)
-      qwins <- s.qualifyWins.foldLeft[Either[AnalyzerError, Vector[BoundItem]]](
-        Right(Vector.empty)) { (acc, w) => acc.flatMap(v => bindItem(w).map(v :+ _)) }
       qualifyPred <- s.qualify match {
         case None => Right(None: Option[BoundExpr])
         case Some(e0) =>

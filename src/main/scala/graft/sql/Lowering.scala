@@ -119,7 +119,8 @@ object Lowering {
         case BoundItem.BIWin(_, _, _, _, _, fr) => fr.exists(_.groups)
         case _                                  => false
       }
-      val winsPre = q.qualify.isDefined || donNeedsWins || hasGroupsFrames
+      val winsPre = q.qualify.isDefined || donNeedsWins ||
+        hasGroupsFrames || q.qualifyWins.nonEmpty
       val baseQ =
         if (!winsPre) base1
         else {

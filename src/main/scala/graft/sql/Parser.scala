@@ -131,8 +131,15 @@ object Parser {
           j += 1
         }
         depth == 0 && (toks.lift(j) match {
-          case Some(TIdent(s, _)) => s.equalsIgnoreCase("over")
-          case _                  => false
+          case Some(TIdent(s, _)) => s.equalsIgnoreCase("over") &&
+            // parenthesized spec only — OVER <name> references resolve
+            // through the ordinary window-item path (fixedCols maps
+            // SELECT items, not hidden sink items)
+            (toks.lift(j + 1) match {
+              case Some(TSym("(", _)) => true
+              case _                  => false
+            })
+          case _ => false
         })
       case _ => false
     }
@@ -926,7 +933,13 @@ object Parser {
     } yield (parts, ord, frame)
 
   private def parseSelect(p: P): Either[ParseError, SelectTree] = {
-    for {
+    // hidden inline-OVER window items (nested in projection operands or
+    // the QUALIFY predicate) collect here; a nested SELECT must not see
+    // an enclosing select's sink (save/restore around the whole parse)
+    val hiddenWins = scala.collection.mutable.ArrayBuffer.empty[SelectItem.SWin]
+    val savedSink = p.winSink
+    p.winSink = null
+    val result = for {
       _ <- p.eatKw("select")
       distinct <- Right { if (p.isKw("distinct")) { p.next(); true } else false }
       // DISTINCT ON (expr, …): first-row-per-key selection
@@ -1087,11 +1100,27 @@ object Parser {
                   it <- winItem(f.toLowerCase, args, start)
                 } yield it
               case _ =>
-                parseOperand(p, allowAgg = true).flatMap { op =>
+                // inline-OVER calls nested in the operand desugar into
+                // hidden window items via the sink (the QUALIFY
+                // machinery); a call that turns out to be the WHOLE
+                // item unwraps back into an ordinary window item below
+                p.winSink = hiddenWins
+                val opE = parseOperand(p, allowAgg = true)
+                p.winSink = null
+                opE.flatMap { op =>
                   def alias(): Either[ParseError, Option[String]] =
                     if (p.isKw("as")) { p.next(); p.ident().map(Some(_)) }
                     else Right(None)
                   op match {
+                    // the whole item was one OVER call — keep the
+                    // ordinary SWin path (alias = the user's AS name)
+                    case Operand.Col(ColRef(None, n)) if n.startsWith("__qw") &&
+                        hiddenWins.lastOption.exists(_.alias.equalsIgnoreCase(n)) =>
+                      val w = hiddenWins.remove(hiddenWins.length - 1)
+                      if (p.isKw("as")) {
+                        p.next()
+                        p.ident().map(a => w.copy(alias = a): SelectItem)
+                      } else Left(ParseError("a window item requires AS <name>", start))
                     case Operand.AggCall(f, arg, false) if p.isKw("over") =>
                       winItem(f, arg.toSeq, start)
                     // windowed ordered aggregates: string_agg/array_agg
@@ -1821,15 +1850,14 @@ object Parser {
       qualifyRes <-
         if (p.isKw("qualify")) {
           p.next()
-          val sink = scala.collection.mutable.ArrayBuffer.empty[SelectItem.SWin]
-          p.winSink = sink
+          p.winSink = hiddenWins
           // allowAgg: over an aggregated query the predicate may mix
           // window results with plain aggregates (QUALIFY rn = 1 AND
           // sum(v) > 10); the analyzer rejects aggregates elsewhere
           val r = parseOr(p, allowAgg = true)
           p.winSink = null
-          r.map(e => (Some(e): Option[Expr], sink.toVector))
-        } else Right((None: Option[Expr], Vector.empty[SelectItem.SWin]))
+          r.map(e => Some(e): Option[Expr])
+        } else Right(None: Option[Expr])
       orderBy <-
         if (p.isKw("order")) {
           p.next()
@@ -1936,8 +1964,10 @@ object Parser {
       }
     } yield SelectTree(fixedCols, fromAndOn._1, where, orderBy, limit, offset, groupBy,
       having, distinct, fromAndOn._3, groupSpec,
-      qualify = qualifyRes._1, qualifyWins = qualifyRes._2,
+      qualify = qualifyRes, qualifyWins = hiddenWins.toVector,
       distinctOn = distinctOn)
+    p.winSink = savedSink
+    result
   }
 
   private def parseOr(p: P, allowAgg: Boolean = false): Either[ParseError, Expr] =
@@ -2521,7 +2551,7 @@ object Parser {
             else Left(ParseError(s"$fn(*) is not valid", pos))
           case _ =>
             def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
-              parseOperand(p, allowAgg = false).flatMap { a =>
+              parseOperand(p, allowAgg = true).flatMap { a =>
                 p.peek match {
                   case TSym(",", _) => p.next(); loop(acc :+ a)
                   case _            => Right(acc :+ a)
@@ -2723,8 +2753,35 @@ object Parser {
             Left(ParseError(s"${f.toLowerCase} requires ORDER BY inside the " +
               "call (a distributed collect has no input order)", start))
           else Right(())
-      } yield Operand.OrderedAgg(if (isArray) "array_agg" else "string_agg",
-        arg, sep, order, distinct = distinct)
+        res <- {
+          val fn = if (isArray) "array_agg" else "string_agg"
+          val overParen = p.winSink != null && p.isKw("over") && {
+            val save = p.i; p.next()
+            val isP = p.peek match { case TSym("(", _) => true; case _ => false }
+            p.i = save; isP
+          }
+          if (!overParen)
+            Right(Operand.OrderedAgg(fn, arg, sep, order,
+              distinct = distinct): Operand)
+          else if (distinct)
+            Left(ParseError(s"DISTINCT windowed $fn is not supported", start))
+          else if (order.nonEmpty)
+            Left(ParseError(
+              s"windowed $fn takes its order from the OVER clause", start))
+          else {
+            // nested-in-expression window form: desugar into a hidden
+            // window item via the sink (same as any inline OVER call)
+            p.next() // OVER
+            parseOverSpec(p).map { spec =>
+              val alias = s"__qw${p.winSink.length}"
+              p.winSink += SelectItem.SWin(fn,
+                Seq(arg, Operand.Literal(Lit.LitString(sep))),
+                spec._1, spec._2, alias, spec._3)
+              Operand.Col(ColRef(None, alias)): Operand
+            }
+          }
+        }
+      } yield res
     case TIdent(f, _) if allowAgg && aggFuncs(f.toLowerCase) =>
       // aggregate over a full (non-aggregate) expression: sum(a * b),
       // optionally DISTINCT: count(DISTINCT x), sum(DISTINCT x)

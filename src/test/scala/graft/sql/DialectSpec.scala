@@ -2136,6 +2136,37 @@ class DialectSpec extends AnyFunSuite {
       .toOption.get.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("window calls nested in projection expressions") {
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Right(_) => ()
+      case Left(e)  => fail(s"$sql -> ${e.msg}")
+    }
+    run("CREATE TABLE nw (g INT, k INT, v INT)")
+    run("INSERT INTO nw VALUES (1, 1, 10), (1, 2, 20), (2, 1, 5)")
+    // arithmetic over a window result, single level
+    val r = db.select("SELECT g, k, v - lag(v, 1, 0) OVER " +
+      "(PARTITION BY g ORDER BY k) AS delta, " +
+      "100 * v / sum(v) OVER (PARTITION BY g) AS share " +
+      "FROM nw ORDER BY g, k")
+      .fold(e => fail(e.msg), _.collect().toSeq
+        .map(x => (x.get(2).toString.toLong, math.round(x.get(3).toString.toDouble))))
+    assert(r == Seq((10L, 33L), (10L, 67L), (5L, 100L)))
+    // function-wrapped window results (the array_to_string shape)
+    val r2 = db.select("SELECT g, array_to_string(array_agg(v) OVER " +
+      "(PARTITION BY g ORDER BY k), ',') AS keys FROM nw ORDER BY g, k")
+      .fold(e => fail(e.msg), _.collect().toSeq.map(_.getString(1)))
+    assert(r2 == Seq("10", "10,20", "5"))
+    // plain top-level window items still work (unwrap path)
+    val r3 = db.select("SELECT g, sum(v) OVER (PARTITION BY g) AS s " +
+      "FROM nw ORDER BY g, k").fold(e => fail(e.msg),
+        _.collect().toSeq.map(_.getLong(1)))
+    assert(r3 == Seq(30L, 30L, 5L))
+    // aggregate scope rejects toward a derived table
+    assert(db.query("SELECT g, count(*) + rank() OVER (ORDER BY g) AS x " +
+      "FROM nw GROUP BY g").isLeft)
+  }
+
   test("windowed string_agg/array_agg: running collects, NULL rules") {
     val db = freshDb()
     def run(sql: String): Unit = db.query(sql) match {
