@@ -1601,6 +1601,8 @@ object Dialect {
           "ltrim(rtrim(concat('  ', c_mktsegment, '  '))) AS seg_t, " +
           "reverse(c_mktsegment) AS seg_rev, repeat(substr(c_mktsegment, 1, 2), 3) AS seg_rep, " +
           "split_part(c_name, '#', 2) AS name_id, md5(c_mktsegment) AS seg_md5, " +
+          "split_part(c_name, '#', -1) AS name_last, split_part(c_name, '#', -2) AS name_first, " +
+          "split_part(c_name, '#', -9) AS name_oor, split_part(c_name, '#', 0) AS name_zero, " +
           "nullif(c_nationkey, 3) AS nk_nn, greatest(c_acctbal, 0.0) AS bal_pos, " +
           "least(c_nationkey, 10) AS nk_cap, sign(c_acctbal) AS bal_sign, " +
           "round(exp(c_nationkey / 10), 6) AS e10, round(ln(c_custkey), 6) AS lnck, " +
@@ -1611,6 +1613,8 @@ object Dialect {
              |  ltrim(rtrim(concat('  ', c_mktsegment, '  '))) AS seg_t,
              |  reverse(c_mktsegment) AS seg_rev, repeat(substr(c_mktsegment, 1, 2), 3) AS seg_rep,
              |  split_part(c_name, '#', 2) AS name_id, md5(c_mktsegment) AS seg_md5,
+             |  split_part(c_name, '#', -1) AS name_last, split_part(c_name, '#', -2) AS name_first,
+             |  split_part(c_name, '#', -9) AS name_oor, split_part(c_name, '#', 0) AS name_zero,
              |  nullif(c_nationkey, 3) AS nk_nn, greatest(c_acctbal, 0.0) AS bal_pos,
              |  least(c_nationkey, 10) AS nk_cap, cast(sign(c_acctbal) AS int) AS bal_sign,
              |  round(exp(c_nationkey / 10), 6) AS e10, round(ln(c_custkey), 6) AS lnck,
@@ -3497,6 +3501,31 @@ object Dialect {
              |  CAST(l_extendedprice AS DECIMAL(14, 2)) / CAST(0 AS DECIMAL(5, 2)) AS div0
              |FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // round(DECIMAL) type parity: DuckDB returns DECIMAL(p, clamp(n,0,s))
+    // — not DOUBLE — for decimal inputs (probed: round(dec(10,4)) →
+    // DECIMAL(10,0), round(dec(10,4),2) → DECIMAL(10,2), negative n →
+    // scale 0, n>s capped at s). Values round half-away-from-zero on
+    // both engines (Spark HALF_UP == DuckDB for decimals); exact .5
+    // halves exercised via integral l_quantity + 0.5 in both signs.
+    "q_dialect_round_dec" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT l_orderkey, l_linenumber, " +
+          "round(CAST(l_extendedprice AS DECIMAL(14, 4))) AS r0, " +
+          "round(CAST(l_extendedprice AS DECIMAL(14, 4)), 2) AS r2, " +
+          "round(CAST(l_extendedprice AS DECIMAL(14, 4)), -1) AS rneg, " +
+          "round(CAST(l_extendedprice AS DECIMAL(14, 4)), 9) AS rcap, " +
+          "round(CAST(l_quantity + 0.5 AS DECIMAL(9, 2))) AS rhalf_up, " +
+          "round(CAST(-(l_quantity + 0.5) AS DECIMAL(9, 2))) AS rhalf_dn " +
+          "FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(CAST(l_extendedprice AS DECIMAL(14, 4))) AS r0,
+             |  round(CAST(l_extendedprice AS DECIMAL(14, 4)), 2) AS r2,
+             |  round(CAST(l_extendedprice AS DECIMAL(14, 4)), -1) AS rneg,
+             |  round(CAST(l_extendedprice AS DECIMAL(14, 4)), 9) AS rcap,
+             |  round(CAST(l_quantity + 0.5 AS DECIMAL(9, 2))) AS rhalf_up,
+             |  round(CAST(-(l_quantity + 0.5) AS DECIMAL(9, 2))) AS rhalf_dn
+             |FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // regexp_extract_all — group 0 (whole match) default like DuckDB
     // (Spark's own default is 1, so the index always passes explicitly);
     // array outputs serialized for the pandas gate harness.
@@ -3680,6 +3709,30 @@ object Dialect {
           "ORDER BY o_orderkey"),
       Some("""SELECT COLUMNS('order') FROM orders WHERE o_orderkey < 2000
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // fn(COLUMNS(…)): per-column function application — the aggregate
+    // form (min over every kept column), the scalar form with an extra
+    // argument (round(COLUMNS('re'), 1)), and the name propagation
+    // through a derived table. Output names are the BARE column names
+    // (DuckDB 1.0 probed: min(COLUMNS(*)) outputs are a, b, … not
+    // "min(a)").
+    "q_dialect_columns_fn" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT min(COLUMNS(*)) FROM (" +
+          "SELECT l_orderkey, round(COLUMNS('^l_(quantity|discount|tax)$'), 1) " +
+          "FROM lineitem WHERE l_orderkey < 1000) t"),
+      Some("""SELECT min(COLUMNS(*)) FROM (
+             |  SELECT l_orderkey, round(COLUMNS('^l_(quantity|discount|tax)$'), 1)
+             |  FROM lineitem WHERE l_orderkey < 1000) t""".stripMargin)),
+
+    // …and the EXCLUDE form straight over a table: max of every
+    // non-excluded column, names checked by the gate's schema compare.
+    "q_dialect_columns_fn2" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "SELECT max(COLUMNS(* EXCLUDE (l_returnflag, l_linestatus, l_shipdate))) " +
+          "FROM lineitem WHERE l_orderkey < 1000"),
+      Some("""SELECT max(COLUMNS(* EXCLUDE (l_returnflag, l_linestatus, l_shipdate)))
+             |FROM lineitem WHERE l_orderkey < 1000""".stripMargin)),
 
     // time_bucket: epoch-aligned fixed-width buckets (every non-month
     // width aligns to TimescaleDB's Monday 2000-01-03 origin, DuckDB

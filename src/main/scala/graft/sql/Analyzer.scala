@@ -2626,6 +2626,40 @@ object Analyzer {
         if (kept.isEmpty)
           return Left(BadFunction(s"COLUMNS('$pat') matched no columns"))
         kept
+      // fn(COLUMNS(…)): the function applied per matched column; output
+      // names are the BARE column names (DuckDB 1.0 probed). Aggregates
+      // expand to per-column aggregate items (making the SELECT an
+      // aggregation like any hand-written min(a), min(b), …); scalar
+      // functions expand to computed items carrying the extra args.
+      case SelectItem.SColumnsFn(f, pat, excl, extra) =>
+        val reOpt = pat.map { pt =>
+          try pt.r catch {
+            case _: Exception =>
+              return Left(BadFunction(s"COLUMNS pattern '$pt' is not a valid regex"))
+          }
+        }
+        val base = expandAll.collect { case SelectItem.SCol(r, _) => r }
+        excl.find(e => !base.exists(_.name.equalsIgnoreCase(e))) match {
+          case Some(e) => return Left(UnboundAttribute(e))
+          case None    =>
+        }
+        val kept = base.filter(r =>
+          reOpt.forall(_.findFirstIn(r.name).isDefined) &&
+            !excl.exists(_.equalsIgnoreCase(r.name)))
+        if (kept.isEmpty)
+          return Left(BadFunction(s"$f(COLUMNS(…)) matched no columns"))
+        val aggNames = Set("count", "sum", "min", "max", "avg", "stddev",
+          "variance", "median", "mode", "bool_and", "bool_or", "bit_and",
+          "bit_or", "bit_xor", "skewness", "kurtosis", "entropy", "mad",
+          "histogram", "product")
+        if (aggNames(f)) {
+          if (extra.nonEmpty)
+            return Left(BadFunction(
+              s"$f(COLUMNS(…)) takes no extra arguments"))
+          kept.map(r => SelectItem.SAgg(f, Some(Operand.Col(r)), Some(r.name)))
+        } else
+          kept.map(r =>
+            SelectItem.SExpr(Operand.FuncCall(f, Operand.Col(r) +: extra), r.name))
       case SelectItem.SStar(None, Nil, Nil, Nil) => expandAll
       case SelectItem.SStar(None, excl, repl, ren) =>
         applyStarMods(expandAll, excl, repl, ren) match {
@@ -3113,10 +3147,19 @@ object Analyzer {
           case _ => false
         })) || ((f == "lpad" || f == "rpad") && !((args(1), args(2)) match {
           case (Operand.Literal(Lit.LitLong(n)),
-                Operand.Literal(Lit.LitString(p))) => n >= 0 && p.nonEmpty
+                Operand.Literal(Lit.LitString(_))) => n >= 0
           case _ => false
         })))
           Left(BadFunction(s"$f length/pad arguments must be literals"))
+        // empty pad with a target longer than the input can never pad —
+        // DuckDB raises "Insufficient padding"; the old message blamed
+        // literal-ness, which the arguments satisfied
+        else if ((f == "lpad" || f == "rpad") && (args(2) match {
+          case Operand.Literal(Lit.LitString(p)) => p.isEmpty
+          case _ => false
+        }))
+          Left(BadFunction(
+            s"insufficient padding in ${f.toUpperCase}: the pad string is empty"))
         // Spark's regexp_extract compiles the pattern and group index
         // into the expression — they must be literals
         else if ((f == "regexp_extract" || f == "regexp_extract_all") &&
@@ -3141,11 +3184,11 @@ object Analyzer {
               "(global), 'i' (case-insensitive), 'c' (case-sensitive)"))
         else if (f == "split_part" && !((args(1), args(2)) match {
           case (Operand.Literal(Lit.LitString(sep)),
-                Operand.Literal(Lit.LitLong(n))) => sep.nonEmpty && n >= 1
+                Operand.Literal(Lit.LitLong(_))) => sep.nonEmpty
           case _ => false
         }))
           Left(BadFunction(
-            "split_part takes a non-empty separator string literal and a positive index literal"))
+            "split_part takes a non-empty separator string literal and an integer index literal (negative counts from the end)"))
         // strftime: the C-style format is a literal, translated token-
         // by-token onto Spark's Java pattern at lowering — unknown %
         // tokens reject here rather than silently diverging
@@ -3290,6 +3333,23 @@ object Analyzer {
               val BoundOperand.BLit(Lit.LitString(n)) = bargs(1): @unchecked
               BoundOperand.BFunc(s"list_${n.toLowerCase}", Seq(bargs.head))
             }
+            // DuckDB parity: round(DECIMAL(p,s) [, n]) stays DECIMAL —
+            // result type DECIMAL(p, clamp(n, 0, s)) (probed: scale-0 on
+            // the 1-arg/negative-n forms, capped at the input scale).
+            // Spark's round on decimal is HALF_UP = DuckDB's
+            // half-away-from-zero, so only the static type needs pinning.
+            else if (f == "round" && (operandType(bargs.head) match {
+              case SqlType.SqlDecimal(_, _) => true
+              case _                        => false
+            })) {
+              val SqlType.SqlDecimal(p, s) = operandType(bargs.head): @unchecked
+              val n = bargs.lift(1) match {
+                case Some(BoundOperand.BLit(Lit.LitLong(k))) => k.toInt
+                case _                                       => 0
+              }
+              BoundOperand.BCast(BoundOperand.BFunc(f, bargs),
+                SqlType.SqlDecimal(p, math.max(0, math.min(n, s))))
+            }
             else BoundOperand.BFunc(f, bargs)
           }
       case Operand.CaseWhen(branches, els) =>
@@ -3319,7 +3379,21 @@ object Analyzer {
         def numOk(b: BoundOperand): Either[AnalyzerError, Unit] = b match {
           case BoundOperand.BCol(c) if !numericTypes(c.attr.sqlType) =>
             Left(NotComparable(c.attr.sqlType, SqlType.SqlDouble))
-          case _ => Right(())
+          // NULL stays arithmetic-legal (NULL + 1 → NULL on both engines);
+          // its approximate operand type is VARCHAR(1), exempted here
+          case BoundOperand.BLit(Lit.LitNull) => Right(())
+          // DuckDB binder parity: no implicit VARCHAR→number coercion in
+          // arithmetic — '5' + 3 binder-errors there, and silently
+          // coercing here masks typos the oracle catches. (DuckDB 1.0's
+          // lone quirk of casting STRING LITERALS for * and % is not
+          // replicated: the reject is uniform, like its VARCHAR columns.)
+          case _ => operandType(b) match {
+            case SqlType.SqlVarChar(_) =>
+              Left(BadFunction(
+                "no implicit string→number cast in arithmetic " +
+                  "(DuckDB binder parity): CAST the string operand explicitly"))
+            case _ => Right(())
+          }
         }
         def temporal(b: BoundOperand): Boolean = operandType(b) match {
           case SqlType.SqlDate | SqlType.SqlTimestamp => true

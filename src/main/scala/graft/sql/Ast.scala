@@ -209,6 +209,14 @@ object Ast {
       * when nothing matches.
       */
     final case class SColumns(pattern: String) extends SelectItem
+    /** `fn(COLUMNS(*))` / `fn(COLUMNS('re'))` / `fn(COLUMNS(* EXCLUDE
+      * (…)))` — the function applied per matched column, one output item
+      * per column named with the BARE column name (DuckDB 1.0 probed:
+      * min(COLUMNS(*)) outputs are `a, b, …`, not `min(a)`). `extra`
+      * carries trailing scalar arguments (round(COLUMNS(*), 1)).
+      */
+    final case class SColumnsFn(func: String, pattern: Option[String],
+        exclude: Seq[String], extra: Seq[Operand]) extends SelectItem
     final case class SCol(ref: ColRef, alias: Option[String] = None) extends SelectItem
     final case class SAgg(func: String, arg: Option[Operand],
         alias: Option[String] = None, distinct: Boolean = false) extends SelectItem

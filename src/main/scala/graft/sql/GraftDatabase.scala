@@ -531,6 +531,26 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     else tables.get(name).toRight(AnalyzeFailed(RelationNotFound(name)))
   }
 
+  /** Re-validate every stored CHECK and generated-column expression
+    * against a candidate post-ALTER schema, so an ALTER that would orphan
+    * a stored expression errors at the ALTER statement itself — not as an
+    * IllegalStateException at the table's next write (DuckDB rejects the
+    * ALTER too). Shared by drop/rename/retype column.
+    */
+  private def revalidateStored(nd: TableDesc): Either[QueryError, Unit] = {
+    val checkErr = nd.checks.iterator.flatMap(chk =>
+      Analyzer.bindCheck(nd, chk).left.toOption.map(e =>
+        s"CHECK ($chk) would no longer bind: ${e.msg}")).nextOption()
+    val genErr = nd.attributes.iterator.flatMap(a => a.generated.flatMap(gen =>
+      Analyzer.bindGenerator(nd, gen).left.toOption.map(e =>
+        s"generated column ${a.name} (${gen}) would no longer bind: ${e.msg}")))
+      .nextOption()
+    checkErr.orElse(genErr) match {
+      case Some(m) => Left(AnalyzeFailed(BadFunction(s"ALTER rejected: $m")))
+      case None    => Right(())
+    }
+  }
+
   /** The bucketed session-catalog entry carries the OLD schema — drop it
     * so the next read lazily recreates it against the new desc.
     */
@@ -570,11 +590,13 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       else {
         val nd = desc.copy(attributes =
           desc.attributes.filterNot(_.name.equalsIgnoreCase(t.col)))
-        tables(nd.name) = nd
-        refreshBucketEntry(nd)
-        saveCatalog()
-        statistics.rebuild(nd, readTable(nd))
-        Right(Done(s"dropped column '${t.col}' from ${nd.name}"))
+        revalidateStored(nd).map { _ =>
+          tables(nd.name) = nd
+          refreshBucketEntry(nd)
+          saveCatalog()
+          statistics.rebuild(nd, readTable(nd))
+          Done(s"dropped column '${t.col}' from ${nd.name}")
+        }
       }
     }
 
@@ -594,11 +616,13 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           val img = readTable(desc).withColumnRenamed(attr.name, t.to)
           val nd = desc.copy(attributes = desc.attributes.map(a =>
             if (a.name.equalsIgnoreCase(t.from)) a.copy(name = t.to) else a))
-          tables(nd.name) = nd
-          refreshBucketEntry(nd)
-          rewriteTable(nd, img)
-          saveCatalog()
-          Right(Done(s"renamed column '${t.from}' to '${t.to}' in ${nd.name}"))
+          revalidateStored(nd).map { _ =>
+            tables(nd.name) = nd
+            refreshBucketEntry(nd)
+            rewriteTable(nd, img)
+            saveCatalog()
+            Done(s"renamed column '${t.from}' to '${t.to}' in ${nd.name}")
+          }
       }
     }
 
@@ -636,12 +660,14 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
             org.apache.spark.sql.functions.col(attr.name).cast(t.tpe.spark))
           val nd = desc.copy(attributes = desc.attributes.map(a =>
             if (a.name.equalsIgnoreCase(t.col)) a.copy(sqlType = t.tpe) else a))
-          tables(nd.name) = nd
-          refreshBucketEntry(nd)
-          rewriteTable(nd, img)
-          saveCatalog()
-          Right(Done(
-            s"changed column '${attr.name}' to ${t.tpe.render} in ${nd.name}"))
+          revalidateStored(nd).map { _ =>
+            tables(nd.name) = nd
+            refreshBucketEntry(nd)
+            rewriteTable(nd, img)
+            saveCatalog()
+            Done(
+              s"changed column '${attr.name}' to ${t.tpe.render} in ${nd.name}")
+          }
       }
     }
 

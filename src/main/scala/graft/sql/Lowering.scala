@@ -3086,13 +3086,17 @@ object Lowering {
         BoundOperand.BLit(Lit.LitString(p)))) => rpad(rec(a), n.toInt, p)
     // Spark's split takes a REGEX: quote the literal separator; an
     // out-of-range index — and even a NULL input — reads '' (DuckDB
-    // split_part semantics, which never returns NULL)
+    // split_part semantics, which never returns NULL). Negative indexes
+    // count from the end (probed DuckDB 1.0: -1 is the last part,
+    // out-of-range and 0 read ''): element 0-based size+n, and get()
+    // already yields NULL for any out-of-range position.
     case ("split_part", Seq(a, BoundOperand.BLit(Lit.LitString(sep)),
         BoundOperand.BLit(Lit.LitLong(n)))) =>
-      coalesce(
-        org.apache.spark.sql.functions.get(
-          split(rec(a), java.util.regex.Pattern.quote(sep)), lit(n.toInt - 1)),
-        lit(""))
+      val arr = split(rec(a), java.util.regex.Pattern.quote(sep))
+      val idx =
+        if (n >= 1) lit(n.toInt - 1)
+        else org.apache.spark.sql.functions.size(arr) + lit(n.toInt)
+      coalesce(org.apache.spark.sql.functions.get(arr, idx), lit(""))
     // DuckDB semantics: FIRST match only unless the 'g' flag; 'i'
     // prepends (?i) to the pattern (works for dynamic patterns via
     // concat); replacement backrefs are \1-style, translated in the

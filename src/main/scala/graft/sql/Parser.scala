@@ -1077,6 +1077,56 @@ object Parser {
                       "a scalar subquery item requires AS <name>", start))
                   }
                 } yield it
+              // fn(COLUMNS(…)) — per-column function application (DuckDB):
+              // one output item per matched column, named with the bare
+              // column name. Detected by a 3-token lookahead so ordinary
+              // calls fall through to the operand grammar untouched.
+              case TIdent(f, _) if (aggFuncs(f.toLowerCase) ||
+                  scalarFuncs(f.toLowerCase)) && {
+                val save = p.i; p.next()
+                val isColumnsCall = (p.peek match {
+                  case TSym("(", _) => p.next()
+                    p.peek match {
+                      case TIdent(k, _) if k.equalsIgnoreCase("columns") =>
+                        p.next()
+                        p.peek match { case TSym("(", _) => true; case _ => false }
+                      case _ => false
+                    }
+                  case _ => false
+                })
+                p.i = save; isColumnsCall
+              } =>
+                p.next()
+                for {
+                  _ <- p.eatSym("(")
+                  _ <- Right(p.next()) // COLUMNS
+                  _ <- p.eatSym("(")
+                  sel <- p.peek match {
+                    case TSym("*", _) =>
+                      p.next()
+                      parseStarMods(p).flatMap {
+                        case (excl, Vector(), Vector()) =>
+                          Right((None: Option[String], excl.toSeq))
+                        case _ => Left(ParseError(
+                          "COLUMNS(*) inside a call supports EXCLUDE only", start))
+                      }
+                    case TStr(v, _) => p.next(); Right((Some(v), Seq.empty[String]))
+                    case t => Left(ParseError(
+                      "COLUMNS takes * or a string-literal regex", t.pos))
+                  }
+                  _ <- p.eatSym(")")
+                  extra <- {
+                    def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+                      p.peek match {
+                        case TSym(",", _) =>
+                          p.next(); parseOperand(p).flatMap(a => loop(acc :+ a))
+                        case _ => Right(acc)
+                      }
+                    loop(Vector.empty)
+                  }
+                  _ <- p.eatSym(")")
+                } yield SelectItem.SColumnsFn(f.toLowerCase, sel._1, sel._2,
+                  extra): SelectItem
               case TIdent(f, _) if winFuncs(f.toLowerCase) =>
                 p.next()
                 for {

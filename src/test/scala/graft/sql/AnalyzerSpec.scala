@@ -167,6 +167,27 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(star.projection.length == 6)
   }
 
+  test("string operands reject in arithmetic (DuckDB binder parity)") {
+    // '5' + 3 binder-errors on DuckDB; silent coercion to 8 masks typos
+    assert(err("SELECT '5' + 3 AS x FROM people").isInstanceOf[BadFunction])
+    assert(err("SELECT 3 - '5' AS x FROM people").isInstanceOf[BadFunction])
+    assert(err("SELECT '5' * age AS x FROM people").isInstanceOf[BadFunction])
+    assert(err("SELECT name || 'x' AS nx FROM people WHERE id < substr(name, 1, 1) + 1")
+      .isInstanceOf[BadFunction])
+    // NULL keeps its arithmetic legality (NULL + 1 → NULL on both engines)
+    assert(analyzeSql("SELECT NULL + 1 AS x FROM people").isRight)
+    // explicit casts restore the arithmetic
+    assert(analyzeSql("SELECT CAST('5' AS INT) + 3 AS x FROM people").isRight)
+  }
+
+  test("empty pad literal: honest insufficient-padding error") {
+    val e = err("SELECT rpad(name, 5, '') AS x FROM people")
+    assert(e.isInstanceOf[BadFunction])
+    assert(e.asInstanceOf[BadFunction].detail.toLowerCase.contains("insufficient padding"))
+    val e2 = err("SELECT lpad(name, 5, '') AS x FROM people")
+    assert(e2.asInstanceOf[BadFunction].detail.toLowerCase.contains("insufficient padding"))
+  }
+
   test("scalar subquery guard flag: static one-row forms skip the guard") {
     def guardOf(sql: String): Boolean = {
       val Right(b: BoundSelect) = analyzeSql(sql): @unchecked

@@ -444,6 +444,31 @@ class DmlSpec extends AnyFunSuite {
     assert(g2.query("INSERT INTO a2 VALUES (9, 1.5, 0.5)").isRight)
   }
 
+  test("ALTER re-validates stored CHECK / generated expressions at ALTER time") {
+    val g = new GraftDatabase(spark,
+      Files.createTempDirectory("graft-alterck-wh").toString)
+    g.query("CREATE TABLE c1 (a INT CHECK (a > 0), b INT, " +
+      "d INT GENERATED ALWAYS AS (a + b))").toOption.get
+    g.query("INSERT INTO c1 (a, b) VALUES (1, 2)").toOption.get
+    // dropping a column a CHECK references errors AT THE ALTER — not at
+    // the next write (and the message names the constraint)
+    val e1 = g.query("ALTER TABLE c1 DROP COLUMN a")
+    assert(e1.isLeft)
+    assert(e1.left.toOption.get.msg.contains("CHECK"))
+    // renaming a column a generator references errors at the ALTER too
+    val e2 = g.query("ALTER TABLE c1 RENAME COLUMN b TO z")
+    assert(e2.isLeft)
+    assert(e2.left.toOption.get.msg.contains("generated"))
+    // retyping a CHECK-referenced column to an incomparable type errors
+    assert(g.query("ALTER TABLE c1 ALTER COLUMN a TYPE VARCHAR(5)").isLeft)
+    // the table stayed intact and writable through all three rejections
+    assert(g.query("INSERT INTO c1 (a, b) VALUES (3, 4)").isRight)
+    assert(g.select("SELECT a, b, d FROM c1").toOption.get
+      .orderBy("a").collect().toSeq == Seq(Row(1, 2, 3), Row(3, 4, 7)))
+    // an ALTER that touches nothing the stored expressions use passes
+    assert(g.query("ALTER TABLE c1 ADD COLUMN note VARCHAR(10)").isRight)
+  }
+
   test("INSERT VALUES accepts scalar expressions, not just literals") {
     val g = db()
     // arithmetic, CASE and function calls in a VALUES row desugar to
