@@ -523,13 +523,22 @@ object Dedup {
              |WHERE rk = 1 AND containment >= 0.5
              |ORDER BY doc_id""".stripMargin)),
 
-    // SimHash: 60-bit signature from TERM-FREQUENCY-weighted word hashes
+    // SimHash: 60-bit signature from tf·idf-WEIGHTED word hashes
     // (md5 → first 15 hex chars → 60-bit int; each occurrence contributes
-    // ±1, so tf is the weight — textbook SimHash). On this corpus
-    // tf-weighting is far more discriminative than distinct token sets
-    // (the vocabulary is tiny, so token SETS are near-identical across
-    // docs while tf vectors differ). Bit-sums run as 60 parallel
-    // aggregate columns (no 60× row explosion).
+    // ±w, so tf rides the row count and w is an integer idf class:
+    // w = greatest(1, 16 − length(bin(df))) — rare tokens weigh 15,
+    // ubiquitous ones 1. The weight is INTEGER-EXACT on both engines
+    // (bin() is identical in Spark and DuckDB), so the bit-sums stay
+    // deterministic — a float idf could flip a near-zero sign between
+    // engines' summation orders and break the gate hash. Plain tf
+    // weighting collapses on realistic head-heavy (zipf) corpora: the
+    // stop-token mass dominates every tf vector, signatures concentrate,
+    // and the hamming≤3 OUTPUT itself turns quadratic (measured on the
+    // 50k-token zipf fixture: 3.4% of ALL pairs qualified; idf weighting
+    // cuts that 58× to 0.06% — SCALE.md round-10 re-measurement).
+    // Bit-sums run as 60 parallel aggregate columns (no 60× row
+    // explosion); df joins on the token (shuffle by tok — the df table
+    // scales with vocabulary, not corpus, but is not forced broadcast).
     //
     // Banding (round-3 rework): 4 bands × 15-bit keys (32,768 keys per
     // band — bucket occupancy is key-space-bounded at n/32768; the old
@@ -548,12 +557,16 @@ object Dedup {
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) AS bigint)"))
+        val dfs = toks.select("doc_id", "tok").distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val wtoks = toks.join(dfs, "tok")
+          .withColumn("w", expr("greatest(1, 16 - length(bin(df)))"))
         val bitCols = (0 until 60).map(j =>
-          sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
+          sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN w ELSE -w END")).as(s"s$j"))
         val simExpr = (0 until 60)
           .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END)")
           .mkString(" + ")
-        val sims = toks.groupBy("doc_id")
+        val sims = wtoks.groupBy("doc_id")
           .agg(bitCols.head, bitCols.tail: _*)
           .select(col("doc_id"), expr(s"cast($simExpr AS bigint)").as("simhash"))
         val bands = sims.select(col("doc_id"), col("simhash"),
@@ -572,10 +585,14 @@ object Dedup {
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |), dfs AS (
+             |  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
              |), th AS (
-             |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::bigint AS h FROM toks
+             |  SELECT t.doc_id, ('0x' || substring(md5(t.tok), 1, 15))::bigint AS h,
+             |    greatest(1, 16 - length(bin(d.df))) AS w
+             |  FROM toks t JOIN dfs d USING (tok)
              |), bitsums AS (
-             |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN w ELSE -w END) AS s
              |  FROM th, (SELECT unnest(range(0, 60)) AS j) GROUP BY doc_id, j
              |), sims AS (
              |  SELECT doc_id, cast(sum(CASE WHEN s > 0 THEN 1::bigint ELSE 0::bigint END << j) AS bigint) AS simhash

@@ -1209,6 +1209,9 @@ object Analyzer {
     case BoundOperand.BOrderedAgg("array_agg" | "array_agg_distinct",
         arg, _, _) =>
       SqlType.SqlArray(operandType(arg))
+    case BoundOperand.BOrderedAgg("min_topn" | "max_topn" |
+        "arg_min_topn" | "arg_max_topn", arg, _, _) =>
+      SqlType.SqlArray(operandType(arg)) // top-n LIST variants
     case BoundOperand.BOrderedAgg(_, arg, _, _) => operandType(arg) // arg_min/max
   }
 

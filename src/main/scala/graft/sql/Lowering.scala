@@ -601,6 +601,32 @@ object Lowering {
           min_by(lowerOperandWith(arg, qcol), lowerOperandWith(k, qcol))
         case BoundOperand.BOrderedAgg("arg_max", arg, _, Seq((k, _))) =>
           max_by(lowerOperandWith(arg, qcol), lowerOperandWith(k, qcol))
+        // top-n list variants (DuckDB ≥1.1's min/max(x, n) and
+        // arg_min/arg_max(x, v, n)): a LIST of the n extreme values /
+        // the values at the n extreme keys, NULL inputs skipped. One
+        // collect_list of aggregate state + a codegen'd sort/slice —
+        // the same O(group) state class as the exact mad/median/
+        // histogram aggregates (n is a small literal; a bounded-heap
+        // Aggregator would cap state at O(n) per partial, the upgrade
+        // path if top-n ever runs over very large groups).
+        case BoundOperand.BOrderedAgg("min_topn", arg, sep, _) =>
+          slice(array_sort(collect_list(lowerOperandWith(arg, qcol))),
+            1, sep.toInt)
+        case BoundOperand.BOrderedAgg("max_topn", arg, sep, _) =>
+          slice(reverse(array_sort(collect_list(lowerOperandWith(arg, qcol)))),
+            1, sep.toInt)
+        case BoundOperand.BOrderedAgg("arg_min_topn", arg, sep, Seq((k, _))) =>
+          val kc = lowerOperandWith(k, qcol)
+          val pairs = collect_list(when(kc.isNotNull,
+            struct(kc.as("k"), lowerOperandWith(arg, qcol).as("v"))))
+          slice(transform(array_sort(pairs), x => x.getField("v")),
+            1, sep.toInt)
+        case BoundOperand.BOrderedAgg("arg_max_topn", arg, sep, Seq((k, _))) =>
+          val kc = lowerOperandWith(k, qcol)
+          val pairs = collect_list(when(kc.isNotNull,
+            struct(kc.as("k"), lowerOperandWith(arg, qcol).as("v"))))
+          slice(transform(reverse(array_sort(pairs)), x => x.getField("v")),
+            1, sep.toInt)
         // count(DISTINCT a, b, …): Spark's native multi-column distinct
         // count — one distinct-aggregate over the tuple, rows with ANY
         // null component skipped (SQL semantics on both engines)

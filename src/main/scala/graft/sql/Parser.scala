@@ -2641,8 +2641,26 @@ object Parser {
         v <- parseOperand(p)
         _ <- p.eatSym(",")
         k <- parseOperand(p)
+        // arg_min(x, v, n) / arg_max(x, v, n): top-n list variants — a
+        // LIST of the x values at the n smallest/largest v. n rides the
+        // separator slot as a literal.
+        topn <- p.peek match {
+          case TSym(",", _) =>
+            p.next()
+            p.peek match {
+              case TInt(n, _) if n >= 1 => p.next(); Right(Some(n))
+              case t => Left(ParseError(
+                s"$fn(x, v, n) takes a positive integer literal n", t.pos))
+            }
+          case _ => Right(None)
+        }
         _ <- p.eatSym(")")
-      } yield Operand.OrderedAgg(fn, v, "", Seq((k, false)), distinct = false)
+      } yield topn match {
+        case Some(n) => Operand.OrderedAgg(s"${fn}_topn", v, n.toString,
+          Seq((k, false)), distinct = false)
+        case None => Operand.OrderedAgg(fn, v, "", Seq((k, false)),
+          distinct = false)
+      }
     // two-argument statistical aggregates: corr(y, x), covar_pop(y, x),
     // covar_samp(y, x) — ride the OrderedAgg carrier (value + one key)
     case TIdent(f, _) if allowAgg &&
@@ -2848,6 +2866,21 @@ object Parser {
           // the analyzer rejects nested aggregation everywhere else
           case _ => parseOperand(p, allowAgg).map(Some(_))
         }
+        // min(x, n) / max(x, n): DuckDB's top-n list variants — a LIST
+        // of the n smallest/largest values. n rides the OrderedAgg
+        // separator slot as a literal (it compiles into the expression).
+        topn <-
+          if ((fn == "min" || fn == "max") && !distinct && (p.peek match {
+            case TSym(",", _) => true
+            case _            => false
+          })) {
+            p.next()
+            p.peek match {
+              case TInt(n, _) if n >= 1 => p.next(); Right(Some(n))
+              case t => Left(ParseError(
+                s"$fn(x, n) takes a positive integer literal n", t.pos))
+            }
+          } else Right(None)
         // count(DISTINCT a, b, …) — multi-column distinct: counts the
         // distinct tuples whose components are ALL non-null (SQL
         // semantics); rides the OrderedAgg node (first arg + the rest as
@@ -2878,6 +2911,9 @@ object Parser {
             else if (more.nonEmpty)
               Left(ParseError(
                 "count(DISTINCT a, b, …) does not take FILTER", p.peek.pos))
+            else if (topn.isDefined)
+              Left(ParseError(
+                s"$fn(x, n) does not take FILTER", p.peek.pos))
             else {
               p.next()
               for {
@@ -2894,6 +2930,9 @@ object Parser {
           } else if (more.nonEmpty)
             Right(Operand.OrderedAgg("count_distinct", arg.get, "",
               more.map(_ -> false), distinct = true))
+          else if (topn.isDefined)
+            Right(Operand.OrderedAgg(s"${fn}_topn", arg.get,
+              topn.get.toString, Nil, distinct = false))
           else Right(Operand.AggCall(fn, arg, distinct))
       } yield filtered
     case TIdent(k, _) if k.equalsIgnoreCase("case") =>

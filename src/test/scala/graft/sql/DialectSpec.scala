@@ -4118,4 +4118,37 @@ class DialectSpec extends AnyFunSuite {
     assert(s("SELECT time_bucket(INTERVAL 1 WEEK, TIMESTAMP '2026-03-05 11:22:33') AS b")
       .startsWith("2026-03-02 00:00"))
   }
+
+  test("top-n aggregate list variants: min/max(x, n), arg_min/arg_max(x, v, n)") {
+    // spec-only: DuckDB 1.0 (the oracle) lacks the top-n forms, so the
+    // expectations here are hand-computed (DuckDB ≥1.1 semantics: a LIST
+    // of the n extreme values, ascending for min / descending for max,
+    // NULLs skipped; groups smaller than n return what they have)
+    val db = freshDb()
+    def run(sql: String): Unit = db.query(sql) match {
+      case Left(e) => fail(s"$sql -> ${e.msg}")
+      case Right(_) => ()
+    }
+    run("CREATE TABLE s (g VARCHAR(2), w VARCHAR(8), v INT)")
+    run("INSERT INTO s VALUES ('a', 'p', 5), ('a', 'q', 1), ('a', 'r', 3), " +
+      "('a', 's', 9), ('b', 't', 7), ('b', 'u', NULL), ('b', 'v', 2)")
+    val r = db.select(
+      "SELECT g, min(v, 2) AS lo2, max(v, 3) AS hi3, " +
+        "arg_min(w, v, 2) AS wlo, arg_max(w, v, 2) AS whi " +
+        "FROM s GROUP BY g ORDER BY g").fold(e => fail(e.msg), identity)
+      .collect().toSeq
+    assert(r == Seq(
+      Row("a", Seq(1, 3), Seq(9, 5, 3), Seq("q", "r"), Seq("s", "p")),
+      // NULL v skipped everywhere; group b has only 2 non-null values
+      Row("b", Seq(2, 7), Seq(7, 2), Seq("v", "t"), Seq("t", "v"))))
+    // ungrouped form + strings as values; n larger than the input
+    val r2 = db.select(
+      "SELECT min(w, 3) AS w3, max(v, 99) AS vall FROM s")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(r2.getSeq[String](0) == Seq("p", "q", "r"))
+    assert(r2.getSeq[Int](1) == Seq(9, 7, 5, 3, 2, 1))
+    // error surface: n must be a positive integer literal
+    assert(db.select("SELECT min(v, 0) AS x FROM s").isLeft)
+    assert(db.select("SELECT arg_min(w, v, -1) AS x FROM s").isLeft)
+  }
 }

@@ -111,6 +111,29 @@ class StatsManagerSpec extends AnyFunSuite {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("q_stats_hll_ndv gate: sketch estimate within ±5% of exact NDV per group") {
+    // the one non-oracled gate (sketch estimates have no DuckDB
+    // analogue) — bound its error here instead: run the gate's exact
+    // query shape at sf0.01 and compare each of the five per-priority
+    // estimates against the exact count(DISTINCT), which is what the
+    // oracle would compute
+    import org.apache.spark.sql.functions.{col, count_distinct}
+    val df = graft.queries.Stats.defs("q_stats_hll_ndv")
+      .build(spark, SparkTestSession.sf001)
+    val exact = graft.Tables.t(spark, SparkTestSession.sf001, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count_distinct(col("o_orderstatus")).as("ndv_exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = df.collect()
+    assert(rows.length == exact.size, s"expected ${exact.size} groups")
+    rows.foreach { r =>
+      val (prio, est) = (r.getString(0), r.getLong(1))
+      val ex = exact(prio)
+      assert(math.abs(est - ex) <= math.max(1L, math.round(ex * 0.05)),
+        s"$prio: estimate $est vs exact $ex exceeds ±5%")
+    }
+  }
+
   test("estimates drive broadcast-side choice in joins (build-side parity)") {
     val db = freshDb()
     db.query("CREATE TABLE dim (id INT, name VARCHAR(20))")

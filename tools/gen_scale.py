@@ -39,25 +39,44 @@ def repl(name, out, mult, offsets):
                    f"{out}/{name}.parquet")
     print(f"{name}: {len(allp)} rows")
 
-def gen_documents(out, n):
+def gen_documents(out, n, zipf=False):
+    """zipf=True swaps the fixture's 31-word vocabulary for a realistic
+    one: 50k distinct tokens drawn Zipf(a=1.2) — the round-9 VERDICT
+    noted the tiny vocab saturates q_dedup_ngram's df-cap, making its
+    measured scale exponent a cap artifact rather than an operator
+    property. Near-dup / exact-dup planting rates stay identical so the
+    candidate structure the dedup queries probe is unchanged.
+    """
     rng = np.random.default_rng(42)
-    vocab = np.array(("batch part spark line column order small sort vector "
-        "scan fast query agg slow value filter customer stream key join "
-        "large merge shuffle read write table row group page disk cache").split())
+    if zipf:
+        V = 50000
+        ranks = np.arange(1, V + 1, dtype=np.float64)
+        probs = ranks ** -1.2
+        probs /= probs.sum()
+        vocab = np.array([f"w{i}" for i in range(V)])
+        def draw(k):
+            return vocab[rng.choice(V, size=k, p=probs)]
+    else:
+        vocab = np.array(("batch part spark line column order small sort vector "
+            "scan fast query agg slow value filter customer stream key join "
+            "large merge shuffle read write table row group page disk cache").split())
+        def draw(k):
+            return vocab[rng.integers(0, len(vocab), k)]
     langs = np.array(["en", "en", "zh", "es", "fr", "de"])
     texts, lang, src = [], [], []
     for i in range(n):
         if texts and rng.random() < 0.05:      # perturbed near-dup copy
             base = texts[rng.integers(0, len(texts))].split()
             k = max(1, len(base) // 20)
-            for _ in range(k):
-                base[rng.integers(0, len(base))] = vocab[rng.integers(0, len(vocab))]
+            repl_words = draw(k)
+            for j in range(k):
+                base[rng.integers(0, len(base))] = repl_words[j]
             texts.append(" ".join(base))
         elif texts and rng.random() < 0.0016:  # exact dup
             texts.append(texts[rng.integers(0, len(texts))])
         else:
             ln = int(rng.integers(8, 100))
-            texts.append(" ".join(vocab[rng.integers(0, len(vocab), ln)]))
+            texts.append(" ".join(draw(ln)))
         lang.append(langs[rng.integers(0, len(langs))])
         src.append(f"src{int(rng.integers(0, 20))}")
     tbl = pa.table({
@@ -87,6 +106,7 @@ def gen_embeddings(out, n, dim=64):
     print(f"embeddings: {n} rows")
 
 def main(out, mult):
+    # "zipfN" third-arg form handled in __main__: documents-only output
     os.makedirs(out, exist_ok=True)
     for name in ("region", "nation"):
         pq.write_table(pq.read_table(f"{SRC}/{name}.parquet"),
@@ -102,4 +122,12 @@ def main(out, mult):
     gen_embeddings(out, 2000 * mult)
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]))
+    # gen_scale.py <out> zipf <mult>: documents-only fixture with the
+    # realistic 50k-token Zipf vocabulary (for dedup scale re-measurement;
+    # the dedup queries read only documents.parquet)
+    if len(sys.argv) > 2 and sys.argv[2] == "zipf":
+        out = sys.argv[1]
+        os.makedirs(out, exist_ok=True)
+        gen_documents(out, 5000 * int(sys.argv[3]), zipf=True)
+    else:
+        main(sys.argv[1], int(sys.argv[2]))
