@@ -25,31 +25,77 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    graft.queries.Dedup.releaseShingles(spark)
-    graft.queries.Vectors.releaseCaches(spark)
-    // Per-query MEDIAN over 3 timed passes, so round-over-round deltas are
-    // attributable to code, not run noise. The shared shingle cache is
-    // released between passes so every pass pays the materialization in
-    // the same place (inside the first dedup query it times).
-    val Reps = 3
-    val runs: Seq[Map[String, Double]] = (1 to Reps).map { _ =>
+    def releaseCaches(): Unit = {
+      graft.queries.Dedup.releaseShingles(spark)
+      graft.queries.Vectors.releaseCaches(spark)
+    }
+    releaseCaches()
+
+    // ---- host-drift detection (round-10 harness hardening) ----
+    // The box this runs on oscillates ±35% on identical code within an
+    // hour (rounds 6/8/9 all caught drifted official artifacts). A fixed
+    // SENTINEL query is re-timed every SentinelEvery queries; a rep whose
+    // sentinel median departs >DriftRatio× from the session baseline is
+    // marked drifted and the harness runs EXTRA reps (up to MaxReps)
+    // until CleanTarget clean reps exist. Per-query medians then come
+    // from the clean reps only; if the whole window stayed drifted, the
+    // JSON carries a machine-readable drift annotation instead of a
+    // silently-inflated number.
+    val SentinelName = "q_tpch_q5"
+    val SentinelEvery = 50
+    val DriftRatio = 1.3
+    val CleanTarget = 3
+    val MaxReps = 6
+    val sentinelFn = SparkEntry.queries(SentinelName)
+    def timeSentinel(): Double = {
+      val t0 = System.nanoTime()
+      sentinelFn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // one extra untimed sentinel run so its own plan is hot, then the
+    // baseline = MIN of 5 (the cleanest the box can do right now; if the
+    // baseline itself lands in a drift window, later clean reps read
+    // ratios < 1 and never false-flag)
+    timeSentinel()
+    val baseline = (1 to 5).map(_ => timeSentinel()).min
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+
+    final case class Rep(times: Map[String, Double], sentinels: Seq[Double]) {
+      def ratio: Double = median(sentinels) / baseline
+      def drifted: Boolean = ratio > DriftRatio
+    }
+    def runRep(): Rep = {
+      val sent = scala.collection.mutable.ArrayBuffer(timeSentinel())
+      var i = 0
       val r = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        i += 1
+        if (i % SentinelEvery == 0) sent += timeSentinel()
         name -> (System.nanoTime() - t0) / 1e9
       }
-      graft.queries.Dedup.releaseShingles(spark)
-    graft.queries.Vectors.releaseCaches(spark)
-      r
+      releaseCaches()
+      Rep(r, sent.toSeq)
     }
+    val reps = scala.collection.mutable.ArrayBuffer.empty[Rep]
+    while (reps.count(!_.drifted) < CleanTarget && reps.length < MaxReps)
+      reps += runRep()
+    val clean = reps.filter(!_.drifted).toSeq
+    val usable = if (clean.nonEmpty) clean else reps.toSeq
+    val runDrifted = clean.isEmpty
+
     val medians: Seq[(String, Double)] = SparkEntry.queries.keys.toSeq.map { name =>
-      val ts = runs.map(_(name)).sorted
-      name -> ts(ts.length / 2)
+      name -> median(usable.map(_.times(name)))
     }
+    def f3(d: Double): Double = math.rint(d * 1000) / 1000
+    val drift = s"""{"sentinel":"$SentinelName","baseline":${f3(baseline)},""" +
+      s""""rep_ratios":[${reps.map(r => f3(r.ratio)).mkString(",")}],""" +
+      s""""clean_reps":${clean.length},"total_reps":${reps.length},""" +
+      s""""drifted":$runDrifted}"""
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"agg":"median"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":${usable.length},"agg":"median","drift":$drift}"""
     // The driver's capture truncates long output, which has cut this
     // (multi-KB) line in past rounds. Defend from every side: persist the
     // full JSON to a repo file, print it as the FIRST stdout line (before
@@ -68,9 +114,9 @@ object Bench {
     // median (3-decimal values), always < 1.5 KB, so it survives the tail
     // window intact even with sbt's trailing "[success]" line after it.
     val top = medians.sortBy(-_._2).take(25)
-      .map { case (k, v) => f"""\"$k\":${math.rint(v * 1000) / 1000}%s""" }
+      .map { case (k, v) => f"""\"$k\":${f3(v)}%s""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir","reps":$Reps,"agg":"median","queries_shown":"top25_by_median","queries_total":${medians.length},"queries_file":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir","reps":${usable.length},"agg":"median","queries_shown":"top25_by_median","queries_total":${medians.length},"queries_file":"BENCH_FULL.json","drift":$drift}""")
     Console.out.flush()
     spark.stop()
   }

@@ -27,6 +27,101 @@ object StringSimilarity {
     d
   }
 
+  /** Full Damerau-Levenshtein distance (with the alphabet table, so
+    * transpositions compose across edits — DuckDB probed:
+    * damerau('CA','ABC') = 2, which the restricted OSA variant gets
+    * wrong at 3). O(|a|·|b|) like Spark's own levenshtein.
+    */
+  def damerau(a: String, b: String): Long = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb.toLong
+    if (lb == 0) return la.toLong
+    val inf = la + lb
+    val da = new java.util.HashMap[Char, Integer]()
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= la) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val i1: Int = { val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v }
+        val j1 = db
+        var cost = 1
+        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+        var best = d(i)(j) + cost                       // substitute / match
+        if (d(i + 1)(j) + 1 < best) best = d(i + 1)(j) + 1 // insert
+        if (d(i)(j + 1) + 1 < best) best = d(i)(j + 1) + 1 // delete
+        val tr = d(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1) // transpose
+        if (tr < best) best = tr
+        d(i + 1)(j + 1) = best
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(la + 1)(lb + 1).toLong
+  }
+
+  /** Classic Jaro similarity (match window ⌊max/2⌋−1, transposition
+    * half-count); identical strings (incl. both empty) read 1.0, one
+    * empty side reads 0.0 (DuckDB probed).
+    */
+  def jaro(a: String, b: String): Double = {
+    if (a == b) return 1.0
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val am = new Array[Boolean](la)
+    val bm = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(i + window, lb - 1)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bm(j) && a.charAt(i) == b.charAt(j)) {
+          am(i) = true; bm(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (am(i)) {
+        while (!bm(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    (m.toDouble / la + m.toDouble / lb + (m - t / 2.0) / m) / 3.0
+  }
+
+  /** Jaro-Winkler: Jaro boosted by the shared prefix (cap 4, p = 0.1) —
+    * unconditionally, like DuckDB (no 0.7 boost threshold; probed
+    * 'abcdefgh'/'abcdefgx' → 0.95).
+    */
+  def jaroWinkler(a: String, b: String): Double = {
+    val j = jaro(a, b)
+    var l = 0
+    val cap = math.min(4, math.min(a.length, b.length))
+    while (l < cap && a.charAt(l) == b.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
   /** Jaccard similarity of the two strings' character SETS (DuckDB's
     * jaccard); two empty strings read 1.0 (identical empty sets).
     */
@@ -43,6 +138,92 @@ object StringSimilarity {
     while (it.hasNext) { if (sb.contains(it.next())) inter += 1 }
     inter.toDouble / (sa.size + sb.size - inter).toDouble
   }
+}
+
+/** Unicode normalizers (DuckDB strip_accents / nfc_normalize): NFD
+  * decomposition with combining marks removed, and plain NFC. Characters
+  * with no decomposition (ø, ß, …) pass through strip_accents unchanged —
+  * matching DuckDB (probed: 'ÀéÎøü ñ' → 'AeIøu n').
+  */
+object StringNormalize {
+  /** Unicode codepoint → string (DuckDB chr; Spark's own char() is
+    * mod-256 ASCII, which silently mangles any codepoint > 255).
+    */
+  def chr(cp: Long): UTF8String =
+    UTF8String.fromString(new String(Character.toChars(cp.toInt)))
+
+  def stripAccents(s: String): UTF8String = {
+    val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < d.length) {
+      val c = d.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  def nfc(s: String): UTF8String = UTF8String.fromString(
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+}
+
+abstract class StringUnaryExpression
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  protected def helper: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.StringNormalize.$helper($a.toString());")
+}
+
+/** DuckDB chr(): any unicode codepoint, not Spark's mod-256 char(). */
+case class ChrCodepoint(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_chr"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an integer argument, got ${t.sql}")
+    }
+  override def nullSafeEval(a: Any): Any = a match {
+    case l: Long => StringNormalize.chr(l)
+    case i: Int  => StringNormalize.chr(i.toLong)
+    case s: Short => StringNormalize.chr(s.toLong)
+    case b: Byte => StringNormalize.chr(b.toLong)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.StringNormalize.chr((long) $a);")
+  override protected def withNewChildInternal(nc: Expression): ChrCodepoint =
+    copy(child = nc)
+}
+
+case class StripAccents(child: Expression) extends StringUnaryExpression {
+  override def prettyName: String = "graft_strip_accents"
+  protected def helper: String = "stripAccents"
+  override def nullSafeEval(a: Any): Any =
+    StringNormalize.stripAccents(a.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(nc: Expression): StripAccents =
+    copy(child = nc)
+}
+
+case class NfcNormalize(child: Expression) extends StringUnaryExpression {
+  override def prettyName: String = "graft_nfc_normalize"
+  protected def helper: String = "nfc"
+  override def nullSafeEval(a: Any): Any =
+    StringNormalize.nfc(a.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(nc: Expression): NfcNormalize =
+    copy(child = nc)
 }
 
 abstract class StringPairExpression extends BinaryExpression {
@@ -82,6 +263,45 @@ case class JaccardSim(left: Expression, right: Expression)
       b.asInstanceOf[UTF8String].toString)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}
+
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends StringPairExpression {
+  override def prettyName: String = "graft_damerau"
+  override def dataType: DataType = LongType
+  protected def helper: String = "damerau"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringSimilarity.damerau(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
+case class JaroSim(left: Expression, right: Expression)
+    extends StringPairExpression {
+  override def prettyName: String = "graft_jaro"
+  override def dataType: DataType = DoubleType
+  protected def helper: String = "jaro"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringSimilarity.jaro(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroSim =
+    copy(left = newLeft, right = newRight)
+}
+
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends StringPairExpression {
+  override def prettyName: String = "graft_jaro_winkler"
+  override def dataType: DataType = DoubleType
+  protected def helper: String = "jaroWinkler"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringSimilarity.jaroWinkler(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerSim =
     copy(left = newLeft, right = newRight)
 }
 
@@ -164,6 +384,18 @@ object StringFunctions {
     Bridge.column(Hamming(Bridge.expression(a), Bridge.expression(b)))
   def jaccard(a: Column, b: Column): Column =
     Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
+  def damerau(a: Column, b: Column): Column =
+    Bridge.column(DamerauLevenshtein(Bridge.expression(a), Bridge.expression(b)))
+  def jaro(a: Column, b: Column): Column =
+    Bridge.column(JaroSim(Bridge.expression(a), Bridge.expression(b)))
+  def jaroWinkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinklerSim(Bridge.expression(a), Bridge.expression(b)))
+  def stripAccents(a: Column): Column =
+    Bridge.column(StripAccents(Bridge.expression(a)))
+  def chrCodepoint(a: Column): Column =
+    Bridge.column(ChrCodepoint(Bridge.expression(a)))
+  def nfcNormalize(a: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(a)))
   def regexpReplaceDuck(s: Column, p: Column, r: Column,
       global: Boolean): Column =
     Bridge.column(RegexpReplaceDuck(Bridge.expression(s),

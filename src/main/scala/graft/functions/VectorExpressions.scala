@@ -64,6 +64,64 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused Euclidean distance: sqrt(Σ (xᵢ−yᵢ)²) in one index-order loop —
+  * the same accumulation order DuckDB's list_distance runs, so the two
+  * engines agree to the rounding the gates apply. Composing it as
+  * sqrt(dot(a,a) − 2·dot(a,b) + dot(b,b)) would be three loops AND a
+  * different floating-point ordering.
+  */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Distance =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Fused dot product over two array<double> columns. */
   def dot(a: Column, b: Column): Column =
@@ -72,4 +130,16 @@ object VectorFunctions {
   /** L2 norm via the same fused loop. */
   def l2norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dot(a, a))
+
+  /** Euclidean distance (DuckDB list_distance) — one fused loop. */
+  def l2dist(a: Column, b: Column): Column =
+    Bridge.column(L2Distance(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Cosine similarity (DuckDB list_cosine_similarity):
+    * dot / (‖a‖·‖b‖); zero-norm legs read NULL via the 0/0 division.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.try_divide
+    try_divide(dot(a, b), l2norm(a) * l2norm(b))
+  }
 }

@@ -3734,6 +3734,100 @@ object Dialect {
       Some("""SELECT max(COLUMNS(* EXCLUDE (l_returnflag, l_linestatus, l_shipdate)))
              |FROM lineitem WHERE l_orderkey < 1000""".stripMargin)),
 
+    // Vector list functions over the embeddings fixture: cosine /
+    // euclidean / dot, all fused-loop codegen'd expressions (the ANN
+    // operators' DotProduct/L2Distance) — index-order accumulation
+    // matches DuckDB's loop to the gate's rounding; unequal dims raise.
+    "q_dialect_list_vec" -> QueryDef(
+      (s, d) => run(db(s, d, "embeddings"),
+        "SELECT a.vec_id AS id1, b.vec_id AS id2, " +
+          "round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cossim, " +
+          "round(list_distance(a.embedding, b.embedding), 6) AS dist, " +
+          "round(list_dot_product(a.embedding, b.embedding), 6) AS dot, " +
+          "round(list_inner_product(a.embedding, b.embedding), 6) AS ip " +
+          "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 " +
+          "WHERE a.vec_id < 200 ORDER BY a.vec_id"),
+      Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+             |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cossim,
+             |  round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dist,
+             |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dot,
+             |  round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS ip
+             |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+             |WHERE a.vec_id < 200 ORDER BY a.vec_id""".stripMargin)),
+
+    // String-similarity batch: full Damerau-Levenshtein (alphabet table —
+    // 'CA'/'ABC' reads 2 where the OSA shortcut says 3), classic Jaro,
+    // Jaro-Winkler (unconditional 0.1 prefix boost, cap 4), and
+    // mismatches (the hamming alias). All codegen'd expressions.
+    "q_dialect_strsim" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT c_custkey, " +
+          "damerau_levenshtein(c_name, reverse(c_name)) AS dl, " +
+          "damerau_levenshtein(c_mktsegment, 'MACHINERY') AS dl2, " +
+          "round(jaro_similarity(c_name, c_mktsegment), 6) AS js, " +
+          "round(jaro_winkler_similarity(c_name, c_mktsegment), 6) AS jw, " +
+          "round(jaro_winkler_similarity(c_name, concat(substr(c_name, 1, 8), 'X')), 6) AS jwp, " +
+          "mismatches(c_name, reverse(c_name)) AS mm " +
+          "FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"),
+      Some("""SELECT c_custkey,
+             |  damerau_levenshtein(c_name, reverse(c_name)) AS dl,
+             |  damerau_levenshtein(c_mktsegment, 'MACHINERY') AS dl2,
+             |  round(jaro_similarity(c_name, c_mktsegment), 6) AS js,
+             |  round(jaro_winkler_similarity(c_name, c_mktsegment), 6) AS jw,
+             |  round(jaro_winkler_similarity(c_name, concat(substr(c_name, 1, 8), 'X')), 6) AS jwp,
+             |  mismatches(c_name, reverse(c_name)) AS mm
+             |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin)),
+
+    // Scalar batch 12: unicode normalizers (strip_accents keeps
+    // non-decomposable ø — probed), ord (the unicode() alias: '' reads
+    // -1), and format_bytes (binary units, value TRUNCATED to one
+    // decimal: 1945 → '1.8 KiB').
+    "q_dialect_funcs12" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "strip_accents(concat(o_orderpriority, '-Àéøñü')) AS sa, " +
+          "nfc_normalize(concat(o_orderstatus, 'e', chr(769))) AS nfc, " +
+          "ord(o_orderstatus) AS oc, " +
+          "format_bytes(CAST(o_totalprice AS BIGINT)) AS fb, " +
+          "format_bytes(o_orderkey * 1048576) AS fb2, " +
+          "format_bytes(o_orderkey % 1000) AS fb3 " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  strip_accents(concat(o_orderpriority, '-Àéøñü')) AS sa,
+             |  nfc_normalize(concat(o_orderstatus, 'e', chr(769))) AS nfc,
+             |  ord(o_orderstatus) AS oc,
+             |  format_bytes(CAST(o_totalprice AS BIGINT)) AS fb,
+             |  format_bytes(o_orderkey * 1048576) AS fb2,
+             |  format_bytes(o_orderkey % 1000) AS fb3
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // List utility batch 2: positional select (1-based, 0/out-of-range
+    // read NULL — and a longer mask NULL-pads on both engines), mask
+    // filter, resize (truncate / NULL-pad), grade_up (stable ascending
+    // indexes, NULLs last), reverse_sort, any_value (first non-NULL).
+    "q_dialect_list_fns2" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "list_select(list_value(10, 20, 30), list_value(3, 1, 7)) AS sel, " +
+          "list_where(list_value(o_orderkey, o_custkey, 0), list_value(true, false, true)) AS wh, " +
+          "list_resize(list_value(o_orderkey, o_custkey), 4) AS rz, " +
+          "list_resize(list_value(o_orderkey, o_custkey, 1, 2), 2) AS rz2, " +
+          "list_grade_up(list_value(o_custkey, o_orderkey, o_custkey)) AS gu, " +
+          "list_grade_up(list_select(list_value(5, 2, 8), list_value(2, 9, 1, 3))) AS gu2, " +
+          "list_reverse_sort(list_value(o_orderkey % 7, o_custkey % 7, 3)) AS rs, " +
+          "list_any_value(list_select(list_value(o_orderkey, o_custkey), list_value(9, 1))) AS av " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  list_select(list_value(10, 20, 30), list_value(3, 1, 7)) AS sel,
+             |  list_where(list_value(o_orderkey, o_custkey, 0), list_value(true, false, true)) AS wh,
+             |  list_resize(list_value(o_orderkey, o_custkey), 4) AS rz,
+             |  list_resize(list_value(o_orderkey, o_custkey, 1, 2), 2) AS rz2,
+             |  list_grade_up(list_value(o_custkey, o_orderkey, o_custkey)) AS gu,
+             |  list_grade_up(list_select(list_value(5, 2, 8), list_value(2, 9, 1, 3))) AS gu2,
+             |  list_reverse_sort(list_value(o_orderkey % 7, o_custkey % 7, 3)) AS rs,
+             |  list_any_value(list_select(list_value(o_orderkey, o_custkey), list_value(9, 1))) AS av
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // time_bucket: epoch-aligned fixed-width buckets (every non-month
     // width aligns to TimescaleDB's Monday 2000-01-03 origin, DuckDB
     // parity) — the classic downsampling aggregate, one hash-aggregate

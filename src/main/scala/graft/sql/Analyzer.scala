@@ -1119,8 +1119,23 @@ object Analyzer {
            "starts_with" | "ends_with" | "contains" |
            "regexp_matches"      => SqlType.SqlBool
       case "printf" | "strftime" => SqlType.SqlVarChar(65535)
-      case "factorial" | "gcd" | "lcm" | "hamming" | "date_diff" =>
+      case "factorial" | "gcd" | "lcm" | "hamming" | "date_diff" |
+           "damerau_levenshtein" | "mismatches" =>
         SqlType.SqlBigInt
+      // list_cosine_similarity/list_distance/list_dot_product/
+      // list_inner_product / jaro / jaro_winkler fall to the SqlDouble
+      // default below
+      case "strip_accents" | "nfc_normalize" | "format_bytes" =>
+        SqlType.SqlVarChar(65535)
+      case "ord" => SqlType.SqlInt
+      case "list_select" | "list_where" | "list_resize" |
+           "list_reverse_sort" =>
+        operandType(args.head)
+      case "list_grade_up" => SqlType.SqlArray(SqlType.SqlBigInt)
+      case "list_any_value" => operandType(args.head) match {
+        case SqlType.SqlArray(e) => e
+        case other               => other
+      }
       case "octet_length" | "bit_length" | "unicode" => SqlType.SqlInt
       case "jaccard"             => SqlType.SqlDouble
       case "sha256" | "to_base" | "json_extract_string" =>
@@ -1213,6 +1228,26 @@ object Analyzer {
         "arg_min_topn" | "arg_max_topn", arg, _, _) =>
       SqlType.SqlArray(operandType(arg)) // top-n LIST variants
     case BoundOperand.BOrderedAgg(_, arg, _, _) => operandType(arg) // arg_min/max
+  }
+
+  /** DuckDB parity: CAST(<float/decimal> AS <integer type>) ROUNDS
+    * half-away-from-zero (probed: 1.5→2, 2.5→3, -1.5→-2) where Spark's
+    * cast truncates toward zero — caught live by format_bytes(CAST
+    * (o_totalprice AS BIGINT)) reading one KiB-decimal low. Wrap the
+    * source in round() before any integral cast: Spark's round is
+    * HALF_UP (half-away-from-zero in both signs), and round-on-decimal
+    * stays an exact DECIMAL(p,0).
+    */
+  private def roundForIntCast(b: BoundOperand, t: SqlType): BoundOperand = {
+    val integral = t match {
+      case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt => true
+      case _ => false
+    }
+    val floaty = operandType(b) match {
+      case SqlType.SqlDouble | SqlType.SqlReal | SqlType.SqlDecimal(_, _) => true
+      case _ => false
+    }
+    if (integral && floaty) BoundOperand.BFunc("round", Seq(b)) else b
   }
 
   /** The output type of a window item (shared by derived-table schema
@@ -2924,9 +2959,11 @@ object Analyzer {
       case Operand.OrderedAgg(f, _, _, _, _) =>
         Left(BadAggregate(s"$f(...) is not valid in this context"))
       case Operand.Cast(o, t) =>
-        bindOp(o, allowAgg, allowSub).map(BoundOperand.BCast(_, t))
+        bindOp(o, allowAgg, allowSub).map(b =>
+          BoundOperand.BCast(roundForIntCast(b, t), t))
       case Operand.TryCast(o, t) =>
-        bindOp(o, allowAgg, allowSub).map(BoundOperand.BTryCast(_, t))
+        bindOp(o, allowAgg, allowSub).map(b =>
+          BoundOperand.BTryCast(roundForIntCast(b, t), t))
       // list higher-order functions: the second argument is a lambda
       // whose parameters bind to the list's ELEMENT type; the body may
       // capture enclosing columns (they lower as ordinary references
@@ -3007,6 +3044,15 @@ object Analyzer {
           case "atan2" | "starts_with" | "ends_with" | "contains" |
                "regexp_matches" | "gcd" | "lcm" |
                "ifnull" | "hamming" | "jaccard" => args.length == 2
+          case "list_cosine_similarity" | "list_distance" |
+               "list_dot_product" | "list_inner_product" |
+               "damerau_levenshtein" | "jaro_similarity" |
+               "jaro_winkler_similarity" | "mismatches" |
+               "list_select" | "list_where" | "list_resize" =>
+            args.length == 2
+          case "strip_accents" | "nfc_normalize" | "ord" | "format_bytes" |
+               "list_grade_up" | "list_reverse_sort" | "list_any_value" =>
+            args.length == 1
           case "octet_length" | "bit_length" | "sha256" | "unicode" =>
             args.length == 1
           case "to_base"             => args.length == 2

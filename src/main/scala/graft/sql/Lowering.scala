@@ -2915,10 +2915,108 @@ object Lowering {
       val c = rec(a)
       when(length(c) === 0, lit(-1)).otherwise(ascii(c))
     case ("ifnull", Seq(a, b)) => coalesce(rec(a), rec(b))
-    case ("hamming", Seq(a, b)) =>
+    case ("hamming" | "mismatches", Seq(a, b)) =>
       graft.functions.StringFunctions.hamming(rec(a), rec(b))
     case ("jaccard", Seq(a, b)) =>
       graft.functions.StringFunctions.jaccard(rec(a), rec(b))
+    // string-similarity family (codegen'd expressions like hamming):
+    // full Damerau-Levenshtein with the alphabet table, classic Jaro,
+    // Jaro-Winkler with the unconditional prefix boost (DuckDB probed)
+    case ("damerau_levenshtein", Seq(a, b)) =>
+      graft.functions.StringFunctions.damerau(rec(a), rec(b))
+    case ("jaro_similarity", Seq(a, b)) =>
+      graft.functions.StringFunctions.jaro(rec(a), rec(b))
+    case ("jaro_winkler_similarity", Seq(a, b)) =>
+      graft.functions.StringFunctions.jaroWinkler(rec(a), rec(b))
+    case ("strip_accents", Seq(a)) =>
+      graft.functions.StringFunctions.stripAccents(rec(a))
+    case ("nfc_normalize", Seq(a)) =>
+      graft.functions.StringFunctions.nfcNormalize(rec(a))
+    // ord is DuckDB's unicode() alias (probed: ord('') = -1 like unicode,
+    // where ascii('') = 0)
+    case ("ord", Seq(a)) =>
+      val c = rec(a)
+      when(length(c) === 0, lit(-1)).otherwise(ascii(c))
+    // format_bytes: binary units, value TRUNCATED (not rounded) to one
+    // decimal (DuckDB probed: 1945 → '1.8 KiB', 1023.999 KiB stays
+    // '1023.9 KiB'); < 1024 prints 'N bytes'
+    case ("format_bytes", Seq(a)) =>
+      val x = rec(a).cast("double")
+      def scaled(k: Int): Column = {
+        val v = x / math.pow(1024.0, k)
+        val t = signum(v) * floor(abs(v) * 10) / 10
+        format_string("%.1f", t)
+      }
+      val units = Seq("KiB", "MiB", "GiB", "TiB", "PiB")
+      val kib = lit(1024.0)
+      units.zipWithIndex.foldRight(
+        concat(rec(a).cast("string"),
+          when(abs(x) === 1.0, lit(" byte")).otherwise(lit(" bytes")))) {
+        case ((u, i), els) =>
+          val k = i + 1
+          val upper = pow(kib, k + 1)
+          if (u == "PiB")
+            when(abs(x) >= pow(kib, k), concat(scaled(k), lit(s" $u")))
+              .otherwise(els)
+          else
+            when(abs(x) >= pow(kib, k) && abs(x) < upper,
+              concat(scaled(k), lit(s" $u"))).otherwise(els)
+      }
+    // fused-loop vector expressions (the ANN operators' DotProduct /
+    // L2Distance); unequal dimensions raise like DuckDB
+    case ("list_dot_product" | "list_inner_product", Seq(a, b)) =>
+      val (ac, bc) = (rec(a).cast("array<double>"), rec(b).cast("array<double>"))
+      when(size(ac) =!= size(bc),
+        raise_error(lit("list dimensions must be equal")))
+        .otherwise(graft.functions.VectorFunctions.dot(ac, bc))
+    case ("list_distance", Seq(a, b)) =>
+      val (ac, bc) = (rec(a).cast("array<double>"), rec(b).cast("array<double>"))
+      when(size(ac) =!= size(bc),
+        raise_error(lit("list dimensions must be equal")))
+        .otherwise(graft.functions.VectorFunctions.l2dist(ac, bc))
+    case ("list_cosine_similarity", Seq(a, b)) =>
+      val (ac, bc) = (rec(a).cast("array<double>"), rec(b).cast("array<double>"))
+      when(size(ac) =!= size(bc),
+        raise_error(lit("list dimensions must be equal")))
+        .otherwise(graft.functions.VectorFunctions.cosine(ac, bc))
+    // list utility family (DuckDB probed semantics):
+    //   list_select: 1-based positions; 0 and out-of-range read NULL
+    //   list_where: mask filter (a NULL mask entry drops the element
+    //     here where DuckDB raises — error-surface divergence, documented)
+    //   list_resize: truncate or NULL-pad to n
+    //   list_grade_up: 1-based indexes that would sort ascending,
+    //     stable, NULLs last
+    //   list_reverse_sort: descending, NULLs last (Spark's sort_array
+    //     desc places NULLs last too)
+    //   list_any_value: first non-NULL element
+    case ("list_select", Seq(a, idx)) =>
+      val arr = rec(a)
+      transform(rec(idx), i =>
+        org.apache.spark.sql.functions.get(arr, i.cast("int") - 1))
+    case ("list_where", Seq(a, m)) =>
+      transform(
+        filter(zip_with(rec(a), rec(m), (x, keep) =>
+          struct(x.as("v"), keep.as("k"))), s => s.getField("k")),
+        s => s.getField("v"))
+    case ("list_resize", Seq(a, n)) =>
+      val arr = rec(a)
+      val nn = rec(n).cast("int")
+      when(size(arr) >= nn, slice(arr, lit(1), greatest(nn, lit(0))))
+        .otherwise(concat(arr,
+          transform(sequence(lit(1), nn - size(arr)), _ =>
+            org.apache.spark.sql.functions.get(arr, lit(-1)))))
+    case ("list_grade_up", Seq(a)) =>
+      val arr = rec(a)
+      val zipped = zip_with(arr,
+        sequence(lit(1L), size(arr).cast("long")),
+        (v, i) => struct(v.as("v"), i.as("i")))
+      val nn = array_sort(filter(zipped, s => s.getField("v").isNotNull))
+      val nulls = filter(zipped, s => s.getField("v").isNull)
+      transform(concat(nn, nulls), s => s.getField("i"))
+    case ("list_reverse_sort", Seq(a)) => sort_array(rec(a), asc = false)
+    case ("list_any_value", Seq(a)) =>
+      org.apache.spark.sql.functions.get(
+        filter(rec(a), x => x.isNotNull), lit(0))
     // date_diff('part', a, b): DuckDB counts PART-boundary crossings —
     // exact integer arithmetic on both engines (day: date difference;
     // month/year: calendar component differences; hour/minute/second:
@@ -3078,7 +3176,10 @@ object Lowering {
     case ("reverse", Seq(a)) => reverse(rec(a))
     case ("md5", Seq(a))     => md5(rec(a).cast("binary"))
     case ("levenshtein", Seq(a, b)) => levenshtein(rec(a), rec(b))
-    case ("chr", Seq(a))      => call_function("char", rec(a))
+    // DuckDB chr() takes any unicode CODEPOINT; Spark's char() is
+    // mod-256 ASCII (chr(769) would silently read '')
+    case ("chr", Seq(a)) =>
+      graft.functions.StringFunctions.chrCodepoint(rec(a).cast("bigint"))
     case ("ascii", Seq(a))    => ascii(rec(a))
     case ("to_hex", Seq(a))   => hex(rec(a))
     case ("epoch_ms", Seq(a)) => unix_millis(rec(a).cast("timestamp"))

@@ -197,7 +197,13 @@ object Parser {
     "list_zip", "struct_extract", "to_json",
     "concat_ws", "list_aggregate", "strlen", "lcase", "ucase",
     "map", "map_extract", "map_keys", "map_values", "cardinality",
-    "epoch", "epoch_us", "make_timestamp", "date_add")
+    "epoch", "epoch_us", "make_timestamp", "date_add",
+    "list_cosine_similarity", "list_distance", "list_dot_product",
+    "list_inner_product",
+    "damerau_levenshtein", "jaro_similarity", "jaro_winkler_similarity",
+    "mismatches", "strip_accents", "nfc_normalize", "ord", "format_bytes",
+    "list_select", "list_where", "list_resize", "list_grade_up",
+    "list_reverse_sort", "list_any_value")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** FROM-position file readers → formats (DuckDB's read_* family;

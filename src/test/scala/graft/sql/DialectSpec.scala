@@ -931,9 +931,11 @@ class DialectSpec extends AnyFunSuite {
 
   test("SELECT without FROM evaluates over one synthetic row") {
     val db = freshDb()
+    // cast(3.5 AS bigint) ROUNDS half-away-from-zero like DuckDB (4, not
+    // Spark's truncating 3 — the round-10 cast-parity fix)
     val one = db.select("SELECT 1 + 1 AS x, upper('ab') AS s, " +
-      "cast(3.5 AS bigint) AS c").toOption.get
-    assert(one.collect().toSeq == Seq(Row(2L, "AB", 3L)))
+      "cast(3.5 AS bigint) AS c, cast(-2.5 AS int) AS n").toOption.get
+    assert(one.collect().toSeq == Seq(Row(2L, "AB", 4L, -3)))
     // star without FROM is rejected with a clear error
     assert(db.select("SELECT *").isLeft)
   }
