@@ -52,13 +52,44 @@ object Bench {
       sentinelFn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    // one extra untimed sentinel run so its own plan is hot, then the
-    // baseline = MIN of 5 (the cleanest the box can do right now; if the
-    // baseline itself lands in a drift window, later clean reps read
-    // ratios < 1 and never false-flag)
+    // one extra untimed sentinel run so its own plan is hot, then 5
+    // timed runs. The rep-comparison baseline is the MEDIAN (back-to-back
+    // sentinels run slightly faster than mid-rep ones — cache and GC
+    // pressure from the surrounding queries — so a MIN baseline
+    // false-flags reps ~1.3× at small SFs); the cross-run ratchet keeps
+    // the MIN (the best the box can do).
     timeSentinel()
-    val baseline = (1 to 5).map(_ => timeSentinel()).min
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    val pre = (1 to 5).map(_ => timeSentinel())
+    val baseline = median(pre)
+    val bestNow = pre.min
+    // Cross-RUN reference: a session-relative detector is blind when the
+    // whole session lands in a slow host phase (the baseline itself is
+    // then inflated and every rep reads "clean" — exactly how the 2.4×
+    // r10 artifact initially passed). tools/sentinel_ref.json ratchets
+    // the best sentinel baseline ever observed on this box; a session
+    // whose baseline exceeds 1.3× the historical best is annotated
+    // host_slow (machine-readable) even when its reps agree with each
+    // other.
+    val refPath = java.nio.file.Paths.get("/root/repo/tools/sentinel_ref.json")
+    val refKey = s"$SentinelName@${new java.io.File(sfDir).getName}"
+    def readRefs(): Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8")
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val histBest: Option[Double] = readRefs().get(refKey).filter(_ > 0)
+    val hostSlowRatio = histBest.map(bestNow / _)
+    val hostSlow = hostSlowRatio.exists(_ > DriftRatio)
+    if (histBest.forall(bestNow < _)) {
+      val updated = readRefs() + (refKey -> math.rint(bestNow * 1000) / 1000)
+      try java.nio.file.Files.write(refPath,
+        updated.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"""  "$k": $v""" }
+          .mkString("{\n", ",\n", "\n}\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
 
     final case class Rep(times: Map[String, Double], sentinels: Seq[Double]) {
       def ratio: Double = median(sentinels) / baseline
@@ -91,7 +122,10 @@ object Bench {
     val drift = s"""{"sentinel":"$SentinelName","baseline":${f3(baseline)},""" +
       s""""rep_ratios":[${reps.map(r => f3(r.ratio)).mkString(",")}],""" +
       s""""clean_reps":${clean.length},"total_reps":${reps.length},""" +
-      s""""drifted":$runDrifted}"""
+      s""""host_best":${histBest.map(f3).getOrElse(-1.0)},""" +
+      s""""host_slow_ratio":${hostSlowRatio.map(f3).getOrElse(-1.0)},""" +
+      s""""host_slow":$hostSlow,""" +
+      s""""drifted":${runDrifted || hostSlow}}"""
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum

@@ -96,9 +96,81 @@ case class Lcm(left: Expression, right: Expression) extends EuclidExpression {
     copy(left = newLeft, right = newRight)
 }
 
+/** Gamma / log-gamma via the Lanczos approximation (g = 7, 9 terms —
+  * ~15 significant digits, comfortably inside the 6-decimal rounding the
+  * gates apply; the reflection formula covers x < 0.5). The JDK has no
+  * Math.gamma, so the helper is shared by interpreted eval and codegen.
+  */
+object MathAlgos {
+  private val G = 7.0
+  private val Coef = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
+  def lgamma(x0: Double): Double =
+    if (x0 < 0.5)
+      math.log(math.Pi / math.abs(math.sin(math.Pi * x0))) - lgamma(1.0 - x0)
+    else {
+      val x = x0 - 1.0
+      var a = Coef(0)
+      val t = x + G + 0.5
+      var i = 1
+      while (i < 9) { a += Coef(i) / (x + i); i += 1 }
+      0.5 * math.log(2 * math.Pi) + (x + 0.5) * math.log(t) - t + math.log(a)
+    }
+
+  def gamma(x: Double): Double =
+    if (x < 0.5) math.Pi / (math.sin(math.Pi * x) * gamma(1.0 - x))
+    else {
+      val xx = x - 1.0
+      var a = Coef(0)
+      val t = xx + G + 0.5
+      var i = 1
+      while (i < 9) { a += Coef(i) / (xx + i); i += 1 }
+      math.sqrt(2 * math.Pi) * math.pow(t, xx + 0.5) * math.exp(-t) * a
+    }
+}
+
+abstract class DoubleUnaryExpression
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a double argument, got ${child.dataType.sql}")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  protected def helper: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MathAlgos.$helper($a);")
+}
+
+case class GammaFn(child: Expression) extends DoubleUnaryExpression {
+  override def prettyName: String = "graft_gamma"
+  protected def helper: String = "gamma"
+  override def nullSafeEval(a: Any): Any =
+    MathAlgos.gamma(a.asInstanceOf[Double])
+  override protected def withNewChildInternal(nc: Expression): GammaFn =
+    copy(child = nc)
+}
+
+case class LgammaFn(child: Expression) extends DoubleUnaryExpression {
+  override def prettyName: String = "graft_lgamma"
+  protected def helper: String = "lgamma"
+  override def nullSafeEval(a: Any): Any =
+    MathAlgos.lgamma(a.asInstanceOf[Double])
+  override protected def withNewChildInternal(nc: Expression): LgammaFn =
+    copy(child = nc)
+}
+
 object NumericFunctions {
   def gcd(a: Column, b: Column): Column =
     Bridge.column(Gcd(Bridge.expression(a), Bridge.expression(b)))
   def lcm(a: Column, b: Column): Column =
     Bridge.column(Lcm(Bridge.expression(a), Bridge.expression(b)))
+  def gamma(a: Column): Column =
+    Bridge.column(GammaFn(Bridge.expression(a)))
+  def lgamma(a: Column): Column =
+    Bridge.column(LgammaFn(Bridge.expression(a)))
 }

@@ -3258,6 +3258,148 @@ object Dialect {
              |  to_json(map(['k1', 'k2'], [o_orderkey, o_orderkey + 1])) AS mj
              |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin)),
 
+    // Scalar batch 14: calendar names, parity/sign helpers, Lanczos
+    // gamma/lgamma (≈15 significant digits — far inside the 6-decimal
+    // gate rounding), trunc (toward zero), round_even = banker's
+    // (exact-.5 fixtures only: a .xx5 double literal is never exactly
+    // representable), prefix/suffix, anchored regexp_full_match, and
+    // the // (integer division), ** and ^ (power) operators.
+    "q_dialect_funcs14" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "dayname(o_orderdate) AS dn, monthname(o_orderdate) AS mn, " +
+          "even(o_totalprice / 1000) AS ev, even(-(o_totalprice / 1000)) AS evn, " +
+          "signbit(o_totalprice - 150000) AS sb, " +
+          "round(gamma((o_orderkey % 10) + 0.5), 6) AS gm, " +
+          "round(lgamma(o_totalprice / 100), 4) AS lg, " +
+          "trunc(o_totalprice / 1000) AS tr, trunc(-(o_totalprice / 1000)) AS trn, " +
+          "round_even(o_orderkey + 0.5, 0) AS re1, round_even(o_orderkey + 2.5, 0) AS re2, " +
+          "prefix(o_orderpriority, '1-') AS pf, suffix(o_orderpriority, 'URGENT') AS sf, " +
+          "regexp_full_match(o_orderstatus, '[OF]') AS rfm, " +
+          "o_orderkey // 7 AS idiv, (0 - o_orderkey) // 7 AS idivn, " +
+          "o_custkey // 2.0 AS fdiv, " +
+          "2 ** (o_orderkey % 8) AS p1, (o_orderkey % 4) ^ 2 AS p2 " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  dayname(o_orderdate) AS dn, monthname(o_orderdate) AS mn,
+             |  even(o_totalprice / 1000) AS ev, even(-(o_totalprice / 1000)) AS evn,
+             |  signbit(o_totalprice - 150000) AS sb,
+             |  round(gamma((o_orderkey % 10) + 0.5), 6) AS gm,
+             |  round(lgamma(o_totalprice / 100), 4) AS lg,
+             |  trunc(o_totalprice / 1000) AS tr, trunc(-(o_totalprice / 1000)) AS trn,
+             |  round_even(o_orderkey + 0.5, 0) AS re1, round_even(o_orderkey + 2.5, 0) AS re2,
+             |  prefix(o_orderpriority, '1-') AS pf, suffix(o_orderpriority, 'URGENT') AS sf,
+             |  regexp_full_match(o_orderstatus, '[OF]') AS rfm,
+             |  o_orderkey // 7 AS idiv, (0 - o_orderkey) // 7 AS idivn,
+             |  o_custkey // 2.0 AS fdiv,
+             |  2 ** (o_orderkey % 8) AS p1, (o_orderkey % 4) ^ 2 AS p2
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // Temporal extraction batch 2: century (ceil-of-year/100), ISO
+    // weekday (Monday = 1), ISO week + year (the year of the week's
+    // Thursday — pinned by early-January dates that belong to the
+    // PREVIOUS iso year).
+    "q_dialect_time_parts2" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "century(o_orderdate) AS c, isodow(o_orderdate) AS idw, " +
+          "week(o_orderdate) AS w, weekofyear(o_orderdate) AS woy, " +
+          "dayofmonth(o_orderdate) AS dom, isoyear(o_orderdate) AS iy " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  cast(century(o_orderdate) AS int) AS c, cast(isodow(o_orderdate) AS int) AS idw,
+             |  cast(week(o_orderdate) AS int) AS w, cast(weekofyear(o_orderdate) AS int) AS woy,
+             |  cast(dayofmonth(o_orderdate) AS int) AS dom, cast(isoyear(o_orderdate) AS int) AS iy
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // Map surface batch 2: map_entries (native struct{key,value} shape),
+    // map_concat (LAST map wins on duplicate keys, first-appearance key
+    // order — composed deterministically instead of relying on Spark's
+    // mapKeyDedupPolicy), element_at (the map-subscript alias: a LIST,
+    // [] when absent).
+    "q_dialect_map2" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "to_json(map_concat(map(['a','b'], [o_orderkey, 2]), map(['b','c'], [9, o_custkey]))) AS mc, " +
+          "to_json(map_entries(map(['a','b'], [o_orderkey, o_custkey]))) AS me, " +
+          "array_to_string(element_at(map(['a','b'], [o_orderkey, o_custkey]), 'b'), ',') AS eb, " +
+          "coalesce(array_to_string(element_at(map(['a'], [o_orderkey]), 'z'), ','), '') AS ez " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  to_json(map_concat(map(['a','b'], [o_orderkey, 2]), map(['b','c'], [9, o_custkey]))) AS mc,
+             |  to_json(map_entries(map(['a','b'], [o_orderkey, o_custkey]))) AS me,
+             |  array_to_string(element_at(map(['a','b'], [o_orderkey, o_custkey]), 'b'), ',') AS eb,
+             |  coalesce(array_to_string(element_at(map(['a'], [o_orderkey]), 'z'), ','), '') AS ez
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // format(): fmt-style placeholders — sequential {}, positional {n},
+    // {{ }} escapes, NULL argument → NULL result (concat-desugared, so
+    // Spark's NULL-propagating concat IS the DuckDB rule); {:spec}
+    // rejects at analysis.
+    "q_dialect_format" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "format('{}-{}', o_orderstatus, o_orderkey) AS f1, " +
+          "format('{1}/{0}', o_orderstatus, o_orderpriority) AS f2, " +
+          "format('{{k}} {} {{v}}', o_orderkey) AS f3, " +
+          "format('{0}={0}', o_orderstatus) AS f4, " +
+          "coalesce(format('{}', nullif(o_orderstatus, o_orderstatus)), 'NULLED') AS f5 " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  format('{}-{}', o_orderstatus, o_orderkey) AS f1,
+             |  format('{1}/{0}', o_orderstatus, o_orderpriority) AS f2,
+             |  format('{{k}} {} {{v}}', o_orderkey) AS f3,
+             |  format('{0}={0}', o_orderstatus) AS f4,
+             |  coalesce(format('{}', nullif(o_orderstatus, o_orderstatus)), 'NULLED') AS f5
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // Path helpers + the hex family (Spark natives are parity-exact:
+    // uppercase digits, string-byte hex, probed).
+    "q_dialect_path_hex" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "array_to_string(parse_path(concat('/data/', o_orderpriority, '/f', cast(o_orderkey AS VARCHAR), '.parquet')), '|') AS pp, " +
+          "parse_dirname(concat('/data/', o_orderpriority, '/x.csv')) AS pd, " +
+          "parse_filename(concat('/data/', o_orderpriority, '/f', cast(o_orderkey AS VARCHAR), '.parquet'), true) AS pf, " +
+          "parse_dirpath(concat('/data/', o_orderpriority, '/x.csv')) AS pdp, " +
+          "array_to_string(parse_path(concat('rel/', o_orderstatus, '.json')), '|') AS ppr, " +
+          "hex(o_orderkey) AS hx, hex(o_orderstatus) AS hs, " +
+          "hex(unhex('4142')) AS hu, hex(from_hex('ff00')) AS hf " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  array_to_string(parse_path(concat('/data/', o_orderpriority, '/f', cast(o_orderkey AS VARCHAR), '.parquet')), '|') AS pp,
+             |  parse_dirname(concat('/data/', o_orderpriority, '/x.csv')) AS pd,
+             |  parse_filename(concat('/data/', o_orderpriority, '/f', cast(o_orderkey AS VARCHAR), '.parquet'), true) AS pf,
+             |  parse_dirpath(concat('/data/', o_orderpriority, '/x.csv')) AS pdp,
+             |  array_to_string(parse_path(concat('rel/', o_orderstatus, '.json')), '|') AS ppr,
+             |  hex(o_orderkey) AS hx, hex(o_orderstatus) AS hs,
+             |  hex(unhex('4142')) AS hu, hex(from_hex('ff00')) AS hf
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // Aggregate batch: any_value (gate-checkable only over group-constant
+    // values — DuckDB reads scan order, Spark plan order), fsum/favg
+    // (DuckDB 1.0's compensated spellings matched its own sum/avg
+    // bit-for-bit on a cancellation fixture, so the alias is
+    // value-exact), bitstring_agg (membership fold over literal bounds).
+    "q_dialect_agg_misc" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderpriority AS pri, " +
+          "any_value(upper(o_orderpriority)) AS av, " +
+          "round(fsum(o_totalprice), 2) AS fs, " +
+          "favg(o_orderkey % 10) AS fa, " +
+          "bitstring_agg(o_orderkey % 16, 0, 15) AS bits, " +
+          "group_concat(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS gc " +
+          "FROM orders WHERE o_orderkey < 2000 " +
+          "GROUP BY o_orderpriority ORDER BY pri"),
+      Some("""SELECT o_orderpriority AS pri,
+             |  any_value(upper(o_orderpriority)) AS av,
+             |  round(fsum(o_totalprice), 2) AS fs,
+             |  favg(o_orderkey % 10) AS fa,
+             |  bitstring_agg(o_orderkey % 16, 0, 15) AS bits,
+             |  group_concat(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS gc
+             |FROM orders WHERE o_orderkey < 2000
+             |GROUP BY o_orderpriority ORDER BY pri""".stripMargin)),
+
     // histogram(): per-group value→count MAP with keys sorted ascending
     // (DuckDB probed) — one collect_list aggregate state + a codegen'd
     // count-per-distinct fold; to_json on both engines for the compare.

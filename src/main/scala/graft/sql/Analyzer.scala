@@ -1136,6 +1136,28 @@ object Analyzer {
         case SqlType.SqlArray(e) => e
         case other               => other
       }
+      case "map_entries" => operandType(args.head) match {
+        case SqlType.SqlMap(k, v) =>
+          SqlType.SqlArray(SqlType.SqlStruct(Vector("key" -> k, "value" -> v)))
+        case other => other
+      }
+      case "map_concat" => operandType(args.head)
+      case "element_at" => operandType(args.head) match {
+        case SqlType.SqlMap(_, v) => SqlType.SqlArray(v)
+        case other                => other
+      }
+      case "format" => SqlType.SqlVarChar(65535)
+      case "__intdiv" => SqlType.SqlBigInt
+      case "dayname" | "monthname" => SqlType.SqlVarChar(65535)
+      case "signbit" | "prefix" | "suffix" | "regexp_full_match" =>
+        SqlType.SqlBool
+      case "century" | "isodow" | "week" | "weekofyear" | "dayofmonth" |
+           "isoyear" => SqlType.SqlInt
+      // even/gamma/lgamma/trunc/round_even fall to the SqlDouble default
+      case "parse_path" => SqlType.SqlArray(SqlType.SqlVarChar(65535))
+      case "parse_dirname" | "parse_filename" | "parse_dirpath" | "hex" =>
+        SqlType.SqlVarChar(65535)
+      case "unhex" | "from_hex" => SqlType.SqlVarBinary(65535)
       case "octet_length" | "bit_length" | "unicode" => SqlType.SqlInt
       case "jaccard"             => SqlType.SqlDouble
       case "sha256" | "to_base" | "json_extract_string" =>
@@ -1215,6 +1237,8 @@ object Analyzer {
     case BoundOperand.BOrderedAgg("percentile_disc_list", _, _, _) =>
       SqlType.SqlArray(SqlType.SqlDouble) // BCast re-types to the arg type
     case BoundOperand.BOrderedAgg("count_distinct", _, _, _) => SqlType.SqlBigInt
+    case BoundOperand.BOrderedAgg("bitstring_agg", _, _, _) =>
+      SqlType.SqlVarChar(65535)
     case BoundOperand.BOrderedAgg("regr_count", _, _, _) => SqlType.SqlBigInt
     case BoundOperand.BOrderedAgg("regr_slope" | "regr_intercept" |
         "regr_r2" | "regr_avgx" | "regr_avgy" | "regr_sxx" | "regr_sxy" |
@@ -1267,7 +1291,7 @@ object Analyzer {
     case "grouping" => SqlType.SqlInt
     case "avg" | "stddev" | "variance" | "median" |
          "skewness" | "kurtosis" | "entropy" | "mad" |
-         "product" => SqlType.SqlDouble
+         "product" | "fsum" | "favg" => SqlType.SqlDouble
     case "histogram" =>
       SqlType.SqlMap(arg.map(operandType).getOrElse(SqlType.SqlInt),
         SqlType.SqlBigInt)
@@ -3053,6 +3077,21 @@ object Analyzer {
           case "strip_accents" | "nfc_normalize" | "ord" | "format_bytes" |
                "list_grade_up" | "list_reverse_sort" | "list_any_value" =>
             args.length == 1
+          case "map_entries" | "parse_path" | "parse_dirname" |
+               "parse_dirpath" | "hex" | "unhex" | "from_hex" =>
+            args.length == 1
+          case "element_at"    => args.length == 2
+          case "map_concat"    => args.length >= 2
+          case "__intdiv"      => args.length == 2
+          case "dayname" | "monthname" | "even" | "signbit" | "gamma" |
+               "lgamma" | "trunc" | "century" | "isodow" | "week" |
+               "weekofyear" | "dayofmonth" | "isoyear" => args.length == 1
+          case "round_even"    => args.length == 1 || (args.length == 2 &&
+            args(1).isInstanceOf[Operand.Literal])
+          case "prefix" | "suffix" | "regexp_full_match" => args.length == 2
+          case "parse_filename" => args.length == 1 || args.length == 2
+          case "format"        => args.nonEmpty &&
+            args.head.isInstanceOf[Operand.Literal]
           case "octet_length" | "bit_length" | "sha256" | "unicode" =>
             args.length == 1
           case "to_base"             => args.length == 2
@@ -3238,6 +3277,39 @@ object Analyzer {
         }))
           Left(BadFunction(
             "split_part takes a non-empty separator string literal and an integer index literal (negative counts from the end)"))
+        // format: fmt-style literal — sequential {} and positional {n}
+        // placeholders with {{ }} escapes; {:spec} forms reject loudly
+        // (they would silently diverge from fmt's width/precision
+        // rules); placeholder indexes must stay inside the arg list
+        else if (f == "format" && {
+          val Operand.Literal(Lit.LitString(fmt)) = args.head: @unchecked
+          var bad = false
+          var next = 0
+          var maxIdx = -1
+          var i = 0
+          while (i < fmt.length && !bad) {
+            val c = fmt.charAt(i)
+            if (c == '{' && i + 1 < fmt.length && fmt.charAt(i + 1) == '{') i += 2
+            else if (c == '}' && i + 1 < fmt.length && fmt.charAt(i + 1) == '}') i += 2
+            else if (c == '{') {
+              val close = fmt.indexOf('}', i)
+              if (close < 0) bad = true
+              else {
+                val inner = fmt.substring(i + 1, close)
+                if (inner.isEmpty) { maxIdx = math.max(maxIdx, next); next += 1 }
+                else if (inner.forall(_.isDigit))
+                  maxIdx = math.max(maxIdx, inner.toInt)
+                else bad = true
+                i = close + 1
+              }
+            } else if (c == '}') bad = true
+            else i += 1
+          }
+          bad || maxIdx >= args.length - 1
+        })
+          Left(BadFunction(
+            "format supports {} and {n} placeholders ({{ }} escape) with " +
+              "enough arguments; {:spec} forms are not supported"))
         // strftime: the C-style format is a literal, translated token-
         // by-token onto Spark's Java pattern at lowering — unknown %
         // tokens reject here rather than silently diverging
@@ -3381,6 +3453,24 @@ object Analyzer {
             })) {
               val BoundOperand.BLit(Lit.LitString(n)) = bargs(1): @unchecked
               BoundOperand.BFunc(s"list_${n.toLowerCase}", Seq(bargs.head))
+            }
+            // `a // b` is integer division only when BOTH legs are
+            // integers; DuckDB 1.0 probed: a float leg makes // plain
+            // division (7.5 // 2 = 3.75)
+            else if (f == "__intdiv" && {
+              def floaty(t: SqlType) = t match {
+                case SqlType.SqlDouble | SqlType.SqlReal |
+                     SqlType.SqlDecimal(_, _) => true
+                case _ => false
+              }
+              floaty(operandType(bargs(0))) || floaty(operandType(bargs(1)))
+            }) {
+              def dbl(b: BoundOperand): BoundOperand = operandType(b) match {
+                case SqlType.SqlDecimal(_, _) =>
+                  BoundOperand.BCast(b, SqlType.SqlDouble)
+                case _ => b
+              }
+              BoundOperand.BArith('/', dbl(bargs(0)), dbl(bargs(1)))
             }
             // DuckDB parity: round(DECIMAL(p,s) [, n]) stays DECIMAL —
             // result type DECIMAL(p, clamp(n, 0, s)) (probed: scale-0 on
@@ -3705,7 +3795,7 @@ object Analyzer {
         else bindOp(r, allowAgg = false).flatMap { b =>
           val numericAgg =
             Set("sum", "avg", "stddev", "variance", "median",
-              "skewness", "kurtosis", "mad", "product")(f)
+              "skewness", "kurtosis", "mad", "product", "fsum", "favg")(f)
           val badCol = b match {
             case BoundOperand.BCol(c) if numericAgg &&
               !numericTypes(c.attr.sqlType) => Some(c)

@@ -308,6 +308,20 @@ object Lowering {
           // entropy counts equality classes — the string cast is
           // equality-preserving within a column's type; mad runs over
           // doubles (DuckDB's integer mad is DOUBLE too)
+          // any_value: the first non-NULL (DuckDB reads scan order;
+          // Spark's is plan-order nondeterministic — identical when the
+          // group's values agree, which is the only gate-checkable form)
+          case ("any_value", Some(a)) =>
+            org.apache.spark.sql.functions.any_value(
+              lowerOperandWith(a, qcol), lit(true))
+          // fsum/favg: DuckDB's compensated-sum spellings — plain
+          // sum/avg here (probed on a cancellation fixture: DuckDB 1.0's
+          // fsum matched its own sum bit-for-bit, so aliasing is
+          // value-exact against the oracle)
+          case ("fsum", Some(a)) =>
+            sum(lowerOperandWith(a, qcol).cast("double"))
+          case ("favg", Some(a)) =>
+            avg(lowerOperandWith(a, qcol).cast("double"))
           case ("entropy", Some(a)) =>
             graft.functions.StatAggregates.entropy(
               lowerOperandWith(a, qcol).cast("string"))
@@ -627,6 +641,15 @@ object Lowering {
             struct(kc.as("k"), lowerOperandWith(arg, qcol).as("v"))))
           slice(transform(reverse(array_sort(pairs)), x => x.getField("v")),
             1, sep.toInt)
+        // bitstring_agg(x, lo, hi): a '0'/'1' string of length hi−lo+1
+        // with bit (x − lo) set per group member, leftmost = lo (DuckDB
+        // probed: (1,3,8) in [1,8] → '10100001'). One collect_set of
+        // aggregate state + a codegen'd membership fold.
+        case BoundOperand.BOrderedAgg("bitstring_agg", arg, sep, _) =>
+          val Array(lo, hi) = sep.split(",").map(_.toLong)
+          val got = collect_set(lowerOperandWith(arg, qcol).cast("long"))
+          array_join(transform(sequence(lit(lo), lit(hi)), i =>
+            when(array_contains(got, i), lit("1")).otherwise(lit("0"))), "")
         // count(DISTINCT a, b, …): Spark's native multi-column distinct
         // count — one distinct-aggregate over the tuple, rows with ANY
         // null component skipped (SQL semantics on both engines)
@@ -2854,6 +2877,27 @@ object Lowering {
     case ("map_keys", Seq(m))   => map_keys(rec(m))
     case ("map_values", Seq(m)) => map_values(rec(m))
     case ("cardinality", Seq(m)) => size(rec(m)).cast("long")
+    // element_at(map, k) is DuckDB's map-subscript alias: a LIST of the
+    // value, [] when the key is absent — identical to map_extract
+    case ("element_at", Seq(m, k)) =>
+      val mc = rec(m)
+      val kc = rec(k)
+      when(map_contains_key(mc, kc), array(element_at(mc, kc)))
+        .otherwise(slice(array(element_at(mc, kc)), 1, 0))
+    // map_entries: Spark's native emits the same {key, value} structs
+    case ("map_entries", Seq(m)) => map_entries(rec(m))
+    // map_concat (DuckDB probed: LAST map wins on duplicate keys, key
+    // order is first appearance) — composed deterministically instead
+    // of relying on Spark's mapKeyDedupPolicy session flag: fold maps
+    // pairwise, keys = first-appearance distinct union, value = right
+    // map's when it has the key
+    case ("map_concat", ms) if ms.length >= 2 =>
+      ms.map(rec).reduceLeft { (a, b) =>
+        val keys = array_distinct(concat(map_keys(a), map_keys(b)))
+        map_from_arrays(keys, transform(keys, k =>
+          when(map_contains_key(b, k), element_at(b, k))
+            .otherwise(element_at(a, k))))
+      }
     // named struct literal: keys interleave as string literals —
     // Spark's named struct columns carry the field names exactly
     case ("struct_pack", as) if as.length % 2 == 0 =>
@@ -3034,6 +3078,53 @@ object Lowering {
           (s0.cast("long") / 60).cast("long")
         case _ /* second */ => e0.cast("long") - s0.cast("long")
       }).cast("long")
+    // `a // b` with two INTEGER legs (the analyzer reroutes float legs
+    // to plain division — DuckDB probed): truncating-toward-zero
+    // division; x // 0 reads NULL, the engine's established division
+    // posture (DuckDB raises there — documented divergence, same class
+    // as x / 0)
+    case ("__intdiv", Seq(a, b)) =>
+      try_divide(rec(a).cast("long"), rec(b).cast("long")).cast("long")
+    // wave-7 scalar batch (all DuckDB 1.0 probed)
+    case ("dayname", Seq(a))   => date_format(rec(a), "EEEE")
+    case ("monthname", Seq(a)) => date_format(rec(a), "MMMM")
+    // even: round away from zero to the next EVEN integer
+    // (2.5 → 4, -2.5 → -4, 3 → 4, 2 → 2)
+    case ("even", Seq(a)) =>
+      val x = rec(a).cast("double")
+      signum(x) * ceil(abs(x) / 2) * 2
+    // signbit: negative reads true; DuckDB 1.0 reads FALSE for -0.0
+    // (probed), so a plain < 0 matches
+    case ("signbit", Seq(a)) => rec(a) < lit(0)
+    case ("gamma", Seq(a)) =>
+      graft.functions.NumericFunctions.gamma(rec(a).cast("double"))
+    case ("lgamma", Seq(a)) =>
+      graft.functions.NumericFunctions.lgamma(rec(a).cast("double"))
+    // trunc: toward zero (2.7 → 2, -2.7 → -2)
+    case ("trunc", Seq(a)) =>
+      val x = rec(a).cast("double")
+      signum(x) * floor(abs(x))
+    // round_even = banker's rounding — Spark's bround is exactly that
+    case ("round_even", Seq(a)) => bround(rec(a).cast("double"), 0)
+    case ("round_even", Seq(a, BoundOperand.BLit(Lit.LitLong(n)))) =>
+      bround(rec(a).cast("double"), n.toInt)
+    case ("century", Seq(a)) => ceil(year(rec(a)).cast("double") / 100).cast("int")
+    // isodow: Monday = 1 … Sunday = 7 (Spark's dayofweek is Sunday = 1)
+    case ("isodow", Seq(a)) =>
+      ((dayofweek(rec(a)) + 5) % 7 + 1).cast("int")
+    case ("week" | "weekofyear", Seq(a)) => weekofyear(rec(a))
+    case ("dayofmonth", Seq(a)) => dayofmonth(rec(a))
+    // isoyear: the year of the ISO week = the year of that week's
+    // Thursday (date + (4 − isodow) days)
+    case ("isoyear", Seq(a)) =>
+      val d = rec(a)
+      val iso = (dayofweek(d) + 5) % 7 + 1
+      year(date_add(d.cast("date"), (lit(4) - iso).cast("int")))
+    case ("prefix", Seq(a, b)) => rec(a).startsWith(rec(b))
+    case ("suffix", Seq(a, b)) => rec(a).endsWith(rec(b))
+    // regexp_full_match: the anchored form of regexp_matches
+    case ("regexp_full_match", Seq(a, b)) =>
+      regexp_like(rec(a), concat(lit("^(?:"), rec(b), lit(")$")))
     case ("floor", Seq(a))    => floor(rec(a))
     case ("ceil", Seq(a))     => ceil(rec(a))
     case ("sqrt", Seq(a))     => sqrt(rec(a))
@@ -3182,6 +3273,63 @@ object Lowering {
       graft.functions.StringFunctions.chrCodepoint(rec(a).cast("bigint"))
     case ("ascii", Seq(a))    => ascii(rec(a))
     case ("to_hex", Seq(a))   => hex(rec(a))
+    // hex/unhex/from_hex: Spark's natives are parity-exact with DuckDB
+    // (probed: uppercase digits, string→byte hex, two's-complement
+    // 64-bit for negative integers)
+    case ("hex", Seq(a))      => hex(rec(a))
+    case ("unhex" | "from_hex", Seq(a)) => unhex(rec(a))
+    // format('{} and {}', a, b) — fmt-style with sequential {} and
+    // positional {n} placeholders, {{ }} escapes (the analyzer rejects
+    // {:spec} forms). Desugars into one codegen'd concat: concat is
+    // NULL-propagating, which IS DuckDB's rule (format with any NULL
+    // argument reads NULL, probed).
+    case ("format", BoundOperand.BLit(Lit.LitString(fmt)) +: rest) =>
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[Column]
+      val sb = new StringBuilder
+      var next = 0
+      var i = 0
+      while (i < fmt.length) {
+        val c = fmt.charAt(i)
+        if (c == '{' && i + 1 < fmt.length && fmt.charAt(i + 1) == '{') {
+          sb.append('{'); i += 2
+        } else if (c == '}' && i + 1 < fmt.length && fmt.charAt(i + 1) == '}') {
+          sb.append('}'); i += 2
+        } else if (c == '{') {
+          val close = fmt.indexOf('}', i)
+          val inner = fmt.substring(i + 1, close)
+          val idx = if (inner.isEmpty) { next += 1; next - 1 } else inner.toInt
+          if (sb.nonEmpty) { pieces += lit(sb.toString); sb.clear() }
+          pieces += rec(rest(idx)).cast("string")
+          i = close + 1
+        } else { sb.append(c); i += 1 }
+      }
+      if (sb.nonEmpty) pieces += lit(sb.toString)
+      if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
+    // path helpers (DuckDB probed: parse_path('/a/b/c.txt') =
+    // ['/', 'a', 'b', 'c.txt']; parse_dirname = first component,
+    // parse_filename = last (optionally extension-trimmed),
+    // parse_dirpath = the path minus the final component)
+    case ("parse_path", Seq(a)) =>
+      val p = rec(a)
+      val parts = filter(split(p, "/"), x => x =!= "")
+      when(p.startsWith("/"), concat(array(lit("/")), parts))
+        .otherwise(parts)
+    case ("parse_dirname", Seq(a)) =>
+      val p = rec(a)
+      val parts = filter(split(p, "/"), x => x =!= "")
+      when(p.startsWith("/"), lit("/"))
+        .otherwise(coalesce(
+          org.apache.spark.sql.functions.get(parts, lit(0)), lit("")))
+    case ("parse_filename", as) if as.nonEmpty =>
+      val p = rec(as.head)
+      val base = element_at(filter(split(p, "/"), x => x =!= ""), -1)
+      val trimExt = as.lift(1) match {
+        case Some(BoundOperand.BLit(Lit.LitBool(b))) => b
+        case _                                       => false
+      }
+      if (trimExt) regexp_replace(base, "\\.[^.]*$", "") else base
+    case ("parse_dirpath", Seq(a)) =>
+      regexp_replace(rec(a), "/+[^/]*/*$", "")
     case ("epoch_ms", Seq(a)) => unix_millis(rec(a).cast("timestamp"))
     // epoch family: DuckDB's epoch() is fractional SECONDS as DOUBLE
     // (a timestamp→double cast in Spark is exactly that); epoch_us is

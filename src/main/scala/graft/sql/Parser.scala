@@ -81,9 +81,10 @@ object Parser {
           if (depth > 0)
             return Left(ParseError("unterminated block comment", i))
         } else if (two == "<>" || two == "<=" || two == ">=" || two == "!=" ||
-            two == "||" || two == "::" || two == "->" || two == ":=") {
+            two == "||" || two == "::" || two == "->" || two == ":=" ||
+            two == "//" || two == "**") {
           out += TSym(if (two == "!=") "<>" else two, i); i += 2
-        } else if ("(),.;*=<>+-/%[]:{}".indexOf(c) >= 0) {
+        } else if ("(),.;*=<>+-/%[]:{}^".indexOf(c) >= 0) {
           out += TSym(c.toString, i); i += 1
         } else return Left(ParseError(s"unexpected character '$c'", i))
       }
@@ -159,7 +160,8 @@ object Parser {
   private val aggFuncs = Set("count", "sum", "min", "max", "avg",
     "stddev", "variance", "median", "grouping",
     "mode", "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor",
-    "skewness", "kurtosis", "entropy", "mad", "histogram", "product")
+    "skewness", "kurtosis", "entropy", "mad", "histogram", "product",
+    "any_value", "fsum", "favg")
   private val winFuncs = Set("row_number", "rank", "dense_rank", "lag", "lead",
     "first_value", "last_value", "nth_value", "ntile", "percent_rank", "cume_dist")
   private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",
@@ -203,7 +205,13 @@ object Parser {
     "damerau_levenshtein", "jaro_similarity", "jaro_winkler_similarity",
     "mismatches", "strip_accents", "nfc_normalize", "ord", "format_bytes",
     "list_select", "list_where", "list_resize", "list_grade_up",
-    "list_reverse_sort", "list_any_value")
+    "list_reverse_sort", "list_any_value",
+    "map_entries", "map_concat", "element_at", "format",
+    "parse_path", "parse_dirname", "parse_filename", "parse_dirpath",
+    "hex", "unhex", "from_hex",
+    "dayname", "monthname", "even", "signbit", "gamma", "lgamma",
+    "trunc", "round_even", "century", "isodow", "week", "weekofyear",
+    "dayofmonth", "isoyear", "prefix", "suffix", "regexp_full_match")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** FROM-position file readers → formats (DuckDB's read_* family;
@@ -2404,6 +2412,16 @@ object Parser {
         case TSym(s @ ("*" | "/" | "%"), _) =>
           p.next()
           parseFactor(p, allowAgg).flatMap(r => loop(Operand.Arith(s.head, acc, r)))
+        // `a // b` — DuckDB's integer division (truncating toward zero)
+        case TSym("//", _) =>
+          p.next()
+          parseFactor(p, allowAgg)
+            .flatMap(r => loop(Operand.FuncCall("__intdiv", Seq(acc, r))))
+        // `a ** b` / `a ^ b` — DuckDB's power operators
+        case TSym("**" | "^", _) =>
+          p.next()
+          parseFactor(p, allowAgg)
+            .flatMap(r => loop(Operand.FuncCall("power", Seq(acc, r))))
         case _ => Right(acc)
       }
       loop(first)
@@ -2667,6 +2685,29 @@ object Parser {
         case None => Operand.OrderedAgg(fn, v, "", Seq((k, false)),
           distinct = false)
       }
+    // bitstring_agg(x, lo, hi): literal integer bounds compile into the
+    // membership fold; rides the OrderedAgg carrier with "lo,hi" in the
+    // separator slot
+    case TIdent(f, _) if allowAgg && f.equalsIgnoreCase("bitstring_agg") =>
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        x <- parseOperand(p)
+        _ <- p.eatSym(",")
+        lo <- p.peek match {
+          case TInt(n, _) => p.next(); Right(n)
+          case t => Left(ParseError(
+            "bitstring_agg bounds must be integer literals", t.pos))
+        }
+        _ <- p.eatSym(",")
+        hi <- p.peek match {
+          case TInt(n, _) if n >= lo => p.next(); Right(n)
+          case t => Left(ParseError(
+            "bitstring_agg bounds must be integer literals with lo <= hi", t.pos))
+        }
+        _ <- p.eatSym(")")
+      } yield Operand.OrderedAgg("bitstring_agg", x, s"$lo,$hi", Nil,
+        distinct = false)
     // two-argument statistical aggregates: corr(y, x), covar_pop(y, x),
     // covar_samp(y, x) — ride the OrderedAgg carrier (value + one key)
     case TIdent(f, _) if allowAgg &&
@@ -2769,6 +2810,7 @@ object Parser {
     // lowering sorts the collected group once)
     case TIdent(f, _) if allowAgg &&
         (f.equalsIgnoreCase("string_agg") || f.equalsIgnoreCase("listagg") ||
+         f.equalsIgnoreCase("group_concat") ||
          f.equalsIgnoreCase("array_agg") || f.equalsIgnoreCase("list")) =>
       // array_agg/list: same ordered-aggregate carrier, no separator; the
       // intra-group ORDER BY is REQUIRED (an unordered distributed
