@@ -3312,6 +3312,112 @@ object Dialect {
              |  cast(dayofmonth(o_orderdate) AS int) AS dom, cast(isoyear(o_orderdate) AS int) AS iy
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // Variance/stddev family with explicit population/sample forms —
+    // Spark natives share DuckDB's formulas; kurtosis_pop is the
+    // population g2 (the dialect's plain kurtosis applies the sample
+    // correction); mean/arbitrary/kahan_sum are canonical-name aliases.
+    "q_dialect_agg_var" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderpriority AS pri, " +
+          "round(stddev_pop(o_totalprice), 4) AS sp, " +
+          "round(stddev_samp(o_totalprice), 4) AS ss, " +
+          "round(var_pop(o_totalprice) / 1000000, 4) AS vp, " +
+          "round(var_samp(o_totalprice) / 1000000, 4) AS vs, " +
+          "round(kurtosis_pop(o_totalprice), 6) AS kp, " +
+          "round(mean(o_totalprice) * count(*), 2) AS mt, " +
+          "arbitrary(o_orderpriority) AS ar, " +
+          "round(kahan_sum(o_totalprice), 2) AS ks " +
+          "FROM orders WHERE o_orderkey < 2000 " +
+          "GROUP BY o_orderpriority ORDER BY pri"),
+      Some("""SELECT o_orderpriority AS pri,
+             |  round(stddev_pop(o_totalprice), 4) AS sp,
+             |  round(stddev_samp(o_totalprice), 4) AS ss,
+             |  round(var_pop(o_totalprice) / 1000000, 4) AS vp,
+             |  round(var_samp(o_totalprice) / 1000000, 4) AS vs,
+             |  round(kurtosis_pop(o_totalprice), 6) AS kp,
+             |  round(mean(o_totalprice) * count(*), 2) AS mt,
+             |  arbitrary(o_orderpriority) AS ar,
+             |  round(kahan_sum(o_totalprice), 2) AS ks
+             |FROM orders WHERE o_orderkey < 2000
+             |GROUP BY o_orderpriority ORDER BY pri""".stripMargin)),
+
+    // Scalar batch 15: binary/base64 codecs (bin numeric-only — DuckDB's
+    // string form expands bytes and is not taken; unbin packs bits into
+    // a whole-byte BLOB), xor, regexp_escape (RE2 QuoteMeta: every char
+    // outside [A-Za-z0-9_] backslashed), try_strptime (NULL on parse
+    // failure where strptime raises).
+    "q_dialect_funcs15" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "bin(o_orderkey % 1000) AS b, " +
+          "unbin(bin(o_orderkey % 1000)) AS ub, " +
+          "to_base64(unhex('4142' || substr(md5(o_orderstatus), 1, 2))) AS b64, " +
+          "from_base64('aGVsbG8=') AS fb64, " +
+          "xor(o_orderkey, 255) AS x1, xor(o_orderkey % 8, o_custkey % 8) AS x2, " +
+          "regexp_escape(concat(o_orderpriority, ' (', o_orderstatus, ').*')) AS re, " +
+          "try_strptime(concat('2024-01-', lpad(cast((o_orderkey % 28) + 1 AS VARCHAR), 2, '0')), '%Y-%m-%d') AS ts1, " +
+          "try_strptime(o_orderstatus, '%Y-%m-%d') AS ts2 " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  bin(o_orderkey % 1000) AS b,
+             |  unbin(bin(o_orderkey % 1000)) AS ub,
+             |  to_base64(unhex('4142' || substr(md5(o_orderstatus), 1, 2))) AS b64,
+             |  from_base64('aGVsbG8=') AS fb64,
+             |  xor(o_orderkey, 255) AS x1, xor(o_orderkey % 8, o_custkey % 8) AS x2,
+             |  regexp_escape(concat(o_orderpriority, ' (', o_orderstatus, ').*')) AS re,
+             |  try_strptime(concat('2024-01-', lpad(cast((o_orderkey % 28) + 1 AS VARCHAR), 2, '0')), '%Y-%m-%d') AS ts1,
+             |  try_strptime(o_orderstatus, '%Y-%m-%d') AS ts2
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // Temporal extraction batch 3: sub-second parts INCLUDE the seconds
+    // component (DuckDB probed: …:45.123456 → ms 45123), decade floors,
+    // millennium ceils, weekday is Sunday = 0, yearweek = ISO year·100 +
+    // ISO week, julian day as a double, era (AD = 1).
+    "q_dialect_time_parts3" -> QueryDef(
+      (s, d) => run(db(s, d, "events"),
+        "SELECT event_id, " +
+          "millisecond(ts) AS ms, microsecond(ts) AS us, " +
+          "decade(ts) AS dec, millennium(ts) AS mil, " +
+          "weekday(ts) AS wd, yearweek(ts) AS yw, " +
+          "julian(cast(ts AS DATE)) AS jd, era(ts) AS er " +
+          "FROM events WHERE event_id < 3000 ORDER BY event_id"),
+      Some("""SELECT event_id,
+             |  cast(millisecond(ts) AS int) AS ms, cast(microsecond(ts) AS int) AS us,
+             |  cast(decade(ts) AS int) AS dec, cast(millennium(ts) AS int) AS mil,
+             |  cast(weekday(ts) AS int) AS wd, cast(yearweek(ts) AS int) AS yw,
+             |  julian(cast(ts AS DATE)) AS jd, cast(era(ts) AS int) AS er
+             |FROM events WHERE event_id < 3000 ORDER BY event_id""".stripMargin)),
+
+    // Alias blitz: DuckDB synonyms rebound onto canonical names at
+    // analysis — array_*/list_* pairs, editdist3, datepart/datetrunc,
+    // gcd/lcm long names, str_split, argmax/argmin.
+    "q_dialect_aliases" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "array_to_string(array_cat(array_value(o_orderkey), array_value(o_custkey)), ',') AS ac, " +
+          "array_has(array_value(1, 2, 3), cast(o_orderkey % 4 AS BIGINT)) AS ah, " +
+          "array_indexof(array_value(9, 8, 7), cast((o_orderkey % 3) + 7 AS BIGINT)) AS ai, " +
+          "array_to_string(array_slice(array_value(1, 2, 3, 4), 2, 3), ',') AS asl, " +
+          "editdist3(o_orderpriority, o_orderstatus) AS ed, " +
+          "greatest_common_divisor(o_orderkey, 12) AS g, " +
+          "least_common_multiple(o_orderkey % 6 + 1, 4) AS l, " +
+          "datepart('year', o_orderdate) AS dy, " +
+          "cast(datetrunc('month', o_orderdate) AS DATE) AS dm, " +
+          "array_to_string(str_split(o_orderpriority, '-'), '|') AS sp " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  array_to_string(array_cat(array_value(o_orderkey), array_value(o_custkey)), ',') AS ac,
+             |  array_has(array_value(1, 2, 3), cast(o_orderkey % 4 AS BIGINT)) AS ah,
+             |  array_indexof(array_value(9, 8, 7), cast((o_orderkey % 3) + 7 AS BIGINT)) AS ai,
+             |  array_to_string(array_slice(array_value(1, 2, 3, 4), 2, 3), ',') AS asl,
+             |  editdist3(o_orderpriority, o_orderstatus) AS ed,
+             |  greatest_common_divisor(o_orderkey, 12) AS g,
+             |  least_common_multiple(o_orderkey % 6 + 1, 4) AS l,
+             |  datepart('year', o_orderdate) AS dy,
+             |  cast(datetrunc('month', o_orderdate) AS DATE) AS dm,
+             |  array_to_string(str_split(o_orderpriority, '-'), '|') AS sp
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // Map surface batch 2: map_entries (native struct{key,value} shape),
     // map_concat (LAST map wins on duplicate keys, first-appearance key
     // order — composed deterministically instead of relying on Spark's

@@ -1153,7 +1153,14 @@ object Analyzer {
         SqlType.SqlBool
       case "century" | "isodow" | "week" | "weekofyear" | "dayofmonth" |
            "isoyear" => SqlType.SqlInt
-      // even/gamma/lgamma/trunc/round_even fall to the SqlDouble default
+      case "bin" | "to_base64" | "regexp_escape" => SqlType.SqlVarChar(65535)
+      case "unbin" | "from_base64" => SqlType.SqlVarBinary(65535)
+      case "xor" => SqlType.SqlBigInt
+      case "try_strptime" => SqlType.SqlTimestamp
+      case "millisecond" | "microsecond" | "decade" | "millennium" |
+           "weekday" | "yearweek" | "era" => SqlType.SqlInt
+      // even/gamma/lgamma/trunc/round_even/julian fall to the SqlDouble
+      // default
       case "parse_path" => SqlType.SqlArray(SqlType.SqlVarChar(65535))
       case "parse_dirname" | "parse_filename" | "parse_dirpath" | "hex" =>
         SqlType.SqlVarChar(65535)
@@ -1291,7 +1298,10 @@ object Analyzer {
     case "grouping" => SqlType.SqlInt
     case "avg" | "stddev" | "variance" | "median" |
          "skewness" | "kurtosis" | "entropy" | "mad" |
-         "product" | "fsum" | "favg" => SqlType.SqlDouble
+         "product" | "fsum" | "favg" |
+         "stddev_pop" | "stddev_samp" | "var_pop" | "var_samp" |
+         "kurtosis_pop" => SqlType.SqlDouble
+    case "approx_count_distinct" => SqlType.SqlBigInt
     case "histogram" =>
       SqlType.SqlMap(arg.map(operandType).getOrElse(SqlType.SqlInt),
         SqlType.SqlBigInt)
@@ -2997,9 +3007,15 @@ object Analyzer {
       case Operand.FuncCall(f0, Seq(a, b))
           if f0.equalsIgnoreCase("date_add") =>
         bindOp(Operand.Arith('+', a, b), allowAgg, allowSub)
-      case Operand.FuncCall(f0, args) if Set("list_transform",
+      case Operand.FuncCall(f0raw, args) if Set("list_transform",
           "array_transform", "list_filter", "array_filter",
-          "list_reduce")(f0) =>
+          "list_reduce", "list_apply", "array_apply",
+          "array_reduce")(f0raw.toLowerCase) =>
+        val f0 = f0raw.toLowerCase match {
+          case "list_apply" | "array_apply" => "list_transform"
+          case "array_reduce"               => "list_reduce"
+          case x                            => x
+        }
         val f = if (f0.startsWith("array_")) "list_" + f0.stripPrefix("array_")
                 else f0
         val nParams = if (f == "list_reduce") 2 else 1
@@ -3048,6 +3064,35 @@ object Analyzer {
           case "strlen" => "length"
           case "lcase"  => "lower"
           case "ucase"  => "upper"
+          case "array_cat" | "list_cat"      => "list_concat"
+          case "array_extract"               => "list_extract"
+          case "array_has" | "list_has"      => "list_contains"
+          case "array_indexof" | "list_indexof" => "list_position"
+          case "array_slice"                 => "list_slice"
+          case "array_unique"                => "list_unique"
+          case "array_value" | "list_pack"   => "list_value"
+          case "array_zip"                   => "list_zip"
+          case "array_aggregate" | "array_aggr" => "list_aggregate"
+          case "array_grade_up"              => "list_grade_up"
+          case "array_resize"                => "list_resize"
+          case "array_reverse_sort"          => "list_reverse_sort"
+          case "array_select"                => "list_select"
+          case "array_where"                 => "list_where"
+          case "array_cosine_similarity"     => "list_cosine_similarity"
+          case "array_distance"              => "list_distance"
+          case "array_dot_product"           => "list_dot_product"
+          case "array_inner_product"         => "list_inner_product"
+          case "array_to_json"               => "to_json"
+          case "greatest_common_divisor"     => "gcd"
+          case "least_common_multiple"       => "lcm"
+          case "datepart"                    => "date_part"
+          case "datetrunc"                   => "date_trunc"
+          case "datesub" | "date_sub"        => "date_diff"
+          case "str_split"                   => "string_split"
+          case "str_split_regex" | "string_split_regex" =>
+            "regexp_split_to_array"
+          case "editdist3"                   => "levenshtein"
+          case "base64"                      => "to_base64"
           case x        => x
         }
         val arityOk = f match {
@@ -3089,6 +3134,12 @@ object Analyzer {
           case "round_even"    => args.length == 1 || (args.length == 2 &&
             args(1).isInstanceOf[Operand.Literal])
           case "prefix" | "suffix" | "regexp_full_match" => args.length == 2
+          case "bin" | "unbin" | "to_base64" | "from_base64" |
+               "regexp_escape" | "millisecond" | "microsecond" |
+               "decade" | "millennium" | "weekday" | "yearweek" |
+               "julian" | "era" => args.length == 1
+          case "xor"           => args.length == 2
+          case "try_strptime"  => args.length == 2
           case "parse_filename" => args.length == 1 || args.length == 2
           case "format"        => args.nonEmpty &&
             args.head.isInstanceOf[Operand.Literal]
@@ -3313,7 +3364,8 @@ object Analyzer {
         // strftime: the C-style format is a literal, translated token-
         // by-token onto Spark's Java pattern at lowering — unknown %
         // tokens reject here rather than silently diverging
-        else if ((f == "strftime" || f == "strptime") && !(args(1) match {
+        else if ((f == "strftime" || f == "strptime" ||
+            f == "try_strptime") && !(args(1) match {
           case Operand.Literal(Lit.LitString(fmt)) =>
             StrftimeTokens.findAllMatchIn(fmt).forall(m =>
               StrftimeMap.contains(m.matched)) && !fmt.contains("'") &&
@@ -3795,7 +3847,9 @@ object Analyzer {
         else bindOp(r, allowAgg = false).flatMap { b =>
           val numericAgg =
             Set("sum", "avg", "stddev", "variance", "median",
-              "skewness", "kurtosis", "mad", "product", "fsum", "favg")(f)
+              "skewness", "kurtosis", "mad", "product", "fsum", "favg",
+              "stddev_pop", "stddev_samp", "var_pop", "var_samp",
+              "kurtosis_pop")(f)
           val badCol = b match {
             case BoundOperand.BCol(c) if numericAgg &&
               !numericTypes(c.attr.sqlType) => Some(c)

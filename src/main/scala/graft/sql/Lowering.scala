@@ -322,6 +322,23 @@ object Lowering {
             sum(lowerOperandWith(a, qcol).cast("double"))
           case ("favg", Some(a)) =>
             avg(lowerOperandWith(a, qcol).cast("double"))
+          // population/sample variance family: Spark natives share
+          // DuckDB's formulas exactly
+          case ("stddev_pop", Some(a))  => stddev_pop(lowerOperandWith(a, qcol))
+          case ("stddev_samp", Some(a)) => stddev_samp(lowerOperandWith(a, qcol))
+          case ("var_pop", Some(a))     => var_pop(lowerOperandWith(a, qcol))
+          case ("var_samp", Some(a))    => var_samp(lowerOperandWith(a, qcol))
+          // kurtosis_pop is the POPULATION g2 — Spark's native kurtosis
+          // directly (the dialect's plain kurtosis applies the sample
+          // correction on top)
+          case ("kurtosis_pop", Some(a)) =>
+            val g = kurtosis(lowerOperandWith(a, qcol))
+            when(isnan(g), lit(null)).otherwise(g)
+          // approx_count_distinct: Spark's HLL++ — estimates are
+          // sketch-specific (no DuckDB oracle; spec-bounded ±5% like
+          // the stats NDV gate)
+          case ("approx_count_distinct", Some(a)) =>
+            approx_count_distinct(lowerOperandWith(a, qcol))
           case ("entropy", Some(a)) =>
             graft.functions.StatAggregates.entropy(
               lowerOperandWith(a, qcol).cast("string"))
@@ -2810,6 +2827,11 @@ object Lowering {
       val javaFmt = Analyzer.StrftimeTokens.replaceAllIn(fmt,
         m => Analyzer.StrftimeMap(m.matched))
       to_timestamp(rec(a), javaFmt)
+    // try_strptime: NULL on an unparseable input instead of raising
+    case ("try_strptime", Seq(a, BoundOperand.BLit(Lit.LitString(fmt)))) =>
+      val javaFmt = Analyzer.StrftimeTokens.replaceAllIn(fmt,
+        m => Analyzer.StrftimeMap(m.matched))
+      try_to_timestamp(rec(a), lit(javaFmt))
     case ("to_timestamp", Seq(a))     => timestamp_seconds(rec(a))
     case ("regexp_matches", Seq(a, b)) => regexp_like(rec(a), rec(b))
     case ("list_min" | "array_min", Seq(a)) => array_min(rec(a))
@@ -3085,6 +3107,50 @@ object Lowering {
     // as x / 0)
     case ("__intdiv", Seq(a, b)) =>
       try_divide(rec(a).cast("long"), rec(b).cast("long")).cast("long")
+    // wave-8 scalar batch (all DuckDB 1.0 probed)
+    // bin: binary text of an integer (Spark's native bin matches;
+    // DuckDB's string-input form — per-byte expansion — is not taken,
+    // the analyzer admits numerics only via the cast below)
+    case ("bin", Seq(a)) => bin(rec(a).cast("long"))
+    // unbin: '0101…' → packed BLOB, left-padded to whole bytes
+    // (hex(unbin('101')) = '05'); composed: bits → long → hex →
+    // left-pad to 2·⌈len/8⌉ digits → unhex
+    case ("unbin", Seq(a)) =>
+      val s = rec(a)
+      val digits = ceil(length(s).cast("double") / 8).cast("int") * 2
+      unhex(lpad(hex(conv(s, 2, 10).cast("long")), digits, lit("0")))
+    case ("to_base64", Seq(a)) => base64(rec(a).cast("binary"))
+    case ("from_base64", Seq(a)) => unbase64(rec(a))
+    case ("xor", Seq(a, b)) =>
+      rec(a).cast("long").bitwiseXOR(rec(b).cast("long"))
+    // regexp_escape: every char outside [A-Za-z0-9_] gets a backslash
+    // (RE2 QuoteMeta, probed: space/comma/slash all escaped)
+    case ("regexp_escape", Seq(a)) =>
+      regexp_replace(rec(a), lit("([^A-Za-z0-9_])"), lit("\\\\$1"))
+    // millisecond/microsecond INCLUDE the seconds component (DuckDB
+    // probed: 10:30:45.123456 → ms 45123, µs 45123456); epoch minutes
+    // are 60-aligned so a positive-epoch modulus is exact
+    case ("microsecond", Seq(a)) =>
+      (unix_micros(rec(a).cast("timestamp")) % 60000000L).cast("int")
+    case ("millisecond", Seq(a)) =>
+      ((unix_micros(rec(a).cast("timestamp")) % 60000000L) / 1000L).cast("int")
+    case ("decade", Seq(a)) => floor(year(rec(a)).cast("double") / 10).cast("int")
+    case ("millennium", Seq(a)) =>
+      ceil(year(rec(a)).cast("double") / 1000).cast("int")
+    // weekday: Sunday = 0 … Saturday = 6 (Spark's dayofweek is Sun = 1)
+    case ("weekday", Seq(a)) => (dayofweek(rec(a)) - 1).cast("int")
+    // yearweek: ISO year · 100 + ISO week (202403 for 2024-01-15)
+    case ("yearweek", Seq(a)) =>
+      val d = rec(a)
+      val iso = (dayofweek(d) + 5) % 7 + 1
+      (year(date_add(d.cast("date"), (lit(4) - iso).cast("int"))) * 100 +
+        weekofyear(d)).cast("int")
+    // julian day number as a double (julian(2000-01-01) = 2451545.0)
+    case ("julian", Seq(a)) =>
+      (datediff(rec(a).cast("date"), lit(java.sql.Date.valueOf("2000-01-01")))
+        + lit(2451545)).cast("double")
+    case ("era", Seq(a)) =>
+      when(year(rec(a)) > 0, lit(1)).otherwise(lit(0))
     // wave-7 scalar batch (all DuckDB 1.0 probed)
     case ("dayname", Seq(a))   => date_format(rec(a), "EEEE")
     case ("monthname", Seq(a)) => date_format(rec(a), "MMMM")

@@ -161,7 +161,9 @@ object Parser {
     "stddev", "variance", "median", "grouping",
     "mode", "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor",
     "skewness", "kurtosis", "entropy", "mad", "histogram", "product",
-    "any_value", "fsum", "favg")
+    "any_value", "fsum", "favg",
+    "stddev_pop", "stddev_samp", "var_pop", "var_samp", "kurtosis_pop",
+    "mean", "arbitrary", "kahan_sum", "sumkahan", "approx_count_distinct")
   private val winFuncs = Set("row_number", "rank", "dense_rank", "lag", "lead",
     "first_value", "last_value", "nth_value", "ntile", "percent_rank", "cume_dist")
   private val scalarFuncs = Set("upper", "lower", "trim", "length", "abs",
@@ -211,7 +213,22 @@ object Parser {
     "hex", "unhex", "from_hex",
     "dayname", "monthname", "even", "signbit", "gamma", "lgamma",
     "trunc", "round_even", "century", "isodow", "week", "weekofyear",
-    "dayofmonth", "isoyear", "prefix", "suffix", "regexp_full_match")
+    "dayofmonth", "isoyear", "prefix", "suffix", "regexp_full_match",
+    // wave 8: canonical additions
+    "bin", "unbin", "to_base64", "base64", "from_base64", "xor",
+    "regexp_escape", "try_strptime", "millisecond", "microsecond",
+    "decade", "millennium", "weekday", "yearweek", "julian", "era",
+    // wave 8: pure aliases (rebound in the analyzer)
+    "array_cat", "list_cat", "array_extract", "array_has", "list_has",
+    "array_indexof", "list_indexof", "array_slice", "array_unique",
+    "array_value", "list_pack", "array_zip", "array_aggregate",
+    "array_aggr", "array_grade_up", "array_resize", "array_reverse_sort",
+    "array_select", "array_where", "array_cosine_similarity",
+    "array_distance", "array_dot_product", "array_inner_product",
+    "array_to_json", "greatest_common_divisor", "least_common_multiple",
+    "datepart", "datetrunc", "datesub", "date_sub", "str_split",
+    "str_split_regex", "string_split_regex", "editdist3",
+    "list_apply", "array_apply", "array_reduce")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** FROM-position file readers → formats (DuckDB's read_* family;
@@ -2656,8 +2673,9 @@ object Parser {
     // arg_min/arg_max (min_by/max_by): the value at the key's extremum —
     // rides the OrderedAgg node (value + one ordering key, no separator)
     case TIdent(f, _) if allowAgg && Set("arg_min", "arg_max", "min_by",
-        "max_by")(f.toLowerCase) =>
-      val fn = if (f.toLowerCase.startsWith("arg_min") || f.toLowerCase == "min_by")
+        "max_by", "argmin", "argmax")(f.toLowerCase) =>
+      val fn = if (f.toLowerCase.startsWith("arg_min") ||
+          f.toLowerCase == "min_by" || f.toLowerCase == "argmin")
         "arg_min" else "arg_max"
       p.next()
       for {
@@ -2900,8 +2918,14 @@ object Parser {
       } yield res
     case TIdent(f, _) if allowAgg && aggFuncs(f.toLowerCase) =>
       // aggregate over a full (non-aggregate) expression: sum(a * b),
-      // optionally DISTINCT: count(DISTINCT x), sum(DISTINCT x)
-      val fn = f.toLowerCase
+      // optionally DISTINCT: count(DISTINCT x), sum(DISTINCT x).
+      // DuckDB aggregate synonyms rebind onto canonical names here.
+      val fn = f.toLowerCase match {
+        case "mean"                   => "avg"
+        case "arbitrary"              => "any_value"
+        case "kahan_sum" | "sumkahan" => "fsum"
+        case x                        => x
+      }
       p.next()
       for {
         _ <- p.eatSym("(")

@@ -4121,6 +4121,26 @@ class DialectSpec extends AnyFunSuite {
       .startsWith("2026-03-02 00:00"))
   }
 
+  test("approx_count_distinct: sketch estimate within ±5% of exact") {
+    // sketch-specific values (Spark HLL++ vs DuckDB's own HLL) — no
+    // cross-engine oracle exists, so the gate is a bounded-error spec
+    // like the stats NDV one
+    val db = freshDb()
+    db.query("CREATE TABLE acd (k INT, v INT)")
+    val rows = (1 to 2000).map(i => s"(${i % 4}, ${i % 500})").mkString(", ")
+    db.query(s"INSERT INTO acd VALUES $rows")
+    val r = db.select(
+      "SELECT k, approx_count_distinct(v) AS est, count(DISTINCT v) AS exact " +
+        "FROM acd GROUP BY k ORDER BY k").fold(e => fail(e.msg), identity)
+      .collect()
+    assert(r.length == 4)
+    r.foreach { row =>
+      val (est, exact) = (row.getLong(1), row.getLong(2))
+      assert(math.abs(est - exact) <= math.max(1L, math.round(exact * 0.05)),
+        s"k=${row.getInt(0)}: est $est vs exact $exact exceeds ±5%")
+    }
+  }
+
   test("top-n aggregate list variants: min/max(x, n), arg_min/arg_max(x, v, n)") {
     // spec-only: DuckDB 1.0 (the oracle) lacks the top-n forms, so the
     // expectations here are hand-computed (DuckDB ≥1.1 semantics: a LIST
