@@ -3312,6 +3312,46 @@ object Dialect {
              |  cast(dayofmonth(o_orderdate) AS int) AS dom, cast(isoyear(o_orderdate) AS int) AS iy
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // JSON family: json_extract returns JSON TEXT (strings stay quoted —
+    // the Spark-4 variant route to_json(variant_get(parse_json(…)))
+    // expresses this exactly where get_json_object would unquote);
+    // $-paths, /-pointers and bare keys all accepted; json_object/
+    // json_array serialize via named_struct/array (field order kept);
+    // json_type maps schema_of_variant classes onto DuckDB's names
+    // (non-negative integers read UBIGINT).
+    "q_dialect_json" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "json_extract(json_object('k', o_orderkey, 's', o_orderstatus), '$.s') AS je, " +
+          "json_extract(json_object('a', o_orderkey), 'a') AS jb, " +
+          "json_extract(json_array(o_orderkey, o_custkey, 7), '/1') AS jp, " +
+          "json_extract_path_text(json_object('s', o_orderstatus), '$.s') AS jt, " +
+          "cast(json_array_length(json_array(o_orderkey, o_custkey)) AS BIGINT) AS jal, " +
+          "array_to_string(json_keys(json_object('k', o_orderkey, 's', o_orderstatus)), ',') AS jk, " +
+          "json_valid(json_object('k', o_orderkey)) AS jv, " +
+          "json_valid(o_orderpriority) AS jnv, " +
+          "json_type(json_object('k', o_orderkey)) AS t1, " +
+          "json_type(json_array(o_orderkey)) AS t2, " +
+          "json_type(cast(o_orderkey AS VARCHAR)) AS t3, " +
+          "json_type(cast(0 - o_orderkey AS VARCHAR)) AS t4, " +
+          "row_to_json(struct_pack('a', o_orderkey)) AS rj " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  json_extract(json_object('k', o_orderkey, 's', o_orderstatus), '$.s')::VARCHAR AS je,
+             |  json_extract(json_object('a', o_orderkey), 'a')::VARCHAR AS jb,
+             |  json_extract(json_array(o_orderkey, o_custkey, 7), '/1')::VARCHAR AS jp,
+             |  json_extract_path_text(json_object('s', o_orderstatus), '$.s') AS jt,
+             |  cast(json_array_length(json_array(o_orderkey, o_custkey)) AS BIGINT) AS jal,
+             |  array_to_string(json_keys(json_object('k', o_orderkey, 's', o_orderstatus)), ',') AS jk,
+             |  json_valid(json_object('k', o_orderkey)) AS jv,
+             |  json_valid(o_orderpriority) AS jnv,
+             |  json_type(json_object('k', o_orderkey)) AS t1,
+             |  json_type(json_array(o_orderkey)) AS t2,
+             |  json_type(cast(o_orderkey AS VARCHAR)) AS t3,
+             |  json_type(cast(0 - o_orderkey AS VARCHAR)) AS t4,
+             |  row_to_json({'a': o_orderkey})::VARCHAR AS rj
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // Variance/stddev family with explicit population/sample forms —
     // Spark natives share DuckDB's formulas; kurtosis_pop is the
     // population g2 (the dialect's plain kurtosis applies the sample

@@ -1159,6 +1159,11 @@ object Analyzer {
       case "try_strptime" => SqlType.SqlTimestamp
       case "millisecond" | "microsecond" | "decade" | "millennium" |
            "weekday" | "yearweek" | "era" => SqlType.SqlInt
+      case "json_extract" | "json_extract_path" | "json_type" |
+           "json_object" | "json_array" => SqlType.SqlVarChar(65535)
+      case "json_array_length" => SqlType.SqlBigInt
+      case "json_keys" => SqlType.SqlArray(SqlType.SqlVarChar(65535))
+      case "json_valid" => SqlType.SqlBool
       // even/gamma/lgamma/trunc/round_even/julian fall to the SqlDouble
       // default
       case "parse_path" => SqlType.SqlArray(SqlType.SqlVarChar(65535))
@@ -3093,6 +3098,8 @@ object Analyzer {
             "regexp_split_to_array"
           case "editdist3"                   => "levenshtein"
           case "base64"                      => "to_base64"
+          case "json_extract_path_text"      => "json_extract_string"
+          case "row_to_json"                 => "to_json"
           case x        => x
         }
         val arityOk = f match {
@@ -3140,6 +3147,17 @@ object Analyzer {
                "julian" | "era" => args.length == 1
           case "xor"           => args.length == 2
           case "try_strptime"  => args.length == 2
+          case "json_extract" | "json_extract_path" => args.length == 2 &&
+            args(1).isInstanceOf[Operand.Literal]
+          case "json_array_length" => args.length == 1 || (args.length == 2 &&
+            args(1).isInstanceOf[Operand.Literal])
+          case "json_keys" | "json_valid" | "json_type" => args.length == 1
+          case "json_object"   => args.length % 2 == 0 &&
+            args.grouped(2).forall(_.head match {
+              case Operand.Literal(Lit.LitString(_)) => true
+              case _ => false
+            })
+          case "json_array"    => args.nonEmpty
           case "parse_filename" => args.length == 1 || args.length == 2
           case "format"        => args.nonEmpty &&
             args.head.isInstanceOf[Operand.Literal]

@@ -3107,6 +3107,42 @@ object Lowering {
     // as x / 0)
     case ("__intdiv", Seq(a, b)) =>
       try_divide(rec(a).cast("long"), rec(b).cast("long")).cast("long")
+    // ---- JSON family (DuckDB 1.0 probed) ----
+    // json_extract returns JSON TEXT — strings stay quoted ("x"), so
+    // Spark's get_json_object (which unquotes) can't express it; the
+    // variant route can: to_json(variant_get(parse_json(j), path)).
+    // Paths accept '$.a[1]', '/a/b' JSON-pointer, and bare-key forms
+    // (all probed), normalized to the $ form at lowering.
+    case ("json_extract" | "json_extract_path",
+        Seq(a, BoundOperand.BLit(Lit.LitString(p)))) =>
+      to_json(variant_get(parse_json(rec(a)), jsonDollarPath(p), "variant"))
+    case ("json_array_length", Seq(a)) =>
+      json_array_length(rec(a)).cast("long")
+    case ("json_array_length", Seq(a, BoundOperand.BLit(Lit.LitString(p)))) =>
+      json_array_length(get_json_object(rec(a), jsonDollarPath(p))).cast("long")
+    case ("json_keys", Seq(a)) => json_object_keys(rec(a))
+    case ("json_valid", Seq(a)) => try_parse_json(rec(a)).isNotNull
+    // json_type name mapping (probed): OBJECT/ARRAY/VARCHAR/BOOLEAN/
+    // NULL, integers read UBIGINT when non-negative, all other numerics
+    // DOUBLE. schema_of_variant supplies the Spark-side class; a
+    // scale-0 DECIMAL is an integer that overflowed BIGINT.
+    case ("json_type", Seq(a)) =>
+      val v = parse_json(rec(a))
+      val sch = schema_of_variant(v)
+      val num = variant_get(v, "$", "double")
+      when(sch.startsWith("OBJECT"), lit("OBJECT"))
+        .when(sch.startsWith("ARRAY"), lit("ARRAY"))
+        .when(sch === "STRING", lit("VARCHAR"))
+        .when(sch === "BOOLEAN", lit("BOOLEAN"))
+        .when(sch === "VOID", lit("NULL"))
+        .when(sch === "BIGINT" || sch.rlike("^DECIMAL\\([0-9]+,0\\)$"),
+          when(num >= 0, lit("UBIGINT")).otherwise(lit("BIGINT")))
+        .otherwise(lit("DOUBLE"))
+    // json_object: alternating literal keys — named_struct keeps field
+    // order, so to_json emits DuckDB's exact text
+    case ("json_object", as) if as.length % 2 == 0 =>
+      to_json(named_struct(as.map(rec): _*))
+    case ("json_array", as) => to_json(array(as.map(rec): _*))
     // wave-8 scalar batch (all DuckDB 1.0 probed)
     // bin: binary text of an integer (Spark's native bin matches;
     // DuckDB's string-input form — per-byte expansion — is not taken,
@@ -3459,6 +3495,18 @@ object Lowering {
     case ("least", as)    => least(as.map(rec): _*)
     case other => sys.error(s"unreachable function ${other._1}/${other._2.length}")
   }
+
+  /** Normalize DuckDB's three JSON path spellings onto the $-form the
+    * Spark functions take: '$.a[1]' stays, '/a/1' JSON-pointer becomes
+    * '$.a[1]' (numeric segments index arrays), a bare key prefixes '$.'.
+    */
+  private def jsonDollarPath(p: String): String =
+    if (p.startsWith("$")) p
+    else if (p.startsWith("/"))
+      "$" + p.split("/").drop(1).map(seg =>
+        if (seg.nonEmpty && seg.forall(_.isDigit)) s"[$seg]"
+        else s".$seg").mkString
+    else s"$$.$p"
 
   private[sql] def arith(op: Char, lc: Column, rc: Column): Column = op match {
     case '+' => lc + rc

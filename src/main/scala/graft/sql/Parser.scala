@@ -228,7 +228,11 @@ object Parser {
     "array_to_json", "greatest_common_divisor", "least_common_multiple",
     "datepart", "datetrunc", "datesub", "date_sub", "str_split",
     "str_split_regex", "string_split_regex", "editdist3",
-    "list_apply", "array_apply", "array_reduce")
+    "list_apply", "array_apply", "array_reduce",
+    // JSON family
+    "json_extract", "json_extract_path", "json_extract_path_text",
+    "json_array_length", "json_keys", "json_valid", "json_type",
+    "json_object", "json_array", "row_to_json")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** FROM-position file readers → formats (DuckDB's read_* family;
