@@ -164,9 +164,35 @@ case class LgammaFn(child: Expression) extends DoubleUnaryExpression {
     copy(child = nc)
 }
 
+/** IEEE-754 nextafter(x, y) — the next representable double after x in
+  * the direction of y (DuckDB surface; Spark has no builtin). Codegen'd
+  * straight onto java.lang.Math.nextAfter, NULL-propagating.
+  */
+case class NextAfter(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_nextafter"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.DoubleType &&
+        right.dataType == org.apache.spark.sql.types.DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two double arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Math.nextAfter(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = java.lang.Math.nextAfter($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NextAfter =
+    copy(left = newLeft, right = newRight)
+}
+
 object NumericFunctions {
   def gcd(a: Column, b: Column): Column =
     Bridge.column(Gcd(Bridge.expression(a), Bridge.expression(b)))
+  def nextafter(a: Column, b: Column): Column =
+    Bridge.column(NextAfter(Bridge.expression(a), Bridge.expression(b)))
   def lcm(a: Column, b: Column): Column =
     Bridge.column(Lcm(Bridge.expression(a), Bridge.expression(b)))
   def gamma(a: Column): Column =

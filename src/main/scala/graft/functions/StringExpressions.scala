@@ -167,6 +167,137 @@ object StringNormalize {
     java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
 }
 
+/** Extended-grapheme-cluster string functions (DuckDB's *_grapheme
+  * family). Java's regex `\X` matches extended grapheme clusters
+  * (UTS #29 — ZWJ emoji sequences, combining marks, flags), the same
+  * segmentation DuckDB's utf8proc applies; verified on ZWJ emoji.
+  * Negative counts drop from the opposite end (DuckDB left/right
+  * semantics); substring follows the substr window rule (a negative
+  * start counts from the end, position 0 consumes window room).
+  */
+object Graphemes {
+  private val X = java.util.regex.Pattern.compile("\\X")
+
+  private def clusters(s: String): java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String]()
+    val m = X.matcher(s)
+    while (m.find()) out.add(m.group())
+    out
+  }
+
+  def count(s: String): Long = {
+    val m = X.matcher(s)
+    var n = 0L
+    while (m.find()) n += 1
+    n
+  }
+
+  def left(s: String, n0: Long): UTF8String = {
+    val cs = clusters(s)
+    val n = if (n0 >= 0) math.min(n0, cs.size.toLong).toInt
+            else math.max(cs.size + n0, 0L).toInt
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) { sb.append(cs.get(i)); i += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def right(s: String, n0: Long): UTF8String = {
+    val cs = clusters(s)
+    val n = if (n0 >= 0) math.min(n0, cs.size.toLong).toInt
+            else math.max(cs.size + n0, 0L).toInt
+    val sb = new java.lang.StringBuilder
+    var i = cs.size - n
+    while (i < cs.size) { sb.append(cs.get(i)); i += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def substring(s: String, start0: Long, len: Long): UTF8String = {
+    val cs = clusters(s)
+    val start = if (start0 < 0) cs.size + start0 + 1 else start0
+    val lo = math.max(start, 1L)
+    val hi = math.min(start + math.max(len, 0L) - 1, cs.size.toLong)
+    val sb = new java.lang.StringBuilder
+    var i = lo
+    while (i <= hi) { sb.append(cs.get((i - 1).toInt)); i += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+case class LengthGrapheme(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_length_grapheme"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    Graphemes.count(a.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Graphemes.count($a.toString());")
+  override protected def withNewChildInternal(nc: Expression): LengthGrapheme =
+    copy(child = nc)
+}
+
+abstract class GraphemeTakeExpression extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, bigint) arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  override def dataType: DataType = StringType
+  protected def helper: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Graphemes.$helper($a.toString(), $b);")
+}
+
+case class LeftGrapheme(left: Expression, right: Expression)
+    extends GraphemeTakeExpression {
+  override def prettyName: String = "graft_left_grapheme"
+  protected def helper: String = "left"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Graphemes.left(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LeftGrapheme =
+    copy(left = newLeft, right = newRight)
+}
+
+case class RightGrapheme(left: Expression, right: Expression)
+    extends GraphemeTakeExpression {
+  override def prettyName: String = "graft_right_grapheme"
+  protected def helper: String = "right"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Graphemes.right(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RightGrapheme =
+    copy(left = newLeft, right = newRight)
+}
+
+case class SubstringGrapheme(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def prettyName: String = "graft_substring_grapheme"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType && second.dataType == LongType &&
+        third.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, bigint, bigint) arguments")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Graphemes.substring(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[Long], c.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.Graphemes.substring($a.toString(), $b, $c);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SubstringGrapheme =
+    copy(first = f, second = s, third = t)
+}
+
 abstract class StringUnaryExpression
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -400,4 +531,13 @@ object StringFunctions {
       global: Boolean): Column =
     Bridge.column(RegexpReplaceDuck(Bridge.expression(s),
       Bridge.expression(p), Bridge.expression(r), global))
+  def lengthGrapheme(a: Column): Column =
+    Bridge.column(LengthGrapheme(Bridge.expression(a)))
+  def leftGrapheme(a: Column, n: Column): Column =
+    Bridge.column(LeftGrapheme(Bridge.expression(a), Bridge.expression(n)))
+  def rightGrapheme(a: Column, n: Column): Column =
+    Bridge.column(RightGrapheme(Bridge.expression(a), Bridge.expression(n)))
+  def substringGrapheme(a: Column, s: Column, l: Column): Column =
+    Bridge.column(SubstringGrapheme(Bridge.expression(a),
+      Bridge.expression(s), Bridge.expression(l)))
 }

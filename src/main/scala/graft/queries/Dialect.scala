@@ -3295,6 +3295,208 @@ object Dialect {
              |  2 ** (o_orderkey % 8) AS p1, (o_orderkey % 4) ^ 2 AS p2
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // Wave 9 scalars: typeof folds to the analyzed DuckDB type name;
+    // encode/decode round UTF-8 bytes; nextafter is IEEE-exact on both
+    // engines; md5_number_lower/upper read the digest's last/first 8
+    // bytes little-endian (DECIMAL(20,0) carries DuckDB's UBIGINT);
+    // bar pads with spaces to WIDTH BYTES (3 per block char — probed
+    // quirk); formatReadableDecimalSize uses DuckDB's lowercase 'kB';
+    // bare list-function names alias their list_ forms; environment
+    // and nondeterministic functions pin through stable predicates.
+    "q_dialect_funcs15" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "typeof(o_orderkey) AS t1, typeof(o_totalprice) AS t2, " +
+          "typeof(o_orderstatus) AS t3, typeof(o_orderdate) AS t4, " +
+          "decode(encode(o_orderpriority)) AS dec, " +
+          "epoch_ns(TIMESTAMP '2024-01-02 03:04:05.123456') AS ens, " +
+          "nextafter(cast(o_totalprice AS DOUBLE), 0.0) AS na, " +
+          "like_escape(o_orderpriority, '%!-%', '!') AS le, " +
+          "not_ilike_escape(o_orderpriority, '%!-urgent', '!') AS nle, " +
+          "json_quote(o_orderstatus) AS jq, json_quote(o_orderkey) AS jq2, " +
+          "md5_number_lower(o_orderstatus) AS ml, " +
+          "md5_number_upper(o_orderstatus) AS mu, " +
+          "formatReadableSize(o_orderkey * 12345) AS frs, " +
+          "formatReadableDecimalSize(o_orderkey * 12345) AS frd, " +
+          "bar(o_orderkey % 10, 0, 10, 10) AS br, " +
+          "array_to_string(grade_up([o_orderkey % 7, 3, 5]), ',') AS gu, " +
+          "reduce([o_orderkey % 7, 3, 5], (a, b) -> a + b) AS rd, " +
+          "array_to_string(apply([1, 2], x -> x + o_orderkey % 3), ',') AS ap, " +
+          "array_to_string(filter([1, 2, 3], x -> x > o_orderkey % 3), ',') AS fl, " +
+          "cast(aggregate([o_orderkey % 7, 3], 'sum') AS BIGINT) AS agg2, " +
+          "(current_date() >= DATE '2026-01-01') AS cd, " +
+          "(now() >= TIMESTAMP '2026-01-01') AS nw, " +
+          "regexp_full_match(uuid(), '[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}') AS uu, " +
+          "(random() >= 0 AND random() < 1) AS rnd, " +
+          "current_schema() AS cs, current_database() AS cdb " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  typeof(o_orderkey) AS t1, typeof(o_totalprice) AS t2,
+             |  typeof(o_orderstatus) AS t3, typeof(o_orderdate) AS t4,
+             |  decode(encode(o_orderpriority)) AS dec,
+             |  epoch_ns(TIMESTAMP '2024-01-02 03:04:05.123456') AS ens,
+             |  nextafter(cast(o_totalprice AS DOUBLE), 0.0) AS na,
+             |  like_escape(o_orderpriority, '%!-%', '!') AS le,
+             |  not_ilike_escape(o_orderpriority, '%!-urgent', '!') AS nle,
+             |  json_quote(o_orderstatus) AS jq, json_quote(o_orderkey) AS jq2,
+             |  md5_number_lower(o_orderstatus)::DECIMAL(20,0) AS ml,
+             |  md5_number_upper(o_orderstatus)::DECIMAL(20,0) AS mu,
+             |  formatReadableSize(o_orderkey * 12345) AS frs,
+             |  formatReadableDecimalSize(o_orderkey * 12345) AS frd,
+             |  bar(o_orderkey % 10, 0, 10, 10) AS br,
+             |  array_to_string(grade_up([o_orderkey % 7, 3, 5]), ',') AS gu,
+             |  reduce([o_orderkey % 7, 3, 5], (a, b) -> a + b) AS rd,
+             |  array_to_string(apply([1, 2], x -> x + o_orderkey % 3), ',') AS ap,
+             |  array_to_string(filter([1, 2, 3], x -> x > o_orderkey % 3), ',') AS fl,
+             |  cast(aggregate([o_orderkey % 7, 3], 'sum') AS BIGINT) AS agg2,
+             |  (current_date() >= DATE '2026-01-01') AS cd,
+             |  (now() >= TIMESTAMP '2026-01-01') AS nw,
+             |  regexp_full_match(uuid()::VARCHAR, '[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}') AS uu,
+             |  (random() >= 0 AND random() < 1) AS rnd,
+             |  current_schema() AS cs, current_database() AS cdb
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // Column-capable INTERVAL constructors (to_days(n)-family — the
+    // literal INTERVAL syntax is parse-time-fixed, these take any
+    // expression), struct_insert / map_from_entries composition, and
+    // sem (stddev_samp/√n). DuckDB's to_* require INTEGER args for the
+    // calendar units (oracle casts); temporal + INTERVAL reads
+    // TIMESTAMP on DuckDB, so date-valued results pin through ::DATE.
+    "q_dialect_funcs16" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "cast(o_orderdate + to_days(o_orderkey % 30) AS DATE) AS d1, " +
+          "cast(o_orderdate + to_months(2) AS DATE) AS d2, " +
+          "cast(o_orderdate + to_years(o_orderkey % 3) AS DATE) AS d3, " +
+          "cast(o_orderdate + to_weeks(1) AS DATE) AS d4, " +
+          "cast(o_orderdate + to_quarters(1) AS DATE) AS d5, " +
+          "TIMESTAMP '2024-01-01 00:00:00' + to_minutes(o_orderkey % 500) AS t5, " +
+          "TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(o_orderkey * 1001) AS t6, " +
+          "TIMESTAMP '2024-01-01 00:00:00' + to_hours(o_orderkey % 30) AS t7, " +
+          "TIMESTAMP '2024-01-01 00:00:00' + to_seconds(o_orderkey % 90) AS t8, " +
+          "TIMESTAMP '2024-01-01 00:00:00' + to_milliseconds(o_orderkey % 2500) AS t9, " +
+          "struct_extract(struct_insert({'a': o_orderkey}, b := o_custkey), 'b') AS si, " +
+          "map_from_entries([{'k': 'x', 'v': o_orderkey}])['x'][1] AS mfe " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  (o_orderdate + to_days((o_orderkey % 30)::INT))::DATE AS d1,
+             |  (o_orderdate + to_months(2))::DATE AS d2,
+             |  (o_orderdate + to_years((o_orderkey % 3)::INT))::DATE AS d3,
+             |  (o_orderdate + to_weeks(1))::DATE AS d4,
+             |  (o_orderdate + to_quarters(1))::DATE AS d5,
+             |  TIMESTAMP '2024-01-01 00:00:00' + to_minutes((o_orderkey % 500)::INT) AS t5,
+             |  TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(o_orderkey * 1001) AS t6,
+             |  TIMESTAMP '2024-01-01 00:00:00' + to_hours((o_orderkey % 30)::INT) AS t7,
+             |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds((o_orderkey % 90)::INT) AS t8,
+             |  TIMESTAMP '2024-01-01 00:00:00' + to_milliseconds(o_orderkey % 2500) AS t9,
+             |  struct_extract(struct_insert({'a': o_orderkey}, b := o_custkey), 'b') AS si,
+             |  map_from_entries([{'k': 'x', 'v': o_orderkey}])['x'][1] AS mfe
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // Sequences: CREATE SEQUENCE options (START/INCREMENT/MAXVALUE/
+    // descending defaults), nextval allocating in textual row order
+    // through INSERT … VALUES, currval in FROM-less positions. The
+    // oracle reconstructs the DuckDB-probed allocation arithmetic
+    // (100,103,106 then 109; descending 50,48). Rerun-stable via
+    // CREATE OR REPLACE (resets the counter each rep).
+    "q_dialect_seq" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d)
+        def exec(sql: String): Unit =
+          g.query(sql).fold(e => sys.error(e.msg), _ => ())
+        exec("CREATE OR REPLACE SEQUENCE gseq START 100 INCREMENT 3")
+        exec("CREATE OR REPLACE SEQUENCE gdesc INCREMENT BY -2 MAXVALUE 50")
+        exec("CREATE OR REPLACE TABLE seqt (id BIGINT, v VARCHAR(20))")
+        exec("INSERT INTO seqt VALUES (nextval('gseq'), 'a'), " +
+          "(nextval('gseq'), 'b'), (nextval('gseq'), 'c')")
+        exec("SELECT nextval('gseq') AS bump")
+        exec("SELECT nextval('gdesc') AS d1, nextval('gdesc') AS d2")
+        run(g, "SELECT id, v FROM seqt " +
+          "UNION ALL SELECT currval('gseq') AS id, 'cur' AS v " +
+          "UNION ALL SELECT currval('gdesc') AS id, 'desc' AS v " +
+          "ORDER BY id")
+      },
+      Some("""SELECT * FROM (VALUES (48, 'desc'), (100, 'a'), (103, 'b'),
+             |  (106, 'c'), (109, 'cur')) v(id, v) ORDER BY id""".stripMargin)),
+
+    // JSON document algebra: merge_patch is RFC 7386 (recursive, null
+    // deletes, non-object patch replaces); structure unifies array
+    // elements (numeric ranks widen, incompatible reads "JSON");
+    // contains matches the needle against EVERY haystack node with
+    // MySQL-style structural rules (scalars strict: 1.0 ≠ 1). All
+    // probed on DuckDB 1.0; Jackson tree-walk expressions.
+    "q_dialect_json2" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "json_merge_patch(json_object('k', o_orderkey, 's', o_orderstatus), " +
+          "json_object('s', o_orderpriority, 'n', 1)) AS mp, " +
+          "json_merge_patch(json_object('k', o_orderkey), '{\"k\":null}') AS mp2, " +
+          "json_merge_patch('{\"a\":{\"x\":1,\"y\":2}}', '{\"a\":{\"y\":3}}') AS mp3, " +
+          "json_structure(json_object('k', o_orderkey, 's', o_orderstatus)) AS st, " +
+          "json_structure(json_array(o_orderkey, o_custkey)) AS st2, " +
+          "json_structure('[1,2.5]') AS st3, " +
+          "json_structure('[1,\"a\"]') AS st4, " +
+          "json_contains(json_object('a', json_array(o_orderkey, 2)), " +
+          "cast(o_orderkey AS VARCHAR)) AS jc, " +
+          "json_contains('[1,2]', '[2,1]') AS jc2, " +
+          "json_contains('{\"a\":1}', '{\"a\":2}') AS jc3, " +
+          "json_contains('[1.0]', '1') AS jc4 " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  json_merge_patch(json_object('k', o_orderkey, 's', o_orderstatus),
+             |    json_object('s', o_orderpriority, 'n', 1))::VARCHAR AS mp,
+             |  json_merge_patch(json_object('k', o_orderkey), '{"k":null}')::VARCHAR AS mp2,
+             |  json_merge_patch('{"a":{"x":1,"y":2}}', '{"a":{"y":3}}')::VARCHAR AS mp3,
+             |  json_structure(json_object('k', o_orderkey, 's', o_orderstatus))::VARCHAR AS st,
+             |  json_structure(json_array(o_orderkey, o_custkey))::VARCHAR AS st2,
+             |  json_structure('[1,2.5]')::VARCHAR AS st3,
+             |  json_structure('[1,"a"]')::VARCHAR AS st4,
+             |  json_contains(json_object('a', json_array(o_orderkey, 2)),
+             |    cast(o_orderkey AS VARCHAR)) AS jc,
+             |  json_contains('[1,2]', '[2,1]') AS jc2,
+             |  json_contains('{"a":1}', '{"a":2}') AS jc3,
+             |  json_contains('[1.0]', '1') AS jc4
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // Grapheme-cluster string functions: Java's \X regex matches
+    // extended grapheme clusters (UTS #29) — the same segmentation
+    // DuckDB's utf8proc applies. The ZWJ-emoji column pins the hard
+    // case (facepalm + skin tone + ZWJ + male + VS16 = ONE cluster);
+    // negative counts drop from the opposite end, substring follows
+    // the substr window rule.
+    "q_dialect_grapheme" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT c_custkey, " +
+          "length_grapheme(concat('🤦🏼‍♂️', c_name)) AS lg, " +
+          "length(concat('🤦🏼‍♂️', c_name)) AS lc, " +
+          "left_grapheme(concat('🤦🏼‍♂️', c_mktsegment), 3) AS l3, " +
+          "left_grapheme(c_name, 0 - (c_custkey % 4)) AS ln, " +
+          "right_grapheme(concat('é', c_mktsegment), 4) AS r4, " +
+          "substring_grapheme(concat('🤦🏼‍♂️x', c_name), 2, 3) AS sg, " +
+          "substring_grapheme(c_name, 0 - (c_custkey % 5), 4) AS sn " +
+          "FROM customer WHERE c_custkey < 2000 ORDER BY c_custkey"),
+      Some("""SELECT c_custkey,
+             |  length_grapheme(concat('🤦🏼‍♂️', c_name)) AS lg,
+             |  length(concat('🤦🏼‍♂️', c_name)) AS lc,
+             |  left_grapheme(concat('🤦🏼‍♂️', c_mktsegment), 3) AS l3,
+             |  left_grapheme(c_name, 0 - (c_custkey % 4)) AS ln,
+             |  right_grapheme(concat('é', c_mktsegment), 4) AS r4,
+             |  substring_grapheme(concat('🤦🏼‍♂️x', c_name), 2, 3) AS sg,
+             |  substring_grapheme(c_name, 0 - (c_custkey % 5), 4) AS sn
+             |FROM customer WHERE c_custkey < 2000 ORDER BY c_custkey""".stripMargin)),
+
+    // sem: standard error of the mean = stddev_samp/√n (rounded like
+    // the other second-moment gates — cross-engine float accumulation
+    // order differs at the margins).
+    "q_dialect_sem" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderpriority, round(sem(o_totalprice), 2) AS se, " +
+          "count(*) AS n FROM orders GROUP BY o_orderpriority " +
+          "ORDER BY o_orderpriority"),
+      Some("""SELECT o_orderpriority, round(sem(o_totalprice), 2) AS se,
+             |  count(*) AS n FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // Temporal extraction batch 2: century (ceil-of-year/100), ISO
     // weekday (Monday = 1), ISO week + year (the year of the week's
     // Thursday — pinned by early-January dates that belong to the

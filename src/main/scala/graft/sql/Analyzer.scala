@@ -1007,6 +1007,36 @@ object Analyzer {
     * the analyzer's comparability checks, which are permissive across
     * numerics, so int/bigint approximation is harmless.
     */
+  /** DuckDB's spelling of a type (typeof parity): INTEGER not INT,
+    * VARCHAR without a length, BLOB, FLOAT for REAL.
+    */
+  private def duckTypeName(t: SqlType): String = t match {
+    case SqlType.SqlBigInt        => "BIGINT"
+    case SqlType.SqlInt           => "INTEGER"
+    case SqlType.SqlSmallInt      => "SMALLINT"
+    case SqlType.SqlVarChar(_)    => "VARCHAR"
+    case SqlType.SqlVarBinary(_)  => "BLOB"
+    case SqlType.SqlDouble        => "DOUBLE"
+    case SqlType.SqlReal          => "FLOAT"
+    case SqlType.SqlTimestamp     => "TIMESTAMP"
+    case SqlType.SqlDate          => "DATE"
+    case SqlType.SqlBool          => "BOOLEAN"
+    case SqlType.SqlDecimal(p, s) => s"DECIMAL($p,$s)"
+    case SqlType.SqlArray(e)      => s"${duckTypeName(e)}[]"
+    case SqlType.SqlMap(k, v)     => s"MAP(${duckTypeName(k)}, ${duckTypeName(v)})"
+    case SqlType.SqlStruct(fs)    =>
+      s"STRUCT(${fs.map { case (n, ft) => s"$n ${duckTypeName(ft)}" }.mkString(", ")})"
+  }
+
+  /** The column-capable INTERVAL constructors (to_days(n) …): interval-
+    * valued operands, legal only on the right of temporal + / −, exactly
+    * like INTERVAL literals.
+    */
+  private[sql] val IntervalFuncs: Set[String] = Set(
+    "to_years", "to_quarters", "to_months", "to_weeks", "to_days",
+    "to_hours", "to_minutes", "to_seconds", "to_milliseconds",
+    "to_microseconds", "to_decades", "to_centuries", "to_millennia")
+
   private def operandType(o: BoundOperand): SqlType = o match {
     case BoundOperand.BCol(c) => c.attr.sqlType
     case BoundOperand.BLit(Lit.LitLong(_))   => SqlType.SqlBigInt
@@ -1018,6 +1048,9 @@ object Analyzer {
     case BoundOperand.BLit(Lit.LitNull)      => SqlType.SqlVarChar(1)
     case BoundOperand.BArith(_, l, BoundOperand.BInterval(_, _)) =>
       operandType(l) // temporal ± INTERVAL keeps the temporal type
+    case BoundOperand.BArith(_, l, BoundOperand.BFunc(f, _))
+        if IntervalFuncs(f) =>
+      operandType(l) // temporal ± to_days(n) keeps the temporal type
     case BoundOperand.BInterval(_, _) => SqlType.SqlTimestamp // placeholder
     case BoundOperand.BArith(op, l, r) =>
       // decimal arithmetic keeps Spark's DecimalPrecision result shapes
@@ -1161,6 +1194,37 @@ object Analyzer {
            "weekday" | "yearweek" | "era" => SqlType.SqlInt
       case "json_extract" | "json_extract_path" | "json_type" |
            "json_object" | "json_array" => SqlType.SqlVarChar(65535)
+      // wave 9
+      case "encode" => SqlType.SqlVarBinary(65535)
+      case "decode" | "json_quote" | "bar" | "error" |
+           "current_database" | "current_schema" | "version" | "uuid" |
+           "formatreadabledecimalsize" =>
+        SqlType.SqlVarChar(65535)
+      case "epoch_ns" | "length_grapheme" => SqlType.SqlBigInt
+      case "json_merge_patch" | "json_structure" => SqlType.SqlVarChar(65535)
+      case "json_contains" => SqlType.SqlBool
+      case "left_grapheme" | "right_grapheme" | "substring_grapheme" =>
+        SqlType.SqlVarChar(65535)
+      case "md5_number_lower" | "md5_number_upper" => SqlType.SqlDecimal(20, 0)
+      case "like_escape" | "ilike_escape" | "not_like_escape" |
+           "not_ilike_escape" => SqlType.SqlBool
+      case "current_date" => SqlType.SqlDate
+      case "now" => SqlType.SqlTimestamp
+      case "random" => SqlType.SqlDouble
+      case f2 if IntervalFuncs(f2) => SqlType.SqlTimestamp // placeholder
+      case "map_from_entries" => operandType(args.head) match {
+        case SqlType.SqlArray(SqlType.SqlStruct(fs)) if fs.length == 2 =>
+          SqlType.SqlMap(fs(0)._2, fs(1)._2)
+        case other => other
+      }
+      case "struct_insert" => operandType(args.head) match {
+        case SqlType.SqlStruct(fs) =>
+          SqlType.SqlStruct(fs ++ args.tail.grouped(2).collect {
+            case Seq(BoundOperand.BLit(Lit.LitString(k)), v) =>
+              k -> operandType(v)
+          })
+        case other => other
+      }
       case "json_array_length" => SqlType.SqlBigInt
       case "json_keys" => SqlType.SqlArray(SqlType.SqlVarChar(65535))
       case "json_valid" => SqlType.SqlBool
@@ -1303,7 +1367,7 @@ object Analyzer {
     case "grouping" => SqlType.SqlInt
     case "avg" | "stddev" | "variance" | "median" |
          "skewness" | "kurtosis" | "entropy" | "mad" |
-         "product" | "fsum" | "favg" |
+         "product" | "fsum" | "favg" | "sem" |
          "stddev_pop" | "stddev_samp" | "var_pop" | "var_samp" |
          "kurtosis_pop" => SqlType.SqlDouble
     case "approx_count_distinct" => SqlType.SqlBigInt
@@ -3100,6 +3164,17 @@ object Analyzer {
           case "base64"                      => "to_base64"
           case "json_extract_path_text"      => "json_extract_string"
           case "row_to_json"                 => "to_json"
+          // wave 9: bare list-function names (DuckDB synonyms) + the
+          // environment/temporal spellings that share one lowering
+          case "grade_up"                    => "list_grade_up"
+          case "reduce"                      => "list_reduce"
+          case "apply"                       => "list_transform"
+          case "filter"                      => "list_filter"
+          case "aggregate"                   => "list_aggregate"
+          case "formatreadablesize"          => "format_bytes"
+          case "today"                       => "current_date"
+          case "get_current_timestamp" | "transaction_timestamp" => "now"
+          case "gen_random_uuid"             => "uuid"
           case x        => x
         }
         val arityOk = f match {
@@ -3221,6 +3296,29 @@ object Analyzer {
           case "chr" | "ascii" | "to_hex" | "epoch_ms" |
                "epoch" | "epoch_us" => args.length == 1
           case "make_timestamp"      => args.length == 6
+          // wave 9
+          case "typeof" | "encode" | "decode" | "epoch_ns" | "json_quote" |
+               "map_from_entries" | "error" | "md5_number_lower" |
+               "md5_number_upper" => args.length == 1
+          case "nextafter"           => args.length == 2
+          case "struct_insert"       => args.length >= 3 && args.length % 2 == 1
+          case "bar"                 => args.length == 3 || args.length == 4
+          case "like_escape" | "ilike_escape" | "not_like_escape" |
+               "not_ilike_escape" => args.length == 3
+          case "current_date" | "now" | "current_database" |
+               "current_schema" | "version" | "uuid" | "random" =>
+            args.isEmpty
+          case "formatreadabledecimalsize" | "length_grapheme" =>
+            args.length == 1
+          case "left_grapheme" | "right_grapheme" => args.length == 2
+          case "substring_grapheme" => args.length == 3
+          case "json_merge_patch" | "json_contains" => args.length == 2
+          case "json_structure" => args.length == 1
+          case "nextval" | "currval" => args.length == 1
+          case "to_years" | "to_quarters" | "to_months" | "to_weeks" |
+               "to_days" | "to_hours" | "to_minutes" | "to_seconds" |
+               "to_milliseconds" | "to_microseconds" | "to_decades" |
+               "to_centuries" | "to_millennia" => args.length == 1
           case _                     => false
         }
         if (!arityOk)
@@ -3339,6 +3437,24 @@ object Analyzer {
           Left(BadFunction(
             "regexp_replace options must be a string literal over 'g' " +
               "(global), 'i' (case-insensitive), 'c' (case-sensitive)"))
+        // nextval/currval substitute at statement time in FROM-less
+        // SELECTs and INSERT … VALUES rows (the only places row order
+        // is well-defined); reaching the analyzer means an unsupported
+        // position — a distributed scan's row order is nondeterministic
+        else if (f == "nextval" || f == "currval")
+          Left(BadFunction(
+            s"$f is supported in FROM-less SELECTs and INSERT … VALUES " +
+              "rows only (table-scan row order is undefined under a " +
+              "distributed scan)"))
+        // the LIKE escape character compiles into Spark's like expression
+        else if ((f == "like_escape" || f == "ilike_escape" ||
+            f == "not_like_escape" || f == "not_ilike_escape") &&
+          !(args(2) match {
+            case Operand.Literal(Lit.LitString(e)) => e.length == 1
+            case _ => false
+          }))
+          Left(BadFunction(
+            s"$f takes a single-character string-literal escape"))
         else if (f == "split_part" && !((args(1), args(2)) match {
           case (Operand.Literal(Lit.LitString(sep)),
                 Operand.Literal(Lit.LitLong(_))) => sep.nonEmpty
@@ -3486,6 +3602,36 @@ object Analyzer {
               case _ => Left(BadFunction(
                 "struct_extract index/field not found (or the base is not a struct)"))
             }
+            else if (f == "encode" && !(operandType(bargs.head) match {
+              case SqlType.SqlVarChar(_) => true
+              case _ => false
+            }))
+              Left(BadFunction("encode takes a VARCHAR (returns its UTF-8 bytes)"))
+            else if (f == "decode" && !(operandType(bargs.head) match {
+              case SqlType.SqlVarBinary(_) => true
+              case _ => false
+            }))
+              Left(BadFunction("decode takes a BLOB (reads it as UTF-8 text)"))
+            else if (f == "map_from_entries" && !(operandType(bargs.head) match {
+              case SqlType.SqlArray(SqlType.SqlStruct(fs)) => fs.length == 2
+              case _ => false
+            }))
+              Left(BadFunction(
+                "map_from_entries takes a list of two-field structs"))
+            else if (f == "struct_insert") operandType(bargs.head) match {
+              case SqlType.SqlStruct(fs) =>
+                val keys = bargs.tail.grouped(2).map(_.head).collect {
+                  case BoundOperand.BLit(Lit.LitString(k)) => k.toLowerCase
+                }.toSeq
+                if (keys.distinct.length != keys.length)
+                  Left(BadFunction("struct_insert keys must be distinct names"))
+                else keys.find(k => fs.exists(_._1.equalsIgnoreCase(k))) match {
+                  case Some(k) => Left(BadFunction(
+                    s"struct_insert: field $k already exists in the struct"))
+                  case None => Right(bargs)
+                }
+              case _ => Left(BadFunction("struct_insert base must be a struct"))
+            }
             else Right(bargs)
           }.map { bargs =>
             // the bracket postfix parses as list_extract/list_slice; on a
@@ -3501,9 +3647,15 @@ object Analyzer {
             }
             def mapBase = bargs.nonEmpty &&
               operandType(bargs.head).isInstanceOf[SqlType.SqlMap]
+            // typeof folds to the analyzed DuckDB type name — a literal,
+            // zero execution (integer literals read BIGINT here where
+            // DuckDB narrows small ones to INTEGER; documented)
+            if (f == "typeof")
+              BoundOperand.BLit(
+                Lit.LitString(duckTypeName(operandType(bargs.head))))
             // m['k'] parses as list_extract; on a MAP base it is
             // DuckDB's map subscript → a LIST of the value
-            if (f == "list_extract" && bargs.length == 2 && mapBase)
+            else if (f == "list_extract" && bargs.length == 2 && mapBase)
               BoundOperand.BFunc("map_extract", bargs)
             else if (f == "list_extract" && bargs.length == 2 && strBase)
               BoundOperand.BFunc("str_extract", bargs)
@@ -3617,6 +3769,17 @@ object Analyzer {
                 Right(BoundOperand.BArith(ch, bl, br))
               else Left(BadFunction(
                 "INTERVAL is only valid as <date/timestamp> + or - INTERVAL"))
+            // the to_days(n)-family constructors are interval-valued:
+            // same placement rule as INTERVAL literals, but the count
+            // can be any expression (column-capable)
+            case (_, BoundOperand.BFunc(ivf, _)) if IntervalFuncs(ivf) =>
+              if ((ch == '+' || ch == '-') && temporal(bl))
+                Right(BoundOperand.BArith(ch, bl, br))
+              else Left(BadFunction(
+                s"$ivf is INTERVAL-valued: only <date/timestamp> + or - $ivf(n)"))
+            case (BoundOperand.BFunc(ivf, _), _) if IntervalFuncs(ivf) =>
+              Left(BadFunction(
+                s"$ivf is INTERVAL-valued: it must be the RIGHT operand of + or -"))
             case (BoundOperand.BInterval(_, _), _) =>
               Left(BadFunction(
                 "INTERVAL must be the RIGHT operand of + or - (date + INTERVAL)"))
@@ -3866,7 +4029,7 @@ object Analyzer {
           val numericAgg =
             Set("sum", "avg", "stddev", "variance", "median",
               "skewness", "kurtosis", "mad", "product", "fsum", "favg",
-              "stddev_pop", "stddev_samp", "var_pop", "var_samp",
+              "sem", "stddev_pop", "stddev_samp", "var_pop", "var_samp",
               "kurtosis_pop")(f)
           val badCol = b match {
             case BoundOperand.BCol(c) if numericAgg &&
@@ -3903,7 +4066,7 @@ object Analyzer {
               Left(BadFunction("grouping() is not a window function"))
             else if (f == "skewness" || f == "kurtosis" ||
                 f == "entropy" || f == "mad" || f == "histogram" ||
-                f == "product")
+                f == "product" || f == "sem")
               Left(BadFunction(
                 s"$f is not supported in window position (group scope only)"))
             else if ((ranking || shifting) && ord.isEmpty)

@@ -378,6 +378,22 @@ object Ast {
     */
   final case class DropTree(table: String, ifExists: Boolean) extends ParseTree
 
+  /** CREATE [OR REPLACE] SEQUENCE [IF NOT EXISTS] name
+    * [INCREMENT [BY] n] [MINVALUE n] [MAXVALUE n] [START [WITH] n]
+    * [CYCLE | NO CYCLE] — a named monotone counter (DuckDB surface).
+    * nextval('name')/currval('name') substitute in FROM-less SELECTs
+    * and INSERT … VALUES rows at statement time (driver-side counter —
+    * the one place row order is well-defined; a distributed scan's
+    * row order is not, so table-sourced nextval rejects loudly).
+    */
+  final case class CreateSequenceTree(name: String, start: Option[Long],
+      inc: Option[Long], minv: Option[Long], maxv: Option[Long],
+      cycle: Boolean, ifNotExists: Boolean,
+      orReplace: Boolean) extends ParseTree
+
+  final case class DropSequenceTree(name: String,
+      ifExists: Boolean) extends ParseTree
+
   /** CREATE VIEW name AS <select> — a named stored query; references
     * substitute like CTEs at query time (GraftDatabase keeps the
     * registry and persists the statement text).

@@ -60,10 +60,19 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   private val matviews = mutable.LinkedHashMap.empty[String, ParseTree]
   private val matviewSql = mutable.LinkedHashMap.empty[String, String]
 
+  /** Named sequences (DuckDB CREATE SEQUENCE): a driver-side counter —
+    * current is None until the first nextval. State persists with the
+    * catalog so allocated ids stay monotone across reopen.
+    */
+  private final case class SeqState(start: Long, inc: Long, minv: Long,
+      maxv: Long, cycle: Boolean, var current: Option[Long])
+  private val sequences = mutable.LinkedHashMap.empty[String, SeqState]
+
   Files.createDirectories(Paths.get(warehouse))
   loadCatalog()
   loadViews()
   loadMatViews()
+  loadSequences()
 
   private object cat extends Catalog {
     def resolve(t: String): Option[TableDesc] = tables.get(t.toLowerCase)
@@ -152,6 +161,8 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         createMatView(name, body, bucket, sql)
       case Ast.RefreshMatViewTree(name) => refreshMatView(name)
       case Ast.DropMatViewTree(name, ifExists) => dropMatView(name, ifExists)
+      case t: Ast.CreateSequenceTree => createSequence(t)
+      case Ast.DropSequenceTree(n, ife) => dropSequence(n, ife)
       case t: Ast.PivotTree          => pivotStmt(t)
       case t: Ast.UnpivotTree        => unpivotStmt(t)
       // CREATE INDEX: validated, then NO-OP'd with a notice — the
@@ -235,8 +246,13 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case t @ Ast.CreateAsTree(n, _, _) if views.contains(n.toLowerCase) =>
         Left(ViewError(s"relation '$n' already exists as a view"))
       case tree0 =>
-        // stored views substitute like CTEs before analysis
-        val tree = Parser.substituteViews(tree0, views.toMap)
+        // sequences substitute first (nextval allocates in textual row
+        // order), then stored views like CTEs, before analysis
+        val tree1 = substituteSequences(tree0) match {
+          case Left(e)  => return Left(e)
+          case Right(t) => t
+        }
+        val tree = Parser.substituteViews(tree1, views.toMap)
         for {
           bound <- Analyzer.analyze(tree, cat).left.map(AnalyzeFailed)
           // RETURNING wraps DELETE/UPDATE — the guards below apply to
@@ -677,6 +693,150 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       rewriteTable(desc, readTable(desc).limit(0))
       Done(s"truncated ${desc.name}")
     }
+
+  // ---- sequences: driver-side named counters (DuckDB surface) ----
+
+  private def sequencesPath = Paths.get(s"$warehouse/sequences.json")
+
+  private def saveSequences(): Unit = {
+    val lines = sequences.map { case (n, s) =>
+      s"$n,${s.start},${s.inc},${s.minv},${s.maxv},${s.cycle}," +
+        s.current.map(_.toString).getOrElse("")
+    }
+    Files.write(sequencesPath, lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def loadSequences(): Unit = {
+    if (!Files.exists(sequencesPath)) return
+    Files.readAllLines(sequencesPath).asScala.filter(_.nonEmpty).foreach { l =>
+      l.split(",", -1) match {
+        case Array(n, st, inc, mn, mx, cy, cur) =>
+          sequences(n) = SeqState(st.toLong, inc.toLong, mn.toLong,
+            mx.toLong, cy.toBoolean,
+            if (cur.isEmpty) None else Some(cur.toLong))
+        case _ => () // corrupted line: skip rather than brick the catalog
+      }
+    }
+  }
+
+  private def createSequence(t: Ast.CreateSequenceTree)
+      : Either[QueryError, QueryResult] = {
+    if (sequences.contains(t.name) && t.ifNotExists)
+      return Right(Done(s"sequence '${t.name}' already exists, skipped"))
+    if (sequences.contains(t.name) && !t.orReplace)
+      return Left(ViewError(s"sequence '${t.name}' already exists"))
+    val inc = t.inc.getOrElse(1L)
+    if (inc == 0L) return Left(ViewError("INCREMENT must be non-zero"))
+    // Postgres/DuckDB defaults: ascending sequences run [1, Long.Max]
+    // starting at MINVALUE; descending run [Long.Min, -1] starting at
+    // MAXVALUE
+    val minv = t.minv.getOrElse(if (inc > 0) 1L else Long.MinValue)
+    val maxv = t.maxv.getOrElse(if (inc > 0) Long.MaxValue else -1L)
+    val start = t.start.getOrElse(if (inc > 0) minv else maxv)
+    if (minv > maxv)
+      return Left(ViewError(s"MINVALUE ($minv) cannot exceed MAXVALUE ($maxv)"))
+    if (start < minv || start > maxv)
+      return Left(ViewError(
+        s"START value ($start) must lie in [$minv, $maxv]"))
+    sequences(t.name) = SeqState(start, inc, minv, maxv, t.cycle, None)
+    saveSequences()
+    Right(Done(s"created sequence ${t.name}"))
+  }
+
+  private def dropSequence(name: String,
+      ifExists: Boolean): Either[QueryError, QueryResult] =
+    if (sequences.remove(name).isDefined) {
+      saveSequences()
+      Right(Done(s"dropped sequence $name"))
+    } else if (ifExists) Right(Done(s"sequence '$name' does not exist, skipped"))
+    else Left(ViewError(s"sequence '$name' does not exist"))
+
+  private def seqNext(name: String): Either[QueryError, Long] =
+    sequences.get(name.toLowerCase) match {
+      case None => Left(ViewError(s"sequence '$name' does not exist"))
+      case Some(s) =>
+        // overflow-safe step: a Long overflow IS out-of-bounds (the
+        // default bounds are Long.MaxValue/MinValue themselves)
+        val next: Option[Long] = s.current match {
+          case None => Some(s.start)
+          case Some(c) =>
+            try Some(Math.addExact(c, s.inc))
+            catch { case _: ArithmeticException => None }
+        }
+        next match {
+          case Some(v) if v <= s.maxv && v >= s.minv =>
+            s.current = Some(v)
+            saveSequences()
+            Right(v)
+          case _ if s.cycle =>
+            val wrapped = if (s.inc > 0) s.minv else s.maxv
+            s.current = Some(wrapped)
+            saveSequences()
+            Right(wrapped)
+          case _ => Left(ViewError(
+            s"nextval: reached the ${if (s.inc > 0) "maximum" else "minimum"} " +
+              s"value of sequence \"$name\""))
+        }
+    }
+
+  private def seqCurr(name: String): Either[QueryError, Long] =
+    sequences.get(name.toLowerCase) match {
+      case None => Left(ViewError(s"sequence '$name' does not exist"))
+      case Some(s) => s.current match {
+        case None => Left(ViewError(
+          s"currval: sequence '$name' has no value yet (call nextval first)"))
+        case Some(c) => Right(c)
+      }
+    }
+
+  /** Substitute nextval/currval with allocated literals inside the
+    * positions where row order is textual (FROM-less SELECT items —
+    * which is also what INSERT … VALUES expression rows desugar to):
+    * rows left-to-right, items left-to-right, exactly DuckDB's order.
+    * Anywhere else the calls survive to the analyzer's pointed reject.
+    */
+  private final class SeqSubstErr(val err: QueryError) extends RuntimeException
+  private def substituteSequences(tree: ParseTree)
+      : Either[QueryError, ParseTree] = {
+    if (sequences.isEmpty) return Right(tree)
+    def walkOp(o: Ast.Operand): Ast.Operand = o match {
+      case Ast.Operand.FuncCall(f,
+          Seq(Ast.Operand.Literal(Lit.LitString(sn))))
+          if f == "nextval" || f == "currval" =>
+        val v = (if (f == "nextval") seqNext(sn) else seqCurr(sn)) match {
+          case Left(e)  => throw new SeqSubstErr(e)
+          case Right(x) => x
+        }
+        Ast.Operand.Literal(Lit.LitLong(v))
+      case Ast.Operand.FuncCall(f, as) =>
+        Ast.Operand.FuncCall(f, as.map(walkOp))
+      case Ast.Operand.Arith(op, l, r) =>
+        Ast.Operand.Arith(op, walkOp(l), walkOp(r))
+      case Ast.Operand.Cast(x, t)    => Ast.Operand.Cast(walkOp(x), t)
+      case Ast.Operand.TryCast(x, t) => Ast.Operand.TryCast(walkOp(x), t)
+      case Ast.Operand.CaseWhen(bs, els) =>
+        Ast.Operand.CaseWhen(bs.map { case (e, v) => (e, walkOp(v)) },
+          els.map(walkOp))
+      case other => other
+    }
+    def walkSelect(s: Ast.SelectTree): Ast.SelectTree =
+      if (s.from.nonEmpty) s
+      else s.copy(columns = s.columns.map(_.map {
+        case Ast.SelectItem.SExpr(op, a) =>
+          Ast.SelectItem.SExpr(walkOp(op), a)
+        case other => other
+      }))
+    def walkTop(t: ParseTree): ParseTree = t match {
+      case s: Ast.SelectTree => walkSelect(s)
+      case u: Ast.UnionTree =>
+        u.copy(first = walkSelect(u.first),
+          rest = u.rest.map { case (c, s) => (c, walkSelect(s)) })
+      case ins: Ast.InsertSelectTree => ins.copy(select = walkTop(ins.select))
+      case other => other
+    }
+    try Right(walkTop(tree))
+    catch { case e: SeqSubstErr => Left(e.err) }
+  }
 
   // ---- stored views: named queries substituted like CTEs ----
 

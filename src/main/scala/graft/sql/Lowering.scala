@@ -322,6 +322,12 @@ object Lowering {
             sum(lowerOperandWith(a, qcol).cast("double"))
           case ("favg", Some(a)) =>
             avg(lowerOperandWith(a, qcol).cast("double"))
+          // sem: standard error of the mean — DuckDB's is the
+          // POPULATION form stddev_pop/√n (probed against both
+          // stddev variants on grouped fixtures)
+          case ("sem", Some(a)) =>
+            val c = lowerOperandWith(a, qcol)
+            stddev_pop(c) / sqrt(count(c).cast("double"))
           // population/sample variance family: Spark natives share
           // DuckDB's formulas exactly
           case ("stddev_pop", Some(a))  => stddev_pop(lowerOperandWith(a, qcol))
@@ -2666,6 +2672,27 @@ object Lowering {
     case (true, Some(e))  => ilike(c, lit(pat), lit(e.toString))
   }
 
+  /** Calls whose result IS JSON text — their values embed raw inside
+    * json_object/json_array (the JSON type propagates, DuckDB parity).
+    */
+  private val JsonProducing = Set("json_object", "json_array",
+    "json_merge_patch", "json_extract", "json_extract_path", "json_quote")
+
+  /** One scalar as JSON text: to_json(array(x)) with the brackets
+    * stripped — exact JSON escaping, and a NULL element stays 'null'
+    * (array elements survive where to_json drops NULL struct fields).
+    */
+  private def jsonScalarText(c: Column): Column = {
+    val j = to_json(array(c))
+    j.substr(lit(2), length(j) - 2)
+  }
+
+  private def jsonValueText(o: BoundOperand,
+      rec: BoundOperand => Column): Column = o match {
+    case BoundOperand.BFunc(jf, _) if JsonProducing(jf) => rec(o)
+    case _ => jsonScalarText(rec(o))
+  }
+
   private[sql] def cmpCols(op: Ast.CmpOp, lc: Column, rc: Column): Column = op match {
     case Ast.CmpOp.Eq  => lc === rc
     case Ast.CmpOp.Neq => lc =!= rc
@@ -3028,6 +3055,149 @@ object Lowering {
             when(abs(x) >= pow(kib, k) && abs(x) < upper,
               concat(scaled(k), lit(s" $u"))).otherwise(els)
       }
+    // ---- wave 9: environment / misc scalars ----
+    // encode/decode: VARCHAR ⇄ its UTF-8 bytes. decode of invalid UTF-8
+    // substitutes U+FFFD here where DuckDB errors (documented posture —
+    // a cast can't raise mid-codegen without losing the fast path)
+    case ("encode", Seq(a)) => rec(a).cast("binary")
+    case ("decode", Seq(a)) => rec(a).cast("string")
+    case ("epoch_ns", Seq(a)) =>
+      unix_micros(rec(a).cast("timestamp")) * lit(1000L)
+    case ("nextafter", Seq(a, b)) =>
+      graft.functions.NumericFunctions.nextafter(
+        rec(a).cast("double"), rec(b).cast("double"))
+    case ("map_from_entries", Seq(a)) => map_from_entries(rec(a))
+    case ("struct_insert", as) =>
+      as.tail.grouped(2).foldLeft(rec(as.head)) {
+        case (c, Seq(BoundOperand.BLit(Lit.LitString(k)), v)) =>
+          c.withField(k, rec(v))
+        case other => sys.error(s"unreachable struct_insert shape $other")
+      }
+    // error('msg') raises with the user's message (DuckDB wraps it as
+    // "Invalid Input Error: msg"; the wrapper text is engine-specific)
+    case ("error", Seq(a)) => raise_error(rec(a).cast("string")).cast("string")
+    // json_quote: serialize ONE value — ride to_json of a 1-element
+    // array and strip the brackets (escaping comes out exactly JSON's)
+    case ("json_quote", Seq(a)) => jsonScalarText(rec(a))
+    case ("like_escape", Seq(a, b, BoundOperand.BLit(Lit.LitString(e)))) =>
+      like(rec(a), rec(b), lit(e))
+    case ("ilike_escape", Seq(a, b, BoundOperand.BLit(Lit.LitString(e)))) =>
+      ilike(rec(a), rec(b), lit(e))
+    case ("not_like_escape", Seq(a, b, BoundOperand.BLit(Lit.LitString(e)))) =>
+      !like(rec(a), rec(b), lit(e))
+    case ("not_ilike_escape", Seq(a, b, BoundOperand.BLit(Lit.LitString(e)))) =>
+      !ilike(rec(a), rec(b), lit(e))
+    case ("current_date", Seq())   => current_date()
+    case ("now", Seq())            => current_timestamp()
+    // environment introspection: the in-memory defaults — DuckDB's own
+    // answers for an unnamed session; version is honest (engine-specific)
+    case ("current_database", Seq()) => lit("memory")
+    case ("current_schema", Seq())   => lit("main")
+    case ("version", Seq())          => lit("v1.0.0-graft")
+    case ("uuid", Seq())             => expr("uuid()")
+    case ("random", Seq())           => rand()
+    // md5_number_lower/upper: the digest's last/first 8 bytes read as a
+    // LITTLE-ENDIAN unsigned 64-bit number (DuckDB probed against
+    // hashlib) — reverse the hex byte pairs, conv(…,16,10) is unsigned,
+    // DECIMAL(20,0) carries the full range
+    case (fn9 @ ("md5_number_lower" | "md5_number_upper"), Seq(a)) =>
+      val h = md5(rec(a).cast("string"))
+      val positions =
+        if (fn9 == "md5_number_lower") Seq(31, 29, 27, 25, 23, 21, 19, 17)
+        else Seq(15, 13, 11, 9, 7, 5, 3, 1)
+      val beHex = concat(positions.map(i => h.substr(lit(i), lit(2))): _*)
+      conv(beHex, 16, 10).cast("decimal(20,0)")
+    // formatReadableDecimalSize: format_bytes' base-1000 sibling
+    // (KB/MB/…; same truncate-to-one-decimal rule)
+    case ("formatreadabledecimalsize", Seq(a)) =>
+      val x = rec(a).cast("double")
+      def scaled(k: Int): Column = {
+        val v = x / math.pow(1000.0, k)
+        val t = signum(v) * floor(abs(v) * 10) / 10
+        format_string("%.1f", t)
+      }
+      val units = Seq("kB", "MB", "GB", "TB", "PB") // DuckDB's lowercase k
+      val kb = lit(1000.0)
+      units.zipWithIndex.foldRight(
+        concat(rec(a).cast("string"),
+          when(abs(x) === 1.0, lit(" byte")).otherwise(lit(" bytes")))) {
+        case ((u, i), els) =>
+          val k = i + 1
+          if (u == "PB")
+            when(abs(x) >= pow(kb, k), concat(scaled(k), lit(s" $u")))
+              .otherwise(els)
+          else
+            when(abs(x) >= pow(kb, k) && abs(x) < pow(kb, k + 1),
+              concat(scaled(k), lit(s" $u"))).otherwise(els)
+      }
+    // bar(x, min, max [, width=80]): full blocks + one floor'd eighth
+    // block, out-of-range fractions render EMPTY, and the space padding
+    // counts BYTES (each block char is 3 UTF-8 bytes) — all DuckDB 1.0
+    // probed quirks
+    case ("bar", as) if as.length == 3 || as.length == 4 =>
+      val x = rec(as(0)).cast("double")
+      val w = as.lift(3).map(rec(_).cast("double")).getOrElse(lit(80.0))
+      val frac = (x - rec(as(1)).cast("double")) /
+        (rec(as(2)).cast("double") - rec(as(1)).cast("double"))
+      val blocksExact = when(frac >= 0 && frac <= 1, frac * w)
+        .otherwise(lit(0.0))
+      val full = floor(blocksExact).cast("int")
+      val eighth = floor((blocksExact - full) * 8).cast("int")
+      val eighthChar = element_at(
+        array(Seq("", "▏", "▎", "▍", "▌", "▋",
+          "▊", "▉").map(lit): _*), eighth + 1)
+      val body = concat(
+        call_function("repeat", lit("█"), full), eighthChar)
+      val byteLen = (full + when(eighth > 0, 1).otherwise(0)) * 3
+      concat(body, call_function("repeat", lit(" "),
+        greatest(w.cast("int") - byteLen, lit(0))))
+    // to_days(n)-family INTERVAL constructors (column-capable where the
+    // literal syntax is parse-time-fixed); placement enforced by the
+    // analyzer, so these only ever feed temporal + / −
+    case (ivf, Seq(n0)) if Analyzer.IntervalFuncs(ivf) =>
+      val n = rec(n0)
+      val z = lit(0)
+      ivf match {
+        case "to_years"    => make_interval(n.cast("int"))
+        case "to_decades"  => make_interval((n * 10).cast("int"))
+        case "to_centuries" => make_interval((n * 100).cast("int"))
+        case "to_millennia" => make_interval((n * 1000).cast("int"))
+        case "to_quarters" => make_interval(z, (n * 3).cast("int"))
+        case "to_months"   => make_interval(z, n.cast("int"))
+        case "to_weeks"    => make_interval(z, z, n.cast("int"))
+        case "to_days"     => make_interval(z, z, z, n.cast("int"))
+        case "to_hours"    => make_interval(z, z, z, z, n.cast("int"))
+        case "to_minutes"  => make_interval(z, z, z, z, z, n.cast("int"))
+        case "to_seconds"  =>
+          make_interval(z, z, z, z, z, z, n.cast("decimal(18,6)"))
+        case "to_milliseconds" =>
+          make_interval(z, z, z, z, z, z,
+            (n.cast("decimal(18,3)") / 1000).cast("decimal(18,6)"))
+        case "to_microseconds" =>
+          make_interval(z, z, z, z, z, z,
+            (n.cast("decimal(18,0)") / 1000000).cast("decimal(18,6)"))
+        case other => sys.error(s"unreachable interval constructor $other")
+      }
+    // JSON document algebra (Jackson tree walks; DuckDB 1.0 probed)
+    case ("json_merge_patch", Seq(a, b)) =>
+      graft.functions.JsonFunctions.mergePatch(
+        rec(a).cast("string"), rec(b).cast("string"))
+    case ("json_structure", Seq(a)) =>
+      graft.functions.JsonFunctions.structure(rec(a).cast("string"))
+    case ("json_contains", Seq(a, b)) =>
+      graft.functions.JsonFunctions.jsonContains(
+        rec(a).cast("string"), rec(b).cast("string"))
+    // grapheme-cluster string functions (UTS #29 segmentation — Java's
+    // \X regex matches DuckDB's utf8proc clusters; ZWJ-emoji verified)
+    case ("length_grapheme", Seq(a)) =>
+      graft.functions.StringFunctions.lengthGrapheme(rec(a))
+    case ("left_grapheme", Seq(a, n)) =>
+      graft.functions.StringFunctions.leftGrapheme(rec(a), rec(n).cast("long"))
+    case ("right_grapheme", Seq(a, n)) =>
+      graft.functions.StringFunctions.rightGrapheme(rec(a), rec(n).cast("long"))
+    case ("substring_grapheme", Seq(a, st, ln)) =>
+      graft.functions.StringFunctions.substringGrapheme(
+        rec(a), rec(st).cast("long"), rec(ln).cast("long"))
     // fused-loop vector expressions (the ANN operators' DotProduct /
     // L2Distance); unequal dimensions raise like DuckDB
     case ("list_dot_product" | "list_inner_product", Seq(a, b)) =>
@@ -3138,11 +3308,25 @@ object Lowering {
         .when(sch === "BIGINT" || sch.rlike("^DECIMAL\\([0-9]+,0\\)$"),
           when(num >= 0, lit("UBIGINT")).otherwise(lit("BIGINT")))
         .otherwise(lit("DOUBLE"))
-    // json_object: alternating literal keys — named_struct keeps field
-    // order, so to_json emits DuckDB's exact text
+    // json_object / json_array: built by concat so the JSON TYPE
+    // PROPAGATES — a nested json_array/json_object/json_extract value
+    // embeds raw where the old to_json(named_struct) route quoted it
+    // as a string ('{"a":[0,2]}', not '{"a":"[0,2]"}'); NULL values
+    // read null (DuckDB probed — Spark's to_json would omit the field).
+    // Scalar serialization rides to_json(array(x)) with the brackets
+    // stripped (exact JSON escaping, arrays keep null elements).
     case ("json_object", as) if as.length % 2 == 0 =>
-      to_json(named_struct(as.map(rec): _*))
-    case ("json_array", as) => to_json(array(as.map(rec): _*))
+      val parts = as.grouped(2).map { pair =>
+        val Seq(BoundOperand.BLit(Lit.LitString(key)), v) = pair: @unchecked
+        concat(jsonScalarText(lit(key)), lit(":"), jsonValueText(v, rec))
+      }.toSeq
+      if (parts.isEmpty) lit("{}")
+      else concat(lit("{") +: parts.flatMap(p => Seq(lit(","), p)).tail :+ lit("}"): _*)
+    case ("json_array", as) =>
+      if (as.isEmpty) lit("[]")
+      else concat(lit("[") +:
+        as.map(v => jsonValueText(v, rec)).flatMap(p => Seq(lit(","), p)).tail :+
+        lit("]"): _*)
     // wave-8 scalar batch (all DuckDB 1.0 probed)
     // bin: binary text of an integer (Spark's native bin matches;
     // DuckDB's string-input form — per-byte expansion — is not taken,

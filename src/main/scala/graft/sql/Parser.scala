@@ -161,7 +161,7 @@ object Parser {
     "stddev", "variance", "median", "grouping",
     "mode", "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor",
     "skewness", "kurtosis", "entropy", "mad", "histogram", "product",
-    "any_value", "fsum", "favg",
+    "any_value", "fsum", "favg", "sem",
     "stddev_pop", "stddev_samp", "var_pop", "var_samp", "kurtosis_pop",
     "mean", "arbitrary", "kahan_sum", "sumkahan", "approx_count_distinct")
   private val winFuncs = Set("row_number", "rank", "dense_rank", "lag", "lead",
@@ -232,7 +232,28 @@ object Parser {
     // JSON family
     "json_extract", "json_extract_path", "json_extract_path_text",
     "json_array_length", "json_keys", "json_valid", "json_type",
-    "json_object", "json_array", "row_to_json")
+    "json_object", "json_array", "row_to_json",
+    // wave 9: environment / misc scalars + list-function bare aliases
+    "typeof", "encode", "decode", "epoch_ns", "nextafter",
+    "map_from_entries", "struct_insert", "bar", "error", "json_quote",
+    "like_escape", "ilike_escape", "not_like_escape", "not_ilike_escape",
+    "md5_number_lower", "md5_number_upper",
+    "current_date", "today", "now", "get_current_timestamp",
+    "transaction_timestamp", "current_database", "current_schema",
+    "version", "uuid", "gen_random_uuid", "random",
+    "grade_up", "reduce", "apply", "filter", "aggregate",
+    "formatreadablesize", "formatreadabledecimalsize",
+    // wave 9: INTERVAL constructors (column-capable, unlike literals)
+    "to_years", "to_quarters", "to_months", "to_weeks", "to_days",
+    "to_hours", "to_minutes", "to_seconds", "to_milliseconds",
+    "to_microseconds", "to_decades", "to_centuries", "to_millennia",
+    // wave 9: grapheme-cluster string functions
+    "length_grapheme", "left_grapheme", "right_grapheme",
+    "substring_grapheme",
+    // wave 9: JSON document algebra
+    "json_merge_patch", "json_structure", "json_contains",
+    // wave 9: sequences (substituted at statement time)
+    "nextval", "currval")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** FROM-position file readers → formats (DuckDB's read_* family;
@@ -2572,6 +2593,34 @@ object Parser {
           } yield r
         }
       packs(Vector.empty).map(fs => Operand.FuncCall("struct_pack", fs): Operand)
+    // struct_insert(s, k := v, …) — extend a struct with new fields;
+    // keys interleave as string literals after the base operand (one
+    // plain FuncCall, same walker-free shape as struct_pack)
+    case TIdent(f, _) if f.equalsIgnoreCase("struct_insert") && {
+        val save = p.i; p.next()
+        val par = p.peek match { case TSym("(", _) => true; case _ => false }
+        p.i = save; par
+      } =>
+      p.next(); p.next() // struct_insert (
+      parseOperand(p, allowAgg).flatMap { base =>
+        def packs(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+          p.ident().flatMap { k =>
+            for {
+              _ <- p.eatSym(":=")
+              v <- parseOperand(p, allowAgg)
+              r <- p.peek match {
+                case TSym(",", _) =>
+                  p.next(); packs(acc ++ Seq(Operand.Literal(Lit.LitString(k)), v))
+                case _ => p.eatSym(")").map(_ =>
+                  acc ++ Seq(Operand.Literal(Lit.LitString(k)), v))
+              }
+            } yield r
+          }
+        for {
+          _ <- p.eatSym(",")
+          fs <- packs(Vector.empty)
+        } yield Operand.FuncCall("struct_insert", base +: fs): Operand
+      }
     // [a, b, …] list literal (DuckDB bracket syntax) → list_value(...)
     case TSym("[", _) =>
       p.next()
@@ -3471,6 +3520,7 @@ object Parser {
           p.next(); p.eatKw("view").map(_ => 2)
         }
         else if (p.isKw("view")) { p.next(); Right(1) }
+        else if (p.isKw("sequence")) { p.next(); Right(3) }
         else p.eatKw("table").map(_ => 0)
       ifExists <- Right {
         if (p.isKw("if")) {
@@ -3480,6 +3530,7 @@ object Parser {
       }
       name <- p.ident()
     } yield kind match {
+      case 3 => DropSequenceTree(name.toLowerCase, ifExists)
       case 2 => DropMatViewTree(name.toLowerCase, ifExists)
       case 1 => DropViewTree(name.toLowerCase, ifExists)
       case _ => DropTree(name, ifExists)
@@ -4076,6 +4127,47 @@ object Parser {
             _ <- p.eatKw("as")
             body <- if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p)
           } yield (CreateViewTree(name.toLowerCase, body): ParseTree, ine)
+        else if (p.isKw("sequence"))
+          for {
+            _ <- p.eatKw("sequence")
+            ine <- ifNotExists()
+            name <- p.ident()
+            opts <- {
+              def signedLong(): Either[ParseError, Long] = p.peek match {
+                case TSym("-", _) => p.next(); p.peek match {
+                  case TInt(v, _) => p.next(); Right(-v)
+                  case t => Left(ParseError("expected an integer", t.pos))
+                }
+                case TInt(v, _) => p.next(); Right(v)
+                case t => Left(ParseError("expected an integer", t.pos))
+              }
+              def loop(start: Option[Long], inc: Option[Long],
+                  minv: Option[Long], maxv: Option[Long], cycle: Boolean)
+                  : Either[ParseError, (Option[Long], Option[Long],
+                    Option[Long], Option[Long], Boolean)] =
+                if (p.isKw("increment")) {
+                  p.next(); if (p.isKw("by")) p.next()
+                  signedLong().flatMap(v => loop(start, Some(v), minv, maxv, cycle))
+                } else if (p.isKw("minvalue")) {
+                  p.next(); signedLong().flatMap(v => loop(start, inc, Some(v), maxv, cycle))
+                } else if (p.isKw("maxvalue")) {
+                  p.next(); signedLong().flatMap(v => loop(start, inc, minv, Some(v), cycle))
+                } else if (p.isKw("start")) {
+                  p.next(); if (p.isKw("with")) p.next()
+                  signedLong().flatMap(v => loop(Some(v), inc, minv, maxv, cycle))
+                } else if (p.isKw("cycle")) {
+                  p.next(); loop(start, inc, minv, maxv, cycle = true)
+                } else if (p.isKw("no")) {
+                  p.next()
+                  if (p.isKw("cycle") || p.isKw("minvalue") || p.isKw("maxvalue")) {
+                    p.next(); loop(start, inc, minv, maxv, cycle)
+                  } else Left(ParseError(
+                    "expected CYCLE/MINVALUE/MAXVALUE after NO", p.peek.pos))
+                } else Right((start, inc, minv, maxv, cycle))
+              loop(None, None, None, None, cycle = false)
+            }
+          } yield (CreateSequenceTree(name.toLowerCase, opts._1, opts._2,
+            opts._3, opts._4, opts._5, ine, orReplace): ParseTree, false)
         else if (p.isKw("unique") || p.isKw("index"))
           for {
             unique <- Right { if (p.isKw("unique")) { p.next(); true } else false }
@@ -4119,7 +4211,8 @@ object Parser {
     } yield
       // an index create is a no-op either way — mode wrappers drop
       if ((orReplace || inner._2) &&
-          !inner._1.isInstanceOf[CreateIndexTree])
+          !inner._1.isInstanceOf[CreateIndexTree] &&
+          !inner._1.isInstanceOf[CreateSequenceTree])
         CreateModeTree(inner._1, orReplace, inner._2)
       else inner._1
   }

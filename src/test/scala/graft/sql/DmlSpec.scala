@@ -497,4 +497,64 @@ class DmlSpec extends AnyFunSuite {
     assert(g.select("SELECT id, tag, n FROM t2 WHERE id = 99").toOption.get
       .collect().toSeq == Seq(Row(99, null, 21)))
   }
+  // ---- sequences (driver-side named counters, DuckDB surface) ----
+
+  test("sequences: allocation order, currval, options, persistence") {
+    val wh = Files.createTempDirectory("graft-seq-wh").toString
+    val g = new GraftDatabase(spark, wh)
+    g.query("CREATE SEQUENCE ids START 100 INCREMENT 3")
+      .fold(e => fail(e.msg), identity)
+    g.query("CREATE TABLE st (id BIGINT, v VARCHAR(5))")
+    g.query("INSERT INTO st VALUES (nextval('ids'), 'a'), (nextval('ids'), 'b')")
+      .fold(e => fail(e.msg), identity)
+    val got = g.select("SELECT id FROM st").toOption.get
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(100L, 103L))
+    // currval in a FROM-less select
+    val cur = g.select("SELECT currval('ids') AS c").toOption.get
+      .collect().head.getLong(0)
+    assert(cur == 103L)
+    // state persists across reopen (monotone ids)
+    val g2 = new GraftDatabase(spark, wh)
+    val nxt = g2.select("SELECT nextval('ids') AS n").toOption.get
+      .collect().head.getLong(0)
+    assert(nxt == 106L)
+  }
+
+  test("sequences: bounds, cycle, descending defaults, error surfaces") {
+    val g = new GraftDatabase(spark,
+      Files.createTempDirectory("graft-seq-wh2").toString)
+    g.query("CREATE SEQUENCE cap START 1 MAXVALUE 2")
+    g.query("SELECT nextval('cap') AS a, nextval('cap') AS b")
+      .fold(e => fail(e.msg), identity)
+    val Left(overMax) = g.query("SELECT nextval('cap') AS a"): @unchecked
+    assert(overMax.msg.contains("maximum"))
+    g.query("CREATE SEQUENCE cyc START 1 MAXVALUE 2 CYCLE")
+    val r = g.select("SELECT nextval('cyc') AS a, nextval('cyc') AS b, " +
+      "nextval('cyc') AS c").toOption.get.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 2L, 1L)))
+    // descending default: starts at MAXVALUE
+    g.query("CREATE SEQUENCE dsc INCREMENT BY -2 MAXVALUE 50")
+    val d = g.select("SELECT nextval('dsc') AS a, nextval('dsc') AS b")
+      .toOption.get.collect().head
+    assert((d.getLong(0), d.getLong(1)) == ((50L, 48L)))
+    // currval before any nextval errors
+    g.query("CREATE SEQUENCE fresh")
+    val Left(noCur) = g.query("SELECT currval('fresh') AS c"): @unchecked
+    assert(noCur.msg.contains("no value yet"))
+    // unknown sequence errors
+    val Left(noSeq) = g.query("SELECT nextval('ghost') AS n"): @unchecked
+    assert(noSeq.msg.contains("does not exist"))
+    // table-scan nextval rejects loudly (row order undefined)
+    g.query("CREATE TABLE tt (x INT)")
+    g.query("INSERT INTO tt VALUES (1), (2)")
+    val Left(scan) = g.query("SELECT nextval('cyc') AS n FROM tt"): @unchecked
+    assert(scan.msg.contains("FROM-less"))
+    // DROP SEQUENCE removes it; IF EXISTS no-ops
+    g.query("DROP SEQUENCE cap").fold(e => fail(e.msg), identity)
+    val Left(dropped) = g.query("SELECT nextval('cap') AS n"): @unchecked
+    assert(dropped.msg.contains("does not exist"))
+    g.query("DROP SEQUENCE IF EXISTS cap").fold(e => fail(e.msg), identity)
+  }
+
 }
