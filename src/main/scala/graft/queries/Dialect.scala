@@ -3393,6 +3393,58 @@ object Dialect {
              |  map_from_entries([{'k': 'x', 'v': o_orderkey}])['x'][1] AS mfe
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // WHERE COLUMNS(…) (DuckDB): a conjunct containing a COLUMNS
+    // operand expands into the AND of the predicate per matched column
+    // — regex (partial match), star, and star-EXCLUDE forms, composed
+    // with ordinary conjuncts and expression context (arith/CAST).
+    "q_dialect_columns_where" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, o_custkey FROM orders " +
+          "WHERE COLUMNS('key$') % 3 = 0 " +
+          "AND COLUMNS(*) IS NOT NULL " +
+          "AND cast(COLUMNS(* EXCLUDE (o_orderstatus, o_totalprice, " +
+          "o_orderdate, o_orderpriority)) AS BIGINT) >= 0 " +
+          "AND o_orderkey < 5000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+             |WHERE COLUMNS('key$') % 3 = 0
+             |AND COLUMNS(*) IS NOT NULL
+             |AND cast(COLUMNS(* EXCLUDE (o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority)) AS BIGINT) >= 0
+             |AND o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin)),
+
+    // Operator function-forms (add/subtract/multiply desugar to the
+    // binder's arithmetic — date+int included; divide IS integer
+    // division like //), floor division/modulo doubles (fdiv/fmod),
+    // and the BIT-string family (BIT carried as VARCHAR of 0/1 —
+    // DuckDB renders BIT as the bitstring text, so values hash-equal;
+    // get_bit/set_bit are 0-based from the left, bitstring left-pads).
+    "q_dialect_funcs17" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "add(o_orderkey, 5) AS ad, subtract(o_orderkey, 3) AS sb, " +
+          "multiply(o_orderkey % 100, 3) AS ml, " +
+          "divide(o_orderkey, 7) AS dv, divide(0 - o_orderkey, 7) AS dvn, " +
+          "fdiv(0 - o_orderkey, 7) AS fd, fmod(0 - o_orderkey, 7) AS fm, " +
+          "round(fmod(o_totalprice, 2.5), 6) AS fm2, " +
+          "add(cast(o_orderdate AS DATE), 5) AS dt, " +
+          "bitstring('0110', 8) AS bs, " +
+          "get_bit(bitstring('0110', 8), cast(o_orderkey % 8 AS INT)) AS gb, " +
+          "set_bit(bitstring('0110', 8), cast(o_orderkey % 8 AS INT), 1) AS sb2, " +
+          "cast(bit_position('011'::BIT, bitstring('0110', 8)) AS INT) AS bp " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  add(o_orderkey, 5) AS ad, subtract(o_orderkey, 3) AS sb,
+             |  multiply(o_orderkey % 100, 3) AS ml,
+             |  divide(o_orderkey, 7) AS dv, divide(0 - o_orderkey, 7) AS dvn,
+             |  fdiv(0 - o_orderkey, 7) AS fd, fmod(0 - o_orderkey, 7) AS fm,
+             |  round(fmod(o_totalprice, 2.5), 6) AS fm2,
+             |  add(cast(o_orderdate AS DATE), 5) AS dt,
+             |  bitstring('0110', 8)::VARCHAR AS bs,
+             |  get_bit(bitstring('0110', 8), cast(o_orderkey % 8 AS INT)) AS gb,
+             |  set_bit(bitstring('0110', 8), cast(o_orderkey % 8 AS INT), 1)::VARCHAR AS sb2,
+             |  cast(bit_position('011'::BIT, bitstring('0110', 8)) AS INT) AS bp
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // Sequences: CREATE SEQUENCE options (START/INCREMENT/MAXVALUE/
     // descending defaults), nextval allocating in textual row order
     // through INSERT … VALUES, currval in FROM-less positions. The

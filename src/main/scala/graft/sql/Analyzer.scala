@@ -1203,6 +1203,9 @@ object Analyzer {
       case "epoch_ns" | "length_grapheme" => SqlType.SqlBigInt
       case "json_merge_patch" | "json_structure" => SqlType.SqlVarChar(65535)
       case "json_contains" => SqlType.SqlBool
+      case "fdiv" | "fmod" => SqlType.SqlDouble
+      case "get_bit" | "bit_position" => SqlType.SqlInt
+      case "set_bit" | "bitstring" => SqlType.SqlVarChar(65535)
       case "left_grapheme" | "right_grapheme" | "substring_grapheme" =>
         SqlType.SqlVarChar(65535)
       case "md5_number_lower" | "md5_number_upper" => SqlType.SqlDecimal(20, 0)
@@ -2752,6 +2755,76 @@ object Analyzer {
           }
       }
     }
+    // WHERE COLUMNS(*) expansion (DuckDB): a top-level conjunct whose
+    // operands contain one COLUMNS call expands into the AND of the
+    // predicate instantiated per matched column (the same match rules
+    // as the select-item forms: partial regex, EXCLUDE validated).
+    def expandColumnsWhere(e0: Expr): Either[AnalyzerError, Expr] = {
+      def conjuncts(x: Expr): Seq[Expr] = x match {
+        case Expr.And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other          => Seq(other)
+      }
+      def opCols(o: Operand): Option[Operand.ColumnsAll] = o match {
+        case c: Operand.ColumnsAll   => Some(c)
+        case Operand.Arith(_, l, r)  => opCols(l).orElse(opCols(r))
+        case Operand.FuncCall(_, as) => as.flatMap(opCols(_)).headOption
+        case Operand.Cast(x, _)      => opCols(x)
+        case Operand.TryCast(x, _)   => opCols(x)
+        case _                       => None
+      }
+      def exprCols(x: Expr): Option[Operand.ColumnsAll] = x match {
+        case Expr.Cmp(_, l, r)          => opCols(l).orElse(opCols(r))
+        case Expr.IsNull(o, _)          => opCols(o)
+        case Expr.Like(o, _, _, _, _)   => opCols(o)
+        case Expr.Not(i)                => exprCols(i)
+        case Expr.Or(l, r)              => exprCols(l).orElse(exprCols(r))
+        case Expr.And(l, r)             => exprCols(l).orElse(exprCols(r))
+        case _                          => None
+      }
+      def substOp(o: Operand, r: ColRef): Operand = o match {
+        case _: Operand.ColumnsAll   => Operand.Col(r)
+        case Operand.Arith(c, l, rr) => Operand.Arith(c, substOp(l, r), substOp(rr, r))
+        case Operand.FuncCall(f, as) => Operand.FuncCall(f, as.map(substOp(_, r)))
+        case Operand.Cast(x, t)      => Operand.Cast(substOp(x, r), t)
+        case Operand.TryCast(x, t)   => Operand.TryCast(substOp(x, r), t)
+        case other                   => other
+      }
+      def substExpr(x: Expr, r: ColRef): Expr = x match {
+        case Expr.Cmp(op, l, rr)  => Expr.Cmp(op, substOp(l, r), substOp(rr, r))
+        case Expr.IsNull(o, n)    => Expr.IsNull(substOp(o, r), n)
+        case Expr.Like(o, p2, n, ci, esc) => Expr.Like(substOp(o, r), p2, n, ci, esc)
+        case Expr.Not(i)          => Expr.Not(substExpr(i, r))
+        case Expr.Or(l, rr)       => Expr.Or(substExpr(l, r), substExpr(rr, r))
+        case Expr.And(l, rr)      => Expr.And(substExpr(l, r), substExpr(rr, r))
+        case other                => other
+      }
+      val parts = conjuncts(e0).map { c =>
+        exprCols(c) match {
+          case None => Right(c)
+          case Some(Operand.ColumnsAll(pat, excl)) =>
+            val base = expandAll.collect { case SelectItem.SCol(r, _) => r }
+            val reOpt = pat.map { pt =>
+              try pt.r catch {
+                case _: Exception => return Left(BadFunction(
+                  s"COLUMNS pattern '$pt' is not a valid regex"))
+              }
+            }
+            excl.find(e => !base.exists(_.name.equalsIgnoreCase(e))) match {
+              case Some(e) => return Left(UnboundAttribute(e))
+              case None    =>
+            }
+            val kept = base.filter(r =>
+              reOpt.forall(_.findFirstIn(r.name).isDefined) &&
+                !excl.exists(_.equalsIgnoreCase(r.name)))
+            if (kept.isEmpty)
+              Left(BadFunction("WHERE COLUMNS(…) matched no columns"))
+            else Right(kept.map(r => substExpr(c, r)).reduce(Expr.And(_, _)))
+        }
+      }
+      parts.collectFirst { case Left(e) => Left(e) }.getOrElse(
+        Right(parts.map(_.toOption.get).reduce(Expr.And(_, _))))
+    }
+
     val projItems: Seq[SelectItem] = s.columns.getOrElse(expandAll).flatMap {
       // COLUMNS('re'): the star expansion filtered by a regex over the
       // column NAME (partial match, DuckDB); no match fails loudly
@@ -3315,6 +3388,10 @@ object Analyzer {
           case "json_merge_patch" | "json_contains" => args.length == 2
           case "json_structure" => args.length == 1
           case "nextval" | "currval" => args.length == 1
+          case "fdiv" | "fmod" | "get_bit" | "bit_position" =>
+            args.length == 2
+          case "set_bit" => args.length == 3
+          case "bitstring" => args.length == 2
           case "to_years" | "to_quarters" | "to_months" | "to_weeks" |
                "to_days" | "to_hours" | "to_minutes" | "to_seconds" |
                "to_milliseconds" | "to_microseconds" | "to_decades" |
@@ -3733,6 +3810,11 @@ object Analyzer {
           }
         } yield BoundOperand.BCase(bs, be)
       case Operand.Interval(n, u) => Right(BoundOperand.BInterval(n, u))
+      // a COLUMNS operand outside a WHERE conjunct was not expanded —
+      // reject pointedly (select-item forms parse as SColumns/SColumnsFn)
+      case Operand.ColumnsAll(_, _) => Left(BadFunction(
+        "COLUMNS(…) inside an expression is supported in WHERE " +
+          "conjuncts (and as fn(COLUMNS(…)) select items) only"))
       case Operand.Arith(ch, l, r) =>
         // arithmetic legs must be numeric where typed (columns); literals
         // and nested arithmetic check recursively. The exception is
@@ -4340,8 +4422,9 @@ object Analyzer {
       }
       pred0 <- s.where match {
         case None    => Right(None)
-        case Some(e) => bindExpr(e).flatMap(be =>
-          validateResidualWhere(be).map(_ => Some(be)))
+        case Some(e0) => expandColumnsWhere(e0).flatMap(e =>
+          bindExpr(e).flatMap(be =>
+            validateResidualWhere(be).map(_ => Some(be))))
       }
       // projection-scope subqueries (CASE conditions etc.) never take
       // residual correlation — no semi/anti join exists there

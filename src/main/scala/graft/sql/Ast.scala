@@ -130,6 +130,14 @@ object Ast {
       * list_transform / list_filter / list_reduce (analyzer-enforced).
       */
     final case class Lambda(params: Seq[String], body: Operand) extends Operand
+    /** COLUMNS(* [EXCLUDE (…)]) / COLUMNS('re') as an OPERAND (DuckDB's
+      * WHERE-clause form): a predicate conjunct containing one expands
+      * into the AND of the predicate instantiated per matched column.
+      * Legal only inside WHERE conjuncts — the analyzer rejects
+      * leftovers pointedly.
+      */
+    final case class ColumnsAll(pattern: Option[String],
+        excl: Seq[String]) extends Operand
     /** An ordered aggregate: string_agg(v, 'sep' [ORDER BY k [DESC], …]).
       * Carries its own intra-group ordering — the lowering sorts the
       * collected group by the keys before joining.

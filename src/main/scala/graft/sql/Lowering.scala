@@ -679,6 +679,13 @@ object Lowering {
         case BoundOperand.BOrderedAgg("count_distinct", arg, _, ord) =>
           count_distinct(lowerOperandWith(arg, qcol),
             ord.map { case (k, _) => lowerOperandWith(k, qcol) }: _*)
+        // approx_quantile/reservoir_quantile: Spark's approx_percentile
+        // sketch (estimates are sketch-specific — no cross-engine
+        // oracle; spec-bounded like the HLL gate); the literal fraction
+        // rides the sep slot
+        case BoundOperand.BOrderedAgg("approx_quantile", arg, q, Nil) =>
+          approx_percentile(lowerOperandWith(arg, qcol),
+            lit(q.toDouble), lit(10000))
         // two-argument statistical aggregates (value + key on the
         // OrderedAgg carrier); one pass of Spark's native agg state
         case BoundOperand.BOrderedAgg("corr", arg, _, Seq((k, _))) =>
@@ -3178,6 +3185,45 @@ object Lowering {
             (n.cast("decimal(18,0)") / 1000000).cast("decimal(18,6)"))
         case other => sys.error(s"unreachable interval constructor $other")
       }
+    // fdiv/fmod: floor division / floor modulo as DOUBLE (DuckDB
+    // probed: fdiv(-7,2) = -4, fmod(-7,3) = 2; x/0 and x%0 read NULL)
+    case ("fdiv", Seq(a, b)) =>
+      floor(try_divide(rec(a).cast("double"), rec(b).cast("double")))
+        .cast("double")
+    case ("fmod", Seq(a, b)) =>
+      val (xd, yd) = (rec(a).cast("double"), rec(b).cast("double"))
+      xd - yd * floor(try_divide(xd, yd))
+    // BIT functions over '0'/'1' bitstrings (the BIT type is carried as
+    // VARCHAR — DuckDB renders BIT as the bitstring text, so values
+    // hash-identically); get_bit/set_bit index 0-based from the LEFT,
+    // out-of-range raises like DuckDB
+    case ("get_bit", Seq(b0, i0)) =>
+      val b = rec(b0); val i = rec(i0).cast("int")
+      when(i < 0 || i >= length(b), raise_error(concat(
+        lit("bit index "), i.cast("string"),
+        lit(" out of valid range (0.."), (length(b) - 1).cast("string"),
+        lit(")")))).otherwise(b.substr(i + 1, lit(1)).cast("int"))
+    case ("set_bit", Seq(b0, i0, v0)) =>
+      val b = rec(b0); val i = rec(i0).cast("int")
+      val v = rec(v0).cast("int")
+      when(i < 0 || i >= length(b), raise_error(concat(
+        lit("bit index "), i.cast("string"),
+        lit(" out of valid range (0.."), (length(b) - 1).cast("string"),
+        lit(")"))))
+        .when(v =!= 0 && v =!= 1,
+          raise_error(lit("set_bit value must be 0 or 1")))
+        .otherwise(concat(b.substr(lit(1), i), v.cast("string"),
+          b.substr(i + 2, length(b))))
+    // bit_position(search, source): 1-based leftmost match, 0 absent
+    case ("bit_position", Seq(n0, h0)) =>
+      instr(rec(h0), rec(n0)).cast("int")
+    // bitstring(s, len): left-pad with '0' to len; len below the input
+    // length raises like DuckDB
+    case ("bitstring", Seq(b0, l0)) =>
+      val b = rec(b0); val l = rec(l0).cast("int")
+      when(l < length(b), raise_error(
+        lit("bitstring: length must be equal or larger than input string")))
+        .otherwise(call_function("lpad", b, l, lit("0")))
     // JSON document algebra (Jackson tree walks; DuckDB 1.0 probed)
     case ("json_merge_patch", Seq(a, b)) =>
       graft.functions.JsonFunctions.mergePatch(

@@ -253,7 +253,10 @@ object Parser {
     // wave 9: JSON document algebra
     "json_merge_patch", "json_structure", "json_contains",
     // wave 9: sequences (substituted at statement time)
-    "nextval", "currval")
+    "nextval", "currval",
+    // wave 9b: operator function-forms + floor division/mod + BIT ops
+    "add", "subtract", "multiply", "divide", "fdiv", "fmod",
+    "get_bit", "set_bit", "bit_position", "bitstring")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** FROM-position file readers → formats (DuckDB's read_* family;
@@ -2572,6 +2575,31 @@ object Parser {
           pairs(Vector.empty).map(fs =>
             Operand.FuncCall("__map_lit", fs): Operand)
       }
+    // COLUMNS(* [EXCLUDE (…)]) / COLUMNS('re') as an operand — the
+    // WHERE-conjunct expansion form (DuckDB); select-ITEM forms parse
+    // earlier as SColumns/SColumnsFn and never reach here
+    case TIdent(f, _) if f.equalsIgnoreCase("columns") && {
+        val save = p.i; p.next()
+        val par = p.peek match { case TSym("(", _) => true; case _ => false }
+        p.i = save; par
+      } =>
+      p.next(); p.next() // COLUMNS (
+      for {
+        sel <- p.peek match {
+          case TSym("*", _) =>
+            p.next()
+            parseStarMods(p).flatMap {
+              case (excl, Vector(), Vector()) =>
+                Right((None: Option[String], excl.toSeq))
+              case _ => Left(ParseError(
+                "COLUMNS(*) as an operand supports EXCLUDE only", p.peek.pos))
+            }
+          case TStr(v, _) => p.next(); Right((Some(v), Seq.empty[String]))
+          case t => Left(ParseError(
+            "COLUMNS takes * or a string-literal regex", t.pos))
+        }
+        _ <- p.eatSym(")")
+      } yield Operand.ColumnsAll(sel._1, sel._2): Operand
     // struct_pack(k := v, …) — the call form of the same literal
     case TIdent(f, _) if f.equalsIgnoreCase("struct_pack") && {
         val save = p.i; p.next()
@@ -2778,6 +2806,28 @@ object Parser {
         }
         _ <- p.eatSym(")")
       } yield Operand.OrderedAgg("bitstring_agg", x, s"$lo,$hi", Nil,
+        distinct = false)
+    // approx_quantile/reservoir_quantile(x, q): sketch estimates (no
+    // cross-engine oracle — t-digest vs Spark's variant of KLL); the
+    // literal fraction rides the carrier's sep slot
+    case TIdent(f, _) if allowAgg && (f.equalsIgnoreCase("approx_quantile") ||
+        f.equalsIgnoreCase("reservoir_quantile")) =>
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        x <- parseOperand(p)
+        _ <- p.eatSym(",")
+        q0 <- p.peek match {
+          case TFloat(v, _) => p.next(); Right(v)
+          case TInt(v, _)   => p.next(); Right(v.toDouble)
+          case t => Left(ParseError(
+            "approx_quantile takes a numeric literal fraction", t.pos))
+        }
+        _ <-
+          if (q0 >= 0.0 && q0 <= 1.0) Right(())
+          else Left(ParseError("quantile fraction must be in [0, 1]", p.peek.pos))
+        _ <- p.eatSym(")")
+      } yield Operand.OrderedAgg("approx_quantile", x, q0.toString, Nil,
         distinct = false)
     // two-argument statistical aggregates: corr(y, x), covar_pop(y, x),
     // covar_samp(y, x) — ride the OrderedAgg carrier (value + one key)
@@ -3312,7 +3362,16 @@ object Parser {
           }
         }
         _ <- p.eatSym(")")
-      } yield Operand.FuncCall(fn, args)
+      } yield fn match {
+        // operator function-forms desugar at parse so the binder's
+        // arithmetic rules apply (date + int, decimal typing, the
+        // string-operand reject); divide IS integer division like //
+        case "add" if args.length == 2      => Operand.Arith('+', args(0), args(1))
+        case "subtract" if args.length == 2 => Operand.Arith('-', args(0), args(1))
+        case "multiply" if args.length == 2 => Operand.Arith('*', args(0), args(1))
+        case "divide" if args.length == 2   => Operand.FuncCall("__intdiv", args)
+        case _ => Operand.FuncCall(fn, args)
+      }
     case TIdent(_, _) => parseColRef(p).map(Operand.Col)
     case t            => Left(ParseError("expected column or literal", t.pos))
   }
@@ -4022,6 +4081,10 @@ object Parser {
           case "double"   => Right(SqlType.SqlDouble)
           case "real" | "float" => Right(SqlType.SqlReal)
           case "boolean" | "bool" => Right(SqlType.SqlBool)
+          // BIT carried as VARCHAR of '0'/'1' (DuckDB renders BIT as
+          // the bitstring text, so values hash-identically); the bit
+          // functions validate their inputs
+          case "bit" | "bitstring" => Right(SqlType.SqlVarChar(65535))
           case "date"     => Right(SqlType.SqlDate)
           case "timestamp" => Right(SqlType.SqlTimestamp)
           case "decimal" | "numeric" =>

@@ -4173,4 +4173,21 @@ class DialectSpec extends AnyFunSuite {
     assert(db.select("SELECT min(v, 0) AS x FROM s").isLeft)
     assert(db.select("SELECT arg_min(w, v, -1) AS x FROM s").isLeft)
   }
+  test("approx_quantile: estimate within 5% of the exact median") {
+    val db = freshDb()
+    db.query("CREATE TABLE aq (v DOUBLE)")
+    val vals = (1 to 400).map(i => s"(${i * 1.5})").mkString(", ")
+    db.query(s"INSERT INTO aq VALUES $vals").fold(e => fail(e.msg), identity)
+    val r = db.select(
+      "SELECT approx_quantile(v, 0.5) AS a, median(v) AS m FROM aq")
+      .fold(e => fail(e.msg), identity).collect().head
+    val (a, m) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(a - m) / m < 0.05, s"approx $a vs exact $m")
+    // reservoir_quantile aliases the same sketch (spec-only surface:
+    // estimates are sketch-specific, no cross-engine oracle exists)
+    val r2 = db.select("SELECT reservoir_quantile(v, 0.9) AS a FROM aq")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(math.abs(r2.getDouble(0) - 540.0) / 540.0 < 0.05)
+  }
+
 }
