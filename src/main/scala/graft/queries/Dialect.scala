@@ -3393,6 +3393,44 @@ object Dialect {
              |  map_from_entries([{'k': 'x', 'v': o_orderkey}])['x'][1] AS mfe
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // from_json / json_transform: JSON text → TYPED values under a
+    // structure literal ('{"k":"BIGINT"}' leaves are type names).
+    // DuckDB casts eagerly ("1" → 1, 1.9 → INTEGER 2, bad text → NULL
+    // on the lax forms) — the lowering parses with string leaves and
+    // applies DuckDB's JSON cast per leaf; missing keys read NULL.
+    "q_dialect_from_json" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "struct_extract(from_json(json_object('k', o_orderkey, 's', o_orderstatus), " +
+          "'{\"k\":\"BIGINT\",\"s\":\"VARCHAR\",\"m\":\"VARCHAR\"}'), 'k') AS k, " +
+          "struct_extract(from_json(json_object('k', o_orderkey, 's', o_orderstatus), " +
+          "'{\"k\":\"BIGINT\",\"s\":\"VARCHAR\",\"m\":\"VARCHAR\"}'), 'm') AS m, " +
+          "struct_extract(json_transform('{\"a\":1.9}', '{\"a\":\"INTEGER\"}'), 'a') AS a, " +
+          "struct_extract(json_transform('{\"a\":\"7\"}', '{\"a\":\"BIGINT\"}'), 'a') AS a2, " +
+          "struct_extract(json_transform('{\"a\":\"xx\"}', '{\"a\":\"BIGINT\"}'), 'a') AS a3, " +
+          "from_json(json_array(o_orderkey, 2), '[\"BIGINT\"]')[1] AS l1, " +
+          "struct_extract(struct_extract(from_json('{\"a\":{\"b\":2}}', " +
+          "'{\"a\":{\"b\":\"BIGINT\"}}'), 'a'), 'b') AS nb, " +
+          "struct_extract(from_json('{\"d\":\"2024-01-02\"}', '{\"d\":\"DATE\"}'), 'd') AS dd, " +
+          "struct_extract(from_json('{\"b\":true}', '{\"b\":\"BOOLEAN\"}'), 'b') AS bb, " +
+          "struct_extract(from_json(json_object('x', o_totalprice), '{\"x\":\"DOUBLE\"}'), 'x') AS xx " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  struct_extract(from_json(json_object('k', o_orderkey, 's', o_orderstatus),
+             |    '{"k":"BIGINT","s":"VARCHAR","m":"VARCHAR"}'), 'k') AS k,
+             |  struct_extract(from_json(json_object('k', o_orderkey, 's', o_orderstatus),
+             |    '{"k":"BIGINT","s":"VARCHAR","m":"VARCHAR"}'), 'm') AS m,
+             |  struct_extract(json_transform('{"a":1.9}', '{"a":"INTEGER"}'), 'a') AS a,
+             |  struct_extract(json_transform('{"a":"7"}', '{"a":"BIGINT"}'), 'a') AS a2,
+             |  struct_extract(json_transform('{"a":"xx"}', '{"a":"BIGINT"}'), 'a') AS a3,
+             |  from_json(json_array(o_orderkey, 2), '["BIGINT"]')[1] AS l1,
+             |  struct_extract(struct_extract(from_json('{"a":{"b":2}}',
+             |    '{"a":{"b":"BIGINT"}}'), 'a'), 'b') AS nb,
+             |  struct_extract(from_json('{"d":"2024-01-02"}', '{"d":"DATE"}'), 'd') AS dd,
+             |  struct_extract(from_json('{"b":true}', '{"b":"BOOLEAN"}'), 'b') AS bb,
+             |  struct_extract(from_json(json_object('x', o_totalprice), '{"x":"DOUBLE"}'), 'x') AS xx
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // WHERE COLUMNS(…) (DuckDB): a conjunct containing a COLUMNS
     // operand expands into the AND of the predicate per matched column
     // — regex (partial match), star, and star-EXCLUDE forms, composed

@@ -1028,6 +1028,52 @@ object Analyzer {
       s"STRUCT(${fs.map { case (n, ft) => s"$n ${duckTypeName(ft)}" }.mkString(", ")})"
   }
 
+  /** Parse a DuckDB from_json/json_transform STRUCTURE literal —
+    * JSON text whose leaves are type-name strings ('{"a":"BIGINT"}',
+    * '["DOUBLE"]', nested objects/1-element arrays) — into the engine
+    * type. Shared by the analyzer (output typing) and the lowering
+    * (schema + per-leaf cast construction).
+    */
+  private[sql] def parseJsonStructure(text: String): Either[String, SqlType] = {
+    import com.fasterxml.jackson.databind.JsonNode
+    def conv(n: JsonNode): Either[String, SqlType] =
+      if (n.isTextual) n.asText().toUpperCase match {
+        case "BIGINT" | "UBIGINT" | "HUGEINT" => Right(SqlType.SqlBigInt)
+        case "INTEGER" | "INT" | "UINTEGER"   => Right(SqlType.SqlInt)
+        case "SMALLINT" | "TINYINT"           => Right(SqlType.SqlSmallInt)
+        case "DOUBLE"                         => Right(SqlType.SqlDouble)
+        case "FLOAT" | "REAL"                 => Right(SqlType.SqlReal)
+        case "VARCHAR" | "TEXT" | "JSON"      => Right(SqlType.SqlVarChar(65535))
+        case "BOOLEAN" | "BOOL"               => Right(SqlType.SqlBool)
+        case "DATE"                           => Right(SqlType.SqlDate)
+        case "TIMESTAMP"                      => Right(SqlType.SqlTimestamp)
+        case dec if dec.matches("DECIMAL\\(\\d+, ?\\d+\\)") =>
+          val nums = "\\d+".r.findAllIn(dec).toSeq
+          Right(SqlType.SqlDecimal(nums(0).toInt, nums(1).toInt))
+        case other => Left(s"unsupported structure type '$other'")
+      }
+      else if (n.isArray) {
+        if (n.size() != 1) Left("structure lists take exactly one element type")
+        else conv(n.get(0)).map(SqlType.SqlArray(_))
+      }
+      else if (n.isObject) {
+        val it = n.fields()
+        val fields = scala.collection.mutable.ArrayBuffer.empty[(String, SqlType)]
+        while (it.hasNext) {
+          val e = it.next()
+          conv(e.getValue) match {
+            case Left(err) => return Left(err)
+            case Right(t)  => fields += (e.getKey -> t)
+          }
+        }
+        if (fields.isEmpty) Left("structure objects need at least one field")
+        else Right(SqlType.SqlStruct(fields.toVector))
+      }
+      else Left("structure leaves must be type-name strings")
+    try conv(new com.fasterxml.jackson.databind.ObjectMapper().readTree(text))
+    catch { case e: Exception => Left(s"structure is not valid JSON") }
+  }
+
   /** The column-capable INTERVAL constructors (to_days(n) …): interval-
     * valued operands, legal only on the right of temporal + / −, exactly
     * like INTERVAL literals.
@@ -1204,6 +1250,11 @@ object Analyzer {
       case "json_merge_patch" | "json_structure" => SqlType.SqlVarChar(65535)
       case "json_contains" => SqlType.SqlBool
       case "fdiv" | "fmod" => SqlType.SqlDouble
+      case "from_json" | "from_json_strict" => args(1) match {
+        case BoundOperand.BLit(Lit.LitString(st)) =>
+          parseJsonStructure(st).getOrElse(SqlType.SqlVarChar(65535))
+        case _ => SqlType.SqlVarChar(65535)
+      }
       case "get_bit" | "bit_position" => SqlType.SqlInt
       case "set_bit" | "bitstring" => SqlType.SqlVarChar(65535)
       case "left_grapheme" | "right_grapheme" | "substring_grapheme" =>
@@ -3248,6 +3299,8 @@ object Analyzer {
           case "today"                       => "current_date"
           case "get_current_timestamp" | "transaction_timestamp" => "now"
           case "gen_random_uuid"             => "uuid"
+          case "json_transform"              => "from_json"
+          case "json_transform_strict"       => "from_json_strict"
           case x        => x
         }
         val arityOk = f match {
@@ -3387,6 +3440,9 @@ object Analyzer {
           case "substring_grapheme" => args.length == 3
           case "json_merge_patch" | "json_contains" => args.length == 2
           case "json_structure" => args.length == 1
+          case "from_json" | "from_json_strict" | "json_transform" |
+               "json_transform_strict" => args.length == 2 &&
+            args(1).isInstanceOf[Operand.Literal]
           case "nextval" | "currval" => args.length == 1
           case "fdiv" | "fmod" | "get_bit" | "bit_position" =>
             args.length == 2
@@ -3514,6 +3570,20 @@ object Analyzer {
           Left(BadFunction(
             "regexp_replace options must be a string literal over 'g' " +
               "(global), 'i' (case-insensitive), 'c' (case-sensitive)"))
+        // from_json structure literals parse at analysis (output typing
+        // + the lowering's schema both derive from it)
+        else if ((f == "from_json" || f == "from_json_strict") && {
+          args(1) match {
+            case Operand.Literal(Lit.LitString(st)) =>
+              parseJsonStructure(st).isLeft
+            case _ => true
+          }
+        })
+          Left(BadFunction(args(1) match {
+            case Operand.Literal(Lit.LitString(st)) =>
+              s"from_json structure: ${parseJsonStructure(st).left.getOrElse("")}"
+            case _ => "from_json takes a string-literal structure"
+          }))
         // nextval/currval substitute at statement time in FROM-less
         // SELECTs and INSERT … VALUES rows (the only places row order
         // is well-defined); reaching the analyzer means an unsupported

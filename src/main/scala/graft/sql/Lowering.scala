@@ -3224,6 +3224,55 @@ object Lowering {
       when(l < length(b), raise_error(
         lit("bitstring: length must be equal or larger than input string")))
         .otherwise(call_function("lpad", b, l, lit("0")))
+    // from_json / json_transform: JSON text → TYPED values under a
+    // structure literal. Spark's from_json is type-strict where DuckDB
+    // casts eagerly ("1" → BIGINT 1, 1.9 → INTEGER 2), so the parse
+    // runs with STRING leaves and each leaf then casts with DuckDB's
+    // JSON semantics: integers take the exact-long route when the text
+    // is integral, the double+half-away-round route otherwise; lax
+    // forms read NULL on a failed cast, strict forms raise.
+    case (fj @ ("from_json" | "from_json_strict"),
+        Seq(j, BoundOperand.BLit(Lit.LitString(st)))) =>
+      val tpe = Analyzer.parseJsonStructure(st)
+        .fold(e => sys.error(s"unreachable from_json structure: $e"), identity)
+      def stringLeaves(t: SqlType): org.apache.spark.sql.types.DataType = t match {
+        case SqlType.SqlStruct(fs) => org.apache.spark.sql.types.StructType(
+          fs.map { case (n, ft) =>
+            org.apache.spark.sql.types.StructField(n, stringLeaves(ft)) })
+        case SqlType.SqlArray(e) =>
+          org.apache.spark.sql.types.ArrayType(stringLeaves(e))
+        case _ => org.apache.spark.sql.types.StringType
+      }
+      val strict = fj == "from_json_strict"
+      def castLeaf(c: Column, t: SqlType): Column = {
+        val lax = t match {
+          case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt =>
+            val viaDouble = c.try_cast(org.apache.spark.sql.types.DoubleType)
+            val rounded = signum(viaDouble) * floor(abs(viaDouble) + 0.5)
+            coalesce(c.try_cast(org.apache.spark.sql.types.LongType),
+              rounded.try_cast(org.apache.spark.sql.types.LongType)).cast(t.spark)
+          case SqlType.SqlBool =>
+            // JSON booleans arrive as 'true'/'false' text
+            when(lower(c) === "true", lit(true))
+              .when(lower(c) === "false", lit(false))
+              .otherwise(lit(null).cast("boolean"))
+          case other => c.try_cast(other.spark)
+        }
+        if (!strict) lax
+        else when(c.isNotNull && lax.isNull, raise_error(concat(
+          lit(s"from_json_strict: failed to cast value to ${t.render}: "),
+          c)).cast(t.spark)).otherwise(lax)
+      }
+      def typed(c: Column, t: SqlType): Column = t match {
+        case SqlType.SqlStruct(fs) =>
+          when(c.isNull, lit(null).cast(t.spark)).otherwise(
+            struct(fs.map { case (n, ft) =>
+              typed(c.getField(n), ft).as(n) }: _*))
+        case SqlType.SqlArray(e) =>
+          transform(c, x => typed(x, e))
+        case scalar => castLeaf(c, scalar)
+      }
+      typed(from_json(rec(j), stringLeaves(tpe)), tpe)
     // JSON document algebra (Jackson tree walks; DuckDB 1.0 probed)
     case ("json_merge_patch", Seq(a, b)) =>
       graft.functions.JsonFunctions.mergePatch(

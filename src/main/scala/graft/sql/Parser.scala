@@ -256,7 +256,10 @@ object Parser {
     "nextval", "currval",
     // wave 9b: operator function-forms + floor division/mod + BIT ops
     "add", "subtract", "multiply", "divide", "fdiv", "fmod",
-    "get_bit", "set_bit", "bit_position", "bitstring")
+    "get_bit", "set_bit", "bit_position", "bitstring",
+    // wave 9b: JSON -> typed values
+    "from_json", "from_json_strict", "json_transform",
+    "json_transform_strict")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** FROM-position file readers → formats (DuckDB's read_* family;

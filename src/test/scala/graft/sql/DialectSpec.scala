@@ -4190,4 +4190,24 @@ class DialectSpec extends AnyFunSuite {
     assert(math.abs(r2.getDouble(0) - 540.0) / 540.0 < 0.05)
   }
 
+  test("from_json_strict raises on an uncastable leaf where lax reads NULL") {
+    val db = freshDb()
+    db.query("CREATE TABLE fj (j VARCHAR(100))")
+    db.query("INSERT INTO fj VALUES ('{\"a\":\"xx\"}')")
+    val lax = db.select(
+      "SELECT struct_extract(from_json(j, '{\"a\":\"BIGINT\"}'), 'a') AS a FROM fj")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(lax.isNullAt(0))
+    val strictDf = db.select(
+      "SELECT struct_extract(from_json_strict(j, '{\"a\":\"BIGINT\"}'), 'a') AS a FROM fj")
+      .fold(e => fail(e.msg), identity)
+    val err = intercept[Exception](strictDf.collect())
+    assert(err.getMessage.contains("failed to cast") ||
+      Option(err.getCause).exists(_.getMessage.contains("failed to cast")))
+    // a malformed structure literal rejects at analysis, loudly
+    val Left(bad) = db.query(
+      "SELECT from_json(j, '{\"a\":\"NOPE\"}') AS x FROM fj"): @unchecked
+    assert(bad.msg.contains("unsupported structure type"))
+  }
+
 }
