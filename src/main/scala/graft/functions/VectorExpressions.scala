@@ -139,7 +139,11 @@ object VectorFunctions {
     * dot / (‖a‖·‖b‖); zero-norm legs read NULL via the 0/0 division.
     */
   def cosine(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.functions.try_divide
-    try_divide(dot(a, b), l2norm(a) * l2norm(b))
+    import org.apache.spark.sql.functions.{lit, try_divide, when}
+    // a zero-norm side reads -1.0 (DuckDB probed) — try_divide alone
+    // would read NULL there, indistinguishable from a NULL input
+    val norms = l2norm(a) * l2norm(b)
+    when(a.isNotNull && b.isNotNull && norms === 0.0, lit(-1.0))
+      .otherwise(try_divide(dot(a, b), norms))
   }
 }

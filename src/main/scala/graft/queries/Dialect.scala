@@ -3468,7 +3468,8 @@ object Dialect {
           "bitstring('0110', 8) AS bs, " +
           "get_bit(bitstring('0110', 8), cast(o_orderkey % 8 AS INT)) AS gb, " +
           "set_bit(bitstring('0110', 8), cast(o_orderkey % 8 AS INT), 1) AS sb2, " +
-          "cast(bit_position('011'::BIT, bitstring('0110', 8)) AS INT) AS bp " +
+          "cast(bit_position('011'::BIT, bitstring('0110', 8)) AS INT) AS bp, " +
+          "list_cosine_similarity([0.0, 0.0], [1.0, 2.0]) AS zc " +
           "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
       Some("""SELECT o_orderkey,
              |  add(o_orderkey, 5) AS ad, subtract(o_orderkey, 3) AS sb,
@@ -3480,7 +3481,8 @@ object Dialect {
              |  bitstring('0110', 8)::VARCHAR AS bs,
              |  get_bit(bitstring('0110', 8), cast(o_orderkey % 8 AS INT)) AS gb,
              |  set_bit(bitstring('0110', 8), cast(o_orderkey % 8 AS INT), 1)::VARCHAR AS sb2,
-             |  cast(bit_position('011'::BIT, bitstring('0110', 8)) AS INT) AS bp
+             |  cast(bit_position('011'::BIT, bitstring('0110', 8)) AS INT) AS bp,
+             |  list_cosine_similarity([0.0, 0.0], [1.0, 2.0]) AS zc
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
     // Sequences: CREATE SEQUENCE options (START/INCREMENT/MAXVALUE/

@@ -3312,8 +3312,7 @@ object Lowering {
         .otherwise(graft.functions.VectorFunctions.cosine(ac, bc))
     // list utility family (DuckDB probed semantics):
     //   list_select: 1-based positions; 0 and out-of-range read NULL
-    //   list_where: mask filter (a NULL mask entry drops the element
-    //     here where DuckDB raises — error-surface divergence, documented)
+    //   list_where: mask filter; a NULL mask entry raises like DuckDB
     //   list_resize: truncate or NULL-pad to n
     //   list_grade_up: 1-based indexes that would sort ascending,
     //     stable, NULLs last
@@ -3325,10 +3324,13 @@ object Lowering {
       transform(rec(idx), i =>
         org.apache.spark.sql.functions.get(arr, i.cast("int") - 1))
     case ("list_where", Seq(a, m)) =>
-      transform(
-        filter(zip_with(rec(a), rec(m), (x, keep) =>
-          struct(x.as("v"), keep.as("k"))), s => s.getField("k")),
-        s => s.getField("v"))
+      val mask = rec(m)
+      when(exists(mask, _.isNull), raise_error(lit(
+        "list_where: NULLs are not allowed as mask elements")))
+        .otherwise(transform(
+          filter(zip_with(rec(a), mask, (x, keep) =>
+            struct(x.as("v"), keep.as("k"))), s => s.getField("k")),
+          s => s.getField("v")))
     case ("list_resize", Seq(a, n)) =>
       val arr = rec(a)
       val nn = rec(n).cast("int")
