@@ -3393,6 +3393,50 @@ object Dialect {
              |  map_from_entries([{'k': 'x', 'v': o_orderkey}])['x'][1] AS mfe
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // arg_min/arg_max NULL handling (DuckDB SKIPS rows whose VALUE is
+    // NULL; the _null variants keep them — a real divergence vs
+    // Spark's min_by/max_by, closed here and pinned with injected
+    // NULLs at the extreme keys), plus catalog closures:
+    // array_cross_product, to_binary/from_binary (bin/unbin aliases),
+    // unpivot_list (list_value), timezone parts of naive timestamps.
+    "q_dialect_argnull" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderpriority, " +
+          "arg_max(CASE WHEN o_orderkey % 3 = 0 THEN NULL " +
+          "ELSE o_orderstatus END, o_orderkey) AS am, " +
+          "arg_min(CASE WHEN o_orderkey % 3 = 0 THEN NULL " +
+          "ELSE o_orderstatus END, o_orderkey) AS an, " +
+          "count(*) AS n " +
+          "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  arg_max(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+             |    ELSE o_orderstatus END, o_orderkey) AS am,
+             |  arg_min(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+             |    ELSE o_orderstatus END, o_orderkey) AS an,
+             |  count(*) AS n
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    "q_dialect_funcs18" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "array_to_string(array_cross_product(" +
+          "[cast(o_orderkey % 5 AS DOUBLE), 2.0, 3.0], [4.0, 5.0, 6.0]), ',') AS cp, " +
+          "to_binary(o_orderkey % 100) AS tb, " +
+          "hex(from_binary('0101')) AS fb, " +
+          "array_to_string(unpivot_list(o_orderkey, o_custkey), ',') AS ul, " +
+          "timezone(o_orderdate) AS tz, timezone_hour(o_orderdate) AS tzh, " +
+          "timezone_minute(o_orderdate) AS tzm " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  array_to_string(array_cross_product(
+             |    [cast(o_orderkey % 5 AS DOUBLE), 2.0, 3.0], [4.0, 5.0, 6.0]), ',') AS cp,
+             |  to_binary(o_orderkey % 100) AS tb,
+             |  hex(from_binary('0101')) AS fb,
+             |  array_to_string(unpivot_list(o_orderkey, o_custkey), ',') AS ul,
+             |  cast(0 AS INT) AS tz, cast(0 AS INT) AS tzh,
+             |  cast(0 AS INT) AS tzm
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // from_json / json_transform: JSON text → TYPED values under a
     // structure literal ('{"k":"BIGINT"}' leaves are type names).
     // DuckDB casts eagerly ("1" → 1, 1.9 → INTEGER 2, bad text → NULL

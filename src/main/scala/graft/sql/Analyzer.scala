@@ -1250,6 +1250,10 @@ object Analyzer {
       case "json_merge_patch" | "json_structure" => SqlType.SqlVarChar(65535)
       case "json_contains" => SqlType.SqlBool
       case "fdiv" | "fmod" => SqlType.SqlDouble
+      case "array_cross_product" => SqlType.SqlArray(SqlType.SqlDouble)
+      case "timezone" | "timezone_hour" | "timezone_minute" => SqlType.SqlInt
+      case "hash" => SqlType.SqlBigInt
+      case "setseed" => SqlType.SqlVarChar(1) // VOID: always NULL
       case "from_json" | "from_json_strict" => args(1) match {
         case BoundOperand.BLit(Lit.LitString(st)) =>
           parseJsonStructure(st).getOrElse(SqlType.SqlVarChar(65535))
@@ -3301,6 +3305,9 @@ object Analyzer {
           case "gen_random_uuid"             => "uuid"
           case "json_transform"              => "from_json"
           case "json_transform_strict"       => "from_json_strict"
+          case "to_binary"                   => "bin"
+          case "from_binary"                 => "unbin"
+          case "unpivot_list"                => "list_value"
           case x        => x
         }
         val arityOk = f match {
@@ -3443,6 +3450,9 @@ object Analyzer {
           case "from_json" | "from_json_strict" | "json_transform" |
                "json_transform_strict" => args.length == 2 &&
             args(1).isInstanceOf[Operand.Literal]
+          case "array_cross_product" => args.length == 2
+          case "timezone" | "timezone_hour" | "timezone_minute" |
+               "hash" | "setseed" => args.length == 1
           case "nextval" | "currval" => args.length == 1
           case "fdiv" | "fmod" | "get_bit" | "bit_position" =>
             args.length == 2

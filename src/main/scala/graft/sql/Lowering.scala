@@ -634,9 +634,19 @@ object Lowering {
         case BoundOperand.BAgg(f, arg, dist) => aggCol(f, arg, dist)
         // the value at the key's extremum: Spark's min_by/max_by — one
         // (value, key) pair of aggregate state per group
+        // DuckDB's arg_min/arg_max SKIP rows whose VALUE is NULL
+        // (probed); Spark's min_by/max_by would return the NULL — a
+        // NULLed key takes such rows out of the extremum competition.
+        // The _null variants keep them (plain min_by/max_by).
         case BoundOperand.BOrderedAgg("arg_min", arg, _, Seq((k, _))) =>
-          min_by(lowerOperandWith(arg, qcol), lowerOperandWith(k, qcol))
+          val v = lowerOperandWith(arg, qcol)
+          min_by(v, when(v.isNotNull, lowerOperandWith(k, qcol)))
         case BoundOperand.BOrderedAgg("arg_max", arg, _, Seq((k, _))) =>
+          val v = lowerOperandWith(arg, qcol)
+          max_by(v, when(v.isNotNull, lowerOperandWith(k, qcol)))
+        case BoundOperand.BOrderedAgg("arg_min_null", arg, _, Seq((k, _))) =>
+          min_by(lowerOperandWith(arg, qcol), lowerOperandWith(k, qcol))
+        case BoundOperand.BOrderedAgg("arg_max_null", arg, _, Seq((k, _))) =>
           max_by(lowerOperandWith(arg, qcol), lowerOperandWith(k, qcol))
         // top-n list variants (DuckDB ≥1.1's min/max(x, n) and
         // arg_min/arg_max(x, v, n)): a LIST of the n extreme values /
@@ -3185,6 +3195,26 @@ object Lowering {
             (n.cast("decimal(18,0)") / 1000000).cast("decimal(18,6)"))
         case other => sys.error(s"unreachable interval constructor $other")
       }
+    // array_cross_product: 3-element vectors only (raises like DuckDB)
+    case ("array_cross_product", Seq(a, b)) =>
+      val (ac, bc) = (rec(a).cast("array<double>"), rec(b).cast("array<double>"))
+      when(size(ac) =!= 3 || size(bc) =!= 3,
+        raise_error(lit("array_cross_product requires two 3-element vectors")))
+        .otherwise(array(
+          element_at(ac, 2) * element_at(bc, 3) - element_at(ac, 3) * element_at(bc, 2),
+          element_at(ac, 3) * element_at(bc, 1) - element_at(ac, 1) * element_at(bc, 3),
+          element_at(ac, 1) * element_at(bc, 2) - element_at(ac, 2) * element_at(bc, 1)))
+    // timezone parts of a naive TIMESTAMP read 0 (DuckDB probed — the
+    // engine's timestamps are session-naive like the fixtures')
+    case ("timezone" | "timezone_hour" | "timezone_minute", Seq(a)) =>
+      when(rec(a).cast("timestamp").isNull, lit(null).cast("int"))
+        .otherwise(lit(0))
+    // hash: 64-bit value hash — ENGINE-SPECIFIC values (Spark's
+    // xxhash64 here vs DuckDB's own); spec-only surface
+    case ("hash", Seq(a)) => xxhash64(rec(a))
+    // setseed: VOID no-op — a distributed engine has no global RNG to
+    // reseed; rand() seeds per-partition
+    case ("setseed", Seq(a)) => lit(null).cast("string")
     // fdiv/fmod: floor division / floor modulo as DOUBLE (DuckDB
     // probed: fdiv(-7,2) = -4, fmod(-7,3) = 2; x/0 and x%0 read NULL)
     case ("fdiv", Seq(a, b)) =>

@@ -259,7 +259,10 @@ object Parser {
     "get_bit", "set_bit", "bit_position", "bitstring",
     // wave 9b: JSON -> typed values
     "from_json", "from_json_strict", "json_transform",
-    "json_transform_strict")
+    "json_transform_strict",
+    // wave 9c: remaining catalog closures
+    "array_cross_product", "to_binary", "from_binary", "unpivot_list",
+    "timezone", "timezone_hour", "timezone_minute", "hash", "setseed")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** FROM-position file readers → formats (DuckDB's read_* family;
@@ -2757,10 +2760,14 @@ object Parser {
     // arg_min/arg_max (min_by/max_by): the value at the key's extremum —
     // rides the OrderedAgg node (value + one ordering key, no separator)
     case TIdent(f, _) if allowAgg && Set("arg_min", "arg_max", "min_by",
-        "max_by", "argmin", "argmax")(f.toLowerCase) =>
-      val fn = if (f.toLowerCase.startsWith("arg_min") ||
-          f.toLowerCase == "min_by" || f.toLowerCase == "argmin")
-        "arg_min" else "arg_max"
+        "max_by", "argmin", "argmax", "arg_min_null",
+        "arg_max_null")(f.toLowerCase) =>
+      val fn = f.toLowerCase match {
+        case "arg_min_null" | "arg_max_null" => f.toLowerCase
+        case l if l.startsWith("arg_min") || l == "min_by" ||
+          l == "argmin" => "arg_min"
+        case _ => "arg_max"
+      }
       p.next()
       for {
         _ <- p.eatSym("(")
