@@ -3393,6 +3393,39 @@ object Dialect {
              |  map_from_entries([{'k': 'x', 'v': o_orderkey}])['x'][1] AS mfe
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // age(a, b): Postgres/DuckDB symbolic interval — full months by
+    // field subtraction with day/time borrowing (months_between's
+    // month-end fractions deliberately NOT used), day count + time
+    // remainder against the month-shifted anchor. age lowers to the
+    // RENDERED text (what CAST(… AS VARCHAR) reads on DuckDB — typeof
+    // is the one documented divergence), and date_part(unit, age(…))
+    // fuses into a direct field computation. Mixed signs and
+    // time-of-day borrows exercised.
+    "q_dialect_age" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "cast(age(o_orderdate + to_minutes(o_orderkey % 1500), " +
+          "TIMESTAMP '1995-06-17 04:30:00') AS VARCHAR) AS ag, " +
+          "date_part('year', age(o_orderdate, TIMESTAMP '1995-06-17 04:30:00')) AS ay, " +
+          "date_part('month', age(o_orderdate, TIMESTAMP '1995-06-17 04:30:00')) AS amo, " +
+          "date_part('day', age(o_orderdate, TIMESTAMP '1995-06-17 04:30:00')) AS ad, " +
+          "date_part('hour', age(o_orderdate + to_minutes(o_orderkey % 1500), " +
+          "TIMESTAMP '1995-06-17 04:30:00')) AS ah, " +
+          "date_part('minute', age(o_orderdate + to_minutes(o_orderkey % 1500), " +
+          "TIMESTAMP '1995-06-17 04:30:00')) AS ami " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  cast(age(o_orderdate + to_minutes((o_orderkey % 1500)::INT),
+             |    TIMESTAMP '1995-06-17 04:30:00') AS VARCHAR) AS ag,
+             |  date_part('year', age(o_orderdate, TIMESTAMP '1995-06-17 04:30:00')) AS ay,
+             |  date_part('month', age(o_orderdate, TIMESTAMP '1995-06-17 04:30:00')) AS amo,
+             |  date_part('day', age(o_orderdate, TIMESTAMP '1995-06-17 04:30:00')) AS ad,
+             |  date_part('hour', age(o_orderdate + to_minutes((o_orderkey % 1500)::INT),
+             |    TIMESTAMP '1995-06-17 04:30:00')) AS ah,
+             |  date_part('minute', age(o_orderdate + to_minutes((o_orderkey % 1500)::INT),
+             |    TIMESTAMP '1995-06-17 04:30:00')) AS ami
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // arg_min/arg_max NULL handling (DuckDB SKIPS rows whose VALUE is
     // NULL; the _null variants keep them — a real divergence vs
     // Spark's min_by/max_by, closed here and pinned with injected

@@ -1252,7 +1252,8 @@ object Analyzer {
       case "fdiv" | "fmod" => SqlType.SqlDouble
       case "array_cross_product" => SqlType.SqlArray(SqlType.SqlDouble)
       case "timezone" | "timezone_hour" | "timezone_minute" => SqlType.SqlInt
-      case "hash" => SqlType.SqlBigInt
+      case "hash" | "__age_part" => SqlType.SqlBigInt
+      case "age" => SqlType.SqlVarChar(65535) // rendered interval text
       case "setseed" => SqlType.SqlVarChar(1) // VOID: always NULL
       case "from_json" | "from_json_strict" => args(1) match {
         case BoundOperand.BLit(Lit.LitString(st)) =>
@@ -3453,6 +3454,7 @@ object Analyzer {
           case "array_cross_product" => args.length == 2
           case "timezone" | "timezone_hour" | "timezone_minute" |
                "hash" | "setseed" => args.length == 1
+          case "age" => args.length == 2
           case "nextval" | "currval" => args.length == 1
           case "fdiv" | "fmod" | "get_bit" | "bit_position" =>
             args.length == 2
@@ -3804,10 +3806,27 @@ object Analyzer {
             }
             def mapBase = bargs.nonEmpty &&
               operandType(bargs.head).isInstanceOf[SqlType.SqlMap]
+            // date_part over age(): the interval never materializes —
+            // the fused __age_part computes the symbolic field directly
+            // from the two timestamps (age itself lowers to DuckDB's
+            // rendered text, the CAST-to-VARCHAR-compatible form)
+            if (f == "date_part" && bargs.length == 2 && (bargs(1) match {
+              case BoundOperand.BFunc("age", _) => true
+              case _ => false
+            })) {
+              val BoundOperand.BFunc("age", ageArgs) = bargs(1): @unchecked
+              val unitOk = bargs.head match {
+                case BoundOperand.BLit(Lit.LitString(u)) => Set("year",
+                  "month", "day", "hour", "minute", "second")(u.toLowerCase)
+                case _ => false
+              }
+              if (!unitOk) BoundOperand.BFunc(f, bargs) // falls to lowering error
+              else BoundOperand.BFunc("__age_part", bargs.head +: ageArgs)
+            }
             // typeof folds to the analyzed DuckDB type name — a literal,
             // zero execution (integer literals read BIGINT here where
             // DuckDB narrows small ones to INTEGER; documented)
-            if (f == "typeof")
+            else if (f == "typeof")
               BoundOperand.BLit(
                 Lit.LitString(duckTypeName(operandType(bargs.head))))
             // m['k'] parses as list_extract; on a MAP base it is

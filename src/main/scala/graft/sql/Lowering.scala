@@ -3195,6 +3195,89 @@ object Lowering {
             (n.cast("decimal(18,0)") / 1000000).cast("decimal(18,6)"))
         case other => sys.error(s"unreachable interval constructor $other")
       }
+    // age(a, b): Postgres/DuckDB symbolic interval — full months by
+    // field subtraction with a day/time borrow (NOT months_between,
+    // whose month-end fractions diverge at clamped anchors), then the
+    // day count and time-of-day remainder against the month-shifted
+    // anchor. age lowers to DuckDB's RENDERED text (the value CAST TO
+    // VARCHAR reads — typeof remains a documented divergence);
+    // date_part(unit, age(…)) fuses into __age_part and never
+    // materializes the interval.
+    case ("age" | "__age_part", _) =>
+      val (unitOpt, a, b) = (name, args) match {
+        case ("age", Seq(x, y)) => (None, x, y)
+        case ("__age_part",
+            Seq(BoundOperand.BLit(Lit.LitString(u)), x, y)) =>
+          (Some(u.toLowerCase), x, y)
+        case other => sys.error(s"unreachable age shape $other")
+      }
+      val x0 = rec(a).cast("timestamp")
+      val y0 = rec(b).cast("timestamp")
+      val neg = x0 < y0
+      val hi = greatest(x0, y0)
+      val lo = least(x0, y0)
+      def tod(t: Column): Column =
+        unix_micros(t) - unix_micros(date_trunc("DAY", t))
+      // Postgres timestamp_age field algebra (DuckDB probed against
+      // it): per-field differences normalized by borrowing — time from
+      // a day, days from the EARLIER side's month LENGTH (day_tab; a
+      // Feb borrow can leave a residue, Postgres re-adds the SAME
+      // month length — replicated), months from a year.
+      val todDiff = tod(hi) - tod(lo)
+      val borrowT = todDiff < 0
+      val us = when(borrowT, todDiff + 86400000000L).otherwise(todDiff)
+      val mday0 = (dayofmonth(hi) - dayofmonth(lo) -
+        when(borrowT, 1).otherwise(0)).cast("long")
+      val dim = dayofmonth(last_day(lo)).cast("long")
+      val borrow1 = mday0 < 0
+      val mday1 = when(borrow1, mday0 + dim).otherwise(mday0)
+      val borrow2 = mday1 < 0
+      val d = when(borrow2, mday1 + dim).otherwise(mday1)
+      val mon0 = (month(hi) - month(lo)).cast("long") -
+        when(borrow1, 1L).otherwise(0L) - when(borrow2, 1L).otherwise(0L)
+      val borrowY = mon0 < 0
+      val monF = when(borrowY, mon0 + 12L).otherwise(mon0)
+      val yrF = (year(hi) - year(lo)).cast("long") -
+        when(borrowY, 1L).otherwise(0L)
+      val m = yrF * 12L + monF
+      unitOpt match {
+        case Some(u) =>
+          // Column './' is fractional — the parts are non-negative
+          // pre-sign, so floor-divide is exact integer division
+          def idiv(c: Column, k: Long): Column = floor(c / k).cast("long")
+          val mag = u match {
+            case "year"   => idiv(m, 12L)
+            case "month"  => m % 12L
+            case "day"    => d
+            case "hour"   => idiv(us, 3600000000L)
+            case "minute" => idiv(us % 3600000000L, 60000000L)
+            case _        => idiv(us % 60000000L, 1000000L)
+          }
+          when(x0.isNull || y0.isNull, lit(null).cast("long"))
+            .otherwise(when(neg, -mag).otherwise(mag))
+        case None =>
+          val sign = when(neg, lit("-")).otherwise(lit(""))
+          def seg(n: Column, word: String): Column =
+            when(n =!= 0, concat(sign, n.cast("string"), lit(s" $word"),
+              when(n =!= 1, lit("s")).otherwise(lit("")))).otherwise(lit(""))
+          def idiv(c: Column, k: Long): Column = floor(c / k).cast("long")
+          val h = idiv(us, 3600000000L)
+          val mi = idiv(us % 3600000000L, 60000000L)
+          val sec = idiv(us % 60000000L, 1000000L)
+          val frac = us % 1000000L
+          val timeStr = concat(sign,
+            format_string("%02d:%02d:%02d", h.cast("int"), mi.cast("int"),
+              sec.cast("int")),
+            when(frac =!= 0,
+              concat(lit("."), rtrim(format_string("%06d", frac.cast("int")),
+                "0"))).otherwise(lit("")))
+          val parts = array(
+            seg(idiv(m, 12L), "year"), seg(m % 12L, "month"), seg(d, "day"),
+            when(us =!= 0, timeStr).otherwise(lit("")))
+          val joined = array_join(array_remove(parts, ""), " ")
+          when(x0.isNull || y0.isNull, lit(null).cast("string"))
+            .otherwise(when(joined === "", lit("00:00:00")).otherwise(joined))
+      }
     // array_cross_product: 3-element vectors only (raises like DuckDB)
     case ("array_cross_product", Seq(a, b)) =>
       val (ac, bc) = (rec(a).cast("array<double>"), rec(b).cast("array<double>"))

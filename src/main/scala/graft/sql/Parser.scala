@@ -262,7 +262,8 @@ object Parser {
     "json_transform_strict",
     // wave 9c: remaining catalog closures
     "array_cross_product", "to_binary", "from_binary", "unpivot_list",
-    "timezone", "timezone_hour", "timezone_minute", "hash", "setseed")
+    "timezone", "timezone_hour", "timezone_minute", "hash", "setseed",
+    "age")
   private def reserved(s: String): Boolean = reservedWords(s.toLowerCase)
 
   /** FROM-position file readers → formats (DuckDB's read_* family;
