@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.timeType.enabled", "true")
       // events.ts is parquet timestamp[ns]; Spark has no nanos timestamp —
       // read as long and let graft.Tables.events() convert to micros.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

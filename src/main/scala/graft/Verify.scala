@@ -14,6 +14,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.timeType.enabled", "true")
       .config("spark.ui.enabled", "false")
       // events.ts is parquet timestamp[ns]; Spark has no nanos timestamp —
       // read as long and let graft.Tables.events() convert to micros.

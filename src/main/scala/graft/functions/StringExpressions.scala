@@ -216,7 +216,13 @@ object Graphemes {
     val cs = clusters(s)
     val start = if (start0 < 0) cs.size + start0 + 1 else start0
     val lo = math.max(start, 1L)
-    val hi = math.min(start + math.max(len, 0L) - 1, cs.size.toLong)
+    // a NEGATIVE start that underflows the string clamps to position 1
+    // but keeps the FULL length (DuckDB probed: ('abcdef',-7,3) = 'abc',
+    // ('abcdef',-8,3) = 'abc') — unlike start 0, where the window rule
+    // consumes part of the length
+    val hi = if (start0 < 0 && start < 1)
+      math.min(math.max(len, 0L), cs.size.toLong)
+    else math.min(start + math.max(len, 0L) - 1, cs.size.toLong)
     val sb = new java.lang.StringBuilder
     var i = lo
     while (i <= hi) { sb.append(cs.get((i - 1).toInt)); i += 1 }

@@ -14,7 +14,7 @@ import graft.Tables.t
   */
 object Corpus {
 
-  def defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = QueryDef.gate(
 
     // Per-label centroids as (label, dim, value): posexplode + one partial
     // aggregate. This is the scalable layout for vector aggregation — at

@@ -249,7 +249,7 @@ object Dedup {
       verifyJaccard(s, d, est)
     }
 
-  def defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = QueryDef.gate(
 
     // Exact dedup: hash-groupBy on content digest. One shuffle on md5(text);
     // at 100 TB this is a plain aggregate, no pair expansion at all.

@@ -34,7 +34,7 @@ object Dialect {
   private def run(g: GraftDatabase, sql: String): DataFrame =
     g.select(sql).fold(e => sys.error(e.msg), identity)
 
-  def defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = QueryDef.gate(
 
     // Tablescan + Selection + Projection through the dialect front-end.
     "q_dialect_select" -> QueryDef(
@@ -3303,7 +3303,9 @@ object Dialect {
     // quirk); formatReadableDecimalSize uses DuckDB's lowercase 'kB';
     // bare list-function names alias their list_ forms; environment
     // and nondeterministic functions pin through stable predicates.
-    "q_dialect_funcs15" -> QueryDef(
+    // (Renamed from q_dialect_funcs15 in round 11: a duplicate Map key
+    // at the Wave-8 bin/unbin batch silently shadowed this definition.)
+    "q_dialect_funcs19" -> QueryDef(
       (s, d) => run(db(s, d, "orders"),
         "SELECT o_orderkey, " +
           "typeof(o_orderkey) AS t1, typeof(o_totalprice) AS t2, " +
@@ -3314,11 +3316,12 @@ object Dialect {
           "like_escape(o_orderpriority, '%!-%', '!') AS le, " +
           "not_ilike_escape(o_orderpriority, '%!-urgent', '!') AS nle, " +
           "json_quote(o_orderstatus) AS jq, json_quote(o_orderkey) AS jq2, " +
-          "md5_number_lower(o_orderstatus) AS ml, " +
-          "md5_number_upper(o_orderstatus) AS mu, " +
+          "cast(md5_number_lower(o_orderstatus) AS VARCHAR) AS ml, " +
+          "cast(md5_number_upper(o_orderstatus) AS VARCHAR) AS mu, " +
           "formatReadableSize(o_orderkey * 12345) AS frs, " +
           "formatReadableDecimalSize(o_orderkey * 12345) AS frd, " +
           "bar(o_orderkey % 10, 0, 10, 10) AS br, " +
+          "bar(o_orderkey % 15, 0, 10, 10) AS br2, " +
           "array_to_string(grade_up([o_orderkey % 7, 3, 5]), ',') AS gu, " +
           "reduce([o_orderkey % 7, 3, 5], (a, b) -> a + b) AS rd, " +
           "array_to_string(apply([1, 2], x -> x + o_orderkey % 3), ',') AS ap, " +
@@ -3339,11 +3342,12 @@ object Dialect {
              |  like_escape(o_orderpriority, '%!-%', '!') AS le,
              |  not_ilike_escape(o_orderpriority, '%!-urgent', '!') AS nle,
              |  json_quote(o_orderstatus) AS jq, json_quote(o_orderkey) AS jq2,
-             |  md5_number_lower(o_orderstatus)::DECIMAL(20,0) AS ml,
-             |  md5_number_upper(o_orderstatus)::DECIMAL(20,0) AS mu,
+             |  md5_number_lower(o_orderstatus)::VARCHAR AS ml,
+             |  md5_number_upper(o_orderstatus)::VARCHAR AS mu,
              |  formatReadableSize(o_orderkey * 12345) AS frs,
              |  formatReadableDecimalSize(o_orderkey * 12345) AS frd,
              |  bar(o_orderkey % 10, 0, 10, 10) AS br,
+             |  bar(o_orderkey % 15, 0, 10, 10) AS br2,
              |  array_to_string(grade_up([o_orderkey % 7, 3, 5]), ',') AS gu,
              |  reduce([o_orderkey % 7, 3, 5], (a, b) -> a + b) AS rd,
              |  array_to_string(apply([1, 2], x -> x + o_orderkey % 3), ',') AS ap,
@@ -3359,7 +3363,7 @@ object Dialect {
     // Column-capable INTERVAL constructors (to_days(n)-family — the
     // literal INTERVAL syntax is parse-time-fixed, these take any
     // expression), struct_insert / map_from_entries composition, and
-    // sem (stddev_samp/√n). DuckDB's to_* require INTEGER args for the
+    // sem (stddev_pop/√n — the population form, probed). DuckDB's to_* require INTEGER args for the
     // calendar units (oracle casts); temporal + INTERVAL reads
     // TIMESTAMP on DuckDB, so date-valued results pin through ::DATE.
     "q_dialect_funcs16" -> QueryDef(
@@ -3632,7 +3636,9 @@ object Dialect {
     // DuckDB's utf8proc applies. The ZWJ-emoji column pins the hard
     // case (facepalm + skin tone + ZWJ + male + VS16 = ONE cluster);
     // negative counts drop from the opposite end, substring follows
-    // the substr window rule.
+    // the substr window rule — except a negative start that UNDERFLOWS
+    // the string, which clamps to position 1 keeping the full length
+    // (the su column: mktsegment is 8-10 clusters, start -9..-12).
     "q_dialect_grapheme" -> QueryDef(
       (s, d) => run(db(s, d, "customer"),
         "SELECT c_custkey, " +
@@ -3642,7 +3648,8 @@ object Dialect {
           "left_grapheme(c_name, 0 - (c_custkey % 4)) AS ln, " +
           "right_grapheme(concat('é', c_mktsegment), 4) AS r4, " +
           "substring_grapheme(concat('🤦🏼‍♂️x', c_name), 2, 3) AS sg, " +
-          "substring_grapheme(c_name, 0 - (c_custkey % 5), 4) AS sn " +
+          "substring_grapheme(c_name, 0 - (c_custkey % 5), 4) AS sn, " +
+          "substring_grapheme(c_mktsegment, 0 - (c_custkey % 4) - 9, 3) AS su " +
           "FROM customer WHERE c_custkey < 2000 ORDER BY c_custkey"),
       Some("""SELECT c_custkey,
              |  length_grapheme(concat('🤦🏼‍♂️', c_name)) AS lg,
@@ -3651,10 +3658,12 @@ object Dialect {
              |  left_grapheme(c_name, 0 - (c_custkey % 4)) AS ln,
              |  right_grapheme(concat('é', c_mktsegment), 4) AS r4,
              |  substring_grapheme(concat('🤦🏼‍♂️x', c_name), 2, 3) AS sg,
-             |  substring_grapheme(c_name, 0 - (c_custkey % 5), 4) AS sn
+             |  substring_grapheme(c_name, 0 - (c_custkey % 5), 4) AS sn,
+             |  substring_grapheme(c_mktsegment, 0 - (c_custkey % 4) - 9, 3) AS su
              |FROM customer WHERE c_custkey < 2000 ORDER BY c_custkey""".stripMargin)),
 
-    // sem: standard error of the mean = stddev_samp/√n (rounded like
+    // sem: standard error of the mean = stddev_pop/√n — the POPULATION
+    // form, probed against both variants (rounded like
     // the other second-moment gates — cross-engine float accumulation
     // order differs at the margins).
     "q_dialect_sem" -> QueryDef(
@@ -3690,7 +3699,9 @@ object Dialect {
     // json_array serialize via named_struct/array (field order kept);
     // json_type maps schema_of_variant classes onto DuckDB's names
     // (non-negative integers read UBIGINT).
-    "q_dialect_json" -> QueryDef(
+    // (Renamed from q_dialect_json in round 11: a duplicate Map key at
+    // the older json_extract_string gate silently shadowed this one.)
+    "q_dialect_json3" -> QueryDef(
       (s, d) => run(db(s, d, "orders"),
         "SELECT o_orderkey, " +
           "json_extract(json_object('k', o_orderkey, 's', o_orderstatus), '$.s') AS je, " +
@@ -3705,7 +3716,7 @@ object Dialect {
           "json_type(json_array(o_orderkey)) AS t2, " +
           "json_type(cast(o_orderkey AS VARCHAR)) AS t3, " +
           "json_type(cast(0 - o_orderkey AS VARCHAR)) AS t4, " +
-          "row_to_json(struct_pack('a', o_orderkey)) AS rj " +
+          "row_to_json({'a': o_orderkey}) AS rj " +
           "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
       Some("""SELECT o_orderkey,
              |  json_extract(json_object('k', o_orderkey, 's', o_orderstatus), '$.s')::VARCHAR AS je,
@@ -3761,9 +3772,9 @@ object Dialect {
       (s, d) => run(db(s, d, "orders"),
         "SELECT o_orderkey, " +
           "bin(o_orderkey % 1000) AS b, " +
-          "unbin(bin(o_orderkey % 1000)) AS ub, " +
+          "hex(unbin(bin(o_orderkey % 1000))) AS ub, " +
           "to_base64(unhex('4142' || substr(md5(o_orderstatus), 1, 2))) AS b64, " +
-          "from_base64('aGVsbG8=') AS fb64, " +
+          "hex(from_base64('aGVsbG8=')) AS fb64, " +
           "xor(o_orderkey, 255) AS x1, xor(o_orderkey % 8, o_custkey % 8) AS x2, " +
           "regexp_escape(concat(o_orderpriority, ' (', o_orderstatus, ').*')) AS re, " +
           "try_strptime(concat('2024-01-', lpad(cast((o_orderkey % 28) + 1 AS VARCHAR), 2, '0')), '%Y-%m-%d') AS ts1, " +
@@ -3771,9 +3782,9 @@ object Dialect {
           "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
       Some("""SELECT o_orderkey,
              |  bin(o_orderkey % 1000) AS b,
-             |  unbin(bin(o_orderkey % 1000)) AS ub,
+             |  hex(unbin(bin(o_orderkey % 1000))) AS ub,
              |  to_base64(unhex('4142' || substr(md5(o_orderstatus), 1, 2))) AS b64,
-             |  from_base64('aGVsbG8=') AS fb64,
+             |  hex(from_base64('aGVsbG8=')) AS fb64,
              |  xor(o_orderkey, 255) AS x1, xor(o_orderkey % 8, o_custkey % 8) AS x2,
              |  regexp_escape(concat(o_orderpriority, ' (', o_orderstatus, ').*')) AS re,
              |  try_strptime(concat('2024-01-', lpad(cast((o_orderkey % 28) + 1 AS VARCHAR), 2, '0')), '%Y-%m-%d') AS ts1,
@@ -3798,6 +3809,106 @@ object Dialect {
              |  cast(weekday(ts) AS int) AS wd, cast(yearweek(ts) AS int) AS yw,
              |  julian(cast(ts AS DATE)) AS jd, cast(era(ts) AS int) AS er
              |FROM events WHERE event_id < 3000 ORDER BY event_id""".stripMargin)),
+
+    // TIME + TIMESTAMPTZ surface: make_time (fractional seconds), TIME
+    // literals/arithmetic/parts, AT TIME ZONE in BOTH directions (naive
+    // interpreted as tz wall time -> TIMESTAMPTZ; TIMESTAMPTZ -> the tz
+    // wall time, naive), the timezone() function form, offset-bearing
+    // TIMESTAMPTZ literals, and TIMESTAMP::TIME. TIMESTAMPTZ renders
+    // with its +00 offset under the pinned UTC session on both engines;
+    // everything pins through ::VARCHAR for the pandas gate channel.
+    "q_dialect_time_tz" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "cast(make_time(cast(o_orderkey % 24 AS INT), 30, 31.5) AS VARCHAR) AS mt, " +
+          "cast(TIME '08:15:00' + to_minutes(cast(o_orderkey % 300 AS INT)) AS VARCHAR) AS tplus, " +
+          "hour(make_time(cast(o_orderkey % 24 AS INT), 5, 0)) AS th, " +
+          "minute(TIME '08:45:30') AS tm, " +
+          "cast(cast(o_orderdate AS TIMESTAMP) AT TIME ZONE 'America/New_York' AS VARCHAR) AS tz1, " +
+          "cast(TIMESTAMPTZ '2024-06-01 10:00:00+02' AT TIME ZONE 'Asia/Tokyo' AS VARCHAR) AS tz2, " +
+          "cast(timezone('Europe/Berlin', cast(o_orderdate AS TIMESTAMP)) AS VARCHAR) AS tz3, " +
+          "cast(cast(cast(o_orderdate AS TIMESTAMP) AS TIMESTAMPTZ) AS VARCHAR) AS tz4, " +
+          "cast(cast(TIMESTAMPTZ '2024-06-01 10:00:00+02' AS TIMESTAMP) AS VARCHAR) AS tz5, " +
+          "cast(cast(cast(o_orderdate AS TIMESTAMP) + to_minutes(cast(o_orderkey % 1440 AS INT)) AS TIME) AS VARCHAR) AS t2t " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  make_time((o_orderkey % 24)::INT, 30, 31.5)::VARCHAR AS mt,
+             |  (TIME '08:15:00' + to_minutes((o_orderkey % 300)::INT))::VARCHAR AS tplus,
+             |  cast(hour(make_time((o_orderkey % 24)::INT, 5, 0)) AS int) AS th,
+             |  cast(minute(TIME '08:45:30') AS int) AS tm,
+             |  (o_orderdate::TIMESTAMP AT TIME ZONE 'America/New_York')::VARCHAR AS tz1,
+             |  (TIMESTAMPTZ '2024-06-01 10:00:00+02' AT TIME ZONE 'Asia/Tokyo')::VARCHAR AS tz2,
+             |  timezone('Europe/Berlin', o_orderdate::TIMESTAMP)::VARCHAR AS tz3,
+             |  (o_orderdate::TIMESTAMP::TIMESTAMPTZ)::VARCHAR AS tz4,
+             |  (TIMESTAMPTZ '2024-06-01 10:00:00+02')::TIMESTAMP::VARCHAR AS tz5,
+             |  ((o_orderdate + to_minutes((o_orderkey % 1440)::INT))::TIME)::VARCHAR AS t2t
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // ENUM type surface: anonymous inline ENUM('…') casts with DuckDB's
+    // POSITIONAL ordering — min/max aggregate the definition index
+    // ('P' < 'O' < 'F' here, where text order would read 'F' first),
+    // ordering comparisons rewrite onto the index, enum_code is the
+    // 0-based index, enum_range/first/last fold from the static domain.
+    "q_dialect_enum" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderpriority AS pri, " +
+          "cast(min(cast(o_orderstatus AS ENUM('P','O','F'))) AS VARCHAR) AS emin, " +
+          "cast(max(cast(o_orderstatus AS ENUM('P','O','F'))) AS VARCHAR) AS emax, " +
+          "count(*) AS n, " +
+          "cast(sum(CASE WHEN cast(o_orderstatus AS ENUM('P','O','F')) > cast('P' AS ENUM('P','O','F')) THEN 1 ELSE 0 END) AS BIGINT) AS gtp, " +
+          "max(enum_code(cast(o_orderstatus AS ENUM('P','O','F')))) AS mcode, " +
+          "enum_first(cast(NULL AS ENUM('sad','ok','happy'))) AS ef, " +
+          "enum_last(cast(NULL AS ENUM('sad','ok','happy'))) AS el, " +
+          "array_to_string(enum_range(cast(NULL AS ENUM('sad','ok','happy'))), ',') AS rng " +
+          "FROM orders WHERE o_orderkey < 2000 " +
+          "GROUP BY o_orderpriority ORDER BY pri"),
+      Some("""SELECT o_orderpriority AS pri,
+             |  min(o_orderstatus::ENUM('P','O','F'))::VARCHAR AS emin,
+             |  max(o_orderstatus::ENUM('P','O','F'))::VARCHAR AS emax,
+             |  count(*) AS n,
+             |  sum(CASE WHEN o_orderstatus::ENUM('P','O','F') > 'P'::ENUM('P','O','F') THEN 1 ELSE 0 END)::BIGINT AS gtp,
+             |  cast(max(enum_code(o_orderstatus::ENUM('P','O','F'))) AS int) AS mcode,
+             |  enum_first(NULL::ENUM('sad','ok','happy')) AS ef,
+             |  enum_last(NULL::ENUM('sad','ok','happy')) AS el,
+             |  array_to_string(enum_range(NULL::ENUM('sad','ok','happy')), ',') AS rng
+             |FROM orders WHERE o_orderkey < 2000
+             |GROUP BY o_orderpriority ORDER BY pri""".stripMargin)),
+
+    // UNION (tagged sum) type: union_value members widen into a declared
+    // UNION(num, str) via cast — the inactive member reads NULL from
+    // union_extract, union_tag names the active member, and ::VARCHAR
+    // renders the ACTIVE value's text (DuckDB probed: '7', 'hi').
+    "q_dialect_union_type" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "union_tag(cast(CASE WHEN o_orderkey % 2 = 0 " +
+          "THEN cast(union_value(num := o_orderkey) AS UNION(num BIGINT, str VARCHAR(100))) " +
+          "ELSE cast(union_value(str := o_orderstatus) AS UNION(num BIGINT, str VARCHAR(100))) END AS UNION(num BIGINT, str VARCHAR(100)))) AS tag, " +
+          "union_extract(cast(union_value(num := o_orderkey) AS UNION(num BIGINT, str VARCHAR(100))), 'num') AS n1, " +
+          "union_extract(cast(union_value(num := o_orderkey) AS UNION(num BIGINT, str VARCHAR(100))), 'str') AS s1, " +
+          "cast(cast(union_value(num := o_orderkey * 3) AS UNION(num BIGINT, str VARCHAR(100))) AS VARCHAR) AS tx1, " +
+          "cast(cast(union_value(str := o_orderpriority) AS UNION(num BIGINT, str VARCHAR(100))) AS VARCHAR) AS tx2 " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  union_tag(CASE WHEN o_orderkey % 2 = 0
+             |    THEN union_value(num := o_orderkey)::UNION(num BIGINT, str VARCHAR)
+             |    ELSE union_value(str := o_orderstatus)::UNION(num BIGINT, str VARCHAR) END)::VARCHAR AS tag,
+             |  union_extract(union_value(num := o_orderkey)::UNION(num BIGINT, str VARCHAR), 'num') AS n1,
+             |  union_extract(union_value(num := o_orderkey)::UNION(num BIGINT, str VARCHAR), 'str') AS s1,
+             |  (union_value(num := o_orderkey * 3)::UNION(num BIGINT, str VARCHAR))::VARCHAR AS tx1,
+             |  (union_value(str := o_orderpriority)::UNION(num BIGINT, str VARCHAR))::VARCHAR AS tx2
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // COLUMNS(c -> predicate): star expansion filtered by a LAMBDA over
+    // the column NAME (the last COLUMNS position from the r10 verdict) —
+    // LIKE/boolean-combo/function-of-name forms, evaluated statically at
+    // analysis. Identical SQL on both engines.
+    "q_dialect_columns_lambda" -> QueryDef(
+      (s, d) => run(db(s, d, "nation"),
+        "SELECT COLUMNS(c -> c LIKE 'n_%key' OR c = 'n_name') " +
+          "FROM nation ORDER BY n_nationkey"),
+      Some("""SELECT COLUMNS(c -> c LIKE 'n_%key' OR c = 'n_name')
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
     // Alias blitz: DuckDB synonyms rebound onto canonical names at
     // analysis — array_*/list_* pairs, editdist3, datepart/datetrunc,
@@ -3912,7 +4023,7 @@ object Dialect {
              |  any_value(upper(o_orderpriority)) AS av,
              |  round(fsum(o_totalprice), 2) AS fs,
              |  favg(o_orderkey % 10) AS fa,
-             |  bitstring_agg(o_orderkey % 16, 0, 15) AS bits,
+             |  bitstring_agg(o_orderkey % 16, 0, 15)::VARCHAR AS bits,
              |  group_concat(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS gc
              |FROM orders WHERE o_orderkey < 2000
              |GROUP BY o_orderpriority ORDER BY pri""".stripMargin)),
@@ -4169,20 +4280,20 @@ object Dialect {
     "q_dialect_round_dec" -> QueryDef(
       (s, d) => run(db(s, d, "lineitem"),
         "SELECT l_orderkey, l_linenumber, " +
-          "round(CAST(l_extendedprice AS DECIMAL(14, 4))) AS r0, " +
-          "round(CAST(l_extendedprice AS DECIMAL(14, 4)), 2) AS r2, " +
-          "round(CAST(l_extendedprice AS DECIMAL(14, 4)), -1) AS rneg, " +
-          "round(CAST(l_extendedprice AS DECIMAL(14, 4)), 9) AS rcap, " +
-          "round(CAST(l_quantity + 0.5 AS DECIMAL(9, 2))) AS rhalf_up, " +
-          "round(CAST(-(l_quantity + 0.5) AS DECIMAL(9, 2))) AS rhalf_dn " +
+          "cast(round(CAST(l_extendedprice AS DECIMAL(14, 4))) AS DOUBLE) AS r0, " +
+          "cast(round(CAST(l_extendedprice AS DECIMAL(14, 4)), 2) AS DOUBLE) AS r2, " +
+          "cast(round(CAST(l_extendedprice AS DECIMAL(14, 4)), -1) AS DOUBLE) AS rneg, " +
+          "cast(round(CAST(l_extendedprice AS DECIMAL(14, 4)), 9) AS DOUBLE) AS rcap, " +
+          "cast(round(CAST(l_quantity + 0.5 AS DECIMAL(9, 2))) AS DOUBLE) AS rhalf_up, " +
+          "cast(round(CAST(-(l_quantity + 0.5) AS DECIMAL(9, 2))) AS DOUBLE) AS rhalf_dn " +
           "FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber,
-             |  round(CAST(l_extendedprice AS DECIMAL(14, 4))) AS r0,
-             |  round(CAST(l_extendedprice AS DECIMAL(14, 4)), 2) AS r2,
-             |  round(CAST(l_extendedprice AS DECIMAL(14, 4)), -1) AS rneg,
-             |  round(CAST(l_extendedprice AS DECIMAL(14, 4)), 9) AS rcap,
-             |  round(CAST(l_quantity + 0.5 AS DECIMAL(9, 2))) AS rhalf_up,
-             |  round(CAST(-(l_quantity + 0.5) AS DECIMAL(9, 2))) AS rhalf_dn
+             |  round(CAST(l_extendedprice AS DECIMAL(14, 4)))::DOUBLE AS r0,
+             |  round(CAST(l_extendedprice AS DECIMAL(14, 4)), 2)::DOUBLE AS r2,
+             |  round(CAST(l_extendedprice AS DECIMAL(14, 4)), -1)::DOUBLE AS rneg,
+             |  round(CAST(l_extendedprice AS DECIMAL(14, 4)), 9)::DOUBLE AS rcap,
+             |  round(CAST(l_quantity + 0.5 AS DECIMAL(9, 2)))::DOUBLE AS rhalf_up,
+             |  round(CAST(-(l_quantity + 0.5) AS DECIMAL(9, 2)))::DOUBLE AS rhalf_dn
              |FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // regexp_extract_all — group 0 (whole match) default like DuckDB
@@ -4462,28 +4573,31 @@ object Dialect {
 
     // List utility batch 2: positional select (1-based, 0/out-of-range
     // read NULL — and a longer mask NULL-pads on both engines), mask
+    // (list outputs serialized via array_to_string for the pandas gate
+    // harness; NULL-bearing lists keep their NULLs visible through a
+    // coalescing transform so the pad/out-of-range semantics stay pinned),
     // filter, resize (truncate / NULL-pad), grade_up (stable ascending
     // indexes, NULLs last), reverse_sort, any_value (first non-NULL).
     "q_dialect_list_fns2" -> QueryDef(
       (s, d) => run(db(s, d, "orders"),
         "SELECT o_orderkey, " +
-          "list_select(list_value(10, 20, 30), list_value(3, 1, 7)) AS sel, " +
-          "list_where(list_value(o_orderkey, o_custkey, 0), list_value(true, false, true)) AS wh, " +
-          "list_resize(list_value(o_orderkey, o_custkey), 4) AS rz, " +
-          "list_resize(list_value(o_orderkey, o_custkey, 1, 2), 2) AS rz2, " +
-          "list_grade_up(list_value(o_custkey, o_orderkey, o_custkey)) AS gu, " +
-          "list_grade_up(list_select(list_value(5, 2, 8), list_value(2, 9, 1, 3))) AS gu2, " +
-          "list_reverse_sort(list_value(o_orderkey % 7, o_custkey % 7, 3)) AS rs, " +
+          "array_to_string(list_transform(list_select(list_value(10, 20, 30), list_value(3, 1, 7)), x -> coalesce(CAST(x AS VARCHAR), 'NULL')), ',') AS sel, " +
+          "array_to_string(list_where(list_value(o_orderkey, o_custkey, 0), list_value(true, false, true)), ',') AS wh, " +
+          "array_to_string(list_transform(list_resize(list_value(o_orderkey, o_custkey), 4), x -> coalesce(CAST(x AS VARCHAR), 'NULL')), ',') AS rz, " +
+          "array_to_string(list_resize(list_value(o_orderkey, o_custkey, 1, 2), 2), ',') AS rz2, " +
+          "array_to_string(list_grade_up(list_value(o_custkey, o_orderkey, o_custkey)), ',') AS gu, " +
+          "array_to_string(list_grade_up(list_select(list_value(5, 2, 8), list_value(2, 9, 1, 3))), ',') AS gu2, " +
+          "array_to_string(list_reverse_sort(list_value(o_orderkey % 7, o_custkey % 7, 3)), ',') AS rs, " +
           "list_any_value(list_select(list_value(o_orderkey, o_custkey), list_value(9, 1))) AS av " +
           "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
       Some("""SELECT o_orderkey,
-             |  list_select(list_value(10, 20, 30), list_value(3, 1, 7)) AS sel,
-             |  list_where(list_value(o_orderkey, o_custkey, 0), list_value(true, false, true)) AS wh,
-             |  list_resize(list_value(o_orderkey, o_custkey), 4) AS rz,
-             |  list_resize(list_value(o_orderkey, o_custkey, 1, 2), 2) AS rz2,
-             |  list_grade_up(list_value(o_custkey, o_orderkey, o_custkey)) AS gu,
-             |  list_grade_up(list_select(list_value(5, 2, 8), list_value(2, 9, 1, 3))) AS gu2,
-             |  list_reverse_sort(list_value(o_orderkey % 7, o_custkey % 7, 3)) AS rs,
+             |  array_to_string(list_transform(list_select(list_value(10, 20, 30), list_value(3, 1, 7)), x -> coalesce(CAST(x AS VARCHAR), 'NULL')), ',') AS sel,
+             |  array_to_string(list_where(list_value(o_orderkey, o_custkey, 0), list_value(true, false, true)), ',') AS wh,
+             |  array_to_string(list_transform(list_resize(list_value(o_orderkey, o_custkey), 4), x -> coalesce(CAST(x AS VARCHAR), 'NULL')), ',') AS rz,
+             |  array_to_string(list_resize(list_value(o_orderkey, o_custkey, 1, 2), 2), ',') AS rz2,
+             |  array_to_string(list_grade_up(list_value(o_custkey, o_orderkey, o_custkey)), ',') AS gu,
+             |  array_to_string(list_grade_up(list_select(list_value(5, 2, 8), list_value(2, 9, 1, 3))), ',') AS gu2,
+             |  array_to_string(list_reverse_sort(list_value(o_orderkey % 7, o_custkey % 7, 3)), ',') AS rs,
              |  list_any_value(list_select(list_value(o_orderkey, o_custkey), list_value(9, 1))) AS av
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 

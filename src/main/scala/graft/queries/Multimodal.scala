@@ -31,7 +31,7 @@ object Multimodal {
         col("source").as("origin"),
         col("n_chars").cast("long").as("orig_bytes")).as("meta"))
 
-  def defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = QueryDef.gate(
 
     // Fixed-size byte-range chunking of the binary payload — the
     // sharding step before a codec/embedding stage (LLM pipelines feed

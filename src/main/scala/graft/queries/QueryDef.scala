@@ -15,3 +15,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String])
+
+object QueryDef {
+  /** Builds a gate map from pairs, failing LOUDLY on duplicate keys. A
+    * bare Map literal silently keeps the LATER entry, shadowing the
+    * earlier definition from every driver/bench run (round-10 verdict:
+    * two full query batches were dead code this way). Every module's
+    * `defs` — and Registry's cross-module union — must build through
+    * here so a key collision can never be silent again.
+    */
+  def gate(pairs: (String, QueryDef)*): Map[String, QueryDef] = {
+    val names = pairs.map(_._1)
+    val dups = names.diff(names.distinct).distinct
+    require(dups.isEmpty, s"duplicate gate keys: ${dups.mkString(", ")}")
+    pairs.toMap
+  }
+}

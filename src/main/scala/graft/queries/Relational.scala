@@ -24,7 +24,7 @@ object Relational {
   private def region(s: SparkSession, d: String)  = broadcast(t(s, d, "region"))
   private def nation(s: SparkSession, d: String)  = broadcast(t(s, d, "nation"))
 
-  def defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = QueryDef.gate(
 
     // ---- reference §2.1 surface -------------------------------------------
 

@@ -13,7 +13,7 @@ import graft.stats.CountingHll
   */
 object Stats {
 
-  def defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = QueryDef.gate(
 
     // ANALYZE-style exact column statistics — what feeds a CBO. Exact,
     // so fully oracle-checkable.

@@ -31,7 +31,7 @@ object TextOps {
   private def stopCountSql(xs: Seq[String]): String =
     s"cast(len(list_filter(string_split(text, ' '), x -> x IN (${inList(xs)}))) AS int)"
 
-  def defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = QueryDef.gate(
 
     // RAG-style sliding-window chunking: fixed W-token windows with
     // stride S (overlap W−S) per document — the standard retrieval/

@@ -12,7 +12,7 @@ import graft.operators.AsOf
   */
 object TimeSeries {
 
-  def defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = QueryDef.gate(
 
     // One-row probe over the sessionize timestamp channel: global
     // count/min/max/sum of ts_ms, all integers. If ANY event's ms

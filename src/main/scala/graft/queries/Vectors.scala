@@ -129,7 +129,7 @@ object Vectors {
         .orderBy("a_id", "b_id")
     }
 
-  def defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = QueryDef.gate(
 
     // Brute-force cosine top-k for a small query set (vec_id < 10).
     // Symmetric per-vector int8 quantization: scale = max|x| / 127,

@@ -1010,6 +1010,80 @@ object Analyzer {
   /** DuckDB's spelling of a type (typeof parity): INTEGER not INT,
     * VARCHAR without a length, BLOB, FLOAT for REAL.
     */
+  /** Static evaluator for COLUMNS(c -> pred) name lambdas: the predicate
+    * runs over each candidate column NAME at expansion time (DuckDB's
+    * semantics — the lambda sees names, not values). Supported surface:
+    * the parameter, string literals, lower/upper/trim, LIKE/ILIKE,
+    * comparisons, AND/OR/NOT.
+    */
+  private def evalNamePred(e: Expr, prm: String,
+      name: String): Either[AnalyzerError, Boolean] = {
+    def evalOp(o: Operand): Either[AnalyzerError, String] = o match {
+      case Operand.Col(ColRef(None, n)) if n.equalsIgnoreCase(prm) =>
+        Right(name)
+      case Operand.Literal(Lit.LitString(v)) => Right(v)
+      case Operand.FuncCall(fn, Seq(x))
+          if Set("lower", "upper", "trim")(fn.toLowerCase) =>
+        evalOp(x).map { v =>
+          fn.toLowerCase match {
+            case "lower" => v.toLowerCase
+            case "upper" => v.toUpperCase
+            case _       => v.trim
+          }
+        }
+      case _ => Left(BadFunction(
+        "a COLUMNS name lambda supports the parameter, string literals, " +
+          "lower/upper/trim, LIKE and comparisons only"))
+    }
+    def likeRx(pat: String, esc: Option[Char]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < pat.length) {
+        val c = pat(i)
+        if (esc.contains(c) && i + 1 < pat.length) {
+          sb ++= java.util.regex.Pattern.quote(pat(i + 1).toString); i += 2
+        } else {
+          c match {
+            case '%' => sb ++= ".*"
+            case '_' => sb += '.'
+            case x   => sb ++= java.util.regex.Pattern.quote(x.toString)
+          }
+          i += 1
+        }
+      }
+      sb.toString
+    }
+    e match {
+      case Expr.And(l, r) =>
+        for { a <- evalNamePred(l, prm, name)
+              b <- evalNamePred(r, prm, name) } yield a && b
+      case Expr.Or(l, r) =>
+        for { a <- evalNamePred(l, prm, name)
+              b <- evalNamePred(r, prm, name) } yield a || b
+      case Expr.Not(x) => evalNamePred(x, prm, name).map(!_)
+      case Expr.Like(o, pat, neg, ci, esc) =>
+        evalOp(o).map { v =>
+          val rx = (if (ci) "(?i)" else "") + likeRx(pat, esc)
+          val m = rx.r.pattern.matcher(v).matches()
+          if (neg) !m else m
+        }
+      case Expr.Cmp(op, l, r) =>
+        for { a <- evalOp(l); b <- evalOp(r) } yield {
+          val c = a.compareTo(b)
+          op match {
+            case CmpOp.Eq | CmpOp.NotDist => c == 0
+            case CmpOp.Neq | CmpOp.IsDist => c != 0
+            case CmpOp.Lt => c < 0
+            case CmpOp.Gt => c > 0
+            case CmpOp.Le => c <= 0
+            case CmpOp.Ge => c >= 0
+          }
+        }
+      case _ => Left(BadFunction(
+        "a COLUMNS name lambda supports LIKE, comparisons and AND/OR/NOT only"))
+    }
+  }
+
   private def duckTypeName(t: SqlType): String = t match {
     case SqlType.SqlBigInt        => "BIGINT"
     case SqlType.SqlInt           => "INTEGER"
@@ -1019,9 +1093,15 @@ object Analyzer {
     case SqlType.SqlDouble        => "DOUBLE"
     case SqlType.SqlReal          => "FLOAT"
     case SqlType.SqlTimestamp     => "TIMESTAMP"
+    case SqlType.SqlTimestampTz   => "TIMESTAMP WITH TIME ZONE"
+    case SqlType.SqlTime          => "TIME"
     case SqlType.SqlDate          => "DATE"
     case SqlType.SqlBool          => "BOOLEAN"
     case SqlType.SqlDecimal(p, s) => s"DECIMAL($p,$s)"
+    case SqlType.SqlEnum(vs) =>
+      s"ENUM(${vs.map(v => s"'$v'").mkString(", ")})"
+    case SqlType.SqlUnion(ms) =>
+      s"UNION(${ms.map { case (n, t) => s"$n ${duckTypeName(t)}" }.mkString(", ")})"
     case SqlType.SqlArray(e)      => s"${duckTypeName(e)}[]"
     case SqlType.SqlMap(k, v)     => s"MAP(${duckTypeName(k)}, ${duckTypeName(v)})"
     case SqlType.SqlStruct(fs)    =>
@@ -1083,6 +1163,21 @@ object Analyzer {
     "to_hours", "to_minutes", "to_seconds", "to_milliseconds",
     "to_microseconds", "to_decades", "to_centuries", "to_millennia")
 
+  /** ENUM ordering plumbing: an enum value's sort key is its 1-based
+    * DEFINITION position, not its text (DuckDB probed: </>/min/max
+    * follow declared order). The value list rides to the lowering as a
+    * \u0001-joined literal.
+    */
+  private def enumValsLit(vs: Vector[String]): BoundOperand =
+    BoundOperand.BLit(Lit.LitString(vs.mkString("\u0001")))
+  private def enumPos(b: BoundOperand, vs: Vector[String]): BoundOperand =
+    BoundOperand.BFunc("__enum_pos", Seq(b, enumValsLit(vs)))
+  private def enumOrderKey(b: BoundOperand): BoundOperand =
+    operandType(b) match {
+      case SqlType.SqlEnum(vs) => enumPos(b, vs)
+      case _                   => b
+    }
+
   private def operandType(o: BoundOperand): SqlType = o match {
     case BoundOperand.BCol(c) => c.attr.sqlType
     case BoundOperand.BLit(Lit.LitLong(_))   => SqlType.SqlBigInt
@@ -1090,6 +1185,8 @@ object Analyzer {
     case BoundOperand.BLit(Lit.LitString(_)) => SqlType.SqlVarChar(65535)
     case BoundOperand.BLit(Lit.LitDate(_))      => SqlType.SqlDate
     case BoundOperand.BLit(Lit.LitTimestamp(_)) => SqlType.SqlTimestamp
+    case BoundOperand.BLit(Lit.LitTime(_))      => SqlType.SqlTime
+    case BoundOperand.BLit(Lit.LitTimestampTz(_)) => SqlType.SqlTimestampTz
     case BoundOperand.BLit(Lit.LitBool(_))   => SqlType.SqlBool
     case BoundOperand.BLit(Lit.LitNull)      => SqlType.SqlVarChar(1)
     case BoundOperand.BArith(_, l, BoundOperand.BInterval(_, _)) =>
@@ -1252,6 +1349,35 @@ object Analyzer {
       case "fdiv" | "fmod" => SqlType.SqlDouble
       case "array_cross_product" => SqlType.SqlArray(SqlType.SqlDouble)
       case "timezone" | "timezone_hour" | "timezone_minute" => SqlType.SqlInt
+      case "make_time" | "__ts_to_time" |
+           "__time_plus" | "__time_minus" => SqlType.SqlTime
+      case "__enum_pos" | "enum_code" => SqlType.SqlInt
+      case "__enum_cast" | "__enum_from_pos" => args(1) match {
+        case BoundOperand.BLit(Lit.LitString(vs)) =>
+          SqlType.SqlEnum(vs.split('\u0001').toVector)
+        case _ => SqlType.SqlVarChar(65535)
+      }
+      case "enum_first" | "enum_last" => SqlType.SqlVarChar(65535)
+      case "union_value" => args match {
+        case Seq(BoundOperand.BLit(Lit.LitString(k)), v) =>
+          SqlType.SqlUnion(Vector(k -> operandType(v)))
+        case _ => SqlType.SqlVarChar(65535)
+      }
+      case "union_tag" => SqlType.SqlVarChar(65535)
+      case "union_extract" => (operandType(args.head), args(1)) match {
+        case (SqlType.SqlUnion(ms), BoundOperand.BLit(Lit.LitString(k))) =>
+          ms.find(_._1 == k).map(_._2).getOrElse(SqlType.SqlVarChar(65535))
+        case _ => SqlType.SqlVarChar(65535)
+      }
+      case "__union_make" => args.head match {
+        case BoundOperand.BLit(Lit.LitString(spec)) =>
+          SqlType.SqlUnion(spec.split('\u0001').toVector
+            .zip(args.drop(2).map(operandType)))
+        case _ => SqlType.SqlVarChar(65535)
+      }
+      case "__tz_to_tz" => SqlType.SqlTimestampTz
+      case "__tz_to_naive" => SqlType.SqlTimestamp
+      case "__tstz_text" => SqlType.SqlVarChar(65535)
       case "hash" | "__age_part" => SqlType.SqlBigInt
       case "age" => SqlType.SqlVarChar(65535) // rendered interval text
       case "setseed" => SqlType.SqlVarChar(1) // VOID: always NULL
@@ -2896,6 +3022,20 @@ object Analyzer {
         if (kept.isEmpty)
           return Left(BadFunction(s"COLUMNS('$pat') matched no columns"))
         kept
+      // COLUMNS(c -> pred): lambda over the column NAME — a static
+      // string predicate, evaluated here at expansion (DuckDB)
+      case SelectItem.SColumnsLambda(prm, body) =>
+        val kept = expandAll.filter {
+          case SelectItem.SCol(r, _) =>
+            evalNamePred(body, prm, r.name) match {
+              case Right(keep) => keep
+              case Left(err)   => return Left(err)
+            }
+          case _ => false
+        }
+        if (kept.isEmpty)
+          return Left(BadFunction("COLUMNS(lambda) matched no columns"))
+        kept
       // fn(COLUMNS(…)): the function applied per matched column; output
       // names are the BARE column names (DuckDB 1.0 probed). Aggregates
       // expand to per-column aggregate items (making the SELECT an
@@ -3104,7 +3244,17 @@ object Analyzer {
           Left(BadAggregate(s"$f(DISTINCT ...) is not supported"))
         else arg match {
           case None    => Right(BoundOperand.BAgg(f, None, dist))
-          case Some(r) => bindOp(r, allowAgg = false).map(b => BoundOperand.BAgg(f, Some(b), dist))
+          case Some(r) => bindOp(r, allowAgg = false).map { b =>
+            operandType(b) match {
+              // min/max over ENUM follow definition order: aggregate the
+              // POSITION, map back to the value
+              case SqlType.SqlEnum(vs) if f == "min" || f == "max" =>
+                BoundOperand.BFunc("__enum_from_pos", Seq(
+                  BoundOperand.BAgg(f, Some(enumPos(b, vs)), dist),
+                  enumValsLit(vs)))
+              case _ => BoundOperand.BAgg(f, Some(b), dist)
+            }
+          }
         }
       case Operand.AggCall(f, _, _) =>
         Left(BadAggregate(s"$f(...) is not valid in this context"))
@@ -3191,8 +3341,57 @@ object Analyzer {
       case Operand.OrderedAgg(f, _, _, _, _) =>
         Left(BadAggregate(s"$f(...) is not valid in this context"))
       case Operand.Cast(o, t) =>
-        bindOp(o, allowAgg, allowSub).map(b =>
-          BoundOperand.BCast(roundForIntCast(b, t), t))
+        bindOp(o, allowAgg, allowSub).flatMap { b =>
+          (operandType(b), t) match {
+            // UNION narrowing (dropping or retyping a member) rejects at
+            // bind — the widen case below requires src within tgt
+            case (SqlType.SqlUnion(src), SqlType.SqlUnion(tgt))
+                if !src.forall { case (n, st) =>
+                  tgt.exists(m => m._1 == n && m._2.spark == st.spark) } =>
+              Left(BadFunction(
+                s"cannot cast ${duckTypeName(SqlType.SqlUnion(src))} to " +
+                  s"${duckTypeName(t)}: every source member must exist in the target"))
+            case _ => Right((operandType(b), t) match {
+            // TIMESTAMPTZ renders with its +00 offset (sessions pin UTC)
+            case (SqlType.SqlTimestampTz, SqlType.SqlVarChar(_)) =>
+              BoundOperand.BFunc("__tstz_text", Seq(b))
+            // TIMESTAMP -> TIME takes the time-of-day; Spark has no
+            // native cast, so this routes through a dedicated lowering
+            case (SqlType.SqlTimestamp | SqlType.SqlTimestampTz,
+                  SqlType.SqlTime) =>
+              BoundOperand.BFunc("__ts_to_time", Seq(b))
+            // text -> ENUM validates membership (DuckDB's conversion
+            // error); enum -> text / enum -> same enum are free
+            case (SqlType.SqlVarChar(_), SqlType.SqlEnum(vs)) =>
+              BoundOperand.BFunc("__enum_cast", Seq(b, enumValsLit(vs)))
+            // UNION -> wider UNION: rebuild the carrier struct — tag
+            // keeps, present members copy, absent members read typed
+            // NULL (the single-member union_value widens this way)
+            case (SqlType.SqlUnion(src), SqlType.SqlUnion(tgt))
+                if src.forall { case (n, st) =>
+                  tgt.exists(m => m._1 == n && m._2.spark == st.spark) } =>
+              BoundOperand.BFunc("__union_make",
+                BoundOperand.BLit(Lit.LitString(tgt.map(_._1).mkString("\u0001"))) +:
+                BoundOperand.BFunc("union_tag", Seq(b)) +:
+                tgt.map { case (n, mt) =>
+                  if (src.exists(_._1 == n))
+                    BoundOperand.BFunc("union_extract",
+                      Seq(b, BoundOperand.BLit(Lit.LitString(n))))
+                  else BoundOperand.BCast(
+                    BoundOperand.BLit(Lit.LitNull), mt)
+                })
+            // UNION -> VARCHAR renders the ACTIVE member's value text
+            // (DuckDB probed: '7', 'hi') — coalesce over the members
+            case (SqlType.SqlUnion(ms), SqlType.SqlVarChar(_)) =>
+              BoundOperand.BFunc("coalesce", ms.map { case (n, _) =>
+                BoundOperand.BCast(BoundOperand.BFunc("union_extract",
+                  Seq(b, BoundOperand.BLit(Lit.LitString(n)))),
+                  SqlType.SqlVarChar(65535))
+              })
+              case _ => BoundOperand.BCast(roundForIntCast(b, t), t)
+            })
+          }
+        }
       case Operand.TryCast(o, t) =>
         bindOp(o, allowAgg, allowSub).map(b =>
           BoundOperand.BTryCast(roundForIntCast(b, t), t))
@@ -3208,11 +3407,12 @@ object Analyzer {
       case Operand.FuncCall(f0raw, args) if Set("list_transform",
           "array_transform", "list_filter", "array_filter",
           "list_reduce", "list_apply", "array_apply",
-          "array_reduce")(f0raw.toLowerCase) =>
+          "array_reduce", "reduce", "apply", "filter")(f0raw.toLowerCase) =>
         val f0 = f0raw.toLowerCase match {
-          case "list_apply" | "array_apply" => "list_transform"
-          case "array_reduce"               => "list_reduce"
-          case x                            => x
+          case "list_apply" | "array_apply" | "apply" => "list_transform"
+          case "array_reduce" | "reduce"              => "list_reduce"
+          case "filter"                               => "list_filter"
+          case x                                      => x
         }
         val f = if (f0.startsWith("array_")) "list_" + f0.stripPrefix("array_")
                 else f0
@@ -3452,7 +3652,13 @@ object Analyzer {
                "json_transform_strict" => args.length == 2 &&
             args(1).isInstanceOf[Operand.Literal]
           case "array_cross_product" => args.length == 2
-          case "timezone" | "timezone_hour" | "timezone_minute" |
+          case "timezone" => args.length == 1 || args.length == 2
+          case "make_time" => args.length == 3
+          case "enum_range" | "enum_first" | "enum_last" |
+               "enum_code" => args.length == 1
+          case "union_value" | "union_extract" => args.length == 2
+          case "union_tag" => args.length == 1
+          case "timezone_hour" | "timezone_minute" |
                "hash" | "setseed" => args.length == 1
           case "age" => args.length == 2
           case "nextval" | "currval" => args.length == 1
@@ -3777,6 +3983,15 @@ object Analyzer {
             }))
               Left(BadFunction(
                 "map_from_entries takes a list of two-field structs"))
+            else if (f == "union_extract") ((operandType(bargs.head), bargs(1)) match {
+              case (SqlType.SqlUnion(ms),
+                    BoundOperand.BLit(Lit.LitString(k))) =>
+                if (ms.exists(_._1 == k)) Right(bargs)
+                else Left(BadFunction(
+                  s"""Could not find key "$k" in union"""))
+              case (other, _) => Left(BadFunction(
+                s"union_extract takes a UNION first argument (got ${other.render})"))
+            })
             else if (f == "struct_insert") operandType(bargs.head) match {
               case SqlType.SqlStruct(fs) =>
                 val keys = bargs.tail.grouped(2).map(_.head).collect {
@@ -3822,6 +4037,36 @@ object Analyzer {
               }
               if (!unitOk) BoundOperand.BFunc(f, bargs) // falls to lowering error
               else BoundOperand.BFunc("__age_part", bargs.head +: ageArgs)
+            }
+            // timezone(tz, x) / x AT TIME ZONE tz: the DIRECTION is
+            // typed — a naive timestamp is interpreted as tz wall time
+            // and becomes TIMESTAMPTZ; a TIMESTAMPTZ converts to the tz
+            // wall time and becomes naive (DuckDB/Postgres probed)
+            else if (f == "timezone" && bargs.length == 2) {
+              operandType(bargs(1)) match {
+                case SqlType.SqlTimestampTz =>
+                  BoundOperand.BFunc("__tz_to_naive", bargs)
+                case SqlType.SqlTimestamp | SqlType.SqlDate =>
+                  BoundOperand.BFunc("__tz_to_tz", bargs)
+                case _ => BoundOperand.BFunc(f, bargs) // lowering rejects
+              }
+            }
+            // enum introspection folds at analysis — the value domain is
+            // static type information
+            else if (Set("enum_range", "enum_first", "enum_last",
+                "enum_code")(f)) {
+              operandType(bargs.head) match {
+                case SqlType.SqlEnum(vs) => f match {
+                  case "enum_range" => BoundOperand.BFunc("list_value",
+                    vs.map(v => BoundOperand.BLit(Lit.LitString(v))))
+                  case "enum_first" => BoundOperand.BLit(Lit.LitString(vs.head))
+                  case "enum_last"  => BoundOperand.BLit(Lit.LitString(vs.last))
+                  case _ => BoundOperand.BCast(BoundOperand.BArith('-',
+                    enumPos(bargs.head, vs),
+                    BoundOperand.BLit(Lit.LitLong(1L))), SqlType.SqlInt)
+                }
+                case _ => BoundOperand.BFunc(f, bargs) // lowering rejects
+              }
             }
             // typeof folds to the analyzed DuckDB type name — a literal,
             // zero execution (integer literals read BIGINT here where
@@ -3938,15 +4183,38 @@ object Analyzer {
           }
         }
         def temporal(b: BoundOperand): Boolean = operandType(b) match {
-          case SqlType.SqlDate | SqlType.SqlTimestamp => true
+          case SqlType.SqlDate | SqlType.SqlTimestamp |
+               SqlType.SqlTimestampTz | SqlType.SqlTime => true
           case _ => false
+        }
+        // TIME arithmetic takes a DAY-TIME interval carrier in Spark
+        // (calendar make_interval rejects TIME), and only sub-day units
+        // are meaningful on a time-of-day — dedicated node, dedicated
+        // lowering. No wrap-around: Spark raises where DuckDB wraps
+        // past midnight (documented divergence).
+        def timePlus(op: Char, t: BoundOperand,
+            iv: BoundOperand): Either[AnalyzerError, BoundOperand] = {
+          val subDay = Set("to_hours", "to_minutes", "to_seconds",
+            "to_milliseconds", "to_microseconds")
+          val ok = iv match {
+            case BoundOperand.BFunc(ivf, _) => subDay(ivf)
+            case BoundOperand.BInterval(_, u) =>
+              Set("hour", "minute", "second")(u)
+            case _ => false
+          }
+          if (ok) Right(BoundOperand.BFunc(
+            if (op == '+') "__time_plus" else "__time_minus", Seq(t, iv)))
+          else Left(BadFunction(
+            "TIME arithmetic takes sub-day INTERVAL units only"))
         }
         for {
           bl <- bindOp(l, allowAgg, allowSub)
           br <- bindOp(r, allowAgg, allowSub)
           res <- (bl, br) match {
             case (_, BoundOperand.BInterval(_, _)) =>
-              if ((ch == '+' || ch == '-') && temporal(bl))
+              if ((ch == '+' || ch == '-') && operandType(bl) == SqlType.SqlTime)
+                timePlus(ch, bl, br)
+              else if ((ch == '+' || ch == '-') && temporal(bl))
                 Right(BoundOperand.BArith(ch, bl, br))
               else Left(BadFunction(
                 "INTERVAL is only valid as <date/timestamp> + or - INTERVAL"))
@@ -3954,7 +4222,9 @@ object Analyzer {
             // same placement rule as INTERVAL literals, but the count
             // can be any expression (column-capable)
             case (_, BoundOperand.BFunc(ivf, _)) if IntervalFuncs(ivf) =>
-              if ((ch == '+' || ch == '-') && temporal(bl))
+              if ((ch == '+' || ch == '-') && operandType(bl) == SqlType.SqlTime)
+                timePlus(ch, bl, br)
+              else if ((ch == '+' || ch == '-') && temporal(bl))
                 Right(BoundOperand.BArith(ch, bl, br))
               else Left(BadFunction(
                 s"$ivf is INTERVAL-valued: only <date/timestamp> + or - $ivf(n)"))
@@ -4180,7 +4450,24 @@ object Analyzer {
             // min/max); Catalyst casts the comparison
             case _ => Right(())
           }
-        } yield BoundExpr.BCmp(op, bl, br)
+        } yield {
+          // ordering comparisons on ENUM operands compare definition
+          // POSITION (equality stays textual — equivalent and cheaper)
+          val ordering = op match {
+            case CmpOp.Lt | CmpOp.Gt | CmpOp.Le | CmpOp.Ge => true
+            case _ => false
+          }
+          val enumVals =
+            if (!ordering) None
+            else Seq(bl, br).map(operandType).collectFirst {
+              case SqlType.SqlEnum(vs) => vs
+            }
+          enumVals match {
+            case Some(vs) =>
+              BoundExpr.BCmp(op, enumPos(bl, vs), enumPos(br, vs))
+            case None => BoundExpr.BCmp(op, bl, br)
+          }
+        }
     }
 
     def bindItem(it: SelectItem): Either[AnalyzerError, BoundItem] = it match {
@@ -4703,7 +4990,8 @@ object Analyzer {
                   if aliases.exists(_.equalsIgnoreCase(name)) =>
                 Right(BoundOrderKey.OKOutput(name))
               case other =>
-                bindOp(other, allowAgg = true).map(BoundOrderKey.OKOperand)
+                bindOp(other, allowAgg = true)
+                  .map(b => BoundOrderKey.OKOperand(enumOrderKey(b)))
             }
             key.map(k => v :+ (k -> desc))
           }
@@ -5296,6 +5584,8 @@ object Analyzer {
     case (Lit.LitString(_), t) if SqlType.comparable(SqlType.SqlVarChar(0), t) => Right(())
     case (Lit.LitDate(_), t) if SqlType.comparable(SqlType.SqlDate, t) => Right(())
     case (Lit.LitTimestamp(_), t) if SqlType.comparable(SqlType.SqlTimestamp, t) => Right(())
+    case (Lit.LitTime(_), t) if SqlType.comparable(SqlType.SqlTime, t) => Right(())
+    case (Lit.LitTimestampTz(_), t) if SqlType.comparable(SqlType.SqlTimestampTz, t) => Right(())
     case (Lit.LitBool(_), t) if SqlType.comparable(SqlType.SqlBool, t) => Right(())
     case (l, t) => Left(NotComparable(litType(l), t))
   }
@@ -5305,6 +5595,8 @@ object Analyzer {
     case Lit.LitString(s)    => SqlType.SqlVarChar(s.length max 1)
     case Lit.LitDate(_)      => SqlType.SqlDate
     case Lit.LitTimestamp(_) => SqlType.SqlTimestamp
+    case Lit.LitTime(_)      => SqlType.SqlTime
+    case Lit.LitTimestampTz(_) => SqlType.SqlTimestampTz
     case Lit.LitBool(_)      => SqlType.SqlBool
     case Lit.LitNull         => SqlType.SqlVarChar(1)
   }

@@ -217,6 +217,9 @@ object Ast {
       * when nothing matches.
       */
     final case class SColumns(pattern: String) extends SelectItem
+    /** COLUMNS(c -> predicate): star expansion filtered by a lambda over
+      * the column NAME (DuckDB) — evaluated statically at analysis. */
+    final case class SColumnsLambda(param: String, body: Expr) extends SelectItem
     /** `fn(COLUMNS(*))` / `fn(COLUMNS('re'))` / `fn(COLUMNS(* EXCLUDE
       * (…)))` — the function applied per matched column, one output item
       * per column named with the BARE column name (DuckDB 1.0 probed:
@@ -385,6 +388,11 @@ object Ast {
     * its statistics from the warehouse.
     */
   final case class DropTree(table: String, ifExists: Boolean) extends ParseTree
+  /** CREATE TYPE name AS ENUM ('a', 'b', …) — a named, ordered value
+    * domain (DuckDB). */
+  final case class CreateEnumTree(name: String, values: Vector[String],
+      ifNotExists: Boolean) extends ParseTree
+  final case class DropTypeTree(name: String, ifExists: Boolean) extends ParseTree
 
   /** CREATE [OR REPLACE] SEQUENCE [IF NOT EXISTS] name
     * [INCREMENT [BY] n] [MINVALUE n] [MAXVALUE n] [START [WITH] n]

@@ -25,6 +25,11 @@ import Analyzer._
   */
 final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
 
+  // Spark 4.1 gates the TIME type behind a flag; the dialect surfaces
+  // TIME/make_time, so every engine session enables it (dynamic conf —
+  // safe to set even when the builder already did).
+  spark.conf.set("spark.sql.timeType.enabled", "true")
+
   sealed trait QueryError { def msg: String }
   final case class ParseFailed(e: Parser.ParseError) extends QueryError { def msg = e.toString }
   final case class AnalyzeFailed(e: AnalyzerError) extends QueryError { def msg = e.msg }
@@ -68,7 +73,11 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       maxv: Long, cycle: Boolean, var current: Option[Long])
   private val sequences = mutable.LinkedHashMap.empty[String, SeqState]
 
+  // named types (CREATE TYPE … AS ENUM): name -> value domain
+  private val namedTypes = mutable.LinkedHashMap.empty[String, SqlType.SqlEnum]
+
   Files.createDirectories(Paths.get(warehouse))
+  loadNamedTypes()
   loadCatalog()
   loadViews()
   loadMatViews()
@@ -121,8 +130,10 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   private val fileSchemas =
     mutable.Map.empty[(String, String, Long, Long), TableDesc]
 
-  def query(sql: String): Either[QueryError, QueryResult] =
+  def query(sql: String): Either[QueryError, QueryResult] = {
+    Parser.setNamedTypes(namedTypes.toMap)
     Parser.parse(sql).left.map(ParseFailed).flatMap(t => dispatch(t, sql))
+  }
 
   private def dispatch(tree0: ParseTree,
       sql: String): Either[QueryError, QueryResult] =
@@ -163,6 +174,8 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case Ast.DropMatViewTree(name, ifExists) => dropMatView(name, ifExists)
       case t: Ast.CreateSequenceTree => createSequence(t)
       case Ast.DropSequenceTree(n, ife) => dropSequence(n, ife)
+      case Ast.CreateEnumTree(n, vs, ine) => createEnumType(n, vs, ine)
+      case Ast.DropTypeTree(n, ife) => dropType(n, ife)
       case t: Ast.PivotTree          => pivotStmt(t)
       case t: Ast.UnpivotTree        => unpivotStmt(t)
       // CREATE INDEX: validated, then NO-OP'd with a notice — the
@@ -693,6 +706,60 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       rewriteTable(desc, readTable(desc).limit(0))
       Done(s"truncated ${desc.name}")
     }
+
+  // ---- named types (CREATE TYPE … AS ENUM) ----
+
+  private def typesPath = Paths.get(s"$warehouse/types.json")
+
+  private def saveNamedTypes(): Unit = {
+    val lines = namedTypes.map { case (n, e) =>
+      // \u0001-joined values: the ENUM member text may contain commas
+      s"$n\u0001${e.values.mkString("\u0001")}"
+    }
+    Files.write(typesPath, lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def loadNamedTypes(): Unit = {
+    if (!Files.exists(typesPath)) return
+    Files.readAllLines(typesPath).asScala.filter(_.nonEmpty).foreach { l =>
+      l.split('\u0001') match {
+        case Array(n, vs @ _*) if vs.nonEmpty =>
+          namedTypes(n) = SqlType.SqlEnum(vs.toVector)
+        case _ => () // corrupted line: skip rather than brick the catalog
+      }
+    }
+  }
+
+  private def createEnumType(name: String, values: Vector[String],
+      ifNotExists: Boolean): Either[QueryError, QueryResult] = {
+    if (namedTypes.contains(name)) {
+      if (ifNotExists)
+        return Right(Done(s"type '$name' already exists, skipped"))
+      return Left(ViewError(s"type '$name' already exists"))
+    }
+    namedTypes(name) = SqlType.SqlEnum(values)
+    saveNamedTypes()
+    Right(Done(s"created type $name"))
+  }
+
+  private def dropType(name: String,
+      ifExists: Boolean): Either[QueryError, QueryResult] = {
+    if (!namedTypes.contains(name)) {
+      if (ifExists) return Right(Done(s"type '$name' absent, skipped"))
+      return Left(ViewError(s"type '$name' does not exist"))
+    }
+    // DuckDB blocks dropping a type a table still uses
+    val user = tables.values.find(_.attributes.exists(a =>
+      namedTypes.get(name).contains(a.sqlType)))
+    user match {
+      case Some(t) => Left(ViewError(
+        s"type '$name' is used by table '${t.name}'"))
+      case None =>
+        namedTypes.remove(name)
+        saveNamedTypes()
+        Right(Done(s"dropped type $name"))
+    }
+  }
 
   // ---- sequences: driver-side named counters (DuckDB surface) ----
 
@@ -1892,9 +1959,24 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case "DOUBLE"    => SqlType.SqlDouble
       case "REAL"      => SqlType.SqlReal
       case "TIMESTAMP" => SqlType.SqlTimestamp
+      case "TIMESTAMPTZ" => SqlType.SqlTimestampTz
+      case "TIME"      => SqlType.SqlTime
       case "DATE"      => SqlType.SqlDate
       case "BOOLEAN"   => SqlType.SqlBool
       case dec(p, sc)  => SqlType.SqlDecimal(p.toInt, sc.toInt)
+      case u if u.startsWith("UNION(") && u.endsWith(")") =>
+        val ms = splitTop(u.stripPrefix("UNION(").stripSuffix(")"))
+          .map { f0 =>
+            val f = f0.trim
+            val sp = f.indexOf(' ')
+            require(sp > 0, s"bad catalog UNION member '$f'")
+            f.substring(0, sp) -> parseType(f.substring(sp + 1))
+          }
+        SqlType.SqlUnion(ms.toVector)
+      case e if e.startsWith("ENUM(") && e.endsWith(")") =>
+        val vals = splitTop(e.stripPrefix("ENUM(").stripSuffix(")"))
+          .map(_.trim.stripPrefix("'").stripSuffix("'").replace("''", "'"))
+        SqlType.SqlEnum(vals.toVector)
       case vc(n)       => SqlType.SqlVarChar(n.toInt)
       case vb(n)       => SqlType.SqlVarBinary(n.toInt)
       case other       => sys.error(s"bad catalog type $other")

@@ -3048,13 +3048,16 @@ object Lowering {
       val c = rec(a)
       when(length(c) === 0, lit(-1)).otherwise(ascii(c))
     // format_bytes: binary units, value TRUNCATED (not rounded) to one
-    // decimal (DuckDB probed: 1945 → '1.8 KiB', 1023.999 KiB stays
-    // '1023.9 KiB'); < 1024 prints 'N bytes'
+    // decimal — in TWO stages (DuckDB probed: 17406450 bytes is 16.6000
+    // MiB by direct division but prints '16.5 MiB': the byte count is
+    // first integer-divided down to the previous unit — 16998 KiB — and
+    // only that integer feeds the final one-decimal truncating division
+    // by 1024). 1945 → '1.8 KiB'; < 1024 prints 'N bytes'
     case ("format_bytes", Seq(a)) =>
       val x = rec(a).cast("double")
       def scaled(k: Int): Column = {
-        val v = x / math.pow(1024.0, k)
-        val t = signum(v) * floor(abs(v) * 10) / 10
+        val inter = signum(x) * floor(abs(x) / math.pow(1024.0, k - 1))
+        val t = signum(x) * floor(abs(inter) * 10 / 1024.0) / 10
         format_string("%.1f", t)
       }
       val units = Seq("KiB", "MiB", "GiB", "TiB", "PiB")
@@ -3096,14 +3099,35 @@ object Lowering {
     // json_quote: serialize ONE value — ride to_json of a 1-element
     // array and strip the brackets (escaping comes out exactly JSON's)
     case ("json_quote", Seq(a)) => jsonScalarText(rec(a))
-    case ("like_escape", Seq(a, b, BoundOperand.BLit(Lit.LitString(e)))) =>
-      like(rec(a), rec(b), lit(e))
-    case ("ilike_escape", Seq(a, b, BoundOperand.BLit(Lit.LitString(e)))) =>
-      ilike(rec(a), rec(b), lit(e))
-    case ("not_like_escape", Seq(a, b, BoundOperand.BLit(Lit.LitString(e)))) =>
-      !like(rec(a), rec(b), lit(e))
-    case ("not_ilike_escape", Seq(a, b, BoundOperand.BLit(Lit.LitString(e)))) =>
-      !ilike(rec(a), rec(b), lit(e))
+    // DuckDB's escape makes ANY following char literal; Spark's LIKE
+    // rejects an escape before anything but % _ or itself. For literal
+    // patterns, strip the no-op escapes (the char is literal in LIKE
+    // anyway) so both engines accept the same pattern.
+    case (lef @ ("like_escape" | "ilike_escape" | "not_like_escape" |
+                 "not_ilike_escape"),
+          Seq(a, b, BoundOperand.BLit(Lit.LitString(e)))) =>
+      val pat = b match {
+        case BoundOperand.BLit(Lit.LitString(p)) if e.nonEmpty =>
+          val ec = e.head
+          val sb = new StringBuilder
+          var i = 0
+          while (i < p.length) {
+            if (p(i) == ec && i + 1 < p.length) {
+              val c = p(i + 1)
+              if (c == '%' || c == '_' || c == ec) { sb.append(ec); () }
+              sb.append(c)
+              i += 2
+            } else { sb.append(p(i)); i += 1 }
+          }
+          lit(sb.toString)
+        case _ => rec(b)
+      }
+      lef match {
+        case "like_escape"      => like(rec(a), pat, lit(e))
+        case "ilike_escape"     => ilike(rec(a), pat, lit(e))
+        case "not_like_escape"  => !like(rec(a), pat, lit(e))
+        case _                  => !ilike(rec(a), pat, lit(e))
+      }
     case ("current_date", Seq())   => current_date()
     case ("now", Seq())            => current_timestamp()
     // environment introspection: the in-memory defaults — DuckDB's own
@@ -3148,16 +3172,17 @@ object Lowering {
               concat(scaled(k), lit(s" $u"))).otherwise(els)
       }
     // bar(x, min, max [, width=80]): full blocks + one floor'd eighth
-    // block, out-of-range fractions render EMPTY, and the space padding
-    // counts BYTES (each block char is 3 UTF-8 bytes) — all DuckDB 1.0
-    // probed quirks
+    // block, NEGATIVE fractions render EMPTY but fractions above 1 CLAMP
+    // to a full-width bar (DuckDB 1.0 probed: bar(15,0,10,10) = 10 full
+    // blocks), and the space padding counts BYTES (each block char is
+    // 3 UTF-8 bytes)
     case ("bar", as) if as.length == 3 || as.length == 4 =>
       val x = rec(as(0)).cast("double")
       val w = as.lift(3).map(rec(_).cast("double")).getOrElse(lit(80.0))
       val frac = (x - rec(as(1)).cast("double")) /
         (rec(as(2)).cast("double") - rec(as(1)).cast("double"))
-      val blocksExact = when(frac >= 0 && frac <= 1, frac * w)
-        .otherwise(lit(0.0))
+      val blocksExact = when(frac < 0, lit(0.0))
+        .when(frac > 1, w).otherwise(frac * w)
       val full = floor(blocksExact).cast("int")
       val eighth = floor((blocksExact - full) * 8).cast("int")
       val eighthChar = element_at(
@@ -3289,6 +3314,13 @@ object Lowering {
           element_at(ac, 1) * element_at(bc, 2) - element_at(ac, 2) * element_at(bc, 1)))
     // timezone parts of a naive TIMESTAMP read 0 (DuckDB probed — the
     // engine's timestamps are session-naive like the fixtures')
+    // TIME / TIMESTAMPTZ family — its own method: lowerFunc is at the
+    // JVM 64KB method-size limit
+    case (ftz, as) if Lowering.TimeTzFuncs(ftz) => lowerTimeTz(ftz, as, rec)
+    // ENUM plumbing — same split
+    case (fe, as) if Lowering.EnumFuncs(fe) => lowerEnum(fe, as, rec)
+    // UNION (tagged sum) carrier plumbing — same split
+    case (fu, as) if Lowering.UnionFuncs(fu) => lowerUnion(fu, as, rec)
     case ("timezone" | "timezone_hour" | "timezone_minute", Seq(a)) =>
       when(rec(a).cast("timestamp").isNull, lit(null).cast("int"))
         .otherwise(lit(0))
@@ -3360,8 +3392,11 @@ object Lowering {
       def castLeaf(c: Column, t: SqlType): Column = {
         val lax = t match {
           case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt =>
+            // the double route rounds HALF-TO-EVEN like DuckDB's JSON
+            // casts (probed: 2.5→2, 1.5→2, 0.5→0, -2.5→-2) — rint, not
+            // the half-away rule decimal casts use
             val viaDouble = c.try_cast(org.apache.spark.sql.types.DoubleType)
-            val rounded = signum(viaDouble) * floor(abs(viaDouble) + 0.5)
+            val rounded = call_function("rint", viaDouble)
             coalesce(c.try_cast(org.apache.spark.sql.types.LongType),
               rounded.try_cast(org.apache.spark.sql.types.LongType)).cast(t.spark)
           case SqlType.SqlBool =>
@@ -3942,6 +3977,11 @@ object Lowering {
     case Lit.LitString(s)    => lit(s)
     case Lit.LitDate(s)      => lit(java.sql.Date.valueOf(s))
     case Lit.LitTimestamp(s) => lit(java.sql.Timestamp.valueOf(s))
+    // LocalTime lowers through Spark's TIME literal encoder
+    case Lit.LitTime(s)      => lit(java.time.LocalTime.parse(s))
+    // the UTC-normalized wall text IS the instant under the pinned UTC
+    // session zone (carrier: TimestampType)
+    case Lit.LitTimestampTz(s) => lit(java.sql.Timestamp.valueOf(s))
     case Lit.LitBool(v)      => lit(v)
     case Lit.LitNull         => lit(null)
   }
@@ -3950,6 +3990,120 @@ object Lowering {
     * years, months, weeks, days, hours, mins, secs). Column arithmetic
     * then adds/subtracts it from a date/timestamp directly.
     */
+  /** TIME / TIMESTAMPTZ function family, split out of lowerFunc (which
+    * sits at the JVM 64KB method-size limit).
+    */
+  private[sql] val TimeTzFuncs: Set[String] = Set("make_time",
+    "__time_plus", "__time_minus", "__tz_to_tz", "__tz_to_naive",
+    "__tstz_text", "__ts_to_time")
+
+  private def lowerTimeTz(f: String, as: Seq[BoundOperand],
+      rec: BoundOperand => Column): Column = (f, as) match {
+    // make_time(h, m, s): seconds take a fraction (DECIMAL micros)
+    case ("make_time", Seq(h, m, sec)) =>
+      call_function("make_time", rec(h).cast("int"), rec(m).cast("int"),
+        rec(sec).cast("decimal(16,6)"))
+    // TIME +/- sub-day interval: Spark's TIME takes DayTimeInterval
+    // operands (make_dt_interval), not the calendar make_interval the
+    // generic interval lowering builds
+    case (tpm @ ("__time_plus" | "__time_minus"), Seq(t, iv)) =>
+      val z = lit(0)
+      val dt = iv match {
+        case BoundOperand.BFunc("to_hours", Seq(n)) =>
+          make_dt_interval(z, rec(n).cast("int"))
+        case BoundOperand.BFunc("to_minutes", Seq(n)) =>
+          make_dt_interval(z, z, rec(n).cast("int"))
+        case BoundOperand.BFunc("to_seconds", Seq(n)) =>
+          make_dt_interval(z, z, z, rec(n).cast("decimal(16,6)"))
+        case BoundOperand.BFunc("to_milliseconds", Seq(n)) =>
+          make_dt_interval(z, z, z,
+            (rec(n).cast("decimal(16,3)") / 1000).cast("decimal(16,6)"))
+        case BoundOperand.BFunc("to_microseconds", Seq(n)) =>
+          make_dt_interval(z, z, z,
+            (rec(n).cast("decimal(16,0)") / 1000000).cast("decimal(16,6)"))
+        case BoundOperand.BInterval(n, "hour")   => make_dt_interval(z, lit(n))
+        case BoundOperand.BInterval(n, "minute") => make_dt_interval(z, z, lit(n))
+        case BoundOperand.BInterval(n, "second") =>
+          make_dt_interval(z, z, z, lit(java.math.BigDecimal.valueOf(n)))
+        case other => sys.error(s"unreachable TIME interval shape $other")
+      }
+      if (tpm == "__time_plus") rec(t) + dt else rec(t) - dt
+    // timezone(tz, naive)/naive AT TIME ZONE tz: interpret the naive
+    // wall time IN tz -> instant (TIMESTAMPTZ); Spark's to_utc_timestamp
+    // is exactly this under the pinned UTC session zone
+    case ("__tz_to_tz", Seq(tz, x)) =>
+      to_utc_timestamp(rec(x).cast("timestamp"), rec(tz).cast("string"))
+    // timezone(tz, tstz)/tstz AT TIME ZONE tz: the tz wall time of the
+    // instant, as a NAIVE timestamp
+    case ("__tz_to_naive", Seq(tz, x)) =>
+      from_utc_timestamp(rec(x), rec(tz).cast("string"))
+    // TIMESTAMPTZ::VARCHAR appends the session (+00) offset like DuckDB
+    case ("__tstz_text", Seq(a)) =>
+      concat(rec(a).cast("string"), lit("+00"))
+    // TIMESTAMP::TIME — time-of-day via the rendered micros (Spark has
+    // no native timestamp->time cast yet)
+    case ("__ts_to_time", Seq(a)) =>
+      date_format(rec(a), "HH:mm:ss.SSSSSS")
+        .cast(graft.sql.SqlType.SqlTime.spark)
+    case other => sys.error(s"unreachable time/tz function $other")
+  }
+
+  /** ENUM plumbing (positional ordering / validated casts), split out
+    * of lowerFunc like the time/tz family.
+    */
+  private[sql] val EnumFuncs: Set[String] =
+    Set("__enum_pos", "__enum_cast", "__enum_from_pos")
+
+  private def lowerEnum(f: String, as: Seq[BoundOperand],
+      rec: BoundOperand => Column): Column = {
+    def vals(b: BoundOperand): Seq[String] = b match {
+      case BoundOperand.BLit(Lit.LitString(vs)) => vs.split('\u0001').toSeq
+      case other => sys.error(s"unreachable enum value list $other")
+    }
+    (f, as) match {
+      // 1-based definition position (the enum's sort key); a non-member
+      // reads NULL here — the validated cast is the raising surface
+      case ("__enum_pos", Seq(x, vl)) =>
+        val arr = array(vals(vl).map(lit): _*)
+        val p = array_position(arr, rec(x))
+        when(p > 0, p.cast("int")).otherwise(lit(null).cast("int"))
+      // text -> ENUM with DuckDB's conversion-error surface
+      case ("__enum_cast", Seq(x, vl)) =>
+        val vs = vals(vl)
+        val c = rec(x)
+        when(c.isNull || c.isin(vs: _*), c)
+          .otherwise(raise_error(concat(
+            lit("Conversion Error: Could not convert string '"), c,
+            lit(s"' to ENUM(${vs.map(v => s"'$v'").mkString(", ")})")))
+            .cast("string"))
+      // position -> value (min/max over enum aggregate the position)
+      case ("__enum_from_pos", Seq(p, vl)) =>
+        element_at(array(vals(vl).map(lit): _*), rec(p).cast("int"))
+      case other => sys.error(s"unreachable enum function $other")
+    }
+  }
+
+  /** UNION carrier plumbing: struct(tag, member…) where only the
+    * active member is non-NULL.
+    */
+  private[sql] val UnionFuncs: Set[String] =
+    Set("union_value", "union_tag", "union_extract", "__union_make")
+
+  private def lowerUnion(f: String, as: Seq[BoundOperand],
+      rec: BoundOperand => Column): Column = (f, as) match {
+    case ("union_value", Seq(BoundOperand.BLit(Lit.LitString(k)), v)) =>
+      struct(lit(k).as("tag"), rec(v).as(k))
+    case ("union_tag", Seq(u)) => rec(u).getField("tag")
+    case ("union_extract", Seq(u, BoundOperand.BLit(Lit.LitString(k)))) =>
+      rec(u).getField(k)
+    case ("__union_make",
+          BoundOperand.BLit(Lit.LitString(spec)) +: tag +: vs) =>
+      val names = spec.split('\u0001').toSeq
+      struct((rec(tag).as("tag") +: names.zip(vs).map {
+        case (n, v) => rec(v).as(n) }): _*)
+    case other => sys.error(s"unreachable union function $other")
+  }
+
   private def intervalCol(n: Long, unit: String): Column = {
     val z = lit(0)
     unit match {

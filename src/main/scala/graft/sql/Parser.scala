@@ -238,7 +238,9 @@ object Parser {
     "map_from_entries", "struct_insert", "bar", "error", "json_quote",
     "like_escape", "ilike_escape", "not_like_escape", "not_ilike_escape",
     "md5_number_lower", "md5_number_upper",
-    "current_date", "today", "now", "get_current_timestamp",
+    "enum_range", "enum_first", "enum_last", "enum_code",
+    "union_value", "union_tag", "union_extract",
+    "make_time", "current_date", "today", "now", "get_current_timestamp",
     "transaction_timestamp", "current_database", "current_schema",
     "version", "uuid", "gen_random_uuid", "random",
     "grade_up", "reduce", "apply", "filter", "aggregate",
@@ -1082,12 +1084,18 @@ object Parser {
               case TSym("*", _) =>
                 p.next()
                 parseStarMods(p).map { case (e, r, rn) => SelectItem.SStar(None, e, r, rn) }
-              // COLUMNS('regex') — regex-filtered star expansion
+              // COLUMNS('regex') / COLUMNS(c -> pred): star expansion
+              // filtered by a regex — or a LAMBDA over the column name
               case TIdent(k, _) if k.equalsIgnoreCase("columns") && {
                 val save = p.i; p.next()
                 val isP = (p.peek match {
                   case TSym("(", _) => p.next()
-                    p.peek match { case TStr(_, _) => true; case _ => false }
+                    p.peek match {
+                      case TStr(_, _) => true
+                      case TIdent(_, _) => p.next()
+                        p.peek match { case TSym("->", _) => true; case _ => false }
+                      case _ => false
+                    }
                   case _ => false
                 })
                 p.i = save; isP
@@ -1095,12 +1103,21 @@ object Parser {
                 p.next()
                 for {
                   _ <- p.eatSym("(")
-                  pat <- p.peek match {
-                    case TStr(v, _) => p.next(); Right(v)
-                    case t => Left(ParseError("COLUMNS takes a string-literal regex", t.pos))
+                  item <- p.peek match {
+                    case TStr(v, _) =>
+                      p.next(); Right(SelectItem.SColumns(v): SelectItem)
+                    case TIdent(prm, _) =>
+                      p.next()
+                      for {
+                        _ <- p.eatSym("->")
+                        body <- parseOr(p)
+                      } yield SelectItem.SColumnsLambda(prm.toLowerCase,
+                        body): SelectItem
+                    case t => Left(ParseError(
+                      "COLUMNS takes a string-literal regex or a lambda", t.pos))
                   }
                   _ <- p.eatSym(")")
-                } yield SelectItem.SColumns(pat): SelectItem
+                } yield item
               case TIdent(b, _) if {
                 val save = p.i; p.next()
                 val dotStar = (p.peek match {
@@ -2511,6 +2528,23 @@ object Parser {
                 loop(Operand.FuncCall("list_extract", Seq(acc, idx))))
             }
           }
+        // `x AT TIME ZONE 'tz'` (Postgres/DuckDB): direction decided by
+        // the analyzer from x's type (naive -> TIMESTAMPTZ, tz -> naive)
+        case TIdent(at, _) if at.equalsIgnoreCase("at") && {
+          val save = p.i; p.next()
+          val ok = (p.peek match {
+            case TIdent(w2, _) if w2.equalsIgnoreCase("time") => p.next()
+              p.peek match {
+                case TIdent(w3, _) if w3.equalsIgnoreCase("zone") => true
+                case _ => false
+              }
+            case _ => false
+          })
+          p.i = save; ok
+        } =>
+          p.next(); p.next(); p.next() // AT TIME ZONE
+          parseAtom(p, allowAgg)
+            .flatMap(tz => loop(Operand.FuncCall("timezone", Seq(tz, acc))))
         case _ => Right(acc)
       }
       loop(first)
@@ -2524,7 +2558,27 @@ object Parser {
       if (p.isKw("select"))
         parseSelect(p).flatMap(sub =>
           p.eatSym(")").map(_ => Operand.ScalarSub(sub): Operand))
-      else parseOperand(p, allowAgg).flatMap(e => p.eatSym(")").map(_ => e))
+      else {
+        val save = p.i
+        parseOperand(p, allowAgg).flatMap(e => p.eatSym(")").map(_ => e)) match {
+          case r @ Right(_) => r
+          case Left(_) =>
+            // a parenthesized BOOLEAN expression used as a VALUE —
+            // `(a >= b) AS flag`, `(x > 0 AND y < 1) AS ok` — reparse
+            // through the predicate grammar and desugar into the 3VL
+            // CASE the rest of the pipeline already knows:
+            // TRUE / FALSE / NULL-when-the-predicate-is-NULL.
+            p.i = save
+            for {
+              e <- parseOr(p, allowAgg)
+              _ <- p.eatSym(")")
+            } yield Operand.CaseWhen(
+              Seq(e -> Operand.Literal(Lit.LitBool(true))),
+              Some(Operand.CaseWhen(
+                Seq((Expr.Not(e): Expr) -> Operand.Literal(Lit.LitBool(false))),
+                None)))
+        }
+      }
     case TSym("-", _) =>
       p.next()
       parseFactor(p, allowAgg).map {
@@ -2656,6 +2710,22 @@ object Parser {
           fs <- packs(Vector.empty)
         } yield Operand.FuncCall("struct_insert", base +: fs): Operand
       }
+    // union_value(k := v) — a single-member UNION value (DuckDB); the
+    // member name interleaves as a string literal like struct_pack
+    case TIdent(f, _) if f.equalsIgnoreCase("union_value") && {
+        val save = p.i; p.next()
+        val par = p.peek match { case TSym("(", _) => true; case _ => false }
+        p.i = save; par
+      } =>
+      p.next(); p.next() // union_value (
+      p.ident().flatMap { k =>
+        for {
+          _ <- p.eatSym(":=")
+          v <- parseOperand(p, allowAgg)
+          _ <- p.eatSym(")")
+        } yield Operand.FuncCall("union_value",
+          Seq(Operand.Literal(Lit.LitString(k)), v)): Operand
+      }
     // [a, b, …] list literal (DuckDB bracket syntax) → list_value(...)
     case TSym("[", _) =>
       p.next()
@@ -2680,12 +2750,13 @@ object Parser {
       p.next(); Right(Operand.Literal(Lit.LitNull))
     case TIdent(s, _) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") =>
       p.next(); Right(Operand.Literal(Lit.LitBool(s.equalsIgnoreCase("true"))))
-    case TIdent(k, _) if (k.equalsIgnoreCase("date") || k.equalsIgnoreCase("timestamp")) && {
+    case TIdent(k, _) if Set("date", "timestamp", "time",
+        "timestamptz")(k.toLowerCase) && {
         val save = p.i; p.next()
         val isStr = p.peek.isInstanceOf[TStr]; p.i = save; isStr
       } =>
       p.next()
-      parseDateTimeLit(p, k.equalsIgnoreCase("date")).map(Operand.Literal)
+      parseDateTimeLit(p, k.toLowerCase).map(Operand.Literal)
     case TIdent(k, _) if k.equalsIgnoreCase("interval") && {
         val save = p.i; p.next()
         val isVal = p.peek match {
@@ -3392,14 +3463,39 @@ object Parser {
     * validates the ISO form at parse time so a typo fails here, not at
     * execution.
     */
-  private def parseDateTimeLit(p: P, isDate: Boolean): Either[ParseError, Lit] = {
+  private def parseDateTimeLit(p: P, kind: String): Either[ParseError, Lit] = {
     val TStr(s, pos) = p.next(): @unchecked
-    try {
-      if (isDate) { java.sql.Date.valueOf(s); Right(Lit.LitDate(s)) }
-      else { java.sql.Timestamp.valueOf(s); Right(Lit.LitTimestamp(s)) }
+    try kind match {
+      case "date" => java.sql.Date.valueOf(s); Right(Lit.LitDate(s))
+      case "time" =>
+        java.time.LocalTime.parse(s); Right(Lit.LitTime(s))
+      case "timestamptz" =>
+        // accept an optional trailing offset (+HH / +HH:MM / -HH[:MM]);
+        // normalize the wall text to UTC at parse — sessions pin UTC, so
+        // the naive reading of the stored text IS the instant
+        val m = "(.*?)\\s*([+-]\\d{2}(?::?\\d{2})?)?".r
+          .pattern.matcher(s)
+        if (!m.matches()) throw new IllegalArgumentException(s)
+        val base0 = m.group(1)
+        val base = if (base0.matches("\\d{4}-\\d{2}-\\d{2}")) base0 + " 00:00:00" else base0
+        val off = Option(m.group(2)).map { o =>
+          val sign = if (o.head == '-') -1 else 1
+          val digits = o.tail.replace(":", "")
+          val h = digits.take(2).toInt
+          val mnt = if (digits.length > 2) digits.drop(2).toInt else 0
+          sign * (h * 60 + mnt)
+        }.getOrElse(0)
+        val ldt = java.time.LocalDateTime.parse(base.replace(' ', 'T'))
+          .minusMinutes(off.toLong)
+        Right(Lit.LitTimestampTz(
+          java.sql.Timestamp.valueOf(ldt).toString.stripSuffix(".0")))
+      case _ =>
+        // a date-only TIMESTAMP literal reads midnight (DuckDB/Postgres)
+        val full = if (s.matches("\\d{4}-\\d{2}-\\d{2}")) s + " 00:00:00" else s
+        java.sql.Timestamp.valueOf(full); Right(Lit.LitTimestamp(full))
     } catch {
-      case _: IllegalArgumentException => Left(ParseError(
-        s"invalid ${if (isDate) "DATE" else "TIMESTAMP"} literal '$s'", pos))
+      case _: IllegalArgumentException | _: java.time.DateTimeException =>
+        Left(ParseError(s"invalid ${kind.toUpperCase} literal '$s'", pos))
     }
   }
 
@@ -3417,12 +3513,13 @@ object Parser {
     case TIdent(s, _) if s.equalsIgnoreCase("null") => p.next(); Right(Lit.LitNull)
     case TIdent(s, _) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") =>
       p.next(); Right(Lit.LitBool(s.equalsIgnoreCase("true")))
-    case TIdent(k, _) if (k.equalsIgnoreCase("date") || k.equalsIgnoreCase("timestamp")) && {
+    case TIdent(k, _) if Set("date", "timestamp", "time",
+        "timestamptz")(k.toLowerCase) && {
         val save = p.i; p.next()
         val isStr = p.peek.isInstanceOf[TStr]; p.i = save; isStr
       } =>
       p.next()
-      parseDateTimeLit(p, k.equalsIgnoreCase("date"))
+      parseDateTimeLit(p, k.toLowerCase)
     case t => Left(ParseError("expected literal", t.pos))
   }
 
@@ -3591,6 +3688,7 @@ object Parser {
         }
         else if (p.isKw("view")) { p.next(); Right(1) }
         else if (p.isKw("sequence")) { p.next(); Right(3) }
+        else if (p.isKw("type")) { p.next(); Right(4) }
         else p.eatKw("table").map(_ => 0)
       ifExists <- Right {
         if (p.isKw("if")) {
@@ -3600,6 +3698,7 @@ object Parser {
       }
       name <- p.ident()
     } yield kind match {
+      case 4 => DropTypeTree(name.toLowerCase, ifExists)
       case 3 => DropSequenceTree(name.toLowerCase, ifExists)
       case 2 => DropMatViewTree(name.toLowerCase, ifExists)
       case 1 => DropViewTree(name.toLowerCase, ifExists)
@@ -4081,6 +4180,15 @@ object Parser {
     } yield MergeTree(TableRef(tname, talias), source, on, whens)
   }
 
+  /** Session-scoped named-type registry (CREATE TYPE … AS ENUM): the
+    * database sets it before each parse. Thread-local so parallel spec
+    * sessions in one JVM don't race.
+    */
+  private val namedTypesTL = new ThreadLocal[Map[String, SqlType]] {
+    override def initialValue(): Map[String, SqlType] = Map.empty
+  }
+  def setNamedTypes(m: Map[String, SqlType]): Unit = namedTypesTL.set(m)
+
   private def parseType(p: P): Either[ParseError, SqlType] = {
     val baseE: Either[ParseError, SqlType] = p.peek match {
       case TIdent(s, pos) =>
@@ -4097,7 +4205,25 @@ object Parser {
           // functions validate their inputs
           case "bit" | "bitstring" => Right(SqlType.SqlVarChar(65535))
           case "date"     => Right(SqlType.SqlDate)
-          case "timestamp" => Right(SqlType.SqlTimestamp)
+          case "time"     => Right(SqlType.SqlTime)
+          case "timestamptz" => Right(SqlType.SqlTimestampTz)
+          case "timestamp" =>
+            // TIMESTAMP WITH TIME ZONE (3-keyword lookahead)
+            val save = p.i
+            val withTz = p.isKw("with") && {
+              p.next()
+              val ok = (p.peek match {
+                case TIdent(w2, _) if w2.equalsIgnoreCase("time") => p.next()
+                  p.peek match {
+                    case TIdent(w3, _) if w3.equalsIgnoreCase("zone") => true
+                    case _ => false
+                  }
+                case _ => false
+              })
+              if (!ok) p.i = save else p.next()
+              ok
+            }
+            Right(if (withTz) SqlType.SqlTimestampTz else SqlType.SqlTimestamp)
           case "decimal" | "numeric" =>
             // optional (p[, s]); DuckDB's default is DECIMAL(18, 3)
             p.peek match {
@@ -4130,7 +4256,50 @@ object Parser {
               }
               _ <- p.eatSym(")")
             } yield SqlType.SqlVarChar(n)
-          case other => Left(ParseError(s"unknown type $other", pos))
+          // UNION(name TYPE, …) — DuckDB's tagged sum type
+          case "union" =>
+            for {
+              _ <- p.eatSym("(")
+              members <- {
+                def loop(acc: Vector[(String, SqlType)])
+                    : Either[ParseError, Vector[(String, SqlType)]] =
+                  p.ident().flatMap { mn =>
+                    parseType(p).flatMap { mt =>
+                      p.peek match {
+                        case TSym(",", _) => p.next(); loop(acc :+ (mn -> mt))
+                        case _            => Right(acc :+ (mn -> mt))
+                      }
+                    }
+                  }
+                loop(Vector.empty)
+              }
+              _ <- p.eatSym(")")
+            } yield SqlType.SqlUnion(members)
+          // anonymous inline ENUM('a', 'b') type (DuckDB)
+          case "enum" =>
+            for {
+              _ <- p.eatSym("(")
+              vals <- {
+                def loop(acc: Vector[String]): Either[ParseError, Vector[String]] =
+                  p.peek match {
+                    case TStr(v, _) =>
+                      p.next()
+                      p.peek match {
+                        case TSym(",", _) => p.next(); loop(acc :+ v)
+                        case _            => Right(acc :+ v)
+                      }
+                    case t => Left(ParseError(
+                      "ENUM takes string-literal values", t.pos))
+                  }
+                loop(Vector.empty)
+              }
+              _ <- p.eatSym(")")
+            } yield SqlType.SqlEnum(vals)
+          case other =>
+            namedTypesTL.get.get(other) match {
+              case Some(t) => Right(t)
+              case None => Left(ParseError(s"unknown type $other", pos))
+            }
         }
       case t => Left(ParseError("expected type", t.pos))
     }
@@ -4201,6 +4370,33 @@ object Parser {
             _ <- p.eatKw("as")
             body <- if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p)
           } yield (CreateViewTree(name.toLowerCase, body): ParseTree, ine)
+        else if (p.isKw("type"))
+          for {
+            _ <- p.eatKw("type")
+            ine <- ifNotExists()
+            name <- p.ident()
+            _ <- p.eatKw("as")
+            _ <- p.eatKw("enum")
+            _ <- p.eatSym("(")
+            vals <- {
+              def loop(acc: Vector[String]): Either[ParseError, Vector[String]] =
+                p.peek match {
+                  case TStr(v, _) =>
+                    p.next()
+                    p.peek match {
+                      case TSym(",", _) => p.next(); loop(acc :+ v)
+                      case _            => Right(acc :+ v)
+                    }
+                  case t => Left(ParseError(
+                    "ENUM takes string-literal values", t.pos))
+                }
+              loop(Vector.empty)
+            }
+            _ <- p.eatSym(")")
+            _ <-
+              if (vals.distinct.length == vals.length) Right(())
+              else Left(ParseError("duplicate ENUM value", p.peek.pos))
+          } yield (CreateEnumTree(name.toLowerCase, vals, ine): ParseTree, ine)
         else if (p.isKw("sequence"))
           for {
             _ <- p.eatKw("sequence")

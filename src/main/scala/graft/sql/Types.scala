@@ -26,6 +26,17 @@ object SqlType {
   // parquet tables with richer schemas can live in the same catalog).
   case object SqlDouble extends SqlType { val spark = DoubleType;       val render = "DOUBLE" }
   case object SqlTimestamp extends SqlType { val spark = TimestampType; val render = "TIMESTAMP" }
+  /** TIMESTAMP WITH TIME ZONE: carried on Spark's TimestampType (the
+    * instant-semantics timestamp; graft sessions pin UTC), distinguished
+    * at the SQL type layer for rendering (::VARCHAR appends the +00
+    * offset), typeof(), and the AT TIME ZONE conversion direction.
+    */
+  case object SqlTimestampTz extends SqlType { val spark = TimestampType; val render = "TIMESTAMPTZ" }
+  /** TIME (microsecond wall-clock time-of-day) onto Spark 4.1's
+    * TimeType — gated behind spark.sql.timeType.enabled, which every
+    * graft session sets at construction.
+    */
+  case object SqlTime extends SqlType { val spark: DataType = TimeType(); val render = "TIME" }
   case object SqlDate extends SqlType { val spark = DateType;           val render = "DATE" }
   case object SqlBool extends SqlType { val spark = BooleanType;        val render = "BOOLEAN" }
   /** Single-precision float — kept exact (not widened to DOUBLE) so an
@@ -61,6 +72,27 @@ object SqlType {
     def spark: DataType = MapType(key.spark, value.spark)
     def render = s"MAP(${key.render}, ${value.render})"
   }
+  /** ENUM: a named, ORDERED value domain (DuckDB CREATE TYPE … AS ENUM
+    * or the anonymous inline form). Carried as the member TEXT on
+    * StringType; ORDERING is positional, enforced by the analyzer
+    * rewriting ordering comparisons / sort keys / min-max onto the
+    * value's definition index (__enum_pos).
+    */
+  final case class SqlEnum(values: Vector[String]) extends SqlType {
+    val spark: DataType = StringType
+    def render = s"ENUM(${values.map(v => s"'${v.replace("'", "''")}'").mkString(", ")})"
+  }
+  /** UNION (DuckDB's tagged sum type): carried as a struct of the tag
+    * (the active member's NAME) plus one nullable field per member —
+    * only the active member's field is non-NULL. union_extract of an
+    * inactive member reads NULL; ::VARCHAR renders the active value.
+    */
+  final case class SqlUnion(members: Vector[(String, SqlType)]) extends SqlType {
+    def spark: DataType = StructType(
+      StructField("tag", StringType) +:
+        members.map { case (n, t) => StructField(n, t.spark) })
+    def render = s"UNION(${members.map { case (n, t) => s"$n ${t.render}" }.mkString(", ")})"
+  }
   final case class SqlStruct(fields: Vector[(String, SqlType)]) extends SqlType {
     def spark: DataType =
       StructType(fields.map { case (n, t) => StructField(n, t.spark) })
@@ -77,6 +109,7 @@ object SqlType {
     case FloatType        => SqlReal
     case TimestampType    => SqlTimestamp
     case TimestampNTZType => SqlTimestamp // parquet naive timestamps (Spark 4 default)
+    case _: TimeType      => SqlTime
     case DateType         => SqlDate
     case BooleanType      => SqlBool
     case ArrayType(et, _) => SqlArray(fromSpark(et))
@@ -100,8 +133,15 @@ object SqlType {
     case _ if isNumeric(a) && isNumeric(b)        => true
     case (SqlVarChar(_), SqlVarChar(_))           => true
     case (SqlVarBinary(_), SqlVarBinary(_))       => true
-    // date and timestamp cross-compare (Spark widens date to timestamp)
-    case (SqlTimestamp | SqlDate, SqlTimestamp | SqlDate) => true
+    // date and timestamp cross-compare (Spark widens date to timestamp);
+    // TIMESTAMPTZ joins the group (same instant carrier)
+    case (SqlTimestamp | SqlDate | SqlTimestampTz,
+          SqlTimestamp | SqlDate | SqlTimestampTz) => true
+    case (SqlTime, SqlTime)                       => true
+    // enum values compare with each other and with plain text
+    case (SqlEnum(_), SqlEnum(_))                 => true
+    case (SqlEnum(_), SqlVarChar(_))              => true
+    case (SqlVarChar(_), SqlEnum(_))              => true
     case (SqlBool, SqlBool)                       => true
     case (SqlArray(x), SqlArray(y))               => comparable(x, y)
     case _                                        => false
@@ -118,6 +158,13 @@ object Lit {
   final case class LitDate(iso: String) extends Lit
   /** TIMESTAMP 'yyyy-mm-dd hh:mm:ss[.f]' — validated at parse time. */
   final case class LitTimestamp(iso: String) extends Lit
+  /** TIME 'hh:mm:ss[.f]' — validated at parse time. */
+  final case class LitTime(iso: String) extends Lit
+  /** TIMESTAMPTZ '… [+HH[:MM]]' — offset applied at parse; `iso` holds
+    * the UTC-normalized wall text (sessions pin UTC, so the instant is
+    * exactly this text's naive reading).
+    */
+  final case class LitTimestampTz(isoUtc: String) extends Lit
   /** TRUE / FALSE keywords. */
   final case class LitBool(v: Boolean) extends Lit
   case object LitNull extends Lit
@@ -184,6 +231,24 @@ object Convert {
       catch { case _: IllegalArgumentException => Left(NotConvertible(l, t)) }
     case (LitString(s), SqlDate) =>
       try Right(java.sql.Date.valueOf(s))
+      catch { case _: IllegalArgumentException => Left(NotConvertible(l, t)) }
+    // ENUM: membership validated at conversion (DuckDB's conversion
+    // error surface); stored as the member text
+    case (LitString(s), SqlEnum(vs)) =>
+      if (vs.contains(s)) Right(s) else Left(NotConvertible(l, t))
+    case (LitTime(s), SqlTime) => Right(java.time.LocalTime.parse(s))
+    case (LitString(s), SqlTime) =>
+      try Right(java.time.LocalTime.parse(s))
+      catch { case _: java.time.format.DateTimeParseException => Left(NotConvertible(l, t)) }
+    // TIMESTAMPTZ inserts: the UTC-normalized text reads as the instant
+    // under the session's pinned UTC zone; plain timestamps coerce
+    case (LitTimestampTz(s), SqlTimestampTz) => Right(java.sql.Timestamp.valueOf(s))
+    case (LitTimestamp(s), SqlTimestampTz)   => Right(java.sql.Timestamp.valueOf(s))
+    case (LitTimestampTz(s), SqlTimestamp)   => Right(java.sql.Timestamp.valueOf(s))
+    case (LitDate(s), SqlTimestampTz) =>
+      Right(java.sql.Timestamp.valueOf(s + " 00:00:00"))
+    case (LitString(s), SqlTimestampTz) =>
+      try Right(java.sql.Timestamp.valueOf(s))
       catch { case _: IllegalArgumentException => Left(NotConvertible(l, t)) }
     case _ => Left(NotConvertible(l, t))
   }

@@ -26,6 +26,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
+  test("gate construction rejects duplicate keys loudly") {
+    // Round-10 verdict: two duplicate Map-literal keys silently shadowed
+    // full query batches (later entry wins). QueryDef.gate must make any
+    // such collision a construction-time failure, and every module plus
+    // Registry must build through it.
+    val qd = QueryDef((s, _) => s.range(1).toDF(), None)
+    val err = intercept[IllegalArgumentException] {
+      QueryDef.gate("q_a" -> qd, "q_b" -> qd, "q_a" -> qd)
+    }
+    assert(err.getMessage.contains("q_a"))
+    // Registry.all itself constructs through gate() — building it proves
+    // the whole surface is collision-free.
+    assert(Registry.all.size ==
+      Seq(Relational.defs, Dedup.defs, TextOps.defs, Vectors.defs,
+        Multimodal.defs, Dialect.defs, Stats.defs, Corpus.defs,
+        TimeSeries.defs).map(_.size).sum)
+  }
+
   test("entry (flagship) returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -4210,4 +4210,120 @@ class DialectSpec extends AnyFunSuite {
     assert(bad.msg.contains("unsupported structure type"))
   }
 
+  test("TIME and TIMESTAMPTZ: literals, casts, AT TIME ZONE, persistence") {
+    val db = freshDb()
+    db.query("CREATE TABLE tt (id INT PRIMARY KEY, t TIME, z TIMESTAMPTZ)")
+      .left.foreach(e => fail(e.msg))
+    db.query("INSERT INTO tt VALUES (1, TIME '08:30:00', TIMESTAMPTZ '2024-06-01 10:00:00+02'), " +
+      "(2, TIME '23:59:59.5', TIMESTAMPTZ '2024-06-01 08:00:00')")
+      .left.foreach(e => fail(e.msg))
+    val r = db.select("SELECT id, cast(t AS VARCHAR) AS ts, cast(z AS VARCHAR) AS zs " +
+      "FROM tt ORDER BY t").fold(e => fail(e.msg), identity).collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("08:30:00", "23:59:59.5"))
+    // the +02 literal normalized to the UTC instant; rendering carries +00
+    assert(r(0).getString(2) == "2024-06-01 08:00:00+00")
+    assert(r(1).getString(2) == "2024-06-01 08:00:00+00")
+    // AT TIME ZONE direction: naive -> TIMESTAMPTZ (tz wall time read as
+    // an instant); TIMESTAMPTZ -> naive tz wall time
+    val atz = db.select("SELECT " +
+      "cast(TIMESTAMP '2024-01-01 10:00:00' AT TIME ZONE 'Asia/Tokyo' AS VARCHAR) AS a, " +
+      "cast(TIMESTAMPTZ '2024-01-01 10:00:00+00' AT TIME ZONE 'Asia/Tokyo' AS VARCHAR) AS b")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(atz.getString(0) == "2024-01-01 01:00:00+00")
+    assert(atz.getString(1) == "2024-01-01 19:00:00")
+    // TIME survives a catalog reopen (declared type round-trips)
+    val db2 = new GraftDatabase(spark, db.warehouse)
+    val r2 = db2.select("SELECT cast(max(t) AS VARCHAR) AS m FROM tt")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(r2.getString(0) == "23:59:59.5")
+    // typeof reads the DuckDB names
+    val tn = db2.select("SELECT typeof(t) AS a, typeof(z) AS b FROM tt")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(tn.getString(0) == "TIME")
+    assert(tn.getString(1) == "TIMESTAMP WITH TIME ZONE")
+    // a malformed TIME literal fails at parse, loudly
+    assert(db.query("SELECT TIME '25:00:00' AS x FROM tt").isLeft)
+  }
+
+  test("ENUM: CREATE TYPE, positional order, validation, persistence") {
+    val db = freshDb()
+    db.query("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+      .left.foreach(e => fail(e.msg))
+    db.query("CREATE TABLE mt (id INT PRIMARY KEY, m mood)")
+      .left.foreach(e => fail(e.msg))
+    db.query("INSERT INTO mt VALUES (1, 'happy'), (2, 'sad'), (3, 'ok')")
+      .left.foreach(e => fail(e.msg))
+    // a non-member INSERT rejects at conversion (DuckDB's error surface)
+    assert(db.query("INSERT INTO mt VALUES (4, 'angry')").isLeft)
+    // ordering is POSITIONAL: sad < ok < happy (text order would differ)
+    val r = db.select("SELECT id FROM mt ORDER BY m").fold(e => fail(e.msg), identity)
+      .collect().map(_.getInt(0)).toSeq
+    assert(r == Seq(2, 3, 1))
+    val mm = db.select("SELECT cast(min(m) AS VARCHAR) AS lo, " +
+      "cast(max(m) AS VARCHAR) AS hi, " +
+      "cast(sum(CASE WHEN m > 'sad' THEN 1 ELSE 0 END) AS BIGINT) AS gt " +
+      "FROM mt").fold(e => fail(e.msg), identity).collect().head
+    assert(mm.getString(0) == "sad" && mm.getString(1) == "happy")
+    assert(mm.getLong(2) == 2L)
+    // a runtime non-member cast raises with DuckDB's message shape
+    val bad = db.select("SELECT cast('angry' AS mood) AS x FROM mt")
+      .fold(e => fail(e.msg), identity)
+    assert(intercept[Exception](bad.collect())
+      .getMessage.contains("Conversion Error"))
+    // the named type persists; DROP TYPE blocks while a table uses it
+    val db2 = new GraftDatabase(spark, db.warehouse)
+    val r2 = db2.select("SELECT enum_code(max(m)) AS c FROM mt")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(r2.getInt(0) == 2)
+    assert(db2.query("DROP TYPE mood").isLeft)
+    db2.query("DROP TABLE mt")
+    db2.query("DROP TYPE mood").left.foreach(e => fail(e.msg))
+    assert(db2.query("CREATE TABLE m2 (m mood)").isLeft) // name gone
+  }
+
+  test("UNION type: tagged values, extract NULL on inactive, bind errors") {
+    val db = demoDb()
+    val r = db.select("SELECT " +
+      "union_tag(cast(union_value(num := id) AS UNION(num INT, str VARCHAR(50)))) AS t, " +
+      "union_extract(cast(union_value(num := id) AS UNION(num INT, str VARCHAR(50))), 'str') AS s, " +
+      "cast(cast(union_value(str := name) AS UNION(num INT, str VARCHAR(50))) AS VARCHAR) AS tx " +
+      "FROM people WHERE id = 1").fold(e => fail(e.msg), identity).collect().head
+    assert(r.getString(0) == "num")
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "Elon")
+    // unknown member is a BIND error (DuckDB's message shape)
+    val Left(e) = db.query("SELECT union_extract(" +
+      "cast(union_value(num := id) AS UNION(num INT, str VARCHAR(50))), 'nope') AS x " +
+      "FROM people"): @unchecked
+    assert(e.msg.contains("Could not find key"))
+    // narrowing (dropping a member) rejects
+    assert(db.query("SELECT cast(cast(union_value(str := name) AS " +
+      "UNION(num INT, str VARCHAR(50))) AS UNION(num INT)) AS x FROM people").isLeft)
+  }
+
+  test("round(DECIMAL) result type: DECIMAL(p, clamp(n,0,s)), values HALF_UP") {
+    // The q_dialect_round_dec gate casts its outputs to DOUBLE (the
+    // driver's pandas channel narrows DuckDB DECIMAL to float64 while
+    // Spark DECIMAL arrives as Decimal objects) — so the static result
+    // type is pinned HERE instead, per the round-10 verdict.
+    import org.apache.spark.sql.types.DecimalType
+    val db = freshDb()
+    db.query("CREATE TABLE rd (x DECIMAL(10, 4))")
+    db.query("INSERT INTO rd VALUES (1234.5678), (-2.5000)")
+    val df = db.select(
+      "SELECT round(x) AS r0, round(x, 2) AS r2, round(x, -1) AS rneg, " +
+        "round(x, 9) AS rcap FROM rd ORDER BY x DESC")
+      .fold(e => fail(e.msg), identity)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("r0") == DecimalType(10, 0))
+    assert(types("r2") == DecimalType(10, 2))
+    assert(types("rneg") == DecimalType(10, 0))
+    assert(types("rcap") == DecimalType(10, 4))
+    val rows = df.collect()
+    assert(rows(0).getDecimal(0).toPlainString == "1235") // .5678 rounds up
+    assert(rows(0).getDecimal(1).toPlainString == "1234.57")
+    assert(rows(0).getDecimal(2).toPlainString == "1230")
+    assert(rows(1).getDecimal(0).toPlainString == "-3")   // half AWAY from zero
+  }
+
 }

@@ -1,109 +1,125 @@
 #!/usr/bin/env python3
-"""Local approximation of the driver's correctness gate.
+"""Local emulation of the driver's correctness gate (pandas channel).
 
-Usage: check_oracle.py <sf_dir> <verify_out_dir>
+Usage: check_oracle.py <sf_dir> <verify_out_dir> [only_names...]
 
 Reads <verify_out_dir>/oracle_sql.json, runs each SQL in DuckDB with the
 parquet fixture tables registered as views, loads the Spark-written parquet
-result, and compares: schema (column names), row count, and cell values
-(columns sorted by name, rows sorted by all columns). Floats compared
-exactly after the query-side rounding — mirroring a hash comparison.
+result, and compares THE WAY THE DRIVER DOES:
+
+  - oracle loaded via duckdb `.df()` (pandas) — NOT fetchall. This narrows
+    DECIMAL/HUGEINT/UBIGINT to float64 and DATE to midnight Timestamps,
+    exactly like the driver sees them;
+  - Spark side loaded via pyarrow `.to_pandas()` — DECIMAL arrives as
+    decimal.Decimal objects, DATE as datetime.date, BINARY as bytes,
+    LIST as numpy ndarrays;
+  - cells that the driver's all-column sort_values cannot sort or hash
+    (bytes / bytearray / ndarray / list / dict) are a structural FAIL —
+    the driver records `err` for these, so we must too;
+  - numeric cells compare with their TYPE CATEGORY attached (int vs float
+    vs Decimal), because the driver hashes `1` ≠ `1.0` ≠ `Decimal('1')`.
+
+Round-10 lesson: the old fetchall-based checker was MORE FORGIVING than
+the driver and passed four gates the driver rejected (BLOB bytearray,
+ndarray list cells, Decimal-vs-float64, BIT raw bytes). This version
+fails all four pre-fix shapes.
 """
-import json, sys, math
+import datetime
+import json
+import math
+import sys
+
 import duckdb
-import pyarrow.parquet as pq
+import numpy as np
+import pandas as pd
 import pyarrow.dataset as ds
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+UNSORTABLE = (bytes, bytearray, np.ndarray, list, dict, set, tuple)
+
+
 def norm_cell(v):
+    """Driver-faithful canonical form: distinct numeric categories stay
+    distinct (they hash differently in the driver); datelikes collapse to
+    a midnight-padded ISO form (DuckDB DATE -> Timestamp 00:00 vs Spark
+    DATE -> datetime.date ARE driver-equal — DATE gates are green)."""
     if v is None:
         return "NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"           # float-channel NULL and true NaN coincide
+    if isinstance(v, np.floating):
+        return "f:" + repr(float(v))
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
+        return "f:" + repr(v)
+    if isinstance(v, (bool, np.bool_)):
+        return "b:" + str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return "i:" + str(int(v))
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        if v != v:             # NaT
+            return "NULL"
+        return "t:" + pd.Timestamp(v).isoformat()
+    if isinstance(v, datetime.date):
+        return "t:" + pd.Timestamp(v).isoformat()
+    if isinstance(v, datetime.timedelta):
+        return "iv:" + str(pd.Timedelta(v))
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return "dec:" + str(v)
+    if v is pd.NaT:
+        return "NULL"
+    return "s:" + str(v)
 
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out)
 
-# The driver loads the oracle result via pandas (`.df()`), which narrows
-# DuckDB's widened integer types (HUGEINT from sum(int), UBIGINT, ...) to
-# float64 — so an uncast aggregate hashes as "1.0" against Spark's "1"
-# even though fetchall() (used below for values) keeps exact ints. Guard
-# the channel structurally: the numeric CATEGORY (int vs float) of every
-# oracle column must match Spark's parquet schema. This is exactly the
-# bug that kept q_sessionize red for rounds 1-4 (uncast windowed sum as
-# a group key).
-DUCK_FLOATY = {"FLOAT", "DOUBLE", "HUGEINT", "UHUGEINT", "UBIGINT"}
-DUCK_INTY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
-             "UTINYINT", "USMALLINT", "UINTEGER"}
+def frame_rows(df):
+    """Canonical (sorted-columns, sorted-rows) cell matrix, or an error
+    string when any cell would break the driver's sort_values."""
+    cols = sorted(df.columns)
+    rows = []
+    for _, r in df.iterrows():
+        cells = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, UNSORTABLE):
+                return None, None, (f"driver-channel unsortable cell in "
+                                    f"'{c}': {type(v).__name__}")
+            cells.append(norm_cell(v))
+        rows.append(tuple(cells))
+    return cols, sorted(rows), None
 
-def num_category(type_name):
-    t = type_name.upper()
-    if t in DUCK_FLOATY:
-        return "float"
-    if t in DUCK_INTY:
-        return "int"
-    if t.startswith("DECIMAL"):
-        return "float"   # pandas narrows DECIMAL to float64 too
-    return None
 
-def arrow_category(arrow_type):
-    import pyarrow as pa
-    if pa.types.is_integer(arrow_type):
-        return "int"
-    if pa.types.is_floating(arrow_type) or pa.types.is_decimal(arrow_type):
-        return "float"
-    return None
-
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            otypes = {r[0]: r[1]
-                      for r in con.execute(f"DESCRIBE {sql}").fetchall()}
-            cur = con.execute(sql)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            odf = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
             n_fail += 1
             continue
         try:
-            tbl = ds.dataset(f"{out_dir}/{name}", format="parquet").to_table()
-            scols = tbl.column_names
-            srows = [tuple(r[c] for c in scols) for r in tbl.to_pylist()]
+            sdf = ds.dataset(f"{out_dir}/{name}",
+                             format="parquet").to_table().to_pandas()
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {str(e)[:200]}")
             n_fail += 1
             continue
-        cat_bad = []
-        for f in tbl.schema:
-            if f.name in otypes:
-                a, b = arrow_category(f.type), num_category(otypes[f.name])
-                if a is not None and b is not None and a != b:
-                    cat_bad.append(f"{f.name}: spark={f.type} duckdb={otypes[f.name]}")
-        if cat_bad:
-            print(f"FAIL {name}: numeric-category mismatch (driver hashes "
-                  f"int vs float differently): {'; '.join(cat_bad)}")
+        oc, orw, oerr = frame_rows(odf)
+        sc, srw, serr = frame_rows(sdf)
+        if oerr or serr:
+            print(f"FAIL {name}: {oerr or ''}{' | ' if oerr and serr else ''}"
+                  f"{serr or ''}")
             n_fail += 1
-            continue
-        oc, orw = canon(ocols, orows)
-        sc, srw = canon(scols, srows)
-        if oc != sc:
+        elif oc != sc:
             print(f"FAIL {name}: schema mismatch duckdb={oc} spark={sc}")
             n_fail += 1
         elif len(orw) != len(srw):
@@ -112,9 +128,10 @@ def main(sf_dir, out_dir):
         elif orw != srw:
             diffs = [i for i, (a, b) in enumerate(zip(orw, srw)) if a != b]
             i = diffs[0]
+            da = [(c, a, b) for c, a, b in zip(oc, orw[i], srw[i]) if a != b]
             print(f"FAIL {name}: {len(diffs)} differing rows; first at {i}:")
-            print(f"  duckdb: {orw[i]}")
-            print(f"  spark : {srw[i]}")
+            for c, a, b in da[:6]:
+                print(f"  {c}: duckdb={a} spark={b}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srw)} rows)")
@@ -122,5 +139,6 @@ def main(sf_dir, out_dir):
     print(f"\n{n_pass} pass / {n_fail} fail / {len(oracle)} total")
     return 1 if n_fail else 0
 
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:]) or None))
