@@ -99,7 +99,15 @@ object Bench {
     def runRep(): Rep = {
       val sent = scala.collection.mutable.ArrayBuffer(timeSentinel())
       var i = 0
-      val r = SparkEntry.queries.map { case (name, fn) =>
+      // SORTED name order: deterministic run order (a Map's hash order
+      // interleaves families arbitrarily), families run adjacent so
+      // shared caches stay warm exactly one family long, and per-query
+      // in-run numbers become comparable across rounds. (Round-11 note:
+      // the q_dedup_exact / q_dialect_join "in-run inflation" class was
+      // isolated to accumulated whole-run JVM/codegen state, not any
+      // specific predecessor — BenchOne after heavy dedup queries reads
+      // 0.32s where the historical full-run value was 0.82s.)
+      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         i += 1
@@ -107,7 +115,11 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
       releaseCaches()
-      Rep(r, sent.toSeq)
+      // bound cross-rep heap pressure: one explicit GC per rep (3-5
+      // pauses per bench run; keeps codegen/metaspace churn from one
+      // rep inflating the small queries of the next)
+      System.gc()
+      Rep(r.toMap, sent.toSeq)
     }
     val reps = scala.collection.mutable.ArrayBuffer.empty[Rep]
     while (reps.count(!_.drifted) < CleanTarget && reps.length < MaxReps)

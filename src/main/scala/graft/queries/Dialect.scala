@@ -3899,6 +3899,34 @@ object Dialect {
              |  (union_value(str := o_orderpriority)::UNION(num BIGINT, str VARCHAR))::VARCHAR AS tx2
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // Boolean expressions as select items — unparenthesized comparisons,
+    // LIKE/IN/BETWEEN/IS NULL and AND/OR combos used as VALUES, with SQL
+    // 3VL (a NULL operand reads NULL, not false — pinned via the VARCHAR
+    // carrier: a nullable BOOLEAN reaches pandas as NaN on the DuckDB
+    // side but None on the Spark side). Identical SQL on both engines.
+    "q_dialect_bool_items" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "o_orderkey % 2 = 0 AS even, " +
+          "o_totalprice > 100000 AND o_orderkey % 3 = 0 AS both_c, " +
+          "o_orderstatus = 'O' OR o_orderstatus = 'F' AS of_status, " +
+          "o_orderpriority LIKE '1-%' AS urgent, " +
+          "o_orderstatus IN ('O', 'P') AS in_set, " +
+          "o_orderkey BETWEEN 100 AND 200 AS mid, " +
+          "nullif(o_orderstatus, 'O') IS NULL AS was_o, " +
+          "cast(nullif(o_orderkey, o_orderkey) > 5 AS VARCHAR) AS null_cmp " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  o_orderkey % 2 = 0 AS even,
+             |  o_totalprice > 100000 AND o_orderkey % 3 = 0 AS both_c,
+             |  o_orderstatus = 'O' OR o_orderstatus = 'F' AS of_status,
+             |  o_orderpriority LIKE '1-%' AS urgent,
+             |  o_orderstatus IN ('O', 'P') AS in_set,
+             |  o_orderkey BETWEEN 100 AND 200 AS mid,
+             |  nullif(o_orderstatus, 'O') IS NULL AS was_o,
+             |  (nullif(o_orderkey, o_orderkey) > 5)::VARCHAR AS null_cmp
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // COLUMNS(c -> predicate): star expansion filtered by a LAMBDA over
     // the column NAME (the last COLUMNS position from the r10 verdict) —
     // LIKE/boolean-combo/function-of-name forms, evaluated statically at

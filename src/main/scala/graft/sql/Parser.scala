@@ -1238,8 +1238,40 @@ object Parser {
                 // machinery); a call that turns out to be the WHOLE
                 // item unwraps back into an ordinary window item below
                 p.winSink = hiddenWins
-                val opE = parseOperand(p, allowAgg = true)
+                val itemSave = p.i
+                val winSave = hiddenWins.length
+                val opE0 = parseOperand(p, allowAgg = true)
                 p.winSink = null
+                // an UNPARENTHESIZED boolean item — `a >= b AS flag`,
+                // `x LIKE 'y%' AS m`, `a = 1 AND b = 2 AS both` — shows
+                // up as a parsed operand followed by a predicate token:
+                // reparse the whole item through the predicate grammar
+                // and desugar like the parenthesized form. (Backtrack
+                // drops any hidden-window entries the first pass pushed;
+                // OVER inside a comparison item stays unsupported — that
+                // is QUALIFY's job.)
+                val predNext = opE0.isRight && (p.peek match {
+                  case TSym("=" | "<" | ">" | "<=" | ">=" | "<>", _) => true
+                  case TIdent(kw2, _) => Set("is", "like", "ilike",
+                    "in", "between", "not", "and", "or")(kw2.toLowerCase)
+                  case _ => false
+                })
+                val opE =
+                  if (!predNext) opE0
+                  else {
+                    p.i = itemSave
+                    hiddenWins.remove(winSave, hiddenWins.length - winSave)
+                    parseOr(p, allowAgg = true) match {
+                      case Right(e) => Right(boolAsValue(e))
+                      case Left(_) =>
+                        // not a predicate after all: replay the operand
+                        p.i = itemSave
+                        p.winSink = hiddenWins
+                        val r = parseOperand(p, allowAgg = true)
+                        p.winSink = null
+                        r
+                    }
+                  }
                 opE.flatMap { op =>
                   def alias(): Either[ParseError, Option[String]] =
                     if (p.isKw("as")) { p.next(); p.ident().map(Some(_)) }
@@ -2550,6 +2582,17 @@ object Parser {
       loop(first)
     }
 
+  /** A boolean expression used as a VALUE: desugars onto the 3VL CASE
+    * the rest of the pipeline already knows — TRUE / FALSE /
+    * NULL-when-the-predicate-is-NULL.
+    */
+  private def boolAsValue(e: Expr): Operand =
+    Operand.CaseWhen(
+      Seq(e -> Operand.Literal(Lit.LitBool(true))),
+      Some(Operand.CaseWhen(
+        Seq((Expr.Not(e): Expr) -> Operand.Literal(Lit.LitBool(false))),
+        None)))
+
   private def parseAtom(p: P, allowAgg: Boolean): Either[ParseError, Operand] = p.peek match {
     case TSym("(", _) =>
       p.next()
@@ -2572,11 +2615,7 @@ object Parser {
             for {
               e <- parseOr(p, allowAgg)
               _ <- p.eatSym(")")
-            } yield Operand.CaseWhen(
-              Seq(e -> Operand.Literal(Lit.LitBool(true))),
-              Some(Operand.CaseWhen(
-                Seq((Expr.Not(e): Expr) -> Operand.Literal(Lit.LitBool(false))),
-                None)))
+            } yield boolAsValue(e)
         }
       }
     case TSym("-", _) =>
@@ -3227,11 +3266,21 @@ object Parser {
         val isCall = p.peek match { case TSym("(", _) => true; case _ => false }
         p.i = save; isCall
       } =>
-      // [TRY_]CAST(operand AS type); bare VARCHAR (no length) allowed
+      // [TRY_]CAST(operand AS type); bare VARCHAR (no length) allowed.
+      // The operand may be a BOOLEAN expression — `cast(a > b AS
+      // VARCHAR)` — which desugars like the parenthesized form.
       p.next()
       for {
         _ <- p.eatSym("(")
-        o <- parseOperand(p, allowAgg)
+        o <- {
+          val save = p.i
+          parseOperand(p, allowAgg) match {
+            case r @ Right(_) if p.isKw("as") => r
+            case _ =>
+              p.i = save
+              parseOr(p, allowAgg).map(boolAsValue)
+          }
+        }
         _ <- p.eatKw("as")
         t <- p.peek match {
           case TIdent(s, _) if s.equalsIgnoreCase("varchar") && {

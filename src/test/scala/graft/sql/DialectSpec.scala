@@ -4281,6 +4281,21 @@ class DialectSpec extends AnyFunSuite {
     assert(db2.query("CREATE TABLE m2 (m mood)").isLeft) // name gone
   }
 
+  test("boolean expressions as select items: 3VL, unparenthesized forms") {
+    val db = demoDb()
+    val r = db.select("SELECT id, age >= 30 AS old, " +
+      "name LIKE 'M%' AND age IS NULL AS m_noage, " +
+      "cast(age < 25 AS VARCHAR) AS young_s, " +
+      "(age BETWEEN 25 AND 35) AS mid " +
+      "FROM people ORDER BY id").fold(e => fail(e.msg), identity).collect()
+    // id 1: Elon age 20; id 2: Doc 30; id 3: Marty NULL age
+    assert(!r(0).getBoolean(1) && r(1).getBoolean(1))
+    assert(r(2).isNullAt(1)) // NULL age -> NULL, not false (3VL)
+    assert(r(2).getBoolean(2)) // Marty LIKE 'M%' AND age IS NULL
+    assert(r(0).getString(3) == "true" && r(2).isNullAt(3))
+    assert(!r(0).getBoolean(4) && r(1).getBoolean(4) && r(2).isNullAt(4))
+  }
+
   test("UNION type: tagged values, extract NULL on inactive, bind errors") {
     val db = demoDb()
     val r = db.select("SELECT " +
