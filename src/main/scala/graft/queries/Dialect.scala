@@ -3927,6 +3927,49 @@ object Dialect {
              |  (nullif(o_orderkey, o_orderkey) > 5)::VARCHAR AS null_cmp
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // CREATE MACRO (scalar SQL macros): expanded TEXTUALLY at the token
+    // level before parse — arguments parenthesize at the splice so
+    // precedence can't leak, defaults fill missing trailing arguments.
+    // The oracle inlines the same expressions (the driver channel is
+    // single-statement); OR REPLACE keeps the gate idempotent across
+    // bench repetitions.
+    "q_dialect_macro" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders")
+        g.query("CREATE OR REPLACE MACRO disc(p, pct := 10) AS " +
+          "cast(p * (100 - pct) AS BIGINT)")
+        g.query("CREATE OR REPLACE MACRO keybucket(k) AS k % 7")
+        run(g, "SELECT o_orderkey, " +
+          "disc(o_totalprice) AS d10, " +
+          "disc(o_totalprice, 25) AS d25, " +
+          "keybucket(o_orderkey + 3) AS kb, " +
+          "disc(keybucket(o_orderkey) * 100.0, 50) AS nested " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  cast(o_totalprice * (100 - 10) AS BIGINT) AS d10,
+             |  cast(o_totalprice * (100 - 25) AS BIGINT) AS d25,
+             |  (o_orderkey + 3) % 7 AS kb,
+             |  cast((o_orderkey % 7) * 100.0 * (100 - 50) AS BIGINT) AS nested
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // List comprehensions `[expr FOR v IN list [IF pred]]` (DuckDB) —
+    // parse-time sugar onto list_transform(list_filter(…)), so the body
+    // captures enclosing columns like any lambda. Identical SQL on both
+    // engines; arrays serialized for the pandas gate channel.
+    "q_dialect_list_comp" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "array_to_string([x * 2 FOR x IN [o_orderkey % 5, 3, 7] IF x > 2], ',') AS c1, " +
+          "array_to_string([upper(s) FOR s IN [o_orderstatus, 'x']], ',') AS c2, " +
+          "array_to_string([x + o_custkey % 3 FOR x IN [1, 2]], ',') AS c3 " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  array_to_string([x * 2 FOR x IN [o_orderkey % 5, 3, 7] IF x > 2], ',') AS c1,
+             |  array_to_string([upper(s) FOR s IN [o_orderstatus, 'x']], ',') AS c2,
+             |  array_to_string([x + o_custkey % 3 FOR x IN [1, 2]], ',') AS c3
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // COLUMNS(c -> predicate): star expansion filtered by a LAMBDA over
     // the column NAME (the last COLUMNS position from the r10 verdict) —
     // LIKE/boolean-combo/function-of-name forms, evaluated statically at

@@ -1352,6 +1352,7 @@ object Analyzer {
       case "make_time" | "__ts_to_time" |
            "__time_plus" | "__time_minus" => SqlType.SqlTime
       case "__enum_pos" | "enum_code" => SqlType.SqlInt
+      case "__rint" => SqlType.SqlDouble
       case "__enum_cast" | "__enum_from_pos" => args(1) match {
         case BoundOperand.BLit(Lit.LitString(vs)) =>
           SqlType.SqlEnum(vs.split('\u0001').toVector)
@@ -1528,11 +1529,23 @@ object Analyzer {
       case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt => true
       case _ => false
     }
-    val floaty = operandType(b) match {
-      case SqlType.SqlDouble | SqlType.SqlReal | SqlType.SqlDecimal(_, _) => true
-      case _ => false
+    // DuckDB probed (round 11): DECIMAL -> int rounds half AWAY from
+    // zero (2.5 -> 3, -2.5 -> -3) but DOUBLE/FLOAT -> int rounds half
+    // to EVEN (2.5 -> 2, 3.5 -> 4, 8416312.5 -> 8416312) — two
+    // different rounding modes. Spark's round() is half-away on
+    // decimals; rint() is half-even on doubles.
+    operandType(b) match {
+      case SqlType.SqlDecimal(_, _) if integral =>
+        BoundOperand.BFunc("round", Seq(b))
+      // a decimal-point LITERAL is a DECIMAL in DuckDB (carried here on
+      // SqlDouble), so it keeps the half-away rule; only genuinely
+      // DOUBLE-typed expressions take the half-even cast
+      case SqlType.SqlDouble | SqlType.SqlReal if integral => b match {
+        case BoundOperand.BLit(_) => BoundOperand.BFunc("round", Seq(b))
+        case _                    => BoundOperand.BFunc("__rint", Seq(b))
+      }
+      case _ => b
     }
-    if (integral && floaty) BoundOperand.BFunc("round", Seq(b)) else b
   }
 
   /** The output type of a window item (shared by derived-table schema

@@ -393,6 +393,12 @@ object Ast {
   final case class CreateEnumTree(name: String, values: Vector[String],
       ifNotExists: Boolean) extends ParseTree
   final case class DropTypeTree(name: String, ifExists: Boolean) extends ParseTree
+  /** CREATE MACRO name(p [, q := default]) AS <expr text> — a scalar SQL
+    * macro, substituted textually before parse (Parser.expandMacros). */
+  final case class CreateMacroTree(name: String,
+      params: Vector[(String, Option[String])], body: String,
+      orReplace: Boolean) extends ParseTree
+  final case class DropMacroTree(name: String, ifExists: Boolean) extends ParseTree
 
   /** CREATE [OR REPLACE] SEQUENCE [IF NOT EXISTS] name
     * [INCREMENT [BY] n] [MINVALUE n] [MAXVALUE n] [START [WITH] n]

@@ -76,8 +76,12 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   // named types (CREATE TYPE … AS ENUM): name -> value domain
   private val namedTypes = mutable.LinkedHashMap.empty[String, SqlType.SqlEnum]
 
+  // scalar macros (CREATE MACRO): token-level textual expansion pre-parse
+  private val macros = mutable.LinkedHashMap.empty[String, Parser.MacroDef]
+
   Files.createDirectories(Paths.get(warehouse))
   loadNamedTypes()
+  loadMacros()
   loadCatalog()
   loadViews()
   loadMatViews()
@@ -130,9 +134,19 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   private val fileSchemas =
     mutable.Map.empty[(String, String, Long, Long), TableDesc]
 
-  def query(sql: String): Either[QueryError, QueryResult] = {
+  private val MacroDdl =
+    "(?is)\\s*(create\\s+(or\\s+replace\\s+)?(macro|function)|drop\\s+(macro|function)).*".r
+
+  def query(sql0: String): Either[QueryError, QueryResult] = {
     Parser.setNamedTypes(namedTypes.toMap)
-    Parser.parse(sql).left.map(ParseFailed).flatMap(t => dispatch(t, sql))
+    // macro calls expand textually BEFORE parse — except in the macro
+    // DDL statements themselves (a redefinition must not expand)
+    val expanded =
+      if (MacroDdl.pattern.matcher(sql0).matches()) Right(sql0)
+      else Parser.expandMacros(sql0, macros.toMap).left.map(ParseFailed)
+    expanded.flatMap { sql =>
+      Parser.parse(sql).left.map(ParseFailed).flatMap(t => dispatch(t, sql))
+    }
   }
 
   private def dispatch(tree0: ParseTree,
@@ -176,6 +190,24 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case Ast.DropSequenceTree(n, ife) => dropSequence(n, ife)
       case Ast.CreateEnumTree(n, vs, ine) => createEnumType(n, vs, ine)
       case Ast.DropTypeTree(n, ife) => dropType(n, ife)
+      case Ast.CreateMacroTree(n, ps, body, orReplace) =>
+        if (macros.contains(n) && !orReplace)
+          Left(ViewError(s"macro '$n' already exists"))
+        else if (!Parser.validMacroBody(body, macros.keySet.toSet + n))
+          Left(ViewError(s"macro '$n' body is not a valid expression"))
+        else {
+          macros(n) = Parser.MacroDef(ps, body)
+          saveMacros()
+          Right(Done(s"created macro $n"))
+        }
+      case Ast.DropMacroTree(n, ife) =>
+        if (!macros.contains(n)) {
+          if (ife) Right(Done(s"macro '$n' absent, skipped"))
+          else Left(ViewError(s"macro '$n' does not exist"))
+        } else {
+          macros.remove(n); saveMacros()
+          Right(Done(s"dropped macro $n"))
+        }
       case t: Ast.PivotTree          => pivotStmt(t)
       case t: Ast.UnpivotTree        => unpivotStmt(t)
       // CREATE INDEX: validated, then NO-OP'd with a notice — the
@@ -758,6 +790,39 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         namedTypes.remove(name)
         saveNamedTypes()
         Right(Done(s"dropped type $name"))
+    }
+  }
+
+  // ---- scalar macros (CREATE MACRO … AS expr) ----
+
+  private def macrosPath = Paths.get(s"$warehouse/macros.json")
+
+  private def saveMacros(): Unit = {
+    // \u0001 joins fields, \u0002 joins params, \u0003 marks a default
+    val lines = macros.map { case (n, m) =>
+      val ps = m.params.map { case (pn, d) =>
+        pn + d.map("\u0003" + _).getOrElse("") }.mkString("\u0002")
+      s"$n\u0001$ps\u0001${m.body.replace("\n", " ")}"
+    }
+    Files.write(macrosPath, lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def loadMacros(): Unit = {
+    if (!Files.exists(macrosPath)) return
+    Files.readAllLines(macrosPath).asScala.filter(_.nonEmpty).foreach { l =>
+      l.split('\u0001') match {
+        case Array(n, ps, body) =>
+          val params = if (ps.isEmpty) Vector.empty
+            else ps.split('\u0002').toVector.map { pd =>
+              pd.split('\u0003') match {
+                case Array(pn, d) => pn -> Some(d)
+                case Array(pn)    => pn -> None
+                case _            => pd -> None
+              }
+            }
+          macros(n) = Parser.MacroDef(params, body)
+        case _ => () // corrupted line: skip rather than brick the catalog
+      }
     }
   }
 

@@ -3319,6 +3319,8 @@ object Lowering {
     case (ftz, as) if Lowering.TimeTzFuncs(ftz) => lowerTimeTz(ftz, as, rec)
     // ENUM plumbing — same split
     case (fe, as) if Lowering.EnumFuncs(fe) => lowerEnum(fe, as, rec)
+    // half-to-even double rounding (DuckDB's DOUBLE -> integer cast)
+    case ("__rint", Seq(a)) => call_function("rint", rec(a))
     // UNION (tagged sum) carrier plumbing — same split
     case (fu, as) if Lowering.UnionFuncs(fu) => lowerUnion(fu, as, rec)
     case ("timezone" | "timezone_hour" | "timezone_minute", Seq(a)) =>

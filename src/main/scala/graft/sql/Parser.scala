@@ -2765,7 +2765,9 @@ object Parser {
         } yield Operand.FuncCall("union_value",
           Seq(Operand.Literal(Lit.LitString(k)), v)): Operand
       }
-    // [a, b, …] list literal (DuckDB bracket syntax) → list_value(...)
+    // [a, b, …] list literal (DuckDB bracket syntax) → list_value(...),
+    // or a LIST COMPREHENSION `[expr FOR v IN list [IF pred]]` →
+    // list_transform(list_filter(list, v -> pred), v -> expr)
     case TSym("[", _) =>
       p.next()
       p.peek match {
@@ -2776,6 +2778,27 @@ object Parser {
             parseOperand(p, allowAgg).flatMap { o =>
               p.peek match {
                 case TSym(",", _) => p.next(); loop(acc :+ o)
+                case TIdent(k, _) if k.equalsIgnoreCase("for") &&
+                    acc.isEmpty =>
+                  p.next()
+                  for {
+                    v <- p.ident()
+                    _ <- p.eatKw("in")
+                    src <- parseOperand(p, allowAgg)
+                    filtered <-
+                      if (p.isKw("if")) {
+                        p.next()
+                        // the guard is a boolean predicate over the
+                        // loop variable — same CASE wrap as lambda
+                        // predicate bodies (filter excludes NULLs)
+                        parseOr(p).map(e => Operand.FuncCall("list_filter",
+                          Seq(src, Operand.Lambda(Seq(v), Operand.CaseWhen(
+                            Seq((e, Operand.Literal(Lit.LitBool(true)))),
+                            Some(Operand.Literal(Lit.LitBool(false))))))))
+                      } else Right(src)
+                    _ <- p.eatSym("]")
+                  } yield Operand.FuncCall("list_transform",
+                    Seq(filtered, Operand.Lambda(Seq(v), o)))
                 case _ => p.eatSym("]").map(_ =>
                   Operand.FuncCall("list_value", acc :+ o))
               }
@@ -3738,6 +3761,7 @@ object Parser {
         else if (p.isKw("view")) { p.next(); Right(1) }
         else if (p.isKw("sequence")) { p.next(); Right(3) }
         else if (p.isKw("type")) { p.next(); Right(4) }
+        else if (p.isKw("macro") || p.isKw("function")) { p.next(); Right(5) }
         else p.eatKw("table").map(_ => 0)
       ifExists <- Right {
         if (p.isKw("if")) {
@@ -3747,6 +3771,7 @@ object Parser {
       }
       name <- p.ident()
     } yield kind match {
+      case 5 => DropMacroTree(name.toLowerCase, ifExists)
       case 4 => DropTypeTree(name.toLowerCase, ifExists)
       case 3 => DropSequenceTree(name.toLowerCase, ifExists)
       case 2 => DropMatViewTree(name.toLowerCase, ifExists)
@@ -3759,6 +3784,159 @@ object Parser {
     * (the registry values are already fully substituted at CREATE VIEW
     * time, like CTE bodies).
     */
+  /** A scalar SQL macro (CREATE MACRO name(params) AS body): body kept
+    * as SOURCE TEXT, substituted at the token level before parsing —
+    * robust against every expression position without an AST walker.
+    * Defaults are raw expression text too.
+    */
+  final case class MacroDef(params: Vector[(String, Option[String])],
+      body: String)
+
+  /** Substitute a macro's parameters into its body text: every
+    * standalone parameter identifier splices to `(argText)`. Skips
+    * struct-field positions (`x.param`) and named-argument keys
+    * (`param :=`).
+    */
+  private def spliceBody(body: String,
+      binds: Map[String, String]): Either[ParseError, String] =
+    lex(body).map { toks =>
+      val sb = new StringBuilder
+      var last = 0
+      toks.zipWithIndex.foreach {
+        case (TIdent(n, pos), i) if binds.contains(n.toLowerCase) &&
+            !(i > 0 && (toks(i - 1) match {
+              case TSym(".", _) => true; case _ => false })) &&
+            !(toks(i + 1) match {
+              case TSym(":=", _) => true; case _ => false }) =>
+          sb ++= body.substring(last, pos)
+          sb ++= s"(${binds(n.toLowerCase)})"
+          last = pos + n.length
+        case _ => ()
+      }
+      sb ++= body.substring(last)
+      sb.toString
+    }
+
+  /** Expand every `name(args)` macro call in `sql` textually, innermost
+    * level by re-scanning after each replacement. A runaway (self-
+    * recursive) macro hits the iteration cap and errors loudly.
+    */
+  def expandMacros(sql0: String,
+      macros: Map[String, MacroDef]): Either[ParseError, String] =
+    expandMacros0(sql0, macros, stub = false)
+
+  /** stub = true replaces every known-macro call with `(0)` instead of
+    * its body — used to VALIDATE a macro body that references other
+    * macros (or itself, recursively) without expanding them.
+    */
+  private def expandMacros0(sql0: String, macros: Map[String, MacroDef],
+      stub: Boolean): Either[ParseError, String] = {
+    if (macros.isEmpty) return Right(sql0)
+    var sql = sql0
+    var iter = 0
+    while (iter < 200) {
+      iter += 1
+      lex(sql) match {
+        case Left(e) => return Left(e)
+        case Right(toks) =>
+          // first macro call: TIdent(name) '(' … not after '.'
+          val callIdx = toks.indices.find { i =>
+            toks(i) match {
+              case TIdent(n, _) if macros.contains(n.toLowerCase) =>
+                (i + 1 < toks.length) && (toks(i + 1) match {
+                  case TSym("(", _) => true; case _ => false }) &&
+                !(i > 0 && (toks(i - 1) match {
+                  case TSym(".", _) => true; case _ => false }))
+              case _ => false
+            }
+          }
+          callIdx match {
+            case None => return Right(sql)
+            case Some(i) =>
+              val TIdent(name, npos) = toks(i): @unchecked
+              val m = macros(name.toLowerCase)
+              // find the matching ')' and top-level ',' positions
+              var depth = 0
+              var j = i + 1
+              var argStarts = List.empty[Int]   // source offsets
+              var argSplits = List.empty[Int]
+              var endPos = -1
+              while (endPos < 0 && j < toks.length) {
+                toks(j) match {
+                  case TSym("(", pp) =>
+                    depth += 1
+                    if (depth == 1 && j + 1 < toks.length)
+                      argStarts = (pp + 1) :: argStarts
+                  case TSym(")", pp) =>
+                    depth -= 1
+                    if (depth == 0) endPos = pp
+                  case TSym(",", pp) if depth == 1 =>
+                    argSplits = pp :: argSplits
+                  case TEnd(_) => return Left(ParseError(
+                    s"unterminated macro call $name(", npos))
+                  case _ => ()
+                }
+                j += 1
+              }
+              if (endPos < 0) return Left(ParseError(
+                s"unterminated macro call $name(", npos))
+              if (stub) {
+                sql = sql.substring(0, npos) + "(0)" + sql.substring(endPos + 1)
+              } else {
+              val argStart = argStarts.last
+              val bounds = (argStart :: argSplits.reverse.map(_ + 1)) zip
+                (argSplits.reverse :+ endPos)
+              val args = bounds.map { case (a, b) => sql.substring(a, b).trim }
+                .filter(_.nonEmpty)
+              if (args.length > m.params.length)
+                return Left(ParseError(
+                  s"macro $name takes at most ${m.params.length} arguments " +
+                    s"(got ${args.length})", npos))
+              val binds = m.params.zipWithIndex.map { case ((pn, dflt), k) =>
+                if (k < args.length) Right(pn.toLowerCase -> args(k))
+                else dflt match {
+                  case Some(d) => Right(pn.toLowerCase -> d)
+                  case None => Left(ParseError(
+                    s"macro $name: missing argument '$pn'", npos))
+                }
+              }
+              binds.collectFirst { case Left(e) => e } match {
+                case Some(e) => return Left(e)
+                case None => ()
+              }
+              spliceBody(m.body,
+                binds.collect { case Right(kv) => kv }.toMap) match {
+                case Left(e) => return Left(e)
+                case Right(expanded) =>
+                  sql = sql.substring(0, npos) + "(" + expanded + ")" +
+                    sql.substring(endPos + 1)
+              }
+              }
+          }
+      }
+    }
+    Left(ParseError("macro expansion did not terminate (recursive macro?)", 0))
+  }
+
+  /** Validate a macro body parses as an expression (operand or boolean
+    * predicate) over its parameters — binding happens at each use site.
+    */
+  def validMacroBody(body0: String,
+      macroNames: Set[String] = Set.empty): Boolean = {
+    // calls to OTHER macros (or the macro itself, recursively) bind at
+    // use — stub them to a literal so the body's own syntax validates
+    val stubbed = expandMacros0(body0,
+      macroNames.map(_ -> MacroDef(Vector.empty, "0")).toMap, stub = true)
+    stubbed.toOption.exists { body =>
+      lex(body).toOption.exists { toks =>
+        def fully(r: Either[ParseError, _], p2: P): Boolean =
+          r.isRight && (p2.peek match { case TEnd(_) => true; case _ => false })
+        val asOp = { val p2 = new P(toks, body); fully(parseOperand(p2), p2) }
+        asOp || { val p2 = new P(toks, body); fully(parseOr(p2), p2) }
+      }
+    }
+  }
+
   def substituteViews(t: ParseTree, views: Map[String, ParseTree]): ParseTree =
     if (views.isEmpty) t
     else t match {
@@ -4419,6 +4597,64 @@ object Parser {
             _ <- p.eatKw("as")
             body <- if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p)
           } yield (CreateViewTree(name.toLowerCase, body): ParseTree, ine)
+        else if (p.isKw("macro") || p.isKw("function"))
+          for {
+            _ <- Right(p.next())
+            name <- p.ident()
+            _ <- p.eatSym("(")
+            params <- {
+              def loop(acc: Vector[(String, Option[String])])
+                  : Either[ParseError, Vector[(String, Option[String])]] =
+                p.peek match {
+                  case TSym(")", _) => Right(acc)
+                  case TIdent(pn, _) =>
+                    p.next()
+                    for {
+                      dflt <- p.peek match {
+                        case TSym(":=", _) =>
+                          p.next()
+                          // default: raw source text to the next
+                          // top-level ',' or ')'
+                          val start = p.peek.pos
+                          var depth = 0
+                          var endp = -1
+                          while (endp < 0) {
+                            p.peek match {
+                              case TSym("(", _) => depth += 1; p.next()
+                              case TSym(")", pp) =>
+                                if (depth == 0) endp = pp else { depth -= 1; p.next() }
+                              case TSym(",", pp) if depth == 0 => endp = pp
+                              case TEnd(pp) => endp = pp
+                              case _ => p.next()
+                            }
+                          }
+                          Right(Some(p.src.substring(start, endp).trim))
+                        case _ => Right(None)
+                      }
+                      r <- p.peek match {
+                        case TSym(",", _) => p.next(); loop(acc :+ (pn -> dflt))
+                        case _            => Right(acc :+ (pn -> dflt))
+                      }
+                    } yield r
+                  case t => Left(ParseError("expected macro parameter", t.pos))
+                }
+              loop(Vector.empty)
+            }
+            _ <- p.eatSym(")")
+            _ <- p.eatKw("as")
+            body <- p.peek match {
+              case TEnd(pos) => Left(ParseError("macro body expected", pos))
+              case t =>
+                // the body is the REST of the statement's source text;
+                // syntax validates at DISPATCH (the registry knows which
+                // names are macros — a body may call other macros, or
+                // itself: DuckDB also defers that to the use site)
+                val b = p.src.substring(t.pos).trim.stripSuffix(";").trim
+                while (!p.peek.isInstanceOf[TEnd]) p.next()
+                Right(b)
+            }
+          } yield (CreateMacroTree(name.toLowerCase, params, body,
+            orReplace): ParseTree, false)
         else if (p.isKw("type"))
           for {
             _ <- p.eatKw("type")
@@ -4531,7 +4767,8 @@ object Parser {
       // an index create is a no-op either way — mode wrappers drop
       if ((orReplace || inner._2) &&
           !inner._1.isInstanceOf[CreateIndexTree] &&
-          !inner._1.isInstanceOf[CreateSequenceTree])
+          !inner._1.isInstanceOf[CreateSequenceTree] &&
+          !inner._1.isInstanceOf[CreateMacroTree])
         CreateModeTree(inner._1, orReplace, inner._2)
       else inner._1
   }

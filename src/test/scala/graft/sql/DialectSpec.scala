@@ -932,10 +932,18 @@ class DialectSpec extends AnyFunSuite {
   test("SELECT without FROM evaluates over one synthetic row") {
     val db = freshDb()
     // cast(3.5 AS bigint) ROUNDS half-away-from-zero like DuckDB (4, not
-    // Spark's truncating 3 — the round-10 cast-parity fix)
+    // Spark's truncating 3 — the round-10 cast-parity fix): a
+    // decimal-point LITERAL is a DECIMAL in DuckDB. A genuinely
+    // DOUBLE-typed expression casts half-to-EVEN instead (round-11
+    // probe: (2.5::DOUBLE)::BIGINT = 2, (3.5::DOUBLE)::BIGINT = 4,
+    // 8416312.5 -> 8416312) — two distinct rounding modes.
     val one = db.select("SELECT 1 + 1 AS x, upper('ab') AS s, " +
       "cast(3.5 AS bigint) AS c, cast(-2.5 AS int) AS n").toOption.get
     assert(one.collect().toSeq == Seq(Row(2L, "AB", 4L, -3)))
+    val dbl = db.select("SELECT cast(cast(2.5 AS DOUBLE) AS bigint) AS a, " +
+      "cast(cast(3.5 AS DOUBLE) AS bigint) AS b, " +
+      "cast(cast(-2.5 AS DOUBLE) AS int) AS c").toOption.get
+    assert(dbl.collect().toSeq == Seq(Row(2L, 4L, -2)))
     // star without FROM is rejected with a clear error
     assert(db.select("SELECT *").isLeft)
   }
@@ -4294,6 +4302,43 @@ class DialectSpec extends AnyFunSuite {
     assert(r(2).getBoolean(2)) // Marty LIKE 'M%' AND age IS NULL
     assert(r(0).getString(3) == "true" && r(2).isNullAt(3))
     assert(!r(0).getBoolean(4) && r(1).getBoolean(4) && r(2).isNullAt(4))
+  }
+
+  test("CREATE MACRO: textual expansion, defaults, persistence, recursion cap") {
+    val db = demoDb()
+    db.query("CREATE MACRO plus1(a) AS a + 1").left.foreach(e => fail(e.msg))
+    db.query("CREATE MACRO clampv(x, hi := 25) AS CASE WHEN x > hi THEN hi ELSE x END")
+      .left.foreach(e => fail(e.msg))
+    val r = db.select("SELECT id, plus1(age) AS a1, " +
+      "clampv(plus1(age)) AS c1, clampv(age, 21) AS c2 " +
+      "FROM people WHERE age IS NOT NULL ORDER BY id")
+      .fold(e => fail(e.msg), identity).collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(21L, 31L)) // ages 20, 30
+    assert(r.map(_.getLong(2)).toSeq == Seq(21L, 25L)) // default hi = 25
+    assert(r.map(_.getLong(3)).toSeq == Seq(20L, 21L))
+    // args parenthesize: precedence cannot leak across the splice
+    val pr = db.select("SELECT plus1(age * 2) AS v FROM people WHERE id = 1")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(pr.getLong(0) == 41L)
+    // redefinition requires OR REPLACE
+    assert(db.query("CREATE MACRO plus1(a) AS a + 2").isLeft)
+    db.query("CREATE OR REPLACE MACRO plus1(a) AS a + 10")
+      .left.foreach(e => fail(e.msg))
+    // macros persist with the warehouse
+    val db2 = new GraftDatabase(spark, db.warehouse)
+    val r2 = db2.select("SELECT plus1(age) AS v FROM people WHERE id = 1")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(r2.getLong(0) == 30L)
+    // a missing argument without a default is a pointed error
+    assert(db2.query("SELECT clampv() AS v FROM people").isLeft)
+    // a self-recursive macro hits the expansion cap loudly
+    db2.query("CREATE MACRO looper(x) AS looper(x) + 1")
+      .left.foreach(e => fail(e.msg))
+    assert(db2.query("SELECT looper(1) AS v FROM people").isLeft)
+    db2.query("DROP MACRO looper").left.foreach(e => fail(e.msg))
+    assert(db2.query("DROP MACRO looper").isLeft)
+    // an invalid body rejects at CREATE
+    assert(db2.query("CREATE MACRO bad(a) AS a +").isLeft)
   }
 
   test("UNION type: tagged values, extract NULL on inactive, bind errors") {
