@@ -3953,6 +3953,28 @@ object Dialect {
              |  cast((o_orderkey % 7) * 100.0 * (100 - 50) AS BIGINT) AS nested
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // TABLE macros (CREATE MACRO … AS TABLE SELECT …): the same textual
+    // expansion in FROM position — the call splices to a derived table
+    // (alias-less derived tables read DuckDB's unnamed_subquery), takes
+    // an alias, and joins like any relation.
+    "q_dialect_table_macro" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders", "customer")
+        g.query("CREATE OR REPLACE MACRO big_orders(lim) AS TABLE " +
+          "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+          "WHERE o_orderkey < lim")
+        run(g, "SELECT c.c_mktsegment AS seg, count(*) AS n, " +
+          "cast(sum(b.o_custkey) AS BIGINT) AS sc " +
+          "FROM big_orders(2000) b JOIN customer c ON b.o_custkey = c.c_custkey " +
+          "GROUP BY c.c_mktsegment ORDER BY seg")
+      },
+      Some("""SELECT c.c_mktsegment AS seg, count(*) AS n,
+             |  cast(sum(b.o_custkey) AS BIGINT) AS sc
+             |FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |      WHERE o_orderkey < 2000) b
+             |JOIN customer c ON b.o_custkey = c.c_custkey
+             |GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin)),
+
     // List comprehensions `[expr FOR v IN list [IF pred]]` (DuckDB) —
     // parse-time sugar onto list_transform(list_filter(…)), so the body
     // captures enclosing columns like any lambda. Identical SQL on both

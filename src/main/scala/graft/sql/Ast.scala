@@ -397,7 +397,7 @@ object Ast {
     * macro, substituted textually before parse (Parser.expandMacros). */
   final case class CreateMacroTree(name: String,
       params: Vector[(String, Option[String])], body: String,
-      orReplace: Boolean) extends ParseTree
+      orReplace: Boolean, table: Boolean = false) extends ParseTree
   final case class DropMacroTree(name: String, ifExists: Boolean) extends ParseTree
 
   /** CREATE [OR REPLACE] SEQUENCE [IF NOT EXISTS] name

@@ -190,13 +190,14 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case Ast.DropSequenceTree(n, ife) => dropSequence(n, ife)
       case Ast.CreateEnumTree(n, vs, ine) => createEnumType(n, vs, ine)
       case Ast.DropTypeTree(n, ife) => dropType(n, ife)
-      case Ast.CreateMacroTree(n, ps, body, orReplace) =>
+      case Ast.CreateMacroTree(n, ps, body, orReplace, isTable) =>
         if (macros.contains(n) && !orReplace)
           Left(ViewError(s"macro '$n' already exists"))
-        else if (!Parser.validMacroBody(body, macros.keySet.toSet + n))
-          Left(ViewError(s"macro '$n' body is not a valid expression"))
+        else if (!Parser.validMacroBody(body, macros.keySet.toSet + n, isTable))
+          Left(ViewError(s"macro '$n' body is not a valid " +
+            (if (isTable) "SELECT" else "expression")))
         else {
-          macros(n) = Parser.MacroDef(ps, body)
+          macros(n) = Parser.MacroDef(ps, body, isTable)
           saveMacros()
           Right(Done(s"created macro $n"))
         }
@@ -802,7 +803,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     val lines = macros.map { case (n, m) =>
       val ps = m.params.map { case (pn, d) =>
         pn + d.map("\u0003" + _).getOrElse("") }.mkString("\u0002")
-      s"$n\u0001$ps\u0001${m.body.replace("\n", " ")}"
+      s"$n\u0001$ps\u0001${m.table}\u0001${m.body.replace("\n", " ")}"
     }
     Files.write(macrosPath, lines.mkString("\n").getBytes("UTF-8"))
   }
@@ -811,7 +812,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     if (!Files.exists(macrosPath)) return
     Files.readAllLines(macrosPath).asScala.filter(_.nonEmpty).foreach { l =>
       l.split('\u0001') match {
-        case Array(n, ps, body) =>
+        case Array(n, ps, tbl, body) =>
           val params = if (ps.isEmpty) Vector.empty
             else ps.split('\u0002').toVector.map { pd =>
               pd.split('\u0003') match {
@@ -820,7 +821,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
                 case _            => pd -> None
               }
             }
-          macros(n) = Parser.MacroDef(params, body)
+          macros(n) = Parser.MacroDef(params, body, tbl.toBoolean)
         case _ => () // corrupted line: skip rather than brick the catalog
       }
     }

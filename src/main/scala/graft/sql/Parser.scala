@@ -1660,9 +1660,12 @@ object Parser {
               for {
                 sel <- parseSelectOrUnion(p)
                 _ <- p.eatSym(")")
+                // an alias-less derived table gets DuckDB's synthetic
+                // name (unnamed_subquery) — columns still resolve
+                // unqualified; table-macro expansion relies on this
                 alias <- p.peek match {
                   case TIdent(a, _) if !reserved(a) => p.next(); Right(a)
-                  case t => Left(ParseError("a derived table requires an alias", t.pos))
+                  case _ => Right("unnamed_subquery")
                 }
               } yield FDerived(sel, alias)
           case _ => tableOnly().map(FTable)
@@ -3790,7 +3793,7 @@ object Parser {
     * Defaults are raw expression text too.
     */
   final case class MacroDef(params: Vector[(String, Option[String])],
-      body: String)
+      body: String, table: Boolean = false)
 
   /** Substitute a macro's parameters into its body text: every
     * standalone parameter identifier splices to `(argText)`. Skips
@@ -3921,14 +3924,15 @@ object Parser {
   /** Validate a macro body parses as an expression (operand or boolean
     * predicate) over its parameters — binding happens at each use site.
     */
-  def validMacroBody(body0: String,
-      macroNames: Set[String] = Set.empty): Boolean = {
+  def validMacroBody(body0: String, macroNames: Set[String] = Set.empty,
+      table: Boolean = false): Boolean = {
     // calls to OTHER macros (or the macro itself, recursively) bind at
     // use — stub them to a literal so the body's own syntax validates
     val stubbed = expandMacros0(body0,
       macroNames.map(_ -> MacroDef(Vector.empty, "0")).toMap, stub = true)
     stubbed.toOption.exists { body =>
-      lex(body).toOption.exists { toks =>
+      if (table) parse(body).isRight
+      else lex(body).toOption.exists { toks =>
         def fully(r: Either[ParseError, _], p2: P): Boolean =
           r.isRight && (p2.peek match { case TEnd(_) => true; case _ => false })
         val asOp = { val p2 = new P(toks, body); fully(parseOperand(p2), p2) }
@@ -4642,6 +4646,9 @@ object Parser {
             }
             _ <- p.eatSym(")")
             _ <- p.eatKw("as")
+            isTable <- Right {
+              if (p.isKw("table")) { p.next(); true } else false
+            }
             body <- p.peek match {
               case TEnd(pos) => Left(ParseError("macro body expected", pos))
               case t =>
@@ -4654,7 +4661,7 @@ object Parser {
                 Right(b)
             }
           } yield (CreateMacroTree(name.toLowerCase, params, body,
-            orReplace): ParseTree, false)
+            orReplace, isTable): ParseTree, false)
         else if (p.isKw("type"))
           for {
             _ <- p.eatKw("type")

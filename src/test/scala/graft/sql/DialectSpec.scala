@@ -1560,9 +1560,12 @@ class DialectSpec extends AnyFunSuite {
       Row("Elon", "Cybertruck", 2L),
       Row("Elon", "Tesla Model 3", 2L),
       Row("Dr. Emmett L. „Doc“ Brown", "DeLorean DMC-12", 1L)))
-    // a derived step side still requires an alias
-    assert(db.query("SELECT name FROM people p LEFT JOIN " +
-      "(SELECT owner_id FROM cars) ON p.id = owner_id").isLeft)
+    // an alias-less derived step side reads the synthetic name
+    // (round 11 — DuckDB accepts bare `(SELECT …)` join sides)
+    val bare = db.select("SELECT name FROM people p LEFT JOIN " +
+      "(SELECT owner_id FROM cars) ON p.id = owner_id " +
+      "WHERE owner_id IS NOT NULL ORDER BY p.id").toOption.get
+    assert(bare.collect().length == 3) // Elon has two cars here
   }
 
   test("CREATE VIEW / DROP VIEW: stored queries substitute like CTEs") {
@@ -4339,6 +4342,28 @@ class DialectSpec extends AnyFunSuite {
     assert(db2.query("DROP MACRO looper").isLeft)
     // an invalid body rejects at CREATE
     assert(db2.query("CREATE MACRO bad(a) AS a +").isLeft)
+  }
+
+  test("table macros (AS TABLE) and alias-less derived tables") {
+    val db = demoDb()
+    db.query("CREATE MACRO adults(lo) AS TABLE " +
+      "SELECT id, name FROM people WHERE age >= lo")
+      .left.foreach(e => fail(e.msg))
+    val n = db.select("SELECT count(*) AS n FROM adults(25)")
+      .fold(e => fail(e.msg), identity).collect().head.getLong(0)
+    assert(n == 1L) // only Doc (30); Marty's NULL age excludes
+    // a table-macro source takes an alias and joins like any table
+    val j = db.select("SELECT a.name, c.model FROM adults(18) a " +
+      "JOIN cars c ON a.id = c.owner_id ORDER BY a.id")
+      .fold(e => fail(e.msg), identity).collect()
+    assert(j.length == 2 && j(0).getString(1) == "Tesla Model 3")
+    // alias-less derived tables read DuckDB's synthetic name
+    val d = db.select("SELECT id FROM (SELECT id FROM people " +
+      "WHERE age IS NOT NULL) ORDER BY id")
+      .fold(e => fail(e.msg), identity).collect().map(_.getInt(0)).toSeq
+    assert(d == Seq(1, 2))
+    // a table macro body must be a SELECT
+    assert(db.query("CREATE MACRO badt(x) AS TABLE x + 1").isLeft)
   }
 
   test("UNION type: tagged values, extract NULL on inactive, bind errors") {

@@ -174,8 +174,12 @@ class ParserSpec extends AnyFunSuite {
     assert(t.from == Seq(FDerived(
       SelectTree(Some(Seq(SCol(ColRef(None, "a")))),
         Seq(FTable(TableRef("x", None))), None), "t")))
-    // the alias is mandatory
-    parseErr("SELECT a FROM (SELECT a FROM x)")
+    // alias-less derived tables get DuckDB's synthetic name (round 11 —
+    // table-macro expansion splices bare `(SELECT …)` into FROM)
+    val u = parseOk("SELECT a FROM (SELECT a FROM x)").asInstanceOf[SelectTree]
+    assert(u.from == Seq(FDerived(
+      SelectTree(Some(Seq(SCol(ColRef(None, "a")))),
+        Seq(FTable(TableRef("x", None))), None), "unnamed_subquery")))
   }
 
   test("delete and update parse") {
