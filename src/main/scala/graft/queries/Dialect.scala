@@ -3953,6 +3953,16 @@ object Dialect {
              |  cast((o_orderkey % 7) * 100.0 * (100 - 50) AS BIGINT) AS nested
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // FROM-first statements (DuckDB sugar): `FROM t` reads SELECT *,
+    // and an optional SELECT follows the FROM group directly with the
+    // remaining clauses in their usual order. Identical SQL both engines.
+    "q_dialect_from_first" -> QueryDef(
+      (s, d) => run(db(s, d, "nation"),
+        "FROM nation SELECT n_nationkey, upper(n_name) AS nm " +
+          "WHERE n_regionkey > 1 ORDER BY n_nationkey LIMIT 15"),
+      Some("""FROM nation SELECT n_nationkey, upper(n_name) AS nm
+             |WHERE n_regionkey > 1 ORDER BY n_nationkey LIMIT 15""".stripMargin)),
+
     // TABLE macros (CREATE MACRO … AS TABLE SELECT …): the same textual
     // expansion in FROM position — the call splices to a derived table
     // (alias-less derived tables read DuckDB's unnamed_subquery), takes

@@ -324,8 +324,70 @@ object Parser {
   /** Entry point. Rejects trailing garbage like the reference's "query not
     * parsed fully" check (reference database.rs:38-40).
     */
-  def parse(sql: String): Either[ParseError, ParseTree] =
-    lex(sql).flatMap { toks =>
+  /** DuckDB's FROM-first statement sugar: `FROM t [SELECT items]
+    * [WHERE …] …` — the optional SELECT follows the FROM group directly
+    * (probed: clauses keep their usual order after it; a clause BEFORE
+    * the SELECT is a syntax error in DuckDB too). Rewritten textually
+    * to the standard order and re-lexed; bare `FROM t …` reads
+    * `SELECT * FROM t …`.
+    */
+  private def fromFirst(sql: String, toks: Vector[Tok]): Option[String] =
+    toks.headOption.collect { case TIdent(f, _) if f.equalsIgnoreCase("from") =>
+      // the optional SELECT must follow the FROM group DIRECTLY — a
+      // clause keyword before it makes this the bare `SELECT *` form
+      // (whose trailing SELECT then errors, like DuckDB)
+      val clauseKws0 = Set("where", "group", "having", "qualify",
+        "order", "limit", "offset", "window", "union", "intersect",
+        "except")
+      var depth = 0
+      var selIdx = -1
+      var clauseSeen = false
+      toks.indices.foreach { i =>
+        toks(i) match {
+          case TSym("(", _) => depth += 1
+          case TSym(")", _) => depth -= 1
+          case TIdent(k, _) if depth == 0 && selIdx < 0 &&
+              k.equalsIgnoreCase("select") && !clauseSeen => selIdx = i
+          case TIdent(k, _) if depth == 0 &&
+              clauseKws0(k.toLowerCase) => clauseSeen = true
+          case _ => ()
+        }
+      }
+      if (selIdx < 0) s"SELECT * $sql"
+      else {
+        val TIdent(_, selPos) = toks(selIdx): @unchecked
+        val fromPart = sql.substring(toks.head.pos, selPos).trim
+        // the select ITEMS run to the first top-level clause keyword
+        val clauseKws = Set("where", "group", "having", "qualify",
+          "order", "limit", "offset", "window", "union", "intersect",
+          "except")
+        depth = 0
+        var clausePos = -1
+        ((selIdx + 1) until toks.length).foreach { i =>
+          toks(i) match {
+            case TSym("(", _) => depth += 1
+            case TSym(")", _) => depth -= 1
+            case TIdent(k, pp) if depth == 0 && clausePos < 0 &&
+                clauseKws(k.toLowerCase) => clausePos = pp
+            case _ => ()
+          }
+        }
+        val itemsEnd = if (clausePos < 0) sql.length else clausePos
+        val items = sql.substring(selPos + "select".length, itemsEnd).trim
+        val rest = if (clausePos < 0) "" else " " + sql.substring(clausePos)
+        s"SELECT $items FROM ${fromPart.drop("from".length).trim}$rest"
+      }
+    }
+
+  def parse(sql0: String): Either[ParseError, ParseTree] =
+    lex(sql0).flatMap { toks0 =>
+      val (sql, toks) = fromFirst(sql0, toks0) match {
+        case Some(rw) => lex(rw) match {
+          case Right(t2) => (rw, t2)
+          case Left(_)   => (sql0, toks0)
+        }
+        case None => (sql0, toks0)
+      }
       val p = new P(toks, sql)
       val tree =
         if (p.isKw("explain")) {

@@ -4344,6 +4344,23 @@ class DialectSpec extends AnyFunSuite {
     assert(db2.query("CREATE MACRO bad(a) AS a +").isLeft)
   }
 
+  test("FROM-first statements: bare FROM reads SELECT *, SELECT may follow") {
+    val db = demoDb()
+    val all = db.select("FROM people ORDER BY id")
+      .fold(e => fail(e.msg), identity).collect()
+    assert(all.length == 3 && all.head.schema.fieldNames.toSeq ==
+      Seq("id", "name", "age"))
+    val proj = db.select("FROM people SELECT name WHERE age >= 30 ORDER BY id")
+      .fold(e => fail(e.msg), identity).collect()
+    assert(proj.map(_.getString(0)).toSeq == Seq("Dr. Emmett L. „Doc“ Brown"))
+    // a filter BEFORE the SELECT stays a syntax error (DuckDB probed)
+    assert(db.query("FROM people WHERE age > 1 SELECT name").isLeft)
+    // a derived source works FROM-first too
+    val d = db.select("FROM (SELECT id FROM people WHERE age IS NOT NULL) " +
+      "SELECT count(*) AS n").fold(e => fail(e.msg), identity).collect().head
+    assert(d.getLong(0) == 2L)
+  }
+
   test("table macros (AS TABLE) and alias-less derived tables") {
     val db = demoDb()
     db.query("CREATE MACRO adults(lo) AS TABLE " +
