@@ -165,6 +165,21 @@ object StringNormalize {
   }
   def nfc(s: String): UTF8String = UTF8String.fromString(
     java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
+  /** md5 digest bytes, LITTLE-endian signed 128-bit, rendered decimal.
+    * BigInteger(byte[]) reads big-endian two's complement, so the
+    * digest reverses first.
+    */
+  def md5Number(s: String): UTF8String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var i = 0
+    while (i < 8) {
+      val t = d(i); d(i) = d(15 - i); d(15 - i) = t
+      i += 1
+    }
+    UTF8String.fromString(new java.math.BigInteger(d).toString)
+  }
 }
 
 /** Extended-grapheme-cluster string functions (DuckDB's *_grapheme
@@ -363,6 +378,21 @@ case class NfcNormalize(child: Expression) extends StringUnaryExpression {
     copy(child = nc)
 }
 
+/** DuckDB md5_number(s): the 16 digest bytes read LITTLE-endian as a
+  * SIGNED 128-bit integer (probed: md5_number('x') is negative).
+  * HUGEINT has no Spark carrier — DECIMAL(38,0) cannot hold 2^128 — so
+  * the value renders as its full decimal TEXT via BigInteger; users
+  * needing arithmetic have md5_number_lower/upper (DECIMAL(20,0)).
+  */
+case class Md5Number(child: Expression) extends StringUnaryExpression {
+  override def prettyName: String = "graft_md5_number"
+  protected def helper: String = "md5Number"
+  override def nullSafeEval(a: Any): Any =
+    StringNormalize.md5Number(a.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(nc: Expression): Md5Number =
+    copy(child = nc)
+}
+
 abstract class StringPairExpression extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType && right.dataType == StringType)
@@ -533,6 +563,8 @@ object StringFunctions {
     Bridge.column(ChrCodepoint(Bridge.expression(a)))
   def nfcNormalize(a: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(a)))
+  def md5Number(a: Column): Column =
+    Bridge.column(Md5Number(Bridge.expression(a)))
   def regexpReplaceDuck(s: Column, p: Column, r: Column,
       global: Boolean): Column =
     Bridge.column(RegexpReplaceDuck(Bridge.expression(s),

@@ -3297,6 +3297,21 @@ object Dialect {
 
     // Wave 9 scalars: typeof folds to the analyzed DuckDB type name;
     // encode/decode round UTF-8 bytes; nextafter is IEEE-exact on both
+    // md5_number: the FULL 128-bit HUGEINT (signed little-endian read
+    // of the digest — md5_number of some inputs is negative), carried
+    // as its decimal TEXT on both sides (no Spark integer type holds
+    // 2^128; DECIMAL(38,0) is too narrow — round-12 verdict #5)
+    "q_dialect_md5_number" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "md5_number(o_orderstatus) AS mn, " +
+          "md5_number(o_orderpriority || cast(o_orderkey AS VARCHAR)) AS mn2 " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  md5_number(o_orderstatus)::VARCHAR AS mn,
+             |  md5_number(o_orderpriority || cast(o_orderkey AS VARCHAR))::VARCHAR AS mn2
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // engines; md5_number_lower/upper read the digest's last/first 8
     // bytes little-endian (DECIMAL(20,0) carries DuckDB's UBIGINT);
     // bar pads with spaces to WIDTH BYTES (3 per block char — probed
@@ -4398,6 +4413,33 @@ object Dialect {
              |  round(CAST(l_quantity + 0.5 AS DECIMAL(9, 2)))::DOUBLE AS rhalf_up,
              |  round(CAST(-(l_quantity + 0.5) AS DECIMAL(9, 2)))::DOUBLE AS rhalf_dn
              |FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Literal-arithmetic DECIMAL typing (round-12 verdict #3): DuckDB
+    // types +,-,*,% over decimal literals and integers as DECIMAL, so
+    // exact-half integer casts round half-AWAY there, while division
+    // yields DOUBLE and rounds half-EVEN. The engine carries decimal
+    // literals on DOUBLE but classifies the expression TREE
+    // (Analyzer.duckDecimalTyped) to pick the matching rounding mode.
+    // e-notation literals (0.5e0 — DOUBLE in DuckDB) share the carrier
+    // and stay a documented divergence, so none appear here.
+    "q_dialect_decimal_typing" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "CAST(o_orderkey + 0.5 AS BIGINT) AS lit_add, " +
+          "CAST(o_orderkey - 2.5 AS BIGINT) AS lit_sub, " +
+          "CAST(o_orderkey * 0.5 AS BIGINT) AS lit_mul, " +
+          "CAST((o_orderkey % 7) + 0.5 AS BIGINT) AS lit_mod, " +
+          "CAST(0.5 - o_orderkey AS BIGINT) AS lit_neg, " +
+          "CAST(o_orderkey / 2 AS BIGINT) AS div_even " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(o_orderkey + 0.5 AS BIGINT) AS lit_add,
+             |  CAST(o_orderkey - 2.5 AS BIGINT) AS lit_sub,
+             |  CAST(o_orderkey * 0.5 AS BIGINT) AS lit_mul,
+             |  CAST((o_orderkey % 7) + 0.5 AS BIGINT) AS lit_mod,
+             |  CAST(0.5 - o_orderkey AS BIGINT) AS lit_neg,
+             |  CAST(o_orderkey / 2 AS BIGINT) AS div_even
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
     // regexp_extract_all — group 0 (whole match) default like DuckDB
     // (Spark's own default is 1, so the index always passes explicitly);

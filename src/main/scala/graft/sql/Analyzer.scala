@@ -1353,7 +1353,7 @@ object Analyzer {
            "__time_plus" | "__time_minus" => SqlType.SqlTime
       case "__enum_pos" | "enum_code" => SqlType.SqlInt
       case "__rint" => SqlType.SqlDouble
-      case "__enum_cast" | "__enum_from_pos" => args(1) match {
+      case "__enum_cast" | "__enum_try_cast" | "__enum_from_pos" => args(1) match {
         case BoundOperand.BLit(Lit.LitString(vs)) =>
           SqlType.SqlEnum(vs.split('\u0001').toVector)
         case _ => SqlType.SqlVarChar(65535)
@@ -1392,6 +1392,8 @@ object Analyzer {
       case "left_grapheme" | "right_grapheme" | "substring_grapheme" =>
         SqlType.SqlVarChar(65535)
       case "md5_number_lower" | "md5_number_upper" => SqlType.SqlDecimal(20, 0)
+      // full 128-bit value: VARCHAR carrier (see Lowering md5_number)
+      case "md5_number" => SqlType.SqlVarChar(65535)
       case "like_escape" | "ilike_escape" | "not_like_escape" |
            "not_ilike_escape" => SqlType.SqlBool
       case "current_date" => SqlType.SqlDate
@@ -1538,15 +1540,102 @@ object Analyzer {
       case SqlType.SqlDecimal(_, _) if integral =>
         BoundOperand.BFunc("round", Seq(b))
       // a decimal-point LITERAL is a DECIMAL in DuckDB (carried here on
-      // SqlDouble), so it keeps the half-away rule; only genuinely
-      // DOUBLE-typed expressions take the half-even cast
-      case SqlType.SqlDouble | SqlType.SqlReal if integral => b match {
-        case BoundOperand.BLit(_) => BoundOperand.BFunc("round", Seq(b))
-        case _                    => BoundOperand.BFunc("__rint", Seq(b))
-      }
+      // SqlDouble) — and so is +,-,*,% ARITHMETIC over decimal literals
+      // and integer operands (probed: typeof(1.5+1) = DECIMAL(12,1),
+      // typeof(x_int + 0.5) = DECIMAL, but typeof(1.5/2) and
+      // typeof(2^2) = DOUBLE) — so those keep the half-away rule; only
+      // genuinely DOUBLE-typed expressions take the half-even cast
+      case SqlType.SqlDouble | SqlType.SqlReal if integral =>
+        if (duckDecimalTyped(b)) BoundOperand.BFunc("round", Seq(b))
+        else BoundOperand.BFunc("__rint", Seq(b))
       case _ => b
     }
   }
+
+  /** Would DuckDB type this SqlDouble-carried expression DECIMAL?
+    * DuckDB's numeric result-type rules keep +,-,*,% of DECIMAL and
+    * integer operands DECIMAL (division and power go DOUBLE), and a
+    * decimal-point literal IS a DECIMAL there. The only place the
+    * distinction is observable through the double carrier is the
+    * rounding mode of integer casts (half-away vs half-even), decided
+    * by roundForIntCast above. e-notation literals (1.5e0 — DOUBLE in
+    * DuckDB) share the LitDouble carrier and misclassify; same
+    * documented tradeoff as the bare-literal rule this generalizes.
+    */
+  private def duckDecimalTyped(b: BoundOperand): Boolean = b match {
+    case BoundOperand.BLit(_) => true
+    case BoundOperand.BArith(op, l, r)
+        if op == '+' || op == '-' || op == '*' || op == '%' =>
+      duckDecimalTyped(l) && duckDecimalTyped(r)
+    case other => operandType(other) match {
+      case SqlType.SqlDecimal(_, _) | SqlType.SqlBigInt | SqlType.SqlInt |
+           SqlType.SqlSmallInt => true
+      case _ => false
+    }
+  }
+
+  /** Type-directed cast dispatch shared by CAST and TRY_CAST. The
+    * special-cased targets (TIMESTAMPTZ/TIME renderings, ENUM
+    * membership, UNION carrier rebuilds) diverge from Spark's native
+    * cast; try_cast takes the same routes with NULL-on-miss in place of
+    * the raising ENUM check and BTryCast at the plain fallthrough.
+    */
+  private def bindCastDispatch(b: BoundOperand, t: SqlType,
+      trying: Boolean): Either[AnalyzerError, BoundOperand] =
+    (operandType(b), t) match {
+      // UNION narrowing (dropping or retyping a member) rejects at
+      // bind — the widen case below requires src within tgt; a type-
+      // level error, so try_cast rejects too (DuckDB binds this)
+      case (SqlType.SqlUnion(src), SqlType.SqlUnion(tgt))
+          if !src.forall { case (n, st) =>
+            tgt.exists(m => m._1 == n && m._2.spark == st.spark) } =>
+        Left(BadFunction(
+          s"cannot cast ${duckTypeName(SqlType.SqlUnion(src))} to " +
+            s"${duckTypeName(t)}: every source member must exist in the target"))
+      case _ => Right((operandType(b), t) match {
+        // TIMESTAMPTZ renders with its +00 offset (sessions pin UTC)
+        case (SqlType.SqlTimestampTz, SqlType.SqlVarChar(_)) =>
+          BoundOperand.BFunc("__tstz_text", Seq(b))
+        // TIMESTAMP -> TIME takes the time-of-day; Spark has no
+        // native cast, so this routes through a dedicated lowering
+        case (SqlType.SqlTimestamp | SqlType.SqlTimestampTz,
+              SqlType.SqlTime) =>
+          BoundOperand.BFunc("__ts_to_time", Seq(b))
+        // text -> ENUM validates membership: CAST raises DuckDB's
+        // conversion error, TRY_CAST reads NULL for a non-member
+        case (SqlType.SqlVarChar(_), SqlType.SqlEnum(vs)) =>
+          BoundOperand.BFunc(
+            if (trying) "__enum_try_cast" else "__enum_cast",
+            Seq(b, enumValsLit(vs)))
+        // UNION -> wider UNION: rebuild the carrier struct — tag
+        // keeps, present members copy, absent members read typed
+        // NULL (the single-member union_value widens this way)
+        case (SqlType.SqlUnion(src), SqlType.SqlUnion(tgt))
+            if src.forall { case (n, st) =>
+              tgt.exists(m => m._1 == n && m._2.spark == st.spark) } =>
+          BoundOperand.BFunc("__union_make",
+            BoundOperand.BLit(Lit.LitString(tgt.map(_._1).mkString("\u0001"))) +:
+            BoundOperand.BFunc("union_tag", Seq(b)) +:
+            tgt.map { case (n, mt) =>
+              if (src.exists(_._1 == n))
+                BoundOperand.BFunc("union_extract",
+                  Seq(b, BoundOperand.BLit(Lit.LitString(n))))
+              else BoundOperand.BCast(
+                BoundOperand.BLit(Lit.LitNull), mt)
+            })
+        // UNION -> VARCHAR renders the ACTIVE member's value text
+        // (DuckDB probed: '7', 'hi') — coalesce over the members
+        case (SqlType.SqlUnion(ms), SqlType.SqlVarChar(_)) =>
+          BoundOperand.BFunc("coalesce", ms.map { case (n, _) =>
+            BoundOperand.BCast(BoundOperand.BFunc("union_extract",
+              Seq(b, BoundOperand.BLit(Lit.LitString(n)))),
+              SqlType.SqlVarChar(65535))
+          })
+        case _ =>
+          if (trying) BoundOperand.BTryCast(roundForIntCast(b, t), t)
+          else BoundOperand.BCast(roundForIntCast(b, t), t)
+      })
+    }
 
   /** The output type of a window item (shared by derived-table schema
     * derivation and QUALIFY alias resolution).
@@ -3354,60 +3443,14 @@ object Analyzer {
       case Operand.OrderedAgg(f, _, _, _, _) =>
         Left(BadAggregate(s"$f(...) is not valid in this context"))
       case Operand.Cast(o, t) =>
-        bindOp(o, allowAgg, allowSub).flatMap { b =>
-          (operandType(b), t) match {
-            // UNION narrowing (dropping or retyping a member) rejects at
-            // bind — the widen case below requires src within tgt
-            case (SqlType.SqlUnion(src), SqlType.SqlUnion(tgt))
-                if !src.forall { case (n, st) =>
-                  tgt.exists(m => m._1 == n && m._2.spark == st.spark) } =>
-              Left(BadFunction(
-                s"cannot cast ${duckTypeName(SqlType.SqlUnion(src))} to " +
-                  s"${duckTypeName(t)}: every source member must exist in the target"))
-            case _ => Right((operandType(b), t) match {
-            // TIMESTAMPTZ renders with its +00 offset (sessions pin UTC)
-            case (SqlType.SqlTimestampTz, SqlType.SqlVarChar(_)) =>
-              BoundOperand.BFunc("__tstz_text", Seq(b))
-            // TIMESTAMP -> TIME takes the time-of-day; Spark has no
-            // native cast, so this routes through a dedicated lowering
-            case (SqlType.SqlTimestamp | SqlType.SqlTimestampTz,
-                  SqlType.SqlTime) =>
-              BoundOperand.BFunc("__ts_to_time", Seq(b))
-            // text -> ENUM validates membership (DuckDB's conversion
-            // error); enum -> text / enum -> same enum are free
-            case (SqlType.SqlVarChar(_), SqlType.SqlEnum(vs)) =>
-              BoundOperand.BFunc("__enum_cast", Seq(b, enumValsLit(vs)))
-            // UNION -> wider UNION: rebuild the carrier struct — tag
-            // keeps, present members copy, absent members read typed
-            // NULL (the single-member union_value widens this way)
-            case (SqlType.SqlUnion(src), SqlType.SqlUnion(tgt))
-                if src.forall { case (n, st) =>
-                  tgt.exists(m => m._1 == n && m._2.spark == st.spark) } =>
-              BoundOperand.BFunc("__union_make",
-                BoundOperand.BLit(Lit.LitString(tgt.map(_._1).mkString("\u0001"))) +:
-                BoundOperand.BFunc("union_tag", Seq(b)) +:
-                tgt.map { case (n, mt) =>
-                  if (src.exists(_._1 == n))
-                    BoundOperand.BFunc("union_extract",
-                      Seq(b, BoundOperand.BLit(Lit.LitString(n))))
-                  else BoundOperand.BCast(
-                    BoundOperand.BLit(Lit.LitNull), mt)
-                })
-            // UNION -> VARCHAR renders the ACTIVE member's value text
-            // (DuckDB probed: '7', 'hi') — coalesce over the members
-            case (SqlType.SqlUnion(ms), SqlType.SqlVarChar(_)) =>
-              BoundOperand.BFunc("coalesce", ms.map { case (n, _) =>
-                BoundOperand.BCast(BoundOperand.BFunc("union_extract",
-                  Seq(b, BoundOperand.BLit(Lit.LitString(n)))),
-                  SqlType.SqlVarChar(65535))
-              })
-              case _ => BoundOperand.BCast(roundForIntCast(b, t), t)
-            })
-          }
-        }
+        bindOp(o, allowAgg, allowSub).flatMap(b =>
+          bindCastDispatch(b, t, trying = false))
+      // try_cast shares the type-directed dispatch (bindCastDispatch) —
+      // the only deltas are NULL-on-miss where the checked cast raises
+      // (ENUM membership) and BTryCast at the plain fallthrough
       case Operand.TryCast(o, t) =>
-        bindOp(o, allowAgg, allowSub).map(b =>
-          BoundOperand.BTryCast(roundForIntCast(b, t), t))
+        bindOp(o, allowAgg, allowSub).flatMap(b =>
+          bindCastDispatch(b, t, trying = true))
       // list higher-order functions: the second argument is a lambda
       // whose parameters bind to the list's ELEMENT type; the body may
       // capture enclosing columns (they lower as ordinary references
@@ -3646,7 +3689,7 @@ object Analyzer {
           // wave 9
           case "typeof" | "encode" | "decode" | "epoch_ns" | "json_quote" |
                "map_from_entries" | "error" | "md5_number_lower" |
-               "md5_number_upper" => args.length == 1
+               "md5_number_upper" | "md5_number" => args.length == 1
           case "nextafter"           => args.length == 2
           case "struct_insert"       => args.length >= 3 && args.length % 2 == 1
           case "bar"                 => args.length == 3 || args.length == 4

@@ -1067,6 +1067,9 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     */
   private def loadMatViews(): Unit = {
     if (!Files.exists(matviewsPath)) return
+    // bodies may reference CREATE TYPE names; a stale thread-local from
+    // another database on this thread must not resolve them instead
+    Parser.setNamedTypes(namedTypes.toMap)
     val dec = java.util.Base64.getDecoder
     Files.readAllLines(matviewsPath).asScala.filter(_.nonEmpty).foreach { l =>
       val stmt = new String(dec.decode(l), "UTF-8")
@@ -1105,6 +1108,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
 
   private def loadViews(): Unit = {
     if (!Files.exists(viewsPath)) return
+    Parser.setNamedTypes(namedTypes.toMap) // see loadMatViews
     val dec = java.util.Base64.getDecoder
     Files.readAllLines(viewsPath).asScala.filter(_.nonEmpty).foreach { l =>
       val stmt = new String(dec.decode(l), "UTF-8")

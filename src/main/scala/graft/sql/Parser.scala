@@ -237,7 +237,7 @@ object Parser {
     "typeof", "encode", "decode", "epoch_ns", "nextafter",
     "map_from_entries", "struct_insert", "bar", "error", "json_quote",
     "like_escape", "ilike_escape", "not_like_escape", "not_ilike_escape",
-    "md5_number_lower", "md5_number_upper",
+    "md5_number_lower", "md5_number_upper", "md5_number",
     "enum_range", "enum_first", "enum_last", "enum_code",
     "union_value", "union_tag", "union_extract",
     "make_time", "current_date", "today", "now", "get_current_timestamp",
@@ -3609,8 +3609,10 @@ object Parser {
       case "timestamptz" =>
         // accept an optional trailing offset (+HH / +HH:MM / -HH[:MM]);
         // normalize the wall text to UTC at parse — sessions pin UTC, so
-        // the naive reading of the stored text IS the instant
-        val m = "(.*?)\\s*([+-]\\d{2}(?::?\\d{2})?)?".r
+        // the naive reading of the stored text IS the instant. The base
+        // anchors to a full date (optionally followed by a time), so a
+        // date-only literal's day digits can't be eaten as an offset.
+        val m = "(\\d{4}-\\d{2}-\\d{2}(?:[ T][\\d:.]+)?)\\s*([+-]\\d{2}(?::?\\d{2})?)?".r
           .pattern.matcher(s)
         if (!m.matches()) throw new IllegalArgumentException(s)
         val base0 = m.group(1)
@@ -3920,8 +3922,12 @@ object Parser {
             case Some(i) =>
               val TIdent(name, npos) = toks(i): @unchecked
               val m = macros(name.toLowerCase)
-              // find the matching ')' and top-level ',' positions
+              // find the matching ')' and top-level ',' positions; a
+              // comma inside a list/struct literal argument ([1, 2] or
+              // {'a': 1, 'b': 2}) is NOT an argument split, so bracket
+              // and brace depth are tracked alongside parens
               var depth = 0
+              var bDepth = 0
               var j = i + 1
               var argStarts = List.empty[Int]   // source offsets
               var argSplits = List.empty[Int]
@@ -3935,7 +3941,9 @@ object Parser {
                   case TSym(")", pp) =>
                     depth -= 1
                     if (depth == 0) endPos = pp
-                  case TSym(",", pp) if depth == 1 =>
+                  case TSym("[" | "{", _) => bDepth += 1
+                  case TSym("]" | "}", _) => bDepth -= 1
+                  case TSym(",", pp) if depth == 1 && bDepth == 0 =>
                     argSplits = pp :: argSplits
                   case TEnd(_) => return Left(ParseError(
                     s"unterminated macro call $name(", npos))
@@ -4682,14 +4690,18 @@ object Parser {
                           // default: raw source text to the next
                           // top-level ',' or ')'
                           val start = p.peek.pos
-                          var depth = 0
+                          var depth = 0     // parens
+                          var bDepth = 0    // [] and {} — a list/struct
+                                            // default's commas don't split
                           var endp = -1
                           while (endp < 0) {
                             p.peek match {
                               case TSym("(", _) => depth += 1; p.next()
                               case TSym(")", pp) =>
                                 if (depth == 0) endp = pp else { depth -= 1; p.next() }
-                              case TSym(",", pp) if depth == 0 => endp = pp
+                              case TSym("[" | "{", _) => bDepth += 1; p.next()
+                              case TSym("]" | "}", _) => bDepth -= 1; p.next()
+                              case TSym(",", pp) if depth == 0 && bDepth == 0 => endp = pp
                               case TEnd(pp) => endp = pp
                               case _ => p.next()
                             }

@@ -4428,4 +4428,74 @@ class DialectSpec extends AnyFunSuite {
     assert(rows(1).getDecimal(0).toPlainString == "-3")   // half AWAY from zero
   }
 
+  test("date-only TIMESTAMPTZ literal reads midnight UTC (advice r12)") {
+    val db = freshDb()
+    // the lazy-offset regex used to eat '-01' (the day) as a UTC offset
+    val r = db.select("SELECT cast(TIMESTAMPTZ '2024-06-01' AS VARCHAR) AS a, " +
+      "cast(TIMESTAMPTZ '2024-06-01T10:30:00' AS VARCHAR) AS b")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(r.getString(0) == "2024-06-01 00:00:00+00")
+    assert(r.getString(1) == "2024-06-01 10:30:00+00")
+  }
+
+  test("try_cast routes through the typed cast plumbing (advice r12)") {
+    val db = freshDb()
+    db.query("CREATE TYPE mood2 AS ENUM ('sad', 'ok', 'happy')")
+      .left.foreach(e => fail(e.msg))
+    db.query("CREATE TABLE tm (id INT PRIMARY KEY, s VARCHAR(20))")
+    db.query("INSERT INTO tm VALUES (1, 'happy'), (2, 'angry'), (3, NULL)")
+    // ENUM membership: NULL on miss (cast would raise), value on hit
+    val r = db.select("SELECT id, cast(try_cast(s AS mood2) AS VARCHAR) AS m " +
+      "FROM tm ORDER BY id").fold(e => fail(e.msg), identity).collect()
+    assert(r(0).getString(1) == "happy")
+    assert(r(1).isNullAt(1))
+    assert(r(2).isNullAt(1))
+    // try_cast TIMESTAMPTZ -> VARCHAR renders the +00 offset like cast
+    val z = db.select("SELECT try_cast(TIMESTAMPTZ '2024-06-01 10:00:00+02' " +
+      "AS VARCHAR) AS z").fold(e => fail(e.msg), identity).collect().head
+    assert(z.getString(0) == "2024-06-01 08:00:00+00")
+    // try_cast TIMESTAMP -> TIME takes the time-of-day like cast
+    val t = db.select("SELECT cast(try_cast(TIMESTAMP '2024-06-01 08:30:00' " +
+      "AS TIME) AS VARCHAR) AS t").fold(e => fail(e.msg), identity).collect().head
+    assert(t.getString(0) == "08:30:00")
+    // UNION narrowing still rejects at bind under try_cast
+    assert(db.query("SELECT try_cast(union_value(num := 7) AS " +
+      "UNION(str VARCHAR(10))) AS x FROM tm").isLeft)
+  }
+
+  test("macro arguments with list/struct literals (advice r12)") {
+    val db = freshDb()
+    db.query("CREATE MACRO second_el(xs) AS xs[2]").left.foreach(e => fail(e.msg))
+    val r = db.select("SELECT second_el([10, 20, 30]) AS a")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(r.getLong(0) == 20L)
+    db.query("CREATE MACRO pick(st) AS struct_extract(st, 'b')").left.foreach(e => fail(e.msg))
+    val s = db.select("SELECT pick({'a': 1, 'b': 42}) AS v")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(s.getLong(0) == 42L)
+    // a list-literal default survives the parameter scanner too
+    db.query("CREATE MACRO head_or(xs := [7, 8]) AS xs[1]")
+      .left.foreach(e => fail(e.msg))
+    val d = db.select("SELECT head_or() AS v")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(d.getLong(0) == 7L)
+  }
+
+  test("view over a named ENUM type survives a catalog reopen (advice r12)") {
+    val db = freshDb()
+    db.query("CREATE TYPE lvl AS ENUM ('low', 'high')")
+      .left.foreach(e => fail(e.msg))
+    db.query("CREATE TABLE lt (id INT PRIMARY KEY, s VARCHAR(10))")
+    db.query("INSERT INTO lt VALUES (1, 'low'), (2, 'high'), (3, 'mid')")
+    db.query("CREATE VIEW lv AS SELECT id, try_cast(s AS lvl) AS l FROM lt")
+      .left.foreach(e => fail(e.msg))
+    // reopening parses the stored view body — it must resolve 'lvl'
+    // through THIS database's named types, not a stale thread-local
+    Parser.setNamedTypes(Map.empty) // poison the thread-local first
+    val db2 = new GraftDatabase(spark, db.warehouse)
+    val r = db2.select("SELECT id FROM lv WHERE l IS NOT NULL ORDER BY id")
+      .fold(e => fail(e.msg), identity).collect().map(_.getInt(0)).toSeq
+    assert(r == Seq(1, 2))
+  }
+
 }

@@ -77,16 +77,19 @@ def frame_rows(df):
     """Canonical (sorted-columns, sorted-rows) cell matrix, or an error
     string when any cell would break the driver's sort_values."""
     cols = sorted(df.columns)
-    rows = []
-    for _, r in df.iterrows():
-        cells = []
-        for c in cols:
-            v = r[c]
+    # Per-column extraction: iterrows() upcasts every cell to the frame's
+    # common dtype (int64 -> float in an all-numeric frame), which both
+    # fakes FAILs and masks the int-vs-float driver distinction. tolist()
+    # on each Series preserves its own dtype.
+    col_vals = {}
+    for c in cols:
+        vals = df[c].tolist()
+        for v in vals:
             if isinstance(v, UNSORTABLE):
                 return None, None, (f"driver-channel unsortable cell in "
                                     f"'{c}': {type(v).__name__}")
-            cells.append(norm_cell(v))
-        rows.append(tuple(cells))
+        col_vals[c] = [norm_cell(v) for v in vals]
+    rows = [tuple(col_vals[c][i] for c in cols) for i in range(len(df))]
     return cols, sorted(rows), None
 
 
