@@ -4420,8 +4420,8 @@ object Dialect {
     // yields DOUBLE and rounds half-EVEN. The engine carries decimal
     // literals on DOUBLE but classifies the expression TREE
     // (Analyzer.duckDecimalTyped) to pick the matching rounding mode.
-    // e-notation literals (0.5e0 — DOUBLE in DuckDB) share the carrier
-    // and stay a documented divergence, so none appear here.
+    // e-notation literals (0.5e0 — DOUBLE in DuckDB) lex as their own
+    // token and desugar to CAST(.. AS DOUBLE), so they keep half-even.
     "q_dialect_decimal_typing" -> QueryDef(
       (s, d) => run(db(s, d, "orders"),
         "SELECT o_orderkey, " +
@@ -4430,7 +4430,9 @@ object Dialect {
           "CAST(o_orderkey * 0.5 AS BIGINT) AS lit_mul, " +
           "CAST((o_orderkey % 7) + 0.5 AS BIGINT) AS lit_mod, " +
           "CAST(0.5 - o_orderkey AS BIGINT) AS lit_neg, " +
-          "CAST(o_orderkey / 2 AS BIGINT) AS div_even " +
+          "CAST(o_orderkey / 2 AS BIGINT) AS div_even, " +
+          "CAST(o_orderkey * 0.5e0 AS BIGINT) AS sci_mul, " +
+          "typeof(o_orderkey * 0.5e0) AS sci_t " +
           "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
       Some("""SELECT o_orderkey,
              |  CAST(o_orderkey + 0.5 AS BIGINT) AS lit_add,
@@ -4438,7 +4440,9 @@ object Dialect {
              |  CAST(o_orderkey * 0.5 AS BIGINT) AS lit_mul,
              |  CAST((o_orderkey % 7) + 0.5 AS BIGINT) AS lit_mod,
              |  CAST(0.5 - o_orderkey AS BIGINT) AS lit_neg,
-             |  CAST(o_orderkey / 2 AS BIGINT) AS div_even
+             |  CAST(o_orderkey / 2 AS BIGINT) AS div_even,
+             |  CAST(o_orderkey * 0.5e0 AS BIGINT) AS sci_mul,
+             |  typeof(o_orderkey * 0.5e0) AS sci_t
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
     // regexp_extract_all — group 0 (whole match) default like DuckDB

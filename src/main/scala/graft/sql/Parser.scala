@@ -25,6 +25,9 @@ object Parser {
   private final case class TIdent(s: String, pos: Int) extends Tok
   private final case class TInt(v: Long, pos: Int) extends Tok
   private final case class TFloat(v: Double, pos: Int) extends Tok
+  // e-notation numeric (1e3, 1.5e-2): DOUBLE in DuckDB where TFloat is
+  // DECIMAL — kept distinct so cast-rounding modes can diverge
+  private final case class TSci(v: Double, pos: Int) extends Tok
   private final case class TStr(s: String, pos: Int) extends Tok
   private final case class TSym(s: String, pos: Int) extends Tok
   private final case class TEnd(pos: Int) extends Tok
@@ -44,12 +47,28 @@ object Parser {
         // binary subtraction (a - 1) and negative literals both work
         val start = i
         while (i < in.length && in(i).isDigit) i += 1
+        var isFloat = false
         // decimal point followed by a digit → double literal
         if (i + 1 < in.length && in(i) == '.' && in(i + 1).isDigit) {
+          isFloat = true
           i += 1
           while (i < in.length && in(i).isDigit) i += 1
+        }
+        // e-notation tail (1e3, 1.5e-2): DuckDB types these DOUBLE where
+        // a plain decimal-point literal is DECIMAL — a distinct token so
+        // the parser can keep the two apart
+        val hasExp = i < in.length && (in(i) == 'e' || in(i) == 'E') && {
+          val j = if (i + 1 < in.length && (in(i + 1) == '+' || in(i + 1) == '-')) i + 2 else i + 1
+          j < in.length && in(j).isDigit
+        }
+        if (hasExp) {
+          i += 1
+          if (in(i) == '+' || in(i) == '-') i += 1
+          while (i < in.length && in(i).isDigit) i += 1
+          out += TSci(in.substring(start, i).toDouble, start)
+        } else if (isFloat)
           out += TFloat(in.substring(start, i).toDouble, start)
-        } else out += TInt(in.substring(start, i).toLong, start)
+        else out += TInt(in.substring(start, i).toLong, start)
       } else if (c == '\'') {
         val start = i
         i += 1
@@ -1762,6 +1781,7 @@ object Parser {
               pct <- (p.peek match {
                 case TInt(v, _)   => p.next(); Right(v.toDouble)
                 case TFloat(v, _) => p.next(); Right(v)
+                case TSci(v, _)   => p.next(); Right(v)
                 case t => Left(ParseError(
                   "USING SAMPLE takes a numeric percentage", t.pos))
               }).flatMap(v =>
@@ -2625,6 +2645,19 @@ object Parser {
                 loop(Operand.FuncCall("list_extract", Seq(acc, idx))))
             }
           }
+        // postfix field access on a COMPUTED operand — ({'a': 1}).a,
+        // fn(...).f, x[1].f (DuckDB allows all three). Bare dotted
+        // column paths are consumed whole by parseColRef inside
+        // parseAtom, so only a dot remaining AFTER a complete atom
+        // lands here.
+        case TSym(".", _) if {
+          val save = p.i; p.next()
+          val ok = p.peek.isInstanceOf[TIdent]; p.i = save; ok
+        } =>
+          p.next()
+          val TIdent(fld, _) = p.next(): @unchecked
+          loop(Operand.FuncCall("struct_extract",
+            Seq(acc, Operand.Literal(Lit.LitString(fld)))))
         // `x AT TIME ZONE 'tz'` (Postgres/DuckDB): direction decided by
         // the analyzer from x's type (naive -> TIMESTAMPTZ, tz -> naive)
         case TIdent(at, _) if at.equalsIgnoreCase("at") && {
@@ -2872,6 +2905,10 @@ object Parser {
       }
     case TInt(v, _)   => p.next(); Right(Operand.Literal(Lit.LitLong(v)))
     case TFloat(v, _) => p.next(); Right(Operand.Literal(Lit.LitDouble(v)))
+    case TSci(v, _) => p.next()
+      // genuine DOUBLE: the cast wrapper is what keeps half-EVEN integer
+      // casts for e-notation where decimal-point literals round half-away
+      Right(Operand.Cast(Operand.Literal(Lit.LitDouble(v)), SqlType.SqlDouble))
     case TStr(s, _)   => p.next(); Right(Operand.Literal(Lit.LitString(s)))
     case TIdent(s, _) if s.equalsIgnoreCase("null") =>
       p.next(); Right(Operand.Literal(Lit.LitNull))
@@ -3028,6 +3065,7 @@ object Parser {
         _ <- p.eatSym(",")
         q0 <- p.peek match {
           case TFloat(v, _) => p.next(); Right(v)
+          case TSci(v, _)   => p.next(); Right(v)
           case TInt(v, _)   => p.next(); Right(v.toDouble)
           case t => Left(ParseError(
             "approx_quantile takes a numeric literal fraction", t.pos))
@@ -3067,6 +3105,7 @@ object Parser {
         _ <- p.eatSym("(")
         p0 <- p.peek match {
           case TFloat(v, _) => p.next(); Right(v)
+          case TSci(v, _)   => p.next(); Right(v)
           case TInt(v, _)   => p.next(); Right(v.toDouble)
           case t => Left(ParseError(
             s"$fn takes a numeric literal fraction", t.pos))
@@ -3104,6 +3143,7 @@ object Parser {
       p.next()
       def fraction(): Either[ParseError, Double] = (p.peek match {
         case TFloat(v, _) => p.next(); Right(v)
+        case TSci(v, _)   => p.next(); Right(v)
         case TInt(v, _)   => p.next(); Right(v.toDouble)
         case t => Left(ParseError(
           s"${f.toLowerCase} takes numeric literal fractions", t.pos))
@@ -3644,10 +3684,12 @@ object Parser {
       p.peek match {
         case TInt(v, _)   => p.next(); Right(Lit.LitLong(-v))
         case TFloat(v, _) => p.next(); Right(Lit.LitDouble(-v))
+        case TSci(v, _)   => p.next(); Right(Lit.LitDouble(-v))
         case t => Left(ParseError("expected number after '-'", t.pos))
       }
     case TInt(v, _)   => p.next(); Right(Lit.LitLong(v))
     case TFloat(v, _) => p.next(); Right(Lit.LitDouble(v))
+    case TSci(v, _)   => p.next(); Right(Lit.LitDouble(v))
     case TStr(s, _)   => p.next(); Right(Lit.LitString(s))
     case TIdent(s, _) if s.equalsIgnoreCase("null") => p.next(); Right(Lit.LitNull)
     case TIdent(s, _) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") =>

@@ -4481,6 +4481,35 @@ class DialectSpec extends AnyFunSuite {
     assert(d.getLong(0) == 7L)
   }
 
+  test("e-notation literals: DOUBLE typing, half-even integer casts (r12)") {
+    val db = freshDb()
+    db.query("CREATE TABLE se (id INT PRIMARY KEY)")
+    db.query("INSERT INTO se VALUES (1)")
+    val r = db.select("SELECT 1.5e2 AS a, typeof(2.5e0) AS t, " +
+      "CAST(2.5e0 AS BIGINT) AS even, CAST(2.5 AS BIGINT) AS away, " +
+      "CAST(1e3 AS BIGINT) AS ke, 2.5E-1 AS neg_exp FROM se")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(r.getDouble(0) == 150.0)
+    assert(r.getString(1) == "DOUBLE")
+    assert(r.getLong(2) == 2L)  // genuine DOUBLE: half to even
+    assert(r.getLong(3) == 3L)  // decimal literal: half away
+    assert(r.getLong(4) == 1000L)
+    assert(r.getDouble(5) == 0.25)
+  }
+
+  test("postfix field access on computed operands (r12)") {
+    val db = freshDb()
+    db.query("CREATE TABLE pf (id INT PRIMARY KEY)")
+    db.query("INSERT INTO pf VALUES (1)")
+    val r = db.select("SELECT ({'a': 1, 'b': 42}).b AS v, " +
+      "([{'f': 5}, {'f': 7}])[2].f AS w, " +
+      "struct_pack(x := 9).x AS u FROM pf")
+      .fold(e => fail(e.msg), identity).collect().head
+    assert(r.getLong(0) == 42L)
+    assert(r.getLong(1) == 7L)
+    assert(r.getLong(2) == 9L)
+  }
+
   test("view over a named ENUM type survives a catalog reopen (advice r12)") {
     val db = freshDb()
     db.query("CREATE TYPE lvl AS ENUM ('low', 'high')")
