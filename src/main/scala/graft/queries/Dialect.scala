@@ -4445,6 +4445,25 @@ object Dialect {
              |  typeof(o_orderkey * 0.5e0) AS sci_t
              |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
 
+    // Postfix field access on COMPUTED operands (round-12 parser
+    // extension): ({'k': v}).k, list-of-structs [..][i].f, and
+    // struct_pack(..).f all parse as struct_extract chains; identical
+    // SQL runs on DuckDB.
+    "q_dialect_postfix" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "({'a': o_orderkey % 5, 'b': o_orderstatus}).b AS f1, " +
+          "([{'v': o_orderkey % 3}, {'v': 7}])[2].v AS f2, " +
+          "struct_pack(x := o_orderkey % 9).x AS f3, " +
+          "CAST(1.5e2 AS BIGINT) AS f4 " +
+          "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  ({'a': o_orderkey % 5, 'b': o_orderstatus}).b AS f1,
+             |  ([{'v': o_orderkey % 3}, {'v': 7}])[2].v AS f2,
+             |  struct_pack(x := o_orderkey % 9).x AS f3,
+             |  CAST(1.5e2 AS BIGINT) AS f4
+             |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
     // regexp_extract_all — group 0 (whole match) default like DuckDB
     // (Spark's own default is 1, so the index always passes explicitly);
     // array outputs serialized for the pandas gate harness.
