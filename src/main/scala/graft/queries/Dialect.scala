@@ -5254,6 +5254,125 @@ object Dialect {
              |  cast(extract(doy FROM o_orderdate) AS int) AS ody,
              |  date_part('epoch', o_orderdate) AS oep,
              |  make_date(2024, 2, 29) AS md
-             |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin))
+             |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)),
+
+    // COLLATE (DuckDB): NOCASE / NOACCENT / NFC postfix collations and
+    // the NOCASE.NOACCENT combo. Pins (a) a collated ORDER BY key
+    // (accent- and case-insensitive sort with binary tiebreaks), (b) a
+    // collated comparison in WHERE (uppercased rows would fail the
+    // binary >= 'a' but pass under NOCASE), and (c) one-sided collation
+    // PROPAGATING to the whole comparison (s COLLATE … = plain lowers/
+    // strips BOTH sides — DuckDB semantics, probed). Identical SQL runs
+    // on both engines.
+    "q_dialect_collate" -> QueryDef(
+      (s, d) => run(db(s, d, "part"),
+        "WITH src AS (" +
+          "SELECT p_partkey AS k, p_name AS plain, " +
+          "CASE WHEN p_partkey % 3 = 0 THEN upper(p_name) " +
+          "WHEN p_partkey % 3 = 1 THEN translate(p_name, 'ao', 'äö') " +
+          "ELSE p_name || 'X' END AS s " +
+          "FROM part WHERE p_partkey <= 120) " +
+          "SELECT k, s, CAST(s COLLATE NOCASE.NOACCENT = plain AS VARCHAR) AS eq " +
+          "FROM src WHERE s COLLATE NOCASE >= 'a' " +
+          "ORDER BY s COLLATE NOCASE.NOACCENT, s, k"),
+      Some("""WITH src AS (
+             |  SELECT p_partkey AS k, p_name AS plain,
+             |    CASE WHEN p_partkey % 3 = 0 THEN upper(p_name)
+             |         WHEN p_partkey % 3 = 1 THEN translate(p_name, 'ao', 'äö')
+             |         ELSE p_name || 'X' END AS s
+             |  FROM part WHERE p_partkey <= 120)
+             |SELECT k, s, CAST(s COLLATE NOCASE.NOACCENT = plain AS VARCHAR) AS eq
+             |FROM src WHERE s COLLATE NOCASE >= 'a'
+             |ORDER BY s COLLATE NOCASE.NOACCENT, s, k""".stripMargin)),
+
+    // DESCRIBE <query> in DuckDB's EXACT output shape: six VARCHAR
+    // columns (column_name, column_type, null, key, default, extra),
+    // DuckDB type spellings (INTEGER/VARCHAR/DOUBLE/BIGINT), null
+    // always 'YES' over a query. IDENTICAL statement runs on both
+    // engines — the analyzer's output typing is what's being pinned
+    // (BIGINT arithmetic, DOUBLE division, CASE/cast results).
+    "q_dialect_describe" -> QueryDef(
+      (s, d) => run(db(s, d, "lineitem"),
+        "DESCRIBE SELECT l_orderkey, l_returnflag, l_quantity, " +
+          "l_extendedprice * 0.9 AS disc, l_orderkey::VARCHAR AS ok_s, " +
+          "CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END AS band, " +
+          "l_orderkey + l_linenumber AS ksum, l_quantity / 2 AS qh " +
+          "FROM lineitem"),
+      Some("""DESCRIBE SELECT l_orderkey, l_returnflag, l_quantity,
+             |  l_extendedprice * 0.9 AS disc, l_orderkey::VARCHAR AS ok_s,
+             |  CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END AS band,
+             |  l_orderkey + l_linenumber AS ksum, l_quantity / 2 AS qh
+             |FROM lineitem""".stripMargin)),
+
+    // PREPARE / EXECUTE (session-scoped prepared statements): $1/$2
+    // positional placeholders splice argument text at EXECUTE — the
+    // oracle inlines the same constants. Re-preparing the same name
+    // overwrites (idempotent across bench reps, like DuckDB).
+    "q_dialect_prepare" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders")
+        g.query("PREPARE gate_prep AS SELECT o_orderpriority, " +
+          "count(*) AS n, sum(o_totalprice) AS tot FROM orders " +
+          "WHERE o_totalprice > $1 AND o_orderdate < $2 " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+          .fold(e => sys.error(e.msg), identity)
+        run(g, "EXECUTE gate_prep(150000, DATE '1997-01-01')")
+      },
+      Some("""SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
+             |  sum(o_totalprice) AS tot FROM orders
+             |WHERE o_totalprice > (150000) AND o_orderdate < (DATE '1997-01-01')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // UPDATE … FROM (DuckDB/Postgres): set values read SOURCE columns;
+    // only matched rows rewrite. Desugars onto the MERGE machinery
+    // (WHEN MATCHED THEN UPDATE) — the oracle reproduces the final
+    // image from the raw fixture with the same 1:1 join (count-based
+    // extra: integer-exact, no float-order sensitivity). Validated
+    // against DuckDB's actual UPDATE…FROM on this fixture.
+    "q_dialect_update_from" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders")
+        if (!g.tableNames.contains("uf_orders")) {
+          g.query("CREATE TABLE uf_orders AS SELECT o_orderkey, o_custkey, " +
+            "o_totalprice FROM orders WHERE o_orderkey < 2000")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("UPDATE uf_orders SET o_totalprice = o_totalprice + s.extra " +
+            "FROM (SELECT o_custkey AS ck, count(*)*100 AS extra FROM orders " +
+            "WHERE o_orderkey < 2000 GROUP BY o_custkey) s " +
+            "WHERE uf_orders.o_custkey = s.ck AND uf_orders.o_orderkey % 2 = 0")
+            .fold(e => sys.error(e.msg), identity)
+        }
+        run(g, "SELECT o_orderkey, o_totalprice FROM uf_orders " +
+          "ORDER BY o_orderkey")
+      },
+      Some("""SELECT o.o_orderkey,
+             |  o.o_totalprice + CASE WHEN o.o_orderkey % 2 = 0 THEN s.extra
+             |                        ELSE 0 END AS o_totalprice
+             |FROM orders o JOIN (SELECT o_custkey AS ck, count(*)*100 AS extra
+             |  FROM orders WHERE o_orderkey < 2000 GROUP BY o_custkey) s
+             |  ON o.o_custkey = s.ck
+             |WHERE o.o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // DELETE … USING (DuckDB/Postgres): matched target rows delete —
+    // MERGE WHEN MATCHED THEN DELETE underneath. Oracle is the
+    // equivalent NOT EXISTS anti-join on the raw fixture (validated
+    // against DuckDB's actual DELETE…USING).
+    "q_dialect_delete_using" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders", "customer")
+        if (!g.tableNames.contains("du_orders")) {
+          g.query("CREATE TABLE du_orders AS SELECT o_orderkey, o_custkey " +
+            "FROM orders WHERE o_orderkey < 2000")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("DELETE FROM du_orders USING customer c " +
+            "WHERE du_orders.o_custkey = c.c_custkey AND c.c_acctbal < 0")
+            .fold(e => sys.error(e.msg), identity)
+        }
+        run(g, "SELECT o_orderkey, o_custkey FROM du_orders ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey FROM orders o
+             |WHERE o_orderkey < 2000 AND NOT EXISTS (SELECT 1 FROM customer c
+             |  WHERE o.o_custkey = c.c_custkey AND c.c_acctbal < 0)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -1084,7 +1084,7 @@ object Analyzer {
     }
   }
 
-  private def duckTypeName(t: SqlType): String = t match {
+  private[sql] def duckTypeName(t: SqlType): String = t match {
     case SqlType.SqlBigInt        => "BIGINT"
     case SqlType.SqlInt           => "INTEGER"
     case SqlType.SqlSmallInt      => "SMALLINT"
@@ -3460,6 +3460,27 @@ object Analyzer {
       case Operand.FuncCall(f0, Seq(a, b))
           if f0.equalsIgnoreCase("date_add") =>
         bindOp(Operand.Arith('+', a, b), allowAgg, allowSub)
+      // COLLATE marker (parser postfix `expr COLLATE spec[.spec…]`):
+      // binds as the collation's transform chain applied left-to-right
+      // — NOCASE→lower, NOACCENT→strip_accents, NFC→nfc_normalize.
+      // A comparison with one collated side already had the marker
+      // propagated to BOTH sides at parse time (DuckDB semantics), so
+      // binding each marker independently collates the comparison.
+      // COLLATE applies to VARCHAR only, like DuckDB.
+      case Operand.FuncCall(f0, Seq(x)) if f0.startsWith("__collate:") =>
+        bindOp(x, allowAgg, allowSub).flatMap { bx =>
+          if (!operandType(bx).isInstanceOf[SqlType.SqlVarChar])
+            Left(BadFunction("COLLATE can only be applied to VARCHAR " +
+              s"operands, not ${operandType(bx).render}"))
+          else Right(f0.stripPrefix("__collate:").split('.')
+            .foldLeft(bx) { (acc, spec) =>
+              BoundOperand.BFunc(spec match {
+                case "nocase"   => "lower"
+                case "noaccent" => "strip_accents"
+                case _          => "nfc_normalize"
+              }, Seq(acc))
+            })
+        }
       case Operand.FuncCall(f0raw, args) if Set("list_transform",
           "array_transform", "list_filter", "array_filter",
           "list_reduce", "list_apply", "array_apply",

@@ -560,6 +560,16 @@ object Ast {
       cols: Seq[String], unique: Boolean) extends ParseTree
 
   case object ShowTablesTree extends ParseTree
+  /** EXECUTE name[(args)] — runs a session-scoped prepared statement.
+    * Argument values are kept as raw SQL TEXT slices: they splice into
+    * the stored body at the placeholder sites (parenthesized, like
+    * macro arguments), so any constant expression works. Named form is
+    * `EXECUTE q(a := 1)`; positional and named cannot mix.
+    */
+  final case class ExecuteTree(name: String, positional: Vector[String],
+      named: Vector[(String, String)]) extends ParseTree
+  /** DEALLOCATE [PREPARE] name — drops a prepared statement. */
+  final case class DeallocateTree(name: String) extends ParseTree
   /** DESCRIBE t — one row per column: name, type, nullable. */
   final case class DescribeTree(table: String) extends ParseTree
   /** DESCRIBE <query>: the analyzed output schema of any readable query

@@ -137,8 +137,21 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   private val MacroDdl =
     "(?is)\\s*(create\\s+(or\\s+replace\\s+)?(macro|function)|drop\\s+(macro|function)).*".r
 
+  /** PREPARE is intercepted BEFORE the lexer: the body keeps its $1 /
+    * $name / ? placeholder text verbatim (the lexer has no placeholder
+    * token — EXECUTE splices argument text into the stored body).
+    * Session-scoped like DuckDB: prepared statements do not persist to
+    * the warehouse catalog.
+    */
+  private val PrepareDdl =
+    "(?is)\\s*prepare\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+as\\s+(.+)".r
+  private val prepared = mutable.Map.empty[String, String]
+
   def query(sql0: String): Either[QueryError, QueryResult] = {
     Parser.setNamedTypes(namedTypes.toMap)
+    val prepM = PrepareDdl.pattern.matcher(sql0)
+    if (prepM.matches())
+      return prepareStmt(prepM.group(1).toLowerCase, prepM.group(2).trim)
     // macro calls expand textually BEFORE parse — except in the macro
     // DDL statements themselves (a redefinition must not expand)
     val expanded =
@@ -148,6 +161,88 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       Parser.parse(sql).left.map(ParseFailed).flatMap(t => dispatch(t, sql))
     }
   }
+
+  /** PREPARE name AS <body>: validates the body now (DuckDB binds at
+    * prepare time) by splicing NULL into every placeholder and parsing;
+    * placeholder styles must not mix ($1 / $name / ? — DuckDB rejects
+    * mixed styles). The raw body text is stored; EXECUTE re-splices.
+    */
+  private def prepareStmt(name: String,
+      body: String): Either[QueryError, QueryResult] = {
+    val head = body.trim.takeWhile(!_.isWhitespace).toLowerCase
+    if (Set("prepare", "execute", "deallocate")(head))
+      return Left(ViewError(
+        s"a prepared statement body cannot be ${head.toUpperCase}"))
+    val toks = Parser.scanParams(body)
+    val kinds = toks.map {
+      case "?"                       => "auto"
+      case t if t.forall(_.isDigit)  => "pos"
+      case _                         => "named"
+    }.distinct
+    if (kinds.length > 1)
+      return Left(ViewError("cannot mix positional ($1 / ?) and named " +
+        "($name) parameters in a prepared statement"))
+    if (toks.exists(t => t.forall(_.isDigit) && t.toInt == 0))
+      return Left(ViewError("positional parameters are 1-based ($1, $2, …)"))
+    val probe = Parser.spliceParams(body, (_, _) => Right("NULL"))
+      .getOrElse(body)
+    val checked = Parser.expandMacros(probe, macros.toMap)
+      .flatMap(Parser.parse)
+    checked match {
+      case Left(e) => Left(ParseFailed(Parser.ParseError(
+        s"in PREPARE body: ${e.msg}", e.pos)))
+      case Right(_) =>
+        prepared(name) = body
+        Right(Done(s"prepared statement $name"))
+    }
+  }
+
+  /** EXECUTE: resolve each placeholder site to its argument's raw text,
+    * splice, and run the result through the normal query path.
+    */
+  private def executeStmt(name: String, positional: Vector[String],
+      named: Vector[(String, String)]): Either[QueryError, QueryResult] =
+    prepared.get(name) match {
+      case None => Left(ViewError(
+        s"""Prepared statement "$name" does not exist"""))
+      case Some(body) =>
+        val toks = Parser.scanParams(body)
+        val isAuto = toks.contains("?")
+        val posCount =
+          if (isAuto) toks.length
+          else toks.filter(_.forall(_.isDigit)).map(_.toInt)
+            .foldLeft(0)(math.max)
+        val namedKeys = toks.filterNot(t => t == "?" ||
+          t.forall(_.isDigit)).distinct
+        if (namedKeys.nonEmpty && named.isEmpty && positional.nonEmpty)
+          Left(ViewError(s"prepared statement $name takes named " +
+            s"parameters (${namedKeys.mkString(", ")}), got positional"))
+        else if (namedKeys.isEmpty && named.nonEmpty)
+          Left(ViewError(s"prepared statement $name takes positional " +
+            "parameters, got named"))
+        else if (namedKeys.isEmpty && positional.length != posCount)
+          Left(ViewError(s"prepared statement $name expects $posCount " +
+            s"parameter(s), got ${positional.length}"))
+        else {
+          val namedMap = named.toMap
+          val unknown = namedMap.keySet -- namedKeys.toSet
+          val missing = namedKeys.toSet -- namedMap.keySet
+          if (unknown.nonEmpty)
+            Left(ViewError(s"prepared statement $name has no parameter " +
+              s"$$${unknown.head}"))
+          else if (missing.nonEmpty)
+            Left(ViewError(s"prepared statement $name: missing value " +
+              s"for parameter $$${missing.head}"))
+          else Parser.spliceParams(body, (tok, ord) => tok match {
+            case "?"                      => Right(positional(ord))
+            case t if t.forall(_.isDigit) => Right(positional(t.toInt - 1))
+            case t                        => Right(namedMap(t))
+          }) match {
+            case Left(err)      => Left(ViewError(err))
+            case Right(spliced) => query(spliced)
+          }
+        }
+    }
 
   private def dispatch(tree0: ParseTree,
       sql: String): Either[QueryError, QueryResult] =
@@ -251,23 +346,25 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           case None => s"RESET $name noted as a no-op"
         }))
       case Ast.ShowTablesTree        => showTables()
+      case Ast.ExecuteTree(n, ps, ns) => executeStmt(n, ps, ns)
+      case Ast.DeallocateTree(n) =>
+        if (prepared.remove(n).isDefined)
+          Right(Done(s"deallocated prepared statement $n"))
+        else Left(ViewError(
+          s"""Prepared statement "$n" does not exist"""))
       case t: Ast.DescribeTree       => describe(t.table)
       // DESCRIBE <query>: analyze only — the schema comes from the bound
-      // tree (derivedAttributes' names + rendered types), nothing runs
+      // tree (output names + DuckDB-spelled types), nothing runs. The
+      // null column is always 'YES', like DuckDB over any query.
       case t: Ast.DescribeQueryTree =>
-        import org.apache.spark.sql.types.{BooleanType, StringType,
-          StructField, StructType}
-        val schema = StructType(Seq(
-          StructField("column_name", StringType, nullable = false),
-          StructField("column_type", StringType, nullable = false),
-          StructField("nullable", BooleanType, nullable = false)))
         val sub = Parser.substituteViews(t.query, views.toMap)
         Analyzer.analyze(sub, cat).left.map(AnalyzeFailed).flatMap {
           case q @ (_: Analyzer.BoundSelect | _: Analyzer.BoundUnion |
                     _: Analyzer.BoundRecursive) =>
             Analyzer.outputAttributes(q).left.map(AnalyzeFailed).map(attrs =>
-              Rows(localRows(schema, attrs.map(a =>
-                Row(a.name, a.sqlType.render, a.nullable)))))
+              Rows(localRows(describeSchema, attrs.map(a =>
+                Row(a.name, Analyzer.duckTypeName(a.sqlType), "YES",
+                  null, null, null)))))
           case _ => Left(ViewError("DESCRIBE takes a table or a SELECT"))
         }
       case t: Ast.SummarizeTree      => summarize(t.table)
@@ -428,23 +525,48 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       rows.map { case (n, k) => Row(n, k) })))
   }
 
-  /** DESCRIBE t: one row per column — name, declared type, nullability.
-    * Views describe their analyzed output schema.
+  /** DuckDB's DESCRIBE output shape — six VARCHAR columns
+    * (column_name, column_type, null, key, default, extra), with
+    * DuckDB's type SPELLING (INTEGER not INT, VARCHAR without length),
+    * so `DESCRIBE SELECT …` is directly oracle-comparable.
     */
-  private def describe(name0: String): Either[QueryError, QueryResult] = {
+  private def describeSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val name = name0.toLowerCase
-    val schema = StructType(Seq(
+    StructType(Seq(
       StructField("column_name", StringType, nullable = false),
       StructField("column_type", StringType, nullable = false),
-      StructField("nullable", BooleanType, nullable = false)))
+      StructField("null", StringType, nullable = false),
+      StructField("key", StringType, nullable = true),
+      StructField("default", StringType, nullable = true),
+      StructField("extra", StringType, nullable = true)))
+  }
+
+  /** DESCRIBE t: one row per column in DuckDB's shape — null is
+    * 'YES'/'NO' from the declared NOT NULL, default renders the
+    * declared literal, key/extra stay NULL (PRIMARY KEY is
+    * parse-and-ignored like the reference, parser.rs:4874-analogue).
+    * Views describe their analyzed output schema (all-'YES', like
+    * DuckDB's DESCRIBE over any query).
+    */
+  private def describe(name0: String): Either[QueryError, QueryResult] = {
+    val name = name0.toLowerCase
+    def litText(l: Lit): String = l match {
+      case Lit.LitLong(v)      => v.toString
+      case Lit.LitDouble(v)    => v.toString
+      case Lit.LitString(v)    => s"'${v.replace("'", "''")}'"
+      case Lit.LitBool(v)      => v.toString
+      case Lit.LitDate(d)      => s"'$d'"
+      case Lit.LitTimestamp(t) => s"'$t'"
+      case _                   => null
+    }
     tables.get(name) match {
-      case Some(desc) => Right(Rows(localRows(schema,
-        desc.attributes.map(a => Row(a.name, a.sqlType.render, a.nullable)))))
+      case Some(desc) => Right(Rows(localRows(describeSchema,
+        desc.attributes.map(a => Row(a.name,
+          Analyzer.duckTypeName(a.sqlType),
+          if (a.nullable) "YES" else "NO", null,
+          a.default.map(litText).orNull, null)))))
       case None if views.contains(name) =>
-        select(s"SELECT * FROM $name LIMIT 0").map(df => Rows(localRows(schema,
-          df.schema.fields.toSeq.map(f =>
-            Row(f.name, f.dataType.simpleString, f.nullable)))))
+        dispatch(Ast.DescribeQueryTree(views(name)), s"DESCRIBE $name")
       case None => Left(AnalyzeFailed(RelationNotFound(name0)))
     }
   }

@@ -116,6 +116,7 @@ object Parser {
   private final class P(toks: Vector[Tok], val src: String = "") {
     var i = 0
     def peek: Tok = toks(i)
+    def peekAt(k: Int): Option[Tok] = toks.lift(i + k)
     def next(): Tok = { val t = toks(i); i += 1; t }
     def isKw(kw: String): Boolean = peek match {
       case TIdent(s, _) => s.equalsIgnoreCase(kw)
@@ -473,6 +474,68 @@ object Parser {
             _ <- p.eatKw("show")
             _ <- p.eatKw("tables")
           } yield ShowTablesTree
+        // EXECUTE name[(v, …)] / name(k := v, …): prepared-statement
+        // invocation. Values are captured as raw TEXT spans (any
+        // constant expression) for the text-level splice — the body's
+        // $1/$name/? placeholders never reach this lexer.
+        else if (p.isKw("execute")) {
+          p.next()
+          p.ident().flatMap { name =>
+            p.peek match {
+              case TSym("(", _) =>
+                p.next()
+                val pos0 = Vector.newBuilder[String]
+                val named0 = Vector.newBuilder[(String, String)]
+                def arg(): Either[ParseError, Unit] = {
+                  val isNamed = p.peek match {
+                    case TIdent(_, _) => p.peekAt(1) match {
+                      case Some(TSym(":=", _)) => true
+                      case _                   => false
+                    }
+                    case _ => false
+                  }
+                  val key = if (isNamed) {
+                    val TIdent(k, _) = p.next(): @unchecked
+                    p.next() // :=
+                    Some(k.toLowerCase)
+                  } else None
+                  val start = p.peek.pos
+                  parseOperand(p).map { _ =>
+                    val text = p.src.substring(start, p.peek.pos).trim
+                    key match {
+                      case Some(k) => named0 += ((k, text))
+                      case None    => pos0 += text
+                    }
+                  }
+                }
+                def args(): Either[ParseError, Unit] =
+                  arg().flatMap { _ =>
+                    p.peek match {
+                      case TSym(",", _) => p.next(); args()
+                      case _            => p.eatSym(")")
+                    }
+                  }
+                (p.peek match {
+                  case TSym(")", _) => p.next(); Right(())
+                  case _            => args()
+                }).flatMap { _ =>
+                  val (ps, ns) = (pos0.result(), named0.result())
+                  if (ps.nonEmpty && ns.nonEmpty)
+                    Left(ParseError(
+                      "EXECUTE cannot mix positional and named arguments",
+                      p.peek.pos))
+                  else Right(ExecuteTree(name.toLowerCase, ps, ns))
+                }
+              case _ => Right(ExecuteTree(name.toLowerCase, Vector.empty,
+                Vector.empty))
+            }
+          }
+        }
+        else if (p.isKw("deallocate")) {
+          p.next()
+          if (p.isKw("prepare")) p.next()
+          p.ident().map(n => DeallocateTree(n.toLowerCase): ParseTree)
+        }
         else if (p.isKw("describe") || p.isKw("desc"))
           for {
             _ <- Right(p.next())
@@ -1420,7 +1483,7 @@ object Parser {
       // null-extended result and must not be hoisted ahead of it.
       fromAndOn <- {
         def tableOnly(): Either[ParseError, TableRef] =
-          p.ident().map { n =>
+          p.ident().map(qualifiedTail(p, _)).map { n =>
             p.peek match {
               case TIdent(a, _) if !reserved(a) => p.next(); TableRef(n, Some(a))
               case _                            => TableRef(n, None)
@@ -2389,7 +2452,8 @@ object Parser {
             _ <- p.eatKw("and")
             hi <- parseOperand(p, allowAgg)
           } yield {
-            val in = Expr.And(Expr.Cmp(CmpOp.Ge, l, lo), Expr.Cmp(CmpOp.Le, l, hi))
+            val in = Expr.And(collatedCmp(CmpOp.Ge, l, lo),
+              collatedCmp(CmpOp.Le, l, hi))
             if (neg) Expr.Not(in) else in
           }
         } else if (p.isKw("in")) {
@@ -2409,7 +2473,8 @@ object Parser {
               _ <- p.eatSym(")")
             } yield Expr.InSubquery(l, sub, neg)
           else litList().map { vs =>
-            val eqs = vs.map(v => Expr.Cmp(CmpOp.Eq, l, Operand.Literal(v)): Expr)
+            val eqs = vs.map(v =>
+              collatedCmp(CmpOp.Eq, l, Operand.Literal(v)): Expr)
             val any = eqs.reduce(Expr.Or(_, _))
             if (neg) Expr.Not(any) else any
           }
@@ -2545,7 +2610,7 @@ object Parser {
                           "::" | "[", _) =>
                         p.i = rhsStart
                         parseOperand(p, allowAgg)
-                          .map(r => Expr.Cmp(op, l, r): Expr)
+                          .map(r => collatedCmp(op, l, r): Expr)
                       case _ => Right(Expr.CmpSubquery(op, l, sub): Expr)
                     }
                   case Some(isAll) => (op, isAll) match {
@@ -2556,7 +2621,7 @@ object Parser {
                   }
                 }
               } yield q
-            else parseOperand(p, allowAgg).map(r => Expr.Cmp(op, l, r): Expr)
+            else parseOperand(p, allowAgg).map(r => collatedCmp(op, l, r): Expr)
         } yield e
     }
   }
@@ -2675,10 +2740,52 @@ object Parser {
           p.next(); p.next(); p.next() // AT TIME ZONE
           parseAtom(p, allowAgg)
             .flatMap(tz => loop(Operand.FuncCall("timezone", Seq(tz, acc))))
+        // `expr COLLATE spec[.spec…]` (DuckDB): the operand carries a
+        // collation marker; a comparison with ONE collated side
+        // collates the whole comparison (propagated at Expr.Cmp
+        // construction via collatedCmp), and ORDER BY / GROUP BY keys
+        // bind the marker directly as the transform chain.
+        case TIdent(k, pos) if k.equalsIgnoreCase("collate") =>
+          p.next()
+          def spec1(): Either[ParseError, String] = p.peek match {
+            case TIdent(s, sp) =>
+              val lc = s.toLowerCase
+              if (Set("nocase", "noaccent", "nfc")(lc)) { p.next(); Right(lc) }
+              else Left(ParseError(s"collation '$s' does not exist " +
+                "(supported: NOCASE, NOACCENT, NFC)", sp))
+            case t => Left(ParseError("expected a collation name after " +
+              "COLLATE", t.pos))
+          }
+          def chain(acc0: Vector[String]): Either[ParseError, Vector[String]] =
+            p.peek match {
+              case TSym(".", _) =>
+                p.next(); spec1().flatMap(s => chain(acc0 :+ s))
+              case _ => Right(acc0)
+            }
+          spec1().flatMap(s0 => chain(Vector(s0))).flatMap(specs =>
+            loop(Operand.FuncCall("__collate:" + specs.mkString("."),
+              Seq(acc))))
         case _ => Right(acc)
       }
       loop(first)
     }
+
+  /** Builds a comparison with DuckDB's collation propagation: a marker
+    * on ONE side (from the COLLATE postfix) collates the whole
+    * comparison, so the other side is wrapped in the same marker. Two
+    * differently-collated sides each keep their own.
+    */
+  private def collatedCmp(op: CmpOp, l: Operand, r: Operand): Expr = {
+    def marker(o: Operand): Option[String] = o match {
+      case Operand.FuncCall(f, Seq(_)) if f.startsWith("__collate:") => Some(f)
+      case _ => None
+    }
+    (marker(l), marker(r)) match {
+      case (Some(f), None) => Expr.Cmp(op, l, Operand.FuncCall(f, Seq(r)))
+      case (None, Some(f)) => Expr.Cmp(op, Operand.FuncCall(f, Seq(l)), r)
+      case _               => Expr.Cmp(op, l, r)
+    }
+  }
 
   /** A boolean expression used as a VALUE: desugars onto the 3VL CASE
     * the rest of the pipeline already knows — TRUE / FALSE /
@@ -3934,6 +4041,83 @@ object Parser {
       macros: Map[String, MacroDef]): Either[ParseError, String] =
     expandMacros0(sql0, macros, stub = false)
 
+  /** Prepared-statement parameter sites in a body TEXT: `$1`-style
+    * positional ("1"), `$name`-style named (lowercased name), or bare
+    * `?` auto-positional ("?"), scanned OUTSIDE single-/double-quoted
+    * regions and `--` comments (so `'$1'` is a literal, not a
+    * parameter). The body never reaches the lexer with placeholders in
+    * it — PREPARE stores text and EXECUTE splices text — so this scan
+    * is character-level by design. Returns (token, start, endExclusive)
+    * in source order.
+    */
+  private def paramSites(sql: String): Vector[(String, Int, Int)] = {
+    val out = Vector.newBuilder[(String, Int, Int)]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      sql(i) match {
+        case '\'' =>
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            if (sql(i) == '\'') {
+              if (i + 1 < n && sql(i + 1) == '\'') i += 2
+              else { done = true; i += 1 }
+            } else i += 1
+          }
+        case '"' =>
+          i += 1
+          while (i < n && sql(i) != '"') i += 1
+          if (i < n) i += 1
+        case '-' if i + 1 < n && sql(i + 1) == '-' =>
+          while (i < n && sql(i) != '\n') i += 1
+        case '?' =>
+          out += (("?", i, i + 1)); i += 1
+        case '$' if i + 1 < n &&
+            (sql(i + 1).isDigit || sql(i + 1).isLetter || sql(i + 1) == '_') =>
+          val st = i
+          i += 1
+          if (sql(i).isDigit) {
+            while (i < n && sql(i).isDigit) i += 1
+            out += ((sql.substring(st + 1, i), st, i))
+          } else {
+            while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_')) i += 1
+            out += ((sql.substring(st + 1, i).toLowerCase, st, i))
+          }
+        case _ => i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The parameter tokens of a prepared body, in source order. */
+  def scanParams(sql: String): Vector[String] = paramSites(sql).map(_._1)
+
+  /** Splices argument TEXT into each parameter site (parenthesized, so
+    * precedence cannot leak — the macro-splice rule). The resolver gets
+    * the site token ("1" / "name" / "?") and the site's ordinal among
+    * all sites (for `?` auto-numbering).
+    */
+  def spliceParams(sql: String,
+      resolve: (String, Int) => Either[String, String]): Either[String, String] = {
+    val sites = paramSites(sql)
+    val sb = new StringBuilder
+    var last = 0
+    var ord = 0
+    for ((tok, s, e) <- sites) {
+      resolve(tok, ord) match {
+        case Left(err)  => return Left(err)
+        case Right(txt) =>
+          sb ++= sql.substring(last, s)
+          sb ++= "("; sb ++= txt; sb ++= ")"
+          last = e
+      }
+      ord += 1
+    }
+    sb ++= sql.substring(last)
+    Right(sb.toString)
+  }
+
   /** stub = true replaces every known-macro call with `(0)` instead of
     * its body — used to VALIDATE a macro body that references other
     * macros (or itself, recursively) without expanding them.
@@ -4079,15 +4263,86 @@ object Parser {
       case other => other
     }
 
-  private def parseDelete(p: P): Either[ParseError, DeleteTree] =
+  /** The USING/FROM source of DELETE…USING / UPDATE…FROM / MERGE: a
+    * table (optional alias) or an aliased derived table.
+    */
+  private def parseDmlSource(p: P): Either[ParseError, FromItem] = {
+    def alias(): Option[String] = p.peek match {
+      case TIdent(a, _) if a.equalsIgnoreCase("as") =>
+        p.next()
+        p.peek match {
+          case TIdent(b, _) if !reserved(b) => p.next(); Some(b)
+          case _ => None
+        }
+      case TIdent(a, _) if !reserved(a) &&
+          !a.equalsIgnoreCase("where") => p.next(); Some(a)
+      case _ => None
+    }
+    p.peek match {
+      case TSym("(", _) =>
+        for {
+          _ <- p.eatSym("(")
+          sel <- parseSelect(p)
+          _ <- p.eatSym(")")
+          a <- alias() match {
+            case Some(a) => Right(a)
+            case None => Left(ParseError(
+              "a derived DML source needs an alias", p.peek.pos))
+          }
+        } yield FDerived(sel, a): FromItem
+      case _ => p.ident().map(n => FTable(TableRef(n, alias())): FromItem)
+    }
+  }
+
+  private val AlwaysTrue: Expr = Expr.Cmp(CmpOp.Eq,
+    Operand.Literal(Lit.LitLong(1L)), Operand.Literal(Lit.LitLong(1L)))
+
+  /** Schema-qualified relation name: after an already-consumed first
+    * identifier, a `.ident` tail makes it `schema.table`. The default
+    * schema spells away (`main.t` IS `t`, DuckDB semantics), so the
+    * catalog keys stay flat and unqualified references keep finding
+    * main-schema tables. One level only (no catalog.schema.table).
+    */
+  private def qualifiedTail(p: P, first: String): String = p.peek match {
+    case TSym(".", _) if (p.peekAt(1) match {
+      case Some(TIdent(x, _)) if !reserved(x) => true
+      case _                                  => false
+    }) =>
+      p.next()
+      val TIdent(seg, _) = p.next(): @unchecked
+      if (first.equalsIgnoreCase("main")) seg else s"$first.$seg"
+    case _ => first
+  }
+
+  /** DELETE FROM t [alias] [USING src] [WHERE …]. The USING form
+    * (DuckDB/Postgres) desugars onto the MERGE machinery: it is
+    * exactly MERGE INTO t USING src ON <where> WHEN MATCHED THEN
+    * DELETE — matched target rows go, unmatched stay, and the
+    * join/rewrite runs through the same distributed copy-on-write path.
+    */
+  private def parseDelete(p: P): Either[ParseError, ParseTree] =
     for {
       _ <- p.eatKw("delete")
       _ <- p.eatKw("from")
       name <- p.ident()
+      alias <- Right(p.peek match {
+        case TIdent(a, _) if !reserved(a) && !a.equalsIgnoreCase("using") &&
+            !a.equalsIgnoreCase("where") => p.next(); Some(a)
+        case _ => None
+      })
+      usingSrc <-
+        if (p.isKw("using")) { p.next(); parseDmlSource(p).map(Some(_)) }
+        else Right(None: Option[FromItem])
       where <-
         if (p.isKw("where")) { p.next(); parseOr(p).map(Some(_)) }
         else Right(None)
-    } yield DeleteTree(name, where)
+      t <- usingSrc match {
+        case Some(src) => Right(MergeTree(TableRef(name, alias), src,
+          where.getOrElse(AlwaysTrue),
+          Seq(MergeWhen.MDelete(None))): ParseTree)
+        case None => Right(DeleteTree(name, where): ParseTree)
+      }
+    } yield t
 
   /** DELETE/UPDATE/INSERT … RETURNING — the affected rows come back as
     * the statement's result (DELETE: the removed rows' pre-image;
@@ -4120,7 +4375,7 @@ object Parser {
       }
     }
 
-  private def parseUpdate(p: P): Either[ParseError, UpdateTree] = {
+  private def parseUpdate(p: P): Either[ParseError, ParseTree] = {
     def assignment(): Either[ParseError, (String, Operand)] =
       for {
         c <- p.ident()
@@ -4159,6 +4414,17 @@ object Parser {
     for {
       _ <- p.eatKw("update")
       name <- p.ident()
+      alias <- Right(p.peek match {
+        case TIdent(a, _) if !reserved(a) && !a.equalsIgnoreCase("set") &&
+            !a.equalsIgnoreCase("as") => p.next(); Some(a)
+        case TIdent(a, _) if a.equalsIgnoreCase("as") =>
+          p.next()
+          p.peek match {
+            case TIdent(b, _) if !reserved(b) => p.next(); Some(b)
+            case _ => None
+          }
+        case _ => None
+      })
       _ <- p.eatKw("set")
       sets <- {
         def loop(acc: Vector[(String, Operand)]): Either[ParseError, Vector[(String, Operand)]] =
@@ -4170,10 +4436,23 @@ object Parser {
           }
         loop(Vector.empty)
       }
+      // UPDATE … FROM src WHERE … (DuckDB/Postgres): desugars onto
+      // MERGE INTO t USING src ON <where> WHEN MATCHED THEN UPDATE —
+      // only matched target rows rewrite, set values may read source
+      // columns, and the distributed join/copy-on-write path is shared.
+      fromSrc <-
+        if (p.isKw("from")) { p.next(); parseDmlSource(p).map(Some(_)) }
+        else Right(None: Option[FromItem])
       where <-
         if (p.isKw("where")) { p.next(); parseOr(p).map(Some(_)) }
         else Right(None)
-    } yield UpdateTree(name, sets, where)
+      t <- fromSrc match {
+        case Some(src) => Right(MergeTree(TableRef(name, alias), src,
+          where.getOrElse(AlwaysTrue),
+          Seq(MergeWhen.MUpdate(None, sets))): ParseTree)
+        case None => Right(UpdateTree(name, sets, where): ParseTree)
+      }
+    } yield t
   }
 
   private def identList(p: P): Either[ParseError, Vector[String]] = {

@@ -3857,8 +3857,9 @@ class DialectSpec extends AnyFunSuite {
     db.query("CREATE TABLE dq (id INT, name VARCHAR(10), v DOUBLE)").toOption.get
     val r = db.select("DESCRIBE SELECT id, upper(name) AS u, sum(v) AS s " +
       "FROM dq GROUP BY id, upper(name)").toOption.get.collect().toSeq
-    assert(r.map(x => (x.getString(0), x.getString(1))) ==
-      Seq(("id", "INT"), ("u", "VARCHAR(65535)"), ("s", "DOUBLE")))
+    assert(r.map(x => (x.getString(0), x.getString(1), x.getString(2))) ==
+      Seq(("id", "INTEGER", "YES"), ("u", "VARCHAR", "YES"),
+        ("s", "DOUBLE", "YES")))
     // set-op chains describe the first branch; bad queries fail loudly
     val u = db.select("DESCRIBE SELECT id FROM dq UNION SELECT id + 1 AS id FROM dq")
       .toOption.get.collect().toSeq
@@ -3874,10 +3875,11 @@ class DialectSpec extends AnyFunSuite {
     val shown = db.select("SHOW TABLES").toOption.get.collect().toSeq
     assert(shown == Seq(Row("t1", "table"), Row("v1", "view")))
     val desc = db.select("DESCRIBE t1").toOption.get.collect().toSeq
-    assert(desc == Seq(Row("id", "INT", true), Row("name", "VARCHAR(10)", true)))
-    // views describe their analyzed output schema
+    assert(desc == Seq(Row("id", "INTEGER", "YES", null, null, null),
+      Row("name", "VARCHAR", "YES", null, null, null)))
+    // views describe their analyzed output schema (DuckDB query shape)
     assert(db.select("DESCRIBE v1").toOption.get.collect().toSeq ==
-      Seq(Row("id", "int", true)))
+      Seq(Row("id", "INTEGER", "YES", null, null, null)))
     assert(db.query("DESCRIBE nosuch").isLeft)
     // COPY: table → csv, query → parquet; both partition-parallel writes
     val out = Files.createTempDirectory("graft-copy").toString
@@ -4525,6 +4527,71 @@ class DialectSpec extends AnyFunSuite {
     val r = db2.select("SELECT id FROM lv WHERE l IS NOT NULL ORDER BY id")
       .fold(e => fail(e.msg), identity).collect().map(_.getInt(0)).toSeq
     assert(r == Seq(1, 2))
+  }
+
+  test("COLLATE: comparison propagation, ORDER BY, GROUP BY, errors") {
+    val db = demoDb()
+    // one-sided NOCASE collates the whole comparison (both sides lower)
+    val eq = db.select("SELECT count(*) AS n FROM people " +
+      "WHERE name COLLATE NOCASE = 'ELON'")
+      .fold(e => fail(e.msg), identity).collect().head.getLong(0)
+    assert(eq == 1L)
+    // ORDER BY key under NOCASE, binary tiebreak
+    db.query("CREATE TABLE cs (id INT PRIMARY KEY, s VARCHAR(10))")
+    db.query("INSERT INTO cs VALUES (1, 'b'), (2, 'A'), (3, 'C'), (4, 'a')")
+    val ord = db.select("SELECT s FROM cs ORDER BY s COLLATE NOCASE, s")
+      .fold(e => fail(e.msg), identity).collect().map(_.getString(0)).toSeq
+    assert(ord == Seq("A", "a", "b", "C")) // probed DuckDB order
+    // GROUP BY a collated key groups case-insensitively
+    val grp = db.select("SELECT count(*) AS n FROM cs " +
+      "GROUP BY s COLLATE NOCASE ORDER BY n")
+      .fold(e => fail(e.msg), identity).collect().map(_.getLong(0)).toSeq
+    assert(grp == Seq(1, 1, 2))
+    // NOACCENT strips accents; combo applies both
+    val acc = db.select("SELECT count(*) AS n FROM people " +
+      "WHERE 'Elön' COLLATE NOCASE.NOACCENT = 'ELON'")
+      .fold(e => fail(e.msg), identity).collect().head.getLong(0)
+    assert(acc == 3L)
+    // unknown collation is a parse error; non-VARCHAR operand rejects
+    assert(db.query("SELECT 'x' COLLATE BOGUS = 'x' FROM people").isLeft)
+    assert(db.query("SELECT count(*) FROM people " +
+      "WHERE age COLLATE NOCASE = '20'").isLeft)
+  }
+
+  test("PREPARE / EXECUTE / DEALLOCATE: placeholders, arity, errors") {
+    val db = demoDb()
+    def one(sql: String): Row =
+      db.select(sql).fold(e => fail(s"$sql -> ${e.msg}"), identity)
+        .collect().head
+    // $1-positional
+    assert(db.query("PREPARE psel AS SELECT name FROM people " +
+      "WHERE age > $1 ORDER BY name").isRight)
+    assert(one("EXECUTE psel(25)").getString(0)
+      == "Dr. Emmett L. „Doc“ Brown")
+    // named ($lo / $hi, := call syntax); re-prepare overwrites silently
+    assert(db.query("PREPARE pn AS SELECT count(*) AS n FROM people " +
+      "WHERE age > $lo AND age < $hi").isRight)
+    assert(one("EXECUTE pn(lo := 10, hi := 25)").getLong(0) == 1L)
+    // ?-auto placeholders number by occurrence; splices parenthesize
+    assert(db.query("PREPARE pq AS SELECT ? * 10 + ? AS v").isRight)
+    assert(one("EXECUTE pq(2, 3)").getLong(0) == 23L)
+    // a placeholder INSIDE a string literal is text, not a parameter
+    assert(db.query("PREPARE pl AS SELECT '$1' AS s, $1 AS v").isRight)
+    val r = one("EXECUTE pl(9)")
+    assert(r.getString(0) == "$1" && r.getLong(1) == 9L)
+    // error surfaces: unknown statement, arity, style mixing, unknown
+    // named arg, dealloc of missing, body that is itself EXECUTE
+    assert(db.query("EXECUTE nosuch(1)").isLeft)
+    assert(db.query("EXECUTE psel()").isLeft)
+    assert(db.query("EXECUTE psel(1, 2)").isLeft)
+    assert(db.query("EXECUTE pn(lo := 1, bogus := 2)").isLeft)
+    assert(db.query("PREPARE mixed AS SELECT $1 + $a").isLeft)
+    assert(db.query("PREPARE loop1 AS EXECUTE loop1(1)").isLeft)
+    assert(db.query("PREPARE bad AS SELECT FROM WHERE").isLeft)
+    assert(db.query("DEALLOCATE psel").isRight)
+    assert(db.query("EXECUTE psel(25)").isLeft)
+    assert(db.query("DEALLOCATE psel").isLeft)
+    assert(db.query("DEALLOCATE PREPARE pn").isRight) // long form
   }
 
 }

@@ -557,4 +557,31 @@ class DmlSpec extends AnyFunSuite {
     g.query("DROP SEQUENCE IF EXISTS cap").fold(e => fail(e.msg), identity)
   }
 
+  test("UPDATE … FROM: source columns in SET, matched rows only") {
+    val g = db()
+    g.query("CREATE TABLE deltas (tag VARCHAR(10), d INT)")
+    g.query("INSERT INTO deltas VALUES ('a', 100), ('c', 999)")
+    g.query("UPDATE t SET n = n + deltas.d FROM deltas " +
+      "WHERE t.tag = deltas.tag").fold(e => fail(e.msg), identity)
+    assert(rows(g) == Seq(Row(1, "a", 110), Row(2, "b", 20),
+      Row(3, "a", 130), Row(4, null, 40)))
+    // derived source with alias; extra target-side predicate
+    g.query("UPDATE t SET n = s.m FROM (SELECT max(n) AS m FROM t) s " +
+      "WHERE t.id = 2").fold(e => fail(e.msg), identity)
+    assert(rows(g).map(_.getInt(2)) == Seq(110, 130, 130, 40))
+  }
+
+  test("DELETE … USING: anti-join delete of matched rows") {
+    val g = db()
+    g.query("CREATE TABLE bad (tag VARCHAR(10))")
+    g.query("INSERT INTO bad VALUES ('a')")
+    g.query("DELETE FROM t USING bad WHERE t.tag = bad.tag")
+      .fold(e => fail(e.msg), identity)
+    assert(rows(g).map(_.getInt(0)) == Seq(2, 4)) // NULL tag survives
+    // USING with a derived source
+    g.query("DELETE FROM t USING (SELECT 20 AS lim) s WHERE t.n > s.lim")
+      .fold(e => fail(e.msg), identity)
+    assert(rows(g).map(_.getInt(0)) == Seq(2))
+  }
+
 }
