@@ -5373,6 +5373,52 @@ object Dialect {
       Some("""SELECT o_orderkey, o_custkey FROM orders o
              |WHERE o_orderkey < 2000 AND NOT EXISTS (SELECT 1 FROM customer c
              |  WHERE o.o_custkey = c.c_custkey AND c.c_acctbal < 0)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // CREATE SCHEMA + schema-qualified names: CTAS into analytics.*,
+    // cross-schema join back to a main-schema fixture table, binding by
+    // last segment (big.o_custkey after FROM analytics.big). The oracle
+    // reproduces the result from the raw fixtures in one SELECT.
+    "q_dialect_schema" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders", "customer")
+        if (!g.tableNames.exists(_.startsWith("analytics."))) {
+          g.query("CREATE SCHEMA IF NOT EXISTS analytics")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("CREATE TABLE analytics.big AS SELECT o_orderkey, " +
+            "o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000")
+            .fold(e => sys.error(e.msg), identity)
+        }
+        run(g, "SELECT c.c_mktsegment, count(*) AS n, " +
+          "sum(big.o_totalprice) AS tot FROM analytics.big, " +
+          "main.customer c WHERE big.o_custkey = c.c_custkey " +
+          "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment")
+      },
+      Some("""SELECT c.c_mktsegment, cast(count(*) AS bigint) AS n,
+             |  sum(o.o_totalprice) AS tot
+             |FROM orders o, customer c
+             |WHERE o.o_totalprice > 400000 AND o.o_custkey = c.c_custkey
+             |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)),
+
+    // DISTINCT window aggregates (count/sum/avg(DISTINCT …) OVER) and
+    // FILTER on a window aggregate — Spark has no native DISTINCT
+    // windows, so these lower over a per-frame collect_set (count =
+    // size, sum/avg fold in DOUBLE). Integer-derived operands keep the
+    // unordered double fold exact (< 2^53), so the hash compare is
+    // safe. IDENTICAL SQL runs on both engines.
+    "q_dialect_win_distinct" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS ndp, " +
+          "CAST(sum(DISTINCT o_custkey % 7) OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS sd, " +
+          "CAST(avg(DISTINCT o_custkey % 100) OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS ad, " +
+          "count(*) FILTER (WHERE o_totalprice > 100000) OVER (PARTITION BY o_custkey) AS nf " +
+          "FROM orders WHERE o_orderkey <= 400 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS ndp,
+             |  CAST(sum(DISTINCT o_custkey % 7) OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS sd,
+             |  CAST(avg(DISTINCT o_custkey % 100) OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS ad,
+             |  count(*) FILTER (WHERE o_totalprice > 100000) OVER (PARTITION BY o_custkey) AS nf
+             |FROM orders WHERE o_orderkey <= 400 ORDER BY o_orderkey""".stripMargin))
   )
 }

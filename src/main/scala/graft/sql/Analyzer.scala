@@ -2316,9 +2316,9 @@ object Analyzer {
       case None => Left(RelationNotFound(m.target.name))
       case Some(desc) =>
         val tname = m.target.name
-        val talias = m.target.alias.getOrElse(tname)
+        val talias = m.target.alias.getOrElse(tname.split('.').last)
         val salias = m.source match {
-          case FTable(TableRef(n, a)) => a.getOrElse(n)
+          case FTable(TableRef(n, a)) => a.getOrElse(n.split('.').last)
           case FDerived(_, a)         => a
           case FLateral(_, a)         => a // unreachable: parser never builds
           case FLateralSet(_, a)      => a // unreachable: parser never builds
@@ -2617,7 +2617,9 @@ object Analyzer {
       cat.resolve(tr.name) match {
         case None => Some(RelationNotFound(tr.name))
         case Some(desc) =>
-          val b = tr.alias.getOrElse(tr.name).toLowerCase
+          // a schema-qualified table binds by its LAST segment
+          // (FROM s.t → t.col resolves), like DuckDB
+          val b = tr.alias.getOrElse(tr.name.split('.').last).toLowerCase
           if (bound.contains(b)) Some(DuplicateBinding(b))
           else { bound(b) = BoundTable(desc, b); None }
       }
@@ -4598,11 +4600,17 @@ object Analyzer {
           "ntile", "percent_rank", "cume_dist")(f)
         val shifting = f == "lag" || f == "lead"
         val positional = f == "first_value" || f == "last_value" || f == "nth_value"
+        // DISTINCT rides as a sentinel trailing argument (count/sum/
+        // avg(DISTINCT x) OVER): strip before arity checks, re-append
+        // after binding — the lowering folds a per-frame collect_set
+        val distinctW = args0.lastOption.contains(
+          Operand.Literal(Lit.LitString(Ast.DistinctSentinel)))
+        val args1 = if (distinctW) args0.dropRight(1) else args0
         // IGNORE NULLS rides as a sentinel trailing argument; strip it
         // before arity checks and re-append after binding
-        val ignoreNulls = args0.lastOption.contains(
+        val ignoreNulls = args1.lastOption.contains(
           Operand.Literal(Lit.LitString(IgnoreNullsSentinel)))
-        val args = if (ignoreNulls) args0.dropRight(1) else args0
+        val args = if (ignoreNulls) args1.dropRight(1) else args1
         for {
           _ <-
             if (ignoreNulls && !shifting && !positional)
@@ -4729,11 +4737,17 @@ object Analyzer {
                   "integer-typed ORDER BY key (the prefix/suffix frame " +
                   "split is exact only on integral values)"))
             else Right(())
-        } yield BoundItem.BIWin(f,
-          if (ignoreNulls)
-            bargs :+ (BoundOperand.BLit(Lit.LitString(IgnoreNullsSentinel)): BoundOperand)
-          else bargs,
-          bparts, bord, a, frame)
+        } yield {
+          val withIn =
+            if (ignoreNulls) bargs :+ (BoundOperand.BLit(
+              Lit.LitString(IgnoreNullsSentinel)): BoundOperand)
+            else bargs
+          BoundItem.BIWin(f,
+            if (distinctW) withIn :+ (BoundOperand.BLit(
+              Lit.LitString(Ast.DistinctSentinel)): BoundOperand)
+            else withIn,
+            bparts, bord, a, frame)
+        }
       case SelectItem.SSub(subTree, a) =>
         // same contract as a WHERE-scope scalar subquery: one column; a
         // correlated form must be a group-less aggregate (one row per key

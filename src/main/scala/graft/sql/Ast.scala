@@ -19,6 +19,11 @@ object Ast {
     * SWin/BIWin arg vectors; stripped before validation and lowering.
     */
   val IgnoreNullsSentinel = "__ignore_nulls__"
+  /** Trailing-argument marker for DISTINCT window aggregates
+    * (count/sum/avg(DISTINCT x) OVER w) — stripped in windowColumn,
+    * which lowers them over a per-frame collect_set.
+    */
+  val DistinctSentinel = "__distinct__"
 
   /** A FROM-list entry: a named table, or a derived table —
     * `(SELECT …) alias` / `(SELECT … UNION SELECT …) alias` — whose
@@ -560,6 +565,26 @@ object Ast {
       cols: Seq[String], unique: Boolean) extends ParseTree
 
   case object ShowTablesTree extends ParseTree
+  /** CREATE TEMP[ORARY] TABLE …: the wrapped create runs normally but
+    * the table is session-scoped — excluded from catalog persistence,
+    * gone on reopen.
+    */
+  final case class TempTree(inner: ParseTree) extends ParseTree
+  /** CREATE SCHEMA [IF NOT EXISTS] s — a flat namespace level: tables
+    * created as s.t live under the schema, unqualified names resolve
+    * in 'main' (which always exists and spells away: main.t IS t).
+    */
+  final case class CreateSchemaTree(name: String,
+      ifNotExists: Boolean) extends ParseTree
+  /** DROP SCHEMA [IF EXISTS] s [CASCADE|RESTRICT] — RESTRICT (default)
+    * refuses while tables remain; CASCADE drops them first.
+    */
+  final case class DropSchemaTree(name: String, ifExists: Boolean,
+      cascade: Boolean) extends ParseTree
+  /** USE s — session default schema: unqualified names resolve
+    * current-schema-first then main; CREATEs land in it.
+    */
+  final case class UseTree(name: String) extends ParseTree
   /** EXECUTE name[(args)] — runs a session-scoped prepared statement.
     * Argument values are kept as raw SQL TEXT slices: they splice into
     * the stored body at the placeholder sites (parenthesized, like
@@ -570,6 +595,14 @@ object Ast {
       named: Vector[(String, String)]) extends ParseTree
   /** DEALLOCATE [PREPARE] name — drops a prepared statement. */
   final case class DeallocateTree(name: String) extends ParseTree
+  /** COMMENT ON <kind> <name> IS '<text>'|NULL — accepted and
+    * validated (the relation must exist for TABLE/VIEW/COLUMN kinds)
+    * but stored nowhere: the engine has no duckdb_tables()-style
+    * catalog-function surface that could read a comment back, so a
+    * loud no-op keeps scripts portable without pretending otherwise.
+    */
+  final case class CommentOnTree(kind: String, name: String)
+    extends ParseTree
   /** DESCRIBE t — one row per column: name, type, nullable. */
   final case class DescribeTree(table: String) extends ParseTree
   /** DESCRIBE <query>: the analyzed output schema of any readable query

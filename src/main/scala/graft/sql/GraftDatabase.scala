@@ -79,7 +79,23 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   // scalar macros (CREATE MACRO): token-level textual expansion pre-parse
   private val macros = mutable.LinkedHashMap.empty[String, Parser.MacroDef]
 
+  /** CREATE SCHEMA namespaces. 'main' is implicit and undroppable;
+    * schema-qualified tables key the catalog as "schema.table" (the
+    * parser already canonicalizes main.t to t), so every resolution
+    * path works unchanged.
+    */
+  private val schemas = mutable.Set.empty[String]
+
+  /** CREATE TEMP TABLE names: fully materialized like any table, but
+    * filtered out of catalog.json — they vanish on reopen (their data
+    * directory is wiped by the next same-named CREATE). One namespace:
+    * a temp table cannot shadow an existing permanent one (DuckDB's
+    * separate temp schema is a documented divergence).
+    */
+  private val tempTables = mutable.Set.empty[String]
+
   Files.createDirectories(Paths.get(warehouse))
+  loadSchemas()
   loadNamedTypes()
   loadMacros()
   loadCatalog()
@@ -87,8 +103,49 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   loadMatViews()
   loadSequences()
 
+  /** USE <schema>: the session's default schema. Unqualified table and
+    * view names resolve current-schema-first, then main (DuckDB's
+    * search path); CREATEs land in the current schema. Session-scoped
+    * like DuckDB — not persisted.
+    */
+  private var currentSchema: String = "main"
+
+  /** Qualify an unqualified relation name into the current schema
+    * (CREATE-side: where a new relation LANDS under USE).
+    */
+  private def inCurrentSchema(n: String): String =
+    if (currentSchema == "main" || n.contains('.')) n
+    else s"$currentSchema.$n"
+
+  /** View registry under the USE search path: every bare main view is
+    * also reachable as `main.v` (the explicit spelling), and
+    * current-schema views are reachable by their bare name (shadowing
+    * same-named main views, schema-first like tables).
+    */
+  private def viewsForResolve: Map[String, ParseTree] = {
+    val withMain = views.toMap ++ views.collect {
+      case (k, v) if !k.contains('.') => s"main.$k" -> v
+    }
+    if (currentSchema == "main") withMain
+    else withMain ++ views.collect {
+      case (k, v) if k.startsWith(currentSchema + ".") =>
+        k.stripPrefix(currentSchema + ".") -> v
+    }
+  }
+
   private object cat extends Catalog {
-    def resolve(t: String): Option[TableDesc] = tables.get(t.toLowerCase)
+    /** Search-path resolution: an explicit `main.` prefix strips to the
+      * flat key (bypassing the USE'd schema — that is what the prefix
+      * MEANS); a bare name under USE tries the current schema first,
+      * then main; a qualified name is exact.
+      */
+    def resolve(t: String): Option[TableDesc] = {
+      val n = t.toLowerCase
+      if (n.startsWith("main.")) tables.get(n.substring(5))
+      else if (currentSchema != "main" && !n.contains('.'))
+        tables.get(s"$currentSchema.$n").orElse(tables.get(n))
+      else tables.get(n)
+    }
     /** FROM-position file scans: the schema comes from the file itself —
       * parquet reads just the footer; csv/json pay one inference pass,
       * cached per (path, mtime, size) so repeated queries analyze from
@@ -244,8 +301,47 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         }
     }
 
-  private def dispatch(tree0: ParseTree,
-      sql: String): Either[QueryError, QueryResult] =
+  /** Under USE <schema>, creates of unqualified relations land in the
+    * current schema, and unqualified view/matview drops follow the
+    * search path (current schema first). Table-side statements need no
+    * rewrite — cat.resolve itself is search-path-aware.
+    */
+  private def applyCurrentSchema(t: ParseTree): ParseTree = {
+    // where a created relation LANDS: explicit main.x is the flat key,
+    // a bare name qualifies into the USE'd schema, s.x stays
+    def cn(n: String): String =
+      if (n.toLowerCase.startsWith("main.")) n.substring(5)
+      else inCurrentSchema(n)
+    // view/matview drops follow the search path (keys are lowercase)
+    def vn(n: String, reg: scala.collection.Map[String, _]): String =
+      if (n.startsWith("main.")) n.substring(5)
+      else if (!n.contains('.') && currentSchema != "main" &&
+        !reg.contains(n) && reg.contains(inCurrentSchema(n)))
+        inCurrentSchema(n)
+      else n
+    t match {
+      case c: Ast.CreateTree   => c.copy(table = cn(c.table))
+      case c: Ast.CreateAsTree => c.copy(table = cn(c.table))
+      case Ast.CreateViewTree(n, b) => Ast.CreateViewTree(cn(n), b)
+      case Ast.CreateMatViewTree(n, b, bk) =>
+        Ast.CreateMatViewTree(cn(n), b, bk)
+      case Ast.CreateModeTree(i, r, e) =>
+        Ast.CreateModeTree(applyCurrentSchema(i), r, e)
+      case Ast.TempTree(i) => Ast.TempTree(applyCurrentSchema(i))
+      case Ast.DropViewTree(n, ife) => Ast.DropViewTree(vn(n, views), ife)
+      case Ast.DropMatViewTree(n, ife) =>
+        Ast.DropMatViewTree(vn(n, matviews), ife)
+      case Ast.DropTree(n, ife) if n.toLowerCase.startsWith("main.") =>
+        Ast.DropTree(n.substring(5), ife)
+      case Ast.TruncateTree(n) if n.toLowerCase.startsWith("main.") =>
+        Ast.TruncateTree(n.substring(5))
+      case other => other
+    }
+  }
+
+  private def dispatch(tree0b: ParseTree,
+      sql: String): Either[QueryError, QueryResult] = {
+    val tree0 = applyCurrentSchema(tree0b)
     (tree0: ParseTree) match {
       // OR REPLACE drops an existing same-named relation (whatever its
       // kind) before the plain create; IF NOT EXISTS no-ops when one
@@ -275,6 +371,10 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
               .map(_ => ())
           dropped.flatMap(_ => dispatch(inner, sql))
         }
+      case Ast.CreateViewTree(name, _) if missingSchemaOf(name).isDefined =>
+        Left(ViewError(s"schema '${missingSchemaOf(name).get}' does not exist"))
+      case Ast.CreateMatViewTree(name, _, _) if missingSchemaOf(name).isDefined =>
+        Left(ViewError(s"schema '${missingSchemaOf(name).get}' does not exist"))
       case Ast.CreateViewTree(name, body) => createView(name, body, sql)
       case Ast.DropViewTree(name, ifExists) => dropView(name, ifExists)
       case Ast.CreateMatViewTree(name, body, bucket) =>
@@ -311,7 +411,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       // index stand-in is bucketing (CLUSTERED BY), so the statement is
       // accepted for compatibility without building anything
       case t: Ast.CreateIndexTree =>
-        tables.get(t.table.toLowerCase) match {
+        cat.resolve(t.table) match {
           case None => Left(ViewError(s"table '${t.table}' does not exist"))
           case Some(desc) =>
             t.cols.find(c => desc.attr(c).isEmpty) match {
@@ -328,7 +428,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       // NDV sketches + bottom-k sample) — one pass per table
       case Ast.AnalyzeTree(tbl) =>
         val targets = tbl match {
-          case Some(n) => tables.get(n.toLowerCase) match {
+          case Some(n) => cat.resolve(n) match {
             case Some(d) => Seq(d)
             case None => return Left(ViewError(s"table '$n' does not exist"))
           }
@@ -346,7 +446,91 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           case None => s"RESET $name noted as a no-op"
         }))
       case Ast.ShowTablesTree        => showTables()
+      case Ast.CreateSchemaTree(n, ine) =>
+        if (n == "main" || schemas.contains(n)) {
+          if (ine) Right(Done(s"schema '$n' already exists, skipped"))
+          else Left(ViewError(s"schema '$n' already exists"))
+        } else {
+          schemas += n; saveSchemas()
+          Right(Done(s"created schema $n"))
+        }
+      case Ast.DropSchemaTree(n, ife, cascade) =>
+        if (n == "main") Left(ViewError("cannot drop schema 'main'"))
+        else if (!schemas.contains(n)) {
+          if (ife) Right(Done(s"schema '$n' absent, skipped"))
+          else Left(ViewError(s"schema '$n' does not exist"))
+        } else {
+          val members = tables.keys.filter(_.startsWith(n + ".")).toSeq
+          val vMembers = views.keys.filter(_.startsWith(n + ".")).toSeq
+          val mvMembers = matviews.keys.filter(_.startsWith(n + ".")).toSeq
+          val total = members.length + vMembers.length + mvMembers.length
+          if (total > 0 && !cascade)
+            Left(ViewError(s"schema '$n' still holds " +
+              s"$total relation(s) — use DROP SCHEMA … CASCADE"))
+          else {
+            val firstErr = (
+              vMembers.sorted.iterator.map(dropView(_, ifExists = true)) ++
+              mvMembers.sorted.iterator.map(dropMatView(_, ifExists = true)) ++
+              members.sorted.iterator
+                .map(t => dispatch(Ast.DropTree(t, ifExists = true), sql)))
+              .collectFirst { case Left(e) => e }
+            firstErr match {
+              case Some(e) => Left(e)
+              case None =>
+                schemas -= n; saveSchemas()
+                Right(Done(s"dropped schema $n"))
+            }
+          }
+        }
+      case Ast.UseTree(n) =>
+        if (n == "main" || schemas.contains(n)) {
+          currentSchema = n
+          Right(Done(s"using schema $n"))
+        } else Left(ViewError(s"schema '$n' does not exist"))
       case Ast.ExecuteTree(n, ps, ns) => executeStmt(n, ps, ns)
+      // CREATE TEMP TABLE: run the inner create, then mark the name
+      // temp and re-save the catalog so the entry filters out
+      case Ast.TempTree(inner) =>
+        val created = (inner match {
+          case Ast.CreateModeTree(i2, _, _) => i2
+          case i2                           => i2
+        }) match {
+          case Ast.CreateTree(n, _, _, _, _, _, _, _) => Some(n.toLowerCase)
+          case Ast.CreateAsTree(n, _, _)              => Some(n.toLowerCase)
+          case _                                      => None
+        }
+        created match {
+          case None => Left(ViewError(
+            "TEMPORARY applies to CREATE TABLE only"))
+          case Some(n) =>
+            dispatch(inner, sql).map { r =>
+              tempTables += n
+              saveCatalog()
+              r
+            }
+        }
+      case Ast.CommentOnTree(kind, name0) =>
+        val name = name0.toLowerCase
+        val known = kind match {
+          case "table" => cat.resolve(name).isDefined
+          case "view"  => viewsForResolve.contains(name) ||
+            matviews.contains(name)
+          case "column" =>
+            // t.c or schema.t.c — split the trailing column segment
+            val i = name.lastIndexOf('.')
+            i > 0 && {
+              val (t, c) = (name.substring(0, i), name.substring(i + 1))
+              cat.resolve(t).exists(_.attr(c).isDefined)
+            }
+          case "schema"   => name == "main" || schemas.contains(name)
+          case "sequence" => sequences.contains(name)
+          case "type"     => namedTypes.contains(name)
+          case "macro" | "function" => macros.contains(name)
+          case _ => true // index/database: accepted unchecked
+        }
+        if (!known) Left(ViewError(s"$kind '$name0' does not exist"))
+        else Right(Done(s"COMMENT ON $kind $name0 noted as a no-op " +
+          "(the engine has no catalog-comment surface)"))
       case Ast.DeallocateTree(n) =>
         if (prepared.remove(n).isDefined)
           Right(Done(s"deallocated prepared statement $n"))
@@ -357,7 +541,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       // tree (output names + DuckDB-spelled types), nothing runs. The
       // null column is always 'YES', like DuckDB over any query.
       case t: Ast.DescribeQueryTree =>
-        val sub = Parser.substituteViews(t.query, views.toMap)
+        val sub = Parser.substituteViews(t.query, viewsForResolve)
         Analyzer.analyze(sub, cat).left.map(AnalyzeFailed).flatMap {
           case q @ (_: Analyzer.BoundSelect | _: Analyzer.BoundUnion |
                     _: Analyzer.BoundRecursive) =>
@@ -369,7 +553,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         }
       case t: Ast.SummarizeTree      => summarize(t.table)
       case t: Ast.SummarizeQueryTree =>
-        val sub = Parser.substituteViews(t.query, views.toMap)
+        val sub = Parser.substituteViews(t.query, viewsForResolve)
         Analyzer.analyze(sub, cat).left.map(AnalyzeFailed).flatMap {
           case q @ (_: Analyzer.BoundSelect | _: Analyzer.BoundUnion) =>
             Analyzer.outputAttributes(q).left.map(AnalyzeFailed)
@@ -388,6 +572,12 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         Left(ViewError(s"relation '$n' already exists as a view"))
       case t @ Ast.CreateAsTree(n, _, _) if views.contains(n.toLowerCase) =>
         Left(ViewError(s"relation '$n' already exists as a view"))
+      // schema-qualified creates require the schema to exist first
+      case Ast.CreateTree(n, _, _, _, _, _, _, _)
+          if missingSchemaOf(n).isDefined =>
+        Left(ViewError(s"schema '${missingSchemaOf(n).get}' does not exist"))
+      case Ast.CreateAsTree(n, _, _) if missingSchemaOf(n).isDefined =>
+        Left(ViewError(s"schema '${missingSchemaOf(n).get}' does not exist"))
       case tree0 =>
         // sequences substitute first (nextval allocates in textual row
         // order), then stored views like CTEs, before analysis
@@ -395,7 +585,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           case Left(e)  => return Left(e)
           case Right(t) => t
         }
-        val tree = Parser.substituteViews(tree1, views.toMap)
+        val tree = Parser.substituteViews(tree1, viewsForResolve)
         for {
           bound <- Analyzer.analyze(tree, cat).left.map(AnalyzeFailed)
           // RETURNING wraps DELETE/UPDATE — the guards below apply to
@@ -430,12 +620,12 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           }
         } yield execute(bound)
     }
+  }
 
   // ---- PIVOT / UNPIVOT statements (DuckDB's statement forms) ----
 
   private def readableDesc(name0: String): Either[QueryError, TableDesc] =
-    tables.get(name0.toLowerCase)
-      .toRight(AnalyzeFailed(RelationNotFound(name0)))
+    cat.resolve(name0).toRight(AnalyzeFailed(RelationNotFound(name0)))
 
   /** PIVOT: the ON column's distinct non-NULL values (ascending) become
     * aggregate columns. The distinct-value collect is the standard
@@ -559,14 +749,15 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case Lit.LitTimestamp(t) => s"'$t'"
       case _                   => null
     }
-    tables.get(name) match {
+    cat.resolve(name) match {
       case Some(desc) => Right(Rows(localRows(describeSchema,
         desc.attributes.map(a => Row(a.name,
           Analyzer.duckTypeName(a.sqlType),
           if (a.nullable) "YES" else "NO", null,
           a.default.map(litText).orNull, null)))))
-      case None if views.contains(name) =>
-        dispatch(Ast.DescribeQueryTree(views(name)), s"DESCRIBE $name")
+      case None if viewsForResolve.contains(name) =>
+        dispatch(Ast.DescribeQueryTree(viewsForResolve(name)),
+          s"DESCRIBE $name")
       case None => Left(AnalyzeFailed(RelationNotFound(name0)))
     }
   }
@@ -643,7 +834,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     val dfE: Either[QueryError, DataFrame] = t.source match {
       case Left(name) => readableDesc(name).map(readTable)
       case Right(sel) =>
-        val sub = Parser.substituteViews(sel, views.toMap)
+        val sub = Parser.substituteViews(sel, viewsForResolve)
         Analyzer.analyze(sub, cat).left.map(AnalyzeFailed).flatMap { b =>
           execute(b) match {
             case Rows(df) => Right(df)
@@ -707,8 +898,8 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     * materialized views and external fixtures.
     */
   private def alterable(name0: String): Either[QueryError, TableDesc] = {
-    val name = name0.toLowerCase
-    if (views.contains(name)) Left(ViewError(s"'$name' is a view"))
+    val name = cat.resolve(name0).map(_.name).getOrElse(name0.toLowerCase)
+    if (viewsForResolve.contains(name)) Left(ViewError(s"'$name' is a view"))
     else if (matviews.contains(name))
       Left(ViewError(s"'$name' is a materialized view"))
     else if (external.contains(name)) Left(ReadOnlyTable(name))
@@ -916,6 +1107,30 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  // ---- schemas (CREATE SCHEMA) ----
+
+  private def schemasPath = Paths.get(s"$warehouse/schemas.txt")
+
+  private def saveSchemas(): Unit =
+    Files.write(schemasPath,
+      schemas.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+
+  private def loadSchemas(): Unit = {
+    if (!Files.exists(schemasPath)) return
+    Files.readAllLines(schemasPath).asScala.filter(_.nonEmpty)
+      .foreach(schemas += _)
+  }
+
+  /** The schema part of a qualified table name, when it names a schema
+    * that does not exist (creation guard).
+    */
+  private def missingSchemaOf(table: String): Option[String] =
+    table.split('.') match {
+      case Array(s, _) if !s.equalsIgnoreCase("main") &&
+        !schemas.contains(s.toLowerCase) => Some(s)
+      case _ => None
+    }
+
   // ---- scalar macros (CREATE MACRO … AS expr) ----
 
   private def macrosPath = Paths.get(s"$warehouse/macros.json")
@@ -1107,7 +1322,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       // substitute existing views (so the stored body is self-contained,
       // like CTE bodies), then validate it analyzes TODAY — a view over a
       // missing column fails at CREATE, not first use
-      val substituted = Parser.substituteViews(body, views.toMap)
+      val substituted = Parser.substituteViews(body, viewsForResolve)
       Analyzer.analyze(substituted, cat) match {
         case Left(e) => Left(AnalyzeFailed(e))
         case Right(_) =>
@@ -1132,7 +1347,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     else {
       // self-contained definition (stored views substituted), validated
       // and MATERIALIZED now via the ordinary CTAS path
-      val substituted = Parser.substituteViews(body, views.toMap)
+      val substituted = Parser.substituteViews(body, viewsForResolve)
       Analyzer.analyze(Ast.CreateAsTree(name, substituted, bucket), cat) match {
         case Left(e) => Left(AnalyzeFailed(e))
         case Right(boundCtas) =>
@@ -1201,7 +1416,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       }
       parsed match {
         case Right(Ast.CreateMatViewTree(name, body, _)) =>
-          matviews(name) = Parser.substituteViews(body, views.toMap)
+          matviews(name) = Parser.substituteViews(body, viewsForResolve)
           matviewSql(name) = stmt
         case _ => () // corrupted line: skip rather than brick the catalog
       }
@@ -1241,7 +1456,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       parsed match {
         case Right(Ast.CreateViewTree(name, body)) =>
           // replay in creation order; earlier views substitute into later
-          views(name) = Parser.substituteViews(body, views.toMap)
+          views(name) = Parser.substituteViews(body, viewsForResolve)
           viewSql(name) = stmt
         case _ => () // corrupted line: skip rather than brick the catalog
       }
@@ -1327,7 +1542,9 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   // namespaced by warehouse so databases sharing a session don't collide.
 
   private def catName(table: String): String =
-    s"graft_bkt_${math.abs(warehouse.hashCode).toHexString}_$table"
+    // schema-qualified names sanitize for the Spark identifier
+    s"graft_bkt_${math.abs(warehouse.hashCode).toHexString}_" +
+      table.replace('.', '_')
 
   private def bucketDdl(cat: String, desc: TableDesc, location: String): String = {
     val (col, n) = desc.bucket.get
@@ -1570,7 +1787,14 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
 
     case BoundCreate(desc) =>
       tables(desc.name) = desc
-      Files.createDirectories(Paths.get(s"$warehouse/data/${desc.name}"))
+      // a fresh CREATE starts empty: wipe orphaned data files (a TEMP
+      // table from a prior session leaves its directory behind because
+      // it is filtered out of catalog.json, not dropped)
+      val createDirP = Paths.get(s"$warehouse/data/${desc.name}")
+      if (Files.exists(createDirP))
+        Files.walk(createDirP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.createDirectories(createDirP)
       ensureCatalogTable(desc)
       statistics.initTable(desc)
       saveCatalog()
@@ -1653,6 +1877,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       if (desc.bucket.isDefined)
         spark.sql(s"DROP TABLE IF EXISTS ${catName(name)}")
       tables.remove(name)
+      tempTables -= name
       statistics.dropTable(name)
       val dirP = Paths.get(dataPath(name))
       if (Files.exists(dirP))
@@ -2199,7 +2424,8 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
     }
-    val lines = tables.values.filterNot(t => external.contains(t.name)).map { t =>
+    val lines = tables.values.filterNot(t => external.contains(t.name) ||
+      tempTables.contains(t.name)).map { t =>
       val attrs = t.attributes
         .map { a =>
           val d = a.default.map(litKV).map { case (k, v) =>

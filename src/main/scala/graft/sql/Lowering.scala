@@ -1026,12 +1026,32 @@ object Lowering {
       if (fr.groups || fr.range) w1.rangeBetween(tb(fr.lo), tb(fr.hi))
       else w1.rowsBetween(fr.lo, fr.hi)
     }
+    // DISTINCT arrives as a sentinel trailing argument: the frame's
+    // distinct set materializes once per row via collect_set (null-
+    // skipping, like SQL DISTINCT aggregation) — count is its size,
+    // sum/avg fold it in DOUBLE (DuckDB widens distinct integer sums
+    // past BIGINT anyway; gates cast both sides), min/max fall through
+    // (DISTINCT is a no-op at the extremes).
+    val distinctAgg = args.lastOption.contains(
+      BoundOperand.BLit(Lit.LitString(Ast.DistinctSentinel)))
+    val args1 = if (distinctAgg) args.dropRight(1) else args
+    if (distinctAgg && Set("count", "sum", "avg", "mean")(f)) {
+      val cs = collect_set(opLower(args1.head)).over(w)
+      f match {
+        case "count" => return size(cs).cast("long")
+        case _ =>
+          val s = org.apache.spark.sql.functions.aggregate(
+            cs, lit(0d), (a, x) => a + x.cast("double"))
+          return if (f == "sum") when(size(cs) > 0, s)
+                 else when(size(cs) > 0, s / size(cs))
+      }
+    }
     // IGNORE NULLS arrives as a sentinel trailing argument (DuckDB's
     // fn(args IGNORE NULLS) form) — strip it and thread the flag into
     // Spark's native ignoreNulls variants
-    val ignoreNulls = args.lastOption.contains(
+    val ignoreNulls = args1.lastOption.contains(
       BoundOperand.BLit(Lit.LitString(Ast.IgnoreNullsSentinel)))
-    val argsR = if (ignoreNulls) args.dropRight(1) else args
+    val argsR = if (ignoreNulls) args1.dropRight(1) else args1
     def shiftN: Int = argsR.lift(1) match {
       case Some(BoundOperand.BLit(Lit.LitLong(n))) => n.toInt
       case _                                       => 1

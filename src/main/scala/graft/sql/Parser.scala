@@ -536,6 +536,47 @@ object Parser {
           if (p.isKw("prepare")) p.next()
           p.ident().map(n => DeallocateTree(n.toLowerCase): ParseTree)
         }
+        else if (p.isKw("use")) {
+          p.next()
+          p.ident().map(n => UseTree(n.toLowerCase): ParseTree)
+        }
+        // COMMENT ON TABLE|COLUMN|VIEW|… name IS 'text'|NULL — parsed
+        // and existence-validated at dispatch, stored nowhere (no
+        // catalog-function surface reads comments back; loud no-op)
+        else if (p.isKw("comment"))
+          for {
+            _ <- p.eatKw("comment")
+            _ <- p.eatKw("on")
+            kind <- p.peek match {
+              case TIdent(k, _) if Set("table", "column", "view",
+                  "index", "schema", "sequence", "type", "macro",
+                  "function", "database")(k.toLowerCase) =>
+                p.next(); Right(k.toLowerCase)
+              case t => Left(ParseError(
+                "COMMENT ON takes TABLE/COLUMN/VIEW/INDEX/SCHEMA/" +
+                  "SEQUENCE/TYPE/MACRO", t.pos))
+            }
+            name <- {
+              def dotted(first: String): String = p.peek match {
+                case TSym(".", _) if (p.peekAt(1) match {
+                  case Some(TIdent(_, _)) => true; case _ => false
+                }) =>
+                  p.next()
+                  val TIdent(seg, _) = p.next(): @unchecked
+                  dotted(s"$first.$seg")
+                case _ => first
+              }
+              p.ident().map(dotted)
+            }
+            _ <- p.eatKw("is")
+            _ <- p.peek match {
+              case TStr(_, _) => p.next(); Right(())
+              case TIdent(k, _) if k.equalsIgnoreCase("null") =>
+                p.next(); Right(())
+              case t => Left(ParseError(
+                "COMMENT ON … IS takes a string or NULL", t.pos))
+            }
+          } yield CommentOnTree(kind, name): ParseTree
         else if (p.isKw("describe") || p.isKw("desc"))
           for {
             _ <- Right(p.next())
@@ -543,7 +584,8 @@ object Parser {
               if (p.isKw("select") || p.isKw("with"))
                 (if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p))
                   .map(DescribeQueryTree(_): ParseTree)
-              else p.ident().map(DescribeTree(_): ParseTree)
+              else p.ident().map(qualifiedTail(p, _))
+                .map(DescribeTree(_): ParseTree)
           } yield t
         else if (p.isKw("summarize"))
           for {
@@ -560,7 +602,7 @@ object Parser {
           for {
             _ <- p.eatKw("truncate")
             _ <- p.eatKw("table")
-            name <- p.ident()
+            name <- p.ident().map(qualifiedTail(p, _))
           } yield TruncateTree(name)
         else if (p.isKw("drop")) parseDrop(p)
         else if (p.isKw("refresh"))
@@ -739,7 +781,9 @@ object Parser {
     if (ctes.isEmpty) return t
     def fromItem(fi: FromItem): FromItem = fi match {
       case FTable(TableRef(n, a)) if ctes.contains(n.toLowerCase) =>
-        FDerived(ctes(n.toLowerCase), a.getOrElse(n))
+        // a schema-qualified VIEW substitutes under its LAST segment
+        // (FROM rpt.v → binding v), like qualified tables
+        FDerived(ctes(n.toLowerCase), a.getOrElse(n.split('.').last))
       case ft: FTable        => ft
       case FDerived(sel, al) => FDerived(substCteTree(sel, ctes), al)
       case FLateral(sel, al) => FLateral(substCte(sel, ctes), al)
@@ -1444,8 +1488,17 @@ object Parser {
                         start))
                       else winItem(f,
                         Seq(arg, Operand.Literal(Lit.LitString(sep))), start)
-                    case Operand.AggCall(_, _, true) if p.isKw("over") =>
-                      Left(ParseError("DISTINCT window aggregates are not supported", start))
+                    // DISTINCT window aggregates: count/sum/avg lower
+                    // over a per-frame collect_set (min/max: DISTINCT
+                    // is a no-op). The sentinel rides as a trailing
+                    // argument like IGNORE NULLS.
+                    case Operand.AggCall(f, arg, true) if p.isKw("over") =>
+                      if (!Set("count", "sum", "avg", "mean", "min",
+                          "max")(f.toLowerCase))
+                        Left(ParseError(s"DISTINCT windowed $f is not " +
+                          "supported (count/sum/avg/min/max are)", start))
+                      else winItem(f, arg.toSeq :+ (Operand.Literal(
+                        Lit.LitString(DistinctSentinel)): Operand), start)
                     case Operand.Col(c) => alias().map(a => SelectItem.SCol(c, a))
                     case Operand.AggCall(f, arg, dist) =>
                       alias().map(a => SelectItem.SAgg(f, arg, a, dist))
@@ -3071,6 +3124,18 @@ object Parser {
             if (fn == "count") { p.next(); Right(Vector.empty[Operand]) }
             else Left(ParseError(s"$fn(*) is not valid", pos))
           case _ =>
+            // DISTINCT window aggregate — sentinel trails the args,
+            // windowColumn lowers over a per-frame collect_set
+            val distinctE: Either[ParseError, Boolean] = p.peek match {
+              case TIdent(d, dpos) if d.equalsIgnoreCase("distinct") &&
+                  aggFuncs(fn) =>
+                if (!Set("count", "sum", "avg", "mean", "min",
+                    "max")(fn))
+                  Left(ParseError(s"DISTINCT windowed $fn is not " +
+                    "supported (count/sum/avg/min/max are)", dpos))
+                else { p.next(); Right(true) }
+              case _ => Right(false)
+            }
             def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
               parseOperand(p, allowAgg = true).flatMap { a =>
                 p.peek match {
@@ -3078,7 +3143,11 @@ object Parser {
                   case _            => Right(acc :+ a)
                 }
               }
-            loop(Vector.empty)
+            distinctE.flatMap(distinct =>
+              loop(Vector.empty).map(as =>
+                if (distinct) as :+ (Operand.Literal(
+                  Lit.LitString(DistinctSentinel)): Operand)
+                else as))
         }
         args <- winNullsOpt(p, args)
         _ <- p.eatSym(")")
@@ -3844,7 +3913,7 @@ object Parser {
     for {
       _ <- p.eatKw("insert")
       _ <- p.eatKw("into")
-      name <- p.ident()
+      name <- p.ident().map(qualifiedTail(p, _))
       // INSERT INTO t BY NAME SELECT … — the select's output names ARE
       // the column list (resolved at analysis)
       byName <- p.peek match {
@@ -3884,6 +3953,15 @@ object Parser {
         else if (byName)
           Left(ParseError("INSERT … BY NAME takes a SELECT source",
             p.peek.pos))
+        // INSERT INTO t DEFAULT VALUES — one row, every column its
+        // declared DEFAULT (NULL when none): an empty explicit column
+        // list + empty row rides the existing unlisted-columns-fill-
+        // their-DEFAULT path unchanged
+        else if (p.isKw("default") && cols.isEmpty) {
+          p.next()
+          p.eatKw("values").map(_ =>
+            InsertTree(name, Seq(Seq.empty), Some(Seq.empty)): ParseTree)
+        }
         else
           for {
             _ <- p.eatKw("values")
@@ -3978,6 +4056,7 @@ object Parser {
         else if (p.isKw("sequence")) { p.next(); Right(3) }
         else if (p.isKw("type")) { p.next(); Right(4) }
         else if (p.isKw("macro") || p.isKw("function")) { p.next(); Right(5) }
+        else if (p.isKw("schema")) { p.next(); Right(6) }
         else p.eatKw("table").map(_ => 0)
       ifExists <- Right {
         if (p.isKw("if")) {
@@ -3985,8 +4064,14 @@ object Parser {
           if (p.isKw("exists")) { p.next(); true } else { p.i = save; false }
         } else false
       }
-      name <- p.ident()
+      name0 <- p.ident()
+      name <- Right(if (kind <= 2) qualifiedTail(p, name0) else name0)
+      cascade <- Right {
+        if (kind == 6 && p.isKw("cascade")) { p.next(); true }
+        else { if (kind == 6 && p.isKw("restrict")) p.next(); false }
+      }
     } yield kind match {
+      case 6 => DropSchemaTree(name.toLowerCase, ifExists, cascade)
       case 5 => DropMacroTree(name.toLowerCase, ifExists)
       case 4 => DropTypeTree(name.toLowerCase, ifExists)
       case 3 => DropSequenceTree(name.toLowerCase, ifExists)
@@ -4253,7 +4338,8 @@ object Parser {
         case FTable(TableRef(n, a)) if views.contains(n.toLowerCase) =>
           views(n.toLowerCase) match {
             case body: SelectTree =>
-              m.copy(source = FDerived(substCte(body, views), a.getOrElse(n)))
+              m.copy(source = FDerived(substCte(body, views),
+                a.getOrElse(n.split('.').last)))
             case _ => m
           }
         case FDerived(sel: SelectTree, a) =>
@@ -4290,7 +4376,8 @@ object Parser {
               "a derived DML source needs an alias", p.peek.pos))
           }
         } yield FDerived(sel, a): FromItem
-      case _ => p.ident().map(n => FTable(TableRef(n, alias())): FromItem)
+      case _ => p.ident().map(qualifiedTail(p, _))
+        .map(n => FTable(TableRef(n, alias())): FromItem)
     }
   }
 
@@ -4298,10 +4385,11 @@ object Parser {
     Operand.Literal(Lit.LitLong(1L)), Operand.Literal(Lit.LitLong(1L)))
 
   /** Schema-qualified relation name: after an already-consumed first
-    * identifier, a `.ident` tail makes it `schema.table`. The default
-    * schema spells away (`main.t` IS `t`, DuckDB semantics), so the
-    * catalog keys stay flat and unqualified references keep finding
-    * main-schema tables. One level only (no catalog.schema.table).
+    * identifier, a `.ident` tail makes it `schema.table`. An explicit
+    * `main.t` KEEPS its prefix here — resolution strips it exactly
+    * (GraftDatabase.canonName), which is what makes `main.t` bypass a
+    * USE'd schema's same-named table (DuckDB search-path semantics).
+    * One level only (no catalog.schema.table).
     */
   private def qualifiedTail(p: P, first: String): String = p.peek match {
     case TSym(".", _) if (p.peekAt(1) match {
@@ -4310,7 +4398,7 @@ object Parser {
     }) =>
       p.next()
       val TIdent(seg, _) = p.next(): @unchecked
-      if (first.equalsIgnoreCase("main")) seg else s"$first.$seg"
+      s"$first.$seg"
     case _ => first
   }
 
@@ -4324,7 +4412,7 @@ object Parser {
     for {
       _ <- p.eatKw("delete")
       _ <- p.eatKw("from")
-      name <- p.ident()
+      name <- p.ident().map(qualifiedTail(p, _))
       alias <- Right(p.peek match {
         case TIdent(a, _) if !reserved(a) && !a.equalsIgnoreCase("using") &&
             !a.equalsIgnoreCase("where") => p.next(); Some(a)
@@ -4413,7 +4501,7 @@ object Parser {
       } yield (c, v)
     for {
       _ <- p.eatKw("update")
-      name <- p.ident()
+      name <- p.ident().map(qualifiedTail(p, _))
       alias <- Right(p.peek match {
         case TIdent(a, _) if !reserved(a) && !a.equalsIgnoreCase("set") &&
             !a.equalsIgnoreCase("as") => p.next(); Some(a)
@@ -4606,7 +4694,7 @@ object Parser {
     for {
       _ <- p.eatKw("alter")
       _ <- p.eatKw("table")
-      name <- p.ident()
+      name <- p.ident().map(qualifiedTail(p, _))
       t <-
         if (p.isKw("add")) {
           p.next()
@@ -4769,7 +4857,7 @@ object Parser {
     for {
       _ <- p.eatKw("merge")
       _ <- p.eatKw("into")
-      tname <- p.ident()
+      tname <- p.ident().map(qualifiedTail(p, _))
       talias <- Right(alias())
       _ <- p.eatKw("using")
       source <- p.peek match {
@@ -4973,13 +5061,21 @@ object Parser {
       orReplace <-
         if (p.isKw("or")) { p.next(); p.eatKw("replace").map(_ => true) }
         else Right(false)
+      temp <- Right {
+        if (p.isKw("temp") || p.isKw("temporary")) { p.next(); true }
+        else false
+      }
+      _ <-
+        if (temp && !p.isKw("table")) Left(ParseError(
+          "TEMPORARY applies to CREATE TABLE only", p.peek.pos))
+        else Right(())
       inner <-
         if (p.isKw("materialized"))
           for {
             _ <- p.eatKw("materialized")
             _ <- p.eatKw("view")
             ine <- ifNotExists()
-            name <- p.ident()
+            name <- p.ident().map(qualifiedTail(p, _))
             bucket <- parseBucketClause(p)
             _ <- p.eatKw("as")
             body <- if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p)
@@ -4988,7 +5084,7 @@ object Parser {
           for {
             _ <- p.eatKw("view")
             ine <- ifNotExists()
-            name <- p.ident()
+            name <- p.ident().map(qualifiedTail(p, _))
             _ <- p.eatKw("as")
             body <- if (p.isKw("with")) parseWith(p) else parseSelectOrUnion(p)
           } yield (CreateViewTree(name.toLowerCase, body): ParseTree, ine)
@@ -5145,11 +5241,17 @@ object Parser {
               cl(Vector.empty)
             }
           } yield (CreateIndexTree(iname, tname, cols, unique): ParseTree, ine)
+        else if (p.isKw("schema"))
+          for {
+            _ <- p.eatKw("schema")
+            ine <- ifNotExists()
+            name <- p.ident()
+          } yield (CreateSchemaTree(name.toLowerCase, ine): ParseTree, false)
         else
           for {
             _ <- p.eatKw("table")
             ine <- ifNotExists()
-            name <- p.ident()
+            name <- p.ident().map(qualifiedTail(p, _))
             t <- p.peek match {
               case TSym("(", _) => parseCreateColumns(p, name)
               case _ =>
@@ -5165,14 +5267,17 @@ object Parser {
         if (orReplace && inner._2) Left(ParseError(
           "OR REPLACE and IF NOT EXISTS are mutually exclusive", p.peek.pos))
         else Right(())
-    } yield
+    } yield {
       // an index create is a no-op either way — mode wrappers drop
-      if ((orReplace || inner._2) &&
-          !inner._1.isInstanceOf[CreateIndexTree] &&
-          !inner._1.isInstanceOf[CreateSequenceTree] &&
-          !inner._1.isInstanceOf[CreateMacroTree])
-        CreateModeTree(inner._1, orReplace, inner._2)
-      else inner._1
+      val t0 =
+        if ((orReplace || inner._2) &&
+            !inner._1.isInstanceOf[CreateIndexTree] &&
+            !inner._1.isInstanceOf[CreateSequenceTree] &&
+            !inner._1.isInstanceOf[CreateMacroTree])
+          CreateModeTree(inner._1, orReplace, inner._2)
+        else inner._1
+      if (temp) TempTree(t0) else t0
+    }
   }
 
   private def parseCreateColumns(p: P, name: String): Either[ParseError, ParseTree] = {

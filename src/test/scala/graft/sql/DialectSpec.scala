@@ -4594,4 +4594,176 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("DEALLOCATE PREPARE pn").isRight) // long form
   }
 
+  test("CREATE SCHEMA: qualified names, main-spelling, drop semantics") {
+    val db = demoDb()
+    // creating into a missing schema rejects; CREATE SCHEMA fixes it
+    assert(db.query("CREATE TABLE st.keep (id INT, v VARCHAR(8))").isLeft)
+    assert(db.query("CREATE SCHEMA st").isRight)
+    assert(db.query("CREATE SCHEMA st").isLeft) // duplicate
+    assert(db.query("CREATE SCHEMA IF NOT EXISTS st").isRight)
+    db.query("CREATE TABLE st.keep (id INT, v VARCHAR(8))")
+      .fold(e => fail(e.msg), identity)
+    db.query("INSERT INTO st.keep VALUES (1, 'x'), (2, 'y')")
+      .fold(e => fail(e.msg), identity)
+    // qualified scan binds by LAST segment; joins against main work
+    val r = db.select("SELECT keep.v, p.name FROM st.keep, people p " +
+      "WHERE keep.id = p.id ORDER BY keep.id")
+      .fold(e => fail(e.msg), identity).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("x", "y"))
+    // main.t spells away to t (same table, both spellings)
+    val m = db.select("SELECT count(*) AS n FROM main.people")
+      .fold(e => fail(e.msg), identity).collect().head.getLong(0)
+    assert(m == 3L)
+    // same bare name in another schema is a DIFFERENT table
+    db.query("CREATE TABLE st.people (id INT)")
+      .fold(e => fail(e.msg), identity)
+    db.query("INSERT INTO st.people VALUES (9)")
+    val sp = db.select("SELECT id FROM st.people").toOption.get.collect()
+    assert(sp.map(_.getInt(0)).toSeq == Seq(9))
+    // UPDATE/DELETE/CTAS through qualified names
+    db.query("UPDATE st.keep SET v = 'z' WHERE id = 2")
+      .fold(e => fail(e.msg), identity)
+    db.query("CREATE TABLE st.copy AS SELECT id FROM st.keep WHERE id > 1")
+      .fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT v FROM st.keep WHERE id = 2").toOption.get
+      .collect().head.getString(0) == "z")
+    // schema-qualified tables survive a catalog reopen
+    val db2 = new GraftDatabase(spark, db.warehouse)
+    assert(db2.select("SELECT count(*) AS n FROM st.keep").toOption.get
+      .collect().head.getLong(0) == 2L)
+    assert(db2.query("CREATE TABLE st2.t (x INT)").isLeft) // still guarded
+    // RESTRICT refuses a non-empty schema; CASCADE drops members
+    assert(db2.query("DROP SCHEMA st").isLeft)
+    assert(db2.query("DROP SCHEMA st CASCADE").isRight)
+    assert(db2.select("SELECT * FROM st.keep").isLeft)
+    assert(db2.query("DROP SCHEMA st").isLeft) // gone
+    assert(db2.query("DROP SCHEMA IF EXISTS st").isRight)
+    assert(db2.query("DROP SCHEMA main").isLeft)
+  }
+
+  test("INSERT DEFAULT VALUES and COMMENT ON") {
+    val db = freshDb()
+    db.query("CREATE TABLE dv (id INT DEFAULT 7, tag VARCHAR(8) " +
+      "DEFAULT 'none', note VARCHAR(8))")
+      .fold(e => fail(e.msg), identity)
+    db.query("INSERT INTO dv DEFAULT VALUES").fold(e => fail(e.msg), identity)
+    val r = db.select("SELECT id, tag, note FROM dv").toOption.get
+      .collect().head
+    assert(r == Row(7, "none", null))
+    // NOT NULL without a default rejects DEFAULT VALUES
+    db.query("CREATE TABLE dnn (id INT NOT NULL)")
+    assert(db.query("INSERT INTO dnn DEFAULT VALUES").isLeft)
+    // COMMENT ON: validated no-op — unknown relations reject
+    assert(db.query("COMMENT ON TABLE dv IS 'fixture'").isRight)
+    assert(db.query("COMMENT ON COLUMN dv.tag IS 'a tag'").isRight)
+    assert(db.query("COMMENT ON TABLE ghost IS 'x'").isLeft)
+    assert(db.query("COMMENT ON COLUMN dv.ghost IS 'x'").isLeft)
+    assert(db.query("COMMENT ON TABLE dv IS NULL").isRight)
+  }
+
+  test("CREATE TEMP TABLE: session-scoped, gone on reopen, clean reuse") {
+    val db = freshDb()
+    db.query("CREATE TEMP TABLE scratch (id INT, v VARCHAR(8))")
+      .fold(e => fail(e.msg), identity)
+    db.query("INSERT INTO scratch VALUES (1, 'a'), (2, 'b')")
+      .fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT count(*) AS n FROM scratch").toOption.get
+      .collect().head.getLong(0) == 2L)
+    // CTAS form, TEMPORARY spelling
+    db.query("CREATE TEMPORARY TABLE scratch2 AS SELECT id FROM scratch " +
+      "WHERE id > 1").fold(e => fail(e.msg), identity)
+    // TEMPORARY is CREATE TABLE-only
+    assert(db.query("CREATE TEMP VIEW tv AS SELECT 1 AS x").isLeft)
+    // a reopen does not see temp tables; the orphaned data directory
+    // does not leak into a new same-named permanent table
+    val db2 = new GraftDatabase(spark, db.warehouse)
+    assert(db2.select("SELECT * FROM scratch").isLeft)
+    db2.query("CREATE TABLE scratch (id INT, v VARCHAR(8))")
+      .fold(e => fail(e.msg), identity)
+    assert(db2.select("SELECT count(*) AS n FROM scratch").toOption.get
+      .collect().head.getLong(0) == 0L)
+    // DROP of a live temp table works like any drop
+    db.query("DROP TABLE scratch2").fold(e => fail(e.msg), identity)
+  }
+
+  test("views and matviews inside schemas") {
+    val db = demoDb()
+    assert(db.query("CREATE VIEW vx.v AS SELECT 1 AS x").isLeft) // no schema
+    db.query("CREATE SCHEMA rpt").fold(e => fail(e.msg), identity)
+    db.query("CREATE VIEW rpt.adults AS SELECT name FROM people " +
+      "WHERE age >= 21").fold(e => fail(e.msg), identity)
+    val r = db.select("SELECT name FROM rpt.adults ORDER BY name")
+      .fold(e => fail(e.msg), identity).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("Dr. Emmett L. „Doc“ Brown"))
+    db.query("CREATE MATERIALIZED VIEW rpt.mv AS SELECT count(*) AS n " +
+      "FROM people").fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT n FROM rpt.mv").toOption.get
+      .collect().head.getLong(0) == 3L)
+    // RESTRICT counts views; CASCADE drops them with the schema
+    assert(db.query("DROP SCHEMA rpt").isLeft)
+    db.query("DROP SCHEMA rpt CASCADE").fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT * FROM rpt.adults").isLeft)
+  }
+
+  test("DISTINCT window aggregates and window FILTER") {
+    val db = freshDb()
+    db.query("CREATE TABLE wv (g INT, v INT)")
+    db.query("INSERT INTO wv VALUES (1, 10), (1, 10), (1, 20), " +
+      "(2, 5), (2, NULL)")
+    val r = db.select("SELECT g, v, " +
+      "count(DISTINCT v) OVER (PARTITION BY g) AS cd, " +
+      "CAST(sum(DISTINCT v) OVER (PARTITION BY g) AS DOUBLE) AS sd, " +
+      "count(*) FILTER (WHERE v > 9) OVER (PARTITION BY g) AS nf " +
+      "FROM wv ORDER BY g, v NULLS LAST")
+      .fold(e => fail(e.msg), identity).collect()
+    // g=1: {10,20} → cd 2, sd 30; g=2: {5} (NULL skipped) → cd 1, sd 5
+    assert(r.map(x => (x.getInt(0), x.getLong(2), x.getDouble(3),
+      x.getLong(4))).toSeq == Seq((1, 2L, 30.0, 3L), (1, 2L, 30.0, 3L),
+      (1, 2L, 30.0, 3L), (2, 1L, 5.0, 0L), (2, 1L, 5.0, 0L)))
+    // unsupported DISTINCT window function rejects loudly
+    assert(db.query("SELECT median(DISTINCT v) OVER (PARTITION BY g) " +
+      "AS m FROM wv").isLeft)
+  }
+
+  test("USE schema: search path, create landing, shadowing") {
+    val db = demoDb()
+    assert(db.query("USE nope").isLeft)
+    db.query("CREATE SCHEMA work").fold(e => fail(e.msg), identity)
+    db.query("USE work").fold(e => fail(e.msg), identity)
+    // creates land in the current schema
+    db.query("CREATE TABLE notes (id INT, s VARCHAR(8))")
+      .fold(e => fail(e.msg), identity)
+    db.query("INSERT INTO notes VALUES (1, 'n1')")
+      .fold(e => fail(e.msg), identity)
+    // unqualified resolution: current schema first, then main
+    assert(db.select("SELECT count(*) AS n FROM notes").toOption.get
+      .collect().head.getLong(0) == 1L)
+    assert(db.select("SELECT count(*) AS n FROM people").toOption.get
+      .collect().head.getLong(0) == 3L) // falls through to main
+    // same-named table in the schema SHADOWS main under USE
+    db.query("CREATE TABLE people (id INT)")
+      .fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT count(*) AS n FROM people").toOption.get
+      .collect().head.getLong(0) == 0L)
+    assert(db.select("SELECT count(*) AS n FROM main.people").toOption.get
+      .collect().head.getLong(0) == 3L) // explicit main still reachable
+    // views created under USE land in the schema and resolve bare
+    db.query("CREATE VIEW vnotes AS SELECT s FROM notes")
+      .fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT * FROM vnotes").toOption.get
+      .collect().length == 1)
+    assert(db.select("SELECT * FROM work.vnotes").isRight)
+    // UPDATE/DELETE follow the search path; USE main restores
+    db.query("UPDATE notes SET s = 'x' WHERE id = 1")
+      .fold(e => fail(e.msg), identity)
+    db.query("USE main").fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT * FROM notes").isLeft)
+    assert(db.select("SELECT count(*) AS n FROM people").toOption.get
+      .collect().head.getLong(0) == 3L)
+    // DROP VIEW under USE resolves into the schema
+    db.query("USE work").fold(e => fail(e.msg), identity)
+    db.query("DROP VIEW vnotes").fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT * FROM work.vnotes").isLeft)
+  }
+
 }
