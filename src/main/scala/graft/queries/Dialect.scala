@@ -5419,6 +5419,32 @@ object Dialect {
              |  CAST(sum(DISTINCT o_custkey % 7) OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS sd,
              |  CAST(avg(DISTINCT o_custkey % 100) OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS ad,
              |  count(*) FILTER (WHERE o_totalprice > 100000) OVER (PARTITION BY o_custkey) AS nf
-             |FROM orders WHERE o_orderkey <= 400 ORDER BY o_orderkey""".stripMargin))
+             |FROM orders WHERE o_orderkey <= 400 ORDER BY o_orderkey""".stripMargin)),
+
+    // USE <schema>: unqualified names resolve current-schema-first
+    // (stage.top shadows nothing here, but the CTAS lands in `stage`
+    // and the final query reads it UNQUALIFIED under USE while joining
+    // main.customer explicitly). Oracle reproduces from raw fixtures.
+    "q_dialect_use" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders", "customer")
+        if (!g.tableNames.exists(_.startsWith("stage."))) {
+          g.query("CREATE SCHEMA IF NOT EXISTS stage")
+            .fold(e => sys.error(e.msg), identity)
+          g.query("USE stage").fold(e => sys.error(e.msg), identity)
+          g.query("CREATE TABLE top AS SELECT o_orderkey, o_custkey, " +
+            "o_totalprice FROM main.orders WHERE o_totalprice > 450000")
+            .fold(e => sys.error(e.msg), identity)
+        } else g.query("USE stage").fold(e => sys.error(e.msg), identity)
+        val out = run(g, "SELECT c.c_mktsegment, count(*) AS n " +
+          "FROM top, main.customer c WHERE top.o_custkey = c.c_custkey " +
+          "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment")
+        g.query("USE main").fold(e => sys.error(e.msg), identity)
+        out
+      },
+      Some("""SELECT c.c_mktsegment, cast(count(*) AS bigint) AS n
+             |FROM orders o, customer c
+             |WHERE o.o_totalprice > 450000 AND o.o_custkey = c.c_custkey
+             |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin))
   )
 }

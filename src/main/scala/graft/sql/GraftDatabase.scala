@@ -117,17 +117,58 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     if (currentSchema == "main" || n.contains('.')) n
     else s"$currentSchema.$n"
 
+  /** Rewrite a stored CREATE [MATERIALIZED] VIEW statement's relation
+    * name to the catalog KEY (qualified under USE), so replay on
+    * reopen lands under the right schema.
+    */
+  private def stmtWithName(stmt: String, name: String): String = {
+    val m = java.util.regex.Pattern.compile(
+      "(?is)^(\\s*create\\s+(?:or\\s+replace\\s+)?(?:materialized\\s+)?" +
+        "view\\s+(?:if\\s+not\\s+exists\\s+)?)" +
+        "([A-Za-z_][A-Za-z0-9_]*(?:\\s*\\.\\s*[A-Za-z_][A-Za-z0-9_]*)?)")
+      .matcher(stmt)
+    if (m.find()) m.group(1) + name + stmt.substring(m.end) else stmt
+  }
+
+  /** Pin a view/matview BODY's bare table references to the schema it
+    * was created in (its key's prefix; main otherwise): every bare
+    * name that resolves there rewrites to a `(SELECT * FROM
+    * <resolved>) name` derived table through the ordinary substitution
+    * walker, so a view's meaning never depends on the READER's later
+    * USE state (DuckDB binds views at creation). Catalyst collapses
+    * the trivial star projection, so plans are unchanged. Idempotent:
+    * a pinned body's references are qualified and no longer match.
+    */
+  private def pinViewBody(key: String, body: ParseTree): ParseTree = {
+    def derivedOf(target: String): ParseTree =
+      Ast.SelectTree(None, Seq(Ast.FTable(Ast.TableRef(target, None))), None)
+    val s =
+      if (key.contains('.')) key.substring(0, key.indexOf('.')) else "main"
+    val mainEntries = tables.keys.collect {
+      case k if !k.contains('.') => k -> derivedOf(s"main.$k")
+    }.toMap
+    val sEntries =
+      if (s == "main") Map.empty[String, ParseTree]
+      else tables.keys.collect {
+        case k if k.startsWith(s + ".") =>
+          k.stripPrefix(s + ".") -> derivedOf(k)
+      }.toMap
+    Parser.substituteViews(body, mainEntries ++ sEntries)
+  }
+
   /** View registry under the USE search path: every bare main view is
     * also reachable as `main.v` (the explicit spelling), and
     * current-schema views are reachable by their bare name (shadowing
-    * same-named main views, schema-first like tables).
+    * same-named main views, schema-first like tables). Bodies are
+    * pinned to their creation schema (pinViewBody).
     */
   private def viewsForResolve: Map[String, ParseTree] = {
-    val withMain = views.toMap ++ views.collect {
+    val pinned = views.map { case (k, v) => k -> pinViewBody(k, v) }
+    val withMain = pinned.toMap ++ pinned.collect {
       case (k, v) if !k.contains('.') => s"main.$k" -> v
     }
     if (currentSchema == "main") withMain
-    else withMain ++ views.collect {
+    else withMain ++ pinned.collect {
       case (k, v) if k.startsWith(currentSchema + ".") =>
         k.stripPrefix(currentSchema + ".") -> v
     }
@@ -1327,7 +1368,10 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         case Left(e) => Left(AnalyzeFailed(e))
         case Right(_) =>
           views(name) = substituted
-          viewSql(name) = stmt
+          // persist under the QUALIFIED name so a reopen rebuilds the
+          // right catalog key (a view created under USE work stores as
+          // work.v, not v)
+          viewSql(name) = stmtWithName(stmt, name)
           saveViews()
           Right(Done(s"created view $name"))
       }
@@ -1353,7 +1397,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         case Right(boundCtas) =>
           val r = execute(boundCtas)
           matviews(name.toLowerCase) = substituted
-          matviewSql(name.toLowerCase) = stmt
+          matviewSql(name.toLowerCase) = stmtWithName(stmt, name)
           saveMatViews()
           r match {
             case Done(msg) => Right(Done(msg.replace("created table",
@@ -1372,7 +1416,10 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   private def refreshMatView(name: String): Either[QueryError, QueryResult] =
     matviews.get(name) match {
       case None => Left(ViewError(s"materialized view '$name' does not exist"))
-      case Some(tree) =>
+      case Some(tree0) =>
+        // pin to the matview's creation schema — REFRESH must not
+        // re-resolve bare names under the refresher's USE state
+        val tree = pinViewBody(name, tree0)
         Analyzer.analyze(tree, cat) match {
           case Left(e) => Left(AnalyzeFailed(e))
           case Right(bound) =>
@@ -1455,8 +1502,18 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       }
       parsed match {
         case Right(Ast.CreateViewTree(name, body)) =>
-          // replay in creation order; earlier views substitute into later
-          views(name) = Parser.substituteViews(body, viewsForResolve)
+          // replay in creation order; earlier views substitute into
+          // later. A schema-qualified view also resolves its schema's
+          // views by BARE name (its creation search path).
+          val s = if (name.contains('.'))
+            name.substring(0, name.indexOf('.')) else "main"
+          val extra =
+            if (s == "main") Map.empty[String, ParseTree]
+            else views.collect {
+              case (k, v) if k.startsWith(s + ".") =>
+                k.stripPrefix(s + ".") -> pinViewBody(k, v)
+            }.toMap
+          views(name) = Parser.substituteViews(body, viewsForResolve ++ extra)
           viewSql(name) = stmt
         case _ => () // corrupted line: skip rather than brick the catalog
       }

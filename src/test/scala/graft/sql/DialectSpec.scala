@@ -4766,4 +4766,36 @@ class DialectSpec extends AnyFunSuite {
     assert(db.select("SELECT * FROM work.vnotes").isLeft)
   }
 
+  test("schema views: pinned bodies and qualified-key reopen") {
+    val db = demoDb()
+    db.query("CREATE SCHEMA w2").fold(e => fail(e.msg), identity)
+    db.query("USE w2").fold(e => fail(e.msg), identity)
+    db.query("CREATE TABLE items (id INT)").fold(e => fail(e.msg), identity)
+    db.query("INSERT INTO items VALUES (1), (2)")
+    // the view body references 'items' BARE — it must pin to w2.items
+    db.query("CREATE VIEW icount AS SELECT count(*) AS n FROM items")
+      .fold(e => fail(e.msg), identity)
+    // a main view over a MAIN table, read later under USE w2 where a
+    // same-named table exists, must keep reading MAIN (pinned)
+    db.query("USE main").fold(e => fail(e.msg), identity)
+    db.query("CREATE VIEW pcount AS SELECT count(*) AS n FROM people")
+      .fold(e => fail(e.msg), identity)
+    db.query("USE w2").fold(e => fail(e.msg), identity)
+    db.query("CREATE TABLE people (id INT)").fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT n FROM main.pcount").toOption.get
+      .collect().head.getLong(0) == 3L) // NOT w2.people's 0
+    // reading the schema view from main resolves its pinned body
+    db.query("USE main").fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT n FROM w2.icount").toOption.get
+      .collect().head.getLong(0) == 2L)
+    // a REOPEN rebuilds the view under its qualified key with the
+    // pinned body (the stored statement carries the catalog key)
+    val db2 = new GraftDatabase(spark, db.warehouse)
+    assert(db2.select("SELECT n FROM w2.icount").toOption.get
+      .collect().head.getLong(0) == 2L)
+    assert(db2.select("SELECT n FROM icount").isLeft) // not bare in main
+    assert(db2.select("SELECT n FROM pcount").toOption.get
+      .collect().head.getLong(0) == 3L)
+  }
+
 }
