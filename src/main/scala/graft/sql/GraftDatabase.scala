@@ -156,15 +156,91 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     Parser.substituteViews(body, mainEntries ++ sEntries)
   }
 
+  /** DuckDB-shaped catalog introspection relations, rebuilt from the
+    * live catalog at every reference: duckdb_tables / duckdb_views /
+    * duckdb_schemas / duckdb_columns plus information_schema.tables /
+    * .columns / .schemata. VALUES-based — introspection is driver-side
+    * metadata (bounded by the catalog, never a distributed scan). A
+    * view defined OVER one of these stores a snapshot of creation-time
+    * catalog state (documented divergence; DuckDB's stays live).
+    */
+  private def introspectionViews: Map[String, ParseTree] = {
+    import Ast._
+    def sL(v: String): Operand = Operand.Literal(Lit.LitString(v))
+    def iL(v: Long): Operand = Operand.Literal(Lit.LitLong(v))
+    def bL(v: Boolean): Operand = Operand.Literal(Lit.LitBool(v))
+    def rel(cols: Seq[String], rows: Seq[Seq[Operand]]): ParseTree = {
+      def rowTree(r: Seq[Operand], empty: Boolean): SelectTree =
+        SelectTree(Some(r.zip(cols).map { case (o, c) =>
+          SelectItem.SExpr(o, c): SelectItem }),
+          from = Nil,
+          where = if (empty) Some(Expr.Cmp(CmpOp.Eq,
+            Operand.Literal(Lit.LitLong(0L)),
+            Operand.Literal(Lit.LitLong(1L)))) else None)
+      if (rows.isEmpty) // typed empty: one NULL row filtered by 0=1
+        rowTree(cols.map(_ => Operand.Literal(Lit.LitNull)), empty = true)
+      else if (rows.length == 1) rowTree(rows.head, empty = false)
+      else UnionTree(rowTree(rows.head, empty = false),
+        rows.tail.map(r => ("union_all", rowTree(r, empty = false))))
+    }
+    def schemaOf(k: String) =
+      if (k.contains('.')) k.substring(0, k.indexOf('.')) else "main"
+    def bareOf(k: String) =
+      if (k.contains('.')) k.substring(k.indexOf('.') + 1) else k
+    val tkeys = tables.keys.toSeq.sorted
+    val vkeys = views.keys.toSeq.sorted
+    val allSchemas = "main" +: schemas.toSeq.sorted
+    Map(
+      "duckdb_tables" -> rel(
+        Seq("database_name", "schema_name", "table_name", "temporary",
+          "column_count"),
+        tkeys.map(k => Seq(sL("graft"), sL(schemaOf(k)), sL(bareOf(k)),
+          bL(tempTables.contains(k)),
+          iL(tables(k).attributes.length.toLong)))),
+      "duckdb_views" -> rel(
+        Seq("database_name", "schema_name", "view_name"),
+        vkeys.map(k => Seq(sL("graft"), sL(schemaOf(k)), sL(bareOf(k))))),
+      "duckdb_schemas" -> rel(Seq("schema_name"),
+        allSchemas.map(n => Seq(sL(n)))),
+      "duckdb_columns" -> rel(
+        Seq("database_name", "schema_name", "table_name", "column_name",
+          "column_index", "data_type", "is_nullable"),
+        tkeys.flatMap(k => tables(k).attributes.zipWithIndex.map {
+          case (a, j) => Seq(sL("graft"), sL(schemaOf(k)), sL(bareOf(k)),
+            sL(a.name), iL((j + 1).toLong),
+            sL(Analyzer.duckTypeName(a.sqlType)), bL(a.nullable))
+        })),
+      "information_schema.tables" -> rel(
+        Seq("table_catalog", "table_schema", "table_name", "table_type"),
+        tkeys.map(k => Seq(sL("graft"), sL(schemaOf(k)), sL(bareOf(k)),
+          sL("BASE TABLE"))) ++
+          vkeys.map(k => Seq(sL("graft"), sL(schemaOf(k)), sL(bareOf(k)),
+            sL("VIEW")))),
+      "information_schema.schemata" -> rel(
+        Seq("catalog_name", "schema_name"),
+        allSchemas.map(n => Seq(sL("graft"), sL(n)))),
+      "information_schema.columns" -> rel(
+        Seq("table_catalog", "table_schema", "table_name", "column_name",
+          "ordinal_position", "data_type", "is_nullable"),
+        tkeys.flatMap(k => tables(k).attributes.zipWithIndex.map {
+          case (a, j) => Seq(sL("graft"), sL(schemaOf(k)), sL(bareOf(k)),
+            sL(a.name), iL((j + 1).toLong),
+            sL(Analyzer.duckTypeName(a.sqlType)),
+            sL(if (a.nullable) "YES" else "NO"))
+        })))
+  }
+
   /** View registry under the USE search path: every bare main view is
     * also reachable as `main.v` (the explicit spelling), and
     * current-schema views are reachable by their bare name (shadowing
     * same-named main views, schema-first like tables). Bodies are
-    * pinned to their creation schema (pinViewBody).
+    * pinned to their creation schema (pinViewBody). Introspection
+    * relations resolve FIRST in the map build so user views of the
+    * same name (legal, unlike DuckDB) override them.
     */
   private def viewsForResolve: Map[String, ParseTree] = {
     val pinned = views.map { case (k, v) => k -> pinViewBody(k, v) }
-    val withMain = pinned.toMap ++ pinned.collect {
+    val withMain = introspectionViews ++ pinned.toMap ++ pinned.collect {
       case (k, v) if !k.contains('.') => s"main.$k" -> v
     }
     if (currentSchema == "main") withMain

@@ -2561,42 +2561,89 @@ object Lowering {
     fixpointRuns += 1
     val names = r.desc.attributes.map(_.name)
     val maxIter = 1000
-    // One Spark job per round: the LAZY localCheckpoint materializes
-    // inside the same count() that serves as the emptiness probe. The
-    // accumulator is a union view over the checkpointed deltas — cheap
-    // to extend — re-checkpointed only every `CkptEvery` rounds to keep
-    // the per-round except-join (UNION dedup) plan bounded; the old
-    // every-round acc materialization cost O(rounds × acc) total.
-    val CkptEvery = 8
+    // K rounds unroll LAZILY between materializations: the K deltas
+    // union under a __rstep tag and ONE lazy-localCheckpoint +
+    // count-by-tag job pair replaces K per-round (checkpoint + count)
+    // jobs — the fixpoint's wall clock is job-scheduling-dominated on
+    // small frontiers, so this cuts it ~K×. Exact SEQUENTIAL semantics
+    // reconstruct from the per-tag counts: recursion ends at the FIRST
+    // empty step, and later tags — which a non-monotone step (e.g. a
+    // NOT EXISTS over the frontier) could repopulate past the empty
+    // round — are discarded, exactly as the one-round-at-a-time loop
+    // would never have run them. The accumulator stays a union view
+    // over checkpoint-backed frames, re-collapsed every CkptEvery
+    // blocks to keep the dedup-mode except-join plan bounded.
+    // Unrolling only pays for UNION ALL recursions: their per-round
+    // plan is narrow, so K lazy rounds per job trade pure scheduling
+    // overhead. UNION (dedup) rounds each carry a distinct+except
+    // SHUFFLE — chaining K of them lazily recomputes earlier deltas
+    // inside later ones (K²/2 shuffle work for K× fewer jobs, a net
+    // loss, measured) — so dedup keeps one materialized round per job.
+    val Unroll = if (r.unionAll) 4 else 1
+    val CkptEvery = 4 // blocks between acc re-checkpoints
     var acc = {
       val b = lowerSelect(spark, r.base, source).toDF(names: _*)
       (if (r.unionAll) b else b.distinct()).localCheckpoint()
     }
     var frontier = acc
     var it = 0
-    var sinceCkpt = 0
+    var blocks = 0
     var done = frontier.isEmpty
     while (!done) {
-      it += 1
+      it += Unroll
       if (it > maxIter) throw new IllegalStateException(
         s"recursive CTE '${r.desc.name}' exceeded $maxIter iterations")
-      val stepSource: BoundTable => DataFrame = bt =>
-        if (bt.desc.name.equalsIgnoreCase(r.desc.name)) frontier
-        else source(bt)
-      var next = lowerSelect(spark, r.step, stepSource).toDF(names: _*)
-      if (!r.unionAll) next = next.distinct().except(acc)
-      next = next.localCheckpoint(eager = false)
-      if (next.count() == 0L) done = true
-      else {
-        acc = acc.union(next)
-        sinceCkpt += 1
-        if (sinceCkpt >= CkptEvery) {
-          // eager here is fine: the children are already checkpointed,
-          // so this collapses a ≤CkptEvery-way union, nothing deeper
-          acc = acc.localCheckpoint()
-          sinceCkpt = 0
+      // K lazy deltas, each chained off the previous one; dedup mode
+      // (K = 1) excepts against the materialized acc
+      var deltas = Vector.empty[DataFrame]
+      var accLazy = acc
+      var front = frontier
+      for (_ <- 0 until Unroll) {
+        val stepSource: BoundTable => DataFrame = bt =>
+          if (bt.desc.name.equalsIgnoreCase(r.desc.name)) front
+          else source(bt)
+        var next = lowerSelect(spark, r.step, stepSource).toDF(names: _*)
+        if (!r.unionAll) next = next.distinct().except(accLazy)
+        deltas :+= next
+        accLazy = accLazy.union(next)
+        front = next
+      }
+      if (Unroll == 1) {
+        // dedup mode: one materialized round per job, the count IS the
+        // emptiness probe (no tag shuffle)
+        val next = deltas.head.localCheckpoint(eager = false)
+        if (next.count() == 0L) done = true
+        else {
+          acc = acc.union(next)
+          frontier = next
+          blocks += 1
+          if (blocks % CkptEvery == 0) acc = acc.localCheckpoint()
         }
-        frontier = next
+      } else {
+        // coalesce BEFORE the checkpoint: a union of K deltas carries
+        // the SUM of their partitions, and the next block chains off
+        // this one — unbounded, that compounds K× per block (4^blocks
+        // tasks). Bounding every block at the session's parallelism
+        // keeps the whole fixpoint at O(blocks × cores) tasks.
+        val block = deltas.zipWithIndex.map { case (d, i) =>
+          d.withColumn("__rstep", lit(i)) }.reduce(_.union(_))
+          .coalesce(spark.sparkContext.defaultParallelism)
+          .localCheckpoint(eager = false)
+        val counts = block.groupBy(col("__rstep")).count().collect()
+          .map(row => row.getInt(0) -> row.getLong(1)).toMap
+        val keep = (0 until Unroll).find(i => counts.getOrElse(i, 0L) == 0L)
+          .getOrElse(Unroll)
+        if (keep == 0) done = true
+        else {
+          acc = acc.union(block.filter(col("__rstep") < keep).drop("__rstep"))
+          frontier = block.filter(col("__rstep") === keep - 1).drop("__rstep")
+          blocks += 1
+          if (blocks % CkptEvery == 0)
+            // eager is fine: children are checkpoint-backed, this
+            // collapses a bounded union, nothing deeper
+            acc = acc.localCheckpoint()
+          if (keep < Unroll) done = true // an empty step ended the chain
+        }
       }
     }
     acc

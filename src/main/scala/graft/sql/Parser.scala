@@ -1591,6 +1591,27 @@ object Parser {
           // range(…) / generate_series(…) table functions with literal
           // integer bounds; generate_series is end-INCLUSIVE (DuckDB),
           // normalized here to half-open
+          // catalog-introspection table functions: duckdb_tables() &
+          // friends take NO arguments and resolve at dispatch like a
+          // view — the database substitutes a VALUES tree built from
+          // its live catalog (names/types in DuckDB's spelling)
+          case TIdent(fn, _) if IntrospectionFuncs.contains(fn.toLowerCase) && {
+                val save = p.i; p.next()
+                val isP = p.peek match { case TSym("(", _) => true; case _ => false }
+                p.i = save; isP
+              } =>
+            val fname = fn.toLowerCase
+            p.next()
+            for {
+              _ <- p.eatSym("(")
+              _ <- p.eatSym(")")
+            } yield {
+              val alias = p.peek match {
+                case TIdent(a, _) if !reserved(a) => p.next(); Some(a)
+                case _                            => None
+              }
+              FTable(TableRef(fname, alias)): FromItem
+            }
           case TIdent(fn, _) if (fn.equalsIgnoreCase("range") ||
               fn.equalsIgnoreCase("generate_series")) && {
                 val save = p.i; p.next()
@@ -4383,6 +4404,13 @@ object Parser {
 
   private val AlwaysTrue: Expr = Expr.Cmp(CmpOp.Eq,
     Operand.Literal(Lit.LitLong(1L)), Operand.Literal(Lit.LitLong(1L)))
+
+  /** Zero-argument catalog table functions (DuckDB introspection):
+    * parse to a plain table reference; GraftDatabase substitutes a
+    * VALUES tree from its live catalog at dispatch.
+    */
+  private[sql] val IntrospectionFuncs = Set(
+    "duckdb_tables", "duckdb_views", "duckdb_schemas", "duckdb_columns")
 
   /** Schema-qualified relation name: after an already-consumed first
     * identifier, a `.ident` tail makes it `schema.table`. An explicit

@@ -4798,4 +4798,39 @@ class DialectSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 3L)
   }
 
+  test("catalog introspection: duckdb_tables()/columns(), information_schema") {
+    val db = demoDb()
+    db.query("CREATE SCHEMA intr").fold(e => fail(e.msg), identity)
+    db.query("CREATE TABLE intr.extra (x DOUBLE, y VARCHAR(4))")
+    db.query("CREATE VIEW vv AS SELECT 1 AS one")
+    val t = db.select("SELECT schema_name, table_name, column_count " +
+      "FROM duckdb_tables() ORDER BY schema_name, table_name")
+      .fold(e => fail(e.msg), identity).collect()
+    assert(t.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      == Seq(("intr", "extra", 2L), ("main", "cars", 3L),
+        ("main", "people", 3L)))
+    // columns carry 1-based ordinals and DuckDB type spellings
+    val c = db.select("SELECT column_name, column_index, data_type " +
+      "FROM duckdb_columns() WHERE table_name = 'extra' ORDER BY column_index")
+      .fold(e => fail(e.msg), identity).collect()
+    assert(c.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      == Seq(("x", 1L, "DOUBLE"), ("y", 2L, "VARCHAR")))
+    // schemas list main + created; views list; information_schema union
+    assert(db.select("SELECT schema_name FROM duckdb_schemas() ORDER BY 1")
+      .toOption.get.collect().map(_.getString(0)).toSeq ==
+      Seq("intr", "main"))
+    assert(db.select("SELECT view_name FROM duckdb_views()").toOption.get
+      .collect().map(_.getString(0)).toSeq == Seq("vv"))
+    val ist = db.select("SELECT table_name, table_type FROM " +
+      "information_schema.tables ORDER BY table_type, table_name")
+      .fold(e => fail(e.msg), identity).collect()
+    assert(ist.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("cars", "BASE TABLE"), ("extra", "BASE TABLE"),
+        ("people", "BASE TABLE"), ("vv", "VIEW")))
+    // joins/aggregates over introspection work like any relation
+    val n = db.select("SELECT count(*) AS n FROM information_schema.columns " +
+      "WHERE table_schema = 'main'").toOption.get.collect().head.getLong(0)
+    assert(n == 6L)
+  }
+
 }
