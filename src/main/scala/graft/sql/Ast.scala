@@ -585,6 +585,14 @@ object Ast {
     * current-schema-first then main; CREATEs land in it.
     */
   final case class UseTree(name: String) extends ParseTree
+  /** ATTACH [DATABASE] '<warehouse-dir>' AS alias — the other
+    * warehouse's main-schema tables surface READ-ONLY as alias.t
+    * (imported through the external-table machinery, so every DML
+    * path rejects them). Session-scoped, like DuckDB's ATTACH.
+    */
+  final case class AttachTree(path: String, alias: String) extends ParseTree
+  /** DETACH alias — removes an attached database's tables. */
+  final case class DetachTree(alias: String) extends ParseTree
   /** EXECUTE name[(args)] — runs a session-scoped prepared statement.
     * Argument values are kept as raw SQL TEXT slices: they splice into
     * the stored body at the placeholder sites (parenthesized, like

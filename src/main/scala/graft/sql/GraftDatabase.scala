@@ -94,6 +94,17 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     */
   private val tempTables = mutable.Set.empty[String]
 
+  /** ATTACH'd databases: alias → the imported alias.t catalog keys
+    * (session-scoped; removed wholesale at DETACH).
+    */
+  private val attached = mutable.Map.empty[String, Seq[String]]
+
+  /** Cross-warehouse accessors for ATTACH (package-private). */
+  private[sql] def catalogTables: Map[String, TableDesc] = tables.toMap
+  private[sql] def tableDataPath(n: String): String = dataPath(n)
+  private[sql] def tableFormat(n: String): Option[String] =
+    externalFormat.get(n)
+
   Files.createDirectories(Paths.get(warehouse))
   loadSchemas()
   loadNamedTypes()
@@ -604,6 +615,44 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           currentSchema = n
           Right(Done(s"using schema $n"))
         } else Left(ViewError(s"schema '$n' does not exist"))
+      // ATTACH: import the other warehouse's main-schema tables as
+      // READ-ONLY alias.t externals (every DML path already rejects
+      // external names); lazily-built stats treat them like any
+      // external. Session-scoped — not persisted, gone on reopen.
+      case Ast.AttachTree(path, alias) =>
+        if (alias == "main" || schemas.contains(alias) ||
+            attached.contains(alias))
+          Left(ViewError(s"name '$alias' is already in use"))
+        else if (!Files.isDirectory(Paths.get(path)))
+          Left(ViewError(s"cannot attach '$path': not a directory"))
+        else if (Paths.get(path).toAbsolutePath.normalize ==
+            Paths.get(warehouse).toAbsolutePath.normalize)
+          Left(ViewError("cannot attach a warehouse to itself"))
+        else {
+          val other = new GraftDatabase(spark, path)
+          val imported = other.catalogTables.filter {
+            case (n, _) => !n.contains('.') // other's main schema only
+          }
+          imported.foreach { case (n, d) =>
+            val key = s"$alias.$n"
+            tables(key) = d.copy(name = key, bucket = None)
+            external(key) = other.tableDataPath(n)
+            other.tableFormat(n).foreach(externalFormat(key) = _)
+          }
+          attached(alias) = imported.keys.map(n => s"$alias.$n").toSeq
+          Right(Done(s"attached '$path' as $alias " +
+            s"(${imported.size} read-only table(s))"))
+        }
+      case Ast.DetachTree(alias) =>
+        attached.remove(alias) match {
+          case None => Left(ViewError(s"database '$alias' is not attached"))
+          case Some(keys) =>
+            keys.foreach { k =>
+              tables.remove(k); external.remove(k)
+              externalFormat.remove(k); statistics.dropTable(k)
+            }
+            Right(Done(s"detached $alias"))
+        }
       case Ast.ExecuteTree(n, ps, ns) => executeStmt(n, ps, ns)
       // CREATE TEMP TABLE: run the inner create, then mark the name
       // temp and re-save the catalog so the entry filters out

@@ -540,6 +540,22 @@ object Parser {
           p.next()
           p.ident().map(n => UseTree(n.toLowerCase): ParseTree)
         }
+        else if (p.isKw("attach")) {
+          p.next()
+          if (p.isKw("database")) p.next()
+          (p.peek match {
+            case TStr(path, _) => p.next(); Right(path)
+            case t => Left(ParseError(
+              "ATTACH takes a quoted warehouse directory path", t.pos))
+          }).flatMap(path =>
+            p.eatKw("as").flatMap(_ =>
+              p.ident().map(a => AttachTree(path, a.toLowerCase): ParseTree)))
+        }
+        else if (p.isKw("detach")) {
+          p.next()
+          if (p.isKw("database")) p.next()
+          p.ident().map(a => DetachTree(a.toLowerCase): ParseTree)
+        }
         // COMMENT ON TABLE|COLUMN|VIEW|… name IS 'text'|NULL — parsed
         // and existence-validated at dispatch, stored nowhere (no
         // catalog-function surface reads comments back; loud no-op)
@@ -4177,6 +4193,10 @@ object Parser {
           if (i < n) i += 1
         case '-' if i + 1 < n && sql(i + 1) == '-' =>
           while (i < n && sql(i) != '\n') i += 1
+        case '/' if i + 1 < n && sql(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < n && !(sql(i) == '*' && sql(i + 1) == '/')) i += 1
+          i = math.min(n, i + 2)
         case '?' =>
           out += (("?", i, i + 1)); i += 1
         case '$' if i + 1 < n &&

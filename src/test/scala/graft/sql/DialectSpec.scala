@@ -4579,6 +4579,10 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("PREPARE pl AS SELECT '$1' AS s, $1 AS v").isRight)
     val r = one("EXECUTE pl(9)")
     assert(r.getString(0) == "$1" && r.getLong(1) == 9L)
+    // …and inside comments (line and block) it is not a parameter
+    assert(db.query("PREPARE pc AS SELECT $1 /* not $2 */ AS v -- nor $3")
+      .isRight)
+    assert(one("EXECUTE pc(5)").getLong(0) == 5L)
     // error surfaces: unknown statement, arity, style mixing, unknown
     // named arg, dealloc of missing, body that is itself EXECUTE
     assert(db.query("EXECUTE nosuch(1)").isLeft)
@@ -4831,6 +4835,32 @@ class DialectSpec extends AnyFunSuite {
     val n = db.select("SELECT count(*) AS n FROM information_schema.columns " +
       "WHERE table_schema = 'main'").toOption.get.collect().head.getLong(0)
     assert(n == 6L)
+  }
+
+  test("ATTACH / DETACH: read-only cross-warehouse tables") {
+    val dbA = demoDb()
+    val dbB = freshDb()
+    dbB.query("CREATE TABLE ext (id INT, tag VARCHAR(8))")
+    dbB.query("INSERT INTO ext VALUES (1, 'b1'), (2, 'b2'), (3, 'b3')")
+    assert(dbA.query(s"ATTACH '${dbB.warehouse}' AS other").isRight)
+    // cross-warehouse join against a local table
+    val j = dbA.select("SELECT p.name, e.tag FROM people p, other.ext e " +
+      "WHERE p.id = e.id ORDER BY p.id")
+      .fold(e => fail(e.msg), identity).collect()
+    assert(j.length == 3 && j.head.getString(1) == "b1")
+    // attached tables are READ-ONLY; writes and drops reject
+    assert(dbA.query("INSERT INTO other.ext VALUES (4, 'x')").isLeft)
+    assert(dbA.query("DROP TABLE other.ext").isLeft)
+    assert(dbA.query("UPDATE other.ext SET tag = 'z'").isLeft)
+    // alias collisions and bad paths reject; DETACH removes
+    assert(dbA.query(s"ATTACH '${dbB.warehouse}' AS other").isLeft)
+    assert(dbA.query("ATTACH '/no/such/dir' AS ghost").isLeft)
+    assert(dbA.query("DETACH other").isRight)
+    assert(dbA.select("SELECT * FROM other.ext").isLeft)
+    assert(dbA.query("DETACH other").isLeft)
+    // the source warehouse was never touched
+    assert(dbB.select("SELECT count(*) AS n FROM ext").toOption.get
+      .collect().head.getLong(0) == 3L)
   }
 
 }
