@@ -593,6 +593,19 @@ object Ast {
   final case class AttachTree(path: String, alias: String) extends ParseTree
   /** DETACH alias — removes an attached database's tables. */
   final case class DetachTree(alias: String) extends ParseTree
+  /** EXPORT DATABASE '<dir>' — writes schema.sql (one regenerated DDL
+    * statement per line: schemas, types, sequences, tables, views,
+    * matviews, macros), load.sql (COPY … FROM parquet per table) and
+    * per-table parquet data. IMPORT DATABASE replays both files.
+    */
+  final case class ExportDbTree(dir: String) extends ParseTree
+  final case class ImportDbTree(dir: String) extends ParseTree
+  /** BEGIN [TRANSACTION] / COMMIT are accepted as loud no-ops (every
+    * write is already an atomic copy-on-write statement); ROLLBACK /
+    * ABORT are ERRORS — nothing can be undone, and pretending
+    * otherwise would corrupt a script's expectations silently.
+    */
+  final case class TxnTree(kind: String) extends ParseTree
   /** EXECUTE name[(args)] — runs a session-scoped prepared statement.
     * Argument values are kept as raw SQL TEXT slices: they splice into
     * the stored body at the placeholder sites (parenthesized, like

@@ -105,6 +105,105 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   private[sql] def tableFormat(n: String): Option[String] =
     externalFormat.get(n)
 
+  /** EXPORT DATABASE: schema.sql (one regenerated DDL statement per
+    * line — schemas, ENUM types, sequences continuing from their
+    * current value, tables with NOT NULL / DEFAULT / GENERATED / CHECK
+    * / CLUSTERED BY, then stored view/matview/macro statements in
+    * creation order), load.sql (COPY … FROM parquet per table) and
+    * per-table parquet data dirs. Attached/external tables are
+    * metadata of OTHER stores and are skipped. IMPORT DATABASE replays
+    * both files line by line through the ordinary query path.
+    */
+  private def exportDb(dir: String): Either[QueryError, QueryResult] = {
+    def litSql(l: Lit): String = l match {
+      case Lit.LitLong(v)      => v.toString
+      case Lit.LitDouble(v)    => v.toString
+      case Lit.LitString(v)    => s"'${v.replace("'", "''")}'"
+      case Lit.LitBool(v)      => v.toString
+      case Lit.LitDate(d)      => s"DATE '$d'"
+      case Lit.LitTimestamp(t) => s"TIMESTAMP '$t'"
+      case _                   => "NULL"
+    }
+    def createSql(d: TableDesc): String = {
+      val cols = d.attributes.map { a =>
+        s"${a.name} ${renderType(a.sqlType)}" +
+          a.generated.map(g => s" GENERATED ALWAYS AS ($g)").getOrElse("") +
+          a.default.map(l => s" DEFAULT ${litSql(l)}").getOrElse("") +
+          (if (a.nullable) "" else " NOT NULL")
+      }
+      val checks = d.checks.map(c => s"CHECK ($c)")
+      val bucket = d.bucket.map { case (c, n) =>
+        s" CLUSTERED BY ($c) INTO $n BUCKETS" }.getOrElse("")
+      s"CREATE TABLE ${d.name} (${(cols ++ checks).mkString(", ")})$bucket"
+    }
+    try {
+      Files.createDirectories(Paths.get(dir))
+      val owned = tables.keys.toSeq.sorted
+        .filterNot(k => external.contains(k) || tempTables.contains(k))
+        .filterNot(k => matviews.contains(k)) // matviews replay their DDL
+      val oneLine = (s: String) =>
+        s.replace('\n', ' ').replace('\r', ' ').trim.stripSuffix(";")
+      val schema = Vector.newBuilder[String]
+      schemas.toSeq.sorted.foreach(s => schema += s"CREATE SCHEMA $s;")
+      namedTypes.foreach { case (n, e) =>
+        schema += s"CREATE TYPE $n AS ENUM (${e.values.map(v =>
+          s"'${v.replace("'", "''")}'").mkString(", ")});"
+      }
+      sequences.foreach { case (n, st) =>
+        val start = st.current.map(_ + st.inc).getOrElse(st.start)
+        val bounds =
+          (if (st.minv != Long.MinValue) s" MINVALUE ${st.minv}" else "") +
+          (if (st.maxv != Long.MaxValue) s" MAXVALUE ${st.maxv}" else "")
+        schema += s"CREATE SEQUENCE $n START $start INCREMENT BY " +
+          s"${st.inc}$bounds${if (st.cycle) " CYCLE" else ""};"
+      }
+      owned.foreach(k => schema += createSql(tables(k)) + ";")
+      viewSql.values.foreach(v => schema += oneLine(v) + ";")
+      matviewSql.values.foreach(v => schema += oneLine(v) + ";")
+      macros.foreach { case (n, m) =>
+        val ps = m.params.map { case (pn, d) =>
+          pn + d.map(" := " + _).getOrElse("") }.mkString(", ")
+        schema += oneLine(s"CREATE MACRO $n($ps) AS " +
+          s"${if (m.table) "TABLE " else ""}${m.body}") + ";"
+      }
+      Files.write(Paths.get(s"$dir/schema.sql"),
+        schema.result().mkString("\n").getBytes("UTF-8"))
+      val load = Vector.newBuilder[String]
+      owned.foreach { k =>
+        val dataDir = s"$dir/data_${k.replace('.', '_')}"
+        readTable(tables(k)).write.mode("overwrite").parquet(dataDir)
+        load += s"COPY $k FROM '$dataDir' (FORMAT parquet);"
+      }
+      Files.write(Paths.get(s"$dir/load.sql"),
+        load.result().mkString("\n").getBytes("UTF-8"))
+      Right(Done(s"exported ${owned.length} table(s), ${viewSql.size} " +
+        s"view(s), ${matviewSql.size} matview(s) to '$dir'"))
+    } catch {
+      case e: Exception => Left(ViewError(
+        s"EXPORT DATABASE failed: ${Option(e.getMessage).getOrElse(e.toString)}"))
+    }
+  }
+
+  private def importDb(dir: String): Either[QueryError, QueryResult] = {
+    val sp = Paths.get(s"$dir/schema.sql")
+    val lp = Paths.get(s"$dir/load.sql")
+    if (!Files.exists(sp))
+      return Left(ViewError(s"no schema.sql under '$dir'"))
+    val stmts =
+      (Files.readAllLines(sp).asScala.toSeq ++
+        (if (Files.exists(lp)) Files.readAllLines(lp).asScala.toSeq
+         else Nil)).map(_.trim).filter(_.nonEmpty)
+    var n = 0
+    for (st <- stmts) {
+      query(st.stripSuffix(";")) match {
+        case Left(e) => return Left(ViewError(
+          s"IMPORT DATABASE failed at '${st.take(60)}': ${e.msg}"))
+        case Right(_) => n += 1
+      }
+    }
+    Right(Done(s"imported $n statement(s) from '$dir'"))
+  }
+
   Files.createDirectories(Paths.get(warehouse))
   loadSchemas()
   loadNamedTypes()
@@ -332,7 +431,23 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     "(?is)\\s*prepare\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+as\\s+(.+)".r
   private val prepared = mutable.Map.empty[String, String]
 
-  def query(sql0: String): Either[QueryError, QueryResult] = {
+  def query(sql0a: String): Either[QueryError, QueryResult] = {
+    // multi-statement scripts ("a; b; c") run in order; the LAST
+    // result returns (DuckDB connection behavior). The split is
+    // quote/comment-aware; a lone trailing `;` is just stripped.
+    val parts = Parser.splitStatements(sql0a)
+    if (parts.isEmpty) return Left(ViewError("empty statement"))
+    if (parts.length > 1) {
+      var last: Either[QueryError, QueryResult] = Right(Done("empty"))
+      for (part <- parts) {
+        query(part) match {
+          case l @ Left(_) => return l
+          case r           => last = r
+        }
+      }
+      return last
+    }
+    val sql0 = parts.head
     Parser.setNamedTypes(namedTypes.toMap)
     val prepM = PrepareDdl.pattern.matcher(sql0)
     if (prepM.matches())
@@ -653,6 +768,18 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
             }
             Right(Done(s"detached $alias"))
         }
+      case Ast.ExportDbTree(dir) => exportDb(dir)
+      case Ast.ImportDbTree(dir) => importDb(dir)
+      case Ast.TxnTree(kind) => kind match {
+        case "begin" | "commit" => Right(Done(s"${kind.toUpperCase} " +
+          "noted as a no-op (every write is an atomic copy-on-write " +
+          "statement; there is no multi-statement transaction scope)"))
+        case "checkpoint" | "vacuum" => Right(Done(
+          s"${kind.toUpperCase} noted as a no-op (immutable parquet " +
+            "storage has no WAL or dead tuples)"))
+        case _ => Left(ViewError("transactions are not supported — " +
+          s"${kind.toUpperCase} cannot undo already-applied statements"))
+      }
       case Ast.ExecuteTree(n, ps, ns) => executeStmt(n, ps, ns)
       // CREATE TEMP TABLE: run the inner create, then mark the name
       // temp and re-save the catalog so the entry filters out

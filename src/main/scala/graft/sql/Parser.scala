@@ -556,6 +556,39 @@ object Parser {
           if (p.isKw("database")) p.next()
           p.ident().map(a => DetachTree(a.toLowerCase): ParseTree)
         }
+        else if (p.isKw("export"))
+          for {
+            _ <- p.eatKw("export")
+            _ <- p.eatKw("database")
+            dir <- p.peek match {
+              case TStr(d, _) => p.next(); Right(d)
+              case t => Left(ParseError(
+                "EXPORT DATABASE takes a quoted directory path", t.pos))
+            }
+          } yield ExportDbTree(dir): ParseTree
+        else if (p.isKw("import"))
+          for {
+            _ <- p.eatKw("import")
+            _ <- p.eatKw("database")
+            dir <- p.peek match {
+              case TStr(d, _) => p.next(); Right(d)
+              case t => Left(ParseError(
+                "IMPORT DATABASE takes a quoted directory path", t.pos))
+            }
+          } yield ImportDbTree(dir): ParseTree
+        else if (p.isKw("begin") || p.isKw("commit") ||
+            p.isKw("rollback") || p.isKw("abort")) {
+          val TIdent(k, _) = p.next(): @unchecked
+          if (p.isKw("transaction") || p.isKw("work")) p.next()
+          Right(TxnTree(k.toLowerCase): ParseTree)
+        }
+        // CHECKPOINT / VACUUM: DuckDB maintenance statements with no
+        // analogue over immutable parquet — accepted as loud no-ops
+        else if (p.isKw("checkpoint") || p.isKw("vacuum")) {
+          val TIdent(k, _) = p.next(): @unchecked
+          if (p.isKw("analyze")) p.next() // VACUUM ANALYZE sugar
+          Right(TxnTree(k.toLowerCase): ParseTree)
+        }
         // COMMENT ON TABLE|COLUMN|VIEW|… name IS 'text'|NULL — parsed
         // and existence-validated at dispatch, stored nowhere (no
         // catalog-function surface reads comments back; loud no-op)
@@ -4219,6 +4252,49 @@ object Parser {
   /** The parameter tokens of a prepared body, in source order. */
   def scanParams(sql: String): Vector[String] = paramSites(sql).map(_._1)
 
+  /** Splits a script on top-level `;` (outside quotes and comments)
+    * into trimmed non-empty statements — multi-statement input runs
+    * each in order through the ordinary query path.
+    */
+  def splitStatements(sql: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val n = sql.length
+    var i = 0
+    var start = 0
+    def emit(end: Int): Unit = {
+      val s = sql.substring(start, end).trim
+      if (s.nonEmpty) out += s
+    }
+    while (i < n) {
+      sql(i) match {
+        case '\'' =>
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            if (sql(i) == '\'') {
+              if (i + 1 < n && sql(i + 1) == '\'') i += 2
+              else { done = true; i += 1 }
+            } else i += 1
+          }
+        case '"' =>
+          i += 1
+          while (i < n && sql(i) != '"') i += 1
+          if (i < n) i += 1
+        case '-' if i + 1 < n && sql(i + 1) == '-' =>
+          while (i < n && sql(i) != '\n') i += 1
+        case '/' if i + 1 < n && sql(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < n && !(sql(i) == '*' && sql(i + 1) == '/')) i += 1
+          i = math.min(n, i + 2)
+        case ';' =>
+          emit(i); i += 1; start = i
+        case _ => i += 1
+      }
+    }
+    emit(n)
+    out.result()
+  }
+
   /** Splices argument TEXT into each parameter site (parenthesized, so
     * precedence cannot leak — the macro-splice rule). The resolver gets
     * the site token ("1" / "name" / "?") and the site's ordinal among
@@ -4635,7 +4711,8 @@ object Parser {
             sel <- parseSelectOrUnion(p)
             _ <- p.eatSym(")")
           } yield Right(sel): Either[String, ParseTree]
-        case _ => p.ident().map(Left(_): Either[String, ParseTree])
+        case _ => p.ident().map(qualifiedTail(p, _))
+          .map(Left(_): Either[String, ParseTree])
       }
       toDir <-
         if (p.isKw("to")) { p.next(); Right(true) }

@@ -4863,4 +4863,66 @@ class DialectSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 3L)
   }
 
+  test("EXPORT DATABASE / IMPORT DATABASE round-trip") {
+    val db = demoDb()
+    db.query("CREATE SCHEMA exs").fold(e => fail(e.msg), identity)
+    db.query("CREATE TABLE exs.t2 (id INT NOT NULL, v VARCHAR(8) " +
+      "DEFAULT 'd')").fold(e => fail(e.msg), identity)
+    db.query("INSERT INTO exs.t2 (id) VALUES (10), (11)")
+    db.query("CREATE VIEW adult2 AS SELECT name FROM people WHERE age > 21")
+      .fold(e => fail(e.msg), identity)
+    db.query("CREATE SEQUENCE exseq START 5")
+    db.query("SELECT nextval('exseq') AS n").fold(e => fail(e.msg), identity)
+    db.query("CREATE MACRO exm(x) AS x * 2")
+    val dir = Files.createTempDirectory("graft-export").toString
+    val Right(db.Done(msg)) = db.query(s"EXPORT DATABASE '$dir'"): @unchecked
+    assert(msg.contains("exported"))
+    // import into a FRESH warehouse reproduces relations and data
+    val db2 = freshDb()
+    db2.query(s"IMPORT DATABASE '$dir'").fold(e => fail(e.msg), identity)
+    assert(db2.select("SELECT count(*) AS n FROM people").toOption.get
+      .collect().head.getLong(0) == 3L)
+    val t2 = db2.select("SELECT id, v FROM exs.t2 ORDER BY id")
+      .fold(e => fail(e.msg), identity).collect()
+    assert(t2.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((10, "d"), (11, "d"))) // DEFAULT survived the round-trip
+    assert(db2.select("SELECT * FROM adult2").toOption.get
+      .collect().length == 1)
+    // the sequence continues PAST the exported current value
+    assert(db2.select("SELECT nextval('exseq') AS n").toOption.get
+      .collect().head.getLong(0) == 6L)
+    // the macro works
+    assert(db2.select("SELECT exm(21) AS v").toOption.get
+      .collect().head.getLong(0) == 42L)
+    // NOT NULL survived: inserting NULL id rejects
+    assert(db2.query("INSERT INTO exs.t2 VALUES (NULL, 'x')").isLeft)
+    assert(db2.query("IMPORT DATABASE '/no/such/dir'").isLeft)
+  }
+
+  test("multi-statement scripts and transaction notices") {
+    val db = freshDb()
+    // a script runs in order; the LAST statement's result returns
+    val r = db.select("CREATE TABLE ms (x INT); " +
+      "INSERT INTO ms VALUES (1), (2); -- a comment; with a semicolon\n" +
+      "SELECT sum(x) AS s FROM ms;")
+      .fold(e => fail(e.msg), identity).collect()
+    assert(r.head.getLong(0) == 3L)
+    // a failing middle statement stops the script
+    assert(db.query("INSERT INTO ms VALUES (3); BROKEN; " +
+      "INSERT INTO ms VALUES (4)").isLeft)
+    assert(db.select("SELECT count(*) AS n FROM ms").toOption.get
+      .collect().head.getLong(0) == 3L) // 3 landed, 4 never ran
+    // semicolons inside strings do not split
+    val s = db.select("SELECT 'a;b' AS v").toOption.get.collect().head
+    assert(s.getString(0) == "a;b")
+    // BEGIN/COMMIT are loud no-ops; ROLLBACK is an honest error
+    assert(db.query("BEGIN TRANSACTION").isRight)
+    assert(db.query("COMMIT").isRight)
+    assert(db.query("ROLLBACK").isLeft)
+    assert(db.query("ABORT").isLeft)
+    // maintenance statements: accepted, loudly no-op'd
+    assert(db.query("CHECKPOINT").isRight)
+    assert(db.query("VACUUM ANALYZE").isRight)
+  }
+
 }
