@@ -5445,6 +5445,26 @@ object Dialect {
       Some("""SELECT c.c_mktsegment, cast(count(*) AS bigint) AS n
              |FROM orders o, customer c
              |WHERE o.o_totalprice > 450000 AND o.o_custkey = c.c_custkey
-             |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin))
+             |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)),
+
+    // SET VARIABLE / getvariable (DuckDB session variables): the
+    // variable value — itself computed through an expression over
+    // another variable — splices into the query textually. The oracle
+    // inlines the resolved constant (the driver's one-statement oracle
+    // cannot carry session state).
+    "q_dialect_setvar" -> QueryDef(
+      (s, d) => {
+        val g = db(s, d, "orders")
+        g.query("SET VARIABLE sv_base = 100000")
+          .fold(e => sys.error(e.msg), identity)
+        g.query("SET VARIABLE sv_min = getvariable('sv_base') * 3 / 2")
+          .fold(e => sys.error(e.msg), identity)
+        run(g, "SELECT o_orderpriority, count(*) AS n FROM orders " +
+          "WHERE o_totalprice > getvariable('sv_min') " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, cast(count(*) AS bigint) AS n
+             |FROM orders WHERE o_totalprice > 150000
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -600,6 +600,14 @@ object Ast {
     */
   final case class ExportDbTree(dir: String) extends ParseTree
   final case class ImportDbTree(dir: String) extends ParseTree
+  /** SET VARIABLE x = <constant expr> / RESET VARIABLE x — DuckDB
+    * session variables. The value text evaluates through a FROM-less
+    * SELECT at SET time; getvariable('x') splices the stored literal
+    * back textually before parse (missing variables read NULL).
+    */
+  final case class SetVariableTree(name: String,
+      valueText: String) extends ParseTree
+  final case class ResetVariableTree(name: String) extends ParseTree
   /** BEGIN [TRANSACTION] / COMMIT are accepted as loud no-ops (every
     * write is already an atomic copy-on-write statement); ROLLBACK /
     * ABORT are ERRORS — nothing can be undone, and pretending

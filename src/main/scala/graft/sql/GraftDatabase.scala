@@ -452,14 +452,40 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     val prepM = PrepareDdl.pattern.matcher(sql0)
     if (prepM.matches())
       return prepareStmt(prepM.group(1).toLowerCase, prepM.group(2).trim)
-    // macro calls expand textually BEFORE parse — except in the macro
-    // DDL statements themselves (a redefinition must not expand)
+    // macro calls and getvariable('x') references expand textually
+    // BEFORE parse — except in the macro DDL statements themselves (a
+    // redefinition must not expand)
     val expanded =
       if (MacroDdl.pattern.matcher(sql0).matches()) Right(sql0)
       else Parser.expandMacros(sql0, macros.toMap).left.map(ParseFailed)
+        .flatMap(s => Parser.expandGetVariable(s, sessionVars.toMap)
+          .left.map(ParseFailed))
     expanded.flatMap { sql =>
       Parser.parse(sql).left.map(ParseFailed).flatMap(t => dispatch(t, sql))
     }
+  }
+
+  /** SET VARIABLE session store (DuckDB variables) — literal values
+    * only; getvariable('x') splices them back textually at parse.
+    */
+  private val sessionVars = mutable.Map.empty[String, Lit]
+
+  private def litOfValue(v: Any): Option[Lit] = v match {
+    case null                 => Some(Lit.LitNull)
+    case x: java.lang.Long    => Some(Lit.LitLong(x))
+    case x: java.lang.Integer => Some(Lit.LitLong(x.longValue))
+    case x: java.lang.Short   => Some(Lit.LitLong(x.longValue))
+    case x: java.lang.Double  => Some(Lit.LitDouble(x))
+    case x: java.lang.Float   => Some(Lit.LitDouble(x.doubleValue))
+    case x: java.math.BigDecimal => Some(Lit.LitDouble(x.doubleValue))
+    case x: String            => Some(Lit.LitString(x))
+    case x: java.lang.Boolean => Some(Lit.LitBool(x))
+    case x: java.sql.Date     => Some(Lit.LitDate(x.toString))
+    case x: java.time.LocalDate => Some(Lit.LitDate(x.toString))
+    case x: java.sql.Timestamp =>
+      Some(Lit.LitTimestamp(x.toLocalDateTime.toString))
+    case x: java.time.LocalDateTime => Some(Lit.LitTimestamp(x.toString))
+    case _ => None
   }
 
   /** PREPARE name AS <body>: validates the body now (DuckDB binds at
@@ -770,6 +796,27 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         }
       case Ast.ExportDbTree(dir) => exportDb(dir)
       case Ast.ImportDbTree(dir) => importDb(dir)
+      // SET VARIABLE: the value text evaluates through a FROM-less
+      // SELECT (so constant expressions, getvariable references and
+      // scalar subqueries over catalog tables all work), then stores
+      // as a literal
+      case Ast.SetVariableTree(n, txt) =>
+        select(s"SELECT ($txt) AS __v").flatMap { df =>
+          val rows = df.limit(2).collect()
+          if (rows.length != 1 || rows.head.size != 1)
+            Left(ViewError("SET VARIABLE value must be a single scalar"))
+          else litOfValue(rows.head.get(0)) match {
+            case Some(l) =>
+              sessionVars(n) = l
+              Right(Done(s"set variable $n"))
+            case None => Left(ViewError(
+              s"unsupported variable value type for '$n' (scalar " +
+                "INTEGER/DOUBLE/VARCHAR/BOOLEAN/DATE/TIMESTAMP only)"))
+          }
+        }
+      case Ast.ResetVariableTree(n) =>
+        sessionVars.remove(n)
+        Right(Done(s"reset variable $n"))
       case Ast.TxnTree(kind) => kind match {
         case "begin" | "commit" => Right(Done(s"${kind.toUpperCase} " +
           "noted as a no-op (every write is an atomic copy-on-write " +

@@ -677,6 +677,31 @@ object Parser {
         // session, not per-statement state)
         else if (p.isKw("set")) {
           p.next()
+          // SET VARIABLE x = <constant expr> (DuckDB session variables):
+          // the VALUE is captured as raw text and evaluated by the
+          // database through a FROM-less SELECT; getvariable('x') calls
+          // splice the stored literal back in textually before parse
+          if (p.isKw("variable")) {
+            p.next()
+            for {
+              name <- p.ident()
+              _ <- if (p.peek match {
+                  case TSym("=", _) => p.next(); true
+                  case TIdent(k, _) if k.equalsIgnoreCase("to") =>
+                    p.next(); true
+                  case _ => false
+                }) Right(())
+                else Left(ParseError("expected = or TO", p.peek.pos))
+              txt <- p.peek match {
+                case TEnd(pos) =>
+                  Left(ParseError("SET VARIABLE needs a value", pos))
+                case t =>
+                  val raw = p.src.substring(t.pos).trim.stripSuffix(";").trim
+                  while (!p.peek.isInstanceOf[TEnd]) p.next()
+                  Right(raw)
+              }
+            } yield SetVariableTree(name.toLowerCase, txt): ParseTree
+          } else
           for {
             name <- p.ident()
             _ <- if (p.peek match {
@@ -689,7 +714,11 @@ object Parser {
         }
         else if (p.isKw("reset")) {
           p.next()
-          p.ident().map(n => SetOptionTree(n.toLowerCase, None): ParseTree)
+          if (p.isKw("variable")) {
+            p.next()
+            p.ident().map(n => ResetVariableTree(n.toLowerCase): ParseTree)
+          } else
+            p.ident().map(n => SetOptionTree(n.toLowerCase, None): ParseTree)
         }
         else Left(ParseError(
           "expected SELECT, INSERT, CREATE, DROP, DELETE, UPDATE or REFRESH", p.peek.pos))
@@ -4251,6 +4280,57 @@ object Parser {
 
   /** The parameter tokens of a prepared body, in source order. */
   def scanParams(sql: String): Vector[String] = paramSites(sql).map(_._1)
+
+  /** Replaces getvariable('name') calls with the stored variable's
+    * literal SQL text (NULL when unset) — token-scanned like macro
+    * expansion, so occurrences inside strings/comments are untouched.
+    * Values render with their type pinned (CAST for DOUBLE, DATE /
+    * TIMESTAMP literals) so splicing preserves typing.
+    */
+  def expandGetVariable(sql0: String,
+      vars: Map[String, Lit]): Either[ParseError, String] = {
+    if (!sql0.toLowerCase.contains("getvariable")) return Right(sql0)
+    def render(l: Lit): String = l match {
+      case Lit.LitLong(v)      => v.toString
+      case Lit.LitDouble(v)    => s"CAST($v AS DOUBLE)"
+      case Lit.LitString(v)    => s"'${v.replace("'", "''")}'"
+      case Lit.LitBool(v)      => v.toString
+      case Lit.LitDate(d)      => s"DATE '$d'"
+      case Lit.LitTimestamp(t) => s"TIMESTAMP '$t'"
+      case _                   => "NULL"
+    }
+    var sql = sql0
+    var iter = 0
+    while (iter < 100) {
+      iter += 1
+      lex(sql) match {
+        case Left(e) => return Left(e)
+        case Right(toks) =>
+          val i = toks.indices.find { j =>
+            (toks(j) match {
+              case TIdent(n, _) => n.equalsIgnoreCase("getvariable")
+              case _            => false
+            }) && ((toks.lift(j + 1), toks.lift(j + 2), toks.lift(j + 3)) match {
+              case (Some(TSym("(", _)), Some(TStr(_, _)),
+                    Some(TSym(")", _))) => true
+              case _ => false
+            })
+          }
+          i match {
+            case None => return Right(sql)
+            case Some(j) =>
+              val from = toks(j).pos
+              val until = toks(j + 3).pos + 1
+              val TStr(name, _) = toks(j + 2): @unchecked
+              val value = vars.get(name.toLowerCase)
+                .map(render).getOrElse("NULL")
+              sql = sql.substring(0, from) + "(" + value + ")" +
+                sql.substring(until)
+          }
+      }
+    }
+    Right(sql)
+  }
 
   /** Splits a script on top-level `;` (outside quotes and comments)
     * into trimmed non-empty statements — multi-statement input runs

@@ -4925,4 +4925,36 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("VACUUM ANALYZE").isRight)
   }
 
+  test("SET VARIABLE / getvariable: literals, expressions, scoping") {
+    val db = demoDb()
+    assert(db.query("SET VARIABLE lim = 21").isRight)
+    val r = db.select("SELECT name FROM people WHERE age > getvariable('lim')")
+      .fold(e => fail(e.msg), identity).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("Dr. Emmett L. „Doc“ Brown"))
+    // constant expressions and references to other variables evaluate
+    assert(db.query("SET VARIABLE lim2 = getvariable('lim') * 2").isRight)
+    assert(db.select("SELECT getvariable('lim2') AS v").toOption.get
+      .collect().head.getLong(0) == 42L)
+    // scalar-subquery values over catalog tables work
+    assert(db.query(
+      "SET VARIABLE topage = (SELECT max(age) FROM people)").isRight)
+    assert(db.select("SELECT getvariable('topage') AS v").toOption.get
+      .collect().head.getLong(0) == 30L)
+    // strings splice quoted; unset variables read NULL; RESET unsets
+    db.query("SET VARIABLE who = 'Elon'")
+    assert(db.select("SELECT count(*) AS n FROM people " +
+      "WHERE name = getvariable('who')").toOption.get
+      .collect().head.getLong(0) == 1L)
+    assert(db.select("SELECT getvariable('missing') IS NULL AS m")
+      .toOption.get.collect().head.getBoolean(0))
+    db.query("RESET VARIABLE who")
+    assert(db.select("SELECT getvariable('who') IS NULL AS m").toOption.get
+      .collect().head.getBoolean(0))
+    // inside a string literal, getvariable is TEXT, not a call
+    assert(db.select("SELECT 'getvariable(''x'')' AS s").toOption.get
+      .collect().head.getString(0) == "getvariable('x')")
+    // non-scalar values reject loudly
+    assert(db.query("SET VARIABLE bad = [1, 2, 3]").isLeft)
+  }
+
 }
