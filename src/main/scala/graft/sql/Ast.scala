@@ -608,6 +608,12 @@ object Ast {
   final case class SetVariableTree(name: String,
       valueText: String) extends ParseTree
   final case class ResetVariableTree(name: String) extends ParseTree
+  /** PRAGMA name[('arg')] — the tool-compat introspection pragmas:
+    * table_info (DuckDB's exact six-column shape), version,
+    * database_size, show_tables. Unknown pragmas error loudly.
+    */
+  final case class PragmaTree(name: String,
+      arg: Option[String]) extends ParseTree
   /** BEGIN [TRANSACTION] / COMMIT are accepted as loud no-ops (every
     * write is already an atomic copy-on-write statement); ROLLBACK /
     * ABORT are ERRORS — nothing can be undone, and pretending

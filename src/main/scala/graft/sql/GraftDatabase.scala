@@ -184,6 +184,67 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** The tool-compat PRAGMAs: table_info matches DuckDB's exact shape
+    * (cid 0-based, DuckDB type spellings, notnull, rendered default,
+    * pk always false — PRIMARY KEY is parse-and-ignored like the
+    * reference); version/database_size are engine-honest; show_tables
+    * delegates. Unknown pragmas error like DuckDB.
+    */
+  private def pragma(name: String,
+      arg: Option[String]): Either[QueryError, QueryResult] = {
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType,
+      StructField, StructType}
+    name match {
+      case "table_info" => arg match {
+        case None => Left(ViewError("PRAGMA table_info takes a table name"))
+        case Some(t) => cat.resolve(t) match {
+          case None => Left(AnalyzeFailed(RelationNotFound(t)))
+          case Some(desc) =>
+            def litText(l: Lit): String = l match {
+              case Lit.LitString(v) => v
+              case Lit.LitLong(v)   => v.toString
+              case Lit.LitDouble(v) => v.toString
+              case Lit.LitBool(v)   => v.toString
+              case other            => other.toString
+            }
+            val schema = StructType(Seq(
+              StructField("cid", LongType, nullable = false),
+              StructField("name", StringType, nullable = false),
+              StructField("type", StringType, nullable = false),
+              StructField("notnull", BooleanType, nullable = false),
+              StructField("dflt_value", StringType, nullable = true),
+              StructField("pk", BooleanType, nullable = false)))
+            Right(Rows(localRows(schema,
+              desc.attributes.zipWithIndex.map { case (a, i) =>
+                Row(i.toLong, a.name, Analyzer.duckTypeName(a.sqlType),
+                  !a.nullable, a.default.map(litText).orNull, false)
+              })))
+        }
+      }
+      case "version" =>
+        val schema = StructType(Seq(
+          StructField("library_version", StringType, nullable = false),
+          StructField("source_id", StringType, nullable = false)))
+        Right(Rows(localRows(schema,
+          Seq(Row(s"graft (spark ${spark.version})", "graft")))))
+      case "database_size" =>
+        def dirBytes(p: java.nio.file.Path): Long =
+          if (!Files.exists(p)) 0L
+          else Files.walk(p).filter(Files.isRegularFile(_))
+            .mapToLong(Files.size(_)).sum()
+        val schema = StructType(Seq(
+          StructField("database_name", StringType, nullable = false),
+          StructField("schema_count", LongType, nullable = false),
+          StructField("table_count", LongType, nullable = false),
+          StructField("total_bytes", LongType, nullable = false)))
+        Right(Rows(localRows(schema, Seq(Row("graft",
+          (schemas.size + 1).toLong, tables.size.toLong,
+          dirBytes(Paths.get(s"$warehouse/data")))))))
+      case "show_tables" => showTables()
+      case other => Left(ViewError(s"unknown pragma '$other'"))
+    }
+  }
+
   private def importDb(dir: String): Either[QueryError, QueryResult] = {
     val sp = Paths.get(s"$dir/schema.sql")
     val lp = Paths.get(s"$dir/load.sql")
@@ -817,6 +878,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case Ast.ResetVariableTree(n) =>
         sessionVars.remove(n)
         Right(Done(s"reset variable $n"))
+      case Ast.PragmaTree(name, arg) => pragma(name, arg)
       case Ast.TxnTree(kind) => kind match {
         case "begin" | "commit" => Right(Done(s"${kind.toUpperCase} " +
           "noted as a no-op (every write is an atomic copy-on-write " +

@@ -582,6 +582,22 @@ object Parser {
           if (p.isKw("transaction") || p.isKw("work")) p.next()
           Right(TxnTree(k.toLowerCase): ParseTree)
         }
+        else if (p.isKw("pragma"))
+          for {
+            _ <- p.eatKw("pragma")
+            name <- p.ident()
+            arg <- p.peek match {
+              case TSym("(", _) =>
+                p.next()
+                (p.peek match {
+                  case TStr(s, _)   => p.next(); Right(Some(s))
+                  case TIdent(s, _) => p.next(); Right(Some(s))
+                  case t => Left(ParseError(
+                    "PRAGMA argument must be a name or string", t.pos))
+                }).flatMap(a => p.eatSym(")").map(_ => a))
+              case _ => Right(None)
+            }
+          } yield PragmaTree(name.toLowerCase, arg): ParseTree
         // CHECKPOINT / VACUUM: DuckDB maintenance statements with no
         // analogue over immutable parquet — accepted as loud no-ops
         else if (p.isKw("checkpoint") || p.isKw("vacuum")) {

@@ -4957,4 +4957,24 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("SET VARIABLE bad = [1, 2, 3]").isLeft)
   }
 
+  test("PRAGMA table_info / version / database_size / show_tables") {
+    val db = freshDb()
+    db.query("CREATE TABLE pt (a INT NOT NULL, b VARCHAR(8) DEFAULT 'x', " +
+      "c DOUBLE)").fold(e => fail(e.msg), identity)
+    val ti = db.select("PRAGMA table_info('pt')").toOption.get.collect()
+    assert(ti.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getBoolean(3), r.getString(4))).toSeq == Seq(
+      (0L, "a", "INTEGER", true, null),
+      (1L, "b", "VARCHAR", false, "x"),
+      (2L, "c", "DOUBLE", false, null)))
+    assert(db.select("PRAGMA table_info(pt)").isRight) // bare-name form
+    assert(db.query("PRAGMA table_info('ghost')").isLeft)
+    assert(db.select("PRAGMA version").toOption.get.collect().length == 1)
+    val sz = db.select("PRAGMA database_size").toOption.get.collect().head
+    assert(sz.getLong(2) == 1L) // one table
+    assert(db.select("PRAGMA show_tables").toOption.get
+      .collect().map(_.getString(0)).toSeq == Seq("pt"))
+    assert(db.query("PRAGMA bogus").isLeft)
+  }
+
 }
