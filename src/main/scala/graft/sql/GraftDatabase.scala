@@ -141,8 +141,34 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       val owned = tables.keys.toSeq.sorted
         .filterNot(k => external.contains(k) || tempTables.contains(k))
         .filterNot(k => matviews.contains(k)) // matviews replay their DDL
-      val oneLine = (s: String) =>
-        s.replace('\n', ' ').replace('\r', ' ').trim.stripSuffix(";")
+      // flattening a multi-line statement onto one schema.sql line must
+      // strip `--` comments FIRST (quote-aware) — otherwise a comment
+      // inside the definition would swallow the rest of the flattened
+      // statement
+      val oneLine = (s0: String) => {
+        val sb = new StringBuilder
+        var i = 0
+        val n = s0.length
+        while (i < n) {
+          s0(i) match {
+            case '\'' =>
+              sb += '\''; i += 1
+              var done = false
+              while (i < n && !done) {
+                sb += s0(i)
+                if (s0(i) == '\'') {
+                  if (i + 1 < n && s0(i + 1) == '\'') { sb += '\''; i += 2 }
+                  else { done = true; i += 1 }
+                } else i += 1
+              }
+            case '-' if i + 1 < n && s0(i + 1) == '-' =>
+              while (i < n && s0(i) != '\n') i += 1
+            case '\n' | '\r' => sb += ' '; i += 1
+            case c => sb += c; i += 1
+          }
+        }
+        sb.toString.trim.stripSuffix(";")
+      }
       val schema = Vector.newBuilder[String]
       schemas.toSeq.sorted.foreach(s => schema += s"CREATE SCHEMA $s;")
       namedTypes.foreach { case (n, e) =>
@@ -158,6 +184,10 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           s"${st.inc}$bounds${if (st.cycle) " CYCLE" else ""};"
       }
       owned.foreach(k => schema += createSql(tables(k)) + ";")
+      // views replay before matviews (matviews usually read views, the
+      // common direction); a VIEW defined over a MATVIEW would need
+      // interleaved creation order, which the registries don't track —
+      // such an import fails loudly at the view's CREATE validation
       viewSql.values.foreach(v => schema += oneLine(v) + ";")
       matviewSql.values.foreach(v => schema += oneLine(v) + ";")
       macros.foreach { case (n, m) =>
@@ -769,6 +799,17 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           "(rowcount, ndv sketches, sample) rebuilt"))
       // SET/RESET: acknowledged no-ops — execution tuning lives in the
       // SparkSession; the notice keeps scripts portable
+      // SET schema / SET search_path actually change the session
+      // schema (silently no-op'ing them would be a footgun — the user
+      // MEANT a resolution change); search_path takes the FIRST entry,
+      // the engine's fallback to main is the rest of the path
+      case Ast.SetOptionTree(name, Some(Lit.LitString(s)))
+          if name == "schema" || name == "search_path" =>
+        dispatch(Ast.UseTree(
+          s.split(',').head.trim.toLowerCase), sql)
+      case Ast.SetOptionTree(name, None)
+          if name == "schema" || name == "search_path" =>
+        dispatch(Ast.UseTree("main"), sql)
       case Ast.SetOptionTree(name, v) =>
         Right(Done(v match {
           case Some(l) => s"SET $name noted as a no-op (execution " +

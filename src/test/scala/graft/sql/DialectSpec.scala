@@ -4869,7 +4869,10 @@ class DialectSpec extends AnyFunSuite {
     db.query("CREATE TABLE exs.t2 (id INT NOT NULL, v VARCHAR(8) " +
       "DEFAULT 'd')").fold(e => fail(e.msg), identity)
     db.query("INSERT INTO exs.t2 (id) VALUES (10), (11)")
-    db.query("CREATE VIEW adult2 AS SELECT name FROM people WHERE age > 21")
+    // a multi-line definition with a line comment must survive the
+    // one-statement-per-line flattening in schema.sql
+    db.query("CREATE VIEW adult2 AS SELECT name -- grown-ups\n" +
+      "FROM people WHERE age > 21")
       .fold(e => fail(e.msg), identity)
     db.query("CREATE SEQUENCE exseq START 5")
     db.query("SELECT nextval('exseq') AS n").fold(e => fail(e.msg), identity)
@@ -4975,6 +4978,20 @@ class DialectSpec extends AnyFunSuite {
     assert(db.select("PRAGMA show_tables").toOption.get
       .collect().map(_.getString(0)).toSeq == Seq("pt"))
     assert(db.query("PRAGMA bogus").isLeft)
+  }
+
+  test("SET schema / search_path change the session schema (not no-ops)") {
+    val db = demoDb()
+    db.query("CREATE SCHEMA sp").fold(e => fail(e.msg), identity)
+    db.query("SET schema = 'sp'").fold(e => fail(e.msg), identity)
+    db.query("CREATE TABLE spt (x INT)").fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT * FROM sp.spt").isRight) // landed in sp
+    db.query("SET search_path = 'main, sp'").fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT * FROM spt").isLeft)  // back in main
+    assert(db.query("SET schema = 'ghost'").isLeft) // unknown rejects
+    db.query("RESET search_path").fold(e => fail(e.msg), identity)
+    // other options still no-op politely
+    assert(db.query("SET threads = 8").isRight)
   }
 
 }
