@@ -4727,6 +4727,21 @@ class DialectSpec extends AnyFunSuite {
     // unsupported DISTINCT window function rejects loudly
     assert(db.query("SELECT median(DISTINCT v) OVER (PARTITION BY g) " +
       "AS m FROM wv").isLeft)
+    // RUNNING distinct count: an ordered frame's collect_set grows
+    // row by row (default frame = unbounded preceding .. current row)
+    db.query("CREATE TABLE rw (i INT, v INT)")
+    db.query("INSERT INTO rw VALUES (1, 10), (2, 20), (3, 10), (4, 30)")
+    val run = db.select("SELECT i, count(DISTINCT v) " +
+      "OVER (ORDER BY i) AS rc FROM rw ORDER BY i")
+      .fold(e => fail(e.msg), identity).collect()
+    assert(run.map(_.getLong(1)).toSeq == Seq(1L, 2L, 2L, 3L))
+    // COLLATE on a window ORDER key sorts case-insensitively
+    db.query("CREATE TABLE cw (s VARCHAR(4))")
+    db.query("INSERT INTO cw VALUES ('b'), ('A'), ('C'), ('a')")
+    val rn = db.select("SELECT s, row_number() " +
+      "OVER (ORDER BY s COLLATE NOCASE, s) AS r FROM cw ORDER BY r")
+      .fold(e => fail(e.msg), identity).collect()
+    assert(rn.map(_.getString(0)).toSeq == Seq("A", "a", "b", "C"))
   }
 
   test("USE schema: search path, create landing, shadowing") {
