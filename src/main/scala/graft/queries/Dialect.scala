@@ -5402,10 +5402,11 @@ object Dialect {
 
     // DISTINCT window aggregates (count/sum/avg(DISTINCT …) OVER) and
     // FILTER on a window aggregate — Spark has no native DISTINCT
-    // windows, so these lower over a per-frame collect_set (count =
-    // size, sum/avg fold in DOUBLE). Integer-derived operands keep the
-    // unordered double fold exact (< 2^53), so the hash compare is
-    // safe. IDENTICAL SQL runs on both engines.
+    // windows. Prefix frames (these partition-only windows included)
+    // lower as an ordinary aggregate over a pre-attached first-
+    // occurrence mask — exact in the native type at any cardinality,
+    // no per-frame set materialization; only bounded-lo frames still
+    // collect a (frame-bounded) set. IDENTICAL SQL runs on both engines.
     "q_dialect_win_distinct" -> QueryDef(
       (s, d) => run(db(s, d, "orders"),
         "SELECT o_orderkey, " +
@@ -5436,11 +5437,13 @@ object Dialect {
             "o_totalprice FROM main.orders WHERE o_totalprice > 450000")
             .fold(e => sys.error(e.msg), identity)
         } else g.query("USE stage").fold(e => sys.error(e.msg), identity)
-        val out = run(g, "SELECT c.c_mktsegment, count(*) AS n " +
+        // the shared db instance outlives this gate: USE main must run
+        // even when the gated query throws, or later gates would
+        // resolve unqualified names against `stage`
+        try run(g, "SELECT c.c_mktsegment, count(*) AS n " +
           "FROM top, main.customer c WHERE top.o_custkey = c.c_custkey " +
           "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment")
-        g.query("USE main").fold(e => sys.error(e.msg), identity)
-        out
+        finally g.query("USE main").fold(e => sys.error(e.msg), identity)
       },
       Some("""SELECT c.c_mktsegment, cast(count(*) AS bigint) AS n
              |FROM orders o, customer c

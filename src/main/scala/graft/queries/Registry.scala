@@ -6,7 +6,7 @@ object Registry {
     val modules = Seq(
       Relational.defs, Dedup.defs, TextOps.defs, Vectors.defs,
       Multimodal.defs, Dialect.defs, Stats.defs, Corpus.defs,
-      TimeSeries.defs)
+      TimeSeries.defs, Streaming.defs)
     // Each module's defs asserts within-module uniqueness (QueryDef.gate);
     // this asserts no key is claimed by two different modules.
     QueryDef.gate(modules.flatten: _*)

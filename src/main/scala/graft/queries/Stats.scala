@@ -36,14 +36,28 @@ object Stats {
              |FROM customer""".stripMargin)),
 
     // The counting-HLL sketch in the distributed path (map-side sketches,
-    // merge on reduce). Estimates are sketch-specific → rows-only check;
-    // accuracy asserted against exact NDV in StatsSpec.
+    // merge on reduce). The raw estimate has no DuckDB analogue, so the
+    // gate asserts the CHECKED RELATIONSHIP instead: alongside the exact
+    // per-group NDV (hash-compared against DuckDB's count(DISTINCT)),
+    // each row carries `est_in_bounds` = |est − exact| / exact within the
+    // sketch's documented envelope (64 buckets ≈ 13% standard error;
+    // 2.3σ ≈ 30%, the same bound CountingHllSpec asserts — a 5% bound
+    // would overclaim this sketch size). The oracle emits TRUE, so a
+    // sketch regression past the envelope fails the hash compare.
     "q_stats_hll_ndv" -> QueryDef(
       (s, d) => t(s, d, "orders")
         .groupBy("o_orderpriority")
-        .agg(CountingHll.approx_ndv(col("o_orderstatus")).as("ndv_status_est"),
+        .agg(countDistinct(col("o_custkey")).as("ndv_custkey"),
+          CountingHll.approx_ndv(col("o_custkey")).as("est"),
           count(lit(1)).as("n"))
+        .select(col("o_orderpriority"), col("ndv_custkey"), col("n"),
+          (abs(col("est") - col("ndv_custkey")) <=
+            col("ndv_custkey") * 0.30).as("est_in_bounds"))
         .orderBy("o_orderpriority"),
-      None)
+      Some("""SELECT o_orderpriority,
+             |  cast(count(DISTINCT o_custkey) AS bigint) AS ndv_custkey,
+             |  cast(count(*) AS bigint) AS n, TRUE AS est_in_bounds
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }

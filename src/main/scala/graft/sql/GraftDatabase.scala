@@ -114,16 +114,23 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     * metadata of OTHER stores and are skipped. IMPORT DATABASE replays
     * both files line by line through the ordinary query path.
     */
+  /** Canonical SQL rendering of a literal value — quote-escaped, so a
+    * spliced VALUE can never alter the surrounding statement's parse.
+    * Shared by EXPORT DATABASE (DEFAULT clauses) and EXECUTE's typed
+    * parameter binding.
+    */
+  private def renderLit(l: Lit): String = l match {
+    case Lit.LitLong(v)      => v.toString
+    case Lit.LitDouble(v)    => v.toString
+    case Lit.LitString(v)    => s"'${v.replace("'", "''")}'"
+    case Lit.LitBool(v)      => v.toString
+    case Lit.LitDate(d)      => s"DATE '$d'"
+    case Lit.LitTimestamp(t) => s"TIMESTAMP '$t'"
+    case _                   => "NULL"
+  }
+
   private def exportDb(dir: String): Either[QueryError, QueryResult] = {
-    def litSql(l: Lit): String = l match {
-      case Lit.LitLong(v)      => v.toString
-      case Lit.LitDouble(v)    => v.toString
-      case Lit.LitString(v)    => s"'${v.replace("'", "''")}'"
-      case Lit.LitBool(v)      => v.toString
-      case Lit.LitDate(d)      => s"DATE '$d'"
-      case Lit.LitTimestamp(t) => s"TIMESTAMP '$t'"
-      case _                   => "NULL"
-    }
+    def litSql(l: Lit): String = renderLit(l)
     def createSql(d: TableDesc): String = {
       val cols = d.attributes.map { a =>
         s"${a.name} ${renderType(a.sqlType)}" +
@@ -204,6 +211,10 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         readTable(tables(k)).write.mode("overwrite").parquet(dataDir)
         load += s"COPY $k FROM '$dataDir' (FORMAT parquet);"
       }
+      // schema.sql replays CREATE MATERIALIZED VIEW over still-empty
+      // base tables (CTAS runs before the COPY loads above), so every
+      // imported matview starts empty — rebuild each one after load
+      matviewSql.keys.foreach(n => load += s"REFRESH MATERIALIZED VIEW $n;")
       Files.write(Paths.get(s"$dir/load.sql"),
         load.result().mkString("\n").getBytes("UTF-8"))
       Right(Done(s"exported ${owned.length} table(s), ${viewSql.size} " +
@@ -295,6 +306,16 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     Right(Done(s"imported $n statement(s) from '$dir'"))
   }
 
+  /** USE <schema>: the session's default schema. Unqualified table and
+    * view names resolve current-schema-first, then main (DuckDB's
+    * search path); CREATEs land in the current schema. Session-scoped
+    * like DuckDB — not persisted. Declared BEFORE the load* calls
+    * below: constructor statements run in order, and the loaders go
+    * through resolution paths that read currentSchema — a later
+    * declaration would leave them running against null.
+    */
+  private var currentSchema: String = "main"
+
   Files.createDirectories(Paths.get(warehouse))
   loadSchemas()
   loadNamedTypes()
@@ -303,13 +324,6 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
   loadViews()
   loadMatViews()
   loadSequences()
-
-  /** USE <schema>: the session's default schema. Unqualified table and
-    * view names resolve current-schema-first, then main (DuckDB's
-    * search path); CREATEs land in the current schema. Session-scoped
-    * like DuckDB — not persisted.
-    */
-  private var currentSchema: String = "main"
 
   /** Qualify an unqualified relation name into the current schema
     * (CREATE-side: where a new relation LANDS under USE).
@@ -445,9 +459,18 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case (k, v) if !k.contains('.') => s"main.$k" -> v
     }
     if (currentSchema == "main") withMain
-    else withMain ++ pinned.collect {
-      case (k, v) if k.startsWith(currentSchema + ".") =>
-        k.stripPrefix(currentSchema + ".") -> v
+    else {
+      // DuckDB's search path is current-schema-FIRST for every relation
+      // kind: a bare name naming a TABLE in the current schema must not
+      // be captured here by a same-named main-schema view (substitution
+      // runs before cat.resolve, so a stale bare entry would invert the
+      // path). Drop such bare entries and let the table bind.
+      val shadowed = withMain.view.filterKeys(k =>
+        !k.contains('.') && tables.contains(s"$currentSchema.$k")).keys.toSet
+      (withMain -- shadowed) ++ pinned.collect {
+        case (k, v) if k.startsWith(currentSchema + ".") =>
+          k.stripPrefix(currentSchema + ".") -> v
+      }
     }
   }
 
@@ -650,16 +673,66 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           else if (missing.nonEmpty)
             Left(ViewError(s"prepared statement $name: missing value " +
               s"for parameter $$${missing.head}"))
-          else Parser.spliceParams(body, (tok, ord) => tok match {
-            case "?"                      => Right(positional(ord))
-            case t if t.forall(_.isDigit) => Right(positional(t.toInt - 1))
-            case t                        => Right(namedMap(t))
-          }) match {
-            case Left(err)      => Left(ViewError(err))
-            case Right(spliced) => query(spliced)
+          else {
+            // typed binding: every argument evaluates ONCE to a literal
+            // VALUE (fast-path for plain literal tokens; a one-row scalar
+            // select for constant expressions), and the splice renders the
+            // canonical escaped literal — a quote-bearing string or an
+            // expression argument can never alter the body's parse, and a
+            // multiply-referenced $name never re-evaluates
+            def bind(text: String): Either[QueryError, String] =
+              fastParamLit(text).map(Right(_)).getOrElse(
+                select(s"SELECT ($text) AS __p").flatMap { df =>
+                  val rows = df.limit(2).collect()
+                  if (rows.length != 1 || rows.head.size != 1)
+                    Left(ViewError("EXECUTE parameter must be one scalar"))
+                  else litOfValue(rows.head.get(0)).toRight(ViewError(
+                    "unsupported EXECUTE parameter type (scalar INTEGER/" +
+                      "DOUBLE/VARCHAR/BOOLEAN/DATE/TIMESTAMP only)"))
+                }).map(renderLit)
+            def seqBind(xs: Vector[String]): Either[QueryError, Vector[String]] =
+              xs.foldLeft[Either[QueryError, Vector[String]]](
+                Right(Vector.empty))((acc, x) =>
+                  acc.flatMap(v => bind(x).map(v :+ _)))
+            (for {
+              posB   <- seqBind(positional)
+              namedB <- seqBind(named.map(_._2))
+            } yield (posB, named.map(_._1).zip(namedB).toMap)).flatMap {
+              case (posB, namedB) =>
+                Parser.spliceParams(body, (tok, ord) => tok match {
+                  case "?"                      => Right(posB(ord))
+                  case t if t.forall(_.isDigit) => Right(posB(t.toInt - 1))
+                  case t                        => Right(namedB(t))
+                }) match {
+                  case Left(err)      => Left(ViewError(err))
+                  case Right(spliced) => query(spliced)
+                }
+            }
           }
         }
     }
+
+  /** Fast path for EXECUTE argument binding: a bare literal token
+    * converts without a Spark job. Anything unrecognized falls through
+    * to the scalar-select evaluator.
+    */
+  private def fastParamLit(t0: String): Option[Lit] = {
+    val t = t0.trim
+    t.toLowerCase match {
+      case "null"  => return Some(Lit.LitNull)
+      case "true"  => return Some(Lit.LitBool(true))
+      case "false" => return Some(Lit.LitBool(false))
+      case _       => ()
+    }
+    if (t.matches("[+-]?\\d{1,18}")) Some(Lit.LitLong(t.toLong))
+    else if (t.matches("[+-]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?") &&
+      (t.contains('.') || t.exists(c => c == 'e' || c == 'E')))
+      Some(Lit.LitDouble(t.toDouble))
+    else if (t.length >= 2 && t.head == '\'' && t.last == '\'' &&
+      !t.substring(1, t.length - 1).replace("''", "").contains('\''))
+      Some(Lit.LitString(t.substring(1, t.length - 1).replace("''", "'")))
+    else None
+  }
 
   /** Under USE <schema>, creates of unqualified relations land in the
     * current schema, and unqualified view/matview drops follow the

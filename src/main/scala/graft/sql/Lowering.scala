@@ -119,8 +119,15 @@ object Lowering {
         case BoundItem.BIWin(_, _, _, _, _, fr) => fr.exists(_.groups)
         case _                                  => false
       }
+      // DISTINCT window aggregates over prefix frames need their
+      // first-occurrence mask pre-attached too (same reason as GROUPS)
+      val hasDistinctRunning = q.projection.exists {
+        case BoundItem.BIWin(f, args, _, _, _, fr) =>
+          distinctWinEligible(f, args, fr)
+        case _ => false
+      }
       val winsPre = q.qualify.isDefined || donNeedsWins ||
-        hasGroupsFrames || q.qualifyWins.nonEmpty
+        hasGroupsFrames || hasDistinctRunning || q.qualifyWins.nonEmpty
       val baseQ =
         if (!winsPre) base1
         else {
@@ -128,17 +135,17 @@ object Lowering {
             case w: BoundItem.BIWin => w
           }
           val withWins = winItems.foldLeft(base1) {
-            case (d, BoundItem.BIWin(f, args, parts, ord, a, frame))
-                if frame.exists(_.groups) =>
-              val rk = s"__grk_$a"
-              d.withColumn(rk, groupsRankColumn(parts, ord,
-                  lowerOperandWith(_, qcol), qcol))
-                .withColumn(a, windowColumn(f, args, parts, ord, frame,
-                  lowerOperandWith(_, qcol), qcol, Some(col(rk))))
-                .drop(rk)
             case (d, BoundItem.BIWin(f, args, parts, ord, a, frame)) =>
-              d.withColumn(a, windowColumn(f, args, parts, ord, frame,
-                lowerOperandWith(_, qcol), qcol))
+              val rk = if (frame.exists(_.groups)) Some(s"__grk_$a") else None
+              val mk = if (distinctWinEligible(f, args, frame))
+                Some(s"__dmk_$a") else None
+              val d1 = rk.fold(d)(n => d.withColumn(n, groupsRankColumn(
+                parts, ord, lowerOperandWith(_, qcol), qcol)))
+              val d2 = mk.fold(d1)(n => d1.withColumn(n, distinctMaskColumn(
+                args, parts, ord, lowerOperandWith(_, qcol), qcol)))
+              d2.withColumn(a, windowColumn(f, args, parts, ord, frame,
+                  lowerOperandWith(_, qcol), qcol, rk.map(col), mk.map(col)))
+                .drop(rk.toSeq ++ mk.toSeq: _*)
           }
           q.qualify.fold(withWins) { qe =>
             if (!BoundExpr.containsSub(qe))
@@ -566,10 +573,23 @@ object Lowering {
             bc => col(groupOut(bc)))
           Some(col(n))
         }
+      // DISTINCT prefix-frame aggregates pre-attach their mask through
+      // the same select (winRanks names all drop after the window select)
+      def withMask(f: String, args: Seq[BoundOperand],
+          frame: Option[Ast.WinFrame], parts: Seq[BoundCol],
+          ord: Seq[(BoundOperand, Boolean)], tag: String): Option[Column] =
+        if (!distinctWinEligible(f, args, frame)) None
+        else {
+          val n = s"__dmk_$tag"
+          winRanks += n -> distinctMaskColumn(args, parts, ord,
+            aggScopeOperand, bc => col(groupOut(bc)))
+          Some(col(n))
+        }
       val winItems: Seq[(Int, Column)] = q.projection.zipWithIndex.collect {
         case (BoundItem.BIWin(f, args, parts, ord, _, frame), i) =>
           i -> windowColumn(f, args, parts, ord, frame, aggScopeOperand,
-            bc => col(groupOut(bc)), withRank(frame, parts, ord, i.toString))
+            bc => col(groupOut(bc)), withRank(frame, parts, ord, i.toString),
+            withMask(f, args, frame, parts, ord, i.toString))
       }
       // QUALIFY in aggregate scope: hidden inline-OVER window items
       // compute like projection windows (args register hidden aggregates
@@ -580,7 +600,8 @@ object Lowering {
         case BoundItem.BIWin(f, args, parts, ord, a, frame) =>
           a.toLowerCase -> windowColumn(f, args, parts, ord, frame,
             aggScopeOperand, bc => col(groupOut(bc)),
-            withRank(frame, parts, ord, s"q_$a"))
+            withRank(frame, parts, ord, s"q_$a"),
+            withMask(f, args, frame, parts, ord, s"q_$a"))
       }
       val qualifyWinAliasCol: Map[String, String] =
         q.projection.zipWithIndex.collect {
@@ -986,6 +1007,73 @@ object Lowering {
         if (desc) c.desc else c.asc
       }: _*))
 
+  /** Is `f(DISTINCT x) OVER w` rewritable to the scalable masked-running
+    * form? Requires a PREFIX frame — no explicit frame (default running
+    * / whole-partition), or lo = UNBOUNDED PRECEDING: every value in
+    * such a frame has its first partition-order occurrence inside the
+    * frame, so a pre-attached first-occurrence mask plus an ordinary
+    * running aggregate is exact, with O(1) window state at any NDV.
+    * Bounded-lo frames keep the collect_set fallback — their set size
+    * is FRAME-bounded, not partition-bounded, so they are not the
+    * 100×-scale hazard the prefix frames were.
+    */
+  private def distinctWinEligible(f: String, args: Seq[BoundOperand],
+      frame: Option[Ast.WinFrame]): Boolean =
+    args.lastOption.contains(
+      BoundOperand.BLit(Lit.LitString(Ast.DistinctSentinel))) &&
+      Set("count", "sum", "avg", "mean")(f) &&
+      frame.forall(_.lo == Long.MinValue)
+
+  /** The first-occurrence mask: x where this row is the first occurrence
+    * of value x within its window partition (in window order), NULL
+    * otherwise. count/sum/avg of the mask over a prefix frame ≡ the
+    * DISTINCT aggregate, in the aggregate's native result type (no
+    * DOUBLE detour). NULL x never flags (DISTINCT aggregation skips
+    * NULLs). Unordered windows flag one arbitrary-but-deterministic
+    * member — all carry the same x, so any one is correct. Must be
+    * ATTACHED as a column before the main window evaluates (Spark
+    * rejects nested window expressions).
+    */
+  private def distinctMaskColumn(args: Seq[BoundOperand],
+      parts: Seq[BoundCol], ord: Seq[(BoundOperand, Boolean)],
+      opLower: BoundOperand => Column, colOf: BoundCol => Column): Column = {
+    val x = opLower(args.head)
+    val wf0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(parts.map(colOf) :+ x: _*)
+    val wf =
+      if (ord.isEmpty) wf0.orderBy(lit(0))
+      else wf0.orderBy(ord.map { case (op, desc) =>
+        val c = opLower(op); if (desc) c.desc else c.asc }: _*)
+    when(x.isNotNull && row_number().over(wf) === 1, x)
+  }
+
+  /** Best-effort static type of a window-aggregate input, for choosing
+    * the DISTINCT-fallback fold accumulator. Conservative: None (→
+    * DOUBLE fold, the pre-existing behavior) whenever the operand's
+    * type isn't locally decidable.
+    */
+  private def inputSqlType(o: BoundOperand): Option[SqlType] = {
+    def integral(t: SqlType): Boolean = t match {
+      case SqlType.SqlBigInt | SqlType.SqlInt | SqlType.SqlSmallInt => true
+      case _ => false
+    }
+    o match {
+      case BoundOperand.BCol(c)        => Some(c.attr.sqlType)
+      case BoundOperand.BCast(_, t)    => Some(t)
+      case BoundOperand.BTryCast(_, t) => Some(t)
+      case BoundOperand.BLit(Lit.LitLong(_))   => Some(SqlType.SqlBigInt)
+      case BoundOperand.BLit(Lit.LitDouble(_)) => Some(SqlType.SqlDouble)
+      // integer +,-,*,% stay integral; / divides float-style (DuckDB)
+      case BoundOperand.BArith(op, l, r) if op != '/' =>
+        (inputSqlType(l), inputSqlType(r)) match {
+          case (Some(a), Some(b)) if integral(a) && integral(b) =>
+            Some(SqlType.SqlBigInt)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   private def windowColumn(f: String, args: Seq[BoundOperand],
       parts: Seq[BoundCol], ord: Seq[(BoundOperand, Boolean)],
       frame: Option[Ast.WinFrame],
@@ -994,7 +1082,11 @@ object Lowering {
         * (see groupsRankColumn) — the frame becomes a RANGE frame over
         * it, which is exact: rank distance IS peer-group distance.
         */
-      groupsRank: Option[Column] = None): Column = {
+      groupsRank: Option[Column] = None,
+      /** DISTINCT aggregates over prefix frames: the pre-attached
+        * first-occurrence mask (see distinctMaskColumn).
+        */
+      distinctMask: Option[Column] = None): Column = {
     val w0 = org.apache.spark.sql.expressions.Window
       .partitionBy(parts.map(colOf): _*)
     // INTERVAL RANGE bounds: order by the temporal key's epoch seconds
@@ -1026,24 +1118,49 @@ object Lowering {
       if (fr.groups || fr.range) w1.rangeBetween(tb(fr.lo), tb(fr.hi))
       else w1.rowsBetween(fr.lo, fr.hi)
     }
-    // DISTINCT arrives as a sentinel trailing argument: the frame's
-    // distinct set materializes once per row via collect_set (null-
-    // skipping, like SQL DISTINCT aggregation) — count is its size,
-    // sum/avg fold it in DOUBLE (DuckDB widens distinct integer sums
-    // past BIGINT anyway; gates cast both sides), min/max fall through
-    // (DISTINCT is a no-op at the extremes).
+    // DISTINCT arrives as a sentinel trailing argument. Prefix frames
+    // (the scale-relevant shape) take the masked-running path: an
+    // ordinary count/sum/avg over the pre-attached first-occurrence
+    // mask — exact at any cardinality, O(1) per-row window state, and
+    // the aggregate's native result type. Bounded-lo frames fall back
+    // to a per-frame collect_set (set size is frame-bounded); its
+    // sum/avg fold seeds with x*0L so integrals accumulate in LONG
+    // (exact past 2^53) and decimals keep their scale — only floating
+    // inputs fold floating. min/max fall through (DISTINCT is a no-op
+    // at the extremes).
     val distinctAgg = args.lastOption.contains(
       BoundOperand.BLit(Lit.LitString(Ast.DistinctSentinel)))
     val args1 = if (distinctAgg) args.dropRight(1) else args
     if (distinctAgg && Set("count", "sum", "avg", "mean")(f)) {
-      val cs = collect_set(opLower(args1.head)).over(w)
-      f match {
-        case "count" => return size(cs).cast("long")
-        case _ =>
-          val s = org.apache.spark.sql.functions.aggregate(
-            cs, lit(0d), (a, x) => a + x.cast("double"))
-          return if (f == "sum") when(size(cs) > 0, s)
-                 else when(size(cs) > 0, s / size(cs))
+      distinctMask match {
+        case Some(m) =>
+          f match {
+            case "count" => return count(m).over(w).cast("long")
+            case "sum"   => return sum(m).over(w)
+            case _       => return avg(m).over(w)
+          }
+        case None =>
+          val cs = collect_set(opLower(args1.head)).over(w)
+          f match {
+            case "count" => return size(cs).cast("long")
+            case _ =>
+              // the fold accumulator must keep a FIXED type across merges
+              // (Spark rejects a merge result wider than the seed), so the
+              // seed is the family's widest: LONG for integrals (exact past
+              // 2^53), decimal(38, s) for decimals (precision already
+              // capped — adds stop widening), DOUBLE for floating/unknown
+              val zero = inputSqlType(args1.head) match {
+                case Some(SqlType.SqlBigInt | SqlType.SqlInt |
+                          SqlType.SqlSmallInt) => lit(0L)
+                case Some(SqlType.SqlDecimal(_, s)) =>
+                  lit(0L).cast(s"decimal(38,$s)")
+                case _ => lit(0d)
+              }
+              val s = org.apache.spark.sql.functions.aggregate(
+                cs, zero, (a, x) => a + x)
+              return if (f == "sum") when(size(cs) > 0, s)
+                     else when(size(cs) > 0, s / size(cs))
+          }
       }
     }
     // IGNORE NULLS arrives as a sentinel trailing argument (DuckDB's

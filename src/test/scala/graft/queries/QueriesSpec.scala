@@ -41,7 +41,7 @@ class QueriesSpec extends AnyFunSuite {
     assert(Registry.all.size ==
       Seq(Relational.defs, Dedup.defs, TextOps.defs, Vectors.defs,
         Multimodal.defs, Dialect.defs, Stats.defs, Corpus.defs,
-        TimeSeries.defs).map(_.size).sum)
+        TimeSeries.defs, Streaming.defs).map(_.size).sum)
   }
 
   test("entry (flagship) returns rows at sf0.001") {

@@ -4596,6 +4596,18 @@ class DialectSpec extends AnyFunSuite {
     assert(db.query("EXECUTE psel(25)").isLeft)
     assert(db.query("DEALLOCATE psel").isLeft)
     assert(db.query("DEALLOCATE PREPARE pn").isRight) // long form
+    // typed binding: the parameter VALUE binds, not its source text —
+    // a quote-bearing string round-trips intact and cannot alter the
+    // body's parse
+    assert(db.query("PREPARE pstr AS SELECT $1 AS s, length($1) AS n")
+      .isRight)
+    val rs = one("EXECUTE pstr('O''Brien -- not; a '' comment')")
+    assert(rs.getString(0) == "O'Brien -- not; a ' comment")
+    assert(rs.getInt(1) == 27)
+    // a constant-EXPRESSION argument evaluates once and binds its value
+    assert(db.query("PREPARE pex AS SELECT $1 AS v").isRight)
+    assert(one("EXECUTE pex(2 + 3 * 4)").getLong(0) == 14L)
+    assert(one("EXECUTE pex(upper('ab') || '''')").getString(0) == "AB'")
   }
 
   test("CREATE SCHEMA: qualified names, main-spelling, drop semantics") {
@@ -4744,6 +4756,46 @@ class DialectSpec extends AnyFunSuite {
     assert(rn.map(_.getString(0)).toSeq == Seq("A", "a", "b", "C"))
   }
 
+  test("DISTINCT window prefix frames: mask path, no collect_set, typed") {
+    val db = freshDb()
+    db.query("CREATE TABLE dw (g INT, i INT, v BIGINT, d DECIMAL(10,2))")
+    // sum(DISTINCT bigint) past 2^53: 2^53+1 is unrepresentable in
+    // DOUBLE — a floating fold would silently round it
+    db.query("INSERT INTO dw VALUES " +
+      "(1, 1, 9007199254740993, 1.10), (1, 2, 9007199254740993, 1.10), " +
+      "(1, 3, 1, 2.25), (2, 1, 7, 0.05)")
+    val r = db.select("SELECT g, i, " +
+      "sum(DISTINCT v) OVER (PARTITION BY g) AS sv, " +
+      "sum(DISTINCT d) OVER (PARTITION BY g) AS sd, " +
+      "count(DISTINCT v) OVER (PARTITION BY g ORDER BY i) AS rc " +
+      "FROM dw ORDER BY g, i").fold(e => fail(e.msg), identity)
+    // prefix frames (whole-partition and running) take the first-
+    // occurrence-mask path: NO per-frame set materialization anywhere
+    // in the plan — the 100×-scale guarantee
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_set"), plan)
+    val rows = r.collect()
+    assert(rows.map(_.getLong(2)).toSeq ==
+      Seq(9007199254740994L, 9007199254740994L, 9007199254740994L, 7L))
+    assert(rows.map(_.getDecimal(3).toPlainString).toSeq ==
+      Seq("3.35", "3.35", "3.35", "0.05"))
+    assert(rows.map(_.getLong(4)).toSeq == Seq(1L, 1L, 2L, 1L))
+    // bounded-lo frames keep the (frame-bounded) collect_set fallback,
+    // but its fold is typed too: bigint stays exact, decimal keeps scale
+    val b = db.select("SELECT g, i, " +
+      "sum(DISTINCT v) OVER (PARTITION BY g ORDER BY i " +
+      "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS sv, " +
+      "sum(DISTINCT d) OVER (PARTITION BY g ORDER BY i " +
+      "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS sd " +
+      "FROM dw ORDER BY g, i").fold(e => fail(e.msg), identity)
+    assert(b.queryExecution.executedPlan.toString.contains("collect_set"))
+    val brows = b.collect()
+    assert(brows.map(_.getLong(2)).toSeq ==
+      Seq(9007199254740993L, 9007199254740993L, 9007199254740994L, 7L))
+    assert(brows.map(_.getDecimal(3).toPlainString.toDouble).toSeq ==
+      Seq(1.10, 1.10, 3.35, 0.05))
+  }
+
   test("USE schema: search path, create landing, shadowing") {
     val db = demoDb()
     assert(db.query("USE nope").isLeft)
@@ -4783,6 +4835,21 @@ class DialectSpec extends AnyFunSuite {
     db.query("USE work").fold(e => fail(e.msg), identity)
     db.query("DROP VIEW vnotes").fold(e => fail(e.msg), identity)
     assert(db.select("SELECT * FROM work.vnotes").isLeft)
+    // a current-schema TABLE beats a same-named MAIN VIEW (DuckDB's
+    // search path is current-schema-first for every relation kind —
+    // the view substitution must not capture the bare name first)
+    db.query("USE main").fold(e => fail(e.msg), identity)
+    db.query("CREATE VIEW dual AS SELECT 1 AS z")
+      .fold(e => fail(e.msg), identity)
+    db.query("USE work").fold(e => fail(e.msg), identity)
+    db.query("CREATE TABLE dual (z INT)").fold(e => fail(e.msg), identity)
+    db.query("INSERT INTO dual VALUES (7), (8)")
+      .fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT count(*) AS n FROM dual").toOption.get
+      .collect().head.getLong(0) == 2L) // the table, not main's 1-row view
+    db.query("USE main").fold(e => fail(e.msg), identity)
+    assert(db.select("SELECT z FROM dual").toOption.get
+      .collect().head.getLong(0) == 1L) // back in main, the view binds
   }
 
   test("schema views: pinned bodies and qualified-key reopen") {
@@ -4852,6 +4919,31 @@ class DialectSpec extends AnyFunSuite {
     assert(n == 6L)
   }
 
+  test("ATTACH: attached tables are optimizer first-class (stats + broadcast)") {
+    val dbB = freshDb()
+    dbB.query("CREATE TABLE dim (id INT, tag VARCHAR(8))")
+      .fold(e => fail(e.msg), identity)
+    dbB.query("INSERT INTO dim VALUES (1, 'a'), (2, 'b'), (4, 'c')")
+      .fold(e => fail(e.msg), identity)
+    val dbA = freshDb()
+    dbA.registerParquet("fact", s"${SparkTestSession.sf0001}/orders.parquet")
+    assert(dbA.query(s"ATTACH '${dbB.warehouse}' AS other").isRight)
+    val df = dbA.select("SELECT f.o_orderkey, d.tag FROM fact f, other.dim d " +
+      "WHERE f.o_custkey = d.id ORDER BY f.o_orderkey")
+      .fold(e => fail(e.msg), identity)
+    // the attached external got a lazy sampled-stats build like a native
+    val st = dbA.statistics.get("other.dim")
+    assert(st.exists(_.rowCount == 3L), s"no stats for attached table: $st")
+    // it entered the join-order DP …
+    assert(dbA.lastJoinOrder.exists(_.toSet == Set("f", "d")),
+      dbA.lastJoinOrder.toString)
+    // … and the stats-driven build-side choice broadcast the small
+    // attached side (fact is the largest binding — never broadcast)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    df.collect() // executes cleanly end-to-end
+  }
+
   test("ATTACH / DETACH: read-only cross-warehouse tables") {
     val dbA = demoDb()
     val dbB = freshDb()
@@ -4892,6 +4984,10 @@ class DialectSpec extends AnyFunSuite {
     db.query("CREATE SEQUENCE exseq START 5")
     db.query("SELECT nextval('exseq') AS n").fold(e => fail(e.msg), identity)
     db.query("CREATE MACRO exm(x) AS x * 2")
+    // a matview: its CTAS replays over still-empty tables at import, so
+    // load.sql must end with a REFRESH that rebuilds it from loaded data
+    db.query("CREATE MATERIALIZED VIEW exmv AS SELECT count(*) AS n " +
+      "FROM people WHERE age > 21").fold(e => fail(e.msg), identity)
     val dir = Files.createTempDirectory("graft-export").toString
     val Right(db.Done(msg)) = db.query(s"EXPORT DATABASE '$dir'"): @unchecked
     assert(msg.contains("exported"))
@@ -4912,6 +5008,9 @@ class DialectSpec extends AnyFunSuite {
     // the macro works
     assert(db2.select("SELECT exm(21) AS v").toOption.get
       .collect().head.getLong(0) == 42L)
+    // the matview rebuilt AFTER the loads — contents, not an empty shell
+    assert(db2.select("SELECT n FROM exmv").toOption.get
+      .collect().head.getLong(0) == 1L)
     // NOT NULL survived: inserting NULL id rejects
     assert(db2.query("INSERT INTO exs.t2 VALUES (NULL, 'x')").isLeft)
     assert(db2.query("IMPORT DATABASE '/no/such/dir'").isLeft)

@@ -111,26 +111,28 @@ class StatsManagerSpec extends AnyFunSuite {
     } finally spark.conf.set(conf, prev)
   }
 
-  test("q_stats_hll_ndv gate: sketch estimate within ±5% of exact NDV per group") {
-    // the one non-oracled gate (sketch estimates have no DuckDB
-    // analogue) — bound its error here instead: run the gate's exact
-    // query shape at sf0.01 and compare each of the five per-priority
-    // estimates against the exact count(DISTINCT), which is what the
-    // oracle would compute
+  test("q_stats_hll_ndv gate: exact NDV oracled, sketch verdict in bounds") {
+    // round-13 shape: the gate now carries the exact per-group NDV
+    // (hash-compared against DuckDB's count(DISTINCT) by the driver)
+    // plus an est_in_bounds verdict asserting the sketch's documented
+    // 64-bucket envelope (2.3σ ≈ 30%). Re-derive the exact side here
+    // and require every verdict TRUE — a sketch regression fails both
+    // this spec and the driver's hash compare.
     import org.apache.spark.sql.functions.{col, count_distinct}
     val df = graft.queries.Stats.defs("q_stats_hll_ndv")
       .build(spark, SparkTestSession.sf001)
     val exact = graft.Tables.t(spark, SparkTestSession.sf001, "orders")
       .groupBy("o_orderpriority")
-      .agg(count_distinct(col("o_orderstatus")).as("ndv_exact"))
+      .agg(count_distinct(col("o_custkey")).as("ndv_exact"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val rows = df.collect()
     assert(rows.length == exact.size, s"expected ${exact.size} groups")
     rows.foreach { r =>
-      val (prio, est) = (r.getString(0), r.getLong(1))
-      val ex = exact(prio)
-      assert(math.abs(est - ex) <= math.max(1L, math.round(ex * 0.05)),
-        s"$prio: estimate $est vs exact $ex exceeds ±5%")
+      val prio = r.getString(0)
+      assert(r.getLong(1) == exact(prio),
+        s"$prio: gate ndv_custkey ${r.getLong(1)} != exact ${exact(prio)}")
+      assert(r.getBoolean(3),
+        s"$prio: sketch estimate outside the 30% envelope")
     }
   }
 
