@@ -1098,6 +1098,35 @@ object Dialect {
              |  cast(sum(count(*)) OVER () AS bigint) AS total
              |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // Windows NESTED IN EXPRESSIONS over an aggregated query — the
+    // percent-of-total reporting idiom. The hidden inline-OVER windows
+    // attach between aggregation and the final projection; the
+    // expression evaluates over the attached columns. One aggregate
+    // shuffle + one (empty-partition) window exchange — the same plan a
+    // hand-written two-level query produces.
+    "q_dialect_win_pct" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT c_mktsegment, count(*) AS n, " +
+          "round(100.0 * count(*) / sum(count(*)) OVER (), 3) AS pct, " +
+          "rank() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS rk0 " +
+          "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+      Some("""SELECT c_mktsegment, cast(count(*) AS bigint) AS n,
+             |  round(100.0 * count(*) / sum(count(*)) OVER (), 3) AS pct,
+             |  cast(rank() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS bigint) AS rk0
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // An uncorrelated scalar-subquery ITEM over an aggregated query:
+    // the subquery lowers once as a broadcast 1-row frame joined after
+    // aggregation (the BSubVal operand machinery) — not once per group.
+    "q_dialect_scalar_item_agg" -> QueryDef(
+      (s, d) => run(db(s, d, "orders", "customer"),
+        "SELECT o_orderstatus, count(*) AS n, " +
+          "(SELECT max(c_acctbal) FROM customer) AS mx " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      Some("""SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+             |  (SELECT max(c_acctbal) FROM customer) AS mx
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // A set-operation CTE body: the union-all of two dimension scans
     // aggregated in the main query — the derived chain lowers each branch
     // independently and combines by position with the first branch's

@@ -156,5 +156,99 @@ object Streaming {
              |  cast(count(*) AS bigint) AS n,
              |  cast(sum(cast("value" AS DECIMAL(18,6))) AS double) AS sum_value
              |FROM events GROUP BY 1, 2
-             |ORDER BY hour_start, event_type""".stripMargin)))
+             |ORDER BY hour_start, event_type""".stripMargin)),
+
+    // Custom-state sessionization (EventsStreaming.sessionize:
+    // flatMapGroupsWithState, ≥30-min inactivity gap) replayed over the
+    // events table. The streaming operator only emits CLOSED sessions —
+    // each user's final session stays in state on a bounded input — so
+    // the oracle recomputes batch sessionization and drops each user's
+    // last session (QUALIFY sid < max sid). Timestamps compare at
+    // microsecond precision; no doubles in the output.
+    "q_stream_session_replay" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.EventsStreaming
+        val src = boundedSource(
+          graft.Tables.events(s, d).select(col("user_id"), col("ts"),
+            col("event_type"), col("value")),
+          "sess", d)
+        val ev = s.readStream
+          .schema(org.apache.spark.sql.Encoders.product[EventsStreaming.Event].schema)
+          .parquet(src).as[EventsStreaming.Event]
+        replay(s, EventsStreaming.sessionize(ev, 30).toDF(), "append")
+          .select(col("user_id"),
+            expr("unix_micros(start)").as("start_us"),
+            expr("unix_micros(end)").as("end_us"),
+            col("n_events"))
+          .orderBy("user_id", "start_us")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+             |  FROM events),
+             |x AS (
+             |  SELECT user_id, ts_us,
+             |    CASE WHEN lag(ts_us) OVER w IS NULL
+             |           OR ts_us - lag(ts_us) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS ns
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_type)),
+             |y AS (
+             |  SELECT user_id, ts_us,
+             |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM x),
+             |sess AS (
+             |  SELECT user_id, sid, min(ts_us) AS start_us,
+             |    max(ts_us) AS end_us, cast(count(*) AS int) AS n_events
+             |  FROM y GROUP BY user_id, sid)
+             |SELECT user_id, start_us, end_us, n_events FROM sess
+             |QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    // Stream-stream interval join (EventsStreaming.attribution:
+    // purchases ← clicks by the same user within the preceding hour,
+    // both sides watermarked so the join state is bounded) replayed
+    // over the events table. The oracle is the equivalent batch
+    // interval self-join; p_value passes through untouched (no
+    // arithmetic → bit-identical doubles on both engines).
+    "q_stream_join_replay" -> QueryDef(
+      (s, d) => {
+        import graft.streaming.EventsStreaming
+        val src = boundedSource(
+          graft.Tables.events(s, d).select(col("event_id"), col("ts"),
+            col("user_id"), col("event_type"), col("value")),
+          "attr", d)
+        val ev = s.readStream.schema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType))))
+          .parquet(src)
+        replay(s, EventsStreaming.attribution(ev), "append")
+          .select(col("p_id"), col("user_id"), col("c_id"),
+            expr("unix_micros(p_ts)").as("p_us"),
+            expr("unix_micros(c_ts)").as("c_us"),
+            col("p_value"))
+          .orderBy("p_id", "c_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type,
+             |    epoch_ns(ts) // 1000 AS ts_us, "value"
+             |  FROM events)
+             |SELECT p.event_id AS p_id, p.user_id AS user_id,
+             |  c.event_id AS c_id, p.ts_us AS p_us, c.ts_us AS c_us,
+             |  p."value" AS p_value
+             |FROM e p JOIN e c
+             |  ON c.user_id = p.user_id AND c.event_type = 'click'
+             |WHERE p.event_type = 'purchase'
+             |  AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000
+             |ORDER BY p_id, c_id""".stripMargin)))
 }

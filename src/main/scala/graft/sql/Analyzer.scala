@@ -4867,36 +4867,12 @@ object Analyzer {
       proj <- projItems.foldLeft[Either[AnalyzerError, Vector[BoundItem]]](Right(Vector.empty)) {
         (acc, r) => acc.flatMap(v => bindItem(r).map(v :+ _))
       }
-      // window calls nested in projection EXPRESSIONS are supported in
-      // row scope only (the hidden columns attach pre-projection); the
-      // aggregate lowering has no such attachment point — reject toward
-      // a derived table
-      _ <- {
-        def hasOut(o: BoundOperand): Boolean = o match {
-          case BoundOperand.BOut(n, _) => hiddenWinScope.contains(n)
-          case BoundOperand.BArith(_, l, r) => hasOut(l) || hasOut(r)
-          case BoundOperand.BFunc(_, as)    => as.exists(hasOut)
-          case BoundOperand.BCase(bs, e) =>
-            bs.exists { case (_, o) => hasOut(o) } || e.exists(hasOut)
-          case BoundOperand.BCast(x, _)    => hasOut(x)
-          case BoundOperand.BTryCast(x, _) => hasOut(x)
-          case _ => false
-        }
-        val aggScope = s.groupBy.nonEmpty || proj.exists {
-          case _: BoundItem.BIAgg      => true
-          case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
-          case _                       => false
-        }
-        if (aggScope && hiddenWinScope.nonEmpty && proj.exists {
-          case BoundItem.BIExpr(op, _) => hasOut(op)
-          case _                       => false
-        })
-          Left(BadFunction(
-            "a window call nested in an expression is not supported " +
-              "over an aggregated query — compute the window in a " +
-              "derived table first"))
-        else Right(())
-      }
+      // window calls nested in projection EXPRESSIONS: in row scope the
+      // hidden columns attach pre-projection; in aggregate scope they
+      // attach between aggregation and the final projection (the same
+      // select that carries QUALIFY's hidden windows), and the
+      // expression's BOut references resolve against those names — the
+      // percent-of-total idiom 100.0 * count(*) / sum(count(*)) OVER ()
       pred0 <- s.where match {
         case None    => Right(None)
         case Some(e0) => expandColumnsWhere(e0).flatMap(e =>
@@ -5021,7 +4997,8 @@ object Analyzer {
         }
         if (!isAgg) {
           // outside aggregate scope a window operand must not aggregate
-          proj.collectFirst {
+          // (hidden inline-OVER windows included)
+          (proj ++ qwins).collectFirst {
             case BoundItem.BIWin(f, args, _, ord, _, _)
                 if (args ++ ord.map(_._1)).exists(BoundOperand.containsAgg) => f
           } match {
@@ -5030,9 +5007,17 @@ object Analyzer {
             case None => Right(())
           }
         }
-        else if (proj.exists(_.isInstanceOf[BoundItem.BISub]))
+        // uncorrelated scalar-subquery ITEMS over an aggregated query
+        // rewrite onto the operand machinery at the yield below (a
+        // broadcast 1-row frame joined post-aggregation); correlated
+        // ones would have to join on GROUP BY keys — not wired
+        else if (proj.exists {
+          case BoundItem.BISub(_, _, _, ps, io) => ps.nonEmpty || io.isDefined
+          case _ => false
+        })
           Left(BadSubquery(
-            "scalar subquery items over an aggregated query are not supported"))
+            "a correlated scalar-subquery item over an aggregated query " +
+              "is not supported — use it inside an expression on GROUP BY keys"))
         // predicate-form subqueries inside computed projections (CASE
         // conditions) of an aggregated query lower through the
         // post-aggregation MarkerScope keyed on GROUP BY output columns;
@@ -5049,7 +5034,7 @@ object Analyzer {
           // (aggregate arguments are exempt — operandCols skips them)
           def winOpCols(op: BoundOperand): Seq[BoundCol] =
             if (groupExprOps.contains(op)) Nil else operandCols(op)
-          proj.flatMap {
+          (proj ++ qwins).flatMap {
             case BoundItem.BICol(c, _)   => Seq(c)
             case BoundItem.BIExpr(op, a) if !groupAliases(a.toLowerCase) =>
               operandCols(op)
@@ -5663,9 +5648,24 @@ object Analyzer {
           case None => Right(())
         }
       }
-    } yield BoundSelect(innerTables, proj, pred, order, s.limit, s.offset, group,
-      having, s.distinct, steps, derivedSubs.toMap, s.groupSpec,
-      lateralConjs.toSeq, qualifyPred, qwins, don)
+    } yield {
+      // uncorrelated scalar-subquery ITEMS over an aggregated query ride
+      // the operand machinery (BSubVal: a broadcast 1-row frame joined
+      // after aggregation) — same value, same type, no item-level plumbing
+      val aggScope = group.nonEmpty || proj.exists {
+        case _: BoundItem.BIAgg      => true
+        case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
+        case _                       => false
+      }
+      val projF = if (!aggScope) proj else proj.map {
+        case BoundItem.BISub(sub, a, guard, Seq(), None) =>
+          BoundItem.BIExpr(BoundOperand.BSubVal(sub, guard, Nil), a)
+        case other => other
+      }
+      BoundSelect(innerTables, projF, pred, order, s.limit, s.offset, group,
+        having, s.distinct, steps, derivedSubs.toMap, s.groupSpec,
+        lateralConjs.toSeq, qualifyPred, qwins, don)
+    }
   }
 
   private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {

@@ -1,0 +1,217 @@
+package graft.sql
+
+import scala.util.Random
+
+/** Deterministic random-query generator for differential testing against
+  * DuckDB (tools/check_fuzz.py replays the same script + queries there
+  * and diffs results as sorted multisets).
+  *
+  * The grammar is the SHARED dialect subset in which both engines are
+  * value-deterministic and bit-comparable:
+  *   - INT / VARCHAR / DATE columns only — no floating point anywhere
+  *     (summation order could differ), no DECIMAL (scale display), no
+  *     CAST between numeric families (DuckDB rounds double→int where
+  *     Spark truncates);
+  *   - arithmetic is + - * %, with multipliers kept to small literals so
+  *     no intermediate can overflow INT32 in either engine;
+  *   - every aggregate is exact (count/sum/min/max/count DISTINCT);
+  *   - windows always carry the unique `id` column as the final ORDER
+  *     tiebreak so rank/row_number are single-valued;
+  *   - no LIMIT/OFFSET (row order is compared as a multiset).
+  *
+  * Queries are built TYPED (int expressions only meet int expressions),
+  * so near-100% of generated text must analyze — an engine rejection is
+  * reported by the harness and a crash fails it.
+  */
+object FuzzGen {
+
+  /** Shared fixture DDL + INSERTs: three tables with NULLs, duplicate
+    * keys, negative values and overlapping string values. `id` is unique
+    * in fa/fb (window tiebreak); fc is a small dup-heavy lookup.
+    */
+  def script(seed: Long): Seq[String] = {
+    val r = new Random(seed ^ 0x5eedL)
+    val strs = Seq("alpha", "beta", "gamma", "delta", "Alp", "bet%a", "x_y")
+    val dates = Seq("1994-01-15", "1995-03-07", "1995-06-17", "1996-11-30")
+    def intOrNull(lo: Int, hi: Int, pNull: Int): String =
+      if (r.nextInt(100) < pNull) "NULL" else (lo + r.nextInt(hi - lo + 1)).toString
+    def strOrNull(pNull: Int): String =
+      if (r.nextInt(100) < pNull) "NULL" else s"'${strs(r.nextInt(strs.length))}'"
+    def dateOrNull(pNull: Int): String =
+      if (r.nextInt(100) < pNull) "NULL" else s"DATE '${dates(r.nextInt(dates.length))}'"
+
+    val fa = (1 to 60).map(i =>
+      s"($i, ${intOrNull(-5, 15, 10)}, ${intOrNull(0, 100, 10)}, " +
+        s"${strOrNull(15)}, ${dateOrNull(15)})")
+    val fb = (1 to 40).map(i =>
+      s"($i, ${intOrNull(-5, 15, 10)}, ${strOrNull(15)})")
+    val fc = (1 to 25).map(_ =>
+      s"(${intOrNull(-2, 8, 8)}, ${intOrNull(0, 50, 8)})")
+    Seq(
+      "CREATE TABLE fa (id INT, a INT, b INT, s VARCHAR(12), d DATE)",
+      "CREATE TABLE fb (id INT, x INT, t VARCHAR(12))",
+      "CREATE TABLE fc (k INT, v INT)",
+      s"INSERT INTO fa VALUES ${fa.mkString(", ")}",
+      s"INSERT INTO fb VALUES ${fb.mkString(", ")}",
+      s"INSERT INTO fc VALUES ${fc.mkString(", ")}")
+  }
+
+  // ---- typed expression generators -------------------------------------
+
+  private val faInts = Seq("a", "b", "id")
+  private val strLits = Seq("'alpha'", "'beta'", "'gamma'", "'Alp'")
+
+  private def lit(r: Random): String = (r.nextInt(41) - 20).toString
+
+  /** Integer-valued expression over the given int/string columns. */
+  def intExpr(r: Random, ints: Seq[String], strs: Seq[String], depth: Int): String =
+    if (depth <= 0) {
+      if (r.nextBoolean()) ints(r.nextInt(ints.length)) else lit(r)
+    } else r.nextInt(8) match {
+      case 0 => s"(${intExpr(r, ints, strs, depth - 1)} + ${intExpr(r, ints, strs, depth - 1)})"
+      case 1 => s"(${intExpr(r, ints, strs, depth - 1)} - ${intExpr(r, ints, strs, depth - 1)})"
+      case 2 => s"(${ints(r.nextInt(ints.length))} * ${1 + r.nextInt(5)})"
+      case 3 => s"abs(${intExpr(r, ints, strs, depth - 1)})"
+      case 4 => s"coalesce(${ints(r.nextInt(ints.length))}, ${lit(r)})"
+      case 5 if strs.nonEmpty => s"length(${strExpr(r, strs, 0)})"
+      case 6 => s"(${ints(r.nextInt(ints.length))} % ${2 + r.nextInt(6)})"
+      case _ =>
+        s"(CASE WHEN ${pred(r, ints, strs, depth - 1)} THEN " +
+          s"${intExpr(r, ints, strs, 0)} ELSE ${intExpr(r, ints, strs, 0)} END)"
+    }
+
+  /** String-valued expression. */
+  def strExpr(r: Random, strs: Seq[String], depth: Int): String =
+    if (depth <= 0 || strs.isEmpty) {
+      if (strs.nonEmpty && r.nextInt(4) > 0) strs(r.nextInt(strs.length))
+      else strLits(r.nextInt(strLits.length))
+    } else r.nextInt(4) match {
+      case 0 => s"upper(${strExpr(r, strs, 0)})"
+      case 1 => s"lower(${strExpr(r, strs, 0)})"
+      case 2 => s"(${strExpr(r, strs, 0)} || ${strExpr(r, strs, 0)})"
+      case _ => s"coalesce(${strs(r.nextInt(strs.length))}, '~')"
+    }
+
+  private val cmps = Seq("=", "<>", "<", "<=", ">", ">=")
+
+  /** Boolean predicate over the given columns. */
+  def pred(r: Random, ints: Seq[String], strs: Seq[String], depth: Int): String =
+    if (depth <= 0) r.nextInt(6) match {
+      case 0 | 1 =>
+        s"${intExpr(r, ints, strs, 0)} ${cmps(r.nextInt(cmps.length))} ${intExpr(r, ints, strs, 0)}"
+      case 2 if strs.nonEmpty =>
+        s"${strs(r.nextInt(strs.length))} ${cmps(r.nextInt(cmps.length))} ${strLits(r.nextInt(strLits.length))}"
+      case 3 =>
+        s"${ints(r.nextInt(ints.length))} IS ${if (r.nextBoolean()) "" else "NOT "}NULL"
+      case 4 if strs.nonEmpty =>
+        val pat = Seq("'al%'", "'%a'", "'%mm%'", "'_e%'")(r.nextInt(4))
+        s"${strs(r.nextInt(strs.length))} LIKE $pat"
+      case _ =>
+        val ls = Seq.fill(2 + r.nextInt(3))(lit(r)).mkString(", ")
+        s"${ints(r.nextInt(ints.length))} ${if (r.nextBoolean()) "" else "NOT "}IN ($ls)"
+    } else r.nextInt(4) match {
+      case 0 => s"(${pred(r, ints, strs, depth - 1)} AND ${pred(r, ints, strs, depth - 1)})"
+      case 1 => s"(${pred(r, ints, strs, depth - 1)} OR ${pred(r, ints, strs, depth - 1)})"
+      case 2 => s"(NOT ${pred(r, ints, strs, depth - 1)})"
+      case _ =>
+        s"${intExpr(r, ints, strs, depth - 1)} BETWEEN ${lit(r)} AND ${lit(r).toInt.abs + 5}"
+    }
+
+  // ---- query shapes ----------------------------------------------------
+
+  private def items(r: Random, ints: Seq[String], strs: Seq[String]): String = {
+    val n = 1 + r.nextInt(3)
+    (0 until n).map { i =>
+      if (strs.nonEmpty && r.nextInt(4) == 0)
+        s"${strExpr(r, strs, 1)} AS c$i"
+      else s"${intExpr(r, ints, strs, 2)} AS c$i"
+    }.mkString(", ")
+  }
+
+  private def simple(r: Random): String =
+    s"SELECT ${items(r, faInts, Seq("s"))} FROM fa WHERE ${pred(r, faInts, Seq("s"), 2)}"
+
+  private def joined(r: Random): String = {
+    val jt = Seq("JOIN", "LEFT JOIN")(r.nextInt(2))
+    val on = Seq("fa.id = fb.id", "fa.a = fb.x")(r.nextInt(2))
+    val ints = Seq("fa.a", "fa.b", "fb.x", "fa.id")
+    val strs = Seq("fa.s", "fb.t")
+    s"SELECT ${items(r, ints, strs)} FROM fa $jt fb ON $on " +
+      s"WHERE ${pred(r, ints, strs, 1)}"
+  }
+
+  private def grouped(r: Random): String = {
+    val key = Seq("s", "a", "(b % 7)")(r.nextInt(3))
+    val aggs = Seq(
+      "count(*)", "count(b)", "count(DISTINCT a)",
+      s"sum(${intExpr(r, Seq("a", "b"), Nil, 1)})",
+      s"min(${intExpr(r, Seq("a", "b"), Nil, 0)})",
+      s"max(${intExpr(r, Seq("a", "b"), Nil, 0)})")
+    val n = 1 + r.nextInt(3)
+    val picked = (0 until n).map(i => s"${aggs(r.nextInt(aggs.length))} AS g$i")
+    val having =
+      if (r.nextBoolean()) ""
+      else s" HAVING count(*) ${cmps(r.nextInt(cmps.length))} ${1 + r.nextInt(5)}"
+    s"SELECT $key AS k0, ${picked.mkString(", ")} FROM fa " +
+      s"WHERE ${pred(r, faInts, Seq("s"), 1)} GROUP BY $key$having"
+  }
+
+  private def subq(r: Random): String = r.nextInt(4) match {
+    case 0 =>
+      s"SELECT ${items(r, faInts, Seq("s"))} FROM fa WHERE a " +
+        s"${if (r.nextBoolean()) "" else "NOT "}IN " +
+        s"(SELECT k FROM fc WHERE ${pred(r, Seq("k", "v"), Nil, 1)})"
+    case 1 =>
+      s"SELECT ${items(r, faInts, Seq("s"))} FROM fa WHERE " +
+        s"${if (r.nextBoolean()) "" else "NOT "}EXISTS " +
+        s"(SELECT 1 AS one FROM fc WHERE fc.k = fa.a AND ${pred(r, Seq("v"), Nil, 0)})"
+    case 2 =>
+      s"SELECT id AS c0, a AS c1, (SELECT ${Seq("max", "min")(r.nextInt(2))}(v) " +
+        s"FROM fc WHERE ${pred(r, Seq("k", "v"), Nil, 1)}) AS c2 " +
+        s"FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)}"
+    case _ =>
+      s"SELECT id AS c0, (SELECT count(*) FROM fc WHERE fc.k = fa.a) AS c1 " +
+        s"FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)}"
+  }
+
+  private def setop(r: Random): String = {
+    val op = Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT")(r.nextInt(4))
+    s"SELECT a AS c0, b AS c1 FROM fa WHERE ${pred(r, faInts, Nil, 1)} " +
+      s"$op SELECT x AS c0, id AS c1 FROM fb WHERE ${pred(r, Seq("x", "id"), Nil, 1)}"
+  }
+
+  private def windowed(r: Random): String = {
+    // plain-column partition keys only: expression PARTITION BY is a
+    // known engine gap (parser takes ColRefs — TODO.md round-13 notes)
+    val part = Seq("s", "a")(r.nextInt(2))
+    val win = r.nextInt(4) match {
+      case 0 => s"rank() OVER (PARTITION BY $part ORDER BY b, id)"
+      case 1 => s"row_number() OVER (PARTITION BY $part ORDER BY a, id)"
+      case 2 => s"sum(b) OVER (PARTITION BY $part)"
+      case _ => s"sum(a) OVER (PARTITION BY $part ORDER BY id)"
+    }
+    s"SELECT id AS c0, $win AS c1 FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)}"
+  }
+
+  private def derived(r: Random): String =
+    s"SELECT ${items(r, Seq("a1", "b1"), Seq("s1"))} FROM " +
+      s"(SELECT a AS a1, b AS b1, s AS s1, id AS id1 FROM fa " +
+      s"WHERE ${pred(r, faInts, Seq("s"), 1)}) dt " +
+      s"WHERE ${pred(r, Seq("a1", "b1"), Seq("s1"), 1)}"
+
+  private def distinctQ(r: Random): String =
+    s"SELECT DISTINCT ${intExpr(r, Seq("a", "b"), Nil, 1)} AS c0" +
+      (if (r.nextBoolean()) ", s AS c1" else "") +
+      s" FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)}"
+
+  /** One random query; shape mix weighted toward the compositional forms. */
+  def query(r: Random): String = r.nextInt(10) match {
+    case 0 | 1    => simple(r)
+    case 2 | 3    => joined(r)
+    case 4 | 5    => grouped(r)
+    case 6        => subq(r)
+    case 7        => setop(r)
+    case 8        => windowed(r)
+    case _        => if (r.nextBoolean()) derived(r) else distinctQ(r)
+  }
+}

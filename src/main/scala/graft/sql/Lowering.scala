@@ -398,6 +398,18 @@ object Lowering {
       // grouped frame), or a guarded-literal bounded job
       val subValJoins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       val subValCols = new java.util.IdentityHashMap[BoundOperand, Column]()
+      // post-aggregation window column names: projection window items
+      // attach as __w_<i>, hidden inline-OVER windows (projection
+      // expressions + QUALIFY) at their generated aliases — BOut output
+      // references in expressions lowered over the windowed frame
+      // resolve through this map
+      val qualifyWinAliasCol: Map[String, String] =
+        (q.projection.zipWithIndex.collect {
+          case (BoundItem.BIWin(_, _, _, _, a, _), i) =>
+            a.toLowerCase -> s"__w_$i"
+        } ++ q.qualifyWins.collect {
+          case BoundItem.BIWin(_, _, _, _, a, _) => a.toLowerCase -> a.toLowerCase
+        }).toMap
       def havingOperand(o: BoundOperand): Column = o match {
         case v @ BoundOperand.BSubVal(sub, guard, _) =>
           // correlated forms are analyzer-rejected in aggregate scope
@@ -430,7 +442,12 @@ object Lowering {
           havingAggs += ((a, name))
           col(name)
         case BoundOperand.BOut(n, _) =>
-          sys.error(s"unreachable: QUALIFY output reference '$n' in aggregate scope")
+          // a hidden-window output reference: the window column attaches
+          // between aggregation and the final projection (withWins), so
+          // every consumer — projection expressions, ORDER BY, QUALIFY —
+          // evaluates over the windowed frame (HAVING cannot contain
+          // windows; analyzer scope)
+          col(qualifyWinAliasCol(n.toLowerCase))
       }
       def havingCol(e: BoundExpr): Column = e match {
         case BoundExpr.BAnd(l, r) => havingCol(l) && havingCol(r)
@@ -603,11 +620,6 @@ object Lowering {
             withRank(frame, parts, ord, s"q_$a"),
             withMask(f, args, frame, parts, ord, s"q_$a"))
       }
-      val qualifyWinAliasCol: Map[String, String] =
-        q.projection.zipWithIndex.collect {
-          case (BoundItem.BIWin(_, _, _, _, a, _), i) =>
-            a.toLowerCase -> s"__w_$i"
-        }.toMap ++ qwinItems.map { case (a, _) => a -> a }
       def qualifyOp(o: BoundOperand): Column = o match {
         case BoundOperand.BOut(n, _) => col(qualifyWinAliasCol(n.toLowerCase))
         case BoundOperand.BArith(ch, l, r) =>
@@ -1004,7 +1016,7 @@ object Lowering {
       .partitionBy(parts.map(colOf): _*)
       .orderBy(ord.map { case (op, desc) =>
         val c = opLower(op)
-        if (desc) c.desc else c.asc
+        if (desc) c.desc_nulls_last else c.asc_nulls_last
       }: _*))
 
   /** Is `f(DISTINCT x) OVER w` rewritable to the scalable masked-running
@@ -1043,7 +1055,7 @@ object Lowering {
     val wf =
       if (ord.isEmpty) wf0.orderBy(lit(0))
       else wf0.orderBy(ord.map { case (op, desc) =>
-        val c = opLower(op); if (desc) c.desc else c.asc }: _*)
+        val c = opLower(op); if (desc) c.desc_nulls_last else c.asc_nulls_last }: _*)
     when(x.isNotNull && row_number().over(wf) === 1, x)
   }
 
@@ -1103,11 +1115,13 @@ object Lowering {
         // timestamps and a truncated ordering key would diverge from
         // the oracle's exact interval comparison at sub-second edges
         val c = unix_micros(opLower(ord.head._1).cast("timestamp"))
-        w0.orderBy(if (ord.head._2) c.desc else c.asc)
+        w0.orderBy(if (ord.head._2) c.desc_nulls_last else c.asc_nulls_last)
       }
+      // NULLS LAST in both directions — DuckDB's default_null_order
+      // (see sortCol; round-13 fuzz caught the bare-.asc divergence)
       else w0.orderBy(ord.map { case (op, desc) =>
         val c = opLower(op)
-        if (desc) c.desc else c.asc
+        if (desc) c.desc_nulls_last else c.asc_nulls_last
       }: _*)
     val w = frame.fold(w1) { fr =>
       // temporal bounds parsed as seconds scale to the micros ordering
@@ -2854,10 +2868,15 @@ object Lowering {
     * FIRST/LAST (None keeps Spark's default: NULLS FIRST for ASC, LAST
     * for DESC).
     */
+  /** DuckDB's default null order is NULLS LAST in BOTH directions
+    * (default_null_order = 'nulls_last'; probed — round-13 fuzz found
+    * the divergence: Spark's bare .asc is nulls-FIRST). Explicit NULLS
+    * FIRST/LAST overrides pass through.
+    */
   private[sql] def sortCol(c: Column, s: Ast.SortDir): Column =
     (s.desc, s.nullsFirst) match {
-      case (false, None)        => c.asc
-      case (true, None)         => c.desc
+      case (false, None)        => c.asc_nulls_last
+      case (true, None)         => c.desc_nulls_last
       case (false, Some(true))  => c.asc_nulls_first
       case (false, Some(false)) => c.asc_nulls_last
       case (true, Some(true))   => c.desc_nulls_first

@@ -164,6 +164,56 @@ object Parser {
         })
       case _ => false
     }
+
+    /** From a window-function SELECT-item start (`fn ( … )` at i): does
+      * an `OVER ( … )` call follow AND continue with an operator — i.e.
+      * the window is nested in a larger item expression (`rank() OVER
+      * (…) - 1 AS x`), which must parse through the operand grammar's
+      * hidden-window sink instead of the direct window-item path.
+      */
+    def winCallInExpression: Boolean = toks.lift(i + 1) match {
+      case Some(TSym("(", _)) =>
+        var j = i + 2
+        var depth = 1
+        while (depth > 0 && j < toks.length) {
+          toks(j) match {
+            case TSym("(", _) => depth += 1
+            case TSym(")", _) => depth -= 1
+            case _            => ()
+          }
+          j += 1
+        }
+        // optional IGNORE/RESPECT NULLS between the call and OVER
+        while (depth == 0 && j < toks.length && (toks(j) match {
+          case TIdent(s, _) =>
+            Set("ignore", "respect", "nulls")(s.toLowerCase)
+          case _ => false
+        })) j += 1
+        depth == 0 && (toks.lift(j) match {
+          case Some(TIdent(s, _)) if s.equalsIgnoreCase("over") =>
+            toks.lift(j + 1) match {
+              case Some(TSym("(", _)) =>
+                var k = j + 2
+                var d2 = 1
+                while (d2 > 0 && k < toks.length) {
+                  toks(k) match {
+                    case TSym("(", _) => d2 += 1
+                    case TSym(")", _) => d2 -= 1
+                    case _            => ()
+                  }
+                  k += 1
+                }
+                d2 == 0 && (toks.lift(k) match {
+                  case Some(TSym(sym, _)) => Set("+", "-", "*", "/", "%",
+                    "||", "::", "[", "=", "<", ">", "<=", ">=", "<>")(sym)
+                  case _ => false
+                })
+              case _ => false
+            }
+          case _ => false
+        })
+      case _ => false
+    }
   }
 
   private val reservedWords = Set(
@@ -1492,7 +1542,11 @@ object Parser {
                   _ <- p.eatSym(")")
                 } yield SelectItem.SColumnsFn(f.toLowerCase, sel._1, sel._2,
                   extra): SelectItem
-              case TIdent(f, _) if winFuncs(f.toLowerCase) =>
+              // `rank() OVER (…) - 1 AS x` routes through the operand
+              // grammar below (the hidden-window sink); only a whole-item
+              // window call takes the direct path
+              case TIdent(f, _) if winFuncs(f.toLowerCase) &&
+                  !p.winCallInExpression =>
                 p.next()
                 for {
                   _ <- p.eatSym("(")

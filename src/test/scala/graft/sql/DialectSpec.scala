@@ -696,9 +696,12 @@ class DialectSpec extends AnyFunSuite {
       db.select("SELECT name, (SELECT age FROM people) AS a FROM people")
       false
     } catch { case _: IllegalStateException => true })
-    // rejected: scalar items over an aggregated query; two columns
-    assert(db.query("SELECT count(*), (SELECT max(age) FROM people) AS m " +
-      "FROM people").isLeft)
+    // an uncorrelated scalar item over an aggregated query rides the
+    // post-aggregation broadcast join (was rejected before round 13)
+    val ag = db.select("SELECT count(*) AS n, (SELECT max(age) FROM people) " +
+      "AS m FROM people").fold(e => fail(e.msg), identity).collect()
+    assert(ag.head.getLong(0) == 3L && ag.head.getInt(1) == 30)
+    // still rejected: two columns
     assert(db.query("SELECT (SELECT id, age FROM people LIMIT 1) AS x " +
       "FROM people").isLeft)
   }
@@ -2175,9 +2178,12 @@ class DialectSpec extends AnyFunSuite {
       "FROM nw ORDER BY g, k").fold(e => fail(e.msg),
         _.collect().toSeq.map(_.getLong(1)))
     assert(r3 == Seq(30L, 30L, 5L))
-    // aggregate scope rejects toward a derived table
-    assert(db.query("SELECT g, count(*) + rank() OVER (ORDER BY g) AS x " +
-      "FROM nw GROUP BY g").isLeft)
+    // aggregate scope: the hidden window attaches post-aggregation and
+    // the expression evaluates over it (was rejected before round 13)
+    val r4 = db.select("SELECT g, count(*) + rank() OVER (ORDER BY g) AS x " +
+      "FROM nw GROUP BY g ORDER BY g").fold(e => fail(e.msg),
+        _.collect().toSeq.map(_.getLong(1)))
+    assert(r4 == Seq(3L, 3L))
   }
 
   test("windowed string_agg/array_agg: running collects, NULL rules") {
@@ -3183,9 +3189,10 @@ class DialectSpec extends AnyFunSuite {
     // CASE consumes TRUE-vs-rest: UNKNOWN takes the ELSE branch
     val cs = db.select("SELECT a, b, CASE WHEN (a, b) IN (SELECT x, y FROM s) " +
       "THEN 'in' ELSE 'out' END AS c FROM l ORDER BY a, b").toOption.get
-    // NULL probes sort first (Spark ASC default): both are 'out'
+    // NULL probes sort LAST (DuckDB default_null_order, round-13 fix):
+    // order is (1,1) (1,2) (2,5) (9,9) (NULL,1) (NULL,3) — only (1,1) in
     assert(cs.collect().map(_.getString(2)).toSeq ==
-      Seq("out", "out", "in", "out", "out", "out"))
+      Seq("in", "out", "out", "out", "out", "out"))
     // empty set: NOT IN is TRUE for every probe (NULLs included)
     run("CREATE TABLE empty2 (x INT, y INT)")
     assert(rows("SELECT a, b FROM l WHERE (a, b) NOT IN (SELECT x, y FROM empty2) OR a = 0 " +
@@ -4794,6 +4801,64 @@ class DialectSpec extends AnyFunSuite {
       Seq(9007199254740993L, 9007199254740993L, 9007199254740994L, 7L))
     assert(brows.map(_.getDecimal(3).toPlainString.toDouble).toSeq ==
       Seq(1.10, 1.10, 3.35, 0.05))
+  }
+
+  test("default null ordering is NULLS LAST in both directions (DuckDB)") {
+    // round-13 differential fuzz caught this: Spark's bare .asc is
+    // nulls-FIRST; DuckDB's default_null_order is nulls_last for ASC
+    // AND DESC — query-level ORDER BY and window ORDER BY both
+    val db = freshDb()
+    db.query("CREATE TABLE no1 (a INT, id INT)")
+    db.query("INSERT INTO no1 VALUES (NULL, 1), (2, 2), (1, 3), (NULL, 4)")
+    def ids(sql: String): Seq[Int] =
+      db.select(sql).fold(e => fail(e.msg), _.collect().toSeq.map(_.getInt(0)))
+    assert(ids("SELECT id FROM no1 ORDER BY a, id") == Seq(3, 2, 1, 4))
+    assert(ids("SELECT id FROM no1 ORDER BY a DESC, id") == Seq(2, 3, 1, 4))
+    // explicit overrides still win
+    assert(ids("SELECT id FROM no1 ORDER BY a NULLS FIRST, id") == Seq(1, 4, 3, 2))
+    val rn = db.select("SELECT id, row_number() OVER (ORDER BY a, id) AS r " +
+      "FROM no1 ORDER BY id").fold(e => fail(e.msg),
+        _.collect().toSeq.map(x => (x.getInt(0), x.get(1).toString.toInt)))
+    assert(rn == Seq((1, 3), (2, 2), (3, 1), (4, 4)))
+  }
+
+  test("windows nested in expressions over an aggregated query") {
+    val db = freshDb()
+    db.query("CREATE TABLE wx (g VARCHAR(2), v INT)")
+    db.query("INSERT INTO wx VALUES ('a', 1), ('a', 2), ('b', 3), ('b', 4), ('b', 5), ('c', 1)")
+    // percent-of-total: the hidden inline-OVER windows attach between
+    // aggregation and the final projection; the expression evaluates
+    // over the attached columns
+    val r = db.select("SELECT g, count(*) AS n, " +
+      "round(100.0 * count(*) / sum(count(*)) OVER (), 2) AS pct, " +
+      "rank() OVER (ORDER BY count(*) DESC, g) - 1 AS rk0 " +
+      "FROM wx GROUP BY g ORDER BY g").fold(e => fail(e.msg), identity).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSeq ==
+      Seq(("a", 2L, 33.33, 1L), ("b", 3L, 50.0, 0L), ("c", 1L, 16.67, 2L)))
+    // a group aggregate inside the window argument AND outside it
+    val r2 = db.select("SELECT g, sum(v) - min(sum(v)) OVER () AS rel " +
+      "FROM wx GROUP BY g ORDER BY g").fold(e => fail(e.msg), identity).collect()
+    assert(r2.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("b", 11L), ("c", 0L)))
+    // row scope: a hidden window whose argument aggregates still rejects
+    assert(db.select("SELECT 1 + rank() OVER (ORDER BY count(*)) FROM wx").isLeft)
+  }
+
+  test("uncorrelated scalar-subquery items over an aggregated query") {
+    val db = freshDb()
+    db.query("CREATE TABLE sa (g VARCHAR(2), v INT)")
+    db.query("CREATE TABLE sb (w INT)")
+    db.query("INSERT INTO sa VALUES ('a', 1), ('a', 2), ('b', 5)")
+    db.query("INSERT INTO sb VALUES (10), (20)")
+    // the subquery lowers ONCE as a broadcast 1-row frame joined after
+    // aggregation — not once per group
+    val r = db.select("SELECT g, sum(v) AS sv, (SELECT max(w) FROM sb) AS mx " +
+      "FROM sa GROUP BY g ORDER BY g").fold(e => fail(e.msg), identity).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getInt(2))).toSeq ==
+      Seq(("a", 3L, 20), ("b", 5L, 20)))
+    // a correlated item over an aggregated query still rejects loudly
+    assert(db.select("SELECT g, sum(v), (SELECT max(w) FROM sb WHERE w = v) " +
+      "FROM sa GROUP BY g").isLeft)
   }
 
   test("USE schema: search path, create landing, shadowing") {
