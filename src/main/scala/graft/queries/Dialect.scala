@@ -1115,6 +1115,22 @@ object Dialect {
              |  cast(rank() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS bigint) AS rk0
              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // Expression PARTITION BY keys — the window partitions on a
+    // computed bucket, not a stored column; the expression lowers
+    // inline into the window's partitioning (one shuffle on the
+    // computed key, same plan as a precomputed column).
+    "q_dialect_win_part_expr" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT c_custkey, c_acctbal, " +
+          "rank() OVER (PARTITION BY (c_custkey % 10) " +
+          "ORDER BY c_acctbal DESC, c_custkey) AS rk " +
+          "FROM customer WHERE c_acctbal > 9000 ORDER BY c_custkey"),
+      Some("""SELECT c_custkey, c_acctbal,
+             |  rank() OVER (PARTITION BY (c_custkey % 10)
+             |    ORDER BY c_acctbal DESC, c_custkey) AS rk
+             |FROM customer WHERE c_acctbal > 9000
+             |ORDER BY c_custkey""".stripMargin)),
+
     // An uncorrelated scalar-subquery ITEM over an aggregated query:
     // the subquery lowers once as a broadcast 1-row frame joined after
     // aggregation (the BSubVal operand machinery) — not once per group.

@@ -331,7 +331,7 @@ object Analyzer {
       * Row-level — does NOT make the query aggregate-scoped.
       */
     final case class BIWin(func: String, args: Seq[BoundOperand],
-        partitionBy: Seq[BoundCol], orderBy: Seq[(BoundOperand, Boolean)],
+        partitionBy: Seq[BoundOperand], orderBy: Seq[(BoundOperand, Boolean)],
         alias: String, frame: Option[WinFrame] = None) extends BoundItem
   }
 
@@ -622,7 +622,7 @@ object Analyzer {
         case BoundItem.BIExpr(op, _)    => operandColsDeep(op)
         case BoundItem.BIAgg(_, arg, _, _) => arg.toSeq.flatMap(operandColsDeep)
         case BoundItem.BIWin(_, args, parts, ord, _, _) =>
-          args.flatMap(operandColsDeep) ++ parts ++
+          (args ++ parts).flatMap(operandColsDeep) ++
             ord.flatMap(o => operandColsDeep(o._1))
         // a scalar item's own correlation keys: if any points past THIS
         // subquery's scope, the outer-col check below rejects (depth-2
@@ -905,7 +905,7 @@ object Analyzer {
         case BoundItem.BIExpr(op, _)       => operandColsDeep(op)
         case BoundItem.BIAgg(_, arg, _, _) => arg.toSeq.flatMap(operandColsDeep)
         case BoundItem.BIWin(_, args, parts, ord, _, _) =>
-          args.flatMap(operandColsDeep) ++ parts ++
+          (args ++ parts).flatMap(operandColsDeep) ++
             ord.flatMap(o => operandColsDeep(o._1))
         case BoundItem.BISub(_, _, _, ipairs, iqo) => ipairs.map(_._1) ++
           iqo.toSeq.flatMap(x => operandColsDeep(x.outerOp))
@@ -4690,8 +4690,9 @@ object Analyzer {
             Right(Vector.empty)) { (acc, x) =>
             acc.flatMap(v => bindOp(x, allowAgg = true).map(v :+ _))
           }
-          bparts <- parts.foldLeft[Either[AnalyzerError, Vector[BoundCol]]](
-            Right(Vector.empty)) { (acc, r) => acc.flatMap(v => bindCol(r).map(v :+ _)) }
+          bparts <- parts.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](
+            Right(Vector.empty)) { (acc, r) =>
+            acc.flatMap(v => bindOp(r, allowAgg = true).map(v :+ _)) }
           bord <- ord.foldLeft[Either[AnalyzerError, Vector[(BoundOperand, Boolean)]]](
             Right(Vector.empty)) { case (acc, (o, desc)) =>
             acc.flatMap(v => bindOp(o, allowAgg = true).map(b => v :+ (b -> desc)))
@@ -5039,7 +5040,7 @@ object Analyzer {
             case BoundItem.BIExpr(op, a) if !groupAliases(a.toLowerCase) =>
               operandCols(op)
             case BoundItem.BIWin(_, args, parts, ord, _, _) =>
-              parts ++ (args ++ ord.map(_._1)).flatMap(winOpCols)
+              (parts ++ args ++ ord.map(_._1)).flatMap(winOpCols)
             case _                       => Nil
           }.find(!grouped(_)) match {
             case Some(c) => Left(NotInGroupBy(c.render))

@@ -181,13 +181,13 @@ object FuzzGen {
   }
 
   private def windowed(r: Random): String = {
-    // plain-column partition keys only: expression PARTITION BY is a
-    // known engine gap (parser takes ColRefs — TODO.md round-13 notes)
-    val part = Seq("s", "a")(r.nextInt(2))
-    val win = r.nextInt(4) match {
+    val part = Seq("s", "a", "(a % 3)", "coalesce(a, -99)")(r.nextInt(4))
+    val win = r.nextInt(6) match {
       case 0 => s"rank() OVER (PARTITION BY $part ORDER BY b, id)"
       case 1 => s"row_number() OVER (PARTITION BY $part ORDER BY a, id)"
       case 2 => s"sum(b) OVER (PARTITION BY $part)"
+      case 3 => s"row_number() OVER (PARTITION BY $part ORDER BY a NULLS FIRST, id)"
+      case 4 => s"rank() OVER (PARTITION BY $part ORDER BY b DESC NULLS LAST, id)"
       case _ => s"sum(a) OVER (PARTITION BY $part ORDER BY id)"
     }
     s"SELECT id AS c0, $win AS c1 FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)}"

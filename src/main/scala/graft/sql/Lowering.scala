@@ -581,7 +581,7 @@ object Lowering {
       // GROUPS frames over the aggregated frame: the dense_rank columns
       // pre-attach in a select ahead of the window select, then drop
       val winRanks = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
-      def withRank(frame: Option[Ast.WinFrame], parts: Seq[BoundCol],
+      def withRank(frame: Option[Ast.WinFrame], parts: Seq[BoundOperand],
           ord: Seq[(BoundOperand, Boolean)], tag: String): Option[Column] =
         if (!frame.exists(_.groups)) None
         else {
@@ -593,7 +593,7 @@ object Lowering {
       // DISTINCT prefix-frame aggregates pre-attach their mask through
       // the same select (winRanks names all drop after the window select)
       def withMask(f: String, args: Seq[BoundOperand],
-          frame: Option[Ast.WinFrame], parts: Seq[BoundCol],
+          frame: Option[Ast.WinFrame], parts: Seq[BoundOperand],
           ord: Seq[(BoundOperand, Boolean)], tag: String): Option[Column] =
         if (!distinctWinEligible(f, args, frame)) None
         else {
@@ -1009,11 +1009,11 @@ object Lowering {
     * framed aggregate (a window spec cannot nest a window expression),
     * dropped right after; same partition keys → no extra exchange.
     */
-  private def groupsRankColumn(parts: Seq[BoundCol],
+  private def groupsRankColumn(parts: Seq[BoundOperand],
       ord: Seq[(BoundOperand, Boolean)],
       opLower: BoundOperand => Column, colOf: BoundCol => Column): Column =
     dense_rank().over(org.apache.spark.sql.expressions.Window
-      .partitionBy(parts.map(colOf): _*)
+      .partitionBy(parts.map(opLower): _*)
       .orderBy(ord.map { case (op, desc) =>
         val c = opLower(op)
         if (desc) c.desc_nulls_last else c.asc_nulls_last
@@ -1047,11 +1047,11 @@ object Lowering {
     * rejects nested window expressions).
     */
   private def distinctMaskColumn(args: Seq[BoundOperand],
-      parts: Seq[BoundCol], ord: Seq[(BoundOperand, Boolean)],
+      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Boolean)],
       opLower: BoundOperand => Column, colOf: BoundCol => Column): Column = {
     val x = opLower(args.head)
     val wf0 = org.apache.spark.sql.expressions.Window
-      .partitionBy(parts.map(colOf) :+ x: _*)
+      .partitionBy(parts.map(opLower) :+ x: _*)
     val wf =
       if (ord.isEmpty) wf0.orderBy(lit(0))
       else wf0.orderBy(ord.map { case (op, desc) =>
@@ -1087,7 +1087,7 @@ object Lowering {
   }
 
   private def windowColumn(f: String, args: Seq[BoundOperand],
-      parts: Seq[BoundCol], ord: Seq[(BoundOperand, Boolean)],
+      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Boolean)],
       frame: Option[Ast.WinFrame],
       opLower: BoundOperand => Column, colOf: BoundCol => Column,
       /** GROUPS frames: the pre-attached dense_rank of the order keys
@@ -1100,7 +1100,7 @@ object Lowering {
         */
       distinctMask: Option[Column] = None): Column = {
     val w0 = org.apache.spark.sql.expressions.Window
-      .partitionBy(parts.map(colOf): _*)
+      .partitionBy(parts.map(opLower): _*)
     // INTERVAL RANGE bounds: order by the temporal key's epoch seconds
     // so the value-distance frame is time-windowed (bounds were
     // normalized to seconds at parse; session timezone is UTC)
@@ -1247,7 +1247,7 @@ object Lowering {
     if (exclMode == "none") fn.over(w)
     else {
       lazy val pw = org.apache.spark.sql.expressions.Window.partitionBy(
-        parts.map(colOf) ++ ord.map(o => opLower(o._1)): _*)
+        parts.map(opLower) ++ ord.map(o => opLower(o._1)): _*)
       def cntSub(c: Option[Column]): Column = {
         val self = c.fold(lit(1L))(_.isNotNull.cast("long"))
         val grp = c.fold(count(lit(1)))(count(_)).over(pw)
@@ -1308,7 +1308,7 @@ object Lowering {
           val prefix = subFrame(fr.lo, -1L)
           val suffix = subFrame(1L, fr.hi)
           lazy val pw2 = org.apache.spark.sql.expressions.Window
-            .partitionBy(parts.map(colOf) ++ ord.map(o => opLower(o._1)): _*)
+            .partitionBy(parts.map(opLower) ++ ord.map(o => opLower(o._1)): _*)
             .orderBy(c)
           lazy val peersExclSelf = comb(Seq(
             agg(c).over(pw2.rowsBetween(Long.MinValue, -1L)),

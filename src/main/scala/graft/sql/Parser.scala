@@ -1236,15 +1236,18 @@ object Parser {
 
   /** OVER (PARTITION BY cols ORDER BY operands [ROWS|RANGE BETWEEN …]) */
   private def parseOverSpec(p: P): Either[ParseError,
-      (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame])] =
+      (Vector[Operand], Vector[(Operand, Boolean)], Option[WinFrame])] =
     for {
       _ <- p.eatSym("(")
+      // PARTITION BY takes full operands (DuckDB allows expressions —
+      // PARTITION BY (a % 3); aggregates allowed for post-aggregation
+      // windows, same as ORDER keys)
       parts <-
         if (p.isKw("partition")) {
           p.next()
           p.eatKw("by").flatMap { _ =>
-            def loop(acc: Vector[ColRef]): Either[ParseError, Vector[ColRef]] =
-              parseColRef(p).flatMap { c =>
+            def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+              parseOperand(p, allowAgg = true).flatMap { c =>
                 p.peek match {
                   case TSym(",", _) => p.next(); loop(acc :+ c)
                   case _            => Right(acc :+ c)
@@ -1252,24 +1255,47 @@ object Parser {
               }
             loop(Vector.empty)
           }
-        } else Right(Vector.empty[ColRef])
+        } else Right(Vector.empty[Operand])
       ord <-
         if (p.isKw("order")) {
           p.next()
           p.eatKw("by").flatMap { _ =>
             // aggregates allowed: over an aggregated query the
-            // window orders post-aggregation (ORDER BY count(*))
-            def one(): Either[ParseError, (Operand, Boolean)] =
-              parseOperand(p, allowAgg = true).map { c =>
-                if (p.isKw("desc")) { p.next(); (c, true) }
-                else if (p.isKw("asc")) { p.next(); (c, false) }
-                else (c, false)
+            // window orders post-aggregation (ORDER BY count(*)).
+            // NULLS FIRST/LAST desugars at parse time: the engine
+            // default is nulls-LAST (DuckDB's default_null_order), so
+            // an explicit NULLS FIRST splices a 0/1 null-marker key
+            // ahead of the real key (ascending: NULL rows first) and
+            // NULLS LAST is a no-op — zero plumbing changes downstream
+            def one(): Either[ParseError, Vector[(Operand, Boolean)]] =
+              parseOperand(p, allowAgg = true).flatMap { c =>
+                val desc =
+                  if (p.isKw("desc")) { p.next(); true }
+                  else if (p.isKw("asc")) { p.next(); false }
+                  else false
+                if (p.isKw("nulls")) {
+                  val pos = p.peek.pos
+                  p.next()
+                  p.peek match {
+                    case TIdent(k, _) if k.equalsIgnoreCase("first") =>
+                      p.next()
+                      val marker = Operand.CaseWhen(
+                        Seq((Expr.IsNull(c, negated = false),
+                          Operand.Literal(Lit.LitLong(0L)): Operand)),
+                        Some(Operand.Literal(Lit.LitLong(1L)): Operand))
+                      Right(Vector((marker: Operand, false), (c, desc)))
+                    case TIdent(k, _) if k.equalsIgnoreCase("last") =>
+                      p.next(); Right(Vector((c, desc)))
+                    case _ => Left(ParseError(
+                      "expected FIRST or LAST after NULLS", pos))
+                  }
+                } else Right(Vector((c, desc)))
               }
             def loop(acc: Vector[(Operand, Boolean)]): Either[ParseError, Vector[(Operand, Boolean)]] =
               one().flatMap { o =>
                 p.peek match {
-                  case TSym(",", _) => p.next(); loop(acc :+ o)
-                  case _            => Right(acc :+ o)
+                  case TSym(",", _) => p.next(); loop(acc ++ o)
+                  case _            => Right(acc ++ o)
                 }
               }
             loop(Vector.empty)
@@ -1390,9 +1416,9 @@ object Parser {
                 case TIdent(n, _) if !reserved(n) =>
                   p.next()
                   Right(Left(n): Either[String,
-                    (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame])])
+                    (Vector[Operand], Vector[(Operand, Boolean)], Option[WinFrame])])
                 case _ => parseOverSpec(p).map(Right(_): Either[String,
-                  (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame])])
+                  (Vector[Operand], Vector[(Operand, Boolean)], Option[WinFrame])])
               }
               _ <-
                 if (p.isKw("as")) { p.next(); Right(()) }
@@ -2352,16 +2378,16 @@ object Parser {
         if (p.isKw("window")) {
           p.next()
           def one(): Either[ParseError, (String,
-              (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame]))] =
+              (Vector[Operand], Vector[(Operand, Boolean)], Option[WinFrame]))] =
             for {
               n <- p.ident()
               _ <- p.eatKw("as")
               spec <- parseOverSpec(p)
             } yield n.toLowerCase -> spec
           def loop(acc: Vector[(String,
-              (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame]))])
+              (Vector[Operand], Vector[(Operand, Boolean)], Option[WinFrame]))])
               : Either[ParseError, Vector[(String,
-                (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame]))]] =
+                (Vector[Operand], Vector[(Operand, Boolean)], Option[WinFrame]))]] =
             one().flatMap { d =>
               p.peek match {
                 case TSym(",", _) => p.next(); loop(acc :+ d)
@@ -2378,7 +2404,7 @@ object Parser {
             }
           }
         } else Right(Vector.empty[(String,
-          (Vector[ColRef], Vector[(Operand, Boolean)], Option[WinFrame]))])
+          (Vector[Operand], Vector[(Operand, Boolean)], Option[WinFrame]))])
       // QUALIFY <pred> (after HAVING, before ORDER BY — the DuckDB clause
       // order): inline `fn(...) OVER (...)` calls in the predicate
       // desugar into hidden window items via the parser's winSink

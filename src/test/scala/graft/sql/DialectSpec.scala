@@ -4820,6 +4820,37 @@ class DialectSpec extends AnyFunSuite {
       "FROM no1 ORDER BY id").fold(e => fail(e.msg),
         _.collect().toSeq.map(x => (x.getInt(0), x.get(1).toString.toInt)))
     assert(rn == Seq((1, 3), (2, 2), (3, 1), (4, 4)))
+    // explicit NULLS FIRST inside a window ORDER BY (parse-level
+    // desugar: a 0/1 null-marker key ahead of the real key)
+    val nf = db.select("SELECT id, row_number() OVER " +
+      "(ORDER BY a NULLS FIRST, id) AS r FROM no1 ORDER BY id")
+      .fold(e => fail(e.msg),
+        _.collect().toSeq.map(x => (x.getInt(0), x.get(1).toString.toInt)))
+    assert(nf == Seq((1, 1), (2, 4), (3, 3), (4, 2)))
+    // NULLS LAST is the default — a no-op
+    val nl = db.select("SELECT id, row_number() OVER " +
+      "(ORDER BY a DESC NULLS LAST, id) AS r FROM no1 ORDER BY id")
+      .fold(e => fail(e.msg),
+        _.collect().toSeq.map(x => (x.getInt(0), x.get(1).toString.toInt)))
+    assert(nl == Seq((1, 3), (2, 1), (3, 2), (4, 4)))
+  }
+
+  test("expression PARTITION BY keys (row scope and aggregate scope)") {
+    val db = freshDb()
+    db.query("CREATE TABLE pe (g INT, v INT)")
+    db.query("INSERT INTO pe VALUES (1, 10), (2, 20), (3, 30), (4, 40), (6, 60)")
+    // row scope: partition on (g % 2) — evens {2,4,6}, odds {1,3}
+    val r = db.select("SELECT g, sum(v) OVER (PARTITION BY (g % 2)) AS sv " +
+      "FROM pe ORDER BY g").fold(e => fail(e.msg),
+        _.collect().toSeq.map(x => (x.getInt(0), x.getLong(1))))
+    assert(r == Seq((1, 40L), (2, 120L), (3, 40L), (4, 120L), (6, 120L)))
+    // aggregate scope: partition the grouped frame on an expression of
+    // a group key; the window ranks within each (k % 2) family
+    val a = db.select("SELECT g, count(*) AS n, " +
+      "rank() OVER (PARTITION BY (g % 2) ORDER BY g) AS rk " +
+      "FROM pe GROUP BY g ORDER BY g").fold(e => fail(e.msg),
+        _.collect().toSeq.map(x => (x.getInt(0), x.get(2).toString.toInt)))
+    assert(a == Seq((1, 1), (2, 1), (3, 2), (4, 2), (6, 3)))
   }
 
   test("windows nested in expressions over an aggregated query") {
