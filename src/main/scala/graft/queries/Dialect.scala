@@ -1131,6 +1131,20 @@ object Dialect {
              |FROM customer WHERE c_acctbal > 9000
              |ORDER BY c_custkey""".stripMargin)),
 
+    // DISTINCT ON over an aggregated query — per market segment, the
+    // nation with the most customers: the first-row-per-key filter
+    // runs AFTER aggregation (row_number → WindowGroupLimit over the
+    // grouped frame), one row of state per ON key.
+    "q_dialect_distinct_on_agg" -> QueryDef(
+      (s, d) => run(db(s, d, "customer"),
+        "SELECT DISTINCT ON (c_mktsegment) c_mktsegment, c_nationkey, " +
+          "count(*) AS n FROM customer GROUP BY c_mktsegment, c_nationkey " +
+          "ORDER BY c_mktsegment, n DESC, c_nationkey"),
+      Some("""SELECT DISTINCT ON (c_mktsegment) c_mktsegment, c_nationkey,
+             |  cast(count(*) AS bigint) AS n
+             |FROM customer GROUP BY c_mktsegment, c_nationkey
+             |ORDER BY c_mktsegment, n DESC, c_nationkey""".stripMargin)),
+
     // An uncorrelated scalar-subquery ITEM over an aggregated query:
     // the subquery lowers once as a broadcast 1-row frame joined after
     // aggregation (the BSubVal operand machinery) — not once per group.

@@ -5455,21 +5455,33 @@ object Analyzer {
           case _                       => false
         }
         if (s.distinctOn.isEmpty) Right(Vector.empty[BoundOperand])
-        else if (isAgg)
-          Left(BadAggregate("DISTINCT ON over an aggregated query is not supported"))
         else s.distinctOn.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](
           Right(Vector.empty)) { (acc, o) =>
-          acc.flatMap(v => bindOp(o, allowAgg = false).map(v :+ _))
+          // over an aggregated query the ON keys resolve post-aggregation
+          // (aggregate calls allowed, bare columns must be GROUP BY keys)
+          acc.flatMap(v => bindOp(o, allowAgg = isAgg).map(v :+ _))
         }.flatMap { keys =>
+          val groupExprOps =
+            group.collect { case BoundGroupKey.GKExpr(op, _) => op }.toSet
+          val badAggKey =
+            if (!isAgg) None
+            else keys.flatMap(k =>
+              if (groupExprOps.contains(k)) Nil else operandCols(k))
+              .find(c => !groupCols.exists(g => g.binding == c.binding &&
+                g.attr.name.equalsIgnoreCase(c.attr.name)))
           def orderKeyOperand(k: BoundOrderKey): Option[BoundOperand] = k match {
             case BoundOrderKey.OKOperand(op) => Some(op)
             case BoundOrderKey.OKOutput(n) => proj.collectFirst {
               case BoundItem.BICol(bc, Some(a)) if a.equalsIgnoreCase(n) =>
                 BoundOperand.BCol(bc)
               case BoundItem.BIExpr(op, a) if a.equalsIgnoreCase(n) => op
+              case BoundItem.BIAgg(f, arg, Some(a), d) if a.equalsIgnoreCase(n) =>
+                BoundOperand.BAgg(f, arg, d)
             }
           }
-          if (order.length < keys.length ||
+          if (badAggKey.isDefined)
+            Left(NotInGroupBy(badAggKey.get.render))
+          else if (order.length < keys.length ||
               keys.zip(order).exists { case (k, (ok, _)) =>
                 !orderKeyOperand(ok).contains(k) })
             Left(BadFunction(

@@ -182,7 +182,8 @@ object FuzzGen {
 
   private def windowed(r: Random): String = {
     val part = Seq("s", "a", "(a % 3)", "coalesce(a, -99)")(r.nextInt(4))
-    val win = r.nextInt(6) match {
+    val win = r.nextInt(7) match {
+      case 6 => s"${Seq("sum", "min", "max", "count")(r.nextInt(4))}(b) OVER ()"
       case 0 => s"rank() OVER (PARTITION BY $part ORDER BY b, id)"
       case 1 => s"row_number() OVER (PARTITION BY $part ORDER BY a, id)"
       case 2 => s"sum(b) OVER (PARTITION BY $part)"
@@ -204,14 +205,108 @@ object FuzzGen {
       (if (r.nextBoolean()) ", s AS c1" else "") +
       s" FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)}"
 
+  /** Scalar-function parity sweep: curated calls whose semantics are
+    * deterministic and DuckDB-comparable (1-based substr positions
+    * only — substr(s, 0, n) differs between the engines' native
+    * functions; no date_trunc — DuckDB narrows date→date where Spark
+    * widens to timestamp, a representation difference, not a value one).
+    */
+  private val funcCalls: Seq[String] = Seq(
+    "greatest(a, b)", "least(a, b)", "mod(a, 5)", "abs(a)", "sign(a)",
+    "length(s)", "instr(s, 'a')", "strpos(s, 'al')",
+    "levenshtein(coalesce(s, ''), 'alpha')",
+    "substr(s, 2, 3)", "substr(s, 1, 50)", "replace(s, 'a', 'xx')",
+    "reverse(s)", "repeat(s, 2)", "lpad(s, 6, '.')", "rpad(s, 6, '.')",
+    "left(s, 2)", "right(s, 2)", "translate(s, 'ab', 'xy')",
+    "split_part(s, 'a', 1)", "split_part(s, 'a', 9)", "md5(s)",
+    "concat(s, '-', s)", "(s || '!')", "trim(s)", "upper(s)", "lower(s)",
+    "year(d)", "month(d)", "day(d)", "quarter(d)", "last_day(d)",
+    "nullif(a, 1)", "ifnull(a, -1)", "coalesce(s, 'zz')",
+    "(CASE WHEN starts_with(s, 'a') THEN 1 ELSE 0 END)",
+    "(CASE WHEN ends_with(s, 'a') THEN 1 ELSE 0 END)",
+    "(CASE WHEN contains(s, 'mm') THEN 1 ELSE 0 END)")
+
+  private def funcs(r: Random): String = {
+    val n = 2 + r.nextInt(3)
+    val items = (0 until n).map(i =>
+      s"${funcCalls(r.nextInt(funcCalls.length))} AS c$i").mkString(", ")
+    s"SELECT id AS c_id, $items FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)}"
+  }
+
+  /** Windows over aggregated frames — the round-13 surface: direct
+    * window items over GROUP BY, windows nested in expressions
+    * (rank() - 1, count vs grand total), scalar-subquery items over
+    * aggregates, and QUALIFY on the aggregated window. Every window
+    * carries a total ORDER tiebreak so ranks are single-valued.
+    */
+  private def groupedWin(r: Random): String = {
+    val key = Seq("s", "a")(r.nextInt(2))
+    r.nextInt(5) match {
+      case 0 =>
+        s"SELECT $key AS k0, count(*) AS c0, " +
+          s"rank() OVER (ORDER BY count(*) DESC, $key) AS c1 " +
+          s"FROM fa GROUP BY $key"
+      case 1 =>
+        s"SELECT $key AS k0, count(*) AS c0, " +
+          s"(rank() OVER (ORDER BY count(*) DESC, $key) - 1) AS c1, " +
+          s"(count(*) * 100 - sum(count(*)) OVER ()) AS c2 " +
+          s"FROM fa GROUP BY $key"
+      case 2 =>
+        s"SELECT $key AS k0, sum(b) AS c0, (SELECT max(v) FROM fc " +
+          s"WHERE ${pred(r, Seq("k", "v"), Nil, 0)}) AS c1 " +
+          s"FROM fa GROUP BY $key"
+      case 3 =>
+        s"SELECT $key AS k0, sum(count(*)) OVER () AS c1 FROM fa GROUP BY $key"
+      case _ =>
+        s"SELECT $key AS k0, count(*) AS c0 FROM fa GROUP BY $key " +
+          s"QUALIFY rank() OVER (ORDER BY count(*) DESC, $key) <= ${1 + r.nextInt(4)}"
+    }
+  }
+
+  /** CTE pipeline: filter → aggregate → filter, exercising derived-table
+    * chains at reference depth 2.
+    */
+  private def cte(r: Random): String =
+    s"WITH c1 AS (SELECT a, b, s, id FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)}), " +
+      s"c2 AS (SELECT a AS a2, count(*) AS n, min(b) AS mb FROM c1 GROUP BY a) " +
+      s"SELECT a2 AS c0, n AS c1, mb AS c2 FROM c2 " +
+      s"WHERE ${pred(r, Seq("a2", "n", "mb"), Nil, 1)}"
+
+  /** Outer join feeding an aggregate: null-extended rows flow into
+    * count(col)/min (count skips them, min null-extends empty groups).
+    */
+  private def outerAgg(r: Random): String = {
+    val jt = Seq("LEFT JOIN", "JOIN")(r.nextInt(2))
+    s"SELECT fb.t AS k0, count(fa.a) AS c0, min(fa.b) AS c1, count(*) AS c2 " +
+      s"FROM fb $jt fa ON fb.x = fa.a " +
+      s"WHERE ${pred(r, Seq("fb.id", "fb.x"), Seq("fb.t"), 1)} GROUP BY fb.t"
+  }
+
+  /** DISTINCT ON first-row-per-key selection — row scope (unique id
+    * tiebreak) and aggregate scope (first group per key under the
+    * ON-key-led ORDER BY).
+    */
+  private def distinctOn(r: Random): String =
+    if (r.nextBoolean())
+      s"SELECT DISTINCT ON (s) s AS c0, a AS c1, id AS c2 FROM fa " +
+        s"WHERE ${pred(r, faInts, Seq("s"), 1)} ORDER BY s, id"
+    else
+      s"SELECT DISTINCT ON (s) s AS k0, a AS k1, count(*) AS c0 FROM fa " +
+        s"GROUP BY s, a ORDER BY s, c0 DESC, a"
+
   /** One random query; shape mix weighted toward the compositional forms. */
-  def query(r: Random): String = r.nextInt(10) match {
+  def query(r: Random): String = r.nextInt(16) match {
+    case 12       => groupedWin(r)
+    case 13       => cte(r)
+    case 14       => outerAgg(r)
+    case 15       => distinctOn(r)
     case 0 | 1    => simple(r)
     case 2 | 3    => joined(r)
     case 4 | 5    => grouped(r)
     case 6        => subq(r)
     case 7        => setop(r)
     case 8        => windowed(r)
-    case _        => if (r.nextBoolean()) derived(r) else distinctQ(r)
+    case 9        => if (r.nextBoolean()) derived(r) else distinctQ(r)
+    case _        => funcs(r)
   }
 }

@@ -126,15 +126,29 @@ object Lowering {
           distinctWinEligible(f, args, fr)
         case _ => false
       }
+      // unpartitioned unordered aggregate windows take the broadcast
+      // rewrite in the pre-attach path (outputCols-time Columns can't
+      // inject the join)
+      val hasGlobalAggWin = (q.projection ++ q.qualifyWins).exists {
+        case BoundItem.BIWin(f, args, parts, ord, _, frame) =>
+          isGlobalAggWin(f, args, parts, ord, frame)
+        case _ => false
+      }
       val winsPre = q.qualify.isDefined || donNeedsWins ||
-        hasGroupsFrames || hasDistinctRunning || q.qualifyWins.nonEmpty
+        hasGroupsFrames || hasDistinctRunning || q.qualifyWins.nonEmpty ||
+        hasGlobalAggWin
       val baseQ =
         if (!winsPre) base1
         else {
           val winItems = (q.projection ++ q.qualifyWins).collect {
             case w: BoundItem.BIWin => w
           }
-          val withWins = winItems.foldLeft(base1) {
+          val (globalWins, windowWins) = winItems.partition {
+            case BoundItem.BIWin(f, args, parts, ord, _, frame) =>
+              isGlobalAggWin(f, args, parts, ord, frame)
+            case _ => false
+          }
+          val withWins0 = windowWins.foldLeft(base1) {
             case (d, BoundItem.BIWin(f, args, parts, ord, a, frame)) =>
               val rk = if (frame.exists(_.groups)) Some(s"__grk_$a") else None
               val mk = if (distinctWinEligible(f, args, frame))
@@ -147,6 +161,19 @@ object Lowering {
                   lowerOperandWith(_, qcol), qcol, rk.map(col), mk.map(col)))
                 .drop(rk.toSeq ++ mk.toSeq: _*)
           }
+          // global-agg windows: ONE 1-row aggregate over the pre-window
+          // frame (identical row set), broadcast cross-joined back
+          val withWins =
+            if (globalWins.isEmpty) withWins0
+            else {
+              val aggs = globalWins.map {
+                case BoundItem.BIWin(f, args, _, _, a, _) =>
+                  globalAggCol(f, args, lowerOperandWith(_, qcol)).as(a)
+                case _ => sys.error("unreachable: BIWin partition")
+              }
+              withWins0.crossJoin(broadcast(
+                base1.agg(aggs.head, aggs.tail: _*)))
+            }
           q.qualify.fold(withWins) { qe =>
             if (!BoundExpr.containsSub(qe))
               withWins.filter(lowerExprWith(qe, lowerOperandWith(_, qcol)))
@@ -573,6 +600,11 @@ object Lowering {
         }
         (c, desc)
       }
+      // DISTINCT ON over the aggregated frame: the ON keys lower NOW
+      // (aggregate keys must register their hidden agg columns before
+      // the agg assembles); the first-row-per-key filter applies after
+      // windows/QUALIFY attach, right before the final ORDER BY
+      val donCols: Seq[Column] = q.distinctOn.map(aggScopeOperand)
       // window items over the AGGREGATED frame (rank() OVER (ORDER BY
       // count(*) DESC) after GROUP BY): operands resolve post-aggregation
       // — group keys by grouped name, aggregate calls as hidden agg
@@ -602,24 +634,43 @@ object Lowering {
             aggScopeOperand, bc => col(groupOut(bc)))
           Some(col(n))
         }
-      val winItems: Seq[(Int, Column)] = q.projection.zipWithIndex.collect {
-        case (BoundItem.BIWin(f, args, parts, ord, _, frame), i) =>
-          i -> windowColumn(f, args, parts, ord, frame, aggScopeOperand,
-            bc => col(groupOut(bc)), withRank(frame, parts, ord, i.toString),
-            withMask(f, args, frame, parts, ord, i.toString))
-      }
+      // unpartitioned unordered aggregate windows (sum(count(*)) OVER ())
+      // split off to the broadcast rewrite — Left = 1-row global agg,
+      // Right = real window column (operands lower ONCE either way:
+      // aggScopeOperand registers hidden aggregates as a side effect)
+      val winLowered: Seq[(String, Either[Column, Column])] =
+        q.projection.zipWithIndex.collect {
+          case (BoundItem.BIWin(f, args, parts, ord, _, frame), i) =>
+            s"__w_$i" -> (if (isGlobalAggWin(f, args, parts, ord, frame))
+              Left(globalAggCol(f, args, aggScopeOperand))
+            else Right(windowColumn(f, args, parts, ord, frame,
+              aggScopeOperand, bc => col(groupOut(bc)),
+              withRank(frame, parts, ord, i.toString),
+              withMask(f, args, frame, parts, ord, i.toString))))
+        }
+      val winItems: Seq[(String, Column)] =
+        winLowered.collect { case (n, Right(c)) => n -> c }
+      val winGlobals: Seq[(String, Column)] =
+        winLowered.collect { case (n, Left(c)) => n -> c }
       // QUALIFY in aggregate scope: hidden inline-OVER window items
       // compute like projection windows (args register hidden aggregates
       // NOW) and attach under their generated aliases; the predicate
       // lowers NOW too — window aliases read the attached columns,
       // everything else resolves post-aggregation
-      val qwinItems: Seq[(String, Column)] = q.qualifyWins.collect {
-        case BoundItem.BIWin(f, args, parts, ord, a, frame) =>
-          a.toLowerCase -> windowColumn(f, args, parts, ord, frame,
-            aggScopeOperand, bc => col(groupOut(bc)),
-            withRank(frame, parts, ord, s"q_$a"),
-            withMask(f, args, frame, parts, ord, s"q_$a"))
-      }
+      val qwinLowered: Seq[(String, Either[Column, Column])] =
+        q.qualifyWins.collect {
+          case BoundItem.BIWin(f, args, parts, ord, a, frame) =>
+            a.toLowerCase -> (if (isGlobalAggWin(f, args, parts, ord, frame))
+              Left(globalAggCol(f, args, aggScopeOperand))
+            else Right(windowColumn(f, args, parts, ord, frame,
+              aggScopeOperand, bc => col(groupOut(bc)),
+              withRank(frame, parts, ord, s"q_$a"),
+              withMask(f, args, frame, parts, ord, s"q_$a"))))
+        }
+      val qwinItems: Seq[(String, Column)] =
+        qwinLowered.collect { case (n, Right(c)) => n -> c }
+      val qwinGlobals: Seq[(String, Column)] =
+        qwinLowered.collect { case (n, Left(c)) => n -> c }
       def qualifyOp(o: BoundOperand): Column = o match {
         case BoundOperand.BOut(n, _) => col(qualifyWinAliasCol(n.toLowerCase))
         case BoundOperand.BArith(ch, l, r) =>
@@ -956,17 +1007,27 @@ object Lowering {
       // window columns compute over the aggregated (and HAVING-filtered)
       // frame, BEFORE the final ORDER BY — the window's own exchange
       // must not disturb the result ordering
-      val withWins =
-        if (winItems.isEmpty && qwinItems.isEmpty) grouped
-        else {
-          val preRanked =
-            if (winRanks.isEmpty) grouped
-            else grouped.select(col("*") +: winRanks.toSeq.map {
+      val withWins = {
+        val windowed =
+          if (winItems.isEmpty && qwinItems.isEmpty) grouped
+          else {
+            val preRanked =
+              if (winRanks.isEmpty) grouped
+              else grouped.select(col("*") +: winRanks.toSeq.map {
+                case (n, c) => c.as(n) }: _*)
+            preRanked.select(col("*") +: (winItems ++ qwinItems).map {
               case (n, c) => c.as(n) }: _*)
-          preRanked.select(col("*") +: (winItems.map { case (i, c) =>
-            c.as(s"__w_$i") } ++ qwinItems.map { case (a, c) => c.as(a) }): _*)
-            .drop(winRanks.toSeq.map(_._1): _*)
-        }
+              .drop(winRanks.toSeq.map(_._1): _*)
+          }
+        // global-agg windows: one 1-row aggregate over the grouped frame
+        // (the same rows the windows see), broadcast cross-joined back —
+        // no single-partition window exchange
+        val globals = winGlobals ++ qwinGlobals
+        if (globals.isEmpty) windowed
+        else windowed.crossJoin(broadcast(grouped.agg(
+          globals.head._2.as(globals.head._1),
+          globals.tail.map { case (n, c) => c.as(n) }: _*)))
+      }
       // QUALIFY filters the windowed aggregate result before
       // DISTINCT/ORDER BY (clause order); hidden window columns die at
       // the final projection. Subquery predicates left-join their marker
@@ -978,10 +1039,23 @@ object Lowering {
           joined.filter(predCol).drop(ms.drops.toSeq: _*)
         case _ => qualifyFilter.fold(withWins)(withWins.filter)
       }
+      // DISTINCT ON first-row selection: a row_number window on the ON
+      // keys ordered by the (ON-key-led) query ORDER BY — Catalyst
+      // plans the rn=1 filter as WindowGroupLimit, one row of state per
+      // key (same shape as the row-scope path)
+      val donned =
+        if (q.distinctOn.isEmpty) qualified
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(donCols: _*)
+            .orderBy(orderCols.map { case (c, dir) => sortCol(c, dir) }: _*)
+          qualified.withColumn("__don", row_number().over(w))
+            .filter(col("__don") === 1).drop("__don")
+        }
       // ORDER BY runs on the post-aggregation names BEFORE the final
       // projection, so an unprojected group key or aggregate can still
       // order the result
-      val ordered = if (orderCols.isEmpty) qualified else qualified.orderBy(
+      val ordered = if (orderCols.isEmpty) donned else donned.orderBy(
         orderCols.map { case (c, dir) => sortCol(c, dir) }: _*)
       val projected = ordered.select(q.projection.zipWithIndex.map {
         case (BoundItem.BICol(bc, a), _) => col(groupOut(bc)).as(outName(bc, a))
@@ -1018,6 +1092,36 @@ object Lowering {
         val c = opLower(op)
         if (desc) c.desc_nulls_last else c.asc_nulls_last
       }: _*))
+
+  /** Is `f(x) OVER ()` — no PARTITION BY, no ORDER BY, no frame — a
+    * decomposable plain aggregate? Such a window computes ONE value over
+    * the whole input but forces every row through a single partition
+    * (Spark warns "No Partition Defined"); the attach step rewrites it
+    * to a 1-row global aggregate broadcast-joined back: identical value
+    * on every row, no single-partition exchange — the percent-of-total
+    * idiom stays scalable at any input cardinality.
+    */
+  private def isGlobalAggWin(f: String, args: Seq[BoundOperand],
+      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Boolean)],
+      frame: Option[Ast.WinFrame]): Boolean =
+    parts.isEmpty && ord.isEmpty && frame.isEmpty &&
+      Set("count", "sum", "avg", "min", "max")(f) &&
+      args.lengthCompare(1) <= 0 &&
+      // DISTINCT / IGNORE NULLS ride as trailing string sentinels —
+      // those forms keep their dedicated lowerings
+      !args.exists {
+        case BoundOperand.BLit(Lit.LitString(s)) => s.startsWith("__")
+        case _ => false
+      }
+
+  private def globalAggCol(f: String, args: Seq[BoundOperand],
+      opLower: BoundOperand => Column): Column = f match {
+    case "count" => if (args.isEmpty) count(lit(1)) else count(opLower(args.head))
+    case "sum"   => sum(opLower(args.head))
+    case "avg"   => avg(opLower(args.head))
+    case "min"   => min(opLower(args.head))
+    case _       => max(opLower(args.head))
+  }
 
   /** Is `f(DISTINCT x) OVER w` rewritable to the scalable masked-running
     * form? Requires a PREFIX frame — no explicit frame (default running

@@ -3553,9 +3553,12 @@ class DialectSpec extends AnyFunSuite {
     assert(db.select("SELECT DISTINCT ON (grp) grp, v FROM sales").isLeft)
     // ORDER BY does not lead with the ON expression
     assert(db.select("SELECT DISTINCT ON (grp) grp, v FROM sales ORDER BY v").isLeft)
-    // aggregate scope
-    assert(db.select("SELECT DISTINCT ON (grp) grp, count(*) FROM sales " +
-      "GROUP BY grp ORDER BY grp").isLeft)
+    // aggregate scope works since round 13 (first row per ON key over
+    // the grouped frame); grp IS the group key so every group survives
+    val ag = db.select("SELECT DISTINCT ON (grp) grp, count(*) AS n " +
+      "FROM sales GROUP BY grp ORDER BY grp").fold(e => fail(e.msg),
+        _.collect().toSeq.map(_.getInt(0)))
+    assert(ag == ag.sorted && ag.distinct == ag)
   }
 
   test("GROUP BY ALL groups by the non-aggregate items; ORDER BY ALL sorts by all items") {
@@ -4851,6 +4854,47 @@ class DialectSpec extends AnyFunSuite {
       "FROM pe GROUP BY g ORDER BY g").fold(e => fail(e.msg),
         _.collect().toSeq.map(x => (x.getInt(0), x.get(2).toString.toInt)))
     assert(a == Seq((1, 1), (2, 1), (3, 2), (4, 2), (6, 3)))
+  }
+
+  test("global aggregate windows rewrite to a broadcast join (no single-partition window)") {
+    val db = freshDb()
+    db.query("CREATE TABLE gw (g INT, v INT)")
+    db.query("INSERT INTO gw VALUES (1, 10), (1, 20), (2, 5), (2, NULL)")
+    // row scope: sum(v) OVER () — every row sees the grand total
+    val r = db.select("SELECT g, v, sum(v) OVER () AS total FROM gw " +
+      "ORDER BY g, v NULLS FIRST").fold(e => fail(e.msg), identity)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(r.collect().map(_.getLong(2)).toSeq == Seq(35L, 35L, 35L, 35L))
+    // aggregate scope: the percent-of-total denominator takes the same
+    // rewrite; the rank window (ordered) stays a real window
+    val a = db.select("SELECT g, count(*) AS n, " +
+      "(count(*) * 100 - sum(count(*)) OVER ()) AS rel, " +
+      "rank() OVER (ORDER BY g) AS rk FROM gw GROUP BY g ORDER BY g")
+      .fold(e => fail(e.msg), identity)
+    val aplan = a.queryExecution.executedPlan.toString
+    assert(aplan.contains("BroadcastNestedLoopJoin"), aplan)
+    assert(a.collect().map(_.getLong(2)).toSeq == Seq(196L, 196L))
+    // empty input: the broadcast join preserves zero rows
+    db.query("CREATE TABLE gw0 (v INT)")
+    val e = db.select("SELECT v, count(v) OVER () AS c FROM gw0")
+      .fold(e2 => fail(e2.msg), _.collect())
+    assert(e.isEmpty)
+  }
+
+  test("DISTINCT ON over an aggregated query") {
+    val db = freshDb()
+    db.query("CREATE TABLE da (g INT, h INT, v INT)")
+    db.query("INSERT INTO da VALUES (1,1,10), (1,2,20), (2,1,5), (2,2,50), (1,1,30)")
+    // one row per h: the (g,h) group with the top sum (DuckDB probed)
+    val r = db.select("SELECT DISTINCT ON (h) g, h, sum(v) AS sv FROM da " +
+      "GROUP BY g, h ORDER BY h, sv DESC").fold(e => fail(e.msg),
+        _.collect().toSeq.map(x => (x.getInt(0), x.getInt(1), x.getLong(2))))
+    assert(r == Seq((1, 1, 40L), (2, 2, 50L)))
+    // an ON key that is not grouped rejects
+    assert(db.select("SELECT DISTINCT ON (v) g, count(*) FROM da " +
+      "GROUP BY g ORDER BY v").isLeft)
   }
 
   test("windows nested in expressions over an aggregated query") {
