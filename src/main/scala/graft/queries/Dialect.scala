@@ -1157,6 +1157,20 @@ object Dialect {
              |  (SELECT max(c_acctbal) FROM customer) AS mx
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // A CORRELATED scalar-subquery item over an aggregated query — the
+    // correlation key is the GROUP BY key, so the decorrelated per-key
+    // aggregate joins the grouped frame (marker machinery), never a
+    // per-group rerun.
+    "q_dialect_corr_item_agg" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "supplier"),
+        "SELECT c_nationkey, count(*) AS n, " +
+          "(SELECT count(*) FROM supplier WHERE s_nationkey = c_nationkey) AS ns " +
+          "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"),
+      Some("""SELECT c_nationkey, cast(count(*) AS bigint) AS n,
+             |  cast((SELECT count(*) FROM supplier
+             |        WHERE s_nationkey = c_nationkey) AS bigint) AS ns
+             |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     // A set-operation CTE body: the union-all of two dimension scans
     // aggregated in the main query — the derived chain lowers each branch
     // independently and combines by position with the first branch's

@@ -5008,17 +5008,18 @@ object Analyzer {
             case None => Right(())
           }
         }
-        // uncorrelated scalar-subquery ITEMS over an aggregated query
-        // rewrite onto the operand machinery at the yield below (a
-        // broadcast 1-row frame joined post-aggregation); correlated
-        // ones would have to join on GROUP BY keys — not wired
+        // scalar-subquery ITEMS over an aggregated query rewrite onto
+        // the operand machinery at the yield below (uncorrelated = one
+        // broadcast 1-row frame; correlated = the post-aggregation
+        // marker join, keys validated there); only the running
+        // inequality-correlated form has no post-aggregation lowering
         else if (proj.exists {
-          case BoundItem.BISub(_, _, _, ps, io) => ps.nonEmpty || io.isDefined
+          case BoundItem.BISub(_, _, _, _, io) => io.isDefined
           case _ => false
         })
           Left(BadSubquery(
-            "a correlated scalar-subquery item over an aggregated query " +
-              "is not supported — use it inside an expression on GROUP BY keys"))
+            "an inequality-correlated scalar-subquery item over an " +
+              "aggregated query is not supported"))
         // predicate-form subqueries inside computed projections (CASE
         // conditions) of an aggregated query lower through the
         // post-aggregation MarkerScope keyed on GROUP BY output columns;
@@ -5661,24 +5662,40 @@ object Analyzer {
           case None => Right(())
         }
       }
-    } yield {
-      // uncorrelated scalar-subquery ITEMS over an aggregated query ride
-      // the operand machinery (BSubVal: a broadcast 1-row frame joined
-      // after aggregation) — same value, same type, no item-level plumbing
-      val aggScope = group.nonEmpty || proj.exists {
-        case _: BoundItem.BIAgg      => true
-        case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
-        case _                       => false
+      // scalar-subquery ITEMS over an aggregated query ride the operand
+      // machinery (BSubVal): uncorrelated = a broadcast 1-row frame
+      // joined after aggregation; correlated = the post-aggregation
+      // marker join, whose decorrelation keys must therefore be GROUP BY
+      // keys (their grouped output columns are all that's left to join on)
+      projF <- {
+        val aggScope = group.nonEmpty || proj.exists {
+          case _: BoundItem.BIAgg      => true
+          case BoundItem.BIExpr(op, _) => BoundOperand.containsAgg(op)
+          case _                       => false
+        }
+        if (!aggScope) Right(proj)
+        else {
+          val rewritten = proj.map {
+            case BoundItem.BISub(sub, a, guard, ps, None) =>
+              BoundItem.BIExpr(BoundOperand.BSubVal(sub, guard, ps), a)
+            case other => other
+          }
+          rewritten.flatMap {
+            case BoundItem.BIExpr(BoundOperand.BSubVal(_, _, ps), _) =>
+              ps.map(_._1)
+            case _ => Nil
+          }.find(c => !groupCols.exists(g => g.binding == c.binding &&
+            g.attr.name.equalsIgnoreCase(c.attr.name))) match {
+            case Some(c) => Left(BadSubquery(
+              "a correlated scalar-subquery item over an aggregated query " +
+                s"may only correlate on GROUP BY keys (got ${c.render})"))
+            case None => Right(rewritten)
+          }
+        }
       }
-      val projF = if (!aggScope) proj else proj.map {
-        case BoundItem.BISub(sub, a, guard, Seq(), None) =>
-          BoundItem.BIExpr(BoundOperand.BSubVal(sub, guard, Nil), a)
-        case other => other
-      }
-      BoundSelect(innerTables, projF, pred, order, s.limit, s.offset, group,
-        having, s.distinct, steps, derivedSubs.toMap, s.groupSpec,
-        lateralConjs.toSeq, qualifyPred, qwins, don)
-    }
+    } yield BoundSelect(innerTables, projF, pred, order, s.limit, s.offset,
+      group, having, s.distinct, steps, derivedSubs.toMap, s.groupSpec,
+      lateralConjs.toSeq, qualifyPred, qwins, don)
   }
 
   private def checkLitCmp(c: BoundCol, lit: Lit): Either[AnalyzerError, Unit] = (lit, c.attr.sqlType) match {

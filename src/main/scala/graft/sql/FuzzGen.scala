@@ -241,7 +241,11 @@ object FuzzGen {
     */
   private def groupedWin(r: Random): String = {
     val key = Seq("s", "a")(r.nextInt(2))
-    r.nextInt(5) match {
+    r.nextInt(6) match {
+      case 5 =>
+        s"SELECT a AS k0, count(*) AS c0, " +
+          s"(SELECT count(*) FROM fc WHERE fc.k = fa.a) AS c1 " +
+          s"FROM fa GROUP BY a"
       case 0 =>
         s"SELECT $key AS k0, count(*) AS c0, " +
           s"rank() OVER (ORDER BY count(*) DESC, $key) AS c1 " +
@@ -294,8 +298,31 @@ object FuzzGen {
       s"SELECT DISTINCT ON (s) s AS k0, a AS k1, count(*) AS c0 FROM fa " +
         s"GROUP BY s, a ORDER BY s, c0 DESC, a"
 
+  /** ROLLUP subtotals with grouping() markers (the markers disambiguate
+    * subtotal NULLs from data NULLs in the multiset compare).
+    */
+  private def rollup(r: Random): String =
+    s"SELECT s AS k0, b AS k1, count(*) AS c0, " +
+      s"grouping(s) AS g0, grouping(b) AS g1 " +
+      s"FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)} GROUP BY ROLLUP (s, b)"
+
+  /** Framed running windows over a unique total order (deterministic
+    * frame contents at every row).
+    */
+  private def framed(r: Random): String = {
+    val lo = 1 + r.nextInt(3)
+    val f = r.nextInt(3) match {
+      case 0 => s"sum(b) OVER (ORDER BY id ROWS BETWEEN $lo PRECEDING AND CURRENT ROW)"
+      case 1 => s"min(a) OVER (ORDER BY id ROWS BETWEEN $lo PRECEDING AND $lo FOLLOWING)"
+      case _ => s"count(b) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    }
+    s"SELECT id AS c0, $f AS c1 FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)}"
+  }
+
   /** One random query; shape mix weighted toward the compositional forms. */
-  def query(r: Random): String = r.nextInt(16) match {
+  def query(r: Random): String = r.nextInt(18) match {
+    case 16       => rollup(r)
+    case 17       => framed(r)
     case 12       => groupedWin(r)
     case 13       => cte(r)
     case 14       => outerAgg(r)

@@ -911,7 +911,51 @@ object Lowering {
             case Ast.GroupingSpec.Sets(sets) =>
               filtered0.groupingSets(sets.map(_.map(rawKeys)), rawKeys: _*)
           }
-          g.agg(allAggs.head, allAggs.tail: _*).toDF(keyNames ++ aggNames: _*)
+          val expanded = g.agg(allAggs.head, allAggs.tail: _*)
+            .toDF(keyNames ++ aggNames: _*)
+          // SQL's () grouping set is a GLOBAL aggregate: one row even
+          // over EMPTY input (count family 0, grouping markers 1, other
+          // aggregates NULL — DuckDB probed; round-13 fuzz caught the
+          // gap). Spark's Expand emits no rows at all from an empty
+          // input, so a literal grand-total row anti-joins in — it
+          // survives only when the expanded result is empty. Aggregates
+          // without a statically known empty-input value keep Spark's
+          // behavior (none exist in the gate surface today).
+          val hasEmptySet = spec match {
+            case Ast.GroupingSpec.Rollup | Ast.GroupingSpec.Cube => true
+            case Ast.GroupingSpec.Sets(sets) => sets.exists(_.isEmpty)
+          }
+          def emptyColOf(f: String,
+              dt: org.apache.spark.sql.types.DataType): Option[Column] =
+            f match {
+              case "count" | "count_distinct" => Some(lit(0L).cast(dt))
+              case "grouping"                 => Some(lit(1).cast(dt))
+              case "sum" | "avg" | "min" | "max" | "stddev" | "variance" |
+                   "median" | "mode" | "any_value" | "fsum" |
+                   "string_agg" | "array_agg" =>
+                Some(lit(null).cast(dt))
+              case _ => None
+            }
+          val emptyFs: Seq[(String, String)] =
+            aggItems.map { case (f, _, _, _, i) => aggName(i) -> f } ++
+              havingAggs.map { case (node, n) => n -> (node match {
+                case BoundOperand.BAgg(f, _, _)           => f
+                case BoundOperand.BOrderedAgg(f, _, _, _) => f
+                case _                                    => "?"
+              }) }
+          val patchable = emptyFs.map { case (n, f) =>
+            emptyColOf(f, expanded.schema(n).dataType).map(n -> _) }
+          if (!hasEmptySet || patchable.exists(_.isEmpty)) expanded
+          else {
+            val patchVals = patchable.flatten.toMap
+            val patchRow = spark.range(1).select(
+              keyNames.map(n =>
+                lit(null).cast(expanded.schema(n).dataType).as(n)) ++
+                aggNames.map(n => patchVals(n).as(n)): _*)
+            expanded.unionByName(patchRow.join(
+              expanded.limit(1).select(lit(1).as("__gx")),
+              lit(true), "left_anti"))
+          }
       }
       val grouped1 = havingCond.fold(grouped0)(grouped0.filter)
       val grouped2 = havingSubParts.zipWithIndex.foldLeft(grouped1) {

@@ -4883,6 +4883,28 @@ class DialectSpec extends AnyFunSuite {
     assert(e.isEmpty)
   }
 
+  test("ROLLUP/CUBE over empty input still emit the grand-total row") {
+    // SQL: the () grouping set is a GLOBAL aggregate — one row with
+    // count 0 / markers 1 / NULL aggregates even when the input is
+    // empty (DuckDB probed; Spark's Expand emits nothing — round-13
+    // fuzz caught the divergence)
+    val db = freshDb()
+    db.query("CREATE TABLE re (s VARCHAR(4), b INT, v INT)")
+    db.query("INSERT INTO re VALUES ('x', 1, 10), ('y', 2, 20)")
+    val r = db.select("SELECT s, b, count(*) AS n, sum(v) AS sv, " +
+      "grouping(s) AS gs FROM re WHERE b > 99 GROUP BY ROLLUP (s, b)")
+      .fold(e => fail(e.msg), _.collect())
+    assert(r.length == 1)
+    assert(r.head.isNullAt(0) && r.head.isNullAt(1) &&
+      r.head.getLong(2) == 0L && r.head.isNullAt(3) && r.head.getInt(4) == 1)
+    // non-empty input is unchanged: Expand's own grand row, no duplicate
+    val full = db.select("SELECT s, b, count(*) AS n, grouping(s) AS gs " +
+      "FROM re GROUP BY ROLLUP (s, b) ORDER BY gs, s, b")
+      .fold(e => fail(e.msg), _.collect())
+    assert(full.count(x => x.getInt(3) == 1) == 1)
+    assert(full.length == 5) // 2 leaves + 2 s-subtotals + 1 grand
+  }
+
   test("DISTINCT ON over an aggregated query") {
     val db = freshDb()
     db.query("CREATE TABLE da (g INT, h INT, v INT)")
@@ -4931,7 +4953,17 @@ class DialectSpec extends AnyFunSuite {
       "FROM sa GROUP BY g ORDER BY g").fold(e => fail(e.msg), identity).collect()
     assert(r.map(x => (x.getString(0), x.getLong(1), x.getInt(2))).toSeq ==
       Seq(("a", 3L, 20), ("b", 5L, 20)))
-    // a correlated item over an aggregated query still rejects loudly
+    // a correlated item over an aggregated query joins post-aggregation
+    // when it correlates on a GROUP BY key...
+    db.query("CREATE TABLE sc (t VARCHAR(2), z INT)")
+    db.query("INSERT INTO sc VALUES ('a', 7), ('a', 9), ('c', 1)")
+    val c = db.select("SELECT g, sum(v) AS sv, " +
+      "(SELECT max(z) FROM sc WHERE sc.t = sa.g) AS mz " +
+      "FROM sa GROUP BY g ORDER BY g").fold(e => fail(e.msg), _.collect())
+    assert(c.map(x => (x.getString(0), x.getLong(1),
+      if (x.isNullAt(2)) -1 else x.getInt(2))).toSeq ==
+      Seq(("a", 3L, 9), ("b", 5L, -1)))
+    // ...and still rejects when the correlation key is not grouped
     assert(db.select("SELECT g, sum(v), (SELECT max(w) FROM sb WHERE w = v) " +
       "FROM sa GROUP BY g").isLeft)
   }
