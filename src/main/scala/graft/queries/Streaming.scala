@@ -50,10 +50,19 @@ object Streaming {
     */
   private def replay(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
     val qn = s"graft_replay_${runSeq.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(qn)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(qn)
+    // a bounded replay is small by construction — every shuffle
+    // partition spins up a state-store instance per stateful operator
+    // (×4 for a stream-stream join), so 32 partitions mean ~128 store
+    // setups per run. 8 partitions cut that 4× with identical results;
+    // a production stream sizes this to its real key cardinality.
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+    } finally s.conf.set("spark.sql.shuffle.partitions", before)
   }
 
   def defs: Map[String, QueryDef] = QueryDef.gate(

@@ -43,9 +43,16 @@ object StreamingDedup {
   def signature: Column = {
     val shingles = "transform(sequence(1, length(text)-7), i -> " +
       "cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS bigint) % 999999937)"
-    val mins = (0 until NumHashes).map(k =>
-      s"array_min(transform($shingles, h -> (h * ${k + 1} + $k * 1000003) % 999999937))")
-    expr(s"array(${mins.mkString(", ")})")
+    // ONE pass over the shingles: each shingle's md5 evaluates once
+    // (the previous form spliced the whole shingle array into each of
+    // the 16 array_min calls — 16× the md5 work; the round-13 sf0.1
+    // bench measured it at 51 s). The fold carries 16 running minima,
+    // updated per shingle with the same affine family — identical
+    // values for any non-empty shingle set.
+    expr(s"""aggregate($shingles,
+      transform(sequence(0, ${NumHashes - 1}), k -> cast(999999937 AS bigint)),
+      (acc, h) -> zip_with(acc, sequence(0, ${NumHashes - 1}),
+        (m, k) -> least(m, (h * (k + 1) + k * 1000003) % 999999937)))""")
   }
 
   /** Explode a doc stream into its 4 (band, bkey) rows, signature attached. */
