@@ -1279,11 +1279,20 @@ object Parser {
                   p.peek match {
                     case TIdent(k, _) if k.equalsIgnoreCase("first") =>
                       p.next()
-                      val marker = Operand.CaseWhen(
-                        Seq((Expr.IsNull(c, negated = false),
-                          Operand.Literal(Lit.LitLong(0L)): Operand)),
-                        Some(Operand.Literal(Lit.LitLong(1L)): Operand))
-                      Right(Vector((marker: Operand, false), (c, desc)))
+                      // a RANGE frame needs exactly one ORDER key — the
+                      // marker desugar would add one; reject with the
+                      // real reason instead of the key-count error
+                      if (p.isKw("range"))
+                        Left(ParseError(
+                          "NULLS FIRST is not supported with RANGE frames " +
+                            "(the null-marker desugar adds an ORDER key)", pos))
+                      else {
+                        val marker = Operand.CaseWhen(
+                          Seq((Expr.IsNull(c, negated = false),
+                            Operand.Literal(Lit.LitLong(0L)): Operand)),
+                          Some(Operand.Literal(Lit.LitLong(1L)): Operand))
+                        Right(Vector((marker: Operand, false), (c, desc)))
+                      }
                     case TIdent(k, _) if k.equalsIgnoreCase("last") =>
                       p.next(); Right(Vector((c, desc)))
                     case _ => Left(ParseError(
