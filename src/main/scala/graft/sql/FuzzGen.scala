@@ -47,13 +47,35 @@ object FuzzGen {
       s"($i, ${intOrNull(-5, 15, 10)}, ${strOrNull(15)})")
     val fc = (1 to 25).map(_ =>
       s"(${intOrNull(-2, 8, 8)}, ${intOrNull(0, 50, 8)})")
+    // DML sequences: three tables each built by CREATE → INSERT →
+    // UPDATE (self-referencing SET expressions) → DELETE (incl. one
+    // subquery predicate, the row-id-rewrite path) → INSERT → UPDATE.
+    // Both engines execute the identical statements; the dmlProbe query
+    // shape then diffs the final table states.
+    val dml = (0 until 3).flatMap { j =>
+      val t = s"fd$j"
+      val rows = (1 to 30).map(i =>
+        s"($i, ${intOrNull(0, 50, 10)}, ${strOrNull(15)})")
+      val rows2 = (31 to 40).map(i =>
+        s"($i, ${intOrNull(0, 50, 10)}, ${strOrNull(15)})")
+      val upd = Seq("v + k", "v * 2", "coalesce(v, 0) - 3")(r.nextInt(3))
+      Seq(
+        s"CREATE TABLE $t (k INT, v INT, s VARCHAR(12))",
+        s"INSERT INTO $t VALUES ${rows.mkString(", ")}",
+        s"UPDATE $t SET v = $upd WHERE ${pred(r, Seq("k", "v"), Seq("s"), 1)}",
+        s"DELETE FROM $t WHERE ${pred(r, Seq("k", "v"), Seq("s"), 1)}",
+        s"INSERT INTO $t VALUES ${rows2.mkString(", ")}",
+        s"UPDATE $t SET s = upper(s) WHERE ${pred(r, Seq("k", "v"), Nil, 0)}",
+        s"DELETE FROM $t WHERE k IN (SELECT (k + ${r.nextInt(5)}) AS ks FROM fc " +
+          s"WHERE ${pred(r, Seq("k", "v"), Nil, 0)})")
+    }
     Seq(
       "CREATE TABLE fa (id INT, a INT, b INT, s VARCHAR(12), d DATE)",
       "CREATE TABLE fb (id INT, x INT, t VARCHAR(12))",
       "CREATE TABLE fc (k INT, v INT)",
       s"INSERT INTO fa VALUES ${fa.mkString(", ")}",
       s"INSERT INTO fb VALUES ${fb.mkString(", ")}",
-      s"INSERT INTO fc VALUES ${fc.mkString(", ")}")
+      s"INSERT INTO fc VALUES ${fc.mkString(", ")}") ++ dml
   }
 
   // ---- typed expression generators -------------------------------------
@@ -319,10 +341,24 @@ object FuzzGen {
     s"SELECT id AS c0, $f AS c1 FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)}"
   }
 
+  /** Probe the DML-built tables: the final state after the scripted
+    * CREATE/INSERT/UPDATE/DELETE sequence must match row-for-row.
+    */
+  private def dmlProbe(r: Random): String = {
+    val t = s"fd${r.nextInt(3)}"
+    if (r.nextBoolean())
+      s"SELECT k AS c0, v AS c1, s AS c2 FROM $t " +
+        s"WHERE ${pred(r, Seq("k", "v"), Seq("s"), 1)}"
+    else
+      s"SELECT s AS k0, count(*) AS c0, sum(v) AS c1, min(v) AS c2 " +
+        s"FROM $t GROUP BY s"
+  }
+
   /** One random query; shape mix weighted toward the compositional forms. */
-  def query(r: Random): String = r.nextInt(18) match {
+  def query(r: Random): String = r.nextInt(19) match {
     case 16       => rollup(r)
     case 17       => framed(r)
+    case 18       => dmlProbe(r)
     case 12       => groupedWin(r)
     case 13       => cte(r)
     case 14       => outerAgg(r)
