@@ -1131,6 +1131,60 @@ object Dialect {
              |FROM customer WHERE c_acctbal > 9000
              |ORDER BY c_custkey""".stripMargin)),
 
+    // NULLS FIRST composed with RANGE frames — the null order binds
+    // natively on the sort expression (SortDir → asc_nulls_first at
+    // lowering; round 13's 0/1 marker-key desugar added an ORDER key
+    // and had to reject this). The running frame makes the null order
+    // OBSERVABLE: with NULLS FIRST the null-key peer group anchors the
+    // partition, so every non-null row's running sum includes it; the
+    // value-offset frame pins that null-key rows stay a self-contained
+    // peer group under value distance on both engines.
+    "q_dialect_win_nulls_range" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, k, round(sum(o_totalprice) OVER " +
+          "(PARTITION BY o_custkey ORDER BY k ASC NULLS FIRST " +
+          "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run, " +
+          "round(sum(o_totalprice) OVER " +
+          "(PARTITION BY o_custkey ORDER BY k DESC NULLS FIRST " +
+          "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS nearby " +
+          "FROM (SELECT o_orderkey, o_custkey, o_totalprice, " +
+          "CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderkey END AS k " +
+          "FROM orders WHERE o_custkey < 50) t " +
+          "ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, k,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY k ASC NULLS FIRST
+             |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY k DESC NULLS FIRST
+             |    RANGE BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS nearby
+             |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+             |  CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderkey END AS k
+             |  FROM orders WHERE o_custkey < 50) t
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Inequality-correlated scalar-subquery ITEMS over an aggregated
+    // query — the running-aggregate form evaluates post-aggregation:
+    // the union-merge running window's tag side is one row per distinct
+    // (group key, outer expression) value (group-cardinality-bounded),
+    // never a per-row candidate fan-out. Mixed form: decorrelated
+    // equality (o_custkey = c_nationkey) + the inequality on an outer
+    // group-key expression.
+    "q_dialect_corr_item_ineq" -> QueryDef(
+      (s, d) => run(db(s, d, "customer", "orders"),
+        "SELECT c_nationkey, count(*) AS n, " +
+          "(SELECT count(*) FROM orders WHERE o_custkey < c_nationkey * 10) AS oc, " +
+          "(SELECT round(sum(o_totalprice), 2) AS r FROM orders " +
+          "WHERE o_custkey = c_nationkey AND o_orderkey < c_nationkey * 200) AS sp " +
+          "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"),
+      Some("""SELECT c_nationkey, cast(count(*) AS bigint) AS n,
+             |  cast((SELECT count(*) FROM orders
+             |        WHERE o_custkey < c_nationkey * 10) AS bigint) AS oc,
+             |  (SELECT round(sum(o_totalprice), 2) FROM orders
+             |   WHERE o_custkey = c_nationkey
+             |     AND o_orderkey < c_nationkey * 200) AS sp
+             |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     // DISTINCT ON over an aggregated query — per market segment, the
     // nation with the most customers: the first-row-per-key filter
     // runs AFTER aggregation (row_number → WindowGroupLimit over the
@@ -1264,6 +1318,26 @@ object Dialect {
              |  cast(count(*) AS bigint) AS cnt
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
+
+    // grouping_id() — the bitmask form of grouping() (first key = most
+    // significant bit, the Postgres/DuckDB/Spark convention): one value
+    // identifies the grouping level, and ORDERING by it separates the
+    // detail / subtotal / grand-total strata. Desugars at parse onto
+    // the single-key grouping() machinery. CUBE gives all 4 levels.
+    "q_dialect_grouping_id" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT coalesce(o_orderstatus, 'ALL') AS st, " +
+          "coalesce(o_orderpriority, 'ALL') AS pr, " +
+          "grouping_id(o_orderstatus, o_orderpriority) AS gid, " +
+          "count(*) AS cnt FROM orders " +
+          "GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+          "ORDER BY gid, st, pr"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+             |  coalesce(o_orderpriority, 'ALL') AS pr,
+             |  cast(grouping_id(o_orderstatus, o_orderpriority) AS int) AS gid,
+             |  cast(count(*) AS bigint) AS cnt
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY gid, st, pr""".stripMargin)),
 
     // Statistical aggregates: sample stddev/variance (Welford vs two-pass
     // accumulation noise absorbed by rounding at margins far above the

@@ -141,7 +141,8 @@ object Analyzer {
       * and in GROUP/ORDER BY.
       */
     final case class BSubVal(sub: BoundSelect, guard: Boolean,
-        pairs: Seq[(BoundCol, BoundCol)] = Nil) extends BoundOperand
+        pairs: Seq[(BoundCol, BoundCol)] = Nil,
+        ineq: Option[CorrIneq] = None) extends BoundOperand
 
     /** A bound lambda (list higher-order function argument): params
       * resolve to BLambdaVar references in the body; everything else in
@@ -331,7 +332,7 @@ object Analyzer {
       * Row-level — does NOT make the query aggregate-scoped.
       */
     final case class BIWin(func: String, args: Seq[BoundOperand],
-        partitionBy: Seq[BoundOperand], orderBy: Seq[(BoundOperand, Boolean)],
+        partitionBy: Seq[BoundOperand], orderBy: Seq[(BoundOperand, SortDir)],
         alias: String, frame: Option[WinFrame] = None) extends BoundItem
   }
 
@@ -347,7 +348,7 @@ object Analyzer {
     case BoundOperand.BCase(bs, els) =>
       bs.flatMap { case (c, v) => exprCols(c) ++ operandCols(v) } ++
         els.toSeq.flatMap(operandCols)
-    case BoundOperand.BSubVal(_, _, pairs) => pairs.map(_._1)
+    case BoundOperand.BSubVal(_, _, pairs, _) => pairs.map(_._1)
     case BoundOperand.BLambda(_, b)   => operandCols(b)
     case _                            => Nil
   }
@@ -1487,7 +1488,7 @@ object Analyzer {
       case _          => SqlType.SqlDouble // sqrt / power / exp / ln / log10 / log2
     }
     case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
-    case BoundOperand.BSubVal(sub, _, _) => scalarOutputType(sub)
+    case BoundOperand.BSubVal(sub, _, _, _) => scalarOutputType(sub)
     case BoundOperand.BLambda(_, b)    => operandType(b)
     case BoundOperand.BLambdaVar(_, t) => t
     case BoundOperand.BTryCast(_, t)   => t
@@ -1739,7 +1740,7 @@ object Analyzer {
     case BoundOperand.BFunc(_, as)    => as.flatMap(opSubsOf)
     case BoundOperand.BCast(x, _)     => opSubsOf(x)
     case BoundOperand.BAgg(_, arg, _) => arg.toSeq.flatMap(opSubsOf)
-    case BoundOperand.BSubVal(sub, _, _) => Seq(sub)
+    case BoundOperand.BSubVal(sub, _, _, _) => Seq(sub)
     case _                            => Nil
   }
 
@@ -4693,9 +4694,9 @@ object Analyzer {
           bparts <- parts.foldLeft[Either[AnalyzerError, Vector[BoundOperand]]](
             Right(Vector.empty)) { (acc, r) =>
             acc.flatMap(v => bindOp(r, allowAgg = true).map(v :+ _)) }
-          bord <- ord.foldLeft[Either[AnalyzerError, Vector[(BoundOperand, Boolean)]]](
-            Right(Vector.empty)) { case (acc, (o, desc)) =>
-            acc.flatMap(v => bindOp(o, allowAgg = true).map(b => v :+ (b -> desc)))
+          bord <- ord.foldLeft[Either[AnalyzerError, Vector[(BoundOperand, SortDir)]]](
+            Right(Vector.empty)) { case (acc, (o, dir)) =>
+            acc.flatMap(v => bindOp(o, allowAgg = true).map(b => v :+ (b -> dir)))
           }
           // frame exclusion subtracts the excluded contribution columnar
           // — only decomposable aggregates qualify; GROUP/TIES need a
@@ -5011,15 +5012,16 @@ object Analyzer {
         // scalar-subquery ITEMS over an aggregated query rewrite onto
         // the operand machinery at the yield below (uncorrelated = one
         // broadcast 1-row frame; correlated = the post-aggregation
-        // marker join, keys validated there); only the running
-        // inequality-correlated form has no post-aggregation lowering
+        // marker join; inequality-correlated = the union-merge running
+        // aggregate over the GROUPED frame — keys validated there)
         else if (proj.exists {
-          case BoundItem.BISub(_, _, _, _, io) => io.isDefined
+          case BoundItem.BISub(_, _, _, _, Some(io)) =>
+            BoundOperand.containsAgg(io.outerOp)
           case _ => false
         })
           Left(BadSubquery(
-            "an inequality-correlated scalar-subquery item over an " +
-              "aggregated query is not supported"))
+            "the outer side of an inequality-correlated scalar-subquery " +
+              "item must not contain aggregate calls"))
         // predicate-form subqueries inside computed projections (CASE
         // conditions) of an aggregated query lower through the
         // post-aggregation MarkerScope keyed on GROUP BY output columns;
@@ -5206,7 +5208,7 @@ object Analyzer {
             case BoundOperand.BFunc(_, as)    => as.flatMap(walkOp)
             case BoundOperand.BCast(x, _)     => walkOp(x)
             case BoundOperand.BTryCast(x, _)  => walkOp(x)
-            case BoundOperand.BSubVal(_, _, ps) => ps.map(_._1)
+            case BoundOperand.BSubVal(_, _, ps, _) => ps.map(_._1)
             case _ => Nil
           }
           def walk(x: BoundExpr): Seq[BoundCol] = x match {
@@ -5413,7 +5415,7 @@ object Analyzer {
             case BoundOperand.BTryCast(x, _)  => opCols(x)
             // a scalar-subquery operand's decorrelation keys join
             // post-aggregation too
-            case BoundOperand.BSubVal(_, _, ps) => ps.map(_._1)
+            case BoundOperand.BSubVal(_, _, ps, _) => ps.map(_._1)
             case BoundOperand.BCase(bs, els) =>
               bs.flatMap { case (c2, v) => cols(c2) ++ opCols(v) } ++
                 els.toSeq.flatMap(opCols)
@@ -5629,7 +5631,7 @@ object Analyzer {
         // column check exempts subquery machinery, so pairs get an
         // explicit pass)
         def corrKeys(o: BoundOperand): Seq[BoundCol] = o match {
-          case BoundOperand.BSubVal(_, _, ps)  => ps.map(_._1)
+          case BoundOperand.BSubVal(_, _, ps, _)  => ps.map(_._1)
           case BoundOperand.BArith(_, l, r)    => corrKeys(l) ++ corrKeys(r)
           case BoundOperand.BFunc(_, as)       => as.flatMap(corrKeys)
           case BoundOperand.BCast(y, _)        => corrKeys(y)
@@ -5676,20 +5678,40 @@ object Analyzer {
         if (!aggScope) Right(proj)
         else {
           val rewritten = proj.map {
-            case BoundItem.BISub(sub, a, guard, ps, None) =>
-              BoundItem.BIExpr(BoundOperand.BSubVal(sub, guard, ps), a)
+            case BoundItem.BISub(sub, a, guard, ps, io) =>
+              BoundItem.BIExpr(BoundOperand.BSubVal(sub, guard, ps, io), a)
             case other => other
           }
+          // every outer reference — the decorrelated equality keys AND
+          // the inequality's outer operand — must be a GROUP BY key:
+          // post-aggregation, grouped output columns are all that's left
           rewritten.flatMap {
-            case BoundItem.BIExpr(BoundOperand.BSubVal(_, _, ps), _) =>
-              ps.map(_._1)
+            case BoundItem.BIExpr(BoundOperand.BSubVal(_, _, ps, io), _) =>
+              ps.map(_._1) ++
+                io.toSeq.flatMap(iq => operandColsDeep(iq.outerOp))
             case _ => Nil
           }.find(c => !groupCols.exists(g => g.binding == c.binding &&
             g.attr.name.equalsIgnoreCase(c.attr.name))) match {
             case Some(c) => Left(BadSubquery(
               "a correlated scalar-subquery item over an aggregated query " +
                 s"may only correlate on GROUP BY keys (got ${c.render})"))
-            case None => Right(rewritten)
+            case None =>
+              // the running scalar attaches AFTER ordering columns are
+              // resolved — its alias cannot be an ORDER BY key (order by
+              // its inputs instead); reject here, not as a plan crash
+              val ineqAliases = rewritten.collect {
+                case BoundItem.BIExpr(
+                    BoundOperand.BSubVal(_, _, _, Some(_)), a) => a.toLowerCase
+              }.toSet
+              order.collectFirst {
+                case (BoundOrderKey.OKOutput(n), _)
+                    if ineqAliases(n.toLowerCase) => n
+              } match {
+                case Some(n) => Left(BadSubquery(
+                  s"ORDER BY cannot reference the inequality-correlated " +
+                    s"scalar item '$n' over an aggregated query"))
+                case None => Right(rewritten)
+              }
           }
         }
       }

@@ -257,7 +257,7 @@ object Ast {
       * the tree leaves the parser (analysis never sees a ref).
       */
     final case class SWin(func: String, args: Seq[Operand],
-        partitionBy: Seq[Operand], orderBy: Seq[(Operand, Boolean)],
+        partitionBy: Seq[Operand], orderBy: Seq[(Operand, SortDir)],
         alias: String, frame: Option[WinFrame] = None,
         ref: Option[String] = None) extends SelectItem
   }

@@ -57,12 +57,14 @@ object FuzzDump {
 
     val db = new GraftDatabase(spark,
       Files.createTempDirectory("graft-fuzz-wh").toString)
-    val script = FuzzGen.script(seed)
-    script.foreach { stmt =>
+    // paired fixture: the engine executes the left side; script.sql gets
+    // the DuckDB replay side (identical except the MERGE translations)
+    val paired = FuzzGen.scriptPaired(seed)
+    paired.foreach { case (stmt, _) =>
       db.query(stmt).left.foreach(e => sys.error(s"fixture: $stmt -> ${e.msg}"))
     }
     Files.write(outDir.resolve("script.sql"),
-      script.mkString("", ";\n", ";\n").getBytes(StandardCharsets.UTF_8))
+      paired.flatMap(_._2).mkString("", ";\n", ";\n").getBytes(StandardCharsets.UTF_8))
 
     val r = new Random(seed)
     var nOk = 0; var nReject = 0; var nCrash = 0

@@ -25,11 +25,22 @@ import scala.util.Random
   */
 object FuzzGen {
 
+  /** Engine-side fixture statements (the left of every scriptPaired row). */
+  def script(seed: Long): Seq[String] = scriptPaired(seed).map(_._1)
+
   /** Shared fixture DDL + INSERTs: three tables with NULLs, duplicate
     * keys, negative values and overlapping string values. `id` is unique
     * in fa/fb (window tiebreak); fc is a small dup-heavy lookup.
+    *
+    * PAIRED form: (engine statement, DuckDB replay statements). Almost
+    * every row is identical on both sides; the exceptions are the MERGE
+    * sequences — DuckDB 1.0 has no MERGE INTO, so each generated MERGE
+    * carries its exact UPDATE…FROM / DELETE…USING / INSERT…NOT EXISTS
+    * translation (clause shapes are restricted so the sequential
+    * translation is semantics-preserving: ON keys never modified, source
+    * keys distinct, never MATCHED-DELETE combined with NOT-MATCHED-INSERT).
     */
-  def script(seed: Long): Seq[String] = {
+  def scriptPaired(seed: Long): Seq[(String, Seq[String])] = {
     val r = new Random(seed ^ 0x5eedL)
     val strs = Seq("alpha", "beta", "gamma", "delta", "Alp", "bet%a", "x_y")
     val dates = Seq("1994-01-15", "1995-03-07", "1995-06-17", "1996-11-30")
@@ -69,13 +80,73 @@ object FuzzGen {
         s"DELETE FROM $t WHERE k IN (SELECT (k + ${r.nextInt(5)}) AS ks FROM fc " +
           s"WHERE ${pred(r, Seq("k", "v"), Nil, 0)})")
     }
-    Seq(
+    // MERGE sequences (engine) with exact DuckDB-1.0 translations. The
+    // grouped source guarantees distinct keys (no multi-match error);
+    // no clause modifies the ON key, so sequential replay sees the same
+    // match set the atomic MERGE does.
+    val src = "(SELECT k, min(v) AS v FROM fc WHERE k IS NOT NULL GROUP BY k)"
+    val mrg: Seq[(String, Seq[String])] = (0 until 3).flatMap { j =>
+      val t = s"fd$j"
+      val c1 = r.nextInt(30); val c2 = 5 + r.nextInt(40)
+      val kc = 20 + r.nextInt(15)
+      r.nextInt(4) match {
+        case 0 => Seq((
+          s"MERGE INTO $t USING $src s ON $t.k = s.k " +
+            s"WHEN MATCHED AND s.v > $c1 THEN UPDATE SET v = coalesce($t.v, 0) + s.v " +
+            s"WHEN NOT MATCHED AND s.v < $c2 THEN INSERT (k, v, s) VALUES (s.k, s.v, 'mrg')",
+          Seq(
+            s"UPDATE $t SET v = coalesce($t.v, 0) + s.v FROM $src s " +
+              s"WHERE $t.k = s.k AND s.v > $c1",
+            s"INSERT INTO $t SELECT s.k, s.v, 'mrg' FROM $src s " +
+              s"WHERE s.v < $c2 AND NOT EXISTS (SELECT 1 FROM $t WHERE $t.k = s.k)")))
+        case 1 => Seq((
+          s"MERGE INTO $t USING $src s ON $t.k = s.k " +
+            s"WHEN MATCHED AND $t.v > $c2 THEN DELETE",
+          Seq(s"DELETE FROM $t USING $src s WHERE $t.k = s.k AND $t.v > $c2")))
+        case 2 => Seq((
+          s"MERGE INTO $t USING $src s ON $t.k = s.k " +
+            s"WHEN NOT MATCHED BY SOURCE AND $t.k > $kc THEN UPDATE SET s = lower(s)",
+          Seq(s"UPDATE $t SET s = lower(s) WHERE $t.k > $kc AND " +
+            s"NOT EXISTS (SELECT 1 FROM $src s WHERE s.k = $t.k)")))
+        // subquery WHEN condition (reads fc only — identical pre/post
+        // state on both engines, so the sequential replay is exact)
+        case _ => Seq((
+          s"MERGE INTO $t USING $src s ON $t.k = s.k " +
+            s"WHEN MATCHED AND $t.v < (SELECT avg(x.v) AS m FROM fc x) " +
+            s"THEN UPDATE SET v = coalesce($t.v, 0) + 1",
+          Seq(s"UPDATE $t SET v = coalesce($t.v, 0) + 1 FROM $src s " +
+            s"WHERE $t.k = s.k AND $t.v < (SELECT avg(x.v) FROM fc x)")))
+      }
+    }
+    // Session-state fixture: a schema with its own table, prepared
+    // statements (positional $n and ? placeholders; resolution of the
+    // unqualified fc falls back to main on BOTH engines after USE), and
+    // USE as the LAST statement so every fuzz query runs under the
+    // non-default schema with main-fallback resolution in play.
+    val fg = (1 to 18).map(i =>
+      s"(${intOrNull(-3, 9, 12)}, ${intOrNull(0, 60, 12)}, " +
+        s"${if (r.nextInt(100) < 15) "NULL"
+           else s"'${Seq("elon", "Elön", "ELÖN", "gamma", "x_y")(r.nextInt(5))}'"})")
+    val session: Seq[String] = Seq(
+      "CREATE SCHEMA fs1",
+      "CREATE TABLE fs1.fg (g INT, h INT, s VARCHAR(12))",
+      s"INSERT INTO fs1.fg VALUES ${fg.mkString(", ")}",
+      "PREPARE fzp1 AS SELECT k AS c0, count(*) AS c1, sum(v) AS c2 " +
+        "FROM fc WHERE v > $1 GROUP BY k",
+      "PREPARE fzp2 AS SELECT ? * 10 + ? AS c0",
+      "PREPARE fzp3 AS SELECT id AS c0, s AS c1 FROM fa " +
+        "WHERE s = $1 AND id < $2",
+      "USE fs1")
+    (Seq(
       "CREATE TABLE fa (id INT, a INT, b INT, s VARCHAR(12), d DATE)",
       "CREATE TABLE fb (id INT, x INT, t VARCHAR(12))",
       "CREATE TABLE fc (k INT, v INT)",
+      // deliberately EMPTY: grand-total patch rows over empty input
+      "CREATE TABLE fe (k INT, v INT, s VARCHAR(12))",
       s"INSERT INTO fa VALUES ${fa.mkString(", ")}",
       s"INSERT INTO fb VALUES ${fb.mkString(", ")}",
-      s"INSERT INTO fc VALUES ${fc.mkString(", ")}") ++ dml
+      s"INSERT INTO fc VALUES ${fc.mkString(", ")}") ++ dml)
+      .map(s => (s, Seq(s))) ++ mrg ++ session.map(s => (s, Seq(s)))
   }
 
   // ---- typed expression generators -------------------------------------
@@ -178,7 +249,22 @@ object FuzzGen {
       s"WHERE ${pred(r, faInts, Seq("s"), 1)} GROUP BY $key$having"
   }
 
-  private def subq(r: Random): String = r.nextInt(4) match {
+  private def subq(r: Random): String = r.nextInt(6) match {
+    // inequality-correlated scalar items — row scope (case 4) and over
+    // an aggregated outer (case 5, correlates on the group key); both
+    // lower as the union-merge running aggregate, and NULL outer values
+    // must yield count 0 / sum NULL on both engines
+    case 4 =>
+      val f = Seq("count(v)", "sum(v)", "min(v)", "max(v)")(r.nextInt(4))
+      val op = Seq("<", "<=", ">", ">=")(r.nextInt(4))
+      s"SELECT id AS c0, (SELECT $f FROM fc WHERE fc.v $op fa.a) AS c1 " +
+        s"FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)}"
+    case 5 =>
+      val f = Seq("count(v)", "sum(v)")(r.nextInt(2))
+      val op = Seq("<", ">=")(r.nextInt(2))
+      s"SELECT a AS k0, count(*) AS c0, " +
+        s"(SELECT $f FROM fc WHERE fc.v $op a * 2) AS c1 " +
+        s"FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)} GROUP BY a"
     case 0 =>
       s"SELECT ${items(r, faInts, Seq("s"))} FROM fa WHERE a " +
         s"${if (r.nextBoolean()) "" else "NOT "}IN " +
@@ -204,13 +290,22 @@ object FuzzGen {
 
   private def windowed(r: Random): String = {
     val part = Seq("s", "a", "(a % 3)", "coalesce(a, -99)")(r.nextInt(4))
-    val win = r.nextInt(7) match {
+    // explicit null order now binds natively on the sort expression, so
+    // RANGE frames compose with NULLS FIRST/LAST (no marker key) —
+    // cases 7-8 exercise the combination on the nullable key `a`
+    val nord = Seq("NULLS FIRST", "NULLS LAST")(r.nextInt(2))
+    val dir = Seq("", " DESC")(r.nextInt(2))
+    val win = r.nextInt(9) match {
       case 6 => s"${Seq("sum", "min", "max", "count")(r.nextInt(4))}(b) OVER ()"
       case 0 => s"rank() OVER (PARTITION BY $part ORDER BY b, id)"
       case 1 => s"row_number() OVER (PARTITION BY $part ORDER BY a, id)"
       case 2 => s"sum(b) OVER (PARTITION BY $part)"
       case 3 => s"row_number() OVER (PARTITION BY $part ORDER BY a NULLS FIRST, id)"
       case 4 => s"rank() OVER (PARTITION BY $part ORDER BY b DESC NULLS LAST, id)"
+      case 7 => s"sum(b) OVER (PARTITION BY $part ORDER BY a$dir $nord " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      case 8 => s"count(b) OVER (PARTITION BY $part ORDER BY a$dir $nord " +
+        s"RANGE BETWEEN ${1 + r.nextInt(3)} PRECEDING AND CURRENT ROW)"
       case _ => s"sum(a) OVER (PARTITION BY $part ORDER BY id)"
     }
     s"SELECT id AS c0, $win AS c1 FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)}"
@@ -323,10 +418,33 @@ object FuzzGen {
   /** ROLLUP subtotals with grouping() markers (the markers disambiguate
     * subtotal NULLs from data NULLs in the multiset compare).
     */
-  private def rollup(r: Random): String =
-    s"SELECT s AS k0, b AS k1, count(*) AS c0, " +
-      s"grouping(s) AS g0, grouping(b) AS g1 " +
-      s"FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)} GROUP BY ROLLUP (s, b)"
+  private def rollup(r: Random): String = r.nextInt(4) match {
+    case 0 =>
+      s"SELECT s AS k0, b AS k1, count(*) AS c0, " +
+        s"grouping(s) AS g0, grouping(b) AS g1 " +
+        s"FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)} GROUP BY ROLLUP (s, b)"
+    // grouping_id(): the bitmask form (first key = MSB) — must agree
+    // with DuckDB's GROUPING_ID at every ROLLUP level
+    case 1 =>
+      s"SELECT s AS k0, b AS k1, count(*) AS c0, " +
+        s"grouping_id(s, b) AS g0 " +
+        s"FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)} GROUP BY ROLLUP (s, b)"
+    // ordered aggregates under grouping sets — string_agg needs an
+    // explicit ORDER BY for cross-engine determinism
+    case 2 =>
+      s"SELECT s AS k0, count(*) AS c0, " +
+        s"string_agg(coalesce(s, '∅'), ',' ORDER BY id) AS c1, " +
+        s"min(b) AS c2 " + // no median: DOUBLE leaves the no-floats subset
+        s"FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)} GROUP BY ROLLUP (s)"
+    // the same ordered aggregates over the EMPTY fixture table: the
+    // grand-total patch row must synthesize each aggregate's
+    // empty-input value (count 0, everything else NULL)
+    case _ =>
+      s"SELECT s AS k0, count(*) AS c0, count(v) AS c1, " +
+        s"string_agg(s, ',' ORDER BY k) AS c2, min(v) AS c3, " +
+        s"sum(v) AS c4, grouping_id(s) AS g0 " +
+        s"FROM fe GROUP BY ROLLUP (s)"
+  }
 
   /** Framed running windows over a unique total order (deterministic
     * frame contents at every row).
@@ -354,8 +472,68 @@ object FuzzGen {
         s"FROM $t GROUP BY s"
   }
 
+  /** Prepared-statement round trips: positional, arithmetic-?, and a
+    * quote-bearing string parameter (the textual-splice hazard path).
+    */
+  private def executeProbe(r: Random): String = r.nextInt(3) match {
+    case 0 => s"EXECUTE fzp1(${r.nextInt(40)})"
+    case 1 => s"EXECUTE fzp2(${lit(r)}, ${lit(r)})"
+    case _ =>
+      val sarg = Seq("'alpha'", "'Alp'", "'bet%a'", "'it''s'", "'x_y'")(r.nextInt(5))
+      s"EXECUTE fzp3($sarg, ${10 + r.nextInt(50)})"
+  }
+
+  /** Name resolution under USE fs1: the schema's own table unqualified,
+    * a cross-schema join, and the explicit main-qualified fallback.
+    */
+  private def schemaProbe(r: Random): String = r.nextInt(3) match {
+    case 0 => s"SELECT g AS k0, count(*) AS c0, sum(h) AS c1 FROM fg " +
+      s"WHERE ${pred(r, Seq("g", "h"), Seq("s"), 1)} GROUP BY g"
+    case 1 => s"SELECT fa.id AS c0, fg.h AS c1 FROM fa JOIN fg ON fa.a = fg.g " +
+      s"WHERE ${pred(r, Seq("fa.id", "fg.h"), Nil, 1)}"
+    case _ => s"SELECT id AS c0, a AS c1 FROM main.fa " +
+      s"WHERE ${pred(r, faInts, Seq("s"), 1)}"
+  }
+
+  /** COLLATE comparisons vs DuckDB's ICU collations. Inequalities stay
+    * on literals whose first letter decides (ICU punctuation weighting
+    * of '%'/'_' vs codepoint order never comes into play).
+    */
+  private def collateProbe(r: Random): String = r.nextInt(4) match {
+    case 0 =>
+      val lit0 = Seq("'ALPHA'", "'alp'", "'BET%A'", "'X_y'", "'Delta'")(r.nextInt(5))
+      s"SELECT id AS c0, s AS c1 FROM fa WHERE s COLLATE NOCASE = $lit0"
+    case 1 => s"SELECT id AS c0 FROM fa WHERE s COLLATE NOCASE <> 'GAMMA' " +
+      s"AND id < ${20 + r.nextInt(40)}"
+    case 2 => s"SELECT count(*) AS c0 FROM fa WHERE s COLLATE NOCASE >= 'delta'"
+    case _ => s"SELECT g AS c0, s AS c1 FROM fg " +
+      s"WHERE s COLLATE NOCASE.NOACCENT = ${Seq("'ELON'", "'elön'")(r.nextInt(2))}"
+  }
+
+  /** DML RETURNING probes — these MUTATE the fd tables, in the same
+    * sequence on both engines (check_fuzz replays ok-status queries in
+    * entry order), so later dmlProbe state diffs stay in sync. UPDATE
+    * and ON-CONFLICT return post-image rows, DELETE the pre-image —
+    * identical contracts on both engines.
+    */
+  private def returningProbe(r: Random): String = {
+    val t = s"fd${r.nextInt(3)}"
+    r.nextInt(3) match {
+      case 0 => s"UPDATE $t SET v = coalesce(v, 0) + ${1 + r.nextInt(5)} " +
+        s"WHERE k % ${3 + r.nextInt(5)} = ${r.nextInt(3)} RETURNING k AS c0, v AS c1"
+      case 1 => s"DELETE FROM $t WHERE k = ${30 + r.nextInt(15)} RETURNING *"
+      case _ => s"UPDATE $t SET s = upper(s) " +
+        s"WHERE coalesce(v, 0) % ${4 + r.nextInt(4)} = ${r.nextInt(4)} " +
+        s"RETURNING k AS c0, s AS c1"
+    }
+  }
+
   /** One random query; shape mix weighted toward the compositional forms. */
-  def query(r: Random): String = r.nextInt(19) match {
+  def query(r: Random): String = r.nextInt(23) match {
+    case 19      => executeProbe(r)
+    case 20      => schemaProbe(r)
+    case 21      => collateProbe(r)
+    case 22      => returningProbe(r)
     case 16       => rollup(r)
     case 17       => framed(r)
     case 18       => dmlProbe(r)

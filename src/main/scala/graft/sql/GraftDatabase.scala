@@ -624,10 +624,11 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         "($name) parameters in a prepared statement"))
     if (toks.exists(t => t.forall(_.isDigit) && t.toInt == 0))
       return Left(ViewError("positional parameters are 1-based ($1, $2, …)"))
-    val probe = Parser.spliceParams(body, (_, _) => Right("NULL"))
-      .getOrElse(body)
-    val checked = Parser.expandMacros(probe, macros.toMap)
-      .flatMap(Parser.parse)
+    // typed validation probe: parse the body ONCE with every parameter
+    // bound to NULL (DuckDB binds at prepare time the same way) — the
+    // placeholders are lexer tokens, never spliced text
+    val checked = Parser.expandMacros(body, macros.toMap)
+      .flatMap(Parser.parseWithParams(_, Map.empty, probeParams = true))
     checked match {
       case Left(e) => Left(ParseFailed(Parser.ParseError(
         s"in PREPARE body: ${e.msg}", e.pos)))
@@ -674,13 +675,15 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
             Left(ViewError(s"prepared statement $name: missing value " +
               s"for parameter $$${missing.head}"))
           else {
-            // typed binding: every argument evaluates ONCE to a literal
-            // VALUE (fast-path for plain literal tokens; a one-row scalar
-            // select for constant expressions), and the splice renders the
-            // canonical escaped literal — a quote-bearing string or an
-            // expression argument can never alter the body's parse, and a
-            // multiply-referenced $name never re-evaluates
-            def bind(text: String): Either[QueryError, String] =
+            // typed binding, phase 2 (round 14): every argument evaluates
+            // ONCE to a literal VALUE (fast-path for plain literal tokens;
+            // a one-row scalar select for constant expressions), and the
+            // body parses with the parameters bound as TYPED LITERALS at
+            // the parameter tokens — no text ever splices, so a
+            // quote-bearing string or expression argument cannot alter
+            // the body's parse, and a multiply-referenced $name never
+            // re-evaluates
+            def bind(text: String): Either[QueryError, Lit] =
               fastParamLit(text).map(Right(_)).getOrElse(
                 select(s"SELECT ($text) AS __p").flatMap { df =>
                   val rows = df.limit(2).collect()
@@ -689,24 +692,28 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
                   else litOfValue(rows.head.get(0)).toRight(ViewError(
                     "unsupported EXECUTE parameter type (scalar INTEGER/" +
                       "DOUBLE/VARCHAR/BOOLEAN/DATE/TIMESTAMP only)"))
-                }).map(renderLit)
-            def seqBind(xs: Vector[String]): Either[QueryError, Vector[String]] =
-              xs.foldLeft[Either[QueryError, Vector[String]]](
+                })
+            def seqBind(xs: Vector[String]): Either[QueryError, Vector[Lit]] =
+              xs.foldLeft[Either[QueryError, Vector[Lit]]](
                 Right(Vector.empty))((acc, x) =>
                   acc.flatMap(v => bind(x).map(v :+ _)))
             (for {
               posB   <- seqBind(positional)
               namedB <- seqBind(named.map(_._2))
-            } yield (posB, named.map(_._1).zip(namedB).toMap)).flatMap {
-              case (posB, namedB) =>
-                Parser.spliceParams(body, (tok, ord) => tok match {
-                  case "?"                      => Right(posB(ord))
-                  case t if t.forall(_.isDigit) => Right(posB(t.toInt - 1))
-                  case t                        => Right(namedB(t))
-                }) match {
-                  case Left(err)      => Left(ViewError(err))
-                  case Right(spliced) => query(spliced)
-                }
+            } yield {
+              // "?" tokens were auto-numbered 1..n at lex; positional $n
+              // binds by index; named binds by lowercased name
+              val posMap = posB.zipWithIndex.map {
+                case (l, i) => (i + 1).toString -> l }.toMap
+              posMap ++ named.map(_._1).zip(namedB).toMap
+            }).flatMap { paramMap =>
+              Parser.expandMacros(body, macros.toMap).left.map(ParseFailed)
+                .flatMap(s => Parser.expandGetVariable(s, sessionVars.toMap)
+                  .left.map(ParseFailed))
+                .flatMap(s =>
+                  Parser.parseWithParams(s, paramMap, probeParams = false)
+                    .left.map(ParseFailed)
+                    .flatMap(t => dispatch(t, s)))
             }
           }
         }

@@ -438,7 +438,7 @@ object Lowering {
           case BoundItem.BIWin(_, _, _, _, a, _) => a.toLowerCase -> a.toLowerCase
         }).toMap
       def havingOperand(o: BoundOperand): Column = o match {
-        case v @ BoundOperand.BSubVal(sub, guard, _) =>
+        case v @ BoundOperand.BSubVal(sub, guard, _, None) =>
           // correlated forms are analyzer-rejected in aggregate scope
           Option(subValCols.get(v)).getOrElse {
             val c =
@@ -555,10 +555,23 @@ object Lowering {
       // left-joined after the HAVING machinery, markers dying at the
       // final explicit projection (analyzer guarantees every outer
       // reference is a GROUP BY key)
+      // inequality-correlated scalar-subquery ITEMS (rewritten onto
+      // BSubVal by the analyzer) take the union-merge running-aggregate
+      // lowering over the GROUPED frame — handled after aggregation, not
+      // through the marker machinery; their scalar columns register here
+      val ineqItems: Seq[(Int, BoundSelect, Seq[(BoundCol, BoundCol)],
+          Analyzer.CorrIneq, String)] =
+        q.projection.zipWithIndex.collect {
+          case (BoundItem.BIExpr(
+              BoundOperand.BSubVal(sub, _, ps, Some(iq)), a), i) =>
+            (i, sub, ps, iq, a)
+        }
+      val ineqIdx = ineqItems.map(_._1).toSet
+      val ineqScalarOf = scala.collection.mutable.Map.empty[Int, Column]
       val projMarkers: Map[Int, MarkerScope] =
         q.projection.zipWithIndex.collect {
           case (BoundItem.BIExpr(op, a), i)
-              if !groupExprAliases(a.toLowerCase) &&
+              if !groupExprAliases(a.toLowerCase) && !ineqIdx(i) &&
                 BoundOperand.operandHasSub(op) =>
             val ms = new MarkerScope(spark, source, s"px$i",
               bc => col(groupOut(bc)), havingOperand)
@@ -566,7 +579,7 @@ object Lowering {
             i -> ms
         }.toMap
       val exprCols: Map[Int, Column] = q.projection.zipWithIndex.collect {
-        case (BoundItem.BIExpr(op, a), i) =>
+        case (BoundItem.BIExpr(op, a), i) if !ineqIdx(i) =>
           i -> (if (groupExprAliases(a.toLowerCase)) col(a).as(a)
                 else projMarkers.get(i).map(_.operand(op).as(a))
                   .getOrElse(havingOperand(op).as(a)))
@@ -614,7 +627,7 @@ object Lowering {
       // pre-attach in a select ahead of the window select, then drop
       val winRanks = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
       def withRank(frame: Option[Ast.WinFrame], parts: Seq[BoundOperand],
-          ord: Seq[(BoundOperand, Boolean)], tag: String): Option[Column] =
+          ord: Seq[(BoundOperand, Ast.SortDir)], tag: String): Option[Column] =
         if (!frame.exists(_.groups)) None
         else {
           val n = s"__grk_$tag"
@@ -626,7 +639,7 @@ object Lowering {
       // the same select (winRanks names all drop after the window select)
       def withMask(f: String, args: Seq[BoundOperand],
           frame: Option[Ast.WinFrame], parts: Seq[BoundOperand],
-          ord: Seq[(BoundOperand, Boolean)], tag: String): Option[Column] =
+          ord: Seq[(BoundOperand, Ast.SortDir)], tag: String): Option[Column] =
         if (!distinctWinEligible(f, args, frame)) None
         else {
           val n = s"__dmk_$tag"
@@ -925,16 +938,21 @@ object Lowering {
             case Ast.GroupingSpec.Rollup | Ast.GroupingSpec.Cube => true
             case Ast.GroupingSpec.Sets(sets) => sets.exists(_.isEmpty)
           }
+          // The grand-total row's value per aggregate on EMPTY input.
+          // Probed against DuckDB (round 14): EVERY aggregate yields
+          // NULL over an empty set except the count family (0), the
+          // synthesized grouping marker (1) and entropy (0.0) — so NULL
+          // is the default and the exceptions are explicit. This covers
+          // the ordered aggregates too (string_agg, quantile family,
+          // histogram, arg_min/max: all NULL).
           def emptyColOf(f: String,
               dt: org.apache.spark.sql.types.DataType): Option[Column] =
             f match {
-              case "count" | "count_distinct" => Some(lit(0L).cast(dt))
-              case "grouping"                 => Some(lit(1).cast(dt))
-              case "sum" | "avg" | "min" | "max" | "stddev" | "variance" |
-                   "median" | "mode" | "any_value" | "fsum" |
-                   "string_agg" | "array_agg" =>
-                Some(lit(null).cast(dt))
-              case _ => None
+              case "count" | "count_distinct" | "approx_count_distinct" =>
+                Some(lit(0L).cast(dt))
+              case "grouping" => Some(lit(1).cast(dt))
+              case "entropy"  => Some(lit(0.0).cast(dt))
+              case _          => Some(lit(null).cast(dt))
             }
           val emptyFs: Seq[(String, String)] =
             aggItems.map { case (f, _, _, _, i) => aggName(i) -> f } ++
@@ -1046,8 +1064,19 @@ object Lowering {
       }
       // scalar-subquery operand frames join the aggregated result (their
       // columns die at the final explicit projection)
-      val grouped = subValJoins.foldLeft(groupedPm)(
+      val groupedSv = subValJoins.foldLeft(groupedPm)(
         (df, f) => df.join(f, lit(true), "left_outer"))
+      // inequality-correlated scalar items: the union-merge running
+      // aggregate runs against the GROUPED frame — the tag side is one
+      // row per distinct (group keys, outer operand) value, so the sort
+      // shuffle is group-cardinality-bounded, never a candidate fan-out
+      val grouped = ineqItems.foldLeft(groupedSv) {
+        case (acc, (i, sub, ps, iq, _)) =>
+          val (joined, scalar) = correlatedRunningAgg(spark, acc, sub, ps,
+            iq, source, s"__piq_$i", bc => col(groupOut(bc)))
+          ineqScalarOf(i) = scalar
+          joined
+      }
       // window columns compute over the aggregated (and HAVING-filtered)
       // frame, BEFORE the final ORDER BY — the window's own exchange
       // must not disturb the result ordering
@@ -1103,6 +1132,8 @@ object Lowering {
         orderCols.map { case (c, dir) => sortCol(c, dir) }: _*)
       val projected = ordered.select(q.projection.zipWithIndex.map {
         case (BoundItem.BICol(bc, a), _) => col(groupOut(bc)).as(outName(bc, a))
+        case (BoundItem.BIExpr(_, a), i) if ineqIdx(i) =>
+          ineqScalarOf(i).as(a)
         case (_: BoundItem.BIExpr, i)    => exprCols(i)
         case (BoundItem.BIAgg(_, _, _, _), i) => col(aggName(i))
         case (BoundItem.BIWin(_, _, _, _, a, _), i) => col(s"__w_$i").as(a)
@@ -1128,14 +1159,11 @@ object Lowering {
     * dropped right after; same partition keys → no extra exchange.
     */
   private def groupsRankColumn(parts: Seq[BoundOperand],
-      ord: Seq[(BoundOperand, Boolean)],
+      ord: Seq[(BoundOperand, Ast.SortDir)],
       opLower: BoundOperand => Column, colOf: BoundCol => Column): Column =
     dense_rank().over(org.apache.spark.sql.expressions.Window
       .partitionBy(parts.map(opLower): _*)
-      .orderBy(ord.map { case (op, desc) =>
-        val c = opLower(op)
-        if (desc) c.desc_nulls_last else c.asc_nulls_last
-      }: _*))
+      .orderBy(ord.map { case (op, dir) => sortCol(opLower(op), dir) }: _*))
 
   /** Is `f(x) OVER ()` — no PARTITION BY, no ORDER BY, no frame — a
     * decomposable plain aggregate? Such a window computes ONE value over
@@ -1146,7 +1174,7 @@ object Lowering {
     * idiom stays scalable at any input cardinality.
     */
   private def isGlobalAggWin(f: String, args: Seq[BoundOperand],
-      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Boolean)],
+      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
       frame: Option[Ast.WinFrame]): Boolean =
     parts.isEmpty && ord.isEmpty && frame.isEmpty &&
       Set("count", "sum", "avg", "min", "max")(f) &&
@@ -1195,15 +1223,15 @@ object Lowering {
     * rejects nested window expressions).
     */
   private def distinctMaskColumn(args: Seq[BoundOperand],
-      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Boolean)],
+      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
       opLower: BoundOperand => Column, colOf: BoundCol => Column): Column = {
     val x = opLower(args.head)
     val wf0 = org.apache.spark.sql.expressions.Window
       .partitionBy(parts.map(opLower) :+ x: _*)
     val wf =
       if (ord.isEmpty) wf0.orderBy(lit(0))
-      else wf0.orderBy(ord.map { case (op, desc) =>
-        val c = opLower(op); if (desc) c.desc_nulls_last else c.asc_nulls_last }: _*)
+      else wf0.orderBy(ord.map { case (op, dir) =>
+        sortCol(opLower(op), dir) }: _*)
     when(x.isNotNull && row_number().over(wf) === 1, x)
   }
 
@@ -1235,7 +1263,7 @@ object Lowering {
   }
 
   private def windowColumn(f: String, args: Seq[BoundOperand],
-      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Boolean)],
+      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
       frame: Option[Ast.WinFrame],
       opLower: BoundOperand => Column, colOf: BoundCol => Column,
       /** GROUPS frames: the pre-attached dense_rank of the order keys
@@ -1263,13 +1291,14 @@ object Lowering {
         // timestamps and a truncated ordering key would diverge from
         // the oracle's exact interval comparison at sub-second edges
         val c = unix_micros(opLower(ord.head._1).cast("timestamp"))
-        w0.orderBy(if (ord.head._2) c.desc_nulls_last else c.asc_nulls_last)
+        w0.orderBy(sortCol(c, ord.head._2))
       }
       // NULLS LAST in both directions — DuckDB's default_null_order
-      // (see sortCol; round-13 fuzz caught the bare-.asc divergence)
-      else w0.orderBy(ord.map { case (op, desc) =>
-        val c = opLower(op)
-        if (desc) c.desc_nulls_last else c.asc_nulls_last
+      // (see sortCol; round-13 fuzz caught the bare-.asc divergence);
+      // explicit NULLS FIRST/LAST passes through natively, so RANGE
+      // frames keep their single ORDER key under either null order
+      else w0.orderBy(ord.map { case (op, dir) =>
+        sortCol(opLower(op), dir)
       }: _*)
     val w = frame.fold(w1) { fr =>
       // temporal bounds parsed as seconds scale to the micros ordering
@@ -2628,7 +2657,7 @@ object Lowering {
       // frame left-joined on the decorrelated equalities; uncorrelated =
       // a guarded literal (one bounded job, no join) or one broadcast
       // 1-row left join
-      case v @ BoundOperand.BSubVal(sub, guard, pairs) =>
+      case v @ BoundOperand.BSubVal(sub, guard, pairs, None) =>
         if (!opValOf.containsKey(v)) {
           if (pairs.nonEmpty) {
             val m = fresh()

@@ -30,6 +30,12 @@ object Parser {
   private final case class TSci(v: Double, pos: Int) extends Tok
   private final case class TStr(s: String, pos: Int) extends Tok
   private final case class TSym(s: String, pos: Int) extends Tok
+  /** Prepared-statement parameter: "1"/"2"… positional (`$1`, and `?`
+    * auto-numbered by source order post-lex) or a lowercased name
+    * (`$name`). Bound to typed literals at parse via P.params — the
+    * prepared path never splices text.
+    */
+  private final case class TParam(tok: String, pos: Int) extends Tok
   private final case class TEnd(pos: Int) extends Tok
 
   private def lex(in: String): Either[ParseError, Vector[Tok]] = {
@@ -103,6 +109,19 @@ object Parser {
             two == "||" || two == "::" || two == "->" || two == ":=" ||
             two == "//" || two == "**") {
           out += TSym(if (two == "!=") "<>" else two, i); i += 2
+        } else if (c == '?') {
+          out += TParam("?", i); i += 1
+        } else if (c == '$' && i + 1 < in.length &&
+            (in(i + 1).isDigit || in(i + 1).isLetter || in(i + 1) == '_')) {
+          val st = i
+          i += 1
+          if (in(i).isDigit) {
+            while (i < in.length && in(i).isDigit) i += 1
+            out += TParam(in.substring(st + 1, i), st)
+          } else {
+            while (i < in.length && (in(i).isLetterOrDigit || in(i) == '_')) i += 1
+            out += TParam(in.substring(st + 1, i).toLowerCase, st)
+          }
         } else if ("(),.;*=<>+-/%[]:{}^".indexOf(c) >= 0) {
           out += TSym(c.toString, i); i += 1
         } else return Left(ParseError(s"unexpected character '$c'", i))
@@ -113,7 +132,12 @@ object Parser {
   }
 
   // ---- parser state ----
-  private final class P(toks: Vector[Tok], val src: String = "") {
+  private final class P(toks: Vector[Tok], val src: String = "",
+      /** Prepared-parameter bindings ("1"/"2"…/named → typed literal);
+        * probeParams = PREPARE-time validation (any parameter binds NULL).
+        */
+      val params: Map[String, Lit] = Map.empty,
+      val probeParams: Boolean = false) {
     var i = 0
     def peek: Tok = toks(i)
     def peekAt(k: Int): Option[Tok] = toks.lift(i + k)
@@ -450,6 +474,25 @@ object Parser {
     }
 
   def parse(sql0: String): Either[ParseError, ParseTree] =
+    parseWithParams(sql0, Map.empty, probeParams = false)
+
+  /** `?` parameters auto-number by source order; explicit $n / $name
+    * tokens pass through (prepareStmt rejects mixed styles first).
+    */
+  private def numberParams(toks: Vector[Tok]): Vector[Tok] = {
+    var ord = 0
+    toks.map {
+      case TParam("?", pos) => ord += 1; TParam(ord.toString, pos)
+      case t                => t
+    }
+  }
+
+  /** Parse with prepared-parameter bindings: every parameter token
+    * resolves to its typed literal AT PARSE (probeParams binds NULL for
+    * PREPARE-time validation) — no text splice anywhere in the path.
+    */
+  def parseWithParams(sql0: String, params: Map[String, Lit],
+      probeParams: Boolean): Either[ParseError, ParseTree] =
     lex(sql0).flatMap { toks0 =>
       val (sql, toks) = fromFirst(sql0, toks0) match {
         case Some(rw) => lex(rw) match {
@@ -458,7 +501,7 @@ object Parser {
         }
         case None => (sql0, toks0)
       }
-      val p = new P(toks, sql)
+      val p = new P(numberParams(toks), sql, params, probeParams)
       val tree =
         if (p.isKw("explain")) {
           p.next()
@@ -1236,7 +1279,7 @@ object Parser {
 
   /** OVER (PARTITION BY cols ORDER BY operands [ROWS|RANGE BETWEEN …]) */
   private def parseOverSpec(p: P): Either[ParseError,
-      (Vector[Operand], Vector[(Operand, Boolean)], Option[WinFrame])] =
+      (Vector[Operand], Vector[(Operand, SortDir)], Option[WinFrame])] =
     for {
       _ <- p.eatSym("(")
       // PARTITION BY takes full operands (DuckDB allows expressions —
@@ -1262,12 +1305,10 @@ object Parser {
           p.eatKw("by").flatMap { _ =>
             // aggregates allowed: over an aggregated query the
             // window orders post-aggregation (ORDER BY count(*)).
-            // NULLS FIRST/LAST desugars at parse time: the engine
-            // default is nulls-LAST (DuckDB's default_null_order), so
-            // an explicit NULLS FIRST splices a 0/1 null-marker key
-            // ahead of the real key (ascending: NULL rows first) and
-            // NULLS LAST is a no-op — zero plumbing changes downstream
-            def one(): Either[ParseError, Vector[(Operand, Boolean)]] =
+            // NULLS FIRST/LAST binds natively onto the sort direction
+            // (SortDir.nullsFirst → asc_nulls_first/… at lowering) —
+            // no extra ORDER key, so RANGE frames compose with it
+            def one(): Either[ParseError, (Operand, SortDir)] =
               parseOperand(p, allowAgg = true).flatMap { c =>
                 val desc =
                   if (p.isKw("desc")) { p.next(); true }
@@ -1278,38 +1319,24 @@ object Parser {
                   p.next()
                   p.peek match {
                     case TIdent(k, _) if k.equalsIgnoreCase("first") =>
-                      p.next()
-                      // a RANGE frame needs exactly one ORDER key — the
-                      // marker desugar would add one; reject with the
-                      // real reason instead of the key-count error
-                      if (p.isKw("range"))
-                        Left(ParseError(
-                          "NULLS FIRST is not supported with RANGE frames " +
-                            "(the null-marker desugar adds an ORDER key)", pos))
-                      else {
-                        val marker = Operand.CaseWhen(
-                          Seq((Expr.IsNull(c, negated = false),
-                            Operand.Literal(Lit.LitLong(0L)): Operand)),
-                          Some(Operand.Literal(Lit.LitLong(1L)): Operand))
-                        Right(Vector((marker: Operand, false), (c, desc)))
-                      }
+                      p.next(); Right((c, SortDir(desc, Some(true))))
                     case TIdent(k, _) if k.equalsIgnoreCase("last") =>
-                      p.next(); Right(Vector((c, desc)))
+                      p.next(); Right((c, SortDir(desc, Some(false))))
                     case _ => Left(ParseError(
                       "expected FIRST or LAST after NULLS", pos))
                   }
-                } else Right(Vector((c, desc)))
+                } else Right((c, SortDir(desc)))
               }
-            def loop(acc: Vector[(Operand, Boolean)]): Either[ParseError, Vector[(Operand, Boolean)]] =
+            def loop(acc: Vector[(Operand, SortDir)]): Either[ParseError, Vector[(Operand, SortDir)]] =
               one().flatMap { o =>
                 p.peek match {
-                  case TSym(",", _) => p.next(); loop(acc ++ o)
-                  case _            => Right(acc ++ o)
+                  case TSym(",", _) => p.next(); loop(acc :+ o)
+                  case _            => Right(acc :+ o)
                 }
               }
             loop(Vector.empty)
           }
-        } else Right(Vector.empty[(Operand, Boolean)])
+        } else Right(Vector.empty[(Operand, SortDir)])
       frame <-
         if (p.isKw("rows") || p.isKw("range") || p.isKw("groups")) {
           val isRange = p.isKw("range")
@@ -1425,9 +1452,9 @@ object Parser {
                 case TIdent(n, _) if !reserved(n) =>
                   p.next()
                   Right(Left(n): Either[String,
-                    (Vector[Operand], Vector[(Operand, Boolean)], Option[WinFrame])])
+                    (Vector[Operand], Vector[(Operand, SortDir)], Option[WinFrame])])
                 case _ => parseOverSpec(p).map(Right(_): Either[String,
-                  (Vector[Operand], Vector[(Operand, Boolean)], Option[WinFrame])])
+                  (Vector[Operand], Vector[(Operand, SortDir)], Option[WinFrame])])
               }
               _ <-
                 if (p.isKw("as")) { p.next(); Right(()) }
@@ -2387,16 +2414,16 @@ object Parser {
         if (p.isKw("window")) {
           p.next()
           def one(): Either[ParseError, (String,
-              (Vector[Operand], Vector[(Operand, Boolean)], Option[WinFrame]))] =
+              (Vector[Operand], Vector[(Operand, SortDir)], Option[WinFrame]))] =
             for {
               n <- p.ident()
               _ <- p.eatKw("as")
               spec <- parseOverSpec(p)
             } yield n.toLowerCase -> spec
           def loop(acc: Vector[(String,
-              (Vector[Operand], Vector[(Operand, Boolean)], Option[WinFrame]))])
+              (Vector[Operand], Vector[(Operand, SortDir)], Option[WinFrame]))])
               : Either[ParseError, Vector[(String,
-                (Vector[Operand], Vector[(Operand, Boolean)], Option[WinFrame]))]] =
+                (Vector[Operand], Vector[(Operand, SortDir)], Option[WinFrame]))]] =
             one().flatMap { d =>
               p.peek match {
                 case TSym(",", _) => p.next(); loop(acc :+ d)
@@ -2413,7 +2440,7 @@ object Parser {
             }
           }
         } else Right(Vector.empty[(String,
-          (Vector[Operand], Vector[(Operand, Boolean)], Option[WinFrame]))])
+          (Vector[Operand], Vector[(Operand, SortDir)], Option[WinFrame]))])
       // QUALIFY <pred> (after HAVING, before ORDER BY — the DuckDB clause
       // order): inline `fn(...) OVER (...)` calls in the predicate
       // desugar into hidden window items via the parser's winSink
@@ -3056,6 +3083,20 @@ object Parser {
         None)))
 
   private def parseAtom(p: P, allowAgg: Boolean): Either[ParseError, Operand] = p.peek match {
+    // prepared-statement parameter: binds its typed literal here (the
+    // EXECUTE path evaluated every argument ONCE before parse); during
+    // PREPARE validation every parameter binds NULL (DuckDB probes the
+    // same way). A parameter outside a prepared body is an error.
+    case TParam(tok, pos) =>
+      p.next()
+      if (p.probeParams) Right(Operand.Literal(Lit.LitNull))
+      else p.params.get(tok) match {
+        case Some(l) => Right(Operand.Literal(l))
+        case None => Left(ParseError(
+          if (p.params.isEmpty)
+            "parameters ($1 / $name / ?) are only valid in a PREPARE body"
+          else s"unbound parameter $$$tok", pos))
+      }
     case TSym("(", _) =>
       p.next()
       // (SELECT …) as an operand atom: an uncorrelated scalar subquery
@@ -3361,6 +3402,39 @@ object Parser {
         val alias = s"__qw${p.winSink.length}"
         p.winSink += SelectItem.SWin(fn, args, spec._1, spec._2, alias, spec._3)
         Operand.Col(ColRef(None, alias))
+      }
+    // grouping_id(a, b, …) — the bitmask form of grouping(): first key
+    // is the most significant bit (the Postgres/DuckDB/Spark convention).
+    // Desugars at parse onto the single-key grouping() machinery:
+    // grouping(a)*2^(n-1) + … + grouping(z), so analysis (keys must be
+    // grouping-set columns) and lowering ride the existing path.
+    case TIdent(f, _) if allowAgg && f.equalsIgnoreCase("grouping_id") =>
+      p.next()
+      for {
+        _ <- p.eatSym("(")
+        args <- {
+          def loop(acc: Vector[Operand]): Either[ParseError, Vector[Operand]] =
+            parseOperand(p).flatMap { o =>
+              p.peek match {
+                case TSym(",", _) => p.next(); loop(acc :+ o)
+                case _            => Right(acc :+ o)
+              }
+            }
+          p.peek match {
+            case TSym(")", pos) => Left(ParseError(
+              "grouping_id takes at least one GROUP BY key column", pos))
+            case _ => loop(Vector.empty)
+          }
+        }
+        _ <- p.eatSym(")")
+      } yield {
+        val n = args.length
+        args.zipWithIndex.map { case (a, i) =>
+          val g: Operand = Operand.AggCall("grouping", Some(a), distinct = false)
+          val w = 1L << (n - 1 - i)
+          if (w == 1L) g
+          else Operand.Arith('*', g, Operand.Literal(Lit.LitLong(w)))
+        }.reduceLeft[Operand]((l, r) => Operand.Arith('+', l, r))
       }
     // count_if(pred) — sugar for count(CASE WHEN pred THEN 1 END), the
     // same desugar as aggregate FILTER
@@ -4330,61 +4404,13 @@ object Parser {
       macros: Map[String, MacroDef]): Either[ParseError, String] =
     expandMacros0(sql0, macros, stub = false)
 
-  /** Prepared-statement parameter sites in a body TEXT: `$1`-style
-    * positional ("1"), `$name`-style named (lowercased name), or bare
-    * `?` auto-positional ("?"), scanned OUTSIDE single-/double-quoted
-    * regions and `--` comments (so `'$1'` is a literal, not a
-    * parameter). The body never reaches the lexer with placeholders in
-    * it — PREPARE stores text and EXECUTE splices text — so this scan
-    * is character-level by design. Returns (token, start, endExclusive)
-    * in source order.
+  /** The parameter tokens of a prepared body, in source order — from
+    * the LEXER (quoted strings and comments are already out of play),
+    * not a character scan: the same tokens the parser will bind.
     */
-  private def paramSites(sql: String): Vector[(String, Int, Int)] = {
-    val out = Vector.newBuilder[(String, Int, Int)]
-    var i = 0
-    val n = sql.length
-    while (i < n) {
-      sql(i) match {
-        case '\'' =>
-          i += 1
-          var done = false
-          while (i < n && !done) {
-            if (sql(i) == '\'') {
-              if (i + 1 < n && sql(i + 1) == '\'') i += 2
-              else { done = true; i += 1 }
-            } else i += 1
-          }
-        case '"' =>
-          i += 1
-          while (i < n && sql(i) != '"') i += 1
-          if (i < n) i += 1
-        case '-' if i + 1 < n && sql(i + 1) == '-' =>
-          while (i < n && sql(i) != '\n') i += 1
-        case '/' if i + 1 < n && sql(i + 1) == '*' =>
-          i += 2
-          while (i + 1 < n && !(sql(i) == '*' && sql(i + 1) == '/')) i += 1
-          i = math.min(n, i + 2)
-        case '?' =>
-          out += (("?", i, i + 1)); i += 1
-        case '$' if i + 1 < n &&
-            (sql(i + 1).isDigit || sql(i + 1).isLetter || sql(i + 1) == '_') =>
-          val st = i
-          i += 1
-          if (sql(i).isDigit) {
-            while (i < n && sql(i).isDigit) i += 1
-            out += ((sql.substring(st + 1, i), st, i))
-          } else {
-            while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_')) i += 1
-            out += ((sql.substring(st + 1, i).toLowerCase, st, i))
-          }
-        case _ => i += 1
-      }
-    }
-    out.result()
-  }
-
-  /** The parameter tokens of a prepared body, in source order. */
-  def scanParams(sql: String): Vector[String] = paramSites(sql).map(_._1)
+  def scanParams(sql: String): Vector[String] =
+    lex(sql).map(_.collect { case TParam(t, _) => t })
+      .getOrElse(Vector.empty)
 
   /** Replaces getvariable('name') calls with the stored variable's
     * literal SQL text (NULL when unset) — token-scanned like macro
@@ -4478,31 +4504,6 @@ object Parser {
     }
     emit(n)
     out.result()
-  }
-
-  /** Splices argument TEXT into each parameter site (parenthesized, so
-    * precedence cannot leak — the macro-splice rule). The resolver gets
-    * the site token ("1" / "name" / "?") and the site's ordinal among
-    * all sites (for `?` auto-numbering).
-    */
-  def spliceParams(sql: String,
-      resolve: (String, Int) => Either[String, String]): Either[String, String] = {
-    val sites = paramSites(sql)
-    val sb = new StringBuilder
-    var last = 0
-    var ord = 0
-    for ((tok, s, e) <- sites) {
-      resolve(tok, ord) match {
-        case Left(err)  => return Left(err)
-        case Right(txt) =>
-          sb ++= sql.substring(last, s)
-          sb ++= "("; sb ++= txt; sb ++= ")"
-          last = e
-      }
-      ord += 1
-    }
-    sb ++= sql.substring(last)
-    Right(sb.toString)
   }
 
   /** stub = true replaces every known-macro call with `(0)` instead of

@@ -4823,8 +4823,8 @@ class DialectSpec extends AnyFunSuite {
       "FROM no1 ORDER BY id").fold(e => fail(e.msg),
         _.collect().toSeq.map(x => (x.getInt(0), x.get(1).toString.toInt)))
     assert(rn == Seq((1, 3), (2, 2), (3, 1), (4, 4)))
-    // explicit NULLS FIRST inside a window ORDER BY (parse-level
-    // desugar: a 0/1 null-marker key ahead of the real key)
+    // explicit NULLS FIRST inside a window ORDER BY (binds natively on
+    // the sort expression — asc_nulls_first, no extra ORDER key)
     val nf = db.select("SELECT id, row_number() OVER " +
       "(ORDER BY a NULLS FIRST, id) AS r FROM no1 ORDER BY id")
       .fold(e => fail(e.msg),
@@ -4836,6 +4836,16 @@ class DialectSpec extends AnyFunSuite {
       .fold(e => fail(e.msg),
         _.collect().toSeq.map(x => (x.getInt(0), x.get(1).toString.toInt)))
     assert(nl == Seq((1, 3), (2, 1), (3, 2), (4, 4)))
+    // native null order keeps RANGE's single ORDER key, so NULLS FIRST
+    // composes with RANGE frames (round 13's marker desugar rejected
+    // this): the null-key peer group anchors the partition, every
+    // non-null row's running sum includes it
+    val rr = db.select("SELECT id, sum(id) OVER (ORDER BY a NULLS FIRST " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs " +
+      "FROM no1 ORDER BY id").fold(e => fail(e.msg),
+        _.collect().toSeq.map(x => (x.getInt(0), x.getLong(1))))
+    // null peers {1,4} sum 5; a=1 (id 3) → 5+3=8; a=2 (id 2) → 10
+    assert(rr == Seq((1, 5L), (2, 10L), (3, 8L), (4, 5L)))
   }
 
   test("expression PARTITION BY keys (row scope and aggregate scope)") {
@@ -4966,6 +4976,41 @@ class DialectSpec extends AnyFunSuite {
     // ...and still rejects when the correlation key is not grouped
     assert(db.select("SELECT g, sum(v), (SELECT max(w) FROM sb WHERE w = v) " +
       "FROM sa GROUP BY g").isLeft)
+  }
+
+  test("inequality-correlated scalar-subquery items over an aggregated query") {
+    val db = freshDb()
+    db.query("CREATE TABLE ia (g INT, v INT)")
+    db.query("INSERT INTO ia VALUES (1, 10), (1, 20), (3, 5), (NULL, 9)")
+    db.query("CREATE TABLE ib (w INT)")
+    db.query("INSERT INTO ib VALUES (1), (2), (3), (4)")
+    // post-aggregation running count: per group key g, how many ib.w < g*2
+    // (g=1 → w<2 → 1; g=3 → w<6 → 4; g NULL → UNKNOWN → 0)
+    val r = db.select("SELECT g, count(*) AS n, " +
+      "(SELECT count(*) FROM ib WHERE w < g * 2) AS c " +
+      "FROM ia GROUP BY g ORDER BY g NULLS LAST")
+      .fold(e => fail(e.msg), _.collect())
+    assert(r.map(x => (if (x.isNullAt(0)) -99 else x.getInt(0),
+      x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1, 2L, 1L), (3, 1L, 4L), (-99, 1L, 0L)))
+    // mixed: equality on the group key + inequality on a group-key expr
+    db.query("CREATE TABLE ic (k INT, z INT)")
+    db.query("INSERT INTO ic VALUES (1, 100), (1, 5), (3, 7), (3, 1)")
+    val m = db.select("SELECT g, sum(v) AS sv, " +
+      "(SELECT sum(z) FROM ic WHERE ic.k = ia.g AND ic.z > g) AS sz " +
+      "FROM ia GROUP BY g ORDER BY g NULLS LAST")
+      .fold(e => fail(e.msg), _.collect())
+    // g=1: z in {100,5} with z>1 → 105; g=3: z in {7,1} with z>3 → 7
+    assert(m.map(x => (if (x.isNullAt(0)) -99 else x.getInt(0),
+      if (x.isNullAt(2)) -1L else x.getLong(2))).toSeq ==
+      Seq((1, 105L), (3, 7L), (-99, -1L)))
+    // the ineq outer side must be group-key-only…
+    assert(db.select("SELECT g, count(*), " +
+      "(SELECT count(*) FROM ib WHERE w < v) AS c FROM ia GROUP BY g").isLeft)
+    // …and ORDER BY cannot reference the running item's alias
+    assert(db.select("SELECT g, count(*) AS n, " +
+      "(SELECT count(*) FROM ib WHERE w < g) AS c " +
+      "FROM ia GROUP BY g ORDER BY c").isLeft)
   }
 
   test("USE schema: search path, create landing, shadowing") {
