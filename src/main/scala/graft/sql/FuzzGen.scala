@@ -295,8 +295,16 @@ object FuzzGen {
     // cases 7-8 exercise the combination on the nullable key `a`
     val nord = Seq("NULLS FIRST", "NULLS LAST")(r.nextInt(2))
     val dir = Seq("", " DESC")(r.nextInt(2))
-    val win = r.nextInt(9) match {
+    val win = r.nextInt(11) match {
       case 6 => s"${Seq("sum", "min", "max", "count")(r.nextInt(4))}(b) OVER ()"
+      // INTERVAL RANGE over the nullable DATE key (time-windowed count;
+      // NULL dates form their own peer group on both engines)
+      case 9 => s"count(b) OVER (ORDER BY d RANGE BETWEEN " +
+        s"INTERVAL ${10 + r.nextInt(40)} DAY PRECEDING AND CURRENT ROW)"
+      // DISTINCT aggregate over a prefix frame (the scalable
+      // first-occurrence-mask lowering)
+      case 10 => s"${Seq("count", "sum")(r.nextInt(2))}(DISTINCT a) " +
+        s"OVER (PARTITION BY $part ORDER BY id)"
       case 0 => s"rank() OVER (PARTITION BY $part ORDER BY b, id)"
       case 1 => s"row_number() OVER (PARTITION BY $part ORDER BY a, id)"
       case 2 => s"sum(b) OVER (PARTITION BY $part)"
@@ -528,12 +536,92 @@ object FuzzGen {
     }
   }
 
+  /** Frame EXCLUDE CURRENT ROW over ROWS frames (decomposable
+    * aggregates only — the engine subtracts the excluded contribution).
+    */
+  private def excludeWin(r: Random): String = {
+    val lo = 1 + r.nextInt(3); val hi = 1 + r.nextInt(3)
+    val f = Seq("sum", "count", "min", "max")(r.nextInt(4))
+    s"SELECT id AS c0, $f(b) OVER (ORDER BY id ROWS BETWEEN $lo PRECEDING " +
+      s"AND $hi FOLLOWING EXCLUDE CURRENT ROW) AS c1 " +
+      s"FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)}"
+  }
+
+  /** QUALIFY over a ranked window (alias reference). */
+  private def qualifyProbe(r: Random): String = {
+    val part = Seq("s", "(a % 3)")(r.nextInt(2))
+    s"SELECT id AS c0, ${Seq("rank()", "row_number()")(r.nextInt(2))} " +
+      s"OVER (PARTITION BY $part ORDER BY b, id) AS c1 " +
+      s"FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)} " +
+      s"QUALIFY c1 <= ${1 + r.nextInt(4)}"
+  }
+
+  /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL keep duplicate
+    * multiplicity — a multiset diff catches an off-by-one-copy).
+    */
+  private def setopAll(r: Random): String = {
+    val op = Seq("INTERSECT ALL", "EXCEPT ALL")(r.nextInt(2))
+    s"SELECT a AS c0 FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)} " +
+      s"$op SELECT k AS c0 FROM fc WHERE ${pred(r, Seq("k", "v"), Nil, 1)}"
+  }
+
+  /** Equality-correlated aggregate LATERAL — empty groups must surface
+    * count 0 / NULL max on both engines.
+    */
+  private def lateralProbe(r: Random): String =
+    s"SELECT fa.id AS c0, l.m AS c1, l.n AS c2 FROM fa, " +
+      s"LATERAL (SELECT max(v) AS m, count(*) AS n FROM fc " +
+      s"WHERE fc.k = fa.a AND ${pred(r, Seq("v"), Nil, 0)}) l " +
+      s"WHERE ${pred(r, Seq("fa.id", "fa.b"), Nil, 1)}"
+
+  /** IGNORE NULLS shift/positional windows (the LOCF idiom). */
+  private def ignoreNullsWin(r: Random): String = {
+    val f = Seq("lag(a IGNORE NULLS)", "lead(a IGNORE NULLS)",
+      "first_value(a IGNORE NULLS)", "last_value(a IGNORE NULLS)")(r.nextInt(4))
+    s"SELECT id AS c0, $f OVER (ORDER BY id) AS c1 " +
+      s"FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)}"
+  }
+
+  /** GROUP BY ALL / ORDER BY ALL (order irrelevant to the multiset
+    * compare — this exercises grouping-key inference).
+    */
+  private def byAll(r: Random): String =
+    s"SELECT s AS k0, (a % ${2 + r.nextInt(4)}) AS k1, count(*) AS c0, " +
+      s"sum(b) AS c1 FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)} " +
+      s"GROUP BY ALL ORDER BY ALL"
+
+  /** Inline VALUES as a derived table, joined against the fixture. */
+  private def valuesProbe(r: Random): String = {
+    val rows = (0 until 2 + r.nextInt(3)).map(_ =>
+      s"(${r.nextInt(12)}, '${Seq("p", "q", "rr")(r.nextInt(3))}')").mkString(", ")
+    s"SELECT v.x AS c0, v.y AS c1, count(fa.id) AS c2 " +
+      s"FROM (VALUES $rows) v(x, y) LEFT JOIN fa ON fa.a = v.x " +
+      s"GROUP BY v.x, v.y"
+  }
+
+  /** Small recursive-CTE fixpoint joined back to the fixture. */
+  private def recCte(r: Random): String = {
+    val n = 5 + r.nextInt(10)
+    s"WITH RECURSIVE g AS (SELECT 1 AS x UNION ALL " +  // engine grammar: no column-alias list
+      s"SELECT x + 1 AS x FROM g WHERE x < $n) " +
+      s"SELECT g.x AS c0, count(fa.id) AS c1, min(fa.b) AS c2 " +
+      s"FROM g LEFT JOIN fa ON fa.a = g.x GROUP BY g.x"
+  }
+
   /** One random query; shape mix weighted toward the compositional forms. */
-  def query(r: Random): String = r.nextInt(23) match {
+  def query(r: Random): String = r.nextInt(31) match {
     case 19      => executeProbe(r)
     case 20      => schemaProbe(r)
     case 21      => collateProbe(r)
     case 22      => returningProbe(r)
+    case 23      => excludeWin(r)
+    case 24      => qualifyProbe(r)
+    case 25      => setopAll(r)
+    case 26      => lateralProbe(r)
+    case 27      => ignoreNullsWin(r)
+    case 28      => byAll(r)
+    case 29      => valuesProbe(r)
+    case 30      => recCte(r)
     case 16       => rollup(r)
     case 17       => framed(r)
     case 18       => dmlProbe(r)

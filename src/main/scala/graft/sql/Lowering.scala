@@ -1526,10 +1526,15 @@ object Lowering {
   /** Fuse a correlated aggregate LATERAL into the enclosing join group:
     * per-key aggregate over the body's core, COMPLETED over the distinct
     * outer keys observed in the enclosing frame (left join + the
-    * count-over-empty-group coalesce), then equi-joined back null-safely
-    * so NULL outer keys keep their empty-group row too. Three key-bounded
-    * shuffles (outer-key distinct, per-key aggregate, final join) — never
-    * a per-outer-row re-execution of the body.
+    * count-over-empty-group coalesce), then joined back null-safely so
+    * NULL outer keys keep their row too. The COMPLETION join is plain
+    * equality: a NULL outer key must take the EMPTY group (count 0,
+    * NULL max — `fc.k = NULL` is UNKNOWN for every inner row), not the
+    * NULL-key group's aggregates (round-14 fuzz found exactly that
+    * divergence vs DuckDB); only the structural join-back uses `<=>`,
+    * to link each outer row to its own completed-key row. Three
+    * key-bounded shuffles (outer-key distinct, per-key aggregate, final
+    * join) — never a per-outer-row re-execution of the body.
     */
   private def joinAggLateral(spark: SparkSession, df: DataFrame,
       bt: BoundTable, l: Analyzer.BoundLateral,
@@ -1547,7 +1552,7 @@ object Lowering {
     val outKeys = df.select(l.pairs.zipWithIndex.map { case ((oc, _), i) =>
       qcolOf(oc).as(s"__ok$i") }: _*).distinct()
     val completed = outKeys.join(perKey,
-      l.pairs.indices.map(i => col(s"__ok$i") <=> perKey(s"__pk$i")).reduce(_ && _),
+      l.pairs.indices.map(i => col(s"__ok$i") === perKey(s"__pk$i")).reduce(_ && _),
       "left_outer")
     val outCols = l.sub.projection.zipWithIndex.map {
       case (BoundItem.BIAgg(f, _, Some(a), _), i) =>

@@ -1180,6 +1180,17 @@ class DialectSpec extends AnyFunSuite {
       "LATERAL (SELECT count(*) AS n FROM cars c WHERE c.owner_id = p.id) t " +
       "WHERE t.n = 0").toOption.get
     assert(f.collect().map(_.getString(0)).toSeq == Seq("Marty McFly"))
+    // a NULL outer key takes the EMPTY group, not the NULL-key group:
+    // `lk.k = NULL` is UNKNOWN for every inner row (round-14 fuzz found
+    // the completion join matching NULL-to-NULL null-safely)
+    db.query("CREATE TABLE lo (id INT, a INT)")
+    db.query("INSERT INTO lo VALUES (1, 5), (2, NULL)")
+    db.query("CREATE TABLE lk (k INT, v INT)")
+    db.query("INSERT INTO lk VALUES (5, 10), (NULL, 99)")
+    val nl = db.select("SELECT lo.id, t.n, t.mx FROM lo, " +
+      "LATERAL (SELECT count(*) AS n, max(v) AS mx FROM lk " +
+      "WHERE lk.k = lo.a) t ORDER BY lo.id").toOption.get
+    assert(nl.collect().toSeq == Seq(Row(1, 1L, 10), Row(2, 0L, null)))
     // aggregate laterals are FROM-list only
     assert(db.select("SELECT p.name, t.n FROM people p LEFT JOIN " +
       "LATERAL (SELECT count(*) AS n FROM cars c WHERE c.owner_id = p.id) t " +
