@@ -1879,28 +1879,115 @@ object Lowering {
     val inclusive = iq.op == Ast.CmpOp.Le || iq.op == Ast.CmpOp.Ge
     val tie = when(col(tagN), lit(if (inclusive) 1 else 0))
       .otherwise(lit(if (inclusive) 0 else 1))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(kN.map(col): _*)
-      .orderBy(
-        (if (asc) col(tN).asc_nulls_first else col(tN).desc_nulls_first),
-        tie.asc)
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0L)
-    val resCols = nodes.zipWithIndex.map { case ((f, _), j) =>
-      val a = col(s"${name}_a$j")
-      (f match {
-        case "count" => count(a)
-        case "sum"   => sum(a)
-        case "avg"   => avg(a)
-        case "min"   => min(a)
-        case "max"   => max(a)
-        case other   => sys.error(s"unreachable running aggregate $other")
-      }).over(w).as(s"${name}_r$j")
-    }
-    val ran = unioned.select(col("*") +: resCols: _*)
-      .filter(col(tagN))
-      .select(kN.map(col) ++ Seq(col(tN)) ++
-        nodes.indices.map(j => col(s"${name}_r$j")): _*)
+    val ordExprs = Seq(
+      (if (asc) col(tN).asc_nulls_first else col(tN).desc_nulls_first),
+      tie.asc)
+    val ran =
+      if (kN.nonEmpty) {
+        // equality keys partition the running window — scales on its own
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(kN.map(col): _*)
+          .orderBy(ordExprs: _*)
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0L)
+        val resCols = nodes.zipWithIndex.map { case ((f, _), j) =>
+          val a = col(s"${name}_a$j")
+          (f match {
+            case "count" => count(a)
+            case "sum"   => sum(a)
+            case "avg"   => avg(a)
+            case "min"   => min(a)
+            case "max"   => max(a)
+            case other   => sys.error(s"unreachable running aggregate $other")
+          }).over(w).as(s"${name}_r$j")
+        }
+        unioned.select(col("*") +: resCols: _*)
+          .filter(col(tagN))
+          .select(kN.map(col) ++ Seq(col(tN)) ++
+            nodes.indices.map(j => col(s"${name}_r$j")): _*)
+      } else {
+        // NO equality keys: an unpartitioned running window would plan
+        // as Exchange SinglePartition — every inner row through one
+        // task, the classic 100×-scale killer. Instead, a DISTRIBUTED
+        // PREFIX SCAN: range-partition by the running order, run the
+        // prefix window INSIDE each bucket (parallel), aggregate one
+        // total row per bucket (tiny), take the EXCLUSIVE prefix of
+        // those totals over bucket ids (P rows on one task — trivial),
+        // broadcast the offsets back and combine. avg decomposes into
+        // sum/count (offsets aren't averageable); min/max combine with
+        // null-skipping least/greatest; count offsets coalesce to 0.
+        val pidN = s"${name}_pid"
+        val nParts = spark.sessionState.conf.numShufflePartitions
+        val bucketed = unioned
+          .repartitionByRange(nParts, ordExprs: _*)
+          .withColumn(pidN, spark_partition_id())
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(pidN)).orderBy(ordExprs: _*)
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0L)
+        val wP = org.apache.spark.sql.expressions.Window
+          .orderBy(col(pidN).asc)
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1L)
+        // per node: (running columns in-bucket, per-bucket totals,
+        // exclusive-prefix offsets, final combiner over run+off columns)
+        def runN(j: Int, c: String) = s"${name}_run${j}_$c"
+        def totN(j: Int, c: String) = s"${name}_tot${j}_$c"
+        def offN(j: Int, c: String) = s"${name}_off${j}_$c"
+        val parts: Seq[(Seq[Column], Seq[Column], Seq[Column], Column)] =
+          nodes.zipWithIndex.map { case ((f, _), j) =>
+            val a = col(s"${name}_a$j")
+            f match {
+              case "count" => (
+                Seq(count(a).over(wB).as(runN(j, "c"))),
+                Seq(count(a).as(totN(j, "c"))),
+                Seq(sum(col(totN(j, "c"))).over(wP).as(offN(j, "c"))),
+                coalesce(col(offN(j, "c")), lit(0L)) + col(runN(j, "c")))
+              case "sum" => (
+                Seq(sum(a).over(wB).as(runN(j, "s"))),
+                Seq(sum(a).as(totN(j, "s"))),
+                Seq(sum(col(totN(j, "s"))).over(wP).as(offN(j, "s"))),
+                coalesce(col(offN(j, "s")) + col(runN(j, "s")),
+                  col(offN(j, "s")), col(runN(j, "s"))))
+              case "min" => (
+                Seq(min(a).over(wB).as(runN(j, "m"))),
+                Seq(min(a).as(totN(j, "m"))),
+                Seq(min(col(totN(j, "m"))).over(wP).as(offN(j, "m"))),
+                least(col(offN(j, "m")), col(runN(j, "m"))))
+              case "max" => (
+                Seq(max(a).over(wB).as(runN(j, "m"))),
+                Seq(max(a).as(totN(j, "m"))),
+                Seq(max(col(totN(j, "m"))).over(wP).as(offN(j, "m"))),
+                greatest(col(offN(j, "m")), col(runN(j, "m"))))
+              case "avg" => (
+                Seq(sum(a).over(wB).as(runN(j, "s")),
+                  count(a).over(wB).as(runN(j, "c"))),
+                Seq(sum(a).as(totN(j, "s")), count(a).as(totN(j, "c"))),
+                Seq(sum(col(totN(j, "s"))).over(wP).as(offN(j, "s")),
+                  sum(col(totN(j, "c"))).over(wP).as(offN(j, "c"))),
+                {
+                  val cnt = coalesce(col(offN(j, "c")), lit(0L)) +
+                    col(runN(j, "c"))
+                  val sm = coalesce(col(offN(j, "s")) + col(runN(j, "s")),
+                    col(offN(j, "s")), col(runN(j, "s")))
+                  when(cnt === 0L, lit(null)).otherwise(
+                    sm.cast("double") / cnt)
+                })
+              case other => sys.error(s"unreachable running aggregate $other")
+            }
+          }
+        val withRun = bucketed.select(col("*") +: parts.flatMap(_._1): _*)
+        val totAggs = parts.flatMap(_._2)
+        val totals = bucketed.groupBy(col(pidN))
+          .agg(totAggs.head, totAggs.tail: _*)
+        val offsets = totals.select(col(pidN) +: parts.flatMap(_._3): _*)
+        withRun.join(broadcast(offsets), Seq(pidN), "left_outer")
+          .select(col("*") +: parts.zipWithIndex.map { case (p, j) =>
+            p._4.as(s"${name}_r$j") }: _*)
+          .filter(col(tagN))
+          .select(Seq(col(tN)) ++
+            nodes.indices.map(j => col(s"${name}_r$j")): _*)
+      }
     val cond = (pairs.zipWithIndex.map { case ((oc, _), j) =>
       qcolOuter(oc) <=> ran(kN(j)) } :+
       (lowerOperandWith(iq.outerOp, qcolOuter) <=> ran(tN))).reduce(_ && _)

@@ -5015,6 +5015,21 @@ class DialectSpec extends AnyFunSuite {
     assert(m.map(x => (if (x.isNullAt(0)) -99 else x.getInt(0),
       if (x.isNullAt(2)) -1L else x.getLong(2))).toSeq ==
       Seq((1, 105L), (3, 7L), (-99, -1L)))
+    // scale pin: with NO equality keys the running aggregate lowers as
+    // a distributed prefix scan (range buckets + per-bucket windows +
+    // broadcast offsets) — never an Exchange SinglePartition carrying
+    // the inner rows
+    val plan = db.select("SELECT g, count(*) AS n, " +
+      "(SELECT count(*) FROM ib WHERE w < g * 2) AS c " +
+      "FROM ia GROUP BY g").fold(e => fail(e.msg), identity)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.toLowerCase.contains("spark_partition_id"), plan)
+    // at most ONE single-partition exchange survives: the exclusive
+    // prefix over the per-bucket TOTALS (≤ shuffle-partition-count rows
+    // — scale-free); the inner rows themselves ride the range buckets
+    assert(plan.sliding("Exchange SinglePartition".length)
+      .count(_ == "Exchange SinglePartition") <= 1, plan)
     // the ineq outer side must be group-key-only…
     assert(db.select("SELECT g, count(*), " +
       "(SELECT count(*) FROM ib WHERE w < v) AS c FROM ia GROUP BY g").isLeft)
