@@ -1131,6 +1131,31 @@ object Dialect {
              |FROM customer WHERE c_acctbal > 9000
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Unpartitioned ORDERED windows — global ranks, running aggregates
+    // and distribution stats over a TOTAL order. These lower as a
+    // distributed prefix scan (range buckets + in-bucket windows +
+    // broadcast per-bucket offsets) instead of Spark's single-partition
+    // window exchange: exact at any scale, parallel at any scale. Three
+    // distinct ORDER specs → three bucketings, values hash-checked.
+    "q_dialect_win_global_prefix" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "rank() OVER (ORDER BY o_totalprice DESC) AS rk, " +
+          "row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn, " +
+          "dense_rank() OVER (ORDER BY o_orderpriority) AS dr, " +
+          "round(sum(o_totalprice) OVER (ORDER BY o_orderkey), 2) AS rs, " +
+          "round(percent_rank() OVER (ORDER BY o_totalprice DESC), 6) AS pr, " +
+          "round(cume_dist() OVER (ORDER BY o_orderpriority), 6) AS cd " +
+          "FROM orders WHERE o_custkey < 100 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  cast(rank() OVER (ORDER BY o_totalprice DESC) AS bigint) AS rk,
+             |  cast(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS bigint) AS rn,
+             |  cast(dense_rank() OVER (ORDER BY o_orderpriority) AS bigint) AS dr,
+             |  round(sum(o_totalprice) OVER (ORDER BY o_orderkey), 2) AS rs,
+             |  round(percent_rank() OVER (ORDER BY o_totalprice DESC), 6) AS pr,
+             |  round(cume_dist() OVER (ORDER BY o_orderpriority), 6) AS cd
+             |FROM orders WHERE o_custkey < 100 ORDER BY o_orderkey""".stripMargin)),
+
     // NULLS FIRST composed with RANGE frames — the null order binds
     // natively on the sort expression (SortDir → asc_nulls_first at
     // lowering; round 13's 0/1 marker-key desugar added an ORDER key

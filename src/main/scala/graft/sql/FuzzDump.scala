@@ -36,6 +36,10 @@ object FuzzDump {
     case null                => "null"
     case b: Boolean          => b.toString
     case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+    // exact-rational window stats (percent_rank/cume_dist) — finite by
+    // construction, so the bare JSON number round-trips
+    case d: Double           => d.toString
+    case f: Float            => f.toString
     case d: java.sql.Date    => jsonStr(d.toString)
     case d: java.time.LocalDate => jsonStr(d.toString)
     case s: String           => jsonStr(s)

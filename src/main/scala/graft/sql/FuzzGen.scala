@@ -295,7 +295,7 @@ object FuzzGen {
     // cases 7-8 exercise the combination on the nullable key `a`
     val nord = Seq("NULLS FIRST", "NULLS LAST")(r.nextInt(2))
     val dir = Seq("", " DESC")(r.nextInt(2))
-    val win = r.nextInt(11) match {
+    val win = r.nextInt(13) match {
       case 6 => s"${Seq("sum", "min", "max", "count")(r.nextInt(4))}(b) OVER ()"
       // INTERVAL RANGE over the nullable DATE key (time-windowed count;
       // NULL dates form their own peer group on both engines)
@@ -305,6 +305,13 @@ object FuzzGen {
       // first-occurrence-mask lowering)
       case 10 => s"${Seq("count", "sum")(r.nextInt(2))}(DISTINCT a) " +
         s"OVER (PARTITION BY $part ORDER BY id)"
+      // UNPARTITIONED ordered windows — the distributed-prefix-scan
+      // lowering (global ranks, running aggregates, distribution stats)
+      case 11 => s"${Seq("rank()", "dense_rank()", "row_number()",
+        "percent_rank()", "cume_dist()")(r.nextInt(5))} " +
+        s"OVER (ORDER BY a $nord, id)"
+      case 12 => s"${Seq("sum", "count", "min", "max")(r.nextInt(4))}(b) " +
+        s"OVER (ORDER BY id${Seq("", " DESC")(r.nextInt(2))})"
       case 0 => s"rank() OVER (PARTITION BY $part ORDER BY b, id)"
       case 1 => s"row_number() OVER (PARTITION BY $part ORDER BY a, id)"
       case 2 => s"sum(b) OVER (PARTITION BY $part)"

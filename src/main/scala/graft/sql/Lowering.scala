@@ -134,21 +134,45 @@ object Lowering {
           isGlobalAggWin(f, args, parts, ord, frame)
         case _ => false
       }
+      // unpartitioned ORDERED windows pre-attach as distributed prefix
+      // scans (the outputCols-time Column API can't rewrite the frame)
+      val hasGlobalOrdWin = (q.projection ++ q.qualifyWins).exists {
+        case BoundItem.BIWin(f, args, parts, ord, _, frame) =>
+          isGlobalOrderedWin(f, args, parts, ord, frame)
+        case _ => false
+      }
       val winsPre = q.qualify.isDefined || donNeedsWins ||
         hasGroupsFrames || hasDistinctRunning || q.qualifyWins.nonEmpty ||
-        hasGlobalAggWin
+        hasGlobalAggWin || hasGlobalOrdWin
       val baseQ =
         if (!winsPre) base1
         else {
           val winItems = (q.projection ++ q.qualifyWins).collect {
             case w: BoundItem.BIWin => w
           }
-          val (globalWins, windowWins) = winItems.partition {
+          val (globalWins, rest0) = winItems.partition {
             case BoundItem.BIWin(f, args, parts, ord, _, frame) =>
               isGlobalAggWin(f, args, parts, ord, frame)
             case _ => false
           }
-          val withWins0 = windowWins.foldLeft(base1) {
+          val (gowWins, windowWins) = rest0.partition {
+            case BoundItem.BIWin(f, args, parts, ord, _, frame) =>
+              isGlobalOrderedWin(f, args, parts, ord, frame)
+            case _ => false
+          }
+          // one bucketing per distinct ORDER spec; items of the same
+          // spec share it
+          val baseGow = gowWins
+            .collect { case w: BoundItem.BIWin => w }
+            .groupBy(_.orderBy).values.foldLeft(base1) { case (d, ws) =>
+              val spec = ws.head.orderBy.map { case (o, dir) =>
+                (lowerOperandWith(o, qcol), dir) }
+              attachGlobalOrderedWins(spark, d, spec, ws.map { w =>
+                (w.alias, w.func,
+                  w.args.headOption.map(lowerOperandWith(_, qcol)), w.frame)
+              })
+            }
+          val withWins0 = windowWins.foldLeft(baseGow) {
             case (d, BoundItem.BIWin(f, args, parts, ord, a, frame)) =>
               val rk = if (frame.exists(_.groups)) Some(s"__grk_$a") else None
               val mk = if (distinctWinEligible(f, args, frame))
@@ -648,42 +672,55 @@ object Lowering {
           Some(col(n))
         }
       // unpartitioned unordered aggregate windows (sum(count(*)) OVER ())
-      // split off to the broadcast rewrite — Left = 1-row global agg,
-      // Right = real window column (operands lower ONCE either way:
-      // aggScopeOperand registers hidden aggregates as a side effect)
-      val winLowered: Seq[(String, Either[Column, Column])] =
+      // split off to the broadcast rewrite; unpartitioned ORDERED ones
+      // to the distributed prefix scan (operands lower ONCE in all
+      // three cases: aggScopeOperand registers hidden aggregates as a
+      // side effect, BEFORE the agg assembles)
+      final case class GowReq(name: String, func: String,
+          arg: Option[Column], ordKey: Seq[(BoundOperand, Ast.SortDir)],
+          ordCols: Seq[(Column, Ast.SortDir)], frame: Option[Ast.WinFrame])
+      def lowerWin(name: String, f: String, args: Seq[BoundOperand],
+          parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
+          frame: Option[Ast.WinFrame], tag: String)
+          : Either[Either[Column, GowReq], Column] =
+        if (isGlobalAggWin(f, args, parts, ord, frame))
+          Left(Left(globalAggCol(f, args, aggScopeOperand)))
+        else if (isGlobalOrderedWin(f, args, parts, ord, frame))
+          Left(Right(GowReq(name, f, args.headOption.map(aggScopeOperand),
+            ord, ord.map { case (o, d) => (aggScopeOperand(o), d) }, frame)))
+        else Right(windowColumn(f, args, parts, ord, frame,
+          aggScopeOperand, bc => col(groupOut(bc)),
+          withRank(frame, parts, ord, tag),
+          withMask(f, args, frame, parts, ord, tag)))
+      val winLowered: Seq[(String, Either[Either[Column, GowReq], Column])] =
         q.projection.zipWithIndex.collect {
           case (BoundItem.BIWin(f, args, parts, ord, _, frame), i) =>
-            s"__w_$i" -> (if (isGlobalAggWin(f, args, parts, ord, frame))
-              Left(globalAggCol(f, args, aggScopeOperand))
-            else Right(windowColumn(f, args, parts, ord, frame,
-              aggScopeOperand, bc => col(groupOut(bc)),
-              withRank(frame, parts, ord, i.toString),
-              withMask(f, args, frame, parts, ord, i.toString))))
+            s"__w_$i" -> lowerWin(s"__w_$i", f, args, parts, ord, frame,
+              i.toString)
         }
       val winItems: Seq[(String, Column)] =
         winLowered.collect { case (n, Right(c)) => n -> c }
       val winGlobals: Seq[(String, Column)] =
-        winLowered.collect { case (n, Left(c)) => n -> c }
+        winLowered.collect { case (n, Left(Left(c))) => n -> c }
+      val winGows: Seq[GowReq] =
+        winLowered.collect { case (_, Left(Right(g))) => g }
       // QUALIFY in aggregate scope: hidden inline-OVER window items
       // compute like projection windows (args register hidden aggregates
       // NOW) and attach under their generated aliases; the predicate
       // lowers NOW too — window aliases read the attached columns,
       // everything else resolves post-aggregation
-      val qwinLowered: Seq[(String, Either[Column, Column])] =
+      val qwinLowered: Seq[(String, Either[Either[Column, GowReq], Column])] =
         q.qualifyWins.collect {
           case BoundItem.BIWin(f, args, parts, ord, a, frame) =>
-            a.toLowerCase -> (if (isGlobalAggWin(f, args, parts, ord, frame))
-              Left(globalAggCol(f, args, aggScopeOperand))
-            else Right(windowColumn(f, args, parts, ord, frame,
-              aggScopeOperand, bc => col(groupOut(bc)),
-              withRank(frame, parts, ord, s"q_$a"),
-              withMask(f, args, frame, parts, ord, s"q_$a"))))
+            a.toLowerCase -> lowerWin(a.toLowerCase, f, args, parts, ord,
+              frame, s"q_$a")
         }
       val qwinItems: Seq[(String, Column)] =
         qwinLowered.collect { case (n, Right(c)) => n -> c }
       val qwinGlobals: Seq[(String, Column)] =
-        qwinLowered.collect { case (n, Left(c)) => n -> c }
+        qwinLowered.collect { case (n, Left(Left(c))) => n -> c }
+      val qwinGows: Seq[GowReq] =
+        qwinLowered.collect { case (_, Left(Right(g))) => g }
       def qualifyOp(o: BoundOperand): Column = o match {
         case BoundOperand.BOut(n, _) => col(qualifyWinAliasCol(n.toLowerCase))
         case BoundOperand.BArith(ch, l, r) =>
@@ -1081,12 +1118,22 @@ object Lowering {
       // frame, BEFORE the final ORDER BY — the window's own exchange
       // must not disturb the result ordering
       val withWins = {
+        // unpartitioned ORDERED windows over the grouped frame: the
+        // distributed prefix scan attaches their columns first (one
+        // bucketing per distinct ORDER spec); operand Columns were
+        // lowered at collect time, so hidden aggregates registered
+        // before the agg assembled
+        val groupedG = (winGows ++ qwinGows).groupBy(_.ordKey).values
+          .foldLeft(grouped) { case (d, gs) =>
+            attachGlobalOrderedWins(spark, d, gs.head.ordCols,
+              gs.map(g => (g.name, g.func, g.arg, g.frame)))
+          }
         val windowed =
-          if (winItems.isEmpty && qwinItems.isEmpty) grouped
+          if (winItems.isEmpty && qwinItems.isEmpty) groupedG
           else {
             val preRanked =
-              if (winRanks.isEmpty) grouped
-              else grouped.select(col("*") +: winRanks.toSeq.map {
+              if (winRanks.isEmpty) groupedG
+              else groupedG.select(col("*") +: winRanks.toSeq.map {
                 case (n, c) => c.as(n) }: _*)
             preRanked.select(col("*") +: (winItems ++ qwinItems).map {
               case (n, c) => c.as(n) }: _*)
@@ -1164,6 +1211,185 @@ object Lowering {
     dense_rank().over(org.apache.spark.sql.expressions.Window
       .partitionBy(parts.map(opLower): _*)
       .orderBy(ord.map { case (op, dir) => sortCol(opLower(op), dir) }: _*))
+
+  /** Is this an unpartitioned ORDERED window the distributed prefix
+    * scan can compute — global ranks (`rank() OVER (ORDER BY …)`) and
+    * running aggregates over a total order? Without the rewrite Spark
+    * plans these as Exchange SinglePartition: every row through one
+    * task. Eligible: ranking functions (row_number/rank/dense_rank/
+    * percent_rank/cume_dist — frameless by analysis) and the
+    * decomposable aggregates over PREFIX frames (default RANGE
+    * UNBOUNDED PRECEDING..CURRENT ROW, or explicit UNBOUNDED..CURRENT),
+    * with no DISTINCT / IGNORE NULLS sentinel, no GROUPS/EXCLUDE/
+    * temporal frame (those keep their dedicated lowerings).
+    */
+  private def isGlobalOrderedWin(f: String, args: Seq[BoundOperand],
+      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
+      frame: Option[Ast.WinFrame]): Boolean =
+    parts.isEmpty && ord.nonEmpty &&
+      (Set("row_number", "rank", "dense_rank", "percent_rank",
+        "cume_dist")(f) ||
+        (Set("count", "sum", "avg", "min", "max")(f) &&
+          frame.forall(fr => !fr.groups && fr.exclude == "none" &&
+            !fr.temporal && fr.lo == Long.MinValue && fr.hi == 0L))) &&
+      !args.exists {
+        case BoundOperand.BLit(Lit.LitString(s)) => s.startsWith("__")
+        case _ => false
+      }
+
+  /** Attach one ORDER-spec group of unpartitioned ordered windows as a
+    * DISTRIBUTED PREFIX SCAN: range-partition by the order, evaluate
+    * each window INSIDE its bucket (all buckets parallel), aggregate
+    * one totals row per bucket, take the exclusive prefix of the totals
+    * over bucket ids (≤ shuffle-partition-count rows — the only
+    * single-partition step, and it is scale-free), broadcast the
+    * offsets back and combine: ranks add the preceding-bucket row
+    * count (dense_rank its distinct-key count — exact because the
+    * range partitioner keeps equal keys in ONE bucket), count/sum
+    * offsets add, min/max combine via null-skipping least/greatest,
+    * avg decomposes into sum/count, percent_rank/cume_dist divide by
+    * the broadcast grand total. Items: (output name, function, lowered
+    * argument, frame).
+    */
+  private val gowTag = new java.util.concurrent.atomic.AtomicInteger
+  private def attachGlobalOrderedWins(spark: SparkSession, df0: DataFrame,
+      ordSpec: Seq[(Column, Ast.SortDir)],
+      items: Seq[(String, String, Option[Column], Option[Ast.WinFrame])])
+      : DataFrame = {
+    val tag = s"__gow${gowTag.incrementAndGet()}"
+    val pidN = s"${tag}_pid"
+    val ordNames = ordSpec.indices.map(i => s"${tag}_o$i")
+    val withOrd = df0.select(col("*") +: ordSpec.zipWithIndex.map {
+      case ((c, _), i) => c.as(ordNames(i)) }: _*)
+    val ordE = ordSpec.zipWithIndex.map { case ((_, d), i) =>
+      sortCol(col(ordNames(i)), d) }
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    // the bucketed frame feeds TWO consumers (the in-bucket windows and
+    // the per-bucket totals). RangePartitioner samples its boundaries
+    // with an RDD-id-derived seed, so two INDEPENDENT evaluations can
+    // place boundaries differently — the totals would describe buckets
+    // that are not the ones the windows ran in (observed: off-by-bucket
+    // rank offsets, nondeterministic across runs). The lazy local
+    // checkpoint materializes the bucketing ONCE; both consumers read
+    // the same blocks, and the double range shuffle disappears with it.
+    val bucketed = withOrd.repartitionByRange(nParts, ordE: _*)
+      .withColumn(pidN, spark_partition_id())
+      .localCheckpoint(false)
+    // default window frame over an ordered spec IS the RANGE prefix
+    // (peers included) — identical to the unpartitioned default
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pidN)).orderBy(ordE: _*)
+    val wRows = wIn.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0L)
+    val wPre = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pidN).asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1L)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pidN).asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val needCnt = items.exists(it => Set("row_number", "rank",
+      "percent_rank", "cume_dist")(it._2))
+    val needDk = items.exists(_._2 == "dense_rank")
+    val needN = items.exists(it => Set("percent_rank", "cume_dist")(it._2))
+    def rowsFrame(fr: Option[Ast.WinFrame]) = fr.exists(f => !f.range)
+    // (in-bucket cols, per-bucket totals, prefix offsets, final combiner)
+    val parts4: Seq[(Seq[Column], Seq[Column], Seq[Column], Column)] =
+      items.zipWithIndex.map { case ((_, f, arg, frame), j) =>
+        def inN(c: String) = s"${tag}_in${j}_$c"
+        def totN(c: String) = s"${tag}_t${j}_$c"
+        def offN(c: String) = s"${tag}_f${j}_$c"
+        val offCnt = coalesce(col(s"${tag}_offcnt"), lit(0L))
+        lazy val nTot = col(s"${tag}_ntot")
+        f match {
+          case "row_number" | "rank" =>
+            val rk = if (f == "rank") rank() else row_number()
+            (Seq(rk.over(wIn).cast("long").as(inN("r"))), Nil, Nil,
+              col(inN("r")) + offCnt)
+          case "dense_rank" =>
+            (Seq(dense_rank().over(wIn).cast("long").as(inN("r"))), Nil, Nil,
+              col(inN("r")) + coalesce(col(s"${tag}_offdk"), lit(0L)))
+          case "percent_rank" =>
+            (Seq(rank().over(wIn).cast("long").as(inN("r"))), Nil, Nil,
+              when(nTot === 1L, lit(0.0)).otherwise(
+                (col(inN("r")) + offCnt - 1L).cast("double") / (nTot - 1L)))
+          case "cume_dist" =>
+            (Seq(count(lit(1)).over(wIn).cast("long").as(inN("c"))), Nil, Nil,
+              (col(inN("c")) + offCnt).cast("double") / nTot)
+          case "count" =>
+            val a = arg.getOrElse(lit(1))
+            val w = if (rowsFrame(frame)) wRows else wIn
+            (Seq(count(a).over(w).as(inN("c"))),
+              Seq(count(a).as(totN("c"))),
+              Seq(sum(col(totN("c"))).over(wPre).as(offN("c"))),
+              coalesce(col(offN("c")), lit(0L)) + col(inN("c")))
+          case "sum" =>
+            val w = if (rowsFrame(frame)) wRows else wIn
+            (Seq(sum(arg.get).over(w).as(inN("s"))),
+              Seq(sum(arg.get).as(totN("s"))),
+              Seq(sum(col(totN("s"))).over(wPre).as(offN("s"))),
+              coalesce(col(offN("s")) + col(inN("s")),
+                col(offN("s")), col(inN("s"))))
+          case "min" =>
+            val w = if (rowsFrame(frame)) wRows else wIn
+            (Seq(min(arg.get).over(w).as(inN("m"))),
+              Seq(min(arg.get).as(totN("m"))),
+              Seq(min(col(totN("m"))).over(wPre).as(offN("m"))),
+              least(col(offN("m")), col(inN("m"))))
+          case "max" =>
+            val w = if (rowsFrame(frame)) wRows else wIn
+            (Seq(max(arg.get).over(w).as(inN("m"))),
+              Seq(max(arg.get).as(totN("m"))),
+              Seq(max(col(totN("m"))).over(wPre).as(offN("m"))),
+              greatest(col(offN("m")), col(inN("m"))))
+          case "avg" =>
+            val w = if (rowsFrame(frame)) wRows else wIn
+            (Seq(sum(arg.get).over(w).as(inN("s")),
+              count(arg.get).over(w).as(inN("c"))),
+              Seq(sum(arg.get).as(totN("s")), count(arg.get).as(totN("c"))),
+              Seq(sum(col(totN("s"))).over(wPre).as(offN("s")),
+                sum(col(totN("c"))).over(wPre).as(offN("c"))),
+              {
+                val cnt = coalesce(col(offN("c")), lit(0L)) + col(inN("c"))
+                val sm = coalesce(col(offN("s")) + col(inN("s")),
+                  col(offN("s")), col(inN("s")))
+                when(cnt === 0L, lit(null)).otherwise(sm.cast("double") / cnt)
+              })
+          case other => sys.error(s"unreachable global ordered window $other")
+        }
+      }
+    val withIn = bucketed.select(col("*") +: parts4.flatMap(_._1): _*)
+    // every item class contributes at least one total (ranks need cnt,
+    // dense_rank dk, aggregates their own), so totAggs is never empty
+    val totAggs =
+      (if (needCnt || needN) Seq(count(lit(1)).as(s"${tag}_cnt")) else Nil) ++
+        (if (needDk) Seq(count_distinct(
+          struct(ordNames.map(col): _*)).as(s"${tag}_dk")) else Nil) ++
+        parts4.flatMap(_._2)
+    val totals = bucketed.groupBy(col(pidN))
+      .agg(totAggs.head, totAggs.tail: _*)
+    val offCols =
+      (if (needCnt || needN)
+        Seq(sum(col(s"${tag}_cnt")).over(wPre).as(s"${tag}_offcnt")) else Nil) ++
+        (if (needN)
+          Seq(sum(col(s"${tag}_cnt")).over(wAll).as(s"${tag}_ntot")) else Nil) ++
+        (if (needDk)
+          Seq(sum(col(s"${tag}_dk")).over(wPre).as(s"${tag}_offdk")) else Nil) ++
+        parts4.flatMap(_._3)
+    val offsets = totals.select(col(pidN) +: offCols: _*)
+    val joined = withIn.join(broadcast(offsets), Seq(pidN), "left_outer")
+    val finals = items.zipWithIndex.map { case ((alias, _, _, _), j) =>
+      parts4(j)._4.as(alias) }
+    val dropNames = Seq(pidN) ++ ordNames ++
+      items.indices.flatMap(j => Seq("r", "c", "s", "m").map(c =>
+        s"${tag}_in${j}_$c")) ++
+      Seq(s"${tag}_offcnt", s"${tag}_ntot", s"${tag}_offdk") ++
+      items.indices.flatMap(j => Seq("c", "s", "m").map(c =>
+        s"${tag}_f${j}_$c"))
+    joined.select(col("*") +: finals: _*).drop(dropNames: _*)
+  }
 
   /** Is `f(x) OVER ()` — no PARTITION BY, no ORDER BY, no frame — a
     * decomposable plain aggregate? Such a window computes ONE value over
@@ -1918,9 +2144,14 @@ object Lowering {
         // null-skipping least/greatest; count offsets coalesce to 0.
         val pidN = s"${name}_pid"
         val nParts = spark.sessionState.conf.numShufflePartitions
+        // lazy local checkpoint: the bucketing feeds both the in-bucket
+        // windows and the per-bucket totals — RangePartitioner's
+        // RDD-id-seeded boundary sampling must not run twice (see
+        // attachGlobalOrderedWins)
         val bucketed = unioned
           .repartitionByRange(nParts, ordExprs: _*)
           .withColumn(pidN, spark_partition_id())
+          .localCheckpoint(false)
         val wB = org.apache.spark.sql.expressions.Window
           .partitionBy(col(pidN)).orderBy(ordExprs: _*)
           .rowsBetween(

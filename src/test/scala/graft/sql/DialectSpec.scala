@@ -4877,6 +4877,35 @@ class DialectSpec extends AnyFunSuite {
     assert(a == Seq((1, 1), (2, 1), (3, 2), (4, 2), (6, 3)))
   }
 
+  test("global ordered windows: distributed prefix scan (ranks, running aggs)") {
+    val db = freshDb()
+    db.query("CREATE TABLE go (id INT, v INT)")
+    db.query("INSERT INTO go VALUES (1, 10), (2, 10), (3, 5), (4, NULL), (5, 7)")
+    // order by v (engine default: NULLS LAST): 5(id3), 7(id5), 10(id1),
+    // 10(id2) — tied — then NULL(id4)
+    val df = db.select("SELECT id, rank() OVER (ORDER BY v) AS rk, " +
+      "dense_rank() OVER (ORDER BY v) AS dr, " +
+      "row_number() OVER (ORDER BY v, id) AS rn, " +
+      "sum(v) OVER (ORDER BY v, id) AS rs, " +
+      "count(v) OVER (ORDER BY v, id) AS rc, " +
+      "round(percent_rank() OVER (ORDER BY v), 3) AS pr, " +
+      "round(cume_dist() OVER (ORDER BY v), 3) AS cd " +
+      "FROM go ORDER BY id").fold(e => fail(e.msg), identity)
+    // the bucketed frame reads back as one materialized RDD scan — the
+    // unpartitioned windows never plan an all-rows single partition
+    assert(df.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val r = df.collect().map(x => (x.getInt(0),
+      x.getLong(1), x.getLong(2), x.getLong(3),
+      if (x.isNullAt(4)) -1L else x.getLong(4), x.getLong(5),
+      x.getDouble(6), x.getDouble(7))).toSeq
+    assert(r == Seq(
+      (1, 3L, 3L, 3L, 22L, 3L, 0.5, 0.8),
+      (2, 3L, 3L, 4L, 32L, 4L, 0.5, 0.8),
+      (3, 1L, 1L, 1L, 5L, 1L, 0.0, 0.2),
+      (4, 5L, 4L, 5L, 32L, 4L, 1.0, 1.0),
+      (5, 2L, 2L, 2L, 12L, 2L, 0.25, 0.4)))
+  }
+
   test("global aggregate windows rewrite to a broadcast join (no single-partition window)") {
     val db = freshDb()
     db.query("CREATE TABLE gw (g INT, v INT)")
@@ -5023,8 +5052,12 @@ class DialectSpec extends AnyFunSuite {
       "(SELECT count(*) FROM ib WHERE w < g * 2) AS c " +
       "FROM ia GROUP BY g").fold(e => fail(e.msg), identity)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"), plan)
-    assert(plan.toLowerCase.contains("spark_partition_id"), plan)
+    // the bucketed (range-partitioned + pid-stamped) frame materializes
+    // once behind a lazy local checkpoint — the plan reads it as an RDD
+    // scan carrying the bucket-id column, and the in-bucket window
+    // partitions on it
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("_pid"), plan)
     // at most ONE single-partition exchange survives: the exclusive
     // prefix over the per-bucket TOTALS (≤ shuffle-partition-count rows
     // — scale-free); the inner rows themselves ride the range buckets
