@@ -1145,7 +1145,9 @@ object Dialect {
           "dense_rank() OVER (ORDER BY o_orderpriority) AS dr, " +
           "round(sum(o_totalprice) OVER (ORDER BY o_orderkey), 2) AS rs, " +
           "round(percent_rank() OVER (ORDER BY o_totalprice DESC), 6) AS pr, " +
-          "round(cume_dist() OVER (ORDER BY o_orderpriority), 6) AS cd " +
+          "round(cume_dist() OVER (ORDER BY o_orderpriority), 6) AS cd, " +
+          "lag(o_orderkey, 2, -1) OVER (ORDER BY o_orderkey) AS lg, " +
+          "lead(o_orderkey) OVER (ORDER BY o_orderkey) AS ld " +
           "FROM orders WHERE o_custkey < 100 ORDER BY o_orderkey"),
       Some("""SELECT o_orderkey,
              |  cast(rank() OVER (ORDER BY o_totalprice DESC) AS bigint) AS rk,
@@ -1153,7 +1155,9 @@ object Dialect {
              |  cast(dense_rank() OVER (ORDER BY o_orderpriority) AS bigint) AS dr,
              |  round(sum(o_totalprice) OVER (ORDER BY o_orderkey), 2) AS rs,
              |  round(percent_rank() OVER (ORDER BY o_totalprice DESC), 6) AS pr,
-             |  round(cume_dist() OVER (ORDER BY o_orderpriority), 6) AS cd
+             |  round(cume_dist() OVER (ORDER BY o_orderpriority), 6) AS cd,
+             |  lag(o_orderkey, 2, -1) OVER (ORDER BY o_orderkey) AS lg,
+             |  lead(o_orderkey) OVER (ORDER BY o_orderkey) AS ld
              |FROM orders WHERE o_custkey < 100 ORDER BY o_orderkey""".stripMargin)),
 
     // NULLS FIRST composed with RANGE frames — the null order binds

@@ -295,7 +295,7 @@ object FuzzGen {
     // cases 7-8 exercise the combination on the nullable key `a`
     val nord = Seq("NULLS FIRST", "NULLS LAST")(r.nextInt(2))
     val dir = Seq("", " DESC")(r.nextInt(2))
-    val win = r.nextInt(13) match {
+    val win = r.nextInt(14) match {
       case 6 => s"${Seq("sum", "min", "max", "count")(r.nextInt(4))}(b) OVER ()"
       // INTERVAL RANGE over the nullable DATE key (time-windowed count;
       // NULL dates form their own peer group on both engines)
@@ -312,6 +312,13 @@ object FuzzGen {
         s"OVER (ORDER BY a $nord, id)"
       case 12 => s"${Seq("sum", "count", "min", "max")(r.nextInt(4))}(b) " +
         s"OVER (ORDER BY id${Seq("", " DESC")(r.nextInt(2))})"
+      // unpartitioned lag/lead (the ghost-row path): literal offsets,
+      // with and without defaults, over the nullable value column
+      case 13 =>
+        val f = Seq("lag", "lead")(r.nextInt(2))
+        val k = 1 + r.nextInt(3)
+        val d = Seq("", s", ${lit(r)}")(r.nextInt(2))
+        s"$f(a, $k$d) OVER (ORDER BY ${Seq("id", "b, id")(r.nextInt(2))})"
       case 0 => s"rank() OVER (PARTITION BY $part ORDER BY b, id)"
       case 1 => s"row_number() OVER (PARTITION BY $part ORDER BY a, id)"
       case 2 => s"sum(b) OVER (PARTITION BY $part)"

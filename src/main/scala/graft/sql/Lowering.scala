@@ -138,7 +138,8 @@ object Lowering {
       // scans (the outputCols-time Column API can't rewrite the frame)
       val hasGlobalOrdWin = (q.projection ++ q.qualifyWins).exists {
         case BoundItem.BIWin(f, args, parts, ord, _, frame) =>
-          isGlobalOrderedWin(f, args, parts, ord, frame)
+          isGlobalOrderedWin(f, args, parts, ord, frame) ||
+            isGlobalShiftWin(f, args, parts, ord)
         case _ => false
       }
       val winsPre = q.qualify.isDefined || donNeedsWins ||
@@ -155,9 +156,14 @@ object Lowering {
               isGlobalAggWin(f, args, parts, ord, frame)
             case _ => false
           }
-          val (gowWins, windowWins) = rest0.partition {
+          val (gowWins, rest1) = rest0.partition {
             case BoundItem.BIWin(f, args, parts, ord, _, frame) =>
               isGlobalOrderedWin(f, args, parts, ord, frame)
+            case _ => false
+          }
+          val (shiftWins, windowWins) = rest1.partition {
+            case BoundItem.BIWin(f, args, parts, ord, _, _) =>
+              isGlobalShiftWin(f, args, parts, ord)
             case _ => false
           }
           // one bucketing per distinct ORDER spec; items of the same
@@ -172,7 +178,17 @@ object Lowering {
                   w.args.headOption.map(lowerOperandWith(_, qcol)), w.frame)
               })
             }
-          val withWins0 = windowWins.foldLeft(baseGow) {
+          val baseGsw = shiftWins
+            .collect { case w: BoundItem.BIWin => w }
+            .groupBy(_.orderBy).values.foldLeft(baseGow) { case (d, ws) =>
+              val spec = ws.head.orderBy.map { case (o, dir) =>
+                (lowerOperandWith(o, qcol), dir) }
+              attachGlobalShiftWins(spark, d, spec, ws.map { w =>
+                (w.alias, w.func, lowerOperandWith(w.args.head, qcol),
+                  shiftOffset(w.args), shiftDefaultAny(w.args))
+              })
+            }
+          val withWins0 = windowWins.foldLeft(baseGsw) {
             case (d, BoundItem.BIWin(f, args, parts, ord, a, frame)) =>
               val rk = if (frame.exists(_.groups)) Some(s"__grk_$a") else None
               val mk = if (distinctWinEligible(f, args, frame))
@@ -679,48 +695,63 @@ object Lowering {
       final case class GowReq(name: String, func: String,
           arg: Option[Column], ordKey: Seq[(BoundOperand, Ast.SortDir)],
           ordCols: Seq[(Column, Ast.SortDir)], frame: Option[Ast.WinFrame])
+      final case class GswReq(name: String, func: String, x: Column,
+          k: Int, dflt: Any, ordKey: Seq[(BoundOperand, Ast.SortDir)],
+          ordCols: Seq[(Column, Ast.SortDir)])
+      sealed trait WinL
+      final case class WinLBroadcast(c: Column) extends WinL
+      final case class WinLGow(g: GowReq) extends WinL
+      final case class WinLGsw(g: GswReq) extends WinL
+      final case class WinLCol(c: Column) extends WinL
       def lowerWin(name: String, f: String, args: Seq[BoundOperand],
           parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
-          frame: Option[Ast.WinFrame], tag: String)
-          : Either[Either[Column, GowReq], Column] =
+          frame: Option[Ast.WinFrame], tag: String): WinL =
         if (isGlobalAggWin(f, args, parts, ord, frame))
-          Left(Left(globalAggCol(f, args, aggScopeOperand)))
+          WinLBroadcast(globalAggCol(f, args, aggScopeOperand))
         else if (isGlobalOrderedWin(f, args, parts, ord, frame))
-          Left(Right(GowReq(name, f, args.headOption.map(aggScopeOperand),
-            ord, ord.map { case (o, d) => (aggScopeOperand(o), d) }, frame)))
-        else Right(windowColumn(f, args, parts, ord, frame,
+          WinLGow(GowReq(name, f, args.headOption.map(aggScopeOperand),
+            ord, ord.map { case (o, d) => (aggScopeOperand(o), d) }, frame))
+        else if (isGlobalShiftWin(f, args, parts, ord))
+          WinLGsw(GswReq(name, f, aggScopeOperand(args.head),
+            shiftOffset(args), shiftDefaultAny(args),
+            ord, ord.map { case (o, d) => (aggScopeOperand(o), d) }))
+        else WinLCol(windowColumn(f, args, parts, ord, frame,
           aggScopeOperand, bc => col(groupOut(bc)),
           withRank(frame, parts, ord, tag),
           withMask(f, args, frame, parts, ord, tag)))
-      val winLowered: Seq[(String, Either[Either[Column, GowReq], Column])] =
+      val winLowered: Seq[(String, WinL)] =
         q.projection.zipWithIndex.collect {
           case (BoundItem.BIWin(f, args, parts, ord, _, frame), i) =>
             s"__w_$i" -> lowerWin(s"__w_$i", f, args, parts, ord, frame,
               i.toString)
         }
       val winItems: Seq[(String, Column)] =
-        winLowered.collect { case (n, Right(c)) => n -> c }
+        winLowered.collect { case (n, WinLCol(c)) => n -> c }
       val winGlobals: Seq[(String, Column)] =
-        winLowered.collect { case (n, Left(Left(c))) => n -> c }
+        winLowered.collect { case (n, WinLBroadcast(c)) => n -> c }
       val winGows: Seq[GowReq] =
-        winLowered.collect { case (_, Left(Right(g))) => g }
+        winLowered.collect { case (_, WinLGow(g)) => g }
+      val winGsws: Seq[GswReq] =
+        winLowered.collect { case (_, WinLGsw(g)) => g }
       // QUALIFY in aggregate scope: hidden inline-OVER window items
       // compute like projection windows (args register hidden aggregates
       // NOW) and attach under their generated aliases; the predicate
       // lowers NOW too — window aliases read the attached columns,
       // everything else resolves post-aggregation
-      val qwinLowered: Seq[(String, Either[Either[Column, GowReq], Column])] =
+      val qwinLowered: Seq[(String, WinL)] =
         q.qualifyWins.collect {
           case BoundItem.BIWin(f, args, parts, ord, a, frame) =>
             a.toLowerCase -> lowerWin(a.toLowerCase, f, args, parts, ord,
               frame, s"q_$a")
         }
       val qwinItems: Seq[(String, Column)] =
-        qwinLowered.collect { case (n, Right(c)) => n -> c }
+        qwinLowered.collect { case (n, WinLCol(c)) => n -> c }
       val qwinGlobals: Seq[(String, Column)] =
-        qwinLowered.collect { case (n, Left(Left(c))) => n -> c }
+        qwinLowered.collect { case (n, WinLBroadcast(c)) => n -> c }
       val qwinGows: Seq[GowReq] =
-        qwinLowered.collect { case (_, Left(Right(g))) => g }
+        qwinLowered.collect { case (_, WinLGow(g)) => g }
+      val qwinGsws: Seq[GswReq] =
+        qwinLowered.collect { case (_, WinLGsw(g)) => g }
       def qualifyOp(o: BoundOperand): Column = o match {
         case BoundOperand.BOut(n, _) => col(qualifyWinAliasCol(n.toLowerCase))
         case BoundOperand.BArith(ch, l, r) =>
@@ -1123,10 +1154,15 @@ object Lowering {
         // bucketing per distinct ORDER spec); operand Columns were
         // lowered at collect time, so hidden aggregates registered
         // before the agg assembled
-        val groupedG = (winGows ++ qwinGows).groupBy(_.ordKey).values
+        val groupedG0 = (winGows ++ qwinGows).groupBy(_.ordKey).values
           .foldLeft(grouped) { case (d, gs) =>
             attachGlobalOrderedWins(spark, d, gs.head.ordCols,
               gs.map(g => (g.name, g.func, g.arg, g.frame)))
+          }
+        val groupedG = (winGsws ++ qwinGsws).groupBy(_.ordKey).values
+          .foldLeft(groupedG0) { case (d, gs) =>
+            attachGlobalShiftWins(spark, d, gs.head.ordCols,
+              gs.map(g => (g.name, g.func, g.x, g.k, g.dflt)))
           }
         val windowed =
           if (winItems.isEmpty && qwinItems.isEmpty) groupedG
@@ -1389,6 +1425,119 @@ object Lowering {
       items.indices.flatMap(j => Seq("c", "s", "m").map(c =>
         s"${tag}_f${j}_$c"))
     joined.select(col("*") +: finals: _*).drop(dropNames: _*)
+  }
+
+  /** Is this an unpartitioned lag/lead the ghost-row prefix scan can
+    * compute? Plain non-negative literal offsets only — IGNORE NULLS
+    * needs unbounded lookback and keeps the dedicated lowering.
+    */
+  private def isGlobalShiftWin(f: String, args: Seq[BoundOperand],
+      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)]): Boolean =
+    parts.isEmpty && ord.nonEmpty && (f == "lag" || f == "lead") &&
+      !args.exists {
+        case BoundOperand.BLit(Lit.LitString(s)) => s.startsWith("__")
+        case _ => false
+      } &&
+      (args.lift(1) match {
+        case None => true
+        case Some(BoundOperand.BLit(Lit.LitLong(n))) => n >= 0 && n <= 1000
+        case _ => false
+      })
+
+  /** lag/lead offset: optional second literal argument, default 1. */
+  private def shiftOffset(args: Seq[BoundOperand]): Int = args.lift(1) match {
+    case Some(BoundOperand.BLit(Lit.LitLong(n))) => n.toInt
+    case _ => 1
+  }
+
+  /** lag/lead default: optional third literal argument as a RAW value —
+    * Spark's Lag/Lead coerce it to the input's type, so the output type
+    * matches the dedicated windowColumn lowering exactly.
+    */
+  private def shiftDefaultAny(args: Seq[BoundOperand]): Any =
+    args.lift(2) match {
+      case Some(BoundOperand.BLit(Lit.LitLong(v)))   => v
+      case Some(BoundOperand.BLit(Lit.LitDouble(v))) => v
+      case Some(BoundOperand.BLit(Lit.LitString(v))) => v
+      case _                                         => null
+    }
+
+  /** Unpartitioned lag/lead over a total order, without the
+    * single-partition window: range-bucket by the order, then give each
+    * bucket GHOST ROWS — the last k rows of every EARLIER bucket (for
+    * lag; the first k of every LATER bucket for lead), a ≤ P·k-row
+    * frame replicated with a tiny theta join. Ghosts sort ahead of
+    * (behind) every real row of their target bucket, so the in-bucket
+    * shift lands on the true global neighbor: the global last-k of any
+    * prefix is always contained in the per-bucket last-k union, and
+    * when the whole prefix is shorter than k the in-bucket lag runs off
+    * the sequence start and yields the default — exactly the global
+    * semantics. Ghost rows are dropped after the shift evaluates.
+    */
+  private def attachGlobalShiftWins(spark: SparkSession, df0: DataFrame,
+      ordSpec: Seq[(Column, Ast.SortDir)],
+      items: Seq[(String, String, Column, Int, Any)]): DataFrame = {
+    val tag = s"__gsw${gowTag.incrementAndGet()}"
+    val pidN = s"${tag}_pid"
+    val ghostN = s"${tag}_ghost"
+    val ordNames = ordSpec.indices.map(i => s"${tag}_o$i")
+    val withOrd = df0.select(col("*") +: ordSpec.zipWithIndex.map {
+      case ((c, _), i) => c.as(ordNames(i)) }: _*)
+    val ordE = ordSpec.zipWithIndex.map { case ((_, d), i) =>
+      sortCol(col(ordNames(i)), d) }
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    // one materialization: candidate extraction + the shift windows must
+    // see the SAME bucketing (RangePartitioner seeds by RDD id)
+    val bucketed = withOrd.repartitionByRange(nParts, ordE: _*)
+      .withColumn(pidN, spark_partition_id())
+      .withColumn(ghostN, lit(false))
+      .localCheckpoint(false)
+    val maxLag = items.collect { case (_, "lag", _, k, _) => k }
+      .foldLeft(0)(math.max)
+    val maxLead = items.collect { case (_, "lead", _, k, _) => k }
+      .foldLeft(0)(math.max)
+    val pids = bucketed.select(col(pidN).as(s"${tag}_tp")).distinct()
+    // last-k per bucket (lag candidates): in-bucket row_number over the
+    // REVERSED order; first-k per bucket (lead candidates): the order
+    // itself. Reversal = flipping each key's direction AND null order.
+    def revSort(c: Column, d: Ast.SortDir): Column = {
+      val desc = !d.desc
+      val nf = d.nullsFirst.map(!_)
+      sortCol(c, Ast.SortDir(desc, nf))
+    }
+    val ordRev = ordSpec.zipWithIndex.map { case ((_, d), i) =>
+      revSort(col(ordNames(i)), d) }
+    val edgeN = s"${tag}_edge"
+    def edgeRows(k: Int, tail: Boolean): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(pidN)).orderBy((if (tail) ordRev else ordE): _*)
+      bucketed.withColumn(edgeN, row_number().over(w))
+        .filter(col(edgeN) <= k).drop(edgeN)
+    }
+    // replicate candidates to every LATER (lag) / EARLIER (lead) bucket
+    def replicated(k: Int, tail: Boolean): Option[DataFrame] =
+      if (k == 0) None
+      else Some(edgeRows(k, tail)
+        .join(pids, if (tail) col(pidN) < col(s"${tag}_tp")
+                    else col(pidN) > col(s"${tag}_tp"))
+        .withColumn(pidN, col(s"${tag}_tp")).drop(s"${tag}_tp")
+        .withColumn(ghostN, lit(true)))
+    val unioned = Seq(replicated(maxLag, tail = true),
+      replicated(maxLead, tail = false)).flatten
+      .foldLeft(bucketed)(_ unionByName _)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pidN)).orderBy(ordE: _*)
+    // ghosts cover every cross-bucket neighbor, so the in-bucket shift
+    // runs off the sequence EXACTLY at the global boundary — the default
+    // (coerced by Spark to the input's type) applies there and only
+    // there; a neighbor whose VALUE is NULL keeps NULL
+    val shifted = unioned.select(col("*") +: items.map {
+      case (alias, f, x, k, dflt) =>
+        (if (f == "lag") lag(x, k, dflt) else lead(x, k, dflt))
+          .over(wIn).as(alias)
+    }: _*)
+    shifted.filter(!col(ghostN))
+      .drop(Seq(pidN, ghostN) ++ ordNames: _*)
   }
 
   /** Is `f(x) OVER ()` — no PARTITION BY, no ORDER BY, no frame — a

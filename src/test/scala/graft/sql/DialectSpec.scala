@@ -4904,6 +4904,20 @@ class DialectSpec extends AnyFunSuite {
       (3, 1L, 1L, 1L, 5L, 1L, 0.0, 0.2),
       (4, 5L, 4L, 5L, 32L, 4L, 1.0, 1.0),
       (5, 2L, 2L, 2L, 12L, 2L, 0.25, 0.4)))
+    // unpartitioned lag/lead take the ghost-row path: order (v, id)
+    // NULLS LAST → 5(id3), 7(id5), 10(id1), 10(id2), NULL(id4).
+    // lag2 with default -99 fires only at the true global start; a
+    // neighbor whose VALUE is NULL stays NULL (id4's successor-less
+    // lead keeps the default path apart from null values)
+    val sh = db.select("SELECT id, lag(v, 2, -99) OVER (ORDER BY v, id) AS l2, " +
+      "lead(v) OVER (ORDER BY v, id) AS ld FROM go ORDER BY id")
+      .fold(e => fail(e.msg), _.collect())
+      .map(x => (x.getInt(0),
+        if (x.isNullAt(1)) null else x.get(1).toString.toInt,
+        if (x.isNullAt(2)) null else x.get(2).toString.toInt)).toSeq
+    assert(sh == Seq(
+      (1, 5, 10), (2, 7, null), (3, -99, 7), (4, 10, null), (5, -99, 10)),
+      sh.toString)
   }
 
   test("global aggregate windows rewrite to a broadcast join (no single-partition window)") {
