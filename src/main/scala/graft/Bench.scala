@@ -80,7 +80,19 @@ object Bench {
     // whose baseline exceeds 1.3× the historical best is annotated
     // host_slow (machine-readable) even when its reps agree with each
     // other.
-    val refPath = java.nio.file.Paths.get("/root/repo/tools/sentinel_ref.json")
+    // Repo root for ratchet/artifact files: explicit override, else the
+    // working directory when it looks like the repo (sbt runs from the
+    // checkout), else the historical absolute path — so a different
+    // checkout or CI cwd keeps the ratchet alive instead of silently
+    // disabling it (ADVICE r14).
+    val repoRoot = sys.props.get("graft.repo")
+      .orElse(sys.env.get("SPARK_GRAFT_REPO"))
+      .getOrElse {
+        val cwd = new java.io.File(".").getAbsoluteFile
+        if (new java.io.File(cwd, "tools").isDirectory) cwd.getPath
+        else "/root/repo"
+      }
+    val refPath = java.nio.file.Paths.get(repoRoot, "tools/sentinel_ref.json")
     val refKey = s"$SentinelName@${new java.io.File(sfDir).getName}"
     def readRefs(): Map[String, Double] =
       try {
@@ -100,8 +112,16 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Guard audit trail (ADVICE r14): the min-keeping re-time guards are
+    // one-directional, so BENCH_FULL must show WHEN they fired — per
+    // query: the raw first reading and how many guard re-times ran, for
+    // every query where any guard changed the number. A judge can then
+    // see an intermittent real regression (raw readings persistently
+    // above the accepted value) instead of it being re-timed away
+    // silently.
+    final case class Fired(raw: Double, kept: Double, retimes: Int)
     final case class Rep(times: Map[String, Double], sentinels: Seq[Double],
-        famBuild: Map[String, Double]) {
+        famBuild: Map[String, Double], fired: Map[String, Fired]) {
       def ratio: Double = median(sentinels) / baseline
       def drifted: Boolean = ratio > DriftRatio
     }
@@ -132,7 +152,7 @@ object Bench {
     // reading the artifact can't tell that from a regression. The ref
     // file updates at the end of every run (min), so it tracks the best
     // this box has ever done per query.
-    val qrefPath = java.nio.file.Paths.get("/root/repo/tools/bench_ref.json")
+    val qrefPath = java.nio.file.Paths.get(repoRoot, "tools/bench_ref.json")
     val sfName = new java.io.File(sfDir).getName
     def readQRefs(): Map[String, Double] =
       try {
@@ -146,6 +166,7 @@ object Bench {
     def runRep(): Rep = {
       val sent = scala.collection.mutable.ArrayBuffer(timeSentinel())
       val famBuild = scala.collection.mutable.Map.empty[String, Double]
+      val fired = scala.collection.mutable.Map.empty[String, Fired]
       var i = 0
       var prevFam = ""
       // SORTED name order: deterministic run order (a Map's hash order
@@ -168,6 +189,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         var t = once()
+        val raw0 = t
         // Build-vs-query split for the heavy cached families: the cold
         // run pays this query's share of the family's shared-memo build
         // (persisted shingle/signature/pair frames); a second, memo-warm
@@ -184,15 +206,19 @@ object Bench {
         // codegen-cache eviction landing on one execution must not
         // become the rep's number. (Systematic state is handled by the
         // family-boundary GC above; this catches the residual noise.)
-        if (t > 0.3 && bestSoFar.get(name).exists(b => t > b * 1.5))
-          t = math.min(t, once())
+        var retimes = 0
+        if (t > 0.3 && bestSoFar.get(name).exists(b => t > b * 1.5)) {
+          t = math.min(t, once()); retimes += 1
+        }
         // Cross-round guard: >2× the best committed median for this
         // query on this box re-times up to twice more — only a reading
         // that SURVIVES re-timing (a real regression) is accepted.
         var retries = 0
         while (retries < 2 && t > 0.3 && qref.get(name).exists(b => t > b * 2)) {
-          t = math.min(t, once()); retries += 1
+          t = math.min(t, once()); retries += 1; retimes += 1
         }
+        if (retimes > 0 || (HeavyFamilies.contains(fam) && t < raw0))
+          fired(name) = Fired(raw0, t, retimes)
         bestSoFar(name) = bestSoFar.get(name).fold(t)(math.min(_, t))
         i += 1
         if (i % SentinelEvery == 0) sent += timeSentinel()
@@ -203,7 +229,7 @@ object Bench {
       // pauses per bench run; keeps codegen/metaspace churn from one
       // rep inflating the small queries of the next)
       System.gc()
-      Rep(r.toMap, sent.toSeq, famBuild.toMap)
+      Rep(r.toMap, sent.toSeq, famBuild.toMap, fired.toMap)
     }
     val reps = scala.collection.mutable.ArrayBuffer.empty[Rep]
     while (reps.count(!_.drifted) < CleanTarget && reps.length < MaxReps) {
@@ -247,19 +273,31 @@ object Bench {
       s""""drifted":${runDrifted || hostSlow}}"""
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Guard audit (ADVICE r14): every query where a re-time guard or the
+    // cold/warm family split changed a reading, with the worst raw first
+    // reading, the kept value, total guard re-times, and how many usable
+    // reps fired — raw readings persistently above `kept` reveal an
+    // intermittent real regression the min-keeping guards would
+    // otherwise hide.
+    val guardJson = usable.flatMap(_.fired.keys).distinct.sorted.map { n =>
+      val fs = usable.flatMap(_.fired.get(n))
+      s""""$n":{"raw_max":${f3(fs.map(_.raw).max)},""" +
+        s""""kept":${f3(median(fs.map(_.kept)))},""" +
+        s""""retimes":${fs.map(_.retimes).sum},"reps_fired":${fs.length}}"""
+    }.mkString("{", ",", "}")
     val famJson = famBuildMed.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // total stays all-inclusive (query medians + family builds) so it
     // remains comparable with pre-split rounds
     val total = medians.map(_._2).sum + famBuildMed.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"family_build":$famJson,"sf":"$sfDir","reps":${usable.length},"agg":"median","drift":$drift}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"family_build":$famJson,"guards":$guardJson,"sf":"$sfDir","reps":${usable.length},"agg":"median","drift":$drift}"""
     // The driver's capture truncates long output, which has cut this
     // (multi-KB) line in past rounds. Defend from every side: persist the
     // full JSON to a repo file, print it as the FIRST stdout line (before
     // shutdown logging), flush, then print a SHORT self-contained summary
     // line that parses even if the long line is cut from either end.
     try {
-      val p = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
+      val p = java.nio.file.Paths.get(repoRoot, "BENCH_FULL.json")
       java.nio.file.Files.write(p, line.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(line)

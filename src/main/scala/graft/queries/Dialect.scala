@@ -1160,6 +1160,92 @@ object Dialect {
              |  lead(o_orderkey) OVER (ORDER BY o_orderkey) AS ld
              |FROM orders WHERE o_custkey < 100 ORDER BY o_orderkey""".stripMargin)),
 
+    // Unpartitioned DISTINCT running windows + bounded ROWS global
+    // frames — the two window classes that still took Spark's
+    // single-partition plan after round 14. DISTINCT running composes
+    // the first-occurrence mask (value-partitioned — distributed at any
+    // NDV) with the distributed prefix scan; bounded ROWS frames ride
+    // the ghost-row replication (the frame reaches ≤ max(|lo|,hi) rows,
+    // so the per-bucket edge-row halo makes in-bucket frames exact).
+    // Three ORDER specs, no PARTITION BY anywhere, no Exchange
+    // SinglePartition in the plan (pinned in DialectSpec).
+    "q_dialect_win_global_distinct" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "count(DISTINCT o_orderpriority) OVER (ORDER BY o_orderkey) AS dc, " +
+          "CAST(sum(DISTINCT o_custkey % 7) OVER (ORDER BY o_orderkey) AS DOUBLE) AS ds, " +
+          "CAST(avg(DISTINCT o_custkey % 100) OVER " +
+          "(ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS da, " +
+          "round(sum(o_totalprice) OVER (ORDER BY o_orderkey " +
+          "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS sw, " +
+          "count(*) OVER (ORDER BY o_orderkey " +
+          "ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING) AS cw, " +
+          "max(o_totalprice) OVER (ORDER BY o_orderkey " +
+          "ROWS BETWEEN 10 PRECEDING AND 2 PRECEDING) AS mw " +
+          "FROM orders WHERE o_custkey < 200 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  count(DISTINCT o_orderpriority) OVER (ORDER BY o_orderkey) AS dc,
+             |  CAST(sum(DISTINCT o_custkey % 7) OVER (ORDER BY o_orderkey) AS DOUBLE) AS ds,
+             |  CAST(avg(DISTINCT o_custkey % 100) OVER
+             |    (ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS da,
+             |  round(sum(o_totalprice) OVER (ORDER BY o_orderkey
+             |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS sw,
+             |  count(*) OVER (ORDER BY o_orderkey
+             |    ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING) AS cw,
+             |  max(o_totalprice) OVER (ORDER BY o_orderkey
+             |    ROWS BETWEEN 10 PRECEDING AND 2 PRECEDING) AS mw
+             |FROM orders WHERE o_custkey < 200 ORDER BY o_orderkey""".stripMargin)),
+
+    // Unpartitioned lag/lead IGNORE NULLS — unbounded lookback (a NULL
+    // run can span range buckets), so ghosts can't cover it: each
+    // bucket summarizes its last-k/first-k NON-NULL values, the ≤P-row
+    // totals frame concatenates them into per-bucket carry arrays, and
+    // rows whose own bucket lacks k non-nulls index the carry. The
+    // o_orderkey % 3 nulls give ~33% NULL density with multi-null runs
+    // at bucket boundaries; l9's offset crosses whole buckets.
+    "q_dialect_win_global_ignorenulls" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, k, " +
+          "lag(k IGNORE NULLS) OVER (ORDER BY o_orderkey) AS l1, " +
+          "lag(k, 3 IGNORE NULLS) OVER (ORDER BY o_orderkey) AS l3, " +
+          "lag(k, 9, -1 IGNORE NULLS) OVER (ORDER BY o_orderkey) AS l9, " +
+          "lead(k, 2 IGNORE NULLS) OVER (ORDER BY o_orderkey) AS d2, " +
+          "lead(k, 1, 0 IGNORE NULLS) OVER (ORDER BY o_totalprice, o_orderkey) AS d1 " +
+          "FROM (SELECT o_orderkey, o_totalprice, " +
+          "CASE WHEN o_orderkey % 3 = 0 THEN NULL " +
+          "ELSE round(o_totalprice, 0) END AS k " +
+          "FROM orders WHERE o_custkey < 200) t " +
+          "ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey, k,
+             |  lag(k IGNORE NULLS) OVER (ORDER BY o_orderkey) AS l1,
+             |  lag(k, 3 IGNORE NULLS) OVER (ORDER BY o_orderkey) AS l3,
+             |  lag(k, 9, -1 IGNORE NULLS) OVER (ORDER BY o_orderkey) AS l9,
+             |  lead(k, 2 IGNORE NULLS) OVER (ORDER BY o_orderkey) AS d2,
+             |  lead(k, 1, 0 IGNORE NULLS) OVER (ORDER BY o_totalprice, o_orderkey) AS d1
+             |FROM (SELECT o_orderkey, o_totalprice,
+             |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+             |  ELSE round(o_totalprice, 0) END AS k
+             |  FROM orders WHERE o_custkey < 200) t
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Unpartitioned ntile — needs only the global row_number and the
+    // broadcast grand total the prefix scan already computes: r = N%n
+    // oversized tiles of q+1 rows, then tiles of q rows, by pure
+    // column arithmetic. 7 does not divide the row count, so both tile
+    // sizes appear; ntile(1000) exercises N < n (every tile ≤ 1 row).
+    "q_dialect_win_global_ntile" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "ntile(7) OVER (ORDER BY o_totalprice, o_orderkey) AS nt7, " +
+          "ntile(3) OVER (ORDER BY o_orderkey) AS nt3, " +
+          "ntile(1000) OVER (ORDER BY o_orderkey) AS ntb " +
+          "FROM orders WHERE o_custkey < 300 ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  ntile(7) OVER (ORDER BY o_totalprice, o_orderkey) AS nt7,
+             |  ntile(3) OVER (ORDER BY o_orderkey) AS nt3,
+             |  ntile(1000) OVER (ORDER BY o_orderkey) AS ntb
+             |FROM orders WHERE o_custkey < 300 ORDER BY o_orderkey""".stripMargin)),
+
     // NULLS FIRST composed with RANGE frames — the null order binds
     // natively on the sort expression (SortDir → asc_nulls_first at
     // lowering; round 13's 0/1 marker-key desugar added an ORDER key

@@ -139,7 +139,10 @@ object Lowering {
       val hasGlobalOrdWin = (q.projection ++ q.qualifyWins).exists {
         case BoundItem.BIWin(f, args, parts, ord, _, frame) =>
           isGlobalOrderedWin(f, args, parts, ord, frame) ||
-            isGlobalShiftWin(f, args, parts, ord)
+            isGlobalDistinctWin(f, args, parts, ord, frame) ||
+            isGlobalShiftWin(f, args, parts, ord) ||
+            isGlobalBoundedRowsWin(f, args, parts, ord, frame) ||
+            isGlobalIgnoreNullsShiftWin(f, args, parts, ord)
         case _ => false
       }
       val winsPre = q.qualify.isDefined || donNeedsWins ||
@@ -158,37 +161,71 @@ object Lowering {
           }
           val (gowWins, rest1) = rest0.partition {
             case BoundItem.BIWin(f, args, parts, ord, _, frame) =>
-              isGlobalOrderedWin(f, args, parts, ord, frame)
+              isGlobalOrderedWin(f, args, parts, ord, frame) ||
+                isGlobalDistinctWin(f, args, parts, ord, frame)
             case _ => false
           }
-          val (shiftWins, windowWins) = rest1.partition {
+          val (shiftWins, rest2) = rest1.partition {
+            case BoundItem.BIWin(f, args, parts, ord, _, frame) =>
+              isGlobalShiftWin(f, args, parts, ord) ||
+                isGlobalBoundedRowsWin(f, args, parts, ord, frame)
+            case _ => false
+          }
+          val (ginWins, windowWins) = rest2.partition {
             case BoundItem.BIWin(f, args, parts, ord, _, _) =>
-              isGlobalShiftWin(f, args, parts, ord)
+              isGlobalIgnoreNullsShiftWin(f, args, parts, ord)
             case _ => false
           }
           // one bucketing per distinct ORDER spec; items of the same
           // spec share it
           val baseGow = gowWins
             .collect { case w: BoundItem.BIWin => w }
-            .groupBy(_.orderBy).values.foldLeft(base1) { case (d, ws) =>
+            .groupBy(_.orderBy).values.foldLeft(base1) { case (d0, ws) =>
               val spec = ws.head.orderBy.map { case (o, dir) =>
                 (lowerOperandWith(o, qcol), dir) }
-              attachGlobalOrderedWins(spark, d, spec, ws.map { w =>
-                (w.alias, w.func,
-                  w.args.headOption.map(lowerOperandWith(_, qcol)), w.frame)
-              })
+              // DISTINCT items pre-attach their first-occurrence mask
+              // (value-partitioned window — distributed at any NDV) and
+              // become an ordinary running aggregate over the mask; all
+              // items of one ORDER spec share a single bucketing
+              var d = d0
+              val drops = Seq.newBuilder[String]
+              val items = ws.map { w =>
+                if (isGlobalDistinctWin(w.func, w.args, w.partitionBy,
+                    w.orderBy, w.frame)) {
+                  val mn = s"__gdm_${w.alias}"
+                  d = d.withColumn(mn, distinctMaskColumn(w.args, Nil,
+                    w.orderBy, lowerOperandWith(_, qcol), qcol))
+                  drops += mn
+                  (w.alias, if (w.func == "mean") "avg" else w.func,
+                    Some(col(mn)): Option[Column], w.frame)
+                } else
+                  (w.alias, w.func,
+                    w.args.headOption.map(lowerOperandWith(_, qcol)), w.frame)
+              }
+              attachGlobalOrderedWins(spark, d, spec, items)
+                .drop(drops.result(): _*)
             }
           val baseGsw = shiftWins
             .collect { case w: BoundItem.BIWin => w }
             .groupBy(_.orderBy).values.foldLeft(baseGow) { case (d, ws) =>
               val spec = ws.head.orderBy.map { case (o, dir) =>
                 (lowerOperandWith(o, qcol), dir) }
-              attachGlobalShiftWins(spark, d, spec, ws.map { w =>
-                (w.alias, w.func, lowerOperandWith(w.args.head, qcol),
-                  shiftOffset(w.args), shiftDefaultAny(w.args))
+              attachGlobalShiftWins(spark, d, spec, ws.map(w =>
+                ghostWinOf(w.alias, w.func, w.args, w.frame,
+                  lowerOperandWith(_, qcol))))
+            }
+          val baseGin = ginWins
+            .collect { case w: BoundItem.BIWin => w }
+            .groupBy(_.orderBy).values.foldLeft(baseGsw) { case (d, ws) =>
+              val spec = ws.head.orderBy.map { case (o, dir) =>
+                (lowerOperandWith(o, qcol), dir) }
+              attachGlobalIgnoreNullsShifts(spark, d, spec, ws.map { w =>
+                val argsR = w.args.dropRight(1) // strip the sentinel
+                (w.alias, w.func, lowerOperandWith(argsR.head, qcol),
+                  shiftOffset(argsR), shiftDefaultAny(argsR))
               })
             }
-          val withWins0 = windowWins.foldLeft(baseGsw) {
+          val withWins0 = windowWins.foldLeft(baseGin) {
             case (d, BoundItem.BIWin(f, args, parts, ord, a, frame)) =>
               val rk = if (frame.exists(_.groups)) Some(s"__grk_$a") else None
               val mk = if (distinctWinEligible(f, args, frame))
@@ -694,14 +731,22 @@ object Lowering {
       // side effect, BEFORE the agg assembles)
       final case class GowReq(name: String, func: String,
           arg: Option[Column], ordKey: Seq[(BoundOperand, Ast.SortDir)],
-          ordCols: Seq[(Column, Ast.SortDir)], frame: Option[Ast.WinFrame])
-      final case class GswReq(name: String, func: String, x: Column,
+          ordCols: Seq[(Column, Ast.SortDir)], frame: Option[Ast.WinFrame],
+          /** DISTINCT running items: the first-occurrence mask to
+            * pre-attach; the scan then aggregates the mask column.
+            */
+          mask: Option[Column] = None)
+      final case class GswReq(ghost: GhostWin,
+          ordKey: Seq[(BoundOperand, Ast.SortDir)],
+          ordCols: Seq[(Column, Ast.SortDir)])
+      final case class GinReq(name: String, func: String, x: Column,
           k: Int, dflt: Any, ordKey: Seq[(BoundOperand, Ast.SortDir)],
           ordCols: Seq[(Column, Ast.SortDir)])
       sealed trait WinL
       final case class WinLBroadcast(c: Column) extends WinL
       final case class WinLGow(g: GowReq) extends WinL
       final case class WinLGsw(g: GswReq) extends WinL
+      final case class WinLGin(g: GinReq) extends WinL
       final case class WinLCol(c: Column) extends WinL
       def lowerWin(name: String, f: String, args: Seq[BoundOperand],
           parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
@@ -711,10 +756,21 @@ object Lowering {
         else if (isGlobalOrderedWin(f, args, parts, ord, frame))
           WinLGow(GowReq(name, f, args.headOption.map(aggScopeOperand),
             ord, ord.map { case (o, d) => (aggScopeOperand(o), d) }, frame))
-        else if (isGlobalShiftWin(f, args, parts, ord))
-          WinLGsw(GswReq(name, f, aggScopeOperand(args.head),
-            shiftOffset(args), shiftDefaultAny(args),
+        else if (isGlobalDistinctWin(f, args, parts, ord, frame))
+          WinLGow(GowReq(name, if (f == "mean") "avg" else f, None,
+            ord, ord.map { case (o, d) => (aggScopeOperand(o), d) }, frame,
+            Some(distinctMaskColumn(args, Nil, ord, aggScopeOperand,
+              bc => col(groupOut(bc))))))
+        else if (isGlobalShiftWin(f, args, parts, ord) ||
+            isGlobalBoundedRowsWin(f, args, parts, ord, frame))
+          WinLGsw(GswReq(ghostWinOf(name, f, args, frame, aggScopeOperand),
             ord, ord.map { case (o, d) => (aggScopeOperand(o), d) }))
+        else if (isGlobalIgnoreNullsShiftWin(f, args, parts, ord)) {
+          val argsR = args.dropRight(1) // strip the sentinel
+          WinLGin(GinReq(name, f, aggScopeOperand(argsR.head),
+            shiftOffset(argsR), shiftDefaultAny(argsR),
+            ord, ord.map { case (o, d) => (aggScopeOperand(o), d) }))
+        }
         else WinLCol(windowColumn(f, args, parts, ord, frame,
           aggScopeOperand, bc => col(groupOut(bc)),
           withRank(frame, parts, ord, tag),
@@ -733,6 +789,8 @@ object Lowering {
         winLowered.collect { case (_, WinLGow(g)) => g }
       val winGsws: Seq[GswReq] =
         winLowered.collect { case (_, WinLGsw(g)) => g }
+      val winGins: Seq[GinReq] =
+        winLowered.collect { case (_, WinLGin(g)) => g }
       // QUALIFY in aggregate scope: hidden inline-OVER window items
       // compute like projection windows (args register hidden aggregates
       // NOW) and attach under their generated aliases; the predicate
@@ -752,6 +810,8 @@ object Lowering {
         qwinLowered.collect { case (_, WinLGow(g)) => g }
       val qwinGsws: Seq[GswReq] =
         qwinLowered.collect { case (_, WinLGsw(g)) => g }
+      val qwinGins: Seq[GinReq] =
+        qwinLowered.collect { case (_, WinLGin(g)) => g }
       def qualifyOp(o: BoundOperand): Column = o match {
         case BoundOperand.BOut(n, _) => col(qualifyWinAliasCol(n.toLowerCase))
         case BoundOperand.BArith(ch, l, r) =>
@@ -1020,7 +1080,28 @@ object Lowering {
                 Some(lit(0L).cast(dt))
               case "grouping" => Some(lit(1).cast(dt))
               case "entropy"  => Some(lit(0.0).cast(dt))
-              case _          => Some(lit(null).cast(dt))
+              // NULL only for aggregates PROBED against DuckDB (r14);
+              // an unprobed aggregate returns None → the patch row is
+              // skipped entirely (fail-safe: Spark's empty-Expand
+              // behavior, never a silently-wrong grand total — ADVICE
+              // r14 flagged the unguarded NULL default)
+              case "sum" | "avg" | "mean" | "min" | "max" | "stddev" |
+                   "stddev_samp" | "stddev_pop" | "variance" | "var_samp" |
+                   "var_pop" | "median" | "mode" | "string_agg" |
+                   "group_concat" | "listagg" | "array_agg" | "list" |
+                   "first" | "last" | "any_value" | "arg_min" | "arg_max" |
+                   "min_by" | "max_by" | "bit_and" | "bit_or" | "bit_xor" |
+                   "bool_and" | "bool_or" | "product" | "corr" |
+                   "covar_pop" | "covar_samp" | "skewness" | "kurtosis" |
+                   "mad" | "histogram" | "quantile" | "quantile_cont" |
+                   "quantile_disc" | "approx_quantile" |
+                   "reservoir_quantile" | "percentile_cont" |
+                   "percentile_disc" | "percentile_cont_list" |
+                   "percentile_disc_list" | "bitstring_agg" | "favg" |
+                   "fsum" | "sumkahan" | "kahan_sum" | "geomean" |
+                   "geometric_mean" =>
+                Some(lit(null).cast(dt))
+              case _ => None
             }
           val emptyFs: Seq[(String, String)] =
             aggItems.map { case (f, _, _, _, i) => aggName(i) -> f } ++
@@ -1155,13 +1236,29 @@ object Lowering {
         // lowered at collect time, so hidden aggregates registered
         // before the agg assembled
         val groupedG0 = (winGows ++ qwinGows).groupBy(_.ordKey).values
-          .foldLeft(grouped) { case (d, gs) =>
-            attachGlobalOrderedWins(spark, d, gs.head.ordCols,
-              gs.map(g => (g.name, g.func, g.arg, g.frame)))
+          .foldLeft(grouped) { case (d0, gs) =>
+            var d = d0
+            val drops = Seq.newBuilder[String]
+            val items = gs.map { g =>
+              g.mask match {
+                case Some(mc) =>
+                  val mn = s"__gdm_${g.name}"
+                  d = d.withColumn(mn, mc)
+                  drops += mn
+                  (g.name, g.func, Some(col(mn)): Option[Column], g.frame)
+                case None => (g.name, g.func, g.arg, g.frame)
+              }
+            }
+            attachGlobalOrderedWins(spark, d, gs.head.ordCols, items)
+              .drop(drops.result(): _*)
           }
-        val groupedG = (winGsws ++ qwinGsws).groupBy(_.ordKey).values
+        val groupedG1 = (winGsws ++ qwinGsws).groupBy(_.ordKey).values
           .foldLeft(groupedG0) { case (d, gs) =>
-            attachGlobalShiftWins(spark, d, gs.head.ordCols,
+            attachGlobalShiftWins(spark, d, gs.head.ordCols, gs.map(_.ghost))
+          }
+        val groupedG = (winGins ++ qwinGins).groupBy(_.ordKey).values
+          .foldLeft(groupedG1) { case (d, gs) =>
+            attachGlobalIgnoreNullsShifts(spark, d, gs.head.ordCols,
               gs.map(g => (g.name, g.func, g.x, g.k, g.dflt)))
           }
         val windowed =
@@ -1265,6 +1362,13 @@ object Lowering {
     parts.isEmpty && ord.nonEmpty &&
       (Set("row_number", "rank", "dense_rank", "percent_rank",
         "cume_dist")(f) ||
+        // ntile needs only the global row_number + grand total the scan
+        // already computes (literal positive tile count — the dedicated
+        // lowering requires the same shape)
+        (f == "ntile" && (args.headOption match {
+          case Some(BoundOperand.BLit(Lit.LitLong(n))) => n > 0
+          case _                                       => false
+        })) ||
         (Set("count", "sum", "avg", "min", "max")(f) &&
           frame.forall(fr => !fr.groups && fr.exclude == "none" &&
             !fr.temporal && fr.lo == Long.MinValue && fr.hi == 0L))) &&
@@ -1288,6 +1392,47 @@ object Lowering {
     * argument, frame).
     */
   private val gowTag = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Sub-plans recorded at materialization boundaries, for the
+    * plan-audit sweep: a (local)checkpoint replaces its upstream plan
+    * with a Scan ExistingRDD leaf, so everything above the boundary
+    * would be invisible to PlanAudit's walk of the final executedPlan.
+    * Enabled only by graft.tools.PlanAudit.
+    */
+  private[graft] object MaterializeAudit {
+    @volatile var enabled = false
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]
+  }
+
+  /** Materialize a frame exactly ONCE — the range bucketing that feeds
+    * two consumers (in-bucket windows + per-bucket totals/edges, where
+    * RangePartitioner's RDD-id-seeded boundary sampling must not run
+    * twice) and the fixpoint accumulators whose lineage must truncate.
+    *
+    * Default: executor-local unreplicated blocks (localCheckpoint — the
+    * single-box gate/bench shape; an executor loss fails the job).
+    * With session conf `graft.reliableCheckpoint=true` the blocks go to
+    * the fault-tolerant checkpoint directory instead (auto-created
+    * under java.io.tmpdir if the context has none set — production
+    * clusters point sparkContext.setCheckpointDir at HDFS/S3), so a
+    * 1000-executor job survives executor loss by re-reading replicated
+    * storage rather than failing the query. Identical values either
+    * way — spec-pinned (LoweringSpec "reliable checkpoint").
+    */
+  private[sql] def materializeOnce(df: DataFrame,
+      eager: Boolean = false): DataFrame = {
+    if (MaterializeAudit.enabled)
+      MaterializeAudit.plans.add(df.queryExecution.executedPlan)
+    val spark = df.sparkSession
+    if (spark.conf.get("graft.reliableCheckpoint", "false").toBoolean) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(java.nio.file.Files
+          .createTempDirectory("graft-ckpt").toString)
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
+  }
+
   private def attachGlobalOrderedWins(spark: SparkSession, df0: DataFrame,
       ordSpec: Seq[(Column, Ast.SortDir)],
       items: Seq[(String, String, Option[Column], Option[Ast.WinFrame])])
@@ -1308,9 +1453,9 @@ object Lowering {
     // rank offsets, nondeterministic across runs). The lazy local
     // checkpoint materializes the bucketing ONCE; both consumers read
     // the same blocks, and the double range shuffle disappears with it.
-    val bucketed = withOrd.repartitionByRange(nParts, ordE: _*)
-      .withColumn(pidN, spark_partition_id())
-      .localCheckpoint(false)
+    val bucketed = materializeOnce(withOrd
+      .repartitionByRange(nParts, ordE: _*)
+      .withColumn(pidN, spark_partition_id()))
     // default window frame over an ordered spec IS the RANGE prefix
     // (peers included) — identical to the unpartitioned default
     val wIn = org.apache.spark.sql.expressions.Window
@@ -1327,9 +1472,10 @@ object Lowering {
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val needCnt = items.exists(it => Set("row_number", "rank",
-      "percent_rank", "cume_dist")(it._2))
+      "percent_rank", "cume_dist", "ntile")(it._2))
     val needDk = items.exists(_._2 == "dense_rank")
-    val needN = items.exists(it => Set("percent_rank", "cume_dist")(it._2))
+    val needN = items.exists(it => Set("percent_rank", "cume_dist",
+      "ntile")(it._2))
     def rowsFrame(fr: Option[Ast.WinFrame]) = fr.exists(f => !f.range)
     // (in-bucket cols, per-bucket totals, prefix offsets, final combiner)
     val parts4: Seq[(Seq[Column], Seq[Column], Seq[Column], Column)] =
@@ -1354,6 +1500,27 @@ object Lowering {
           case "cume_dist" =>
             (Seq(count(lit(1)).over(wIn).cast("long").as(inN("c"))), Nil, Nil,
               (col(inN("c")) + offCnt).cast("double") / nTot)
+          case "ntile" =>
+            // tile count n, grand total N: r = N % n oversized tiles of
+            // q+1 rows (q = N div n), then n-r tiles of q rows — Spark's
+            // NTile semantics from the broadcast N and the global
+            // row_number alone. Integral floor-division goes through
+            // decimal so it stays exact past 2^53 rows; the q=0 branch
+            // (N < n → every row in an oversized tile) never reaches the
+            // otherwise-divisor, which is guarded anyway (ANSI mode).
+            val n = arg.get.cast("long")
+            def ldiv(a: Column, b: Column): Column =
+              ((a - a % b).cast("decimal(38,0)") / b).cast("long")
+            (Seq(row_number().over(wIn).cast("long").as(inN("r"))), Nil, Nil, {
+              val rn = col(inN("r")) + offCnt
+              val r = nTot % n
+              val q = ldiv(nTot, n)
+              val cut = r * (q + 1L)
+              when(rn <= cut, ldiv(rn - 1L, q + 1L) + 1L)
+                .otherwise(r + ldiv(rn - cut - 1L,
+                  greatest(q, lit(1L))) + 1L)
+                .cast("int")
+            })
           case "count" =>
             val a = arg.getOrElse(lit(1))
             val w = if (rowsFrame(frame)) wRows else wIn
@@ -1429,7 +1596,8 @@ object Lowering {
 
   /** Is this an unpartitioned lag/lead the ghost-row prefix scan can
     * compute? Plain non-negative literal offsets only — IGNORE NULLS
-    * needs unbounded lookback and keeps the dedicated lowering.
+    * needs unbounded lookback and takes the carry-array lowering
+    * (attachGlobalIgnoreNullsShifts).
     */
   private def isGlobalShiftWin(f: String, args: Seq[BoundOperand],
       parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)]): Boolean =
@@ -1444,7 +1612,32 @@ object Lowering {
         case _ => false
       })
 
-  /** lag/lead offset: optional second literal argument, default 1. */
+  /** Is this an unpartitioned decomposable aggregate over a BOUNDED ROWS
+    * frame (`sum(x) OVER (ORDER BY … ROWS BETWEEN 5 PRECEDING AND
+    * CURRENT ROW)`)? The frame only reaches max(-lo, hi) rows away, so
+    * the same ghost-row replication that serves lag/lead makes the
+    * in-bucket frame exact: every global row within the halo of a real
+    * row is a real-or-ghost row of its bucket, in global order. Halo
+    * capped like lag's offset; RANGE value-distance frames have an
+    * unbounded row halo and keep the dedicated lowering.
+    */
+  private def isGlobalBoundedRowsWin(f: String, args: Seq[BoundOperand],
+      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
+      frame: Option[Ast.WinFrame]): Boolean =
+    parts.isEmpty && ord.nonEmpty &&
+      Set("count", "sum", "avg", "min", "max")(f) &&
+      !args.exists {
+        case BoundOperand.BLit(Lit.LitString(s)) => s.startsWith("__")
+        case _ => false
+      } &&
+      frame.exists(fr => !fr.range && !fr.groups && !fr.temporal &&
+        fr.lo != Long.MinValue && fr.hi != Long.MaxValue &&
+        fr.lo >= -1000L && fr.hi <= 1000L && fr.lo <= fr.hi)
+
+  /** lag/lead offset: optional second literal argument, default 1.
+    * The ONE extraction shared by the ghost-row and dedicated window
+    * lowerings (ADVICE r14 — two copies risked drifting apart).
+    */
   private def shiftOffset(args: Seq[BoundOperand]): Int = args.lift(1) match {
     case Some(BoundOperand.BLit(Lit.LitLong(n))) => n.toInt
     case _ => 1
@@ -1452,31 +1645,96 @@ object Lowering {
 
   /** lag/lead default: optional third literal argument as a RAW value —
     * Spark's Lag/Lead coerce it to the input's type, so the output type
-    * matches the dedicated windowColumn lowering exactly.
+    * matches on both lowering paths. Every literal shape keeps its value
+    * (date/timestamp/boolean included — Spark's Literal(Any) accepts the
+    * java.sql carriers); only a non-literal default falls to NULL, and
+    * the analyzer rejects those forms before lowering.
     */
   private def shiftDefaultAny(args: Seq[BoundOperand]): Any =
     args.lift(2) match {
-      case Some(BoundOperand.BLit(Lit.LitLong(v)))   => v
-      case Some(BoundOperand.BLit(Lit.LitDouble(v))) => v
-      case Some(BoundOperand.BLit(Lit.LitString(v))) => v
-      case _                                         => null
+      case Some(BoundOperand.BLit(l)) => l match {
+        case Lit.LitLong(v)        => v
+        case Lit.LitDouble(v)      => v
+        case Lit.LitString(v)      => v
+        case Lit.LitBool(v)        => v
+        case Lit.LitDate(s)        => java.sql.Date.valueOf(s)
+        case Lit.LitTimestamp(s)   => java.sql.Timestamp.valueOf(s)
+        case Lit.LitTimestampTz(s) => java.sql.Timestamp.valueOf(s)
+        case Lit.LitTime(s)        => java.time.LocalTime.parse(s)
+        case Lit.LitNull           => null
+      }
+      case _ => null
     }
 
-  /** Unpartitioned lag/lead over a total order, without the
+  /** One ghost-window item: the column builder receives the in-bucket
+    * window spec (partitioned by bucket id, ordered by the global
+    * order) and the in-bucket peer-partition keys (bucket id ++ order
+    * key columns — for EXCLUDE's peer-group windows); kLag/kLead say
+    * how many rows backward/forward its expression can reach — the halo
+    * the ghost replication must cover.
+    */
+  private final case class GhostWin(alias: String, kLag: Int, kLead: Int,
+      build: (org.apache.spark.sql.expressions.WindowSpec,
+        Seq[Column]) => Column)
+
+  /** Unpartitioned ROW-bounded windows over a total order — lag/lead
+    * and aggregates over bounded ROWS frames — without the
     * single-partition window: range-bucket by the order, then give each
     * bucket GHOST ROWS — the last k rows of every EARLIER bucket (for
-    * lag; the first k of every LATER bucket for lead), a ≤ P·k-row
-    * frame replicated with a tiny theta join. Ghosts sort ahead of
-    * (behind) every real row of their target bucket, so the in-bucket
-    * shift lands on the true global neighbor: the global last-k of any
-    * prefix is always contained in the per-bucket last-k union, and
-    * when the whole prefix is shorter than k the in-bucket lag runs off
-    * the sequence start and yields the default — exactly the global
-    * semantics. Ghost rows are dropped after the shift evaluates.
+    * backward reach; the first k of every LATER bucket for forward), a
+    * ≤ P·k-row frame replicated with a tiny theta join. Ghosts sort
+    * ahead of (behind) every real row of their target bucket, so the
+    * in-bucket expression lands on true global neighbors: the global
+    * last-k of any prefix is always contained in the per-bucket last-k
+    * union, and when the whole prefix is shorter than k the in-bucket
+    * frame runs off the sequence start — exactly the global semantics
+    * (shift defaults apply there; bounded frames truncate there). Ghost
+    * rows are dropped after the windows evaluate.
     */
+  /** GhostWin for one eligible item: lag/lead (isGlobalShiftWin) or an
+    * aggregate over a bounded ROWS frame (isGlobalBoundedRowsWin).
+    * Operands lower NOW through opLower (in aggregate scope that
+    * registers hidden aggregates as a side effect — before the agg
+    * assembles).
+    */
+  private def ghostWinOf(alias: String, f: String, args: Seq[BoundOperand],
+      frame: Option[Ast.WinFrame],
+      opLower: BoundOperand => Column): GhostWin =
+    if (f == "lag" || f == "lead") {
+      val x = opLower(args.head)
+      val k = shiftOffset(args)
+      val dflt = shiftDefaultAny(args)
+      if (f == "lag") GhostWin(alias, k, 0, (w, _) => lag(x, k, dflt).over(w))
+      else GhostWin(alias, 0, k, (w, _) => lead(x, k, dflt).over(w))
+    } else {
+      val fr = frame.getOrElse(
+        sys.error("unreachable: bounded ghost window without a frame"))
+      val cOpt = args.headOption.map(opLower)
+      val agg = (f, cOpt) match {
+        case ("count", None)    => count(lit(1))
+        case ("count", Some(c)) => count(c)
+        case ("sum", Some(c))   => sum(c)
+        case ("avg", Some(c))   => avg(c)
+        case ("min", Some(c))   => min(c)
+        case ("max", Some(c))   => max(c)
+        case other => sys.error(s"unreachable ghost aggregate $other")
+      }
+      val exclMode =
+        if (fr.lo <= 0L && fr.hi >= 0L) fr.exclude else "none"
+      GhostWin(alias, math.max(0L, -fr.lo).toInt, math.max(0L, fr.hi).toInt,
+        (w1, peerKeys) =>
+          if (exclMode == "none") agg.over(w1.rowsBetween(fr.lo, fr.hi))
+          // EXCLUDE over the ghosted frame: peer groups partition by
+          // (bucket id, order keys) — exact in-bucket, because equal
+          // order keys land in ONE range bucket and ghosts never share
+          // a key with their target bucket's real rows
+          else exclusionCol(f, cOpt, fr, w1.rowsBetween(fr.lo, fr.hi),
+            w1, peerKeys, exclMode))
+    }
+
   private def attachGlobalShiftWins(spark: SparkSession, df0: DataFrame,
       ordSpec: Seq[(Column, Ast.SortDir)],
-      items: Seq[(String, String, Column, Int, Any)]): DataFrame = {
+      items: Seq[GhostWin]): DataFrame = {
     val tag = s"__gsw${gowTag.incrementAndGet()}"
     val pidN = s"${tag}_pid"
     val ghostN = s"${tag}_ghost"
@@ -1488,14 +1746,12 @@ object Lowering {
     val nParts = spark.sessionState.conf.numShufflePartitions
     // one materialization: candidate extraction + the shift windows must
     // see the SAME bucketing (RangePartitioner seeds by RDD id)
-    val bucketed = withOrd.repartitionByRange(nParts, ordE: _*)
+    val bucketed = materializeOnce(withOrd
+      .repartitionByRange(nParts, ordE: _*)
       .withColumn(pidN, spark_partition_id())
-      .withColumn(ghostN, lit(false))
-      .localCheckpoint(false)
-    val maxLag = items.collect { case (_, "lag", _, k, _) => k }
-      .foldLeft(0)(math.max)
-    val maxLead = items.collect { case (_, "lead", _, k, _) => k }
-      .foldLeft(0)(math.max)
+      .withColumn(ghostN, lit(false)))
+    val maxLag = items.map(_.kLag).foldLeft(0)(math.max)
+    val maxLead = items.map(_.kLead).foldLeft(0)(math.max)
     val pids = bucketed.select(col(pidN).as(s"${tag}_tp")).distinct()
     // last-k per bucket (lag candidates): in-bucket row_number over the
     // REVERSED order; first-k per bucket (lead candidates): the order
@@ -1527,17 +1783,155 @@ object Lowering {
       .foldLeft(bucketed)(_ unionByName _)
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col(pidN)).orderBy(ordE: _*)
-    // ghosts cover every cross-bucket neighbor, so the in-bucket shift
-    // runs off the sequence EXACTLY at the global boundary — the default
-    // (coerced by Spark to the input's type) applies there and only
-    // there; a neighbor whose VALUE is NULL keeps NULL
-    val shifted = unioned.select(col("*") +: items.map {
-      case (alias, f, x, k, dflt) =>
-        (if (f == "lag") lag(x, k, dflt) else lead(x, k, dflt))
-          .over(wIn).as(alias)
+    // ghosts cover every cross-bucket neighbor, so the in-bucket
+    // expression runs off the sequence EXACTLY at the global boundary —
+    // shift defaults (coerced by Spark to the input's type) apply there
+    // and only there; bounded frames truncate there; a neighbor whose
+    // VALUE is NULL keeps NULL
+    val shifted = unioned.select(col("*") +: items.map { it =>
+      it.build(wIn, col(pidN) +: ordNames.map(col)).as(it.alias)
     }: _*)
     shifted.filter(!col(ghostN))
       .drop(Seq(pidN, ghostN) ++ ordNames: _*)
+  }
+
+  /** Is this an unpartitioned lag/lead IGNORE NULLS the carry-array
+    * prefix scan can compute? Literal offsets 1..1000 (offset 0 and
+    * non-literal shapes keep the dedicated lowering). The lookback is
+    * UNBOUNDED — a run of NULLs can span any number of buckets — so the
+    * ghost halo can't cover it; attachGlobalIgnoreNullsShifts bounds it
+    * with per-bucket last-k-non-null summaries instead.
+    */
+  private def isGlobalIgnoreNullsShiftWin(f: String, args: Seq[BoundOperand],
+      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)]): Boolean =
+    parts.isEmpty && ord.nonEmpty && (f == "lag" || f == "lead") &&
+      args.lastOption.contains(
+        BoundOperand.BLit(Lit.LitString(Ast.IgnoreNullsSentinel))) &&
+      !args.dropRight(1).exists {
+        case BoundOperand.BLit(Lit.LitString(s)) => s.startsWith("__")
+        case _ => false
+      } &&
+      (args.dropRight(1).lift(1) match {
+        case None => true
+        case Some(BoundOperand.BLit(Lit.LitLong(n))) => n >= 1 && n <= 1000
+        case _ => false
+      })
+
+  /** Unpartitioned lag/lead IGNORE NULLS over a total order, without the
+    * single-partition window. Any run of NULLs can span buckets, so the
+    * lookback is unbounded and ghost rows can't cover it. Instead: each
+    * bucket aggregates its last-k (first-k for lead) NON-NULL values per
+    * item as a sorted (index, value) array; the ≤P-row totals frame
+    * prefix-concatenates earlier buckets' arrays (suffix for lead) and
+    * keeps the k nearest — the per-bucket CARRY, broadcast back. Each
+    * row then combines: if its own bucket holds ≥k non-nulls before it,
+    * the in-bucket IGNORE NULLS shift answers; otherwise the shortfall
+    * indexes the carry from its near end, and where the carry is short
+    * too the row is within k non-nulls of the true global boundary — the
+    * default applies. Exact because the k nearest preceding non-nulls of
+    * any prefix are contained in (per-bucket last-k union), the same
+    * containment that drives the ghost rows.
+    */
+  private def attachGlobalIgnoreNullsShifts(spark: SparkSession,
+      df0: DataFrame, ordSpec: Seq[(Column, Ast.SortDir)],
+      items: Seq[(String, String, Column, Int, Any)]): DataFrame = {
+    val tag = s"__gin${gowTag.incrementAndGet()}"
+    val pidN = s"${tag}_pid"
+    val gidxN = s"${tag}_gidx"
+    val ordNames = ordSpec.indices.map(i => s"${tag}_o$i")
+    val xN = items.indices.map(j => s"${tag}_x$j")
+    val cntN = items.indices.map(j => s"${tag}_c$j")
+    val arrN = items.indices.map(j => s"${tag}_a$j")
+    val carN = items.indices.map(j => s"${tag}_k$j")
+    val withOrd = df0.select(col("*") +:
+      (ordSpec.zipWithIndex.map { case ((c, _), i) => c.as(ordNames(i)) } ++
+        items.zipWithIndex.map { case ((_, _, x, _, _), j) =>
+          x.as(xN(j)) }): _*)
+    val ordE = ordSpec.zipWithIndex.map { case ((_, d), i) =>
+      sortCol(col(ordNames(i)), d) }
+    val ordRev = ordSpec.zipWithIndex.map { case ((_, d), i) =>
+      sortCol(col(ordNames(i)), Ast.SortDir(!d.desc, d.nullsFirst.map(!_))) }
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    // one materialization — candidate arrays and the in-bucket windows
+    // must see the SAME bucketing (RangePartitioner seeds by RDD id)
+    val bucketed = materializeOnce(withOrd
+      .repartitionByRange(nParts, ordE: _*)
+      .withColumn(pidN, spark_partition_id()))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pidN)).orderBy(ordE: _*)
+    val wInRev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pidN)).orderBy(ordRev: _*)
+    val ub = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val uf = org.apache.spark.sql.expressions.Window.unboundedFollowing
+    // in-bucket index (orders the collected candidates globally within
+    // their bucket) + per-item non-null counts: before the row for lag,
+    // after it for lead — both also select the last-k/first-k candidates
+    val withIdx = bucketed.select(col("*") +:
+      (row_number().over(wIn).as(gidxN) +:
+        items.zipWithIndex.map { case ((_, f, _, _, _), j) =>
+          val x = col(xN(j))
+          if (f == "lag")
+            count(x).over(wIn.rowsBetween(ub, -1L)).as(cntN(j))
+          else
+            count(x).over(wIn.rowsBetween(1L, uf)).as(cntN(j))
+        }): _*)
+    // candidate flag rides a REVERSED-order running count for lag (the
+    // bucket's last k non-nulls) / the forward count for lead (first k);
+    // the when() keeps only candidates, collect_list drops the rest
+    val withCand = withIdx.select(col("*") +:
+      items.zipWithIndex.map { case ((_, f, _, k, _), j) =>
+        val x = col(xN(j))
+        val tailCnt =
+          if (f == "lag") count(x).over(wInRev.rowsBetween(ub, 0L))
+          else count(x).over(wIn.rowsBetween(ub, 0L))
+        when(x.isNotNull && tailCnt <= k,
+          struct(col(gidxN).as("i"), x.as("v"))).as(s"${tag}_s$j")
+      }: _*)
+    val totals = withCand.groupBy(col(pidN)).agg(
+      sort_array(collect_list(col(s"${tag}_s0"))).as(arrN(0)),
+      items.indices.drop(1).map(j =>
+        sort_array(collect_list(col(s"${tag}_s$j"))).as(arrN(j))): _*)
+    val wPre = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pidN).asc).rowsBetween(ub, -1L)
+    val wSuf = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pidN).asc).rowsBetween(1L, uf)
+    // carry: earlier (later) buckets' candidate arrays concatenated in
+    // bucket order — flatten preserves it — then the k nearest kept;
+    // ≤ P arrays of ≤ k elements each through the single-partition
+    // totals window, scale-free
+    val offsets = totals.select(col(pidN) +:
+      items.zipWithIndex.map { case ((_, f, _, k, _), j) =>
+        // collect_list over an empty frame yields an empty array (never
+        // NULL), so bucket 0 / the last bucket flatten to an empty carry
+        val fl =
+          if (f == "lag") flatten(collect_list(col(arrN(j))).over(wPre))
+          else flatten(collect_list(col(arrN(j))).over(wSuf))
+        val kept =
+          if (f == "lag")
+            slice(fl, greatest(lit(1), size(fl) - k + 1), lit(k))
+          else slice(fl, lit(1), lit(k))
+        kept.as(carN(j))
+      }: _*)
+    val joined = withIdx.join(broadcast(offsets), Seq(pidN), "left_outer")
+    val finals = items.zipWithIndex.map { case ((alias, f, _, k, dflt), j) =>
+      val x = col(xN(j))
+      val xType = bucketed.schema(xN(j)).dataType
+      val dfltC = lit(dflt).cast(xType)
+      val carry = col(carN(j))
+      val need = (lit(k) - col(cntN(j))).cast("int")
+      val inShift =
+        (if (f == "lag") lag(x, k, null, ignoreNulls = true)
+         else lead(x, k, null, ignoreNulls = true)).over(wIn)
+      val fromCarry =
+        if (f == "lag")
+          element_at(carry, (size(carry) - need + 1)).getField("v")
+        else element_at(carry, need).getField("v")
+      when(col(cntN(j)) >= k, inShift)
+        .otherwise(when(size(carry) >= need, fromCarry).otherwise(dfltC))
+        .as(alias)
+    }
+    joined.select(col("*") +: finals: _*)
+      .drop((Seq(pidN, gidxN) ++ ordNames ++ xN ++ cntN ++ carN): _*)
   }
 
   /** Is `f(x) OVER ()` — no PARTITION BY, no ORDER BY, no frame — a
@@ -1586,6 +1980,24 @@ object Lowering {
       BoundOperand.BLit(Lit.LitString(Ast.DistinctSentinel))) &&
       Set("count", "sum", "avg", "mean")(f) &&
       frame.forall(_.lo == Long.MinValue)
+
+  /** Is `f(DISTINCT x) OVER (ORDER BY …)` — unpartitioned — computable
+    * by composing the first-occurrence mask with the distributed prefix
+    * scan? The mask's own window partitions by the VALUE (distributed at
+    * any NDV), and a value's first global occurrence lies inside every
+    * prefix frame that contains the value, so the scan's ordinary
+    * running count/sum/avg over the mask IS the DISTINCT aggregate —
+    * with no Exchange SinglePartition anywhere. Prefix-to-current frames
+    * only (the scan's aggregate shape); hi > 0 keeps the dedicated
+    * masked lowering.
+    */
+  private def isGlobalDistinctWin(f: String, args: Seq[BoundOperand],
+      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
+      frame: Option[Ast.WinFrame]): Boolean =
+    parts.isEmpty && ord.nonEmpty &&
+      distinctWinEligible(f, args, frame) &&
+      frame.forall(fr => !fr.groups && fr.exclude == "none" &&
+        !fr.temporal && fr.lo == Long.MinValue && fr.hi == 0L)
 
   /** The first-occurrence mask: x where this row is the first occurrence
     * of value x within its window partition (in window order), NULL
@@ -1735,16 +2147,8 @@ object Lowering {
     val ignoreNulls = args1.lastOption.contains(
       BoundOperand.BLit(Lit.LitString(Ast.IgnoreNullsSentinel)))
     val argsR = if (ignoreNulls) args1.dropRight(1) else args1
-    def shiftN: Int = argsR.lift(1) match {
-      case Some(BoundOperand.BLit(Lit.LitLong(n))) => n.toInt
-      case _                                       => 1
-    }
-    def shiftDefault: Any = argsR.lift(2) match {
-      case Some(BoundOperand.BLit(Lit.LitLong(v)))   => v
-      case Some(BoundOperand.BLit(Lit.LitDouble(v))) => v
-      case Some(BoundOperand.BLit(Lit.LitString(v))) => v
-      case _                                         => null
-    }
+    def shiftN: Int = shiftOffset(argsR)
+    def shiftDefault: Any = shiftDefaultAny(argsR)
     // windowed ordered aggregates: a running collect over the frame —
     // within-frame order IS the window's sort order (Spark evaluates
     // ordered-window rows in sort sequence). The struct wrap keeps NULL
@@ -1797,84 +2201,102 @@ object Lowering {
     val exclMode = frame.filter(fr => fr.lo <= 0L && fr.hi >= 0L)
       .map(_.exclude).getOrElse("none")
     if (exclMode == "none") fn.over(w)
-    else {
-      lazy val pw = org.apache.spark.sql.expressions.Window.partitionBy(
-        parts.map(opLower) ++ ord.map(o => opLower(o._1)): _*)
-      def cntSub(c: Option[Column]): Column = {
-        val self = c.fold(lit(1L))(_.isNotNull.cast("long"))
-        val grp = c.fold(count(lit(1)))(count(_)).over(pw)
-        exclMode match {
-          case "current" => self
-          case "group"   => grp
-          case _         => grp - self // ties
+    else exclusionCol(f, argsR.headOption.map(opLower), frame.get, w, w1,
+      parts.map(opLower) ++ ord.map(o => opLower(o._1)), exclMode)
+  }
+
+  /** Frame-exclusion lowering, shared by the dedicated window path and
+    * the ghost-row global path. The excluded contribution subtracts
+    * columnar (sum/count/avg — analyzer-enforced); an all-excluded
+    * frame yields SQL NULL. CURRENT ROW subtracts the row itself;
+    * GROUP subtracts the peer-group aggregate (one extra window over
+    * the peer keys — same shuffle, peers are sort-adjacent); TIES
+    * subtracts the peers but adds the current row back.
+    *
+    * @param cOpt   lowered aggregate argument (None = count(*))
+    * @param w      the FRAMED window the main aggregate runs over
+    * @param w1     the frameless partition+order spec (min/max
+    *               sub-frames rebuild their bounds on it)
+    * @param pwKeys peer-group partition keys — partition keys ++
+    *               order-key expressions (the ghost path adds the
+    *               bucket id, making peer groups in-bucket; exact
+    *               because equal order keys land in ONE range bucket
+    *               and ghosts never share a key with their target
+    *               bucket's real rows)
+    */
+  private def exclusionCol(f: String, cOpt: Option[Column],
+      fr: Ast.WinFrame, w: org.apache.spark.sql.expressions.WindowSpec,
+      w1: org.apache.spark.sql.expressions.WindowSpec,
+      pwKeys: Seq[Column], exclMode: String): Column = {
+    lazy val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(pwKeys: _*)
+    def cntSub(c: Option[Column]): Column = {
+      val self = c.fold(lit(1L))(_.isNotNull.cast("long"))
+      val grp = c.fold(count(lit(1)))(count(_)).over(pw)
+      exclMode match {
+        case "current" => self
+        case "group"   => grp
+        case _         => grp - self // ties
+      }
+    }
+    def sumSub(c: Column): Column = {
+      val self = coalesce(c, lit(0))
+      val grp = coalesce(sum(c).over(pw), lit(0))
+      exclMode match {
+        case "current" => self
+        case "group"   => grp
+        case _         => grp - self // ties
+      }
+    }
+    (f, cOpt) match {
+      case ("count", None)    => count(lit(1)).over(w) - cntSub(None)
+      case ("count", Some(c)) => count(c).over(w) - cntSub(Some(c))
+      case ("sum", Some(c)) =>
+        val cnt = count(c).over(w) - cntSub(Some(c))
+        when(cnt === 0, lit(null)).otherwise(sum(c).over(w) - sumSub(c))
+      case ("avg", Some(c)) =>
+        val cnt = count(c).over(w) - cntSub(Some(c))
+        when(cnt === 0, lit(null))
+          .otherwise((sum(c).over(w) - sumSub(c)) / cnt)
+      // min/max are not subtractable — decompose the frame into the
+      // prefix sub-frame [lo, -1] and suffix sub-frame [1, hi] (exact
+      // for ROWS frames by row position; for RANGE frames the analyzer
+      // restricts to an integral order key so the ±1 value boundary is
+      // exact). EXCLUDE GROUP = least/greatest of the two; TIES adds
+      // the current row's value back; CURRENT ROW additionally needs
+      // the peer group minus the row itself, which is the same
+      // row-position split applied WITHIN the peer group (ordered by
+      // the value — any total order covers all-but-self). All windows
+      // share the partition-key shuffle.
+      case ("min" | "max", Some(c)) =>
+        val isMin = f == "min"
+        def agg(cc: Column): Column = if (isMin) min(cc) else max(cc)
+        def comb(cs: Seq[Column]): Column = cs match {
+          case Seq()  => when(c.isNull && c.isNotNull, c) // typed NULL
+          case Seq(a) => a
+          case many   => if (isMin) least(many: _*) else greatest(many: _*)
         }
-      }
-      def sumSub(c: Column): Column = {
-        val self = coalesce(c, lit(0))
-        val grp = coalesce(sum(c).over(pw), lit(0))
+        def subFrame(loB: Long, hiB: Long): Option[Column] =
+          if (loB > hiB) None
+          else Some(agg(c).over(
+            if (fr.range) w1.rangeBetween(loB, hiB)
+            else w1.rowsBetween(loB, hiB)))
+        val prefix = subFrame(fr.lo, -1L)
+        val suffix = subFrame(1L, fr.hi)
+        lazy val pw2 = org.apache.spark.sql.expressions.Window
+          .partitionBy(pwKeys: _*).orderBy(c)
+        lazy val peersExclSelf = comb(Seq(
+          agg(c).over(pw2.rowsBetween(Long.MinValue, -1L)),
+          agg(c).over(pw2.rowsBetween(1L, Long.MaxValue))))
         exclMode match {
-          case "current" => self
-          case "group"   => grp
-          case _         => grp - self // ties
+          case "current" if fr.range =>
+            comb(prefix.toSeq ++ suffix.toSeq :+ peersExclSelf)
+          case "current" => comb(prefix.toSeq ++ suffix.toSeq)
+          case "group"   => comb(prefix.toSeq ++ suffix.toSeq)
+          case _ /* ties */ =>
+            comb(prefix.toSeq ++ suffix.toSeq :+ c)
         }
-      }
-      (f, argsR) match {
-        case ("count", Seq())  => count(lit(1)).over(w) - cntSub(None)
-        case ("count", Seq(x)) =>
-          val c = opLower(x)
-          count(c).over(w) - cntSub(Some(c))
-        case ("sum", Seq(x)) =>
-          val c = opLower(x)
-          val cnt = count(c).over(w) - cntSub(Some(c))
-          when(cnt === 0, lit(null)).otherwise(sum(c).over(w) - sumSub(c))
-        case ("avg", Seq(x)) =>
-          val c = opLower(x)
-          val cnt = count(c).over(w) - cntSub(Some(c))
-          when(cnt === 0, lit(null))
-            .otherwise((sum(c).over(w) - sumSub(c)) / cnt)
-        // min/max are not subtractable — decompose the frame into the
-        // prefix sub-frame [lo, -1] and suffix sub-frame [1, hi] (exact
-        // for ROWS frames by row position; for RANGE frames the analyzer
-        // restricts to an integral order key so the ±1 value boundary is
-        // exact). EXCLUDE GROUP = least/greatest of the two; TIES adds
-        // the current row's value back; CURRENT ROW additionally needs
-        // the peer group minus the row itself, which is the same
-        // row-position split applied WITHIN the peer group (ordered by
-        // the value — any total order covers all-but-self). All windows
-        // share the partition-key shuffle.
-        case ("min" | "max", Seq(x)) =>
-          val c = opLower(x)
-          val isMin = f == "min"
-          def agg(cc: Column): Column = if (isMin) min(cc) else max(cc)
-          def comb(cs: Seq[Column]): Column = cs match {
-            case Seq()  => when(c.isNull && c.isNotNull, c) // typed NULL
-            case Seq(a) => a
-            case many   => if (isMin) least(many: _*) else greatest(many: _*)
-          }
-          val fr = frame.get
-          def subFrame(loB: Long, hiB: Long): Option[Column] =
-            if (loB > hiB) None
-            else Some(agg(c).over(
-              if (fr.range) w1.rangeBetween(loB, hiB)
-              else w1.rowsBetween(loB, hiB)))
-          val prefix = subFrame(fr.lo, -1L)
-          val suffix = subFrame(1L, fr.hi)
-          lazy val pw2 = org.apache.spark.sql.expressions.Window
-            .partitionBy(parts.map(opLower) ++ ord.map(o => opLower(o._1)): _*)
-            .orderBy(c)
-          lazy val peersExclSelf = comb(Seq(
-            agg(c).over(pw2.rowsBetween(Long.MinValue, -1L)),
-            agg(c).over(pw2.rowsBetween(1L, Long.MaxValue))))
-          exclMode match {
-            case "current" if fr.range =>
-              comb(prefix.toSeq ++ suffix.toSeq :+ peersExclSelf)
-            case "current" => comb(prefix.toSeq ++ suffix.toSeq)
-            case "group"   => comb(prefix.toSeq ++ suffix.toSeq)
-            case _ /* ties */ =>
-              comb(prefix.toSeq ++ suffix.toSeq :+ c)
-          }
-        case other => sys.error(s"unreachable frame exclusion over $other")
-      }
+      case other => sys.error(s"unreachable frame exclusion over $other")
     }
   }
 
@@ -2297,10 +2719,9 @@ object Lowering {
         // windows and the per-bucket totals — RangePartitioner's
         // RDD-id-seeded boundary sampling must not run twice (see
         // attachGlobalOrderedWins)
-        val bucketed = unioned
+        val bucketed = materializeOnce(unioned
           .repartitionByRange(nParts, ordExprs: _*)
-          .withColumn(pidN, spark_partition_id())
-          .localCheckpoint(false)
+          .withColumn(pidN, spark_partition_id()))
         val wB = org.apache.spark.sql.expressions.Window
           .partitionBy(col(pidN)).orderBy(ordExprs: _*)
           .rowsBetween(
@@ -3253,7 +3674,8 @@ object Lowering {
       val df = lowerDerivedRaw(spark, q, source)
       q match {
         case _: Analyzer.BoundRecursive => df // fixpoint acc is checkpointed
-        case _ if sc.refCount.getOrElse(q, 1) >= 2 => df.localCheckpoint()
+        case _ if sc.refCount.getOrElse(q, 1) >= 2 =>
+          materializeOnce(df, eager = true)
         case _ => df
       }
     })
@@ -3363,7 +3785,7 @@ object Lowering {
     val CkptEvery = 4 // blocks between acc re-checkpoints
     var acc = {
       val b = lowerSelect(spark, r.base, source).toDF(names: _*)
-      (if (r.unionAll) b else b.distinct()).localCheckpoint()
+      materializeOnce(if (r.unionAll) b else b.distinct(), eager = true)
     }
     var frontier = acc
     var it = 0
@@ -3391,13 +3813,13 @@ object Lowering {
       if (Unroll == 1) {
         // dedup mode: one materialized round per job, the count IS the
         // emptiness probe (no tag shuffle)
-        val next = deltas.head.localCheckpoint(eager = false)
+        val next = materializeOnce(deltas.head)
         if (next.count() == 0L) done = true
         else {
           acc = acc.union(next)
           frontier = next
           blocks += 1
-          if (blocks % CkptEvery == 0) acc = acc.localCheckpoint()
+          if (blocks % CkptEvery == 0) acc = materializeOnce(acc, eager = true)
         }
       } else {
         // coalesce BEFORE the checkpoint: a union of K deltas carries
@@ -3405,10 +3827,9 @@ object Lowering {
         // this one — unbounded, that compounds K× per block (4^blocks
         // tasks). Bounding every block at the session's parallelism
         // keeps the whole fixpoint at O(blocks × cores) tasks.
-        val block = deltas.zipWithIndex.map { case (d, i) =>
+        val block = materializeOnce(deltas.zipWithIndex.map { case (d, i) =>
           d.withColumn("__rstep", lit(i)) }.reduce(_.union(_))
-          .coalesce(spark.sparkContext.defaultParallelism)
-          .localCheckpoint(eager = false)
+          .coalesce(spark.sparkContext.defaultParallelism))
         val counts = block.groupBy(col("__rstep")).count().collect()
           .map(row => row.getInt(0) -> row.getLong(1)).toMap
         val keep = (0 until Unroll).find(i => counts.getOrElse(i, 0L) == 0L)
@@ -3421,7 +3842,7 @@ object Lowering {
           if (blocks % CkptEvery == 0)
             // eager is fine: children are checkpoint-backed, this
             // collapses a bounded union, nothing deeper
-            acc = acc.localCheckpoint()
+            acc = materializeOnce(acc, eager = true)
           if (keep < Unroll) done = true // an empty step ended the chain
         }
       }

@@ -21,7 +21,8 @@ object ExplainQ {
     for (q <- names) {
       println(s"===== $q =====")
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
-      println(df.queryExecution.executedPlan.toString.take(8000))
+      val cap = sys.env.get("EXPLAINQ_CHARS").map(_.toInt).getOrElse(8000)
+      println(df.queryExecution.executedPlan.toString.take(cap))
     }
   }
 }

@@ -4947,6 +4947,110 @@ class DialectSpec extends AnyFunSuite {
     assert(e.isEmpty)
   }
 
+  test("global DISTINCT running + bounded ROWS frames: distributed (mask/ghosts)") {
+    val db = freshDb()
+    db.query("CREATE TABLE gd (id INT, v INT)")
+    db.query("INSERT INTO gd VALUES (1, 10), (2, 10), (3, 5), (4, NULL), " +
+      "(5, 7), (6, 5)")
+    // DISTINCT running: distinct-so-far sets by id are {10}, {10},
+    // {10,5}, {10,5} (NULL never joins), {10,5,7}, {10,5,7}
+    val df = db.select("SELECT id, " +
+      "count(DISTINCT v) OVER (ORDER BY id) AS dc, " +
+      "sum(DISTINCT v) OVER (ORDER BY id) AS ds, " +
+      "round(CAST(avg(DISTINCT v) OVER (ORDER BY id) AS DOUBLE), 3) AS da, " +
+      "sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS sw, " +
+      "sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+      "EXCLUDE CURRENT ROW) AS sx " +
+      "FROM gd ORDER BY id").fold(e => fail(e.msg), identity)
+    // scale pin: the DISTINCT runnings ride the first-occurrence mask +
+    // prefix scan, the bounded frames ride ghost rows — the final stage
+    // reads materialized bucketings (RDD scans with the bucket-id
+    // column), never an all-rows single-partition window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("_pid"), plan)
+    val r = df.collect().map(x => (x.getInt(0), x.getLong(1),
+      if (x.isNullAt(2)) -1L else x.getLong(2), x.getDouble(3),
+      if (x.isNullAt(4)) -1L else x.getLong(4),
+      if (x.isNullAt(5)) -1L else x.getLong(5))).toSeq
+    assert(r == Seq(
+      (1, 1L, 10L, 10.0, 10L, 10L),
+      (2, 1L, 10L, 10.0, 20L, 15L),
+      (3, 2L, 15L, 7.5, 15L, 10L),
+      (4, 2L, 15L, 7.5, 5L, 12L),
+      (5, 3L, 22L, 7.333, 7L, 5L),
+      (6, 3L, 22L, 7.333, 12L, 7L)), r.toString)
+  }
+
+  test("global IGNORE NULLS shifts: per-bucket carry arrays") {
+    val db = freshDb()
+    db.query("CREATE TABLE gi (id INT, v INT)")
+    db.query("INSERT INTO gi VALUES (1, NULL), (2, 3), (3, NULL), " +
+      "(4, NULL), (5, 8), (6, NULL)")
+    // 6 rows across 4 shuffle partitions: most buckets hold 1-2 rows,
+    // so nearly every shift crosses buckets through the carry
+    val r = db.select("SELECT id, " +
+      "lag(v IGNORE NULLS) OVER (ORDER BY id) AS l1, " +
+      "lag(v, 2, -1 IGNORE NULLS) OVER (ORDER BY id) AS l2, " +
+      "lead(v IGNORE NULLS) OVER (ORDER BY id) AS d1 " +
+      "FROM gi ORDER BY id").fold(e => fail(e.msg), _.collect())
+      .map(x => (x.getInt(0),
+        if (x.isNullAt(1)) null else x.get(1).toString.toInt,
+        if (x.isNullAt(2)) null else x.get(2).toString.toInt,
+        if (x.isNullAt(3)) null else x.get(3).toString.toInt)).toSeq
+    // non-null values in id order: 3 (id2), 8 (id5)
+    assert(r == Seq(
+      (1, null, -1, 3), (2, null, -1, 8), (3, 3, -1, 8),
+      (4, 3, -1, 8), (5, 3, -1, null), (6, 8, 3, null)), r.toString)
+  }
+
+  test("global ntile: broadcast total + global row number, distributed") {
+    val db = freshDb()
+    db.query("CREATE TABLE gn (id INT)")
+    db.query("INSERT INTO gn VALUES (1), (2), (3), (4), (5), (6), (7), (8)")
+    // N=8, n=3: r = 2 oversized tiles of 3, then one tile of 2
+    val df = db.select("SELECT id, ntile(3) OVER (ORDER BY id) AS t3, " +
+      "ntile(5) OVER (ORDER BY id) AS t5, " +
+      "ntile(20) OVER (ORDER BY id) AS tb FROM gn ORDER BY id")
+      .fold(e => fail(e.msg), identity)
+    assert(df.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val r = df.collect().map(x => (x.getInt(0), x.getInt(1), x.getInt(2),
+      x.getInt(3))).toSeq
+    assert(r == Seq((1, 1, 1, 1), (2, 1, 1, 2), (3, 1, 2, 3), (4, 2, 2, 4),
+      (5, 2, 3, 5), (6, 2, 3, 6), (7, 3, 4, 7), (8, 3, 5, 8)), r.toString)
+  }
+
+  test("reliable checkpoint: identical results with graft.reliableCheckpoint=true") {
+    // the prefix-scan / ghost / carry / fixpoint paths materialize their
+    // shared frames through materializeOnce; with the session switch on
+    // they go to the fault-tolerant checkpoint dir (survives executor
+    // loss on a real cluster) — values must be IDENTICAL either way
+    val db = freshDb()
+    db.query("CREATE TABLE rc (id INT, v INT)")
+    db.query("INSERT INTO rc VALUES (1, 10), (2, 10), (3, 5), (4, NULL), " +
+      "(5, 7), (6, 2), (7, 9), (8, NULL)")
+    val sql = "SELECT id, rank() OVER (ORDER BY v) AS rk, " +
+      "sum(v) OVER (ORDER BY v, id) AS rs, " +
+      "lag(v, 2, -9) OVER (ORDER BY v, id) AS lg, " +
+      "lag(v IGNORE NULLS) OVER (ORDER BY id) AS lin, " +
+      "sum(DISTINCT v) OVER (ORDER BY id) AS ds " +
+      "FROM rc ORDER BY id"
+    val rec = "WITH RECURSIVE t AS (SELECT 1 AS n UNION ALL " +
+      "SELECT n + 1 AS n FROM t WHERE n < 12) SELECT sum(n) AS s FROM t"
+    def rows(q: String) = db.select(q).fold(e => fail(e.msg), _.collect()).toSeq
+    val base = rows(sql)
+    val baseRec = rows(rec)
+    spark.conf.set("graft.reliableCheckpoint", "true")
+    try {
+      assert(rows(sql) == base)
+      assert(rows(rec) == baseRec)
+      // determinism across recomputation: reliable blocks re-read the
+      // SAME materialized bucketing, so a second evaluation of the same
+      // query agrees row-for-row
+      assert(rows(sql) == base)
+    } finally spark.conf.unset("graft.reliableCheckpoint")
+  }
+
   test("ROLLUP/CUBE over empty input still emit the grand-total row") {
     // SQL: the () grouping set is a GLOBAL aggregate — one row with
     // count 0 / markers 1 / NULL aggregates even when the input is
