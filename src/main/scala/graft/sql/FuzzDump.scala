@@ -61,12 +61,12 @@ object FuzzDump {
 
     val db = new GraftDatabase(spark,
       Files.createTempDirectory("graft-fuzz-wh").toString)
-    // paired fixture: the engine executes the left side; script.sql gets
-    // the DuckDB replay side (identical except the MERGE translations)
+    // paired fixture: the engine executes the left side (loadFixture
+    // builds the attached second warehouse and substitutes its path);
+    // script.sql gets the DuckDB replay side (identical except the
+    // MERGE translations and the attached-warehouse-as-schema modeling)
     val paired = FuzzGen.scriptPaired(seed)
-    paired.foreach { case (stmt, _) =>
-      db.query(stmt).left.foreach(e => sys.error(s"fixture: $stmt -> ${e.msg}"))
-    }
+    FuzzGen.loadFixture(spark, db, seed)
     Files.write(outDir.resolve("script.sql"),
       paired.flatMap(_._2).mkString("", ";\n", ";\n").getBytes(StandardCharsets.UTF_8))
 

@@ -89,7 +89,7 @@ object FuzzGen {
       val t = s"fd$j"
       val c1 = r.nextInt(30); val c2 = 5 + r.nextInt(40)
       val kc = 20 + r.nextInt(15)
-      r.nextInt(4) match {
+      r.nextInt(6) match {
         case 0 => Seq((
           s"MERGE INTO $t USING $src s ON $t.k = s.k " +
             s"WHEN MATCHED AND s.v > $c1 THEN UPDATE SET v = coalesce($t.v, 0) + s.v " +
@@ -110,12 +110,55 @@ object FuzzGen {
             s"NOT EXISTS (SELECT 1 FROM $src s WHERE s.k = $t.k)")))
         // subquery WHEN condition (reads fc only — identical pre/post
         // state on both engines, so the sequential replay is exact)
-        case _ => Seq((
+        case 3 => Seq((
           s"MERGE INTO $t USING $src s ON $t.k = s.k " +
             s"WHEN MATCHED AND $t.v < (SELECT avg(x.v) AS m FROM fc x) " +
             s"THEN UPDATE SET v = coalesce($t.v, 0) + 1",
           Seq(s"UPDATE $t SET v = coalesce($t.v, 0) + 1 FROM $src s " +
             s"WHERE $t.k = s.k AND $t.v < (SELECT avg(x.v) FROM fc x)")))
+        // multi-arm MATCHED with conditions — FIRST MATCH WINS. The
+        // translation materializes the arm assignment on the ORIGINAL
+        // state (one CASE over the matched join into a scratch table,
+        // first-true arm per key), then applies each arm to its keys:
+        // sequential replay can't leak a row into a later arm or
+        // re-evaluate a condition against mutated state. The NOT
+        // MATCHED arm tests membership in the scratch table — every
+        // matched source key is in it (ELSE arm), so post-DELETE keys
+        // stay "matched", exactly the atomic MERGE's match set. Later
+        // arms' SET expressions never read columns earlier arms write.
+        case 4 =>
+          val arm = s"fzarm$j"
+          Seq((
+            s"MERGE INTO $t USING $src s ON $t.k = s.k " +
+              s"WHEN MATCHED AND s.v > $c1 THEN UPDATE SET v = coalesce($t.v, 0) + s.v " +
+              s"WHEN MATCHED AND $t.v < $c2 THEN DELETE " +
+              s"WHEN MATCHED THEN UPDATE SET s = 'm$j' " +
+              s"WHEN NOT MATCHED AND s.v < $kc THEN INSERT (k, v, s) VALUES (s.k, s.v, 'mm$j')",
+            Seq(
+              s"CREATE TABLE $arm AS SELECT t.k AS kk, " +
+                s"CASE WHEN s.v > $c1 THEN 1 WHEN t.v < $c2 THEN 2 ELSE 3 END AS arm " +
+                s"FROM $t t JOIN $src s ON t.k = s.k",
+              s"UPDATE $t SET v = coalesce($t.v, 0) + s.v FROM $src s, $arm a " +
+                s"WHERE $t.k = s.k AND a.kk = $t.k AND a.arm = 1",
+              s"DELETE FROM $t USING $arm a WHERE a.kk = $t.k AND a.arm = 2",
+              s"UPDATE $t SET s = 'm$j' FROM $arm a WHERE a.kk = $t.k AND a.arm = 3",
+              s"INSERT INTO $t SELECT s.k, s.v, 'mm$j' FROM $src s WHERE s.v < $kc " +
+                s"AND NOT EXISTS (SELECT 1 FROM $arm a WHERE a.kk = s.k)",
+              s"DROP TABLE $arm")))
+        // multi-arm NOT MATCHED: the insert set is independent of the
+        // matched arms, so first-match-wins folds into one CASE-shaped
+        // INSERT…SELECT (a NULL s.v fails every comparison and falls to
+        // the unconditioned arm on both engines)
+        case _ => Seq((
+          s"MERGE INTO $t USING $src s ON $t.k = s.k " +
+            s"WHEN NOT MATCHED AND s.v < $c1 THEN INSERT (k, v, s) VALUES (s.k, s.v, 'n1') " +
+            s"WHEN NOT MATCHED AND s.v < $c2 THEN INSERT (k, v, s) VALUES (s.k, 0, 'n2') " +
+            s"WHEN NOT MATCHED THEN INSERT (k, v, s) VALUES (s.k, -1, 'n3')",
+          Seq(
+            s"INSERT INTO $t SELECT s.k, " +
+              s"CASE WHEN s.v < $c1 THEN s.v WHEN s.v < $c2 THEN 0 ELSE -1 END, " +
+              s"CASE WHEN s.v < $c1 THEN 'n1' WHEN s.v < $c2 THEN 'n2' ELSE 'n3' END " +
+              s"FROM $src s WHERE NOT EXISTS (SELECT 1 FROM $t WHERE $t.k = s.k)")))
       }
     }
     // Session-state fixture: a schema with its own table, prepared
@@ -136,7 +179,28 @@ object FuzzGen {
       "PREPARE fzp2 AS SELECT ? * 10 + ? AS c0",
       "PREPARE fzp3 AS SELECT id AS c0, s AS c1 FROM fa " +
         "WHERE s = $1 AND id < $2",
+      // DEALLOCATE + re-PREPARE under the SAME name: later EXECUTEs
+      // must bind the second body on both engines
+      "PREPARE fzp4 AS SELECT k AS c0, v AS c1 FROM fc WHERE v > $1",
+      "DEALLOCATE fzp4",
+      "PREPARE fzp4 AS SELECT k AS c0, count(*) AS c1 FROM fc " +
+        "WHERE v < $1 GROUP BY k",
       "USE fs1")
+    // Attached-warehouse fixture: @att-prefixed statements build a
+    // SECOND warehouse (loadFixture routes them to a scratch
+    // GraftDatabase and substitutes its path into the ATTACH); DuckDB
+    // models the attached alias as a schema. ATTACH precedes USE, and
+    // every fuzz query then resolves att1.* cross-warehouse while
+    // unqualified names walk fs1 → main — the trickiest resolve map.
+    val fh = (1 to 20).map(i =>
+      s"($i, ${intOrNull(0, 30, 10)}, ${strOrNull(15)})")
+    val attached: Seq[(String, Seq[String])] = Seq(
+      ("@att CREATE TABLE fh (k INT, w INT, s VARCHAR(12))",
+        Seq("CREATE SCHEMA att1",
+          "CREATE TABLE att1.fh (k INT, w INT, s VARCHAR(12))")),
+      (s"@att INSERT INTO fh VALUES ${fh.mkString(", ")}",
+        Seq(s"INSERT INTO att1.fh VALUES ${fh.mkString(", ")}")),
+      ("ATTACH '__ATTDIR__' AS att1", Seq()))
     (Seq(
       "CREATE TABLE fa (id INT, a INT, b INT, s VARCHAR(12), d DATE)",
       "CREATE TABLE fb (id INT, x INT, t VARCHAR(12))",
@@ -146,7 +210,26 @@ object FuzzGen {
       s"INSERT INTO fa VALUES ${fa.mkString(", ")}",
       s"INSERT INTO fb VALUES ${fb.mkString(", ")}",
       s"INSERT INTO fc VALUES ${fc.mkString(", ")}") ++ dml)
-      .map(s => (s, Seq(s))) ++ mrg ++ session.map(s => (s, Seq(s)))
+      .map(s => (s, Seq(s))) ++ mrg ++ attached ++ session.map(s => (s, Seq(s)))
+  }
+
+  /** Load the paired fixture into `db`: `@att `-prefixed statements
+    * build the attached warehouse in a scratch GraftDatabase whose path
+    * substitutes into the `__ATTDIR__` placeholder of the ATTACH
+    * statement. Shared by FuzzDump and FuzzSpec so the engine-side
+    * execution of the fixture has exactly one definition.
+    */
+  def loadFixture(spark: org.apache.spark.sql.SparkSession,
+      db: GraftDatabase, seed: Long): Unit = {
+    val attDir = java.nio.file.Files
+      .createTempDirectory("graft-fuzz-att").toString
+    val attDb = new GraftDatabase(spark, attDir)
+    scriptPaired(seed).foreach { case (stmt, _) =>
+      val res =
+        if (stmt.startsWith("@att ")) attDb.query(stmt.stripPrefix("@att "))
+        else db.query(stmt.replace("__ATTDIR__", attDir))
+      res.left.foreach(e => sys.error(s"fixture: $stmt -> ${e.msg}"))
+    }
   }
 
   // ---- typed expression generators -------------------------------------
@@ -497,12 +580,15 @@ object FuzzGen {
   /** Prepared-statement round trips: positional, arithmetic-?, and a
     * quote-bearing string parameter (the textual-splice hazard path).
     */
-  private def executeProbe(r: Random): String = r.nextInt(3) match {
+  private def executeProbe(r: Random): String = r.nextInt(4) match {
     case 0 => s"EXECUTE fzp1(${r.nextInt(40)})"
     case 1 => s"EXECUTE fzp2(${lit(r)}, ${lit(r)})"
-    case _ =>
+    case 2 =>
       val sarg = Seq("'alpha'", "'Alp'", "'bet%a'", "'it''s'", "'x_y'")(r.nextInt(5))
       s"EXECUTE fzp3($sarg, ${10 + r.nextInt(50)})"
+    // fzp4 was DEALLOCATEd and re-PREPAREd with a different body in the
+    // fixture — EXECUTE must bind the second body on both engines
+    case _ => s"EXECUTE fzp4(${r.nextInt(50)})"
   }
 
   /** Name resolution under USE fs1: the schema's own table unqualified,
@@ -622,8 +708,25 @@ object FuzzGen {
       s"FROM g LEFT JOIN fa ON fa.a = g.x GROUP BY g.x"
   }
 
+  /** Cross-warehouse resolution under USE fs1: the attached alias reads
+    * like a schema on DuckDB's side; the shapes join the attached table
+    * against the main-fallback (fc/fa) and session-schema (fg) names in
+    * the same query.
+    */
+  private def attachProbe(r: Random): String = r.nextInt(4) match {
+    case 0 => s"SELECT a.k AS c0, a.w AS c1, c.v AS c2 FROM att1.fh a " +
+      s"JOIN fc c ON a.k = c.k WHERE ${pred(r, Seq("a.w", "c.v"), Nil, 1)}"
+    case 1 => s"SELECT s AS k0, count(*) AS c0, sum(w) AS c1 FROM att1.fh " +
+      s"WHERE ${pred(r, Seq("k", "w"), Seq("s"), 1)} GROUP BY s"
+    case 2 => s"SELECT g AS c0, h AS c1 FROM fg WHERE g IN " +
+      s"(SELECT k AS kk FROM att1.fh WHERE ${pred(r, Seq("w"), Nil, 0)})"
+    case _ => s"SELECT a.k AS c0, a.s AS c1, f.s AS c2 FROM att1.fh a " +
+      s"LEFT JOIN main.fa f ON f.id = a.k WHERE a.k < ${5 + r.nextInt(15)}"
+  }
+
   /** One random query; shape mix weighted toward the compositional forms. */
-  def query(r: Random): String = r.nextInt(31) match {
+  def query(r: Random): String = r.nextInt(32) match {
+    case 31      => attachProbe(r)
     case 19      => executeProbe(r)
     case 20      => schemaProbe(r)
     case 21      => collateProbe(r)

@@ -21,8 +21,7 @@ class FuzzSpec extends AnyFunSuite {
   test("fuzz generator: 60 random queries execute cleanly") {
     val db = new GraftDatabase(spark,
       Files.createTempDirectory("graft-fuzz-spec").toString)
-    FuzzGen.script(20260816L).foreach(stmt =>
-      db.query(stmt).left.foreach(e => fail(s"$stmt -> ${e.msg}")))
+    FuzzGen.loadFixture(spark, db, 20260816L)
     val r = new Random(20260816L)
     var rejects = List.empty[String]
     (0 until 60).foreach { _ =>
