@@ -62,22 +62,27 @@ object Dedup {
   }
 
   /** Per-doc distinct shingle SETS + sizes — the ROOT materialization the
-    * whole dedup family shares. collect_set dedups within the aggregation,
-    * so the raw exploded stream needs no separate distinct() shuffle: one
-    * md5 pass, one set-merging shuffle, one cached row per doc. (A corpus
-    * with pathological multi-MB single documents would switch back to a
-    * row-level distinct; per-doc sets are the right shape for normal
-    * document lengths.)
+    * whole dedup family shares. A document's set is pure per-row column
+    * algebra — array_distinct over one transform/md5 pass — computed
+    * MAP-SIDE: the former explode → collect_set shape pushed the whole
+    * ~2000×-exploded shingle stream through a set-merging shuffle to
+    * rebuild rows that one row already held. The only shuffle left is
+    * the compact per-doc repartition (hash by doc_id, BEFORE the md5
+    * work so it distributes off the single-file scan partition, and
+    * preserved through the select so downstream doc_id
+    * aggregations/joins reuse the partitioning). (A corpus with
+    * pathological multi-MB single documents would switch to the
+    * exploded row-level shape; per-row arrays are the right shape for
+    * normal document lengths.)
     */
   private def docSets(s: SparkSession, d: String): DataFrame =
     memo(s, d, "sets") {
       t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(expr("sequence(1, length(text)-7)")).as("i"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
-          expr("cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS bigint)").as("sh"))
-        .groupBy("doc_id")
-        .agg(collect_set(col("sh")).as("set"))
+          expr("array_distinct(transform(sequence(1, length(text)-7), i -> " +
+            "cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS bigint)))")
+            .as("set"))
         .select(col("doc_id"), col("set"), size(col("set")).cast("long").as("sz"))
     }
 

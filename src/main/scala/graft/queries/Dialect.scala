@@ -1246,6 +1246,117 @@ object Dialect {
              |  ntile(1000) OVER (ORDER BY o_orderkey) AS ntb
              |FROM orders WHERE o_custkey < 300 ORDER BY o_orderkey""".stripMargin)),
 
+    // Unpartitioned first_value/last_value/nth_value over bounded ROWS
+    // frames — positional picks ride the same ghost-row replication as
+    // the bounded aggregates (the frame reaches ≤ max(|lo|,hi) rows, so
+    // the per-bucket edge halo makes in-bucket frames exact), including
+    // IGNORE NULLS (unlike lag/lead, the lookback stays INSIDE the
+    // bounded frame — a NULL run can't extend it). Frames that sit
+    // entirely in the past (5..2 PRECEDING) are empty for the first
+    // rows → NULL on both engines; nth_value returns NULL when the
+    // frame holds fewer than n rows. One shared bucketing per ORDER
+    // spec; no all-rows single-partition exchange (pinned in
+    // DialectSpec).
+    "q_dialect_win_global_value" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "first_value(o_totalprice) OVER (ORDER BY o_orderkey " +
+          "ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING) AS fv, " +
+          "last_value(k IGNORE NULLS) OVER (ORDER BY o_orderkey " +
+          "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS lvi, " +
+          "first_value(k IGNORE NULLS) OVER (ORDER BY o_orderkey " +
+          "ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING) AS fvi, " +
+          "nth_value(o_totalprice, 2) OVER (ORDER BY o_orderkey " +
+          "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS nv, " +
+          "last_value(o_totalprice) OVER (ORDER BY o_totalprice, o_orderkey " +
+          "ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING) AS lv2, " +
+          "round(sum(o_totalprice) OVER (ORDER BY o_orderkey " +
+          "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING), 2) AS sw " +
+          "FROM (SELECT o_orderkey, o_totalprice, " +
+          "CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_totalprice END AS k " +
+          "FROM orders WHERE o_custkey < 200) t " +
+          "ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  first_value(o_totalprice) OVER (ORDER BY o_orderkey
+             |    ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING) AS fv,
+             |  last_value(k IGNORE NULLS) OVER (ORDER BY o_orderkey
+             |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS lvi,
+             |  first_value(k IGNORE NULLS) OVER (ORDER BY o_orderkey
+             |    ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING) AS fvi,
+             |  nth_value(o_totalprice, 2) OVER (ORDER BY o_orderkey
+             |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS nv,
+             |  last_value(o_totalprice) OVER (ORDER BY o_totalprice, o_orderkey
+             |    ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING) AS lv2,
+             |  round(sum(o_totalprice) OVER (ORDER BY o_orderkey
+             |    ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING), 2) AS sw
+             |FROM (SELECT o_orderkey, o_totalprice,
+             |  CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_totalprice END AS k
+             |  FROM orders WHERE o_custkey < 200) t
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Unpartitioned WHOLE-INPUT frames (UNBOUNDED..UNBOUNDED, no
+    // PARTITION BY) — without EXCLUDE the order is immaterial and the
+    // window takes the broadcast global-aggregate rewrite; WITH EXCLUDE
+    // the result varies per row but still decomposes: count/sum/avg as
+    // broadcast totals minus the row/peer contribution, min/max as a
+    // before-peers/after-peers split over the shared range bucketing
+    // (in-bucket windows + prefix AND suffix offsets over the ≤P-row
+    // per-bucket totals). p = round(o_totalprice): integral doubles, so
+    // subtraction is exact on both engines. Two ORDER specs → two
+    // bucketings; all three EXCLUDE modes the analyzer admits.
+    "q_dialect_win_global_exclude" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "sum(p) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS sx, " +
+          "count(*) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS cx, " +
+          "min(p) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS mx, " +
+          "sum(p) OVER (ORDER BY o_custkey RANGE BETWEEN UNBOUNDED " +
+          "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS sg, " +
+          "max(p) OVER (ORDER BY o_custkey RANGE BETWEEN UNBOUNDED " +
+          "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS xg, " +
+          "count(p) OVER (ORDER BY o_custkey RANGE BETWEEN UNBOUNDED " +
+          "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS ctt, " +
+          "min(p) OVER (ORDER BY o_custkey RANGE BETWEEN UNBOUNDED " +
+          "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS mcr, " +
+          "avg(p) OVER (ORDER BY o_custkey RANGE BETWEEN UNBOUNDED " +
+          "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS ag, " +
+          "min(p) OVER (ORDER BY kn RANGE BETWEEN UNBOUNDED " +
+          "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS mn, " +
+          "sum(p) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND UNBOUNDED FOLLOWING) AS st " +
+          "FROM (SELECT o_orderkey, o_custkey, round(o_totalprice) AS p, " +
+          "CAST(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS INT) AS kn " +
+          "FROM orders WHERE o_custkey < 150) t " +
+          "ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  sum(p) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED
+             |    PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS sx,
+             |  count(*) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED
+             |    PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS cx,
+             |  min(p) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED
+             |    PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS mx,
+             |  sum(p) OVER (ORDER BY o_custkey RANGE BETWEEN UNBOUNDED
+             |    PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS sg,
+             |  max(p) OVER (ORDER BY o_custkey RANGE BETWEEN UNBOUNDED
+             |    PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS xg,
+             |  count(p) OVER (ORDER BY o_custkey RANGE BETWEEN UNBOUNDED
+             |    PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS ctt,
+             |  min(p) OVER (ORDER BY o_custkey RANGE BETWEEN UNBOUNDED
+             |    PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS mcr,
+             |  avg(p) OVER (ORDER BY o_custkey RANGE BETWEEN UNBOUNDED
+             |    PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS ag,
+             |  min(p) OVER (ORDER BY kn RANGE BETWEEN UNBOUNDED
+             |    PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS mn,
+             |  sum(p) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED
+             |    PRECEDING AND UNBOUNDED FOLLOWING) AS st
+             |FROM (SELECT o_orderkey, o_custkey, round(o_totalprice) AS p,
+             |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS INT) AS kn
+             |  FROM orders WHERE o_custkey < 150) t
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // NULLS FIRST composed with RANGE frames — the null order binds
     // natively on the sort expression (SortDir → asc_nulls_first at
     // lowering; round 13's 0/1 marker-key desugar added an ORDER key

@@ -30,15 +30,27 @@ import graft.streaming.StreamingDedup
   */
 object Streaming {
 
-  /** Write df as a single parquet file under a deterministic per-key
-    * temp dir (idempotent across invocations; the driver may call a
-    * gate many times — bench reps must not re-pay the write).
+  /** Write df as 32 parquet files under a deterministic per-key temp
+    * dir (idempotent across invocations; the driver may call a gate
+    * many times — bench reps must not re-pay the write).
+    *
+    * 32 files, not one: a streaming file source reads ONE FILE PER
+    * TASK, so the file count IS the map-side parallelism — with a
+    * single file the whole per-row signature computation of the dedup
+    * replay ran in one task (StreamProf measured it at 5.5 of the
+    * replay's 7.8 s; 32 files cut the replay to 2.0 s). The single
+    * micro-batch the replays rely on survives: with no
+    * maxFilesPerTrigger the file source admits ALL available files
+    * into one batch (replay() asserts it loudly — multi-batch would
+    * let the watermark evict state mid-replay and silently change
+    * results; the stateful transforms sort within the batch, so
+    * cross-file arrival order is immaterial).
     */
   private def boundedSource(df: DataFrame, key: String, d: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
-      s"${key}_${Integer.toHexString(d.hashCode)}"
+      s"${key}_p32_${Integer.toHexString(d.hashCode)}"
     if (!Files.exists(Paths.get(s"$dir/_SUCCESS")))
-      df.coalesce(1).write.mode("overwrite").parquet(dir)
+      df.repartition(32).write.mode("overwrite").parquet(dir)
     dir
   }
 
@@ -61,6 +73,15 @@ object Streaming {
       val q = out.writeStream.format("memory").queryName(qn)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // the 32-file bounded source must land in ONE data micro-batch
+      // (no maxFilesPerTrigger is set, so the file source admits every
+      // available file at once) — a multi-batch replay would advance
+      // the watermark between batches and evict state mid-stream,
+      // silently changing stateful results. Fail loudly instead.
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"bounded replay split into $dataBatches data micro-batches; " +
+          "state eviction may have raced the input")
       s.table(qn)
     } finally s.conf.set("spark.sql.shuffle.partitions", before)
   }

@@ -636,14 +636,30 @@ object FuzzGen {
     }
   }
 
-  /** Frame EXCLUDE CURRENT ROW over ROWS frames (decomposable
-    * aggregates only — the engine subtracts the excluded contribution).
+  /** Frame EXCLUDE over ROWS frames (bounded, EXCLUDE CURRENT ROW) and
+    * over WHOLE-INPUT frames without PARTITION BY — the distributed
+    * totals±peer lowering: all three EXCLUDE modes on RANGE (GROUP/TIES
+    * are RANGE-only by the analyzer), the nullable key `a` exercising
+    * the null peer group (whose Spark range-frame semantics the
+    * dense_rank split corrects), EXCLUDE CURRENT ROW on ROWS.
     */
   private def excludeWin(r: Random): String = {
-    val lo = 1 + r.nextInt(3); val hi = 1 + r.nextInt(3)
     val f = Seq("sum", "count", "min", "max")(r.nextInt(4))
-    s"SELECT id AS c0, $f(b) OVER (ORDER BY id ROWS BETWEEN $lo PRECEDING " +
-      s"AND $hi FOLLOWING EXCLUDE CURRENT ROW) AS c1 " +
+    val w = r.nextInt(4) match {
+      case 0 =>
+        val lo = 1 + r.nextInt(3); val hi = 1 + r.nextInt(3)
+        s"$f(b) OVER (ORDER BY id ROWS BETWEEN $lo PRECEDING " +
+          s"AND $hi FOLLOWING EXCLUDE CURRENT ROW)"
+      case 1 =>
+        s"$f(b) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING " +
+          "AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW)"
+      case _ =>
+        val key = Seq("a", "(b % 5)")(r.nextInt(2))
+        val mode = Seq("CURRENT ROW", "GROUP", "TIES")(r.nextInt(3))
+        s"$f(b) OVER (ORDER BY $key RANGE BETWEEN UNBOUNDED PRECEDING " +
+          s"AND UNBOUNDED FOLLOWING EXCLUDE $mode)"
+    }
+    s"SELECT id AS c0, $w AS c1 " +
       s"FROM fa WHERE ${pred(r, faInts, Seq("s"), 1)}"
   }
 

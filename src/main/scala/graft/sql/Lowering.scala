@@ -142,7 +142,8 @@ object Lowering {
             isGlobalDistinctWin(f, args, parts, ord, frame) ||
             isGlobalShiftWin(f, args, parts, ord) ||
             isGlobalBoundedRowsWin(f, args, parts, ord, frame) ||
-            isGlobalIgnoreNullsShiftWin(f, args, parts, ord)
+            isGlobalIgnoreNullsShiftWin(f, args, parts, ord) ||
+            isGlobalWholeExWin(f, args, parts, ord, frame)
         case _ => false
       }
       val winsPre = q.qualify.isDefined || donNeedsWins ||
@@ -171,9 +172,14 @@ object Lowering {
                 isGlobalBoundedRowsWin(f, args, parts, ord, frame)
             case _ => false
           }
-          val (ginWins, windowWins) = rest2.partition {
+          val (ginWins, rest3) = rest2.partition {
             case BoundItem.BIWin(f, args, parts, ord, _, _) =>
               isGlobalIgnoreNullsShiftWin(f, args, parts, ord)
+            case _ => false
+          }
+          val (wexWins, windowWins) = rest3.partition {
+            case BoundItem.BIWin(f, args, parts, ord, _, frame) =>
+              isGlobalWholeExWin(f, args, parts, ord, frame)
             case _ => false
           }
           // one bucketing per distinct ORDER spec; items of the same
@@ -225,7 +231,17 @@ object Lowering {
                   shiftOffset(argsR), shiftDefaultAny(argsR))
               })
             }
-          val withWins0 = windowWins.foldLeft(baseGin) {
+          val baseGwx = wexWins
+            .collect { case w: BoundItem.BIWin => w }
+            .groupBy(_.orderBy).values.foldLeft(baseGin) { case (d, ws) =>
+              val spec = ws.head.orderBy.map { case (o, dir) =>
+                (lowerOperandWith(o, qcol), dir) }
+              attachGlobalWholeExWins(spark, d, spec, ws.map(w =>
+                (w.alias, w.func,
+                  w.args.headOption.map(lowerOperandWith(_, qcol)),
+                  w.frame.get)))
+            }
+          val withWins0 = windowWins.foldLeft(baseGwx) {
             case (d, BoundItem.BIWin(f, args, parts, ord, a, frame)) =>
               val rk = if (frame.exists(_.groups)) Some(s"__grk_$a") else None
               val mk = if (distinctWinEligible(f, args, frame))
@@ -742,11 +758,16 @@ object Lowering {
       final case class GinReq(name: String, func: String, x: Column,
           k: Int, dflt: Any, ordKey: Seq[(BoundOperand, Ast.SortDir)],
           ordCols: Seq[(Column, Ast.SortDir)])
+      final case class GwxReq(name: String, func: String,
+          arg: Option[Column], frame: Ast.WinFrame,
+          ordKey: Seq[(BoundOperand, Ast.SortDir)],
+          ordCols: Seq[(Column, Ast.SortDir)])
       sealed trait WinL
       final case class WinLBroadcast(c: Column) extends WinL
       final case class WinLGow(g: GowReq) extends WinL
       final case class WinLGsw(g: GswReq) extends WinL
       final case class WinLGin(g: GinReq) extends WinL
+      final case class WinLGwx(g: GwxReq) extends WinL
       final case class WinLCol(c: Column) extends WinL
       def lowerWin(name: String, f: String, args: Seq[BoundOperand],
           parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
@@ -771,6 +792,9 @@ object Lowering {
             shiftOffset(argsR), shiftDefaultAny(argsR),
             ord, ord.map { case (o, d) => (aggScopeOperand(o), d) }))
         }
+        else if (isGlobalWholeExWin(f, args, parts, ord, frame))
+          WinLGwx(GwxReq(name, f, args.headOption.map(aggScopeOperand),
+            frame.get, ord, ord.map { case (o, d) => (aggScopeOperand(o), d) }))
         else WinLCol(windowColumn(f, args, parts, ord, frame,
           aggScopeOperand, bc => col(groupOut(bc)),
           withRank(frame, parts, ord, tag),
@@ -791,6 +815,8 @@ object Lowering {
         winLowered.collect { case (_, WinLGsw(g)) => g }
       val winGins: Seq[GinReq] =
         winLowered.collect { case (_, WinLGin(g)) => g }
+      val winGwxs: Seq[GwxReq] =
+        winLowered.collect { case (_, WinLGwx(g)) => g }
       // QUALIFY in aggregate scope: hidden inline-OVER window items
       // compute like projection windows (args register hidden aggregates
       // NOW) and attach under their generated aliases; the predicate
@@ -812,6 +838,8 @@ object Lowering {
         qwinLowered.collect { case (_, WinLGsw(g)) => g }
       val qwinGins: Seq[GinReq] =
         qwinLowered.collect { case (_, WinLGin(g)) => g }
+      val qwinGwxs: Seq[GwxReq] =
+        qwinLowered.collect { case (_, WinLGwx(g)) => g }
       def qualifyOp(o: BoundOperand): Column = o match {
         case BoundOperand.BOut(n, _) => col(qualifyWinAliasCol(n.toLowerCase))
         case BoundOperand.BArith(ch, l, r) =>
@@ -1256,10 +1284,15 @@ object Lowering {
           .foldLeft(groupedG0) { case (d, gs) =>
             attachGlobalShiftWins(spark, d, gs.head.ordCols, gs.map(_.ghost))
           }
-        val groupedG = (winGins ++ qwinGins).groupBy(_.ordKey).values
+        val groupedG2 = (winGins ++ qwinGins).groupBy(_.ordKey).values
           .foldLeft(groupedG1) { case (d, gs) =>
             attachGlobalIgnoreNullsShifts(spark, d, gs.head.ordCols,
               gs.map(g => (g.name, g.func, g.x, g.k, g.dflt)))
+          }
+        val groupedG = (winGwxs ++ qwinGwxs).groupBy(_.ordKey).values
+          .foldLeft(groupedG2) { case (d, gs) =>
+            attachGlobalWholeExWins(spark, d, gs.head.ordCols,
+              gs.map(g => (g.name, g.func, g.arg, g.frame)))
           }
         val windowed =
           if (winItems.isEmpty && qwinItems.isEmpty) groupedG
@@ -1612,27 +1645,44 @@ object Lowering {
         case _ => false
       })
 
-  /** Is this an unpartitioned decomposable aggregate over a BOUNDED ROWS
+  /** Is this an unpartitioned decomposable aggregate — or a value
+    * function (first_value/last_value/nth_value) — over a BOUNDED ROWS
     * frame (`sum(x) OVER (ORDER BY … ROWS BETWEEN 5 PRECEDING AND
     * CURRENT ROW)`)? The frame only reaches max(-lo, hi) rows away, so
     * the same ghost-row replication that serves lag/lead makes the
     * in-bucket frame exact: every global row within the halo of a real
     * row is a real-or-ghost row of its bucket, in global order. Halo
     * capped like lag's offset; RANGE value-distance frames have an
-    * unbounded row halo and keep the dedicated lowering.
+    * unbounded row halo and keep the dedicated lowering. Value functions
+    * may carry IGNORE NULLS (it only ever reads rows INSIDE the bounded
+    * frame, so the halo still covers the lookback — unlike lag/lead
+    * IGNORE NULLS, whose lookback a NULL run makes unbounded); EXCLUDE
+    * keeps the dedicated lowering for them (no prefix/suffix
+    * decomposition exists for positional picks).
     */
   private def isGlobalBoundedRowsWin(f: String, args: Seq[BoundOperand],
       parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
-      frame: Option[Ast.WinFrame]): Boolean =
+      frame: Option[Ast.WinFrame]): Boolean = {
+    val ign = args.lastOption.contains(
+      BoundOperand.BLit(Lit.LitString(Ast.IgnoreNullsSentinel)))
+    val argsR = if (ign) args.dropRight(1) else args
+    def noSentinel = !argsR.exists {
+      case BoundOperand.BLit(Lit.LitString(s)) => s.startsWith("__")
+      case _ => false
+    }
     parts.isEmpty && ord.nonEmpty &&
-      Set("count", "sum", "avg", "min", "max")(f) &&
-      !args.exists {
-        case BoundOperand.BLit(Lit.LitString(s)) => s.startsWith("__")
-        case _ => false
-      } &&
       frame.exists(fr => !fr.range && !fr.groups && !fr.temporal &&
         fr.lo != Long.MinValue && fr.hi != Long.MaxValue &&
-        fr.lo >= -1000L && fr.hi <= 1000L && fr.lo <= fr.hi)
+        fr.lo >= -1000L && fr.hi <= 1000L && fr.lo <= fr.hi) &&
+      ((Set("count", "sum", "avg", "min", "max")(f) && !ign && noSentinel) ||
+        (Set("first_value", "last_value")(f) && noSentinel &&
+          argsR.length == 1 && frame.exists(_.exclude == "none")) ||
+        (f == "nth_value" && noSentinel && frame.exists(_.exclude == "none") &&
+          (argsR.lift(1) match {
+            case Some(BoundOperand.BLit(Lit.LitLong(n))) => n > 0
+            case _                                       => false
+          })))
+  }
 
   /** lag/lead offset: optional second literal argument, default 1.
     * The ONE extraction shared by the ghost-row and dedicated window
@@ -1706,6 +1756,27 @@ object Lowering {
       val dflt = shiftDefaultAny(args)
       if (f == "lag") GhostWin(alias, k, 0, (w, _) => lag(x, k, dflt).over(w))
       else GhostWin(alias, 0, k, (w, _) => lead(x, k, dflt).over(w))
+    } else if (Set("first_value", "last_value", "nth_value")(f)) {
+      // positional picks over a bounded ROWS frame: IGNORE NULLS only
+      // ever reads rows INSIDE the frame, so the bounded halo covers it
+      val ign = args.lastOption.contains(
+        BoundOperand.BLit(Lit.LitString(Ast.IgnoreNullsSentinel)))
+      val argsR = if (ign) args.dropRight(1) else args
+      val fr = frame.getOrElse(
+        sys.error("unreachable: bounded ghost window without a frame"))
+      val x = opLower(argsR.head)
+      val pick = f match {
+        case "first_value" => first(x, ign)
+        case "last_value"  => last(x, ign)
+        case _ =>
+          val n = argsR(1) match {
+            case BoundOperand.BLit(Lit.LitLong(v)) => v.toInt
+            case other => sys.error(s"unreachable nth_value offset $other")
+          }
+          nth_value(x, n, ign)
+      }
+      GhostWin(alias, math.max(0L, -fr.lo).toInt, math.max(0L, fr.hi).toInt,
+        (w, _) => pick.over(w.rowsBetween(fr.lo, fr.hi)))
     } else {
       val fr = frame.getOrElse(
         sys.error("unreachable: bounded ghost window without a frame"))
@@ -1774,8 +1845,11 @@ object Lowering {
     def replicated(k: Int, tail: Boolean): Option[DataFrame] =
       if (k == 0) None
       else Some(edgeRows(k, tail)
-        .join(pids, if (tail) col(pidN) < col(s"${tag}_tp")
-                    else col(pidN) > col(s"${tag}_tp"))
+        // broadcast the ≤P-row bucket-id frame explicitly: its stats
+        // descend from the materialized RDD scan (size unknown), so
+        // without the hint the theta join can plan as CartesianProduct
+        .join(broadcast(pids), if (tail) col(pidN) < col(s"${tag}_tp")
+                               else col(pidN) > col(s"${tag}_tp"))
         .withColumn(pidN, col(s"${tag}_tp")).drop(s"${tag}_tp")
         .withColumn(ghostN, lit(true)))
     val unioned = Seq(replicated(maxLag, tail = true),
@@ -1793,6 +1867,196 @@ object Lowering {
     }: _*)
     shifted.filter(!col(ghostN))
       .drop(Seq(pidN, ghostN) ++ ordNames: _*)
+  }
+
+  /** Is this an unpartitioned aggregate over a WHOLE-INPUT frame
+    * (`ORDER BY … ROWS/RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    * FOLLOWING`) WITH frame exclusion? Without exclusion the order is
+    * immaterial and isGlobalAggWin's broadcast rewrite applies; with
+    * EXCLUDE the result varies per row but still decomposes into
+    * scale-free pieces: global totals (broadcast) minus the row/peer
+    * contribution for count/sum/avg, and for the non-subtractable
+    * min/max a before-peers/after-peers split — in-bucket windows plus
+    * exclusive prefix AND suffix offsets over the ≤P-row per-bucket
+    * totals (the same machinery as the distributed prefix scan, run in
+    * both directions). The analyzer has already restricted the surface:
+    * EXCLUDE only on the five decomposable aggregates, GROUP/TIES only
+    * on RANGE frames with ORDER BY, min/max EXCLUDE over RANGE only on
+    * a single integral key (which the in-bucket rangeBetween windows
+    * need too).
+    */
+  private def isGlobalWholeExWin(f: String, args: Seq[BoundOperand],
+      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
+      frame: Option[Ast.WinFrame]): Boolean =
+    parts.isEmpty && ord.nonEmpty &&
+      Set("count", "sum", "avg", "min", "max")(f) &&
+      !args.exists {
+        case BoundOperand.BLit(Lit.LitString(s)) => s.startsWith("__")
+        case _ => false
+      } &&
+      frame.exists(fr => !fr.groups && !fr.temporal &&
+        fr.lo == Long.MinValue && fr.hi == Long.MaxValue &&
+        fr.exclude != "none") &&
+      (!(Set("min", "max")(f) && frame.exists(_.range)) || ord.length == 1)
+
+  /** Attach one ORDER-spec group of unpartitioned whole-input EXCLUDE
+    * windows, distributed. Per item over the shared range bucketing:
+    *
+    *  - count/sum/avg: the global aggregate assembles from per-bucket
+    *    totals (exclusive prefix + own + exclusive suffix — two ≤P-row
+    *    windows over the totals frame), then the excluded contribution
+    *    subtracts columnar exactly like exclusionCol: CURRENT ROW
+    *    subtracts the row, GROUP the peer-group aggregate (an in-bucket
+    *    window over bucket id + order keys — exact because equal keys
+    *    land in one range bucket), TIES the peers minus the row; an
+    *    all-excluded frame yields SQL NULL via the count guard.
+    *  - min/max don't subtract — they split into before/after parts:
+    *    in-bucket prefix/suffix windows (ROWS for row exclusion, RANGE
+    *    for peer exclusion on the single integral key) combined with
+    *    the earlier/later buckets' totals via null-skipping
+    *    least/greatest; RANGE + EXCLUDE CURRENT ROW adds the
+    *    peer-group-minus-self combine (in-bucket, ordered by the value
+    *    — any total order covers all-but-self), TIES adds the row's own
+    *    value back.
+    *
+    * Items: (output name, function, lowered argument, frame).
+    */
+  private def attachGlobalWholeExWins(spark: SparkSession, df0: DataFrame,
+      ordSpec: Seq[(Column, Ast.SortDir)],
+      items: Seq[(String, String, Option[Column], Ast.WinFrame)])
+      : DataFrame = {
+    val tag = s"__gwx${gowTag.incrementAndGet()}"
+    val pidN = s"${tag}_pid"
+    val ordNames = ordSpec.indices.map(i => s"${tag}_o$i")
+    val withOrd = df0.select(col("*") +: ordSpec.zipWithIndex.map {
+      case ((c, _), i) => c.as(ordNames(i)) }: _*)
+    val ordE = ordSpec.zipWithIndex.map { case ((_, d), i) =>
+      sortCol(col(ordNames(i)), d) }
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val giN = s"${tag}_gi"
+    val wIn0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pidN)).orderBy(ordE: _*)
+    // the in-bucket PEER-GROUP index: min/max peer exclusion frames run
+    // over this integer rank, not the value key — Spark's RANGE frame
+    // for a NULL order key collapses to the null peer group (mixed
+    // unbounded/offset bounds included), where SQL's unbounded bound
+    // reaches the whole input; dense_rank is never NULL and sorts the
+    // null group exactly where the ORDER BY put it, so
+    // rangeBetween(-inf,-1) over it is precisely "all earlier peer
+    // groups" for every row (fuzz probe caught the divergence)
+    val needGi = items.exists { case (_, f, _, fr) =>
+      Set("min", "max")(f) && fr.range }
+    val preBucketed = withOrd
+      .repartitionByRange(nParts, ordE: _*)
+      .withColumn(pidN, spark_partition_id())
+    val bucketed = materializeOnce(
+      if (needGi) preBucketed.withColumn(giN, dense_rank().over(wIn0))
+      else preBucketed)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pidN)).orderBy(ordE: _*)
+    val wGi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pidN)).orderBy(col(giN).asc)
+    val peerKeys = col(pidN) +: ordNames.map(col)
+    val wPeer = org.apache.spark.sql.expressions.Window
+      .partitionBy(peerKeys: _*)
+    val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val unf = org.apache.spark.sql.expressions.Window.unboundedFollowing
+    val wPre = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pidN).asc).rowsBetween(unb, -1L)
+    val wSuf = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pidN).asc).rowsBetween(1L, unf)
+    def nz2(a: Column, b: Column): Column = coalesce(a + b, a, b)
+    // (in-bucket cols, per-bucket totals, pre+suf offsets over totals,
+    // final combiner)
+    val parts4: Seq[(Seq[Column], Seq[Column], Seq[Column], Column)] =
+      items.zipWithIndex.map { case ((_, f, cOpt, fr), j) =>
+        def inN(c: String) = s"${tag}_in${j}_$c"
+        def totN(c: String) = s"${tag}_t${j}_$c"
+        def offN(c: String) = s"${tag}_f${j}_$c"
+        val mode = fr.exclude
+        val needPeerAgg = mode == "group" || mode == "ties"
+        lazy val selfCnt = cOpt.fold(lit(1L))(_.isNotNull.cast("long"))
+        def gCnt = coalesce(col(offN("pc")), lit(0L)) + col(totN("c")) +
+          coalesce(col(offN("sc")), lit(0L))
+        def gSum = nz2(nz2(col(offN("ps")), col(totN("s"))), col(offN("ss")))
+        def cntTot = cOpt.fold(count(lit(1)))(count(_))
+        def cntSub = mode match {
+          case "current" => selfCnt
+          case "group"   => col(inN("gc"))
+          case _         => col(inN("gc")) - selfCnt // ties
+        }
+        def sumSub(x: Column) = mode match {
+          case "current" => coalesce(x, lit(0))
+          case "group"   => coalesce(col(inN("gs")), lit(0))
+          case _         => coalesce(col(inN("gs")), lit(0)) -
+            coalesce(x, lit(0)) // ties
+        }
+        f match {
+          case "count" =>
+            (if (needPeerAgg) Seq(cntTot.over(wPeer).as(inN("gc"))) else Nil,
+              Seq(cntTot.as(totN("c"))),
+              Seq(sum(col(totN("c"))).over(wPre).as(offN("pc")),
+                sum(col(totN("c"))).over(wSuf).as(offN("sc"))),
+              gCnt - cntSub)
+          case "sum" | "avg" =>
+            val x = cOpt.get
+            val in = if (needPeerAgg)
+              Seq(sum(x).over(wPeer).as(inN("gs")),
+                count(x).over(wPeer).as(inN("gc"))) else Nil
+            val excl = when(gCnt - cntSub === 0L, lit(null))
+            ((in,
+              Seq(sum(x).as(totN("s")), count(x).as(totN("c"))),
+              Seq(sum(col(totN("s"))).over(wPre).as(offN("ps")),
+                sum(col(totN("s"))).over(wSuf).as(offN("ss")),
+                sum(col(totN("c"))).over(wPre).as(offN("pc")),
+                sum(col(totN("c"))).over(wSuf).as(offN("sc"))),
+              if (f == "sum") excl.otherwise(gSum - sumSub(x))
+              else excl.otherwise((gSum - sumSub(x)) / (gCnt - cntSub))))
+          case _ => // min | max
+            val x = cOpt.get
+            val isMin = f == "min"
+            def agg(c: Column) = if (isMin) min(c) else max(c)
+            def cmb(cs: Seq[Column]) =
+              if (isMin) least(cs: _*) else greatest(cs: _*)
+            val (wp, ws) =
+              if (fr.range) (wGi.rangeBetween(unb, -1L), wGi.rangeBetween(1L, unf))
+              else (wIn.rowsBetween(unb, -1L), wIn.rowsBetween(1L, unf))
+            val pes = if (fr.range && mode == "current") {
+              val pw2 = org.apache.spark.sql.expressions.Window
+                .partitionBy(peerKeys: _*).orderBy(x)
+              Seq(cmb(Seq(agg(x).over(pw2.rowsBetween(unb, -1L)),
+                agg(x).over(pw2.rowsBetween(1L, unf)))).as(inN("e")))
+            } else Nil
+            val base = Seq(col(offN("p")), col(inN("p")),
+              col(inN("s")), col(offN("s")))
+            (Seq(agg(x).over(wp).as(inN("p")),
+              agg(x).over(ws).as(inN("s"))) ++ pes,
+              Seq(agg(x).as(totN("m"))),
+              Seq(agg(col(totN("m"))).over(wPre).as(offN("p")),
+                agg(col(totN("m"))).over(wSuf).as(offN("s"))),
+              mode match {
+                case "current" if fr.range => cmb(base :+ col(inN("e")))
+                case "current" | "group"   => cmb(base)
+                case _                     => cmb(base :+ x) // ties
+              })
+        }
+      }
+    val withIn = bucketed.select(col("*") +: parts4.flatMap(_._1): _*)
+    val totAggs = parts4.flatMap(_._2)
+    val totals = bucketed.groupBy(col(pidN)).agg(totAggs.head, totAggs.tail: _*)
+    // offsets AND the own-bucket totals ride the same broadcast join
+    val offsets = totals.select(
+      col(pidN) +: (parts4.flatMap(_._3) ++
+        totals.columns.filter(_ != pidN).map(col)): _*)
+    val joined = withIn.join(broadcast(offsets), Seq(pidN), "left_outer")
+    val finals = items.zipWithIndex.map { case ((alias, _, _, _), j) =>
+      parts4(j)._4.as(alias) }
+    val dropNames = Seq(pidN, giN) ++ ordNames ++
+      items.indices.flatMap(j =>
+        Seq("gc", "gs", "p", "s", "e").map(c => s"${tag}_in${j}_$c") ++
+          Seq("c", "s", "m").map(c => s"${tag}_t${j}_$c") ++
+          Seq("pc", "sc", "ps", "ss", "p", "s").map(c => s"${tag}_f${j}_$c"))
+    joined.select(col("*") +: finals: _*).drop(dropNames: _*)
   }
 
   /** Is this an unpartitioned lag/lead IGNORE NULLS the carry-array
@@ -1941,11 +2205,20 @@ object Lowering {
     * to a 1-row global aggregate broadcast-joined back: identical value
     * on every row, no single-partition exchange — the percent-of-total
     * idiom stays scalable at any input cardinality.
+    *
+    * An ORDERED window whose explicit frame is WHOLE-INPUT (`ORDER BY …
+    * ROWS/RANGE/GROUPS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    * FOLLOWING`, no EXCLUDE) computes the same single value — the order
+    * is immaterial to an unbounded frame — so it takes the same rewrite
+    * instead of Spark's single-partition ordered window.
     */
   private def isGlobalAggWin(f: String, args: Seq[BoundOperand],
       parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
       frame: Option[Ast.WinFrame]): Boolean =
-    parts.isEmpty && ord.isEmpty && frame.isEmpty &&
+    parts.isEmpty &&
+      ((ord.isEmpty && frame.isEmpty) ||
+        frame.exists(fr => !fr.temporal && fr.lo == Long.MinValue &&
+          fr.hi == Long.MaxValue && fr.exclude == "none")) &&
       Set("count", "sum", "avg", "min", "max")(f) &&
       args.lengthCompare(1) <= 0 &&
       // DISTINCT / IGNORE NULLS ride as trailing string sentinels —

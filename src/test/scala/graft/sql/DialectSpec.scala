@@ -4982,6 +4982,109 @@ class DialectSpec extends AnyFunSuite {
       (6, 3L, 22L, 7.333, 12L, 7L)), r.toString)
   }
 
+  test("global value functions over bounded ROWS frames: ghost rows") {
+    val db = freshDb()
+    db.query("CREATE TABLE gv (id INT, v INT)")
+    db.query("INSERT INTO gv VALUES (1, 10), (2, NULL), (3, 5), " +
+      "(4, NULL), (5, 7), (6, 2)")
+    // 6 rows across 4 shuffle partitions: nearly every frame crosses a
+    // bucket boundary through the ghosts. fv's frame sits entirely in
+    // the past (empty for id 1-2 → NULL); lvi IGNORE NULLS skips the
+    // NULL rows INSIDE the frame only; nv needs the frame's 2nd row
+    val df = db.select("SELECT id, " +
+      "first_value(v) OVER (ORDER BY id " +
+      "ROWS BETWEEN 3 PRECEDING AND 2 PRECEDING) AS fv, " +
+      "last_value(v IGNORE NULLS) OVER (ORDER BY id " +
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS lvi, " +
+      "nth_value(v, 2) OVER (ORDER BY id " +
+      "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS nv " +
+      "FROM gv ORDER BY id").fold(e => fail(e.msg), identity)
+    // scale pin: positional picks ride the materialized ghost bucketing
+    // (RDD scan + bucket-id column), never an all-rows single-partition
+    // window exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("_pid"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    val r = df.collect().map(x => (x.getInt(0),
+      if (x.isNullAt(1)) null else x.get(1).toString.toInt,
+      if (x.isNullAt(2)) null else x.get(2).toString.toInt,
+      if (x.isNullAt(3)) null else x.get(3).toString.toInt)).toSeq
+    // fv: frames {} {} {1} {1,2} {2,3} {3,4} → -,-,10,10,NULL(v2),5
+    // lvi: last non-null of {1},{1,2},{1..3},{2..4},{3..5},{4..6}
+    // nv (RESPECT NULLS): 2nd row of {1,2},{1..3},{2..4},{3..5},{4..6},{5,6}
+    assert(r == Seq(
+      (1, null, 10, null),
+      (2, null, 10, null),
+      (3, 10, 5, 5),
+      (4, 10, 5, null),
+      (5, null, 7, 7),
+      (6, 5, 2, 2)), r.toString)
+  }
+
+  test("global whole-input EXCLUDE frames: totals ± peer contribution") {
+    val db = freshDb()
+    db.query("CREATE TABLE gx (id INT, k INT, v INT)")
+    db.query("INSERT INTO gx VALUES (1, 1, 10), (2, 1, NULL), (3, 2, 5), " +
+      "(4, 2, 5), (5, 3, 7), (6, 3, 2)")
+    // total sum(v) = 29 over 5 non-nulls; k-groups: 1→{10,NULL}, 2→{5,5},
+    // 3→{7,2}
+    val df = db.select("SELECT id, " +
+      "sum(v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+      "UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS s, " +
+      "min(v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+      "UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS m, " +
+      "sum(v) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND " +
+      "UNBOUNDED FOLLOWING EXCLUDE GROUP) AS sg, " +
+      "min(v) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND " +
+      "UNBOUNDED FOLLOWING EXCLUDE GROUP) AS mg, " +
+      "count(v) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND " +
+      "UNBOUNDED FOLLOWING EXCLUDE TIES) AS ct, " +
+      "min(v) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND " +
+      "UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS mc " +
+      "FROM gx ORDER BY id").fold(e => fail(e.msg), identity)
+    // scale pin: the windows ride the materialized range bucketings (RDD
+    // scans with the bucket-id column); the only single-partition steps
+    // are the prefix/suffix windows over the ≤P-row per-bucket totals
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("_pid"), plan)
+    val r = df.collect().map(x => (x.getInt(0),
+      if (x.isNullAt(1)) null else x.get(1).toString.toInt,
+      if (x.isNullAt(2)) null else x.get(2).toString.toInt,
+      if (x.isNullAt(3)) null else x.get(3).toString.toInt,
+      if (x.isNullAt(4)) null else x.get(4).toString.toInt,
+      x.getLong(5),
+      if (x.isNullAt(6)) null else x.get(6).toString.toInt)).toSeq
+    assert(r == Seq(
+      (1, 19, 2, 19, 2, 5L, 2),
+      (2, 29, 2, 19, 2, 4L, 2),
+      (3, 24, 2, 19, 2, 4L, 2),
+      (4, 24, 2, 19, 2, 4L, 2),
+      (5, 22, 2, 20, 5, 4L, 2),
+      (6, 27, 5, 20, 5, 4L, 5)), r.toString)
+  }
+
+  test("global whole-input EXCLUDE over an aggregated frame") {
+    val db = freshDb()
+    db.query("CREATE TABLE gxa (g INT, v INT)")
+    db.query("INSERT INTO gxa VALUES (1, 10), (1, 20), (2, 5), (2, 5), " +
+      "(3, 7), (3, NULL)")
+    // grouped frame: g→count: 1→2, 2→2, 3→2; sums 30, 10, 7.
+    // each group's window: total count 6 minus own 2 = 4;
+    // min(sum) except current row over {30,10,7}
+    val r = db.select("SELECT g, count(*) AS n, " +
+      "sum(count(*)) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS oc, " +
+      "min(sum(v)) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS om " +
+      "FROM gxa GROUP BY g ORDER BY g").fold(e => fail(e.msg), _.collect())
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    assert(r == Seq((1, 2L, 4L, 7L), (2, 2L, 4L, 7L), (3, 2L, 4L, 10L)),
+      r.toString)
+  }
+
   test("global IGNORE NULLS shifts: per-bucket carry arrays") {
     val db = freshDb()
     db.query("CREATE TABLE gi (id INT, v INT)")
