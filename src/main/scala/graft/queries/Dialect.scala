@@ -1357,6 +1357,62 @@ object Dialect {
              |  FROM orders WHERE o_custkey < 150) t
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // The LAST unpartitioned single-partition window classes, closed:
+    // lag/lead offsets past the ghost halo cap (> 1000) run as a
+    // distributed equi-join on the prefix-scan row number; DISTINCT
+    // runnings whose prefix frame looks AHEAD ride the first-occurrence
+    // mask over a lead-ghost hybrid (earlier buckets via exclusive
+    // prefix totals, the in-bucket frame extended h rows by ghosts);
+    // DISTINCT over `OVER ()` / whole-input frames is the broadcast
+    // global aggregate in its distinct form; DISTINCT over fully
+    // bounded frames reuses the per-frame collect_set fold over plain
+    // ghosts. ~3000 rows at sf0.01, so the 1200/1500 shifts cross many
+    // range buckets.
+    "q_dialect_win_global_rest" -> QueryDef(
+      (s, d) => run(db(s, d, "orders"),
+        "SELECT o_orderkey, " +
+          "lag(p, 1200, -1) OVER (ORDER BY o_orderkey) AS lg, " +
+          "lead(p, 1500) OVER (ORDER BY o_orderkey) AS ld, " +
+          "lag(pn, 1100, -2 IGNORE NULLS) OVER (ORDER BY o_orderkey) AS lgi, " +
+          "lead(pn, 1300 IGNORE NULLS) OVER (ORDER BY o_orderkey) AS ldi, " +
+          "count(DISTINCT o_orderpriority) OVER (ORDER BY o_orderkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 3 FOLLOWING) AS dcf, " +
+          "CAST(sum(DISTINCT o_custkey % 7) OVER (ORDER BY o_orderkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 5 FOLLOWING) AS BIGINT) AS dsf, " +
+          "count(DISTINCT o_orderpriority) OVER () AS dct, " +
+          "CAST(sum(DISTINCT o_custkey % 7) OVER (ORDER BY o_totalprice " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+          "AS BIGINT) AS dsw, " +
+          "sum(DISTINCT p) OVER (ORDER BY o_orderkey " +
+          "ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING) AS dsb " +
+          "FROM (SELECT o_orderkey, o_custkey, o_totalprice, " +
+          "o_orderpriority, round(o_totalprice) AS p, " +
+          "CASE WHEN o_orderkey % 4 = 0 THEN NULL " +
+          "ELSE round(o_totalprice) END AS pn " +
+          "FROM orders WHERE o_custkey < 300) t " +
+          "ORDER BY o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  lag(p, 1200, -1) OVER (ORDER BY o_orderkey) AS lg,
+             |  lead(p, 1500) OVER (ORDER BY o_orderkey) AS ld,
+             |  lag(pn, 1100, -2 IGNORE NULLS) OVER (ORDER BY o_orderkey) AS lgi,
+             |  lead(pn, 1300 IGNORE NULLS) OVER (ORDER BY o_orderkey) AS ldi,
+             |  count(DISTINCT o_orderpriority) OVER (ORDER BY o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 3 FOLLOWING) AS dcf,
+             |  CAST(sum(DISTINCT o_custkey % 7) OVER (ORDER BY o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 5 FOLLOWING) AS BIGINT) AS dsf,
+             |  count(DISTINCT o_orderpriority) OVER () AS dct,
+             |  CAST(sum(DISTINCT o_custkey % 7) OVER (ORDER BY o_totalprice
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |    AS BIGINT) AS dsw,
+             |  sum(DISTINCT p) OVER (ORDER BY o_orderkey
+             |    ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING) AS dsb
+             |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+             |  o_orderpriority, round(o_totalprice) AS p,
+             |  CASE WHEN o_orderkey % 4 = 0 THEN NULL
+             |  ELSE round(o_totalprice) END AS pn
+             |  FROM orders WHERE o_custkey < 300) t
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // NULLS FIRST composed with RANGE frames — the null order binds
     // natively on the sort expression (SortDir → asc_nulls_first at
     // lowering; round 13's 0/1 marker-key desugar added an ORDER key

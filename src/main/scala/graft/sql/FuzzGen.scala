@@ -378,8 +378,28 @@ object FuzzGen {
     // cases 7-8 exercise the combination on the nullable key `a`
     val nord = Seq("NULLS FIRST", "NULLS LAST")(r.nextInt(2))
     val dir = Seq("", " DESC")(r.nextInt(2))
-    val win = r.nextInt(14) match {
+    val win = r.nextInt(16) match {
       case 6 => s"${Seq("sum", "min", "max", "count")(r.nextInt(4))}(b) OVER ()"
+      // unpartitioned DISTINCT: look-ahead prefix frames (mask over the
+      // lead-ghost hybrid), whole-input frames and OVER () (broadcast
+      // global distinct aggregate), fully bounded frames (ghosted
+      // collect_set fold) — the last single-partition window classes
+      case 14 =>
+        val fd = Seq("count", "sum")(r.nextInt(2))
+        r.nextInt(3) match {
+          case 0 => s"$fd(DISTINCT a) OVER (ORDER BY id ROWS BETWEEN " +
+            s"UNBOUNDED PRECEDING AND ${1 + r.nextInt(4)} FOLLOWING)"
+          case 1 => s"$fd(DISTINCT a) OVER ${Seq("()",
+            "(ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+              "UNBOUNDED FOLLOWING)")(r.nextInt(2))}"
+          case _ => s"$fd(DISTINCT a) OVER (ORDER BY id ROWS BETWEEN " +
+            s"${1 + r.nextInt(3)} PRECEDING AND ${r.nextInt(3)} FOLLOWING)"
+        }
+      // unpartitioned whole-input frames WITHOUT exclusion (the
+      // broadcast rewrite under an ORDER BY)
+      case 15 => s"${Seq("sum", "min", "max", "count")(r.nextInt(4))}(b) " +
+        s"OVER (ORDER BY a $nord, id ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND UNBOUNDED FOLLOWING)"
       // INTERVAL RANGE over the nullable DATE key (time-windowed count;
       // NULL dates form their own peer group on both engines)
       case 9 => s"count(b) OVER (ORDER BY d RANGE BETWEEN " +

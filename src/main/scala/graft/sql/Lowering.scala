@@ -143,7 +143,10 @@ object Lowering {
             isGlobalShiftWin(f, args, parts, ord) ||
             isGlobalBoundedRowsWin(f, args, parts, ord, frame) ||
             isGlobalIgnoreNullsShiftWin(f, args, parts, ord) ||
-            isGlobalWholeExWin(f, args, parts, ord, frame)
+            isGlobalWholeExWin(f, args, parts, ord, frame) ||
+            isGlobalBigShiftWin(f, args, parts, ord) ||
+            isGlobalDistinctAheadWin(f, args, parts, ord, frame) ||
+            isGlobalBigInShiftWin(f, args, parts, ord)
         case _ => false
       }
       val winsPre = q.qualify.isDefined || donNeedsWins ||
@@ -177,9 +180,24 @@ object Lowering {
               isGlobalIgnoreNullsShiftWin(f, args, parts, ord)
             case _ => false
           }
-          val (wexWins, windowWins) = rest3.partition {
+          val (wexWins, rest4) = rest3.partition {
             case BoundItem.BIWin(f, args, parts, ord, _, frame) =>
               isGlobalWholeExWin(f, args, parts, ord, frame)
+            case _ => false
+          }
+          val (gbsWins, rest5) = rest4.partition {
+            case BoundItem.BIWin(f, args, parts, ord, _, _) =>
+              isGlobalBigShiftWin(f, args, parts, ord)
+            case _ => false
+          }
+          val (gmaWins, rest6) = rest5.partition {
+            case BoundItem.BIWin(f, args, parts, ord, _, frame) =>
+              isGlobalDistinctAheadWin(f, args, parts, ord, frame)
+            case _ => false
+          }
+          val (gbiWins, windowWins) = rest6.partition {
+            case BoundItem.BIWin(f, args, parts, ord, _, _) =>
+              isGlobalBigInShiftWin(f, args, parts, ord)
             case _ => false
           }
           // one bucketing per distinct ORDER spec; items of the same
@@ -241,7 +259,39 @@ object Lowering {
                   w.args.headOption.map(lowerOperandWith(_, qcol)),
                   w.frame.get)))
             }
-          val withWins0 = windowWins.foldLeft(baseGwx) {
+          val baseGbs = gbsWins
+            .collect { case w: BoundItem.BIWin => w }
+            .groupBy(_.orderBy).values.foldLeft(baseGwx) { case (d, ws) =>
+              val spec = ws.head.orderBy.map { case (o, dir) =>
+                (lowerOperandWith(o, qcol), dir) }
+              attachGlobalBigShifts(spark, d, spec, ws.map(w =>
+                (w.alias, w.func, lowerOperandWith(w.args.head, qcol),
+                  shiftOffset(w.args), shiftDefaultAny(w.args))))
+            }
+          val baseGma = gmaWins
+            .collect { case w: BoundItem.BIWin => w }
+            .groupBy(_.orderBy).values.foldLeft(baseGbs) { case (d, ws) =>
+              val spec = ws.head.orderBy.map { case (o, dir) =>
+                (lowerOperandWith(o, qcol), dir) }
+              attachGlobalMaskAheadWins(spark, d, spec, ws.map { w =>
+                (w.alias, if (w.func == "mean") "avg" else w.func,
+                  distinctMaskColumn(w.args, Nil, w.orderBy,
+                    lowerOperandWith(_, qcol), qcol),
+                  w.frame.get.hi.toInt)
+              })
+            }
+          val baseGbi = gbiWins
+            .collect { case w: BoundItem.BIWin => w }
+            .groupBy(_.orderBy).values.foldLeft(baseGma) { case (d, ws) =>
+              val spec = ws.head.orderBy.map { case (o, dir) =>
+                (lowerOperandWith(o, qcol), dir) }
+              attachGlobalBigInShifts(spark, d, spec, ws.map { w =>
+                val argsR = w.args.dropRight(1) // strip the sentinel
+                (w.alias, w.func, lowerOperandWith(argsR.head, qcol),
+                  shiftOffset(argsR), shiftDefaultAny(argsR))
+              })
+            }
+          val withWins0 = windowWins.foldLeft(baseGbi) {
             case (d, BoundItem.BIWin(f, args, parts, ord, a, frame)) =>
               val rk = if (frame.exists(_.groups)) Some(s"__grk_$a") else None
               val mk = if (distinctWinEligible(f, args, frame))
@@ -762,12 +812,24 @@ object Lowering {
           arg: Option[Column], frame: Ast.WinFrame,
           ordKey: Seq[(BoundOperand, Ast.SortDir)],
           ordCols: Seq[(Column, Ast.SortDir)])
+      final case class GbsReq(name: String, func: String, x: Column,
+          k: Int, dflt: Any, ordKey: Seq[(BoundOperand, Ast.SortDir)],
+          ordCols: Seq[(Column, Ast.SortDir)])
+      final case class GmaReq(name: String, func: String, mask: Column,
+          h: Int, ordKey: Seq[(BoundOperand, Ast.SortDir)],
+          ordCols: Seq[(Column, Ast.SortDir)])
+      final case class GbiReq(name: String, func: String, x: Column,
+          k: Int, dflt: Any, ordKey: Seq[(BoundOperand, Ast.SortDir)],
+          ordCols: Seq[(Column, Ast.SortDir)])
       sealed trait WinL
       final case class WinLBroadcast(c: Column) extends WinL
       final case class WinLGow(g: GowReq) extends WinL
       final case class WinLGsw(g: GswReq) extends WinL
       final case class WinLGin(g: GinReq) extends WinL
       final case class WinLGwx(g: GwxReq) extends WinL
+      final case class WinLGbs(g: GbsReq) extends WinL
+      final case class WinLGma(g: GmaReq) extends WinL
+      final case class WinLGbi(g: GbiReq) extends WinL
       final case class WinLCol(c: Column) extends WinL
       def lowerWin(name: String, f: String, args: Seq[BoundOperand],
           parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
@@ -795,6 +857,22 @@ object Lowering {
         else if (isGlobalWholeExWin(f, args, parts, ord, frame))
           WinLGwx(GwxReq(name, f, args.headOption.map(aggScopeOperand),
             frame.get, ord, ord.map { case (o, d) => (aggScopeOperand(o), d) }))
+        else if (isGlobalBigShiftWin(f, args, parts, ord))
+          WinLGbs(GbsReq(name, f, aggScopeOperand(args.head),
+            shiftOffset(args), shiftDefaultAny(args),
+            ord, ord.map { case (o, d) => (aggScopeOperand(o), d) }))
+        else if (isGlobalDistinctAheadWin(f, args, parts, ord, frame))
+          WinLGma(GmaReq(name, if (f == "mean") "avg" else f,
+            distinctMaskColumn(args, Nil, ord, aggScopeOperand,
+              bc => col(groupOut(bc))),
+            frame.get.hi.toInt,
+            ord, ord.map { case (o, d) => (aggScopeOperand(o), d) }))
+        else if (isGlobalBigInShiftWin(f, args, parts, ord)) {
+          val argsR = args.dropRight(1) // strip the sentinel
+          WinLGbi(GbiReq(name, f, aggScopeOperand(argsR.head),
+            shiftOffset(argsR), shiftDefaultAny(argsR),
+            ord, ord.map { case (o, d) => (aggScopeOperand(o), d) }))
+        }
         else WinLCol(windowColumn(f, args, parts, ord, frame,
           aggScopeOperand, bc => col(groupOut(bc)),
           withRank(frame, parts, ord, tag),
@@ -817,6 +895,12 @@ object Lowering {
         winLowered.collect { case (_, WinLGin(g)) => g }
       val winGwxs: Seq[GwxReq] =
         winLowered.collect { case (_, WinLGwx(g)) => g }
+      val winGbss: Seq[GbsReq] =
+        winLowered.collect { case (_, WinLGbs(g)) => g }
+      val winGmas: Seq[GmaReq] =
+        winLowered.collect { case (_, WinLGma(g)) => g }
+      val winGbis: Seq[GbiReq] =
+        winLowered.collect { case (_, WinLGbi(g)) => g }
       // QUALIFY in aggregate scope: hidden inline-OVER window items
       // compute like projection windows (args register hidden aggregates
       // NOW) and attach under their generated aliases; the predicate
@@ -840,6 +924,12 @@ object Lowering {
         qwinLowered.collect { case (_, WinLGin(g)) => g }
       val qwinGwxs: Seq[GwxReq] =
         qwinLowered.collect { case (_, WinLGwx(g)) => g }
+      val qwinGbss: Seq[GbsReq] =
+        qwinLowered.collect { case (_, WinLGbs(g)) => g }
+      val qwinGmas: Seq[GmaReq] =
+        qwinLowered.collect { case (_, WinLGma(g)) => g }
+      val qwinGbis: Seq[GbiReq] =
+        qwinLowered.collect { case (_, WinLGbi(g)) => g }
       def qualifyOp(o: BoundOperand): Column = o match {
         case BoundOperand.BOut(n, _) => col(qualifyWinAliasCol(n.toLowerCase))
         case BoundOperand.BArith(ch, l, r) =>
@@ -1289,10 +1379,25 @@ object Lowering {
             attachGlobalIgnoreNullsShifts(spark, d, gs.head.ordCols,
               gs.map(g => (g.name, g.func, g.x, g.k, g.dflt)))
           }
-        val groupedG = (winGwxs ++ qwinGwxs).groupBy(_.ordKey).values
+        val groupedG3 = (winGwxs ++ qwinGwxs).groupBy(_.ordKey).values
           .foldLeft(groupedG2) { case (d, gs) =>
             attachGlobalWholeExWins(spark, d, gs.head.ordCols,
               gs.map(g => (g.name, g.func, g.arg, g.frame)))
+          }
+        val groupedG4 = (winGbss ++ qwinGbss).groupBy(_.ordKey).values
+          .foldLeft(groupedG3) { case (d, gs) =>
+            attachGlobalBigShifts(spark, d, gs.head.ordCols,
+              gs.map(g => (g.name, g.func, g.x, g.k, g.dflt)))
+          }
+        val groupedG5 = (winGmas ++ qwinGmas).groupBy(_.ordKey).values
+          .foldLeft(groupedG4) { case (d, gs) =>
+            attachGlobalMaskAheadWins(spark, d, gs.head.ordCols,
+              gs.map(g => (g.name, g.func, g.mask, g.h)))
+          }
+        val groupedG = (winGbis ++ qwinGbis).groupBy(_.ordKey).values
+          .foldLeft(groupedG5) { case (d, gs) =>
+            attachGlobalBigInShifts(spark, d, gs.head.ordCols,
+              gs.map(g => (g.name, g.func, g.x, g.k, g.dflt)))
           }
         val windowed =
           if (winItems.isEmpty && qwinItems.isEmpty) groupedG
@@ -1670,11 +1775,18 @@ object Lowering {
       case BoundOperand.BLit(Lit.LitString(s)) => s.startsWith("__")
       case _ => false
     }
+    val dist = args.lastOption.contains(
+      BoundOperand.BLit(Lit.LitString(Ast.DistinctSentinel)))
     parts.isEmpty && ord.nonEmpty &&
       frame.exists(fr => !fr.range && !fr.groups && !fr.temporal &&
         fr.lo != Long.MinValue && fr.hi != Long.MaxValue &&
         fr.lo >= -1000L && fr.hi <= 1000L && fr.lo <= fr.hi) &&
       ((Set("count", "sum", "avg", "min", "max")(f) && !ign && noSentinel) ||
+        // DISTINCT aggregates: the dedicated per-frame collect_set fold
+        // is frame-bounded state, so it rides the same ghosts (the set
+        // only ever collects rows INSIDE the bounded frame)
+        (dist && Set("count", "sum", "avg", "mean")(f) &&
+          frame.exists(_.exclude == "none")) ||
         (Set("first_value", "last_value")(f) && noSentinel &&
           argsR.length == 1 && frame.exists(_.exclude == "none")) ||
         (f == "nth_value" && noSentinel && frame.exists(_.exclude == "none") &&
@@ -1756,6 +1868,35 @@ object Lowering {
       val dflt = shiftDefaultAny(args)
       if (f == "lag") GhostWin(alias, k, 0, (w, _) => lag(x, k, dflt).over(w))
       else GhostWin(alias, 0, k, (w, _) => lead(x, k, dflt).over(w))
+    } else if (args.lastOption.contains(
+        BoundOperand.BLit(Lit.LitString(Ast.DistinctSentinel)))) {
+      // DISTINCT aggregate over a bounded ROWS frame: the per-frame
+      // collect_set fold of the dedicated lowering, run over the
+      // ghosted in-bucket frame — identical column construction
+      // (LONG/decimal/double fold seed by operand type), frame-bounded
+      // set state
+      val fr = frame.getOrElse(
+        sys.error("unreachable: bounded ghost window without a frame"))
+      val argsR = args.dropRight(1)
+      val x = opLower(argsR.head)
+      val zero = inputSqlType(argsR.head) match {
+        case Some(SqlType.SqlBigInt | SqlType.SqlInt |
+                  SqlType.SqlSmallInt) => lit(0L)
+        case Some(SqlType.SqlDecimal(_, s)) => lit(0L).cast(s"decimal(38,$s)")
+        case _ => lit(0d)
+      }
+      GhostWin(alias, math.max(0L, -fr.lo).toInt, math.max(0L, fr.hi).toInt,
+        (w, _) => {
+          val cs = collect_set(x).over(w.rowsBetween(fr.lo, fr.hi))
+          f match {
+            case "count" => size(cs).cast("long")
+            case _ =>
+              val s = org.apache.spark.sql.functions.aggregate(
+                cs, zero, (a, v) => a + v)
+              if (f == "sum") when(size(cs) > 0, s)
+              else when(size(cs) > 0, s / size(cs))
+          }
+        })
     } else if (Set("first_value", "last_value", "nth_value")(f)) {
       // positional picks over a bounded ROWS frame: IGNORE NULLS only
       // ever reads rows INSIDE the frame, so the bounded halo covers it
@@ -2059,6 +2200,250 @@ object Lowering {
     joined.select(col("*") +: finals: _*).drop(dropNames: _*)
   }
 
+  /** Is this an unpartitioned lag/lead with a LARGE literal offset
+    * (> 1000 — past the ghost-replication halo cap, where replicating
+    * P·k edge rows stops being "tiny")? Computable at ANY offset as a
+    * distributed equi-join: attach the global row number (the prefix
+    * scan), then join each row with the row numbered rn∓k — a hash
+    * join on a unique key, no replication, no single partition.
+    * Plain shifts only (IGNORE NULLS needs the k-th non-null, not the
+    * k-th row — its > 1000 offsets keep the dedicated lowering,
+    * documented in SCALE.md).
+    */
+  private def isGlobalBigShiftWin(f: String, args: Seq[BoundOperand],
+      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)]): Boolean =
+    parts.isEmpty && ord.nonEmpty && (f == "lag" || f == "lead") &&
+      !args.exists {
+        case BoundOperand.BLit(Lit.LitString(s)) => s.startsWith("__")
+        case _ => false
+      } &&
+      (args.lift(1) match {
+        case Some(BoundOperand.BLit(Lit.LitLong(n))) => n > 1000
+        case _ => false
+      })
+
+  /** Attach one ORDER-spec group of large-offset unpartitioned shifts:
+    * global row number (distributed prefix scan, materialized once so
+    * both join sides read the same bucketing-derived numbering), then
+    * one compact equi-join per distinct (direction, offset) carrying
+    * the shifted values plus a hit marker — a join miss is the true
+    * global boundary where the default applies; a null VALUE at a hit
+    * row stays null. Items: (name, lag|lead, lowered arg, offset,
+    * default).
+    */
+  private def attachGlobalBigShifts(spark: SparkSession, df0: DataFrame,
+      ordSpec: Seq[(Column, Ast.SortDir)],
+      items: Seq[(String, String, Column, Int, Any)]): DataFrame = {
+    val tag = s"__gbs${gowTag.incrementAndGet()}"
+    val rnN = s"${tag}_rn"
+    val xNames = items.indices.map(i => s"${tag}_x$i")
+    val withX = df0.select(col("*") +: items.zipWithIndex.map {
+      case ((_, _, x, _, _), i) => x.as(xNames(i)) }: _*)
+    val withRn = materializeOnce(attachGlobalOrderedWins(spark, withX,
+      ordSpec, Seq((rnN, "row_number", None, None))))
+    val byShift = items.zipWithIndex.groupBy { case ((_, f, _, k, _), _) =>
+      (f, k) }.toSeq.sortBy { case ((f, k), _) => (f, k) }
+    val joined = byShift.foldLeft(withRn) { case (d, ((f, k), its)) =>
+      val jk = s"${tag}_jk_${f}_$k"
+      val hit = s"${tag}_h_${f}_$k"
+      val delta = if (f == "lag") k.toLong else -k.toLong
+      val right = withRn.select(
+        (col(rnN) + delta).as(jk) +: lit(true).as(hit) +:
+          its.map { case (_, i) => col(xNames(i)).as(s"${tag}_v$i") }: _*)
+      d.join(right, col(rnN) === col(jk), "left_outer").drop(jk)
+    }
+    val finals = items.zipWithIndex.map { case ((alias, f, _, k, dflt), i) =>
+      val vt = joined.schema(s"${tag}_v$i").dataType
+      when(col(s"${tag}_h_${f}_$k").isNotNull, col(s"${tag}_v$i"))
+        .otherwise(lit(dflt).cast(vt)).as(alias)
+    }
+    val dropNames = Seq(rnN) ++ xNames ++
+      items.indices.map(i => s"${tag}_v$i") ++
+      byShift.map { case ((f, k), _) => s"${tag}_h_${f}_$k" }
+    joined.select(col("*") +: finals: _*).drop(dropNames: _*)
+  }
+
+  /** Is this an unpartitioned lag/lead IGNORE NULLS with a LARGE
+    * literal offset (> 1000 — past the carry-array cap)? The k-th
+    * non-null is a JOIN, not a window: the inclusive running count of
+    * non-nulls (distributed prefix scan over an explicit ROWS frame)
+    * ranks every non-null row uniquely, and row cur wants the non-null
+    * ranked cPrev − k + 1, where cPrev is cur's inclusive count minus
+    * its own non-null flag. Lead mirrors through the TRUE-reversed
+    * order (direction and null placement both flip). A join miss is
+    * the global boundary where the default applies.
+    */
+  private def isGlobalBigInShiftWin(f: String, args: Seq[BoundOperand],
+      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)]): Boolean =
+    parts.isEmpty && ord.nonEmpty && (f == "lag" || f == "lead") &&
+      args.lastOption.contains(
+        BoundOperand.BLit(Lit.LitString(Ast.IgnoreNullsSentinel))) &&
+      (args.dropRight(1).lift(1) match {
+        case Some(BoundOperand.BLit(Lit.LitLong(n))) => n > 1000
+        case _ => false
+      })
+
+  /** Attach large-offset IGNORE NULLS shifts (see
+    * isGlobalBigInShiftWin). Items: (name, lag|lead, lowered arg,
+    * offset, default). One rank column per item over the shared
+    * bucketing (forward order for lags, true-reversed for leads),
+    * materialized once; one compact equi-join per item against its own
+    * non-null rows keyed by their rank.
+    */
+  private def attachGlobalBigInShifts(spark: SparkSession, df0: DataFrame,
+      ordSpec: Seq[(Column, Ast.SortDir)],
+      items: Seq[(String, String, Column, Int, Any)]): DataFrame = {
+    val tag = s"__gbi${gowTag.incrementAndGet()}"
+    val xNames = items.indices.map(i => s"${tag}_x$i")
+    val withX = df0.select(col("*") +: items.zipWithIndex.map {
+      case ((_, _, x, _, _), i) => x.as(xNames(i)) }: _*)
+    def cN(i: Int) = s"${tag}_c$i"
+    val rowsPrefix = Ast.WinFrame(range = false, lo = Long.MinValue, hi = 0L)
+    val lags = items.zipWithIndex.filter { case ((_, f, _, _, _), _) => f == "lag" }
+    val leads = items.zipWithIndex.filter { case ((_, f, _, _, _), _) => f == "lead" }
+    val revSpec = ordSpec.map { case (c, dir) =>
+      (c, Ast.SortDir(!dir.desc, Some(!dir.nullsFirst.getOrElse(false)))) }
+    val d1 = if (lags.isEmpty) withX
+      else attachGlobalOrderedWins(spark, withX, ordSpec,
+        lags.map { case (_, i) =>
+          (cN(i), "count", Some(col(xNames(i))): Option[Column],
+            Some(rowsPrefix): Option[Ast.WinFrame]) })
+    val d2 = if (leads.isEmpty) d1
+      else attachGlobalOrderedWins(spark, d1, revSpec,
+        leads.map { case (_, i) =>
+          (cN(i), "count", Some(col(xNames(i))): Option[Column],
+            Some(rowsPrefix): Option[Ast.WinFrame]) })
+    val withC = materializeOnce(d2)
+    val joined = items.zipWithIndex.foldLeft(withC) {
+      case (d, ((_, _, _, k, _), i)) =>
+        val jk = s"${tag}_jk$i"
+        val hit = s"${tag}_h$i"
+        val cPrev = col(cN(i)) - col(xNames(i)).isNotNull.cast("long")
+        val right = withC.filter(col(xNames(i)).isNotNull)
+          .select(col(cN(i)).as(jk), lit(true).as(hit),
+            col(xNames(i)).as(s"${tag}_v$i"))
+        d.join(right, cPrev - (k - 1).toLong === col(jk), "left_outer")
+          .drop(jk)
+    }
+    val finals = items.zipWithIndex.map { case ((alias, _, _, _, dflt), i) =>
+      val vt = joined.schema(s"${tag}_v$i").dataType
+      when(col(s"${tag}_h$i").isNotNull, col(s"${tag}_v$i"))
+        .otherwise(lit(dflt).cast(vt)).as(alias)
+    }
+    val dropNames = xNames ++ items.indices.flatMap(i =>
+      Seq(cN(i), s"${tag}_v$i", s"${tag}_h$i"))
+    joined.select(col("*") +: finals: _*).drop(dropNames: _*)
+  }
+
+  /** Is this an unpartitioned DISTINCT running aggregate whose prefix
+    * frame LOOKS AHEAD (`f(DISTINCT x) OVER (ORDER BY … ROWS BETWEEN
+    * UNBOUNDED PRECEDING AND h FOLLOWING)`)? Every value in such a
+    * frame still has its first global occurrence INSIDE the frame, so
+    * the pre-attached first-occurrence mask turns it into an ordinary
+    * count/sum/avg over [start, cur+h] — which decomposes like the
+    * prefix scan WITH a bounded lookahead: earlier buckets contribute
+    * through exclusive-prefix totals, the in-bucket window runs
+    * [bucket start, cur+h] where the rows past the bucket edge are
+    * lead ghosts. Halo capped like the other ghost paths; RANGE
+    * lookahead (value distance) keeps the dedicated lowering.
+    */
+  private def isGlobalDistinctAheadWin(f: String, args: Seq[BoundOperand],
+      parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
+      frame: Option[Ast.WinFrame]): Boolean =
+    parts.isEmpty && ord.nonEmpty &&
+      args.lastOption.contains(
+        BoundOperand.BLit(Lit.LitString(Ast.DistinctSentinel))) &&
+      Set("count", "sum", "avg", "mean")(f) &&
+      frame.exists(fr => !fr.range && !fr.groups && !fr.temporal &&
+        fr.exclude == "none" && fr.lo == Long.MinValue &&
+        fr.hi > 0L && fr.hi != Long.MaxValue && fr.hi <= 1000L)
+
+  /** Attach one ORDER-spec group of DISTINCT look-ahead runnings (see
+    * isGlobalDistinctAheadWin). Items: (name, count|sum|avg, mask
+    * column, h). The in-bucket [bucket start, cur+h] windows evaluate
+    * over the ghost-extended union (first-maxH rows of every later
+    * bucket, ≤ P·h replicated rows — sorted strictly after the target
+    * bucket's real rows, so the prefix part never sees them); the
+    * per-bucket totals aggregate REAL rows only; the frame truncates
+    * at the global end exactly where the ghosts run out.
+    */
+  private def attachGlobalMaskAheadWins(spark: SparkSession, df0: DataFrame,
+      ordSpec: Seq[(Column, Ast.SortDir)],
+      items: Seq[(String, String, Column, Int)]): DataFrame = {
+    val tag = s"__gmaw${gowTag.incrementAndGet()}"
+    val pidN = s"${tag}_pid"
+    val ghostN = s"${tag}_ghost"
+    val ordNames = ordSpec.indices.map(i => s"${tag}_o$i")
+    val mNames = items.indices.map(i => s"${tag}_m$i")
+    val withOrd = df0.select(col("*") +:
+      (ordSpec.zipWithIndex.map { case ((c, _), i) => c.as(ordNames(i)) } ++
+        items.zipWithIndex.map { case ((_, _, m, _), i) =>
+          m.as(mNames(i)) }): _*)
+    val ordE = ordSpec.zipWithIndex.map { case ((_, d), i) =>
+      sortCol(col(ordNames(i)), d) }
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val bucketed = materializeOnce(withOrd
+      .repartitionByRange(nParts, ordE: _*)
+      .withColumn(pidN, spark_partition_id())
+      .withColumn(ghostN, lit(false)))
+    val maxLead = items.map(_._4).max
+    val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val pids = bucketed.select(col(pidN).as(s"${tag}_tp")).distinct()
+    val edgeN = s"${tag}_edge"
+    val wHead = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pidN)).orderBy(ordE: _*)
+    val heads = bucketed.withColumn(edgeN, row_number().over(wHead))
+      .filter(col(edgeN) <= maxLead).drop(edgeN)
+      .join(broadcast(pids), col(pidN) > col(s"${tag}_tp"))
+      .withColumn(pidN, col(s"${tag}_tp")).drop(s"${tag}_tp")
+      .withColumn(ghostN, lit(true))
+    val unioned = bucketed.unionByName(heads)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pidN)).orderBy(ordE: _*)
+    val inCols = items.zipWithIndex.flatMap { case ((_, f, _, h), i) =>
+      val w = wIn.rowsBetween(unb, h.toLong)
+      val m = col(mNames(i))
+      (if (f != "count") Seq(sum(m).over(w).as(s"${tag}_is$i")) else Nil) ++
+        (if (f != "sum") Seq(count(m).over(w).as(s"${tag}_ic$i")) else Nil)
+    }
+    val withIn = unioned.select(col("*") +: inCols: _*).filter(!col(ghostN))
+    val totAggs = items.zipWithIndex.flatMap { case ((_, f, _, _), i) =>
+      (if (f != "count")
+        Seq(sum(col(mNames(i))).as(s"${tag}_ts$i")) else Nil) ++
+        (if (f != "sum")
+          Seq(count(col(mNames(i))).as(s"${tag}_tc$i")) else Nil)
+    }
+    val totals = bucketed.groupBy(col(pidN)).agg(totAggs.head, totAggs.tail: _*)
+    val wPre = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pidN).asc).rowsBetween(unb, -1L)
+    val offCols = items.zipWithIndex.flatMap { case ((_, f, _, _), i) =>
+      (if (f != "count") Seq(sum(col(s"${tag}_ts$i")).over(wPre)
+        .as(s"${tag}_fs$i")) else Nil) ++
+        (if (f != "sum") Seq(sum(col(s"${tag}_tc$i")).over(wPre)
+          .as(s"${tag}_fc$i")) else Nil)
+    }
+    val offsets = totals.select(col(pidN) +: offCols: _*)
+    val joined = withIn.join(broadcast(offsets), Seq(pidN), "left_outer")
+    val finals = items.zipWithIndex.map { case ((alias, f, _, _), i) =>
+      lazy val sm = coalesce(col(s"${tag}_fs$i") + col(s"${tag}_is$i"),
+        col(s"${tag}_fs$i"), col(s"${tag}_is$i"))
+      lazy val cnt = coalesce(col(s"${tag}_fc$i"), lit(0L)) +
+        col(s"${tag}_ic$i")
+      (f match {
+        case "count" => cnt
+        case "sum"   => sm
+        // the distributed DISTINCT avg divides the exact sum by the
+        // exact count in DOUBLE, like the prefix-scan avg — gates cast
+        case _ => when(cnt === 0L, lit(null))
+          .otherwise(sm.cast("double") / cnt)
+      }).as(alias)
+    }
+    val dropNames = Seq(pidN, ghostN) ++ ordNames ++ mNames ++
+      items.indices.flatMap(i => Seq(s"${tag}_is$i", s"${tag}_ic$i",
+        s"${tag}_fs$i", s"${tag}_fc$i"))
+    joined.select(col("*") +: finals: _*).drop(dropNames: _*)
+  }
+
   /** Is this an unpartitioned lag/lead IGNORE NULLS the carry-array
     * prefix scan can compute? Literal offsets 1..1000 (offset 0 and
     * non-literal shapes keep the dedicated lowering). The lookback is
@@ -2214,27 +2599,46 @@ object Lowering {
     */
   private def isGlobalAggWin(f: String, args: Seq[BoundOperand],
       parts: Seq[BoundOperand], ord: Seq[(BoundOperand, Ast.SortDir)],
-      frame: Option[Ast.WinFrame]): Boolean =
+      frame: Option[Ast.WinFrame]): Boolean = {
+    // DISTINCT makes no difference to the rewrite's shape — the 1-row
+    // global aggregate just uses the distinct aggregate forms (min/max
+    // DISTINCT are no-ops); IGNORE NULLS keeps its dedicated lowering
+    val dist = args.lastOption.contains(
+      BoundOperand.BLit(Lit.LitString(Ast.DistinctSentinel)))
+    val argsR = if (dist) args.dropRight(1) else args
     parts.isEmpty &&
       ((ord.isEmpty && frame.isEmpty) ||
         frame.exists(fr => !fr.temporal && fr.lo == Long.MinValue &&
           fr.hi == Long.MaxValue && fr.exclude == "none")) &&
-      Set("count", "sum", "avg", "min", "max")(f) &&
-      args.lengthCompare(1) <= 0 &&
-      // DISTINCT / IGNORE NULLS ride as trailing string sentinels —
-      // those forms keep their dedicated lowerings
-      !args.exists {
+      (Set("count", "sum", "avg", "min", "max")(f) ||
+        (dist && f == "mean")) &&
+      (if (dist) argsR.lengthCompare(1) == 0 else argsR.lengthCompare(1) <= 0) &&
+      !argsR.exists {
         case BoundOperand.BLit(Lit.LitString(s)) => s.startsWith("__")
         case _ => false
       }
+  }
 
   private def globalAggCol(f: String, args: Seq[BoundOperand],
-      opLower: BoundOperand => Column): Column = f match {
-    case "count" => if (args.isEmpty) count(lit(1)) else count(opLower(args.head))
-    case "sum"   => sum(opLower(args.head))
-    case "avg"   => avg(opLower(args.head))
-    case "min"   => min(opLower(args.head))
-    case _       => max(opLower(args.head))
+      opLower: BoundOperand => Column): Column = {
+    val dist = args.lastOption.contains(
+      BoundOperand.BLit(Lit.LitString(Ast.DistinctSentinel)))
+    val argsR = if (dist) args.dropRight(1) else args
+    lazy val x = opLower(argsR.head)
+    (f, dist) match {
+      case ("count", false) =>
+        if (argsR.isEmpty) count(lit(1)) else count(x)
+      case ("count", true)        => count_distinct(x)
+      case ("sum", false)         => sum(x)
+      case ("sum", true)          => sum_distinct(x)
+      case ("avg" | "mean", true) =>
+        // all-NULL input → 0 distinct values → NULL, never a divide
+        val c = count_distinct(x)
+        when(c === 0L, lit(null)).otherwise(sum_distinct(x) / c)
+      case ("avg", false)         => avg(x)
+      case ("min", _)             => min(x)
+      case _                      => max(x)
+    }
   }
 
   /** Is `f(DISTINCT x) OVER w` rewritable to the scalable masked-running

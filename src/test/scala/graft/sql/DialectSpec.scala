@@ -5085,6 +5085,67 @@ class DialectSpec extends AnyFunSuite {
       r.toString)
   }
 
+  test("global big-offset shifts: row-number equi-join, no single partition") {
+    val db = freshDb()
+    db.query("CREATE TABLE gb (id INT, v INT)")
+    db.query("INSERT INTO gb SELECT i AS id, i * 10 AS v FROM range(1, 2001) r(i)")
+    val df = db.select("SELECT id, lag(v, 1500, -1) OVER (ORDER BY id) AS lg, " +
+      "lead(v, 1999) OVER (ORDER BY id) AS ld FROM gb ORDER BY id")
+      .fold(e => fail(e.msg), identity)
+    // scale pin: offsets past the ghost halo cap run as a hash join on
+    // the materialized prefix-scan row number — the only
+    // single-partition step is the ≤P-row totals window inside the scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+    val r = df.collect()
+    assert(r.length == 2000)
+    // row 1500 is the last default; 1501 sees row 1's value
+    val lg = r.map(x => x.getInt(1))
+    assert(lg(1499) == -1 && lg(1500) == 10 && lg(1999) == 5000, lg.take(5).toSeq)
+    // lead 1999: only row 1 has a partner (row 2000)
+    assert(r(0).getInt(2) == 20000 && r(1).isNullAt(2), r(0).toString)
+    // IGNORE NULLS past the carry cap: the k-th non-null is an
+    // equi-join on the non-null rank (ids divisible by 3 are NULL →
+    // 1334 non-nulls; lag 1100 IGNORE NULLS first lands at the row
+    // whose prefix holds 1100 non-nulls)
+    db.query("CREATE TABLE gbn (id INT, v INT)")
+    db.query("INSERT INTO gbn SELECT i AS id, CASE WHEN i % 3 = 0 " +
+      "THEN NULL ELSE i * 10 END AS v FROM range(1, 2001) r(i)")
+    val rn = db.select("SELECT sum(CASE WHEN lg IS NULL THEN 0 ELSE lg " +
+      "END) AS s1, count(lg) AS c1 FROM (SELECT lag(v, 1100 IGNORE NULLS) " +
+      "OVER (ORDER BY id) AS lg FROM gbn) t")
+      .fold(e => fail(e.msg), _.collect()).head
+    assert((rn.getLong(0), rn.getLong(1)) == (615420L, 351L), rn.toString)
+  }
+
+  test("global DISTINCT: look-ahead frames, OVER (), whole-input") {
+    val db = freshDb()
+    db.query("CREATE TABLE gm (id INT, v INT)")
+    db.query("INSERT INTO gm VALUES (1, 10), (2, 10), (3, 5), (4, NULL), " +
+      "(5, 5), (6, 7), (7, 10), (8, NULL)")
+    // distinct-so-far-plus-2-ahead by id: {10}∪ahead{10,5}→2, … the
+    // mask's first occurrences sit at ids 1,3,6; dct/dsw are the
+    // broadcast global distinct aggregate (3 values: 10,5,7 → 22)
+    val df = db.select("SELECT id, " +
+      "count(DISTINCT v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND 2 FOLLOWING) AS dc, " +
+      "sum(DISTINCT v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND 1 FOLLOWING) AS ds, " +
+      "count(DISTINCT v) OVER () AS dct, " +
+      "sum(DISTINCT v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND UNBOUNDED FOLLOWING) AS dsw " +
+      "FROM gm ORDER BY id").fold(e => fail(e.msg), identity)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // OVER () rewrite
+    val r = df.collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+      x.getLong(3), x.getLong(4))).toSeq
+    assert(r == Seq(
+      (1, 2L, 10L, 3L, 22L), (2, 2L, 15L, 3L, 22L), (3, 2L, 15L, 3L, 22L),
+      (4, 3L, 15L, 3L, 22L), (5, 3L, 22L, 3L, 22L), (6, 3L, 22L, 3L, 22L),
+      (7, 3L, 22L, 3L, 22L), (8, 3L, 22L, 3L, 22L)), r.toString)
+  }
+
   test("global IGNORE NULLS shifts: per-bucket carry arrays") {
     val db = freshDb()
     db.query("CREATE TABLE gi (id INT, v INT)")
