@@ -1487,7 +1487,16 @@ object Analyzer {
       case "list_count" => SqlType.SqlBigInt
       case _          => SqlType.SqlDouble // sqrt / power / exp / ln / log10 / log2
     }
-    case BoundOperand.BCase(bs, _) => operandType(bs.head._2)
+    // CASE types from its first NON-NULL-literal branch (THEN values,
+    // then ELSE): a bare NULL literal carries the VARCHAR(1) fallback
+    // type, and `CASE WHEN c THEN NULL ELSE round(x) END` must type as
+    // the value branch, not the fallback — the VARCHAR mis-type made
+    // downstream numeric positions (sum over a derived column) reject
+    case BoundOperand.BCase(bs, els) =>
+      (bs.map(_._2) ++ els.toSeq).find {
+        case BoundOperand.BLit(Lit.LitNull) => false
+        case _                              => true
+      }.map(operandType).getOrElse(SqlType.SqlVarChar(1))
     case BoundOperand.BSubVal(sub, _, _, _) => scalarOutputType(sub)
     case BoundOperand.BLambda(_, b)    => operandType(b)
     case BoundOperand.BLambdaVar(_, t) => t

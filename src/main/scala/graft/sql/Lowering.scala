@@ -2075,28 +2075,43 @@ object Lowering {
       sortCol(col(ordNames(i)), d) }
     val nParts = spark.sessionState.conf.numShufflePartitions
     val giN = s"${tag}_gi"
+    val idxN = s"${tag}_ix"
     val wIn0 = org.apache.spark.sql.expressions.Window
       .partitionBy(col(pidN)).orderBy(ordE: _*)
-    // the in-bucket PEER-GROUP index: min/max peer exclusion frames run
-    // over this integer rank, not the value key — Spark's RANGE frame
-    // for a NULL order key collapses to the null peer group (mixed
-    // unbounded/offset bounds included), where SQL's unbounded bound
-    // reaches the whole input; dense_rank is never NULL and sorts the
-    // null group exactly where the ORDER BY put it, so
-    // rangeBetween(-inf,-1) over it is precisely "all earlier peer
-    // groups" for every row (fuzz probe caught the divergence)
+    // min/max split into before/after parts, and BOTH directions must
+    // be EXPANDING frames: Spark's (bounded-start, UnboundedFollowing)
+    // frame recomputes the aggregate from scratch every time the lower
+    // bound moves — O(bucket²); the scale probe measured the suffix
+    // windows super-linear (α≈1.1, 65 s at sf1). So the bucketing
+    // materializes an in-bucket PEER-GROUP index (dense_rank — for
+    // RANGE peer exclusion; never NULL, unlike the value key, whose
+    // NULL rows Spark's range frame collapses to the null peer group
+    // even under an UNBOUNDED bound — fuzz probe caught the
+    // divergence) and a unique ROW index (row_number — for ROWS row
+    // exclusion), and the after-part runs as a PREFIX frame over the
+    // REVERSED index: an exact complement (the index is unique/peer
+    // -consistent, so ties cannot reshuffle between the two sorts),
+    // incremental in both directions.
     val needGi = items.exists { case (_, f, _, fr) =>
       Set("min", "max")(f) && fr.range }
+    val needIdx = items.exists { case (_, f, _, _) => Set("min", "max")(f) }
     val preBucketed = withOrd
       .repartitionByRange(nParts, ordE: _*)
       .withColumn(pidN, spark_partition_id())
-    val bucketed = materializeOnce(
+    val preGi =
       if (needGi) preBucketed.withColumn(giN, dense_rank().over(wIn0))
-      else preBucketed)
+      else preBucketed
+    val bucketed = materializeOnce(
+      if (needIdx) preGi.withColumn(idxN, row_number().over(wIn0))
+      else preGi)
     val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(pidN)).orderBy(ordE: _*)
+      .partitionBy(col(pidN)).orderBy(col(idxN).asc)
+    val wInRev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pidN)).orderBy(col(idxN).desc)
     val wGi = org.apache.spark.sql.expressions.Window
       .partitionBy(col(pidN)).orderBy(col(giN).asc)
+    val wGiRev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pidN)).orderBy(col(giN).desc)
     val peerKeys = col(pidN) +: ordNames.map(col)
     val wPeer = org.apache.spark.sql.expressions.Window
       .partitionBy(peerKeys: _*)
@@ -2160,13 +2175,20 @@ object Lowering {
             def cmb(cs: Seq[Column]) =
               if (isMin) least(cs: _*) else greatest(cs: _*)
             val (wp, ws) =
-              if (fr.range) (wGi.rangeBetween(unb, -1L), wGi.rangeBetween(1L, unf))
-              else (wIn.rowsBetween(unb, -1L), wIn.rowsBetween(1L, unf))
+              if (fr.range) (wGi.rangeBetween(unb, -1L),
+                wGiRev.rangeBetween(unb, -1L))
+              else (wIn.rowsBetween(unb, -1L), wInRev.rowsBetween(unb, -1L))
+            // all-but-self within the peer group: prefix frames over
+            // the unique row index in BOTH directions (any total order
+            // covers all-but-self; the expanding shape keeps a
+            // pathological giant peer group incremental too)
             val pes = if (fr.range && mode == "current") {
-              val pw2 = org.apache.spark.sql.expressions.Window
-                .partitionBy(peerKeys: _*).orderBy(x)
-              Seq(cmb(Seq(agg(x).over(pw2.rowsBetween(unb, -1L)),
-                agg(x).over(pw2.rowsBetween(1L, unf)))).as(inN("e")))
+              val pwA = org.apache.spark.sql.expressions.Window
+                .partitionBy(peerKeys: _*).orderBy(col(idxN).asc)
+              val pwD = org.apache.spark.sql.expressions.Window
+                .partitionBy(peerKeys: _*).orderBy(col(idxN).desc)
+              Seq(cmb(Seq(agg(x).over(pwA.rowsBetween(unb, -1L)),
+                agg(x).over(pwD.rowsBetween(unb, -1L)))).as(inN("e")))
             } else Nil
             val base = Seq(col(offN("p")), col(inN("p")),
               col(inN("s")), col(offN("s")))
@@ -2192,7 +2214,7 @@ object Lowering {
     val joined = withIn.join(broadcast(offsets), Seq(pidN), "left_outer")
     val finals = items.zipWithIndex.map { case ((alias, _, _, _), j) =>
       parts4(j)._4.as(alias) }
-    val dropNames = Seq(pidN, giN) ++ ordNames ++
+    val dropNames = Seq(pidN, giN, idxN) ++ ordNames ++
       items.indices.flatMap(j =>
         Seq("gc", "gs", "p", "s", "e").map(c => s"${tag}_in${j}_$c") ++
           Seq("c", "s", "m").map(c => s"${tag}_t${j}_$c") ++

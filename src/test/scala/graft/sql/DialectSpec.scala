@@ -5146,6 +5146,23 @@ class DialectSpec extends AnyFunSuite {
       (7, 3L, 22L, 3L, 22L), (8, 3L, 22L, 3L, 22L)), r.toString)
   }
 
+  test("CASE with a NULL first branch types from the value branch") {
+    // regression: BCase typed from branches.head — a bare NULL literal
+    // carries the VARCHAR(1) fallback, so `CASE WHEN c THEN NULL ELSE
+    // round(x) END` mis-typed VARCHAR and a sum over the derived
+    // column rejected with "bad aggregate: sum over non-numeric"
+    val db = freshDb()
+    db.query("CREATE TABLE ct (id INT, v DOUBLE)")
+    db.query("INSERT INTO ct VALUES (1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)")
+    val r = db.select("SELECT sum(k) AS s, count(k) AS c FROM " +
+      "(SELECT CASE WHEN id % 4 = 0 THEN NULL ELSE round(v) END AS k " +
+      "FROM ct) t").fold(e => fail(e.msg), _.collect()).head
+    assert((r.getDouble(0), r.getLong(1)) == (60.0, 3L), r.toString)
+    // all-NULL branches keep the fallback (still a valid query shape)
+    assert(db.select("SELECT CASE WHEN id > 0 THEN NULL END AS k FROM ct")
+      .isRight)
+  }
+
   test("global IGNORE NULLS shifts: per-bucket carry arrays") {
     val db = freshDb()
     db.query("CREATE TABLE gi (id INT, v INT)")
