@@ -2537,6 +2537,12 @@ object Lowering {
     // in-bucket index (orders the collected candidates globally within
     // their bucket) + per-item non-null counts: before the row for lag,
     // after it for lead — both also select the last-k/first-k candidates
+    // the after-count computes as whole-bucket total minus inclusive
+    // prefix — Spark's (1, UnboundedFollowing) frame re-aggregates per
+    // row (O(bucket²); the WinScaleProbe sweep measured that frame
+    // shape super-linear in the whole-input EXCLUDE lowering)
+    val wPart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pidN))
     val withIdx = bucketed.select(col("*") +:
       (row_number().over(wIn).as(gidxN) +:
         items.zipWithIndex.map { case ((_, f, _, _, _), j) =>
@@ -2544,7 +2550,8 @@ object Lowering {
           if (f == "lag")
             count(x).over(wIn.rowsBetween(ub, -1L)).as(cntN(j))
           else
-            count(x).over(wIn.rowsBetween(1L, uf)).as(cntN(j))
+            (count(x).over(wPart) -
+              count(x).over(wIn.rowsBetween(ub, 0L))).as(cntN(j))
         }): _*)
     // candidate flag rides a REVERSED-order running count for lag (the
     // bucket's last k non-nulls) / the forward count for lead (first k);

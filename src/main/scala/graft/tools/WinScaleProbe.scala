@@ -58,6 +58,14 @@ object WinScaleProbe {
           "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS nv " +
           "FROM (SELECT o_orderkey, CASE WHEN o_orderkey % 4 = 0 THEN NULL " +
           "ELSE round(o_totalprice) END AS k FROM orders) b) t"),
+      "carry_ignore_nulls" ->
+        ("SELECT sum(CASE WHEN ld IS NULL THEN 0 ELSE ld END) AS s FROM " +
+          "(SELECT lead(k, 3 IGNORE NULLS) OVER (ORDER BY o_orderkey) AS ld " +
+          "FROM (SELECT o_orderkey, CASE WHEN o_orderkey % 4 = 0 THEN NULL " +
+          "ELSE round(o_totalprice) END AS k FROM orders) b) t"),
+      "ghost_shift" ->
+        ("SELECT sum(lg) AS s FROM (SELECT lag(round(o_totalprice), 3, -1.0) " +
+          "OVER (ORDER BY o_orderkey) AS lg FROM orders) t"),
       "prefix_scan_ref" ->
         ("SELECT max(rk) AS s FROM (SELECT rank() OVER " +
           "(ORDER BY o_totalprice DESC) AS rk FROM orders) t"))
