@@ -2907,8 +2907,18 @@ object Lowering {
     val exclMode = frame.filter(fr => fr.lo <= 0L && fr.hi >= 0L)
       .map(_.exclude).getOrElse("none")
     if (exclMode == "none") fn.over(w)
-    else exclusionCol(f, argsR.headOption.map(opLower), frame.get, w, w1,
-      parts.map(opLower) ++ ord.map(o => opLower(o._1)), exclMode)
+    else {
+      // the TRUE-reversed order spec (direction AND null placement
+      // flip) for tie-safe RANGE whole-tail suffixes — see exclusionCol
+      val wRev =
+        if (ord.nonEmpty && !frame.exists(_.groups) && !temporalRange)
+          Some(w0.orderBy(ord.map { case (op, dir) =>
+            sortCol(opLower(op), Ast.SortDir(!dir.desc,
+              Some(!dir.nullsFirst.getOrElse(false)))) }: _*))
+        else None
+      exclusionCol(f, argsR.headOption.map(opLower), frame.get, w, w1,
+        parts.map(opLower) ++ ord.map(o => opLower(o._1)), exclMode, wRev)
+    }
   }
 
   /** Frame-exclusion lowering, shared by the dedicated window path and
@@ -2933,7 +2943,20 @@ object Lowering {
   private def exclusionCol(f: String, cOpt: Option[Column],
       fr: Ast.WinFrame, w: org.apache.spark.sql.expressions.WindowSpec,
       w1: org.apache.spark.sql.expressions.WindowSpec,
-      pwKeys: Seq[Column], exclMode: String): Column = {
+      pwKeys: Seq[Column], exclMode: String,
+      /** The frameless partition + TRUE-REVERSED-order spec, when the
+        * caller can build one: a RANGE suffix sub-frame reaching the
+        * partition end (`[1, UNBOUNDED FOLLOWING]`) evaluates as a
+        * PREFIX frame over it — value-based, so ties cannot reshuffle
+        * between the two sorts — because Spark's (bounded-start,
+        * UnboundedFollowing) frame re-aggregates per row, O(partition²)
+        * (the WinScaleProbe sweep measured that shape super-linear).
+        * ROWS suffixes keep the direct frame: a reversed ROW split is
+        * only exact when tie positions complement, which two
+        * independent sorts do not guarantee.
+        */
+      revOrd: Option[org.apache.spark.sql.expressions.WindowSpec] = None)
+      : Column = {
     lazy val pw = org.apache.spark.sql.expressions.Window
       .partitionBy(pwKeys: _*)
     def cntSub(c: Option[Column]): Column = {
@@ -2984,9 +3007,13 @@ object Lowering {
         }
         def subFrame(loB: Long, hiB: Long): Option[Column] =
           if (loB > hiB) None
-          else Some(agg(c).over(
-            if (fr.range) w1.rangeBetween(loB, hiB)
-            else w1.rowsBetween(loB, hiB)))
+          else revOrd match {
+            case Some(rev) if fr.range && loB == 1L && hiB == Long.MaxValue =>
+              Some(agg(c).over(rev.rangeBetween(Long.MinValue, -1L)))
+            case _ => Some(agg(c).over(
+              if (fr.range) w1.rangeBetween(loB, hiB)
+              else w1.rowsBetween(loB, hiB)))
+          }
         val prefix = subFrame(fr.lo, -1L)
         val suffix = subFrame(1L, fr.hi)
         lazy val pw2 = org.apache.spark.sql.expressions.Window

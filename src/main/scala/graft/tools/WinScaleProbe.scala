@@ -66,6 +66,12 @@ object WinScaleProbe {
       "ghost_shift" ->
         ("SELECT sum(lg) AS s FROM (SELECT lag(round(o_totalprice), 3, -1.0) " +
           "OVER (ORDER BY o_orderkey) AS lg FROM orders) t"),
+      "part_whole_exclude" ->
+        ("SELECT sum(mg) AS s FROM (SELECT min(p) OVER " +
+          "(PARTITION BY o_custkey % 50 ORDER BY k RANGE BETWEEN " +
+          "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS mg " +
+          "FROM (SELECT o_custkey, round(o_totalprice) AS p, " +
+          "CAST(o_orderkey % 1000 AS INT) AS k FROM orders) b) t"),
       "prefix_scan_ref" ->
         ("SELECT max(rk) AS s FROM (SELECT rank() OVER " +
           "(ORDER BY o_totalprice DESC) AS rk FROM orders) t"))
