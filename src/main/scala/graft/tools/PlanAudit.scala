@@ -59,7 +59,8 @@ object PlanAudit {
     }
 
     final case class Audit(allowed: Map[String, Int],
-        violations: Seq[String], cartesians: Seq[String], err: Option[String])
+        violations: Seq[String], cartesians: Seq[String], err: Option[String],
+        shrinking: Int = 0)
 
     def classify(e: SparkPlan): String = {
       val childStr = e.children.map(_.toString).mkString("\n")
@@ -76,11 +77,25 @@ object PlanAudit {
       else "VIOLATION"
     }
 
+    // A SHRINKING window frame — (bounded-start, UnboundedFollowing) —
+    // re-aggregates the remaining rows each time the lower bound moves:
+    // O(partition²). The round-15 scale probe measured the shape
+    // super-linear before the distributed paths were rewritten; this
+    // counter tracks the remaining instances (informational, committed
+    // in the artifact so a NEW one shows as a diff): the ≤P-row totals
+    // windows carry a `_pid` column (scale-free, skipped), the rest are
+    // the dedicated path's peer-group/ROWS-tail splits — peer-bounded
+    // or documented in SCALE.md.
+    val shrinkRe =
+      ("specifiedwindowframe\\((?:Row|Range)Frame, " +
+        "(?!unboundedpreceding)[^,]+, unboundedfollowing").r
+
     def audit(p0: SparkPlan): Audit = {
       val p = unwrap(p0)
       var allowed = Map.empty[String, Int].withDefaultValue(0)
       val bad = Seq.newBuilder[String]
       val cart = Seq.newBuilder[String]
+      var shrink = 0
       def walk(n: SparkPlan): Unit = {
         n match {
           case e: ShuffleExchangeLike
@@ -92,6 +107,10 @@ object PlanAudit {
             }
           case c if c.nodeName.contains("CartesianProduct") =>
             cart += c.toString.linesIterator.take(6).mkString("\n")
+          case w if w.nodeName.contains("Window") =>
+            val self = w.verboseString(1000)
+            if (!self.contains("_pid"))
+              shrink += shrinkRe.findAllIn(self).length
           case _ => ()
         }
         n.children.foreach(walk)
@@ -99,7 +118,7 @@ object PlanAudit {
         n.subqueries.foreach(s => walk(unwrap(s)))
       }
       walk(p)
-      Audit(allowed, bad.result(), cart.result(), None)
+      Audit(allowed, bad.result(), cart.result(), None, shrink)
     }
 
     def jq(s: String): String = "\"" + s.flatMap {
@@ -116,7 +135,7 @@ object PlanAudit {
       (a.allowed.keySet ++ b.allowed.keySet).map(k =>
         k -> (a.allowed.getOrElse(k, 0) + b.allowed.getOrElse(k, 0))).toMap,
       a.violations ++ b.violations, a.cartesians ++ b.cartesians,
-      a.err.orElse(b.err))
+      a.err.orElse(b.err), a.shrinking + b.shrinking)
 
     // materialization boundaries (lazy checkpoints) replace their
     // upstream plan with a Scan ExistingRDD leaf — the prefix-scan /
@@ -139,7 +158,7 @@ object PlanAudit {
             subs.map(audit).foldLeft(top)(merge)
           } catch { case e: Throwable =>
             Audit(Map.empty, Nil, Nil, Some(s"${e.getClass.getSimpleName}: ${
-              Option(e.getMessage).getOrElse("").take(200)}"))
+              Option(e.getMessage).getOrElse("").take(200)}"), 0)
           }
         entries += name -> a
         val v = a.violations.length + a.cartesians.length
@@ -155,9 +174,11 @@ object PlanAudit {
       val vi = a.violations.map(jq).mkString("[", ",", "]")
       val ca = a.cartesians.map(jq).mkString("[", ",", "]")
       s"${jq(n)}:{" + s""""allowed":$al,"violations":$vi,"cartesians":$ca""" +
+        (if (a.shrinking > 0) s""","shrinking":${a.shrinking}""" else "") +
         a.err.map(e => s""","err":${jq(e)}""").getOrElse("") + "}"
     }.mkString(",\n  ")
-    val json = s"""{"summary":{"queries":${entries.length},"violations":$nViol,"errors":$nErr,"sf":${jq(sfDir)}},
+    val nShrink = entries.map(_._2.shrinking).sum
+    val json = s"""{"summary":{"queries":${entries.length},"violations":$nViol,"errors":$nErr,"shrinking":$nShrink,"sf":${jq(sfDir)}},
   "allow_classes":["prefix_totals","agg_final","limit","topk_window","tiny_literal"],
   "queries":{
   $body
@@ -165,7 +186,7 @@ object PlanAudit {
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     println(s"[planaudit] ${entries.length} queries, $nViol violations, " +
-      s"$nErr errors -> $outFile")
+      s"$nShrink shrinking frames, $nErr errors -> $outFile")
     spark.stop()
     if (nViol > 0 || nErr > 0) sys.exit(1)
   }
