@@ -171,44 +171,69 @@ object Dedup {
     *   jobs; requires the caller to have set a checkpoint dir.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false, hopsPerRound: Int = 1): DataFrame = {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     if (reliable)
       require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliable connectedComponents needs sparkContext.setCheckpointDir")
     // Checkpoint (NOT cache) on every iteration product: the jump
-    // self-join references the previous round's frame twice, so with lazy
-    // lineage the LOGICAL plan doubles per round and Catalyst
+    // self-joins reference the previous round's frame repeatedly, so with
+    // lazy lineage the LOGICAL plan doubles per round and Catalyst
     // re-optimization time explodes exponentially even though execution
     // would hit the caches — the classic iterative-algorithm trap.
     // Checkpointing truncates the plan to the materialized partitions, so
     // every round optimizes a constant-size plan. localCheckpoint trades
     // executor-loss recovery for speed (the gate/bench default); reliable
     // jobs checkpoint to the fault-tolerant dir — same plan shape.
+    //
+    // Checkpoints are EAGER (lazy chains measured slower here), and the
+    // new leaf DROPS the origin plan's estimated statistics: checkpoint
+    // copies them in, Catalyst's join estimate is the PRODUCT of child
+    // sizes, so a fixpoint compounds sizeInBytes into a BigInt whose
+    // digit count quadruples per round — by round ~9 the OPTIMIZER was
+    // the measured bottleneck (77 s in BigInteger.multiply on 1,100
+    // label rows). See graftbridge.Bridge.dropOriginStats.
     def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      org.apache.spark.sql.graftbridge.Bridge.dropOriginStats(
+        if (reliable) df.checkpoint() else df.localCheckpoint())
     val edges = ckpt(pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v"))))
     var labels = ckpt(edges.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id")))
+    // One full propagation hop: adopt the min label among self+neighbors,
+    // then compress one level through the label graph (pointer jumping —
+    // labels are node ids and only ever decrease, so lbl[lbl[x]] ≤ lbl[x]).
+    // The `old` column (round-start label) threads through for the
+    // convergence count. Alias names are per-hop so the nested self-joins
+    // resolve unambiguously.
+    def hop(l: DataFrame, h: Int): DataFrame = {
+      val nbrMin = edges
+        .join(l.select(col("id").as("v"), col("lbl").as(s"vlbl$h")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min(s"vlbl$h").as(s"nlbl$h"))
+      val stepped = l.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"), col("old"),
+          least(col("lbl"), coalesce(col(s"nlbl$h"), col("lbl"))).as("lbl"))
+      stepped.as(s"x$h")
+        .join(stepped.select(col("id").as(s"pid$h"), col("lbl").as(s"plbl$h")),
+          col(s"x$h.lbl") === col(s"pid$h"), "left_outer")
+        .select(col(s"x$h.id").as("id"), col(s"x$h.old").as("old"),
+          least(col(s"x$h.lbl"),
+            coalesce(col(s"plbl$h"), col(s"x$h.lbl"))).as("lbl"))
+    }
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val t0 = System.nanoTime()
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), Seq("v"))
-        .groupBy(col("u").as("id")).agg(min("lbl").as("nlbl"))
-      val stepped = ckpt(labels.withColumnRenamed("lbl", "old")
-        .join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"), col("old"),
-          least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"))
-      ) // checkpointed: referenced twice by the jump self-join below
-      // pointer jumping: follow the label one hop (labels are node ids,
-      // and label values only ever decrease, so lbl[lbl[x]] ≤ lbl[x])
-      val next = ckpt(stepped.as("x")
-        .join(stepped.select(col("id").as("pid"), col("lbl").as("plbl")),
-          col("x.lbl") === col("pid"), "left_outer")
-        .select(col("x.id").as("id"), col("x.old").as("old"),
-          least(col("x.lbl"), coalesce(col("plbl"), col("x.lbl"))).as("lbl")))
+      // hopsPerRound chains extra propagation hops into one materialized
+      // round — same total shuffle work, fewer materializations/counts.
+      // Default 1: at gate scale the deeper per-round plan costs more in
+      // driver analysis than the saved actions (A/B'd in CcProbe, noisy
+      // host); at cluster scale, where per-round fixed cost dominates,
+      // callers can raise it. The un-checkpointed intermediate frames sit
+      // between two materialized leaves, so the per-round plan stays
+      // constant-size either way.
+      val start = labels.select(col("id"), col("lbl").as("old"), col("lbl"))
+      val next = ckpt((1 to hopsPerRound).foldLeft(start)(hop))
       changed = next.filter(col("lbl") =!= col("old")).count()
       if (debug) System.err.println(
         f"[cc] round $iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
