@@ -173,6 +173,7 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       reliable: Boolean = false, hopsPerRound: Int = 1): DataFrame = {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    val hops = sys.env.get("GRAFT_CC_HOPS").map(_.toInt).getOrElse(hopsPerRound)
     if (reliable)
       require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliable connectedComponents needs sparkContext.setCheckpointDir")
@@ -187,17 +188,48 @@ object Dedup {
     // jobs checkpoint to the fault-tolerant dir — same plan shape.
     //
     // Checkpoints are EAGER (lazy chains measured slower here), and the
-    // new leaf DROPS the origin plan's estimated statistics: checkpoint
-    // copies them in, Catalyst's join estimate is the PRODUCT of child
-    // sizes, so a fixpoint compounds sizeInBytes into a BigInt whose
-    // digit count quadruples per round — by round ~9 the OPTIMIZER was
-    // the measured bottleneck (77 s in BigInteger.multiply on 1,100
-    // label rows). See graftbridge.Bridge.dropOriginStats.
+    // new leaf's inherited size estimate is CAPPED: checkpoint copies the
+    // origin plan's estimated stats in, Catalyst's join estimate is the
+    // PRODUCT of child sizes, so a fixpoint compounds sizeInBytes into a
+    // BigInt whose digit count quadruples per round — by round ~9 the
+    // OPTIMIZER was the measured bottleneck (77 s in BigInteger.multiply
+    // on 1,100 label rows). See graftbridge.Bridge.capStats.
     def ckpt(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.Bridge.dropOriginStats(
+      org.apache.spark.sql.graftbridge.Bridge.capStats(
         if (reliable) df.checkpoint() else df.localCheckpoint())
+    // The loop runs with adaptive execution OFF (saved/restored around the
+    // fixpoint): with AQE on, EVERY Exchange is a separately scheduled
+    // query-stage job with its own re-optimization round-trip, and this
+    // loop's wall clock is job-count-dominated, not data-dominated
+    // (measured: 113 jobs ≈ one per exchange — ~50 ms each — for a
+    // 12-round CC over 1,100 labels; statically planned it is ~3 jobs per
+    // round). AQE's runtime benefits don't apply here: every per-round
+    // plan is the same bounded two-join shape over already-materialized
+    // leaves, partition counts are fixed by the session, and there is
+    // nothing for runtime re-planning to discover that the next round
+    // wouldn't rediscover from scratch. (An explicit co-partitioning
+    // variant — edges by v, labels by id, shared partition count — was
+    // measured WORSE under AQE: 130 jobs, the extra repartitions became
+    // stages of their own.)
+    val session = pairs.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val aqeBefore = session.conf.get(aqeKey, "true")
+    val partsBefore = session.conf.get(partsKey)
+    session.conf.set(aqeKey, "false")
+    try {
     val edges = ckpt(pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v"))))
+    // Static stand-in for AQE's partition coalescing: the loop's shuffle
+    // width derives from the MEASURED edge count (~2M edge rows ≈ 100 MB
+    // per partition), capped at the session's parallelism — a 1B-edge
+    // graph keeps the cluster-default width, the gate's 1,800-edge graph
+    // gets 1, so the statically-planned rounds don't run a fleet of
+    // empty tasks per exchange. Scale-adaptive, never a local constant.
+    val parts = math.max(1L, math.min(
+      session.sparkContext.defaultParallelism.toLong,
+      edges.count() / 2000000L + 1L)).toInt
+    session.conf.set(partsKey, parts.toString)
     var labels = ckpt(edges.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id")))
     // One full propagation hop: adopt the min label among self+neighbors,
@@ -225,15 +257,12 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val t0 = System.nanoTime()
       // hopsPerRound chains extra propagation hops into one materialized
-      // round — same total shuffle work, fewer materializations/counts.
-      // Default 1: at gate scale the deeper per-round plan costs more in
-      // driver analysis than the saved actions (A/B'd in CcProbe, noisy
-      // host); at cluster scale, where per-round fixed cost dominates,
-      // callers can raise it. The un-checkpointed intermediate frames sit
-      // between two materialized leaves, so the per-round plan stays
-      // constant-size either way.
+      // round — same total shuffle work, fewer materializations and
+      // convergence counts per unit of propagation; the un-checkpointed
+      // intermediate frames sit between two materialized leaves, so the
+      // per-round plan stays constant-size either way.
       val start = labels.select(col("id"), col("lbl").as("old"), col("lbl"))
-      val next = ckpt((1 to hopsPerRound).foldLeft(start)(hop))
+      val next = ckpt((1 to hops).foldLeft(start)(hop))
       changed = next.filter(col("lbl") =!= col("old")).count()
       if (debug) System.err.println(
         f"[cc] round $iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -242,6 +271,10 @@ object Dedup {
     }
     lastCcRounds = iter
     labels.select(col("id"), col("lbl").as("cluster"))
+    } finally {
+      session.conf.set(aqeKey, aqeBefore)
+      session.conf.set(partsKey, partsBefore)
+    }
   }
 
   /** The minhash dup-cluster assignment (connected components over the

@@ -1563,12 +1563,20 @@ object Lowering {
     if (MaterializeAudit.enabled)
       MaterializeAudit.plans.add(df.queryExecution.executedPlan)
     val spark = df.sparkSession
-    if (spark.conf.get("graft.reliableCheckpoint", "false").toBoolean) {
-      if (spark.sparkContext.getCheckpointDir.isEmpty)
-        spark.sparkContext.setCheckpointDir(java.nio.file.Files
-          .createTempDirectory("graft-ckpt").toString)
-      df.checkpoint(eager)
-    } else df.localCheckpoint(eager)
+    // capStats: checkpoint leaves inherit the origin plan's ESTIMATED
+    // stats; join estimates are products of child sizes, so fixpoint
+    // loops (recursive CTEs) that chain materializations compound the
+    // BigInt geometrically until the OPTIMIZER is the bottleneck
+    // (measured in the CC operator: 77 s inside BigInteger.multiply).
+    // The cap is the identity for every real statistic — broadcast
+    // decisions from genuinely small frames are untouched.
+    org.apache.spark.sql.graftbridge.Bridge.capStats(
+      if (spark.conf.get("graft.reliableCheckpoint", "false").toBoolean) {
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(java.nio.file.Files
+            .createTempDirectory("graft-ckpt").toString)
+        df.checkpoint(eager)
+      } else df.localCheckpoint(eager))
   }
 
   private def attachGlobalOrderedWins(spark: SparkSession, df0: DataFrame,

@@ -13,32 +13,35 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Rebuild a checkpointed DataFrame's LogicalRDD leaf WITHOUT the origin
-    * plan's estimated statistics (keeping the materialized RDD,
-    * partitioning and ordering — zero recompute, zero row conversion).
-    *
-    * Why: `Dataset.(local)checkpoint` copies the origin plan's ESTIMATED
-    * stats into the new leaf, and Catalyst's size-only join estimate is
-    * the PRODUCT of child sizes — so a fixpoint loop (connected
-    * components, recursive CTEs) compounds sizeInBytes multiplicatively
-    * per round. The estimate is a BigInt: its digit count grows
-    * geometrically, and by round ~9 the OPTIMIZER itself is the
-    * bottleneck (measured: 77 s inside BigInteger.multiply on a
-    * 1,100-row label frame). Dropping originStats resets each round's
-    * leaf to the unknown-size default, which keeps every round's
-    * estimation constant-cost. Estimates only ever OVER-estimated here
-    * (products of sizes), so the replacement default changes no join
-    * strategy the compounded stats would have allowed.
+  /** Cap a checkpointed DataFrame's inherited size/rowCount estimates at
+    * Long.MaxValue — the identity for every sane estimate, a bound for the
+    * multiplicative garbage above. Join estimates are PRODUCTS of child
+    * sizes, so an iterative fixpoint whose leaves inherit origin stats
+    * (see dropOriginStats) compounds the BigInt geometrically; capping at
+    * the leaf keeps every round's estimation constant-cost while real,
+    * small statistics (and the broadcast decisions they enable) pass
+    * through untouched. Constraints are preserved.
     */
-  def dropOriginStats(df: org.apache.spark.sql.DataFrame)
+  def capStats(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
     ds.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession,
-          new org.apache.spark.sql.execution.LogicalRDD(
-            l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
-            l.isStreaming, l.stream)(ds.sparkSession, None, None))
+        val cap = BigInt(Long.MaxValue)
+        val s = l.computeStats()
+        if (s.sizeInBytes <= cap && s.rowCount.forall(_ <= cap)) df
+        else {
+          val capped = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+            sizeInBytes = s.sizeInBytes.min(cap),
+            rowCount = s.rowCount.map(_.min(cap)),
+            attributeStats = s.attributeStats,
+            isRuntime = s.isRuntime)
+          org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession,
+            new org.apache.spark.sql.execution.LogicalRDD(
+              l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+              l.isStreaming, l.stream)(
+              ds.sparkSession, Some(capped), Some(l.constraints)))
+        }
       case _ => df
     }
   }
