@@ -4532,6 +4532,34 @@ object Lowering {
     var it = 0
     var blocks = 0
     var done = frontier.isEmpty
+    // The per-block loop runs with adaptive execution OFF (saved/restored):
+    // with AQE on every exchange in a block's step plan is a separately
+    // scheduled query-stage job with its own re-optimization round-trip,
+    // and at moderate frontier sizes the fixpoint is job-count-dominated
+    // (measured: 58 scheduled jobs moving 6 KiB of shuffle data for the
+    // dedup-mode gate). Rounds re-plan the same bounded step shape over
+    // materialized leaves each time, so runtime re-planning discovers
+    // nothing a statically planned round doesn't. The BASE materialization
+    // above and the caller's final read of `acc` keep AQE — those are the
+    // one-shot, potentially large plans where it earns its stage jobs.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val aqeBefore = spark.conf.get(aqeKey, "true")
+    val partsBefore = spark.conf.get(partsKey)
+    spark.conf.set(aqeKey, "false")
+    // Static stand-in for AQE's partition coalescing inside the loop: the
+    // shuffle width derives from the MEASURED row counts flowing through
+    // the fixpoint (base rows as the step-input proxy, refreshed with each
+    // block's delta count; ~2M rows per partition), capped at the session
+    // parallelism — scale-adaptive, never a local constant. A recursion
+    // over a 1B-row base keeps the cluster-default width; the gate's
+    // hundreds-of-rows frontier gets 1 instead of 32 near-empty tasks per
+    // exchange (measured: 2,595 tasks for 36 KiB of shuffle without this).
+    val baseRows = acc.count()
+    def loopWidth(rows: Long): Int = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, rows / 2000000L + 1L)).toInt
+    spark.conf.set(partsKey, loopWidth(baseRows).toString)
+    try {
     while (!done) {
       it += Unroll
       if (it > maxIter) throw new IllegalStateException(
@@ -4555,12 +4583,14 @@ object Lowering {
         // dedup mode: one materialized round per job, the count IS the
         // emptiness probe (no tag shuffle)
         val next = materializeOnce(deltas.head)
-        if (next.count() == 0L) done = true
+        val n = next.count()
+        if (n == 0L) done = true
         else {
           acc = acc.union(next)
           frontier = next
           blocks += 1
           if (blocks % CkptEvery == 0) acc = materializeOnce(acc, eager = true)
+          spark.conf.set(partsKey, loopWidth(math.max(baseRows, n)).toString)
         }
       } else {
         // coalesce BEFORE the checkpoint: a union of K deltas carries
@@ -4585,8 +4615,14 @@ object Lowering {
             // collapses a bounded union, nothing deeper
             acc = materializeOnce(acc, eager = true)
           if (keep < Unroll) done = true // an empty step ended the chain
+          spark.conf.set(partsKey,
+            loopWidth(math.max(baseRows, counts.values.sum)).toString)
         }
       }
+    }
+    } finally {
+      spark.conf.set(aqeKey, aqeBefore)
+      spark.conf.set(partsKey, partsBefore)
     }
     acc
   }
