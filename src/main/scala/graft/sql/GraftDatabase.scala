@@ -53,6 +53,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     * (access/heap.rs:245-292).
     */
   val statistics = new StatsManager(spark, warehouse)
+  statistics.tableReader = d => readTable(d)
 
   /** Tables estimated below this cardinality get broadcast-hinted in joins. */
   val BroadcastRowThreshold = 100000L
@@ -1406,8 +1407,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           case None =>
             aligned.write.mode("append").parquet(dataPath(desc.name))
         }
-        statistics.rebuild(desc, readTable(desc))
-        val after = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
+        val after = statistics.markStale(desc, readTable(desc))
         Right(Done(
           s"copied ${after - before} row(s) into ${desc.name} from ${t.path}"))
       } catch {
@@ -1468,7 +1468,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         tables(nd.name) = nd
         refreshBucketEntry(nd)
         saveCatalog()
-        statistics.rebuild(nd, readTable(nd))
+        statistics.markStale(nd, readTable(nd))
         Right(Done(s"added column '${t.col}' to ${nd.name}"))
       }
     }
@@ -1492,7 +1492,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
           tables(nd.name) = nd
           refreshBucketEntry(nd)
           saveCatalog()
-          statistics.rebuild(nd, readTable(nd))
+          statistics.markStale(nd, readTable(nd))
           Done(s"dropped column '${t.col}' from ${nd.name}")
         }
       }
@@ -1540,7 +1540,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         val nd = desc.copy(name = to)
         tables(to) = nd
         saveCatalog()
-        statistics.rebuild(nd, readTable(nd))
+        statistics.markStale(nd, readTable(nd))
         Right(Done(s"renamed table '${desc.name}' to '$to'"))
       }
     }
@@ -2039,8 +2039,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
       case None =>
         df.write.mode("append").parquet(dataPath(desc.name))
     }
-    statistics.rebuild(desc, readTable(desc))
-    statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
+    statistics.markStale(desc, readTable(desc))
   }
 
   /** Register external read-only tables in other formats. Non-columnar
@@ -2141,6 +2140,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     (t, c, pred) => tables.get(t.toLowerCase).map { desc =>
       if (statistics.get(desc.name).isEmpty)
         statistics.rebuild(desc, readTable(desc))
+      else statistics.ensureFresh(desc)
       val st = statistics.get(desc.name).get
       val rows = pred match {
         case None    => st.rowCount
@@ -2273,8 +2273,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         case None =>
           srcW.write.mode("append").parquet(dataPath(desc.name))
       }
-      statistics.rebuild(desc, readTable(desc))
-      val after = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
+      val after = statistics.markStale(desc, readTable(desc))
       if (returning) Rows(srcW) // post-materialization image
       else Done(s"inserted ${after - before} row(s) into ${desc.name}")
   }
@@ -2300,8 +2299,7 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         case Some(_) => named.write.mode("append").insertInto(catName(desc.name))
         case None    => named.write.mode("append").parquet(dataPath(desc.name))
       }
-      statistics.rebuild(desc, readTable(desc))
-      val n = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
+      val n = statistics.markStale(desc, readTable(desc))
       Done(s"created table ${desc.name} with $n row(s)")
 
     case BoundInsert(desc, rows) =>
@@ -2763,8 +2761,9 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     Files.move(Paths.get(tmp), dirP)
     if (desc.bucket.isDefined) spark.sql(s"REFRESH TABLE ${catName(desc.name)}")
     val fresh = readTable(desc)
-    statistics.rebuild(desc, fresh)
-    statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
+    // lazy stats: the rewrite keeps an exact row count; sketches/sample
+    // rebuild on first estimator use (2-3 Spark jobs saved per DML)
+    statistics.markStale(desc, fresh)
   }
 
   /** Statistics-driven planning (the reference's sample-based cardinality
@@ -2781,7 +2780,8 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
     if (s.tables.length < 2 || s.derived.nonEmpty) return Nil
     s.tables.foreach(bt =>
       if (statistics.get(bt.desc.name).isEmpty)
-        statistics.rebuild(bt.desc, readTable(bt.desc)))
+        statistics.rebuild(bt.desc, readTable(bt.desc))
+      else statistics.ensureFresh(bt.desc))
     val perTable: Map[String, Seq[Analyzer.BoundExpr]] =
       s.predicate.map(Lowering.conjuncts).getOrElse(Nil)
         .flatMap(c => Lowering.singleBinding(c).map(_ -> c))

@@ -52,11 +52,55 @@ final class StatsManager(spark: SparkSession, warehouse: String) {
 
   private val stats = mutable.Map.empty[String, TableStats]
   private val bstats = mutable.Map.empty[String, BucketStats]
+  // Tables whose sketches/sample predate the last copy-on-write rewrite:
+  // the row count is exact, the estimation artifacts are deferred until
+  // an estimator needs them (ensureFresh). Persisted, so a reopened
+  // warehouse doesn't trust pre-rewrite sketches as fresh.
+  private val staleTables = mutable.Set.empty[String]
+  // descriptor at markStale time, so name-keyed readers (bucketStats) can
+  // run the deferred rebuild too
+  private val staleDescs = mutable.Map.empty[String, TableDesc]
+  /** Wired by the owning database: how to read a table's current image
+    * for a deferred (ensureFresh) rebuild.
+    */
+  @volatile var tableReader: TableDesc => DataFrame = null
   load()
 
   def get(table: String): Option[TableStats] = stats.get(table.toLowerCase)
 
-  def bucketStats(table: String): Option[BucketStats] = bstats.get(table.toLowerCase)
+  def isStale(table: String): Boolean = staleTables.contains(table.toLowerCase)
+
+  /** Lazy replacement for rebuild() after a copy-on-write rewrite: keep an
+    * EXACT row count (DML notices and before/after affected-row diffs read
+    * it) but DEFER the per-column sketch aggregate, the bottom-k sample
+    * rewrite and the per-bucket stats — 2-3 Spark jobs per DML statement —
+    * until an estimator actually needs them. DML-only statement sequences
+    * (the common OLTP shape) never pay for estimation artifacts they never
+    * read; the first multi-table SELECT after a rewrite pays once.
+    * Returns the fresh row count.
+    */
+  def markStale(desc: TableDesc, df: DataFrame): Long = {
+    val n = df.count()
+    val prev = stats.getOrElse(desc.name, TableStats(0L, Map.empty))
+    stats(desc.name) = TableStats(n, prev.sketches, prev.ndvOverride)
+    staleTables += desc.name
+    staleDescs(desc.name) = desc
+    save()
+    n
+  }
+
+  /** Run the deferred rebuild if (and only if) the table is stale. */
+  def ensureFresh(desc: TableDesc): Unit =
+    if (staleTables.contains(desc.name)) {
+      require(tableReader != null,
+        "StatsManager.tableReader must be wired before estimator use")
+      rebuild(desc, tableReader(desc))
+    }
+
+  def bucketStats(table: String): Option[BucketStats] = {
+    staleDescs.get(table.toLowerCase).foreach(ensureFresh)
+    bstats.get(table.toLowerCase)
+  }
 
   /** ANALYZE-style external injection (tests / tuning): override a table's
     * cardinality and per-column NDVs without rescanning. Not persisted.
@@ -77,6 +121,8 @@ final class StatsManager(spark: SparkSession, warehouse: String) {
   def dropTable(name: String): Unit = {
     stats.remove(name.toLowerCase)
     bstats.remove(name.toLowerCase)
+    staleTables.remove(name.toLowerCase)
+    staleDescs.remove(name.toLowerCase)
     save()
   }
 
@@ -176,6 +222,7 @@ final class StatsManager(spark: SparkSession, warehouse: String) {
     */
   def estimateBucketPoint(desc: TableDesc, value: Any): Option[Long] =
     desc.bucket.flatMap { _ =>
+      ensureFresh(desc)
       bstats.get(desc.name).map { bs =>
         val b = bucketIdOf(desc, value)
         bs.rows.get(b) match {
@@ -223,6 +270,7 @@ final class StatsManager(spark: SparkSession, warehouse: String) {
   }
 
   def sample(desc: TableDesc): DataFrame = {
+    ensureFresh(desc)
     val dir = samplePath(desc.name)
     if (Files.exists(Paths.get(dir)))
       spark.read.schema(desc.sparkSchema).parquet(dir)
@@ -235,6 +283,7 @@ final class StatsManager(spark: SparkSession, warehouse: String) {
     * (planner/bottomup.rs:111-168, incl. its base/(2·SAMPLE) floor idea).
     */
   def estimateCard(desc: TableDesc, predicate: Option[org.apache.spark.sql.Column]): Long = {
+    ensureFresh(desc)
     val total = stats.get(desc.name).map(_.rowCount).getOrElse(0L)
     predicate match {
       case None => total
@@ -278,6 +327,7 @@ final class StatsManager(spark: SparkSession, warehouse: String) {
     */
   def estimateJoinSel(a: TableDesc, colA: String,
       b: TableDesc, colB: String): Option[Double] = {
+    ensureFresh(a); ensureFresh(b)
     val va = sampleColumn(a, colA)
     val vb = sampleColumn(b, colB)
     if (va.isEmpty || vb.isEmpty) None
@@ -311,6 +361,8 @@ final class StatsManager(spark: SparkSession, warehouse: String) {
     stats(desc.name) = TableStats(n, sketches)
     rewriteSample(desc, df)
     rebuildBucketStats(desc, df)
+    staleTables.remove(desc.name)
+    staleDescs.remove(desc.name)
     save()
   }
 
@@ -348,7 +400,8 @@ final class StatsManager(spark: SparkSession, warehouse: String) {
     val lines = stats.map { case (name, ts) =>
       val cols = ts.sketches.map { case (c, sk) => s""""$c":"${b64(sk)}"""" }
         .mkString("{", ",", "}")
-      s"""{"table":"$name","rows":${ts.rowCount},"sketches":$cols}"""
+      val staleTag = if (staleTables.contains(name)) ""","stale":true""" else ""
+      s"""{"table":"$name","rows":${ts.rowCount},"sketches":$cols$staleTag}"""
     }
     Files.createDirectories(statsPath.getParent)
     Files.write(statsPath, lines.mkString("\n").getBytes("UTF-8"))
@@ -371,13 +424,15 @@ final class StatsManager(spark: SparkSession, warehouse: String) {
       arr
     }
     if (Files.exists(statsPath)) {
-      val tableRe = """\{"table":"([^"]+)","rows":(\d+),"sketches":\{(.*)\}\}""".r
+      val tableRe =
+        """\{"table":"([^"]+)","rows":(\d+),"sketches":\{(.*)\}(,"stale":true)?\}""".r
       val colRe = """"([^"]+)":"([^"]*)"""".r
       Files.readAllLines(statsPath).forEach {
-        case tableRe(name, rows, cols) =>
+        case tableRe(name, rows, cols, staleTag) =>
           val sketches = colRe.findAllMatchIn(cols)
             .map(m => m.group(1) -> unb64(m.group(2))).toMap
           stats(name) = TableStats(rows.toLong, sketches)
+          if (staleTag != null) staleTables += name
         case line if line.nonEmpty => sys.error(s"bad stats line: $line")
         case _ =>
       }
