@@ -2751,7 +2751,19 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         img.write.mode("append").insertInto(tmpCat)
         spark.sql(s"DROP TABLE IF EXISTS $tmpCat")
       case None =>
-        img.write.mode("overwrite").parquet(tmp)
+        // File-count control (small-files guard): the rewrite image is
+        // often a UNION of map-side branches with no final shuffle, so
+        // AQE's partition coalescing never sees it and a 100-row table
+        // rewrite wrote ~96 near-empty files — which every subsequent
+        // readTable then paid as ~96 scan tasks. Target file count from
+        // the pre-rewrite row count (~4M rows ≈ hundreds of MB per file);
+        // coalesce never increases partitioning, so large images keep
+        // their parallelism and only the tiny-table case collapses.
+        // (Unknown/zero prior rowcount ⇒ 1 file — rewrites of populated
+        // tables always have a count from markStale/rebuild.)
+        val prevRows = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
+        val targetFiles = math.max(1L, prevRows / 4000000L + 1L).toInt
+        img.coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
     }
     val dirP = Paths.get(dir)
     if (Files.exists(dirP)) {

@@ -27,9 +27,18 @@ object JobCount {
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger
     val shufW = new AtomicLong; val shufR = new AtomicLong
+    val verbose = sys.env.contains("GRAFT_JOBCOUNT_VERBOSE")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (verbose) {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          val nt = j.stageInfos.map(_.numTasks).sum
+          System.err.println(f"JOB ${j.jobId}%4d stages=${j.stageInfos.length}%3d tasks=$nt%5d  $desc")
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)
@@ -41,8 +50,11 @@ object JobCount {
       graft.queries.Dedup.releaseShingles(spark)
       graft.queries.Vectors.releaseCaches(spark)
     }
-    // warm pass: codegen + any shared family memos, NOT counted
+    // warm pass: codegen + any shared family memos, NOT counted.
+    // GRAFT_JOBCOUNT_COLD releases the family memos after it, so the
+    // timed pass pays (and attributes) the shared build.
     names.foreach(n => graft.SparkEntry.queries(n)(spark, sfDir).count())
+    if (sys.env.contains("GRAFT_JOBCOUNT_COLD")) releaseCaches()
     Thread.sleep(300)
     for (n <- names) {
       jobs.set(0); stages.set(0); tasks.set(0); shufW.set(0); shufR.set(0)
