@@ -200,97 +200,57 @@ object Lowering {
               isGlobalBigInShiftWin(f, args, parts, ord)
             case _ => false
           }
-          // one bucketing per distinct ORDER spec; items of the same
-          // spec share it
-          val baseGow = gowWins
-            .collect { case w: BoundItem.BIWin => w }
-            .groupBy(_.orderBy).values.foldLeft(base1) { case (d0, ws) =>
-              val spec = ws.head.orderBy.map { case (o, dir) =>
-                (lowerOperandWith(o, qcol), dir) }
-              // DISTINCT items pre-attach their first-occurrence mask
-              // (value-partitioned window — distributed at any NDV) and
-              // become an ordinary running aggregate over the mask; all
-              // items of one ORDER spec share a single bucketing
-              var d = d0
-              val drops = Seq.newBuilder[String]
-              val items = ws.map { w =>
-                if (isGlobalDistinctWin(w.func, w.args, w.partitionBy,
-                    w.orderBy, w.frame)) {
-                  val mn = s"__gdm_${w.alias}"
-                  d = d.withColumn(mn, distinctMaskColumn(w.args, Nil,
-                    w.orderBy, lowerOperandWith(_, qcol), qcol))
-                  drops += mn
-                  (w.alias, if (w.func == "mean") "avg" else w.func,
-                    Some(col(mn)): Option[Column], w.frame)
-                } else
-                  (w.alias, w.func,
-                    w.args.headOption.map(lowerOperandWith(_, qcol)), w.frame)
-              }
-              attachGlobalOrderedWins(spark, d, spec, items)
-                .drop(drops.result(): _*)
-            }
-          val baseGsw = shiftWins
-            .collect { case w: BoundItem.BIWin => w }
-            .groupBy(_.orderBy).values.foldLeft(baseGow) { case (d, ws) =>
-              val spec = ws.head.orderBy.map { case (o, dir) =>
-                (lowerOperandWith(o, qcol), dir) }
-              attachGlobalShiftWins(spark, d, spec, ws.map(w =>
-                ghostWinOf(w.alias, w.func, w.args, w.frame,
-                  lowerOperandWith(_, qcol))))
-            }
-          val baseGin = ginWins
-            .collect { case w: BoundItem.BIWin => w }
-            .groupBy(_.orderBy).values.foldLeft(baseGsw) { case (d, ws) =>
-              val spec = ws.head.orderBy.map { case (o, dir) =>
-                (lowerOperandWith(o, qcol), dir) }
-              attachGlobalIgnoreNullsShifts(spark, d, spec, ws.map { w =>
-                val argsR = w.args.dropRight(1) // strip the sentinel
-                (w.alias, w.func, lowerOperandWith(argsR.head, qcol),
-                  shiftOffset(argsR), shiftDefaultAny(argsR))
-              })
-            }
-          val baseGwx = wexWins
-            .collect { case w: BoundItem.BIWin => w }
-            .groupBy(_.orderBy).values.foldLeft(baseGin) { case (d, ws) =>
-              val spec = ws.head.orderBy.map { case (o, dir) =>
-                (lowerOperandWith(o, qcol), dir) }
-              attachGlobalWholeExWins(spark, d, spec, ws.map(w =>
-                (w.alias, w.func,
-                  w.args.headOption.map(lowerOperandWith(_, qcol)),
-                  w.frame.get)))
-            }
-          val baseGbs = gbsWins
-            .collect { case w: BoundItem.BIWin => w }
-            .groupBy(_.orderBy).values.foldLeft(baseGwx) { case (d, ws) =>
-              val spec = ws.head.orderBy.map { case (o, dir) =>
-                (lowerOperandWith(o, qcol), dir) }
-              attachGlobalBigShifts(spark, d, spec, ws.map(w =>
-                (w.alias, w.func, lowerOperandWith(w.args.head, qcol),
-                  shiftOffset(w.args), shiftDefaultAny(w.args))))
-            }
-          val baseGma = gmaWins
-            .collect { case w: BoundItem.BIWin => w }
-            .groupBy(_.orderBy).values.foldLeft(baseGbs) { case (d, ws) =>
-              val spec = ws.head.orderBy.map { case (o, dir) =>
-                (lowerOperandWith(o, qcol), dir) }
-              attachGlobalMaskAheadWins(spark, d, spec, ws.map { w =>
-                (w.alias, if (w.func == "mean") "avg" else w.func,
-                  distinctMaskColumn(w.args, Nil, w.orderBy,
-                    lowerOperandWith(_, qcol), qcol),
-                  w.frame.get.hi.toInt)
-              })
-            }
-          val baseGbi = gbiWins
-            .collect { case w: BoundItem.BIWin => w }
-            .groupBy(_.orderBy).values.foldLeft(baseGma) { case (d, ws) =>
-              val spec = ws.head.orderBy.map { case (o, dir) =>
-                (lowerOperandWith(o, qcol), dir) }
-              attachGlobalBigInShifts(spark, d, spec, ws.map { w =>
-                val argsR = w.args.dropRight(1) // strip the sentinel
-                (w.alias, w.func, lowerOperandWith(argsR.head, qcol),
-                  shiftOffset(argsR), shiftDefaultAny(argsR))
-              })
-            }
+          // ALL global-machinery classes go through the shared-bucketing
+          // coordinator: one range bucketing per distinct ORDER spec,
+          // items of the same spec share it ACROSS classes. DISTINCT
+          // items pre-attach their first-occurrence mask (value-
+          // partitioned window — distributed at any NDV) and become an
+          // ordinary running aggregate over the mask.
+          val opL: BoundOperand => Column = lowerOperandWith(_, qcol)
+          def ordColsOf(w: BoundItem.BIWin): Seq[(Column, Ast.SortDir)] =
+            w.orderBy.map { case (o, dir) => (opL(o), dir) }
+          val gowReqs = gowWins.collect { case w: BoundItem.BIWin =>
+            if (isGlobalDistinctWin(w.func, w.args, w.partitionBy,
+                w.orderBy, w.frame))
+              GowReq(w.alias, if (w.func == "mean") "avg" else w.func,
+                None, w.orderBy, ordColsOf(w), w.frame,
+                Some(distinctMaskColumn(w.args, Nil, w.orderBy, opL, qcol)))
+            else
+              GowReq(w.alias, w.func, w.args.headOption.map(opL),
+                w.orderBy, ordColsOf(w), w.frame)
+          }
+          val gswReqs = shiftWins.collect { case w: BoundItem.BIWin =>
+            GswReq(ghostWinOf(w.alias, w.func, w.args, w.frame, opL),
+              w.orderBy, ordColsOf(w))
+          }
+          val ginReqs = ginWins.collect { case w: BoundItem.BIWin =>
+            val argsR = w.args.dropRight(1) // strip the sentinel
+            GinReq(w.alias, w.func, opL(argsR.head),
+              shiftOffset(argsR), shiftDefaultAny(argsR),
+              w.orderBy, ordColsOf(w))
+          }
+          val gwxReqs = wexWins.collect { case w: BoundItem.BIWin =>
+            GwxReq(w.alias, w.func, w.args.headOption.map(opL),
+              w.frame.get, w.orderBy, ordColsOf(w))
+          }
+          val gbsReqs = gbsWins.collect { case w: BoundItem.BIWin =>
+            GbsReq(w.alias, w.func, opL(w.args.head),
+              shiftOffset(w.args), shiftDefaultAny(w.args),
+              w.orderBy, ordColsOf(w))
+          }
+          val gmaReqs = gmaWins.collect { case w: BoundItem.BIWin =>
+            GmaReq(w.alias, if (w.func == "mean") "avg" else w.func,
+              distinctMaskColumn(w.args, Nil, w.orderBy, opL, qcol),
+              w.frame.get.hi.toInt, w.orderBy, ordColsOf(w))
+          }
+          val gbiReqs = gbiWins.collect { case w: BoundItem.BIWin =>
+            val argsR = w.args.dropRight(1) // strip the sentinel
+            GbiReq(w.alias, w.func, opL(argsR.head),
+              shiftOffset(argsR), shiftDefaultAny(argsR),
+              w.orderBy, ordColsOf(w))
+          }
+          val baseGbi = attachGlobalWinGroups(spark, base1,
+            gowReqs, gswReqs, ginReqs, gwxReqs, gbsReqs, gmaReqs, gbiReqs)
           val withWins0 = windowWins.foldLeft(baseGbi) {
             case (d, BoundItem.BIWin(f, args, parts, ord, a, frame)) =>
               val rk = if (frame.exists(_.groups)) Some(s"__grk_$a") else None
@@ -795,32 +755,9 @@ object Lowering {
       // to the distributed prefix scan (operands lower ONCE in all
       // three cases: aggScopeOperand registers hidden aggregates as a
       // side effect, BEFORE the agg assembles)
-      final case class GowReq(name: String, func: String,
-          arg: Option[Column], ordKey: Seq[(BoundOperand, Ast.SortDir)],
-          ordCols: Seq[(Column, Ast.SortDir)], frame: Option[Ast.WinFrame],
-          /** DISTINCT running items: the first-occurrence mask to
-            * pre-attach; the scan then aggregates the mask column.
-            */
-          mask: Option[Column] = None)
-      final case class GswReq(ghost: GhostWin,
-          ordKey: Seq[(BoundOperand, Ast.SortDir)],
-          ordCols: Seq[(Column, Ast.SortDir)])
-      final case class GinReq(name: String, func: String, x: Column,
-          k: Int, dflt: Any, ordKey: Seq[(BoundOperand, Ast.SortDir)],
-          ordCols: Seq[(Column, Ast.SortDir)])
-      final case class GwxReq(name: String, func: String,
-          arg: Option[Column], frame: Ast.WinFrame,
-          ordKey: Seq[(BoundOperand, Ast.SortDir)],
-          ordCols: Seq[(Column, Ast.SortDir)])
-      final case class GbsReq(name: String, func: String, x: Column,
-          k: Int, dflt: Any, ordKey: Seq[(BoundOperand, Ast.SortDir)],
-          ordCols: Seq[(Column, Ast.SortDir)])
-      final case class GmaReq(name: String, func: String, mask: Column,
-          h: Int, ordKey: Seq[(BoundOperand, Ast.SortDir)],
-          ordCols: Seq[(Column, Ast.SortDir)])
-      final case class GbiReq(name: String, func: String, x: Column,
-          k: Int, dflt: Any, ordKey: Seq[(BoundOperand, Ast.SortDir)],
-          ordCols: Seq[(Column, Ast.SortDir)])
+      // Gow/Gsw/Gin/Gwx/Gbs/Gma/Gbi request structs are file-level —
+      // shared with the plain-projection lowering path and executed by
+      // attachGlobalWinGroups over one bucketing per ORDER spec
       sealed trait WinL
       final case class WinLBroadcast(c: Column) extends WinL
       final case class WinLGow(g: GowReq) extends WinL
@@ -1348,57 +1285,15 @@ object Lowering {
       // frame, BEFORE the final ORDER BY — the window's own exchange
       // must not disturb the result ordering
       val withWins = {
-        // unpartitioned ORDERED windows over the grouped frame: the
-        // distributed prefix scan attaches their columns first (one
-        // bucketing per distinct ORDER spec); operand Columns were
-        // lowered at collect time, so hidden aggregates registered
-        // before the agg assembled
-        val groupedG0 = (winGows ++ qwinGows).groupBy(_.ordKey).values
-          .foldLeft(grouped) { case (d0, gs) =>
-            var d = d0
-            val drops = Seq.newBuilder[String]
-            val items = gs.map { g =>
-              g.mask match {
-                case Some(mc) =>
-                  val mn = s"__gdm_${g.name}"
-                  d = d.withColumn(mn, mc)
-                  drops += mn
-                  (g.name, g.func, Some(col(mn)): Option[Column], g.frame)
-                case None => (g.name, g.func, g.arg, g.frame)
-              }
-            }
-            attachGlobalOrderedWins(spark, d, gs.head.ordCols, items)
-              .drop(drops.result(): _*)
-          }
-        val groupedG1 = (winGsws ++ qwinGsws).groupBy(_.ordKey).values
-          .foldLeft(groupedG0) { case (d, gs) =>
-            attachGlobalShiftWins(spark, d, gs.head.ordCols, gs.map(_.ghost))
-          }
-        val groupedG2 = (winGins ++ qwinGins).groupBy(_.ordKey).values
-          .foldLeft(groupedG1) { case (d, gs) =>
-            attachGlobalIgnoreNullsShifts(spark, d, gs.head.ordCols,
-              gs.map(g => (g.name, g.func, g.x, g.k, g.dflt)))
-          }
-        val groupedG3 = (winGwxs ++ qwinGwxs).groupBy(_.ordKey).values
-          .foldLeft(groupedG2) { case (d, gs) =>
-            attachGlobalWholeExWins(spark, d, gs.head.ordCols,
-              gs.map(g => (g.name, g.func, g.arg, g.frame)))
-          }
-        val groupedG4 = (winGbss ++ qwinGbss).groupBy(_.ordKey).values
-          .foldLeft(groupedG3) { case (d, gs) =>
-            attachGlobalBigShifts(spark, d, gs.head.ordCols,
-              gs.map(g => (g.name, g.func, g.x, g.k, g.dflt)))
-          }
-        val groupedG5 = (winGmas ++ qwinGmas).groupBy(_.ordKey).values
-          .foldLeft(groupedG4) { case (d, gs) =>
-            attachGlobalMaskAheadWins(spark, d, gs.head.ordCols,
-              gs.map(g => (g.name, g.func, g.mask, g.h)))
-          }
-        val groupedG = (winGbis ++ qwinGbis).groupBy(_.ordKey).values
-          .foldLeft(groupedG5) { case (d, gs) =>
-            attachGlobalBigInShifts(spark, d, gs.head.ordCols,
-              gs.map(g => (g.name, g.func, g.x, g.k, g.dflt)))
-          }
+        // unpartitioned global-machinery windows over the grouped frame:
+        // the shared-bucketing coordinator attaches their columns (ONE
+        // range bucketing per distinct ORDER spec, shared across every
+        // machinery class); operand Columns were lowered at collect
+        // time, so hidden aggregates registered before the agg assembled
+        val groupedG = attachGlobalWinGroups(spark, grouped,
+          winGows ++ qwinGows, winGsws ++ qwinGsws, winGins ++ qwinGins,
+          winGwxs ++ qwinGwxs, winGbss ++ qwinGbss, winGmas ++ qwinGmas,
+          winGbis ++ qwinGbis)
         val windowed =
           if (winItems.isEmpty && qwinItems.isEmpty) groupedG
           else {
@@ -1579,37 +1474,213 @@ object Lowering {
       } else df.localCheckpoint(eager))
   }
 
+  /** Per-class requests for the global-window machinery — one ORDER
+    * spec key (`ordKey`, the bound AST — groupable) plus the lowered
+    * order columns and the class-specific payload. Built by both
+    * lowering paths (plain projection and aggregate scope) and executed
+    * together by attachGlobalWinGroups so every class of one ORDER spec
+    * shares a single range bucketing.
+    */
+  private final case class GowReq(name: String, func: String,
+      arg: Option[Column], ordKey: Seq[(BoundOperand, Ast.SortDir)],
+      ordCols: Seq[(Column, Ast.SortDir)], frame: Option[Ast.WinFrame],
+      /** DISTINCT running items: the first-occurrence mask to
+        * pre-attach; the scan then aggregates the mask column.
+        */
+      mask: Option[Column] = None)
+  private final case class GswReq(ghost: GhostWin,
+      ordKey: Seq[(BoundOperand, Ast.SortDir)],
+      ordCols: Seq[(Column, Ast.SortDir)])
+  private final case class GinReq(name: String, func: String, x: Column,
+      k: Int, dflt: Any, ordKey: Seq[(BoundOperand, Ast.SortDir)],
+      ordCols: Seq[(Column, Ast.SortDir)])
+  private final case class GwxReq(name: String, func: String,
+      arg: Option[Column], frame: Ast.WinFrame,
+      ordKey: Seq[(BoundOperand, Ast.SortDir)],
+      ordCols: Seq[(Column, Ast.SortDir)])
+  private final case class GbsReq(name: String, func: String, x: Column,
+      k: Int, dflt: Any, ordKey: Seq[(BoundOperand, Ast.SortDir)],
+      ordCols: Seq[(Column, Ast.SortDir)])
+  private final case class GmaReq(name: String, func: String, mask: Column,
+      h: Int, ordKey: Seq[(BoundOperand, Ast.SortDir)],
+      ordCols: Seq[(Column, Ast.SortDir)])
+  private final case class GbiReq(name: String, func: String, x: Column,
+      k: Int, dflt: Any, ordKey: Seq[(BoundOperand, Ast.SortDir)],
+      ordCols: Seq[(Column, Ast.SortDir)])
+
+  /** Attach EVERY global-window machinery class over ONE shared range
+    * bucketing per distinct ORDER spec (guide §2.4 — operations keyed
+    * the same way share one exchange). Before round 16 each class
+    * re-bucketed the frame separately — range-boundary sampling pass +
+    * full range shuffle + checkpoint per class; q_dialect_win_global_rest
+    * paid 4 bucketings of the same input, i.e. 3 redundant full-data
+    * range shuffles at 100 TB. The coordinator attaches the order keys
+    * and the DISTINCT first-occurrence masks (value-partitioned windows
+    * — they must precede the range shuffle so the shuffle carries one
+    * bit, not the recomputation), buckets ONCE, hands every class the
+    * same materialized bucketing, and drops the shared scratch at the
+    * end. Reversed consumers (big IGNORE-NULLS leads) read the same
+    * bucketing backwards instead of re-bucketing by the reversed spec.
+    */
+  private def attachGlobalWinGroups(spark: SparkSession, df0: DataFrame,
+      gows: Seq[GowReq], gsws: Seq[GswReq], gins: Seq[GinReq],
+      gwxs: Seq[GwxReq], gbss: Seq[GbsReq], gmas: Seq[GmaReq],
+      gbis: Seq[GbiReq]): DataFrame = {
+    val keys: Seq[Seq[(BoundOperand, Ast.SortDir)]] =
+      (gows.map(_.ordKey) ++ gsws.map(_.ordKey) ++ gins.map(_.ordKey) ++
+        gwxs.map(_.ordKey) ++ gbss.map(_.ordKey) ++ gmas.map(_.ordKey) ++
+        gbis.map(_.ordKey)).distinct
+    keys.foldLeft(df0) { (d0, key) =>
+      val ko = gows.filter(_.ordKey == key)
+      val ks = gsws.filter(_.ordKey == key)
+      val ki = gins.filter(_.ordKey == key)
+      val kx = gwxs.filter(_.ordKey == key)
+      val kb = gbss.filter(_.ordKey == key)
+      val km = gmas.filter(_.ordKey == key)
+      val kj = gbis.filter(_.ordKey == key)
+      val ordCols: Seq[(Column, Ast.SortDir)] =
+        (ko.map(_.ordCols) ++ ks.map(_.ordCols) ++ ki.map(_.ordCols) ++
+          kx.map(_.ordCols) ++ kb.map(_.ordCols) ++ km.map(_.ordCols) ++
+          kj.map(_.ordCols)).head
+      val tag = s"__gsh${gowTag.incrementAndGet()}"
+      val pidN = s"${tag}_pid"
+      val ordNames = ordCols.indices.map(i => s"${tag}_o$i")
+      val gowMasks: Seq[(String, Column)] = ko.flatMap(g =>
+        g.mask.map(m => s"__gdm_${g.name}" -> m))
+      val gmaMasks: Seq[(String, Column)] = km.zipWithIndex.map {
+        case (g, i) => s"${tag}_gm$i" -> g.mask }
+      // big-shift / big-IGNORE-NULLS argument columns ride the shared
+      // bucketing too (their self-joins read them from the shared
+      // materialized frame)
+      val gbsX = kb.indices.map(i => s"${tag}_bx$i")
+      val gbiX = kj.indices.map(i => s"${tag}_ix$i")
+      val gbiC = kj.indices.map(i => s"${tag}_ic$i")
+      val rnN = s"${tag}_rn"
+      val withOrd = d0.select(col("*") +:
+        (ordCols.zipWithIndex.map { case ((c, _), i) =>
+          c.as(ordNames(i)) } ++
+          (gowMasks ++ gmaMasks).map { case (n, c) => c.as(n) } ++
+          kb.zipWithIndex.map { case (g, i) => g.x.as(gbsX(i)) } ++
+          kj.zipWithIndex.map { case (g, i) => g.x.as(gbiX(i)) }): _*)
+      val ordE = ordCols.zipWithIndex.map { case ((_, dir), i) =>
+        sortCol(col(ordNames(i)), dir) }
+      val nParts = spark.sessionState.conf.numShufflePartitions
+      // ONE materialization per ORDER spec: every class's in-bucket
+      // windows, per-bucket totals, ghost/candidate extraction and
+      // self-joins must see the SAME bucketing (RangePartitioner seeds
+      // its boundary sampling by RDD id, so two independent evaluations
+      // can place boundaries differently)
+      val bucketed = materializeOnce(withOrd
+        .repartitionByRange(nParts, ordE: _*)
+        .withColumn(pidN, spark_partition_id()))
+      val bk = BucketCols(pidN, ordNames, ordCols.map(_._2))
+      var f = bucketed
+      // ONE forward prefix-scan invocation: the user's ordered windows,
+      // the big shifts' global row number and the big-IGNORE-NULLS
+      // lags' non-null ranks all share its per-bucket totals and
+      // broadcast offsets; lead ranks ride ONE reversed invocation over
+      // the same bucketing
+      val rowsPrefix = Ast.WinFrame(range = false,
+        lo = Long.MinValue, hi = 0L)
+      val kjIdx = kj.zipWithIndex
+      val kjLag = kjIdx.filter(_._1.func == "lag")
+      val kjLead = kjIdx.filter(_._1.func == "lead")
+      val fwdItems: Seq[(String, String, Option[Column],
+          Option[Ast.WinFrame])] =
+        ko.map { g =>
+          (g.name, g.func,
+            g.mask.map(_ => col(s"__gdm_${g.name}")).orElse(g.arg),
+            g.frame)
+        } ++
+          (if (kb.nonEmpty)
+            Seq((rnN, "row_number", None: Option[Column],
+              None: Option[Ast.WinFrame])) else Nil) ++
+          kjLag.map { case (_, i) =>
+            (gbiC(i), "count", Some(col(gbiX(i))): Option[Column],
+              Some(rowsPrefix): Option[Ast.WinFrame]) }
+      if (fwdItems.nonEmpty)
+        f = attachGlobalOrderedWins(spark, f, bk, fwdItems)
+      if (kjLead.nonEmpty)
+        f = attachGlobalOrderedWins(spark, f, bk,
+          kjLead.map { case (_, i) =>
+            (gbiC(i), "count", Some(col(gbiX(i))): Option[Column],
+              Some(rowsPrefix): Option[Ast.WinFrame]) }, reversed = true)
+      if (kb.nonEmpty || kj.nonEmpty) {
+        // ONE materialization serves every self-join: ranks/row numbers
+        // must read identically on both join sides (in-bucket ties)
+        val mat = materializeOnce(f)
+        f = mat
+        if (kb.nonEmpty)
+          f = bigShiftJoins(mat, f, rnN, gbsX,
+            kb.map(g => (g.name, g.func, g.x, g.k, g.dflt)))
+        if (kj.nonEmpty)
+          f = bigInShiftJoins(mat, f, gbiX, gbiC,
+            kj.map(g => (g.name, g.func, g.x, g.k, g.dflt)))
+      }
+      if (ks.nonEmpty)
+        f = attachGlobalShiftWins(spark, f, bk, ks.map(_.ghost))
+      if (ki.nonEmpty)
+        f = attachGlobalIgnoreNullsShifts(spark, f, bk,
+          ki.map(g => (g.name, g.func, g.x, g.k, g.dflt)))
+      if (kx.nonEmpty)
+        f = attachGlobalWholeExWins(spark, f, bk,
+          kx.map(g => (g.name, g.func, g.arg, g.frame)))
+      if (km.nonEmpty)
+        f = attachGlobalMaskAheadWins(spark, f, bk,
+          km.zipWithIndex.map { case (g, i) =>
+            (g.name, g.func, col(s"${tag}_gm$i"), g.h) })
+      f.drop((pidN +: ordNames) ++
+        gowMasks.map(_._1) ++ gmaMasks.map(_._1) ++
+        gbsX ++ gbiX ++ gbiC ++ (if (kb.nonEmpty) Seq(rnN) else Nil): _*)
+    }
+  }
+
+  /** The SHARED range bucketing's column handles: one bucketing per
+    * distinct ORDER spec, reused by every global-window machinery class
+    * of that spec (guide §2.4 — operations keyed the same way share one
+    * exchange). The frame a class receives already carries the bucket
+    * id (`pidN` — spark_partition_id materialized at checkpoint time,
+    * so the row→bucket mapping is frozen no matter how later operators
+    * move rows physically) and the named order-key columns.
+    */
+  private final case class BucketCols(pidN: String, ordNames: Seq[String],
+      dirs: Seq[Ast.SortDir]) {
+    def ordE: Seq[Column] = ordNames.zip(dirs).map { case (n, d) =>
+      sortCol(col(n), d) }
+    /** Exact complement of the bucketing order: flips direction AND
+      * null placement (sortCol places None-nulls LAST in both
+      * directions, so the complement needs an explicit NULLS FIRST).
+      * Reversed consumers (big IGNORE-NULLS leads) read the SAME
+      * bucketing backwards — reversed in-bucket order + descending
+      * bucket-id offsets — instead of re-bucketing by the reversed
+      * spec.
+      */
+    def ordRevExact: Seq[Column] = ordNames.zip(dirs).map { case (n, d) =>
+      sortCol(col(n),
+        Ast.SortDir(!d.desc, Some(!d.nullsFirst.getOrElse(false)))) }
+  }
+
   private def attachGlobalOrderedWins(spark: SparkSession, df0: DataFrame,
-      ordSpec: Seq[(Column, Ast.SortDir)],
-      items: Seq[(String, String, Option[Column], Option[Ast.WinFrame])])
+      bk: BucketCols,
+      items: Seq[(String, String, Option[Column], Option[Ast.WinFrame])],
+      reversed: Boolean = false)
       : DataFrame = {
     val tag = s"__gow${gowTag.incrementAndGet()}"
-    val pidN = s"${tag}_pid"
-    val ordNames = ordSpec.indices.map(i => s"${tag}_o$i")
-    val withOrd = df0.select(col("*") +: ordSpec.zipWithIndex.map {
-      case ((c, _), i) => c.as(ordNames(i)) }: _*)
-    val ordE = ordSpec.zipWithIndex.map { case ((_, d), i) =>
-      sortCol(col(ordNames(i)), d) }
-    val nParts = spark.sessionState.conf.numShufflePartitions
-    // the bucketed frame feeds TWO consumers (the in-bucket windows and
-    // the per-bucket totals). RangePartitioner samples its boundaries
-    // with an RDD-id-derived seed, so two INDEPENDENT evaluations can
-    // place boundaries differently — the totals would describe buckets
-    // that are not the ones the windows ran in (observed: off-by-bucket
-    // rank offsets, nondeterministic across runs). The lazy local
-    // checkpoint materializes the bucketing ONCE; both consumers read
-    // the same blocks, and the double range shuffle disappears with it.
-    val bucketed = materializeOnce(withOrd
-      .repartitionByRange(nParts, ordE: _*)
-      .withColumn(pidN, spark_partition_id()))
+    val pidN = bk.pidN
+    val ordNames = bk.ordNames
+    val bucketed = df0
+    val ordE = if (reversed) bk.ordRevExact else bk.ordE
     // default window frame over an ordered spec IS the RANGE prefix
     // (peers included) — identical to the unpartitioned default
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col(pidN)).orderBy(ordE: _*)
     val wRows = wIn.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, 0L)
+    // exclusive prefix over the per-bucket totals: bucket ids ascend in
+    // the bucketing's own order, so a REVERSED consumer takes them
+    // descending
     val wPre = org.apache.spark.sql.expressions.Window
-      .orderBy(col(pidN).asc)
+      .orderBy(if (reversed) col(pidN).desc else col(pidN).asc)
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, -1L)
     val wAll = org.apache.spark.sql.expressions.Window
@@ -1731,7 +1802,10 @@ object Lowering {
     val joined = withIn.join(broadcast(offsets), Seq(pidN), "left_outer")
     val finals = items.zipWithIndex.map { case ((alias, _, _, _), j) =>
       parts4(j)._4.as(alias) }
-    val dropNames = Seq(pidN) ++ ordNames ++
+    // the shared pid / order-key columns stay — the NEXT machinery
+    // class of this ORDER spec reads the same bucketing; the
+    // coordinator drops them once, at the end
+    val dropNames =
       items.indices.flatMap(j => Seq("r", "c", "s", "m").map(c =>
         s"${tag}_in${j}_$c")) ++
       Seq(s"${tag}_offcnt", s"${tag}_ntot", s"${tag}_offdk") ++
@@ -1953,23 +2027,17 @@ object Lowering {
     }
 
   private def attachGlobalShiftWins(spark: SparkSession, df0: DataFrame,
-      ordSpec: Seq[(Column, Ast.SortDir)],
+      bk: BucketCols,
       items: Seq[GhostWin]): DataFrame = {
     val tag = s"__gsw${gowTag.incrementAndGet()}"
-    val pidN = s"${tag}_pid"
+    val pidN = bk.pidN
     val ghostN = s"${tag}_ghost"
-    val ordNames = ordSpec.indices.map(i => s"${tag}_o$i")
-    val withOrd = df0.select(col("*") +: ordSpec.zipWithIndex.map {
-      case ((c, _), i) => c.as(ordNames(i)) }: _*)
-    val ordE = ordSpec.zipWithIndex.map { case ((_, d), i) =>
-      sortCol(col(ordNames(i)), d) }
-    val nParts = spark.sessionState.conf.numShufflePartitions
-    // one materialization: candidate extraction + the shift windows must
-    // see the SAME bucketing (RangePartitioner seeds by RDD id)
-    val bucketed = materializeOnce(withOrd
-      .repartitionByRange(nParts, ordE: _*)
-      .withColumn(pidN, spark_partition_id())
-      .withColumn(ghostN, lit(false)))
+    val ordNames = bk.ordNames
+    val ordE = bk.ordE
+    // the SHARED bucketing is already materialized — candidate
+    // extraction and the shift windows read the same frozen buckets;
+    // only the ghost marker is new (row-local, rides the lazy plan)
+    val bucketed = df0.withColumn(ghostN, lit(false))
     val maxLag = items.map(_.kLag).foldLeft(0)(math.max)
     val maxLead = items.map(_.kLead).foldLeft(0)(math.max)
     val pids = bucketed.select(col(pidN).as(s"${tag}_tp")).distinct()
@@ -1981,7 +2049,7 @@ object Lowering {
       val nf = d.nullsFirst.map(!_)
       sortCol(c, Ast.SortDir(desc, nf))
     }
-    val ordRev = ordSpec.zipWithIndex.map { case ((_, d), i) =>
+    val ordRev = bk.dirs.zipWithIndex.map { case (d, i) =>
       revSort(col(ordNames(i)), d) }
     val edgeN = s"${tag}_edge"
     def edgeRows(k: Int, tail: Boolean): DataFrame = {
@@ -2014,8 +2082,8 @@ object Lowering {
     val shifted = unioned.select(col("*") +: items.map { it =>
       it.build(wIn, col(pidN) +: ordNames.map(col)).as(it.alias)
     }: _*)
-    shifted.filter(!col(ghostN))
-      .drop(Seq(pidN, ghostN) ++ ordNames: _*)
+    // pid / order keys stay for the next class of this ORDER spec
+    shifted.filter(!col(ghostN)).drop(ghostN)
   }
 
   /** Is this an unpartitioned aggregate over a WHOLE-INPUT frame
@@ -2071,17 +2139,13 @@ object Lowering {
     * Items: (output name, function, lowered argument, frame).
     */
   private def attachGlobalWholeExWins(spark: SparkSession, df0: DataFrame,
-      ordSpec: Seq[(Column, Ast.SortDir)],
+      bk: BucketCols,
       items: Seq[(String, String, Option[Column], Ast.WinFrame)])
       : DataFrame = {
     val tag = s"__gwx${gowTag.incrementAndGet()}"
-    val pidN = s"${tag}_pid"
-    val ordNames = ordSpec.indices.map(i => s"${tag}_o$i")
-    val withOrd = df0.select(col("*") +: ordSpec.zipWithIndex.map {
-      case ((c, _), i) => c.as(ordNames(i)) }: _*)
-    val ordE = ordSpec.zipWithIndex.map { case ((_, d), i) =>
-      sortCol(col(ordNames(i)), d) }
-    val nParts = spark.sessionState.conf.numShufflePartitions
+    val pidN = bk.pidN
+    val ordNames = bk.ordNames
+    val ordE = bk.ordE
     val giN = s"${tag}_gi"
     val idxN = s"${tag}_ix"
     val wIn0 = org.apache.spark.sql.expressions.Window
@@ -2103,15 +2167,16 @@ object Lowering {
     val needGi = items.exists { case (_, f, _, fr) =>
       Set("min", "max")(f) && fr.range }
     val needIdx = items.exists { case (_, f, _, _) => Set("min", "max")(f) }
-    val preBucketed = withOrd
-      .repartitionByRange(nParts, ordE: _*)
-      .withColumn(pidN, spark_partition_id())
+    // the shared bucketing is already materialized; the peer-group and
+    // row indexes are deterministic in-bucket windows over the frozen
+    // buckets, consumed only by the withIn subtree below — they ride
+    // its lazy plan (per-bucket totals read df0 directly)
     val preGi =
-      if (needGi) preBucketed.withColumn(giN, dense_rank().over(wIn0))
-      else preBucketed
-    val bucketed = materializeOnce(
+      if (needGi) df0.withColumn(giN, dense_rank().over(wIn0))
+      else df0
+    val bucketed =
       if (needIdx) preGi.withColumn(idxN, row_number().over(wIn0))
-      else preGi)
+      else preGi
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col(pidN)).orderBy(col(idxN).asc)
     val wInRev = org.apache.spark.sql.expressions.Window
@@ -2214,7 +2279,7 @@ object Lowering {
       }
     val withIn = bucketed.select(col("*") +: parts4.flatMap(_._1): _*)
     val totAggs = parts4.flatMap(_._2)
-    val totals = bucketed.groupBy(col(pidN)).agg(totAggs.head, totAggs.tail: _*)
+    val totals = df0.groupBy(col(pidN)).agg(totAggs.head, totAggs.tail: _*)
     // offsets AND the own-bucket totals ride the same broadcast join
     val offsets = totals.select(
       col(pidN) +: (parts4.flatMap(_._3) ++
@@ -2222,7 +2287,7 @@ object Lowering {
     val joined = withIn.join(broadcast(offsets), Seq(pidN), "left_outer")
     val finals = items.zipWithIndex.map { case ((alias, _, _, _), j) =>
       parts4(j)._4.as(alias) }
-    val dropNames = Seq(pidN, giN, idxN) ++ ordNames ++
+    val dropNames = Seq(giN, idxN) ++
       items.indices.flatMap(j =>
         Seq("gc", "gs", "p", "s", "e").map(c => s"${tag}_in${j}_$c") ++
           Seq("c", "s", "m").map(c => s"${tag}_t${j}_$c") ++
@@ -2261,23 +2326,24 @@ object Lowering {
     * row stays null. Items: (name, lag|lead, lowered arg, offset,
     * default).
     */
-  private def attachGlobalBigShifts(spark: SparkSession, df0: DataFrame,
-      ordSpec: Seq[(Column, Ast.SortDir)],
+  /** The self-join half of the large-offset shift lowering: `mat` is
+    * the SHARED materialized frame carrying the global row number
+    * (`rnN`) and the item argument columns (`xNames`) — one compact
+    * equi-join per distinct (direction, offset), right side read from
+    * `mat`, left side chained from `d` (which may already carry other
+    * classes' outputs). rnN / xNames stay for the coordinator to drop.
+    */
+  private def bigShiftJoins(mat: DataFrame, d0: DataFrame, rnN: String,
+      xNames: Seq[String],
       items: Seq[(String, String, Column, Int, Any)]): DataFrame = {
     val tag = s"__gbs${gowTag.incrementAndGet()}"
-    val rnN = s"${tag}_rn"
-    val xNames = items.indices.map(i => s"${tag}_x$i")
-    val withX = df0.select(col("*") +: items.zipWithIndex.map {
-      case ((_, _, x, _, _), i) => x.as(xNames(i)) }: _*)
-    val withRn = materializeOnce(attachGlobalOrderedWins(spark, withX,
-      ordSpec, Seq((rnN, "row_number", None, None))))
     val byShift = items.zipWithIndex.groupBy { case ((_, f, _, k, _), _) =>
       (f, k) }.toSeq.sortBy { case ((f, k), _) => (f, k) }
-    val joined = byShift.foldLeft(withRn) { case (d, ((f, k), its)) =>
+    val joined = byShift.foldLeft(d0) { case (d, ((f, k), its)) =>
       val jk = s"${tag}_jk_${f}_$k"
       val hit = s"${tag}_h_${f}_$k"
       val delta = if (f == "lag") k.toLong else -k.toLong
-      val right = withRn.select(
+      val right = mat.select(
         (col(rnN) + delta).as(jk) +: lit(true).as(hit) +:
           its.map { case (_, i) => col(xNames(i)).as(s"${tag}_v$i") }: _*)
       d.join(right, col(rnN) === col(jk), "left_outer").drop(jk)
@@ -2287,8 +2353,7 @@ object Lowering {
       when(col(s"${tag}_h_${f}_$k").isNotNull, col(s"${tag}_v$i"))
         .otherwise(lit(dflt).cast(vt)).as(alias)
     }
-    val dropNames = Seq(rnN) ++ xNames ++
-      items.indices.map(i => s"${tag}_v$i") ++
+    val dropNames = items.indices.map(i => s"${tag}_v$i") ++
       byShift.map { case ((f, k), _) => s"${tag}_h_${f}_$k" }
     joined.select(col("*") +: finals: _*).drop(dropNames: _*)
   }
@@ -2320,37 +2385,25 @@ object Lowering {
     * materialized once; one compact equi-join per item against its own
     * non-null rows keyed by their rank.
     */
-  private def attachGlobalBigInShifts(spark: SparkSession, df0: DataFrame,
-      ordSpec: Seq[(Column, Ast.SortDir)],
+  /** The self-join half of the large-offset IGNORE NULLS shift
+    * lowering: `mat` is the SHARED materialized frame carrying each
+    * item's argument column (`xNames`) and its non-null rank column
+    * (`cNames` — forward running count for lags, reversed for leads,
+    * both computed by the shared prefix-scan invocations). One compact
+    * equi-join per item against its own non-null rows keyed by their
+    * rank. xNames / cNames stay for the coordinator to drop.
+    */
+  private def bigInShiftJoins(mat: DataFrame, d0: DataFrame,
+      xNames: Seq[String], cNames: Seq[String],
       items: Seq[(String, String, Column, Int, Any)]): DataFrame = {
     val tag = s"__gbi${gowTag.incrementAndGet()}"
-    val xNames = items.indices.map(i => s"${tag}_x$i")
-    val withX = df0.select(col("*") +: items.zipWithIndex.map {
-      case ((_, _, x, _, _), i) => x.as(xNames(i)) }: _*)
-    def cN(i: Int) = s"${tag}_c$i"
-    val rowsPrefix = Ast.WinFrame(range = false, lo = Long.MinValue, hi = 0L)
-    val lags = items.zipWithIndex.filter { case ((_, f, _, _, _), _) => f == "lag" }
-    val leads = items.zipWithIndex.filter { case ((_, f, _, _, _), _) => f == "lead" }
-    val revSpec = ordSpec.map { case (c, dir) =>
-      (c, Ast.SortDir(!dir.desc, Some(!dir.nullsFirst.getOrElse(false)))) }
-    val d1 = if (lags.isEmpty) withX
-      else attachGlobalOrderedWins(spark, withX, ordSpec,
-        lags.map { case (_, i) =>
-          (cN(i), "count", Some(col(xNames(i))): Option[Column],
-            Some(rowsPrefix): Option[Ast.WinFrame]) })
-    val d2 = if (leads.isEmpty) d1
-      else attachGlobalOrderedWins(spark, d1, revSpec,
-        leads.map { case (_, i) =>
-          (cN(i), "count", Some(col(xNames(i))): Option[Column],
-            Some(rowsPrefix): Option[Ast.WinFrame]) })
-    val withC = materializeOnce(d2)
-    val joined = items.zipWithIndex.foldLeft(withC) {
+    val joined = items.zipWithIndex.foldLeft(d0) {
       case (d, ((_, _, _, k, _), i)) =>
         val jk = s"${tag}_jk$i"
         val hit = s"${tag}_h$i"
-        val cPrev = col(cN(i)) - col(xNames(i)).isNotNull.cast("long")
-        val right = withC.filter(col(xNames(i)).isNotNull)
-          .select(col(cN(i)).as(jk), lit(true).as(hit),
+        val cPrev = col(cNames(i)) - col(xNames(i)).isNotNull.cast("long")
+        val right = mat.filter(col(xNames(i)).isNotNull)
+          .select(col(cNames(i)).as(jk), lit(true).as(hit),
             col(xNames(i)).as(s"${tag}_v$i"))
         d.join(right, cPrev - (k - 1).toLong === col(jk), "left_outer")
           .drop(jk)
@@ -2360,8 +2413,8 @@ object Lowering {
       when(col(s"${tag}_h$i").isNotNull, col(s"${tag}_v$i"))
         .otherwise(lit(dflt).cast(vt)).as(alias)
     }
-    val dropNames = xNames ++ items.indices.flatMap(i =>
-      Seq(cN(i), s"${tag}_v$i", s"${tag}_h$i"))
+    val dropNames = items.indices.flatMap(i =>
+      Seq(s"${tag}_v$i", s"${tag}_h$i"))
     joined.select(col("*") +: finals: _*).drop(dropNames: _*)
   }
 
@@ -2398,24 +2451,16 @@ object Lowering {
     * at the global end exactly where the ghosts run out.
     */
   private def attachGlobalMaskAheadWins(spark: SparkSession, df0: DataFrame,
-      ordSpec: Seq[(Column, Ast.SortDir)],
+      bk: BucketCols,
       items: Seq[(String, String, Column, Int)]): DataFrame = {
     val tag = s"__gmaw${gowTag.incrementAndGet()}"
-    val pidN = s"${tag}_pid"
+    val pidN = bk.pidN
     val ghostN = s"${tag}_ghost"
-    val ordNames = ordSpec.indices.map(i => s"${tag}_o$i")
-    val mNames = items.indices.map(i => s"${tag}_m$i")
-    val withOrd = df0.select(col("*") +:
-      (ordSpec.zipWithIndex.map { case ((c, _), i) => c.as(ordNames(i)) } ++
-        items.zipWithIndex.map { case ((_, _, m, _), i) =>
-          m.as(mNames(i)) }): _*)
-    val ordE = ordSpec.zipWithIndex.map { case ((_, d), i) =>
-      sortCol(col(ordNames(i)), d) }
-    val nParts = spark.sessionState.conf.numShufflePartitions
-    val bucketed = materializeOnce(withOrd
-      .repartitionByRange(nParts, ordE: _*)
-      .withColumn(pidN, spark_partition_id())
-      .withColumn(ghostN, lit(false)))
+    val ordE = bk.ordE
+    // the first-occurrence masks were attached BEFORE the shared range
+    // shuffle by the coordinator (they're value-partitioned windows);
+    // items carry their column refs, so only the ghost marker is new
+    val bucketed = df0.withColumn(ghostN, lit(false))
     val maxLead = items.map(_._4).max
     val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
     val pids = bucketed.select(col(pidN).as(s"${tag}_tp")).distinct()
@@ -2430,20 +2475,19 @@ object Lowering {
     val unioned = bucketed.unionByName(heads)
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col(pidN)).orderBy(ordE: _*)
-    val inCols = items.zipWithIndex.flatMap { case ((_, f, _, h), i) =>
+    val inCols = items.zipWithIndex.flatMap { case ((_, f, m, h), i) =>
       val w = wIn.rowsBetween(unb, h.toLong)
-      val m = col(mNames(i))
       (if (f != "count") Seq(sum(m).over(w).as(s"${tag}_is$i")) else Nil) ++
         (if (f != "sum") Seq(count(m).over(w).as(s"${tag}_ic$i")) else Nil)
     }
     val withIn = unioned.select(col("*") +: inCols: _*).filter(!col(ghostN))
-    val totAggs = items.zipWithIndex.flatMap { case ((_, f, _, _), i) =>
+    val totAggs = items.zipWithIndex.flatMap { case ((_, f, m, _), i) =>
       (if (f != "count")
-        Seq(sum(col(mNames(i))).as(s"${tag}_ts$i")) else Nil) ++
+        Seq(sum(m).as(s"${tag}_ts$i")) else Nil) ++
         (if (f != "sum")
-          Seq(count(col(mNames(i))).as(s"${tag}_tc$i")) else Nil)
+          Seq(count(m).as(s"${tag}_tc$i")) else Nil)
     }
-    val totals = bucketed.groupBy(col(pidN)).agg(totAggs.head, totAggs.tail: _*)
+    val totals = df0.groupBy(col(pidN)).agg(totAggs.head, totAggs.tail: _*)
     val wPre = org.apache.spark.sql.expressions.Window
       .orderBy(col(pidN).asc).rowsBetween(unb, -1L)
     val offCols = items.zipWithIndex.flatMap { case ((_, f, _, _), i) =>
@@ -2468,7 +2512,7 @@ object Lowering {
           .otherwise(sm.cast("double") / cnt)
       }).as(alias)
     }
-    val dropNames = Seq(pidN, ghostN) ++ ordNames ++ mNames ++
+    val dropNames = Seq(ghostN) ++
       items.indices.flatMap(i => Seq(s"${tag}_is$i", s"${tag}_ic$i",
         s"${tag}_fs$i", s"${tag}_fc$i"))
     joined.select(col("*") +: finals: _*).drop(dropNames: _*)
@@ -2512,30 +2556,23 @@ object Lowering {
     * containment that drives the ghost rows.
     */
   private def attachGlobalIgnoreNullsShifts(spark: SparkSession,
-      df0: DataFrame, ordSpec: Seq[(Column, Ast.SortDir)],
+      df0: DataFrame, bk: BucketCols,
       items: Seq[(String, String, Column, Int, Any)]): DataFrame = {
     val tag = s"__gin${gowTag.incrementAndGet()}"
-    val pidN = s"${tag}_pid"
+    val pidN = bk.pidN
     val gidxN = s"${tag}_gidx"
-    val ordNames = ordSpec.indices.map(i => s"${tag}_o$i")
+    val ordNames = bk.ordNames
     val xN = items.indices.map(j => s"${tag}_x$j")
     val cntN = items.indices.map(j => s"${tag}_c$j")
     val arrN = items.indices.map(j => s"${tag}_a$j")
     val carN = items.indices.map(j => s"${tag}_k$j")
-    val withOrd = df0.select(col("*") +:
-      (ordSpec.zipWithIndex.map { case ((c, _), i) => c.as(ordNames(i)) } ++
-        items.zipWithIndex.map { case ((_, _, x, _, _), j) =>
-          x.as(xN(j)) }): _*)
-    val ordE = ordSpec.zipWithIndex.map { case ((_, d), i) =>
-      sortCol(col(ordNames(i)), d) }
-    val ordRev = ordSpec.zipWithIndex.map { case ((_, d), i) =>
+    // the shared bucketing is already materialized; the item argument
+    // columns are row-local expressions that ride its lazy plan
+    val bucketed = df0.select(col("*") +: items.zipWithIndex.map {
+      case ((_, _, x, _, _), j) => x.as(xN(j)) }: _*)
+    val ordE = bk.ordE
+    val ordRev = bk.dirs.zipWithIndex.map { case (d, i) =>
       sortCol(col(ordNames(i)), Ast.SortDir(!d.desc, d.nullsFirst.map(!_))) }
-    val nParts = spark.sessionState.conf.numShufflePartitions
-    // one materialization — candidate arrays and the in-bucket windows
-    // must see the SAME bucketing (RangePartitioner seeds by RDD id)
-    val bucketed = materializeOnce(withOrd
-      .repartitionByRange(nParts, ordE: _*)
-      .withColumn(pidN, spark_partition_id()))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col(pidN)).orderBy(ordE: _*)
     val wInRev = org.apache.spark.sql.expressions.Window
@@ -2617,7 +2654,7 @@ object Lowering {
         .as(alias)
     }
     joined.select(col("*") +: finals: _*)
-      .drop((Seq(pidN, gidxN) ++ ordNames ++ xN ++ cntN ++ carN): _*)
+      .drop((Seq(gidxN) ++ xN ++ cntN ++ carN): _*)
   }
 
   /** Is `f(x) OVER ()` — no PARTITION BY, no ORDER BY, no frame — a
