@@ -56,38 +56,54 @@ object KMeans {
     */
   def train(df: DataFrame, idCol: String, eCol: String, k: Int, iters: Int,
       roundTo: Option[Int] = None): Model = {
-    val dim = df.select(size(col(eCol))).head.getInt(0)
-    // deterministic seeding: smallest md5(id)
+    // deterministic seeding: smallest md5(id). The seed rows also carry
+    // the dimensionality — no separate size() probe job over the data.
     val seeds = df
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(k)
       .select(col(eCol)).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    val dim = seeds.headOption.map(_._2.length).getOrElse(0)
     var model = Model(seeds)
-    for (_ <- 1 to iters) {
-      val assigned = df.withColumn("cid", model.assignExpr(col(eCol)))
-      val sums = assigned
-        .select(col("cid"), posexplode(col(eCol)).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg(sum("x").as("s"), count(lit(1)).as("n"))
-        .collect()
-      val byC = sums.groupBy(_.getInt(0))
-      val next = model.centroids.map { case (cid, old) =>
-        byC.get(cid) match {
-          case None => (cid, old) // empty cluster keeps its centroid
-          case Some(rows) =>
-            val c = new Array[Double](dim)
-            rows.foreach { r =>
-              val m = r.getAs[Double](2) / r.getLong(3)
-              c(r.getInt(1)) = roundTo.fold(m)(s =>
-                BigDecimal(m).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble)
-            }
-            (cid, c)
+    // The Lloyd loop runs statically planned (AQE off, saved/restored):
+    // every iteration is the same bounded shape — k fused dot products
+    // per row into a (cid, dim) partial aggregate of k·dim groups — so
+    // runtime re-planning discovers nothing and only costs one
+    // separately scheduled query-stage job per exchange (the CC /
+    // recursive-CTE fixpoint recipe). Conf mutation assumes the
+    // single-threaded driver of the gate/bench shape; the set happens
+    // INSIDE the try so a failing action can't leak AQE=off into the
+    // session.
+    val spark = df.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = spark.conf.get(aqeKey, "true")
+    try {
+      spark.conf.set(aqeKey, "false")
+      for (_ <- 1 to iters) {
+        val assigned = df.withColumn("cid", model.assignExpr(col(eCol)))
+        val sums = assigned
+          .select(col("cid"), posexplode(col(eCol)).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(sum("x").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byC = sums.groupBy(_.getInt(0))
+        val next = model.centroids.map { case (cid, old) =>
+          byC.get(cid) match {
+            case None => (cid, old) // empty cluster keeps its centroid
+            case Some(rows) =>
+              val c = new Array[Double](dim)
+              rows.foreach { r =>
+                val m = r.getAs[Double](2) / r.getLong(3)
+                c(r.getInt(1)) = roundTo.fold(m)(s =>
+                  BigDecimal(m).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              }
+              (cid, c)
+          }
         }
+        model = Model(next)
       }
-      model = Model(next)
-    }
+    } finally spark.conf.set(aqeKey, aqeBefore)
     model
   }
 

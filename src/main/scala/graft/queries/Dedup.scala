@@ -77,11 +77,15 @@ object Dedup {
     */
   private def docSets(s: SparkSession, d: String): DataFrame =
     memo(s, d, "sets") {
+      // graft_md5p60 = the md5/conv triple natively from the digest
+      // bytes (bit-identical values, ~3 string allocations fewer per
+      // shingle on the family's hottest pass — see Md5Prefix60)
+      graft.GraftExtensions.ensure(s)
       t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           expr("array_distinct(transform(sequence(1, length(text)-7), i -> " +
-            "cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS bigint)))")
+            "graft_md5p60(substring(text, i, 8))))")
             .as("set"))
         .select(col("doc_id"), col("set"), size(col("set")).cast("long").as("sz"))
     }
@@ -173,7 +177,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       reliable: Boolean = false, hopsPerRound: Int = 1): DataFrame = {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
-    val hops = sys.env.get("GRAFT_CC_HOPS").map(_.toInt).getOrElse(hopsPerRound)
+    val hops = sys.env.get("GRAFT_CC_HOPS").map(v =>
+      v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"GRAFT_CC_HOPS must be an integer (got '$v')")))
+      .getOrElse(hopsPerRound)
+    // hops = 0 would make the propagation fold the identity: `changed`
+    // reads 0 on round 0 and every node silently becomes its own
+    // singleton cluster — a wrong result with no error (ADVICE r15)
+    require(hops >= 1, s"connectedComponents needs hopsPerRound >= 1 " +
+      s"(got $hops — check GRAFT_CC_HOPS)")
     if (reliable)
       require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliable connectedComponents needs sparkContext.setCheckpointDir")
@@ -211,13 +223,21 @@ object Dedup {
     // variant — edges by v, labels by id, shared partition count — was
     // measured WORSE under AQE: 130 jobs, the extra repartitions became
     // stages of their own.)
+    // Conf mutation assumes the SINGLE-THREADED driver of the gate /
+    // bench shape: a query planned concurrently on this session during
+    // the fixpoint would silently see AQE off / a clamped width, and two
+    // interleaved fixpoints could restore each other's values. Callers
+    // that plan queries from multiple threads must isolate the loop in a
+    // cloned session (spark.newSession() shares state, isolates conf).
+    // Every conf set sits INSIDE the try so a failing action can't leak
+    // the mutation past the finally (ADVICE r15).
     val session = pairs.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
     val partsKey = "spark.sql.shuffle.partitions"
     val aqeBefore = session.conf.get(aqeKey, "true")
     val partsBefore = session.conf.get(partsKey)
-    session.conf.set(aqeKey, "false")
     try {
+    session.conf.set(aqeKey, "false")
     val edges = ckpt(pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v"))))
     // Static stand-in for AQE's partition coalescing: the loop's shuffle
@@ -616,10 +636,11 @@ object Dedup {
     // Near-dups = candidate pairs within signature Hamming distance ≤ 3.
     "q_dedup_simhash" -> QueryDef(
       (s, d) => {
+        graft.GraftExtensions.ensure(s)
         val toks = t(s, d, "documents")
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) AS bigint)"))
+          .withColumn("h", expr("graft_md5p60(tok)"))
         val dfs = toks.select("doc_id", "tok").distinct()
           .groupBy("tok").agg(count(lit(1)).as("df"))
         val wtoks = toks.join(dfs, "tok")

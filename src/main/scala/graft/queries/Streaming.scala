@@ -30,27 +30,34 @@ import graft.streaming.StreamingDedup
   */
 object Streaming {
 
-  /** Write df as 32 parquet files under a deterministic per-key temp
-    * dir (idempotent across invocations; the driver may call a gate
-    * many times — bench reps must not re-pay the write).
+  /** Write df as `nFiles` parquet files under a deterministic per-key
+    * temp dir (idempotent across invocations; the driver may call a
+    * gate many times — bench reps must not re-pay the write).
     *
-    * 32 files, not one: a streaming file source reads ONE FILE PER
-    * TASK, so the file count IS the map-side parallelism — with a
-    * single file the whole per-row signature computation of the dedup
-    * replay ran in one task (StreamProf measured it at 5.5 of the
-    * replay's 7.8 s; 32 files cut the replay to 2.0 s). The single
-    * micro-batch the replays rely on survives: with no
-    * maxFilesPerTrigger the file source admits ALL available files
-    * into one batch (replay() asserts it loudly — multi-batch would
-    * let the watermark evict state mid-replay and silently change
-    * results; the stateful transforms sort within the batch, so
-    * cross-file arrival order is immaterial).
+    * The file count is PER GATE: a streaming file source reads ONE
+    * FILE PER TASK, so the file count IS the map-side parallelism —
+    * with a single file the whole per-row signature computation of the
+    * dedup replay ran in one task (StreamProf measured it at 5.5 of
+    * the replay's 7.8 s; 32 files cut the replay to 2.0 s). The
+    * events-based replays are the opposite case: their per-row map
+    * work is trivial, and 32 files only add file-source listing and
+    * task overhead per micro-batch — the r15 driver measured all three
+    * regress 0.66-0.82× under a blanket 32 (the stream-stream join
+    * pays it twice, once per side). A production stream sizes this to
+    * its real per-file work. The single micro-batch the replays rely
+    * on is file-count-independent: with no maxFilesPerTrigger the file
+    * source admits ALL available files into one batch (replay()
+    * asserts it loudly — multi-batch would let the watermark evict
+    * state mid-replay and silently change results; the stateful
+    * transforms sort within the batch, so cross-file arrival order is
+    * immaterial).
     */
-  private def boundedSource(df: DataFrame, key: String, d: String): String = {
+  private def boundedSource(df: DataFrame, key: String, d: String,
+      nFiles: Int): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
-      s"${key}_p32_${Integer.toHexString(d.hashCode)}"
+      s"${key}_p${nFiles}_${Integer.toHexString(d.hashCode)}"
     if (!Files.exists(Paths.get(s"$dir/_SUCCESS")))
-      df.repartition(32).write.mode("overwrite").parquet(dir)
+      df.repartition(nFiles).write.mode("overwrite").parquet(dir)
     dir
   }
 
@@ -104,7 +111,7 @@ object Streaming {
           t(s, d, "documents").select(col("doc_id"),
             expr("timestamp_seconds(1704067200 + doc_id)").as("ts"),
             col("text")),
-          "docs", d)
+          "docs", d, nFiles = 32)
         val docs = s.readStream
           .schema(org.apache.spark.sql.Encoders.product[StreamingDedup.Doc].schema)
           .parquet(src).as[StreamingDedup.Doc]
@@ -156,7 +163,7 @@ object Streaming {
           graft.Tables.events(s, d)
             .select(col("event_id"), col("ts"), col("event_type"),
               col("value")),
-          "events", d)
+          "events", d, nFiles = 1)
         val ev = s.readStream.schema(
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("event_id",
@@ -202,7 +209,7 @@ object Streaming {
         val src = boundedSource(
           graft.Tables.events(s, d).select(col("user_id"), col("ts"),
             col("event_type"), col("value")),
-          "sess", d)
+          "sess", d, nFiles = 1)
         val ev = s.readStream
           .schema(org.apache.spark.sql.Encoders.product[EventsStreaming.Event].schema)
           .parquet(src).as[EventsStreaming.Event]
@@ -248,7 +255,7 @@ object Streaming {
         val src = boundedSource(
           graft.Tables.events(s, d).select(col("event_id"), col("ts"),
             col("user_id"), col("event_type"), col("value")),
-          "attr", d)
+          "attr", d, nFiles = 1)
         val ev = s.readStream.schema(
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("event_id",

@@ -268,11 +268,13 @@ object TextOps {
     // summary (size + checksum) is compared here; the raw selected-hash
     // sets are what a matcher would join on.
     "q_text_winnow" -> QueryDef(
-      (s, d) => graft.Tables.t(s, d, "documents")
+      (s, d) => {
+        graft.GraftExtensions.ensure(s)
+        graft.Tables.t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           expr("transform(sequence(1, length(text)-7), " +
-            "i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS bigint))")
+            "i -> graft_md5p60(substring(text, i, 8)))")
             .as("hs"))
         // slice() truncates at the array end, so tail windows narrow to
         // the remaining positions — same semantics as ROWS BETWEEN
@@ -284,7 +286,8 @@ object TextOps {
           expr("cast(size(sel) AS bigint)").as("fp_size"),
           expr("cast(aggregate(sel, 0L, (acc, x) -> acc + x % 1000000007) AS bigint)")
             .as("fp_checksum"))
-        .orderBy("doc_id"),
+        .orderBy("doc_id")
+      },
       Some("""WITH h AS (
              |  SELECT doc_id, i,
              |    ('0x' || substring(md5(substring(text, i, 8)), 1, 15))::bigint AS h

@@ -460,9 +460,26 @@ object Vectors {
     // nprobe/k of the data.
     "q_ann_ivf_kmeans" -> QueryDef(
       (s, d) => {
-        val all = withNorm(emb(s, d))
+        // ONE materialization of the projected+normed vectors: the
+        // trainer's per-iteration passes (seeds + 2 Lloyd aggregates)
+        // and the final assignment feeding BOTH probe-join sides read
+        // local blocks instead of re-scanning + re-shuffling the
+        // fixture per action — at 100 TB this is the standard cache-
+        // the-training-input discipline, as a lineage-cutting
+        // checkpoint (guide §5)
+        val reliable =
+          s.conf.get("graft.reliableCheckpoint", "false").toBoolean
+        val all = org.apache.spark.sql.graftbridge.Bridge.capStats {
+          val a0 = withNorm(emb(s, d))
+          if (reliable) {
+            if (s.sparkContext.getCheckpointDir.isEmpty)
+              s.sparkContext.setCheckpointDir(java.nio.file.Files
+                .createTempDirectory("graft-ckpt").toString)
+            a0.checkpoint()
+          } else a0.localCheckpoint()
+        }
         val model = graft.operators.KMeans.train(
-          emb(s, d), "vec_id", "e", k = 8, iters = 2, roundTo = Some(6))
+          all, "vec_id", "e", k = 8, iters = 2, roundTo = Some(6))
         def distArr = array(model.centroids.map { case (cid, w) =>
           val c2 = w.map(x => x * x).sum
           struct((lit(c2) - lit(2.0) * dot(col("e"), array(w.map(lit): _*))).as("d"),

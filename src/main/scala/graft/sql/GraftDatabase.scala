@@ -2759,11 +2759,21 @@ final class GraftDatabase(val spark: SparkSession, val warehouse: String) {
         // the pre-rewrite row count (~4M rows ≈ hundreds of MB per file);
         // coalesce never increases partitioning, so large images keep
         // their parallelism and only the tiny-table case collapses.
-        // (Unknown/zero prior rowcount ⇒ 1 file — rewrites of populated
-        // tables always have a count from markStale/rebuild.)
-        val prevRows = statistics.get(desc.name).map(_.rowCount).getOrElse(0L)
-        val targetFiles = math.max(1L, prevRows / 4000000L + 1L).toInt
-        img.coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
+        // The pre-rewrite count can UNDERSTATE a growing image (a MERGE
+        // inserting millions into a tiny table): that rewrite writes one
+        // oversized file once, and the NEXT rewrite re-targets from the
+        // post-rewrite count markStale recorded — self-correcting
+        // without an extra pre-write count job. When prior stats are
+        // absent entirely (no markStale/rebuild ever ran), skip the
+        // coalesce rather than collapse an unknown-size image to one
+        // task (ADVICE r15).
+        statistics.get(desc.name).map(_.rowCount) match {
+          case Some(prevRows) =>
+            val targetFiles = math.max(1L, prevRows / 4000000L + 1L).toInt
+            img.coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
+          case None =>
+            img.write.mode("overwrite").parquet(tmp)
+        }
     }
     val dirP = Paths.get(dir)
     if (Files.exists(dirP)) {

@@ -3627,9 +3627,15 @@ object Lowering {
       // sides from estimates the same way, optimizer/optimizer.rs:177-180)
       if (broadcastBindings(bt.binding)) broadcast(df) else df
     }
-    // SELECT without FROM evaluates over one synthetic row
+    // SELECT without FROM evaluates over one synthetic row — in ONE
+    // partition: the no-arg spark.range defaults to defaultParallelism
+    // slices, so a K-row VALUES (a union of K such selects) built a
+    // 32·K-partition frame whose near-empty partitions every downstream
+    // job re-paid as tasks (measured: 96-task broadcast builds on a
+    // 3-row VALUES at parallelism 32)
     val base =
-      if (base0.nonEmpty) base0 else Seq(spark.range(1).toDF().drop("id"))
+      if (base0.nonEmpty) base0
+      else Seq(spark.range(0L, 1L, 1L, 1).toDF().drop("id"))
     val allConj: Seq[BoundExpr] = q.predicate.map(conjuncts).getOrElse(Nil)
     // subquery conjuncts — IN/EXISTS/scalar comparisons — lower as joins
     // AFTER the plain filter/join phase. A PURE top-level subquery
@@ -4579,11 +4585,16 @@ object Lowering {
     // nothing a statically planned round doesn't. The BASE materialization
     // above and the caller's final read of `acc` keep AQE — those are the
     // one-shot, potentially large plans where it earns its stage jobs.
+    // Conf mutation assumes the SINGLE-THREADED driver of the gate /
+    // bench shape: a query planned concurrently on this session during
+    // the loop would silently see AQE off / a clamped width, and two
+    // interleaved fixpoints could restore each other's values. Callers
+    // that plan queries from multiple threads must isolate the loop in
+    // a cloned session (spark.newSession() shares state, isolates conf).
     val aqeKey = "spark.sql.adaptive.enabled"
     val partsKey = "spark.sql.shuffle.partitions"
     val aqeBefore = spark.conf.get(aqeKey, "true")
     val partsBefore = spark.conf.get(partsKey)
-    spark.conf.set(aqeKey, "false")
     // Static stand-in for AQE's partition coalescing inside the loop: the
     // shuffle width derives from the MEASURED row counts flowing through
     // the fixpoint (base rows as the step-input proxy, refreshed with each
@@ -4592,11 +4603,15 @@ object Lowering {
     // over a 1B-row base keeps the cluster-default width; the gate's
     // hundreds-of-rows frontier gets 1 instead of 32 near-empty tasks per
     // exchange (measured: 2,595 tasks for 36 KiB of shuffle without this).
-    val baseRows = acc.count()
     def loopWidth(rows: Long): Int = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, rows / 2000000L + 1L)).toInt
-    spark.conf.set(partsKey, loopWidth(baseRows).toString)
+    // every conf set sits INSIDE the try — the count() action below can
+    // fail (task failure, cancellation), and the finally must always see
+    // a session it can restore (ADVICE r15)
     try {
+    spark.conf.set(aqeKey, "false")
+    val baseRows = acc.count()
+    spark.conf.set(partsKey, loopWidth(baseRows).toString)
     while (!done) {
       it += Unroll
       if (it > maxIter) throw new IllegalStateException(

@@ -98,8 +98,17 @@ final class StatsManager(spark: SparkSession, warehouse: String) {
     }
 
   def bucketStats(table: String): Option[BucketStats] = {
-    staleDescs.get(table.toLowerCase).foreach(ensureFresh)
-    bstats.get(table.toLowerCase)
+    val key = table.toLowerCase
+    staleDescs.get(key) match {
+      case Some(d) => ensureFresh(d)
+      case None =>
+        // after a warehouse reopen the stale FLAG is persisted but the
+        // descriptor map is in-memory only: never serve possibly
+        // pre-rewrite bucket stats for a table load() marked stale —
+        // callers fall back conservatively on None (ADVICE r15)
+        if (staleTables.contains(key)) return None
+    }
+    bstats.get(key)
   }
 
   /** ANALYZE-style external injection (tests / tuning): override a table's

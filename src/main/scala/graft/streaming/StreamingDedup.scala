@@ -41,8 +41,12 @@ object StreamingDedup {
     * shingle hashes), evaluated entirely within the row.
     */
   def signature: Column = {
+    // graft_md5p60 = the md5/conv triple natively from the digest bytes
+    // (bit-identical values; see graft.functions.Md5Prefix60). Callers
+    // must have run GraftExtensions.ensure on the session (bandRows
+    // does) before the column resolves.
     val shingles = "transform(sequence(1, length(text)-7), i -> " +
-      "cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS bigint) % 999999937)"
+      "graft_md5p60(substring(text, i, 8)) % 999999937)"
     // ONE pass over the shingles: each shingle's md5 evaluates once
     // (the previous form spliced the whole shingle array into each of
     // the 16 array_min calls — 16× the md5 work; the round-13 sf0.1
@@ -58,6 +62,7 @@ object StreamingDedup {
   /** Explode a doc stream into its 4 (band, bkey) rows, signature attached. */
   def bandRows(docs: Dataset[Doc]): Dataset[BandRow] = {
     import docs.sparkSession.implicits._
+    graft.GraftExtensions.ensure(docs.sparkSession)
     val bandExprs = (0 until Bands).map { b =>
       val tuple = (0 until NumHashes / Bands)
         .map(j => s"cast(sig[${b * (NumHashes / Bands) + j}] AS string)").mkString(", ")

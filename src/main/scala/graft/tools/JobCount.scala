@@ -36,7 +36,11 @@ object JobCount {
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .getOrElse("")
           val nt = j.stageInfos.map(_.numTasks).sum
-          System.err.println(f"JOB ${j.jobId}%4d stages=${j.stageInfos.length}%3d tasks=$nt%5d  $desc")
+          // the fattest stage's name carries the RDD call site — the
+          // fastest way to attribute an anonymous AQE query-stage job
+          val site = j.stageInfos.sortBy(-_.numTasks).headOption
+            .map(s => s"${s.name} [${s.numTasks}t]").getOrElse("")
+          System.err.println(f"JOB ${j.jobId}%4d stages=${j.stageInfos.length}%3d tasks=$nt%5d  $desc $site")
         }
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
@@ -44,6 +48,13 @@ object JobCount {
         tasks.addAndGet(s.stageInfo.numTasks)
         shufW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         shufR.addAndGet(s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        // deep attribution for fat stages: the first graft frame in the
+        // stage's call-site stack names the operator that built the RDD
+        if (verbose && s.stageInfo.numTasks >= 64)
+          System.err.println("  FATSTAGE " + s.stageInfo.numTasks + "t  rdds=" +
+            s.stageInfo.rddInfos.map(r =>
+              s"${r.name}@${r.scope.map(_.name).getOrElse("?")}:" +
+                r.callSite.take(60)).mkString(" | "))
       }
     })
     def releaseCaches(): Unit = {

@@ -24,6 +24,7 @@ object StreamProf {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.ensure(spark)
     import spark.implicits._
 
     def time(label: String)(body: => Any): Unit = {
